@@ -1,0 +1,290 @@
+"""Pure-Python reference-semantics oracle (no Spark).
+
+A single-threaded simulator of hellock/icrawler's feeder→parser→downloader
+pipeline, used to produce golden (crawl order, seen set, fetched list,
+extracted text) files that the Spark engine must match (BASELINE.md parity
+rows). Semantics are taken from the reference by specification, not by code
+copy:
+
+- FIFO queues, dedup-at-enqueue with CachedQueue canonicalization rules
+  (/root/reference/icrawler/utils/cached_queue.py:26-59: dict→sorted-JSON,
+  list→frozenset, str passthrough; unbounded cache).
+- Greedy link extraction/normalization/filter rules
+  (/root/reference/icrawler/builtin/greedy.py:18-71), including the quirk
+  that bare-domain links ("http://x.test" — last path segment contains a
+  dot with a non-page extension) are dropped.
+- Budget semantics of /root/reference/icrawler/downloader.py:79-139:
+  fetched_num checked BEFORE each download, 1-based file indices
+  ``fetched_num + file_idx_offset`` formatted %06d, size filter rejects
+  don't count, reach_max_num stops every stage.
+- Deviation (documented, SURVEY.md §2.2 F3): the reference discards 2xx
+  responses due to an inverted condition (downloader.py:132-134); we emulate
+  the evident intent (keep 2xx).
+
+Canonical deterministic schedule (stands in for "reference order", which the
+reference produces with 1 thread per stage — crawler.py:35-37): pop one page
+URL FIFO → fetch → parse → enqueue yields in emission order → fully drain the
+task queue (downloading FIFO, budget-checked per task) → next pop. Crawl stops
+when the url queue is empty or reach_max_num is set.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlsplit
+
+IMG_PATTERN = re.compile(r"(http|\/\/)(.*)\.(jpg|jpeg|png|bmp|gif|tiff)")
+PAGE_EXTS = ["html", "shtml", "shtm", "php", "jsp", "asp"]
+IMAGE_EXT_WHITELIST = ["jpg", "jpeg", "png", "bmp", "tiff", "gif", "ppm", "pgm"]
+
+_IMG_TAG = re.compile(r'<img\s[^>]*src="([^"]*)"')
+_HREF_TAG = re.compile(r'href="([^"]*)"')
+_DIMS = re.compile(r"-(\d+)x(\d+)\.[a-z]+$")
+
+
+def canonical_task_key(file_url: str) -> str:
+    """CachedQueue key for a task dict {'file_url': url}: sorted-JSON form."""
+    import json
+
+    return json.dumps({"file_url": file_url}, sort_keys=True)
+
+
+def normalize_domains(domains: list[str]) -> list[str]:
+    """GreedyImageCrawler.crawl seed normalization (greedy.py:85-88)."""
+    out = []
+    for d in domains:
+        if not d.startswith("http"):
+            d = "http://" + d
+        out.append(d.rstrip("/"))
+    return out
+
+
+def in_domain(url: str, domains: list[str]) -> bool:
+    return any(d in url for d in domains)
+
+
+def normalize_href(href: str, base_url: str) -> str | None:
+    """Reference href normalization (greedy.py:44-53). None = skip."""
+    if len(href) < 2:
+        return None
+    if href[0:2] == "//":
+        return "http:" + href.rstrip("/")
+    if href[0] == "/":
+        return urljoin(base_url, href.strip("/"))
+    if href[0] == "#":
+        return None
+    return urljoin(base_url, href.rstrip("/"))
+
+
+def classify_link(href_norm: str, domains: list[str]) -> tuple[str, str] | None:
+    """Post-normalization routing (greedy.py:54-71).
+
+    Returns ('task', url) | ('url', url) | None.
+    """
+    if IMG_PATTERN.match(href_norm):
+        return ("task", href_norm)
+    tmp = href_norm.split("/")[-1].split(".")
+    if len(tmp) > 1 and tmp[-1] not in PAGE_EXTS:
+        return None
+    if href_norm.find("javascript", 0, 10) == 0:
+        return None
+    if urlsplit(href_norm).scheme not in ["http", "https", "ftp"]:
+        return None
+    if in_domain(href_norm, domains):
+        return ("url", href_norm)
+    return None
+
+
+def parse_page(html: bytes, page_url: str, domains: list[str]) -> list[tuple[str, str]]:
+    """Emission sequence of GreedyParser.parse over our template, in document
+    order: all <img src> first (greedy.py:31-38), then every href
+    (greedy.py:39-71). Returns [(kind, value)] with kind ∈ {task, url}."""
+    doc = html.decode("utf-8", "ignore")
+    out: list[tuple[str, str]] = []
+    for src in _IMG_TAG.findall(doc):
+        if IMG_PATTERN.match(src):
+            img_url = "http:" + src if src.startswith("//") else src
+            out.append(("task", img_url))
+    sp = urlsplit(page_url)
+    base_url = f"{sp.scheme}://{sp.netloc}"
+    for href in _HREF_TAG.findall(doc):
+        norm = normalize_href(href, base_url)
+        if norm is None:
+            continue
+        routed = classify_link(norm, domains)
+        if routed is not None:
+            out.append(routed)
+    return out
+
+
+def image_dims(file_url: str) -> tuple[int, int] | None:
+    m = _DIMS.search(file_url)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def size_gt(sz, bound) -> bool:
+    return max(sz) >= max(bound) and min(sz) >= min(bound)
+
+
+def size_lt(sz, bound) -> bool:
+    return max(sz) <= max(bound) and min(sz) <= min(bound)
+
+
+def keep_file(file_url: str, min_size=None, max_size=None) -> bool:
+    """ImageDownloader.keep_file semantics (downloader.py:242-263) with dims
+    decoded from the URL (FIXTURES.md §4)."""
+    if min_size is None and max_size is None:
+        return True
+    dims = image_dims(file_url)
+    if dims is None:
+        return False
+    if min_size and not size_gt(dims, min_size):
+        return False
+    if max_size and not size_lt(dims, max_size):
+        return False
+    return True
+
+
+def image_filename(file_url: str, file_idx: int, default_ext: str = "jpg") -> str:
+    """ImageDownloader.get_filename (downloader.py:265-274)."""
+    path = urlsplit(file_url).path
+    if "." in path:
+        ext = path.split(".")[-1]
+        if ext.lower() not in IMAGE_EXT_WHITELIST:
+            ext = default_ext
+    else:
+        ext = default_ext
+    return f"{file_idx:06d}.{ext}"
+
+
+@dataclass
+class CrawlGolden:
+    order: list[dict] = field(default_factory=list)  # visit_rank,url,round,parent,link_pos
+    seen_pages: set[str] = field(default_factory=set)
+    seen_tasks: set[str] = field(default_factory=set)  # file_urls (canonical dict keys 1:1)
+    fetched: list[dict] = field(default_factory=list)  # file_idx,file_url,filename
+    texts: dict[str, str] = field(default_factory=dict)  # url -> extracted text
+    stop_reason: str = "frontier_exhausted"
+
+
+class _Budget:
+    def __init__(self, max_num: int, file_idx_offset: int = 0):
+        self.max_num = max_num
+        self.fetched_num = 0
+        self.file_idx_offset = file_idx_offset
+        self.reach_max_num = False
+
+    def hit(self) -> bool:
+        if self.reach_max_num:
+            return True
+        if self.max_num > 0 and self.fetched_num >= self.max_num:
+            self.reach_max_num = True
+            return True
+        return False
+
+
+def run_greedy(
+    pages: dict[str, bytes],
+    texts: dict[str, str],
+    seed_domains: list[str],
+    max_num: int = 0,
+    min_size=None,
+    max_size=None,
+    file_idx_offset: int = 0,
+    default_ext: str = "jpg",
+) -> CrawlGolden:
+    """Simulate GreedyImageCrawler.crawl over an in-memory pages dict."""
+    domains = normalize_domains(list(seed_domains))
+    g = CrawlGolden()
+    budget = _Budget(max_num, file_idx_offset)
+
+    url_queue: list[tuple[str, int, str | None, int]] = []  # url, round, parent, link_pos
+    task_queue: list[str] = []
+
+    for i, d in enumerate(domains):  # GreedyFeeder seeds (greedy.py:11-13)
+        if d not in g.seen_pages:
+            g.seen_pages.add(d)
+            url_queue.append((d, 0, None, i))
+
+    visit_rank = 0
+    qi = 0
+    while qi < len(url_queue):
+        if budget.hit():
+            g.stop_reason = "reach_max_num"
+            break
+        url, rnd, parent, pos = url_queue[qi]
+        qi += 1
+        g.order.append(
+            {"visit_rank": visit_rank, "url": url, "round": rnd, "parent": parent, "link_pos": pos}
+        )
+        visit_rank += 1
+        html = pages.get(url)
+        if html is not None:
+            g.texts[url] = texts[url]
+            emissions = parse_page(html, url, domains)
+            for epos, (kind, value) in enumerate(emissions):
+                if kind == "task":
+                    if value not in g.seen_tasks:
+                        g.seen_tasks.add(value)
+                        task_queue.append(value)
+                else:
+                    if value not in g.seen_pages:
+                        g.seen_pages.add(value)
+                        url_queue.append((value, rnd + 1, url, epos))
+        # drain task queue (downloader) before next page pop
+        ti = 0
+        while ti < len(task_queue):
+            if budget.hit():
+                break
+            file_url = task_queue[ti]
+            ti += 1
+            if keep_file(file_url, min_size, max_size):
+                budget.fetched_num += 1
+                idx = budget.fetched_num + budget.file_idx_offset
+                g.fetched.append(
+                    {"file_idx": idx, "file_url": file_url,
+                     "filename": image_filename(file_url, idx, default_ext)}
+                )
+        del task_queue[:ti]
+
+    if budget.reach_max_num:
+        g.stop_reason = "reach_max_num"
+    return g
+
+
+def run_urllist(
+    file_urls: list[str],
+    offset: int = 0,
+    max_num: int = 0,
+    min_size=None,
+    max_size=None,
+    file_idx_offset: int = 0,
+    default_ext: str = "jpg",
+) -> CrawlGolden:
+    """Simulate UrlListCrawler: UrlListFeeder slice (feeder.py:60-67) →
+    PseudoParser identity (urllist.py:7-32) → ImageDownloader."""
+    g = CrawlGolden()
+    budget = _Budget(max_num, file_idx_offset)
+    end = min(len(file_urls), offset + max_num) if max_num > 0 else len(file_urls)
+    for i in range(offset, end):
+        url = file_urls[i]
+        if url in g.seen_pages:  # url_queue dedup at enqueue
+            continue
+        g.seen_pages.add(url)
+        g.order.append({"visit_rank": len(g.order), "url": url, "round": 0,
+                        "parent": None, "link_pos": i})
+        if url in g.seen_tasks:  # task_queue dedup
+            continue
+        g.seen_tasks.add(url)
+        if budget.hit():
+            g.stop_reason = "reach_max_num"
+            continue
+        if keep_file(url, min_size, max_size):
+            budget.fetched_num += 1
+            idx = budget.fetched_num + budget.file_idx_offset
+            g.fetched.append({"file_idx": idx, "file_url": url,
+                              "filename": image_filename(url, idx, default_ext)})
+    if budget.reach_max_num:
+        g.stop_reason = "reach_max_num"
+    return g

@@ -1,0 +1,246 @@
+"""Deterministic synthetic web — the `pages` table per BASELINE.json input_hint.
+
+Schema: (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+Everything is a pure function of (seed, n_hosts, pages_per_host budget), so the
+pure-Python oracle (oracle.py) and the Spark generator produce byte-identical
+pages for the same config — that is the foundation of the byte-identity parity
+target (BASELINE.json input_hint: "byte-identical extracted text per url").
+
+The embedded HTML exercises every normalization / filter branch of the
+reference greedy parser (/root/reference/icrawler/builtin/greedy.py:29-71):
+protocol-relative links, rooted links, '#' anchors, javascript: links,
+off-scheme links, off-domain links, non-page extensions (.zip), image links
+(img tags and image-extension hrefs), and in-domain page links forming a known
+graph. Host page counts follow a deterministic Zipf(s=1.2)-shaped curve to
+create hot-domain skew (exercises the salted repartition path, SURVEY.md X9).
+
+Scale is controlled by (n_hosts, total_pages); see FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+from dataclasses import dataclass
+
+_EPOCH = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+LANGS = ["en", "zh", "de", "fr", "es"]
+_WORDS = [
+    "crawl", "frontier", "page", "link", "host", "fetch", "queue", "round",
+    "spark", "shuffle", "partition", "bloom", "hash", "budget", "robots",
+    "token", "bucket", "anti", "join", "window", "rank", "batch", "seed",
+]
+
+
+def stable_hash(s: str) -> int:
+    """64-bit stable hash (md5 prefix) — identical across processes/JVMs."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    seed: int = 42
+    n_hosts: int = 10
+    total_pages: int = 200
+    zipf_s: float = 1.2
+
+    def host_page_counts(self) -> list[int]:
+        """Deterministic Zipf(s)-shaped page count per host (≥2 each: root +
+        at least one linkable page — the reference drops bare-domain links,
+        so the graph only targets pages ≥1)."""
+        weights = [(h + 1) ** (-self.zipf_s) for h in range(self.n_hosts)]
+        norm = sum(weights)
+        counts = [max(2, int(round(self.total_pages * w / norm))) for w in weights]
+        return counts
+
+    def hosts(self) -> list[str]:
+        return [f"host{h:04d}.test" for h in range(self.n_hosts)]
+
+
+def page_url(host_idx: int, page_idx: int) -> str:
+    """Page 0 is the host root (what GreedyImageCrawler seeds resolve to
+    after its normalization); other pages live under an extension-less /p/
+    path so the reference's extension filter keeps them."""
+    if page_idx == 0:
+        return f"http://host{host_idx:04d}.test"
+    return f"http://host{host_idx:04d}.test/p/{page_idx}"
+
+
+def _tokens(url: str, seed: int, n: int) -> list[str]:
+    out = []
+    for i in range(n):
+        out.append(_WORDS[stable_hash(f"{seed}:{url}:w{i}") % len(_WORDS)])
+    return out
+
+
+def page_lang(url: str, seed: int) -> str:
+    return LANGS[stable_hash(f"{seed}:{url}:lang") % len(LANGS)]
+
+
+def page_text(url: str, seed: int) -> str:
+    """The byte-identity target: deterministic extracted text for a page."""
+    lang = page_lang(url, seed)
+    n = 8 + stable_hash(f"{seed}:{url}:nw") % 17
+    return f"page {url} lang={lang} words: " + " ".join(_tokens(url, seed, n))
+
+
+def page_warc_ts(url: str, seed: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(seconds=stable_hash(f"{seed}:{url}:ts") % 86400)
+
+
+def page_image_urls(url: str, host_idx: int, seed: int) -> list[str]:
+    """Deterministic image URLs embedded in the page.
+
+    Dimensions are encoded as ``-{w}x{h}.{ext}`` in the URL so size filters are
+    testable without decoding bytes (FIXTURES.md §4).
+    """
+    k = 1 + stable_hash(f"{seed}:{url}:nimg") % 3
+    exts = ["jpg", "png", "gif", "jpeg"]
+    out = []
+    for i in range(k):
+        h = stable_hash(f"{seed}:{url}:img{i}")
+        w_px = 100 + (h >> 8) % 1900
+        h_px = 100 + (h >> 24) % 1900
+        ext = exts[h % len(exts)]
+        if h % 5 == 0:  # protocol-relative image src (greedy.py:33-34 branch)
+            out.append(f"//img{host_idx:04d}.test/i/{h % 100000}-{w_px}x{h_px}.{ext}")
+        else:
+            out.append(f"http://img{host_idx:04d}.test/i/{h % 100000}-{w_px}x{h_px}.{ext}")
+    return out
+
+
+def page_outlinks(url: str, host_idx: int, page_idx: int, cfg: WebConfig) -> list[tuple[str, str]]:
+    """(href_as_written, kind) pairs for the <a href> section of the page.
+
+    kind ∈ {page, image_href, noise}. Page links form the known graph:
+    ``k = 1 + stable_hash(url) % 4`` same-host successors + one cross-host
+    edge (FIXTURES.md §1). Representation of each page link (absolute /
+    rooted / protocol-relative) is hash-chosen to cover every normalization
+    branch of the reference parser.
+    """
+    counts = cfg.host_page_counts()
+    n_pages = counts[host_idx]
+    seed = cfg.seed
+    links: list[tuple[str, str]] = []
+
+    k = 1 + stable_hash(url) % 4
+    for j in range(k):
+        # successors target pages [1, n_pages) only — the reference drops
+        # bare-domain links (greedy.py:60-62), so roots are never link targets
+        succ = 1 + stable_hash(f"{seed}:{url}:succ{j}") % (n_pages - 1)
+        form = stable_hash(f"{seed}:{url}:form{j}") % 3
+        if form == 0:
+            links.append((page_url(host_idx, succ), "page"))
+        elif form == 1:
+            links.append((f"/p/{succ}", "page"))
+        else:
+            links.append((f"//host{host_idx:04d}.test/p/{succ}", "page"))
+
+    # one cross-host edge (followed only if the target host is a seed domain)
+    other = stable_hash(f"{seed}:{url}:xhost") % cfg.n_hosts
+    if other != host_idx:
+        xp = 1 + stable_hash(f"{seed}:{url}:xpage") % (counts[other] - 1)
+        links.append((page_url(other, xp), "page"))
+
+    # an image-extension href (becomes a task, greedy.py:55-56)
+    ih = stable_hash(f"{seed}:{url}:ihref")
+    links.append(
+        (f"http://img{host_idx:04d}.test/i/h{ih % 100000}-{100 + ih % 800}x{100 + (ih >> 16) % 800}.png",
+         "image_href")
+    )
+
+    # noise links covering every drop branch (greedy.py:44-68)
+    links.append(("#frag", "noise"))
+    links.append(("javascript:void(0)", "noise"))
+    links.append(("android-app://com.example/x", "noise"))
+    links.append((f"/files/archive{stable_hash(url) % 10}.zip", "noise"))
+    links.append(("http://off-domain.example/p/0", "noise"))
+    return links
+
+
+def render_html(url: str, host_idx: int, page_idx: int, cfg: WebConfig) -> bytes:
+    imgs = page_image_urls(url, host_idx, cfg.seed)
+    hrefs = page_outlinks(url, host_idx, page_idx, cfg)
+    body = [f"<html><head><title>{url}</title></head><body>"]
+    for src in imgs:
+        body.append(f'<img src="{src}" alt="x">')
+    for href, _kind in hrefs:
+        body.append(f'<a href="{href}">l</a>')
+    body.append(f"<p>{page_text(url, cfg.seed)}</p>")
+    body.append("</body></html>")
+    return "\n".join(body).encode("utf-8")
+
+
+def iter_pages(cfg: WebConfig):
+    """Yield (url, warc_ts, html, text, lang) for every page, host-major order."""
+    counts = cfg.host_page_counts()
+    for h in range(cfg.n_hosts):
+        for p in range(counts[h]):
+            url = page_url(h, p)
+            yield (
+                url,
+                page_warc_ts(url, cfg.seed),
+                render_html(url, h, p, cfg),
+                page_text(url, cfg.seed),
+                page_lang(url, cfg.seed),
+            )
+
+
+def pages_pandas(cfg: WebConfig):
+    """Small-scale generation as a pandas DataFrame (tests / oracle input)."""
+    import pandas as pd
+
+    rows = list(iter_pages(cfg))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+PAGES_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_spark(spark, cfg: WebConfig, partitions: int | None = None):
+    """Distributed generation: spark.range over (host,page) grid → mapInPandas.
+
+    Scales to ≥10^6 pages (bench scale, FIXTURES.md §1) with no driver-side
+    materialization; each Arrow batch renders its own pages via the same pure
+    functions the oracle uses, so content is independent of partitioning.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    counts = cfg.host_page_counts()
+    # offsets[h] = global index of host h's first page
+    offsets = [0]
+    for c in counts:
+        offsets.append(offsets[-1] + c)
+    total = offsets[-1]
+    bounds = list(zip(range(cfg.n_hosts), offsets[:-1], offsets[1:]))
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for gid in pdf["id"]:
+                gid = int(gid)
+                # binary search host for global page id
+                lo, hi = 0, len(bounds) - 1
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if bounds[mid][2] <= gid:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                h, start, _ = bounds[lo]
+                p = gid - start
+                url = page_url(h, p)
+                recs.append(
+                    (url, page_warc_ts(url, cfg.seed), render_html(url, h, p, cfg),
+                     page_text(url, cfg.seed), page_lang(url, cfg.seed))
+                )
+            yield pd.DataFrame(recs, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    n_part = partitions or max(8, min(256, total // 4096 or 8))
+    rng = spark.range(0, total, numPartitions=n_part)
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA_DDL).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
