@@ -1,0 +1,102 @@
+"""Vectorized URL utilities (pandas/Arrow side) + Spark column helpers.
+
+The pandas functions mirror the reference semantics implemented in
+``icrawler_spark.oracle`` (which cites /root/reference line-by-line); they are
+the hot-path vectorized versions used inside mapInPandas. A tiny exact
+fallback (urljoin) covers relative-path corner cases ("../", "./") that the
+vectorized concat fast-path does not model; everything else is pandas
+``.str`` ops over whole Arrow batches — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from icrawler_spark.oracle import IMG_PATTERN, PAGE_EXTS
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+_DOTSEG_RE = re.compile(r"(?:^|/)\.{1,2}(?:/|$)")
+_LAST_EXT_RE = re.compile(r"\.([^./]*)$")
+
+
+def base_url_of(urls: pd.Series) -> pd.Series:
+    """scheme://netloc of each page url (parser.py:87 ``base_url``)."""
+    return urls.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", expand=False)
+
+
+def normalize_hrefs(hrefs: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Vectorized reference href normalization (greedy.py:44-53).
+
+    Returns normalized URL or NaN (skip). ``base_urls`` must be aligned,
+    scheme://netloc only (no path) — under that invariant the concat
+    fast-path equals urljoin for all inputs without dot-segments.
+    """
+    hrefs = hrefs.fillna("")
+    out = pd.Series(np.nan, index=hrefs.index, dtype=object)
+
+    too_short = hrefs.str.len() < 2
+    anchor = hrefs.str.startswith("#")
+    proto_rel = hrefs.str.startswith("//") & ~too_short
+    rooted = hrefs.str.startswith("/") & ~proto_rel & ~too_short
+    has_scheme = hrefs.str.match(_SCHEME_RE) & ~proto_rel & ~rooted & ~too_short
+    relative = ~(too_short | anchor | proto_rel | rooted | has_scheme)
+
+    out[proto_rel] = "http:" + hrefs[proto_rel].str.rstrip("/")
+    out[rooted] = base_urls[rooted] + "/" + hrefs[rooted].str.strip("/")
+    out[has_scheme] = hrefs[has_scheme].str.rstrip("/")
+    out[relative] = base_urls[relative] + "/" + hrefs[relative].str.rstrip("/")
+
+    # exact fallback for dot-segment relatives, where concat != urljoin
+    dotty = (rooted | relative) & hrefs.str.contains(_DOTSEG_RE, regex=True)
+    if dotty.any():
+        from urllib.parse import urljoin
+
+        sub = hrefs[dotty]
+        bases = base_urls[dotty]
+        stripped = sub.str.strip("/").where(sub.str.startswith("/"), sub.str.rstrip("/"))
+        out[dotty] = [urljoin(b, h) for b, h in zip(bases, stripped)]
+    return out
+
+
+def is_image_url(urls: pd.Series) -> pd.Series:
+    """re.match against the greedy image pattern (greedy.py:20)."""
+    return urls.fillna("").str.match(IMG_PATTERN).astype(bool)
+
+
+def classify_page_urls(norm: pd.Series, domains: list[str]) -> pd.Series:
+    """Vectorized page-link filters (greedy.py:58-71). True = keep as
+    frontier URL. Assumes ``is_image_url`` rows were already routed away."""
+    norm = norm.fillna("")
+    last_seg = norm.str.rsplit("/", n=1).str[-1]
+    ext = last_seg.str.extract(_LAST_EXT_RE, expand=False)
+    bad_ext = ext.notna() & ~ext.isin(PAGE_EXTS)
+    is_js = norm.str.startswith("javascript")
+    scheme = norm.str.extract(_SCHEME_RE, expand=False).str.lower()
+    bad_scheme = ~scheme.isin(["http", "https", "ftp"])
+    in_dom = pd.Series(False, index=norm.index)
+    for d in domains:
+        in_dom = in_dom | norm.str.contains(d, regex=False)
+    return ~bad_ext & ~is_js & ~bad_scheme & in_dom
+
+
+def image_extension(file_urls: pd.Series, default_ext: str = "jpg") -> pd.Series:
+    """ImageDownloader.get_filename extension rule (downloader.py:265-274):
+    path extension if whitelisted, else default."""
+    from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
+
+    path = file_urls.str.replace(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "", regex=True)
+    path = path.str.split("?").str[0].str.split("#").str[0]
+    ext = path.str.extract(r"\.([^./]*)$", expand=False)
+    ok = ext.str.lower().isin(IMAGE_EXT_WHITELIST)
+    return ext.where(ok, default_ext).fillna(default_ext)
+
+
+def image_dims(file_urls: pd.Series) -> pd.DataFrame:
+    """Decode the deterministic ``-{w}x{h}.{ext}`` suffix (FIXTURES.md §4)."""
+    d = file_urls.str.extract(r"-(\d+)x(\d+)\.[a-z]+$")
+    return pd.DataFrame(
+        {"width": pd.to_numeric(d[0]), "height": pd.to_numeric(d[1])}, index=file_urls.index
+    )

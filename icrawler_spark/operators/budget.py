@@ -1,0 +1,78 @@
+"""Global ordered ranking + budgeted limit (SURVEY.md K1/O1/O2).
+
+The reference assigns contiguous 1-based file indices under a lock
+(/root/reference/icrawler/downloader.py:74-77,137-139) and stops the crawl
+when ``fetched_num >= max_num`` (downloader.py:79-90). Distributed
+equivalents:
+
+- ``global_row_number``: a scale-safe total-order rank — NOT a bare
+  ``Window.orderBy`` (single-task) and NOT ``monotonically_increasing_id``
+  (neither contiguous nor order-respecting). Two-phase: range-repartition on
+  the order key, count per partition, broadcast prefix offsets, then
+  per-partition cumcount. All stages distributed; the driver only sees one
+  integer per partition.
+- ``ordered_limit``: top-k in total order — ``orderBy().limit()`` lowers to
+  TakeOrderedAndProject (distributed per-partition top-k + merge).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+SMALL_RANK_THRESHOLD = 2_000_000
+
+
+def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank",
+                      start: int = 0, num_partitions: int | None = None,
+                      known_count: int | None = None) -> DataFrame:
+    """Total-order contiguous rank (start, start+1, ...) by order_cols.
+
+    Adaptive: when the caller already knows the row count and it's small, a
+    single-task window is cheaper than the two-phase shuffle; at scale the
+    two-phase path avoids the single-task bottleneck entirely.
+    """
+    if known_count is not None and known_count <= SMALL_RANK_THRESHOLD:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        return df.withColumn(out_col, (F.row_number().over(w) + start - 1).cast("long"))
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
+    counts = {r["__pid"]: r["cnt"] for r in
+              parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+    out_schema = parted.drop("__pid").withColumn(out_col, F.lit(0).cast("long")).schema
+
+    def assign(batches):
+        # one partition => batches arrive in sorted order within the partition
+        local = 0
+        pid_offset = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid_offset is None:
+                pid_offset = bc.value[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = pd.RangeIndex(pid_offset + local, pid_offset + local + len(pdf))
+            local += len(pdf)
+            yield out
+
+    return parted.mapInPandas(assign, schema=out_schema)
+
+
+def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
+    """First n rows in total order (distributed top-k)."""
+    return df.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)

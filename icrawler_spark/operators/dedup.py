@@ -1,0 +1,177 @@
+"""URL-seen dedup — exact anti-join with a Bloom-shard pre-filter.
+
+Reference semantics: CachedQueue dedup-at-enqueue
+(/root/reference/icrawler/utils/cached_queue.py:26-59) — an exact set. The
+Bloom filter is ONLY a pre-filter (north_rule): candidates that miss the Bloom
+are *definitely new* and skip the anti-join shuffle entirely; Bloom hits
+("maybe seen") go through the exact anti-join. False positives therefore cost
+a shuffle row, never a dropped URL — seen-set parity is preserved by
+construction (SURVEY.md X1, D1).
+
+Scale notes (100 TB / 10^10 frontier): the seen table shuffles on
+``xxhash64(url)``; the Bloom shards are fixed-size bitmaps (bits, not URLs) —
+1 GiB of bitmap covers ~10^9 seen URLs at ~1% fpp with k=7, and shards
+broadcast once per round. Skewed hosts don't skew this join (keys are hashes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame | None, key: str = "url") -> DataFrame:
+    """Exact dedup: candidates not present in seen (CachedQueue membership)."""
+    if seen is None:
+        return candidates
+    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+def earliest_occurrence(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """In-batch dedup keeping the first occurrence in reference FIFO order —
+    dedup-at-enqueue means the earliest (visit_rank, pos) wins (SURVEY.md D1).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom shards
+# ---------------------------------------------------------------------------
+
+def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    expected = max(1, expected)
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, int(round(m / expected * math.log(2))))
+    return m, min(k, 10)
+
+
+def _hash2(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit mixes of xxhash64 values (Kirsch-Mitzenmacher)."""
+    h1 = arr.astype(np.uint64)
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)
+    return h1, h2
+
+
+class BloomSeenFilter:
+    """Sharded Bloom filter over xxhash64(key) values.
+
+    Built distributively (each Arrow batch ORs into local shard bitmaps,
+    reduced driver-side), probed inside mapInPandas with numpy — no per-row
+    Python. Shard = pmod(hash, n_shards); on a cluster the shards would live
+    in the broadcast; locally it's one numpy array per shard.
+    """
+
+    def __init__(self, n_shards: int, m_bits: int, k: int, bitmaps: list[np.ndarray]):
+        self.n_shards = n_shards
+        self.m_bits = m_bits
+        self.k = k
+        self.bitmaps = bitmaps
+
+    @classmethod
+    def build(cls, seen: DataFrame, key: str = "url", expected: int | None = None,
+              fpp: float = 0.01, n_shards: int = 8) -> "BloomSeenFilter":
+        if expected is None:
+            expected = seen.count()
+        m, k = _bloom_params(max(expected, 1024), fpp)
+        m_shard = (m + n_shards - 1) // n_shards
+        m_shard = ((m_shard + 63) // 64) * 64
+
+        hashes = seen.select(F.xxhash64(key).alias("h"))
+
+        def build_batches(batches):
+            bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                h1, h2 = _hash2(pdf["h"].to_numpy())
+                shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+                for s in range(n_shards):
+                    sel = shard == s
+                    if not sel.any():
+                        continue
+                    a, b = h1[sel], h2[sel]
+                    for i in range(k):
+                        bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
+                        np.bitwise_or.at(
+                            bms[s], (bit >> np.uint64(6)).astype(np.int64),
+                            np.uint64(1) << (bit & np.uint64(63)),
+                        )
+            if any_rows:
+                yield pd.DataFrame(
+                    {"shard": range(n_shards), "bits": [bm.tobytes() for bm in bms]}
+                )
+
+        partials = hashes.mapInPandas(build_batches, schema="shard int, bits binary").collect()
+        bitmaps = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
+        for row in partials:
+            bitmaps[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
+        return cls(n_shards, m_shard, k, bitmaps)
+
+    def _probe_np(self, h: np.ndarray) -> np.ndarray:
+        h1, h2 = _hash2(h)
+        maybe = np.ones(len(h), dtype=bool)
+        shard = (h1 % np.uint64(self.n_shards)).astype(np.int64)
+        for s in range(self.n_shards):
+            sel = shard == s
+            if not sel.any():
+                continue
+            bm = self.bitmaps[s]
+            a, b = h1[sel], h2[sel]
+            sub = np.ones(sel.sum(), dtype=bool)
+            for i in range(self.k):
+                bit = (a + np.uint64(i) * b) % np.uint64(self.m_bits)
+                word = bm[(bit >> np.uint64(6)).astype(np.int64)]
+                sub &= (word >> (bit & np.uint64(63))) & np.uint64(1) > 0
+            maybe[sel] = sub
+        return maybe
+
+    def mark_maybe_seen(self, df: DataFrame, key: str = "url") -> DataFrame:
+        """Adds boolean ``__maybe_seen``; False ⇒ definitely not in seen."""
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((self.n_shards, self.m_bits, self.k,
+                           [bm.tobytes() for bm in self.bitmaps]))
+        cols = df.columns
+        schema_df = df.withColumn("__maybe_seen", F.lit(True))
+
+        def probe(batches):
+            n_shards, m_bits, k, raw = bc.value
+            flt = BloomSeenFilter(n_shards, m_bits, k,
+                                  [np.frombuffer(r, dtype=np.uint64) for r in raw])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf[cols].copy()
+                out["__maybe_seen"] = flt._probe_np(pdf["__h"].to_numpy())
+                yield out
+
+        with_h = df.withColumn("__h", F.xxhash64(key))
+        return with_h.mapInPandas(probe, schema=schema_df.schema)
+
+
+def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
+                         bloom: BloomSeenFilter | None, key: str = "url") -> DataFrame:
+    """Bloom-accelerated exact dedup: definite-new rows bypass the shuffle;
+    maybe-seen rows take the exact anti-join. Union preserves exactness."""
+    if seen is None:
+        return candidates
+    if bloom is None:
+        return anti_join_seen(candidates, seen, key)
+    marked = candidates.transform(lambda d: bloom.mark_maybe_seen(d, key))
+    definite_new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    return definite_new.unionByName(anti_join_seen(maybe, seen, key))

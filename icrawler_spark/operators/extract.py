@@ -1,0 +1,87 @@
+"""HTML outlink/image extraction — the core parse operator (SURVEY.md P5).
+
+Reproduces GreedyParser.parse (/root/reference/icrawler/builtin/greedy.py:29-71)
+as a fully vectorized ``mapInPandas`` stage: img tags first in document order,
+then every href in document order; each yielded item gets an emission position
+``pos`` counting only yielded items — the ordering column that makes FIFO
+parity reconstructible under distributed execution (SURVEY.md O1).
+
+Input:  (parent:string, visit_rank:long, html:binary) [+ passthrough ignored]
+Output: (parent:string, visit_rank:long, pos:int, kind:string, target:string)
+        kind ∈ {'task' (image to download), 'url' (frontier candidate)}
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from icrawler_spark.functions.urls import (
+    base_url_of,
+    classify_page_urls,
+    is_image_url,
+    normalize_hrefs,
+)
+
+_IMG_SRC_RE = r'<img\s[^>]*src="([^"]*)"'
+_HREF_RE = r'href="([^"]*)"'
+
+EMISSIONS_SCHEMA = "parent string, visit_rank long, pos int, kind string, target string"
+
+
+def _extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"parent": pd.Series(dtype=object), "visit_rank": pd.Series(dtype="int64"),
+             "pos": pd.Series(dtype="int32"), "kind": pd.Series(dtype=object),
+             "target": pd.Series(dtype=object)}
+        )
+    doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
+
+    # --- <img src> pass (greedy.py:31-38) ---
+    imgs = doc.str.findall(_IMG_SRC_RE).explode().dropna()
+    img_df = pd.DataFrame({"src": imgs})
+    img_df["parent"] = pdf["parent"].reindex(imgs.index)
+    img_df["visit_rank"] = pdf["visit_rank"].reindex(imgs.index)
+    img_df["seq"] = img_df.groupby(level=0).cumcount()
+    keep = is_image_url(img_df["src"])
+    img_df = img_df[keep]
+    proto_rel = img_df["src"].str.startswith("//")
+    img_df["target"] = img_df["src"].where(~proto_rel, "http:" + img_df["src"])
+    img_df["kind"] = "task"
+
+    # --- href pass (greedy.py:39-71) ---
+    hrefs = doc.str.findall(_HREF_RE).explode().dropna()
+    href_df = pd.DataFrame({"href": hrefs})
+    href_df["parent"] = pdf["parent"].reindex(hrefs.index)
+    href_df["visit_rank"] = pdf["visit_rank"].reindex(hrefs.index)
+    # hrefs emit after all imgs: offset their seq past any img count
+    href_df["seq"] = href_df.groupby(level=0).cumcount() + 1_000_000
+    bases = base_url_of(href_df["parent"])
+    norm = normalize_hrefs(href_df["href"], bases)
+    href_df["target"] = norm
+    href_df = href_df[norm.notna()]
+    img_href = is_image_url(href_df["target"])
+    page_ok = classify_page_urls(href_df["target"], domains)
+    href_df["kind"] = pd.Series("url", index=href_df.index).where(~img_href, "task")
+    href_df = href_df[img_href | (~img_href & page_ok)]
+
+    cols = ["parent", "visit_rank", "seq", "kind", "target"]
+    allrows = pd.concat([img_df[cols], href_df[cols]], ignore_index=False)
+    allrows = allrows.sort_values(["visit_rank", "seq"], kind="stable")
+    # pos counts only yielded items, per parent page (oracle.parse_page epos)
+    allrows["pos"] = allrows.groupby("visit_rank").cumcount().astype("int32")
+    allrows["visit_rank"] = allrows["visit_rank"].astype("int64")
+    return allrows[["parent", "visit_rank", "pos", "kind", "target"]].reset_index(drop=True)
+
+
+def extract_emissions(fetched_df, domains: list[str]):
+    """fetched_df: Spark DF with (parent, visit_rank, html). Arrow-batched."""
+    doms = list(domains)
+
+    def fn(batches):
+        for pdf in batches:
+            yield _extract_batch(pdf, doms)
+
+    return fetched_df.select("parent", "visit_rank", "html").mapInPandas(
+        fn, schema=EMISSIONS_SCHEMA
+    )

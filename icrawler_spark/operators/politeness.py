@@ -1,0 +1,88 @@
+"""Per-host politeness scheduler — north-rule capability (SURVEY.md X9/X10).
+
+Absent in the reference (verified, SURVEY.md §2.10): icrawler has no robots
+handling, no per-host delay, no priority queue — hot domains are hammered by
+all downloader threads. This module adds them as pure DataFrame ops,
+parameterized so that *parity mode* (robots allow-all, crawl_delay 0, no
+per-host cap) degrades to exactly the reference FIFO semantics.
+
+- robots: a small (host, crawl_delay_ms, disallow_prefixes) table broadcast
+  map-side; disallow check is an array ``exists`` over prefixes (JVM-side).
+- token bucket: per round of ``round_seconds`` wall time a host yields
+  ``floor(round_ms / crawl_delay_ms)`` fetch slots; the per-host batch is a
+  window ``row_number() <= slots`` ranked by frontier priority.
+- skew: extraction/fetch stages optionally repartition on
+  ``(host, pmod(xxhash64(url), salt))`` so one hot host spreads over
+  ``salt`` partitions instead of one (AQE skew-join handles the joins; this
+  handles the mapInPandas stages AQE can't see into).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROBOTS_SCHEMA = "host string, crawl_delay_ms long, disallow_prefixes array<string>"
+
+
+def with_host(df: DataFrame, url_col: str = "url", out: str = "host") -> DataFrame:
+    """Registrable host extraction — JVM-side parse_url, no UDF."""
+    return df.withColumn(out, F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
+    """Drop URLs disallowed by robots rules. Broadcast map-side join: the
+    robots table is small (one row per host) even at 10^10-URL scale."""
+    if robots is None:
+        return frontier
+    f = with_host(frontier, url_col, "__host")
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    joined = f.join(
+        F.broadcast(robots.select(F.col("host").alias("__host"), "disallow_prefixes")),
+        on="__host", how="left",
+    )
+    allowed = F.col("disallow_prefixes").isNull() | ~F.exists(
+        "disallow_prefixes", lambda p: path.startswith(p)
+    )
+    return joined.filter(allowed).drop("__host", "disallow_prefixes")
+
+
+def politeness_batch(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    round_seconds: float | None,
+    order_cols: list[str],
+    url_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Split the frontier into (fetch_now, deferred) for this round.
+
+    Each host gets ``max(1, floor(round_ms / crawl_delay_ms))`` slots; hosts
+    without a robots row (or delay 0) are uncapped. ``round_seconds=None``
+    disables the token bucket entirely (parity mode).
+    """
+    if robots is None or round_seconds is None:
+        return frontier, frontier.limit(0)
+    round_ms = int(round_seconds * 1000)
+    f = with_host(frontier, url_col, "__host")
+    caps = robots.select(
+        F.col("host").alias("__host"),
+        F.when(F.col("crawl_delay_ms") > 0,
+               F.greatest(F.lit(1), (F.lit(round_ms) / F.col("crawl_delay_ms")).cast("long"))
+               ).alias("__slots"),
+    )
+    j = f.join(F.broadcast(caps), on="__host", how="left")
+    w = Window.partitionBy("__host").orderBy(*[F.col(c).asc() for c in order_cols])
+    ranked = j.withColumn("__hrn", F.row_number().over(w))
+    take = F.col("__slots").isNull() | (F.col("__hrn") <= F.col("__slots"))
+    cols = frontier.columns
+    return ranked.filter(take).select(cols), ranked.filter(~take).select(cols)
+
+
+def salted_repartition(df: DataFrame, url_col: str = "url", salt: int = 8,
+                       partitions: int | None = None) -> DataFrame:
+    """Spread hot hosts across ``salt`` partitions for UDF-heavy stages."""
+    d = with_host(df, url_col, "__host").withColumn(
+        "__salt", F.pmod(F.xxhash64(url_col), F.lit(salt))
+    )
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(n, "__host", "__salt").drop("__host", "__salt")

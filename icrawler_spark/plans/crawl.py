@@ -1,0 +1,415 @@
+"""Crawl plans — the driver-side round loop (SURVEY.md §3.3).
+
+The reference's cyclic threaded dataflow (feeder→parser→downloader with the
+GreedyParser feeding URLs back, /root/reference/icrawler/parser.py:102-111)
+becomes a BFS round loop: each round is one batch of DataFrame jobs —
+
+    frontier_r → rank (parity order) → [politeness batch] → join pages
+    → extract (mapInPandas) → split tasks/urls → dedup-at-enqueue
+    → budget-limited fetch commit → frontier_{r+1}
+
+Ordering parity (SURVEY.md O1/O2): the reference order is single-threaded
+FIFO; we reproduce it with explicit rank columns — a frontier row carries
+``(parent_rank, pos)`` and the global visit rank is assigned by a distributed
+two-phase ranker, never by partition order. Budget truncation replicates the
+reach_max_num cascade (/root/reference/icrawler/downloader.py:79-90,129-131):
+the max_num-th kept download determines the last visited page v*; pages ranked
+after v* in the same round are never parsed, exactly like queue entries left
+behind when the signal fires.
+
+Scale: seen-set dedup is a hash anti-join (optionally Bloom-prefiltered),
+fetch is a bucket-pruned join against the bucketed pages table, extraction is
+Arrow-batched and optionally salted by host. With politeness on, per-round
+batches are window-capped per host. All state (frontier, seen shards, order,
+fetched, texts) checkpoints per round through RoundCatalog → resumable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.budget import global_row_number
+from icrawler_spark.operators.dedup import (
+    BloomSeenFilter,
+    anti_join_seen,
+    anti_join_seen_bloom,
+    earliest_occurrence,
+)
+from icrawler_spark.operators.extract import extract_emissions
+from icrawler_spark.operators.politeness import apply_robots, politeness_batch, salted_repartition
+from icrawler_spark.oracle import IMAGE_EXT_WHITELIST, normalize_domains
+from icrawler_spark.storage.catalog import RoundCatalog
+
+
+@dataclass
+class CrawlConfig:
+    max_num: int = 0                    # 0 = unbounded (downloader.py:86-90)
+    min_size: tuple | None = None       # (w,h) lower bound (downloader.py:242-263)
+    max_size: tuple | None = None
+    file_idx_offset: int = 0            # downloader.py:44-58
+    default_ext: str = "jpg"
+    robots: DataFrame | None = None     # north-rule politeness; None = parity
+    round_seconds: float | None = None  # token-bucket window; None = parity
+    use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
+    bloom_fpp: float = 0.01
+    salt: int = 0                       # >0: salted repartition before extract
+    pages_buckets: int | None = None    # pages table bucket count (scan pruning)
+    checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
+    max_rounds: int = 10_000
+
+
+@dataclass
+class CrawlResult:
+    order: DataFrame            # visit_rank, url, round, parent, link_pos
+    seen_pages: DataFrame       # url
+    seen_tasks: DataFrame       # file_url
+    fetched: DataFrame          # file_idx, file_url, filename
+    texts: DataFrame            # url, text
+    stop_reason: str
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _size_filter_col(cfg: CrawlConfig):
+    """keep_file as a JVM-side predicate over dims encoded in the URL
+    (oracle.keep_file semantics; _size_gt/_size_lt at downloader.py:236-240)."""
+    if cfg.min_size is None and cfg.max_size is None:
+        return F.lit(True)
+    w = F.regexp_extract("file_url", r"-(\d+)x(\d+)\.[a-z]+$", 1).cast("long")
+    h = F.regexp_extract("file_url", r"-(\d+)x(\d+)\.[a-z]+$", 2).cast("long")
+    has = F.regexp_like("file_url", F.lit(r"-(\d+)x(\d+)\.[a-z]+$"))
+    keep = has
+    if cfg.min_size is not None:
+        mx, mn = max(cfg.min_size), min(cfg.min_size)
+        keep = keep & (F.greatest(w, h) >= mx) & (F.least(w, h) >= mn)
+    if cfg.max_size is not None:
+        mx, mn = max(cfg.max_size), min(cfg.max_size)
+        keep = keep & (F.greatest(w, h) <= mx) & (F.least(w, h) <= mn)
+    return keep
+
+
+def _filename_col(cfg: CrawlConfig):
+    """ImageDownloader.get_filename (downloader.py:265-274) as columns."""
+    path = F.coalesce(F.parse_url("file_url", F.lit("PATH")), F.lit(""))
+    ext = F.regexp_extract(path, r"\.([^./]*)$", 1)
+    ext_ok = F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)) & (ext != "")
+    final_ext = F.when(ext_ok, ext).otherwise(F.lit(cfg.default_ext))
+    return F.concat(F.lpad(F.col("file_idx").cast("string"), 6, "0"), F.lit("."), final_ext)
+
+
+def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
+                select_cols: list[str]) -> DataFrame:
+    """frontier ⋈ pages ON url, with bucket pruning when the pages table is
+    bucket-partitioned (Iceberg bucket(url) stand-in): the frontier's distinct
+    bucket ids (≤ n_buckets values) become a partition filter on the scan."""
+    right = pages
+    if cfg.pages_buckets and "bucket" in pages.columns:
+        # partition pruning: the frontier's distinct bucket ids (≤ n_buckets
+        # small integers) become a pushed-down filter on the bucketed scan
+        fb = frontier.withColumn(
+            "__bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.pages_buckets))
+        )
+        buckets = [r["__bucket"] for r in fb.select("__bucket").distinct().collect()]
+        if len(buckets) < cfg.pages_buckets:
+            right = pages.filter(F.col("bucket").isin(buckets))
+        right = right.drop("bucket")
+    else:
+        right = right.drop("bucket") if "bucket" in right.columns else right
+    return F.broadcast(frontier).join(right, on="url", how="inner").select(select_cols)
+
+
+_FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round"]
+
+
+class GreedyCrawl:
+    """GreedyImageCrawler semantics (/root/reference/icrawler/builtin/greedy.py:74-99)
+    as a Spark round loop."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.pages = pages
+        self.cfg = cfg or CrawlConfig()
+        self.catalog = (
+            RoundCatalog(spark, self.cfg.checkpoint_dir) if self.cfg.checkpoint_dir else None
+        )
+
+    # -- state helpers -------------------------------------------------------
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage so per-round accumulation stays O(1) in plan size."""
+        return df.localCheckpoint(eager=True)
+
+    def run(self, seed_domains: list[str]) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        domains = normalize_domains(list(seed_domains))
+
+        seeds = spark.createDataFrame(
+            [(d, None, i, -1, 0) for i, d in enumerate(domains)],
+            schema="url string, parent string, pos int, parent_rank long, round int",
+        )
+        # seed dedup-at-enqueue (cached_queue.py:53-59)
+        frontier = earliest_occurrence(seeds, "url", ["pos"])
+        return self._loop(frontier, domains, start_round=0, visited=0, fetched_n=0,
+                          seen_pages=None, seen_tasks=None, order=None, fetched=None,
+                          texts=None, metrics=[])
+
+    def resume(self, seed_domains: list[str]) -> CrawlResult:
+        """Restart from the last committed RoundCatalog snapshot (north_rule
+        resumability; the reference loses all queue state on crash)."""
+        assert self.catalog is not None, "resume requires checkpoint_dir"
+        last = self.catalog.last_committed_round()
+        if last is None:
+            return self.run(seed_domains)
+        self.catalog.drop_rounds_after(last)
+        st = self.catalog.read_state(last)
+        if st.get("stop_reason"):
+            return self._finish_from_catalog(st)
+        domains = normalize_domains(list(seed_domains))
+        frontier = self.catalog.read("frontier", last)
+        frontier = frontier.filter(F.col("round") == st["next_round"]) if frontier is not None else None
+        if frontier is None:
+            return self._finish_from_catalog({**st, "stop_reason": "frontier_exhausted"})
+        return self._loop(
+            self._pin(frontier), domains, start_round=st["next_round"],
+            visited=st["visited"], fetched_n=st["fetched"],
+            seen_pages=self.catalog.read("seen_pages", last),
+            seen_tasks=self.catalog.read("seen_tasks", last),
+            order=self.catalog.read("order", last),
+            fetched=self.catalog.read("fetched", last),
+            texts=self.catalog.read("texts", last),
+            metrics=[],
+        )
+
+    def _finish_from_catalog(self, st: dict) -> CrawlResult:
+        c = self.catalog
+        empty_order = self.spark.createDataFrame(
+            [], "visit_rank long, url string, round int, parent string, link_pos int")
+        return CrawlResult(
+            order=c.read("order") or empty_order,
+            seen_pages=c.read("seen_pages") or self.spark.createDataFrame([], "url string"),
+            seen_tasks=c.read("seen_tasks") or self.spark.createDataFrame([], "file_url string"),
+            fetched=c.read("fetched") or self.spark.createDataFrame(
+                [], "file_idx long, file_url string, filename string"),
+            texts=c.read("texts") or self.spark.createDataFrame([], "url string, text string"),
+            stop_reason=st.get("stop_reason", "frontier_exhausted"),
+            rounds=st.get("next_round", 0),
+        )
+
+    # -- the loop -------------------------------------------------------------
+    def _loop(self, frontier, domains, start_round, visited, fetched_n,
+              seen_pages, seen_tasks, order, fetched, texts, metrics) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        import time as _time
+
+        if seen_pages is None:
+            seen_pages = self._pin(frontier.select("url"))
+        stop_reason = "frontier_exhausted"
+        rnd = start_round
+        order_parts: list[DataFrame] = [order] if order is not None else []
+        texts_parts: list[DataFrame] = [texts] if texts is not None else []
+        fetched_parts: list[DataFrame] = [fetched] if fetched is not None else []
+
+        while rnd < start_round + cfg.max_rounds:
+            if cfg.max_num > 0 and fetched_n >= cfg.max_num:
+                stop_reason = "reach_max_num"
+                break
+            t0 = _time.time()
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+
+            # politeness (north-rule; no-op in parity mode)
+            politeness_on = cfg.robots is not None or cfg.round_seconds is not None
+            active = apply_robots(frontier, cfg.robots)
+            active, deferred = politeness_batch(
+                active, cfg.robots, cfg.round_seconds, ["parent_rank", "pos"])
+
+            # visit-rank assignment — distributed total order (O1)
+            if politeness_on:
+                active = self._pin(active)
+                n_visit = active.count()
+            else:
+                n_visit = n_frontier
+            ranked = self._pin(global_row_number(
+                active, ["parent_rank", "pos"], "visit_rank", start=visited,
+                known_count=n_visit))
+            visited += n_visit
+
+            order_rows = ranked.select(
+                "visit_rank", "url", F.lit(rnd).alias("round"),
+                F.col("parent"), F.col("pos").alias("link_pos"))
+
+            # fetch: join the pages table (bucket-pruned scan)
+            fetched_pages = _fetch_join(
+                ranked.select("url", "visit_rank"), self.pages, cfg,
+                ["url", "visit_rank", "html", "text"])
+            if cfg.salt > 1:
+                fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
+            texts_rows = fetched_pages.select("url", "text")
+
+            # extract (P5)
+            emissions = self._pin(extract_emissions(
+                fetched_pages.withColumnRenamed("url", "parent"), domains))
+
+            # -- tasks: dedup-at-enqueue then budget (D1, K1) -----------------
+            task_cand = emissions.filter(F.col("kind") == "task").select(
+                F.col("target").alias("file_url"), "visit_rank", "pos")
+            task_new = earliest_occurrence(task_cand, "file_url", ["visit_rank", "pos"])
+            if cfg.use_bloom and seen_tasks is not None:
+                bloom = BloomSeenFilter.build(seen_tasks, "file_url", fpp=cfg.bloom_fpp)
+                task_new = anti_join_seen_bloom(task_new, seen_tasks, bloom, "file_url")
+            else:
+                task_new = anti_join_seen(task_new, seen_tasks, "file_url")
+            task_new = self._pin(task_new)
+
+            kept = self._pin(task_new.filter(_size_filter_col(cfg)))
+            n_kept = kept.count()
+            kept = self._pin(global_row_number(
+                kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n,
+                known_count=n_kept))
+
+            cutoff_rank = None  # v*: last visited page when budget trips
+            if cfg.max_num > 0 and fetched_n + n_kept >= cfg.max_num:
+                stop_row = kept.filter(F.col("kept_rank") == cfg.max_num - 1).collect()[0]
+                cutoff_rank = stop_row["visit_rank"]
+                stop_reason = "reach_max_num"
+
+            fetch_commit = kept
+            if cfg.max_num > 0:
+                fetch_commit = fetch_commit.filter(F.col("kept_rank") < cfg.max_num)
+            fetch_commit = fetch_commit.select(
+                (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
+                "file_url").withColumn("filename", _filename_col(cfg))
+
+            if cutoff_rank is not None:
+                # pages ranked past v* are never popped (reach_max_num cascade)
+                order_rows = order_rows.filter(F.col("visit_rank") <= cutoff_rank)
+                texts_rows = fetched_pages.filter(F.col("visit_rank") <= cutoff_rank) \
+                                          .select("url", "text")
+                task_new = task_new.filter(F.col("visit_rank") <= cutoff_rank)
+                emissions = emissions.filter(F.col("visit_rank") <= cutoff_rank)
+
+            remaining = cfg.max_num - fetched_n if cfg.max_num > 0 else None
+            n_fetch = n_kept if remaining is None else min(n_kept, remaining)
+            fetched_n += n_fetch
+
+            # -- frontier urls: dedup-at-enqueue (D1) -------------------------
+            url_cand = emissions.filter(F.col("kind") == "url").select(
+                F.col("target").alias("url"),
+                F.col("parent").alias("src"),
+                "pos", F.col("visit_rank").alias("parent_rank"))
+            url_new = earliest_occurrence(url_cand, "url", ["parent_rank", "pos"])
+            if cfg.use_bloom:
+                bloom_p = BloomSeenFilter.build(seen_pages, "url", fpp=cfg.bloom_fpp)
+                url_new = anti_join_seen_bloom(url_new, seen_pages, bloom_p, "url")
+            else:
+                url_new = anti_join_seen(url_new, seen_pages, "url")
+            next_frontier = self._pin(url_new.select(
+                "url", F.col("src").alias("parent"), "pos", "parent_rank",
+                F.lit(rnd + 1).alias("round")))
+            if cfg.round_seconds is not None:
+                next_frontier = self._pin(next_frontier.unionByName(deferred))
+
+            # -- accumulate state ---------------------------------------------
+            # order/texts/fetched are write-only during the loop: keep them as
+            # per-round DataFrames (parents pinned) and union once at the end.
+            # seen sets are read every round → pinned accumulation.
+            order_parts.append(order_rows)
+            texts_parts.append(texts_rows)
+            fetched_parts.append(fetch_commit)
+            seen_tasks = self._acc(seen_tasks, task_new.select("file_url"))
+            seen_pages = self._acc(seen_pages, next_frontier.select("url"))
+
+            metrics.append({
+                "round": rnd, "frontier": n_frontier, "visited": n_visit,
+                "new_tasks_kept": n_kept, "fetched": n_fetch,
+                "wall_s": _time.time() - t0,
+            })
+
+            if self.catalog is not None:
+                self.catalog.append(order_rows, "order", rnd)
+                self.catalog.append(texts_rows, "texts", rnd)
+                self.catalog.append(fetch_commit, "fetched", rnd)
+                self.catalog.append(task_new.select("file_url"), "seen_tasks", rnd)
+                if rnd == start_round and start_round == 0:
+                    self.catalog.append(frontier.select("url"), "seen_pages", rnd, tag="seeds")
+                self.catalog.append(next_frontier.select("url"), "seen_pages", rnd, tag="new")
+                self.catalog.append(next_frontier, "frontier", rnd, tag="next")
+                self.catalog.commit_round(rnd, {
+                    "next_round": rnd + 1, "visited": visited,
+                    "fetched": fetched_n,
+                    "stop_reason": stop_reason if stop_reason == "reach_max_num" else None,
+                })
+
+            if stop_reason == "reach_max_num":
+                break
+            frontier = next_frontier
+            rnd += 1
+
+        def _union(parts: list[DataFrame], schema: str) -> DataFrame:
+            if not parts:
+                return self.spark.createDataFrame([], schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        order = _union(order_parts,
+                       "visit_rank long, url string, round int, parent string, link_pos int")
+        texts = _union(texts_parts, "url string, text string")
+        fetched = _union(fetched_parts, "file_idx long, file_url string, filename string")
+        if seen_tasks is None:
+            seen_tasks = self.spark.createDataFrame([], "file_url string")
+        return CrawlResult(order=order, seen_pages=seen_pages, seen_tasks=seen_tasks,
+                           fetched=fetched, texts=texts, stop_reason=stop_reason,
+                           rounds=rnd - start_round + 1, metrics=metrics)
+
+    def _acc(self, acc: DataFrame | None, new: DataFrame) -> DataFrame:
+        return self._pin(new) if acc is None else self._pin(acc.unionByName(new))
+
+
+class UrlListCrawl:
+    """UrlListCrawler semantics (/root/reference/icrawler/builtin/urllist.py:41-47):
+    feeder slice → identity parse → budgeted download. One Spark job."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+
+    def run(self, urls: DataFrame | list[str], offset: int = 0) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        if isinstance(urls, list):
+            df = spark.createDataFrame(
+                [(u, i) for i, u in enumerate(urls)], "url string, feed_rank long")
+        else:
+            df = urls  # expects (url, feed_rank)
+        # UrlListFeeder slice (feeder.py:60-67): [offset : offset+max_num]
+        sliced = df.filter(F.col("feed_rank") >= offset)
+        if cfg.max_num > 0:
+            sliced = sliced.filter(F.col("feed_rank") < offset + cfg.max_num)
+        # url_queue dedup-at-enqueue, earliest feed_rank wins
+        uniq = earliest_occurrence(sliced, "url", ["feed_rank"]).localCheckpoint(eager=True)
+        n_uniq = uniq.count()
+        ranked = global_row_number(uniq, ["feed_rank"], "visit_rank", start=0,
+                                   known_count=n_uniq)
+        ranked = ranked.localCheckpoint(eager=True)
+
+        order = ranked.select("visit_rank", "url", F.lit(0).alias("round"),
+                              F.lit(None).cast("string").alias("parent"),
+                              F.col("feed_rank").cast("int").alias("link_pos"))
+        tasks = ranked.select(F.col("url").alias("file_url"), "visit_rank")
+        kept = tasks.filter(_size_filter_col(cfg))
+        kept = global_row_number(kept, ["visit_rank"], "kept_rank", start=0,
+                                 known_count=n_uniq)
+        if cfg.max_num > 0:
+            kept = kept.filter(F.col("kept_rank") < cfg.max_num)
+        fetched = kept.select(
+            (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
+            "file_url").withColumn("filename", _filename_col(cfg))
+        return CrawlResult(
+            order=order, seen_pages=ranked.select("url"),
+            seen_tasks=ranked.select(F.col("url").alias("file_url")),
+            fetched=fetched, texts=spark.createDataFrame([], "url string, text string"),
+            stop_reason="frontier_exhausted", rounds=1)

@@ -1,0 +1,130 @@
+"""Round-versioned parquet catalog — the Iceberg stand-in (SURVEY.md §1.5).
+
+Design goal: the engine talks to one small table interface; on a real cluster
+it binds to Iceberg (`df.writeTo(...).append()`, snapshot reads, bucket
+partition transforms); in this sandbox (offline, no Iceberg runtime jar) it
+binds to a parquet directory layout that preserves the two Iceberg properties
+the engine depends on:
+
+- **append snapshots**: each round's append lands in ``table/round=N/`` and is
+  made visible only by an atomically-renamed commit marker, so a crash
+  mid-round leaves the previous snapshot intact (resumability, north_rule);
+- **bucket layout**: the pages table is written partitioned by
+  ``bucket = pmod(xxhash64(url), n)`` so frontier→pages fetch joins prune
+  scan partitions (the parquet stand-in for Iceberg's ``bucket(url)``
+  transform + storage-partitioned joins).
+
+Reference parity hooks: ``exists``/``max_file_idx`` resume of the reference
+(/root/reference/icrawler/storage/filesystem.py:30-42,
+/root/reference/icrawler/downloader.py:44-58) become anti-joins and a MAX()
+over the ``fetched`` table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RoundCatalog:
+    """State tables for one crawl, versioned by round."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- commit log -------------------------------------------------------
+    def _state_path(self, rnd: int) -> str:
+        return os.path.join(self.root, f"_state_r{rnd}.json")
+
+    def commit_round(self, rnd: int, state: dict) -> None:
+        """Atomic round commit: the state file is the snapshot pointer; data
+        written for round N is invisible until this rename lands."""
+        tmp = self._state_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, "committed_at": time.time(), **state}, f)
+        os.replace(tmp, self._state_path(rnd))
+
+    def last_committed_round(self) -> int | None:
+        rounds = []
+        for name in os.listdir(self.root):
+            if name.startswith("_state_r") and name.endswith(".json"):
+                rounds.append(int(name[len("_state_r"):-len(".json")]))
+        return max(rounds) if rounds else None
+
+    def read_state(self, rnd: int) -> dict:
+        with open(self._state_path(rnd)) as f:
+            return json.load(f)
+
+    # ---- tables -----------------------------------------------------------
+    # Everything written DURING round r is keyed by r (tag disambiguates
+    # multiple appends within one round), so a committed round's artifacts
+    # all survive drop_rounds_after(r) — the resume invariant.
+    def _tpath(self, table: str, rnd: int | None = None, tag: str | None = None) -> str:
+        p = os.path.join(self.root, table)
+        if rnd is None:
+            return p
+        name = f"round={rnd}" + (f".{tag}" if tag else "")
+        return os.path.join(p, name)
+
+    @staticmethod
+    def _part_round(name: str) -> int | None:
+        if not name.startswith("round="):
+            return None
+        return int(name.split("=", 1)[1].split(".", 1)[0])
+
+    def append(self, df: DataFrame, table: str, rnd: int, tag: str | None = None) -> None:
+        df.write.mode("overwrite").parquet(self._tpath(table, rnd, tag))
+
+    def read(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+        """Union of all round partitions written during rounds ≤ upto_round."""
+        base = self._tpath(table)
+        if not os.path.isdir(base):
+            return None
+        parts = []
+        for name in sorted(os.listdir(base)):
+            r = self._part_round(name)
+            if r is None or (upto_round is not None and r > upto_round):
+                continue
+            parts.append(os.path.join(base, name))
+        if not parts:
+            return None
+        return self.spark.read.parquet(*parts)
+
+    def drop_rounds_after(self, rnd: int) -> None:
+        """Roll back uncommitted/late data (crash recovery before resume)."""
+        for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            if name.startswith("_state_r") and name.endswith(".json"):
+                if int(name[len("_state_r"):-len(".json")]) > rnd:
+                    os.remove(path)
+            elif os.path.isdir(path):
+                for part in os.listdir(path):
+                    r = self._part_round(part)
+                    if r is not None and r > rnd:
+                        shutil.rmtree(os.path.join(path, part))
+
+
+PAGES_BUCKETS_DEFAULT = 64
+
+
+def write_pages_bucketed(pages: DataFrame, path: str, n_buckets: int = PAGES_BUCKETS_DEFAULT):
+    """Write the pages table hash-bucketed by url — the parquet stand-in for
+    Iceberg ``PARTITIONED BY bucket(n, url)`` (FIXTURES.md §1)."""
+    (
+        pages.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

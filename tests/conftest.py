@@ -1,0 +1,28 @@
+import pytest
+
+from icrawler_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app="icrawler_spark_tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def smoke_web():
+    """The smoke-scale synthetic web (FIXTURES.md §1) + oracle-side dicts."""
+    from icrawler_spark.synthweb import WebConfig, pages_pandas
+
+    cfg = WebConfig(seed=42, n_hosts=10, total_pages=200)
+    pdf = pages_pandas(cfg)
+    return cfg, pdf
+
+
+@pytest.fixture(scope="session")
+def smoke_pages_df(spark, smoke_web):
+    _, pdf = smoke_web
+    df = spark.createDataFrame(pdf)
+    df = df.localCheckpoint(eager=True)
+    return df

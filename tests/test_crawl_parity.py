@@ -1,0 +1,116 @@
+"""Reference-parity tests: the Spark engine must reproduce the pure-Python
+oracle (reference semantics, oracle.py) exactly — crawl order, final URL-seen
+sets, fetched list with file indices, and byte-identical extracted text per
+url (BASELINE.md parity rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark import oracle
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl, UrlListCrawl
+
+SEEDS = ["host0000.test", "host0001.test", "host0002.test"]
+
+
+def _oracle_greedy(smoke_web, **kw):
+    _, pdf = smoke_web
+    pages = dict(zip(pdf.url, pdf.html))
+    texts = dict(zip(pdf.url, pdf.text))
+    return oracle.run_greedy(pages, texts, SEEDS, **kw)
+
+
+def _assert_match(result, golden):
+    order = [
+        (r["visit_rank"], r["url"], r["round"], r["parent"], r["link_pos"])
+        for r in result.order.orderBy("visit_rank").collect()
+    ]
+    gorder = [(g["visit_rank"], g["url"], g["round"], g["parent"], g["link_pos"])
+              for g in golden.order]
+    assert order == gorder, (
+        f"crawl order mismatch: spark={order[:10]}... golden={gorder[:10]}...")
+
+    seen_pages = {r["url"] for r in result.seen_pages.collect()}
+    assert seen_pages == golden.seen_pages
+    seen_tasks = {r["file_url"] for r in result.seen_tasks.collect()}
+    assert seen_tasks == golden.seen_tasks
+
+    fetched = [(r["file_idx"], r["file_url"], r["filename"])
+               for r in result.fetched.orderBy("file_idx").collect()]
+    gfetched = [(g["file_idx"], g["file_url"], g["filename"]) for g in golden.fetched]
+    assert fetched == gfetched
+
+    texts = {r["url"]: r["text"] for r in result.texts.collect()}
+    assert texts == golden.texts  # byte-identical extracted text per url
+
+
+def test_greedy_unbounded_parity(spark, smoke_web, smoke_pages_df):
+    golden = _oracle_greedy(smoke_web, max_num=0)
+    result = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(max_num=0)).run(SEEDS)
+    assert result.stop_reason == golden.stop_reason == "frontier_exhausted"
+    _assert_match(result, golden)
+
+
+@pytest.mark.parametrize("max_num", [1, 17, 50, 120])
+def test_greedy_budget_parity(spark, smoke_web, smoke_pages_df, max_num):
+    golden = _oracle_greedy(smoke_web, max_num=max_num)
+    result = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(max_num=max_num)).run(SEEDS)
+    assert result.stop_reason == golden.stop_reason
+    _assert_match(result, golden)
+
+
+def test_greedy_size_filter_parity(spark, smoke_web, smoke_pages_df):
+    kw = dict(max_num=40, min_size=(300, 300), max_size=(1800, 1800))
+    golden = _oracle_greedy(smoke_web, **kw)
+    result = GreedyCrawl(
+        spark, smoke_pages_df,
+        CrawlConfig(max_num=40, min_size=(300, 300), max_size=(1800, 1800)),
+    ).run(SEEDS)
+    _assert_match(result, golden)
+
+
+def test_greedy_file_idx_offset(spark, smoke_web, smoke_pages_df):
+    golden = _oracle_greedy(smoke_web, max_num=5, file_idx_offset=100)
+    result = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=5, file_idx_offset=100)
+    ).run(SEEDS)
+    _assert_match(result, golden)
+
+
+def test_greedy_bloom_prefilter_is_exact(spark, smoke_web, smoke_pages_df):
+    """Bloom pre-filter must not change any output (false positives only cost
+    shuffle rows; truth is the exact anti-join — SURVEY.md X1)."""
+    golden = _oracle_greedy(smoke_web, max_num=60)
+    result = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=60, use_bloom=True, bloom_fpp=0.2)
+    ).run(SEEDS)
+    _assert_match(result, golden)
+
+
+def test_greedy_salted_extraction_parity(spark, smoke_web, smoke_pages_df):
+    """Salted repartition reshuffles the extract stage; ordering columns must
+    make the result independent of physical partitioning (SURVEY.md O1)."""
+    golden = _oracle_greedy(smoke_web, max_num=60)
+    result = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=60, salt=4)
+    ).run(SEEDS)
+    _assert_match(result, golden)
+
+
+def test_urllist_parity(spark):
+    urls = (
+        [f"http://img0000.test/i/{i}-{200 + i}x{300 + i}.jpg" for i in range(30)]
+        + ["http://img0000.test/i/5-205x305.jpg"]  # duplicate
+        + ["http://img0000.test/i/nodims.jpg"]
+    )
+    golden = oracle.run_urllist(urls, offset=3, max_num=20)
+    result = UrlListCrawl(spark, CrawlConfig(max_num=20)).run(urls, offset=3)
+    _assert_match(result, golden)
+
+
+def test_urllist_size_filter(spark):
+    urls = [f"http://img0000.test/i/{i}-{100 * (i % 7 + 1)}x{150 * (i % 5 + 1)}.png"
+            for i in range(40)]
+    golden = oracle.run_urllist(urls, max_num=15, min_size=(200, 200))
+    result = UrlListCrawl(spark, CrawlConfig(max_num=15, min_size=(200, 200))).run(urls)
+    _assert_match(result, golden)

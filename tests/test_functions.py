@@ -1,0 +1,108 @@
+"""Unit tests: vectorized functions vs the reference-semantics oracle
+(FIXTURES.md §6 vectors)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from icrawler_spark import oracle
+from icrawler_spark.functions import urls as U
+from icrawler_spark.operators.extract import _extract_batch
+from icrawler_spark.synthweb import WebConfig, pages_pandas
+
+
+def test_extract_batch_matches_oracle_every_page():
+    pdf = pages_pandas(WebConfig(seed=42, n_hosts=10, total_pages=200))
+    domains = oracle.normalize_domains(["host0000.test", "host0001.test", "host0002.test"])
+    batch = pd.DataFrame({"parent": pdf.url, "visit_rank": range(len(pdf)), "html": pdf.html})
+    out = _extract_batch(batch, domains)
+    for i, row in pdf.iterrows():
+        gold = oracle.parse_page(row.html, row.url, domains)
+        got = out[out.visit_rank == i].sort_values("pos")
+        assert list(zip(got["kind"], got["target"])) == gold, row.url
+
+
+def test_normalize_hrefs_vs_oracle():
+    base = "http://a.test"
+    cases = [
+        "//b.test/x/", "/p/1", "/p/1/", "#frag", "p/2", "http://c.test/q/",
+        "javascript:void(0)", "android-app://pkg/x", "a", "",
+        "../up/one", "./here", "/a/../b", "http://c.test/a.jpg",
+        "ftp://f.test/x.html", "HTTPS://UP.test/y",
+    ]
+    got = U.normalize_hrefs(pd.Series(cases), pd.Series([base] * len(cases)))
+    for href, g in zip(cases, got):
+        expect = oracle.normalize_href(href, base)
+        assert (g if pd.notna(g) else None) == expect, href
+
+
+def test_classify_vs_oracle():
+    domains = ["http://a.test", "http://b.test"]
+    norm = [
+        "http://a.test/p/1", "http://a.test/file.zip", "javascript:void(0)",
+        "android-app://x", "http://off.example/p/1", "http://a.test/page.html",
+        "http://b.test/x.php", "ftp://a.test/y", "http://a.test/img.jpg",
+        "http://a.test", "http://a.test/p/1#frag",
+    ]
+    s = pd.Series(norm)
+    img = U.is_image_url(s)
+    page = U.classify_page_urls(s, domains)
+    for v, i_got, p_got in zip(norm, img, page):
+        routed = oracle.classify_link(v, domains)
+        if routed is None:
+            assert not i_got and not p_got, v
+        elif routed[0] == "task":
+            assert i_got, v
+        else:
+            assert not i_got and p_got, v
+
+
+def test_image_extension_vs_oracle():
+    urls = [
+        "http://x.test/a.jpg", "http://x.test/a.JPEG", "http://x.test/a.svg",
+        "http://x.test/a", "http://x.test/a.png?q=1", "http://x.test/d.tar.gz",
+        "http://x.test/a.ppm",
+    ]
+    got = U.image_extension(pd.Series(urls), "jpg")
+    for u, g in zip(urls, got):
+        gold = oracle.image_filename(u.split("?")[0], 1, "jpg").split(".", 1)[1]
+        assert g == gold, u
+
+
+def test_image_dims_and_keep_file():
+    urls = pd.Series([
+        "http://x.test/i/1-100x200.jpg", "http://x.test/i/2-1500x90.png",
+        "http://x.test/i/nodims.jpg",
+    ])
+    dims = U.image_dims(urls)
+    assert dims.iloc[0].tolist() == [100, 200]
+    assert dims.iloc[1].tolist() == [1500, 90]
+    assert pd.isna(dims.iloc[2]["width"])
+    assert oracle.keep_file("http://x.test/i/1-100x200.jpg", min_size=(100, 100))
+    assert not oracle.keep_file("http://x.test/i/1-100x200.jpg", min_size=(150, 150))
+    assert not oracle.keep_file("http://x.test/i/nodims.jpg", min_size=(1, 1))
+
+
+def test_bloom_no_false_negatives(spark):
+    from icrawler_spark.operators.dedup import BloomSeenFilter, anti_join_seen_bloom
+
+    seen = spark.createDataFrame([(f"http://h.test/{i}",) for i in range(500)], "url string")
+    bloom = BloomSeenFilter.build(seen, "url", fpp=0.05)
+    cand = spark.createDataFrame(
+        [(f"http://h.test/{i}",) for i in range(400, 900)], "url string")
+    out = anti_join_seen_bloom(cand, seen, bloom, "url")
+    got = sorted(r["url"] for r in out.collect())
+    assert got == sorted(f"http://h.test/{i}" for i in range(500, 900))
+
+
+def test_global_row_number_two_phase(spark):
+    """Force the scale path (no known_count) and check contiguous total order."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.budget import global_row_number
+
+    df = spark.range(0, 10_000).withColumn("k", (F.col("id") * 7919) % 10_000)
+    ranked = global_row_number(df, ["k"], "r", start=5)
+    rows = ranked.orderBy("k").collect()
+    assert [x["r"] for x in rows] == list(range(5, 10_005))
+    assert [x["k"] for x in rows] == sorted(x["k"] for x in rows)

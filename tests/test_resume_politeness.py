@@ -1,0 +1,103 @@
+"""Checkpoint/resume (north_rule resumability) and politeness scheduler tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark import oracle
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+SEEDS = ["host0000.test", "host0001.test", "host0002.test"]
+
+
+def _golden(smoke_web, **kw):
+    _, pdf = smoke_web
+    return oracle.run_greedy(dict(zip(pdf.url, pdf.html)), dict(zip(pdf.url, pdf.text)),
+                             SEEDS, **kw)
+
+
+def _order_tuples(result):
+    return [(r["visit_rank"], r["url"]) for r in result.order.orderBy("visit_rank").collect()]
+
+
+def test_resume_mid_crawl_equals_straight_run(spark, smoke_web, smoke_pages_df, tmp_path):
+    golden = _golden(smoke_web, max_num=0)
+    ckpt = str(tmp_path / "ckpt")
+
+    # run only 3 rounds, "crash", then resume to completion
+    partial = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(checkpoint_dir=ckpt, max_rounds=3)
+    ).run(SEEDS)
+    assert partial.rounds <= 4
+
+    resumed = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(checkpoint_dir=ckpt)
+    ).resume(SEEDS)
+
+    assert _order_tuples(resumed) == [(g["visit_rank"], g["url"]) for g in golden.order]
+    assert {r["url"] for r in resumed.seen_pages.collect()} == golden.seen_pages
+    assert [(r["file_idx"], r["file_url"]) for r in
+            resumed.fetched.orderBy("file_idx").collect()] == \
+        [(g["file_idx"], g["file_url"]) for g in golden.fetched]
+    assert {r["url"]: r["text"] for r in resumed.texts.collect()} == golden.texts
+
+
+def test_resume_after_completion_is_stable(spark, smoke_pages_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    done = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=17, checkpoint_dir=ckpt)
+    ).run(SEEDS)
+    again = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=17, checkpoint_dir=ckpt)
+    ).resume(SEEDS)
+    assert again.stop_reason == "reach_max_num"
+    assert _order_tuples(again) == _order_tuples(done)
+    assert again.fetched.count() == done.fetched.count() == 17
+
+
+def _robots_df(spark, hosts, delay_ms=0, disallow=None):
+    rows = [(h, delay_ms, disallow or []) for h in hosts]
+    return spark.createDataFrame(
+        rows, "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+
+
+def test_politeness_caps_per_host_per_round(spark, smoke_web, smoke_pages_df):
+    cfg_hosts = [f"host{h:04d}.test" for h in range(10)]
+    robots = _robots_df(spark, cfg_hosts, delay_ms=250)
+    cfg = CrawlConfig(robots=robots, round_seconds=1.0)  # 4 slots/host/round
+    res = GreedyCrawl(spark, smoke_pages_df, cfg).run(SEEDS)
+
+    per_round_host = (
+        res.order.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("round", "host").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_round_host <= 4
+
+    # politeness must not change WHAT is crawled, only when
+    golden = _golden(smoke_web, max_num=0)
+    assert {r["url"] for r in res.seen_pages.collect()} == golden.seen_pages
+    assert {r["url"]: r["text"] for r in res.texts.collect()} == golden.texts
+
+
+def test_robots_disallow_blocks_fetch(spark, smoke_web, smoke_pages_df):
+    robots = _robots_df(spark, ["host0001.test"], delay_ms=0, disallow=["/p/"])
+    cfg = CrawlConfig(robots=robots)
+    res = GreedyCrawl(spark, smoke_pages_df, cfg).run(SEEDS)
+    visited = [r["url"] for r in res.order.collect()]
+    assert not any(u.startswith("http://host0001.test/p/") for u in visited)
+    # the root of host0001 (path "/") is still allowed
+    assert "http://host0001.test" in visited
+
+
+def test_parity_mode_reduces_to_reference(spark, smoke_web, smoke_pages_df):
+    """allow-all robots + zero delay + no bucket == reference semantics
+    (SURVEY.md §2.10 reduction requirement)."""
+    cfg_hosts = [f"host{h:04d}.test" for h in range(10)]
+    robots = _robots_df(spark, cfg_hosts, delay_ms=0, disallow=[])
+    golden = _golden(smoke_web, max_num=25)
+    res = GreedyCrawl(
+        spark, smoke_pages_df, CrawlConfig(max_num=25, robots=robots)
+    ).run(SEEDS)
+    assert _order_tuples(res) == [(g["visit_rank"], g["url"]) for g in golden.order]
+    assert [(r["file_idx"], r["file_url"]) for r in res.fetched.orderBy("file_idx").collect()] \
+        == [(g["file_idx"], g["file_url"]) for g in golden.fetched]
