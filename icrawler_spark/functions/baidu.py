@@ -1,0 +1,52 @@
+"""Baidu objURL deobfuscation (SURVEY.md P3) — pure column expressions.
+
+The reference decodes per-character in Python (/root/reference/icrawler/
+builtin/baidu.py:82-127). The cipher is (a) three multi-char substitutions,
+(b) a 1:1 character substitution — exactly `replace` chains + one `translate`,
+all JVM-side / whole-stage-codegen (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# multi-char substitutions (baidu.py:84)
+MAP1 = {"_z2C$q": ":", "_z&e3B": ".", "AzdH3F": "/"}
+
+# 1:1 char substitution (baidu.py:85-119)
+MAP2 = {
+    "w": "a", "k": "b", "v": "c", "1": "d", "j": "e", "u": "f", "2": "g",
+    "i": "h", "t": "i", "3": "j", "h": "k", "s": "l", "4": "m", "g": "n",
+    "5": "o", "r": "p", "q": "q", "6": "r", "f": "s", "p": "t", "7": "u",
+    "e": "v", "o": "w", "8": "1", "d": "2", "n": "3", "9": "4", "c": "5",
+    "m": "6", "0": "7", "b": "8", "l": "9", "a": "0",
+}
+
+_SRC = "".join(MAP2.keys())
+_DST = "".join(MAP2.values())
+
+
+def baidu_decode_url(col) -> Column:
+    """Column expression decoding an obfuscated Baidu objURL."""
+    c = F.col(col) if isinstance(col, str) else col
+    for cipher, plain in MAP1.items():
+        c = F.replace(c, F.lit(cipher), F.lit(plain))
+    return F.translate(c, _SRC, _DST)
+
+
+def baidu_decode_url_py(url: str) -> str:
+    """Driver/oracle-side equivalent (tests compare against this)."""
+    for cipher, plain in MAP1.items():
+        url = url.replace(cipher, plain)
+    return url.translate(str.maketrans(MAP2))
+
+
+def baidu_encode_url_py(url: str) -> str:
+    """Inverse cipher — used only to build test vectors."""
+    inv2 = {v: k for k, v in MAP2.items()}
+    url = url.translate(str.maketrans(inv2))
+    inv1 = {v: k for k, v in MAP1.items()}
+    for plain, cipher in inv1.items():
+        url = url.replace(plain, cipher)
+    return url

@@ -1,0 +1,206 @@
+"""Search-filter DSL (SURVEY.md L4) — driver-side constant folding.
+
+Reference semantics: /root/reference/icrawler/builtin/filter.py:1-27 — a rule
+registry name → (format_fn, choices); options validate against choices and
+fold to literal URL fragments before any job runs (an engine-side constant
+fold, SURVEY.md X2). Rule tables for Google/Bing/Baidu re-express the public
+URL-parameter encodings catalogued at builtin/google.py:13-129,
+builtin/bing.py:12-103, builtin/baidu.py:8-67 as data tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+
+class FilterError(ValueError):
+    pass
+
+
+class QueryFilter:
+    """name → (format_fn, choices). ``apply`` validates and joins fragments."""
+
+    def __init__(self, rules: dict | None = None):
+        self._rules: dict = dict(rules or {})
+
+    def add_rule(self, name: str, format_fn, choices: list | None = None):
+        self._rules[name] = (format_fn, choices)
+        return self
+
+    def apply(self, options: dict | None, sep: str = "") -> str:
+        if options is None:
+            return ""
+        if not isinstance(options, dict):
+            raise FilterError("filter options must be a dict")
+        fragments = []
+        for name, value in options.items():
+            if name not in self._rules:
+                raise KeyError(
+                    f"unsupported filter '{name}'; supported: {', '.join(self._rules)}")
+            format_fn, choices = self._rules[name]
+            if isinstance(choices, list) and value not in choices:
+                raise FilterError(
+                    f"filter option '{name}' must be one of: {', '.join(map(str, choices))}")
+            fragments.append(format_fn(value))
+        return sep.join(fragments)
+
+
+# --------------------------------------------------------------------------
+# Google (tbs= fragments, builtin/google.py:13-129)
+# --------------------------------------------------------------------------
+
+_G_COLORS = ["color", "blackandwhite", "transparent", "red", "orange", "yellow",
+             "green", "teal", "blue", "purple", "pink", "white", "gray", "black",
+             "brown"]
+_G_SPECIAL_COLOR = {"color": "color", "blackandwhite": "gray", "transparent": "trans"}
+_G_SIZE_LT = {"400x300": "qsvga", "640x480": "vga", "800x600": "svga",
+              "1024x768": "xga", "2mp": "2mp", "4mp": "4mp", "6mp": "6mp",
+              "8mp": "8mp", "10mp": "10mp", "12mp": "12mp", "15mp": "15mp",
+              "20mp": "20mp", "40mp": "40mp", "70mp": "70mp"}
+_G_LICENSE = {"noncommercial": "f", "commercial": "fc",
+              "noncommercial,modify": "fm", "commercial,modify": "fmc"}
+_G_DATE_NAMED = {"anytime": "", "pastday": "qdr:d", "pastweek": "qdr:w",
+                 "pastmonth": "qdr:m", "pastyear": "qdr:y"}
+
+
+def _g_type(t):
+    return "itp:lineart" if t == "linedrawing" else "itp:" + t
+
+
+def _g_color(c):
+    if c in _G_SPECIAL_COLOR:
+        return "ic:" + _G_SPECIAL_COLOR[c]
+    return f"ic:specific,isc:{c}"
+
+
+def _g_size(s):
+    named = {"large": "l", "medium": "m", "icon": "i"}
+    if s in named:
+        return "isz:" + named[s]
+    if s.startswith(">"):
+        if s[1:] not in _G_SIZE_LT:
+            raise FilterError(f"unknown size bound {s!r}")
+        return "isz:lt,islt:" + _G_SIZE_LT[s[1:]]
+    if s.startswith("="):
+        wh = s[1:].split("x")
+        if len(wh) != 2:
+            raise FilterError("exact size must be =WxH")
+        return "isz:ex,iszw:{},iszh:{}".format(*wh)
+    raise FilterError(
+        'size must be large, medium, icon, ">WxH" or "=WxH"')
+
+
+def _fmt_date(d) -> str:
+    if isinstance(d, tuple):
+        d = datetime.date(*d)
+    if not isinstance(d, datetime.date):
+        raise FilterError("date endpoints must be tuples or datetime.date")
+    return d.strftime("%m/%d/%Y")
+
+
+def _g_date(d):
+    if isinstance(d, str):
+        if d not in _G_DATE_NAMED:
+            raise FilterError(f"unknown named date {d!r}")
+        return _G_DATE_NAMED[d]
+    if isinstance(d, tuple) and len(d) == 2:
+        lo = "" if d[0] is None else _fmt_date(d[0])
+        hi = "" if d[1] is None else _fmt_date(d[1])
+        return f"cdr:1,cd_min:{lo},cd_max:{hi}"
+    raise FilterError('date must be a named range or a (start, end) tuple')
+
+
+def google_filter() -> QueryFilter:
+    return (
+        QueryFilter()
+        .add_rule("type", _g_type, ["photo", "face", "clipart", "linedrawing", "animated"])
+        .add_rule("color", _g_color, _G_COLORS)
+        .add_rule("size", _g_size)
+        .add_rule("license", lambda v: "sur:" + _G_LICENSE[v], list(_G_LICENSE))
+        .add_rule("date", _g_date)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bing (&qft= fragments, builtin/bing.py:12-103)
+# --------------------------------------------------------------------------
+
+_B_COLORS = ["color", "blackandwhite", "red", "orange", "yellow", "green", "teal",
+             "blue", "purple", "pink", "white", "gray", "black", "brown"]
+_B_LICENSE = {"creativecommons": "licenseType-Any", "publicdomain": "license-L1",
+              "noncommercial": "license-L2_L3_L4_L5_L6_L7",
+              "commercial": "license-L2_L3_L4",
+              "noncommercial,modify": "license-L2_L3_L5_L6",
+              "commercial,modify": "license-L2_L3"}
+_B_DATE_MIN = {"pastday": 1440, "pastweek": 10080, "pastmonth": 43200, "pastyear": 525600}
+
+
+def _b_type(t):
+    return "+filterui:photo-" + ("animatedgif" if t == "animated" else t)
+
+
+def _b_color(c):
+    if c == "color":
+        return "+filterui:color2-color"
+    if c == "blackandwhite":
+        return "+filterui:color2-bw"
+    return "+filterui:color2-FGcls_" + c.upper()
+
+
+def _b_size(s):
+    if s in ["large", "medium", "small"]:
+        return "+filterui:imagesize-" + s
+    if s == "extralarge":
+        return "+filterui:imagesize-wallpaper"
+    if s.startswith(">"):
+        wh = s[1:].split("x")
+        if len(wh) != 2:
+            raise FilterError("size bound must be >WxH")
+        return "+filterui:imagesize-custom_{}_{}".format(*wh)
+    raise FilterError('size must be extralarge, large, medium, small or ">WxH"')
+
+
+def bing_filter() -> QueryFilter:
+    return (
+        QueryFilter()
+        .add_rule("type", _b_type, ["photo", "clipart", "linedrawing", "transparent", "animated"])
+        .add_rule("color", _b_color, _B_COLORS)
+        .add_rule("size", _b_size)
+        .add_rule("license", lambda v: "+filterui:" + _B_LICENSE[v], list(_B_LICENSE))
+        .add_rule("layout", lambda v: "+filterui:aspect-" + v, ["square", "wide", "tall"])
+        .add_rule("people", lambda v: "+filterui:face-" + v, ["face", "portrait"])
+        .add_rule("date", lambda v: "+filterui:age-lt" + str(_B_DATE_MIN[v]), list(_B_DATE_MIN))
+    )
+
+
+# --------------------------------------------------------------------------
+# Baidu (& joined params, builtin/baidu.py:8-67)
+# --------------------------------------------------------------------------
+
+_BD_TYPE = {"portrait": "s=3&lm=0&st=-1&face=0", "face": "s=0&lm=0&st=-1&face=1",
+            "clipart": "s=0&lm=0&st=1&face=0", "linedrawing": "s=0&lm=0&st=2&face=0",
+            "animated": "s=0&lm=6&st=-1&face=0", "static": "s=0&lm=7&st=-1&face=0"}
+_BD_COLOR = {"red": 1, "orange": 256, "yellow": 2, "green": 4, "purple": 32,
+             "pink": 64, "teal": 8, "blue": 16, "brown": 12, "white": 1024,
+             "black": 512, "blackandwhite": 2048}
+
+
+def _bd_size(s):
+    named = {"extralarge": 9, "large": 3, "medium": 2, "small": 1}
+    if s in named:
+        return f"z={named[s]}"
+    if s.startswith("="):
+        wh = s[1:].split("x")
+        if len(wh) != 2:
+            raise FilterError("exact size must be =WxH")
+        return "width={}&height={}".format(*wh)
+    raise FilterError('size must be extralarge, large, medium, small or "=WxH"')
+
+
+def baidu_filter() -> QueryFilter:
+    return (
+        QueryFilter()
+        .add_rule("type", lambda v: _BD_TYPE[v], list(_BD_TYPE))
+        .add_rule("color", lambda v: f"ic={_BD_COLOR[v]}", list(_BD_COLOR))
+        .add_rule("size", _bd_size)
+    )

@@ -1,0 +1,154 @@
+"""Frontier feeders (SURVEY.md S1-S7) — DataFrame generators.
+
+Every feeder returns a DataFrame ``(url:string, feed_rank:long)`` where
+feed_rank is the reference FIFO emission order (FIXTURES.md §2). Feed URLs
+are generated with ``spark.range`` + ``format_string`` (distributed, no
+driver materialization) with the query string folded to a literal template
+driver-side — the DSL constant fold of SURVEY.md X2.
+"""
+
+from __future__ import annotations
+
+import math
+from urllib.parse import quote_plus, urlencode
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.filter_dsl import baidu_filter, bing_filter, google_filter
+
+
+def clamp_engine_budget(offset: int, max_num: int, cap: int = 1000) -> int:
+    """Search engines only serve the first ``cap`` results
+    (/root/reference/icrawler/builtin/google.py:190-202 and peers)."""
+    if offset > cap:
+        raise ValueError(f"offset cannot exceed {cap}")
+    return min(max_num, cap - offset)
+
+
+def url_list_feed(spark: SparkSession, url_list, offset: int = 0, max_num: int = 0) -> DataFrame:
+    """UrlListFeeder (feeder.py:47-70): list or text file, sliced."""
+    if isinstance(url_list, str):
+        df = (
+            spark.read.text(url_list)
+            .select(F.col("value").alias("url"))
+            .withColumn("feed_rank", F.monotonically_increasing_id())
+        )
+        # text files preserve line order per file; re-rank to be explicit
+        from pyspark.sql import Window
+
+        df = df.withColumn(
+            "feed_rank", F.row_number().over(Window.orderBy("feed_rank")) - 1)
+    else:
+        df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(url_list)], "url string, feed_rank long")
+    if offset < 0:
+        raise ValueError('"offset" exceeds the list length')
+    df = df.filter(F.col("feed_rank") >= offset)
+    if max_num > 0:
+        df = df.filter(F.col("feed_rank") < offset + max_num)
+    return df
+
+
+def simple_se_feed(spark: SparkSession, url_template: str, keyword: str,
+                   offset: int, max_num: int, page_step: int) -> DataFrame:
+    """SimpleSEFeeder (feeder.py:73-89): url_template.format(keyword, i)."""
+    tmpl = url_template.replace("%", "%%").replace("{}", "%s", 1).replace("{}", "%d", 1)
+    rng = spark.range(offset, offset + max_num, page_step)
+    return rng.select(
+        F.format_string(tmpl, F.lit(keyword), F.col("id")).alias("url"),
+        ((F.col("id") - offset) / page_step).cast("long").alias("feed_rank"),
+    )
+
+
+def google_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int = 1000,
+                language: str | None = None, filters: dict | None = None) -> DataFrame:
+    """GoogleFeeder (builtin/google.py:131-141): step 100, tbs filter DSL."""
+    max_num = clamp_engine_budget(offset, max_num)
+    filter_str = google_filter().apply(filters, sep=",")
+    rng = spark.range(offset, offset + max_num, 100)
+    # urlencode with ijn/start left as tokens; %% escapes any literal %
+    params = [("q", keyword), ("ijn", "\x00IJN\x00"), ("start", "\x00START\x00"),
+              ("tbs", filter_str), ("tbm", "isch")]
+    if language:
+        params.append(("lr", "lang_" + language))
+    qs = urlencode(dict(params)).replace("%", "%%")
+    ijn_tok = quote_plus("\x00IJN\x00").replace("%", "%%")
+    start_tok = quote_plus("\x00START\x00").replace("%", "%%")
+    qs = qs.replace(ijn_tok, "%d").replace(start_tok, "%d")
+    return rng.select(
+        F.format_string("https://www.google.com/search?" + qs,
+                        (F.col("id") / 100).cast("int"), F.col("id")).alias("url"),
+        ((F.col("id") - offset) / 100).cast("long").alias("feed_rank"),
+    )
+
+
+def bing_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int = 1000,
+              filters: dict | None = None) -> DataFrame:
+    """BingFeeder (builtin/bing.py:105-114): step 20, &qft= filter suffix."""
+    max_num = clamp_engine_budget(offset, max_num)
+    filter_str = bing_filter().apply(filters)
+    suffix = ("&qft=" + filter_str) if filter_str else ""
+    tmpl = ("https://www.bing.com/images/async?q=" + keyword + "&first=%d" + suffix
+            ).replace("%", "%%").replace("%%d", "%d", 1)
+    rng = spark.range(offset, offset + max_num, 20)
+    return rng.select(
+        F.format_string(tmpl, F.col("id")).alias("url"),
+        ((F.col("id") - offset) / 20).cast("long").alias("feed_rank"),
+    )
+
+
+def baidu_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int = 1000,
+               filters: dict | None = None) -> DataFrame:
+    """BaiduFeeder (builtin/baidu.py:69-78): step 30, JSON API url."""
+    max_num = clamp_engine_budget(offset, max_num)
+    filter_str = baidu_filter().apply(filters, sep="&")
+    suffix = ("&" + filter_str) if filter_str else ""
+    tmpl = ("http://image.baidu.com/search/acjson?tn=resultjson_com&ipn=rj&word="
+            + keyword + "&pn=%d&rn=30" + suffix)
+    tmpl = tmpl.replace("%", "%%").replace("%%d", "%d", 1)
+    rng = spark.range(offset, offset + max_num, 30)
+    return rng.select(
+        F.format_string(tmpl, F.col("id")).alias("url"),
+        ((F.col("id") - offset) / 30).cast("long").alias("feed_rank"),
+    )
+
+
+FLICKR_ALLOWED = {
+    "user_id", "tags", "tag_mode", "text", "license", "sort", "privacy_filter",
+    "accuracy", "safe_search", "content_type", "machine_tags", "machine_tag_mode",
+    "group_id", "contacts", "woe_id", "place_id", "media", "has_geo", "geo_context",
+    "lat", "lon", "radius", "radius_units", "is_commons", "in_gallery", "is_getty",
+    "extras", "per_page", "min_upload_date", "max_upload_date",
+    "min_taken_date", "max_taken_date",
+}
+_FLICKR_DATES = {"min_upload_date", "max_upload_date", "min_taken_date", "max_taken_date"}
+FLICKR_RESULT_CAP = 4000  # flickr.py:12-14
+
+
+def flickr_feed(spark: SparkSession, apikey: str, max_num: int = FLICKR_RESULT_CAP,
+                **params) -> DataFrame:
+    """FlickrFeeder (builtin/flickr.py:11-78): validated params, date coercion,
+    page URLs up to ceil(min(max_num, 4000)/per_page)."""
+    import datetime as _dt
+
+    max_num = min(max_num, FLICKR_RESULT_CAP)
+    clean: dict = {}
+    for k, v in params.items():
+        if k not in FLICKR_ALLOWED:
+            continue  # flickr.py:49-50 logs & skips unexpected args
+        if k in _FLICKR_DATES:
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                v = int(v.timestamp()) if isinstance(v, _dt.datetime) else v.strftime("%Y-%m-%d")
+        clean[k] = v
+    per_page = int(clean.get("per_page", 100))
+    pages = max(1, math.ceil(max_num / per_page))
+    base = ("https://api.flickr.com/services/rest/?method=flickr.photos.search"
+            f"&api_key={apikey}&format=json&nojsoncallback=1")
+    extra = "".join(f"&{k}={quote_plus(str(v))}" for k, v in sorted(clean.items()))
+    tmpl = (base + extra).replace("%", "%%") + "&page=%d"
+    rng = spark.range(1, pages + 1)
+    return rng.select(
+        F.format_string(tmpl, F.col("id")).alias("url"),
+        (F.col("id") - 1).alias("feed_rank"),
+    )

@@ -1,0 +1,139 @@
+"""Engine-specific parsers (SURVEY.md P1-P4, P6) as DataFrame operators.
+
+Each takes a DataFrame with (parent:string, visit_rank:long, html:binary|
+content:string) and returns (parent, visit_rank, pos, file_url) task rows,
+mirroring the reference parser semantics cited per function. Everything is
+Arrow-batched pandas (vectorized .str ops) or pure column expressions; the
+Baidu path is 100% JVM-side (from_json + replace/translate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from icrawler_spark.functions.baidu import baidu_decode_url
+
+TASKS_SCHEMA = "parent string, visit_rank long, pos int, file_url string"
+
+# GoogleParser.parse (builtin/google.py:158-166): the reference's primary
+# pattern has an unescaped dot (any char) with an escaped-dot fallback —
+# reproduce both, first-nonempty-script wins.
+GOOGLE_URI_PRIMARY = r"http[^\[]*?.(?:jpg|png|bmp)"
+GOOGLE_URI_FALLBACK = r"http[^\[]*?\.(?:jpg|png|bmp)"
+_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+
+
+def google_parse(df: DataFrame) -> DataFrame:
+    """Per page: over <script> blocks in document order, findall primary
+    pattern (fallback if none), unicode-unescape, first non-empty script's
+    URIs become tasks (builtin/google.py:144-168)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
+            scripts = doc.str.findall(_SCRIPT_RE).explode().dropna()
+            if len(scripts) == 0:
+                continue
+            sf = pd.DataFrame({"txt": scripts})
+            sf["script_idx"] = sf.groupby(level=0).cumcount()
+            prim = sf["txt"].str.findall(GOOGLE_URI_PRIMARY)
+            fall = sf["txt"].str.findall(GOOGLE_URI_FALLBACK)
+            sf["uris"] = prim.where(prim.str.len() > 0, fall)
+            sf = sf[sf["uris"].str.len() > 0]
+            if len(sf) == 0:
+                continue
+            # first non-empty script per page wins (the `return` at google.py:168)
+            first = sf.groupby(level=0)["script_idx"].transform("min")
+            sf = sf[sf["script_idx"] == first]
+            out = sf[["uris"]].join(pdf[["parent", "visit_rank"]])
+            out = out.explode("uris").dropna(subset=["uris"])
+            # unicode-unescape (google.py:166), vectorized over the batch
+            out["file_url"] = (
+                out["uris"].str.encode("utf-8").str.decode("unicode_escape"))
+            out["pos"] = out.groupby("visit_rank").cumcount().astype("int32")
+            yield out[["parent", "visit_rank", "pos", "file_url"]]
+
+    return df.select("parent", "visit_rank", "html").mapInPandas(fn, TASKS_SCHEMA)
+
+
+_BING_DIV_RE = r'(?s)<div[^>]*class="[^"]*imgpt[^"]*"[^>]*>.*?</div>'
+_BING_M_RE = r'\sm="([^"]*)"'
+_BING_MURL_RE = r'murl&quot;:&quot;(.*?)\.jpg|murl":"(.*?)\.jpg'
+
+
+def bing_parse(df: DataFrame) -> DataFrame:
+    """BingParser.parse (builtin/bing.py:117-131): div.imgpt → unescape the
+    ``m`` attribute → murl":"...jpg."""
+
+    def fn(batches):
+        import html as _html
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
+            divs = doc.str.findall(_BING_DIV_RE).explode().dropna()
+            if len(divs) == 0:
+                continue
+            sf = pd.DataFrame({"div": divs})
+            m_attr = sf["div"].str.extract(_BING_M_RE, expand=False)
+            sf = sf[m_attr.notna()].assign(m=m_attr.dropna())
+            # entity unescape: vectorized fast-path for the common entities,
+            # exact html.unescape for the rare rows with other entities
+            m = (sf["m"].str.replace("&quot;", '"', regex=False)
+                 .str.replace("&lt;", "<", regex=False)
+                 .str.replace("&gt;", ">", regex=False)
+                 .str.replace("&#39;", "'", regex=False)
+                 .str.replace("&amp;", "&", regex=False))
+            other = m.str.contains(r"&[a-zA-Z#][a-zA-Z0-9]*;", regex=True)
+            if other.any():
+                m[other] = [_html.unescape(x) for x in sf.loc[other, "m"]]
+            murl = m.str.extract(r'murl":"(.*?)\.jpg', expand=False)
+            sf = sf[murl.notna()].assign(file_url=murl.dropna() + ".jpg")
+            if len(sf) == 0:
+                continue
+            out = sf.join(pdf[["parent", "visit_rank"]])
+            out["pos"] = out.groupby("visit_rank").cumcount().astype("int32")
+            yield out[["parent", "visit_rank", "pos", "file_url"]]
+
+    return df.select("parent", "visit_rank", "html").mapInPandas(fn, TASKS_SCHEMA)
+
+
+BAIDU_ITEM_SCHEMA = T.StructType([
+    T.StructField("data", T.ArrayType(T.StructType([
+        T.StructField("objURL", T.StringType()),
+        T.StructField("hoverURL", T.StringType()),
+    ])))
+])
+
+
+def baidu_parse(df: DataFrame, content_col: str = "html") -> DataFrame:
+    """BaiduParser.parse (builtin/baidu.py:129-143): JSON body → data[] →
+    decode objURL (replace chain + translate) else hoverURL. Pure column
+    expressions — whole-stage codegen end to end."""
+    content = F.col(content_col).cast("string")
+    # the reference strips escaped single-quotes before json.loads (baidu.py:131)
+    content = F.replace(content, F.lit("\\'"), F.lit("'"))
+    parsed = df.select(
+        "parent", "visit_rank",
+        F.from_json(content, BAIDU_ITEM_SCHEMA).alias("j"))
+    items = parsed.select(
+        "parent", "visit_rank",
+        F.posexplode_outer("j.data").alias("pos", "item"))
+    decoded = items.select(
+        "parent", "visit_rank", F.col("pos").cast("int").alias("pos"),
+        F.when(F.col("item.objURL").isNotNull(), baidu_decode_url(F.col("item.objURL")))
+         .otherwise(F.col("item.hoverURL")).alias("file_url"))
+    return decoded.filter(F.col("file_url").isNotNull())
+
+
+def pseudo_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """PseudoParser (builtin/urllist.py:7-32): identity url → task."""
+    return df.select(
+        F.col(url_col).alias("parent"), "visit_rank",
+        F.lit(0).alias("pos"), F.col(url_col).alias("file_url"))

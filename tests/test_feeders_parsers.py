@@ -1,0 +1,183 @@
+"""Feeders, filter DSL, and engine parsers vs reference semantics
+(FIXTURES.md §6 unit vectors)."""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import urlencode
+
+import pytest
+
+from icrawler_spark.functions.baidu import baidu_decode_url_py, baidu_encode_url_py
+from icrawler_spark.functions.filter_dsl import (
+    FilterError,
+    baidu_filter,
+    bing_filter,
+    google_filter,
+)
+from icrawler_spark.sources import feeders, parsers
+
+
+# ---- filter DSL ------------------------------------------------------------
+
+def test_google_filter_fragments():
+    f = google_filter()
+    assert f.apply({"type": "linedrawing"}, ",") == "itp:lineart"
+    assert f.apply({"type": "photo", "color": "red"}, ",") == "itp:photo,ic:specific,isc:red"
+    assert f.apply({"color": "blackandwhite"}, ",") == "ic:gray"
+    assert f.apply({"size": ">2mp"}, ",") == "isz:lt,islt:2mp"
+    assert f.apply({"size": "=300x400"}, ",") == "isz:ex,iszw:300,iszh:400"
+    assert f.apply({"license": "commercial,modify"}, ",") == "sur:fmc"
+    assert f.apply({"date": "pastweek"}, ",") == "qdr:w"
+    assert f.apply({"date": ((2020, 1, 2), None)}, ",") == "cdr:1,cd_min:01/02/2020,cd_max:"
+    assert f.apply(None) == ""
+    with pytest.raises(KeyError):
+        f.apply({"nope": 1})
+    with pytest.raises(FilterError):
+        f.apply({"type": "oilpainting"})
+    with pytest.raises(FilterError):
+        f.apply({"size": "gigantic"})
+
+
+def test_bing_filter_fragments():
+    f = bing_filter()
+    assert f.apply({"type": "animated"}) == "+filterui:photo-animatedgif"
+    assert f.apply({"color": "teal"}) == "+filterui:color2-FGcls_TEAL"
+    assert f.apply({"size": "extralarge"}) == "+filterui:imagesize-wallpaper"
+    assert f.apply({"size": ">640x480"}) == "+filterui:imagesize-custom_640_480"
+    assert f.apply({"license": "commercial"}) == "+filterui:license-L2_L3_L4"
+    assert f.apply({"date": "pastmonth"}) == "+filterui:age-lt43200"
+
+
+def test_baidu_filter_fragments():
+    f = baidu_filter()
+    assert f.apply({"type": "face"}, "&") == "s=0&lm=0&st=-1&face=1"
+    assert f.apply({"color": "white"}, "&") == "ic=1024"
+    assert f.apply({"size": "=200x300"}, "&") == "width=200&height=300"
+
+
+# ---- feeders ---------------------------------------------------------------
+
+def test_google_feed_urls_match_reference_construction(spark):
+    got = [r["url"] for r in
+           feeders.google_feed(spark, "cat dog", offset=40, max_num=300,
+                               language="en", filters={"type": "photo"})
+           .orderBy("feed_rank").collect()]
+    expect = []
+    filter_str = "itp:photo"
+    for i in range(40, 340, 100):
+        params = dict(q="cat dog", ijn=int(i / 100), start=i, tbs=filter_str, tbm="isch")
+        params["lr"] = "lang_en"
+        expect.append("https://www.google.com/search?" + urlencode(params))
+    assert got == expect
+
+
+def test_bing_feed_urls(spark):
+    got = [r["url"] for r in
+           feeders.bing_feed(spark, "tree", offset=0, max_num=60,
+                             filters={"size": "large"}).orderBy("feed_rank").collect()]
+    assert got == [
+        f"https://www.bing.com/images/async?q=tree&first={i}&qft=+filterui:imagesize-large"
+        for i in (0, 20, 40)]
+
+
+def test_baidu_feed_urls(spark):
+    got = [r["url"] for r in
+           feeders.baidu_feed(spark, "tree", offset=0, max_num=90).orderBy("feed_rank").collect()]
+    assert got == [
+        "http://image.baidu.com/search/acjson?tn=resultjson_com&ipn=rj"
+        f"&word=tree&pn={i}&rn=30" for i in (0, 30, 60)]
+
+
+def test_engine_budget_clamp(spark):
+    assert feeders.google_feed(spark, "x", offset=900, max_num=500).count() == 1
+    with pytest.raises(ValueError):
+        feeders.clamp_engine_budget(1200, 10)
+
+
+def test_simple_se_feed(spark):
+    got = [r["url"] for r in
+           feeders.simple_se_feed(spark, "http://s.test/?q={}&p={}", "kw", 10, 30, 10)
+           .orderBy("feed_rank").collect()]
+    assert got == [f"http://s.test/?q=kw&p={i}" for i in (10, 20, 30)]
+
+
+def test_url_list_feed_slice(spark):
+    urls = [f"http://u.test/{i}" for i in range(10)]
+    got = [r["url"] for r in
+           feeders.url_list_feed(spark, urls, offset=3, max_num=4)
+           .orderBy("feed_rank").collect()]
+    assert got == urls[3:7]
+
+
+def test_flickr_feed_pages(spark):
+    df = feeders.flickr_feed(spark, "KEY", max_num=250, per_page=100,
+                             tags="cat", bogus_param=1)
+    rows = df.orderBy("feed_rank").collect()
+    assert len(rows) == 3  # ceil(250/100)
+    assert all("api_key=KEY" in r["url"] and "tags=cat" in r["url"] for r in rows)
+    assert all("bogus_param" not in r["url"] for r in rows)
+    assert [r["url"].rsplit("page=", 1)[1] for r in rows] == ["1", "2", "3"]
+
+
+# ---- baidu decode ----------------------------------------------------------
+
+def test_baidu_decode_roundtrip_py():
+    url = "http://img.example.com/photo/abc123.jpg"
+    enc = baidu_encode_url_py(url)
+    assert enc != url
+    assert baidu_decode_url_py(enc) == url
+
+
+def test_baidu_parse_spark(spark):
+    plain = ["http://a.test/i/one.jpg", "http://b.test/i/two0.png"]
+    body = json.dumps({"data": [
+        {"objURL": baidu_encode_url_py(plain[0])},
+        {"hoverURL": plain[1]},
+        {},
+    ]})
+    df = spark.createDataFrame(
+        [("http://page.test", 0, bytearray(body.encode()))],
+        "parent string, visit_rank long, html binary")
+    got = parsers.baidu_parse(df).orderBy("pos").collect()
+    assert [(r["pos"], r["file_url"]) for r in got] == [(0, plain[0]), (1, plain[1])]
+
+
+# ---- google / bing parsers -------------------------------------------------
+
+def test_google_parse_first_nonempty_script(spark):
+    html = (
+        "<html><script>var x = 1;</script>"
+        '<script>["http://i.test/a.jpg",["http://i.test/b.png"]]</script>'
+        '<script>["http://i.test/c.bmp"]</script></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://p.test", 0, bytearray(html.encode()))],
+        "parent string, visit_rank long, html binary")
+    got = [r["file_url"] for r in parsers.google_parse(df).orderBy("pos").collect()]
+    # only the first script with matches contributes (google.py:168 `return`)
+    assert got == ["http://i.test/a.jpg", "http://i.test/b.png"]
+
+
+def test_google_parse_unicode_unescape(spark):
+    html = '<script>"http://i.test/caf\\u00e9.jpg"</script>'
+    df = spark.createDataFrame(
+        [("http://p.test", 0, bytearray(html.encode()))],
+        "parent string, visit_rank long, html binary")
+    got = [r["file_url"] for r in parsers.google_parse(df).collect()]
+    assert got == ["http://i.test/café.jpg"]
+
+
+def test_bing_parse(spark):
+    m1 = "{&quot;murl&quot;:&quot;http://i.test/x1&quot;}".replace(
+        "http://i.test/x1", "http://i.test/x1.jpg")
+    html = (
+        f'<div class="imgpt"><a m="{m1}">x</a></div>'
+        '<div class="imgpt"><a>no m attr</a></div>'
+        '<div class="other"><a m="{&quot;murl&quot;:&quot;http://i.test/skip.jpg&quot;}">x</a></div>'
+    )
+    df = spark.createDataFrame(
+        [("http://p.test", 0, bytearray(html.encode()))],
+        "parent string, visit_rank long, html binary")
+    got = [r["file_url"] for r in parsers.bing_parse(df).collect()]
+    assert got == ["http://i.test/x1.jpg"]
