@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in icrawler_spark.entry_queries; each one exercises a component
+of the crawl engine (SURVEY.md §2) or a training-data pipeline operator, with
+the DuckDB SQL generated from the same Python constants as the Spark plan.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-round frontier pipeline over sf0.001 — candidate
+    URLs → URL-seen anti-join (D1) → per-host politeness slots (X9) → global
+    ordered budget (K1/O2) → file-idx + filename assignment (O2/L2)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
+
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    frontier = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 50).cast("string"),
+                 F.lit(".test/e/"), F.col("event_id").cast("string"),
+                 F.lit(".jpg")).alias("url"),
+        (F.col("user_id") % 50).cast("long").alias("host"),
+        F.col("ts"), F.col("event_id").cast("long").alias("event_id"))
+    seen = frontier.filter(F.col("event_id") % 4 == 0).select("url")
+    new = frontier.join(seen, "url", "left_anti")
+    w_host = Window.partitionBy("host").orderBy("ts", "event_id")
+    batch = new.withColumn("slot", F.row_number().over(w_host)).filter(F.col("slot") <= 2)
+    w_all = Window.orderBy("ts", "event_id")
+    ranked = batch.withColumn("file_idx", F.row_number().over(w_all).cast("long")) \
+                  .filter(F.col("file_idx") <= 100)
+    ext = F.regexp_extract("url", r"\.([^./]*)$", 1)
+    final_ext = F.when(F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)), ext).otherwise("jpg")
+    return ranked.select(
+        "file_idx", "url", "host",
+        F.concat(F.lpad(F.col("file_idx").cast("string"), 6, "0"),
+                 F.lit("."), final_ext).alias("filename"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from icrawler_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from icrawler_spark import entry_queries
+
+    return entry_queries.oracle_sql()

@@ -1,0 +1,727 @@
+"""Driver-contract query pack: every operator exposed as a (spark, sf_dir) →
+DataFrame callable plus a DuckDB oracle SQL string computing the same result
+over the same parquet tables (see __spark_entry__.py / TESTDATA.md).
+
+Column names and value types are aligned pair-by-pair; repeated structures
+(simhash bit terms, language scores) generate both the Spark expressions and
+the SQL from the same Python constants, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.baidu import MAP1, MAP2, _DST, _SRC
+from icrawler_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    fingerprints,
+    quality_features,
+    token_counts,
+)
+from icrawler_spark.operators import docdedup, multimodal, similarity
+from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
+
+# ---------------------------------------------------------------------------
+# shared synthesized columns (same construction in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+_URL_EXTS = ["jpg", "png", "gif", "svg", "zip"]
+
+
+def _doc_url_expr():
+    """Deterministic file-URL per document (dims + extension variants encoded
+    in the URL, FIXTURES.md §4). 150 distinct URLs over 500 docs → real dups."""
+    k = F.col("doc_id") % 150
+    ext = F.element_at(F.array(*[F.lit(e) for e in _URL_EXTS]), (k % 5 + 1).cast("int"))
+    return F.concat(
+        F.lit("http://img"), (k % 20).cast("string"), F.lit(".test/i/"),
+        k.cast("string"), F.lit("-"), (100 + k * 7 % 900).cast("string"),
+        F.lit("x"), (100 + k * 13 % 900).cast("string"), F.lit("."), ext)
+
+
+_DOC_URL_SQL = (
+    "'http://img' || (doc_id % 150) % 20 || '.test/i/' || doc_id % 150 || '-' || "
+    "(100 + (doc_id % 150) * 7 % 900) || 'x' || (100 + (doc_id % 150) * 13 % 900) "
+    "|| '.' || (['jpg','png','gif','svg','zip'])[(doc_id % 150) % 5 + 1]"
+)
+
+_EVENT_URL_EXPR = "concat('http://h', user_id % 50, '.test/e/', event_id)"
+_EVENT_URL_SQL = "'http://h' || user_id % 50 || '.test/e/' || event_id"
+
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+             " ' +', ' ', 'g'))")
+
+
+def _docs(spark, sf): return spark.read.parquet(f"{sf}/documents.parquet")
+def _events(spark, sf): return spark.read.parquet(f"{sf}/events.parquet")
+def _emb(spark, sf): return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator queries
+# ---------------------------------------------------------------------------
+
+def q_urllist_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """UrlListCrawler pipeline (SURVEY.md §3.2) over document-derived URLs:
+    feed slice → dedup-at-enqueue (earliest feed rank wins) → visit rank →
+    file_idx + whitelisted-extension filename (downloader.py:74-77,265-274)."""
+    feed = _docs(spark, sf).select(
+        _doc_url_expr().alias("url"), F.col("doc_id").alias("feed_rank"))
+    feed = feed.filter((F.col("feed_rank") >= 10) & (F.col("feed_rank") < 10 + 200))
+    w_dup = Window.partitionBy("url").orderBy("feed_rank")
+    uniq = feed.withColumn("rn", F.row_number().over(w_dup)).filter("rn = 1").drop("rn")
+    w = Window.orderBy("feed_rank")
+    ranked = uniq.withColumn("visit_rank", (F.row_number().over(w) - 1).cast("long"))
+    ext = F.regexp_extract("url", r"\.([^./]*)$", 1)
+    final_ext = F.when(F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)), ext).otherwise("jpg")
+    return ranked.select(
+        "url", "visit_rank",
+        (F.col("visit_rank") + 1).alias("file_idx"),
+        F.concat(F.lpad((F.col("visit_rank") + 1).cast("string"), 6, "0"),
+                 F.lit("."), final_ext).alias("filename"))
+
+
+Q_URLLIST_SQL = f"""
+WITH feed AS (
+  SELECT {_DOC_URL_SQL} AS url, doc_id AS feed_rank
+  FROM documents WHERE doc_id >= 10 AND doc_id < 210
+), uniq AS (
+  SELECT url, feed_rank,
+         row_number() OVER (PARTITION BY url ORDER BY feed_rank) AS rn
+  FROM feed
+), ranked AS (
+  SELECT url, feed_rank,
+         CAST(row_number() OVER (ORDER BY feed_rank) - 1 AS BIGINT) AS visit_rank
+  FROM uniq WHERE rn = 1
+)
+SELECT url, visit_rank, visit_rank + 1 AS file_idx,
+       lpad(CAST(visit_rank + 1 AS VARCHAR), 6, '0') || '.' ||
+       (CASE WHEN lower(regexp_extract(url, '\\.([^./]*)$', 1))
+                  IN ({",".join("'" + e + "'" for e in IMAGE_EXT_WHITELIST)})
+             THEN regexp_extract(url, '\\.([^./]*)$', 1) ELSE 'jpg' END) AS filename
+FROM ranked
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-seen dedup (SURVEY.md D1): frontier LEFT ANTI JOIN seen."""
+    ev = _events(spark, sf)
+    frontier = ev.select(F.expr(_EVENT_URL_EXPR).alias("url"),
+                         F.col("event_id").cast("long").alias("event_id"))
+    seen = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.expr(_EVENT_URL_EXPR).alias("url"))
+    return frontier.join(seen, "url", "left_anti")
+
+
+Q_SEEN_ANTIJOIN_SQL = f"""
+WITH frontier AS (
+  SELECT {_EVENT_URL_SQL} AS url, CAST(event_id AS BIGINT) AS event_id FROM events
+), seen AS (
+  SELECT {_EVENT_URL_SQL} AS url FROM events WHERE event_id % 3 = 0
+)
+SELECT url, event_id FROM frontier
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = frontier.url)
+"""
+
+
+def q_budget_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ordered budget (SURVEY.md K1/O2): first 500 events in
+    (ts, event_id) order get contiguous 1-based file indices."""
+    ev = _events(spark, sf)
+    w = Window.orderBy("ts", "event_id")
+    return (ev.withColumn("file_idx", F.row_number().over(w).cast("long"))
+            .filter(F.col("file_idx") <= 500)
+            .select("file_idx", F.col("event_id").cast("long").alias("event_id")))
+
+
+Q_BUDGET_SQL = """
+SELECT file_idx, CAST(event_id AS BIGINT) AS event_id FROM (
+  SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS file_idx, event_id
+  FROM events
+) WHERE file_idx <= 500
+"""
+
+
+def q_politeness_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host token-bucket batch (SURVEY.md X9): first 3 events per user
+    (host stand-in) in (ts, event_id) order."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("slot", F.row_number().over(w).cast("long"))
+            .filter(F.col("slot") <= 3)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("event_id").cast("long").alias("event_id"), "slot"))
+
+
+Q_POLITENESS_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, slot
+FROM (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS slot
+  FROM events
+) WHERE slot <= 3
+"""
+
+
+def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host frontier skew stats (the salting decision input)."""
+    ev = _events(spark, sf)
+    return (ev.groupBy((F.col("user_id") % 50).cast("long").alias("host"))
+            .agg(F.count("*").alias("n_urls"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+Q_HOST_STATS_SQL = """
+SELECT CAST(user_id % 50 AS BIGINT) AS host, count(*) AS n_urls,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_ext_whitelist(spark: SparkSession, sf: str) -> DataFrame:
+    """Extension whitelist defaulting (downloader.py:265-274)."""
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"),
+                                _doc_url_expr().alias("url"))
+    ext = F.regexp_extract("url", r"\.([^./]*)$", 1)
+    keep = F.lower(ext).isin(list(IMAGE_EXT_WHITELIST))
+    return d.select("doc_id", "url", F.when(keep, ext).otherwise("jpg").alias("ext"))
+
+
+Q_EXT_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_DOC_URL_SQL} AS url,
+       CASE WHEN lower(regexp_extract({_DOC_URL_SQL}, '\\.([^./]*)$', 1))
+                 IN ({",".join("'" + e + "'" for e in IMAGE_EXT_WHITELIST)})
+            THEN regexp_extract({_DOC_URL_SQL}, '\\.([^./]*)$', 1) ELSE 'jpg' END AS ext
+FROM documents
+"""
+
+
+def q_baidu_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Baidu objURL cipher (SURVEY.md P3) as encode→decode roundtrip: the
+    decode chain (replace×3 + translate) must invert the in-query encoding."""
+    plain = F.concat(F.lit("http://img.test/"), F.substring(F.md5("text"), 1, 12),
+                     F.lit(".jpg"))
+    enc = F.translate(plain, _DST, _SRC)
+    for cipher, p in MAP1.items():
+        enc = F.replace(enc, F.lit(p), F.lit(cipher))
+    dec = enc
+    for cipher, p in MAP1.items():
+        dec = F.replace(dec, F.lit(cipher), F.lit(p))
+    dec = F.translate(dec, _SRC, _DST)
+    return _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        plain.alias("plain"), enc.alias("obfuscated"), dec.alias("decoded"))
+
+
+def _baidu_sql() -> str:
+    plain = "'http://img.test/' || substr(md5(text), 1, 12) || '.jpg'"
+    enc = f"translate({plain}, '{_DST}', '{_SRC}')"
+    for cipher, p in MAP1.items():
+        enc = f"replace({enc}, '{p}', '{cipher.replace(chr(39), chr(39) * 2)}')"
+    dec = enc
+    for cipher, p in MAP1.items():
+        dec = f"replace({dec}, '{cipher.replace(chr(39), chr(39) * 2)}', '{p}')"
+    dec = f"translate({dec}, '{_SRC}', '{_DST}')"
+    return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {plain} AS plain, "
+            f"{enc} AS obfuscated, {dec} AS decoded FROM documents")
+
+
+def q_bing_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """BingFeeder (S4) — range-generated page URLs, step 20."""
+    from icrawler_spark.sources.feeders import bing_feed
+
+    return bing_feed(spark, "trees", offset=0, max_num=200,
+                     filters={"size": "large"})
+
+
+Q_BING_FEED_SQL = """
+SELECT printf('https://www.bing.com/images/async?q=trees&first=%d&qft=+filterui:imagesize-large', i) AS url,
+       CAST(i / 20 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(0, 200, 20)) AS i)
+"""
+
+
+def q_google_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """GoogleFeeder (S3) — step 100, urlencoded params, language suffix."""
+    from icrawler_spark.sources.feeders import google_feed
+
+    return google_feed(spark, "cats", offset=0, max_num=500, language="en")
+
+
+Q_GOOGLE_FEED_SQL = """
+SELECT printf('https://www.google.com/search?q=cats&ijn=%d&start=%d&tbs=&tbm=isch&lr=lang_en',
+              CAST(i/100 AS INT), i) AS url,
+       CAST(i / 100 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(0, 500, 100)) AS i)
+"""
+
+
+_HREF_VARIANTS_EXPR = (
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN concat('//host', doc_id % 9, '.test/p/', doc_id) "
+    "WHEN 1 THEN concat('/p/', doc_id) "
+    "WHEN 2 THEN '#frag' "
+    "WHEN 3 THEN 'javascript:void(0)' "
+    "WHEN 4 THEN concat('http://host', doc_id % 9, '.test/p/', doc_id, '/') "
+    "ELSE concat('p/', doc_id) END"
+)
+_HREF_VARIANTS_SQL = (
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN '//host' || doc_id % 9 || '.test/p/' || doc_id "
+    "WHEN 1 THEN '/p/' || doc_id "
+    "WHEN 2 THEN '#frag' "
+    "WHEN 3 THEN 'javascript:void(0)' "
+    "WHEN 4 THEN 'http://host' || doc_id % 9 || '.test/p/' || doc_id || '/' "
+    "ELSE 'p/' || doc_id END"
+)
+_BASE_URL = "http://base.test"
+
+
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy href normalization (greedy.py:44-53) as column expressions over
+    synthesized href variants; NULL = skipped (anchor/too-short)."""
+    href = F.expr(_HREF_VARIANTS_EXPR)
+    rstripped = F.expr(f"trim(TRAILING '/' FROM {_HREF_VARIANTS_EXPR})")
+    stripped = F.expr(f"trim(BOTH '/' FROM {_HREF_VARIANTS_EXPR})")
+    norm = (
+        F.when(F.length(href) < 2, F.lit(None))
+        .when(href.startswith("//"), F.concat(F.lit("http:"), rstripped))
+        .when(href.startswith("#"), F.lit(None))
+        .when(href.startswith("/"), F.concat(F.lit(_BASE_URL + "/"), stripped))
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), rstripped)
+        .otherwise(F.concat(F.lit(_BASE_URL + "/"), rstripped))
+    )
+    return _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        href.alias("href"), norm.alias("norm"))
+
+
+Q_URL_NORMALIZE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_HREF_VARIANTS_SQL} AS href,
+  CASE
+    WHEN length({_HREF_VARIANTS_SQL}) < 2 THEN NULL
+    WHEN {_HREF_VARIANTS_SQL} LIKE '//%' THEN 'http:' || rtrim({_HREF_VARIANTS_SQL}, '/')
+    WHEN {_HREF_VARIANTS_SQL} LIKE '#%' THEN NULL
+    WHEN {_HREF_VARIANTS_SQL} LIKE '/%' THEN '{_BASE_URL}/' || trim({_HREF_VARIANTS_SQL}, '/')
+    WHEN regexp_matches({_HREF_VARIANTS_SQL}, '^[A-Za-z][A-Za-z0-9+.-]*:')
+      THEN rtrim({_HREF_VARIANTS_SQL}, '/')
+    ELSE '{_BASE_URL}/' || rtrim({_HREF_VARIANTS_SQL}, '/')
+  END AS norm
+FROM documents
+"""
+
+
+def q_extract_hrefs(spark: SparkSession, sf: str) -> DataFrame:
+    """Link extraction (P5 core): build html in-query, regexp_extract_all
+    hrefs, posexplode in document order."""
+    html = F.concat(
+        F.lit('<a href="/p/'), F.col("doc_id").cast("string"),
+        F.lit('">x</a><img src="i.jpg"><a href="http://h'),
+        (F.col("doc_id") % 7).cast("string"), F.lit('.test/q">y</a>'))
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"),
+                                html.alias("html"))
+    return d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all("html", F.lit('href="([^"]*)"'), 1))
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             F.col("col").alias("href"))
+
+
+Q_EXTRACT_HREFS_SQL = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         '<a href="/p/' || doc_id || '">x</a><img src="i.jpg"><a href="http://h'
+           || doc_id % 7 || '.test/q">y</a>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         unnest(range(0, len(regexp_extract_all(html, 'href="([^"]*)"', 1)))) AS pos,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM h
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, href FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by hash groupBy — over a 24-char normalized prefix so the
+    fixture actually contains duplicate groups."""
+    d = _docs(spark, sf).withColumn(
+        "key", F.substring(docdedup.normalized_text("text"), 1, 24))
+    return (d.groupBy(F.md5("key").alias("text_hash"))
+            .agg(F.min("doc_id").cast("long").alias("rep_id"),
+                 F.count("*").alias("dup_count")))
+
+
+Q_DEDUP_EXACT_SQL = f"""
+SELECT md5(substr({_NORM_SQL}, 1, 24)) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_N = 2
+_JACCARD_T = 0.12
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (docdedup.ngram_jaccard_pairs)."""
+    return docdedup.ngram_jaccard_pairs(
+        _docs(spark, sf), n=_SHINGLE_N, threshold=_JACCARD_T).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"), "jaccard")
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {_SHINGLE_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {_SHINGLE_N} + 2)) AS x FROM toks)
+  WHERE len(l) >= {_SHINGLE_N}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
+FROM (
+  SELECT id_a, id_b,
+         round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+) WHERE jaccard >= {_JACCARD_T}
+"""
+
+_MINHASH_K = 6
+_MINHASH_N = 3
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return docdedup.minhash_signatures(
+        _docs(spark, sf), k=_MINHASH_K, n=_MINHASH_N).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+Q_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {_MINHASH_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {_MINHASH_N} + 2)) AS x FROM toks)
+  WHERE len(l) >= {_MINHASH_N}
+)
+SELECT CAST(doc_id AS BIGINT) AS id, CAST(seed AS BIGINT) AS seed,
+       min(md5(seed || ':' || shingle)) AS minhash
+FROM sh, (SELECT unnest(range(0, {_MINHASH_K})) AS seed)
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return docdedup.simhash(_docs(spark, sf)).select(
+        F.col("id").cast("long").alias("id"), "simhash")
+
+
+def _simhash_sql(bits: int = docdedup.SIMHASH_BITS) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}" for b in range(bits))
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id, {votes} FROM toks GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sig = docdedup.simhash(_docs(spark, sf))
+    return docdedup.simhash_near_pairs(sig, max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH sig AS ({_simhash_sql().strip()})
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+_NEARDUP_T = 0.2
+
+
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (the correctness baseline
+    for the SRP-bucketed scale path)."""
+    emb = _emb(spark, sf).filter(F.col("vec_id") < 200)
+    return docdedup.embedding_neardup_pairs(emb, threshold=_NEARDUP_T).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"), "cos")
+
+
+Q_EMBED_NEARDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200
+), scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {_NEARDUP_T}
+"""
+
+_ANN_QUERIES = list(range(10))
+_ANN_K = 5
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline."""
+    return similarity.cosine_topk(_emb(spark, sf), _ANN_QUERIES, k=_ANN_K).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"), "cos")
+
+
+Q_ANN_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cos
+  FROM q, v WHERE v.vec_id != q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH bucketed ANN — the scale path (no SQL oracle: hyperplane
+    projections are not reasonably SQL-expressible; driver records the
+    weaker rows-only check, recall is asserted against q_ann_topk in tests).
+    4 planes → 16 buckets + Hamming-1 multiprobe: recall/efficiency tradeoff
+    sized for this corpus; at 10^9 vectors use more planes + IVF re-rank."""
+    return similarity.srp_topk(_emb(spark, sf), _ANN_QUERIES, k=_ANN_K,
+                               n_planes=4, multiprobe_hamming=1)
+
+
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language ID; argmax with lexicographic tiebreak via
+    the min-of-encoded-string trick (identical in both engines)."""
+    toks = docdedup.tokens_col("text")
+    enc = [
+        F.concat(F.lpad((9999 - F.size(F.filter(
+            toks, lambda t: t.isin(words)))).cast("string"), 4, "0"), F.lit(lang))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    return _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring(F.least(*enc), 5, 2).alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    parts = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        score = (f"len(list_filter(string_split({_NORM_SQL}, ' '), "
+                 f"t -> t IN ({inlist})))")
+        parts.append(f"lpad(CAST(9999 - {score} AS VARCHAR), 4, '0') || '{lang}'")
+    return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"substr(least({', '.join(parts)}), 5, 2) AS pred_lang FROM documents")
+
+
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_features(_docs(spark, sf)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "punct_ratio", "stop_ratio", "quality_score")
+
+
+def _quality_sql() -> str:
+    en = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks,
+         length(text) AS n_chars, len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+         length({_NORM_SQL}) AS n_norm_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_norm_chars / n_tokens, 4) AS avg_token_len,
+       round(n_punct / n_chars, 4) AS punct_ratio,
+       round(len(list_filter(toks, t -> t IN ({en}))) / n_tokens, 4) AS stop_ratio,
+       round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE n_tokens / 40.0 END)
+           + (CASE WHEN round(n_punct / n_chars, 4) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN round(n_norm_chars / n_tokens, 4) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END), 4)
+         AS quality_score
+FROM base
+"""
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return token_counts(_docs(spark, sf)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"))
+
+
+Q_TOKEN_COUNTS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf)).select(
+        F.col("id").cast("long").alias("id"), "fp_exact", "fp_min_shingle")
+
+
+Q_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS id, md5(norm) AS fp_exact,
+       list_aggregate([md5(array_to_string(l[x : x + 3], ' '))
+                       for x in range(1, greatest(len(l) - 4, 0) + 2)], 'min')
+         AS fp_min_shingle
+FROM toks
+"""
+
+
+def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → deterministic decode stub
+    (mapInPandas). The md5-derived fake dims are reproduced in SQL."""
+    media = multimodal.media_table_from_documents(_docs(spark, sf))
+    return multimodal.decode_media(media).select(
+        F.col("media_id").cast("long").alias("media_id"), "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"), "sha",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"))
+
+
+Q_MEDIA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS sha,
+       CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 2048 AS BIGINT) AS width,
+       CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 2048 AS BIGINT) AS height,
+       CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 64 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table_from_documents(_docs(spark, sf))
+    decoded = multimodal.decode_media(media)
+    return multimodal.frame_sample_plan(decoded, every_n=8).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+Q_FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + ('0x' || substr(md5(text), 5, 2))::INT % 64 AS n_frames
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(unnest(range(0, n_frames, 8)) AS BIGINT) AS frame_idx
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries():
+    return {
+        "urllist_pipeline": q_urllist_pipeline,
+        "seen_antijoin": q_seen_antijoin,
+        "budget_limit": q_budget_limit,
+        "politeness_batch": q_politeness_batch,
+        "host_stats": q_host_stats,
+        "ext_whitelist": q_ext_whitelist,
+        "baidu_roundtrip": q_baidu_roundtrip,
+        "bing_feed": q_bing_feed,
+        "google_feed": q_google_feed,
+        "url_normalize": q_url_normalize,
+        "extract_hrefs": q_extract_hrefs,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_neardup": q_embed_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_srp": q_ann_srp,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+    }
+
+
+def oracle_sql():
+    return {
+        "urllist_pipeline": Q_URLLIST_SQL,
+        "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
+        "budget_limit": Q_BUDGET_SQL,
+        "politeness_batch": Q_POLITENESS_SQL,
+        "host_stats": Q_HOST_STATS_SQL,
+        "ext_whitelist": Q_EXT_SQL,
+        "baidu_roundtrip": _baidu_sql(),
+        "bing_feed": Q_BING_FEED_SQL,
+        "google_feed": Q_GOOGLE_FEED_SQL,
+        "url_normalize": Q_URL_NORMALIZE_SQL,
+        "extract_hrefs": Q_EXTRACT_HREFS_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "minhash_signatures": Q_MINHASH_SQL,
+        "simhash": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "embed_neardup": Q_EMBED_NEARDUP_SQL,
+        "ann_topk": Q_ANN_SQL,
+        # ann_srp: intentionally no oracle (see q_ann_srp docstring)
+        "langid": _langid_sql(),
+        "quality": _quality_sql(),
+        "token_counts": Q_TOKEN_COUNTS_SQL,
+        "fingerprint": Q_FINGERPRINT_SQL,
+        "media_decode": Q_MEDIA_SQL,
+        "frame_sample": Q_FRAME_SAMPLE_SQL,
+    }

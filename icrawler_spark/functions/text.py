@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure column expressions
+(whole-stage codegen), deliberately reproducible in ANSI SQL for the DuckDB
+correctness oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.docdedup import normalized_text, tokens_col
+
+# tiny per-language stopword profiles (n-gram heuristic stand-in)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "dans"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "una"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+
+# a BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_scores(text_col) -> dict[str, "F.Column"]:
+    toks = tokens_col(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predict_lang(text_col) -> "F.Column":
+    """argmax over stopword-hit counts; deterministic tiebreak = lexicographic
+    smallest language code (ties are common on short texts)."""
+    scores = lang_scores(text_col)
+    best = None
+    for lang in sorted(scores):  # lexicographic order makes ties deterministic
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            cand = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            best = F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return best["lang"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, punct_ratio, stop_ratio,
+    quality_score) — the length/punct/stopword heuristics."""
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    avg_tok = F.round(F.length(normalized_text(text_col)) / n_tokens, 4)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.round(n_punct / n_chars, 4)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(LANG_STOPWORDS["en"])))
+    stop_ratio = F.round(stop_hits / n_tokens, 4)
+    score = F.round(
+        F.when(n_tokens >= 20, 0.5).otherwise(n_tokens / 40.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when((avg_tok >= 3) & (avg_tok <= 10), 0.25).otherwise(0.0), 4)
+    return df.select(
+        F.col(id_col).alias("id"), n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"), avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens) — whitespace and BPE-ish regex counts."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .alias("bpe_tokens"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 shingle_n: int = 4) -> DataFrame:
+    """(id, fp_exact, fp_min_shingle) — md5 of normalized text + the minimum
+    shingle hash (a 1-seed minhash: robust to local edits)."""
+    norm = normalized_text(text_col)
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, shingle_n), " ")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp_exact"),
+        F.array_min(sh).alias("fp_min_shingle"))

@@ -81,6 +81,53 @@ class BloomSeenFilter:
         self.bitmaps = bitmaps
 
     @classmethod
+    def empty(cls, expected: int, fpp: float = 0.01, n_shards: int = 8) -> "BloomSeenFilter":
+        """Capacity-sized empty filter; fill with ``absorb`` (bitmaps OR-merge,
+        so incremental per-round absorption equals a one-shot build)."""
+        m, k = _bloom_params(max(expected, 1024), fpp)
+        m_shard = (m + n_shards - 1) // n_shards
+        m_shard = ((m_shard + 63) // 64) * 64
+        return cls(n_shards, m_shard, k,
+                   [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)])
+
+    def absorb(self, df: DataFrame, key: str = "url") -> "BloomSeenFilter":
+        """OR the keys of ``df`` into this filter (distributed partial bitmaps,
+        reduced driver-side — the driver sees bits, never keys)."""
+        n_shards, m_shard, k = self.n_shards, self.m_bits, self.k
+        hashes = df.select(F.xxhash64(key).alias("h"))
+
+        def build_batches(batches):
+            bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                h1, h2 = _hash2(pdf["h"].to_numpy())
+                shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+                for s in range(n_shards):
+                    sel = shard == s
+                    if not sel.any():
+                        continue
+                    a, b = h1[sel], h2[sel]
+                    for i in range(k):
+                        bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
+                        np.bitwise_or.at(
+                            bms[s], (bit >> np.uint64(6)).astype(np.int64),
+                            np.uint64(1) << (bit & np.uint64(63)),
+                        )
+            if any_rows:
+                import pandas as _pd
+
+                yield _pd.DataFrame(
+                    {"shard": range(n_shards), "bits": [bm.tobytes() for bm in bms]})
+
+        partials = hashes.mapInPandas(build_batches, schema="shard int, bits binary").collect()
+        for row in partials:
+            self.bitmaps[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
+        return self
+
+    @classmethod
     def build(cls, seen: DataFrame, key: str = "url", expected: int | None = None,
               fpp: float = 0.01, n_shards: int = 8) -> "BloomSeenFilter":
         if expected is None:
@@ -166,12 +213,15 @@ class BloomSeenFilter:
 def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
                          bloom: BloomSeenFilter | None, key: str = "url") -> DataFrame:
     """Bloom-accelerated exact dedup: definite-new rows bypass the shuffle;
-    maybe-seen rows take the exact anti-join. Union preserves exactness."""
+    maybe-seen rows take the exact anti-join. Union preserves exactness.
+
+    The marked frame is pinned so the two consumer branches don't recompute
+    the upstream plan (probe UDF + everything above it) twice."""
     if seen is None:
         return candidates
     if bloom is None:
         return anti_join_seen(candidates, seen, key)
-    marked = candidates.transform(lambda d: bloom.mark_maybe_seen(d, key))
+    marked = bloom.mark_maybe_seen(candidates, key).localCheckpoint(eager=True)
     definite_new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return definite_new.unionByName(anti_join_seen(maybe, seen, key))

@@ -1,0 +1,212 @@
+"""Document deduplication family for large-scale training-data pipelines.
+
+Beyond the reference's URL-seen dedup (SURVEY.md §2.4), these operate on the
+`documents` table: exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup. Hashes are md5-based so a DuckDB oracle can
+reproduce results bit-for-bit (the driver correctness gate), and every
+operator is pure DataFrame ops — shuffles only on hash/shingle keys, no UDFs.
+
+Scale notes (100 TB corpus):
+- exact dedup: one shuffle on md5(text); AQE handles the (rare) hot hash.
+- shingle self-join: candidate pruning via ``max_shingle_freq`` caps the
+  worst-case quadratic blowup from stop-shingles before the join.
+- MinHash: explode×seeds is one shuffle; bands then group candidates — the
+  standard band-bucket-join. Signatures are strings (md5 hex) so min() is
+  deterministic everywhere.
+- SimHash: 16 conditional aggregations in ONE pass over exploded tokens
+  (map-side partial aggregation; no per-bit shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16
+
+
+def normalized_text(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.trim(F.regexp_replace(c, r" +", " "))
+    return c
+
+
+def tokens_col(col) -> "F.Column":
+    return F.split(normalized_text(col), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_hash, rep_id = min id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingle_rows(df: DataFrame, n: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 5, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs by n-gram Jaccard ≥ threshold: (id_a, id_b,
+    jaccard rounded to 6)."""
+    sh = shingle_rows(df, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("f")) \
+                    .filter(F.col("f") <= max_shingle_freq).select("shingle")
+        sh = sh.join(freq_ok, "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
+    )
+    out = (
+        common
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, k: int = 8, n: int = 5,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, seed, minhash) — minhash = lexicographic min of md5(seed:shingle)."""
+    sh = shingle_rows(df, n, text_col, id_col)
+    seeds = df.sparkSession.range(0, k).select(F.col("id").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+             .alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, band_rows: int = 2) -> DataFrame:
+    """Band LSH over minhash signatures: docs sharing any full band are
+    candidates. Returns distinct (id_a, id_b)."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    band_sigs = (
+        banded.groupBy("id", "band")
+        .agg(F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws("=", "seed", "minhash"))), "|"
+        ).alias("band_sig"))
+    )
+    a = band_sigs.select(F.col("id").alias("id_a"), "band", "band_sig")
+    b = band_sigs.select(F.col("id").alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def simhash_bit_expr(tok_col, b: int) -> "F.Column":
+    """Bit b of a token's 16-bit hash: parity of the b-th md5 hex char —
+    trivially reproducible in ANSI SQL (ascii(substr(md5(t), b+1, 1)) % 2)."""
+    return F.ascii(F.substring(F.md5(tok_col), b + 1, 1)) % 2
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — majority vote per bit over the token multiset,
+    computed as `bits` conditional sums in a single aggregation pass."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_col(text_col)).alias("tok"))
+    aggs = [
+        F.sum(F.when(simhash_bit_expr(F.col("tok"), b) == 1, 1).otherwise(-1))
+        .alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 2,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming. Scale path
+    (pigeonhole blocking): split the signature into ``max_hamming + 1``
+    bit-blocks — any pair within distance d agrees exactly on ≥1 block —
+    join candidates per block, verify exactly with bit_count. This is the
+    standard near-duplicate blocking that avoids the quadratic cross join."""
+    n_blocks = max_hamming + 1
+    width = max(1, bits // n_blocks)
+    parts = []
+    for i in range(n_blocks):
+        lo_bit = i * width
+        w = width if i < n_blocks - 1 else bits - lo_bit
+        blk = (F.shiftright(F.col("simhash"), lo_bit) % (1 << w)).cast("int")
+        parts.append(sig_df.select("id", "simhash", blk.alias("blk"),
+                                   F.lit(i).alias("blk_idx")))
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "blk", "blk_idx")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "blk", "blk_idx")
+    cand = (a.join(b, ["blk", "blk_idx"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b) -> "F.Column":
+    """Cosine over two array<double> columns — JVM-side fold, no UDF."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine near-dup pairs (id_a, id_b, cos rounded to 4).
+    Quadratic — the correctness baseline; the scale path is SRP-bucketed
+    (similarity.srp_neardup_pairs)."""
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,104 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+behind a deterministic fake (or NotImplementedError for real decoding), but
+the Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
+mapInPandas signatures, partitioning. On a cluster you swap ``_fake_decode``
+for PIL/ffmpeg inside the same batch iterator.
+
+Media table schema: (media_id long, kind string, bytes binary,
+meta struct<width:int, height:int, duration_ms:long, mime:string>).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, kind string, bytes binary, "
+    "meta struct<width:int, height:int, duration_ms:long, mime:string>"
+)
+
+DECODED_SCHEMA_DDL = (
+    "media_id long, kind string, n_bytes long, sha string, "
+    "width int, height int, n_frames int"
+)
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def _fake_decode(raw: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: dims derived from content hash.
+    Replace with PIL.Image.open / av.open on a real cluster."""
+    h = hashlib.md5(raw).digest()
+    return 16 + h[0] % 2048, 16 + h[1] % 2048, 1 + h[2] % 64
+
+
+def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """mapInPandas decode: binary → (dims, frames, sha). Arrow-batched; the
+    per-batch loop is the codec boundary (codecs are per-item by nature)."""
+    if use_real_codecs and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "real image/audio decoding requires PIL/ffmpeg — not present in "
+            "this container; use use_real_codecs=False for the deterministic stub")
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raws = [bytes(b) if b is not None else b"" for b in pdf["bytes"]]
+            dims = [_fake_decode(r) for r in raws]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(r) for r in raws],
+                "sha": [hashlib.md5(r).hexdigest() for r in raws],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": [d[2] for d in dims],
+            })
+
+    return df.select("media_id", "kind", "bytes").mapInPandas(fn, DECODED_SCHEMA_DDL)
+
+
+def resize_plan(decoded: DataFrame, max_dim: int = 512) -> DataFrame:
+    """Resize planning is pure arithmetic (JVM-side); actual pixel work would
+    live in the decode stage. Emits target dims preserving aspect ratio."""
+    scale = F.when(
+        F.greatest("width", "height") > max_dim,
+        max_dim / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return decoded.select(
+        "media_id",
+        F.round(F.col("width") * scale).cast("int").alias("target_w"),
+        F.round(F.col("height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """(media_id, frame_idx) sampling grid — explode of a sequence, no UDF."""
+    return decoded.filter(F.col("n_frames") > 0).select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
+        .alias("frame_idx"))
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents fixture: the text
+    bytes stand in for encoded media payloads (FIXTURES-style, no external
+    data)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    meta = F.struct(
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit("application/octet-stream").alias("mime"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"),
+        F.encode("text", "utf-8").alias("bytes"), meta.alias("meta"))

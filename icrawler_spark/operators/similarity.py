@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline, a
+  crossJoin + window. At N queries × M corpus this is O(N·M·d) JVM-side
+  arithmetic with no Python; fine for re-ranking, not for full-corpus ANN.
+- ``srp_buckets`` / ``srp_topk``: the scale path — sign-random-projection
+  LSH. Hyperplanes are derived deterministically from a seed (numpy,
+  broadcast as literals), bucketing is pure column arithmetic, and search
+  touches only same-bucket candidates (multi-probe via Hamming-adjacent
+  buckets). At 10^9 vectors the bucket join replaces the full cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.docdedup import cosine_expr
+
+
+def _as_double(vec_col) -> "F.Column":
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors by cosine for the given query ids.
+
+    Output: (query_id, neighbor_id, rank, cos rounded to 6). Deterministic:
+    ties broken by neighbor id.
+    """
+    vecs = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v"))
+    queries = vecs.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        F.broadcast(queries).crossJoin(vecs)
+        .filter(F.col("nid") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos")
+    )
+
+
+def srp_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket_udf(planes: np.ndarray):
+    """Bucket id = sign bits of vector·hyperplanes — one Arrow-batched numpy
+    matmul per batch (a literal-expression version is possible but generates
+    n_planes×dim codegen terms; the matmul is both faster and O(1) plan size)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = planes.T.copy()  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    def bucket(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes_t) > 0
+        return pd.Series(signs @ weights, dtype="int64")
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf eval-type inference
+    bucket.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket, "long")
+
+
+def srp_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """(id, bucket) sign-random-projection assignment."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    return emb.select(F.col(id_col).alias("id"),
+                      srp_bucket_udf(planes)(F.col(vec_col)).alias("bucket"))
+
+
+def srp_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 8,
+             seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+             multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: search only same-bucket (and Hamming-adjacent
+    buckets up to ``multiprobe_hamming``) candidates.
+
+    Output schema matches cosine_topk so recall can be measured directly.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    vecs = emb.select(F.col(id_col).alias("nid"),
+                      _as_double(F.col(vec_col)).alias("v"),
+                      srp_bucket_udf(planes)(F.col(vec_col)).alias("bucket"))
+    queries = vecs.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"))
+    # multi-probe: probe buckets within the given Hamming radius
+    probe_buckets = [0]
+    if multiprobe_hamming >= 1:
+        probe_buckets += [1 << b for b in range(n_planes)]
+    probes = F.array(*[F.lit(x) for x in probe_buckets])
+    q_exp = queries.withColumn(
+        "bucket", F.explode(F.transform(probes, lambda m: F.col("qbucket").bitwiseXOR(m))))
+    scored = (
+        q_exp.join(vecs, "bucket")
+        .filter(F.col("nid") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "nid", "cos").distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos")
+    )
+
+
+def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.9, n_planes: int = 8,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: candidates share an SRP bucket,
+    verified exactly by cosine. (High-cosine pairs collide with high
+    probability; recall < 1 by construction — pair with the brute-force
+    operator to measure.)"""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"),
+                      srp_bucket_udf(planes)(F.col(vec_col)).alias("bucket"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos").distinct()
+    )

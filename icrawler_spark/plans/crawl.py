@@ -55,6 +55,7 @@ class CrawlConfig:
     round_seconds: float | None = None  # token-bucket window; None = parity
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
+    bloom_capacity: int = 1_000_000     # sizing for the incremental filters
     salt: int = 0                       # >0: salted repartition before extract
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
@@ -205,6 +206,16 @@ class GreedyCrawl:
 
         if seen_pages is None:
             seen_pages = self._pin(frontier.select("url"))
+        # incremental Bloom pre-filters (north_rule): built once, absorbing
+        # each round's additions — bitmaps OR-merge, so this equals a full
+        # rebuild at a fraction of the per-round cost
+        bloom_pages = bloom_tasks = None
+        if cfg.use_bloom:
+            bloom_pages = BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
+            bloom_pages.absorb(seen_pages, "url")
+            bloom_tasks = BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
+            if seen_tasks is not None:
+                bloom_tasks.absorb(seen_tasks, "file_url")
         stop_reason = "frontier_exhausted"
         rnd = start_round
         order_parts: list[DataFrame] = [order] if order is not None else []
@@ -258,8 +269,8 @@ class GreedyCrawl:
                 F.col("target").alias("file_url"), "visit_rank", "pos")
             task_new = earliest_occurrence(task_cand, "file_url", ["visit_rank", "pos"])
             if cfg.use_bloom and seen_tasks is not None:
-                bloom = BloomSeenFilter.build(seen_tasks, "file_url", fpp=cfg.bloom_fpp)
-                task_new = anti_join_seen_bloom(task_new, seen_tasks, bloom, "file_url")
+                task_new = anti_join_seen_bloom(task_new, seen_tasks, bloom_tasks,
+                                                "file_url")
             else:
                 task_new = anti_join_seen(task_new, seen_tasks, "file_url")
             task_new = self._pin(task_new)
@@ -302,8 +313,7 @@ class GreedyCrawl:
                 "pos", F.col("visit_rank").alias("parent_rank"))
             url_new = earliest_occurrence(url_cand, "url", ["parent_rank", "pos"])
             if cfg.use_bloom:
-                bloom_p = BloomSeenFilter.build(seen_pages, "url", fpp=cfg.bloom_fpp)
-                url_new = anti_join_seen_bloom(url_new, seen_pages, bloom_p, "url")
+                url_new = anti_join_seen_bloom(url_new, seen_pages, bloom_pages, "url")
             else:
                 url_new = anti_join_seen(url_new, seen_pages, "url")
             next_frontier = self._pin(url_new.select(
@@ -321,6 +331,9 @@ class GreedyCrawl:
             fetched_parts.append(fetch_commit)
             seen_tasks = self._acc(seen_tasks, task_new.select("file_url"))
             seen_pages = self._acc(seen_pages, next_frontier.select("url"))
+            if cfg.use_bloom:
+                bloom_tasks.absorb(task_new.select("file_url"), "file_url")
+                bloom_pages.absorb(next_frontier.select("url"), "url")
 
             metrics.append({
                 "round": rnd, "frontier": n_frontier, "visited": n_visit,

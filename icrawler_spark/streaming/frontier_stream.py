@@ -1,0 +1,94 @@
+"""Structured Streaming frontier ingest — the streaming face of the engine.
+
+The reference's feeder threads push URLs continuously into a queue
+(/root/reference/icrawler/feeder.py:31-44); the streaming equivalent is a
+``readStream`` source of seed/discovered URLs flowing through the same dedup
+and politeness operators:
+
+- in-stream dedup: ``dropDuplicates`` keyed on url under a watermark
+  (bounded state — the streaming analogue of the CachedQueue LRU bound,
+  cached_queue.py:48-49);
+- cross-batch/cross-restart exact dedup: each micro-batch anti-joins the
+  persistent ``seen`` table inside ``foreachBatch`` and appends the novel
+  rows — exactly the round loop's D1 operator, with checkpointed offsets
+  giving exactly-once appends.
+
+This is deliberately the same dataflow as the batch rounds so parity
+semantics carry over; only the driver loop is replaced by the micro-batch
+scheduler.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+URL_STREAM_SCHEMA = "url string, discovered_ts timestamp"
+
+
+def read_url_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None):
+    """File-source stream of URL lines (one url per line; file mtime is the
+    event time proxy)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("value").alias("url"),
+        F.current_timestamp().alias("discovered_ts"))
+
+
+def dedup_in_stream(stream_df, watermark: str = "10 minutes"):
+    """Bounded-state streaming dedup (dropDuplicates under watermark)."""
+    return (stream_df
+            .withWatermark("discovered_ts", watermark)
+            .dropDuplicates(["url"]))
+
+
+def start_frontier_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    available_now: bool = True,
+):
+    """Stream URLs from ``source_dir`` into a persistent frontier table with
+    exact cross-restart dedup.
+
+    Layout under state_dir: ``checkpoint/`` (stream offsets+state),
+    ``frontier/`` (parquet of novel urls, appended per micro-batch).
+    Returns the StreamingQuery.
+    """
+    frontier_path = os.path.join(state_dir, "frontier")
+    checkpoint = os.path.join(state_dir, "checkpoint")
+
+    stream = dedup_in_stream(read_url_stream(spark, source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        novel = batch_df.select("url").distinct()
+        if os.path.isdir(frontier_path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(frontier_path) for f in fs
+        ):
+            seen = batch_df.sparkSession.read.parquet(frontier_path).select("url")
+            novel = novel.join(seen, "url", "left_anti")
+        novel.withColumn("batch_id", F.lit(batch_id)) \
+             .write.mode("append").parquet(frontier_path)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_available(spark: SparkSession, source_dir: str, state_dir: str,
+                     timeout_s: int = 120) -> DataFrame:
+    """Run one availableNow ingest to completion; return the frontier table."""
+    q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True)
+    q.awaitTermination(timeout_s)
+    frontier_path = os.path.join(state_dir, "frontier")
+    if not os.path.isdir(frontier_path):
+        return spark.createDataFrame([], "url string, batch_id long")
+    return spark.read.parquet(frontier_path)

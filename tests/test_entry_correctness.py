@@ -1,0 +1,88 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
+names, and an order-insensitive value hash."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in _ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check (driver's weaker path)
+        return
+
+    res = duck.execute(_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rows {len(spark_rows)} vs {len(duck_rows)}")
+    sv = _value_rows(spark_rows, spark_cols)
+    dv = _value_rows(duck_rows, duck_cols)
+    if sv != dv:
+        diff = [(a, b) for a, b in zip(sv, dv) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["file_idx", "url", "host", "filename"]
+
+
+def test_ann_srp_recall_vs_exact(spark):
+    """The LSH scale path must achieve reasonable recall vs brute force."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _QUERIES["ann_topk"](spark, SF_DIR).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in _QUERIES["ann_srp"](spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"SRP recall too low: {recall}"

@@ -1,0 +1,30 @@
+"""Structured Streaming frontier ingest: in-stream + cross-restart dedup."""
+
+from __future__ import annotations
+
+import os
+
+
+def _write_urls(d: str, name: str, urls: list[str]):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(urls) + "\n")
+
+
+def test_stream_ingest_dedups_within_and_across_restarts(spark, tmp_path):
+    from icrawler_spark.streaming.frontier_stream import ingest_available
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+
+    _write_urls(src, "a.txt", ["http://a.test/1", "http://a.test/2", "http://a.test/1"])
+    out1 = ingest_available(spark, src, state)
+    urls1 = sorted(r["url"] for r in out1.collect())
+    assert urls1 == ["http://a.test/1", "http://a.test/2"]
+
+    # second batch overlaps the first: checkpointed offsets skip file a.txt,
+    # the seen anti-join drops the overlap from b.txt
+    _write_urls(src, "b.txt", ["http://a.test/2", "http://a.test/3"])
+    out2 = ingest_available(spark, src, state)
+    urls2 = sorted(r["url"] for r in out2.collect())
+    assert urls2 == ["http://a.test/1", "http://a.test/2", "http://a.test/3"]
