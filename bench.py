@@ -198,22 +198,12 @@ def run_scaling() -> dict:
     engine's scaling. 2→8 cores keeps the process unsaturated and is the
     faithful sandbox stand-in for N→4N executors."""
     lo_cores, hi_cores = 2, 8
-    scaling_web = (1000, int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "500000")))
-    results = {}
-    for cores in (hi_cores, lo_cores):  # hi first: it also generates the cache
-        spark = _get_spark(cores)
-        try:
-            warm_path = _ensure_pages(spark, 20, 2_000)
-            bench_big_round(spark, warm_path)  # warmup: JIT + python workers
-            pages_path = _ensure_pages(spark, *scaling_web)
-            results[cores] = bench_big_round(spark, pages_path)
-        finally:
-            spark.stop()
+    results = {c: _scaling_one(c) for c in (hi_cores, lo_cores)}
     lo, hi = results[lo_cores], results[hi_cores]
     speedup = lo["wall_s"] / hi["wall_s"]
     eff = speedup / (hi_cores / lo_cores)
     return {
-        "metric": "crawl-round scaling efficiency (local[8] -> local[32])",
+        "metric": f"crawl-round scaling efficiency (local[{lo_cores}] -> local[{hi_cores}])",
         "value": round(eff, 3), "unit": "efficiency",
         "queries": {f"round_local{lo_cores}": round(lo["wall_s"], 3),
                     f"round_local{hi_cores}": round(hi["wall_s"], 3)},
@@ -224,8 +214,32 @@ def run_scaling() -> dict:
     }
 
 
+def _scaling_one(cores: int, force: bool = False) -> dict:
+    """One core-count leg of the scaling protocol: warm up on the REAL table
+    (JIT + OS page cache + python workers), then measure. Result cached to
+    /tmp so legs can run in separate invocations."""
+    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "500000"))
+    cache = f"/tmp/icrawler_scaling_c{cores}_p{scaling_pages}.json"
+    if not force and os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    spark = _get_spark(cores)
+    try:
+        pages_path = _ensure_pages(spark, 1000, scaling_pages)
+        bench_big_round(spark, pages_path)  # warmup on the real table
+        res = bench_big_round(spark, pages_path)
+    finally:
+        spark.stop()
+    with open(cache, "w") as f:
+        json.dump(res, f)
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-one" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--scaling-one") + 1])
+        print(json.dumps({"cores": cores, **_scaling_one(cores)}))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_once(CPUS)))

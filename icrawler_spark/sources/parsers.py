@@ -132,6 +132,70 @@ def baidu_parse(df: DataFrame, content_col: str = "html") -> DataFrame:
     return decoded.filter(F.col("file_url").isNotNull())
 
 
+FLICKR_PAGE_SCHEMA = T.StructType([
+    T.StructField("stat", T.StringType()),
+    T.StructField("photos", T.StructType([
+        T.StructField("photo", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+    ])),
+])
+
+FLICKR_SIZES_SCHEMA = T.StructType([
+    T.StructField("stat", T.StringType()),
+    T.StructField("sizes", T.StructType([
+        T.StructField("size", T.ArrayType(T.StructType([
+            T.StructField("label", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]))),
+    ])),
+])
+
+DEFAULT_SIZE_PREFERENCE = ["original", "large 2048", "large 1600", "large",
+                           "medium 800", "medium 640", "medium", "small 320",
+                           "small", "thumbnail", "square", "large square"]
+
+
+def flickr_parse(df: DataFrame, sizes_df: DataFrame,
+                 size_preference: list[str] | None = None,
+                 content_col: str = "html") -> DataFrame:
+    """FlickrParser.parse (builtin/flickr.py:79-110) — dataflow rebuild.
+
+    The reference makes a *second HTTP call per photo* (getSizes) inside the
+    parser; distributed, that nested fetch becomes a join against a
+    ``sizes_df`` API-responses table: (photo_id:string, body:string with the
+    getSizes JSON). Size preference = first match in order → an
+    ``array_position``-ranked ``min_by`` (SURVEY.md K5 top-1 per group), all
+    column expressions.
+
+    Output: (parent, visit_rank, pos, file_url, meta) with meta = the photo's
+    attribute map.
+    """
+    prefs = [p.lower() for p in (size_preference or DEFAULT_SIZE_PREFERENCE)]
+    page = df.select(
+        "parent", "visit_rank",
+        F.from_json(F.col(content_col).cast("string"), FLICKR_PAGE_SCHEMA).alias("j"))
+    photos = (page.filter(F.col("j.stat") == "ok")
+              .select("parent", "visit_rank",
+                      F.posexplode_outer("j.photos.photo").alias("pos", "photo"))
+              .filter(F.col("photo").isNotNull())
+              .withColumn("photo_id", F.col("photo")["id"]))
+    sizes = sizes_df.select(
+        "photo_id",
+        F.from_json(F.col("body").cast("string"), FLICKR_SIZES_SCHEMA).alias("s"))
+    sizes = (sizes.filter(F.col("s.stat") == "ok")
+             .select("photo_id", F.explode("s.sizes.size").alias("sz"))
+             .select("photo_id",
+                     F.lower(F.col("sz.label")).alias("label"),
+                     F.col("sz.source").alias("source")))
+    pref_arr = F.array(*[F.lit(p) for p in prefs])
+    ranked = sizes.withColumn("pref_rank", F.array_position(pref_arr, F.col("label"))) \
+                  .filter(F.col("pref_rank") > 0)
+    best = ranked.groupBy("photo_id").agg(
+        F.min_by("source", "pref_rank").alias("file_url"))
+    return (photos.join(best, "photo_id")
+            .select("parent", "visit_rank", F.col("pos").cast("int").alias("pos"),
+                    "file_url", F.col("photo").alias("meta")))
+
+
 def pseudo_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
     """PseudoParser (builtin/urllist.py:7-32): identity url → task."""
     return df.select(

@@ -181,3 +181,30 @@ def test_bing_parse(spark):
         "parent string, visit_rank long, html binary")
     got = [r["file_url"] for r in parsers.bing_parse(df).collect()]
     assert got == ["http://i.test/x1.jpg"]
+
+
+def test_flickr_parse_size_preference(spark):
+    page = json.dumps({"stat": "ok", "photos": {"photo": [
+        {"id": "p1", "title": "one"},
+        {"id": "p2", "title": "two"},
+        {"id": "p3", "title": "three"},
+    ]}})
+    df = spark.createDataFrame(
+        [("http://api.test/page1", 0, bytearray(page.encode()))],
+        "parent string, visit_rank long, html binary")
+
+    def sizes_body(pairs):
+        return json.dumps({"stat": "ok", "sizes": {"size": [
+            {"label": l, "source": s} for l, s in pairs]}})
+
+    sizes = spark.createDataFrame([
+        ("p1", sizes_body([("Thumbnail", "t1"), ("Original", "o1"), ("Medium", "m1")])),
+        ("p2", sizes_body([("Square", "sq2"), ("Medium", "m2")])),
+        ("p3", json.dumps({"stat": "fail"})),
+    ], "photo_id string, body string")
+
+    got = {r["meta"]["id"]: r["file_url"]
+           for r in parsers.flickr_parse(df, sizes).collect()}
+    # p1: original preferred; p2: medium (first available in preference order);
+    # p3: failed sizes call -> dropped (flickr.py:103-104)
+    assert got == {"p1": "o1", "p2": "m2"}
