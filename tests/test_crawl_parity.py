@@ -114,3 +114,29 @@ def test_urllist_size_filter(spark):
     golden = oracle.run_urllist(urls, max_num=15, min_size=(200, 200))
     result = UrlListCrawl(spark, CrawlConfig(max_num=15, min_size=(200, 200))).run(urls)
     _assert_match(result, golden)
+
+
+def test_parse_error_side_output(spark, smoke_web, smoke_pages_df):
+    """P8/W3: pages whose parse yields no emissions are recorded, matching the
+    oracle's task_list_error set (parser.py:97-100)."""
+    golden = _oracle_greedy(smoke_web, max_num=0)
+    result = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(max_num=0)).run(SEEDS)
+    got = {r["url"] for r in result.parse_errors.collect()}
+    assert got == golden.parse_errors
+
+
+def test_parse_error_constructed_page(spark):
+    """A fetched page with no links/images must land in parse_errors; linked
+    pages with emissions must not."""
+    seed = "http://hostz.test"
+    leaf = "http://hostz.test/leaf.html"
+    rows = [
+        (seed,
+         b'<a href="/leaf.html">x</a> <img src="http://hostz.test/a-10x10.jpg">',
+         "seed page"),
+        (leaf, b"<p>no links here</p>", "leaf page"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    result = GreedyCrawl(spark, pages, CrawlConfig(max_num=0)).run(["hostz.test"])
+    errs = {r["url"] for r in result.parse_errors.collect()}
+    assert errs == {leaf}
