@@ -439,6 +439,32 @@ GROUP BY 1, 2
 """
 
 
+_LSH_BAND_ROWS = 2
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash band-LSH candidate pairs (docdedup.lsh_candidate_pairs): docs
+    sharing any full band of their minhash signature. The standard
+    shingle→minhash→band→bucket-join dedup pipeline, end to end."""
+    sigs = docdedup.minhash_signatures(_docs(spark, sf), k=_MINHASH_K, n=_MINHASH_N)
+    return docdedup.lsh_candidate_pairs(sigs, band_rows=_LSH_BAND_ROWS).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"))
+
+
+Q_MINHASH_LSH_SQL = f"""
+WITH sigs AS ({Q_MINHASH_SQL.strip()}),
+band_sigs AS (
+  SELECT id, CAST(seed // {_LSH_BAND_ROWS} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|') AS band_sig
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+WHERE a.id < b.id
+"""
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return docdedup.simhash(_docs(spark, sf)).select(
         F.col("id").cast("long").alias("id"), "simhash")
@@ -696,6 +722,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
@@ -726,6 +753,7 @@ def oracle_sql():
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "minhash_signatures": Q_MINHASH_SQL,
+        "minhash_lsh_pairs": Q_MINHASH_LSH_SQL,
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "embed_neardup": Q_EMBED_NEARDUP_SQL,

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the engine's core
+operators with commentary on why each plan is the one we want at 100 TB.
+Run from the repo root: python scripts/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    out = buf.getvalue()
+    # operator tree + the details of the evidence-bearing nodes (scans show
+    # ReadSchema/PushedFilters/PartitionFilters; joins/exchanges show keys)
+    tree, _, details = out.partition("\n\n")
+    keep_kinds = ("Scan", "BroadcastHashJoin", "SortMergeJoin", "Exchange",
+                  "BroadcastExchange", "HashAggregate", "Window", "MapInPandas",
+                  "ArrowEvalPython", "Filter")
+    kept: list[str] = []
+    for block in details.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if any(k in head for k in keep_kinds):
+            # drop verbose input lists, keep the informative attributes
+            lines = [ln for ln in block.splitlines()
+                     if not ln.lstrip().startswith(("Input [", "Output ["))
+                     or len(ln) < 200]
+            kept.append("\n".join(lines))
+    return tree.strip() + "\n\n" + "\n\n".join(kept)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from icrawler_spark import entry_queries as q
+    from icrawler_spark.operators import docdedup
+    from icrawler_spark.operators.dedup import anti_join_seen
+    from icrawler_spark.operators.extract import extract_emissions
+    from icrawler_spark.session import get_spark
+    from icrawler_spark.storage.catalog import write_pages_bucketed
+    from icrawler_spark.synthweb import WebConfig, pages_spark
+
+    spark = get_spark(app="capture_plans", cores=8, shuffle_partitions=8)
+
+    sections: list[tuple[str, str, str]] = []
+
+    # 1. seen-set anti-join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    frontier = ev.select(F.expr(q._EVENT_URL_EXPR).alias("url"))
+    seen = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.expr(q._EVENT_URL_EXPR).alias("url"))
+    sections.append((
+        "URL-seen anti-join (D1)",
+        fmt(anti_join_seen(frontier, seen, "url")),
+        "The dedup-at-enqueue operator. What to check: the join is a hash\n"
+        "anti-join on the url key with map-side partial aggregation free of\n"
+        "Python; the scan reads ONLY the columns the plan needs (ReadSchema\n"
+        "shows the pruned projection, not the full events table). At 10^10\n"
+        "frontier scale the exchange hashes on the join key, so hot hosts do\n"
+        "not skew this stage (URLs hash uniformly), and the incremental Bloom\n"
+        "pre-filter (dedup.anti_join_seen_bloom) diverts definite-new rows\n"
+        "around this exchange entirely.",
+    ))
+
+    # 2. bucket-pruned fetch join
+    tmp = "/tmp/plans_pages"
+    if not os.path.exists(tmp + "/_SUCCESS"):
+        write_pages_bucketed(
+            pages_spark(spark, WebConfig(seed=42, n_hosts=10, total_pages=500)),
+            tmp, n_buckets=16)
+    pages = spark.read.parquet(tmp)
+    fr = pages.select("url").limit(40).withColumn("visit_rank", F.xxhash64("url"))
+    fr = fr.localCheckpoint(eager=True)
+    buckets = [r[0] for r in fr.select(
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("b")).distinct().collect()]
+    pruned = pages.filter(F.col("bucket").isin(buckets)).drop("bucket")
+    fetch = F.broadcast(fr).join(pruned, "url").select("url", "visit_rank", "html", "text")
+    sections.append((
+        "Fetch join against the bucketed pages table (F1)",
+        fmt(fetch),
+        "The sandbox stand-in for the HTTP fetch: frontier ⋈ pages ON url.\n"
+        "What to check: PartitionFilters carries `bucket IN (...)` — the\n"
+        "frontier's distinct bucket ids prune the scan to the directories that\n"
+        "can contain frontier URLs (Iceberg bucket(url) partition pruning at\n"
+        "scale); the frontier side is BroadcastHashJoin (a crawl round's\n"
+        "frontier batch is small relative to the pages corpus, so the 100 TB\n"
+        "side is never shuffled); ReadSchema includes html/text only because\n"
+        "the extract stage consumes them.",
+    ))
+
+    # 3. extract
+    em = extract_emissions(
+        pages.select(F.col("url").alias("parent"),
+                     F.xxhash64("url").alias("visit_rank"), "html"),
+        ["host0000.test"])
+    sections.append((
+        "Vectorized HTML extraction (P5)",
+        fmt(em),
+        "The one genuinely-Python stage, as a single MapInPandas (Arrow\n"
+        "batches, pandas .str vector ops inside — no per-row Python). What to\n"
+        "check: exactly one ArrowEvalPython/MapInPandas node fed directly by\n"
+        "the columnar scan — no shuffle before it (extraction is\n"
+        "embarrassingly parallel), no Python anywhere else in the pipeline.\n"
+        "Hot-host skew in UDF input is handled upstream by salted_repartition\n"
+        "when cfg.salt > 1.",
+    ))
+
+    # 4. minhash signatures
+    sections.append((
+        "MinHash signatures (training-data dedup)",
+        fmt(docdedup.minhash_signatures(q._docs(spark, SF), k=6, n=3)),
+        "shingle → explode×seeds → groupBy(id, seed) min. What to check: ONE\n"
+        "exchange (the groupBy), preceded by partial_min map-side aggregation\n"
+        "— the seed fan-out is a broadcast nested loop over a 6-row range, not\n"
+        "a shuffle; the token array is materialized below the generator so the\n"
+        "normalization regex chain runs once per document, not once per\n"
+        "shingle (docdedup.shingle_rows docstring).",
+    ))
+
+    # 5. politeness batch
+    from icrawler_spark.operators.politeness import politeness_batch
+
+    robots = spark.createDataFrame(
+        [("h0.test", 1000, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    fr2 = ev.select(F.expr(q._EVENT_URL_EXPR).alias("url"),
+                    F.col("event_id").cast("long").alias("rank"))
+    take, defer = politeness_batch(fr2, robots, 10.0, ["rank"])
+    sections.append((
+        "Per-host politeness batch (X9/X10)",
+        fmt(take),
+        "Token-bucket slots per host per round. What to check: the robots/caps\n"
+        "table joins as BroadcastHashJoin (it is one row per host — always\n"
+        "broadcastable); the per-host ranking is a window over\n"
+        "partitionBy(host), i.e. the ONLY shuffle is on host; the deferred\n"
+        "split reuses the same ranked intermediate rather than recomputing.",
+    ))
+
+    header = (
+        "# PLANS — physical plans of the core operators\n\n"
+        "Captured `explain(\"formatted\")` output (operator tree section) for the\n"
+        "engine's load-bearing plans, with what-to-check commentary. Regenerate\n"
+        "with `python scripts/capture_plans.py` (writes this file; plans shown\n"
+        "at sf0.01 / 8 shuffle partitions — the *shapes* are scale-invariant,\n"
+        "AQE re-sizes the exchanges at real volume).\n")
+    parts = [header]
+    for title, plan, why in sections:
+        parts.append(f"\n## {title}\n\n{why}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(parts))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
