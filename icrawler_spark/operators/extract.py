@@ -74,13 +74,17 @@ def _extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
     return allrows[["parent", "visit_rank", "pos", "kind", "target"]].reset_index(drop=True)
 
 
-def extract_emissions(fetched_df, domains: list[str]):
-    """fetched_df: Spark DF with (parent, visit_rank, html). Arrow-batched."""
+def extract_emissions(fetched_df, domains: list[str], batch_fn=None):
+    """fetched_df: Spark DF with (parent, visit_rank, html). Arrow-batched.
+
+    ``batch_fn`` (plugins.ParseBatchFn) replaces the built-in GreedyParser
+    extractor — the Parser.parse override point (SURVEY.md §2.12)."""
     doms = list(domains)
+    extract = batch_fn or _extract_batch
 
     def fn(batches):
         for pdf in batches:
-            yield _extract_batch(pdf, doms)
+            yield extract(pdf, doms)
 
     return fetched_df.select("parent", "visit_rank", "html").mapInPandas(
         fn, schema=EMISSIONS_SCHEMA

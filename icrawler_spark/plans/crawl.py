@@ -41,6 +41,7 @@ from icrawler_spark.operators.dedup import (
 from icrawler_spark.operators.extract import extract_emissions
 from icrawler_spark.operators.politeness import apply_robots, politeness_batch, salted_repartition
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST, normalize_domains
+from icrawler_spark.plugins import CrawlPlugins
 from icrawler_spark.storage.catalog import RoundCatalog
 
 
@@ -60,6 +61,7 @@ class CrawlConfig:
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
     max_rounds: int = 10_000
+    plugins: "CrawlPlugins | None" = None  # §2.12 override points (plugins.py)
 
 
 @dataclass
@@ -80,7 +82,11 @@ class CrawlResult:
 
 def _size_filter_col(cfg: CrawlConfig):
     """keep_file as a JVM-side predicate over dims encoded in the URL
-    (oracle.keep_file semantics; _size_gt/_size_lt at downloader.py:236-240)."""
+    (oracle.keep_file semantics; _size_gt/_size_lt at downloader.py:236-240).
+    A plugins.keep Column replaces it wholesale (the keep_file override,
+    downloader.py:92-93)."""
+    if cfg.plugins is not None and cfg.plugins.keep is not None:
+        return cfg.plugins.keep
     if cfg.min_size is None and cfg.max_size is None:
         return F.lit(True)
     w = F.regexp_extract("file_url", r"-(\d+)x(\d+)\.[a-z]+$", 1).cast("long")
@@ -97,7 +103,11 @@ def _size_filter_col(cfg: CrawlConfig):
 
 
 def _filename_col(cfg: CrawlConfig):
-    """ImageDownloader.get_filename (downloader.py:265-274) as columns."""
+    """ImageDownloader.get_filename (downloader.py:265-274) as columns.
+    A plugins.filename Column replaces it (the get_filename override,
+    downloader.py:60-77)."""
+    if cfg.plugins is not None and cfg.plugins.filename is not None:
+        return cfg.plugins.filename
     path = F.coalesce(F.parse_url("file_url", F.lit("PATH")), F.lit(""))
     ext = F.regexp_extract(path, r"\.([^./]*)$", 1)
     ext_ok = F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)) & (ext != "")
@@ -269,9 +279,11 @@ class GreedyCrawl:
                 fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
             texts_rows = fetched_pages.select("url", "text")
 
-            # extract (P5)
+            # extract (P5; plugins.parse overrides the extractor — §2.12)
+            parse_fn = cfg.plugins.parse if cfg.plugins is not None else None
             emissions = self._pin(extract_emissions(
-                fetched_pages.withColumnRenamed("url", "parent"), domains))
+                fetched_pages.withColumnRenamed("url", "parent"), domains,
+                batch_fn=parse_fn))
 
             # -- tasks: dedup-at-enqueue then budget (D1, K1) -----------------
             task_cand = emissions.filter(F.col("kind") == "task").select(

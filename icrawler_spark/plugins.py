@@ -1,0 +1,47 @@
+"""User-extension surface (SURVEY.md §2.12) — the Spark equivalent of the
+reference's override points (/root/reference/docs/extend.rst:1-187):
+
+| reference override                | here                                    |
+|-----------------------------------|-----------------------------------------|
+| ``Feeder.feed``                   | any DataFrame passed as seeds / the     |
+|   (feeder.py:31-36)               | feeder functions in ``sources/feeders`` |
+| ``Parser.parse``                  | ``CrawlPlugins.parse`` — a vectorized   |
+|   (parser.py:31-41)               | pandas batch fn (html → emissions)      |
+| ``Downloader.keep_file``          | ``CrawlPlugins.keep`` — a Column        |
+|   (downloader.py:92-93)           | predicate over ``file_url``             |
+| ``Downloader.get_filename``       | ``CrawlPlugins.filename`` — a Column    |
+|   (downloader.py:60-77)           | over ``file_idx`` / ``file_url``        |
+| class injection                   | ``CrawlConfig(plugins=...)``            |
+|   (crawler.py:30-72)              |                                         |
+
+All plugin parse functions are *batch-vectorized* (pandas in, pandas out,
+Arrow transfer) per the input_hint's no-per-row-Python rule; keep/filename
+are plain Column expressions and stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column
+
+# contract for CrawlPlugins.parse: (batch, domains) -> DataFrame with columns
+# (parent:str, visit_rank:int64, pos:int32, kind:{'task','url'}, target:str);
+# batch columns are (parent, visit_rank, html). pos must count emitted items
+# per page in document order — it is the FIFO-parity ordering column.
+ParseBatchFn = Callable[[pd.DataFrame, list[str]], pd.DataFrame]
+
+
+@dataclass
+class CrawlPlugins:
+    """Override points injected via ``CrawlConfig(plugins=...)``.
+
+    Any field left ``None`` keeps the built-in (GreedyParser-parity)
+    behavior, so a partial override composes with the defaults exactly like
+    subclassing one method does in the reference."""
+
+    parse: ParseBatchFn | None = None     # replaces the greedy HTML extractor
+    keep: Column | None = None            # replaces the min/max-size keep_file
+    filename: Column | None = None        # replaces %06d.ext naming

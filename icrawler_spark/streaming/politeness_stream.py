@@ -1,0 +1,77 @@
+"""Stateful streaming politeness — per-host token-bucket fetch scheduling as a
+custom Structured Streaming operator (``applyInPandasWithState``).
+
+The batch engine enforces politeness per round (operators/politeness.py); on
+a continuous URL stream the equivalent is a per-host *scheduler*: every
+discovered URL is assigned the earliest fetch slot ≥ its arrival time that is
+≥ ``crawl_delay_ms`` after the host's previous slot. State per host is a
+single long (last scheduled slot), so state size is O(hosts), not O(urls).
+
+The slot recurrence s_i = max(a_i, s_{i-1} + d) is computed *vectorized*
+(no per-row Python, per the input_hint): with b_i = a_i - i·d it reduces to
+s_i = i·d + running_max(b_i), i.e. one ``np.maximum.accumulate``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("host string, url string, discovered_ms long, scheduled_ms long")
+STATE_SCHEMA = "last_scheduled_ms long"
+
+
+def _schedule_slots(arrivals_ms: np.ndarray, last_ms: int, delay_ms: int) -> np.ndarray:
+    """Vectorized token-bucket slots: s_i = max(a_i, s_{i-1} + delay), seeded
+    with the host's persisted last slot."""
+    n = len(arrivals_ms)
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    # virtual element 0 carries the persisted state
+    b = np.concatenate(([np.int64(last_ms)], arrivals_ms - idx * delay_ms))
+    s = np.maximum.accumulate(b)[1:] + idx * delay_ms
+    return s
+
+
+def make_scheduler(delay_ms_default: int = 1000,
+                   delays: dict[str, int] | None = None):
+    """Build the (key, batches, state) -> batches function for
+    ``applyInPandasWithState``."""
+    delays = dict(delays or {})
+
+    def schedule(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+                 ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        delay = int(delays.get(host, delay_ms_default))
+        last = state.get[0] if state.exists else -delay
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["discovered_ms", "url"], kind="stable")
+        slots = _schedule_slots(
+            rows["discovered_ms"].to_numpy(dtype=np.int64), last, delay)
+        rows = rows.assign(scheduled_ms=slots, host=host)
+        state.update((int(slots[-1]),))
+        yield rows[["host", "url", "discovered_ms", "scheduled_ms"]]
+
+    return schedule
+
+
+def schedule_url_stream(stream_df, delay_ms_default: int = 1000,
+                        delays: dict[str, int] | None = None):
+    """stream_df: streaming DF with (url:string, discovered_ms:long). Returns
+    a streaming DF (host, url, discovered_ms, scheduled_ms) where per-host
+    scheduled slots respect crawl_delay across micro-batches (state persists
+    in the checkpoint, so a restart resumes the bucket where it left off)."""
+    with_host = stream_df.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST")))
+    return with_host.groupBy("host").applyInPandasWithState(
+        make_scheduler(delay_ms_default, delays),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

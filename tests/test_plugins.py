@@ -1,0 +1,69 @@
+"""User-extension surface (SURVEY.md §2.12 / docs/extend.rst): custom parse,
+keep_file, and get_filename overrides injected via CrawlConfig(plugins=...)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+from icrawler_spark.plugins import CrawlPlugins
+
+_EMISSIONS_COLS = ["parent", "visit_rank", "pos", "kind", "target"]
+
+
+def _data_src_parse(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
+    """Custom parser (the docs/extend.rst MyParser pattern): images come from
+    data-src attributes instead of <img src>/<a href>."""
+    if len(pdf) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+            _EMISSIONS_COLS, [object, "int64", "int32", object, object])})
+    doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
+    found = doc.str.findall(r'data-src="([^"]*)"').explode().dropna()
+    out = pd.DataFrame({"target": found})
+    out["parent"] = pdf["parent"].reindex(found.index)
+    out["visit_rank"] = pdf["visit_rank"].reindex(found.index).astype("int64")
+    out["pos"] = out.groupby("visit_rank").cumcount().astype("int32")
+    out["kind"] = "task"
+    return out[_EMISSIONS_COLS].reset_index(drop=True)
+
+
+def _pages(spark):
+    rows = [
+        ("http://hostp.test",
+         b'<div data-src="http://cdn.test/x.png"></div>'
+         b'<div data-src="http://cdn.test/y.webp"></div>'
+         b'<img src="http://hostp.test/ignored-10x10.jpg">',
+         "root"),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary, text string")
+
+
+def test_custom_parse_keep_filename(spark):
+    plugins = CrawlPlugins(
+        parse=_data_src_parse,
+        keep=F.col("file_url").endswith(".png"),          # keep_file override
+        filename=F.concat(F.lit("img_"), F.col("file_idx").cast("string"),
+                          F.lit(".bin")),                  # get_filename override
+    )
+    cfg = CrawlConfig(max_num=0, plugins=plugins)
+    res = GreedyCrawl(spark, _pages(spark), cfg).run(["hostp.test"])
+
+    fetched = [(r["file_idx"], r["file_url"], r["filename"])
+               for r in res.fetched.orderBy("file_idx").collect()]
+    # custom parser found both data-src urls; <img src> was NOT parsed;
+    # custom keep dropped the .webp; custom filename applied
+    assert fetched == [(1, "http://cdn.test/x.png", "img_1.bin")]
+    seen_tasks = {r["file_url"] for r in res.seen_tasks.collect()}
+    assert seen_tasks == {"http://cdn.test/x.png", "http://cdn.test/y.webp"}
+
+
+def test_partial_plugins_keep_defaults(spark):
+    """Only overriding keep leaves the built-in parser + naming intact."""
+    cfg = CrawlConfig(max_num=0, plugins=CrawlPlugins(keep=F.lit(True)))
+    rows = [("http://hostp.test",
+             b'<img src="http://hostp.test/a-10x10.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    res = GreedyCrawl(spark, pages, cfg).run(["hostp.test"])
+    fetched = [(r["file_idx"], r["filename"]) for r in res.fetched.collect()]
+    assert fetched == [(1, "000001.jpg")]

@@ -28,3 +28,46 @@ def test_stream_ingest_dedups_within_and_across_restarts(spark, tmp_path):
     out2 = ingest_available(spark, src, state)
     urls2 = sorted(r["url"] for r in out2.collect())
     assert urls2 == ["http://a.test/1", "http://a.test/2", "http://a.test/3"]
+
+
+def test_stateful_politeness_scheduler(spark, tmp_path):
+    """applyInPandasWithState token bucket: per-host slots spaced by
+    crawl_delay, state carried across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.streaming.politeness_stream import schedule_url_stream
+
+    src = str(tmp_path / "psrc")
+    ckpt = str(tmp_path / "pckpt")
+    sink = str(tmp_path / "psink")
+    # batch 1: 3 urls on hot.test arriving at t=0, 1 url on cold.test
+    _write_urls(src, "a.txt", [
+        "http://hot.test/1", "http://hot.test/2", "http://hot.test/3",
+        "http://cold.test/1"])
+
+    def run_once():
+        stream = (spark.readStream.format("text")
+                  .option("maxFilesPerTrigger", 1).load(src)
+                  .select(F.col("value").alias("url"),
+                          F.lit(0).cast("long").alias("discovered_ms")))
+        out = schedule_url_stream(stream, delay_ms_default=1000)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {r["url"]: r["scheduled_ms"]
+            for r in spark.read.parquet(sink).collect()}
+    assert rows["http://hot.test/1"] == 0
+    assert rows["http://hot.test/2"] == 1000
+    assert rows["http://hot.test/3"] == 2000
+    assert rows["http://cold.test/1"] == 0
+
+    # batch 2 (restart from checkpoint): the bucket resumes at last+delay
+    _write_urls(src, "b.txt", ["http://hot.test/4"])
+    run_once()
+    rows2 = {r["url"]: r["scheduled_ms"]
+             for r in spark.read.parquet(sink).collect()}
+    assert rows2["http://hot.test/4"] == 3000
