@@ -73,18 +73,12 @@ def bench_crawl(spark, pages_path: str) -> dict:
     pages = spark.read.parquet(pages_path)
     seeds = [f"host{h:04d}.test" for h in range(N_SEED_HOSTS)]
     cfg = CrawlConfig(max_num=CRAWL_BUDGET)
-    # warm the engine (Python UDF worker pool, codegen, OS page cache for the
-    # pages table) so the measurement is steady-state crawl throughput, not
+    # warm the engine (Python UDF worker pool, whole-stage codegen for every
+    # stage shape in the round loop, OS page cache for the pages table) with a
+    # micro-crawl, so the measurement is steady-state crawl throughput, not
     # single-JVM cold start — on a real cluster the executors are long-lived
-    from pyspark.sql import functions as F
-
-    from icrawler_spark.operators.extract import extract_emissions
-
     pages.count()
-    extract_emissions(
-        pages.select(F.col("url").alias("parent"),
-                     F.lit(0).cast("long").alias("visit_rank"), "html").limit(64),
-        seeds).write.format("noop").mode("overwrite").save()
+    GreedyCrawl(spark, pages, CrawlConfig(max_num=50)).run(seeds[:2])
     t0 = time.time()
     res = GreedyCrawl(spark, pages, cfg).run(seeds)
     wall = time.time() - t0

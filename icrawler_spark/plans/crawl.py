@@ -224,6 +224,8 @@ class GreedyCrawl:
 
         if seen_pages is None:
             seen_pages = self._pin(frontier.select("url"))
+        seen_pages_parts: list[DataFrame] = [seen_pages]
+        seen_tasks_parts: list[DataFrame] = [seen_tasks] if seen_tasks is not None else []
         # incremental Bloom pre-filters (north_rule): built once, absorbing
         # each round's additions — bitmaps OR-merge, so this equals a full
         # rebuild at a fraction of the per-round cost
@@ -289,14 +291,15 @@ class GreedyCrawl:
             task_cand = emissions.filter(F.col("kind") == "task").select(
                 F.col("target").alias("file_url"), "visit_rank", "pos")
             task_new = earliest_occurrence(task_cand, "file_url", ["visit_rank", "pos"])
-            if cfg.use_bloom and seen_tasks is not None:
-                task_new = anti_join_seen_bloom(task_new, seen_tasks, bloom_tasks,
+            seen_tasks_df = self._parts_union(seen_tasks_parts)
+            if cfg.use_bloom and seen_tasks_df is not None:
+                task_new = anti_join_seen_bloom(task_new, seen_tasks_df, bloom_tasks,
                                                 "file_url")
             else:
-                task_new = anti_join_seen(task_new, seen_tasks, "file_url")
+                task_new = anti_join_seen(task_new, seen_tasks_df, "file_url")
             task_new = self._pin(task_new)
 
-            kept = self._pin(task_new.filter(_size_filter_col(cfg)))
+            kept = task_new.filter(_size_filter_col(cfg))
             n_kept = kept.count()
             kept = self._pin(global_row_number(
                 kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n,
@@ -342,10 +345,11 @@ class GreedyCrawl:
                 F.col("parent").alias("src"),
                 "pos", F.col("visit_rank").alias("parent_rank"))
             url_new = earliest_occurrence(url_cand, "url", ["parent_rank", "pos"])
+            seen_pages_df = self._parts_union(seen_pages_parts)
             if cfg.use_bloom:
-                url_new = anti_join_seen_bloom(url_new, seen_pages, bloom_pages, "url")
+                url_new = anti_join_seen_bloom(url_new, seen_pages_df, bloom_pages, "url")
             else:
-                url_new = anti_join_seen(url_new, seen_pages, "url")
+                url_new = anti_join_seen(url_new, seen_pages_df, "url")
             next_frontier = self._pin(url_new.select(
                 "url", F.col("src").alias("parent"), "pos", "parent_rank",
                 F.lit(rnd + 1).alias("round")))
@@ -359,8 +363,10 @@ class GreedyCrawl:
             order_parts.append(order_rows)
             texts_parts.append(texts_rows)
             fetched_parts.append(fetch_commit)
-            seen_tasks = self._acc(seen_tasks, task_new.select("file_url"))
-            seen_pages = self._acc(seen_pages, next_frontier.select("url"))
+            seen_tasks_parts = self._acc_parts(
+                seen_tasks_parts, task_new.select("file_url"))
+            seen_pages_parts = self._acc_parts(
+                seen_pages_parts, next_frontier.select("url"))
             if cfg.use_bloom:
                 bloom_tasks.absorb(task_new.select("file_url"), "file_url")
                 bloom_pages.absorb(next_frontier.select("url"), "url")
@@ -405,6 +411,8 @@ class GreedyCrawl:
         texts = _union(texts_parts, "url string, text string")
         fetched = _union(fetched_parts, "file_idx long, file_url string, filename string")
         parse_errors = _union(err_parts, "url string, visit_rank long, round int")
+        seen_pages = self._parts_union(seen_pages_parts)
+        seen_tasks = self._parts_union(seen_tasks_parts)
         if seen_tasks is None:
             seen_tasks = self.spark.createDataFrame([], "file_url string")
         return CrawlResult(order=order, seen_pages=seen_pages, seen_tasks=seen_tasks,
@@ -412,8 +420,34 @@ class GreedyCrawl:
                            rounds=rnd - start_round + 1, metrics=metrics,
                            parse_errors=parse_errors)
 
-    def _acc(self, acc: DataFrame | None, new: DataFrame) -> DataFrame:
-        return self._pin(new) if acc is None else self._pin(acc.unionByName(new))
+    # -- append-only seen-set accumulation ------------------------------------
+    # The seen set is READ every round (anti-join) but only ever APPENDED to.
+    # Rewriting the whole set per round (union + checkpoint) is an O(|seen|)
+    # cost per round — at 10^10-URL scale that is a full state rewrite, which
+    # is exactly what Iceberg appends avoid. Instead we keep a list of pinned
+    # per-round parts and expose their lazy union (each part is already
+    # materialized, so the union plan is shallow and recompute-free),
+    # compacting into one part when the plan would grow past _COMPACT_PARTS.
+    _COMPACT_PARTS = 32
+
+    def _acc_parts(self, parts: list[DataFrame], new: DataFrame | None) -> list[DataFrame]:
+        if new is not None:
+            parts = parts + [new]  # caller guarantees `new` is pinned
+        if len(parts) > self._COMPACT_PARTS:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            parts = [self._pin(merged)]
+        return parts
+
+    @staticmethod
+    def _parts_union(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 class UrlListCrawl:
