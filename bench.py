@@ -99,7 +99,7 @@ def _operator_benches(spark) -> dict:
     picks = [
         "seen_antijoin", "budget_limit", "politeness_batch", "dedup_exact",
         "minhash_signatures", "simhash", "simhash_pairs", "ngram_jaccard",
-        "embed_neardup", "ann_topk", "ann_srp", "langid", "quality",
+        "embed_neardup", "ann_topk", "ann_srp", "ann_ivf", "langid", "quality",
         "token_counts", "fingerprint", "urllist_pipeline", "extract_hrefs",
         "media_decode",
     ]

@@ -570,6 +570,16 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
                                n_planes=4, multiprobe_hamming=1)
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) ANN — centroid-bucketed scale path (no SQL oracle:
+    Lloyd-refined codebooks are not reasonably SQL-expressible; rows-only
+    check, recall asserted against q_ann_topk in tests). At corpus scale the
+    assignment becomes the partition key of the vector table so a query scans
+    only its nprobe cells."""
+    return similarity.ivf_topk(_emb(spark, sf), _ANN_QUERIES, k=_ANN_K,
+                               n_centroids=8, nprobe=3, iters=1)
+
+
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-profile language ID; argmax with lexicographic tiebreak via
     the min-of-encoded-string trick (identical in both engines)."""
@@ -728,6 +738,7 @@ def queries():
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
         "ann_srp": q_ann_srp,
+        "ann_ivf": q_ann_ivf,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,

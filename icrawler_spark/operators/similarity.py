@@ -142,3 +142,118 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.9, n_planes: int = 8,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def _matmul_udf(mat: np.ndarray, reducer: str):
+    """pandas_udf: per vector, argmin/argmax over `mat` rows (one numpy matmul
+    per Arrow batch — O(1) plan size, no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat_t = mat.T.copy()
+
+    def fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # cosine ∝ dot for unit-normalized rows; normalize both sides
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = m @ mat_t
+        out = scores.argmax(axis=1) if reducer == "argmax" else scores.argmin(axis=1)
+        return pd.Series(out, dtype="int64")
+
+    fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "long")
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF codebook: seed centroids are the vectors at evenly
+    spaced id ranks, refined by ``iters`` Lloyd steps. The assignment step is
+    a distributed Arrow matmul; the mean step is a distributed applyInPandas
+    per centroid — the driver only ever holds the (K, dim) codebook, never
+    vectors. Returns the unit-normalized codebook."""
+    # distributed deterministic seed pick: hash-sample ~n_centroids vectors
+    # (never collects the id universe to the driver)
+    total = emb.count()
+    stride = max(1, total // n_centroids)
+    seed_rows = (emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+                 .orderBy(id_col).limit(n_centroids).collect())
+    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    import pandas as pd
+
+    for _ in range(iters):
+        assigned = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"))
+
+        def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            c = m.mean(axis=0)
+            c = c / max(np.linalg.norm(c), 1e-12)
+            return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])],
+                                 "centroid": [c.tolist()]})
+
+        rows = assigned.groupBy("cid").applyInPandas(
+            mean_vec, schema="cid long, centroid array<double>").collect()
+        for r in rows:
+            cents[r["cid"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, cents: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cid) nearest-centroid assignment (the inverted-file partition key:
+    at corpus scale the table is written partitioned/bucketed by cid, so a
+    query touches only its nprobe partitions)."""
+    return emb.select(F.col(id_col).alias("id"),
+                      _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"))
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: rerank exactly within the query's ``nprobe``
+    nearest centroid cells. Output schema matches cosine_topk."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    vecs = emb.select(F.col(id_col).alias("nid"),
+                      _as_double(F.col(vec_col)).alias("v"),
+                      _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"))
+
+    mat_t = cents.T.copy()
+
+    def probes(qvecs):
+        if len(qvecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in qvecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ mat_t), axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in order])
+
+    probes.__annotations__ = {"qvecs": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(probes, "array<long>")
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cid"))
+    scored = (
+        queries.join(vecs, "cid")
+        .filter(F.col("nid") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "nid", "cos").distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos")
+    )

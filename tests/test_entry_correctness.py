@@ -86,3 +86,13 @@ def test_ann_srp_recall_vs_exact(spark):
               for r in _QUERIES["ann_srp"](spark, SF_DIR).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"SRP recall too low: {recall}"
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """The IVF scale path must achieve reasonable recall vs brute force."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _QUERIES["ann_topk"](spark, SF_DIR).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in _QUERIES["ann_ivf"](spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
