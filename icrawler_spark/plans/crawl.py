@@ -62,6 +62,13 @@ class CrawlConfig:
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
     max_rounds: int = 10_000
     plugins: "CrawlPlugins | None" = None  # §2.12 override points (plugins.py)
+    # fetch retry (SURVEY.md F2/C6): a URL whose fetch join finds no page is
+    # re-queued into the next round's frontier until it has been attempted
+    # this many times. 1 = parity mode (the reference's in-pop retry is
+    # transparent; a permanent failure is visited once and yields nothing —
+    # identical to our default). >1 models transient failures on live
+    # clusters, where a miss costs one round of latency per attempt.
+    max_fetch_attempts: int = 1
 
 
 @dataclass
@@ -136,7 +143,7 @@ def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
     return F.broadcast(frontier).join(right, on="url", how="inner").select(select_cols)
 
 
-_FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round"]
+_FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round", "attempts"]
 
 
 class GreedyCrawl:
@@ -161,8 +168,9 @@ class GreedyCrawl:
         domains = normalize_domains(list(seed_domains))
 
         seeds = spark.createDataFrame(
-            [(d, None, i, -1, 0) for i, d in enumerate(domains)],
-            schema="url string, parent string, pos int, parent_rank long, round int",
+            [(d, None, i, -1, 0, 0) for i, d in enumerate(domains)],
+            schema="url string, parent string, pos int, parent_rank long, "
+                   "round int, attempts int",
         )
         # seed dedup-at-enqueue (cached_queue.py:53-59)
         frontier = earliest_occurrence(seeds, "url", ["pos"])
@@ -183,6 +191,8 @@ class GreedyCrawl:
             return self._finish_from_catalog(st)
         domains = normalize_domains(list(seed_domains))
         frontier = self.catalog.read("frontier", last)
+        if frontier is not None and "attempts" not in frontier.columns:
+            frontier = frontier.withColumn("attempts", F.lit(0))
         frontier = frontier.filter(F.col("round") == st["next_round"]) if frontier is not None else None
         if frontier is None:
             return self._finish_from_catalog({**st, "stop_reason": "frontier_exhausted"})
@@ -350,9 +360,20 @@ class GreedyCrawl:
                 url_new = anti_join_seen_bloom(url_new, seen_pages_df, bloom_pages, "url")
             else:
                 url_new = anti_join_seen(url_new, seen_pages_df, "url")
-            next_frontier = self._pin(url_new.select(
+            next_frontier = url_new.select(
                 "url", F.col("src").alias("parent"), "pos", "parent_rank",
-                F.lit(rnd + 1).alias("round")))
+                F.lit(rnd + 1).alias("round"), F.lit(0).alias("attempts"))
+            # fetch retry (F2/C6): frontier rows whose fetch found no page are
+            # re-queued with attempts+1 until the attempt budget is spent
+            if cfg.max_fetch_attempts > 1:
+                misses = (
+                    ranked.join(fetched_pages.select("url"), "url", "left_anti")
+                    .withColumn("attempts", F.col("attempts") + 1)
+                    .filter(F.col("attempts") < cfg.max_fetch_attempts)
+                    .select("url", "parent", "pos", "parent_rank",
+                            F.lit(rnd + 1).alias("round"), "attempts"))
+                next_frontier = next_frontier.unionByName(misses)
+            next_frontier = self._pin(next_frontier)
             if cfg.round_seconds is not None:
                 next_frontier = self._pin(next_frontier.unionByName(deferred))
 
@@ -382,6 +403,15 @@ class GreedyCrawl:
                 self.catalog.append(texts_rows, "texts", rnd)
                 self.catalog.append(fetch_commit, "fetched", rnd)
                 self.catalog.append(err_parts[-1], "parse_errors", rnd)
+                # per-partition fetch lineage (north_rule): which physical
+                # partition committed which file-idx range this round
+                lineage = fetch_commit.groupBy(
+                    F.spark_partition_id().alias("partition_id")).agg(
+                    F.count("*").alias("rows"),
+                    F.min("file_idx").alias("min_file_idx"),
+                    F.max("file_idx").alias("max_file_idx")).withColumn(
+                    "round", F.lit(rnd))
+                self.catalog.append(lineage, "lineage", rnd)
                 self.catalog.append(task_new.select("file_url"), "seen_tasks", rnd)
                 if rnd == start_round and start_round == 0:
                     self.catalog.append(frontier.select("url"), "seen_pages", rnd, tag="seeds")
@@ -391,6 +421,7 @@ class GreedyCrawl:
                     "next_round": rnd + 1, "visited": visited,
                     "fetched": fetched_n,
                     "stop_reason": stop_reason if stop_reason == "reach_max_num" else None,
+                    "round_metrics": metrics[-1],
                 })
 
             if stop_reason == "reach_max_num":

@@ -101,3 +101,47 @@ def test_parity_mode_reduces_to_reference(spark, smoke_web, smoke_pages_df):
     assert _order_tuples(res) == [(g["visit_rank"], g["url"]) for g in golden.order]
     assert [(r["file_idx"], r["file_url"]) for r in res.fetched.orderBy("file_idx").collect()] \
         == [(g["file_idx"], g["file_url"]) for g in golden.fetched]
+
+
+def test_fetch_retry_requeues_misses(spark):
+    """F2/C6: with max_fetch_attempts=3 an unfetchable URL is visited three
+    times (one attempt per round) then dropped; parity default (1) visits it
+    once."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    rows = [("http://hostr.test",
+             b'<a href="/gone.html">x</a>', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+
+    res1 = GreedyCrawl(spark, pages, CrawlConfig(max_num=0)).run(["hostr.test"])
+    visits1 = [r["url"] for r in res1.order.orderBy("visit_rank").collect()]
+    assert visits1.count("http://hostr.test/gone.html") == 1
+
+    res3 = GreedyCrawl(
+        spark, pages, CrawlConfig(max_num=0, max_fetch_attempts=3)
+    ).run(["hostr.test"])
+    visits3 = [r["url"] for r in res3.order.orderBy("visit_rank").collect()]
+    assert visits3.count("http://hostr.test/gone.html") == 3
+    # the root page itself was fetched, so it is never retried
+    assert visits3.count("http://hostr.test") == 1
+
+
+def test_lineage_checkpointed(spark, tmp_path):
+    """Per-partition fetch lineage + round metrics land in the catalog."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+    from icrawler_spark.storage.catalog import RoundCatalog
+
+    rows = [("http://hostl.test",
+             b'<img src="http://hostl.test/a-10x10.jpg">'
+             b'<img src="http://hostl.test/b-20x20.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    ckpt = str(tmp_path / "ckpt")
+    GreedyCrawl(spark, pages, CrawlConfig(max_num=0, checkpoint_dir=ckpt)
+                ).run(["hostl.test"])
+    cat = RoundCatalog(spark, ckpt)
+    lineage = cat.read("lineage")
+    assert lineage is not None
+    rowsum = sum(r["rows"] for r in lineage.collect())
+    assert rowsum == 2  # both fetches accounted to a partition
+    st = cat.read_state(cat.last_committed_round())
+    assert "round_metrics" in st and st["round_metrics"]["fetched"] >= 0
