@@ -122,11 +122,20 @@ def _filename_col(cfg: CrawlConfig):
     return F.concat(F.lpad(F.col("file_idx").cast("string"), 6, "0"), F.lit("."), final_ext)
 
 
+_BROADCAST_FRONTIER_MAX = 2_000_000
+
+
 def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
-                select_cols: list[str]) -> DataFrame:
+                select_cols: list[str], n_frontier: int | None = None) -> DataFrame:
     """frontier ⋈ pages ON url, with bucket pruning when the pages table is
     bucket-partitioned (Iceberg bucket(url) stand-in): the frontier's distinct
-    bucket ids (≤ n_buckets values) become a partition filter on the scan."""
+    bucket ids (≤ n_buckets values) become a partition filter on the scan.
+
+    The frontier side broadcasts only while the round batch is small
+    (n_frontier ≤ _BROADCAST_FRONTIER_MAX); beyond that the join degrades to
+    a shuffled hash/sort-merge join — the pages side is still pruned, and at
+    real scale a storage-partitioned (bucket-aligned) join avoids shuffling
+    the pages side at all."""
     right = pages
     if cfg.pages_buckets and "bucket" in pages.columns:
         # partition pruning: the frontier's distinct bucket ids (≤ n_buckets
@@ -140,7 +149,10 @@ def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
         right = right.drop("bucket")
     else:
         right = right.drop("bucket") if "bucket" in right.columns else right
-    return F.broadcast(frontier).join(right, on="url", how="inner").select(select_cols)
+    left = frontier
+    if n_frontier is None or n_frontier <= _BROADCAST_FRONTIER_MAX:
+        left = F.broadcast(frontier)
+    return left.join(right, on="url", how="inner").select(select_cols)
 
 
 _FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round", "attempts"]
@@ -286,7 +298,7 @@ class GreedyCrawl:
             # fetch: join the pages table (bucket-pruned scan)
             fetched_pages = _fetch_join(
                 ranked.select("url", "visit_rank"), self.pages, cfg,
-                ["url", "visit_rank", "html", "text"])
+                ["url", "visit_rank", "html", "text"], n_frontier=n_visit)
             if cfg.salt > 1:
                 fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
             texts_rows = fetched_pages.select("url", "text")
