@@ -69,6 +69,15 @@ class CrawlConfig:
     # identical to our default). >1 models transient failures on live
     # clusters, where a miss costs one round of latency per attempt.
     max_fetch_attempts: int = 1
+    # priority frontier (north_rule; absent in the reference, which is FIFO
+    # only — SURVEY.md §2.10): a Column evaluated over the frontier columns
+    # (url, parent, pos, parent_rank, round, attempts); LOWER sorts first.
+    # Within a round, visit order and budget truncation become
+    # (priority, parent_rank, pos) instead of FIFO (parent_rank, pos).
+    # None = parity mode. BFS round structure is unchanged — priority
+    # reorders within the frontier batch, as in any frontier-partitioned
+    # crawler.
+    priority: "F.Column | None" = None
 
 
 @dataclass
@@ -274,11 +283,20 @@ class GreedyCrawl:
             if n_frontier == 0:
                 break
 
+            # priority frontier (north-rule; FIFO in parity mode)
+            order_cols = ["parent_rank", "pos"]
+            frontier_r = frontier
+            if cfg.priority is not None:
+                frontier_r = frontier.withColumn("__priority", cfg.priority)
+                order_cols = ["__priority", "parent_rank", "pos"]
+
             # politeness (north-rule; no-op in parity mode)
             politeness_on = cfg.robots is not None or cfg.round_seconds is not None
-            active = apply_robots(frontier, cfg.robots)
+            active = apply_robots(frontier_r, cfg.robots)
             active, deferred = politeness_batch(
-                active, cfg.robots, cfg.round_seconds, ["parent_rank", "pos"])
+                active, cfg.robots, cfg.round_seconds, order_cols)
+            if cfg.priority is not None:
+                deferred = deferred.drop("__priority")
 
             # visit-rank assignment — distributed total order (O1)
             if politeness_on:
@@ -287,8 +305,10 @@ class GreedyCrawl:
             else:
                 n_visit = n_frontier
             ranked = self._pin(global_row_number(
-                active, ["parent_rank", "pos"], "visit_rank", start=visited,
+                active, order_cols, "visit_rank", start=visited,
                 known_count=n_visit))
+            if cfg.priority is not None:
+                ranked = ranked.drop("__priority")
             visited += n_visit
 
             order_rows = ranked.select(

@@ -140,3 +140,33 @@ def test_parse_error_constructed_page(spark):
     result = GreedyCrawl(spark, pages, CrawlConfig(max_num=0)).run(["hostz.test"])
     errs = {r["url"] for r in result.parse_errors.collect()}
     assert errs == {leaf}
+
+
+def test_priority_frontier_reorders_within_round(spark):
+    """north_rule priority queue: within a round the visit order follows the
+    priority column (lower first), not FIFO link position; parity mode (no
+    priority) keeps FIFO."""
+    from pyspark.sql import functions as F
+
+    seed_html = (b'<a href="/zz.html">a</a>'
+                 b'<a href="/mm.html">b</a>'
+                 b'<a href="/aa.html">c</a>')
+    rows = [("http://hostq.test", seed_html, "root"),
+            ("http://hostq.test/zz.html", b"<p>z</p>", "z"),
+            ("http://hostq.test/mm.html", b"<p>m</p>", "m"),
+            ("http://hostq.test/aa.html", b"<p>a</p>", "a")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+
+    fifo = GreedyCrawl(spark, pages, CrawlConfig(max_num=0)).run(["hostq.test"])
+    fifo_order = [r["url"] for r in fifo.order.orderBy("visit_rank").collect()]
+    assert fifo_order[1:] == ["http://hostq.test/zz.html",
+                              "http://hostq.test/mm.html",
+                              "http://hostq.test/aa.html"]
+
+    prio = GreedyCrawl(
+        spark, pages, CrawlConfig(max_num=0, priority=F.col("url"))
+    ).run(["hostq.test"])
+    prio_order = [r["url"] for r in prio.order.orderBy("visit_rank").collect()]
+    assert prio_order[1:] == ["http://hostq.test/aa.html",
+                              "http://hostq.test/mm.html",
+                              "http://hostq.test/zz.html"]
