@@ -605,6 +605,50 @@ def _langid_sql() -> str:
             f"substr(least({', '.join(parts)}), 5, 2) AS pred_lang FROM documents")
 
 
+_CLEAN_MIN_TOKENS = 10
+_CLEAN_MAX_PUNCT = 0.3
+
+
+def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline: quality gate (length +
+    punctuation) → exact-dup removal (keep the minimum doc id per normalized
+    text) → per-surviving-doc stats. The composition every corpus build runs;
+    one quality projection, one dedup shuffle."""
+    feats = quality_features(_docs(spark, sf))
+    gated = feats.filter(
+        (F.col("n_tokens") >= _CLEAN_MIN_TOKENS)
+        & (F.col("punct_ratio") <= _CLEAN_MAX_PUNCT))
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").alias("id"),
+        F.md5(docdedup.normalized_text("text")).alias("text_hash"))
+    joined = gated.join(docs, "id")
+    w = Window.partitionBy("text_hash").orderBy("id")
+    reps = joined.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+    return reps.select(
+        F.col("id").cast("long").alias("id"), "text_hash",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "quality_score")
+
+
+def _pipeline_clean_sql() -> str:
+    return f"""
+WITH feats AS ({_quality_sql().strip()}),
+gated AS (
+  SELECT f.id, f.n_tokens, f.quality_score,
+         md5({_NORM_SQL.replace('text', 'd.text')}) AS text_hash
+  FROM feats f JOIN documents d ON d.doc_id = f.id
+  WHERE f.n_tokens >= {_CLEAN_MIN_TOKENS} AND f.punct_ratio <= {_CLEAN_MAX_PUNCT}
+),
+reps AS (
+  SELECT id, text_hash, n_tokens, quality_score,
+         row_number() OVER (PARTITION BY text_hash ORDER BY id) AS rn
+  FROM gated
+)
+SELECT CAST(id AS BIGINT) AS id, text_hash,
+       CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM reps WHERE rn = 1
+"""
+
+
 def q_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_features(_docs(spark, sf)).select(
         F.col("id").cast("long").alias("id"),
@@ -741,6 +785,7 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "langid": q_langid,
         "quality": q_quality,
+        "pipeline_clean": q_pipeline_clean,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
@@ -772,6 +817,7 @@ def oracle_sql():
         # ann_srp: intentionally no oracle (see q_ann_srp docstring)
         "langid": _langid_sql(),
         "quality": _quality_sql(),
+        "pipeline_clean": _pipeline_clean_sql(),
         "token_counts": Q_TOKEN_COUNTS_SQL,
         "fingerprint": Q_FINGERPRINT_SQL,
         "media_decode": Q_MEDIA_SQL,
