@@ -1,0 +1,160 @@
+"""User-facing crawler facades — the reference's public API surface
+(GoogleImageCrawler / BingImageCrawler / BaiduImageCrawler / FlickrImageCrawler
+/ UrlListCrawler, /root/reference/icrawler/builtin/*) re-expressed as one
+Spark job each: feeder → responses join (the HTTP stand-in) → engine parser →
+task dedup-at-enqueue → keep_file → budgeted file-idx assignment.
+
+The ``responses`` DataFrame (url:string, body:string) replaces the live HTTP
+session: in production it is the fetched-pages table (or a mapInPandas batch
+fetcher); in tests it is a constructed fixture. Everything downstream of the
+join is identical to the reference lifecycle §3.1 of SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.budget import global_row_number
+from icrawler_spark.operators.dedup import earliest_occurrence
+from icrawler_spark.plans.crawl import CrawlConfig, CrawlResult, _filename_col, _size_filter_col
+from icrawler_spark.sources import feeders, parsers
+
+
+def _download_tasks(spark: SparkSession, tasks: DataFrame, cfg: CrawlConfig,
+                    order: DataFrame) -> CrawlResult:
+    """Shared downloader tail: task_queue dedup (D1) → keep_file (L1) →
+    ordered budget + contiguous file idx (K1/O2) → filename (L2)."""
+    uniq = earliest_occurrence(tasks, "file_url", ["visit_rank", "pos"])
+    uniq = uniq.localCheckpoint(eager=True)
+    kept = uniq.filter(_size_filter_col(cfg))
+    n_kept = kept.count()
+    ranked = global_row_number(kept, ["visit_rank", "pos"], "kept_rank",
+                               start=0, known_count=n_kept)
+    if cfg.max_num > 0:
+        ranked = ranked.filter(F.col("kept_rank") < cfg.max_num)
+    fetched = ranked.select(
+        (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
+        "file_url").withColumn("filename", _filename_col(cfg))
+    return CrawlResult(
+        order=order,
+        seen_pages=order.select("url"),
+        seen_tasks=uniq.select("file_url"),
+        fetched=fetched,
+        texts=spark.createDataFrame([], "url string, text string"),
+        stop_reason=("reach_max_num" if cfg.max_num > 0 and n_kept >= cfg.max_num
+                     else "frontier_exhausted"),
+        rounds=1)
+
+
+def _feed_to_pages(feed: DataFrame, responses: DataFrame) -> DataFrame:
+    """feeder output (url, feed_rank) ⋈ responses → parser input
+    (parent, visit_rank, html). Feed URLs with no response are dropped, like
+    a failed GET after retries (parser.py:95-96)."""
+    return (F.broadcast(feed).join(responses, "url")
+            .select(F.col("url").alias("parent"),
+                    F.col("feed_rank").alias("visit_rank"),
+                    F.encode(F.col("body"), "utf-8").alias("html")))
+
+
+class _SearchEngineCrawl:
+    """Common facade: construct with the HTTP stand-in, call ``crawl`` with
+    the reference kwargs (builtin/google.py:177-212 and peers)."""
+
+    def __init__(self, spark: SparkSession, responses: DataFrame,
+                 cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.responses = responses
+        self.cfg = cfg or CrawlConfig()
+
+    def _feed(self, keyword: str, offset: int, max_num: int, filters, **kw) -> DataFrame:
+        raise NotImplementedError
+
+    def _parse(self, pages: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def crawl(self, keyword: str, filters: dict | None = None, offset: int = 0,
+              max_num: int = 1000, min_size: tuple | None = None,
+              max_size: tuple | None = None, file_idx_offset: int = 0,
+              **feed_kwargs) -> CrawlResult:
+        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
+                          file_idx_offset=file_idx_offset,
+                          plugins=self.cfg.plugins)
+        feed = self._feed(keyword, offset, max_num, filters, **feed_kwargs)
+        pages = _feed_to_pages(feed, self.responses)
+        tasks = self._parse(pages)
+        order = pages.select(F.col("visit_rank"), F.col("parent").alias("url"),
+                             F.lit(0).alias("round"),
+                             F.lit(None).cast("string").alias("parent"),
+                             F.lit(0).alias("link_pos"))
+        return _download_tasks(self.spark, tasks, cfg, order)
+
+
+class GoogleImageCrawl(_SearchEngineCrawl):
+    def _feed(self, keyword, offset, max_num, filters, **kw):
+        return feeders.google_feed(self.spark, keyword, offset, max_num,
+                                   filters=filters, **kw)
+
+    def _parse(self, pages):
+        return parsers.google_parse(pages)
+
+
+class BingImageCrawl(_SearchEngineCrawl):
+    def _feed(self, keyword, offset, max_num, filters, **kw):
+        return feeders.bing_feed(self.spark, keyword, offset, max_num,
+                                 filters=filters, **kw)
+
+    def _parse(self, pages):
+        return parsers.bing_parse(pages)
+
+
+class BaiduImageCrawl(_SearchEngineCrawl):
+    def _feed(self, keyword, offset, max_num, filters, **kw):
+        return feeders.baidu_feed(self.spark, keyword, offset, max_num,
+                                  filters=filters, **kw)
+
+    def _parse(self, pages):
+        return parsers.baidu_parse(pages)
+
+
+class FlickrImageCrawl:
+    """FlickrImageCrawler (builtin/flickr.py): page feed → per-photo sizes
+    lookup (the second HTTP call becomes a join against ``sizes_responses``
+    (photo_id, body)) → preference top-1."""
+
+    def __init__(self, spark: SparkSession, responses: DataFrame,
+                 sizes_responses: DataFrame, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.responses = responses
+        self.sizes_responses = sizes_responses
+        self.cfg = cfg or CrawlConfig()
+
+    def crawl(self, apikey: str, max_num: int = 4000, min_size=None,
+              max_size=None, file_idx_offset: int = 0, **params) -> CrawlResult:
+        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
+                          file_idx_offset=file_idx_offset)
+        feed = feeders.flickr_feed(self.spark, apikey, max_num, **params)
+        pages = _feed_to_pages(feed, self.responses)
+        tasks = parsers.flickr_parse(pages, self.sizes_responses).drop("meta")
+        order = pages.select("visit_rank", F.col("parent").alias("url"),
+                             F.lit(0).alias("round"),
+                             F.lit(None).cast("string").alias("parent"),
+                             F.lit(0).alias("link_pos"))
+        return _download_tasks(self.spark, tasks, cfg, order)
+
+
+class UrlListImageCrawl:
+    """UrlListCrawler facade (builtin/urllist.py:41-47) — delegates to the
+    UrlListCrawl plan."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+
+    def crawl(self, url_list, max_num: int = 0, offset: int = 0,
+              min_size=None, max_size=None, file_idx_offset: int = 0) -> CrawlResult:
+        from icrawler_spark.plans.crawl import UrlListCrawl
+
+        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
+                          file_idx_offset=file_idx_offset)
+        return UrlListCrawl(self.spark, cfg).run(url_list, offset=offset)

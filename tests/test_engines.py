@@ -1,0 +1,79 @@
+"""User-facing crawler facades (engines.py) — the reference's public API
+(Google/Bing/Baidu/Flickr/UrlList crawlers) run end-to-end against
+constructed HTTP stand-in tables."""
+
+from __future__ import annotations
+
+import json
+
+from icrawler_spark.engines import (
+    BaiduImageCrawl,
+    FlickrImageCrawl,
+    GoogleImageCrawl,
+    UrlListImageCrawl,
+)
+from icrawler_spark.functions.baidu import baidu_encode_url_py
+from icrawler_spark.sources import feeders
+
+
+def _google_responses(spark, keyword, n_pages, bodies):
+    feed = feeders.google_feed(spark, keyword, 0, n_pages * 100)
+    urls = [r["url"] for r in feed.orderBy("feed_rank").collect()]
+    return spark.createDataFrame(list(zip(urls, bodies)), "url string, body string")
+
+
+def test_google_engine_end_to_end(spark):
+    bodies = [
+        '<script>["http://i.test/a.jpg","http://i.test/b.png"]</script>',
+        '<script>["http://i.test/b.png","http://i.test/c.bmp"]</script>',
+    ]
+    responses = _google_responses(spark, "cats", 2, bodies)
+    res = GoogleImageCrawl(spark, responses).crawl("cats", max_num=200)
+    fetched = [(r["file_idx"], r["file_url"], r["filename"])
+               for r in res.fetched.orderBy("file_idx").collect()]
+    # b.png deduped at task enqueue (earliest page wins); contiguous file idx
+    assert fetched == [
+        (1, "http://i.test/a.jpg", "000001.jpg"),
+        (2, "http://i.test/b.png", "000002.png"),
+        (3, "http://i.test/c.bmp", "000003.bmp"),
+    ]
+
+
+def test_google_engine_budget(spark):
+    bodies = ['<script>["http://i.test/a.jpg","http://i.test/b.png",'
+              '"http://i.test/c.bmp"]</script>']
+    responses = _google_responses(spark, "cats", 1, bodies)
+    res = GoogleImageCrawl(spark, responses).crawl("cats", max_num=2)
+    assert res.fetched.count() == 2
+    assert res.stop_reason == "reach_max_num"
+
+
+def test_baidu_engine_decodes_objurl(spark):
+    plain = "http://img.test/photo/xyz.jpg"
+    body = json.dumps({"data": [{"objURL": baidu_encode_url_py(plain)}]})
+    feed = feeders.baidu_feed(spark, "dogs", 0, 30)
+    urls = [r["url"] for r in feed.collect()]
+    responses = spark.createDataFrame([(urls[0], body)], "url string, body string")
+    res = BaiduImageCrawl(spark, responses).crawl("dogs", max_num=30)
+    assert [r["file_url"] for r in res.fetched.collect()] == [plain]
+
+
+def test_flickr_engine_size_preference(spark):
+    page = json.dumps({"stat": "ok", "photos": {"photo": [{"id": "p1"}]}})
+    feed = feeders.flickr_feed(spark, "KEY", 100, per_page=100)
+    urls = [r["url"] for r in feed.collect()]
+    responses = spark.createDataFrame([(urls[0], page)], "url string, body string")
+    sizes = spark.createDataFrame(
+        [("p1", json.dumps({"stat": "ok", "sizes": {"size": [
+            {"label": "Thumbnail", "source": "http://f.test/t1.jpg"},
+            {"label": "Large", "source": "http://f.test/l1.jpg"}]}}))],
+        "photo_id string, body string")
+    res = FlickrImageCrawl(spark, responses, sizes).crawl(
+        "KEY", max_num=100, per_page=100)
+    assert [r["file_url"] for r in res.fetched.collect()] == ["http://f.test/l1.jpg"]
+
+
+def test_urllist_engine_delegates(spark):
+    urls = [f"http://img.test/{i}.png" for i in range(5)]
+    res = UrlListImageCrawl(spark).crawl(urls, max_num=3)
+    assert res.fetched.count() == 3
