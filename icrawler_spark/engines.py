@@ -158,3 +158,24 @@ class UrlListImageCrawl:
         cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
                           file_idx_offset=file_idx_offset)
         return UrlListCrawl(self.spark, cfg).run(url_list, offset=offset)
+
+
+class GreedyImageCrawl:
+    """GreedyImageCrawler facade (builtin/greedy.py:74-99) — delegates to the
+    GreedyCrawl round-loop plan; ``pages`` is the fetched-pages table."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.pages = pages
+        self.cfg = cfg or CrawlConfig()
+
+    def crawl(self, domains, max_num: int = 0, min_size=None, max_size=None,
+              file_idx_offset: int = 0) -> CrawlResult:
+        from dataclasses import replace
+
+        from icrawler_spark.plans.crawl import GreedyCrawl
+
+        cfg = replace(self.cfg, max_num=max_num, min_size=min_size,
+                      max_size=max_size, file_idx_offset=file_idx_offset)
+        return GreedyCrawl(self.spark, self.pages, cfg).run(list(domains))

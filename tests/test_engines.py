@@ -77,3 +77,14 @@ def test_urllist_engine_delegates(spark):
     urls = [f"http://img.test/{i}.png" for i in range(5)]
     res = UrlListImageCrawl(spark).crawl(urls, max_num=3)
     assert res.fetched.count() == 3
+
+
+def test_greedy_engine_delegates(spark):
+    from icrawler_spark.engines import GreedyImageCrawl
+
+    rows = [("http://hostg.test",
+             b'<img src="http://hostg.test/a-10x10.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    res = GreedyImageCrawl(spark, pages).crawl(["hostg.test"], max_num=5)
+    assert [r["file_url"] for r in res.fetched.collect()] == [
+        "http://hostg.test/a-10x10.jpg"]
