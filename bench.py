@@ -113,9 +113,14 @@ def bench_crawl_polite(spark, pages_path: str) -> dict:
         [(h, 50, []) for h in hosts],
         "host string, crawl_delay_ms long, disallow_prefixes array<string>")
     cfg = CrawlConfig(max_num=CRAWL_BUDGET, robots=robots, round_seconds=60.0)
-    t0 = time.time()
-    res = GreedyCrawl(spark, pages, cfg).run(seeds)
-    wall = time.time() - t0
+    best = None
+    for _ in range(2):  # best-of-2, same rationale as bench_crawl
+        t0 = time.time()
+        res = GreedyCrawl(spark, pages, cfg).run(seeds)
+        wall = time.time() - t0
+        if best is None or wall < best[0]:
+            best = (wall, res)
+    wall, res = best
     visited = res.order.count()
     fetched = res.fetched.count()
     return {"wall_s": wall, "visited": visited, "fetched": fetched,
