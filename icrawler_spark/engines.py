@@ -24,7 +24,13 @@ from icrawler_spark.sources import feeders, parsers
 def _download_tasks(spark: SparkSession, tasks: DataFrame, cfg: CrawlConfig,
                     order: DataFrame) -> CrawlResult:
     """Shared downloader tail: task_queue dedup (D1) → keep_file (L1) →
-    ordered budget + contiguous file idx (K1/O2) → filename (L2)."""
+    ordered budget + contiguous file idx (K1/O2) → filename (L2). A ``meta``
+    column on the tasks (FlickrParser, flickr.py:104-110) rides through to
+    ``fetched``, transformed by the ``process_meta`` plugin if set
+    (downloader.py:157-167)."""
+    from icrawler_spark.plans.crawl import resolve_file_idx_offset
+
+    has_meta = "meta" in tasks.columns
     uniq = earliest_occurrence(tasks, "file_url", ["visit_rank", "pos"])
     uniq = uniq.localCheckpoint(eager=True)
     kept = uniq.filter(_size_filter_col(cfg))
@@ -33,9 +39,12 @@ def _download_tasks(spark: SparkSession, tasks: DataFrame, cfg: CrawlConfig,
                                start=0, known_count=n_kept)
     if cfg.max_num > 0:
         ranked = ranked.filter(F.col("kept_rank") < cfg.max_num)
-    fetched = ranked.select(
-        (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
-        "file_url").withColumn("filename", _filename_col(cfg))
+    out_cols = [
+        (F.col("kept_rank") + 1 + resolve_file_idx_offset(cfg, None)).alias("file_idx"),
+        "file_url"] + (["meta"] if has_meta else [])
+    fetched = ranked.select(*out_cols).withColumn("filename", _filename_col(cfg))
+    if has_meta and cfg.plugins is not None and cfg.plugins.process_meta is not None:
+        fetched = fetched.withColumn("meta", cfg.plugins.process_meta)
     return CrawlResult(
         order=order,
         seen_pages=order.select("url"),
@@ -77,9 +86,10 @@ class _SearchEngineCrawl:
               max_num: int = 1000, min_size: tuple | None = None,
               max_size: tuple | None = None, file_idx_offset: int = 0,
               **feed_kwargs) -> CrawlResult:
-        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
-                          file_idx_offset=file_idx_offset,
-                          plugins=self.cfg.plugins)
+        from dataclasses import replace
+
+        cfg = replace(self.cfg, max_num=max_num, min_size=min_size,
+                      max_size=max_size, file_idx_offset=file_idx_offset)
         feed = self._feed(keyword, offset, max_num, filters, **feed_kwargs)
         pages = _feed_to_pages(feed, self.responses)
         tasks = self._parse(pages)
@@ -129,13 +139,15 @@ class FlickrImageCrawl:
         self.sizes_responses = sizes_responses
         self.cfg = cfg or CrawlConfig()
 
-    def crawl(self, apikey: str, max_num: int = 4000, min_size=None,
+    def crawl(self, apikey: str, max_num: int = 1000, min_size=None,
               max_size=None, file_idx_offset: int = 0, **params) -> CrawlResult:
-        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
-                          file_idx_offset=file_idx_offset)
+        from dataclasses import replace
+
+        cfg = replace(self.cfg, max_num=max_num, min_size=min_size,
+                      max_size=max_size, file_idx_offset=file_idx_offset)
         feed = feeders.flickr_feed(self.spark, apikey, max_num, **params)
         pages = _feed_to_pages(feed, self.responses)
-        tasks = parsers.flickr_parse(pages, self.sizes_responses).drop("meta")
+        tasks = parsers.flickr_parse(pages, self.sizes_responses)
         order = pages.select("visit_rank", F.col("parent").alias("url"),
                              F.lit(0).alias("round"),
                              F.lit(None).cast("string").alias("parent"),
@@ -151,12 +163,14 @@ class UrlListImageCrawl:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
 
-    def crawl(self, url_list, max_num: int = 0, offset: int = 0,
+    def crawl(self, url_list, max_num: int = 1000, offset: int = 0,
               min_size=None, max_size=None, file_idx_offset: int = 0) -> CrawlResult:
+        from dataclasses import replace
+
         from icrawler_spark.plans.crawl import UrlListCrawl
 
-        cfg = CrawlConfig(max_num=max_num, min_size=min_size, max_size=max_size,
-                          file_idx_offset=file_idx_offset)
+        cfg = replace(self.cfg, max_num=max_num, min_size=min_size,
+                      max_size=max_size, file_idx_offset=file_idx_offset)
         return UrlListCrawl(self.spark, cfg).run(url_list, offset=offset)
 
 
@@ -176,6 +190,10 @@ class GreedyImageCrawl:
 
         from icrawler_spark.plans.crawl import GreedyCrawl
 
+        # reference accepts a bare string domain (builtin/greedy.py:81-82);
+        # without this guard list('bbc.com') explodes into characters
+        if isinstance(domains, str):
+            domains = [domains]
         cfg = replace(self.cfg, max_num=max_num, min_size=min_size,
                       max_size=max_size, file_idx_offset=file_idx_offset)
         return GreedyCrawl(self.spark, self.pages, cfg).run(list(domains))

@@ -20,6 +20,7 @@ from icrawler_spark.functions.text import (
     quality_features,
     token_counts,
 )
+from icrawler_spark import entry_round2
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -128,11 +129,13 @@ WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = frontier.url)
 
 def q_budget_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Global ordered budget (SURVEY.md K1/O2): first 500 events in
-    (ts, event_id) order get contiguous 1-based file indices."""
+    (ts, event_id) order get contiguous 1-based file indices — via the
+    two-phase distributed ranker (no single-partition WindowExec)."""
+    from icrawler_spark.operators.budget import global_row_number
+
     ev = _events(spark, sf)
-    w = Window.orderBy("ts", "event_id")
-    return (ev.withColumn("file_idx", F.row_number().over(w).cast("long"))
-            .filter(F.col("file_idx") <= 500)
+    ranked = global_row_number(ev, ["ts", "event_id"], "file_idx", start=1)
+    return (ranked.filter(F.col("file_idx") <= 500)
             .select("file_idx", F.col("event_id").cast("long").alias("event_id")))
 
 
@@ -368,8 +371,10 @@ FROM documents GROUP BY 1
 _SHINGLE_N = 2
 _JACCARD_T = 0.12
 # stop-shingle pruning (scale path): shingles appearing in more than this many
-# docs are dropped from the candidate self-join (they only generate quadratic
-# candidate pairs, never decide near-duplicates). Same constant in both sides.
+# docs are dropped before BOTH the candidate self-join and the per-doc size
+# counts, so the result is the exact Jaccard of the pruned shingle sets (a
+# consistent approximation; duplicate clusters made entirely of stop-shingles
+# are not reported). Same constant, same semantics, in both engines.
 _MAX_SHINGLE_FREQ = 50
 
 
@@ -391,12 +396,12 @@ WITH toks AS (
          array_to_string(l[x : x + {_SHINGLE_N - 1}], ' ') AS shingle
   FROM (SELECT doc_id, l, unnest(range(1, len(l) - {_SHINGLE_N} + 2)) AS x FROM toks)
   WHERE len(l) >= {_SHINGLE_N}
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
 ), sh_kept AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
                     HAVING count(*) <= {_MAX_SHINGLE_FREQ})
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh_kept GROUP BY 1
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM sh_kept a JOIN sh_kept b USING (shingle) WHERE a.doc_id < b.doc_id
@@ -560,24 +565,8 @@ FROM (
 """
 
 
-def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
-    """SRP-LSH bucketed ANN — the scale path (no SQL oracle: hyperplane
-    projections are not reasonably SQL-expressible; driver records the
-    weaker rows-only check, recall is asserted against q_ann_topk in tests).
-    4 planes → 16 buckets + Hamming-1 multiprobe: recall/efficiency tradeoff
-    sized for this corpus; at 10^9 vectors use more planes + IVF re-rank."""
-    return similarity.srp_topk(_emb(spark, sf), _ANN_QUERIES, k=_ANN_K,
-                               n_planes=4, multiprobe_hamming=1)
-
-
-def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF (inverted-file) ANN — centroid-bucketed scale path (no SQL oracle:
-    Lloyd-refined codebooks are not reasonably SQL-expressible; rows-only
-    check, recall asserted against q_ann_topk in tests). At corpus scale the
-    assignment becomes the partition key of the vector table so a query scans
-    only its nprobe cells."""
-    return similarity.ivf_topk(_emb(spark, sf), _ANN_QUERIES, k=_ANN_K,
-                               n_centroids=8, nprobe=3, iters=1)
+# ann_srp / ann_ivf moved to entry_round2 (now fully DuckDB-oracled: SRP
+# hyperplanes folded as literal arrays, IVF seed codebook rebuilt in SQL)
 
 
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -781,8 +770,8 @@ def queries():
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
-        "ann_srp": q_ann_srp,
-        "ann_ivf": q_ann_ivf,
+        "ann_srp": entry_round2.q_ann_srp2,
+        "ann_ivf": entry_round2.q_ann_ivf2,
         "langid": q_langid,
         "quality": q_quality,
         "pipeline_clean": q_pipeline_clean,
@@ -790,6 +779,7 @@ def queries():
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
+        **entry_round2.queries2(),
     }
 
 
@@ -814,7 +804,8 @@ def oracle_sql():
         "simhash_pairs": _simhash_pairs_sql(),
         "embed_neardup": Q_EMBED_NEARDUP_SQL,
         "ann_topk": Q_ANN_SQL,
-        # ann_srp: intentionally no oracle (see q_ann_srp docstring)
+        "ann_srp": entry_round2._srp_sql(),
+        "ann_ivf": entry_round2.Q_ANN_IVF_SQL,
         "langid": _langid_sql(),
         "quality": _quality_sql(),
         "pipeline_clean": _pipeline_clean_sql(),
@@ -822,4 +813,5 @@ def oracle_sql():
         "fingerprint": Q_FINGERPRINT_SQL,
         "media_decode": Q_MEDIA_SQL,
         "frame_sample": Q_FRAME_SAMPLE_SQL,
+        **entry_round2.oracle_sql2(),
     }

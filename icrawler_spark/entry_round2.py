@@ -1,0 +1,676 @@
+"""Round-2 driver-contract queries: oracled evidence for the operators that
+round 1 verified only via the in-repo parity suite (VERDICT.md "Next round"
+items 1, 2 and 4).
+
+Same construction discipline as entry_queries.py: inputs are synthesized
+in-query from the driver's parquet tables with expressions mirrored verbatim
+in the DuckDB SQL, so Spark output and oracle output are computed by two
+independent engines over identical data. Parser queries feed the *real*
+mapInPandas/column-expression parsers (sources/parsers.py); the SQL mirrors
+the reference semantics (regex scans, entity unescape, first-nonempty-script,
+size-preference top-1) directly, not the Spark implementation.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import similarity
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl, _size_filter_col
+from icrawler_spark.sources import feeders, parsers
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# feeders (S2 SimpleSEFeeder, S5 BaiduFeeder, S6 FlickrFeeder)
+# ---------------------------------------------------------------------------
+
+def q_simple_se_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """SimpleSEFeeder (feeder.py:73-89): url_template.format(keyword, i) for
+    i in range(offset, offset+max_num, page_step)."""
+    return feeders.simple_se_feed(
+        spark, "http://se.test/find?q={}&start={}", "kw",
+        offset=5, max_num=95, page_step=10)
+
+
+Q_SIMPLE_SE_SQL = """
+SELECT 'http://se.test/find?q=kw&start=' || i AS url,
+       CAST((i - 5) // 10 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(5, 100, 10)) AS i)
+"""
+
+
+def q_baidu_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """BaiduFeeder (builtin/baidu.py:69-78): step 30 + filter DSL fold
+    (size→z=, color→ic=)."""
+    return feeders.baidu_feed(spark, "flower", offset=0, max_num=150,
+                              filters={"size": "medium", "color": "blue"})
+
+
+Q_BAIDU_FEED_SQL = """
+SELECT 'http://image.baidu.com/search/acjson?tn=resultjson_com&ipn=rj&word=flower&pn='
+         || i || '&rn=30&z=2&ic=16' AS url,
+       CAST(i // 30 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(0, 150, 30)) AS i)
+"""
+
+
+def q_flickr_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """FlickrFeeder (builtin/flickr.py:11-78): param whitelist (bogus key
+    dropped), date coercion, page URLs to ceil(max_num/per_page)."""
+    return feeders.flickr_feed(
+        spark, "abc123", max_num=500, per_page=62, tags="cat,dog",
+        min_upload_date=datetime.date(2010, 1, 5), bogus="x")
+
+
+Q_FLICKR_FEED_SQL = """
+SELECT 'https://api.flickr.com/services/rest/?method=flickr.photos.search'
+         || '&api_key=abc123&format=json&nojsoncallback=1'
+         || '&min_upload_date=2010-01-05&per_page=62&tags=cat%2Cdog&page=' || i AS url,
+       CAST(i - 1 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(1, 10)) AS i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# keep_file (L1, downloader.py:242-263)
+# ---------------------------------------------------------------------------
+
+_KEEP_MIN = (200, 150)   # (w, h): _size_gt -> max(img)>=200 and min(img)>=150
+_KEEP_MAX = (800, 700)
+
+
+def q_keep_file(spark: SparkSession, sf: str) -> DataFrame:
+    """keep_file min/max size gate over dims encoded in the URL
+    (downloader._size_gt/_size_lt, downloader.py:236-240,242-263)."""
+    cfg = CrawlConfig(min_size=_KEEP_MIN, max_size=_KEEP_MAX)
+    k = F.col("doc_id") % 150
+    url = F.concat(
+        F.lit("http://img.test/f/"), k.cast("string"), F.lit("-"),
+        (100 + k * 7 % 900).cast("string"), F.lit("x"),
+        (100 + k * 13 % 900).cast("string"), F.lit(".jpg"))
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"),
+                                url.alias("file_url"))
+    return d.withColumn("kept", _size_filter_col(cfg))
+
+
+Q_KEEP_FILE_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'http://img.test/f/' || doc_id % 150 || '-' ||
+         (100 + (doc_id % 150) * 7 % 900) || 'x' ||
+         (100 + (doc_id % 150) * 13 % 900) || '.jpg' AS file_url
+  FROM documents
+), dims AS (
+  SELECT doc_id, file_url,
+         CAST(regexp_extract(file_url, '-(\\d+)x(\\d+)\\.[a-z]+$', 1) AS BIGINT) AS w,
+         CAST(regexp_extract(file_url, '-(\\d+)x(\\d+)\\.[a-z]+$', 2) AS BIGINT) AS h
+  FROM d
+)
+SELECT doc_id, file_url,
+       (greatest(w, h) >= {max(_KEEP_MIN)} AND least(w, h) >= {min(_KEEP_MIN)}
+        AND greatest(w, h) <= {max(_KEEP_MAX)} AND least(w, h) <= {min(_KEEP_MAX)}) AS kept
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# GoogleParser (P1, builtin/google.py:144-168)
+# ---------------------------------------------------------------------------
+
+_GOOGLE_PRIM_SQL = r"http[^\[]*?.(?:jpg|png|bmp)"
+
+
+def _google_html_cols():
+    """Three <script> blocks: #1 never has URIs, #2 has two (with a \\u002f
+    escape for doc_id%4==0) except doc_id%5==0 where it's empty, #3 has one —
+    exercising the first-non-empty-script rule and the unicode-unescape."""
+    m = (F.col("doc_id") % 9).cast("string")
+    i = F.col("doc_id").cast("string")
+    sep = F.when(F.col("doc_id") % 4 == 0, F.lit("\\u002f")).otherwise(F.lit("/"))
+    s2 = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("<script>no uris here</script>")
+    ).otherwise(F.concat(
+        F.lit('<script>["http://img'), m, F.lit(".test"), sep, F.lit("a-"), i,
+        F.lit('.jpg","http://img'), m, F.lit(".test/b-"), i,
+        F.lit('.png"]</script>')))
+    s3 = F.concat(F.lit('<script>x="http://img'), m, F.lit(".test/zz-"), i,
+                  F.lit('.bmp"</script>'))
+    return F.concat(F.lit("<script>var x=1;</script>"), s2, s3)
+
+
+_GOOGLE_HTML_SQL = (
+    "'<script>var x=1;</script>' || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '<script>no uris here</script>' "
+    " ELSE '<script>[\"http://img' || doc_id % 9 || '.test' || "
+    "      (CASE WHEN doc_id % 4 = 0 THEN '\\u002f' ELSE '/' END) || "
+    "      'a-' || doc_id || '.jpg\",\"http://img' || doc_id % 9 || "
+    "      '.test/b-' || doc_id || '.png\"]</script>' END) || "
+    "'<script>x=\"http://img' || doc_id % 9 || '.test/zz-' || doc_id || '.bmp\"</script>'"
+)
+
+
+def q_google_parse(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    pages = d.select(
+        F.concat(F.lit("g://"), F.col("doc_id").cast("string")).alias("parent"),
+        F.col("doc_id").cast("long").alias("visit_rank"),
+        F.encode(_google_html_cols(), "utf-8").alias("html"))
+    out = parsers.google_parse(pages)
+    return out.select("visit_rank", F.col("pos").cast("long").alias("pos"), "file_url")
+
+
+# NOTE: on this input the primary pattern matches wherever the reference's
+# escaped-dot fallback would (fallback ⊆ primary by construction of the
+# regexes, google.py:158-161), so the oracle needs only the primary scan.
+Q_GOOGLE_PARSE_SQL = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS visit_rank, {_GOOGLE_HTML_SQL} AS html
+  FROM documents
+), s AS (
+  SELECT visit_rank,
+         regexp_extract_all(html, '<script[^>]*>.*?</script>') AS scripts
+  FROM h
+), pick AS (
+  SELECT visit_rank,
+    CASE WHEN len(regexp_extract_all(scripts[1], '{_GOOGLE_PRIM_SQL}')) > 0
+              THEN regexp_extract_all(scripts[1], '{_GOOGLE_PRIM_SQL}')
+         WHEN len(regexp_extract_all(scripts[2], '{_GOOGLE_PRIM_SQL}')) > 0
+              THEN regexp_extract_all(scripts[2], '{_GOOGLE_PRIM_SQL}')
+         WHEN len(regexp_extract_all(scripts[3], '{_GOOGLE_PRIM_SQL}')) > 0
+              THEN regexp_extract_all(scripts[3], '{_GOOGLE_PRIM_SQL}')
+         ELSE CAST([] AS VARCHAR[]) END AS uris
+  FROM s
+)
+SELECT visit_rank, CAST(pos AS BIGINT) AS pos,
+       replace(uri, '\\u002f', '/') AS file_url
+FROM (SELECT visit_rank, unnest(range(0, len(uris))) AS pos, unnest(uris) AS uri
+      FROM pick)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BingParser (P2, builtin/bing.py:117-131)
+# ---------------------------------------------------------------------------
+
+def _bing_html_cols():
+    """Four divs per page: imgpt with m (kept), imgpt WITHOUT m for
+    doc_id%6==0 (KeyError→skip), class=other (not imgpt, skipped), imgpt with
+    a second class (kept) — m attributes entity-escaped like live Bing."""
+    m = (F.col("doc_id") % 9).cast("string")
+    i = F.col("doc_id").cast("string")
+    d1 = F.concat(
+        F.lit('<div class="imgpt"><a m="{&quot;murl&quot;:&quot;http://h'), m,
+        F.lit(".test/a-"), i, F.lit('.jpg&quot;,&quot;t&quot;:&quot;x&quot;}">1</a></div>'))
+    dx = F.when(F.col("doc_id") % 6 == 0,
+                F.lit('<div class="imgpt"><a class="nom">2</a></div>')
+                ).otherwise(F.lit(""))
+    d2 = F.lit('<div class="other"><a m="{&quot;murl&quot;:&quot;http://no.test/no.jpg&quot;}">3</a></div>')
+    d3 = F.concat(
+        F.lit('<div class="imgpt pt2"><a m="{&quot;murl&quot;:&quot;http://h'), m,
+        F.lit(".test/b-"), i, F.lit('.jpg&quot;}">4</a></div>'))
+    return F.concat(d1, dx, d2, d3)
+
+
+_BING_HTML_SQL = (
+    "'<div class=\"imgpt\"><a m=\"{&quot;murl&quot;:&quot;http://h' || doc_id % 9 || "
+    "'.test/a-' || doc_id || '.jpg&quot;,&quot;t&quot;:&quot;x&quot;}\">1</a></div>' || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '<div class=\"imgpt\"><a class=\"nom\">2</a></div>' ELSE '' END) || "
+    "'<div class=\"other\"><a m=\"{&quot;murl&quot;:&quot;http://no.test/no.jpg&quot;}\">3</a></div>' || "
+    "'<div class=\"imgpt pt2\"><a m=\"{&quot;murl&quot;:&quot;http://h' || doc_id % 9 || "
+    "'.test/b-' || doc_id || '.jpg&quot;}\">4</a></div>'"
+)
+
+
+def q_bing_parse(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    pages = d.select(
+        F.concat(F.lit("b://"), F.col("doc_id").cast("string")).alias("parent"),
+        F.col("doc_id").cast("long").alias("visit_rank"),
+        F.encode(_bing_html_cols(), "utf-8").alias("html"))
+    out = parsers.bing_parse(pages)
+    return out.select("visit_rank", F.col("pos").cast("long").alias("pos"), "file_url")
+
+
+Q_BING_PARSE_SQL = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS visit_rank, {_BING_HTML_SQL} AS html
+  FROM documents
+), divs AS (
+  SELECT visit_rank, unnest(range(0, len(dv))) AS div_idx, unnest(dv) AS dv1
+  FROM (SELECT visit_rank,
+               regexp_extract_all(html, '<div[^>]*class="[^"]*imgpt[^"]*"[^>]*>.*?</div>') AS dv
+        FROM h)
+), m AS (
+  SELECT visit_rank, div_idx,
+         replace(replace(replace(replace(replace(
+           regexp_extract(dv1, '\\sm="([^"]*)"', 1),
+           '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&#39;', ''''), '&amp;', '&') AS um
+  FROM divs
+  WHERE regexp_extract(dv1, '\\sm="([^"]*)"', 1) != ''
+), kept AS (
+  SELECT visit_rank, div_idx,
+         regexp_extract(um, 'murl":"(.*?)\\.jpg', 1) || '.jpg' AS file_url
+  FROM m WHERE regexp_matches(um, 'murl":"(.*?)\\.jpg')
+)
+SELECT visit_rank,
+       CAST(row_number() OVER (PARTITION BY visit_rank ORDER BY div_idx) - 1 AS BIGINT) AS pos,
+       file_url
+FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
+# FlickrParser (P4 + K5 size-preference top-1, builtin/flickr.py:79-110)
+# ---------------------------------------------------------------------------
+
+def _flickr_bodies():
+    """Page body: stat fail for doc_id%7==0, else 3 photos a/b/c. Sizes
+    bodies: photo a = [Medium, Original] (Original wins), photo b =
+    [Square, Small 320] (Small 320 wins), photo c = stat fail (skipped)."""
+    i = F.col("doc_id").cast("string")
+    stat = F.when(F.col("doc_id") % 7 == 0, F.lit("fail")).otherwise(F.lit("ok"))
+    page = F.concat(
+        F.lit('{"stat":"'), stat, F.lit('","photos":{"photo":['),
+        F.lit('{"id":"p'), i, F.lit('a","title":"t1"},'),
+        F.lit('{"id":"p'), i, F.lit('b","title":"t2"},'),
+        F.lit('{"id":"p'), i, F.lit('c","title":"t3"}]}}'))
+    return page
+
+
+def q_flickr_parse(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    i = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("f://"), i).alias("parent"),
+        F.col("doc_id").cast("long").alias("visit_rank"),
+        _flickr_bodies().alias("html"))
+    sfx = d.select("doc_id", F.explode(F.array(
+        F.lit("a"), F.lit("b"), F.lit("c"))).alias("sfx"))
+    pid = F.concat(F.lit("p"), F.col("doc_id").cast("string"), F.col("sfx"))
+    sizes_body = (
+        F.when(F.col("sfx") == "c", F.lit('{"stat":"fail"}'))
+        .when(F.col("sfx") == "a", F.concat(
+            F.lit('{"stat":"ok","sizes":{"size":['
+                  '{"label":"Medium","source":"http://f.test/'), pid,
+            F.lit('_m.jpg"},{"label":"Original","source":"http://f.test/'), pid,
+            F.lit('_o.jpg"}]}}')))
+        .otherwise(F.concat(
+            F.lit('{"stat":"ok","sizes":{"size":['
+                  '{"label":"Square","source":"http://f.test/'), pid,
+            F.lit('_q.jpg"},{"label":"Small 320","source":"http://f.test/'), pid,
+            F.lit('_s320.jpg"}]}}'))))
+    sizes_df = sfx.select(pid.alias("photo_id"), sizes_body.alias("body"))
+    out = parsers.flickr_parse(pages, sizes_df)
+    return out.select(
+        "visit_rank", F.col("pos").cast("long").alias("pos"),
+        F.col("meta")["id"].alias("photo_id"), "file_url")
+
+
+_FLICKR_PREFS_SQL = "[" + ",".join(
+    f"'{p}'" for p in parsers.DEFAULT_SIZE_PREFERENCE) + "]"
+
+Q_FLICKR_PARSE_SQL = f"""
+WITH pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS visit_rank,
+         '{{"stat":"' || (CASE WHEN doc_id % 7 = 0 THEN 'fail' ELSE 'ok' END) ||
+         '","photos":{{"photo":[' ||
+         '{{"id":"p' || doc_id || 'a","title":"t1"}},' ||
+         '{{"id":"p' || doc_id || 'b","title":"t2"}},' ||
+         '{{"id":"p' || doc_id || 'c","title":"t3"}}]}}}}' AS body
+  FROM documents
+), ph AS (
+  SELECT visit_rank, CAST(k AS BIGINT) AS pos,
+         json_extract_string(body, '$.photos.photo[' || k || '].id') AS photo_id
+  FROM pages, (SELECT unnest(range(0, 3)) AS k)
+  WHERE json_extract_string(body, '$.stat') = 'ok'
+), sz AS (
+  SELECT 'p' || doc_id || s.sfx AS photo_id,
+         CASE s.sfx
+           WHEN 'c' THEN '{{"stat":"fail"}}'
+           WHEN 'a' THEN '{{"stat":"ok","sizes":{{"size":['
+             || '{{"label":"Medium","source":"http://f.test/p' || doc_id || 'a_m.jpg"}},'
+             || '{{"label":"Original","source":"http://f.test/p' || doc_id || 'a_o.jpg"}}]}}}}'
+           ELSE '{{"stat":"ok","sizes":{{"size":['
+             || '{{"label":"Square","source":"http://f.test/p' || doc_id || 'b_q.jpg"}},'
+             || '{{"label":"Small 320","source":"http://f.test/p' || doc_id || 'b_s320.jpg"}}]}}}}'
+         END AS body
+  FROM documents, (SELECT unnest(['a','b','c']) AS sfx) s
+), szx AS (
+  SELECT photo_id,
+         lower(json_extract_string(body, '$.sizes.size[' || j || '].label')) AS label,
+         json_extract_string(body, '$.sizes.size[' || j || '].source') AS source
+  FROM sz, (SELECT unnest(range(0, 2)) AS j)
+  WHERE json_extract_string(body, '$.stat') = 'ok'
+), best AS (
+  SELECT photo_id, arg_min(source, list_position({_FLICKR_PREFS_SQL}, label)) AS file_url
+  FROM szx WHERE coalesce(list_position({_FLICKR_PREFS_SQL}, label), 0) > 0
+  GROUP BY 1
+)
+SELECT visit_rank, pos, ph.photo_id, file_url
+FROM ph JOIN best USING (photo_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# full greedy crawl round (F1+S7+P5+P7+D1+D2+K1+O1+O2 composed;
+# builtin/greedy.py:18-71 + parser.py:102-111 + downloader.py:79-139)
+# ---------------------------------------------------------------------------
+
+def _round_pages(spark: SparkSession, sf: str) -> tuple[DataFrame, int]:
+    """Deterministic page universe: 4 root pages http://hK.test (the seed
+    domains) each linking to tree pages p(K) and p(K+4) plus a shared /hub
+    URL that is NOT in the pages table (a fetch miss); tree page p(i) =
+    http://h{i%4}.test/p/{i} with one protocol-relative image whose URL
+    depends only on i%5 (so round-1 tasks collide → dedup-at-enqueue) and
+    two tree hrefs."""
+    d = _docs(spark, sf)
+    n = d.count()
+    i = F.col("doc_id")
+
+    def purl(j):
+        return F.concat(F.lit("http://h"), (j % 4).cast("string"),
+                        F.lit(".test/p/"), j.cast("string"))
+
+    key = (i % 5).cast("string")
+    img = F.concat(F.lit("//cdn"), (i % 3).cast("string"), F.lit(".test/i/img-"),
+                   key, F.lit("-"), (100 + (i % 5) * 37 % 700).cast("string"),
+                   F.lit("x"), (100 + (i % 5) * 53 % 700).cast("string"),
+                   F.lit(".jpg"))
+    tree_html = F.concat(
+        F.lit('<img src="'), img, F.lit('"><a href="'), purl((i * 2 + 8) % n),
+        F.lit('">x</a><a href="'), purl((i * 2 + 9) % n),
+        F.lit('">y</a><a href="http://h0.test/hub">h</a>'))
+    tree = d.select(purl(i).alias("url"),
+                    F.encode(tree_html, "utf-8").alias("html"),
+                    F.concat(F.lit("text "), i.cast("string")).alias("text"))
+
+    k = F.col("id")
+    root_img = F.concat(F.lit("//cdn"), k.cast("string"),
+                        F.lit(".test/i/root-"), k.cast("string"),
+                        F.lit("-300x200.jpg"))
+    root_html = F.concat(
+        F.lit('<img src="'), root_img, F.lit('"><a href="'), purl(k),
+        F.lit('">a</a><a href="'), purl(k + 4),
+        F.lit('">b</a><a href="http://h0.test/hub">h</a>'))
+    roots = spark.range(4).select(
+        F.concat(F.lit("http://h"), k.cast("string"), F.lit(".test")).alias("url"),
+        F.encode(root_html, "utf-8").alias("html"),
+        F.concat(F.lit("root "), k.cast("string")).alias("text"))
+    return roots.unionByName(tree), n
+
+
+def _run_round(spark: SparkSession, sf: str):
+    pages, _ = _round_pages(spark, sf)
+    cfg = CrawlConfig(max_rounds=2)
+    return GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+
+
+def q_crawl_round(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy BFS rounds end-to-end; returns the fetched table
+    (file_idx, file_url, filename) — extraction order, dedup-at-enqueue,
+    fetch-miss handling and contiguous file-idx assignment all composed."""
+    res = _run_round(spark, sf)
+    return res.fetched.select(F.col("file_idx").cast("long").alias("file_idx"),
+                              "file_url", "filename")
+
+
+def q_crawl_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Same two rounds; returns the visit order table — FIFO parity
+    (parent_rank, pos) ordering across rounds, including the hub fetch-miss
+    URL which is visited but yields nothing."""
+    res = _run_round(spark, sf)
+    return res.order.select(F.col("visit_rank").cast("long").alias("visit_rank"),
+                            "url", F.col("round").cast("long").alias("round"),
+                            "parent", F.col("link_pos").cast("long").alias("link_pos"))
+
+
+# The oracle simulates the two rounds in SQL over the SAME page universe:
+# emissions are regex-extracted from the html (mirroring GreedyParser
+# semantics: imgs first then hrefs, proto-relative images get http:,
+# absolute page hrefs rstrip '/'), frontier-1 is the dedup-at-enqueue of
+# round-0 url emissions minus the seed seen-set, visit ranks are FIFO
+# (parent_rank, pos), tasks dedup globally earliest-(visit_rank, pos) wins.
+_ROUND_PAGES_SQL = """
+pages AS (
+  SELECT 'http://h' || k || '.test' AS url,
+         '<img src="//cdn' || k || '.test/i/root-' || k || '-300x200.jpg">'
+         || '<a href="http://h' || (k % 4) || '.test/p/' || k || '">a</a>'
+         || '<a href="http://h' || ((k + 4) % 4) || '.test/p/' || (k + 4) || '">b</a>'
+         || '<a href="http://h0.test/hub">h</a>' AS html
+  FROM (SELECT unnest(range(0, 4)) AS k)
+  UNION ALL
+  SELECT 'http://h' || (doc_id % 4) || '.test/p/' || doc_id AS url,
+         '<img src="//cdn' || (doc_id % 3) || '.test/i/img-' || (doc_id % 5) || '-'
+           || (100 + (doc_id % 5) * 37 % 700) || 'x'
+           || (100 + (doc_id % 5) * 53 % 700) || '.jpg">'
+         || '<a href="http://h' || (((doc_id * 2 + 8) % M) % 4) || '.test/p/' || ((doc_id * 2 + 8) % M) || '">x</a>'
+         || '<a href="http://h' || (((doc_id * 2 + 9) % M) % 4) || '.test/p/' || ((doc_id * 2 + 9) % M) || '">y</a>'
+         || '<a href="http://h0.test/hub">h</a>' AS html
+  FROM documents, (SELECT count(*) AS M FROM documents)
+),
+-- GreedyParser emission mirror: per page, img srcs (kept iff they match the
+-- image pattern; http: prefix on protocol-relative) then hrefs (absolute
+-- http(s) page urls rstrip '/'); pos counts kept emissions in that order.
+emit AS (
+  SELECT url,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY grp, idx) - 1 AS INT) AS pos,
+         kind, target
+  FROM (
+    SELECT url, 0 AS grp, idx, 'task' AS kind,
+           CASE WHEN src LIKE '//%' THEN 'http:' || src ELSE src END AS target
+    FROM (SELECT url, unnest(range(0, len(srcs))) AS idx, unnest(srcs) AS src
+          FROM (SELECT url, regexp_extract_all(html, '<img\\s[^>]*src="([^"]*)"', 1) AS srcs
+                FROM pages))
+    WHERE regexp_matches(src, '^(http|//)(.*)\\.(jpg|jpeg|png|bmp|gif|tiff)')
+    UNION ALL
+    SELECT url, 1 AS grp, idx, 'url' AS kind, rtrim(href, '/') AS target
+    FROM (SELECT url, unnest(range(0, len(hrefs))) AS idx, unnest(hrefs) AS href
+          FROM (SELECT url, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+                FROM pages))
+    WHERE regexp_matches(href, '^https?://')
+  )
+),
+seeds AS (
+  SELECT 'http://h' || k || '.test' AS url, CAST(k AS BIGINT) AS visit_rank,
+         CAST(NULL AS VARCHAR) AS parent, CAST(k AS INT) AS pos, 0 AS round
+  FROM (SELECT unnest(range(0, 4)) AS k)
+),
+e0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM seeds s JOIN emit e ON e.url = s.url
+),
+f1 AS (  -- dedup-at-enqueue (earliest (parent_rank, pos) wins) minus seen
+  SELECT target AS url, parent, pos, parent_rank
+  FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM e0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM seeds)
+  ) WHERE rn = 1
+),
+v1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT) AS visit_rank
+  FROM f1
+),
+e1 AS (
+  SELECT v.visit_rank, v.url AS parent, e.pos, e.kind, e.target
+  FROM v1 v JOIN emit e ON e.url = v.url
+),
+tasks AS (
+  SELECT target AS file_url, visit_rank, pos
+  FROM (
+    SELECT target, visit_rank, pos,
+           row_number() OVER (PARTITION BY target ORDER BY visit_rank, pos) AS rn
+    FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1) WHERE kind = 'task'
+  ) WHERE rn = 1
+)
+"""
+
+Q_CRAWL_ROUND_SQL = f"""
+WITH {_ROUND_PAGES_SQL}
+SELECT CAST(row_number() OVER (ORDER BY visit_rank, pos) AS BIGINT) AS file_idx,
+       file_url,
+       lpad(CAST(row_number() OVER (ORDER BY visit_rank, pos) AS VARCHAR), 6, '0')
+         || '.' || regexp_extract(file_url, '\\.([^./]*)$', 1) AS filename
+FROM tasks
+"""
+
+Q_CRAWL_ORDER_SQL = f"""
+WITH {_ROUND_PAGES_SQL}
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles (VERDICT "Next round" #4): SRP hyperplanes and the IVF seed
+# codebook folded into SQL so ann_srp / ann_ivf get full value-hash checks
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64          # driver testdata embedding dimension (TESTDATA.md)
+_SRP_PLANES = 4
+_SRP_SEED = 42
+_ANN_K = 5
+_IVF_K = 8
+_IVF_NPROBE = 3
+
+
+def q_ann_srp2(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH bucketed ANN, now fully oracled: the seed-42 hyperplanes are
+    deterministic, so the SQL carries them as literal double arrays and
+    reproduces bucket assignment + Hamming-1 multiprobe + rerank exactly."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = similarity.srp_topk(emb, list(range(10)), k=_ANN_K,
+                              n_planes=_SRP_PLANES, seed=_SRP_SEED,
+                              multiprobe_hamming=1, dim=EMB_DIM)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "cos")
+
+
+def _srp_sql() -> str:
+    planes = similarity.srp_hyperplanes(EMB_DIM, _SRP_PLANES, _SRP_SEED)
+    lits = ["[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_SRP_PLANES))
+    probes = ",".join(str(m) for m in [0] + [1 << b for b in range(_SRP_PLANES)])
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM b WHERE vec_id < 10),
+qx AS (SELECT query_id, qe, xor(qbucket, m) AS bucket
+       FROM q, (SELECT unnest([{probes}]) AS m)),
+scored AS (
+  SELECT DISTINCT qx.query_id, b.vec_id AS nid,
+         round(list_dot_product(qx.qe, b.e) /
+               (sqrt(list_dot_product(qx.qe, qx.qe)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM qx JOIN b USING (bucket) WHERE b.vec_id != qx.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_ivf2(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a SQL-expressible deterministic codebook: seed centroids
+    are the first K vectors with vec_id % (total//K) == 0 (iters=0 — the
+    Lloyd-refined path keeps its recall pytest; this query oracles the
+    inverted-file machinery itself: assignment, nprobe cell join, rerank)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = similarity.ivf_topk(emb, list(range(10)), k=_ANN_K,
+                              n_centroids=_IVF_K, nprobe=_IVF_NPROBE, iters=0,
+                              seed_mode="modulo")
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "cos")
+
+
+Q_ANN_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT count(*) AS total FROM v),
+seeds AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS c
+    FROM v, n WHERE vec_id % greatest(total // {_IVF_K}, 1) = 0)
+  WHERE cid < {_IVF_K}
+),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, s.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.e, s.c) DESC, s.cid) AS rn
+    FROM v CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, s.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.e, s.c) DESC, s.cid) AS pr
+    FROM v q CROSS JOIN seeds s WHERE q.vec_id < 10)
+  WHERE pr <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT qp.query_id, a.vec_id AS nid,
+         round(list_dot_product(q.e, a.e) /
+               (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(a.e, a.e))), 6) AS cos
+  FROM qp JOIN assigned a ON a.cid = qp.cid
+  JOIN v q ON q.vec_id = qp.query_id
+  WHERE a.vec_id != qp.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries2():
+    return {
+        "simple_se_feed": q_simple_se_feed,
+        "baidu_feed": q_baidu_feed,
+        "flickr_feed": q_flickr_feed,
+        "keep_file": q_keep_file,
+        "google_parse": q_google_parse,
+        "bing_parse": q_bing_parse,
+        "flickr_parse": q_flickr_parse,
+        "crawl_round_full": q_crawl_round,
+        "crawl_order_full": q_crawl_order,
+    }
+
+
+def oracle_sql2():
+    return {
+        "simple_se_feed": Q_SIMPLE_SE_SQL,
+        "baidu_feed": Q_BAIDU_FEED_SQL,
+        "flickr_feed": Q_FLICKR_FEED_SQL,
+        "keep_file": Q_KEEP_FILE_SQL,
+        "google_parse": Q_GOOGLE_PARSE_SQL,
+        "bing_parse": Q_BING_PARSE_SQL,
+        "flickr_parse": Q_FLICKR_PARSE_SQL,
+        "crawl_round_full": Q_CRAWL_ROUND_SQL,
+        "crawl_order_full": Q_CRAWL_ORDER_SQL,
+    }

@@ -1,0 +1,91 @@
+"""Proxy pool — fetcher-config stub (SURVEY.md §2.8, C5/W4).
+
+The reference maintains a live-validated pool with weighted rotation and
+JSON persistence (/root/reference/icrawler/utils/proxy_pool.py:114-199).
+This environment has no live HTTP, so scanning/validation is explicitly out
+of scope; what a distributed fetch stage actually needs from the pool is:
+
+- a serializable pool (save/load the reference's {addr, protocol, weight}
+  JSON shape, proxy_pool.py:145-166);
+- a *deterministic, cluster-reproducible* per-URL proxy assignment — the
+  Spark replacement for the reference's driver-side ``get_next`` mutable
+  rotation (proxy_pool.py:113-143), which cannot exist on 1000 executors.
+  ``proxy_col`` folds the pool into a literal array and picks by
+  ``xxhash64(url)``, weight-proportionally (each proxy appears
+  round(weight*10) times in the pick array), so every executor agrees on
+  the assignment without coordination and a retry of the same URL reuses
+  the same proxy.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Proxy:
+    """Mirror of utils/proxy_pool.py:25-60 (minus live ``last_checked``)."""
+
+    addr: str
+    protocol: str = "http"
+    weight: float = 1.0
+
+    def format(self) -> dict:
+        # requests-session shape (proxy_pool.py:40-47)
+        return {self.protocol: f"{self.protocol}://{self.addr}"}
+
+
+@dataclass
+class ProxyPool:
+    proxies: list[Proxy] = field(default_factory=list)
+
+    def add_proxy(self, proxy: Proxy) -> None:
+        if not any(p.addr == proxy.addr and p.protocol == proxy.protocol
+                   for p in self.proxies):
+            self.proxies.append(proxy)
+
+    def proxy_num(self, protocol: str | None = None) -> int:
+        if protocol is None:
+            return len(self.proxies)
+        return sum(1 for p in self.proxies if p.protocol == protocol)
+
+    def save(self, path: str) -> None:
+        """JSON shape of proxy_pool.py:145-152: {protocol: [proxy dicts]}."""
+        out: dict[str, list] = {"http": [], "https": []}
+        for p in self.proxies:
+            out.setdefault(p.protocol, []).append(asdict(p))
+        with open(path, "w") as f:
+            json.dump(out, f)
+
+    @classmethod
+    def load(cls, path: str) -> "ProxyPool":
+        with open(path) as f:
+            raw = json.load(f)
+        pool = cls()
+        for protocol, items in raw.items():
+            for it in items:
+                pool.add_proxy(Proxy(it["addr"], protocol,
+                                     float(it.get("weight", 1.0))))
+        return pool
+
+    def _pick_list(self, protocol: str) -> list[str]:
+        picks: list[str] = []
+        for p in self.proxies:
+            if p.protocol != protocol:
+                continue
+            picks.extend([p.addr] * max(1, round(p.weight * 10)))
+        return picks
+
+    def proxy_col(self, url_col: str = "url", protocol: str = "http") -> Column:
+        """Deterministic weight-proportional proxy assignment per URL —
+        NULL when the pool has no proxy for the protocol (direct fetch)."""
+        picks = self._pick_list(protocol)
+        if not picks:
+            return F.lit(None).cast("string")
+        arr = F.array(*[F.lit(a) for a in picks])
+        idx = (F.pmod(F.xxhash64(F.col(url_col)), F.lit(len(picks))) + 1).cast("int")
+        return F.element_at(arr, idx)

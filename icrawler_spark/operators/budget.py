@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-SMALL_RANK_THRESHOLD = 2_000_000
+# Below this row count a single-task window is cheaper than the two-phase
+# shuffle; above it the bare Window.orderBy serializes ALL rows through one
+# task (WindowExec "No Partition Defined" warning). Kept small so any
+# production-shaped round (frontiers are typically ≥10^5 rows) always takes
+# the distributed path — the two-phase ranker costs one extra narrow stage,
+# which is noise at that size.
+SMALL_RANK_THRESHOLD = 100_000
 
 
 def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank",
@@ -39,6 +45,23 @@ def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank
 
         w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
         return df.withColumn(out_col, (F.row_number().over(w) + start - 1).cast("long"))
+    return _two_phase_rank(df, order_cols, out_col, start, num_partitions)[0]
+
+
+def global_row_number_counted(df: DataFrame, order_cols: list[str],
+                              out_col: str = "rank", start: int = 0,
+                              num_partitions: int | None = None
+                              ) -> tuple[DataFrame, int]:
+    """Two-phase total-order rank that also returns the row count — the
+    per-partition counts the ranker collects anyway sum to it, so callers
+    that need both (e.g. the politeness-batched crawl round) spend ONE job
+    instead of a count action plus a rank job."""
+    return _two_phase_rank(df, order_cols, out_col, start, num_partitions)
+
+
+def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
+                    start: int, num_partitions: int | None
+                    ) -> tuple[DataFrame, int]:
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
@@ -70,7 +93,7 @@ def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank
             local += len(pdf)
             yield out
 
-    return parted.mapInPandas(assign, schema=out_schema)
+    return parted.mapInPandas(assign, schema=out_schema), acc - start
 
 
 def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:

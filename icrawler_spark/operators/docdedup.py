@@ -71,13 +71,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 5, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_freq: int | None = None) -> DataFrame:
     """Candidate near-dup pairs by n-gram Jaccard ≥ threshold: (id_a, id_b,
-    jaccard rounded to 6)."""
+    jaccard rounded to 6).
+
+    With ``max_shingle_freq`` set, shingles appearing in more than that many
+    documents are dropped BEFORE both the candidate join and the per-doc size
+    counts, so the reported value is the exact Jaccard of the *pruned* shingle
+    sets — a consistent approximation (both numerator and denominator see the
+    same sets), not a silent underestimate. Pairs whose overlap consists only
+    of stop-shingles are not reported; ``None`` (default) is the exact path."""
     sh = shingle_rows(df, n, text_col, id_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("f")) \
                     .filter(F.col("f") <= max_shingle_freq).select("shingle")
         sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (

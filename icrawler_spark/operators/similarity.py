@@ -87,13 +87,15 @@ def srp_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42,
 
 def srp_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 8,
              seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
-             multiprobe_hamming: int = 1) -> DataFrame:
+             multiprobe_hamming: int = 1, dim: int | None = None) -> DataFrame:
     """Approximate top-k: search only same-bucket (and Hamming-adjacent
     buckets up to ``multiprobe_hamming``) candidates.
 
     Output schema matches cosine_topk so recall can be measured directly.
+    Pass ``dim`` when known to skip the plan-build ``first()`` round-trip.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_planes, seed)
     vecs = emb.select(F.col(id_col).alias("nid"),
                       _as_double(F.col(vec_col)).alias("v"),
@@ -171,39 +173,53 @@ def _matmul_udf(mat: np.ndarray, reducer: str):
 
 
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed_mode: str = "hash") -> np.ndarray:
     """Deterministic IVF codebook: seed centroids are the vectors at evenly
     spaced id ranks, refined by ``iters`` Lloyd steps. The assignment step is
-    a distributed Arrow matmul; the mean step is a distributed applyInPandas
-    per centroid — the driver only ever holds the (K, dim) codebook, never
-    vectors. Returns the unit-normalized codebook."""
+    a distributed Arrow matmul; the mean step is a distributed per-dimension
+    partial aggregation (posexplode → groupBy(cid, dim) with map-side combine)
+    so a hot cell never materializes in one task — the driver only ever holds
+    the (K·dim) sums, never vectors. Returns the unit-normalized codebook."""
     # distributed deterministic seed pick: hash-sample ~n_centroids vectors
-    # (never collects the id universe to the driver)
+    # (never collects the id universe to the driver). The sample size is
+    # binomial around n_centroids — fall back to the first n_centroids ids
+    # when it comes up short (or empty), so the codebook always has exactly
+    # min(n_centroids, |emb|) cells.
     total = emb.count()
+    if total == 0:
+        raise ValueError("ivf_centroids: empty embedding table")
     stride = max(1, total // n_centroids)
-    seed_rows = (emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
-                 .orderBy(id_col).limit(n_centroids).collect())
+    if seed_mode == "modulo":
+        # SQL-expressible rule (id % stride == 0, first K by id) — used by the
+        # driver-oracled query so DuckDB can rebuild the identical codebook
+        seed_rows = (emb.filter(F.col(id_col) % stride == 0)
+                     .orderBy(id_col).limit(n_centroids).collect())
+    else:
+        seed_rows = (emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+                     .orderBy(id_col).limit(n_centroids).collect())
+    if len(seed_rows) < min(n_centroids, total):
+        seed_rows = emb.orderBy(id_col).limit(n_centroids).collect()
     cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    import pandas as pd
-
     for _ in range(iters):
         assigned = emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"))
-
-        def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            c = m.mean(axis=0)
-            c = c / max(np.linalg.norm(c), 1e-12)
-            return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])],
-                                 "centroid": [c.tolist()]})
-
-        rows = assigned.groupBy("cid").applyInPandas(
-            mean_vec, schema="cid long, centroid array<double>").collect()
-        for r in rows:
-            cents[r["cid"]] = np.asarray(r["centroid"], dtype=np.float64)
+            _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"),
+            _as_double(F.col(vec_col)).alias("v"))
+        # Lloyd mean, distributed: (cid, dim, val) partial sums — map-side
+        # combine keeps shuffle rows at K·dim per partition regardless of
+        # cell skew; the collect is K·dim scalars, O(codebook) not O(cell)
+        sums = (assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+                .collect())
+        means: dict[int, np.ndarray] = {}
+        for r in sums:
+            means.setdefault(int(r["cid"]),
+                             np.zeros(cents.shape[1]))[int(r["dim"])] = r["s"] / r["c"]
+        for cid, vec in means.items():
+            cents[cid] = vec / max(np.linalg.norm(vec), 1e-12)
     return cents
 
 
@@ -218,13 +234,14 @@ def ivf_assign(emb: DataFrame, cents: np.ndarray, id_col: str = "vec_id",
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed_mode: str = "hash") -> DataFrame:
     """IVF approximate top-k: rerank exactly within the query's ``nprobe``
     nearest centroid cells. Output schema matches cosine_topk."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    cents = ivf_centroids(emb, n_centroids, iters, id_col, vec_col, seed_mode)
     vecs = emb.select(F.col(id_col).alias("nid"),
                       _as_double(F.col(vec_col)).alias("v"),
                       _matmul_udf(cents, "argmax")(F.col(vec_col)).alias("cid"))
@@ -236,7 +253,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             return pd.Series([], dtype=object)
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in qvecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ mat_t), axis=1)[:, :nprobe]
+        # stable sort: probe-order ties break by centroid id, matching the
+        # SQL oracle's ORDER BY score DESC, cid
+        order = np.argsort(-(m @ mat_t), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.tolist() for row in order])
 
     probes.__annotations__ = {"qvecs": pd.Series, "return": pd.Series}

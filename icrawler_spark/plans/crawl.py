@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icrawler_spark.operators.budget import global_row_number
+from icrawler_spark.operators.budget import global_row_number, global_row_number_counted
 from icrawler_spark.operators.dedup import (
     BloomSeenFilter,
     anti_join_seen,
@@ -50,7 +50,9 @@ class CrawlConfig:
     max_num: int = 0                    # 0 = unbounded (downloader.py:86-90)
     min_size: tuple | None = None       # (w,h) lower bound (downloader.py:242-263)
     max_size: tuple | None = None
-    file_idx_offset: int = 0            # downloader.py:44-58
+    # int, or 'auto' = resume numbering from max(file_idx) of the catalog's
+    # fetched table (downloader.py:44-58, storage/filesystem.py:33-42)
+    file_idx_offset: int | str = 0
     default_ext: str = "jpg"
     robots: DataFrame | None = None     # north-rule politeness; None = parity
     round_seconds: float | None = None  # token-bucket window; None = parity
@@ -131,20 +133,36 @@ def _filename_col(cfg: CrawlConfig):
     return F.concat(F.lpad(F.col("file_idx").cast("string"), 6, "0"), F.lit("."), final_ext)
 
 
-_BROADCAST_FRONTIER_MAX = 2_000_000
+# Broadcast ceiling for the frontier side of the fetch join, in estimated
+# bytes (URL chars + per-row overhead), NOT rows: a row-count cap admits
+# arbitrarily large broadcasts as URLs grow, and 2M URL rows ≈ hundreds of MB
+# resident on the driver AND every executor — cluster OOM territory. 32 MB is
+# comfortably within Spark's driver/executor headroom at any URL length.
+_BROADCAST_FRONTIER_MAX_BYTES = 32 << 20
+# serialized UnsafeRow overhead per (url, visit_rank) frontier row: 8B field
+# offsets + 8B long + null bits + object headers in the broadcast hash map
+_FRONTIER_ROW_OVERHEAD = 48
+
+
+def frontier_stats(frontier: DataFrame, url_col: str = "url") -> tuple[int, int]:
+    """(row count, estimated broadcast bytes) in ONE action."""
+    row = frontier.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length(url_col)), F.lit(0)).alias("url_bytes")).collect()[0]
+    return int(row["n"]), int(row["url_bytes"]) + int(row["n"]) * _FRONTIER_ROW_OVERHEAD
 
 
 def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
-                select_cols: list[str], n_frontier: int | None = None) -> DataFrame:
+                select_cols: list[str], est_bytes: int | None = None) -> DataFrame:
     """frontier ⋈ pages ON url, with bucket pruning when the pages table is
     bucket-partitioned (Iceberg bucket(url) stand-in): the frontier's distinct
     bucket ids (≤ n_buckets values) become a partition filter on the scan.
 
-    The frontier side broadcasts only while the round batch is small
-    (n_frontier ≤ _BROADCAST_FRONTIER_MAX); beyond that the join degrades to
-    a shuffled hash/sort-merge join — the pages side is still pruned, and at
-    real scale a storage-partitioned (bucket-aligned) join avoids shuffling
-    the pages side at all."""
+    The frontier side broadcasts only while its estimated size fits
+    ``_BROADCAST_FRONTIER_MAX_BYTES``; beyond that (or when the size is
+    unknown) the hint is omitted and AQE picks the strategy at runtime — the
+    pages side is still pruned, and at real scale a storage-partitioned
+    (bucket-aligned) join avoids shuffling the pages side at all."""
     right = pages
     if cfg.pages_buckets and "bucket" in pages.columns:
         # partition pruning: the frontier's distinct bucket ids (≤ n_buckets
@@ -159,12 +177,29 @@ def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
     else:
         right = right.drop("bucket") if "bucket" in right.columns else right
     left = frontier
-    if n_frontier is None or n_frontier <= _BROADCAST_FRONTIER_MAX:
+    if est_bytes is not None and est_bytes <= _BROADCAST_FRONTIER_MAX_BYTES:
         left = F.broadcast(frontier)
     return left.join(right, on="url", how="inner").select(select_cols)
 
 
 _FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round", "attempts"]
+
+
+def resolve_file_idx_offset(cfg: CrawlConfig, catalog: "RoundCatalog | None") -> int:
+    """``file_idx_offset='auto'`` (downloader.py:44-58): resume file numbering
+    from the max committed file_idx — a MAX() over the catalog's fetched
+    table, the distributed equivalent of the reference's storage.max_file_idx
+    scan (storage/filesystem.py:33-42). Plain ints pass through; 'auto'
+    without a catalog (nothing fetched before) resolves to 0."""
+    if cfg.file_idx_offset != "auto":
+        return int(cfg.file_idx_offset)
+    if catalog is None:
+        return 0
+    fetched = catalog.read("fetched")
+    if fetched is None:
+        return 0
+    m = fetched.agg(F.max("file_idx")).collect()[0][0]
+    return int(m or 0)
 
 
 class GreedyCrawl:
@@ -184,8 +219,12 @@ class GreedyCrawl:
         """Truncate lineage so per-round accumulation stays O(1) in plan size."""
         return df.localCheckpoint(eager=True)
 
-    def run(self, seed_domains: list[str]) -> CrawlResult:
+    def run(self, seed_domains: list[str] | str) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
+        # a bare string domain means one domain (builtin/greedy.py:81-82),
+        # not an iterable of characters
+        if isinstance(seed_domains, str):
+            seed_domains = [seed_domains]
         domains = normalize_domains(list(seed_domains))
 
         seeds = spark.createDataFrame(
@@ -253,6 +292,7 @@ class GreedyCrawl:
         spark, cfg = self.spark, self.cfg
         import time as _time
 
+        idx_offset = resolve_file_idx_offset(cfg, self.catalog)
         if seen_pages is None:
             seen_pages = self._pin(frontier.select("url"))
         seen_pages_parts: list[DataFrame] = [seen_pages]
@@ -279,7 +319,7 @@ class GreedyCrawl:
                 stop_reason = "reach_max_num"
                 break
             t0 = _time.time()
-            n_frontier = frontier.count()
+            n_frontier, frontier_bytes = frontier_stats(frontier)
             if n_frontier == 0:
                 break
 
@@ -300,13 +340,16 @@ class GreedyCrawl:
 
             # visit-rank assignment — distributed total order (O1)
             if politeness_on:
-                active = self._pin(active)
-                n_visit = active.count()
+                # counted two-phase ranker: the batch count rides along with
+                # rank assignment (no separate pin+count action per round)
+                ranked, n_visit = global_row_number_counted(
+                    active, order_cols, "visit_rank", start=visited)
+                ranked = self._pin(ranked)
             else:
                 n_visit = n_frontier
-            ranked = self._pin(global_row_number(
-                active, order_cols, "visit_rank", start=visited,
-                known_count=n_visit))
+                ranked = self._pin(global_row_number(
+                    active, order_cols, "visit_rank", start=visited,
+                    known_count=n_visit))
             if cfg.priority is not None:
                 ranked = ranked.drop("__priority")
             visited += n_visit
@@ -315,10 +358,12 @@ class GreedyCrawl:
                 "visit_rank", "url", F.lit(rnd).alias("round"),
                 F.col("parent"), F.col("pos").alias("link_pos"))
 
-            # fetch: join the pages table (bucket-pruned scan)
+            # fetch: join the pages table (bucket-pruned scan); broadcast
+            # decision from the measured frontier bytes, scaled to the batch
+            est_bytes = int(frontier_bytes * n_visit / n_frontier) if n_frontier else 0
             fetched_pages = _fetch_join(
                 ranked.select("url", "visit_rank"), self.pages, cfg,
-                ["url", "visit_rank", "html", "text"], n_frontier=n_visit)
+                ["url", "visit_rank", "html", "text"], est_bytes=est_bytes)
             if cfg.salt > 1:
                 fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
             texts_rows = fetched_pages.select("url", "text")
@@ -357,7 +402,7 @@ class GreedyCrawl:
             if cfg.max_num > 0:
                 fetch_commit = fetch_commit.filter(F.col("kept_rank") < cfg.max_num)
             fetch_commit = fetch_commit.select(
-                (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
+                (F.col("kept_rank") + 1 + idx_offset).alias("file_idx"),
                 "file_url").withColumn("filename", _filename_col(cfg))
 
             if cutoff_rank is not None:
@@ -549,7 +594,7 @@ class UrlListCrawl:
         if cfg.max_num > 0:
             kept = kept.filter(F.col("kept_rank") < cfg.max_num)
         fetched = kept.select(
-            (F.col("kept_rank") + 1 + cfg.file_idx_offset).alias("file_idx"),
+            (F.col("kept_rank") + 1 + resolve_file_idx_offset(cfg, None)).alias("file_idx"),
             "file_url").withColumn("filename", _filename_col(cfg))
         return CrawlResult(
             order=order, seen_pages=ranked.select("url"),

@@ -45,3 +45,9 @@ class CrawlPlugins:
     parse: ParseBatchFn | None = None     # replaces the greedy HTML extractor
     keep: Column | None = None            # replaces the min/max-size keep_file
     filename: Column | None = None        # replaces %06d.ext naming
+    # Downloader.process_meta override (downloader.py:157-167,
+    # docs/extend.rst:110-118): a Column over the fetched row (``meta``,
+    # ``file_url``, ``file_idx``, ...) that transforms the task's meta before
+    # it is committed — the declarative version of the reference's
+    # mutate-the-task-dict hook. None keeps meta untouched.
+    process_meta: Column | None = None

@@ -47,33 +47,69 @@ def dedup_in_stream(stream_df, watermark: str = "10 minutes"):
             .dropDuplicates(["url"]))
 
 
+FRONTIER_BUCKETS = 32
+
+
+def _frontier_nonempty(frontier_path: str) -> bool:
+    return os.path.isdir(frontier_path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(frontier_path) for f in fs)
+
+
 def start_frontier_ingest(
     spark: SparkSession,
     source_dir: str,
     state_dir: str,
     available_now: bool = True,
+    n_buckets: int = FRONTIER_BUCKETS,
+    bloom_capacity: int = 1_000_000,
 ):
     """Stream URLs from ``source_dir`` into a persistent frontier table with
     exact cross-restart dedup.
 
     Layout under state_dir: ``checkpoint/`` (stream offsets+state),
-    ``frontier/`` (parquet of novel urls, appended per micro-batch).
-    Returns the StreamingQuery.
+    ``frontier/bucket=N/`` (novel urls, hash-bucketed by url — the Iceberg
+    ``bucket(url)`` stand-in). Returns the StreamingQuery.
+
+    Per-batch cost does NOT grow with total ingested volume: the seen-side
+    anti-join reads only the bucket partitions the batch actually touches
+    (partition-pruned scan), and a driver-held Bloom filter — absorbed
+    incrementally per batch, rebuilt from the frontier table on restart —
+    routes definitely-new URLs around the join entirely. False positives
+    cost a pruned-scan join row, never a dropped/duplicated URL.
     """
     frontier_path = os.path.join(state_dir, "frontier")
     checkpoint = os.path.join(state_dir, "checkpoint")
 
     stream = dedup_in_stream(read_url_stream(spark, source_dir))
 
+    # cross-batch Bloom state (driver-held; bitmaps only, never URLs).
+    # On restart, rebuilt from the committed frontier table — one distributed
+    # absorb, after which every batch is again O(batch) not O(total).
+    state = {"bloom": None}
+
     def process_batch(batch_df: DataFrame, batch_id: int):
-        novel = batch_df.select("url").distinct()
-        if os.path.isdir(frontier_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(frontier_path) for f in fs
-        ):
-            seen = batch_df.sparkSession.read.parquet(frontier_path).select("url")
-            novel = novel.join(seen, "url", "left_anti")
-        novel.withColumn("batch_id", F.lit(batch_id)) \
-             .write.mode("append").parquet(frontier_path)
+        from icrawler_spark.operators.dedup import BloomSeenFilter, anti_join_seen_bloom
+
+        ss = batch_df.sparkSession
+        novel = batch_df.select("url").distinct().withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+        novel = novel.localCheckpoint(eager=True)
+        if _frontier_nonempty(frontier_path):
+            if state["bloom"] is None:
+                state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
+                state["bloom"].absorb(
+                    ss.read.parquet(frontier_path).select("url"), "url")
+            # partition pruning: only the batch's buckets are scanned
+            buckets = [r["bucket"] for r in novel.select("bucket").distinct().collect()]
+            seen = (ss.read.parquet(frontier_path)
+                    .filter(F.col("bucket").isin(buckets)).select("url"))
+            novel = anti_join_seen_bloom(novel, seen, state["bloom"], "url")
+        elif state["bloom"] is None:
+            state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
+        novel = novel.localCheckpoint(eager=True)
+        (novel.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").partitionBy("bucket").parquet(frontier_path))
+        state["bloom"].absorb(novel.select("url"), "url")
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -1,0 +1,90 @@
+"""Debug harness: run a subset of queries()/oracle_sql() through the driver
+comparison at sf0.01 without the whole pytest suite. Usage:
+    python scripts/check_new_queries.py [name ...]
+"""
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "8g")
+             .appName("check_new").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    names = sys.argv[1:] or sorted(qs)
+    failed = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spark_cols = list(sdf.columns)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            if name not in os_:
+                print(f"{name}: rows-only, {len(spark_rows)} rows")
+                continue
+            res = con.execute(os_[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            ok_cols = sorted(spark_cols) == sorted(duck_cols)
+            ok_rows = len(spark_rows) == len(duck_rows)
+            sv = _value_rows(spark_rows, spark_cols)
+            dv = _value_rows(duck_rows, duck_cols)
+            ok_hash = sv == dv
+            status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
+            print(f"{name}: {status} cols={ok_cols} rows={ok_rows}({len(spark_rows)}/{len(duck_rows)}) hash={ok_hash}")
+            if not (ok_cols and ok_rows and ok_hash):
+                failed.append(name)
+                if not ok_cols:
+                    print(f"  spark cols: {spark_cols}\n  duck cols:  {duck_cols}")
+                diffs = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+                for a, b in diffs:
+                    print(f"  spark: {a}\n  duck:  {b}")
+                only_s = [x for x in sv if x not in set(dv)][:3]
+                only_d = [x for x in dv if x not in set(sv)][:3]
+                if only_s:
+                    print(f"  only-spark: {only_s}")
+                if only_d:
+                    print(f"  only-duck:  {only_d}")
+        except Exception as e:
+            failed.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+    print("FAILED:" if failed else "ALL OK", failed)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,92 @@ def test_greedy_engine_delegates(spark):
     res = GreedyImageCrawl(spark, pages).crawl(["hostg.test"], max_num=5)
     assert [r["file_url"] for r in res.fetched.collect()] == [
         "http://hostg.test/a-10x10.jpg"]
+
+
+def test_greedy_engine_accepts_string_domain(spark):
+    """Reference accepts a bare string domain (builtin/greedy.py:81-82) —
+    must not be exploded into characters."""
+    from icrawler_spark.engines import GreedyImageCrawl
+
+    rows = [("http://hostg.test",
+             b'<img src="http://hostg.test/a-10x10.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    res = GreedyImageCrawl(spark, pages).crawl("hostg.test", max_num=5)
+    assert [r["file_url"] for r in res.fetched.collect()] == [
+        "http://hostg.test/a-10x10.jpg"]
+
+
+def test_engine_cfg_fields_preserved(spark):
+    """Constructor-supplied CrawlConfig fields (e.g. default_ext) must
+    survive crawl()'s kwarg overlay (dataclasses.replace, not a rebuild)."""
+    from icrawler_spark.plans.crawl import CrawlConfig
+
+    # 'noextjpg' matches the parser regex (any char before jpg) but its URL
+    # path has no dot-extension → filename falls back to cfg.default_ext
+    bodies = ['<script>["http://i.test/noextjpg"]</script>']
+    responses = _google_responses(spark, "cats", 1, bodies)
+    eng = GoogleImageCrawl(spark, responses, cfg=CrawlConfig(default_ext="png"))
+    res = eng.crawl("cats", max_num=10)
+    assert [r["filename"] for r in res.fetched.collect()] == ["000001.png"]
+
+
+def test_flickr_meta_survives_and_process_meta(spark):
+    """FlickrParser meta rides through to fetched (downloader.py:157-167);
+    the process_meta plugin transforms it."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.plans.crawl import CrawlConfig
+    from icrawler_spark.plugins import CrawlPlugins
+
+    page = json.dumps({"stat": "ok", "photos": {"photo": [
+        {"id": "p1", "title": "hello"}]}})
+    feed = feeders.flickr_feed(spark, "KEY", 100, per_page=100)
+    urls = [r["url"] for r in feed.collect()]
+    responses = spark.createDataFrame([(urls[0], page)], "url string, body string")
+    sizes = spark.createDataFrame(
+        [("p1", json.dumps({"stat": "ok", "sizes": {"size": [
+            {"label": "Large", "source": "http://f.test/l1.jpg"}]}}))],
+        "photo_id string, body string")
+
+    res = FlickrImageCrawl(spark, responses, sizes).crawl(
+        "KEY", max_num=100, per_page=100)
+    row = res.fetched.collect()[0]
+    assert row["meta"]["id"] == "p1" and row["meta"]["title"] == "hello"
+
+    plugins = CrawlPlugins(process_meta=F.map_from_arrays(
+        F.array(F.lit("upper_title")),
+        F.array(F.upper(F.col("meta")["title"]))))
+    res2 = FlickrImageCrawl(spark, responses, sizes,
+                            cfg=CrawlConfig(plugins=plugins)).crawl(
+        "KEY", max_num=100, per_page=100)
+    assert res2.fetched.collect()[0]["meta"]["upper_title"] == "HELLO"
+
+
+def test_file_idx_offset_auto(spark, tmp_path):
+    """K4 'auto' (downloader.py:44-58): numbering resumes from max(file_idx)
+    of the catalog's fetched table."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.plans.crawl import (
+        CrawlConfig, GreedyCrawl, resolve_file_idx_offset)
+    from icrawler_spark.storage.catalog import RoundCatalog
+
+    root = str(tmp_path / "cat")
+    catalog = RoundCatalog(spark, root)
+    prior = spark.createDataFrame(
+        [(i, f"http://h.test/{i}.jpg", f"{i:06d}.jpg") for i in range(1, 8)],
+        "file_idx long, file_url string, filename string")
+    catalog.append(prior, "fetched", 0)
+
+    cfg = CrawlConfig(file_idx_offset="auto", checkpoint_dir=root)
+    assert resolve_file_idx_offset(cfg, catalog) == 7
+    assert resolve_file_idx_offset(CrawlConfig(file_idx_offset=3), None) == 3
+    assert resolve_file_idx_offset(CrawlConfig(file_idx_offset="auto"), None) == 0
+
+    rows = [("http://hostg.test",
+             b'<img src="http://hostg.test/a-10x10.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    res = GreedyCrawl(spark, pages, cfg).run(["hostg.test"])
+    fetched = res.fetched.filter(F.col("file_url").contains("hostg")).collect()
+    assert [r["file_idx"] for r in fetched] == [8]
+    assert [r["filename"] for r in fetched] == ["000008.jpg"]

@@ -67,3 +67,39 @@ def test_partial_plugins_keep_defaults(spark):
     res = GreedyCrawl(spark, pages, cfg).run(["hostp.test"])
     fetched = [(r["file_idx"], r["filename"]) for r in res.fetched.collect()]
     assert fetched == [(1, "000001.jpg")]
+
+
+def test_proxy_pool_stub(spark, tmp_path):
+    """C5/W4 fetcher-config stub: save/load roundtrip + deterministic
+    weight-proportional per-URL assignment (utils/proxy_pool.py:114-199)."""
+    from icrawler_spark.functions.proxy import Proxy, ProxyPool
+
+    pool = ProxyPool()
+    pool.add_proxy(Proxy("10.0.0.1:8080", "http", weight=1.0))
+    pool.add_proxy(Proxy("10.0.0.2:8080", "http", weight=0.5))
+    pool.add_proxy(Proxy("10.0.0.3:443", "https", weight=1.0))
+    pool.add_proxy(Proxy("10.0.0.1:8080", "http"))  # dup ignored
+    assert pool.proxy_num() == 3 and pool.proxy_num("http") == 2
+
+    p = str(tmp_path / "proxies.json")
+    pool.save(p)
+    loaded = ProxyPool.load(p)
+    assert {x.addr for x in loaded.proxies} == {x.addr for x in pool.proxies}
+    assert loaded.proxies[0].format() == {"http": "http://10.0.0.1:8080"}
+
+    urls = spark.createDataFrame(
+        [(f"http://h{i}.test/p/{i}",) for i in range(200)], "url string")
+    picked = urls.withColumn("proxy", loaded.proxy_col("url"))
+    rows = picked.collect()
+    counts = {}
+    for r in rows:
+        counts[r["proxy"]] = counts.get(r["proxy"], 0) + 1
+    # weight 1.0 vs 0.5 => roughly 2:1 assignment; both used; deterministic
+    assert set(counts) == {"10.0.0.1:8080", "10.0.0.2:8080"}
+    assert counts["10.0.0.1:8080"] > counts["10.0.0.2:8080"]
+    again = {r["url"]: r["proxy"] for r in urls.withColumn(
+        "proxy", loaded.proxy_col("url")).collect()}
+    assert all(again[r["url"]] == r["proxy"] for r in rows)
+    # empty protocol => NULL (direct fetch)
+    assert urls.withColumn("proxy", ProxyPool().proxy_col("url")) \
+               .filter("proxy IS NOT NULL").count() == 0
