@@ -43,9 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
     new = frontier.join(seen, "url", "left_anti")
     w_host = Window.partitionBy("host").orderBy("ts", "event_id")
     batch = new.withColumn("slot", F.row_number().over(w_host)).filter(F.col("slot") <= 2)
-    w_all = Window.orderBy("ts", "event_id")
-    ranked = batch.withColumn("file_idx", F.row_number().over(w_all).cast("long")) \
-                  .filter(F.col("file_idx") <= 100)
+    from icrawler_spark.operators.budget import global_row_number
+
+    ranked = global_row_number(batch, ["ts", "event_id"], "file_idx", start=1) \
+        .filter(F.col("file_idx") <= 100)
     ext = F.regexp_extract("url", r"\.([^./]*)$", 1)
     final_ext = F.when(F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)), ext).otherwise("jpg")
     return ranked.select(

@@ -73,8 +73,9 @@ def q_urllist_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     feed = feed.filter((F.col("feed_rank") >= 10) & (F.col("feed_rank") < 10 + 200))
     w_dup = Window.partitionBy("url").orderBy("feed_rank")
     uniq = feed.withColumn("rn", F.row_number().over(w_dup)).filter("rn = 1").drop("rn")
-    w = Window.orderBy("feed_rank")
-    ranked = uniq.withColumn("visit_rank", (F.row_number().over(w) - 1).cast("long"))
+    from icrawler_spark.operators.budget import global_row_number
+
+    ranked = global_row_number(uniq, ["feed_rank"], "visit_rank", start=0)
     ext = F.regexp_extract("url", r"\.([^./]*)$", 1)
     final_ext = F.when(F.lower(ext).isin(list(IMAGE_EXT_WHITELIST)), ext).otherwise("jpg")
     return ranked.select(

@@ -22,13 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# Below this row count a single-task window is cheaper than the two-phase
-# shuffle; above it the bare Window.orderBy serializes ALL rows through one
-# task (WindowExec "No Partition Defined" warning). Kept small so any
-# production-shaped round (frontiers are typically ≥10^5 rows) always takes
-# the distributed path — the two-phase ranker costs one extra narrow stage,
-# which is noise at that size.
-SMALL_RANK_THRESHOLD = 100_000
+# Target rows per range partition when the caller supplies the row count:
+# sizes the two-phase rank to the data, so a 500-row facade job uses one
+# partition (same cost as a single window, minus the WindowExec warning and
+# the scale cliff) while a 10^8-row production round fans out to every core.
+RANK_ROWS_PER_PARTITION = 20_000
 
 
 def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank",
@@ -36,15 +34,14 @@ def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rank
                       known_count: int | None = None) -> DataFrame:
     """Total-order contiguous rank (start, start+1, ...) by order_cols.
 
-    Adaptive: when the caller already knows the row count and it's small, a
-    single-task window is cheaper than the two-phase shuffle; at scale the
-    two-phase path avoids the single-task bottleneck entirely.
+    ALWAYS the two-phase distributed path — a bare ``Window.orderBy`` (single
+    task for ALL rows, however many) never appears in any plan. When the
+    caller knows the row count, the range-partition count is sized to it;
+    otherwise it defaults to the session parallelism.
     """
-    if known_count is not None and known_count <= SMALL_RANK_THRESHOLD:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
-        return df.withColumn(out_col, (F.row_number().over(w) + start - 1).cast("long"))
+    if num_partitions is None and known_count is not None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        num_partitions = max(1, min(par, known_count // RANK_ROWS_PER_PARTITION + 1))
     return _two_phase_rank(df, order_cols, out_col, start, num_partitions)[0]
 
 

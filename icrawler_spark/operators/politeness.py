@@ -53,12 +53,17 @@ def politeness_batch(
     round_seconds: float | None,
     order_cols: list[str],
     url_col: str = "url",
+    pin=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (fetch_now, deferred) for this round.
 
     Each host gets ``max(1, floor(round_ms / crawl_delay_ms))`` slots; hosts
     without a robots row (or delay 0) are uncapped. ``round_seconds=None``
     disables the token bucket entirely (parity mode).
+
+    ``pin`` (df → df, e.g. localCheckpoint): when given, the marked frame is
+    materialized ONCE before the take/defer split, so the robots join + host
+    window execute once per round instead of once per consumer branch.
     """
     if robots is None or round_seconds is None:
         return frontier, frontier.limit(0)
@@ -75,7 +80,11 @@ def politeness_batch(
     ranked = j.withColumn("__hrn", F.row_number().over(w))
     take = F.col("__slots").isNull() | (F.col("__hrn") <= F.col("__slots"))
     cols = frontier.columns
-    return ranked.filter(take).select(cols), ranked.filter(~take).select(cols)
+    marked = ranked.select(*cols, take.alias("__take"))
+    if pin is not None:
+        marked = pin(marked)
+    return (marked.filter(F.col("__take")).select(cols),
+            marked.filter(~F.col("__take")).select(cols))
 
 
 def salted_repartition(df: DataFrame, url_col: str = "url", salt: int = 8,

@@ -334,7 +334,7 @@ class GreedyCrawl:
             politeness_on = cfg.robots is not None or cfg.round_seconds is not None
             active = apply_robots(frontier_r, cfg.robots)
             active, deferred = politeness_batch(
-                active, cfg.robots, cfg.round_seconds, order_cols)
+                active, cfg.robots, cfg.round_seconds, order_cols, pin=self._pin)
             if cfg.priority is not None:
                 deferred = deferred.drop("__priority")
 

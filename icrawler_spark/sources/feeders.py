@@ -34,11 +34,12 @@ def url_list_feed(spark: SparkSession, url_list, offset: int = 0, max_num: int =
             .select(F.col("value").alias("url"))
             .withColumn("feed_rank", F.monotonically_increasing_id())
         )
-        # text files preserve line order per file; re-rank to be explicit
-        from pyspark.sql import Window
+        # text files preserve line order per file; re-rank to contiguous
+        # explicit ranks — distributed (a url-list file can be huge)
+        from icrawler_spark.operators.budget import global_row_number
 
-        df = df.withColumn(
-            "feed_rank", F.row_number().over(Window.orderBy("feed_rank")) - 1)
+        df = global_row_number(df.withColumnRenamed("feed_rank", "__mono"),
+                               ["__mono"], "feed_rank", start=0).drop("__mono")
     else:
         df = spark.createDataFrame(
             [(u, i) for i, u in enumerate(url_list)], "url string, feed_rank long")

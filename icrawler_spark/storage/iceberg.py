@@ -1,0 +1,114 @@
+"""Iceberg-backed RoundCatalog binding (SURVEY.md §1.5, VERDICT missing #6).
+
+``RoundCatalog`` (catalog.py) is the engine's only storage interface; this
+module provides the real-Iceberg implementation of the same interface for
+clusters where an Iceberg catalog is configured
+(``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``).
+The sandbox has no iceberg-spark-runtime jar, so nothing here can execute
+locally — ``iceberg_available`` detects that honestly and the parquet
+stand-in remains the tested default. The mapping:
+
+| engine call                   | Iceberg operation                          |
+|-------------------------------|--------------------------------------------|
+| ``append(df, table, rnd)``    | ``df.withColumn('round', …).writeTo(t).append()`` — one snapshot per append |
+| ``read(table, upto)``         | ``spark.table(t).filter(round <= upto)`` (partition-pruned: tables are ``PARTITIONED BY round``; pages additionally ``bucket(N, url)``) |
+| ``commit_round(rnd, state)``  | append to the ``crawl_state`` table — the snapshot containing the state row IS the commit marker |
+| ``last_committed_round()``    | ``max(round)`` over ``crawl_state``         |
+| ``drop_rounds_after(rnd)``    | ``DELETE FROM t WHERE round > rnd`` (Iceberg transactional delete) — crash-recovery rollback |
+
+Resumability semantics match the parquet stand-in exactly: data appended for
+round N is only *considered committed* once the state row for N exists, and
+``drop_rounds_after`` removes late/uncommitted data before a resume.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TABLES_WITH_URL_BUCKETS = {"pages"}
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    """True when an Iceberg SparkCatalog is configured AND its classes load."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if not impl:
+        return False
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(impl)
+        return True
+    except Exception:
+        return False
+
+
+class IcebergRoundCatalog:
+    """Drop-in RoundCatalog over Iceberg tables ``<catalog>.<namespace>.*``."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str,
+                 pages_buckets: int = 64):
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured (set "
+                f"spark.sql.catalog.{catalog} = org.apache.iceberg.spark.SparkCatalog "
+                "and ship iceberg-spark-runtime). Use storage.catalog.RoundCatalog "
+                "(the parquet stand-in) in environments without the runtime jar.")
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.pages_buckets = pages_buckets
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _t(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def _ensure(self, df: DataFrame, table: str) -> None:
+        if self.spark.catalog.tableExists(self._t(table)):
+            return
+        writer = df.writeTo(self._t(table)).using("iceberg")
+        if table in _TABLES_WITH_URL_BUCKETS:
+            writer = writer.partitionedBy(
+                F.col("round"), F.expr(f"bucket({self.pages_buckets}, url)"))
+        else:
+            writer = writer.partitionedBy(F.col("round"))
+        writer.create()
+
+    # -- RoundCatalog interface ----------------------------------------------
+    def append(self, df: DataFrame, table: str, rnd: int, tag: str | None = None) -> None:
+        out = df.withColumn("round", F.lit(rnd))
+        if tag is not None:
+            out = out.withColumn("tag", F.lit(tag))
+        self._ensure(out, table)
+        out.writeTo(self._t(table)).append()
+
+    def read(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+        if not self.spark.catalog.tableExists(self._t(table)):
+            return None
+        df = self.spark.table(self._t(table))
+        if upto_round is not None:
+            df = df.filter(F.col("round") <= upto_round)
+        return df.drop("round", "tag")
+
+    def commit_round(self, rnd: int, state: dict) -> None:
+        row = self.spark.createDataFrame(
+            [(rnd, json.dumps(state))], "round int, state string")
+        self._ensure(row, "crawl_state")
+        row.writeTo(self._t("crawl_state")).append()
+
+    def last_committed_round(self) -> int | None:
+        if not self.spark.catalog.tableExists(self._t("crawl_state")):
+            return None
+        r = self.spark.table(self._t("crawl_state")).agg(F.max("round")).collect()[0][0]
+        return int(r) if r is not None else None
+
+    def read_state(self, rnd: int) -> dict:
+        row = (self.spark.table(self._t("crawl_state"))
+               .filter(F.col("round") == rnd).collect())
+        return json.loads(row[0]["state"]) if row else {}
+
+    def drop_rounds_after(self, rnd: int) -> None:
+        for row in self.spark.sql(
+                f"SHOW TABLES IN {self.catalog}.{self.namespace}").collect():
+            self.spark.sql(
+                f"DELETE FROM {self._t(row['tableName'])} WHERE round > {rnd}")

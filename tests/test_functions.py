@@ -106,3 +106,50 @@ def test_global_row_number_two_phase(spark):
     rows = ranked.orderBy("k").collect()
     assert [x["r"] for x in rows] == list(range(5, 10_005))
     assert [x["k"] for x in rows] == sorted(x["k"] for x in rows)
+
+
+def test_fetch_join_broadcast_by_bytes(spark):
+    """The fetch join broadcasts the frontier only when its estimated bytes
+    fit the cap; a large frontier (or unknown size) takes the shuffled /
+    AQE-planned path — row counts alone never force a broadcast."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.plans.crawl import (
+        _BROADCAST_FRONTIER_MAX_BYTES, CrawlConfig, _fetch_join, frontier_stats)
+
+    pages = spark.range(1000).select(
+        F.concat(F.lit("http://h.test/p/"), F.col("id")).alias("url"),
+        F.lit(b"<html>").alias("html"), F.lit("t").alias("text"))
+    frontier = pages.select("url", F.col("url").alias("visit_rank"))
+
+    n, est = frontier_stats(frontier)
+    assert n == 1000 and est > 0
+
+    def planned(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    small = _fetch_join(frontier, pages, CrawlConfig(),
+                        ["url", "html"], est_bytes=est)
+    assert "broadcast" in planned(small).lower()
+
+    big = _fetch_join(frontier, pages, CrawlConfig(), ["url", "html"],
+                      est_bytes=_BROADCAST_FRONTIER_MAX_BYTES + 1)
+    assert "broadcast" not in planned(big).lower()
+
+    unknown = _fetch_join(frontier, pages, CrawlConfig(), ["url", "html"],
+                          est_bytes=None)
+    assert "broadcast" not in planned(unknown).lower()
+    # all three compute the same result
+    assert small.count() == big.count() == unknown.count() == 1000
+
+
+def test_global_row_number_counted(spark):
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.budget import global_row_number_counted
+
+    df = spark.range(0, 5000).withColumn("k", (F.col("id") * 7919) % 5000)
+    ranked, n = global_row_number_counted(df, ["k"], "r", start=10)
+    assert n == 5000
+    rows = ranked.orderBy("k").collect()
+    assert [x["r"] for x in rows] == list(range(10, 5010))

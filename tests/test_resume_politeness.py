@@ -145,3 +145,16 @@ def test_lineage_checkpointed(spark, tmp_path):
     assert rowsum == 2  # both fetches accounted to a partition
     st = cat.read_state(cat.last_committed_round())
     assert "round_metrics" in st and st["round_metrics"]["fetched"] >= 0
+
+
+def test_iceberg_binding_detects_absence(spark):
+    """The real-Iceberg RoundCatalog binding refuses to construct without a
+    configured catalog (this sandbox has no iceberg runtime jar) and its
+    availability probe answers False rather than raising."""
+    import pytest
+
+    from icrawler_spark.storage.iceberg import IcebergRoundCatalog, iceberg_available
+
+    assert iceberg_available(spark, "iceberg") is False
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergRoundCatalog(spark, "iceberg", "crawl")

@@ -29,6 +29,22 @@ def test_stream_ingest_dedups_within_and_across_restarts(spark, tmp_path):
     urls2 = sorted(r["url"] for r in out2.collect())
     assert urls2 == ["http://a.test/1", "http://a.test/2", "http://a.test/3"]
 
+    # seen table is hash-bucketed (Iceberg bucket(url) stand-in) so each
+    # batch's anti-join reads only its touched bucket partitions
+    frontier_dir = os.path.join(state, "frontier")
+    parts = [p for p in os.listdir(frontier_dir) if p.startswith("bucket=")]
+    assert parts, "frontier must be written partitioned by bucket"
+
+    # a third ingest in a fresh process-state (bloom rebuilt from the table)
+    # still dedups exactly
+    _write_urls(src, "c.txt", ["http://a.test/3", "http://a.test/4"])
+    out3 = ingest_available(spark, src, state)
+    urls3 = sorted(r["url"] for r in out3.collect())
+    assert urls3 == [f"http://a.test/{i}" for i in range(1, 5)]
+    # batch_id column records which micro-batch first saw each url
+    by_batch = {r["url"]: r["batch_id"] for r in out3.collect()}
+    assert by_batch["http://a.test/4"] > by_batch["http://a.test/1"]
+
 
 def test_stateful_politeness_scheduler(spark, tmp_path):
     """applyInPandasWithState token bucket: per-host slots spaced by
