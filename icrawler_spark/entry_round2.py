@@ -383,10 +383,12 @@ def _round_pages(spark: SparkSession, sf: str) -> tuple[DataFrame, int]:
                    key, F.lit("-"), (100 + (i % 5) * 37 % 700).cast("string"),
                    F.lit("x"), (100 + (i % 5) * 53 % 700).cast("string"),
                    F.lit(".jpg"))
-    tree_html = F.concat(
+    # doc_id%11==0 pages are dead ends (no imgs, no hrefs) — they exercise the
+    # parse-error side output (P8) and prune their BFS subtree in BOTH engines
+    tree_html = F.when(i % 11 == 0, F.lit("<p>dead end</p>")).otherwise(F.concat(
         F.lit('<img src="'), img, F.lit('"><a href="'), purl((i * 2 + 8) % n),
         F.lit('">x</a><a href="'), purl((i * 2 + 9) % n),
-        F.lit('">y</a><a href="http://h0.test/hub">h</a>'))
+        F.lit('">y</a><a href="http://h0.test/hub">h</a>')))
     tree = d.select(purl(i).alias("url"),
                     F.encode(tree_html, "utf-8").alias("html"),
                     F.concat(F.lit("text "), i.cast("string")).alias("text"))
@@ -422,6 +424,42 @@ def q_crawl_round(spark: SparkSession, sf: str) -> DataFrame:
                               "file_url", "filename")
 
 
+def q_crawl_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse-error side output (P8, parser.py:97-100 → task_list_error.log):
+    pages fetched whose parse yielded zero emissions — the doc_id%11==0
+    dead-end pages of the same two rounds."""
+    res = _run_round(spark, sf)
+    return res.parse_errors.select(
+        "url", F.col("visit_rank").cast("long").alias("visit_rank"),
+        F.col("round").cast("long").alias("round"))
+
+
+def q_engine_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine result caps (K3): google serves only the first 1000 results
+    (google.py:190-202) and flickr only 4000 (flickr.py:12-14,66) — feeds
+    asked for far more must clamp."""
+    g = feeders.google_feed(spark, "cap", offset=0, max_num=5000)
+    f = feeders.flickr_feed(spark, "K", max_num=99999, per_page=500)
+    return (g.select(F.lit("google").alias("engine"), "url", "feed_rank")
+            .unionByName(
+                f.select(F.lit("flickr").alias("engine"), "url", "feed_rank")))
+
+
+Q_ENGINE_CAPS_SQL = """
+SELECT 'google' AS engine,
+       'https://www.google.com/search?q=cap&ijn=' || (i // 100) || '&start=' || i
+         || '&tbs=&tbm=isch' AS url,
+       CAST(i // 100 AS BIGINT) AS feed_rank
+FROM (SELECT unnest(range(0, 1000, 100)) AS i)
+UNION ALL
+SELECT 'flickr',
+       'https://api.flickr.com/services/rest/?method=flickr.photos.search'
+         || '&api_key=K&format=json&nojsoncallback=1&per_page=500&page=' || i,
+       CAST(i - 1 AS BIGINT)
+FROM (SELECT unnest(range(1, 9)) AS i)
+"""
+
+
 def q_crawl_order(spark: SparkSession, sf: str) -> DataFrame:
     """Same two rounds; returns the visit order table — FIFO parity
     (parent_rank, pos) ordering across rounds, including the hub fetch-miss
@@ -448,12 +486,13 @@ pages AS (
   FROM (SELECT unnest(range(0, 4)) AS k)
   UNION ALL
   SELECT 'http://h' || (doc_id % 4) || '.test/p/' || doc_id AS url,
+         CASE WHEN doc_id % 11 = 0 THEN '<p>dead end</p>' ELSE
          '<img src="//cdn' || (doc_id % 3) || '.test/i/img-' || (doc_id % 5) || '-'
            || (100 + (doc_id % 5) * 37 % 700) || 'x'
            || (100 + (doc_id % 5) * 53 % 700) || '.jpg">'
          || '<a href="http://h' || (((doc_id * 2 + 8) % M) % 4) || '.test/p/' || ((doc_id * 2 + 8) % M) || '">x</a>'
          || '<a href="http://h' || (((doc_id * 2 + 9) % M) % 4) || '.test/p/' || ((doc_id * 2 + 9) % M) || '">y</a>'
-         || '<a href="http://h0.test/hub">h</a>' AS html
+         || '<a href="http://h0.test/hub">h</a>' END AS html
   FROM documents, (SELECT count(*) AS M FROM documents)
 ),
 -- GreedyParser emission mirror: per page, img srcs (kept iff they match the
@@ -532,6 +571,18 @@ SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
 UNION ALL
 SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
        CAST(pos AS BIGINT) AS link_pos FROM v1
+"""
+
+Q_CRAWL_ERRORS_SQL = f"""
+WITH {_ROUND_PAGES_SQL},
+visited AS (
+  SELECT url, visit_rank, 0 AS round FROM seeds
+  UNION ALL
+  SELECT url, visit_rank, 1 AS round FROM v1
+)
+SELECT v.url, v.visit_rank, CAST(v.round AS BIGINT) AS round
+FROM visited v JOIN pages p ON p.url = v.url
+WHERE v.url NOT IN (SELECT DISTINCT url FROM emit)
 """
 
 
@@ -659,6 +710,8 @@ def queries2():
         "flickr_parse": q_flickr_parse,
         "crawl_round_full": q_crawl_round,
         "crawl_order_full": q_crawl_order,
+        "crawl_errors": q_crawl_errors,
+        "engine_caps": q_engine_caps,
     }
 
 
@@ -673,4 +726,6 @@ def oracle_sql2():
         "flickr_parse": Q_FLICKR_PARSE_SQL,
         "crawl_round_full": Q_CRAWL_ROUND_SQL,
         "crawl_order_full": Q_CRAWL_ORDER_SQL,
+        "crawl_errors": Q_CRAWL_ERRORS_SQL,
+        "engine_caps": Q_ENGINE_CAPS_SQL,
     }

@@ -387,10 +387,10 @@ class GreedyCrawl:
             task_new = self._pin(task_new)
 
             kept = task_new.filter(_size_filter_col(cfg))
-            n_kept = kept.count()
-            kept = self._pin(global_row_number(
-                kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n,
-                known_count=n_kept))
+            # counted ranker: kept count rides along with rank assignment
+            kept, n_kept = global_row_number_counted(
+                kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n)
+            kept = self._pin(kept)
 
             cutoff_rank = None  # v*: last visited page when budget trips
             if cfg.max_num > 0 and fetched_n + n_kept >= cfg.max_num:
