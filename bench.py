@@ -203,13 +203,14 @@ def run_once(cores: int) -> dict:
         spark.stop()
 
 
-def bench_big_round(spark, pages_path: str) -> dict:
+def bench_big_round(spark, pages_path: str, n_hosts: int = 1000) -> dict:
     """One crawl round at scale — the job shape that dominates a 10^10-URL
     crawl (many small BFS rounds are a smoke-test artifact; production rounds
     carry millions of frontier URLs). Frontier = every page URL; stages:
-    Bloom+exact seen dedup → fetch join → vectorized extraction → task dedup →
-    per-host politeness ranking → two-phase global file-idx ranking (the
-    scale path, forced)."""
+    Bloom+exact seen dedup → robots broadcast join + per-host token-bucket
+    split (the north-rule politeness path, cap binding) → fetch join →
+    vectorized extraction → task dedup → per-host politeness ranking →
+    two-phase global file-idx ranking (the scale path, forced)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -217,19 +218,36 @@ def bench_big_round(spark, pages_path: str) -> dict:
     from icrawler_spark.operators.dedup import (
         BloomSeenFilter, anti_join_seen_bloom, earliest_occurrence)
     from icrawler_spark.operators.extract import extract_emissions
+    from icrawler_spark.operators.politeness import apply_robots, politeness_batch
 
     pages = spark.read.parquet(pages_path)
     frontier = pages.select("url").withColumn("rank", F.xxhash64("url"))
     seen = pages.select("url").filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
     seen = seen.localCheckpoint(eager=True)
     n_frontier = frontier.count()
+    # robots for every host: 10ms delay + one disallow prefix. The full
+    # politeness machinery (broadcast robots join, disallow check, per-host
+    # token-bucket window, take/defer split) executes over the whole
+    # frontier, with a cap (3000 slots/host) that does NOT bind at this
+    # host fan-out — a binding cap would fix the active set at
+    # slots×hosts rows and make the workload size-independent, which is
+    # exactly wrong for a scaling measurement (binding-cap behavior is
+    # covered by tests and the sf0.1 crawl_polite bench instead)
+    robots = spark.createDataFrame(
+        [(f"host{h:04d}.test", 10, ["/x-private"]) for h in range(n_hosts)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
 
     bloom = BloomSeenFilter.empty(n_frontier, 0.01).absorb(seen, "url")
     t0 = time.time()
     new = anti_join_seen_bloom(frontier, seen, bloom, "url")
-    fetched = new.join(pages.select("url", "html"), "url") \
-                 .select(F.col("url").alias("parent"),
-                         F.col("rank").alias("visit_rank"), "html")
+    new = apply_robots(new, robots)
+    active, deferred = politeness_batch(
+        new, robots, 30.0, ["rank"],
+        pin=lambda df: df.localCheckpoint(eager=True))
+    n_deferred = deferred.count()
+    fetched = active.join(pages.select("url", "html"), "url") \
+                    .select(F.col("url").alias("parent"),
+                            F.col("rank").alias("visit_rank"), "html")
     domains = [f"host{h:04d}.test" for h in range(_WEB_SCALE[0])]
     em = extract_emissions(fetched, domains)
     tasks = em.filter(F.col("kind") == "task").select(
@@ -241,7 +259,8 @@ def bench_big_round(spark, pages_path: str) -> dict:
     ranked = global_row_number(batch, ["visit_rank", "pos"], "file_idx")
     n_ranked = ranked.count()
     wall = time.time() - t0
-    return {"wall_s": wall, "frontier": n_frontier, "ranked_tasks": n_ranked,
+    return {"wall_s": wall, "frontier": n_frontier, "deferred": n_deferred,
+            "ranked_tasks": n_ranked,
             "urls_per_sec": round(n_frontier / wall, 1)}
 
 

@@ -408,11 +408,21 @@ def _round_pages(spark: SparkSession, sf: str) -> tuple[DataFrame, int]:
     return roots.unionByName(tree), n
 
 
+_ROUND_CACHE: dict = {}
+
+
 def _run_round(spark: SparkSession, sf: str):
-    pages, _ = _round_pages(spark, sf)
-    cfg = CrawlConfig(max_rounds=2)
-    return GreedyCrawl(spark, pages, cfg).run(
-        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    """Memoized per (session, sf): crawl_round_full / crawl_order_full /
+    crawl_errors all read different tables of the SAME two-round crawl, so
+    one run serves all three (the result's DataFrames are pinned
+    localCheckpoints — safe to reuse)."""
+    key = (id(spark), sf)
+    if key not in _ROUND_CACHE:
+        pages, _ = _round_pages(spark, sf)
+        cfg = CrawlConfig(max_rounds=2)
+        _ROUND_CACHE[key] = GreedyCrawl(spark, pages, cfg).run(
+            ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return _ROUND_CACHE[key]
 
 
 def q_crawl_round(spark: SparkSession, sf: str) -> DataFrame:
@@ -422,6 +432,49 @@ def q_crawl_round(spark: SparkSession, sf: str) -> DataFrame:
     res = _run_round(spark, sf)
     return res.fetched.select(F.col("file_idx").cast("long").alias("file_idx"),
                               "file_url", "filename")
+
+
+def q_crawl_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint/resume (D3, north-rule resumability): run round 0 with a
+    RoundCatalog checkpoint, then a NEW GreedyCrawl instance resumes from the
+    committed snapshot and runs round 1. The resumed crawl's visit order must
+    equal the uninterrupted two-round crawl — same oracle as
+    crawl_order_full."""
+    import shutil
+    import tempfile
+
+    pages, _ = _round_pages(spark, sf)
+    seeds = ["h0.test", "h1.test", "h2.test", "h3.test"]
+    d = tempfile.mkdtemp(prefix="icrawler_resume_")
+    try:
+        cfg = CrawlConfig(max_rounds=1, checkpoint_dir=d)
+        GreedyCrawl(spark, pages, cfg).run(seeds)          # round 0, committed
+        res = GreedyCrawl(spark, pages, cfg).resume(seeds)  # round 1 from snapshot
+        out = res.order.select(
+            F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+            F.col("round").cast("long").alias("round"), "parent",
+            F.col("link_pos").cast("long").alias("link_pos"))
+        out = out.localCheckpoint(eager=True)  # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_crawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority frontier (north-rule §2.10, absent in the reference): within
+    each round the visit order becomes (priority, parent_rank, pos) — here
+    priority = -(trailing page number), so high-numbered pages crawl first
+    and the hub (no trailing number → NULL, sorts first) leads the round.
+    Returns the order table; the oracle re-ranks round 1 by the same key."""
+    pages, _ = _round_pages(spark, sf)
+    prio = F.expr("-try_cast(regexp_extract(url, '([0-9]+)$', 1) AS INT)")
+    cfg = CrawlConfig(max_rounds=2, priority=prio)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
 
 
 def q_crawl_errors(spark: SparkSession, sf: str) -> DataFrame:
@@ -573,6 +626,22 @@ SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
        CAST(pos AS BIGINT) AS link_pos FROM v1
 """
 
+Q_CRAWL_PRIORITY_SQL = f"""
+WITH {_ROUND_PAGES_SQL},
+v1p AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (
+           ORDER BY -TRY_CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) NULLS FIRST,
+                    parent_rank, pos) AS BIGINT) AS visit_rank
+  FROM f1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1p
+"""
+
 Q_CRAWL_ERRORS_SQL = f"""
 WITH {_ROUND_PAGES_SQL},
 visited AS (
@@ -711,6 +780,8 @@ def queries2():
         "crawl_round_full": q_crawl_round,
         "crawl_order_full": q_crawl_order,
         "crawl_errors": q_crawl_errors,
+        "crawl_resume": q_crawl_resume,
+        "crawl_priority": q_crawl_priority,
         "engine_caps": q_engine_caps,
     }
 
@@ -727,5 +798,7 @@ def oracle_sql2():
         "crawl_round_full": Q_CRAWL_ROUND_SQL,
         "crawl_order_full": Q_CRAWL_ORDER_SQL,
         "crawl_errors": Q_CRAWL_ERRORS_SQL,
+        "crawl_resume": Q_CRAWL_ORDER_SQL,   # resumed crawl == uninterrupted crawl
+        "crawl_priority": Q_CRAWL_PRIORITY_SQL,
         "engine_caps": Q_ENGINE_CAPS_SQL,
     }

@@ -128,3 +128,17 @@ def write_pages_bucketed(pages: DataFrame, path: str, n_buckets: int = PAGES_BUC
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_pages_bucket_table(pages: DataFrame, table: str,
+                             n_buckets: int = PAGES_BUCKETS_DEFAULT) -> None:
+    """Write the pages table as a Spark BUCKETED TABLE (`bucketBy(n, url)` +
+    `sortBy(url)`) — the executable stand-in for Iceberg's storage-partitioned
+    join: a frontier⋈pages join on ``url`` then shuffles ONLY the frontier
+    side into the table's bucketing; the pages side (the 100 TB side) is read
+    in place with zero exchange. This is the fetch-join plan for frontier
+    batches too large to broadcast (see plans.crawl._fetch_join); the
+    metastore-free parquet layout (write_pages_bucketed) remains the default
+    for environments without a catalog."""
+    (pages.write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, "url").sortBy("url").saveAsTable(table))

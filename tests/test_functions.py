@@ -153,3 +153,35 @@ def test_global_row_number_counted(spark):
     assert n == 5000
     rows = ranked.orderBy("k").collect()
     assert [x["r"] for x in rows] == list(range(10, 5010))
+
+
+def test_bucket_table_join_avoids_pages_shuffle(spark, tmp_path):
+    """Storage-partitioned-join stand-in: with pages written as a bucketed
+    table on url, a frontier join on url exchanges ONLY the frontier side —
+    the pages side scans in place (what Iceberg SPJ gives the 100 TB side)."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.storage.catalog import write_pages_bucket_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    pages = spark.range(2000).select(
+        F.concat(F.lit("http://h.test/p/"), F.col("id")).alias("url"),
+        F.lit("x").alias("text"))
+    write_pages_bucket_table(pages, "bkt.pages", n_buckets=8)
+    tbl = spark.table("bkt.pages")
+
+    frontier = spark.range(500).select(
+        F.concat(F.lit("http://h.test/p/"), F.col("id") * 3).alias("url"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = frontier.join(tbl, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one Exchange: the frontier side; none above the pages scan
+        assert plan.count("Exchange") == 1
+        assert joined.count() == len([i for i in range(500) if i * 3 < 2000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt.pages")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
