@@ -765,6 +765,97 @@ WHERE rank <= {_ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus build (the composition a real training-data run executes)
+# ---------------------------------------------------------------------------
+
+_CORPUS_MIN_TOKENS = 10
+_CORPUS_MAX_PUNCT = 0.3
+_CORPUS_MH_K = 6          # minhash seeds
+_CORPUS_MH_N = 3          # shingle width
+_CORPUS_BAND_ROWS = 2
+
+
+def q_pipeline_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Full corpus-build pipeline in one lineage: quality gate → exact-dup
+    removal (min doc_id per normalized text) → MinHash band-LSH near-dup
+    removal (any doc sharing a full signature band with a smaller-id survivor
+    is dropped) → per-surviving-doc stats. Three shuffles total: the exact
+    hash, the shingle explode, the band join."""
+    from pyspark.sql import Window
+
+    from icrawler_spark.functions.text import quality_features
+    from icrawler_spark.operators import docdedup
+
+    docs = _docs(spark, sf)
+    feats = quality_features(docs)
+    gated = feats.filter((F.col("n_tokens") >= _CORPUS_MIN_TOKENS)
+                         & (F.col("punct_ratio") <= _CORPUS_MAX_PUNCT))
+    keyed = docs.select(F.col("doc_id").alias("id"), "text",
+                        F.md5(docdedup.normalized_text("text")).alias("text_hash"))
+    joined = gated.join(keyed, "id")
+    w = Window.partitionBy("text_hash").orderBy("id")
+    reps = (joined.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))
+
+    sigs = docdedup.minhash_signatures(
+        reps.select(F.col("id").alias("doc_id"), "text"),
+        k=_CORPUS_MH_K, n=_CORPUS_MH_N)
+    pairs = docdedup.lsh_candidate_pairs(sigs, band_rows=_CORPUS_BAND_ROWS)
+    near_dups = pairs.select(F.col("id_b").alias("id")).distinct()
+    out = reps.join(near_dups, "id", "left_anti")
+    return out.select(F.col("id").cast("long").alias("id"), "text_hash",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "quality_score")
+
+
+def _pipeline_corpus_sql() -> str:
+    from icrawler_spark.entry_queries import _NORM_SQL, _quality_sql
+
+    return f"""
+WITH feats AS ({_quality_sql().strip()}),
+gated AS (
+  SELECT f.id, f.n_tokens, f.quality_score, d.text,
+         md5({_NORM_SQL.replace("text", "d.text")}) AS text_hash
+  FROM feats f JOIN documents d ON d.doc_id = f.id
+  WHERE f.n_tokens >= {_CORPUS_MIN_TOKENS} AND f.punct_ratio <= {_CORPUS_MAX_PUNCT}
+),
+reps AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY id) AS rn
+    FROM gated) WHERE rn = 1
+),
+toks AS (
+  SELECT id, string_split({_NORM_SQL}, ' ') AS l FROM reps
+),
+sh AS (
+  SELECT DISTINCT id,
+         array_to_string(l[x : x + {_CORPUS_MH_N - 1}], ' ') AS shingle
+  FROM (SELECT id, l, unnest(range(1, len(l) - {_CORPUS_MH_N} + 2)) AS x FROM toks)
+  WHERE len(l) >= {_CORPUS_MH_N}
+),
+sigs AS (
+  SELECT id, CAST(seed AS BIGINT) AS seed,
+         min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {_CORPUS_MH_K})) AS seed)
+  GROUP BY 1, 2
+),
+band_sigs AS (
+  SELECT id, CAST(seed // {_CORPUS_BAND_ROWS} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|') AS band_sig
+  FROM sigs GROUP BY 1, 2
+),
+near_dups AS (
+  SELECT DISTINCT b.id
+  FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+  WHERE a.id < b.id
+)
+SELECT CAST(id AS BIGINT) AS id, text_hash,
+       CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM reps WHERE id NOT IN (SELECT id FROM near_dups)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -783,6 +874,7 @@ def queries2():
         "crawl_resume": q_crawl_resume,
         "crawl_priority": q_crawl_priority,
         "engine_caps": q_engine_caps,
+        "pipeline_corpus": q_pipeline_corpus,
     }
 
 
@@ -801,4 +893,5 @@ def oracle_sql2():
         "crawl_resume": Q_CRAWL_ORDER_SQL,   # resumed crawl == uninterrupted crawl
         "crawl_priority": Q_CRAWL_PRIORITY_SQL,
         "engine_caps": Q_ENGINE_CAPS_SQL,
+        "pipeline_corpus": _pipeline_corpus_sql(),
     }

@@ -146,6 +146,43 @@ def main() -> None:
         "split reuses the same ranked intermediate rather than recomputing.",
     ))
 
+    # 6. SPJ-style bucketed-table fetch (the over-broadcast-cap path)
+    from icrawler_spark.storage.catalog import write_pages_bucket_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS plans_bkt LOCATION '/tmp/plans_bkt_wh'")
+    write_pages_bucket_table(
+        pages.drop("bucket").limit(500), "plans_bkt.pages", n_buckets=8)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    big_fetch = fr.join(spark.table("plans_bkt.pages"), "url").select(
+        "url", "visit_rank", "html")
+    sections.append((
+        "Fetch join when the frontier outgrows broadcast (bucketed-table SPJ stand-in)",
+        fmt(big_fetch),
+        "When a frontier batch exceeds the 32 MB broadcast cap, the pages\n"
+        "table being BUCKETED BY url (Iceberg storage-partitioned join\n"
+        "equivalent) means the join shuffles ONLY the frontier side into the\n"
+        "table's bucketing. What to check: the pages scan shows\n"
+        "`Bucketed: true` and has NO Exchange above it; exactly one Exchange\n"
+        "exists in the whole plan (the frontier side). The 100 TB side is\n"
+        "read in place.",
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    # 7. corpus-build pipeline (quality gate → exact dedup → LSH near-dup)
+    from icrawler_spark.entry_round2 import q_pipeline_corpus
+
+    sections.append((
+        "Corpus-build pipeline (quality gate → exact dedup → band-LSH near-dup)",
+        fmt(q_pipeline_corpus(spark, SF)),
+        "The end-to-end training-data composition. What to check: three\n"
+        "shuffles total — the exact-dup hash partition, the shingle/signature\n"
+        "groupBy, and the band-signature self-join — each on a hash key (no\n"
+        "skew); everything else is column expressions inside whole-stage\n"
+        "codegen; the quality gate is pushed below the dedup joins so\n"
+        "rejected documents never enter a shuffle.",
+    ))
+
     header = (
         "# PLANS — physical plans of the core operators\n\n"
         "Captured `explain(\"formatted\")` output (operator tree section) for the\n"
