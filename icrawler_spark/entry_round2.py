@@ -477,6 +477,54 @@ def q_crawl_priority(spark: SparkSession, sf: str) -> DataFrame:
         F.col("link_pos").cast("long").alias("link_pos"))
 
 
+def q_crawl_polite(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness-scheduled crawl (north-rule X9/O3): robots gives every host
+    a 500 ms crawl delay and the round budget is 1 s → 2 fetch slots per host
+    per round. Round 1's per-host overflow (h0 has 3 candidates: p0, p4, hub)
+    is deferred past the 2-round horizon, so the order table shows at most 2
+    visits per host per round, in FIFO (parent_rank, pos) order."""
+    pages, _ = _round_pages(spark, sf)
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", 500, []) for k in range(4)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    cfg = CrawlConfig(max_rounds=2, robots=robots, round_seconds=1.0)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+_POLITE_SLOTS = 2  # floor(1000ms / 500ms)
+
+Q_CRAWL_POLITE_SQL = f"""
+WITH {{base}},
+f1h AS (
+  SELECT url, parent, pos, parent_rank,
+         regexp_extract(url, '^http://([^/]+)', 1) AS host
+  FROM f1
+),
+active1 AS (
+  SELECT url, parent, pos, parent_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY parent_rank, pos) AS hrn
+    FROM f1h) WHERE hrn <= {_POLITE_SLOTS}
+),
+v1pol AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM active1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1pol
+"""
+
+
 def q_crawl_errors(spark: SparkSession, sf: str) -> DataFrame:
     """Parse-error side output (P8, parser.py:97-100 → task_list_error.log):
     pages fetched whose parse yielded zero emissions — the doc_id%11==0
@@ -873,6 +921,7 @@ def queries2():
         "crawl_errors": q_crawl_errors,
         "crawl_resume": q_crawl_resume,
         "crawl_priority": q_crawl_priority,
+        "crawl_polite_round": q_crawl_polite,
         "engine_caps": q_engine_caps,
         "pipeline_corpus": q_pipeline_corpus,
     }
@@ -892,6 +941,7 @@ def oracle_sql2():
         "crawl_errors": Q_CRAWL_ERRORS_SQL,
         "crawl_resume": Q_CRAWL_ORDER_SQL,   # resumed crawl == uninterrupted crawl
         "crawl_priority": Q_CRAWL_PRIORITY_SQL,
+        "crawl_polite_round": Q_CRAWL_POLITE_SQL.format(base=_ROUND_PAGES_SQL),
         "engine_caps": Q_ENGINE_CAPS_SQL,
         "pipeline_corpus": _pipeline_corpus_sql(),
     }

@@ -170,3 +170,27 @@ def test_priority_frontier_reorders_within_round(spark):
     assert prio_order[1:] == ["http://hostq.test/aa.html",
                               "http://hostq.test/mm.html",
                               "http://hostq.test/zz.html"]
+
+
+def test_empty_and_unknown_seeds(spark):
+    """Edge exits: empty seed list → zero-row clean result; unknown-host seed
+    → 1 visit (the seed is popped), 0 fetched, frontier exhausts."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages = spark.createDataFrame(
+        [("http://real.test", b'<img src="http://real.test/a.jpg">', "t")],
+        "url string, html binary, text string")
+
+    res0 = GreedyCrawl(spark, pages, CrawlConfig()).run([])
+    assert res0.order.count() == 0 and res0.fetched.count() == 0
+    assert res0.stop_reason == "frontier_exhausted"
+
+    res1 = GreedyCrawl(spark, pages, CrawlConfig()).run(["nosuch.test"])
+    assert [r["url"] for r in res1.order.collect()] == ["http://nosuch.test"]
+    assert res1.fetched.count() == 0
+    assert res1.stop_reason == "frontier_exhausted"
+
+    # huge budget: runs to frontier exhaustion, never trips reach_max_num
+    res2 = GreedyCrawl(spark, pages, CrawlConfig(max_num=10**9)).run(["real.test"])
+    assert res2.stop_reason == "frontier_exhausted"
+    assert res2.fetched.count() == 1
