@@ -8,16 +8,16 @@ equivalents:
 - ``global_row_number``: a scale-safe total-order rank — NOT a bare
   ``Window.orderBy`` (single-task) and NOT ``monotonically_increasing_id``
   (neither contiguous nor order-respecting). Two-phase: range-repartition on
-  the order key, count per partition, broadcast prefix offsets, then
-  per-partition cumcount. All stages distributed; the driver only sees one
-  integer per partition.
+  the order key, count per partition, then a pure JVM projection adds each
+  partition's prefix offset to its within-partition row index. All stages
+  distributed and Python-free; the driver only sees one integer per
+  partition.
 - ``ordered_limit``: top-k in total order — ``orderBy().limit()`` lowers to
   TakeOrderedAndProject (distributed per-partition top-k + merge).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,24 +73,23 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    bc = df.sparkSession.sparkContext.broadcast(offsets)
-    out_schema = parted.drop("__pid").withColumn(out_col, F.lit(0).cast("long")).schema
-
-    def assign(batches):
-        # one partition => batches arrive in sorted order within the partition
-        local = 0
-        pid_offset = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pid_offset is None:
-                pid_offset = bc.value[int(pdf["__pid"].iloc[0])]
-            out = pdf.drop(columns=["__pid"])
-            out[out_col] = pd.RangeIndex(pid_offset + local, pid_offset + local + len(pdf))
-            local += len(pdf)
-            yield out
-
-    return parted.mapInPandas(assign, schema=out_schema), acc - start
+    # phase 2 is a pure JVM projection — no shuffle, no Python: over the
+    # pinned sorted partitions, monotonically_increasing_id is documented as
+    # (partition_id << 33) + row_index_within_partition, so the within-
+    # partition index recovers by masking and the broadcast prefix offsets
+    # land as a literal map. (The previous mapInPandas cumcount moved every
+    # row through Arrow for the same arithmetic.)
+    if offsets:
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs += [F.lit(pid), F.lit(off)]
+        offset_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    else:
+        offset_expr = F.lit(start)
+    local_idx = F.monotonically_increasing_id() % F.lit(1 << 33)
+    out = parted.withColumn(out_col, (offset_expr + local_idx).cast("long")) \
+                .drop("__pid")
+    return out, acc - start
 
 
 def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
