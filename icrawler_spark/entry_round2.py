@@ -477,6 +477,27 @@ def q_crawl_priority(spark: SparkSession, sf: str) -> DataFrame:
         F.col("link_pos").cast("long").alias("link_pos"))
 
 
+def q_crawl_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-identical extracted text per url (the input_hint per-row
+    invariant): the texts table of the two-round crawl — every visited page
+    that exists in the pages table contributes (url, text) unchanged."""
+    res = _run_round(spark, sf)
+    return res.texts.select("url", "text")
+
+
+Q_CRAWL_TEXTS_SQL = """
+WITH {base},
+visited AS (
+  SELECT url FROM seeds UNION ALL SELECT url FROM v1
+)
+SELECT p.url,
+       CASE WHEN p.url LIKE '%/p/%'
+            THEN 'text ' || regexp_extract(p.url, '([0-9]+)$', 1)
+            ELSE 'root ' || regexp_extract(p.url, 'http://h([0-9]+)', 1) END AS text
+FROM pages p JOIN visited v ON v.url = p.url
+"""
+
+
 def q_crawl_polite(spark: SparkSession, sf: str) -> DataFrame:
     """Politeness-scheduled crawl (north-rule X9/O3): robots gives every host
     a 500 ms crawl delay and the round budget is 1 s → 2 fetch slots per host
@@ -922,6 +943,7 @@ def queries2():
         "crawl_resume": q_crawl_resume,
         "crawl_priority": q_crawl_priority,
         "crawl_polite_round": q_crawl_polite,
+        "crawl_texts": q_crawl_texts,
         "engine_caps": q_engine_caps,
         "pipeline_corpus": q_pipeline_corpus,
     }
@@ -942,6 +964,7 @@ def oracle_sql2():
         "crawl_resume": Q_CRAWL_ORDER_SQL,   # resumed crawl == uninterrupted crawl
         "crawl_priority": Q_CRAWL_PRIORITY_SQL,
         "crawl_polite_round": Q_CRAWL_POLITE_SQL.format(base=_ROUND_PAGES_SQL),
+        "crawl_texts": Q_CRAWL_TEXTS_SQL.format(base=_ROUND_PAGES_SQL),
         "engine_caps": Q_ENGINE_CAPS_SQL,
         "pipeline_corpus": _pipeline_corpus_sql(),
     }

@@ -149,6 +149,10 @@ def main() -> None:
     # 6. SPJ-style bucketed-table fetch (the over-broadcast-cap path)
     from icrawler_spark.storage.catalog import write_pages_bucket_table
 
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS plans_bkt.pages")
+    shutil.rmtree("/tmp/plans_bkt_wh", ignore_errors=True)
     spark.sql("CREATE DATABASE IF NOT EXISTS plans_bkt LOCATION '/tmp/plans_bkt_wh'")
     write_pages_bucket_table(
         pages.drop("bucket").limit(500), "plans_bkt.pages", n_buckets=8)
