@@ -833,6 +833,51 @@ WHERE rank <= {_ANN_K}
 """
 
 
+def q_crawl_retry(spark: SparkSession, sf: str) -> DataFrame:
+    """Fetch retry / re-queue (F2/C6, SURVEY.md): a frontier URL whose fetch
+    join finds no page is re-queued with attempts+1 until max_fetch_attempts
+    is spent. Fixed 3-page universe: root → a (exists) + miss (absent);
+    a → b. With max_fetch_attempts=3 the miss is visited in rounds 1, 2 and 3
+    (ranks 2, 3, 5 — it re-enters each round's FIFO at its original
+    (parent_rank=0, pos=2) key) and is dropped after the third attempt.
+    Oracle: the hand-derived literal visit order (each row's derivation in
+    the SQL comments)."""
+    rows = [
+        ("http://r.test",
+         '<img src="//c.test/i/r.jpg"><a href="http://r.test/a">a</a>'
+         '<a href="http://r.test/miss">m</a>', "root"),
+        ("http://r.test/a",
+         '<img src="//c.test/i/a.jpg"><a href="http://r.test/b">b</a>', "a"),
+        ("http://r.test/b", '<img src="//c.test/i/b.jpg">', "b"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, h.encode("utf-8"), t) for u, h, t in rows],
+        "url string, html binary, text string")
+    cfg = CrawlConfig(max_rounds=4, max_fetch_attempts=3)
+    res = GreedyCrawl(spark, pages, cfg).run(["r.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+Q_CRAWL_RETRY_SQL = """
+-- derivation: r0 visits the seed (rank 0; emits task img pos0, a pos1,
+-- miss pos2). r1 FIFO (parent_rank, pos): a=1, miss=2; miss has no page ->
+-- re-queued (attempts 1) at its original key (0, 2). r2 frontier: miss (0,2)
+-- and b (1,1) -> miss=3, b=4; miss re-queued (attempts 2). r3: miss=5;
+-- attempts reach 3 -> dropped; frontier exhausts.
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'http://r.test',      CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)),
+  (1, 'http://r.test/a',    1, 'http://r.test',   1),
+  (2, 'http://r.test/miss', 1, 'http://r.test',   2),
+  (3, 'http://r.test/miss', 2, 'http://r.test',   2),
+  (4, 'http://r.test/b',    2, 'http://r.test/a', 1),
+  (5, 'http://r.test/miss', 3, 'http://r.test',   2)
+) AS t(visit_rank, url, round, parent, link_pos)
+"""
+
+
 # ---------------------------------------------------------------------------
 # end-to-end corpus build (the composition a real training-data run executes)
 # ---------------------------------------------------------------------------
@@ -944,6 +989,7 @@ def queries2():
         "crawl_priority": q_crawl_priority,
         "crawl_polite_round": q_crawl_polite,
         "crawl_texts": q_crawl_texts,
+        "crawl_retry": q_crawl_retry,
         "engine_caps": q_engine_caps,
         "pipeline_corpus": q_pipeline_corpus,
     }
@@ -965,6 +1011,7 @@ def oracle_sql2():
         "crawl_priority": Q_CRAWL_PRIORITY_SQL,
         "crawl_polite_round": Q_CRAWL_POLITE_SQL.format(base=_ROUND_PAGES_SQL),
         "crawl_texts": Q_CRAWL_TEXTS_SQL.format(base=_ROUND_PAGES_SQL),
+        "crawl_retry": Q_CRAWL_RETRY_SQL,
         "engine_caps": Q_ENGINE_CAPS_SQL,
         "pipeline_corpus": _pipeline_corpus_sql(),
     }
