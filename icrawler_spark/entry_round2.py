@@ -882,6 +882,52 @@ SELECT * FROM (VALUES
 # end-to-end corpus build (the composition a real training-data run executes)
 # ---------------------------------------------------------------------------
 
+def q_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (training-data prep): mask emails / URLs / long digit
+    runs with typed placeholders and count each kind. The documents text is
+    salted in-query with deterministic PII-shaped suffixes so every rule
+    fires (mirrored verbatim in the oracle)."""
+    from icrawler_spark.functions.text import scrub_pii
+
+    i = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact u"), i, F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".com or http://l"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(".test/p?q="), i,
+        F.lit(" ref "), (F.lit(123456000) + F.col("doc_id")).cast("string"))
+    d = _docs(spark, sf).select("doc_id", salted.alias("text"))
+    out = scrub_pii(d)
+    return out.select(F.col("id").cast("long").alias("id"), "scrubbed",
+                      F.col("n_emails").cast("long").alias("n_emails"),
+                      F.col("n_urls").cast("long").alias("n_urls"),
+                      F.col("n_longnums").cast("long").alias("n_longnums"))
+
+
+def _scrub_sql() -> str:
+    from icrawler_spark.functions.text import (
+        PII_EMAIL_RE, PII_LONGNUM_RE, PII_URL_RE)
+
+    salted = ("text || ' contact u' || doc_id || '@ex' || doc_id % 7 || "
+              "'.com or http://l' || doc_id % 5 || '.test/p?q=' || doc_id || "
+              "' ref ' || (123456000 + doc_id)")
+    return f"""
+WITH salted AS (SELECT doc_id, {salted} AS t FROM documents),
+pass1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{PII_URL_RE}')) AS n_urls,
+         regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_URL_RE}', '<URL>', 'g') AS s1
+  FROM salted
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       regexp_replace(s1, '{PII_LONGNUM_RE}', '<NUM>', 'g') AS scrubbed,
+       CAST(n_emails AS BIGINT) AS n_emails, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(s1, '{PII_LONGNUM_RE}')) AS BIGINT) AS n_longnums
+FROM pass1
+"""
+
+
 _CORPUS_MIN_TOKENS = 10
 _CORPUS_MAX_PUNCT = 0.3
 _CORPUS_MH_K = 6          # minhash seeds
@@ -992,6 +1038,7 @@ def queries2():
         "crawl_retry": q_crawl_retry,
         "engine_caps": q_engine_caps,
         "pipeline_corpus": q_pipeline_corpus,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -1014,4 +1061,5 @@ def oracle_sql2():
         "crawl_retry": Q_CRAWL_RETRY_SQL,
         "engine_caps": Q_ENGINE_CAPS_SQL,
         "pipeline_corpus": _pipeline_corpus_sql(),
+        "scrub_pii": _scrub_sql(),
     }

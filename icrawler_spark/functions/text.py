@@ -100,3 +100,31 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "id",
         F.md5(F.col("__norm")).alias("fp_exact"),
         F.array_min(sh).alias("fp_min_shingle"))
+
+
+# PII scrubbing (training-data prep): the three patterns every corpus build
+# masks before tokenization. Pure RE2-compatible regexes so the DuckDB
+# oracle applies the identical rules.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, scrubbed, n_emails, n_urls, n_longnums) — masks emails, URLs and
+    long digit runs with typed placeholder tokens and counts each kind.
+    Order matters: emails first (their domains would otherwise be eaten by
+    the URL pass when embedded in a URL-like context), then URLs, then bare
+    long numbers. All column expressions — whole-stage codegen end to end."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(PII_URL_RE), 0))
+    s = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    s = F.regexp_replace(s, PII_URL_RE, "<URL>")
+    n_longnums = F.size(F.regexp_extract_all(s, F.lit(PII_LONGNUM_RE), 0))
+    s = F.regexp_replace(s, PII_LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col).alias("id"), s.alias("scrubbed"),
+        n_emails.alias("n_emails"), n_urls.alias("n_urls"),
+        n_longnums.alias("n_longnums"))
