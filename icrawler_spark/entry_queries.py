@@ -20,7 +20,7 @@ from icrawler_spark.functions.text import (
     quality_features,
     token_counts,
 )
-from icrawler_spark import entry_round2
+from icrawler_spark import entry_round2, entry_round3
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -781,6 +781,7 @@ def queries():
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         **entry_round2.queries2(),
+        **entry_round3.queries3(),
     }
 
 
@@ -815,4 +816,5 @@ def oracle_sql():
         "media_decode": Q_MEDIA_SQL,
         "frame_sample": Q_FRAME_SAMPLE_SQL,
         **entry_round2.oracle_sql2(),
+        **entry_round3.oracle_sql3(),
     }

