@@ -20,7 +20,7 @@ from icrawler_spark.functions.text import (
     quality_features,
     token_counts,
 )
-from icrawler_spark import entry_round2, entry_round3
+from icrawler_spark import entry_round2, entry_round3, entry_round4
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -660,10 +660,10 @@ WITH base AS (
 SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        round(n_norm_chars / n_tokens, 4) AS avg_token_len,
-       round(n_punct / n_chars, 4) AS punct_ratio,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
        round(len(list_filter(toks, t -> t IN ({en}))) / n_tokens, 4) AS stop_ratio,
        round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE n_tokens / 40.0 END)
-           + (CASE WHEN round(n_punct / n_chars, 4) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN round(n_punct / greatest(n_chars, 1), 4) <= 0.2 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN round(n_norm_chars / n_tokens, 4) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END), 4)
          AS quality_score
 FROM base
@@ -782,6 +782,7 @@ def queries():
         "frame_sample": q_frame_sample,
         **entry_round2.queries2(),
         **entry_round3.queries3(),
+        **entry_round4.queries4(),
     }
 
 
@@ -817,4 +818,5 @@ def oracle_sql():
         "frame_sample": Q_FRAME_SAMPLE_SQL,
         **entry_round2.oracle_sql2(),
         **entry_round3.oracle_sql3(),
+        **entry_round4.oracle_sql4(),
     }

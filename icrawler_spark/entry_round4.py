@@ -1,0 +1,364 @@
+"""Round-2 (session 3) driver-contract queries: corpus-construction operators
+— benchmark decontamination, sequence packing, stratified sampling, domain
+quality filtering, host PageRank frontier priority, cluster-aware splits, and
+embedding quantization.
+
+Same discipline as the earlier entry modules: every constant lives once in
+Python and is interpolated into BOTH the Spark plan and the DuckDB oracle, so
+two independent engines compute the same result from the same driver parquet
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import cluster, corpus, docdedup, graph
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+             " ' +', ' ', 'g'))")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+_DECON_N = 2          # word n-gram order
+_DECON_T = 0.05       # contamination threshold on the overlap ratio
+_DECON_BENCH_MOD = 20  # doc_id % 20 == 0 -> benchmark doc (train = the rest)
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag training docs
+    whose distinct word n-grams overlap the benchmark set. Benchmark = every
+    20th document, train = the rest (disjoint by construction)."""
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    out = corpus.benchmark_ngram_overlap(
+        train, bench, n=_DECON_N, threshold=_DECON_T)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "contam_ratio", "contaminated")
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {_DECON_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {_DECON_N} + 2)) AS x FROM toks)
+  WHERE len(l) >= {_DECON_N}
+), bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_BENCH_MOD} = 0
+), train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY 1
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM train_sh
+  WHERE shingle IN (SELECT shingle FROM bench_sh) GROUP BY 1
+)
+SELECT CAST(s.doc_id AS BIGINT) AS id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       round(coalesce(h.n_hits, 0) / s.n_shingles, 6) AS contam_ratio,
+       round(coalesce(h.n_hits, 0) / s.n_shingles, 6) >= {_DECON_T} AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_pack — GPT-style sequence packing plan
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+def q_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token-stream packing into 512-token context windows:
+    each doc's starting offset, first/last bin, and boundary-straddle flag."""
+    return corpus.pack_sequences(
+        _docs(spark, sf), capacity=_PACK_CAPACITY,
+        group_col="lang", order_col="doc_id").select(
+        F.col("id").cast("long").alias("id"), "grp",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("bin_first").cast("long").alias("bin_first"),
+        F.col("bin_last").cast("long").alias("bin_last"),
+        "spans_boundary")
+
+
+Q_SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS grp,
+         len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, grp, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS id, grp,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_end - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum_end - n_tokens) / {float(_PACK_CAPACITY)}) AS BIGINT) AS bin_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN floor((cum_end - 1) / {float(_PACK_CAPACITY)})
+                 ELSE floor((cum_end - n_tokens) / {float(_PACK_CAPACITY)})
+            END AS BIGINT) AS bin_last,
+       (CASE WHEN n_tokens > 0
+             THEN floor((cum_end - 1) / {float(_PACK_CAPACITY)})
+             ELSE floor((cum_end - n_tokens) / {float(_PACK_CAPACITY)}) END)
+       > floor((cum_end - n_tokens) / {float(_PACK_CAPACITY)}) AS spans_boundary
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-language downsampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+_SAMPLE_MULT = 48271  # Lehmer multiplier: the cross-engine arithmetic bucket
+
+
+def _sample_bucket_expr():
+    return F.pmod(F.col("doc_id") * _SAMPLE_MULT, F.lit(corpus.SAMPLE_BUCKETS))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-stable stratified sampling: per-language keep rates applied via a
+    deterministic bucket, so re-running on a grown corpus keeps every
+    previously-kept row (incremental corpus builds)."""
+    out = corpus.stratified_sample(
+        _docs(spark, sf), _SAMPLE_RATES, strat_col="lang",
+        bucket_expr=_sample_bucket_expr())
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "lang",
+        F.col("bucket").cast("long").alias("bucket"))
+
+
+def _stratified_sample_sql() -> str:
+    cut = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * corpus.SAMPLE_BUCKETS))}"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    ) + " ELSE 0 END"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS id, lang,
+       CAST((doc_id * {_SAMPLE_MULT}) % {corpus.SAMPLE_BUCKETS} AS BIGINT) AS bucket
+FROM documents
+WHERE (doc_id * {_SAMPLE_MULT}) % {corpus.SAMPLE_BUCKETS} < ({cut})
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain_filter — domain-level quality gate
+# ---------------------------------------------------------------------------
+
+_DOMAIN_MIN_MEAN = 0.72
+_DOMAIN_MIN_DOCS = 5
+
+
+def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style domain gate: per-source mean quality + doc count,
+    broadcast-joined back; docs keep a kept/dropped verdict."""
+    from icrawler_spark.functions.text import quality_features
+
+    docs = _docs(spark, sf)
+    out = corpus.domain_quality_filter(
+        quality_features(docs), docs,
+        min_mean_score=_DOMAIN_MIN_MEAN, min_docs=_DOMAIN_MIN_DOCS)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "domain", "quality_score",
+        "domain_mean", F.col("domain_docs").cast("long").alias("domain_docs"),
+        "kept")
+
+
+def _domain_filter_sql() -> str:
+    from icrawler_spark.entry_queries import _quality_sql
+
+    return f"""
+WITH feats AS ({_quality_sql().strip()}),
+scored AS (
+  SELECT f.id, f.quality_score, d.source AS domain
+  FROM feats f JOIN documents d ON d.doc_id = f.id
+),
+dom AS (
+  SELECT domain, round(avg(quality_score), 6) AS domain_mean,
+         count(*) AS domain_docs
+  FROM scored GROUP BY 1
+)
+SELECT CAST(s.id AS BIGINT) AS id, s.domain, s.quality_score,
+       m.domain_mean, CAST(m.domain_docs AS BIGINT) AS domain_docs,
+       (m.domain_mean >= {_DOMAIN_MIN_MEAN} AND m.domain_docs >= {_DOMAIN_MIN_DOCS}) AS kept
+FROM scored s JOIN dom m USING (domain)
+"""
+
+
+# ---------------------------------------------------------------------------
+# host_pagerank — frontier priority over the host link graph
+# ---------------------------------------------------------------------------
+
+_PR_HOSTS = 40
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def _edges_df(spark, sf) -> DataFrame:
+    """Deterministic host link graph from the events table: each event is an
+    observed outlink host->host."""
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _PR_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % _PR_HOSTS).cast("long").alias("dst"))
+
+
+_EDGES_SQL = (f"SELECT CAST(user_id % {_PR_HOSTS} AS BIGINT) AS src, "
+              f"CAST((user_id + event_id) % {_PR_HOSTS} AS BIGINT) AS dst FROM events")
+
+
+def q_host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level PageRank (3 power iterations, d=0.85) over the outlink
+    graph — the priority signal the crawl loop's priority-frontier mode
+    consumes. Each iteration is one join + one groupBy on the host key."""
+    ranks = graph.pagerank(_edges_df(spark, sf), n_iters=_PR_ITERS,
+                           damping=_PR_DAMPING)
+    return ranks.select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _host_pagerank_sql() -> str:
+    return graph.pagerank_sql(_EDGES_SQL, n_iters=_PR_ITERS,
+                              damping=_PR_DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# cluster_split — leakage-free train/valid assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_VALID_PCT = 10
+_SPLIT_MULT = 48271
+
+# same pipeline constants as q_dedup_clusters (entry_round3)
+_MINHASH_K = 6
+_MINHASH_N = 3
+_LSH_BAND_ROWS = 2
+
+
+def q_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-cluster-aware split: hash the cluster representative so every
+    member of a duplicate cluster lands in the same train/valid split — no
+    eval leakage through near-duplicates."""
+    docs = _docs(spark, sf)
+    sigs = docdedup.minhash_signatures(docs, k=_MINHASH_K, n=_MINHASH_N)
+    pairs = docdedup.lsh_candidate_pairs(sigs, band_rows=_LSH_BAND_ROWS)
+    labels = cluster.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs)
+    out = corpus.cluster_split(
+        labels, valid_pct=_SPLIT_VALID_PCT,
+        split_expr=F.pmod(F.col("cluster_rep") * _SPLIT_MULT, F.lit(100)))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"), "split")
+
+
+def _cluster_split_sql() -> str:
+    from icrawler_spark.entry_queries import Q_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({Q_MINHASH_LSH_SQL.strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CASE WHEN (cluster_rep * {_SPLIT_MULT}) % 100 < {_SPLIT_VALID_PCT}
+            THEN 'valid' ELSE 'train' END AS split
+FROM labels
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantize_embed — int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def q_quantize_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector scale
+    kept for dequantization) — 4x ANN index storage cut, no UDF."""
+    return corpus.quantize_embeddings(_emb(spark, sf)).select(
+        F.col("id").cast("long").alias("id"), "scale",
+        F.col("q").cast("string").alias("q"))
+
+
+Q_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd,
+         CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+              THEN list_max(list_transform(vd, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM v
+)
+SELECT CAST(vec_id AS BIGINT) AS id, round(scale, 6) AS scale,
+       '[' || array_to_string(
+         list_transform(vd, x -> CAST(CAST(floor(x / scale + 0.5) AS INT) AS VARCHAR)),
+         ', ') || ']' AS q
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries4():
+    return {
+        "decontaminate": q_decontaminate,
+        "seq_pack": q_seq_pack,
+        "stratified_sample": q_stratified_sample,
+        "domain_filter": q_domain_filter,
+        "host_pagerank": q_host_pagerank,
+        "cluster_split": q_cluster_split,
+        "quantize_embed": q_quantize_embed,
+    }
+
+
+def oracle_sql4():
+    return {
+        "decontaminate": Q_DECONTAMINATE_SQL,
+        "seq_pack": Q_SEQ_PACK_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "domain_filter": _domain_filter_sql(),
+        "host_pagerank": _host_pagerank_sql(),
+        "cluster_split": _cluster_split_sql(),
+        "quantize_embed": Q_QUANTIZE_SQL,
+    }

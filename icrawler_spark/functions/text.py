@@ -56,7 +56,9 @@ def quality_features(df: DataFrame, text_col: str = "text",
     n_tokens = F.size(toks)
     avg_tok = F.round(F.length(normalized_text(text_col)) / n_tokens, 4)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    punct_ratio = F.round(n_punct / n_chars, 4)
+    # greatest(n_chars, 1): empty documents are valid pipeline input (ANSI
+    # mode turns the 0-divide into a job-killing error, not a NULL)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(LANG_STOPWORDS["en"])))
     stop_ratio = F.round(stop_hits / n_tokens, 4)
     score = F.round(

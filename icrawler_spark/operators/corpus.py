@@ -1,0 +1,233 @@
+"""Corpus-construction operators a large-scale training-data pipeline needs
+beyond per-document cleaning: benchmark decontamination, GPT-style sequence
+packing, deterministic stratified sampling, domain-level quality filtering,
+cluster-aware train/validation splitting, and embedding quantization.
+
+These extend the reference's per-item pipeline semantics (icrawler processes
+one downloaded item at a time — downloader.py:169-215) to corpus-level
+operations that only make sense on a distributed table. All logic is JVM
+column expressions — no Python UDFs anywhere.
+
+Scale notes are on each function; the shared theme is: one shuffle per
+logical aggregation, broadcast for the small side (benchmark shingles,
+per-domain stats), and no global single-partition windows (packing windows
+are partitioned by the group column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.docdedup import shingle_rows, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_ngram_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the fraction of
+    its distinct word ``n``-gram shingles that also occur in ANY benchmark
+    document. ``contaminated`` flags docs at or above ``threshold`` — the
+    standard n-gram-overlap decontamination rule (GPT-3 appendix C /
+    PaLM-style) over the same shingle machinery as the near-dup operators.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus (eval
+    suites are ~10^5 docs vs 10^9 training docs), so it is ``broadcast()``
+    after a distinct — the training shingles stream map-side against it and
+    never shuffle on the shingle key. One groupBy(doc) shuffle total.
+    """
+    train_sh = shingle_rows(train, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (shingle_rows(bench, n=n, text_col=text_col, id_col=id_col)
+                .select("shingle").distinct())
+
+    hits = (train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n_hits")))
+    sizes = train_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    ratio = F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+    return (sizes.join(hits, "id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+            .select("id", "n_hits", "n_shingles",
+                    ratio.alias("contam_ratio"),
+                    (ratio >= threshold).alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate each group's token stream
+    in ``order_col`` order and split it every ``capacity`` tokens. Emits, per
+    document, its token count, starting offset in the group stream, the
+    context-window bins its first and last token land in, and whether it
+    straddles a bin boundary — everything a writer needs to materialize packed
+    training rows without ever concatenating strings on the driver.
+
+    Scale: the running-offset window is PARTITIONED by ``group_col`` (language
+    / source shard), so no global single-partition window exists; a corpus
+    with hundreds of shards packs fully in parallel. One shuffle (the window
+    partition). Token counting is a pure column expression.
+    """
+    n_tok = F.size(tokens_col(text_col))
+    w = (Window.partitionBy("grp").orderBy("ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
+                     F.col(order_col).alias("ord"), n_tok.alias("n_tokens"))
+           .withColumn("cum_end", F.sum("n_tokens").over(w)))
+    start = F.col("cum_end") - F.col("n_tokens")
+    bin_first = F.floor(start / capacity)
+    bin_last = F.when(F.col("n_tokens") > 0,
+                      F.floor((F.col("cum_end") - 1) / capacity)) \
+        .otherwise(bin_first)
+    return out.select(
+        "id", "grp", "n_tokens", start.alias("start_offset"),
+        bin_first.alias("bin_first"), bin_last.alias("bin_last"),
+        (bin_last > bin_first).alias("spans_boundary"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_BUCKETS = 10_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    bucket_expr: "F.Column | None" = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash bucket
+    falls below ``rate(stratum) * SAMPLE_BUCKETS``. Reproducible across runs
+    and engines — resampling a grown corpus keeps previously-kept rows kept
+    (hash sampling is stable), which matters for incremental corpus builds.
+
+    ``bucket_expr`` defaults to ``pmod(xxhash64(id), 10000)`` (the production
+    path); callers needing a cross-engine-reproducible bucket (e.g. the DuckDB
+    oracle) pass an arithmetic hash column instead.
+
+    Scale: a pure filter — no shuffle, fully pushed into the scan stage.
+    """
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(SAMPLE_BUCKETS))
+    # integer bucket thresholds resolved at plan time: `bucket < 9000` is
+    # exact in every engine, `bucket < 0.9 * 10000` is a double product whose
+    # boundary bucket is engine-dependent
+    cut = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
+    for k, v in sorted(rates.items()):
+        cut = F.when(F.col(strat_col) == k,
+                     F.lit(int(round(v * SAMPLE_BUCKETS)))).otherwise(cut)
+    return (df.withColumn("bucket", bucket_expr)
+            .filter(F.col("bucket") < cut))
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality filtering
+# ---------------------------------------------------------------------------
+
+def domain_quality_filter(
+    feats: DataFrame,
+    docs: DataFrame,
+    min_mean_score: float = 0.5,
+    min_docs: int = 2,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style domain-level gate: aggregate per-document quality to
+    the domain (mean score + doc count), then keep documents whose domain
+    clears ``min_mean_score`` with at least ``min_docs`` documents. A
+    low-quality domain drags down all its pages even when individual pages
+    score fine — the corpus-level complement of the per-doc quality gate.
+
+    ``feats`` is the output of ``quality_features`` (columns id,
+    quality_score); ``docs`` supplies the domain column.
+
+    Scale: one groupBy(domain) shuffle producing a domain-stats table that is
+    orders of magnitude smaller than the corpus (10^7 domains vs 10^10 pages);
+    that table is broadcast back, so the corpus itself shuffles once, not
+    twice.
+    """
+    scored = feats.select("id", "quality_score").join(
+        docs.select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain")),
+        "id")
+    dom = (scored.groupBy("domain")
+           .agg(F.round(F.avg("quality_score"), 6).alias("domain_mean"),
+                F.count("*").alias("domain_docs")))
+    kept = (F.col("domain_mean") >= min_mean_score) & \
+        (F.col("domain_docs") >= min_docs)
+    return (scored.join(F.broadcast(dom), "domain")
+            .select("id", "domain", "quality_score", "domain_mean",
+                    "domain_docs", kept.alias("kept")))
+
+
+# ---------------------------------------------------------------------------
+# cluster-aware train/validation split
+# ---------------------------------------------------------------------------
+
+def cluster_split(
+    labels: DataFrame,
+    valid_pct: int = 10,
+    split_expr: "F.Column | None" = None,
+) -> DataFrame:
+    """Leakage-free split assignment: hash the CLUSTER representative (not the
+    document id), so every member of a near-duplicate cluster lands in the
+    same split — a near-dup of a validation document can never leak into
+    train. ``labels`` is the output of ``connected_components``
+    (columns id, cluster_rep).
+
+    ``split_expr`` defaults to ``pmod(xxhash64(cluster_rep), 100)``; oracled
+    callers pass an arithmetic hash. Pure projection — no shuffle.
+    """
+    if split_expr is None:
+        split_expr = F.pmod(F.xxhash64(F.col("cluster_rep")), F.lit(100))
+    return labels.select(
+        "id", "cluster_rep",
+        F.when(split_expr < valid_pct, F.lit("valid"))
+        .otherwise(F.lit("train")).alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column: per-vector
+    scale = max|x| / 127, q_i = floor(x_i / scale + 0.5). Cuts ANN index
+    storage 4× (float32 → int8) with the scale kept for dequantization.
+    ``floor(x + 0.5)`` (round-half-up) is used instead of ``round`` because
+    its semantics are bit-identical across engines.
+
+    Scale: pure higher-order array expressions (transform / array_max) — no
+    shuffle, no UDF, fully codegen'd.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 6).alias("scale"),
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
+                    .cast("int")).alias("q"))

@@ -1,0 +1,93 @@
+"""Host-graph operators: PageRank-style frontier prioritization.
+
+The reference crawls FIFO (utils/thread_pool.py:43-44) — at web scale a
+frontier needs a priority signal, and host-level PageRank over the outlink
+graph is the classic one (the `priority` column the crawl loop's
+priority-frontier mode already consumes). Implemented as a fixed-iteration
+power method in pure DataFrame ops — each iteration is one join + one
+groupBy shuffle, both keyed on the host id.
+
+Scale: the host graph is ~10^7 nodes for a 10^10-page corpus — 3 orders
+smaller than the page table. Edges pre-aggregate to distinct (src, dst)
+before iterating (multi-edges collapse), and out-degrees are computed once
+and joined by key; iterations reuse the same partitioning so AQE keeps the
+shuffles aligned. Dangling-node mass is dropped per iteration (the
+simplified PageRank variant) — documented, deterministic, and what a
+priority signal needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table.
+
+    Returns (node, rank) for every node appearing as src or dst, with rank
+    rounded to 6 decimals (summation order across partitions differs between
+    engines below double ulp — rounding makes the result engine-portable).
+    """
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("outdeg")).alias("c")))
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (nodes.join(agg, "node", "left")
+                 .select("node",
+                         ((1.0 - damping) / n
+                          + damping * F.coalesce("inflow", F.lit(0.0)))
+                         .alias("rank")))
+        # pin each iteration: keeps the lineage flat so iteration k+1's plan
+        # doesn't re-derive iterations 1..k (same reason the crawl round loop
+        # pins its frontier between rounds)
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_sql(edges_cte: str, n_iters: int = 3, damping: float = 0.85) -> str:
+    """The DuckDB mirror of :func:`pagerank`: chained CTEs, one per power
+    iteration, over an ``edges`` CTE producing (src, dst). Used by the
+    driver-oracled query so both engines compute the identical fixed-point
+    prefix."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({(1.0 - damping)!r} AS DOUBLE) / (SELECT n FROM nn)
+         + CAST({damping!r} AS DOUBLE) * coalesce(a.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN a{i} a ON a.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{n_iters}""")
+    return "".join(parts)

@@ -1,0 +1,118 @@
+"""Unit tests for the corpus-construction operators (operators/corpus.py,
+operators/graph.py): semantics the DuckDB parity gate can't express — packing
+invariants, sampling stability under corpus growth, PageRank mass
+conservation, quantization round-trip error."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import corpus, graph
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta", "en", "src0"),
+        (1, "alpha beta gamma delta", "en", "src0"),       # exact dup of 0
+        (2, "epsilon zeta eta theta iota kappa", "en", "src1"),
+        (3, "uno dos tres cuatro cinco", "es", "src0"),
+        (4, "seis siete ocho nueve diez once doce", "es", "src1"),
+        (5, "", "en", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_pack_sequences_offsets_contiguous(spark, docs):
+    out = corpus.pack_sequences(docs, capacity=5, group_col="lang",
+                                order_col="doc_id").orderBy("grp", "id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rows in by_grp.items():
+        # offsets are a contiguous token stream per group
+        expect = 0
+        for r in rows:
+            assert r["start_offset"] == expect
+            expect += r["n_tokens"]
+            assert r["bin_first"] == r["start_offset"] // 5
+            if r["n_tokens"] > 0:
+                assert r["bin_last"] == (r["start_offset"] + r["n_tokens"] - 1) // 5
+            assert r["spans_boundary"] == (r["bin_last"] > r["bin_first"])
+    # doc 2 has 6 tokens with capacity 5 -> must straddle
+    d2 = [r for r in out if r["id"] == 2][0]
+    assert d2["spans_boundary"]
+
+
+def test_stratified_sample_stable_under_growth(spark, docs):
+    """Hash sampling keeps previously-kept rows kept when the corpus grows."""
+    rates = {"en": 0.5, "es": 1.0}
+    small = corpus.stratified_sample(docs.filter("doc_id < 4"), rates)
+    big = corpus.stratified_sample(docs, rates)
+    kept_small = {r["doc_id"] for r in small.collect()}
+    kept_big = {r["doc_id"] for r in big.collect()}
+    assert kept_small <= kept_big
+    # es rate 1.0 keeps everything
+    assert {3, 4} <= kept_big
+
+
+def test_benchmark_overlap_self_disjoint(spark, docs):
+    bench = docs.filter("doc_id = 0")
+    train = docs.filter("doc_id != 0")
+    out = {r["id"]: r for r in corpus.benchmark_ngram_overlap(
+        train, bench, n=2, threshold=0.5).collect()}
+    # doc 1 is an exact dup of the benchmark doc -> fully contaminated
+    assert out[1]["contam_ratio"] == 1.0 and out[1]["contaminated"]
+    # doc 2 shares no bigrams
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    # empty doc 5 has no shingles -> absent (nothing to match on)
+    assert 5 not in out
+
+
+def test_pagerank_mass_and_order(spark):
+    # star graph: everyone links to node 0 -> node 0 must rank highest
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(edges, n_iters=5).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    # total mass stays <= 1 (dangling mass dropped, never created)
+    assert sum(ranks.values()) <= 1.0 + 1e-6
+
+
+def test_quantize_roundtrip_error(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.1, -0.9, 0.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["id"]: r for r in corpus.quantize_embeddings(emb).collect()}
+    r0 = rows[0]
+    orig = [0.1, -0.9, 0.5]
+    deq = [q * r0["scale"] for q in r0["q"]]
+    for a, b in zip(orig, deq):
+        assert math.isclose(a, b, abs_tol=r0["scale"] * 0.51 + 1e-6)
+    # zero vector: scale guard -> all-zero quants
+    assert rows[1]["q"] == [0, 0, 0]
+
+
+def test_cluster_split_no_leakage(spark):
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4)], "id long, cluster_rep long")
+    out = corpus.cluster_split(labels, valid_pct=50).collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["cluster_rep"], set()).add(r["split"])
+    # every cluster maps to exactly one split
+    assert all(len(s) == 1 for s in by_rep.values())
+
+
+def test_domain_filter_gate(spark, docs):
+    from icrawler_spark.functions.text import quality_features
+
+    out = corpus.domain_quality_filter(
+        quality_features(docs), docs, min_mean_score=0.0, min_docs=4)
+    rows = out.collect()
+    # both sources have 3 docs -> min_docs=4 rejects everything
+    assert rows and all(not r["kept"] for r in rows)
+    out2 = corpus.domain_quality_filter(
+        quality_features(docs), docs, min_mean_score=0.0, min_docs=1)
+    assert all(r["kept"] for r in out2.collect())
