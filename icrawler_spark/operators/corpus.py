@@ -47,17 +47,20 @@ def benchmark_ngram_overlap(
     """
     train_sh = shingle_rows(train, n=n, text_col=text_col, id_col=id_col)
     bench_sh = (shingle_rows(bench, n=n, text_col=text_col, id_col=id_col)
-                .select("shingle").distinct())
+                .select("shingle").distinct().withColumn("__hit", F.lit(1)))
 
-    hits = (train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-            .groupBy("id").agg(F.count("*").alias("n_hits")))
-    sizes = train_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # single pass over the corpus shingles: mark hits via a broadcast left
+    # join, then count total + hit shingles in ONE groupBy — the shingle
+    # generation (the expensive scan-side work) runs once, not once per
+    # aggregate branch
+    marked = train_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    agg = (marked.groupBy("id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.count("__hit").alias("n_hits")))
     ratio = F.round(F.col("n_hits") / F.col("n_shingles"), 6)
-    return (sizes.join(hits, "id", "left")
-            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
-            .select("id", "n_hits", "n_shingles",
-                    ratio.alias("contam_ratio"),
-                    (ratio >= threshold).alias("contaminated")))
+    return agg.select("id", "n_hits", "n_shingles",
+                      ratio.alias("contam_ratio"),
+                      (ratio >= threshold).alias("contaminated"))
 
 
 # ---------------------------------------------------------------------------
