@@ -210,9 +210,14 @@ class GreedyCrawl:
         self.spark = spark
         self.pages = pages
         self.cfg = cfg or CrawlConfig()
-        self.catalog = (
-            RoundCatalog(spark, self.cfg.checkpoint_dir) if self.cfg.checkpoint_dir else None
-        )
+        if self.cfg.checkpoint_dir:
+            # scheme-routed: bare path -> local catalog; file://, hdfs://,
+            # gs://, s3a:// -> the Hadoop-FS catalog (W2 cloud warehouse)
+            from icrawler_spark.storage.hadoopfs import open_catalog
+
+            self.catalog = open_catalog(spark, self.cfg.checkpoint_dir)
+        else:
+            self.catalog = None
 
     # -- state helpers -------------------------------------------------------
     def _pin(self, df: DataFrame) -> DataFrame:

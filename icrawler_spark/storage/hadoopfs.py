@@ -1,0 +1,183 @@
+"""Hadoop-FileSystem-backed RoundCatalog — the cloud-warehouse sink (W2).
+
+The reference's GoogleStorage sink (/root/reference/icrawler/storage/
+google_storage.py:10-42: blob upload + exists + max_file_idx over a
+``gs://bucket/prefix`` root) maps, Spark-natively, to the SAME RoundCatalog
+interface with a scheme-qualified warehouse URI: Spark's parquet reader and
+writer already speak every Hadoop filesystem, so the only local-FS coupling
+to remove is the catalog's commit-log bookkeeping. This module reimplements
+exactly those primitives over ``org.apache.hadoop.fs.FileSystem``, so ONE
+implementation serves:
+
+- ``file:///...``  — local (testable in this sandbox, used by the tests)
+- ``hdfs://...``   — on-prem clusters
+- ``gs://...``     — GCS, with the gcs-connector jar on the classpath and
+  ``fs.gs.impl=com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem`` (plus
+  auth via ``google.cloud.auth.service.account.json.keyfile`` or workload
+  identity). No code change — the scheme routes to the connector.
+- ``s3a://...``    — S3, with hadoop-aws.
+
+Commit-marker atomicity per backend: on file:// and hdfs:// the marker is
+written to a temp name and renamed (rename is atomic there). On object
+stores (gs://, s3a://) rename is copy+delete — NOT atomic — but single-object
+creation IS, so the marker is written directly in one create; a reader sees
+either no marker or a complete one. ``_ATOMIC_RENAME_SCHEMES`` picks the
+strategy by scheme.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.storage.catalog import RoundCatalog
+
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", ""}
+
+
+class _HFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem for the few
+    catalog primitives (list/read/write/delete of small metadata files)."""
+
+    def __init__(self, spark: SparkSession, root_uri: str):
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        root = self._Path(root_uri)
+        self.fs = root.getFileSystem(self._conf)
+        self.scheme = (root.toUri().getScheme() or "")
+
+    def path(self, uri: str):
+        return self._Path(uri)
+
+    def mkdirs(self, uri: str) -> None:
+        self.fs.mkdirs(self.path(uri))
+
+    def exists(self, uri: str) -> bool:
+        return bool(self.fs.exists(self.path(uri)))
+
+    def is_dir(self, uri: str) -> bool:
+        p = self.path(uri)
+        return bool(self.fs.exists(p) and self.fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, uri: str) -> list[str]:
+        """Child basenames of a directory (empty when absent)."""
+        p = self.path(uri)
+        if not self.fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self.fs.listStatus(p)]
+
+    def write_text(self, uri: str, text: str) -> None:
+        out = self.fs.create(self.path(uri), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, uri: str) -> str:
+        # commons-io ships with Spark; py4j copies the byte[] back as bytes
+        # (a mutable-buffer read loop would NOT copy back through py4j)
+        in_ = self.fs.open(self.path(uri))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(in_)
+            return bytes(data).decode("utf-8")
+        finally:
+            in_.close()
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self.fs.rename(self.path(src), self.path(dst)))
+
+    def delete(self, uri: str) -> None:
+        self.fs.delete(self.path(uri), True)
+
+
+class HadoopRoundCatalog(RoundCatalog):
+    """RoundCatalog over any Hadoop filesystem URI (W2 — the GCS/cloud sink).
+
+    Same interface, same commit/resume semantics as the local parquet catalog
+    (catalog.py): appends land under ``table/round=N``, become visible only
+    once the round's state marker exists, and ``drop_rounds_after`` rolls
+    back uncommitted data before a resume. Data I/O goes through Spark's own
+    parquet reader/writer (already scheme-agnostic); only the commit-log
+    bookkeeping runs on the Hadoop FS client, driver-side, O(rounds) — never
+    O(data).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        # deliberately NOT calling super().__init__ — no local os.makedirs
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.hfs = _HFS(spark, self.root)
+        self.hfs.mkdirs(self.root)
+
+    # ---- commit log over Hadoop FS ---------------------------------------
+    def _state_path(self, rnd: int) -> str:
+        return f"{self.root}/_state_r{rnd}.json"
+
+    def commit_round(self, rnd: int, state: dict) -> None:
+        body = json.dumps({"round": rnd, "committed_at": time.time(), **state})
+        final = self._state_path(rnd)
+        if self.hfs.scheme in _ATOMIC_RENAME_SCHEMES:
+            tmp = final + ".tmp"
+            self.hfs.write_text(tmp, body)
+            if not self.hfs.rename(tmp, final):
+                # rename onto an existing marker: replace explicitly
+                self.hfs.delete(final)
+                if not self.hfs.rename(tmp, final):
+                    raise IOError(f"commit marker rename failed: {final}")
+        else:
+            # object stores: single-object create is atomic; rename is not
+            self.hfs.write_text(final, body)
+
+    def last_committed_round(self) -> int | None:
+        rounds = [int(n[len("_state_r"):-len(".json")])
+                  for n in self.hfs.listdir(self.root)
+                  if n.startswith("_state_r") and n.endswith(".json")]
+        return max(rounds) if rounds else None
+
+    def read_state(self, rnd: int) -> dict:
+        return json.loads(self.hfs.read_text(self._state_path(rnd)))
+
+    # ---- tables over Hadoop FS -------------------------------------------
+    def _tpath(self, table: str, rnd: int | None = None, tag: str | None = None) -> str:
+        p = f"{self.root}/{table}"
+        if rnd is None:
+            return p
+        return f"{p}/round={rnd}" + (f".{tag}" if tag else "")
+
+    def append(self, df: DataFrame, table: str, rnd: int, tag: str | None = None) -> None:
+        df.write.mode("overwrite").parquet(self._tpath(table, rnd, tag))
+
+    def read(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+        base = self._tpath(table)
+        parts = []
+        for name in sorted(self.hfs.listdir(base)):
+            r = self._part_round(name)
+            if r is None or (upto_round is not None and r > upto_round):
+                continue
+            parts.append(f"{base}/{name}")
+        if not parts:
+            return None
+        return self.spark.read.parquet(*parts)
+
+    def drop_rounds_after(self, rnd: int) -> None:
+        for name in self.hfs.listdir(self.root):
+            uri = f"{self.root}/{name}"
+            if name.startswith("_state_r") and name.endswith(".json"):
+                if int(name[len("_state_r"):-len(".json")]) > rnd:
+                    self.hfs.delete(uri)
+            elif self.hfs.is_dir(uri):
+                for part in self.hfs.listdir(uri):
+                    r = self._part_round(part)
+                    if r is not None and r > rnd:
+                        self.hfs.delete(f"{uri}/{part}")
+
+
+def open_catalog(spark: SparkSession, root: str) -> RoundCatalog:
+    """Route by scheme: bare paths use the local catalog (cheapest), any
+    URI-qualified root (file://, hdfs://, gs://, s3a://) the Hadoop one."""
+    if "://" in root or root.startswith("file:"):
+        return HadoopRoundCatalog(spark, root)
+    return RoundCatalog(spark, root)
