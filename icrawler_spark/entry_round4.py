@@ -337,6 +337,98 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# sitemap_extract — sitemap.xml frontier ingestion
+# ---------------------------------------------------------------------------
+
+_SM_HOSTS = 20
+
+
+def _sitemap_bodies(spark, sf) -> DataFrame:
+    """Deterministic sitemap corpus from events: every 50th event is a
+    sitemapindex (2 child sitemaps), the rest are urlsets of 2 URLs with
+    lastmod dates."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % _SM_HOSTS).cast("long")
+    e = F.col("event_id").cast("long")
+    day = F.lpad((e % 27 + 1).cast("string"), 2, "0")
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url><loc> http://h"), h, F.lit(".test/p/"), e,
+        F.lit(" </loc><lastmod>2024-01-"), day, F.lit("</lastmod></url>"),
+        F.lit("<url><loc>http://h"), h, F.lit(".test/q/"), e,
+        F.lit("</loc><lastmod>2024-02-"), day, F.lit("</lastmod></url>"),
+        F.lit("</urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex>"),
+        F.lit("<sitemap><loc>http://h"), h, F.lit(".test/sitemap-"), e,
+        F.lit("-a.xml</loc></sitemap>"),
+        F.lit("<sitemap><loc>http://h"), h, F.lit(".test/sitemap-"), e,
+        F.lit("-b.xml</loc></sitemap>"),
+        F.lit("</sitemapindex>"))
+    return ev.select(
+        F.concat(F.lit("http://h"), h, F.lit(".test/sitemap-"), e,
+                 F.lit(".xml")).alias("url"),
+        F.when(e % 50 == 0, index).otherwise(urlset).alias("body"))
+
+
+def q_sitemap_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemap.py): urlset + sitemapindex
+    entries exploded to frontier candidates, document order preserved,
+    lastmod positionally paired. Pure JVM regexp — no shuffle."""
+    from icrawler_spark.operators.sitemap import sitemap_entries
+
+    return sitemap_entries(_sitemap_bodies(spark, sf)).select(
+        "sitemap_url", "pos", "kind", "loc", "lastmod")
+
+
+def _sitemap_sql() -> str:
+    from icrawler_spark.operators.sitemap import LASTMOD_RE, LOC_RE
+
+    return f"""
+WITH ev AS (
+  SELECT CAST(user_id % {_SM_HOSTS} AS BIGINT) AS h,
+         CAST(event_id AS BIGINT) AS e
+  FROM events
+), bodies AS (
+  SELECT 'http://h' || h || '.test/sitemap-' || e || '.xml' AS sitemap_url,
+         CASE WHEN e % 50 = 0 THEN
+           '<sitemapindex>'
+           || '<sitemap><loc>http://h' || h || '.test/sitemap-' || e
+           || '-a.xml</loc></sitemap>'
+           || '<sitemap><loc>http://h' || h || '.test/sitemap-' || e
+           || '-b.xml</loc></sitemap>'
+           || '</sitemapindex>'
+         ELSE
+           '<urlset>'
+           || '<url><loc> http://h' || h || '.test/p/' || e
+           || ' </loc><lastmod>2024-01-' || lpad(CAST(e % 27 + 1 AS VARCHAR), 2, '0')
+           || '</lastmod></url>'
+           || '<url><loc>http://h' || h || '.test/q/' || e
+           || '</loc><lastmod>2024-02-' || lpad(CAST(e % 27 + 1 AS VARCHAR), 2, '0')
+           || '</lastmod></url>'
+           || '</urlset>'
+         END AS body
+  FROM ev
+), parsed AS (
+  SELECT sitemap_url,
+         CASE WHEN instr(body, '<sitemapindex') > 0 THEN 'sitemap' ELSE 'url' END AS kind,
+         regexp_extract_all(body, '{LOC_RE}', 1) AS locs,
+         regexp_extract_all(body, '{LASTMOD_RE}', 1) AS mods
+  FROM bodies
+), x AS (
+  SELECT sitemap_url, kind, locs, mods,
+         unnest(range(0, len(locs))) AS pos,
+         unnest(locs) AS loc
+  FROM parsed
+)
+SELECT sitemap_url, CAST(pos AS INT) AS pos, kind, loc,
+       CASE WHEN len(mods) = len(locs) THEN mods[CAST(pos AS INT) + 1]
+            ELSE NULL END AS lastmod
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -349,6 +441,7 @@ def queries4():
         "host_pagerank": q_host_pagerank,
         "cluster_split": q_cluster_split,
         "quantize_embed": q_quantize_embed,
+        "sitemap_extract": q_sitemap_extract,
     }
 
 
@@ -361,4 +454,5 @@ def oracle_sql4():
         "host_pagerank": _host_pagerank_sql(),
         "cluster_split": _cluster_split_sql(),
         "quantize_embed": Q_QUANTIZE_SQL,
+        "sitemap_extract": _sitemap_sql(),
     }

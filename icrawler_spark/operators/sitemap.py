@@ -1,0 +1,78 @@
+"""Sitemap ingestion — a frontier generator the reference lacks.
+
+The reference seeds frontiers only from search-engine feeds or explicit URL
+lists (feeder.py:56-89); a production crawler bootstraps from
+``sitemap.xml``. This operator turns a table of fetched sitemap bodies into
+frontier candidate rows, handling both document kinds of the sitemaps.org
+protocol:
+
+- **urlset**  — ``<url><loc>…</loc><lastmod>…</lastmod></url>`` entries →
+  frontier URLs with an optional last-modified hint (feeds the recrawl
+  scheduler: skip URLs older than the stored capture).
+- **sitemapindex** — ``<sitemap><loc>…</loc></sitemap>`` entries → MORE
+  sitemaps to fetch (the caller loops them through the fetch join, exactly
+  like a crawl round's frontier expansion).
+
+Pure JVM regexp extraction over the body column — sitemaps are
+machine-generated XML, so anchored regexes are exact here (no HTML-soup
+ambiguity), and the whole stage lives in whole-stage codegen: no shuffle,
+no Python. At 100 TB the sitemap table is a tiny fraction of the pages
+table and this projection fuses into its scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# <loc> of entries under <url> vs <sitemap> parents; sitemaps.org requires
+# one <loc> per entry. lastmod is optional and, when present, W3C datetime.
+LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+LASTMOD_RE = r"<lastmod>\s*([^<\s][^<]*?)\s*</lastmod>"
+_INDEX_MARK = "<sitemapindex"
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Explode sitemap documents into (sitemap_url, pos, kind, loc, lastmod).
+
+    ``kind`` is 'url' for urlset entries (frontier candidates) or 'sitemap'
+    for sitemapindex entries (fetch these next). ``pos`` preserves document
+    order — sitemaps list URLs in priority order, which the frontier ranker
+    can use as a within-host tiebreak. ``lastmod`` is positional: the i-th
+    lastmod tag accompanies the i-th loc only when the document carries a
+    lastmod for every loc (the common generator output); sparse lastmod
+    documents yield NULLs rather than misaligned values.
+    """
+    kind = F.when(F.instr(F.col(body_col), _INDEX_MARK) > 0,
+                  F.lit("sitemap")).otherwise(F.lit("url"))
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(LOC_RE), F.lit(1))
+    mods = F.regexp_extract_all(F.col(body_col), F.lit(LASTMOD_RE), F.lit(1))
+    # positional pairing, guarded: only trust lastmod when counts line up
+    paired = F.when(F.size(mods) == F.size(locs), mods).otherwise(
+        F.array().cast("array<string>"))
+    base = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"), kind.alias("kind"),
+        locs.alias("__locs"), paired.alias("__mods"))
+    return (base
+            .select("sitemap_url", "kind",
+                    F.posexplode("__locs").alias("pos", "loc"), "__mods")
+            .select("sitemap_url", F.col("pos").cast("int").alias("pos"),
+                    "kind", "loc",
+                    # try_: the unpaired case is an empty array (ANSI
+                    # element_at raises instead of returning NULL)
+                    F.try_element_at("__mods", F.col("pos") + 1).alias("lastmod")))
+
+
+def frontier_from_sitemaps(entries: DataFrame) -> DataFrame:
+    """Frontier candidate rows from sitemap entries: urlset locs only, with
+    host extracted for the politeness scheduler and lastmod parsed to a
+    timestamp for recrawl-skip logic."""
+    return (entries.filter(F.col("kind") == "url")
+            .select(F.col("loc").alias("url"),
+                    F.regexp_extract("loc", r"^[a-z]+://([^/]+)", 1).alias("host"),
+                    F.to_timestamp("lastmod").alias("lastmod"),
+                    "sitemap_url", "pos"))

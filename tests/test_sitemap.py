@@ -1,0 +1,50 @@
+"""Sitemap ingestion operator (operators/sitemap.py)."""
+
+from icrawler_spark.operators.sitemap import frontier_from_sitemaps, sitemap_entries
+
+
+def test_urlset_and_index_split(spark):
+    rows = [
+        ("http://a.test/sitemap.xml",
+         "<urlset><url><loc>http://a.test/1</loc>"
+         "<lastmod>2024-03-01</lastmod></url>"
+         "<url><loc> http://a.test/2 </loc><lastmod>2024-03-02</lastmod></url>"
+         "</urlset>"),
+        ("http://b.test/sitemap.xml",
+         '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         "<sitemap><loc>http://b.test/sm-1.xml</loc></sitemap>"
+         "</sitemapindex>"),
+        # sparse lastmod: 2 locs, 1 lastmod -> positional pairing distrusted
+        ("http://c.test/sitemap.xml",
+         "<urlset><url><loc>http://c.test/1</loc></url>"
+         "<url><loc>http://c.test/2</loc><lastmod>2024-01-01</lastmod></url>"
+         "</urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    out = sitemap_entries(df).collect()
+    by_sm = {}
+    for r in out:
+        by_sm.setdefault(r["sitemap_url"], []).append(r)
+
+    a = sorted(by_sm["http://a.test/sitemap.xml"], key=lambda r: r["pos"])
+    assert [(r["pos"], r["kind"], r["loc"], r["lastmod"]) for r in a] == [
+        (0, "url", "http://a.test/1", "2024-03-01"),
+        (1, "url", "http://a.test/2", "2024-03-02"),  # whitespace trimmed
+    ]
+    b = by_sm["http://b.test/sitemap.xml"]
+    assert [(r["kind"], r["loc"]) for r in b] == [("sitemap", "http://b.test/sm-1.xml")]
+    c = by_sm["http://c.test/sitemap.xml"]
+    assert all(r["lastmod"] is None for r in c) and len(c) == 2
+
+
+def test_frontier_projection(spark):
+    df = spark.createDataFrame(
+        [("http://a.test/sitemap.xml",
+          "<urlset><url><loc>http://a.test/p/1</loc>"
+          "<lastmod>2024-03-01</lastmod></url></urlset>")],
+        "url string, body string")
+    fr = frontier_from_sitemaps(sitemap_entries(df)).collect()
+    assert len(fr) == 1
+    r = fr[0]
+    assert r["url"] == "http://a.test/p/1" and r["host"] == "a.test"
+    assert r["lastmod"] is not None  # parsed to timestamp
