@@ -1,0 +1,249 @@
+"""Round-2 (session 3, batch 2) driver-contract queries: robots.txt parsing,
+adaptive recrawl scheduling, and domain-blocklist filtering — the remaining
+crawl-hygiene operators a production frontier needs.
+
+Same discipline as the earlier entry modules: shared Python constants feed
+both the Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import parse_robots
+from icrawler_spark.operators.blocklist import apply_blocklist
+from icrawler_spark.operators.recrawl import recrawl_schedule
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# robots_parse — robots.txt bodies → politeness rules table
+# ---------------------------------------------------------------------------
+
+_RB_HOSTS = 20
+
+
+def _robots_bodies(spark, sf) -> DataFrame:
+    """Deterministic robots.txt corpus over 20 hosts covering the parse
+    semantics: plain wildcard groups, agent-specific groups ahead of the
+    wildcard, consecutive user-agent headers + malformed leading directives +
+    empty Disallow, and files with no applicable group."""
+    hosts = (_events(spark, sf)
+             .select((F.col("user_id") % _RB_HOSTS).cast("long").alias("hid"))
+             .distinct())
+    h = F.col("hid")
+    nl = "\n"
+    b0 = F.concat(F.lit("User-agent: *" + nl + "Disallow: /a"), h,
+                  F.lit(nl + "Crawl-delay: "), (h % 5 + 1).cast("string"))
+    b1 = F.concat(F.lit("User-agent: botx" + nl + "Disallow: /x" + nl + nl
+                        + "User-agent: *" + nl + "Disallow: /b"), h)
+    b2 = F.concat(F.lit("Disallow: /malformed" + nl
+                        + "User-agent: ClaudeBot" + nl + "User-agent: *" + nl
+                        + "Disallow: /c"), h, F.lit(nl + "Disallow:"))
+    b3 = F.lit("User-agent: other" + nl + "Disallow: /z")
+    body = (F.when(h % 4 == 0, b0).when(h % 4 == 1, b1)
+            .when(h % 4 == 2, b2).otherwise(b3))
+    return hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+        body.alias("body"))
+
+
+def q_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/robots.parse_robots over the synthesized corpus: the
+    (host, crawl_delay_ms, disallow_prefixes) table the politeness scheduler
+    consumes, with prefixes rendered as a sorted string for hashing."""
+    out = parse_robots(_robots_bodies(spark, sf), agent="*")
+    return out.select(
+        "host", "crawl_delay_ms",
+        F.array_join("disallow_prefixes", ",").alias("disallow"))
+
+
+_ROBOTS_DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*(?:#.*)?$"
+
+
+def _robots_sql() -> str:
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(user_id % {_RB_HOSTS} AS BIGINT) AS hid FROM events
+), bodies AS (
+  SELECT 'h' || hid || '.test' AS host,
+    CASE
+      WHEN hid % 4 = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /a' || hid
+           || chr(10) || 'Crawl-delay: ' || (hid % 5 + 1)
+      WHEN hid % 4 = 1 THEN 'User-agent: botx' || chr(10) || 'Disallow: /x'
+           || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /b' || hid
+      WHEN hid % 4 = 2 THEN 'Disallow: /malformed' || chr(10)
+           || 'User-agent: ClaudeBot' || chr(10) || 'User-agent: *' || chr(10)
+           || 'Disallow: /c' || hid || chr(10) || 'Disallow:'
+      ELSE 'User-agent: other' || chr(10) || 'Disallow: /z'
+    END AS body
+  FROM hosts
+), lns AS (
+  SELECT host, l, unnest(range(0, len(l))) AS ln, unnest(l) AS line
+  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l FROM bodies)
+), d0 AS (
+  SELECT host, ln,
+         lower(regexp_extract(line, '{_ROBOTS_DIRECTIVE_RE}', 1)) AS key,
+         regexp_extract(line, '{_ROBOTS_DIRECTIVE_RE}', 2) AS val
+  FROM lns
+), d AS (
+  SELECT * FROM d0 WHERE key IN ('user-agent', 'disallow', 'crawl-delay')
+), d1 AS (
+  SELECT host, ln, key, val,
+         CASE WHEN key = 'user-agent' AND
+                   coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY host ORDER BY ln), 0) = 0
+              THEN 1 ELSE 0 END AS sg
+  FROM d
+), g AS (
+  SELECT host, ln, key, val,
+         sum(sg) OVER (PARTITION BY host ORDER BY ln
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d1
+), rules AS (
+  SELECT g.* FROM g
+  JOIN (SELECT DISTINCT host, grp FROM g
+        WHERE key = 'user-agent' AND lower(val) = '*') ap
+    ON ap.host = g.host AND ap.grp = g.grp
+  WHERE g.grp > 0
+), agg AS (
+  SELECT host,
+         CAST(max(CASE WHEN key = 'crawl-delay' THEN CAST(val AS DOUBLE) END) * 1000
+              AS BIGINT) AS crawl_delay_ms,
+         list_sort(list_distinct(list(val)
+             FILTER (WHERE key = 'disallow' AND val <> ''))) AS prefixes
+  FROM rules GROUP BY host
+)
+SELECT h.host, a.crawl_delay_ms,
+       coalesce(array_to_string(a.prefixes, ','), '') AS disallow
+FROM (SELECT DISTINCT host FROM bodies) h
+LEFT JOIN agg a USING (host)
+"""
+
+
+# ---------------------------------------------------------------------------
+# recrawl_schedule — change-rate-adaptive refetch planning
+# ---------------------------------------------------------------------------
+
+def _captures(spark, sf) -> DataFrame:
+    """Capture history from events: ~300 urls × many captures; content hash
+    changes whenever the event's version bucket does."""
+    ev = _events(spark, sf)
+    url = F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                   F.lit(".test/p/"), (F.col("event_id") % 300).cast("string"))
+    return ev.select(
+        url.alias("url"), F.col("ts").alias("warc_ts"),
+        F.col("event_id").cast("long").alias("capture_id"),
+        F.md5(F.concat(url, F.lit("|"),
+                       (F.col("event_id") % 3).cast("string"))).alias("content_hash"))
+
+
+def q_recrawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    out = recrawl_schedule(_captures(spark, sf), tiebreak_col="capture_id")
+    return out.select("url", "n_captures", "n_changes", "change_rate",
+                      "next_interval_s", "next_due_epoch")
+
+
+Q_RECRAWL_SQL = """
+WITH caps AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 300) AS url,
+         ts AS warc_ts, CAST(event_id AS BIGINT) AS capture_id,
+         md5('http://h' || (user_id % 20) || '.test/p/' || (event_id % 300)
+             || '|' || (event_id % 3)) AS content_hash
+  FROM events
+), seq AS (
+  SELECT url, warc_ts,
+         CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                   AND content_hash <> lag(content_hash) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, capture_id)
+), agg AS (
+  SELECT url, count(*) AS n_captures, CAST(sum(chg) AS BIGINT) AS n_changes,
+         CAST(floor(epoch(min(warc_ts))) AS BIGINT) AS first_e,
+         CAST(floor(epoch(max(warc_ts))) AS BIGINT) AS last_e
+  FROM seq GROUP BY url
+)
+SELECT url, CAST(n_captures AS BIGINT) AS n_captures,
+       CASE WHEN n_captures > 1 THEN n_changes END AS n_changes,
+       CASE WHEN n_captures > 1
+            THEN round(n_changes / (n_captures - 1), 6) END AS change_rate,
+       CASE WHEN n_captures > 1
+            THEN CAST(round((last_e - first_e) / (n_captures - 1)
+                            * (2.0 - n_changes / (n_captures - 1)), 0) AS BIGINT)
+            ELSE 604800 END AS next_interval_s,
+       last_e + (CASE WHEN n_captures > 1
+                      THEN CAST(round((last_e - first_e) / (n_captures - 1)
+                                      * (2.0 - n_changes / (n_captures - 1)), 0) AS BIGINT)
+                      ELSE 604800 END) AS next_due_epoch
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_blocklist — suffix-at-label-boundary domain filtering
+# ---------------------------------------------------------------------------
+
+_BLOCKED = ["h3.test", "h7.test", "h11.test", "ads.example"]
+
+
+def q_url_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.apply_blocklist over a frontier with subdomain
+    variants: blocked domains match themselves AND subdomains, never
+    substring-alikes."""
+    ev = _events(spark, sf)
+    sub = F.when(F.col("event_id") % 5 == 0, F.lit("img.")).otherwise(F.lit(""))
+    frontier = ev.select(
+        F.concat(F.lit("http://"), sub, F.lit("h"),
+                 (F.col("user_id") % 20).cast("string"), F.lit(".test/e/"),
+                 F.col("event_id").cast("string")).alias("url"))
+    bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    out = apply_blocklist(frontier, bl)
+    return out.select("url", "host", "blocked_by", "kept")
+
+
+def _blocklist_sql() -> str:
+    doms = ", ".join(f"('{d}')" for d in _BLOCKED)
+    return f"""
+WITH frontier AS (
+  SELECT 'http://' || (CASE WHEN event_id % 5 = 0 THEN 'img.' ELSE '' END)
+         || 'h' || (user_id % 20) || '.test/e/' || event_id AS url
+  FROM events
+), f AS (
+  SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM frontier
+), sufs AS (
+  SELECT url, host, unnest(range(0, len(l))) AS sidx,
+         unnest([array_to_string(l[x + 1 :], '.') for x in range(0, len(l))]) AS suffix
+  FROM (SELECT url, host, string_split(host, '.') AS l FROM f)
+), bl(domain) AS (VALUES {doms}),
+hits AS (
+  SELECT url, arg_min(suffix, sidx) AS blocked_by
+  FROM sufs JOIN bl ON bl.domain = sufs.suffix
+  GROUP BY url
+)
+SELECT f.url, f.host, h.blocked_by, h.blocked_by IS NULL AS kept
+FROM f LEFT JOIN hits h ON h.url = f.url
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries5():
+    return {
+        "robots_parse": q_robots_parse,
+        "recrawl_schedule": q_recrawl_schedule,
+        "url_blocklist": q_url_blocklist,
+    }
+
+
+def oracle_sql5():
+    return {
+        "robots_parse": _robots_sql(),
+        "recrawl_schedule": Q_RECRAWL_SQL,
+        "url_blocklist": _blocklist_sql(),
+    }

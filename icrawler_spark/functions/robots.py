@@ -1,0 +1,86 @@
+"""robots.txt parsing — from raw fetched bodies to the politeness rules table.
+
+Completes the politeness story: ``operators/politeness.py`` consumes a
+``(host, crawl_delay_ms, disallow_prefixes)`` rules table; this module
+produces that table from raw ``robots.txt`` bodies fetched like any other
+page. (The reference has no robots support at all — SURVEY §2.10; the rule
+shape follows RFC 9309's user-agent grouping.)
+
+Spark-first design: a robots.txt is line-oriented, so the parse is
+``split`` → ``posexplode`` → directive classification → a running count of
+``User-agent`` boundaries (window partitioned BY HOST — never global) to
+assign each directive line to its agent group → aggregate the groups that
+apply to our agent. Every step is a JVM column expression; no UDF, one
+shuffle (the per-host window), and the robots corpus is tiny next to the
+pages table (one row per host).
+
+Semantics (deliberately scoped):
+- consecutive ``User-agent:`` lines form one group header (RFC 9309 §2.2.1);
+- a group applies if any of its agents is ``*`` or equals ``agent``
+  (case-insensitive token match — no substring ranking);
+- ``Disallow:``/``Crawl-delay:`` lines before any ``User-agent`` line are
+  ignored (malformed per RFC);
+- empty ``Disallow:`` (allow-all marker) is dropped from the prefix list;
+- ``crawl_delay_ms`` = 1000 × the max ``Crawl-delay`` over applicable groups
+  (most conservative), NULL when none given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*(?:#.*)?$"
+
+
+def parse_robots(
+    bodies: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay_ms, disallow_prefixes).
+
+    ``disallow_prefixes`` is sorted (deterministic) and de-duplicated; hosts
+    whose robots.txt yields no applicable group produce
+    (host, NULL, []) — i.e. allow-all, matching apply_robots semantics.
+    """
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("ln", "line"))
+    key = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
+    val = F.regexp_extract("line", _DIRECTIVE_RE, 2)
+    d = lines.select("host", "ln", key.alias("key"), val.alias("val")) \
+        .filter(F.col("key").isin("user-agent", "disallow", "crawl-delay"))
+
+    # group id = number of user-agent lines NOT immediately preceded by
+    # another user-agent line, counted so far (consecutive UA lines share a
+    # group header). Window is per host — bounded by lines-per-robots-file.
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    starts_group = (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    d = d.withColumn("grp", F.sum(starts_group.cast("int")).over(w))
+    d = d.filter(F.col("grp") > 0)  # directives before any UA line: malformed
+
+    agent_lc = agent.lower()
+    applicable = (d.filter(F.col("key") == "user-agent")
+                  .filter((F.lower(F.col("val")) == "*")
+                          | (F.lower(F.col("val")) == agent_lc))
+                  .select("host", "grp").distinct())
+
+    rules = d.join(applicable, ["host", "grp"], "left_semi")
+    agg = (rules.groupBy("host").agg(
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.when((F.col("key") == "disallow") & (F.col("val") != ""),
+                   F.col("val"))))).alias("disallow_prefixes"),
+        (F.max(F.when(F.col("key") == "crawl-delay",
+                      F.col("val").cast("double"))) * 1000)
+        .cast("long").alias("crawl_delay_ms")))
+    # hosts with no applicable group -> allow-all row
+    all_hosts = bodies.select(F.col(host_col).alias("host")).distinct()
+    return (all_hosts.join(agg, "host", "left")
+            .select("host",
+                    F.col("crawl_delay_ms"),
+                    F.coalesce("disallow_prefixes",
+                               F.array().cast("array<string>"))
+                    .alias("disallow_prefixes")))

@@ -1,0 +1,56 @@
+"""Domain blocklist filtering — UT1/adult-list-style frontier hygiene.
+
+Every production crawl (and every training-corpus build: C4, RefinedWeb,
+FineWeb all do this) filters URLs whose host falls under a blocked domain,
+where "under" means suffix-at-label-boundary: blocking ``ads.example``
+blocks ``ads.example`` and ``tracker.ads.example`` but NOT
+``badads.example``.
+
+Spark-first trick: suffix matching is not an equi-join, so we make it one —
+explode each host into its label suffixes (``a.b.example`` → [``a.b.example``,
+``b.example``, ``example``]; ≤ ~5 rows per URL, bounded by label count) and
+hash-join those against the blocklist. The blocklist (10^4–10^6 domains) is
+broadcast, so the frontier never shuffles; the explode fuses into the scan
+projection. No regex scan per (url × blocked-domain) pair — the naive
+approach that dies at 10^10 × 10^6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_suffixes(host_col) -> "F.Column":
+    """All label-boundary suffixes of a hostname, most-specific first."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    parts = F.split(c, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."))
+
+
+def apply_blocklist(
+    frontier: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Annotate frontier rows with the blocking domain (NULL = allowed).
+
+    Returns the frontier plus ``host``, ``blocked_by`` (the most specific
+    matching blocklist domain) and ``kept``. Callers filter on ``kept`` or
+    keep the annotation for audit side-outputs.
+    """
+    f = frontier.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    sufs = f.select(url_col, "host",
+                    F.posexplode(host_suffixes("host")).alias("sidx", "suffix"))
+    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("suffix"))
+                     .distinct().withColumn("__blocked", F.lit(1)))
+    hits = (sufs.join(bl, "suffix")
+            .groupBy(url_col)
+            # min sidx = most specific match
+            .agg(F.min_by("suffix", "sidx").alias("blocked_by")))
+    return (f.join(hits, url_col, "left")
+            .withColumn("kept", F.col("blocked_by").isNull()))

@@ -1,0 +1,72 @@
+"""Adaptive recrawl scheduling — when to fetch a URL again.
+
+A web-scale crawler spends most of its budget on REfetching; the reference
+(one-shot downloads, downloader.py:95-155) has nothing here. This operator
+estimates per-URL change rates from the capture history that the as-of dedup
+query (`pages_latest`) already models, and derives the next fetch due time:
+frequently-changing pages get short intervals, static pages long ones — the
+standard capture-history heuristic (cf. Cho & Garcia-Molina's change-rate
+estimators), kept deliberately linear and deterministic so two engines can
+reproduce it bit-for-bit.
+
+Scale shape: one window (partitioned by url — the capture history of a
+single URL is tiny) + one groupBy(url) with map-side partial aggregation.
+No UDF, no global window, no skew risk (url keys hash uniformly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_INTERVAL_S = 7 * 24 * 3600  # single-capture URLs: retry weekly
+
+
+def recrawl_schedule(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    tiebreak_col: str | None = None,
+    default_interval_s: int = DEFAULT_INTERVAL_S,
+) -> DataFrame:
+    """(url, warc_ts, content_hash)+ → per-url schedule row:
+
+    - ``n_captures``, ``n_changes`` (consecutive captures whose content hash
+      differs), ``change_rate`` = n_changes / (n_captures - 1);
+    - ``avg_gap_s`` = observed capture span / (n_captures - 1);
+    - ``next_interval_s`` = round(avg_gap_s * (2 - change_rate)): a page that
+      changed every capture is refetched at ~1× its observed cadence, a page
+      that never changed at ~2× (back-off), linear in between;
+    - ``next_due_epoch`` = last capture + next_interval (epoch seconds —
+      engine-portable, no timestamp formatting involved).
+
+    URLs with one capture get the default interval and change stats NULL.
+    ``tiebreak_col`` makes the consecutive-capture order deterministic when
+    two captures of one url share a timestamp.
+    """
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(url_col).orderBy(*order_cols)
+    changed = (F.lag(hash_col).over(w).isNotNull()
+               & (F.col(hash_col) != F.lag(hash_col).over(w))).cast("int")
+    hist = captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        changed.alias("chg"))
+    agg = hist.groupBy("url").agg(
+        F.count("*").alias("n_captures"),
+        F.sum("chg").cast("long").alias("n_changes"),
+        F.unix_timestamp(F.min("ts")).alias("first_e"),
+        F.unix_timestamp(F.max("ts")).alias("last_e"))
+    multi = F.col("n_captures") > 1
+    rate = F.col("n_changes") / (F.col("n_captures") - 1)
+    gap = (F.col("last_e") - F.col("first_e")) / (F.col("n_captures") - 1)
+    interval = F.when(multi, F.round(gap * (2.0 - rate), 0).cast("long")) \
+        .otherwise(F.lit(default_interval_s))
+    return agg.select(
+        "url",
+        F.col("n_captures").cast("long").alias("n_captures"),
+        F.when(multi, F.col("n_changes")).alias("n_changes"),
+        F.when(multi, F.round(rate, 6)).alias("change_rate"),
+        F.when(multi, F.round(gap, 2)).alias("avg_gap_s"),
+        interval.alias("next_interval_s"),
+        (F.col("last_e") + interval).alias("next_due_epoch"))

@@ -1,0 +1,90 @@
+"""Unit tests: robots.txt parsing, blocklist suffix matching, recrawl
+scheduling — semantics the driver oracle can't probe (agent-specific groups,
+label-boundary negatives, interval endpoints)."""
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import parse_robots
+from icrawler_spark.operators.blocklist import apply_blocklist
+from icrawler_spark.operators.politeness import apply_robots
+from icrawler_spark.operators.recrawl import recrawl_schedule
+
+
+def _rules(spark, body, agent="*"):
+    df = spark.createDataFrame([("h.test", body)], "host string, body string")
+    return parse_robots(df, agent=agent).collect()[0]
+
+
+def test_robots_agent_specific_group_wins(spark):
+    body = ("User-agent: mybot\nDisallow: /mine\nCrawl-delay: 2\n\n"
+            "User-agent: *\nDisallow: /all\n")
+    r_star = _rules(spark, body, agent="*")
+    assert r_star["disallow_prefixes"] == ["/all"]
+    assert r_star["crawl_delay_ms"] is None
+    r_bot = _rules(spark, body, agent="MyBot")  # case-insensitive token
+    # mybot matches BOTH its group and the * group
+    assert r_bot["disallow_prefixes"] == ["/all", "/mine"]
+    assert r_bot["crawl_delay_ms"] == 2000
+
+
+def test_robots_consecutive_agents_and_malformed(spark):
+    body = ("Disallow: /ignored-before-any-group\n"
+            "User-agent: a\nUser-agent: *\nDisallow: /shared\nDisallow:\n")
+    r = _rules(spark, body)
+    assert r["disallow_prefixes"] == ["/shared"]  # empty Disallow dropped
+
+
+def test_robots_feeds_apply_robots(spark):
+    bodies = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /private\n")],
+        "host string, body string")
+    rules = parse_robots(bodies)
+    frontier = spark.createDataFrame(
+        [("http://h.test/public/1",), ("http://h.test/private/2",),
+         ("http://other.test/private/3",)], "url string")
+    kept = {r["url"] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"http://h.test/public/1", "http://other.test/private/3"}
+
+
+def test_blocklist_label_boundary(spark):
+    frontier = spark.createDataFrame(
+        [("http://ads.example/x",), ("http://sub.ads.example/x",),
+         ("http://badads.example/x",), ("http://fine.test/x",)], "url string")
+    bl = spark.createDataFrame([("ads.example",)], "domain string")
+    out = {r["url"]: (r["blocked_by"], r["kept"])
+           for r in apply_blocklist(frontier, bl).collect()}
+    assert out["http://ads.example/x"] == ("ads.example", False)
+    assert out["http://sub.ads.example/x"] == ("ads.example", False)
+    # substring-alike host must NOT match (label boundary)
+    assert out["http://badads.example/x"] == (None, True)
+    assert out["http://fine.test/x"] == (None, True)
+
+
+def test_blocklist_most_specific_wins(spark):
+    frontier = spark.createDataFrame([("http://a.b.example/x",)], "url string")
+    bl = spark.createDataFrame([("example",), ("b.example",)], "domain string")
+    out = apply_blocklist(frontier, bl).collect()[0]
+    assert out["blocked_by"] == "b.example"
+
+
+def test_recrawl_intervals(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # url A: 3 captures, changes every time -> interval = gap * (2-1) = gap
+    for i, h in enumerate("abc"):
+        rows.append(("http://a.test/1", t0 + dt.timedelta(seconds=100 * i), i, h))
+    # url B: 3 captures, never changes -> interval = gap * 2
+    for i in range(3):
+        rows.append(("http://b.test/1", t0 + dt.timedelta(seconds=100 * i), i, "same"))
+    # url C: single capture -> default weekly
+    rows.append(("http://c.test/1", t0, 0, "x"))
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, capture_id long, content_hash string")
+    out = {r["url"]: r for r in recrawl_schedule(caps, tiebreak_col="capture_id").collect()}
+    a, b, c = out["http://a.test/1"], out["http://b.test/1"], out["http://c.test/1"]
+    assert a["change_rate"] == 1.0 and a["next_interval_s"] == 100
+    assert b["change_rate"] == 0.0 and b["next_interval_s"] == 200
+    assert c["n_changes"] is None and c["next_interval_s"] == 7 * 24 * 3600
+    assert a["next_due_epoch"] - b["next_due_epoch"] == -100
