@@ -54,7 +54,10 @@ class CrawlConfig:
     # fetched table (downloader.py:44-58, storage/filesystem.py:33-42)
     file_idx_offset: int | str = 0
     default_ext: str = "jpg"
-    robots: DataFrame | None = None     # north-rule politeness; None = parity
+    # north-rule politeness; None = parity. Accepts either a parsed rules
+    # table (host, crawl_delay_ms, disallow_prefixes) or a raw bodies table
+    # (host, body) — raw robots.txt is parsed via functions/robots.py
+    robots: DataFrame | None = None
     round_seconds: float | None = None  # token-bucket window; None = parity
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
@@ -210,6 +213,14 @@ class GreedyCrawl:
         self.spark = spark
         self.pages = pages
         self.cfg = cfg or CrawlConfig()
+        if self.cfg.robots is not None and "body" in self.cfg.robots.columns:
+            # raw robots.txt bodies: parse once into the rules table the
+            # politeness operators consume (functions/robots.py)
+            from dataclasses import replace
+
+            from icrawler_spark.functions.robots import parse_robots
+
+            self.cfg = replace(self.cfg, robots=parse_robots(self.cfg.robots))
         if self.cfg.checkpoint_dir:
             # scheme-routed: bare path -> local catalog; file://, hdfs://,
             # gs://, s3a:// -> the Hadoop-FS catalog (W2 cloud warehouse)

@@ -88,3 +88,24 @@ def test_recrawl_intervals(spark):
     assert b["change_rate"] == 0.0 and b["next_interval_s"] == 200
     assert c["n_changes"] is None and c["next_interval_s"] == 7 * 24 * 3600
     assert a["next_due_epoch"] - b["next_due_epoch"] == -100
+
+
+def test_crawl_accepts_raw_robots_bodies(spark, smoke_pages_df):
+    """CrawlConfig(robots=<(host, body) table>) parses via functions/robots.py
+    and behaves identically to passing the parsed rules table."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    bodies = spark.createDataFrame(
+        [("host0001.test", "User-agent: *\nDisallow: /p/\n")],
+        "host string, body string")
+    res = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(robots=bodies)).run(seeds)
+    visited = [r["url"] for r in res.order.collect()]
+    assert visited and not any(
+        u.startswith("http://host0001.test/p/") for u in visited)
+    assert "http://host0001.test" in visited
+
+    rules = parse_robots(bodies)
+    res2 = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(robots=rules)).run(seeds)
+    assert [r["url"] for r in res2.order.orderBy("visit_rank").collect()] == \
+        [r["url"] for r in res.order.orderBy("visit_rank").collect()]
