@@ -83,6 +83,13 @@ class CrawlConfig:
     # reorders within the frontier batch, as in any frontier-partitioned
     # crawler.
     priority: "F.Column | None" = None
+    # host-level priority table (host, priority) — e.g. the output of
+    # operators/graph.pagerank over the outlink graph. Higher priority
+    # crawls earlier. Joined onto the frontier per round (broadcast when
+    # small; a Column can't express a join, hence a separate field).
+    # Composes with `priority`: when both are set, `priority` wins ties
+    # after the host score.
+    host_priority: "DataFrame | None" = None
 
 
 @dataclass
@@ -342,17 +349,33 @@ class GreedyCrawl:
             # priority frontier (north-rule; FIFO in parity mode)
             order_cols = ["parent_rank", "pos"]
             frontier_r = frontier
+            if cfg.host_priority is not None:
+                hp = cfg.host_priority.select(
+                    F.col("host").alias("__hp_host"),
+                    F.col("priority").alias("__hp"))
+                frontier_r = (frontier_r
+                              .withColumn("__hp_host",
+                                          F.parse_url("url", F.lit("HOST")))
+                              .join(F.broadcast(hp), "__hp_host", "left")
+                              .drop("__hp_host")
+                              # negate: higher host score sorts (asc) first
+                              .withColumn("__host_prio",
+                                          -F.coalesce("__hp", F.lit(0.0)))
+                              .drop("__hp"))
+                order_cols = ["__host_prio"] + order_cols
             if cfg.priority is not None:
-                frontier_r = frontier.withColumn("__priority", cfg.priority)
-                order_cols = ["__priority", "parent_rank", "pos"]
+                frontier_r = frontier_r.withColumn("__priority", cfg.priority)
+                order_cols = (["__host_prio"] if cfg.host_priority is not None
+                              else []) + ["__priority", "parent_rank", "pos"]
 
             # politeness (north-rule; no-op in parity mode)
             politeness_on = cfg.robots is not None or cfg.round_seconds is not None
             active = apply_robots(frontier_r, cfg.robots)
             active, deferred = politeness_batch(
                 active, cfg.robots, cfg.round_seconds, order_cols, pin=self._pin)
-            if cfg.priority is not None:
-                deferred = deferred.drop("__priority")
+            # deferred re-enters next round's frontier: strip helper columns
+            # so its schema matches freshly-discovered candidates
+            deferred = deferred.drop("__priority", "__host_prio")
 
             # visit-rank assignment — distributed total order (O1)
             if politeness_on:
@@ -366,8 +389,7 @@ class GreedyCrawl:
                 ranked = self._pin(global_row_number(
                     active, order_cols, "visit_rank", start=visited,
                     known_count=n_visit))
-            if cfg.priority is not None:
-                ranked = ranked.drop("__priority")
+            ranked = ranked.drop("__priority", "__host_prio")
             visited += n_visit
 
             order_rows = ranked.select(

@@ -109,3 +109,34 @@ def test_crawl_accepts_raw_robots_bodies(spark, smoke_pages_df):
     res2 = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(robots=rules)).run(seeds)
     assert [r["url"] for r in res2.order.orderBy("visit_rank").collect()] == \
         [r["url"] for r in res.order.orderBy("visit_rank").collect()]
+
+
+def test_host_priority_reorders_frontier(spark, smoke_web, smoke_pages_df):
+    """CrawlConfig.host_priority (e.g. graph.pagerank output) pulls a host's
+    URLs to the front of each round without changing WHAT is crawled."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    fifo = GreedyCrawl(spark, smoke_pages_df, CrawlConfig()).run(seeds)
+    hp = spark.createDataFrame([("host0002.test", 1.0)],
+                               "host string, priority double")
+    prio = GreedyCrawl(spark, smoke_pages_df,
+                       CrawlConfig(host_priority=hp)).run(seeds)
+
+    assert {r["url"] for r in prio.seen_pages.collect()} == \
+        {r["url"] for r in fifo.seen_pages.collect()}
+
+    rows = prio.order.select("round", "visit_rank", "url").collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    reordered = False
+    for rnd_rows in by_round.values():
+        rnd_rows.sort(key=lambda r: r["visit_rank"])
+        hosts = ["host0002.test" in r["url"] for r in rnd_rows]
+        # favored host's urls must be a prefix of the round
+        first_other = hosts.index(False) if False in hosts else len(hosts)
+        assert all(not h for h in hosts[first_other:])
+        if 0 < first_other < len(hosts):
+            reordered = True
+    assert reordered  # priority actually moved something
