@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis): differential oracles for the pure
+operators. Each example generates a BATCH of inputs and runs ONE Spark job,
+keeping example count low (Spark jobs are the expensive unit, not rows)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from icrawler_spark.operators.blocklist import apply_blocklist
+from icrawler_spark.operators.budget import global_row_number
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_label = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+_host = st.lists(_label, min_size=1, max_size=4).map(".".join)
+
+
+def _blocked_by_py(host: str, domains: list[str]) -> str | None:
+    """Reference semantics: most specific suffix-at-label-boundary match."""
+    best = None
+    for d in domains:
+        if host == d or host.endswith("." + d):
+            if best is None or len(d) > len(best):
+                best = d
+    return best
+
+
+@given(hosts=st.lists(_host, min_size=1, max_size=20),
+       domains=st.lists(_host, min_size=1, max_size=5, unique=True))
+@settings(**_SETTINGS)
+def test_blocklist_matches_python_oracle(spark, hosts, domains):
+    frontier = spark.createDataFrame(
+        [(f"http://{h}/x{i}",) for i, h in enumerate(hosts)], "url string")
+    bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+    got = {r["url"]: r["blocked_by"]
+           for r in apply_blocklist(frontier, bl).collect()}
+    for i, h in enumerate(hosts):
+        assert got[f"http://{h}/x{i}"] == _blocked_by_py(h, domains)
+
+
+@given(keys=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                     min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_global_row_number_is_sorted_permutation(spark, keys):
+    """Ranks are exactly start..start+n-1 and agree with the stable sort
+    order regardless of input partitioning."""
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "uid long, k long").repartition(7)
+    out = global_row_number(df, ["k", "uid"], "rank", start=5).collect()
+    got = sorted((r["rank"], r["uid"]) for r in out)
+    expect_order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+    assert [uid for _, uid in got] == expect_order
+    assert [rk for rk, _ in got] == list(range(5, 5 + len(keys)))
+
+
+@given(texts=st.lists(st.text(alphabet="ab c.!X9", max_size=30),
+                      min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_quality_features_total_and_bounded(spark, texts):
+    """quality_features never drops/dups rows and keeps ratios in range —
+    including empty and punctuation-only documents (ANSI mode: any division
+    hole would throw, not corrupt)."""
+    from icrawler_spark.functions.text import quality_features
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = quality_features(df).collect()
+    assert sorted(r["id"] for r in out) == list(range(len(texts)))
+    for r in out:
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
