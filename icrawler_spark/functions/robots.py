@@ -16,8 +16,9 @@ pages table (one row per host).
 
 Semantics (deliberately scoped):
 - consecutive ``User-agent:`` lines form one group header (RFC 9309 §2.2.1);
-- a group applies if any of its agents is ``*`` or equals ``agent``
-  (case-insensitive token match — no substring ranking);
+- group selection follows RFC 9309 §2.2.1 specificity: if any group names
+  ``agent`` exactly (case-insensitive token match — no substring ranking),
+  ONLY those groups apply; otherwise the ``*`` groups apply;
 - ``Disallow:``/``Crawl-delay:`` lines before any ``User-agent`` line are
   ignored (malformed per RFC);
 - empty ``Disallow:`` (allow-all marker) is dropped from the prefix list;
@@ -63,10 +64,16 @@ def parse_robots(
     d = d.filter(F.col("grp") > 0)  # directives before any UA line: malformed
 
     agent_lc = agent.lower()
-    applicable = (d.filter(F.col("key") == "user-agent")
-                  .filter((F.lower(F.col("val")) == "*")
-                          | (F.lower(F.col("val")) == agent_lc))
-                  .select("host", "grp").distinct())
+    ua = d.filter(F.col("key") == "user-agent").select(
+        "host", "grp", F.lower(F.col("val")).alias("ua"))
+    # RFC 9309 specificity: exact-agent groups shadow the * groups per host
+    exact = ua.filter(F.col("ua") == agent_lc).select("host", "grp").distinct()
+    if agent_lc == "*":
+        applicable = exact
+    else:
+        star = (ua.filter(F.col("ua") == "*").select("host", "grp").distinct()
+                .join(exact.select("host").distinct(), "host", "left_anti"))
+        applicable = exact.union(star)
 
     rules = d.join(applicable, ["host", "grp"], "left_semi")
     agg = (rules.groupBy("host").agg(

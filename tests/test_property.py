@@ -69,3 +69,58 @@ def test_quality_features_total_and_bounded(spark, texts):
         assert 0.0 <= r["punct_ratio"] <= 1.0
         assert 0.0 <= r["stop_ratio"] <= 1.0
         assert 0.0 <= r["quality_score"] <= 1.0
+
+
+_agents = st.sampled_from(["*", "mybot", "otherbot", "crawler9"])
+_paths = st.sampled_from(["/a", "/a/b", "/priv", "/x/", "/longer/path"])
+
+
+@st.composite
+def _robots_groups(draw):
+    """1-3 groups, each with a UNIQUE agent (stdlib robotparser keeps only
+    the first entry per agent; dedup keeps the differential meaningful)."""
+    agents = draw(st.lists(_agents, min_size=1, max_size=3, unique=True))
+    groups = []
+    for a in agents:
+        dis = draw(st.lists(_paths, min_size=0, max_size=3))
+        delay = draw(st.one_of(st.none(), st.integers(min_value=1, max_value=9)))
+        groups.append((a, dis, delay))
+    return groups
+
+
+@given(groups=_robots_groups(),
+       queries=st.lists(st.tuples(_agents, _paths), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_robots_matches_stdlib_robotparser(spark, groups, queries):
+    """parse_robots + apply_robots agree with urllib.robotparser on
+    disallow decisions and crawl delays for single-entry-per-agent files."""
+    import urllib.robotparser
+
+    from icrawler_spark.functions.robots import parse_robots
+    from icrawler_spark.operators.politeness import apply_robots
+
+    lines = []
+    for agent, dis, delay in groups:
+        lines.append(f"User-agent: {agent}")
+        for p in dis:
+            lines.append(f"Disallow: {p}")
+        if delay is not None:
+            lines.append(f"Crawl-delay: {delay}")
+        lines.append("")
+    body = "\n".join(lines)
+
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+
+    bodies = spark.createDataFrame([("h.test", body)], "host string, body string")
+    for agent, path in queries:
+        rules = parse_robots(bodies, agent=agent)
+        url = f"http://h.test{path}"
+        frontier = spark.createDataFrame([(url,)], "url string")
+        kept = bool(apply_robots(frontier, rules).count())
+        assert kept == rp.can_fetch(agent, url), (agent, path, body)
+        row = rules.collect()[0]
+        exp_delay = rp.crawl_delay(agent)
+        got_delay = row["crawl_delay_ms"]
+        assert (got_delay is None and exp_delay is None) or \
+            got_delay == exp_delay * 1000, (agent, body)

@@ -22,8 +22,8 @@ def test_robots_agent_specific_group_wins(spark):
     assert r_star["disallow_prefixes"] == ["/all"]
     assert r_star["crawl_delay_ms"] is None
     r_bot = _rules(spark, body, agent="MyBot")  # case-insensitive token
-    # mybot matches BOTH its group and the * group
-    assert r_bot["disallow_prefixes"] == ["/all", "/mine"]
+    # RFC 9309 specificity: the exact-agent group SHADOWS the * group
+    assert r_bot["disallow_prefixes"] == ["/mine"]
     assert r_bot["crawl_delay_ms"] == 2000
 
 
