@@ -1,0 +1,133 @@
+"""Streaming crawl with feedback — the round loop as a Structured Streaming
+pipeline.
+
+The batch engine (plans/crawl.py) drives rounds from the driver; this module
+expresses the same dataflow as a file-source stream with a FEEDBACK edge:
+
+    source_dir (url files) ──▶ ingest (dedup vs frontier state, Bloom +
+    bucket-pruned anti-join) ──▶ fetch (stream-batch join vs the pages
+    table) ──▶ extract (vectorized mapInPandas) ──▶ texts/tasks sinks
+           ▲                                            │
+           └───────── discovered outlinks ◀─────────────┘
+
+Discovered frontier URLs are written back into ``source_dir`` as new files;
+the file stream source picks them up on the next trigger, so each
+``availableNow`` pass consumes every URL discovered so far and the crawl
+closure is reached when a pass ingests zero novel URLs. On a real cluster
+the same topology runs with a continuous trigger (the feedback files arrive
+while the query runs); ``availableNow`` passes make it deterministic and
+testable here.
+
+Exactly-once notes: frontier/texts/tasks appends are idempotent per batch
+(novel set is deduped against the committed frontier before any write), and
+the stream checkpoint makes source files consumed-once across restarts —
+the same resume invariants as the batch catalog, expressed with streaming
+primitives.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.extract import extract_emissions
+from icrawler_spark.streaming.frontier_stream import start_frontier_ingest
+
+
+def write_seed_urls(source_dir: str, urls: list[str], name: str = "seeds") -> None:
+    os.makedirs(source_dir, exist_ok=True)
+    tmp = os.path.join(source_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(urls) + "\n")
+    os.replace(tmp, os.path.join(source_dir, f"{name}.txt"))
+
+
+def stream_crawl_pass(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    pages: DataFrame,
+    domains: list[str],
+    timeout_s: int = 300,
+) -> int:
+    """One availableNow pass: ingest → fetch → extract → feed back.
+
+    Returns the number of novel URLs ingested (0 = crawl closure reached).
+    Texts land under ``state_dir/texts`` (url, text), image tasks under
+    ``state_dir/tasks`` (parent, pos, target).
+    """
+    texts_path = os.path.join(state_dir, "texts")
+    tasks_path = os.path.join(state_dir, "tasks")
+    stats = {"novel": 0}
+
+    def on_novel(novel: DataFrame, batch_id: int) -> None:
+        n = novel.count()
+        stats["novel"] += n
+        if n == 0:
+            return
+        # fetch: batch-side join against the (bucket-pruned at scale) pages
+        # table — the streaming analogue of the round loop's fetch join
+        fetched = (F.broadcast(novel)
+                   .join(pages.select("url", "html", "text"), "url"))
+        fetched = fetched.localCheckpoint(eager=True)
+        (fetched.select("url", "text")
+         .write.mode("append").parquet(texts_path))
+
+        em = extract_emissions(
+            fetched.select(F.col("url").alias("parent"),
+                           F.lit(batch_id).cast("long").alias("visit_rank"),
+                           "html"),
+            domains)
+        em = em.localCheckpoint(eager=True)
+        (em.filter(F.col("kind") == "task")
+         .select("parent", "pos", "target")
+         .write.mode("append").parquet(tasks_path))
+        # FEEDBACK: frontier candidates become new source files for the
+        # next trigger (unique name per batch; text source lists new files
+        # only, the checkpoint remembers consumed ones)
+        outlinks = em.filter(F.col("kind") == "url").select("target").distinct()
+        if outlinks.count() > 0:
+            # write to a staging dir, then move the part file into source_dir
+            # (atomic rename = the file appears complete to the next listing;
+            # the text source does not recurse into subdirectories)
+            stage = os.path.join(state_dir, f"_stage_{uuid.uuid4().hex}")
+            outlinks.coalesce(1).write.mode("overwrite").text(stage)
+            parts = [p for p in os.listdir(stage) if p.startswith("part-")]
+            for i, p in enumerate(parts):
+                os.replace(os.path.join(stage, p),
+                           os.path.join(source_dir,
+                                        f"discovered_{batch_id}_{uuid.uuid4().hex}_{i}.txt"))
+
+    q = start_frontier_ingest(spark, source_dir, state_dir,
+                              available_now=True, on_novel=on_novel)
+    q.awaitTermination(timeout_s)
+    return stats["novel"]
+
+
+def stream_crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    source_dir: str,
+    state_dir: str,
+    pages: DataFrame,
+    domains: list[str],
+    max_passes: int = 50,
+) -> dict:
+    """Run availableNow passes until the feedback loop drains (a pass with
+    zero novel URLs). Returns {passes, frontier_urls, texts, tasks} counts."""
+    write_seed_urls(source_dir, seeds)
+    passes = 0
+    while passes < max_passes:
+        passes += 1
+        if stream_crawl_pass(spark, source_dir, state_dir, pages, domains) == 0:
+            break
+    frontier_path = os.path.join(state_dir, "frontier")
+    texts_path = os.path.join(state_dir, "texts")
+    n_frontier = (spark.read.parquet(frontier_path).count()
+                  if os.path.isdir(frontier_path) else 0)
+    n_texts = (spark.read.parquet(texts_path).count()
+               if os.path.isdir(texts_path) else 0)
+    return {"passes": passes, "frontier_urls": n_frontier, "texts": n_texts}

@@ -62,6 +62,7 @@ def start_frontier_ingest(
     available_now: bool = True,
     n_buckets: int = FRONTIER_BUCKETS,
     bloom_capacity: int = 1_000_000,
+    on_novel=None,
 ):
     """Stream URLs from ``source_dir`` into a persistent frontier table with
     exact cross-restart dedup.
@@ -110,6 +111,10 @@ def start_frontier_ingest(
         (novel.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").partitionBy("bucket").parquet(frontier_path))
         state["bloom"].absorb(novel.select("url"), "url")
+        if on_novel is not None:
+            # continuation hook: the streaming crawl pipeline fetches +
+            # extracts each batch's novel URLs (crawl_stream.py)
+            on_novel(novel.select("url"), batch_id)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

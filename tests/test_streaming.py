@@ -87,3 +87,32 @@ def test_stateful_politeness_scheduler(spark, tmp_path):
     rows2 = {r["url"]: r["scheduled_ms"]
              for r in spark.read.parquet(sink).collect()}
     assert rows2["http://hot.test/4"] == 3000
+
+
+def test_stream_crawl_reaches_batch_closure(spark, smoke_web, smoke_pages_df, tmp_path):
+    """The feedback streaming crawl (crawl_stream.py) reaches the same crawl
+    closure as the batch engine: identical fetched-page set and byte-identical
+    text per url."""
+    from icrawler_spark import oracle
+    from icrawler_spark.streaming.crawl_stream import stream_crawl
+
+    cfg, pdf = smoke_web
+    seeds_hosts = ["host0000.test", "host0001.test", "host0002.test"]
+    seed_urls = [f"http://{h}" for h in seeds_hosts]
+    golden = oracle.run_greedy(dict(zip(pdf.url, pdf.html)),
+                               dict(zip(pdf.url, pdf.text)), seeds_hosts, max_num=0)
+
+    res = stream_crawl(spark, seed_urls,
+                       str(tmp_path / "src"), str(tmp_path / "state"),
+                       smoke_pages_df, seeds_hosts)
+    assert res["passes"] >= 2  # feedback actually cycled
+
+    texts = {r["url"]: r["text"]
+             for r in spark.read.parquet(str(tmp_path / "state" / "texts")).collect()}
+    assert texts == golden.texts  # same pages fetched, bytes identical
+
+    # frontier state holds every discovered url exactly once (incl. misses)
+    frontier = spark.read.parquet(str(tmp_path / "state" / "frontier"))
+    urls = [r["url"] for r in frontier.select("url").collect()]
+    assert len(urls) == len(set(urls))
+    assert set(texts) <= set(urls)
