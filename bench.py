@@ -159,6 +159,28 @@ def _operator_benches(spark) -> dict:
     return out
 
 
+# round-2 session-3 operators: timed OUTSIDE the headline total so the
+# headline stays comparable across rounds; reported under "extra_queries"
+_EXTRA_PICKS = [
+    "decontaminate", "seq_pack", "stratified_sample", "domain_filter",
+    "host_pagerank", "cluster_split", "quantize_embed", "sitemap_extract",
+    "robots_parse", "recrawl_schedule", "url_blocklist", "dedup_clusters",
+    "line_dedup", "pages_latest", "quality_gopher", "scrub_pii",
+]
+
+
+def _extra_operator_benches(spark) -> dict:
+    from icrawler_spark import entry_queries as q
+
+    registry = q.queries()
+    out = {}
+    for name in _EXTRA_PICKS:
+        t0 = time.time()
+        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def bench_extract(spark, pages_path: str) -> dict:
     """Throughput of the vectorized HTML extractor over the bench web."""
     from icrawler_spark.operators.extract import extract_emissions
@@ -187,6 +209,7 @@ def run_once(cores: int) -> dict:
         _release_crawl_state(spark)
         extract = bench_extract(spark, pages_path)
         ops = _operator_benches(spark)
+        extra = _extra_operator_benches(spark)
         total = round(crawl["wall_s"] + polite["wall_s"] + extract["wall_s"]
                       + sum(ops.values()), 3)
         queries = {"crawl_round": round(crawl["wall_s"], 3),
@@ -197,6 +220,7 @@ def run_once(cores: int) -> dict:
             "value": total, "unit": "sec", "queries": queries,
             "sf": _SF_TAG.replace("sf", ""),
             "crawl": crawl, "crawl_polite": polite, "extract": extract,
+            "extra_queries": extra,
             "cores": cores,
         }
     finally:
