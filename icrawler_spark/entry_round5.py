@@ -230,6 +230,51 @@ FROM f LEFT JOIN hits h ON h.url = f.url
 
 
 # ---------------------------------------------------------------------------
+# self_perplexity — corpus-unigram-LM cross-entropy per document
+# ---------------------------------------------------------------------------
+
+def q_self_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity quality scoring with the corpus itself as the
+    language model (the sandbox stand-in for a pretrained KenLM): corpus
+    unigram probabilities → per-document mean -ln p(token). High values =
+    unusual token distribution = filter candidates.
+
+    Scale shape: the LM is ONE aggregation over the exploded tokens (vocab ≪
+    corpus, broadcast back); scoring is a map-side broadcast join + one
+    groupBy(doc) with partial sums. No UDF; ln/sum double math rounded to 6
+    decimals for engine portability."""
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = docs.select(F.col("doc_id").cast("long").alias("id"),
+                      F.explode(tokens_col("text")).alias("tok"))
+    total = tok.count()
+    lm = (tok.groupBy("tok").agg(F.count("*").alias("n"))
+          .select("tok", (-F.log(F.col("n") / F.lit(float(total)))).alias("nll")))
+    return (tok.join(F.broadcast(lm), "tok")
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg("nll"), 6).alias("mean_nll")))
+
+
+Q_SELF_PERPLEXITY_SQL = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), lm AS (
+  SELECT tok, -ln(count(*) / CAST((SELECT count(*) FROM tok) AS DOUBLE)) AS nll
+  FROM tok GROUP BY tok
+)
+SELECT t.id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(l.nll), 6) AS mean_nll
+FROM tok t JOIN lm l USING (tok)
+GROUP BY t.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -238,6 +283,7 @@ def queries5():
         "robots_parse": q_robots_parse,
         "recrawl_schedule": q_recrawl_schedule,
         "url_blocklist": q_url_blocklist,
+        "self_perplexity": q_self_perplexity,
     }
 
 
@@ -246,4 +292,5 @@ def oracle_sql5():
         "robots_parse": _robots_sql(),
         "recrawl_schedule": Q_RECRAWL_SQL,
         "url_blocklist": _blocklist_sql(),
+        "self_perplexity": Q_SELF_PERPLEXITY_SQL,
     }
