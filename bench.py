@@ -26,7 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/icrawler_bench_pages")
+def _default_pages_cache() -> str:
+    # Prefer tmpfs: this host runs a DAMON-based page-cache reclaim daemon
+    # that evicts the parquet input between (and even during) runs, adding
+    # up to 2x disk-read noise to every measurement. tmpfs pages are
+    # unevictable without swap, so the input stays RAM-resident — what a
+    # warm production cluster sees.
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/icrawler_bench_pages"
+    return "/tmp/icrawler_bench_pages"
+
+
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", _default_pages_cache())
 
 # bench web scale: tied to the testdata SF so sf0.01 iterating stays fast
 _SF_TAG = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
@@ -43,8 +54,14 @@ EXTRACT_BUCKETS = 16  # extractor throughput measured on 16/64 buckets
 def _get_spark(cores: int):
     from icrawler_spark.session import get_spark
 
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        # shuffle/localCheckpoint spill on tmpfs, same rationale as
+        # PAGES_CACHE: the host's page-cache reclaim daemon otherwise turns
+        # shuffle re-reads into disk reads with 2x run-to-run noise
+        extra["spark.local.dir"] = "/dev/shm/icrawler_spark_local"
     return get_spark(app=f"bench_{cores}", cores=cores,
-                     shuffle_partitions=max(cores, 8))
+                     shuffle_partitions=max(cores, 8), extra=extra)
 
 
 def _ensure_pages(spark, n_hosts: int, total_pages: int) -> str:
