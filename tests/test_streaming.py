@@ -116,3 +116,40 @@ def test_stream_crawl_reaches_batch_closure(spark, smoke_web, smoke_pages_df, tm
     urls = [r["url"] for r in frontier.select("url").collect()]
     assert len(urls) == len(set(urls))
     assert set(texts) <= set(urls)
+
+
+def test_windowed_metrics_watermark_drops_late(spark, tmp_path):
+    """Event-time windowed crawl rates: windows finalize exactly once when
+    the watermark passes, and records later than the allowance are dropped."""
+    from icrawler_spark.streaming.metrics_stream import run_metrics_available
+
+    src = str(tmp_path / "msrc")
+    state = str(tmp_path / "mstate")
+
+    # pass 1: window A (10:00) gets 3 urls; an event at 10:05 pushes the
+    # watermark (2 min allowance) past A's end -> A finalizes next pass
+    _write_urls(src, "a.txt", [
+        "2024-01-01T10:00:05 http://h1.test/1",
+        "2024-01-01T10:00:20 http://h2.test/2",
+        "2024-01-01T10:00:40 http://h1.test/3",
+        "2024-01-01T10:05:00 http://h3.test/4",
+    ])
+    run_metrics_available(spark, src, state)
+
+    # pass 2 (same checkpoint): one LATE record for window A (watermark is
+    # already 10:03 > A-end 10:01 -> dropped) and one event far ahead that
+    # closes window B (10:05)
+    _write_urls(src, "b.txt", [
+        "2024-01-01T10:00:50 http://h9.test/late",
+        "2024-01-01T10:20:00 http://h4.test/5",
+    ])
+    out = run_metrics_available(spark, src, state)
+
+    rows = {r["window_start"].strftime("%H:%M"): r for r in out.collect()}
+    assert "10:00" in rows and "10:05" in rows
+    # late record did NOT inflate window A
+    assert rows["10:00"]["n_urls"] == 3
+    assert rows["10:00"]["n_hosts"] == 2
+    assert rows["10:05"]["n_urls"] == 1
+    # the 10:20 window is still open (watermark has not passed it) -> absent
+    assert "10:20" not in rows
