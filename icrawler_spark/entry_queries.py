@@ -20,7 +20,7 @@ from icrawler_spark.functions.text import (
     quality_features,
     token_counts,
 )
-from icrawler_spark import entry_round2, entry_round3, entry_round4, entry_round5
+from icrawler_spark import entry_round2, entry_round3, entry_round4, entry_round5, entry_round6
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -784,6 +784,7 @@ def queries():
         **entry_round3.queries3(),
         **entry_round4.queries4(),
         **entry_round5.queries5(),
+        **entry_round6.queries6(),
     }
 
 
@@ -821,4 +822,5 @@ def oracle_sql():
         **entry_round3.oracle_sql3(),
         **entry_round4.oracle_sql4(),
         **entry_round5.oracle_sql5(),
+        **entry_round6.oracle_sql6(),
     }

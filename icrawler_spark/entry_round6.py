@@ -1,0 +1,142 @@
+"""Round-2 (session 3, batch 3) driver-contract queries: HTTP response-record
+parsing and anchor-text link extraction (operators/warc.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.warc import anchor_texts, parse_http_records
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# http_headers — raw response blob → typed columns
+# ---------------------------------------------------------------------------
+
+def _http_records(spark, sf) -> DataFrame:
+    """Synthesized raw HTTP captures: status by event bucket, a
+    content-type with charset, a duplicated header (last-wins path), and a
+    body-only (no status line) malformed variant every 7th record."""
+    ev = _events(spark, sf)
+    e = F.col("event_id").cast("long")
+    crlf = "\r\n"
+    status = (F.when(e % 11 == 0, F.lit("404")).when(e % 13 == 0, F.lit("301"))
+              .otherwise(F.lit("200")))
+    good = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(" X" + crlf),
+        F.lit("Content-Type: text/HTML; charset=UTF-8" + crlf),
+        F.lit("X-Dup: first" + crlf),
+        F.lit("Server: srv-"), (e % 5).cast("string"), F.lit(crlf),
+        F.lit("X-Dup: second" + crlf),
+        F.lit(crlf),
+        F.lit("<html>body-"), e, F.lit("</html>"))
+    malformed = F.concat(F.lit("just raw bytes "), e)
+    return ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/r/"), e).alias("url"),
+        F.when(e % 7 == 0, malformed).otherwise(good).alias("raw"))
+
+
+def q_http_headers(spark: SparkSession, sf: str) -> DataFrame:
+    out = parse_http_records(_http_records(spark, sf))
+    return out.select(
+        "id", "status",
+        F.element_at("headers", "server").alias("server"),
+        F.element_at("headers", "x-dup").alias("x_dup"),
+        "content_type", "charset", "body")
+
+
+Q_HTTP_HEADERS_SQL = r"""
+WITH ev AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/r/' || event_id AS id,
+         CAST(event_id AS BIGINT) AS e
+  FROM events
+), parts AS (
+  SELECT id, e,
+         CASE WHEN e % 11 = 0 THEN 404 WHEN e % 13 = 0 THEN 301
+              ELSE 200 END AS status,
+         e % 7 = 0 AS malformed
+  FROM ev
+)
+SELECT id,
+       CASE WHEN malformed THEN NULL ELSE status END AS status,
+       CASE WHEN malformed THEN NULL ELSE 'srv-' || (e % 5) END AS server,
+       CASE WHEN malformed THEN NULL ELSE 'second' END AS x_dup,
+       CASE WHEN malformed THEN NULL ELSE 'text/html' END AS content_type,
+       CASE WHEN malformed THEN NULL ELSE 'utf-8' END AS charset,
+       CASE WHEN malformed THEN 'just raw bytes ' || e
+            ELSE '<html>body-' || e || '</html>' END AS body
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# anchor_texts — link graph with anchor text
+# ---------------------------------------------------------------------------
+
+def _anchor_pages(spark, sf) -> DataFrame:
+    docs = _docs(spark, sf)
+    d = F.col("doc_id").cast("long")
+    html = F.concat(
+        F.lit('<p>intro</p><a href="/p/'), d,
+        F.lit('">First <b>bold</b> link</a> mid '),
+        F.lit('<a class="x" href="http://h'), d % 9,
+        F.lit('.test/q">ext '), d % 4, F.lit("</a> tail"))
+    return docs.select(
+        F.concat(F.lit("http://src"), d % 10, F.lit(".test/d/"), d).alias("url"),
+        html.alias("html"))
+
+
+def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
+    return anchor_texts(_anchor_pages(spark, sf)).select(
+        "page", "pos", "href", "anchor_text")
+
+
+Q_ANCHOR_SQL = r"""
+WITH pages AS (
+  SELECT 'http://src' || (doc_id % 10) || '.test/d/' || doc_id AS page,
+         '<p>intro</p><a href="/p/' || doc_id
+         || '">First <b>bold</b> link</a> mid <a class="x" href="http://h'
+         || (doc_id % 9) || '.test/q">ext ' || (doc_id % 4) || '</a> tail'
+           AS html
+  FROM documents
+), x AS (
+  SELECT page,
+         unnest(range(0, len(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)))) AS pos,
+         unnest(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS atext
+  FROM pages
+)
+SELECT page, CAST(pos AS INT) AS pos, href,
+       trim(regexp_replace(atext, '<[^>]*>', ' ', 'g')) AS anchor_text
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries6():
+    return {
+        "http_headers": q_http_headers,
+        "anchor_texts": q_anchor_texts,
+    }
+
+
+def oracle_sql6():
+    return {
+        "http_headers": Q_HTTP_HEADERS_SQL,
+        "anchor_texts": Q_ANCHOR_SQL,
+    }

@@ -1,0 +1,110 @@
+"""HTTP response-record parsing — WARC-style raw capture → typed columns.
+
+Common-Crawl-style page tables often store the raw HTTP response (status
+line + headers + body) as one binary blob (the ``html:binary`` column of
+the input_hint). This operator splits it into typed columns the rest of the
+pipeline consumes: status code, a headers map, the content-type/charset,
+and the body.
+
+All JVM column expressions — ``decode`` on the binary, one split at the
+first blank line, a header-line explode re-aggregated with
+``map_from_entries``. No UDF, no shuffle beyond the per-record explode
+(bounded by header count, ~10-50 lines), and the projection fuses into the
+scan. Charset handling is header-declared only (sniffing body bytes needs
+codec tables — out of scope with the multimodal decode stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HDR_RE = r"^([A-Za-z0-9-]+):\s*(.*?)\s*$"
+
+
+def parse_http_records(
+    records: DataFrame,
+    id_col: str = "url",
+    raw_col: str = "raw",
+) -> DataFrame:
+    """(id, raw:binary|string) → (id, status, headers:map, content_type,
+    charset, body).
+
+    Records without a valid HTTP status line yield status NULL and the whole
+    blob as body (the tolerant path: some captures are body-only).
+    """
+    raw = F.col(raw_col)
+    txt = F.when(raw.cast("string").isNotNull(), raw.cast("string")) \
+        .otherwise(F.lit(""))
+    # head = up to the first blank line; body = the rest
+    head = F.substring_index(txt, "\r\n\r\n", 1)
+    has_head = F.instr(txt, "\r\n\r\n") > 0
+    status = F.regexp_extract(txt, r"^HTTP/[0-9.]+\s+(\d{3})", 1)
+    valid = status != ""
+    body = F.when(valid & has_head,
+                  F.expr(f"substring(cast({raw_col} as string), "
+                         f"instr(cast({raw_col} as string), '\\r\\n\\r\\n') + 4)")) \
+        .otherwise(txt)
+
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.when(valid, status.cast("int")).alias("status"),
+        F.when(valid, head).otherwise(F.lit("")).alias("__head"),
+        body.alias("body"))
+
+    hdr_lines = F.filter(
+        F.split(F.col("__head"), r"\r\n"),
+        lambda ln: ln.rlike(_HDR_RE))
+    entries = F.transform(
+        hdr_lines,
+        lambda ln: F.struct(
+            F.lower(F.regexp_extract(ln, _HDR_RE, 1)).alias("key"),
+            F.regexp_extract(ln, _HDR_RE, 2).alias("value")))
+    # last occurrence wins on duplicate header names (map_from_entries
+    # raises on dup keys): keep entries whose key has no later occurrence
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"]))
+    out = base.withColumn("headers", F.map_from_entries(deduped)).drop("__head")
+
+    ctype = F.element_at("headers", "content-type")
+    return out.select(
+        "id", "status", "headers",
+        F.lower(F.trim(F.substring_index(ctype, ";", 1))).alias("content_type"),
+        F.lower(F.regexp_extract(ctype, r"charset=([A-Za-z0-9_\-]+)", 1))
+        .alias("charset"),
+        "body")
+
+
+ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(page url, pos, href, anchor_text) — the link-graph edge list WITH
+    anchor text, the classic relevance/priority signal (what the linking
+    page says the target is about). Document order preserved via position.
+
+    Pure JVM: two aligned regexp_extract_all passes (href group, text group)
+    zipped positionally, tags stripped from the anchor text. Unlike the
+    parity extractor (operators/extract.py, which mirrors the reference's
+    emission semantics exactly), this is a standalone analysis operator.
+    """
+    html = F.col(html_col)
+    txt = F.when(html.cast("string").isNotNull(), html.cast("string")) \
+        .otherwise(F.lit(""))
+    hrefs = F.regexp_extract_all(txt, F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(txt, F.lit(ANCHOR_RE), F.lit(2))
+    pairs = F.zip_with(hrefs, texts,
+                       lambda h, t: F.struct(h.alias("href"), t.alias("t")))
+    return (pages.select(F.col(url_col).alias("page"), pairs.alias("__p"))
+            .select("page", F.posexplode("__p").alias("pos", "e"))
+            .select("page", F.col("pos").cast("int").alias("pos"),
+                    F.col("e.href").alias("href"),
+                    F.trim(F.regexp_replace("e.t", r"<[^>]*>", " "))
+                    .alias("anchor_text")))

@@ -1,0 +1,43 @@
+"""HTTP record parsing + anchor extraction (operators/warc.py): binary
+input path, duplicate headers, malformed records."""
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.warc import anchor_texts, parse_http_records
+
+
+def test_parse_http_binary_roundtrip(spark):
+    raw = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/plain; charset=ISO-8859-1\r\n"
+           b"X-A: 1\r\nX-A: 2\r\n"
+           b"\r\n"
+           b"hello\r\nworld")
+    df = spark.createDataFrame([("u1", raw), ("u2", b"no status here")],
+                               "url string, raw binary")
+    rows = {r["id"]: r for r in parse_http_records(df).collect()}
+    r1 = rows["u1"]
+    assert r1["status"] == 200
+    assert r1["content_type"] == "text/plain"
+    assert r1["charset"] == "iso-8859-1"
+    assert r1["headers"]["x-a"] == "2"  # last occurrence wins
+    assert r1["body"] == "hello\r\nworld"  # body CRLFs preserved
+    r2 = rows["u2"]
+    assert r2["status"] is None and r2["body"] == "no status here"
+    assert r2["content_type"] is None
+
+
+def test_parse_http_headers_only_no_body(spark):
+    raw = b"HTTP/1.1 204 No Content\r\nServer: s\r\n\r\n"
+    r = parse_http_records(
+        spark.createDataFrame([("u", raw)], "url string, raw binary")).collect()[0]
+    assert r["status"] == 204 and r["body"] == "" and r["headers"]["server"] == "s"
+
+
+def test_anchor_texts_strips_tags_and_orders(spark):
+    html = ('<a href="/one"><img src="x.png"> one</a>'
+            '<p>noise</p><a id="z" href="/two">t<wbr>wo</a>')
+    out = anchor_texts(spark.createDataFrame(
+        [("http://p.test", html)], "url string, html string")).collect()
+    got = [(r["pos"], r["href"], r["anchor_text"]) for r in
+           sorted(out, key=lambda r: r["pos"])]
+    assert got == [(0, "/one", "one"), (1, "/two", "t wo")]
