@@ -183,6 +183,7 @@ _EXTRA_PICKS = [
     "host_pagerank", "cluster_split", "quantize_embed", "sitemap_extract",
     "robots_parse", "recrawl_schedule", "url_blocklist", "dedup_clusters",
     "line_dedup", "pages_latest", "quality_gopher", "scrub_pii",
+    "self_perplexity", "http_headers", "anchor_texts", "budget_alloc",
 ]
 
 

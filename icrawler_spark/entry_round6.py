@@ -125,6 +125,51 @@ FROM x
 
 
 # ---------------------------------------------------------------------------
+# budget_alloc — weighted fair-share crawl budget across hosts
+# ---------------------------------------------------------------------------
+
+_ALLOC_TOTAL = 7777
+_ALLOC_HOSTS = 40
+
+
+def q_budget_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder fair-share: split a global fetch budget across
+    hosts proportional to frontier size; sum(alloc) == budget exactly."""
+    from icrawler_spark.operators.politeness import allocate_host_budgets
+
+    ev = _events(spark, sf)
+    hosts = (ev.groupBy((F.col("user_id") % _ALLOC_HOSTS).cast("long").alias("host"))
+             .agg(F.count("*").cast("long").alias("weight")))
+    out = allocate_host_budgets(hosts, _ALLOC_TOTAL)
+    return out.select(F.col("host").cast("long").alias("host"),
+                      F.col("weight").cast("long").alias("weight"), "alloc")
+
+
+Q_BUDGET_ALLOC_SQL = f"""
+WITH hosts AS (
+  SELECT CAST(user_id % {_ALLOC_HOSTS} AS BIGINT) AS host,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM events GROUP BY 1
+), tot AS (SELECT CAST(sum(weight) AS DOUBLE) AS w FROM hosts),
+based AS (
+  SELECT host, weight,
+         CAST(floor(weight * {_ALLOC_TOTAL} / (SELECT w FROM tot)) AS BIGINT) AS base,
+         weight * {_ALLOC_TOTAL} / (SELECT w FROM tot)
+           - floor(weight * {_ALLOC_TOTAL} / (SELECT w FROM tot)) AS frac
+  FROM hosts
+), ranked AS (
+  SELECT host, weight, base,
+         row_number() OVER (ORDER BY frac DESC, host) AS rk
+  FROM based
+)
+SELECT host, weight,
+       CAST(base + CASE WHEN rk <= {_ALLOC_TOTAL} - (SELECT sum(base) FROM based)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -132,6 +177,7 @@ def queries6():
     return {
         "http_headers": q_http_headers,
         "anchor_texts": q_anchor_texts,
+        "budget_alloc": q_budget_alloc,
     }
 
 
@@ -139,4 +185,5 @@ def oracle_sql6():
     return {
         "http_headers": Q_HTTP_HEADERS_SQL,
         "anchor_texts": Q_ANCHOR_SQL,
+        "budget_alloc": Q_BUDGET_ALLOC_SQL,
     }

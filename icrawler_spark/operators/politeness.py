@@ -95,3 +95,46 @@ def salted_repartition(df: DataFrame, url_col: str = "url", salt: int = 8,
     )
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return d.repartition(n, "__host", "__salt").drop("__host", "__salt")
+
+
+def allocate_host_budgets(
+    hosts: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted fair-share fetch-budget allocation across hosts (largest-
+    remainder method): each host gets floor(total * w / W) slots, and the
+    leftover slots go one each to the hosts with the largest fractional
+    remainders (host name as the deterministic tiebreak). sum(alloc) ==
+    total_budget exactly, every weight > 0 host is considered.
+
+    This is the planning complement of the per-round token bucket: the
+    bucket enforces per-host pacing, this decides how a global crawl budget
+    splits across hosts by priority (e.g. PageRank mass or frontier size).
+
+    Scale: one aggregation for the weight total, one projection, and the
+    remainder rank through the two-phase distributed ranker
+    (operators/budget.py) — no single-partition window even at 10^7 hosts.
+    """
+    from icrawler_spark.operators.budget import global_row_number
+
+    w_total = hosts.select(F.sum(weight_col)).collect()[0][0]
+    if not w_total:
+        return hosts.select(F.col(host_col).alias("host"),
+                            F.col(weight_col).alias("weight"),
+                            F.lit(0).cast("long").alias("alloc"))
+    exact = F.col(weight_col) * total_budget / F.lit(float(w_total))
+    based = hosts.select(
+        F.col(host_col).alias("host"), F.col(weight_col).alias("weight"),
+        F.floor(exact).cast("long").alias("base"),
+        (exact - F.floor(exact)).alias("frac"))
+    based = based.localCheckpoint(eager=True)
+    remainder = total_budget - based.select(F.sum("base")).collect()[0][0]
+    neg_frac = (-F.col("frac")).alias("__nf")
+    ranked = global_row_number(
+        based.withColumn("__nf", neg_frac), ["__nf", "host"], "__rk", start=1)
+    return ranked.select(
+        "host", "weight",
+        (F.col("base") + F.when(F.col("__rk") <= remainder, 1).otherwise(0))
+        .cast("long").alias("alloc"))

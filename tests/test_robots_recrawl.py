@@ -140,3 +140,18 @@ def test_host_priority_reorders_frontier(spark, smoke_web, smoke_pages_df):
         if 0 < first_other < len(hosts):
             reordered = True
     assert reordered  # priority actually moved something
+
+
+def test_budget_alloc_exact_and_proportional(spark):
+    from icrawler_spark.operators.politeness import allocate_host_budgets
+
+    hosts = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 70), ("d", 1)], "host string, weight long")
+    out = {r["host"]: r["alloc"]
+           for r in allocate_host_budgets(hosts, 1000).collect()}
+    assert sum(out.values()) == 1000          # exact total, always
+    assert out["c"] > out["b"] > out["a"] > 0  # proportional ordering
+    # zero total weight -> zero allocs, no division error
+    z = allocate_host_budgets(
+        spark.createDataFrame([("a", 0)], "host string, weight long"), 10)
+    assert [r["alloc"] for r in z.collect()] == [0]
