@@ -60,14 +60,22 @@ def parse_http_records(
         lambda ln: F.struct(
             F.lower(F.regexp_extract(ln, _HDR_RE, 1)).alias("key"),
             F.regexp_extract(ln, _HDR_RE, 2).alias("value")))
+    # materialize the entry array as a REAL column before the O(H^2) dedup:
+    # referencing the expression tree inside the filter/exists lambdas would
+    # re-evaluate the whole split+regexp chain per element comparison (the
+    # CollapseProject lambda-inlining trap — measured 10.9 s -> sub-second
+    # at sf0.1)
+    based = base.withColumn("__entries", entries)
+    ecol = F.col("__entries")
     # last occurrence wins on duplicate header names (map_from_entries
     # raises on dup keys): keep entries whose key has no later occurrence
     deduped = F.filter(
-        entries,
+        ecol,
         lambda e, i: ~F.exists(
-            F.slice(entries, i + 2, F.size(entries)),
+            F.slice(ecol, i + 2, F.size(ecol)),
             lambda later: later["key"] == e["key"]))
-    out = base.withColumn("headers", F.map_from_entries(deduped)).drop("__head")
+    out = (based.withColumn("headers", F.map_from_entries(deduped))
+           .drop("__head", "__entries"))
 
     ctype = F.element_at("headers", "content-type")
     return out.select(
