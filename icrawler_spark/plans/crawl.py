@@ -58,6 +58,9 @@ class CrawlConfig:
     # table (host, crawl_delay_ms, disallow_prefixes) or a raw bodies table
     # (host, body) — raw robots.txt is parsed via functions/robots.py
     robots: DataFrame | None = None
+    # domain blocklist (domain:string): frontier URLs under any listed
+    # domain (label-boundary suffix match) are dropped before fetch
+    blocklist: DataFrame | None = None
     round_seconds: float | None = None  # token-bucket window; None = parity
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
@@ -370,6 +373,15 @@ class GreedyCrawl:
 
             # politeness (north-rule; no-op in parity mode)
             politeness_on = cfg.robots is not None or cfg.round_seconds is not None
+            if cfg.blocklist is not None:
+                # frontier hygiene: blocked-domain URLs never reach the
+                # fetch join (label-boundary suffix match; broadcast
+                # equi-join — operators/blocklist.py)
+                from icrawler_spark.operators.blocklist import apply_blocklist
+
+                frontier_r = (apply_blocklist(frontier_r, cfg.blocklist)
+                              .filter(F.col("kept"))
+                              .drop("host", "blocked_by", "kept"))
             active = apply_robots(frontier_r, cfg.robots)
             active, deferred = politeness_batch(
                 active, cfg.robots, cfg.round_seconds, order_cols, pin=self._pin)
@@ -377,8 +389,10 @@ class GreedyCrawl:
             # so its schema matches freshly-discovered candidates
             deferred = deferred.drop("__priority", "__host_prio")
 
-            # visit-rank assignment — distributed total order (O1)
-            if politeness_on:
+            # visit-rank assignment — distributed total order (O1).
+            # Politeness and blocklist both shrink `active` below
+            # n_frontier, so those paths take the counted ranker
+            if politeness_on or cfg.blocklist is not None:
                 # counted two-phase ranker: the batch count rides along with
                 # rank assignment (no separate pin+count action per round)
                 ranked, n_visit = global_row_number_counted(

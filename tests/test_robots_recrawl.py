@@ -155,3 +155,27 @@ def test_budget_alloc_exact_and_proportional(spark):
     z = allocate_host_budgets(
         spark.createDataFrame([("a", 0)], "host string, weight long"), 10)
     assert [r["alloc"] for r in z.collect()] == [0]
+
+
+def test_crawl_blocklist_gate(spark, smoke_web, smoke_pages_df):
+    """CrawlConfig.blocklist drops blocked-domain URLs before fetch: the
+    host is never visited, everything else crawls unchanged."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    plain = GreedyCrawl(spark, smoke_pages_df, CrawlConfig()).run(seeds)
+    bl = spark.createDataFrame([("host0001.test",)], "domain string")
+    res = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(blocklist=bl)).run(seeds)
+
+    visited = [r["url"] for r in res.order.collect()]
+    assert visited and not any("host0001.test" in u for u in visited)
+    # unaffected hosts crawl the same page set
+    plain_rest = {r["url"] for r in plain.order.collect()
+                  if "host0001.test" not in r["url"]}
+    # blocked host's pages link into others; closure may differ only by
+    # pages reachable exclusively THROUGH the blocked host
+    assert set(visited) <= plain_rest
+    assert any("host0000.test" in u for u in visited)
+    # visited accounting stayed consistent (counted-ranker path)
+    ranks = sorted(r["visit_rank"] for r in res.order.collect())
+    assert ranks == list(range(len(ranks)))
