@@ -87,6 +87,52 @@ def politeness_batch(
             marked.filter(~F.col("__take")).select(cols))
 
 
+def robots_politeness_split(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    round_seconds: float | None,
+    order_cols: list[str],
+    url_col: str = "url",
+    pin=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused ``apply_robots`` + ``politeness_batch``: ONE host parse and ONE
+    broadcast robots join per round carrying both ``disallow_prefixes`` and
+    the token-bucket slot cap, instead of two joins over the full frontier.
+    Semantics identical to applying the two operators in sequence (disallowed
+    URLs are dropped BEFORE the per-host slot window ranks the rest).
+
+    Returns ``(fetch_now, deferred)``; deferred is empty when the token
+    bucket is off (``round_seconds=None``).
+    """
+    if robots is None:
+        return frontier, frontier.limit(0)
+    f = with_host(frontier, url_col, "__host")
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    side = [F.col("host").alias("__host"), "disallow_prefixes"]
+    if round_seconds is not None:
+        round_ms = int(round_seconds * 1000)
+        side.append(
+            F.when(F.col("crawl_delay_ms") > 0,
+                   F.greatest(F.lit(1),
+                              (F.lit(round_ms) / F.col("crawl_delay_ms")).cast("long"))
+                   ).alias("__slots"))
+    j = f.join(F.broadcast(robots.select(*side)), on="__host", how="left")
+    allowed = F.col("disallow_prefixes").isNull() | ~F.exists(
+        "disallow_prefixes", lambda p: path.startswith(p))
+    j = j.filter(allowed)
+    cols = frontier.columns
+    if round_seconds is None:
+        return j.select(cols), frontier.limit(0)
+    w = Window.partitionBy("__host").orderBy(*[F.col(c).asc() for c in order_cols])
+    take = (F.col("__slots").isNull()
+            | (F.row_number().over(w) <= F.col("__slots")))
+    marked = j.select(*cols, take.alias("__take"))
+    if pin is not None:
+        marked = pin(marked)
+    return (marked.filter(F.col("__take")).select(cols),
+            marked.filter(~F.col("__take")).select(cols))
+
+
 def salted_repartition(df: DataFrame, url_col: str = "url", salt: int = 8,
                        partitions: int | None = None) -> DataFrame:
     """Spread hot hosts across ``salt`` partitions for UDF-heavy stages."""

@@ -39,7 +39,10 @@ from icrawler_spark.operators.dedup import (
     earliest_occurrence,
 )
 from icrawler_spark.operators.extract import extract_emissions
-from icrawler_spark.operators.politeness import apply_robots, politeness_batch, salted_repartition
+from icrawler_spark.operators.politeness import (
+    robots_politeness_split,
+    salted_repartition,
+)
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST, normalize_domains
 from icrawler_spark.plugins import CrawlPlugins
 from icrawler_spark.storage.catalog import RoundCatalog
@@ -382,9 +385,11 @@ class GreedyCrawl:
                 frontier_r = (apply_blocklist(frontier_r, cfg.blocklist)
                               .filter(F.col("kept"))
                               .drop("host", "blocked_by", "kept"))
-            active = apply_robots(frontier_r, cfg.robots)
-            active, deferred = politeness_batch(
-                active, cfg.robots, cfg.round_seconds, order_cols, pin=self._pin)
+            # fused robots gate + token bucket: one parse_url + one broadcast
+            # join per round (operators/politeness.py)
+            active, deferred = robots_politeness_split(
+                frontier_r, cfg.robots, cfg.round_seconds, order_cols,
+                pin=self._pin)
             # deferred re-enters next round's frontier: strip helper columns
             # so its schema matches freshly-discovered candidates
             deferred = deferred.drop("__priority", "__host_prio")
@@ -392,17 +397,21 @@ class GreedyCrawl:
             # visit-rank assignment — distributed total order (O1).
             # Politeness and blocklist both shrink `active` below
             # n_frontier, so those paths take the counted ranker
+            # The ranker localCheckpoints its range-partitioned input
+            # internally (operators/budget.py), so lineage is already
+            # truncated and the rank projection is deterministic across
+            # re-reads — no second pin on top (it was a full extra
+            # materialization of the frontier per round).
             if politeness_on or cfg.blocklist is not None:
                 # counted two-phase ranker: the batch count rides along with
                 # rank assignment (no separate pin+count action per round)
                 ranked, n_visit = global_row_number_counted(
                     active, order_cols, "visit_rank", start=visited)
-                ranked = self._pin(ranked)
             else:
                 n_visit = n_frontier
-                ranked = self._pin(global_row_number(
+                ranked = global_row_number(
                     active, order_cols, "visit_rank", start=visited,
-                    known_count=n_visit))
+                    known_count=n_visit)
             ranked = ranked.drop("__priority", "__host_prio")
             visited += n_visit
 
