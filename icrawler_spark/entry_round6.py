@@ -170,6 +170,76 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# crawl_blocklist — the CrawlConfig.blocklist frontier gate, end-to-end
+# ---------------------------------------------------------------------------
+
+def q_crawl_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with ``h2.test`` blocklisted: the blocked seed and
+    every round-1 candidate on that host are dropped BEFORE rank assignment,
+    so visit ranks stay contiguous over the surviving frontier (counted-
+    ranker path) and the blocked host is never fetched. Seen still
+    accumulates pre-blocklist, so blocked URLs cannot re-enter later rounds.
+    Returns the order table; the oracle replays the same BFS with the
+    blocked seed removed and blocked-host candidates filtered."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    bl = spark.createDataFrame([("h2.test",)], "domain string")
+    cfg = CrawlConfig(max_rounds=2, blocklist=bl)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_blocklist_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    # reuses the shared pages/emit/seeds CTEs; b-prefixed CTEs replay the
+    # BFS with seed h2 dropped (ranks renumbered 0..2) and h2-host targets
+    # filtered from round-1 candidates. `seen` stays the ORIGINAL 4 seeds
+    # (the engine accumulates seen pre-blocklist).
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+bseeds AS (
+  SELECT url, CAST(row_number() OVER (ORDER BY visit_rank) - 1 AS BIGINT)
+           AS visit_rank, parent, pos
+  FROM seeds WHERE url <> 'http://h2.test'
+),
+be0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM bseeds s JOIN emit e ON e.url = s.url
+),
+bf1 AS (
+  SELECT target AS url, parent, pos, parent_rank
+  FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM be0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM seeds)
+      AND NOT (e.target = 'http://h2.test'
+               OR e.target LIKE 'http://h2.test/%')
+  ) WHERE rn = 1
+),
+bv1 AS (
+  SELECT url, parent, pos,
+         CAST(2 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM bf1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM bseeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM bv1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -178,6 +248,7 @@ def queries6():
         "http_headers": q_http_headers,
         "anchor_texts": q_anchor_texts,
         "budget_alloc": q_budget_alloc,
+        "crawl_blocklist": q_crawl_blocklist,
     }
 
 
@@ -186,4 +257,5 @@ def oracle_sql6():
         "http_headers": Q_HTTP_HEADERS_SQL,
         "anchor_texts": Q_ANCHOR_SQL,
         "budget_alloc": Q_BUDGET_ALLOC_SQL,
+        "crawl_blocklist": _crawl_blocklist_sql(),
     }
