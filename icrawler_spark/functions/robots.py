@@ -16,6 +16,18 @@ pages table (one row per host).
 
 Semantics (deliberately scoped):
 - consecutive ``User-agent:`` lines form one group header (RFC 9309 §2.2.1);
+  per RFC 9309 blank lines and comments are NOT significant, so UA lines
+  separated only by blank/comment lines still share one header. This is a
+  deliberate, documented divergence from the 1994 REP implemented by
+  ``urllib.robotparser``, where a blank line terminates the current record
+  and a record with a UA line but no rules is DISCARDED. Concretely, for
+  ``User-agent: *\\n\\nUser-agent: mybot\\nDisallow: /a`` this parser gives
+  ``*`` the ``Disallow: /a`` rule (merged group, RFC 9309) while the stdlib
+  treats ``*`` as allow-all (discarded empty record). The hypothesis
+  differential in tests/test_property.py therefore constrains its generator
+  to groups with ≥1 rule — the domain on which the two specs agree — and
+  tests/test_robots_recrawl.py::test_ruleless_group_merges_rfc9309 pins
+  this engine behavior explicitly;
 - group selection follows RFC 9309 §2.2.1 specificity: if any group names
   ``agent`` exactly (case-insensitive token match — no substring ranking),
   ONLY those groups apply; otherwise the ``*`` groups apply;

@@ -78,12 +78,23 @@ _paths = st.sampled_from(["/a", "/a/b", "/priv", "/x/", "/longer/path"])
 @st.composite
 def _robots_groups(draw):
     """1-3 groups, each with a UNIQUE agent (stdlib robotparser keeps only
-    the first entry per agent; dedup keeps the differential meaningful)."""
+    the first entry per agent; dedup keeps the differential meaningful) and
+    ≥1 rule each. Rule-less groups are excluded deliberately: on
+    ``User-agent: *\\n\\nUser-agent: x\\nDisallow: /a`` RFC 9309 (which
+    parse_robots implements — blank lines are insignificant, so the rule-less
+    ``*`` header merges into the next group) and the 1994 REP implemented by
+    urllib.robotparser (blank line discards a rule-less entry) genuinely
+    diverge; see the divergence note in functions/robots.py. The differential
+    oracle is only meaningful on the domain where both specs agree."""
     agents = draw(st.lists(_agents, min_size=1, max_size=3, unique=True))
     groups = []
     for a in agents:
         dis = draw(st.lists(_paths, min_size=0, max_size=3))
-        delay = draw(st.one_of(st.none(), st.integers(min_value=1, max_value=9)))
+        if dis:
+            delay = draw(st.one_of(st.none(),
+                                   st.integers(min_value=1, max_value=9)))
+        else:  # force ≥1 rule (a bare Crawl-delay keeps the stdlib entry too)
+            delay = draw(st.integers(min_value=1, max_value=9))
         groups.append((a, dis, delay))
     return groups
 

@@ -34,6 +34,23 @@ def test_robots_consecutive_agents_and_malformed(spark):
     assert r["disallow_prefixes"] == ["/shared"]  # empty Disallow dropped
 
 
+def test_ruleless_group_merges_rfc9309(spark):
+    """Pin the RFC-9309 corner where we deliberately diverge from the 1994
+    REP / urllib.robotparser: a rule-less ``User-agent:`` header followed
+    (across a blank line) by another group merges into ONE group — blank
+    lines are insignificant per RFC 9309 — so ``*`` inherits the rules.
+    stdlib would instead discard the empty ``*`` record (allow-all). See the
+    divergence note in functions/robots.py."""
+    body = "User-agent: *\n\nUser-agent: mybot\nDisallow: /a\nCrawl-delay: 3\n"
+    r_star = _rules(spark, body, agent="*")
+    assert r_star["disallow_prefixes"] == ["/a"]
+    assert r_star["crawl_delay_ms"] == 3000
+    # the named agent gets the same merged group
+    r_bot = _rules(spark, body, agent="mybot")
+    assert r_bot["disallow_prefixes"] == ["/a"]
+    assert r_bot["crawl_delay_ms"] == 3000
+
+
 def test_robots_feeds_apply_robots(spark):
     bodies = spark.createDataFrame(
         [("h.test", "User-agent: *\nDisallow: /private\n")],
