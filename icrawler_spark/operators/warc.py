@@ -31,19 +31,23 @@ def parse_http_records(
     charset, body).
 
     Records without a valid HTTP status line yield status NULL and the whole
-    blob as body (the tolerant path: some captures are body-only).
+    blob as body (the tolerant path: some captures are body-only). The
+    head/body separator is ``\\r?\\n\\r?\\n`` — LF-only and mixed-ending
+    captures parse the same as strict CRLF ones; body bytes after the
+    separator are preserved verbatim either way.
     """
     raw = F.col(raw_col)
     txt = F.when(raw.cast("string").isNotNull(), raw.cast("string")) \
         .otherwise(F.lit(""))
-    # head = up to the first blank line; body = the rest
-    head = F.substring_index(txt, "\r\n\r\n", 1)
-    has_head = F.instr(txt, "\r\n\r\n") > 0
+    # head = up to the first blank line (tolerant of LF-only records); body =
+    # everything after it. The ^-anchored lazy (?s) regex matches at most
+    # once, so regexp_replace strips exactly head+separator.
+    head = F.regexp_extract(txt, r"(?s)^(.*?)\r?\n\r?\n", 1)
+    has_head = txt.rlike(r"\r?\n\r?\n")
     status = F.regexp_extract(txt, r"^HTTP/[0-9.]+\s+(\d{3})", 1)
     valid = status != ""
     body = F.when(valid & has_head,
-                  F.expr(f"substring(cast({raw_col} as string), "
-                         f"instr(cast({raw_col} as string), '\\r\\n\\r\\n') + 4)")) \
+                  F.regexp_replace(txt, r"(?s)^.*?\r?\n\r?\n", "")) \
         .otherwise(txt)
 
     base = records.select(
@@ -53,7 +57,7 @@ def parse_http_records(
         body.alias("body"))
 
     hdr_lines = F.filter(
-        F.split(F.col("__head"), r"\r\n"),
+        F.split(F.col("__head"), r"\r?\n"),
         lambda ln: ln.rlike(_HDR_RE))
     entries = F.transform(
         hdr_lines,
@@ -78,11 +82,13 @@ def parse_http_records(
            .drop("__head", "__entries"))
 
     ctype = F.element_at("headers", "content-type")
+    # nullif: a content-type WITHOUT a charset parameter must yield NULL like
+    # a missing content-type does — one absent sentinel, not ''/NULL mixed
+    charset = F.lower(F.regexp_extract(ctype, r"charset=([A-Za-z0-9_\-]+)", 1))
     return out.select(
         "id", "status", "headers",
         F.lower(F.trim(F.substring_index(ctype, ";", 1))).alias("content_type"),
-        F.lower(F.regexp_extract(ctype, r"charset=([A-Za-z0-9_\-]+)", 1))
-        .alias("charset"),
+        F.nullif(charset, F.lit("")).alias("charset"),
         "body")
 
 

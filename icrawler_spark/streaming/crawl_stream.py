@@ -18,11 +18,14 @@ the same topology runs with a continuous trigger (the feedback files arrive
 while the query runs); ``availableNow`` passes make it deterministic and
 testable here.
 
-Exactly-once notes: frontier/texts/tasks appends are idempotent per batch
-(novel set is deduped against the committed frontier before any write), and
-the stream checkpoint makes source files consumed-once across restarts —
-the same resume invariants as the batch catalog, expressed with streaming
-primitives.
+Exactly-once notes: every per-batch write is an idempotent overwrite keyed
+by batch_id — texts/tasks are parquet partitions ``batch_id=M`` rewritten
+via dynamic partition overwrite, feedback files have deterministic
+per-batch names replaced atomically, and the frontier commit itself
+overwrites the batch's own partitions (see frontier_stream.py's crash-point
+analysis). Side outputs land BEFORE the frontier commit, so a crash at any
+point replays the batch into byte-identical state — the same resume
+invariants as the batch catalog, expressed with streaming primitives.
 """
 
 from __future__ import annotations
@@ -73,8 +76,13 @@ def stream_crawl_pass(
         fetched = (F.broadcast(novel)
                    .join(pages.select("url", "html", "text"), "url"))
         fetched = fetched.localCheckpoint(eager=True)
+        # idempotent per-batch side outputs: dynamic overwrite of this
+        # batch's own partition, so a replayed batch rewrites (never
+        # duplicates) its texts/tasks — see frontier_stream.py crash points
         (fetched.select("url", "text")
-         .write.mode("append").parquet(texts_path))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(texts_path))
 
         em = extract_emissions(
             fetched.select(F.col("url").alias("parent"),
@@ -84,10 +92,14 @@ def stream_crawl_pass(
         em = em.localCheckpoint(eager=True)
         (em.filter(F.col("kind") == "task")
          .select("parent", "pos", "target")
-         .write.mode("append").parquet(tasks_path))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(tasks_path))
         # FEEDBACK: frontier candidates become new source files for the
-        # next trigger (unique name per batch; text source lists new files
-        # only, the checkpoint remembers consumed ones)
+        # next trigger (deterministic per-batch name, atomic os.replace —
+        # a replayed batch re-derives identical outlinks and overwrites the
+        # same file; the text source lists new files only, the checkpoint
+        # remembers consumed ones and never re-reads an overwritten name)
         outlinks = em.filter(F.col("kind") == "url").select("target").distinct()
         if outlinks.count() > 0:
             # write to a staging dir, then move the part file into source_dir
@@ -95,11 +107,11 @@ def stream_crawl_pass(
             # the text source does not recurse into subdirectories)
             stage = os.path.join(state_dir, f"_stage_{uuid.uuid4().hex}")
             outlinks.coalesce(1).write.mode("overwrite").text(stage)
-            parts = [p for p in os.listdir(stage) if p.startswith("part-")]
+            parts = sorted(p for p in os.listdir(stage) if p.startswith("part-"))
             for i, p in enumerate(parts):
                 os.replace(os.path.join(stage, p),
                            os.path.join(source_dir,
-                                        f"discovered_{batch_id}_{uuid.uuid4().hex}_{i}.txt"))
+                                        f"discovered_{batch_id}_{i}.txt"))
 
     q = start_frontier_ingest(spark, source_dir, state_dir,
                               available_now=True, on_novel=on_novel)
@@ -126,8 +138,10 @@ def stream_crawl(
             break
     frontier_path = os.path.join(state_dir, "frontier")
     texts_path = os.path.join(state_dir, "texts")
-    n_frontier = (spark.read.parquet(frontier_path).count()
-                  if os.path.isdir(frontier_path) else 0)
-    n_texts = (spark.read.parquet(texts_path).count()
-               if os.path.isdir(texts_path) else 0)
-    return {"passes": passes, "frontier_urls": n_frontier, "texts": n_texts}
+    tasks_path = os.path.join(state_dir, "tasks")
+
+    def _count(path: str) -> int:
+        return spark.read.parquet(path).count() if os.path.isdir(path) else 0
+
+    return {"passes": passes, "frontier_urls": _count(frontier_path),
+            "texts": _count(texts_path), "tasks": _count(tasks_path)}

@@ -68,8 +68,28 @@ def start_frontier_ingest(
     exact cross-restart dedup.
 
     Layout under state_dir: ``checkpoint/`` (stream offsets+state),
-    ``frontier/bucket=N/`` (novel urls, hash-bucketed by url — the Iceberg
-    ``bucket(url)`` stand-in). Returns the StreamingQuery.
+    ``frontier/bucket=N/batch_id=M/`` (novel urls, hash-bucketed by url —
+    the Iceberg ``bucket(url)`` stand-in). Returns the StreamingQuery.
+
+    Exactly-once under crash/replay: a micro-batch may be re-run if the
+    process dies before its checkpoint offset commits, so every write in
+    ``process_batch`` is idempotent PER BATCH, in this order:
+
+    1. the novel set is derived against the frontier EXCLUDING rows tagged
+       with the current batch_id — a crashed prior attempt's own append is
+       invisible, so the replay re-derives the identical novel set;
+    2. ``on_novel`` (texts/tasks/feedback side outputs) runs FIRST and must
+       itself overwrite keyed by batch_id (crawl_stream.py does — dynamic
+       partition overwrite), so a replay rewrites rather than duplicates;
+    3. the frontier write is a dynamic partition OVERWRITE of the batch's
+       own ``(bucket, batch_id)`` partitions — an append replayed is an
+       overwrite with identical rows, never a duplicate.
+
+    Any crash point therefore converges: before any write → clean re-run;
+    between side outputs and frontier write → side outputs overwritten
+    identically, frontier appended once; after frontier write but before
+    offset commit → novel re-derived identically (rule 1), everything
+    overwritten in place.
 
     Per-batch cost does NOT grow with total ingested volume: the seen-side
     anti-join reads only the bucket partitions the batch actually touches
@@ -100,21 +120,33 @@ def start_frontier_ingest(
                 state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
                 state["bloom"].absorb(
                     ss.read.parquet(frontier_path).select("url"), "url")
-            # partition pruning: only the batch's buckets are scanned
+            # partition pruning: only the batch's buckets are scanned.
+            # batch_id != current excludes a crashed prior attempt of THIS
+            # batch, so a replay re-derives the identical novel set (the
+            # bloom may contain those urls — harmless: it only routes them
+            # INTO this exact join, which readmits them)
             buckets = [r["bucket"] for r in novel.select("bucket").distinct().collect()]
             seen = (ss.read.parquet(frontier_path)
-                    .filter(F.col("bucket").isin(buckets)).select("url"))
+                    .filter(F.col("bucket").isin(buckets) &
+                            (F.col("batch_id") != F.lit(batch_id)))
+                    .select("url"))
             novel = anti_join_seen_bloom(novel, seen, state["bloom"], "url")
         elif state["bloom"] is None:
             state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
         novel = novel.localCheckpoint(eager=True)
-        (novel.withColumn("batch_id", F.lit(batch_id))
-              .write.mode("append").partitionBy("bucket").parquet(frontier_path))
-        state["bloom"].absorb(novel.select("url"), "url")
         if on_novel is not None:
-            # continuation hook: the streaming crawl pipeline fetches +
-            # extracts each batch's novel URLs (crawl_stream.py)
+            # continuation hook BEFORE the frontier commit: the streaming
+            # crawl pipeline (crawl_stream.py) writes texts/tasks keyed by
+            # batch_id, so a replayed batch overwrites its own outputs and a
+            # crash here leaves the frontier unappended -> full re-derive
             on_novel(novel.select("url"), batch_id)
+        # idempotent frontier commit: dynamic overwrite of exactly this
+        # batch's (bucket, batch_id) partitions
+        (novel.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket", "batch_id").parquet(frontier_path))
+        state["bloom"].absorb(novel.select("url"), "url")
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -8,7 +8,8 @@ aggregation:
 
 - event time = the URL's discovery timestamp (parsed from the record, NOT
   arrival time);
-- tumbling windows count discovered URLs and distinct hosts per interval;
+- tumbling windows count discovered URLs and approximate distinct hosts
+  (HLL++ — exact distinct is unsupported in streaming aggs) per interval;
 - the watermark bounds state: a window finalizes (and, in append mode, is
   emitted exactly once) when the watermark passes its end; records arriving
   later than the watermark allowance are dropped — the documented,
@@ -47,16 +48,22 @@ def crawl_rate_metrics(
     watermark: str = "2 minutes",
 ) -> DataFrame:
     """Tumbling-window crawl rates: (window_start, window_end, n_urls,
-    n_hosts). Append-mode-ready (watermarked)."""
+    n_hosts_approx). Append-mode-ready (watermarked).
+
+    ``n_hosts_approx`` is an HLL++ estimate (approx_count_distinct) — exact
+    distinct aggregation is not supported in streaming queries, and at
+    production host cardinalities the estimate is the right trade anyway.
+    The name says so; consumers needing exact counts should run a batch
+    count_distinct over the frontier table instead."""
     host = F.parse_url("url", F.lit("HOST"))
     return (stream_df
             .withWatermark("discovered_ts", watermark)
             .groupBy(F.window("discovered_ts", window_duration).alias("w"))
             .agg(F.count("*").alias("n_urls"),
-                 F.approx_count_distinct(host).alias("n_hosts"))
+                 F.approx_count_distinct(host).alias("n_hosts_approx"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
-                    "n_urls", "n_hosts"))
+                    "n_urls", "n_hosts_approx"))
 
 
 def run_metrics_available(spark: SparkSession, source_dir: str,
@@ -77,5 +84,6 @@ def run_metrics_available(spark: SparkSession, source_dir: str,
     q.awaitTermination(timeout_s)
     if not os.path.isdir(metrics_path):
         return spark.createDataFrame(
-            [], "window_start timestamp, window_end timestamp, n_urls long, n_hosts long")
+            [], "window_start timestamp, window_end timestamp, "
+                "n_urls long, n_hosts_approx long")
     return spark.read.parquet(metrics_path)

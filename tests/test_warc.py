@@ -26,6 +26,26 @@ def test_parse_http_binary_roundtrip(spark):
     assert r2["content_type"] is None
 
 
+def test_parse_http_lf_only_and_absent_charset(spark):
+    """LF-only captures parse identically to CRLF ones, and a content-type
+    without a charset parameter yields NULL charset (same sentinel as a
+    missing content-type)."""
+    lf = b"HTTP/1.1 200 OK\nContent-Type: text/html\nX-B: v\n\nbody\nrest"
+    mixed = b"HTTP/1.1 302 F\r\nLocation: /next\n\r\nmoved"
+    df = spark.createDataFrame([("lf", lf), ("mx", mixed)],
+                               "url string, raw binary")
+    rows = {r["id"]: r for r in parse_http_records(df).collect()}
+    r = rows["lf"]
+    assert r["status"] == 200
+    assert r["headers"]["x-b"] == "v"
+    assert r["content_type"] == "text/html"
+    assert r["charset"] is None  # absent parameter -> NULL, not ''
+    assert r["body"] == "body\nrest"
+    m = rows["mx"]
+    assert m["status"] == 302 and m["headers"]["location"] == "/next"
+    assert m["body"] == "moved"
+
+
 def test_parse_http_headers_only_no_body(spark):
     raw = b"HTTP/1.1 204 No Content\r\nServer: s\r\n\r\n"
     r = parse_http_records(
