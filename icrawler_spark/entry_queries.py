@@ -20,7 +20,8 @@ from icrawler_spark.functions.text import (
     quality_features,
     token_counts,
 )
-from icrawler_spark import entry_round2, entry_round3, entry_round4, entry_round5, entry_round6
+from icrawler_spark import (entry_round2, entry_round3, entry_round4,
+                            entry_round5, entry_round6, entry_round7)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -130,14 +131,22 @@ WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = frontier.url)
 
 def q_budget_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Global ordered budget (SURVEY.md K1/O2): first 500 events in
-    (ts, event_id) order get contiguous 1-based file indices — via the
-    two-phase distributed ranker (no single-partition WindowExec)."""
-    from icrawler_spark.operators.budget import global_row_number
+    (ts, event_id) order get contiguous 1-based file indices.
+
+    Plan choice for budget ≪ input: ``ordered_limit`` lowers to
+    TakeOrderedAndProject (distributed per-partition top-k + merge — never a
+    full-table shuffle/sort), then the two-phase ranker runs over just the k
+    survivors (known_count=k sizes it to one partition). The full-table
+    counted ranker remains the right plan when budget ~ |input| — the crawl
+    loop uses it there (plans/crawl.py) because it also needs the total."""
+    from icrawler_spark.operators.budget import global_row_number, ordered_limit
 
     ev = _events(spark, sf)
-    ranked = global_row_number(ev, ["ts", "event_id"], "file_idx", start=1)
-    return (ranked.filter(F.col("file_idx") <= 500)
-            .select("file_idx", F.col("event_id").cast("long").alias("event_id")))
+    top = ordered_limit(ev, ["ts", "event_id"], 500)
+    ranked = global_row_number(top, ["ts", "event_id"], "file_idx",
+                               start=1, known_count=500)
+    return ranked.select("file_idx",
+                         F.col("event_id").cast("long").alias("event_id"))
 
 
 Q_BUDGET_SQL = """
@@ -785,6 +794,7 @@ def queries():
         **entry_round4.queries4(),
         **entry_round5.queries5(),
         **entry_round6.queries6(),
+        **entry_round7.queries7(),
     }
 
 
@@ -823,4 +833,5 @@ def oracle_sql():
         **entry_round4.oracle_sql4(),
         **entry_round5.oracle_sql5(),
         **entry_round6.oracle_sql6(),
+        **entry_round7.oracle_sql7(),
     }

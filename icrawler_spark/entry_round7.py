@@ -1,0 +1,71 @@
+"""Round-3 driver-contract queries (batch 1): the SRP-bucketed near-dup
+scale path, fully oracled.
+
+VERDICT r2 graded embed_neardup `weak` because the driver query certified
+only the quadratic brute-force baseline; the plan a 100 TB corpus actually
+runs is ``similarity.srp_neardup_pairs`` (bucket join, no cross join). The
+seed-42 hyperplanes are deterministic numpy, so the DuckDB oracle carries
+them as literal double arrays and reproduces bucket assignment + same-bucket
+pairing + exact cosine verification — the same trick that promoted ann_srp
+to a full value-hash check in round 1→2 (entry_round2._srp_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import similarity
+
+_EMB_DIM = 64      # driver testdata embedding dimension (TESTDATA.md)
+_ND_PLANES = 4     # 16 buckets over the sf0.01 corpus: real pruning, enough
+                   # collisions that the query returns a meaningful pair set
+_ND_SEED = 42
+_ND_T = 0.2        # same threshold as the brute-force baseline query so the
+                   # two certify the same semantics (recall gap = bucketing)
+
+
+def q_srp_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs via the SRP-bucketed SCALE path: candidates
+    must share a sign-random-projection bucket (equi-join — never a cross
+    join), then verify exactly by cosine ≥ threshold."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = similarity.srp_neardup_pairs(emb, threshold=_ND_T,
+                                       n_planes=_ND_PLANES, seed=_ND_SEED)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"), "cos")
+
+
+def _srp_neardup_sql() -> str:
+    planes = similarity.srp_hyperplanes(_EMB_DIM, _ND_PLANES, _ND_SEED)
+    lits = ["[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_ND_PLANES))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b2.vec_id AS BIGINT) AS id_b,
+         round(list_dot_product(a.e, b2.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 4) AS cos
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= {_ND_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries7():
+    return {
+        "srp_neardup": q_srp_neardup,
+    }
+
+
+def oracle_sql7():
+    return {
+        "srp_neardup": _srp_neardup_sql(),
+    }
