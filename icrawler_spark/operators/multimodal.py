@@ -65,6 +65,37 @@ def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     return df.select("media_id", "kind", "bytes").mapInPandas(fn, DECODED_SCHEMA_DDL)
 
 
+def decode_dims(df: DataFrame, id_col: str = "file_url",
+                bytes_col: str = "bytes",
+                use_real_codecs: bool = False) -> DataFrame:
+    """(id, bytes) → (id, width, height): the keep_file byte-decode path.
+
+    The reference sizes the ACTUAL downloaded image via PIL before keep_file
+    (/root/reference/icrawler/downloader.py:242-263); this is the same seam
+    as an Arrow-batched mapInPandas stage — the deterministic stub decoder
+    here, ``PIL.Image.open(BytesIO(raw)).size`` inside the same loop on a
+    cluster (REAL_DECODERS_AVAILABLE)."""
+    if use_real_codecs and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "real image decoding requires PIL — not present in this "
+            "container; use use_real_codecs=False for the deterministic stub")
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
+            dims = [_fake_decode(r) for r in raws]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+            })
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        fn, f"{id_col} string, width int, height int")
+
+
 def resize_plan(decoded: DataFrame, max_dim: int = 512) -> DataFrame:
     """Resize planning is pure arithmetic (JVM-side); actual pixel work would
     live in the decode stage. Emits target dims preserving aspect ratio."""

@@ -53,6 +53,11 @@ class CrawlConfig:
     max_num: int = 0                    # 0 = unbounded (downloader.py:86-90)
     min_size: tuple | None = None       # (w,h) lower bound (downloader.py:242-263)
     max_size: tuple | None = None
+    # fetched image bytes (file_url, bytes:binary): when set, tasks whose URL
+    # carries no dims get width/height DECODED from the bytes for the size
+    # filter — the reference's PIL keep_file check (downloader.py:242-263);
+    # stub decoder in this container, PIL on a cluster (operators/multimodal)
+    media_bytes: DataFrame | None = None
     # int, or 'auto' = resume numbering from max(file_idx) of the catalog's
     # fetched table (downloader.py:44-58, storage/filesystem.py:33-42)
     file_idx_offset: int | str = 0
@@ -114,6 +119,22 @@ class CrawlResult:
     parse_errors: DataFrame | None = None
 
 
+_DIMS_RE = r"-(\d+)x(\d+)\.[a-z]+$"
+
+
+def _size_bounds_pred(w, h, cfg: CrawlConfig):
+    """min/max keep_file bounds over (width, height) columns
+    (_size_gt/_size_lt at downloader.py:236-240)."""
+    keep = F.lit(True)
+    if cfg.min_size is not None:
+        mx, mn = max(cfg.min_size), min(cfg.min_size)
+        keep = keep & (F.greatest(w, h) >= mx) & (F.least(w, h) >= mn)
+    if cfg.max_size is not None:
+        mx, mn = max(cfg.max_size), min(cfg.max_size)
+        keep = keep & (F.greatest(w, h) <= mx) & (F.least(w, h) <= mn)
+    return keep
+
+
 def _size_filter_col(cfg: CrawlConfig):
     """keep_file as a JVM-side predicate over dims encoded in the URL
     (oracle.keep_file semantics; _size_gt/_size_lt at downloader.py:236-240).
@@ -123,17 +144,44 @@ def _size_filter_col(cfg: CrawlConfig):
         return cfg.plugins.keep
     if cfg.min_size is None and cfg.max_size is None:
         return F.lit(True)
-    w = F.regexp_extract("file_url", r"-(\d+)x(\d+)\.[a-z]+$", 1).cast("long")
-    h = F.regexp_extract("file_url", r"-(\d+)x(\d+)\.[a-z]+$", 2).cast("long")
-    has = F.regexp_like("file_url", F.lit(r"-(\d+)x(\d+)\.[a-z]+$"))
-    keep = has
-    if cfg.min_size is not None:
-        mx, mn = max(cfg.min_size), min(cfg.min_size)
-        keep = keep & (F.greatest(w, h) >= mx) & (F.least(w, h) >= mn)
-    if cfg.max_size is not None:
-        mx, mn = max(cfg.max_size), min(cfg.max_size)
-        keep = keep & (F.greatest(w, h) <= mx) & (F.least(w, h) <= mn)
-    return keep
+    w = F.regexp_extract("file_url", _DIMS_RE, 1).cast("long")
+    h = F.regexp_extract("file_url", _DIMS_RE, 2).cast("long")
+    has = F.regexp_like("file_url", F.lit(_DIMS_RE))
+    return has & _size_bounds_pred(w, h, cfg)
+
+
+def _keep_file(tasks: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """keep_file (F3/L1) over a task batch. Dims come from the URL encoding
+    when present; otherwise, when ``cfg.media_bytes`` provides the fetched
+    image bytes, they are DECODED from the bytes — the reference's PIL check
+    (downloader.py:242-263) — via operators/multimodal.decode_dims (stub
+    decoder locally, PIL on a cluster). A task with neither URL dims nor
+    bytes is dropped, like a failed download never reaching keep_file.
+
+    Scale shape: the decode join touches only no-URL-dims tasks, the decode
+    itself is one Arrow mapInPandas pass over those rows' bytes, and the
+    dims join back is a plain equi-join on file_url (AQE-planned)."""
+    if cfg.plugins is not None and cfg.plugins.keep is not None:
+        return tasks.filter(cfg.plugins.keep)
+    if cfg.min_size is None and cfg.max_size is None:
+        return tasks
+    if cfg.media_bytes is None:
+        return tasks.filter(_size_filter_col(cfg))
+    from icrawler_spark.operators.multimodal import decode_dims
+
+    has = F.regexp_like("file_url", F.lit(_DIMS_RE))
+    need = (tasks.filter(~has).select("file_url").distinct()
+            .join(cfg.media_bytes.select("file_url", "bytes"), "file_url"))
+    dims = decode_dims(need, id_col="file_url").select(
+        "file_url", F.col("width").alias("__dw"),
+        F.col("height").alias("__dh"))
+    t = tasks.join(dims, "file_url", "left")
+    w = F.when(has, F.regexp_extract("file_url", _DIMS_RE, 1).cast("long")) \
+        .otherwise(F.col("__dw").cast("long"))
+    h = F.when(has, F.regexp_extract("file_url", _DIMS_RE, 2).cast("long")) \
+        .otherwise(F.col("__dh").cast("long"))
+    return (t.filter(w.isNotNull() & h.isNotNull() & _size_bounds_pred(w, h, cfg))
+            .drop("__dw", "__dh"))
 
 
 def _filename_col(cfg: CrawlConfig):
@@ -196,6 +244,29 @@ def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
     if est_bytes is not None and est_bytes <= _BROADCAST_FRONTIER_MAX_BYTES:
         left = F.broadcast(frontier)
     return left.join(right, on="url", how="inner").select(select_cols)
+
+
+def _fetch_plugin(frontier: DataFrame, fetch_fn) -> DataFrame:
+    """The live-HTTP fetch seam (CrawlPlugins.fetch): run the user's batch
+    fetcher as a mapInPandas stage instead of the pages-table join. The
+    fetcher sees (url, parent) per row — parent is the Referer the reference
+    sends per request (parser.py:88-92) — and returns (url, html, text);
+    urls it omits behave exactly like fetch-join misses (retry handles them).
+    Partitioning is whatever the frontier batch already has — compose with
+    ``salted_repartition`` upstream for hot-host spreading."""
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = fetch_fn(pdf[["url", "parent"]])
+            if res is None or len(res) == 0:
+                continue
+            yield pdf[["url", "visit_rank"]].merge(
+                res[["url", "html", "text"]], on="url", how="inner")
+
+    return frontier.mapInPandas(
+        gen, "url string, visit_rank long, html binary, text string")
 
 
 _FRONTIER_SCHEMA_COLS = ["url", "parent", "pos", "parent_rank", "round", "attempts"]
@@ -419,12 +490,18 @@ class GreedyCrawl:
                 "visit_rank", "url", F.lit(rnd).alias("round"),
                 F.col("parent"), F.col("pos").alias("link_pos"))
 
-            # fetch: join the pages table (bucket-pruned scan); broadcast
-            # decision from the measured frontier bytes, scaled to the batch
-            est_bytes = int(frontier_bytes * n_visit / n_frontier) if n_frontier else 0
-            fetched_pages = _fetch_join(
-                ranked.select("url", "visit_rank"), self.pages, cfg,
-                ["url", "visit_rank", "html", "text"], est_bytes=est_bytes)
+            # fetch: pages-table join (bucket-pruned scan) by default, the
+            # user's batch-HTTP fetcher when CrawlPlugins.fetch is set;
+            # broadcast decision from measured frontier bytes, batch-scaled
+            if cfg.plugins is not None and cfg.plugins.fetch is not None:
+                fetched_pages = _fetch_plugin(
+                    ranked.select("url", "visit_rank", "parent"),
+                    cfg.plugins.fetch)
+            else:
+                est_bytes = int(frontier_bytes * n_visit / n_frontier) if n_frontier else 0
+                fetched_pages = _fetch_join(
+                    ranked.select("url", "visit_rank"), self.pages, cfg,
+                    ["url", "visit_rank", "html", "text"], est_bytes=est_bytes)
             if cfg.salt > 1:
                 fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
             texts_rows = fetched_pages.select("url", "text")
@@ -447,7 +524,7 @@ class GreedyCrawl:
                 task_new = anti_join_seen(task_new, seen_tasks_df, "file_url")
             task_new = self._pin(task_new)
 
-            kept = task_new.filter(_size_filter_col(cfg))
+            kept = _keep_file(task_new, cfg)
             # counted ranker: kept count rides along with rank assignment
             kept, n_kept = global_row_number_counted(
                 kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n)
@@ -561,6 +638,19 @@ class GreedyCrawl:
                     "stop_reason": stop_reason if stop_reason == "reach_max_num" else None,
                     "round_metrics": metrics[-1],
                 })
+                # scale-safe seen reads (north_rule): past _COMPACT_PARTS
+                # rounds, the anti-join source becomes the catalog's
+                # persisted shards (just committed — they contain exactly
+                # the accumulated parts) instead of in-memory localCheckpoint
+                # blocks. A 10^10-URL seen set then lives in the warehouse
+                # (parquet here, Iceberg on a cluster), not executor storage,
+                # and the in-memory list never re-unions O(|seen|).
+                if len(seen_pages_parts) > self._COMPACT_PARTS:
+                    seen_pages_parts = [self.catalog.read("seen_pages")]
+                if len(seen_tasks_parts) > self._COMPACT_PARTS:
+                    persisted_tasks = self.catalog.read("seen_tasks")
+                    if persisted_tasks is not None:
+                        seen_tasks_parts = [persisted_tasks]
 
             if stop_reason == "reach_max_num":
                 break
@@ -596,13 +686,20 @@ class GreedyCrawl:
     # is exactly what Iceberg appends avoid. Instead we keep a list of pinned
     # per-round parts and expose their lazy union (each part is already
     # materialized, so the union plan is shallow and recompute-free),
-    # compacting into one part when the plan would grow past _COMPACT_PARTS.
+    # collapsing past _COMPACT_PARTS: with a catalog, into a read of the
+    # just-committed persisted seen shards (the scale path — the warehouse,
+    # not executor block storage, holds the 10^10-URL set); without one,
+    # into one in-memory pinned union (smoke/parity runs only).
     _COMPACT_PARTS = 32
 
     def _acc_parts(self, parts: list[DataFrame], new: DataFrame | None) -> list[DataFrame]:
+        # WITH a catalog, compaction is deferred to the post-commit catalog
+        # replacement in _loop (the warehouse, not executor memory, becomes
+        # the anti-join source); the in-memory merge only serves
+        # no-checkpoint (smoke/parity) runs.
         if new is not None:
             parts = parts + [new]  # caller guarantees `new` is pinned
-        if len(parts) > self._COMPACT_PARTS:
+        if self.catalog is None and len(parts) > self._COMPACT_PARTS:
             merged = parts[0]
             for p in parts[1:]:
                 merged = merged.unionByName(p)
@@ -649,7 +746,7 @@ class UrlListCrawl:
                               F.lit(None).cast("string").alias("parent"),
                               F.col("feed_rank").cast("int").alias("link_pos"))
         tasks = ranked.select(F.col("url").alias("file_url"), "visit_rank")
-        kept = tasks.filter(_size_filter_col(cfg))
+        kept = _keep_file(tasks, cfg)
         kept = global_row_number(kept, ["visit_rank"], "kept_rank", start=0,
                                  known_count=n_uniq)
         if cfg.max_num > 0:

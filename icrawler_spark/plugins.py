@@ -9,6 +9,9 @@ reference's override points (/root/reference/docs/extend.rst:1-187):
 |   (parser.py:31-41)               | pandas batch fn (html → emissions)      |
 | ``Downloader.keep_file``          | ``CrawlPlugins.keep`` — a Column        |
 |   (downloader.py:92-93)           | predicate over ``file_url``             |
+| page GET w/ session               | ``CrawlPlugins.fetch`` — a vectorized   |
+|   (parser.py:82-94,               | pandas batch fn replacing the           |
+|    utils/session.py:29-59)        | pages-table join                        |
 | ``Downloader.get_filename``       | ``CrawlPlugins.filename`` — a Column    |
 |   (downloader.py:60-77)           | over ``file_idx`` / ``file_url``        |
 | class injection                   | ``CrawlConfig(plugins=...)``            |
@@ -33,6 +36,21 @@ from pyspark.sql import Column
 # per page in document order — it is the FIFO-parity ordering column.
 ParseBatchFn = Callable[[pd.DataFrame, list[str]], pd.DataFrame]
 
+# contract for CrawlPlugins.fetch — the batch HTTP seam. The engine default
+# "fetch" is a join against the pages table (the offline/Common-Crawl path);
+# a cluster user doing LIVE crawling injects a FetchBatchFn instead and the
+# round loop runs it as an Arrow-batched mapInPandas stage over each fetch
+# batch. Input: pdf with columns (url:str, parent:str|None) — parent is the
+# linking page, i.e. the Referer the reference sends per request
+# (/root/reference/icrawler/parser.py:88-92). Output: pdf with columns
+# (url:str, html:bytes, text:str); OMIT rows whose fetch failed — a missing
+# url behaves exactly like a fetch-join miss (retry/re-queue picks it up
+# when max_fetch_attempts > 1). Session state (timeout, default headers,
+# cookie jar — utils/session.py:29-59, downloader.py:95-155) lives inside
+# the callable: construct it per-executor (lazily, on first batch) and
+# capture config, not sockets, in the closure.
+FetchBatchFn = Callable[[pd.DataFrame], pd.DataFrame]
+
 
 @dataclass
 class CrawlPlugins:
@@ -43,6 +61,7 @@ class CrawlPlugins:
     subclassing one method does in the reference."""
 
     parse: ParseBatchFn | None = None     # replaces the greedy HTML extractor
+    fetch: FetchBatchFn | None = None     # replaces the pages-table fetch join
     keep: Column | None = None            # replaces the min/max-size keep_file
     filename: Column | None = None        # replaces %06d.ext naming
     # Downloader.process_meta override (downloader.py:157-167,

@@ -116,6 +116,49 @@ def test_urllist_size_filter(spark):
     _assert_match(result, golden)
 
 
+def test_keep_file_decodes_bytes_when_url_has_no_dims(spark):
+    """F3 byte-decode path: with CrawlConfig.media_bytes, a task whose URL
+    carries no dims gets width/height decoded from the actual bytes (the
+    reference's PIL keep_file, downloader.py:242-263; deterministic stub
+    decoder here), URL-dims tasks keep the fixture path, and a no-dims task
+    WITHOUT bytes is dropped like a failed download."""
+    from icrawler_spark.operators.multimodal import _fake_decode
+
+    big, small = b"imgbytes-big-7", b"imgbytes-small-3"
+    # pick payloads on the right sides of the (200,200) bound
+    def _fits(raw):
+        w, h, _ = _fake_decode(raw)
+        return min(w, h) >= 200
+    for i in range(200):
+        if _fits(big):
+            break
+        big = b"imgbytes-big-%d" % i
+    for i in range(200):
+        if not _fits(small):
+            break
+        small = b"imgbytes-small-%d" % i
+    assert _fits(big) and not _fits(small)
+
+    rows = [("http://hostm.test",
+             b'<img src="http://hostm.test/a.jpg">'
+             b'<img src="http://hostm.test/b.jpg">'
+             b'<img src="http://hostm.test/c.jpg">'
+             b'<img src="http://hostm.test/d-900x900.jpg">'
+             b'<img src="http://hostm.test/e-90x90.jpg">', "root")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    media = spark.createDataFrame(
+        [("http://hostm.test/a.jpg", bytearray(big)),
+         ("http://hostm.test/b.jpg", bytearray(small))],
+        "file_url string, bytes binary")  # c.jpg: no bytes -> dropped
+
+    res = GreedyCrawl(
+        spark, pages,
+        CrawlConfig(min_size=(200, 200), media_bytes=media)).run(["hostm.test"])
+    kept = sorted(r["file_url"] for r in res.fetched.collect())
+    assert kept == ["http://hostm.test/a.jpg",       # decoded big -> kept
+                    "http://hostm.test/d-900x900.jpg"]  # URL dims path intact
+
+
 def test_parse_error_side_output(spark, smoke_web, smoke_pages_df):
     """P8/W3: pages whose parse yields no emissions are recorded, matching the
     oracle's task_list_error set (parser.py:97-100)."""

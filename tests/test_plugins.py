@@ -69,6 +69,97 @@ def test_partial_plugins_keep_defaults(spark):
     assert fetched == [(1, "000001.jpg")]
 
 
+class _FakeSession:
+    """Deterministic stand-in for the reference's requests.Session
+    (utils/session.py:29-59): default headers + a cookie jar carried across
+    requests, per-request Referer (parser.py:88-92), timeout enforced. `web`
+    maps url -> (html bytes, text) | None (None = timeout/connection error)."""
+
+    def __init__(self, web: dict, timeout: float = 5.0):
+        self.web = web
+        self.timeout = timeout
+        self.headers = {"User-Agent": "icrawler-spark-test/1.0"}
+        self.cookies: dict[str, str] = {}
+        self.log: list[dict] = []
+
+    def get(self, url: str, headers: dict | None = None,
+            timeout: float | None = None):
+        eff = {**self.headers, **(headers or {})}
+        assert (timeout or self.timeout) > 0  # the timeout seam exists
+        self.log.append({"url": url, "headers": eff, "cookies": dict(self.cookies)})
+        self.cookies["visited"] = url  # server sets a cookie; jar persists
+        return self.web.get(url)
+
+
+def _session_fetch_fn(web: dict):
+    """FetchBatchFn backed by _FakeSession — session constructed lazily per
+    executor (first batch), config captured in the closure, per the
+    CrawlPlugins.fetch contract."""
+    state: dict = {}
+
+    def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if "session" not in state:
+            state["session"] = _FakeSession(web)
+        s = state["session"]
+        rows = []
+        for url, parent in zip(pdf["url"], pdf["parent"]):
+            hdrs = {"Referer": parent} if parent is not None else None
+            got = s.get(url, headers=hdrs, timeout=3.0)
+            if got is None:
+                continue  # fetch failure: omit the row (= join-miss)
+            rows.append((url, got[0], got[1]))
+        return pd.DataFrame(rows, columns=["url", "html", "text"])
+
+    return fetch
+
+
+def test_fetch_plugin_matches_pages_join(spark, smoke_web, smoke_pages_df):
+    """CrawlPlugins.fetch (the batch-HTTP seam) produces a CrawlResult
+    identical to the default pages-table join on the same synthetic web —
+    order, texts, and fetched files all byte-equal."""
+    cfg_web, pdf = smoke_web
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    web = {u: (h, t) for u, h, t in zip(pdf.url, pdf.html, pdf.text)}
+
+    join_res = GreedyCrawl(spark, smoke_pages_df,
+                           CrawlConfig(max_num=40)).run(seeds)
+    fetch_res = GreedyCrawl(
+        spark, smoke_pages_df.limit(0),  # pages table unused in fetchfn mode
+        CrawlConfig(max_num=40,
+                    plugins=CrawlPlugins(fetch=_session_fetch_fn(web)))
+    ).run(seeds)
+
+    def _snap(res):
+        return (
+            [(r["visit_rank"], r["url"]) for r in res.order.orderBy("visit_rank").collect()],
+            sorted((r["url"], r["text"]) for r in res.texts.collect()),
+            sorted((r["file_idx"], r["file_url"], r["filename"])
+                   for r in res.fetched.collect()),
+        )
+
+    assert _snap(fetch_res) == _snap(join_res)
+
+
+def test_fetch_plugin_miss_requeues_like_join_miss(spark):
+    """A url the fetcher omits (timeout) is re-queued under
+    max_fetch_attempts exactly like a pages-join miss."""
+    web = {
+        "http://hostf.test": (b'<a href="http://hostf.test/p1">x</a>', "root"),
+        # hostf.test/p1 always times out -> absent from web dict
+    }
+    res = GreedyCrawl(
+        spark, spark.createDataFrame([], "url string, html binary, text string"),
+        CrawlConfig(max_fetch_attempts=3,
+                    plugins=CrawlPlugins(fetch=_session_fetch_fn(web)))
+    ).run(["hostf.test"])
+    visits = [r["url"] for r in res.order.orderBy("visit_rank").collect()]
+    # one visit per attempt, same as the join-miss retry semantics
+    # (tests/test_resume_politeness.py::test_fetch_retry_requeues_misses)
+    assert visits.count("http://hostf.test/p1") == 3
+    assert visits.count("http://hostf.test") == 1
+    assert sorted(r["url"] for r in res.texts.collect()) == ["http://hostf.test"]
+
+
 def test_proxy_pool_stub(spark, tmp_path):
     """C5/W4 fetcher-config stub: save/load roundtrip + deterministic
     weight-proportional per-URL assignment (utils/proxy_pool.py:114-199)."""

@@ -42,6 +42,38 @@ def test_resume_mid_crawl_equals_straight_run(spark, smoke_web, smoke_pages_df, 
     assert {r["url"]: r["text"] for r in resumed.texts.collect()} == golden.texts
 
 
+def test_deep_crawl_catalog_backed_seen_kill_resume(spark, tmp_path):
+    """Past _COMPACT_PARTS rounds with a catalog, the seen anti-join reads
+    the catalog's persisted shards (not in-memory localCheckpoint parts).
+    Evidence: a 40-round chain crawl (one page per round) killed at round 36
+    and resumed still visits every page exactly once, in chain order, and
+    matches an uninterrupted run."""
+    n = 40
+    rows = []
+    for i in range(n):
+        url = "http://chain.test" if i == 0 else f"http://chain.test/p{i}"
+        nxt = f"http://chain.test/p{i + 1}"
+        html = f'<a href="{nxt}">next</a>'.encode() if i < n - 1 else b"<p>end</p>"
+        rows.append((url, html, f"t{i}"))
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+
+    straight = GreedyCrawl(spark, pages, CrawlConfig()).run(["chain.test"])
+    expect = _order_tuples(straight)
+    assert len(expect) == n  # the chain really is one page per round
+
+    ckpt = str(tmp_path / "deep_ckpt")
+    partial = GreedyCrawl(
+        spark, pages, CrawlConfig(checkpoint_dir=ckpt, max_rounds=36)
+    ).run(["chain.test"])
+    assert partial.rounds >= 36  # crossed the compaction threshold (32)
+    resumed = GreedyCrawl(
+        spark, pages, CrawlConfig(checkpoint_dir=ckpt)).resume(["chain.test"])
+
+    assert _order_tuples(resumed) == expect
+    seen = [r["url"] for r in resumed.seen_pages.collect()]
+    assert set(seen) == {u for _, u in expect}
+
+
 def test_resume_after_completion_is_stable(spark, smoke_pages_df, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     done = GreedyCrawl(
