@@ -56,16 +56,164 @@ SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= {_ND_T}
 
 
 # ---------------------------------------------------------------------------
+# crawl_sitemap — CrawlConfig.sitemaps round-0 bootstrap, end-to-end
+# ---------------------------------------------------------------------------
+
+_SM_URL = "http://h9.test/sitemap.xml"
+_SM_SEEDS = ["h0.test", "h1.test", "h2.test", "h3.test"]
+
+
+def q_crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds seeded by a sitemap: urlset locs enqueue after the
+    explicit seeds in document order (their frontier pos continues the seed
+    numbering), a loc duplicating a seed is deduped, a loc with no page is a
+    fetch miss but still ranked, and round-1 candidates exclude every
+    round-0 URL (sitemap seeds are seen). Returns the order table."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    sm = spark.createDataFrame(
+        [(_SM_URL,
+          "<urlset>"
+          "<url><loc>http://h1.test/p/1</loc></url>"
+          "<url><loc>http://h2.test/p/2</loc></url>"
+          "<url><loc>http://h1.test</loc></url>"      # dup of a seed
+          "<url><loc>http://h9.test/missing</loc></url>"  # fetch miss
+          "</urlset>")],
+        "url string, body string")
+    cfg = CrawlConfig(max_rounds=2, sitemaps=sm)
+    res = GreedyCrawl(spark, pages, cfg).run(_SM_SEEDS)
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_sitemap_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    # round-0 frontier replay: 4 explicit seeds (pos 0-3) + the sitemap locs
+    # at pos 4,5,7 (the dup seed held pos 6 and lost dedup-at-enqueue);
+    # visit ranks renumber contiguously over the survivors. Round-1 ranks
+    # start at 7 (6 + rn) — all seven round-0 rows were visited (the miss
+    # too). Everything else reuses the shared pages/emit CTEs.
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+smseeds AS (
+  SELECT url, parent, pos,
+         CAST(row_number() OVER (ORDER BY pos) - 1 AS BIGINT) AS visit_rank
+  FROM (VALUES
+    ('http://h0.test', CAST(NULL AS VARCHAR), 0),
+    ('http://h1.test', CAST(NULL AS VARCHAR), 1),
+    ('http://h2.test', CAST(NULL AS VARCHAR), 2),
+    ('http://h3.test', CAST(NULL AS VARCHAR), 3),
+    ('http://h1.test/p/1', '{_SM_URL}', 4),
+    ('http://h2.test/p/2', '{_SM_URL}', 5),
+    ('http://h9.test/missing', '{_SM_URL}', 7)
+  ) AS t(url, parent, pos)
+),
+sme0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM smseeds s JOIN emit e ON e.url = s.url
+),
+smf1 AS (
+  SELECT target AS url, parent, pos, parent_rank FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM sme0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM smseeds)
+  ) WHERE rn = 1
+),
+smv1 AS (
+  SELECT url, parent, pos,
+         CAST(6 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM smf1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM smseeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM smv1
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_recrawl — the adaptive-recrawl due-time frontier gate, end-to-end
+# ---------------------------------------------------------------------------
+
+_RC_NOW = 1_700_000_000
+
+
+def q_crawl_recrawl(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with a recrawl schedule over every tree page:
+    doc_id % 3 == 0 pages are scheduled AFTER now (not due — skipped this
+    crawl), the rest BEFORE now (due — crawled), unscheduled URLs (roots,
+    the hub miss) always pass. Ranks stay contiguous over the survivors
+    (counted-ranker path). Returns the order table."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), (i % 4).cast("string"),
+                   F.lit(".test/p/"), i.cast("string"))
+    sched = docs.select(
+        url.alias("url"),
+        F.when(i % 3 == 0, F.lit(_RC_NOW + 100))
+        .otherwise(F.lit(_RC_NOW - 100)).cast("long").alias("next_due_epoch"))
+    cfg = CrawlConfig(max_rounds=2, recrawl=sched, now_epoch=_RC_NOW)
+    res = GreedyCrawl(spark, pages, cfg).run(_SM_SEEDS)
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_recrawl_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+notdue AS (
+  SELECT 'http://h' || (doc_id % 4) || '.test/p/' || doc_id AS url
+  FROM documents WHERE doc_id % 3 = 0
+),
+rf1 AS (
+  SELECT * FROM f1 WHERE url NOT IN (SELECT url FROM notdue)
+),
+rv1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM rf1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM rv1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 def queries7():
     return {
         "srp_neardup": q_srp_neardup,
+        "crawl_sitemap": q_crawl_sitemap,
+        "crawl_recrawl": q_crawl_recrawl,
     }
 
 
 def oracle_sql7():
     return {
         "srp_neardup": _srp_neardup_sql(),
+        "crawl_sitemap": _crawl_sitemap_sql(),
+        "crawl_recrawl": _crawl_recrawl_sql(),
     }

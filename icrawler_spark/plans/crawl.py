@@ -69,6 +69,19 @@ class CrawlConfig:
     # domain blocklist (domain:string): frontier URLs under any listed
     # domain (label-boundary suffix match) are dropped before fetch
     blocklist: DataFrame | None = None
+    # sitemap bootstrap (operators/sitemap.py): a (url, body) table of
+    # fetched sitemap documents. urlset locs enqueue into the round-0
+    # frontier AFTER the explicit seeds, ordered by (sitemap_url, pos) —
+    # sitemaps list URLs in priority order; sitemapindex entries resolve one
+    # level against the same table. Explicit seeds win dedup-at-enqueue.
+    sitemaps: DataFrame | None = None
+    # adaptive recrawl gate (operators/recrawl.py): a (url, next_due_epoch)
+    # schedule — frontier URLs scheduled but not yet due at `now_epoch` are
+    # dropped before fetch (they re-enter on the next scheduled crawl);
+    # unscheduled URLs always pass. Requires now_epoch (explicit, so runs
+    # are deterministic/replayable — never wall clock).
+    recrawl: DataFrame | None = None
+    now_epoch: int | None = None
     round_seconds: float | None = None  # token-bucket window; None = parity
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
@@ -334,9 +347,40 @@ class GreedyCrawl:
         )
         # seed dedup-at-enqueue (cached_queue.py:53-59)
         frontier = earliest_occurrence(seeds, "url", ["pos"])
+        if cfg.sitemaps is not None:
+            frontier = self._seed_from_sitemaps(frontier, len(domains))
         return self._loop(frontier, domains, start_round=0, visited=0, fetched_n=0,
                           seen_pages=None, seen_tasks=None, order=None, fetched=None,
                           texts=None, metrics=[])
+
+    def _seed_from_sitemaps(self, frontier: DataFrame, n_seeds: int) -> DataFrame:
+        """Sitemap bootstrap (SURVEY sitemap op → loop integration): urlset
+        locs from ``cfg.sitemaps`` enqueue as extra round-0 frontier rows
+        ranked after the explicit seeds, in (sitemap_url, pos) order — the
+        priority order sitemaps.org documents publish. sitemapindex entries
+        resolve ONE level against the same bodies table (index → urlset is
+        the universal real-world nesting). Dedup-at-enqueue: explicit seeds
+        (lower pos) beat sitemap rows, earlier sitemap rows beat later."""
+        from icrawler_spark.operators.sitemap import sitemap_entries
+
+        ents = sitemap_entries(self.cfg.sitemaps)
+        urlset = ents.filter(F.col("kind") == "url")
+        nested_bodies = (ents.filter(F.col("kind") == "sitemap")
+                         .select(F.col("loc").alias("url"))
+                         .join(self.cfg.sitemaps.select("url", "body"), "url"))
+        urlset = urlset.unionByName(
+            sitemap_entries(nested_bodies).filter(F.col("kind") == "url"))
+        ranked = global_row_number(
+            urlset.select("sitemap_url", "pos", "loc"),
+            ["sitemap_url", "pos"], "seed_pos", start=n_seeds)
+        sm_rows = ranked.select(
+            F.col("loc").alias("url"),
+            F.col("sitemap_url").alias("parent"),
+            F.col("seed_pos").cast("int").alias("pos"),
+            F.lit(-1).cast("long").alias("parent_rank"),
+            F.lit(0).alias("round"), F.lit(0).alias("attempts"))
+        return earliest_occurrence(
+            frontier.unionByName(sm_rows), "url", ["pos"])
 
     def resume(self, seed_domains: list[str]) -> CrawlResult:
         """Restart from the last committed RoundCatalog snapshot (north_rule
@@ -456,6 +500,20 @@ class GreedyCrawl:
                 frontier_r = (apply_blocklist(frontier_r, cfg.blocklist)
                               .filter(F.col("kept"))
                               .drop("host", "blocked_by", "kept"))
+            if cfg.recrawl is not None:
+                # adaptive-recrawl gate: scheduled-but-not-yet-due URLs skip
+                # this crawl (plain equi-join on url; AQE picks the strategy
+                # — the schedule table is per-url, potentially frontier-sized)
+                if cfg.now_epoch is None:
+                    raise ValueError(
+                        "CrawlConfig.recrawl requires an explicit now_epoch "
+                        "(deterministic runs — never wall clock)")
+                sched = cfg.recrawl.select("url", "next_due_epoch")
+                frontier_r = (frontier_r.join(sched, "url", "left")
+                              .filter(F.col("next_due_epoch").isNull() |
+                                      (F.col("next_due_epoch")
+                                       <= F.lit(int(cfg.now_epoch))))
+                              .drop("next_due_epoch"))
             # fused robots gate + token bucket: one parse_url + one broadcast
             # join per round (operators/politeness.py)
             active, deferred = robots_politeness_split(
@@ -473,7 +531,8 @@ class GreedyCrawl:
             # truncated and the rank projection is deterministic across
             # re-reads — no second pin on top (it was a full extra
             # materialization of the frontier per round).
-            if politeness_on or cfg.blocklist is not None:
+            if (politeness_on or cfg.blocklist is not None
+                    or cfg.recrawl is not None):
                 # counted two-phase ranker: the batch count rides along with
                 # rank assignment (no separate pin+count action per round)
                 ranked, n_visit = global_row_number_counted(

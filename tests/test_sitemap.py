@@ -48,3 +48,75 @@ def test_frontier_projection(spark):
     r = fr[0]
     assert r["url"] == "http://a.test/p/1" and r["host"] == "a.test"
     assert r["lastmod"] is not None  # parsed to timestamp
+
+
+def test_crawl_sitemap_seeding(spark, smoke_web, smoke_pages_df):
+    """CrawlConfig.sitemaps: urlset locs enqueue into round 0 after the
+    explicit seeds (ordered by sitemap_url, pos), index files resolve one
+    level, duplicates of explicit seeds are deduped, and the crawl closure
+    gains exactly the sitemap-reachable pages."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    _, pdf = smoke_web
+    seeds = ["host0000.test"]
+    # two urlset locs on a host the seed web can't reach + a dup of the seed
+    child = "http://host0005.test/sitemap-1.xml"
+    extra = [u for u in pdf.url if u.startswith("http://host0005.test")][:2]
+    sm = spark.createDataFrame(
+        [("http://host0005.test/sitemap.xml",
+          f"<sitemapindex><sitemap><loc>{child}</loc></sitemap></sitemapindex>"),
+         (child,
+          "<urlset>" +
+          "".join(f"<url><loc>{u}</loc></url>" for u in extra) +
+          "<url><loc>http://host0000.test</loc></url></urlset>")],
+        "url string, body string")
+
+    plain = GreedyCrawl(spark, smoke_pages_df, CrawlConfig()).run(seeds)
+    res = GreedyCrawl(spark, smoke_pages_df,
+                      CrawlConfig(sitemaps=sm)).run(seeds)
+
+    order = [(r["visit_rank"], r["url"], r["round"], r["parent"])
+             for r in res.order.orderBy("visit_rank").collect()]
+    # round 0: explicit seed first, then the sitemap locs in doc order
+    assert order[0][1] == "http://host0000.test"
+    assert [o[1] for o in order[1:3]] == extra
+    assert order[1][3] == child  # parent = the sitemap that listed it
+    # the seed dup was deduped (appears exactly once, as the seed)
+    assert [o[1] for o in order].count("http://host0000.test") == 1
+    # ranks contiguous, closure is a superset of the plain crawl
+    assert [o[0] for o in order] == list(range(len(order)))
+    assert {r["url"] for r in plain.order.collect()} <= {o[1] for o in order}
+
+
+def test_crawl_recrawl_gate(spark):
+    """CrawlConfig.recrawl + now_epoch: scheduled-but-not-due URLs are
+    skipped this crawl; due and unscheduled URLs crawl normally."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    rows = [("http://hostg.test",
+             b'<a href="/due.html">a</a><a href="/notdue.html">b</a>'
+             b'<a href="/unsched.html">c</a>', "root"),
+            ("http://hostg.test/due.html", b"<p>d</p>", "d"),
+            ("http://hostg.test/notdue.html", b"<p>n</p>", "n"),
+            ("http://hostg.test/unsched.html", b"<p>u</p>", "u")]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    now = 1_700_000_000
+    sched = spark.createDataFrame(
+        [("http://hostg.test/due.html", now - 50),
+         ("http://hostg.test/notdue.html", now + 50)],
+        "url string, next_due_epoch long")
+
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(recrawl=sched, now_epoch=now)).run(["hostg.test"])
+    visits = [r["url"] for r in res.order.orderBy("visit_rank").collect()]
+    assert "http://hostg.test/notdue.html" not in visits
+    assert "http://hostg.test/due.html" in visits
+    assert "http://hostg.test/unsched.html" in visits
+    ranks = sorted(r["visit_rank"] for r in res.order.collect())
+    assert ranks == list(range(len(ranks)))  # counted-ranker contiguity
+
+    import pytest
+
+    with pytest.raises(ValueError, match="now_epoch"):
+        GreedyCrawl(spark, pages,
+                    CrawlConfig(recrawl=sched)).run(["hostg.test"])
