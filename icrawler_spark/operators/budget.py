@@ -53,12 +53,48 @@ def global_row_number_counted(df: DataFrame, order_cols: list[str],
     per-partition counts the ranker collects anyway sum to it, so callers
     that need both (e.g. the politeness-batched crawl round) spend ONE job
     instead of a count action plus a rank job."""
-    return _two_phase_rank(df, order_cols, out_col, start, num_partitions)
+    out, n, _ = _two_phase_rank(df, order_cols, out_col, start, num_partitions)
+    return out, n
+
+
+def global_row_number_measured(df: DataFrame, order_cols: list[str],
+                               out_col: str = "rank", start: int = 0,
+                               measure_len_col: str | None = None,
+                               num_partitions: int | None = None
+                               ) -> tuple[DataFrame, int, int]:
+    """Counted ranker that ALSO sums ``length(measure_len_col)`` in the same
+    per-partition pass → (ranked, count, total_chars). Lets the crawl round
+    derive its broadcast-size estimate from the ranker's one collect instead
+    of a separate full-frontier aggregation job."""
+    return _two_phase_rank(df, order_cols, out_col, start, num_partitions,
+                           measure_len_col=measure_len_col)
+
+
+def rank_split(df: DataFrame, order_cols: list[str], take_col: str,
+               out_col: str = "rank", start: int = 0,
+               measure_len_col: str | None = None,
+               num_partitions: int | None = None
+               ) -> tuple[DataFrame, int, int]:
+    """Fused take/defer split + rank (the politeness token-bucket step):
+    rows with ``take_col`` true form a contiguous global rank prefix
+    ``start..start+n_taken-1`` in ``order_cols`` order; deferred rows sort
+    after every taken row and receive discard ranks the caller never uses.
+    ONE range-partition materialization serves the split, the batch count,
+    the broadcast-size measure AND the rank — replacing the split pin plus
+    a separate ranker checkpoint (two jobs) per crawl round.
+    Returns (ranked, n_taken, taken_chars)."""
+    d = df.withColumn("__defer", (~F.col(take_col)).cast("int"))
+    out, n, chars = _two_phase_rank(
+        d, ["__defer"] + order_cols, out_col, start, num_partitions,
+        measure_len_col=measure_len_col, pred_col=take_col)
+    return out.drop("__defer"), n, chars
 
 
 def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
-                    start: int, num_partitions: int | None
-                    ) -> tuple[DataFrame, int]:
+                    start: int, num_partitions: int | None,
+                    measure_len_col: str | None = None,
+                    pred_col: str | None = None
+                    ) -> tuple[DataFrame, int, int]:
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
@@ -66,8 +102,19 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
         .withColumn("__pid", F.spark_partition_id())
     )
     parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
-    counts = {r["__pid"]: r["cnt"] for r in
-              parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    aggs = [F.count("*").alias("cnt")]
+    if pred_col is not None:
+        aggs.append(F.coalesce(F.sum(F.col(pred_col).cast("long")), F.lit(0))
+                    .alias("taken"))
+    if measure_len_col is not None:
+        length = F.length(measure_len_col)
+        if pred_col is not None:  # measure only the taken rows
+            length = F.when(F.col(pred_col), length).otherwise(F.lit(0))
+        aggs.append(F.coalesce(F.sum(length), F.lit(0)).alias("chars"))
+    rows = parted.groupBy("__pid").agg(*aggs).collect()
+    counts = {r["__pid"]: r["cnt"] for r in rows}
+    measured = sum(int(r["chars"]) for r in rows) if measure_len_col else 0
+    n_taken = sum(int(r["taken"]) for r in rows) if pred_col else None
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):
@@ -89,7 +136,7 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
     local_idx = F.monotonically_increasing_id() % F.lit(1 << 33)
     out = parted.withColumn(out_col, (offset_expr + local_idx).cast("long")) \
                 .drop("__pid")
-    return out, acc - start
+    return out, (n_taken if n_taken is not None else acc - start), measured
 
 
 def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:

@@ -87,25 +87,21 @@ def politeness_batch(
             marked.filter(~F.col("__take")).select(cols))
 
 
-def robots_politeness_split(
+def robots_politeness_mark(
     frontier: DataFrame,
-    robots: DataFrame | None,
+    robots: DataFrame,
     round_seconds: float | None,
     order_cols: list[str],
     url_col: str = "url",
-    pin=None,
-) -> tuple[DataFrame, DataFrame]:
-    """Fused ``apply_robots`` + ``politeness_batch``: ONE host parse and ONE
-    broadcast robots join per round carrying both ``disallow_prefixes`` and
-    the token-bucket slot cap, instead of two joins over the full frontier.
-    Semantics identical to applying the two operators in sequence (disallowed
-    URLs are dropped BEFORE the per-host slot window ranks the rest).
-
-    Returns ``(fetch_now, deferred)``; deferred is empty when the token
-    bucket is off (``round_seconds=None``).
-    """
-    if robots is None:
-        return frontier, frontier.limit(0)
+) -> DataFrame:
+    """Fused ``apply_robots`` + token-bucket MARK: ONE host parse and ONE
+    broadcast robots join carrying both ``disallow_prefixes`` and the slot
+    cap. Disallowed URLs are dropped; the rest come back with a boolean
+    ``__take`` column (true = fetch this round). NOTHING is materialized —
+    the caller fuses the take/defer split into its next shuffle (the crawl
+    round feeds this straight into ``budget.rank_split``, so one
+    range-partition checkpoint serves split, count, measure and rank).
+    With ``round_seconds=None`` every surviving row is ``__take`` = true."""
     f = with_host(frontier, url_col, "__host")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     side = [F.col("host").alias("__host"), "disallow_prefixes"]
@@ -122,11 +118,39 @@ def robots_politeness_split(
     j = j.filter(allowed)
     cols = frontier.columns
     if round_seconds is None:
-        return j.select(cols), frontier.limit(0)
+        return j.select(*cols, F.lit(True).alias("__take"))
     w = Window.partitionBy("__host").orderBy(*[F.col(c).asc() for c in order_cols])
     take = (F.col("__slots").isNull()
             | (F.row_number().over(w) <= F.col("__slots")))
-    marked = j.select(*cols, take.alias("__take"))
+    return j.select(*cols, take.alias("__take"))
+
+
+def robots_politeness_split(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    round_seconds: float | None,
+    order_cols: list[str],
+    url_col: str = "url",
+    pin=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused ``apply_robots`` + ``politeness_batch``: ONE host parse and ONE
+    broadcast robots join per round carrying both ``disallow_prefixes`` and
+    the token-bucket slot cap, instead of two joins over the full frontier.
+    Semantics identical to applying the two operators in sequence (disallowed
+    URLs are dropped BEFORE the per-host slot window ranks the rest).
+
+    Returns ``(fetch_now, deferred)``; deferred is empty when the token
+    bucket is off (``round_seconds=None``). The crawl loop itself uses
+    ``robots_politeness_mark`` + ``budget.rank_split`` instead (fuses the
+    split into the rank shuffle); this two-frame form serves callers that
+    want the split without a rank."""
+    if robots is None:
+        return frontier, frontier.limit(0)
+    cols = frontier.columns
+    marked = robots_politeness_mark(frontier, robots, round_seconds,
+                                    order_cols, url_col)
+    if round_seconds is None:
+        return marked.select(cols), frontier.limit(0)
     if pin is not None:
         marked = pin(marked)
     return (marked.filter(F.col("__take")).select(cols),

@@ -31,7 +31,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icrawler_spark.operators.budget import global_row_number, global_row_number_counted
+from icrawler_spark.operators.budget import (
+    RANK_ROWS_PER_PARTITION,
+    global_row_number,
+    global_row_number_counted,
+    global_row_number_measured,
+    rank_split,
+)
 from icrawler_spark.operators.dedup import (
     BloomSeenFilter,
     anti_join_seen,
@@ -40,6 +46,7 @@ from icrawler_spark.operators.dedup import (
 )
 from icrawler_spark.operators.extract import extract_emissions
 from icrawler_spark.operators.politeness import (
+    robots_politeness_mark,
     robots_politeness_split,
     salted_repartition,
 )
@@ -453,6 +460,18 @@ class GreedyCrawl:
                 bloom_tasks.absorb(seen_tasks, "file_url")
         stop_reason = "frontier_exhausted"
         rnd = start_round
+        # two-phase-ranker partition sizing: the parity path sizes from its
+        # known count; the gated paths size from the previous round's batch
+        # with 4x growth headroom (correctness is partition-count
+        # independent — an underestimate only narrows one round's
+        # parallelism). Without this every small round pays a full
+        # defaultParallelism-wide stage of near-empty tasks.
+        par_cap = spark.sparkContext.defaultParallelism
+        est_rank_rows = max(64, 4 * len(domains))
+
+        def _rank_parts() -> int:
+            return max(1, min(par_cap,
+                              est_rank_rows // RANK_ROWS_PER_PARTITION + 1))
         order_parts: list[DataFrame] = [order] if order is not None else []
         texts_parts: list[DataFrame] = [texts] if texts is not None else []
         fetched_parts: list[DataFrame] = [fetched] if fetched is not None else []
@@ -463,9 +482,20 @@ class GreedyCrawl:
                 stop_reason = "reach_max_num"
                 break
             t0 = _time.time()
-            n_frontier, frontier_bytes = frontier_stats(frontier)
-            if n_frontier == 0:
-                break
+            gated = (cfg.robots is not None or cfg.round_seconds is not None
+                     or cfg.blocklist is not None or cfg.recrawl is not None)
+            if gated:
+                # gates shrink the batch below the frontier anyway, so the
+                # full-frontier stats job is dead weight: a near-free
+                # emptiness probe decides the stop, and the batch count +
+                # broadcast-size measure ride the counted ranker's collect
+                if frontier.isEmpty():
+                    break
+                n_frontier = frontier_bytes = None
+            else:
+                n_frontier, frontier_bytes = frontier_stats(frontier)
+                if n_frontier == 0:
+                    break
 
             # priority frontier (north-rule; FIFO in parity mode)
             order_cols = ["parent_rank", "pos"]
@@ -490,7 +520,6 @@ class GreedyCrawl:
                               else []) + ["__priority", "parent_rank", "pos"]
 
             # politeness (north-rule; no-op in parity mode)
-            politeness_on = cfg.robots is not None or cfg.round_seconds is not None
             if cfg.blocklist is not None:
                 # frontier hygiene: blocked-domain URLs never reach the
                 # fetch join (label-boundary suffix match; broadcast
@@ -514,34 +543,44 @@ class GreedyCrawl:
                                       (F.col("next_due_epoch")
                                        <= F.lit(int(cfg.now_epoch))))
                               .drop("next_due_epoch"))
-            # fused robots gate + token bucket: one parse_url + one broadcast
-            # join per round (operators/politeness.py)
-            active, deferred = robots_politeness_split(
-                frontier_r, cfg.robots, cfg.round_seconds, order_cols,
-                pin=self._pin)
-            # deferred re-enters next round's frontier: strip helper columns
-            # so its schema matches freshly-discovered candidates
-            deferred = deferred.drop("__priority", "__host_prio")
-
-            # visit-rank assignment — distributed total order (O1).
-            # Politeness and blocklist both shrink `active` below
-            # n_frontier, so those paths take the counted ranker
-            # The ranker localCheckpoints its range-partitioned input
-            # internally (operators/budget.py), so lineage is already
-            # truncated and the rank projection is deterministic across
-            # re-reads — no second pin on top (it was a full extra
-            # materialization of the frontier per round).
-            if (politeness_on or cfg.blocklist is not None
-                    or cfg.recrawl is not None):
-                # counted two-phase ranker: the batch count rides along with
-                # rank assignment (no separate pin+count action per round)
-                ranked, n_visit = global_row_number_counted(
-                    active, order_cols, "visit_rank", start=visited)
+            # visit-rank assignment — distributed total order (O1) — fused
+            # with the politeness gates. The ranker localCheckpoints its
+            # range-partitioned input internally (operators/budget.py), so
+            # lineage is truncated and the rank projection is deterministic
+            # across re-reads.
+            if cfg.robots is not None and cfg.round_seconds is not None:
+                # token bucket ON: robots gate marks take/defer (lazy — one
+                # broadcast join, no materialization), then rank_split fuses
+                # the split, batch count, broadcast-size measure and rank
+                # into the ONE range-partition checkpoint. Deferred rows
+                # sort after every taken row and are cheap projections over
+                # the same pinned partitions.
+                marked = robots_politeness_mark(
+                    frontier_r, cfg.robots, cfg.round_seconds, order_cols)
+                ranked_all, n_visit, batch_chars = rank_split(
+                    marked, order_cols, "__take", "visit_rank",
+                    start=visited, measure_len_col="url",
+                    num_partitions=_rank_parts())
+                ranked = ranked_all.filter(F.col("__take")).drop("__take")
+                deferred = (ranked_all.filter(~F.col("__take"))
+                            .select(_FRONTIER_SCHEMA_COLS))
+                batch_bytes = batch_chars + n_visit * _FRONTIER_ROW_OVERHEAD
             else:
-                n_visit = n_frontier
-                ranked = global_row_number(
-                    active, order_cols, "visit_rank", start=visited,
-                    known_count=n_visit)
+                # robots-only / blocklist / recrawl gates: drop-only (no
+                # deferral), counted+measured ranker rides one collect
+                active, deferred = robots_politeness_split(
+                    frontier_r, cfg.robots, None, order_cols)
+                if gated:
+                    ranked, n_visit, batch_chars = global_row_number_measured(
+                        active, order_cols, "visit_rank", start=visited,
+                        measure_len_col="url", num_partitions=_rank_parts())
+                    batch_bytes = batch_chars + n_visit * _FRONTIER_ROW_OVERHEAD
+                else:
+                    n_visit = n_frontier
+                    batch_bytes = frontier_bytes  # no gates: batch == frontier
+                    ranked = global_row_number(
+                        active, order_cols, "visit_rank", start=visited,
+                        known_count=n_visit)
             ranked = ranked.drop("__priority", "__host_prio")
             visited += n_visit
 
@@ -557,10 +596,10 @@ class GreedyCrawl:
                     ranked.select("url", "visit_rank", "parent"),
                     cfg.plugins.fetch)
             else:
-                est_bytes = int(frontier_bytes * n_visit / n_frontier) if n_frontier else 0
                 fetched_pages = _fetch_join(
                     ranked.select("url", "visit_rank"), self.pages, cfg,
-                    ["url", "visit_rank", "html", "text"], est_bytes=est_bytes)
+                    ["url", "visit_rank", "html", "text"],
+                    est_bytes=batch_bytes)
             if cfg.salt > 1:
                 fetched_pages = salted_repartition(fetched_pages, "url", cfg.salt)
             texts_rows = fetched_pages.select("url", "text")
@@ -586,7 +625,13 @@ class GreedyCrawl:
             kept = _keep_file(task_new, cfg)
             # counted ranker: kept count rides along with rank assignment
             kept, n_kept = global_row_number_counted(
-                kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n)
+                kept, ["visit_rank", "pos"], "kept_rank", start=fetched_n,
+                num_partitions=_rank_parts())
+            # this pin is about BLOCK LIFECYCLE, not recompute: it truncates
+            # lineage off the ranker's internal checkpoint, so those blocks
+            # become garbage when the round ends instead of staying resident
+            # for the whole crawl via fetched_parts (measured: removing it
+            # degrades repeated crawls 19s -> 51s as blocks accumulate)
             kept = self._pin(kept)
 
             cutoff_rank = None  # v*: last visited page when budget trips
@@ -647,9 +692,12 @@ class GreedyCrawl:
                     .select("url", "parent", "pos", "parent_rank",
                             F.lit(rnd + 1).alias("round"), "attempts"))
                 next_frontier = next_frontier.unionByName(misses)
-            next_frontier = self._pin(next_frontier)
+            # ONE pin for the whole next frontier (deferred rows are already
+            # pinned inside the politeness split; unioning before the pin
+            # saves a second materialization job per round)
             if cfg.round_seconds is not None:
-                next_frontier = self._pin(next_frontier.unionByName(deferred))
+                next_frontier = next_frontier.unionByName(deferred)
+            next_frontier = self._pin(next_frontier)
 
             # -- accumulate state ---------------------------------------------
             # order/texts/fetched are write-only during the loop: keep them as
@@ -667,6 +715,8 @@ class GreedyCrawl:
                 bloom_pages.absorb(next_frontier.select("url"), "url")
 
             metrics.append({
+                # frontier size is only measured in parity mode (gated
+                # rounds skip the stats job; the batch size is `visited`)
                 "round": rnd, "frontier": n_frontier, "visited": n_visit,
                 "new_tasks_kept": n_kept, "fetched": n_fetch,
                 "wall_s": _time.time() - t0,
@@ -714,6 +764,7 @@ class GreedyCrawl:
             if stop_reason == "reach_max_num":
                 break
             frontier = next_frontier
+            est_rank_rows = max(64, 4 * max(n_visit, n_kept))
             rnd += 1
 
         def _union(parts: list[DataFrame], schema: str) -> DataFrame:

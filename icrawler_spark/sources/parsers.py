@@ -61,14 +61,24 @@ def google_parse(df: DataFrame) -> DataFrame:
     return df.select("parent", "visit_rank", "html").mapInPandas(fn, TASKS_SCHEMA)
 
 
-_BING_DIV_RE = r'(?s)<div[^>]*class="[^"]*imgpt[^"]*"[^>]*>.*?</div>'
+_BING_DIV_START_RE = r'<div[^>]*class="[^"]*imgpt[^"]*"[^>]*>'
+_BING_A_RE = r"(?s)(<a(?:\s[^>]*)?>)"
 _BING_M_RE = r'\sm="([^"]*)"'
-_BING_MURL_RE = r'murl&quot;:&quot;(.*?)\.jpg|murl":"(.*?)\.jpg'
 
 
 def bing_parse(df: DataFrame) -> DataFrame:
-    """BingParser.parse (builtin/bing.py:117-131): div.imgpt → unescape the
-    ``m`` attribute → murl":"...jpg."""
+    """BingParser.parse (builtin/bing.py:117-131): div.imgpt → the ``m``
+    attribute of its FIRST ``<a>`` descendant (``div.a["m"]``; a first
+    ``<a>`` without ``m`` raises KeyError and the div is skipped) →
+    unescape → murl":"...jpg.
+
+    BeautifulSoup-parity on nested markup: the document is split at
+    ``div.imgpt`` START tags and each segment runs to the next one, so a
+    nested ``<div>`` inside the card no longer truncates the search for the
+    ``<a m=...>`` (the old first-``</div>`` regex did). Caveat vs a real
+    tree parse: an ``<a m=...>``-bearing tag sitting BETWEEN two imgpt
+    cards would be attributed to the preceding card — on Bing result
+    markup, m-attributed anchors exist only inside the cards."""
 
     def fn(batches):
         import html as _html
@@ -77,11 +87,13 @@ def bing_parse(df: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
-            divs = doc.str.findall(_BING_DIV_RE).explode().dropna()
-            if len(divs) == 0:
+            parts = doc.str.split(_BING_DIV_START_RE, regex=True).explode()
+            segs = parts[parts.groupby(level=0).cumcount() > 0].dropna()
+            if len(segs) == 0:
                 continue
-            sf = pd.DataFrame({"div": divs})
-            m_attr = sf["div"].str.extract(_BING_M_RE, expand=False)
+            sf = pd.DataFrame({"div": segs})
+            a_tag = sf["div"].str.extract(_BING_A_RE, expand=False)
+            m_attr = a_tag.str.extract(_BING_M_RE, expand=False)
             sf = sf[m_attr.notna()].assign(m=m_attr.dropna())
             # entity unescape: vectorized fast-path for the common entities,
             # exact html.unescape for the rare rows with other entities

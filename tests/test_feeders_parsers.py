@@ -183,6 +183,24 @@ def test_bing_parse(spark):
     assert got == ["http://i.test/x1.jpg"]
 
 
+def test_bing_parse_nested_div(spark):
+    """BeautifulSoup-parity on nested markup (builtin/bing.py:117-123): a
+    nested <div> inside div.imgpt before the <a m=...> must not truncate
+    the card, and a first <a> WITHOUT m skips the card (div.a['m'] raises
+    KeyError) even when a later <a> carries one."""
+    m = "{&quot;murl&quot;:&quot;http://i.test/nested.jpg&quot;}"
+    m2 = "{&quot;murl&quot;:&quot;http://i.test/later.jpg&quot;}"
+    html = (
+        f'<div class="imgpt"><div class="deco">inner</div><a m="{m}">x</a></div>'
+        f'<div class="imgpt"><a>bare</a><a m="{m2}">y</a></div>'
+    )
+    df = spark.createDataFrame(
+        [("http://p.test", 0, bytearray(html.encode()))],
+        "parent string, visit_rank long, html binary")
+    got = [r["file_url"] for r in parsers.bing_parse(df).collect()]
+    assert got == ["http://i.test/nested.jpg"]
+
+
 def test_flickr_parse_size_preference(spark):
     page = json.dumps({"stat": "ok", "photos": {"photo": [
         {"id": "p1", "title": "one"},
