@@ -200,6 +200,83 @@ SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
 
 
 # ---------------------------------------------------------------------------
+# proxy_feedback — adaptive proxy-weight updates (utils/session.py:44-51),
+# replayed distributed over the events table
+# ---------------------------------------------------------------------------
+
+def q_proxy_feedback(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference adaptive rotation (increase/decrease_weight + eviction,
+    proxy_pool.py:186-199) as ONE windowed fold: events replay as fetch
+    outcomes (event_id % 40 picks the proxy, the per-proxy success bias
+    alternates so some proxies cap at 1.0 and others evict below 0.2), and
+    the surviving pool with final weights comes back. The closed form —
+    w_k = least(w0·0.9^n_k, 0.9^(n_k−minN_k)) over cumulative fail−success
+    counts — makes the reference's driver-side sequential mutation a
+    two-window one-shuffle DataFrame job (functions/proxy.py)."""
+    from icrawler_spark.functions.proxy import proxy_feedback
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pnum = (F.col("event_id") % 40).cast("int")
+    ok = ((F.col("event_id") % 3 != 0) != (pnum % 2 == 1))
+    outcomes = ev.select(
+        F.concat(F.lit("10.0.0."), pnum.cast("string"), F.lit(":8080"))
+         .alias("addr"),
+        F.lit("http").alias("protocol"),
+        ok.alias("ok"),
+        F.col("event_id").alias("seq"))
+    pool = spark.range(44).select(
+        F.concat(F.lit("10.0.0."), F.col("id").cast("string"), F.lit(":8080"))
+         .alias("addr"),
+        F.lit("http").alias("protocol"),
+        (0.25 + 0.05 * (F.col("id") % 16)).cast("double").alias("weight"))
+    out = proxy_feedback(pool, outcomes)
+    return out.select("addr", "protocol",
+                      F.round("weight", 6).alias("weight"))
+
+
+def _proxy_feedback_sql() -> str:
+    return """
+WITH pool AS (
+  SELECT '10.0.0.' || i || ':8080' AS addr, 'http' AS protocol,
+         CAST(0.25 + 0.05 * (i % 16) AS DOUBLE) AS w0
+  FROM (SELECT unnest(range(44)) AS i)
+),
+outc AS (
+  SELECT '10.0.0.' || (event_id % 40) || ':8080' AS addr,
+         ((event_id % 3 <> 0) <> ((event_id % 40) % 2 = 1)) AS ok,
+         event_id AS seq
+  FROM events
+),
+cum AS (
+  SELECT addr, seq,
+         SUM(CASE WHEN ok THEN -1 ELSE 1 END)
+           OVER (PARTITION BY addr ORDER BY seq) AS n
+  FROM outc
+),
+cum2 AS (
+  SELECT addr, seq, n,
+         MIN(n) OVER (PARTITION BY addr ORDER BY seq) AS minn
+  FROM cum
+),
+wk AS (
+  SELECT c.addr, c.seq,
+         LEAST(p.w0 * POWER(CAST(0.9 AS DOUBLE), c.n),
+               POWER(CAST(0.9 AS DOUBLE), c.n - c.minn)) AS w
+  FROM cum2 c JOIN pool p ON p.addr = c.addr
+),
+upd AS (
+  SELECT addr, max_by(w, seq) AS weight, MIN(w) AS wmin
+  FROM wk GROUP BY addr
+)
+SELECT addr, 'http' AS protocol, round(weight, 6) AS weight
+FROM upd WHERE wmin >= CAST(0.2 AS DOUBLE)
+UNION ALL
+SELECT p.addr, p.protocol, round(p.w0, 6) AS weight
+FROM pool p WHERE p.addr NOT IN (SELECT addr FROM outc)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -208,6 +285,7 @@ def queries7():
         "srp_neardup": q_srp_neardup,
         "crawl_sitemap": q_crawl_sitemap,
         "crawl_recrawl": q_crawl_recrawl,
+        "proxy_feedback": q_proxy_feedback,
     }
 
 
@@ -216,4 +294,5 @@ def oracle_sql7():
         "srp_neardup": _srp_neardup_sql(),
         "crawl_sitemap": _crawl_sitemap_sql(),
         "crawl_recrawl": _crawl_recrawl_sql(),
+        "proxy_feedback": _proxy_feedback_sql(),
     }

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,111 @@ class ProxyPool:
         arr = F.array(*[F.lit(a) for a in picks])
         idx = (F.pmod(F.xxhash64(F.col(url_col)), F.lit(len(picks))) + 1).cast("int")
         return F.element_at(arr, idx)
+
+    def to_df(self, spark) -> DataFrame:
+        rows = [(p.addr, p.protocol, float(p.weight)) for p in self.proxies]
+        return spark.createDataFrame(
+            rows, "addr string, protocol string, weight double")
+
+    @classmethod
+    def from_df(cls, pool_df: DataFrame) -> "ProxyPool":
+        pool = cls()
+        for r in pool_df.collect():
+            pool.add_proxy(Proxy(r["addr"], r["protocol"], float(r["weight"])))
+        return pool
+
+
+def proxy_feedback(pool: DataFrame, outcomes: DataFrame,
+                   dec_ratio: float = 0.9, weight_thr: float = 0.2,
+                   seq_col: str = "seq") -> DataFrame:
+    """Distributed replay of the reference's adaptive proxy-weight feedback
+    (utils/session.py:44-51 → utils/proxy_pool.py:186-199): after each fetch
+    through a proxy, success multiplies its weight by ``1/dec_ratio`` capped
+    at 1.0 (increase_weight), failure multiplies by ``dec_ratio`` and EVICTS
+    the proxy the moment its weight drops below ``weight_thr``
+    (decrease_weight → remove_proxy). Eviction is sticky: later successes
+    cannot resurrect a removed proxy.
+
+    The reference applies these sequentially on the driver. That fold has a
+    closed form over per-proxy cumulative counts, because every update is a
+    multiplication by ``dec_ratio**(±1)`` with a cap at 1.0: with
+    ``n_k = (#failures − #successes)`` over the first k outcomes and
+    ``minN_k = min(n_1..n_k)``,
+
+        w_k = least(w0 · dec^n_k,  dec^(n_k − minN_k))
+
+    (the second term is the weight had any prefix hit the 1.0 cap — valid
+    for w0 ≤ 1, which the reference guarantees since increase_weight never
+    exceeds 1.0). Eviction ⇔ min_k w_k < weight_thr. So the whole feedback
+    pass is two window functions + one aggregation per (protocol, addr) —
+    pure JVM expressions, one shuffle, no per-row Python, and at 10^10
+    outcomes it partitions by proxy exactly like any keyed aggregation.
+
+    Args:
+        pool: (addr, protocol, weight) — weights in (0, 1].
+        outcomes: (addr, protocol, ok: boolean, ``seq_col``) — one row per
+            proxied fetch; ``seq_col`` is the per-proxy replay order (fetch
+            timestamp / visit rank). Rows whose (addr, protocol) is not in
+            the pool are ignored, mirroring the reference (a removed proxy
+            no longer receives callbacks).
+    Returns:
+        The surviving pool (addr, protocol, weight) — updated weights for
+        proxies with outcomes, untouched weights for idle proxies, evicted
+        proxies absent.
+    """
+    key = ["protocol", "addr"]
+    w = (Window.partitionBy(*key).orderBy(seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dec = F.lit(float(dec_ratio))
+    o = (outcomes
+         .withColumn("__n", F.sum(F.when(F.col("ok"), -1).otherwise(1)).over(w))
+         .withColumn("__minn", F.min("__n").over(w)))
+    o = o.join(F.broadcast(pool.select(*key, F.col("weight").alias("__w0"))),
+               key)
+    wk = F.least(F.col("__w0") * F.pow(dec, F.col("__n")),
+                 F.pow(dec, F.col("__n") - F.col("__minn")))
+    upd = (o.withColumn("__wk", wk)
+           .groupBy(*key)
+           .agg(F.max_by("__wk", F.col(seq_col)).alias("weight"),
+                F.min("__wk").alias("__wmin"))
+           .filter(F.col("__wmin") >= F.lit(float(weight_thr)))
+           .drop("__wmin"))
+    idle = (pool.join(outcomes.select(*key).distinct(), key, "left_anti")
+            .select(*key, "weight"))
+    return upd.select(*key, "weight").unionByName(idle) \
+              .select("addr", "protocol", "weight")
+
+
+def validate_proxies(candidates: DataFrame, check_fn=None,
+                     expected_num: int | None = None) -> DataFrame:
+    """Distributed analogue of the reference's validation scan
+    (utils/proxy_pool.py:201-259): probe each candidate (addr, protocol)
+    and keep the valid ones as pool entries with weight 1.0.
+
+    ``check_fn(pandas.DataFrame) -> pandas.Series[bool]`` is the pluggable
+    probe, applied per Arrow batch inside ``mapInPandas`` — on a cluster it
+    wraps a real ``requests.get(test_url, proxies=...)`` with timeout
+    (proxy_pool.py:203-231); this sandbox has no live HTTP, so tests inject
+    a deterministic fake. With ``check_fn=None`` every candidate validates
+    (shape-only path). ``expected_num`` mirrors the reference's scan cap:
+    keep the first N valid proxies in (addr, protocol) order — the
+    reference's thread-racy "first N validated" becomes a deterministic
+    ordered prefix here.
+    """
+    cols = ["addr", "protocol"]
+    if check_fn is None:
+        out = candidates.select(*cols)
+    else:
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = check_fn(pdf)
+                yield pdf.loc[keep, cols]
+        out = candidates.select(*cols).mapInPandas(
+            gen, "addr string, protocol string")
+    out = out.withColumn("weight", F.lit(1.0))
+    if expected_num is not None:
+        from icrawler_spark.operators.budget import ordered_limit
+        out = ordered_limit(out, cols, expected_num)
+    return out

@@ -194,3 +194,77 @@ def test_proxy_pool_stub(spark, tmp_path):
     # empty protocol => NULL (direct fetch)
     assert urls.withColumn("proxy", ProxyPool().proxy_col("url")) \
                .filter("proxy IS NOT NULL").count() == 0
+
+
+def _ref_feedback_fold(w0: float, oks: list, dec=0.9, thr=0.2):
+    """Literal sequential replay of utils/proxy_pool.py:186-199 semantics
+    (increase_weight cap at 1.0, decrease_weight with sticky eviction)."""
+    w = w0
+    for ok in oks:
+        if ok:
+            w = w / dec
+            if w >= 1.0:
+                w = 1.0
+        else:
+            w = w * dec
+            if w < thr:
+                return None  # evicted, later events ignored
+    return w
+
+
+def test_proxy_feedback_matches_sequential_reference(spark):
+    """proxy_feedback's closed-form windowed fold must equal the reference's
+    driver-side sequential weight updates (utils/session.py:44-51) for every
+    proxy, including cap hits, eviction dips and idle proxies."""
+    import random
+
+    from icrawler_spark.functions.proxy import proxy_feedback
+
+    rng = random.Random(7)
+    pool_rows, out_rows, expect = [], [], {}
+    for i in range(40):
+        addr = f"10.0.0.{i}:8080"
+        w0 = round(rng.choice([1.0, 0.85, 0.6, 0.4, 0.25]), 2)
+        pool_rows.append((addr, "http", w0))
+        n = rng.randint(0, 30) if i % 10 else 0  # every 10th proxy idle
+        oks = [rng.random() < rng.choice([0.3, 0.5, 0.8]) for _ in range(n)]
+        for s, ok in enumerate(oks):
+            out_rows.append((addr, "http", ok, s))
+        expect[addr] = _ref_feedback_fold(w0, oks) if oks else w0
+    pool = spark.createDataFrame(pool_rows,
+                                 "addr string, protocol string, weight double")
+    outcomes = spark.createDataFrame(
+        out_rows, "addr string, protocol string, ok boolean, seq long")
+    got = {r["addr"]: r["weight"]
+           for r in proxy_feedback(pool, outcomes).collect()}
+    surviving = {a: w for a, w in expect.items() if w is not None}
+    assert set(got) == set(surviving)
+    for a, w in surviving.items():
+        assert abs(got[a] - w) < 1e-9, (a, got[a], w)
+    # outcomes for an unknown proxy are ignored (removed proxies get no
+    # callbacks in the reference)
+    extra = spark.createDataFrame([("99.9.9.9:1", "http", False, 0)],
+                                  "addr string, protocol string, ok boolean, seq long")
+    got2 = proxy_feedback(pool, outcomes.unionByName(extra)).count()
+    assert got2 == len(surviving)
+
+
+def test_validate_proxies_seam(spark):
+    """validate_proxies: deterministic fake probe keeps only 'valid' rows,
+    expected_num caps to an ordered prefix (proxy_pool.py:232-259)."""
+    from icrawler_spark.functions.proxy import validate_proxies
+
+    cand = spark.createDataFrame(
+        [(f"10.1.0.{i}:3128", "http") for i in range(20)],
+        "addr string, protocol string")
+
+    def probe(pdf):
+        return pdf["addr"].str.rsplit(".", n=1).str[-1] \
+                          .str.split(":").str[0].astype(int) % 3 != 0
+    got = validate_proxies(cand, probe).collect()
+    assert all(int(r["addr"].split(".")[-1].split(":")[0]) % 3 != 0 for r in got)
+    assert len(got) == 13 and all(r["weight"] == 1.0 for r in got)
+    capped = validate_proxies(cand, probe, expected_num=5).collect()
+    assert len(capped) == 5
+    assert [r["addr"] for r in sorted(capped, key=lambda r: r["addr"])] == \
+        sorted(r["addr"] for r in got)[:5]
