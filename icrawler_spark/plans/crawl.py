@@ -97,6 +97,14 @@ class CrawlConfig:
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
     max_rounds: int = 10_000
+    # wall-clock idle stop (downloader.py:201-205): the reference's download
+    # threads exit once no new image has arrived for max_idle_time seconds
+    # (and at least one was downloaded). Round-loop analogue: stop before a
+    # round whose start is more than max_idle_s after the last round that
+    # kept any task. Only binds with plugin fetchers / live sources that can
+    # stall while the frontier stays non-empty — the synchronous BFS loop
+    # otherwise exhausts the frontier first, which subsumes this stop.
+    max_idle_s: float | None = None
     plugins: "CrawlPlugins | None" = None  # §2.12 override points (plugins.py)
     # fetch retry (SURVEY.md F2/C6): a URL whose fetch join finds no page is
     # re-queued into the next round's frontier until it has been attempted
@@ -477,9 +485,14 @@ class GreedyCrawl:
         fetched_parts: list[DataFrame] = [fetched] if fetched is not None else []
         err_parts: list[DataFrame] = [parse_errors] if parse_errors is not None else []
 
+        last_download_t = _time.time()
         while rnd < start_round + cfg.max_rounds:
             if cfg.max_num > 0 and fetched_n >= cfg.max_num:
                 stop_reason = "reach_max_num"
+                break
+            if (cfg.max_idle_s is not None and fetched_n > 0
+                    and _time.time() - last_download_t > cfg.max_idle_s):
+                stop_reason = "max_idle"
                 break
             t0 = _time.time()
             gated = (cfg.robots is not None or cfg.round_seconds is not None
@@ -667,6 +680,8 @@ class GreedyCrawl:
             remaining = cfg.max_num - fetched_n if cfg.max_num > 0 else None
             n_fetch = n_kept if remaining is None else min(n_kept, remaining)
             fetched_n += n_fetch
+            if n_fetch > 0:
+                last_download_t = _time.time()
 
             # -- frontier urls: dedup-at-enqueue (D1) -------------------------
             url_cand = emissions.filter(F.col("kind") == "url").select(

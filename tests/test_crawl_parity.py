@@ -237,3 +237,24 @@ def test_empty_and_unknown_seeds(spark):
     res2 = GreedyCrawl(spark, pages, CrawlConfig(max_num=10**9)).run(["real.test"])
     assert res2.stop_reason == "frontier_exhausted"
     assert res2.fetched.count() == 1
+
+
+def test_max_idle_wall_clock_stop(spark, smoke_pages_df):
+    """max_idle_s (downloader.py:201-205): the loop stops before a round
+    whose start is > max_idle_s after the last task-keeping round, but only
+    once something has been downloaded (fetched_num > 0 guard). With
+    max_idle_s=0 the crawl ends right after the first task-keeping round;
+    with a generous budget it never triggers."""
+    idle = GreedyCrawl(spark, smoke_pages_df,
+                       CrawlConfig(max_num=0, max_idle_s=0.0)).run(SEEDS)
+    assert idle.stop_reason == "max_idle"
+    # round 0 completed (seeds visited, their tasks kept); round 1 was
+    # entered only to trip the idle stop (same counting convention as the
+    # frontier_exhausted empty-probe round)
+    assert idle.rounds == 2
+    assert idle.order.count() == len(SEEDS)
+    assert idle.fetched.count() > 0
+
+    relaxed = GreedyCrawl(spark, smoke_pages_df,
+                          CrawlConfig(max_num=0, max_idle_s=3600.0)).run(SEEDS)
+    assert relaxed.stop_reason == "frontier_exhausted"
