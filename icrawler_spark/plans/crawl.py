@@ -738,10 +738,6 @@ class GreedyCrawl:
             })
 
             if self.catalog is not None:
-                self.catalog.append(order_rows, "order", rnd)
-                self.catalog.append(texts_rows, "texts", rnd)
-                self.catalog.append(fetch_commit, "fetched", rnd)
-                self.catalog.append(err_parts[-1], "parse_errors", rnd)
                 # per-partition fetch lineage (north_rule): which physical
                 # partition committed which file-idx range this round
                 lineage = fetch_commit.groupBy(
@@ -750,12 +746,22 @@ class GreedyCrawl:
                     F.min("file_idx").alias("min_file_idx"),
                     F.max("file_idx").alias("max_file_idx")).withColumn(
                     "round", F.lit(rnd))
-                self.catalog.append(lineage, "lineage", rnd)
-                self.catalog.append(task_new.select("file_url"), "seen_tasks", rnd)
+                writes = [
+                    (order_rows, "order", rnd),
+                    (texts_rows, "texts", rnd),
+                    (fetch_commit, "fetched", rnd),
+                    (err_parts[-1], "parse_errors", rnd),
+                    (lineage, "lineage", rnd),
+                    (task_new.select("file_url"), "seen_tasks", rnd),
+                    (next_frontier.select("url"), "seen_pages", rnd, "new"),
+                    (next_frontier, "frontier", rnd, "next"),
+                ]
                 if rnd == start_round and start_round == 0:
-                    self.catalog.append(frontier.select("url"), "seen_pages", rnd, tag="seeds")
-                self.catalog.append(next_frontier.select("url"), "seen_pages", rnd, tag="new")
-                self.catalog.append(next_frontier, "frontier", rnd, tag="next")
+                    writes.append((frontier.select("url"), "seen_pages", rnd,
+                                   "seeds"))
+                # one concurrent batch, THEN the commit marker: round data
+                # stays invisible until every table's write landed
+                self.catalog.append_many(writes)
                 self.catalog.commit_round(rnd, {
                     "next_round": rnd + 1, "visited": visited,
                     "fetched": fetched_n,

@@ -82,6 +82,27 @@ class RoundCatalog:
     def append(self, df: DataFrame, table: str, rnd: int, tag: str | None = None) -> None:
         df.write.mode("overwrite").parquet(self._tpath(table, rnd, tag))
 
+    def append_many(self, writes: list[tuple]) -> None:
+        """Submit a batch of appends as CONCURRENT Spark jobs and wait for
+        all. The round loop commits ~8 state tables per round; serially each
+        write pays full job-scheduling latency, which is the dominant
+        checkpointing cost at small round sizes (the inputs are pinned
+        localCheckpoint blocks, so the jobs are scan+write only). Spark job
+        submission is thread-safe; distinct target paths make the writes
+        independent. Iceberg equivalent: one multi-table transaction per
+        round. Each item is (df, table, rnd) or (df, table, rnd, tag)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not writes:
+            return
+        if len(writes) == 1:
+            self.append(*writes[0])
+            return
+        with ThreadPoolExecutor(max_workers=min(8, len(writes))) as ex:
+            futs = [ex.submit(self.append, *w) for w in writes]
+            for f in futs:
+                f.result()  # propagate the first failure
+
     def read(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of all round partitions written during rounds ≤ upto_round."""
         base = self._tpath(table)
