@@ -352,16 +352,19 @@ def _scaling_one(cores: int, force: bool = False) -> dict:
     if not force and os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     spark = _get_spark(cores)
     try:
         pages_path = _ensure_pages(spark, 1000, scaling_pages)
         bench_big_round(spark, pages_path)  # warmup on the real table
-        # best-of-3 (same rationale as bench_crawl, one more rep): single-JVM
-        # local mode shows ±12% run-to-run noise on the fast leg, which
-        # swings the efficiency ratio by ~0.1; the fastest run is the
-        # steady-state number a long-lived cluster sees
+        # best-of-N, default 3 (same rationale as bench_crawl, one more
+        # rep): single-JVM local mode shows ±12% run-to-run noise on the
+        # fast leg, which swings the efficiency ratio by ~0.1; the fastest
+        # run is the steady-state number a long-lived cluster sees. The 10×
+        # (10M-page) protocol uses reps=2 — each slow-leg run is ~15 min,
+        # and at that round size per-run noise is a far smaller fraction.
         res = bench_big_round(spark, pages_path)
-        for _ in range(2):
+        for _ in range(reps - 1):
             r = bench_big_round(spark, pages_path)
             if r["wall_s"] < res["wall_s"]:
                 res = r

@@ -277,6 +277,80 @@ FROM pool p WHERE p.addr NOT IN (SELECT addr FROM outc)
 
 
 # ---------------------------------------------------------------------------
+# strip_boilerplate — host-level frequent-line removal (CCNet/RefinedWeb
+# stage), over the documents table chunked into 8-token lines
+# ---------------------------------------------------------------------------
+
+_BP_FRAC = 0.2
+_BP_MIN_DOCS = 3
+
+
+def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level boilerplate strip: lines (8-token chunks — the driver
+    corpus has no newlines; production splits on '\\n') occurring in ≥
+    max(3, ceil(0.2·host_doc_count)) distinct docs of the same `source` are
+    removed everywhere; docs reassemble in original line order."""
+    from icrawler_spark.entry_round3 import _chunk_lines
+    from icrawler_spark.operators.corpus import strip_boilerplate
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    with_lines = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        _chunk_lines(tokens_col("text")).alias("lines"))
+    out = strip_boilerplate(with_lines, id_col="doc_id", host_col="source",
+                            lines_col="lines", min_frac=_BP_FRAC,
+                            min_docs=_BP_MIN_DOCS, sep=" ")
+    return out.select("doc_id", "source", "clean_text", "n_kept", "n_lines")
+
+
+def _strip_boilerplate_sql() -> str:
+    from icrawler_spark.entry_queries import _NORM_SQL
+
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         string_split({_NORM_SQL}, ' ') AS l
+  FROM documents
+), lines AS (
+  SELECT doc_id, source, x AS pos,
+         array_to_string(l[x * 8 + 1 : x * 8 + 8], ' ') AS line
+  FROM (SELECT doc_id, source, l,
+               unnest(range(0, CAST(ceil(len(l) / 8.0) AS INT))) AS x
+        FROM toked)
+), host_docs AS (
+  SELECT source, count(*) AS nd FROM toked GROUP BY 1
+), boiler AS (
+  SELECT li.source, li.line
+  FROM lines li JOIN host_docs h ON h.source = li.source
+  GROUP BY li.source, li.line
+  HAVING count(DISTINCT li.doc_id) >=
+         greatest({_BP_MIN_DOCS},
+                  CAST(ceil(CAST({_BP_FRAC} AS DOUBLE) * any_value(h.nd))
+                       AS INT))
+), kept AS (
+  SELECT l.* FROM lines l
+  LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line
+  WHERE b.line IS NULL
+), reass AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+), nl AS (
+  SELECT doc_id, source, count(*) AS n_lines FROM lines GROUP BY 1, 2
+), base AS (
+  SELECT t.doc_id, t.source, coalesce(n.n_lines, 0) AS n_lines
+  FROM toked t LEFT JOIN nl n USING (doc_id)
+)
+SELECT b.doc_id, b.source,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_lines AS BIGINT) AS n_lines
+FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -286,6 +360,7 @@ def queries7():
         "crawl_sitemap": q_crawl_sitemap,
         "crawl_recrawl": q_crawl_recrawl,
         "proxy_feedback": q_proxy_feedback,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -295,4 +370,5 @@ def oracle_sql7():
         "crawl_sitemap": _crawl_sitemap_sql(),
         "crawl_recrawl": _crawl_recrawl_sql(),
         "proxy_feedback": _proxy_feedback_sql(),
+        "strip_boilerplate": _strip_boilerplate_sql(),
     }

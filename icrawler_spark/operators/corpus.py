@@ -234,3 +234,61 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
                     .cast("int")).alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# host-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    lines_col: str = "lines",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Host-level boilerplate removal (the CCNet/RefinedWeb pipeline stage
+    icrawler leaves to the consumer): a line occurring in at least
+    ``max(min_docs, ceil(min_frac * host_doc_count))`` distinct documents of
+    the same host is nav/footer boilerplate — strip every copy, keep
+    document line order, and reassemble with ``sep``.
+
+    Input: one row per document with ``lines_col: array<string>`` (split on
+    '\\n' upstream, or token-chunked for newline-free corpora). Output:
+    (id, host, clean_text, n_kept, n_lines) — documents whose every line is
+    boilerplate survive with clean_text = '' (a downstream length filter
+    decides their fate, not this operator).
+
+    Scale shape: one posexplode; the per-(host, line) document count is a
+    countDistinct agg (map-side combinable — a footer repeated on 10^7
+    pages of one host reduces per-partition before the shuffle); the strip
+    is a keyed LEFT ANTI join on (host, line) — never a broadcast of the
+    global boilerplate set, which at 100 TB is itself large; reassembly
+    shuffles once on the document id. No Python UDFs, no global windows.
+    """
+    d = docs.select(F.col(id_col).alias("__id"), F.col(host_col).alias("__host"),
+                    F.col(lines_col).alias("__lines"))
+    lines = d.select("__id", "__host",
+                     F.posexplode("__lines").alias("pos", "line"))
+    host_docs = d.groupBy("__host").agg(F.count("*").alias("__nd"))
+    cut = F.greatest(F.lit(int(min_docs)),
+                     F.ceil(F.lit(float(min_frac)) * F.col("__nd")).cast("int"))
+    boiler = (lines.groupBy("__host", "line")
+              .agg(F.count_distinct("__id").alias("__in_docs"))
+              .join(host_docs, "__host")
+              .filter(F.col("__in_docs") >= cut)
+              .select("__host", "line"))
+    kept = lines.join(boiler, ["__host", "line"], "left_anti")
+    reass = (kept.groupBy("__id")
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                             lambda s: s["line"]), sep).alias("clean_text"),
+                  F.count("*").alias("n_kept")))
+    return (d.select("__id", "__host", F.size("__lines").alias("n_lines"))
+            .join(reass, "__id", "left")
+            .select(F.col("__id").alias(id_col), F.col("__host").alias(host_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    F.col("n_lines").cast("long").alias("n_lines")))

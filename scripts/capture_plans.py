@@ -146,6 +146,26 @@ def main() -> None:
         "split reuses the same ranked intermediate rather than recomputing.",
     ))
 
+    # 5b. fused robots-mark + rank_split (the crawl loop's polite-round path)
+    from icrawler_spark.operators.budget import rank_split
+    from icrawler_spark.operators.politeness import robots_politeness_mark
+
+    marked = robots_politeness_mark(fr2, robots, 10.0, ["rank"])
+    split_ranked, _, _ = rank_split(marked, ["rank"], "__take", "visit_rank",
+                                    measure_len_col="url", num_partitions=4)
+    sections.append((
+        "Fused robots gate + token bucket + rank (crawl polite round)",
+        fmt(split_ranked.filter(F.col("__take"))),
+        "What the round loop actually runs with politeness ON. What to check:\n"
+        "ONE BroadcastHashJoin carries both disallow_prefixes and the slot\n"
+        "cap (robots and token bucket never join separately); the per-host\n"
+        "slot window shuffles on host; the take/defer split, the batch count,\n"
+        "the broadcast-size measure and the global visit rank all ride the\n"
+        "single range-repartition that the two-phase ranker checkpoints —\n"
+        "no extra materialization between the politeness split and the rank\n"
+        "(r2 spent a full frontier pin there).",
+    ))
+
     # 6. SPJ-style bucketed-table fetch (the over-broadcast-cap path)
     from icrawler_spark.storage.catalog import write_pages_bucket_table
 

@@ -116,3 +116,32 @@ def test_domain_filter_gate(spark, docs):
     out2 = corpus.domain_quality_filter(
         quality_features(docs), docs, min_mean_score=0.0, min_docs=1)
     assert all(r["kept"] for r in out2.collect())
+
+
+def test_strip_boilerplate(spark):
+    """Host-level frequent-line strip: the shared footer goes, unique lines
+    stay in order, the cut is per-host (small host keeps its repeated line
+    below min_docs), and an all-boilerplate doc survives as ''."""
+    from icrawler_spark.operators.corpus import strip_boilerplate
+
+    rows = [
+        (1, "h1", ["intro one", "FOOTER", "body a"]),
+        (2, "h1", ["body b", "FOOTER"]),
+        (3, "h1", ["FOOTER", "body c"]),
+        (4, "h1", ["body d"]),
+        (5, "h1", ["FOOTER"]),              # all boilerplate -> ''
+        (6, "h2", ["FOOTER", "other x"]),   # h2: FOOTER in 2 docs < min_docs=3
+        (7, "h2", ["FOOTER", "other y"]),
+        (8, "h2", ["other z"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lines array<string>")
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_lines"])
+           for r in strip_boilerplate(df, min_frac=0.5, min_docs=3).collect()}
+    # h1: 5 docs, cut = max(3, ceil(2.5)) = 3; FOOTER in 4 docs -> stripped
+    assert got[1] == ("intro one\nbody a", 2, 3)
+    assert got[2] == ("body b", 1, 2)
+    assert got[5] == ("", 0, 1)
+    # h2: 3 docs, cut = max(3, 2) = 3; FOOTER in 2 docs -> kept
+    assert got[6] == ("FOOTER\nother x", 2, 2)
+    assert got[8] == ("other z", 1, 1)
