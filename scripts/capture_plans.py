@@ -151,19 +151,20 @@ def main() -> None:
     from icrawler_spark.operators.politeness import robots_politeness_mark
 
     marked = robots_politeness_mark(fr2, robots, 10.0, ["rank"])
-    split_ranked, _, _ = rank_split(marked, ["rank"], "__take", "visit_rank",
-                                    measure_len_col="url", num_partitions=4)
     sections.append((
-        "Fused robots gate + token bucket + rank (crawl polite round)",
-        fmt(split_ranked.filter(F.col("__take"))),
-        "What the round loop actually runs with politeness ON. What to check:\n"
-        "ONE BroadcastHashJoin carries both disallow_prefixes and the slot\n"
-        "cap (robots and token bucket never join separately); the per-host\n"
-        "slot window shuffles on host; the take/defer split, the batch count,\n"
-        "the broadcast-size measure and the global visit rank all ride the\n"
-        "single range-repartition that the two-phase ranker checkpoints —\n"
-        "no extra materialization between the politeness split and the rank\n"
-        "(r2 spent a full frontier pin there).",
+        "Fused robots gate + token bucket mark (crawl polite round)",
+        fmt(marked),
+        "What the round loop actually runs with politeness ON, up to the\n"
+        "ranker's checkpoint. What to check: ONE BroadcastHashJoin carries\n"
+        "both disallow_prefixes and the slot cap (robots and token bucket\n"
+        "never join separately); the per-host slot window shuffles on host\n"
+        "and emits a LAZY boolean __take — nothing is materialized here.\n"
+        "budget.rank_split then range-repartitions on (__defer, order) and\n"
+        "localCheckpoints ONCE: the take/defer split, the batch count, the\n"
+        "broadcast-size measure and the global visit rank all ride that one\n"
+        "materialization (r2 spent a separate full-frontier pin on the\n"
+        "split before ranking; post-checkpoint the taken batch and the\n"
+        "deferred rows are constant-cost projections of the pinned blocks).",
     ))
 
     # 6. SPJ-style bucketed-table fetch (the over-broadcast-cap path)
