@@ -72,50 +72,80 @@ def stream_crawl_pass(
         if n == 0:
             return
         # fetch: batch-side join against the (bucket-pruned at scale) pages
-        # table — the streaming analogue of the round loop's fetch join
+        # table — the streaming analogue of the round loop's fetch join.
+        # persist (NOT localCheckpoint): both intermediates are reused 2-3×
+        # within this batch and never after it, and persist() is releasable
+        # at batch end — a long-lived streaming query keeps O(1) block
+        # storage instead of accumulating checkpoint blocks per batch
+        # (recompute-on-eviction is safe: join and extraction are pure)
         fetched = (F.broadcast(novel)
                    .join(pages.select("url", "html", "text"), "url"))
-        fetched = fetched.localCheckpoint(eager=True)
-        # idempotent per-batch side outputs: dynamic overwrite of this
-        # batch's own partition, so a replayed batch rewrites (never
-        # duplicates) its texts/tasks — see frontier_stream.py crash points
-        (fetched.select("url", "text")
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(texts_path))
+        fetched = fetched.persist()
+        em = None
+        try:
+            # idempotent per-batch side outputs: dynamic overwrite of this
+            # batch's own partition, so a replayed batch rewrites (never
+            # duplicates) its texts/tasks — see frontier_stream.py crash
+            # points
+            (fetched.select("url", "text")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(texts_path))
 
-        em = extract_emissions(
-            fetched.select(F.col("url").alias("parent"),
-                           F.lit(batch_id).cast("long").alias("visit_rank"),
-                           "html"),
-            domains)
-        em = em.localCheckpoint(eager=True)
-        (em.filter(F.col("kind") == "task")
-         .select("parent", "pos", "target")
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(tasks_path))
-        # FEEDBACK: frontier candidates become new source files for the
-        # next trigger (deterministic per-batch name, atomic os.replace —
-        # a replayed batch re-derives identical outlinks and overwrites the
-        # same file; the text source lists new files only, the checkpoint
-        # remembers consumed ones and never re-reads an overwritten name)
-        outlinks = em.filter(F.col("kind") == "url").select("target").distinct()
-        if outlinks.count() > 0:
-            # write to a staging dir, then move the part file into source_dir
-            # (atomic rename = the file appears complete to the next listing;
-            # the text source does not recurse into subdirectories)
-            stage = os.path.join(state_dir, f"_stage_{uuid.uuid4().hex}")
-            outlinks.coalesce(1).write.mode("overwrite").text(stage)
-            parts = sorted(p for p in os.listdir(stage) if p.startswith("part-"))
-            for i, p in enumerate(parts):
-                os.replace(os.path.join(stage, p),
-                           os.path.join(source_dir,
-                                        f"discovered_{batch_id}_{i}.txt"))
+            em = extract_emissions(
+                fetched.select(F.col("url").alias("parent"),
+                               F.lit(batch_id).cast("long").alias("visit_rank"),
+                               "html"),
+                domains).persist()
+            (em.filter(F.col("kind") == "task")
+             .select("parent", "pos", "target")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(tasks_path))
+            # FEEDBACK: frontier candidates become new source files for the
+            # next trigger (deterministic per-batch name, atomic os.replace —
+            # a replayed batch re-derives identical outlinks and overwrites
+            # the same file; the text source lists new files only, the
+            # checkpoint remembers consumed ones and never re-reads an
+            # overwritten name)
+            outlinks = em.filter(F.col("kind") == "url") \
+                         .select("target").distinct()
+            if outlinks.count() > 0:
+                # write to a staging dir, then move the part file into
+                # source_dir (atomic rename = the file appears complete to
+                # the next listing; the text source does not recurse into
+                # subdirectories)
+                stage = os.path.join(state_dir, f"_stage_{uuid.uuid4().hex}")
+                outlinks.coalesce(1).write.mode("overwrite").text(stage)
+                parts = sorted(p for p in os.listdir(stage)
+                               if p.startswith("part-"))
+                for i, p in enumerate(parts):
+                    os.replace(os.path.join(stage, p),
+                               os.path.join(source_dir,
+                                            f"discovered_{batch_id}_{i}.txt"))
+        finally:
+            fetched.unpersist()
+            if em is not None:
+                em.unpersist()
 
-    q = start_frontier_ingest(spark, source_dir, state_dir,
-                              available_now=True, on_novel=on_novel)
-    q.awaitTermination(timeout_s)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        q = start_frontier_ingest(spark, source_dir, state_dir,
+                                  available_now=True, on_novel=on_novel)
+        q.awaitTermination(timeout_s)
+    except StreamingQueryException:
+        # Transient executor/worker failure mid-pass: every per-batch write
+        # is an idempotent overwrite and the stream checkpoint replays the
+        # failed batch, so one restart re-derives byte-identical state —
+        # this is exactly what the batch-id overwrite scheme buys. The
+        # replayed batch may re-increment the novel counter; callers use the
+        # return only as a >0 closure test, where an overcount merely costs
+        # one extra (then empty) pass. A second failure is a real bug:
+        # propagate.
+        q = start_frontier_ingest(spark, source_dir, state_dir,
+                                  available_now=True, on_novel=on_novel)
+        q.awaitTermination(timeout_s)
     return stats["novel"]
 
 
