@@ -97,6 +97,12 @@ class CrawlConfig:
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
     max_rounds: int = 10_000
+    # proxy pool for the batch-HTTP fetch seam (functions/proxy.ProxyPool):
+    # when set together with CrawlPlugins.fetch, every frontier row reaching
+    # the fetcher carries a deterministic weight-proportional `proxy` column
+    # (utils/session.py:38-43 per-request proxies, minus driver-side mutable
+    # rotation). Ignored by the pages-table join path (no HTTP there).
+    proxies: "object | None" = None
     # wall-clock idle stop (downloader.py:201-205): the reference's download
     # threads exit once no new image has arrived for max_idle_time seconds
     # (and at least one was downloaded). Round-loop analogue: stop before a
@@ -274,20 +280,30 @@ def _fetch_join(frontier: DataFrame, pages: DataFrame, cfg: CrawlConfig,
     return left.join(right, on="url", how="inner").select(select_cols)
 
 
-def _fetch_plugin(frontier: DataFrame, fetch_fn) -> DataFrame:
+def _fetch_plugin(frontier: DataFrame, fetch_fn,
+                  proxy_col=None) -> DataFrame:
     """The live-HTTP fetch seam (CrawlPlugins.fetch): run the user's batch
     fetcher as a mapInPandas stage instead of the pages-table join. The
     fetcher sees (url, parent) per row — parent is the Referer the reference
     sends per request (parser.py:88-92) — and returns (url, html, text);
     urls it omits behave exactly like fetch-join misses (retry handles them).
-    Partitioning is whatever the frontier batch already has — compose with
-    ``salted_repartition`` upstream for hot-host spreading."""
+    With ``proxy_col`` (from ``CrawlConfig.proxies`` →
+    ``ProxyPool.proxy_col``) each row also carries its assigned ``proxy``
+    (NULL = direct) — the distributed stand-in for the reference's
+    per-request session proxy (utils/session.py:38-43): deterministic by
+    url hash, so a retried URL reuses its proxy on every executor without
+    coordination. Partitioning is whatever the frontier batch already has —
+    compose with ``salted_repartition`` upstream for hot-host spreading."""
+    in_cols = ["url", "parent"]
+    if proxy_col is not None:
+        frontier = frontier.withColumn("proxy", proxy_col)
+        in_cols = ["url", "parent", "proxy"]
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            res = fetch_fn(pdf[["url", "parent"]])
+            res = fetch_fn(pdf[in_cols])
             if res is None or len(res) == 0:
                 continue
             yield pdf[["url", "visit_rank"]].merge(
@@ -607,7 +623,9 @@ class GreedyCrawl:
             if cfg.plugins is not None and cfg.plugins.fetch is not None:
                 fetched_pages = _fetch_plugin(
                     ranked.select("url", "visit_rank", "parent"),
-                    cfg.plugins.fetch)
+                    cfg.plugins.fetch,
+                    proxy_col=(cfg.proxies.proxy_col("url")
+                               if cfg.proxies is not None else None))
             else:
                 fetched_pages = _fetch_join(
                     ranked.select("url", "visit_rank"), self.pages, cfg,

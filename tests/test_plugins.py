@@ -268,3 +268,41 @@ def test_validate_proxies_seam(spark):
     assert len(capped) == 5
     assert [r["addr"] for r in sorted(capped, key=lambda r: r["addr"])] == \
         sorted(r["addr"] for r in got)[:5]
+
+
+def test_fetch_plugin_receives_proxy_assignment(spark, smoke_web, smoke_pages_df):
+    """CrawlConfig.proxies + CrawlPlugins.fetch: every row reaching the
+    batch fetcher carries a deterministic weight-proportional `proxy`
+    (utils/session.py:38-43), stable across rounds/retries for the same
+    URL, and the crawl result is unchanged by its presence."""
+    from icrawler_spark.functions.proxy import Proxy, ProxyPool
+
+    cfg_web, pdf = smoke_web
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    web = {u: (h, t) for u, h, t in zip(pdf.url, pdf.html, pdf.text)}
+    pool = ProxyPool()
+    pool.add_proxy(Proxy("10.0.0.1:8080", "http", weight=1.0))
+    pool.add_proxy(Proxy("10.0.0.2:8080", "http", weight=0.5))
+
+    seen_proxies: dict = {}
+
+    def fetch(pdf_batch):
+        assert list(pdf_batch.columns) == ["url", "parent", "proxy"]
+        for url, proxy in zip(pdf_batch["url"], pdf_batch["proxy"]):
+            assert proxy in ("10.0.0.1:8080", "10.0.0.2:8080")
+            prev = seen_proxies.setdefault(url, proxy)
+            assert prev == proxy  # same url -> same proxy, always
+        rows = [(u, *web[u]) for u in pdf_batch["url"] if u in web]
+        return pd.DataFrame(rows, columns=["url", "html", "text"])
+
+    plain = GreedyCrawl(spark, smoke_pages_df,
+                        CrawlConfig(max_num=40)).run(seeds)
+    proxied = GreedyCrawl(
+        spark, smoke_pages_df.limit(0),
+        CrawlConfig(max_num=40, proxies=pool,
+                    plugins=CrawlPlugins(fetch=fetch))).run(seeds)
+    got = [(r["visit_rank"], r["url"])
+           for r in proxied.order.orderBy("visit_rank").collect()]
+    want = [(r["visit_rank"], r["url"])
+            for r in plain.order.orderBy("visit_rank").collect()]
+    assert got == want
