@@ -184,6 +184,8 @@ _EXTRA_PICKS = [
     "robots_parse", "recrawl_schedule", "url_blocklist", "dedup_clusters",
     "line_dedup", "pages_latest", "quality_gopher", "scrub_pii",
     "self_perplexity", "http_headers", "anchor_texts", "budget_alloc",
+    # round-3 operators
+    "srp_neardup", "proxy_feedback", "strip_boilerplate",
 ]
 
 
