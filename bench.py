@@ -186,6 +186,8 @@ _EXTRA_PICKS = [
     "self_perplexity", "http_headers", "anchor_texts", "budget_alloc",
     # round-3 operators
     "srp_neardup", "proxy_feedback", "strip_boilerplate",
+    "robots_sitemaps", "url_traps", "mirror_hosts", "tfidf_hosts",
+    "token_budget",
 ]
 
 

@@ -21,7 +21,8 @@ from icrawler_spark.functions.text import (
     token_counts,
 )
 from icrawler_spark import (entry_round2, entry_round3, entry_round4,
-                            entry_round5, entry_round6, entry_round7)
+                            entry_round5, entry_round6, entry_round7,
+                            entry_round8)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -795,6 +796,7 @@ def queries():
         **entry_round5.queries5(),
         **entry_round6.queries6(),
         **entry_round7.queries7(),
+        **entry_round8.queries8(),
     }
 
 
@@ -834,4 +836,5 @@ def oracle_sql():
         **entry_round5.oracle_sql5(),
         **entry_round6.oracle_sql6(),
         **entry_round7.oracle_sql7(),
+        **entry_round8.oracle_sql8(),
     }

@@ -1,0 +1,391 @@
+"""Round-3 driver-contract queries (batch 2): frontier-hygiene and
+corpus-construction operators added after the r2 items closed — sitemap
+discovery from robots.txt, crawler-trap URL scoring, mirror-host detection,
+per-host TF-IDF profiling, and token-budget corpus selection.
+
+Same discipline as every entry module: the Spark plan and the DuckDB oracle
+are fed by the same Python constants, and every computed column is aliased
+identically on both sides so the driver's sorted-column value hash compares
+apples to apples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import sitemap_directives
+from icrawler_spark.functions.text import tfidf_top_terms
+from icrawler_spark.functions.urls import (TRAP_MAX_PARAMS, TRAP_MAX_URL_LEN,
+                                           trap_flags, url_trap_score)
+from icrawler_spark.operators.corpus import select_by_token_budget
+from icrawler_spark.operators.mirrors import mirror_host_pairs
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# robots_sitemaps — Sitemap: directive discovery from robots.txt bodies
+# ---------------------------------------------------------------------------
+
+_SM_HOSTS = 16
+
+
+def _sitemap_bodies(spark, sf) -> DataFrame:
+    """Robots corpus exercising the RFC 9309 'other records' semantics:
+    directives before/after/inside user-agent groups, case variants
+    (sitemap:/SITEMAP:), leading+trailing whitespace, and hosts with none."""
+    hosts = (_events(spark, sf)
+             .select((F.col("user_id") % _SM_HOSTS).cast("long").alias("hid"))
+             .distinct())
+    h = F.col("hid").cast("string")
+    nl = "\n"
+    b0 = F.concat(F.lit("User-agent: *" + nl + "Disallow: /a" + nl
+                        + "Sitemap: https://h"), h, F.lit(".test/sitemap.xml"))
+    b1 = F.concat(F.lit("sitemap: https://h"), h, F.lit(".test/sm/one.xml" + nl
+                  + "User-agent: *" + nl + "Disallow: /b" + nl
+                  + "SITEMAP:https://h"), h, F.lit(".test/sm/two.xml"))
+    b2 = F.concat(F.lit("  Sitemap:   https://cdn.test/shared-"),
+                  (F.col("hid") % 2).cast("string"), F.lit(".xml  "))
+    b3 = F.lit("User-agent: *" + nl + "Disallow:")
+    hid = F.col("hid")
+    body = (F.when(hid % 4 == 0, b0).when(hid % 4 == 1, b1)
+            .when(hid % 4 == 2, b2).otherwise(b3))
+    return hosts.select(
+        F.concat(F.lit("h"), h, F.lit(".test")).alias("host"),
+        body.alias("body"))
+
+
+def q_robots_sitemaps(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/robots.sitemap_directives over the synthesized corpus —
+    the (host, pos, sitemap_url) feed that bootstraps sitemap ingestion
+    (operators/sitemap.frontier_from_sitemaps) without an explicit seed."""
+    return sitemap_directives(_sitemap_bodies(spark, sf))
+
+
+_SM_SQL = f"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(user_id % {_SM_HOSTS} AS BIGINT) AS hid FROM events
+), bodies AS (
+  SELECT 'h' || hid || '.test' AS host,
+    CASE
+      WHEN hid % 4 = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /a'
+           || chr(10) || 'Sitemap: https://h' || hid || '.test/sitemap.xml'
+      WHEN hid % 4 = 1 THEN 'sitemap: https://h' || hid || '.test/sm/one.xml'
+           || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /b'
+           || chr(10) || 'SITEMAP:https://h' || hid || '.test/sm/two.xml'
+      WHEN hid % 4 = 2 THEN '  Sitemap:   https://cdn.test/shared-'
+           || (hid % 2) || '.xml  '
+      ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+    END AS body
+  FROM hosts
+), lns AS (
+  SELECT host, unnest(range(0, len(l))) AS pos, unnest(l) AS line
+  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l FROM bodies)
+)
+SELECT host, CAST(pos AS BIGINT) AS pos,
+       regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*(\\S+)\\s*$', 1)
+         AS sitemap_url
+FROM lns
+WHERE regexp_matches(line, '(?i)^\\s*sitemap\\s*:\\s*(\\S+)\\s*$')
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_traps — crawler-trap scoring over a synthesized frontier
+# ---------------------------------------------------------------------------
+
+def _trap_frontier(spark, sf) -> DataFrame:
+    """Frontier covering every detector: normal pages, oversize URLs, deep
+    self-similar paths, session ids, parameter explosions, calendar loops."""
+    ev = _events(spark, sf).select("event_id", "user_id")
+    e = F.col("event_id")
+    u = (F.col("user_id") % 20).cast("string")
+    host = F.concat(F.lit("http://h"), u, F.lit(".test"))
+    kind = e % 8
+    url = (
+        F.when(kind == 1, F.concat(host, F.lit("/p/"), F.repeat(F.lit("x"), 300)))
+        .when(kind == 2, F.concat(host, F.repeat(
+            F.concat(F.lit("/s"), (e % 3).cast("string")), 12)))
+        .when(kind == 3, F.concat(host, F.lit("/p?phpsessid="), e.cast("string")))
+        .when(kind == 4, F.concat(host, F.lit(
+            "/p?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1")))
+        .when(kind == 5, F.concat(host, F.lit("/2020/01/x/2021/02/d?sid="),
+                                  e.cast("string")))
+        .when(kind == 6, F.concat(host, F.lit("/a/b/a/b/c")))
+        .when(kind == 7, F.concat(
+            host, F.lit("/p?b1=1&b2=1&b3=1&b4=1&b5=1&b6=1&b7=1&b8=1&b9=1&q="),
+            F.repeat(F.lit("y"), 250)))
+        .otherwise(F.concat(host, F.lit("/p/"), (e % 500).cast("string"))))
+    return ev.select(e.cast("long").alias("event_id"), url.alias("url"))
+
+
+def q_url_traps(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.trap_flags + url_trap_score: the pre-seen-set frontier
+    gate that sheds spider traps (score ≥ 2) before they consume budget."""
+    fr = _trap_frontier(spark, sf)
+    flags = trap_flags("url")
+    score = url_trap_score("url")
+    return fr.select(
+        "event_id", "url",
+        flags["long_url"].alias("long_url"),
+        flags["deep_path"].alias("deep_path"),
+        flags["looping_path"].alias("looping_path"),
+        flags["session_id"].alias("session_id"),
+        flags["many_params"].alias("many_params"),
+        flags["calendar"].alias("calendar"),
+        score.cast("long").alias("trap_score"),
+        (score >= 2).alias("is_trap"))
+
+
+_TRAP_SQL = f"""
+WITH fr AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+    CASE
+      WHEN event_id % 8 = 1 THEN 'http://h' || (user_id % 20) || '.test/p/' || repeat('x', 300)
+      WHEN event_id % 8 = 2 THEN 'http://h' || (user_id % 20) || '.test' || repeat('/s' || (event_id % 3), 12)
+      WHEN event_id % 8 = 3 THEN 'http://h' || (user_id % 20) || '.test/p?phpsessid=' || event_id
+      WHEN event_id % 8 = 4 THEN 'http://h' || (user_id % 20) || '.test/p?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1'
+      WHEN event_id % 8 = 5 THEN 'http://h' || (user_id % 20) || '.test/2020/01/x/2021/02/d?sid=' || event_id
+      WHEN event_id % 8 = 6 THEN 'http://h' || (user_id % 20) || '.test/a/b/a/b/c'
+      WHEN event_id % 8 = 7 THEN 'http://h' || (user_id % 20) || '.test/p?b1=1&b2=1&b3=1&b4=1&b5=1&b6=1&b7=1&b8=1&b9=1&q=' || repeat('y', 250)
+      ELSE 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 500)
+    END AS url
+  FROM events
+), feat AS (
+  SELECT event_id, url,
+    list_filter(string_split(regexp_replace(
+        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', ''),
+        '\\?.*$', ''), '/'), x -> x <> '') AS segs,
+    regexp_extract(url, '\\?(.*)$', 1) AS query
+  FROM fr
+), flags AS (
+  SELECT event_id, url,
+    length(url) > {TRAP_MAX_URL_LEN} AS long_url,
+    len(segs) > 10 AS deep_path,
+    (len(segs) - len(list_distinct(segs))) >= 2 AS looping_path,
+    len(regexp_extract_all(url,
+        '(?i)[?&](sid|sessionid|session_id|phpsessid|jsessionid|cfid|cftoken|zenid)=')) > 0
+      AS session_id,
+    (CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END)
+      > {TRAP_MAX_PARAMS} AS many_params,
+    len(regexp_extract_all(url, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/|$)')) >= 2
+      AS calendar
+  FROM feat
+)
+SELECT event_id, url, long_url, deep_path, looping_path, session_id,
+       many_params, calendar,
+       CAST(long_url::INT + deep_path::INT + looping_path::INT
+            + session_id::INT + many_params::INT + calendar::INT AS BIGINT)
+         AS trap_score,
+       (long_url::INT + deep_path::INT + looping_path::INT + session_id::INT
+        + many_params::INT + calendar::INT) >= 2 AS is_trap
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# mirror_hosts — host-level content-set Jaccard
+# ---------------------------------------------------------------------------
+
+_MH_HOSTS = 30          # 15 mirror pairs: host h mirrors h+15
+_MH_MAX_HASH_HOSTS = 10  # prunes the 3 site-furniture hashes (on all 30 hosts)
+_MH_MIN_J = 0.5
+
+
+def _mirror_pages(spark, sf) -> DataFrame:
+    """(host, content_hash): hosts h and h+15 share a content prefix (the
+    mirror signal, Jaccard ≈ 0.89-0.94); every host also serves 3 furniture
+    hashes (shared 30-ways → frequency-pruned)."""
+    ev = _events(spark, sf).select("event_id", "user_id")
+    e, u = F.col("event_id"), F.col("user_id")
+    # host from BOTH ids: sf0.001 has only 15 distinct user_ids, so a bare
+    # user_id % 30 would never create the h+15 mirror partners there
+    host_id = (u * 7 + e) % _MH_HOSTS
+    base = host_id % 15
+    grp = (host_id / 15).cast("long")  # 0 or 1
+    # small per-pair key space (6..21 keys) so even ~30 events/host at
+    # smoke scale observe nearly the full set -> the Jaccard signal
+    # survives sampling at every sf
+    key = e % (F.lit(6) + base + grp)
+    content = F.when(
+        e % 7 == 0, F.md5(F.concat(F.lit("furn"), (e % 3).cast("string")))
+    ).otherwise(
+        F.md5(F.concat(F.lit("c"), base.cast("string"), F.lit("-"),
+                       key.cast("string"))))
+    return ev.select(
+        F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test")).alias("host"),
+        content.alias("content_hash"))
+
+
+def q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/mirrors.mirror_host_pairs: which hosts serve the same
+    content set (fetch-budget dedup at the host level)."""
+    return (mirror_host_pairs(_mirror_pages(spark, sf),
+                              min_jaccard=_MH_MIN_J,
+                              max_hash_hosts=_MH_MAX_HASH_HOSTS)
+            .select("host_a", "host_b", "shared", "size_a", "size_b",
+                    "jaccard"))
+
+
+_MH_SQL = f"""
+WITH pages AS (
+  SELECT 'h' || ((user_id * 7 + event_id) % {_MH_HOSTS}) || '.test' AS host,
+    CASE WHEN event_id % 7 = 0 THEN md5('furn' || (event_id % 3))
+         ELSE md5('c' || (((user_id * 7 + event_id) % {_MH_HOSTS}) % 15) || '-' ||
+              (event_id % (6 + (((user_id * 7 + event_id) % {_MH_HOSTS}) % 15)
+                             + (((user_id * 7 + event_id) % {_MH_HOSTS}) // 15))))
+    END AS content_hash
+  FROM events
+), hs AS (
+  SELECT DISTINCT host, content_hash AS h FROM pages
+  WHERE content_hash IS NOT NULL
+), rare AS (
+  SELECT h FROM hs GROUP BY h HAVING count(*) <= {_MH_MAX_HASH_HOSTS}
+), pruned AS (
+  SELECT hs.host, hs.h FROM hs JOIN rare USING (h)
+), sizes AS (
+  SELECT host, count(*) AS size FROM pruned GROUP BY host
+), shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM pruned a JOIN pruned b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2
+), scored AS (
+  SELECT host_a, host_b, shared, sa.size AS size_a, sb.size AS size_b,
+         round(CAST(shared AS DOUBLE) / (sa.size + sb.size - shared), 4)
+           AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.host = host_a
+  JOIN sizes sb ON sb.host = host_b
+)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+       jaccard
+FROM scored WHERE jaccard >= {_MH_MIN_J}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tfidf_hosts — per-host top-k TF-IDF terms
+# ---------------------------------------------------------------------------
+
+_TF_HOSTS = 12
+_TF_K = 3
+_TF_MIN_LEN = 3
+
+# shared tokenization (docdedup.tokens_col) rendered for DuckDB — identical
+# to the line-dedup / self-perplexity oracles' normalization chain
+_TOK_SQL = ("string_split(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def q_tfidf_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.tfidf_top_terms with documents bucketed onto synthetic
+    hosts — the 'what is this host about' profile used for domain routing."""
+    docs = _docs(spark, sf).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % _TF_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"),
+        "text")
+    return tfidf_top_terms(docs, group_col="host", text_col="text",
+                           k=_TF_K, min_term_len=_TF_MIN_LEN)
+
+
+_TF_SQL = f"""
+WITH toks AS (
+  SELECT 'h' || (doc_id % {_TF_HOSTS}) || '.test' AS grp,
+         unnest({_TOK_SQL}) AS term
+  FROM documents
+), toks2 AS (
+  SELECT grp, term FROM toks WHERE length(term) >= {_TF_MIN_LEN}
+), tf AS (
+  SELECT grp, term, count(*) AS tf FROM toks2 GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), ng AS (
+  SELECT count(DISTINCT grp) AS n FROM toks2
+), scored AS (
+  SELECT tf.grp, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln(CAST(ng.n + 1 AS DOUBLE)
+                           / CAST(dfreq.df + 1 AS DOUBLE))
+                        + CAST(1 AS DOUBLE)), 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ng
+), ranked AS (
+  SELECT grp, term, tf, df, score,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT grp AS host, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_budget — greedy corpus selection under a global token budget
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 15_000   # sf0.01 corpus is ~27k tokens -> the cut BINDS (~55% kept)
+_TB_MULT = 2_654_435_761  # Knuth multiplicative hash — stands in for a
+_TB_MOD = 1 << 32         # model-quality priority score; deterministic
+
+
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.select_by_token_budget over documents with a
+    deterministic pseudo-random priority: keep the best documents until the
+    inclusive running token total exceeds the budget. The running sum is the
+    two-phase distributed prefix sum (budget.ordered_prefix_sum) — no
+    single-partition window at any size."""
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace(F.regexp_replace(
+            F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")), " "))
+        .cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * _TB_MULT) % _TB_MOD).alias("priority"))
+    out = select_by_token_budget(docs, _TB_BUDGET,
+                                 ["priority", "doc_id"],
+                                 token_col="n_tokens")
+    return out.select("doc_id", "n_tokens",
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"))
+
+
+_TB_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+         (doc_id * {_TB_MULT}) % {_TB_MOD} AS priority
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY priority, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM docs
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_TB_BUDGET}
+"""
+
+
+def queries8():
+    return {
+        "robots_sitemaps": q_robots_sitemaps,
+        "url_traps": q_url_traps,
+        "mirror_hosts": q_mirror_hosts,
+        "tfidf_hosts": q_tfidf_hosts,
+        "token_budget": q_token_budget,
+    }
+
+
+def oracle_sql8():
+    return {
+        "robots_sitemaps": _SM_SQL,
+        "url_traps": _TRAP_SQL,
+        "mirror_hosts": _MH_SQL,
+        "tfidf_hosts": _TF_SQL,
+        "token_budget": _TB_SQL,
+    }

@@ -103,3 +103,38 @@ def parse_robots(
                     F.coalesce("disallow_prefixes",
                                F.array().cast("array<string>"))
                     .alias("disallow_prefixes")))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (RFC 9309 §2.3 "other records": Sitemap: lines are
+# group-independent — they apply to the whole file wherever they appear).
+# The reference never reads robots.txt at all; a production frontier
+# bootstraps from exactly these lines (sitemaps.org "Submitting via robots").
+# ---------------------------------------------------------------------------
+
+_SITEMAP_RE = r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$"
+
+
+def sitemap_directives(
+    bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) → (host, pos, sitemap_url): every ``Sitemap:`` directive
+    in document order. ``pos`` is the directive's line number so the caller
+    can preserve the publisher's listing order when seeding the fetch queue
+    (the same within-host tiebreak contract as sitemap_entries.pos).
+
+    Pure JVM: split lines → posexplode → anchored regexp. Sitemap lines sit
+    OUTSIDE user-agent groups per RFC 9309, so no group resolution is needed
+    — which is why this is a separate projection from parse_robots rather
+    than a column bolted onto its group machinery. Fuses into the robots
+    scan; no shuffle.
+    """
+    lines = F.split(F.col(body_col), "\r?\n")
+    ln = (bodies.select(F.col(host_col).alias("host"),
+                        F.posexplode(lines).alias("pos", "line")))
+    url = F.regexp_extract(F.col("line"), _SITEMAP_RE, 1)
+    return (ln.where(url != "")
+            .select("host", F.col("pos").cast("long").alias("pos"),
+                    url.alias("sitemap_url")))

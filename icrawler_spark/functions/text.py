@@ -130,3 +130,53 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"), s.alias("scrubbed"),
         n_emails.alias("n_emails"), n_urls.alias("n_urls"),
         n_longnums.alias("n_longnums"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group TF-IDF top terms (corpus characterization / domain profiling).
+# A training-data pipeline uses these as human-auditable "what is this host
+# about" summaries and as features for domain-level quality routing. The
+# reference has no text analytics at all; this is corpus-level by nature.
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(df: DataFrame, group_col: str = "host",
+                    text_col: str = "text", k: int = 3,
+                    min_term_len: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per group: (group, term, tf, df, score, rank).
+
+    - tf = term occurrences within the group (all docs concatenated);
+    - df = number of groups containing the term;
+    - score = tf · (ln((N_groups + 1) / (df + 1)) + 1), rounded to 4
+      decimals BEFORE ranking so rank boundaries are reproducible across
+      engines; ties break on the term string.
+
+    Scale shape: explode → ONE groupBy(group, term) with map-side partial
+    aggregation (the heavy shuffle, uniform term+group keys), then a
+    groupBy(term) for df whose output is |vocabulary|-sized, and a window
+    partitioned by group (small per-group state: its vocabulary). The group
+    count N is a driver scalar (one short agg job) — same precedent as the
+    IVF codebook seeds. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(tokens_col(text_col)).alias("term"))
+            .where(F.length("term") >= min_term_len))
+    n_groups = toks.select("grp").distinct().count()
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf") *
+                          (F.log((F.lit(float(n_groups) + 1.0)) /
+                                 (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                          4)))
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col), "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "score", F.col("rank").cast("long").alias("rank")))

@@ -100,3 +100,57 @@ def image_dims(file_urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"width": pd.to_numeric(d[0]), "height": pd.to_numeric(d[1])}, index=file_urls.index
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap heuristics (Spark column expressions).
+#
+# The reference follows every same-page link a parser emits (greedy.py:44-58)
+# — safe for its bounded image crawls, but a frontier at 10^10 URLs must shed
+# spider traps (calendar pages, session-id permutations, self-similar path
+# loops) BEFORE they enter the seen-set, or the trap's infinite URL space
+# crowds out real pages. All detectors below are RE2-compatible (no
+# backreferences) so the DuckDB oracle can replay them bit-for-bit, and all
+# are pure JVM column exprs that fuse into the frontier scan.
+# ---------------------------------------------------------------------------
+
+TRAP_MAX_URL_LEN = 256       # beyond this, almost always generated permutations
+TRAP_MAX_DEPTH = 10          # path segments; real content rarely nests deeper
+TRAP_MAX_PARAMS = 8          # query params; facet/session explosions go higher
+_SESSION_PARAM_RE = r"(?i)[?&](sid|sessionid|session_id|phpsessid|jsessionid|cfid|cftoken|zenid)="
+_DATE_SEG_RE = r"/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)"
+
+
+def trap_flags(url_col) -> dict[str, "F.Column"]:
+    """Named boolean detectors over a URL column; see url_trap_score."""
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    # strip scheme://host, then drop the query: the path alone
+    path = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    segs = F.filter(F.split(F.regexp_replace(path, r"\?.*$", ""), "/"),
+                    lambda s: s != "")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&")))
+    return {
+        "long_url": F.length(u) > TRAP_MAX_URL_LEN,
+        "deep_path": F.size(segs) > TRAP_MAX_DEPTH,
+        # ≥2 repeats of some path segment (a/b/a/b/a...): distinct-count gap.
+        # Backreference-free equivalent of /(seg)/.*\1/.*\1/.
+        "looping_path": (F.size(segs) - F.size(F.array_distinct(segs))) >= 2,
+        "session_id": F.regexp_count(u, F.lit(_SESSION_PARAM_RE)) > 0,
+        "many_params": n_params > TRAP_MAX_PARAMS,
+        # two or more /YYYY/MM/ date segments = calendar pagination trap
+        "calendar": F.regexp_count(u, F.lit(_DATE_SEG_RE)) >= 2,
+    }
+
+
+def url_trap_score(url_col) -> "F.Column":
+    """0-6 trap score: how many independent detectors fire. The crawl loop
+    drops score ≥ 2 (two independent signals — single flags have too many
+    benign false positives, e.g. one date segment on a news article)."""
+    from pyspark.sql import functions as F
+
+    flags = trap_flags(url_col)
+    return sum((f.cast("int") for f in flags.values()), F.lit(0))

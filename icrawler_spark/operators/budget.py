@@ -142,3 +142,51 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
 def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     """First n rows in total order (distributed top-k)."""
     return df.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)
+
+
+def ordered_prefix_sum(df: DataFrame, order_cols: list[str], weight_col: str,
+                       out_col: str = "cum_weight",
+                       num_partitions: int | None = None
+                       ) -> tuple[DataFrame, int]:
+    """Global running sum of ``weight_col`` in total ``order_cols`` order —
+    the same two-phase decomposition as global_row_number, generalized from
+    counting rows to summing a weight. Returns (df + out_col, grand_total).
+
+    Phase 1 range-partitions on the order key and collects ONE number per
+    partition (its weight total); phase 2 adds the broadcast prefix offsets
+    to a within-partition running sum — a window partitioned by the pinned
+    partition id, so every window state is one partition, never the global
+    single-task ``Window.orderBy`` cliff. ``order_cols`` must be a total
+    order (include a unique tiebreak) for a deterministic result.
+    """
+    from pyspark.sql import Window
+
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    rows = (parted.groupBy("__pid")
+            .agg(F.coalesce(F.sum(weight_col), F.lit(0)).alias("w"))
+            .collect())
+    totals = {r["__pid"]: int(r["w"]) for r in rows}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if offsets:
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs += [F.lit(pid), F.lit(off)]
+        offset_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    else:
+        offset_expr = F.lit(0)
+    w = (Window.partitionBy("__pid")
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (parted.withColumn(
+               out_col,
+               (F.sum(F.col(weight_col).cast("long")).over(w) + offset_expr)
+               .cast("long"))
+           .drop("__pid"))
+    return out, acc

@@ -292,3 +292,38 @@ def strip_boilerplate(
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
                     F.col("n_lines").cast("long").alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+def select_by_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget: walk documents
+    in ``order_cols`` priority order (best first — include a unique
+    tiebreak) and keep each one whose INCLUSIVE running token total still
+    fits the budget; the first document that would overflow, and everything
+    after it, is dropped. This is the standard "take the best N tokens"
+    step when assembling a training mix from a scored corpus.
+
+    Built on budget.ordered_prefix_sum — the two-phase distributed running
+    sum — so the cut is exact and global without any single-partition
+    window. Output keeps every input column plus ``cum_tokens`` (the
+    document's inclusive running total, i.e. position of its last token in
+    the selected stream) — downstream sharding can range-partition on it.
+
+    Note the prefix-sum semantic difference from K1's row-count budget
+    (reach_max_num cuts a COUNT of items — budget.py:32): here each row
+    spends a variable amount, so the cut needs the weighted running sum,
+    not a rank comparison.
+    """
+    from icrawler_spark.operators import budget as _budget
+
+    cum, _total = _budget.ordered_prefix_sum(
+        docs, order_cols, token_col, out_col="cum_tokens")
+    return cum.where(F.col("cum_tokens") <= int(budget_tokens))

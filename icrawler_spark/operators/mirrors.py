@@ -1,0 +1,85 @@
+"""Mirror-host detection — find hosts serving (near-)identical content sets.
+
+Web-scale corpora are full of mirrors (CDN aliases, www/no-www splits,
+scraper clones); crawling both sides wastes fetch budget and double-counts
+documents downstream. The reference has no analogue (it crawls explicit
+seed lists — feeder.py:56-89); at frontier scale, host-level dedup is a
+budget gate the scheduler consults before expanding a new host.
+
+Semantics: two hosts are mirror candidates when the Jaccard similarity of
+their *content-hash sets* (distinct page body hashes) meets a threshold.
+
+Scale shape — the classic similarity-join decomposition, never an all-pairs
+host cross join:
+
+1. distinct (host, content_hash) pairs — one shuffle;
+2. prune hashes shared by more than ``max_hash_hosts`` hosts (site-furniture
+   / empty-page hashes that would otherwise create O(hosts²) candidate rows
+   for zero signal — the same frequency-pruning knob as
+   docdedup.ngram_jaccard_pairs, applied to BOTH the numerator and the
+   per-host sizes so the ratio stays a true Jaccard of the pruned sets);
+3. self-equi-join on content_hash with host_a < host_b — candidate pairs
+   exist ONLY where content is actually shared, and the per-hash fanout is
+   bounded by the prune;
+4. one groupBy(host_a, host_b) for the intersection size, then two joins
+   against the per-host set sizes — left unhinted so AQE broadcasts the
+   size table when it fits (≤ a few 10^6 hosts) and falls back to a
+   host-keyed shuffle join at the 10^8-host extreme where a forced
+   broadcast would not.
+
+At 10^10 pages the heavy stages are the two hash-keyed shuffles (1) and
+(3), both uniform (md5 keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    hash_col: str = "content_hash",
+    min_jaccard: float = 0.5,
+    max_hash_hosts: int = 50,
+) -> DataFrame:
+    """(host, content_hash)+ → (host_a, host_b, shared, size_a, size_b,
+    jaccard) for pairs with jaccard ≥ min_jaccard, host_a < host_b.
+
+    ``jaccard`` is the Jaccard of the frequency-PRUNED hash sets (hashes on
+    more than ``max_hash_hosts`` hosts are excluded everywhere — numerator
+    and denominators — so the ratio is exact for the pruned universe).
+    Rounded to 4 decimals for cross-engine comparability.
+    """
+    hs = (pages.select(F.col(host_col).alias("host"),
+                       F.col(hash_col).alias("h"))
+          .where(F.col("h").isNotNull())
+          .distinct())
+    rare = (hs.groupBy("h").agg(F.count("*").alias("nh"))
+            .where(F.col("nh") <= max_hash_hosts)
+            .select("h"))
+    pruned = hs.join(rare, "h", "left_semi")
+    sizes = pruned.groupBy("host").agg(F.count("*").alias("size"))
+    a = pruned.select(F.col("host").alias("host_a"), "h")
+    b = pruned.select(F.col("host").alias("host_b"), "h")
+    shared = (a.join(b, "h")
+              .where(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("size").alias("size_b"))
+    out = (shared.join(sa, "host_a").join(sb, "host_b")
+           .withColumn(
+               "jaccard",
+               F.round(F.col("shared").cast("double") /
+                       (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                       4)))
+    return (out.where(F.col("jaccard") >= min_jaccard)
+            .select("host_a", "host_b",
+                    F.col("shared").cast("long").alias("shared"),
+                    F.col("size_a").cast("long").alias("size_a"),
+                    F.col("size_b").cast("long").alias("size_b"),
+                    "jaccard"))

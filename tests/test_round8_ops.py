@@ -1,0 +1,180 @@
+"""Round-3 batch-2 operators: sitemap discovery, trap scoring, mirror
+detection, TF-IDF profiling, and token-budget selection."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import sitemap_directives
+from icrawler_spark.functions.text import tfidf_top_terms
+from icrawler_spark.functions.urls import trap_flags, url_trap_score
+from icrawler_spark.operators.budget import ordered_prefix_sum
+from icrawler_spark.operators.corpus import select_by_token_budget
+from icrawler_spark.operators.mirrors import mirror_host_pairs
+
+
+# ---------------------------------------------------------------------------
+# sitemap_directives
+# ---------------------------------------------------------------------------
+
+def test_sitemap_directives_order_case_whitespace(spark):
+    bodies = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /x\n"
+                    "Sitemap: https://a.test/sm1.xml\n"
+                    "sitemap:https://a.test/sm2.xml"),
+         ("b.test", "  SITEMAP:   https://b.test/sm.xml  "),
+         ("c.test", "User-agent: *\nDisallow: /\n# Sitemap: commented.xml"),
+         ("d.test", "Sitemap:\nDisallow: /")],  # empty directive -> no match
+        ["host", "body"])
+    out = sitemap_directives(bodies).orderBy("host", "pos").collect()
+    assert [(r.host, r.pos, r.sitemap_url) for r in out] == [
+        ("a.test", 2, "https://a.test/sm1.xml"),
+        ("a.test", 3, "https://a.test/sm2.xml"),
+        ("b.test", 0, "https://b.test/sm.xml"),
+    ]
+
+
+def test_sitemap_directives_feed_frontier(spark):
+    """Discovered sitemap URLs slot straight into sitemap ingestion."""
+    from icrawler_spark.operators.sitemap import sitemap_entries
+
+    bodies = spark.createDataFrame(
+        [("a.test", "Sitemap: https://a.test/sm.xml")], ["host", "body"])
+    discovered = sitemap_directives(bodies)
+    sm_bodies = discovered.select(
+        F.col("sitemap_url").alias("url"),
+        F.lit("<urlset><url><loc>https://a.test/p1</loc></url>"
+              "<url><loc>https://a.test/p2</loc></url></urlset>")
+        .alias("body"))
+    entries = sitemap_entries(sm_bodies).orderBy("pos").collect()
+    assert [e.loc for e in entries] == ["https://a.test/p1",
+                                        "https://a.test/p2"]
+
+
+# ---------------------------------------------------------------------------
+# crawler traps
+# ---------------------------------------------------------------------------
+
+def _score_of(spark, url):
+    df = spark.createDataFrame([(url,)], ["url"])
+    row = df.select(
+        url_trap_score("url").alias("s"),
+        *[v.alias(k) for k, v in trap_flags("url").items()]).first()
+    return row
+
+
+def test_trap_flags_each_detector(spark):
+    r = _score_of(spark, "http://h.test/p/" + "x" * 300)
+    assert r.long_url and r.s == 1
+    r = _score_of(spark, "http://h.test" + "/s1" * 12)
+    assert r.deep_path and r.looping_path and r.s == 2
+    r = _score_of(spark, "http://h.test/p?phpsessid=abc")
+    assert r.session_id and r.s == 1
+    r = _score_of(spark, "http://h.test/p?" + "&".join(f"a{i}=1" for i in range(9)))
+    assert r.many_params and r.s == 1
+    r = _score_of(spark, "http://h.test/2020/01/x/2021/02/d")
+    assert r.calendar and r.s == 1
+    r = _score_of(spark, "http://h.test/a/b/a/b/c")
+    assert r.looping_path and r.s == 1
+
+
+def test_trap_flags_benign_urls_score_zero(spark):
+    for u in ["http://h.test/",
+              "http://h.test/blog/2024/05/my-post",       # one date seg only
+              "http://h.test/a/b/c/d?x=1&y=2",
+              "https://h.test/p/a/p2"]:                    # 1 repeat only
+        assert _score_of(spark, u).s == 0, u
+
+
+# ---------------------------------------------------------------------------
+# mirror hosts
+# ---------------------------------------------------------------------------
+
+def test_mirror_host_pairs_jaccard_and_pruning(spark):
+    rows = []
+    # m1/m2: 8 shared + 2 unique each -> J = 8/12
+    for k in range(8):
+        rows += [("m1", f"c{k}"), ("m2", f"c{k}")]
+    rows += [("m1", "u1a"), ("m1", "u1b"), ("m2", "u2a"), ("m2", "u2b")]
+    # other: disjoint content
+    rows += [("other", f"o{k}") for k in range(5)]
+    # furniture hash on every host -> pruned at max_hash_hosts=2
+    rows += [(h, "furniture") for h in ("m1", "m2", "other")]
+    df = spark.createDataFrame(rows, ["host", "content_hash"])
+    out = mirror_host_pairs(df, min_jaccard=0.5, max_hash_hosts=2).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p.host_a, p.host_b) == ("m1", "m2")
+    # furniture pruned from numerator AND denominators: 8/(10+10-8)
+    assert p.shared == 8 and p.size_a == 10 and p.size_b == 10
+    assert abs(p.jaccard - round(8 / 12, 4)) < 1e-9
+
+
+def test_mirror_host_pairs_below_threshold_dropped(spark):
+    rows = [("a", "c1"), ("a", "c2"), ("a", "c3"),
+            ("b", "c1"), ("b", "x2"), ("b", "x3")]  # J = 1/5
+    df = spark.createDataFrame(rows, ["host", "content_hash"])
+    assert mirror_host_pairs(df, min_jaccard=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_scores_and_ranks(spark):
+    docs = spark.createDataFrame(
+        [("h1", "spark spark spark common"),
+         ("h2", "duck duck common common"),
+         ("h3", "graph common")],
+        ["host", "text"])
+    out = {(r.host, r.rank): r for r in
+           tfidf_top_terms(docs, k=2).collect()}
+    # 'common' appears in all 3 groups -> idf = ln(4/4)+1 = 1
+    # 'spark' only in h1 -> idf = ln(4/2)+1
+    spark_score = round(3 * (math.log(2.0) + 1.0), 4)
+    assert out[("h1", 1)].term == "spark"
+    assert abs(out[("h1", 1)].score - spark_score) < 1e-9
+    assert out[("h1", 2)].term == "common"
+    assert out[("h1", 2)].score == 1.0
+    assert out[("h2", 1)].term == "duck"
+    # df counts groups, not occurrences
+    assert out[("h1", 2)].df == 3 and out[("h1", 1)].df == 1
+
+
+def test_tfidf_min_len_filters_short_tokens(spark):
+    docs = spark.createDataFrame([("h1", "a an the term term")],
+                                 ["host", "text"])
+    out = tfidf_top_terms(docs, k=5, min_term_len=3).collect()
+    assert {r.term for r in out} == {"the", "term"}
+
+
+# ---------------------------------------------------------------------------
+# ordered prefix sum / token budget
+# ---------------------------------------------------------------------------
+
+def test_ordered_prefix_sum_matches_sequential(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(7)
+    out, total = ordered_prefix_sum(df, ["id"], "w", num_partitions=5)
+    got = {r.id: r.cum_weight for r in out.collect()}
+    acc = 0
+    for i, w in rows:
+        acc += w
+        assert got[i] == acc
+    assert total == acc
+
+
+def test_select_by_token_budget_exact_cut(spark):
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(50)], ["doc_id", "n_tokens"])
+    kept = select_by_token_budget(docs, 105, ["doc_id"]).collect()
+    # inclusive cumsum <= 105 -> exactly 10 docs (100 tokens)
+    assert sorted(r.doc_id for r in kept) == list(range(10))
+    assert max(r.cum_tokens for r in kept) == 100
+
+
+def test_select_by_token_budget_first_doc_overflows(spark):
+    docs = spark.createDataFrame([(1, 100), (2, 5)], ["doc_id", "n_tokens"])
+    # priority order puts doc 1 first; it overflows -> doc 2 never reached
+    # (greedy prefix semantics, not knapsack)
+    assert select_by_token_budget(docs, 50, ["doc_id"]).count() == 0
