@@ -371,6 +371,105 @@ FROM cum WHERE cum_tokens <= {_TB_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl_traps — the CrawlConfig.max_trap_score frontier gate, end-to-end
+# ---------------------------------------------------------------------------
+
+def _trap_crawl_pages(spark) -> DataFrame:
+    """4 root pages; each links (in doc order) to a good child /p/k, a trap
+    child /a/b/a/b/c?phpsessid=k (looping path + session id -> score 2) and
+    a borderline child /p?sid=k (session id only -> score 1, passes)."""
+    k = F.col("id").cast("string")
+    host = F.concat(F.lit("http://h"), k, F.lit(".test"))
+    html = F.concat(
+        F.lit('<a href="'), host, F.lit("/p/"), k, F.lit('">g</a><a href="'),
+        host, F.lit("/a/b/a/b/c?phpsessid="), k, F.lit('">t</a><a href="'),
+        host, F.lit("/p?sid="), k, F.lit('">s</a>'))
+    return spark.range(4).select(
+        host.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("root "), k).alias("text"))
+
+
+def q_crawl_traps(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with max_trap_score=2: every trap-shaped round-1
+    candidate is shed BEFORE rank assignment (visit ranks stay contiguous
+    over the surviving frontier via the counted-ranker path); the
+    borderline score-1 URLs pass. The oracle replays the BFS and the trap
+    detectors in SQL."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages = _trap_crawl_pages(spark)
+    cfg = CrawlConfig(max_rounds=2, max_trap_score=2)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _trap_score_sql(u: str) -> str:
+    """The six trap detectors rendered for DuckDB over URL expression ``u``
+    — the same expressions _TRAP_SQL applies, factored so the crawl-gate
+    oracle replays the gate identically."""
+    segs = ("list_filter(string_split(regexp_replace(regexp_replace("
+            + u + ", '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', ''),"
+            " '\\?.*$', ''), '/'), x -> x <> '')")
+    query = "regexp_extract(" + u + ", '\\?(.*)$', 1)"
+    sess = ("'(?i)[?&](sid|sessionid|session_id|phpsessid|jsessionid|cfid"
+            "|cftoken|zenid)='")
+    cal = "'/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)'"
+    return ("(length(" + u + ") > " + str(TRAP_MAX_URL_LEN) + ")::INT"
+            " + (len(" + segs + ") > 10)::INT"
+            " + ((len(" + segs + ") - len(list_distinct(" + segs + "))) >= 2)::INT"
+            " + (len(regexp_extract_all(" + u + ", " + sess + ")) > 0)::INT"
+            " + ((CASE WHEN " + query + " = '' THEN 0"
+            " ELSE len(string_split(" + query + ", '&')) END) > "
+            + str(TRAP_MAX_PARAMS) + ")::INT"
+            " + (len(regexp_extract_all(" + u + ", " + cal + ")) >= 2)::INT")
+
+
+def _crawl_traps_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT 'http://h' || k || '.test' AS url,
+         '<a href="http://h' || k || '.test/p/' || k || '">g</a>'
+      || '<a href="http://h' || k || '.test/a/b/a/b/c?phpsessid=' || k || '">t</a>'
+      || '<a href="http://h' || k || '.test/p?sid=' || k || '">s</a>' AS html
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), seeds AS (
+  SELECT 'http://h' || k || '.test' AS url, CAST(k AS BIGINT) AS visit_rank,
+         CAST(NULL AS VARCHAR) AS parent, CAST(k AS INT) AS pos
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), emit AS (
+  SELECT url,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY idx) - 1 AS INT)
+           AS pos,
+         rtrim(href, '/') AS target
+  FROM (SELECT url, unnest(range(0, len(hrefs))) AS idx, unnest(hrefs) AS href
+        FROM (SELECT url, regexp_extract_all(html, 'href="([^"]*)"', 1)
+                       AS hrefs FROM pages))
+  WHERE regexp_matches(href, '^https?://')
+), cand AS (
+  SELECT e.target AS url, s.url AS parent, e.pos, s.visit_rank AS parent_rank
+  FROM seeds s JOIN emit e ON e.url = s.url
+  WHERE e.target NOT IN (SELECT url FROM seeds)
+), kept AS (
+  SELECT * FROM cand WHERE (""" + _trap_score_sql("url") + """) < 2
+), v1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM kept
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1
+"""
+
+
 def queries8():
     return {
         "robots_sitemaps": q_robots_sitemaps,
@@ -378,6 +477,7 @@ def queries8():
         "mirror_hosts": q_mirror_hosts,
         "tfidf_hosts": q_tfidf_hosts,
         "token_budget": q_token_budget,
+        "crawl_traps": q_crawl_traps,
     }
 
 
@@ -388,4 +488,5 @@ def oracle_sql8():
         "mirror_hosts": _MH_SQL,
         "tfidf_hosts": _TF_SQL,
         "token_budget": _TB_SQL,
+        "crawl_traps": _crawl_traps_sql(),
     }

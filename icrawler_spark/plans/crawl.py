@@ -76,6 +76,13 @@ class CrawlConfig:
     # domain blocklist (domain:string): frontier URLs under any listed
     # domain (label-boundary suffix match) are dropped before fetch
     blocklist: DataFrame | None = None
+    # crawler-trap gate (functions/urls.trap_flags): frontier URLs whose
+    # trap score (# of independent detectors firing: loops, session ids,
+    # calendar pagination, param explosions, depth, length) reaches this
+    # threshold are dropped before rank/fetch. Pure column expression —
+    # fuses into the frontier scan, no join. None = off; 2 is the
+    # documented operating point (single flags have benign false positives)
+    max_trap_score: int | None = None
     # sitemap bootstrap (operators/sitemap.py): a (url, body) table of
     # fetched sitemap documents. urlset locs enqueue into the round-0
     # frontier AFTER the explicit seeds, ordered by (sitemap_url, pos) —
@@ -512,7 +519,8 @@ class GreedyCrawl:
                 break
             t0 = _time.time()
             gated = (cfg.robots is not None or cfg.round_seconds is not None
-                     or cfg.blocklist is not None or cfg.recrawl is not None)
+                     or cfg.blocklist is not None or cfg.recrawl is not None
+                     or cfg.max_trap_score is not None)
             if gated:
                 # gates shrink the batch below the frontier anyway, so the
                 # full-frontier stats job is dead weight: a near-free
@@ -549,6 +557,15 @@ class GreedyCrawl:
                               else []) + ["__priority", "parent_rank", "pos"]
 
             # politeness (north-rule; no-op in parity mode)
+            if cfg.max_trap_score is not None:
+                # spider-trap shedding: a trap's URL space is unbounded, so
+                # it must die BEFORE rank/fetch or it starves real pages.
+                # Pure column predicate — no join, no shuffle; seen still
+                # accumulates pre-gate (a shed URL never re-enters)
+                from icrawler_spark.functions.urls import url_trap_score
+
+                frontier_r = frontier_r.filter(
+                    url_trap_score("url") < F.lit(int(cfg.max_trap_score)))
             if cfg.blocklist is not None:
                 # frontier hygiene: blocked-domain URLs never reach the
                 # fetch join (label-boundary suffix match; broadcast

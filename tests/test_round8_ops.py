@@ -178,3 +178,25 @@ def test_select_by_token_budget_first_doc_overflows(spark):
     # priority order puts doc 1 first; it overflows -> doc 2 never reached
     # (greedy prefix semantics, not knapsack)
     assert select_by_token_budget(docs, 50, ["doc_id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# crawl-loop trap gate
+# ---------------------------------------------------------------------------
+
+def test_crawl_loop_sheds_traps_before_rank(spark):
+    from icrawler_spark.entry_round8 import _trap_crawl_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages = _trap_crawl_pages(spark)
+    seeds = ["h0.test", "h1.test", "h2.test", "h3.test"]
+    gated = GreedyCrawl(spark, pages,
+                        CrawlConfig(max_rounds=2, max_trap_score=2)).run(seeds)
+    rows = gated.order.orderBy("visit_rank").collect()
+    urls = [r.url for r in rows]
+    assert not any("phpsessid" in u for u in urls)       # traps shed
+    assert any("?sid=" in u for u in urls)               # score-1 passes
+    assert [r.visit_rank for r in rows] == list(range(len(rows)))  # contiguous
+    # without the gate, the trap children ARE crawled
+    plain = GreedyCrawl(spark, pages, CrawlConfig(max_rounds=2)).run(seeds)
+    assert any("phpsessid" in r.url for r in plain.order.collect())
