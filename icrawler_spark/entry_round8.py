@@ -478,6 +478,8 @@ def queries8():
         "tfidf_hosts": q_tfidf_hosts,
         "token_budget": q_token_budget,
         "crawl_traps": q_crawl_traps,
+        "url_canonical": q_url_canonical,
+        "ccnet_tiers": q_ccnet_tiers,
     }
 
 
@@ -489,4 +491,136 @@ def oracle_sql8():
         "tfidf_hosts": _TF_SQL,
         "token_budget": _TB_SQL,
         "crawl_traps": _crawl_traps_sql(),
+        "url_canonical": _CANON_SQL,
+        "ccnet_tiers": _CCNET_SQL,
     }
+
+
+# ---------------------------------------------------------------------------
+# url_canonical — canonicalization over a variant-rich frontier
+# ---------------------------------------------------------------------------
+
+def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.canonicalize_url: collapse case/www/port/fragment/
+    tracking-param/slash spellings before the seen-set join. The fixture
+    spells the same logical page six ways; kinds 0-3 and 5 canonicalize
+    identically (http), kind 4 keeps its https scheme."""
+    from icrawler_spark.functions.urls import canonicalize_url
+
+    ev = _events(spark, sf).select("event_id", "user_id")
+    e = F.col("event_id")
+    h = (F.col("user_id") % 10).cast("string")
+    p = (e % 50).cast("string")
+    kind = e % 6
+    url = (
+        F.when(kind == 1, F.concat(F.lit("HTTP://WWW.h"), h, F.lit(".test/p/"),
+                                   p, F.lit("#frag")))
+        .when(kind == 2, F.concat(F.lit("http://h"), h, F.lit(".test:80/p/"),
+                                  p, F.lit("/")))
+        .when(kind == 3, F.concat(F.lit("http://h"), h, F.lit(".test/p/"), p,
+                                  F.lit("?utm_source=x&b=2&a=1")))
+        .when(kind == 4, F.concat(F.lit("https://h"), h, F.lit(".test:443/p/"),
+                                  p, F.lit("?b=2&a=1")))
+        .when(kind == 5, F.concat(F.lit("http://h"), h, F.lit(".test//p//"), p))
+        .otherwise(F.concat(F.lit("http://h"), h, F.lit(".test/p/"), p)))
+    return (ev.select(url.alias("url"))
+            .distinct()
+            .select("url", canonicalize_url("url").alias("canonical")))
+
+
+_CANON_SQL = """
+WITH fr AS (
+  SELECT DISTINCT
+    CASE
+      WHEN event_id % 6 = 1 THEN 'HTTP://WWW.h' || (user_id % 10) || '.test/p/' || (event_id % 50) || '#frag'
+      WHEN event_id % 6 = 2 THEN 'http://h' || (user_id % 10) || '.test:80/p/' || (event_id % 50) || '/'
+      WHEN event_id % 6 = 3 THEN 'http://h' || (user_id % 10) || '.test/p/' || (event_id % 50) || '?utm_source=x&b=2&a=1'
+      WHEN event_id % 6 = 4 THEN 'https://h' || (user_id % 10) || '.test:443/p/' || (event_id % 50) || '?b=2&a=1'
+      WHEN event_id % 6 = 5 THEN 'http://h' || (user_id % 10) || '.test//p//' || (event_id % 50)
+      ELSE 'http://h' || (user_id % 10) || '.test/p/' || (event_id % 50)
+    END AS url
+  FROM events
+), parts AS (
+  SELECT url, regexp_replace(trim(url), '#.*$', '') AS u
+  FROM fr
+), comp AS (
+  SELECT url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM parts
+), comp2 AS (
+  SELECT url, scheme,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\\.', '')
+      AS host0,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM comp
+), comp3 AS (
+  SELECT url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    regexp_replace(regexp_replace(
+        regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'), '/+$', '')
+      AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[a-z0-9]*|gclid|fbclid|msclkid|mc_cid|mc_eid)='))), '&'), '')
+      AS qs
+  FROM comp2
+)
+SELECT url, scheme || '://' || host || path ||
+       CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+FROM comp3
+"""
+
+
+# ---------------------------------------------------------------------------
+# ccnet_tiers — per-language head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+def q_ccnet_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's corpus split: score every document's unigram self-perplexity
+    (entry_round5.self_perplexity semantics), then assign per-language
+    head/middle/tail terciles — tier 1 (lowest mean_nll) is the training-
+    priority slice. Deterministic: ntile in (rounded mean_nll, doc_id)
+    order."""
+    from icrawler_spark.functions.text import quantile_tiers
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    docs = _docs(spark, sf)
+    tok = docs.select(F.col("doc_id").cast("long").alias("id"),
+                      F.explode(tokens_col("text")).alias("tok"))
+    total = tok.count()
+    lm = (tok.groupBy("tok").agg(F.count("*").alias("n"))
+          .select("tok", (-F.log(F.col("n") / F.lit(float(total)))).alias("nll")))
+    scored = (tok.join(F.broadcast(lm), "tok")
+              .groupBy("id")
+              .agg(F.round(F.avg("nll"), 6).alias("mean_nll")))
+    scored = scored.join(
+        docs.select(F.col("doc_id").cast("long").alias("id"), "lang"), "id")
+    return (quantile_tiers(scored, "mean_nll", "id", group_col="lang", n=3)
+            .select("id", "lang", "mean_nll", "tier"))
+
+
+_CCNET_SQL = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), lm AS (
+  SELECT tok, -ln(count(*) / CAST((SELECT count(*) FROM tok) AS DOUBLE)) AS nll
+  FROM tok GROUP BY tok
+), scored AS (
+  SELECT t.id, round(avg(l.nll), 6) AS mean_nll
+  FROM tok t JOIN lm l USING (tok) GROUP BY t.id
+), with_lang AS (
+  SELECT s.id, d.lang, s.mean_nll
+  FROM scored s JOIN documents d ON d.doc_id = s.id
+)
+SELECT id, lang, mean_nll,
+       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, id) AS BIGINT)
+         AS tier
+FROM with_lang
+"""

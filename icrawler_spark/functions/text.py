@@ -180,3 +180,23 @@ def tfidf_top_terms(df: DataFrame, group_col: str = "host",
                     F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"),
                     "score", F.col("rank").cast("long").alias("rank")))
+
+
+def quantile_tiers(df: DataFrame, value_col: str, id_col: str,
+                   group_col: str | None = None, n: int = 3,
+                   out_col: str = "tier") -> DataFrame:
+    """Equal-count tier assignment (CCNet's head/middle/tail split when
+    n=3 over a perplexity column): ntile(n) in (value, id) order, per group
+    when ``group_col`` is given (CCNet tiers per language).
+
+    The id tiebreak makes the order total, so two engines assign identical
+    tiers. Scale note: the window is partitioned by group — at corpus scale
+    where one language exceeds a partition's comfort, production swaps the
+    exact ntile for approx-quantile cut values broadcast back (sketch path);
+    the exact path here is the oracle-checkable reference semantics."""
+    from pyspark.sql import Window
+
+    order = [F.col(value_col).asc(), F.col(id_col).asc()]
+    w = (Window.partitionBy(group_col).orderBy(*order) if group_col
+         else Window.partitionBy().orderBy(*order))
+    return df.withColumn(out_col, F.ntile(n).over(w).cast("long"))

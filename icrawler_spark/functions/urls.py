@@ -154,3 +154,51 @@ def url_trap_score(url_col) -> "F.Column":
 
     flags = trap_flags(url_col)
     return sum((f.cast("int") for f in flags.values()), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (Spark column expressions).
+#
+# The reference's dedup hashes the raw URL string (cached_queue.py:43-44), so
+# http://a.test/p and http://www.a.test/p/ crawl twice. At frontier scale the
+# same logical page arrives under dozens of spellings (case, www, default
+# ports, fragments, tracking params, slash runs); canonicalizing BEFORE the
+# seen-set join collapses them. All steps are RE2-safe JVM expressions that
+# fuse into the frontier scan. Assumes absolute http(s) URLs (the only kind
+# the frontier carries — greedy link predicates already dropped the rest).
+# ---------------------------------------------------------------------------
+
+# tracking params stripped during canonicalization (param name before '=')
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]*|gclid|fbclid|msclkid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url_col) -> "F.Column":
+    """Canonical spelling of an absolute http(s) URL:
+
+    - lowercase scheme and host, fold a leading ``www.``;
+    - strip the fragment and the scheme's default port (:80 / :443);
+    - collapse slash runs in the path and strip trailing slashes;
+    - drop tracking params (TRACKING_PARAM_RE) and sort the survivors
+      (byte order), dropping the '?' when none survive.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.regexp_replace(F.trim(url_col if not isinstance(url_col, str)
+                                else F.col(url_col)), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "//+", "/"), "/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))

@@ -200,3 +200,57 @@ def test_crawl_loop_sheds_traps_before_rank(spark):
     # without the gate, the trap children ARE crawled
     plain = GreedyCrawl(spark, pages, CrawlConfig(max_rounds=2)).run(seeds)
     assert any("phpsessid" in r.url for r in plain.order.collect())
+
+
+# ---------------------------------------------------------------------------
+# url canonicalization / quantile tiers
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_collapses_variants(spark):
+    from icrawler_spark.functions.urls import canonicalize_url
+
+    variants = [
+        "http://h0.test/p/1",
+        "HTTP://WWW.h0.test/p/1#frag",
+        "http://h0.test:80/p/1/",
+        "http://h0.test/p/1?utm_source=x&utm_medium=y",
+        "http://h0.test//p//1",
+        " http://h0.test/p/1 ",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    out = {r.url.strip(): r.c for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert set(out.values()) == {"http://h0.test/p/1"}
+
+
+def test_canonicalize_url_preserves_meaning(spark):
+    from icrawler_spark.functions.urls import canonicalize_url
+
+    cases = {
+        # https keeps its scheme; real params survive, sorted
+        "https://h.test:443/p?b=2&a=1": "https://h.test/p?a=1&b=2",
+        # non-default port kept
+        "http://h.test:8080/p": "http://h.test:8080/p",
+        # tracking params dropped but real one kept
+        "http://h.test/p?utm_source=x&id=7": "http://h.test/p?id=7",
+        # root URL: empty path stays empty
+        "http://h.test/": "http://h.test",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.c for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
+
+
+def test_quantile_tiers_equal_counts_per_group(spark):
+    from icrawler_spark.functions.text import quantile_tiers
+
+    rows = [(i, "en", float(i)) for i in range(9)]
+    rows += [(100 + i, "de", float(-i)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["id", "lang", "ppl"])
+    out = quantile_tiers(df, "ppl", "id", group_col="lang", n=3).collect()
+    en = sorted((r.ppl, r.tier) for r in out if r.lang == "en")
+    assert [t for _, t in en] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    de = sorted((r.id, r.tier) for r in out if r.lang == "de")
+    # de values descend with id, so highest id = lowest ppl = tier 1
+    assert dict(de)[105] == 1 and dict(de)[100] == 3
