@@ -187,7 +187,7 @@ _EXTRA_PICKS = [
     # round-3 operators
     "srp_neardup", "proxy_feedback", "strip_boilerplate",
     "robots_sitemaps", "url_traps", "mirror_hosts", "tfidf_hosts",
-    "token_budget", "url_canonical", "ccnet_tiers",
+    "token_budget", "url_canonical", "ccnet_tiers", "crawl_canonical",
 ]
 
 

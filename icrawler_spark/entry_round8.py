@@ -480,6 +480,7 @@ def queries8():
         "crawl_traps": q_crawl_traps,
         "url_canonical": q_url_canonical,
         "ccnet_tiers": q_ccnet_tiers,
+        "crawl_canonical": q_crawl_canonical,
     }
 
 
@@ -493,6 +494,7 @@ def oracle_sql8():
         "crawl_traps": _crawl_traps_sql(),
         "url_canonical": _CANON_SQL,
         "ccnet_tiers": _CCNET_SQL,
+        "crawl_canonical": _crawl_canonical_sql(),
     }
 
 
@@ -623,4 +625,111 @@ SELECT id, lang, mean_nll,
        CAST(ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, id) AS BIGINT)
          AS tier
 FROM with_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_canonical — the CrawlConfig.canonical_seen dedup key, end-to-end
+# ---------------------------------------------------------------------------
+
+def _canon_pages(spark) -> DataFrame:
+    """4 roots; each links to /p/k under three spellings (plain, #fragment,
+    ?utm_source tracking param) plus a distinct /q/k."""
+    k = F.col("id").cast("string")
+    host = F.concat(F.lit("http://h"), k, F.lit(".test"))
+    html = F.concat(
+        F.lit('<a href="'), host, F.lit("/p/"), k, F.lit('">a</a><a href="'),
+        host, F.lit("/p/"), k, F.lit('#x">b</a><a href="'),
+        host, F.lit("/p/"), k, F.lit('?utm_source=z">c</a><a href="'),
+        host, F.lit("/q/"), k, F.lit('">d</a>'))
+    return spark.range(4).select(
+        host.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("root "), k).alias("text"))
+
+
+def q_crawl_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with canonical_seen=True: dedup-at-enqueue and the
+    seen anti-join key on canonicalize_url, so the #fragment and ?utm_
+    spellings collapse onto the first-arriving raw URL and ranks stay
+    contiguous. The oracle replays the BFS with the canonicalization chain
+    in SQL (north-star seen-set semantics: 'vectorized URL canonicalization
+    + hashing' in front of the seen filter)."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    res = GreedyCrawl(spark, _canon_pages(spark),
+                      CrawlConfig(max_rounds=2, canonical_seen=True)).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _canon_expr(u: str) -> str:
+    """functions/urls.canonicalize_url rendered as one DuckDB expression
+    over URL expression ``u`` (same steps as _CANON_SQL's CTE chain)."""
+    u1 = "regexp_replace(trim(" + u + "), '#.*$', '')"
+    scheme = ("lower(regexp_extract(" + u1
+              + ", '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))")
+    rest = ("regexp_replace(" + u1 + ", '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')")
+    host0 = ("regexp_replace(lower(regexp_extract(" + rest
+             + ", '^([^/?]*)', 1)), '^www\\.', '')")
+    host = ("CASE WHEN " + scheme + " = 'http' THEN regexp_replace(" + host0
+            + ", ':80$', '') WHEN " + scheme + " = 'https' THEN regexp_replace("
+            + host0 + ", ':443$', '') ELSE " + host0 + " END")
+    pathq = "regexp_replace(" + rest + ", '^[^/?]*', '')"
+    path = ("regexp_replace(regexp_replace(regexp_extract(" + pathq
+            + ", '^([^?]*)', 1), '//+', '/', 'g'), '/+$', '')")
+    qs = ("coalesce(array_to_string(list_sort(list_filter(string_split("
+          "regexp_extract(" + pathq + ", '\\?(.*)$', 1), '&'), p -> p <> '' "
+          "AND NOT regexp_matches(p, "
+          "'^(utm_[a-z0-9]*|gclid|fbclid|msclkid|mc_cid|mc_eid)='))), '&'), '')")
+    return ("(" + scheme + " || '://' || " + host + " || " + path
+            + " || CASE WHEN " + qs + " = '' THEN '' ELSE '?' || " + qs
+            + " END)")
+
+
+def _crawl_canonical_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT 'http://h' || k || '.test' AS url,
+         '<a href="http://h' || k || '.test/p/' || k || '">a</a>'
+      || '<a href="http://h' || k || '.test/p/' || k || '#x">b</a>'
+      || '<a href="http://h' || k || '.test/p/' || k || '?utm_source=z">c</a>'
+      || '<a href="http://h' || k || '.test/q/' || k || '">d</a>' AS html
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), seeds AS (
+  SELECT 'http://h' || k || '.test' AS url, CAST(k AS BIGINT) AS visit_rank,
+         CAST(NULL AS VARCHAR) AS parent, CAST(k AS INT) AS pos
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), emit AS (
+  SELECT url,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY idx) - 1 AS INT)
+           AS pos,
+         rtrim(href, '/') AS target
+  FROM (SELECT url, unnest(range(0, len(hrefs))) AS idx, unnest(hrefs) AS href
+        FROM (SELECT url, regexp_extract_all(html, 'href="([^"]*)"', 1)
+                       AS hrefs FROM pages))
+  WHERE regexp_matches(href, '^https?://')
+), cand AS (
+  SELECT e.target AS url, s.url AS parent, e.pos, s.visit_rank AS parent_rank,
+         """ + _canon_expr("e.target") + """ AS ckey
+  FROM seeds s JOIN emit e ON e.url = s.url
+), dedup AS (
+  SELECT url, parent, pos, parent_rank,
+         row_number() OVER (PARTITION BY ckey
+                            ORDER BY parent_rank, pos) AS rn
+  FROM cand
+  WHERE ckey NOT IN (SELECT """ + _canon_expr("url") + """ FROM seeds)
+), v1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM dedup WHERE rn = 1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1
 """

@@ -76,6 +76,15 @@ class CrawlConfig:
     # domain blocklist (domain:string): frontier URLs under any listed
     # domain (label-boundary suffix match) are dropped before fetch
     blocklist: DataFrame | None = None
+    # canonical seen-set keys (functions/urls.canonicalize_url — the
+    # north-star "URL canonicalization + 64-bit hashing" seen set): when
+    # True, dedup-at-enqueue and the seen anti-join key on the CANONICAL
+    # spelling (case/www/port/fragment/tracking/slash folded), so variant
+    # spellings of one page crawl once. The frontier still carries the raw
+    # URL (first spelling wins) for fetch; CrawlResult.seen_pages then
+    # holds canonical keys. Off by default — reference parity hashes the
+    # raw string (cached_queue.py:43-44)
+    canonical_seen: bool = False
     # crawler-trap gate (functions/urls.trap_flags): frontier URLs whose
     # trap score (# of independent detectors firing: loops, session ids,
     # calendar pagination, param explosions, depth, length) reaches this
@@ -476,7 +485,13 @@ class GreedyCrawl:
 
         idx_offset = resolve_file_idx_offset(cfg, self.catalog)
         if seen_pages is None:
-            seen_pages = self._pin(frontier.select("url"))
+            if cfg.canonical_seen:
+                from icrawler_spark.functions.urls import canonicalize_url
+
+                seen_pages = self._pin(frontier.select(
+                    canonicalize_url("url").alias("url")))
+            else:
+                seen_pages = self._pin(frontier.select("url"))
         seen_pages_parts: list[DataFrame] = [seen_pages]
         seen_tasks_parts: list[DataFrame] = [seen_tasks] if seen_tasks is not None else []
         # incremental Bloom pre-filters (north_rule): built once, absorbing
@@ -723,12 +738,35 @@ class GreedyCrawl:
                 F.col("target").alias("url"),
                 F.col("parent").alias("src"),
                 "pos", F.col("visit_rank").alias("parent_rank"))
-            url_new = earliest_occurrence(url_cand, "url", ["parent_rank", "pos"])
             seen_pages_df = self._parts_union(seen_pages_parts)
-            if cfg.use_bloom:
-                url_new = anti_join_seen_bloom(url_new, seen_pages_df, bloom_pages, "url")
+            if cfg.canonical_seen:
+                # canonical-keyed dedup: in-batch earliest occurrence AND the
+                # seen anti-join both key on the canonical spelling; the raw
+                # url (first spelling to arrive) stays for fetch. The seen
+                # parts already hold canonical keys, so the join key is a
+                # plain column on both sides — no per-round recanonicalizing
+                # of the (growing) seen set.
+                from icrawler_spark.functions.urls import canonicalize_url
+
+                url_cand = url_cand.withColumn(
+                    "__ckey", canonicalize_url("url"))
+                url_new = earliest_occurrence(url_cand, "__ckey",
+                                              ["parent_rank", "pos"])
+                seen_k = seen_pages_df.select(F.col("url").alias("__ckey"))
+                if cfg.use_bloom:
+                    url_new = anti_join_seen_bloom(url_new, seen_k,
+                                                   bloom_pages, "__ckey")
+                else:
+                    url_new = anti_join_seen(url_new, seen_k, "__ckey")
+                seen_add = url_new.select(F.col("__ckey").alias("url"))
             else:
-                url_new = anti_join_seen(url_new, seen_pages_df, "url")
+                url_new = earliest_occurrence(url_cand, "url",
+                                              ["parent_rank", "pos"])
+                if cfg.use_bloom:
+                    url_new = anti_join_seen_bloom(url_new, seen_pages_df,
+                                                   bloom_pages, "url")
+                else:
+                    url_new = anti_join_seen(url_new, seen_pages_df, "url")
             next_frontier = url_new.select(
                 "url", F.col("src").alias("parent"), "pos", "parent_rank",
                 F.lit(rnd + 1).alias("round"), F.lit(0).alias("attempts"))
@@ -758,11 +796,12 @@ class GreedyCrawl:
             fetched_parts.append(fetch_commit)
             seen_tasks_parts = self._acc_parts(
                 seen_tasks_parts, task_new.select("file_url"))
-            seen_pages_parts = self._acc_parts(
-                seen_pages_parts, next_frontier.select("url"))
+            page_seen_add = (seen_add if cfg.canonical_seen
+                             else next_frontier.select("url"))
+            seen_pages_parts = self._acc_parts(seen_pages_parts, page_seen_add)
             if cfg.use_bloom:
                 bloom_tasks.absorb(task_new.select("file_url"), "file_url")
-                bloom_pages.absorb(next_frontier.select("url"), "url")
+                bloom_pages.absorb(page_seen_add, "url")
 
             metrics.append({
                 # frontier size is only measured in parity mode (gated

@@ -254,3 +254,36 @@ def test_quantile_tiers_equal_counts_per_group(spark):
     de = sorted((r.id, r.tier) for r in out if r.lang == "de")
     # de values descend with id, so highest id = lowest ppl = tier 1
     assert dict(de)[105] == 1 and dict(de)[100] == 3
+
+
+def test_crawl_canonical_seen_collapses_variants(spark):
+    from pyspark.sql import functions as FF
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    k = FF.col("id").cast("string")
+    host = FF.concat(FF.lit("http://h"), k, FF.lit(".test"))
+    html = FF.concat(
+        FF.lit('<a href="'), host, FF.lit("/p/"), k, FF.lit('">a</a>'),
+        FF.lit('<a href="'), host, FF.lit("/p/"), k,
+        FF.lit('#x">b</a><a href="'), host, FF.lit("/p/"), k,
+        FF.lit('?utm_source=z">c</a><a href="'), host, FF.lit("/q/"), k,
+        FF.lit('">d</a>'))
+    pages = spark.range(4).select(
+        host.alias("url"), FF.encode(html, "utf-8").alias("html"),
+        FF.concat(FF.lit("root "), k).alias("text"))
+    seeds = ["h0.test", "h1.test", "h2.test", "h3.test"]
+
+    canon = GreedyCrawl(spark, pages,
+                        CrawlConfig(max_rounds=2, canonical_seen=True)).run(seeds)
+    rows = canon.order.orderBy("visit_rank").collect()
+    # per seed: only the FIRST spelling of /p/k survives, plus /q/k
+    assert len(rows) == 4 + 8
+    assert not any("#" in r.url or "utm_" in r.url for r in rows)
+    assert [r.visit_rank for r in rows] == list(range(12))
+    # seen set holds canonical keys (no fragments/params)
+    seen = [r.url for r in canon.seen_pages.collect()]
+    assert not any("#" in u or "utm_" in u for u in seen)
+
+    plain = GreedyCrawl(spark, pages, CrawlConfig(max_rounds=2)).run(seeds)
+    # raw-keyed parity mode crawls all three spellings of /p/k
+    assert plain.order.count() == 4 + 16
