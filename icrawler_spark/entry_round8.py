@@ -470,6 +470,55 @@ SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
 """
 
 
+# ---------------------------------------------------------------------------
+# warc_write — WARC/1.0 export records from fetched pages
+# ---------------------------------------------------------------------------
+
+def q_warc_write(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.to_warc_records: render fetched pages as WARC/1.0
+    response records (the export counterpart of http_headers' parse
+    direction). Bodies carry a newline and a non-ASCII char so the
+    Content-Length check is byte semantics, not characters."""
+    from icrawler_spark.operators.warc import to_warc_records
+
+    ev = _events(spark, sf)
+    pages = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p/"), F.col("event_id").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("page body "), F.col("event_id").cast("string"),
+                 F.lit("\né")).alias("body"),
+        F.col("ts").alias("warc_ts"))
+    return to_warc_records(pages)
+
+
+_WARC_WRITE_SQL = """
+WITH pages AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || event_id AS url,
+         'page body ' || event_id || chr(10) || 'é' AS body,
+         ts AS warc_ts
+  FROM events
+), rendered AS (
+  SELECT url, body,
+         strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+         '<urn:uuid:' || md5(url || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ'))
+           || '>' AS record_id,
+         octet_length(encode(body)) AS clen
+  FROM pages
+)
+SELECT url, record_id, CAST(clen AS BIGINT) AS content_length,
+       'WARC/1.0' || chr(13) || chr(10)
+       || 'WARC-Type: response' || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+       || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+       || 'WARC-Record-ID: ' || record_id || chr(13) || chr(10)
+       || 'Content-Type: text/html' || chr(13) || chr(10)
+       || 'Content-Length: ' || clen || chr(13) || chr(10)
+       || chr(13) || chr(10) || body AS record
+FROM rendered
+"""
+
+
 def queries8():
     return {
         "robots_sitemaps": q_robots_sitemaps,
@@ -481,6 +530,7 @@ def queries8():
         "url_canonical": q_url_canonical,
         "ccnet_tiers": q_ccnet_tiers,
         "crawl_canonical": q_crawl_canonical,
+        "warc_write": q_warc_write,
     }
 
 
@@ -495,6 +545,7 @@ def oracle_sql8():
         "url_canonical": _CANON_SQL,
         "ccnet_tiers": _CCNET_SQL,
         "crawl_canonical": _crawl_canonical_sql(),
+        "warc_write": _WARC_WRITE_SQL,
     }
 
 

@@ -122,3 +122,51 @@ def anchor_texts(
                     F.col("e.href").alias("href"),
                     F.trim(F.regexp_replace("e.t", r"<[^>]*>", " "))
                     .alias("anchor_text")))
+
+
+# ---------------------------------------------------------------------------
+# WARC serialization (the export direction: typed rows → WARC/1.0 records).
+#
+# A crawl that feeds downstream Common-Crawl-style consumers must WRITE the
+# standard interchange format, not only read it. This renders each fetched
+# page as a WARC response record (WARC/1.0 required named fields: WARC-Type,
+# WARC-Target-URI, WARC-Date, WARC-Record-ID, Content-Length) — pure JVM
+# string exprs that fuse into the results scan; the caller writes the one
+# `record` column with text/binary sinks, partitioned however the archive
+# is sharded. Record IDs derive from md5(url, ts) — deterministic, so
+# re-exports are idempotent and two engines agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+def to_warc_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, body, warc_ts) → (url, record_id, content_length, record).
+
+    ``record`` is the full WARC/1.0 response record (header block + CRLF
+    CRLF + body). ``content_length`` counts body BYTES (utf-8), per spec —
+    not characters. Timestamps render as ISO-8601 Zulu with second
+    precision (the WARC-Date grammar)."""
+    url = F.col(url_col)
+    body = F.col(body_col)
+    wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    # record identity = target URI + WARC-Date (the rendered second-precision
+    # string, NOT the raw timestamp cast — engines disagree on fractional
+    # rendering, the WARC grammar doesn't carry it anyway)
+    rec_id = F.concat(F.lit("<urn:uuid:"),
+                      F.md5(F.concat_ws("", url, wdate)), F.lit(">"))
+    clen = F.length(F.encode(body, "utf-8"))
+    crlf = "\r\n"
+    header = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: "), url,
+        F.lit(crlf + "WARC-Date: "), wdate,
+        F.lit(crlf + "WARC-Record-ID: "), rec_id,
+        F.lit(crlf + "Content-Type: text/html" + crlf + "Content-Length: "),
+        clen.cast("string"))
+    return pages.select(
+        url.alias("url"), rec_id.alias("record_id"),
+        clen.cast("long").alias("content_length"),
+        F.concat(header, F.lit(crlf + crlf), body).alias("record"))

@@ -256,6 +256,32 @@ def test_quantile_tiers_equal_counts_per_group(spark):
     assert dict(de)[105] == 1 and dict(de)[100] == 3
 
 
+def test_to_warc_records_spec_fields_and_byte_length(spark):
+    import datetime
+
+    from icrawler_spark.operators.warc import to_warc_records
+
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [("http://h.test/p", "héllo\nworld", ts)],
+        ["url", "body", "warc_ts"])
+    r = to_warc_records(df).first()
+    # Content-Length is BYTES: é is 2 bytes in utf-8 -> 11 chars, 12 bytes
+    assert r.content_length == 12
+    head, body = r.record.split("\r\n\r\n", 1)
+    assert body == "héllo\nworld"
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    fields = dict(ln.split(": ", 1) for ln in lines[1:])
+    assert fields["WARC-Type"] == "response"
+    assert fields["WARC-Target-URI"] == "http://h.test/p"
+    assert fields["WARC-Date"] == "2026-01-02T03:04:05Z"
+    assert fields["Content-Length"] == "12"
+    assert fields["WARC-Record-ID"] == r.record_id
+    # deterministic: same row -> same record id (idempotent re-export)
+    assert to_warc_records(df).first().record_id == r.record_id
+
+
 def test_crawl_canonical_seen_collapses_variants(spark):
     from pyspark.sql import functions as FF
     from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
