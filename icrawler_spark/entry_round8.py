@@ -471,6 +471,76 @@ SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
 
 
 # ---------------------------------------------------------------------------
+# politeness_groups — shared token buckets across same-pod hosts
+# ---------------------------------------------------------------------------
+
+_PG_HOSTS = 12
+_PG_ROUND_S = 10.0  # round_ms = 10000
+
+
+def q_politeness_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """robots_politeness_mark with host_groups: pods {h0,h1,h2} and
+    {h3,h4,h5} each share ONE bucket capped at the most restrictive member
+    (min slots, NULL = uncapped member ignored); h6-h10 keep per-host
+    buckets; h11 is robots-disallowed outright. Covers the min-over-group,
+    NULL-slot and disallow interactions in one table."""
+    from icrawler_spark.operators.politeness import robots_politeness_mark
+
+    ev = _events(spark, sf).select("event_id", "user_id")
+    hid = F.col("user_id") % _PG_HOSTS
+    frontier = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".test/p/"),
+                 F.col("event_id").cast("string")).alias("url"))
+    hosts = spark.range(_PG_HOSTS)
+    k = F.col("id")
+    robots = hosts.select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".test")).alias("host"),
+        F.when(k % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(((k % 4 + 1) * 1000).cast("long")).alias("crawl_delay_ms"),
+        F.when(k == 11, F.array(F.lit("/p")))
+        .otherwise(F.array().cast("array<string>")).alias("disallow_prefixes"))
+    groups = (hosts.filter(k < 6)
+              .select(F.concat(F.lit("h"), k.cast("string"),
+                               F.lit(".test")).alias("host"),
+                      F.concat(F.lit("pod"), (k / 3).cast("long").cast("string"))
+                      .alias("grp")))
+    marked = robots_politeness_mark(frontier, robots, _PG_ROUND_S,
+                                    ["event_id"], host_groups=groups)
+    return marked.select("event_id", "url", F.col("__take").alias("take"))
+
+
+_PG_SQL = f"""
+WITH fr AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         'http://h' || (user_id % {_PG_HOSTS}) || '.test/p/' || event_id AS url,
+         'h' || (user_id % {_PG_HOSTS}) || '.test' AS host,
+         (user_id % {_PG_HOSTS}) AS hid
+  FROM events
+), allowed AS (
+  SELECT * FROM fr WHERE hid <> 11   -- h11: Disallow /p drops every row
+), slots AS (
+  SELECT hid,
+         CASE WHEN hid % 5 = 0 THEN NULL
+              ELSE greatest(1, CAST(floor(10000.0 / ((hid % 4 + 1) * 1000))
+                               AS BIGINT)) END AS slots,
+         CASE WHEN hid < 6 THEN 'pod' || (hid // 3) ELSE 'h' || hid || '.test'
+           END AS bucket
+  FROM (SELECT DISTINCT hid FROM fr)
+), bucketed AS (
+  SELECT a.event_id, a.url, s.bucket,
+         min(s.slots) OVER (PARTITION BY s.bucket) AS bslots
+  FROM allowed a JOIN slots s USING (hid)
+)
+SELECT event_id, url,
+       (bslots IS NULL OR
+        row_number() OVER (PARTITION BY bucket ORDER BY event_id) <= bslots)
+         AS take
+FROM bucketed
+"""
+
+
+# ---------------------------------------------------------------------------
 # warc_write — WARC/1.0 export records from fetched pages
 # ---------------------------------------------------------------------------
 
@@ -531,6 +601,7 @@ def queries8():
         "ccnet_tiers": q_ccnet_tiers,
         "crawl_canonical": q_crawl_canonical,
         "warc_write": q_warc_write,
+        "politeness_groups": q_politeness_groups,
     }
 
 
@@ -546,6 +617,7 @@ def oracle_sql8():
         "ccnet_tiers": _CCNET_SQL,
         "crawl_canonical": _crawl_canonical_sql(),
         "warc_write": _WARC_WRITE_SQL,
+        "politeness_groups": _PG_SQL,
     }
 
 

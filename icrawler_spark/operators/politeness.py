@@ -93,6 +93,7 @@ def robots_politeness_mark(
     round_seconds: float | None,
     order_cols: list[str],
     url_col: str = "url",
+    host_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Fused ``apply_robots`` + token-bucket MARK: ONE host parse and ONE
     broadcast robots join carrying both ``disallow_prefixes`` and the slot
@@ -101,7 +102,14 @@ def robots_politeness_mark(
     the caller fuses the take/defer split into its next shuffle (the crawl
     round feeds this straight into ``budget.rank_split``, so one
     range-partition checkpoint serves split, count, measure and rank).
-    With ``round_seconds=None`` every surviving row is ``__take`` = true."""
+    With ``round_seconds=None`` every surviving row is ``__take`` = true.
+
+    ``host_groups`` (host, grp) shares ONE token bucket across grouped
+    hosts — the shared-IP / same-origin-pod case where per-host delays
+    would still hammer one server. The group's slot cap is the MOST
+    RESTRICTIVE member's (min slots over the group's hosts present this
+    round); ungrouped hosts keep their own bucket. Same single broadcast
+    join shape — the groups table is hosts-sized."""
     f = with_host(frontier, url_col, "__host")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     side = [F.col("host").alias("__host"), "disallow_prefixes"]
@@ -119,7 +127,20 @@ def robots_politeness_mark(
     cols = frontier.columns
     if round_seconds is None:
         return j.select(*cols, F.lit(True).alias("__take"))
-    w = Window.partitionBy("__host").orderBy(*[F.col(c).asc() for c in order_cols])
+    if host_groups is not None:
+        g = F.broadcast(host_groups.select(F.col("host").alias("__host"),
+                                           F.col("grp").alias("__grp")))
+        j = (j.join(g, "__host", "left")
+             .withColumn("__bucket", F.coalesce("__grp", F.col("__host"))))
+        wb = Window.partitionBy("__bucket")
+        # a NULL member slot (no crawl-delay for some host) means that host
+        # is uncapped — but the GROUP cap is the most restrictive member,
+        # so NULLs are ignored by min(); all-NULL groups stay uncapped
+        j = j.withColumn("__slots", F.min("__slots").over(wb))
+        w = wb.orderBy(*[F.col(c).asc() for c in order_cols])
+    else:
+        w = Window.partitionBy("__host").orderBy(
+            *[F.col(c).asc() for c in order_cols])
     take = (F.col("__slots").isNull()
             | (F.row_number().over(w) <= F.col("__slots")))
     return j.select(*cols, take.alias("__take"))

@@ -85,6 +85,11 @@ class CrawlConfig:
     # holds canonical keys. Off by default — reference parity hashes the
     # raw string (cached_queue.py:43-44)
     canonical_seen: bool = False
+    # shared token buckets (operators/politeness.robots_politeness_mark):
+    # a (host, grp) table — grouped hosts (same IP / origin pod) share one
+    # politeness bucket capped at the most restrictive member's slots.
+    # Only meaningful with robots + round_seconds set
+    host_groups: DataFrame | None = None
     # crawler-trap gate (functions/urls.trap_flags): frontier URLs whose
     # trap score (# of independent detectors firing: loops, session ids,
     # calendar pagination, param explosions, depth, length) reaches this
@@ -617,7 +622,8 @@ class GreedyCrawl:
                 # sort after every taken row and are cheap projections over
                 # the same pinned partitions.
                 marked = robots_politeness_mark(
-                    frontier_r, cfg.robots, cfg.round_seconds, order_cols)
+                    frontier_r, cfg.robots, cfg.round_seconds, order_cols,
+                    host_groups=cfg.host_groups)
                 ranked_all, n_visit, batch_chars = rank_split(
                     marked, order_cols, "__take", "visit_rank",
                     start=visited, measure_len_col="url",

@@ -135,3 +135,52 @@ def test_robots_matches_stdlib_robotparser(spark, groups, queries):
         got_delay = row["crawl_delay_ms"]
         assert (got_delay is None and exp_delay is None) or \
             got_delay == exp_delay * 1000, (agent, body)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence + trap-score stability (round 3)
+# ---------------------------------------------------------------------------
+
+_path_seg = st.text(alphabet="abp019", min_size=1, max_size=4)
+_param = st.tuples(
+    st.sampled_from(["a", "b", "id", "q", "utm_source", "utm_x", "gclid"]),
+    st.text(alphabet="xy12", min_size=1, max_size=3)).map(lambda kv: f"{kv[0]}={kv[1]}")
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Http"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = draw(_host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_path_seg, max_size=4))
+    slashes = draw(st.sampled_from(["/", "//"]))
+    trailing = draw(st.sampled_from(["", "/", "//"]))
+    params = draw(st.lists(_param, max_size=4))
+    frag = draw(st.sampled_from(["", "#x", "#a/b?c=1"]))
+    path = "".join(slashes + s for s in segs)
+    q = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{www}{host}{port}{path}{trailing}{q}{frag}"
+
+
+@given(urls=st.lists(_urls(), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_canonicalize_url_idempotent_and_stable(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u), output never has a
+    fragment/tracking param, and scheme+host are lowercase."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url", canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2")).collect()
+    for r in out:
+        assert r.c2 == r.c1, (r.url, r.c1, r.c2)
+        assert "#" not in r.c1 and "utm_" not in r.c1 and "gclid" not in r.c1
+        scheme, rest = r.c1.split("://", 1)
+        assert scheme == scheme.lower()
+        hostpart = rest.split("/", 1)[0].split("?", 1)[0]
+        assert hostpart == hostpart.lower()
+        assert not hostpart.startswith("www.")

@@ -313,3 +313,25 @@ def test_crawl_canonical_seen_collapses_variants(spark):
     plain = GreedyCrawl(spark, pages, CrawlConfig(max_rounds=2)).run(seeds)
     # raw-keyed parity mode crawls all three spellings of /p/k
     assert plain.order.count() == 4 + 16
+
+
+def test_politeness_host_groups_share_bucket(spark):
+    from pyspark.sql import functions as FF
+    from icrawler_spark.operators.politeness import robots_politeness_mark
+
+    rows = [(i, f"http://h{i % 2}.test/p/{i}") for i in range(10)]
+    frontier = spark.createDataFrame(rows, ["event_id", "url"])
+    robots = spark.createDataFrame(
+        [("h0.test", 5000, []), ("h1.test", 2500, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    groups = spark.createDataFrame([("h0.test", "pod"), ("h1.test", "pod")],
+                                   ["host", "grp"])
+    # round 10s: h0 alone -> 2 slots, h1 alone -> 4 slots
+    ungrouped = robots_politeness_mark(frontier, robots, 10.0, ["event_id"])
+    taken_u = [r.event_id for r in ungrouped.filter("__take").collect()]
+    assert sorted(taken_u) == [0, 1, 2, 3, 5, 7]  # h0: 0,1 / h1: 1,3,5,7
+    # grouped: ONE bucket capped at min(2, 4) = 2 across BOTH hosts
+    grouped = robots_politeness_mark(frontier, robots, 10.0, ["event_id"],
+                                     host_groups=groups)
+    taken_g = sorted(r.event_id for r in grouped.filter("__take").collect())
+    assert taken_g == [0, 1]
