@@ -141,7 +141,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
 
 def tfidf_top_terms(df: DataFrame, group_col: str = "host",
                     text_col: str = "text", k: int = 3,
-                    min_term_len: int = 3) -> DataFrame:
+                    min_term_len: int = 3, pin: bool = True) -> DataFrame:
     """Top-k TF-IDF terms per group: (group, term, tf, df, score, rank).
 
     - tf = term occurrences within the group (all docs concatenated);
@@ -164,6 +164,11 @@ def tfidf_top_terms(df: DataFrame, group_col: str = "host",
             .where(F.length("term") >= min_term_len))
     n_groups = toks.select("grp").distinct().count()
     tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    # tf feeds the df agg AND the score join: pin it so the explode+count
+    # shuffle over the raw corpus (the heavy stage) runs once, not twice.
+    # The pinned frame is vocabulary×groups-sized — tiny next to the corpus
+    if pin:
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (tf.join(dfreq, "term")
               .withColumn(

@@ -43,6 +43,7 @@ def mirror_host_pairs(
     hash_col: str = "content_hash",
     min_jaccard: float = 0.5,
     max_hash_hosts: int = 50,
+    pin: bool = True,
 ) -> DataFrame:
     """(host, content_hash)+ → (host_a, host_b, shared, size_a, size_b,
     jaccard) for pairs with jaccard ≥ min_jaccard, host_a < host_b.
@@ -56,10 +57,20 @@ def mirror_host_pairs(
                        F.col(hash_col).alias("h"))
           .where(F.col("h").isNotNull())
           .distinct())
+    # hs feeds the frequency count AND the prune join; pruned feeds both
+    # join sides AND the size agg. Without pinning, Spark recomputes the
+    # distinct shuffle (the heaviest stage at 10^10 pages) for every
+    # reference — measured 22 exchanges vs 7 pinned on the same query, with
+    # zero ReusedExchange. pin=False restores the fully-lazy plan for
+    # callers that compose further before executing.
+    if pin:
+        hs = hs.localCheckpoint(eager=True)
     rare = (hs.groupBy("h").agg(F.count("*").alias("nh"))
             .where(F.col("nh") <= max_hash_hosts)
             .select("h"))
     pruned = hs.join(rare, "h", "left_semi")
+    if pin:
+        pruned = pruned.localCheckpoint(eager=True)
     sizes = pruned.groupBy("host").agg(F.count("*").alias("size"))
     a = pruned.select(F.col("host").alias("host_a"), "h")
     b = pruned.select(F.col("host").alias("host_b"), "h")
