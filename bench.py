@@ -188,7 +188,7 @@ _EXTRA_PICKS = [
     "srp_neardup", "proxy_feedback", "strip_boilerplate",
     "robots_sitemaps", "url_traps", "mirror_hosts", "tfidf_hosts",
     "token_budget", "url_canonical", "ccnet_tiers", "crawl_canonical",
-    "warc_write", "politeness_groups",
+    "warc_write", "politeness_groups", "cdx_index", "corpus_mix",
 ]
 
 

@@ -589,6 +589,125 @@ FROM rendered
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_mix — weighted multi-source token-budget mixing
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 5.0, "src1": 3.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 2_000   # each source holds ~1350 tokens at every sf (25 docs)
+                      # -> every share binds
+
+
+def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mix_by_token_budget: 5/3/1/1 target mix over four
+    sources under one global token budget — largest-remainder share split
+    (exact total), then each source's best docs by the deterministic
+    priority up to its share."""
+    from icrawler_spark.operators.corpus import mix_by_token_budget
+
+    docs = _docs(spark, sf).where(
+        F.col("source").isin(list(_MIX_WEIGHTS))).select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.regexp_replace(F.regexp_replace(
+            F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")), " "))
+        .cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * _TB_MULT) % _TB_MOD).alias("priority"))
+    out = mix_by_token_budget(docs, _MIX_WEIGHTS, _MIX_BUDGET,
+                              ["priority", "doc_id"])
+    return out.select("doc_id", "source", "n_tokens",
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"),
+                      "alloc_tokens")
+
+
+def _corpus_mix_sql() -> str:
+    from icrawler_spark.operators.corpus import allocate_by_weights
+
+    allocs = allocate_by_weights(_MIX_WEIGHTS, _MIX_BUDGET)
+    vals = ", ".join(f"('{s}', {a})" for s, a in sorted(allocs.items()))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+         (doc_id * {_TB_MULT}) % {_TB_MOD} AS priority
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM docs
+), alloc(source, alloc_tokens) AS (VALUES {vals})
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens
+FROM cum JOIN alloc USING (source)
+WHERE cum_tokens <= alloc_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdx_index — CDX lookup-index rows over variant-spelled captures
+# ---------------------------------------------------------------------------
+
+def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.to_cdx_records: the archive lookup index. SURT keys
+    derive from the CANONICAL url (same key the canonical_seen crawl dedup
+    uses), so the six spelling variants of one page share one surt while
+    keeping their own raw url + capture timestamp rows."""
+    from icrawler_spark.operators.warc import to_cdx_records
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts")
+    e = F.col("event_id")
+    h = (F.col("user_id") % 10).cast("string")
+    p = (e % 50).cast("string")
+    kind = e % 6
+    url = (
+        F.when(kind == 1, F.concat(F.lit("HTTP://WWW.h"), h, F.lit(".test/p/"),
+                                   p, F.lit("#frag")))
+        .when(kind == 2, F.concat(F.lit("http://h"), h, F.lit(".test:80/p/"),
+                                  p, F.lit("/")))
+        .when(kind == 3, F.concat(F.lit("http://h"), h, F.lit(".test/p/"), p,
+                                  F.lit("?utm_source=x&b=2&a=1")))
+        .when(kind == 4, F.concat(F.lit("https://h"), h, F.lit(".test:443/p/"),
+                                  p, F.lit("?b=2&a=1")))
+        .when(kind == 5, F.concat(F.lit("http://h"), h, F.lit(".test//p//"), p))
+        .otherwise(F.concat(F.lit("http://h"), h, F.lit(".test/p/"), p)))
+    pages = ev.select(url.alias("url"),
+                      F.concat(F.lit("body "), e.cast("string")).alias("body"),
+                      F.col("ts").alias("warc_ts"))
+    return to_cdx_records(pages)
+
+
+def _cdx_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT
+    CASE
+      WHEN event_id % 6 = 1 THEN 'HTTP://WWW.h' || (user_id % 10) || '.test/p/' || (event_id % 50) || '#frag'
+      WHEN event_id % 6 = 2 THEN 'http://h' || (user_id % 10) || '.test:80/p/' || (event_id % 50) || '/'
+      WHEN event_id % 6 = 3 THEN 'http://h' || (user_id % 10) || '.test/p/' || (event_id % 50) || '?utm_source=x&b=2&a=1'
+      WHEN event_id % 6 = 4 THEN 'https://h' || (user_id % 10) || '.test:443/p/' || (event_id % 50) || '?b=2&a=1'
+      WHEN event_id % 6 = 5 THEN 'http://h' || (user_id % 10) || '.test//p//' || (event_id % 50)
+      ELSE 'http://h' || (user_id % 10) || '.test/p/' || (event_id % 50)
+    END AS url,
+    'body ' || event_id AS body, ts
+  FROM events
+), canoned AS (
+  SELECT url, body, ts, """ + _canon_expr("url") + """ AS canon FROM pages
+), parts AS (
+  SELECT url, body, ts,
+         regexp_extract(canon, '^https?://([^/?]*)', 1) AS host,
+         regexp_replace(canon, '^https?://[^/?]*', '') AS pathq
+  FROM canoned
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')' || pathq AS surt,
+       strftime(ts, '%Y%m%d%H%M%S') AS ts,
+       url, md5(body) AS digest,
+       CAST(octet_length(encode(body)) AS BIGINT) AS length
+FROM parts
+"""
+
+
 def queries8():
     return {
         "robots_sitemaps": q_robots_sitemaps,
@@ -602,6 +721,8 @@ def queries8():
         "crawl_canonical": q_crawl_canonical,
         "warc_write": q_warc_write,
         "politeness_groups": q_politeness_groups,
+        "cdx_index": q_cdx_index,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -618,6 +739,8 @@ def oracle_sql8():
         "crawl_canonical": _crawl_canonical_sql(),
         "warc_write": _WARC_WRITE_SQL,
         "politeness_groups": _PG_SQL,
+        "cdx_index": _cdx_sql(),
+        "corpus_mix": _corpus_mix_sql(),
     }
 
 

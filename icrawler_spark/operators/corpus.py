@@ -327,3 +327,47 @@ def select_by_token_budget(
     cum, _total = _budget.ordered_prefix_sum(
         docs, order_cols, token_col, out_col="cum_tokens")
     return cum.where(F.col("cum_tokens") <= int(budget_tokens))
+
+
+def allocate_by_weights(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder split of an integer total across weighted keys —
+    sum(alloc) == total exactly; deterministic tiebreak on the key. Pure
+    config-side math (the weights are a mixing recipe, not data), so both
+    engines and the oracle see literal per-source budgets."""
+    tw = float(sum(weights.values()))
+    base = {s: int(total * w / tw) for s, w in weights.items()}
+    rem = total - sum(base.values())
+    by_frac = sorted(weights,
+                     key=lambda s: (-(total * weights[s] / tw - base[s]), s))
+    for s in by_frac[:rem]:
+        base[s] += 1
+    return base
+
+
+def mix_by_token_budget(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Assemble a training mix: split ``budget_tokens`` across sources by
+    the target ``weights`` (largest remainder, exact total), then take each
+    source's best documents (``order_cols`` order) up to its share via the
+    greedy prefix cut. A source with fewer tokens than its share simply
+    delivers what it has (under-fill is reported, not silently rebalanced —
+    rebalancing is a policy decision the caller can iterate on).
+
+    Scale shape: one two-phase prefix-sum job per source. Sources are a
+    config list (typically < 100), so the job count is bounded by the
+    recipe, not the data; each per-source cut is fully distributed. Output
+    adds ``cum_tokens`` and the source's ``alloc_tokens``."""
+    allocs = allocate_by_weights(weights, int(budget_tokens))
+    out = None
+    for s in sorted(allocs):
+        sub = docs.where(F.col(source_col) == s)
+        kept = select_by_token_budget(sub, allocs[s], order_cols, token_col) \
+            .withColumn("alloc_tokens", F.lit(allocs[s]).cast("long"))
+        out = kept if out is None else out.unionByName(kept)
+    return out

@@ -170,3 +170,36 @@ def to_warc_records(
         url.alias("url"), rec_id.alias("record_id"),
         clen.cast("long").alias("content_length"),
         F.concat(header, F.lit(crlf + crlf), body).alias("record"))
+
+
+def to_cdx_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, body, warc_ts) → CDX index rows (surt, ts, url, digest, length)
+    — the lookup index Common-Crawl-style archives publish next to their
+    WARCs, so consumers can find a capture without scanning records.
+
+    ``surt`` is the Sort-friendly URI Reordering Transform of the CANONICAL
+    url (functions/urls.canonicalize_url — the same key the seen set uses,
+    so index lookups and crawl dedup agree): reversed host labels joined by
+    commas, then ')' + path + query. ``ts`` is the CDX 14-digit timestamp;
+    ``digest`` is md5 of the body. Pure column exprs; an archive writer
+    sorts by (surt, ts) — a range partition, not a global window."""
+    from icrawler_spark.functions.urls import canonicalize_url
+
+    canon = canonicalize_url(url_col)
+    host = F.regexp_extract(canon, r"^https?://([^/?]*)", 1)
+    pathq = F.regexp_replace(canon, r"^https?://[^/?]*", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), pathq)
+    return pages.select(
+        surt.alias("surt"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(body_col)).alias("digest"),
+        F.length(F.encode(F.col(body_col), "utf-8")).cast("long")
+        .alias("length"))

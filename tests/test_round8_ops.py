@@ -335,3 +335,45 @@ def test_politeness_host_groups_share_bucket(spark):
                                      host_groups=groups)
     taken_g = sorted(r.event_id for r in grouped.filter("__take").collect())
     assert taken_g == [0, 1]
+
+
+def test_allocate_by_weights_exact_total():
+    from icrawler_spark.operators.corpus import allocate_by_weights
+
+    allocs = allocate_by_weights({"a": 5.0, "b": 3.0, "c": 1.0, "d": 1.0}, 2000)
+    assert sum(allocs.values()) == 2000
+    assert allocs == {"a": 1000, "b": 600, "c": 200, "d": 200}
+    # remainder goes to the largest fractional parts, key tiebreak
+    allocs = allocate_by_weights({"a": 1.0, "b": 1.0, "c": 1.0}, 100)
+    assert sum(allocs.values()) == 100 and sorted(allocs.values()) == [33, 33, 34]
+
+
+def test_mix_by_token_budget_respects_shares(spark):
+    from icrawler_spark.operators.corpus import mix_by_token_budget
+
+    rows = [(i, "a" if i < 30 else "b", 10) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = mix_by_token_budget(docs, {"a": 3.0, "b": 1.0}, 200, ["doc_id"])
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 15, "b": 5}  # 150/50 token shares at 10 tokens/doc
+    # under-filled source: delivers what it has, no silent rebalance
+    out2 = mix_by_token_budget(docs, {"a": 1.0, "b": 1.0}, 1000, ["doc_id"])
+    per2 = {r["source"]: r["n"] for r in
+            out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per2 == {"a": 30, "b": 30}
+
+
+def test_to_cdx_records_surt_from_canonical(spark):
+    import datetime
+
+    from icrawler_spark.operators.warc import to_cdx_records
+
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [("HTTP://WWW.news.example.com:80/a/b?utm_source=x&z=1", "body", ts)],
+        ["url", "body", "warc_ts"])
+    r = to_cdx_records(df).first()
+    assert r.surt == "com,example,news)/a/b?z=1"
+    assert r.ts == "20260102030405"
+    assert r.length == 4
