@@ -189,6 +189,9 @@ _EXTRA_PICKS = [
     "robots_sitemaps", "url_traps", "mirror_hosts", "tfidf_hosts",
     "token_budget", "url_canonical", "ccnet_tiers", "crawl_canonical",
     "warc_write", "politeness_groups", "cdx_index", "corpus_mix",
+    # round-3 batch-3 (fetch fidelity)
+    "redirect_resolve", "crawl_redirects", "content_sniff", "soft404",
+    "canonical_cluster", "editdist_verify", "crawl_report",
 ]
 
 

@@ -22,7 +22,7 @@ from icrawler_spark.functions.text import (
 )
 from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round5, entry_round6, entry_round7,
-                            entry_round8)
+                            entry_round8, entry_round9)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -797,6 +797,7 @@ def queries():
         **entry_round6.queries6(),
         **entry_round7.queries7(),
         **entry_round8.queries8(),
+        **entry_round9.queries9(),
     }
 
 
@@ -837,4 +838,5 @@ def oracle_sql():
         **entry_round6.oracle_sql6(),
         **entry_round7.oracle_sql7(),
         **entry_round8.oracle_sql8(),
+        **entry_round9.oracle_sql9(),
     }

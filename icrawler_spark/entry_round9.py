@@ -1,0 +1,514 @@
+"""Round-3 driver-contract queries (batch 3): the fetch-side fidelity pack —
+redirect-chain resolution (standalone + wired into the crawl loop), magic-byte
+content sniffing, soft-404 detection, declared-canonical clustering,
+edit-distance verification of blocked candidate pairs, and a multi-level
+crawl report rollup.
+
+Same discipline as every entry module: the Spark plan and the DuckDB oracle
+are fed by the same Python constants, and every computed column is aliased
+identically on both sides so the driver's sorted-column value hash compares
+apples to apples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.text import soft404_flags, soft404_score
+from icrawler_spark.operators.redirects import resolve_chains
+from icrawler_spark.operators.warc import canonical_clusters, sniff_content_type
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# redirect_resolve — pointer-doubled 3xx chain resolution
+# ---------------------------------------------------------------------------
+
+_RD_CHAINS = 16          # distinct chains derived from events
+_RD_MAX_HOPS = 10        # requests' give-up analogue (TooManyRedirects)
+_RD_EXTRA = [            # hand-placed corner cases, same rows both sides
+    ("http://l.test/x", "http://l.test/y"),   # 2-cycle
+    ("http://l.test/y", "http://l.test/x"),
+    ("http://s.test/z", "http://s.test/z"),   # self-loop
+    ("http://a.test", "http://c0.test/r0"),   # hop INTO chain 0
+]
+
+
+def _redirect_edges(spark, sf) -> DataFrame:
+    """Chain i (i = user_id % 16) has (i % 14) + 1 edges r0->r1->...; lengths
+    1..14 straddle the max-hops boundary on both sides (chains needing 11-14
+    hops from their head are too_deep, exactly-10 resolves). Plus the
+    hand-placed cycle/self-loop/cross-chain rows."""
+    hids = (_events(spark, sf)
+            .select((F.col("user_id") % _RD_CHAINS).cast("long").alias("hid"))
+            .distinct())
+    edges = (hids
+             .withColumn("j", F.explode(F.sequence(
+                 F.lit(0), (F.col("hid") % 14).cast("int"))))
+             .select(
+                 F.concat(F.lit("http://c"), F.col("hid").cast("string"),
+                          F.lit(".test/r"), F.col("j").cast("string"))
+                 .alias("src"),
+                 F.concat(F.lit("http://c"), F.col("hid").cast("string"),
+                          F.lit(".test/r"), (F.col("j") + 1).cast("string"))
+                 .alias("location")))
+    extra = spark.createDataFrame(_RD_EXTRA, "src string, location string")
+    return edges.unionByName(extra)
+
+
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/redirects.resolve_chains over the synthesized map: every
+    chain's terminal URL + exact hop count, with loops and >10-hop chains
+    reported too_deep at the give-up point — what requests does inside
+    session.get for the reference (utils/session.py:29-59), made explicit
+    for a batch engine fetching from a pages/WARC table."""
+    return resolve_chains(_redirect_edges(spark, sf), max_hops=_RD_MAX_HOPS)
+
+
+def _redirect_edges_sql() -> str:
+    extras = "\n  ".join(
+        f"UNION ALL SELECT '{s}' AS src, '{d}' AS location" for s, d in _RD_EXTRA)
+    return f"""
+hids AS (
+  SELECT DISTINCT CAST(user_id % {_RD_CHAINS} AS BIGINT) AS hid FROM events
+),
+chain_edges AS (
+  SELECT 'http://c' || hid || '.test/r' || j AS src,
+         'http://c' || hid || '.test/r' || (j + 1) AS location
+  FROM (SELECT hid, unnest(range(0, (hid % 14) + 1)) AS j FROM hids)
+),
+edges AS (
+  SELECT src, location FROM chain_edges
+  {extras}
+)"""
+
+
+_Q_REDIRECT_SQL = f"""
+WITH RECURSIVE {_redirect_edges_sql()},
+m AS (SELECT src, min(location) AS dst FROM edges GROUP BY src),
+walk AS (
+  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM m
+  UNION ALL
+  SELECT w.src, m.dst, w.hops + 1 FROM walk w JOIN m ON m.src = w.dst
+  WHERE w.hops < 20
+),
+term AS (
+  SELECT w.src, w.dst, w.hops FROM walk w
+  WHERE w.dst NOT IN (SELECT src FROM m)
+)
+SELECT m.src AS src,
+  CASE WHEN t.hops IS NOT NULL AND t.hops <= {_RD_MAX_HOPS}
+       THEN t.dst END AS final_url,
+  CAST(CASE WHEN t.hops IS NOT NULL AND t.hops <= {_RD_MAX_HOPS}
+            THEN t.hops ELSE {_RD_MAX_HOPS} END AS BIGINT) AS hops,
+  CASE WHEN t.hops IS NOT NULL AND t.hops <= {_RD_MAX_HOPS}
+       THEN 'resolved' ELSE 'too_deep' END AS status
+FROM m LEFT JOIN term t ON t.src = m.src
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_redirects — CrawlConfig.redirects wired into the round loop
+# ---------------------------------------------------------------------------
+
+def q_crawl_redirects(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds where seed h2 redirects to tree page h3/p/7 and
+    seed h3 self-loops: h2's fetch returns p/7's body (its children enter
+    round 1 with parent=http://h2.test), h3's fetch misses entirely
+    (TooManyRedirects analogue), and h2/h3's OWN children never enter.
+    Ranks and seen stay keyed on the REQUESTED urls. Returns the order
+    table; the oracle replays the BFS with the fetch join routed through
+    the same redirect map."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    rd = spark.createDataFrame(
+        [("http://h2.test", "http://h3.test/p/7"),
+         ("http://h3.test", "http://h3.test")],
+        "src string, location string")
+    cfg = CrawlConfig(max_rounds=2, redirects=rd)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_redirects_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    # rd0 replays round 0 with the fetch join routed through the redirect
+    # map: h2 parses p/7's emissions (parent stays http://h2.test), h3
+    # (self-loop -> fetch miss) emits nothing. Seeds keep ranks 0..3 — the
+    # redirect gate is fetch-side, never rank-side.
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+rd0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM seeds s
+  JOIN emit e ON e.url = CASE s.url
+      WHEN 'http://h2.test' THEN 'http://h3.test/p/7' ELSE s.url END
+  WHERE s.url <> 'http://h3.test'
+),
+rf1 AS (
+  SELECT target AS url, parent, pos, parent_rank
+  FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM rd0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM seeds)
+  ) WHERE rn = 1
+),
+rv1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM rf1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM rv1
+"""
+
+
+# ---------------------------------------------------------------------------
+# content_sniff — magic-byte MIME detection over binary blobs
+# ---------------------------------------------------------------------------
+
+# (kind = doc_id % 9) -> hex magic prefix; payload is the doc text prefix
+_SNIFF_MAGIC = {
+    0: "1F8B08",              # gzip
+    1: "89504E470D0A1A0A",    # png
+    2: "FFD8FFE0",            # jpeg
+    4: "504B0304",            # zip
+}
+
+
+def _sniff_blobs(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    kind = (F.col("doc_id") % 9).cast("int")
+    payload = F.encode(F.substring("text", 1, 16), "utf-8")
+    pdf = F.encode(F.concat(F.lit("%PDF-1.4\n"),
+                            F.substring("text", 1, 16)), "utf-8")
+    html = F.encode(F.concat(F.lit("  <!DOCTYPE html><p>"),
+                             F.substring("text", 1, 16)), "utf-8")
+    webp = F.concat(F.unhex(F.lit("52494646")), F.encode(F.lit("0000"), "utf-8"),
+                    F.encode(F.lit("WEBP"), "utf-8"), payload)
+    blob = (F.when(kind == 3, pdf)
+             .when(kind == 5, html)
+             .when(kind == 6, payload)
+             .when(kind == 7, webp)
+             .when(kind == 8, F.unhex(F.lit(""))))
+    for k, hx in _SNIFF_MAGIC.items():
+        blob = blob.when(kind == k, F.concat(F.unhex(F.lit(hx)), payload))
+    return d.select("doc_id", kind.alias("kind"), blob.alias("blob"))
+
+
+def q_content_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.sniff_content_type over nine blob shapes (gzip, png,
+    jpeg, pdf, zip, html, plain text, RIFF/WEBP, empty): the trust-no-header
+    check a fetch pipeline runs before routing bytes to a parser — the
+    reference writes response bytes unexamined (downloader.py:150-155).
+    head_hex exposes the actual leading bytes so the oracle verifies the
+    detector against the blob, not just the fixture mapping."""
+    blobs = _sniff_blobs(spark, sf)
+    return (sniff_content_type(blobs, "blob", "mime")
+            .select("doc_id",
+                    F.upper(F.hex(F.substring("blob", 1, 4))).alias("head_hex"),
+                    "mime"))
+
+
+_Q_SNIFF_SQL = """
+WITH blobs AS (
+  SELECT doc_id, CAST(doc_id % 9 AS INT) AS kind,
+    CASE CAST(doc_id % 9 AS INT)
+      WHEN 0 THEN unhex('1F8B08') || encode(substring(text, 1, 16))
+      WHEN 1 THEN unhex('89504E470D0A1A0A') || encode(substring(text, 1, 16))
+      WHEN 2 THEN unhex('FFD8FFE0') || encode(substring(text, 1, 16))
+      WHEN 3 THEN encode('%PDF-1.4' || chr(10) || substring(text, 1, 16))
+      WHEN 4 THEN unhex('504B0304') || encode(substring(text, 1, 16))
+      WHEN 5 THEN encode('  <!DOCTYPE html><p>' || substring(text, 1, 16))
+      WHEN 6 THEN encode(substring(text, 1, 16))
+      WHEN 7 THEN unhex('52494646') || encode('0000') || encode('WEBP')
+                  || encode(substring(text, 1, 16))
+      WHEN 8 THEN unhex('')
+    END AS blob
+  FROM documents
+)
+SELECT doc_id, left(upper(hex(blob)), 8) AS head_hex,
+  CASE
+    WHEN left(upper(hex(blob)), 16) LIKE '89504E470D0A1A0A%' THEN 'image/png'
+    WHEN upper(hex(blob)) LIKE '574152432F%' THEN 'application/warc'
+    WHEN upper(hex(blob)) LIKE '47494638%' THEN 'image/gif'
+    WHEN upper(hex(blob)) LIKE '25504446%' THEN 'application/pdf'
+    WHEN upper(hex(blob)) LIKE '504B0304%' THEN 'application/zip'
+    WHEN upper(hex(blob)) LIKE 'FFD8FF%' THEN 'image/jpeg'
+    WHEN upper(hex(blob)) LIKE '1F8B%' THEN 'application/gzip'
+    WHEN upper(hex(blob)) LIKE '52494646%'
+         AND substring(upper(hex(blob)), 17, 8) = '57454250' THEN 'image/webp'
+    WHEN octet_length(blob) = 0 THEN NULL
+    WHEN kind = 5 THEN 'text/html'
+    ELSE 'text/plain'
+  END AS mime
+FROM blobs
+"""
+
+
+# ---------------------------------------------------------------------------
+# soft404 — HTTP-200-but-error-body detection
+# ---------------------------------------------------------------------------
+
+def _soft404_bodies(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 5).cast("int")
+    body = (F.when(k == 0, F.lit("Error: page not found"))
+             .when(k == 1, F.concat(F.col("text"),
+                                    F.lit(" note: this page does not exist")))
+             .when(k == 2, F.lit("short stub body"))
+             .when(k == 4, F.lit("Error 404 not found"))
+             .otherwise(F.col("text")))
+    return d.select("doc_id", body.alias("body"))
+
+
+def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.soft404_flags over five body shapes: templated error
+    bodies (all three detectors), a long body with an embedded error phrase
+    (phrase only), a short stub (short only), and clean documents (none).
+    A crawler trusting status codes alone corpus-poisons on these — the
+    reference never looks at the body (downloader.py:150-155)."""
+    b = _soft404_bodies(spark, sf)
+    flags = soft404_flags("body")
+    return b.select(
+        "doc_id",
+        flags["phrase"].alias("f_phrase"),
+        flags["short"].alias("f_short"),
+        flags["early_error"].alias("f_early"),
+        soft404_score("body").alias("score"))
+
+
+_Q_SOFT404_SQL = """
+WITH bodies AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'Error: page not found'
+      WHEN 1 THEN text || ' note: this page does not exist'
+      WHEN 2 THEN 'short stub body'
+      WHEN 4 THEN 'Error 404 not found'
+      ELSE text
+    END AS body
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+    (position('page not found' IN lower(body)) > 0
+     OR position('404 not found' IN lower(body)) > 0
+     OR position('does not exist' IN lower(body)) > 0
+     OR position('no longer available' IN lower(body)) > 0
+     OR position('cannot be found' IN lower(body)) > 0) AS f_phrase,
+    (length(trim(body)) = 0
+     OR len(string_split_regex(trim(lower(body)), '\\s+')) < 20) AS f_short,
+    (position('error' IN substring(lower(body), 1, 80)) > 0) AS f_early
+  FROM bodies
+)
+SELECT doc_id, f_phrase, f_short, f_early,
+       CAST(CAST(f_phrase AS INT) + CAST(f_short AS INT)
+            + CAST(f_early AS INT) AS INT) AS score
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical_cluster — declared rel=canonical grouping
+# ---------------------------------------------------------------------------
+
+_CANON_TARGETS = 37
+
+
+def _canon_pages(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    tgt = F.concat(F.lit("http://canon.test/p/"),
+                   (F.col("doc_id") % _CANON_TARGETS).cast("string"))
+    k = (F.col("doc_id") % 3).cast("int")
+    html = (F.when(k == 0, F.concat(
+                F.lit('<html><head><link rel="canonical" href="'), tgt,
+                F.lit('"/></head><body>x</body></html>')))
+             .when(k == 1, F.concat(
+                F.lit('<html><head><link href="'), tgt,
+                F.lit('" rel="canonical"/></head><body>y</body></html>')))
+             .otherwise(F.lit("<html><head><title>t</title></head></html>")))
+    url = F.concat(F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".test/d/"), F.col("doc_id").cast("string"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_canonical_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.canonical_clusters over pages declaring rel=canonical
+    in both attribute orders (and a third that declares none): alias
+    spellings collapse onto the publisher's preferred URL — the
+    content-declared complement of the syntactic canonical_seen key."""
+    return canonical_clusters(_canon_pages(spark, sf), "url", "html")
+
+
+_Q_CANON_SQL = f"""
+WITH pages AS (
+  SELECT 'http://site' || (doc_id % 7) || '.test/d/' || doc_id AS url,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN '<html><head><link rel="canonical" href="http://canon.test/p/'
+                  || (doc_id % {_CANON_TARGETS}) || '"/></head><body>x</body></html>'
+      WHEN 1 THEN '<html><head><link href="http://canon.test/p/'
+                  || (doc_id % {_CANON_TARGETS})
+                  || '" rel="canonical"/></head><body>y</body></html>'
+      ELSE '<html><head><title>t</title></head></html>'
+    END AS html
+  FROM documents
+), declared AS (
+  SELECT url,
+    coalesce(
+      nullif(regexp_extract(html,
+        '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1), ''),
+      nullif(regexp_extract(html,
+        '<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1), '')) AS canonical
+  FROM pages
+)
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_pages, min(url) AS rep_url
+FROM declared WHERE canonical IS NOT NULL
+GROUP BY canonical
+"""
+
+
+# ---------------------------------------------------------------------------
+# editdist_verify — exact verification of blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 24     # blocking key: first chars + length bucket
+_ED_BUCKET = 16
+_ED_PROBE = 64      # levenshtein over capped prefixes bounds per-pair cost
+_ED_THRESH = 8
+
+
+def q_editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate near-dup pairs from cheap blocking (shared text prefix +
+    length bucket), verified with exact edit distance over capped prefixes.
+    This is the VERIFY stage of a near-dup pipeline: at 100 TB the
+    candidates come from minhash_lsh_pairs / simhash blocking, and this
+    operator re-checks each surviving pair with a real distance — the
+    equi-join blocking here stands in for any candidate source, and the
+    prefix cap keeps the per-pair cost constant regardless of doc size.
+    Never an all-pairs cross join."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.col("text"),
+        F.substring("text", 1, _ED_PREFIX).alias("bk"),
+        F.floor(F.length("text") / _ED_BUCKET).cast("long").alias("lb"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+                 "bk", "lb")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+                 "bk", "lb")
+    pairs = (a.join(b, ["bk", "lb"])
+             .filter(F.col("doc_a") < F.col("doc_b")))
+    dist = F.levenshtein(F.substring("ta", 1, _ED_PROBE),
+                         F.substring("tb", 1, _ED_PROBE))
+    return pairs.select(
+        "doc_a", "doc_b",
+        dist.cast("long").alias("dist"),
+        (dist <= _ED_THRESH).alias("is_near"))
+
+
+_Q_EDITDIST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, substring(text, 1, {_ED_PREFIX}) AS bk,
+         length(text) // {_ED_BUCKET} AS lb
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(substring(a.text, 1, {_ED_PROBE}),
+                   substring(b.text, 1, {_ED_PROBE})) AS BIGINT) AS dist,
+  levenshtein(substring(a.text, 1, {_ED_PROBE}),
+              substring(b.text, 1, {_ED_PROBE})) <= {_ED_THRESH} AS is_near
+FROM d a JOIN d b ON a.bk = b.bk AND a.lb = b.lb AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_report — multi-level rollup over the crawl order table
+# ---------------------------------------------------------------------------
+
+def q_crawl_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(host, round) / per-host / grand-total crawl accounting in ONE
+    rollup pass over the order table — the operational report a crawl
+    operator reads after every round (URLs visited, rank high-water mark).
+    Spark lowers rollup to a single expand+agg with map-side partial
+    aggregation; no per-level re-scan. Group keys are never NULL in the
+    data, so NULL unambiguously marks the superaggregate rows."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    cfg = CrawlConfig(max_rounds=2)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    o = res.order.select(
+        F.regexp_extract("url", r"^http://([^/]+)", 1).alias("host"),
+        F.col("round").cast("long").alias("round"),
+        F.col("visit_rank").cast("long").alias("visit_rank"))
+    return (o.rollup("host", "round")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.max("visit_rank").cast("long").alias("max_rank")))
+
+
+def _crawl_report_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+ord AS (
+  SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         CAST(0 AS BIGINT) AS round, visit_rank FROM seeds
+  UNION ALL
+  SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         CAST(1 AS BIGINT) AS round, visit_rank FROM v1
+)
+SELECT host, round, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(max(visit_rank) AS BIGINT) AS max_rank
+FROM ord GROUP BY ROLLUP(host, round)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries9():
+    return {
+        "redirect_resolve": q_redirect_resolve,
+        "crawl_redirects": q_crawl_redirects,
+        "content_sniff": q_content_sniff,
+        "soft404": q_soft404,
+        "canonical_cluster": q_canonical_cluster,
+        "editdist_verify": q_editdist_verify,
+        "crawl_report": q_crawl_report,
+    }
+
+
+def oracle_sql9():
+    return {
+        "redirect_resolve": _Q_REDIRECT_SQL,
+        "crawl_redirects": _crawl_redirects_sql(),
+        "content_sniff": _Q_SNIFF_SQL,
+        "soft404": _Q_SOFT404_SQL,
+        "canonical_cluster": _Q_CANON_SQL,
+        "editdist_verify": _Q_EDITDIST_SQL,
+        "crawl_report": _crawl_report_sql(),
+    }

@@ -205,3 +205,46 @@ def quantile_tiers(df: DataFrame, value_col: str, id_col: str,
     w = (Window.partitionBy(group_col).orderBy(*order) if group_col
          else Window.partitionBy().orderBy(*order))
     return df.withColumn(out_col, F.ntile(n).over(w).cast("long"))
+
+
+# soft-404 detection: pages that return HTTP 200 with an error body. A
+# crawler that trusts status codes alone poisons both its corpus (junk
+# documents) and its link graph (error pages carry nav links). Detectors
+# are substring probes (locate/instr — no regex engine needed, identical
+# semantics in every SQL dialect), so the whole check fuses into the scan.
+_SOFT404_PHRASES = [
+    "page not found",
+    "404 not found",
+    "does not exist",
+    "no longer available",
+    "cannot be found",
+]
+SOFT404_SHORT_TOKENS = 20
+
+
+def soft404_flags(text_col) -> dict[str, "F.Column"]:
+    """Per-detector booleans over a body text column:
+
+    - phrase: a canonical error phrase appears in the lowercased body
+    - short: fewer than SOFT404_SHORT_TOKENS whitespace tokens
+    - early_error: 'error' occurs within the first 80 characters (error
+      templates lead with it; legitimate articles rarely do)
+
+    Mirrors the trap_flags contract (functions/urls.py): independent weak
+    detectors, summed by soft404_score — single detectors have benign
+    false positives, 2+ is the operating point."""
+    t = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    phrase = None
+    for p in _SOFT404_PHRASES:
+        c = F.instr(t, p) > 0
+        phrase = c if phrase is None else (phrase | c)
+    toks = F.size(F.split(F.trim(t), r"\s+"))
+    short = (F.length(F.trim(t)) == 0) | (toks < SOFT404_SHORT_TOKENS)
+    early = (F.instr(F.substring(t, 1, 80), "error") > 0)
+    return {"phrase": phrase, "short": short, "early_error": early}
+
+
+def soft404_score(text_col) -> "F.Column":
+    """Number of independent soft-404 detectors firing (0-3)."""
+    flags = soft404_flags(text_col)
+    return sum(f.cast("int") for f in flags.values()).cast("int")

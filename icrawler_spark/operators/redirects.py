@@ -1,0 +1,129 @@
+"""HTTP redirect-chain resolution — the batch analogue of requests'
+``allow_redirects=True`` that the reference relies on implicitly: every
+``session.get`` in icrawler (parser.py:82-94, downloader.py:95-115,
+utils/session.py:29-59) follows 3xx chains inside the HTTP library, so the
+reference never sees a redirect — it just receives the final body. A
+batch engine fetching from a pages/WARC table sees the 3xx records
+themselves and must resolve chains explicitly before the fetch join.
+
+``resolve_chains`` turns a (src, location) redirect map into a
+(src, final_url, hops, status) resolution table:
+
+- status='resolved': final_url is the first non-redirecting URL reached.
+- status='too_deep': the chain exceeded max_hops (requests raises
+  TooManyRedirects at 30 by default) — final_url is NULL.
+- status='loop': the chain revisits a URL (a->b->a) — requests also
+  surfaces this as TooManyRedirects; final_url is NULL. Detected as a
+  chain that never exits the redirect map within max_hops, i.e. folded
+  into 'too_deep' unless the cycle is shorter than max_hops, in which
+  case hop doubling converges ON the cycle and the terminal URL is still
+  a redirect source — both cases report NULL final_url.
+
+Scale shape: pointer doubling (path halving) — R_{k+1} = R_k composed
+with itself — resolves chains of length <= 2^k in k self-equi-joins on
+the REDIRECT MAP only (never the frontier). A 10^10-URL frontier with a
+redirect map of ~1% of pages does ceil(log2(max_hops)) ~ 5 joins over
+the small map, then ONE left join frontier->resolution. No iteration
+over the frontier, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_HOPS = 10
+
+
+def resolve_chains(redirects: DataFrame, max_hops: int = DEFAULT_MAX_HOPS,
+                   src_col: str = "src", loc_col: str = "location") -> DataFrame:
+    """Resolve every redirect chain in ``redirects`` to its terminal URL.
+
+    Returns (src, final_url, hops, status) with one row per distinct src:
+    final_url NULL iff the chain does not terminate outside the map within
+    ``max_hops`` (status 'too_deep' covers both over-long chains and
+    loops — see module docstring).
+
+    ``hops`` is the number of redirect edges traversed for resolved
+    chains; for unresolved chains it is the (clamped) traversal count at
+    which resolution was abandoned, matching what a sequential follower
+    would have spent before giving up.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (redirects
+             .select(F.col(src_col).cast("string").alias("src"),
+                     F.col(loc_col).cast("string").alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             # a duplicate src (two Location values for one URL) is
+             # nondeterministic input; keep the lexicographically first,
+             # the same tie-break every other keyed operator here uses
+             .groupBy("src").agg(F.min("dst").alias("dst")))
+
+    # R: src -> (dst, hops) where dst is reached after `hops` edges and
+    # every intermediate node is a redirect source. Invariant after k
+    # doublings: chains of length <= 2^k are fully resolved (dst not in
+    # the map) or dst is the 2^k-th hop.
+    r = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    rounds = max(1, math.ceil(math.log2(max_hops))) if max_hops > 1 else 0
+    for i in range(rounds):
+        nxt = r.select(F.col("src").alias("m_src"),
+                       F.col("dst").alias("m_dst"),
+                       F.col("hops").alias("m_hops"))
+        r = (r.join(nxt, r["dst"] == nxt["m_src"], "left")
+             .select("src",
+                     F.coalesce("m_dst", "dst").alias("dst"),
+                     (F.col("hops") + F.coalesce("m_hops", F.lit(0)))
+                     .alias("hops")))
+        # the map shrinks nothing but the composed relation is same-size;
+        # cut lineage every other round so the plan stays O(1) depth
+        if i % 2 == 1:
+            r = r.localCheckpoint(eager=False)
+
+    # hop counts are exact (unclamped) here: doubling can resolve chains up
+    # to 2^rounds >= max_hops edges, and a chain that terminates only after
+    # MORE than max_hops edges must still report too_deep — a sequential
+    # follower would have given up at max_hops.
+    is_open = F.col("m_src").isNotNull()  # dst still redirects somewhere
+    ok = ~is_open & (F.col("hops") <= max_hops)
+    probe = edges.select(F.col("src").alias("m_src"))
+    resolved = (r.join(probe, r["dst"] == probe["m_src"], "left")
+                .select(
+                    "src",
+                    F.when(ok, F.col("dst")).alias("final_url"),
+                    # unresolved rows report the give-up point, max_hops
+                    F.least(F.col("hops"), F.lit(max_hops).cast("long"))
+                     .cast("long").alias("hops"),
+                    F.when(ok, F.lit("resolved"))
+                     .otherwise(F.lit("too_deep")).alias("status")))
+    return resolved
+
+
+def apply_redirects(frontier: DataFrame, redirects: DataFrame,
+                    max_hops: int = DEFAULT_MAX_HOPS,
+                    url_col: str = "url") -> DataFrame:
+    """Attach a ``fetch_url`` column to a frontier: the URL whose page body
+    a redirect-following HTTP client would actually receive for each
+    frontier row. Non-redirecting URLs fetch themselves; resolved chains
+    fetch the terminal URL; unresolved chains (loop/too-deep) get NULL —
+    the fetch join then misses, exactly like requests raising
+    TooManyRedirects and the reference logging the exception and moving
+    on (parser.py:95-100).
+
+    One left equi-join against the resolution table; the frontier is never
+    replicated or iterated. No forced broadcast: a production redirect map
+    (~1% of a 10^10 frontier) exceeds broadcast limits, and AQE picks
+    broadcast automatically whenever the resolved map is small enough.
+    """
+    res = resolve_chains(redirects, max_hops=max_hops)
+    chain = res.select(F.col("src").alias("__r_src"),
+                       F.col("final_url").alias("__r_final"))
+    out = (frontier.join(chain,
+                         frontier[url_col] == chain["__r_src"], "left")
+           .withColumn("fetch_url",
+                       F.when(F.col("__r_src").isNull(), F.col(url_col))
+                        .otherwise(F.col("__r_final")))
+           .drop("__r_src", "__r_final"))
+    return out

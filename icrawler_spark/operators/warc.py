@@ -203,3 +203,83 @@ def to_cdx_records(
         F.md5(F.col(body_col)).alias("digest"),
         F.length(F.encode(F.col(body_col), "utf-8")).cast("long")
         .alias("length"))
+
+
+_MAGIC_MIMES = [
+    # (hex prefix at offset 0, mime) — longest prefix listed first wins
+    ("89504E470D0A1A0A", "image/png"),
+    ("574152432F", "application/warc"),       # "WARC/"
+    ("47494638", "image/gif"),                # GIF8
+    ("25504446", "application/pdf"),          # %PDF
+    ("504B0304", "application/zip"),
+    ("FFD8FF", "image/jpeg"),
+    ("1F8B", "application/gzip"),
+]
+
+
+def sniff_content_type(df: DataFrame, bytes_col: str = "html",
+                       out_col: str = "mime",
+                       probe_chars: int = 64) -> DataFrame:
+    """Magic-byte content-type sniffing over an opaque binary column — what
+    a fetch pipeline needs BEFORE trusting a Content-Type header: servers
+    mislabel (text/html for a gzip, image/jpeg for a png), and the reference
+    only ever checks the response `.content` blindly (downloader.py:150-155
+    writes whatever arrived). Detection order: magic prefixes (png/gif/jpeg/
+    pdf/zip/gzip/WARC, plus RIFF....WEBP at offset 8), then a markup
+    heuristic (first non-whitespace char '<' within the decoded probe →
+    text/html), else text/plain; empty/NULL → NULL.
+
+    Pure JVM column exprs — one substring+hex per row, fuses into the scan;
+    no UDF, no shuffle. The probe decodes only ``probe_chars`` bytes."""
+    b = F.col(bytes_col)
+    hx = F.upper(F.hex(F.substring(b, 1, 16)))
+    mime = F.lit(None).cast("string")
+    # when-chains test in construction order, so the longest/most specific
+    # prefixes (listed first) win over their own prefixes (e.g. png vs gzip)
+    chain = None
+    for prefix, m in _MAGIC_MIMES:
+        cond = hx.startswith(prefix)
+        chain = (F.when(cond, F.lit(m)) if chain is None
+                 else chain.when(cond, F.lit(m)))
+    # RIFF container: bytes 0-3 'RIFF', 8-11 'WEBP'
+    riff = hx.startswith("52494646") & \
+        (F.upper(F.hex(F.substring(b, 9, 4))) == F.lit("57454250"))
+    chain = chain.when(riff, F.lit("image/webp"))
+    # regexp strip, not ltrim: Spark's ltrim removes only ' ' and markup
+    # commonly leads with \n or \t
+    probe = F.regexp_replace(
+        F.decode(F.substring(b, 1, probe_chars), "utf-8"), r"^\s+", "")
+    chain = (chain.when(F.length(b) == 0, mime)
+                  .when(probe.startswith("<"), F.lit("text/html"))
+                  .otherwise(F.lit("text/plain")))
+    return df.withColumn(out_col, F.when(b.isNull(), mime).otherwise(chain))
+
+
+def canonical_href(html_col) -> "F.Column":
+    """The page's declared canonical URL: <link rel="canonical" href=...>,
+    attribute order free (rel-then-href or href-then-rel), first match in
+    document order — the dedup signal real crawls use to collapse
+    parameterized/alias spellings onto the publisher's preferred URL
+    (complements functions/urls.canonicalize_url, which is syntactic).
+    NULL when the page declares none. Pure JVM regexp, fuses into the scan."""
+    h = F.col(html_col) if isinstance(html_col, str) else html_col
+    a = F.regexp_extract(h, r'<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1)
+    b = F.regexp_extract(h, r'<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1)
+    return F.when(a != "", a).when(b != "", b)
+
+
+def canonical_clusters(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html_text") -> DataFrame:
+    """Group pages by their declared canonical target: (canonical, n_pages,
+    rep_url) for every target declared by >=1 page. ``rep_url`` is the
+    lexicographically-first member — the same deterministic representative
+    rule the dedup cluster closure uses. One groupBy(canonical) shuffle with
+    map-side partial agg; pages without a declaration never shuffle (filter
+    pushes into the scan)."""
+    c = canonical_href(html_col)
+    return (pages
+            .select(F.col(url_col).alias("url"), c.alias("canonical"))
+            .filter(F.col("canonical").isNotNull())
+            .groupBy("canonical")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.min("url").alias("rep_url")))

@@ -110,6 +110,18 @@ class CrawlConfig:
     # are deterministic/replayable — never wall clock).
     recrawl: DataFrame | None = None
     now_epoch: int | None = None
+    # redirect map (operators/redirects.py): a (src, location) table of the
+    # 3xx records in the page store. The reference never sees redirects —
+    # requests follows them inside session.get (utils/session.py:29-59,
+    # allow_redirects defaults True) — so a batch engine fetching from a
+    # pages/WARC table must resolve chains itself: each frontier URL with a
+    # redirect record fetches its chain's TERMINAL url's body (bounded by
+    # max_redirects; loops/too-deep behave as fetch misses, like requests
+    # raising TooManyRedirects). The requested URL stays the key for order,
+    # seen, texts and parent attribution. Pages-table join path only — a
+    # CrawlPlugins.fetch HTTP fetcher follows redirects in the client.
+    redirects: DataFrame | None = None
+    max_redirects: int = 10
     round_seconds: float | None = None  # token-bucket window; None = parity
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
@@ -509,6 +521,17 @@ class GreedyCrawl:
             bloom_tasks = BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
             if seen_tasks is not None:
                 bloom_tasks.absorb(seen_tasks, "file_url")
+        # redirect chains resolved ONCE for the whole crawl (the map is
+        # static input): the pointer-doubling plan runs here and the pinned
+        # (src -> final) table costs each round exactly one left equi-join
+        redirect_map = None
+        if cfg.redirects is not None:
+            from icrawler_spark.operators.redirects import resolve_chains
+
+            redirect_map = self._pin(
+                resolve_chains(cfg.redirects, max_hops=cfg.max_redirects)
+                .select(F.col("src").alias("__r_src"),
+                        F.col("final_url").alias("__r_final")))
         stop_reason = "frontier_exhausted"
         rnd = start_round
         # two-phase-ranker partition sizing: the parity path sizes from its
@@ -664,6 +687,26 @@ class GreedyCrawl:
                     cfg.plugins.fetch,
                     proxy_col=(cfg.proxies.proxy_col("url")
                                if cfg.proxies is not None else None))
+            elif redirect_map is not None:
+                # redirect-following fetch: join the batch through the
+                # resolved chain map, fetch the TERMINAL url, then key the
+                # body back to the REQUESTED url (what requests returns to
+                # the reference: final body, requested identity). NULL
+                # finals (loop/too-deep) drop here = fetch miss.
+                fr = (ranked.select("url", "visit_rank")
+                      .join(redirect_map,
+                            F.col("url") == F.col("__r_src"), "left")
+                      .select(
+                          F.when(F.col("__r_src").isNull(), F.col("url"))
+                           .otherwise(F.col("__r_final")).alias("__fetch"),
+                          F.col("url").alias("__req"), "visit_rank")
+                      .filter(F.col("__fetch").isNotNull())
+                      .withColumnRenamed("__fetch", "url"))
+                fetched_pages = (_fetch_join(
+                    fr, self.pages, cfg,
+                    ["url", "visit_rank", "__req", "html", "text"],
+                    est_bytes=batch_bytes)
+                    .drop("url").withColumnRenamed("__req", "url"))
             else:
                 fetched_pages = _fetch_join(
                     ranked.select("url", "visit_rank"), self.pages, cfg,

@@ -1,0 +1,127 @@
+"""Unit tests for the round-9 fetch-fidelity pack: redirect-chain
+resolution (operators/redirects.py), magic-byte content sniffing and
+declared-canonical clustering (operators/warc.py), and soft-404 scoring
+(functions/text.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.text import soft404_score
+from icrawler_spark.operators.redirects import apply_redirects, resolve_chains
+from icrawler_spark.operators.warc import canonical_href, sniff_content_type
+
+
+def _resolve(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, location string")
+    return {r["src"]: (r["final_url"], r["hops"], r["status"])
+            for r in resolve_chains(df, **kw).collect()}
+
+
+def test_resolve_simple_chain(spark):
+    out = _resolve(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert out == {"a": ("d", 3, "resolved"),
+                   "b": ("d", 2, "resolved"),
+                   "c": ("d", 1, "resolved")}
+
+
+def test_resolve_loop_and_self_loop(spark):
+    out = _resolve(spark, [("x", "y"), ("y", "x"), ("s", "s")])
+    for src in ("x", "y", "s"):
+        final, hops, status = out[src]
+        assert final is None and status == "too_deep"
+
+
+def test_resolve_max_hops_boundary(spark):
+    # chain of 12 edges: head needs 12 hops (> 10 -> too_deep); the node
+    # 2 hops in needs exactly 10 -> resolved
+    edges = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    out = _resolve(spark, edges, max_hops=10)
+    assert out["n0"][2] == "too_deep" and out["n0"][0] is None
+    assert out["n1"][2] == "too_deep"
+    assert out["n2"] == ("n12", 10, "resolved")
+
+
+def test_resolve_duplicate_src_takes_min(spark):
+    out = _resolve(spark, [("a", "c"), ("a", "b")])
+    assert out["a"] == ("b", 1, "resolved")
+
+
+def test_apply_redirects_fetch_url(spark):
+    fr = spark.createDataFrame([("a",), ("z",), ("x",)], "url string")
+    rd = spark.createDataFrame([("a", "b"), ("x", "y"), ("y", "x")],
+                               "src string, location string")
+    rows = {r["url"]: r["fetch_url"]
+            for r in apply_redirects(fr, rd).collect()}
+    assert rows == {"a": "b", "z": "z", "x": None}
+
+
+@pytest.mark.parametrize("blob,mime", [
+    (bytes.fromhex("89504E470D0A1A0A") + b"xx", "image/png"),
+    (bytes.fromhex("1F8B08") + b"xx", "application/gzip"),
+    (bytes.fromhex("FFD8FFE1") + b"xx", "image/jpeg"),
+    (b"%PDF-1.7 stuff", "application/pdf"),
+    (b"WARC/1.0\r\n", "application/warc"),
+    (b"RIFF0000WEBPVP8 ", "image/webp"),
+    (b"RIFF0000WAVEfmt ", "text/plain"),   # RIFF but not WEBP
+    (b"  \n<!DOCTYPE html>", "text/html"),
+    (b"plain words here", "text/plain"),
+    (b"", None),
+    (None, None),
+])
+def test_sniff_content_type(spark, blob, mime):
+    df = spark.createDataFrame([(blob,)], "b binary")
+    got = sniff_content_type(df, "b", "mime").select("mime").first()["mime"]
+    assert got == mime
+
+
+def test_canonical_href_both_attr_orders(spark):
+    df = spark.createDataFrame([
+        ('<link rel="canonical" href="http://c/1"/>',),
+        ('<link href="http://c/2" rel="canonical"/>',),
+        ("<p>no declaration</p>",),
+    ], "html string")
+    got = [r[0] for r in df.select(canonical_href("html")).collect()]
+    assert got == ["http://c/1", "http://c/2", None]
+
+
+def test_soft404_score_bands(spark):
+    df = spark.createDataFrame([
+        ("Error: page not found",),                      # all 3 detectors
+        ("word " * 50 + "this page does not exist",),    # phrase only
+        ("tiny stub",),                                  # short only
+        ("word " * 50 + "perfectly fine article body",),  # clean
+    ], "body string")
+    got = [r[0] for r in df.select(soft404_score("body")).collect()]
+    assert got == [3, 1, 1, 0]
+
+
+def test_crawl_redirect_fetch_keyed_on_requested_url(spark, smoke_pages_df):
+    """A redirecting seed fetches the target's body but keeps its own URL
+    as the order/seen/parent key; a looping seed is a fetch miss."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    hosts = [r[0] for r in smoke_pages_df.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("h"))
+        .distinct().orderBy("h").limit(3).collect()]
+    h0, h1, h2 = hosts
+    # h0 redirects to h1 (which does NOT redirect); h2 self-loops
+    rd = spark.createDataFrame(
+        [(f"http://{h0}", f"http://{h1}"), (f"http://{h2}", f"http://{h2}")],
+        "src string, location string")
+    cfg = CrawlConfig(max_rounds=1, redirects=rd)
+    res = GreedyCrawl(spark, smoke_pages_df, cfg).run([h0, h2])
+    order = res.order.collect()
+    urls = {r["url"] for r in order}
+    # both seeds get ranked (rank is never redirect-gated)
+    assert f"http://{h0}" in urls and f"http://{h2}" in urls
+    # h0's text row carries h0's url but h1's body
+    texts = {r["url"]: r["text"] for r in res.texts.collect()}
+    direct = GreedyCrawl(spark, smoke_pages_df,
+                         CrawlConfig(max_rounds=1)).run([h1])
+    h1_text = {r["url"]: r["text"] for r in direct.texts.collect()}
+    assert texts.get(f"http://{h0}") == h1_text.get(f"http://{h1}")
+    assert texts.get(f"http://{h0}") is not None
+    # the self-looping h2 seed never fetched -> no text row
+    assert f"http://{h2}" not in texts
