@@ -192,6 +192,8 @@ _EXTRA_PICKS = [
     # round-3 batch-3 (fetch fidelity)
     "redirect_resolve", "crawl_redirects", "content_sniff", "soft404",
     "canonical_cluster", "editdist_verify", "crawl_report",
+    # round-3 batch-4 (host identity + corpus hygiene + incremental recrawl)
+    "etld1", "mojibake", "revalidate", "snapshot_cdc", "shard_pack",
 ]
 
 

@@ -1,0 +1,292 @@
+"""Round-3 driver-contract queries (batch 4): host identity + corpus
+hygiene + incremental recrawl — PSL registrable-domain extraction (eTLD+1),
+cp1252-mojibake repair, conditional-GET revalidation, crawl snapshot CDC,
+and byte-budget shard packing.
+
+Fixtures derive deterministically from the documents table; the Spark plan
+and the DuckDB oracle share the same Python constants (the mojibake
+replace-chain literals are generated from MOJIBAKE_PAIRS on both sides, the
+PSL rule VALUES come from the same DEFAULT_RULES list), and every computed
+column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import domains as _dom
+from icrawler_spark.functions.text import (
+    MOJIBAKE_PAIRS, mojibake_repair_sql, mojibake_score,
+    mojibake_score_sql, repair_mojibake)
+from icrawler_spark.operators.corpus import pack_shards
+from icrawler_spark.operators.recrawl import revalidate_fetch, snapshot_diff
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# etld1 — Public Suffix List registrable-domain extraction
+# ---------------------------------------------------------------------------
+
+# doc_id % 12 -> one host shape per PSL rule type; kinds 0/1 carry a
+# doc-unique leading label for volume, the rest are fixed corner cases
+_HOST_CASES = {
+    2: "foo.github.io",            # private-domain rule
+    3: "x.y.ck",                   # wildcard *.ck
+    4: "www.ck",                   # exception !www.ck
+    5: "city.kawasaki.jp",         # exception !city.kawasaki.jp
+    6: "sub.city.kawasaki.jp",     # label under the exception
+    7: "a.b.kawasaki.jp",          # wildcard *.kawasaki.jp
+    8: "com",                      # host IS a public suffix
+    9: "localhost",                # no rule -> implicit * (rightmost label)
+    10: "bucket.s3.amazonaws.com",  # multi-label private rule
+    11: "Example.ORG.",            # case + trailing dot normalization
+}
+
+
+def _host_fixture(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 12).cast("int")
+    host = F.when(k == 0, F.concat(F.lit("w"), F.col("doc_id").cast("string"),
+                                   F.lit(".example.com")))
+    host = host.when(k == 1, F.concat(
+        F.lit("a"), F.col("doc_id").cast("string"), F.lit(".shop.co.uk")))
+    for kk, h in _HOST_CASES.items():
+        host = host.when(k == kk, F.lit(h))
+    return d.select("doc_id", host.alias("host"))
+
+
+def q_etld1(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/domains.registrable_domains over every PSL rule shape
+    (plain, multi-label, wildcard, exception, private, implicit-*): the
+    host-identity key that politeness pods, domain gates, blocklists and
+    mirror detection should group on — the reference's substring-on-netloc
+    domain test (builtin/greedy.py) cannot express any of these."""
+    return (_dom.registrable_domains(_host_fixture(spark, sf), "host")
+            .select("doc_id", "host", "public_suffix", "registrable"))
+
+
+def _etld1_sql() -> str:
+    cases = "\n      ".join(
+        f"WHEN {k} THEN '{h}'" for k, h in _HOST_CASES.items())
+    fix = f"""
+fix AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 12 AS INT)
+      WHEN 0 THEN 'w' || doc_id || '.example.com'
+      WHEN 1 THEN 'a' || doc_id || '.shop.co.uk'
+      {cases}
+    END AS host
+  FROM documents
+)"""
+    psl = _dom.psl_oracle_sql("hosts AS (SELECT DISTINCT host FROM fix)")
+    return f"""
+WITH {fix}
+SELECT f.doc_id, f.host, p.public_suffix, p.registrable
+FROM fix f JOIN ({psl}) p ON p.host = f.host
+"""
+
+
+# ---------------------------------------------------------------------------
+# mojibake — cp1252 digraph repair + marker score
+# ---------------------------------------------------------------------------
+
+_BAD = {good: bad for bad, good in MOJIBAKE_PAIRS}
+# fixture bodies constructed FROM the pair table (never hand-typed), so the
+# mojibake spellings are exactly the ones the repair chain targets
+_MOJI_SNIPPET_A = f"Caf{_BAD['é']} {_BAD['—']} r{_BAD['é']}sum{_BAD['é']}"
+_MOJI_SNIPPET_B = f" don{_BAD['’']}t stop"
+_MOJI_SNIPPET_C = f"{_BAD['€']}99 {_BAD['–']} ma{_BAD['ñ']}ana {_BAD['“']}ok"
+_MOJI_FIXED_A = "Café — résumé"
+_MOJI_FIXED_C = "€99 – mañana “ok"
+
+
+def _moji_bodies(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 4).cast("int")
+    body = (F.when(k == 0, F.lit(_MOJI_SNIPPET_A))
+             .when(k == 1, F.concat(F.substring("text", 1, 40),
+                                    F.lit(_MOJI_SNIPPET_B)))
+             .when(k == 2, F.lit(_MOJI_SNIPPET_C))
+             .otherwise(F.substring("text", 1, 40)))
+    return d.select("doc_id", body.alias("body"))
+
+
+def q_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.repair_mojibake + mojibake_score over damaged and
+    clean bodies: the charset-lie repair every web corpus needs before
+    quality scoring (mojibake inflates non-alpha ratios and poisons
+    langid) — pure JVM replace-chain, identical chain in the oracle."""
+    b = _moji_bodies(spark, sf)
+    return b.select(
+        "doc_id",
+        mojibake_score("body").alias("score"),
+        repair_mojibake("body").alias("repaired"))
+
+
+def _mojibake_sql() -> str:
+    return f"""
+WITH bodies AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '{_MOJI_SNIPPET_A}'
+      WHEN 1 THEN substring(text, 1, 40) || '{_MOJI_SNIPPET_B}'
+      WHEN 2 THEN '{_MOJI_SNIPPET_C}'
+      ELSE substring(text, 1, 40)
+    END AS body
+  FROM documents
+)
+SELECT doc_id,
+  {mojibake_score_sql('body')} AS score,
+  {mojibake_repair_sql('body')} AS repaired
+FROM bodies
+"""
+
+
+# ---------------------------------------------------------------------------
+# revalidate — conditional-GET (ETag) fetch classification
+# ---------------------------------------------------------------------------
+
+def q_revalidate(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.revalidate_fetch: frontier × cached validators ×
+    live store → not_modified / modified / new / missing, bodies projected
+    only where a transfer would happen. doc_id%5==0 was never cached (new),
+    doc_id%7==0 is gone from the live store (missing); validator equality
+    is (doc_id%3)%2 vs doc_id%2."""
+    d = _docs(spark, sf)
+    url = F.concat(F.lit("http://r.test/"), F.col("doc_id").cast("string"))
+    frontier = d.select(url.alias("url"))
+    cache = (d.filter(F.col("doc_id") % 5 != 0)
+             .select(url.alias("url"),
+                     F.concat(F.lit("c"), ((F.col("doc_id") % 3) % 2)
+                              .cast("string")).alias("etag")))
+    pages = (d.filter(F.col("doc_id") % 7 != 0)
+             .select(url.alias("url"),
+                     F.concat(F.lit("c"), (F.col("doc_id") % 2)
+                              .cast("string")).alias("etag"),
+                     F.substring("text", 1, 30).alias("text")))
+    return revalidate_fetch(frontier, cache, pages)
+
+
+_Q_REVALIDATE_SQL = """
+WITH f AS (SELECT 'http://r.test/' || doc_id AS url, doc_id FROM documents),
+c AS (SELECT 'http://r.test/' || doc_id AS url,
+             'c' || ((doc_id % 3) % 2) AS etag
+      FROM documents WHERE doc_id % 5 <> 0),
+p AS (SELECT 'http://r.test/' || doc_id AS url,
+             'c' || (doc_id % 2) AS etag, substring(text, 1, 30) AS body
+      FROM documents WHERE doc_id % 7 <> 0)
+SELECT f.url,
+  CASE WHEN p.url IS NULL THEN 'missing'
+       WHEN c.url IS NOT NULL AND c.etag = p.etag THEN 'not_modified'
+       WHEN c.url IS NOT NULL THEN 'modified'
+       ELSE 'new' END AS status,
+  CASE WHEN p.url IS NOT NULL
+        AND NOT (c.url IS NOT NULL AND c.etag = p.etag)
+       THEN p.body END AS body
+FROM f LEFT JOIN c ON c.url = f.url LEFT JOIN p ON p.url = f.url
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot_cdc — crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+def q_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.snapshot_diff between two synthetic crawl
+    snapshots: doc_id%5==4 only in the new one (added), %5==0 only in the
+    old (removed), %3==0 rewritten between snapshots (changed), the rest
+    unchanged. One full outer join on url; hashes travel, bodies don't."""
+    d = _docs(spark, sf)
+    url = F.concat(F.lit("http://s.test/"), F.col("doc_id").cast("string"))
+    old = (d.filter(F.col("doc_id") % 5 != 4)
+           .select(url.alias("url"),
+                   F.md5(F.encode("text", "utf-8")).alias("content_hash")))
+    new = (d.filter(F.col("doc_id") % 5 != 0)
+           .select(url.alias("url"),
+                   F.md5(F.encode(
+                       F.when(F.col("doc_id") % 3 == 0,
+                              F.concat(F.col("text"), F.lit("!v2")))
+                       .otherwise(F.col("text")), "utf-8"))
+                   .alias("content_hash")))
+    return snapshot_diff(old, new, "url", "content_hash")
+
+
+_Q_SNAPSHOT_SQL = """
+WITH old AS (
+  SELECT 'http://s.test/' || doc_id AS url, md5(text) AS h
+  FROM documents WHERE doc_id % 5 <> 4),
+new AS (
+  SELECT 'http://s.test/' || doc_id AS url,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || '!v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(old.url, new.url) AS url,
+  CASE WHEN old.url IS NULL THEN 'added'
+       WHEN new.url IS NULL THEN 'removed'
+       WHEN old.h = new.h THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  old.h AS old_hash, new.h AS new_hash
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_pack — byte-budget output sharding
+# ---------------------------------------------------------------------------
+
+_SHARD_TARGET = 50_000
+
+
+def q_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.pack_shards over the documents table in doc_id
+    order: contiguous ~50 kB shards via the two-phase distributed prefix
+    sum — a document lands in the shard its first byte falls in, shards
+    never split documents. The oracle replays the identical exclusive-sum
+    rule with a plain window (fine at sf0.01; the engine path never runs a
+    single-task global window)."""
+    d = _docs(spark, sf).select("doc_id", F.col("n_chars").cast("long")
+                                .alias("n_bytes"))
+    out = pack_shards(d, ["doc_id"], "n_bytes", _SHARD_TARGET)
+    return out.select("doc_id", F.col("cum_bytes").cast("long").alias("cum_bytes"),
+                      "shard_id")
+
+
+_Q_SHARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+    CAST(sum(n_chars) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_bytes
+  FROM documents
+)
+SELECT doc_id, cum_bytes,
+  CAST((cum_bytes - n_bytes) // {_SHARD_TARGET} AS BIGINT) AS shard_id
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries10():
+    return {
+        "etld1": q_etld1,
+        "mojibake": q_mojibake,
+        "revalidate": q_revalidate,
+        "snapshot_cdc": q_snapshot_cdc,
+        "shard_pack": q_shard_pack,
+    }
+
+
+def oracle_sql10():
+    return {
+        "etld1": _etld1_sql(),
+        "mojibake": _mojibake_sql(),
+        "revalidate": _Q_REVALIDATE_SQL,
+        "snapshot_cdc": _Q_SNAPSHOT_SQL,
+        "shard_pack": _Q_SHARD_SQL,
+    }

@@ -1,0 +1,172 @@
+"""Registrable-domain (eTLD+1) extraction via the Public Suffix List
+algorithm — the host-identity primitive everything per-"domain" in a crawler
+actually needs. The reference treats the whole netloc as the domain
+(``GreedyParser`` membership is a substring test on the raw domain string,
+crawler.py / builtin/greedy.py): ``a.example.co.uk`` and ``b.example.co.uk``
+count as different "domains" while ``example.co.uk.evil.com`` would pass a
+naive suffix test. Politeness buckets, domain quality gates, blocklists and
+mirror detection all want the REGISTRABLE domain (one label below the public
+suffix), which requires the PSL matching algorithm, not string suffixing.
+
+Algorithm (publicsuffix.org/list/ — public spec):
+
+- a rule matches a host when its labels equal the host's rightmost labels,
+  ``*`` matching exactly one label;
+- an exception rule (``!`` prefix) wins outright; otherwise the matching
+  rule with the most labels prevails; no match → the implicit ``*`` rule
+  (public suffix = rightmost label);
+- public suffix = prevailing rule's labels (exception: rule minus its
+  leftmost label); registrable domain = public suffix plus one host label,
+  NULL when the host IS a public suffix.
+
+Scale shape: resolution runs over DISTINCT hosts only (a 10^10-URL frontier
+has ~10^7 hosts), as one bounded explode (≤ 2·max_rule_labels candidate
+suffixes per host) joined against the broadcast rule table, one
+groupBy(host) re-agg, then one equi-join back to the input rows (AQE
+broadcasts the resolution side when it fits). No UDF anywhere; IPs/ports
+are out of scope (pass hostnames).
+
+The embedded ``DEFAULT_RULES`` is a deliberately small deterministic
+snapshot covering every rule TYPE (plain, multi-label, wildcard,
+exception, private-domain style); production use passes the full ~9k-rule
+PSL file through the same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# snapshot: plain TLDs, multi-label suffixes, wildcard + exception pairs,
+# and private-domain-style entries — one of each rule shape the PSL uses
+DEFAULT_RULES = [
+    "com", "org", "net", "edu", "gov", "io", "co", "uk", "jp", "au", "br",
+    "de", "fr", "us", "test",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "net.br",
+    "k12.ak.us",
+    "*.ck", "!www.ck",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "github.io", "s3.amazonaws.com", "blogspot.com",
+]
+
+
+def _parse_rules(rules: list[str]) -> list[tuple[str, bool, int]]:
+    out = []
+    for r in rules:
+        exc = r.startswith("!")
+        pat = (r[1:] if exc else r).lower()
+        out.append((pat, exc, pat.count(".") + 1))
+    return out
+
+
+def max_rule_labels(rules: list[str] | None = None) -> int:
+    return max(n for _, _, n in _parse_rules(rules or DEFAULT_RULES))
+
+
+def registrable_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    rules: list[str] | None = None,
+    suffix_col: str = "public_suffix",
+    out_col: str = "registrable",
+) -> DataFrame:
+    """Attach ``public_suffix`` and ``registrable`` (eTLD+1) columns.
+
+    NULL host → NULL outputs; a host that IS a public suffix gets a NULL
+    registrable (nothing may register it). Hosts are lowercased and a
+    trailing dot stripped before matching, per the PSL spec.
+    """
+    spark = df.sparkSession
+    parsed = _parse_rules(rules or DEFAULT_RULES)
+    m = max(n for _, _, n in parsed)
+    rules_df = F.broadcast(spark.createDataFrame(
+        parsed, "pat string, is_exc boolean, n_labels int"))
+
+    hosts = (df.select(F.col(host_col).alias("__h")).where(F.col("__h").isNotNull())
+             .distinct()
+             .select("__h",
+                     F.lower(F.regexp_replace("__h", r"\.$", "")).alias("__hn")))
+    lab = hosts.select(
+        "__h", "__hn", F.split("__hn", r"\.").alias("ls"),
+        F.size(F.split("__hn", r"\.")).alias("n"))
+    # bounded candidate explode: for k = 1..min(n, m) the exact suffix of
+    # the last k labels, and (k >= 2) the wildcard spelling *.<last k-1>
+    cand = (lab
+            .withColumn("k", F.explode(F.sequence(
+                F.lit(1), F.least(F.col("n"), F.lit(m)))))
+            .select(
+                "__h", "k",
+                F.array_join(F.slice("ls", F.col("n") - F.col("k") + 1,
+                                     F.col("k")), ".").alias("exact_c"),
+                F.when(F.col("k") >= 2, F.concat(
+                    F.lit("*."),
+                    F.array_join(F.slice("ls", F.col("n") - F.col("k") + 2,
+                                         F.col("k") - 1), "."))).alias("wild_c")))
+    matches = (cand.join(
+        rules_df,
+        (rules_df["pat"] == cand["exact_c"]) | (rules_df["pat"] == cand["wild_c"]))
+        .groupBy("__h")
+        .agg(F.max(F.when(F.col("is_exc"), F.col("k"))).alias("exc_k"),
+             F.max(F.when(~F.col("is_exc"), F.col("k"))).alias("best_k")))
+    res = (lab.join(matches, "__h", "left")
+           .withColumn("sn", F.coalesce(
+               F.col("exc_k") - 1, F.col("best_k"), F.lit(1)))
+           .select(
+               "__h",
+               F.array_join(F.slice("ls", F.col("n") - F.col("sn") + 1,
+                                    F.col("sn")), ".").alias(suffix_col),
+               F.when(F.col("n") > F.col("sn"), F.array_join(
+                   F.slice("ls", F.col("n") - F.col("sn"), F.col("sn") + 1),
+                   ".")).alias(out_col)))
+    return (df.join(res, df[host_col] == res["__h"], "left")
+            .drop("__h"))
+
+
+def psl_oracle_sql(hosts_cte: str, rules: list[str] | None = None,
+                   host_col: str = "host") -> str:
+    """DuckDB SQL implementing the identical PSL algorithm over a CTE named
+    ``hosts`` (one column ``host``) — for driver-oracle parity checks."""
+    parsed = _parse_rules(rules or DEFAULT_RULES)
+    m = max(n for _, _, n in parsed)
+    vals = ",\n    ".join(
+        f"('{p}', {str(e).lower()})" for p, e, _ in parsed)
+    return f"""
+WITH {hosts_cte},
+rules(pat, is_exc) AS (VALUES
+    {vals}
+),
+lab AS (
+  SELECT {host_col} AS h,
+         string_split(lower(regexp_replace({host_col}, '\\.$', '')), '.') AS ls
+  FROM hosts WHERE {host_col} IS NOT NULL
+),
+lab2 AS (SELECT h, ls, len(ls) AS n FROM lab),
+cand AS (
+  SELECT h, k,
+    array_to_string(ls[n - k + 1 : n], '.') AS exact_c,
+    CASE WHEN k >= 2
+         THEN '*.' || array_to_string(ls[n - k + 2 : n], '.') END AS wild_c
+  FROM lab2, (SELECT unnest(range(1, {m + 1})) AS k)
+  WHERE k <= n
+),
+m AS (
+  SELECT c.h,
+    max(CASE WHEN r.is_exc THEN c.k END) AS exc_k,
+    max(CASE WHEN NOT r.is_exc THEN c.k END) AS best_k
+  FROM cand c JOIN rules r ON r.pat = c.exact_c OR r.pat = c.wild_c
+  GROUP BY c.h
+),
+res AS (
+  SELECT l.h, l.ls, l.n,
+    coalesce(m.exc_k - 1, m.best_k, 1) AS sn
+  FROM lab2 l LEFT JOIN m ON m.h = l.h
+)
+SELECT h AS {host_col},
+  array_to_string(ls[n - sn + 1 : n], '.') AS public_suffix,
+  CASE WHEN n > sn
+       THEN array_to_string(ls[n - sn : n], '.') END AS registrable
+FROM res
+"""

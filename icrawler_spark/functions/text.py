@@ -248,3 +248,56 @@ def soft404_score(text_col) -> "F.Column":
     """Number of independent soft-404 detectors firing (0-3)."""
     flags = soft404_flags(text_col)
     return sum(f.cast("int") for f in flags.values()).cast("int")
+
+
+# mojibake repair: UTF-8 text that was decoded as cp1252 somewhere upstream
+# ("CafÃ©", "donâ€™t") — endemic in web corpora where an origin server lies
+# about its charset. The canonical fix (ftfy's core move) re-encodes the
+# damaged spelling and decodes as UTF-8; here the high-frequency digraphs
+# are repaired with a deterministic literal replace-chain so the identical
+# chain runs on any SQL engine (oracle parity), all JVM-side, no regex.
+# Pairs are DERIVED (g.encode('utf-8').decode('cp1252')), never hand-typed.
+_MOJIBAKE_CHARS = ['é', 'è', 'á', 'ó', 'ú', 'ü', 'ö', 'ä', 'ñ', 'ç',
+                   '’', '‘', '“', '–', '—',
+                   '…', '€']
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    (g.encode("utf-8").decode("cp1252"), g) for g in _MOJIBAKE_CHARS]
+# detector markers: the lead bytes of 2-/3-byte UTF-8 sequences as cp1252
+# renders them; legitimate text containing these as real characters is rare
+MOJIBAKE_MARKERS = ["Ã", "â€", "â‚"]
+
+
+def repair_mojibake(text_col) -> "F.Column":
+    """Replace-chain repair of the common cp1252-mojibake digraphs (order =
+    MOJIBAKE_PAIRS; replacements are disjoint so order is cosmetic)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for bad, good in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def mojibake_score(text_col) -> "F.Column":
+    """Total occurrences of the mojibake marker digraphs — a cheap corpus
+    health metric ((len - len(removed)) / len(marker) per marker, pure
+    column math)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    score = F.lit(0)
+    for mk in MOJIBAKE_MARKERS:
+        score = score + ((F.length(c) - F.length(F.replace(c, F.lit(mk), F.lit(""))))
+                         / F.lit(len(mk))).cast("long")
+    return score.cast("long")
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    """The identical replace-chain as a SQL expression over ``expr``."""
+    out = expr
+    for bad, good in MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{bad}', '{good}')"
+    return out
+
+
+def mojibake_score_sql(expr: str) -> str:
+    parts = [
+        f"CAST((length({expr}) - length(replace({expr}, '{mk}', ''))) / {len(mk)} AS BIGINT)"
+        for mk in MOJIBAKE_MARKERS]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

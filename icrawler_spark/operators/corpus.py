@@ -371,3 +371,35 @@ def mix_by_token_budget(
             .withColumn("alloc_tokens", F.lit(allocs[s]).cast("long"))
         out = kept if out is None else out.unionByName(kept)
     return out
+
+
+def pack_shards(
+    docs: DataFrame,
+    order_cols: list[str],
+    bytes_col: str = "n_bytes",
+    target_bytes: int = 1 << 28,
+) -> DataFrame:
+    """Assign documents to contiguous output shards of ~``target_bytes``
+    each, preserving ``order_cols`` order — the write-side twin of
+    pack_sequences: training-data exports want shard files of uniform size
+    (readers stripe over them), not whatever row-count repartition happens
+    to produce when document sizes are skewed.
+
+    shard_id = floor(exclusive_running_bytes / target): a document lands in
+    the shard its FIRST byte falls in, so every shard except the last holds
+    at least target_bytes (a jumbo document may push a shard over — shards
+    never split a document). Built on budget.ordered_prefix_sum, so the
+    running total is exact and global with no single-task window; the
+    output can then be written with .repartition("shard_id") /
+    partitionBy("shard_id") for one file per shard.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from icrawler_spark.operators import budget as _budget
+
+    cum, _total = _budget.ordered_prefix_sum(
+        docs, order_cols, bytes_col, out_col="cum_bytes")
+    return cum.withColumn(
+        "shard_id",
+        F.floor((F.col("cum_bytes") - F.col(bytes_col))
+                / F.lit(int(target_bytes))).cast("long"))

@@ -70,3 +70,84 @@ def recrawl_schedule(
         F.when(multi, F.round(gap, 2)).alias("avg_gap_s"),
         interval.alias("next_interval_s"),
         (F.col("last_e") + interval).alias("next_due_epoch"))
+
+
+def revalidate_fetch(
+    frontier: DataFrame,
+    cache: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    validator_col: str = "etag",
+    body_col: str = "text",
+) -> DataFrame:
+    """Conditional-GET semantics for the batch fetch: classify each frontier
+    URL against the cached validator and the live store, fetching bodies
+    only where needed — the If-None-Match / 304-Not-Modified machinery a
+    refetch-heavy crawler lives on. The reference has no cache layer at all
+    (every session.get refetches the full body, downloader.py:95-155); the
+    requests session doesn't even persist validators between runs.
+
+    Inputs: ``frontier(url)``; ``cache(url, etag)`` — what a previous crawl
+    stored; ``pages(url, etag, body)`` — the live store. Output one row per
+    frontier URL: (url, status, body) with status
+
+    - 'not_modified' — cached validator matches the live one; body NULL
+      (the 304 path: reuse the stored body, zero transfer);
+    - 'modified'     — cached but validator differs; body = live body;
+    - 'new'          — never cached; body = live body;
+    - 'missing'      — not in the live store (fetch error path).
+
+    Scale shape: two left equi-joins on url, both AQE-broadcastable when
+    cache/pages partitions prune small; body bytes are projected ONLY for
+    rows that need them (the when() keeps 304 rows at NULL before the
+    projection ships), so the shuffle carries validators, not bodies,
+    for the unchanged majority of a steady-state recrawl.
+    """
+    fr = frontier.select(F.col(url_col).alias("url")).distinct()
+    ca = cache.select(F.col(url_col).alias("__c_url"),
+                      F.col(validator_col).alias("__c_val"))
+    pg = pages.select(F.col(url_col).alias("__p_url"),
+                      F.col(validator_col).alias("__p_val"),
+                      F.col(body_col).alias("__p_body"))
+    j = (fr.join(ca, fr["url"] == ca["__c_url"], "left")
+         .join(pg, fr["url"] == pg["__p_url"], "left"))
+    in_store = F.col("__p_url").isNotNull()
+    cached = F.col("__c_url").isNotNull()
+    same = cached & in_store & (F.col("__c_val") == F.col("__p_val"))
+    status = (F.when(~in_store, F.lit("missing"))
+              .when(same, F.lit("not_modified"))
+              .when(cached, F.lit("modified"))
+              .otherwise(F.lit("new")))
+    return j.select(
+        "url", status.alias("status"),
+        F.when(in_store & ~same, F.col("__p_body")).alias("body"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Change-data-capture between two crawl snapshots: one row per key in
+    either snapshot with status 'added' / 'removed' / 'changed' /
+    'unchanged' — what an incremental corpus build diffs before deciding
+    what to reprocess. One full outer equi-join on the key; hashes travel,
+    bodies never do. Deterministic: duplicate keys within a snapshot must
+    be pre-deduped (pages_latest) — this operator asserts nothing about
+    them and a dup would fan out, so feed it snapshot tables.
+    """
+    o = old.select(F.col(key_col).alias("__k_o"),
+                   F.col(hash_col).alias("__h_o"))
+    n = new.select(F.col(key_col).alias("__k_n"),
+                   F.col(hash_col).alias("__h_n"))
+    j = o.join(n, o["__k_o"] == n["__k_n"], "full_outer")
+    status = (F.when(F.col("__k_o").isNull(), F.lit("added"))
+              .when(F.col("__k_n").isNull(), F.lit("removed"))
+              .when(F.col("__h_o") == F.col("__h_n"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(
+        F.coalesce("__k_o", "__k_n").alias(key_col),
+        status.alias("status"),
+        F.col("__h_o").alias("old_hash"),
+        F.col("__h_n").alias("new_hash"))

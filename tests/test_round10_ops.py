@@ -1,0 +1,117 @@
+"""Unit tests for the round-10 pack: PSL registrable domains
+(functions/domains.py), mojibake repair (functions/text.py), conditional
+revalidation + snapshot CDC (operators/recrawl.py), and byte-budget shard
+packing (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.domains import registrable_domains
+from icrawler_spark.functions.text import (
+    MOJIBAKE_PAIRS, mojibake_score, repair_mojibake)
+from icrawler_spark.operators.corpus import pack_shards
+from icrawler_spark.operators.recrawl import revalidate_fetch, snapshot_diff
+
+
+# the PSL spec's own test vectors for the rule shapes the snapshot covers
+PSL_CASES = [
+    ("example.com", "com", "example.com"),
+    ("www.example.com", "com", "example.com"),
+    ("example.co.uk", "co.uk", "example.co.uk"),
+    ("a.b.example.co.uk", "co.uk", "example.co.uk"),
+    ("foo.github.io", "github.io", "foo.github.io"),
+    ("x.y.ck", "y.ck", "x.y.ck"),              # wildcard *.ck
+    ("www.ck", "ck", "www.ck"),                # exception !www.ck
+    ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    ("a.b.kawasaki.jp", "b.kawasaki.jp", "a.b.kawasaki.jp"),
+    ("com", "com", None),                      # host IS a suffix
+    ("localhost", "localhost", None),          # implicit * rule
+    ("Example.ORG.", "org", "example.org"),    # case + trailing dot
+]
+
+
+def test_registrable_domains_psl_vectors(spark):
+    df = spark.createDataFrame([(h,) for h, _, _ in PSL_CASES], "host string")
+    got = {r["host"]: (r["public_suffix"], r["registrable"])
+           for r in registrable_domains(df, "host").collect()}
+    for host, suffix, reg in PSL_CASES:
+        assert got[host] == (suffix, reg), host
+
+
+def test_registrable_domains_null_host(spark):
+    df = spark.createDataFrame([(None,), ("a.com",)], "host string")
+    rows = {r["host"]: r["registrable"]
+            for r in registrable_domains(df, "host").collect()}
+    assert rows[None] is None and rows["a.com"] == "a.com"
+
+
+def test_mojibake_pairs_are_true_cp1252_roundtrips():
+    for bad, good in MOJIBAKE_PAIRS:
+        assert bad.encode("cp1252").decode("utf-8") == good
+
+
+def test_repair_mojibake_and_score(spark):
+    bad = {g: b for b, g in MOJIBAKE_PAIRS}
+    damaged = f"Caf{bad['é']} {bad['—']} don{bad['’']}t {bad['€']}5"
+    df = spark.createDataFrame([(damaged,), ("clean text",)], "body string")
+    rows = df.select(repair_mojibake("body").alias("r"),
+                     mojibake_score("body").alias("s")).collect()
+    assert rows[0]["r"] == "Café — don’t €5"
+    assert rows[0]["s"] == 4
+    assert rows[1]["r"] == "clean text" and rows[1]["s"] == 0
+
+
+def test_revalidate_statuses(spark):
+    fr = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("u4",)], "url string")
+    cache = spark.createDataFrame(
+        [("u1", "e1"), ("u2", "eX"), ("u4", "e4")], "url string, etag string")
+    pages = spark.createDataFrame(
+        [("u1", "e1", "b1"), ("u2", "e2", "b2"), ("u3", "e3", "b3")],
+        "url string, etag string, text string")
+    got = {r["url"]: (r["status"], r["body"])
+           for r in revalidate_fetch(fr, cache, pages).collect()}
+    assert got == {"u1": ("not_modified", None),
+                   "u2": ("modified", "b2"),
+                   "u3": ("new", "b3"),
+                   "u4": ("missing", None)}
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")],
+        "url string, content_hash string")
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "hX"), ("d", "h4")],
+        "url string, content_hash string")
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed",
+                   "c": "removed", "d": "added"}
+
+
+def test_pack_shards_boundaries(spark):
+    # sizes 60,60,60 with target 100: doc1 starts at byte 0 (shard 0),
+    # doc2 at 60 (shard 0 — pushes it over), doc3 at 120 (shard 1)
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60)], "doc_id long, n_bytes long")
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(df, ["doc_id"], "n_bytes", 100).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_pack_shards_jumbo_doc_never_splits(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 10)], "doc_id long, n_bytes long")
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(df, ["doc_id"], "n_bytes", 100).collect()}
+    # jumbo doc 2 starts in shard 0; doc 3 starts at byte 510 -> shard 5
+    assert got == {1: 0, 2: 0, 3: 5}
+
+
+def test_pack_shards_rejects_bad_target(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_bytes long")
+    with pytest.raises(ValueError):
+        pack_shards(df, ["doc_id"], "n_bytes", 0)
