@@ -194,6 +194,8 @@ _EXTRA_PICKS = [
     "canonical_cluster", "editdist_verify", "crawl_report",
     # round-3 batch-4 (host identity + corpus hygiene + incremental recrawl)
     "etld1", "mojibake", "revalidate", "snapshot_cdc", "shard_pack",
+    # round-3 batch-5 (corpus query surface + log analytics)
+    "bm25_search", "postings", "sessionize",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Round-3 driver-contract queries (batch 5): querying the crawled corpus
+and its operational log — inverted-index postings, BM25 ranked retrieval,
+and crawl-log sessionization.
+
+The reference writes files and stops (icrawler/storage/filesystem.py:18-28);
+these give the corpus a search surface and the crawl log an analytical one.
+Fixtures derive deterministically from the documents/events tables; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+
+# shared tokenization (docdedup.tokens_col) rendered for DuckDB — same
+# chain as the tfidf_hosts / line_dedup / self_perplexity oracles
+_TOK_SQL = ("string_split(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bm25_search — ranked retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ["hash", "merge", "window"]
+_BM25_K = 25
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.bm25_topk: top-25 documents for a 3-term query.
+    The exploded token stream is filtered to the literal query terms inside
+    the scan stage, so the scoring shuffle is (matched docs × 3)-sized,
+    never corpus-sized; N and avgdl are one short driver agg."""
+    return _search.bm25_topk(_docs(spark, sf), _BM25_QUERY, k=_BM25_K)
+
+
+def _bm25_sql() -> str:
+    return _search.bm25_sql(_TOK_SQL, _BM25_QUERY, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# postings — inverted-index export
+# ---------------------------------------------------------------------------
+
+_POST_MIN_LEN = 4
+_POST_MAX_IDS = 8
+
+
+def q_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.build_postings: per-term exact df / total-tf plus a
+    bounded smallest-8 doc-id preview — one groupBy(term) with map-side
+    partial agg; the cap keeps stopword rows O(8), never O(corpus)."""
+    return _search.build_postings(
+        _docs(spark, sf), min_term_len=_POST_MIN_LEN, max_ids=_POST_MAX_IDS)
+
+
+_POSTINGS_SQL = f"""
+WITH hits AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
+  WHERE length(term) >= {_POST_MIN_LEN}
+  GROUP BY 1, 2
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(tf) AS BIGINT) AS tf_total,
+  array_to_string((list(doc ORDER BY doc))[1:{_POST_MAX_IDS}], ',') AS doc_ids
+FROM hits GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionize — gap-based sessions over the crawl/event log
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 30_000  # the synthetic log's median inter-event gap ≈ 26.4 ks
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.session_stats: per-user inactivity-gap sessions
+    over the events log — one window + one groupBy, both keyed on the
+    actor. Timestamps compare as exact epoch microseconds (no float time)."""
+    return _sessions.session_stats(
+        _events(spark, sf), actor_col="user_id", gap_s=_SESSION_GAP_S)
+
+
+def _sessionize_sql() -> str:
+    return _sessions.session_stats_sql(actor_col="user_id",
+                                       gap_s=_SESSION_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries11():
+    return {
+        "bm25_search": q_bm25_search,
+        "postings": q_postings,
+        "sessionize": q_sessionize,
+    }
+
+
+def oracle_sql11():
+    return {
+        "bm25_search": _bm25_sql(),
+        "postings": _POSTINGS_SQL,
+        "sessionize": _sessionize_sql(),
+    }

@@ -1,0 +1,170 @@
+"""Full-text search over the crawled corpus: inverted-index postings and
+BM25 ranked retrieval.
+
+A crawler's output is only useful if you can query it; the reference stops
+at writing files to disk (icrawler/storage/filesystem.py:18-28 — no query
+surface at all). These operators give the corpus a search path: postings
+for offline index export, BM25 for ranked ad-hoc retrieval (the classic
+Robertson/Sparck-Jones formula, public spec).
+
+Scale shape (the part that matters at 100 TB):
+
+- ``bm25_topk`` filters the exploded token stream to the query's terms
+  BEFORE any shuffle — the only aggregation runs over rows that match one
+  of ~5 literal terms, so the heavy groupBy is (matched docs × query
+  terms)-sized, not corpus-sized. Document lengths come from a pure
+  projection (no shuffle) joined on the doc key; corpus scalars (N, avgdl)
+  are one short agg job collected to the driver (same precedent as the
+  TF-IDF group count and IVF codebook seeds). Final top-k is a single
+  TakeOrderedAndProject-shaped window over scored docs — scored docs are
+  few because query terms are few.
+- ``build_postings`` is ONE groupBy(term) over the exploded stream with
+  map-side partial aggregation; the doc-list sample is capped (``max_ids``)
+  so no posting row can blow up on a stopword — the full list lives in the
+  (term, doc) table upstream, the export keeps a bounded preview plus exact
+  df/tf counts.
+
+Tokenization is the shared docdedup.tokens_col chain so search, dedup and
+TF-IDF agree on what a term is.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.docdedup import tokens_col
+
+
+def _term_hits(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, term, tf) for every term — the inverted-index base table."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens_col(text_col)).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    max_ids: int = 8,
+) -> DataFrame:
+    """Inverted-index export: one row per term with exact corpus stats and a
+    bounded, deterministic doc-id preview.
+
+    Returns (term, df, tf_total, doc_ids) where ``doc_ids`` is a
+    comma-joined string of the ``max_ids`` smallest doc ids containing the
+    term — capped so a stopword's posting row stays O(max_ids), never
+    O(corpus).
+    """
+    hits = _term_hits(df, text_col, id_col).where(
+        F.length("term") >= min_term_len)
+    return (hits.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(F.slice(F.sort_array(F.collect_list("doc")), 1, max_ids),
+                     ",").alias("doc_ids")))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); scores are rounded to 4
+    decimals BEFORE ranking (cross-engine-stable boundaries, same rule as
+    tfidf_top_terms), ties break on doc id.
+
+    Returns (doc_id, n_hits, score, rank) with rank 1..k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+
+    base = df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    # split("") yields [""] — filter empties so dl is a true token count
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("dl").alias("total_dl")).collect()[0]
+    n_docs = stats["n"]
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(stats["total_dl"]) / float(n_docs)
+
+    # the isin filter is a literal predicate — it runs inside the scan
+    # stage, so only query-term hits ever reach the groupBy shuffle
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    part = (idf * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+    scored = (hits.join(dfreq, "term").join(dl, "doc")
+              .groupBy("doc").agg(
+                  F.count("*").cast("long").alias("n_hits"),
+                  F.round(F.sum(part), 4).alias("score")))
+    # top-k first (TakeOrderedAndProject — per-partition heaps, no global
+    # window over every scored doc), then rank within the k survivors
+    topk = (scored
+            .withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select(F.col("doc").alias(id_col), "n_hits", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def bm25_sql(tok_sql: str, query_terms: list[str], k: int = 10,
+             k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`bm25_topk` over the ``documents`` table,
+    given the SQL spelling of the shared tokenizer (an expression producing
+    a list of tokens from column ``text``)."""
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS toks FROM documents
+),
+dl AS (SELECT doc, len(list_filter(toks, x -> length(x) > 0)) AS dl FROM base),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+hits AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc,
+    CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum(
+      ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5))
+      * h.tf * {k1 + 1.0}
+      / (h.tf + {k1} * ({1.0 - b} + {b} * dl.dl / st.avgdl))
+    ), 4) AS score
+  FROM hits h JOIN dfreq f USING (term) JOIN dl ON dl.doc = h.doc
+  CROSS JOIN st
+  GROUP BY h.doc
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

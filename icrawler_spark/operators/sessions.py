@@ -1,0 +1,99 @@
+"""Crawl-log sessionization: group a per-actor event stream into sessions
+split on inactivity gaps.
+
+A production crawler emits a high-volume operational log (fetches, errors,
+rate decisions — the reference logs per-event through `logging`,
+icrawler/crawler.py:120-135, with no analytical surface over it). Gap-based
+sessionization is the standard first transform for that log: per-host fetch
+sessions drive politeness post-hoc audits, per-user sessions drive abuse
+detection on the serving side.
+
+Scale shape: ONE window partitioned by the actor key (lag + running sum —
+both computed in the same window exchange) followed by ONE groupBy on
+(actor, session). Both shuffles key on the actor, so AQE aligns them; state
+per actor is a linear scan of its own events, never a cross join. A
+pathological single-actor log would skew one partition — at that point the
+actor key gets a time-bucket salt, but per-host/per-user crawl logs are
+naturally wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-actor session index to every event.
+
+    A new session starts when the gap to the actor's previous event exceeds
+    ``gap_s`` seconds (strictly greater). Events are ordered by
+    (``ts_col``, ``tiebreak_col``) so equal timestamps sessionize
+    deterministically. Adds ``session_seq`` (0-based per actor) and
+    ``ts_us`` (epoch microseconds — exact integers, no float time math).
+    """
+    if gap_s <= 0:
+        raise ValueError("gap_s must be positive")
+    w = (Window.partitionBy(actor_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session tz is UTC, so
+    # the cast to TIMESTAMP is value-preserving and unix_micros stays exact
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    boundary = F.when(
+        us - F.lag(us).over(w) > F.lit(int(gap_s) * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn("ts_us", us).withColumn(
+        "session_seq",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+
+
+def session_stats(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One row per (actor, session): event count, start/end epoch-µs and
+    duration — the audit table a politeness post-mortem reads."""
+    s = sessionize(events, actor_col, ts_col, gap_s, tiebreak_col)
+    return (s.groupBy(F.col(actor_col), F.col("session_seq"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"))
+            .withColumn("duration_us",
+                        (F.col("end_us") - F.col("start_us")).cast("long")))
+
+
+def session_stats_sql(actor_col: str = "user_id", gap_s: int = 1800,
+                      events_table: str = "events") -> str:
+    """DuckDB mirror of :func:`session_stats` (epoch_us is exact integer
+    microseconds on both engines; the session tz is UTC)."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+WITH marked AS (
+  SELECT {actor_col}, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY {actor_col} ORDER BY ts, event_id) > {gap_us}
+         THEN 1 ELSE 0 END AS boundary
+  FROM {events_table}
+),
+sessed AS (
+  SELECT {actor_col}, ts_us,
+    CAST(sum(boundary) OVER (PARTITION BY {actor_col} ORDER BY ts_us,
+         event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM marked
+)
+SELECT {actor_col}, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+  min(ts_us) AS start_us, max(ts_us) AS end_us,
+  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+FROM sessed GROUP BY 1, 2
+"""

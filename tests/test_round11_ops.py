@@ -1,0 +1,90 @@
+"""Unit tests for the round-11 pack: inverted-index postings + BM25
+(operators/search.py) and gap sessionization (operators/sessions.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.search import bm25_topk, build_postings
+from icrawler_spark.operators.sessions import session_stats, sessionize
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, "spark hash join hash"),
+         (2, "sort merge join"),
+         (3, "hash hash hash hash filler filler filler filler filler"),
+         (4, "nothing relevant here")],
+        "doc_id long, text string")
+
+
+def test_bm25_hand_computed(spark):
+    # single-term query: verify the exact formula on doc 1
+    rows = {r["doc_id"]: r for r in
+            bm25_topk(_corpus(spark), ["hash"], k=10).collect()}
+    assert set(rows) == {1, 3}
+    n, df = 4, 2
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    avgdl = (4 + 3 + 9 + 3) / 4.0
+    tf, dl = 2, 4
+    expect = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+    assert rows[1]["score"] == pytest.approx(expect)
+    assert rows[1]["n_hits"] == 1
+
+
+def test_bm25_more_matching_terms_beats_repetition(spark):
+    # doc2 matches both terms; doc3 repeats one term in a long doc
+    got = bm25_topk(_corpus(spark), ["merge", "sort"], k=5).collect()
+    assert got[0]["doc_id"] == 2 and got[0]["rank"] == 1
+    assert got[0]["n_hits"] == 2
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), [])
+
+
+def test_postings_cap_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "term filler") for i in range(12)], "doc_id long, text string")
+    rows = {r["term"]: r for r in
+            build_postings(df, min_term_len=4, max_ids=3).collect()}
+    assert rows["term"]["df"] == 12 and rows["term"]["tf_total"] == 12
+    assert rows["term"]["doc_ids"] == "0,1,2"       # capped, smallest-first
+    assert rows["filler"]["df"] == 12
+
+
+def test_sessionize_gap_is_strict(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10),
+         (1, "2024-01-01 00:30:00", 11),     # gap == 1800s: same session
+         (1, "2024-01-01 01:00:01", 12),     # gap 1801s: new session
+         (2, "2024-01-01 00:00:00", 13)],
+        "user_id long, ts string, event_id long").withColumn(
+            "ts", F.to_timestamp("ts"))
+    got = {(r["user_id"], r["event_id"]): r["session_seq"]
+           for r in sessionize(df, gap_s=1800).collect()}
+    assert got == {(1, 10): 0, (1, 11): 0, (1, 12): 1, (2, 13): 0}
+
+
+def test_session_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1),
+         (1, "2024-01-01 00:10:00", 2),
+         (1, "2024-01-01 09:00:00", 3)],
+        "user_id long, ts string, event_id long").withColumn(
+            "ts", F.to_timestamp("ts"))
+    rows = {r["session_seq"]: r for r in
+            session_stats(df, gap_s=1800).collect()}
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["duration_us"] == 600 * 1_000_000
+    assert rows[1]["n_events"] == 1 and rows[1]["duration_us"] == 0
+
+
+def test_sessionize_rejects_bad_gap(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        sessionize(df, gap_s=0)
