@@ -196,6 +196,7 @@ _EXTRA_PICKS = [
     "etld1", "mojibake", "revalidate", "snapshot_cdc", "shard_pack",
     # round-3 batch-5 (corpus query surface + log analytics)
     "bm25_search", "postings", "sessionize",
+    "url_templates", "script_detect", "host_hits", "host_sample",
 ]
 
 

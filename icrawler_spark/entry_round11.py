@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 from icrawler_spark.operators import search as _search
 from icrawler_spark.operators import sessions as _sessions
+from icrawler_spark.functions import text as _text
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
 
 # shared tokenization (docdedup.tokens_col) rendered for DuckDB — same
 # chain as the tfidf_hosts / line_dedup / self_perplexity oracles
@@ -102,6 +106,187 @@ def _sessionize_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# url_templates — structural URL pattern mining
+# ---------------------------------------------------------------------------
+
+def _tpl_urls(spark, sf) -> DataFrame:
+    """Deterministic frontier with id-bearing paths: products, hex sessions,
+    md5-derived uuids, calendar archives, and a static page."""
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 5).cast("int")
+    h = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                       F.substring(h, 13, 4), F.substring(h, 17, 4),
+                       F.substring(h, 21, 12))
+    url = (F.when(k == 0, F.concat(F.lit("http://shop.test/product/"),
+                                   F.col("doc_id").cast("string")))
+           .when(k == 1, F.concat(F.lit("http://app.test/s/"),
+                                  F.substring(h, 1, 16), F.lit("/view")))
+           .when(k == 2, F.concat(F.lit("http://u.test/profile/"), uuid))
+           .when(k == 3, F.concat(F.lit("http://blog.test/2024/"),
+                                  ((F.col("doc_id") % 12) + 1).cast("string"),
+                                  F.lit("/post-"),
+                                  F.col("doc_id").cast("string")))
+           .otherwise(F.lit("http://blog.test/about")))
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.url_template: collapse uuid/hex/digit runs and group —
+    the structural frontier summary trap detection and layout dedup read.
+    Pure regexp chain fused into the scan; ONE groupBy(template)."""
+    u = _tpl_urls(spark, sf)
+    return (u.select(_urls.url_template("url").alias("template"))
+            .groupBy("template")
+            .agg(F.count("*").cast("long").alias("n_urls")))
+
+
+def _url_templates_sql() -> str:
+    tpl = _urls.url_template_sql("url")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'http://shop.test/product/' || doc_id
+      WHEN 1 THEN 'http://app.test/s/' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) || '/view'
+      WHEN 2 THEN 'http://u.test/profile/' ||
+        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+        substring(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+        substring(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+        substring(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+        substring(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+      WHEN 3 THEN 'http://blog.test/2024/' || ((doc_id % 12) + 1)
+                  || '/post-' || doc_id
+      ELSE 'http://blog.test/about'
+    END AS url
+  FROM documents
+)
+SELECT {tpl} AS template, CAST(count(*) AS BIGINT) AS n_urls
+FROM u GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# script_detect — Unicode script profiling
+# ---------------------------------------------------------------------------
+
+_CYR_SNIP = "Привет мир это тест"
+_CJK_SNIP = "这是一个测试文档内容"
+_AR_SNIP = "هذا نص تجريبي"
+_MIX_SNIP = "mixed Привет 中文 text"
+
+
+def _script_bodies(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 5).cast("int")
+    body = (F.when(k == 1, F.lit(_CYR_SNIP))
+            .when(k == 2, F.lit(_CJK_SNIP))
+            .when(k == 3, F.lit(_AR_SNIP))
+            .when(k == 4, F.lit(_MIX_SNIP))
+            .otherwise(F.substring("text", 1, 60)))
+    return d.select("doc_id", body.alias("body"))
+
+
+def q_script_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.script_counts + dominant_script: route documents by
+    Unicode script before language-ID (a CJK doc must never reach the
+    Latin-ngram langid) — literal-range char classes, one scan pass."""
+    b = _script_bodies(spark, sf)
+    cnt = _text.script_counts("body")
+    return b.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in cnt.items()],
+        _text.dominant_script("body").alias("script"))
+
+
+def _script_detect_sql() -> str:
+    cnt, dom = _text.script_profile_sql("body")
+    cols = ",\n  ".join(f"{sql} AS n_{name}" for name, sql in cnt.items())
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 1 THEN '{_CYR_SNIP}'
+      WHEN 2 THEN '{_CJK_SNIP}'
+      WHEN 3 THEN '{_AR_SNIP}'
+      WHEN 4 THEN '{_MIX_SNIP}'
+      ELSE substring(text, 1, 60)
+    END AS body
+  FROM documents
+)
+SELECT doc_id,
+  {cols},
+  {dom} AS script
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# host_hits — HITS hubs/authorities over the host graph
+# ---------------------------------------------------------------------------
+
+_HITS_HOSTS = 40
+_HITS_ITERS = 2
+
+_HITS_EDGES_SQL = (f"SELECT CAST(user_id % {_HITS_HOSTS} AS BIGINT) AS src, "
+                   f"CAST((user_id + event_id) % {_HITS_HOSTS} AS BIGINT)"
+                   " AS dst FROM events")
+
+
+def q_host_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.hits: 2-iteration hub/authority scores over the same
+    synthetic host link graph as host_pagerank — two join+agg passes per
+    iteration keyed on the host id, L1 norm via a broadcast single-row sum."""
+    ev = _events(spark, sf)
+    edges = ev.select(
+        (F.col("user_id") % _HITS_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % _HITS_HOSTS).cast("long")
+        .alias("dst"))
+    out = _graph.hits(edges, n_iters=_HITS_ITERS)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "hub", "authority")
+
+
+def _host_hits_sql() -> str:
+    return _graph.hits_sql(_HITS_EDGES_SQL, n_iters=_HITS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# host_sample — deterministic per-group inspection sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+_SAMPLE_HOSTS = 12
+
+
+def q_host_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.per_group_sample: ≤5 docs per synthetic host in
+    salted-md5 order — engine-portable random-looking sampling with no
+    rand() seed drift; one window partitioned by host."""
+    d = _docs(spark, sf).withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % _SAMPLE_HOSTS)
+                         .cast("string"), F.lit(".test")))
+    out = _corpus.per_group_sample(d, "host", _SAMPLE_K, id_col="doc_id")
+    return out.select("host", "doc_id", "sample_rank")
+
+
+_HOST_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % {_SAMPLE_HOSTS}) || '.test' AS host
+  FROM documents
+),
+r AS (
+  SELECT host, doc_id,
+    CAST(row_number() OVER (PARTITION BY host
+         ORDER BY md5(host || '|' || doc_id) ASC, doc_id ASC) AS BIGINT)
+      AS sample_rank
+  FROM d
+)
+SELECT host, doc_id, sample_rank FROM r WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -110,6 +295,10 @@ def queries11():
         "bm25_search": q_bm25_search,
         "postings": q_postings,
         "sessionize": q_sessionize,
+        "url_templates": q_url_templates,
+        "script_detect": q_script_detect,
+        "host_hits": q_host_hits,
+        "host_sample": q_host_sample,
     }
 
 
@@ -118,4 +307,8 @@ def oracle_sql11():
         "bm25_search": _bm25_sql(),
         "postings": _POSTINGS_SQL,
         "sessionize": _sessionize_sql(),
+        "url_templates": _url_templates_sql(),
+        "script_detect": _script_detect_sql(),
+        "host_hits": _host_hits_sql(),
+        "host_sample": _HOST_SAMPLE_SQL,
     }

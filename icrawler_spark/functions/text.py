@@ -301,3 +301,50 @@ def mojibake_score_sql(expr: str) -> str:
         f"CAST((length({expr}) - length(replace({expr}, '{mk}', ''))) / {len(mk)} AS BIGINT)"
         for mk in MOJIBAKE_MARKERS]
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# Unicode script profiling: per-document counts of characters in the major
+# script blocks and a dominant-script label. Web-scale corpora route on
+# script before language (a CJK doc should never reach a Latin-ngram
+# langid), and mixed-script text is a strong spam / mojibake signal. Counts
+# are length-differences after stripping a literal-range character class —
+# pure JVM (and RE2-safe: literal endpoints, no properties), one scan pass.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("greek", "Ͱ-Ͽ"),
+]
+
+
+def script_counts(text_col) -> dict[str, "F.Column"]:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {name: (F.length(c) - F.length(
+        F.regexp_replace(c, f"[{rng}]", ""))).cast("long")
+        for name, rng in SCRIPT_CLASSES}
+
+
+def dominant_script(text_col) -> "F.Column":
+    """First script (in SCRIPT_CLASSES order) achieving the max count;
+    'none' when no scripted character occurs."""
+    counts = script_counts(text_col)
+    mx = F.greatest(*counts.values())
+    out = F.lit("none")
+    for name in reversed([n for n, _ in SCRIPT_CLASSES]):
+        out = F.when(counts[name] == mx, F.lit(name)).otherwise(out)
+    return F.when(mx == 0, F.lit("none")).otherwise(out)
+
+
+def script_profile_sql(expr: str) -> tuple[dict[str, str], str]:
+    """DuckDB twins: ({script: count_sql}, dominant_sql)."""
+    cnt = {
+        name: (f"CAST(length({expr}) - length(regexp_replace({expr},"
+               f" '[{rng}]', '', 'g')) AS BIGINT)")
+        for name, rng in SCRIPT_CLASSES}
+    mx = "greatest(" + ", ".join(cnt.values()) + ")"
+    branches = "\n    ".join(
+        f"WHEN {cnt[name]} = {mx} THEN '{name}'"
+        for name, _ in SCRIPT_CLASSES)
+    dom = f"(CASE WHEN {mx} = 0 THEN 'none'\n    {branches}\n    ELSE 'none' END)"
+    return cnt, dom

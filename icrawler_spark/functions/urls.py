@@ -202,3 +202,38 @@ def canonicalize_url(url_col) -> "F.Column":
     qs = F.array_join(F.array_sort(params), "&")
     return F.concat(scheme, F.lit("://"), host, path,
                     F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
+# URL template mining: collapse volatile id segments so structurally
+# identical URLs group together — the pattern signal behind trap detection
+# (a template with 10^6 instances on one host is a calendar/session trap),
+# dedup-by-layout and crawl-frontier summarization. Rules apply in order;
+# a digits-only run of >= 8 chars matches the hex rule first and classifies
+# as {hex} (documented, deterministic, mirrored in the SQL twin — RE2 has
+# no lookahead, so "contains a letter" cannot be expressed portably).
+URL_TEMPLATE_RULES: list[tuple[str, str]] = [
+    (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+     "{uuid}"),
+    (r"[0-9a-f]{8,}", "{hex}"),
+    (r"[0-9]+", "{d}"),
+]
+
+
+def url_template(url_col) -> "F.Column":
+    """Rewrite a URL to its structural template (uuid/hex/digit runs →
+    placeholders). Pure JVM regexp chain, fuses into the scan."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    for pat, repl in URL_TEMPLATE_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def url_template_sql(expr: str) -> str:
+    """The identical rule chain for DuckDB (RE2 needs the 'g' flag for
+    replace-all; Spark's regexp_replace is global by default)."""
+    out = expr
+    for pat, repl in URL_TEMPLATE_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

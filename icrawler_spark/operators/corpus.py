@@ -403,3 +403,27 @@ def pack_shards(
         "shard_id",
         F.floor((F.col("cum_bytes") - F.col(bytes_col))
                 / F.lit(int(target_bytes))).cast("long"))
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ≤k-row sample per group, uniform over a salted md5
+    order — the inspection/eval sample every corpus stage wants ("show me 5
+    docs per host") without a driver-side loop or rand() seed drift across
+    engines. One window partitioned by the group (per-group state is a
+    heap-free scan); adds ``sample_rank`` 1..k.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.col(group_col).cast("string"),
+                              F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order.asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= k))

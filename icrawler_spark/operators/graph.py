@@ -91,3 +91,78 @@ r{i + 1} AS (
     parts.append(f"""
 SELECT node, round(rank, 6) AS rank FROM r{n_iters}""")
     return "".join(parts)
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, public spec): hub/authority scores
+    over a directed host graph — the complement to :func:`pagerank` for
+    frontier priority (a high-hub host's outlinks are good fetch candidates
+    even when the host itself ranks low).
+
+    Each iteration is two join+groupBy passes keyed on the host id, with L1
+    normalization folded in as a broadcast of the single-row sum (no driver
+    collect); scores round to 6 decimals at the end only, same
+    cross-engine-determinism rule as pagerank. Nodes with no in-edges get
+    authority 0, no out-edges hub 0.
+    """
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("v")))
+        a_tot = a_raw.agg(F.sum("v").alias("t"))
+        auth = (a_raw.crossJoin(F.broadcast(a_tot))
+                .select("node", (F.col("v") / F.col("t")).alias("auth"))
+                .localCheckpoint(eager=False))
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("v")))
+        h_tot = h_raw.agg(F.sum("v").alias("t"))
+        hub = (h_raw.crossJoin(F.broadcast(h_tot))
+               .select("node", (F.col("v") / F.col("t")).alias("hub"))
+               .localCheckpoint(eager=False))
+    return (nodes.join(hub, "node", "left").join(auth, "node", "left")
+            .select("node",
+                    F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+                    F.round(F.coalesce("auth", F.lit(0.0)), 6).alias("authority")))
+
+
+def hits_sql(edges_cte: str, n_iters: int = 2) -> str:
+    """DuckDB mirror of :func:`hits`: one CTE pair per half-iteration over
+    an edges CTE producing (src, dst)."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes)"""]
+    prev_h = "h0"
+    a = None
+    for i in range(1, n_iters + 1):
+        a = f"a{i}"
+        parts.append(f""",
+{a}r AS (SELECT e.dst AS node, sum(h.hub) AS v
+         FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1),
+{a} AS (SELECT node, v / (SELECT sum(v) FROM {a}r) AS auth FROM {a}r),
+h{i}r AS (SELECT e.src AS node, sum(a.auth) AS v
+          FROM e JOIN {a} a ON a.node = e.dst GROUP BY 1),
+h{i} AS (SELECT node, v / (SELECT sum(v) FROM h{i}r) AS hub FROM h{i}r)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT n.node,
+  round(coalesce(h.hub, 0), 6) AS hub,
+  round(coalesce(a.auth, 0), 6) AS authority
+FROM nodes n
+LEFT JOIN {prev_h} h ON h.node = n.node
+LEFT JOIN {a} a ON a.node = n.node""")
+    return "".join(parts)

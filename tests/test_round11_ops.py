@@ -88,3 +88,64 @@ def test_sessionize_rejects_bad_gap(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError):
         sessionize(df, gap_s=0)
+
+
+def test_url_template_rules(spark):
+    from icrawler_spark.functions.urls import url_template
+    df = spark.createDataFrame(
+        [("http://h.test/p/12345/x",),
+         ("http://h.test/u/123e4567-e89b-42d3-a456-426614174000",),
+         ("http://h.test/s/deadbeef1234cafe/view",),
+         ("http://h.test/about",)], "url string")
+    got = [r["t"] for r in df.select(url_template("url").alias("t")).collect()]
+    assert got == ["http://h.test/p/{d}/x",
+                   "http://h.test/u/{uuid}",
+                   "http://h.test/s/{hex}/view",
+                   "http://h.test/about"]
+
+
+def test_dominant_script_routing(spark):
+    from icrawler_spark.functions.text import dominant_script, script_counts
+    df = spark.createDataFrame(
+        [("hello world",), ("Привет мир",), ("这是测试",),
+         ("هذا نص",), ("αβγδ",), ("1234 !!",)], "body string")
+    rows = df.select("body", dominant_script("body").alias("s"),
+                     *[c.alias(f"n_{n}")
+                       for n, c in script_counts("body").items()]
+                     ).collect()
+    got = {r["body"]: r["s"] for r in rows}
+    assert got == {"hello world": "latin", "Привет мир": "cyrillic",
+                   "这是测试": "cjk", "هذا نص": "arabic",
+                   "αβγδ": "greek", "1234 !!": "none"}
+    by = {r["body"]: r for r in rows}
+    assert by["Привет мир"]["n_cyrillic"] == 9
+
+
+def test_hits_star_graph(spark):
+    # star: 1->0, 2->0, 3->0. Authority concentrates on 0; hubs split evenly
+    from icrawler_spark.operators.graph import hits
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e).collect()}
+    assert got[0] == (0.0, 1.0)
+    for n in (1, 2, 3):
+        assert got[n] == (pytest.approx(1 / 3, abs=1e-6), 0.0)
+
+
+def test_per_group_sample_cap_and_determinism(spark):
+    from icrawler_spark.operators.corpus import per_group_sample
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "doc_id long, host string")
+    a = per_group_sample(df, "host", 4).collect()
+    b = per_group_sample(df, "host", 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r["host"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per.values())
+
+
+def test_per_group_sample_rejects_bad_k(spark):
+    from icrawler_spark.operators.corpus import per_group_sample
+    df = spark.createDataFrame([(1, "g")], "doc_id long, host string")
+    with pytest.raises(ValueError):
+        per_group_sample(df, "host", 0)
