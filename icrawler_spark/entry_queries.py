@@ -23,7 +23,8 @@ from icrawler_spark.functions.text import (
 from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round5, entry_round6, entry_round7,
                             entry_round8, entry_round9,
-                            entry_round10, entry_round11)
+                            entry_round10, entry_round11,
+                            entry_round12)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -801,6 +802,7 @@ def queries():
         **entry_round9.queries9(),
         **entry_round10.queries10(),
         **entry_round11.queries11(),
+        **entry_round12.queries12(),
     }
 
 
@@ -844,4 +846,5 @@ def oracle_sql():
         **entry_round9.oracle_sql9(),
         **entry_round10.oracle_sql10(),
         **entry_round11.oracle_sql11(),
+        **entry_round12.oracle_sql12(),
     }

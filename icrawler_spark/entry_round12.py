@@ -1,0 +1,129 @@
+"""Round-3 driver-contract queries (batch 6): PSL-driven politeness pods —
+the eTLD+1 integration of functions/domains into the politeness machinery.
+
+``politeness_etld1`` drives operators/politeness.robots_politeness_mark
+with a host_groups table built by functions/domains.registrable_host_groups:
+subdomains of one registrable domain share ONE token bucket (one server
+farm), private-suffix subdomains (github.io users) and public-suffix hosts
+keep per-host buckets. The reference has no politeness at all (SURVEY §2.10
+X10); grouping buckets by eTLD+1 is the principled default a web-scale
+crawler needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import domains as _dom
+
+_PE_HOSTS = 12
+_PE_ROUND_S = 10.0  # round_ms = 10000
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _pe_host_expr(hid):
+    """hid → hostname covering every pod shape: a 6-subdomain registrable
+    pod (example.com, split across two spellings), a 2-host co.uk pod,
+    per-owner github.io hosts, a wildcard-suffix host, and a bare public
+    suffix."""
+    return (F.when(hid <= 3, F.concat(F.lit("w"), hid.cast("string"),
+                                      F.lit(".shop.example.com")))
+            .when(hid <= 5, F.concat(F.lit("a"), hid.cast("string"),
+                                     F.lit(".news.co.uk")))
+            .when(hid <= 7, F.concat(F.lit("u"), hid.cast("string"),
+                                     F.lit(".github.io")))
+            .when(hid == 8, F.lit("x.y.ck"))
+            .when(hid == 9, F.lit("com"))
+            .otherwise(F.concat(F.lit("c"), hid.cast("string"),
+                                F.lit(".example.com"))))
+
+
+_PE_HOST_SQL = """CASE
+      WHEN hid <= 3 THEN 'w' || hid || '.shop.example.com'
+      WHEN hid <= 5 THEN 'a' || hid || '.news.co.uk'
+      WHEN hid <= 7 THEN 'u' || hid || '.github.io'
+      WHEN hid = 8 THEN 'x.y.ck'
+      WHEN hid = 9 THEN 'com'
+      ELSE 'c' || hid || '.example.com'
+    END"""
+
+
+def q_politeness_etld1(spark: SparkSession, sf: str) -> DataFrame:
+    """registrable_host_groups → robots_politeness_mark: w0-3 + c10-11
+    .example.com hosts form ONE 6-host pod capped at the most restrictive
+    member (min slots over the pod, NULL = uncapped member ignored);
+    a4/a5.news.co.uk form a 2-host pod; u6/u7.github.io stay per-host
+    (private suffix = different owners); x.y.ck and the bare 'com' keep
+    their own buckets via the NULL-registrable fallback."""
+    from icrawler_spark.operators.politeness import robots_politeness_mark
+
+    ev = _events(spark, sf).select("event_id", "user_id")
+    hid = (F.col("user_id") % _PE_HOSTS).cast("long")
+    host = _pe_host_expr(hid)
+    frontier = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"))
+    hosts = spark.range(_PE_HOSTS)
+    k = F.col("id")
+    robots = hosts.select(
+        _pe_host_expr(k.cast("long")).alias("host"),
+        F.when(k % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(((k % 4 + 1) * 1000).cast("long")).alias("crawl_delay_ms"),
+        F.array().cast("array<string>").alias("disallow_prefixes"))
+    groups = _dom.registrable_host_groups(robots, "host")
+    marked = robots_politeness_mark(frontier, robots, _PE_ROUND_S,
+                                    ["event_id"], host_groups=groups)
+    return marked.select("event_id", "url", F.col("__take").alias("take"))
+
+
+def _politeness_etld1_sql() -> str:
+    psl = _dom.psl_oracle_sql("hosts AS (SELECT DISTINCT host FROM hs)")
+    return f"""
+WITH hs AS (
+  SELECT hid, {_PE_HOST_SQL} AS host
+  FROM (SELECT unnest(range({_PE_HOSTS})) AS hid)
+),
+fr AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id % {_PE_HOSTS} AS BIGINT) AS hid
+  FROM events
+),
+reg AS (
+  SELECT p.host, p.registrable FROM ({psl}) p
+),
+slots AS (
+  SELECT h.hid, h.host,
+         CASE WHEN h.hid % 5 = 0 THEN NULL
+              ELSE greatest(1, CAST(floor(10000.0 / ((h.hid % 4 + 1) * 1000))
+                               AS BIGINT)) END AS slots,
+         coalesce(r.registrable, h.host) AS bucket
+  FROM hs h JOIN reg r ON r.host = h.host
+),
+bucketed AS (
+  SELECT f.event_id, 'http://' || s.host || '/p/' || f.event_id AS url,
+         s.bucket, min(s.slots) OVER (PARTITION BY s.bucket) AS bslots
+  FROM fr f JOIN slots s USING (hid)
+)
+SELECT event_id, url,
+       (bslots IS NULL OR
+        row_number() OVER (PARTITION BY bucket ORDER BY event_id) <= bslots)
+         AS take
+FROM bucketed
+"""
+
+
+def queries12():
+    return {
+        "politeness_etld1": q_politeness_etld1,
+    }
+
+
+def oracle_sql12():
+    return {
+        "politeness_etld1": _politeness_etld1_sql(),
+    }

@@ -170,3 +170,30 @@ SELECT h AS {host_col},
        THEN array_to_string(ls[n - sn : n], '.') END AS registrable
 FROM res
 """
+
+
+def registrable_host_groups(
+    hosts_df: DataFrame,
+    host_col: str = "host",
+    rules: list[str] | None = None,
+) -> DataFrame:
+    """(host, grp) pod table for ``CrawlConfig.host_groups``: every host
+    sharing a registrable domain shares ONE politeness token bucket —
+    ``a.shop.example.com`` and ``b.shop.example.com`` are one server farm
+    and must not be hammered in parallel just because their hostnames
+    differ. Hosts whose registrable domain is NULL (the host IS a public
+    suffix) and private-suffix subdomains (``u1.github.io`` vs
+    ``u2.github.io`` — different owners by PSL design) keep per-host
+    buckets automatically, because their registrable IS the full host.
+
+    Built once per crawl from the distinct frontier/seed hosts (the PSL
+    resolution already runs over DISTINCT hosts only) and passed as
+    ``CrawlConfig.host_groups`` — no loop change needed.
+    """
+    res = registrable_domains(
+        hosts_df.select(F.col(host_col)).where(
+            F.col(host_col).isNotNull()).distinct(),
+        host_col, rules)
+    return res.select(
+        F.col(host_col).alias("host"),
+        F.coalesce(F.col("registrable"), F.col(host_col)).alias("grp"))

@@ -1,0 +1,45 @@
+"""Unit tests for the round-12 pack: PSL-derived politeness pods
+(functions/domains.registrable_host_groups wired into
+operators/politeness.robots_politeness_mark via host_groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.domains import registrable_host_groups
+from icrawler_spark.operators.politeness import robots_politeness_mark
+
+
+def test_registrable_host_groups_pods(spark):
+    hosts = spark.createDataFrame(
+        [("a.shop.example.com",), ("b.shop.example.com",),
+         ("c.example.com",), ("u1.github.io",), ("u2.github.io",),
+         ("com",), (None,)], "host string")
+    got = {r["host"]: r["grp"]
+           for r in registrable_host_groups(hosts).collect()}
+    # one pod for the whole registrable domain, regardless of depth
+    assert (got["a.shop.example.com"] == got["b.shop.example.com"]
+            == got["c.example.com"] == "example.com")
+    # private-suffix subdomains are different owners: per-host buckets
+    assert got["u1.github.io"] == "u1.github.io"
+    assert got["u2.github.io"] == "u2.github.io"
+    # a bare public suffix has NULL registrable -> falls back to itself
+    assert got["com"] == "com"
+    assert None not in got  # null hosts dropped
+
+
+def test_etld1_pod_shares_one_bucket(spark):
+    # 4 URLs on two sibling subdomains; delay 5000ms, round 10s -> 2 slots.
+    # Per-host buckets would take 2+2; the eTLD+1 pod takes 2 TOTAL.
+    frontier = spark.createDataFrame(
+        [(i, f"http://{'ab'[i % 2]}.ex.example.com/p/{i}")
+         for i in range(4)], "event_id long, url string")
+    robots = spark.createDataFrame(
+        [("a.ex.example.com", 5000, []), ("b.ex.example.com", 5000, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    groups = registrable_host_groups(robots, "host")
+    pod = robots_politeness_mark(frontier, robots, 10.0, ["event_id"],
+                                 host_groups=groups)
+    solo = robots_politeness_mark(frontier, robots, 10.0, ["event_id"])
+    assert pod.filter(F.col("__take")).count() == 2
+    assert solo.filter(F.col("__take")).count() == 4
