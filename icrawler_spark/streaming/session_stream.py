@@ -1,0 +1,105 @@
+"""Stateful streaming sessionization — the continuous twin of
+operators/sessions.py (``applyInPandasWithState``).
+
+Batch sessionization re-scans the log per run; on a live event stream the
+equivalent is a per-actor stateful operator: events accumulate into the
+actor's open session, an inactivity gap > ``gap_s`` closes it and emits one
+session row. State per actor is four longs (open session's seq, start,
+last-seen, count) — O(actors), never O(events) — and persists in the
+checkpoint, so a restart resumes sessions mid-flight (verified by the
+restart test, same harness as the politeness scheduler stream).
+
+Emission is on-close: a session row appears when a later event (possibly
+batches later) exceeds the gap. The trailing open session stays in state —
+exactly the semantics a downstream joiner wants (only finished sessions are
+facts). All per-batch math is vectorized numpy over the Arrow batch; no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("user_id long, session_seq long, n_events long, "
+                 "start_us long, end_us long, duration_us long")
+STATE_SCHEMA = "seq long, start_us long, last_us long, n long"
+
+
+def make_sessionizer(gap_s: int = 1800):
+    """Build the (key, batches, state) -> batches function for
+    ``applyInPandasWithState``. Gap semantics match operators/sessions.py:
+    strictly greater than ``gap_s`` starts a new session."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+                   ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+
+        if state.exists:
+            seq0, start0, last0, n0 = state.get
+        else:
+            seq0, start0, last0, n0 = 0, int(ts[0]), None, 0
+
+        prev = np.concatenate((
+            [np.int64(last0 if last0 is not None else ts[0])], ts[:-1]))
+        boundary = (ts - prev) > gap_us
+        local = np.cumsum(boundary)          # 0 = the (possibly) open session
+        seqs = seq0 + local
+
+        # per-session aggregates within this batch
+        uniq, first_idx, counts = np.unique(
+            seqs, return_index=True, return_counts=True)
+        starts = ts[first_idx]
+        last_idx = first_idx + counts - 1
+        ends = ts[last_idx]
+        head = None
+        if last0 is not None:
+            if boundary[0]:
+                # the batch's first event closed the persisted session with
+                # no new members: emit it from state alone
+                head = (seq0, n0, start0, last0)
+            else:
+                # fold the persisted open session into its continuation
+                starts[0] = start0
+                counts[0] = counts[0] + n0
+
+        # emit every session except the trailing open one
+        closed = list(zip(uniq[:-1], counts[:-1], starts[:-1], ends[:-1]))
+        if head is not None:
+            closed.insert(0, head)
+        if closed:
+            c = np.array(closed, dtype=np.int64)
+            yield pd.DataFrame({
+                "user_id": np.full(len(c), user, dtype=np.int64),
+                "session_seq": c[:, 0],
+                "n_events": c[:, 1],
+                "start_us": c[:, 2],
+                "end_us": c[:, 3],
+                "duration_us": c[:, 3] - c[:, 2],
+            })
+        state.update((int(uniq[-1]), int(starts[-1]), int(ts[-1]),
+                      int(counts[-1])))
+
+    return sessionize
+
+
+def sessionize_stream(stream_df, gap_s: int = 1800):
+    """stream_df: streaming DF with (user_id:long, event_id:long,
+    ts_us:long). Returns a streaming DF of CLOSED sessions
+    (user_id, session_seq, n_events, start_us, end_us, duration_us)."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_s),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

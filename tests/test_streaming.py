@@ -198,3 +198,51 @@ def test_windowed_metrics_watermark_drops_late(spark, tmp_path):
     assert rows["10:05"]["n_urls"] == 1
     # the 10:20 window is still open (watermark has not passed it) -> absent
     assert "10:20" not in rows
+
+
+def test_session_stream_closes_and_resumes(spark, tmp_path):
+    """Stateful streaming sessionizer: sessions close on gap, the open
+    session survives a checkpoint restart, and a session closed by a
+    later-batch event is emitted from state alone."""
+    from icrawler_spark.streaming.session_stream import sessionize_stream
+
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    sink = str(tmp_path / "ssink")
+    S = 1_000_000  # µs per second
+
+    def write_batch(name, rows):
+        (spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def run_once():
+        stream = (spark.readStream.schema("user_id long, event_id long, ts_us long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (sessionize_stream(stream, gap_s=1000).writeStream
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: user 1 closes one session in-batch; user 2 stays open
+    write_batch("a", [(1, 1, 0), (1, 2, 100 * S), (1, 3, 5000 * S),
+                      (2, 9, 0)])
+    run_once()
+    got = {(r["user_id"], r["session_seq"]): r
+           for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {(1, 0)}
+    assert got[(1, 0)]["n_events"] == 2
+    assert got[(1, 0)]["duration_us"] == 100 * S
+
+    # batch 2 (restart from checkpoint): user 1 continues then closes the
+    # open session; user 2's persisted session closes with no new members
+    write_batch("b", [(1, 4, 5100 * S), (1, 5, 99999 * S),
+                      (2, 10, 50000 * S)])
+    run_once()
+    got = {(r["user_id"], r["session_seq"]): r
+           for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 1)]["n_events"] == 2
+    assert got[(1, 1)]["start_us"] == 5000 * S
+    assert got[(1, 1)]["end_us"] == 5100 * S
+    assert got[(2, 0)]["n_events"] == 1 and got[(2, 0)]["duration_us"] == 0
