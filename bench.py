@@ -197,7 +197,7 @@ _EXTRA_PICKS = [
     # round-3 batch-5 (corpus query surface + log analytics)
     "bm25_search", "postings", "sessionize",
     "url_templates", "script_detect", "host_hits", "host_sample",
-    "politeness_etld1",
+    "politeness_etld1", "normalize_text", "charset_detect", "postings_delta",
 ]
 
 

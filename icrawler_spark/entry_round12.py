@@ -117,13 +117,180 @@ FROM bucketed
 """
 
 
+# ---------------------------------------------------------------------------
+# normalize_text — typographic unicode -> ASCII fold
+# ---------------------------------------------------------------------------
+
+from icrawler_spark.functions.text import (  # noqa: E402
+    NORMALIZE_PAIRS, normalize_typography, normalize_typography_sql)
+
+_BADC = [b for b, _ in NORMALIZE_PAIRS]
+# fixture built FROM the pair table: NBSP-joined words, zero-widths inside a
+# token, curly quotes/dashes/ellipsis, tab + space runs
+_RAW_A = (f"one{_BADC[0]}two {_BADC[1]}zero{_BADC[2]}width "
+          f"{_BADC[5]}quoted{_BADC[6]} {_BADC[9]}dash{_BADC[10]} "
+          f"wait{_BADC[11]}{_BADC[12]}  end")
+
+
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.normalize_typography: NBSP/zero-width/curly-quote/
+    dash/ellipsis fold + space collapse — the pre-tokenizer cleanup pass.
+    Literal replace-chain shared with the oracle; pure JVM."""
+    from icrawler_spark.entry_round11 import _docs as _docs11
+
+    d = _docs11(spark, sf)
+    k = (F.col("doc_id") % 3).cast("int")
+    body = (F.when(k == 0, F.lit(_RAW_A))
+            .when(k == 1, F.concat(F.substring("text", 1, 30),
+                                   F.lit(_RAW_A)))
+            .otherwise(F.substring("text", 1, 30)))
+    b = d.select("doc_id", body.alias("body"))
+    norm = normalize_typography("body")
+    return b.select("doc_id", norm.alias("normalized"),
+                    (norm != F.col("body")).alias("changed"))
+
+
+def _normalize_text_sql() -> str:
+    nsql = normalize_typography_sql("body")
+    raw = _RAW_A.replace("'", "''")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN '{raw}'
+      WHEN 1 THEN substring(text, 1, 30) || '{raw}'
+      ELSE substring(text, 1, 30)
+    END AS body
+  FROM documents
+)
+SELECT doc_id, {nsql} AS normalized,
+  ({nsql} <> body) AS changed
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# charset_detect — declared charset extraction
+# ---------------------------------------------------------------------------
+
+from icrawler_spark.operators.warc import (  # noqa: E402
+    CHARSET_DECL_RES, declared_charset)
+
+
+def q_charset_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.declared_charset: meta-charset / http-equiv / XML-decl
+    precedence, lowercased, NULL when nothing declared — the page-side half
+    of the charset-lie detector (header side lives in http_headers)."""
+    from icrawler_spark.entry_round11 import _docs as _docs11
+
+    d = _docs11(spark, sf)
+    k = (F.col("doc_id") % 4).cast("int")
+    html = (F.when(k == 0, F.concat(
+                F.lit('<html><META CHARSET="UTF-8"><body>'),
+                F.substring("text", 1, 20)))
+            .when(k == 1, F.lit(
+                '<html><meta http-equiv="Content-Type" '
+                'content="text/html; charset=ISO-8859-1"><body>'))
+            .when(k == 2, F.lit(
+                "<?xml version='1.0' encoding='KOI8-R'?><page/>"))
+            .otherwise(F.concat(F.lit("<html><body>"),
+                                F.substring("text", 1, 20))))
+    b = d.select("doc_id", html.alias("html"))
+    return b.select("doc_id", declared_charset("html").alias("charset"))
+
+
+def _charset_detect_sql() -> str:
+    pats = [p.replace("'", "''") for p in CHARSET_DECL_RES]
+    picks = ", ".join(
+        f"nullif(regexp_extract(html, '{p}', 1), '')" for p in pats)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '<html><META CHARSET="UTF-8"><body>' || substring(text, 1, 20)
+      WHEN 1 THEN '<html><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"><body>'
+      WHEN 2 THEN '<?xml version=''1.0'' encoding=''KOI8-R''?><page/>'
+      ELSE '<html><body>' || substring(text, 1, 20)
+    END AS html
+  FROM documents
+)
+SELECT doc_id, lower(coalesce({picks})) AS charset FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# postings_delta — incremental index maintenance from a recrawl
+# ---------------------------------------------------------------------------
+
+_PD_MIN_LEN = 3
+# DuckDB spelling of docdedup.tokens_col over an alias column t
+_TOK_T_SQL = ("string_split(trim(regexp_replace(regexp_replace(lower(t),"
+              " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def q_postings_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.postings_delta between the snapshot_cdc fixture's
+    two crawl snapshots: per-term df/tf adjustments, tokenizing ONLY docs
+    whose content hash changed (unchanged docs anti-join away before any
+    explode) — O(changed docs), not O(corpus)."""
+    from icrawler_spark.entry_round11 import _docs as _docs11
+    from icrawler_spark.operators.search import postings_delta
+
+    d = _docs11(spark, sf)
+    old = d.filter(F.col("doc_id") % 5 != 4).select("doc_id", "text")
+    new = (d.filter(F.col("doc_id") % 5 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.col("text"), F.lit(" zz9update")))
+                   .otherwise(F.col("text")).alias("text")))
+    return postings_delta(old, new, min_term_len=_PD_MIN_LEN)
+
+
+_PD_SQL = f"""
+WITH old AS (
+  SELECT doc_id AS doc, text AS t, md5(text) AS h
+  FROM documents WHERE doc_id % 5 <> 4),
+new AS (
+  SELECT doc_id AS doc,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' zz9update' ELSE text END AS t,
+    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' zz9update' ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0),
+o_t AS (SELECT * FROM old o WHERE NOT EXISTS (
+          SELECT 1 FROM new n WHERE n.doc = o.doc AND n.h = o.h)),
+n_t AS (SELECT * FROM new n WHERE NOT EXISTS (
+          SELECT 1 FROM old o WHERE o.doc = n.doc AND o.h = n.h)),
+oc AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest({_TOK_T_SQL}) AS term FROM o_t)
+  WHERE length(term) >= {_PD_MIN_LEN} GROUP BY 1, 2),
+nc AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest({_TOK_T_SQL}) AS term FROM n_t)
+  WHERE length(term) >= {_PD_MIN_LEN} GROUP BY 1, 2),
+deltas AS (
+  SELECT term, -1 AS dfd, -tf AS tfd FROM oc
+  UNION ALL
+  SELECT term, 1 AS dfd, tf AS tfd FROM nc)
+SELECT term, CAST(sum(dfd) AS BIGINT) AS df_delta,
+  CAST(sum(tfd) AS BIGINT) AS tf_delta
+FROM deltas GROUP BY term
+HAVING sum(dfd) <> 0 OR sum(tfd) <> 0
+"""
+
+
 def queries12():
     return {
         "politeness_etld1": q_politeness_etld1,
+        "normalize_text": q_normalize_text,
+        "charset_detect": q_charset_detect,
+        "postings_delta": q_postings_delta,
     }
 
 
 def oracle_sql12():
     return {
         "politeness_etld1": _politeness_etld1_sql(),
+        "normalize_text": _normalize_text_sql(),
+        "charset_detect": _charset_detect_sql(),
+        "postings_delta": _PD_SQL,
     }

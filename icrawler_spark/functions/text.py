@@ -348,3 +348,39 @@ def script_profile_sql(expr: str) -> tuple[dict[str, str], str]:
         for name, _ in SCRIPT_CLASSES)
     dom = f"(CASE WHEN {mx} = 0 THEN 'none'\n    {branches}\n    ELSE 'none' END)"
     return cnt, dom
+
+
+# Typographic normalization: the fancy-unicode → ASCII fold every tokenizer
+# wants upstream (NBSP and zero-widths break whitespace splits, curly quotes
+# split contractions, unicode dashes defeat hyphen rules). A deterministic
+# literal replace-chain (same engine-portable shape as MOJIBAKE_PAIRS) plus
+# one whitespace-collapse regex; pure JVM, fuses into the scan.
+NORMALIZE_PAIRS: list[tuple[str, str]] = [
+    (" ", " "),   # NBSP
+    ("​", ""),    # zero-width space
+    ("‌", ""),    # zero-width non-joiner
+    ("‍", ""),    # zero-width joiner
+    ("﻿", ""),    # BOM / zero-width nbsp
+    ("‘", "'"), ("’", "'"),
+    ("“", '"'), ("”", '"'),
+    ("–", "-"), ("—", "-"),
+    ("…", "..."),
+    ("\t", " "),
+]
+
+
+def normalize_typography(text_col) -> "F.Column":
+    """Fold typographic unicode to ASCII and collapse runs of spaces."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for bad, good in NORMALIZE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def normalize_typography_sql(expr: str) -> str:
+    out = expr
+    for bad, good in NORMALIZE_PAIRS:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return f"trim(regexp_replace({out}, ' +', ' ', 'g'))"

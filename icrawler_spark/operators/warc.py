@@ -283,3 +283,27 @@ def canonical_clusters(pages: DataFrame, url_col: str = "url",
             .groupBy("canonical")
             .agg(F.count("*").cast("long").alias("n_pages"),
                  F.min("url").alias("rep_url")))
+
+
+# declaration patterns shared with the DuckDB oracle (RE2-safe: no
+# lookaround, literal classes), precedence order: HTML5 meta charset,
+# http-equiv Content-Type charset param, XML declaration encoding
+CHARSET_DECL_RES: list[str] = [
+    r"""(?i)<meta\s+charset=["']?\s*([A-Za-z0-9_\-]+)""",
+    r"""(?i)<meta\s+http-equiv=["']?content-type["']?[^>]*charset=([A-Za-z0-9_\-]+)""",
+    r"""(?i)<\?xml[^>]*encoding=["']([A-Za-z0-9_\-]+)""",
+]
+
+
+def declared_charset(html_col) -> "F.Column":
+    """Charset a page DECLARES, by spec precedence: HTML5 ``<meta charset>``,
+    then ``http-equiv Content-Type``'s charset parameter, then an XML
+    declaration's ``encoding`` — lowercased, NULL when nothing is declared.
+    The header-declared charset lives in http_headers' ``charset`` column;
+    a mismatch between the two is the classic mojibake source
+    (functions/text.repair_mojibake downstream). Pure regexp projection,
+    fuses into the scan."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    picks = [F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+             for pat in CHARSET_DECL_RES]
+    return F.lower(F.coalesce(*picks))

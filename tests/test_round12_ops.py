@@ -43,3 +43,46 @@ def test_etld1_pod_shares_one_bucket(spark):
     solo = robots_politeness_mark(frontier, robots, 10.0, ["event_id"])
     assert pod.filter(F.col("__take")).count() == 2
     assert solo.filter(F.col("__take")).count() == 4
+
+
+def test_normalize_typography(spark):
+    from icrawler_spark.functions.text import (NORMALIZE_PAIRS,
+                                               normalize_typography)
+    nbsp, zwsp = NORMALIZE_PAIRS[0][0], NORMALIZE_PAIRS[1][0]
+    raw = f"a{nbsp}b{zwsp}c ‘q’ – x…  end\t."
+    df = spark.createDataFrame([(raw,), ("plain text",)], "body string")
+    got = [r["n"] for r in
+           df.select(normalize_typography("body").alias("n")).collect()]
+    assert got[0] == "a bc 'q' - x... end ."
+    assert got[1] == "plain text"
+
+
+def test_declared_charset_precedence(spark):
+    from icrawler_spark.operators.warc import declared_charset
+    df = spark.createDataFrame(
+        [('<META CHARSET="UTF-8"><meta http-equiv="content-type" '
+          'content="x; charset=latin-1">',),       # meta wins
+         ('<meta http-equiv="Content-Type" content="text/html; '
+          'charset=ISO-8859-1">',),
+         ("<?xml version='1.0' encoding='KOI8-R'?>",),
+         ("<html>nothing</html>",)], "html string")
+    got = [r["c"] for r in
+           df.select(declared_charset("html").alias("c")).collect()]
+    assert got == ["utf-8", "iso-8859-1", "koi8-r", None]
+
+
+def test_postings_delta_touches_only_changed_docs(spark):
+    from icrawler_spark.operators.search import postings_delta
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma gamma"), (3, "delta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta"),            # unchanged -> contributes nothing
+         (2, "gamma epsilon"),         # changed: -1 gamma tf, +epsilon
+         (4, "zeta")],                 # added; doc 3 removed
+        "doc_id long, text string")
+    got = {r["term"]: (r["df_delta"], r["tf_delta"])
+           for r in postings_delta(old, new, min_term_len=3).collect()}
+    assert got == {"gamma": (0, -1), "epsilon": (1, 1),
+                   "delta": (-1, -1), "zeta": (1, 1)}
+    assert "alpha" not in got and "beta" not in got
