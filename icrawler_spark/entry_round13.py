@@ -1,0 +1,162 @@
+"""Round-3 driver-contract queries (batch 7): page metadata extraction,
+exact phrase search, and template-explosion trap detection.
+
+The reference's GreedyParser extracts only hrefs and image URLs
+(/root/reference/icrawler/builtin/greedy.py:34-57) — no titles, no phrase
+queries, no structural frontier analysis. Fixtures derive deterministically
+from the documents table; Spark plans and DuckDB oracles share the same
+pattern constants (PAGE_META_RES, URL_TEMPLATE_RULES, the tokenizer chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.entry_round11 import _tpl_urls, _url_templates_sql
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import warc as _warc
+
+
+# ---------------------------------------------------------------------------
+# page_meta — title / h1 / description / og:title extraction
+# ---------------------------------------------------------------------------
+
+def _meta_pages(spark, sf) -> DataFrame:
+    """Synthetic pages: full metadata, tag-nested title, partial metadata,
+    and none at all."""
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 4).cast("int")
+    t20 = F.substring("text", 1, 20)
+    html = (F.when(k == 0, F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title><meta name='description' content='about "),
+                t20,
+                F.lit("'><meta property=\"og:title\" content=\"OG "),
+                F.col("doc_id").cast("string"),
+                F.lit("\"></head><body><h1>Primary</h1>")))
+            .when(k == 1, F.concat(
+                F.lit("<html><title> Nested <b>bold</b>\ntitle </title>"
+                      "<body><h1 class='x'>H1 "),
+                F.col("doc_id").cast("string"), F.lit("</h1>")))
+            .when(k == 2, F.concat(
+                F.lit("<html><body><h1></h1><p>"), t20))
+            .otherwise(F.concat(F.lit("<html><body>"), t20)))
+    return d.select("doc_id", html.alias("html"))
+
+
+def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.page_meta: title/h1/description/og:title as first-class
+    columns (inner tags stripped, whitespace collapsed, empty → NULL) —
+    pure regexp projection fused into the scan."""
+    p = _meta_pages(spark, sf)
+    cols = _warc.page_meta("html")
+    return p.select("doc_id", *[c.alias(name) for name, c in cols.items()])
+
+
+def _page_meta_sql() -> str:
+    sqls = _warc.page_meta_sql("html")
+    cols = ",\n  ".join(f"{s} AS {name}" for name, s in sqls.items())
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '<html><head><title>Doc ' || doc_id
+        || '</title><meta name=''description'' content=''about '
+        || substring(text, 1, 20)
+        || '''><meta property="og:title" content="OG ' || doc_id
+        || '"></head><body><h1>Primary</h1>'
+      WHEN 1 THEN '<html><title> Nested <b>bold</b>' || chr(10)
+        || 'title </title><body><h1 class=''x''>H1 ' || doc_id || '</h1>'
+      WHEN 2 THEN '<html><body><h1></h1><p>' || substring(text, 1, 20)
+      ELSE '<html><body>' || substring(text, 1, 20)
+    END AS html
+  FROM documents
+)
+SELECT doc_id,
+  {cols}
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# phrase_search — exact adjacent-token phrase match
+# ---------------------------------------------------------------------------
+
+_PHRASE = "hash value"
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.phrase_count: exact-phrase occurrences per document
+    via zip_with over shifted token-array slices — no explode, no shuffle,
+    the whole query is scan + filter + project."""
+    d = _docs(spark, sf)
+    cnt = _search.phrase_count("text", _PHRASE)
+    return (d.select("doc_id", cnt.alias("n_occ"))
+            .where(F.col("n_occ") > 0))
+
+
+def _phrase_search_sql() -> str:
+    c = _search.phrase_count_sql(_TOK_SQL, _PHRASE)
+    return f"""
+SELECT * FROM (
+  SELECT doc_id, {c} AS n_occ FROM documents
+) WHERE n_occ > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# template_traps — URL-template explosion per host
+# ---------------------------------------------------------------------------
+
+_TT_THRESHOLD = 50
+
+
+def q_template_traps(spark: SparkSession, sf: str) -> DataFrame:
+    """url_template × host: a (host, template) pair with an exploding
+    instance count is a calendar/session trap candidate — the structural
+    complement to functions/urls.url_trap_score's per-URL heuristics. One
+    groupBy(host, template); the fixture reuses url_templates' frontier."""
+    u = _tpl_urls(spark, sf)
+    host = F.parse_url("url", F.lit("HOST"))
+    return (u.select(host.alias("host"),
+                     _urls.url_template("url").alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count("*").cast("long").alias("n_urls"))
+            .withColumn("is_trap", F.col("n_urls") >= _TT_THRESHOLD))
+
+
+def _template_traps_sql() -> str:
+    tpl = _urls.url_template_sql("url")
+    # reuse the url_templates fixture CTE by lifting its WITH body
+    inner = _url_templates_sql().split("WITH u AS (")[1].split(")\nSELECT")[0]
+    return f"""
+WITH u AS ({inner}),
+t AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         {tpl} AS template
+  FROM u
+)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+  (count(*) >= {_TT_THRESHOLD}) AS is_trap
+FROM t GROUP BY host, template
+"""
+
+
+def queries13():
+    return {
+        "page_meta": q_page_meta,
+        "phrase_search": q_phrase_search,
+        "template_traps": q_template_traps,
+    }
+
+
+def oracle_sql13():
+    return {
+        "page_meta": _page_meta_sql(),
+        "phrase_search": _phrase_search_sql(),
+        "template_traps": _template_traps_sql(),
+    }

@@ -208,3 +208,47 @@ def postings_delta(
            .agg(F.sum("dfd").cast("long").alias("df_delta"),
                 F.sum("tfd").cast("long").alias("tf_delta")))
     return out.where((F.col("df_delta") != 0) | (F.col("tf_delta") != 0))
+
+
+def phrase_count(text_col, phrase: str) -> "F.Column":
+    """Occurrences of an exact token phrase (adjacent tokens after the
+    shared normalization) — the phrase-query primitive BM25 can't express.
+    Built as zip_with over shifted slices of the token array: pure JVM
+    array expressions, no explode, no shuffle, fuses into the scan. Cost is
+    O(tokens · phrase_len) per document.
+    """
+    words = [w for w in phrase.split() if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    plen = len(words)
+    if plen == 1:
+        grams = toks
+    else:
+        # windows of length plen: zip plen shifted slices together
+        m = n - F.lit(plen - 1)
+        grams = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+        for i in range(1, plen):
+            nxt = F.slice(toks, 1 + i, F.greatest(m, F.lit(0)))
+            grams = F.zip_with(grams, nxt,
+                               lambda a, b: F.concat_ws(" ", a, b))
+    target = " ".join(words)
+    return F.size(F.filter(grams, lambda g: g == F.lit(target))).cast("long")
+
+
+def phrase_count_sql(tok_sql: str, phrase: str) -> str:
+    """DuckDB twin of :func:`phrase_count` over the same tokenizer SQL."""
+    words = [w for w in phrase.split() if w]
+    plen = len(words)
+    target = " ".join(words).replace("'", "''")
+    if plen == 1:
+        return (f"CAST(len(list_filter({tok_sql}, g -> g = '{target}'))"
+                " AS BIGINT)")
+    joins = " || ' ' || ".join(f"t[i + {i}]" for i in range(plen))
+    return (
+        "CAST(len(list_filter("
+        f"(SELECT list(({joins})) FROM (SELECT {tok_sql} AS t) _s,"
+        f" LATERAL (SELECT unnest(range(1, greatest(len(t) - {plen - 1},"
+        " 0) + 1)) AS i) _i),"
+        f" g -> g = '{target}')) AS BIGINT)")

@@ -307,3 +307,42 @@ def declared_charset(html_col) -> "F.Column":
     picks = [F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
              for pat in CHARSET_DECL_RES]
     return F.lower(F.coalesce(*picks))
+
+
+# page-metadata patterns shared with the DuckDB oracle (RE2-safe: lazy
+# quantifiers + (?is) flags, no lookaround). Order: title, first h1, meta
+# description, og:title.
+PAGE_META_RES: dict[str, str] = {
+    "title": r"(?is)<title[^>]*>(.*?)</title>",
+    "h1": r"(?is)<h1[^>]*>(.*?)</h1>",
+    "description": r"""(?is)<meta\s+name=["']?description["']?\s+content=["']([^"']*)""",
+    "og_title": r"""(?is)<meta\s+property=["']?og:title["']?\s+content=["']([^"']*)""",
+}
+
+
+def page_meta(html_col) -> dict[str, "F.Column"]:
+    """Per-page metadata projection: title / first h1 / meta description /
+    og:title, inner tags stripped and whitespace collapsed, NULL when
+    absent. The reference never parses page metadata at all (GreedyParser
+    takes only hrefs+imgs, builtin/greedy.py:34-57); a corpus pipeline
+    wants these as first-class columns for titles-as-signals and snippet
+    rendering. Pure regexp projection fused into the scan."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    out = {}
+    for name, pat in PAGE_META_RES.items():
+        raw = F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+        clean = F.nullif(F.trim(F.regexp_replace(
+            F.regexp_replace(raw, r"<[^>]*>", " "), r"\s+", " ")), F.lit(""))
+        out[name] = clean
+    return out
+
+
+def page_meta_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`page_meta`, same patterns, same cleanup."""
+    out = {}
+    for name, pat in PAGE_META_RES.items():
+        p = pat.replace("'", "''")
+        raw = f"nullif(regexp_extract({expr}, '{p}', 1), '')"
+        out[name] = (f"nullif(trim(regexp_replace(regexp_replace({raw},"
+                     f" '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), '')")
+    return out

@@ -1,0 +1,54 @@
+"""Unit tests for the round-13 pack: page metadata extraction
+(operators/warc.page_meta), phrase search (operators/search.phrase_count),
+and template-trap composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.search import phrase_count
+from icrawler_spark.operators.warc import page_meta
+
+
+def test_page_meta_extraction(spark):
+    html = ("<html><head><TITLE> A <i>nested</i>\n title </TITLE>"
+            "<meta name='description' content='the desc'>"
+            '<meta property="og:title" content="og val"></head>'
+            "<body><h1 id='x'>First H1</h1><h1>Second</h1>")
+    df = spark.createDataFrame([(html,), ("<html><body>bare",)],
+                               "html string")
+    rows = df.select(*[c.alias(n) for n, c in page_meta("html").items()]
+                     ).collect()
+    assert rows[0]["title"] == "A nested title"
+    assert rows[0]["h1"] == "First H1"          # first h1 wins
+    assert rows[0]["description"] == "the desc"
+    assert rows[0]["og_title"] == "og val"
+    assert all(rows[1][c] is None
+               for c in ["title", "h1", "description", "og_title"])
+
+
+def test_phrase_count_multiword(spark):
+    df = spark.createDataFrame(
+        [("big data, big data big!",),   # punctuation folds away
+         ("big and data",),
+         ("data big",),
+         ("big",)], "text string")
+    got = [r["c"] for r in
+           df.select(phrase_count("text", "big data").alias("c")).collect()]
+    assert got == [2, 0, 0, 0]
+
+
+def test_phrase_count_single_token_and_errors(spark):
+    df = spark.createDataFrame([("a b a",)], "text string")
+    assert df.select(phrase_count("text", "a").alias("c")
+                     ).collect()[0]["c"] == 2
+    with pytest.raises(ValueError):
+        phrase_count("text", "  ")
+
+
+def test_phrase_count_triple(spark):
+    df = spark.createDataFrame([("x y z x y z",), ("x y",)], "text string")
+    got = [r["c"] for r in
+           df.select(phrase_count("text", "x y z").alias("c")).collect()]
+    assert got == [2, 0]
