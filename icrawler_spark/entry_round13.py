@@ -151,6 +151,7 @@ def queries13():
         "page_meta": q_page_meta,
         "phrase_search": q_phrase_search,
         "template_traps": q_template_traps,
+        "linear_score": q_linear_score,
     }
 
 
@@ -159,4 +160,57 @@ def oracle_sql13():
         "page_meta": _page_meta_sql(),
         "phrase_search": _phrase_search_sql(),
         "template_traps": _template_traps_sql(),
+        "linear_score": _linear_score_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# linear_score — bag-of-words classifier inference
+# ---------------------------------------------------------------------------
+
+# a tiny deterministic "model" in integer milli-units: positive weight on
+# infrastructure terms, negative on filler — shared literally with the
+# oracle; bias = -1/20 as an exact rational
+_LS_WEIGHTS: list[tuple[str, int]] = [
+    ("hash", 800), ("merge", 600), ("spark", 1000), ("window", 400),
+    ("table", 200), ("the", -300), ("slow", -700), ("row", -100),
+]
+_LS_SCALE = 1000
+_LS_BIAS = (-1, 20)
+
+
+def q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.linear_text_score: fastText-style linear quality
+    scoring — one broadcast join against the vocab-sized model, one
+    groupBy(doc) of (sum,count) partials; the decision label is exact
+    integer arithmetic (the double score is excluded from the parity
+    projection: quotient rationals sit on decimal half-boundaries)."""
+    from icrawler_spark.functions.text import linear_text_score
+
+    d = _docs(spark, sf)
+    w = spark.createDataFrame(_LS_WEIGHTS, "term string, weight long")
+    out = linear_text_score(d, w, scale=_LS_SCALE,
+                            bias_num=_LS_BIAS[0], bias_den=_LS_BIAS[1])
+    return out.select("doc_id", "n_tokens", "weight_sum", "label")
+
+
+def _linear_score_sql() -> str:
+    vals = ", ".join(f"('{t}', {w})" for t, w in _LS_WEIGHTS)
+    bn, bd = _LS_BIAS
+    return f"""
+WITH w(term, weight) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 1),
+s AS (
+  SELECT t2.doc_id, count(*) AS n_tokens,
+    coalesce(sum(w.weight), 0) AS weight_sum
+  FROM t2 LEFT JOIN w USING (term)
+  GROUP BY t2.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(weight_sum AS BIGINT) AS weight_sum,
+  (weight_sum * {bd} + ({bn} * {_LS_SCALE}) * n_tokens > 0) AS label
+FROM s
+"""

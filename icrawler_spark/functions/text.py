@@ -384,3 +384,47 @@ def normalize_typography_sql(expr: str) -> str:
         g = good.replace("'", "''")
         out = f"replace({out}, '{b}', '{g}')"
     return f"trim(regexp_replace({out}, ' +', ' ', 'g'))"
+
+
+def linear_text_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1000,
+    bias_num: int = 0,
+    bias_den: int = 1,
+    min_term_len: int = 1,
+) -> DataFrame:
+    """Linear bag-of-words classifier inference (the fastText-style quality
+    scorer CCNet/refinedweb pipelines run over every document):
+    score = bias + Σ weight(token)/scale / n_tokens, unknown tokens weigh 0.
+
+    ``weights`` is a (term, weight:long) model table in integer
+    ``1/scale`` units — vocab-sized, broadcast; ``bias`` is the exact
+    rational bias_num/bias_den. The decision label is computed in INTEGER
+    arithmetic (sign of weight_sum·bias_den + bias_num·scale·n_tokens), so
+    threshold behavior is exact and engine-portable; the double ``score``
+    is a convenience projection, not the decision path.
+
+    Scale shape: explode → ONE broadcast join against the model → ONE
+    groupBy(id) carrying (sum, count) partials; the corpus never shuffles
+    on the term. Returns (id, n_tokens, weight_sum, score, label).
+    """
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(tokens_col(text_col)).alias("term"))
+            .where(F.length("term") >= min_term_len))
+    w = F.broadcast(weights.select(F.col("term"),
+                                   F.col("weight").cast("long")))
+    agg = (toks.join(w, "term", "left")
+           .groupBy("__id")
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
+                .alias("weight_sum")))
+    score = (F.lit(float(bias_num) / float(bias_den))
+             + F.col("weight_sum") / (F.lit(float(scale)) * F.col("n_tokens")))
+    margin = (F.col("weight_sum") * F.lit(int(bias_den))
+              + F.lit(int(bias_num) * int(scale)) * F.col("n_tokens"))
+    return agg.select(F.col("__id").alias(id_col), "n_tokens", "weight_sum",
+                      F.round(score, 6).alias("score"),
+                      (margin > 0).alias("label"))

@@ -184,3 +184,96 @@ def test_canonicalize_url_idempotent_and_stable(spark, urls):
         hostpart = rest.split("/", 1)[0].split("?", 1)[0]
         assert hostpart == hostpart.lower()
         assert not hostpart.startswith("www.")
+
+
+def _phrase_count_py(text: str, phrase: str) -> int:
+    import re
+    toks = [t for t in re.sub(r" +", " ",
+            re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip().split(" ")
+            if t]
+    words = phrase.split()
+    n = 0
+    for i in range(len(toks) - len(words) + 1):
+        if toks[i:i + len(words)] == words:
+            n += 1
+    return n
+
+
+_word = st.text(alphabet="abc", min_size=1, max_size=3)
+
+
+@given(texts=st.lists(
+           st.lists(_word, min_size=0, max_size=12).map(" ".join),
+           min_size=1, max_size=20),
+       phrase=st.lists(_word, min_size=1, max_size=3).map(" ".join))
+@settings(**_SETTINGS)
+def test_phrase_count_matches_python_oracle(spark, texts, phrase):
+    from icrawler_spark.operators.search import phrase_count
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", phrase_count("text", phrase).alias("c")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _phrase_count_py(t, phrase), (t, phrase)
+
+
+@given(texts=st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                      max_size=20))
+@settings(**_SETTINGS)
+def test_normalize_typography_idempotent(spark, texts):
+    from icrawler_spark.functions.text import normalize_typography
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    once = df.select("i", normalize_typography("t").alias("n"))
+    twice = {r["i"]: r["n2"] for r in once.select(
+        "i", normalize_typography("n").alias("n2")).collect()}
+    for r in once.collect():
+        assert twice[r["i"]] == r["n"]
+
+
+@given(urls=st.lists(
+    st.tuples(st.sampled_from(["item", "a1b2c3d4e5f6a7b8", "2024", "x"]),
+              st.integers(0, 10**12)).map(
+        lambda p: f"http://h.test/{p[0]}/{p[1]}"),
+    min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_url_template_idempotent_and_digit_free(spark, urls):
+    from icrawler_spark.functions.urls import url_template
+    import re
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    one = df.select("i", url_template("url").alias("t"))
+    two = {r["i"]: r["t2"] for r in one.select(
+        "i", url_template("t").alias("t2")).collect()}
+    for r in one.collect():
+        # idempotent and no volatile run survives
+        assert two[r["i"]] == r["t"]
+        assert not re.search(r"[0-9]", r["t"].replace("{d}", "")
+                             .replace("{hex}", "").replace("{uuid}", ""))
+
+
+def _sessions_py(ts_list, gap_s):
+    seqs, seq = [], 0
+    for i, t in enumerate(sorted(ts_list)):
+        if i > 0 and t - prev > gap_s * 1_000_000:
+            seq += 1
+        seqs.append(seq)
+        prev = t
+    return seqs
+
+
+@given(ts=st.lists(st.integers(0, 10**9), min_size=1, max_size=30,
+                   unique=True),
+       gap=st.integers(1, 1000))
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_oracle(spark, ts, gap):
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.sessions import sessionize
+    rows = [(1, i, t) for i, t in enumerate(sorted(ts))]
+    df = (spark.createDataFrame(rows, "user_id long, event_id long, us long")
+          .select("user_id", "event_id",
+                  (F.col("us") / 1_000_000).cast("timestamp").alias("ts")))
+    got = [r["session_seq"] for r in
+           sessionize(df, gap_s=gap).orderBy("ts_us", "event_id").collect()]
+    assert got == _sessions_py(ts, gap)

@@ -52,3 +52,22 @@ def test_phrase_count_triple(spark):
     got = [r["c"] for r in
            df.select(phrase_count("text", "x y z").alias("c")).collect()]
     assert got == [2, 0]
+
+
+def test_linear_text_score_exact_label(spark):
+    from icrawler_spark.functions.text import linear_text_score
+    docs = spark.createDataFrame(
+        [(1, "good good bad"),     # (2*500 - 300)/1000/3 = 0.2333 > 0.05
+         (2, "bad bad good"),      # (500 - 600)/3000 < 0.05
+         (3, "unknown words here")],
+        "doc_id long, text string")
+    w = spark.createDataFrame([("good", 500), ("bad", -300)],
+                              "term string, weight long")
+    # bias +1/20: label = weight_sum*20 + 50*n > 0... use -1/20 like prod
+    rows = {r["doc_id"]: r for r in linear_text_score(
+        docs, w, scale=1000, bias_num=-1, bias_den=20).collect()}
+    assert rows[1]["weight_sum"] == 700 and rows[1]["label"] is True
+    assert rows[2]["weight_sum"] == -100 and rows[2]["label"] is False
+    assert rows[3]["weight_sum"] == 0 and rows[3]["label"] is False
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["score"] - (-0.05 + 700 / 3000)) < 1e-6
