@@ -93,21 +93,23 @@ def registrable_domains(
         "__h", "__hn", F.split("__hn", r"\.").alias("ls"),
         F.size(F.split("__hn", r"\.")).alias("n"))
     # bounded candidate explode: for k = 1..min(n, m) the exact suffix of
-    # the last k labels, and (k >= 2) the wildcard spelling *.<last k-1>
+    # the last k labels, and (k >= 2) the wildcard spelling *.<last k-1>.
+    # Both spellings land in ONE candidate column so the rules join is a
+    # plain equi-join (broadcast hash), not an OR-condition nested loop.
+    exact_c = F.array_join(F.slice("ls", F.col("n") - F.col("k") + 1,
+                                   F.col("k")), ".")
+    wild_c = F.when(F.col("k") >= 2, F.concat(
+        F.lit("*."),
+        F.array_join(F.slice("ls", F.col("n") - F.col("k") + 2,
+                             F.col("k") - 1), ".")))
     cand = (lab
             .withColumn("k", F.explode(F.sequence(
                 F.lit(1), F.least(F.col("n"), F.lit(m)))))
-            .select(
-                "__h", "k",
-                F.array_join(F.slice("ls", F.col("n") - F.col("k") + 1,
-                                     F.col("k")), ".").alias("exact_c"),
-                F.when(F.col("k") >= 2, F.concat(
-                    F.lit("*."),
-                    F.array_join(F.slice("ls", F.col("n") - F.col("k") + 2,
-                                         F.col("k") - 1), "."))).alias("wild_c")))
-    matches = (cand.join(
-        rules_df,
-        (rules_df["pat"] == cand["exact_c"]) | (rules_df["pat"] == cand["wild_c"]))
+            .select("__h", "k",
+                    F.explode(F.filter(F.array(exact_c, wild_c),
+                                       lambda x: x.isNotNull()))
+                    .alias("cand")))
+    matches = (cand.join(rules_df, rules_df["pat"] == cand["cand"])
         .groupBy("__h")
         .agg(F.max(F.when(F.col("is_exc"), F.col("k"))).alias("exc_k"),
              F.max(F.when(~F.col("is_exc"), F.col("k"))).alias("best_k")))
