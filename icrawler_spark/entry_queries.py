@@ -24,7 +24,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round5, entry_round6, entry_round7,
                             entry_round8, entry_round9,
                             entry_round10, entry_round11,
-                            entry_round12, entry_round13)
+                            entry_round12, entry_round13,
+                            entry_round14)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -804,6 +805,7 @@ def queries():
         **entry_round11.queries11(),
         **entry_round12.queries12(),
         **entry_round13.queries13(),
+        **entry_round14.queries14(),
     }
 
 
@@ -849,4 +851,5 @@ def oracle_sql():
         **entry_round11.oracle_sql11(),
         **entry_round12.oracle_sql12(),
         **entry_round13.oracle_sql13(),
+        **entry_round14.oracle_sql14(),
     }

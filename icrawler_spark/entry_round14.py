@@ -1,0 +1,204 @@
+"""Round-3 driver-contract queries (batch 8): RFC 9309 full-fidelity robots
+matching — Allow/Disallow rule compilation with '*' wildcards and the '$'
+anchor, and longest-match path decisions.
+
+The prefix-only pipeline (robots_parse → disallow_prefixes) remains the
+fast politeness-gate path; these two queries certify the full matcher
+(functions/robots.parse_robots_matchers + robots_path_allowed) against a
+DuckDB replay of the same grouping, compilation and precedence rules.
+Patterns in the fixture are ASCII, so SQL length() == Spark octet_length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import (parse_robots_matchers,
+                                             pattern_regex_sql,
+                                             robots_path_allowed)
+
+_RM_HOSTS = 16
+
+_RM_DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*(?:#.*)?$"
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _rm_bodies(spark, sf) -> DataFrame:
+    """Robots corpus over 16 hosts: allow-carve-out, wildcard extension,
+    root-only allow, and an agent-specific group ahead of a wildcard+anchor
+    pattern."""
+    hosts = (_events(spark, sf)
+             .select((F.col("user_id") % _RM_HOSTS).cast("long").alias("hid"))
+             .distinct())
+    h = F.col("hid")
+    nl = "\n"
+    b0 = F.lit("User-agent: *" + nl + "Allow: /p" + nl + "Disallow: /"
+               + nl + "Crawl-delay: 2")
+    b1 = F.lit("User-agent: *" + nl + "Allow: /page" + nl
+               + "Disallow: /*.htm")
+    b2 = F.lit("User-agent: *" + nl + "Allow: /$" + nl + "Disallow: /")
+    b3 = F.lit("User-agent: botx" + nl + "Disallow: /x" + nl + nl
+               + "User-agent: *" + nl + "Disallow: /priv*te$")
+    body = (F.when(h % 4 == 0, b0).when(h % 4 == 1, b1)
+            .when(h % 4 == 2, b2).otherwise(b3))
+    return hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+        body.alias("body"))
+
+
+_RM_BODIES_SQL = f"""
+  SELECT 'h' || hid || '.test' AS host,
+    CASE
+      WHEN hid % 4 = 0 THEN 'User-agent: *' || chr(10) || 'Allow: /p'
+           || chr(10) || 'Disallow: /' || chr(10) || 'Crawl-delay: 2'
+      WHEN hid % 4 = 1 THEN 'User-agent: *' || chr(10) || 'Allow: /page'
+           || chr(10) || 'Disallow: /*.htm'
+      WHEN hid % 4 = 2 THEN 'User-agent: *' || chr(10) || 'Allow: /$'
+           || chr(10) || 'Disallow: /'
+      ELSE 'User-agent: botx' || chr(10) || 'Disallow: /x' || chr(10)
+           || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /priv*te$'
+    END AS body
+  FROM (SELECT DISTINCT CAST(user_id % {_RM_HOSTS} AS BIGINT) AS hid
+        FROM events)
+"""
+
+
+def _rm_rules_cte() -> str:
+    """The grouping + applicability machinery as SQL CTEs, ending in a
+    ``rrule`` relation of (host, prec, allow, regex) for agent '*'."""
+    rx = pattern_regex_sql("val")
+    return f"""
+bodies AS ({_RM_BODIES_SQL}),
+lns AS (
+  SELECT host, unnest(range(0, len(l))) AS ln, unnest(l) AS line
+  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l FROM bodies)
+), d0 AS (
+  SELECT host, ln,
+         lower(regexp_extract(line, '{_RM_DIRECTIVE_RE}', 1)) AS key,
+         regexp_extract(line, '{_RM_DIRECTIVE_RE}', 2) AS val
+  FROM lns
+), d AS (
+  SELECT * FROM d0
+  WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+), d1 AS (
+  SELECT host, ln, key, val,
+         CASE WHEN key = 'user-agent' AND
+                   coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY host ORDER BY ln), 0) = 0
+              THEN 1 ELSE 0 END AS sg
+  FROM d
+), g AS (
+  SELECT host, ln, key, val,
+         sum(sg) OVER (PARTITION BY host ORDER BY ln
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d1
+), applicable AS (
+  SELECT DISTINCT host, grp FROM g
+  WHERE key = 'user-agent' AND lower(val) = '*'
+), rrule AS (
+  SELECT DISTINCT g.host, CAST(length(val) AS INT) AS prec,
+         (key = 'allow') AS allow, {rx} AS regex
+  FROM g JOIN applicable a USING (host, grp)
+  WHERE g.grp > 0 AND key IN ('allow', 'disallow') AND val <> ''
+)"""
+
+
+def q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """parse_robots_matchers: Allow+Disallow lines compiled to anchored
+    regexes with octet-length precedence — one row per rule (the exploded
+    rules array), plus the per-host crawl delay."""
+    out = parse_robots_matchers(_rm_bodies(spark, sf), agent="*")
+    r = out.select("host", "crawl_delay_ms",
+                   F.explode_outer("rules").alias("r"))
+    return r.select(
+        "host", "crawl_delay_ms",
+        F.col("r.prec").alias("prec"), F.col("r.allow").alias("allow"),
+        F.col("r.regex").alias("regex"))
+
+
+def _robots_rules_sql() -> str:
+    return f"""
+WITH {_rm_rules_cte()},
+delays AS (
+  SELECT g.host,
+    CAST(max(CASE WHEN key = 'crawl-delay' THEN CAST(val AS DOUBLE) END)
+         * 1000 AS BIGINT) AS crawl_delay_ms
+  FROM g JOIN applicable a USING (host, grp)
+  WHERE g.grp > 0
+  GROUP BY g.host
+)
+SELECT h.host, d.crawl_delay_ms, r.prec, r.allow, r.regex
+FROM (SELECT DISTINCT host FROM bodies) h
+LEFT JOIN delays d USING (host)
+LEFT JOIN rrule r USING (host)
+"""
+
+
+def q_robots_match(spark: SparkSession, sf: str) -> DataFrame:
+    """robots_path_allowed over a path fixture × the parsed matcher table:
+    the RFC 9309 longest-match decision (Allow beats Disallow on octet
+    ties, '$' anchors, '*' wildcards), computed as pure array expressions
+    — the rules array rides a broadcast join, URLs never shuffle."""
+    rules = parse_robots_matchers(_rm_bodies(spark, sf), agent="*")
+    ev = _events(spark, sf)
+    hid = (F.col("user_id") % _RM_HOSTS).cast("long")
+    path = (F.when(F.col("event_id") % 6 == 0, F.lit("/"))
+            .when(F.col("event_id") % 6 == 1, F.lit("/page"))
+            .when(F.col("event_id") % 6 == 2, F.lit("/page.htm"))
+            .when(F.col("event_id") % 6 == 3, F.lit("/p/x"))
+            .when(F.col("event_id") % 6 == 4, F.lit("/priv123te"))
+            .otherwise(F.lit("/priv123te/x")))
+    frontier = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".test")).alias("host"),
+        path.alias("path"))
+    j = frontier.join(F.broadcast(rules), "host", "left")
+    return j.select("event_id", "host", "path",
+                    robots_path_allowed("path", "rules").alias("allowed"))
+
+
+def _robots_match_sql() -> str:
+    return f"""
+WITH {_rm_rules_cte()},
+fr AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         'h' || (user_id % {_RM_HOSTS}) || '.test' AS host,
+         CASE CAST(event_id % 6 AS INT)
+           WHEN 0 THEN '/'
+           WHEN 1 THEN '/page'
+           WHEN 2 THEN '/page.htm'
+           WHEN 3 THEN '/p/x'
+           WHEN 4 THEN '/priv123te'
+           ELSE '/priv123te/x'
+         END AS path
+  FROM events
+),
+m AS (
+  SELECT f.event_id, f.host, f.path,
+         max(r.prec * 2 + CAST(r.allow AS INT)) AS best
+  FROM fr f LEFT JOIN rrule r
+    ON r.host = f.host AND regexp_matches(f.path, r.regex)
+  GROUP BY 1, 2, 3
+)
+SELECT event_id, host, path,
+  CASE WHEN best IS NULL THEN true ELSE best % 2 = 1 END AS allowed
+FROM m
+"""
+
+
+def queries14():
+    return {
+        "robots_rules": q_robots_rules,
+        "robots_match": q_robots_match,
+    }
+
+
+def oracle_sql14():
+    return {
+        "robots_rules": _robots_rules_sql(),
+        "robots_match": _robots_match_sql(),
+    }

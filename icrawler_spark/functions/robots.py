@@ -138,3 +138,113 @@ def sitemap_directives(
     return (ln.where(url != "")
             .select("host", F.col("pos").cast("long").alias("pos"),
                     url.alias("sitemap_url")))
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.2 path matching: Allow/Disallow with '*' wildcards and the
+# '$' end anchor, longest-pattern-wins precedence, Allow winning length
+# ties. The prefix-only pipeline above (disallow_prefixes) stays the fast
+# politeness-gate path; this is the full-fidelity matcher for engines that
+# honor Allow carve-outs (e.g. "Disallow: /a" + "Allow: /a/public").
+# ---------------------------------------------------------------------------
+
+# regex metacharacters escaped when compiling a robots pattern; '*' is
+# translated to '.*' AFTER escaping, '$' only anchors in final position
+_REGEX_META = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$"]
+
+
+def pattern_regex(pat_col) -> "F.Column":
+    """Compile a robots path pattern to an anchored regex, as a pure column
+    expression (runs once per RULE at parse time, never per URL)."""
+    c = F.col(pat_col) if isinstance(pat_col, str) else pat_col
+    anchored = c.endswith("$")
+    core = F.when(anchored, F.substr(c, F.lit(1), F.length(c) - 1)).otherwise(c)
+    for m in _REGEX_META:
+        core = F.replace(core, F.lit(m), F.lit("\\" + m))
+    core = F.replace(core, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), core,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def pattern_regex_sql(expr: str) -> str:
+    """DuckDB twin of :func:`pattern_regex` (same escape chain, same
+    anchor handling)."""
+    core = f"CASE WHEN {expr} LIKE '%$' THEN substring({expr}, 1, length({expr}) - 1) ELSE {expr} END"
+    # DuckDB '...' literals are raw (no backslash escapes): '<m>' is the
+    # metachar itself, '\<m>' the escaped replacement
+    for m in _REGEX_META:
+        core = f"replace({core}, '{m}', '\\{m}')"
+    core = f"replace({core}, '*', '.*')"
+    return (f"'^' || {core} || CASE WHEN {expr} LIKE '%$' THEN '$' ELSE '' END")
+
+
+def parse_robots_matchers(
+    bodies: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay_ms, rules) where ``rules`` is an
+    array of struct(prec:int, allow:boolean, regex:string) — precedence is
+    the pattern's octet length (RFC 9309 "most octets"), regexes are
+    precompiled by :func:`pattern_regex`. Same UA-grouping machinery as
+    :func:`parse_robots`; Allow and Disallow lines both collected, empty
+    values dropped (an empty Disallow is the allow-all marker)."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("ln", "line"))
+    key = F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1))
+    val = F.regexp_extract("line", _DIRECTIVE_RE, 2)
+    d = lines.select("host", "ln", key.alias("key"), val.alias("val")) \
+        .filter(F.col("key").isin("user-agent", "allow", "disallow",
+                                  "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    starts_group = (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    d = d.withColumn("grp", F.sum(starts_group.cast("int")).over(w))
+    d = d.filter(F.col("grp") > 0)
+
+    agent_lc = agent.lower()
+    ua = d.filter(F.col("key") == "user-agent").select(
+        "host", "grp", F.lower(F.col("val")).alias("ua"))
+    exact = ua.filter(F.col("ua") == agent_lc).select("host", "grp").distinct()
+    if agent_lc == "*":
+        applicable = exact
+    else:
+        star = (ua.filter(F.col("ua") == "*").select("host", "grp").distinct()
+                .join(exact.select("host").distinct(), "host", "left_anti"))
+        applicable = exact.union(star)
+
+    rules = d.join(applicable, ["host", "grp"], "left_semi")
+    rule = F.when(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != ""),
+        F.struct(
+            F.octet_length("val").cast("int").alias("prec"),
+            (F.col("key") == "allow").alias("allow"),
+            pattern_regex(F.col("val")).alias("regex")))
+    agg = (rules.groupBy("host").agg(
+        F.array_sort(F.array_distinct(F.collect_list(rule))).alias("rules"),
+        (F.max(F.when(F.col("key") == "crawl-delay",
+                      F.col("val").cast("double"))) * 1000)
+        .cast("long").alias("crawl_delay_ms")))
+    all_hosts = bodies.select(F.col(host_col).alias("host")).distinct()
+    empty = F.array().cast(
+        "array<struct<prec:int,allow:boolean,regex:string>>")
+    return (all_hosts.join(agg, "host", "left")
+            .select("host", "crawl_delay_ms",
+                    F.coalesce("rules", empty).alias("rules")))
+
+
+def robots_path_allowed(path_col, rules_col) -> "F.Column":
+    """RFC 9309 §2.2.2 decision for one URL path against a compiled rules
+    array: the matching rule with the most octets wins; an Allow beats a
+    Disallow of equal length; no matching rule → allowed. Pure array
+    expressions per row — the rules array is per-host-sized (tiny), the URL
+    side never shuffles."""
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    rules = F.col(rules_col) if isinstance(rules_col, str) else rules_col
+    matched = F.filter(rules, lambda r: F.regexp_like(p, r["regex"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: r["prec"] * 2 + r["allow"].cast("int")))
+    return F.when(F.size(matched) == 0, F.lit(True)).otherwise(
+        best % 2 == 1)

@@ -1,0 +1,72 @@
+"""RFC 9309 §2.2.2 full matcher tests (functions/robots.py:
+parse_robots_matchers + robots_path_allowed): Allow/Disallow longest-match
+precedence, '*' wildcards, '$' anchor — the published google-robots
+vectors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.robots import (parse_robots_matchers,
+                                             robots_path_allowed)
+
+
+def _decide(spark, body, paths):
+    rules = parse_robots_matchers(
+        spark.createDataFrame([("h.test", body)], "host string, body string"))
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    j = df.crossJoin(rules)
+    return {r["path"]: r["ok"] for r in
+            j.select("path", robots_path_allowed("path", "rules").alias("ok")
+                     ).collect()}
+
+
+def test_allow_longest_match_wins(spark):
+    body = "User-agent: *\nAllow: /p\nDisallow: /"
+    got = _decide(spark, body, ["/page", "/", "/x"])
+    assert got == {"/page": True, "/": False, "/x": False}
+
+
+def test_wildcard_extension_beats_shorter_allow(spark):
+    body = "User-agent: *\nAllow: /page\nDisallow: /*.htm"
+    got = _decide(spark, body, ["/page", "/page.htm"])
+    # '/*.htm' (6 octets) outranks '/page' (5) on /page.htm
+    assert got == {"/page": True, "/page.htm": False}
+
+
+def test_dollar_anchor_allows_root_only(spark):
+    body = "User-agent: *\nAllow: /$\nDisallow: /"
+    got = _decide(spark, body, ["/", "/page"])
+    assert got == {"/": True, "/page": False}
+
+
+def test_allow_tie_beats_disallow(spark):
+    body = "User-agent: *\nAllow: /folder\nDisallow: /folder"
+    got = _decide(spark, body, ["/folder/page"])
+    assert got == {"/folder/page": True}
+
+
+def test_no_rules_allows_everything(spark):
+    got = _decide(spark, "User-agent: other\nDisallow: /", ["/x"])
+    assert got == {"/x": True}
+
+
+def test_interior_dollar_and_meta_are_literal(spark):
+    body = "User-agent: *\nDisallow: /a$b\nDisallow: /c.d"
+    got = _decide(spark, body, ["/a$b/x", "/c.d", "/cxd", "/aXb"])
+    assert got == {"/a$b/x": False, "/c.d": False,
+                   "/cxd": True, "/aXb": True}
+
+
+def test_agent_specific_group_shadows_star(spark):
+    body = ("User-agent: mybot\nDisallow: /private\n\n"
+            "User-agent: *\nDisallow: /")
+    rules = parse_robots_matchers(
+        spark.createDataFrame([("h.test", body)], "host string, body string"),
+        agent="MyBot")
+    df = spark.createDataFrame([("/private/x",), ("/public",)], "path string")
+    got = {r["path"]: r["ok"] for r in
+           df.crossJoin(rules).select(
+               "path", robots_path_allowed("path", "rules").alias("ok")
+           ).collect()}
+    assert got == {"/private/x": False, "/public": True}
