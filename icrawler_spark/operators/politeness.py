@@ -30,21 +30,36 @@ def with_host(df: DataFrame, url_col: str = "url", out: str = "host") -> DataFra
     return df.withColumn(out, F.parse_url(F.col(url_col), F.lit("HOST")))
 
 
+def _robots_gate_col(robots: DataFrame, path) -> tuple[str, "F.Column"]:
+    """(rule column name, allowed predicate) for a robots table: tables with
+    a ``rules`` column (parse_robots_matchers) get the RFC 9309 full
+    matcher (Allow/Disallow, wildcards, '$', longest-match); tables with
+    ``disallow_prefixes`` (parse_robots) keep the fast prefix gate. Either
+    way NULL (host absent from the table) means allow-all."""
+    if "rules" in robots.columns:
+        from icrawler_spark.functions.robots import robots_path_allowed
+        return "rules", (F.col("rules").isNull()
+                         | robots_path_allowed(path, F.col("rules")))
+    return "disallow_prefixes", (
+        F.col("disallow_prefixes").isNull()
+        | ~F.exists("disallow_prefixes", lambda p: path.startswith(p)))
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
     """Drop URLs disallowed by robots rules. Broadcast map-side join: the
-    robots table is small (one row per host) even at 10^10-URL scale."""
+    robots table is small (one row per host) even at 10^10-URL scale.
+    Accepts both rule shapes (prefix table or full-matcher table) via
+    :func:`_robots_gate_col`."""
     if robots is None:
         return frontier
     f = with_host(frontier, url_col, "__host")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    rule_col, allowed = _robots_gate_col(robots, path)
     joined = f.join(
-        F.broadcast(robots.select(F.col("host").alias("__host"), "disallow_prefixes")),
+        F.broadcast(robots.select(F.col("host").alias("__host"), rule_col)),
         on="__host", how="left",
     )
-    allowed = F.col("disallow_prefixes").isNull() | ~F.exists(
-        "disallow_prefixes", lambda p: path.startswith(p)
-    )
-    return joined.filter(allowed).drop("__host", "disallow_prefixes")
+    return joined.filter(allowed).drop("__host", rule_col)
 
 
 def politeness_batch(
@@ -112,7 +127,8 @@ def robots_politeness_mark(
     join shape — the groups table is hosts-sized."""
     f = with_host(frontier, url_col, "__host")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
-    side = [F.col("host").alias("__host"), "disallow_prefixes"]
+    rule_col, allowed = _robots_gate_col(robots, path)
+    side = [F.col("host").alias("__host"), rule_col]
     if round_seconds is not None:
         round_ms = int(round_seconds * 1000)
         side.append(
@@ -121,8 +137,6 @@ def robots_politeness_mark(
                               (F.lit(round_ms) / F.col("crawl_delay_ms")).cast("long"))
                    ).alias("__slots"))
     j = f.join(F.broadcast(robots.select(*side)), on="__host", how="left")
-    allowed = F.col("disallow_prefixes").isNull() | ~F.exists(
-        "disallow_prefixes", lambda p: path.startswith(p))
     j = j.filter(allowed)
     cols = frontier.columns
     if round_seconds is None:

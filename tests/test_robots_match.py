@@ -70,3 +70,34 @@ def test_agent_specific_group_shadows_star(spark):
                "path", robots_path_allowed("path", "rules").alias("ok")
            ).collect()}
     assert got == {"/private/x": False, "/public": True}
+
+
+def test_crawl_loop_honors_allow_carveout(spark, smoke_pages_df):
+    """A full-matcher robots table (parse_robots_matchers output) plugs into
+    CrawlConfig.robots unchanged: Disallow /p with an Allow carve-out for
+    one subtree crawls the carve-out and nothing else under /p."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    prefix_bodies = spark.createDataFrame(
+        [("host0001.test", "User-agent: *\nDisallow: /p/\n")],
+        "host string, body string")
+    matcher_bodies = spark.createDataFrame(
+        [("host0001.test",
+          "User-agent: *\nDisallow: /p/\nAllow: /p/9$\n")],
+        "host string, body string")
+    rules = parse_robots_matchers(matcher_bodies)
+    res = GreedyCrawl(spark, smoke_pages_df,
+                      CrawlConfig(robots=rules)).run(seeds)
+    visited = [r["url"] for r in res.order.collect()]
+    blocked = [u for u in visited
+               if u.startswith("http://host0001.test/p/")
+               and u != "http://host0001.test/p/9"]
+    assert not blocked
+    assert "http://host0001.test/p/9" in visited  # the carve-out IS crawled
+
+    # and the prefix-mode crawl (no Allow support) drops the carve-out too
+    res_prefix = GreedyCrawl(spark, smoke_pages_df,
+                             CrawlConfig(robots=prefix_bodies)).run(seeds)
+    visited_p = [r["url"] for r in res_prefix.order.collect()]
+    assert "http://host0001.test/p/9" not in visited_p
