@@ -199,7 +199,7 @@ _EXTRA_PICKS = [
     "url_templates", "script_detect", "host_hits", "host_sample",
     "politeness_etld1", "normalize_text", "charset_detect", "postings_delta",
     "page_meta", "phrase_search", "template_traps", "linear_score",
-    "robots_rules", "robots_match",
+    "robots_rules", "robots_match", "frontier_merge", "host_backoff",
 ]
 
 

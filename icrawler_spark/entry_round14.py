@@ -194,6 +194,8 @@ def queries14():
     return {
         "robots_rules": q_robots_rules,
         "robots_match": q_robots_match,
+        "frontier_merge": q_frontier_merge,
+        "host_backoff": q_host_backoff,
     }
 
 
@@ -201,4 +203,105 @@ def oracle_sql14():
     return {
         "robots_rules": _robots_rules_sql(),
         "robots_match": _robots_match_sql(),
+        "frontier_merge": _FRONTIER_MERGE_SQL,
+        "host_backoff": _HOST_BACKOFF_SQL,
     }
+
+
+# ---------------------------------------------------------------------------
+# frontier_merge — k-way source union with priority pick
+# ---------------------------------------------------------------------------
+
+def q_frontier_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.merge_frontier_sources: seeds (prio 0) beat
+    sitemap discoveries (1) beat extracted outlinks (2) beat recrawl-due
+    (3) for URLs arriving from several sources; one map-side union + ONE
+    groupBy(url) min_by."""
+    from icrawler_spark.operators.politeness import merge_frontier_sources
+
+    ev = _events(spark, sf)
+    url = lambda mod: F.concat(  # noqa: E731
+        F.lit("http://m.test/p/"), (F.col("event_id") % mod).cast("string"))
+    seeds = ev.where(F.col("event_id") % 17 == 0).select(url(50).alias("url"))
+    sitemap = ev.where(F.col("event_id") % 5 == 0).select(url(200).alias("url"))
+    links = ev.select(url(400).alias("url"))
+    due = ev.where(F.col("event_id") % 3 == 0).select(url(300).alias("url"))
+    return merge_frontier_sources([
+        ("seed", seeds, 0), ("sitemap", sitemap, 1),
+        ("link", links, 2), ("recrawl", due, 3)])
+
+
+_FRONTIER_MERGE_SQL = """
+WITH u AS (
+  SELECT 'http://m.test/p/' || (event_id % 50) AS url, 'seed' AS source,
+         0 AS priority FROM events WHERE event_id % 17 = 0
+  UNION ALL
+  SELECT 'http://m.test/p/' || (event_id % 200), 'sitemap', 1
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT 'http://m.test/p/' || (event_id % 400), 'link', 2 FROM events
+  UNION ALL
+  SELECT 'http://m.test/p/' || (event_id % 300), 'recrawl', 3
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT url,
+  arg_min(source, lpad(CAST(priority AS VARCHAR), 3, '0') || source) AS source,
+  CAST(min(priority) AS INT) AS priority
+FROM u GROUP BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# host_backoff — exponential backoff from trailing failures
+# ---------------------------------------------------------------------------
+
+_BO_BASE_S = 30
+_BO_CAP = 6
+_BO_HOSTS = 25
+
+
+def q_host_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.failure_backoff: per-host backoff_s =
+    base·2^(trailing_failures−1) capped — one host-partitioned scan (window
+    max + groupBy, log read once). Failure pattern: ok iff
+    (event_id*7 + user_id) % 4 != 0."""
+    from icrawler_spark.operators.politeness import failure_backoff
+
+    ev = _events(spark, sf)
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % _BO_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.col("event_id").cast("long").alias("attempt_id"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 4 != 0).alias("ok"))
+    return failure_backoff(log, base_s=_BO_BASE_S, cap=_BO_CAP)
+
+
+_HOST_BACKOFF_SQL = f"""
+WITH log AS (
+  SELECT 'h' || (user_id % {_BO_HOSTS}) || '.test' AS host,
+         CAST(event_id AS BIGINT) AS attempt_id,
+         ((event_id * 7 + user_id) % 4 <> 0) AS ok
+  FROM events
+),
+m AS (
+  SELECT host, attempt_id, ok,
+         max(CASE WHEN ok THEN attempt_id END) OVER (PARTITION BY host)
+           AS last_ok
+  FROM log
+),
+agg AS (
+  SELECT host, count(*) AS n_attempts,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok,
+         sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_fail,
+         sum(CASE WHEN last_ok IS NULL OR attempt_id > last_ok
+                  THEN 1 ELSE 0 END) AS trail_fail
+  FROM m GROUP BY host
+)
+SELECT host, CAST(n_attempts AS BIGINT) AS n_attempts,
+  CAST(n_ok AS BIGINT) AS n_ok, CAST(n_fail AS BIGINT) AS n_fail,
+  CAST(trail_fail AS BIGINT) AS trail_fail,
+  CAST(CASE WHEN trail_fail = 0 THEN 0
+       ELSE {_BO_BASE_S} * pow(2.0, least(trail_fail, {_BO_CAP}) - 1)
+       END AS BIGINT) AS backoff_s
+FROM agg
+"""

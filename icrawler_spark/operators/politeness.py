@@ -243,3 +243,68 @@ def allocate_host_budgets(
         "host", "weight",
         (F.col("base") + F.when(F.col("__rk") <= remainder, 1).otherwise(0))
         .cast("long").alias("alloc"))
+
+
+def merge_frontier_sources(
+    sources: list[tuple[str, DataFrame, int]],
+    url_col: str = "url",
+) -> DataFrame:
+    """K-way frontier union: seeds, sitemap discoveries, extracted outlinks
+    and recrawl-due URLs arrive with different trust levels; per URL the
+    highest-priority (lowest rank number) source wins, ties break on the
+    source name. ``sources`` is [(name, df(url), priority)] — lower
+    priority number = more trusted.
+
+    One unionByName (no shuffle) + ONE groupBy(url) min_by — the single
+    shuffle a frontier merge needs; at 10^10 URLs the union is map-side and
+    the agg carries two small columns per URL. Returns (url, source,
+    priority)."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for name, df, prio in sources:
+        parts.append(df.select(
+            F.col(url_col).alias("url"),
+            F.lit(name).alias("source"),
+            F.lit(int(prio)).cast("int").alias("priority")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = F.struct(F.col("priority"), F.col("source"))
+    return (u.groupBy("url")
+            .agg(F.min_by("source", pick).alias("source"),
+                 F.min("priority").alias("priority")))
+
+
+def failure_backoff(
+    attempts: DataFrame,
+    host_col: str = "host",
+    order_col: str = "attempt_id",
+    ok_col: str = "ok",
+    base_s: int = 30,
+    cap: int = 6,
+) -> DataFrame:
+    """Per-host exponential backoff from the fetch log: the host's current
+    backoff is base·2^(k−1) seconds where k = consecutive TRAILING failures
+    (0 after a success ⇒ no backoff), capped at 2^(cap−1) — the standard
+    retry-storm damper the reference's per-request tenacity retry
+    (utils/session.py:29-52) cannot express across requests.
+
+    ONE host-partitioned scan: last-success position via an unordered
+    per-host window max, then ONE groupBy(host) — the log is read once, no
+    per-host sort, no join-back."""
+    h = F.col(host_col)
+    w = Window.partitionBy(host_col)
+    last_ok = F.max(F.when(F.col(ok_col), F.col(order_col))).over(w)
+    trailing = F.when(last_ok.isNull() | (F.col(order_col) > last_ok), 1) \
+        .otherwise(0)
+    marked = attempts.withColumn("__trail", trailing)
+    out = (marked.groupBy(h.alias("host")).agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum(F.when(F.col(ok_col), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum((~F.col(ok_col)).cast("int")).cast("long").alias("n_fail"),
+        F.sum("__trail").cast("long").alias("trail_fail")))
+    k = F.least(F.col("trail_fail"), F.lit(int(cap)))
+    backoff = F.when(F.col("trail_fail") == 0, F.lit(0)).otherwise(
+        F.lit(int(base_s)) * F.pow(F.lit(2.0), (k - 1).cast("double")))
+    return out.withColumn("backoff_s", backoff.cast("long"))

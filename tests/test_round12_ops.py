@@ -86,3 +86,36 @@ def test_postings_delta_touches_only_changed_docs(spark):
     assert got == {"gamma": (0, -1), "epsilon": (1, 1),
                    "delta": (-1, -1), "zeta": (1, 1)}
     assert "alpha" not in got and "beta" not in got
+
+
+def test_merge_frontier_sources_priority(spark):
+    from icrawler_spark.operators.politeness import merge_frontier_sources
+    import pytest as _pt
+    seeds = spark.createDataFrame([("u1",)], "url string")
+    links = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    due = spark.createDataFrame([("u2",), ("u3",)], "url string")
+    got = {r["url"]: (r["source"], r["priority"])
+           for r in merge_frontier_sources(
+               [("seed", seeds, 0), ("link", links, 2),
+                ("recrawl", due, 3)]).collect()}
+    assert got == {"u1": ("seed", 0), "u2": ("link", 2),
+                   "u3": ("recrawl", 3)}
+    with _pt.raises(ValueError):
+        merge_frontier_sources([])
+
+
+def test_failure_backoff_trailing_run(spark):
+    from icrawler_spark.operators.politeness import failure_backoff
+    rows = [
+        # hA: F F S F F F -> trail 3 -> 30 * 2^2 = 120
+        *[("hA", i, ok) for i, ok in
+          enumerate([False, False, True, False, False, False])],
+        # hB: ends on success -> 0
+        ("hB", 0, False), ("hB", 1, True),
+        # hC: never succeeded, 8 fails, cap 6 -> 30 * 2^5 = 960
+        *[("hC", i, False) for i in range(8)],
+    ]
+    log = spark.createDataFrame(rows, "host string, attempt_id long, ok boolean")
+    got = {r["host"]: (r["trail_fail"], r["backoff_s"])
+           for r in failure_backoff(log, base_s=30, cap=6).collect()}
+    assert got == {"hA": (3, 120), "hB": (0, 0), "hC": (8, 960)}
