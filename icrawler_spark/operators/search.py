@@ -30,8 +30,6 @@ TF-IDF agree on what a term is.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
