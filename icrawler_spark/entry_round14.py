@@ -196,6 +196,8 @@ def queries14():
         "robots_match": q_robots_match,
         "frontier_merge": q_frontier_merge,
         "host_backoff": q_host_backoff,
+        "host_degrees": q_host_degrees,
+        "lang_script_check": q_lang_script_check,
     }
 
 
@@ -205,6 +207,8 @@ def oracle_sql14():
         "robots_match": _robots_match_sql(),
         "frontier_merge": _FRONTIER_MERGE_SQL,
         "host_backoff": _HOST_BACKOFF_SQL,
+        "host_degrees": _HOST_DEGREES_SQL,
+        "lang_script_check": _lang_script_check_sql(),
     }
 
 
@@ -304,4 +308,119 @@ SELECT host, CAST(n_attempts AS BIGINT) AS n_attempts,
        ELSE {_BO_BASE_S} * pow(2.0, least(trail_fail, {_BO_CAP}) - 1)
        END AS BIGINT) AS backoff_s
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# host_degrees — degree + reciprocity profile of the host graph
+# ---------------------------------------------------------------------------
+
+_DG_HOSTS = 40
+_DG_EDGES_SQL = (f"SELECT CAST(user_id % {_DG_HOSTS} AS BIGINT) AS src, "
+                 f"CAST((user_id + event_id) % {_DG_HOSTS} AS BIGINT) AS dst "
+                 "FROM events")
+
+
+def q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.degree_stats over the synthetic host link graph:
+    out/in degree + reciprocal edges (mutual linking = mirror/farm signal).
+    All shuffles on the host key; the reciprocity check is an equi
+    self-semi-join of the distinct edge set against its reversal."""
+    from icrawler_spark.operators.graph import degree_stats
+
+    ev = _events(spark, sf)
+    edges = ev.select(
+        (F.col("user_id") % _DG_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % _DG_HOSTS).cast("long")
+        .alias("dst"))
+    return degree_stats(edges)
+
+
+_HOST_DEGREES_SQL = f"""
+WITH e0 AS ({_DG_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1),
+r AS (
+  SELECT e.src AS node, count(*) AS n_recip
+  FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                       WHERE e2.src = e.dst AND e2.dst = e.src)
+  GROUP BY 1
+)
+SELECT n.node,
+  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+  CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip
+FROM nodes n
+LEFT JOIN o USING (node) LEFT JOIN i USING (node) LEFT JOIN r USING (node)
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_script_check — language-ID × Unicode-script consistency
+# ---------------------------------------------------------------------------
+
+_LS_LATIN_LANGS = ("en", "de", "fr", "es")
+
+
+def q_lang_script_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition gate: the stopword langid is only meaningful on
+    Latin-script text, so a Latin language label on a non-Latin-script body
+    is flagged inconsistent (route to a script-specific pipeline instead of
+    trusting the label). Reuses the script_detect fixture so every script
+    appears; pure column exprs end to end."""
+    from icrawler_spark.entry_round11 import _script_bodies
+    from icrawler_spark.functions.text import (LANG_STOPWORDS,
+                                               dominant_script)
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    b = _script_bodies(spark, sf)
+    toks = tokens_col("body")
+    enc = [
+        F.concat(F.lpad((9999 - F.size(F.filter(
+            toks, lambda t: t.isin(words)))).cast("string"), 4, "0"),
+            F.lit(lang))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    pred = F.substring(F.least(*enc), 5, 2)
+    script = dominant_script("body")
+    consistent = ~(pred.isin(*_LS_LATIN_LANGS) & (script != "latin"))
+    return b.select("doc_id", pred.alias("pred_lang"),
+                    script.alias("script"), consistent.alias("consistent"))
+
+
+def _lang_script_check_sql() -> str:
+    from icrawler_spark.functions.text import (LANG_STOPWORDS,
+                                               script_profile_sql)
+
+    norm = ("trim(regexp_replace(regexp_replace(lower(body),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    parts = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        score = (f"len(list_filter(string_split({norm}, ' '), "
+                 f"t -> t IN ({inlist})))")
+        parts.append(f"lpad(CAST(9999 - {score} AS VARCHAR), 4, '0') || '{lang}'")
+    pred = f"substr(least({', '.join(parts)}), 5, 2)"
+    _, dom = script_profile_sql("body")
+    langs = ", ".join(f"'{x}'" for x in _LS_LATIN_LANGS)
+    # the script fixture from entry_round11 (same CASE)
+    from icrawler_spark.entry_round11 import (_AR_SNIP, _CJK_SNIP, _CYR_SNIP,
+                                              _MIX_SNIP)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 1 THEN '{_CYR_SNIP}'
+      WHEN 2 THEN '{_CJK_SNIP}'
+      WHEN 3 THEN '{_AR_SNIP}'
+      WHEN 4 THEN '{_MIX_SNIP}'
+      ELSE substring(text, 1, 60)
+    END AS body
+  FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang, {dom} AS script,
+  NOT ({pred} IN ({langs}) AND {dom} <> 'latin') AS consistent
+FROM b
 """

@@ -166,3 +166,35 @@ FROM nodes n
 LEFT JOIN {prev_h} h ON h.node = n.node
 LEFT JOIN {a} a ON a.node = n.node""")
     return "".join(parts)
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node host-graph degree profile: distinct out/in degree plus the
+    reciprocal-edge count (u→v where v→u also exists — mutual linking is a
+    mirror/farm signal; organic host graphs are heavily asymmetric).
+
+    Three aggregations keyed on the node id plus ONE self-semi-join of the
+    distinct edge set against its own reversal — all shuffles on the host
+    key, nothing quadratic (the join is equi on both endpoints)."""
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (e.join(rev, ["src", "dst"], "left_semi")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count("*").cast("long").alias("n_recip")))
+    return (nodes.join(out_d, "node", "left").join(in_d, "node", "left")
+            .join(recip, "node", "left")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("n_recip", F.lit(0)).alias("n_recip")))

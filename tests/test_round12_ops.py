@@ -119,3 +119,16 @@ def test_failure_backoff_trailing_run(spark):
     got = {r["host"]: (r["trail_fail"], r["backoff_s"])
            for r in failure_backoff(log, base_s=30, cap=6).collect()}
     assert got == {"hA": (3, 120), "hB": (0, 0), "hC": (8, 960)}
+
+
+def test_degree_stats_reciprocity(spark):
+    from icrawler_spark.operators.graph import degree_stats
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (1, 2)],  # dup edge collapses
+        "src long, dst long")
+    got = {r["node"]: (r["out_deg"], r["in_deg"], r["n_recip"])
+           for r in degree_stats(e).collect()}
+    assert got[1] == (2, 1, 1)   # 1->2 reciprocated, 1->3 not
+    assert got[2] == (1, 1, 1)
+    assert got[3] == (1, 1, 0)
+    assert got[4] == (0, 1, 0)
