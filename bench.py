@@ -200,7 +200,7 @@ _EXTRA_PICKS = [
     "politeness_etld1", "normalize_text", "charset_detect", "postings_delta",
     "page_meta", "phrase_search", "template_traps", "linear_score",
     "robots_rules", "robots_match", "frontier_merge", "host_backoff",
-    "host_degrees", "lang_script_check",
+    "host_degrees", "lang_script_check", "crawl_robots",
 ]
 
 

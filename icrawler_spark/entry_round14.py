@@ -198,6 +198,7 @@ def queries14():
         "host_backoff": q_host_backoff,
         "host_degrees": q_host_degrees,
         "lang_script_check": q_lang_script_check,
+        "crawl_robots": q_crawl_robots,
     }
 
 
@@ -209,6 +210,7 @@ def oracle_sql14():
         "host_backoff": _HOST_BACKOFF_SQL,
         "host_degrees": _HOST_DEGREES_SQL,
         "lang_script_check": _lang_script_check_sql(),
+        "crawl_robots": _crawl_robots_sql(),
     }
 
 
@@ -423,4 +425,83 @@ WITH b AS (
 SELECT doc_id, {pred} AS pred_lang, {dom} AS script,
   NOT ({pred} IN ({langs}) AND {dom} <> 'latin') AS consistent
 FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_robots — the full RFC 9309 matcher gating the crawl loop, end-to-end
+# ---------------------------------------------------------------------------
+
+_CR_BODY = "User-agent: *\nDisallow: /p/\nAllow: /p/*1$"
+
+
+def q_crawl_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-round greedy crawl with a FULL-matcher robots table on h1.test
+    (Disallow /p/ with an Allow /p/*1$ carve-out): round-1 h1 candidates are
+    dropped unless their path ends in 1 — wildcard + anchor + longest-match
+    exercised inside the loop's politeness gate, oracled by replaying the
+    BFS with the same compiled-regex decision in SQL."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    bodies = spark.createDataFrame([("h1.test", _CR_BODY)],
+                                   "host string, body string")
+    rules = parse_robots_matchers(bodies, agent="*")
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(max_rounds=2, robots=rules)).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_robots_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    rx = pattern_regex_sql("pat")
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+rrule AS (
+  SELECT 'h1.test' AS rhost, CAST(length(pat) AS INT) AS prec, allow,
+         {rx} AS regex
+  FROM (VALUES ('/p/', false), ('/p/*1$', true)) t(pat, allow)
+),
+re0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM seeds s JOIN emit e ON e.url = s.url
+),
+cand AS (
+  SELECT target AS url, parent, pos, parent_rank,
+         regexp_extract(target, '^[a-z]+://([^/]+)', 1) AS thost,
+         coalesce(nullif(regexp_extract(target,
+             '^[a-z]+://[^/]*(/[^?#]*)', 1), ''), '/') AS tpath
+  FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM re0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM seeds)
+  ) WHERE rn = 1
+),
+gated AS (
+  SELECT c.url, c.parent, c.pos, c.parent_rank,
+         max(r.prec * 2 + CAST(r.allow AS INT)) AS best
+  FROM cand c LEFT JOIN rrule r
+    ON r.rhost = c.thost AND regexp_matches(c.tpath, r.regex)
+  GROUP BY 1, 2, 3, 4
+),
+rv1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM gated
+  WHERE best IS NULL OR best % 2 = 1
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM rv1
 """
