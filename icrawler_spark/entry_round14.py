@@ -199,6 +199,8 @@ def queries14():
         "host_degrees": q_host_degrees,
         "lang_script_check": q_lang_script_check,
         "crawl_robots": q_crawl_robots,
+        "token_percentiles": q_token_percentiles,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -211,6 +213,8 @@ def oracle_sql14():
         "host_degrees": _HOST_DEGREES_SQL,
         "lang_script_check": _lang_script_check_sql(),
         "crawl_robots": _crawl_robots_sql(),
+        "token_percentiles": _token_percentiles_sql(),
+        "corpus_report": _CORPUS_REPORT_SQL,
     }
 
 
@@ -504,4 +508,92 @@ SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
 UNION ALL
 SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
        CAST(pos AS BIGINT) AS link_pos FROM rv1
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_percentiles — exact per-source length distribution
+# ---------------------------------------------------------------------------
+
+_TP_PCTS = [50, 90, 99]
+
+
+def q_token_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source token-length percentiles via explicit rank
+    selection (rn == floor((n-1)·p)+1 over a (n_tokens, doc_id) order) —
+    deterministic integers, no interpolation-formula drift between engines.
+    One source-partitioned window; the length column is a pure projection."""
+    from pyspark.sql import Window
+
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    base = d.select("source", "doc_id",
+                    F.size(F.filter(tokens_col("text"),
+                                    lambda x: F.length(x) > 0))
+                    .cast("long").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = base.select(
+        "source", "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("cnt"))
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for p in _TP_PCTS:
+        idx = F.floor((F.col("cnt") - 1) * F.lit(p / 100.0)) + 1
+        aggs.append(F.max(F.when(F.col("rn") == idx, F.col("n_tokens")))
+                    .cast("long").alias(f"p{p}"))
+    return ranked.groupBy("source").agg(*aggs)
+
+
+def _token_percentiles_sql() -> str:
+    tok = ("len(list_filter(string_split(trim(regexp_replace(regexp_replace("
+           "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),"
+           " x -> length(x) > 0))")
+    pcols = ",\n  ".join(
+        f"CAST(max(CASE WHEN rn = floor((cnt - 1) * {p / 100.0}) + 1 "
+        f"THEN n_tokens END) AS BIGINT) AS p{p}" for p in _TP_PCTS)
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, CAST({tok} AS BIGINT) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM base
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  {pcols}
+FROM ranked GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_report — (source × lang) rollup of the corpus
+# ---------------------------------------------------------------------------
+
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition rollup: per (source, lang), per source, and grand
+    total — docs, chars, distinct languages. ONE expand+agg ROLLUP pass
+    with map-side partials, no per-level re-scan (the corpus twin of
+    crawl_report)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (d.rollup("source", "lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.count_distinct("lang").cast("long").alias("n_langs"))
+            .select(F.coalesce("source", F.lit("<all>")).alias("source"),
+                    F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    "n_docs", "n_chars", "n_langs"))
+
+
+_CORPUS_REPORT_SQL = """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY ROLLUP (source, lang)
 """
