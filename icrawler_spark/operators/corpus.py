@@ -427,3 +427,28 @@ def per_group_sample(
                                               F.col(id_col).asc())
     return (df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
             .where(F.col("sample_rank") <= k))
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    order_cols: list[str],
+    bytes_col: str = "n_bytes",
+    target_bytes: int = 1 << 28,
+) -> int:
+    """Materialize :func:`pack_shards`: write the corpus as
+    ``shard_id=K/`` parquet partitions with exactly ONE file per shard
+    (repartition on the shard key before the write — each task owns one
+    shard, so output files hit ~target_bytes instead of whatever row-count
+    chunking the writer would pick). Returns the shard count.
+
+    Scale note: one task per shard is the POINT (uniform ~256 MB outputs);
+    shard count scales with corpus bytes / target, so parallelism grows
+    with the data, not the cluster's default parallelism."""
+    packed = pack_shards(docs, order_cols, bytes_col, target_bytes)
+    n = packed.agg(F.max("shard_id")).collect()[0][0]
+    n_shards = int(n) + 1 if n is not None else 0
+    if n_shards:
+        (packed.repartition(n_shards, "shard_id")
+         .write.mode("overwrite").partitionBy("shard_id").parquet(path))
+    return n_shards

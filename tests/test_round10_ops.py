@@ -115,3 +115,20 @@ def test_pack_shards_rejects_bad_target(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_bytes long")
     with pytest.raises(ValueError):
         pack_shards(df, ["doc_id"], "n_bytes", 0)
+
+
+def test_write_shards_one_file_per_shard(spark, tmp_path):
+    import glob
+    from icrawler_spark.operators.corpus import write_shards
+    df = spark.createDataFrame([(i, 40) for i in range(10)],
+                               "doc_id long, n_bytes long")
+    out = str(tmp_path / "shards")
+    n = write_shards(df, out, ["doc_id"], "n_bytes", 100)
+    # 400 bytes / 100 target -> 4 shards (docs 0-2 end at 120 > 100 ...)
+    assert n == 4
+    for k in range(n):
+        files = glob.glob(f"{out}/shard_id={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert back.select("shard_id").distinct().count() == 4
