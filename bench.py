@@ -201,7 +201,7 @@ _EXTRA_PICKS = [
     "page_meta", "phrase_search", "template_traps", "linear_score",
     "robots_rules", "robots_match", "frontier_merge", "host_backoff",
     "host_degrees", "lang_script_check", "crawl_robots",
-    "token_percentiles", "corpus_report",
+    "token_percentiles", "corpus_report", "pipeline_webclean",
 ]
 
 

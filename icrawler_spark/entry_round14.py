@@ -201,6 +201,7 @@ def queries14():
         "crawl_robots": q_crawl_robots,
         "token_percentiles": q_token_percentiles,
         "corpus_report": q_corpus_report,
+        "pipeline_webclean": q_pipeline_webclean,
     }
 
 
@@ -215,6 +216,7 @@ def oracle_sql14():
         "crawl_robots": _crawl_robots_sql(),
         "token_percentiles": _token_percentiles_sql(),
         "corpus_report": _CORPUS_REPORT_SQL,
+        "pipeline_webclean": _pipeline_webclean_sql(),
     }
 
 
@@ -596,4 +598,102 @@ SELECT coalesce(source, '<all>') AS source,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents
 GROUP BY ROLLUP (source, lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline_webclean — session-5 ops composed end-to-end
+# ---------------------------------------------------------------------------
+
+_PW_MIN_TOKENS = 8
+_PW_SHARD_CHARS = 20_000
+
+
+def q_pipeline_webclean(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-build composition a web pipeline actually runs, in one
+    plan: cp1252-mojibake repair → typographic normalization → Unicode
+    script routing (Latin only) → token-count quality gate → exact dedup
+    (earliest doc wins) → byte-budget shard assignment. One dedup shuffle +
+    the two-phase prefix sum; everything upstream fuses into the scan."""
+    from icrawler_spark.entry_round10 import (_MOJI_SNIPPET_A)
+    from icrawler_spark.entry_round12 import _RAW_A
+    from icrawler_spark.functions.text import (dominant_script,
+                                               normalize_typography,
+                                               repair_mojibake)
+    from icrawler_spark.operators import budget as _budget
+    from icrawler_spark.operators.docdedup import normalized_text, tokens_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    i = F.col("doc_id")
+    t60 = F.substring("text", 1, 60)
+    body = (F.when(i % 7 == 0, F.lit("这是一个测试文档内容"))
+            .when(i % 3 == 0, F.concat(F.lit(_MOJI_SNIPPET_A + " "), t60))
+            .when(i % 3 == 1, F.concat(F.lit(_RAW_A + " "), t60))
+            .otherwise(t60))
+    repaired = normalize_typography(repair_mojibake(body))
+    base = d.select("doc_id", repaired.alias("clean"))
+    base = base.withColumn(
+        "n_tokens", F.size(F.filter(tokens_col("clean"),
+                                    lambda x: F.length(x) > 0)).cast("long"))
+    gated = base.where((dominant_script("clean") == "latin")
+                       & (F.col("n_tokens") >= _PW_MIN_TOKENS))
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(normalized_text("clean"))).orderBy("doc_id")
+    kept = (gated.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").drop("__rn"))
+    sized = kept.withColumn("n_chars", F.length("clean").cast("long"))
+    cum, _total = _budget.ordered_prefix_sum(
+        sized, ["doc_id"], "n_chars", out_col="cum_chars")
+    return (cum.withColumn(
+        "shard_id",
+        F.floor((F.col("cum_chars") - F.col("n_chars"))
+                / F.lit(_PW_SHARD_CHARS)).cast("long"))
+        .select("doc_id", "n_tokens", "n_chars", "shard_id"))
+
+
+def _pipeline_webclean_sql() -> str:
+    from icrawler_spark.entry_round10 import _MOJI_SNIPPET_A
+    from icrawler_spark.entry_round12 import _RAW_A
+    from icrawler_spark.functions.text import (mojibake_repair_sql,
+                                               normalize_typography_sql,
+                                               script_profile_sql)
+
+    moji = _MOJI_SNIPPET_A.replace("'", "''")
+    raw = _RAW_A.replace("'", "''")
+    clean = normalize_typography_sql(mojibake_repair_sql("body"))
+    norm = ("trim(regexp_replace(regexp_replace(lower(clean),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    ntok = f"len(list_filter(string_split({norm}, ' '), x -> length(x) > 0))"
+    _, dom = script_profile_sql("clean")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN '这是一个测试文档内容'
+         WHEN doc_id % 3 = 0 THEN '{moji} ' || substring(text, 1, 60)
+         WHEN doc_id % 3 = 1 THEN '{raw} ' || substring(text, 1, 60)
+         ELSE substring(text, 1, 60) END AS body
+  FROM documents
+),
+c AS (SELECT doc_id, {clean} AS clean FROM b),
+g AS (
+  SELECT doc_id, clean, CAST({ntok} AS BIGINT) AS n_tokens
+  FROM c
+  WHERE {dom} = 'latin' AND {ntok} >= {_PW_MIN_TOKENS}
+),
+k AS (
+  SELECT doc_id, n_tokens, CAST(length(clean) AS BIGINT) AS n_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY md5({norm})
+                                     ORDER BY doc_id) AS rn FROM g)
+  WHERE rn = 1
+),
+p AS (
+  SELECT doc_id, n_tokens, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_chars
+  FROM k
+)
+SELECT doc_id, n_tokens, n_chars,
+  CAST((cum_chars - n_chars) // {_PW_SHARD_CHARS} AS BIGINT) AS shard_id
+FROM p
 """
