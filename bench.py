@@ -202,6 +202,7 @@ _EXTRA_PICKS = [
     "robots_rules", "robots_match", "frontier_merge", "host_backoff",
     "host_degrees", "lang_script_check", "crawl_robots",
     "token_percentiles", "corpus_report", "pipeline_webclean",
+    "embed_truncate", "anchor_titles",
 ]
 
 

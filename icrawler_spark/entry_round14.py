@@ -202,6 +202,8 @@ def queries14():
         "token_percentiles": q_token_percentiles,
         "corpus_report": q_corpus_report,
         "pipeline_webclean": q_pipeline_webclean,
+        "embed_truncate": q_embed_truncate,
+        "anchor_titles": q_anchor_titles,
     }
 
 
@@ -217,6 +219,8 @@ def oracle_sql14():
         "token_percentiles": _token_percentiles_sql(),
         "corpus_report": _CORPUS_REPORT_SQL,
         "pipeline_webclean": _pipeline_webclean_sql(),
+        "embed_truncate": _EMBED_TRUNCATE_SQL,
+        "anchor_titles": _anchor_titles_sql(),
     }
 
 
@@ -696,4 +700,80 @@ p AS (
 SELECT doc_id, n_tokens, n_chars,
   CAST((cum_chars - n_chars) // {_PW_SHARD_CHARS} AS BIGINT) AS shard_id
 FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# embed_truncate — MRL-style dimension truncation + renormalization
+# ---------------------------------------------------------------------------
+
+_ET_DIMS = 16
+
+
+def q_embed_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first 16 dims and
+    renormalize to unit L2 — the standard cheap-ANN trick (truncated
+    prefixes of MRL-trained embeddings stay meaningful). Pure array
+    expressions (slice + sequential fold + transform), no shuffle; output
+    exploded to scalars so values hash engine-portably (round 6)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    t = F.slice(F.col("embedding").cast("array<double>"), 1, _ET_DIMS)
+    norm2 = F.aggregate(t, F.lit(0.0), lambda s, x: s + x * x)
+    unit = F.transform(t, lambda x: F.round(x / F.sqrt(norm2), 6))
+    return (e.select("vec_id", F.posexplode(unit).alias("dim", "val"))
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("dim").cast("int").alias("dim"), "val"))
+
+
+_EMBED_TRUNCATE_SQL = f"""
+WITH t AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:{_ET_DIMS}] AS t FROM embeddings
+),
+u AS (
+  SELECT vec_id, t, sqrt(list_dot_product(t, t)) AS nrm FROM t
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(i - 1 AS INT) AS dim,
+       round(t[i] / nrm, 6) AS val
+FROM u, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _i
+"""
+
+
+# ---------------------------------------------------------------------------
+# anchor_titles — most common anchor text per link target
+# ---------------------------------------------------------------------------
+
+def q_anchor_titles(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation: the most frequent anchor string pointing at
+    each target (count desc, text asc) — the classic link-derived document
+    title a search index uses when pages lack one. One groupBy(href, text)
+    + one groupBy(href) with the encoded-min argmax (no window)."""
+    from icrawler_spark.entry_round6 import _anchor_pages
+    from icrawler_spark.operators.warc import anchor_texts
+
+    a = anchor_texts(_anchor_pages(spark, sf))
+    cnt = (a.groupBy("href", "anchor_text")
+           .agg(F.count("*").cast("long").alias("n")))
+    enc = F.concat(F.lpad((F.lit(999999) - F.col("n")).cast("string"), 6, "0"),
+                   F.col("anchor_text"))
+    return (cnt.groupBy("href")
+            .agg(F.min_by("anchor_text", enc).alias("title"),
+                 F.max("n").alias("n_top"),
+                 F.count("*").cast("long").alias("n_variants")))
+
+
+def _anchor_titles_sql() -> str:
+    from icrawler_spark.entry_round6 import Q_ANCHOR_SQL
+    inner = Q_ANCHOR_SQL.strip()
+    return f"""
+WITH base AS ({inner}),
+cnt AS (
+  SELECT href, anchor_text, count(*) AS n FROM base GROUP BY 1, 2
+)
+SELECT href,
+  arg_min(anchor_text, lpad(CAST(999999 - n AS VARCHAR), 6, '0')
+          || anchor_text) AS title,
+  CAST(max(n) AS BIGINT) AS n_top,
+  CAST(count(*) AS BIGINT) AS n_variants
+FROM cnt GROUP BY href
 """
