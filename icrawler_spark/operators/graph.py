@@ -179,9 +179,13 @@ def degree_stats(
 
     Three aggregations keyed on the node id plus ONE self-semi-join of the
     distinct edge set against its own reversal — all shuffles on the host
-    key, nothing quadratic (the join is equi on both endpoints)."""
+    key, nothing quadratic (the join is equi on both endpoints). The
+    distinct edge set feeds four consumers, so it is pinned (eager
+    localCheckpoint) — without it the dedup shuffle over the raw edge list
+    re-executes per consumer (the mirror_hosts lesson, PLANS.md r3-s4)."""
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .filter(F.col("src") != F.col("dst")).distinct())
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
     out_d = e.groupBy(F.col("src").alias("node")).agg(
