@@ -203,6 +203,9 @@ _EXTRA_PICKS = [
     "host_degrees", "lang_script_check", "crawl_robots",
     "token_percentiles", "corpus_report", "pipeline_webclean",
     "embed_truncate", "anchor_titles",
+    # round-3 batch-9 (training-corpus curation)
+    "c4_filters", "span_dedup", "dsir_weights", "vocab_growth",
+    "passage_split", "temperature_mix",
 ]
 
 

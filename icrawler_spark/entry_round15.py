@@ -1,0 +1,370 @@
+"""Round-3 driver-contract queries (batch 9): training-corpus curation —
+C4 page cleaning, exact k-gram span dedup, DSIR importance scoring,
+Heaps-law vocabulary growth, retrieval passage chunking, and temperature-
+balanced language mixing.
+
+The reference writes crawled files and stops (icrawler/storage/
+filesystem.py:18-28); these are the curation stages that consume a crawl
+at 100 TB. Methods are public: C4 (Raffel et al. 2020), ExactSubstr dedup
+(Lee et al. 2022), DSIR (Xie et al. 2023), XLM-R temperature sampling
+(Conneau et al. 2020). Fixtures derive deterministically from the
+documents table; Spark plans and DuckDB oracles share the tokenizer chain
+(docdedup.tokens_col ↔ entry_round11._TOK_SQL) and every constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.operators import curation as _cur
+
+# ---------------------------------------------------------------------------
+# c4_filters — C4 line/page cleaning over decorated 8-token lines
+# ---------------------------------------------------------------------------
+
+_C4_LINE_TOKS = 8
+
+
+def _c4_pages(spark, sf) -> DataFrame:
+    """Multi-line pages from the documents table (the corpus has no
+    newlines): 8-token chunks decorated per (doc_id + pos) % 5 — terminal
+    period / no punctuation / javascript notice / 2-word fragment /
+    question mark — plus per-doc page-level poison lines (lorem ipsum,
+    curly brace, lexicon word) keyed on doc_id % 17."""
+    from icrawler_spark.entry_round3 import _chunk_lines
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    chunks = _chunk_lines(tokens_col("text"))
+
+    def _decorate(x, i):
+        m = (doc_id + i) % 5
+        return (F.when(m == 0, F.concat(x, F.lit(".")))
+                .when(m == 1, x)
+                .when(m == 2, F.concat(x, F.lit(" please enable javascript.")))
+                .when(m == 3, F.lit("buy now!"))
+                .otherwise(F.concat(x, F.lit("?"))))
+
+    extra = (F.when(doc_id % 17 == 3,
+                    F.array(F.lit("lorem ipsum dolor sit amet.")))
+             .when(doc_id % 17 == 5,
+                   F.array(F.lit("function() { return 1; }.")))
+             .when(doc_id % 17 == 7,
+                   F.array(F.lit("play casino games online now.")))
+             .otherwise(F.array().cast("array<string>")))
+    return d.select(
+        doc_id.cast("long").alias("doc_id"),
+        F.concat(F.transform(chunks, _decorate), extra).alias("lines"))
+
+
+def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.c4_clean: C4 rules (Raffel et al. 2020 §2.2) —
+    line kept iff terminal punctuation + >=5 words + no 'javascript'; page
+    dropped on '{' / 'lorem ipsum' / lexicon hit / <3 surviving lines.
+    One posexplode + one groupBy(doc); all predicates JVM exprs."""
+    pages = _c4_pages(spark, sf)
+    return _cur.c4_clean(pages, id_col="doc_id", lines_col="lines")
+
+
+def _c4_filters_sql() -> str:
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOK_SQL} AS l FROM documents
+), chunks AS (
+  SELECT doc_id, x AS pos,
+         array_to_string(l[x * {_C4_LINE_TOKS} + 1 :
+                           x * {_C4_LINE_TOKS} + {_C4_LINE_TOKS}], ' ')
+           AS rawline
+  FROM (SELECT doc_id, l,
+               unnest(range(0, CAST(ceil(len(l) / {_C4_LINE_TOKS}.0)
+                                    AS INT))) AS x
+        FROM toked WHERE len(l) > 0)
+), deco AS (
+  SELECT doc_id, pos,
+    CASE CAST((doc_id + pos) % 5 AS INT)
+      WHEN 0 THEN rawline || '.'
+      WHEN 1 THEN rawline
+      WHEN 2 THEN rawline || ' please enable javascript.'
+      WHEN 3 THEN 'buy now!'
+      ELSE rawline || '?'
+    END AS line
+  FROM chunks
+), extras AS (
+  SELECT doc_id,
+         CAST(ceil(len(l) / {_C4_LINE_TOKS}.0) AS BIGINT) AS pos,
+         CASE CAST(doc_id % 17 AS INT)
+           WHEN 3 THEN 'lorem ipsum dolor sit amet.'
+           WHEN 5 THEN 'function() {{ return 1; }}.'
+           ELSE 'play casino games online now.'
+         END AS line
+  FROM toked WHERE CAST(doc_id % 17 AS INT) IN (3, 5, 7)
+), lines AS (
+  SELECT * FROM deco UNION ALL SELECT * FROM extras
+), flagged AS (
+  SELECT doc_id, pos, line,
+    (regexp_matches(line, '[.!?"]$') AND len(string_split(line, ' ')) >= 5
+     AND NOT contains(lower(line), 'javascript')) AS keep,
+    contains(line, '{{') AS brace,
+    contains(lower(line), 'lorem ipsum') AS lorem,
+    regexp_matches(lower(line), '\\b(casino|viagra)\\b') AS naughty
+  FROM lines
+), agg AS (
+  SELECT doc_id,
+    count(*) AS n_lines,
+    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+    bool_or(brace) AS has_brace,
+    bool_or(lorem) AS has_lorem,
+    bool_or(naughty) AS has_naughty,
+    string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+      AS joined
+  FROM flagged GROUP BY 1
+)
+SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, has_naughty,
+  (NOT has_brace AND NOT has_lorem AND NOT has_naughty AND n_kept >= 3)
+    AS kept,
+  CASE WHEN (NOT has_brace AND NOT has_lorem AND NOT has_naughty
+             AND n_kept >= 3) THEN joined END AS clean_text
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# span_dedup — exact k-gram duplicated-span coverage (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.span_dedup_stats: per-doc exact duplicated-span
+    coverage at 8-token grain — gram freq in ONE shuffle on md5(gram),
+    interval union via a lag window (no per-token rows)."""
+    return _cur.span_dedup_stats(_docs(spark, sf), k=_SPAN_K)
+
+
+def _span_dedup_sql() -> str:
+    k = _SPAN_K
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+), base AS (
+  SELECT doc_id, l, len(l) AS n_toks,
+         greatest(len(l) - {k} + 1, 0) AS n_grams
+  FROM toked
+), grams AS (
+  SELECT doc_id, x AS pos,
+         md5(array_to_string(l[x + 1 : x + {k}], ' ')) AS g
+  FROM (SELECT doc_id, l, unnest(range(0, n_grams)) AS x
+        FROM base WHERE n_grams > 0)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+), dpos AS (
+  SELECT doc_id, pos FROM grams JOIN dup USING (g)
+), cov AS (
+  SELECT doc_id,
+    CASE WHEN prev IS NULL OR pos - prev >= {k} THEN {k}
+         ELSE pos - prev END AS c
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dpos)
+), agg AS (
+  SELECT doc_id, count(*) AS n_dup, sum(c) AS covered_toks
+  FROM cov GROUP BY 1
+)
+SELECT b.doc_id, b.n_toks, b.n_grams,
+  coalesce(a.n_dup, 0) AS n_dup,
+  coalesce(a.covered_toks, 0) AS covered_toks,
+  (coalesce(a.covered_toks, 0) * 2 >= b.n_toks AND b.n_toks > 0)
+    AS dup_flag
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights — hashed-unigram cross-entropies vs raw + target LMs
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_TARGET = "src0"
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.dsir_cross_entropy: DSIR importance scoring
+    (Xie et al. 2023) with source='src0' as the target slice. ce_raw and
+    ce_target are reported separately (each a positive-term sum — float-
+    stable); log importance = ce_raw - ce_target downstream."""
+    return _cur.dsir_cross_entropy(
+        _docs(spark, sf), F.col("source") == _DSIR_TARGET,
+        n_buckets=_DSIR_B)
+
+
+def _dsir_weights_sql() -> str:
+    b = _cur.hash_bucket_sql("t", _DSIR_B)
+    nb = _DSIR_B
+    return f"""
+WITH tf AS (
+  SELECT doc_id, source, {b} AS b
+  FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS t FROM documents)
+  WHERE len(t) > 0
+), docb AS (
+  SELECT doc_id, b, count(*) AS n,
+         max(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tgt
+  FROM tf GROUP BY 1, 2
+), raw AS (
+  SELECT b, sum(n) AS cr FROM docb GROUP BY 1
+), tgt AS (
+  SELECT b, sum(n) AS ct FROM docb WHERE tgt = 1 GROUP BY 1
+), tots AS (
+  SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt
+), dist AS (
+  SELECT r.b,
+    ln((cr + CAST(1 AS DOUBLE)) / (tr + CAST({nb} AS DOUBLE))) AS lp_raw,
+    ln((coalesce(ct, 0) + CAST(1 AS DOUBLE))
+       / (tt + CAST({nb} AS DOUBLE))) AS lp_tgt
+  FROM raw r LEFT JOIN tgt USING (b), tots
+)
+SELECT doc_id, sum(n) AS n_toks_hashed,
+  -sum(n * lp_raw) AS ce_raw,
+  -sum(n * lp_tgt) AS ce_target
+FROM docb JOIN dist USING (b) GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth — Heaps-law curve per source
+# ---------------------------------------------------------------------------
+
+_VG_CPS = (4, 8, 16)
+
+
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.vocab_growth: cumulative (tokens, distinct terms)
+    per source after the first m docs, m in (4, 8, 16) — term first-seen
+    rank via one groupBy(source, term) min; checkpoints broadcast."""
+    return _cur.vocab_growth(_docs(spark, sf), checkpoints=_VG_CPS)
+
+
+def _vocab_growth_sql() -> str:
+    cps = ", ".join(str(m) for m in _VG_CPS)
+    return f"""
+WITH ranked AS (
+  SELECT source AS g, doc_id, {_TOK_SQL} AS l,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents
+), cps AS (
+  SELECT CAST(unnest([{cps}]) AS INT) AS m
+), nd AS (
+  SELECT g, max(r) AS nd FROM ranked GROUP BY 1
+), cg AS (
+  SELECT g, m FROM nd, cps WHERE m <= nd
+), ct AS (
+  SELECT g, m, sum(len(l)) AS cum_tokens
+  FROM ranked, cps WHERE r <= m GROUP BY 1, 2
+), fr AS (
+  SELECT g, t, min(r) AS fr
+  FROM (SELECT g, r, unnest(l) AS t FROM ranked)
+  WHERE len(t) > 0 GROUP BY 1, 2
+), cv AS (
+  SELECT g, m, count(*) AS cum_vocab
+  FROM fr, cps WHERE fr <= m GROUP BY 1, 2
+)
+SELECT cg.g AS source, cg.m, ct.cum_tokens, cv.cum_vocab
+FROM cg JOIN ct USING (g, m) JOIN cv USING (g, m)
+"""
+
+
+# ---------------------------------------------------------------------------
+# passage_split — fixed token window + stride chunking
+# ---------------------------------------------------------------------------
+
+_PS_W, _PS_S = 32, 24
+
+
+def q_passage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.passage_split: overlapping 32-token windows at
+    stride 24 (dense-retrieval prep) — explode + slice, zero shuffles."""
+    return _cur.passage_split(_docs(spark, sf), window=_PS_W, stride=_PS_S)
+
+
+def _passage_split_sql() -> str:
+    w, s = _PS_W, _PS_S
+    return f"""
+WITH base AS (
+  SELECT doc_id, l, len(l) AS n
+  FROM (SELECT doc_id, {_TOK_SQL} AS l FROM documents)
+  WHERE len(l) > 0
+), np AS (
+  SELECT doc_id, l, n,
+    CASE WHEN n <= {w} THEN 1
+         ELSE CAST(ceil((n - {w}) / CAST({s} AS DOUBLE)) AS INT) + 1
+    END AS np
+  FROM base
+)
+SELECT doc_id, x AS pidx, x * {s} AS start_tok,
+  least({w}, n - x * {s}) AS n_tok_passage,
+  array_to_string(l[x * {s} + 1 : x * {s} + {w}], ' ') AS passage
+FROM (SELECT doc_id, l, n, unnest(range(0, np)) AS x FROM np)
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix — XLM-R alpha=0.3 language sampling rates
+# ---------------------------------------------------------------------------
+
+_TM_ALPHA = 0.3
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.temperature_mix: per-language token share p and
+    temperature-scaled sampling rate q ∝ p^0.3 (Conneau et al. 2020) —
+    one groupBy(lang), two single-row broadcast totals."""
+    return _cur.temperature_mix(_docs(spark, sf), alpha=_TM_ALPHA)
+
+
+def _temperature_mix_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs, sum(len({_TOK_SQL})) AS n_toks
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_toks) AS DOUBLE) AS tot FROM per
+), wp AS (
+  SELECT lang, n_docs, n_toks, n_toks / tot AS p_raw,
+         pow(n_toks / tot, {_TM_ALPHA}) AS pa
+  FROM per, tot
+), s AS (
+  SELECT sum(pa) AS s FROM wp
+)
+SELECT lang, n_docs, n_toks, p_raw, pa / s AS q_temp,
+  pa / s / p_raw AS boost
+FROM wp, s
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries15():
+    return {
+        "c4_filters": q_c4_filters,
+        "span_dedup": q_span_dedup,
+        "dsir_weights": q_dsir_weights,
+        "vocab_growth": q_vocab_growth,
+        "passage_split": q_passage_split,
+        "temperature_mix": q_temperature_mix,
+    }
+
+
+def oracle_sql15():
+    return {
+        "c4_filters": _c4_filters_sql(),
+        "span_dedup": _span_dedup_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "vocab_growth": _vocab_growth_sql(),
+        "passage_split": _passage_split_sql(),
+        "temperature_mix": _temperature_mix_sql(),
+    }

@@ -1,0 +1,369 @@
+"""Training-corpus curation operators (session-6 pack): C4-style line/page
+cleaning, exact k-gram span dedup, DSIR hashed-unigram importance scoring,
+Heaps-law vocabulary growth, retrieval passage chunking, and temperature-
+balanced language mixing.
+
+The reference crawler stops at writing files (icrawler/storage/filesystem.py:
+18-28); these operators are the curation stages a crawl feeds at 100 TB.
+All methods are from public papers: C4 (Raffel et al. 2020, JMLR 21),
+ExactSubstr dedup (Lee et al. 2022, ACL), DSIR (Xie et al. 2023, NeurIPS),
+Heaps' law, and temperature sampling (XLM-R, Conneau et al. 2020).
+
+Scale shapes (the part that matters at 100 TB):
+
+- ``c4_clean`` is a posexplode over lines + ONE groupBy(doc) with map-side
+  partial aggregation; every predicate is a JVM regexp/string expr fused
+  into the scan. No joins, no Python.
+- ``span_dedup_stats`` explodes token k-grams (O(tokens) rows), aggregates
+  gram frequency in ONE shuffle keyed on md5(gram) (fixed-width key, never
+  the gram text), semi-joins positions against duplicated grams, and merges
+  covered intervals with a per-doc window (lag) — the union-of-intervals
+  trick keeps coverage exact without materialising per-token rows.
+- ``dsir_cross_entropy`` reduces the corpus to (doc, bucket, n) counts —
+  bucket cardinality is a constant ``n_buckets`` — so the two LM
+  distributions are tiny aggregates broadcast back; the corpus shuffles
+  once on (doc, bucket), never on raw terms.
+- ``vocab_growth`` needs term first-occurrence rank: one groupBy
+  (group, term) min(rank); checkpoints are a literal array broadcast-
+  nested-loop joined (3 rows — the BNLJ side is constant-size).
+- ``passage_split`` is explode + slice: zero shuffles, output rows are
+  O(tokens / stride).
+- ``temperature_mix`` aggregates per language then broadcasts two
+  single-row totals back (same pattern as graph.host_hits' L1 norm) —
+  the corpus is touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: default "dirty word" lexicon — placeholder slugs; production swaps in the
+#: full LDNOOBW list via the ``naughty`` parameter.
+C4_NAUGHTY = ("casino", "viagra")
+
+_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_kept(line) -> "F.Column":
+    """C4 line rule: keep iff the line ends in terminal punctuation, has at
+    least 5 whitespace words, and does not mention javascript."""
+    c = F.col(line) if isinstance(line, str) else line
+    return (c.rlike(_TERMINAL_RE)
+            & (F.size(F.split(c, " ")) >= 5)
+            & ~F.lower(c).contains("javascript"))
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    naughty: tuple = C4_NAUGHTY,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 document cleaning over a (id, array<string> lines) frame.
+
+    Line level: keep lines ending in terminal punctuation with >= 5 words
+    and no 'javascript'. Page level: drop pages containing '{',
+    'lorem ipsum', or any lexicon word (word-boundary match), or with fewer
+    than ``min_sentences`` surviving lines.
+
+    Returns (id, n_lines, n_kept, has_brace, has_lorem, has_naughty, kept,
+    clean_text) — ``clean_text`` is the kept lines joined by '\\n' for kept
+    pages, NULL otherwise. One posexplode + one groupBy(id); every predicate
+    is a JVM expression.
+    """
+    naughty_re = r"\b(" + "|".join(naughty) + r")\b"
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(F.col(lines_col)).alias("__pos", "__line"))
+    lo = F.lower(F.col("__line"))
+    per_line = lines.select(
+        "__id", "__pos", "__line",
+        c4_line_kept("__line").alias("__keep"),
+        F.col("__line").contains("{").alias("__brace"),
+        lo.contains("lorem ipsum").alias("__lorem"),
+        lo.rlike(naughty_re).alias("__naughty"))
+    agg = (per_line.groupBy("__id").agg(
+        F.count("__line").alias("n_lines"),
+        F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+        F.max(F.col("__brace").cast("int")).cast("boolean").alias("has_brace"),
+        F.max(F.col("__lorem").cast("int")).cast("boolean").alias("has_lorem"),
+        F.max(F.col("__naughty").cast("int")).cast("boolean")
+         .alias("has_naughty"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__keep"),
+                    F.struct(F.col("__pos").alias("p"),
+                             F.col("__line").alias("l"))))),
+                lambda s: s["l"]),
+            "\n").alias("__joined")))
+    flag = lambda c: F.coalesce(F.col(c), F.lit(False)).alias(c)  # noqa: E731
+    kept = (~F.coalesce(F.col("has_brace"), F.lit(False))
+            & ~F.coalesce(F.col("has_lorem"), F.lit(False))
+            & ~F.coalesce(F.col("has_naughty"), F.lit(False))
+            & (F.coalesce(F.col("n_kept"), F.lit(0)) >= min_sentences))
+    return agg.select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        flag("has_brace"), flag("has_lorem"), flag("has_naughty"),
+        kept.alias("kept"),
+        F.when(kept, F.col("__joined")).alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# Exact k-gram span dedup (Lee et al. 2022, approximated at k-token grain)
+# ---------------------------------------------------------------------------
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics at k-token granularity.
+
+    Every k-token gram is keyed by md5(gram); grams occurring more than once
+    in the corpus (across or within docs) are 'duplicated'. Coverage is the
+    exact union of the duplicated grams' [pos, pos+k) token intervals,
+    merged with a lag window (overlapping grams are not double counted).
+
+    Returns (id, n_toks, n_grams, n_dup, covered_toks, dup_flag) where
+    dup_flag marks docs with >= 50% of tokens inside duplicated spans —
+    the ExactSubstr removal candidates.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+    base = base.select(
+        "doc", "__toks", F.size("__toks").alias("n_toks"),
+        F.greatest(F.size("__toks") - F.lit(k) + 1, F.lit(0))
+         .alias("n_grams"))
+    grams = (base.where(F.col("n_grams") > 0)
+             .select("doc", F.posexplode(F.transform(
+                 F.sequence(F.lit(0), F.col("n_grams") - 1),
+                 lambda i: F.md5(F.array_join(
+                     F.slice("__toks", i + 1, k), " "))))
+                 .alias("pos", "g")))
+    dup_keys = (grams.groupBy("g").agg(F.count("*").alias("occ"))
+                .where(F.col("occ") > 1).select("g"))
+    dup_pos = grams.join(dup_keys, "g").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    covered = (dup_pos
+               .withColumn("__prev", F.lag("pos").over(w))
+               .select("doc", F.when(
+                   F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") >= k),
+                   F.lit(k)).otherwise(F.col("pos") - F.col("__prev"))
+                   .alias("__cov"))
+               .groupBy("doc").agg(
+                   F.count("*").alias("n_dup"),
+                   F.sum("__cov").alias("covered_toks")))
+    out = (base.select("doc", "n_toks", "n_grams")
+           .join(covered, "doc", "left")
+           .select(
+               F.col("doc").alias(id_col), "n_toks", "n_grams",
+               F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+               F.coalesce("covered_toks", F.lit(0)).alias("covered_toks")))
+    return out.withColumn(
+        "dup_flag", (F.col("covered_toks") * 2 >= F.col("n_toks"))
+        & (F.col("n_toks") > 0))
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-unigram cross-entropies (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket_col(term_col, n_buckets: int) -> "F.Column":
+    """Engine-portable hash bucket: first two md5 hex chars -> 0..255,
+    mod n_buckets. Chosen over xxhash64 so a DuckDB/Trino oracle can replay
+    the bucketing byte-for-byte (md5 is the only hash both engines share)."""
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    h = F.md5(c)
+    h1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    h2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return ((h1 * 16 + h2) % n_buckets).cast("int")
+
+
+def hash_bucket_sql(term_expr: str, n_buckets: int) -> str:
+    return (f"CAST(((strpos('{_HEX}', substr(md5({term_expr}), 1, 1)) - 1) "
+            f"* 16 + strpos('{_HEX}', substr(md5({term_expr}), 2, 1)) - 1) "
+            f"% {n_buckets} AS INT)")
+
+
+def dsir_cross_entropy(
+    df: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document cross-entropies under hashed-unigram LMs of the raw
+    corpus and of the target slice (rows matching ``target_filter``).
+
+    DSIR's log importance weight is ce_raw - ce_target; both terms are
+    reported separately because each is a sum of strictly positive
+    -n·ln(p) contributions (no cancellation — float-stable to replay in an
+    oracle), while their difference is not. Add-1 smoothing over
+    ``n_buckets`` buckets.
+
+    Returns (id, n_toks_hashed, ce_raw, ce_target). The corpus shuffles
+    once on (doc, bucket); the two distributions are n_buckets-row
+    aggregates broadcast back.
+    """
+    base = df.select(F.col(id_col).alias("doc"),
+                     target_filter.alias("__tgt"),
+                     F.explode(tokens_col(text_col)).alias("__t"))
+    base = base.where(F.length("__t") > 0).select(
+        "doc", "__tgt", hash_bucket_col("__t", n_buckets).alias("b"))
+    doc_b = base.groupBy("doc", "b").agg(
+        F.count("*").alias("n"),
+        F.max(F.col("__tgt").cast("int")).alias("__tgt_any"))
+    # distributions (n_buckets rows each) from the already-reduced counts
+    raw = doc_b.groupBy("b").agg(F.sum("n").alias("cnt_raw"))
+    tgt = (doc_b.where(F.col("__tgt_any") == 1)
+           .groupBy("b").agg(F.sum("n").alias("cnt_tgt")))
+    raw_tot = raw.agg(F.sum("cnt_raw").alias("tot_raw"))
+    tgt_tot = tgt.agg(F.sum("cnt_tgt").alias("tot_tgt"))
+    dist = (raw.join(tgt, "b", "left")
+            .crossJoin(F.broadcast(raw_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .select(
+                "b",
+                F.log((F.col("cnt_raw") + 1.0)
+                      / (F.col("tot_raw") + F.lit(float(n_buckets))))
+                 .alias("lp_raw"),
+                F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1.0)
+                      / (F.col("tot_tgt") + F.lit(float(n_buckets))))
+                 .alias("lp_tgt")))
+    return (doc_b.join(F.broadcast(dist), "b")
+            .groupBy("doc").agg(
+                F.sum("n").alias("n_toks_hashed"),
+                (-F.sum(F.col("n") * F.col("lp_raw"))).alias("ce_raw"),
+                (-F.sum(F.col("n") * F.col("lp_tgt"))).alias("ce_target"))
+            .select(F.col("doc").alias(id_col), "n_toks_hashed",
+                    "ce_raw", "ce_target"))
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+def vocab_growth(
+    df: DataFrame,
+    checkpoints=(4, 8, 16),
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth curve per group: after the first m docs (ordered by
+    id), how many tokens and how many distinct terms has the group seen?
+
+    Returns (group, m, cum_tokens, cum_vocab) for each checkpoint
+    m <= group doc count. Term first-occurrence rank is ONE
+    groupBy(group, term) min(rank); the checkpoint join is a
+    broadcast-nested-loop against a constant-size literal array.
+    """
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    ranked = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("doc"),
+        tokens_col(text_col).alias("__toks"),
+        F.row_number().over(w).alias("r"))
+    cps = ranked.sparkSession.createDataFrame(
+        [(int(m),) for m in checkpoints], "m int")
+    nd = ranked.groupBy("g").agg(F.max("r").alias("nd"))
+    cps_g = (nd.crossJoin(F.broadcast(cps))
+             .where(F.col("m") <= F.col("nd")).select("g", "m"))
+    cum_toks = (ranked.select("g", "r", F.size("__toks").alias("nt"))
+                .join(F.broadcast(cps), F.col("r") <= F.col("m"))
+                .groupBy("g", "m").agg(F.sum("nt").alias("cum_tokens")))
+    first_rank = (ranked
+                  .select("g", "r", F.explode("__toks").alias("t"))
+                  .where(F.length("t") > 0)
+                  .groupBy("g", "t").agg(F.min("r").alias("fr")))
+    cum_vocab = (first_rank
+                 .join(F.broadcast(cps), F.col("fr") <= F.col("m"))
+                 .groupBy("g", "m").agg(F.count("*").alias("cum_vocab")))
+    return (cps_g.join(cum_toks, ["g", "m"]).join(cum_vocab, ["g", "m"])
+            .select(F.col("g").alias(group_col), F.col("m").alias("m"),
+                    "cum_tokens", "cum_vocab"))
+
+
+# ---------------------------------------------------------------------------
+# Passage chunking for retrieval (fixed window + stride)
+# ---------------------------------------------------------------------------
+
+def passage_split(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows (dense-retrieval
+    passage prep). Windows start at 0, stride, 2·stride, …; the final
+    window always reaches the last token (it may be shorter than
+    ``window``). Explode + slice only — no shuffle.
+
+    Returns (id, pidx, start_tok, n_tok_passage, passage).
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"),
+                     F.size(toks).alias("n"))
+    n_pass = F.when(F.col("n") <= window, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - window) / F.lit(float(stride))).cast("int") + 1)
+    base = base.where(F.col("n") > 0).withColumn("np", n_pass)
+    out = base.select(
+        "doc", "__toks", "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("np") - 1))
+         .alias("pidx", "__i"))
+    start = F.col("pidx") * stride
+    return out.select(
+        F.col("doc").alias(id_col),
+        "pidx",
+        start.alias("start_tok"),
+        F.least(F.lit(window), F.col("n") - start).alias("n_tok_passage"),
+        F.array_join(F.slice("__toks", start + 1, window), " ")
+         .alias("passage"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced language mixing (Conneau et al. 2020, alpha=0.3)
+# ---------------------------------------------------------------------------
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language temperature-scaled sampling rates: q_l ∝ p_l^alpha with
+    p_l the language's token share. Returns (lang, n_docs, n_toks, p_raw,
+    q_temp, boost) where boost = q/p is the up/down-sampling factor.
+
+    One groupBy(lang) over the corpus; both normalisation totals are
+    single-row broadcasts (host_hits L1-norm pattern).
+    """
+    per_lang = (df.select(F.col(lang_col).alias("lang"),
+                          F.size(tokens_col(text_col)).alias("nt"))
+                .groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                     F.sum("nt").alias("n_toks")))
+    tot = per_lang.agg(F.sum("n_toks").alias("tot"))
+    with_p = (per_lang.crossJoin(F.broadcast(tot))
+              .withColumn("p_raw", F.col("n_toks") / F.col("tot"))
+              .withColumn("__pa", F.pow("p_raw", F.lit(alpha))))
+    s = with_p.agg(F.sum("__pa").alias("s"))
+    return (with_p.crossJoin(F.broadcast(s))
+            .select("lang", "n_docs", "n_toks", "p_raw",
+                    (F.col("__pa") / F.col("s")).alias("q_temp"),
+                    (F.col("__pa") / F.col("s") / F.col("p_raw"))
+                     .alias("boost")))

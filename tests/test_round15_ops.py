@@ -1,0 +1,197 @@
+"""Unit tests for the round-15 pack (training-corpus curation):
+C4 cleaning, k-gram span dedup, DSIR cross-entropies, Heaps vocabulary
+growth, passage chunking, and temperature language mixing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.curation import (
+    c4_clean, dsir_cross_entropy, passage_split, span_dedup_stats,
+    temperature_mix, vocab_growth)
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# c4_clean
+# ---------------------------------------------------------------------------
+
+def test_c4_line_and_page_rules(spark):
+    good = "alpha beta gamma delta epsilon zeta."
+    df = spark.createDataFrame(
+        [(1, [good, "no punct here at all", "short one.",
+              "please enable javascript to see this page.",
+              good.replace(".", "?"), 'quoted words one two three four"']),
+         (2, [good, "x { y"]),
+         (3, [good, good, good, "lorem ipsum dolor."]),
+         (4, [good, good, good, "win at the casino tonight."]),
+         (5, [good, good])],                    # only 2 kept -> dropped
+        "doc_id long, lines array<string>")
+    out = _rows(c4_clean(df, min_sentences=3), "doc_id")
+
+    assert out[1]["n_lines"] == 6
+    # kept: good, good?, quoted  (javascript / no-punct / <5 words dropped)
+    assert out[1]["n_kept"] == 3 and out[1]["kept"]
+    assert out[1]["clean_text"].split("\n")[0] == good
+    assert not out[2]["kept"] and out[2]["has_brace"]
+    assert not out[3]["kept"] and out[3]["has_lorem"]
+    assert not out[4]["kept"] and out[4]["has_naughty"]
+    assert not out[5]["kept"] and out[5]["n_kept"] == 2
+    assert out[5]["clean_text"] is None
+
+
+def test_c4_clean_text_preserves_order(spark):
+    ls = [f"line number {i} with five words." for i in range(5)]
+    df = spark.createDataFrame([(9, ls)], "doc_id long, lines array<string>")
+    got = c4_clean(df).collect()[0]
+    assert got["clean_text"] == "\n".join(ls)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_stats
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_shared_span(spark):
+    shared = "one two three four"            # k=4 gram shared by both docs
+    df = spark.createDataFrame(
+        [(1, shared + " aa bb cc dd"),
+         (2, "ee ff gg hh " + shared),
+         (3, "ii jj kk ll mm nn oo pp")],
+        "doc_id long, text string")
+    out = _rows(span_dedup_stats(df, k=4), "doc_id")
+    for d in (1, 2):
+        assert out[d]["n_toks"] == 8 and out[d]["n_grams"] == 5
+        assert out[d]["n_dup"] == 1 and out[d]["covered_toks"] == 4
+        assert out[d]["dup_flag"]       # >= boundary: exactly half covered
+    assert out[3]["n_dup"] == 0 and not out[3]["dup_flag"]
+
+
+def test_span_dedup_flag_boundary_and_overlap_merge(spark):
+    # identical docs: every gram duplicated; overlapping intervals must
+    # merge (covered == n_toks, not n_grams * k)
+    t = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = _rows(span_dedup_stats(df, k=4), "doc_id")
+    assert out[1]["n_grams"] == 7
+    assert out[1]["covered_toks"] == 10 == out[1]["n_toks"]
+    assert out[1]["dup_flag"]
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the same gram twice within ONE doc also counts as duplicated
+    df = spark.createDataFrame(
+        [(1, "p q r s xx yy zz p q r s")], "doc_id long, text string")
+    out = _rows(span_dedup_stats(df, k=4), "doc_id")
+    assert out[1]["n_dup"] == 2
+    assert out[1]["covered_toks"] == 8
+
+
+# ---------------------------------------------------------------------------
+# dsir_cross_entropy
+# ---------------------------------------------------------------------------
+
+def _bucket(term: str, b: int) -> int:
+    h = hashlib.md5(term.encode()).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % b
+
+
+def test_dsir_cross_entropy_exact(spark):
+    nb = 8
+    docs = [(1, "apple banana apple", "tgt"),
+            (2, "carrot date", "raw"),
+            (3, "banana banana egg", "raw")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = _rows(
+        dsir_cross_entropy(df, F.col("source") == "tgt", n_buckets=nb),
+        "doc_id")
+
+    # replicate in python
+    from collections import Counter
+    raw, tgt, per_doc = Counter(), Counter(), {}
+    for did, text, src in docs:
+        c = Counter(_bucket(t, nb) for t in text.split())
+        per_doc[did] = c
+        raw.update(c)
+        if src == "tgt":
+            tgt.update(c)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    for did, c in per_doc.items():
+        ce_raw = -sum(n * math.log((raw[b] + 1) / (tr + nb))
+                      for b, n in c.items())
+        ce_tgt = -sum(n * math.log((tgt[b] + 1) / (tt + nb))
+                      for b, n in c.items())
+        assert abs(out[did]["ce_raw"] - ce_raw) < 1e-9
+        assert abs(out[did]["ce_target"] - ce_tgt) < 1e-9
+        assert out[did]["n_toks_hashed"] == sum(c.values())
+    # the target doc should look more target-like than the others
+    iw = {d: out[d]["ce_raw"] - out[d]["ce_target"] for d in out}
+    assert iw[1] == max(iw.values())
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+def test_vocab_growth_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b", "s"), (1, "b c", "s"), (2, "a d e", "s"),
+         (3, "f", "s"), (10, "x y", "t")],
+        "doc_id long, text string, source string")
+    out = {(r["source"], r["m"]): r.asDict()
+           for r in vocab_growth(df, checkpoints=(1, 2, 4)).collect()}
+    assert out[("s", 1)]["cum_tokens"] == 2
+    assert out[("s", 1)]["cum_vocab"] == 2          # a b
+    assert out[("s", 2)]["cum_vocab"] == 3          # + c
+    assert out[("s", 4)]["cum_tokens"] == 8
+    assert out[("s", 4)]["cum_vocab"] == 6          # a b c d e f
+    # source t has only 1 doc: m=2,4 checkpoints must not appear
+    assert ("t", 1) in out and ("t", 2) not in out and ("t", 4) not in out
+
+
+# ---------------------------------------------------------------------------
+# passage_split
+# ---------------------------------------------------------------------------
+
+def test_passage_split_windows(spark):
+    toks = [f"t{i}" for i in range(40)]
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    got = (passage_split(df, window=8, stride=6)
+           .orderBy("pidx").collect())
+    assert [r["start_tok"] for r in got] == [0, 6, 12, 18, 24, 30, 36]
+    assert got[0]["passage"].split(" ") == toks[0:8]
+    assert got[-1]["passage"].split(" ") == toks[36:40]
+    assert got[-1]["n_tok_passage"] == 4
+    # every token covered, overlap = window - stride
+    assert got[1]["passage"].split(" ")[0] == "t6"
+
+
+def test_passage_split_short_doc_single_window(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = passage_split(df, window=8, stride=6).collect()
+    assert len(got) == 1
+    assert got[0]["n_tok_passage"] == 3 and got[0]["passage"] == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+def test_temperature_mix_boosts_minority(spark):
+    rows = [(i, "w " * 9 + "w", "en") for i in range(9)]
+    rows += [(100, "w " * 9 + "w", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = _rows(temperature_mix(df, alpha=0.3), "lang")
+    p_en, p_fr = out["en"]["p_raw"], out["fr"]["p_raw"]
+    assert abs(p_en - 0.9) < 1e-12 and abs(p_fr - 0.1) < 1e-12
+    q_en, q_fr = out["en"]["q_temp"], out["fr"]["q_temp"]
+    assert abs(q_en + q_fr - 1.0) < 1e-12
+    exp_ratio = (0.9 / 0.1) ** 0.3
+    assert abs(q_en / q_fr - exp_ratio) < 1e-9
+    assert out["fr"]["boost"] > 1 > out["en"]["boost"]
