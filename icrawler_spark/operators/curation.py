@@ -24,8 +24,10 @@ Scale shapes (the part that matters at 100 TB):
   distributions are tiny aggregates broadcast back; the corpus shuffles
   once on (doc, bucket), never on raw terms.
 - ``vocab_growth`` needs term first-occurrence rank: one groupBy
-  (group, term) min(rank); checkpoints are a literal array broadcast-
-  nested-loop joined (3 rows — the BNLJ side is constant-size).
+  (group, term) min(doc-id) over the token stream (no window touches
+  tokens), mapped to a rank via the slim pinned (group, doc, rank) frame;
+  checkpoints are a literal array broadcast-nested-loop joined (3 rows —
+  the BNLJ side is constant-size).
 - ``passage_split`` is explode + slice: zero shuffles, output rows are
   O(tokens / stride).
 - ``temperature_mix`` aggregates per language then broadcasts two
@@ -139,6 +141,15 @@ def span_dedup_stats(
     Returns (id, n_toks, n_grams, n_dup, covered_toks, dup_flag) where
     dup_flag marks docs with >= 50% of tokens inside duplicated spans —
     the ExactSubstr removal candidates.
+
+    The gram stream is deliberately computed twice (once feeding the
+    frequency groupBy, once feeding the dup-key join) rather than pinned or
+    expressed as a count-over window: groupBy gets map-side partial
+    aggregation and the equi-join is AQE-skew-splittable, so a boilerplate
+    gram repeated 10^8 times costs bounded memory per task — a window over
+    partitionBy(gram) would put every occurrence of the hot gram in one
+    task, and pinning O(corpus-token) gram rows in executor block storage
+    is worse than one extra scan.
     """
     toks = tokens_col(text_col)
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
@@ -225,9 +236,13 @@ def dsir_cross_entropy(
                      F.explode(tokens_col(text_col)).alias("__t"))
     base = base.where(F.length("__t") > 0).select(
         "doc", "__tgt", hash_bucket_col("__t", n_buckets).alias("b"))
+    # doc_b feeds three consumers (raw dist, target dist, final score join);
+    # pin it so the token explode + first shuffle run once — the pinned
+    # frame is O(docs · n_buckets) rows, tiny next to the token stream
     doc_b = base.groupBy("doc", "b").agg(
         F.count("*").alias("n"),
-        F.max(F.col("__tgt").cast("int")).alias("__tgt_any"))
+        F.max(F.col("__tgt").cast("int")).alias("__tgt_any")
+    ).localCheckpoint(eager=False)
     # distributions (n_buckets rows each) from the already-reduced counts
     raw = doc_b.groupBy("b").agg(F.sum("n").alias("cnt_raw"))
     tgt = (doc_b.where(F.col("__tgt_any") == 1)
@@ -269,29 +284,36 @@ def vocab_growth(
     id), how many tokens and how many distinct terms has the group seen?
 
     Returns (group, m, cum_tokens, cum_vocab) for each checkpoint
-    m <= group doc count. Term first-occurrence rank is ONE
-    groupBy(group, term) min(rank); the checkpoint join is a
-    broadcast-nested-loop against a constant-size literal array.
+    m <= group doc count. The row_number window runs ONCE, over a slim
+    (group, doc, n_toks) projection that is then pinned — the token stream
+    never shuffles through a window: term first occurrence is min(doc id)
+    per (group, term) (ranks are monotone in id within a group, so
+    min(rank) == rank(min(id))), mapped to a rank by joining the slim
+    pinned frame. The checkpoint join is a broadcast-nested-loop against a
+    constant-size literal array.
     """
-    w = Window.partitionBy(group_col).orderBy(id_col)
-    ranked = df.select(
+    w = Window.partitionBy("g").orderBy("doc")
+    slim = (df.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("doc"),
-        tokens_col(text_col).alias("__toks"),
-        F.row_number().over(w).alias("r"))
-    cps = ranked.sparkSession.createDataFrame(
+        F.size(tokens_col(text_col)).alias("nt"))
+        .withColumn("r", F.row_number().over(w))
+        .localCheckpoint(eager=False))
+    cps = df.sparkSession.createDataFrame(
         [(int(m),) for m in checkpoints], "m int")
-    nd = ranked.groupBy("g").agg(F.max("r").alias("nd"))
+    nd = slim.groupBy("g").agg(F.max("r").alias("nd"))
     cps_g = (nd.crossJoin(F.broadcast(cps))
              .where(F.col("m") <= F.col("nd")).select("g", "m"))
-    cum_toks = (ranked.select("g", "r", F.size("__toks").alias("nt"))
+    cum_toks = (slim
                 .join(F.broadcast(cps), F.col("r") <= F.col("m"))
                 .groupBy("g", "m").agg(F.sum("nt").alias("cum_tokens")))
-    first_rank = (ranked
-                  .select("g", "r", F.explode("__toks").alias("t"))
-                  .where(F.length("t") > 0)
-                  .groupBy("g", "t").agg(F.min("r").alias("fr")))
+    first_doc = (df.select(F.col(group_col).alias("g"),
+                           F.col(id_col).alias("doc"),
+                           F.explode(tokens_col(text_col)).alias("t"))
+                 .where(F.length("t") > 0)
+                 .groupBy("g", "t").agg(F.min("doc").alias("doc")))
+    first_rank = first_doc.join(slim.select("g", "doc", "r"), ["g", "doc"])
     cum_vocab = (first_rank
-                 .join(F.broadcast(cps), F.col("fr") <= F.col("m"))
+                 .join(F.broadcast(cps), F.col("r") <= F.col("m"))
                  .groupBy("g", "m").agg(F.count("*").alias("cum_vocab")))
     return (cps_g.join(cum_toks, ["g", "m"]).join(cum_vocab, ["g", "m"])
             .select(F.col("g").alias(group_col), F.col("m").alias("m"),
@@ -356,7 +378,10 @@ def temperature_mix(
     per_lang = (df.select(F.col(lang_col).alias("lang"),
                           F.size(tokens_col(text_col)).alias("nt"))
                 .groupBy("lang").agg(F.count("*").alias("n_docs"),
-                                     F.sum("nt").alias("n_toks")))
+                                     F.sum("nt").alias("n_toks"))
+                # feeds the total, the p^alpha sum AND the final projection:
+                # pin (<= #langs rows) so the corpus scans once
+                .localCheckpoint(eager=False))
     tot = per_lang.agg(F.sum("n_toks").alias("tot"))
     with_p = (per_lang.crossJoin(F.broadcast(tot))
               .withColumn("p_raw", F.col("n_toks") / F.col("tot"))
