@@ -38,7 +38,11 @@ def _c4_pages(spark, sf) -> DataFrame:
 
     d = _docs(spark, sf)
     doc_id = F.col("doc_id")
-    chunks = _chunk_lines(tokens_col("text"))
+    # pre-project tokens into a multiply-referenced named column so the
+    # normalize+split chain is not inlined per lambda element (r3-s6 fix)
+    d = d.select(doc_id.cast("long").alias("doc_id"),
+                 tokens_col("text").alias("__toks"))
+    chunks = _chunk_lines(F.col("__toks"))
 
     def _decorate(x, i):
         m = (doc_id + i) % 5

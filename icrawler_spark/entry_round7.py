@@ -295,9 +295,19 @@ def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     from icrawler_spark.operators.docdedup import tokens_col
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    with_lines = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source",
-        _chunk_lines(tokens_col("text")).alias("lines"))
+    # pre-project the token array into a multiply-referenced named column:
+    # fusing tokens_col into _chunk_lines lets CollapseProject inline the
+    # normalize+split chain per lambda element (~4x slower; r3-s6 profile)
+    toked = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "source", tokens_col("text").alias("__toks"))
+    # pin the synthesized lines frame: the operator's plan references its
+    # input three times, and each copy of the tokenize+chunk expression
+    # costs ~2 s of whole-stage codegen compile alone (r3-s6 profile).
+    # Production reads a materialized lines column from the pages table —
+    # the pin reproduces that, it is not an operator-internal requirement.
+    with_lines = toked.select(
+        "doc_id", "source", _chunk_lines(F.col("__toks")).alias("lines")
+    ).localCheckpoint(eager=False)
     out = strip_boilerplate(with_lines, id_col="doc_id", host_col="source",
                             lines_col="lines", min_frac=_BP_FRAC,
                             min_docs=_BP_MIN_DOCS, sep=" ")
