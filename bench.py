@@ -206,6 +206,9 @@ _EXTRA_PICKS = [
     # round-3 batch-9 (training-corpus curation)
     "c4_filters", "span_dedup", "dsir_weights", "vocab_growth",
     "passage_split", "temperature_mix",
+    # round-3 batch-10 (frontier-quality signals)
+    "bigram_perplexity", "opic_frontier", "url_spam", "ngram_novelty",
+    "outlink_profile",
 ]
 
 

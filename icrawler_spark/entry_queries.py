@@ -25,7 +25,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round8, entry_round9,
                             entry_round10, entry_round11,
                             entry_round12, entry_round13,
-                            entry_round14, entry_round15)
+                            entry_round14, entry_round15,
+                            entry_round16)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -807,6 +808,7 @@ def queries():
         **entry_round13.queries13(),
         **entry_round14.queries14(),
         **entry_round15.queries15(),
+        **entry_round16.queries16(),
     }
 
 
@@ -854,4 +856,5 @@ def oracle_sql():
         **entry_round13.oracle_sql13(),
         **entry_round14.oracle_sql14(),
         **entry_round15.oracle_sql15(),
+        **entry_round16.oracle_sql16(),
     }

@@ -1,0 +1,304 @@
+"""Round-3 driver-contract queries (batch 10): frontier-quality signals —
+bigram LM self-perplexity, OPIC frontier priority, lexical URL spam
+scoring, shingle novelty, and per-page outlink profiles.
+
+The reference crawls FIFO with no frontier quality model at all
+(utils/thread_pool.py:43-44, feeder.py pushes URLs as-is); these are the
+signals a priority frontier consumes at 10^10-URL scale. Methods public:
+OPIC (Abiteboul/Preda/Cobena, WWW 2003), add-k bigram LMs (Chen/Goodman),
+lexical spam features (standard webspam literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import curation as _cur
+from icrawler_spark.operators import graph as _graph
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bigram_perplexity — add-k bigram LM quality score
+# ---------------------------------------------------------------------------
+
+def q_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.bigram_cross_entropy: order-2 upgrade of
+    self_perplexity (entry_round5) — add-0.5 smoothed bigram LM estimated
+    from the corpus; the token stream shuffles once into pinned (doc, pair)
+    counts, the LM derives from those counts, V is a single-row broadcast."""
+    return _cur.bigram_cross_entropy(_docs(spark, sf), k_smooth=0.5)
+
+
+def _bigram_perplexity_sql() -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+), pairs AS (
+  SELECT doc_id, l[x + 1] || ' ' || l[x + 2] AS p
+  FROM (SELECT doc_id, l, unnest(range(0, len(l) - 1)) AS x
+        FROM toked WHERE len(l) >= 2)
+), docp AS (
+  SELECT doc_id, p, count(*) AS n FROM pairs GROUP BY 1, 2
+), c12 AS (
+  SELECT p, sum(n) AS c12 FROM docp GROUP BY 1
+), c1 AS (
+  SELECT split_part(p, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), vv AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(l) AS t FROM toked) WHERE len(t) > 0
+), lm AS (
+  SELECT p, -ln((c12 + CAST(0.5 AS DOUBLE))
+                / (c1 + CAST(0.5 AS DOUBLE) * v)) AS nll
+  FROM c12 JOIN c1 ON split_part(c12.p, ' ', 1) = c1.w1, vv
+)
+SELECT doc_id, sum(n) AS n_bigrams,
+  round(sum(n * nll) / sum(n), 6) AS mean_nll
+FROM docp JOIN lm USING (p) GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# opic_frontier — OPIC cash/history importance over the host graph
+# ---------------------------------------------------------------------------
+
+_OPIC_SRC_HOSTS = 12   # src hosts 0..11; dst 0..15 -> hosts 12..15 dangle
+_OPIC_DST_HOSTS = 16
+_OPIC_ITERS = 3
+
+
+def _opic_edges(spark, sf) -> DataFrame:
+    """Host link graph from events, with dangling nodes: hosts 12..15 are
+    link targets that never link out, exercising the virtual-root
+    redistribution path in-oracle."""
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _OPIC_SRC_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % _OPIC_DST_HOSTS)
+        .cast("long").alias("dst"))
+
+
+_OPIC_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_OPIC_SRC_HOSTS} AS BIGINT) AS src, "
+    f"CAST((user_id + event_id) % {_OPIC_DST_HOSTS} AS BIGINT) AS dst "
+    f"FROM events")
+
+
+def q_opic_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.opic: On-line Page Importance Computation — the
+    frontier-priority signal designed FOR crawlers (no damping; cash =
+    what to fetch next, history = what mattered). Dangling cash
+    redistributes via a broadcast single-row sum; cash conserves at 1."""
+    return _graph.opic(_opic_edges(spark, sf), n_iters=_OPIC_ITERS)
+
+
+def _opic_frontier_sql() -> str:
+    return _graph.opic_sql(_OPIC_EDGES_SQL, n_iters=_OPIC_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# url_spam — lexical URL spam gate over a synthesized frontier
+# ---------------------------------------------------------------------------
+
+def _spam_frontier(spark, sf) -> DataFrame:
+    """Frontier covering every detector: benign news/site URLs, keyword-
+    stuffed hyphen hosts, throwaway TLDs, digit-algorithmic hosts, and
+    lexicon words in paths."""
+    ev = _events(spark, sf).select("event_id", "user_id")
+    e = F.col("event_id")
+    u = (F.col("user_id") % 50).cast("string")
+    es = e.cast("string")
+    kind = e % 6
+    url = (
+        F.when(kind == 1, F.concat(
+            F.lit("http://buy-cheap-pills-online-"), u,
+            F.lit(".test/p"), es))
+        .when(kind == 2, F.concat(
+            F.lit("http://h"), u, F.lit(".xyz/casino/"), es))
+        .when(kind == 3, F.concat(
+            F.lit("http://123456"), u, F.lit(".test/p")))
+        .when(kind == 4, F.concat(
+            F.lit("http://h"), u, F.lit(".test/viagra-"), es,
+            F.lit(".html")))
+        .when(kind == 5, F.concat(
+            F.lit("http://my-site-h"), u, F.lit(".test/ok/"), es))
+        .otherwise(F.concat(
+            F.lit("http://news-h"), u, F.lit(".test/a/"), es)))
+    return ev.select(e.cast("long").alias("event_id"), url.alias("url"))
+
+
+_SPAM_URL_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+    CASE CAST(event_id % 6 AS INT)
+      WHEN 1 THEN 'http://buy-cheap-pills-online-' || user_id % 50
+        || '.test/p' || event_id
+      WHEN 2 THEN 'http://h' || user_id % 50 || '.xyz/casino/' || event_id
+      WHEN 3 THEN 'http://123456' || user_id % 50 || '.test/p'
+      WHEN 4 THEN 'http://h' || user_id % 50 || '.test/viagra-'
+        || event_id || '.html'
+      WHEN 5 THEN 'http://my-site-h' || user_id % 50 || '.test/ok/'
+        || event_id
+      ELSE 'http://news-h' || user_id % 50 || '.test/a/' || event_id
+    END AS url
+  FROM events
+"""
+
+
+def q_url_spam(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.spam_flags + url_spam_score: the lexical frontier
+    spam gate (drop score >= 2, the two-signal rule shared with
+    url_trap_score) — pure JVM regexps fused into the frontier scan."""
+    fr = _spam_frontier(spark, sf)
+    flags = _urls.spam_flags("url")
+    return fr.select(
+        "event_id", "url",
+        *[c.alias(n) for n, c in flags.items()],
+        _urls.url_spam_score("url").alias("spam_score"),
+        (_urls.url_spam_score("url") >= 2).alias("drop"))
+
+
+def _url_spam_sql() -> str:
+    fs = _urls.spam_flags_sql("url")
+    flag_cols = ",\n  ".join(f"{s} AS {n}" for n, s in fs.items())
+    score = " + ".join(f"CAST({s} AS INT)" for s in fs.values())
+    return f"""
+WITH fr AS ({_SPAM_URL_SQL})
+SELECT event_id, url,
+  {flag_cols},
+  {score} AS spam_score,
+  ({score}) >= 2 AS drop
+FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — shingle first-occurrence novelty per doc
+# ---------------------------------------------------------------------------
+
+_NOV_K = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.shingle_novelty: fraction of a doc's distinct
+    5-token shingles first seen in it — the recrawl-priority complement of
+    span_dedup (low novelty -> deprioritize refetch)."""
+    return _cur.shingle_novelty(_docs(spark, sf), k=_NOV_K)
+
+
+def _ngram_novelty_sql() -> str:
+    k = _NOV_K
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(l[x + 1 : x + {k}], ' ')) AS g
+  FROM (SELECT doc_id, l, unnest(range(0, len(l) - {k} + 1)) AS x
+        FROM toked WHERE len(l) - {k} + 1 > 0)
+), fst AS (
+  SELECT g, min(doc_id) AS fdoc FROM sh GROUP BY 1
+), pd AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN fst USING (g) GROUP BY 1
+)
+SELECT t.doc_id,
+  coalesce(pd.n_shingles, 0) AS n_shingles,
+  coalesce(pd.n_novel, 0) AS n_novel,
+  CASE WHEN coalesce(pd.n_shingles, 0) > 0
+       THEN CAST(pd.n_novel AS DOUBLE) / pd.n_shingles END AS novelty
+FROM toked t LEFT JOIN pd USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# outlink_profile — per-page link structure stats
+# ---------------------------------------------------------------------------
+
+def _profile_pages(spark, sf) -> DataFrame:
+    """Pages with a relative link, an external link, sometimes an absolute
+    same-host link (internal), a nofollow external, and a non-link img."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc_id % 7).cast("string"), F.lit(".test"))
+    html = F.concat(
+        F.lit('<a href="/p/'), doc_id.cast("string"), F.lit('">i</a>'),
+        F.lit('<a href="http://h'), ((doc_id + 1) % 7).cast("string"),
+        F.lit('.test/q">e</a>'),
+        F.when(doc_id % 4 == 1, F.concat(
+            F.lit('<a href="http://'), host, F.lit('/r">e2</a>')))
+         .otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.concat(
+            F.lit('<a rel="nofollow" href="http://ext'),
+            (doc_id % 5).cast("string"), F.lit('.test/x">n</a>')))
+         .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 2, F.lit('<img src="i.jpg">'))
+         .otherwise(F.lit("")))
+    return d.select(doc_id.cast("long").alias("doc_id"),
+                    host.alias("host"), html.alias("html"))
+
+
+_PROFILE_PAGES_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    'h' || doc_id % 7 || '.test' AS host,
+    '<a href="/p/' || doc_id || '">i</a>'
+    || '<a href="http://h' || (doc_id + 1) % 7 || '.test/q">e</a>'
+    || CASE WHEN doc_id % 4 = 1 THEN '<a href="http://h' || doc_id % 7
+         || '.test/r">e2</a>' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN '<a rel="nofollow" href="http://ext'
+         || doc_id % 5 || '.test/x">n</a>' ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN '<img src="i.jpg">' ELSE '' END
+      AS html
+  FROM documents
+"""
+
+
+def q_outlink_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.outlink_profile: per-page link counts, internal/
+    external split, distinct external hosts, nofollow count — pure array
+    exprs over regexp_extract_all, zero shuffles, fused into the scan."""
+    p = _profile_pages(spark, sf)
+    cols = _urls.outlink_profile("html", "host")
+    return p.select("doc_id", "host",
+                    *[c.alias(n) for n, c in cols.items()])
+
+
+def _outlink_profile_sql() -> str:
+    cols = _urls.outlink_profile_sql("html", "host")
+    sel = ",\n  ".join(f"{s} AS {n}" for n, s in cols.items())
+    return f"""
+WITH p AS ({_PROFILE_PAGES_SQL})
+SELECT doc_id, host,
+  {sel}
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries16():
+    return {
+        "bigram_perplexity": q_bigram_perplexity,
+        "opic_frontier": q_opic_frontier,
+        "url_spam": q_url_spam,
+        "ngram_novelty": q_ngram_novelty,
+        "outlink_profile": q_outlink_profile,
+    }
+
+
+def oracle_sql16():
+    return {
+        "bigram_perplexity": _bigram_perplexity_sql(),
+        "opic_frontier": _opic_frontier_sql(),
+        "url_spam": _url_spam_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
+        "outlink_profile": _outlink_profile_sql(),
+    }

@@ -237,3 +237,124 @@ def url_template_sql(expr: str) -> str:
     for pat, repl in URL_TEMPLATE_RULES:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL spam scoring (frontier hygiene, complement of trap_flags: traps waste
+# budget by looping, spam wastes it on content you'll throw away).
+# The reference has no frontier-quality gate at all (feeder.py pushes every
+# URL as-is); at 10^10-URL scale a lexical pre-filter runs in the scan and
+# saves the fetch. Lexicon is a placeholder slug list — production swaps a
+# full one in; the structure signals (digit-heavy host labels, hyphen
+# stuffing, throwaway TLDs) are from public spam-detection literature.
+# ---------------------------------------------------------------------------
+
+#: placeholder spam lexicon (word-boundary matched against the full URL)
+SPAM_WORDS = ("casino", "viagra", "xxx", "pills", "replica", "payday")
+
+#: TLDs with outsized spam share (public abuse-ranking lists)
+SPAM_TLDS = ("xyz", "top", "loan", "click", "work", "gq")
+
+_SPAM_WORD_RE = r"(?i)\b(" + "|".join(SPAM_WORDS) + r")\b"
+_SPAM_TLD_RE = r"^[a-z][a-z0-9+.\-]*://[^/:?#]*\.(" + "|".join(SPAM_TLDS) + r")(?:[/:?#]|$)"
+
+
+def spam_flags(url_col) -> dict[str, "F.Column"]:
+    """Named boolean spam detectors over a URL column (pure JVM regexps)."""
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
+    host_alnum = F.regexp_replace(host, r"[^a-z0-9]", "")
+    host_digits = F.regexp_replace(host, r"[^0-9]", "")
+    return {
+        "lexicon_hit": u.rlike(_SPAM_WORD_RE),
+        "bad_tld": F.lower(u).rlike(_SPAM_TLD_RE),
+        # registrable labels stuffed with hyphens (cheap-domain keyword spam)
+        "hyphen_host": (F.length(host)
+                        - F.length(F.regexp_replace(host, "-", ""))) >= 3,
+        # digit-heavy hostnames (disposable algorithmic domains); guard the
+        # division — host can be empty on malformed URLs
+        "digit_host": F.when(
+            F.length(host_alnum) > 0,
+            F.length(host_digits) * 10 >= F.length(host_alnum) * 3
+        ).otherwise(F.lit(False)),
+    }
+
+
+def spam_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`spam_flags` (same regex constants)."""
+    host = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)"
+    host_alnum = f"regexp_replace({host}, '[^a-z0-9]', '', 'g')"
+    host_digits = f"regexp_replace({host}, '[^0-9]', '', 'g')"
+    words = "|".join(SPAM_WORDS)
+    tlds = "|".join(SPAM_TLDS)
+    return {
+        "lexicon_hit": f"regexp_matches(lower({expr}), '\\b({words})\\b')",
+        "bad_tld": (f"regexp_matches(lower({expr}), "
+                    f"'^[a-z][a-z0-9+.\\-]*://[^/:?#]*\\.({tlds})([/:?#]|$)')"),
+        "hyphen_host": (f"(length({host}) - length(regexp_replace({host},"
+                        f" '-', '', 'g'))) >= 3"),
+        "digit_host": (f"CASE WHEN length({host_alnum}) > 0 THEN "
+                       f"length({host_digits}) * 10 >= length({host_alnum}) * 3 "
+                       f"ELSE FALSE END"),
+    }
+
+
+def url_spam_score(url_col) -> "F.Column":
+    """0-4 spam score (count of independent detectors); the frontier gate
+    drops score >= 2, same two-signal rule as url_trap_score."""
+    from pyspark.sql import functions as F
+
+    flags = spam_flags(url_col)
+    return sum((f.cast("int") for f in flags.values()), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Per-page outlink profile (frontier scoring input): link counts, internal/
+# external split, distinct external hosts, nofollow share. All pure array
+# exprs over regexp_extract_all — zero shuffles, zero explodes; the profile
+# fuses into the page scan. Reference parity: GreedyParser keeps only the
+# hrefs themselves (builtin/greedy.py:34-57) — the profile is what a
+# priority frontier actually consumes.
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r'href="([^"]*)"'
+_NOFOLLOW_RE = r'<a\s[^>]*rel="nofollow"'
+
+
+def outlink_profile(html_col, host_col) -> dict[str, "F.Column"]:
+    """Column dict: n_links, n_internal, n_external, n_ext_hosts,
+    n_nofollow. Internal = relative href or absolute with the same host."""
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col) if isinstance(html_col, str) else html_col
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    hrefs = F.regexp_extract_all(h, F.lit(_HREF_RE), 1)
+    abs_host = lambda x: F.regexp_extract(x, r"^https?://([^/:?#]*)", 1)  # noqa: E731
+    is_abs = lambda x: x.rlike("^https?://")  # noqa: E731
+    external = F.filter(hrefs, lambda x: is_abs(x) & (abs_host(x) != host))
+    return {
+        "n_links": F.size(hrefs),
+        "n_internal": F.size(hrefs) - F.size(external),
+        "n_external": F.size(external),
+        "n_ext_hosts": F.size(F.array_distinct(
+            F.transform(external, abs_host))),
+        "n_nofollow": F.regexp_count(h, F.lit(_NOFOLLOW_RE)),
+    }
+
+
+def outlink_profile_sql(html_expr: str, host_expr: str) -> dict[str, str]:
+    """DuckDB twins (list_filter/list_transform over regexp_extract_all)."""
+    hrefs = f"regexp_extract_all({html_expr}, 'href=\"([^\"]*)\"', 1)"
+    ext = (f"list_filter({hrefs}, x -> regexp_matches(x, '^https?://') AND "
+           f"regexp_extract(x, '^https?://([^/:?#]*)', 1) <> {host_expr})")
+    return {
+        "n_links": f"len({hrefs})",
+        "n_internal": f"len({hrefs}) - len({ext})",
+        "n_external": f"len({ext})",
+        "n_ext_hosts": (f"len(list_distinct(list_transform({ext}, "
+                        f"x -> regexp_extract(x, '^https?://([^/:?#]*)', 1))))"),
+        "n_nofollow": (f"len(regexp_extract_all({html_expr}, "
+                       f"'<a\\s[^>]*rel=\"nofollow\"'))"),
+    }

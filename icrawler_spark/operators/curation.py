@@ -392,3 +392,107 @@ def temperature_mix(
                     (F.col("__pa") / F.col("s")).alias("q_temp"),
                     (F.col("__pa") / F.col("s") / F.col("p_raw"))
                      .alias("boost")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM self-perplexity (CCNet-style quality, order-2 upgrade of
+# entry_round5's unigram self_perplexity)
+# ---------------------------------------------------------------------------
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Per-document mean -ln p(w2|w1) under an add-k smoothed bigram LM
+    estimated from the corpus itself (the sandbox stand-in for a pretrained
+    KenLM): p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V).
+
+    Returns (id, n_bigrams, mean_nll) — docs with < 2 tokens have no
+    bigrams and are absent. mean_nll is sum(n·nll)/sum(n) rounded to 6
+    decimals (positive-term sums; engine-portable).
+
+    Scale shape: bigrams come from zip_with over two shifted array slices
+    (no per-element re-derivation of the tokenize chain — the token array
+    is a multiply-referenced named column), reduced FIRST to (doc, pair)
+    counts and pinned; the LM tables derive from those reduced counts
+    (pair counts, then a groupBy on the pair's first token), so the token
+    stream shuffles once. V is a distinct-count aggregate broadcast as a
+    single row, never collected per pair.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    t = F.col("__t")
+    pairs = base.where(F.size(t) >= 2).select(
+        "doc",
+        F.explode(F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b))).alias("p"))
+    doc_p = (pairs.groupBy("doc", "p").agg(F.count("*").alias("n"))
+             .localCheckpoint(eager=False))
+    c12 = doc_p.groupBy("p").agg(F.sum("n").alias("c12"))
+    c1 = (c12.select(F.substring_index("p", " ", 1).alias("w1"), "c12")
+          .groupBy("w1").agg(F.sum("c12").alias("c1")))
+    vocab = (df.select(F.explode(tokens_col(text_col)).alias("t"))
+             .where(F.length("t") > 0)
+             .agg(F.count_distinct("t").cast("double").alias("v")))
+    kk = float(k_smooth)
+    lm = (c12.withColumn("w1", F.substring_index("p", " ", 1))
+          .join(c1, "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("p", (-F.log(
+              (F.col("c12") + F.lit(kk))
+              / (F.col("c1") + F.lit(kk) * F.col("v")))).alias("nll")))
+    return (doc_p.join(lm, "p")
+            .groupBy("doc").agg(
+                F.sum("n").alias("n_bigrams"),
+                F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 6)
+                 .alias("mean_nll"))
+            .select(F.col("doc").alias(id_col), "n_bigrams", "mean_nll"))
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty (incremental-crawl dedup signal)
+# ---------------------------------------------------------------------------
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct k-token shingles
+    whose FIRST corpus occurrence (min doc id) is this document. A recrawl
+    pipeline feeds fetch priority with it — near-zero novelty means the
+    page re-serves already-known text.
+
+    Returns (id, n_shingles, n_novel, novelty). Scale shape: distinct
+    (doc, md5-shingle) pairs are pinned once and feed both the min-doc
+    aggregate and the join-back (the degree_stats precedent); both
+    shuffles key on the fixed-width shingle hash.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    t = F.col("__t")
+    n_sh = F.size(t) - F.lit(k) + 1
+    sh = (base.where(n_sh > 0)
+          .select("doc", F.explode(F.array_distinct(F.transform(
+              F.sequence(F.lit(0), n_sh - 1),
+              lambda i: F.md5(F.array_join(F.slice(t, i + 1, k), " ")))))
+              .alias("g"))
+          .localCheckpoint(eager=False))
+    first = sh.groupBy("g").agg(F.min("doc").alias("fdoc"))
+    per_doc = (sh.join(first, "g")
+               .groupBy("doc").agg(
+                   F.count("*").alias("n_shingles"),
+                   F.sum((F.col("doc") == F.col("fdoc")).cast("int"))
+                    .alias("n_novel")))
+    return (base.select("doc").join(per_doc, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
+                           F.col("n_novel") / F.col("n_shingles"))
+                     .alias("novelty")))

@@ -202,3 +202,92 @@ def degree_stats(
                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
                     F.coalesce("n_recip", F.lit(0)).alias("n_recip")))
+
+
+def opic(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous OPIC (Abiteboul/Preda/Cobena, WWW 2003):
+    On-line Page Importance Computation, the frontier-priority signal
+    designed FOR crawlers — unlike PageRank it needs no damping and its
+    cash/history split is exactly "what to fetch next" vs "what mattered
+    so far".
+
+    Every node starts with cash 1/N. Each iteration a node distributes its
+    cash equally over its out-edges and banks the distributed amount into
+    its history; dangling nodes (no out-edges) redistribute uniformly to
+    all nodes (the paper's virtual-root edge), computed as a broadcast
+    single-row sum — total cash is conserved at exactly 1. Importance =
+    history + cash after ``n_iters``, rounded to 6 decimals (same
+    engine-portability rule as pagerank).
+
+    Scale shape mirrors :func:`pagerank`: per iteration one join + one
+    groupBy keyed on the host id, a constant-size broadcast for the
+    dangling mass, and a lazy localCheckpoint pin to keep lineage flat.
+    """
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("importance", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    st = nodes.select("node", F.lit(1.0 / n).alias("cash"),
+                      F.lit(0.0).alias("hist"))
+    for _ in range(n_iters):
+        dang = (st.join(deg.withColumnRenamed("src", "node"), "node", "left")
+                .where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d")))
+        inflow = (e.join(st.select(F.col("node").alias("src"), "cash"), "src")
+                  .join(deg, "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum(F.col("cash") / F.col("outdeg")).alias("inflow")))
+        st = (st.join(inflow, "node", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node",
+                      (F.coalesce("inflow", F.lit(0.0))
+                       + F.col("d") / n).alias("cash"),
+                      (F.col("hist") + F.col("cash")).alias("hist"))
+              .localCheckpoint(eager=False))
+    return st.select("node",
+                     F.round(F.col("hist") + F.col("cash"), 6)
+                      .alias("importance"))
+
+
+def opic_sql(edges_cte: str, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`opic`: chained CTEs, one per cash step."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+s0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS cash,
+              CAST(0 AS DOUBLE) AS hist FROM nodes)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+d{i} AS (
+  SELECT coalesce(sum(s.cash), CAST(0 AS DOUBLE)) AS d
+  FROM s{i} s LEFT JOIN deg ON deg.src = s.node WHERE deg.src IS NULL
+),
+a{i} AS (
+  SELECT e.dst AS node, sum(s.cash / deg.outdeg) AS inflow
+  FROM e JOIN s{i} s ON s.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY 1
+),
+s{i + 1} AS (
+  SELECT s.node,
+         coalesce(a.inflow, CAST(0 AS DOUBLE))
+           + (SELECT d FROM d{i}) / (SELECT n FROM nn) AS cash,
+         s.hist + s.cash AS hist
+  FROM s{i} s LEFT JOIN a{i} a USING (node)
+)""")
+    parts.append(f"""
+SELECT node, round(hist + cash, 6) AS importance FROM s{n_iters}""")
+    return "".join(parts)

@@ -1,0 +1,155 @@
+"""Unit tests for the round-16 pack (frontier-quality signals): OPIC,
+bigram LM cross-entropy, URL spam flags, shingle novelty, outlink profile."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.urls import (outlink_profile, spam_flags,
+                                           url_spam_score)
+from icrawler_spark.operators.curation import (bigram_cross_entropy,
+                                               shingle_novelty)
+from icrawler_spark.operators.graph import opic
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# opic
+# ---------------------------------------------------------------------------
+
+def test_opic_chain_with_dangling(spark):
+    # 0 -> 1 -> 2 (2 dangles). cash0 = 1/3 each.
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = _rows(opic(e, n_iters=1), "node")
+    # after 1 iter: dangling(2) redistributes 1/3 to all; inflow 1<-0, 2<-1
+    third, ninth = 1.0 / 3, 1.0 / 9
+    exp_cash = {0: ninth, 1: third + ninth, 2: third + ninth}
+    for n in (0, 1, 2):
+        assert abs(out[n]["importance"] - (exp_cash[n] + third)) < 1e-6
+    # cash conservation: importances sum to hist(=1) + cash(=1)
+    assert abs(sum(r["importance"] for r in out.values()) - 2.0) < 1e-6
+
+
+def test_opic_importance_ranks_hub_target(spark):
+    # everyone links to 9; 9 links to 0 — 9 must dominate
+    edges = [(i, 9) for i in range(9)] + [(9, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = _rows(opic(e, n_iters=3), "node")
+    assert max(out, key=lambda n: out[n]["importance"]) == 9
+
+
+# ---------------------------------------------------------------------------
+# bigram_cross_entropy
+# ---------------------------------------------------------------------------
+
+def test_bigram_cross_entropy_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    out = _rows(bigram_cross_entropy(df, k_smooth=0.5), "doc_id")
+    # pairs: doc1: (a b)x2, (b a); doc2: (a b), (b c)
+    # c12: (a b)=3, (b a)=1, (b c)=1 ; c1: a.=3+... w1 'a'->3, 'b'->2
+    # V = |{a,b,c,x}| = 4
+    v = 4.0
+    nll_ab = -math.log((3 + 0.5) / (3 + 0.5 * v))
+    nll_ba = -math.log((1 + 0.5) / (2 + 0.5 * v))
+    nll_bc = -math.log((1 + 0.5) / (2 + 0.5 * v))
+    exp1 = (2 * nll_ab + nll_ba) / 3
+    exp2 = (nll_ab + nll_bc) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_nll"] - round(exp1, 6)) < 1e-9
+    assert abs(out[2]["mean_nll"] - round(exp2, 6)) < 1e-9
+    assert 3 not in out                      # single-token doc: no bigrams
+
+
+# ---------------------------------------------------------------------------
+# spam flags
+# ---------------------------------------------------------------------------
+
+def test_spam_flags_each_detector(spark):
+    urls = [
+        ("http://news.example.test/story", 0),
+        ("http://buy-cheap-pills-online.test/p", 2),   # lexicon + hyphens
+        ("http://site.xyz/page", 1),                   # bad tld
+        ("http://99213377.test/p", 1),                 # digit host
+        ("http://ok.test/viagra.html", 1),             # lexicon only
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = df.select("url", url_spam_score("url").alias("s"),
+                    *[c.alias(n) for n, c in spam_flags("url").items()]
+                    ).collect()
+    by_url = {r["url"]: r for r in got}
+    for u, exp in urls:
+        assert by_url[u]["s"] == exp, (u, by_url[u].asDict())
+    assert by_url["http://site.xyz/page"]["bad_tld"]
+    assert by_url["http://99213377.test/p"]["digit_host"]
+
+
+def test_spam_score_drop_rule(spark):
+    df = spark.createDataFrame(
+        [("http://casino-bonus-free-spins.xyz/win",)], "url string")
+    s = df.select(url_spam_score("url").alias("s")).collect()[0]["s"]
+    assert s >= 3                      # lexicon + tld + hyphens
+
+
+# ---------------------------------------------------------------------------
+# shingle_novelty
+# ---------------------------------------------------------------------------
+
+def test_shingle_novelty_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),          # shingles abc de, bcdef -> novel
+         (2, "a b c d e zz"),         # shares 'a b c d e' with doc 1
+         (3, "q r")],                 # too short: zero shingles
+        "doc_id long, text string")
+    out = _rows(shingle_novelty(df, k=5), "doc_id")
+    assert out[1]["n_shingles"] == 2 and out[1]["n_novel"] == 2
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["n_shingles"] == 2 and out[2]["n_novel"] == 1
+    assert abs(out[2]["novelty"] - 0.5) < 1e-12
+    assert out[3]["n_shingles"] == 0 and out[3]["novelty"] is None
+
+
+def test_shingle_novelty_within_doc_distinct(spark):
+    # repeated shingle inside ONE doc counts once (distinct per doc)
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string")
+    out = _rows(shingle_novelty(df, k=5), "doc_id")
+    # 6 positions, but 'a b c d e' appears twice -> 5 distinct
+    assert out[1]["n_shingles"] == 5
+    assert out[1]["n_novel"] == 5 and out[1]["novelty"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# outlink_profile
+# ---------------------------------------------------------------------------
+
+def test_outlink_profile_counts(spark):
+    html = ('<a href="/rel">r</a>'
+            '<a href="http://self.test/abs">a</a>'
+            '<a href="http://ext1.test/x">e</a>'
+            '<a rel="nofollow" href="http://ext2.test/y">n</a>'
+            '<a href="http://ext1.test/z">e2</a>'
+            '<img src="i.jpg">')
+    df = spark.createDataFrame([(html, "self.test")],
+                               "html string, host string")
+    cols = outlink_profile("html", "host")
+    got = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert got["n_links"] == 5
+    assert got["n_internal"] == 2          # /rel + same-host absolute
+    assert got["n_external"] == 3
+    assert got["n_ext_hosts"] == 2         # ext1, ext2
+    assert got["n_nofollow"] == 1
+
+
+def test_outlink_profile_empty_page(spark):
+    df = spark.createDataFrame([("<html><body>no links", "h.test")],
+                               "html string, host string")
+    cols = outlink_profile("html", "host")
+    got = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert got["n_links"] == 0 and got["n_ext_hosts"] == 0
