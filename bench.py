@@ -209,6 +209,8 @@ _EXTRA_PICKS = [
     # round-3 batch-10 (frontier-quality signals)
     "bigram_perplexity", "opic_frontier", "url_spam", "ngram_novelty",
     "outlink_profile",
+    # round-3 batch-11 (loop spam gate + span rewrite + refresh value)
+    "crawl_spam", "c4_span_dedup", "recrawl_value",
 ]
 
 

@@ -26,7 +26,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round10, entry_round11,
                             entry_round12, entry_round13,
                             entry_round14, entry_round15,
-                            entry_round16)
+                            entry_round16, entry_round17)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -809,6 +809,7 @@ def queries():
         **entry_round14.queries14(),
         **entry_round15.queries15(),
         **entry_round16.queries16(),
+        **entry_round17.queries17(),
     }
 
 
@@ -857,4 +858,5 @@ def oracle_sql():
         **entry_round14.oracle_sql14(),
         **entry_round15.oracle_sql15(),
         **entry_round16.oracle_sql16(),
+        **entry_round17.oracle_sql17(),
     }

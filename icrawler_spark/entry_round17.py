@@ -1,0 +1,294 @@
+"""Round-3 driver-contract queries (batch 11): the spam gate wired into the
+crawl loop, C4 occurrence-level span dedup (rewrite), and value-aware
+recrawl scheduling (Cho/Garcia-Molina: refresh priority = change rate x
+page importance).
+
+The reference fetches whatever the frontier holds, FIFO, forever
+(utils/thread_pool.py:43-44; no frontier-quality or refresh model). These
+three close the loop: shed spam before it spends budget, delete duplicated
+spans the crawl re-serves, and refetch by expected value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL
+from icrawler_spark.entry_round16 import (_OPIC_EDGES_SQL, _OPIC_ITERS,
+                                          _opic_edges)
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import curation as _cur
+from icrawler_spark.operators import graph as _graph
+
+# ---------------------------------------------------------------------------
+# crawl_spam — max_spam_score gate inside the round loop
+# ---------------------------------------------------------------------------
+
+
+def _spam_crawl_pages(spark) -> DataFrame:
+    """4 root pages; each links (in doc order) to a good child /p/k, a
+    lookalike-domain spam child (k.test-casino-pills-bonus.xyz: lexicon +
+    bad TLD + hyphen host -> score 3, shed) and a borderline child
+    /viagra-k.html (lexicon only -> score 1, passes)."""
+    k = F.col("id").cast("string")
+    host = F.concat(F.lit("http://h"), k, F.lit(".test"))
+    html = F.concat(
+        F.lit('<a href="'), host, F.lit("/p/"), k, F.lit('">g</a><a href="'),
+        host, F.lit("-casino-pills-bonus.xyz/win/"), k,
+        F.lit('">sp</a><a href="'),
+        host, F.lit("/viagra-"), k, F.lit('.html">b</a>'))
+    return spark.range(4).select(
+        host.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("root "), k).alias("text"))
+
+
+def q_crawl_spam(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with CrawlConfig.max_spam_score=2: lookalike spam
+    domains are shed BEFORE rank assignment (visit ranks stay contiguous
+    over the survivors), score-1 borderline URLs pass — the same placement
+    and contract as the trap gate (crawl_traps). Oracle replays the BFS and
+    the four spam detectors in SQL."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages = _spam_crawl_pages(spark)
+    cfg = CrawlConfig(max_rounds=2, max_spam_score=2)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _spam_score_sql(u: str) -> str:
+    fs = _urls.spam_flags_sql(u)
+    return " + ".join(f"CAST({s} AS INT)" for s in fs.values())
+
+
+def _crawl_spam_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT 'http://h' || k || '.test' AS url,
+         '<a href="http://h' || k || '.test/p/' || k || '">g</a>'
+      || '<a href="http://h' || k || '.test-casino-pills-bonus.xyz/win/'
+      || k || '">sp</a>'
+      || '<a href="http://h' || k || '.test/viagra-' || k || '.html">b</a>'
+           AS html
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), seeds AS (
+  SELECT 'http://h' || k || '.test' AS url, CAST(k AS BIGINT) AS visit_rank,
+         CAST(NULL AS VARCHAR) AS parent, CAST(k AS INT) AS pos
+  FROM (SELECT unnest(range(0, 4)) AS k)
+), emit AS (
+  SELECT url,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY idx) - 1 AS INT)
+           AS pos,
+         rtrim(href, '/') AS target
+  FROM (SELECT url, unnest(range(0, len(hrefs))) AS idx, unnest(hrefs) AS href
+        FROM (SELECT url, regexp_extract_all(html, 'href="([^"]*)"', 1)
+                       AS hrefs FROM pages))
+  WHERE regexp_matches(href, '^https?://')
+), cand AS (
+  SELECT e.target AS url, s.url AS parent, e.pos, s.visit_rank AS parent_rank
+  FROM seeds s JOIN emit e ON e.url = s.url
+  WHERE e.target NOT IN (SELECT url FROM seeds)
+), kept AS (
+  SELECT * FROM cand WHERE (""" + _spam_score_sql("url") + """) < 2
+), v1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM kept
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1
+"""
+
+
+# ---------------------------------------------------------------------------
+# c4_span_dedup — occurrence-level 3-line span removal (rewrite)
+# ---------------------------------------------------------------------------
+
+_SD_FOOTER = ("contact us today.", "all rights reserved.",
+              "privacy and terms.")
+_SD_NAV = ("nav home", "nav products", "nav about", "nav blog")
+
+
+def _span_pages(spark, sf) -> DataFrame:
+    """Docs chunked into 8-token lines, with a 3-line footer appended to
+    even docs and a 4-line nav block to doc_id%5==1 docs (two overlapping
+    duplicated spans)."""
+    from icrawler_spark.entry_round3 import _chunk_lines
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    doc_id = F.col("doc_id")
+    d = d.select(doc_id.cast("long").alias("doc_id"),
+                 tokens_col("text").alias("__toks"))
+    footer = F.when(doc_id % 2 == 0,
+                    F.array(*[F.lit(s) for s in _SD_FOOTER]))\
+        .otherwise(F.array().cast("array<string>"))
+    nav = F.when(doc_id % 5 == 1,
+                 F.array(*[F.lit(s) for s in _SD_NAV]))\
+        .otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.concat(_chunk_lines(F.col("__toks")), footer, nav).alias("lines"))
+
+
+def q_c4_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.dedup_line_spans: C4's occurrence-level span
+    dedup — any 3 consecutive lines occurring >1x corpus-wide are removed
+    everywhere except the first (id, pos) occurrence; overlapping
+    duplicated spans merge through the removal-position set."""
+    return _cur.dedup_line_spans(_span_pages(spark, sf), span=3)
+
+
+def _c4_span_dedup_sql() -> str:
+    footer = ", ".join(f"'{s}'" for s in _SD_FOOTER)
+    nav = ", ".join(f"'{s}'" for s in _SD_NAV)
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOK_SQL} AS l FROM documents
+), nl AS (
+  SELECT doc_id, l,
+         CASE WHEN len(l) > 0
+              THEN CAST(ceil(len(l) / 8.0) AS BIGINT) ELSE 0 END AS nc,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END AS nf
+  FROM toked
+), chunks AS (
+  SELECT doc_id, x AS pos,
+         array_to_string(l[x * 8 + 1 : x * 8 + 8], ' ') AS line
+  FROM (SELECT doc_id, l, unnest(range(0, nc)) AS x FROM nl)
+), footer AS (
+  SELECT doc_id, nc + i AS pos, ([{footer}])[i + 1] AS line
+  FROM (SELECT doc_id, nc, unnest(range(0, 3)) AS i FROM nl
+        WHERE doc_id % 2 = 0)
+), nav AS (
+  SELECT doc_id, nc + nf + i AS pos, ([{nav}])[i + 1] AS line
+  FROM (SELECT doc_id, nc, nf, unnest(range(0, 4)) AS i FROM nl
+        WHERE doc_id % 5 = 1)
+), lines AS (
+  SELECT * FROM chunks UNION ALL SELECT * FROM footer
+  UNION ALL SELECT * FROM nav
+), spans AS (
+  SELECT doc_id, pos AS p,
+         md5(line || chr(1) || l1 || chr(1) || l2) AS g,
+         doc_id * 1000000 + pos AS enc
+  FROM (SELECT doc_id, pos, line,
+               lead(line, 1) OVER w AS l1, lead(line, 2) OVER w AS l2
+        FROM lines WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l2 IS NOT NULL
+), fst AS (
+  SELECT g, min(enc) AS fenc FROM spans GROUP BY 1
+), rm AS (
+  SELECT DISTINCT s.doc_id, s.p + i AS pos
+  FROM spans s JOIN fst USING (g), (SELECT unnest(range(0, 3)) AS i)
+  WHERE s.enc <> fenc
+), kept AS (
+  SELECT l.* FROM lines l LEFT JOIN rm
+    ON rm.doc_id = l.doc_id AND rm.pos = l.pos
+  WHERE rm.pos IS NULL
+), reass AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+), base AS (
+  SELECT doc_id, nc + nf + CASE WHEN doc_id % 5 = 1 THEN 4 ELSE 0 END
+           AS n_lines
+  FROM nl
+)
+SELECT b.doc_id, CAST(b.n_lines AS INT) AS n_lines,
+  CAST(b.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+  coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# recrawl_value — refresh priority = change rate x OPIC importance
+# ---------------------------------------------------------------------------
+
+def q_recrawl_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-aware recrawl (Cho/Garcia-Molina refresh policies): a page's
+    refetch priority is its observed change rate (recrawl_schedule) scaled
+    by its host's OPIC importance — high-churn pages on important hosts
+    refetch first; never-changing pages on unknown hosts wait. One extra
+    broadcast join over the two existing operators."""
+    from icrawler_spark.entry_round5 import _captures
+    from icrawler_spark.operators.recrawl import recrawl_schedule
+
+    sched = recrawl_schedule(_captures(spark, sf), tiebreak_col="capture_id")
+    imp = _graph.opic(_opic_edges(spark, sf), n_iters=_OPIC_ITERS)
+    host_id = F.regexp_extract("url", r"^http://h([0-9]+)\.", 1).cast("long")
+    out = (sched.select("url", host_id.alias("host_id"), "change_rate")
+           .join(F.broadcast(imp.withColumnRenamed("node", "host_id")),
+                 "host_id", "left"))
+    imp_c = F.coalesce("importance", F.lit(0.0))
+    return out.select(
+        "url", "host_id", "change_rate",
+        imp_c.alias("importance"),
+        F.round(F.coalesce("change_rate", F.lit(0.5)) * imp_c, 6)
+         .alias("refresh_value"))
+
+
+def _recrawl_value_sql() -> str:
+    opic_q = _graph.opic_sql(_OPIC_EDGES_SQL, n_iters=_OPIC_ITERS)
+    return f"""
+WITH caps AS (
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 300) AS url,
+         ts AS warc_ts, CAST(event_id AS BIGINT) AS capture_id,
+         md5('http://h' || (user_id % 20) || '.test/p/' || (event_id % 300)
+             || '|' || (event_id % 3)) AS content_hash
+  FROM events
+), seq AS (
+  SELECT url,
+         CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                   AND content_hash <> lag(content_hash) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, capture_id)
+), agg AS (
+  SELECT url, count(*) AS n_captures, CAST(sum(chg) AS BIGINT) AS n_changes
+  FROM seq GROUP BY url
+), sched AS (
+  SELECT url,
+         CASE WHEN n_captures > 1
+              THEN round(n_changes / (n_captures - 1), 6) END AS change_rate
+  FROM agg
+), imp AS (
+  SELECT * FROM ({opic_q})
+)
+SELECT s.url,
+  CAST(regexp_extract(s.url, '^http://h([0-9]+)\\.', 1) AS BIGINT) AS host_id,
+  s.change_rate,
+  coalesce(i.importance, CAST(0 AS DOUBLE)) AS importance,
+  round(coalesce(s.change_rate, CAST(0.5 AS DOUBLE))
+        * coalesce(i.importance, CAST(0 AS DOUBLE)), 6) AS refresh_value
+FROM sched s LEFT JOIN imp i
+  ON i.node = CAST(regexp_extract(s.url, '^http://h([0-9]+)\\.', 1) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries17():
+    return {
+        "crawl_spam": q_crawl_spam,
+        "c4_span_dedup": q_c4_span_dedup,
+        "recrawl_value": q_recrawl_value,
+    }
+
+
+def oracle_sql17():
+    return {
+        "crawl_spam": _crawl_spam_sql(),
+        "c4_span_dedup": _c4_span_dedup_sql(),
+        "recrawl_value": _recrawl_value_sql(),
+    }

@@ -496,3 +496,64 @@ def shingle_novelty(
                     F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
                            F.col("n_novel") / F.col("n_shingles"))
                      .alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# C4 three-line span dedup (the rewrite counterpart of span_dedup_stats)
+# ---------------------------------------------------------------------------
+
+def dedup_line_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    span: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4's occurrence-level span dedup (Raffel et al. 2020 §2.2): any
+    ``span`` consecutive lines that occur more than once in the corpus are
+    removed from every document EXCEPT the first occurrence (ordered by
+    (id, position)); documents reassemble in original line order.
+
+    Returns (id, n_lines, n_removed, clean_text).
+
+    Scale shape: span keys are md5 over the joined lines (fixed-width
+    shuffle key); the first occurrence per key is one groupBy min(struct) —
+    map-side combinable, so a footer span repeated 10^8 times reduces per
+    partition before the shuffle. Non-first occurrences explode to at most
+    ``span`` (doc, line-pos) removal rows each and anti-join the line
+    stream — no windows, no per-token rows.
+    """
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.col(lines_col).alias("__lines"),
+                     F.size(F.col(lines_col)).alias("n_lines"))
+    n_spans = F.col("n_lines") - F.lit(span) + 1
+    spans = (base.where(n_spans > 0)
+             .select("doc", F.posexplode(F.transform(
+                 F.sequence(F.lit(0), n_spans - 1),
+                 lambda i: F.md5(F.concat_ws(
+                     "\x01", F.slice("__lines", i + 1, span)))))
+                 .alias("p", "g")))
+    first = spans.groupBy("g").agg(F.min(F.struct("doc", "p")).alias("f"))
+    dup_occ = (spans.join(first, "g")
+               .where(~((F.col("doc") == F.col("f.doc"))
+                        & (F.col("p") == F.col("f.p"))))
+               .select("doc", "p"))
+    removals = (dup_occ
+                .select("doc", F.explode(F.sequence(
+                    F.col("p"), F.col("p") + span - 1)).alias("pos"))
+                .distinct())
+    lines = base.select("doc", F.posexplode("__lines").alias("pos", "line"))
+    kept = lines.join(removals, ["doc", "pos"], "left_anti")
+    reass = (kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("pos").alias("p"), F.col("line").alias("l")))),
+                lambda s: s["l"]),
+            sep).alias("clean_text")))
+    return (base.select("doc", "n_lines").join(reass, "doc", "left")
+            .select(F.col("doc").alias(id_col), "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                     .alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

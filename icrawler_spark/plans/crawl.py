@@ -97,6 +97,13 @@ class CrawlConfig:
     # fuses into the frontier scan, no join. None = off; 2 is the
     # documented operating point (single flags have benign false positives)
     max_trap_score: int | None = None
+    # lexical spam gate (functions/urls.spam_flags): frontier URLs whose
+    # spam score (lexicon words, throwaway TLD, hyphen-stuffed or
+    # digit-algorithmic host) reaches this threshold are dropped before
+    # rank/fetch. Pure column expression like the trap gate — fuses into
+    # the frontier scan, no join. None = off; 2 is the operating point
+    # (same two-independent-signals rule as max_trap_score)
+    max_spam_score: int | None = None
     # sitemap bootstrap (operators/sitemap.py): a (url, body) table of
     # fetched sitemap documents. urlset locs enqueue into the round-0
     # frontier AFTER the explicit seeds, ordered by (sitemap_url, pos) —
@@ -563,7 +570,8 @@ class GreedyCrawl:
             t0 = _time.time()
             gated = (cfg.robots is not None or cfg.round_seconds is not None
                      or cfg.blocklist is not None or cfg.recrawl is not None
-                     or cfg.max_trap_score is not None)
+                     or cfg.max_trap_score is not None
+                     or cfg.max_spam_score is not None)
             if gated:
                 # gates shrink the batch below the frontier anyway, so the
                 # full-frontier stats job is dead weight: a near-free
@@ -609,6 +617,15 @@ class GreedyCrawl:
 
                 frontier_r = frontier_r.filter(
                     url_trap_score("url") < F.lit(int(cfg.max_trap_score)))
+            if cfg.max_spam_score is not None:
+                # lexical spam shedding: same placement and rationale as the
+                # trap gate — a spam URL wastes the fetch AND the budget
+                # slot, so it dies before rank assignment; seen still
+                # accumulates pre-gate (a shed URL never re-enters)
+                from icrawler_spark.functions.urls import url_spam_score
+
+                frontier_r = frontier_r.filter(
+                    url_spam_score("url") < F.lit(int(cfg.max_spam_score)))
             if cfg.blocklist is not None:
                 # frontier hygiene: blocked-domain URLs never reach the
                 # fetch join (label-boundary suffix match; broadcast

@@ -1,0 +1,114 @@
+"""Unit tests for the round-17 pack: crawl-loop spam gate, C4 span-dedup
+rewrite, value-aware recrawl composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.curation import dedup_line_spans
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# dedup_line_spans
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    footer = ["f1", "f2", "f3"]
+    df = spark.createDataFrame(
+        [(1, ["a1", "b1"] + footer),
+         (2, ["a2"] + footer + ["z2"]),
+         (3, footer + ["a3"])],
+        "doc_id long, lines array<string>")
+    out = _rows(dedup_line_spans(df, span=3), "doc_id")
+    # doc 1 has the first (id, pos) occurrence of the footer span: keeps it
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == "\n".join(["a1", "b1"] + footer)
+    # docs 2 and 3 lose exactly the 3 footer lines
+    assert out[2]["n_removed"] == 3
+    assert out[2]["clean_text"] == "a2\nz2"
+    assert out[3]["n_removed"] == 3
+    assert out[3]["clean_text"] == "a3"
+
+
+def test_span_dedup_overlapping_spans_merge(spark):
+    block = ["n1", "n2", "n3", "n4"]          # spans n1-3 and n2-4 both dup
+    df = spark.createDataFrame(
+        [(1, block + ["x1"]), (2, ["y2"] + block)],
+        "doc_id long, lines array<string>")
+    out = _rows(dedup_line_spans(df, span=3), "doc_id")
+    assert out[1]["n_removed"] == 0
+    # doc 2: all 4 block lines removed once, not 6 (overlap merges)
+    assert out[2]["n_removed"] == 4
+    assert out[2]["clean_text"] == "y2"
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, ["only", "two"]), (2, ["only", "two"])],
+        "doc_id long, lines array<string>")
+    out = _rows(dedup_line_spans(df, span=3), "doc_id")
+    for d in (1, 2):                       # <3 lines -> no spans -> intact
+        assert out[d]["n_removed"] == 0
+        assert out[d]["clean_text"] == "only\ntwo"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    rep = ["r1", "r2", "r3"]
+    df = spark.createDataFrame(
+        [(1, rep + ["mid"] + rep)], "doc_id long, lines array<string>")
+    out = _rows(dedup_line_spans(df, span=3), "doc_id")
+    # second in-doc occurrence (pos 4..6) removed, first kept
+    assert out[1]["n_removed"] == 3
+    assert out[1]["clean_text"] == "r1\nr2\nr3\nmid"
+
+
+# ---------------------------------------------------------------------------
+# crawl-loop spam gate
+# ---------------------------------------------------------------------------
+
+def test_crawl_spam_gate_sheds_before_rank(spark):
+    from icrawler_spark.entry_round17 import _spam_crawl_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages = _spam_crawl_pages(spark)
+    seeds = ["h0.test", "h1.test", "h2.test", "h3.test"]
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(max_rounds=2, max_spam_score=2)).run(seeds)
+    order = res.order.orderBy("visit_rank").collect()
+    urls = [r["url"] for r in order]
+    assert not any("casino" in u for u in urls)          # spam shed
+    assert any(u.endswith(".html") for u in urls)        # borderline passes
+    # ranks contiguous over survivors: 4 seeds + 8 children
+    assert [r["visit_rank"] for r in order] == list(range(len(order)))
+    assert len(order) == 12
+
+    # gate off: the spam children crawl
+    res2 = GreedyCrawl(spark, pages, CrawlConfig(max_rounds=2)).run(seeds)
+    urls2 = [r["url"] for r in res2.order.collect()]
+    assert any("casino" in u for u in urls2)
+
+
+# ---------------------------------------------------------------------------
+# recrawl_value composition
+# ---------------------------------------------------------------------------
+
+def test_recrawl_value_scales_by_importance(spark):
+    from icrawler_spark.entry_round17 import q_recrawl_value
+
+    out = q_recrawl_value(spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host_id"], []).append(r)
+    # hosts outside the opic graph (16..19) have importance 0 -> value 0
+    for h, rows in by_host.items():
+        for r in rows:
+            if h >= 16:
+                assert r["importance"] == 0.0 and r["refresh_value"] == 0.0
+            else:
+                assert r["importance"] > 0.0
+                if r["change_rate"] is not None and r["change_rate"] > 0:
+                    assert r["refresh_value"] > 0.0
