@@ -211,6 +211,8 @@ _EXTRA_PICKS = [
     "outlink_profile",
     # round-3 batch-11 (loop spam gate + span rewrite + refresh value)
     "crawl_spam", "c4_span_dedup", "recrawl_value",
+    # round-3 batch-12 (archive dedup + sampling + adaptive politeness)
+    "warc_revisit", "weighted_sample", "adaptive_delay",
 ]
 
 

@@ -26,7 +26,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round10, entry_round11,
                             entry_round12, entry_round13,
                             entry_round14, entry_round15,
-                            entry_round16, entry_round17)
+                            entry_round16, entry_round17,
+                            entry_round18)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -810,6 +811,7 @@ def queries():
         **entry_round15.queries15(),
         **entry_round16.queries16(),
         **entry_round17.queries17(),
+        **entry_round18.queries18(),
     }
 
 
@@ -859,4 +861,5 @@ def oracle_sql():
         **entry_round15.oracle_sql15(),
         **entry_round16.oracle_sql16(),
         **entry_round17.oracle_sql17(),
+        **entry_round18.oracle_sql18(),
     }

@@ -1,0 +1,156 @@
+"""Round-3 driver-contract queries (batch 12): archive-side dedup (WARC
+revisit records), deterministic weighted sampling (Efraimidis–Spirakis),
+and RTT-adaptive politeness delays.
+
+Reference parity anchors: the reference stores every downloaded payload in
+full (storage/filesystem.py:18-28 — no digest dedup) and sleeps a fixed
+interval between requests (downloader.py:117); these operators are the
+archive- and politeness-side upgrades a 10^10-URL crawl needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.corpus import (md5_unit_sql, weighted_sample)
+from icrawler_spark.operators.politeness import adaptive_delay
+from icrawler_spark.operators.warc import revisit_records
+
+_CAPS_SQL = """
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || (event_id % 300) AS url,
+         ts AS warc_ts, CAST(event_id AS BIGINT) AS capture_id,
+         md5('http://h' || (user_id % 20) || '.test/p/' || (event_id % 300)
+             || '|' || (event_id % 3)) AS content_hash
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# warc_revisit — digest-level archive dedup
+# ---------------------------------------------------------------------------
+
+def q_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.revisit_records: WARC/1.1 revisit planning — within
+    each (url, digest) the earliest capture stays a response record, later
+    identical captures become revisit records pointing at it (payload
+    stored once). One map-side-combinable min(struct) + join-back."""
+    from icrawler_spark.entry_round5 import _captures
+
+    return revisit_records(_captures(spark, sf))
+
+
+def _warc_revisit_sql() -> str:
+    return f"""
+WITH caps AS ({_CAPS_SQL}
+), fst AS (
+  SELECT url, h, cid AS fcid
+  FROM (SELECT url, content_hash AS h, capture_id AS cid,
+               row_number() OVER (PARTITION BY url, content_hash
+                                  ORDER BY warc_ts, capture_id) AS rn
+        FROM caps)
+  WHERE rn = 1
+)
+SELECT c.url, c.capture_id,
+  CASE WHEN c.capture_id = f.fcid THEN 'response' ELSE 'revisit' END AS kind,
+  CASE WHEN c.capture_id <> f.fcid THEN f.fcid END AS refers_to
+FROM caps c JOIN fst f ON f.url = c.url AND f.h = c.content_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — Efraimidis–Spirakis k-per-group by char weight
+# ---------------------------------------------------------------------------
+
+_WS_K = 5
+_WS_SALT = "ws"
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.weighted_sample: deterministic weight-proportional
+    sampling (key = u^(1/w), u an md5 draw) — 5 docs per source, weight =
+    n_chars. Reproducible, RNG-free, SQL-replayable."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return weighted_sample(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "source", "n_chars"),
+        weight_col="n_chars", group_col="source", id_col="doc_id",
+        k=_WS_K, salt=_WS_SALT)
+
+
+def _weighted_sample_sql() -> str:
+    u = md5_unit_sql("doc_id", _WS_SALT)
+    return f"""
+WITH keyed AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         pow({u}, CAST(1 AS DOUBLE) / n_chars) AS key
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, weight, round(key, 6) AS sample_key,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_WS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# adaptive_delay — p95-RTT-scaled politeness
+# ---------------------------------------------------------------------------
+
+def _rtt_log(spark, sf) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.lit(50) + F.col("event_id") % 900).cast("long").alias("rtt_ms"),
+        F.col("event_id").cast("long").alias("event_id"))
+
+
+def q_adaptive_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.adaptive_delay: per-host crawl delay =
+    clamp(2 x exact p95 RTT, 100..5000 ms) — rank-select percentile in
+    pure integer arithmetic (no interpolation, no float thresholds)."""
+    return adaptive_delay(_rtt_log(spark, sf))
+
+
+def _adaptive_delay_sql() -> str:
+    return """
+WITH log AS (
+  SELECT 'h' || (user_id % 20) || '.test' AS host,
+         CAST(50 + event_id % 900 AS BIGINT) AS rtt
+  FROM events
+), ranked AS (
+  SELECT host, rtt,
+         row_number() OVER (PARTITION BY host ORDER BY rtt) AS r,
+         count(*) OVER (PARTITION BY host) AS n_obs
+  FROM log
+)
+SELECT host, CAST(n_obs AS BIGINT) AS n_obs, rtt AS p_rtt_ms,
+  least(5000, greatest(100, rtt * 2)) AS delay_ms
+FROM ranked
+WHERE r = (95 * n_obs + 99) // 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries18():
+    return {
+        "warc_revisit": q_warc_revisit,
+        "weighted_sample": q_weighted_sample,
+        "adaptive_delay": q_adaptive_delay,
+    }
+
+
+def oracle_sql18():
+    return {
+        "warc_revisit": _warc_revisit_sql(),
+        "weighted_sample": _weighted_sample_sql(),
+        "adaptive_delay": _adaptive_delay_sql(),
+    }

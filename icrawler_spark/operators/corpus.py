@@ -452,3 +452,69 @@ def write_shards(
         (packed.repartition(n_shards, "shard_id")
          .write.mode("overwrite").partitionBy("shard_id").parquet(path))
     return n_shards
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted sampling (deterministic, hash-keyed)
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+
+
+def md5_unit(col, salt: str) -> "F.Column":
+    """Deterministic uniform-(0,1] draw from md5(id || salt): the first 8
+    hex chars as a 32-bit integer, shifted to (0,1]. Engine-portable (md5
+    is the only hash Spark and DuckDB share); 32 bits is exact in a
+    double."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))),
+                           1, 8), 16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(4294967297.0)
+
+
+def md5_unit_sql(expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`md5_unit` (no conv() there — per-hex-digit
+    positional arithmetic over the same md5 prefix)."""
+    h = f"md5(CAST({expr} AS VARCHAR) || '{salt}')"
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"(({terms}) + CAST(1 AS DOUBLE)) / CAST(4294967297 AS DOUBLE)"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group, via the
+    Efraimidis–Spirakis key u^(1/w) (VLDB 2006 one-pass reservoir scheme):
+    taking the k largest keys per group draws each row with probability
+    proportional to its weight. u is a deterministic md5 draw, so the
+    sample is reproducible AND replayable by a SQL oracle — no RNG state,
+    no driver-side sampling.
+
+    Returns (group, id, weight, sample_key, rank). One window per group
+    over precomputed keys — at 10^10 rows the heavy part is the sort
+    within each group partition; for production top-k without a full sort,
+    feed the same key into ordered_limit per group.
+    """
+    from pyspark.sql import Window
+
+    u = md5_unit(id_col, salt)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.col(id_col).alias("id"),
+                      F.col(weight_col).cast("long").alias("weight"),
+                      key.alias("__key"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("grp")
+                .orderBy(F.col("__key").desc(), F.col("id"))))
+            .where(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col), F.col("id").alias(id_col),
+                    "weight", F.round("__key", 6).alias("sample_key"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -346,3 +346,35 @@ def page_meta_sql(expr: str) -> dict[str, str]:
         out[name] = (f"nullif(trim(regexp_replace(regexp_replace({raw},"
                      f" '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), '')")
     return out
+
+
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    id_col: str = "capture_id",
+) -> DataFrame:
+    """WARC revisit-record planning (WARC/1.1 §6.7.2, the archive-side dedup
+    the reference never reaches): within each (url, content digest) group
+    the earliest capture stays a full ``response`` record; every later
+    identical capture becomes a ``revisit`` record pointing at the
+    original's capture id — the payload is stored once.
+
+    Returns (url, capture_id, kind, refers_to) with refers_to NULL on
+    response records. One groupBy(url, hash) min(struct) — map-side
+    combinable — plus the join-back keyed the same way.
+    """
+    c = captures.select(F.col(url_col).alias("url"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(hash_col).alias("h"),
+                        F.col(id_col).alias("cid"))
+    first = (c.groupBy("url", "h")
+             .agg(F.min(F.struct("ts", "cid")).alias("f")))
+    out = c.join(first, ["url", "h"])
+    is_first = F.col("cid") == F.col("f.cid")
+    return out.select(
+        "url", F.col("cid").alias(id_col),
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit"))
+         .alias("kind"),
+        F.when(~is_first, F.col("f.cid")).alias("refers_to"))

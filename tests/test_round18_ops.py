@@ -1,0 +1,105 @@
+"""Unit tests for the round-18 pack: WARC revisit records, weighted
+sampling, RTT-adaptive politeness delay."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from datetime import datetime
+
+from icrawler_spark.operators.corpus import weighted_sample
+from icrawler_spark.operators.politeness import adaptive_delay
+from icrawler_spark.operators.warc import revisit_records
+
+
+def _ts(s):
+    return datetime(2026, 1, 1, 0, 0, s)
+
+
+# ---------------------------------------------------------------------------
+# revisit_records
+# ---------------------------------------------------------------------------
+
+def test_revisit_points_at_first_capture(spark):
+    rows = [("u1", _ts(0), "A", 10), ("u1", _ts(1), "A", 11),
+            ("u1", _ts(2), "B", 12), ("u1", _ts(3), "A", 13),
+            ("u2", _ts(0), "A", 20)]     # same digest, different url: NOT dedup
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, content_hash string,"
+              " capture_id long")
+    out = {r["capture_id"]: r.asDict()
+           for r in revisit_records(df).collect()}
+    assert out[10]["kind"] == "response" and out[10]["refers_to"] is None
+    assert out[11]["kind"] == "revisit" and out[11]["refers_to"] == 10
+    assert out[12]["kind"] == "response"         # new digest
+    assert out[13]["kind"] == "revisit" and out[13]["refers_to"] == 10
+    assert out[20]["kind"] == "response"         # dedup is per-url
+
+
+def test_revisit_timestamp_tie_broken_by_id(spark):
+    rows = [("u", _ts(0), "A", 2), ("u", _ts(0), "A", 1)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, content_hash string,"
+              " capture_id long")
+    out = {r["capture_id"]: r.asDict()
+           for r in revisit_records(df).collect()}
+    assert out[1]["kind"] == "response" and out[2]["refers_to"] == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_k_per_group(spark):
+    rows = [(i, "g" + str(i % 2), 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                                     " n_chars long")
+    out1 = weighted_sample(df, "n_chars", k=3).collect()
+    out2 = weighted_sample(df, "n_chars", k=3).collect()
+    assert sorted(map(str, out1)) == sorted(map(str, out2))  # reproducible
+    per_g = Counter(r["source"] for r in out1)
+    assert per_g == {"g0": 3, "g1": 3}
+    assert all(1 <= r["rank"] <= 3 for r in out1)
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    rows = [(i, "g", (i + 1) * 37) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                                     " n_chars long")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "n_chars", k=4, salt="ws")
+           .orderBy("rank").collect()]
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}ws".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 4294967297.0
+        return u ** (1.0 / w)
+
+    exp = sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:4]
+    assert got == [r[0] for r in exp]
+
+
+def test_weighted_sample_heavy_weight_wins_more(spark):
+    # one row with overwhelming weight is (near-)always in a k=1 sample
+    rows = [(0, "g", 10**9)] + [(i, "g", 1) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                                     " n_chars long")
+    got = weighted_sample(df, "n_chars", k=1).collect()
+    assert got[0]["doc_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# adaptive_delay
+# ---------------------------------------------------------------------------
+
+def test_adaptive_delay_p95_and_clamps(spark):
+    rows = ([("fast", r) for r in range(10, 110, 10)]       # p95 = 100
+            + [("slow", 3000)] * 20                          # p95 = 3000
+            + [("tiny", 5)])                                  # clamp to 100
+    df = spark.createDataFrame(rows, "host string, rtt_ms long")
+    out = {r["host"]: r.asDict() for r in adaptive_delay(df).collect()}
+    assert out["fast"]["p_rtt_ms"] == 100          # ceil(0.95*10)=10th of 10
+    assert out["fast"]["delay_ms"] == 200
+    assert out["slow"]["delay_ms"] == 5000         # 6000 clamped down
+    assert out["tiny"]["n_obs"] == 1
+    assert out["tiny"]["delay_ms"] == 100          # 10 clamped up
