@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the session-6 operators:
+differential Python oracles for span dedup and line-span rewrite,
+invariants for OPIC and the weighted sampler. Same batching discipline as
+test_property.py — one Spark job per example."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from icrawler_spark.operators.curation import (dedup_line_spans,
+                                               span_dedup_stats)
+from icrawler_spark.operators.corpus import weighted_sample
+from icrawler_spark.operators.graph import opic
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+def _py_span_stats(texts: list[str], k: int):
+    """Brute-force replay of span_dedup_stats semantics."""
+    toks = {i: (t.split(" ") if t else [""]) for i, t in enumerate(texts)}
+    # the engine tokenizer folds empty docs to ['']; mirror normalized text
+    toks = {i: [w for w in ws] for i, ws in toks.items()}
+    grams: dict[str, int] = {}
+    pos: dict[int, list[int]] = {i: [] for i in toks}
+    gram_at: dict[tuple, str] = {}
+    for i, ws in toks.items():
+        for p in range(max(0, len(ws) - k + 1)):
+            g = " ".join(ws[p:p + k])
+            grams[g] = grams.get(g, 0) + 1
+            gram_at[(i, p)] = g
+    out = {}
+    for i, ws in toks.items():
+        dup_pos = [p for p in range(max(0, len(ws) - k + 1))
+                   if grams[gram_at[(i, p)]] > 1]
+        covered = 0
+        prev = None
+        for p in dup_pos:
+            covered += k if prev is None or p - prev >= k else p - prev
+            prev = p
+        out[i] = (len(ws), max(0, len(ws) - k + 1), len(dup_pos), covered)
+    return out
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_span_dedup_stats_matches_python(spark, texts):
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup_stats(df, k=k).collect()}
+    exp = _py_span_stats(texts, k)
+    for i in exp:
+        n_toks, n_grams, n_dup, covered = exp[i]
+        assert got[i]["n_toks"] == n_toks
+        assert got[i]["n_grams"] == n_grams
+        assert got[i]["n_dup"] == n_dup, (i, texts)
+        assert got[i]["covered_toks"] == covered, (i, texts)
+
+
+def _py_line_span_dedup(docs: list[list[str]], span: int):
+    first: dict[tuple, tuple] = {}
+    for i, lines in enumerate(docs):
+        for p in range(max(0, len(lines) - span + 1)):
+            key = tuple(lines[p:p + span])
+            if key not in first:
+                first[key] = (i, p)
+    out = {}
+    for i, lines in enumerate(docs):
+        rm = set()
+        for p in range(max(0, len(lines) - span + 1)):
+            if first[tuple(lines[p:p + span])] != (i, p):
+                rm.update(range(p, p + span))
+        kept = [ln for q, ln in enumerate(lines) if q not in rm]
+        out[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+_line = st.sampled_from(["l1", "l2", "l3", "nav"])
+
+
+@given(docs=st.lists(st.lists(_line, min_size=0, max_size=8),
+                     min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_dedup_line_spans_matches_python(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, lines array<string>")
+    got = {r["doc_id"]: r for r in dedup_line_spans(df, span=3).collect()}
+    exp = _py_line_span_dedup(docs, 3)
+    for i in exp:
+        n_lines, n_removed, clean = exp[i]
+        assert got[i]["n_lines"] == n_lines
+        assert got[i]["n_removed"] == n_removed, (i, docs)
+        assert got[i]["clean_text"] == clean, (i, docs)
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                      min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_opic_conserves_cash(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if not [1 for s, d in edges if s != d]:
+        return                      # self-loops only: empty graph
+    out = opic(e, n_iters=2).collect()
+    # importance sums to hist total (n_iters x 1) + cash total (1)
+    assert abs(sum(r["importance"] for r in out) - 3.0) < 1e-4
+    assert all(r["importance"] >= 0 for r in out)
+
+
+@given(weights=st.lists(st.integers(1, 10**6), min_size=1, max_size=40),
+       k=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python(spark, weights, k):
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, source string,"
+                                     " n_chars long")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "n_chars", k=k).orderBy("rank").collect()]
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}ws".encode()).hexdigest()[:8]
+        return ((int(h, 16) + 1) / 4294967297.0) ** (1.0 / w)
+
+    exp = sorted(range(len(weights)),
+                 key=lambda i: (-key(i, weights[i]), i))[:k]
+    assert got == exp
