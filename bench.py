@@ -213,6 +213,8 @@ _EXTRA_PICKS = [
     "crawl_spam", "c4_span_dedup", "recrawl_value",
     # round-3 batch-12 (archive dedup + sampling + adaptive politeness)
     "warc_revisit", "weighted_sample", "adaptive_delay",
+    # round-3 batch-13 (presentation + coverage audit)
+    "snippets", "content_extract", "sitemap_coverage",
 ]
 
 

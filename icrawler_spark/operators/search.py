@@ -250,3 +250,61 @@ def phrase_count_sql(tok_sql: str, phrase: str) -> str:
         f" LATERAL (SELECT unnest(range(1, greatest(len(t) - {plen - 1},"
         " 0) + 1)) AS i) _i),"
         f" g -> g = '{target}')) AS BIGINT)")
+
+
+def kwic_snippets(
+    df: DataFrame,
+    query: str,
+    width: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippets: for each document matching ANY query
+    term, the token window of ``width`` tokens around the FIRST hit —
+    the result-page presentation layer over bm25_topk.
+
+    Returns (id, hit_term, hit_pos, snippet); non-matching docs are
+    filtered out. Pure array expressions (array_position + slice) fused
+    into the scan — zero shuffles, zero explodes.
+    """
+    terms = [t for t in query.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    t = F.col("__t")
+    # array_position: 1-based, 0 = absent; least() skips NULLs in both
+    # Spark and DuckDB, so nullif(0) + least = first hit over all terms
+    pos = F.least(*[F.nullif(F.array_position(t, w), F.lit(0))
+                    for w in terms]) if len(terms) > 1 else \
+        F.nullif(F.array_position(t, terms[0]), F.lit(0))
+    out = base.select("id", t.alias("__t"), pos.alias("hit_pos"),
+                      F.size(t).alias("__n")).where(F.col("hit_pos").isNotNull())
+    start = F.greatest(F.col("hit_pos") - width, F.lit(1))
+    end = F.least(F.col("hit_pos") + width, F.col("__n"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.element_at("__t", F.col("hit_pos").cast("int")).alias("hit_term"),
+        F.col("hit_pos").cast("long").alias("hit_pos"),
+        F.array_join(F.slice("__t", start, end - start + 1), " ")
+         .alias("snippet"))
+
+
+def kwic_snippets_sql(tok_sql: str, query: str, width: int = 5) -> str:
+    """DuckDB twin of :func:`kwic_snippets` as a SELECT body over
+    ``documents`` (same least/nullif/slice chain)."""
+    terms = [t for t in query.strip().lower().split() if t]
+    pos_terms = ", ".join(f"nullif(list_position(l, '{w}'), 0)"
+                          for w in terms)
+    pos = f"least({pos_terms})" if len(terms) > 1 else pos_terms
+    return f"""
+SELECT doc_id,
+  l[hit_pos] AS hit_term,
+  CAST(hit_pos AS BIGINT) AS hit_pos,
+  array_to_string(l[greatest(hit_pos - {width}, 1) :
+                    least(hit_pos + {width}, len(l))], ' ') AS snippet
+FROM (
+  SELECT doc_id, l, {pos} AS hit_pos
+  FROM (SELECT doc_id, {tok_sql} AS l FROM documents)
+) WHERE hit_pos IS NOT NULL
+"""

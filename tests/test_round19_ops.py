@@ -1,0 +1,100 @@
+"""Unit tests for the round-19 pack: KWIC snippets, link-density content
+extraction, sitemap coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.search import kwic_snippets
+from icrawler_spark.operators.warc import content_block_cols
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# kwic_snippets
+# ---------------------------------------------------------------------------
+
+def test_kwic_first_hit_and_window(spark):
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 hash w4 w5 w6 w7"),
+         (2, "value w1 w2 w3 w4"),           # hit at position 1: left-clamped
+         (3, "no match here")],
+        "doc_id long, text string")
+    out = _rows(kwic_snippets(df, "hash value", width=2), "doc_id")
+    assert out[1]["hit_term"] == "hash" and out[1]["hit_pos"] == 4
+    assert out[1]["snippet"] == "w1 w2 hash w4 w5"
+    assert out[2]["hit_term"] == "value"
+    assert out[2]["snippet"] == "value w1 w2"      # clamped at doc start
+    assert 3 not in out                             # non-matching filtered
+
+
+def test_kwic_earliest_term_wins(spark):
+    df = spark.createDataFrame([(1, "a value b hash c")],
+                               "doc_id long, text string")
+    out = _rows(kwic_snippets(df, "hash value", width=1), "doc_id")
+    assert out[1]["hit_term"] == "value" and out[1]["hit_pos"] == 2
+
+
+def test_kwic_rejects_empty_query(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        kwic_snippets(df, "   ")
+
+
+# ---------------------------------------------------------------------------
+# content_block_cols
+# ---------------------------------------------------------------------------
+
+def test_content_extract_drops_nav_keeps_body(spark):
+    html = ('<div><a href="/a">Home</a> <a href="/b">About</a></div>'
+            "<p>this paragraph has plenty of visible characters in it</p>"
+            "<br>ok<br>"
+            '<p>read all about it at <a href="/x">one tiny link</a> plus '
+            "surrounding prose that dominates</p>")
+    df = spark.createDataFrame([(html,)], "html string")
+    cols = content_block_cols("html")
+    got = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    lines = got["content"].split("\n")
+    assert got["n_kept"] == 2
+    assert lines[0].startswith("this paragraph")
+    assert lines[1].startswith("read all about it")
+    assert "Home" not in got["content"]            # nav dropped
+    assert "\nok" not in got["content"]            # short junk dropped
+
+
+def test_content_extract_link_ratio_boundary(spark):
+    # 30 visible chars, 20 of them anchor text -> ratio 66% >= 50%: dropped
+    linky = ('<p>aaaaa <a href="/x">bbbbbbbbbbbbbbbbbbbb</a> cccc</p>')
+    plain = "<p>dddddddddddddddddddddddddddddd</p>"
+    df = spark.createDataFrame([(linky + plain,)], "html string")
+    cols = content_block_cols("html")
+    got = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert got["n_kept"] == 1
+    assert got["content"].startswith("dddd")
+
+
+def test_content_extract_empty_page(spark):
+    df = spark.createDataFrame([("<div></div>",)], "html string")
+    cols = content_block_cols("html")
+    got = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert got["n_kept"] == 0 and got["content"] == ""
+
+
+# ---------------------------------------------------------------------------
+# sitemap_coverage composition
+# ---------------------------------------------------------------------------
+
+def test_sitemap_coverage_bounds(spark):
+    from icrawler_spark.entry_round19 import q_sitemap_coverage
+
+    out = q_sitemap_coverage(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_crawled"] <= r["n_declared"]
+        assert r["n_missing"] == r["n_declared"] - r["n_crawled"]
+        assert 0.0 <= r["coverage"] <= 1.0
+        # /q/ URLs are never crawled: coverage strictly below 1
+        assert r["coverage"] < 1.0
