@@ -215,6 +215,8 @@ _EXTRA_PICKS = [
     "warc_revisit", "weighted_sample", "adaptive_delay",
     # round-3 batch-13 (presentation + coverage audit)
     "snippets", "content_extract", "sitemap_coverage",
+    # round-3 batch-14 (fine quantizer)
+    "pq_quantize",
 ]
 
 

@@ -135,9 +135,14 @@ def _span_pages(spark, sf) -> DataFrame:
     nav = F.when(doc_id % 5 == 1,
                  F.array(*[F.lit(s) for s in _SD_NAV]))\
         .otherwise(F.array().cast("array<string>"))
+    # pin the synthesized lines frame: the operator references its input
+    # three times and each plan copy of the tokenize+chunk expression costs
+    # ~2 s of codegen compile (strip_boilerplate precedent, r3-s6 profile);
+    # production reads a materialized lines column
     return d.select(
         "doc_id",
-        F.concat(_chunk_lines(F.col("__toks")), footer, nav).alias("lines"))
+        F.concat(_chunk_lines(F.col("__toks")), footer, nav).alias("lines")
+    ).localCheckpoint(eager=False)
 
 
 def q_c4_span_dedup(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,39 @@
+"""Round-3 driver-contract queries (batch 14): product quantization —
+per-subspace codebooks + PQ codes (Jégou/Douze/Schmid, TPAMI 2011), the
+compression half of the IVF-PQ index the ANN family builds toward
+(ann_ivf certifies the coarse quantizer; this certifies the fine one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.operators import similarity as _sim
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DIM = 64
+
+
+def q_pq_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.pq_quantize: 4 subspaces x 8 codes, modulo
+    seeds + ONE distributed Lloyd step, (d2, code) argmin — codebooks stay
+    broadcast-size, the corpus never crossJoins."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return _sim.pq_quantize(emb, m=_PQ_M, k=_PQ_K)
+
+
+def _pq_quantize_sql() -> str:
+    return _sim.pq_quantize_sql(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+
+
+def queries20():
+    return {
+        "pq_quantize": q_pq_quantize,
+    }
+
+
+def oracle_sql20():
+    return {
+        "pq_quantize": _pq_quantize_sql(),
+    }

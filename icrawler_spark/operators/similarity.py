@@ -276,3 +276,153 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): per-subspace codebooks + codes
+# ---------------------------------------------------------------------------
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ code assignment with per-subspace codebooks (Jégou/Douze/Schmid,
+    TPAMI 2011): the vector splits into ``m`` contiguous subvectors; each
+    subspace gets a ``k``-cell codebook seeded at evenly spaced id ranks
+    (the SQL-expressible modulo rule shared with ivf_centroids'
+    ``seed_mode='modulo'``) and refined by ONE distributed Lloyd step; a
+    vector's code is the L2-argmin cell per subspace (ties to the smaller
+    code id).
+
+    Returns (id, c0..c{m-1}, quant_err) where quant_err is the total
+    squared reconstruction error against the refined codebooks, rounded to
+    6 decimals (engine-portability rule shared with pagerank).
+
+    Scale shape: codebooks stay DataFrame-resident and broadcast (m·k
+    rows); assignment is a broadcast join + per-(vec, subspace) min —
+    never a crossJoin against the corpus; the Lloyd mean is a groupBy
+    (subspace, code, dim) with map-side combine, so a hot cell reduces per
+    partition (ivf_centroids' argument). Everything is JVM array exprs —
+    the Arrow matmul path (srp/ivf) trades exact SQL replayability for
+    speed; PQ keeps the replayable form since codebooks are tiny.
+    """
+    total = emb.count()
+    if total == 0:
+        raise ValueError("pq_quantize: empty embedding table")
+    stride = max(1, total // k)
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("vid"), v.alias("v"))
+    # (vid, s, subvec): contiguous split, no shuffle
+    subs = base.select(
+        "vid",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice("v", s * dsub + 1, dsub))).alias("s", "x"))
+
+    # seed codebook: evenly spaced id ranks (modulo rule), one row per
+    # (s, code j); j is the seed's rank among the k seeds
+    seeds = (base.filter(F.col("vid") % stride == 0)
+             .orderBy("vid").limit(k)
+             .select("vid", "v"))
+    from pyspark.sql import Window
+    seeds = seeds.withColumn(
+        "j", F.row_number().over(Window.orderBy("vid")) - 1)
+    books0 = seeds.select(
+        "j", F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice("v", s * dsub + 1, dsub))).alias("s", "c"))
+
+    def _assign(books: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, e: acc + e)
+        scored = (subs.join(F.broadcast(books), "s")
+                  .select("vid", "s", "j", d2.alias("d2")))
+        return (scored.groupBy("vid", "s")
+                .agg(F.min(F.struct("d2", "j")).alias("best"))
+                .select("vid", "s", F.col("best.j").alias("code"),
+                        F.col("best.d2").alias("d2")))
+
+    a0 = _assign(books0)
+    # one Lloyd step: per-(s, code, dim) mean over assigned subvectors
+    means = (a0.join(subs, ["vid", "s"])
+             .select("s", "code", F.posexplode("x").alias("dim", "val"))
+             .groupBy("s", "code", "dim").agg(F.avg("val").alias("mv")))
+    books1 = (means.groupBy("s", F.col("code").alias("j"))
+              .agg(F.array_sort(F.collect_list(F.struct("dim", "mv")))
+                   .alias("pairs"))
+              .select("s", "j", F.transform("pairs", lambda p: p["mv"])
+                      .alias("c"))
+              .localCheckpoint(eager=False))
+    a1 = _assign(books1)
+    codes = [F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
+             for s in range(m)]
+    return (a1.groupBy("vid").agg(
+        *codes, F.round(F.sum("d2"), 6).alias("quant_err"))
+        .select(F.col("vid").alias(id_col),
+                *[F.col(f"c{s}") for s in range(m)], "quant_err"))
+
+
+def pq_quantize_sql(m: int = 4, k: int = 8, dim: int = 64,
+                    table: str = "embeddings") -> str:
+    """DuckDB replay of :func:`pq_quantize` over the ``embeddings`` view
+    (same modulo seeds, same single Lloyd step, same (d2, code) argmin)."""
+    dsub = dim // m
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m))
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM {table}
+), tot AS (
+  SELECT greatest(count(*) // {k}, 1) AS stride FROM base
+), subs AS (
+  SELECT vid, s, v[s * {dsub} + 1 : s * {dsub} + {dsub}] AS x
+  FROM base, (SELECT unnest(range(0, {m})) AS s)
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v
+  FROM (SELECT vid, v FROM base, tot
+        WHERE vid % stride = 0 ORDER BY vid LIMIT {k})
+), books0 AS (
+  SELECT j, s, v[s * {dsub} + 1 : s * {dsub} + {dsub}] AS c
+  FROM seeds, (SELECT unnest(range(0, {m})) AS s)
+), sc0 AS (
+  SELECT vid, s, j,
+    list_sum(list_transform(range(1, {dsub} + 1),
+             d -> (x[d] - c[d]) * (x[d] - c[d]))) AS d2
+  FROM subs JOIN books0 USING (s)
+), a0 AS (
+  SELECT vid, s, code FROM (
+    SELECT vid, s, j AS code,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, j) AS rn
+    FROM sc0) WHERE rn = 1
+), means AS (
+  SELECT a0.s, a0.code, d AS dim, avg(x[d + 1]) AS mv
+  FROM a0 JOIN subs USING (vid, s), (SELECT unnest(range(0, {dsub})) AS d)
+  GROUP BY 1, 2, 3
+), books1 AS (
+  SELECT s, code AS j,
+         list_transform(list_sort(list(struct_pack(dim := dim, mv := mv))), p -> p.mv) AS c
+  FROM means GROUP BY 1, 2
+), sc1 AS (
+  SELECT vid, s, j,
+    list_sum(list_transform(range(1, {dsub} + 1),
+             d -> (x[d] - c[d]) * (x[d] - c[d]))) AS d2
+  FROM subs JOIN books1 USING (s)
+), a1 AS (
+  SELECT vid, s, code, d2 FROM (
+    SELECT vid, s, j AS code, d2,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, j) AS rn
+    FROM sc1) WHERE rn = 1
+)
+SELECT vid AS vec_id, {code_cols}, round(sum(d2), 6) AS quant_err
+FROM a1 GROUP BY vid
+"""

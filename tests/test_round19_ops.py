@@ -98,3 +98,43 @@ def test_sitemap_coverage_bounds(spark):
         assert 0.0 <= r["coverage"] <= 1.0
         # /q/ URLs are never crawled: coverage strictly below 1
         assert r["coverage"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# pq_quantize (round-20)
+# ---------------------------------------------------------------------------
+
+def test_pq_codes_separate_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(24):
+        base = np.ones(8) if i % 2 == 0 else -np.ones(8)
+        rows.append((i, (base + rng.normal(0, 0.05, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from icrawler_spark.operators.similarity import pq_quantize
+
+    out = {r["vec_id"]: r.asDict() for r in
+           pq_quantize(df, m=2, k=2).collect()}
+    assert len(out) == 24
+    for i, r in out.items():
+        assert r["c0"] in (0, 1) and r["c1"] in (0, 1)
+        assert r["quant_err"] >= 0
+    # the two clusters land in different cells, consistently per subspace
+    even = {(out[i]["c0"], out[i]["c1"]) for i in out if i % 2 == 0}
+    odd = {(out[i]["c0"], out[i]["c1"]) for i in out if i % 2 == 1}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_pq_duplicate_vectors_share_codes(spark):
+    v = [float(x) for x in range(8)]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, [x + 50 for x in v]), (3, v)],
+        "vec_id long, embedding array<double>")
+    from icrawler_spark.operators.similarity import pq_quantize
+
+    out = {r["vec_id"]: r.asDict() for r in
+           pq_quantize(df, m=2, k=2).collect()}
+    assert out[0]["c0"] == out[1]["c0"] == out[3]["c0"]
+    assert out[0]["quant_err"] == out[1]["quant_err"]
