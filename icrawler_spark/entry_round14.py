@@ -67,43 +67,54 @@ _RM_BODIES_SQL = f"""
 """
 
 
-def _rm_rules_cte() -> str:
-    """The grouping + applicability machinery as SQL CTEs, ending in a
-    ``rrule`` relation of (host, prec, allow, regex) for agent '*'."""
+def rules_cte_chain(bodies_sql: str, sfx: str = "") -> str:
+    """The grouping + applicability machinery as SQL CTEs over an arbitrary
+    (host, body) SELECT, ending in a ``rrule{sfx}`` relation of
+    (host, prec, allow, regex) for agent '*'. ``sfx`` isolates the CTE
+    names so two rule sets can coexist in one query (robots_delta)."""
     rx = pattern_regex_sql("val")
-    return f"""
-bodies AS ({_RM_BODIES_SQL}),
-lns AS (
+    return _RULES_CHAIN_TPL.format(bodies_sql=bodies_sql, sfx=sfx, rx=rx,
+                                   directive_re=_RM_DIRECTIVE_RE)
+
+
+def _rm_rules_cte() -> str:
+    return rules_cte_chain(_RM_BODIES_SQL, "")
+
+
+_RULES_CHAIN_TPL = """
+bodies{sfx} AS ({bodies_sql}),
+lns{sfx} AS (
   SELECT host, unnest(range(0, len(l))) AS ln, unnest(l) AS line
-  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l FROM bodies)
-), d0 AS (
+  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l
+        FROM bodies{sfx})
+), d0{sfx} AS (
   SELECT host, ln,
-         lower(regexp_extract(line, '{_RM_DIRECTIVE_RE}', 1)) AS key,
-         regexp_extract(line, '{_RM_DIRECTIVE_RE}', 2) AS val
-  FROM lns
-), d AS (
-  SELECT * FROM d0
+         lower(regexp_extract(line, '{directive_re}', 1)) AS key,
+         regexp_extract(line, '{directive_re}', 2) AS val
+  FROM lns{sfx}
+), d{sfx} AS (
+  SELECT * FROM d0{sfx}
   WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
-), d1 AS (
+), d1{sfx} AS (
   SELECT host, ln, key, val,
          CASE WHEN key = 'user-agent' AND
                    coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
                             OVER (PARTITION BY host ORDER BY ln), 0) = 0
               THEN 1 ELSE 0 END AS sg
-  FROM d
-), g AS (
+  FROM d{sfx}
+), g{sfx} AS (
   SELECT host, ln, key, val,
          sum(sg) OVER (PARTITION BY host ORDER BY ln
                        ROWS UNBOUNDED PRECEDING) AS grp
-  FROM d1
-), applicable AS (
-  SELECT DISTINCT host, grp FROM g
+  FROM d1{sfx}
+), applicable{sfx} AS (
+  SELECT DISTINCT host, grp FROM g{sfx}
   WHERE key = 'user-agent' AND lower(val) = '*'
-), rrule AS (
-  SELECT DISTINCT g.host, CAST(length(val) AS INT) AS prec,
+), rrule{sfx} AS (
+  SELECT DISTINCT g{sfx}.host, CAST(length(val) AS INT) AS prec,
          (key = 'allow') AS allow, {rx} AS regex
-  FROM g JOIN applicable a USING (host, grp)
-  WHERE g.grp > 0 AND key IN ('allow', 'disallow') AND val <> ''
+  FROM g{sfx} JOIN applicable{sfx} a USING (host, grp)
+  WHERE g{sfx}.grp > 0 AND key IN ('allow', 'disallow') AND val <> ''
 )"""
 
 

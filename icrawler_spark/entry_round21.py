@@ -1,0 +1,174 @@
+"""Round-3 driver-contract queries (batch 15): robots policy-change impact
+(robots_delta) — when a host re-publishes robots.txt, which frontier URLs
+flip status? Newly-disallowed URLs must purge from the frontier; newly-
+allowed ones become enqueue candidates.
+
+The reference fetches robots once per RobotFileParser construction and
+never revisits (icrawler has no robots support at all; urllib's parser —
+which SURVEY §2.7 maps the politeness gate to — has no change model).
+This exercises the RFC 9309 full matcher (entry_round14) against TWO rule
+snapshots in one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round14 import rules_cte_chain
+from icrawler_spark.functions.robots import (parse_robots_matchers,
+                                             robots_path_allowed)
+
+_RD_HOSTS = 12
+
+_NL = "\n"
+
+
+def _delta_bodies(spark, sf, version: int) -> DataFrame:
+    """Two robots snapshots over 12 hosts: tighten (new Disallow), loosen
+    (rule-less group), carve out (Allow under Disallow-all), unchanged."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    hosts = (ev.select((F.col("user_id") % _RD_HOSTS).cast("long")
+                       .alias("hid")).distinct())
+    h = F.col("hid")
+    ua = "User-agent: *" + _NL
+    if version == 1:
+        body = (F.when(h % 4 == 0, F.lit(ua + "Disallow: /old"))
+                .when(h % 4 == 1, F.lit(ua + "Disallow: /x"))
+                .when(h % 4 == 2, F.lit(ua + "Disallow: /"))
+                .otherwise(F.lit(ua + "Disallow: /q")))
+    else:
+        body = (F.when(h % 4 == 0,
+                       F.lit(ua + "Disallow: /old" + _NL + "Disallow: /new"))
+                .when(h % 4 == 1, F.lit(ua + "Disallow:"))
+                .when(h % 4 == 2,
+                      F.lit(ua + "Allow: /p" + _NL + "Disallow: /"))
+                .otherwise(F.lit(ua + "Disallow: /q")))
+    return hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+        body.alias("body"))
+
+
+def _delta_bodies_sql(version: int) -> str:
+    ua = "'User-agent: *' || chr(10) || "
+    if version == 1:
+        cases = f"""
+      WHEN hid % 4 = 0 THEN {ua}'Disallow: /old'
+      WHEN hid % 4 = 1 THEN {ua}'Disallow: /x'
+      WHEN hid % 4 = 2 THEN {ua}'Disallow: /'
+      ELSE {ua}'Disallow: /q'"""
+    else:
+        cases = f"""
+      WHEN hid % 4 = 0 THEN {ua}'Disallow: /old' || chr(10)
+           || 'Disallow: /new'
+      WHEN hid % 4 = 1 THEN {ua}'Disallow:'
+      WHEN hid % 4 = 2 THEN {ua}'Allow: /p' || chr(10) || 'Disallow: /'
+      ELSE {ua}'Disallow: /q'"""
+    return f"""
+  SELECT 'h' || hid || '.test' AS host,
+    CASE {cases}
+    END AS body
+  FROM (SELECT DISTINCT CAST(user_id % {_RD_HOSTS} AS BIGINT) AS hid
+        FROM events)
+"""
+
+
+def _delta_frontier(spark, sf) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    e = F.col("event_id")
+    path = (F.when(e % 5 == 0, F.lit("/old/1"))
+            .when(e % 5 == 1, F.lit("/new/2"))
+            .when(e % 5 == 2, F.lit("/x/3"))
+            .when(e % 5 == 3, F.lit("/p/4"))
+            .otherwise(F.lit("/q/5")))
+    return ev.select(
+        e.cast("long").alias("event_id"),
+        F.concat(F.lit("h"), (F.col("user_id") % _RD_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"),
+        path.alias("path"))
+
+
+def q_robots_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Policy-change impact over the RFC 9309 full matcher: every frontier
+    URL decided against BOTH robots snapshots in one plan (two broadcast
+    rules joins; URLs never shuffle). action: purge (newly blocked),
+    enqueue (newly allowed), keep, blocked."""
+    fr = _delta_frontier(spark, sf)
+    r1 = (parse_robots_matchers(_delta_bodies(spark, sf, 1))
+          .select("host", F.col("rules").alias("rules1")))
+    r2 = (parse_robots_matchers(_delta_bodies(spark, sf, 2))
+          .select("host", F.col("rules").alias("rules2")))
+    out = (fr.join(F.broadcast(r1), "host", "left")
+           .join(F.broadcast(r2), "host", "left"))
+    a1 = F.when(F.col("rules1").isNull(), F.lit(True)) \
+        .otherwise(robots_path_allowed("path", "rules1"))
+    a2 = F.when(F.col("rules2").isNull(), F.lit(True)) \
+        .otherwise(robots_path_allowed("path", "rules2"))
+    out = out.select("event_id", "host", "path",
+                     a1.alias("allowed_v1"), a2.alias("allowed_v2"))
+    action = (F.when(F.col("allowed_v1") & ~F.col("allowed_v2"),
+                     F.lit("purge"))
+              .when(~F.col("allowed_v1") & F.col("allowed_v2"),
+                    F.lit("enqueue"))
+              .when(F.col("allowed_v1"), F.lit("keep"))
+              .otherwise(F.lit("blocked")))
+    return out.select("event_id", "host", "path",
+                      "allowed_v1", "allowed_v2", action.alias("action"))
+
+
+def _robots_delta_sql() -> str:
+    chain_a = rules_cte_chain(_delta_bodies_sql(1), "_a")
+    chain_b = rules_cte_chain(_delta_bodies_sql(2), "_b")
+    return f"""
+WITH {chain_a},{chain_b},
+fr AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         'h' || (user_id % {_RD_HOSTS}) || '.test' AS host,
+         CASE CAST(event_id % 5 AS INT)
+           WHEN 0 THEN '/old/1'
+           WHEN 1 THEN '/new/2'
+           WHEN 2 THEN '/x/3'
+           WHEN 3 THEN '/p/4'
+           ELSE '/q/5'
+         END AS path
+  FROM events
+),
+m1 AS (
+  SELECT f.event_id, f.host, f.path,
+         max(r.prec * 2 + CAST(r.allow AS INT)) AS best
+  FROM fr f LEFT JOIN rrule_a r
+    ON r.host = f.host AND regexp_matches(f.path, r.regex)
+  GROUP BY 1, 2, 3
+),
+m2 AS (
+  SELECT f.event_id, f.host, f.path,
+         max(r.prec * 2 + CAST(r.allow AS INT)) AS best
+  FROM fr f LEFT JOIN rrule_b r
+    ON r.host = f.host AND regexp_matches(f.path, r.regex)
+  GROUP BY 1, 2, 3
+),
+dec AS (
+  SELECT m1.event_id, m1.host, m1.path,
+    CASE WHEN m1.best IS NULL THEN true ELSE m1.best % 2 = 1 END AS a1,
+    CASE WHEN m2.best IS NULL THEN true ELSE m2.best % 2 = 1 END AS a2
+  FROM m1 JOIN m2 USING (event_id, host, path)
+)
+SELECT event_id, host, path, a1 AS allowed_v1, a2 AS allowed_v2,
+  CASE WHEN a1 AND NOT a2 THEN 'purge'
+       WHEN NOT a1 AND a2 THEN 'enqueue'
+       WHEN a1 THEN 'keep'
+       ELSE 'blocked' END AS action
+FROM dec
+"""
+
+
+def queries21():
+    return {
+        "robots_delta": q_robots_delta,
+    }
+
+
+def oracle_sql21():
+    return {
+        "robots_delta": _robots_delta_sql(),
+    }

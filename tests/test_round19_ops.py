@@ -138,3 +138,28 @@ def test_pq_duplicate_vectors_share_codes(spark):
            pq_quantize(df, m=2, k=2).collect()}
     assert out[0]["c0"] == out[1]["c0"] == out[3]["c0"]
     assert out[0]["quant_err"] == out[1]["quant_err"]
+
+
+# ---------------------------------------------------------------------------
+# robots_delta (round-21)
+# ---------------------------------------------------------------------------
+
+def test_robots_delta_actions(spark):
+    from icrawler_spark.entry_round21 import q_robots_delta
+
+    out = q_robots_delta(spark, "/root/testdata/sf0.001").collect()
+    acts = {}
+    for r in out:
+        hid = int(r["host"][1:].split(".")[0])
+        acts[(hid % 4, r["path"])] = r["action"]
+    # host family 0 tightened: /new flips allowed -> blocked
+    assert acts[(0, "/new/2")] == "purge"
+    assert acts[(0, "/old/1")] == "blocked"        # blocked both versions
+    assert acts[(0, "/x/3")] == "keep"
+    # family 1 loosened to allow-all: /x flips blocked -> allowed
+    assert acts[(1, "/x/3")] == "enqueue"
+    # family 2 gains the /p carve-out under Disallow: /
+    assert acts[(2, "/p/4")] == "enqueue"
+    assert acts[(2, "/q/5")] == "blocked"
+    # family 3 unchanged
+    assert acts[(3, "/q/5")] == "blocked" and acts[(3, "/x/3")] == "keep"
