@@ -217,8 +217,8 @@ _EXTRA_PICKS = [
     "snippets", "content_extract", "sitemap_coverage",
     # round-3 batch-14 (fine quantizer)
     "pq_quantize",
-    # round-3 batch-15 (robots policy diff)
-    "robots_delta",
+    # round-3 batch-15 (robots policy diff + portable bloom)
+    "robots_delta", "bloom_shards",
 ]
 
 

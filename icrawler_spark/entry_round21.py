@@ -162,13 +162,55 @@ FROM dec
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom_shards — portable partitioned-Bloom seen-set construction
+# ---------------------------------------------------------------------------
+
+_BL_SHARDS = 16
+_BL_MBITS = 1 << 16
+_BL_K = 4
+
+
+def _bloom_urls(spark, sf) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.select(F.concat(
+        F.lit("http://h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".test/p/"), F.col("event_id").cast("string")).alias("url"))
+
+
+_BL_URLS_SQL = ("SELECT 'http://h' || (user_id % 50) || '.test/p/' "
+                "|| event_id AS url FROM events")
+
+
+def q_bloom_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_shard_stats: the north-star partitioned Bloom
+    seen-set, built with engine-portable md5 double hashing
+    (Kirsch-Mitzenmacher) so the oracle rebuilds the identical filter;
+    output is the per-shard saturation profile (fill ratio, est FPR) a
+    crawl supervisor watches to trigger shard splitting. The engine's hot
+    path (BloomSeenFilter) keeps xxhash64 - same math, faster hash."""
+    from icrawler_spark.operators.dedup import bloom_shard_stats
+
+    return bloom_shard_stats(_bloom_urls(spark, sf), n_shards=_BL_SHARDS,
+                             m_bits=_BL_MBITS, k=_BL_K)
+
+
+def _bloom_shards_sql() -> str:
+    from icrawler_spark.operators.dedup import bloom_shard_stats_sql
+
+    return bloom_shard_stats_sql(_BL_URLS_SQL, n_shards=_BL_SHARDS,
+                                 m_bits=_BL_MBITS, k=_BL_K)
+
+
 def queries21():
     return {
         "robots_delta": q_robots_delta,
+        "bloom_shards": q_bloom_shards,
     }
 
 
 def oracle_sql21():
     return {
         "robots_delta": _robots_delta_sql(),
+        "bloom_shards": _bloom_shards_sql(),
     }

@@ -188,3 +188,103 @@ def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
     definite_new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return definite_new.unionByName(anti_join_seen(maybe, seen, key))
+
+
+# ---------------------------------------------------------------------------
+# Portable partitioned-Bloom construction (the SQL-replayable twin of
+# BloomSeenFilter: same shard/bit math expressed over md5 so an external
+# engine can rebuild the identical filter; the engine's hot path keeps
+# xxhash64 for speed)
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _md5_int(col, start: int, n: int) -> "F.Column":
+    """Integer from n hex chars of md5(col) starting at 1-based ``start``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), start, n), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str, start: int, n: int) -> str:
+    """DuckDB twin of :func:`_md5_int` (positional hex arithmetic — DuckDB
+    has no conv())."""
+    h = f"md5({expr})"
+    terms = " + ".join(
+        f"(strpos('{_HEX_DIGITS}', substr({h}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}" for i in range(n))
+    return f"({terms})"
+
+
+def bloom_shard_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Partitioned-Bloom seen-set construction with engine-portable hashing
+    (north-star component: the 10^10-URL seen set is Bloom shards keyed by
+    a URL hash). Double hashing (Kirsch–Mitzenmacher 2006): bit_i =
+    (h1 + i·(2·h2+1)) mod m over two independent md5-derived 32/24-bit
+    integers; shard = first md5 byte mod n_shards.
+
+    Returns per shard: (shard, n_urls, n_bits_set, fill_ratio, est_fpr)
+    with est_fpr = fill^k rounded to 6 — the saturation monitor a crawl
+    supervisor watches to trigger shard splitting. One explode (k rows per
+    url) + one distinct-count per shard; bits, never URLs, leave the
+    shard.
+    """
+    u = urls.select(F.col(url_col).alias("u")).distinct()
+    h1 = _md5_int("u", 1, 8)
+    h2 = _md5_int("u", 9, 6)
+    shard = _md5_int("u", 15, 2) % n_shards
+    hashed = u.select(shard.alias("shard"), h1.alias("h1"), h2.alias("h2"))
+    bits = hashed.select(
+        "shard",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (F.col("h1") + i * (F.col("h2") * 2 + 1)) % m_bits))
+        .alias("bit"))
+    agg = bits.groupBy("shard").agg(
+        F.count_distinct("bit").alias("n_bits_set"))
+    n_urls = hashed.groupBy("shard").agg(F.count("*").alias("n_urls"))
+    fill = F.col("n_bits_set") / F.lit(float(m_bits))
+    return (n_urls.join(agg, "shard")
+            .select("shard", "n_urls", "n_bits_set",
+                    fill.alias("fill_ratio"),
+                    F.round(F.pow(fill, F.lit(float(k))), 6)
+                     .alias("est_fpr")))
+
+
+def bloom_shard_stats_sql(
+    urls_sql: str,
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> str:
+    """DuckDB replay of :func:`bloom_shard_stats` over a one-column
+    (url) SELECT."""
+    h1 = md5_int_sql("u", 1, 8)
+    h2 = md5_int_sql("u", 9, 6)
+    shard = md5_int_sql("u", 15, 2)
+    return f"""
+WITH urls AS (SELECT DISTINCT url AS u FROM ({urls_sql})),
+hashed AS (
+  SELECT {shard} % {n_shards} AS shard, {h1} AS h1, {h2} AS h2 FROM urls
+),
+bits AS (
+  SELECT shard, (h1 + i * (h2 * 2 + 1)) % {m_bits} AS bit
+  FROM hashed, (SELECT unnest(range(0, {k})) AS i)
+),
+agg AS (
+  SELECT shard, count(DISTINCT bit) AS n_bits_set FROM bits GROUP BY 1
+),
+nu AS (
+  SELECT shard, count(*) AS n_urls FROM hashed GROUP BY 1
+)
+SELECT CAST(nu.shard AS BIGINT) AS shard, nu.n_urls, agg.n_bits_set,
+  agg.n_bits_set / CAST({m_bits} AS DOUBLE) AS fill_ratio,
+  round(pow(agg.n_bits_set / CAST({m_bits} AS DOUBLE), {k}), 6) AS est_fpr
+FROM nu JOIN agg USING (shard)
+"""

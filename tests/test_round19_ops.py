@@ -163,3 +163,42 @@ def test_robots_delta_actions(spark):
     assert acts[(2, "/q/5")] == "blocked"
     # family 3 unchanged
     assert acts[(3, "/q/5")] == "blocked" and acts[(3, "/x/3")] == "keep"
+
+
+# ---------------------------------------------------------------------------
+# bloom_shard_stats (round-21)
+# ---------------------------------------------------------------------------
+
+def test_bloom_shard_stats_math(spark):
+    import hashlib
+
+    from icrawler_spark.operators.dedup import bloom_shard_stats
+
+    urls = [f"http://h{i}.test/p" for i in range(200)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["shard"]: r.asDict() for r in
+           bloom_shard_stats(df, n_shards=4, m_bits=1024, k=3).collect()}
+
+    # python replay
+    exp_bits = {}
+    exp_urls = {}
+    for u in set(urls):
+        h = hashlib.md5(u.encode()).hexdigest()
+        h1, h2 = int(h[0:8], 16), int(h[8:14], 16)
+        shard = int(h[14:16], 16) % 4
+        exp_urls[shard] = exp_urls.get(shard, 0) + 1
+        for i in range(3):
+            exp_bits.setdefault(shard, set()).add((h1 + i * (h2 * 2 + 1)) % 1024)
+    for s in exp_urls:
+        assert out[s]["n_urls"] == exp_urls[s]
+        assert out[s]["n_bits_set"] == len(exp_bits[s])
+        assert abs(out[s]["fill_ratio"] - len(exp_bits[s]) / 1024) < 1e-12
+        assert 0 <= out[s]["est_fpr"] <= 1
+
+
+def test_bloom_shard_stats_dedups_urls(spark):
+    from icrawler_spark.operators.dedup import bloom_shard_stats
+
+    df = spark.createDataFrame([("http://a.test/",)] * 5, "url string")
+    out = bloom_shard_stats(df, n_shards=2, m_bits=64, k=2).collect()
+    assert sum(r["n_urls"] for r in out) == 1
