@@ -28,7 +28,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round14, entry_round15,
                             entry_round16, entry_round17,
                             entry_round18, entry_round19,
-                            entry_round20, entry_round21)
+                            entry_round20, entry_round21,
+                            entry_round22)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -816,6 +817,7 @@ def queries():
         **entry_round19.queries19(),
         **entry_round20.queries20(),
         **entry_round21.queries21(),
+        **entry_round22.queries22(),
     }
 
 
@@ -869,4 +871,5 @@ def oracle_sql():
         **entry_round19.oracle_sql19(),
         **entry_round20.oracle_sql20(),
         **entry_round21.oracle_sql21(),
+        **entry_round22.oracle_sql22(),
     }

@@ -1,0 +1,120 @@
+"""Round-3 driver-contract queries (batch 16): host reputation — the
+composite seed-selection signal (OPIC importance x frontier spam hygiene)
+a recurring crawl uses to pick next round's seed hosts.
+
+The reference treats every seed equally forever (feeder.py); at web scale
+the seed list is itself a ranking problem (public practice: seed scoring
+in Heritrix/Nutch combines link importance with per-host quality signals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round16 import (_OPIC_EDGES_SQL, _OPIC_ITERS,
+                                          _opic_edges)
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import graph as _graph
+
+_HR_HOSTS = 16
+
+
+def _hr_frontier(spark, sf) -> DataFrame:
+    """Frontier over the OPIC graph's 16 hosts: clean URLs plus spam
+    decorations keyed on event_id (lexicon path, lookalike subdomain)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    e = F.col("event_id")
+    h = (F.col("user_id") % _HR_HOSTS).cast("string")
+    es = e.cast("string")
+    url = (F.when(e % 7 == 1, F.concat(
+               F.lit("http://h"), h, F.lit(".test/casino/"), es))
+           .when(e % 7 == 2, F.concat(
+               F.lit("http://free-pills-viagra-now.h"), h,
+               F.lit(".test/x/"), es))
+           .otherwise(F.concat(
+               F.lit("http://h"), h, F.lit(".test/p/"), es)))
+    return ev.select(e.cast("long").alias("event_id"),
+                     (F.col("user_id") % _HR_HOSTS).cast("long")
+                     .alias("host_id"),
+                     url.alias("url"))
+
+
+_HR_FRONTIER_SQL = f"""
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id % {_HR_HOSTS} AS BIGINT) AS host_id,
+    CASE CAST(event_id % 7 AS INT)
+      WHEN 1 THEN 'http://h' || (user_id % {_HR_HOSTS}) || '.test/casino/'
+        || event_id
+      WHEN 2 THEN 'http://free-pills-viagra-now.h' || (user_id % {_HR_HOSTS})
+        || '.test/x/' || event_id
+      ELSE 'http://h' || (user_id % {_HR_HOSTS}) || '.test/p/' || event_id
+    END AS url
+  FROM events
+"""
+
+
+def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-selection composite per host: OPIC importance discounted by
+    the host's frontier spam share — reputation = round(importance x
+    (1 - spam_share), 6), ranked (reputation desc, host). One groupBy(host)
+    over the scan-fused spam scores + one broadcast join against the OPIC
+    table; the frontier never shuffles twice."""
+    fr = _hr_frontier(spark, sf)
+    spam = (_urls.url_spam_score("url") >= 2).cast("int")
+    per_host = (fr.select("host_id", spam.alias("is_spam"))
+                .groupBy("host_id")
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum("is_spam").alias("n_spam")))
+    imp = (_graph.opic(_opic_edges(spark, sf), n_iters=_OPIC_ITERS)
+           .withColumnRenamed("node", "host_id"))
+    out = (per_host.join(F.broadcast(imp), "host_id", "left")
+           .select("host_id", "n_urls", "n_spam",
+                   (F.col("n_spam") / F.col("n_urls")).alias("spam_share"),
+                   F.coalesce("importance", F.lit(0.0)).alias("importance")))
+    rep = F.round(F.col("importance") * (1.0 - F.col("spam_share")), 6)
+    from pyspark.sql import Window
+    return (out.withColumn("reputation", rep)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("reputation").desc(), "host_id"))
+                .cast("long")))
+
+
+def _host_reputation_sql() -> str:
+    opic_q = _graph.opic_sql(_OPIC_EDGES_SQL, n_iters=_OPIC_ITERS)
+    from icrawler_spark.entry_round17 import _spam_score_sql
+
+    return f"""
+WITH fr AS ({_HR_FRONTIER_SQL}
+), per_host AS (
+  SELECT host_id, count(*) AS n_urls,
+         sum(CASE WHEN ({_spam_score_sql("url")}) >= 2 THEN 1 ELSE 0 END)
+           AS n_spam
+  FROM fr GROUP BY 1
+), imp AS (
+  SELECT * FROM ({opic_q})
+), scored AS (
+  SELECT p.host_id, p.n_urls, p.n_spam,
+    p.n_spam / CAST(p.n_urls AS DOUBLE) AS spam_share,
+    coalesce(i.importance, CAST(0 AS DOUBLE)) AS importance,
+    round(coalesce(i.importance, CAST(0 AS DOUBLE))
+          * (CAST(1 AS DOUBLE) - p.n_spam / CAST(p.n_urls AS DOUBLE)), 6)
+      AS reputation
+  FROM per_host p LEFT JOIN imp i ON i.node = p.host_id
+)
+SELECT host_id, n_urls, n_spam, spam_share, importance, reputation,
+  row_number() OVER (ORDER BY reputation DESC, host_id) AS rank
+FROM scored
+"""
+
+
+def queries22():
+    return {
+        "host_reputation": q_host_reputation,
+    }
+
+
+def oracle_sql22():
+    return {
+        "host_reputation": _host_reputation_sql(),
+    }

@@ -202,3 +202,25 @@ def test_bloom_shard_stats_dedups_urls(spark):
     df = spark.createDataFrame([("http://a.test/",)] * 5, "url string")
     out = bloom_shard_stats(df, n_shards=2, m_bits=64, k=2).collect()
     assert sum(r["n_urls"] for r in out) == 1
+
+
+# ---------------------------------------------------------------------------
+# host_reputation (round-22)
+# ---------------------------------------------------------------------------
+
+def test_host_reputation_ranks_and_bounds(spark):
+    from icrawler_spark.entry_round22 import q_host_reputation
+
+    out = q_host_reputation(spark, "/root/testdata/sf0.001").collect()
+    # sf0.001's events cover 15 of the 16 host buckets — assert density,
+    # not the exact bucket count
+    assert len(out) >= 15
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))    # dense 1..n
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    reps = [r["reputation"] for r in by_rank]
+    assert reps == sorted(reps, reverse=True)       # ordered by reputation
+    for r in out:
+        assert 0.0 <= r["spam_share"] <= 1.0
+        assert r["reputation"] <= r["importance"] + 1e-12
+        assert r["n_spam"] <= r["n_urls"]
