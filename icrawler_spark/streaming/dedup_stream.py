@@ -1,0 +1,77 @@
+"""Streaming URL dedup — watermarked dropDuplicates over the discovery
+stream (the continuous twin of operators/dedup's batch anti-join).
+
+A continuous crawl's discovery stream re-emits the same URL from many
+pages; the frontier wants each URL once. Structured Streaming's
+``dropDuplicates`` keyed on the URL is exactly the seen-set semantics —
+with one production caveat this module makes explicit: unbounded
+dropDuplicates state grows with |seen|, so the stream variant bounds state
+with a watermark (``dropDuplicatesWithinWatermark``): a URL re-discovered
+within the watermark horizon is deduped exactly; one re-discovered later
+may re-emit and is caught by the downstream batch anti-join against the
+persisted frontier (the two-tier design the batch engine already uses:
+Bloom pre-filter = fast approximate tier, anti-join = exact tier).
+
+State: O(URLs inside the watermark horizon), independent of total crawl
+size. Output (append mode) goes to a parquet frontier directory that the
+batch rounds read — restart from the checkpoint neither drops nor
+duplicates emissions (exactly-once per sink epoch).
+
+Reference parity: cached_queue.py:26-51 is the in-memory seen set this
+replaces; it is unbounded and single-process.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_discovery_stream(spark: SparkSession, path: str,
+                          max_files_per_trigger: int | None = None):
+    """File-source stream of ``<iso-timestamp> <url>`` discovery lines
+    (same record shape as metrics_stream.read_timed_url_stream)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return raw.select(
+        F.to_timestamp(F.substring_index("value", " ", 1))
+         .alias("discovered_ts"),
+        F.substring_index("value", " ", -1).alias("url"))
+
+
+def dedup_discoveries(stream: DataFrame, watermark: str = "10 minutes",
+                      exact: bool = False) -> DataFrame:
+    """First-occurrence URL stream.
+
+    ``exact=False`` (production): dropDuplicatesWithinWatermark — state is
+    bounded by the watermark horizon; the downstream batch anti-join is
+    the exact tier.
+    ``exact=True`` (small crawls / tests): plain dropDuplicates — exact
+    global dedup, state grows with |seen|.
+    """
+    wm = stream.withWatermark("discovered_ts", watermark)
+    if exact:
+        return wm.dropDuplicates(["url"])
+    return wm.dropDuplicatesWithinWatermark(["url"])
+
+
+def run_dedup_stream(spark: SparkSession, in_dir: str, out_dir: str,
+                     checkpoint_dir: str, watermark: str = "10 minutes",
+                     exact: bool = False) -> None:
+    """Drain the discovery stream into a deduped parquet frontier dir,
+    processing everything currently available, then stop (test/batch-drain
+    mode; production runs the query continuously)."""
+    os.makedirs(in_dir, exist_ok=True)
+    deduped = dedup_discoveries(
+        read_discovery_stream(spark, in_dir), watermark, exact=exact)
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -246,3 +246,55 @@ def test_session_stream_closes_and_resumes(spark, tmp_path):
     assert got[(1, 1)]["start_us"] == 5000 * S
     assert got[(1, 1)]["end_us"] == 5100 * S
     assert got[(2, 0)]["n_events"] == 1 and got[(2, 0)]["duration_us"] == 0
+
+
+def test_dedup_stream_first_occurrence_and_restart(spark, tmp_path):
+    """dedup_stream: exact mode emits each URL once across restarts; the
+    watermarked mode dedups within the horizon."""
+    import os
+
+    from icrawler_spark.streaming.dedup_stream import run_dedup_stream
+
+    src = str(tmp_path / "disc")
+    out = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def w(name, lines):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    w("a.txt", ["2026-01-01T00:00:00 http://a.test/1",
+                "2026-01-01T00:00:01 http://a.test/2",
+                "2026-01-01T00:00:02 http://a.test/1"])
+    run_dedup_stream(spark, src, out, ckpt, exact=True)
+    got1 = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got1 == ["http://a.test/1", "http://a.test/2"]
+
+    # restart with an overlapping file: checkpoint + state survive — the
+    # overlap re-emits nothing, the new URL emits once
+    w("b.txt", ["2026-01-01T00:00:03 http://a.test/2",
+                "2026-01-01T00:00:04 http://a.test/3"])
+    run_dedup_stream(spark, src, out, ckpt, exact=True)
+    got2 = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got2 == ["http://a.test/1", "http://a.test/2", "http://a.test/3"]
+
+
+def test_dedup_stream_watermarked_mode_dedups_in_horizon(spark, tmp_path):
+    import os
+
+    from icrawler_spark.streaming.dedup_stream import run_dedup_stream
+
+    src = str(tmp_path / "disc")
+    out = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("\n".join([
+            "2026-01-01T00:00:00 http://w.test/1",
+            "2026-01-01T00:00:30 http://w.test/1",   # inside horizon: dedup
+            "2026-01-01T00:01:00 http://w.test/2",
+        ]) + "\n")
+    run_dedup_stream(spark, src, out, ckpt, watermark="10 minutes")
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == ["http://w.test/1", "http://w.test/2"]
