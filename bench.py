@@ -219,8 +219,8 @@ _EXTRA_PICKS = [
     "pq_quantize",
     # round-3 batch-15 (robots policy diff + portable bloom)
     "robots_delta", "bloom_shards",
-    # round-3 batch-16 (seed selection)
-    "host_reputation",
+    # round-3 batch-16 (seed selection + ADC search)
+    "host_reputation", "adc_search",
 ]
 
 

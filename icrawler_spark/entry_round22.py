@@ -108,13 +108,40 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# adc_search — ADC top-k over PQ codes
+# ---------------------------------------------------------------------------
+
+_ADC_QUERIES = 10
+_ADC_KNN = 5
+
+
+def q_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.adc_topk: PQ asymmetric-distance search —
+    per-query distance tables are m*k scalars broadcast against the corpus
+    CODES (the vectors are read once to build codes, never again at search
+    time); rank on round-6 adc_d2, neighbor-id tiebreak."""
+    from icrawler_spark.operators.similarity import adc_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return adc_topk(emb, list(range(_ADC_QUERIES)), k_nn=_ADC_KNN)
+
+
+def _adc_search_sql() -> str:
+    from icrawler_spark.operators.similarity import adc_topk_sql
+
+    return adc_topk_sql(query_max=_ADC_QUERIES, k_nn=_ADC_KNN)
+
+
 def queries22():
     return {
         "host_reputation": q_host_reputation,
+        "adc_search": q_adc_search,
     }
 
 
 def oracle_sql22():
     return {
         "host_reputation": _host_reputation_sql(),
+        "adc_search": _adc_search_sql(),
     }

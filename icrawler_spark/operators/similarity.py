@@ -309,9 +309,31 @@ def pq_quantize(
     the Arrow matmul path (srp/ivf) trades exact SQL replayability for
     speed; PQ keeps the replayable form since codebooks are tiny.
     """
+    books1, subs = pq_codebooks(emb, m=m, k=k, id_col=id_col,
+                                vec_col=vec_col)
+    a1 = _pq_assign(subs, books1)
+    codes = [F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
+             for s in range(m)]
+    return (a1.groupBy("vid").agg(
+        *codes, F.round(F.sum("d2"), 6).alias("quant_err"))
+        .select(F.col("vid").alias(id_col),
+                *[F.col(f"c{s}") for s in range(m)], "quant_err"))
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Refined per-subspace codebooks (see :func:`pq_quantize` for the
+    seeding + Lloyd protocol). Returns (books, subs): ``books`` is the
+    pinned (s, j, c:array<double>) codebook frame (m·k rows), ``subs`` the
+    (vid, s, x) subvector stream both assignment and ADC search reuse."""
     total = emb.count()
     if total == 0:
-        raise ValueError("pq_quantize: empty embedding table")
+        raise ValueError("pq_codebooks: empty embedding table")
     stride = max(1, total // k)
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
@@ -341,18 +363,7 @@ def pq_quantize(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: F.slice("v", s * dsub + 1, dsub))).alias("s", "c"))
 
-    def _assign(books: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, e: acc + e)
-        scored = (subs.join(F.broadcast(books), "s")
-                  .select("vid", "s", "j", d2.alias("d2")))
-        return (scored.groupBy("vid", "s")
-                .agg(F.min(F.struct("d2", "j")).alias("best"))
-                .select("vid", "s", F.col("best.j").alias("code"),
-                        F.col("best.d2").alias("d2")))
-
-    a0 = _assign(books0)
+    a0 = _pq_assign(subs, books0)
     # one Lloyd step: per-(s, code, dim) mean over assigned subvectors
     means = (a0.join(subs, ["vid", "s"])
              .select("s", "code", F.posexplode("x").alias("dim", "val"))
@@ -363,13 +374,21 @@ def pq_quantize(
               .select("s", "j", F.transform("pairs", lambda p: p["mv"])
                       .alias("c"))
               .localCheckpoint(eager=False))
-    a1 = _assign(books1)
-    codes = [F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
-             for s in range(m)]
-    return (a1.groupBy("vid").agg(
-        *codes, F.round(F.sum("d2"), 6).alias("quant_err"))
-        .select(F.col("vid").alias(id_col),
-                *[F.col(f"c{s}") for s in range(m)], "quant_err"))
+    return books1, subs
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(vid, s, code, d2): L2-argmin cell per (vector, subspace), ties to
+    the smaller code id — broadcast codebook join, never a crossJoin."""
+    d2 = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, e: acc + e)
+    scored = (subs.join(F.broadcast(books), "s")
+              .select("vid", "s", "j", d2.alias("d2")))
+    return (scored.groupBy("vid", "s")
+            .agg(F.min(F.struct("d2", "j")).alias("best"))
+            .select("vid", "s", F.col("best.j").alias("code"),
+                    F.col("best.d2").alias("d2")))
 
 
 def pq_quantize_sql(m: int = 4, k: int = 8, dim: int = 64,
@@ -425,4 +444,117 @@ WITH base AS (
 )
 SELECT vid AS vec_id, {code_cols}, round(sum(d2), 6) AS quant_err
 FROM a1 GROUP BY vid
+"""
+
+
+def adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 5,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes (Jégou et
+    al. 2011 §III): queries stay exact, the corpus is its PQ codes — the
+    approximate distance is the sum over subspaces of the distance-table
+    entry for the corpus vector's code.
+
+    Scale shape (why PQ search is cheap): the per-query distance table is
+    m·k scalars — queries × m·k rows broadcast; the corpus side is its
+    (vid, s, code) codes joined to the broadcast table and summed per
+    (query, vid) with map-side partials. The corpus vectors themselves are
+    read once to build codes; search never touches them again. Ranking
+    rounds adc_d2 to 6 BEFORE the window (cross-engine-stable boundaries,
+    the bm25_topk rule), ties to the smaller neighbor id.
+
+    Returns (query_id, neighbor_id, rank, adc_d2), self-matches excluded.
+    """
+    books, subs = pq_codebooks(emb, m=m, k=k, id_col=id_col,
+                               vec_col=vec_col)
+    codes = _pq_assign(subs, books).select("vid", "s", "code")
+    d2 = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, e: acc + e)
+    dt = (subs.where(F.col("vid").isin([int(q) for q in query_ids]))
+          .join(F.broadcast(books), "s")
+          .select(F.col("vid").alias("qid"), "s", "j", d2.alias("d2")))
+    scored = (codes.join(F.broadcast(dt),
+                         (codes["s"] == dt["s"]) & (codes["code"] == dt["j"]))
+              .where(F.col("vid") != F.col("qid"))
+              .groupBy("qid", "vid")
+              .agg(F.round(F.sum("d2"), 6).alias("adc_d2")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vid")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_nn)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("vid").alias("neighbor_id"),
+                    F.col("rank").cast("long").alias("rank"), "adc_d2"))
+
+
+def adc_topk_sql(query_max: int = 10, k_nn: int = 5, m: int = 4, k: int = 8,
+                 dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB replay of :func:`adc_topk` (queries = vec_id < query_max),
+    sharing the codebook/assignment CTE machinery of pq_quantize_sql."""
+    dsub = dim // m
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM {table}
+), tot AS (
+  SELECT greatest(count(*) // {k}, 1) AS stride FROM base
+), subs AS (
+  SELECT vid, s, v[s * {dsub} + 1 : s * {dsub} + {dsub}] AS x
+  FROM base, (SELECT unnest(range(0, {m})) AS s)
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v
+  FROM (SELECT vid, v FROM base, tot
+        WHERE vid % stride = 0 ORDER BY vid LIMIT {k})
+), books0 AS (
+  SELECT j, s, v[s * {dsub} + 1 : s * {dsub} + {dsub}] AS c
+  FROM seeds, (SELECT unnest(range(0, {m})) AS s)
+), sc0 AS (
+  SELECT vid, s, j,
+    list_sum(list_transform(range(1, {dsub} + 1),
+             d -> (x[d] - c[d]) * (x[d] - c[d]))) AS d2
+  FROM subs JOIN books0 USING (s)
+), a0 AS (
+  SELECT vid, s, code FROM (
+    SELECT vid, s, j AS code,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, j) AS rn
+    FROM sc0) WHERE rn = 1
+), means AS (
+  SELECT a0.s, a0.code, d AS dim, avg(x[d + 1]) AS mv
+  FROM a0 JOIN subs USING (vid, s), (SELECT unnest(range(0, {dsub})) AS d)
+  GROUP BY 1, 2, 3
+), books1 AS (
+  SELECT s, code AS j,
+         list_transform(list_sort(list(struct_pack(dim := dim, mv := mv))),
+                        p -> p.mv) AS c
+  FROM means GROUP BY 1, 2
+), sc1 AS (
+  SELECT vid, s, j,
+    list_sum(list_transform(range(1, {dsub} + 1),
+             d -> (x[d] - c[d]) * (x[d] - c[d]))) AS d2
+  FROM subs JOIN books1 USING (s)
+), a1 AS (
+  SELECT vid, s, code FROM (
+    SELECT vid, s, j AS code,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d2, j) AS rn
+    FROM sc1) WHERE rn = 1
+), dt AS (
+  SELECT vid AS qid, s, j, d2 FROM sc1 WHERE vid < {query_max}
+), scored AS (
+  SELECT dt.qid, a1.vid, round(sum(dt.d2), 6) AS adc_d2
+  FROM a1 JOIN dt ON dt.s = a1.s AND dt.j = a1.code
+  WHERE a1.vid <> dt.qid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_d2, vid) AS rank
+      FROM scored)
+WHERE rank <= {k_nn}
 """

@@ -224,3 +224,32 @@ def test_host_reputation_ranks_and_bounds(spark):
         assert 0.0 <= r["spam_share"] <= 1.0
         assert r["reputation"] <= r["importance"] + 1e-12
         assert r["n_spam"] <= r["n_urls"]
+
+
+def test_adc_topk_finds_near_duplicate(spark):
+    import numpy as np
+
+    from icrawler_spark.operators.similarity import adc_topk
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(32):
+        base = np.zeros(8)
+        # four well-separated clusters in contiguous id BLOCKS, so the
+        # modulo seed rule (ids 0, 8, 16, 24 at stride 8) picks one seed
+        # per cluster — the seeding contract pq_codebooks documents
+        base[i // 8] = 4.0
+        rows.append((i, (base + rng.normal(0, 0.05, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = adc_topk(df, [0, 9], k_nn=3, m=2, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 9}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == [1, 2, 3]
+        assert all(r["neighbor_id"] != q for r in rs)
+        # every top-3 neighbor is from the query's own cluster
+        assert all(r["neighbor_id"] // 8 == q // 8 for r in rs), rs
+        assert all(r["adc_d2"] >= 0 for r in rs)
