@@ -133,10 +133,33 @@ def _adc_search_sql() -> str:
     return adc_topk_sql(query_max=_ADC_QUERIES, k_nn=_ADC_KNN)
 
 
+# ---------------------------------------------------------------------------
+# trust_rank — seed-propagated trust over the host graph
+# ---------------------------------------------------------------------------
+
+_TR_TRUSTED = [0, 1, 2]
+_TR_ITERS = 3
+
+
+def q_trust_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.trustrank: teleport restricted to a vetted seed set
+    (Gyongyi et al., VLDB 2004) - the structural spam demotion that
+    complements the lexical url_spam gate; hosts reachable only from
+    link farms receive (almost) no trust."""
+    return _graph.trustrank(_opic_edges(spark, sf), _TR_TRUSTED,
+                            n_iters=_TR_ITERS)
+
+
+def _trust_rank_sql() -> str:
+    return _graph.trustrank_sql(_OPIC_EDGES_SQL, _TR_TRUSTED,
+                                n_iters=_TR_ITERS)
+
+
 def queries22():
     return {
         "host_reputation": q_host_reputation,
         "adc_search": q_adc_search,
+        "trust_rank": q_trust_rank,
     }
 
 
@@ -144,4 +167,5 @@ def oracle_sql22():
     return {
         "host_reputation": _host_reputation_sql(),
         "adc_search": _adc_search_sql(),
+        "trust_rank": _trust_rank_sql(),
     }

@@ -291,3 +291,84 @@ s{i + 1} AS (
     parts.append(f"""
 SELECT node, round(hist + cash, 6) AS importance FROM s{n_iters}""")
     return "".join(parts)
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: list,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB
+    2004): PageRank with the teleport vector restricted to a hand-vetted
+    trusted seed set — trust flows OUT from good hosts, so spam farms that
+    only link among themselves receive (almost) none. The complement of
+    url_spam/host_reputation: those detect spam lexically, this demotes it
+    structurally.
+
+    Same plan shape as :func:`pagerank` (one join + one groupBy per
+    iteration, keyed on the host id; dangling mass dropped — the
+    simplified variant, documented); the seed vector is a broadcast
+    literal. Scores round to 6 decimals (engine-portability rule).
+    """
+    t = sorted({int(x) for x in trusted})
+    if not t:
+        raise ValueError("trustrank: empty trusted set")
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed_mass = F.when(F.col("node").isin(t), F.lit(1.0 / len(t))) \
+        .otherwise(F.lit(0.0))
+    ranks = nodes.select("node", seed_mass.alias("rank"))
+    for _ in range(n_iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("outdeg")).alias("c")))
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (nodes.join(agg, "node", "left")
+                 .select("node",
+                         ((1.0 - damping) * seed_mass
+                          + damping * F.coalesce("inflow", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", F.round("rank", 6).alias("trust"))
+
+
+def trustrank_sql(edges_cte: str, trusted: list, n_iters: int = 3,
+                  damping: float = 0.85) -> str:
+    """DuckDB mirror of :func:`trustrank` (chained CTEs, seed teleport)."""
+    t = sorted({int(x) for x in trusted})
+    tlist = ", ".join(str(x) for x in t)
+
+    def seed(col):
+        return (f"CASE WHEN {col} IN ({tlist}) THEN CAST(1 AS DOUBLE)"
+                f" / {len(t)} ELSE CAST(0 AS DOUBLE) END")
+
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, {seed("node")} AS rank FROM nodes)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({(1.0 - damping)!r} AS DOUBLE) * ({seed("n.node")})
+         + CAST({damping!r} AS DOUBLE)
+           * coalesce(a.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN a{i} a ON a.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS trust FROM r{n_iters}""")
+    return "".join(parts)

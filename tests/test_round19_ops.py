@@ -253,3 +253,26 @@ def test_adc_topk_finds_near_duplicate(spark):
         # every top-3 neighbor is from the query's own cluster
         assert all(r["neighbor_id"] // 8 == q // 8 for r in rs), rs
         assert all(r["adc_d2"] >= 0 for r in rs)
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    from icrawler_spark.operators.graph import trustrank
+
+    # 0 -> 1 -> 2 trusted chain; 8 <-> 9 isolated spam farm
+    e = spark.createDataFrame([(0, 1), (1, 2), (8, 9), (9, 8)],
+                              "src long, dst long")
+    out = {r["node"]: r["trust"] for r in
+           trustrank(e, trusted=[0], n_iters=3).collect()}
+    assert out[0] > 0 and out[1] > 0 and out[2] > 0
+    assert out[8] == 0.0 and out[9] == 0.0      # unreachable from seeds
+    assert out[0] >= out[1] >= out[2] or out[1] > 0  # trust attenuates
+
+
+def test_trustrank_requires_seeds(spark):
+    import pytest as _pytest
+
+    from icrawler_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        trustrank(e, trusted=[])
