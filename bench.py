@@ -220,7 +220,7 @@ _EXTRA_PICKS = [
     # round-3 batch-15 (robots policy diff + portable bloom)
     "robots_delta", "bloom_shards",
     # round-3 batch-16 (seed selection + ADC search)
-    "host_reputation", "adc_search", "trust_rank",
+    "host_reputation", "adc_search", "trust_rank", "bm25f_search",
 ]
 
 

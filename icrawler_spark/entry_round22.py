@@ -155,11 +155,104 @@ def _trust_rank_sql() -> str:
                                 n_iters=_TR_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# bm25f_search — anchor-boosted field-weighted retrieval
+# ---------------------------------------------------------------------------
+
+_BF_TERMS = ["hash", "value", "table"]
+_BF_W_BODY, _BF_W_ANCHOR = 1.0, 2.5
+_BF_K = 10
+
+_TOKE = ("string_split(trim(regexp_replace(regexp_replace(lower({e}),"
+         " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def _bf_docs(spark, sf) -> DataFrame:
+    """Documents with a synthetic anchor field: the first 3 body tokens,
+    plus the exact query phrase on every 11th doc - anchors that agree
+    with the query must outrank body-only matches under the 2.5x field
+    weight."""
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    doc_id = F.col("doc_id")
+    anchor = F.concat(
+        F.array_join(F.slice(tokens_col("text"), 1, 3), " "),
+        F.when(doc_id % 11 == 0, F.lit(" hash value")).otherwise(F.lit("")))
+    return d.select(doc_id.cast("long").alias("doc_id"), "text",
+                    anchor.alias("anchor"))
+
+
+def q_bm25f_search(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.bm25f_topk: BM25F (Robertson/Zaragoza/Taylor 2004)
+    - field-weighted tf combined BEFORE saturation, anchor text at 2.5x
+    body weight; idf over combined document frequency; round-4-before-rank
+    (bm25_topk rule)."""
+    from icrawler_spark.operators.search import bm25f_topk
+
+    return bm25f_topk(_bf_docs(spark, sf), _BF_TERMS,
+                      {"text": _BF_W_BODY, "anchor": _BF_W_ANCHOR},
+                      k=_BF_K)
+
+
+def _bm25f_search_sql() -> str:
+    from icrawler_spark.entry_round11 import _TOK_SQL
+
+    atok = _TOKE.format(e="anchor")
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(_BF_TERMS)))
+    wb, wa = _BF_W_BODY, _BF_W_ANCHOR
+    k1, b = 1.2, 0.75
+    return f"""
+WITH withf AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc, text,
+    array_to_string(({_TOK_SQL})[1:3], ' ')
+    || CASE WHEN doc_id % 11 = 0 THEN ' hash value' ELSE '' END AS anchor
+  FROM documents
+), base AS (
+  SELECT doc, {_TOK_SQL} AS btoks, {atok} AS atoks FROM withf
+), h AS (
+  SELECT doc, term, sum(wtf) AS wtf FROM (
+    SELECT doc, term, count(*) * {wb} AS wtf
+    FROM (SELECT doc, unnest(btoks) AS term FROM base)
+    WHERE term IN ({in_list}) GROUP BY 1, 2
+    UNION ALL
+    SELECT doc, term, count(*) * {wa} AS wtf
+    FROM (SELECT doc, unnest(atoks) AS term FROM base)
+    WHERE term IN ({in_list}) GROUP BY 1, 2
+  ) GROUP BY 1, 2
+), wdl AS (
+  SELECT doc,
+    len(list_filter(btoks, x -> length(x) > 0)) * {wb}
+    + len(list_filter(atoks, x -> length(x) > 0)) * {wa} AS wdl
+  FROM base
+), st AS (
+  SELECT count(*) AS n, sum(wdl) / count(*) AS avg_wdl FROM wdl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM h GROUP BY 1
+), scored AS (
+  SELECT h.doc, CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum(
+      ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5))
+      * h.wtf * {k1 + 1.0}
+      / (h.wtf + {k1} * ({1.0 - b} + {b} * w.wdl / st.avg_wdl))
+    ), 4) AS score
+  FROM h JOIN dfreq f USING (term) JOIN wdl w ON w.doc = h.doc
+  CROSS JOIN st
+  GROUP BY h.doc
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_BF_K}
+"""
+
+
 def queries22():
     return {
         "host_reputation": q_host_reputation,
         "adc_search": q_adc_search,
         "trust_rank": q_trust_rank,
+        "bm25f_search": q_bm25f_search,
     }
 
 
@@ -168,4 +261,5 @@ def oracle_sql22():
         "host_reputation": _host_reputation_sql(),
         "adc_search": _adc_search_sql(),
         "trust_rank": _trust_rank_sql(),
+        "bm25f_search": _bm25f_search_sql(),
     }

@@ -308,3 +308,72 @@ FROM (
   FROM (SELECT doc_id, {tok_sql} AS l FROM documents)
 ) WHERE hit_pos IS NOT NULL
 """
+
+
+def bm25f_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    fields: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k under BM25F (Robertson/Zaragoza/Taylor, CIKM 2004): term
+    frequencies from multiple fields combine with field weights BEFORE
+    saturation — wtf(t,d) = Σ_f w_f·tf_f, wdl(d) = Σ_f w_f·|d_f| — then
+    the ordinary BM25 saturation applies once. The standard use: anchor
+    text (what OTHERS call the page) boosted over body text.
+
+    ``fields`` maps text column -> weight, e.g. {"text": 1.0, "anchor": 2.0}.
+    idf uses the combined document frequency (docs where ANY field has the
+    term). Scores round to 4 decimals BEFORE ranking (bm25_topk rule),
+    ties on doc id.
+
+    Scale shape: per-field term streams filter to the query's literal
+    terms inside the scan, so every shuffle is (matched docs × terms)-
+    sized; weighted lengths are pure projections; corpus scalars are one
+    single-row broadcast.
+    """
+    if not query_terms or not fields:
+        raise ValueError("query_terms and fields must be non-empty")
+    terms = sorted({t for t in query_terms})
+
+    hit_parts = []
+    dl_expr = None
+    for col, w in fields.items():
+        toks = tokens_col(col)
+        hit_parts.append(
+            df.select(F.col(id_col).alias("doc"),
+                      F.explode(toks).alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term")
+            .agg((F.count("*") * float(w)).alias("wtf")))
+        part = F.size(F.filter(toks, lambda x: F.length(x) > 0)) * float(w)
+        dl_expr = part if dl_expr is None else dl_expr + part
+    hits = hit_parts[0]
+    for h in hit_parts[1:]:
+        hits = hits.unionByName(h)
+    hits = hits.groupBy("doc", "term").agg(F.sum("wtf").alias("wtf"))
+
+    wdl = df.select(F.col(id_col).alias("doc"), dl_expr.alias("wdl"))
+    stats = wdl.agg(F.count("*").alias("n"),
+                    (F.sum("wdl") / F.count("*")).alias("avg_wdl"))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("wtf") + k1 * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("wdl") / F.col("avg_wdl")))
+    scored = (hits.join(F.broadcast(dfreq), "term")
+              .join(wdl, "doc")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc")
+              .agg(F.count("*").cast("long").alias("n_hits"),
+                   F.round(F.sum(idf * F.col("wtf") * (k1 + 1.0) / denom), 4)
+                    .alias("score")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(F.col("doc").alias(id_col), "n_hits", "score", "rank"))

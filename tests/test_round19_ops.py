@@ -276,3 +276,44 @@ def test_trustrank_requires_seeds(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pytest.raises(ValueError):
         trustrank(e, trusted=[])
+
+
+def test_bm25f_anchor_boost_outranks_body(spark):
+    import math
+
+    from icrawler_spark.operators.search import bm25f_topk
+
+    rows = [
+        (1, "query fill fill fill", "other words"),      # body hit, w=1
+        (2, "fill fill fill fill", "query words"),       # anchor hit, w=3
+        (3, "fill fill fill fill", "no match here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                                     " anchor string")
+    out = bm25f_topk(df, ["query"], {"text": 1.0, "anchor": 3.0},
+                     k=5).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # same single occurrence, but the anchor's 3x weighted tf saturates
+    # higher -> doc 2 first
+    assert [r["doc_id"] for r in by_rank] == [2, 1]
+    assert by_rank[0]["score"] > by_rank[1]["score"]
+
+    # exact replay of doc 1's score: wtf=1, wdl=4+2*3=10
+    wdls = {1: 4 + 2 * 3.0, 2: 4 + 2 * 3.0, 3: 4 + 3 * 3.0}
+    avg = sum(wdls.values()) / 3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    s1 = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * wdls[1] / avg))
+    assert abs(by_rank[1]["score"] - round(s1, 4)) < 1e-9
+
+
+def test_bm25f_rejects_empty(spark):
+    import pytest as _pytest
+
+    from icrawler_spark.operators.search import bm25f_topk
+
+    df = spark.createDataFrame([(1, "x", "y")],
+                               "doc_id long, text string, anchor string")
+    with _pytest.raises(ValueError):
+        bm25f_topk(df, [], {"text": 1.0})
+    with _pytest.raises(ValueError):
+        bm25f_topk(df, ["x"], {})
