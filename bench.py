@@ -221,6 +221,8 @@ _EXTRA_PICKS = [
     "robots_delta", "bloom_shards",
     # round-3 batch-16 (seed selection + ADC search)
     "host_reputation", "adc_search", "trust_rank", "bm25f_search",
+    # round-3 batch-17 (frontier sketches)
+    "hll_distinct", "cms_heavy", "winnow_fp",
 ]
 
 

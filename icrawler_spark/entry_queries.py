@@ -29,7 +29,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round16, entry_round17,
                             entry_round18, entry_round19,
                             entry_round20, entry_round21,
-                            entry_round22)
+                            entry_round22, entry_round23)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -818,6 +818,7 @@ def queries():
         **entry_round20.queries20(),
         **entry_round21.queries21(),
         **entry_round22.queries22(),
+        **entry_round23.queries23(),
     }
 
 
@@ -872,4 +873,5 @@ def oracle_sql():
         **entry_round20.oracle_sql20(),
         **entry_round21.oracle_sql21(),
         **entry_round22.oracle_sql22(),
+        **entry_round23.oracle_sql23(),
     }

@@ -1,0 +1,133 @@
+"""Round-3 driver-contract queries (batch 17): sketch-based frontier
+monitoring — HyperLogLog distinct counts, count-min heavy hitters, and
+winnowing document fingerprints.
+
+The reference's monitoring plane is exact in-process counters
+(icrawler/downloader.py:64-88, utils/cache.py); a 10^10-URL frontier needs
+mergeable sketches whose shuffle key space is the sketch geometry, not the
+data. Fixtures derive deterministically from events/documents; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.operators import sketches as _sk
+
+# ---------------------------------------------------------------------------
+# hll_distinct — per-host distinct-URL estimate
+# ---------------------------------------------------------------------------
+
+_HLL_HOSTS = 8
+_HLL_KEYS = 1500
+
+
+def _hll_frontier(spark, sf) -> DataFrame:
+    """Frontier log with heavy URL repetition: 8 hosts × ≤1500 distinct
+    URLs each, every URL appearing many times (re-queues, retries)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = (F.col("user_id") % _HLL_HOSTS).cast("long")
+    return ev.select(
+        h.alias("host"),
+        F.concat(F.lit("http://h"), h.cast("string"), F.lit(".test/p/"),
+                 (F.col("event_id") % _HLL_KEYS).cast("string"))
+        .alias("url"))
+
+
+_HLL_FRONTIER_SQL = f"""
+  SELECT CAST(user_id % {_HLL_HOSTS} AS BIGINT) AS host,
+         'http://h' || (user_id % {_HLL_HOSTS}) || '.test/p/'
+           || (event_id % {_HLL_KEYS}) AS url
+  FROM events
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.hll_distinct: per-host HyperLogLog distinct-URL
+    estimate (64 registers) next to the exact count and relative error.
+    The sketch half is ONE (host, bucket)-keyed shuffle producing ≤64 rows
+    per host regardless of frontier size — the supervisor's saturation
+    monitor at 10^10 URLs."""
+    return _sk.hll_distinct(_hll_frontier(spark, sf),
+                            key_col="url", group_col="host")
+
+
+def _hll_distinct_sql() -> str:
+    return _sk.hll_distinct_sql(_HLL_FRONTIER_SQL,
+                                key_col="url", group_col="host")
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy — count-min heavy hitters over the frontier key stream
+# ---------------------------------------------------------------------------
+
+
+def _cms_stream(spark, sf) -> DataFrame:
+    """Skewed key stream: 5 hot keys carrying half the traffic, ~997 cold
+    keys sharing the rest — the hot-host detection input."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    e = F.col("event_id")
+    key = (F.when(e % 2 == 0,
+                  F.concat(F.lit("hot"), (e % 5).cast("string")))
+           .otherwise(F.concat(F.lit("cold"), (e % 997).cast("string"))))
+    return ev.select(key.alias("url"))
+
+
+_CMS_STREAM_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' || (event_id % 5)
+              ELSE 'cold' || (event_id % 997) END AS url
+  FROM events
+"""
+
+
+def q_cms_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.count_min_heavy: 4×64 count-min grid over the
+    frontier key stream, point-query every distinct key, top-15 by
+    estimate. The grid is 256 cells whatever the input size (broadcast
+    join on the query side); est >= n_true exposes the one-sided
+    collision error the supervisor tolerates."""
+    return _sk.count_min_heavy(_cms_stream(spark, sf), key_col="url")
+
+
+def _cms_heavy_sql() -> str:
+    return _sk.count_min_heavy_sql(_CMS_STREAM_SQL, key_col="url")
+
+
+# ---------------------------------------------------------------------------
+# winnow_fp — winnowing fingerprint selection over the corpus
+# ---------------------------------------------------------------------------
+
+
+def q_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.winnow_fingerprints: MOSS winnowing (k=3 token
+    grams, window 4) per document — guarantees any shared run of ≥6 tokens
+    shares a fingerprint at ~2/(w+1) density. Selection runs entirely in
+    array expressions inside the scan stage; the gram-hash array is
+    pre-projected so the window lambda references a named column, never
+    the inlined md5 chain."""
+    return _sk.winnow_fingerprints(_docs(spark, sf))
+
+
+def _winnow_fp_sql() -> str:
+    return _sk.winnow_fingerprints_sql("SELECT doc_id, text FROM documents",
+                                       _TOK_SQL)
+
+
+def queries23():
+    return {
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy": q_cms_heavy,
+        "winnow_fp": q_winnow_fp,
+    }
+
+
+def oracle_sql23():
+    return {
+        "hll_distinct": _hll_distinct_sql(),
+        "cms_heavy": _cms_heavy_sql(),
+        "winnow_fp": _winnow_fp_sql(),
+    }

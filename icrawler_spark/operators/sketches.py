@@ -1,0 +1,314 @@
+"""Distributed streaming sketches for crawl-frontier accounting.
+
+A 10^10-URL crawl cannot afford exact per-host counting for its monitoring
+plane: the supervisor wants "distinct URLs seen per host" and "heaviest
+frontier keys" as cheap mergeable summaries, not full shuffles over the
+frontier. The reference keeps exact in-memory sets and counters
+(``utils/cache.py``, the per-thread counters in ``downloader.py:64-88``)
+because it never leaves one process; the distributed analogues are the
+classic sketches — HyperLogLog registers for distinct counts and a
+count-min sketch for heavy hitters — both of which reduce to ordinary
+``groupBy().agg(max/sum)`` over deterministic md5-derived cells, so they
+scale as ONE shuffle whose key space is the (tiny) sketch geometry, never
+the key space of the data.
+
+Everything here is engine-portable by construction (md5 is the only hash
+Spark and DuckDB share — see ``dedup._md5_int``), so every sketch has an
+exact DuckDB replay for the driver's correctness gate.
+
+Also here: winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+SIGMOD 2003, the MOSS algorithm): the guarantee-bearing fingerprint
+*selection* scheme (any match of length >= window+k-1 shares a selected
+fingerprint) that upgrades the repo's rolling-hash fingerprint family
+with a bounded-density variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.dedup import _md5_int, md5_int_sql
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+# alpha_m bias correction (Flajolet et al. 2007) for m = 64 registers.
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.709
+# 32-bit md5-derived hash: p bucket bits, the remaining 26 bits feed rho.
+_HLL_WBITS = 32 - _HLL_P
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str = "url",
+    group_col: str = "host",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count.
+
+    bucket = h mod m, w = h div m, rho(w) = leading zeros of w in
+    ``_HLL_WBITS`` bits + 1 (bit length via ``bin()``, identical in both
+    engines); register = max(rho) per bucket. Estimate = alpha·m²/Z with
+    the standard small-range correction m·ln(m/V) when the raw estimate
+    is <= 2.5m and V empty registers remain.
+
+    Scale shape: ONE shuffle keyed (group, bucket) — at most m rows per
+    group survive the partial agg, so a 10^10-row frontier reduces
+    map-side to |groups|·64 rows. The exact count (for the rel_err
+    column) is the expensive half and exists only for the gate; a
+    production monitor runs the sketch alone. Returns
+    (group, n_exact, n_est, rel_err), estimate rounded to 4.
+    """
+    h = _md5_int(key_col, 1, 8)
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("k"),
+        (h % _HLL_M).alias("bucket"),
+        (h / _HLL_M).cast("long").alias("w"))
+    rho = (F.when(F.col("w") > 0,
+                  F.lit(_HLL_WBITS) - F.length(F.bin(F.col("w"))) + 1)
+           .otherwise(F.lit(_HLL_WBITS + 1)))
+    regs = (rows.withColumn("rho", rho)
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("reg")))
+    per_grp = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_present"),
+        F.count("*").alias("n_buckets"))
+    zeros = F.lit(_HLL_M) - F.col("n_buckets")
+    z = F.col("z_present") + zeros.cast("double")
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+    est = F.when((raw <= 2.5 * _HLL_M) & (zeros > 0),
+                 F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros)
+                 ).otherwise(raw)
+    exact = df.select(F.col(group_col).alias("grp"),
+                      F.col(key_col).alias("k")) \
+        .groupBy("grp").agg(F.count_distinct("k").alias("n_exact"))
+    out = exact.join(per_grp.select("grp", est.alias("raw_est")), "grp")
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_exact",
+        F.round("raw_est", 4).alias("n_est"),
+        F.round(F.abs(F.col("raw_est") - F.col("n_exact")) / F.col("n_exact"),
+                4).alias("rel_err"))
+
+
+def hll_distinct_sql(rows_sql: str, key_col: str = "url",
+                     group_col: str = "host") -> str:
+    """DuckDB replay of :func:`hll_distinct` over a (group, key) SELECT."""
+    h = md5_int_sql(key_col, 1, 8)
+    m, wb, al = _HLL_M, _HLL_WBITS, _HLL_ALPHA
+    return f"""
+WITH rows_in AS (
+  SELECT {group_col} AS grp, {key_col} AS k,
+         ({h}) % {m} AS bucket, ({h}) // {m} AS w
+  FROM ({rows_sql})
+),
+regs AS (
+  SELECT grp, bucket,
+    max(CASE WHEN w > 0 THEN {wb} - length(bin(w)) + 1
+             ELSE {wb + 1} END) AS reg
+  FROM rows_in GROUP BY 1, 2
+),
+per_grp AS (
+  SELECT grp, sum(pow(2.0, -reg)) AS z_present, count(*) AS n_buckets
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp,
+    CASE WHEN {al * m * m} / (z_present + ({m} - n_buckets)) <= {2.5 * m}
+              AND {m} - n_buckets > 0
+         THEN {float(m)} * ln({float(m)} / ({m} - n_buckets))
+         ELSE {al * m * m} / (z_present + ({m} - n_buckets)) END AS raw_est
+  FROM per_grp
+),
+exact AS (
+  SELECT {group_col} AS grp, count(DISTINCT {key_col}) AS n_exact
+  FROM ({rows_sql}) GROUP BY 1
+)
+SELECT exact.grp AS {group_col}, exact.n_exact,
+  round(est.raw_est, 4) AS n_est,
+  round(abs(est.raw_est - exact.n_exact) / exact.n_exact, 4) AS rel_err
+FROM exact JOIN est USING (grp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4          # hash rows
+_CMS_W = 64         # columns per row
+
+
+def count_min_heavy(
+    df: DataFrame,
+    key_col: str = "url",
+    d: int = _CMS_D,
+    w: int = _CMS_W,
+    k: int = 15,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    report: build the d×w cell grid, then point-query every distinct key
+    and rank by estimate. est >= true always (one-sided error), which the
+    output exposes as (key, n_true, n_est, rank).
+
+    Scale shape: the grid build is one shuffle keyed (row, col) — at most
+    d·w = {d}×{w} cells survive regardless of input size, so the sketch
+    itself is a broadcastable scalar table. The point-query pass joins
+    distinct keys against the tiny grid (broadcast). The exact counts
+    exist only for the gate's error column. Integer arithmetic end to
+    end — no float parity risk.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    keyed = df.select(F.col(key_col).alias("k")).select("k", rows)
+    cell = keyed.select(
+        "k", "r",
+        (_md5_int(F.concat(F.col("k"), F.lit("|"), F.col("r")), 1, 8) % w)
+        .alias("c"))
+    grid = cell.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+    points = (cell.distinct()
+              .join(F.broadcast(grid), ["r", "c"])
+              .groupBy("k").agg(F.min("cnt").alias("n_est")))
+    true_cnt = df.select(F.col(key_col).alias("k")) \
+        .groupBy("k").agg(F.count("*").alias("n_true"))
+    # rank-after-top-k: TakeOrderedAndProject keeps k rows, then the rank
+    # window sees only those k — never a global single-task window over
+    # every distinct key (the q_budget_limit lesson, VERDICT r2 #2).
+    from pyspark.sql import Window
+    top = (true_cnt.join(points, "k")
+           .orderBy(F.col("n_est").desc(), F.col("k")).limit(k))
+    ranked = top.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.col("n_est").desc(), F.col("k"))).cast("long"))
+    return ranked.select(F.col("k").alias(key_col), "n_true", "n_est", "rank")
+
+
+def count_min_heavy_sql(rows_sql: str, key_col: str = "url",
+                        d: int = _CMS_D, w: int = _CMS_W,
+                        k: int = 15) -> str:
+    """DuckDB replay of :func:`count_min_heavy` over a one-column SELECT."""
+    col = md5_int_sql(f"(k || '|' || r)", 1, 8)
+    return f"""
+WITH keyed AS (
+  SELECT {key_col} AS k, r
+  FROM ({rows_sql}), (SELECT unnest(range(0, {d})) AS r)
+),
+cell AS (SELECT k, r, ({col}) % {w} AS c FROM keyed),
+grid AS (SELECT r, c, count(*) AS cnt FROM cell GROUP BY 1, 2),
+points AS (
+  SELECT k, min(cnt) AS n_est
+  FROM (SELECT DISTINCT k, r, c FROM cell) p JOIN grid USING (r, c)
+  GROUP BY 1
+),
+true_cnt AS (
+  SELECT {key_col} AS k, count(*) AS n_true FROM ({rows_sql}) GROUP BY 1
+)
+SELECT k AS {key_col}, n_true, n_est,
+  CAST(row_number() OVER (ORDER BY n_est DESC, k) AS BIGINT) AS rank
+FROM true_cnt JOIN points USING (k)
+QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3          # token k-gram size
+_WIN_W = 4          # winnowing window (hashes per window)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every token k-gram, slide a w-hash window, keep
+    each window's minimum. Guarantee: any shared substring of at least
+    w+k-1 tokens shares a selected fingerprint; expected density is
+    2/(w+1) of all k-gram hashes.
+
+    Per doc: (doc_id, n_grams, n_fingerprints, density, min_fp). The
+    whole selection runs inside array expressions in the scan stage —
+    the only shuffle is whatever the caller does with the result. The
+    token array and the gram-hash array are each pre-projected as named
+    columns so Catalyst's CollapseProject never inlines the md5 chain
+    into the w-slot window lambda (the O(L·w) re-evaluation trap —
+    see BASELINE.md session-6 notes).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("t"))
+    n_grams = F.greatest(F.size(F.col("t")) - (k - 1), F.lit(0))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
+    # sequence(1, 0) in Spark is DESCENDING [1, 0], not empty — guard the
+    # short-doc case or element_at(t, 0) throws at runtime.
+    grams = toks.select(
+        id_col,
+        F.when(n_grams > 0,
+               F.transform(F.sequence(F.lit(1), n_grams),
+                           lambda i: _md5_int(gram(i), 1, 8)))
+         .otherwise(F.array().cast("array<bigint>")).alias("gh"))
+    n_windows = F.greatest(F.size(F.col("gh")) - (w - 1), F.lit(0))
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("gh"), i, w))))
+    picked = grams.select(
+        id_col, F.size("gh").alias("n_grams"),
+        F.when(F.size("gh") >= w, sel)
+         .otherwise(F.when(F.size("gh") > 0,
+                           F.array(F.array_min("gh")))
+                    .otherwise(F.array().cast("array<bigint>")))
+        .alias("fps"))
+    return picked.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.when(F.col("n_grams") > 0,
+               F.round(F.size("fps") / F.col("n_grams"), 6))
+         .otherwise(F.lit(0.0)).alias("density"),
+        F.when(F.size("fps") > 0, F.array_min("fps")).alias("min_fp"))
+
+
+def winnow_fingerprints_sql(docs_sql: str, tok_sql: str,
+                            id_col: str = "doc_id",
+                            k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """DuckDB replay of :func:`winnow_fingerprints`. ``tok_sql`` is the
+    shared tokenizer rendering (entry_round11._TOK_SQL) over a column
+    named ``text``."""
+    ghash = md5_int_sql("array_to_string(t[i:i+" + str(k - 1) + "], ' ')",
+                        1, 8)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, list_filter({tok_sql}, x -> x <> '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT {id_col},
+    list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1),
+                   i -> {ghash}) AS gh
+  FROM toks
+),
+picked AS (
+  SELECT {id_col}, len(gh) AS n_grams,
+    CASE WHEN len(gh) >= {w} THEN
+      list_distinct(list_transform(range(1, len(gh) - {w - 1} + 1),
+                                   i -> list_min(gh[i:i+{w - 1}])))
+    WHEN len(gh) > 0 THEN [list_min(gh)]
+    ELSE [] END AS fps
+  FROM grams
+)
+SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  CASE WHEN n_grams > 0 THEN round(len(fps) / CAST(n_grams AS DOUBLE), 6)
+       ELSE 0.0 END AS density,
+  CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp
+FROM picked
+"""

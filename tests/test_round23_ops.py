@@ -1,0 +1,151 @@
+"""Unit tests for the round-23 pack: HyperLogLog distinct sketch, count-min
+heavy hitters, winnowing fingerprints — each differentially replayed by a
+plain-Python model of the same md5-derived arithmetic."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from icrawler_spark.operators.sketches import (_CMS_D, _CMS_W, _HLL_ALPHA,
+                                               _HLL_M, _HLL_WBITS, _WIN_K,
+                                               _WIN_W, count_min_heavy,
+                                               hll_distinct,
+                                               winnow_fingerprints)
+
+
+def _md5_int(s: str, start: int, n: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[start - 1:start - 1 + n],
+               16)
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct
+# ---------------------------------------------------------------------------
+
+def _hll_py(keys):
+    regs = {}
+    for k in keys:
+        h = _md5_int(k, 1, 8)
+        b, w = h % _HLL_M, h // _HLL_M
+        rho = (_HLL_WBITS - w.bit_length() + 1) if w > 0 else _HLL_WBITS + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    zeros = _HLL_M - len(regs)
+    z = sum(2.0 ** -r for r in regs.values()) + zeros
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / z
+    if raw <= 2.5 * _HLL_M and zeros > 0:
+        return _HLL_M * math.log(_HLL_M / zeros)
+    return raw
+
+
+def test_hll_matches_python_replay(spark):
+    keys = [f"http://h{i % 3}.test/p/{i % 400}" for i in range(5000)]
+    df = spark.createDataFrame([(k, f"g{i % 3}") for i, k in enumerate(keys)],
+                               "url string, host string")
+    out = _rows(hll_distinct(df, "url", "host"), "host")
+    for g in ("g0", "g1", "g2"):
+        grp_keys = {k for i, k in enumerate(keys) if i % 3 == int(g[1])}
+        assert out[g]["n_exact"] == len(grp_keys)
+        assert out[g]["n_est"] == round(_hll_py(grp_keys), 4)
+        # 64 registers -> ~13% std error; 3x that is a safe determinism-free bound
+        assert out[g]["rel_err"] < 0.4
+
+
+def test_hll_small_range_correction(spark):
+    # 5 distinct keys: raw estimate is far below 2.5m with empty registers,
+    # so the linear-counting branch must fire in BOTH engines.
+    df = spark.createDataFrame([(f"u{i % 5}", "g") for i in range(50)],
+                               "url string, host string")
+    out = _rows(hll_distinct(df, "url", "host"), "host")
+    assert out["g"]["n_exact"] == 5
+    assert out["g"]["n_est"] == round(_hll_py({f"u{i}" for i in range(5)}), 4)
+    assert out["g"]["rel_err"] < 0.25
+
+
+# ---------------------------------------------------------------------------
+# count_min_heavy
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_only_and_ranks_hot_keys(spark):
+    rows = [("hot",)] * 300 + [(f"cold{i % 40}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "url string")
+    out = count_min_heavy(df, "url", k=10).collect()
+    by_key = {r["url"]: r for r in out}
+    assert by_key["hot"]["rank"] == 1
+    assert by_key["hot"]["n_true"] == 300
+    for r in out:                       # one-sided error: never undercounts
+        assert r["n_est"] >= r["n_true"]
+
+
+def test_cms_matches_python_replay(spark):
+    rows = [(f"k{i % 23}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["url"]: r["n_est"]
+           for r in count_min_heavy(df, "url", k=23).collect()}
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    grid = {}
+    for k, n in true.items():
+        for r in range(_CMS_D):
+            c = _md5_int(f"{k}|{r}", 1, 8) % _CMS_W
+            grid[(r, c)] = grid.get((r, c), 0) + n
+    for k, n in true.items():
+        est = min(grid[(r, _md5_int(f"{k}|{r}", 1, 8) % _CMS_W)]
+                  for r in range(_CMS_D))
+        assert out[k] == est
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+def _winnow_py(text: str, k: int = _WIN_K, w: int = _WIN_W):
+    toks = [t for t in "".join(
+        ch if ch.isalnum() or ch == " " else " " for ch in text.lower()
+    ).split() if t]
+    grams = [_md5_int(" ".join(toks[i:i + k]), 1, 8)
+             for i in range(len(toks) - k + 1)]
+    if not grams:
+        return [], set()
+    if len(grams) < w:
+        return grams, {min(grams)}
+    return grams, {min(grams[i:i + w]) for i in range(len(grams) - w + 1)}
+
+
+def test_winnow_matches_python_replay(spark):
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "short one", "", "a b c",
+             "x " * 40 + "unique tail of tokens here"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = _rows(winnow_fingerprints(df), "doc_id")
+    for i, t in enumerate(texts):
+        grams, fps = _winnow_py(t)
+        assert out[i]["n_grams"] == len(grams)
+        assert out[i]["n_fingerprints"] == len(fps)
+        assert out[i]["min_fp"] == (min(fps) if fps else None)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # Two docs sharing a run of w+k-1 = 6 tokens must share a fingerprint
+    # (the MOSS guarantee). Verified on the Python model the Spark op
+    # replays exactly (previous test).
+    shared = "alpha beta gamma delta epsilon zeta"
+    _, fps_a = _winnow_py("intro words then " + shared + " trailing bits")
+    _, fps_b = _winnow_py(shared + " completely different ending tokens")
+    assert fps_a & fps_b
+
+
+def test_winnow_density_bound(spark):
+    # Expected density is 2/(w+1); assert the sane hard bound density <= 1
+    # and that selection actually thins (density < 1) on a long doc.
+    df = spark.createDataFrame(
+        [(1, " ".join(f"tok{i * 7 % 101}" for i in range(120)))],
+        "doc_id long, text string")
+    row = winnow_fingerprints(df).collect()[0]
+    assert 0 < row["density"] < 1
