@@ -223,6 +223,8 @@ _EXTRA_PICKS = [
     "host_reputation", "adc_search", "trust_rank", "bm25f_search",
     # round-3 batch-17 (frontier sketches)
     "hll_distinct", "cms_heavy", "winnow_fp",
+    # round-3 batch-18 (tokenizer prep + corpus diagnostics + IP politeness)
+    "bpe_pairs", "zipf_slope", "ip_politeness", "dirichlet_lm",
 ]
 
 

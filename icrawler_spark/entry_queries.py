@@ -29,7 +29,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round16, entry_round17,
                             entry_round18, entry_round19,
                             entry_round20, entry_round21,
-                            entry_round22, entry_round23)
+                            entry_round22, entry_round23,
+                            entry_round24)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -819,6 +820,7 @@ def queries():
         **entry_round21.queries21(),
         **entry_round22.queries22(),
         **entry_round23.queries23(),
+        **entry_round24.queries24(),
     }
 
 
@@ -874,4 +876,5 @@ def oracle_sql():
         **entry_round21.oracle_sql21(),
         **entry_round22.oracle_sql22(),
         **entry_round23.oracle_sql23(),
+        **entry_round24.oracle_sql24(),
     }

@@ -1,0 +1,135 @@
+"""Round-3 driver-contract queries (batch 18): tokenizer-prep pair stats,
+Zipf rank-frequency fit, IP-level politeness consolidation, and
+Dirichlet-smoothed query-likelihood retrieval.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# bpe_pairs — first-merge-round BPE statistics
+# ---------------------------------------------------------------------------
+
+_BPE_K = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.bpe_pair_stats: top-20 adjacent token pairs —
+    the merge candidates of a BPE trainer's first round over the corpus
+    being packed. Pair explosion stays in the scan stage (pre-projected
+    token column); one (left,right) count shuffle; rank-after-top-k."""
+    return _curation.bpe_pair_stats(_docs(spark, sf), k=_BPE_K)
+
+
+def _bpe_pairs_sql() -> str:
+    return _curation.bpe_pair_stats_sql(_TOK_SQL, k=_BPE_K)
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope — rank-frequency exponent per source
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.zipf_fit: least-squares ln(freq)~ln(rank) slope
+    over each source's top-200 terms — the corpus-health exponent next to
+    vocab_growth's Heaps curve. The rank window is per-source over
+    vocabulary, never corpus rows; the fit is a 5-scalar aggregate."""
+    return _corpus.zipf_fit(_docs(spark, sf), top_r=_ZIPF_R)
+
+
+def _zipf_slope_sql() -> str:
+    return _corpus.zipf_fit_sql(_TOK_SQL, top_r=_ZIPF_R)
+
+
+# ---------------------------------------------------------------------------
+# ip_politeness — shared-server budget consolidation
+# ---------------------------------------------------------------------------
+
+_IP_HOSTS = 200
+_IP_N = 48
+
+
+def _ip_frontier(spark, sf) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = (F.col("user_id") % _IP_HOSTS).cast("string")
+    return ev.select(
+        F.concat(F.lit("h"), h, F.lit(".test")).alias("host"),
+        F.concat(F.lit("http://h"), h, F.lit(".test/p/"),
+                 F.col("event_id").cast("string")).alias("url"))
+
+
+_IP_FRONTIER_SQL = f"""
+  SELECT 'h' || (user_id % {_IP_HOSTS}) || '.test' AS host,
+         'http://h' || (user_id % {_IP_HOSTS}) || '.test/p/' || event_id
+           AS url
+  FROM events
+"""
+
+
+def q_ip_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.ip_consolidation: virtual hosts resolved (md5
+    stand-in for the DNS cache) onto 48 IPs share one token-bucket rate —
+    host_rate_share is each host's fraction. The politeness axis
+    complementary to politeness_etld1; per-host counts bound every
+    shuffle by |hosts|."""
+    return _politeness.ip_consolidation(_ip_frontier(spark, sf),
+                                        n_ips=_IP_N)
+
+
+def _ip_politeness_sql() -> str:
+    return _politeness.ip_consolidation_sql(_IP_FRONTIER_SQL, n_ips=_IP_N)
+
+
+# ---------------------------------------------------------------------------
+# dirichlet_lm — query-likelihood retrieval
+# ---------------------------------------------------------------------------
+
+_QL_QUERY = ["hash", "merge", "window"]
+_QL_MU = 2000.0
+_QL_K = 25
+
+
+def q_dirichlet_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.dirichlet_lm_topk: Dirichlet query-likelihood
+    (Zhai & Lafferty 2001) top-25 for the same 3-term query bm25_search
+    runs — the LM-vs-BM25 ranker pair on one corpus. Query-literal filter
+    inside the scan; collection stats are one scalar + a |Q|-row
+    broadcast; rank-after-top-k."""
+    return _search.dirichlet_lm_topk(_docs(spark, sf), _QL_QUERY,
+                                     mu=_QL_MU, k=_QL_K)
+
+
+def _dirichlet_lm_sql() -> str:
+    return _search.dirichlet_lm_sql(_TOK_SQL, _QL_QUERY, mu=_QL_MU, k=_QL_K)
+
+
+def queries24():
+    return {
+        "bpe_pairs": q_bpe_pairs,
+        "zipf_slope": q_zipf_slope,
+        "ip_politeness": q_ip_politeness,
+        "dirichlet_lm": q_dirichlet_lm,
+    }
+
+
+def oracle_sql24():
+    return {
+        "bpe_pairs": _bpe_pairs_sql(),
+        "zipf_slope": _zipf_slope_sql(),
+        "ip_politeness": _ip_politeness_sql(),
+        "dirichlet_lm": _dirichlet_lm_sql(),
+    }

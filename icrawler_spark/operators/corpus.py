@@ -518,3 +518,77 @@ def weighted_sample(
             .select(F.col("grp").alias(group_col), F.col("id").alias(id_col),
                     "weight", F.round("__key", 6).alias("sample_key"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_r: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice: least-squares slope of
+    ln(freq) on ln(rank) over the top ``top_r`` terms — the standard
+    corpus-health diagnostic (natural text sits near slope −1; boilerplate
+    and spam flatten or steepen it; Piantadosi 2014 reviews the law).
+    Complements ``vocab_growth``'s Heaps-law curve with the rank-frequency
+    exponent.
+
+    Returns (group, n_terms, slope, intercept), both coefficients from the
+    closed-form normal equations, rounded to 4. One (group, term) count
+    shuffle; the rank window is per-group over that group's distinct terms
+    (bounded by vocabulary, not corpus size); the regression is a 5-scalar
+    aggregate over ≤ top_r rows per group.
+    """
+    toks = docs.select(F.col(group_col).alias("grp"),
+                       tokens_col(text_col).alias("__toks"))
+    terms = (toks.select("grp", F.explode("__toks").alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("grp", "term").agg(F.count("*").alias("freq")))
+    w = Window.partitionBy("grp").orderBy(F.col("freq").desc(),
+                                          F.col("term").asc())
+    ranked = (terms.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_r))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+         .alias("intercept"))
+
+
+def zipf_fit_sql(tok_sql: str, group_col: str = "source",
+                 top_r: int = 200) -> str:
+    """DuckDB mirror of :func:`zipf_fit` over ``documents``."""
+    return f"""
+WITH terms AS (
+  SELECT grp, term, count(*) AS freq
+  FROM (SELECT {group_col} AS grp, unnest({tok_sql}) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, freq,
+    row_number() OVER (PARTITION BY grp ORDER BY freq DESC, term ASC) AS r
+  FROM terms QUALIFY r <= {top_r}
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+    sum(ln(CAST(r AS DOUBLE))) AS sx,
+    sum(ln(CAST(freq AS DOUBLE))) AS sy,
+    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n_terms,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+    AS intercept
+FROM agg
+"""

@@ -557,3 +557,66 @@ def dedup_line_spans(
                     (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
                      .alias("n_removed"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic a BPE/WordPiece
+    trainer computes for its very first merge round (Sennrich et al. 2016).
+    A tokenizer built ON the corpus being packed is standard practice for
+    LLM data pipelines; this is the corpus-side half of that loop.
+
+    Returns the top-k pairs as (left, right, n_pairs, rank), rank ordered
+    by (count desc, pair asc). The pair stream is built with array
+    expressions over a PRE-PROJECTED token column (never the inlined
+    tokenize chain — the CollapseProject re-evaluation trap, BASELINE.md
+    session-6), so pair explosion stays in the scan stage; the only
+    shuffle is the (left,right) count, and top-k is
+    TakeOrderedAndProject then rank-within-k.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("t"))
+    pairs = (F.when(
+        F.size("t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i),
+                                          F.element_at(F.col("t"), i + 1))))
+        .otherwise(F.array().cast("array<string>")))
+    cnt = (toks.select(F.explode(pairs).alias("pair"))
+           .groupBy("pair").agg(F.count("*").alias("n_pairs")))
+    topk = (cnt.orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.substring_index("pair", " ", 1).alias("left"),
+                    F.substring_index("pair", " ", -1).alias("right"),
+                    "n_pairs", "rank"))
+
+
+def bpe_pair_stats_sql(tok_sql: str, k: int = 20) -> str:
+    """DuckDB mirror of :func:`bpe_pair_stats` over ``documents``."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter({tok_sql}, x -> x <> '') AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (SELECT pair, count(*) AS n_pairs FROM pairs GROUP BY 1),
+topk AS (
+  SELECT pair, n_pairs,
+    CAST(row_number() OVER (ORDER BY n_pairs DESC, pair ASC) AS BIGINT)
+      AS rank
+  FROM cnt QUALIFY rank <= {k}
+)
+SELECT split_part(pair, ' ', 1) AS "left",
+       split_part(pair, ' ', 2) AS "right", n_pairs, rank
+FROM topk
+"""

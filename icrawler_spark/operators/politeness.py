@@ -345,3 +345,67 @@ def adaptive_delay(
         F.least(F.lit(max_delay_ms),
                 F.greatest(F.lit(min_delay_ms),
                            F.col("p_rtt_ms") * factor)).alias("delay_ms"))
+
+
+def ip_consolidation(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    n_ips: int = 64,
+    co_host_threshold: int = 2,
+) -> DataFrame:
+    """IP-level politeness consolidation — the second politeness axis next
+    to the eTLD+1 grouping (``politeness_etld1``): virtual hosts sharing a
+    server must share ONE fetch budget or the crawler hammers the box with
+    per-host-legal traffic (Heritrix's ip-based queue assignment; Mercator
+    §4.3). The resolver here is a deterministic md5 bucket standing in for
+    a DNS table — a production cluster joins its resolver cache instead
+    (same plan shape: broadcast host→ip map).
+
+    Per host: (host, ip, n_hosts_on_ip, n_urls_ip, host_rate_share,
+    co_hosted) where host_rate_share = 1/n_hosts_on_ip is the fraction of
+    the IP's token-bucket rate this host may use. ONE groupBy(ip) over the
+    per-host counts (which are themselves one groupBy(host) — bounded by
+    |hosts|, not |urls|), broadcast back. Integer + one rounded division.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    per_host = (frontier.groupBy(F.col(host_col).alias("host"))
+                .agg(F.count(url_col).alias("n_urls")))
+    hosts = per_host.withColumn(
+        "ip", F.concat(F.lit("ip"),
+                       (_md5_int("host", 1, 8) % n_ips).cast("string")))
+    per_ip = hosts.groupBy("ip").agg(
+        F.count("*").alias("n_hosts_on_ip"),
+        F.sum("n_urls").alias("n_urls_ip"))
+    return (hosts.join(F.broadcast(per_ip), "ip")
+            .select("host", "ip", "n_hosts_on_ip", "n_urls_ip",
+                    F.round(F.lit(1.0) / F.col("n_hosts_on_ip"), 6)
+                     .alias("host_rate_share"),
+                    (F.col("n_hosts_on_ip") >= co_host_threshold)
+                    .alias("co_hosted")))
+
+
+def ip_consolidation_sql(frontier_sql: str, n_ips: int = 64,
+                         co_host_threshold: int = 2) -> str:
+    """DuckDB replay of :func:`ip_consolidation` over a (host, url)
+    SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    ip = md5_int_sql("host", 1, 8)
+    return f"""
+WITH per_host AS (
+  SELECT host, count(url) AS n_urls FROM ({frontier_sql}) GROUP BY 1
+),
+hosts AS (
+  SELECT host, n_urls, 'ip' || (({ip}) % {n_ips}) AS ip FROM per_host
+),
+per_ip AS (
+  SELECT ip, count(*) AS n_hosts_on_ip, sum(n_urls) AS n_urls_ip
+  FROM hosts GROUP BY 1
+)
+SELECT host, ip, n_hosts_on_ip, n_urls_ip,
+  round(1.0 / n_hosts_on_ip, 6) AS host_rate_share,
+  n_hosts_on_ip >= {co_host_threshold} AS co_hosted
+FROM hosts JOIN per_ip USING (ip)
+"""

@@ -377,3 +377,99 @@ def bm25f_topk(
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select(F.col("doc").alias(id_col), "n_hits", "score", "rank"))
+
+
+def dirichlet_lm_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under the Dirichlet-smoothed query-likelihood model
+    (Zhai & Lafferty, SIGIR 2001) — the language-modeling counterpart to
+    BM25, completing the repo's classic-ranker pair.
+
+    score(d) = Σ_{q matched} ln(1 + tf_q / (mu·p_q)) + |Q|·ln(mu/(|d|+mu)),
+    p_q = cf_q / C (collection term frequency over total collection
+    length). The per-document constant log-prior folds into one term, so
+    docs only need rows for matched terms — the rank-equivalent
+    decomposition every LM retrieval engine uses. Scores round to 4 BEFORE
+    ranking (cross-engine-stable boundaries); ties break on doc id.
+
+    Scale shape mirrors :func:`bm25_topk`: the query-literal isin filter
+    runs inside the scan, so the scoring shuffle is (matched docs × |Q|)-
+    sized; C is one driver scalar; cf is a |Q|-row broadcast; top-k is
+    TakeOrderedAndProject then rank-within-k. Only docs with ≥1 hit are
+    returned (zero-hit docs share one constant score — uninteresting).
+
+    Returns (doc_id, n_hits, score, rank) with rank 1..k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+    n_q = len(terms)
+
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("__toks"))
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    c_total = dl.agg(F.sum("dl")).collect()[0][0]
+    if not c_total:
+        raise ValueError("empty corpus")
+
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
+    p_q = F.col("cf") / F.lit(float(c_total))
+    part = F.log(F.lit(1.0) + F.col("tf") / (F.lit(mu) * p_q))
+    prior = F.lit(float(n_q)) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+    scored = (hits.join(F.broadcast(cf), "term").join(dl, "doc")
+              .groupBy("doc", "dl").agg(
+                  F.count("*").cast("long").alias("n_hits"),
+                  F.sum(part).alias("__s"))
+              .select("doc", "n_hits",
+                      F.round(F.col("__s") + prior, 4).alias("score")))
+    topk = (scored.withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("doc").alias(id_col), "n_hits", "score", "rank"))
+
+
+def dirichlet_lm_sql(tok_sql: str, query_terms: list[str],
+                     mu: float = 2000.0, k: int = 10) -> str:
+    """DuckDB mirror of :func:`dirichlet_lm_topk` over ``documents``."""
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    n_q = len(terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS toks FROM documents
+),
+dl AS (SELECT doc, len(list_filter(toks, x -> length(x) > 0)) AS dl FROM base),
+st AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_total FROM dl),
+hits AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+cf AS (SELECT term, sum(tf) AS cf FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc,
+    CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum(ln(1 + h.tf / ({mu} * (c.cf / st.c_total))))
+          + {float(n_q)} * ln({mu} / (dl.dl + {mu})), 4) AS score
+  FROM hits h JOIN cf c USING (term) JOIN dl ON dl.doc = h.doc
+  CROSS JOIN st
+  GROUP BY h.doc, dl.dl
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -1,0 +1,147 @@
+"""Unit tests for the round-24 pack: BPE pair stats, Zipf fit, IP-level
+politeness consolidation, Dirichlet query-likelihood retrieval."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from icrawler_spark.operators.corpus import zipf_fit
+from icrawler_spark.operators.curation import bpe_pair_stats
+from icrawler_spark.operators.politeness import ip_consolidation
+from icrawler_spark.operators.search import dirichlet_lm_topk
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_stats
+# ---------------------------------------------------------------------------
+
+def test_bpe_pairs_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string")
+    out = bpe_pair_stats(df, k=10).collect()
+    ranked = [(r["left"], r["right"], r["n_pairs"], r["rank"]) for r in out]
+    # "a b": 3 (doc1) + 1 (doc2) = 4; "b a": 2; "b c": 1. Single-token doc
+    # contributes nothing.
+    assert ranked[0] == ("a", "b", 4, 1)
+    assert ranked[1] == ("b", "a", 2, 2)
+    assert ranked[2] == ("b", "c", 1, 3)
+    assert len(ranked) == 3
+
+
+def test_bpe_pairs_ties_break_lexicographically(spark):
+    df = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
+    out = bpe_pair_stats(df, k=10).collect()
+    # all three pairs have count 1 -> rank by pair string ascending
+    assert [(r["left"], r["right"], r["rank"]) for r in out] == [
+        ("x", "w", 1), ("y", "x", 2), ("z", "y", 3)]
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_exact_power_law_recovers_slope(spark):
+    # Corpus whose rank-frequency table is exactly f(r) = 60/r for ranks
+    # 1..6 (60, 30, 20, 15, 12, 10): ln f = ln 60 - 1·ln r, so the fit
+    # must recover slope -1 and intercept ln 60 exactly (within rounding).
+    words = []
+    for i, f_ in enumerate([60, 30, 20, 15, 12, 10]):
+        words += [f"w{i}"] * f_
+    df = spark.createDataFrame([(1, " ".join(words), "s")],
+                               "doc_id long, text string, source string")
+    row = zipf_fit(df, top_r=10).collect()[0]
+    assert row["source"] == "s" and row["n_terms"] == 6
+    assert abs(row["slope"] - (-1.0)) < 1e-3
+    assert abs(row["intercept"] - math.log(60)) < 1e-3
+
+
+def test_zipf_per_group_and_top_r(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "s1"), (2, "x y", "s2")],
+        "doc_id long, text string, source string")
+    out = _rows(zipf_fit(df, top_r=2), "source")
+    assert out["s1"]["n_terms"] == 2        # top_r truncates c
+    assert out["s2"]["n_terms"] == 2
+    # s2: both freq 1 -> flat line, slope 0
+    assert out["s2"]["slope"] == 0.0 and out["s2"]["intercept"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ip_consolidation
+# ---------------------------------------------------------------------------
+
+def test_ip_consolidation_shares_and_flags(spark):
+    hosts = [f"h{i}.test" for i in range(40)]
+    df = spark.createDataFrame(
+        [(h, f"http://{h}/p/{j}") for h in hosts for j in range(3)],
+        "host string, url string")
+    out = ip_consolidation(df, n_ips=8)
+    rows = out.collect()
+    assert len(rows) == 40                       # one row per host
+    by_ip = {}
+    for r in rows:
+        by_ip.setdefault(r["ip"], []).append(r)
+    for ip, grp in by_ip.items():
+        n = grp[0]["n_hosts_on_ip"]
+        assert len(grp) == n                     # consistent grouping
+        for r in grp:
+            assert r["n_urls_ip"] == 3 * n
+            assert r["host_rate_share"] == round(1.0 / n, 6)
+            assert r["co_hosted"] == (n >= 2)
+    # shares on each IP sum to ~1: the whole IP budget is allocated
+    for grp in by_ip.values():
+        assert abs(sum(r["host_rate_share"] for r in grp) - 1.0) < 1e-4
+
+
+def test_ip_consolidation_deterministic(spark):
+    df = spark.createDataFrame([("a.test", "u1"), ("a.test", "u2")],
+                               "host string, url string")
+    r1 = ip_consolidation(df).collect()[0]
+    r2 = ip_consolidation(df).collect()[0]
+    assert r1["ip"] == r2["ip"] and r1["n_urls_ip"] == 2
+
+
+# ---------------------------------------------------------------------------
+# dirichlet_lm_topk
+# ---------------------------------------------------------------------------
+
+def test_dirichlet_scores_match_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "durian only")],
+        "doc_id long, text string")
+    mu = 10.0
+    out = _rows(dirichlet_lm_topk(df, ["apple", "banana"], mu=mu, k=10),
+                "doc_id")
+    c_total = 7                     # total tokens
+    cf = {"apple": 3, "banana": 1}
+    def score(tfs, dl):
+        s = sum(math.log(1 + tf / (mu * cf[t] / c_total))
+                for t, tf in tfs.items())
+        return round(s + 2 * math.log(mu / (dl + mu)), 4)
+    assert out[1]["score"] == score({"apple": 2, "banana": 1}, 3)
+    assert out[2]["score"] == score({"apple": 1}, 2)
+    assert 3 not in out                          # zero hits filtered
+    assert out[1]["rank"] == 1 and out[1]["n_hits"] == 2
+
+
+def test_dirichlet_longer_doc_penalized_on_prior(spark):
+    # same tf, longer doc -> lower score (the Dirichlet length prior)
+    df = spark.createDataFrame(
+        [(1, "q pad"), (2, "q pad pad pad pad pad pad")],
+        "doc_id long, text string")
+    out = _rows(dirichlet_lm_topk(df, ["q"], mu=5.0, k=10), "doc_id")
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["rank"] == 1
+
+
+def test_dirichlet_rejects_empty_query(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dirichlet_lm_topk(df, [])
