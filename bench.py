@@ -225,6 +225,8 @@ _EXTRA_PICKS = [
     "hll_distinct", "cms_heavy", "winnow_fp",
     # round-3 batch-18 (tokenizer prep + corpus diagnostics + IP politeness)
     "bpe_pairs", "zipf_slope", "ip_politeness", "dirichlet_lm",
+    # round-3 batch-19 (rank fusion + entropy gate + frontier reach)
+    "rrf_fusion", "char_entropy", "host_reach",
 ]
 
 

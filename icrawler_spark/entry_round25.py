@@ -1,0 +1,97 @@
+"""Round-3 driver-contract queries (batch 19): reciprocal-rank fusion over
+the BM25/Dirichlet ranker pair, character-entropy quality gating, and
+two-hop frontier reach.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.entry_round11 import (_BM25_K, _BM25_QUERY, _TOK_SQL,
+                                          _docs)
+from icrawler_spark.entry_round16 import _OPIC_EDGES_SQL, _opic_edges
+from icrawler_spark.entry_round24 import _QL_K, _QL_MU, _QL_QUERY
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# rrf_fusion — BM25 + Dirichlet-LM combined without score calibration
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_K = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.rrf_fuse: reciprocal-rank fusion (Cormack et al.
+    2009) of the bm25_search and dirichlet_lm rankings for the same
+    query — the calibration-free combiner that makes the repo's ranker
+    family composable. Fusion cost is bounded by the two top-k inputs,
+    never the corpus."""
+    docs = _docs(spark, sf)
+    bm = _search.bm25_topk(docs, _BM25_QUERY, k=_BM25_K)
+    ql = _search.dirichlet_lm_topk(docs, _QL_QUERY, mu=_QL_MU, k=_QL_K)
+    return _search.rrf_fuse([bm.select("doc_id", "rank"),
+                             ql.select("doc_id", "rank")],
+                            c=_RRF_C, k=_RRF_K)
+
+
+def _rrf_fusion_sql() -> str:
+    bm = _search.bm25_sql(_TOK_SQL, _BM25_QUERY, k=_BM25_K)
+    ql = _search.dirichlet_lm_sql(_TOK_SQL, _QL_QUERY, mu=_QL_MU, k=_QL_K)
+    return _search.rrf_sql([bm, ql], c=_RRF_C, k=_RRF_K)
+
+
+# ---------------------------------------------------------------------------
+# char_entropy — gibberish / binary-spill gate
+# ---------------------------------------------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.char_entropy: Shannon entropy (bits) of each
+    document's character distribution over a bounded prefix — the
+    gibberish/base64/keyboard-mash gate beside the C4/Gopher lexical
+    rules. Char explosion stays in the scan stage; one (doc, char)
+    shuffle bounded by |docs|·|alphabet|."""
+    return _curation.char_entropy(_docs(spark, sf))
+
+
+def _char_entropy_sql() -> str:
+    return _curation.char_entropy_sql("SELECT doc_id, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# host_reach — two-hop frontier expansion per host
+# ---------------------------------------------------------------------------
+
+
+def q_host_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.two_hop_reach over the OPIC host graph: distinct
+    1-hop out-neighbors and ≤2-hop reach per host — the "how much web
+    does this seed unlock" planner signal. One edge distinct + one
+    hop-boundary self-equi-join (AQE-splittable on hubs)."""
+    return _graph.two_hop_reach(_opic_edges(spark, sf))
+
+
+def _host_reach_sql() -> str:
+    return _graph.two_hop_reach_sql(_OPIC_EDGES_SQL)
+
+
+def queries25():
+    return {
+        "rrf_fusion": q_rrf_fusion,
+        "char_entropy": q_char_entropy,
+        "host_reach": q_host_reach,
+    }
+
+
+def oracle_sql25():
+    return {
+        "rrf_fusion": _rrf_fusion_sql(),
+        "char_entropy": _char_entropy_sql(),
+        "host_reach": _host_reach_sql(),
+    }

@@ -620,3 +620,96 @@ SELECT split_part(pair, ' ', 1) AS "left",
        split_part(pair, ' ', 2) AS "right", n_pairs, rank
 FROM topk
 """
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 2000,
+    low_threshold: float = 2.0,
+) -> DataFrame:
+    """Shannon entropy of the character distribution — the gibberish /
+    binary-spill / keyboard-mash gate quality classifiers use alongside
+    the C4/Gopher lexical rules (in bits/char: natural language sits near
+    4; repeated-character spam and base64 blobs fall outside a band).
+
+    Entropy is computed over the first ``max_chars`` characters of the
+    lower-cased text (a fixed prefix bounds per-row work at 100 TB — a
+    quality gate needs a sample, not the whole document). Per doc:
+    (doc_id, n_chars_used, n_distinct_chars, entropy, low_entropy).
+
+    Scale shape: the char stream explodes inside the scan stage (array
+    expression over a pre-projected prefix column), then ONE
+    (doc, char) count shuffle bounded by |docs|·|alphabet|; the entropy
+    sum aggregates ≤ |alphabet| rows per doc. Rounded to 4.
+    """
+    prefix = docs.select(
+        F.col(id_col),
+        F.substring(F.lower(F.col(text_col)), 1, max_chars).alias("__p"))
+    chars = prefix.select(
+        id_col,
+        F.explode(F.when(
+            F.length("__p") > 0,
+            F.transform(F.sequence(F.lit(1), F.length("__p")),
+                        lambda i: F.substring("__p", i, F.lit(1))))
+         .otherwise(F.array().cast("array<string>")))
+        .alias("ch"))
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("n_ch"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("n_ch").alias("n_chars_used"),
+        F.count("*").alias("n_distinct_chars"))
+    p = F.col("n_ch") / F.col("n_chars_used")
+    ent = (counts.join(totals, id_col)
+           .groupBy(id_col, "n_chars_used", "n_distinct_chars")
+           .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy")))
+    empty = (prefix.filter(F.length("__p") == 0)
+             .select(id_col, F.lit(0).cast("long").alias("n_chars_used"),
+                     F.lit(0).cast("long").alias("n_distinct_chars"),
+                     F.lit(0.0).alias("entropy")))
+    out = ent.select(id_col, F.col("n_chars_used").cast("long"),
+                     F.col("n_distinct_chars").cast("long"), "entropy") \
+        .unionByName(empty)
+    return out.withColumn("low_entropy",
+                          F.col("entropy") < F.lit(low_threshold))
+
+
+def char_entropy_sql(docs_sql: str, id_col: str = "doc_id",
+                     max_chars: int = 2000,
+                     low_threshold: float = 2.0) -> str:
+    """DuckDB mirror of :func:`char_entropy` over a (id, text) SELECT."""
+    return f"""
+WITH prefix AS (
+  SELECT {id_col}, substr(lower(text), 1, {max_chars}) AS p
+  FROM ({docs_sql})
+),
+chars AS (
+  SELECT {id_col},
+    unnest(list_transform(range(1, length(p) + 1), i -> substr(p, i, 1)))
+      AS ch
+  FROM prefix WHERE length(p) > 0
+),
+counts AS (SELECT {id_col}, ch, count(*) AS n_ch FROM chars GROUP BY 1, 2),
+totals AS (
+  SELECT {id_col}, sum(n_ch) AS n_chars_used,
+         count(*) AS n_distinct_chars
+  FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT c.{id_col}, t.n_chars_used, t.n_distinct_chars,
+    round(-sum((c.n_ch / CAST(t.n_chars_used AS DOUBLE))
+               * log2(c.n_ch / CAST(t.n_chars_used AS DOUBLE))), 4)
+      AS entropy
+  FROM counts c JOIN totals t USING ({id_col})
+  GROUP BY 1, 2, 3
+),
+unioned AS (
+  SELECT {id_col}, CAST(n_chars_used AS BIGINT) AS n_chars_used,
+         CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars, entropy
+  FROM ent
+  UNION ALL
+  SELECT {id_col}, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+  FROM prefix WHERE length(p) = 0
+)
+SELECT *, entropy < {low_threshold} AS low_entropy FROM unioned
+"""

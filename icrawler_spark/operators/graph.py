@@ -372,3 +372,45 @@ r{i + 1} AS (
     parts.append(f"""
 SELECT node, round(rank, 6) AS trust FROM r{n_iters}""")
     return "".join(parts)
+
+
+def two_hop_reach(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Frontier-expansion estimate per host: distinct out-neighbors at one
+    hop and distinct nodes reachable within two hops (self excluded) —
+    what a crawl planner consults before opening a new host's queue
+    ("how much web does this seed unlock?"). Nutch/Heritrix surface the
+    same signal as outlink-frontier projections.
+
+    Scale shape: ONE distinct over the edge list, one self-equi-join on
+    the hop boundary (dst=src — the standard SpGEMM shape; skew on hub
+    nodes is AQE-splittable because it is an equi-join, never a window),
+    and distinct-count aggregates. Returns (node, n_out, n_reach2).
+    """
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    hop2 = (e.alias("a")
+            .join(e.alias("b"), F.col("a.d") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
+            .where(F.col("s") != F.col("d")))
+    reach = e.unionByName(hop2).distinct()
+    n_out = e.groupBy("s").agg(F.count_distinct("d").alias("n_out"))
+    n_r2 = reach.groupBy("s").agg(F.count_distinct("d").alias("n_reach2"))
+    return (n_out.join(n_r2, "s")
+            .select(F.col("s").alias("node"), "n_out", "n_reach2"))
+
+
+def two_hop_reach_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`two_hop_reach` over a (src, dst) SELECT."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src AS s, dst AS d FROM ({edges_sql}) WHERE src <> dst
+),
+hop2 AS (
+  SELECT a.s, b.d FROM e a JOIN e b ON a.d = b.s WHERE a.s <> b.d
+),
+reach AS (SELECT s, d FROM e UNION SELECT s, d FROM hop2),
+n_out AS (SELECT s, count(DISTINCT d) AS n_out FROM e GROUP BY 1),
+n_r2 AS (SELECT s, count(DISTINCT d) AS n_reach2 FROM reach GROUP BY 1)
+SELECT s AS node, n_out, n_reach2 FROM n_out JOIN n_r2 USING (s)
+"""

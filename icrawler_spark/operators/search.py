@@ -473,3 +473,65 @@ SELECT doc AS doc_id, n_hits, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    the standard score-free way to combine heterogeneous rankers (BM25 +
+    LM + link prior): score(d) = Σ_lists 1/(c + rank_d), documents missing
+    from a list contribute nothing. RRF needs only ranks, so it composes
+    any of the repo's retrieval surfaces without score calibration.
+
+    Each input must expose (id_col, rank). Scale shape: a union of the
+    (already tiny, top-k-sized) per-ranker outputs, one groupBy(id), then
+    rank-after-top-k — the fusion cost is bounded by Σ input sizes, never
+    the corpus. Scores round to 6 BEFORE ranking; ties break on id.
+
+    Returns (id_col, n_lists, score, rank) with rank 1..k.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [r.select(F.col(id_col).alias("doc"),
+                      (F.lit(1.0) / (F.lit(float(c)) + F.col("rank")))
+                      .alias("part")) for r in rankings]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    scored = unioned.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.round(F.sum("part"), 6).alias("score"))
+    topk = (scored.withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("doc").alias(id_col), "n_lists", "score", "rank"))
+
+
+def rrf_sql(ranking_sqls: list[str], id_col: str = "doc_id",
+            c: int = 60, k: int = 10) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`; each input SQL must select
+    (id_col, rank) — full statements (own WITH clauses) are fine, they
+    nest as parenthesized subqueries."""
+    unions = "\n  UNION ALL\n".join(
+        f"SELECT {id_col} AS doc, 1.0 / ({float(c)} + rank) AS part"
+        f" FROM ({sql})" for sql in ranking_sqls)
+    return f"""
+WITH parts AS (
+{unions}
+),
+scored AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS n_lists,
+         round(sum(part), 6) AS score
+  FROM parts GROUP BY 1
+)
+SELECT doc AS {id_col}, n_lists, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

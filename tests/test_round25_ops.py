@@ -1,0 +1,99 @@
+"""Unit tests for the round-25 pack: RRF fusion, character entropy,
+two-hop reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from icrawler_spark.operators.curation import char_entropy
+from icrawler_spark.operators.graph import two_hop_reach
+from icrawler_spark.operators.search import rrf_fuse
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+def test_rrf_scores_and_missing_docs(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank long")
+    out = _rows(rrf_fuse([a, b], c=60, k=10), "doc_id")
+    assert out[1]["score"] == round(1 / 61 + 1 / 62, 6)
+    assert out[3]["score"] == round(1 / 63 + 1 / 61, 6)
+    assert out[2]["score"] == round(1 / 62, 6)          # in one list only
+    assert out[2]["n_lists"] == 1 and out[1]["n_lists"] == 2
+    # doc1 (0.02752) > doc3 (0.02726) > doc2
+    assert [out[d]["rank"] for d in (1, 3, 2)] == [1, 2, 3]
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    a = spark.createDataFrame([(10, 1), (11, 1)], "doc_id long, rank long")
+    out = rrf_fuse([a.filter("doc_id=10"), a.filter("doc_id=11")], k=1)
+    row = out.collect()[0]
+    assert row["doc_id"] == 10 and row["rank"] == 1      # tie -> lower id
+
+
+def test_rrf_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, ""), (3, "zzzz"), (4, "AbCd")],
+        "doc_id long, text string")
+    out = _rows(char_entropy(df), "doc_id")
+    assert out[1]["entropy"] == 1.0                     # two symbols, 50/50
+    assert out[1]["n_distinct_chars"] == 2
+    assert out[2]["entropy"] == 0.0 and out[2]["n_chars_used"] == 0
+    assert out[3]["entropy"] == 0.0 and out[3]["low_entropy"]
+    assert out[4]["entropy"] == 2.0                     # 4 uniform symbols
+    assert not out[4]["low_entropy"]                    # 2.0 < threshold is strict
+
+
+def test_char_entropy_prefix_cap_and_case(spark):
+    df = spark.createDataFrame([(1, "AB" * 50)], "doc_id long, text string")
+    out = char_entropy(df, max_chars=10).collect()[0]
+    assert out["n_chars_used"] == 10                    # capped
+    assert out["entropy"] == 1.0                        # lower-cased a/b
+
+
+def test_char_entropy_natural_text_band(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    row = char_entropy(df).collect()[0]
+    assert 3.5 < row["entropy"] < 4.6 and not row["low_entropy"]
+
+
+# ---------------------------------------------------------------------------
+# two_hop_reach
+# ---------------------------------------------------------------------------
+
+def test_two_hop_reach_chain_and_cycle(spark):
+    # 1->2->3->4 plus 4->1 (cycle) and a self-loop 2->2 (ignored)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 2), (1, 2)],  # dup edge too
+        "src long, dst long")
+    out = _rows(two_hop_reach(e), "node")
+    assert out[1]["n_out"] == 1 and out[1]["n_reach2"] == 2   # {2, 3}
+    assert out[2]["n_out"] == 1 and out[2]["n_reach2"] == 2   # {3, 4}
+    assert out[3]["n_out"] == 1 and out[3]["n_reach2"] == 2   # {4, 1}
+    assert out[4]["n_out"] == 1 and out[4]["n_reach2"] == 2   # {1, 2}
+
+
+def test_two_hop_excludes_self_via_cycle(spark):
+    # 1->2, 2->1: node 1 reaches itself in 2 hops — must NOT count itself
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = _rows(two_hop_reach(e), "node")
+    assert out[1]["n_reach2"] == 1 and out[2]["n_reach2"] == 1
