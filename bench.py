@@ -227,6 +227,8 @@ _EXTRA_PICKS = [
     "bpe_pairs", "zipf_slope", "ip_politeness", "dirichlet_lm",
     # round-3 batch-19 (rank fusion + entropy gate + frontier reach)
     "rrf_fusion", "char_entropy", "host_reach",
+    # round-3 batch-20 (backoff LM + skew report + feed autodiscovery)
+    "stupid_backoff", "host_skew", "feed_discovery",
 ]
 
 

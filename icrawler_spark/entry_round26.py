@@ -1,0 +1,160 @@
+"""Round-3 driver-contract queries (batch 20): Stupid-Backoff trigram LM
+scoring, frontier skew diagnostics, RSS/Atom feed autodiscovery.
+
+Fixtures derive deterministically from events/documents; the feed-page
+HTML is built from shared Python template constants so the Spark
+expression and the DuckDB CASE cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import sitemap as _sitemap
+
+# ---------------------------------------------------------------------------
+# stupid_backoff — web-scale trigram LM perplexity (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+_SB_PRED_SQL = "doc_id % 2 = 0"
+
+
+def q_stupid_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.stupid_backoff_nll: trigram Stupid Backoff —
+    the count-ratio LM built FOR distributed estimation (no normalized
+    discounting). The LM estimates from even doc_ids and scores all docs,
+    so the held-out half exercises every backoff tier; n_tri_hit /
+    n_big_hit expose the tier mix."""
+    return _curation.stupid_backoff_nll(
+        _docs(spark, sf), lm_filter=F.col("doc_id") % 2 == 0)
+
+
+def _stupid_backoff_sql() -> str:
+    return _curation.stupid_backoff_sql(_TOK_SQL, _SB_PRED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# host_skew — Gini + top-share frontier diagnostics
+# ---------------------------------------------------------------------------
+
+_SKEW_MEGA = 3
+_SKEW_TAIL = 500
+
+
+def _skew_frontier(spark, sf) -> DataFrame:
+    """Skewed frontier: 3 mega-hosts carry half the URLs; 500 tail hosts
+    share the rest — the hot-domain shape salting exists for."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    e = F.col("event_id")
+    host = (F.when(e % 2 == 0,
+                   F.concat(F.lit("mega"), (e % _SKEW_MEGA).cast("string")))
+            .otherwise(F.concat(F.lit("h"),
+                                (e % _SKEW_TAIL).cast("string"))))
+    return ev.select(host.alias("host"),
+                     F.concat(F.lit("http://x.test/"),
+                              e.cast("string")).alias("url"))
+
+
+_SKEW_FRONTIER_SQL = f"""
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'mega' || (event_id % {_SKEW_MEGA})
+              ELSE 'h' || (event_id % {_SKEW_TAIL}) END AS host,
+         'http://x.test/' || event_id AS url
+  FROM events
+"""
+
+
+def q_host_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_skew_report: one-row Gini + top-1%/10%
+    share report — the scheduler's salting/batch-cap dial. Global host
+    rank via the two-phase ranker (never a single-task window); all
+    post-groupBy work is bounded by |hosts|."""
+    return _politeness.host_skew_report(_skew_frontier(spark, sf))
+
+
+def _host_skew_sql() -> str:
+    return _politeness.host_skew_report_sql(_SKEW_FRONTIER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# feed_discovery — RSS/Atom autodiscovery
+# ---------------------------------------------------------------------------
+
+# shared HTML templates ('{}' takes doc_id % 40) — both engines build the
+# page from these exact strings
+_FEED_RSS = ('<link rel="alternate" type="application/rss+xml" '
+             'href="http://h{}.test/feed.xml">')
+_FEED_ATOM = ('<link rel="alternate" type="application/atom+xml" '
+              'href="http://h{}.test/atom.xml">')
+_FEED_ALT_NOTYPE = '<link rel="alternate" href="http://h{}.test/alt.html">'
+_FEED_CSS = '<link rel="stylesheet" href="/s.css">'
+_FEED_PRE = "<html><head>"
+_FEED_POST = "</head><body>ok</body></html>"
+
+
+def _tmpl_spark(tmpl: str) -> "F.Column":
+    pre, post = tmpl.split("{}")
+    return F.concat(F.lit(pre), (F.col("doc_id") % 40).cast("string"),
+                    F.lit(post))
+
+
+def _tmpl_sql(tmpl: str) -> str:
+    pre, post = tmpl.split("{}")
+    return f"'{pre}' || (doc_id % 40) || '{post}'"
+
+
+def _feed_pages(spark, sf) -> DataFrame:
+    d = F.col("doc_id") % 5
+    body = (F.when(d == 0, _tmpl_spark(_FEED_RSS))
+            .when(d == 1, F.concat(_tmpl_spark(_FEED_ATOM),
+                                   _tmpl_spark(_FEED_RSS)))
+            .when(d == 2, F.concat(_tmpl_spark(_FEED_ALT_NOTYPE),
+                                   F.lit(_FEED_CSS)))
+            .when(d == 3, F.lit(_FEED_CSS))
+            .otherwise(F.lit("")))
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit(_FEED_PRE), body, F.lit(_FEED_POST)).alias("html"))
+
+
+def _feed_pages_sql() -> str:
+    return f"""
+  SELECT doc_id, '{_FEED_PRE}' || CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN {_tmpl_sql(_FEED_RSS)}
+      WHEN 1 THEN {_tmpl_sql(_FEED_ATOM)} || {_tmpl_sql(_FEED_RSS)}
+      WHEN 2 THEN {_tmpl_sql(_FEED_ALT_NOTYPE)} || '{_FEED_CSS}'
+      WHEN 3 THEN '{_FEED_CSS}'
+      ELSE '' END || '{_FEED_POST}' AS html
+  FROM documents
+"""
+
+
+def q_feed_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.feed_discovery: `<link rel="alternate">` RSS/Atom
+    autodiscovery over synthesized heads — feeds are the cheapest recrawl
+    signal a host offers. Pure scan-stage regexps; untyped alternates and
+    stylesheets are ignored; document order preserved per page."""
+    return _sitemap.feed_discovery(_feed_pages(spark, sf), id_col="doc_id")
+
+
+def _feed_discovery_sql() -> str:
+    return _sitemap.feed_discovery_sql(_feed_pages_sql(), id_col="doc_id")
+
+
+def queries26():
+    return {
+        "stupid_backoff": q_stupid_backoff,
+        "host_skew": q_host_skew,
+        "feed_discovery": q_feed_discovery,
+    }
+
+
+def oracle_sql26():
+    return {
+        "stupid_backoff": _stupid_backoff_sql(),
+        "host_skew": _host_skew_sql(),
+        "feed_discovery": _feed_discovery_sql(),
+    }

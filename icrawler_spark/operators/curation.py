@@ -713,3 +713,179 @@ unioned AS (
 )
 SELECT *, entropy < {low_threshold} AS low_entropy FROM unioned
 """
+
+
+def stupid_backoff_nll(
+    df: DataFrame,
+    lm_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    k_uni: float = 0.5,
+) -> DataFrame:
+    """Per-document mean -ln S(w3|w1,w2) under a Stupid-Backoff trigram
+    LM (Brants et al., EMNLP 2007 — THE web-scale distributed LM: no
+    normalized discounting, just count ratios and a fixed backoff factor,
+    chosen precisely because it reduces to groupBy counts at corpus
+    scale):
+
+        S(w3|w1w2) = c3/c2(w1w2)                 if c3 > 0
+                   = α · c2(w2w3)/c1(w2)          elif c2(w2w3) > 0
+                   = α² · (c1(w3)+k)/(C + k·(V+1))  otherwise (add-k
+                     unigram floor so OOV tokens score finite)
+
+    The LM estimates from the rows selected by ``lm_filter`` (a boolean
+    Column over ``df``) and scores ALL rows — holding half the corpus out
+    exercises every backoff tier, which is also how perplexity is
+    properly reported. Returns (id, n_trigrams, n_tri_hit, n_big_hit,
+    mean_nll) for docs with ≥3 tokens; mean_nll = Σ n·nll / Σ n rounded
+    to 6 (positive-term sums — engine-portable).
+
+    Scale shape: token streams reduce FIRST to (doc, trigram) counts —
+    one shuffle keyed on the gram — and every LM table (c3/c2/c1/C/V) is
+    a groupBy over those reduced counts; scoring is a chain of equi-joins
+    on gram keys (AQE-splittable; boilerplate grams are the skew case and
+    they split). Nothing iterates, nothing collects but the single-row
+    (C, V) broadcast.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"),
+                     lm_filter.alias("__lm"))
+    t = F.col("__t")
+    tri = base.where(F.size(t) >= 3).select(
+        "doc", "__lm",
+        F.explode(F.zip_with(
+            F.zip_with(F.slice(t, 1, F.size(t) - 2),
+                       F.slice(t, 2, F.size(t) - 2),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+            F.slice(t, 3, F.size(t) - 2),
+            lambda ab, c: F.concat(ab, F.lit(" "), c))).alias("g"))
+    doc_tri = (tri.groupBy("doc", "__lm", "g").agg(F.count("*").alias("n"))
+               .localCheckpoint(eager=False))
+
+    # LM tables from the reduced counts of the lm_filter half
+    c3 = (doc_tri.where("__lm").groupBy("g").agg(F.sum("n").alias("c3")))
+    big_of = lambda col, i, j: F.concat_ws(  # noqa: E731
+        " ", F.element_at(F.split(col, " "), i),
+        F.element_at(F.split(col, " "), j))
+    c2 = (c3.select(big_of(F.col("g"), 1, 2).alias("b"),
+                    F.col("c3").alias("n"))
+          .groupBy("b").agg(F.sum("n").alias("c2")))
+    # last-token bigrams need w2 w3 counts including sentence-final pairs:
+    # derive from the doc-level BIGRAM stream of the LM half (trigram
+    # tails miss the final bigram of each doc)
+    bi = base.where(F.col("__lm") & (F.size(t) >= 2)).select(
+        F.explode(F.zip_with(
+            F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b))).alias("b"))
+    c2full = bi.groupBy("b").agg(F.count("*").alias("c2f"))
+    uni = base.where("__lm").select(F.explode(t).alias("w")) \
+        .where(F.length("w") > 0)
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    stats = uni.agg(F.count("*").cast("double").alias("c_total"),
+                    F.count_distinct("w").cast("double").alias("v"))
+
+    g = F.col("g")
+    parts = F.split(g, " ")
+    scored = (doc_tri
+              .join(c3, "g", "left")
+              .withColumn("__ctx", big_of(g, 1, 2))
+              .join(c2.withColumnRenamed("b", "__ctx"), "__ctx", "left")
+              .withColumn("__low", big_of(g, 2, 3))
+              .join(c2full.withColumnRenamed("b", "__low"), "__low", "left")
+              .withColumn("__w2", F.element_at(parts, 2))
+              .join(c1.select(F.col("w").alias("__w2"),
+                              F.col("c1").alias("c1_w2")), "__w2", "left")
+              .withColumn("__w3", F.element_at(parts, 3))
+              .join(c1.select(F.col("w").alias("__w3"),
+                              F.col("c1").alias("c1_w3")), "__w3", "left")
+              .crossJoin(F.broadcast(stats)))
+    a = float(alpha)
+    kk = float(k_uni)
+    p_uni = ((F.coalesce("c1_w3", F.lit(0)) + F.lit(kk))
+             / (F.col("c_total") + F.lit(kk) * (F.col("v") + 1)))
+    tri_hit = F.col("c3").isNotNull()
+    big_hit = F.col("c2f").isNotNull() & F.col("c1_w2").isNotNull()
+    s = (F.when(tri_hit, F.col("c3") / F.col("c2"))
+         .when(big_hit, F.lit(a) * F.col("c2f") / F.col("c1_w2"))
+         .otherwise(F.lit(a * a) * p_uni))
+    return (scored.select("doc", "n", tri_hit.cast("int").alias("th"),
+                          (~tri_hit & big_hit).cast("int").alias("bh"),
+                          (-F.log(s)).alias("nll"))
+            .groupBy("doc").agg(
+                F.sum("n").alias("n_trigrams"),
+                F.sum(F.col("n") * F.col("th")).alias("n_tri_hit"),
+                F.sum(F.col("n") * F.col("bh")).alias("n_big_hit"),
+                F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 6)
+                 .alias("mean_nll"))
+            .select(F.col("doc").alias(id_col), "n_trigrams",
+                    "n_tri_hit", "n_big_hit", "mean_nll"))
+
+
+def stupid_backoff_sql(tok_sql: str, lm_pred: str, alpha: float = 0.4,
+                       k_uni: float = 0.5) -> str:
+    """DuckDB mirror of :func:`stupid_backoff_nll` over ``documents``;
+    ``lm_pred`` is the SQL predicate selecting the LM-estimation half
+    (the Spark twin's ``lm_filter``)."""
+    a = float(alpha)
+    kk = float(k_uni)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS t, ({lm_pred}) AS lm FROM documents
+),
+tri AS (
+  SELECT doc, lm,
+    unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM base WHERE len(t) >= 3
+),
+doc_tri AS (SELECT doc, lm, g, count(*) AS n FROM tri GROUP BY 1, 2, 3),
+c3 AS (SELECT g, sum(n) AS c3 FROM doc_tri WHERE lm GROUP BY 1),
+c2 AS (
+  SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS b,
+         sum(c3) AS c2
+  FROM c3 GROUP BY 1
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS b
+  FROM base WHERE lm AND len(t) >= 2
+),
+c2full AS (SELECT b, count(*) AS c2f FROM bi GROUP BY 1),
+uni AS (
+  SELECT unnest(t) AS w FROM base WHERE lm
+),
+uni_ne AS (SELECT w FROM uni WHERE length(w) > 0),
+c1 AS (SELECT w, count(*) AS c1 FROM uni_ne GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS c_total,
+         CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM uni_ne
+),
+scored AS (
+  SELECT d.doc, d.n,
+    (t3.c3 IS NOT NULL) AS th,
+    (t3.c3 IS NULL AND bf.c2f IS NOT NULL AND u2.c1 IS NOT NULL) AS bh,
+    -ln(CASE
+      WHEN t3.c3 IS NOT NULL THEN t3.c3 / ctx.c2
+      WHEN bf.c2f IS NOT NULL AND u2.c1 IS NOT NULL
+        THEN {a} * bf.c2f / u2.c1
+      ELSE {a * a} * (COALESCE(u3.c1, 0) + {kk})
+           / (st.c_total + {kk} * (st.v + 1))
+    END) AS nll
+  FROM doc_tri d
+  LEFT JOIN c3 t3 USING (g)
+  LEFT JOIN c2 ctx
+    ON ctx.b = split_part(d.g, ' ', 1) || ' ' || split_part(d.g, ' ', 2)
+  LEFT JOIN c2full bf
+    ON bf.b = split_part(d.g, ' ', 2) || ' ' || split_part(d.g, ' ', 3)
+  LEFT JOIN c1 u2 ON u2.w = split_part(d.g, ' ', 2)
+  LEFT JOIN c1 u3 ON u3.w = split_part(d.g, ' ', 3)
+  CROSS JOIN st
+)
+SELECT doc AS doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+  CAST(sum(n * CAST(th AS INT)) AS BIGINT) AS n_tri_hit,
+  CAST(sum(n * CAST(bh AS INT)) AS BIGINT) AS n_big_hit,
+  round(sum(n * nll) / sum(n), 6) AS mean_nll
+FROM scored GROUP BY 1
+"""

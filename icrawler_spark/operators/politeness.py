@@ -409,3 +409,87 @@ SELECT host, ip, n_hosts_on_ip, n_urls_ip,
   n_hosts_on_ip >= {co_host_threshold} AS co_hosted
 FROM hosts JOIN per_ip USING (ip)
 """
+
+
+def host_skew_report(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier skew diagnostics — the one-row report the scheduler
+    consults before choosing salting factors and per-host batch caps:
+    Gini coefficient of the per-host URL distribution plus the traffic
+    share of the top 1% / top 10% of hosts. A Gini near 1 with a fat
+    top-1% share says "hot-domain skew: salt the repartition and cap
+    per-host batches"; near 0 says plain hash partitioning is fine.
+
+    Gini via the rank formula over counts sorted ascending:
+    G = 2·Σ r·x / (n·Σx) − (n+1)/n. The global rank uses the two-phase
+    ``global_row_number`` ranker (range-partition + per-partition offsets),
+    NEVER a single-task Window.orderBy — the host table at 10^8 hosts is
+    exactly the input that would kill a global window. Everything after
+    the one groupBy(host) is bounded by |hosts|. Gini and shares rounded
+    to 6.
+    """
+    from icrawler_spark.operators.budget import global_row_number
+
+    per_host = (frontier.groupBy(F.col(host_col).alias("h"))
+                .agg(F.count(url_col).alias("x")))
+    ranked = global_row_number(per_host, ["x", "h"], "r", start=1)
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("n_urls"),
+        F.sum(F.col("r").cast("double") * F.col("x")).alias("srx"))
+    shares = (ranked.crossJoin(F.broadcast(tot))
+              .select("r", "x", "n_hosts", "n_urls", "srx",
+                      (F.col("r") > F.col("n_hosts")
+                       - F.greatest(F.floor(F.col("n_hosts") / 100),
+                                    F.lit(1))).alias("in_top1"),
+                      (F.col("r") > F.col("n_hosts")
+                       - F.greatest(F.floor(F.col("n_hosts") / 10),
+                                    F.lit(1))).alias("in_top10")))
+    return (shares.groupBy("n_hosts", "n_urls", "srx")
+            .agg(F.sum(F.when(F.col("in_top1"), F.col("x"))
+                       .otherwise(F.lit(0))).alias("__t1"),
+                 F.sum(F.when(F.col("in_top10"), F.col("x"))
+                       .otherwise(F.lit(0))).alias("__t10"))
+            .select(
+                "n_hosts", "n_urls",
+                F.round(2.0 * F.col("srx")
+                        / (F.col("n_hosts") * F.col("n_urls"))
+                        - (F.col("n_hosts") + 1.0) / F.col("n_hosts"), 6)
+                 .alias("gini"),
+                F.round(F.col("__t1") / F.col("n_urls"), 6)
+                 .alias("top1_share"),
+                F.round(F.col("__t10") / F.col("n_urls"), 6)
+                 .alias("top10_share")))
+
+
+def host_skew_report_sql(frontier_sql: str) -> str:
+    """DuckDB replay of :func:`host_skew_report` over a (host, url)
+    SELECT."""
+    return f"""
+WITH per_host AS (
+  SELECT host AS h, count(url) AS x FROM ({frontier_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT h, x, row_number() OVER (ORDER BY x, h) AS r FROM per_host
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(x) AS BIGINT) AS n_urls,
+         sum(CAST(r AS DOUBLE) * x) AS srx
+  FROM ranked
+)
+SELECT n_hosts, n_urls,
+  round(2.0 * srx / (n_hosts * n_urls) - (n_hosts + 1.0) / n_hosts, 6)
+    AS gini,
+  round(sum(CASE WHEN r > n_hosts - greatest(n_hosts // 100, 1)
+                 THEN x ELSE 0 END) / CAST(n_urls AS DOUBLE), 6)
+    AS top1_share,
+  round(sum(CASE WHEN r > n_hosts - greatest(n_hosts // 10, 1)
+                 THEN x ELSE 0 END) / CAST(n_urls AS DOUBLE), 6)
+    AS top10_share
+FROM ranked CROSS JOIN tot
+GROUP BY 1, 2, srx
+"""

@@ -22,7 +22,7 @@ table and this projection fuses into its scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # <loc> of entries under <url> vs <sitemap> parents; sitemaps.org requires
@@ -76,3 +76,76 @@ def frontier_from_sitemaps(entries: DataFrame) -> DataFrame:
                     F.regexp_extract("loc", r"^[a-z]+://([^/]+)", 1).alias("host"),
                     F.to_timestamp("lastmod").alias("lastmod"),
                     "sitemap_url", "pos"))
+
+
+_LINK_TAG_RE = r"<link\b[^>]*>"
+_FEED_TYPE_RE = r'type="application/(rss|atom)\+xml"'
+_HREF_RE = r'href="([^"]*)"'
+_REL_ALT_RE = r'rel="alternate"'
+
+
+def feed_discovery(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """RSS/Atom feed autodiscovery — the `<link rel="alternate"
+    type="application/rss+xml">` convention (RSS autodiscovery spec;
+    Nutch's feed plugin does the same scan). Feeds are the cheapest
+    recrawl signal a host offers: a crawler that discovers them trades
+    page re-fetches for one feed poll.
+
+    Emits (id, feed_url, feed_type) per discovered feed, feed_type in
+    {'rss','atom'}, document order preserved per page via posexplode.
+    Pure JVM regexps fused into the scan — the tag stream never leaves
+    its partition; pages without feeds produce no rows.
+    """
+    # pattern passed as a literal Column, not through F.expr — Spark's SQL
+    # string literals mangle backslash escapes ('\b'), the Python API
+    # does not; DuckDB's plain-SQL strings pass the same bytes to RE2.
+    tags = pages.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col), F.lit(_LINK_TAG_RE), F.lit(0)))
+        .alias("pos", "tag"))
+    is_alt = F.col("tag").rlike(_REL_ALT_RE)
+    ftype = F.regexp_extract("tag", _FEED_TYPE_RE, 1)
+    href = F.regexp_extract("tag", _HREF_RE, 1)
+    return (tags.where(is_alt & (ftype != "") & (href != ""))
+            .select(id_col, href.alias("feed_url"),
+                    ftype.alias("feed_type"), "pos")
+            .withColumn("feed_rank",
+                        F.row_number().over(
+                            Window.partitionBy(id_col).orderBy("pos"))
+                        .cast("long"))
+            .drop("pos"))
+
+
+def feed_discovery_sql(pages_sql: str, id_col: str = "url") -> str:
+    """DuckDB replay of :func:`feed_discovery` over an (id, html)
+    SELECT."""
+    return f"""
+WITH tags AS (
+  SELECT {id_col}, t.tag, t.pos FROM (
+    SELECT {id_col},
+      unnest(regexp_extract_all(html, '{_LINK_TAG_RE}')) AS tag,
+      unnest(range(1, len(regexp_extract_all(html, '{_LINK_TAG_RE}'))
+                      + 1)) AS pos
+    FROM ({pages_sql})
+  ) t
+),
+feeds AS (
+  SELECT {id_col},
+    regexp_extract(tag, '{_HREF_RE}', 1) AS feed_url,
+    regexp_extract(tag, '{_FEED_TYPE_RE}', 1) AS feed_type,
+    pos
+  FROM tags
+  WHERE regexp_matches(tag, '{_REL_ALT_RE}')
+    AND regexp_extract(tag, '{_FEED_TYPE_RE}', 1) <> ''
+    AND regexp_extract(tag, '{_HREF_RE}', 1) <> ''
+)
+SELECT {id_col}, feed_url, feed_type,
+  CAST(row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS BIGINT)
+    AS feed_rank
+FROM feeds
+"""

@@ -1,0 +1,119 @@
+"""Unit tests for the round-26 pack: Stupid-Backoff trigram LM, host skew
+report, feed autodiscovery."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.curation import stupid_backoff_nll
+from icrawler_spark.operators.politeness import host_skew_report
+from icrawler_spark.operators.sitemap import feed_discovery
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# stupid_backoff_nll
+# ---------------------------------------------------------------------------
+
+def test_stupid_backoff_tiers_hand_computed(spark):
+    # LM half = doc 1: "a b c a b c". C=6, V=3.
+    # trigram counts: "a b c":2, "b c a":1, "c a b":1
+    # trigram-context counts: c2("a b")=2, c2("b c")=1, c2("c a")=1
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "c a x")],
+        "doc_id long, text string")
+    out = _rows(stupid_backoff_nll(df, lm_filter=F.col("doc_id") == 1),
+                "doc_id")
+
+    # doc 2: "a b c" -> tier-1 hit, S = 2/2 = 1 (nll 0);
+    # "b c d" -> trigram miss, bigram "c d" unseen, unigram d unseen:
+    # S = 0.16 * 0.5 / (6 + 0.5*4) = 0.01
+    exp2 = round((0.0 + -math.log(0.16 * 0.5 / 8.0)) / 2, 6)
+    assert out[2]["n_trigrams"] == 2
+    assert out[2]["n_tri_hit"] == 1 and out[2]["n_big_hit"] == 0
+    assert out[2]["mean_nll"] == exp2
+
+    # doc 3: "c a x" -> trigram miss, bigram backoff on "a x": unseen;
+    # unigram x unseen -> same floor as above
+    assert out[3]["n_trigrams"] == 1
+    assert out[3]["mean_nll"] == round(-math.log(0.16 * 0.5 / 8.0), 6)
+
+    # doc 1 scores against its own LM: every trigram is a tier-1 hit
+    assert out[1]["n_tri_hit"] == out[1]["n_trigrams"] == 4
+    # "a b c" occurs 2x: S=2/2=1; "b c a": 1/1; "c a b": 1/1 -> nll 0
+    assert out[1]["mean_nll"] == 0.0
+
+
+def test_stupid_backoff_bigram_tier(spark):
+    # LM: "x y z" and "q y z" -> bigram "y z" seen; trigram "a y z" unseen
+    df = spark.createDataFrame(
+        [(2, "x y z w q"), (3, "a y z")], "doc_id long, text string")
+    out = _rows(stupid_backoff_nll(df, lm_filter=F.col("doc_id") == 2),
+                "doc_id")
+    # doc3 "a y z": trigram miss; bigram "y z" c2f=1, c1(y)=1 ->
+    # S = 0.4 * 1/1
+    assert out[3]["n_big_hit"] == 1
+    assert out[3]["mean_nll"] == round(-math.log(0.4), 6)
+
+
+# ---------------------------------------------------------------------------
+# host_skew_report
+# ---------------------------------------------------------------------------
+
+def test_host_skew_uniform_is_zero(spark):
+    rows = [(f"h{i}", f"u{i}-{j}") for i in range(4) for j in range(5)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    r = host_skew_report(df).collect()[0]
+    assert r["n_hosts"] == 4 and r["n_urls"] == 20
+    assert r["gini"] == 0.0
+    # floor(4/100)=0 -> top-1% clamps to 1 host -> share 5/20
+    assert r["top1_share"] == 0.25 and r["top10_share"] == 0.25
+
+
+def test_host_skew_concentrated(spark):
+    rows = [("x", f"u{j}") for j in range(97)] + \
+           [(h, f"{h}-u") for h in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "host string, url string")
+    r = host_skew_report(df).collect()[0]
+    # sorted asc: a(1) b(1) c(1) x(97); srx = 1+2+3+4*97 = 394
+    assert r["gini"] == round(2 * 394 / (4 * 100) - 5 / 4, 6)
+    assert r["top1_share"] == 0.97
+    assert r["top10_share"] == 0.97
+
+
+# ---------------------------------------------------------------------------
+# feed_discovery
+# ---------------------------------------------------------------------------
+
+_RSS = ('<link rel="alternate" type="application/rss+xml" '
+        'href="http://a.test/f.xml">')
+_ATOM = ('<link rel="alternate" type="application/atom+xml" '
+         'href="http://a.test/at.xml">')
+
+
+def test_feed_discovery_types_order_and_ignores(spark):
+    df = spark.createDataFrame(
+        [(1, f"<html><head>{_ATOM}{_RSS}</head></html>"),
+         (2, '<html><head><link rel="alternate" href="/x">'
+             '<link rel="stylesheet" href="/s.css"></head></html>'),
+         (3, "<html><head></head></html>")],
+        "doc_id long, html string")
+    out = feed_discovery(df, id_col="doc_id") \
+        .orderBy("doc_id", "feed_rank").collect()
+    assert [(r["doc_id"], r["feed_type"], r["feed_rank"]) for r in out] == \
+        [(1, "atom", 1), (1, "rss", 2)]
+    assert out[0]["feed_url"] == "http://a.test/at.xml"
+
+
+def test_feed_discovery_requires_alternate_rel(spark):
+    # right type but rel=stylesheet must not count
+    df = spark.createDataFrame(
+        [(1, '<html><link rel="stylesheet" '
+             'type="application/rss+xml" href="/f"></html>')],
+        "doc_id long, html string")
+    assert feed_discovery(df, id_col="doc_id").count() == 0
