@@ -229,6 +229,8 @@ _EXTRA_PICKS = [
     "rrf_fusion", "char_entropy", "host_reach",
     # round-3 batch-20 (backoff LM + skew report + feed autodiscovery)
     "stupid_backoff", "host_skew", "feed_discovery",
+    # round-3 batch-21 (semantic dedup + content-defined chunking)
+    "semdedup", "cdc_chunks",
 ]
 
 

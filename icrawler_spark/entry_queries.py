@@ -31,7 +31,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round20, entry_round21,
                             entry_round22, entry_round23,
                             entry_round24, entry_round25,
-                            entry_round26)
+                            entry_round26, entry_round27)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -824,6 +824,7 @@ def queries():
         **entry_round24.queries24(),
         **entry_round25.queries25(),
         **entry_round26.queries26(),
+        **entry_round27.queries27(),
     }
 
 
@@ -882,4 +883,5 @@ def oracle_sql():
         **entry_round24.oracle_sql24(),
         **entry_round25.oracle_sql25(),
         **entry_round26.oracle_sql26(),
+        **entry_round27.oracle_sql27(),
     }

@@ -1,0 +1,145 @@
+"""Round-3 driver-contract queries (batch 21): SemDeDup semantic
+deduplication and content-defined chunking.
+
+Fixtures derive deterministically from documents/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import docdedup as _dd
+from icrawler_spark.operators import similarity as _sim
+
+# ---------------------------------------------------------------------------
+# semdedup — embedding-cluster near-duplicate pruning (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SD_TH = 0.99
+_SD_K = 16
+_SD_CLONES = 100
+_SD_CLONE_BASE = 1000
+
+
+def _sd_emb(spark, sf) -> DataFrame:
+    """Embeddings plus exact clones of the first 100 vectors (ids 1000+i)
+    — the semantic-duplicate population SemDeDup exists to remove (the
+    raw synthetic vectors are near-orthogonal, max pairwise cos ≈ 0.51)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    clones = (emb.filter(F.col("vec_id") < _SD_CLONES)
+              .select((F.col("vec_id") + _SD_CLONE_BASE).alias("vec_id"),
+                      "embedding"))
+    return emb.select("vec_id", "embedding").unionByName(clones)
+
+
+_SD_EMB_SQL = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SD_CLONE_BASE} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {_SD_CLONES}
+"""
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.semdedup: SemDeDup — k-means cluster the
+    embeddings (modulo seeds, iters=0: the SQL-expressible codebook, same
+    trick as ann_ivf), then drop within-cluster cosine-duplicates,
+    earliest id wins. The quadratic pairwise stage runs INSIDE clusters
+    only (one equi-join on cid) — Σ|cell|², never |corpus|²."""
+    return _sim.semdedup(_sd_emb(spark, sf), threshold=_SD_TH,
+                         n_centroids=_SD_K)
+
+
+def _semdedup_sql() -> str:
+    return _sim.semdedup_sql(threshold=_SD_TH, n_centroids=_SD_K,
+                             source_sql=_SD_EMB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking + chunk-hash dedup stats
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8
+_CDC_MASK_BITS = 5
+_CDC_BOILER = (" share this exact boilerplate paragraph sentence run that"
+               " every mirror page carries verbatim across the corpus and"
+               " it is long enough to span several expected chunk windows"
+               " of thirty two characters each so chunk hashes collide ")
+
+
+def _cdc_docs(spark, sf) -> DataFrame:
+    """Docs = own 200-char prefix + a boilerplate run shared by the
+    doc_id%7 class — CDC's selling point is that the shared region chunks
+    identically even though each doc shifts it by a different prefix."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 200), F.lit(_CDC_BOILER),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+
+
+_CDC_DOCS_SQL = f"""
+  SELECT doc_id,
+         substr(text, 1, 200) || '{_CDC_BOILER}' || (doc_id % 7) AS text
+  FROM documents
+"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.cdc_chunk_rows: FastCDC-style content-defined
+    chunking (no min/max clamps — every boundary position-independent and
+    SQL-replayable) + corpus chunk-hash dedup stats per doc: n_chunks,
+    n_dup_chunks (hash seen in >1 doc), dup_share. The shared boilerplate
+    dedups across prefix shifts — the property fixed-size blocks lack."""
+    chunks = _dd.cdc_chunk_rows(_cdc_docs(spark, sf), window=_CDC_W,
+                                mask_bits=_CDC_MASK_BITS)
+    hosts = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    per_doc = (chunks.join(hosts, "chunk_hash")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_chunks"),
+                    F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                     .cast("long").alias("n_dup_chunks")))
+    return per_doc.select(
+        "doc_id", "n_chunks", "n_dup_chunks",
+        F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+         .alias("dup_share"))
+
+
+def _cdc_chunks_sql() -> str:
+    rows = _dd.cdc_chunk_rows_sql(_CDC_DOCS_SQL, window=_CDC_W,
+                                  mask_bits=_CDC_MASK_BITS)
+    return f"""
+WITH chunk_rows AS ({rows}),
+hashes AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+  FROM chunk_rows GROUP BY 1
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN h.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_chunks
+  FROM chunk_rows JOIN hashes h USING (chunk_hash)
+  GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_dup_chunks,
+  round(n_dup_chunks / CAST(n_chunks AS DOUBLE), 6) AS dup_share
+FROM per_doc
+"""
+
+
+def queries27():
+    return {
+        "semdedup": q_semdedup,
+        "cdc_chunks": q_cdc_chunks,
+    }
+
+
+def oracle_sql27():
+    return {
+        "semdedup": _semdedup_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
+    }

@@ -228,3 +228,101 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def cdc_chunk_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_bits: int = 5,
+    max_chars: int = 512,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick, FastCDC
+    lineage — Xia et al., USENIX ATC 2016): cut after position i whenever
+    the hash of the ``window`` chars ending at i has its low ``mask_bits``
+    bits zero (expected chunk = 2^mask_bits chars). Because boundaries
+    depend only on local content, IDENTICAL text regions produce identical
+    chunks regardless of what precedes them — the property that makes
+    chunk-hash dedup work for storage/delta-sync where fixed-size blocks
+    fail on inserts. min/max clamps are deliberately omitted so every
+    boundary is position-independent (exactly replayable in SQL).
+
+    Emits (id, chunk_idx, start, chunk_len, chunk_hash) over the first
+    ``max_chars`` chars. Scale shape: boundary detection and chunk slicing
+    are array expressions fused into the scan (the prefix column is
+    pre-projected once); the only shuffle is whatever dedup/groupBy the
+    caller runs on chunk_hash — a fixed-width md5 key.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    mask = 1 << mask_bits
+    p = docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, max_chars).alias("__p"))
+    ln = F.length("__p")
+    wnd = lambda i: F.substring("__p", i - window + 1, F.lit(window))  # noqa: E731
+    cand = (F.when(ln >= window, F.filter(
+        F.transform(F.sequence(F.lit(window), ln),
+                    lambda i: F.when(_md5_int(wnd(i), 1, 8) % mask == 0, i)),
+        lambda x: x.isNotNull()))
+        .otherwise(F.array().cast("array<int>")))
+    ends = (F.when(ln > 0,
+                   F.array_sort(F.array_union(cand, F.array(ln))))
+            .otherwise(F.array().cast("array<int>")))
+    chunked = p.select(id_col, "__p", ends.alias("__ends"))
+    start = (F.when(F.col("__j0") == 0, F.lit(1))
+             .otherwise(F.element_at(F.col("__ends"), F.col("__j0")) + 1))
+    c = chunked.select(
+        id_col, "__p", "__ends",
+        F.posexplode("__ends").alias("__j0", "__end")) \
+        .withColumn("__start", start)
+    clen = F.col("__end") - F.col("__start") + 1
+    return c.select(
+        id_col,
+        (F.col("__j0") + 1).cast("long").alias("chunk_idx"),
+        F.col("__start").cast("long").alias("start"),
+        clen.cast("long").alias("chunk_len"),
+        F.md5(F.substring("__p", F.col("__start"), clen))
+         .alias("chunk_hash"))
+
+
+def cdc_chunk_rows_sql(docs_sql: str, id_col: str = "doc_id",
+                       window: int = 8, mask_bits: int = 5,
+                       max_chars: int = 512) -> str:
+    """DuckDB replay of :func:`cdc_chunk_rows` over an (id, text)
+    SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    mask = 1 << mask_bits
+    w = window
+    h = md5_int_sql(f"substr(p, i - {w} + 1, {w})", 1, 8)
+    return f"""
+WITH prefix AS (
+  SELECT {id_col}, substr(text, 1, {max_chars}) AS p FROM ({docs_sql})
+),
+bounds AS (
+  SELECT {id_col}, p,
+    list_sort(list_distinct(list_append(
+      list_filter(
+        list_transform(range({w}, length(p) + 1),
+                       i -> CASE WHEN ({h}) % {mask} = 0 THEN i END),
+        x -> x IS NOT NULL),
+      length(p)))) AS ends
+  FROM prefix WHERE length(p) > 0
+),
+chunks AS (
+  SELECT {id_col}, p, ends,
+    unnest(ends) AS e,
+    unnest(range(1, len(ends) + 1)) AS j
+  FROM bounds
+)
+SELECT {id_col}, CAST(j AS BIGINT) AS chunk_idx,
+  CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS BIGINT) AS start,
+  CAST(e - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1 AS BIGINT)
+    AS chunk_len,
+  md5(substr(p, CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+             e - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1))
+    AS chunk_hash
+FROM chunks
+"""

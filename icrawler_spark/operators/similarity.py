@@ -558,3 +558,100 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
       FROM scored)
 WHERE rank <= {k_nn}
 """
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mode: str = "modulo",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for LLM pretraining data — cluster embeddings with
+    k-means, then inside each cluster drop every vector whose cosine to a
+    LOWER-id vector exceeds ``threshold`` (the earliest item stays as the
+    representative, the same earliest-wins rule as the URL seen-set).
+
+    Returns one row per vector: (id_col, cid, kept, dup_of, max_cos) —
+    ``dup_of`` is the smallest lower-id near-duplicate, NULL for kept
+    rows; ``max_cos`` the strongest within-cluster duplicate similarity.
+
+    Scale shape — the whole point of the paper: the quadratic pairwise
+    cosine runs WITHIN clusters only (one equi-join on cid), so the cost
+    is Σ|cell|², controlled by n_centroids, never |corpus|². The
+    assignment is the same distributed Arrow matmul as the IVF index and
+    the cluster id doubles as the write-partition key. With
+    seed_mode='modulo', iters=0 the codebook is SQL-expressible, so the
+    full pipeline is oracle-checkable (same trick as ann_ivf).
+    """
+    from icrawler_spark.operators.docdedup import cosine_expr
+
+    cents = ivf_centroids(emb, n_centroids=n_centroids, iters=iters,
+                          id_col=id_col, vec_col=vec_col,
+                          seed_mode=seed_mode)
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    vecs = (emb.select(F.col(id_col).alias("id"),
+                       _as_double(F.col(vec_col)).alias("v"))
+            .join(assigned, "id"))
+    a = vecs.select("cid", F.col("id").alias("id_a"),
+                    F.col("v").alias("va"))
+    b = vecs.select("cid", F.col("id").alias("id_b"),
+                    F.col("v").alias("vb"))
+    pairs = (a.join(b, "cid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(
+                 cosine_expr(F.col("va"), F.col("vb")), 6))
+             .filter(F.col("cos") >= threshold))
+    dups = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos"))
+    return (assigned.join(dups, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("cid").cast("long").alias("cid"),
+                    F.col("dup_of").isNull().alias("kept"),
+                    "dup_of", "max_cos"))
+
+
+def semdedup_sql(threshold: float = 0.95, n_centroids: int = 16,
+                 source_sql: str = "SELECT vec_id, embedding"
+                                   " FROM embeddings") -> str:
+    """DuckDB replay of :func:`semdedup` (modulo seeds, iters=0) over a
+    (vec_id, embedding) SELECT — the same SQL codebook rebuild as
+    ann_ivf."""
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM ({source_sql})),
+n AS (SELECT count(*) AS total FROM v),
+seeds AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS c
+    FROM v, n WHERE vec_id % greatest(total // {n_centroids}, 1) = 0)
+  WHERE cid < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, s.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.e, s.c) DESC,
+                                       s.cid) AS rn
+    FROM v CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT id_b AS id, min(id_a) AS dup_of, max(cos) AS max_cos
+  FROM pairs WHERE cos >= {threshold} GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+  d.dup_of IS NULL AS kept, d.dup_of, d.max_cos
+FROM assigned a LEFT JOIN dups d ON d.id = a.vec_id
+"""

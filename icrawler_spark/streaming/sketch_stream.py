@@ -1,0 +1,103 @@
+"""Streaming HyperLogLog — per-host distinct-URL estimates maintained as
+custom stateful streaming state (``applyInPandasWithState``).
+
+The batch sketch (operators/sketches.hll_distinct) answers "how many
+distinct URLs has host H produced" with one job; a continuous crawl wants
+the same number updated per micro-batch without re-scanning history.
+HLL registers are max-merge state — O(m=64 bytes-ish) per host, not
+O(urls) — which is exactly the shape applyInPandasWithState exists for:
+the per-host group state IS the register vector, each batch folds its
+URLs in with a vectorized numpy max, and the operator emits the host's
+running estimate per batch.
+
+Restart safety: registers persist in the checkpoint, so the estimate
+resumes exactly (max-merge is idempotent and commutative — replayed rows
+cannot inflate it; that is WHY production distinct counters are HLLs and
+not exact sets).
+
+The register arithmetic is byte-identical to the batch operator (same
+md5-derived 32-bit hash, same rho), asserted by the differential test in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from icrawler_spark.operators.sketches import (_HLL_ALPHA, _HLL_M, _HLL_P,
+                                               _HLL_WBITS)
+
+OUTPUT_SCHEMA = "host string, n_urls_batch long, n_est double"
+STATE_SCHEMA = "regs array<int>"
+
+
+def _fold_registers(urls: pd.Series, regs: np.ndarray) -> np.ndarray:
+    """Fold a batch of URLs into the 64-register vector (vectorized:
+    one md5 per url — the same 32-bit prefix as sketches._md5_int — then
+    a bucketed np.maximum.at)."""
+    if len(urls) == 0:
+        return regs
+    h = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in urls),
+        dtype=np.int64, count=len(urls))
+    bucket = h % _HLL_M
+    w = h >> _HLL_P
+    # rho = leading zeros in _HLL_WBITS bits + 1; w==0 -> WBITS+1
+    bitlen = np.zeros_like(w)
+    nz = w > 0
+    bitlen[nz] = np.floor(np.log2(w[nz])).astype(np.int64) + 1
+    rho = np.where(nz, _HLL_WBITS - bitlen + 1, _HLL_WBITS + 1)
+    out = regs.copy()
+    np.maximum.at(out, bucket, rho)
+    return out
+
+
+def _estimate(regs: np.ndarray) -> float:
+    z = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / z
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * _HLL_M and zeros > 0:
+        return float(_HLL_M * np.log(_HLL_M / zeros))
+    return raw
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+            ) -> Iterator[pd.DataFrame]:
+    host = key[0]
+    regs = (np.asarray(state.get[0], dtype=np.int64) if state.exists
+            else np.zeros(_HLL_M, dtype=np.int64))
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows) == 0:
+        return
+    regs = _fold_registers(rows["url"], regs)
+    state.update(([int(r) for r in regs],))
+    yield pd.DataFrame({"host": [host], "n_urls_batch": [len(rows)],
+                        "n_est": [round(_estimate(regs), 4)]})
+
+
+def hll_url_stream(stream_df):
+    """stream_df: streaming DF with (host:string, url:string). Returns a
+    streaming DF (host, n_urls_batch, n_est) with one row per host per
+    micro-batch — the running distinct estimate after folding that batch.
+    State per host is the 64-int register vector."""
+    return stream_df.groupBy("host").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout")
+
+
+def batch_registers_reference(urls) -> float:
+    """Plain-Python reference estimate over an iterable of URLs — the
+    differential oracle for tests (same arithmetic as the batch operator
+    and the streaming fold)."""
+    regs = _fold_registers(pd.Series(list(urls)),
+                           np.zeros(_HLL_M, dtype=np.int64))
+    return round(_estimate(regs), 4)

@@ -298,3 +298,52 @@ def test_dedup_stream_watermarked_mode_dedups_in_horizon(spark, tmp_path):
     run_dedup_stream(spark, src, out, ckpt, watermark="10 minutes")
     got = sorted(r["url"] for r in spark.read.parquet(out).collect())
     assert got == ["http://w.test/1", "http://w.test/2"]
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """Stateful streaming HLL: per-host registers fold across micro-batches
+    (checkpoint restart included) and the final estimate equals BOTH the
+    plain-Python reference and the batch operator on the union of batches."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.sketches import hll_distinct
+    from icrawler_spark.streaming.sketch_stream import (
+        batch_registers_reference, hll_url_stream)
+
+    src = str(tmp_path / "hsrc")
+    ckpt = str(tmp_path / "hckpt")
+    sink = str(tmp_path / "hsink")
+    urls1 = [f"http://a.test/{i % 40}" for i in range(100)]
+    urls2 = [f"http://a.test/{i % 70}" for i in range(100)]  # 30 new keys
+    _write_urls(src, "a.txt", urls1)
+
+    def run_once():
+        stream = (spark.readStream.format("text")
+                  .option("maxFilesPerTrigger", 1).load(src)
+                  .select(F.lit("a.test").alias("host"),
+                          F.col("value").alias("url")))
+        out = hll_url_stream(stream)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 1
+    assert first[0]["n_est"] == batch_registers_reference(urls1)
+
+    # restart: registers resume from the checkpoint and fold batch 2
+    _write_urls(src, "b.txt", urls2)
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 2                    # one emission per micro-batch
+    ref_union = batch_registers_reference(urls1 + urls2)
+    assert ref_union in [r["n_est"] for r in rows]
+
+    # and the batch operator on the union agrees (same md5/rho arithmetic)
+    bdf = spark.createDataFrame([("a.test", u) for u in urls1 + urls2],
+                                "host string, url string")
+    batch_est = hll_distinct(bdf, "url", "host").collect()[0]["n_est"]
+    assert batch_est == ref_union
