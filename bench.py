@@ -231,6 +231,8 @@ _EXTRA_PICKS = [
     "stupid_backoff", "host_skew", "feed_discovery",
     # round-3 batch-21 (semantic dedup + content-defined chunking)
     "semdedup", "cdc_chunks",
+    # round-3 batch-22 (pagination stitch + index cost model + graph health)
+    "pagination_stitch", "postings_compress", "graph_diag",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Round-3 driver-contract queries (batch 22): pagination stitching,
+postings compression cost model, host-graph structural diagnostics.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# pagination_stitch — paginated-article reassembly
+# ---------------------------------------------------------------------------
+
+_PS_ARTICLES = 160
+_PS_K = 5
+
+
+def _ps_pages(spark, sf) -> DataFrame:
+    """Paginated corpus: article a = doc_id % 160, part s = doc_id // 160;
+    every part carries a 5-token head block naming (a, s) and a 5-token
+    tail block naming (a, s+1) — the overlap pagination templates emit."""
+    d = _docs(spark, sf)
+    a = (F.col("doc_id") % _PS_ARTICLES).cast("string")
+    s = (F.col("doc_id") / _PS_ARTICLES).cast("int")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("bridge "), a, F.lit(" "), s.cast("string"),
+                 F.lit(" start here "), F.substring("text", 1, 80),
+                 F.lit(" bridge "), a, F.lit(" "),
+                 (s + 1).cast("string"), F.lit(" start here"))
+        .alias("text"))
+
+
+_PS_PAGES_SQL = f"""
+  SELECT doc_id,
+    'bridge ' || (doc_id % {_PS_ARTICLES}) || ' '
+      || (doc_id // {_PS_ARTICLES}) || ' start here '
+      || substr(text, 1, 80)
+      || ' bridge ' || (doc_id % {_PS_ARTICLES}) || ' '
+      || (doc_id // {_PS_ARTICLES} + 1) || ' start here' AS text
+  FROM documents
+"""
+
+
+def q_pagination_stitch(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.pagination_stitch: page B continues page A when
+    A's last 5 tokens equal B's first 5 — reassembling split articles
+    before packing. One md5 link key per doc side, one equi-join on the
+    fixed-width hash, fanout columns expose ambiguous joints."""
+    return _curation.pagination_stitch(_ps_pages(spark, sf), k=_PS_K)
+
+
+def _pagination_stitch_sql() -> str:
+    return _curation.pagination_stitch_sql(_PS_PAGES_SQL, _TOK_SQL, k=_PS_K)
+
+
+# ---------------------------------------------------------------------------
+# postings_compress — d-gap/varint index cost model
+# ---------------------------------------------------------------------------
+
+_PC_TOP = 100
+
+
+def q_postings_compress(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.postings_compress_stats: delta-gap + varint byte
+    cost per posting list over the top-100 df terms — the d-gap/VByte
+    storage model an index planner consults. Gap windows are per-term
+    (bounded by df); byte math is bin()-length integer expressions."""
+    return _search.postings_compress_stats(_docs(spark, sf),
+                                           top_terms=_PC_TOP)
+
+
+def _postings_compress_sql() -> str:
+    return _search.postings_compress_sql(_TOK_SQL, top_terms=_PC_TOP)
+
+
+# ---------------------------------------------------------------------------
+# graph_diag — reciprocity + assortativity of the host graph
+# ---------------------------------------------------------------------------
+
+
+_GD_NODES = 40
+
+
+def _gd_edges(spark, sf) -> DataFrame:
+    """Sparse irregular host graph (the dense OPIC fixture is
+    degree-regular, where assortativity is undefined): ~1/6 of the
+    event-derived pairs survive the modular sample."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    e, u = F.col("event_id"), F.col("user_id")
+    return (ev.where((u + 3 * e) % 11 < 2)
+            .select(((e * 7 + u) % _GD_NODES).cast("long").alias("src"),
+                    ((e * 13 + u * 5 + 3) % _GD_NODES).cast("long")
+                    .alias("dst")))
+
+
+_GD_EDGES_SQL = f"""
+  SELECT CAST((event_id * 7 + user_id) % {_GD_NODES} AS BIGINT) AS src,
+         CAST((event_id * 13 + user_id * 5 + 3) % {_GD_NODES} AS BIGINT)
+           AS dst
+  FROM events WHERE (user_id + 3 * event_id) % 11 < 2
+"""
+
+
+def q_graph_diag(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.graph_diagnostics over a sparse irregular host
+    graph: reciprocity (link-farm dial) and degree assortativity (Newman
+    2002; organic webs are disassortative). Integer sums end-to-end, two
+    rounded divisions — no float-order risk; degenerate (regular) graphs
+    yield NULL assortativity instead of a divide-by-zero."""
+    return _graph.graph_diagnostics(_gd_edges(spark, sf))
+
+
+def _graph_diag_sql() -> str:
+    return _graph.graph_diagnostics_sql(_GD_EDGES_SQL)
+
+
+def queries28():
+    return {
+        "pagination_stitch": q_pagination_stitch,
+        "postings_compress": q_postings_compress,
+        "graph_diag": q_graph_diag,
+    }
+
+
+def oracle_sql28():
+    return {
+        "pagination_stitch": _pagination_stitch_sql(),
+        "postings_compress": _postings_compress_sql(),
+        "graph_diag": _graph_diag_sql(),
+    }

@@ -889,3 +889,70 @@ SELECT doc AS doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
   round(sum(n * nll) / sum(n), 6) AS mean_nll
 FROM scored GROUP BY 1
 """
+
+
+def pagination_stitch(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Paginated-article reassembly candidates: page B continues page A
+    when A's LAST k tokens equal B's FIRST k tokens (the overlap
+    pagination templates carry — "page 2 of" articles, forum thread
+    splits). Corpus pipelines stitch these before packing so a model sees
+    whole articles, not arbitrary page cuts.
+
+    Emits (prev_id, next_id, link_hash, tail_fanout, head_fanout) —
+    fanouts expose ambiguous joints (boilerplate overlaps match
+    many-to-many; a stitcher takes only 1:1 links, fanout 1/1).
+
+    Scale shape: ONE md5 key per doc side (head/tail), one equi-join on
+    the fixed-width link hash, two tiny fanout aggregates broadcast back.
+    Never a text comparison, never a window over the corpus.
+    """
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.filter(tokens_col(text_col),
+                                lambda t: t != "").alias("t"))
+    enough = toks.where(F.size("t") >= 2 * k)   # head and tail must differ
+    head = F.md5(F.array_join(F.slice("t", 1, k), " "))
+    tail = F.md5(F.array_join(F.slice(F.col("t"), F.size("t") - k + 1,
+                                      k), " "))
+    keyed = enough.select("id", head.alias("head_h"), tail.alias("tail_h"))
+    a = keyed.select(F.col("id").alias("prev_id"),
+                     F.col("tail_h").alias("link_hash"))
+    b = keyed.select(F.col("id").alias("next_id"),
+                     F.col("head_h").alias("link_hash"))
+    pairs = a.join(b, "link_hash").where(F.col("prev_id") != F.col("next_id"))
+    tf = a.groupBy("link_hash").agg(F.count("*").alias("tail_fanout"))
+    hf = b.groupBy("link_hash").agg(F.count("*").alias("head_fanout"))
+    return (pairs.join(tf, "link_hash").join(hf, "link_hash")
+            .select("prev_id", "next_id", "link_hash",
+                    "tail_fanout", "head_fanout"))
+
+
+def pagination_stitch_sql(docs_sql: str, tok_sql: str, k: int = 5) -> str:
+    """DuckDB replay of :func:`pagination_stitch` over an (id, text)
+    SELECT (``tok_sql`` = the shared tokenizer over column ``text``)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, list_filter({tok_sql}, x -> x <> '') AS t
+  FROM ({docs_sql})
+),
+keyed AS (
+  SELECT id,
+    md5(array_to_string(t[1:{k}], ' ')) AS head_h,
+    md5(array_to_string(t[len(t) - {k} + 1:len(t)], ' ')) AS tail_h
+  FROM toks WHERE len(t) >= {2 * k}
+),
+a AS (SELECT id AS prev_id, tail_h AS link_hash FROM keyed),
+b AS (SELECT id AS next_id, head_h AS link_hash FROM keyed),
+pairs AS (
+  SELECT link_hash, prev_id, next_id FROM a JOIN b USING (link_hash)
+  WHERE prev_id <> next_id
+),
+tf AS (SELECT link_hash, count(*) AS tail_fanout FROM a GROUP BY 1),
+hf AS (SELECT link_hash, count(*) AS head_fanout FROM b GROUP BY 1)
+SELECT prev_id, next_id, link_hash, tail_fanout, head_fanout
+FROM pairs JOIN tf USING (link_hash) JOIN hf USING (link_hash)
+"""

@@ -414,3 +414,91 @@ n_out AS (SELECT s, count(DISTINCT d) AS n_out FROM e GROUP BY 1),
 n_r2 AS (SELECT s, count(DISTINCT d) AS n_reach2 FROM reach GROUP BY 1)
 SELECT s AS node, n_out, n_reach2 FROM n_out JOIN n_r2 USING (s)
 """
+
+
+def graph_diagnostics(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """One-row structural health report of the host graph: reciprocity
+    (share of edges whose reverse exists — link farms sit near 1, organic
+    webs near 0.1) and degree assortativity (Pearson r between endpoint
+    total degrees over edges — Newman 2002; the web is disassortative,
+    hubs link to leaves). Both are spam/anomaly dials next to TrustRank.
+
+    Returns (n_nodes, n_edges, reciprocity, assortativity). Scale shape:
+    distinct edge set (one shuffle), a self-join on the reversed key for
+    reciprocity, two degree aggregates broadcast back onto edges, then a
+    single 6-scalar aggregate. All sums are exact integers until the two
+    final divisions (round 6) — no float-order risk.
+    """
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                   F.lit(1).alias("has_rev"))
+    recip = e.join(rev, ["s", "d"], "left")
+    deg = (e.select(F.col("s").alias("n")).unionByName(
+        e.select(F.col("d").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("deg")))
+    joined = (recip
+              .join(deg.select(F.col("n").alias("s"),
+                               F.col("deg").alias("dx")), "s")
+              .join(deg.select(F.col("n").alias("d"),
+                               F.col("deg").alias("dy")), "d"))
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.coalesce("has_rev", F.lit(0))).cast("long").alias("n_recip"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    ne = F.col("n_edges").cast("double")
+    num = ne * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = ((ne * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (ne * F.col("syy") - F.col("sy") * F.col("sy")))
+    # den2 = 0 when either endpoint-degree sequence is constant (regular
+    # graphs): assortativity is undefined there -> NULL, not a crash
+    assort = F.when(den2 > 0, F.round(num / F.sqrt(den2), 6))
+    return (n_nodes.crossJoin(agg)
+            .select("n_nodes", "n_edges",
+                    F.round(F.col("n_recip") / ne, 6).alias("reciprocity"),
+                    assort.alias("assortativity")))
+
+
+def graph_diagnostics_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`graph_diagnostics` over a (src, dst)
+    SELECT."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src AS s, dst AS d FROM ({edges_sql}) WHERE src <> dst
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT s AS n FROM e UNION ALL SELECT d AS n FROM e) GROUP BY 1
+),
+joined AS (
+  SELECT e.s, e.d,
+    CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS has_rev,
+    dx.deg AS dx, dy.deg AS dy
+  FROM e
+  LEFT JOIN e r ON r.s = e.d AND r.d = e.s
+  JOIN deg dx ON dx.n = e.s
+  JOIN deg dy ON dy.n = e.d
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    CAST(sum(has_rev) AS BIGINT) AS n_recip,
+    sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy,
+    sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM joined
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, n_edges,
+  round(n_recip / CAST(n_edges AS DOUBLE), 6) AS reciprocity,
+  CASE WHEN (CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+            * (CAST(n_edges AS DOUBLE) * syy - sy * sy) > 0
+       THEN round((CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
+  END AS assortativity
+FROM nn CROSS JOIN agg
+"""

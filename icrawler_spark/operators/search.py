@@ -535,3 +535,82 @@ SELECT doc AS {id_col}, n_lists, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def postings_compress_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 100,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Inverted-index storage cost model: delta-gap + varint encoding size
+    per posting list (the standard d-gap/VByte scheme every IR engine
+    ships — Manning/Raghavan/Schütze ch. 5). An index planner reads this
+    to pick compression and shard splits before materializing postings.
+
+    Per term (top ``top_terms`` by df, ties on term): df, varint_bytes
+    (Σ ceil(bitlen(gap)/7) over d-gaps, first gap from -1 so every gap
+    ≥ 1), raw_bytes (8·df), ratio rounded to 6.
+
+    Scale shape: the (term, doc) stream reduces to distinct postings in
+    one shuffle; gaps come from a window PARTITIONED BY TERM (bounded by
+    each term's df, never global); byte math is bin()-length integer
+    expressions. Top-k is TakeOrderedAndProject then rank-within-k.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    postings = (df.select(F.col(id_col).alias("doc"),
+                          F.explode(tokens_col(text_col)).alias("term"))
+                .where(F.length("term") >= min_term_len)
+                .distinct())
+    w = Window.partitionBy("term").orderBy("doc")
+    gap = F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(-1))
+    vbytes = F.ceil(F.length(F.bin(gap)) / 7).cast("long")
+    per_term = (postings.withColumn("__vb", vbytes)
+                .groupBy("term").agg(
+                    F.count("*").cast("long").alias("df"),
+                    F.sum("__vb").cast("long").alias("varint_bytes")))
+    topk = (per_term
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(top_terms))
+    w2 = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (topk.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .select("term", "df", "varint_bytes",
+                    (F.col("df") * 8).cast("long").alias("raw_bytes"),
+                    F.round(F.col("varint_bytes")
+                            / (F.col("df") * 8.0), 6).alias("ratio"),
+                    "rank"))
+
+
+def postings_compress_sql(tok_sql: str, top_terms: int = 100,
+                          min_term_len: int = 3) -> str:
+    """DuckDB mirror of :func:`postings_compress_stats` over
+    ``documents``."""
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT doc, term FROM (
+    SELECT doc_id AS doc, unnest({tok_sql}) AS term FROM documents)
+  WHERE length(term) >= {min_term_len}
+),
+gaps AS (
+  SELECT term,
+    doc - coalesce(lag(doc) OVER (PARTITION BY term ORDER BY doc), -1)
+      AS gap
+  FROM postings
+),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(CAST(ceil(length(bin(gap)) / 7.0) AS BIGINT)) AS BIGINT)
+      AS varint_bytes
+  FROM gaps GROUP BY 1
+),
+topk AS (
+  SELECT term, df, varint_bytes,
+    CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+  FROM per_term QUALIFY rank <= {top_terms}
+)
+SELECT term, df, varint_bytes, CAST(df * 8 AS BIGINT) AS raw_bytes,
+  round(varint_bytes / (df * 8.0), 6) AS ratio, rank
+FROM topk
+"""

@@ -1,0 +1,100 @@
+"""Unit tests for the round-28 pack: pagination stitching, postings
+compression stats, graph diagnostics."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import pagination_stitch
+from icrawler_spark.operators.graph import graph_diagnostics
+from icrawler_spark.operators.search import postings_compress_stats
+
+
+# ---------------------------------------------------------------------------
+# pagination_stitch
+# ---------------------------------------------------------------------------
+
+def test_pagination_links_parts_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "intro of article one ends with bridge one two three four"),
+         (2, "bridge one two three four continues the article body here"),
+         (3, "a completely unrelated document with plenty of tokens here")],
+        "doc_id long, text string")
+    out = pagination_stitch(df, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["prev_id"], r["next_id"]) == (1, 2)
+    assert r["tail_fanout"] == 1 and r["head_fanout"] == 1
+
+
+def test_pagination_fanout_flags_ambiguity(spark):
+    # two docs end with the same boilerplate block -> tail_fanout 2
+    tail = "next page to continue reading"      # exactly k=5 tokens
+    df = spark.createDataFrame(
+        [(1, "first article text body then " + tail),
+         (2, "second article text body then " + tail),
+         (3, tail + " and the continuation body goes on here")],
+        "doc_id long, text string")
+    out = {(r["prev_id"], r["next_id"]): r
+           for r in pagination_stitch(df, k=5).collect()}
+    assert set(out) == {(1, 3), (2, 3)}
+    assert all(r["tail_fanout"] == 2 and r["head_fanout"] == 1
+               for r in out.values())
+
+
+def test_pagination_short_docs_excluded(spark):
+    df = spark.createDataFrame([(1, "too short to have both blocks")],
+                               "doc_id long, text string")
+    assert pagination_stitch(df, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# postings_compress_stats
+# ---------------------------------------------------------------------------
+
+def test_postings_varint_byte_math(spark):
+    # term "common" in docs 0,1,300: gaps 1,1,299 -> bin lens 1,1,9 ->
+    # varint bytes 1,1,2 = 4. raw = 24.
+    rows = [(0, "common alpha"), (1, "common beta"), (300, "common gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r.asDict()
+           for r in postings_compress_stats(df, top_terms=10).collect()}
+    c = out["common"]
+    assert c["df"] == 3 and c["varint_bytes"] == 4
+    assert c["raw_bytes"] == 24 and c["ratio"] == round(4 / 24, 6)
+    assert c["rank"] == 1
+    assert out["alpha"]["df"] == 1 and out["alpha"]["varint_bytes"] == 1
+
+
+def test_postings_min_term_len_and_topk(spark):
+    df = spark.createDataFrame([(1, "aa bbb bbb cccc")],
+                               "doc_id long, text string")
+    out = postings_compress_stats(df, top_terms=1).collect()
+    assert len(out) == 1            # top-1 only
+    assert out[0]["term"] == "bbb"  # 'aa' filtered by min_term_len
+
+
+# ---------------------------------------------------------------------------
+# graph_diagnostics
+# ---------------------------------------------------------------------------
+
+def test_graph_diag_reciprocity_and_star(spark):
+    # star: hub 0 -> 1..4, plus one reciprocal pair (1 -> 0)
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 0)], "src long, dst long")
+    r = graph_diagnostics(e).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 5
+    # reciprocal: 0->1 and 1->0 both have reverses -> 2/5
+    assert r["reciprocity"] == 0.4
+    # hub(deg 5) links to leaves -> disassortative
+    assert r["assortativity"] < 0
+
+
+def test_graph_diag_regular_graph_null_assortativity(spark):
+    # 3-cycle: every node degree 2 -> assortativity undefined, NULL
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    r = graph_diagnostics(e).collect()[0]
+    assert r["assortativity"] is None
+    assert r["reciprocity"] == 0.0
+    # self-loops and duplicate edges are dropped
+    e2 = spark.createDataFrame([(0, 1), (0, 1), (1, 1)], "src long, dst long")
+    r2 = graph_diagnostics(e2).collect()[0]
+    assert r2["n_edges"] == 1
