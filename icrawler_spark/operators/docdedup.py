@@ -270,7 +270,13 @@ def cdc_chunk_rows(
     ends = (F.when(ln > 0,
                    F.array_sort(F.array_union(cand, F.array(ln))))
             .otherwise(F.array().cast("array<int>")))
-    chunked = p.select(id_col, "__p", ends.alias("__ends"))
+    # Pin the boundary frame: downstream the generator output references
+    # __ends twice more (posexplode input + element_at start lookup), and
+    # CollapseProject would otherwise inline the whole O(L) md5 boundary
+    # scan into EVERY exploded chunk row — the expression-copy trap from
+    # BASELINE.md session-6 (measured 65 s → ~1 s at sf0.1 here).
+    chunked = p.select(id_col, "__p", ends.alias("__ends")) \
+        .localCheckpoint(eager=False)
     start = (F.when(F.col("__j0") == 0, F.lit(1))
              .otherwise(F.element_at(F.col("__ends"), F.col("__j0")) + 1))
     c = chunked.select(
