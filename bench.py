@@ -233,6 +233,9 @@ _EXTRA_PICKS = [
     "semdedup", "cdc_chunks",
     # round-3 batch-22 (pagination stitch + index cost model + graph health)
     "pagination_stitch", "postings_compress", "graph_diag",
+    # round-3 batch-23 (readability + PMI + page directives + cache TTLs)
+    "readability", "pmi_collocations", "meta_robots", "cache_control",
+    "hreflang_clusters",
 ]
 
 

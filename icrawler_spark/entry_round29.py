@@ -1,0 +1,286 @@
+"""Round-3 driver-contract queries (batch 23): readability scoring, PMI
+collocations, page-level robots directives, HTTP cache lifetimes, and
+hreflang locale-cluster auditing.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import sitemap as _sitemap
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# readability — Flesch / Flesch-Kincaid per document
+# ---------------------------------------------------------------------------
+
+
+def _punct_docs(spark, sf) -> DataFrame:
+    """Sentence-bearing corpus: the token-stream documents carry no
+    punctuation, so three fixed-width slices are rejoined with '. ', '? '
+    and a trailing '!' — three sentence runs per doc, deterministic in
+    both engines (substr past the end is '' in Spark and DuckDB alike)."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 60), F.lit(". "),
+                 F.substring("text", 61, 60), F.lit("? "),
+                 F.substring("text", 121, 40), F.lit("!")).alias("text"))
+
+
+_PUNCT_DOCS_SQL = """
+  SELECT doc_id,
+    substr(text, 1, 60) || '. ' || substr(text, 61, 60) || '? '
+      || substr(text, 121, 40) || '!' AS text
+  FROM documents
+"""
+
+
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.readability: Flesch Reading Ease + FK grade from
+    vowel-group syllables, alnum-run words, [.!?]+ sentence runs — three
+    regexp_count projections and one arithmetic row expression, fused into
+    the scan; no explode, no shuffle."""
+    return _curation.readability(_punct_docs(spark, sf))
+
+
+def _readability_sql() -> str:
+    return _curation.readability_sql(_PUNCT_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — PMI-ranked adjacent bigrams
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 25
+
+
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.pmi_collocations: top-25 adjacent bigrams by
+    pointwise mutual information (Church & Hanks 1990), pruned below
+    count 5 before the unigram join-back — the phrase-mining complement
+    to bpe_pairs' raw counts. Two map-side-combinable count shuffles;
+    totals are one-row broadcasts; rank is TakeOrderedAndProject-sized."""
+    return _curation.pmi_collocations(_docs(spark, sf),
+                                      min_count=_PMI_MIN_COUNT, k=_PMI_K)
+
+
+def _pmi_collocations_sql() -> str:
+    return _curation.pmi_collocations_sql(_TOK_SQL,
+                                          min_count=_PMI_MIN_COUNT,
+                                          k=_PMI_K)
+
+
+# ---------------------------------------------------------------------------
+# meta_robots — page-level robots directives (meta tag + X-Robots-Tag)
+# ---------------------------------------------------------------------------
+
+
+def _robots_pages(spark, sf) -> DataFrame:
+    """Five directive shapes: meta noindex; meta noindex,nofollow; header
+    'none'; meta index,follow + header noarchive; no directives at all."""
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 5).cast("int")
+    url = F.concat(F.lit("http://site"), F.col("doc_id").cast("string"),
+                   F.lit(".test/page"))
+    html = (F.when(k == 0, F.lit(
+                '<html><head><meta name="robots" content="noindex">'
+                '</head><body>'))
+            .when(k == 1, F.lit(
+                "<html><head><meta name='robots' "
+                "content='noindex, nofollow'></head>"))
+            .when(k == 3, F.lit(
+                '<html><meta name="robots" content="index, follow">'))
+            .otherwise(F.lit("<html><body>plain")))
+    hdr = (F.when(k == 2, F.lit("none"))
+           .when(k == 3, F.lit("noarchive"))
+           .otherwise(F.lit(None).cast("string")))
+    return d.select(url.alias("url"), html.alias("html"),
+                    hdr.alias("x_robots_tag"))
+
+
+_ROBOTS_PAGES_SQL = """
+  SELECT 'http://site' || doc_id || '.test/page' AS url,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '<html><head><meta name="robots" content="noindex">'
+        || '</head><body>'
+      WHEN 1 THEN '<html><head><meta name=''robots'' '
+        || 'content=''noindex, nofollow''></head>'
+      WHEN 3 THEN '<html><meta name="robots" content="index, follow">'
+      ELSE '<html><body>plain'
+    END AS html,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 2 THEN 'none' WHEN 3 THEN 'noarchive'
+    END AS x_robots_tag
+  FROM documents
+"""
+
+
+def q_meta_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.meta_robots: indexability/followability gate from
+    <meta name=robots> + X-Robots-Tag, union semantics, 'none' expands to
+    noindex+nofollow — pure regexp projection fused into the scan."""
+    return _warc.meta_robots(_robots_pages(spark, sf))
+
+
+def _meta_robots_sql() -> str:
+    return _warc.meta_robots_sql(_ROBOTS_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cache_control — RFC 7234 freshness lifetimes → recrawl TTLs
+# ---------------------------------------------------------------------------
+
+_CC_NOW = 1700050000
+_CC_BASE = 1700000000
+
+
+def _cc_responses(spark, sf) -> DataFrame:
+    """Seven header shapes exercising the full precedence ladder:
+    max-age, s-maxage-over-max-age (plus a decoy Expires), no-cache,
+    no-store-wins, Expires-only (sometimes already past), Last-Modified
+    heuristic (sometimes beyond the 7-day cap), and nothing at all."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    k = (e % 7).cast("int")
+    date_ts = (F.lit(_CC_BASE) + e % 100000).cast("long")
+    cc = (F.when(k == 0, F.lit("max-age=3600"))
+          .when(k == 1, F.lit("public, max-age=60, s-maxage=600"))
+          .when(k == 2, F.lit("no-cache"))
+          .when(k == 3, F.lit("no-store, max-age=99"))
+          .otherwise(F.lit(None).cast("string")))
+    expires = (F.when(k == 1, date_ts + F.lit(5))
+               .when(k == 4, date_ts + (e % 5000) - F.lit(1000))
+               .otherwise(F.lit(None)).cast("long"))
+    lastmod = (F.when(k == 5, date_ts - (e % 2000000))
+               .otherwise(F.lit(None)).cast("long"))
+    return ev.select(
+        F.concat(F.lit("http://h"), (e % 50).cast("string"),
+                 F.lit(".test/p"), e.cast("string")).alias("url"),
+        date_ts.alias("date_ts"), cc.alias("cache_control"),
+        expires.alias("expires_ts"), lastmod.alias("last_modified_ts"))
+
+
+_CC_RESPONSES_SQL = f"""
+  SELECT 'http://h' || (event_id % 50) || '.test/p' || event_id AS url,
+    CAST({_CC_BASE} + event_id % 100000 AS BIGINT) AS date_ts,
+    CASE CAST(event_id % 7 AS INT)
+      WHEN 0 THEN 'max-age=3600'
+      WHEN 1 THEN 'public, max-age=60, s-maxage=600'
+      WHEN 2 THEN 'no-cache'
+      WHEN 3 THEN 'no-store, max-age=99'
+    END AS cache_control,
+    CAST(CASE CAST(event_id % 7 AS INT)
+      WHEN 1 THEN {_CC_BASE} + event_id % 100000 + 5
+      WHEN 4 THEN {_CC_BASE} + event_id % 100000 + (event_id % 5000) - 1000
+    END AS BIGINT) AS expires_ts,
+    CAST(CASE CAST(event_id % 7 AS INT)
+      WHEN 5 THEN {_CC_BASE} + event_id % 100000 - (event_id % 2000000)
+    END AS BIGINT) AS last_modified_ts
+  FROM events
+"""
+
+
+def q_cache_control(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.cache_lifetime: RFC 7234 §4.2 freshness ladder
+    (no-store/no-cache → s-maxage → max-age → Expires−Date → 10%% of
+    Date−Last-Modified capped at 7 d) as recrawl TTLs — pure regexp +
+    integer conditionals fused into the scan."""
+    return _recrawl.cache_lifetime(_cc_responses(spark, sf), now_ts=_CC_NOW)
+
+
+def _cache_control_sql() -> str:
+    return _recrawl.cache_lifetime_sql(_CC_RESPONSES_SQL, now_ts=_CC_NOW)
+
+
+# ---------------------------------------------------------------------------
+# hreflang_clusters — locale-alternate cluster audit
+# ---------------------------------------------------------------------------
+
+_HL_LANGS = ["en", "fr", "de", "es"]
+
+
+def _hl_pages(spark, sf) -> DataFrame:
+    """Clusters of 4 locale pages each declaring the full alternate set
+    plus an x-default pointing at the en page; every 5th cluster's es
+    page is missing from the crawl (its siblings still declare it)."""
+    d = _docs(spark, sf)
+    c = F.floor(F.col("doc_id") / 4).cast("long")
+    lang = F.element_at(F.array(*[F.lit(x) for x in _HL_LANGS]),
+                        (F.col("doc_id") % 4 + 1).cast("int"))
+    site = F.concat(F.lit("http://site"), c.cast("string"), F.lit(".test/"))
+    tags = [F.concat(F.lit('<link rel="alternate" hreflang="' + lx + '" '
+                           'href="'), site, F.lit(lx + '">'))
+            for lx in _HL_LANGS]
+    tags.append(F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        site, F.lit('en">')))
+    return (d.select(F.concat(site, lang).alias("url"),
+                     F.concat(F.lit("<html><head>"), *tags,
+                              F.lit("</head>")).alias("html"),
+                     c.alias("__c"), lang.alias("__l"))
+            .where(~((F.col("__c") % 5 == 0) & (F.col("__l") == "es")))
+            .select("url", "html"))
+
+
+_HL_PAGES_SQL = """
+  SELECT url, html FROM (
+    SELECT 'http://site' || (doc_id // 4) || '.test/'
+        || (['en','fr','de','es'])[CAST(doc_id % 4 AS INT) + 1] AS url,
+      '<html><head>'
+        || '<link rel="alternate" hreflang="en" href="http://site'
+        || (doc_id // 4) || '.test/en">'
+        || '<link rel="alternate" hreflang="fr" href="http://site'
+        || (doc_id // 4) || '.test/fr">'
+        || '<link rel="alternate" hreflang="de" href="http://site'
+        || (doc_id // 4) || '.test/de">'
+        || '<link rel="alternate" hreflang="es" href="http://site'
+        || (doc_id // 4) || '.test/es">'
+        || '<link rel="alternate" hreflang="x-default" href="http://site'
+        || (doc_id // 4) || '.test/en">'
+        || '</head>' AS html,
+      doc_id // 4 AS c,
+      (['en','fr','de','es'])[CAST(doc_id % 4 AS INT) + 1] AS l
+    FROM documents
+  ) WHERE NOT (c % 5 = 0 AND l = 'es')
+"""
+
+
+def q_hreflang_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.hreflang_clusters: locale-alternate clusters keyed
+    by the declared x-default href, with the crawled-vs-declared coverage
+    audit (complete flag) a recrawl planner feeds back into the frontier.
+    Tag explosion stays in the scan; two map-side-combinable groupBys."""
+    return _sitemap.hreflang_clusters(_hl_pages(spark, sf))
+
+
+def _hreflang_clusters_sql() -> str:
+    return _sitemap.hreflang_clusters_sql(_HL_PAGES_SQL)
+
+
+def queries29():
+    return {
+        "readability": q_readability,
+        "pmi_collocations": q_pmi_collocations,
+        "meta_robots": q_meta_robots,
+        "cache_control": q_cache_control,
+        "hreflang_clusters": q_hreflang_clusters,
+    }
+
+
+def oracle_sql29():
+    return {
+        "readability": _readability_sql(),
+        "pmi_collocations": _pmi_collocations_sql(),
+        "meta_robots": _meta_robots_sql(),
+        "cache_control": _cache_control_sql(),
+        "hreflang_clusters": _hreflang_clusters_sql(),
+    }

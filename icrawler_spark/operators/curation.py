@@ -956,3 +956,202 @@ hf AS (SELECT link_hash, count(*) AS head_fanout FROM b GROUP BY 1)
 SELECT prev_id, next_id, link_hash, tail_fanout, head_fanout
 FROM pairs JOIN tf USING (link_hash) JOIN hf USING (link_hash)
 """
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document — the
+    classic surface readability pair (Kincaid et al. 1975) corpus pipelines
+    use beside the C4/Gopher gates to bucket text by audience level (and to
+    drop machine-generated keyword mash that scores far outside the human
+    band). The reference never inspects text quality at all
+    (icrawler/parser.py:96-105 yields raw tasks).
+
+    Syllables use the standard vowel-group heuristic (maximal [aeiouy]+
+    runs; spaces break runs, so a whole-text regexp count equals the
+    per-word sum), words are alnum runs, sentences are [.!?]+ delimiter
+    runs (min 1). FRE = 206.835 − 1.015·W/S − 84.6·Syl/W;
+    FK = 0.39·W/S + 11.8·Syl/W − 15.59, both rounded to 4.
+
+    Scale shape: three regexp_count projections + one arithmetic row expr,
+    all fused into the scan inside whole-stage codegen — no explode, no
+    shuffle, no Python. Empty docs yield NULL scores instead of a
+    divide-by-zero.
+    """
+    t = F.lower(F.col(text_col))
+    out = docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit("[a-z0-9]+")).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit("[aeiouy]+")).cast("long")
+         .alias("n_syllables"),
+        F.greatest(F.regexp_count(F.col(text_col), F.lit("[.!?]+")),
+                   F.lit(1)).cast("long").alias("n_sentences"))
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    nz = F.col("n_words") > 0
+
+    # portable half-up rounding: Spark's round() re-decimalises the double
+    # via its shortest string (BigDecimal HALF_UP on "4.42625") while DuckDB
+    # rounds the raw binary double (…62499…) — exact-half scores flip. The
+    # floor form runs the SAME double ops in both engines.
+    def r4(x):
+        return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    return out.select(
+        id_col, "n_words", "n_syllables", "n_sentences",
+        F.when(nz, r4(wps)).alias("words_per_sentence"),
+        F.when(nz, r4(spw)).alias("syllables_per_word"),
+        F.when(nz, r4(F.lit(206.835) - F.lit(1.015) * wps
+                      - F.lit(84.6) * spw)).alias("flesch"),
+        F.when(nz, r4(F.lit(0.39) * wps + F.lit(11.8) * spw
+                      - F.lit(15.59))).alias("fk_grade"))
+
+
+def readability_sql(docs_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`readability` over an (id, text) SELECT.
+    Literals are cast to DOUBLE (DuckDB numeric literals are DECIMAL) and
+    the arithmetic is parenthesised exactly like the Spark plan so the
+    doubles match bit-for-bit."""
+    return f"""
+WITH counts AS (
+  SELECT {id_col},
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences
+  FROM ({docs_sql})
+)
+SELECT {id_col}, n_words, n_syllables, n_sentences,
+  CASE WHEN n_words > 0 THEN
+    floor((CAST(n_words AS DOUBLE) / n_sentences) * 10000.0 + 0.5) / 10000.0
+    END AS words_per_sentence,
+  CASE WHEN n_words > 0 THEN
+    floor((CAST(n_syllables AS DOUBLE) / n_words) * 10000.0 + 0.5) / 10000.0
+    END AS syllables_per_word,
+  CASE WHEN n_words > 0 THEN floor((
+      CAST(206.835 AS DOUBLE)
+      - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+      - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+    ) * 10000.0 + 0.5) / 10000.0
+    END AS flesch,
+  CASE WHEN n_words > 0 THEN floor((
+      CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+      + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+      - CAST(15.59 AS DOUBLE)
+    ) * 10000.0 + 0.5) / 10000.0
+    END AS fk_grade
+FROM counts
+"""
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the statistic that separates true multiword
+    units ("los angeles") from merely frequent pairs ("of the"), used for
+    phrase-aware tokenizer vocabularies and boilerplate phrase mining.
+    Complements bpe_pair_stats (raw counts): PMI normalises away unigram
+    frequency.
+
+    PMI = log2((c_ab/P) / ((c_a/T)·(c_b/T))) computed as
+    ((c_ab·T)·T) / ((P·c_a)·c_b) in doubles, identical association order
+    in both engines; pairs below ``min_count`` are dropped before ranking
+    (PMI is noise at low counts). Rank orders by (pmi desc, pair asc) on
+    the ROUNDED pmi so both engines agree at ties.
+
+    Scale shape: tokens are pre-projected ONCE (never the inlined
+    tokenize chain — the CollapseProject trap); unigram and bigram counts
+    are two map-side-combinable shuffles; totals are one-row broadcasts;
+    the unigram join-back happens AFTER min_count pruning, so the join
+    input is the pruned pair table, not the corpus. Top-k lowers to
+    TakeOrderedAndProject then rank-within-k.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("t"))
+    toks = toks.localCheckpoint(eager=False)
+    uni = (toks.select(F.explode("t").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    uni = uni.localCheckpoint(eager=False)
+    tot = uni.agg(F.sum("c").cast("long").alias("n_tokens"),
+                  F.count("*").cast("long").alias("n_terms"))
+    pairs = (F.when(
+        F.size("t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i),
+                                          F.element_at(F.col("t"), i + 1))))
+        .otherwise(F.array().cast("array<string>")))
+    cnt = (toks.select(F.explode(pairs).alias("pair"))
+           .groupBy("pair").agg(F.count("*").alias("n_pair")))
+    ptot = cnt.agg(F.sum("n_pair").cast("long").alias("n_pairs_total"))
+    pruned = (cnt.filter(F.col("n_pair") >= min_count)
+              .select(F.substring_index("pair", " ", 1).alias("left"),
+                      F.substring_index("pair", " ", -1).alias("right"),
+                      "pair", "n_pair"))
+    ul = uni.select(F.col("tok").alias("left"), F.col("c").alias("c_left"))
+    ur = uni.select(F.col("tok").alias("right"), F.col("c").alias("c_right"))
+    scored = (pruned.join(ul, "left").join(ur, "right")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(ptot)))
+    pmi = F.round(F.log2(
+        ((F.col("n_pair").cast("double") * F.col("n_tokens"))
+         * F.col("n_tokens"))
+        / ((F.col("n_pairs_total").cast("double") * F.col("c_left"))
+           * F.col("c_right"))), 4)
+    scored = scored.withColumn("pmi", pmi)
+    topk = (scored.orderBy(F.col("pmi").desc(), F.col("pair").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("pmi").desc(), F.col("pair").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("left", "right", "n_pair", "c_left", "c_right",
+                    "pmi", "rank"))
+
+
+def pmi_collocations_sql(tok_sql: str, min_count: int = 5,
+                         k: int = 20) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` over ``documents``."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter({tok_sql}, x -> x <> '') AS t FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS tok FROM toks
+),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM ucnt
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (SELECT pair, count(*) AS n_pair FROM pairs GROUP BY 1),
+ptot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_pairs_total FROM cnt),
+scored AS (
+  SELECT split_part(pair, ' ', 1) AS "left",
+         split_part(pair, ' ', 2) AS "right",
+         pair, n_pair, ul.c AS c_left, ur.c AS c_right,
+         round(log2(((CAST(n_pair AS DOUBLE) * n_tokens) * n_tokens)
+                    / ((CAST(n_pairs_total AS DOUBLE) * ul.c) * ur.c)), 4)
+           AS pmi
+  FROM cnt
+  JOIN ucnt ul ON ul.tok = split_part(pair, ' ', 1)
+  JOIN ucnt ur ON ur.tok = split_part(pair, ' ', 2)
+  CROSS JOIN tot CROSS JOIN ptot
+  WHERE n_pair >= {min_count}
+)
+SELECT "left", "right", n_pair, c_left, c_right, pmi,
+  CAST(row_number() OVER (ORDER BY pmi DESC, pair ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""

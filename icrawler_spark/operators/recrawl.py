@@ -151,3 +151,111 @@ def snapshot_diff(
         status.alias("status"),
         F.col("__h_o").alias("old_hash"),
         F.col("__h_n").alias("new_hash"))
+
+
+_MAXAGE_RE = r"(^|[ ,])max-age=([0-9]+)"
+_SMAXAGE_RE = r"(^|[ ,])s-maxage=([0-9]+)"
+_HEURISTIC_CAP_S = 7 * 24 * 3600  # RFC 7234 heuristic freshness cap
+
+
+def cache_lifetime(
+    responses: DataFrame,
+    now_ts: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """HTTP-caching-driven recrawl TTL (RFC 7234 §4.2): derive each URL's
+    freshness lifetime from its response's ``Cache-Control`` value,
+    ``Expires`` and ``Last-Modified`` timestamps — the standards-based
+    companion to the capture-history estimator (:func:`recrawl_schedule`).
+    The reference refetches unconditionally (downloader.py:95-155); a
+    100 TB recrawl must order work by when pages actually go stale.
+
+    Input columns: (url, date_ts, cache_control, expires_ts,
+    last_modified_ts) with epoch-second longs (header strings parsed
+    upstream by operators/warc.http_headers). Precedence per RFC 7234:
+    no-store/no-cache → 0; s-maxage > max-age > Expires−Date > heuristic
+    10% of (Date−Last-Modified) capped at 7 days > 0.
+
+    Returns (url, policy, freshness_s, stale_at, fresh_now). Pure regexp +
+    integer conditionals fused into the scan — no shuffle, no Python.
+    """
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+    no_store = cc.rlike(r"(^|[ ,])no-store([ ,;]|$)")
+    no_cache = cc.rlike(r"(^|[ ,])no-cache([ ,;=]|$)")
+    s_maxage = F.nullif(F.regexp_extract(cc, _SMAXAGE_RE, 2),
+                        F.lit("")).cast("long")
+    max_age = F.nullif(F.regexp_extract(cc, _MAXAGE_RE, 2),
+                       F.lit("")).cast("long")
+    exp_fresh = F.greatest(F.col("expires_ts") - F.col("date_ts"),
+                           F.lit(0).cast("long"))
+    heur = F.least(
+        F.floor((F.col("date_ts") - F.col("last_modified_ts")) / 10)
+         .cast("long"),
+        F.lit(_HEURISTIC_CAP_S).cast("long"))
+    heur = F.greatest(heur, F.lit(0).cast("long"))
+    policy = (F.when(no_store, F.lit("no-store"))
+              .when(no_cache, F.lit("no-cache"))
+              .when(s_maxage.isNotNull(), F.lit("s-maxage"))
+              .when(max_age.isNotNull(), F.lit("max-age"))
+              .when(F.col("expires_ts").isNotNull(), F.lit("expires"))
+              .when(F.col("last_modified_ts").isNotNull(),
+                    F.lit("heuristic"))
+              .otherwise(F.lit("none")))
+    fresh = (F.when(no_store | no_cache, F.lit(0).cast("long"))
+             .when(s_maxage.isNotNull(), s_maxage)
+             .when(max_age.isNotNull(), max_age)
+             .when(F.col("expires_ts").isNotNull(), exp_fresh)
+             .when(F.col("last_modified_ts").isNotNull(), heur)
+             .otherwise(F.lit(0).cast("long")))
+    out = responses.select(
+        F.col(url_col), policy.alias("policy"),
+        fresh.alias("freshness_s"),
+        (F.col("date_ts") + fresh).cast("long").alias("stale_at"))
+    return out.withColumn("fresh_now",
+                          F.col("stale_at") > F.lit(int(now_ts)))
+
+
+def cache_lifetime_sql(responses_sql: str, now_ts: int,
+                       url_col: str = "url") -> str:
+    """DuckDB mirror of :func:`cache_lifetime` over a (url, date_ts,
+    cache_control, expires_ts, last_modified_ts) SELECT."""
+    return f"""
+WITH src AS (
+  SELECT *, lower(coalesce(cache_control, '')) AS cc
+  FROM ({responses_sql})
+),
+parsed AS (
+  SELECT {url_col}, date_ts, expires_ts, last_modified_ts,
+    regexp_matches(cc, '(^|[ ,])no-store([ ,;]|$)') AS no_store,
+    regexp_matches(cc, '(^|[ ,])no-cache([ ,;=]|$)') AS no_cache,
+    CAST(nullif(regexp_extract(cc, '{_SMAXAGE_RE}', 2), '') AS BIGINT)
+      AS s_maxage,
+    CAST(nullif(regexp_extract(cc, '{_MAXAGE_RE}', 2), '') AS BIGINT)
+      AS max_age
+  FROM src
+),
+fresh AS (
+  SELECT {url_col}, date_ts,
+    CASE WHEN no_store THEN 'no-store'
+         WHEN no_cache THEN 'no-cache'
+         WHEN s_maxage IS NOT NULL THEN 's-maxage'
+         WHEN max_age IS NOT NULL THEN 'max-age'
+         WHEN expires_ts IS NOT NULL THEN 'expires'
+         WHEN last_modified_ts IS NOT NULL THEN 'heuristic'
+         ELSE 'none' END AS policy,
+    CASE WHEN no_store OR no_cache THEN CAST(0 AS BIGINT)
+         WHEN s_maxage IS NOT NULL THEN s_maxage
+         WHEN max_age IS NOT NULL THEN max_age
+         WHEN expires_ts IS NOT NULL
+           THEN greatest(expires_ts - date_ts, CAST(0 AS BIGINT))
+         WHEN last_modified_ts IS NOT NULL THEN greatest(least(
+             CAST(floor((date_ts - last_modified_ts) / 10) AS BIGINT),
+             CAST({_HEURISTIC_CAP_S} AS BIGINT)), CAST(0 AS BIGINT))
+         ELSE CAST(0 AS BIGINT) END AS freshness_s
+  FROM parsed
+)
+SELECT {url_col}, policy, freshness_s,
+  CAST(date_ts + freshness_s AS BIGINT) AS stale_at,
+  date_ts + freshness_s > {int(now_ts)} AS fresh_now
+FROM fresh
+"""

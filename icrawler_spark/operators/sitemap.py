@@ -149,3 +149,97 @@ SELECT {id_col}, feed_url, feed_type,
     AS feed_rank
 FROM feeds
 """
+
+
+_HREFLANG_RE = r'hreflang="([^"]*)"'
+
+
+def hreflang_clusters(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """Locale-alternate cluster audit from `<link rel="alternate"
+    hreflang=... href=...>` tags (Google's hreflang spec / RFC 8288 link
+    relations) — the dedup-by-design signal a multilingual site publishes.
+    A crawler that groups locale alternates fetches one cluster
+    representative per round instead of N translations; the reference has
+    no notion of page relations at all.
+
+    Pages declaring an ``x-default`` alternate are grouped by that
+    x-default href (the cluster key the spec designates). Per cluster:
+    n_pages (crawled members), n_alt_targets (distinct non-default
+    alternate hrefs declared), n_langs, langs (sorted, comma-joined) and
+    complete = every declared alternate was actually crawled — the gap
+    list a recrawl planner feeds back into the frontier.
+
+    Scale shape: the tag stream explodes inside the scan (regexp over a
+    page-local column); the per-page x-default key is ONE groupBy(url)
+    with map-side combine; cluster stats are ONE groupBy(cluster). No
+    window, no Python, no skew beyond real mega-clusters (bounded by a
+    site's locale count).
+    """
+    tags = pages.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.col(html_col), F.lit(_LINK_TAG_RE), F.lit(0))).alias("tag"))
+    lang = F.regexp_extract("tag", _HREFLANG_RE, 1)
+    href = F.regexp_extract("tag", _HREF_RE, 1)
+    alts = (tags.where(F.col("tag").rlike(_REL_ALT_RE)
+                       & (lang != "") & (href != ""))
+            .select(id_col, lang.alias("lang"), href.alias("href")))
+    keyed = (alts.groupBy(id_col).agg(
+        F.max(F.when(F.col("lang") == "x-default", F.col("href")))
+         .alias("cluster"),
+        F.collect_list(F.when(F.col("lang") != "x-default",
+                              F.struct("lang", "href"))).alias("pairs"))
+        .where(F.col("cluster").isNotNull()))
+    flat = keyed.select(id_col, "cluster",
+                        F.explode("pairs").alias("p"))
+    return (flat.groupBy("cluster").agg(
+        F.countDistinct(id_col).cast("long").alias("n_pages"),
+        F.countDistinct("p.href").cast("long").alias("n_alt_targets"),
+        F.countDistinct("p.lang").cast("long").alias("n_langs"),
+        F.array_join(F.array_sort(F.collect_set("p.lang")), ",")
+         .alias("langs"))
+        .withColumn("complete",
+                    F.col("n_pages") == F.col("n_alt_targets")))
+
+
+def hreflang_clusters_sql(pages_sql: str, id_col: str = "url") -> str:
+    """DuckDB replay of :func:`hreflang_clusters` over an (id, html)
+    SELECT."""
+    return f"""
+WITH tags AS (
+  SELECT {id_col},
+    unnest(regexp_extract_all(html, '{_LINK_TAG_RE}')) AS tag
+  FROM ({pages_sql})
+),
+alts AS (
+  SELECT {id_col},
+    regexp_extract(tag, '{_HREFLANG_RE}', 1) AS lang,
+    regexp_extract(tag, '{_HREF_RE}', 1) AS href
+  FROM tags
+  WHERE regexp_matches(tag, '{_REL_ALT_RE}')
+    AND regexp_extract(tag, '{_HREFLANG_RE}', 1) <> ''
+    AND regexp_extract(tag, '{_HREF_RE}', 1) <> ''
+),
+keyed AS (
+  SELECT {id_col},
+    max(CASE WHEN lang = 'x-default' THEN href END) AS cluster
+  FROM alts GROUP BY 1
+),
+flat AS (
+  SELECT a.{id_col}, k.cluster, a.lang, a.href
+  FROM alts a JOIN keyed k USING ({id_col})
+  WHERE k.cluster IS NOT NULL AND a.lang <> 'x-default'
+)
+SELECT cluster,
+  CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_pages,
+  CAST(count(DISTINCT href) AS BIGINT) AS n_alt_targets,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  list_aggregate(list_sort(list_distinct(list(lang))), 'string_agg', ',')
+    AS langs,
+  count(DISTINCT {id_col}) = count(DISTINCT href) AS complete
+FROM flat GROUP BY 1
+"""

@@ -458,3 +458,87 @@ def content_block_sql(
         "content": (f"array_to_string(list_transform({kept}, s -> s.txt),"
                     f" chr(10))"),
     }
+
+
+# meta-robots pattern shared with the DuckDB oracle (RE2-safe)
+META_ROBOTS_RE = (r"""(?is)<meta[^>]*name\s*=\s*["']robots["']"""
+                  r"""[^>]*content\s*=\s*["']([^"']*)["']""")
+
+
+def _robots_directive(combined, name: str):
+    return combined.rlike(r"(^|[ ,;])" + name + r"([ ,;]|$)")
+
+
+def meta_robots(
+    pages: DataFrame,
+    html_col: str = "html",
+    header_col: str = "x_robots_tag",
+    id_col: str = "url",
+) -> DataFrame:
+    """Indexability gate from robots *page* directives — the `<meta
+    name="robots">` tag and the `X-Robots-Tag` response header (Google's
+    robots-meta spec; RFC 9309 covers only robots.txt). The reference
+    ignores page-level directives entirely (its parsers take every href,
+    builtin/greedy.py:34-57); a polite corpus crawler must honor noindex
+    before a page enters the index and nofollow before its outlinks enter
+    the frontier.
+
+    Both sources are combined (a directive from either applies — the
+    documented union semantics), ``none`` expands to noindex+nofollow.
+    Returns (id, meta_directives, header_directives, noindex, nofollow,
+    noarchive, indexable, followable). Pure regexp projection fused into
+    the scan — no explode, no shuffle, no Python.
+    """
+    meta = F.nullif(F.regexp_extract(F.col(html_col), META_ROBOTS_RE, 1),
+                    F.lit(""))
+    hdr = F.nullif(F.col(header_col), F.lit(""))
+    combined = F.lower(F.concat_ws(",", F.coalesce(meta, F.lit("")),
+                                   F.coalesce(hdr, F.lit(""))))
+    none_d = _robots_directive(combined, "none")
+    noindex = _robots_directive(combined, "noindex") | none_d
+    nofollow = _robots_directive(combined, "nofollow") | none_d
+    noarchive = _robots_directive(combined, "noarchive")
+    return pages.select(
+        F.col(id_col),
+        meta.alias("meta_directives"),
+        hdr.alias("header_directives"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        noarchive.alias("noarchive"),
+        (~noindex).alias("indexable"),
+        (~nofollow).alias("followable"))
+
+
+def meta_robots_sql(pages_sql: str, id_col: str = "url") -> str:
+    """DuckDB mirror of :func:`meta_robots` over an (id, html,
+    x_robots_tag) SELECT."""
+    pat = META_ROBOTS_RE.replace("'", "''")
+
+    def d(name: str) -> str:
+        return (f"regexp_matches(combined, '(^|[ ,;]){name}([ ,;]|$)')")
+
+    return f"""
+WITH src AS (
+  SELECT {id_col},
+    nullif(regexp_extract(html, '{pat}', 1), '') AS meta_directives,
+    nullif(x_robots_tag, '') AS header_directives
+  FROM ({pages_sql})
+),
+flags AS (
+  SELECT *,
+    lower(coalesce(meta_directives, '') || ','
+          || coalesce(header_directives, '')) AS combined
+  FROM src
+),
+expanded AS (
+  SELECT {id_col}, meta_directives, header_directives,
+    {d('noindex')} OR {d('none')} AS noindex,
+    {d('nofollow')} OR {d('none')} AS nofollow,
+    {d('noarchive')} AS noarchive
+  FROM flags
+)
+SELECT {id_col}, meta_directives, header_directives,
+  noindex, nofollow, noarchive,
+  NOT noindex AS indexable, NOT nofollow AS followable
+FROM expanded
+"""

@@ -1,0 +1,206 @@
+"""Unit tests for the round-29 pack: readability, PMI collocations,
+meta-robots directives, HTTP cache lifetimes, hreflang clusters."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import pmi_collocations, readability
+from icrawler_spark.operators.recrawl import cache_lifetime
+from icrawler_spark.operators.sitemap import hreflang_clusters
+from icrawler_spark.operators.warc import meta_robots
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+def test_readability_counts_and_formula(spark):
+    # words: the(1) cat(0+1=vowel groups...) -> check plain counts:
+    # "the cat sat. on a mat!" words=6 syllables: the(1) cat(1) sat(1)
+    # on(1) a(1) mat(1) = 6; sentences: '.', '!' -> 2 runs
+    df = spark.createDataFrame([(1, "the cat sat. on a mat!")],
+                               "doc_id long, text string")
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_syllables"], r["n_sentences"]) == (6, 6, 2)
+    assert r["words_per_sentence"] == 3.0
+    assert r["syllables_per_word"] == 1.0
+    # FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(r["flesch"] - 119.19) < 1e-9
+    # FK = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert abs(r["fk_grade"] - (-2.62)) < 1e-9
+
+
+def test_readability_empty_doc_is_null_not_div0(spark):
+    df = spark.createDataFrame([(1, ""), (2, "...")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    for i in (1, 2):
+        assert rows[i]["n_words"] == 0
+        assert rows[i]["flesch"] is None and rows[i]["fk_grade"] is None
+    assert rows[2]["n_sentences"] == 1  # '...' is one delimiter run
+
+
+def test_readability_vowel_groups_not_letters(spark):
+    # "queue" has 2 vowel groups (ueue counts once... q-ueue: 'ueue' is one
+    # run) -> 1; "audio" one run 'au'+... a-u-d-i-o: 'au','io' = 2 runs
+    df = spark.createDataFrame([(1, "queue audio")],
+                               "doc_id long, text string")
+    r = readability(df).collect()[0]
+    assert r["n_syllables"] == 3 and r["n_words"] == 2
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    # "san francisco" always adjacent and exclusive; "the the" frequent but
+    # 'the' is everywhere -> lower pmi
+    rows = [(i, f"san francisco word{i} is the city near the bay the end")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["left"], r["right"]): r
+           for r in pmi_collocations(df, min_count=5, k=25).collect()}
+    sf = out[("san", "francisco")]
+    assert sf["n_pair"] == 6 and sf["c_left"] == 6 and sf["c_right"] == 6
+    # exclusive pair beats the frequent-but-promiscuous one
+    assert sf["pmi"] > out[("the", "city")]["pmi"]
+    assert out[("the", "city")]["c_left"] == 18  # 'the' 3x per doc
+
+
+def test_pmi_min_count_prunes(spark):
+    df = spark.createDataFrame([(1, "rare pair here"), (2, "other text")],
+                               "doc_id long, text string")
+    assert pmi_collocations(df, min_count=2, k=10).count() == 0
+
+
+def test_pmi_value_matches_formula(spark):
+    import math
+    # corpus: one doc "a b a b" repeated: T=4 tokens (a:2,b:2), pairs:
+    # ab,ba,ab -> P=3, c(a,b)=2
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    out = {(r["left"], r["right"]): r
+           for r in pmi_collocations(df, min_count=1, k=10).collect()}
+    r = out[("a", "b")]
+    expect = math.log2(((2.0 * 4) * 4) / ((3.0 * 2) * 2))
+    assert abs(r["pmi"] - round(expect, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# meta_robots
+# ---------------------------------------------------------------------------
+
+def _mr(spark, html, hdr):
+    df = spark.createDataFrame([("u", html, hdr)],
+                               "url string, html string, x_robots_tag string")
+    return meta_robots(df).collect()[0]
+
+
+def test_meta_robots_noindex_meta(spark):
+    r = _mr(spark, '<meta name="robots" content="noindex">', None)
+    assert r["noindex"] and not r["nofollow"]
+    assert not r["indexable"] and r["followable"]
+
+
+def test_meta_robots_none_expands(spark):
+    r = _mr(spark, "<html>", "none")
+    assert r["noindex"] and r["nofollow"] and not r["noarchive"]
+
+
+def test_meta_robots_union_of_sources(spark):
+    r = _mr(spark, "<meta name='robots' content='nofollow'>", "noarchive")
+    assert r["nofollow"] and r["noarchive"] and not r["noindex"]
+    assert r["meta_directives"] == "nofollow"
+    assert r["header_directives"] == "noarchive"
+
+
+def test_meta_robots_substring_not_matched(spark):
+    # 'noindexing' must not trip the noindex flag (word-boundary-ish match)
+    r = _mr(spark, '<meta name="robots" content="noindexing">', None)
+    assert not r["noindex"] and r["indexable"]
+
+
+def test_meta_robots_clean_page(spark):
+    r = _mr(spark, "<html><body>", None)
+    assert r["indexable"] and r["followable"]
+    assert r["meta_directives"] is None and r["header_directives"] is None
+
+
+# ---------------------------------------------------------------------------
+# cache_lifetime
+# ---------------------------------------------------------------------------
+
+def _cl(spark, cc, expires, lastmod, date_ts=1000000, now=1000500):
+    df = spark.createDataFrame(
+        [("u", date_ts, cc, expires, lastmod)],
+        "url string, date_ts long, cache_control string, "
+        "expires_ts long, last_modified_ts long")
+    return cache_lifetime(df, now_ts=now).collect()[0]
+
+
+def test_cache_precedence_ladder(spark):
+    assert _cl(spark, "max-age=3600", None, None)["policy"] == "max-age"
+    r = _cl(spark, "public, max-age=60, s-maxage=600", 999, None)
+    assert r["policy"] == "s-maxage" and r["freshness_s"] == 600
+    assert _cl(spark, "no-store, max-age=99", None, None)["freshness_s"] == 0
+    assert _cl(spark, "no-cache", None, None)["policy"] == "no-cache"
+
+
+def test_cache_expires_clamped_at_zero(spark):
+    r = _cl(spark, None, 999000, None)  # already expired
+    assert r["policy"] == "expires" and r["freshness_s"] == 0
+    assert r["stale_at"] == 1000000 and not r["fresh_now"]
+
+
+def test_cache_heuristic_tenth_and_cap(spark):
+    r = _cl(spark, None, None, 1000000 - 1000)
+    assert r["policy"] == "heuristic" and r["freshness_s"] == 100
+    cap = _cl(spark, None, None, 1000000 - 10**9)
+    assert cap["freshness_s"] == 7 * 24 * 3600
+
+
+def test_cache_fresh_now(spark):
+    r = _cl(spark, "max-age=3600", None, None)  # stale at 1003600 > 1000500
+    assert r["fresh_now"]
+    assert not _cl(spark, "max-age=100", None, None)["fresh_now"]
+
+
+def test_cache_nothing_declared(spark):
+    r = _cl(spark, None, None, None)
+    assert r["policy"] == "none" and r["freshness_s"] == 0
+
+
+# ---------------------------------------------------------------------------
+# hreflang_clusters
+# ---------------------------------------------------------------------------
+
+def _page(cluster, lang, langs=("en", "fr")):
+    site = f"http://s{cluster}.test/"
+    tags = "".join(
+        f'<link rel="alternate" hreflang="{lx}" href="{site}{lx}">'
+        for lx in langs)
+    tags += (f'<link rel="alternate" hreflang="x-default" '
+             f'href="{site}en">')
+    return (site + lang, f"<html><head>{tags}</head>")
+
+
+def test_hreflang_complete_cluster(spark):
+    df = spark.createDataFrame([_page(1, "en"), _page(1, "fr")],
+                               "url string, html string")
+    r = hreflang_clusters(df).collect()[0]
+    assert r["cluster"] == "http://s1.test/en"
+    assert r["n_pages"] == 2 and r["n_alt_targets"] == 2
+    assert r["langs"] == "en,fr" and r["complete"]
+
+
+def test_hreflang_missing_member_flagged(spark):
+    df = spark.createDataFrame([_page(2, "en")], "url string, html string")
+    r = hreflang_clusters(df).collect()[0]
+    assert r["n_pages"] == 1 and r["n_alt_targets"] == 2
+    assert not r["complete"]
+
+
+def test_hreflang_pages_without_xdefault_ignored(spark):
+    html = ('<link rel="alternate" hreflang="en" href="http://x.test/en">')
+    df = spark.createDataFrame([("http://x.test/en", html)],
+                               "url string, html string")
+    assert hreflang_clusters(df).count() == 0
