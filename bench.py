@@ -236,6 +236,9 @@ _EXTRA_PICKS = [
     # round-3 batch-23 (readability + PMI + page directives + cache TTLs)
     "readability", "pmi_collocations", "meta_robots", "cache_control",
     "hreflang_clusters",
+    # round-3 batch-24 (snapshot diffs + link spam + availability + audit)
+    "sitemap_delta", "anchor_entropy", "status_flaps", "delay_compliance",
+    "lang_fertility",
 ]
 
 

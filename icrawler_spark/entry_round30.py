@@ -1,0 +1,253 @@
+"""Round-3 driver-contract queries (batch 24): sitemap snapshot diffs,
+anchor-text entropy, URL availability profiles, politeness compliance
+audit, and tokenizer fertility by language.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import sitemap as _sitemap
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# sitemap_delta — snapshot diff → recrawl seeds
+# ---------------------------------------------------------------------------
+
+
+def _sm_old(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (d.where(F.col("doc_id") % 5 < 4)
+            .select(F.concat(F.lit("http://s.test/p"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    (F.lit(1000) + F.col("doc_id") % 97).cast("long")
+                    .alias("lastmod")))
+
+
+def _sm_new(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    bump = F.when(F.col("doc_id") % 7 == 0, F.lit(50)).otherwise(F.lit(0))
+    return (d.where(F.col("doc_id") % 5 > 0)
+            .select(F.concat(F.lit("http://s.test/p"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    (F.lit(1000) + F.col("doc_id") % 97 + bump)
+                    .cast("long").alias("lastmod")))
+
+
+_SM_OLD_SQL = """
+  SELECT 'http://s.test/p' || doc_id AS url,
+         CAST(1000 + doc_id % 97 AS BIGINT) AS lastmod
+  FROM documents WHERE doc_id % 5 < 4
+"""
+
+_SM_NEW_SQL = """
+  SELECT 'http://s.test/p' || doc_id AS url,
+    CAST(1000 + doc_id % 97
+         + CASE WHEN doc_id % 7 = 0 THEN 50 ELSE 0 END AS BIGINT)
+      AS lastmod
+  FROM documents WHERE doc_id % 5 > 0
+"""
+
+
+def q_sitemap_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.sitemap_delta: added/removed/lastmod-changed URL
+    sets between two sitemap snapshots — one full-outer equi-join on url,
+    unchanged rows never materialised."""
+    return _sitemap.sitemap_delta(_sm_old(spark, sf), _sm_new(spark, sf))
+
+
+def _sitemap_delta_sql() -> str:
+    return _sitemap.sitemap_delta_sql(_SM_OLD_SQL, _SM_NEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# anchor_entropy — inlink anchor diversity per target host
+# ---------------------------------------------------------------------------
+
+
+def _ae_links(spark, sf) -> DataFrame:
+    """Inlink stream: six rotating anchor phrases; host h7 is a link-farm
+    target (one money phrase repeated — entropy collapses to ~0)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = F.concat(F.lit("h"), (e % 40).cast("string"), F.lit(".test"))
+    k = (e % 6).cast("int")
+    anchor = (F.when(e % 40 == 7, F.lit("buy cheap pills now"))
+              .when(k == 0, F.lit("click here"))
+              .when(k == 1, F.lit("home"))
+              .when(k == 2, F.concat(F.lit("product "),
+                                     (e % 13).cast("string")))
+              .when(k == 3, F.lit("read More!"))
+              .when(k == 4, F.concat(F.lit("review of item "),
+                                     (e % 29).cast("string")))
+              .otherwise(F.lit("official site")))
+    return ev.select(host.alias("dst_host"), anchor.alias("anchor"))
+
+
+_AE_LINKS_SQL = """
+  SELECT 'h' || (event_id % 40) || '.test' AS dst_host,
+    CASE WHEN event_id % 40 = 7 THEN 'buy cheap pills now'
+      ELSE CASE CAST(event_id % 6 AS INT)
+        WHEN 0 THEN 'click here'
+        WHEN 1 THEN 'home'
+        WHEN 2 THEN 'product ' || (event_id % 13)
+        WHEN 3 THEN 'read More!'
+        WHEN 4 THEN 'review of item ' || (event_id % 29)
+        ELSE 'official site'
+      END
+    END AS anchor
+  FROM events
+"""
+
+
+def q_anchor_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.anchor_entropy: Shannon entropy of the inlink anchor
+    term distribution per target host — the link-farm dial (one money
+    phrase → entropy ~0, organic anchors → high). One (host, term) count
+    shuffle with map-side combine."""
+    return _warc.anchor_entropy(_ae_links(spark, sf))
+
+
+def _anchor_entropy_sql() -> str:
+    return _warc.anchor_entropy_sql(_AE_LINKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# status_flaps — per-URL availability from the fetch history
+# ---------------------------------------------------------------------------
+
+_SF_BASE = 1700000000
+
+
+def _sf_fetchlog(spark, sf) -> DataFrame:
+    """~20 fetches per URL; status mixes 200/304/404/500 on a rotating
+    integer pattern so some URLs flap and some end in a failure streak."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    k = ((e / 500).cast("long") + e % 500) % 11
+    status = (F.when(k < 6, F.lit(200))
+              .when(k == 6, F.lit(304))
+              .when(k < 9, F.lit(500))
+              .when(k == 9, F.lit(404))
+              .otherwise(F.lit(200)))
+    return ev.select(
+        F.concat(F.lit("http://u"), (e % 500).cast("string"),
+                 F.lit(".test/p")).alias("url"),
+        (F.lit(_SF_BASE) + e).cast("long").alias("ts"),
+        status.cast("int").alias("status"))
+
+
+_SF_FETCHLOG_SQL = f"""
+  SELECT 'http://u' || (event_id % 500) || '.test/p' AS url,
+    CAST({_SF_BASE} + event_id AS BIGINT) AS ts,
+    CAST(CASE WHEN (event_id // 500 + event_id % 500) % 11 < 6 THEN 200
+              WHEN (event_id // 500 + event_id % 500) % 11 = 6 THEN 304
+              WHEN (event_id // 500 + event_id % 500) % 11 < 9 THEN 500
+              WHEN (event_id // 500 + event_id % 500) % 11 = 9 THEN 404
+              ELSE 200 END AS INT) AS status
+  FROM events
+"""
+
+
+def q_status_flaps(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.status_flaps: availability ratio, ok↔fail flap
+    count, last-good timestamp and current tail failure streak per URL —
+    one per-url window + one groupBy, integer math end-to-end."""
+    return _recrawl.status_flaps(_sf_fetchlog(spark, sf))
+
+
+def _status_flaps_sql() -> str:
+    return _recrawl.status_flaps_sql(_SF_FETCHLOG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# delay_compliance — politeness audit of the fetch log
+# ---------------------------------------------------------------------------
+
+
+def _dc_fetchlog(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 30).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.lit(_SF_BASE) + e + e % 7).cast("long").alias("ts"))
+
+
+def _dc_delays(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.select((F.col("event_id") % 30).alias("k")).distinct()
+            .select(F.concat(F.lit("h"), F.col("k").cast("string"),
+                             F.lit(".test")).alias("host"),
+                    (F.lit(10) + (F.col("k") % 4) * 15).cast("long")
+                    .alias("delay_s")))
+
+
+_DC_FETCHLOG_SQL = f"""
+  SELECT 'h' || (event_id % 30) || '.test' AS host,
+    CAST({_SF_BASE} + event_id + event_id % 7 AS BIGINT) AS ts
+  FROM events
+"""
+
+_DC_DELAYS_SQL = """
+  SELECT 'h' || k || '.test' AS host,
+         CAST(10 + (k % 4) * 15 AS BIGINT) AS delay_s
+  FROM (SELECT DISTINCT event_id % 30 AS k FROM events)
+"""
+
+
+def q_delay_compliance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.delay_compliance: replay the fetch log against
+    per-host required delays — min gap, violations, compliance share. Per-
+    host window (politeness-bounded partitions) + broadcast delay join."""
+    return _politeness.delay_compliance(_dc_fetchlog(spark, sf),
+                                        _dc_delays(spark, sf))
+
+
+def _delay_compliance_sql() -> str:
+    return _politeness.delay_compliance_sql(_DC_FETCHLOG_SQL,
+                                            _DC_DELAYS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lang_fertility — chars/token and tokens/doc by language
+# ---------------------------------------------------------------------------
+
+
+def q_lang_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lang_fertility: tokenizer fertility profile per
+    corpus language — the pre-budgeting check for multilingual token
+    quotas. Scan-stage array exprs + ONE tiny groupBy(lang)."""
+    return _corpus.lang_fertility(_docs(spark, sf))
+
+
+def _lang_fertility_sql() -> str:
+    return _corpus.lang_fertility_sql(_TOK_SQL)
+
+
+def queries30():
+    return {
+        "sitemap_delta": q_sitemap_delta,
+        "anchor_entropy": q_anchor_entropy,
+        "status_flaps": q_status_flaps,
+        "delay_compliance": q_delay_compliance,
+        "lang_fertility": q_lang_fertility,
+    }
+
+
+def oracle_sql30():
+    return {
+        "sitemap_delta": _sitemap_delta_sql(),
+        "anchor_entropy": _anchor_entropy_sql(),
+        "status_flaps": _status_flaps_sql(),
+        "delay_compliance": _delay_compliance_sql(),
+        "lang_fertility": _lang_fertility_sql(),
+    }

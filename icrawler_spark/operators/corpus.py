@@ -592,3 +592,62 @@ SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n_terms,
     AS intercept
 FROM agg
 """
+
+
+def lang_fertility(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility profile per language — chars-per-token and
+    tokens-per-doc by corpus language, the number multilingual pipelines
+    check before fixing a token budget (a whitespace/BPE tokenizer is
+    ~4 chars/token on English but far denser on CJK; a budget set on one
+    language silently over- or under-samples the others — cf. the
+    fertility analyses in the XLM-R and NLLB data work).
+
+    Per lang: (lang, n_docs, n_tokens, n_chars, chars_per_token,
+    tokens_per_doc), ratios rounded to 4.
+
+    Scale shape: token and char counts are per-row array/length
+    expressions fused into the scan (the token array is pre-projected
+    once, never re-derived per reference); ONE groupBy(lang) with
+    map-side combine — lang cardinality is tiny, the combiner does all
+    the work. No explode, no window, no Python.
+    """
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(F.filter(tokens_col(text_col), lambda t: t != ""))
+         .cast("long").alias("n_tok"),
+        F.length(text_col).cast("long").alias("n_chr"))
+    return (per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"))
+        .select("lang", "n_docs", "n_tokens", "n_chars",
+                F.round(F.col("n_chars") / F.col("n_tokens"), 4)
+                 .alias("chars_per_token"),
+                F.round(F.col("n_tokens") / F.col("n_docs"), 4)
+                 .alias("tokens_per_doc")))
+
+
+def lang_fertility_sql(tok_sql: str) -> str:
+    """DuckDB replay of :func:`lang_fertility` over ``documents``."""
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+    CAST(len(list_filter({tok_sql}, x -> x <> '')) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chr
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+    CAST(sum(n_chr) AS BIGINT) AS n_chars
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, n_tokens, n_chars,
+  round(n_chars / CAST(n_tokens AS DOUBLE), 4) AS chars_per_token,
+  round(n_tokens / CAST(n_docs AS DOUBLE), 4) AS tokens_per_doc
+FROM agg
+"""

@@ -493,3 +493,75 @@ SELECT n_hosts, n_urls,
 FROM ranked CROSS JOIN tot
 GROUP BY 1, 2, srx
 """
+
+
+def delay_compliance(
+    fetchlog: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    delay_col: str = "delay_s",
+) -> DataFrame:
+    """Politeness compliance audit: replay the fetch log against each
+    host's required crawl delay (robots Crawl-delay or the scheduler's
+    own budget) and report violations — the ops dashboard that proves the
+    token-bucket scheduler (robots_politeness_split) actually held at
+    production, and the first thing to check when a host starts serving
+    429s. The reference enforces nothing (threads fire as fast as the
+    queue drains, downloader.py:95-155).
+
+    Per host: (host, delay_s, n_fetches, min_gap_s, n_violations,
+    compliance) — gaps between consecutive fetches of the same host in ts
+    order; a violation is gap < delay_s; compliance = 1 − violations /
+    (n_fetches − 1), rounded to 4, NULL for single-fetch hosts.
+
+    Scale shape: one window partitioned by host (per-host logs are
+    politeness-bounded by construction — a compliant crawler fetches a
+    host at most 1/delay_s Hz, so no partition explodes) + one
+    groupBy(host) + one broadcast-sized join against the delay table.
+    """
+    w = Window.partitionBy("h").orderBy("ts")
+    gaps = (fetchlog.select(F.col(host_col).alias("h"),
+                            F.col(ts_col).alias("ts"))
+            .withColumn("gap", F.col("ts") - F.lag("ts").over(w)))
+    d = delays.select(F.col(host_col).alias("h"),
+                      F.col(delay_col).alias("delay_s"))
+    j = gaps.join(d, "h")
+    return (j.groupBy("h", "delay_s").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.min("gap").cast("long").alias("min_gap_s"),
+        F.sum(F.when(F.col("gap") < F.col("delay_s"), 1)
+              .otherwise(0)).cast("long").alias("n_violations"))
+        .select(F.col("h").alias(host_col), "delay_s", "n_fetches",
+                "min_gap_s", "n_violations",
+                F.when(F.col("n_fetches") > 1,
+                       F.round(F.lit(1.0) - F.col("n_violations")
+                               / (F.col("n_fetches") - 1), 4))
+                 .alias("compliance")))
+
+
+def delay_compliance_sql(fetchlog_sql: str, delays_sql: str) -> str:
+    """DuckDB replay of :func:`delay_compliance` over (host, ts) and
+    (host, delay_s) SELECTs."""
+    return f"""
+WITH gaps AS (
+  SELECT host AS h, ts,
+    ts - lag(ts) OVER (PARTITION BY host ORDER BY ts) AS gap
+  FROM ({fetchlog_sql})
+),
+d AS (SELECT host AS h, delay_s FROM ({delays_sql})),
+agg AS (
+  SELECT h, delay_s, CAST(count(*) AS BIGINT) AS n_fetches,
+    CAST(min(gap) AS BIGINT) AS min_gap_s,
+    CAST(sum(CASE WHEN gap < delay_s THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_violations
+  FROM gaps JOIN d USING (h)
+  GROUP BY 1, 2
+)
+SELECT h AS host, delay_s, n_fetches, min_gap_s, n_violations,
+  CASE WHEN n_fetches > 1 THEN
+    round(CAST(1.0 AS DOUBLE)
+          - n_violations / CAST(n_fetches - 1 AS DOUBLE), 4) END
+    AS compliance
+FROM agg
+"""

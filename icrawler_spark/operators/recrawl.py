@@ -259,3 +259,79 @@ SELECT {url_col}, policy, freshness_s,
   date_ts + freshness_s > {int(now_ts)} AS fresh_now
 FROM fresh
 """
+
+
+def status_flaps(
+    fetchlog: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-URL availability profile from the fetch history — the health
+    signal that separates "page is gone" (sustained 4xx/5xx → deprioritise)
+    from "host was flaky during one crawl round" (a flap → retry normally).
+    The reference's retry logic is per-session-only (downloader.py:95-155
+    retries within one run); a continuous crawler must read the history.
+
+    ok = status in [200,400) (3xx revalidations count as reachable).
+    Per url: (url, n_fetches, n_ok, availability, n_flaps, last_ok_ts,
+    tail_fail_streak) — n_flaps counts ok↔fail transitions in ts order;
+    tail_fail_streak is the current run of consecutive failures at the
+    history's end (the "how dead is it now" number).
+
+    Scale shape: one window partitioned by url (a single URL's history is
+    tiny and url keys hash uniformly — no skew) + one groupBy(url) with
+    map-side combine. Integer math end-to-end except the rounded ratio.
+    """
+    ok = ((F.col(status_col) >= 200) & (F.col(status_col) < 400))
+    marked = fetchlog.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        ok.cast("int").alias("ok"))
+    flap = (F.lag("ok").over(
+        Window.partitionBy("url").orderBy("ts")).isNotNull()
+        & (F.lag("ok").over(Window.partitionBy("url").orderBy("ts"))
+           != F.col("ok"))).cast("long")
+    # suffix position: rows counted from the history's end
+    rev = Window.partitionBy("url").orderBy(F.col("ts").desc())
+    tail_ok_seen = F.max("ok").over(
+        rev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stepped = marked.select(
+        "url", "ts", "ok", flap.alias("flap"),
+        # 1 while the suffix (from the end) has seen no success yet
+        (F.lit(1) - tail_ok_seen).alias("in_tail_fail"))
+    return (stepped.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.round(F.sum("ok") / F.count("*"), 4).alias("availability"),
+        F.sum("flap").cast("long").alias("n_flaps"),
+        F.max(F.when(F.col("ok") == 1, F.col("ts"))).alias("last_ok_ts"),
+        F.sum("in_tail_fail").cast("long").alias("tail_fail_streak")))
+
+
+def status_flaps_sql(fetchlog_sql: str) -> str:
+    """DuckDB replay of :func:`status_flaps` over a (url, ts, status)
+    SELECT."""
+    return f"""
+WITH marked AS (
+  SELECT url, ts,
+    CASE WHEN status >= 200 AND status < 400 THEN 1 ELSE 0 END AS ok
+  FROM ({fetchlog_sql})
+),
+stepped AS (
+  SELECT url, ts, ok,
+    CASE WHEN lag(ok) OVER (PARTITION BY url ORDER BY ts) IS NOT NULL
+          AND lag(ok) OVER (PARTITION BY url ORDER BY ts) <> ok
+         THEN 1 ELSE 0 END AS flap,
+    1 - max(ok) OVER (PARTITION BY url ORDER BY ts DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS in_tail_fail
+  FROM marked
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(sum(ok) AS BIGINT) AS n_ok,
+  round(sum(ok) / CAST(count(*) AS DOUBLE), 4) AS availability,
+  CAST(sum(flap) AS BIGINT) AS n_flaps,
+  max(CASE WHEN ok = 1 THEN ts END) AS last_ok_ts,
+  CAST(sum(in_tail_fail) AS BIGINT) AS tail_fail_streak
+FROM stepped GROUP BY 1
+"""

@@ -243,3 +243,57 @@ SELECT cluster,
   count(DISTINCT {id_col}) = count(DISTINCT href) AS complete
 FROM flat GROUP BY 1
 """
+
+
+def sitemap_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+) -> DataFrame:
+    """Sitemap snapshot diff — the cheapest recrawl signal after feeds:
+    comparing yesterday's and today's sitemap of a host yields the exact
+    added / removed / lastmod-changed URL sets without fetching a single
+    page (sitemaps.org protocol; Nutch's sitemap re-injection does the
+    same). The reference has no snapshot notion at all.
+
+    Returns (url, change, old_lastmod, new_lastmod) with change ∈
+    {'added','removed','changed'}; unchanged URLs are dropped (at 10^9
+    sitemap entries the unchanged set is the bulk — never materialise it).
+
+    Scale shape: ONE full-outer equi-join on url (hash-partitioned, skew
+    neutral), filter fused into the join output. No window, no Python.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(lastmod_col).alias("old_lastmod"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(lastmod_col).alias("new_lastmod"))
+    j = o.join(n, "url", "full_outer")
+    change = (F.when(F.col("old_lastmod").isNull(), F.lit("added"))
+              .when(F.col("new_lastmod").isNull(), F.lit("removed"))
+              .when(F.col("old_lastmod") != F.col("new_lastmod"),
+                    F.lit("changed")))
+    return (j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select("url", "change", "old_lastmod", "new_lastmod"))
+
+
+def sitemap_delta_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB replay of :func:`sitemap_delta` over two (url, lastmod)
+    SELECTs."""
+    return f"""
+WITH o AS (SELECT url, lastmod AS old_lastmod FROM ({old_sql})),
+n AS (SELECT url, lastmod AS new_lastmod FROM ({new_sql})),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url, old_lastmod, new_lastmod
+  FROM o FULL OUTER JOIN n ON o.url = n.url
+)
+SELECT url,
+  CASE WHEN old_lastmod IS NULL THEN 'added'
+       WHEN new_lastmod IS NULL THEN 'removed'
+       WHEN old_lastmod <> new_lastmod THEN 'changed' END AS change,
+  old_lastmod, new_lastmod
+FROM j
+WHERE old_lastmod IS NULL OR new_lastmod IS NULL
+   OR old_lastmod <> new_lastmod
+"""

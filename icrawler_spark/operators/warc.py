@@ -542,3 +542,82 @@ SELECT {id_col}, meta_directives, header_directives,
   NOT noindex AS indexable, NOT nofollow AS followable
 FROM expanded
 """
+
+
+def anchor_entropy(
+    links: DataFrame,
+    host_col: str = "dst_host",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inlink anchor-text diversity per target host — Shannon entropy of
+    the anchor term distribution. Organic sites are linked with varied,
+    descriptive anchors (high entropy); link farms and paid-link networks
+    repeat one money phrase (entropy near 0 with high volume) — a classic
+    link-spam feature (cf. Ntoulas et al. 2006 spam features) that
+    complements url_spam's lexical gate and host_reputation's graph score.
+
+    Per host: (dst_host, n_anchors, n_terms, n_distinct_terms, entropy,
+    top_share) — entropy in bits over anchor tokens, top_share the
+    probability mass of the most-repeated token, both rounded to 4.
+
+    Scale shape: anchors tokenize in the scan stage via a pre-projected
+    split (never an inlined chain); ONE (host, term) count shuffle with
+    map-side combine; per-host totals and the entropy sum aggregate
+    ≤ |vocab per host| rows. No window over raw anchors, no Python.
+    """
+    toks = links.select(
+        F.col(host_col).alias("h"),
+        F.explode(F.filter(
+            F.split(F.lower(F.regexp_replace(F.col(anchor_col),
+                                             r"[^a-z0-9 ]", " ")), " "),
+            lambda t: t != "")).alias("term"))
+    counts = toks.groupBy("h", "term").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("h").agg(
+        F.sum("n").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_distinct_terms"),
+        F.max("n").cast("long").alias("__top"))
+    n_anch = (links.groupBy(F.col(host_col).alias("h"))
+              .agg(F.count("*").cast("long").alias("n_anchors")))
+    p = F.col("n") / F.col("n_terms")
+    ent = (counts.join(totals, "h")
+           .groupBy("h", "n_terms", "n_distinct_terms", "__top")
+           .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy")))
+    return (ent.join(n_anch, "h")
+            .select(F.col("h").alias(host_col), "n_anchors", "n_terms",
+                    "n_distinct_terms", "entropy",
+                    F.round(F.col("__top") / F.col("n_terms"), 4)
+                     .alias("top_share")))
+
+
+def anchor_entropy_sql(links_sql: str, host_col: str = "dst_host") -> str:
+    """DuckDB replay of :func:`anchor_entropy` over a (dst_host, anchor)
+    SELECT."""
+    return f"""
+WITH toks AS (
+  SELECT {host_col} AS h, unnest(list_filter(
+    string_split(lower(regexp_replace(anchor, '[^a-z0-9 ]', ' ', 'g')),
+                 ' '), x -> x <> '')) AS term
+  FROM ({links_sql})
+),
+counts AS (SELECT h, term, count(*) AS n FROM toks GROUP BY 1, 2),
+totals AS (
+  SELECT h, CAST(sum(n) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_distinct_terms,
+         CAST(max(n) AS BIGINT) AS top
+  FROM counts GROUP BY 1
+),
+n_anch AS (
+  SELECT {host_col} AS h, CAST(count(*) AS BIGINT) AS n_anchors
+  FROM ({links_sql}) GROUP BY 1
+),
+ent AS (
+  SELECT c.h, t.n_terms, t.n_distinct_terms, t.top,
+    round(-sum((c.n / CAST(t.n_terms AS DOUBLE))
+               * log2(c.n / CAST(t.n_terms AS DOUBLE))), 4) AS entropy
+  FROM counts c JOIN totals t USING (h)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT e.h AS {host_col}, a.n_anchors, e.n_terms, e.n_distinct_terms,
+  e.entropy, round(e.top / CAST(e.n_terms AS DOUBLE), 4) AS top_share
+FROM ent e JOIN n_anch a USING (h)
+"""

@@ -1,0 +1,126 @@
+"""Unit tests for the round-30 pack: sitemap deltas, anchor entropy,
+status flaps, delay compliance, language fertility."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import lang_fertility
+from icrawler_spark.operators.politeness import delay_compliance
+from icrawler_spark.operators.recrawl import status_flaps
+from icrawler_spark.operators.sitemap import sitemap_delta
+from icrawler_spark.operators.warc import anchor_entropy
+
+
+# ---------------------------------------------------------------------------
+# sitemap_delta
+# ---------------------------------------------------------------------------
+
+def test_sitemap_delta_classifies(spark):
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, lastmod long")
+    new = spark.createDataFrame(
+        [("b", 2), ("c", 9), ("d", 4)], "url string, lastmod long")
+    out = {r["url"]: r for r in sitemap_delta(old, new).collect()}
+    assert set(out) == {"a", "c", "d"}  # b unchanged -> dropped
+    assert out["a"]["change"] == "removed" and out["a"]["new_lastmod"] is None
+    assert out["c"]["change"] == "changed"
+    assert (out["c"]["old_lastmod"], out["c"]["new_lastmod"]) == (3, 9)
+    assert out["d"]["change"] == "added" and out["d"]["old_lastmod"] is None
+
+
+# ---------------------------------------------------------------------------
+# anchor_entropy
+# ---------------------------------------------------------------------------
+
+def test_anchor_entropy_farm_vs_organic(spark):
+    rows = [("farm.test", "buy pills")] * 8 + [
+        ("ok.test", "great article about spark"),
+        ("ok.test", "window functions explained"),
+        ("ok.test", "shuffle partition tuning"),
+    ]
+    df = spark.createDataFrame(rows, "dst_host string, anchor string")
+    out = {r["dst_host"]: r for r in anchor_entropy(df).collect()}
+    farm, ok = out["farm.test"], out["ok.test"]
+    # farm: two terms each p=0.5 -> entropy exactly 1 bit, top_share 0.5
+    assert farm["entropy"] == 1.0 and farm["top_share"] == 0.5
+    assert farm["n_anchors"] == 8 and farm["n_terms"] == 16
+    assert ok["entropy"] > 3.0  # 10 distinct uniform terms -> log2(10)
+    assert ok["n_distinct_terms"] == 10
+
+
+def test_anchor_entropy_single_term_is_zero(spark):
+    df = spark.createDataFrame([("x.test", "home"), ("x.test", "home")],
+                               "dst_host string, anchor string")
+    r = anchor_entropy(df).collect()[0]
+    assert r["entropy"] == 0.0 and r["top_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# status_flaps
+# ---------------------------------------------------------------------------
+
+def test_status_flaps_counts_transitions(spark):
+    rows = [("u", 1, 200), ("u", 2, 500), ("u", 3, 200), ("u", 4, 500),
+            ("u", 5, 500)]
+    df = spark.createDataFrame(rows, "url string, ts long, status int")
+    r = status_flaps(df).collect()[0]
+    assert r["n_fetches"] == 5 and r["n_ok"] == 2
+    assert r["availability"] == 0.4
+    assert r["n_flaps"] == 3           # 200->500, 500->200, 200->500
+    assert r["last_ok_ts"] == 3
+    assert r["tail_fail_streak"] == 2  # ts 4 and 5
+
+
+def test_status_flaps_3xx_is_ok_and_no_fail_tail(spark):
+    rows = [("u", 1, 500), ("u", 2, 304)]
+    df = spark.createDataFrame(rows, "url string, ts long, status int")
+    r = status_flaps(df).collect()[0]
+    assert r["n_ok"] == 1 and r["tail_fail_streak"] == 0
+    assert r["last_ok_ts"] == 2 and r["n_flaps"] == 1
+
+
+def test_status_flaps_never_ok(spark):
+    df = spark.createDataFrame([("u", 1, 404)],
+                               "url string, ts long, status int")
+    r = status_flaps(df).collect()[0]
+    assert r["last_ok_ts"] is None and r["tail_fail_streak"] == 1
+    assert r["availability"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# delay_compliance
+# ---------------------------------------------------------------------------
+
+def test_delay_compliance_violations(spark):
+    log = spark.createDataFrame(
+        [("h", 100), ("h", 105), ("h", 140), ("h", 141)],
+        "host string, ts long")
+    delays = spark.createDataFrame([("h", 10)], "host string, delay_s long")
+    r = delay_compliance(log, delays).collect()[0]
+    assert r["n_fetches"] == 4 and r["min_gap_s"] == 1
+    assert r["n_violations"] == 2      # gaps 5, 35, 1 -> 5 and 1 violate
+    assert abs(r["compliance"] - round(1 - 2 / 3, 4)) < 1e-9
+
+
+def test_delay_compliance_single_fetch_null(spark):
+    log = spark.createDataFrame([("h", 100)], "host string, ts long")
+    delays = spark.createDataFrame([("h", 10)], "host string, delay_s long")
+    r = delay_compliance(log, delays).collect()[0]
+    assert r["compliance"] is None and r["n_violations"] == 0
+    assert r["min_gap_s"] is None
+
+
+# ---------------------------------------------------------------------------
+# lang_fertility
+# ---------------------------------------------------------------------------
+
+def test_lang_fertility_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "en", "four five"),
+         (3, "de", "ein")],
+        "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in lang_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_tokens"] == 5
+    assert en["n_chars"] == len("one two three") + len("four five")
+    assert en["tokens_per_doc"] == 2.5
+    assert out["de"]["chars_per_token"] == 3.0
