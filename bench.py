@@ -239,6 +239,9 @@ _EXTRA_PICKS = [
     # round-3 batch-24 (snapshot diffs + link spam + availability + audit)
     "sitemap_delta", "anchor_entropy", "status_flaps", "delay_compliance",
     "lang_fertility",
+    # round-3 batch-25 (fetch integrity + cloaking + rot + PLD + refresh)
+    "truncation_audit", "cloaking_check", "link_rot", "pld_graph",
+    "meta_refresh",
 ]
 
 

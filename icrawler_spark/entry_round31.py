@@ -1,0 +1,286 @@
+"""Round-3 driver-contract queries (batch 25): fetch truncation audit,
+cloaking detection, link-rot reporting, PLD graph coarsening, and
+meta-refresh redirect extraction.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import redirects as _redirects
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# truncation_audit — declared vs received bytes
+# ---------------------------------------------------------------------------
+
+
+def _ta_fetches(spark, sf) -> DataFrame:
+    """Nine response shapes: most complete, two truncated grades, one
+    overlong, one with no declared length."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    k = (e % 9).cast("int")
+    declared = (F.lit(1000) + e % 500).cast("long")
+    body = (F.when(k == 0, F.lit(700) + e % 100)
+            .when((k == 1) | (k == 2), declared - e % 300)
+            .when(k == 3, declared + F.lit(5))
+            .otherwise(declared)).cast("long")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 25).cast("string"), F.lit(".test"))
+         .alias("host"),
+        F.concat(F.lit("http://h"), (e % 25).cast("string"),
+                 F.lit(".test/p"), e.cast("string")).alias("url"),
+        F.when(k != 0, declared).alias("content_length"),
+        body.alias("body_bytes"))
+
+
+_TA_FETCHES_SQL = """
+  SELECT 'h' || (event_id % 25) || '.test' AS host,
+    'http://h' || (event_id % 25) || '.test/p' || event_id AS url,
+    CAST(CASE WHEN event_id % 9 <> 0 THEN 1000 + event_id % 500 END
+         AS BIGINT) AS content_length,
+    CAST(CASE CAST(event_id % 9 AS INT)
+      WHEN 0 THEN 700 + event_id % 100
+      WHEN 1 THEN 1000 + event_id % 500 - event_id % 300
+      WHEN 2 THEN 1000 + event_id % 500 - event_id % 300
+      WHEN 3 THEN 1000 + event_id % 500 + 5
+      ELSE 1000 + event_id % 500 END AS BIGINT) AS body_bytes
+  FROM events
+"""
+
+
+def q_truncation_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.truncation_audit: per-host truncated / overlong /
+    undeclared fetch counts with worst byte deficit — scan-stage integer
+    comparisons + ONE groupBy(host)."""
+    return _warc.truncation_audit(_ta_fetches(spark, sf))
+
+
+def _truncation_audit_sql() -> str:
+    return _warc.truncation_audit_sql(_TA_FETCHES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cloaking_check — bot vs browser content reconciliation
+# ---------------------------------------------------------------------------
+
+
+def _ck_fetches(spark, sf) -> DataFrame:
+    """Dual-UA fetch sample: every 7th URL cloaks (different text for the
+    bot); every 11th event is a bot-only probe of a separate URL set."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    u = (e % 400).cast("long")
+    probe = e % 11 == 0
+    url = (F.when(probe, F.concat(F.lit("http://c.test/only"),
+                                  (e % 13).cast("string")))
+           .otherwise(F.concat(F.lit("http://c.test/p"),
+                               u.cast("string"))))
+    ua = F.when(probe | (e % 2 == 0), F.lit("bot")).otherwise(
+        F.lit("browser"))
+    text = (F.when(probe, F.concat(F.lit("probe "), (e % 13).cast("string")))
+            .when((u % 7 == 0) & (ua == "bot"),
+                  F.concat(F.lit("clean "), u.cast("string")))
+            .when(u % 7 == 0, F.concat(F.lit("spam "), u.cast("string")))
+            .otherwise(F.concat(F.lit("same "), u.cast("string"))))
+    return ev.select(url.alias("url"), ua.alias("ua_kind"),
+                     text.alias("text"))
+
+
+_CK_FETCHES_SQL = """
+  SELECT
+    CASE WHEN event_id % 11 = 0
+         THEN 'http://c.test/only' || (event_id % 13)
+         ELSE 'http://c.test/p' || (event_id % 400) END AS url,
+    CASE WHEN event_id % 11 = 0 OR event_id % 2 = 0 THEN 'bot'
+         ELSE 'browser' END AS ua_kind,
+    CASE WHEN event_id % 11 = 0 THEN 'probe ' || (event_id % 13)
+         WHEN (event_id % 400) % 7 = 0
+              AND (event_id % 11 = 0 OR event_id % 2 = 0)
+           THEN 'clean ' || (event_id % 400)
+         WHEN (event_id % 400) % 7 = 0
+           THEN 'spam ' || (event_id % 400)
+         ELSE 'same ' || (event_id % 400) END AS text
+  FROM events
+"""
+
+
+def q_cloaking_check(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.cloaking_check: same-URL bot-vs-browser content
+    reconciliation — md5 in the scan, ONE groupBy(url); only fixed-width
+    hashes shuffle."""
+    return _warc.cloaking_check(_ck_fetches(spark, sf))
+
+
+def _cloaking_check_sql() -> str:
+    return _warc.cloaking_check_sql(_CK_FETCHES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# link_rot — dead/unresolved outlink share per host
+# ---------------------------------------------------------------------------
+
+
+def _lr_outlinks(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("s"), (e % 20).cast("string"), F.lit(".test"))
+         .alias("src_host"),
+        F.concat(F.lit("http://t.test/p"), (e % 300).cast("string"))
+         .alias("dst_url"))
+
+
+def _lr_fetchlog(spark, sf) -> DataFrame:
+    """Targets ending in 7 (mod 10) were never fetched; latest status per
+    URL rotates 200/200/200/500/404 on a shifting integer pattern."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    k = ((e / 300).cast("long") + e % 300) % 5
+    status = (F.when(k < 3, F.lit(200))
+              .when(k == 3, F.lit(500))
+              .otherwise(F.lit(404)))
+    return (ev.where((e % 3 < 2) & ((e % 300) % 10 != 7))
+            .select(F.concat(F.lit("http://t.test/p"),
+                             (e % 300).cast("string")).alias("url"),
+                    e.cast("long").alias("ts"),
+                    status.cast("int").alias("status")))
+
+
+_LR_OUTLINKS_SQL = """
+  SELECT 's' || (event_id % 20) || '.test' AS src_host,
+         'http://t.test/p' || (event_id % 300) AS dst_url
+  FROM events
+"""
+
+_LR_FETCHLOG_SQL = """
+  SELECT 'http://t.test/p' || (event_id % 300) AS url,
+    CAST(event_id AS BIGINT) AS ts,
+    CAST(CASE WHEN (event_id // 300 + event_id % 300) % 5 < 3 THEN 200
+              WHEN (event_id // 300 + event_id % 300) % 5 = 3 THEN 500
+              ELSE 404 END AS INT) AS status
+  FROM events WHERE event_id % 3 < 2 AND (event_id % 300) % 10 <> 7
+"""
+
+
+def q_link_rot(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.link_rot: per-source-host share of outlinks whose
+    latest fetch is dead (≥400) or that the crawl never resolved — one
+    max_by groupBy over the log, one LEFT join, one groupBy(src_host)."""
+    return _graph.link_rot(_lr_outlinks(spark, sf), _lr_fetchlog(spark, sf))
+
+
+def _link_rot_sql() -> str:
+    return _graph.link_rot_sql(_LR_OUTLINKS_SQL, _LR_FETCHLOG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pld_graph — host graph coarsened to pay-level domains
+# ---------------------------------------------------------------------------
+
+
+def _pg_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("www"), (e % 3).cast("string"), F.lit(".site"),
+                 (e % 15).cast("string"), F.lit(".test")).alias("src_host"),
+        F.concat(F.lit("cdn"), (e % 2).cast("string"), F.lit(".site"),
+                 ((e * 7 + 3) % 15).cast("string"), F.lit(".test"))
+         .alias("dst_host"))
+
+
+_PG_EDGES_SQL = """
+  SELECT 'www' || (event_id % 3) || '.site' || (event_id % 15)
+           || '.test' AS src_host,
+         'cdn' || (event_id % 2) || '.site' || ((event_id * 7 + 3) % 15)
+           || '.test' AS dst_host
+  FROM events
+"""
+
+
+def q_pld_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.pld_graph: collapse subdomain endpoints to
+    registrable domains and aggregate edge weights + distinct host pairs —
+    regexp collapse in the scan, ONE groupBy on the coarse key pair."""
+    return _graph.pld_graph(_pg_edges(spark, sf))
+
+
+def _pld_graph_sql() -> str:
+    return _graph.pld_graph_sql(_PG_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# meta_refresh — third redirect mechanism extraction
+# ---------------------------------------------------------------------------
+
+
+def _mrf_pages(spark, sf) -> DataFrame:
+    """Instant redirect, delayed case-variant redirect, self-refresh
+    (crawl-trap marker), and plain pages emitting nothing."""
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 6).cast("int")
+    i = F.col("doc_id").cast("string")
+    html = (F.when(k == 0, F.concat(
+                F.lit('<html><meta http-equiv="refresh" content="0; '
+                      'url=http://next.test/p'), i, F.lit('"><body>')))
+            .when(k == 1, F.concat(
+                F.lit("<META HTTP-EQUIV='Refresh' CONTENT='5;"
+                      "URL=HTTP://Next.test/x"), i, F.lit("'>")))
+            .when(k == 2, F.lit(
+                '<meta http-equiv="refresh" content="30">'))
+            .otherwise(F.lit("<html><body>plain")))
+    return d.select(F.concat(F.lit("http://m.test/p"), i).alias("url"),
+                    html.alias("html"))
+
+
+_MRF_PAGES_SQL = """
+  SELECT 'http://m.test/p' || doc_id AS url,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN '<html><meta http-equiv="refresh" content="0; '
+        || 'url=http://next.test/p' || doc_id || '"><body>'
+      WHEN 1 THEN '<META HTTP-EQUIV=''Refresh'' CONTENT=''5;'
+        || 'URL=HTTP://Next.test/x' || doc_id || '''>'
+      WHEN 2 THEN '<meta http-equiv="refresh" content="30">'
+      ELSE '<html><body>plain'
+    END AS html
+  FROM documents
+"""
+
+
+def q_meta_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/redirects.meta_refresh: extract (url, delay_s, target)
+    meta-refresh directives — the redirect mechanism SEO chains hide in;
+    NULL target marks self-refresh crawl traps. Pure regexp projection."""
+    return _redirects.meta_refresh(_mrf_pages(spark, sf))
+
+
+def _meta_refresh_sql() -> str:
+    return _redirects.meta_refresh_sql(_MRF_PAGES_SQL)
+
+
+def queries31():
+    return {
+        "truncation_audit": q_truncation_audit,
+        "cloaking_check": q_cloaking_check,
+        "link_rot": q_link_rot,
+        "pld_graph": q_pld_graph,
+        "meta_refresh": q_meta_refresh,
+    }
+
+
+def oracle_sql31():
+    return {
+        "truncation_audit": _truncation_audit_sql(),
+        "cloaking_check": _cloaking_check_sql(),
+        "link_rot": _link_rot_sql(),
+        "pld_graph": _pld_graph_sql(),
+        "meta_refresh": _meta_refresh_sql(),
+    }

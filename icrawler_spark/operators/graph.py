@@ -502,3 +502,118 @@ SELECT n_nodes, n_edges,
   END AS assortativity
 FROM nn CROSS JOIN agg
 """
+
+
+def link_rot(
+    outlinks: DataFrame,
+    fetchlog: DataFrame,
+    src_col: str = "src_host",
+    url_col: str = "dst_url",
+) -> DataFrame:
+    """Link-rot report per source host: what share of a host's outlinks
+    point at pages that are dead (latest fetch ≥ 400) or were never
+    resolved by the crawl at all. High rot marks stale/abandoned sites —
+    a freshness prior for recrawl scheduling and a quality prior for
+    corpus weighting (dead-link density is a WebSpam/quality feature).
+
+    Inputs: ``outlinks(src_host, dst_url)``; ``fetchlog(url, ts, status)``
+    — the per-URL LATEST status decides life (max_by over ts, one
+    map-side-combinable groupBy, the pages_latest shape). Per src_host:
+    n_outlinks, n_dead, n_unresolved, rot_share = (dead+unresolved)/n,
+    rounded 4.
+
+    Scale shape: one groupBy(url) over the fetchlog, one LEFT equi-join
+    keyed on dst_url (hash-partitioned; AQE splits hot targets), one
+    groupBy(src_host). No window over the link table, no Python.
+    """
+    latest = (fetchlog.groupBy(F.col("url").alias(url_col))
+              .agg(F.max_by("status", "ts").alias("__status")))
+    j = outlinks.join(latest, url_col, "left")
+    # CASE form, not a bare boolean cast: (NULL >= 400) is NULL and would
+    # poison the sum for hosts whose every outlink is unresolved
+    dead = F.when(F.col("__status") >= 400, F.lit(1)).otherwise(F.lit(0))
+    unresolved = F.when(F.col("__status").isNull(),
+                        F.lit(1)).otherwise(F.lit(0))
+    return (j.groupBy(F.col(src_col).alias("src_host")).agg(
+        F.count("*").cast("long").alias("n_outlinks"),
+        F.sum(dead).cast("long").alias("n_dead"),
+        F.sum(unresolved).cast("long").alias("n_unresolved"),
+        F.round((F.sum(dead) + F.sum(unresolved)) / F.count("*"), 4)
+         .alias("rot_share")))
+
+
+def link_rot_sql(outlinks_sql: str, fetchlog_sql: str) -> str:
+    """DuckDB replay of :func:`link_rot`."""
+    return f"""
+WITH latest AS (
+  SELECT url AS dst_url, max_by(status, ts) AS status
+  FROM ({fetchlog_sql}) GROUP BY 1
+),
+j AS (
+  SELECT o.src_host, l.status
+  FROM ({outlinks_sql}) o LEFT JOIN latest l USING (dst_url)
+)
+SELECT src_host, CAST(count(*) AS BIGINT) AS n_outlinks,
+  CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dead,
+  CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unresolved,
+  round((sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END)
+         + sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END))
+        / CAST(count(*) AS DOUBLE), 4) AS rot_share
+FROM j GROUP BY 1
+"""
+
+
+_PLD_RE = r"([^.]+\.[^.]+)$"
+
+
+def pld_graph(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Host-graph coarsening to pay-level domains: collapse both endpoints
+    to their registrable domain and aggregate edge weights — the graph
+    PageRank/TrustRank should really run on at web scale (10^9 hosts →
+    10^8 PLDs; subdomain farms collapse into one node and stop inflating
+    their own rank, the standard WebGraph/SpamRank practice).
+
+    The collapse here is the last-two-labels rule (deterministic,
+    SQL-replayable); production composes with
+    functions/domains.registrable_domains for full PSL semantics. Per
+    (src_pld, dst_pld): n_links (edge multiplicity), n_host_pairs
+    (distinct fine-grained edges), intra (self-loop after collapse —
+    internal navigation vs true endorsement).
+
+    Scale shape: regexp collapse in the scan stage, ONE groupBy on the
+    coarse key pair (strictly fewer groups than the input edge set). The
+    distinct host-pair count rides the same shuffle via count_distinct.
+    """
+    src_pld = F.regexp_extract(F.lower(F.col(src_col)), _PLD_RE, 1)
+    dst_pld = F.regexp_extract(F.lower(F.col(dst_col)), _PLD_RE, 1)
+    return (edges.select(src_pld.alias("src_pld"), dst_pld.alias("dst_pld"),
+                         F.col(src_col).alias("__s"),
+                         F.col(dst_col).alias("__d"))
+            .groupBy("src_pld", "dst_pld")
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.countDistinct("__s", "__d").cast("long")
+                  .alias("n_host_pairs"))
+            .withColumn("intra", F.col("src_pld") == F.col("dst_pld")))
+
+
+def pld_graph_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`pld_graph` over a (src_host, dst_host)
+    SELECT."""
+    return f"""
+WITH collapsed AS (
+  SELECT regexp_extract(lower(src_host), '{_PLD_RE}', 1) AS src_pld,
+         regexp_extract(lower(dst_host), '{_PLD_RE}', 1) AS dst_pld,
+         src_host, dst_host
+  FROM ({edges_sql})
+)
+SELECT src_pld, dst_pld, CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT (src_host, dst_host)) AS BIGINT) AS n_host_pairs,
+  src_pld = dst_pld AS intra
+FROM collapsed GROUP BY 1, 2
+"""

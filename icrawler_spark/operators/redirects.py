@@ -127,3 +127,51 @@ def apply_redirects(frontier: DataFrame, redirects: DataFrame,
                         .otherwise(F.col("__r_final")))
            .drop("__r_src", "__r_final"))
     return out
+
+
+# meta-refresh pattern shared with the DuckDB oracle (RE2-safe, lazy).
+# content="5; url=http://x" — delay always present, target optional.
+META_REFRESH_RE = (r"""(?is)<meta[^>]*http-equiv\s*=\s*["']refresh["']"""
+                   r"""[^>]*content\s*=\s*["']\s*(\d+)\s*"""
+                   r"""(?:;\s*url\s*=\s*([^"'\s>]+))?["']?""")
+
+
+def meta_refresh(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Meta-refresh redirect extraction: `<meta http-equiv="refresh"
+    content="N; url=...">` is the third redirect mechanism after 3xx and
+    rel=canonical — SEO spam chains love it precisely because naive
+    crawlers miss it (Google treats instant meta refresh as a 301). Feed
+    the (url → target) pairs into resolve_chains beside the HTTP
+    redirects; a NULL target is a self-refresh (auto-reload page — a
+    crawl-trap marker).
+
+    Per directive page: (url, delay_s, target) — pages without the tag
+    emit nothing. Pure regexp projection fused into the scan.
+    """
+    delay = F.nullif(F.regexp_extract(F.col(html_col), META_REFRESH_RE, 1),
+                     F.lit(""))
+    target = F.nullif(F.regexp_extract(F.col(html_col), META_REFRESH_RE, 2),
+                      F.lit(""))
+    return (pages.select(F.col(url_col),
+                         delay.cast("long").alias("delay_s"),
+                         target.alias("target"))
+            .where(F.col("delay_s").isNotNull()))
+
+
+def meta_refresh_sql(pages_sql: str, url_col: str = "url") -> str:
+    """DuckDB replay of :func:`meta_refresh` over a (url, html) SELECT."""
+    pat = META_REFRESH_RE.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT {url_col},
+    CAST(nullif(regexp_extract(html, '{pat}', 1), '') AS BIGINT)
+      AS delay_s,
+    nullif(regexp_extract(html, '{pat}', 2), '') AS target
+  FROM ({pages_sql})
+)
+SELECT {url_col}, delay_s, target FROM src WHERE delay_s IS NOT NULL
+"""

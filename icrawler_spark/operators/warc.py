@@ -621,3 +621,115 @@ SELECT e.h AS {host_col}, a.n_anchors, e.n_terms, e.n_distinct_terms,
   e.entropy, round(e.top / CAST(e.n_terms AS DOUBLE), 4) AS top_share
 FROM ent e JOIN n_anch a USING (h)
 """
+
+
+def truncation_audit(
+    fetches: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Fetch-integrity audit: declared ``Content-Length`` vs bytes actually
+    received. Truncated bodies (connection cut, response limit hit) are the
+    silent corpus poison — a page that parses but lost its second half
+    passes every lexical gate; common crawls flag these in fetch metadata
+    (cf. WARC ``WARC-Truncated``). The reference streams to disk without
+    reconciling lengths (downloader.py:95-155).
+
+    Input: (host, url, content_length, body_bytes) — content_length NULL
+    when the server never declared one. Per host: n_fetches, n_truncated,
+    n_overlong, n_undeclared, truncated_share (rounded 4), max_missing
+    (worst byte deficit, NULL when no truncation).
+
+    Scale shape: row-level integer comparisons fused into the scan + ONE
+    groupBy(host) with map-side combine. No window, no Python.
+    """
+    declared = F.col("content_length").isNotNull()
+    trunc = declared & (F.col("body_bytes") < F.col("content_length"))
+    over = declared & (F.col("body_bytes") > F.col("content_length"))
+    return (fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(trunc.cast("long")).cast("long").alias("n_truncated"),
+        F.sum(over.cast("long")).cast("long").alias("n_overlong"),
+        F.sum((~declared).cast("long")).cast("long").alias("n_undeclared"),
+        F.round(F.sum(trunc.cast("long")) / F.count("*"), 4)
+         .alias("truncated_share"),
+        F.max(F.when(trunc, F.col("content_length") - F.col("body_bytes")))
+         .cast("long").alias("max_missing")))
+
+
+def truncation_audit_sql(fetches_sql: str) -> str:
+    """DuckDB replay of :func:`truncation_audit` over a (host, url,
+    content_length, body_bytes) SELECT."""
+    return f"""
+WITH src AS (
+  SELECT *, content_length IS NOT NULL AS declared,
+    content_length IS NOT NULL AND body_bytes < content_length AS trunc,
+    content_length IS NOT NULL AND body_bytes > content_length AS over
+  FROM ({fetches_sql})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(sum(CASE WHEN trunc THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+  CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT) AS n_overlong,
+  CAST(sum(CASE WHEN declared THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_undeclared,
+  round(sum(CASE WHEN trunc THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 4) AS truncated_share,
+  CAST(max(CASE WHEN trunc THEN content_length - body_bytes END)
+       AS BIGINT) AS max_missing
+FROM src GROUP BY 1
+"""
+
+
+def cloaking_check(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ua_col: str = "ua_kind",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cloaking detection: the same URL fetched as a crawler UA and as a
+    browser UA must serve the same content — serving the bot different
+    text is the classic SEO cloak (Wu & Davison 2005). Requires a dual-
+    fetch sample upstream (a budget the scheduler spends on suspicious
+    hosts); this operator does the reconciliation.
+
+    Input: (url, ua_kind ∈ {'bot','browser'}, text). Per url: bot_hash,
+    browser_hash (md5, NULL when that UA never fetched), coverage ∈
+    {'both','bot_only','browser_only'}, cloaked (both present and hashes
+    differ).
+
+    Scale shape: md5 in the scan stage, ONE groupBy(url) with map-side
+    combine (two conditional max aggregates) — text bytes never shuffle,
+    only fixed-width hashes.
+    """
+    h = F.md5(F.col(text_col))
+    bot = F.max(F.when(F.col(ua_col) == "bot", h))
+    browser = F.max(F.when(F.col(ua_col) == "browser", h))
+    agg = fetches.groupBy(F.col(url_col).alias("url")).agg(
+        bot.alias("bot_hash"), browser.alias("browser_hash"))
+    both = F.col("bot_hash").isNotNull() & F.col("browser_hash").isNotNull()
+    coverage = (F.when(both, F.lit("both"))
+                .when(F.col("bot_hash").isNotNull(), F.lit("bot_only"))
+                .otherwise(F.lit("browser_only")))
+    return agg.select(
+        "url", "bot_hash", "browser_hash", coverage.alias("coverage"),
+        (both & (F.col("bot_hash") != F.col("browser_hash")))
+        .alias("cloaked"))
+
+
+def cloaking_check_sql(fetches_sql: str) -> str:
+    """DuckDB replay of :func:`cloaking_check` over a (url, ua_kind, text)
+    SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT url,
+    max(CASE WHEN ua_kind = 'bot' THEN md5(text) END) AS bot_hash,
+    max(CASE WHEN ua_kind = 'browser' THEN md5(text) END) AS browser_hash
+  FROM ({fetches_sql}) GROUP BY 1
+)
+SELECT url, bot_hash, browser_hash,
+  CASE WHEN bot_hash IS NOT NULL AND browser_hash IS NOT NULL THEN 'both'
+       WHEN bot_hash IS NOT NULL THEN 'bot_only'
+       ELSE 'browser_only' END AS coverage,
+  bot_hash IS NOT NULL AND browser_hash IS NOT NULL
+    AND bot_hash <> browser_hash AS cloaked
+FROM agg
+"""

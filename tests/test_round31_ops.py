@@ -1,0 +1,128 @@
+"""Unit tests for the round-31 pack: truncation audit, cloaking check,
+link rot, PLD graph coarsening, meta-refresh extraction."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.graph import link_rot, pld_graph
+from icrawler_spark.operators.redirects import meta_refresh
+from icrawler_spark.operators.warc import cloaking_check, truncation_audit
+
+
+# ---------------------------------------------------------------------------
+# truncation_audit
+# ---------------------------------------------------------------------------
+
+def test_truncation_audit_flags(spark):
+    rows = [
+        ("h", "u1", 1000, 1000),   # complete
+        ("h", "u2", 1000, 400),    # truncated, missing 600
+        ("h", "u3", 1000, 990),    # truncated, missing 10
+        ("h", "u4", 500, 600),     # overlong
+        ("h", "u5", None, 777),    # undeclared
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, content_length long, body_bytes long")
+    r = truncation_audit(df).collect()[0]
+    assert r["n_fetches"] == 5 and r["n_truncated"] == 2
+    assert r["n_overlong"] == 1 and r["n_undeclared"] == 1
+    assert r["truncated_share"] == 0.4 and r["max_missing"] == 600
+
+
+def test_truncation_audit_clean_host(spark):
+    df = spark.createDataFrame(
+        [("h", "u", 10, 10)],
+        "host string, url string, content_length long, body_bytes long")
+    r = truncation_audit(df).collect()[0]
+    assert r["n_truncated"] == 0 and r["max_missing"] is None
+
+
+# ---------------------------------------------------------------------------
+# cloaking_check
+# ---------------------------------------------------------------------------
+
+def test_cloaking_detected_on_divergent_text(spark):
+    rows = [("u1", "bot", "clean"), ("u1", "browser", "spam"),
+            ("u2", "bot", "same"), ("u2", "browser", "same"),
+            ("u3", "bot", "only-bot-saw-this")]
+    df = spark.createDataFrame(rows, "url string, ua_kind string, text string")
+    out = {r["url"]: r for r in cloaking_check(df).collect()}
+    assert out["u1"]["cloaked"] and out["u1"]["coverage"] == "both"
+    assert not out["u2"]["cloaked"]
+    assert out["u3"]["coverage"] == "bot_only" and not out["u3"]["cloaked"]
+    assert out["u3"]["browser_hash"] is None
+
+
+def test_cloaking_dedups_repeat_fetches(spark):
+    # repeated identical fetches collapse to one hash per UA
+    rows = [("u", "bot", "x")] * 3 + [("u", "browser", "x")] * 2
+    df = spark.createDataFrame(rows, "url string, ua_kind string, text string")
+    r = cloaking_check(df).collect()[0]
+    assert r["bot_hash"] == r["browser_hash"] and not r["cloaked"]
+
+
+# ---------------------------------------------------------------------------
+# link_rot
+# ---------------------------------------------------------------------------
+
+def test_link_rot_latest_status_wins(spark):
+    out = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("s", "c")],
+        "src_host string, dst_url string")
+    # a: was 500, recovered to 200; b: dead; c: never fetched
+    log = spark.createDataFrame(
+        [("a", 1, 500), ("a", 2, 200), ("b", 1, 404)],
+        "url string, ts long, status int")
+    r = link_rot(out, log).collect()[0]
+    assert r["n_outlinks"] == 3 and r["n_dead"] == 1
+    assert r["n_unresolved"] == 1
+    assert abs(r["rot_share"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_link_rot_all_unresolved_host(spark):
+    out = spark.createDataFrame([("s", "x")], "src_host string, dst_url string")
+    log = spark.createDataFrame([], "url string, ts long, status int")
+    r = link_rot(out, log).collect()[0]
+    assert r["n_dead"] == 0 and r["n_unresolved"] == 1
+    assert r["rot_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# pld_graph
+# ---------------------------------------------------------------------------
+
+def test_pld_graph_collapses_subdomains(spark):
+    rows = [("www.a.test", "cdn.b.test"), ("img.a.test", "cdn.b.test"),
+            ("www.a.test", "api.a.test")]
+    df = spark.createDataFrame(rows, "src_host string, dst_host string")
+    out = {(r["src_pld"], r["dst_pld"]): r for r in pld_graph(df).collect()}
+    ab = out[("a.test", "b.test")]
+    assert ab["n_links"] == 2 and ab["n_host_pairs"] == 2
+    assert not ab["intra"]
+    aa = out[("a.test", "a.test")]
+    assert aa["intra"] and aa["n_links"] == 1
+
+
+def test_pld_graph_multiplicity_vs_pairs(spark):
+    rows = [("www.a.test", "cdn.b.test")] * 4
+    df = spark.createDataFrame(rows, "src_host string, dst_host string")
+    r = pld_graph(df).collect()[0]
+    assert r["n_links"] == 4 and r["n_host_pairs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# meta_refresh
+# ---------------------------------------------------------------------------
+
+def test_meta_refresh_extracts_delay_and_target(spark):
+    rows = [
+        ("u1", '<meta http-equiv="refresh" content="0; url=http://t/x">'),
+        ("u2", "<META HTTP-EQUIV='Refresh' CONTENT='5;URL=http://t/y'>"),
+        ("u3", '<meta http-equiv="refresh" content="30">'),
+        ("u4", "<html><body>no directive"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in meta_refresh(df).collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert (out["u1"]["delay_s"], out["u1"]["target"]) == (0, "http://t/x")
+    assert (out["u2"]["delay_s"], out["u2"]["target"]) == (5, "http://t/y")
+    assert out["u3"]["delay_s"] == 30 and out["u3"]["target"] is None
