@@ -242,6 +242,9 @@ _EXTRA_PICKS = [
     # round-3 batch-25 (fetch integrity + cloaking + rot + PLD + refresh)
     "truncation_audit", "cloaking_check", "link_rot", "pld_graph",
     "meta_refresh",
+    # round-3 batch-26 (diversity + hidden links + JS redirects + PRF)
+    "lexical_diversity", "hidden_links", "js_redirects", "queue_age",
+    "prf_expansion",
 ]
 
 

@@ -33,7 +33,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round24, entry_round25,
                             entry_round26, entry_round27,
                             entry_round28, entry_round29,
-                            entry_round30, entry_round31)
+                            entry_round30, entry_round31,
+                            entry_round32)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -831,6 +832,7 @@ def queries():
         **entry_round29.queries29(),
         **entry_round30.queries30(),
         **entry_round31.queries31(),
+        **entry_round32.queries32(),
     }
 
 
@@ -894,4 +896,5 @@ def oracle_sql():
         **entry_round29.oracle_sql29(),
         **entry_round30.oracle_sql30(),
         **entry_round31.oracle_sql31(),
+        **entry_round32.oracle_sql32(),
     }

@@ -1,0 +1,226 @@
+"""Round-3 driver-contract queries (batch 26): lexical diversity, hidden
+links, JS client redirects, frontier queue-age percentiles, and
+pseudo-relevance-feedback query expansion.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import redirects as _redirects
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# lexical_diversity — TTR + Guiraud per document
+# ---------------------------------------------------------------------------
+
+
+def q_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.lexical_diversity: type-token ratio and
+    Guiraud's R per doc — array_distinct inside the scan stage, no
+    explode, no shuffle; the whole operator is a projection."""
+    return _curation.lexical_diversity(_docs(spark, sf))
+
+
+def _lexical_diversity_sql() -> str:
+    return _curation.lexical_diversity_sql(_TOK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hidden_links — honeypot / hidden-keyword link audit
+# ---------------------------------------------------------------------------
+
+
+def _hl_pages(spark, sf) -> DataFrame:
+    """Four page shapes: all-visible links, one hidden among three, all
+    hidden (honeypot farm), and no links at all."""
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 4).cast("int")
+    i = F.col("doc_id").cast("string")
+    html = (F.when(k == 0, F.concat(
+                F.lit('<a href="/a">x</a><a href="/b'), i,
+                F.lit('">y</a>')))
+            .when(k == 1, F.concat(
+                F.lit('<a href="/a">x</a>'
+                      '<a style="display:none" href="/trap'), i,
+                F.lit('">t</a><a href="/c">z</a>')))
+            .when(k == 2, F.lit(
+                "<a style='visibility: hidden' href='/t1'>a</a>"
+                '<a style="DISPLAY: NONE" href="/t2">b</a>'))
+            .otherwise(F.lit("<html><body>no links")))
+    return d.select(F.concat(F.lit("http://hl.test/p"), i).alias("url"),
+                    html.alias("html"))
+
+
+_HL_PAGES_SQL = """
+  SELECT 'http://hl.test/p' || doc_id AS url,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '<a href="/a">x</a><a href="/b' || doc_id || '">y</a>'
+      WHEN 1 THEN '<a href="/a">x</a>'
+        || '<a style="display:none" href="/trap' || doc_id
+        || '">t</a><a href="/c">z</a>'
+      WHEN 2 THEN '<a style=''visibility: hidden'' href=''/t1''>a</a>'
+        || '<a style="DISPLAY: NONE" href="/t2">b</a>'
+      ELSE '<html><body>no links'
+    END AS html
+  FROM documents
+"""
+
+
+def q_hidden_links(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.hidden_links: invisible-anchor audit (honeypot /
+    hidden-keyword spam) — one regexp_extract_all projection with array
+    exprs, fully fused into the scan."""
+    return _warc.hidden_links(_hl_pages(spark, sf))
+
+
+def _hidden_links_sql() -> str:
+    return _warc.hidden_links_sql(_HL_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# js_redirects — sneaky-redirect extraction
+# ---------------------------------------------------------------------------
+
+
+def _jr_pages(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 5).cast("int")
+    i = F.col("doc_id").cast("string")
+    html = (F.when(k == 0, F.concat(
+                F.lit('<script>window.location.href = '
+                      '"http://spam.test/a'), i, F.lit('";</script>')))
+            .when(k == 1, F.concat(
+                F.lit("<script>location.replace('http://spam.test/r"),
+                i, F.lit("');</script>")))
+            .when(k == 2, F.concat(
+                F.lit('<script>window.location.href = "http://first.test/'),
+                i, F.lit('"; location.replace("http://second.test/x");'
+                         '</script>')))
+            .when(k == 3, F.concat(
+                F.lit('<script>location = "http://bare.test/'), i,
+                F.lit('"</script>')))
+            .otherwise(F.lit("<html><body>static page")))
+    return d.select(F.concat(F.lit("http://jr.test/p"), i).alias("url"),
+                    html.alias("html"))
+
+
+_JR_PAGES_SQL = """
+  SELECT 'http://jr.test/p' || doc_id AS url,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '<script>window.location.href = "http://spam.test/a'
+        || doc_id || '";</script>'
+      WHEN 1 THEN '<script>location.replace(''http://spam.test/r'
+        || doc_id || ''');</script>'
+      WHEN 2 THEN '<script>window.location.href = "http://first.test/'
+        || doc_id
+        || '"; location.replace("http://second.test/x");</script>'
+      WHEN 3 THEN '<script>location = "http://bare.test/' || doc_id
+        || '"</script>'
+      ELSE '<html><body>static page'
+    END AS html
+  FROM documents
+"""
+
+
+def q_js_redirects(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/redirects.js_redirects: static extraction of
+    location-assignment and location.replace client redirects (the
+    sneaky-redirect spam mechanism) — pure regexp projection; assign
+    wins when both appear."""
+    return _redirects.js_redirects(_jr_pages(spark, sf))
+
+
+def _js_redirects_sql() -> str:
+    return _redirects.js_redirects_sql(_JR_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# queue_age — frontier staleness percentiles per host
+# ---------------------------------------------------------------------------
+
+_QA_BASE = 1700000000
+
+
+def _qa_log(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 20).cast("string"), F.lit(".test"))
+         .alias("host"),
+        (F.lit(_QA_BASE) + e).cast("long").alias("enqueue_ts"),
+        (F.lit(_QA_BASE) + e + (e * 7) % 100 + 1).cast("long")
+         .alias("fetch_ts"))
+
+
+_QA_LOG_SQL = f"""
+  SELECT 'h' || (event_id % 20) || '.test' AS host,
+    CAST({_QA_BASE} + event_id AS BIGINT) AS enqueue_ts,
+    CAST({_QA_BASE} + event_id + (event_id * 7) % 100 + 1 AS BIGINT)
+      AS fetch_ts
+  FROM events
+"""
+
+
+def q_queue_age(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.queue_age: p50/p95/max queue wait per host by
+    exact integer rank-select — one host-partitioned window, one groupBy;
+    both percentile picks ride the same ranked pass."""
+    return _politeness.queue_age(_qa_log(spark, sf))
+
+
+def _queue_age_sql() -> str:
+    return _politeness.queue_age_sql(_QA_LOG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# prf_expansion — pseudo-relevance-feedback expansion terms
+# ---------------------------------------------------------------------------
+
+_PRF_QUERY = ["scan", "merge"]
+_PRF_FB_DOCS = 10
+_PRF_K_TERMS = 15
+
+
+def q_prf_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.prf_expansion: BM25 top-10 as pseudo-relevant,
+    expansion terms ranked by feedback-tf × idf — the recall lever for
+    sparse retrieval. Feedback set is a broadcast semi-join; df is the
+    inverted-index statistic; top-k lowers to TakeOrderedAndProject."""
+    return _search.prf_expansion(_docs(spark, sf), _PRF_QUERY,
+                                 fb_docs=_PRF_FB_DOCS,
+                                 k_terms=_PRF_K_TERMS)
+
+
+def _prf_expansion_sql() -> str:
+    return _search.prf_expansion_sql(_TOK_SQL, _PRF_QUERY,
+                                     fb_docs=_PRF_FB_DOCS,
+                                     k_terms=_PRF_K_TERMS)
+
+
+def queries32():
+    return {
+        "lexical_diversity": q_lexical_diversity,
+        "hidden_links": q_hidden_links,
+        "js_redirects": q_js_redirects,
+        "queue_age": q_queue_age,
+        "prf_expansion": q_prf_expansion,
+    }
+
+
+def oracle_sql32():
+    return {
+        "lexical_diversity": _lexical_diversity_sql(),
+        "hidden_links": _hidden_links_sql(),
+        "js_redirects": _js_redirects_sql(),
+        "queue_age": _queue_age_sql(),
+        "prf_expansion": _prf_expansion_sql(),
+    }

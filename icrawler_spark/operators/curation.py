@@ -1155,3 +1155,60 @@ SELECT "left", "right", n_pair, c_left, c_right, pmi,
   CAST(row_number() OVER (ORDER BY pmi DESC, pair ASC) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= {k}
 """
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Type-token lexical diversity per document — TTR and Guiraud's R
+    (types/√tokens, the length-corrected variant): keyword-stuffed spam
+    repeats a tiny vocabulary (low TTR at any length) while template glue
+    pages score low too — a cheap quality feature beside the C4/Gopher
+    gates and the entropy pair.
+
+    Per doc: (doc_id, n_tokens, n_types, ttr, guiraud), ratios rounded 4,
+    NULL for token-less docs.
+
+    Scale shape: token array pre-projected ONCE; n_types via
+    array_distinct INSIDE the scan stage — no explode, no shuffle, no
+    window; the whole operator is a projection.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("__t"))
+    counted = toks.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_types"))
+    nz = F.col("n_tokens") > 0
+    return counted.select(
+        id_col, "n_tokens", "n_types",
+        F.when(nz, F.round(F.col("n_types") / F.col("n_tokens"), 4))
+         .alias("ttr"),
+        F.when(nz, F.round(F.col("n_types")
+                           / F.sqrt(F.col("n_tokens")), 4))
+         .alias("guiraud"))
+
+
+def lexical_diversity_sql(tok_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`lexical_diversity` over ``documents``."""
+    return f"""
+WITH counted AS (
+  SELECT {id_col},
+    CAST(len(list_filter({tok_sql}, x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(list_filter({tok_sql}, x -> x <> '')))
+         AS BIGINT) AS n_types
+  FROM documents
+)
+SELECT {id_col}, n_tokens, n_types,
+  CASE WHEN n_tokens > 0
+       THEN round(n_types / CAST(n_tokens AS DOUBLE), 4) END AS ttr,
+  CASE WHEN n_tokens > 0
+       THEN round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 4) END
+    AS guiraud
+FROM counted
+"""

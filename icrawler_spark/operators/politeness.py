@@ -565,3 +565,67 @@ SELECT h AS host, delay_s, n_fetches, min_gap_s, n_violations,
     AS compliance
 FROM agg
 """
+
+
+def queue_age(
+    log: DataFrame,
+    host_col: str = "host",
+    enqueue_col: str = "enqueue_ts",
+    fetch_col: str = "fetch_ts",
+) -> DataFrame:
+    """Frontier-staleness report: how long URLs sat in the queue per host
+    (fetch − enqueue). A host whose p95 wait dwarfs the median is starving
+    behind a hot domain in the same partition — the number that tells the
+    scheduler to raise salting or re-split budgets (the queue-delay
+    companion to host_skew_report's volume view).
+
+    Per host: (host, n_urls, p50_wait_s, p95_wait_s, max_wait_s). The
+    percentiles are exact rank-select in pure integer arithmetic
+    (idx = ceil(p·n/100), adaptive_delay precedent) — engine-portable, no
+    interpolation.
+
+    Scale shape: one window partitioned by host over the per-host log +
+    ONE groupBy(host); both percentile picks ride the same ranked pass.
+    """
+    wait = (F.col(fetch_col) - F.col(enqueue_col)).cast("long")
+    ranked = (log.select(F.col(host_col).alias("h"),
+                         F.col(fetch_col).alias("__ft"),
+                         wait.alias("wait"))
+              .withColumn("r", F.row_number().over(
+                  Window.partitionBy("h").orderBy("wait", "__ft"))))
+    n = ranked.groupBy("h").agg(F.count("*").alias("n_urls"))
+    j = ranked.join(n, "h")
+    i50 = F.floor((F.lit(50) * F.col("n_urls") + F.lit(99)) / 100)
+    i95 = F.floor((F.lit(95) * F.col("n_urls") + F.lit(99)) / 100)
+    return (j.groupBy("h", "n_urls").agg(
+        F.max(F.when(F.col("r") == i50, F.col("wait"))).alias("p50_wait_s"),
+        F.max(F.when(F.col("r") == i95, F.col("wait"))).alias("p95_wait_s"),
+        F.max("wait").alias("max_wait_s"))
+        .select(F.col("h").alias(host_col),
+                F.col("n_urls").cast("long").alias("n_urls"),
+                F.col("p50_wait_s").cast("long").alias("p50_wait_s"),
+                F.col("p95_wait_s").cast("long").alias("p95_wait_s"),
+                F.col("max_wait_s").cast("long").alias("max_wait_s")))
+
+
+def queue_age_sql(log_sql: str) -> str:
+    """DuckDB replay of :func:`queue_age` over a (host, enqueue_ts,
+    fetch_ts) SELECT."""
+    return f"""
+WITH ranked AS (
+  SELECT host AS h, fetch_ts,
+    CAST(fetch_ts - enqueue_ts AS BIGINT) AS wait,
+    row_number() OVER (PARTITION BY host
+                       ORDER BY fetch_ts - enqueue_ts, fetch_ts) AS r
+  FROM ({log_sql})
+),
+n AS (SELECT h, count(*) AS n_urls FROM ranked GROUP BY 1)
+SELECT h AS host, CAST(n_urls AS BIGINT) AS n_urls,
+  CAST(max(CASE WHEN r = (50 * n_urls + 99) // 100 THEN wait END)
+       AS BIGINT) AS p50_wait_s,
+  CAST(max(CASE WHEN r = (95 * n_urls + 99) // 100 THEN wait END)
+       AS BIGINT) AS p95_wait_s,
+  CAST(max(wait) AS BIGINT) AS max_wait_s
+FROM ranked JOIN n USING (h)
+GROUP BY 1, 2
+"""

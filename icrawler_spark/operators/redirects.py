@@ -175,3 +175,57 @@ WITH src AS (
 )
 SELECT {url_col}, delay_s, target FROM src WHERE delay_s IS NOT NULL
 """
+
+
+# JS client-redirect patterns shared with the DuckDB oracle (RE2-safe)
+_JS_ASSIGN_RE = (r"""(?is)(?:window\.|document\.)?location"""
+                 r"""(?:\.href)?\s*=\s*["']([^"']+)["']""")
+_JS_REPLACE_RE = (r"""(?is)location\.replace\(\s*["']([^"']+)["']\s*\)""")
+
+
+def js_redirects(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """JS client-redirect extraction: `location = ...` / `location.href =
+    ...` assignments and `location.replace(...)` calls — the fourth
+    redirect mechanism after 3xx, rel=canonical and meta refresh, and the
+    one sneaky-redirect spam prefers because HTML-only crawlers can't see
+    it (Google's sneaky-redirect guideline; search engines execute or
+    pattern-match exactly this). Static extraction is the scalable
+    approximation — no JS engine in the hot path.
+
+    Per redirecting page: (url, target, mechanism ∈ {'assign','replace'});
+    assign wins when both appear (it executes first in naive chains).
+    Pages without either emit nothing. Pure regexp projection fused into
+    the scan.
+    """
+    assign = F.nullif(F.regexp_extract(F.col(html_col), _JS_ASSIGN_RE, 1),
+                      F.lit(""))
+    replace = F.nullif(F.regexp_extract(F.col(html_col), _JS_REPLACE_RE, 1),
+                       F.lit(""))
+    return (pages.select(
+        F.col(url_col),
+        F.coalesce(assign, replace).alias("target"),
+        F.when(assign.isNotNull(), F.lit("assign"))
+         .when(replace.isNotNull(), F.lit("replace")).alias("mechanism"))
+        .where(F.col("target").isNotNull()))
+
+
+def js_redirects_sql(pages_sql: str, url_col: str = "url") -> str:
+    """DuckDB replay of :func:`js_redirects` over a (url, html) SELECT."""
+    a = _JS_ASSIGN_RE.replace("'", "''")
+    r = _JS_REPLACE_RE.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT {url_col},
+    nullif(regexp_extract(html, '{a}', 1), '') AS assign,
+    nullif(regexp_extract(html, '{r}', 1), '') AS repl
+  FROM ({pages_sql})
+)
+SELECT {url_col}, coalesce(assign, repl) AS target,
+  CASE WHEN assign IS NOT NULL THEN 'assign'
+       WHEN repl IS NOT NULL THEN 'replace' END AS mechanism
+FROM src WHERE coalesce(assign, repl) IS NOT NULL
+"""

@@ -614,3 +614,93 @@ SELECT term, df, varint_bytes, CAST(df * 8 AS BIGINT) AS raw_bytes,
   round(varint_bytes / (df * 8.0), 6) AS ratio, rank
 FROM topk
 """
+
+
+def prf_expansion(
+    df: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    k_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio / RM1 lineage):
+    run BM25, take the top ``fb_docs`` documents as pseudo-relevant, and
+    rank candidate expansion terms by feedback-tf × idf — the classic
+    recall lever for sparse retrieval over a crawled corpus (the query
+    the user typed is rarely the vocabulary the web used).
+
+    score(t) = tf_fb(t) · ln(N / df(t)), original query terms excluded,
+    rounded to 4 BEFORE ranking (cross-engine-stable boundaries, same
+    rule as bm25_topk); ties break on term. Returns (term, tf_fb, df,
+    score, rank) with rank 1..k_terms.
+
+    Scale shape: the feedback set is k doc ids (a broadcast semi-join
+    against the corpus — only k documents' tokens ever explode in stage
+    2); df(t) comes from one corpus-wide (term, doc) distinct count —
+    the inverted-index statistic an index-backed deployment reads off
+    the postings table instead. Top-k lowers to TakeOrderedAndProject.
+    """
+    terms = sorted({t for t in query_terms})
+    top = bm25_topk(df, terms, k=fb_docs, text_col=text_col,
+                    id_col=id_col).select(F.col(id_col).alias("doc"))
+
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("__toks"))
+    n_docs = base.count()
+    fb_toks = (base.join(F.broadcast(top), "doc")
+               .select("doc", F.explode("__toks").alias("term"))
+               .where((F.col("term") != "") & ~F.col("term").isin(terms)))
+    tf_fb = fb_toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("tf_fb"))
+    dfreq = (base.select("doc", F.explode("__toks").alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("term")
+             .agg(F.countDistinct("doc").cast("long").alias("df")))
+    scored = (tf_fb.join(dfreq, "term")
+              .withColumn("score", F.round(
+                  F.col("tf_fb")
+                  * F.log(F.lit(float(n_docs)) / F.col("df")), 4)))
+    topk = (scored.withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("term").asc())
+            .limit(k_terms))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("term").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("term", "tf_fb", "df", "score", "rank"))
+
+
+def prf_expansion_sql(tok_sql: str, query_terms: list[str],
+                      fb_docs: int = 10, k_terms: int = 10) -> str:
+    """DuckDB mirror of :func:`prf_expansion` over ``documents``."""
+    terms = sorted({t for t in query_terms})
+    bm25 = bm25_sql(tok_sql, terms, k=fb_docs)
+    terms_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH fb AS (SELECT doc_id AS doc FROM ({bm25})),
+base AS (
+  SELECT doc_id AS doc, list_filter({tok_sql}, x -> x <> '') AS t
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM base),
+fb_toks AS (
+  SELECT b.doc, unnest(b.t) AS term
+  FROM base b JOIN fb USING (doc)
+),
+tf_fb AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf_fb
+  FROM fb_toks WHERE term NOT IN ({terms_list}) GROUP BY 1
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df
+  FROM (SELECT doc, unnest(t) AS term FROM base) GROUP BY 1
+),
+scored AS (
+  SELECT t.term, t.tf_fb, d.df,
+    round(t.tf_fb * ln((SELECT n_docs FROM nn) / d.df), 4) AS score
+  FROM tf_fb t JOIN dfreq d USING (term)
+)
+SELECT term, tf_fb, df, score,
+  CAST(row_number() OVER (ORDER BY -score ASC, term ASC) AS BIGINT)
+    AS rank
+FROM scored QUALIFY rank <= {k_terms}
+"""

@@ -733,3 +733,61 @@ SELECT url, bot_hash, browser_hash,
     AND bot_hash <> browser_hash AS cloaked
 FROM agg
 """
+
+
+_A_TAG_RE = r"<a\b[^>]*>"
+_HIDDEN_STYLE_RE = (r"(?i)display\s*:\s*none|visibility\s*:\s*hidden")
+
+
+def hidden_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Hidden-link audit: `<a>` tags styled invisible (display:none /
+    visibility:hidden) are either bot honeypots (follow one and you're
+    blocklisted) or hidden-keyword spam (Ntoulas et al. 2006 / Google's
+    hidden-text guideline) — either way a crawler wants the count BEFORE
+    deciding to follow a page's outlinks. The reference follows every
+    href blindly (builtin/greedy.py:34-57).
+
+    Per page: (url, n_links, n_hidden, hidden_share rounded 4,
+    has_hidden). The tag scan and the hidden test are array expressions
+    over ONE regexp_extract_all projection — no explode, no shuffle, no
+    Python; the whole operator fuses into the scan.
+    """
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(_A_TAG_RE),
+                                F.lit(0))
+    hidden = F.filter(tags, lambda t: t.rlike(_HIDDEN_STYLE_RE))
+    out = pages.select(
+        F.col(url_col),
+        F.size(tags).cast("long").alias("n_links"),
+        F.size(hidden).cast("long").alias("n_hidden"))
+    return out.select(
+        url_col, "n_links", "n_hidden",
+        F.when(F.col("n_links") > 0,
+               F.round(F.col("n_hidden") / F.col("n_links"), 4))
+         .alias("hidden_share"),
+        (F.col("n_hidden") > 0).alias("has_hidden"))
+
+
+def hidden_links_sql(pages_sql: str, url_col: str = "url") -> str:
+    """DuckDB replay of :func:`hidden_links` over a (url, html) SELECT."""
+    hid = _HIDDEN_STYLE_RE.replace("'", "''")
+    return f"""
+WITH counted AS (
+  SELECT {url_col},
+    CAST(len(regexp_extract_all(html, '{_A_TAG_RE}')) AS BIGINT)
+      AS n_links,
+    CAST(len(list_filter(regexp_extract_all(html, '{_A_TAG_RE}'),
+                         t -> regexp_matches(t, '{hid}'))) AS BIGINT)
+      AS n_hidden
+  FROM ({pages_sql})
+)
+SELECT {url_col}, n_links, n_hidden,
+  CASE WHEN n_links > 0
+       THEN round(n_hidden / CAST(n_links AS DOUBLE), 4) END
+    AS hidden_share,
+  n_hidden > 0 AS has_hidden
+FROM counted
+"""

@@ -1,0 +1,126 @@
+"""Unit tests for the round-32 pack: lexical diversity, hidden links,
+JS redirects, queue age, PRF expansion."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.curation import lexical_diversity
+from icrawler_spark.operators.politeness import queue_age
+from icrawler_spark.operators.redirects import js_redirects
+from icrawler_spark.operators.search import prf_expansion
+from icrawler_spark.operators.warc import hidden_links
+
+
+# ---------------------------------------------------------------------------
+# lexical_diversity
+# ---------------------------------------------------------------------------
+
+def test_lexical_diversity_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z w"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 2
+    assert out[1]["ttr"] == 0.5
+    assert out[1]["guiraud"] == round(2 / math.sqrt(4), 4)
+    assert out[2]["ttr"] == 1.0
+    assert out[3]["n_tokens"] == 0 and out[3]["ttr"] is None
+
+
+# ---------------------------------------------------------------------------
+# hidden_links
+# ---------------------------------------------------------------------------
+
+def test_hidden_links_detects_styles(spark):
+    html = ('<a href="/v">ok</a>'
+            '<a style="display:none" href="/t1">x</a>'
+            "<a style='visibility: hidden' href='/t2'>y</a>")
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    r = hidden_links(df).collect()[0]
+    assert r["n_links"] == 3 and r["n_hidden"] == 2
+    assert r["hidden_share"] == round(2 / 3, 4) and r["has_hidden"]
+
+
+def test_hidden_links_case_insensitive_and_empty(spark):
+    df = spark.createDataFrame(
+        [("u1", '<a STYLE="Display: None" href="/t">x</a>'),
+         ("u2", "no anchors here")],
+        "url string, html string")
+    out = {r["url"]: r for r in hidden_links(df).collect()}
+    assert out["u1"]["n_hidden"] == 1
+    assert out["u2"]["n_links"] == 0 and out["u2"]["hidden_share"] is None
+    assert not out["u2"]["has_hidden"]
+
+
+# ---------------------------------------------------------------------------
+# js_redirects
+# ---------------------------------------------------------------------------
+
+def test_js_redirects_mechanisms(spark):
+    rows = [
+        ("u1", '<script>window.location.href = "http://t/a";</script>'),
+        ("u2", "<script>location.replace('http://t/b');</script>"),
+        ("u3", '<script>location = "http://t/c"</script>'),
+        ("u4", "<p>plain</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in js_redirects(df).collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert (out["u1"]["target"], out["u1"]["mechanism"]) == \
+        ("http://t/a", "assign")
+    assert (out["u2"]["target"], out["u2"]["mechanism"]) == \
+        ("http://t/b", "replace")
+    assert out["u3"]["mechanism"] == "assign"
+
+
+def test_js_redirects_assign_wins_over_replace(spark):
+    html = ('<script>window.location = "http://a/1"; '
+            'location.replace("http://b/2");</script>')
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    r = js_redirects(df).collect()[0]
+    assert r["target"] == "http://a/1" and r["mechanism"] == "assign"
+
+
+# ---------------------------------------------------------------------------
+# queue_age
+# ---------------------------------------------------------------------------
+
+def test_queue_age_rank_select(spark):
+    # waits for host h: 1..10 -> p50 = 5th = 5, p95 = ceil(9.5)=10th = 10
+    rows = [("h", 100, 100 + w) for w in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "host string, enqueue_ts long, fetch_ts long")
+    r = queue_age(df).collect()[0]
+    assert r["n_urls"] == 10
+    assert r["p50_wait_s"] == 5 and r["p95_wait_s"] == 10
+    assert r["max_wait_s"] == 10
+
+
+def test_queue_age_single_row(spark):
+    df = spark.createDataFrame([("h", 10, 17)],
+                               "host string, enqueue_ts long, fetch_ts long")
+    r = queue_age(df).collect()[0]
+    assert r["p50_wait_s"] == 7 and r["p95_wait_s"] == 7
+    assert r["max_wait_s"] == 7
+
+
+# ---------------------------------------------------------------------------
+# prf_expansion
+# ---------------------------------------------------------------------------
+
+def test_prf_expansion_excludes_query_and_ranks_feedback_terms(spark):
+    # docs about "spark": feedback docs share "shuffle"; unrelated docs
+    # talk about "cooking" and never enter the feedback set
+    rows = [(i, "spark shuffle tuning guide shuffle") for i in range(3)]
+    rows += [(10 + i, "cooking pasta recipe basil") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prf_expansion(df, ["spark"], fb_docs=3, k_terms=5).collect()
+    terms = [r["term"] for r in out]
+    assert "spark" not in terms            # query terms excluded
+    assert "cooking" not in terms          # not in feedback set
+    top = out[0]
+    assert top["term"] == "shuffle" and top["tf_fb"] == 6
+    assert top["df"] == 3
+    # idf = ln(6/3); score = 6 * ln(2)
+    assert abs(top["score"] - round(6 * math.log(2), 4)) < 1e-9
