@@ -245,6 +245,9 @@ _EXTRA_PICKS = [
     # round-3 batch-26 (diversity + hidden links + JS redirects + PRF)
     "lexical_diversity", "hidden_links", "js_redirects", "queue_age",
     "prf_expansion",
+    # round-3 batch-27 (containment + graph shape + crawl economics)
+    "containment_pairs", "host_clustering", "host_gini", "harvest_rate",
+    "param_inference",
 ]
 
 

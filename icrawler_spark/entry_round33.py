@@ -1,0 +1,229 @@
+"""Round-3 driver-contract queries (batch 27): asymmetric shingle
+containment, host-graph clustering coefficient, crawl-allocation Gini,
+per-host harvest economics, and tracking-parameter inference.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# containment_pairs — asymmetric excerpt/quote detection
+# ---------------------------------------------------------------------------
+
+_CONT_N = 2
+_CONT_T = 0.4
+_CONT_MAXFREQ = 50
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.containment_pairs: directed shingle containment
+    C(sub→sup) ≥ threshold — the excerpt/syndication signal Jaccard misses.
+    Same shingle equi-join shape as ngram_jaccard (never a cross join),
+    stop-shingle pruning on numerator AND denominator."""
+    return _docdedup.containment_pairs(
+        _docs(spark, sf), n=_CONT_N, threshold=_CONT_T,
+        max_shingle_freq=_CONT_MAXFREQ).select(
+        F.col("id_sub").cast("long").alias("id_sub"),
+        F.col("id_sup").cast("long").alias("id_sup"), "containment")
+
+
+def _containment_pairs_sql() -> str:
+    return _docdedup.containment_pairs_sql(
+        _TOK_SQL, n=_CONT_N, threshold=_CONT_T,
+        max_shingle_freq=_CONT_MAXFREQ)
+
+
+# ---------------------------------------------------------------------------
+# host_clustering — triangle-closure spam-ring signal
+# ---------------------------------------------------------------------------
+
+_CC_HOSTS = 30
+
+
+def _cc_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _CC_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") * 2 + F.col("event_id")) % _CC_HOSTS)
+        .cast("long").alias("dst"))
+
+
+_CC_EDGES_SQL = (f"SELECT CAST(user_id % {_CC_HOSTS} AS BIGINT) AS src, "
+                 f"CAST((user_id * 2 + event_id) % {_CC_HOSTS} AS BIGINT)"
+                 " AS dst FROM events")
+
+
+def q_host_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.clustering_coefficient: per-host local clustering
+    coefficient by two-join wedge closure over the canonical undirected
+    edge set — link farms are near-cliques; every join equi-keyed, each
+    triangle found once."""
+    return _graph.clustering_coefficient(_cc_edges(spark, sf)).select(
+        F.col("node").cast("long").alias("node"), "degree", "triangles",
+        "cc")
+
+
+def _host_clustering_sql() -> str:
+    return _graph.clustering_coefficient_sql(_CC_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# host_gini — crawl-allocation inequality
+# ---------------------------------------------------------------------------
+
+
+def _gini_log(spark, sf) -> DataFrame:
+    # host i ∈ [0,19] appears with frequency ∝ 2i+1 — a deterministic
+    # linear skew (floor∘sqrt of the cycle position)
+    ev = _events(spark, sf)
+    hid = F.floor(F.sqrt((F.col("event_id") % 400).cast("double")))
+    return ev.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".test"))
+        .alias("host"))
+
+
+_GINI_LOG_SQL = """
+  SELECT 'h' || CAST(CAST(floor(sqrt(CAST(event_id % 400 AS DOUBLE)))
+                     AS BIGINT) AS VARCHAR) || '.test' AS host
+  FROM events
+"""
+
+
+def q_host_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_gini: Gini coefficient + top-decile share
+    of per-host fetch counts — one groupBy(host), one rank over the host
+    table (orders smaller than the log), one scalar aggregate."""
+    return _politeness.host_gini(_gini_log(spark, sf))
+
+
+def _host_gini_sql() -> str:
+    return _politeness.host_gini_sql(_GINI_LOG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# harvest_rate — tokens harvested per fetched KB, per host
+# ---------------------------------------------------------------------------
+
+_HR_HOSTS = 25
+_HR_MIN_T = 30
+_HR_MAX_T = 2000
+
+
+def _hr_docs(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % _HR_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"),
+        "text",
+        (F.col("n_chars") + F.lit(100)).cast("long").alias("bytes_fetched"))
+
+
+_HR_DOCS_SQL = f"""
+  SELECT 'h' || (doc_id % {_HR_HOSTS}) || '.test' AS host, text,
+    CAST(n_chars + 100 AS BIGINT) AS bytes_fetched
+  FROM documents
+"""
+
+
+def q_harvest_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.harvest_rate: tokens kept per fetched kilobyte per
+    host — the recrawl scheduler's budget-efficiency number; token counting
+    fused into the scan, ONE groupBy carries all aggregates."""
+    return _corpus.harvest_rate(_hr_docs(spark, sf),
+                                min_tokens=_HR_MIN_T, max_tokens=_HR_MAX_T)
+
+
+def _harvest_rate_sql() -> str:
+    return _corpus.harvest_rate_sql(_HR_DOCS_SQL, _TOK_SQL,
+                                    min_tokens=_HR_MIN_T,
+                                    max_tokens=_HR_MAX_T)
+
+
+# ---------------------------------------------------------------------------
+# param_inference — content-irrelevant URL parameter discovery
+# ---------------------------------------------------------------------------
+
+_PI_GROUPS = 60
+
+
+def _pi_pages(spark, sf) -> DataFrame:
+    """Duplicate-content URL log: same content group g served under a
+    per-fetch utm value (always varies), a page param pinned to g (never
+    varies), a ref param on g%3==0 groups that varies via doc_id%7, and a
+    tenth of fetches with no query string at all."""
+    d = _docs(spark, sf)
+    g = (F.col("doc_id") % _PI_GROUPS).cast("long")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://s"), (g % 7).cast("string"),
+                    F.lit(".test/p"), g.cast("string"))
+    query = F.concat(
+        F.lit("utm=u"), i, F.lit("&page="), g.cast("string"),
+        F.when(g % 3 == 0,
+               F.concat(F.lit("&ref=r"), (F.col("doc_id") % 7)
+                        .cast("string")))
+         .otherwise(F.lit("")))
+    url = F.when(F.col("doc_id") % 10 == 9, base) \
+           .otherwise(F.concat(base, F.lit("?"), query))
+    return d.select(url.alias("url"),
+                    F.concat(F.lit("c"), g.cast("string"))
+                     .alias("content_hash"))
+
+
+_PI_PAGES_SQL = f"""
+  SELECT CASE WHEN doc_id % 10 = 9 THEN base
+         ELSE base || '?' || 'utm=u' || doc_id || '&page=' || g
+              || CASE WHEN g % 3 = 0 THEN '&ref=r' || (doc_id % 7)
+                 ELSE '' END
+         END AS url,
+         'c' || g AS content_hash
+  FROM (
+    SELECT doc_id, doc_id % {_PI_GROUPS} AS g,
+      'http://s' || (doc_id % {_PI_GROUPS}) % 7 || '.test/p'
+        || doc_id % {_PI_GROUPS} AS base
+    FROM documents
+  )
+"""
+
+
+def q_param_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.param_inference: tracking-parameter discovery from
+    duplicate-content evidence — params varying within same-content groups
+    get canonicalized away BEFORE fetch. Explode + two groupBys, no joins,
+    nothing quadratic."""
+    return _urls.param_inference(_pi_pages(spark, sf))
+
+
+def _param_inference_sql() -> str:
+    return _urls.param_inference_sql(_PI_PAGES_SQL)
+
+
+def queries33():
+    return {
+        "containment_pairs": q_containment_pairs,
+        "host_clustering": q_host_clustering,
+        "host_gini": q_host_gini,
+        "harvest_rate": q_harvest_rate,
+        "param_inference": q_param_inference,
+    }
+
+
+def oracle_sql33():
+    return {
+        "containment_pairs": _containment_pairs_sql(),
+        "host_clustering": _host_clustering_sql(),
+        "host_gini": _host_gini_sql(),
+        "harvest_rate": _harvest_rate_sql(),
+        "param_inference": _param_inference_sql(),
+    }

@@ -358,3 +358,89 @@ def outlink_profile_sql(html_expr: str, host_expr: str) -> dict[str, str]:
         "n_nofollow": (f"len(regexp_extract_all({html_expr}, "
                        f"'<a\\s[^>]*rel=\"nofollow\"'))"),
     }
+
+
+def param_inference(pages, url_col: str = "url",
+                    hash_col: str = "content_hash",
+                    min_groups: int = 2):
+    """Infer content-irrelevant ("tracking") URL query parameters from
+    duplicate-content evidence — the signal behind search engines' URL
+    parameter handling: if the SAME content hash is served under a path
+    while parameter k takes ≥2 distinct values, k does not select content
+    and every future URL carrying it can be canonicalized away before
+    fetch (frontier dedup upstream of the GET, where it saves real budget).
+
+    Evidence unit: a (page key = host+path, content_hash) group. For each
+    parameter key seen in a group, it VARIES there if it has ≥2 distinct
+    values inside the group. Output per key: n_groups (groups where the key
+    appears), n_varying, vary_rate (rounded 6), and tracking = n_varying ≥
+    min_groups AND n_varying*2 ≥ n_groups (majority vote with an absolute
+    floor, both integer comparisons).
+
+    Scale shape: explode the query string into (group, key, value) — linear
+    in total parameters — then two groupBys keyed on (group, key) and key.
+    No joins, nothing quadratic; group keys are as spread as the URL space.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    # "after the FIRST ?" / "after the FIRST =" on both engines (instr /
+    # strpos), never substring_index(-1), which anchors on the LAST match
+    qs = F.when(u.contains("?"),
+                F.substring(u, F.instr(u, "?") + 1, F.lit(2147483647))) \
+          .otherwise(F.lit(""))
+    page_key = F.concat(F.substring_index(u, "?", 1), F.lit("#"),
+                        F.col(hash_col))
+    kv = F.col("kv")
+    pairs = (pages.select(page_key.alias("g"), qs.alias("__qs"))
+             .filter(F.col("__qs") != "")
+             .select("g", F.explode(F.split("__qs", "&")).alias("kv"))
+             .filter(kv != "")
+             .select("g", F.substring_index("kv", "=", 1).alias("pkey"),
+                     F.when(kv.contains("="),
+                            F.substring(kv, F.instr(kv, "=") + 1,
+                                        F.lit(2147483647)))
+                      .otherwise(F.lit("")).alias("pval")))
+    per_group = (pairs.groupBy("g", "pkey")
+                 .agg(F.countDistinct("pval").alias("nv")))
+    return (per_group.groupBy(F.col("pkey").alias("param"))
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum(F.when(F.col("nv") >= 2, 1).otherwise(0))
+                  .cast("long").alias("n_varying"))
+            .select("param", "n_groups", "n_varying",
+                    F.round(F.col("n_varying") / F.col("n_groups"), 6)
+                     .alias("vary_rate"),
+                    ((F.col("n_varying") >= min_groups)
+                     & (F.col("n_varying") * 2 >= F.col("n_groups")))
+                    .alias("tracking")))
+
+
+def param_inference_sql(pages_sql: str, min_groups: int = 2) -> str:
+    """DuckDB replay of :func:`param_inference` over a (url, content_hash)
+    SELECT."""
+    return f"""
+WITH src AS ({pages_sql}),
+pairs AS (
+  SELECT split_part(url, '?', 1) || '#' || content_hash AS g,
+    split_part(kv, '=', 1) AS pkey,
+    CASE WHEN contains(kv, '=')
+         THEN substring(kv, strpos(kv, '=') + 1)
+         ELSE '' END AS pval
+  FROM (
+    SELECT url, content_hash,
+      unnest(string_split(substring(url, strpos(url, '?') + 1), '&')) AS kv
+    FROM src WHERE contains(url, '?')
+  ) WHERE kv <> ''
+),
+per_group AS (
+  SELECT g, pkey, count(DISTINCT pval) AS nv FROM pairs GROUP BY 1, 2
+)
+SELECT pkey AS param, CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_varying,
+  round(sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS vary_rate,
+  (sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) >= {min_groups}
+   AND sum(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) * 2 >= count(*))
+    AS tracking
+FROM per_group GROUP BY 1
+"""

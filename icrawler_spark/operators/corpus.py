@@ -651,3 +651,77 @@ SELECT lang, n_docs, n_tokens, n_chars,
   round(n_tokens / CAST(n_docs AS DOUBLE), 4) AS tokens_per_doc
 FROM agg
 """
+
+
+def harvest_rate(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    bytes_col: str = "bytes_fetched",
+    min_tokens: int = 30,
+    max_tokens: int = 2000,
+) -> DataFrame:
+    """Crawl-economics report: tokens HARVESTED (docs surviving the quality
+    gate) per kilobyte FETCHED, per host. The number a recrawl scheduler
+    actually optimizes — a host that costs 50 KB per kept token is a budget
+    sink regardless of its pagerank, and at 100 TB the fetch budget is the
+    scarce resource, not storage.
+
+    The quality gate here is the token-count band [min_tokens, max_tokens]
+    (the cheapest C4-style gate; callers wanting the full gate chain filter
+    upstream and pass min_tokens=0). Per host: docs_total, docs_kept,
+    tokens_kept, bytes_total, tokens_per_kb = 1000·tokens_kept/bytes_total
+    (rounded 6), kept_rate (rounded 6).
+
+    Scale shape: token counting is a pure projection inside the scan; ONE
+    groupBy(host) carries all five aggregates — no joins, no windows.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    n_toks = F.size(F.filter(tokens_col(text_col), lambda t: t != "")) \
+        .cast("long")
+    kept = (n_toks >= min_tokens) & (n_toks <= max_tokens)
+    return (docs.select(F.col(host_col).alias("host"),
+                        F.col(bytes_col).alias("__b"),
+                        n_toks.alias("__nt"), kept.alias("__k"))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("docs_total"),
+                 F.sum(F.col("__k").cast("long")).cast("long")
+                  .alias("docs_kept"),
+                 F.sum(F.when(F.col("__k"), F.col("__nt"))
+                        .otherwise(F.lit(0))).cast("long")
+                  .alias("tokens_kept"),
+                 F.sum("__b").cast("long").alias("bytes_total"))
+            .select("host", "docs_total", "docs_kept", "tokens_kept",
+                    "bytes_total",
+                    F.round(F.lit(1000.0) * F.col("tokens_kept")
+                            / F.col("bytes_total"), 6).alias("tokens_per_kb"),
+                    F.round(F.col("docs_kept") / F.col("docs_total"), 6)
+                     .alias("kept_rate")))
+
+
+def harvest_rate_sql(docs_sql: str, tok_sql: str,
+                     min_tokens: int = 30, max_tokens: int = 2000) -> str:
+    """DuckDB replay of :func:`harvest_rate` over a (host, text,
+    bytes_fetched) SELECT; ``tok_sql`` tokenizes the ``text`` column."""
+    return f"""
+WITH base AS (
+  SELECT host, bytes_fetched,
+    CAST(len(list_filter({tok_sql}, x -> x <> '')) AS BIGINT) AS nt
+  FROM ({docs_sql})
+),
+g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS docs_total,
+    CAST(sum(CASE WHEN nt BETWEEN {min_tokens} AND {max_tokens}
+             THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+    CAST(sum(CASE WHEN nt BETWEEN {min_tokens} AND {max_tokens}
+             THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+    CAST(sum(bytes_fetched) AS BIGINT) AS bytes_total
+  FROM base GROUP BY 1
+)
+SELECT host, docs_total, docs_kept, tokens_kept, bytes_total,
+  round(CAST(1000 AS DOUBLE) * tokens_kept / bytes_total, 6)
+    AS tokens_per_kb,
+  round(docs_kept / CAST(docs_total AS DOUBLE), 6) AS kept_rate
+FROM g
+"""

@@ -104,6 +104,78 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 5, threshold: float = 0.5,
     return out
 
 
+def containment_pairs(df: DataFrame, n: int = 5, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_shingle_freq: int | None = None) -> DataFrame:
+    """Asymmetric shingle containment C(sub→sup) = |S(sub)∩S(sup)| / |S(sub)|.
+
+    Jaccard misses quote/excerpt relationships: a paragraph lifted into a
+    much longer page has tiny Jaccard but containment ≈ 1 (Broder's
+    resemblance-vs-containment distinction, the signal excerpt/AMP/syndication
+    dedup needs). Emits DIRECTED pairs (id_sub, id_sup, containment ≥
+    threshold), both directions possible for mutual near-dups.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one shingle
+    equi-join (never a cross join), group on the pair, two broadcast-size
+    joins for the per-doc set sizes. ``max_shingle_freq`` prunes stop
+    shingles from numerator AND denominator, so the pruned containment stays
+    a consistent ratio of the same sets."""
+    sh = shingle_rows(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("f")) \
+                    .filter(F.col("f") <= max_shingle_freq).select("shingle")
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_sub"), "shingle")
+    b = sh.select(F.col("id").alias("id_sup"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_sub") != F.col("id_sup"))
+        .groupBy("id_sub", "id_sup").agg(F.count("*").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("id").alias("id_sub"),
+                           F.col("n_sh").alias("n_sub")), "id_sub")
+        .withColumn("containment",
+                    F.round(F.col("common") / F.col("n_sub"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_sub", "id_sup", "containment")
+    )
+
+
+def containment_pairs_sql(tok_sql: str, n: int, threshold: float,
+                          max_shingle_freq: int,
+                          id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`containment_pairs` over ``documents``."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {tok_sql} AS l FROM documents
+), sh AS (
+  SELECT DISTINCT {id_col},
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT {id_col}, l, unnest(range(1, len(l) - {n} + 2)) AS x FROM toks)
+  WHERE len(l) >= {n}
+), sh_kept AS (
+  SELECT {id_col}, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {max_shingle_freq})
+), sizes AS (
+  SELECT {id_col}, count(*) AS n_sh FROM sh_kept GROUP BY 1
+), common AS (
+  SELECT a.{id_col} AS id_sub, b.{id_col} AS id_sup, count(*) AS common
+  FROM sh_kept a JOIN sh_kept b USING (shingle)
+  WHERE a.{id_col} <> b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_sub, id_sup, containment FROM (
+  SELECT id_sub, id_sup,
+         round(common / CAST(s.n_sh AS DOUBLE), 6) AS containment
+  FROM common JOIN sizes s ON s.{id_col} = id_sub
+) WHERE containment >= {threshold}
+"""
+
+
 def minhash_signatures(df: DataFrame, k: int = 8, n: int = 5,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, seed, minhash) — minhash = lexicographic min of md5(seed:shingle)."""

@@ -617,3 +617,90 @@ SELECT src_pld, dst_pld, CAST(count(*) AS BIGINT) AS n_links,
   src_pld = dst_pld AS intra
 FROM collapsed GROUP BY 1, 2
 """
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per host over the UNDIRECTED host graph:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), T(v) = triangles through v.
+
+    Link farms and mirror rings are near-cliques (cc → 1) while organic hub
+    hosts have sparse neighborhoods (cc → 0) — the classic TrustRank-era
+    spam-mass companion that needs only the graph, not content.
+
+    Scale shape: canonical undirected edges (lo < hi, distinct) pinned once;
+    triangles counted by the standard two-join wedge closure — adjacency
+    joined on the wedge apex, then closed against the edge set, every join
+    equi-keyed on host ids so AQE shuffles stay aligned; each triangle
+    (a<b<c) is found exactly once and credited to its three corners via one
+    explode. Nothing quadratic: wedge count is Σ deg² of the canonical
+    graph, the skew knob a real deployment would cap (degree-truncate
+    super-hubs) — documented, not silently applied here.
+
+    Returns (node, degree, triangles, cc) with cc rounded to 6 and 0.0 for
+    degree-1 nodes.
+    """
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("lo").alias("node"))
+           .union(e.select(F.col("hi").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
+    # wedges b<c sharing apex a (a<b and a<c), closed by edge (b,c)
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"])
+    tri_per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                    .groupBy("node")
+                    .agg(F.count("*").cast("long").alias("triangles")))
+    return (deg.join(tri_per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                     .alias("triangles"),
+                    F.when(F.col("degree") >= 2, F.round(
+                        2.0 * F.coalesce("triangles", F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)), 6))
+                     .otherwise(F.lit(0.0)).alias("cc")))
+
+
+def clustering_coefficient_sql(edges_cte: str) -> str:
+    """DuckDB mirror of :func:`clustering_coefficient` over an edges CTE
+    producing (src, dst)."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi) w
+  JOIN e ON e.lo = w.b AND e.hi = w.c
+),
+tpn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree,
+  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.degree >= 2 THEN round(
+    CAST(2 AS DOUBLE) * coalesce(t.triangles, 0)
+    / (d.degree * (d.degree - 1)), 6)
+  ELSE CAST(0 AS DOUBLE) END AS cc
+FROM deg d LEFT JOIN tpn t ON t.node = d.node
+"""

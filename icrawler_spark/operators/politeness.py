@@ -629,3 +629,78 @@ SELECT h AS host, CAST(n_urls AS BIGINT) AS n_urls,
 FROM ranked JOIN n USING (h)
 GROUP BY 1, 2
 """
+
+
+def host_gini(
+    fetches: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Crawl-allocation inequality: the Gini coefficient of per-host fetch
+    counts, plus the top-decile fetch share. Gini ≈ 0 is an evenly spread
+    crawl; Gini → 1 means a handful of hot hosts are eating the budget the
+    politeness limiter was supposed to spread (the single-number companion
+    to host_skew_report's per-host view).
+
+    Uses the rank form on ascending counts: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n,
+    with ties broken by host name so the rank assignment — and therefore the
+    value — is engine-portable. Integer sums throughout; the two divisions
+    happen once at the end.
+
+    Scale shape: one groupBy(host) over the fetch log, then a single global
+    rank over the HOST table (rows = distinct hosts, ~10⁷ at web scale —
+    orders below the log itself), then one scalar aggregate. Returns one row
+    (n_hosts, total_fetches, gini, top_decile_share), ratios rounded 6.
+    """
+    counts = (fetches.groupBy(F.col(host_col).alias("h"))
+              .agg(F.count("*").cast("long").alias("cnt")))
+    ranked = counts.withColumn(
+        "i", F.row_number().over(Window.orderBy("cnt", "h")))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("cnt").cast("long").alias("total_fetches"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("wsum"))
+    # top-decile share needs n_hosts first: ranks above ceil(0.9 * n) —
+    # integer cut, same formula both engines
+    j = ranked.crossJoin(F.broadcast(agg.select("n_hosts", "total_fetches",
+                                                "wsum")))
+    cut = F.floor((F.lit(9) * F.col("n_hosts") + F.lit(9)) / 10)
+    return (j.groupBy("n_hosts", "total_fetches", "wsum")
+            .agg(F.sum(F.when(F.col("i") > cut, F.col("cnt"))
+                       .otherwise(F.lit(0))).cast("long").alias("top_cnt"))
+            .select(
+                F.col("n_hosts"),
+                F.col("total_fetches"),
+                F.round(
+                    F.lit(2.0) * F.col("wsum")
+                    / (F.col("n_hosts") * F.col("total_fetches"))
+                    - (F.col("n_hosts") + F.lit(1.0)) / F.col("n_hosts"),
+                    6).alias("gini"),
+                F.round(F.col("top_cnt") / F.col("total_fetches"), 6)
+                 .alias("top_decile_share")))
+
+
+def host_gini_sql(fetch_sql: str) -> str:
+    """DuckDB replay of :func:`host_gini` over a (host)+ SELECT."""
+    return f"""
+WITH counts AS (
+  SELECT host AS h, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({fetch_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT h, cnt, row_number() OVER (ORDER BY cnt, h) AS i FROM counts
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(cnt) AS BIGINT) AS total_fetches,
+         CAST(sum(i * cnt) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT a.n_hosts, a.total_fetches,
+  round(CAST(2 AS DOUBLE) * a.wsum / (a.n_hosts * a.total_fetches)
+        - (a.n_hosts + CAST(1 AS DOUBLE)) / a.n_hosts, 6) AS gini,
+  round(CAST(sum(CASE WHEN r.i > (9 * a.n_hosts + 9) // 10
+                      THEN r.cnt ELSE 0 END) AS DOUBLE)
+        / a.total_fetches, 6) AS top_decile_share
+FROM ranked r CROSS JOIN agg a
+GROUP BY 1, 2, a.wsum
+"""

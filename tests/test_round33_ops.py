@@ -1,0 +1,184 @@
+"""Unit tests for the round-33 pack: shingle containment, clustering
+coefficient, host Gini, harvest rate, tracking-param inference."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.urls import param_inference
+from icrawler_spark.operators.corpus import harvest_rate
+from icrawler_spark.operators.docdedup import containment_pairs
+from icrawler_spark.operators.graph import clustering_coefficient
+from icrawler_spark.operators.politeness import host_gini
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_asymmetric(spark):
+    # doc 2 is an excerpt of doc 1: every shingle of 2 is in 1, not vice versa
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "c d e f"), (3, "x y z w")],
+        "doc_id long, text string")
+    out = {(r["id_sub"], r["id_sup"]): r["containment"]
+           for r in containment_pairs(df, n=2, threshold=0.5).collect()}
+    assert out[(2, 1)] == 1.0
+    assert (1, 2) not in out  # C(1→2) = 3/7 < 0.5
+    assert all(3 not in k for k in out)
+
+
+def test_containment_both_directions_for_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+    out = {(r["id_sub"], r["id_sup"]): r["containment"]
+           for r in containment_pairs(df, n=2, threshold=0.9).collect()}
+    assert out[(1, 2)] == 1.0 and out[(2, 1)] == 1.0
+
+
+def test_containment_stop_shingle_pruning(spark):
+    # the shared shingle "a b" appears in all 3 docs; max_shingle_freq=2
+    # drops it from numerator AND denominator
+    df = spark.createDataFrame(
+        [(1, "a b q w"), (2, "a b q w"), (3, "a b n m")],
+        "doc_id long, text string")
+    out = containment_pairs(df, n=2, threshold=0.5,
+                            max_shingle_freq=2).collect()
+    pairs = {(r["id_sub"], r["id_sup"]): r["containment"] for r in out}
+    assert pairs[(1, 2)] == 1.0 and pairs[(2, 1)] == 1.0
+    assert all(3 not in k for k in pairs)
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+def test_clustering_triangle(spark):
+    # triangle 1-2-3 plus a pendant 4 off node 1
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long")
+    out = {r["node"]: r for r in clustering_coefficient(df).collect()}
+    assert out[1]["degree"] == 3 and out[1]["triangles"] == 1
+    assert out[1]["cc"] == round(2 * 1 / (3 * 2), 6)
+    assert out[2]["cc"] == 1.0 and out[3]["cc"] == 1.0
+    assert out[4]["degree"] == 1 and out[4]["cc"] == 0.0
+
+
+def test_clustering_direction_and_dupes_collapse(spark):
+    # reversed + duplicate edges count once; self-loops drop
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 2)],
+        "src long, dst long")
+    out = {r["node"]: r for r in clustering_coefficient(df).collect()}
+    assert all(out[n]["triangles"] == 1 for n in (1, 2, 3))
+    assert all(out[n]["cc"] == 1.0 for n in (1, 2, 3))
+
+
+def test_clustering_square_no_triangles(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    out = clustering_coefficient(df).collect()
+    assert all(r["triangles"] == 0 and r["cc"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# host_gini
+# ---------------------------------------------------------------------------
+
+def test_host_gini_uniform_is_zero(spark):
+    rows = [(f"h{i}",) for i in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "host string")
+    r = host_gini(df).collect()[0]
+    assert r["n_hosts"] == 4 and r["total_fetches"] == 20
+    assert r["gini"] == 0.0
+
+
+def test_host_gini_skewed(spark):
+    # counts 1, 1, 8 → G = 2*(1*1+2*1+3*8)/(3*10) - 4/3 = 54/30 - 4/3
+    rows = [("a",)] + [("b",)] + [("c",)] * 8
+    df = spark.createDataFrame(rows, "host string")
+    r = host_gini(df).collect()[0]
+    assert r["gini"] == round(2 * 27 / 30 - 4 / 3, 6)
+    # ceil(0.9*3)=3 → only rank>3 counts → empty top decile
+    assert r["top_decile_share"] == 0.0
+
+
+def test_host_gini_top_decile(spark):
+    # 10 hosts, counts 1..9 and 91: top decile = the single hottest host
+    rows = []
+    for i, c in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 91]):
+        rows += [(f"h{i:02d}",)] * c
+    df = spark.createDataFrame(rows, "host string")
+    r = host_gini(df).collect()[0]
+    assert r["total_fetches"] == 136
+    assert r["top_decile_share"] == round(91 / 136, 6)
+
+
+# ---------------------------------------------------------------------------
+# harvest_rate
+# ---------------------------------------------------------------------------
+
+def test_harvest_rate_gate_and_ratio(spark):
+    df = spark.createDataFrame(
+        [("h1", "one two three four five", 1000),
+         ("h1", "too short", 500),          # below min_tokens
+         ("h2", "a b c d e f", 3000)],
+        "host string, text string, bytes_fetched long")
+    out = {r["host"]: r for r in
+           harvest_rate(df, min_tokens=5, max_tokens=100).collect()}
+    assert out["h1"]["docs_total"] == 2 and out["h1"]["docs_kept"] == 1
+    assert out["h1"]["tokens_kept"] == 5
+    assert out["h1"]["bytes_total"] == 1500
+    assert out["h1"]["tokens_per_kb"] == round(1000.0 * 5 / 1500, 6)
+    assert out["h1"]["kept_rate"] == 0.5
+    assert out["h2"]["tokens_kept"] == 6
+
+
+def test_harvest_rate_max_gate(spark):
+    df = spark.createDataFrame(
+        [("h", "a b c d", 100)], "host string, text string, bytes_fetched long")
+    r = harvest_rate(df, min_tokens=1, max_tokens=3).collect()[0]
+    assert r["docs_kept"] == 0 and r["tokens_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# param_inference
+# ---------------------------------------------------------------------------
+
+def test_param_inference_tracking_vs_content(spark):
+    rows = [
+        ("http://a/p?utm=1&page=2", "c1"),
+        ("http://a/p?utm=2&page=2", "c1"),
+        ("http://a/q?utm=3&page=5", "c2"),
+        ("http://a/q?utm=4&page=5", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r["param"]: r for r in param_inference(df).collect()}
+    assert out["utm"]["n_varying"] == 2 and out["utm"]["tracking"]
+    assert out["page"]["n_varying"] == 0 and not out["page"]["tracking"]
+
+
+def test_param_inference_group_separation(spark):
+    # same path, DIFFERENT content → two groups; page selects content, so
+    # it never varies within a group
+    rows = [
+        ("http://a/p?page=1&sid=x", "c1"),
+        ("http://a/p?page=1&sid=y", "c1"),
+        ("http://a/p?page=2&sid=z", "c2"),
+        ("http://a/p?page=2&sid=w", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r["param"]: r for r in param_inference(df).collect()}
+    assert not out["page"]["tracking"]
+    assert out["sid"]["tracking"] and out["sid"]["vary_rate"] == 1.0
+
+
+def test_param_inference_valueless_and_noquery(spark):
+    rows = [
+        ("http://a/p?flag&k=1", "c1"),
+        ("http://a/p?flag&k=2", "c1"),
+        ("http://a/plain", "c9"),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r["param"]: r for r in param_inference(df).collect()}
+    assert out["flag"]["n_varying"] == 0   # valueless → constant ''
+    assert out["k"]["n_varying"] == 1
+    assert len(out) == 2
