@@ -248,6 +248,9 @@ _EXTRA_PICKS = [
     # round-3 batch-27 (containment + graph shape + crawl economics)
     "containment_pairs", "host_clustering", "host_gini", "harvest_rate",
     "param_inference",
+    # round-3 batch-28 (proximity + LM smoothing + bitext + graph audits)
+    "proximity_search", "kn_continuation", "bitext_candidates",
+    "hop_distribution", "spam_mass",
 ]
 
 

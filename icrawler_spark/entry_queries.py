@@ -34,7 +34,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round26, entry_round27,
                             entry_round28, entry_round29,
                             entry_round30, entry_round31,
-                            entry_round32, entry_round33)
+                            entry_round32, entry_round33,
+                            entry_round34)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -834,6 +835,7 @@ def queries():
         **entry_round31.queries31(),
         **entry_round32.queries32(),
         **entry_round33.queries33(),
+        **entry_round34.queries34(),
     }
 
 
@@ -899,4 +901,5 @@ def oracle_sql():
         **entry_round31.oracle_sql31(),
         **entry_round32.oracle_sql32(),
         **entry_round33.oracle_sql33(),
+        **entry_round34.oracle_sql34(),
     }

@@ -1,0 +1,201 @@
+"""Round-3 driver-contract queries (batch 28): positional proximity
+search, Kneser-Ney continuation stats, bitext candidate mining, BFS hop
+distribution, and relative spam mass.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# proximity_search — within-k positional pair counting
+# ---------------------------------------------------------------------------
+
+_PROX_A = "scan"
+_PROX_B = "merge"
+_PROX_W = 7
+
+
+def q_proximity_search(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.proximity_search: within-k occurrence pairs +
+    minimum token distance per doc — positions from ONE pre-projected
+    token array, all pair math in JVM array exprs; fuses into the scan."""
+    return _search.proximity_search(_docs(spark, sf), _PROX_A, _PROX_B,
+                                    window=_PROX_W)
+
+
+def _proximity_search_sql() -> str:
+    return _search.proximity_search_sql(_TOK_SQL, _PROX_A, _PROX_B,
+                                        window=_PROX_W)
+
+
+# ---------------------------------------------------------------------------
+# kn_continuation — Kneser-Ney continuation statistics
+# ---------------------------------------------------------------------------
+
+_KN_MIN_COUNT = 5
+
+
+def q_kn_continuation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.kn_continuation: distinct-left-context counts and
+    continuation probability per word — one bigram explode, one distinct,
+    one groupBy; denominator is a broadcast single-row count."""
+    return _curation.kn_continuation(_docs(spark, sf),
+                                     min_count=_KN_MIN_COUNT)
+
+
+def _kn_continuation_sql() -> str:
+    return _curation.kn_continuation_sql(_TOK_SQL,
+                                         min_count=_KN_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
+# bitext_candidates — parallel-page mining via shared rare numbers
+# ---------------------------------------------------------------------------
+
+_BT_HOSTS = 15
+
+
+def _bt_docs(spark, sf) -> DataFrame:
+    """Twin pages (2g, 2g+1) on the same host in different langs sharing
+    two pair-specific numbers; '2020' is on every page to exercise the
+    boilerplate-number pruning."""
+    d = _docs(spark, sf)
+    g = F.floor(F.col("doc_id") / 2).cast("long")
+    return d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), (g % _BT_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+         .alias("lang"),
+        F.concat(F.col("text"), F.lit(" "),
+                 (g + 1000).cast("string"), F.lit(" "),
+                 (g * 3 + 5000).cast("string"), F.lit(" 2020"))
+         .alias("text"))
+
+
+_BT_DOCS_SQL = f"""
+  SELECT doc_id,
+    'h' || ((doc_id // 2) % {_BT_HOSTS}) || '.test' AS host,
+    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang,
+    text || ' ' || ((doc_id // 2) + 1000) || ' '
+         || ((doc_id // 2) * 3 + 5000) || ' 2020' AS text
+  FROM documents
+"""
+
+
+def q_bitext_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.bitext_candidates: STRAND-style translation-pair
+    mining — shared rare numeric tokens as the blocking key (equi-join on
+    (host, number), never per-host cross join), boilerplate numbers pruned
+    before the join, length-ratio gate after ONE pair groupBy."""
+    return _curation.bitext_candidates(_bt_docs(spark, sf)).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "lang_a", "lang_b", "n_shared", "len_ratio")
+
+
+def _bitext_candidates_sql() -> str:
+    return _curation.bitext_candidates_sql(_BT_DOCS_SQL, _TOK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hop_distribution — seed-coverage BFS histogram
+# ---------------------------------------------------------------------------
+
+_HOP_N = 50
+_HOP_SEEDS = [0, 1]
+_HOP_MAX = 3
+
+
+def _hop_edges(spark, sf) -> DataFrame:
+    # out-degree 2 per host (successor chain) — BFS from two seeds grows
+    # geometrically, so hops 2, 3 AND the unreached bucket are non-empty
+    ev = _events(spark, sf)
+    src = F.col("user_id") % _HOP_N
+    return ev.select(
+        src.cast("long").alias("src"),
+        ((src * 2 + 1 + F.col("event_id") % 2) % _HOP_N)
+        .cast("long").alias("dst"))
+
+
+_HOP_EDGES_SQL = (f"SELECT CAST(user_id % {_HOP_N} AS BIGINT) AS src, "
+                  f"CAST(((user_id % {_HOP_N}) * 2 + 1 + event_id % 2)"
+                  f" % {_HOP_N} AS BIGINT) AS dst FROM events")
+
+
+def q_hop_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.hop_distribution: hosts per BFS distance from the
+    seed set (min-distance semantics, unreached = −1) — frontier BFS with
+    the crawl loop's own anti-join seen-set shape, one level pinned per
+    hop."""
+    return _graph.hop_distribution(_hop_edges(spark, sf), _HOP_SEEDS,
+                                   max_hops=_HOP_MAX)
+
+
+def _hop_distribution_sql() -> str:
+    return _graph.hop_distribution_sql(_HOP_EDGES_SQL, _HOP_SEEDS,
+                                       max_hops=_HOP_MAX)
+
+
+# ---------------------------------------------------------------------------
+# spam_mass — PageRank mass not flowing through the trusted core
+# ---------------------------------------------------------------------------
+
+_SM_HOSTS = 40
+_SM_TRUSTED = [0, 1, 2]
+
+
+def _sm_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _SM_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % _SM_HOSTS).cast("long")
+        .alias("dst"))
+
+
+_SM_EDGES_SQL = (f"SELECT CAST(user_id % {_SM_HOSTS} AS BIGINT) AS src, "
+                 f"CAST((user_id + event_id) % {_SM_HOSTS} AS BIGINT)"
+                 " AS dst FROM events")
+
+
+def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.spam_mass: (PR − scaled TR)/PR per host (Gyöngyi
+    mass estimation) — two host-keyed power methods sharing one plan
+    shape, composed by a single node equi-join + broadcast sums."""
+    return _graph.spam_mass(_sm_edges(spark, sf), _SM_TRUSTED).select(
+        F.col("node").cast("long").alias("node"), "rank", "trust_scaled",
+        "spam_mass")
+
+
+def _spam_mass_sql() -> str:
+    return _graph.spam_mass_sql(_SM_EDGES_SQL, _SM_TRUSTED)
+
+
+def queries34():
+    return {
+        "proximity_search": q_proximity_search,
+        "kn_continuation": q_kn_continuation,
+        "bitext_candidates": q_bitext_candidates,
+        "hop_distribution": q_hop_distribution,
+        "spam_mass": q_spam_mass,
+    }
+
+
+def oracle_sql34():
+    return {
+        "proximity_search": _proximity_search_sql(),
+        "kn_continuation": _kn_continuation_sql(),
+        "bitext_candidates": _bitext_candidates_sql(),
+        "hop_distribution": _hop_distribution_sql(),
+        "spam_mass": _spam_mass_sql(),
+    }

@@ -1212,3 +1212,179 @@ SELECT {id_col}, n_tokens, n_types,
     AS guiraud
 FROM counted
 """
+
+
+def kn_continuation(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Kneser-Ney continuation statistics over the corpus bigram stream:
+    for each word w, the number of DISTINCT left contexts it follows
+    (N1+(•w)) and the continuation probability p_cont(w) = N1+(•w) / |{
+    distinct bigrams }| — the quantity KN smoothing backs off to instead of
+    raw unigram frequency ("francisco" is frequent but follows only "san",
+    so it should get almost no mass in unseen contexts). The corpus-level
+    companion to stupid_backoff_nll's per-doc scoring.
+
+    Scale shape: ONE explode of the token stream into adjacent bigrams
+    (zip_with over shifted slices of the pre-projected token array — no
+    window over the corpus token stream), one distinct on (prev, w), one
+    groupBy(w); the distinct-bigram denominator is a broadcast single-row
+    count. Filter ``min_count`` keeps the output off the long tail.
+
+    Returns (term, freq, n_contexts, p_cont rounded 8).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toked = docs.select(tokens_col(text_col).alias("__t"))
+    t = F.col("__t")
+    m = F.size(t) - 1
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(m, F.lit(0))),
+        F.slice(t, 2, F.greatest(m, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("w")))
+    bg = (toked.filter(F.size(t) >= 2)
+          .select(F.explode(bigrams).alias("b"))
+          .select(F.col("b.prev").alias("prev"), F.col("b.w").alias("w")))
+    stats = bg.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.count_distinct("prev").cast("long").alias("n_contexts"))
+    total = bg.select("prev", "w").distinct() \
+        .agg(F.count("*").cast("long").alias("__n_bigrams"))
+    return (stats.crossJoin(F.broadcast(total))
+            .filter(F.col("freq") >= min_count)
+            .select(F.col("w").alias("term"), "freq", "n_contexts",
+                    F.round(F.col("n_contexts") / F.col("__n_bigrams"), 8)
+                     .alias("p_cont")))
+
+
+def kn_continuation_sql(tok_sql: str, min_count: int = 2) -> str:
+    """DuckDB mirror of :func:`kn_continuation` over ``documents``."""
+    return f"""
+WITH toked AS (
+  SELECT {tok_sql} AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS prev, t[i + 1] AS w
+  FROM toked, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) _i
+  WHERE len(t) >= 2
+),
+stats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(count(DISTINCT prev) AS BIGINT) AS n_contexts
+  FROM bg GROUP BY 1
+),
+total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM (SELECT DISTINCT prev, w FROM bg)
+)
+SELECT w AS term, freq, n_contexts,
+  round(n_contexts / CAST(n_bigrams AS DOUBLE), 8) AS p_cont
+FROM stats CROSS JOIN total
+WHERE freq >= {min_count}
+"""
+
+
+def bitext_candidates(
+    docs: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_len_ratio: float = 2.0,
+    max_num_freq: int = 50,
+) -> DataFrame:
+    """Parallel-page candidate mining — the WMT shared-task recipe
+    (Resnik & Smith's STRAND lineage): two pages on the SAME host in
+    DIFFERENT languages that share rare numeric tokens (dates, prices,
+    figures survive translation verbatim) and have comparable token
+    lengths are translation-pair candidates for bitext extraction.
+
+    Scale shape: numeric tokens explode into (host, number, id, lang,
+    n_toks) rows; numbers appearing on more than ``max_num_freq`` docs of
+    a host are pruned (boilerplate years, phone prefixes) BEFORE the
+    candidate equi-join on (host, number) — never a per-host cross join;
+    pair aggregation and the length-ratio gate run after ONE groupBy on
+    the pair. Both docs' token counts ride the join, so no lookback join.
+
+    Returns (id_a, id_b, lang_a, lang_b, n_shared, len_ratio rounded 4)
+    with id_a < id_b.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+        tokens_col(text_col).alias("__t"))
+    t = F.col("__t")
+    nums = toked.select(
+        "id", "host", "lang", F.size(t).cast("long").alias("n_toks"),
+        F.explode(F.array_distinct(
+            F.filter(t, lambda x: x.rlike("^[0-9]+$")))).alias("num"))
+    freq_ok = (nums.groupBy("host", "num")
+               .agg(F.count("*").alias("f"))
+               .filter(F.col("f") <= max_num_freq)
+               .select("host", "num"))
+    nums = nums.join(freq_ok, ["host", "num"])
+    a = nums.select("host", "num", F.col("id").alias("id_a"),
+                    F.col("lang").alias("lang_a"),
+                    F.col("n_toks").alias("nt_a"))
+    b = nums.select("host", "num", F.col("id").alias("id_b"),
+                    F.col("lang").alias("lang_b"),
+                    F.col("n_toks").alias("nt_b"))
+    pairs = (a.join(b, ["host", "num"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.col("lang_a") != F.col("lang_b")))
+             .groupBy("id_a", "id_b", "lang_a", "lang_b", "nt_a", "nt_b")
+             .agg(F.count("*").cast("long").alias("n_shared")))
+    ratio = F.round(F.greatest("nt_a", "nt_b")
+                    / F.least("nt_a", "nt_b"), 4)
+    return (pairs.filter(F.col("n_shared") >= min_shared)
+            .filter(F.least("nt_a", "nt_b") > 0)
+            .withColumn("len_ratio", ratio)
+            .filter(F.col("len_ratio") <= max_len_ratio)
+            .select("id_a", "id_b", "lang_a", "lang_b", "n_shared",
+                    "len_ratio"))
+
+
+def bitext_candidates_sql(docs_sql: str, tok_sql: str,
+                          min_shared: int = 2,
+                          max_len_ratio: float = 2.0,
+                          max_num_freq: int = 50) -> str:
+    """DuckDB replay of :func:`bitext_candidates` over a (doc_id, host,
+    lang, text) SELECT; ``tok_sql`` tokenizes ``text``."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS id, host, lang, {tok_sql} AS t FROM ({docs_sql})
+),
+nums AS (
+  SELECT id, host, lang, CAST(len(t) AS BIGINT) AS n_toks,
+    unnest(list_distinct(list_filter(t,
+      x -> regexp_matches(x, '^[0-9]+$')))) AS num
+  FROM toked
+),
+kept AS (
+  SELECT n.* FROM nums n
+  JOIN (SELECT host, num FROM nums GROUP BY 1, 2
+        HAVING count(*) <= {max_num_freq}) f
+    USING (host, num)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.lang AS lang_a, b.lang AS lang_b,
+         a.n_toks AS nt_a, b.n_toks AS nt_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b USING (host, num)
+  WHERE a.id < b.id AND a.lang <> b.lang
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT id_a, id_b, lang_a, lang_b, n_shared, len_ratio FROM (
+  SELECT id_a, id_b, lang_a, lang_b, n_shared,
+         round(greatest(nt_a, nt_b) / CAST(least(nt_a, nt_b) AS DOUBLE), 4)
+           AS len_ratio
+  FROM pairs
+  WHERE n_shared >= {min_shared} AND least(nt_a, nt_b) > 0
+) WHERE len_ratio <= {max_len_ratio}
+"""

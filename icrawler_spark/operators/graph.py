@@ -704,3 +704,137 @@ SELECT d.node, d.degree,
   ELSE CAST(0 AS DOUBLE) END AS cc
 FROM deg d LEFT JOIN tpn t ON t.node = d.node
 """
+
+
+def hop_distribution(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Seed-coverage profile: how many hosts sit at BFS distance 0, 1, …,
+    max_hops from the seed set (min-distance semantics), plus one
+    "unreached" bucket (dist = -1) — the number a seed-list curator reads
+    before a crawl ("three hops from DMOZ covers X% of the host graph").
+    Generalizes two_hop_reach from per-node fan-out to whole-graph
+    coverage.
+
+    Scale shape: classic frontier BFS — per level ONE equi-join of the
+    current frontier against the edge list plus one distinct and one
+    anti-join against the visited set (the crawl loop's own seen-set
+    shape, plans/crawl.py); max_hops levels, each pinned so level k+1's
+    plan doesn't replay levels 1..k. Returns (dist, n_hosts).
+    """
+    sd = sorted({int(x) for x in seeds})
+    if not sd:
+        raise ValueError("hop_distribution: empty seed set")
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    frontier = nodes.filter(F.col("node").isin(sd)) \
+        .withColumn("dist", F.lit(0))
+    visited = frontier
+    for k in range(1, max_hops + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("src")), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(k))
+               .localCheckpoint(eager=True))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    labelled = nodes.join(visited, "node", "left") \
+        .select(F.coalesce("dist", F.lit(-1)).alias("dist"))
+    return (labelled.groupBy("dist")
+            .agg(F.count("*").cast("long").alias("n_hosts"))
+            .select(F.col("dist").cast("int").alias("dist"), "n_hosts"))
+
+
+def hop_distribution_sql(edges_cte: str, seeds: list,
+                         max_hops: int = 3) -> str:
+    """DuckDB mirror of :func:`hop_distribution`: one CTE per BFS level."""
+    sd = sorted({int(x) for x in seeds})
+    seed_list = ", ".join(str(s) for s in sd)
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+v0 AS (SELECT node, 0 AS dist FROM nodes WHERE node IN ({seed_list})),
+f0 AS (SELECT node FROM v0)"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f""",
+f{k} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM e JOIN f{k - 1} f ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM v{k - 1})
+),
+v{k} AS (SELECT node, dist FROM v{k - 1}
+         UNION ALL SELECT node, {k} AS dist FROM f{k})""")
+    parts.append(f"""
+SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_hosts
+FROM (
+  SELECT coalesce(v.dist, -1) AS dist
+  FROM nodes n LEFT JOIN v{max_hops} v ON v.node = n.node
+) GROUP BY 1""")
+    return "".join(parts)
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: list,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): the fraction of a host's PageRank that
+    does NOT arrive through the trusted core — ŝ(v) = (PR(v) − scaled
+    TR(v)) / PR(v), with TR rescaled so both scores distribute the same
+    total mass. Hosts near 1 earn their rank only from unvetted (typically
+    farm) links; the structural composite of :func:`pagerank` and
+    :func:`trustrank` on the SAME edge set.
+
+    Scale shape: the two power methods reuse one plan shape (join + groupBy
+    per iteration, host-keyed); the final composition is a single equi-join
+    on the node id plus one broadcast of the two global sums. Returns
+    (node, rank, trust_scaled, spam_mass), all rounded 6.
+    """
+    pr = pagerank(edges, n_iters=n_iters, damping=damping,
+                  src_col=src_col, dst_col=dst_col)
+    tr = trustrank(edges, trusted, n_iters=n_iters, damping=damping,
+                   src_col=src_col, dst_col=dst_col)
+    j = pr.join(tr, "node")
+    sums = j.agg(F.sum("rank").alias("__sp"),
+                 F.sum("trust").alias("__st"))
+    out = j.crossJoin(F.broadcast(sums))
+    scaled = F.col("trust") * (F.col("__sp") / F.col("__st"))
+    return out.select(
+        "node", "rank",
+        F.round(scaled, 6).alias("trust_scaled"),
+        F.when(F.col("rank") > 0,
+               F.round((F.col("rank") - scaled) / F.col("rank"), 6))
+         .otherwise(F.lit(0.0)).alias("spam_mass"))
+
+
+def spam_mass_sql(edges_cte: str, trusted: list, n_iters: int = 3,
+                  damping: float = 0.85) -> str:
+    """DuckDB mirror of :func:`spam_mass` — composes the pagerank and
+    trustrank CTE chains as subqueries (DuckDB allows WITH inside FROM)."""
+    pr = pagerank_sql(edges_cte, n_iters=n_iters, damping=damping)
+    tr = trustrank_sql(edges_cte, trusted, n_iters=n_iters, damping=damping)
+    return f"""
+WITH pr AS ({pr}),
+tr AS ({tr}),
+j AS (SELECT pr.node, pr.rank, tr.trust
+      FROM pr JOIN tr ON tr.node = pr.node),
+s AS (SELECT sum(rank) AS sp, sum(trust) AS st FROM j)
+SELECT node, rank,
+  round(trust * (s.sp / s.st), 6) AS trust_scaled,
+  CASE WHEN rank > 0
+       THEN round((rank - trust * (s.sp / s.st)) / rank, 6)
+       ELSE CAST(0 AS DOUBLE) END AS spam_mass
+FROM j CROSS JOIN s
+"""

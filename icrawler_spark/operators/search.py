@@ -704,3 +704,79 @@ SELECT term, tf_fb, df, score,
     AS rank
 FROM scored QUALIFY rank <= {k_terms}
 """
+
+
+def proximity_search(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional proximity query: for every doc containing BOTH terms,
+    the number of occurrence pairs within ``window`` tokens and the minimum
+    token distance — the ranking primitive between bag-of-words BM25 and
+    exact phrase match (Metzler/Croft sequential-dependence lineage).
+
+    Scale shape: positions are extracted from ONE pre-projected token
+    array (never re-tokenized inside a lambda — the O(L²) inlining trap),
+    then all pair math runs on the two per-doc position arrays with pure
+    JVM array expressions: no explode, no shuffle, no join — the operator
+    fuses into the scan. Per-doc cost is O(tf_a · tf_b), bounded in
+    practice by term frequencies, not document length.
+
+    Returns (doc_id, tf_a, tf_b, n_within, min_dist).
+    """
+    toked = df.select(F.col(id_col),
+                      tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.size(toks))
+
+    def positions(term):
+        return F.filter(idx, lambda i: F.element_at(toks, i) == term)
+
+    pos = toked.select(
+        id_col,
+        positions(term_a).alias("__pa"),
+        positions(term_b).alias("__pb"))
+    pa, pb = F.col("__pa"), F.col("__pb")
+    n_within = F.aggregate(
+        pa, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.size(
+            F.filter(pb, lambda y: F.abs(y - x) <= window)).cast("long"))
+    min_dist = F.array_min(F.flatten(
+        F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(y - x)))))
+    return (pos.filter((F.size(pa) > 0) & (F.size(pb) > 0))
+            .select(id_col,
+                    F.size(pa).cast("long").alias("tf_a"),
+                    F.size(pb).cast("long").alias("tf_b"),
+                    n_within.alias("n_within"),
+                    min_dist.cast("long").alias("min_dist")))
+
+
+def proximity_search_sql(tok_sql: str, term_a: str, term_b: str,
+                         window: int = 5, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`proximity_search` over ``documents``."""
+    ta = term_a.replace("'", "''")
+    tb = term_b.replace("'", "''")
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {tok_sql} AS t FROM documents
+),
+pos AS (
+  SELECT {id_col},
+    list_filter(range(1, len(t) + 1), i -> t[i] = '{ta}') AS pa,
+    list_filter(range(1, len(t) + 1), i -> t[i] = '{tb}') AS pb
+  FROM toked
+)
+SELECT {id_col},
+  CAST(len(pa) AS BIGINT) AS tf_a,
+  CAST(len(pb) AS BIGINT) AS tf_b,
+  CAST(coalesce(list_sum(list_transform(pa,
+    x -> len(list_filter(pb, y -> abs(y - x) <= {window})))), 0)
+    AS BIGINT) AS n_within,
+  CAST(list_min(flatten(list_transform(pa,
+    x -> list_transform(pb, y -> abs(y - x))))) AS BIGINT) AS min_dist
+FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+"""

@@ -1,0 +1,156 @@
+"""Unit tests for the round-34 pack: proximity search, KN continuation,
+bitext candidates, hop distribution, spam mass."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.curation import (bitext_candidates,
+                                               kn_continuation)
+from icrawler_spark.operators.graph import hop_distribution, spam_mass
+from icrawler_spark.operators.search import proximity_search
+
+
+# ---------------------------------------------------------------------------
+# proximity_search
+# ---------------------------------------------------------------------------
+
+def test_proximity_pairs_and_min_dist(spark):
+    df = spark.createDataFrame(
+        [(1, "cat x x dog y cat"), (2, "cat only here"), (3, "dog solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           proximity_search(df, "cat", "dog", window=3).collect()}
+    # doc 1: cat@1,6 dog@4 → |1-4|=3 within, |6-4|=2 within
+    assert out[1]["tf_a"] == 2 and out[1]["tf_b"] == 1
+    assert out[1]["n_within"] == 2 and out[1]["min_dist"] == 2
+    assert 2 not in out and 3 not in out
+
+
+def test_proximity_window_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "cat a b c d e f g dog")], "doc_id long, text string")
+    r = proximity_search(df, "cat", "dog", window=3).collect()[0]
+    assert r["n_within"] == 0 and r["min_dist"] == 8
+
+
+# ---------------------------------------------------------------------------
+# kn_continuation
+# ---------------------------------------------------------------------------
+
+def test_kn_continuation_contexts(spark):
+    # "francisco" always follows "san" (1 context); "the" follows many
+    df = spark.createDataFrame(
+        [(1, "san francisco loves the bay and the fog near san francisco")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in
+           kn_continuation(df, min_count=1).collect()}
+    assert out["francisco"]["freq"] == 2
+    assert out["francisco"]["n_contexts"] == 1
+    assert out["the"]["n_contexts"] == 2  # loves the / and the
+    # denominator = distinct bigrams; p_cont of francisco = 1/n_bigrams
+    n_bigrams = round(1 / out["francisco"]["p_cont"])
+    assert out["the"]["p_cont"] == round(2 / n_bigrams, 8)
+
+
+def test_kn_continuation_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c d")], "doc_id long, text string")
+    terms = {r["term"] for r in kn_continuation(df, min_count=2).collect()}
+    assert "b" in terms and "d" not in terms
+
+
+# ---------------------------------------------------------------------------
+# bitext_candidates
+# ---------------------------------------------------------------------------
+
+def _bt_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, lang string, text string")
+
+
+def test_bitext_twins_found(spark):
+    df = _bt_df(spark, [
+        (1, "h1", "en", "the price is 1999 on 14 june"),
+        (2, "h1", "de", "der preis ist 1999 am 14 juni"),
+        (3, "h1", "en", "unrelated page about 777"),
+        (4, "h2", "de", "wrong host shares 1999 and 14"),
+    ])
+    out = bitext_candidates(df, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2) and r["n_shared"] == 2
+    assert r["lang_a"] == "en" and r["lang_b"] == "de"
+
+
+def test_bitext_same_lang_and_ratio_gates(spark):
+    long_txt = "x " * 40 + "1999 14"
+    df = _bt_df(spark, [
+        (1, "h1", "en", "a 1999 b 14"),
+        (2, "h1", "en", "c 1999 d 14"),          # same lang → excluded
+        (3, "h1", "de", long_txt),               # ratio > 2 → excluded
+    ])
+    assert bitext_candidates(df, min_shared=2,
+                             max_len_ratio=2.0).count() == 0
+
+
+def test_bitext_boilerplate_number_pruned(spark):
+    rows = [(i, "h1", "en" if i % 2 == 0 else "de",
+             f"page speaks of 2020 only") for i in range(6)]
+    df = _bt_df(spark, rows)
+    # 2020 is on >max_num_freq docs of the host → pruned → no pairs
+    assert bitext_candidates(df, min_shared=1, max_num_freq=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hop_distribution
+# ---------------------------------------------------------------------------
+
+def test_hop_distribution_levels(spark):
+    # chain 1→2→3→4→5 plus isolated pair 8↔9
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (9, 8)],
+        "src long, dst long")
+    out = {r["dist"]: r["n_hosts"] for r in
+           hop_distribution(df, [1], max_hops=3).collect()}
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[-1] == 3  # node 5 (4 hops away) + 8 + 9
+
+
+def test_hop_distribution_min_distance(spark):
+    # 1→3 directly and 1→2→3: node 3 counts at dist 1, not 2
+    df = spark.createDataFrame(
+        [(1, 3), (1, 2), (2, 3)], "src long, dst long")
+    out = {r["dist"]: r["n_hosts"] for r in
+           hop_distribution(df, [1], max_hops=2).collect()}
+    assert out[1] == 2 and 2 not in out
+
+
+def test_hop_distribution_empty_seeds_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hop_distribution(df, [])
+
+
+# ---------------------------------------------------------------------------
+# spam_mass
+# ---------------------------------------------------------------------------
+
+def test_spam_mass_farm_vs_endorsed(spark):
+    # trusted 1 endorses 2; farm {10, 11} links only to itself and to 2? no —
+    # farm links only among itself: 10↔11. Node 2 gets trusted inflow.
+    df = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 10)], "src long, dst long")
+    out = {r["node"]: r for r in spam_mass(df, [1]).collect()}
+    # farm nodes receive rank but no trust → spam mass near 1
+    assert out[10]["spam_mass"] > 0.8 and out[11]["spam_mass"] > 0.8
+    # the endorsed node's mass is far lower
+    assert out[2]["spam_mass"] < out[10]["spam_mass"]
+
+
+def test_spam_mass_all_trusted_is_low(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long")
+    out = spam_mass(df, [1, 2]).collect()
+    # trust distribution == rank distribution → scaled TR ≈ PR → mass ≈ 0
+    assert all(abs(r["spam_mass"]) < 1e-6 for r in out)
