@@ -251,6 +251,9 @@ _EXTRA_PICKS = [
     # round-3 batch-28 (proximity + LM smoothing + bitext + graph audits)
     "proximity_search", "kn_continuation", "bitext_candidates",
     "hop_distribution", "spam_mass",
+    # round-3 batch-29 (structural gates + index pruning + CTR prior)
+    "fineweb_filters", "wand_bounds", "title_clusters", "shard_balance",
+    "click_ctr",
 ]
 
 

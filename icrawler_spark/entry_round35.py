@@ -1,0 +1,240 @@
+"""Round-3 driver-contract queries (batch 29): FineWeb structural gates,
+WAND/MaxScore upper bounds, order-insensitive title clusters, frontier
+shard balance, and Wilson-bounded click attractiveness.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# fineweb_filters — structural line gates (bullet / ellipsis / short / punct)
+# ---------------------------------------------------------------------------
+
+_FW_LINE_TOKS = 8
+
+
+def _fw_pages(spark, sf) -> DataFrame:
+    """8-token lines decorated per (doc_id + pos) % 5: terminal period /
+    bullet prefix / trailing ellipsis / 3-char stub line / bare line."""
+    from icrawler_spark.entry_round3 import _chunk_lines
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    d = d.select(doc_id.cast("long").alias("doc_id"),
+                 tokens_col("text").alias("__toks"))
+    chunks = _chunk_lines(F.col("__toks"))
+
+    def _decorate(x, i):
+        m = (doc_id + i) % 5
+        return (F.when(m == 0, F.concat(x, F.lit(".")))
+                .when(m == 1, F.concat(F.lit("- "), x))
+                .when(m == 2, F.concat(x, F.lit("...")))
+                .when(m == 3, F.lit("ok."))
+                .otherwise(x))
+
+    return d.filter(F.size("__toks") > 0).select(
+        "doc_id", F.transform(chunks, _decorate).alias("lines"))
+
+
+_FW_LINES_SQL = f"""
+  SELECT doc_id, pos,
+    CASE CAST((doc_id + pos) % 5 AS INT)
+      WHEN 0 THEN rawline || '.'
+      WHEN 1 THEN '- ' || rawline
+      WHEN 2 THEN rawline || '...'
+      WHEN 3 THEN 'ok.'
+      ELSE rawline
+    END AS line
+  FROM (
+    SELECT doc_id, x AS pos,
+           array_to_string(l[x * {_FW_LINE_TOKS} + 1 :
+                             x * {_FW_LINE_TOKS} + {_FW_LINE_TOKS}], ' ')
+             AS rawline
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, l,
+                 unnest(range(0, CAST(ceil(len(l) / {_FW_LINE_TOKS}.0)
+                                      AS INT))) AS x
+          FROM (SELECT doc_id, {_TOK_SQL} AS l FROM documents)
+          WHERE len(l) > 0)
+  )
+"""
+
+
+def q_fineweb_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.fineweb_gates: bullet / ellipsis / short-line /
+    terminal-punct shares + integer cross-multiplied verdicts at the
+    FineWeb thresholds — one explode + one groupBy(doc), complements
+    c4_clean."""
+    return _curation.fineweb_gates(_fw_pages(spark, sf))
+
+
+def _fineweb_filters_sql() -> str:
+    return _curation.fineweb_gates_sql(_FW_LINES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wand_bounds — per-term BM25 score upper bounds
+# ---------------------------------------------------------------------------
+
+_WB_MIN_LEN = 4
+_WB_MIN_DF = 20
+
+
+def q_wand_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.wand_bounds: ub(t) = idf·max tf_norm — the
+    MaxScore/WAND block-skip table, df and the bound in the SAME groupBy
+    pass that builds postings; corpus stats one broadcast row."""
+    return _search.wand_bounds(_docs(spark, sf), min_term_len=_WB_MIN_LEN,
+                               min_df=_WB_MIN_DF)
+
+
+def _wand_bounds_sql() -> str:
+    return _search.wand_bounds_sql(_TOK_SQL, min_term_len=_WB_MIN_LEN,
+                                   min_df=_WB_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# title_clusters — order-insensitive duplicate titles
+# ---------------------------------------------------------------------------
+
+_TC_KEYS = 500
+
+
+def _tc_titles(spark, sf) -> DataFrame:
+    """Synthetic titles: three consecutive pool words keyed on
+    (doc_id//2) % _TC_KEYS; odd docs get the REVERSED word order — the
+    doorway-title shuffle the sorted-token key must still cluster."""
+    d = _docs(spark, sf)
+    g = F.floor(F.col("doc_id") / 2).cast("long") % _TC_KEYS
+    a = F.concat(F.lit("w"), g.cast("string"))
+    b = F.concat(F.lit("w"), (g + 1).cast("string"))
+    c = F.concat(F.lit("w"), (g + 2).cast("string"))
+    title = F.when(F.col("doc_id") % 2 == 0,
+                   F.concat_ws(" ", a, b, c)) \
+             .otherwise(F.concat_ws(" ", c, b, a))
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    title.alias("title"))
+
+
+_TC_TITLES_SQL = f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'w' || g || ' w' || (g + 1) || ' w' || (g + 2)
+         ELSE 'w' || (g + 2) || ' w' || (g + 1) || ' w' || g
+    END AS title
+  FROM (SELECT doc_id, (doc_id // 2) % {_TC_KEYS} AS g FROM documents)
+"""
+
+_TC_TOK_SQL = ("string_split(trim(regexp_replace(regexp_replace(lower(title),"
+               " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def q_title_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.title_clusters: md5 of the SORTED distinct title
+    tokens as the cluster key — catches reordered doorway titles; one
+    scan-stage projection + ONE groupBy on the fixed-width key."""
+    return _docdedup.title_clusters(_tc_titles(spark, sf))
+
+
+def _title_clusters_sql() -> str:
+    return _docdedup.title_clusters_sql(_TC_TITLES_SQL, _TC_TOK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shard_balance — frontier hash-sharding audit
+# ---------------------------------------------------------------------------
+
+_SB_HOSTS = 200
+_SB_SHARDS = 16
+
+
+def _sb_frontier(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("event_id") % _SB_HOSTS).cast("string"),
+                 F.lit(".test")).alias("host"))
+
+
+_SB_FRONTIER_SQL = (f"SELECT 'h' || (event_id % {_SB_HOSTS}) || '.test'"
+                    " AS host FROM events")
+
+
+def q_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.shard_balance: host-affine md5 shard
+    assignment + per-shard load factor — the dial that says whether hash
+    partitioning survives the host skew at 1000 executors."""
+    return _politeness.shard_balance(_sb_frontier(spark, sf),
+                                     n_shards=_SB_SHARDS)
+
+
+def _shard_balance_sql() -> str:
+    return _politeness.shard_balance_sql(_SB_FRONTIER_SQL,
+                                         n_shards=_SB_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# click_ctr — Wilson-bounded click attractiveness
+# ---------------------------------------------------------------------------
+
+
+def _ctr_events(spark, sf) -> DataFrame:
+    """views land on items 0..99, clicks on 0..119 — items 100+ are
+    click-only (logging artifact) and must report NULL ctr."""
+    ev = _events(spark, sf).filter(F.col("event_type").isin("view", "click"))
+    mod = F.when(F.col("event_type") == "click", F.lit(120)) \
+           .otherwise(F.lit(100))
+    return ev.select(
+        F.concat(F.lit("i"), (F.col("user_id") % mod).cast("string"))
+         .alias("item"),
+        "event_type")
+
+
+_CTR_EVENTS_SQL = """
+  SELECT 'i' || (user_id % (CASE WHEN event_type = 'click' THEN 120
+                            ELSE 100 END)) AS item,
+         event_type
+  FROM events WHERE event_type IN ('view', 'click')
+"""
+
+
+def q_click_ctr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.click_ctr: CTR + Wilson lower confidence bound
+    per item — the sort-by-rating fix for the navboost prior; ONE
+    groupBy(item), the Wilson algebra a projection over the aggregate."""
+    return _sessions.click_ctr(_ctr_events(spark, sf))
+
+
+def _click_ctr_sql() -> str:
+    return _sessions.click_ctr_sql(_CTR_EVENTS_SQL)
+
+
+def queries35():
+    return {
+        "fineweb_filters": q_fineweb_filters,
+        "wand_bounds": q_wand_bounds,
+        "title_clusters": q_title_clusters,
+        "shard_balance": q_shard_balance,
+        "click_ctr": q_click_ctr,
+    }
+
+
+def oracle_sql35():
+    return {
+        "fineweb_filters": _fineweb_filters_sql(),
+        "wand_bounds": _wand_bounds_sql(),
+        "title_clusters": _title_clusters_sql(),
+        "shard_balance": _shard_balance_sql(),
+        "click_ctr": _click_ctr_sql(),
+    }

@@ -1388,3 +1388,84 @@ SELECT id_a, id_b, lang_a, lang_b, n_shared, len_ratio FROM (
   WHERE n_shared >= {min_shared} AND least(nt_a, nt_b) > 0
 ) WHERE len_ratio <= {max_len_ratio}
 """
+
+
+def fineweb_gates(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FineWeb-style structural line gates (Penedo et al. 2024, the set C4
+    does NOT cover): share of bullet-point lines, of lines ending in an
+    ellipsis, of short lines (<30 chars), and of lines with terminal
+    punctuation — plus the pass/fail verdicts at the published thresholds
+    (bullet ≤ 90%, ellipsis ≤ 30%, short-line < 67%, terminal ≥ 10%).
+
+    All verdicts are integer cross-multiplications (10·n_ellipsis ≤
+    3·n_lines), never float-threshold compares — the engine-parity rule;
+    the reported shares are rounded 6 for humans, the gates don't read
+    them.
+
+    Scale shape: one posexplode + one groupBy(id); every line predicate is
+    a JVM expression inside the exploded projection. Complements c4_clean
+    (same plan shape, different rule set) — compose by join on the id.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.col(lines_col)).alias("__line"))
+    ln = F.col("__line")
+    per = lines.select(
+        "__id",
+        ln.rlike(r"^\s*([-*•]|\d+[.)])\s").cast("int").alias("__bullet"),
+        ln.rlike(r"(\.\.\.|…)\s*$").cast("int").alias("__ellipsis"),
+        (F.length(ln) < 30).cast("int").alias("__short"),
+        ln.rlike(r"[.!?\"']\s*$").cast("int").alias("__term"))
+    agg = per.groupBy("__id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("__bullet").cast("long").alias("n_bullet"),
+        F.sum("__ellipsis").cast("long").alias("n_ellipsis"),
+        F.sum("__short").cast("long").alias("n_short"),
+        F.sum("__term").cast("long").alias("n_terminal"))
+    n = F.col("n_lines")
+    return agg.select(
+        F.col("__id").alias(id_col), "n_lines",
+        F.round(F.col("n_bullet") / n, 6).alias("bullet_share"),
+        F.round(F.col("n_ellipsis") / n, 6).alias("ellipsis_share"),
+        F.round(F.col("n_short") / n, 6).alias("short_share"),
+        F.round(F.col("n_terminal") / n, 6).alias("terminal_share"),
+        ((F.col("n_bullet") * 10 <= n * 9)
+         & (F.col("n_ellipsis") * 10 <= n * 3)
+         & (F.col("n_short") * 3 < n * 2)
+         & (F.col("n_terminal") * 10 >= n)).alias("passes"))
+
+
+def fineweb_gates_sql(lines_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`fineweb_gates` over a (id, pos, line)
+    SELECT (one row per line)."""
+    return f"""
+WITH per AS (
+  SELECT {id_col} AS id,
+    CASE WHEN regexp_matches(line, '^\\s*([-*•]|[0-9]+[.)])\\s')
+         THEN 1 ELSE 0 END AS b,
+    CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)\\s*$')
+         THEN 1 ELSE 0 END AS e,
+    CASE WHEN len(line) < 30 THEN 1 ELSE 0 END AS s,
+    CASE WHEN regexp_matches(line, '[.!?"'']\\s*$')
+         THEN 1 ELSE 0 END AS t
+  FROM ({lines_sql})
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(b) AS BIGINT) AS nb, CAST(sum(e) AS BIGINT) AS ne,
+    CAST(sum(s) AS BIGINT) AS ns, CAST(sum(t) AS BIGINT) AS nt
+  FROM per GROUP BY 1
+)
+SELECT id AS {id_col}, n_lines,
+  round(nb / CAST(n_lines AS DOUBLE), 6) AS bullet_share,
+  round(ne / CAST(n_lines AS DOUBLE), 6) AS ellipsis_share,
+  round(ns / CAST(n_lines AS DOUBLE), 6) AS short_share,
+  round(nt / CAST(n_lines AS DOUBLE), 6) AS terminal_share,
+  (nb * 10 <= n_lines * 9 AND ne * 10 <= n_lines * 3
+   AND ns * 3 < n_lines * 2 AND nt * 10 >= n_lines) AS passes
+FROM agg
+"""

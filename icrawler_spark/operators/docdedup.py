@@ -404,3 +404,44 @@ SELECT {id_col}, CAST(j AS BIGINT) AS chunk_idx,
     AS chunk_hash
 FROM chunks
 """
+
+
+def title_clusters(df: DataFrame, title_col: str = "title",
+                   id_col: str = "doc_id",
+                   min_cluster: int = 2) -> DataFrame:
+    """Order-insensitive title dedup clusters: the cluster key is md5 of
+    the SORTED distinct title tokens, so "red shoes buy cheap" and "buy
+    cheap red shoes" — the classic doorway-page title shuffle — land in
+    one cluster exact-text dedup misses.
+
+    One projection (normalize → sort → hash, all JVM array exprs inside
+    the scan) + ONE groupBy on the fixed-width key; clusters below
+    ``min_cluster`` are suppressed so output is bounded by the duplicate
+    mass, not the corpus. Returns (title_key, n_docs, rep_id).
+    """
+    key = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(
+            F.filter(tokens_col(title_col), lambda t: t != ""))), " "))
+    return (df.select(F.col(id_col).alias("id"), key.alias("title_key"))
+            .groupBy("title_key")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("id").cast("long").alias("rep_id"))
+            .filter(F.col("n_docs") >= min_cluster))
+
+
+def title_clusters_sql(titles_sql: str, tok_sql: str,
+                       min_cluster: int = 2) -> str:
+    """DuckDB replay of :func:`title_clusters` over a (doc_id, title)
+    SELECT; ``tok_sql`` must tokenize a column named ``title``."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+      list_filter({tok_sql}, x -> x <> ''))), ' ')) AS title_key
+  FROM ({titles_sql})
+)
+SELECT title_key, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_id
+FROM keyed GROUP BY 1
+HAVING count(*) >= {min_cluster}
+"""

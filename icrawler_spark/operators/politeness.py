@@ -704,3 +704,60 @@ SELECT a.n_hosts, a.total_fetches,
 FROM ranked r CROSS JOIN agg a
 GROUP BY 1, 2, a.wsum
 """
+
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def shard_balance(
+    frontier: DataFrame,
+    n_shards: int = 16,
+    host_col: str = "host",
+) -> DataFrame:
+    """Frontier-sharding audit: assign every host to a shard by hashing
+    (shard = first 8 hex chars of md5(host) mod S — the assignment a
+    1000-executor frontier would actually use, host-affine so politeness
+    state never splits) and report per-shard load plus the load factor
+    (shard URL share × S; 1.0 = perfectly even, >1 = hot shard). The dial
+    that says whether hash partitioning alone survives the host skew or
+    the hot shard needs splitting.
+
+    Scale shape: the hash is a scan-stage projection; ONE groupBy(shard) —
+    S rows out — plus a broadcast of the single-row total. Returns
+    (shard, n_hosts, n_urls, load_factor rounded 6).
+    """
+    shard = (F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10)
+             .cast("long") % n_shards).cast("int")
+    per = (frontier.select(shard.alias("shard"), F.col(host_col).alias("h"))
+           .groupBy("shard")
+           .agg(F.countDistinct("h").cast("long").alias("n_hosts"),
+                F.count("*").cast("long").alias("n_urls")))
+    tot = per.agg(F.sum("n_urls").cast("long").alias("__tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard", "n_hosts", "n_urls",
+                    F.round(F.col("n_urls") * F.lit(float(n_shards))
+                            / F.col("__tot"), 6).alias("load_factor")))
+
+
+def shard_balance_sql(frontier_sql: str, n_shards: int = 16) -> str:
+    """DuckDB replay of :func:`shard_balance` over a (host)+ SELECT —
+    the md5-prefix integer is per-hex-digit positional arithmetic (the
+    md5_unit_sql trick; DuckDB has no conv())."""
+    h = "md5(host)"
+    val = " + ".join(
+        f"(strpos('{_HEXDIGITS}', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"""
+WITH per AS (
+  SELECT CAST(({val}) % {n_shards} AS INT) AS shard,
+    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM ({frontier_sql}) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS t FROM per)
+SELECT shard, n_hosts, n_urls,
+  round(n_urls * CAST({float(n_shards)!r} AS DOUBLE) / t, 6)
+    AS load_factor
+FROM per CROSS JOIN tot
+"""

@@ -780,3 +780,94 @@ SELECT {id_col},
     x -> list_transform(pb, y -> abs(y - x))))) AS BIGINT) AS min_dist
 FROM pos WHERE len(pa) > 0 AND len(pb) > 0
 """
+
+
+def wand_bounds(
+    df: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_term_len: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term BM25 score upper bounds — the table WAND / MaxScore
+    (Broder et al. CIKM'03; Turtle & Flood) read to skip whole posting
+    blocks: ub(t) = idf(t) · max_d tf_norm(t, d). A disjunctive top-k query
+    can prove "this doc can't reach the heap threshold" from the bounds
+    alone and never score it; at index-build time this is one extra
+    aggregate over the postings pass.
+
+    Same scoring expressions as :func:`bm25_topk` (idf = ln(1 + (N − df +
+    0.5)/(df + 0.5)); tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))).
+
+    Scale shape: corpus stats (N, avgdl) are ONE broadcast single-row agg;
+    term stats ride the same (term) groupBy that builds the posting list —
+    df and the max bound in one pass, no second scan. Returns (term, df,
+    max_tf_norm, ub) rounded 6, filtered to df ≥ min_df.
+    """
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("__toks"))
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    stats = dl.agg(F.count("*").cast("long").alias("__n"),
+                   F.sum("dl").cast("long").alias("__tdl"))
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.length("term") >= min_term_len)
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    j = (hits.join(dl, "doc")
+         .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("__tdl") / F.col("__n")
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf")
+                  + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl") / avgdl)))
+    per_term = (j.select("term", F.col("__n").alias("__nn"),
+                         tf_norm.alias("__tn"))
+                .groupBy("term", "__nn")
+                .agg(F.count("*").cast("long").alias("df"),
+                     F.max("__tn").alias("__mx")))
+    idf = F.log(F.lit(1.0) + (F.col("__nn") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    return (per_term.filter(F.col("df") >= min_df)
+            .select("term", "df",
+                    F.round(F.col("__mx"), 6).alias("max_tf_norm"),
+                    F.round(idf * F.col("__mx"), 6).alias("ub")))
+
+
+def wand_bounds_sql(tok_sql: str, k1: float = 1.2, b: float = 0.75,
+                    min_term_len: int = 3, min_df: int = 2) -> str:
+    """DuckDB mirror of :func:`wand_bounds` over ``documents``."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS t FROM documents
+),
+dl AS (
+  SELECT doc, len(list_filter(t, x -> len(x) > 0)) AS dl FROM base
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS tdl
+  FROM dl
+),
+hits AS (
+  SELECT doc, term, count(*) AS tf FROM (
+    SELECT doc, unnest(t) AS term FROM base
+  ) WHERE len(term) >= {min_term_len}
+  GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term, s.nn,
+    CAST(count(*) AS BIGINT) AS df,
+    max(tf * CAST({k1 + 1.0!r} AS DOUBLE)
+        / (tf + CAST({k1!r} AS DOUBLE)
+           * (CAST({1.0 - b!r} AS DOUBLE)
+              + CAST({b!r} AS DOUBLE) * dl / (s.tdl / CAST(s.nn AS DOUBLE)))))
+      AS mx
+  FROM hits JOIN dl USING (doc) CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT term, df, round(mx, 6) AS max_tf_norm,
+  round(ln(CAST(1 AS DOUBLE) + (nn - df + CAST(0.5 AS DOUBLE))
+           / (df + CAST(0.5 AS DOUBLE))) * mx, 6) AS ub
+FROM per_term WHERE df >= {min_df}
+"""

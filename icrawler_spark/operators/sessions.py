@@ -97,3 +97,79 @@ SELECT {actor_col}, session_seq, CAST(count(*) AS BIGINT) AS n_events,
   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
 FROM sessed GROUP BY 1, 2
 """
+
+
+def click_ctr(
+    events: DataFrame,
+    item_col: str = "item",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    click_type: str = "click",
+    z2: float = 3.8416,  # z² for z = 1.96 (95% Wilson interval)
+) -> DataFrame:
+    """Click-attractiveness per item with a Wilson lower confidence bound —
+    the navboost-style ranking prior done right: raw CTR promotes items
+    with 1 click / 1 view over 900/1000, the Wilson LCB (Agresti-Coull
+    lineage, the standard "sort by rating" fix) does not.
+
+    lcb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n), computed
+    identically (same operation order) in both engines so the rounded-6
+    values hash-match. The Wilson success count is clamped to n_views
+    (real logs over-count clicks via retries/dedup artifacts; p̂ > 1 would
+    put a negative number under the square root), while the raw ``ctr``
+    column reports the unclamped ratio.
+
+    Scale shape: ONE groupBy(item) with two conditional counts; the Wilson
+    algebra is a scan-stage projection over the aggregate. Items with zero
+    views are reported with NULL ctr/lcb (clicks without impressions are a
+    logging artifact, not infinite attractiveness).
+    """
+    per = (events.groupBy(F.col(item_col).alias("item"))
+           .agg(F.sum(F.when(F.col(type_col) == view_type, 1)
+                      .otherwise(0)).cast("long").alias("n_views"),
+                F.sum(F.when(F.col(type_col) == click_type, 1)
+                      .otherwise(0)).cast("long").alias("n_clicks")))
+    n = F.col("n_views").cast("double")
+    raw = F.col("n_clicks") / n
+    p = F.least("n_clicks", "n_views") / n
+    z2l = F.lit(z2)
+    z = F.sqrt(z2l)
+    lcb = ((p + z2l / (F.lit(2.0) * n)
+            - z * F.sqrt((p * (F.lit(1.0) - p) + z2l / (F.lit(4.0) * n)) / n))
+           / (F.lit(1.0) + z2l / n))
+    has = F.col("n_views") > 0
+    return per.select(
+        "item", "n_views", "n_clicks",
+        F.when(has, F.round(raw, 6)).alias("ctr"),
+        F.when(has, F.round(lcb, 6)).alias("ctr_lcb"))
+
+
+def click_ctr_sql(events_sql: str, view_type: str = "view",
+                  click_type: str = "click", z2: float = 3.8416) -> str:
+    """DuckDB replay of :func:`click_ctr` over an (item, event_type)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT item,
+    CAST(sum(CASE WHEN event_type = '{view_type}' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_views,
+    CAST(sum(CASE WHEN event_type = '{click_type}' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_clicks
+  FROM ({events_sql}) GROUP BY 1
+)
+SELECT item, n_views, n_clicks,
+  CASE WHEN n_views > 0
+       THEN round(n_clicks / CAST(n_views AS DOUBLE), 6) END AS ctr,
+  CASE WHEN n_views > 0 THEN round(
+    (least(n_clicks, n_views) / CAST(n_views AS DOUBLE)
+     + CAST({z2!r} AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_views AS DOUBLE))
+     - sqrt(CAST({z2!r} AS DOUBLE))
+       * sqrt((least(n_clicks, n_views) / CAST(n_views AS DOUBLE)
+               * (CAST(1 AS DOUBLE) - least(n_clicks, n_views) / CAST(n_views AS DOUBLE))
+               + CAST({z2!r} AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(n_views AS DOUBLE)))
+              / CAST(n_views AS DOUBLE)))
+    / (CAST(1 AS DOUBLE) + CAST({z2!r} AS DOUBLE)
+       / CAST(n_views AS DOUBLE)), 6) END AS ctr_lcb
+FROM per
+"""

