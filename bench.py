@@ -254,6 +254,9 @@ _EXTRA_PICKS = [
     # round-3 batch-29 (structural gates + index pruning + CTR prior)
     "fineweb_filters", "wand_bounds", "title_clusters", "shard_balance",
     "click_ctr",
+    # round-3 batch-30 (frontier shape + session model + norm audit)
+    "url_depth", "event_transitions", "fetch_bursts", "cocitation",
+    "embed_outliers",
 ]
 
 

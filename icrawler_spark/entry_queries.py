@@ -35,7 +35,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round28, entry_round29,
                             entry_round30, entry_round31,
                             entry_round32, entry_round33,
-                            entry_round34, entry_round35)
+                            entry_round34, entry_round35,
+                            entry_round36)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -837,6 +838,7 @@ def queries():
         **entry_round33.queries33(),
         **entry_round34.queries34(),
         **entry_round35.queries35(),
+        **entry_round36.queries36(),
     }
 
 
@@ -904,4 +906,5 @@ def oracle_sql():
         **entry_round33.oracle_sql33(),
         **entry_round34.oracle_sql34(),
         **entry_round35.oracle_sql35(),
+        **entry_round36.oracle_sql36(),
     }

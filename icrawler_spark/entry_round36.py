@@ -1,0 +1,212 @@
+"""Round-3 driver-contract queries (batch 30): URL depth profiling, event
+transition matrix, integer-exact fetch bursts, co-citation pairs, and
+embedding-norm outliers.
+
+Fixtures derive deterministically from documents/events/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import sessions as _sessions
+from icrawler_spark.operators import similarity as _similarity
+
+# ---------------------------------------------------------------------------
+# url_depth — per-host path-depth / fan-out profile
+# ---------------------------------------------------------------------------
+
+
+def _ud_frontier(spark, sf) -> DataFrame:
+    """URLs of depth 0..4 over 20 hosts, first segment from a 5-way pool,
+    a query string on every fourth URL."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    segs = F.array(
+        F.concat(F.lit("d"), (doc_id % 5).cast("string")),
+        F.lit("x"), F.lit("y"), F.lit("z"))
+    k = (doc_id % 5).cast("int")
+    path = F.array_join(F.slice(segs, 1, F.greatest(k, F.lit(0))), "/")
+    url = F.concat(
+        F.lit("http://h"), (doc_id % 20).cast("string"), F.lit(".test"),
+        F.when(path == "", F.lit("")).otherwise(F.concat(F.lit("/"), path)),
+        F.when(doc_id % 4 == 0, F.lit("?q=1")).otherwise(F.lit("")))
+    return d.select(url.alias("url"))
+
+
+_UD_FRONTIER_SQL = """
+  SELECT 'http://h' || (doc_id % 20) || '.test'
+    || CASE WHEN p = '' THEN '' ELSE '/' || p END
+    || CASE WHEN doc_id % 4 = 0 THEN '?q=1' ELSE '' END AS url
+  FROM (
+    SELECT doc_id,
+      -- array_to_string of an EMPTY slice is NULL in DuckDB (and || would
+      -- null out the whole url) — coalesce to '' for depth-0 rows
+      coalesce(array_to_string((['d' || (doc_id % 5), 'x', 'y', 'z'])
+                               [1 : CAST(doc_id % 5 AS INT)], '/'), '') AS p
+    FROM documents
+  )
+"""
+
+
+def q_url_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.url_depth_profile: per-host max/mean path depth +
+    first-segment fan-out — the deep-narrow (trap) vs shallow-wide (site)
+    separator; one regexp projection + ONE groupBy(host)."""
+    return _urls.url_depth_profile(_ud_frontier(spark, sf))
+
+
+def _url_depth_sql() -> str:
+    return _urls.url_depth_profile_sql(_UD_FRONTIER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order session Markov matrix
+# ---------------------------------------------------------------------------
+
+_ET_EVENTS_SQL = "SELECT user_id, ts, event_id, event_type FROM events"
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.event_transitions: (prev → next) counts and
+    P(next|prev) over per-user streams — one user-partitioned lag window +
+    one pair groupBy; normalizer is a broadcast |types|² table."""
+    return _sessions.event_transitions(_events(spark, sf))
+
+
+def _event_transitions_sql() -> str:
+    return _sessions.event_transitions_sql(_ET_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fetch_bursts — integer-exact 2σ burst windows
+# ---------------------------------------------------------------------------
+
+
+def _fb_counts(spark, sf) -> DataFrame:
+    """Windowed fetch counts with deliberate mass piled on window 0 (3% of
+    events) so every host shows a genuine 2σ burst there."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    win = F.when(e % 100 < 3, F.lit(0)).otherwise((e % 40).cast("long"))
+    return (ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 15).cast("string"))
+         .alias("host"),
+        win.cast("long").alias("win"))
+        .groupBy("host", "win")
+        .agg(F.count("*").cast("long").alias("cnt")))
+
+
+_FB_COUNTS_SQL = """
+  SELECT 'h' || (user_id % 15) AS host,
+    CAST(CASE WHEN event_id % 100 < 3 THEN 0
+         ELSE event_id % 40 END AS BIGINT) AS win,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_fetch_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.fetch_bursts: 2σ burst windows per host with the
+    test run entirely in exact integer arithmetic ((n·c−S)² > 4(n·SS−S²))
+    — no float mean/stddev compare; ONE groupBy + one equi-join."""
+    return _recrawl.fetch_bursts(_fb_counts(spark, sf))
+
+
+def _fetch_bursts_sql() -> str:
+    return _recrawl.fetch_bursts_sql(_FB_COUNTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cocitation — related hosts by shared citers
+# ---------------------------------------------------------------------------
+
+_CO_N = 60
+_CO_MIN = 2
+_CO_MAXDEG = 5
+
+
+def _co_edges(spark, sf) -> DataFrame:
+    # hub sources (src % 4 == 0) fan out to 6 hosts and get pruned by
+    # max_outdeg=5; the rest cite ≤ 4 nearby hosts and survive, so the
+    # pair join has real co-citers AND the hub gate demonstrably fires
+    ev = _events(spark, sf)
+    src = F.col("user_id") % _CO_N
+    span = F.when(src % 4 == 0, F.lit(6)).otherwise(F.lit(4))
+    return ev.select(
+        src.cast("long").alias("src"),
+        ((src + 1 + F.col("event_id") % span) % _CO_N).cast("long")
+        .alias("dst"))
+
+
+_CO_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_CO_N} AS BIGINT) AS src, "
+    f"CAST(((user_id % {_CO_N}) + 1 + event_id % "
+    f"(CASE WHEN (user_id % {_CO_N}) % 4 = 0 THEN 6 ELSE 4 END))"
+    f" % {_CO_N} AS BIGINT) AS dst FROM events")
+
+
+def q_cocitation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.cocitation_pairs: distinct-co-citer counts per host
+    pair (Small 1973) — SpGEMM self-join on the source with super-hub
+    pruning BEFORE the join (the stop-shingle reasoning applied to link
+    hubs)."""
+    return _graph.cocitation_pairs(_co_edges(spark, sf), min_cocite=_CO_MIN,
+                                   max_outdeg=_CO_MAXDEG)
+
+
+def _cocitation_sql() -> str:
+    return _graph.cocitation_pairs_sql(_CO_EDGES_SQL, min_cocite=_CO_MIN,
+                                       max_outdeg=_CO_MAXDEG)
+
+
+# ---------------------------------------------------------------------------
+# embed_outliers — per-label norm band audit
+# ---------------------------------------------------------------------------
+
+_EO_LOW = 2
+_EO_HIGH = 98
+
+
+def _emb(spark, sf) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.embed_outliers: squared-norm percentile band
+    per label via exact integer rank-select — dead encodes (low) and
+    cosine-dominating vectors (high) flagged in one windowed pass."""
+    return _similarity.embed_outliers(_emb(spark, sf), low_pct=_EO_LOW,
+                                      high_pct=_EO_HIGH)
+
+
+def _embed_outliers_sql() -> str:
+    return _similarity.embed_outliers_sql(low_pct=_EO_LOW,
+                                          high_pct=_EO_HIGH)
+
+
+def queries36():
+    return {
+        "url_depth": q_url_depth,
+        "event_transitions": q_event_transitions,
+        "fetch_bursts": q_fetch_bursts,
+        "cocitation": q_cocitation,
+        "embed_outliers": q_embed_outliers,
+    }
+
+
+def oracle_sql36():
+    return {
+        "url_depth": _url_depth_sql(),
+        "event_transitions": _event_transitions_sql(),
+        "fetch_bursts": _fetch_bursts_sql(),
+        "cocitation": _cocitation_sql(),
+        "embed_outliers": _embed_outliers_sql(),
+    }

@@ -444,3 +444,51 @@ SELECT pkey AS param, CAST(count(*) AS BIGINT) AS n_groups,
     AS tracking
 FROM per_group GROUP BY 1
 """
+
+
+def url_depth_profile(frontier, url_col: str = "url"):
+    """Per-host URL structure profile: path-depth distribution (max and
+    mean segment depth) plus first-segment fan-out — deep-and-narrow hosts
+    (calendar traps, session mazes) versus shallow-and-wide ones (real
+    sites) separate on exactly these two axes, and the crawl budgeter
+    reads this before url_traps fires per-URL.
+
+    depth = number of non-empty path segments ('http://h/a/b?x' → 2);
+    fanout = distinct first segments. One regexp projection in the scan +
+    ONE groupBy(host). Returns (host, n_urls, max_depth, avg_depth
+    rounded 6, fanout1).
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)?", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs).cast("long")
+    first = F.get(segs, 0)  # NULL for depth-0 URLs (element_at would throw)
+    return (frontier.select(host.alias("host"), depth.alias("__d"),
+                            first.alias("__f"))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.max("__d").cast("long").alias("max_depth"),
+                 F.round(F.sum("__d") / F.count("*"), 6).alias("avg_depth"),
+                 F.countDistinct("__f").cast("long").alias("fanout1")))
+
+
+def url_depth_profile_sql(frontier_sql: str) -> str:
+    """DuckDB replay of :func:`url_depth_profile` over a (url) SELECT."""
+    return """
+WITH segged AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/:?#]*)', 1)
+           AS host,
+    list_filter(string_split(
+      regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://[^/?#]*(/[^?#]*)?', 1),
+      '/'), s -> s <> '') AS segs
+  FROM ({src})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(max(len(segs)) AS BIGINT) AS max_depth,
+  round(sum(len(segs)) / CAST(count(*) AS DOUBLE), 6) AS avg_depth,
+  CAST(count(DISTINCT segs[1]) AS BIGINT) AS fanout1
+FROM segged GROUP BY 1
+""".replace("{src}", frontier_sql)

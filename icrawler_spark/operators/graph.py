@@ -838,3 +838,62 @@ SELECT node, rank,
        ELSE CAST(0 AS DOUBLE) END AS spam_mass
 FROM j CROSS JOIN s
 """
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_cocite: int = 2,
+    max_outdeg: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Co-citation strength between host pairs (Small 1973 via web-IR):
+    the number of DISTINCT sources linking to both — hosts repeatedly
+    cited together are topically related even with zero direct links, the
+    related-site primitive behind "similar pages" and seed expansion.
+
+    Scale shape: the standard SpGEMM pair-generation — distinct edges,
+    self-equi-join on the SOURCE, pair groupBy. The quadratic risk is a
+    super-hub source citing thousands of hosts (deg² pairs); ``max_outdeg``
+    prunes those sources BEFORE the join (a hub that links to everything
+    carries no topical signal anyway — same reasoning as stop-shingle
+    pruning). Returns (host_a, host_b, cocite) with host_a < host_b,
+    cocite ≥ min_cocite.
+    """
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    if max_outdeg is not None:
+        ok = (e.groupBy("src").agg(F.count("*").alias("f"))
+              .filter(F.col("f") <= max_outdeg).select("src"))
+        e = e.join(ok, "src")
+    a = e.select("src", F.col("dst").alias("host_a"))
+    b = e.select("src", F.col("dst").alias("host_b"))
+    return (a.join(b, "src")
+            .filter(F.col("host_a") < F.col("host_b"))
+            .groupBy("host_a", "host_b")
+            .agg(F.count("*").cast("long").alias("cocite"))
+            .filter(F.col("cocite") >= min_cocite))
+
+
+def cocitation_pairs_sql(edges_cte: str, min_cocite: int = 2,
+                         max_outdeg: int | None = None) -> str:
+    """DuckDB mirror of :func:`cocitation_pairs`."""
+    prune = ""
+    if max_outdeg is not None:
+        prune = f""",
+ek AS (
+  SELECT e.* FROM e
+  JOIN (SELECT src FROM e GROUP BY 1
+        HAVING count(*) <= {max_outdeg}) k USING (src)
+)"""
+    tbl = "ek" if max_outdeg is not None else "e"
+    return f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst){prune}
+SELECT a.dst AS host_a, b.dst AS host_b,
+       CAST(count(*) AS BIGINT) AS cocite
+FROM {tbl} a JOIN {tbl} b USING (src)
+WHERE a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= {min_cocite}
+"""

@@ -335,3 +335,62 @@ SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
   CAST(sum(in_tail_fail) AS BIGINT) AS tail_fail_streak
 FROM stepped GROUP BY 1
 """
+
+
+def fetch_bursts(
+    counts: DataFrame,
+    host_col: str = "host",
+    win_col: str = "win",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-host fetch-rate burst detection over windowed counts — the
+    anomaly dial that separates a crawler-induced hot spot (our own
+    scheduler misbehaving) from a host's organic publication burst worth
+    recrawling. A window is a burst when its count exceeds the host mean
+    by more than two standard deviations.
+
+    The 2σ test runs in EXACT integer arithmetic — no float mean/stddev
+    compare: c > μ + 2σ  ⇔  n·c − S > 0  AND  (n·c − S)² > 4·(n·SS − S²),
+    with S = Σc, SS = Σc² (all BIGINT; squaring stays in int64 for counts
+    up to ~10⁹ per window). The reported mean is rounded 6 for humans;
+    the verdict never reads it.
+
+    Scale shape: ONE groupBy(host) for (n, S, SS), one broadcast-friendly
+    equi-join back on host, verdict in the scan. Returns (host, win, cnt,
+    host_mean, is_burst).
+    """
+    per = counts.select(F.col(host_col).alias("host"),
+                        F.col(win_col).alias("win"),
+                        F.col(cnt_col).cast("long").alias("cnt"))
+    stats = per.groupBy("host").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("cnt").cast("long").alias("__s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("__ss"))
+    j = per.join(stats, "host")
+    d = F.col("__n") * F.col("cnt") - F.col("__s")
+    var4 = F.lit(4) * (F.col("__n") * F.col("__ss")
+                       - F.col("__s") * F.col("__s"))
+    return j.select(
+        "host", "win", "cnt",
+        F.round(F.col("__s") / F.col("__n"), 6).alias("host_mean"),
+        ((d > 0) & (d * d > var4)).alias("is_burst"))
+
+
+def fetch_bursts_sql(counts_sql: str) -> str:
+    """DuckDB replay of :func:`fetch_bursts` over a (host, win, cnt)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT host, win, CAST(cnt AS BIGINT) AS cnt FROM ({counts_sql})
+),
+stats AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM per GROUP BY 1
+)
+SELECT p.host, p.win, p.cnt,
+  round(s / CAST(n AS DOUBLE), 6) AS host_mean,
+  (n * p.cnt - s > 0 AND
+   (n * p.cnt - s) * (n * p.cnt - s) > 4 * (n * ss - s * s)) AS is_burst
+FROM per p JOIN stats USING (host)
+"""

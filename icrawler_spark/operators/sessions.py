@@ -173,3 +173,55 @@ SELECT item, n_views, n_clicks,
        / CAST(n_views AS DOUBLE)), 6) END AS ctr_lcb
 FROM per
 """
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (prev, next) event-type pair, the transition count and
+    P(next | prev) — the session-model behind abandonment/funnel metrics
+    and the synthetic-session generator's parameter table.
+
+    Scale shape: ONE user-partitioned window (lag over (ts, tiebreak) —
+    user streams are short, partitions tiny) + ONE groupBy on the pair;
+    the per-prev normalizer rides a second tiny groupBy joined back on
+    prev (|event types|² rows — broadcast territory). Probabilities round
+    to 6.
+    """
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(tiebreak_col))
+    pairs = (events.select(
+        F.lag(F.col(type_col)).over(w).alias("prev"),
+        F.col(type_col).alias("next"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").cast("long").alias("n")))
+    tot = pairs.groupBy("prev").agg(F.sum("n").cast("long").alias("__t"))
+    return (pairs.join(F.broadcast(tot), "prev")
+            .select("prev", "next", "n",
+                    F.round(F.col("n") / F.col("__t"), 6).alias("p")))
+
+
+def event_transitions_sql(events_sql: str) -> str:
+    """DuckDB replay of :func:`event_transitions` over a (user_id, ts,
+    event_id, event_type) SELECT."""
+    return f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS next
+  FROM ({events_sql})
+),
+pairs AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT prev, next, n, round(n / CAST(t AS DOUBLE), 6) AS p
+FROM pairs JOIN tot USING (prev)
+"""

@@ -655,3 +655,80 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
   d.dup_of IS NULL AS kept, d.dup_of, d.max_cos
 FROM assigned a LEFT JOIN dups d ON d.id = a.vec_id
 """
+
+
+def embed_outliers(
+    emb: DataFrame,
+    low_pct: int = 1,
+    high_pct: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Embedding-norm outlier audit per group: vectors whose squared L2
+    norm falls outside the group's [low_pct, high_pct] percentile band —
+    near-zero norms are dead/failed encodes, huge norms dominate cosine
+    neighborhoods; both poison ANN recall and dedup thresholds, and the
+    norm is the one statistic cheap enough to audit at full corpus scale.
+
+    Percentile cuts are exact integer rank-select (idx = ceil(p·n/100))
+    over the ROUNDED norm (6 dp) with id tiebreak — the engine-portable
+    percentile recipe (queue_age / adaptive_delay precedent). Norm sums
+    run left-to-right over the array on both engines (aggregate ↔
+    list_sum over the cast-to-double elements), so the rounded values
+    hash-match.
+
+    Scale shape: norm is a scan-stage projection; ONE group-partitioned
+    window + ONE groupBy(group) for the cuts, then a broadcast join back.
+    Returns (vec_id, label, norm2, is_low, is_high).
+    """
+    x = F.col(vec_col)
+    norm2 = F.round(F.aggregate(
+        x, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")), 6)
+    base = emb.select(F.col(id_col).alias("vid"),
+                      F.col(group_col).alias("grp"),
+                      norm2.alias("norm2"))
+    w = Window.partitionBy("grp").orderBy("norm2", "vid")
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    n = ranked.groupBy("grp").agg(F.count("*").alias("__n"))
+    j = ranked.join(n, "grp")
+    ilow = F.floor((F.lit(low_pct) * F.col("__n") + F.lit(99)) / 100)
+    ihigh = F.floor((F.lit(high_pct) * F.col("__n") + F.lit(99)) / 100)
+    cuts = (j.groupBy("grp").agg(
+        F.max(F.when(F.col("__r") == ilow, F.col("norm2"))).alias("__lo"),
+        F.max(F.when(F.col("__r") == ihigh, F.col("norm2"))).alias("__hi")))
+    return (base.join(F.broadcast(cuts), "grp")
+            .select(F.col("vid").alias(id_col),
+                    F.col("grp").alias(group_col), "norm2",
+                    (F.col("norm2") < F.col("__lo")).alias("is_low"),
+                    (F.col("norm2") > F.col("__hi")).alias("is_high")))
+
+
+def embed_outliers_sql(low_pct: int = 1, high_pct: int = 99) -> str:
+    """DuckDB mirror of :func:`embed_outliers` over ``embeddings``
+    (embedding cast to DOUBLE[] — parquet FLOAT arithmetic would stay
+    FLOAT in DuckDB and drift from Spark's double math)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid, label AS grp,
+    round(coalesce(list_sum(list_transform(embedding::DOUBLE[],
+                                           v -> v * v)), 0.0), 6) AS norm2
+  FROM embeddings
+),
+ranked AS (
+  SELECT vid, grp, norm2,
+    row_number() OVER (PARTITION BY grp ORDER BY norm2, vid) AS r,
+    count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+cuts AS (
+  SELECT grp,
+    max(CASE WHEN r = ({low_pct} * n + 99) // 100 THEN norm2 END) AS lo,
+    max(CASE WHEN r = ({high_pct} * n + 99) // 100 THEN norm2 END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT b.vid AS vec_id, b.grp AS label, b.norm2,
+  b.norm2 < c.lo AS is_low, b.norm2 > c.hi AS is_high
+FROM base b JOIN cuts c ON c.grp = b.grp
+"""

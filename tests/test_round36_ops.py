@@ -1,0 +1,163 @@
+"""Unit tests for the round-36 pack: URL depth profiles, event transition
+matrix, integer-exact fetch bursts, co-citation pairs, embedding-norm
+outliers."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.urls import url_depth_profile
+from icrawler_spark.operators.graph import cocitation_pairs
+from icrawler_spark.operators.recrawl import fetch_bursts
+from icrawler_spark.operators.sessions import event_transitions
+from icrawler_spark.operators.similarity import embed_outliers
+
+
+# ---------------------------------------------------------------------------
+# url_depth_profile
+# ---------------------------------------------------------------------------
+
+def test_url_depth_counts_segments(spark):
+    df = spark.createDataFrame(
+        [("http://a.test",),
+         ("http://a.test/x",),
+         ("http://a.test/x/y/z?q=1",),
+         ("http://b.test/p/",)],        # trailing slash: one segment
+        "url string")
+    rows = {r["host"]: r for r in url_depth_profile(df).collect()}
+    a = rows["a.test"]
+    assert a["n_urls"] == 3 and a["max_depth"] == 3
+    assert a["avg_depth"] == round((0 + 1 + 3) / 3, 6)
+    assert a["fanout1"] == 1              # only first segment 'x'
+    b = rows["b.test"]
+    assert b["max_depth"] == 1 and b["fanout1"] == 1
+
+
+def test_url_depth_fanout_distinct_first_segments(spark):
+    df = spark.createDataFrame(
+        [("http://h.test/a/1",), ("http://h.test/b/2",),
+         ("http://h.test/a/3",)], "url string")
+    r = url_depth_profile(df).collect()[0]
+    assert r["fanout1"] == 2 and r["max_depth"] == 2
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_probabilities(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1, "view"), (1, 2, 2, "click"), (1, 3, 3, "view"),
+         (2, 1, 4, "view"), (2, 2, 5, "view")],
+        "user_id long, ts long, event_id long, event_type string")
+    out = {(r["prev"], r["next"]): r for r in
+           event_transitions(df).collect()}
+    # user 1: view→click, click→view; user 2: view→view
+    assert out[("view", "click")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert out[("view", "click")]["p"] == 0.5
+    assert out[("click", "view")]["p"] == 1.0
+
+
+def test_event_transitions_no_cross_user_pair(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1, "a"), (2, 2, 2, "b")],
+        "user_id long, ts long, event_id long, event_type string")
+    assert event_transitions(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fetch_bursts
+# ---------------------------------------------------------------------------
+
+def test_fetch_bursts_flags_spike_only(spark):
+    # counts 10,10,10,10,100: mean=28, sd≈40.2 → only 100 > mean+2sd? no:
+    # 28 + 80.5 = 108.5 > 100 → NOT a burst. Use a sharper spike.
+    df = spark.createDataFrame(
+        [("h", i, 10) for i in range(9)] + [("h", 9, 1000)],
+        "host string, win long, cnt long")
+    rows = {r["win"]: r["is_burst"] for r in fetch_bursts(df).collect()}
+    assert rows[9] is True
+    assert all(rows[i] is False for i in range(9))
+
+
+def test_fetch_bursts_exact_tie_not_burst(spark):
+    # uniform counts: variance 0, c == mean → strict > fails everywhere
+    df = spark.createDataFrame([("h", i, 7) for i in range(5)],
+                               "host string, win long, cnt long")
+    assert all(not r["is_burst"] for r in fetch_bursts(df).collect())
+
+
+def test_fetch_bursts_matches_float_rule(spark):
+    import statistics
+    data = [("h", i, c) for i, c in
+            enumerate([3, 5, 8, 2, 9, 40, 4, 6, 7, 5])]
+    df = spark.createDataFrame(data, "host string, win long, cnt long")
+    cs = [c for _, _, c in data]
+    mu = statistics.fmean(cs)
+    sd = statistics.pstdev(cs)
+    expect = {i: c > mu + 2 * sd for i, c in enumerate(cs)}
+    got = {r["win"]: r["is_burst"] for r in fetch_bursts(df).collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# cocitation_pairs
+# ---------------------------------------------------------------------------
+
+def test_cocitation_counts_distinct_citers(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30),
+         (1, 10)],                       # duplicate edge ignored
+        "src long, dst long")
+    out = {(r["host_a"], r["host_b"]): r["cocite"] for r in
+           cocitation_pairs(df, min_cocite=1).collect()}
+    assert out[(10, 20)] == 2
+    assert out[(10, 30)] == 1
+    assert (20, 30) not in out
+
+
+def test_cocitation_hub_pruned(spark):
+    edges = [(1, 10), (1, 20), (2, 10), (2, 20)]
+    edges += [(9, d) for d in range(100, 110)]   # hub: outdeg 10
+    edges += [(9, 10), (9, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["host_a"], r["host_b"]): r["cocite"] for r in
+           cocitation_pairs(df, min_cocite=1, max_outdeg=5).collect()}
+    assert out[(10, 20)] == 2            # hub 9 did not inflate the count
+    assert all(a < 100 and b < 100 for a, b in out)
+
+
+def test_cocitation_min_threshold(spark):
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 10), (2, 30)],
+                               "src long, dst long")
+    out = cocitation_pairs(df, min_cocite=2).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# embed_outliers
+# ---------------------------------------------------------------------------
+
+def test_embed_outliers_band(spark):
+    rows = [(i, [float(i)], "g") for i in range(1, 101)]  # norms 1..10000
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label string")
+    out = {r["vec_id"]: r for r in
+           embed_outliers(df, low_pct=2, high_pct=98).collect()}
+    # cuts at ranks 2 and 98 → norms 4 and 9604
+    assert out[1]["is_low"] and not out[1]["is_high"]
+    assert not out[2]["is_low"]          # equals the cut → inside band
+    assert out[99]["is_high"] and out[100]["is_high"]
+    assert not out[98]["is_high"]
+
+
+def test_embed_outliers_per_group_cuts(spark):
+    rows = [(i, [float(i)], "small") for i in range(1, 11)]
+    rows += [(100 + i, [float(100 * i)], "big") for i in range(1, 11)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label string")
+    out = embed_outliers(df, low_pct=10, high_pct=90).collect()
+    # a 'big' member is never judged against the 'small' band
+    big_low = [r for r in out if r["label"] == "big" and r["is_low"]]
+    assert [r["vec_id"] for r in big_low] == []
