@@ -257,6 +257,9 @@ _EXTRA_PICKS = [
     # round-3 batch-30 (frontier shape + session model + norm audit)
     "url_depth", "event_transitions", "fetch_bursts", "cocitation",
     "embed_outliers",
+    # round-3 batch-31 (funnel + spelling + IR eval + drift + quantiles)
+    "funnel_steps", "spell_candidates", "map_eval", "keyness_drift",
+    "hist_quantiles",
 ]
 
 

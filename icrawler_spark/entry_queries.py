@@ -36,7 +36,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round30, entry_round31,
                             entry_round32, entry_round33,
                             entry_round34, entry_round35,
-                            entry_round36)
+                            entry_round36, entry_round37)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -839,6 +839,7 @@ def queries():
         **entry_round34.queries34(),
         **entry_round35.queries35(),
         **entry_round36.queries36(),
+        **entry_round37.queries37(),
     }
 
 
@@ -907,4 +908,5 @@ def oracle_sql():
         **entry_round34.oracle_sql34(),
         **entry_round35.oracle_sql35(),
         **entry_round36.oracle_sql36(),
+        **entry_round37.oracle_sql37(),
     }

@@ -1,0 +1,245 @@
+"""Round-3 driver-contract queries (batch 31): funnel conversion, SymSpell
+spelling candidates, ranked-retrieval evaluation (MAP/MRR), corpus keyness
+drift, and mergeable histogram quantiles.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# funnel_steps — ordered view→cart→buy conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["view", "cart", "buy"]
+
+
+def _fs_events(spark, sf) -> DataFrame:
+    """Funnel stream on the tie-free event_id time axis; type mix 60/30/10
+    gives a realistic drop-off."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    typ = (F.when(e % 10 < 6, F.lit("view"))
+           .when(e % 10 < 9, F.lit("cart"))
+           .otherwise(F.lit("buy")))
+    return ev.select(F.col("user_id"), typ.alias("event_type"),
+                     e.alias("t"))
+
+
+_FS_EVENTS_SQL = """
+  SELECT user_id,
+    CASE WHEN event_id % 10 < 6 THEN 'view'
+         WHEN event_id % 10 < 9 THEN 'cart' ELSE 'buy' END AS event_type,
+    event_id AS t
+  FROM events
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.funnel_steps: per-step ordered-completion counts
+    + conversion vs step 1 — |steps| chained user-keyed aggs, output is
+    |steps| rows."""
+    return _sessions.funnel_steps(_fs_events(spark, sf), _FUNNEL)
+
+
+def _funnel_steps_sql() -> str:
+    return _sessions.funnel_steps_sql(_FS_EVENTS_SQL, _FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# spell_candidates — SymSpell deletion-join correction candidates
+# ---------------------------------------------------------------------------
+
+_SP_MIN_CNT = 20
+
+
+def _sp_vocab(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .filter((F.length("term") >= 3) & (F.length("term") <= 12))
+            .groupBy("term").agg(F.count("*").cast("long").alias("df"))
+            .filter(F.col("df") >= _SP_MIN_CNT))
+
+
+_SP_VOCAB_SQL = f"""
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT unnest({_TOK_SQL}) AS term FROM documents)
+  WHERE length(term) BETWEEN 3 AND 12
+  GROUP BY 1 HAVING count(*) >= {_SP_MIN_CNT}
+"""
+
+
+def _sp_queries(spark, sf) -> DataFrame:
+    # misspellings manufactured from the frequent long terms: drop char 3
+    v = _sp_vocab(spark, sf)
+    return (v.filter((F.length("term") >= 5) & (F.col("df") >= 50))
+            .select(F.concat(F.substring("term", 1, 2),
+                             F.expr("substring(term, 4)"))
+                    .alias("qterm")))
+
+
+_SP_QUERIES_SQL = f"""
+  SELECT substr(term, 1, 2) || substr(term, 4, length(term)) AS qterm
+  FROM ({_SP_VOCAB_SQL})
+  WHERE length(term) >= 5 AND df >= 50
+"""
+
+
+def q_spell_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.spell_candidates: SymSpell deletion-neighborhood
+    equi-join + exact levenshtein verify — never a vocab×query cross
+    join."""
+    return _search.spell_candidates(_sp_vocab(spark, sf),
+                                    _sp_queries(spark, sf), max_dist=1)
+
+
+def _spell_candidates_sql() -> str:
+    return _search.spell_candidates_sql(_SP_VOCAB_SQL, _SP_QUERIES_SQL,
+                                        max_dist=1)
+
+
+# ---------------------------------------------------------------------------
+# map_eval — MAP / MRR over a synthetic run + qrels
+# ---------------------------------------------------------------------------
+
+
+def _me_run(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("q"), (doc_id % 5).cast("string")).alias("query"),
+        doc_id.alias("doc"),
+        (F.floor(doc_id / 5) + 1).cast("long").alias("rank"))
+
+
+_ME_RUN_SQL = """
+  SELECT 'q' || (doc_id % 5) AS query, doc_id AS doc,
+         CAST(doc_id // 5 + 1 AS BIGINT) AS rank
+  FROM documents
+"""
+
+
+def _me_qrels(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    return (d.filter(doc_id % 7 < 2)
+            .select(F.concat(F.lit("q"), (doc_id % 5).cast("string"))
+                    .alias("query"), doc_id.alias("doc")))
+
+
+_ME_QRELS_SQL = """
+  SELECT 'q' || (doc_id % 5) AS query, doc_id AS doc
+  FROM documents WHERE doc_id % 7 < 2
+"""
+
+
+def q_map_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.map_eval: per-query AP (TREC: divided by TOTAL
+    relevant) + reciprocal rank — one run⋈qrels equi-join, one
+    query-partitioned window, one groupBy."""
+    return _search.map_eval(_me_run(spark, sf), _me_qrels(spark, sf))
+
+
+def _map_eval_sql() -> str:
+    return _search.map_eval_sql(_ME_RUN_SQL, _ME_QRELS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# keyness_drift — Dunning G² between corpus slices
+# ---------------------------------------------------------------------------
+
+_KD_MIN = 10
+
+
+def _kd_terms(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("grp")).filter(F.length("term") >= 1)
+
+
+_KD_TERMS_SQL = f"""
+  SELECT term, grp FROM (
+    SELECT unnest({_TOK_SQL}) AS term,
+           CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp
+    FROM documents
+  ) WHERE length(term) >= 1
+"""
+
+
+def q_keyness_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.keyness_drift: per-term Dunning G² between the
+    even/odd doc slices — ONE groupBy(term) + broadcast margins; direction
+    flag in exact integer arithmetic."""
+    return _curation.keyness_drift(_kd_terms(spark, sf), "a",
+                                   min_count=_KD_MIN)
+
+
+def _keyness_drift_sql() -> str:
+    return _curation.keyness_drift_sql(_KD_TERMS_SQL, "'a'",
+                                       min_count=_KD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# hist_quantiles — mergeable histogram percentiles per host
+# ---------------------------------------------------------------------------
+
+_HQ_W = 100
+_HQ_PCTS = [50, 95, 99]
+
+
+def _hq_values(spark, sf) -> DataFrame:
+    """Synthetic response sizes derived from event_id (NEVER cast the
+    float value column — Spark truncates double→long, DuckDB rounds)."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("key"),
+        ((F.col("event_id") * 37) % 5000).cast("long").alias("v"))
+
+
+_HQ_VALUES_SQL = ("SELECT 'h' || (user_id % 10) AS key, "
+                  "CAST((event_id * 37) % 5000 AS BIGINT) AS v FROM events")
+
+
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hist_quantiles: deterministic mergeable-histogram
+    p50/p95/p99 upper bin edges per host — one groupBy(key, bin) over the
+    data, everything after runs on the bin table."""
+    return _corpus.hist_quantiles(_hq_values(spark, sf), _HQ_W, _HQ_PCTS)
+
+
+def _hist_quantiles_sql() -> str:
+    return _corpus.hist_quantiles_sql(_HQ_VALUES_SQL, _HQ_W, _HQ_PCTS)
+
+
+def queries37():
+    return {
+        "funnel_steps": q_funnel_steps,
+        "spell_candidates": q_spell_candidates,
+        "map_eval": q_map_eval,
+        "keyness_drift": q_keyness_drift,
+        "hist_quantiles": q_hist_quantiles,
+    }
+
+
+def oracle_sql37():
+    return {
+        "funnel_steps": _funnel_steps_sql(),
+        "spell_candidates": _spell_candidates_sql(),
+        "map_eval": _map_eval_sql(),
+        "keyness_drift": _keyness_drift_sql(),
+        "hist_quantiles": _hist_quantiles_sql(),
+    }

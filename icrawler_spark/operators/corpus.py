@@ -725,3 +725,79 @@ SELECT host, docs_total, docs_kept, tokens_kept, bytes_total,
   round(docs_kept / CAST(docs_total AS DOUBLE), 6) AS kept_rate
 FROM g
 """
+
+
+def hist_quantiles(
+    values: DataFrame,
+    bin_width: int,
+    percentiles: list[int] = (50, 95, 99),
+    key_col: str = "key",
+    val_col: str = "v",
+) -> DataFrame:
+    """Mergeable histogram quantiles: per-key p-th percentile UPPER BIN
+    EDGES from fixed-width integer bins — the scale substitute for exact
+    rank-select when a column is unbounded and hot (response sizes, fetch
+    latencies): bin counts are a tiny mergeable state (map-side combine
+    does almost all the work), error is bounded by bin_width, and the
+    result is deterministic — unlike approx_percentile, whose sketch is
+    seed/merge-order dependent and can't be oracle-checked.
+
+    The p-th cut is the first bin where the cumulative count reaches
+    ceil(p·n/100) — all BIGINT arithmetic (100·cum ≥ p·n), no float ranks.
+
+    Scale shape: ONE groupBy(key, bin) — the only pass over the data —
+    then windows/joins over the BIN table (|keys|·|bins| rows, orders
+    below the log). Returns (key, pct, n, q_upper).
+    """
+    per = (values.select(F.col(key_col).alias("key"),
+                         (F.floor(F.col(val_col).cast("long")
+                                  / F.lit(int(bin_width)))).alias("bin"))
+           .groupBy("key", "bin").agg(F.count("*").cast("long").alias("c")))
+    w = (Window.partitionBy("key").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.withColumn("cum", F.sum("c").over(w))
+    tot = per.groupBy("key").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(tot, "key")
+    aggs = [F.min(F.when(F.lit(100) * F.col("cum") >= F.lit(int(p))
+                         * F.col("n"), F.col("bin"))).alias(f"__b{p}")
+            for p in percentiles]
+    cuts = j.groupBy("key", "n").agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(int(p)).cast("int").alias("pct"),
+                 ((F.col(f"__b{p}") + 1) * F.lit(int(bin_width)))
+                 .cast("long").alias("q_upper"))
+        for p in percentiles])
+    return (cuts.select("key", "n", F.inline(rows))
+            .select("key", "pct", "n", "q_upper"))
+
+
+def hist_quantiles_sql(values_sql: str, bin_width: int,
+                       percentiles: list[int] = (50, 95, 99)) -> str:
+    """DuckDB mirror of :func:`hist_quantiles` over a (key, v) SELECT."""
+    cutcols = ", ".join(
+        f"min(CASE WHEN 100 * cum >= {int(p)} * n THEN bin END) AS b{p}"
+        for p in percentiles)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT key, CAST({int(p)} AS INT) AS pct, n,"
+        f" CAST((b{p} + 1) * {int(bin_width)} AS BIGINT) AS q_upper"
+        " FROM cuts" for p in percentiles)
+    return f"""
+WITH per AS (
+  SELECT key, CAST(v AS BIGINT) // {int(bin_width)} AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ({values_sql}) GROUP BY 1, 2
+),
+cum AS (
+  SELECT key, bin, c,
+    sum(c) OVER (PARTITION BY key ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      AS cum
+  FROM per
+),
+tot AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY 1),
+cuts AS (
+  SELECT key, n, {cutcols}
+  FROM cum JOIN tot USING (key)
+  GROUP BY key, n
+)
+{sel}
+"""

@@ -1469,3 +1469,87 @@ SELECT id AS {id_col}, n_lines,
    AND ns * 3 < n_lines * 2 AND nt * 10 >= n_lines) AS passes
 FROM agg
 """
+
+
+def keyness_drift(
+    terms: DataFrame,
+    grp_a,
+    term_col: str = "term",
+    grp_col: str = "grp",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-drift keyness between two slices (Dunning's log-likelihood
+    G², the standard corpus-comparison statistic): for each term, how
+    surprisingly its frequency differs between slice A and slice B — the
+    "what changed between this crawl and the last one" report, and the
+    topic-drift alarm between two sources feeding the same training mix.
+
+    G² = 2·Σ O·ln(O/E) over the term's 2-cell row (A and B occurrence
+    counts against expectations from the margins); zero cells contribute 0.
+    ``over_a`` is the direction flag computed in EXACT integer arithmetic
+    (ca·Nb > cb·Na — never a float rate compare).
+
+    Scale shape: ONE groupBy(term) with conditional sums (no per-slice
+    scan), margins as a broadcast single row; G² is a projection. Returns
+    (term, cnt_a, cnt_b, g2, over_a), total count ≥ min_count.
+    """
+    t = terms.select(F.col(term_col).alias("term"),
+                     (F.col(grp_col) == grp_a).alias("__a"))
+    per = t.groupBy("term").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+        .alias("cnt_b"))
+    per = per.filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+    marg = t.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+        .alias("__na"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+        .alias("__nb"))
+    j = per.crossJoin(F.broadcast(marg))
+    tot = F.col("cnt_a") + F.col("cnt_b")
+    n = F.col("__na") + F.col("__nb")
+    ea = tot * F.col("__na") / n
+    eb = tot * F.col("__nb") / n
+    term_a = F.when(F.col("cnt_a") > 0,
+                    F.col("cnt_a") * F.log(F.col("cnt_a") / ea)) \
+        .otherwise(F.lit(0.0))
+    term_b = F.when(F.col("cnt_b") > 0,
+                    F.col("cnt_b") * F.log(F.col("cnt_b") / eb)) \
+        .otherwise(F.lit(0.0))
+    return j.select(
+        "term", "cnt_a", "cnt_b",
+        F.round(2.0 * (term_a + term_b), 6).alias("g2"),
+        (F.col("cnt_a") * F.col("__nb")
+         > F.col("cnt_b") * F.col("__na")).alias("over_a"))
+
+
+def keyness_drift_sql(terms_sql: str, grp_a_sql: str,
+                      min_count: int = 5) -> str:
+    """DuckDB mirror of :func:`keyness_drift` over a (term, grp) SELECT;
+    ``grp_a_sql`` is the literal for slice A (e.g. ``'a'``)."""
+    return f"""
+WITH t AS (SELECT term, (grp = {grp_a_sql}) AS a FROM ({terms_sql})),
+per AS (
+  SELECT term,
+    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM t GROUP BY 1
+  HAVING sum(CASE WHEN a THEN 1 ELSE 0 END)
+       + sum(CASE WHEN a THEN 0 ELSE 1 END) >= {min_count}
+),
+marg AS (
+  SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM t
+)
+SELECT term, cnt_a, cnt_b,
+  round(2.0 * (
+    CASE WHEN cnt_a > 0 THEN cnt_a * ln(cnt_a /
+      ((cnt_a + cnt_b) * na / CAST(na + nb AS DOUBLE))) ELSE 0.0 END
+    + CASE WHEN cnt_b > 0 THEN cnt_b * ln(cnt_b /
+      ((cnt_a + cnt_b) * nb / CAST(na + nb AS DOUBLE))) ELSE 0.0 END), 6)
+    AS g2,
+  cnt_a * nb > cnt_b * na AS over_a
+FROM per CROSS JOIN marg
+"""

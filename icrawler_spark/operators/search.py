@@ -871,3 +871,159 @@ SELECT term, df, round(mx, 6) AS max_tf_norm,
            / (df + CAST(0.5 AS DOUBLE))) * mx, 6) AS ub
 FROM per_term WHERE df >= {min_df}
 """
+
+
+def spell_candidates(
+    vocab: DataFrame,
+    queries: DataFrame,
+    max_dist: int = 1,
+    term_col: str = "term",
+    df_col: str = "df",
+    qterm_col: str = "qterm",
+) -> DataFrame:
+    """Spelling-correction candidate generation, SymSpell style (Garbe's
+    deletion-neighborhood trick, public spec): every term emits itself plus
+    all single-character deletions as join keys; a query term and a vocab
+    term within edit distance 1 MUST share a key, so candidates come from a
+    plain equi-join on the deletion key — never a vocab × query cross join
+    with a per-pair edit distance (the naive shape that dies first at
+    scale).
+
+    The key join over-generates (shared deletions can bridge distance-2
+    pairs); a cheap length-band filter then an exact ``levenshtein`` verify
+    on the survivors keeps only true ≤ max_dist pairs — generate-cheap /
+    verify-exact, the LSH pattern applied to strings. Returns (qterm, term,
+    dist, df), qterm ≠ term.
+
+    Scale shape: keys per term = length+1 (bounded explode); ONE equi-join
+    on the fixed-width key; the quadratic blowup inside one key bucket is
+    bounded by the deletion-neighborhood size, not the vocab.
+    """
+
+    def _keys(col):
+        L = F.length(col)
+        dels = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.concat(F.substring(col, F.lit(1), i - 1),
+                               F.substring(col, i + 1, L)))
+        return F.array_distinct(F.concat(F.array(col), dels))
+
+    v = (vocab.select(F.col(term_col).alias("term"),
+                      F.col(df_col).cast("long").alias("df"))
+         .filter(F.length("term") >= 1)
+         .select("term", "df", F.explode(_keys(F.col("term"))).alias("k")))
+    q = (queries.select(F.col(qterm_col).alias("qterm"))
+         .filter(F.length("qterm") >= 1).distinct()
+         .select("qterm", F.explode(_keys(F.col("qterm"))).alias("k")))
+    pairs = (q.join(v, "k")
+             .select("qterm", "term", "df").distinct()
+             .filter(F.col("qterm") != F.col("term"))
+             .filter(F.abs(F.length("qterm") - F.length("term"))
+                     <= max_dist))
+    return (pairs
+            .withColumn("dist", F.levenshtein("qterm", "term").cast("int"))
+            .filter(F.col("dist") <= max_dist)
+            .select("qterm", "term", "dist", "df"))
+
+
+def spell_candidates_sql(vocab_sql: str, queries_sql: str,
+                         max_dist: int = 1) -> str:
+    """DuckDB mirror of :func:`spell_candidates` over (term, df) and
+    (qterm) SELECTs."""
+    keys = ("list_distinct(list_prepend({c}, list_transform("
+            "generate_series(1, length({c})), i ->"
+            " substr({c}, 1, i - 1) || substr({c}, i + 1, length({c})))))")
+    return f"""
+WITH v0 AS ({vocab_sql}),
+q0 AS (SELECT DISTINCT qterm FROM ({queries_sql}) WHERE length(qterm) >= 1),
+v AS (
+  SELECT term, CAST(df AS BIGINT) AS df, unnest({keys.format(c='term')}) AS k
+  FROM v0 WHERE length(term) >= 1
+),
+q AS (SELECT qterm, unnest({keys.format(c='qterm')}) AS k FROM q0),
+pairs AS (
+  SELECT DISTINCT qterm, term, df
+  FROM q JOIN v USING (k)
+  WHERE qterm <> term
+    AND abs(length(qterm) - length(term)) <= {max_dist}
+)
+SELECT qterm, term, CAST(levenshtein(qterm, term) AS INT) AS dist, df
+FROM pairs WHERE levenshtein(qterm, term) <= {max_dist}
+"""
+
+
+def map_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranked-retrieval evaluation per query — average precision (TREC
+    definition: precision summed at each relevant retrieved rank, divided
+    by TOTAL relevant R, so unretrieved relevants count against you),
+    reciprocal rank, and the retrieved/relevant tallies. The quality loop
+    for every ranking operator in this package (bm25/dirichlet/prf/rrf):
+    rankers are tuned against MAP/MRR deltas, not eyeballs.
+
+    Scale shape: one equi-join run⋈qrels on (query, doc), ONE
+    query-partitioned window over rank for the running relevant count, one
+    groupBy(query). R rides a tiny qrels groupBy broadcast back. Returns
+    (query, n_ret, n_rel, n_rel_ret, ap, rr) rounded 6; ap/rr are 0.0 when
+    nothing relevant was retrieved.
+    """
+    rel = (qrels.select(F.col(query_col).alias("query"),
+                        F.col(doc_col).alias("doc"))
+           .distinct().withColumn("__rel", F.lit(1)))
+    r = (run.select(F.col(query_col).alias("query"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(rank_col).cast("long").alias("rank"))
+         .join(rel, ["query", "doc"], "left")
+         .withColumn("__rel", F.coalesce(F.col("__rel"), F.lit(0))))
+    tot = rel.groupBy("query").agg(F.count("*").cast("long").alias("n_rel"))
+    w = (Window.partitionBy("query").orderBy("rank", "doc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scored = r.withColumn("__cum", F.sum("__rel").over(w))
+    per = (scored.groupBy("query").agg(
+        F.count("*").cast("long").alias("n_ret"),
+        F.sum("__rel").cast("long").alias("n_rel_ret"),
+        F.sum(F.when(F.col("__rel") == 1,
+                     F.col("__cum") / F.col("rank"))).alias("__apsum"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias("__first")))
+    return (per.join(F.broadcast(tot), "query")
+            .select("query", "n_ret", "n_rel", "n_rel_ret",
+                    F.round(F.coalesce(F.col("__apsum"), F.lit(0.0))
+                            / F.col("n_rel"), 6).alias("ap"),
+                    F.round(F.coalesce(1.0 / F.col("__first"), F.lit(0.0)),
+                            6).alias("rr")))
+
+
+def map_eval_sql(run_sql: str, qrels_sql: str) -> str:
+    """DuckDB mirror of :func:`map_eval` over (query, doc, rank) and
+    (query, doc) SELECTs."""
+    return f"""
+WITH rel AS (SELECT DISTINCT query, doc FROM ({qrels_sql})),
+r AS (
+  SELECT a.query, a.doc, CAST(a.rank AS BIGINT) AS rank,
+         CASE WHEN rel.doc IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ({run_sql}) a LEFT JOIN rel ON rel.query = a.query AND rel.doc = a.doc
+),
+tot AS (SELECT query, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+scored AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY query ORDER BY rank, doc
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+),
+per AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_ret,
+         CAST(sum(is_rel) AS BIGINT) AS n_rel_ret,
+         sum(CASE WHEN is_rel = 1 THEN cum / CAST(rank AS DOUBLE) END)
+           AS apsum,
+         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel
+  FROM scored GROUP BY 1
+)
+SELECT p.query, p.n_ret, t.n_rel, p.n_rel_ret,
+  round(coalesce(p.apsum, 0.0) / t.n_rel, 6) AS ap,
+  round(coalesce(1.0 / first_rel, 0.0), 6) AS rr
+FROM per p JOIN tot t USING (query)
+"""

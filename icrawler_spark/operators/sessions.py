@@ -225,3 +225,85 @@ tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
 SELECT prev, next, n, round(n / CAST(t AS DOUBLE), 6) AS p
 FROM pairs JOIN tot USING (prev)
 """
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    t_col: str = "t",
+) -> DataFrame:
+    """Ordered funnel conversion over per-user event streams: for each
+    funnel step i, the number of users who completed steps 1..i IN ORDER
+    (each step strictly after the previous one's first completion) plus
+    the conversion rate vs step 1 — the canonical session question behind
+    signup/checkout funnels and, crawl-side, the fetch→parse→store
+    progression audit per host.
+
+    Semantics: t1(u) = min t of a step-1 event; t_i(u) = min t of a step-i
+    event with t > t_{i-1}(u). Strictly-greater keeps the chain order
+    unambiguous; callers pass a tie-free integer time axis (event_id or a
+    (ts, event_id) rank) for determinism.
+
+    Scale shape: |steps| chained aggs, EVERY one keyed on the user (AQE
+    reuses the exchange); each step's join input is pre-filtered to that
+    step's events, so the chain scans the log once per step and never
+    widens. Output is |steps| rows. Returns (step, step_name, n_users,
+    conv) with conv rounded 6.
+    """
+    base = events.select(F.col(user_col).alias("u"),
+                         F.col(type_col).alias("typ"),
+                         F.col(t_col).cast("long").alias("t"))
+    times = (base.filter(F.col("typ") == steps[0])
+             .groupBy("u").agg(F.min("t").alias("t1")))
+    for i in range(2, len(steps) + 1):
+        nxt = (base.filter(F.col("typ") == steps[i - 1])
+               .join(times.select("u", f"t{i - 1}"), "u")
+               .filter(F.col("t") > F.col(f"t{i - 1}"))
+               .groupBy("u").agg(F.min("t").alias(f"t{i}")))
+        times = times.join(nxt, "u", "left")
+    row = times.agg(*[F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
+                      for i in range(1, len(steps) + 1)])
+    stages = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("step"),
+                 F.lit(steps[i - 1]).alias("step_name"),
+                 F.col(f"n{i}").alias("n_users"))
+        for i in range(1, len(steps) + 1)])
+    return (row.select(F.col("n1").alias("__n1"), F.inline(stages))
+            .select("step", "step_name", "n_users",
+                    F.when(F.col("__n1") > 0,
+                           F.round(F.col("n_users") / F.col("__n1"), 6))
+                    .alias("conv")))
+
+
+def funnel_steps_sql(events_sql: str, steps: list[str]) -> str:
+    """DuckDB replay of :func:`funnel_steps` over a (user_id, event_type,
+    t) SELECT."""
+    parts = [f"""
+WITH base AS (
+  SELECT user_id AS u, event_type AS typ, CAST(t AS BIGINT) AS t
+  FROM ({events_sql})
+),
+s1 AS (SELECT u, min(t) AS t1 FROM base
+       WHERE typ = '{steps[0]}' GROUP BY 1)"""]
+    for i in range(2, len(steps) + 1):
+        parts.append(f""",
+s{i} AS (
+  SELECT b.u, min(b.t) AS t{i}
+  FROM base b JOIN s{i - 1} USING (u)
+  WHERE b.typ = '{steps[i - 1]}' AND b.t > s{i - 1}.t{i - 1}
+  GROUP BY 1
+)""")
+    ns = ", ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS n{i}"
+        for i in range(1, len(steps) + 1))
+    parts.append(f""",
+counts AS (SELECT {ns})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, '{steps[i - 1]}' AS step_name,"
+        f" n{i} AS n_users, CASE WHEN n1 > 0 THEN"
+        f" round(n{i} / CAST(n1 AS DOUBLE), 6) END AS conv FROM counts"
+        for i in range(1, len(steps) + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)

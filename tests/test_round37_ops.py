@@ -1,0 +1,181 @@
+"""Unit tests for the round-37 pack: funnel steps, SymSpell candidates,
+MAP/MRR eval, keyness drift, histogram quantiles."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import hist_quantiles
+from icrawler_spark.operators.curation import keyness_drift
+from icrawler_spark.operators.search import map_eval, spell_candidates
+from icrawler_spark.operators.sessions import funnel_steps
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps
+# ---------------------------------------------------------------------------
+
+def test_funnel_order_matters(spark):
+    # user 1 completes in order; user 2 buys BEFORE viewing → stops at view
+    df = spark.createDataFrame(
+        [(1, "view", 1), (1, "cart", 2), (1, "buy", 3),
+         (2, "buy", 1), (2, "view", 2)],
+        "user_id long, event_type string, t long")
+    out = {r["step"]: r for r in
+           funnel_steps(df, ["view", "cart", "buy"]).collect()}
+    assert out[1]["n_users"] == 2
+    assert out[2]["n_users"] == 1
+    assert out[3]["n_users"] == 1
+    assert out[2]["conv"] == 0.5
+
+
+def test_funnel_strictly_after(spark):
+    # cart at the SAME t as view does not count (strict >)
+    df = spark.createDataFrame(
+        [(1, "view", 5), (1, "cart", 5)],
+        "user_id long, event_type string, t long")
+    out = {r["step"]: r["n_users"] for r in
+           funnel_steps(df, ["view", "cart"]).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_repeated_step_type(spark):
+    # view→view funnel needs two views at distinct times
+    df = spark.createDataFrame(
+        [(1, "view", 1), (1, "view", 2), (2, "view", 1)],
+        "user_id long, event_type string, t long")
+    out = {r["step"]: r["n_users"] for r in
+           funnel_steps(df, ["view", "view"]).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# spell_candidates
+# ---------------------------------------------------------------------------
+
+def test_spell_finds_dist1(spark):
+    vocab = spark.createDataFrame(
+        [("hello", 10), ("help", 4), ("world", 7)], "term string, df long")
+    q = spark.createDataFrame([("helo",), ("wrld",)], "qterm string")
+    out = {(r["qterm"], r["term"]): r["dist"] for r in
+           spell_candidates(vocab, q).collect()}
+    assert out[("helo", "hello")] == 1      # insertion
+    assert out[("wrld", "world")] == 1
+    assert out[("helo", "help")] == 1       # substitution o→p
+    assert ("wrld", "hello") not in out
+
+
+def test_spell_excludes_exact_and_far(spark):
+    vocab = spark.createDataFrame([("cat", 5), ("dog", 5)],
+                                  "term string, df long")
+    q = spark.createDataFrame([("cat",), ("dgo",)], "qterm string")
+    out = spell_candidates(vocab, q).collect()
+    # 'cat' == vocab term → excluded; 'dgo'→'dog' is a transposition =
+    # levenshtein 2 → excluded at max_dist=1
+    assert out == []
+
+
+def test_spell_substitution_found(spark):
+    vocab = spark.createDataFrame([("crawl", 9)], "term string, df long")
+    q = spark.createDataFrame([("crawk",)], "qterm string")
+    out = spell_candidates(vocab, q).collect()
+    assert len(out) == 1 and out[0]["dist"] == 1 and out[0]["df"] == 9
+
+
+# ---------------------------------------------------------------------------
+# map_eval
+# ---------------------------------------------------------------------------
+
+def test_map_eval_textbook_ap(spark):
+    # ranks 1..4, relevant at 1 and 3, R=3 (one relevant never retrieved)
+    run = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3), ("q", "d4", 4)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "d1"), ("q", "d3"), ("q", "d9")], "query string, doc string")
+    r = map_eval(run, qrels).collect()[0]
+    assert r["n_rel"] == 3 and r["n_rel_ret"] == 2
+    assert r["ap"] == round((1 / 1 + 2 / 3) / 3, 6)
+    assert r["rr"] == 1.0
+
+
+def test_map_eval_no_relevant_retrieved(spark):
+    run = spark.createDataFrame([("q", "d1", 1)],
+                                "query string, doc string, rank long")
+    qrels = spark.createDataFrame([("q", "d2")], "query string, doc string")
+    r = map_eval(run, qrels).collect()[0]
+    assert r["ap"] == 0.0 and r["rr"] == 0.0 and r["n_rel_ret"] == 0
+
+
+# ---------------------------------------------------------------------------
+# keyness_drift
+# ---------------------------------------------------------------------------
+
+def test_keyness_balanced_term_is_zero(spark):
+    rows = [("x", "a")] * 10 + [("x", "b")] * 10 + \
+           [("y", "a")] * 10 + [("y", "b")] * 10
+    df = spark.createDataFrame(rows, "term string, grp string")
+    out = {r["term"]: r for r in keyness_drift(df, "a", min_count=5)
+           .collect()}
+    assert out["x"]["g2"] == 0.0
+    assert out["x"]["over_a"] is False     # equal rates → not over
+
+
+def test_keyness_skewed_term_positive_and_directional(spark):
+    rows = [("hot", "a")] * 30 + [("hot", "b")] * 2 + \
+           [("base", "a")] * 50 + [("base", "b")] * 50
+    df = spark.createDataFrame(rows, "term string, grp string")
+    out = {r["term"]: r for r in keyness_drift(df, "a", min_count=5)
+           .collect()}
+    assert out["hot"]["g2"] > 10 and out["hot"]["over_a"] is True
+    # python differential for the G² value
+    ca, cb, na, nb = 30, 2, 80, 52
+    tot, n = ca + cb, na + nb
+    g2 = 2 * (ca * math.log(ca / (tot * na / n))
+              + cb * math.log(cb / (tot * nb / n)))
+    assert out["hot"]["g2"] == round(g2, 6)
+
+
+def test_keyness_min_count_filter(spark):
+    df = spark.createDataFrame([("rare", "a")] * 3,
+                               "term string, grp string")
+    assert keyness_drift(df, "a", min_count=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hist_quantiles
+# ---------------------------------------------------------------------------
+
+def test_hist_quantiles_bins(spark):
+    # values 0..999 in one key, width 100 → p50 ends in bin 4 (cum 500),
+    # upper edge 500; p99 bin 9 → 1000
+    df = spark.createDataFrame([("k", v) for v in range(1000)],
+                               "key string, v long")
+    out = {r["pct"]: r for r in
+           hist_quantiles(df, 100, [50, 99]).collect()}
+    assert out[50]["q_upper"] == 500
+    assert out[99]["q_upper"] == 1000
+    assert out[50]["n"] == 1000
+
+
+def test_hist_quantiles_python_differential(spark):
+    import random
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 2000) for _ in range(500)]
+    df = spark.createDataFrame([("k", v) for v in vals], "key string, v long")
+    out = {r["pct"]: r["q_upper"] for r in
+           hist_quantiles(df, 50, [50, 95]).collect()}
+    for p in (50, 95):
+        need = -(-p * len(vals) // 100)        # ceil
+        sv = sorted(v // 50 for v in vals)
+        assert out[p] == (sv[need - 1] + 1) * 50
+
+
+def test_hist_quantiles_per_key(spark):
+    df = spark.createDataFrame(
+        [("lo", v) for v in range(100)] + [("hi", 10000)],
+        "key string, v long")
+    out = {(r["key"], r["pct"]): r["q_upper"] for r in
+           hist_quantiles(df, 100, [99]).collect()}
+    assert out[("lo", 99)] == 100
+    assert out[("hi", 99)] == 10100
