@@ -260,6 +260,9 @@ _EXTRA_PICKS = [
     # round-3 batch-31 (funnel + spelling + IR eval + drift + quantiles)
     "funnel_steps", "spell_candidates", "map_eval", "keyness_drift",
     "hist_quantiles",
+    # round-3 batch-32 (burstiness + UCB + KS + robust means + anchors)
+    "term_burstiness", "host_ucb", "ks_drift", "trimmed_mean",
+    "anchor_mismatch",
 ]
 
 

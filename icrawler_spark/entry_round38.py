@@ -1,0 +1,216 @@
+"""Round-3 driver-contract queries (batch 32): term burstiness, UCB host
+scheduling, KS distribution drift, trimmed means, anchor/title mismatch.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# term_burstiness — Church-Gale adaptation statistics
+# ---------------------------------------------------------------------------
+
+_TB_MIN_DF = 10
+
+
+def _tb_tokens(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(F.explode(tokens_col(F.col("text"))).alias("term"),
+                    F.col("doc_id")).filter(F.length("term") >= 1)
+
+
+_TB_TOKENS_SQL = f"""
+  SELECT term, doc_id FROM (
+    SELECT unnest({_TOK_SQL}) AS term, doc_id FROM documents
+  ) WHERE length(term) >= 1
+"""
+
+
+def q_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.term_burstiness: cf/df/burstiness/adaptation per
+    term — ONE groupBy(term, doc) over the token stream, then a term
+    groupBy over the doc table."""
+    return _curation.term_burstiness(_tb_tokens(spark, sf),
+                                     min_df=_TB_MIN_DF)
+
+
+def _term_burstiness_sql() -> str:
+    return _curation.term_burstiness_sql(_TB_TOKENS_SQL, min_df=_TB_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# host_ucb — UCB1 explore/exploit host scores
+# ---------------------------------------------------------------------------
+
+
+def _hu_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+        .alias("host"),
+        (F.col("event_id") % 3 == 0).alias("kept"))
+
+
+_HU_FETCHES_SQL = ("SELECT 'h' || (user_id % 25) AS host, "
+                   "event_id % 3 = 0 AS kept FROM events")
+
+
+def q_host_ucb(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_ucb: UCB1 = mean reward + c·√(ln N / n)
+    per host — ONE groupBy(host) + a broadcast total."""
+    return _politeness.host_ucb(_hu_fetches(spark, sf))
+
+
+def _host_ucb_sql() -> str:
+    return _politeness.host_ucb_sql(_HU_FETCHES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ks_drift — two-sample Kolmogorov-Smirnov between crawl slices
+# ---------------------------------------------------------------------------
+
+
+def _ks_values(spark, sf) -> DataFrame:
+    """Slice b gets a +60 shift on a quarter of its mass — a real,
+    detectable distribution change."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    v = ((e * 13) % 200
+         + F.when((u % 2 == 1) & (e % 4 == 0), 60).otherwise(0))
+    return ev.select(
+        v.cast("long").alias("v"),
+        F.when(u % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("grp"))
+
+
+_KS_VALUES_SQL = """
+  SELECT CAST((event_id * 13) % 200
+    + CASE WHEN user_id % 2 = 1 AND event_id % 4 = 0 THEN 60 ELSE 0 END
+    AS BIGINT) AS v,
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp
+  FROM events
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.ks_drift: integer-exact two-sample KS D + its
+    location — ONE groupBy(v), windows only over the distinct-value
+    table."""
+    return _recrawl.ks_drift(_ks_values(spark, sf), "a")
+
+
+def _ks_drift_sql() -> str:
+    return _recrawl.ks_drift_sql(_KS_VALUES_SQL, "'a'")
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean — robust per-host latency aggregate
+# ---------------------------------------------------------------------------
+
+_TM_PCT = 5
+
+
+def _tm_values(spark, sf) -> DataFrame:
+    """Latencies with a deliberate 1-in-97 timeout spike that the trim
+    must neutralize."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    v = F.when(e % 97 == 0, F.lit(100000)).otherwise((e * 37) % 1000)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("key"),
+        v.cast("long").alias("v"), e.alias("rid"))
+
+
+_TM_VALUES_SQL = """
+  SELECT 'h' || (user_id % 10) AS key,
+    CAST(CASE WHEN event_id % 97 = 0 THEN 100000
+         ELSE (event_id * 37) % 1000 END AS BIGINT) AS v,
+    event_id AS rid
+  FROM events
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.trimmed_mean: per-key mean after dropping the
+    integer-rank-selected tails — one key-partitioned window + one
+    groupBy, exact BIGINT kept-sum."""
+    return _corpus.trimmed_mean(_tm_values(spark, sf), trim_pct=_TM_PCT)
+
+
+def _trimmed_mean_sql() -> str:
+    return _corpus.trimmed_mean_sql(_TM_VALUES_SQL, trim_pct=_TM_PCT)
+
+
+# ---------------------------------------------------------------------------
+# anchor_mismatch — anchor-text vs target-title audit
+# ---------------------------------------------------------------------------
+
+
+def _am_pages(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.substring(F.col("text"), 1, 40).alias("title"))
+
+
+_AM_PAGES_SQL = ("SELECT 'u' || doc_id AS url, "
+                 "substr(text, 1, 40) AS title FROM documents")
+
+
+def _am_links(spark, sf) -> DataFrame:
+    """Each group of 5 docs links to its group leader; anchors come from a
+    mid-document slice of the SOURCE, so overlap with the target title is
+    naturally mixed."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("u"), (doc_id - doc_id % 5).cast("string"))
+        .alias("dst"),
+        F.substring(F.col("text"), 30, 25).alias("anchor"))
+
+
+_AM_LINKS_SQL = ("SELECT 'u' || (doc_id - doc_id % 5) AS dst, "
+                 "substr(text, 30, 25) AS anchor FROM documents")
+
+
+def q_anchor_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.anchor_mismatch: share of inbound anchors sharing
+    no token with the target title — one equi-join + one groupBy(url),
+    overlap test fused into the scan."""
+    return _graph.anchor_mismatch(_am_links(spark, sf), _am_pages(spark, sf))
+
+
+def _anchor_mismatch_sql() -> str:
+    return _graph.anchor_mismatch_sql(_AM_LINKS_SQL, _AM_PAGES_SQL)
+
+
+def queries38():
+    return {
+        "term_burstiness": q_term_burstiness,
+        "host_ucb": q_host_ucb,
+        "ks_drift": q_ks_drift,
+        "trimmed_mean": q_trimmed_mean,
+        "anchor_mismatch": q_anchor_mismatch,
+    }
+
+
+def oracle_sql38():
+    return {
+        "term_burstiness": _term_burstiness_sql(),
+        "host_ucb": _host_ucb_sql(),
+        "ks_drift": _ks_drift_sql(),
+        "trimmed_mean": _trimmed_mean_sql(),
+        "anchor_mismatch": _anchor_mismatch_sql(),
+    }

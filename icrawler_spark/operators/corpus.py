@@ -801,3 +801,73 @@ cuts AS (
 )
 {sel}
 """
+
+
+def trimmed_mean(
+    values: DataFrame,
+    trim_pct: int = 5,
+    key_col: str = "key",
+    val_col: str = "v",
+    id_col: str = "rid",
+) -> DataFrame:
+    """Per-key trimmed mean of an integer metric: drop the lowest and
+    highest ``trim_pct`` percent by EXACT integer rank (value + id
+    tiebreak — engine-portable determinism), average the middle. The
+    robust central-tendency aggregate for latency/size/quality columns
+    where a handful of timeouts or 2 GB responses wreck the plain mean.
+
+    cut = ⌊trim_pct·n/100⌋ rows trimmed from each side; the kept sum is an
+    exact BIGINT (integer values), divided once. Returns (key, n, n_kept,
+    tmean) with tmean rounded 6, NULL when the trim empties the key.
+
+    Scale shape: ONE key-partitioned window (rank) + the count join + ONE
+    groupBy(key) — same exchange key throughout, no cross-key state.
+    """
+    base = values.select(F.col(key_col).alias("key"),
+                         F.col(val_col).cast("long").alias("v"),
+                         F.col(id_col).alias("rid"))
+    w = Window.partitionBy("key").orderBy("v", "rid")
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    n = base.groupBy("key").agg(F.count("*").cast("long").alias("n"))
+    j = ranked.join(n, "key")
+    cut = F.floor(F.lit(int(trim_pct)) * F.col("n") / 100)
+    kept = (F.col("__r") > cut) & (F.col("__r") <= F.col("n") - cut)
+    return (j.groupBy("key", "n").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("v")).otherwise(0)).cast("long")
+        .alias("__s"))
+        .select("key", "n", "n_kept",
+                F.when(F.col("n_kept") > 0,
+                       F.round(F.col("__s") / F.col("n_kept"), 6))
+                .alias("tmean")))
+
+
+def trimmed_mean_sql(values_sql: str, trim_pct: int = 5) -> str:
+    """DuckDB mirror of :func:`trimmed_mean` over a (key, v, rid)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT key, CAST(v AS BIGINT) AS v, rid FROM ({values_sql})
+),
+ranked AS (
+  SELECT key, v,
+    row_number() OVER (PARTITION BY key ORDER BY v, rid) AS r,
+    count(*) OVER (PARTITION BY key) AS n
+  FROM base
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+  CAST(sum(CASE WHEN r > ({int(trim_pct)} * n) // 100
+                 AND r <= n - ({int(trim_pct)} * n) // 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CASE WHEN sum(CASE WHEN r > ({int(trim_pct)} * n) // 100
+                      AND r <= n - ({int(trim_pct)} * n) // 100
+                THEN 1 ELSE 0 END) > 0
+    THEN round(sum(CASE WHEN r > ({int(trim_pct)} * n) // 100
+                         AND r <= n - ({int(trim_pct)} * n) // 100
+                   THEN v ELSE 0 END)
+               / CAST(sum(CASE WHEN r > ({int(trim_pct)} * n) // 100
+                                AND r <= n - ({int(trim_pct)} * n) // 100
+                          THEN 1 ELSE 0 END) AS DOUBLE), 6)
+  END AS tmean
+FROM ranked GROUP BY key, n
+"""

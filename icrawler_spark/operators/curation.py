@@ -1553,3 +1553,55 @@ SELECT term, cnt_a, cnt_b,
   cnt_a * nb > cnt_b * na AS over_a
 FROM per CROSS JOIN marg
 """
+
+
+def term_burstiness(
+    tokens: DataFrame,
+    term_col: str = "term",
+    doc_col: str = "doc_id",
+    min_df: int = 5,
+) -> DataFrame:
+    """Term burstiness / adaptation statistics (Church & Gale's empirical
+    adaptation, public literature): per term, collection frequency cf,
+    document frequency df, burstiness cf/df (mean in-doc repeat rate), and
+    adaptation P(≥2 occurrences | ≥1) — the "once a term appears it tends
+    to reappear" probability. Separates topical content words (bursty,
+    high adaptation) from function words and boilerplate tokens at equal
+    df — a tokenizer-vocab and stopword-list builder that frequency alone
+    gets wrong.
+
+    Scale shape: ONE groupBy(term, doc) — the only pass over the token
+    stream, map-side combinable — then ONE groupBy(term) over the
+    (term, doc) table. Ratios are projections, rounded 6. Returns (term,
+    cf, df, burstiness, adaptation), df ≥ min_df.
+    """
+    per_doc = (tokens.select(F.col(term_col).alias("term"),
+                             F.col(doc_col).alias("doc"))
+               .groupBy("term", "doc")
+               .agg(F.count("*").cast("long").alias("c")))
+    return (per_doc.groupBy("term").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+        .alias("__multi"))
+        .filter(F.col("df") >= min_df)
+        .select("term", "cf", "df",
+                F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+                F.round(F.col("__multi") / F.col("df"), 6)
+                .alias("adaptation")))
+
+
+def term_burstiness_sql(tokens_sql: str, min_df: int = 5) -> str:
+    """DuckDB mirror of :func:`term_burstiness` over a (term, doc_id)
+    SELECT."""
+    return f"""
+WITH per_doc AS (
+  SELECT term, doc_id AS doc, CAST(count(*) AS BIGINT) AS c
+  FROM ({tokens_sql}) GROUP BY 1, 2
+)
+SELECT term, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df,
+  round(sum(c) / CAST(count(*) AS DOUBLE), 6) AS burstiness,
+  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS adaptation
+FROM per_doc GROUP BY 1 HAVING count(*) >= {min_df}
+"""

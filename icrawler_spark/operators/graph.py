@@ -897,3 +897,81 @@ WHERE a.dst < b.dst
 GROUP BY 1, 2
 HAVING count(*) >= {min_cocite}
 """
+
+
+def anchor_mismatch(
+    links: DataFrame,
+    pages: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    url_col: str = "url",
+    title_col: str = "title",
+) -> DataFrame:
+    """Anchor-text vs target-title consistency audit: per target URL, the
+    share of inbound anchors that share NO token with the target's title —
+    the cheap tell for anchor spam / link farms (anchors stuffed with
+    unrelated keywords) and for navigational boilerplate anchors ("next",
+    "here") that should be down-weighted before anchor text feeds BM25F.
+
+    Both sides tokenize through the shared normalize chain; the test is a
+    JVM ``arrays_overlap`` in the scan — no token explode. Anchors with
+    zero tokens after normalization are counted but not scored. Returns
+    (url, n_anchors, n_scored, n_mismatch, mismatch_share rounded 6,
+    NULL when nothing scored).
+
+    Scale shape: ONE equi-join links⋈pages on the target URL (pages side
+    deduped; broadcast when the page-title dim is small) + ONE
+    groupBy(url).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    p = (pages.select(F.col(url_col).alias("url"),
+                      tokens_col(F.col(title_col)).alias("__tt"))
+         .groupBy("url").agg(F.min("__tt").alias("__tt")))
+    l_ = links.select(F.col(dst_col).alias("url"),
+                      tokens_col(F.col(anchor_col)).alias("__at"))
+    j = l_.join(p, "url")
+    nonempty = F.size(F.filter(F.col("__at"), lambda t: t != "")) > 0
+    scored = F.when(nonempty, 1).otherwise(0)
+    mism = F.when(nonempty
+                  & ~F.arrays_overlap(F.col("__at"), F.col("__tt")), 1) \
+        .otherwise(0)
+    return (j.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.sum(scored).cast("long").alias("n_scored"),
+        F.sum(mism).cast("long").alias("n_mismatch"))
+        .select("url", "n_anchors", "n_scored", "n_mismatch",
+                F.when(F.col("n_scored") > 0,
+                       F.round(F.col("n_mismatch") / F.col("n_scored"), 6))
+                .alias("mismatch_share")))
+
+
+def anchor_mismatch_sql(links_sql: str, pages_sql: str) -> str:
+    """DuckDB mirror of :func:`anchor_mismatch` over (dst, anchor) and
+    (url, title) SELECTs."""
+    tok = ("string_split(trim(regexp_replace(regexp_replace(lower({c}),"
+           " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+    return f"""
+WITH p AS (
+  SELECT url, min({tok.format(c='title')}) AS tt
+  FROM ({pages_sql}) GROUP BY 1
+),
+l AS (SELECT dst AS url, {tok.format(c='anchor')} AS at_
+      FROM ({links_sql})),
+j AS (
+  SELECT l.url, at_, tt,
+    len(list_filter(at_, t -> t <> '')) > 0 AS nonempty
+  FROM l JOIN p ON p.url = l.url
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+  CAST(sum(CASE WHEN nonempty AND NOT list_has_any(at_, tt)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+  CASE WHEN sum(CASE WHEN nonempty THEN 1 ELSE 0 END) > 0
+    THEN round(sum(CASE WHEN nonempty AND NOT list_has_any(at_, tt)
+                    THEN 1 ELSE 0 END)
+               / CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END)
+                      AS DOUBLE), 6)
+  END AS mismatch_share
+FROM j GROUP BY 1
+"""

@@ -761,3 +761,55 @@ SELECT shard, n_hosts, n_urls,
     AS load_factor
 FROM per CROSS JOIN tot
 """
+
+
+def host_ucb(
+    fetches: DataFrame,
+    c: float = 1.4142135623730951,
+    host_col: str = "host",
+    reward_col: str = "kept",
+) -> DataFrame:
+    """UCB1 host scheduling scores (Auer et al. 2002, applied to crawl
+    frontiers): per host, mean observed reward (e.g. kept-after-filter
+    share) plus the exploration bonus c·√(ln N / n) — the principled
+    explore/exploit dial for where the next fetch batch goes. Pure
+    harvest-rate greed starves never-sampled hosts forever; UCB provably
+    doesn't.
+
+    Scale shape: ONE groupBy(host) for (n, wins); N is a broadcast
+    single-row total; the score is a projection. Integer win counts —
+    mean is the only division. Returns (host, n, wins, mean_reward, ucb)
+    rounded 6.
+    """
+    per = (fetches.select(F.col(host_col).alias("host"),
+                          F.col(reward_col).cast("int").alias("__r"))
+           .groupBy("host")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("__r").cast("long").alias("wins")))
+    tot = per.agg(F.sum("n").cast("long").alias("__N"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("host", "n", "wins",
+                    F.round(F.col("wins") / F.col("n"), 6)
+                    .alias("mean_reward"),
+                    F.round(F.col("wins") / F.col("n")
+                            + F.lit(float(c))
+                            * F.sqrt(F.log(F.col("__N")) / F.col("n")), 6)
+                    .alias("ucb")))
+
+
+def host_ucb_sql(fetches_sql: str,
+                 c: float = 1.4142135623730951) -> str:
+    """DuckDB mirror of :func:`host_ucb` over a (host, kept) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(kept AS INT)) AS BIGINT) AS wins
+  FROM ({fetches_sql}) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per)
+SELECT host, n, wins,
+  round(wins / CAST(n AS DOUBLE), 6) AS mean_reward,
+  round(wins / CAST(n AS DOUBLE)
+        + CAST({float(c)!r} AS DOUBLE) * sqrt(ln(nn) / n), 6) AS ucb
+FROM per CROSS JOIN tot
+"""

@@ -394,3 +394,85 @@ SELECT p.host, p.win, p.cnt,
    (n * p.cnt - s) * (n * p.cnt - s) > 4 * (n * ss - s * s)) AS is_burst
 FROM per p JOIN stats USING (host)
 """
+
+
+def ks_drift(
+    values: DataFrame,
+    grp_a,
+    val_col: str = "v",
+    grp_col: str = "grp",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between slice A and B of
+    an integer metric (response size, latency bin, quality score): D =
+    max |ECDF_a − ECDF_b|, the distribution-shift alarm between two crawl
+    snapshots that mean/variance compares miss (bimodal shifts, truncation
+    at a proxy cap).
+
+    The statistic runs integer-exact: ECDF compare as |cum_a·n_b −
+    cum_b·n_a| over BIGINT cumulative counts, divided (and rounded) once
+    at the end; the reported location ``ks_at`` is the smallest value
+    attaining the max, picked by exact integer compare.
+
+    Scale shape: ONE groupBy(v) over the data (map-side combinable), then
+    windows over the DISTINCT-VALUE table — bounded for binned/integer
+    metrics (bin first if the support is unbounded; pair with
+    hist_quantiles' binning). The final agg is a single row.
+    """
+    per = (values.select(F.col(val_col).cast("long").alias("v"),
+                         (F.col(grp_col) == grp_a).alias("__a"))
+           .groupBy("v").agg(
+               F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+               .alias("ca"),
+               F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+               .alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = per.select(
+        "v", F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"))
+    marg = per.agg(F.sum("ca").cast("long").alias("na"),
+                   F.sum("cb").cast("long").alias("nb"))
+    j = cum.crossJoin(F.broadcast(marg)).withColumn(
+        "__dnum", F.abs(F.col("cum_a") * F.col("nb")
+                        - F.col("cum_b") * F.col("na")))
+    best = j.agg(F.max("__dnum").alias("__m"))
+    return (j.join(F.broadcast(best), F.col("__dnum") == F.col("__m"))
+            .groupBy("na", "nb", "__m")
+            .agg(F.min("v").alias("ks_at"))
+            .select("na", "nb",
+                    F.round(F.col("__m")
+                            / (F.col("na") * F.col("nb")).cast("double"), 6)
+                    .alias("d"), "ks_at"))
+
+
+def ks_drift_sql(values_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`ks_drift` over a (v, grp) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH per AS (
+  SELECT CAST(v AS BIGINT) AS v,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 1 ELSE 0 END) AS BIGINT)
+      AS ca,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 0 ELSE 1 END) AS BIGINT)
+      AS cb
+  FROM ({values_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT v,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per
+),
+marg AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                CAST(sum(cb) AS BIGINT) AS nb FROM per),
+j AS (
+  SELECT v, abs(cum_a * nb - cum_b * na) AS dnum, na, nb
+  FROM cum CROSS JOIN marg
+),
+best AS (SELECT max(dnum) AS m FROM j)
+SELECT na, nb,
+  round(m / CAST(na * nb AS DOUBLE), 6) AS d,
+  min(v) AS ks_at
+FROM j JOIN best ON j.dnum = best.m
+GROUP BY na, nb, m
+"""

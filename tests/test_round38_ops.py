@@ -1,0 +1,153 @@
+"""Unit tests for the round-38 pack: term burstiness, UCB host scores, KS
+drift, trimmed means, anchor/title mismatch."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import trimmed_mean
+from icrawler_spark.operators.curation import term_burstiness
+from icrawler_spark.operators.graph import anchor_mismatch
+from icrawler_spark.operators.politeness import host_ucb
+from icrawler_spark.operators.recrawl import ks_drift
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness
+# ---------------------------------------------------------------------------
+
+def test_burstiness_bursty_vs_flat(spark):
+    # 'hot' appears 3x in each of 5 docs; 'flat' once in each of 5 docs
+    rows = [("hot", d) for d in range(5) for _ in range(3)]
+    rows += [("flat", d) for d in range(5)]
+    df = spark.createDataFrame(rows, "term string, doc_id long")
+    out = {r["term"]: r for r in term_burstiness(df, min_df=2).collect()}
+    assert out["hot"]["cf"] == 15 and out["hot"]["df"] == 5
+    assert out["hot"]["burstiness"] == 3.0
+    assert out["hot"]["adaptation"] == 1.0
+    assert out["flat"]["burstiness"] == 1.0
+    assert out["flat"]["adaptation"] == 0.0
+
+
+def test_burstiness_min_df(spark):
+    df = spark.createDataFrame([("rare", 1), ("rare", 2)],
+                               "term string, doc_id long")
+    assert term_burstiness(df, min_df=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# host_ucb
+# ---------------------------------------------------------------------------
+
+def test_ucb_exploration_bonus(spark):
+    # same mean reward, fewer pulls → larger ucb
+    rows = [("big", True), ("big", False)] * 50 + [("small", True),
+                                                   ("small", False)]
+    df = spark.createDataFrame(rows, "host string, kept boolean")
+    out = {r["host"]: r for r in host_ucb(df).collect()}
+    assert out["big"]["mean_reward"] == out["small"]["mean_reward"] == 0.5
+    assert out["small"]["ucb"] > out["big"]["ucb"]
+
+
+def test_ucb_formula(spark):
+    rows = [("h", True)] * 3 + [("h", False)] * 7 + [("g", True)] * 10
+    df = spark.createDataFrame(rows, "host string, kept boolean")
+    out = {r["host"]: r for r in host_ucb(df).collect()}
+    c = 1.4142135623730951
+    assert out["h"]["ucb"] == round(0.3 + c * math.sqrt(math.log(20) / 10), 6)
+
+
+# ---------------------------------------------------------------------------
+# ks_drift
+# ---------------------------------------------------------------------------
+
+def test_ks_identical_distributions(spark):
+    rows = [(v, g) for v in range(10) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = ks_drift(df, "a").collect()[0]
+    assert r["d"] == 0.0 and r["na"] == 10 and r["nb"] == 10
+
+
+def test_ks_disjoint_supports(spark):
+    rows = [(v, "a") for v in range(5)] + [(v + 100, "b") for v in range(5)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = ks_drift(df, "a").collect()[0]
+    assert r["d"] == 1.0 and r["ks_at"] == 4   # full separation at a's max
+
+
+def test_ks_python_differential(spark):
+    import random
+    rng = random.Random(3)
+    a = [rng.randrange(0, 50) for _ in range(200)]
+    b = [rng.randrange(10, 60) for _ in range(150)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = ks_drift(df, "a").collect()[0]
+    support = sorted(set(a) | set(b))
+    best = max(abs(sum(1 for x in a if x <= v) * len(b)
+                   - sum(1 for x in b if x <= v) * len(a))
+               for v in support)
+    assert r["d"] == round(best / (len(a) * len(b)), 6)
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean
+# ---------------------------------------------------------------------------
+
+def test_trimmed_mean_kills_outlier(spark):
+    rows = [("k", v, v) for v in range(1, 20)] + [("k", 10_000_000, 99)]
+    df = spark.createDataFrame(rows, "key string, v long, rid long")
+    r = trimmed_mean(df, trim_pct=5).collect()[0]
+    # n=20, cut=1: drop v=1 and v=10M → mean of 2..19
+    assert r["n_kept"] == 18
+    assert r["tmean"] == round(sum(range(2, 20)) / 18, 6)
+
+
+def test_trimmed_mean_no_cut_small_key(spark):
+    df = spark.createDataFrame([("k", 5, 1), ("k", 7, 2)],
+                               "key string, v long, rid long")
+    r = trimmed_mean(df, trim_pct=5).collect()[0]
+    # cut = floor(5*2/100) = 0 → plain mean
+    assert r["n_kept"] == 2 and r["tmean"] == 6.0
+
+
+def test_trimmed_full_trim_yields_null(spark):
+    df = spark.createDataFrame([("k", 1, 1)], "key string, v long, rid long")
+    r = trimmed_mean(df, trim_pct=50).collect()[0]
+    # cut = 0 for n=1 → kept; use 100 pct to force empty
+    assert r["n_kept"] == 1
+    r2 = trimmed_mean(df, trim_pct=100).collect()[0]
+    assert r2["n_kept"] == 0 and r2["tmean"] is None
+
+
+# ---------------------------------------------------------------------------
+# anchor_mismatch
+# ---------------------------------------------------------------------------
+
+def test_anchor_mismatch_share(spark):
+    pages = spark.createDataFrame([("u1", "Deep Learning Tutorial")],
+                                  "url string, title string")
+    links = spark.createDataFrame(
+        [("u1", "deep learning intro"),    # overlap
+         ("u1", "CLICK HERE NOW"),          # no overlap
+         ("u1", "???")],                    # empty after normalize → unscored
+        "dst string, anchor string")
+    r = anchor_mismatch(links, pages).collect()[0]
+    assert r["n_anchors"] == 3 and r["n_scored"] == 2
+    assert r["n_mismatch"] == 1 and r["mismatch_share"] == 0.5
+
+
+def test_anchor_mismatch_case_insensitive(spark):
+    pages = spark.createDataFrame([("u", "Hello World")],
+                                  "url string, title string")
+    links = spark.createDataFrame([("u", "HELLO")], "dst string, anchor string")
+    r = anchor_mismatch(links, pages).collect()[0]
+    assert r["n_mismatch"] == 0
+
+
+def test_anchor_mismatch_unlinked_page_absent(spark):
+    pages = spark.createDataFrame([("u1", "t"), ("u2", "t")],
+                                  "url string, title string")
+    links = spark.createDataFrame([("u1", "x")], "dst string, anchor string")
+    out = anchor_mismatch(links, pages).collect()
+    assert [r["url"] for r in out] == ["u1"]
