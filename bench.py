@@ -263,6 +263,9 @@ _EXTRA_PICKS = [
     # round-3 batch-32 (burstiness + UCB + KS + robust means + anchors)
     "term_burstiness", "host_ucb", "ks_drift", "trimmed_mean",
     "anchor_mismatch",
+    # round-3 batch-33 (outline + k-core + incremental LSH + code + labels)
+    "heading_outline", "k_core", "lsh_delta", "code_detect",
+    "label_separation",
 ]
 
 

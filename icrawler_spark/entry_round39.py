@@ -1,0 +1,200 @@
+"""Round-3 driver-contract queries (batch 33): heading outlines, k-core
+peel, incremental LSH dedup, code detection, embedding-label separation.
+
+Fixtures derive deterministically from documents/events/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import similarity as _similarity
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# heading_outline — h1..h6 structure audit
+# ---------------------------------------------------------------------------
+
+
+def _ho_pages(spark, sf) -> DataFrame:
+    """Synthetic heading skeletons: clean outlines, missing-h1 pages,
+    multi-h1 doorways, and level skips, cycled by doc_id; mixed case
+    exercises (?i)."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    body = (F.when(doc_id % 4 == 0,
+                   F.lit("<H1>a</H1><h2>b</h2><h3>c</h3><h2>d</h2>"))
+            .when(doc_id % 4 == 1,
+                  F.lit("<h2>no h1 here</h2><h4>skipped</h4>"))
+            .when(doc_id % 4 == 2,
+                  F.lit("<h1>k1</h1><h1>k2</h1><h1>k3</h1>"))
+            .otherwise(F.lit("no headings at all")))
+    return d.select(F.concat(F.lit("u"), doc_id.cast("string")).alias("url"),
+                    body.alias("body"))
+
+
+_HO_PAGES_SQL = """
+  SELECT 'u' || doc_id AS url,
+    CASE doc_id % 4
+      WHEN 0 THEN '<H1>a</H1><h2>b</h2><h3>c</h3><h2>d</h2>'
+      WHEN 1 THEN '<h2>no h1 here</h2><h4>skipped</h4>'
+      WHEN 2 THEN '<h1>k1</h1><h1>k2</h1><h1>k3</h1>'
+      ELSE 'no headings at all' END AS body
+  FROM documents
+"""
+
+
+def q_heading_outline(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.heading_outline: per-page h1..h6 outline stats —
+    one regexp_extract_all + array exprs in the scan, no shuffle."""
+    return _warc.heading_outline(_ho_pages(spark, sf))
+
+
+def _heading_outline_sql() -> str:
+    return _warc.heading_outline_sql(_HO_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k_core — bounded peel over a synthetic host graph
+# ---------------------------------------------------------------------------
+
+_KC_K = 3
+_KC_ITERS = 4
+_KC_N = 40
+
+
+def _kc_edges(spark, sf) -> DataFrame:
+    """A 10-node near-clique (every node links +1..+3 within the clique)
+    plus a sparse ring over the rest — the clique survives the k=3 peel,
+    the ring dies."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    src = (e % _KC_N).cast("long")
+    clique = e % 3 + 1
+    dst = (F.when(src < 10, (src + clique) % 10)
+           .otherwise((src + 1) % _KC_N)).cast("long")
+    return ev.select(src.alias("src"), dst.alias("dst"))
+
+
+_KC_EDGES_SQL = f"""
+  SELECT CAST(event_id % {_KC_N} AS BIGINT) AS src,
+    CAST(CASE WHEN event_id % {_KC_N} < 10
+      THEN ((event_id % {_KC_N}) + event_id % 3 + 1) % 10
+      ELSE ((event_id % {_KC_N}) + 1) % {_KC_N} END AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.k_core: bounded k-core peel (link-farm locator) —
+    each round one degree groupBy + two node-keyed semi-joins."""
+    return _graph.k_core(_kc_edges(spark, sf), k=_KC_K, n_iters=_KC_ITERS)
+
+
+def _k_core_sql() -> str:
+    return _graph.k_core_sql(_KC_EDGES_SQL, k=_KC_K, n_iters=_KC_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# lsh_delta — incremental MinHash-LSH dedup of a new batch vs the corpus
+# ---------------------------------------------------------------------------
+
+_LD_OLD_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+_LD_NEW_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+
+
+def q_lsh_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.lsh_incremental: new-batch-vs-corpus band join —
+    corpus×corpus is never recompared, the incremental dedup shape."""
+    d = _docs(spark, sf)
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return _docdedup.lsh_incremental(old, new)
+
+
+def _lsh_delta_sql() -> str:
+    return _docdedup.lsh_incremental_sql(_LD_OLD_SQL, _LD_NEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# code_detect — code-vs-prose curation gate
+# ---------------------------------------------------------------------------
+
+
+def _cd_docs(spark, sf) -> DataFrame:
+    """Every 10th doc becomes pseudo-code (symbol-dense, indented);
+    the rest keep their prose."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    code = F.repeat(
+        F.lit("x = f(1); { y[2] = 3; }\n  z = q(4);\n"),
+        (doc_id % 5 + 2).cast("int"))
+    text = F.when(doc_id % 10 == 0, code).otherwise(F.col("text"))
+    return d.select("doc_id", text.alias("text"))
+
+
+_CD_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+      THEN repeat('x = f(1); { y[2] = 3; }' || chr(10) || '  z = q(4);'
+                  || chr(10), CAST(doc_id % 5 + 2 AS INT))
+      ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_code_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.code_detect: symbol-density + indent-share code
+    gate, integer cross-multiplication verdicts, all scan-stage."""
+    return _curation.code_detect(_cd_docs(spark, sf))
+
+
+def _code_detect_sql() -> str:
+    return _curation.code_detect_sql(_CD_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# label_separation — pairwise centroid distances between embedding labels
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_label_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.label_separation: per-label centroids via the
+    IVF posexplode partial agg; pairwise L2 over the tiny centroid
+    table."""
+    return _similarity.label_separation(_emb(spark, sf))
+
+
+def _label_separation_sql() -> str:
+    return _similarity.label_separation_sql()
+
+
+def queries39():
+    return {
+        "heading_outline": q_heading_outline,
+        "k_core": q_k_core,
+        "lsh_delta": q_lsh_delta,
+        "code_detect": q_code_detect,
+        "label_separation": q_label_separation,
+    }
+
+
+def oracle_sql39():
+    return {
+        "heading_outline": _heading_outline_sql(),
+        "k_core": _k_core_sql(),
+        "lsh_delta": _lsh_delta_sql(),
+        "code_detect": _code_detect_sql(),
+        "label_separation": _label_separation_sql(),
+    }

@@ -1605,3 +1605,64 @@ SELECT term, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df,
         / CAST(count(*) AS DOUBLE), 6) AS adaptation
 FROM per_doc GROUP BY 1 HAVING count(*) >= {min_df}
 """
+
+
+def code_detect(
+    docs: DataFrame,
+    symbol_pct: int = 5,
+    indent_pct: int = 40,
+    min_lines: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-vs-prose gate for mixed web text: flags documents whose
+    surface statistics look like source code — the curation split every
+    LLM data pipeline needs before language-specific cleaning (prose
+    filters destroy code; code dedup wants different shingles). Signals
+    are the public-lore ones: code-symbol density ({};=()[]<>) and the
+    share of indented lines.
+
+    Verdicts run as integer cross-multiplications (100·symbols >
+    symbol_pct·chars, etc.) — no float thresholds. Everything is per-row
+    scan-stage array/regexp expressions; no explode, no shuffle. Returns
+    (doc_id, n_chars, n_lines, n_symbols, n_indented, is_code).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    syms = F.size(F.regexp_extract_all(t, F.lit(r"[{};=()<>\[\]]"),
+                                       F.lit(0)))
+    ind = F.size(F.filter(lines, lambda x: x.rlike(r"^(  |\t)")))
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.length(t).cast("long").alias("n_chars"),
+                    F.size(lines).cast("long").alias("n_lines"),
+                    syms.cast("long").alias("n_symbols"),
+                    ind.cast("long").alias("n_indented"))
+    sym_hit = (F.lit(100) * F.col("n_symbols")
+               > F.lit(int(symbol_pct)) * F.col("n_chars"))
+    ind_hit = ((F.col("n_lines") >= min_lines)
+               & (F.lit(100) * F.col("n_indented")
+                  >= F.lit(int(indent_pct)) * F.col("n_lines")))
+    return d.withColumn("is_code", sym_hit | ind_hit)
+
+
+def code_detect_sql(docs_sql: str, symbol_pct: int = 5,
+                    indent_pct: int = 40, min_lines: int = 4) -> str:
+    """DuckDB mirror of :func:`code_detect` over a (doc_id, text)
+    SELECT."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(regexp_extract_all(text, '[{{}};=()<>\[\]]')) AS BIGINT)
+      AS n_symbols,
+    CAST(len(list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x, '^(  |\t)'))) AS BIGINT)
+      AS n_indented
+  FROM ({docs_sql})
+)
+SELECT doc_id, n_chars, n_lines, n_symbols, n_indented,
+  (100 * n_symbols > {int(symbol_pct)} * n_chars)
+  OR (n_lines >= {int(min_lines)}
+      AND 100 * n_indented >= {int(indent_pct)} * n_lines) AS is_code
+FROM d
+"""

@@ -445,3 +445,101 @@ SELECT title_key, CAST(count(*) AS BIGINT) AS n_docs,
 FROM keyed GROUP BY 1
 HAVING count(*) >= {min_cluster}
 """
+
+
+def _band_sigs(df: DataFrame, k: int, n: int, band_rows: int,
+               text_col: str, id_col: str) -> DataFrame:
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    banded = sigs.withColumn("band",
+                             (F.col("seed") / band_rows).cast("int"))
+    return (banded.groupBy("id", "band")
+            .agg(F.array_join(
+                F.array_sort(F.collect_list(
+                    F.concat_ws("=", "seed", "minhash"))), "|")
+                .alias("band_sig")))
+
+
+def lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    band_rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: test a NEW document batch against an
+    EXISTING corpus without ever comparing corpus×corpus — the shape every
+    continuously-fed training pipeline needs (today's crawl against the
+    accumulated corpus). Candidates are band-bucket matches new→old only;
+    the already-deduped corpus is never re-joined against itself, so the
+    per-batch cost is O(batch bands ⋈ corpus bands), independent of how
+    many batches came before.
+
+    Returns one row per batch doc: (id, dup_of = smallest matching corpus
+    id or NULL, n_matches = distinct matching corpus docs, is_novel).
+    Docs shorter than the shingle width have no signature and come out
+    novel by construction.
+
+    Scale shape: two shingle→minhash pipelines (each ONE groupBy), band
+    equi-join (batch side broadcastable), ONE groupBy(batch id).
+    """
+    old_b = _band_sigs(corpus, k, n, band_rows, text_col, id_col) \
+        .select(F.col("id").alias("old_id"), "band", "band_sig")
+    new_b = _band_sigs(batch, k, n, band_rows, text_col, id_col)
+    m = (new_b.join(old_b, ["band", "band_sig"])
+         .groupBy("id")
+         .agg(F.min("old_id").alias("dup_of"),
+              F.countDistinct("old_id").cast("long").alias("n_matches")))
+    ids = batch.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(m, "id", "left")
+            .select("id", "dup_of",
+                    F.coalesce(F.col("n_matches"), F.lit(0)).cast("long")
+                    .alias("n_matches"),
+                    F.col("dup_of").isNull().alias("is_novel")))
+
+
+def lsh_incremental_sql(old_sql: str, new_sql: str, k: int = 6, n: int = 3,
+                        band_rows: int = 2) -> str:
+    """DuckDB mirror of :func:`lsh_incremental` over two (doc_id, text)
+    SELECTs; replays the shared normalize→shingle→minhash→band chain."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+    def sig_cte(src: str, tag: str) -> str:
+        return f"""
+tok_{tag} AS (SELECT doc_id, string_split({norm}, ' ') AS l FROM ({src})),
+sh_{tag} AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM tok_{tag})
+  WHERE len(l) >= {n}
+),
+sig_{tag} AS (
+  SELECT doc_id AS id, seed,
+         min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh_{tag}, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band_{tag} AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sig_{tag} GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH {sig_cte(old_sql, 'old').lstrip()},
+{sig_cte(new_sql, 'new').lstrip()},
+m AS (
+  SELECT nb.id, min(ob.id) AS dup_of,
+         CAST(count(DISTINCT ob.id) AS BIGINT) AS n_matches
+  FROM band_new nb JOIN band_old ob USING (band, band_sig)
+  GROUP BY 1
+),
+ids AS (SELECT DISTINCT doc_id AS id FROM ({new_sql}))
+SELECT ids.id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches,
+       m.dup_of IS NULL AS is_novel
+FROM ids LEFT JOIN m ON m.id = ids.id
+"""

@@ -975,3 +975,76 @@ SELECT url, CAST(count(*) AS BIGINT) AS n_anchors,
   END AS mismatch_share
 FROM j GROUP BY 1
 """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    n_iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peel over the undirected host graph (Seidman 1983):
+    iteratively remove nodes with degree < k; what survives is the densely
+    interlinked core — the standard link-farm / collusion-cluster locator
+    (spam farms are near-cliques, so they survive peels that strip the
+    organic periphery).
+
+    Runs ``n_iters`` peel rounds (a bounded-iteration prefix of the
+    fixpoint — same envelope convention as pagerank/hop_distribution);
+    each round is ONE degree groupBy + two semi-joins, all keyed on the
+    node id. Returns every node of the input graph with (node, degree,
+    in_core) where degree is over the surviving subgraph (0 if peeled).
+    """
+    e0 = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    und = (e0.select("a", "b")
+           .union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct())
+    all_nodes = und.select(F.col("a").alias("node")).distinct()
+    cur = und
+    for _ in range(n_iters):
+        deg = cur.groupBy("a").agg(F.count("*").alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("a")
+        cur = (cur.join(keep, "a")
+               .join(keep.select(F.col("a").alias("b")), "b")
+               .select("a", "b")
+               .localCheckpoint(eager=False))
+    fin = (cur.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
+           .filter(F.col("degree") >= k))
+    return (all_nodes.join(fin, all_nodes.node == fin.a, "left")
+            .select("node",
+                    F.coalesce(F.col("degree"), F.lit(0)).cast("long")
+                    .alias("degree"),
+                    F.col("degree").isNotNull().alias("in_core")))
+
+
+def k_core_sql(edges_cte: str, k: int = 3, n_iters: int = 4) -> str:
+    """DuckDB mirror of :func:`k_core`: unrolled peel CTE chain."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e0 WHERE src <> dst)
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+g0 AS (SELECT * FROM und)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+k{i} AS (SELECT a FROM g{i} GROUP BY 1 HAVING count(*) >= {k}),
+g{i + 1} AS (
+  SELECT g.a, g.b FROM g{i} g
+  JOIN k{i} ka ON ka.a = g.a
+  JOIN k{i} kb ON kb.a = g.b
+)""")
+    parts.append(f""",
+fin AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS degree
+  FROM g{n_iters} GROUP BY 1 HAVING count(*) >= {k}
+)
+SELECT n.node, coalesce(f.degree, 0) AS degree,
+       f.degree IS NOT NULL AS in_core
+FROM nodes n LEFT JOIN fin f ON f.a = n.node""")
+    return "".join(parts)

@@ -732,3 +732,57 @@ SELECT b.vid AS vec_id, b.grp AS label, b.norm2,
   b.norm2 < c.lo AS is_low, b.norm2 > c.hi AS is_high
 FROM base b JOIN cuts c ON c.grp = b.grp
 """
+
+
+def label_separation(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Pairwise centroid separation between embedding groups: L2 distance
+    between per-label mean vectors — the cheap geometry audit behind
+    cluster-based sampling and stratified dedup (labels whose centroids
+    nearly coincide won't stratify anything; a label light-years from the
+    rest is usually an encoder bug or a language the encoder can't
+    embed).
+
+    Scale shape: the IVF-Lloyd pattern — posexplode + ONE groupBy(label,
+    dim) partial agg, so the full vectors never concentrate anywhere; the
+    centroid table is |labels|·dim rows, and the pairwise stage joins
+    centroids on dim (K² pairs — driver-scale by construction). Returns
+    (label_a, label_b, l2) rounded 6, label_a < label_b.
+    """
+    per = (emb.select(F.col(group_col).alias("lbl"),
+                      F.posexplode(F.col(vec_col)).alias("pos", "v"))
+           .groupBy("lbl", "pos")
+           .agg(F.avg(F.col("v").cast("double")).alias("m")))
+    a = per.select(F.col("lbl").alias("label_a"), "pos",
+                   F.col("m").alias("ma"))
+    b = per.select(F.col("lbl").alias("label_b"), "pos",
+                   F.col("m").alias("mb"))
+    return (a.join(b, "pos")
+            .filter(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.round(F.sqrt(F.sum((F.col("ma") - F.col("mb"))
+                                      * (F.col("ma") - F.col("mb")))), 6)
+                 .alias("l2")))
+
+
+def label_separation_sql() -> str:
+    """DuckDB mirror of :func:`label_separation` over ``embeddings``
+    (embedding cast to DOUBLE[]; parallel unnest gives the dim
+    ordinal)."""
+    return """
+WITH per AS (
+  SELECT lbl, pos, avg(v) AS m FROM (
+    SELECT label AS lbl,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(embedding::DOUBLE[]) AS v
+    FROM embeddings)
+  GROUP BY 1, 2
+)
+SELECT a.lbl AS label_a, b.lbl AS label_b,
+  round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS l2
+FROM per a JOIN per b ON a.pos = b.pos AND a.lbl < b.lbl
+GROUP BY 1, 2
+"""

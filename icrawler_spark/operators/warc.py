@@ -791,3 +791,66 @@ SELECT {url_col}, n_links, n_hidden,
   n_hidden > 0 AS has_hidden
 FROM counted
 """
+
+
+def heading_outline(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Heading-outline audit per page: counts and structure of <h1>-<h6>
+    in document order — pages with no h1, multiple h1s, or level skips
+    (h1→h3) are the template-damage tell for extraction (headings drive
+    section chunking for training data) and the SEO-spam tell for doorway
+    generators that stamp keyword h1 grids.
+
+    All per-page: one regexp_extract_all in the scan + array expressions;
+    no explode, no shuffle beyond the source partitioning. Returns (url,
+    n_headings, n_h1, max_depth, level_skip, starts_below_h1).
+    """
+    lv = F.transform(
+        F.regexp_extract_all(F.col(body_col),
+                             F.lit(r"(?i)<h([1-6])[ \t>]"), F.lit(1)),
+        lambda x: x.cast("int"))
+    out = pages.select(F.col(url_col).alias("url"), lv.alias("__l"))
+    n = F.size(F.col("__l"))
+    # sequence(1, 0) is DESCENDING in Spark — guard the adjacency scan
+    skips = F.when(
+        n >= 2,
+        F.size(F.filter(
+            F.transform(F.sequence(F.lit(1), n - 1),
+                        lambda i: F.element_at(F.col("__l"), i + 1)
+                        > F.element_at(F.col("__l"), i) + 1),
+            lambda b: b)) > 0).otherwise(F.lit(False))
+    return out.select(
+        "url",
+        n.cast("long").alias("n_headings"),
+        F.size(F.filter(F.col("__l"), lambda x: x == 1)).cast("long")
+        .alias("n_h1"),
+        F.coalesce(F.array_max(F.col("__l")), F.lit(0)).cast("int")
+        .alias("max_depth"),
+        skips.alias("level_skip"),
+        F.when(n > 0, F.element_at(F.col("__l"), 1) > 1)
+        .otherwise(F.lit(False)).alias("starts_below_h1"))
+
+
+def heading_outline_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`heading_outline` over a (url, body)
+    SELECT."""
+    return r"""
+WITH lv AS (
+  SELECT url,
+    list_transform(regexp_extract_all(body, '(?i)<h([1-6])[ \t>]', 1),
+                   x -> CAST(x AS INT)) AS l
+  FROM ({src})
+)
+SELECT url, CAST(len(l) AS BIGINT) AS n_headings,
+  CAST(len(list_filter(l, x -> x = 1)) AS BIGINT) AS n_h1,
+  CAST(coalesce(list_max(l), 0) AS INT) AS max_depth,
+  CASE WHEN len(l) >= 2 THEN
+    len(list_filter(generate_series(1, len(l) - 1),
+                    i -> l[i + 1] > l[i] + 1)) > 0
+  ELSE false END AS level_skip,
+  CASE WHEN len(l) > 0 THEN l[1] > 1 ELSE false END AS starts_below_h1
+FROM lv
+""".replace("{src}", pages_sql)

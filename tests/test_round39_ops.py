@@ -1,0 +1,148 @@
+"""Unit tests for the round-39 pack: heading outlines, k-core, incremental
+LSH, code detection, label separation."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.curation import code_detect
+from icrawler_spark.operators.docdedup import lsh_incremental
+from icrawler_spark.operators.graph import k_core
+from icrawler_spark.operators.similarity import label_separation
+from icrawler_spark.operators.warc import heading_outline
+
+
+# ---------------------------------------------------------------------------
+# heading_outline
+# ---------------------------------------------------------------------------
+
+def test_heading_outline_clean_page(spark):
+    df = spark.createDataFrame(
+        [("u", "<h1>a</h1><h2>b</h2><h3>c</h3>")], "url string, body string")
+    r = heading_outline(df).collect()[0]
+    assert r["n_headings"] == 3 and r["n_h1"] == 1 and r["max_depth"] == 3
+    assert not r["level_skip"] and not r["starts_below_h1"]
+
+
+def test_heading_outline_skip_and_below(spark):
+    df = spark.createDataFrame(
+        [("u", "<h2>x</h2><h4>y</h4>")], "url string, body string")
+    r = heading_outline(df).collect()[0]
+    assert r["level_skip"] and r["starts_below_h1"] and r["n_h1"] == 0
+
+
+def test_heading_outline_case_and_attrs(spark):
+    df = spark.createDataFrame(
+        [("u", '<H1 class="t">x</H1><h2\t>y</h2>')], "url string, body string")
+    r = heading_outline(df).collect()[0]
+    assert r["n_headings"] == 2 and r["n_h1"] == 1
+
+
+def test_heading_outline_none(spark):
+    df = spark.createDataFrame([("u", "plain text")], "url string, body string")
+    r = heading_outline(df).collect()[0]
+    assert r["n_headings"] == 0 and r["max_depth"] == 0
+    assert not r["level_skip"] and not r["starts_below_h1"]
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+def test_k_core_triangle_survives(spark):
+    # triangle (3 nodes, deg 2 each) + pendant: k=2 keeps the triangle only
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    out = {r["node"]: r for r in k_core(df, k=2, n_iters=3).collect()}
+    assert out[1]["in_core"] and out[2]["in_core"] and out[3]["in_core"]
+    assert not out[4]["in_core"] and out[4]["degree"] == 0
+    assert out[3]["degree"] == 2       # edge to peeled 4 is gone
+
+
+def test_k_core_chain_fully_peeled(spark):
+    # a path graph has no 2-core; peeling unravels it end-in
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                               "src long, dst long")
+    out = k_core(df, k=2, n_iters=6).collect()
+    assert all(not r["in_core"] for r in out)
+
+
+def test_k_core_clique_degrees(spark):
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["degree"] for r in
+           k_core(df, k=3, n_iters=2).collect()}
+    assert all(d == 4 for d in out.values())
+
+
+# ---------------------------------------------------------------------------
+# lsh_incremental
+# ---------------------------------------------------------------------------
+
+def test_lsh_incremental_finds_duplicate(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame([(1, text), (2, "completely different words "
+                                               "about marine biology here")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(10, text), (11, "unrelated fresh content "
+                                                  "never seen in the corpus "
+                                                  "at all whatsoever")],
+                                "doc_id long, text string")
+    out = {r["id"]: r for r in lsh_incremental(old, new).collect()}
+    assert out[10]["dup_of"] == 1 and not out[10]["is_novel"]
+    assert out[11]["dup_of"] is None and out[11]["is_novel"]
+
+
+def test_lsh_incremental_short_doc_is_novel(spark):
+    old = spark.createDataFrame([(1, "one two three four five")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    r = lsh_incremental(old, new).collect()[0]
+    assert r["is_novel"] and r["n_matches"] == 0
+
+
+# ---------------------------------------------------------------------------
+# code_detect
+# ---------------------------------------------------------------------------
+
+def test_code_detect_symbol_density(spark):
+    df = spark.createDataFrame(
+        [(1, "x = f(1); { y[2] = 3; }"),
+         (2, "this is a long enough plain prose sentence with no symbols "
+             "in it at all just words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["is_code"] for r in code_detect(df).collect()}
+    assert out[1] is True and out[2] is False
+
+
+def test_code_detect_indent_rule(spark):
+    code = "def f:\n  a\n  b\n  c\n  d"
+    df = spark.createDataFrame([(1, code)], "doc_id long, text string")
+    r = code_detect(df, symbol_pct=100).collect()[0]   # kill symbol rule
+    assert r["n_lines"] == 5 and r["n_indented"] == 4
+    assert r["is_code"]
+
+
+def test_code_detect_counts(spark):
+    df = spark.createDataFrame([(1, "a{b};(c)=[d]<e>")],
+                               "doc_id long, text string")
+    r = code_detect(df).collect()[0]
+    assert r["n_symbols"] == 10
+
+
+# ---------------------------------------------------------------------------
+# label_separation
+# ---------------------------------------------------------------------------
+
+def test_label_separation_geometry(spark):
+    rows = [(1, [0.0, 0.0], "a"), (2, [2.0, 0.0], "a"),
+            (3, [10.0, 0.0], "b"), (4, [10.0, 2.0], "b"),
+            (5, [0.0, 100.0], "c")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = {(r["label_a"], r["label_b"]): r["l2"] for r in
+           label_separation(df).collect()}
+    # centroids: a=(1,0), b=(10,1), c=(0,100)
+    assert out[("a", "b")] == round(math.sqrt(81 + 1), 6)
+    assert out[("a", "c")] == round(math.sqrt(1 + 100 * 100), 6)
+    assert len(out) == 3
