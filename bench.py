@@ -266,6 +266,9 @@ _EXTRA_PICKS = [
     # round-3 batch-33 (outline + k-core + incremental LSH + code + labels)
     "heading_outline", "k_core", "lsh_delta", "code_detect",
     "label_separation",
+    # round-3 batch-34 (completion + tiling + entities + bloom cal + render)
+    "prefix_topk", "topic_shifts", "proper_nouns", "bloom_fp",
+    "page_resources",
 ]
 
 

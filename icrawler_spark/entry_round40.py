@@ -1,0 +1,228 @@
+"""Round-3 driver-contract queries (batch 34): prefix completions, topic
+shifts, proper-noun mining, Bloom FP calibration, page resource census.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import warc as _warc
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# prefix_topk — autocompletion index over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_PT_MIN_DF = 10
+_PT_K = 3
+_PT_MAXLEN = 4
+
+
+def _pt_vocab(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .filter(F.length("term") >= 2)
+            .groupBy("term").agg(F.count("*").cast("long").alias("df"))
+            .filter(F.col("df") >= _PT_MIN_DF))
+
+
+_PT_VOCAB_SQL = f"""
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT unnest({_TOK_SQL}) AS term FROM documents)
+  WHERE length(term) >= 2
+  GROUP BY 1 HAVING count(*) >= {_PT_MIN_DF}
+"""
+
+
+def q_prefix_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.prefix_topk: prefix→top-k completions by df —
+    bounded explode + prefix-partitioned rank window."""
+    return _search.prefix_topk(_pt_vocab(spark, sf), k=_PT_K,
+                               max_len=_PT_MAXLEN)
+
+
+def _prefix_topk_sql() -> str:
+    return _search.prefix_topk_sql(_PT_VOCAB_SQL, k=_PT_K,
+                                   max_len=_PT_MAXLEN)
+
+
+# ---------------------------------------------------------------------------
+# topic_shifts — TextTiling-style block-overlap boundaries
+# ---------------------------------------------------------------------------
+
+_TS_BLOCK = 20
+_TS_PCT = 15
+
+_TS_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+
+def q_topic_shifts(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.topic_shifts: adjacent-block vocabulary overlap
+    with integer-cross-multiplied shift verdicts, all per-row array
+    math."""
+    return _curation.topic_shifts(_docs(spark, sf).select("doc_id", "text"),
+                                  block=_TS_BLOCK,
+                                  min_overlap_pct=_TS_PCT)
+
+
+def _topic_shifts_sql() -> str:
+    return _curation.topic_shifts_sql(_TS_DOCS_SQL, block=_TS_BLOCK,
+                                      min_overlap_pct=_TS_PCT)
+
+
+# ---------------------------------------------------------------------------
+# proper_nouns — capitalized-bigram entity candidates over RAW text
+# ---------------------------------------------------------------------------
+
+_PN_MIN_DF = 2
+
+
+def _pn_docs(spark, sf) -> DataFrame:
+    """Raw text with injected capitalized bigrams so case survives: every
+    3rd doc mentions 'Monte Carlo', every 7th 'New York'."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(doc_id % 3 == 0, F.lit(" Visit Monte Carlo today."))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0, F.lit(" Flights to New York daily."))
+        .otherwise(F.lit("")))
+    return d.select("doc_id", text.alias("text"))
+
+
+_PN_DOCS_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' Visit Monte Carlo today.'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' Flights to New York daily.'
+       ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_proper_nouns(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.proper_nouns: capitalized-bigram mining on raw
+    text — one regexp_extract_all + ONE groupBy(phrase)."""
+    return _curation.proper_nouns(_pn_docs(spark, sf), min_df=_PN_MIN_DF)
+
+
+def _proper_nouns_sql() -> str:
+    return _curation.proper_nouns_sql(_PN_DOCS_SQL, min_df=_PN_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# bloom_fp — measured vs theoretical Bloom false-positive rate
+# ---------------------------------------------------------------------------
+
+_BF_MEMBERS_SQL = ("SELECT 'http://h' || (event_id % 40) || '.test/p'"
+                   " || event_id AS url FROM events WHERE event_id % 2 = 0")
+_BF_PROBES_SQL = ("SELECT 'http://h' || (event_id % 40) || '.test/p'"
+                  " || event_id AS url FROM events WHERE event_id % 2 = 1")
+_BF_MBITS = 1 << 10   # small filter → measurable FP rate at fixture scale
+
+
+def _bf_urls(spark, sf, parity: int) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return (ev.filter(e % 2 == parity)
+            .select(F.concat(F.lit("http://h"), (e % 40).cast("string"),
+                             F.lit(".test/p"), e.cast("string"))
+                    .alias("url")))
+
+
+def q_bloom_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_fp_audit: probe the member bit set with known
+    non-members; measured FP share vs fill^k — bits, never URLs, cross
+    the shuffle."""
+    return _dedup.bloom_fp_audit(_bf_urls(spark, sf, 0),
+                                 _bf_urls(spark, sf, 1),
+                                 m_bits=_BF_MBITS)
+
+
+def _bloom_fp_sql() -> str:
+    return _dedup.bloom_fp_audit_sql(_BF_MEMBERS_SQL, _BF_PROBES_SQL,
+                                     m_bits=_BF_MBITS)
+
+
+# ---------------------------------------------------------------------------
+# page_resources — script/css/img census with off-host script count
+# ---------------------------------------------------------------------------
+
+
+def _pr_pages(spark, sf) -> DataFrame:
+    """Pages on h{0..9}.test; every 2nd page loads a same-host script,
+    every 3rd an off-host one, every 5th a stylesheet + imgs."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc_id % 10).cast("string"),
+                    F.lit(".test"))
+    body = F.concat(
+        F.lit("<html>"),
+        F.when(doc_id % 2 == 0,
+               F.concat(F.lit('<script src="http://'), host,
+                        F.lit('/a.js"></script>'))).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0,
+               F.lit('<SCRIPT src="https://cdn.evil.example/x.js">'))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0,
+               F.lit('<link rel="stylesheet" href="/s.css"><img src="/i.png">'
+                     '<img src="/j.png">')).otherwise(F.lit("")),
+        F.lit("<script>inline()</script></html>"))
+    return d.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"),
+                 doc_id.cast("string")).alias("url"),
+        body.alias("body"))
+
+
+_PR_PAGES_SQL = """
+  SELECT 'http://h' || (doc_id % 10) || '.test/p' || doc_id AS url,
+    '<html>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<script src="http://h'
+         || (doc_id % 10) || '.test/a.js"></script>' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+         THEN '<SCRIPT src="https://cdn.evil.example/x.js">' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN
+         '<link rel="stylesheet" href="/s.css"><img src="/i.png">'
+         || '<img src="/j.png">' ELSE '' END
+    || '<script>inline()</script></html>' AS body
+  FROM documents
+"""
+
+
+def q_page_resources(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.page_resources: script/css/img counts + off-host
+    script count, all scan-stage regexp/array exprs."""
+    return _warc.page_resources(_pr_pages(spark, sf))
+
+
+def _page_resources_sql() -> str:
+    return _warc.page_resources_sql(_PR_PAGES_SQL)
+
+
+def queries40():
+    return {
+        "prefix_topk": q_prefix_topk,
+        "topic_shifts": q_topic_shifts,
+        "proper_nouns": q_proper_nouns,
+        "bloom_fp": q_bloom_fp,
+        "page_resources": q_page_resources,
+    }
+
+
+def oracle_sql40():
+    return {
+        "prefix_topk": _prefix_topk_sql(),
+        "topic_shifts": _topic_shifts_sql(),
+        "proper_nouns": _proper_nouns_sql(),
+        "bloom_fp": _bloom_fp_sql(),
+        "page_resources": _page_resources_sql(),
+    }

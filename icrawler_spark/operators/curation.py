@@ -1666,3 +1666,146 @@ SELECT doc_id, n_chars, n_lines, n_symbols, n_indented,
       AND 100 * n_indented >= {int(indent_pct)} * n_lines) AS is_code
 FROM d
 """
+
+
+def topic_shifts(
+    docs: DataFrame,
+    block: int = 30,
+    min_overlap_pct: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical topic-shift detection (TextTiling lineage, Hearst 1997):
+    split each document into fixed-width token blocks and compare the
+    DISTINCT-vocabulary overlap of adjacent blocks — a boundary where
+    overlap collapses is a topic shift. The chunking prior for training
+    data: documents with many shifts are concatenation dumps (forum
+    scrapes, tag pages) that per-document quality scores misjudge and
+    semantic chunkers should split first.
+
+    The shift verdict is an integer cross-multiplication (100·|a∩b| <
+    pct·min(|a|,|b|)) — no float ratio. Per-row array math only; the
+    token array is pre-projected into a named column BEFORE the block
+    lambdas (the chunk-lambda inlining trap — Catalyst does not CSE into
+    lambda scopes). Returns (doc_id, n_tokens, n_blocks, n_shifts,
+    shift_share rounded 6, NULL when <2 blocks).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(F.col(text_col)).alias("__t"))
+    n = F.size(F.filter(F.col("__t"), lambda t: t != ""))
+    nb = F.ceil(n / F.lit(int(block))).cast("int")
+    base = toks.select("doc_id", F.col("__t").alias("t"),
+                       n.alias("n_tokens"), nb.alias("n_blocks"))
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("n_blocks") - 1),
+        lambda i: F.array_distinct(
+            F.slice(F.col("t"), i * block + 1, block)))
+    b = base.withColumn(
+        "__b", F.when(F.col("n_blocks") >= 1, blocks)
+        .otherwise(F.array().cast("array<array<string>>")))
+    shifts = F.when(
+        F.col("n_blocks") >= 2,
+        F.size(F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_blocks") - 1),
+                lambda i: F.lit(100) * F.size(F.array_intersect(
+                    F.element_at(F.col("__b"), i),
+                    F.element_at(F.col("__b"), i + 1)))
+                < F.lit(int(min_overlap_pct))
+                * F.least(F.size(F.element_at(F.col("__b"), i)),
+                          F.size(F.element_at(F.col("__b"), i + 1)))),
+            lambda x: x))).otherwise(F.lit(0))
+    return (b.withColumn("n_shifts", shifts.cast("long"))
+            .select("doc_id", F.col("n_tokens").cast("long"),
+                    F.col("n_blocks").cast("int"), "n_shifts",
+                    F.when(F.col("n_blocks") >= 2,
+                           F.round(F.col("n_shifts")
+                                   / (F.col("n_blocks") - 1), 6))
+                    .alias("shift_share")))
+
+
+def topic_shifts_sql(docs_sql: str, block: int = 30,
+                     min_overlap_pct: int = 10) -> str:
+    """DuckDB mirror of :func:`topic_shifts` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+  FROM ({docs_sql})
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(ceil(len(t) / CAST({int(block)} AS DOUBLE)) AS INT) AS n_blocks
+  FROM toks
+),
+blk AS (
+  SELECT doc_id, n_tokens, n_blocks,
+    list_transform(generate_series(0, n_blocks - 1),
+                   i -> list_distinct(t[i * {int(block)} + 1 :
+                                        (i + 1) * {int(block)}])) AS b
+  FROM base
+)
+SELECT doc_id, n_tokens, n_blocks,
+  CAST(CASE WHEN n_blocks >= 2 THEN
+    len(list_filter(generate_series(1, n_blocks - 1),
+        i -> 100 * len(list_intersect(b[i], b[i + 1]))
+             < {int(min_overlap_pct)} * least(len(b[i]), len(b[i + 1]))))
+  ELSE 0 END AS BIGINT) AS n_shifts,
+  CASE WHEN n_blocks >= 2 THEN
+    round(CASE WHEN n_blocks >= 2 THEN
+      len(list_filter(generate_series(1, n_blocks - 1),
+          i -> 100 * len(list_intersect(b[i], b[i + 1]))
+               < {int(min_overlap_pct)} * least(len(b[i]), len(b[i + 1]))))
+    ELSE 0 END / CAST(n_blocks - 1 AS DOUBLE), 6)
+  END AS shift_share
+FROM blk
+"""
+
+
+def proper_nouns(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capitalized-bigram mining over RAW (pre-normalization) text: the
+    cheap proper-noun / named-entity candidate list ("New York", "Monte
+    Carlo") that seeds entity dictionaries, boilerplate whitelists, and
+    anchor disambiguation — case is signal here, which is exactly what
+    the shared lowercasing tokenizer destroys, so this operator is the
+    documented raw-text exception.
+
+    Scale shape: one regexp_extract_all in the scan, one explode, ONE
+    groupBy(phrase) with cf + distinct-doc df. Returns (phrase, cf, df),
+    df ≥ min_df.
+    """
+    pat = r"([A-Z][a-z]+ [A-Z][a-z]+)"
+    ph = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat),
+                                       F.lit(1))).alias("phrase"))
+    return (ph.groupBy("phrase")
+            .agg(F.count("*").cast("long").alias("cf"),
+                 F.count_distinct("doc_id").cast("long").alias("df"))
+            .filter(F.col("df") >= min_df))
+
+
+def proper_nouns_sql(docs_sql: str, min_df: int = 3) -> str:
+    """DuckDB mirror of :func:`proper_nouns` over a (doc_id, text)
+    SELECT."""
+    return f"""
+WITH ph AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '([A-Z][a-z]+ [A-Z][a-z]+)', 1))
+      AS phrase
+  FROM ({docs_sql})
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS cf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM ph GROUP BY 1 HAVING count(DISTINCT doc_id) >= {int(min_df)}
+"""

@@ -288,3 +288,111 @@ SELECT CAST(nu.shard AS BIGINT) AS shard, nu.n_urls, agg.n_bits_set,
   round(pow(agg.n_bits_set / CAST({m_bits} AS DOUBLE), {k}), 6) AS est_fpr
 FROM nu JOIN agg USING (shard)
 """
+
+
+def bloom_fp_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Measured Bloom false-positive rate per shard: build the member bit
+    set (same Kirsch–Mitzenmacher double hashing as bloom_shard_stats),
+    probe it with known NON-members, and report measured FP share next to
+    the fill^k theoretical estimate — the calibration check that decides
+    when a saturated seen-set shard actually needs splitting (est_fpr can
+    drift from reality when the key distribution correlates with the
+    hash).
+
+    Scale shape: bits, never URLs, cross the shuffle — the probe side is
+    k rows/URL joined against the distinct member-bit table on
+    (shard, bit); verdict = all k bits hit. Returns (shard, n_probes,
+    n_fp, fp_rate, est_fpr) rounded 6.
+    """
+    mem = members.select(F.col(url_col).alias("u")).distinct()
+    prb = probes.select(F.col(url_col).alias("u")).distinct()
+
+    def hashed(df):
+        return df.select(
+            F.col("u"),
+            (_md5_int("u", 15, 2) % n_shards).alias("shard"),
+            _md5_int("u", 1, 8).alias("h1"),
+            _md5_int("u", 9, 6).alias("h2"))
+
+    def bits(df):
+        return df.select(
+            "u", "shard",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: (F.col("h1") + i * (F.col("h2") * 2 + 1))
+                % m_bits)).alias("bit"))
+
+    mem_bits = bits(hashed(mem)).select("shard", "bit").distinct()
+    fill = mem_bits.groupBy("shard").agg(
+        F.count("*").cast("long").alias("__set"))
+    pb = bits(hashed(prb))
+    hit = (pb.join(mem_bits.withColumn("__hit", F.lit(1)),
+                   ["shard", "bit"], "left")
+           .groupBy("u", "shard")
+           .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n")))
+    per = hit.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("__n") == k, 1).otherwise(0)).cast("long")
+        .alias("n_fp"))
+    return (per.join(fill, "shard", "left")
+            .select("shard", "n_probes", "n_fp",
+                    F.round(F.col("n_fp") / F.col("n_probes"), 6)
+                    .alias("fp_rate"),
+                    F.round(F.pow(F.coalesce(F.col("__set"), F.lit(0))
+                                  / F.lit(float(m_bits)),
+                                  F.lit(float(k))), 6).alias("est_fpr")))
+
+
+def bloom_fp_audit_sql(
+    members_sql: str,
+    probes_sql: str,
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> str:
+    """DuckDB replay of :func:`bloom_fp_audit` over two one-column (url)
+    SELECTs."""
+    h1 = md5_int_sql("u", 1, 8)
+    h2 = md5_int_sql("u", 9, 6)
+    shard = md5_int_sql("u", 15, 2)
+    return f"""
+WITH mem AS (SELECT DISTINCT url AS u FROM ({members_sql})),
+prb AS (SELECT DISTINCT url AS u FROM ({probes_sql})),
+mh AS (SELECT {shard} % {n_shards} AS shard, {h1} AS h1, {h2} AS h2
+       FROM mem),
+mem_bits AS (
+  SELECT DISTINCT shard, (h1 + i * (h2 * 2 + 1)) % {m_bits} AS bit
+  FROM mh, (SELECT unnest(range(0, {k})) AS i)
+),
+fill AS (SELECT shard, CAST(count(*) AS BIGINT) AS nset
+         FROM mem_bits GROUP BY 1),
+ph AS (SELECT u, {shard} % {n_shards} AS shard, {h1} AS h1, {h2} AS h2
+       FROM prb),
+pb AS (
+  SELECT u, shard, (h1 + i * (h2 * 2 + 1)) % {m_bits} AS bit
+  FROM ph, (SELECT unnest(range(0, {k})) AS i)
+),
+hit AS (
+  SELECT pb.u, pb.shard,
+         sum(CASE WHEN mb.bit IS NULL THEN 0 ELSE 1 END) AS n
+  FROM pb LEFT JOIN mem_bits mb ON mb.shard = pb.shard AND mb.bit = pb.bit
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(CASE WHEN n = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+  FROM hit GROUP BY 1
+)
+SELECT per.shard, per.n_probes, per.n_fp,
+  round(per.n_fp / CAST(per.n_probes AS DOUBLE), 6) AS fp_rate,
+  round(pow(coalesce(fill.nset, 0) / CAST({m_bits} AS DOUBLE), {k}), 6)
+    AS est_fpr
+FROM per LEFT JOIN fill ON fill.shard = per.shard
+"""

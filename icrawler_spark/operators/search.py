@@ -1027,3 +1027,57 @@ SELECT p.query, p.n_ret, t.n_rel, p.n_rel_ret,
   round(coalesce(1.0 / first_rel, 0.0), 6) AS rr
 FROM per p JOIN tot t USING (query)
 """
+
+
+def prefix_topk(
+    vocab: DataFrame,
+    k: int = 3,
+    max_len: int = 4,
+    term_col: str = "term",
+    df_col: str = "df",
+) -> DataFrame:
+    """Prefix→top-k completion index over the corpus vocabulary — the
+    distributed build for query autocompletion and for the crawl-side
+    keyword expansion the reference's search-engine feeders take as user
+    input (icrawler/builtin/google.py feeds literal keywords; this is
+    where suggested expansions come from at corpus scale).
+
+    Scale shape: bounded explode (≤ max_len prefixes per term), ONE
+    groupBy-free window partitioned by prefix ordered by (df desc, term) —
+    rank runs inside each prefix bucket, never globally. Returns (prefix,
+    term, df, rnk ≤ k).
+    """
+    t = F.col(term_col)
+    base = (vocab.filter(F.length(t) >= 1)
+            .select(t.alias("term"),
+                    F.col(df_col).cast("long").alias("df")))
+    # prefixes computed in a SECOND projection: generating them beside the
+    # 'term' alias trips Spark's lateral-column-alias resolution
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("term"), F.lit(int(max_len)))),
+        lambda i: F.substring(F.col("term"), F.lit(1), i))
+    ex = base.select("term", "df", F.explode(prefixes).alias("prefix"))
+    w = Window.partitionBy("prefix").orderBy(F.col("df").desc(), "term")
+    return (ex.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select("prefix", "term", "df", "rnk"))
+
+
+def prefix_topk_sql(vocab_sql: str, k: int = 3, max_len: int = 4) -> str:
+    """DuckDB mirror of :func:`prefix_topk` over a (term, df) SELECT."""
+    return f"""
+WITH v AS (SELECT term, CAST(df AS BIGINT) AS df FROM ({vocab_sql})
+           WHERE length(term) >= 1),
+ex AS (
+  SELECT term, df, unnest(list_transform(
+    generate_series(1, least(length(term), {int(max_len)})),
+    i -> substr(term, 1, i))) AS prefix
+  FROM v
+)
+SELECT prefix, term, df, rnk FROM (
+  SELECT prefix, term, df,
+    CAST(row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term) AS INT) AS rnk
+  FROM ex)
+WHERE rnk <= {int(k)}
+"""

@@ -854,3 +854,71 @@ SELECT url, CAST(len(l) AS BIGINT) AS n_headings,
   CASE WHEN len(l) > 0 THEN l[1] > 1 ELSE false END AS starts_below_h1
 FROM lv
 """.replace("{src}", pages_sql)
+
+
+def page_resources(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-page external-resource census: script/stylesheet/img tag counts
+    plus how many script sources point OFF-host — the render-budget input
+    for a fetch scheduler that considers rendering, and the tag-injection
+    tell (compromised pages load scripts from throwaway domains).
+
+    Everything is scan-stage regexp + array expressions: the host comes
+    from the page URL, script sources from one regexp_extract_all; the
+    off-host test is a per-element prefix check — no explode, no join.
+    Returns (url, n_scripts, n_css, n_imgs, n_ext_scripts).
+    """
+    body = F.col(body_col)
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    base = pages.select(F.col(url_col).alias("url"), body.alias("__b"),
+                        host.alias("__h"))
+    return base.select(
+        "url",
+        F.size(F.regexp_extract_all(
+            F.col("__b"), F.lit(r"(?i)<script[ \t>]"), F.lit(0)))
+        .cast("long").alias("n_scripts"),
+        F.size(F.regexp_extract_all(
+            F.col("__b"),
+            F.lit(r'(?i)<link[^>]*rel="stylesheet"'), F.lit(0)))
+        .cast("long").alias("n_css"),
+        F.size(F.regexp_extract_all(
+            F.col("__b"), F.lit(r"(?i)<img[ \t>]"), F.lit(0)))
+        .cast("long").alias("n_imgs"),
+        F.size(F.filter(
+            F.regexp_extract_all(F.col("__b"),
+                                 F.lit(r'(?i)<script[^>]*\bsrc="([^"]+)"'),
+                                 F.lit(1)),
+            lambda s: s.rlike("^https?://")
+            & ~s.startswith(F.concat(F.lit("http://"), F.col("__h")))
+            & ~s.startswith(F.concat(F.lit("https://"), F.col("__h")))))
+        .cast("long").alias("n_ext_scripts"))
+
+
+def page_resources_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`page_resources` over a (url, body)
+    SELECT."""
+    return r"""
+WITH base AS (
+  SELECT url, body,
+    regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1) AS h
+  FROM ({src})
+)
+SELECT url,
+  CAST(len(regexp_extract_all(body, '(?i)<script[ \t>]')) AS BIGINT)
+    AS n_scripts,
+  CAST(len(regexp_extract_all(body, '(?i)<link[^>]*rel="stylesheet"'))
+    AS BIGINT) AS n_css,
+  CAST(len(regexp_extract_all(body, '(?i)<img[ \t>]')) AS BIGINT)
+    AS n_imgs,
+  CAST(len(list_filter(
+    regexp_extract_all(body, '(?i)<script[^>]*\bsrc="([^"]+)"', 1),
+    s -> regexp_matches(s, '^https?://')
+         AND NOT starts_with(s, 'http://' || h)
+         AND NOT starts_with(s, 'https://' || h))) AS BIGINT)
+    AS n_ext_scripts
+FROM base
+""".replace("{src}", pages_sql)

@@ -1,0 +1,149 @@
+"""Unit tests for the round-40 pack: prefix completions, topic shifts,
+proper nouns, Bloom FP audit, page resources."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import proper_nouns, topic_shifts
+from icrawler_spark.operators.dedup import bloom_fp_audit
+from icrawler_spark.operators.search import prefix_topk
+from icrawler_spark.operators.warc import page_resources
+
+
+# ---------------------------------------------------------------------------
+# prefix_topk
+# ---------------------------------------------------------------------------
+
+def test_prefix_topk_ranking(spark):
+    vocab = spark.createDataFrame(
+        [("cat", 100), ("car", 50), ("cab", 10), ("can", 5)],
+        "term string, df long")
+    out = prefix_topk(vocab, k=3, max_len=2).collect()
+    ca = sorted([r for r in out if r["prefix"] == "ca"],
+                key=lambda r: r["rnk"])
+    assert [r["term"] for r in ca] == ["cat", "car", "cab"]
+    c = [r for r in out if r["prefix"] == "c"]
+    assert len(c) == 3                       # k-capped
+
+
+def test_prefix_topk_maxlen_bound(spark):
+    vocab = spark.createDataFrame([("abcdef", 1)], "term string, df long")
+    out = prefix_topk(vocab, k=1, max_len=3).collect()
+    assert sorted(r["prefix"] for r in out) == ["a", "ab", "abc"]
+
+
+def test_prefix_topk_tie_by_term(spark):
+    vocab = spark.createDataFrame([("b1", 5), ("b2", 5)],
+                                  "term string, df long")
+    out = {r["rnk"]: r["term"] for r in prefix_topk(vocab, k=2).collect()
+           if r["prefix"] == "b"}
+    assert out == {1: "b1", 2: "b2"}
+
+
+# ---------------------------------------------------------------------------
+# topic_shifts
+# ---------------------------------------------------------------------------
+
+def test_topic_shift_detected(spark):
+    a = "alpha beta gamma delta " * 5          # block 1 vocab
+    b = "omega sigma theta kappa " * 5         # block 2 vocab — disjoint
+    df = spark.createDataFrame([(1, a + b)], "doc_id long, text string")
+    r = topic_shifts(df, block=20, min_overlap_pct=10).collect()[0]
+    assert r["n_blocks"] == 2 and r["n_shifts"] == 1
+    assert r["shift_share"] == 1.0
+
+
+def test_topic_no_shift_same_vocab(spark):
+    df = spark.createDataFrame([(1, "word " * 60)], "doc_id long, text string")
+    r = topic_shifts(df, block=20, min_overlap_pct=10).collect()[0]
+    assert r["n_blocks"] == 3 and r["n_shifts"] == 0
+    assert r["shift_share"] == 0.0
+
+
+def test_topic_single_block_null_share(spark):
+    df = spark.createDataFrame([(1, "just a few words")],
+                               "doc_id long, text string")
+    r = topic_shifts(df, block=20).collect()[0]
+    assert r["n_blocks"] == 1 and r["shift_share"] is None
+
+
+# ---------------------------------------------------------------------------
+# proper_nouns
+# ---------------------------------------------------------------------------
+
+def test_proper_nouns_mined(spark):
+    df = spark.createDataFrame(
+        [(1, "I flew to New York. We like New York a lot."),
+         (2, "Meet in New York or Los Angeles."),
+         (3, "lowercase new york is ignored.")],
+        "doc_id long, text string")
+    out = {r["phrase"]: r for r in proper_nouns(df, min_df=2).collect()}
+    assert out["New York"]["df"] == 2 and out["New York"]["cf"] == 3
+    assert "Los Angeles" not in out          # df 1 < min_df
+
+
+def test_proper_nouns_needs_two_capitalized(spark):
+    df = spark.createDataFrame([(1, "Paris is nice. Paris is big.")],
+                               "doc_id long, text string")
+    assert proper_nouns(df, min_df=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom_fp_audit
+# ---------------------------------------------------------------------------
+
+def test_bloom_fp_python_differential(spark):
+    import hashlib
+    members = [f"http://m{i}.test" for i in range(200)]
+    probes = [f"http://p{i}.test" for i in range(200)]
+    m_bits, k, n_shards = 256, 4, 4
+
+    def hashes(u):
+        h = hashlib.md5(u.encode()).hexdigest()
+        h1, h2, sh = int(h[0:8], 16), int(h[8:14], 16), int(h[14:16], 16)
+        return sh % n_shards, [(h1 + i * (h2 * 2 + 1)) % m_bits
+                               for i in range(k)]
+
+    bitset = {}
+    for u in members:
+        sh, bs = hashes(u)
+        bitset.setdefault(sh, set()).update(bs)
+    expect = {}
+    for u in probes:
+        sh, bs = hashes(u)
+        n, fp = expect.get(sh, (0, 0))
+        expect[sh] = (n + 1, fp + (1 if set(bs) <= bitset.get(sh, set())
+                                   else 0))
+
+    mdf = spark.createDataFrame([(u,) for u in members], "url string")
+    pdf = spark.createDataFrame([(u,) for u in probes], "url string")
+    out = bloom_fp_audit(mdf, pdf, n_shards=n_shards, m_bits=m_bits,
+                         k=k).collect()
+    got = {r["shard"]: (r["n_probes"], r["n_fp"]) for r in out}
+    assert got == expect
+    assert any(fp > 0 for _, fp in expect.values())  # filter is saturated
+
+
+# ---------------------------------------------------------------------------
+# page_resources
+# ---------------------------------------------------------------------------
+
+def test_page_resources_counts(spark):
+    body = ('<script src="http://me.test/a.js"></script>'
+            '<SCRIPT src="https://cdn.other.test/x.js"></SCRIPT>'
+            '<script>inline()</script>'
+            '<link rel="stylesheet" href="s.css">'
+            '<img src="a.png"><img src="b.png">')
+    df = spark.createDataFrame([("http://me.test/p", body)],
+                               "url string, body string")
+    r = page_resources(df).collect()[0]
+    assert r["n_scripts"] == 3
+    assert r["n_css"] == 1 and r["n_imgs"] == 2
+    assert r["n_ext_scripts"] == 1           # only the cdn.other.test one
+
+
+def test_page_resources_relative_not_external(spark):
+    df = spark.createDataFrame(
+        [("http://h.test/", '<script src="/local.js"></script>')],
+        "url string, body string")
+    r = page_resources(df).collect()[0]
+    assert r["n_scripts"] == 1 and r["n_ext_scripts"] == 0
