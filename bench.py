@@ -269,6 +269,9 @@ _EXTRA_PICKS = [
     # round-3 batch-34 (completion + tiling + entities + bloom cal + render)
     "prefix_topk", "topic_shifts", "proper_nouns", "bloom_fp",
     "page_resources",
+    # round-3 batch-35 (lang routing + champions + click model + pr delta)
+    "host_lang_purity", "champion_lists", "position_bias", "pagerank_delta",
+    "query_reform",
 ]
 
 

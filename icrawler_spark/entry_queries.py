@@ -38,7 +38,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round34, entry_round35,
                             entry_round36, entry_round37,
                             entry_round38, entry_round39,
-                            entry_round40)
+                            entry_round40, entry_round41)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -845,6 +845,7 @@ def queries():
         **entry_round38.queries38(),
         **entry_round39.queries39(),
         **entry_round40.queries40(),
+        **entry_round41.queries41(),
     }
 
 
@@ -917,4 +918,5 @@ def oracle_sql():
         **entry_round38.oracle_sql38(),
         **entry_round39.oracle_sql39(),
         **entry_round40.oracle_sql40(),
+        **entry_round41.oracle_sql41(),
     }

@@ -1,0 +1,203 @@
+"""Round-3 driver-contract queries (batch 35): host language purity,
+champion lists, SERP position bias, pagerank deltas, query reformulations.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# host_lang_purity — per-host language composition
+# ---------------------------------------------------------------------------
+
+
+def _hl_pages(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 15).cast("string"))
+        .alias("host"),
+        F.col("lang"))
+
+
+_HL_PAGES_SQL = ("SELECT 'h' || (doc_id % 15) AS host, lang"
+                 " FROM documents")
+
+
+def q_host_lang_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.host_lang_purity: dominant language + entropy per
+    host — ONE groupBy(host, lang); dominant pick integer/string-exact."""
+    return _corpus.host_lang_purity(_hl_pages(spark, sf))
+
+
+def _host_lang_purity_sql() -> str:
+    return _corpus.host_lang_purity_sql(_HL_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# champion_lists — impact-ordered index prefixes
+# ---------------------------------------------------------------------------
+
+_CL_R = 5
+_CL_MIN_DF = 20
+
+
+def q_champion_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.champion_lists: top-r docs per term by tf — tf
+    from ONE groupBy(term, doc); rank window partitioned by term."""
+    return _search.champion_lists(_docs(spark, sf).select("doc_id", "text"),
+                                  r=_CL_R, min_df=_CL_MIN_DF)
+
+
+def _champion_lists_sql() -> str:
+    return _search.champion_lists_sql("SELECT doc_id, text FROM documents",
+                                      r=_CL_R, min_df=_CL_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# position_bias — SERP click-through by rank
+# ---------------------------------------------------------------------------
+
+
+def _pb_serp(spark, sf) -> DataFrame:
+    """Click probability decays with rank: (7e mod 100) < 30 − 2·rank."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    rank = (e % 10 + 1).cast("long")
+    clicked = ((e * 7) % 100) < (F.lit(30) - 2 * (e % 10))
+    return ev.select(rank.alias("rank"), clicked.alias("clicked"))
+
+
+_PB_SERP_SQL = """
+  SELECT CAST(event_id % 10 + 1 AS BIGINT) AS rank,
+         (event_id * 7) % 100 < 30 - 2 * (event_id % 10) AS clicked
+  FROM events
+"""
+
+
+def q_position_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.position_bias: CTR per rank + examination odds
+    vs rank 1 — ONE groupBy(rank), broadcast reference row, integer
+    cross-products."""
+    return _sessions.position_bias(_pb_serp(spark, sf))
+
+
+def _position_bias_sql() -> str:
+    return _sessions.position_bias_sql(_PB_SERP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_delta — rank impact of a link batch
+# ---------------------------------------------------------------------------
+
+_PD_N = 30
+
+
+def _pd_old(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id") % _PD_N
+    return ev.select(
+        u.cast("long").alias("src"),
+        ((u + F.col("event_id") % 5 + 1) % _PD_N).cast("long").alias("dst"))
+
+
+_PD_OLD_SQL = (f"SELECT CAST(user_id % {_PD_N} AS BIGINT) AS src, "
+               f"CAST(((user_id % {_PD_N}) + event_id % 5 + 1) % {_PD_N}"
+               " AS BIGINT) AS dst FROM events")
+
+
+def _pd_new(spark, sf) -> DataFrame:
+    """Every 10th event contributes a link into three NEW hub nodes
+    30..32."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return (ev.filter(e % 10 == 0)
+            .select((e % _PD_N).cast("long").alias("src"),
+                    (F.lit(_PD_N) + e % 3).cast("long").alias("dst")))
+
+
+_PD_NEW_SQL = (f"SELECT CAST(event_id % {_PD_N} AS BIGINT) AS src, "
+               f"CAST({_PD_N} + event_id % 3 AS BIGINT) AS dst "
+               "FROM events WHERE event_id % 10 = 0")
+
+
+def q_pagerank_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.pagerank_delta: two bounded power methods + one
+    full-outer node join; new hub nodes appear with NULL rank_before."""
+    return _graph.pagerank_delta(_pd_old(spark, sf), _pd_new(spark, sf))
+
+
+def _pagerank_delta_sql() -> str:
+    return _graph.pagerank_delta_sql(_PD_OLD_SQL, _PD_NEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# query_reform — token-sharing consecutive query pairs
+# ---------------------------------------------------------------------------
+
+_QR_MIN_N = 2
+
+
+def _qr_searches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    q = (F.when(e % 6 == 0, F.lit("cheap flights"))
+         .when(e % 6 == 1, F.lit("cheap flights paris"))
+         .when(e % 6 == 2, F.lit("hotel paris"))
+         .when(e % 6 == 3, F.lit("flights paris"))
+         .when(e % 6 == 4, F.lit("weather today"))
+         .otherwise(F.lit("paris weather")))
+    return ev.select(F.col("user_id"), e.alias("t"), q.alias("query"))
+
+
+_QR_SEARCHES_SQL = """
+  SELECT user_id, event_id AS t,
+    CASE event_id % 6
+      WHEN 0 THEN 'cheap flights'
+      WHEN 1 THEN 'cheap flights paris'
+      WHEN 2 THEN 'hotel paris'
+      WHEN 3 THEN 'flights paris'
+      WHEN 4 THEN 'weather today'
+      ELSE 'paris weather' END AS query
+  FROM events
+"""
+
+
+def q_query_reform(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.query_reform: consecutive same-user query pairs
+    gated on token overlap — one lag window + scan-stage arrays_overlap +
+    ONE pair groupBy."""
+    return _sessions.query_reform(_qr_searches(spark, sf), min_n=_QR_MIN_N)
+
+
+def _query_reform_sql() -> str:
+    return _sessions.query_reform_sql(_QR_SEARCHES_SQL, min_n=_QR_MIN_N)
+
+
+def queries41():
+    return {
+        "host_lang_purity": q_host_lang_purity,
+        "champion_lists": q_champion_lists,
+        "position_bias": q_position_bias,
+        "pagerank_delta": q_pagerank_delta,
+        "query_reform": q_query_reform,
+    }
+
+
+def oracle_sql41():
+    return {
+        "host_lang_purity": _host_lang_purity_sql(),
+        "champion_lists": _champion_lists_sql(),
+        "position_bias": _position_bias_sql(),
+        "pagerank_delta": _pagerank_delta_sql(),
+        "query_reform": _query_reform_sql(),
+    }

@@ -871,3 +871,67 @@ SELECT key, CAST(n AS BIGINT) AS n,
   END AS tmean
 FROM ranked GROUP BY key, n
 """
+
+
+def host_lang_purity(
+    pages: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host language-composition audit: dominant language and its
+    share, language count, and the language entropy — the crawl-side
+    routing signal (send the host to the right language pipeline) and the
+    contamination tell (a 'German' host suddenly 30% English is usually
+    scraped boilerplate or an MT spam farm).
+
+    Dominant language picks deterministically: highest count, then
+    smallest language code — an exact integer/string rule, no float
+    compare. Entropy is the only float, rounded 6 at the end.
+
+    Scale shape: ONE groupBy(host, lang) over the data, then host-keyed
+    aggregation of the tiny (host, lang) table; the dominant pick is a
+    broadcast-friendly self-join on (host, max count). Returns (host,
+    n_pages, n_langs, dom_lang, dom_share, lang_entropy).
+    """
+    per = (pages.select(F.col(host_col).alias("host"),
+                        F.col(lang_col).alias("lang"))
+           .groupBy("host", "lang")
+           .agg(F.count("*").cast("long").alias("c")))
+    tot = per.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.max("c").alias("__mx"))
+    j = per.join(tot, "host")
+    return (j.groupBy("host", "n_pages", "n_langs")
+            .agg(F.min(F.when(F.col("c") == F.col("__mx"), F.col("lang")))
+                 .alias("dom_lang"),
+                 F.max("__mx").alias("__m"),
+                 F.round(-F.sum((F.col("c") / F.col("n_pages"))
+                                * F.log(F.col("c") / F.col("n_pages"))), 6)
+                 .alias("lang_entropy"))
+            .select("host", "n_pages", "n_langs", "dom_lang",
+                    F.round(F.col("__m") / F.col("n_pages"), 6)
+                    .alias("dom_share"), "lang_entropy"))
+
+
+def host_lang_purity_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`host_lang_purity` over a (host, lang)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT host, lang, CAST(count(*) AS BIGINT) AS c
+  FROM ({pages_sql}) GROUP BY 1, 2
+),
+tot AS (
+  SELECT host, CAST(sum(c) AS BIGINT) AS n_pages,
+         CAST(count(*) AS BIGINT) AS n_langs, max(c) AS mx
+  FROM per GROUP BY 1
+)
+SELECT p.host, t.n_pages, t.n_langs,
+  min(CASE WHEN p.c = t.mx THEN p.lang END) AS dom_lang,
+  round(max(t.mx) / CAST(t.n_pages AS DOUBLE), 6) AS dom_share,
+  round(-sum((p.c / CAST(t.n_pages AS DOUBLE))
+             * ln(p.c / CAST(t.n_pages AS DOUBLE))), 6) AS lang_entropy
+FROM per p JOIN tot t USING (host)
+GROUP BY 1, 2, 3
+"""

@@ -1048,3 +1048,52 @@ SELECT n.node, coalesce(f.degree, 0) AS degree,
        f.degree IS NOT NULL AS in_core
 FROM nodes n LEFT JOIN fin f ON f.a = n.node""")
     return "".join(parts)
+
+
+def pagerank_delta(
+    edges_old: DataFrame,
+    edges_new: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank impact of a link-batch: pagerank over the old graph vs over
+    old ∪ new, per node — the crawl-ordering feedback loop ("did
+    yesterday's discoveries move any host's priority enough to reshuffle
+    the frontier?") without waiting for the next full recompute.
+
+    Both power methods share :func:`pagerank`'s bounded-iteration
+    envelope; the compare is ONE full-outer node join. A node absent from
+    a graph has NULL on that side (new nodes appear with rank_before
+    NULL). delta = rank_after − rank_before over the already-rounded
+    ranks, re-rounded 6 (engine-portable: both engines subtract the same
+    6-dp values).
+    """
+    before = pagerank(edges_old, n_iters=n_iters, damping=damping) \
+        .select(F.col("node"), F.col("rank").alias("rank_before"))
+    union = (edges_old.select("src", "dst")
+             .union(edges_new.select("src", "dst")))
+    after = pagerank(union, n_iters=n_iters, damping=damping) \
+        .select(F.col("node"), F.col("rank").alias("rank_after"))
+    return (before.join(after, "node", "full_outer")
+            .select("node", "rank_before", "rank_after",
+                    F.round(F.coalesce(F.col("rank_after"), F.lit(0.0))
+                            - F.coalesce(F.col("rank_before"), F.lit(0.0)),
+                            6).alias("delta")))
+
+
+def pagerank_delta_sql(old_cte: str, new_cte: str, n_iters: int = 3,
+                       damping: float = 0.85) -> str:
+    """DuckDB mirror of :func:`pagerank_delta`: two pagerank CTE chains
+    (one per graph) + a full-outer node join."""
+    pr_old = pagerank_sql(old_cte, n_iters=n_iters, damping=damping)
+    union_cte = f"SELECT src, dst FROM ({old_cte}) UNION ALL " \
+                f"SELECT src, dst FROM ({new_cte})"
+    pr_new = pagerank_sql(union_cte, n_iters=n_iters, damping=damping)
+    return f"""
+WITH before AS ({pr_old}),
+after AS ({pr_new})
+SELECT coalesce(b.node, a.node) AS node,
+  b.rank AS rank_before, a.rank AS rank_after,
+  round(coalesce(a.rank, 0.0) - coalesce(b.rank, 0.0), 6) AS delta
+FROM before b FULL OUTER JOIN after a ON a.node = b.node
+"""

@@ -1081,3 +1081,60 @@ SELECT prefix, term, df, rnk FROM (
   FROM ex)
 WHERE rnk <= {int(k)}
 """
+
+
+def champion_lists(
+    docs: DataFrame,
+    r: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Champion lists / impact-ordered index prefixes (Manning IIR §7,
+    public spec): for each term, the top-r documents by term frequency —
+    the static index-pruning structure that serves cheap top-k retrieval
+    without scanning full postings, and the natural companion to the
+    wand_bounds upper-bound table.
+
+    Scale shape: ONE groupBy(term, doc) for tf (the only pass over
+    tokens), a df filter on a tiny term agg, then a rank window
+    PARTITIONED BY TERM — never global. Returns (term, doc, tf, rnk ≤ r).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("doc"),
+                       F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = (toks.filter(F.length("term") >= 1)
+          .groupBy("term", "doc")
+          .agg(F.count("*").cast("long").alias("tf")))
+    keep = (tf.groupBy("term").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") >= min_df).select("term"))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc")
+    return (tf.join(keep, "term")
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= r)
+            .select("term", "doc", "tf", "rnk"))
+
+
+def champion_lists_sql(docs_sql: str, r: int = 5, min_df: int = 2) -> str:
+    """DuckDB mirror of :func:`champion_lists` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split({norm}, ' ')) AS term
+  FROM ({docs_sql})
+),
+tf AS (
+  SELECT term, doc, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) >= 1 GROUP BY 1, 2
+),
+keep AS (SELECT term FROM tf GROUP BY 1 HAVING count(*) >= {int(min_df)})
+SELECT term, doc, tf, rnk FROM (
+  SELECT tf.term, doc, tf,
+    CAST(row_number() OVER (PARTITION BY tf.term
+                            ORDER BY tf DESC, doc) AS INT) AS rnk
+  FROM tf JOIN keep USING (term))
+WHERE rnk <= {int(r)}
+"""

@@ -307,3 +307,114 @@ counts AS (SELECT {ns})""")
         for i in range(1, len(steps) + 1))
     parts.append("\n" + sel)
     return "".join(parts)
+
+
+def position_bias(
+    serp: DataFrame,
+    rank_col: str = "rank",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """SERP position-bias curve: click-through rate per result rank plus
+    the examination-odds ratio vs rank 1 (Craswell et al.'s click-model
+    baseline, public literature) — the correction table that turns raw
+    click counts into position-debiased relevance labels before they feed
+    ranking features like click_ctr.
+
+    Scale shape: ONE groupBy(rank) — the impression log never leaves its
+    aggregation; the rank-1 reference row is a broadcast. The odds ratio
+    is computed from integer counts (clicks_r·imp_1)/(imp_r·clicks_1) —
+    exact int products, one division. Returns (rank, n_impressions,
+    n_clicks, ctr, rel_ctr) rounded 6; rel_ctr NULL when rank 1 has no
+    clicks.
+    """
+    per = (serp.select(F.col(rank_col).cast("long").alias("rank"),
+                       F.col(click_col).cast("int").alias("__c"))
+           .groupBy("rank")
+           .agg(F.count("*").cast("long").alias("n_impressions"),
+                F.sum("__c").cast("long").alias("n_clicks")))
+    ref = (per.filter(F.col("rank") == 1)
+           .select(F.col("n_impressions").alias("__i1"),
+                   F.col("n_clicks").alias("__c1")))
+    return (per.crossJoin(F.broadcast(ref))
+            .select("rank", "n_impressions", "n_clicks",
+                    F.round(F.col("n_clicks") / F.col("n_impressions"), 6)
+                    .alias("ctr"),
+                    F.when(F.col("__c1") > 0,
+                           F.round((F.col("n_clicks") * F.col("__i1"))
+                                   / (F.col("n_impressions")
+                                      * F.col("__c1")).cast("double"), 6))
+                    .alias("rel_ctr")))
+
+
+def position_bias_sql(serp_sql: str) -> str:
+    """DuckDB mirror of :func:`position_bias` over a (rank, clicked)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(rank AS BIGINT) AS rank,
+         CAST(count(*) AS BIGINT) AS n_impressions,
+         CAST(sum(CAST(clicked AS INT)) AS BIGINT) AS n_clicks
+  FROM ({serp_sql}) GROUP BY 1
+),
+ref AS (SELECT n_impressions AS i1, n_clicks AS c1 FROM per WHERE rank = 1)
+SELECT rank, n_impressions, n_clicks,
+  round(n_clicks / CAST(n_impressions AS DOUBLE), 6) AS ctr,
+  CASE WHEN c1 > 0 THEN
+    round((n_clicks * i1) / CAST(n_impressions * c1 AS DOUBLE), 6)
+  END AS rel_ctr
+FROM per CROSS JOIN ref
+"""
+
+
+def query_reform(
+    searches: DataFrame,
+    min_n: int = 2,
+    user_col: str = "user_id",
+    t_col: str = "t",
+    query_col: str = "query",
+) -> DataFrame:
+    """Query-reformulation mining: consecutive query pairs within a user's
+    search stream that SHARE at least one token — the related-query /
+    "did you mean" candidate source (pure co-session pairs without the
+    token-overlap gate are dominated by topic changes, not
+    reformulations).
+
+    Scale shape: ONE user-partitioned lag window, the overlap gate as a
+    scan-stage arrays_overlap on pre-split token arrays, ONE groupBy on
+    the pair. Returns (prev_q, next_q, n ≥ min_n).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    w = Window.partitionBy("u").orderBy("t")
+    pairs = (searches.select(F.col(user_col).alias("u"),
+                             F.col(t_col).alias("t"),
+                             F.col(query_col).alias("q"))
+             .withColumn("prev_q", F.lag("q").over(w))
+             .filter(F.col("prev_q").isNotNull()
+                     & (F.col("prev_q") != F.col("q"))))
+    gated = pairs.filter(F.arrays_overlap(
+        tokens_col(F.col("prev_q")), tokens_col(F.col("q"))))
+    return (gated.groupBy(F.col("prev_q"), F.col("q").alias("next_q"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .filter(F.col("n") >= min_n))
+
+
+def query_reform_sql(searches_sql: str, min_n: int = 2) -> str:
+    """DuckDB mirror of :func:`query_reform` over a (user_id, t, query)
+    SELECT."""
+    tok = ("string_split(trim(regexp_replace(regexp_replace(lower({c}),"
+           " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+    return f"""
+WITH seq AS (
+  SELECT user_id, t, query AS q,
+         lag(query) OVER (PARTITION BY user_id ORDER BY t) AS prev_q
+  FROM ({searches_sql})
+),
+gated AS (
+  SELECT prev_q, q AS next_q FROM seq
+  WHERE prev_q IS NOT NULL AND prev_q <> q
+    AND list_has_any({tok.format(c='prev_q')}, {tok.format(c='q')})
+)
+SELECT prev_q, next_q, CAST(count(*) AS BIGINT) AS n
+FROM gated GROUP BY 1, 2 HAVING count(*) >= {int(min_n)}
+"""

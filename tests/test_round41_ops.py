@@ -1,0 +1,125 @@
+"""Unit tests for the round-41 pack: host language purity, champion lists,
+position bias, pagerank delta, query reformulations."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import host_lang_purity
+from icrawler_spark.operators.graph import pagerank_delta
+from icrawler_spark.operators.search import champion_lists
+from icrawler_spark.operators.sessions import position_bias, query_reform
+
+
+# ---------------------------------------------------------------------------
+# host_lang_purity
+# ---------------------------------------------------------------------------
+
+def test_lang_purity_dominant_and_entropy(spark):
+    rows = [("h", "de")] * 6 + [("h", "en")] * 2 + [("h", "fr")] * 2
+    df = spark.createDataFrame(rows, "host string, lang string")
+    r = host_lang_purity(df).collect()[0]
+    assert r["n_pages"] == 10 and r["n_langs"] == 3
+    assert r["dom_lang"] == "de" and r["dom_share"] == 0.6
+    ent = -(0.6 * math.log(0.6) + 0.2 * math.log(0.2) * 2)
+    assert r["lang_entropy"] == round(ent, 6)
+
+
+def test_lang_purity_tie_breaks_lexicographically(spark):
+    rows = [("h", "en")] * 3 + [("h", "de")] * 3
+    df = spark.createDataFrame(rows, "host string, lang string")
+    r = host_lang_purity(df).collect()[0]
+    assert r["dom_lang"] == "de"
+
+
+def test_lang_purity_single_lang_zero_entropy(spark):
+    df = spark.createDataFrame([("h", "en")] * 5, "host string, lang string")
+    r = host_lang_purity(df).collect()[0]
+    assert r["lang_entropy"] == 0.0 and r["dom_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# champion_lists
+# ---------------------------------------------------------------------------
+
+def test_champion_lists_top_r_by_tf(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple"), (2, "apple apple"), (3, "apple"),
+         (4, "apple banana"), (5, "banana banana")],
+        "doc_id long, text string")
+    out = champion_lists(docs, r=2, min_df=2).collect()
+    apple = sorted([r for r in out if r["term"] == "apple"],
+                   key=lambda r: r["rnk"])
+    assert [(r["doc"], r["tf"]) for r in apple] == [(1, 3), (2, 2)]
+    banana = [r for r in out if r["term"] == "banana"]
+    assert banana[0]["doc"] == 5              # tf 2 beats tf 1
+
+
+def test_champion_lists_min_df(spark):
+    docs = spark.createDataFrame([(1, "unique words here")],
+                                 "doc_id long, text string")
+    assert champion_lists(docs, r=3, min_df=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# position_bias
+# ---------------------------------------------------------------------------
+
+def test_position_bias_curve(spark):
+    rows = [(1, True)] * 30 + [(1, False)] * 70
+    rows += [(2, True)] * 15 + [(2, False)] * 85
+    df = spark.createDataFrame(rows, "rank long, clicked boolean")
+    out = {r["rank"]: r for r in position_bias(df).collect()}
+    assert out[1]["ctr"] == 0.3 and out[2]["ctr"] == 0.15
+    assert out[1]["rel_ctr"] == 1.0
+    assert out[2]["rel_ctr"] == 0.5
+
+
+def test_position_bias_no_rank1_clicks(spark):
+    df = spark.createDataFrame([(1, False), (2, True)],
+                               "rank long, clicked boolean")
+    out = {r["rank"]: r["rel_ctr"] for r in position_bias(df).collect()}
+    assert out[1] is None and out[2] is None
+
+
+# ---------------------------------------------------------------------------
+# pagerank_delta
+# ---------------------------------------------------------------------------
+
+def test_pagerank_delta_new_node_and_shift(spark):
+    old = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (3, 1)],
+                                "src long, dst long")
+    new = spark.createDataFrame([(1, 9), (2, 9)], "src long, dst long")
+    out = {r["node"]: r for r in pagerank_delta(old, new).collect()}
+    assert out[9]["rank_before"] is None and out[9]["rank_after"] > 0
+    assert out[9]["delta"] == out[9]["rank_after"]
+    # mass moved toward 9 → someone else lost rank
+    assert any(r["delta"] < 0 for r in out.values())
+
+
+def test_pagerank_delta_empty_batch_zero_deltas(spark):
+    old = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    new = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_delta(old, new).collect()
+    assert all(r["delta"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# query_reform
+# ---------------------------------------------------------------------------
+
+def test_query_reform_requires_token_overlap(spark):
+    rows = [(1, 1, "cheap flights"), (1, 2, "cheap flights paris"),
+            (1, 3, "weather today"),              # no overlap with prev
+            (2, 1, "cheap flights"), (2, 2, "cheap flights paris")]
+    df = spark.createDataFrame(rows, "user_id long, t long, query string")
+    out = {(r["prev_q"], r["next_q"]): r["n"] for r in
+           query_reform(df, min_n=2).collect()}
+    assert out == {("cheap flights", "cheap flights paris"): 2}
+
+
+def test_query_reform_identical_queries_skipped(spark):
+    rows = [(1, 1, "same query"), (1, 2, "same query"),
+            (2, 1, "same query"), (2, 2, "same query")]
+    df = spark.createDataFrame(rows, "user_id long, t long, query string")
+    assert query_reform(df, min_n=1).count() == 0
