@@ -272,6 +272,9 @@ _EXTRA_PICKS = [
     # round-3 batch-35 (lang routing + champions + click model + pr delta)
     "host_lang_purity", "champion_lists", "position_bias", "pagerank_delta",
     "query_reform",
+    # round-3 batch-36 (stopwords + change diff + j-hist + pq QA + bowtie)
+    "stopword_list", "change_magnitude", "jaccard_hist", "pq_error",
+    "bowtie",
 ]
 
 

@@ -38,7 +38,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round34, entry_round35,
                             entry_round36, entry_round37,
                             entry_round38, entry_round39,
-                            entry_round40, entry_round41)
+                            entry_round40, entry_round41,
+                            entry_round42)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -846,6 +847,7 @@ def queries():
         **entry_round39.queries39(),
         **entry_round40.queries40(),
         **entry_round41.queries41(),
+        **entry_round42.queries42(),
     }
 
 
@@ -919,4 +921,5 @@ def oracle_sql():
         **entry_round39.oracle_sql39(),
         **entry_round40.oracle_sql40(),
         **entry_round41.oracle_sql41(),
+        **entry_round42.oracle_sql42(),
     }

@@ -1,0 +1,207 @@
+"""Round-3 driver-contract queries (batch 36): stopword generation, change
+magnitude, Jaccard histogram, PQ subspace error, bow-tie decomposition.
+
+Fixtures derive deterministically from documents/events/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import similarity as _similarity
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# stopword_list — corpus-specific stopwords by coverage target
+# ---------------------------------------------------------------------------
+
+_SW_PCT = 25
+
+
+def _sw_tokens(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+
+
+_SW_TOKENS_SQL = (f"SELECT unnest({_TOK_SQL}) AS term FROM documents")
+
+
+def q_stopword_list(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.stopword_list: smallest cf-prefix covering 25%
+    of token mass — integer-exact membership; rank window over the
+    vocabulary table only."""
+    return _curation.stopword_list(_sw_tokens(spark, sf),
+                                   coverage_pct=_SW_PCT)
+
+
+def _stopword_list_sql() -> str:
+    return _curation.stopword_list_sql(_SW_TOKENS_SQL,
+                                       coverage_pct=_SW_PCT)
+
+
+# ---------------------------------------------------------------------------
+# change_magnitude — token-level snapshot diff per doc
+# ---------------------------------------------------------------------------
+
+
+def _cm_old(spark, sf) -> DataFrame:
+    return _docs(spark, sf).select("doc_id", "text")
+
+
+def _cm_new(spark, sf) -> DataFrame:
+    """New snapshot: every 3rd doc gets an appended ad block, every 10th
+    is fully replaced, every 7th disappears."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = (F.when(doc_id % 10 == 0,
+                   F.lit("entirely new content after rewrite"))
+            .when(doc_id % 3 == 0,
+                  F.concat(F.col("text"),
+                           F.lit(" sponsored advert block here")))
+            .otherwise(F.col("text")))
+    return d.filter(doc_id % 7 != 0).select("doc_id", text.alias("text"))
+
+
+_CM_OLD_SQL = "SELECT doc_id, text FROM documents"
+_CM_NEW_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0 THEN 'entirely new content after rewrite'
+         WHEN doc_id % 3 = 0 THEN text || ' sponsored advert block here'
+         ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
+def q_change_magnitude(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.change_magnitude: multiset token diff per doc —
+    ONE groupBy(id, term) over the side-flagged union + ONE groupBy(id);
+    exact BIGINT sums."""
+    return _recrawl.change_magnitude(_cm_old(spark, sf), _cm_new(spark, sf))
+
+
+def _change_magnitude_sql() -> str:
+    return _recrawl.change_magnitude_sql(_CM_OLD_SQL, _CM_NEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_hist — similarity histogram for threshold tuning
+# ---------------------------------------------------------------------------
+
+_JH_N = 3
+_JH_MAXFREQ = 50
+
+
+def q_jaccard_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.jaccard_histogram: exact-integer-binned Jaccard
+    distribution over shingle-sharing pairs, stop-shingle-pruned."""
+    return _docdedup.jaccard_histogram(
+        _docs(spark, sf), n=_JH_N, max_shingle_freq=_JH_MAXFREQ)
+
+
+def _jaccard_hist_sql() -> str:
+    return _docdedup.jaccard_histogram_sql(
+        "SELECT doc_id, text FROM documents", n=_JH_N,
+        max_shingle_freq=_JH_MAXFREQ)
+
+
+# ---------------------------------------------------------------------------
+# pq_error — per-subspace quantization quality
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_pq_error(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.pq_subspace_error: mse/max/codes-used per PQ
+    subspace over the same codebooks pq_quantize ships."""
+    return _similarity.pq_subspace_error(_emb(spark, sf))
+
+
+def _pq_error_sql() -> str:
+    return _similarity.pq_subspace_error_sql()
+
+
+# ---------------------------------------------------------------------------
+# bowtie — bounded bow-tie decomposition around a seed host
+# ---------------------------------------------------------------------------
+
+_BT_N = 50
+_BT_SEED = 0
+_BT_DEPTH = 3
+
+
+def _bt_edges(spark, sf) -> DataFrame:
+    """A directed structure with genuine IN/OUT/CORE/OTHER mass: nodes
+    0..19 form a forward-linked band (core-ish), 20..34 only point INTO
+    the band, 35..44 are only pointed TO, 45..49 sit in a separate
+    cycle."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    n = e % _BT_N
+    src = n.cast("long")
+    dst = (F.when(n < 20, (n + 1 + e % 3) % 20)
+           .when(n < 35, e % 20)
+           .when(n < 45, F.lit(45) + e % 5)
+           .otherwise(F.lit(45) + (n - 44) % 5))
+    return ev.select(
+        src.alias("src"),
+        F.when(n.between(35, 44), F.lit(35) + e % 10)
+        .otherwise(dst).cast("long").alias("dst"))
+
+
+_BT_EDGES_SQL = f"""
+  SELECT CAST(event_id % {_BT_N} AS BIGINT) AS src,
+    CAST(CASE
+      WHEN event_id % {_BT_N} BETWEEN 35 AND 44
+        THEN 35 + event_id % 10
+      WHEN event_id % {_BT_N} < 20
+        THEN ((event_id % {_BT_N}) + 1 + event_id % 3) % 20
+      WHEN event_id % {_BT_N} < 35 THEN event_id % 20
+      WHEN event_id % {_BT_N} < 45 THEN 45 + event_id % 5
+      ELSE 45 + ((event_id % {_BT_N}) - 44) % 5
+    END AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_bowtie(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.bowtie_classes: forward+backward bounded BFS from
+    the seed, CORE/IN/OUT/OTHER per node — every level one equi-join,
+    pinned."""
+    return _graph.bowtie_classes(_bt_edges(spark, sf), seed=_BT_SEED,
+                                 depth=_BT_DEPTH)
+
+
+def _bowtie_sql() -> str:
+    return _graph.bowtie_classes_sql(_BT_EDGES_SQL, seed=_BT_SEED,
+                                     depth=_BT_DEPTH)
+
+
+def queries42():
+    return {
+        "stopword_list": q_stopword_list,
+        "change_magnitude": q_change_magnitude,
+        "jaccard_hist": q_jaccard_hist,
+        "pq_error": q_pq_error,
+        "bowtie": q_bowtie,
+    }
+
+
+def oracle_sql42():
+    return {
+        "stopword_list": _stopword_list_sql(),
+        "change_magnitude": _change_magnitude_sql(),
+        "jaccard_hist": _jaccard_hist_sql(),
+        "pq_error": _pq_error_sql(),
+        "bowtie": _bowtie_sql(),
+    }

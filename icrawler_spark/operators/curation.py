@@ -1809,3 +1809,58 @@ SELECT phrase, CAST(count(*) AS BIGINT) AS cf,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM ph GROUP BY 1 HAVING count(DISTINCT doc_id) >= {int(min_df)}
 """
+
+
+def stopword_list(
+    tokens: DataFrame,
+    coverage_pct: int = 40,
+    term_col: str = "term",
+) -> DataFrame:
+    """Frequency-based stopword list with a token-mass coverage target
+    (Luhn's cut, public IR lore): the smallest prefix of the cf-sorted
+    vocabulary whose cumulative collection frequency covers
+    ``coverage_pct`` percent of all tokens — the corpus-specific stopword
+    generator that beats any fixed English list on crawled multi-domain
+    text (every corpus has its own 'click', 'cookie', 'javascript').
+
+    Membership is integer-exact: a term enters while 100·(cum − cf) <
+    pct·total (strictly-before-threshold mass). The rank window is global
+    but runs over the VOCABULARY table (orders below the log — the
+    host_gini convention). Returns (term, cf, cum_cf, rnk) for list
+    members only.
+    """
+    vocab = (tokens.select(F.col(term_col).alias("term"))
+             .filter(F.length("term") >= 1)
+             .groupBy("term").agg(F.count("*").cast("long").alias("cf")))
+    tot = vocab.agg(F.sum("cf").cast("long").alias("__t"))
+    w = (Window.orderBy(F.col("cf").desc(), "term")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (vocab
+              .withColumn("cum_cf", F.sum("cf").over(w).cast("long"))
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.col("cf").desc(), "term")).cast("long")))
+    return (ranked.crossJoin(F.broadcast(tot))
+            .filter(F.lit(100) * (F.col("cum_cf") - F.col("cf"))
+                    < F.lit(int(coverage_pct)) * F.col("__t"))
+            .select("term", "cf", "cum_cf", "rnk"))
+
+
+def stopword_list_sql(tokens_sql: str, coverage_pct: int = 40) -> str:
+    """DuckDB mirror of :func:`stopword_list` over a (term) SELECT."""
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM ({tokens_sql}) WHERE length(term) >= 1 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM vocab),
+ranked AS (
+  SELECT term, cf,
+    CAST(sum(cf) OVER (ORDER BY cf DESC, term
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cf,
+    CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rnk
+  FROM vocab
+)
+SELECT term, cf, cum_cf, rnk
+FROM ranked CROSS JOIN tot
+WHERE 100 * (cum_cf - cf) < {int(coverage_pct)} * t
+"""

@@ -543,3 +543,101 @@ SELECT ids.id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches,
        m.dup_of IS NULL AS is_novel
 FROM ids LEFT JOIN m ON m.id = ids.id
 """
+
+
+def jaccard_histogram(
+    df: DataFrame,
+    n: int = 5,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Similarity histogram for dedup-threshold tuning: the distribution of
+    exact n-gram Jaccard over all shingle-sharing pairs, binned — the
+    methodological step before picking 0.7 vs 0.8: a bimodal histogram
+    (boilerplate mass near 1.0, topical noise near 0.1) makes the threshold
+    obvious; a flat one says the shingle width is wrong.
+
+    Binning is EXACT integer arithmetic: bin = (n_bins·common) // union —
+    no float Jaccard ever crosses an engine boundary; a pair lands in
+    bin n_bins only at exact duplicates (j = 1.0).
+
+    Scale shape: the same shingle equi-join as ngram_jaccard_pairs (with
+    the same stop-shingle pruning knob), then ONE groupBy(bin) — output is
+    ≤ n_bins+1 rows. Returns (bin, lo, hi, n_pairs).
+    """
+    sh = shingle_rows(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("f")) \
+                    .filter(F.col("f") <= max_shingle_freq).select("shingle")
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    j = (common
+         .join(sizes.select(F.col("id").alias("id_a"),
+                            F.col("n_sh").alias("na")), "id_a")
+         .join(sizes.select(F.col("id").alias("id_b"),
+                            F.col("n_sh").alias("nb")), "id_b")
+         .withColumn("__u", F.col("na") + F.col("nb") - F.col("common"))
+         .withColumn("bin", (F.lit(int(n_bins)) * F.col("common")
+                             / F.col("__u")).cast("long")))
+    return (j.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .select("bin",
+                    F.round(F.col("bin") / F.lit(float(n_bins)), 6)
+                    .alias("lo"),
+                    F.round((F.col("bin") + 1) / F.lit(float(n_bins)), 6)
+                    .alias("hi"), "n_pairs"))
+
+
+def jaccard_histogram_sql(docs_sql: str, n: int = 5, n_bins: int = 10,
+                          max_shingle_freq: int | None = None) -> str:
+    """DuckDB mirror of :func:`jaccard_histogram` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    prune = ""
+    src = "sh"
+    if max_shingle_freq is not None:
+        prune = f""",
+shp AS (
+  SELECT sh.* FROM sh JOIN (
+    SELECT shingle FROM sh GROUP BY 1
+    HAVING count(*) <= {max_shingle_freq}) ok USING (shingle)
+)"""
+        src = "shp"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toks)
+  WHERE len(l) >= {n}
+){prune},
+sizes AS (SELECT id, count(*) AS n_sh FROM {src} GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM {src} a JOIN {src} b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+binned AS (
+  SELECT ({int(n_bins)} * common)
+         // (sa.n_sh + sb.n_sh - common) AS bin
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  round(bin / CAST({int(n_bins)} AS DOUBLE), 6) AS lo,
+  round((bin + 1) / CAST({int(n_bins)} AS DOUBLE), 6) AS hi,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin
+"""

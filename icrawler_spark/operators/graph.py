@@ -1097,3 +1097,87 @@ SELECT coalesce(b.node, a.node) AS node,
   round(coalesce(a.rank, 0.0) - coalesce(b.rank, 0.0), 6) AS delta
 FROM before b FULL OUTER JOIN after a ON a.node = b.node
 """
+
+
+def bowtie_classes(
+    edges: DataFrame,
+    seed,
+    depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded bow-tie decomposition around a seed (Broder et al. WWW 2000,
+    public spec): classify every node by whether the seed REACHES it
+    (forward BFS over out-edges) and whether it REACHES THE SEED (backward
+    BFS) within ``depth`` hops — CORE (both), IN (reaches seed only), OUT
+    (reached only), OTHER (neither, within the horizon). The macroscopic
+    web-shape audit that tells a crawl operator whether their seed sits in
+    the SCC or in a tendril it can never escape.
+
+    Scale shape: 2·depth frontier expansions, each ONE equi-join on the
+    node id + distinct, every level pinned (localCheckpoint, the BFS
+    convention from hop_distribution). Returns (node, fwd, bwd, cls).
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    spark = edges.sparkSession
+
+    def reach(edges_kv: DataFrame) -> DataFrame:
+        cur = spark.createDataFrame([(seed,)], ["node"]) \
+            .select(F.col("node").cast("long"))
+        for _ in range(depth):
+            nxt = (edges_kv.join(cur.withColumnRenamed("node", "src"),
+                                 "src")
+                   .select(F.col("dst").alias("node")))
+            cur = cur.union(nxt).distinct().localCheckpoint(eager=False)
+        return cur
+
+    fwd = reach(e).withColumn("__f", F.lit(1))
+    bwd = reach(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))) \
+        .withColumn("__b", F.lit(1))
+    j = (nodes.join(fwd, "node", "left").join(bwd, "node", "left")
+         .select("node", F.col("__f").isNotNull().alias("fwd"),
+                 F.col("__b").isNotNull().alias("bwd")))
+    cls = (F.when(F.col("fwd") & F.col("bwd"), F.lit("CORE"))
+           .when(F.col("bwd"), F.lit("IN"))
+           .when(F.col("fwd"), F.lit("OUT"))
+           .otherwise(F.lit("OTHER")))
+    return j.select("node", "fwd", "bwd", cls.alias("cls"))
+
+
+def bowtie_classes_sql(edges_cte: str, seed, depth: int = 4) -> str:
+    """DuckDB mirror of :func:`bowtie_classes`: unrolled BFS CTE chains in
+    both directions."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+f0 AS (SELECT CAST({seed} AS BIGINT) AS node),
+b0 AS (SELECT CAST({seed} AS BIGINT) AS node)"""]
+    for i in range(depth):
+        parts.append(f""",
+f{i + 1} AS (
+  SELECT node FROM f{i}
+  UNION
+  SELECT e.dst AS node FROM e JOIN f{i} r ON r.node = e.src
+),
+b{i + 1} AS (
+  SELECT node FROM b{i}
+  UNION
+  SELECT e.src AS node FROM e JOIN b{i} r ON r.node = e.dst
+)""")
+    parts.append(f"""
+SELECT n.node,
+  f.node IS NOT NULL AS fwd, b.node IS NOT NULL AS bwd,
+  CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'CORE'
+       WHEN b.node IS NOT NULL THEN 'IN'
+       WHEN f.node IS NOT NULL THEN 'OUT'
+       ELSE 'OTHER' END AS cls
+FROM nodes n
+LEFT JOIN f{depth} f ON f.node = n.node
+LEFT JOIN b{depth} b ON b.node = n.node""")
+    return "".join(parts)

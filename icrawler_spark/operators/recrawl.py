@@ -476,3 +476,76 @@ SELECT na, nb,
 FROM j JOIN best ON j.dnum = best.m
 GROUP BY na, nb, m
 """
+
+
+def change_magnitude(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level change magnitude between two snapshots of the same
+    pages: |multiset difference| / (|old| + |new|) per document — the
+    graded refresh signal between 'hash changed' (too coarse: a rotated
+    timestamp flips it) and byte diffing (too expensive): ad rotation
+    scores near 0, a rewritten article near 1, and the recrawl scheduler
+    prioritizes by the magnitude, not the flip.
+
+    change_share is a ratio of exact BIGINT sums (Σ|ca−cb| over
+    Σca+Σcb), rounded once. Docs present in only one snapshot score 1.0
+    by construction (the entire mass differs).
+
+    Scale shape: ONE groupBy(id, term) over the union token stream
+    (side-flagged, conditional sums — each snapshot scanned once), then
+    ONE groupBy(id).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    def side(df, flag):
+        return (df.select(F.col(id_col).alias("id"),
+                          F.explode(tokens_col(F.col(text_col)))
+                          .alias("term"))
+                .filter(F.length("term") >= 1)
+                .withColumn("__new", F.lit(flag)))
+
+    u = side(old, 0).union(side(new, 1))
+    per = u.groupBy("id", "term").agg(
+        F.sum(F.when(F.col("__new") == 0, 1).otherwise(0)).cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("__new") == 1, 1).otherwise(0)).cast("long")
+        .alias("cb"))
+    return (per.groupBy("id").agg(
+        F.sum("ca").cast("long").alias("n_old_tokens"),
+        F.sum("cb").cast("long").alias("n_new_tokens"),
+        F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long")
+        .alias("changed_tokens"))
+        .withColumn("change_share",
+                    F.round(F.col("changed_tokens")
+                            / (F.col("n_old_tokens")
+                               + F.col("n_new_tokens")), 6)))
+
+
+def change_magnitude_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB mirror of :func:`change_magnitude` over two (doc_id, text)
+    SELECTs."""
+    tok = ("string_split(trim(regexp_replace(regexp_replace(lower(text),"
+           " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+    return f"""
+WITH u AS (
+  SELECT doc_id AS id, unnest({tok}) AS term, 0 AS nw FROM ({old_sql})
+  UNION ALL
+  SELECT doc_id AS id, unnest({tok}) AS term, 1 AS nw FROM ({new_sql})
+),
+per AS (
+  SELECT id, term,
+    CAST(sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN nw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM u WHERE length(term) >= 1 GROUP BY 1, 2
+)
+SELECT id, CAST(sum(ca) AS BIGINT) AS n_old_tokens,
+  CAST(sum(cb) AS BIGINT) AS n_new_tokens,
+  CAST(sum(abs(ca - cb)) AS BIGINT) AS changed_tokens,
+  round(sum(abs(ca - cb)) / CAST(sum(ca) + sum(cb) AS DOUBLE), 6)
+    AS change_share
+FROM per GROUP BY 1
+"""

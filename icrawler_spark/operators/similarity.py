@@ -786,3 +786,49 @@ SELECT a.lbl AS label_a, b.lbl AS label_b,
 FROM per a JOIN per b ON a.pos = b.pos AND a.lbl < b.lbl
 GROUP BY 1, 2
 """
+
+
+def pq_subspace_error(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ quantization-quality report per subspace: assigned-cell count,
+    distinct codes actually used, mean and max squared reconstruction
+    error — the dial that says whether m/k are adequate BEFORE the codes
+    feed ADC search (a subspace using 3 of its 8 codes, or with mse an
+    order above its peers, is where recall dies first; Jégou et al. §V
+    tunes exactly these).
+
+    Reuses :func:`pq_codebooks` + :func:`_pq_assign` (identical seeding,
+    one Lloyd step, argmin ties) so the report describes the SAME codes
+    pq_quantize/adc_topk ship. Output is m rows: (s, n, codes_used, mse,
+    max_d2) rounded 6.
+    """
+    books, subs = pq_codebooks(emb, m=m, k=k, id_col=id_col,
+                               vec_col=vec_col)
+    a1 = _pq_assign(subs, books)
+    return (a1.groupBy("s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("code").cast("long").alias("codes_used"),
+        F.round(F.avg("d2"), 6).alias("mse"),
+        F.round(F.max("d2"), 6).alias("max_d2"))
+        .select(F.col("s").cast("int").alias("s"), "n", "codes_used",
+                "mse", "max_d2"))
+
+
+def pq_subspace_error_sql(m: int = 4, k: int = 8, dim: int = 64,
+                          table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`pq_subspace_error`: the pq_quantize_sql CTE
+    chain with the final per-vector select swapped for a per-subspace
+    aggregate."""
+    base = pq_quantize_sql(m=m, k=k, dim=dim, table=table)
+    cut = base.index("SELECT vid AS vec_id")
+    return base[:cut] + """SELECT CAST(s AS INT) AS s,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+  round(avg(d2), 6) AS mse, round(max(d2), 6) AS max_d2
+FROM a1 GROUP BY 1
+"""

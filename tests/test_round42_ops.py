@@ -1,0 +1,137 @@
+"""Unit tests for the round-42 pack: stopword generation, change magnitude,
+Jaccard histogram, PQ subspace error, bow-tie classes."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import stopword_list
+from icrawler_spark.operators.docdedup import jaccard_histogram
+from icrawler_spark.operators.graph import bowtie_classes
+from icrawler_spark.operators.recrawl import change_magnitude
+from icrawler_spark.operators.similarity import pq_subspace_error
+
+
+# ---------------------------------------------------------------------------
+# stopword_list
+# ---------------------------------------------------------------------------
+
+def test_stopword_coverage_cut(spark):
+    # cf: the=50, of=30, cat=15, dog=5 → total 100
+    rows = [("the",)] * 50 + [("of",)] * 30 + [("cat",)] * 15 + [("dog",)] * 5
+    df = spark.createDataFrame(rows, "term string")
+    # 40%: 'the' enters (0 < 40), 'of' does NOT (cum_before 50 >= 40)
+    out = [r["term"] for r in stopword_list(df, coverage_pct=40).collect()]
+    assert out == ["the"]
+    # 60%: 'of' enters (50 < 60), 'cat' does not (80 >= 60)
+    out = {r["term"] for r in stopword_list(df, coverage_pct=60).collect()}
+    assert out == {"the", "of"}
+
+
+def test_stopword_rank_and_cum(spark):
+    rows = [("a",)] * 10 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "term string")
+    out = {r["term"]: r for r in stopword_list(df, coverage_pct=99)
+           .collect()}
+    assert out["a"]["rnk"] == 1 and out["b"]["rnk"] == 2   # tie → lexicographic
+    assert out["b"]["cum_cf"] == 20
+
+
+# ---------------------------------------------------------------------------
+# change_magnitude
+# ---------------------------------------------------------------------------
+
+def test_change_magnitude_grades(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three"),
+         (3, "gone page")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # 1 token added
+         (2, "completely different now")],        # full rewrite
+        "doc_id long, text string")
+    out = {r["id"]: r for r in change_magnitude(old, new).collect()}
+    assert out[1]["changed_tokens"] == 1
+    assert out[1]["change_share"] == round(1 / 9, 6)
+    assert out[2]["change_share"] == 1.0
+    assert out[3]["change_share"] == 1.0     # present only in old
+
+
+def test_change_magnitude_identical_zero(spark):
+    d = spark.createDataFrame([(1, "same text here")],
+                              "doc_id long, text string")
+    r = change_magnitude(d, d).collect()[0]
+    assert r["change_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# jaccard_histogram
+# ---------------------------------------------------------------------------
+
+def test_jaccard_hist_exact_bins(spark):
+    # docs 1,2 identical (j=1 → bin 10); docs 3,4 share half their
+    # shingles
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"),
+         (3, "p q r s t u"), (4, "p q r s x y")],
+        "doc_id long, text string")
+    out = {r["bin"]: r for r in jaccard_histogram(df, n=2).collect()}
+    assert out[10]["n_pairs"] == 1
+    # pair (3,4): shingles of 5 each, common = 3 ('p q','q r','r s')
+    # union = 7 → bin (10*3)//7 = 4
+    assert out[4]["n_pairs"] == 1
+    assert out[4]["lo"] == 0.4 and out[4]["hi"] == 0.5
+
+
+def test_jaccard_hist_no_shared_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "x y z")],
+                               "doc_id long, text string")
+    assert jaccard_histogram(df, n=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pq_subspace_error
+# ---------------------------------------------------------------------------
+
+def test_pq_error_rows_and_bounds(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["s"]: r for r in
+           pq_subspace_error(df, m=4, k=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r["n"] == 64
+        assert 1 <= r["codes_used"] <= 4
+        assert 0 <= r["mse"] <= r["max_d2"]
+
+
+def test_pq_error_zero_for_degenerate(spark):
+    # all vectors identical → reconstruction exact after the Lloyd step
+    rows = [(i, [1.0] * 8) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_subspace_error(df, m=2, k=2).collect()
+    assert all(r["mse"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# bowtie_classes
+# ---------------------------------------------------------------------------
+
+def test_bowtie_textbook_shape(spark):
+    # IN: 10 → seed; CORE: 0↔1↔2 cycle; OUT: 2 → 20; OTHER: 30 → 31
+    edges = [(10, 0), (0, 1), (1, 2), (2, 0), (2, 20), (30, 31)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["cls"] for r in
+           bowtie_classes(df, seed=0, depth=4).collect()}
+    assert out[0] == "CORE" and out[1] == "CORE" and out[2] == "CORE"
+    assert out[10] == "IN"
+    assert out[20] == "OUT"
+    assert out[30] == "OTHER" and out[31] == "OTHER"
+
+
+def test_bowtie_depth_bound(spark):
+    # chain 0→1→2→3: depth 1 reaches only node 1
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = {r["node"]: r["cls"] for r in
+           bowtie_classes(df, seed=0, depth=1).collect()}
+    assert out[1] == "OUT" and out[2] == "OTHER"
