@@ -275,6 +275,9 @@ _EXTRA_PICKS = [
     # round-3 batch-36 (stopwords + change diff + j-hist + pq QA + bowtie)
     "stopword_list", "change_magnitude", "jaccard_hist", "pq_error",
     "bowtie",
+    # round-3 batch-37 (sampling QA + LSH load + gaps + dict + diversity)
+    "sample_skew", "lsh_skew", "interarrival", "frontcode",
+    "serp_diversity",
 ]
 
 

@@ -39,7 +39,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round36, entry_round37,
                             entry_round38, entry_round39,
                             entry_round40, entry_round41,
-                            entry_round42)
+                            entry_round42, entry_round43)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -848,6 +848,7 @@ def queries():
         **entry_round40.queries40(),
         **entry_round41.queries41(),
         **entry_round42.queries42(),
+        **entry_round43.queries43(),
     }
 
 
@@ -922,4 +923,5 @@ def oracle_sql():
         **entry_round40.oracle_sql40(),
         **entry_round41.oracle_sql41(),
         **entry_round42.oracle_sql42(),
+        **entry_round43.oracle_sql43(),
     }

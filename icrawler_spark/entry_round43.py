@@ -1,0 +1,184 @@
+"""Round-3 driver-contract queries (batch 37): sampling-skew audit, LSH
+bucket load model, inter-arrival statistics, front-coding savings,
+host-capped SERP diversity.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# sample_skew — χ² audit of a (deliberately) biased sample
+# ---------------------------------------------------------------------------
+
+
+def _ss_pop(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+        .alias("stratum"))
+
+
+_SS_POP_SQL = "SELECT 's' || (doc_id % 4) AS stratum FROM documents"
+
+
+def _ss_sample(spark, sf) -> DataFrame:
+    """Per-stratum sampling rate 20/40/60/80% — guaranteed skew."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    keep = doc_id % 10 < (doc_id % 4 + 1) * 2
+    return d.filter(keep).select(
+        F.concat(F.lit("s"), (doc_id % 4).cast("string")).alias("stratum"))
+
+
+_SS_SAMPLE_SQL = ("SELECT 's' || (doc_id % 4) AS stratum FROM documents "
+                  "WHERE doc_id % 10 < (doc_id % 4 + 1) * 2")
+
+
+def q_sample_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.sample_skew: observed vs expected per stratum with
+    χ² contributions — two tiny groupBys + broadcast totals; direction
+    flag integer-exact."""
+    return _corpus.sample_skew(_ss_pop(spark, sf), _ss_sample(spark, sf),
+                               strat_col="stratum")
+
+
+def _sample_skew_sql() -> str:
+    return _corpus.sample_skew_sql(_SS_POP_SQL, _SS_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lsh_skew — band bucket size histogram
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.lsh_bucket_skew: bucket-size histogram + implied
+    candidate-pair mass — the pre-flight cost model for the LSH join."""
+    return _docdedup.lsh_bucket_skew(_docs(spark, sf))
+
+
+def _lsh_skew_sql() -> str:
+    return _docdedup.lsh_bucket_skew_sql("SELECT doc_id, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# interarrival — per-host gap statistics
+# ---------------------------------------------------------------------------
+
+
+def _ia_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"))
+        .alias("host"),
+        F.col("event_id").alias("t"))
+
+
+_IA_EVENTS_SQL = ("SELECT 'h' || (user_id % 12) AS host, event_id AS t "
+                  "FROM events")
+
+
+def q_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.interarrival_stats: Poisson λ̂ + gap CV per
+    host — one lag window + ONE groupBy; moments exact BIGINT."""
+    return _politeness.interarrival_stats(_ia_events(spark, sf))
+
+
+def _interarrival_sql() -> str:
+    return _politeness.interarrival_stats_sql(_IA_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# frontcode — dictionary compression savings per first letter
+# ---------------------------------------------------------------------------
+
+
+def _fc_vocab(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .filter(F.length("term") >= 3))
+
+
+_FC_VOCAB_SQL = (f"SELECT term FROM (SELECT unnest({_TOK_SQL}) AS term"
+                 " FROM documents) WHERE length(term) >= 3")
+
+
+def q_frontcode(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.frontcode_gain: exact LCP bytes saved per
+    first-letter dictionary block — sort window partitioned per letter,
+    never global."""
+    return _search.frontcode_gain(_fc_vocab(spark, sf))
+
+
+def _frontcode_sql() -> str:
+    return _search.frontcode_gain_sql(_FC_VOCAB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# serp_diversity — host-capped rerank
+# ---------------------------------------------------------------------------
+
+_SD_CAP = 2
+_SD_K = 8
+
+
+def _sd_run(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("q"), (doc_id % 4).cast("string")).alias("query"),
+        doc_id.alias("doc"),
+        F.concat(F.lit("h"), (doc_id % 6).cast("string")).alias("host"),
+        ((doc_id * 73) % 1000).cast("double").alias("score"))
+
+
+_SD_RUN_SQL = """
+  SELECT 'q' || (doc_id % 4) AS query, doc_id AS doc,
+         'h' || (doc_id % 6) AS host,
+         CAST((doc_id * 73) % 1000 AS DOUBLE) AS score
+  FROM documents
+"""
+
+
+def q_serp_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.serp_diversity: ≤cap results per host then top-k —
+    two partition-bounded windows, no global sort."""
+    return _search.serp_diversity(_sd_run(spark, sf), host_cap=_SD_CAP,
+                                  k=_SD_K)
+
+
+def _serp_diversity_sql() -> str:
+    return _search.serp_diversity_sql(_SD_RUN_SQL, host_cap=_SD_CAP,
+                                      k=_SD_K)
+
+
+def queries43():
+    return {
+        "sample_skew": q_sample_skew,
+        "lsh_skew": q_lsh_skew,
+        "interarrival": q_interarrival,
+        "frontcode": q_frontcode,
+        "serp_diversity": q_serp_diversity,
+    }
+
+
+def oracle_sql43():
+    return {
+        "sample_skew": _sample_skew_sql(),
+        "lsh_skew": _lsh_skew_sql(),
+        "interarrival": _interarrival_sql(),
+        "frontcode": _frontcode_sql(),
+        "serp_diversity": _serp_diversity_sql(),
+    }

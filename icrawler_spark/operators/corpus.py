@@ -935,3 +935,69 @@ SELECT p.host, t.n_pages, t.n_langs,
 FROM per p JOIN tot t USING (host)
 GROUP BY 1, 2, 3
 """
+
+
+def sample_skew(
+    population: DataFrame,
+    sample: DataFrame,
+    strat_col: str = "lang",
+) -> DataFrame:
+    """Sampling-bias audit: per stratum, observed sample count vs the
+    count expected from the population share, with the χ² contribution
+    ((O−E)²/E) — the QA gate after any stratified/hash/weighted sampling
+    step: a bucket-boundary bug or a correlated key shows up here as a
+    stratum with an outsized contribution long before it poisons a
+    training mix.
+
+    over_sampled is integer-exact (o·N_pop > p·N_samp cross-product);
+    expected/chi2 are the only floats, rounded 6.
+
+    Scale shape: ONE groupBy(stratum) per side (both map-side
+    combinable), one join on the tiny stratum table, broadcast totals.
+    Returns (stratum, n_pop, n_sample, expected, chi2, over_sampled).
+    """
+    p = (population.select(F.col(strat_col).alias("stratum"))
+         .groupBy("stratum").agg(F.count("*").cast("long").alias("n_pop")))
+    s = (sample.select(F.col(strat_col).alias("stratum"))
+         .groupBy("stratum").agg(F.count("*").cast("long")
+                                 .alias("n_sample")))
+    j = (p.join(s, "stratum", "left")
+         .withColumn("n_sample", F.coalesce(F.col("n_sample"), F.lit(0))))
+    tot = j.agg(F.sum("n_pop").cast("long").alias("__np"),
+                F.sum("n_sample").cast("long").alias("__ns"))
+    e = F.col("n_pop") * F.col("__ns") / F.col("__np")
+    return (j.crossJoin(F.broadcast(tot))
+            .select("stratum", "n_pop", "n_sample",
+                    F.round(e, 6).alias("expected"),
+                    F.round((F.col("n_sample") - e) * (F.col("n_sample") - e)
+                            / e, 6).alias("chi2"),
+                    (F.col("n_sample") * F.col("__np")
+                     > F.col("n_pop") * F.col("__ns"))
+                    .alias("over_sampled")))
+
+
+def sample_skew_sql(pop_sql: str, sample_sql: str) -> str:
+    """DuckDB mirror of :func:`sample_skew` over two (stratum) SELECTs."""
+    return f"""
+WITH p AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop
+  FROM ({pop_sql}) GROUP BY 1
+),
+s AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_sample
+  FROM ({sample_sql}) GROUP BY 1
+),
+j AS (
+  SELECT p.stratum, p.n_pop, coalesce(s.n_sample, 0) AS n_sample
+  FROM p LEFT JOIN s USING (stratum)
+),
+tot AS (SELECT CAST(sum(n_pop) AS BIGINT) AS np,
+               CAST(sum(n_sample) AS BIGINT) AS ns FROM j)
+SELECT stratum, n_pop, n_sample,
+  round(n_pop * ns / CAST(np AS DOUBLE), 6) AS expected,
+  round((n_sample - n_pop * ns / CAST(np AS DOUBLE))
+        * (n_sample - n_pop * ns / CAST(np AS DOUBLE))
+        / (n_pop * ns / CAST(np AS DOUBLE)), 6) AS chi2,
+  n_sample * np > n_pop * ns AS over_sampled
+FROM j CROSS JOIN tot
+"""

@@ -641,3 +641,79 @@ SELECT CAST(bin AS BIGINT) AS bin,
   CAST(count(*) AS BIGINT) AS n_pairs
 FROM binned GROUP BY bin
 """
+
+
+def lsh_bucket_skew(
+    df: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    band_rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band-bucket load model: the size histogram of band buckets plus
+    the candidate-pair mass each size class implies (s·(s−1)/2 per
+    bucket) — the pre-flight check before the LSH candidate join: one
+    boilerplate-heavy bucket of 10⁶ docs means 5·10¹¹ pairs, and this
+    report finds it for the cost of the signatures, BEFORE the join runs.
+
+    All integer arithmetic. Scale shape: the same signature+banding
+    pipeline as lsh_candidate_pairs, then ONE groupBy(bucket) and ONE
+    groupBy(bucket size) — output is a handful of histogram rows.
+    Returns (bucket_size, n_buckets, n_docs, implied_pairs).
+    """
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col,
+                              id_col=id_col)
+    banded = sigs.withColumn("band",
+                             (F.col("seed") / band_rows).cast("int"))
+    buckets = (banded.groupBy("id", "band")
+               .agg(F.array_join(
+                   F.array_sort(F.collect_list(
+                       F.concat_ws("=", "seed", "minhash"))), "|")
+                   .alias("band_sig"))
+               .groupBy("band", "band_sig")
+               .agg(F.count("*").cast("long").alias("sz")))
+    return (buckets.groupBy(F.col("sz").alias("bucket_size"))
+            .agg(F.count("*").cast("long").alias("n_buckets"),
+                 F.sum("sz").cast("long").alias("n_docs"))
+            .withColumn("implied_pairs",
+                        (F.col("n_buckets") * F.col("bucket_size")
+                         * (F.col("bucket_size") - 1) / 2).cast("long")))
+
+
+def lsh_bucket_skew_sql(docs_sql: str, k: int = 6, n: int = 3,
+                        band_rows: int = 2) -> str:
+    """DuckDB mirror of :func:`lsh_bucket_skew` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toks)
+  WHERE len(l) >= {n}
+),
+sigs AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT band, band_sig, CAST(count(*) AS BIGINT) AS sz
+  FROM (
+    SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+           array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+             AS band_sig
+    FROM sigs GROUP BY 1, 2
+  ) GROUP BY 1, 2
+)
+SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(sz) AS BIGINT) AS n_docs,
+  CAST(count(*) * sz * (sz - 1) / 2 AS BIGINT) AS implied_pairs
+FROM sized GROUP BY sz
+"""

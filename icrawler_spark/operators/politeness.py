@@ -813,3 +813,73 @@ SELECT host, n, wins,
         + CAST({float(c)!r} AS DOUBLE) * sqrt(ln(nn) / n), 6) AS ucb
 FROM per CROSS JOIN tot
 """
+
+
+def interarrival_stats(
+    events: DataFrame,
+    host_col: str = "host",
+    t_col: str = "t",
+) -> DataFrame:
+    """Per-host inter-arrival statistics over an integer time axis: the
+    Poisson-rate MLE (λ̂ = n_gaps / Σgaps) and the coefficient of
+    variation of the gaps — CV ≈ 1 is memoryless traffic the token-bucket
+    models well, CV ≫ 1 is bursty traffic that needs burst allowances,
+    CV ≪ 1 is a metronome (usually another bot). Feeds adaptive_delay
+    with a principled prior instead of a global constant.
+
+    Gap moments accumulate as exact BIGINT (S, SS); the two divisions and
+    one sqrt happen once per host. Variance uses the population form
+    n·SS − S² ≥ 0.
+
+    Scale shape: ONE host-partitioned lag window + ONE groupBy(host).
+    Returns (host, n_gaps, mean_gap, lambda_hat, cv) rounded 6; hosts
+    with < 2 events drop (no gaps), cv NULL when mean is 0.
+    """
+    w = Window.partitionBy("h").orderBy("t")
+    gaps = (events.select(F.col(host_col).alias("h"),
+                          F.col(t_col).cast("long").alias("t"))
+            .withColumn("__g", F.col("t") - F.lag("t").over(w))
+            .filter(F.col("__g").isNotNull()))
+    per = gaps.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("__g").cast("long").alias("__s"),
+        F.sum(F.col("__g") * F.col("__g")).cast("long").alias("__ss"))
+    mean = F.col("__s") / F.col("n_gaps")
+    var = (F.col("n_gaps") * F.col("__ss") - F.col("__s") * F.col("__s")) \
+        / (F.col("n_gaps") * F.col("n_gaps"))
+    return per.select(
+        F.col("h").alias("host"), "n_gaps",
+        F.round(mean, 6).alias("mean_gap"),
+        F.when(F.col("__s") > 0,
+               F.round(F.col("n_gaps") / F.col("__s"), 6))
+        .alias("lambda_hat"),
+        F.when(F.col("__s") > 0, F.round(F.sqrt(var) / mean, 6))
+        .alias("cv"))
+
+
+def interarrival_stats_sql(events_sql: str) -> str:
+    """DuckDB mirror of :func:`interarrival_stats` over a (host, t)
+    SELECT."""
+    return f"""
+WITH gaps AS (
+  SELECT host AS h,
+    CAST(t AS BIGINT) - lag(CAST(t AS BIGINT))
+      OVER (PARTITION BY host ORDER BY CAST(t AS BIGINT)) AS g
+  FROM ({events_sql})
+),
+per AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT h AS host, n_gaps,
+  round(s / CAST(n_gaps AS DOUBLE), 6) AS mean_gap,
+  CASE WHEN s > 0 THEN round(n_gaps / CAST(s AS DOUBLE), 6) END
+    AS lambda_hat,
+  CASE WHEN s > 0 THEN
+    round(sqrt((n_gaps * ss - s * s)
+               / CAST(n_gaps * n_gaps AS DOUBLE))
+          / (s / CAST(n_gaps AS DOUBLE)), 6)
+  END AS cv
+FROM per
+"""

@@ -1138,3 +1138,129 @@ SELECT term, doc, tf, rnk FROM (
   FROM tf JOIN keep USING (term))
 WHERE rnk <= {int(r)}
 """
+
+
+def frontcode_gain(
+    vocab: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Front-coding savings model for the term dictionary (Witten/Moffat/
+    Bell "Managing Gigabytes", public spec): in sorted order each term
+    shares a prefix with its predecessor; storing (lcp, suffix) instead of
+    the full string is the standard dictionary compression. This reports,
+    per first character, the exact bytes saved — the input to choosing
+    dictionary block sizes before shipping an index.
+
+    All integer arithmetic (term lengths, LCP lengths). The sort window is
+    PARTITIONED BY FIRST CHARACTER — front-coding resets at block
+    boundaries anyway, so per-letter blocks lose nothing and the window
+    never goes global. Returns (first_char, n_terms, total_bytes,
+    saved_bytes, ratio rounded 6).
+    """
+    base = (vocab.select(F.col(term_col).alias("term")).distinct()
+            .filter(F.length("term") >= 1)
+            .withColumn("fc", F.substring("term", 1, 1)))
+    w = Window.partitionBy("fc").orderBy("term")
+    prev = F.lag("term").over(w)
+    with_prev = base.withColumn("__prev", prev)
+    # LCP via element-wise compare of the two char arrays: first index
+    # where they differ (length of common prefix, bounded by min length)
+    lcp = F.when(F.col("__prev").isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.least(F.length("term"), F.length("__prev"))),
+                lambda i: F.substring(F.col("term"), F.lit(1), i)
+                == F.substring(F.col("__prev"), F.lit(1), i)),
+            lambda b: b)))
+    per = with_prev.withColumn("__lcp", lcp)
+    return (per.groupBy(F.col("fc").alias("first_char"))
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.sum(F.length("term")).cast("long").alias("total_bytes"),
+                 F.sum("__lcp").cast("long").alias("saved_bytes"))
+            .withColumn("ratio",
+                        F.round(F.col("saved_bytes")
+                                / F.col("total_bytes"), 6)))
+
+
+def frontcode_gain_sql(vocab_sql: str) -> str:
+    """DuckDB mirror of :func:`frontcode_gain` over a (term) SELECT.
+    LCP = count of i where prefix_i(term) == prefix_i(prev) — monotone,
+    so the count equals the longest common prefix."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT term FROM ({vocab_sql}) WHERE length(term) >= 1
+),
+seq AS (
+  SELECT term, substr(term, 1, 1) AS fc,
+    lag(term) OVER (PARTITION BY substr(term, 1, 1) ORDER BY term) AS prev
+  FROM base
+),
+scored AS (
+  SELECT fc, term,
+    CASE WHEN prev IS NULL THEN 0 ELSE
+      len(list_filter(generate_series(1, least(length(term),
+                                               length(prev))),
+                      i -> substr(term, 1, i) = substr(prev, 1, i)))
+    END AS lcp
+  FROM seq
+)
+SELECT fc AS first_char, CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(sum(length(term)) AS BIGINT) AS total_bytes,
+  CAST(sum(lcp) AS BIGINT) AS saved_bytes,
+  round(sum(lcp) / CAST(sum(length(term)) AS DOUBLE), 6) AS ratio
+FROM scored GROUP BY 1
+"""
+
+
+def serp_diversity(
+    run: DataFrame,
+    host_cap: int = 2,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    host_col: str = "host",
+    score_col: str = "score",
+) -> DataFrame:
+    """Host-capped SERP rerank (domain diversity, the public search-quality
+    rule every engine applies): within each query's ranked list, keep at
+    most ``host_cap`` results per host, then re-rank the survivors and cut
+    at k — one spam-heavy or boilerplate-heavy host can no longer occupy
+    the whole first page.
+
+    Ranks compare (score desc, doc asc) with scores pre-rounded by the
+    producing ranker (the bm25 convention). Scale shape: two windows, one
+    per (query, host), one per query — both partition-bounded, never
+    global. Returns (query, doc, host, score, rank ≤ k).
+    """
+    w_host = Window.partitionBy(query_col, host_col) \
+        .orderBy(F.col(score_col).desc(), F.col(doc_col))
+    w_q = Window.partitionBy(query_col) \
+        .orderBy(F.col(score_col).desc(), F.col(doc_col))
+    return (run.withColumn("__hr", F.row_number().over(w_host))
+            .filter(F.col("__hr") <= host_cap)
+            .withColumn("rank", F.row_number().over(w_q).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(F.col(query_col).alias("query"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(host_col).alias("host"),
+                    F.col(score_col).alias("score"), "rank"))
+
+
+def serp_diversity_sql(run_sql: str, host_cap: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of :func:`serp_diversity` over a (query, doc, host,
+    score) SELECT."""
+    return f"""
+WITH capped AS (
+  SELECT query, doc, host, score,
+    row_number() OVER (PARTITION BY query, host
+                       ORDER BY score DESC, doc) AS hr
+  FROM ({run_sql})
+)
+SELECT query, doc, host, score, rank FROM (
+  SELECT query, doc, host, score,
+    CAST(row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc) AS BIGINT) AS rank
+  FROM capped WHERE hr <= {int(host_cap)})
+WHERE rank <= {int(k)}
+"""

@@ -1,0 +1,130 @@
+"""Unit tests for the round-43 pack: sample skew, LSH bucket skew,
+inter-arrival stats, front-coding gain, SERP diversity."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import sample_skew
+from icrawler_spark.operators.docdedup import lsh_bucket_skew
+from icrawler_spark.operators.politeness import interarrival_stats
+from icrawler_spark.operators.search import frontcode_gain, serp_diversity
+
+
+# ---------------------------------------------------------------------------
+# sample_skew
+# ---------------------------------------------------------------------------
+
+def test_sample_skew_detects_bias(spark):
+    pop = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50,
+                                "stratum string")
+    # 'a' sampled at 40%, 'b' at 10% → a over, b under
+    samp = spark.createDataFrame([("a",)] * 20 + [("b",)] * 5,
+                                 "stratum string")
+    out = {r["stratum"]: r for r in
+           sample_skew(pop, samp, strat_col="stratum").collect()}
+    assert out["a"]["over_sampled"] and not out["b"]["over_sampled"]
+    assert out["a"]["expected"] == 12.5
+    assert out["a"]["chi2"] == round((20 - 12.5) ** 2 / 12.5, 6)
+
+
+def test_sample_skew_unsampled_stratum(spark):
+    pop = spark.createDataFrame([("a",)] * 10 + [("b",)] * 10,
+                                "stratum string")
+    samp = spark.createDataFrame([("a",)] * 5, "stratum string")
+    out = {r["stratum"]: r for r in
+           sample_skew(pop, samp, strat_col="stratum").collect()}
+    assert out["b"]["n_sample"] == 0 and out["b"]["chi2"] > 0
+
+
+# ---------------------------------------------------------------------------
+# lsh_bucket_skew
+# ---------------------------------------------------------------------------
+
+def test_lsh_skew_duplicates_share_buckets(spark):
+    text = "the quick brown fox jumps over a lazy dog today again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words about "
+                                   "deep sea creatures and molluscs")],
+        "doc_id long, text string")
+    out = {r["bucket_size"]: r for r in
+           lsh_bucket_skew(df, k=6, band_rows=2).collect()}
+    # docs 1,2 identical → every band bucket they share has size 2
+    assert 2 in out and out[2]["implied_pairs"] == out[2]["n_buckets"]
+    assert 1 in out                          # doc 3 alone in its buckets
+    assert out[2]["n_docs"] == out[2]["n_buckets"] * 2
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats
+# ---------------------------------------------------------------------------
+
+def test_interarrival_metronome_cv_zero(spark):
+    df = spark.createDataFrame([("h", t) for t in range(0, 100, 10)],
+                               "host string, t long")
+    r = interarrival_stats(df).collect()[0]
+    assert r["n_gaps"] == 9 and r["mean_gap"] == 10.0
+    assert r["lambda_hat"] == 0.1 and r["cv"] == 0.0
+
+
+def test_interarrival_python_differential(spark):
+    import statistics
+    ts = [0, 3, 4, 10, 30, 31, 90]
+    df = spark.createDataFrame([("h", t) for t in ts], "host string, t long")
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    r = interarrival_stats(df).collect()[0]
+    assert r["mean_gap"] == round(statistics.fmean(gaps), 6)
+    assert r["cv"] == round(statistics.pstdev(gaps)
+                            / statistics.fmean(gaps), 6)
+
+
+def test_interarrival_single_event_dropped(spark):
+    df = spark.createDataFrame([("solo", 5)], "host string, t long")
+    assert interarrival_stats(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# frontcode_gain
+# ---------------------------------------------------------------------------
+
+def test_frontcode_exact_lcp(spark):
+    vocab = spark.createDataFrame(
+        [("crawl",), ("crawler",), ("crawling",), ("dog",)], "term string")
+    out = {r["first_char"]: r for r in frontcode_gain(vocab).collect()}
+    # sorted: crawl, crawler, crawling → lcp 0 + 5 ('crawl') + 5 ('crawl')
+    assert out["c"]["saved_bytes"] == 10
+    assert out["c"]["total_bytes"] == len("crawl") + len("crawler") + \
+        len("crawling")
+    assert out["d"]["saved_bytes"] == 0
+
+
+def test_frontcode_dedupes_terms(spark):
+    vocab = spark.createDataFrame([("abc",), ("abc",)], "term string")
+    r = frontcode_gain(vocab).collect()[0]
+    assert r["n_terms"] == 1 and r["saved_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# serp_diversity
+# ---------------------------------------------------------------------------
+
+def test_serp_diversity_caps_host(spark):
+    rows = [("q", f"d{i}", "spam.test", float(100 - i)) for i in range(5)]
+    rows += [("q", "good", "other.test", 10.0)]
+    df = spark.createDataFrame(rows, "query string, doc string, "
+                                     "host string, score double")
+    out = serp_diversity(df, host_cap=2, k=10).collect()
+    hosts = [r["host"] for r in out]
+    assert hosts.count("spam.test") == 2
+    assert ("good" in [r["doc"] for r in out])
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == [1, 2, 3]                 # re-ranked contiguously
+
+
+def test_serp_diversity_k_cut(spark):
+    rows = [("q", f"d{i}", f"h{i}", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "query string, doc string, "
+                                     "host string, score double")
+    out = serp_diversity(df, host_cap=2, k=5).collect()
+    assert len(out) == 5
+    assert max(r["score"] for r in out) == 19.0
