@@ -278,6 +278,9 @@ _EXTRA_PICKS = [
     # round-3 batch-37 (sampling QA + LSH load + gaps + dict + diversity)
     "sample_skew", "lsh_skew", "interarrival", "frontcode",
     "serp_diversity",
+    # round-3 batch-38 (structure + seasonality + vocab mix + forms + RBP)
+    "markup_density", "traffic_profile", "vocab_overlap", "form_security",
+    "rbp_eval",
 ]
 
 

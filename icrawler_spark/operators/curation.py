@@ -1864,3 +1864,82 @@ SELECT term, cf, cum_cf, rnk
 FROM ranked CROSS JOIN tot
 WHERE 100 * (cum_cf - cf) < {int(coverage_pct)} * t
 """
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    top_k: int = 100,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: Jaccard of each
+    source's top-k terms by collection frequency — the mixing diagnostic
+    that says which sources are near-interchangeable (overlap ≈ 1, merge
+    their quotas) and which contribute genuinely distinct vocabulary
+    (overlap ≈ 0, protect their share when the token budget shrinks).
+
+    Top-k picks deterministically (cf desc, term asc); the Jaccard is
+    exact integer |∩| over |∪| = 2k − |∩|, rounded once. Scale shape: ONE
+    groupBy(source, term) over tokens, a rank window per source, then the
+    pairwise join runs on the (sources·k)-row top-term table — orders
+    below the corpus. Returns (source_a, source_b, common, jaccard).
+    """
+    toks = docs.select(F.col(source_col).alias("src"),
+                       F.explode(tokens_col(F.col(text_col))).alias("term"))
+    cf = (toks.filter(F.length("term") >= 1)
+          .groupBy("src", "term")
+          .agg(F.count("*").cast("long").alias("cf")))
+    w = Window.partitionBy("src").orderBy(F.col("cf").desc(), "term")
+    top = (cf.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= top_k).select("src", "term"))
+    sizes = top.groupBy("src").agg(F.count("*").cast("long").alias("n"))
+    a = top.select(F.col("src").alias("source_a"), "term")
+    b = top.select(F.col("src").alias("source_b"), "term")
+    common = (a.join(b, "term")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").cast("long").alias("common")))
+    return (common
+            .join(sizes.select(F.col("src").alias("source_a"),
+                               F.col("n").alias("__na")), "source_a")
+            .join(sizes.select(F.col("src").alias("source_b"),
+                               F.col("n").alias("__nb")), "source_b")
+            .select("source_a", "source_b", "common",
+                    F.round(F.col("common")
+                            / (F.col("__na") + F.col("__nb")
+                               - F.col("common")), 6).alias("jaccard")))
+
+
+def source_vocab_overlap_sql(docs_sql: str, top_k: int = 100) -> str:
+    """DuckDB mirror of :func:`source_vocab_overlap` over a (source, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toks AS (
+  SELECT source AS src, unnest(string_split({norm}, ' ')) AS term
+  FROM ({docs_sql})
+),
+cf AS (
+  SELECT src, term, CAST(count(*) AS BIGINT) AS cf
+  FROM toks WHERE length(term) >= 1 GROUP BY 1, 2
+),
+top AS (
+  SELECT src, term FROM (
+    SELECT src, term,
+      row_number() OVER (PARTITION BY src ORDER BY cf DESC, term) AS r
+    FROM cf) WHERE r <= {int(top_k)}
+),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM top GROUP BY 1),
+common AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM top a JOIN top b USING (term)
+  WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.common,
+  round(c.common / CAST(sa.n + sb.n - c.common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.src = c.source_a
+JOIN sizes sb ON sb.src = c.source_b
+"""

@@ -1264,3 +1264,58 @@ SELECT query, doc, host, score, rank FROM (
   FROM capped WHERE hr <= {int(host_cap)})
 WHERE rank <= {int(k)}
 """
+
+
+def rbp_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    p: float = 0.8,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased precision per query (Moffat & Zobel TOIS 2008): RBP =
+    (1−p)·Σ p^(rank−1)·rel — the evaluation metric with an explicit user
+    patience model (p = continue probability), preferred over MAP when
+    the ranking is consumed top-down by impatient users (every SERP).
+    Complements map_eval; the residual (1−p)·Σ_{unjudged} p^(rank−1) …
+    is omitted here since the fixture judges all retrieved docs.
+
+    Scale shape: one run⋈qrels equi-join, ONE groupBy(query) — the
+    geometric weight is a scan-stage pow. Returns (query, n_ret,
+    n_rel_ret, rbp) rounded 6.
+    """
+    rel = (qrels.select(F.col(query_col).alias("query"),
+                        F.col(doc_col).alias("doc"))
+           .distinct().withColumn("__rel", F.lit(1)))
+    r = (run.select(F.col(query_col).alias("query"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(rank_col).cast("long").alias("rank"))
+         .join(rel, ["query", "doc"], "left"))
+    w = F.pow(F.lit(float(p)), F.col("rank") - 1)
+    return (r.groupBy("query").agg(
+        F.count("*").cast("long").alias("n_ret"),
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).cast("long")
+        .alias("n_rel_ret"),
+        F.round(F.lit(1.0 - float(p))
+                * F.sum(F.when(F.col("__rel") == 1, w).otherwise(0.0)), 6)
+        .alias("rbp")))
+
+
+def rbp_eval_sql(run_sql: str, qrels_sql: str, p: float = 0.8) -> str:
+    """DuckDB mirror of :func:`rbp_eval` over (query, doc, rank) and
+    (query, doc) SELECTs."""
+    return f"""
+WITH rel AS (SELECT DISTINCT query, doc FROM ({qrels_sql})),
+r AS (
+  SELECT a.query, a.doc, CAST(a.rank AS BIGINT) AS rank,
+         CASE WHEN rel.doc IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ({run_sql}) a
+  LEFT JOIN rel ON rel.query = a.query AND rel.doc = a.doc
+)
+SELECT query, CAST(count(*) AS BIGINT) AS n_ret,
+  CAST(sum(is_rel) AS BIGINT) AS n_rel_ret,
+  round({1.0 - float(p)!r} * sum(CASE WHEN is_rel = 1
+    THEN pow({float(p)!r}, rank - 1) ELSE 0.0 END), 6) AS rbp
+FROM r GROUP BY 1
+"""

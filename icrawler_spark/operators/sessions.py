@@ -418,3 +418,51 @@ gated AS (
 SELECT prev_q, next_q, CAST(count(*) AS BIGINT) AS n
 FROM gated GROUP BY 1, 2 HAVING count(*) >= {int(min_n)}
 """
+
+
+def traffic_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week × hour-of-day traffic profile from event timestamps —
+    the seasonality table a crawl scheduler reads to place heavy recrawl
+    waves in the target site's quiet hours (politeness beyond per-request
+    delays: don't compete with the host's peak traffic).
+
+    Engine-portable calendar math: BOTH axes derive arithmetically from
+    the epoch second (dow = (epoch//86400 + 4) % 7, 0 = Sunday;
+    hod = (epoch//3600) % 24, UTC) — never from engine date functions,
+    whose dow conventions disagree (Spark counts 1=Sunday, DuckDB
+    0=Sunday). ONE groupBy over ≤168 cells. Returns (dow, hod, n_events,
+    share rounded 6).
+    """
+    # exact integer µs → floor-div to seconds: unix_timestamp would be
+    # engine-ambiguous on fractional seconds (truncate vs round)
+    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    / 1_000_000).cast("long")
+    dow = ((F.floor(epoch / 86400) + 4) % 7).cast("int")
+    hod = (F.floor(epoch / 3600) % 24).cast("int")
+    per = (events.select(dow.alias("dow"), hod.alias("hod"))
+           .groupBy("dow", "hod")
+           .agg(F.count("*").cast("long").alias("n_events")))
+    tot = per.agg(F.sum("n_events").cast("long").alias("__t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("dow", "hod", "n_events",
+                    F.round(F.col("n_events") / F.col("__t"), 6)
+                    .alias("share")))
+
+
+def traffic_profile_sql(events_sql: str) -> str:
+    """DuckDB mirror of :func:`traffic_profile` over a (ts) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST((epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS INT) AS dow,
+         CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ({events_sql}) GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM per)
+SELECT dow, hod, n_events,
+  round(n_events / CAST(t AS DOUBLE), 6) AS share
+FROM per CROSS JOIN tot
+"""

@@ -922,3 +922,134 @@ SELECT url,
     AS n_ext_scripts
 FROM base
 """.replace("{src}", pages_sql)
+
+
+def markup_density(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Markup-density profile per page: tag count vs visible-text length,
+    table-cell and list-item counts — the structural half of boilerplate
+    detection (link-density is content_extract's half): navigation chrome
+    and data tables are tag-dense/text-sparse, articles are the reverse.
+
+    The verdict column ``tag_heavy`` is an integer cross-multiplication
+    (2·tags > text chars with tags stripped / 10 scaled as 20·tags >
+    n_text) — no float threshold. All scan-stage regexp counts, zero
+    shuffle. Returns (url, n_tags, n_text_chars, n_cells, n_items,
+    tag_heavy).
+    """
+    body = F.col(body_col)
+    n_tags = F.size(F.regexp_extract_all(body, F.lit(r"<[a-zA-Z/][^>]*>"),
+                                         F.lit(0)))
+    text = F.regexp_replace(body, r"<[^>]*>", "")
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        n_tags.cast("long").alias("n_tags"),
+        F.length(F.trim(text)).cast("long").alias("n_text_chars"),
+        F.size(F.regexp_extract_all(body, F.lit(r"(?i)<td[ \t>]"),
+                                    F.lit(0))).cast("long").alias("n_cells"),
+        F.size(F.regexp_extract_all(body, F.lit(r"(?i)<li[ \t>]"),
+                                    F.lit(0))).cast("long").alias("n_items"))
+    return base.withColumn(
+        "tag_heavy",
+        F.lit(20) * F.col("n_tags") > F.col("n_text_chars"))
+
+
+def markup_density_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`markup_density` over a (url, body)
+    SELECT."""
+    return r"""
+SELECT url,
+  CAST(len(regexp_extract_all(body, '<[a-zA-Z/][^>]*>')) AS BIGINT)
+    AS n_tags,
+  CAST(length(trim(regexp_replace(body, '<[^>]*>', '', 'g'))) AS BIGINT)
+    AS n_text_chars,
+  CAST(len(regexp_extract_all(body, '(?i)<td[ \t>]')) AS BIGINT)
+    AS n_cells,
+  CAST(len(regexp_extract_all(body, '(?i)<li[ \t>]')) AS BIGINT)
+    AS n_items,
+  20 * len(regexp_extract_all(body, '<[a-zA-Z/][^>]*>'))
+    > length(trim(regexp_replace(body, '<[^>]*>', '', 'g'))) AS tag_heavy
+FROM ({src})
+""".replace("{src}", pages_sql)
+
+
+def form_security(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Form-security audit per page: form count, password inputs,
+    off-host form actions, and the phishing/credential-leak tells —
+    a password field on an http:// page, or a form posting credentials to
+    another host. The fetch-side safety gate a crawl feeding an LLM
+    corpus runs before anything that might echo credential-harvesting
+    markup into training data.
+
+    All scan-stage regexp/array expressions; the off-host test reuses the
+    page_resources prefix rule. Returns (url, n_forms, n_password,
+    n_ext_actions, insecure_password, exfil_form).
+    """
+    body = F.col(body_col)
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    actions = F.regexp_extract_all(
+        body, F.lit(r'(?i)<form[^>]*\baction="([^"]+)"'), F.lit(1))
+    base = pages.select(F.col(url_col).alias("url"), body.alias("__b"),
+                        host.alias("__h"),
+                        F.col(url_col).startswith("http://").alias("__http"))
+    n_forms = F.size(F.regexp_extract_all(F.col("__b"),
+                                          F.lit(r"(?i)<form[ \t>]"),
+                                          F.lit(0))).cast("long")
+    n_pw = F.size(F.regexp_extract_all(
+        F.col("__b"), F.lit(r'(?i)type="password"'), F.lit(0))).cast("long")
+    ext = F.size(F.filter(
+        F.regexp_extract_all(F.col("__b"),
+                             F.lit(r'(?i)<form[^>]*\baction="([^"]+)"'),
+                             F.lit(1)),
+        lambda s: s.rlike("^https?://")
+        & ~s.startswith(F.concat(F.lit("http://"), F.col("__h")))
+        & ~s.startswith(F.concat(F.lit("https://"), F.col("__h")))))
+    out = base.select(
+        "url", n_forms.alias("n_forms"), n_pw.alias("n_password"),
+        ext.cast("long").alias("n_ext_actions"), F.col("__http"))
+    return out.select(
+        "url", "n_forms", "n_password", "n_ext_actions",
+        ((F.col("n_password") > 0) & F.col("__http"))
+        .alias("insecure_password"),
+        ((F.col("n_password") > 0) & (F.col("n_ext_actions") > 0))
+        .alias("exfil_form"))
+
+
+def form_security_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`form_security` over a (url, body)
+    SELECT."""
+    return r"""
+WITH base AS (
+  SELECT url, body,
+    regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1) AS h,
+    starts_with(url, 'http://') AS is_http
+  FROM ({src})
+),
+scored AS (
+  SELECT url,
+    CAST(len(regexp_extract_all(body, '(?i)<form[ \t>]')) AS BIGINT)
+      AS n_forms,
+    CAST(len(regexp_extract_all(body, '(?i)type="password"')) AS BIGINT)
+      AS n_password,
+    CAST(len(list_filter(
+      regexp_extract_all(body, '(?i)<form[^>]*\baction="([^"]+)"', 1),
+      s -> regexp_matches(s, '^https?://')
+           AND NOT starts_with(s, 'http://' || h)
+           AND NOT starts_with(s, 'https://' || h))) AS BIGINT)
+      AS n_ext_actions,
+    is_http
+  FROM base
+)
+SELECT url, n_forms, n_password, n_ext_actions,
+  n_password > 0 AND is_http AS insecure_password,
+  n_password > 0 AND n_ext_actions > 0 AS exfil_form
+FROM scored
+""".replace("{src}", pages_sql)

@@ -1,0 +1,139 @@
+"""Unit tests for the round-44 pack: markup density, traffic profile,
+source vocab overlap, form security, RBP eval."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import source_vocab_overlap
+from icrawler_spark.operators.search import rbp_eval
+from icrawler_spark.operators.sessions import traffic_profile
+from icrawler_spark.operators.warc import form_security, markup_density
+
+
+# ---------------------------------------------------------------------------
+# markup_density
+# ---------------------------------------------------------------------------
+
+def test_markup_density_counts(spark):
+    body = "<table><tr><td>1</td><td>2</td></tr></table><ul><li>x</li></ul>"
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    r = markup_density(df).collect()[0]
+    assert r["n_cells"] == 2 and r["n_items"] == 1
+    assert r["n_text_chars"] == 3            # '12x'
+    assert r["tag_heavy"]
+
+
+def test_markup_density_article_not_heavy(spark):
+    body = "<p>" + ("long prose sentence here. " * 20) + "</p>"
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    r = markup_density(df).collect()[0]
+    assert not r["tag_heavy"] and r["n_tags"] == 2
+
+
+# ---------------------------------------------------------------------------
+# traffic_profile
+# ---------------------------------------------------------------------------
+
+def test_traffic_profile_arithmetic_dow(spark):
+    import datetime
+    # 1970-01-01 was a Thursday → dow (0=Sunday) == 4
+    df = spark.createDataFrame(
+        [(datetime.datetime(1970, 1, 1, 13, 30),),
+         (datetime.datetime(1970, 1, 4, 2, 5),)],   # a Sunday
+        "ts timestamp")
+    out = {(r["dow"], r["hod"]): r for r in traffic_profile(df).collect()}
+    assert (4, 13) in out and (0, 2) in out
+    assert out[(4, 13)]["share"] == 0.5
+
+
+def test_traffic_profile_shares_sum(spark):
+    import datetime
+    rows = [(datetime.datetime(2020, 1, 1, h % 24, 0),) for h in range(48)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = traffic_profile(df).collect()
+    assert sum(r["n_events"] for r in out) == 48
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap
+# ---------------------------------------------------------------------------
+
+def test_vocab_overlap_identical_sources(spark):
+    rows = [(s, "alpha beta gamma delta") for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = source_vocab_overlap(df, top_k=10).collect()[0]
+    assert r["jaccard"] == 1.0 and r["common"] == 4
+
+
+def test_vocab_overlap_disjoint(spark):
+    df = spark.createDataFrame(
+        [("a", "unique tokens one"), ("b", "totally different words")],
+        "source string, text string")
+    # no shared top-k term → no pair row at all
+    assert source_vocab_overlap(df, top_k=10).count() == 0
+
+
+def test_vocab_overlap_topk_cut(spark):
+    # source a: 'common' dominates; source b: 'common' + filler — with
+    # top_k=1 only the single most frequent term per source is compared
+    df = spark.createDataFrame(
+        [("a", "common common common rare"),
+         ("b", "common common common other")],
+        "source string, text string")
+    r = source_vocab_overlap(df, top_k=1).collect()[0]
+    assert r["common"] == 1 and r["jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# form_security
+# ---------------------------------------------------------------------------
+
+def test_form_security_insecure_and_exfil(spark):
+    df = spark.createDataFrame(
+        [("http://h.test/login",
+          '<form action="https://h.test/x"><input type="password"></form>'),
+         ("https://h.test/login",
+          '<form action="https://evil.example/c">'
+          '<input type="password"></form>'),
+         ("https://h.test/page", "<p>nothing</p>")],
+        "url string, body string")
+    out = {r["url"]: r for r in form_security(df).collect()}
+    a = out["http://h.test/login"]
+    assert a["insecure_password"] and not a["exfil_form"]
+    b = out["https://h.test/login"]
+    assert b["exfil_form"] and not b["insecure_password"]
+    assert b["n_ext_actions"] == 1
+    c = out["https://h.test/page"]
+    assert c["n_forms"] == 0 and not c["exfil_form"]
+
+
+def test_form_security_same_host_action_ok(spark):
+    df = spark.createDataFrame(
+        [("https://h.test/",
+          '<form action="https://h.test/submit">'
+          '<input type="password"></form>')],
+        "url string, body string")
+    r = form_security(df).collect()[0]
+    assert r["n_ext_actions"] == 0 and not r["exfil_form"]
+
+
+# ---------------------------------------------------------------------------
+# rbp_eval
+# ---------------------------------------------------------------------------
+
+def test_rbp_textbook_value(spark):
+    run = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame([("q", "d1"), ("q", "d3")],
+                                  "query string, doc string")
+    r = rbp_eval(run, qrels, p=0.5).collect()[0]
+    # (1-0.5) * (0.5^0 + 0.5^2) = 0.5 * 1.25 = 0.625
+    assert r["rbp"] == 0.625 and r["n_rel_ret"] == 2
+
+
+def test_rbp_zero_when_nothing_relevant(spark):
+    run = spark.createDataFrame([("q", "d1", 1)],
+                                "query string, doc string, rank long")
+    qrels = spark.createDataFrame([("q", "dX")], "query string, doc string")
+    r = rbp_eval(run, qrels).collect()[0]
+    assert r["rbp"] == 0.0
