@@ -281,6 +281,9 @@ _EXTRA_PICKS = [
     # round-3 batch-38 (structure + seasonality + vocab mix + forms + RBP)
     "markup_density", "traffic_profile", "vocab_overlap", "form_security",
     "rbp_eval",
+    # round-3 batch-39 (dedup QA + assortativity + rank corr + host feats)
+    "dedup_eval", "neighbor_degree", "spearman_prio", "host_anatomy",
+    "dim_variance",
 ]
 
 

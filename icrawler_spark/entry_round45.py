@@ -1,0 +1,223 @@
+"""Round-3 driver-contract queries (batch 39): dedup self-evaluation,
+neighbor degrees, Spearman priority audit, host anatomy, dimension
+variance.
+
+Fixtures derive deterministically from documents/events/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import similarity as _similarity
+
+# ---------------------------------------------------------------------------
+# dedup_eval — LSH recall/precision against exact-dup ground truth
+# ---------------------------------------------------------------------------
+
+
+def _de_docs(spark, sf) -> DataFrame:
+    """Every 5th doc collapses onto one of three shared texts → exact-dup
+    ground-truth clusters; the rest keep natural text."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = F.when(
+        doc_id % 5 == 0,
+        F.concat(F.lit("duplicate content block number "),
+                 (doc_id % 3).cast("string"),
+                 F.lit(" repeated verbatim across the crawl")))\
+        .otherwise(F.col("text"))
+    return d.select("doc_id", text.alias("text"))
+
+
+_DE_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'duplicate content block number ' || (doc_id % 3)
+        || ' repeated verbatim across the crawl'
+      ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.dedup_eval: LSH candidates scored against
+    md5-exact pair truth — positives from group SIZES, one summary row."""
+    return _docdedup.dedup_eval(_de_docs(spark, sf))
+
+
+def _dedup_eval_sql() -> str:
+    return _docdedup.dedup_eval_sql(_DE_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# neighbor_degree — assortativity per node
+# ---------------------------------------------------------------------------
+
+_ND_N = 40
+
+
+def _nd_edges(spark, sf) -> DataFrame:
+    """A star (hub 0 ← leaves 20..39) on top of a ring over 0..19 —
+    hub-and-spoke vs organic mixing."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    n = (e % _ND_N).cast("long")
+    dst = F.when(n >= 20, F.lit(0)).otherwise((n + 1) % 20)
+    return ev.select(n.alias("src"), dst.cast("long").alias("dst"))
+
+
+_ND_EDGES_SQL = f"""
+  SELECT CAST(event_id % {_ND_N} AS BIGINT) AS src,
+    CAST(CASE WHEN event_id % {_ND_N} >= 20 THEN 0
+         ELSE ((event_id % {_ND_N}) + 1) % 20 END AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_neighbor_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.neighbor_degree: average neighbor degree + knn
+    ratio — one degree groupBy, one edge⋈degree join, one node groupBy."""
+    return _graph.neighbor_degree(_nd_edges(spark, sf))
+
+
+def _neighbor_degree_sql() -> str:
+    return _graph.neighbor_degree_sql(_ND_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# spearman_prio — declared priority vs link score correlation
+# ---------------------------------------------------------------------------
+
+
+def _sp_scores(spark, sf) -> DataFrame:
+    """y = x + bounded noise → strong but imperfect rank correlation."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    x = ((doc_id * 37) % 1009).cast("long")
+    y = (x + (doc_id * 53) % 200).cast("long")
+    return d.select(doc_id.alias("id"), x.alias("x"), y.alias("y"))
+
+
+_SP_SCORES_SQL = """
+  SELECT doc_id AS id, CAST((doc_id * 37) % 1009 AS BIGINT) AS x,
+    CAST((doc_id * 37) % 1009 + (doc_id * 53) % 200 AS BIGINT) AS y
+  FROM documents
+"""
+
+
+def q_spearman_prio(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.spearman_priority: ρ from exact integer Σd² over
+    row_number ranks (id tiebreak) — one summary row."""
+    return _recrawl.spearman_priority(_sp_scores(spark, sf))
+
+
+def _spearman_prio_sql() -> str:
+    return _recrawl.spearman_priority_sql(_SP_SCORES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# host_anatomy — DGA/spam-host features
+# ---------------------------------------------------------------------------
+
+
+def _ha_hosts(spark, sf) -> DataFrame:
+    """Host zoo: plain, digit-heavy, hyphenated, deep-subdomain, and
+    punycode variants."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    host = (F.when(doc_id % 11 == 0,
+                   F.concat(F.lit("xn--bcher-"), (doc_id % 7).cast("string"),
+                            F.lit("a.example")))
+            .when(doc_id % 7 == 0,
+                  F.concat(F.lit("a"), (doc_id % 1000).cast("string"),
+                           F.lit("b"), ((doc_id * 3) % 100).cast("string"),
+                           F.lit(".cdn")))
+            .when(doc_id % 3 == 0,
+                  F.concat(F.lit("shop-"), (doc_id % 5).cast("string"),
+                           F.lit("-outlet.example")))
+            .otherwise(F.concat(F.lit("www.site"),
+                                (doc_id % 20).cast("string"),
+                                F.lit(".example"))))
+    return d.select(host.alias("host"))
+
+
+_HA_HOSTS_SQL = """
+  SELECT CASE
+    WHEN doc_id % 11 = 0
+      THEN 'xn--bcher-' || (doc_id % 7) || 'a.example'
+    WHEN doc_id % 7 = 0
+      THEN 'a' || (doc_id % 1000) || 'b' || ((doc_id * 3) % 100) || '.cdn'
+    WHEN doc_id % 3 = 0
+      THEN 'shop-' || (doc_id % 5) || '-outlet.example'
+    ELSE 'www.site' || (doc_id % 20) || '.example' END AS host
+  FROM documents
+"""
+
+
+def q_host_anatomy(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.host_anatomy: label/digit/hyphen/punycode features
+    in the scan over the distinct host table."""
+    return _urls.host_anatomy(_ha_hosts(spark, sf))
+
+
+def _host_anatomy_sql() -> str:
+    return _urls.host_anatomy_sql(_HA_HOSTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dim_variance — dead/hot embedding dimensions
+# ---------------------------------------------------------------------------
+
+
+def _dv_emb(spark, sf) -> DataFrame:
+    """Embeddings with dim 0 forced constant → one guaranteed dead dim."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    fixed = F.concat(F.array(F.lit(0.5).cast("float")),
+                     F.slice(F.col("embedding"), 2, 10_000))
+    return e.select(fixed.alias("embedding"))
+
+
+_DV_EMB_SQL_TABLE = """(
+  SELECT list_concat([CAST(0.5 AS FLOAT)],
+                     embedding[2 : len(embedding)]) AS embedding
+  FROM embeddings
+)"""
+
+
+def q_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.dim_variance: per-dim mean/var screen with a
+    dead flag — posexplode + ONE groupBy(dim)."""
+    return _similarity.dim_variance(_dv_emb(spark, sf))
+
+
+def _dim_variance_sql() -> str:
+    return _similarity.dim_variance_sql(table=_DV_EMB_SQL_TABLE)
+
+
+def queries45():
+    return {
+        "dedup_eval": q_dedup_eval,
+        "neighbor_degree": q_neighbor_degree,
+        "spearman_prio": q_spearman_prio,
+        "host_anatomy": q_host_anatomy,
+        "dim_variance": q_dim_variance,
+    }
+
+
+def oracle_sql45():
+    return {
+        "dedup_eval": _dedup_eval_sql(),
+        "neighbor_degree": _neighbor_degree_sql(),
+        "spearman_prio": _spearman_prio_sql(),
+        "host_anatomy": _host_anatomy_sql(),
+        "dim_variance": _dim_variance_sql(),
+    }

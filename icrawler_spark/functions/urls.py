@@ -492,3 +492,54 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
   CAST(count(DISTINCT segs[1]) AS BIGINT) AS fanout1
 FROM segged GROUP BY 1
 """.replace("{src}", frontier_sql)
+
+
+def host_anatomy(hosts, host_col: str = "host"):
+    """Structural host-name features (DGA / spam-host tells, public lore:
+    Yadav et al. IMC 2010 measure exactly these): label count, longest
+    label, digit share, hyphen count, punycode flag — algorithmically
+    generated and disposable spam hosts separate from organic ones on
+    these axes before any content is fetched, which is why the features
+    belong in the frontier gate, not the post-fetch classifier.
+
+    digit_share is integer-rational (rounded 6), everything else exact
+    integers/booleans computed in the scan over the DISTINCT host table.
+    Returns (host, n_labels, max_label_len, n_digits, digit_share,
+    n_hyphens, has_punycode).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.col("host")
+    labels = F.split(h, r"\.")
+    n_digits = F.length(h) - F.length(F.regexp_replace(h, r"[0-9]", ""))
+    return (hosts.select(F.col(host_col).alias("host")).distinct()
+            .select(
+                "host",
+                F.size(labels).cast("int").alias("n_labels"),
+                F.array_max(F.transform(labels, F.length)).cast("int")
+                .alias("max_label_len"),
+                n_digits.cast("long").alias("n_digits"),
+                F.round(n_digits / F.length(h), 6).alias("digit_share"),
+                (F.length(h)
+                 - F.length(F.regexp_replace(h, r"-", ""))).cast("long")
+                .alias("n_hyphens"),
+                h.contains("xn--").alias("has_punycode")))
+
+
+def host_anatomy_sql(hosts_sql: str) -> str:
+    """DuckDB mirror of :func:`host_anatomy` over a (host) SELECT."""
+    return r"""
+WITH h AS (SELECT DISTINCT host FROM ({src}))
+SELECT host,
+  CAST(len(string_split(host, '.')) AS INT) AS n_labels,
+  CAST(list_max(list_transform(string_split(host, '.'),
+                               x -> length(x))) AS INT) AS max_label_len,
+  CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+    AS BIGINT) AS n_digits,
+  round((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+        / CAST(length(host) AS DOUBLE), 6) AS digit_share,
+  CAST(length(host) - length(replace(host, '-', '')) AS BIGINT)
+    AS n_hyphens,
+  contains(host, 'xn--') AS has_punycode
+FROM h
+""".replace("{src}", hosts_sql)

@@ -717,3 +717,112 @@ SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
   CAST(count(*) * sz * (sz - 1) / 2 AS BIGINT) AS implied_pairs
 FROM sized GROUP BY sz
 """
+
+
+def dedup_eval(
+    df: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    band_rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-evaluation of the LSH dedup stage against exact ground truth:
+    exact-duplicate pairs (same md5(text)) are the positives; LSH band
+    candidates are the predictions; report pair-level true/false
+    positives, misses, precision and recall — the harness that turns
+    'we run MinHash' into 'our MinHash recalls 99.2% of exact dups at
+    k=6, bands of 2' and catches silent parameter regressions.
+
+    Counts are exact BIGINTs; the two ratios divide once. Scale shape:
+    the exact-pair side works on md5-group SIZES (Σ s·(s−1)/2 — group
+    membership never leaves its aggregation), the intersection counts
+    candidates whose two ids share a text hash via one join onto the
+    (id → hash) map. Output is ONE summary row (tp, fp, fn, precision,
+    recall).
+    """
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.md5(F.col(text_col)).alias("h"))
+    groups = hashed.groupBy("h").agg(F.count("*").cast("long").alias("s"))
+    pos = groups.agg(
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long")
+        .alias("n_true_pairs"))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col),
+        band_rows=band_rows)
+    labeled = (cand
+               .join(hashed.select(F.col("id").alias("id_a"),
+                                   F.col("h").alias("__ha")), "id_a")
+               .join(hashed.select(F.col("id").alias("id_b"),
+                                   F.col("h").alias("__hb")), "id_b"))
+    pred = labeled.agg(
+        F.count("*").cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0))
+        .cast("long").alias("tp"))
+    return (pred.crossJoin(F.broadcast(pos))
+            .select(
+                "tp",
+                (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+                (F.col("n_true_pairs") - F.col("tp")).cast("long")
+                .alias("fn"),
+                F.when(F.col("n_pred") > 0,
+                       F.round(F.col("tp") / F.col("n_pred"), 6))
+                .alias("precision"),
+                F.when(F.col("n_true_pairs") > 0,
+                       F.round(F.col("tp") / F.col("n_true_pairs"), 6))
+                .alias("recall")))
+
+
+def dedup_eval_sql(docs_sql: str, k: int = 6, n: int = 3,
+                   band_rows: int = 2) -> str:
+    """DuckDB mirror of :func:`dedup_eval` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH hashed AS (SELECT doc_id AS id, md5(text) AS h FROM ({docs_sql})),
+pos AS (
+  SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS s FROM hashed GROUP BY h)
+),
+toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toks)
+  WHERE len(l) >= {n}
+),
+sigs AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band_sigs AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+  WHERE a.id < b.id
+),
+pred AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pred,
+    CAST(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM cand
+  JOIN hashed ha ON ha.id = cand.id_a
+  JOIN hashed hb ON hb.id = cand.id_b
+)
+SELECT tp, CAST(n_pred - tp AS BIGINT) AS fp,
+  CAST(n_true_pairs - tp AS BIGINT) AS fn,
+  CASE WHEN n_pred > 0
+    THEN round(tp / CAST(n_pred AS DOUBLE), 6) END AS precision,
+  CASE WHEN n_true_pairs > 0
+    THEN round(tp / CAST(n_true_pairs AS DOUBLE), 6) END AS recall
+FROM pred CROSS JOIN pos
+"""

@@ -1181,3 +1181,61 @@ FROM nodes n
 LEFT JOIN f{depth} f ON f.node = n.node
 LEFT JOIN b{depth} b ON b.node = n.node""")
     return "".join(parts)
+
+
+def neighbor_degree(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Average-neighbor-degree per node over the undirected host graph
+    (Pastor-Satorras et al., the assortativity primitive): hubs whose
+    neighbors are low-degree leaves (avg_nb ≪ own degree) are hub-and-
+    spoke link farms; organic topical hubs connect to other hubs. The
+    per-node complement of the single-number assortativity coefficient.
+
+    knn ratio is the only division (rounded 6); everything upstream is
+    exact integer degree sums. Scale shape: ONE degree groupBy + one
+    equi-join of the edge list against the degree table + ONE
+    groupBy(node). Returns (node, degree, avg_nb_degree, knn_ratio).
+    """
+    e0 = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    und = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct())
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    j = (und.join(deg.select(F.col("a").alias("b"),
+                             F.col("deg").alias("__nb")), "b")
+         .groupBy("a")
+         .agg(F.sum("__nb").cast("long").alias("__s"),
+              F.count("*").cast("long").alias("__n")))
+    return (j.join(deg, "a")
+            .select(F.col("a").alias("node"), F.col("deg").alias("degree"),
+                    F.round(F.col("__s") / F.col("__n"), 6)
+                    .alias("avg_nb_degree"),
+                    F.round(F.col("__s") / F.col("__n") / F.col("deg"), 6)
+                    .alias("knn_ratio")))
+
+
+def neighbor_degree_sql(edges_cte: str) -> str:
+    """DuckDB mirror of :func:`neighbor_degree`."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e0 WHERE src <> dst)
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+j AS (
+  SELECT und.a, CAST(sum(nd.deg) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM und JOIN deg nd ON nd.a = und.b
+  GROUP BY 1
+)
+SELECT j.a AS node, d.deg AS degree,
+  round(j.s / CAST(j.n AS DOUBLE), 6) AS avg_nb_degree,
+  round(j.s / CAST(j.n AS DOUBLE) / d.deg, 6) AS knn_ratio
+FROM j JOIN deg d ON d.a = j.a
+"""

@@ -549,3 +549,60 @@ SELECT id, CAST(sum(ca) AS BIGINT) AS n_old_tokens,
     AS change_share
 FROM per GROUP BY 1
 """
+
+
+def spearman_priority(
+    scores: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spearman rank correlation between two priority signals (e.g.
+    sitemap-declared priority vs link-based score): ρ = 1 − 6Σd² /
+    (n(n²−1)) — the audit that says whether webmaster-declared priorities
+    carry any information worth feeding the frontier scorer, or whether
+    they're SEO noise to ignore.
+
+    Σd² is EXACT integer arithmetic over row_number ranks (ties broken by
+    id — the formula's tie-free form; callers pass tie-free or accept the
+    tiebreak convention). The two rank windows run over the audited
+    SAMPLE table, not the corpus (pair this with host_sample upstream).
+    Output is one row: (n, sum_d2, rho rounded 6).
+    """
+    base = scores.select(F.col(id_col).alias("id"),
+                         F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    rx = F.row_number().over(Window.orderBy("x", "id"))
+    ry = F.row_number().over(Window.orderBy("y", "id"))
+    ranked = base.withColumn("__rx", rx).withColumn("__ry", ry)
+    d = (F.col("__rx") - F.col("__ry")).cast("long")
+    agg = ranked.agg(F.count("*").cast("long").alias("n"),
+                     F.sum(d * d).cast("long").alias("sum_d2"))
+    return agg.select(
+        "n", "sum_d2",
+        F.when(F.col("n") > 1,
+               F.round(1.0 - (F.lit(6) * F.col("sum_d2"))
+                       / (F.col("n") * (F.col("n") * F.col("n") - 1))
+                       .cast("double"), 6)).alias("rho"))
+
+
+def spearman_priority_sql(scores_sql: str) -> str:
+    """DuckDB mirror of :func:`spearman_priority` over an (id, x, y)
+    SELECT."""
+    return f"""
+WITH ranked AS (
+  SELECT id,
+    row_number() OVER (ORDER BY x, id) AS rx,
+    row_number() OVER (ORDER BY y, id) AS ry
+  FROM ({scores_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM ranked
+)
+SELECT n, sum_d2,
+  CASE WHEN n > 1 THEN
+    round(1.0 - (6 * sum_d2) / CAST(n * (n * n - 1) AS DOUBLE), 6)
+  END AS rho
+FROM agg
+"""

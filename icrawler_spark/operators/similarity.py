@@ -832,3 +832,52 @@ def pq_subspace_error_sql(m: int = 4, k: int = 8, dim: int = 64,
   round(avg(d2), 6) AS mse, round(max(d2), 6) AS max_d2
 FROM a1 GROUP BY 1
 """
+
+
+def dim_variance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension activation screen over an embedding column: mean,
+    population variance, and a dead-dimension flag — dims an encoder
+    never moves waste index bytes and dilute cosine; a handful of
+    huge-variance dims usually means a missing normalization layer. The
+    pre-flight audit before choosing PQ subspace splits (pq_quantize
+    wants variance spread evenly across subspaces).
+
+    Variance = SS/n − (S/n)², accumulated as doubles in ONE
+    groupBy(dim) after posexplode (the IVF partial-agg shape). dead =
+    var < 1e-12 compared AFTER rounding, so the flag is engine-stable.
+    Returns (dim, n, mean, var, dead) rounded 6.
+    """
+    per = (emb.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+           .select("dim", F.col("v").cast("double").alias("v"))
+           .groupBy("dim")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("v").alias("__s"),
+                F.sum(F.col("v") * F.col("v")).alias("__ss")))
+    mean = F.col("__s") / F.col("n")
+    var = F.round(F.col("__ss") / F.col("n") - mean * mean, 6)
+    return per.select(F.col("dim").cast("int").alias("dim"), "n",
+                      F.round(mean, 6).alias("mean"), var.alias("var"),
+                      (var <= 0.0).alias("dead"))
+
+
+def dim_variance_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`dim_variance` (embedding cast DOUBLE[];
+    parallel unnest for the dim ordinal)."""
+    return f"""
+WITH per AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+         sum(v * v) AS ss
+  FROM (SELECT unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM {table})
+  GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, n,
+  round(s / n, 6) AS mean,
+  round(ss / n - (s / n) * (s / n), 6) AS var,
+  round(ss / n - (s / n) * (s / n), 6) <= 0.0 AS dead
+FROM per
+"""

@@ -1,0 +1,123 @@
+"""Unit tests for the round-45 pack: dedup eval, neighbor degree, Spearman
+priority, host anatomy, dimension variance."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.urls import host_anatomy
+from icrawler_spark.operators.docdedup import dedup_eval
+from icrawler_spark.operators.graph import neighbor_degree
+from icrawler_spark.operators.recrawl import spearman_priority
+from icrawler_spark.operators.similarity import dim_variance
+
+
+# ---------------------------------------------------------------------------
+# dedup_eval
+# ---------------------------------------------------------------------------
+
+def test_dedup_eval_perfect_recall_on_exact_dups(spark):
+    text = "the same long document text repeated many times across docs"
+    rows = [(i, text) for i in range(4)]
+    rows += [(10, "a completely different unique document about gardens"),
+             (11, "another unrelated unique text concerning astronomy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup_eval(df).collect()[0]
+    # identical texts → identical signatures → all 6 pairs found
+    assert r["tp"] == 6 and r["fn"] == 0 and r["recall"] == 1.0
+
+
+def test_dedup_eval_near_dup_counts_as_fp(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " extra"     # near-dup, NOT exact
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    r = dedup_eval(df).collect()[0]
+    assert r["tp"] == 0
+    if r["fp"] > 0:                       # LSH may catch the near-dup
+        assert r["precision"] == 0.0
+    assert r["fn"] == 0                   # no exact dups exist
+
+
+# ---------------------------------------------------------------------------
+# neighbor_degree
+# ---------------------------------------------------------------------------
+
+def test_neighbor_degree_star(spark):
+    # star: hub 0 with 4 leaves
+    df = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                               "src long, dst long")
+    out = {r["node"]: r for r in neighbor_degree(df).collect()}
+    assert out[0]["degree"] == 4 and out[0]["avg_nb_degree"] == 1.0
+    assert out[1]["avg_nb_degree"] == 4.0
+    assert out[0]["knn_ratio"] == 0.25 and out[1]["knn_ratio"] == 4.0
+
+
+def test_neighbor_degree_ring_uniform(spark):
+    df = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)],
+                               "src long, dst long")
+    out = neighbor_degree(df).collect()
+    assert all(r["degree"] == 2 and r["avg_nb_degree"] == 2.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# spearman_priority
+# ---------------------------------------------------------------------------
+
+def test_spearman_perfect_and_inverse(spark):
+    rows = [(i, i, i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    assert spearman_priority(df).collect()[0]["rho"] == 1.0
+    rows = [(i, i, 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    assert spearman_priority(df).collect()[0]["rho"] == -1.0
+
+
+def test_spearman_python_differential(spark):
+    import random
+    rng = random.Random(5)
+    xs = rng.sample(range(1000), 30)
+    ys = rng.sample(range(1000), 30)
+    rows = [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    rx = {v: r + 1 for r, v in enumerate(sorted(xs))}
+    ry = {v: r + 1 for r, v in enumerate(sorted(ys))}
+    d2 = sum((rx[x] - ry[y]) ** 2 for x, y in zip(xs, ys))
+    n = 30
+    r = spearman_priority(df).collect()[0]
+    assert r["sum_d2"] == d2
+    assert r["rho"] == round(1 - 6 * d2 / (n * (n * n - 1)), 6)
+
+
+# ---------------------------------------------------------------------------
+# host_anatomy
+# ---------------------------------------------------------------------------
+
+def test_host_anatomy_features(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("a1b2c3.cdn",), ("shop-x-outlet.test",),
+         ("xn--bcher-kva.example",)], "host string")
+    out = {r["host"]: r for r in host_anatomy(df).collect()}
+    w = out["www.example.com"]
+    assert w["n_labels"] == 3 and w["max_label_len"] == 7
+    assert w["n_digits"] == 0 and w["n_hyphens"] == 0
+    d = out["a1b2c3.cdn"]
+    assert d["n_digits"] == 3 and d["digit_share"] == 0.3
+    assert out["shop-x-outlet.test"]["n_hyphens"] == 2
+    assert out["xn--bcher-kva.example"]["has_punycode"]
+
+
+def test_host_anatomy_dedupes(spark):
+    df = spark.createDataFrame([("h.test",), ("h.test",)], "host string")
+    assert host_anatomy(df).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# dim_variance
+# ---------------------------------------------------------------------------
+
+def test_dim_variance_dead_and_live(spark):
+    rows = [(i, [1.0, float(i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in dim_variance(df).collect()}
+    assert out[0]["dead"] and out[0]["var"] == 0.0 and out[0]["mean"] == 1.0
+    assert not out[1]["dead"]
+    # population variance of 0..9 = 8.25
+    assert out[1]["var"] == 8.25 and out[1]["mean"] == 4.5
