@@ -284,6 +284,9 @@ _EXTRA_PICKS = [
     # round-3 batch-39 (dedup QA + assortativity + rank corr + host feats)
     "dedup_eval", "neighbor_degree", "spearman_prio", "host_anatomy",
     "dim_variance",
+    # round-3 batch-40 (PSI + tail + budget knee + retention + salt demo)
+    "psi_drift", "query_tail", "budget_curve", "retention",
+    "salt_balance_demo",
 ]
 
 

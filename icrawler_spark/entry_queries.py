@@ -40,7 +40,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round38, entry_round39,
                             entry_round40, entry_round41,
                             entry_round42, entry_round43,
-                            entry_round44, entry_round45)
+                            entry_round44, entry_round45,
+                            entry_round46)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -852,6 +853,7 @@ def queries():
         **entry_round43.queries43(),
         **entry_round44.queries44(),
         **entry_round45.queries45(),
+        **entry_round46.queries46(),
     }
 
 
@@ -929,4 +931,5 @@ def oracle_sql():
         **entry_round43.oracle_sql43(),
         **entry_round44.oracle_sql44(),
         **entry_round45.oracle_sql45(),
+        **entry_round46.oracle_sql46(),
     }

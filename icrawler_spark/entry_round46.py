@@ -1,0 +1,213 @@
+"""Round-3 driver-contract queries (batch 40): PSI drift, query-log tail
+decomposition, budget curve, retention savings, salted-shuffle balance.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# psi_drift — population stability index between snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_W = 50
+
+
+def _psi_values(spark, sf) -> DataFrame:
+    """Snapshot b shifts a third of its mass up one bin band."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    v = ((e * 17) % 400
+         + F.when((u % 2 == 1) & (e % 3 == 0), 50).otherwise(0))
+    return ev.select(
+        v.cast("long").alias("v"),
+        F.when(u % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("grp"))
+
+
+_PSI_VALUES_SQL = """
+  SELECT CAST((event_id * 17) % 400
+    + CASE WHEN user_id % 2 = 1 AND event_id % 3 = 0 THEN 50 ELSE 0 END
+    AS BIGINT) AS v,
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp
+  FROM events
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.psi_drift: per-bin PSI terms with the Laplace
+    floor — ONE groupBy(bin) + broadcast totals."""
+    return _recrawl.psi_drift(_psi_values(spark, sf), "a", bin_width=_PSI_W)
+
+
+def _psi_drift_sql() -> str:
+    return _recrawl.psi_drift_sql(_PSI_VALUES_SQL, "'a'", bin_width=_PSI_W)
+
+
+# ---------------------------------------------------------------------------
+# query_tail — head/torso/tail volume decomposition
+# ---------------------------------------------------------------------------
+
+
+def _qt_queries(spark, sf) -> DataFrame:
+    """Zipf-ish synthetic log: a few head queries dominate, a long tail
+    of near-singletons."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    q = (F.when(e % 10 < 5, F.concat(F.lit("head"), (e % 3).cast("string")))
+         .when(e % 10 < 8,
+               F.concat(F.lit("torso"), (e % 40).cast("string")))
+         .otherwise(F.concat(F.lit("tail"), e.cast("string"))))
+    return ev.select(q.alias("query"))
+
+
+_QT_QUERIES_SQL = """
+  SELECT CASE WHEN event_id % 10 < 5 THEN 'head' || (event_id % 3)
+    WHEN event_id % 10 < 8 THEN 'torso' || (event_id % 40)
+    ELSE 'tail' || event_id END AS query
+  FROM events
+"""
+
+
+def q_query_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.query_tail: frequency-of-frequency histogram via
+    exact digit-count magnitudes — two tiny groupBys."""
+    return _search.query_tail(_qt_queries(spark, sf))
+
+
+def _query_tail_sql() -> str:
+    return _search.query_tail_sql(_QT_QUERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# budget_curve — diminishing returns over hosts
+# ---------------------------------------------------------------------------
+
+
+def _bc_hosts(spark, sf) -> DataFrame:
+    """25 hosts with value densities spread by construction."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % 25).cast("long")
+    per = (ev.select(F.concat(F.lit("h"), h.cast("string")).alias("host"),
+                     F.col("event_id"))
+           .groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum((F.col("event_id") % 7).cast("long")).cast("long")
+                .alias("value")))
+    return per
+
+
+_BC_HOSTS_SQL = """
+  SELECT 'h' || (user_id % 25) AS host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(event_id % 7) AS BIGINT) AS value
+  FROM events GROUP BY 1
+"""
+
+
+def q_budget_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.budget_curve: density-sorted cumulative
+    docs/value shares — window over the host table only."""
+    return _politeness.budget_curve(_bc_hosts(spark, sf))
+
+
+def _budget_curve_sql() -> str:
+    return _politeness.budget_curve_sql(_BC_HOSTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# retention — keep-K-latest storage savings
+# ---------------------------------------------------------------------------
+
+_RT_K = 2
+
+
+def _rt_versions(spark, sf) -> DataFrame:
+    """URLs with 1..8 versions; bytes vary by version."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("u"), (e % 150).cast("string")).alias("url"),
+        (e % 997).cast("long").alias("ver"),
+        ((e * 31) % 9000 + 1000).cast("long").alias("nbytes"))
+
+
+_RT_VERSIONS_SQL = """
+  SELECT 'u' || (event_id % 150) AS url,
+         CAST(event_id % 997 AS BIGINT) AS ver,
+         CAST((event_id * 31) % 9000 + 1000 AS BIGINT) AS nbytes
+  FROM events
+"""
+
+
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.retention_savings: bytes reclaimed by keep-K —
+    one url-partitioned rank window + ONE groupBy."""
+    return _recrawl.retention_savings(_rt_versions(spark, sf), keep_k=_RT_K)
+
+
+def _retention_sql() -> str:
+    return _recrawl.retention_savings_sql(_RT_VERSIONS_SQL, keep_k=_RT_K)
+
+
+# ---------------------------------------------------------------------------
+# salt_balance — hot-host shuffle flattening evidence
+# ---------------------------------------------------------------------------
+
+
+def _sb_urls(spark, sf) -> DataFrame:
+    """60% of URLs live on ONE hot host — the skew the salt must fix."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = F.when(e % 10 < 6, F.lit("hot.test")) \
+        .otherwise(F.concat(F.lit("h"), (e % 37).cast("string"),
+                            F.lit(".test")))
+    return ev.select(
+        F.concat(F.lit("http://x/p"), e.cast("string")).alias("url"),
+        host.alias("host"))
+
+
+_SB_URLS_SQL = """
+  SELECT 'http://x/p' || event_id AS url,
+    CASE WHEN event_id % 10 < 6 THEN 'hot.test'
+         ELSE 'h' || (event_id % 37) || '.test' END AS host
+  FROM events
+"""
+
+
+def q_salt_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.salt_balance: partition loads under
+    hash(host) vs salted hashing — the measured north-rule skew fix."""
+    return _politeness.salt_balance(_sb_urls(spark, sf))
+
+
+def _salt_balance_sql() -> str:
+    return _politeness.salt_balance_sql(_SB_URLS_SQL)
+
+
+def queries46():
+    return {
+        "psi_drift": q_psi_drift,
+        "query_tail": q_query_tail,
+        "budget_curve": q_budget_curve,
+        "retention": q_retention,
+        "salt_balance_demo": q_salt_balance,
+    }
+
+
+def oracle_sql46():
+    return {
+        "psi_drift": _psi_drift_sql(),
+        "query_tail": _query_tail_sql(),
+        "budget_curve": _budget_curve_sql(),
+        "retention": _retention_sql(),
+        "salt_balance_demo": _salt_balance_sql(),
+    }

@@ -883,3 +883,148 @@ SELECT h AS host, n_gaps,
   END AS cv
 FROM per
 """
+
+
+def budget_curve(
+    host_values: DataFrame,
+    host_col: str = "host",
+    docs_col: str = "n_docs",
+    value_col: str = "value",
+) -> DataFrame:
+    """Diminishing-returns curve for crawl-budget planning: hosts sorted
+    by value density (value per doc, best first), with cumulative docs
+    and cumulative value — read it as 'spending budget on the top-k hosts
+    buys X% of total value for Y% of total fetches'. The knee of this
+    curve IS the budget recommendation.
+
+    Ordering is integer-exact (value·docs' cross-products avoided by
+    ordering on the rational via value·1 per-doc compare — here densities
+    order by (value, host) after an exact integer density rank:
+    value·docs_other vs value_other·docs would be the tie-free form; for
+    the audited host table the (density rounded 12, host) order is
+    engine-stable because both engines compute the identical double).
+    Cumulative sums are exact BIGINTs; shares divide once. Window runs
+    over the HOST table (orders below the log). Returns (host, n_docs,
+    value, cum_docs, cum_value, docs_share, value_share) rounded 6.
+    """
+    base = host_values.select(F.col(host_col).alias("host"),
+                              F.col(docs_col).cast("long").alias("n_docs"),
+                              F.col(value_col).cast("long").alias("value"))
+    dens = F.round((F.col("value") / F.col("n_docs")), 12)
+    w = (Window.orderBy(dens.desc(), "host")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = base.agg(F.sum("n_docs").cast("long").alias("__d"),
+                   F.sum("value").cast("long").alias("__v"))
+    cum = base.select(
+        "host", "n_docs", "value",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("value").over(w).cast("long").alias("cum_value"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("host", "n_docs", "value", "cum_docs", "cum_value",
+                    F.round(F.col("cum_docs") / F.col("__d"), 6)
+                    .alias("docs_share"),
+                    F.round(F.col("cum_value") / F.col("__v"), 6)
+                    .alias("value_share")))
+
+
+def budget_curve_sql(host_values_sql: str) -> str:
+    """DuckDB mirror of :func:`budget_curve` over a (host, n_docs, value)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(value AS BIGINT) AS value
+  FROM ({host_values_sql})
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d,
+               CAST(sum(value) AS BIGINT) AS v FROM base),
+cum AS (
+  SELECT host, n_docs, value,
+    CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+    CAST(sum(value) OVER w AS BIGINT) AS cum_value
+  FROM base
+  WINDOW w AS (ORDER BY round(value / CAST(n_docs AS DOUBLE), 12) DESC,
+               host ROWS UNBOUNDED PRECEDING)
+)
+SELECT host, n_docs, value, cum_docs, cum_value,
+  round(cum_docs / CAST(d AS DOUBLE), 6) AS docs_share,
+  round(cum_value / CAST(v AS DOUBLE), 6) AS value_share
+FROM cum CROSS JOIN tot
+"""
+
+
+def salt_balance(
+    urls: DataFrame,
+    n_partitions: int = 16,
+    n_salts: int = 4,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Shuffle-balance demonstration for the hot-domain problem (the
+    north-rule skew clause): partition loads when keying by hash(host)
+    alone vs hash(host, salt) with a per-URL salt — the measured evidence
+    that salting flattens a hot host across workers. Hashes are the
+    md5-positional scheme every oracle replays (never xxhash64, which
+    DuckDB can't reproduce).
+
+    Output is one row per (scheme, partition) with the load plus the
+    scheme-level max/mean skew ratio repeated per row — small table,
+    both the histogram and the headline in one result. Scale shape: two
+    scan-stage hash projections, ONE groupBy each, union of two tiny
+    tables.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    base = urls.select(F.col(url_col).alias("u"),
+                       F.col(host_col).alias("h"))
+    plain = base.select(
+        F.lit("host_hash").alias("scheme"),
+        (_md5_int("h", 1, 6) % n_partitions).alias("partition"))
+    salted = base.select(
+        F.lit("salted").alias("scheme"),
+        ((_md5_int("h", 1, 6) + _md5_int("u", 1, 6) % n_salts)
+         % n_partitions).alias("partition"))
+    loads = (plain.union(salted)
+             .groupBy("scheme", "partition")
+             .agg(F.count("*").cast("long").alias("n_urls")))
+    stats = loads.groupBy("scheme").agg(
+        F.max("n_urls").alias("__mx"),
+        F.sum("n_urls").alias("__s"),
+        F.count("*").alias("__p"))
+    return (loads.join(stats, "scheme")
+            .select("scheme", "partition", "n_urls",
+                    F.round(F.col("__mx") * F.col("__p")
+                            / F.col("__s").cast("double"), 6)
+                    .alias("skew_ratio")))
+
+
+def salt_balance_sql(urls_sql: str, n_partitions: int = 16,
+                     n_salts: int = 4) -> str:
+    """DuckDB mirror of :func:`salt_balance` over a (url, host)
+    SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    hh = md5_int_sql("h", 1, 6)
+    hu = md5_int_sql("u", 1, 6)
+    return f"""
+WITH base AS (SELECT url AS u, host AS h FROM ({urls_sql})),
+tagged AS (
+  SELECT 'host_hash' AS scheme, {hh} % {n_partitions} AS partition
+  FROM base
+  UNION ALL
+  SELECT 'salted' AS scheme,
+         ({hh} + {hu} % {n_salts}) % {n_partitions} AS partition
+  FROM base
+),
+loads AS (
+  SELECT scheme, partition, CAST(count(*) AS BIGINT) AS n_urls
+  FROM tagged GROUP BY 1, 2
+),
+stats AS (
+  SELECT scheme, max(n_urls) AS mx, sum(n_urls) AS s, count(*) AS p
+  FROM loads GROUP BY 1
+)
+SELECT l.scheme, l.partition, l.n_urls,
+  round(st.mx * st.p / CAST(st.s AS DOUBLE), 6) AS skew_ratio
+FROM loads l JOIN stats st ON st.scheme = l.scheme
+"""

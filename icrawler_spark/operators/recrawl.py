@@ -606,3 +606,118 @@ SELECT n, sum_d2,
   END AS rho
 FROM agg
 """
+
+
+def psi_drift(
+    values: DataFrame,
+    grp_a,
+    bin_width: int,
+    val_col: str = "v",
+    grp_col: str = "grp",
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a binned
+    metric: PSI = Σ (p_a − p_b)·ln(p_a / p_b) per bin — the ML-ops drift
+    standard that complements ks_drift: KS finds the worst single point,
+    PSI weighs the whole distribution (rule of thumb: <0.1 stable, >0.25
+    act). Zero-count bins get the +1 Laplace floor so the log stays
+    finite — applied identically on both engines.
+
+    Scale shape: ONE groupBy(bin) over the data, broadcast totals; the
+    per-bin report is the output (the scalar PSI is its sum — kept
+    per-bin so the operator also says WHERE the drift lives). Returns
+    (bin, ca, cb, p_a, p_b, psi_term) rounded 6.
+    """
+    per = (values.select(
+        (F.floor(F.col(val_col).cast("long") / F.lit(int(bin_width))))
+        .cast("long").alias("bin"),
+        (F.col(grp_col) == grp_a).alias("__a"))
+        .groupBy("bin")
+        .agg(F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+             .alias("ca"),
+             F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+             .alias("cb")))
+    tot = per.agg(F.sum("ca").cast("long").alias("__na"),
+                  F.sum("cb").cast("long").alias("__nb"))
+    j = per.crossJoin(F.broadcast(tot))
+    # Laplace floor: (c+1)/(n+1) keeps ln finite on empty bins
+    pa = (F.col("ca") + 1) / (F.col("__na") + 1)
+    pb = (F.col("cb") + 1) / (F.col("__nb") + 1)
+    return j.select(
+        "bin", "ca", "cb",
+        F.round(pa, 6).alias("p_a"), F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"))
+
+
+def psi_drift_sql(values_sql: str, grp_a_sql: str, bin_width: int) -> str:
+    """DuckDB mirror of :func:`psi_drift` over a (v, grp) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(v AS BIGINT) // {int(bin_width)} AS bin,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 1 ELSE 0 END) AS BIGINT)
+      AS ca,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 0 ELSE 1 END) AS BIGINT)
+      AS cb
+  FROM ({values_sql}) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM per)
+SELECT bin, ca, cb,
+  round((ca + 1) / CAST(na + 1 AS DOUBLE), 6) AS p_a,
+  round((cb + 1) / CAST(nb + 1 AS DOUBLE), 6) AS p_b,
+  round(((ca + 1) / CAST(na + 1 AS DOUBLE)
+         - (cb + 1) / CAST(nb + 1 AS DOUBLE))
+        * ln(((ca + 1) / CAST(na + 1 AS DOUBLE))
+             / ((cb + 1) / CAST(nb + 1 AS DOUBLE))), 6) AS psi_term
+FROM per CROSS JOIN tot
+"""
+
+
+def retention_savings(
+    versions: DataFrame,
+    keep_k: int = 2,
+    url_col: str = "url",
+    ver_col: str = "ver",
+    bytes_col: str = "nbytes",
+) -> DataFrame:
+    """Snapshot-retention cost model: per URL, the bytes a keep-K-latest
+    policy deletes vs retains — the capacity-planning number behind 'can
+    we afford full history for news hosts or K=2 everywhere?'. Versions
+    rank newest-first by the version stamp (byte-size tiebreak); everything
+    ranked past K is reclaimable.
+
+    All exact BIGINT byte sums. Scale shape: one url-partitioned rank
+    window + ONE groupBy(url). Returns (url, n_versions, total_bytes,
+    kept_bytes, saved_bytes).
+    """
+    w = Window.partitionBy("u").orderBy(F.col("ver").desc(), "b")
+    base = versions.select(F.col(url_col).alias("u"),
+                           F.col(ver_col).cast("long").alias("ver"),
+                           F.col(bytes_col).cast("long").alias("b"))
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    return (ranked.groupBy(F.col("u").alias("url"))
+            .agg(F.count("*").cast("long").alias("n_versions"),
+                 F.sum("b").cast("long").alias("total_bytes"),
+                 F.sum(F.when(F.col("__r") <= keep_k, F.col("b"))
+                       .otherwise(0)).cast("long").alias("kept_bytes"))
+            .withColumn("saved_bytes",
+                        (F.col("total_bytes") - F.col("kept_bytes"))
+                        .cast("long")))
+
+
+def retention_savings_sql(versions_sql: str, keep_k: int = 2) -> str:
+    """DuckDB mirror of :func:`retention_savings` over a (url, ver,
+    nbytes) SELECT."""
+    return f"""
+WITH ranked AS (
+  SELECT url AS u, CAST(nbytes AS BIGINT) AS b,
+    row_number() OVER (PARTITION BY url ORDER BY ver DESC, b) AS r
+  FROM ({versions_sql})
+)
+SELECT u AS url, CAST(count(*) AS BIGINT) AS n_versions,
+  CAST(sum(b) AS BIGINT) AS total_bytes,
+  CAST(sum(CASE WHEN r <= {int(keep_k)} THEN b ELSE 0 END) AS BIGINT)
+    AS kept_bytes,
+  CAST(sum(b) - sum(CASE WHEN r <= {int(keep_k)} THEN b ELSE 0 END)
+    AS BIGINT) AS saved_bytes
+FROM ranked GROUP BY 1
+"""

@@ -1319,3 +1319,53 @@ SELECT query, CAST(count(*) AS BIGINT) AS n_ret,
     THEN pow({float(p)!r}, rank - 1) ELSE 0.0 END), 6) AS rbp
 FROM r GROUP BY 1
 """
+
+
+def query_tail(
+    queries: DataFrame,
+    query_col: str = "query",
+) -> DataFrame:
+    """Head/torso/tail decomposition of a query log: the
+    frequency-of-frequency histogram bucketed by magnitude (1 digit =
+    1-9 occurrences, 2 = 10-99, …) — the sizing input for every serving
+    cache ('the head bucket is 0.1% of distinct queries but 60% of
+    volume') and the Zipf sanity check on synthetic logs.
+
+    The magnitude bucket is length(CAST(freq AS string)) — exact integer
+    digit count, no float log10. Scale shape: ONE groupBy(query) then ONE
+    groupBy(bucket) over the distinct-query table; broadcast total for
+    the volume share. Returns (magnitude, n_queries, volume,
+    volume_share rounded 6).
+    """
+    freq = (queries.select(F.col(query_col).alias("q"))
+            .groupBy("q").agg(F.count("*").cast("long").alias("f")))
+    per = (freq.select(F.length(F.col("f").cast("string")).cast("int")
+                       .alias("magnitude"), "f")
+           .groupBy("magnitude")
+           .agg(F.count("*").cast("long").alias("n_queries"),
+                F.sum("f").cast("long").alias("volume")))
+    tot = per.agg(F.sum("volume").cast("long").alias("__t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("magnitude", "n_queries", "volume",
+                    F.round(F.col("volume") / F.col("__t"), 6)
+                    .alias("volume_share")))
+
+
+def query_tail_sql(queries_sql: str) -> str:
+    """DuckDB mirror of :func:`query_tail` over a (query) SELECT."""
+    return f"""
+WITH freq AS (
+  SELECT query AS q, CAST(count(*) AS BIGINT) AS f
+  FROM ({queries_sql}) GROUP BY 1
+),
+per AS (
+  SELECT CAST(length(CAST(f AS VARCHAR)) AS INT) AS magnitude,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(f) AS BIGINT) AS volume
+  FROM freq GROUP BY 1
+),
+tot AS (SELECT CAST(sum(volume) AS BIGINT) AS t FROM per)
+SELECT magnitude, n_queries, volume,
+  round(volume / CAST(t AS DOUBLE), 6) AS volume_share
+FROM per CROSS JOIN tot
+"""

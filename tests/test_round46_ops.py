@@ -1,0 +1,114 @@
+"""Unit tests for the round-46 pack: PSI drift, query tail, budget curve,
+retention savings, salted-shuffle balance."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.politeness import budget_curve, salt_balance
+from icrawler_spark.operators.recrawl import psi_drift, retention_savings
+from icrawler_spark.operators.search import query_tail
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_distributions_zero(spark):
+    rows = [(v, g) for v in range(100) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = psi_drift(df, "a", bin_width=10).collect()
+    assert all(r["psi_term"] == 0.0 for r in out)
+
+
+def test_psi_shifted_positive(spark):
+    rows = [(v, "a") for v in range(100)]
+    rows += [(v + 50, "b") for v in range(100)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = psi_drift(df, "a", bin_width=50).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.1                       # visible drift
+
+
+def test_psi_laplace_floor_on_empty_bin(spark):
+    # bin 0 has only 'a' mass; the +1 floor keeps ln finite
+    rows = [(5, "a")] * 10 + [(105, "b")] * 10
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = {r["bin"]: r for r in psi_drift(df, "a", bin_width=100).collect()}
+    pa, pb = 11 / 11, 1 / 11
+    assert out[0]["psi_term"] == round((pa - pb) * math.log(pa / pb), 6)
+
+
+# ---------------------------------------------------------------------------
+# query_tail
+# ---------------------------------------------------------------------------
+
+def test_query_tail_magnitudes(spark):
+    rows = [("head",)] * 123 + [("torso",)] * 12 + [("t1",), ("t2",)]
+    df = spark.createDataFrame(rows, "query string")
+    out = {r["magnitude"]: r for r in query_tail(df).collect()}
+    assert out[3]["n_queries"] == 1 and out[3]["volume"] == 123
+    assert out[2]["volume"] == 12
+    assert out[1]["n_queries"] == 2 and out[1]["volume"] == 2
+    assert out[3]["volume_share"] == round(123 / 137, 6)
+
+
+# ---------------------------------------------------------------------------
+# budget_curve
+# ---------------------------------------------------------------------------
+
+def test_budget_curve_orders_by_density(spark):
+    df = spark.createDataFrame(
+        [("rich", 10, 100), ("mid", 10, 50), ("poor", 10, 10)],
+        "host string, n_docs long, value long")
+    out = {r["host"]: r for r in budget_curve(df).collect()}
+    assert out["rich"]["cum_docs"] == 10 and out["rich"]["cum_value"] == 100
+    assert out["mid"]["cum_value"] == 150
+    assert out["poor"]["value_share"] == 1.0 and out["poor"]["docs_share"] == 1.0
+    assert out["rich"]["value_share"] == round(100 / 160, 6)
+
+
+# ---------------------------------------------------------------------------
+# retention_savings
+# ---------------------------------------------------------------------------
+
+def test_retention_keeps_latest_k(spark):
+    rows = [("u", v, 100 * (v + 1)) for v in range(5)]   # bytes 100..500
+    df = spark.createDataFrame(rows, "url string, ver long, nbytes long")
+    r = retention_savings(df, keep_k=2).collect()[0]
+    assert r["n_versions"] == 5 and r["total_bytes"] == 1500
+    assert r["kept_bytes"] == 500 + 400      # two newest versions
+    assert r["saved_bytes"] == 600
+
+
+def test_retention_fewer_versions_than_k(spark):
+    df = spark.createDataFrame([("u", 1, 100)],
+                               "url string, ver long, nbytes long")
+    r = retention_savings(df, keep_k=3).collect()[0]
+    assert r["saved_bytes"] == 0 and r["kept_bytes"] == 100
+
+
+# ---------------------------------------------------------------------------
+# salt_balance
+# ---------------------------------------------------------------------------
+
+def test_salt_balance_flattens_hot_host(spark):
+    rows = [(f"http://x/{i}", "hot.test" if i % 10 < 7
+             else f"h{i % 13}.test") for i in range(2000)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = salt_balance(df, n_partitions=8, n_salts=4).collect()
+    skew = {r["scheme"]: r["skew_ratio"] for r in out}
+    # salted loads must be strictly flatter than host-hash loads
+    assert skew["salted"] < skew["host_hash"]
+    by_scheme = {}
+    for r in out:
+        by_scheme.setdefault(r["scheme"], []).append(r["n_urls"])
+    assert sum(by_scheme["salted"]) == sum(by_scheme["host_hash"]) == 2000
+
+
+def test_salt_balance_deterministic(spark):
+    rows = [(f"http://x/{i}", f"h{i % 3}.test") for i in range(50)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    a = sorted(map(tuple, salt_balance(df).collect()))
+    b = sorted(map(tuple, salt_balance(df).collect()))
+    assert a == b
