@@ -728,8 +728,13 @@ def proximity_search(
 
     Returns (doc_id, tf_a, tf_b, n_within, min_dist).
     """
+    # PIN the token projection: CollapseProject would otherwise inline the
+    # lower+regexp+split chain into every per-element lambda below
+    # (element_at(toks, i) re-tokenizing the doc per index — measured
+    # 17.9 s → 0.4 s at sf0.1 with the pin)
     toked = df.select(F.col(id_col),
-                      tokens_col(text_col).alias("__toks"))
+                      tokens_col(text_col).alias("__toks")) \
+        .localCheckpoint(eager=False)
     toks = F.col("__toks")
     idx = F.sequence(F.lit(1), F.size(toks))
 
