@@ -287,6 +287,9 @@ _EXTRA_PICKS = [
     # round-3 batch-40 (PSI + tail + budget knee + retention + salt demo)
     "psi_drift", "query_tail", "budget_curve", "retention",
     "salt_balance_demo",
+    # round-3 batch-41 (capacity + provenance + transitions + IPW + scripts)
+    "crawl_capacity", "dup_provenance", "status_matrix", "ipw_weights",
+    "script_switches",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Round-3 driver-contract queries (batch 41): crawl-capacity planning,
+duplicate provenance, status transition matrix, IPW reweighting, script
+switching.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.entry_round43 import (_SS_POP_SQL, _SS_SAMPLE_SQL,
+                                          _ss_pop, _ss_sample)
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# crawl_capacity — politeness-bounded backlog feasibility
+# ---------------------------------------------------------------------------
+
+
+def _cc_queues(spark, sf) -> DataFrame:
+    """20 hosts; queue depth and delay spread so some hosts are
+    week-infeasible."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % 20).cast("long")
+    return (ev.select(h.alias("__h"))
+            .distinct()
+            .select(F.concat(F.lit("h"), F.col("__h").cast("string"))
+                    .alias("host"),
+                    ((F.col("__h") + 1) * 30000).cast("long")
+                    .alias("queue_len"),
+                    ((F.col("__h") % 5 + 1) * 400).cast("long")
+                    .alias("delay_ms")))
+
+
+_CC_QUEUES_SQL = """
+  SELECT 'h' || h AS host,
+         CAST((h + 1) * 30000 AS BIGINT) AS queue_len,
+         CAST((h % 5 + 1) * 400 AS BIGINT) AS delay_ms
+  FROM (SELECT DISTINCT user_id % 20 AS h FROM events)
+"""
+
+
+def q_crawl_capacity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.crawl_capacity: integer backlog-days under the
+    politeness ceiling — scan-stage projection over the host table."""
+    return _politeness.crawl_capacity(_cc_queues(spark, sf))
+
+
+def _crawl_capacity_sql() -> str:
+    return _politeness.crawl_capacity_sql(_CC_QUEUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dup_provenance — which sources mirror which
+# ---------------------------------------------------------------------------
+
+
+def _dp_docs(spark, sf) -> DataFrame:
+    """Every 4th doc collapses to one of six shared texts that cut across
+    the source column → cross-source duplicate mass."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = F.when(doc_id % 4 == 0,
+                  F.concat(F.lit("shared syndicated block "),
+                           (doc_id % 6).cast("string"))) \
+        .otherwise(F.col("text"))
+    return d.select(text.alias("text"), F.col("source"))
+
+
+_DP_DOCS_SQL = """
+  SELECT CASE WHEN doc_id % 4 = 0
+    THEN 'shared syndicated block ' || (doc_id % 6)
+    ELSE text END AS text, source
+  FROM documents
+"""
+
+
+def q_dup_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.dup_provenance: within/cross-source exact-dup
+    pair mass from group SIZES — members never leave their
+    aggregation."""
+    return _docdedup.dup_provenance(_dp_docs(spark, sf))
+
+
+def _dup_provenance_sql() -> str:
+    return _docdedup.dup_provenance_sql(_DP_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# status_matrix — snapshot-to-snapshot HTTP transitions
+# ---------------------------------------------------------------------------
+
+
+def _sm_side(spark, sf, old: bool) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    present = (e % 3 != 0) if old else (e % 5 != 0)
+    if old:
+        status = (F.when(e % 11 == 0, 404)
+                  .when(e % 7 == 0, 301).otherwise(200))
+    else:
+        status = (F.when(e % 13 == 0, 404)
+                  .when(e % 17 == 0, 500).otherwise(200))
+    return (ev.filter(present)
+            .select(F.concat(F.lit("u"), e.cast("string")).alias("url"),
+                    status.cast("int").alias("status")))
+
+
+_SM_OLD_SQL = """
+  SELECT 'u' || event_id AS url,
+    CAST(CASE WHEN event_id % 11 = 0 THEN 404
+         WHEN event_id % 7 = 0 THEN 301 ELSE 200 END AS INT) AS status
+  FROM events WHERE event_id % 3 <> 0
+"""
+_SM_NEW_SQL = """
+  SELECT 'u' || event_id AS url,
+    CAST(CASE WHEN event_id % 13 = 0 THEN 404
+         WHEN event_id % 17 = 0 THEN 500 ELSE 200 END AS INT) AS status
+  FROM events WHERE event_id % 5 <> 0
+"""
+
+
+def q_status_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.status_matrix: full-outer URL join + pair groupBy
+    with row-conditional probabilities; missing side → 0 sentinel."""
+    return _recrawl.status_matrix(_sm_side(spark, sf, True),
+                                  _sm_side(spark, sf, False))
+
+
+def _status_matrix_sql() -> str:
+    return _recrawl.status_matrix_sql(_SM_OLD_SQL, _SM_NEW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ipw_weights — reweighting table over the sample_skew fixture
+# ---------------------------------------------------------------------------
+
+_IPW_MAX = 20
+
+
+def q_ipw_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ipw_weights: population/sample share ratios with
+    an integer-exact clamp — the fix for the bias sample_skew found
+    (same fixture)."""
+    return _corpus.ipw_weights(_ss_pop(spark, sf), _ss_sample(spark, sf),
+                               max_weight=_IPW_MAX)
+
+
+def _ipw_weights_sql() -> str:
+    return _corpus.ipw_weights_sql(_SS_POP_SQL, _SS_SAMPLE_SQL,
+                                   max_weight=_IPW_MAX)
+
+
+# ---------------------------------------------------------------------------
+# script_switches — within-doc char-class flips
+# ---------------------------------------------------------------------------
+
+_SW_BLOCK = 40
+
+
+def _sw_docs(spark, sf) -> DataFrame:
+    """Every 3rd doc gets a 44-digit blob injected mid-text → guaranteed
+    latin→digit→latin flips."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.substring(F.col("text"), 1, 60),
+                 F.lit("1234567890" * 4 + "1234"),
+                 F.substring(F.col("text"), 61, 60))) \
+        .otherwise(F.col("text"))
+    return d.select("doc_id", text.alias("text"))
+
+
+_SW_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN substr(text, 1, 60) || repeat('1234567890', 4) || '1234'
+        || substr(text, 61, 60)
+      ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_script_switches(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.script_switches: block char-class profile +
+    adjacent flips, integer verdicts, per-row array math."""
+    return _curation.script_switches(_sw_docs(spark, sf),
+                                     block_chars=_SW_BLOCK)
+
+
+def _script_switches_sql() -> str:
+    return _curation.script_switches_sql(_SW_DOCS_SQL,
+                                         block_chars=_SW_BLOCK)
+
+
+def queries47():
+    return {
+        "crawl_capacity": q_crawl_capacity,
+        "dup_provenance": q_dup_provenance,
+        "status_matrix": q_status_matrix,
+        "ipw_weights": q_ipw_weights,
+        "script_switches": q_script_switches,
+    }
+
+
+def oracle_sql47():
+    return {
+        "crawl_capacity": _crawl_capacity_sql(),
+        "dup_provenance": _dup_provenance_sql(),
+        "status_matrix": _status_matrix_sql(),
+        "ipw_weights": _ipw_weights_sql(),
+        "script_switches": _script_switches_sql(),
+    }

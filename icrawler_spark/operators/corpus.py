@@ -1001,3 +1001,74 @@ SELECT stratum, n_pop, n_sample,
   n_sample * np > n_pop * ns AS over_sampled
 FROM j CROSS JOIN tot
 """
+
+
+def ipw_weights(
+    population: DataFrame,
+    sample: DataFrame,
+    strat_col: str = "stratum",
+    max_weight: int = 20,
+) -> DataFrame:
+    """Inverse-propensity reweighting table after a biased sample (the fix
+    for what sample_skew diagnoses): per stratum, weight = population
+    share / sample share, clamped at ``max_weight`` — multiply each
+    sampled row by its stratum weight and aggregate estimates become
+    unbiased again without re-drawing the sample.
+
+    The clamp test runs integer-exact (n_pop·N_samp > max·n_samp·N_pop);
+    the reported weight is the only float, rounded 6. Strata present in
+    the population but absent from the sample get NULL weight + a
+    ``missing`` flag — no weight can fix zero support.
+
+    Scale shape: two stratum groupBys + broadcast totals (sample_skew's
+    shape). Returns (stratum, n_pop, n_sample, weight, clamped, missing).
+    """
+    p = (population.select(F.col(strat_col).alias("stratum"))
+         .groupBy("stratum").agg(F.count("*").cast("long").alias("n_pop")))
+    s = (sample.select(F.col(strat_col).alias("stratum"))
+         .groupBy("stratum").agg(F.count("*").cast("long")
+                                 .alias("n_sample")))
+    j = (p.join(s, "stratum", "left")
+         .withColumn("n_sample", F.coalesce(F.col("n_sample"), F.lit(0))))
+    tot = j.agg(F.sum("n_pop").cast("long").alias("__np"),
+                F.sum("n_sample").cast("long").alias("__ns"))
+    jj = j.crossJoin(F.broadcast(tot))
+    raw_num = F.col("n_pop") * F.col("__ns")
+    raw_den = F.col("n_sample") * F.col("__np")
+    clamped = raw_num > F.lit(int(max_weight)) * raw_den
+    weight = F.when(F.col("n_sample") == 0, F.lit(None)) \
+        .when(clamped, F.lit(float(max_weight))) \
+        .otherwise(F.round(raw_num / raw_den.cast("double"), 6))
+    return jj.select(
+        "stratum", "n_pop", "n_sample", weight.alias("weight"),
+        F.when(F.col("n_sample") > 0, clamped).otherwise(F.lit(False))
+        .alias("clamped"),
+        (F.col("n_sample") == 0).alias("missing"))
+
+
+def ipw_weights_sql(pop_sql: str, sample_sql: str,
+                    max_weight: int = 20) -> str:
+    """DuckDB mirror of :func:`ipw_weights` over two (stratum) SELECTs."""
+    return f"""
+WITH p AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop
+           FROM ({pop_sql}) GROUP BY 1),
+s AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_sample
+      FROM ({sample_sql}) GROUP BY 1),
+j AS (
+  SELECT p.stratum, p.n_pop, coalesce(s.n_sample, 0) AS n_sample
+  FROM p LEFT JOIN s USING (stratum)
+),
+tot AS (SELECT CAST(sum(n_pop) AS BIGINT) AS np,
+               CAST(sum(n_sample) AS BIGINT) AS ns FROM j)
+SELECT stratum, n_pop, n_sample,
+  CASE WHEN n_sample = 0 THEN NULL
+       WHEN n_pop * ns > {int(max_weight)} * n_sample * np
+         THEN CAST({int(max_weight)} AS DOUBLE)
+       ELSE round((n_pop * ns) / CAST(n_sample * np AS DOUBLE), 6)
+  END AS weight,
+  CASE WHEN n_sample > 0
+       THEN n_pop * ns > {int(max_weight)} * n_sample * np
+       ELSE false END AS clamped,
+  n_sample = 0 AS missing
+FROM j CROSS JOIN tot
+"""

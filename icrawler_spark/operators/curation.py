@@ -1943,3 +1943,91 @@ FROM common c
 JOIN sizes sa ON sa.src = c.source_a
 JOIN sizes sb ON sb.src = c.source_b
 """
+
+
+def script_switches(
+    docs: DataFrame,
+    block_chars: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document script-switching profile: fixed-width character
+    blocks classified by dominant character class (latin / digit /
+    other), and the count of adjacent-block class flips — the
+    concatenation-dump and injected-spam tell (a prose page that flips
+    latin→digit→latin every few blocks is a table dump or a keyword
+    blob), and the code-switching prior for multilingual curation.
+
+    Class verdicts are integer cross-multiplications (2·latin ≥ block
+    length, etc.). Per-row array math only; the block array derives from
+    substr slices of the raw text, so nothing re-tokenizes inside the
+    lambdas. Returns (doc_id, n_blocks, n_latin, n_digit, n_other,
+    n_switches).
+    """
+    t = F.col(text_col)
+    nb = F.ceil(F.length(t) / F.lit(int(block_chars))).cast("int")
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("__t"),
+                       nb.alias("n_blocks"))
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("n_blocks") - 1),
+        lambda i: F.substring(F.col("__t"), i * block_chars + 1,
+                              block_chars))
+    lat = lambda b: F.length(b) - F.length(F.regexp_replace(b, "[a-z]", ""))
+    dig = lambda b: F.length(b) - F.length(F.regexp_replace(b, "[0-9]", ""))
+    cls = lambda b: (F.when(F.lit(2) * lat(b) >= F.length(b), F.lit(0))
+                     .when(F.lit(2) * dig(b) >= F.length(b), F.lit(1))
+                     .otherwise(F.lit(2)))
+    b = base.withColumn(
+        "__c", F.when(F.col("n_blocks") >= 1,
+                      F.transform(blocks, cls))
+        .otherwise(F.array().cast("array<int>")))
+    c = F.col("__c")
+    switches = F.when(
+        F.col("n_blocks") >= 2,
+        F.size(F.filter(
+            F.transform(F.sequence(F.lit(1), F.col("n_blocks") - 1),
+                        lambda i: F.element_at(c, i + 1)
+                        != F.element_at(c, i)),
+            lambda x: x))).otherwise(F.lit(0))
+    cnt = lambda k: F.size(F.filter(c, lambda x: x == k))
+    return b.select(
+        "doc_id", F.col("n_blocks"),
+        cnt(0).cast("long").alias("n_latin"),
+        cnt(1).cast("long").alias("n_digit"),
+        cnt(2).cast("long").alias("n_other"),
+        switches.cast("long").alias("n_switches"))
+
+
+def script_switches_sql(docs_sql: str, block_chars: int = 40) -> str:
+    """DuckDB mirror of :func:`script_switches` over a (doc_id, text)
+    SELECT."""
+    b = int(block_chars)
+    lat = ("(length({x}) - length(regexp_replace({x}, '[a-z]', '', 'g')))")
+    dig = ("(length({x}) - length(regexp_replace({x}, '[0-9]', '', 'g')))")
+    cls = (f"CASE WHEN 2 * {lat} >= length({{x}}) THEN 0 "
+           f"WHEN 2 * {dig} >= length({{x}}) THEN 1 ELSE 2 END")
+    cls_b = cls.replace("{x}", "bk")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS t,
+    CAST(ceil(length(text) / CAST({b} AS DOUBLE)) AS INT) AS n_blocks
+  FROM ({docs_sql})
+),
+blk AS (
+  SELECT doc_id, n_blocks,
+    list_transform(
+      list_transform(generate_series(0, n_blocks - 1),
+                     i -> substr(t, i * {b} + 1, {b})),
+      bk -> {cls_b}) AS c
+  FROM base
+)
+SELECT doc_id, n_blocks,
+  CAST(len(list_filter(c, x -> x = 0)) AS BIGINT) AS n_latin,
+  CAST(len(list_filter(c, x -> x = 1)) AS BIGINT) AS n_digit,
+  CAST(len(list_filter(c, x -> x = 2)) AS BIGINT) AS n_other,
+  CAST(CASE WHEN n_blocks >= 2 THEN
+    len(list_filter(generate_series(1, n_blocks - 1),
+                    i -> c[i + 1] <> c[i]))
+  ELSE 0 END AS BIGINT) AS n_switches
+FROM blk
+"""

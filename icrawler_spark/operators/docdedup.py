@@ -826,3 +826,68 @@ SELECT tp, CAST(n_pred - tp AS BIGINT) AS fp,
     THEN round(tp / CAST(n_true_pairs AS DOUBLE), 6) END AS recall
 FROM pred CROSS JOIN pos
 """
+
+
+def dup_provenance(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate provenance between sources: for exact-duplicate clusters
+    (same md5(text)), the pair mass within each source and across each
+    source pair — the table that says 'source B is 80% a mirror of
+    source A; drop it from the mix' at source granularity, where the
+    per-document dedup verdicts can't.
+
+    Pair counts are exact integers from per-(hash, source) group sizes:
+    within-source pairs Σ s·(s−1)/2, cross pairs Σ s_a·s_b — group
+    members never leave their aggregation. Scale shape: ONE
+    groupBy(hash, source), then a self-join on the HASH-GROUP table
+    (bounded by duplicate clusters, not the corpus). Returns (source_a,
+    source_b, n_pairs) with source_a ≤ source_b (equal = within-source).
+    """
+    per = (docs.select(F.md5(F.col(text_col)).alias("h"),
+                       F.col(source_col).alias("src"))
+           .groupBy("h", "src")
+           .agg(F.count("*").cast("long").alias("s")))
+    within = (per.filter(F.col("s") >= 2)
+              .groupBy(F.col("src").alias("source_a"))
+              .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long")
+                   .alias("n_pairs"))
+              .select("source_a", F.col("source_a").alias("source_b"),
+                      "n_pairs"))
+    a = per.select("h", F.col("src").alias("source_a"),
+                   F.col("s").alias("sa"))
+    b = per.select("h", F.col("src").alias("source_b"),
+                   F.col("s").alias("sb"))
+    cross = (a.join(b, "h")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.sum(F.col("sa") * F.col("sb")).cast("long")
+                  .alias("n_pairs")))
+    return within.unionByName(cross).filter(F.col("n_pairs") > 0)
+
+
+def dup_provenance_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`dup_provenance` over a (text, source)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT md5(text) AS h, source AS src, CAST(count(*) AS BIGINT) AS s
+  FROM ({docs_sql}) GROUP BY 1, 2
+),
+within AS (
+  SELECT src AS source_a, src AS source_b,
+         CAST(sum(s * (s - 1) / 2) AS BIGINT) AS n_pairs
+  FROM per WHERE s >= 2 GROUP BY 1, 2
+),
+crossed AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS n_pairs
+  FROM per a JOIN per b USING (h)
+  WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT * FROM within WHERE n_pairs > 0
+UNION ALL
+SELECT * FROM crossed WHERE n_pairs > 0
+"""

@@ -1028,3 +1028,45 @@ SELECT l.scheme, l.partition, l.n_urls,
   round(st.mx * st.p / CAST(st.s AS DOUBLE), 6) AS skew_ratio
 FROM loads l JOIN stats st ON st.scheme = l.scheme
 """
+
+
+def crawl_capacity(
+    queues: DataFrame,
+    host_col: str = "host",
+    queue_col: str = "queue_len",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Backlog-feasibility report per host: with a per-request politeness
+    delay the daily capacity is a hard ceiling (86 400 000 ms / delay),
+    so a queue deeper than capacity×horizon simply can NOT drain — the
+    planning arithmetic behind 'that host needs a year at its
+    crawl-delay; stop enqueuing or negotiate a higher rate'.
+
+    ALL integer arithmetic: capacity floors, backlog days are
+    ceil-divided as (q·d + 86.4M − 1) // 86.4M. Scale shape: a pure
+    scan-stage projection over the host table. Returns (host, queue_len,
+    delay_ms, daily_capacity, backlog_days, infeasible_week).
+    """
+    ms_day = 86_400_000
+    q = F.col(queue_col).cast("long")
+    d = F.col(delay_col).cast("long")
+    cap = F.floor(F.lit(ms_day) / d).cast("long")
+    days = F.floor((q * d + F.lit(ms_day - 1)) / F.lit(ms_day)).cast("long")
+    return queues.select(
+        F.col(host_col).alias("host"), q.alias("queue_len"),
+        d.alias("delay_ms"), cap.alias("daily_capacity"),
+        days.alias("backlog_days"), (days > 7).alias("infeasible_week"))
+
+
+def crawl_capacity_sql(queues_sql: str) -> str:
+    """DuckDB mirror of :func:`crawl_capacity` over a (host, queue_len,
+    delay_ms) SELECT."""
+    return f"""
+SELECT host, CAST(queue_len AS BIGINT) AS queue_len,
+  CAST(delay_ms AS BIGINT) AS delay_ms,
+  CAST(86400000 // delay_ms AS BIGINT) AS daily_capacity,
+  CAST((queue_len * delay_ms + 86399999) // 86400000 AS BIGINT)
+    AS backlog_days,
+  (queue_len * delay_ms + 86399999) // 86400000 > 7 AS infeasible_week
+FROM ({queues_sql})
+"""

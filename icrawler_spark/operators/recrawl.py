@@ -721,3 +721,58 @@ SELECT u AS url, CAST(count(*) AS BIGINT) AS n_versions,
     AS BIGINT) AS saved_bytes
 FROM ranked GROUP BY 1
 """
+
+
+def status_matrix(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+) -> DataFrame:
+    """HTTP status transition matrix between two crawl snapshots: per
+    (status_old, status_new) pair, the URL count and the row-conditional
+    probability — the recovery/decay fingerprint (200→404 mass is rot,
+    404→200 is churn worth recrawling, 200→301 waves are migrations)
+    that single-snapshot status histograms can't see. URLs present in
+    only one snapshot map to the 0 sentinel on the missing side.
+
+    Scale shape: ONE full-outer equi-join on the URL + ONE groupBy on
+    the ≤ |statuses|² pair table; row normalizer broadcast back. Returns
+    (status_old, status_new, n, p rounded 6).
+    """
+    o = old.select(F.col(url_col).alias("u"),
+                   F.col(status_col).cast("int").alias("so"))
+    n_ = new.select(F.col(url_col).alias("u"),
+                    F.col(status_col).cast("int").alias("sn"))
+    j = (o.join(n_, "u", "full_outer")
+         .select(F.coalesce(F.col("so"), F.lit(0)).alias("status_old"),
+                 F.coalesce(F.col("sn"), F.lit(0)).alias("status_new")))
+    pairs = (j.groupBy("status_old", "status_new")
+             .agg(F.count("*").cast("long").alias("n")))
+    rows = pairs.groupBy("status_old").agg(
+        F.sum("n").cast("long").alias("__t"))
+    return (pairs.join(F.broadcast(rows), "status_old")
+            .select("status_old", "status_new", "n",
+                    F.round(F.col("n") / F.col("__t"), 6).alias("p")))
+
+
+def status_matrix_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB mirror of :func:`status_matrix` over two (url, status)
+    SELECTs."""
+    return f"""
+WITH o AS (SELECT url AS u, CAST(status AS INT) AS so FROM ({old_sql})),
+n AS (SELECT url AS u, CAST(status AS INT) AS sn FROM ({new_sql})),
+j AS (
+  SELECT coalesce(o.so, 0) AS status_old, coalesce(n.sn, 0) AS status_new
+  FROM o FULL OUTER JOIN n ON n.u = o.u
+),
+pairs AS (
+  SELECT status_old, status_new, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+),
+rows_ AS (SELECT status_old, CAST(sum(n) AS BIGINT) AS t
+          FROM pairs GROUP BY 1)
+SELECT p.status_old, p.status_new, p.n,
+  round(p.n / CAST(r.t AS DOUBLE), 6) AS p
+FROM pairs p JOIN rows_ r USING (status_old)
+"""

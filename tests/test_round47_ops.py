@@ -1,0 +1,133 @@
+"""Unit tests for the round-47 pack: crawl capacity, dup provenance,
+status matrix, IPW weights, script switches."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import ipw_weights
+from icrawler_spark.operators.curation import script_switches
+from icrawler_spark.operators.docdedup import dup_provenance
+from icrawler_spark.operators.politeness import crawl_capacity
+from icrawler_spark.operators.recrawl import status_matrix
+
+
+# ---------------------------------------------------------------------------
+# crawl_capacity
+# ---------------------------------------------------------------------------
+
+def test_crawl_capacity_integer_math(spark):
+    df = spark.createDataFrame(
+        [("fast", 10000, 100),       # cap 864000/day → drains same day
+         ("slow", 900000, 10000)],   # cap 8640/day → 105 days
+        "host string, queue_len long, delay_ms long")
+    out = {r["host"]: r for r in crawl_capacity(df).collect()}
+    assert out["fast"]["daily_capacity"] == 864000
+    assert out["fast"]["backlog_days"] == 1
+    assert not out["fast"]["infeasible_week"]
+    assert out["slow"]["backlog_days"] == -(-900000 * 10000 // 86400000)
+    assert out["slow"]["infeasible_week"]
+
+
+def test_crawl_capacity_exact_boundary(spark):
+    # queue*delay exactly one day → 1 day, not 2
+    df = spark.createDataFrame([("h", 86400, 1000)],
+                               "host string, queue_len long, delay_ms long")
+    r = crawl_capacity(df).collect()[0]
+    assert r["backlog_days"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dup_provenance
+# ---------------------------------------------------------------------------
+
+def test_dup_provenance_within_and_cross(spark):
+    rows = [("dup", "A"), ("dup", "A"), ("dup", "B"),
+            ("unique one", "A"), ("unique two", "B")]
+    df = spark.createDataFrame(rows, "text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in
+           dup_provenance(df).collect()}
+    assert out[("A", "A")] == 1          # the two A copies
+    assert out[("A", "B")] == 2          # each A copy × the B copy
+    assert ("B", "B") not in out
+
+
+def test_dup_provenance_no_dups_empty(spark):
+    df = spark.createDataFrame([("a", "A"), ("b", "B")],
+                               "text string, source string")
+    assert dup_provenance(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# status_matrix
+# ---------------------------------------------------------------------------
+
+def test_status_matrix_transitions(spark):
+    old = spark.createDataFrame(
+        [("u1", 200), ("u2", 200), ("u3", 404), ("gone", 200)],
+        "url string, status int")
+    new = spark.createDataFrame(
+        [("u1", 200), ("u2", 404), ("u3", 200), ("born", 200)],
+        "url string, status int")
+    out = {(r["status_old"], r["status_new"]): r for r in
+           status_matrix(old, new).collect()}
+    assert out[(200, 200)]["n"] == 1
+    assert out[(200, 404)]["n"] == 1
+    assert out[(404, 200)]["n"] == 1
+    assert out[(200, 0)]["n"] == 1       # disappeared
+    assert out[(0, 200)]["n"] == 1       # newly seen
+    # row 200 has 3 outcomes → p sums to 1
+    row200 = [r["p"] for (so, _), r in out.items() if so == 200]
+    assert abs(sum(row200) - 1.0) < 1e-5   # each p rounded to 6dp
+
+
+# ---------------------------------------------------------------------------
+# ipw_weights
+# ---------------------------------------------------------------------------
+
+def test_ipw_weights_inverse_of_bias(spark):
+    pop = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50,
+                                "stratum string")
+    samp = spark.createDataFrame([("a",)] * 20 + [("b",)] * 5,
+                                 "stratum string")
+    out = {r["stratum"]: r for r in ipw_weights(pop, samp).collect()}
+    # weight_a = (50*25)/(20*100) = 0.625 ; weight_b = (50*25)/(5*100)=2.5
+    assert out["a"]["weight"] == 0.625
+    assert out["b"]["weight"] == 2.5
+    assert not out["a"]["clamped"] and not out["a"]["missing"]
+
+
+def test_ipw_weights_clamp_and_missing(spark):
+    pop = spark.createDataFrame([("a",)] * 99 + [("b",)] * 100
+                                + [("c",)] * 1, "stratum string")
+    samp = spark.createDataFrame([("a",)] * 1 + [("b",)] * 99,
+                                 "stratum string")
+    out = {r["stratum"]: r for r in
+           ipw_weights(pop, samp, max_weight=20).collect()}
+    assert out["a"]["clamped"] and out["a"]["weight"] == 20.0
+    assert out["c"]["missing"] and out["c"]["weight"] is None
+
+
+# ---------------------------------------------------------------------------
+# script_switches
+# ---------------------------------------------------------------------------
+
+def test_script_switches_flips(spark):
+    text = "a" * 40 + "1" * 40 + "b" * 40
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = script_switches(df, block_chars=40).collect()[0]
+    assert r["n_blocks"] == 3
+    assert r["n_latin"] == 2 and r["n_digit"] == 1
+    assert r["n_switches"] == 2
+
+
+def test_script_switches_uniform_no_flips(spark):
+    df = spark.createDataFrame([(1, "pure prose text " * 10)],
+                               "doc_id long, text string")
+    r = script_switches(df, block_chars=40).collect()[0]
+    assert r["n_switches"] == 0 and r["n_digit"] == 0
+
+
+def test_script_switches_other_class(spark):
+    df = spark.createDataFrame([(1, "!!!???;;;###&&&***" * 3)],
+                               "doc_id long, text string")
+    r = script_switches(df, block_chars=40).collect()[0]
+    assert r["n_other"] == r["n_blocks"]
