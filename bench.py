@@ -290,6 +290,8 @@ _EXTRA_PICKS = [
     # round-3 batch-41 (capacity + provenance + transitions + IPW + scripts)
     "crawl_capacity", "dup_provenance", "status_matrix", "ipw_weights",
     "script_switches",
+    # round-3 batch-42 (RBO + nDCG + log integrity + phonotactics + TTL)
+    "rbo_overlap", "ndcg_eval", "log_dedup", "gibberish", "robots_cache",
 ]
 
 

@@ -41,7 +41,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round40, entry_round41,
                             entry_round42, entry_round43,
                             entry_round44, entry_round45,
-                            entry_round46, entry_round47)
+                            entry_round46, entry_round47,
+                            entry_round48)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -855,6 +856,7 @@ def queries():
         **entry_round45.queries45(),
         **entry_round46.queries46(),
         **entry_round47.queries47(),
+        **entry_round48.queries48(),
     }
 
 
@@ -934,4 +936,5 @@ def oracle_sql():
         **entry_round45.oracle_sql45(),
         **entry_round46.oracle_sql46(),
         **entry_round47.oracle_sql47(),
+        **entry_round48.oracle_sql48(),
     }

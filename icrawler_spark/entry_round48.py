@@ -1,0 +1,218 @@
+"""Round-3 driver-contract queries (batch 42): RBO ranker comparison,
+graded nDCG, log-redelivery audit, gibberish gate, robots-cache
+amortization.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.entry_round37 import _ME_RUN_SQL, _me_run
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# rbo_overlap — two rankers over the same doc set, permuted order
+# ---------------------------------------------------------------------------
+
+_RBO_K = 10
+_RBO_P = 0.9
+
+
+def _rbo_run(spark, sf, permuted: bool) -> DataFrame:
+    d = _docs(spark, sf).filter(F.col("doc_id") < 52)
+    doc_id = F.col("doc_id")
+    pos = F.floor(doc_id / 4)
+    rank = ((pos * 7) % 13 + 1) if permuted else (pos + 1)
+    return d.select(
+        F.concat(F.lit("q"), (doc_id % 4).cast("string")).alias("query"),
+        doc_id.alias("doc"), rank.cast("long").alias("rank"))
+
+
+def _rbo_run_sql(permuted: bool) -> str:
+    rank = ("(doc_id // 4) * 7 % 13 + 1" if permuted
+            else "doc_id // 4 + 1")
+    return (f"SELECT 'q' || (doc_id % 4) AS query, doc_id AS doc, "
+            f"CAST({rank} AS BIGINT) AS rank FROM documents "
+            "WHERE doc_id < 52")
+
+
+def q_rbo_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.rbo_overlap: top-weighted prefix agreement between
+    two rankers — ranked lists collected per query, depth loop per-row."""
+    return _search.rbo_overlap(_rbo_run(spark, sf, False),
+                               _rbo_run(spark, sf, True),
+                               k=_RBO_K, p=_RBO_P)
+
+
+def _rbo_overlap_sql() -> str:
+    return _search.rbo_overlap_sql(_rbo_run_sql(False), _rbo_run_sql(True),
+                                   k=_RBO_K, p=_RBO_P)
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval — graded relevance over the shared run fixture
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+_NDCG_QRELS_SQL = """
+  SELECT 'q' || (doc_id % 5) AS query, doc_id AS doc,
+    CAST(CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 2 END
+      AS BIGINT) AS grade
+  FROM documents WHERE doc_id % 7 < 3
+"""
+
+
+def _ndcg_qrels(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    grade = (F.when(doc_id % 7 == 0, 3)
+             .when(doc_id % 7 == 1, 1).otherwise(2))
+    return (d.filter(doc_id % 7 < 3)
+            .select(F.concat(F.lit("q"), (doc_id % 5).cast("string"))
+                    .alias("query"), doc_id.alias("doc"),
+                    grade.cast("long").alias("grade")))
+
+
+def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.ndcg_eval: graded DCG/IDCG with the ln discount —
+    one equi-join + one qrels window per query."""
+    return _search.ndcg_eval(_me_run(spark, sf), _ndcg_qrels(spark, sf),
+                             k=_NDCG_K)
+
+
+def _ndcg_eval_sql() -> str:
+    return _search.ndcg_eval_sql(_ME_RUN_SQL, _NDCG_QRELS_SQL, k=_NDCG_K)
+
+
+# ---------------------------------------------------------------------------
+# log_dedup — redelivery vs corruption audit
+# ---------------------------------------------------------------------------
+
+
+def _ld_events(spark, sf) -> DataFrame:
+    """ids collide mod 300; even copies share a payload (redelivery),
+    odd copies carry unique payloads (conflict)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    payload = F.when(e % 2 == 0,
+                     F.concat(F.lit("stable"), (e % 300).cast("string"))) \
+        .otherwise(F.concat(F.lit("v"), e.cast("string")))
+    return ev.select((e % 300).cast("long").alias("event_id"),
+                     payload.alias("payload"))
+
+
+_LD_EVENTS_SQL = """
+  SELECT CAST(event_id % 300 AS BIGINT) AS event_id,
+    CASE WHEN event_id % 2 = 0 THEN 'stable' || (event_id % 300)
+         ELSE 'v' || event_id END AS payload
+  FROM events
+"""
+
+
+def q_log_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.log_dedup: duplicate ids with payload-hash
+    conflict flags — ONE groupBy(id), clean ids never emitted."""
+    return _sessions.log_dedup(_ld_events(spark, sf))
+
+
+def _log_dedup_sql() -> str:
+    return _sessions.log_dedup_sql(_LD_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gibberish — phonotactic junk gate
+# ---------------------------------------------------------------------------
+
+
+def _gb_docs(spark, sf) -> DataFrame:
+    """Every 6th doc becomes a consonant mash, every 10th a low-vowel
+    keyword blob; the rest keep prose."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = (F.when(doc_id % 6 == 0,
+                   F.repeat(F.lit("xkrtzpq wvbnmst grhjkl "),
+                            (doc_id % 3 + 2).cast("int")))
+            .when(doc_id % 10 == 1,
+                  F.repeat(F.lit("bcfg dklm npqr stvw "),
+                           (doc_id % 4 + 2).cast("int")))
+            .otherwise(F.col("text")))
+    return d.select("doc_id", text.alias("text"))
+
+
+_GB_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 = 0
+      THEN repeat('xkrtzpq wvbnmst grhjkl ', CAST(doc_id % 3 + 2 AS INT))
+    WHEN doc_id % 10 = 1
+      THEN repeat('bcfg dklm npqr stvw ', CAST(doc_id % 4 + 2 AS INT))
+    ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_gibberish(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.gibberish_gate: consonant-run + vowel-share
+    phonotactic gate, integer verdicts, scan-stage."""
+    return _curation.gibberish_gate(_gb_docs(spark, sf))
+
+
+def _gibberish_sql() -> str:
+    return _curation.gibberish_gate_sql(_GB_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# robots_cache — TTL amortization per host
+# ---------------------------------------------------------------------------
+
+_RC_TTL = 3600
+
+
+def _rc_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 15).cast("string"))
+        .alias("host"),
+        (F.col("event_id") * 37).cast("long").alias("t"))
+
+
+_RC_FETCHES_SQL = ("SELECT 'h' || (user_id % 15) AS host, "
+                   "CAST(event_id * 37 AS BIGINT) AS t FROM events")
+
+
+def q_robots_cache(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.robots_cache: distinct TTL buckets per host =
+    robots fetches paid — ONE groupBy(host), all integer."""
+    return _politeness.robots_cache(_rc_fetches(spark, sf), ttl_s=_RC_TTL)
+
+
+def _robots_cache_sql() -> str:
+    return _politeness.robots_cache_sql(_RC_FETCHES_SQL, ttl_s=_RC_TTL)
+
+
+def queries48():
+    return {
+        "rbo_overlap": q_rbo_overlap,
+        "ndcg_eval": q_ndcg_eval,
+        "log_dedup": q_log_dedup,
+        "gibberish": q_gibberish,
+        "robots_cache": q_robots_cache,
+    }
+
+
+def oracle_sql48():
+    return {
+        "rbo_overlap": _rbo_overlap_sql(),
+        "ndcg_eval": _ndcg_eval_sql(),
+        "log_dedup": _log_dedup_sql(),
+        "gibberish": _gibberish_sql(),
+        "robots_cache": _robots_cache_sql(),
+    }

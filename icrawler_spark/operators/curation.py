@@ -2031,3 +2031,68 @@ SELECT doc_id, n_blocks,
   ELSE 0 END AS BIGINT) AS n_switches
 FROM blk
 """
+
+
+def gibberish_gate(
+    docs: DataFrame,
+    max_run: int = 6,
+    min_vowel_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gibberish / keyboard-mash gate: longest consonant run and vowel
+    share over the letter mass — random strings and DGA-style junk text
+    violate phonotactics (pronounceable language keeps consonant runs
+    short and vowels above ~30%), which catches hash dumps, minified-JS
+    remnants, and keyword mashes that pass length/punctuation gates.
+
+    Verdicts: run ≥ max_run OR 100·vowels < min_vowel_pct·letters — all
+    integer. Consonant runs come from ONE regexp split of the lowercased
+    text; everything is scan-stage. Returns (doc_id, n_letters,
+    n_vowels, max_consonant_run, is_gibberish).
+    """
+    t = F.lower(F.col(text_col))
+    letters = F.regexp_replace(t, r"[^a-z]", "")
+    vowels = F.length(letters) \
+        - F.length(F.regexp_replace(letters, r"[aeiou]", ""))
+    runs = F.split(t, r"[^bcdfghjklmnpqrstvwxyz]+")
+    max_run_c = F.coalesce(
+        F.array_max(F.transform(runs, F.length)), F.lit(0))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(letters).cast("long").alias("n_letters"),
+        vowels.cast("long").alias("n_vowels"),
+        max_run_c.cast("int").alias("max_consonant_run"))
+    return base.withColumn(
+        "is_gibberish",
+        (F.col("max_consonant_run") >= max_run)
+        | ((F.col("n_letters") > 0)
+           & (F.lit(100) * F.col("n_vowels")
+              < F.lit(int(min_vowel_pct)) * F.col("n_letters"))))
+
+
+def gibberish_gate_sql(docs_sql: str, max_run: int = 6,
+                       min_vowel_pct: int = 20) -> str:
+    """DuckDB mirror of :func:`gibberish_gate` over a (doc_id, text)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+      AS n_letters,
+    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      - length(regexp_replace(
+          regexp_replace(lower(text), '[^a-z]', '', 'g'),
+          '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+    CAST(coalesce(list_max(list_transform(
+      string_split_regex(lower(text), '[^bcdfghjklmnpqrstvwxyz]+'),
+      x -> length(x))), 0) AS INT) AS max_consonant_run
+  FROM ({docs_sql})
+)
+SELECT doc_id, n_letters, n_vowels, max_consonant_run,
+  max_consonant_run >= {int(max_run)}
+  OR (n_letters > 0
+      AND 100 * n_vowels < {int(min_vowel_pct)} * n_letters)
+    AS is_gibberish
+FROM base
+"""

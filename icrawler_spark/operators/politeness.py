@@ -1070,3 +1070,43 @@ SELECT host, CAST(queue_len AS BIGINT) AS queue_len,
   (queue_len * delay_ms + 86399999) // 86400000 > 7 AS infeasible_week
 FROM ({queues_sql})
 """
+
+
+def robots_cache(
+    fetches: DataFrame,
+    ttl_s: int = 3600,
+    host_col: str = "host",
+    t_col: str = "t",
+) -> DataFrame:
+    """robots.txt cache amortization per host: with a TTL cache, the
+    robots fetches a crawl actually pays for are the DISTINCT TTL buckets
+    its page fetches touch — hosts crawled in one burst amortize to ~1
+    robots fetch, trickle-crawled hosts pay one per TTL window. The
+    input to choosing the TTL (and to explaining why a 10^8-host crawl's
+    robots overhead is what it is).
+
+    All integer: bucket = t // ttl. Scale shape: ONE groupBy(host) with
+    count + distinct-bucket count (map-side combinable). Returns (host,
+    n_fetches, n_robots_fetches, fetches_per_robots rounded 6).
+    """
+    b = F.floor(F.col(t_col).cast("long") / F.lit(int(ttl_s))).cast("long")
+    per = (fetches.select(F.col(host_col).alias("host"), b.alias("__b"))
+           .groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_fetches"),
+                F.count_distinct("__b").cast("long")
+                .alias("n_robots_fetches")))
+    return per.withColumn(
+        "fetches_per_robots",
+        F.round(F.col("n_fetches") / F.col("n_robots_fetches"), 6))
+
+
+def robots_cache_sql(fetches_sql: str, ttl_s: int = 3600) -> str:
+    """DuckDB mirror of :func:`robots_cache` over a (host, t) SELECT."""
+    return f"""
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(count(DISTINCT CAST(t AS BIGINT) // {int(ttl_s)}) AS BIGINT)
+    AS n_robots_fetches,
+  round(count(*) / CAST(count(DISTINCT CAST(t AS BIGINT) // {int(ttl_s)})
+                        AS DOUBLE), 6) AS fetches_per_robots
+FROM ({fetches_sql}) GROUP BY 1
+"""

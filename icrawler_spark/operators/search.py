@@ -1374,3 +1374,162 @@ SELECT magnitude, n_queries, volume,
   round(volume / CAST(t AS DOUBLE), 6) AS volume_share
 FROM per CROSS JOIN tot
 """
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap between two rankers' top-k lists per query
+    (Webber/Moffat/Zobel TOIS 2010, truncated form): at each depth d the
+    prefix agreement |A_d ∩ B_d|/d, combined as (1−p)·Σ p^(d−1)·X_d plus
+    the plain average overlap — the ranker-diff metric that weights the
+    top of the list, where users look, instead of treating rank 1 and
+    rank 10 as equal (Kendall does).
+
+    Scale shape: per side ONE groupBy(query) collecting the ≤k-element
+    ranked list (ordered inside the agg — never a global sort); the
+    depth loop is per-row array math over k elements. Returns (query,
+    k_eff, avg_overlap, rbo) rounded 6.
+    """
+    def topk(run, name):
+        r = run.select(F.col(query_col).alias("query"),
+                       F.col(doc_col).alias("doc"),
+                       F.col(rank_col).cast("long").alias("rank")) \
+            .filter(F.col("rank") <= k)
+        return (r.groupBy("query")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "doc"))),
+                    lambda s: s["doc"]).alias(name)))
+    j = topk(run_a, "__a").join(topk(run_b, "__b"), "query")
+    a, b = F.col("__a"), F.col("__b")
+    keff = F.least(F.size(a), F.size(b))
+    depths = F.sequence(F.lit(1), keff)
+    xd = lambda d: F.size(F.array_intersect(F.slice(a, 1, d),
+                                            F.slice(b, 1, d))) / d
+    ao = F.aggregate(depths, F.lit(0.0), lambda acc, d: acc + xd(d)) / keff
+    rbo = F.lit(1.0 - float(p)) * F.aggregate(
+        depths, F.lit(0.0),
+        lambda acc, d: acc + F.pow(F.lit(float(p)), d - 1) * xd(d))
+    return (j.filter(keff >= 1)
+            .select("query", keff.cast("int").alias("k_eff"),
+                    F.round(ao, 6).alias("avg_overlap"),
+                    F.round(rbo, 6).alias("rbo")))
+
+
+def rbo_overlap_sql(run_a_sql: str, run_b_sql: str, k: int = 10,
+                    p: float = 0.9) -> str:
+    """DuckDB mirror of :func:`rbo_overlap` over two (query, doc, rank)
+    SELECTs."""
+    def side(src, name):
+        return f"""
+{name} AS (
+  SELECT query, list(doc ORDER BY rank, doc) AS docs
+  FROM (SELECT query, doc, CAST(rank AS BIGINT) AS rank FROM ({src})
+        WHERE rank <= {int(k)})
+  GROUP BY 1
+)"""
+    xd = ("len(list_intersect(a.docs[1 : d], b.docs[1 : d]))"
+          " / CAST(d AS DOUBLE)")
+    return f"""
+WITH {side(run_a_sql, 'a0').lstrip()},
+{side(run_b_sql, 'b0').lstrip()},
+j AS (
+  SELECT a.query, a.docs AS adocs, b.docs AS bdocs,
+         least(len(a.docs), len(b.docs)) AS keff
+  FROM a0 a JOIN b0 b USING (query)
+)
+SELECT query, CAST(keff AS INT) AS k_eff,
+  round(list_sum(list_transform(generate_series(1, keff),
+    d -> len(list_intersect(adocs[1 : d], bdocs[1 : d]))
+         / CAST(d AS DOUBLE))) / keff, 6) AS avg_overlap,
+  round({1.0 - float(p)!r} * list_sum(list_transform(
+    generate_series(1, keff),
+    d -> pow({float(p)!r}, d - 1)
+         * len(list_intersect(adocs[1 : d], bdocs[1 : d]))
+         / CAST(d AS DOUBLE))), 6) AS rbo
+FROM j WHERE keff >= 1
+"""
+
+
+def ndcg_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Graded nDCG@k per query with the natural-log discount (DCG =
+    Σ grade/ln(rank+1); the base cancels in the nDCG ratio, and ln is the
+    one log both engines compute identically) — the graded-relevance
+    completion of the eval suite (map_eval is binary, rbp_eval models
+    patience, nDCG rewards putting the BEST doc first, not just A
+    relevant doc).
+
+    Scale shape: DCG is one equi-join run⋈qrels + ONE groupBy(query);
+    the ideal ranking is a query-partitioned window over the QRELS table
+    (grade desc, doc tiebreak). Returns (query, dcg, idcg, ndcg) rounded
+    6; ndcg NULL when the query has no graded-positive docs.
+    """
+    g = (qrels.select(F.col(query_col).alias("query"),
+                      F.col(doc_col).alias("doc"),
+                      F.col(grade_col).cast("long").alias("grade")))
+    r = (run.select(F.col(query_col).alias("query"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(rank_col).cast("long").alias("rank"))
+         .filter(F.col("rank") <= k)
+         .join(g, ["query", "doc"], "left")
+         .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0))))
+    dcg = r.groupBy("query").agg(
+        F.sum(F.col("grade") / F.log(F.col("rank") + 1)).alias("__dcg"))
+    w = Window.partitionBy("query").orderBy(F.col("grade").desc(), "doc")
+    ideal = (g.withColumn("__ir", F.row_number().over(w))
+             .filter(F.col("__ir") <= k)
+             .groupBy("query")
+             .agg(F.sum(F.col("grade") / F.log(F.col("__ir") + 1))
+                  .alias("__idcg")))
+    return (dcg.join(ideal, "query", "left")
+            .select("query", F.round(F.col("__dcg"), 6).alias("dcg"),
+                    F.round(F.coalesce(F.col("__idcg"), F.lit(0.0)), 6)
+                    .alias("idcg"),
+                    F.when(F.col("__idcg") > 0,
+                           F.round(F.col("__dcg") / F.col("__idcg"), 6))
+                    .alias("ndcg")))
+
+
+def ndcg_eval_sql(run_sql: str, qrels_sql: str, k: int = 10) -> str:
+    """DuckDB mirror of :func:`ndcg_eval` over (query, doc, rank) and
+    (query, doc, grade) SELECTs."""
+    return f"""
+WITH g AS (SELECT query, doc, CAST(grade AS BIGINT) AS grade
+           FROM ({qrels_sql})),
+r AS (
+  SELECT a.query, CAST(a.rank AS BIGINT) AS rank,
+         coalesce(g.grade, 0) AS grade
+  FROM ({run_sql}) a
+  LEFT JOIN g ON g.query = a.query AND g.doc = a.doc
+  WHERE a.rank <= {int(k)}
+),
+dcg AS (
+  SELECT query, sum(grade / ln(rank + 1)) AS dcg FROM r GROUP BY 1
+),
+ideal AS (
+  SELECT query, sum(grade / ln(ir + 1)) AS idcg FROM (
+    SELECT query, grade,
+      row_number() OVER (PARTITION BY query
+                         ORDER BY grade DESC, doc) AS ir
+    FROM g) WHERE ir <= {int(k)}
+  GROUP BY 1
+)
+SELECT d.query, round(d.dcg, 6) AS dcg,
+  round(coalesce(i.idcg, 0.0), 6) AS idcg,
+  CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
+FROM dcg d LEFT JOIN ideal i USING (query)
+"""

@@ -466,3 +466,43 @@ SELECT dow, hod, n_events,
   round(n_events / CAST(t AS DOUBLE), 6) AS share
 FROM per CROSS JOIN tot
 """
+
+
+def log_dedup(
+    events: DataFrame,
+    id_col: str = "event_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """At-least-once log integrity audit: events sharing an id are either
+    harmless redelivery (identical payload — drop the copies) or
+    corruption (conflicting payloads under one id — page someone). The
+    reconstruction gate every exactly-once claim downstream of a
+    redeliver-happy queue actually rests on.
+
+    Payloads compare by md5 so arbitrary blobs cost one fixed-width
+    groupBy key. Scale shape: ONE groupBy(id) with count + distinct-hash
+    count; only duplicated ids are emitted (the clean majority never
+    leaves the aggregation). Returns (event_id, n_copies, n_payloads,
+    conflict).
+    """
+    per = (events.select(F.col(id_col).alias("event_id"),
+                         F.md5(F.col(payload_col).cast("string"))
+                         .alias("__h"))
+           .groupBy("event_id")
+           .agg(F.count("*").cast("long").alias("n_copies"),
+                F.count_distinct("__h").cast("long").alias("n_payloads")))
+    return (per.filter(F.col("n_copies") >= 2)
+            .withColumn("conflict", F.col("n_payloads") > 1))
+
+
+def log_dedup_sql(events_sql: str) -> str:
+    """DuckDB mirror of :func:`log_dedup` over an (event_id, payload)
+    SELECT."""
+    return f"""
+SELECT event_id, CAST(count(*) AS BIGINT) AS n_copies,
+  CAST(count(DISTINCT md5(CAST(payload AS VARCHAR))) AS BIGINT)
+    AS n_payloads,
+  count(DISTINCT md5(CAST(payload AS VARCHAR))) > 1 AS conflict
+FROM ({events_sql})
+GROUP BY 1 HAVING count(*) >= 2
+"""

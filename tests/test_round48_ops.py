@@ -1,0 +1,134 @@
+"""Unit tests for the round-48 pack: RBO overlap, nDCG, log dedup,
+gibberish gate, robots cache amortization."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.curation import gibberish_gate
+from icrawler_spark.operators.politeness import robots_cache
+from icrawler_spark.operators.search import ndcg_eval, rbo_overlap
+from icrawler_spark.operators.sessions import log_dedup
+
+
+# ---------------------------------------------------------------------------
+# rbo_overlap
+# ---------------------------------------------------------------------------
+
+def test_rbo_identical_lists(spark):
+    rows = [("q", f"d{i}", i + 1) for i in range(5)]
+    a = spark.createDataFrame(rows, "query string, doc string, rank long")
+    r = rbo_overlap(a, a, k=5, p=0.9).collect()[0]
+    assert r["avg_overlap"] == 1.0
+    # truncated RBO of identical lists = (1-p)*sum p^(d-1)
+    expect = 0.1 * sum(0.9 ** d for d in range(5))
+    assert r["rbo"] == round(expect, 6)
+
+
+def test_rbo_disjoint_lists(spark):
+    a = spark.createDataFrame([("q", "a1", 1), ("q", "a2", 2)],
+                              "query string, doc string, rank long")
+    b = spark.createDataFrame([("q", "b1", 1), ("q", "b2", 2)],
+                              "query string, doc string, rank long")
+    r = rbo_overlap(a, b, k=5).collect()[0]
+    assert r["rbo"] == 0.0 and r["avg_overlap"] == 0.0
+
+
+def test_rbo_swap_top_two(spark):
+    a = spark.createDataFrame([("q", "x", 1), ("q", "y", 2)],
+                              "query string, doc string, rank long")
+    b = spark.createDataFrame([("q", "y", 1), ("q", "x", 2)],
+                              "query string, doc string, rank long")
+    r = rbo_overlap(a, b, k=2, p=0.5).collect()[0]
+    # depth1 overlap 0, depth2 overlap 1 → AO = 0.5
+    assert r["avg_overlap"] == 0.5
+    assert r["rbo"] == round(0.5 * (1 * 0 + 0.5 * 1), 6)
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval
+# ---------------------------------------------------------------------------
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    run = spark.createDataFrame(
+        [("q", "best", 1), ("q", "good", 2), ("q", "meh", 3)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "best", 3), ("q", "good", 2), ("q", "meh", 1)],
+        "query string, doc string, grade long")
+    r = ndcg_eval(run, qrels).collect()[0]
+    assert r["ndcg"] == 1.0
+
+
+def test_ndcg_inverted_below_one(spark):
+    run = spark.createDataFrame(
+        [("q", "meh", 1), ("q", "best", 2)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "best", 3), ("q", "meh", 1)],
+        "query string, doc string, grade long")
+    r = ndcg_eval(run, qrels).collect()[0]
+    dcg = 1 / math.log(2) + 3 / math.log(3)
+    idcg = 3 / math.log(2) + 1 / math.log(3)
+    assert r["ndcg"] == round(round(dcg, 6) / round(idcg, 6), 6) or \
+        r["ndcg"] == round(dcg / idcg, 6)
+    assert r["ndcg"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# log_dedup
+# ---------------------------------------------------------------------------
+
+def test_log_dedup_redelivery_vs_conflict(spark):
+    rows = [(1, "same"), (1, "same"),          # redelivery
+            (2, "v1"), (2, "v2"),              # conflict
+            (3, "clean")]
+    df = spark.createDataFrame(rows, "event_id long, payload string")
+    out = {r["event_id"]: r for r in log_dedup(df).collect()}
+    assert not out[1]["conflict"] and out[1]["n_copies"] == 2
+    assert out[2]["conflict"] and out[2]["n_payloads"] == 2
+    assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# gibberish_gate
+# ---------------------------------------------------------------------------
+
+def test_gibberish_consonant_mash_flagged(spark):
+    df = spark.createDataFrame(
+        [(1, "xkrtzpq wvbnmst grhjkl"),
+         (2, "this is a perfectly ordinary readable sentence")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gibberish_gate(df).collect()}
+    assert out[1]["is_gibberish"] and out[1]["max_consonant_run"] >= 6
+    assert not out[2]["is_gibberish"]
+
+
+def test_gibberish_low_vowel_rule(spark):
+    # short runs but almost no vowels
+    df = spark.createDataFrame([(1, "bcd fgh jkl mnp qrs tvw xyz")],
+                               "doc_id long, text string")
+    r = gibberish_gate(df, max_run=10).collect()[0]
+    assert r["is_gibberish"] and r["n_vowels"] == 0
+
+
+def test_gibberish_counts(spark):
+    df = spark.createDataFrame([(1, "aeiou bcd!")], "doc_id long, text string")
+    r = gibberish_gate(df).collect()[0]
+    assert r["n_letters"] == 8 and r["n_vowels"] == 5
+    assert r["max_consonant_run"] == 3
+
+
+# ---------------------------------------------------------------------------
+# robots_cache
+# ---------------------------------------------------------------------------
+
+def test_robots_cache_buckets(spark):
+    rows = [("burst", t) for t in (0, 10, 20, 30)]          # one bucket
+    rows += [("trickle", t) for t in (0, 3700, 7500, 11000)]  # four buckets
+    df = spark.createDataFrame(rows, "host string, t long")
+    out = {r["host"]: r for r in robots_cache(df, ttl_s=3600).collect()}
+    assert out["burst"]["n_robots_fetches"] == 1
+    assert out["burst"]["fetches_per_robots"] == 4.0
+    assert out["trickle"]["n_robots_fetches"] == 4
+    assert out["trickle"]["fetches_per_robots"] == 1.0
