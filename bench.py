@@ -292,6 +292,8 @@ _EXTRA_PICKS = [
     "script_switches",
     # round-3 batch-42 (RBO + nDCG + log integrity + phonotactics + TTL)
     "rbo_overlap", "ndcg_eval", "log_dedup", "gibberish", "robots_cache",
+    # round-3 batch-43 (ANN QA + merge plan + QPP + score norm + aliases)
+    "ann_recall", "segment_merge", "qpp", "score_norm", "host_variants",
 ]
 
 

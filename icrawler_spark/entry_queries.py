@@ -42,7 +42,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round42, entry_round43,
                             entry_round44, entry_round45,
                             entry_round46, entry_round47,
-                            entry_round48)
+                            entry_round48, entry_round49)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -857,6 +857,7 @@ def queries():
         **entry_round46.queries46(),
         **entry_round47.queries47(),
         **entry_round48.queries48(),
+        **entry_round49.queries49(),
     }
 
 
@@ -937,4 +938,5 @@ def oracle_sql():
         **entry_round46.oracle_sql46(),
         **entry_round47.oracle_sql47(),
         **entry_round48.oracle_sql48(),
+        **entry_round49.oracle_sql49(),
     }

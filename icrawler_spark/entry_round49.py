@@ -1,0 +1,183 @@
+"""Round-3 driver-contract queries (batch 43): ANN recall self-eval,
+segment merge plan, query-performance prediction, score normalization,
+host-variant consolidation.
+
+Fixtures derive deterministically from documents/events/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round2 import EMB_DIM, _SRP_PLANES, _SRP_SEED
+from icrawler_spark.entry_round2 import _srp_sql
+
+# mirrored from entry_queries (importing it here would be circular — it
+# imports this module); pinned by the shared-fixture test below
+_ANN_QUERIES = list(range(10))
+_ANN_K = 5
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import similarity as _similarity
+
+# ---------------------------------------------------------------------------
+# ann_recall — SRP-LSH vs exact brute force (self-evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.ann_recall: recall of the SRP multiprobe
+    top-k against the exact cosine top-k, per query — the number every
+    LSH parameter choice answers to."""
+    emb = _emb(spark, sf)
+    exact = _similarity.cosine_topk(emb, _ANN_QUERIES, k=_ANN_K)
+    approx = _similarity.srp_topk(emb, _ANN_QUERIES, k=_ANN_K,
+                                  n_planes=_SRP_PLANES, seed=_SRP_SEED,
+                                  multiprobe_hamming=1, dim=EMB_DIM)
+    return _similarity.ann_recall(exact, approx)
+
+
+def _ann_recall_sql() -> str:
+    from icrawler_spark.entry_queries import Q_ANN_SQL
+    return _similarity.ann_recall_sql(Q_ANN_SQL, _srp_sql())
+
+
+# ---------------------------------------------------------------------------
+# segment_merge — tiered merge-policy cost model
+# ---------------------------------------------------------------------------
+
+
+def _sm_segments(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(e.alias("seg_id"),
+                     ((e * 487) % 99000 + 100).cast("long").alias("nbytes"))
+
+
+_SMG_SEGMENTS_SQL = ("SELECT event_id AS seg_id, "
+                     "CAST((event_id * 487) % 99000 + 100 AS BIGINT)"
+                     " AS nbytes FROM events")
+
+
+def q_segment_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.segment_merge_plan: digit-count tiers over the
+    segment catalog — all integer, ONE groupBy(tier)."""
+    return _search.segment_merge_plan(_sm_segments(spark, sf))
+
+
+def _segment_merge_sql() -> str:
+    return _search.segment_merge_plan_sql(_SMG_SEGMENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qpp — pre-retrieval query performance prediction
+# ---------------------------------------------------------------------------
+
+_QPP_TERMS = ["data", "spark", "merge", "quantum"]
+
+
+def q_qpp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.qpp_predict: per-term df/idf + query scope — the
+    isin predicate runs in the scan; corpus N broadcast."""
+    return _search.qpp_predict(_docs(spark, sf).select("doc_id", "text"),
+                               _QPP_TERMS)
+
+
+def _qpp_sql() -> str:
+    return _search.qpp_predict_sql("SELECT doc_id, text FROM documents",
+                                   _QPP_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# score_norm — per-source percentile normalization
+# ---------------------------------------------------------------------------
+
+
+def _sn_scores(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    return d.select("doc_id", F.col("source"),
+                    ((doc_id * 31) % 1000).cast("long").alias("score"))
+
+
+_SN_SCORES_SQL = ("SELECT doc_id, source, "
+                  "CAST((doc_id * 31) % 1000 AS BIGINT) AS score "
+                  "FROM documents")
+
+
+def q_score_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.score_norm: rank transform within source — one
+    source-partitioned window + count join."""
+    return _corpus.score_norm(_sn_scores(spark, sf))
+
+
+def _score_norm_sql() -> str:
+    return _corpus.score_norm_sql(_SN_SCORES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# host_variants — www/scheme identity fragmentation
+# ---------------------------------------------------------------------------
+
+
+def _hv_urls(spark, sf) -> DataFrame:
+    """Half the hosts appear both bare and www-prefixed."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    # the www flag keys on e // 30 so it is INDEPENDENT of the host id
+    # (e % 30): any modulus of e correlates with e % 30 and would make the
+    # www/bare variant sets disjoint
+    www = F.when(F.floor(e / 30) % 2 == 0, F.lit("www.")) \
+        .otherwise(F.lit(""))
+    host = F.concat(www, F.lit("site"), (e % 30).cast("string"),
+                    F.lit(".test"))
+    return ev.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), e.cast("string"))
+        .alias("url"))
+
+
+_HV_URLS_SQL = """
+  SELECT 'http://'
+    || CASE WHEN (event_id // 30) % 2 = 0 THEN 'www.' ELSE '' END
+    || 'site' || (event_id % 30) || '.test/p' || event_id AS url
+  FROM events
+"""
+
+
+def q_host_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.host_variants: www-variant groups with ≥2 live
+    spellings — canonical key in the scan, ONE groupBy."""
+    return _urls.host_variants(_hv_urls(spark, sf))
+
+
+def _host_variants_sql() -> str:
+    return _urls.host_variants_sql(_HV_URLS_SQL)
+
+
+def queries49():
+    return {
+        "ann_recall": q_ann_recall,
+        "segment_merge": q_segment_merge,
+        "qpp": q_qpp,
+        "score_norm": q_score_norm,
+        "host_variants": q_host_variants,
+    }
+
+
+def oracle_sql49():
+    return {
+        "ann_recall": _ann_recall_sql(),
+        "segment_merge": _segment_merge_sql(),
+        "qpp": _qpp_sql(),
+        "score_norm": _score_norm_sql(),
+        "host_variants": _host_variants_sql(),
+    }

@@ -543,3 +543,49 @@ SELECT host,
   contains(host, 'xn--') AS has_punycode
 FROM h
 """.replace("{src}", hosts_sql)
+
+
+def host_variants(urls, url_col: str = "url"):
+    """Host-alias consolidation report: hosts differing only by a
+    leading ``www.`` collapse onto one canonical key; groups with ≥2
+    live variants are split-identity sites whose link signals, crawl
+    budgets and dedup keys are silently fragmented until the crawler
+    canonicalizes them. (Scheme variants collapse too — http/https of
+    the same host are one identity.)
+
+    Scale shape: host extraction + canonical key in the scan, ONE
+    groupBy(canonical). Returns (canon_host, n_variants, n_urls,
+    variants — the sorted, comma-joined variant list, bounded by the
+    variant count, not the URL count).
+    """
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    canon = F.regexp_replace(host, r"^www\.", "")
+    per = (urls.select(host.alias("h"), canon.alias("canon_host"))
+           .groupBy("canon_host", "h")
+           .agg(F.count("*").cast("long").alias("n")))
+    return (per.groupBy("canon_host")
+            .agg(F.count("*").cast("long").alias("n_variants"),
+                 F.sum("n").cast("long").alias("n_urls"),
+                 F.array_join(F.array_sort(F.collect_list("h")), ",")
+                 .alias("variants"))
+            .filter(F.col("n_variants") >= 2))
+
+
+def host_variants_sql(urls_sql: str) -> str:
+    """DuckDB mirror of :func:`host_variants` over a (url) SELECT."""
+    return r"""
+WITH per AS (
+  SELECT regexp_replace(h, '^www\.', '') AS canon_host, h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+          AS h FROM ({src}))
+  GROUP BY 1, 2
+)
+SELECT canon_host, CAST(count(*) AS BIGINT) AS n_variants,
+  CAST(sum(n) AS BIGINT) AS n_urls,
+  array_to_string(list_sort(list(h)), ',') AS variants
+FROM per GROUP BY 1 HAVING count(*) >= 2
+""".replace("{src}", urls_sql)

@@ -1072,3 +1072,52 @@ SELECT stratum, n_pop, n_sample,
   n_sample = 0 AS missing
 FROM j CROSS JOIN tot
 """
+
+
+def score_norm(
+    scores: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-source percentile-rank normalization of a quality score: rank
+    transform (rank−1)/(n−1) within each source — the pre-mixing step
+    that makes scores COMPARABLE across sources whose classifiers were
+    calibrated differently (source A's 0.9 may be source B's 0.5; their
+    percentiles mean the same thing by construction).
+
+    Rank is exact integer (score, id tiebreak); the transform divides
+    once, rounded 6; single-doc sources get 0.5 (no information either
+    way). Scale shape: one source-partitioned rank window + the per
+    source count join — same exchange key. Returns (doc_id, source,
+    score, pct_rank).
+    """
+    base = scores.select(F.col(id_col).alias("doc_id"),
+                         F.col(source_col).alias("source"),
+                         F.col(score_col).cast("long").alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    n = base.groupBy("source").agg(F.count("*").cast("long").alias("__n"))
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    return (ranked.join(n, "source")
+            .select("doc_id", "source", "score",
+                    F.when(F.col("__n") > 1,
+                           F.round((F.col("__r") - 1)
+                                   / (F.col("__n") - 1), 6))
+                    .otherwise(F.lit(0.5)).alias("pct_rank")))
+
+
+def score_norm_sql(scores_sql: str) -> str:
+    """DuckDB mirror of :func:`score_norm` over a (doc_id, source, score)
+    SELECT."""
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM ({scores_sql})
+)
+SELECT doc_id, source, score,
+  CASE WHEN n > 1 THEN round((r - 1) / CAST(n - 1 AS DOUBLE), 6)
+       ELSE 0.5 END AS pct_rank
+FROM ranked
+"""

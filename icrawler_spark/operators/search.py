@@ -1533,3 +1533,117 @@ SELECT d.query, round(d.dcg, 6) AS dcg,
   CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
 FROM dcg d LEFT JOIN ideal i USING (query)
 """
+
+
+def segment_merge_plan(
+    segments: DataFrame,
+    seg_col: str = "seg_id",
+    bytes_col: str = "nbytes",
+) -> DataFrame:
+    """Tiered segment-merge cost model (the Lucene/LSM merge-policy
+    arithmetic, public lore): segments tier by byte magnitude (digit
+    count — the query_tail trick, no float log10); a tier with T
+    segments implies one merge writing its total bytes, so write
+    amplification per tier = merged bytes / input bytes of the NEW data
+    at that tier. The index-maintenance budget line for a continuously
+    recrawling corpus.
+
+    All integer arithmetic. Scale shape: ONE groupBy(tier) over the
+    segment catalog (tiny). Returns (tier, n_segments, total_bytes,
+    largest, merge_needed).
+    """
+    per = segments.select(
+        F.col(seg_col).alias("seg"),
+        F.col(bytes_col).cast("long").alias("b"),
+        F.length(F.col(bytes_col).cast("long").cast("string")).cast("int")
+        .alias("tier"))
+    return (per.groupBy("tier")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 F.sum("b").cast("long").alias("total_bytes"),
+                 F.max("b").cast("long").alias("largest"))
+            .withColumn("merge_needed", F.col("n_segments") >= 10))
+
+
+def segment_merge_plan_sql(segments_sql: str) -> str:
+    """DuckDB mirror of :func:`segment_merge_plan` over a (seg_id,
+    nbytes) SELECT."""
+    return f"""
+SELECT CAST(length(CAST(CAST(nbytes AS BIGINT) AS VARCHAR)) AS INT)
+    AS tier,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+  CAST(max(nbytes) AS BIGINT) AS largest,
+  count(*) >= 10 AS merge_needed
+FROM ({segments_sql}) GROUP BY 1
+"""
+
+
+def qpp_predict(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pre-retrieval query-performance prediction (He & Ounis lineage):
+    per query term, its df and idf, plus the query-level aggregates —
+    avg/max idf and query scope (share of docs matching ANY term). Cheap
+    signals that predict whether a query is worth an expensive reranker
+    BEFORE retrieval runs (high-idf narrow queries do well; broad
+    low-idf queries don't).
+
+    Scale shape: the term filter is a literal isin predicate inside the
+    scan; ONE groupBy(term) for df, one distinct-doc count for scope,
+    corpus N broadcast. idf = ln(N/df) rounded 6. Returns one row per
+    term plus the __query__ summary row (term='__query__', df = matched
+    docs, idf = avg idf of the terms).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    terms = sorted({t for t in query_terms})
+    base = docs.select(F.col(id_col).alias("doc"),
+                       tokens_col(F.col(text_col)).alias("__t"))
+    n_total = base.count()
+    hits = (base.select("doc", F.explode("__t").alias("term"))
+            .filter(F.col("term").isin(terms))
+            .distinct())
+    per = (hits.groupBy("term")
+           .agg(F.count("*").cast("long").alias("df"))
+           .withColumn("idf", F.round(F.log(F.lit(float(n_total))
+                                            / F.col("df")), 6)))
+    scope = hits.select("doc").distinct().count()
+    summary = per.agg(
+        F.round(F.avg("idf"), 6).alias("idf")).select(
+        F.lit("__query__").alias("term"),
+        F.lit(int(scope)).cast("long").alias("df"), "idf")
+    return per.select("term", "df", "idf").unionByName(summary)
+
+
+def qpp_predict_sql(docs_sql: str, query_terms: list[str]) -> str:
+    """DuckDB mirror of :func:`qpp_predict` over a (doc_id, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, string_split({norm}, ' ') AS t FROM ({docs_sql})
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM base),
+hits AS (
+  SELECT DISTINCT doc, term
+  FROM (SELECT doc, unnest(t) AS term FROM base)
+  WHERE term IN ({in_list})
+),
+per AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         round(ln((SELECT total FROM n) / CAST(count(*) AS DOUBLE)), 6)
+           AS idf
+  FROM hits GROUP BY 1
+)
+SELECT term, df, idf FROM per
+UNION ALL
+SELECT '__query__' AS term,
+  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM hits) AS df,
+  (SELECT round(avg(idf), 6) FROM per) AS idf
+"""

@@ -881,3 +881,66 @@ SELECT CAST(dim AS INT) AS dim, n,
   round(ss / n - (s / n) * (s / n), 6) <= 0.0 AS dead
 FROM per
 """
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    nb_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN self-evaluation: recall of an approximate top-k result set
+    against the exact brute-force top-k, per query — the number that
+    justifies every LSH/IVF/PQ parameter in this package ('SRP with 4
+    planes + Hamming-1 multiprobe recalls 0.92 of exact top-5'). dedup's
+    dedup_eval precedent applied to the vector side.
+
+    Counts are exact integers from one (query, neighbor) equi-join;
+    recall divides once. Scale shape: the exact side is the expensive
+    input (run it on a sampled query set); the eval itself is ONE join +
+    ONE groupBy(query). Returns (query_id, n_exact, n_approx, n_common,
+    recall rounded 6).
+    """
+    e = exact.select(F.col(query_col).alias("q"),
+                     F.col(nb_col).alias("n")).distinct()
+    a = approx.select(F.col(query_col).alias("q"),
+                      F.col(nb_col).alias("n")).distinct() \
+        .withColumn("__hit", F.lit(1))
+    ne = e.groupBy("q").agg(F.count("*").cast("long").alias("n_exact"))
+    na = a.groupBy("q").agg(F.count("*").cast("long").alias("n_approx"))
+    common = (e.join(a, ["q", "n"])
+              .groupBy("q").agg(F.count("*").cast("long")
+                                .alias("n_common")))
+    return (ne.join(na, "q", "left").join(common, "q", "left")
+            .select(F.col("q").alias(query_col),
+                    "n_exact",
+                    F.coalesce(F.col("n_approx"), F.lit(0)).cast("long")
+                    .alias("n_approx"),
+                    F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.round(F.coalesce(F.col("n_common"), F.lit(0))
+                            / F.col("n_exact"), 6).alias("recall")))
+
+
+def ann_recall_sql(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB mirror of :func:`ann_recall`: both result sets arrive as
+    complete SELECTs (their own WITH chains allowed — they nest as
+    parenthesized subqueries) producing (query_id, neighbor_id, ...)."""
+    return f"""
+WITH e AS (SELECT DISTINCT query_id AS q, neighbor_id AS n
+           FROM ({exact_sql})),
+a AS (SELECT DISTINCT query_id AS q, neighbor_id AS n
+      FROM ({approx_sql})),
+ne AS (SELECT q, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY 1),
+na AS (SELECT q, CAST(count(*) AS BIGINT) AS n_approx FROM a GROUP BY 1),
+c AS (
+  SELECT e.q, CAST(count(*) AS BIGINT) AS n_common
+  FROM e JOIN a ON a.q = e.q AND a.n = e.n GROUP BY 1
+)
+SELECT ne.q AS query_id, ne.n_exact,
+  coalesce(na.n_approx, 0) AS n_approx,
+  coalesce(c.n_common, 0) AS n_common,
+  round(coalesce(c.n_common, 0) / CAST(ne.n_exact AS DOUBLE), 6)
+    AS recall
+FROM ne LEFT JOIN na ON na.q = ne.q LEFT JOIN c ON c.q = ne.q
+"""

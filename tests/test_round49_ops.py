@@ -1,0 +1,126 @@
+"""Unit tests for the round-49 pack: ANN recall, segment merge plan, QPP,
+score normalization, host variants."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.functions.urls import host_variants
+from icrawler_spark.operators.corpus import score_norm
+from icrawler_spark.operators.search import qpp_predict, segment_merge_plan
+from icrawler_spark.operators.similarity import ann_recall
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_counts(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 33)],
+        "query_id long, neighbor_id long")
+    out = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert out[1]["n_common"] == 2 and out[1]["recall"] == round(2 / 3, 6)
+    assert out[2]["n_common"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_ann_recall_missing_approx_query(spark):
+    exact = spark.createDataFrame([(1, 10)], "query_id long, neighbor_id long")
+    approx = spark.createDataFrame([], "query_id long, neighbor_id long")
+    r = ann_recall(exact, approx).collect()[0]
+    assert r["n_approx"] == 0 and r["recall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# segment_merge_plan
+# ---------------------------------------------------------------------------
+
+def test_segment_merge_tiers(spark):
+    rows = [(i, b) for i, b in enumerate([5, 9, 50, 500, 5000, 5001])]
+    df = spark.createDataFrame(rows, "seg_id long, nbytes long")
+    out = {r["tier"]: r for r in segment_merge_plan(df).collect()}
+    assert out[1]["n_segments"] == 2        # 5, 9
+    assert out[4]["n_segments"] == 2 and out[4]["largest"] == 5001
+    assert not out[1]["merge_needed"]
+
+
+def test_segment_merge_needed_at_ten(spark):
+    rows = [(i, 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "seg_id long, nbytes long")
+    r = segment_merge_plan(df).collect()[0]
+    assert r["merge_needed"] and r["tier"] == 3
+
+
+# ---------------------------------------------------------------------------
+# qpp_predict
+# ---------------------------------------------------------------------------
+
+def test_qpp_idf_and_scope(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare words here"), (2, "common text"), (3, "common again"),
+         (4, "common rare")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in
+           qpp_predict(docs, ["rare", "common"]).collect()}
+    assert out["rare"]["df"] == 2
+    assert out["rare"]["idf"] == round(math.log(4 / 2), 6)
+    assert out["common"]["df"] == 3
+    q = out["__query__"]
+    assert q["df"] == 4                      # every doc matches something
+    # python round() is banker's, Spark's is half-up → compare within 1 ulp
+    expect = (out["rare"]["idf"] + out["common"]["idf"]) / 2
+    assert abs(q["idf"] - expect) <= 6e-7
+
+
+def test_qpp_absent_term_not_listed(spark):
+    docs = spark.createDataFrame([(1, "only these words")],
+                                 "doc_id long, text string")
+    out = {r["term"] for r in qpp_predict(docs, ["only", "zzz"]).collect()}
+    assert out == {"only", "__query__"}
+
+
+# ---------------------------------------------------------------------------
+# score_norm
+# ---------------------------------------------------------------------------
+
+def test_score_norm_percentiles(spark):
+    rows = [(i, "A", i * 10) for i in range(5)]      # scores 0..40
+    rows += [(99, "B", 777)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = {r["doc_id"]: r for r in score_norm(df).collect()}
+    assert out[0]["pct_rank"] == 0.0 and out[4]["pct_rank"] == 1.0
+    assert out[2]["pct_rank"] == 0.5
+    assert out[99]["pct_rank"] == 0.5        # singleton source
+
+
+def test_score_norm_cross_source_comparability(spark):
+    rows = [(1, "A", 900), (2, "A", 1000),   # A's scores are inflated
+            (3, "B", 1), (4, "B", 2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = {r["doc_id"]: r["pct_rank"] for r in score_norm(df).collect()}
+    assert out[2] == out[4] == 1.0           # both sources' best align
+
+
+# ---------------------------------------------------------------------------
+# host_variants
+# ---------------------------------------------------------------------------
+
+def test_host_variants_groups_www(spark):
+    df = spark.createDataFrame(
+        [("http://www.a.test/1",), ("http://a.test/2",),
+         ("http://a.test/3",), ("http://solo.test/4",)], "url string")
+    out = host_variants(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["canon_host"] == "a.test" and r["n_variants"] == 2
+    assert r["n_urls"] == 3
+    assert r["variants"] == "a.test,www.a.test"
+
+
+def test_host_variants_no_groups(spark):
+    df = spark.createDataFrame([("http://x.test/",), ("http://y.test/",)],
+                               "url string")
+    assert host_variants(df).count() == 0
