@@ -294,6 +294,8 @@ _EXTRA_PICKS = [
     "rbo_overlap", "ndcg_eval", "log_dedup", "gibberish", "robots_cache",
     # round-3 batch-43 (ANN QA + merge plan + QPP + score norm + aliases)
     "ann_recall", "segment_merge", "qpp", "score_norm", "host_variants",
+    # round-3 batch-44 (PR diagnostics + LSH theory + leakage + hapax)
+    "pr_convergence", "lsh_curve", "split_leakage", "hapax", "depth_yield",
 ]
 
 

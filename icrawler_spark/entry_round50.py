@@ -1,0 +1,203 @@
+"""Round-3 driver-contract queries (batch 44): PageRank convergence,
+LSH S-curve validation, split-leakage audit, hapax share, depth yield.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# pr_convergence — bounded-iteration envelope evidence
+# ---------------------------------------------------------------------------
+
+_PC_N = 40
+_PC_ITERS = 4
+
+
+def _pc_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id") % _PC_N
+    return ev.select(
+        u.cast("long").alias("src"),
+        ((u + F.col("event_id") % 6 + 1) % _PC_N).cast("long").alias("dst"))
+
+
+_PC_EDGES_SQL = (f"SELECT CAST(user_id % {_PC_N} AS BIGINT) AS src, "
+                 f"CAST(((user_id % {_PC_N}) + event_id % 6 + 1)"
+                 f" % {_PC_N} AS BIGINT) AS dst FROM events")
+
+
+def q_pr_convergence(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.pr_convergence: L1/max rank delta per power
+    iteration — the evidence that the fixed-iteration envelope
+    converged."""
+    return _graph.pr_convergence(_pc_edges(spark, sf), n_iters=_PC_ITERS)
+
+
+def _pr_convergence_sql() -> str:
+    return _graph.pr_convergence_sql(_PC_EDGES_SQL, n_iters=_PC_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# lsh_curve — banding theory vs measurement
+# ---------------------------------------------------------------------------
+
+_LC_N = 3
+_LC_MAXFREQ = 50
+
+
+def _lc_docs(spark, sf) -> DataFrame:
+    """Near-dup ladder: every 5th doc is a mutation of a shared base with
+    increasing edit distance → pairs populate the middle Jaccard bins."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mut = F.concat(F.lit(base), F.lit(" variant "),
+                   (doc_id % 7).cast("string"), F.lit(" tail "),
+                   (doc_id % 11).cast("string"))
+    text = F.when(doc_id % 5 == 0, mut).otherwise(F.col("text"))
+    return d.select("doc_id", text.alias("text"))
+
+
+_LC_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa '
+        || 'lambda mu nu xi omicron pi rho sigma tau upsilon'
+        || ' variant ' || (doc_id % 7) || ' tail ' || (doc_id % 11)
+      ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_lsh_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.lsh_curve: measured band-catch rate per true
+    Jaccard bin vs the 1−(1−s^r)^b theory — the (r, b) validation."""
+    return _docdedup.lsh_curve(_lc_docs(spark, sf), n=_LC_N,
+                               max_shingle_freq=_LC_MAXFREQ)
+
+
+def _lsh_curve_sql() -> str:
+    return _docdedup.lsh_curve_sql(_LC_DOCS_SQL, n=_LC_N,
+                                   max_shingle_freq=_LC_MAXFREQ)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage — near-dups crossing train/val/test
+# ---------------------------------------------------------------------------
+
+
+def _sl_docs(spark, sf) -> DataFrame:
+    """Exact-dup families (every 4th doc) + a hash split that ignores
+    them → guaranteed cross-split leakage to catch."""
+    d = _docs(spark, sf)
+    doc_id = F.col("doc_id")
+    text = F.when(doc_id % 4 == 0,
+                  F.concat(F.lit("leaky duplicate family number "),
+                           (doc_id % 9).cast("string"),
+                           F.lit(" with enough tokens to shingle")))\
+        .otherwise(F.col("text"))
+    split = (F.when(doc_id % 10 < 8, F.lit("train"))
+             .when(doc_id % 10 == 8, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return d.select("doc_id", text.alias("text"), split.alias("split"))
+
+
+_SL_DOCS_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+      THEN 'leaky duplicate family number ' || (doc_id % 9)
+        || ' with enough tokens to shingle'
+      ELSE text END AS text,
+    CASE WHEN doc_id % 10 < 8 THEN 'train'
+         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.split_leakage: LSH candidate pairs crossing the
+    split boundary — the eval-integrity audit over a given split."""
+    return _docdedup.split_leakage(_sl_docs(spark, sf))
+
+
+def _split_leakage_sql() -> str:
+    return _docdedup.split_leakage_sql(_SL_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hapax — per-source hapax legomena share
+# ---------------------------------------------------------------------------
+
+
+def q_hapax(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.hapax_share: once-used vocabulary share per
+    source — ONE (source, term) groupBy then ONE source groupBy."""
+    return _curation.hapax_share(_docs(spark, sf).select("source", "text"))
+
+
+def _hapax_sql() -> str:
+    return _curation.hapax_share_sql("SELECT source, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# depth_yield — how deep is worth crawling
+# ---------------------------------------------------------------------------
+
+
+def _dy_pages(spark, sf) -> DataFrame:
+    """Yield decays with depth by construction: kept iff
+    e mod (depth+2) == 0."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    depth = (e % 7).cast("int")
+    kept = (e % (depth + 2) == 0)
+    return ev.select(depth.alias("depth"), kept.alias("kept"))
+
+
+_DY_PAGES_SQL = """
+  SELECT CAST(event_id % 7 AS INT) AS depth,
+         event_id % ((event_id % 7) + 2) = 0 AS kept
+  FROM events
+"""
+
+
+def q_depth_yield(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.depth_yield: per-depth fetch/keep counts +
+    cumulative kept share — the max_depth knee, measured."""
+    return _politeness.depth_yield(_dy_pages(spark, sf))
+
+
+def _depth_yield_sql() -> str:
+    return _politeness.depth_yield_sql(_DY_PAGES_SQL)
+
+
+def queries50():
+    return {
+        "pr_convergence": q_pr_convergence,
+        "lsh_curve": q_lsh_curve,
+        "split_leakage": q_split_leakage,
+        "hapax": q_hapax,
+        "depth_yield": q_depth_yield,
+    }
+
+
+def oracle_sql50():
+    return {
+        "pr_convergence": _pr_convergence_sql(),
+        "lsh_curve": _lsh_curve_sql(),
+        "split_leakage": _split_leakage_sql(),
+        "hapax": _hapax_sql(),
+        "depth_yield": _depth_yield_sql(),
+    }

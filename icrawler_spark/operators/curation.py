@@ -2096,3 +2096,59 @@ SELECT doc_id, n_letters, n_vowels, max_consonant_run,
     AS is_gibberish
 FROM base
 """
+
+
+def hapax_share(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hapax-legomena share per source: the fraction of each source's
+    vocabulary (and of its token mass) made of terms it uses exactly
+    once — OCR noise, transcoding damage and spam word-salad all inflate
+    hapax share far above clean prose's (Zipf-natural) baseline, which
+    makes this the cheapest whole-source quality screen there is.
+
+    All counts exact integers; two ratios rounded 6. Scale shape: ONE
+    groupBy(source, term) over tokens, then ONE groupBy(source) over the
+    per-source vocab table. Returns (source, vocab_size, n_hapax,
+    n_tokens, hapax_vocab_share, hapax_token_share).
+    """
+    toks = docs.select(F.col(source_col).alias("src"),
+                       F.explode(tokens_col(F.col(text_col))).alias("term"))
+    cf = (toks.filter(F.length("term") >= 1)
+          .groupBy("src", "term")
+          .agg(F.count("*").cast("long").alias("cf")))
+    return (cf.groupBy(F.col("src").alias("source"))
+            .agg(F.count("*").cast("long").alias("vocab_size"),
+                 F.sum(F.when(F.col("cf") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"),
+                 F.sum("cf").cast("long").alias("n_tokens"))
+            .select("source", "vocab_size", "n_hapax", "n_tokens",
+                    F.round(F.col("n_hapax") / F.col("vocab_size"), 6)
+                    .alias("hapax_vocab_share"),
+                    F.round(F.col("n_hapax") / F.col("n_tokens"), 6)
+                    .alias("hapax_token_share")))
+
+
+def hapax_share_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`hapax_share` over a (source, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH cf AS (
+  SELECT src, term, CAST(count(*) AS BIGINT) AS cf FROM (
+    SELECT source AS src, unnest(string_split({norm}, ' ')) AS term
+    FROM ({docs_sql}))
+  WHERE length(term) >= 1 GROUP BY 1, 2
+)
+SELECT src AS source, CAST(count(*) AS BIGINT) AS vocab_size,
+  CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(sum(cf) AS BIGINT) AS n_tokens,
+  round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS hapax_vocab_share,
+  round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)
+        / CAST(sum(cf) AS DOUBLE), 6) AS hapax_token_share
+FROM cf GROUP BY 1
+"""

@@ -891,3 +891,219 @@ SELECT * FROM within WHERE n_pairs > 0
 UNION ALL
 SELECT * FROM crossed WHERE n_pairs > 0
 """
+
+
+def lsh_curve(
+    df: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    band_rows: int = 2,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """LSH S-curve validation: per true-Jaccard bin, the share of pairs
+    the band scheme actually caught next to the theoretical catch
+    probability 1 − (1 − s^r)^b at the bin midpoint — the empirical
+    check that the configured (r, b) behaves as Broder/MMDS theory
+    predicts on THIS corpus's shingle statistics (signature correlation
+    can bend the curve; this is where you see it).
+
+    Candidate universe = shingle-sharing pairs (a superset of every band
+    match), so the measured rate denominates correctly. Binning is the
+    jaccard_histogram integer rule. Scale shape: one shingle equi-join +
+    the signature band pipeline + ONE join of the two pair sets + ONE
+    groupBy(bin). Returns (bin, n_pairs, n_lsh, measured, theory)
+    rounded 6.
+    """
+    sh = shingle_rows(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("f")) \
+                    .filter(F.col("f") <= max_shingle_freq).select("shingle")
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    binned = (common
+              .join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("n_sh").alias("na")), "id_a")
+              .join(sizes.select(F.col("id").alias("id_b"),
+                                 F.col("n_sh").alias("nb")), "id_b")
+              .withColumn("bin", (F.lit(int(n_bins)) * F.col("common")
+                                  / (F.col("na") + F.col("nb")
+                                     - F.col("common"))).cast("long")))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col),
+        band_rows=band_rows).withColumn("__hit", F.lit(1))
+    j = binned.join(cand, ["id_a", "id_b"], "left")
+    r, bands = band_rows, k // band_rows
+    per = (j.groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+                .alias("n_lsh")))
+    mid = (F.col("bin") + 0.5) / n_bins
+    theory = 1.0 - F.pow(1.0 - F.pow(mid, F.lit(float(r))),
+                         F.lit(float(bands)))
+    return per.select(
+        "bin", "n_pairs", "n_lsh",
+        F.round(F.col("n_lsh") / F.col("n_pairs"), 6).alias("measured"),
+        F.round(theory, 6).alias("theory"))
+
+
+def lsh_curve_sql(docs_sql: str, k: int = 6, n: int = 3,
+                  band_rows: int = 2, n_bins: int = 10,
+                  max_shingle_freq: int | None = None) -> str:
+    """DuckDB mirror of :func:`lsh_curve` over a (doc_id, text) SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    prune = ""
+    src = "sh"
+    if max_shingle_freq is not None:
+        prune = f""",
+shp AS (
+  SELECT sh.* FROM sh JOIN (
+    SELECT shingle FROM sh GROUP BY 1
+    HAVING count(*) <= {max_shingle_freq}) ok USING (shingle)
+)"""
+        src = "shp"
+    bands = k // band_rows
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toks)
+  WHERE len(l) >= {n}
+){prune},
+sizes AS (SELECT id, count(*) AS n_sh FROM {src} GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM {src} a JOIN {src} b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+binned AS (
+  SELECT id_a, id_b, ({int(n_bins)} * common)
+         // (sa.n_sh + sb.n_sh - common) AS bin
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+),
+sigs AS (
+  SELECT id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band_sigs AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+  WHERE a.id < b.id
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_lsh
+  FROM binned bn
+  LEFT JOIN cand c ON c.id_a = bn.id_a AND c.id_b = bn.id_b
+  GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_pairs, n_lsh,
+  round(n_lsh / CAST(n_pairs AS DOUBLE), 6) AS measured,
+  round(1.0 - pow(1.0 - pow((bin + 0.5) / {int(n_bins)},
+                            {float(band_rows)!r}),
+                  {float(bands)!r}), 6) AS theory
+FROM per GROUP BY bin, n_pairs, n_lsh
+"""
+
+
+def split_leakage(
+    docs: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    band_rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test leakage audit: near-duplicate candidate pairs (the
+    same LSH band scheme the dedup pipeline ships) that CROSS a split
+    boundary — the eval-integrity number: a test set whose members have
+    near-dups in train measures memorization, not generalization.
+    cluster_split builds leak-free splits; this audits any given one.
+
+    Scale shape: the LSH candidate join + two broadcast-size joins onto
+    the (id → split) map + ONE groupBy on the split pair. Returns
+    (split_a, split_b, n_pairs, cross_split) with split_a ≤ split_b.
+    """
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, k=k, n=n, text_col=text_col,
+                           id_col=id_col),
+        band_rows=band_rows)
+    sp = docs.select(F.col(id_col).alias("id"),
+                     F.col(split_col).alias("sp"))
+    j = (cand
+         .join(sp.select(F.col("id").alias("id_a"),
+                         F.col("sp").alias("__sa")), "id_a")
+         .join(sp.select(F.col("id").alias("id_b"),
+                         F.col("sp").alias("__sb")), "id_b"))
+    return (j.select(F.least("__sa", "__sb").alias("split_a"),
+                     F.greatest("__sa", "__sb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .withColumn("cross_split",
+                        F.col("split_a") != F.col("split_b")))
+
+
+def split_leakage_sql(docs_sql: str, k: int = 6, n: int = 3,
+                      band_rows: int = 2) -> str:
+    """DuckDB mirror of :func:`split_leakage` over a (doc_id, text,
+    split) SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH d AS ({docs_sql}),
+toks AS (SELECT doc_id, string_split({norm}, ' ') AS l FROM d),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toks)
+  WHERE len(l) >= {n}
+),
+sigs AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band_sigs AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+  WHERE a.id < b.id
+),
+sp AS (SELECT doc_id AS id, split AS s FROM d)
+SELECT least(sa.s, sb.s) AS split_a, greatest(sa.s, sb.s) AS split_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  least(sa.s, sb.s) <> greatest(sa.s, sb.s) AS cross_split
+FROM cand
+JOIN sp sa ON sa.id = cand.id_a
+JOIN sp sb ON sb.id = cand.id_b
+GROUP BY 1, 2
+"""

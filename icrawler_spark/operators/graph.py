@@ -1239,3 +1239,100 @@ SELECT j.a AS node, d.deg AS degree,
   round(j.s / CAST(j.n AS DOUBLE) / d.deg, 6) AS knn_ratio
 FROM j JOIN deg d ON d.a = j.a
 """
+
+
+def pr_convergence(
+    edges: DataFrame,
+    n_iters: int = 4,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank convergence diagnostics: per power iteration, the L1 and
+    max rank change — the evidence behind every bounded-iteration
+    envelope in this package (pagerank/trustrank/opic run a FIXED prefix;
+    this table shows the fixed prefix was enough, or that the graph needs
+    more rounds before its ordering stabilizes).
+
+    Deltas are computed on the same rounded-6 ranks the rank operators
+    ship. Scale shape: the pagerank loop plus ONE node equi-join + tiny
+    agg per iteration; output is n_iters rows.
+    """
+    e0 = (edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+          .filter(F.col("src") != F.col("dst")).distinct()
+          .localCheckpoint(eager=False))
+    nodes = (e0.select(F.col("src").alias("node"))
+             .union(e0.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    n_nodes = nodes.count()
+    deg = e0.groupBy("src").agg(F.count("*").alias("outdeg"))
+    cur = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    spark = edges.sparkSession
+    rows = []
+    for i in range(1, n_iters + 1):
+        inflow = (e0.join(cur.withColumnRenamed("node", "src"), "src")
+                  .join(deg, "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                       .alias("inflow")))
+        nxt = (nodes.join(inflow, "node", "left")
+               .select("node",
+                       (F.lit((1.0 - damping) / n_nodes)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                       .alias("rank"))
+               .localCheckpoint(eager=False))
+        d = (cur.select("node", F.col("rank").alias("__p"))
+             .join(nxt, "node")
+             .agg(F.round(F.sum(F.abs(F.round(F.col("rank"), 6)
+                                      - F.round(F.col("__p"), 6))), 6)
+                  .alias("l1_delta"),
+                  F.round(F.max(F.abs(F.round(F.col("rank"), 6)
+                                      - F.round(F.col("__p"), 6))), 6)
+                  .alias("max_delta"))
+             .withColumn("iter", F.lit(i).cast("int")))
+        rows.append(d.select("iter", "l1_delta", "max_delta"))
+        cur = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def pr_convergence_sql(edges_cte: str, n_iters: int = 4,
+                       damping: float = 0.85) -> str:
+    """DuckDB mirror of :func:`pr_convergence`: the pagerank CTE chain
+    with a per-iteration delta select, UNION ALLed."""
+    parts = [f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({(1.0 - damping)!r} AS DOUBLE) / (SELECT n FROM nn)
+         + CAST({damping!r} AS DOUBLE)
+           * coalesce(a.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN a{i} a ON a.node = n.node
+),
+d{i + 1} AS (
+  SELECT CAST({i + 1} AS INT) AS iter,
+    round(sum(abs(round(b.rank, 6) - round(a.rank, 6))), 6) AS l1_delta,
+    round(max(abs(round(b.rank, 6) - round(a.rank, 6))), 6) AS max_delta
+  FROM r{i} a JOIN r{i + 1} b ON b.node = a.node
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT * FROM d{i + 1}" for i in range(n_iters))
+    parts.append("\n" + sel)
+    return "".join(parts)

@@ -1110,3 +1110,53 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
                         AS DOUBLE), 6) AS fetches_per_robots
 FROM ({fetches_sql}) GROUP BY 1
 """
+
+
+def depth_yield(
+    pages: DataFrame,
+    depth_col: str = "depth",
+    kept_col: str = "kept",
+) -> DataFrame:
+    """Crawl-depth yield curve: per BFS depth, pages fetched, pages kept
+    after the quality gate, the per-depth yield, and the cumulative kept
+    share — the empirical answer to 'how deep is worth crawling?'
+    (yield decays with depth on almost every host; the knee sets
+    max_depth, turning a guess into a measurement).
+
+    All counts exact; the cumulative window runs over the DEPTH table
+    (≤ max_depth rows). Returns (depth, n_pages, n_kept, yield_share,
+    cum_kept_share) rounded 6.
+    """
+    per = (pages.select(F.col(depth_col).cast("int").alias("depth"),
+                        F.col(kept_col).cast("int").alias("__k"))
+           .groupBy("depth")
+           .agg(F.count("*").cast("long").alias("n_pages"),
+                F.sum("__k").cast("long").alias("n_kept")))
+    tot = per.agg(F.sum("n_kept").cast("long").alias("__t"))
+    w = (Window.orderBy("depth")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.withColumn("__c", F.sum("n_kept").over(w))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("depth", "n_pages", "n_kept",
+                    F.round(F.col("n_kept") / F.col("n_pages"), 6)
+                    .alias("yield_share"),
+                    F.round(F.col("__c") / F.col("__t"), 6)
+                    .alias("cum_kept_share")))
+
+
+def depth_yield_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`depth_yield` over a (depth, kept)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CAST(kept AS INT)) AS BIGINT) AS n_kept
+  FROM ({pages_sql}) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS t FROM per)
+SELECT depth, n_pages, n_kept,
+  round(n_kept / CAST(n_pages AS DOUBLE), 6) AS yield_share,
+  round(sum(n_kept) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING)
+        / CAST(t AS DOUBLE), 6) AS cum_kept_share
+FROM per CROSS JOIN tot
+"""

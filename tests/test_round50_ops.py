@@ -1,0 +1,108 @@
+"""Unit tests for the round-50 pack: PR convergence, LSH curve, split
+leakage, hapax share, depth yield."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import hapax_share
+from icrawler_spark.operators.docdedup import lsh_curve, split_leakage
+from icrawler_spark.operators.graph import pr_convergence
+from icrawler_spark.operators.politeness import depth_yield
+
+
+# ---------------------------------------------------------------------------
+# pr_convergence
+# ---------------------------------------------------------------------------
+
+def test_pr_convergence_deltas_shrink(spark):
+    edges = [(a, b) for a in range(8) for b in ((a + 1) % 8, (a + 3) % 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["iter"]: r for r in pr_convergence(df, n_iters=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4]["l1_delta"] <= out[1]["l1_delta"]
+    assert all(r["max_delta"] <= r["l1_delta"] for r in out.values())
+
+
+def test_pr_convergence_symmetric_graph_converges_fast(spark):
+    # a complete digraph is already at the fixed point after iteration 1
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["iter"]: r["l1_delta"] for r in
+           pr_convergence(df, n_iters=2).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# lsh_curve
+# ---------------------------------------------------------------------------
+
+def test_lsh_curve_exact_dups_caught(spark):
+    text = "one two three four five six seven eight nine ten"
+    rows = [(1, text), (2, text),
+            (3, "other words entirely distinct from those before now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bin"]: r for r in lsh_curve(df, n=2).collect()}
+    # identical docs land in bin 10 and the bands must catch them
+    assert out[10]["n_lsh"] == out[10]["n_pairs"] == 1
+    assert out[10]["measured"] == 1.0
+    assert out[10]["theory"] > 0.9
+
+
+def test_lsh_curve_theory_monotone(spark):
+    rows = [(i, f"w{i} common shared tokens here always present x{i} y{i}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(lsh_curve(df, n=2).collect(), key=lambda r: r["bin"])
+    theories = [r["theory"] for r in out]
+    assert theories == sorted(theories)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+# ---------------------------------------------------------------------------
+
+def test_split_leakage_detects_cross(spark):
+    dup = "the very same duplicated document body with many tokens"
+    rows = [(1, dup, "train"), (2, dup, "test"),
+            (3, dup, "train"),
+            (4, "unique text one about nothing shared", "train"),
+            (5, "unique text two about something else", "test")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {(r["split_a"], r["split_b"]): r for r in
+           split_leakage(df).collect()}
+    assert out[("test", "train")]["n_pairs"] == 2
+    assert out[("test", "train")]["cross_split"]
+    assert out[("train", "train")]["n_pairs"] == 1
+    assert not out[("train", "train")]["cross_split"]
+
+
+# ---------------------------------------------------------------------------
+# hapax_share
+# ---------------------------------------------------------------------------
+
+def test_hapax_share_counts(spark):
+    rows = [("clean", "the the the cat cat dog")]     # hapax: dog
+    rows += [("noisy", "qz1 qz2 qz3 qz4")]            # all hapax
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in hapax_share(df).collect()}
+    c = out["clean"]
+    assert c["vocab_size"] == 3 and c["n_hapax"] == 1
+    assert c["hapax_vocab_share"] == round(1 / 3, 6)
+    assert c["hapax_token_share"] == round(1 / 6, 6)
+    assert out["noisy"]["hapax_vocab_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# depth_yield
+# ---------------------------------------------------------------------------
+
+def test_depth_yield_curve(spark):
+    rows = [(0, True)] * 8 + [(0, False)] * 2
+    rows += [(1, True)] * 3 + [(1, False)] * 7
+    rows += [(2, False)] * 10
+    df = spark.createDataFrame(rows, "depth int, kept boolean")
+    out = {r["depth"]: r for r in depth_yield(df).collect()}
+    assert out[0]["yield_share"] == 0.8
+    assert out[1]["yield_share"] == 0.3
+    assert out[2]["yield_share"] == 0.0
+    assert out[0]["cum_kept_share"] == round(8 / 11, 6)
+    assert out[2]["cum_kept_share"] == 1.0
