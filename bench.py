@@ -296,6 +296,8 @@ _EXTRA_PICKS = [
     "ann_recall", "segment_merge", "qpp", "score_norm", "host_variants",
     # round-3 batch-44 (PR diagnostics + LSH theory + leakage + hapax)
     "pr_convergence", "lsh_curve", "split_leakage", "hapax", "depth_yield",
+    # round-3 batch-45 (EDF schedulability + percolation + periodicity)
+    "edf_feasible", "percolate", "reciprocity", "periodicity", "benford",
 ]
 
 

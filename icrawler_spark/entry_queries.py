@@ -43,7 +43,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round44, entry_round45,
                             entry_round46, entry_round47,
                             entry_round48, entry_round49,
-                            entry_round50)
+                            entry_round50, entry_round51)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -860,6 +860,7 @@ def queries():
         **entry_round48.queries48(),
         **entry_round49.queries49(),
         **entry_round50.queries50(),
+        **entry_round51.queries51(),
     }
 
 
@@ -942,4 +943,5 @@ def oracle_sql():
         **entry_round48.oracle_sql48(),
         **entry_round49.oracle_sql49(),
         **entry_round50.oracle_sql50(),
+        **entry_round51.oracle_sql51(),
     }

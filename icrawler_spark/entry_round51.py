@@ -1,0 +1,213 @@
+"""Round-3 driver-contract queries (batch 45): EDF recrawl feasibility,
+standing-query percolation, link reciprocity, fetch periodicity, Benford
+leading-digit audit.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# edf_feasible — deadline-aware recrawl schedulability
+# ---------------------------------------------------------------------------
+
+_EDF_CAP = 1300
+
+
+def _edf_demands(spark, sf) -> DataFrame:
+    """Per-host refresh demands: deadline ladder from event_id, page cost
+    scaled by a host-keyed multiplier (1-3x) so hosts split into clearly
+    feasible / infeasible tiers under the shared daily capacity."""
+    ev = _events(spark, sf)
+    host_id = F.col("user_id") % 12
+    return ev.select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        (F.col("event_id") % 9 + 1).cast("long").alias("deadline_day"),
+        ((F.col("event_id") % 13 + 1) * (host_id % 3 + 1))
+        .cast("long").alias("pages"))
+
+
+_EDF_DEMANDS_SQL = """
+  SELECT 'h' || (user_id % 12) AS host,
+    CAST(event_id % 9 + 1 AS BIGINT) AS deadline_day,
+    CAST((event_id % 13 + 1) * ((user_id % 12) % 3 + 1) AS BIGINT) AS pages
+  FROM events
+"""
+
+
+def q_edf_feasible(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.edf_feasibility: earliest-deadline-first
+    prefix test — a host's refresh SLA is schedulable iff cumulative
+    demand fits capacity at EVERY deadline."""
+    return _politeness.edf_feasibility(_edf_demands(spark, sf), _EDF_CAP)
+
+
+def _edf_feasible_sql() -> str:
+    return _politeness.edf_feasibility_sql(_EDF_DEMANDS_SQL, _EDF_CAP)
+
+
+# ---------------------------------------------------------------------------
+# percolate — standing queries matched against new documents
+# ---------------------------------------------------------------------------
+
+_PERC_QUERIES = [
+    (1, "hash"), (1, "merge"),
+    (2, "spark"), (2, "window"), (2, "join"),
+    (3, "zzznope"),
+    (4, "fast"),
+    (5, "customer"), (5, "query"),
+]
+
+
+def _perc_standing(spark) -> DataFrame:
+    return spark.createDataFrame(_PERC_QUERIES, "query_id long, term string")
+
+
+_PERC_STANDING_SQL = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES "
+    + ", ".join(f"({q}, '{t}')" for q, t in _PERC_QUERIES)
+    + ") AS t(query_id, term)")
+
+
+def q_percolate(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.percolate: reverse search — every document is
+    matched against ALL standing conjunctive queries via one broadcast
+    term join; a match needs every query term present."""
+    return _search.percolate(_perc_standing(spark), _docs(spark, sf))
+
+
+def _percolate_sql() -> str:
+    return _search.percolate_sql(
+        _PERC_STANDING_SQL, "SELECT doc_id, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# reciprocity — mutual-link share per host (link-exchange signal)
+# ---------------------------------------------------------------------------
+
+
+def _recip_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    src = F.col("user_id") % 30
+    return ev.select(
+        src.cast("long").alias("src"),
+        ((src + F.col("event_id") % 7 + 1) % 30).cast("long").alias("dst"))
+
+
+_RECIP_EDGES_SQL = (
+    "SELECT CAST(user_id % 30 AS BIGINT) AS src, "
+    "CAST(((user_id % 30) + event_id % 7 + 1) % 30 AS BIGINT) AS dst "
+    "FROM events")
+
+
+def q_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.reciprocity: share of each host's out-links whose
+    reverse link exists — the mutual-linking (link-farm) signal."""
+    return _graph.reciprocity(_recip_edges(spark, sf))
+
+
+def _reciprocity_sql() -> str:
+    return _graph.reciprocity_sql(_RECIP_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# periodicity — per-host fetch-series autocorrelation (diurnal detector)
+# ---------------------------------------------------------------------------
+
+_PERIOD_LAGS = (1, 2, 24)
+
+
+def _period_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"))
+        .alias("host"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 3600")
+        .alias("bucket"))
+
+
+_PERIOD_FETCHES_SQL = """
+  SELECT 'h' || (user_id % 6) AS host,
+    epoch_us(ts) // 1000000 // 3600 AS bucket
+  FROM events
+"""
+
+
+def q_periodicity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.fetch_periodicity: densified hourly fetch counts
+    per host, Pearson autocorrelation at lags 1/2/24 from exact integer
+    moments — the diurnal-cycle detector behind recrawl phase-locking."""
+    return _recrawl.fetch_periodicity(
+        _period_fetches(spark, sf), lags=_PERIOD_LAGS)
+
+
+def _periodicity_sql() -> str:
+    return _recrawl.fetch_periodicity_sql(
+        _PERIOD_FETCHES_SQL, lags=_PERIOD_LAGS)
+
+
+# ---------------------------------------------------------------------------
+# benford — leading-digit audit over numeric tokens
+# ---------------------------------------------------------------------------
+
+
+def _benford_docs(spark, sf) -> DataFrame:
+    """Numeric corpus: two multiplicative quantities per event (products
+    of varying factors spread leading digits log-uniformly, the Benford
+    regime) rendered as text tokens."""
+    ev = _events(spark, sf)
+    t1 = (F.col("event_id") * 7919 % 99991 + 1).cast("long")
+    t2 = ((F.col("user_id") + 1) * (F.col("event_id") % 997 + 1)).cast("long")
+    return ev.select(F.concat_ws(
+        " ", t1.cast("string"), t2.cast("string")).alias("text"))
+
+
+_BENFORD_DOCS_SQL = """
+  SELECT CAST(CAST(event_id * 7919 % 99991 + 1 AS BIGINT) AS VARCHAR)
+    || ' ' ||
+    CAST(CAST((user_id + 1) * (event_id % 997 + 1) AS BIGINT) AS VARCHAR)
+    AS text
+  FROM events
+"""
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.benford: observed vs Benford-law leading-digit
+    shares + per-digit chi-square contribution — the fabricated-number
+    spam signal."""
+    return _curation.benford(_benford_docs(spark, sf))
+
+
+def _benford_sql() -> str:
+    return _curation.benford_sql(_BENFORD_DOCS_SQL)
+
+
+def queries51():
+    return {
+        "edf_feasible": q_edf_feasible,
+        "percolate": q_percolate,
+        "reciprocity": q_reciprocity,
+        "periodicity": q_periodicity,
+        "benford": q_benford,
+    }
+
+
+def oracle_sql51():
+    return {
+        "edf_feasible": _edf_feasible_sql(),
+        "percolate": _percolate_sql(),
+        "reciprocity": _reciprocity_sql(),
+        "periodicity": _periodicity_sql(),
+        "benford": _benford_sql(),
+    }

@@ -2152,3 +2152,68 @@ SELECT src AS source, CAST(count(*) AS BIGINT) AS vocab_size,
         / CAST(sum(cf) AS DOUBLE), 6) AS hapax_token_share
 FROM cf GROUP BY 1
 """
+
+
+_BENFORD_NUM_RE = "[0-9]+"
+
+
+def benford(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Benford leading-digit audit over numeric tokens in a corpus —
+    a cheap fabricated-content signal: organically-generated quantities
+    (prices, view counts, populations) follow Benford's law, while
+    templated or machine-stuffed number spam skews uniform. Emits the
+    per-digit observed share vs the Benford expectation log10(1 + 1/d)
+    and the chi-square contribution, so the caller thresholds the sum.
+
+    Leading zeros are skipped (a '0…' token has no Benford digit). The
+    expectation is rounded to 6 places BEFORE the chi-square arithmetic
+    so both engines difference identical doubles.
+
+    Scale shape: regexp extract + explode (O(numbers) rows), ONE
+    groupBy(digit) into ≤9 groups, window total over 9 rows. Pure JVM
+    exprs fused into the scan — no UDF, no join.
+    """
+    lead = (docs.select(F.explode(F.regexp_extract_all(
+                F.col(text_col), F.lit(_BENFORD_NUM_RE), 0)).alias("num"))
+            .select(F.substring("num", 1, 1).alias("d"))
+            .filter(F.col("d") != "0")
+            .select(F.col("d").cast("int").alias("digit")))
+    per = lead.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w).cast("double")
+    obs = F.col("n").cast("double") / tot
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0)
+                          / F.col("digit").cast("double")), 6)
+    return (per
+            .withColumn("obs_share", F.round(obs, 6))
+            .withColumn("exp_share", exp)
+            .withColumn("chi2_term",
+                        F.round(tot * (obs - exp) * (obs - exp) / exp, 6))
+            .select("digit", "n", "obs_share", "exp_share", "chi2_term"))
+
+
+def benford_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`benford` over a (text) SELECT."""
+    return f"""
+WITH nums AS (
+  SELECT unnest(regexp_extract_all(text, '{_BENFORD_NUM_RE}')) AS num
+  FROM ({docs_sql})
+),
+lead AS (
+  SELECT CAST(substr(num, 1, 1) AS INT) AS digit
+  FROM nums WHERE substr(num, 1, 1) <> '0'
+),
+per AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM lead GROUP BY 1
+)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+    AS obs_share,
+  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+  round(CAST(sum(n) OVER () AS DOUBLE)
+        * pow(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+              - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 2)
+        / round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6)
+    AS chi2_term
+FROM per
+"""

@@ -1336,3 +1336,51 @@ d{i + 1} AS (
         f"SELECT * FROM d{i + 1}" for i in range(n_iters))
     parts.append("\n" + sel)
     return "".join(parts)
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link reciprocity per source host: the share of a host's distinct
+    out-edges whose reverse edge also exists. High reciprocity between
+    hosts is a classic link-exchange / spam-farm signal (mutual-linking
+    schemes), low reciprocity is the organic-web norm — the complement
+    of `cocitation` on the same host graph the reference never builds.
+
+    Scale shape: distinct edges once, ONE self-equi-join on the reversed
+    (src, dst) pair (hash join on a two-column key — no cross product),
+    then ONE groupBy(src). Returns (host, n_out, n_recip, reciprocity).
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("__rev"))
+    flagged = e.join(rev, ["src", "dst"], "left")
+    return (flagged.groupBy(F.col("src").alias("host"))
+            .agg(F.count("*").cast("long").alias("n_out"),
+                 F.coalesce(F.sum("__rev"), F.lit(0)).cast("long")
+                 .alias("n_recip"))
+            .withColumn(
+                "reciprocity",
+                F.round(F.col("n_recip").cast("double")
+                        / F.col("n_out").cast("double"), 6)))
+
+
+def reciprocity_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`reciprocity` over a (src, dst) SELECT."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+f AS (
+  SELECT e.src, CASE WHEN x.src IS NULL THEN 0 ELSE 1 END AS rev
+  FROM e LEFT JOIN e x ON x.src = e.dst AND x.dst = e.src
+)
+SELECT src AS host, CAST(count(*) AS BIGINT) AS n_out,
+  CAST(coalesce(sum(rev), 0) AS BIGINT) AS n_recip,
+  round(CAST(coalesce(sum(rev), 0) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS reciprocity
+FROM f GROUP BY 1
+"""

@@ -1160,3 +1160,61 @@ SELECT depth, n_pages, n_kept,
         / CAST(t AS DOUBLE), 6) AS cum_kept_share
 FROM per CROSS JOIN tot
 """
+
+
+def edf_feasibility(
+    demands: DataFrame,
+    daily_capacity: int,
+    host_col: str = "host",
+    deadline_col: str = "deadline_day",
+    pages_col: str = "pages",
+) -> DataFrame:
+    """Deadline-aware recrawl schedulability (the EDF feasibility test,
+    classic real-time scheduling applied to refresh SLAs): per host,
+    order demands by deadline and check every prefix — the host is
+    feasible iff cumulative pages ≤ capacity·deadline at EVERY deadline.
+    Earliest-deadline-first is optimal for this model, so an infeasible
+    prefix here is infeasible under ANY schedule — the SLA conversation
+    happens before the crawl, not after it misses.
+
+    All integer (cum ≤ cap·day cross-product). Scale shape: one
+    host-partitioned cumulative window + ONE groupBy(host). Returns
+    (host, n_jobs, total_pages, feasible, first_violation — the earliest
+    violated deadline or NULL).
+    """
+    base = demands.select(F.col(host_col).alias("host"),
+                          F.col(deadline_col).cast("long").alias("d"),
+                          F.col(pages_col).cast("long").alias("p"))
+    w = (Window.partitionBy("host").orderBy("d", "p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = base.withColumn("__c", F.sum("p").over(w))
+    viol = F.col("__c") > F.lit(int(daily_capacity)) * F.col("d")
+    return (cum.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_jobs"),
+                 F.sum("p").cast("long").alias("total_pages"),
+                 F.min(F.when(viol, F.col("d"))).alias("first_violation"))
+            .withColumn("feasible", F.col("first_violation").isNull())
+            .select("host", "n_jobs", "total_pages", "feasible",
+                    "first_violation"))
+
+
+def edf_feasibility_sql(demands_sql: str, daily_capacity: int) -> str:
+    """DuckDB mirror of :func:`edf_feasibility` over a (host,
+    deadline_day, pages) SELECT."""
+    return f"""
+WITH cum AS (
+  SELECT host, CAST(deadline_day AS BIGINT) AS d,
+         CAST(pages AS BIGINT) AS p,
+    sum(CAST(pages AS BIGINT)) OVER (
+      PARTITION BY host ORDER BY deadline_day, pages
+      ROWS UNBOUNDED PRECEDING) AS c
+  FROM ({demands_sql})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_jobs,
+  CAST(sum(p) AS BIGINT) AS total_pages,
+  min(CASE WHEN c > {int(daily_capacity)} * d THEN d END) IS NULL
+    AS feasible,
+  min(CASE WHEN c > {int(daily_capacity)} * d THEN d END)
+    AS first_violation
+FROM cum GROUP BY 1
+"""

@@ -776,3 +776,101 @@ SELECT p.status_old, p.status_new, p.n,
   round(p.n / CAST(r.t AS DOUBLE), 6) AS p
 FROM pairs p JOIN rows_ r USING (status_old)
 """
+
+
+def fetch_periodicity(
+    fetches: DataFrame,
+    lags=(1, 2, 24),
+    host_col: str = "host",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-host fetch-series autocorrelation at the given bucket lags —
+    the periodicity detector behind recrawl cadence tuning: a strong
+    lag-24 autocorrelation on hourly buckets means the host's update
+    traffic is diurnal, so the scheduler should phase-lock refresh to
+    the publishing cycle instead of spreading it uniformly.
+
+    The series is DENSIFIED first (missing buckets count 0 — sparse
+    autocorrelation over only-observed buckets is biased). Pearson r at
+    lag L is computed from integer sums (n·Σxy − Σx·Σy over the exact
+    BIGINT moments, cast to DOUBLE only for the final divide) so two
+    engines reproduce it bit-for-bit. Zero-variance series yield NULL.
+
+    Scale shape: ONE groupBy(host, bucket), a per-host sequence explode
+    (O(span) rows, host-partitioned), one host-partitioned window per
+    lag, ONE groupBy(host, lag). No global window, no UDF.
+    """
+    c = (fetches.select(F.col(host_col).alias("host"),
+                        F.col(bucket_col).cast("long").alias("b"))
+         .groupBy("host", "b").agg(F.count("*").cast("long").alias("c")))
+    span = c.groupBy("host").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    dense = (span.select("host",
+                         F.explode(F.sequence("lo", "hi")).alias("b"))
+             .join(c, ["host", "b"], "left")
+             .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+    w = Window.partitionBy("host").orderBy("b")
+    outs = []
+    for lag in lags:
+        lagged = (dense
+                  .withColumn("y", F.lag("c", int(lag)).over(w))
+                  .filter(F.col("y").isNotNull())
+                  .withColumn("lag", F.lit(int(lag)).cast("int")))
+        mom = (lagged.groupBy("host", "lag").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("c") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy")))
+        vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        num = (F.col("n") * F.col("sxy")
+               - F.col("sx") * F.col("sy")).cast("double")
+        r = F.when((vx > 0) & (vy > 0),
+                   F.round(num / F.sqrt(vx.cast("double")
+                                        * vy.cast("double")), 6))
+        outs.append(mom.select("host", "lag", "n", r.alias("autocorr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fetch_periodicity_sql(fetches_sql: str, lags=(1, 2, 24)) -> str:
+    """DuckDB mirror of :func:`fetch_periodicity` over a (host, bucket)
+    SELECT."""
+    legs = []
+    for lag in lags:
+        legs.append(f"""
+SELECT host, CAST({int(lag)} AS INT) AS lag,
+  CAST(count(*) AS BIGINT) AS n,
+  CASE WHEN count(*) * sum(c * c) - sum(c) * sum(c) > 0
+        AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+    THEN round(
+      CAST(count(*) * sum(c * y) - sum(c) * sum(y) AS DOUBLE)
+      / sqrt(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+             * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6)
+  END AS autocorr
+FROM (
+  SELECT host, c,
+    lag(c, {int(lag)}) OVER (PARTITION BY host ORDER BY b) AS y
+  FROM dense
+) WHERE y IS NOT NULL GROUP BY 1""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH f0 AS ({fetches_sql}),
+cnt AS (
+  SELECT host, CAST(bucket AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM f0 GROUP BY 1, 2
+),
+span AS (SELECT host, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT host, unnest(generate_series(lo, hi)) AS b FROM span
+),
+dense AS (
+  SELECT g.host, g.b, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN cnt c ON c.host = g.host AND c.b = g.b
+)
+{body}
+"""

@@ -1647,3 +1647,64 @@ SELECT '__query__' AS term,
   (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM hits) AS df,
   (SELECT round(avg(idf), 6) FROM per) AS idf
 """
+
+
+def percolate(
+    standing: DataFrame,
+    docs: DataFrame,
+    qid_col: str = "query_id",
+    qterm_col: str = "term",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percolation / reverse search (the Elasticsearch percolator shape,
+    public concept): standing queries are conjunctive term sets; every
+    NEW document is matched against ALL standing queries — the alerting
+    primitive ("tell me when the crawl sees pages about X") that runs
+    per-batch, not per-user-query.
+
+    Scale shape: docs explode to DISTINCT (doc, term) once; the standing
+    terms are a broadcast-size dimension joined on the term — never a
+    doc × query cross join; a query matches when its matched-term count
+    equals its term count (integer compare). Returns (query_id, doc_id,
+    n_terms) for full matches only.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    q = (standing.select(F.col(qid_col).alias("qid"),
+                         F.col(qterm_col).alias("term")).distinct())
+    nq = q.groupBy("qid").agg(F.count("*").cast("long").alias("n_terms"))
+    dt = (docs.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens_col(F.col(text_col))).alias("term"))
+          .filter(F.length("term") >= 1).distinct())
+    hits = (dt.join(F.broadcast(q), "term")
+            .groupBy("doc", "qid")
+            .agg(F.count("*").cast("long").alias("__m")))
+    return (hits.join(F.broadcast(nq), "qid")
+            .filter(F.col("__m") == F.col("n_terms"))
+            .select(F.col("qid").alias("query_id"),
+                    F.col("doc").alias("doc_id"), "n_terms"))
+
+
+def percolate_sql(standing_sql: str, docs_sql: str) -> str:
+    """DuckDB mirror of :func:`percolate` over (query_id, term) and
+    (doc_id, text) SELECTs."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH q AS (SELECT DISTINCT query_id AS qid, term FROM ({standing_sql})),
+nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY 1),
+dt AS (
+  SELECT DISTINCT doc, term FROM (
+    SELECT doc_id AS doc, unnest(string_split({norm}, ' ')) AS term
+    FROM ({docs_sql}))
+  WHERE length(term) >= 1
+),
+hits AS (
+  SELECT doc, qid, CAST(count(*) AS BIGINT) AS m
+  FROM dt JOIN q USING (term) GROUP BY 1, 2
+)
+SELECT h.qid AS query_id, h.doc AS doc_id, nq.n_terms
+FROM hits h JOIN nq USING (qid)
+WHERE h.m = nq.n_terms
+"""

@@ -1,0 +1,146 @@
+"""Unit tests for the round-51 pack: EDF feasibility, percolation,
+link reciprocity, fetch periodicity, Benford audit."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import benford
+from icrawler_spark.operators.graph import reciprocity
+from icrawler_spark.operators.politeness import edf_feasibility
+from icrawler_spark.operators.recrawl import fetch_periodicity
+from icrawler_spark.operators.search import percolate
+
+
+# ---------------------------------------------------------------------------
+# edf_feasibility
+# ---------------------------------------------------------------------------
+
+def test_edf_feasible_host(spark):
+    rows = [("a", 1, 5), ("a", 2, 5), ("a", 3, 5)]
+    df = spark.createDataFrame(
+        rows, "host string, deadline_day long, pages long")
+    out = edf_feasibility(df, daily_capacity=5).collect()[0]
+    assert out["feasible"] and out["first_violation"] is None
+    assert out["n_jobs"] == 3 and out["total_pages"] == 15
+
+
+def test_edf_earliest_violation_reported(spark):
+    # day 1 holds 12 > 10·1 — infeasible at the FIRST deadline even
+    # though total (22 ≤ 10·2) would fit by day 2
+    rows = [("a", 1, 12), ("a", 2, 10)]
+    df = spark.createDataFrame(
+        rows, "host string, deadline_day long, pages long")
+    out = edf_feasibility(df, daily_capacity=10).collect()[0]
+    assert not out["feasible"] and out["first_violation"] == 1
+
+
+def test_edf_prefix_not_total(spark):
+    # total fits capacity·max_deadline but the day-1 prefix does not
+    rows = [("a", 1, 15), ("a", 10, 1)]
+    df = spark.createDataFrame(
+        rows, "host string, deadline_day long, pages long")
+    out = edf_feasibility(df, daily_capacity=10).collect()[0]
+    assert not out["feasible"] and out["first_violation"] == 1
+
+
+# ---------------------------------------------------------------------------
+# percolate
+# ---------------------------------------------------------------------------
+
+def test_percolate_conjunctive_match(spark):
+    standing = spark.createDataFrame(
+        [(1, "red"), (1, "fox"), (2, "blue")],
+        "query_id long, term string")
+    docs = spark.createDataFrame(
+        [(10, "the red fox runs"), (11, "a red door"), (12, "blue sky")],
+        "doc_id long, text string")
+    out = {(r["query_id"], r["doc_id"]) for r in
+           percolate(standing, docs).collect()}
+    # q1 needs BOTH red and fox → only doc 10; q2 matches doc 12
+    assert out == {(1, 10), (2, 12)}
+
+
+def test_percolate_dup_terms_and_tokens_collapse(spark):
+    standing = spark.createDataFrame(
+        [(1, "red"), (1, "red")], "query_id long, term string")
+    docs = spark.createDataFrame(
+        [(10, "red red red")], "doc_id long, text string")
+    out = percolate(standing, docs).collect()
+    assert len(out) == 1 and out[0]["n_terms"] == 1
+
+
+# ---------------------------------------------------------------------------
+# reciprocity
+# ---------------------------------------------------------------------------
+
+def test_reciprocity_counts(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["host"]: r for r in reciprocity(df).collect()}
+    assert out["a"]["n_out"] == 2 and out["a"]["n_recip"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["reciprocity"] == 1.0
+    assert out["c"]["n_recip"] == 0
+
+
+def test_reciprocity_ignores_self_loops_and_dups(spark):
+    edges = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["host"]: r for r in reciprocity(df).collect()}
+    assert out["a"]["n_out"] == 1 and out["a"]["reciprocity"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# fetch_periodicity
+# ---------------------------------------------------------------------------
+
+def test_periodicity_perfect_alternation(spark):
+    # counts 2,0,2,0,... → lag-2 autocorr = 1, lag-1 = -1
+    rows = [("h", b) for b in range(0, 10, 2) for _ in range(2)]
+    df = spark.createDataFrame(rows, "host string, bucket long")
+    out = {r["lag"]: r["autocorr"] for r in
+           fetch_periodicity(df, lags=(1, 2)).collect()}
+    assert out[1] == -1.0 and out[2] == 1.0
+
+
+def test_periodicity_densifies_gaps(spark):
+    # observed buckets 0 and 4 only; the dense series is length 5 so
+    # lag-1 has 4 pairs (zeros filled in)
+    df = spark.createDataFrame([("h", 0), ("h", 4)],
+                               "host string, bucket long")
+    out = fetch_periodicity(df, lags=(1,)).collect()
+    assert out[0]["n"] == 4
+
+
+def test_periodicity_zero_variance_is_null(spark):
+    df = spark.createDataFrame([("h", 0), ("h", 1), ("h", 2)],
+                               "host string, bucket long")
+    out = fetch_periodicity(df, lags=(1,)).collect()
+    assert out[0]["autocorr"] is None
+
+
+# ---------------------------------------------------------------------------
+# benford
+# ---------------------------------------------------------------------------
+
+def test_benford_counts_and_shares(spark):
+    docs = spark.createDataFrame(
+        [("price 19 and 120 and 13",), ("qty 201 007 9",)],
+        "text string")
+    out = {r["digit"]: r for r in benford(docs).collect()}
+    # numbers: 19, 120, 13, 201, 007(skip: leads with 0), 9
+    assert out[1]["n"] == 3 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert abs(out[1]["obs_share"] - 0.6) < 1e-9
+    assert abs(out[1]["exp_share"] - 0.30103) < 1e-6
+    assert out[1]["chi2_term"] > 0
+
+
+def test_benford_perfect_fit_has_tiny_chi2(spark):
+    # construct counts proportional to the Benford shares (scaled 1e6)
+    import math
+    rows = []
+    for d in range(1, 10):
+        n = round(math.log10(1 + 1 / d) * 1000)
+        rows.extend([(f"{d}x {d}y",)] * (n // 2))
+    docs = spark.createDataFrame(rows, "text string")
+    out = benford(docs).collect()
+    assert sum(r["chi2_term"] for r in out) < 1.0
