@@ -298,6 +298,9 @@ _EXTRA_PICKS = [
     "pr_convergence", "lsh_curve", "split_leakage", "hapax", "depth_yield",
     # round-3 batch-45 (EDF schedulability + percolation + periodicity)
     "edf_feasible", "percolate", "reciprocity", "periodicity", "benford",
+    # round-3 batch-46 (click models + survival + graph structure + GT)
+    "cascade_model", "err_eval", "page_survival", "assortativity",
+    "good_turing",
 ]
 
 

@@ -43,7 +43,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round44, entry_round45,
                             entry_round46, entry_round47,
                             entry_round48, entry_round49,
-                            entry_round50, entry_round51)
+                            entry_round50, entry_round51,
+                            entry_round52)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -861,6 +862,7 @@ def queries():
         **entry_round49.queries49(),
         **entry_round50.queries50(),
         **entry_round51.queries51(),
+        **entry_round52.queries52(),
     }
 
 
@@ -944,4 +946,5 @@ def oracle_sql():
         **entry_round49.oracle_sql49(),
         **entry_round50.oracle_sql50(),
         **entry_round51.oracle_sql51(),
+        **entry_round52.oracle_sql52(),
     }

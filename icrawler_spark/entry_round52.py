@@ -1,0 +1,201 @@
+"""Round-3 driver-contract queries (batch 46): cascade click model, ERR
+graded cascade metric, Kaplan-Meier page survival, degree assortativity,
+Good-Turing frequency table.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.entry_round37 import _ME_RUN_SQL, _me_run
+from icrawler_spark.entry_round48 import _NDCG_QRELS_SQL, _ndcg_qrels
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# cascade_model — per-position attractiveness from first-click sessions
+# ---------------------------------------------------------------------------
+
+
+def _cm_serp(spark, sf) -> DataFrame:
+    """SERP impression log: 10-deep result pages, one per 10-event block,
+    with sparse deterministic clicks."""
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") / 10).cast("long").alias("session_id"),
+        (F.col("event_id") % 10 + 1).cast("long").alias("rank"),
+        (F.col("event_id") * 7919 % 23 == 0).cast("int").alias("clicked"))
+
+
+_CM_SERP_SQL = """
+  SELECT CAST(event_id // 10 AS BIGINT) AS session_id,
+    CAST(event_id % 10 + 1 AS BIGINT) AS rank,
+    CASE WHEN event_id * 7919 % 23 = 0 THEN 1 ELSE 0 END AS clicked
+  FROM events
+"""
+
+
+def q_cascade_model(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.cascade_model: positions at or before the first
+    click count as examined; attractiveness = clicks/examinations."""
+    return _sessions.cascade_model(_cm_serp(spark, sf))
+
+
+def _cascade_model_sql() -> str:
+    return _sessions.cascade_model_sql(_CM_SERP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# err_eval — graded cascade metric over the shared run/qrels fixtures
+# ---------------------------------------------------------------------------
+
+_ERR_GMAX = 3
+
+
+def q_err_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.err_eval: Expected Reciprocal Rank — stop
+    probability R_r·prod(1-R_i) under the graded cascade user model."""
+    return _search.err_eval(_me_run(spark, sf), _ndcg_qrels(spark, sf),
+                            g_max=_ERR_GMAX)
+
+
+def _err_eval_sql() -> str:
+    return _search.err_eval_sql(_ME_RUN_SQL, _NDCG_QRELS_SQL,
+                                g_max=_ERR_GMAX)
+
+
+# ---------------------------------------------------------------------------
+# page_survival — Kaplan-Meier over page lifetimes with censoring
+# ---------------------------------------------------------------------------
+
+_PS_HORIZON = 90
+
+
+def _ps_pages(spark, sf) -> DataFrame:
+    """Page lifecycle log: every third page died (lifetime 1..50 days),
+    the rest are alive at the day-90 horizon (right-censored)."""
+    ev = _events(spark, sf)
+    birth = F.col("event_id") % 30
+    death = F.when(F.col("event_id") % 3 == 0,
+                   birth + 1 + F.col("event_id") % 50)
+    return ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        birth.cast("long").alias("birth_day"),
+        death.cast("long").alias("death_day"))
+
+
+_PS_PAGES_SQL = """
+  SELECT 'u' || event_id AS url,
+    CAST(event_id % 30 AS BIGINT) AS birth_day,
+    CAST(CASE WHEN event_id % 3 = 0
+      THEN event_id % 30 + 1 + event_id % 50 END AS BIGINT) AS death_day
+  FROM events
+"""
+
+
+def q_page_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.page_survival: KM survival steps at uncensored
+    lifetimes, at-risk via descending cumulative sum."""
+    return _recrawl.page_survival(_ps_pages(spark, sf),
+                                  horizon_day=_PS_HORIZON)
+
+
+def _page_survival_sql() -> str:
+    return _recrawl.page_survival_sql(_PS_PAGES_SQL,
+                                      horizon_day=_PS_HORIZON)
+
+
+# ---------------------------------------------------------------------------
+# assortativity — endpoint-degree correlation of the host graph
+# ---------------------------------------------------------------------------
+
+
+def _as_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    src = F.col("user_id") % 40
+    return ev.select(
+        src.cast("long").alias("src"),
+        ((F.col("user_id") * 3 + F.col("event_id") % 11 + 1) % 40)
+        .cast("long").alias("dst"))
+
+
+_AS_EDGES_SQL = (
+    "SELECT CAST(user_id % 40 AS BIGINT) AS src, "
+    "CAST((user_id * 3 + event_id % 11 + 1) % 40 AS BIGINT) AS dst "
+    "FROM events")
+
+
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.assortativity: Pearson correlation of endpoint
+    total degrees across distinct edges, from exact integer moments."""
+    return _graph.assortativity(_as_edges(spark, sf))
+
+
+def _assortativity_sql() -> str:
+    return _graph.assortativity_sql(_AS_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# good_turing — frequency-of-frequencies + smoothed counts
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 20
+
+
+def _gt_docs(spark, sf) -> DataFrame:
+    """Long-tail vocabulary: three hash-mapped token families with small,
+    medium, and large group sizes so the N_r head (r ≤ max_r) is
+    populated — the shared documents vocab is ~30 words repeated
+    thousands of times, which has NO Good-Turing head."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(F.concat(
+        F.lit("a"), (e * 31 % 4096).cast("string"),
+        F.lit(" b"), (e * 17 % 512).cast("string"),
+        F.lit(" c"), (e % 64).cast("string")).alias("text"))
+
+
+_GT_DOCS_SQL = """
+  SELECT 'a' || (event_id * 31 % 4096)
+    || ' b' || (event_id * 17 % 512)
+    || ' c' || (event_id % 64) AS text
+  FROM events
+"""
+
+
+def q_good_turing(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.good_turing: N_r table with r* = (r+1)N_{r+1}/N_r
+    and per-r mass share — the unseen-mass calibration."""
+    return _curation.good_turing(_gt_docs(spark, sf), max_r=_GT_MAX_R)
+
+
+def _good_turing_sql() -> str:
+    return _curation.good_turing_sql(_GT_DOCS_SQL, max_r=_GT_MAX_R)
+
+
+def queries52():
+    return {
+        "cascade_model": q_cascade_model,
+        "err_eval": q_err_eval,
+        "page_survival": q_page_survival,
+        "assortativity": q_assortativity,
+        "good_turing": q_good_turing,
+    }
+
+
+def oracle_sql52():
+    return {
+        "cascade_model": _cascade_model_sql(),
+        "err_eval": _err_eval_sql(),
+        "page_survival": _page_survival_sql(),
+        "assortativity": _assortativity_sql(),
+        "good_turing": _good_turing_sql(),
+    }

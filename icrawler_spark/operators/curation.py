@@ -2217,3 +2217,68 @@ SELECT digit, n,
     AS chi2_term
 FROM per
 """
+
+
+def good_turing(
+    docs: DataFrame,
+    max_r: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Gale & Sampson 1995,
+    public literature): N_r = number of distinct terms seen exactly r
+    times; the smoothed count r* = (r+1)·N_{r+1}/N_r reallocates mass
+    toward unseen events (the r=1 row's share IS the unseen-mass estimate
+    p0 = N_1/N). The vocabulary-calibration companion to `hapax`: hapax
+    flags OCR noise, this prices how much probability a corpus LM should
+    reserve for tokens the crawl has not seen yet.
+
+    All inputs are exact integers; r_star and mass_share are single
+    divides rounded 6 (r_star NULL when N_{r+1} = 0). Rows limited to
+    r ≤ max_r — the head of the table, where smoothing matters.
+
+    Scale shape: token explode + ONE groupBy(term), ONE groupBy(r) down
+    to ≤max_r rows, a self equi-join on r+1 over those tiny rows, and a
+    total-token scalar that rides a window over the same rows.
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    terms = (docs.select(F.explode(tokens_col(F.col(text_col)))
+                         .alias("term"))
+             .filter(F.length("term") >= 1)
+             .groupBy("term").agg(F.count("*").cast("long").alias("r")))
+    nr = terms.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    total = F.sum(F.col("r") * F.col("n_r")).over(Window.partitionBy())
+    head = (nr.withColumn("__N", total)
+            .filter(F.col("r") <= int(max_r)))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("__n_next"))
+    return (head.join(nxt, "r", "left")
+            .select(
+                "r", "n_r",
+                F.round((F.col("r") + 1) * F.col("__n_next").cast("double")
+                        / F.col("n_r").cast("double"), 6).alias("r_star"),
+                F.round(F.col("r") * F.col("n_r").cast("double")
+                        / F.col("__N").cast("double"), 6)
+                .alias("mass_share")))
+
+
+def good_turing_sql(docs_sql: str, max_r: int = 20) -> str:
+    """DuckDB mirror of :func:`good_turing` over a (text) SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH terms AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS r FROM (
+    SELECT unnest(string_split({norm}, ' ')) AS term FROM ({docs_sql})
+  ) WHERE length(term) >= 1 GROUP BY 1
+),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM terms GROUP BY 1),
+tot AS (SELECT sum(r * n_r) AS N FROM nr)
+SELECT a.r, a.n_r,
+  round((a.r + 1) * CAST(b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE), 6)
+    AS r_star,
+  round(a.r * CAST(a.n_r AS DOUBLE) / CAST(t.N AS DOUBLE), 6)
+    AS mass_share
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
+WHERE a.r <= {int(max_r)}
+"""

@@ -1384,3 +1384,81 @@ SELECT src AS host, CAST(count(*) AS BIGINT) AS n_out,
         / CAST(count(*) AS DOUBLE), 6) AS reciprocity
 FROM f GROUP BY 1
 """
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2002, public
+    literature): the Pearson correlation between the total degrees of the
+    two endpoints across distinct directed edges. Positive = hubs link to
+    hubs (portal cliques / link farms), negative = hub-and-spoke
+    (the organic-web norm) — a one-number structural fingerprint that
+    complements bowtie/k_core when comparing crawl snapshots.
+
+    Pearson r comes from exact BIGINT moments (n·Σxy − Σx·Σy etc.), cast
+    to DOUBLE only for the final divide — engine-reproducible. Returns a
+    single row (n_edges, assortativity); NULL when either endpoint-degree
+    variance is zero.
+
+    Scale shape: distinct edges once, degree table from ONE explode+
+    groupBy, two broadcast-friendly equi-joins keyed on node, ONE global
+    agg. No window, no cross join.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    deg = (e.select(F.col("src").alias("node"))
+           .unionAll(e.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    j = (e.join(deg.withColumnRenamed("node", "src")
+                .withColumnRenamed("deg", "x"), "src")
+         .join(deg.withColumnRenamed("node", "dst")
+               .withColumnRenamed("deg", "y"), "dst"))
+    mom = j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    vx = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n_edges") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")),
+                       6))
+    return mom.select("n_edges", r.alias("assortativity"))
+
+
+def assortativity_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`assortativity` over a (src, dst) SELECT."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY 1
+),
+j AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM e JOIN deg dx ON dx.node = e.src JOIN deg dy ON dy.node = e.dst
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+    sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j
+)
+SELECT n_edges,
+  CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0
+    THEN round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+  END AS assortativity
+FROM mom
+"""

@@ -874,3 +874,90 @@ dense AS (
 )
 {body}
 """
+
+
+def page_survival(
+    pages: DataFrame,
+    horizon_day: int,
+    url_col: str = "url",
+    birth_col: str = "birth_day",
+    death_col: str = "death_day",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over page lifetimes — how long a URL
+    stays alive once discovered, with right-censoring for pages still
+    alive at the observation horizon. The actuarial view behind link-rot
+    budgeting: S(t) prices how much of a segment written today is still
+    fetchable in t days, which sets archival-refresh cadence.
+
+    lifetime = death_day - birth_day (uncensored) or
+    horizon_day - birth_day (censored). At each distinct uncensored
+    lifetime t: d_t deaths, n_t at risk (lifetime ≥ t, censored included);
+    S(t) = Π_{t'≤t} (1 - d/n), computed as exp(cumsum(ln((n-d)/n))) over
+    the ordered event times — an ordered cumulative window, so both
+    engines accumulate identical doubles in identical order.
+
+    Scale shape: ONE groupBy(lifetime) for the event table, one ordered
+    window over the (tiny) distinct-lifetime rows, at-risk counts via a
+    descending cumulative sum — no joins against the full page table
+    after the first aggregate. Returns (t, n_risk, n_deaths, survival).
+    """
+    life = pages.select(
+        F.when(F.col(death_col).isNotNull(),
+               F.col(death_col) - F.col(birth_col))
+        .otherwise(F.lit(int(horizon_day)) - F.col(birth_col))
+        .cast("long").alias("t"),
+        F.col(death_col).isNotNull().cast("int").alias("__d"))
+    per = (life.groupBy("t")
+           .agg(F.count("*").cast("long").alias("__n"),
+                F.sum("__d").cast("long").alias("n_deaths")))
+    # at risk at t = pages with lifetime >= t: suffix sum over descending t
+    w_desc = (Window.orderBy(F.desc("t"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risked = per.withColumn("n_risk", F.sum("__n").over(w_desc))
+    ev = risked.filter(F.col("n_deaths") > 0)
+    w_asc = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ratio = ((F.col("n_risk") - F.col("n_deaths")).cast("double")
+             / F.col("n_risk").cast("double"))
+    # a (n_risk == n_deaths) step zeroes the curve forever; ln(0) is NULL
+    # in Spark (sum skips it), so flag zero factors explicitly
+    n_zero = F.sum((F.col("n_risk") == F.col("n_deaths")).cast("int")
+                   ).over(w_asc)
+    surv = F.when(n_zero > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(F.when(ratio > 0, ratio))).over(w_asc)))
+    return (ev.withColumn("survival", F.round(surv, 6))
+            .select("t", "n_risk", "n_deaths", "survival"))
+
+
+def page_survival_sql(pages_sql: str, horizon_day: int) -> str:
+    """DuckDB mirror of :func:`page_survival` over a (url, birth_day,
+    death_day) SELECT."""
+    return f"""
+WITH life AS (
+  SELECT CAST(CASE WHEN death_day IS NOT NULL
+              THEN death_day - birth_day
+              ELSE {int(horizon_day)} - birth_day END AS BIGINT) AS t,
+         CASE WHEN death_day IS NOT NULL THEN 1 ELSE 0 END AS d
+  FROM ({pages_sql})
+),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS n_deaths
+  FROM life GROUP BY 1
+),
+risked AS (
+  SELECT t, n_deaths,
+    sum(n) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM per
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
+  round(CASE WHEN sum(CASE WHEN n_risk = n_deaths THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+    THEN 0.0
+    ELSE exp(sum(ln(CASE WHEN n_risk > n_deaths
+                    THEN CAST(n_risk - n_deaths AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE) END))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+    END, 6) AS survival
+FROM risked WHERE n_deaths > 0
+"""

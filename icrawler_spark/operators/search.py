@@ -1708,3 +1708,149 @@ SELECT h.qid AS query_id, h.doc AS doc_id, nq.n_terms
 FROM hits h JOIN nq USING (qid)
 WHERE h.m = nq.n_terms
 """
+
+
+def err_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    g_max: int = 3,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle et al. 2009, public
+    literature) — the graded CASCADE metric: the user scans top-down and
+    stops at rank r with probability R_r·Π_{i<r}(1−R_i) where
+    R = (2^g − 1)/2^g_max, so one highly-relevant early hit saturates the
+    score in a way nDCG's additive gains do not. The metric companion to
+    sessions.cascade_model: that one ESTIMATES attractiveness from
+    clicks, this one SCORES a ranking under the same user model.
+
+    The stop-probability product is exp(cumsum(ln(1−R))) over the ranked
+    window (R < 1 always since (2^g−1)/2^g_max caps below 1; unjudged
+    docs get g=0 → R=0), so both engines accumulate identical doubles in
+    rank order. Returns (query, n_ret, err) rounded 6.
+
+    Scale shape: one equi-join run⋈qrels on (query, doc), ONE
+    query-partitioned ordered window, ONE groupBy(query). Judgments are
+    the broadcast side.
+    """
+    rel = (qrels.select(F.col(query_col).alias("query"),
+                        F.col(doc_col).alias("doc"),
+                        F.col(grade_col).cast("long").alias("__g"))
+           .groupBy("query", "doc").agg(F.max("__g").alias("__g")))
+    r = (run.select(F.col(query_col).alias("query"),
+                    F.col(doc_col).alias("doc"),
+                    F.col(rank_col).cast("long").alias("rank"))
+         .join(F.broadcast(rel), ["query", "doc"], "left")
+         .withColumn("__g", F.coalesce(F.col("__g"), F.lit(0))))
+    denom = float(2 ** int(g_max))
+    rr = (F.pow(F.lit(2.0), F.col("__g").cast("double")) - 1.0) / denom
+    w_prev = (Window.partitionBy("query").orderBy("rank", "doc")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    stop_here = (F.exp(F.coalesce(
+        F.sum(F.log(1.0 - rr)).over(w_prev), F.lit(0.0))) * rr
+        / F.col("rank"))
+    per = r.withColumn("__e", stop_here)
+    return (per.groupBy("query")
+            .agg(F.count("*").cast("long").alias("n_ret"),
+                 F.round(F.sum("__e"), 6).alias("err")))
+
+
+def err_eval_sql(run_sql: str, qrels_sql: str, g_max: int = 3) -> str:
+    """DuckDB mirror of :func:`err_eval` over (query, doc, rank) and
+    (query, doc, grade) SELECTs."""
+    denom = float(2 ** int(g_max))
+    return f"""
+WITH rel AS (
+  SELECT query, doc, CAST(max(grade) AS BIGINT) AS g
+  FROM ({qrels_sql}) GROUP BY 1, 2
+),
+r AS (
+  SELECT a.query, a.doc, CAST(a.rank AS BIGINT) AS rank,
+    (pow(2.0, CAST(coalesce(rel.g, 0) AS DOUBLE)) - 1.0) / {denom!r} AS rr
+  FROM ({run_sql}) a LEFT JOIN rel ON rel.query = a.query
+    AND rel.doc = a.doc
+),
+scored AS (
+  SELECT query,
+    exp(coalesce(sum(ln(1.0 - rr)) OVER (
+      PARTITION BY query ORDER BY rank, doc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+    * rr / rank AS e
+  FROM r
+)
+SELECT query, CAST(count(*) AS BIGINT) AS n_ret,
+  round(sum(e), 6) AS err
+FROM scored GROUP BY 1
+"""
+
+
+def ranker_ttest(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    query_col: str = "query",
+    score_col: str = "score",
+) -> DataFrame:
+    """Paired significance test between two rankers' per-query metric
+    scores (the standard IR-eval paired t-test, e.g. Smucker et al. CIKM
+    2007): join on query, difference the scores, report win/tie/loss
+    counts, the mean delta, and the t statistic
+    t = Σd·sqrt(n−1)/sqrt(n·Σd² − (Σd)²). A ranker swap ships on a
+    significant positive delta, not on a bar chart.
+
+    t_stat is rounded 4 (the Σd² cancellation amplifies last-ulp float
+    noise); mean_delta 6. NULL t when n < 2 or all deltas are equal.
+
+    Scale shape: ONE equi-join on query + ONE global agg. Per-query
+    scores are tiny (one row per query), so both sides broadcast.
+    """
+    a = run_a.select(F.col(query_col).alias("query"),
+                     F.col(score_col).cast("double").alias("__a"))
+    b = run_b.select(F.col(query_col).alias("query"),
+                     F.col(score_col).cast("double").alias("__b"))
+    d = (a.join(b, "query")
+         .withColumn("__d", F.col("__a") - F.col("__b")))
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("__d") > 0).cast("int")).cast("long").alias("wins"),
+        F.sum((F.col("__d") < 0).cast("int")).cast("long").alias("losses"),
+        F.sum((F.col("__d") == 0).cast("int")).cast("long").alias("ties"),
+        F.sum("__d").alias("__s1"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__s2"))
+    denom = F.col("n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    t = F.when((F.col("n") > 1) & (denom > 0),
+               F.round(F.col("__s1") * F.sqrt((F.col("n") - 1)
+                                              .cast("double"))
+                       / F.sqrt(denom), 4))
+    return agg.select("n", "wins", "losses", "ties",
+                      F.round(F.col("__s1") / F.col("n"), 6)
+                      .alias("mean_delta"),
+                      t.alias("t_stat"))
+
+
+def ranker_ttest_sql(run_a_sql: str, run_b_sql: str) -> str:
+    """DuckDB mirror of :func:`ranker_ttest` over two (query, score)
+    SELECTs."""
+    return f"""
+WITH d AS (
+  SELECT a.query, CAST(a.score AS DOUBLE) - CAST(b.score AS DOUBLE) AS d
+  FROM ({run_a_sql}) a JOIN ({run_b_sql}) b ON b.query = a.query
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+    sum(d) AS s1, sum(d * d) AS s2
+  FROM d
+)
+SELECT n, wins, losses, ties,
+  round(s1 / n, 6) AS mean_delta,
+  CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+    THEN round(s1 * sqrt(CAST(n - 1 AS DOUBLE))
+               / sqrt(n * s2 - s1 * s1), 4)
+  END AS t_stat
+FROM agg
+"""

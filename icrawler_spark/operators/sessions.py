@@ -506,3 +506,58 @@ SELECT event_id, CAST(count(*) AS BIGINT) AS n_copies,
 FROM ({events_sql})
 GROUP BY 1 HAVING count(*) >= 2
 """
+
+
+def cascade_model(
+    serp: DataFrame,
+    session_col: str = "session_id",
+    rank_col: str = "rank",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """Cascade click model (Craswell et al. 2008, public literature): the
+    user scans a SERP top-down and stops at the first click, so within a
+    session only positions 1..first_click were EXAMINED (all positions in
+    a no-click session count as examined-and-skipped). Per-position
+    attractiveness = clicks / examinations — the position-debiased
+    relevance signal position_bias only approximates with odds ratios.
+
+    Scale shape: ONE session-partitioned min-window to find the first
+    click, then ONE groupBy(rank). All ratios are integer/integer, one
+    divide, rounded 6. Returns (rank, n_examined, n_clicked, attract).
+    """
+    base = serp.select(F.col(session_col).alias("sid"),
+                       F.col(rank_col).cast("long").alias("rank"),
+                       F.col(click_col).cast("int").alias("__c"))
+    w = Window.partitionBy("sid")
+    first = F.min(F.when(F.col("__c") == 1, F.col("rank"))).over(w)
+    examined = base.withColumn("__f", first).filter(
+        F.col("__f").isNull() | (F.col("rank") <= F.col("__f")))
+    return (examined.groupBy("rank")
+            .agg(F.count("*").cast("long").alias("n_examined"),
+                 F.sum("__c").cast("long").alias("n_clicked"))
+            .withColumn("attract",
+                        F.round(F.col("n_clicked").cast("double")
+                                / F.col("n_examined").cast("double"), 6))
+            .select("rank", "n_examined", "n_clicked", "attract"))
+
+
+def cascade_model_sql(serp_sql: str) -> str:
+    """DuckDB mirror of :func:`cascade_model` over a (session_id, rank,
+    clicked) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT session_id AS sid, CAST(rank AS BIGINT) AS rank,
+         CAST(clicked AS INT) AS c
+  FROM ({serp_sql})
+),
+flagged AS (
+  SELECT sid, rank, c,
+    min(CASE WHEN c = 1 THEN rank END) OVER (PARTITION BY sid) AS f
+  FROM base
+)
+SELECT rank, CAST(count(*) AS BIGINT) AS n_examined,
+  CAST(sum(c) AS BIGINT) AS n_clicked,
+  round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS attract
+FROM flagged WHERE f IS NULL OR rank <= f
+GROUP BY 1
+"""

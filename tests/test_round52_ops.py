@@ -1,0 +1,135 @@
+"""Unit tests for the round-52 pack: cascade model, ERR, page survival,
+assortativity, Good-Turing."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import good_turing
+from icrawler_spark.operators.graph import assortativity
+from icrawler_spark.operators.recrawl import page_survival
+from icrawler_spark.operators.search import err_eval
+from icrawler_spark.operators.sessions import cascade_model
+
+
+# ---------------------------------------------------------------------------
+# cascade_model
+# ---------------------------------------------------------------------------
+
+def test_cascade_examination_stops_at_first_click(spark):
+    # session s1 clicks at rank 2 → rank 3 was never examined
+    rows = [("s1", 1, 0), ("s1", 2, 1), ("s1", 3, 0),
+            ("s2", 1, 1), ("s2", 2, 0)]
+    df = spark.createDataFrame(rows, "session_id string, rank long, clicked int")
+    out = {r["rank"]: r for r in cascade_model(df).collect()}
+    assert out[1]["n_examined"] == 2 and out[1]["n_clicked"] == 1
+    assert out[2]["n_examined"] == 1 and out[2]["n_clicked"] == 1
+    assert 3 not in out
+
+
+def test_cascade_noclick_session_all_examined(spark):
+    rows = [("s", 1, 0), ("s", 2, 0), ("s", 3, 0)]
+    df = spark.createDataFrame(rows, "session_id string, rank long, clicked int")
+    out = {r["rank"]: r for r in cascade_model(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(out[r]["attract"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# err_eval
+# ---------------------------------------------------------------------------
+
+def test_err_perfect_first_hit(spark):
+    run = spark.createDataFrame([("q", "d1", 1), ("q", "d2", 2)],
+                                "query string, doc string, rank long")
+    qrels = spark.createDataFrame([("q", "d1", 3)],
+                                  "query string, doc string, grade long")
+    out = err_eval(run, qrels, g_max=3).collect()[0]
+    # R1 = 7/8, rank 1 → ERR = 7/8 (d2 unjudged contributes 0)
+    assert abs(out["err"] - 0.875) < 1e-6
+
+
+def test_err_early_beats_late(spark):
+    qrels = spark.createDataFrame([("a", "x", 3), ("b", "x", 3)],
+                                  "query string, doc string, grade long")
+    run = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "y", 1), ("b", "x", 2)],
+        "query string, doc string, rank long")
+    out = {r["query"]: r["err"] for r in
+           err_eval(run, qrels, g_max=3).collect()}
+    assert out["a"] > out["b"] > 0
+
+
+def test_err_no_relevant_is_zero(spark):
+    run = spark.createDataFrame([("q", "d", 1)],
+                                "query string, doc string, rank long")
+    qrels = spark.createDataFrame([("other", "d", 3)],
+                                  "query string, doc string, grade long")
+    assert err_eval(run, qrels).collect()[0]["err"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# page_survival
+# ---------------------------------------------------------------------------
+
+def test_km_no_censoring(spark):
+    # 4 pages die at lifetimes 1,1,2,3 → S(1)=.5, S(2)=.25, S(3)=0
+    rows = [("u1", 0, 1), ("u2", 0, 1), ("u3", 0, 2), ("u4", 0, 3)]
+    df = spark.createDataFrame(rows, "url string, birth_day long, death_day long")
+    out = {r["t"]: r["survival"] for r in
+           page_survival(df, horizon_day=10).collect()}
+    assert abs(out[1] - 0.5) < 1e-6
+    assert abs(out[2] - 0.25) < 1e-6
+    assert abs(out[3] - 0.0) < 1e-6
+
+
+def test_km_censoring_shrinks_risk_set_only(spark):
+    # one death at t=2; a page censored at t=1 leaves the risk set before
+    # the death → S(2) = 1 - 1/2 = 0.5, and t=1 emits no step
+    rows = [("u1", 0, 2), ("u2", 9, None), ("u3", 0, None)]
+    # u2: horizon 10 - birth 9 = lifetime 1 censored; u3 lifetime 10
+    df = spark.createDataFrame(rows, "url string, birth_day long, death_day long")
+    out = {r["t"]: r for r in page_survival(df, horizon_day=10).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_risk"] == 2 and abs(out[2]["survival"] - 0.5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# assortativity
+# ---------------------------------------------------------------------------
+
+def test_assortativity_star_is_negative(spark):
+    # a symmetrized star: hub deg 10, leaves deg 2 → endpoints are always
+    # (high, low) pairs → perfect disassortativity r = -1
+    edges = ([("hub", f"leaf{i}") for i in range(5)]
+             + [(f"leaf{i}", "hub") for i in range(5)])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = assortativity(df).collect()[0]
+    assert out["n_edges"] == 10 and out["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # a directed 4-cycle: every node has degree 2 → zero variance → NULL
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = assortativity(df).collect()[0]
+    assert out["assortativity"] is None
+
+
+# ---------------------------------------------------------------------------
+# good_turing
+# ---------------------------------------------------------------------------
+
+def test_good_turing_table(spark):
+    # terms: x3 once, y twice (y y), z z z → N1=1, N2=1, N3=1; N=6
+    docs = spark.createDataFrame(
+        [("x3 y z",), ("y z",), ("z",)], "text string")
+    out = {r["r"]: r for r in good_turing(docs, max_r=10).collect()}
+    assert out[1]["n_r"] == 1 and out[2]["n_r"] == 1 and out[3]["n_r"] == 1
+    # r*=  (1+1)*N2/N1 = 2 for r=1; N4 absent → r_star NULL at r=3
+    assert abs(out[1]["r_star"] - 2.0) < 1e-6
+    assert out[3]["r_star"] is None
+    assert abs(out[1]["mass_share"] - 1 / 6) < 1e-6
+
+
+def test_good_turing_max_r_cap(spark):
+    docs = spark.createDataFrame([("w " * 50,)], "text string")
+    assert good_turing(docs, max_r=10).count() == 0
