@@ -301,6 +301,11 @@ _EXTRA_PICKS = [
     # round-3 batch-46 (click models + survival + graph structure + GT)
     "cascade_model", "err_eval", "page_survival", "assortativity",
     "good_turing",
+    # round-3 batch-47 (eval significance + coverage + reshard + calibration)
+    "ranker_ttest", "capture_recapture", "tld_mix", "reshard_moves",
+    "calibration",
+    # round-3 batch-48 (graph structure + cost model + SRE + robust stats)
+    "clustering_coeff", "hits", "ols_fit", "slo_burn", "robust_outliers",
 ]
 
 

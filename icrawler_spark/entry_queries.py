@@ -44,7 +44,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round46, entry_round47,
                             entry_round48, entry_round49,
                             entry_round50, entry_round51,
-                            entry_round52)
+                            entry_round52, entry_round53,
+                            entry_round54)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -863,6 +864,8 @@ def queries():
         **entry_round50.queries50(),
         **entry_round51.queries51(),
         **entry_round52.queries52(),
+        **entry_round53.queries53(),
+        **entry_round54.queries54(),
     }
 
 
@@ -947,4 +950,6 @@ def oracle_sql():
         **entry_round50.oracle_sql50(),
         **entry_round51.oracle_sql51(),
         **entry_round52.oracle_sql52(),
+        **entry_round53.oracle_sql53(),
+        **entry_round54.oracle_sql54(),
     }

@@ -1,0 +1,195 @@
+"""Round-3 driver-contract queries (batch 47): paired ranker t-test,
+capture-recapture web-size estimate, TLD mix entropy, rendezvous-hash
+reshard cost, quality-score calibration bins.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# ranker_ttest — paired per-query significance between two rankers
+# ---------------------------------------------------------------------------
+
+
+def _tt_run(spark, sf, mod: int) -> DataFrame:
+    """Per-query metric scores: one row per user-query, score an exact
+    integer ratio so both engines difference identical doubles."""
+    ev = _events(spark, sf)
+    return (ev.groupBy((F.col("user_id")).alias("qid"))
+            .agg((F.max(F.col("event_id") % mod) / float(mod))
+                 .alias("score"))
+            .select(F.concat(F.lit("q"), F.col("qid").cast("string"))
+                    .alias("query"), "score"))
+
+
+def _tt_run_sql(mod: int) -> str:
+    return (f"SELECT 'q' || user_id AS query, "
+            f"max(event_id % {mod}) / CAST({mod} AS DOUBLE) AS score "
+            f"FROM events GROUP BY user_id")
+
+
+def q_ranker_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.ranker_ttest: win/loss counts, mean delta and the
+    paired t statistic from exact sums — the ranker-swap gate."""
+    return _search.ranker_ttest(_tt_run(spark, sf, 89),
+                                _tt_run(spark, sf, 83))
+
+
+def _ranker_ttest_sql() -> str:
+    return _search.ranker_ttest_sql(_tt_run_sql(89), _tt_run_sql(83))
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture — two-crawl overlap + population estimate
+# ---------------------------------------------------------------------------
+
+
+def _cr_crawl(spark, sf, mod: int, keep: int) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.filter(F.col("event_id") % mod < keep)
+            .select(F.concat(F.lit("u"),
+                             F.col("event_id").cast("string")).alias("url")))
+
+
+def _cr_crawl_sql(mod: int, keep: int) -> str:
+    return (f"SELECT 'u' || event_id AS url FROM events "
+            f"WHERE event_id % {mod} < {keep}")
+
+
+def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.capture_recapture: Lincoln-Petersen / Chapman
+    estimates + Jaccard and unique yields from two crawl samples."""
+    return _corpus.capture_recapture(_cr_crawl(spark, sf, 7, 4),
+                                     _cr_crawl(spark, sf, 5, 3))
+
+
+def _capture_recapture_sql() -> str:
+    return _corpus.capture_recapture_sql(_cr_crawl_sql(7, 4),
+                                         _cr_crawl_sql(5, 3))
+
+
+# ---------------------------------------------------------------------------
+# tld_mix — TLD composition entropy of the host population
+# ---------------------------------------------------------------------------
+
+_TLDS = ["com", "org", "net", "io", "dev", "edu", "gov"]
+
+
+def _tm_hosts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    tld = F.element_at(F.lit(_TLDS), (F.col("event_id") % 7 + 1).cast("int"))
+    return ev.select(F.concat(
+        F.lit("h"), (F.col("event_id") % 200).cast("string"),
+        F.lit("."), tld).alias("host"))
+
+
+_TM_HOSTS_SQL = (
+    "SELECT 'h' || (event_id % 200) || '.' || "
+    "['com','org','net','io','dev','edu','gov'][CAST(event_id % 7 + 1 "
+    "AS INT)] AS host FROM events")
+
+
+def q_tld_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.tld_mix: per-TLD host share + surprisal — the
+    seed-contamination / disposable-TLD drift alarm."""
+    return _urls.tld_mix(_tm_hosts(spark, sf))
+
+
+def _tld_mix_sql() -> str:
+    return _urls.tld_mix_sql(_TM_HOSTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# reshard_moves — mod vs rendezvous reshard cost on the frontier keys
+# ---------------------------------------------------------------------------
+
+_RM_SHARDS = 16
+
+
+def _rm_keys(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.concat(F.lit("u"), F.col("event_id").cast("string"))
+                     .alias("url"))
+
+
+_RM_KEYS_SQL = "SELECT 'u' || event_id AS url FROM events"
+
+
+def q_reshard_moves(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.rendezvous_moves: measured key movement for
+    N→N+1 scale-out under mod rehash vs rendezvous hashing."""
+    return _politeness.rendezvous_moves(_rm_keys(spark, sf),
+                                        n_shards=_RM_SHARDS)
+
+
+def _reshard_moves_sql() -> str:
+    return _politeness.rendezvous_moves_sql(_RM_KEYS_SQL,
+                                            n_shards=_RM_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# calibration — reliability diagram of a quality score
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def _cal_scored(spark, sf) -> DataFrame:
+    """Well-calibrated synthetic classifier: score = m/1000 and the label
+    fires when m beats an independent uniform hash — P(label|score) ≈
+    score, so ECE should be small."""
+    ev = _events(spark, sf)
+    m = F.col("event_id") * 7919 % 1000
+    u = F.col("event_id") * 131 % 1000
+    return ev.select((m / 1000.0).alias("score"),
+                     (m > u).cast("int").alias("label"))
+
+
+_CAL_SCORED_SQL = """
+  SELECT (event_id * 7919 % 1000) / CAST(1000 AS DOUBLE) AS score,
+    CASE WHEN event_id * 7919 % 1000 > event_id * 131 % 1000
+      THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+
+def q_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.calibration_bins: per-bin predicted-vs-empirical
+    rates + ECE contributions for the quality-gate score."""
+    return _corpus.calibration_bins(_cal_scored(spark, sf),
+                                    n_bins=_CAL_BINS)
+
+
+def _calibration_sql() -> str:
+    return _corpus.calibration_bins_sql(_CAL_SCORED_SQL, n_bins=_CAL_BINS)
+
+
+def queries53():
+    return {
+        "ranker_ttest": q_ranker_ttest,
+        "capture_recapture": q_capture_recapture,
+        "tld_mix": q_tld_mix,
+        "reshard_moves": q_reshard_moves,
+        "calibration": q_calibration,
+    }
+
+
+def oracle_sql53():
+    return {
+        "ranker_ttest": _ranker_ttest_sql(),
+        "capture_recapture": _capture_recapture_sql(),
+        "tld_mix": _tld_mix_sql(),
+        "reshard_moves": _reshard_moves_sql(),
+        "calibration": _calibration_sql(),
+    }

@@ -1,0 +1,206 @@
+"""Round-3 driver-contract queries (batch 48): local clustering
+coefficient, HITS hubs/authorities, OLS cost model, SLO burn rate,
+median/MAD outlier screen.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# clustering_coeff — per-node triangle density on the host graph
+# ---------------------------------------------------------------------------
+
+
+def _cc_edges(spark, sf) -> DataFrame:
+    """Ring-with-chords host graph: offsets 1..6 close plenty of
+    triangles (i + j = k within the offset set)."""
+    ev = _events(spark, sf)
+    u = F.col("user_id") % 25
+    return ev.select(
+        u.cast("long").alias("src"),
+        ((u + F.col("event_id") % 6 + 1) % 25).cast("long").alias("dst"))
+
+
+_CC_EDGES_SQL = (
+    "SELECT CAST(user_id % 25 AS BIGINT) AS src, "
+    "CAST(((user_id % 25) + event_id % 6 + 1) % 25 AS BIGINT) AS dst "
+    "FROM events")
+
+
+def q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.clustering_coeff: ordered-triple triangle count →
+    per-node local clustering coefficient."""
+    return _graph.clustering_coeff(_cc_edges(spark, sf))
+
+
+def _clustering_coeff_sql() -> str:
+    return _graph.clustering_coeff_sql(_CC_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hits — hubs & authorities over the directed host graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id") % 20
+    return ev.select(
+        u.cast("long").alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") % 5 + 1) % 20)
+        .cast("long").alias("dst"))
+
+
+_HITS_EDGES_SQL = (
+    "SELECT CAST(user_id % 20 AS BIGINT) AS src, "
+    "CAST((user_id * 7 + event_id % 5 + 1) % 20 AS BIGINT) AS dst "
+    "FROM events")
+
+
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.hits_scores: 3-iteration HITS with per-half-step
+    L1 normalization rounded 12 for engine-identical drift."""
+    return _graph.hits_scores(_hits_edges(spark, sf), n_iters=_HITS_ITERS)
+
+
+def _hits_sql() -> str:
+    return _graph.hits_scores_sql(_HITS_EDGES_SQL, n_iters=_HITS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# ols_fit — tokens ~ bytes cost model
+# ---------------------------------------------------------------------------
+
+
+def _ols_pairs(spark, sf) -> DataFrame:
+    """bytes → tokens with deterministic integer noise around a 0.3
+    slope."""
+    ev = _events(spark, sf)
+    x = F.col("event_id") % 500 + 50
+    y = (x * 3 / F.lit(10)).cast("long") + F.col("event_id") * 31 % 21 - 10
+    return ev.select(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+
+_OLS_PAIRS_SQL = """
+  SELECT CAST(event_id % 500 + 50 AS BIGINT) AS x,
+    CAST((event_id % 500 + 50) * 3 // 10
+         + event_id * 31 % 21 - 10 AS BIGINT) AS y
+  FROM events
+"""
+
+
+def q_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ols_fit: slope/intercept/r2 from exact integer
+    moments — the bytes→tokens budget forecaster."""
+    return _corpus.ols_fit(_ols_pairs(spark, sf))
+
+
+def _ols_fit_sql() -> str:
+    return _corpus.ols_fit_sql(_OLS_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# slo_burn — availability error-budget burn per host window
+# ---------------------------------------------------------------------------
+
+_SLO = 0.99
+_SLO_WINDOW = 6
+
+
+def _sb_fetches(spark, sf) -> DataFrame:
+    """Hourly fetch outcomes with host-tiered error rates (0.5% / 2.5% /
+    4.5%) so burn spans below/above the paging threshold."""
+    ev = _events(spark, sf)
+    tier = F.col("user_id") % 8 % 3
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"))
+        .alias("host"),
+        (F.col("event_id") % 48).cast("long").alias("bucket"),
+        (F.col("event_id") * 7919 % 200 >= tier * 4 + 1).alias("ok"))
+
+
+_SB_FETCHES_SQL = """
+  SELECT 'h' || (user_id % 8) AS host,
+    CAST(event_id % 48 AS BIGINT) AS bucket,
+    event_id * 7919 % 200 >= (user_id % 8 % 3) * 4 + 1 AS ok
+  FROM events
+"""
+
+
+def q_slo_burn(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.slo_burn: error-budget burn rate per tumbling
+    window — burn > 1 pages before the SLO is blown."""
+    return _politeness.slo_burn(_sb_fetches(spark, sf), slo=_SLO,
+                                window_buckets=_SLO_WINDOW)
+
+
+def _slo_burn_sql() -> str:
+    return _politeness.slo_burn_sql(_SB_FETCHES_SQL, slo=_SLO,
+                                    window_buckets=_SLO_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers — median/MAD screen over per-key volumes
+# ---------------------------------------------------------------------------
+
+_RO_K = 3.5
+
+
+def _ro_metrics(spark, sf) -> DataFrame:
+    """Bulk volumes 0..39 with a ~1% spike population at +500."""
+    ev = _events(spark, sf)
+    x = (F.col("event_id") % 40
+         + F.when(F.col("event_id") % 97 == 0, 500).otherwise(0))
+    return ev.select(
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key"),
+        x.cast("long").alias("x"))
+
+
+_RO_METRICS_SQL = """
+  SELECT 'k' || event_id AS key,
+    CAST(event_id % 40
+         + CASE WHEN event_id % 97 = 0 THEN 500 ELSE 0 END AS BIGINT) AS x
+  FROM events
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.robust_outliers: modified z-score from
+    median/MAD — the spike screen a mean/stddev z misses."""
+    return _corpus.robust_outliers(_ro_metrics(spark, sf), k=_RO_K)
+
+
+def _robust_outliers_sql() -> str:
+    return _corpus.robust_outliers_sql(_RO_METRICS_SQL, k=_RO_K)
+
+
+def queries54():
+    return {
+        "clustering_coeff": q_clustering_coeff,
+        "hits": q_hits,
+        "ols_fit": q_ols_fit,
+        "slo_burn": q_slo_burn,
+        "robust_outliers": q_robust_outliers,
+    }
+
+
+def oracle_sql54():
+    return {
+        "clustering_coeff": _clustering_coeff_sql(),
+        "hits": _hits_sql(),
+        "ols_fit": _ols_fit_sql(),
+        "slo_burn": _slo_burn_sql(),
+        "robust_outliers": _robust_outliers_sql(),
+    }

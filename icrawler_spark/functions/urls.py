@@ -589,3 +589,47 @@ SELECT canon_host, CAST(count(*) AS BIGINT) AS n_variants,
   array_to_string(list_sort(list(h)), ',') AS variants
 FROM per GROUP BY 1 HAVING count(*) >= 2
 """.replace("{src}", urls_sql)
+
+
+def tld_mix(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """TLD composition of a crawl segment: per top-level label, the
+    distinct-host count, corpus share, and the surprisal contribution
+    −p·log2(p) (summing the column gives the mix entropy). Sudden TLD
+    drift between crawl rounds is a cheap seed-contamination / spam-burst
+    alarm — disposable-TLD floods show up here before content arrives.
+
+    Scale shape: DISTINCT host pass, the TLD regexp fused into the scan,
+    ONE groupBy(tld); the total rides a window over the (tiny) TLD rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tld = F.regexp_extract(F.col(host_col), r"([^.]+)$", 1)
+    per = (hosts.select(F.col(host_col).alias("host")).distinct()
+           .select(F.lower(tld).alias("tld"))
+           .filter(F.col("tld") != "")
+           .groupBy("tld").agg(F.count("*").cast("long").alias("n_hosts")))
+    total = F.sum("n_hosts").over(Window.partitionBy()).cast("double")
+    share = F.col("n_hosts") / total
+    return per.select(
+        "tld", "n_hosts",
+        F.round(share, 6).alias("share"),
+        F.round(-share * F.log2(share), 6).alias("surprisal"))
+
+
+def tld_mix_sql(hosts_sql: str) -> str:
+    """DuckDB mirror of :func:`tld_mix` over a (host) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT tld, CAST(count(*) AS BIGINT) AS n_hosts FROM (
+    SELECT lower(regexp_extract(host, '([^.]+)$', 1)) AS tld
+    FROM (SELECT DISTINCT host FROM ({hosts_sql}))
+  ) WHERE tld <> '' GROUP BY 1
+)
+SELECT tld, n_hosts,
+  round(n_hosts / CAST(sum(n_hosts) OVER () AS DOUBLE), 6) AS share,
+  round(-(n_hosts / CAST(sum(n_hosts) OVER () AS DOUBLE))
+        * log2(n_hosts / CAST(sum(n_hosts) OVER () AS DOUBLE)), 6)
+    AS surprisal
+FROM per
+"""

@@ -1121,3 +1121,247 @@ SELECT doc_id, source, score,
        ELSE 0.5 END AS pct_rank
 FROM ranked
 """
+
+
+def capture_recapture(
+    crawl_a: DataFrame,
+    crawl_b: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Two-crawl coverage comparison + capture-recapture population
+    estimate (Lincoln-Petersen, applied to web-index size by Lawrence &
+    Giles, Science 1998): from two independent crawl samples, the overlap
+    prices how much of the reachable web EITHER crawl is seeing —
+    N̂ = n_a·n_b/n_both, with Chapman's (n_a+1)(n_b+1)/(n_both+1) − 1
+    small-sample correction. Jaccard + per-side unique yields quantify
+    what a second crawl strategy actually adds.
+
+    Scale shape: two distinct passes + ONE equi-join on url for the
+    intersection count; single-row output. All ratios integer/integer.
+    """
+    a = crawl_a.select(F.col(url_col).alias("url")).distinct()
+    b = crawl_b.select(F.col(url_col).alias("url")).distinct()
+    both = a.join(b, "url").agg(
+        F.count("*").cast("long").alias("n_both"))
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    j = na.crossJoin(nb).crossJoin(both)
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    lp = F.when(F.col("n_both") > 0,
+                F.round(F.col("n_a") * F.col("n_b")
+                        / F.col("n_both").cast("double"), 6))
+    chap = F.round((F.col("n_a") + 1) * (F.col("n_b") + 1)
+                   / (F.col("n_both") + 1).cast("double") - 1.0, 6)
+    return j.select(
+        "n_a", "n_b", "n_both",
+        (F.col("n_a") - F.col("n_both")).alias("only_a"),
+        (F.col("n_b") - F.col("n_both")).alias("only_b"),
+        F.round(F.col("n_both") / union.cast("double"), 6).alias("jaccard"),
+        lp.alias("n_est_lp"),
+        chap.alias("n_est_chapman"))
+
+
+def capture_recapture_sql(crawl_a_sql: str, crawl_b_sql: str) -> str:
+    """DuckDB mirror of :func:`capture_recapture` over two (url)
+    SELECTs."""
+    return f"""
+WITH a AS (SELECT DISTINCT url FROM ({crawl_a_sql})),
+b AS (SELECT DISTINCT url FROM ({crawl_b_sql})),
+m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (url))
+           AS n_both
+)
+SELECT n_a, n_b, n_both,
+  n_a - n_both AS only_a, n_b - n_both AS only_b,
+  round(n_both / CAST(n_a + n_b - n_both AS DOUBLE), 6) AS jaccard,
+  CASE WHEN n_both > 0
+    THEN round(n_a * n_b / CAST(n_both AS DOUBLE), 6) END AS n_est_lp,
+  round((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1.0, 6)
+    AS n_est_chapman
+FROM m
+"""
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability diagram + per-bin ECE contribution for a [0,1]-scored
+    quality classifier (calibration analysis, Guo et al. ICML 2017 —
+    public): bin predictions, compare mean predicted score with the
+    empirical positive rate. A quality gate that keeps docs above a score
+    threshold is only as good as the score's calibration — an
+    over-confident model silently shifts the corpus mix.
+
+    Scale shape: ONE groupBy(bin) over ≤n_bins groups; the grand total
+    rides a window over those rows. emp_rate is integer/integer;
+    mean_score averages doubles (rounded 6). Returns (bin, n, mean_score,
+    emp_rate, ece_term).
+    """
+    b = F.least(F.floor(F.col(score_col) * int(n_bins)).cast("long"),
+                F.lit(int(n_bins) - 1))
+    per = (scored.select(b.alias("bin"),
+                         F.col(score_col).cast("double").alias("__s"),
+                         F.col(label_col).cast("int").alias("__y"))
+           .groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("__s").alias("__ss"),
+                F.sum("__y").cast("long").alias("__pos")))
+    total = F.sum("n").over(Window.partitionBy()).cast("double")
+    mean_s = F.col("__ss") / F.col("n")
+    emp = F.col("__pos").cast("double") / F.col("n")
+    return (per.select(
+        "bin", "n",
+        F.round(mean_s, 6).alias("mean_score"),
+        F.round(emp, 6).alias("emp_rate"),
+        F.round(F.col("n") / total * F.abs(emp - mean_s), 6)
+        .alias("ece_term")))
+
+
+def calibration_bins_sql(scored_sql: str, n_bins: int = 10) -> str:
+    """DuckDB mirror of :func:`calibration_bins` over a (score, label)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT least(CAST(floor(score * {int(n_bins)}) AS BIGINT),
+               {int(n_bins) - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(score AS DOUBLE)) AS ss,
+    CAST(sum(CAST(label AS INT)) AS BIGINT) AS pos
+  FROM ({scored_sql}) GROUP BY 1
+)
+SELECT bin, n,
+  round(ss / n, 6) AS mean_score,
+  round(CAST(pos AS DOUBLE) / n, 6) AS emp_rate,
+  round(n / CAST(sum(n) OVER () AS DOUBLE)
+        * abs(CAST(pos AS DOUBLE) / n - ss / n), 6) AS ece_term
+FROM per
+"""
+
+
+def ols_fit(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Ordinary-least-squares fit of y on x from exact integer moments —
+    the cost-model builder: fit tokens ~ bytes (or fetch_ms ~ page_kb)
+    once per corpus snapshot and every budget forecast downstream becomes
+    a multiply. slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²); r² is the
+    squared correlation. Inputs are cast to BIGINT so both engines
+    difference identical integers; the only doubles are the final
+    divides.
+
+    Returns one row (n, slope, intercept, r2) rounded 6; slope/r2 NULL
+    on zero x-variance (r2 also NULL on zero y-variance).
+
+    Scale shape: ONE global aggregation, map-side combinable. Nothing
+    else.
+    """
+    d = pairs.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    m = d.agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, num.cast("double") / vx.cast("double"))
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) / F.col("n")
+    r2 = F.when((vx > 0) & (vy > 0),
+                num.cast("double") * num.cast("double")
+                / (vx.cast("double") * vy.cast("double")))
+    return m.select("n", F.round(slope, 6).alias("slope"),
+                    F.round(intercept, 6).alias("intercept"),
+                    F.round(r2, 6).alias("r2"))
+
+
+def ols_fit_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`ols_fit` over an (x, y) SELECT."""
+    return f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS BIGINT)) AS sx, sum(CAST(y AS BIGINT)) AS sy,
+    sum(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS sxy,
+    sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+    sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS syy
+  FROM ({pairs_sql})
+)
+SELECT n,
+  round(CASE WHEN n * sxx - sx * sx > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+  round((CAST(sy AS DOUBLE)
+         - (CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END)
+           * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+FROM m
+"""
+
+
+def robust_outliers(
+    metrics: DataFrame,
+    k: float = 3.5,
+    key_col: str = "key",
+    x_col: str = "x",
+) -> DataFrame:
+    """Median/MAD robust outlier flags (Iglewicz & Hoaglin's modified
+    z-score, public): z = (x − median)/(1.4826·MAD). Unlike mean/stddev
+    z-scores, one monster host can't drag the center toward itself — the
+    right screen for per-host fetch volumes, byte counts, or latencies
+    where the interesting rows ARE the tail.
+
+    Returns (key, x, robust_z rounded 4, is_outlier = |z| > k); z NULL
+    when MAD = 0 (constant bulk).
+
+    Scale shape: two exact-percentile aggregations (each one pass; on a
+    cluster swap `percentile` for `approx_percentile` — same plan shape)
+    broadcast back to a pure projection over the metric rows.
+    """
+    d = metrics.select(F.col(key_col).alias("key"),
+                       F.col(x_col).cast("double").alias("x"))
+    med = d.agg(F.expr("percentile(x, 0.5)").alias("__med"))
+    dev = (d.crossJoin(F.broadcast(med))
+           .withColumn("__ad", F.abs(F.col("x") - F.col("__med"))))
+    mad = dev.agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    z = F.when(F.col("__mad") > 0,
+               F.round((F.col("x") - F.col("__med"))
+                       / (F.lit(1.4826) * F.col("__mad")), 4))
+    return (dev.crossJoin(F.broadcast(mad))
+            .withColumn("robust_z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("robust_z")) > float(k),
+                                   F.lit(False)))
+            .select("key", "x", "robust_z", "is_outlier"))
+
+
+def robust_outliers_sql(metrics_sql: str, k: float = 3.5) -> str:
+    """DuckDB mirror of :func:`robust_outliers` over a (key, x) SELECT."""
+    return f"""
+WITH d AS (SELECT key, CAST(x AS DOUBLE) AS x FROM ({metrics_sql})),
+med AS (SELECT quantile_cont(x, 0.5) AS med FROM d),
+dev AS (SELECT d.key, d.x, abs(d.x - med.med) AS ad, med.med
+        FROM d CROSS JOIN med),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT key, x,
+  CASE WHEN mad.mad > 0
+    THEN round((x - med) / (1.4826 * mad.mad), 4) END AS robust_z,
+  coalesce(abs(CASE WHEN mad.mad > 0
+    THEN round((x - med) / (1.4826 * mad.mad), 4) END) > {float(k)!r},
+    FALSE) AS is_outlier
+FROM dev CROSS JOIN mad
+"""

@@ -1462,3 +1462,185 @@ SELECT n_edges,
   END AS assortativity
 FROM mom
 """
+
+
+def clustering_coeff(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected host
+    graph: cc = 2·triangles / (deg·(deg−1)). Dense triangle neighborhoods
+    mark tightly-interlinked communities — and, at the extreme, link
+    farms, which sit near cc = 1 while organic hub neighborhoods are
+    sparse. The node-level companion to the graph-level
+    `graph_diagnostics` dials.
+
+    Triangle counting is the ordered-triple join (a<b<c matched on all
+    three edges), so each triangle counts ONCE; per-node counts come from
+    exploding the triple. Returns (node, deg, triangles, local_cc
+    rounded 6) for nodes with deg ≥ 2.
+
+    Scale shape: undirected-distinct pass, one wedge join (e1⋈e2 on the
+    shared middle vertex — the O(Σdeg²) step; degree-ordered orientation
+    keeps the hot side at high-degree nodes bounded) + one closing
+    equi-join, then ONE groupBy(node). No cross join.
+    """
+    und = (edges.select(F.least(src_col, dst_col).alias("a"),
+                        F.greatest(src_col, dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                    F.lit(1).alias("__closed"))
+    tri = (e1.join(e2, "y")
+           .join(e3, ["x", "z"])
+           .select("x", "y", "z"))
+    per_node = (tri.select(F.col("x").alias("node"))
+                .unionAll(tri.select(F.col("y").alias("node")))
+                .unionAll(tri.select(F.col("z").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("long").alias("triangles")))
+    return (deg.filter(F.col("deg") >= 2)
+            .join(per_node, "node", "left")
+            .withColumn("triangles",
+                        F.coalesce(F.col("triangles"), F.lit(0)))
+            .withColumn("local_cc",
+                        F.round(2.0 * F.col("triangles")
+                                / (F.col("deg") * (F.col("deg") - 1))
+                                .cast("double"), 6))
+            .select("node", "deg", "triangles", "local_cc"))
+
+
+def clustering_coeff_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`clustering_coeff` over a (src, dst)
+    SELECT."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles,
+  round(2.0 * coalesce(t.triangles, 0)
+        / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS local_cc
+FROM deg d LEFT JOIN per_node t ON t.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def hits_scores(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public literature) over
+    the directed host graph: authority(v) = Σ hub(u) over in-edges,
+    hub(u) = Σ authority(v) over out-edges, L1-normalized each half-step.
+    Hubs are the directories/aggregators, authorities the canonical
+    sources — the complementary axis to PageRank's single importance
+    score when choosing seeds.
+
+    Each normalized vector is rounded to 12 places per iteration so the
+    float drift both engines accumulate stays identical; the fixed
+    iteration count mirrors `host_pagerank`'s bounded-envelope contract.
+    Returns (node, hub, authority) rounded 6.
+
+    Scale shape: per iteration, ONE join + groupBy in each direction on
+    the distinct edge list; the L1 mass is a broadcast scalar. Same
+    per-round cost as a PageRank step.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    cur = nodes.select("node", F.lit(1.0).alias("hub"),
+                       F.lit(1.0).alias("auth"))
+    for _ in range(int(n_iters)):
+        # authority step: pull hub mass along in-edges
+        a = (e.join(cur.select(F.col("node").alias("src"), "hub"), "src")
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub").alias("__a")))
+        cur = (nodes.join(a, "node", "left")
+               .withColumn("__a", F.coalesce(F.col("__a"), F.lit(0.0))))
+        tot_a = cur.select(F.sum("__a").alias("t"))
+        cur = (cur.crossJoin(F.broadcast(tot_a))
+               .withColumn("auth", F.round(F.col("__a") / F.col("t"), 12))
+               .drop("__a", "t"))
+        # hub step: pull authority mass along out-edges
+        h = (e.join(cur.select(F.col("node").alias("dst"), "auth"), "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum("auth").alias("__h")))
+        cur = (cur.join(h, "node", "left")
+               .withColumn("__h", F.coalesce(F.col("__h"), F.lit(0.0))))
+        tot_h = cur.select(F.sum("__h").alias("t"))
+        cur = (cur.crossJoin(F.broadcast(tot_h))
+               .withColumn("hub", F.round(F.col("__h") / F.col("t"), 12))
+               .drop("__h", "t"))
+        cur = cur.localCheckpoint(eager=False)  # cut lineage per round
+    return cur.select("node", F.round("hub", 6).alias("hub"),
+                      F.round("auth", 6).alias("authority"))
+
+
+def hits_scores_sql(edges_sql: str, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`hits_scores`: the same half-step CTE chain
+    with per-step round(…,12) normalization."""
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub, CAST(1 AS DOUBLE) AS auth
+       FROM nodes)"""]
+    for i in range(int(n_iters)):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS node, sum(s.hub) AS m
+  FROM e JOIN s{i} s ON s.node = e.src GROUP BY 1
+),
+sa{i} AS (
+  SELECT n.node, s.hub,
+    round(coalesce(a.m, 0) / (SELECT sum(coalesce(m, 0))
+                              FROM nodes n2 LEFT JOIN a{i} a2
+                              ON a2.node = n2.node), 12) AS auth
+  FROM nodes n JOIN s{i} s ON s.node = n.node
+  LEFT JOIN a{i} a ON a.node = n.node
+),
+h{i} AS (
+  SELECT e.src AS node, sum(s.auth) AS m
+  FROM e JOIN sa{i} s ON s.node = e.dst GROUP BY 1
+),
+s{i + 1} AS (
+  SELECT n.node,
+    round(coalesce(h.m, 0) / (SELECT sum(coalesce(m, 0))
+                              FROM nodes n2 LEFT JOIN h{i} h2
+                              ON h2.node = n2.node), 12) AS hub,
+    s.auth
+  FROM nodes n JOIN sa{i} s ON s.node = n.node
+  LEFT JOIN h{i} h ON h.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, round(hub, 6) AS hub, round(auth, 6) AS authority
+FROM s{int(n_iters)}""")
+    return "".join(parts)

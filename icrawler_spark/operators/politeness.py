@@ -1218,3 +1218,155 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_jobs,
     AS first_violation
 FROM cum GROUP BY 1
 """
+
+
+def rendezvous_moves(
+    keys: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "url",
+) -> DataFrame:
+    """Elastic-reshard cost audit: how many frontier keys MOVE when the
+    shard count grows N → N+1, under (a) mod-N rehash and (b) rendezvous
+    / highest-random-weight hashing (Thaler & Ravishankar 1998, the
+    consistent-hashing family). Mod rehash moves ≈ N/(N+1) of all keys —
+    a full seen-set/state reshuffle on every scale-out — while HRW moves
+    ≈ 1/(N+1); this operator MEASURES both on the actual key population,
+    which is the number an operator on call needs before resizing a
+    1000-executor crawl's state stores.
+
+    Hashing is md5-based (the only engine-shared hash): HRW winner =
+    argmax over shards of md5(key||'#'||s) compared as hex strings; mod
+    shard = first-8-hex-digit integer mod N. Returns two rows
+    (scheme, n_keys, n_moved, moved_share rounded 6).
+
+    Scale shape: DISTINCT keys once; HRW explodes keys × (N+1) literal
+    shard ids (linear in keys for fixed N) into ONE groupBy(key) of
+    max_by pairs, then ONE global agg; mod path is pure projection + agg.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    k = keys.select(F.col(key_col).alias("key")).distinct()
+    n = int(n_shards)
+    # --- mod rehash: shard = h mod N vs h mod (N+1)
+    h = _md5_int("key", 1, 8)
+    mod_moved = (h % n != h % (n + 1)).cast("int")
+    mod_row = k.agg(
+        F.lit("mod").alias("scheme"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(mod_moved).cast("long").alias("n_moved"))
+    # --- rendezvous: winner among 0..N-1 vs winner among 0..N
+    s = F.explode(F.sequence(F.lit(0), F.lit(n))).alias("s")
+    weighted = k.select("key", s).withColumn(
+        "w", F.md5(F.concat(F.col("key"), F.lit("#"),
+                            F.col("s").cast("string"))))
+    per = (weighted.groupBy("key")
+           .agg(F.expr(f"max_by(s, case when s < {n} then w end)")
+                .alias("__old"),
+                F.expr("max_by(s, w)").alias("__new")))
+    hrw_row = per.agg(
+        F.lit("rendezvous").alias("scheme"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum((F.col("__old") != F.col("__new")).cast("int")).cast("long")
+        .alias("n_moved"))
+    return (mod_row.unionByName(hrw_row)
+            .withColumn("moved_share",
+                        F.round(F.col("n_moved")
+                                / F.col("n_keys").cast("double"), 6)))
+
+
+def rendezvous_moves_sql(keys_sql: str, n_shards: int = 16) -> str:
+    """DuckDB mirror of :func:`rendezvous_moves` over a (url) SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    n = int(n_shards)
+    h = md5_int_sql("key", 1, 8)
+    return f"""
+WITH k AS (SELECT DISTINCT url AS key FROM ({keys_sql})),
+mod_row AS (
+  SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN ({h}) % {n} <> ({h}) % {n + 1}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM k
+),
+weighted AS (
+  SELECT key, s, md5(key || '#' || s) AS w
+  FROM k CROSS JOIN (
+    SELECT unnest(generate_series(0, {n})) AS s)
+),
+per AS (
+  SELECT key,
+    arg_max(s, CASE WHEN s < {n} THEN w END) AS old_s,
+    arg_max(s, w) AS new_s
+  FROM weighted GROUP BY 1
+),
+hrw_row AS (
+  SELECT 'rendezvous' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_moved
+  FROM per
+)
+SELECT scheme, n_keys, n_moved,
+  round(n_moved / CAST(n_keys AS DOUBLE), 6) AS moved_share
+FROM (SELECT * FROM mod_row UNION ALL SELECT * FROM hrw_row)
+"""
+
+
+def slo_burn(
+    fetches: DataFrame,
+    slo: float = 0.99,
+    window_buckets: int = 6,
+    host_col: str = "host",
+    bucket_col: str = "bucket",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Error-budget burn rate per host and tumbling window (the SRE
+    burn-rate alert arithmetic, Google SRE workbook — public): with an
+    availability SLO s, the budget is (1−s); burn = error_rate/(1−s).
+    burn > 1 means the window spends budget faster than the SLO allows —
+    the paging signal that a host (or our own fetcher) is degrading,
+    cheap enough to compute inline with the crawl's fetch log.
+
+    error_rate is integer/integer; burn is one divide by a literal.
+    Returns (host, win, n_requests, n_errors, error_rate, burn,
+    breach) with win = bucket div window_buckets.
+
+    Scale shape: ONE groupBy(host, window) with map-side combine over
+    the fetch log. Nothing else.
+    """
+    budget = 1.0 - float(slo)
+    w = F.expr(f"cast({bucket_col} as bigint) div {int(window_buckets)}")
+    per = (fetches.select(F.col(host_col).alias("host"),
+                          w.alias("win"),
+                          (~F.col(ok_col).cast("boolean")).cast("int")
+                          .alias("__e"))
+           .groupBy("host", "win")
+           .agg(F.count("*").cast("long").alias("n_requests"),
+                F.sum("__e").cast("long").alias("n_errors")))
+    rate = F.col("n_errors").cast("double") / F.col("n_requests")
+    return (per.withColumn("error_rate", F.round(rate, 6))
+            .withColumn("burn", F.round(rate / budget, 6))
+            .withColumn("breach", F.col("burn") > 1.0)
+            .select("host", "win", "n_requests", "n_errors",
+                    "error_rate", "burn", "breach"))
+
+
+def slo_burn_sql(fetches_sql: str, slo: float = 0.99,
+                 window_buckets: int = 6) -> str:
+    """DuckDB mirror of :func:`slo_burn` over a (host, bucket, ok)
+    SELECT."""
+    budget = 1.0 - float(slo)
+    return f"""
+WITH per AS (
+  SELECT host, CAST(bucket AS BIGINT) // {int(window_buckets)} AS win,
+    CAST(count(*) AS BIGINT) AS n_requests,
+    CAST(sum(CASE WHEN CAST(ok AS BOOLEAN) THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_errors
+  FROM ({fetches_sql}) GROUP BY 1, 2
+)
+SELECT host, win, n_requests, n_errors,
+  round(CAST(n_errors AS DOUBLE) / n_requests, 6) AS error_rate,
+  round(CAST(n_errors AS DOUBLE) / n_requests / {budget!r}, 6) AS burn,
+  round(CAST(n_errors AS DOUBLE) / n_requests / {budget!r}, 6) > 1.0
+    AS breach
+FROM per
+"""

@@ -1,0 +1,122 @@
+"""Unit tests for the round-53 pack: ranker t-test, capture-recapture,
+TLD mix, rendezvous reshard cost, calibration bins."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.urls import tld_mix
+from icrawler_spark.operators.corpus import (calibration_bins,
+                                             capture_recapture)
+from icrawler_spark.operators.politeness import rendezvous_moves
+from icrawler_spark.operators.search import ranker_ttest
+
+
+# ---------------------------------------------------------------------------
+# ranker_ttest
+# ---------------------------------------------------------------------------
+
+def test_ttest_consistent_improvement(spark):
+    a = spark.createDataFrame([(f"q{i}", 0.5 + 0.1 * (i % 3)) for i in range(8)],
+                              "query string, score double")
+    b = spark.createDataFrame([(f"q{i}", 0.4 + 0.1 * (i % 3)) for i in range(8)],
+                              "query string, score double")
+    out = ranker_ttest(a, b).collect()[0]
+    assert out["n"] == 8 and out["wins"] == 8 and out["losses"] == 0
+    assert abs(out["mean_delta"] - 0.1) < 1e-6
+    # all deltas equal → zero variance → t undefined
+    assert out["t_stat"] is None
+
+
+def test_ttest_sign_and_magnitude(spark):
+    a = spark.createDataFrame([("q1", 0.9), ("q2", 0.8), ("q3", 0.2)],
+                              "query string, score double")
+    b = spark.createDataFrame([("q1", 0.5), ("q2", 0.5), ("q3", 0.3)],
+                              "query string, score double")
+    out = ranker_ttest(a, b).collect()[0]
+    assert out["wins"] == 2 and out["losses"] == 1
+    assert out["mean_delta"] > 0 and out["t_stat"] > 0
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture
+# ---------------------------------------------------------------------------
+
+def test_capture_recapture_estimates(spark):
+    # population 0..99; A = evens (50), B = multiples of 5 (20), both = 10
+    a = spark.createDataFrame([(f"u{i}",) for i in range(0, 100, 2)],
+                              "url string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(0, 100, 5)],
+                              "url string")
+    out = capture_recapture(a, b).collect()[0]
+    assert (out["n_a"], out["n_b"], out["n_both"]) == (50, 20, 10)
+    assert out["only_a"] == 40 and out["only_b"] == 10
+    # independent samples → LP recovers the true population of 100
+    assert abs(out["n_est_lp"] - 100.0) < 1e-6
+    assert abs(out["jaccard"] - 10 / 60) < 1e-6
+
+
+def test_capture_recapture_disjoint(spark):
+    a = spark.createDataFrame([("x",)], "url string")
+    b = spark.createDataFrame([("y",)], "url string")
+    out = capture_recapture(a, b).collect()[0]
+    assert out["n_both"] == 0 and out["n_est_lp"] is None
+    assert out["jaccard"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# tld_mix
+# ---------------------------------------------------------------------------
+
+def test_tld_mix_shares(spark):
+    hosts = spark.createDataFrame(
+        [("a.com",), ("b.com",), ("c.org",), ("a.com",)], "host string")
+    out = {r["tld"]: r for r in tld_mix(hosts).collect()}
+    # a.com duplicated → 3 distinct hosts
+    assert out["com"]["n_hosts"] == 2 and out["org"]["n_hosts"] == 1
+    assert abs(out["com"]["share"] - 2 / 3) < 1e-6
+    assert out["com"]["surprisal"] > 0
+
+
+def test_tld_mix_single_tld_zero_entropy(spark):
+    hosts = spark.createDataFrame([("a.com",), ("b.com",)], "host string")
+    out = tld_mix(hosts).collect()
+    assert len(out) == 1 and out[0]["surprisal"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_moves
+# ---------------------------------------------------------------------------
+
+def test_reshard_hrw_beats_mod(spark):
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(400)],
+                                 "url string")
+    out = {r["scheme"]: r for r in
+           rendezvous_moves(keys, n_shards=8).collect()}
+    assert out["mod"]["n_keys"] == out["rendezvous"]["n_keys"] == 400
+    # mod rehash moves ~ N/(N+1) ≈ 0.89; HRW moves ~ 1/(N+1) ≈ 0.11
+    assert out["mod"]["moved_share"] > 0.7
+    assert out["rendezvous"]["moved_share"] < 0.3
+    assert out["rendezvous"]["moved_share"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins
+# ---------------------------------------------------------------------------
+
+def test_calibration_perfect_bins(spark):
+    # scores exactly at bin centers with matching empirical rates
+    rows = []
+    for b in range(10):
+        s = b / 10 + 0.05
+        pos = round(s * 20)
+        rows += [(s, 1)] * pos + [(s, 0)] * (20 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b]["n"] == 20 for b in out)
+    assert all(r["ece_term"] <= 0.003 for r in out.values())
+
+
+def test_calibration_score_one_lands_in_top_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.99, 0)], "score double, label int")
+    out = calibration_bins(df, n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 9 and out[0]["n"] == 2

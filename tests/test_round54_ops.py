@@ -1,0 +1,131 @@
+"""Unit tests for the round-54 pack: clustering coefficient, HITS,
+OLS fit, SLO burn rate, robust outliers."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import ols_fit, robust_outliers
+from icrawler_spark.operators.graph import clustering_coeff, hits_scores
+from icrawler_spark.operators.politeness import slo_burn
+
+
+# ---------------------------------------------------------------------------
+# clustering_coeff
+# ---------------------------------------------------------------------------
+
+def test_cc_triangle_is_one(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in clustering_coeff(df).collect()}
+    assert all(out[n]["local_cc"] == 1.0 for n in "abc")
+    assert all(out[n]["triangles"] == 1 for n in "abc")
+
+
+def test_cc_star_is_zero(spark):
+    edges = [("hub", f"l{i}") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in clustering_coeff(df).collect()}
+    # leaves have deg 1 → excluded; the hub closes no triangles
+    assert set(out) == {"hub"}
+    assert out["hub"]["local_cc"] == 0.0
+
+
+def test_cc_square_with_diagonal(spark):
+    # a-b-c-d-a plus diagonal a-c: a and c have deg 3 with 2 triangles
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in clustering_coeff(df).collect()}
+    assert out["a"]["triangles"] == 2 and out["a"]["deg"] == 3
+    assert abs(out["a"]["local_cc"] - 2 / 3) < 1e-6
+    assert out["b"]["triangles"] == 1 and out["b"]["local_cc"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# hits_scores
+# ---------------------------------------------------------------------------
+
+def test_hits_hub_vs_authority_split(spark):
+    # h1, h2 both point at a1, a2, a3 → hubs get hub mass, targets get
+    # authority mass
+    edges = [(h, a) for h in ("h1", "h2") for a in ("a1", "a2", "a3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in hits_scores(df, n_iters=2).collect()}
+    assert out["h1"]["hub"] > 0 and out["h1"]["authority"] == 0.0
+    assert out["a1"]["authority"] > 0 and out["a1"]["hub"] == 0.0
+    # symmetry within the tiers
+    assert out["h1"]["hub"] == out["h2"]["hub"]
+    assert out["a1"]["authority"] == out["a2"]["authority"]
+
+
+def test_hits_l1_normalized(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = hits_scores(df, n_iters=3).collect()
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# ols_fit
+# ---------------------------------------------------------------------------
+
+def test_ols_exact_line(spark):
+    df = spark.createDataFrame([(x, 3 * x + 7) for x in range(20)],
+                               "x long, y long")
+    out = ols_fit(df).collect()[0]
+    assert abs(out["slope"] - 3.0) < 1e-6
+    assert abs(out["intercept"] - 7.0) < 1e-6
+    assert abs(out["r2"] - 1.0) < 1e-6
+
+
+def test_ols_zero_x_variance_null(spark):
+    df = spark.createDataFrame([(5, 1), (5, 9)], "x long, y long")
+    out = ols_fit(df).collect()[0]
+    assert out["slope"] is None and out["r2"] is None
+
+
+# ---------------------------------------------------------------------------
+# slo_burn
+# ---------------------------------------------------------------------------
+
+def test_slo_burn_thresholds(spark):
+    # window of 4 buckets; host A: 2/100 errors (burn 2 under slo .99),
+    # host B: 0 errors
+    rows = ([("A", b % 4, i >= 2) for b in range(4) for i in range(25)]
+            if False else [])
+    rows = [("A", b, not (b == 0 and i < 2))
+            for b in range(4) for i in range(25)]
+    rows += [("B", b, True) for b in range(4) for i in range(25)]
+    df = spark.createDataFrame(rows, "host string, bucket long, ok boolean")
+    out = {r["host"]: r for r in
+           slo_burn(df, slo=0.99, window_buckets=4).collect()}
+    assert out["A"]["n_requests"] == 100 and out["A"]["n_errors"] == 2
+    assert abs(out["A"]["burn"] - 2.0) < 1e-6 and out["A"]["breach"]
+    assert out["B"]["burn"] == 0.0 and not out["B"]["breach"]
+
+
+def test_slo_burn_tumbling_windows(spark):
+    rows = [("h", b, True) for b in range(12)]
+    df = spark.createDataFrame(rows, "host string, bucket long, ok boolean")
+    out = slo_burn(df, slo=0.99, window_buckets=6).collect()
+    assert sorted(r["win"] for r in out) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers
+# ---------------------------------------------------------------------------
+
+def test_robust_flags_spike_not_bulk(spark):
+    rows = [(f"k{i}", float(i % 10)) for i in range(100)] + [("spike", 900.0)]
+    df = spark.createDataFrame(rows, "key string, x double")
+    out = {r["key"]: r for r in robust_outliers(df, k=3.5).collect()}
+    assert out["spike"]["is_outlier"]
+    assert not any(r["is_outlier"] for k, r in out.items() if k != "spike")
+
+
+def test_robust_zero_mad_is_null(spark):
+    rows = [("a", 5.0), ("b", 5.0), ("c", 5.0), ("d", 99.0)]
+    df = spark.createDataFrame(rows, "key string, x double")
+    out = {r["key"]: r for r in robust_outliers(df).collect()}
+    # median 5, MAD 0 → z undefined everywhere, nothing flagged
+    assert all(r["robust_z"] is None for r in out.values())
+    assert not any(r["is_outlier"] for r in out.values())
