@@ -306,6 +306,9 @@ _EXTRA_PICKS = [
     "calibration",
     # round-3 batch-48 (graph structure + cost model + SRE + robust stats)
     "clustering_coeff", "hits", "ols_fit", "slo_burn", "robust_outliers",
+    # round-3 batch-49 (multi-objective planning + audits + cache sim)
+    "pareto_hosts", "split_balance", "knapsack", "cache_curve",
+    "session_sweep",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Round-3 driver-contract queries (batch 49): Pareto skyline of crawl
+candidates, split chi-square balance, greedy knapsack plan, cache TTL
+offload curve, session timeout sweep.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# pareto_hosts — value/cost skyline of crawl candidates
+# ---------------------------------------------------------------------------
+
+
+def _ph_candidates(spark, sf) -> DataFrame:
+    """One candidate row per host with independent value/cost hashes so
+    the frontier is a real staircase, not a single point."""
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.concat(F.lit("h"), (F.col("event_id") % 150)
+                                .cast("string")).alias("host"))
+            .agg(F.max(F.col("event_id") * 7 % 101).cast("long")
+                 .alias("value"),
+                 (F.min(F.col("event_id") * 13 % 67) + 1).cast("long")
+                 .alias("cost")))
+
+
+_PH_CANDIDATES_SQL = """
+  SELECT 'h' || (event_id % 150) AS host,
+    CAST(max(event_id * 7 % 101) AS BIGINT) AS value,
+    CAST(min(event_id * 13 % 67) + 1 AS BIGINT) AS cost
+  FROM events GROUP BY 1
+"""
+
+
+def q_pareto_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.pareto_hosts: skyline via one ordered window —
+    frontier iff best of its cost tier and above every cheaper point."""
+    return _corpus.pareto_hosts(_ph_candidates(spark, sf))
+
+
+def _pareto_hosts_sql() -> str:
+    return _corpus.pareto_hosts_sql(_PH_CANDIDATES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# split_balance — chi-square audit of train/val/test per host
+# ---------------------------------------------------------------------------
+
+
+def _sb_assigned(spark, sf) -> DataFrame:
+    """80/10/10 split with an injected skew: host h0's assignment is
+    rotated so its cells deviate from independence."""
+    ev = _events(spark, sf)
+    shift = F.when(F.col("user_id") % 20 == 0, 4).otherwise(0)
+    m = (F.col("event_id") + shift) % 10
+    split = (F.when(m < 8, "train").when(m < 9, "val").otherwise("test"))
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"), split.alias("split"))
+
+
+_SB_ASSIGNED_SQL = """
+  SELECT 'h' || (user_id % 20) AS host,
+    CASE WHEN (event_id + CASE WHEN user_id % 20 = 0 THEN 4 ELSE 0 END)
+              % 10 < 8 THEN 'train'
+         WHEN (event_id + CASE WHEN user_id % 20 = 0 THEN 4 ELSE 0 END)
+              % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split
+  FROM events
+"""
+
+
+def q_split_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.split_balance: per-(host, split) observed vs
+    independence expectation + chi-square contribution."""
+    return _corpus.split_balance(_sb_assigned(spark, sf))
+
+
+def _split_balance_sql() -> str:
+    return _corpus.split_balance_sql(_SB_ASSIGNED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# knapsack — greedy value-density selection under a byte budget
+# ---------------------------------------------------------------------------
+
+_KS_BUDGET = 1500
+
+
+def _ks_candidates(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.concat(F.lit("h"), (F.col("event_id") % 80)
+                                .cast("string")).alias("host"))
+            .agg((F.max(F.col("event_id") * 3 % 199) + 1).cast("long")
+                 .alias("value"),
+                 (F.min(F.col("event_id") * 17 % 97) + 5).cast("long")
+                 .alias("cost")))
+
+
+_KS_CANDIDATES_SQL = """
+  SELECT 'h' || (event_id % 80) AS host,
+    CAST(max(event_id * 3 % 199) + 1 AS BIGINT) AS value,
+    CAST(min(event_id * 17 % 97) + 5 AS BIGINT) AS cost
+  FROM events GROUP BY 1
+"""
+
+
+def q_knapsack(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.knapsack_plan: density-ordered cumulative
+    cost with a budget cut — the ½-approximation selection rule."""
+    return _politeness.knapsack_plan(_ks_candidates(spark, sf),
+                                     budget=_KS_BUDGET)
+
+
+def _knapsack_sql() -> str:
+    return _politeness.knapsack_plan_sql(_KS_CANDIDATES_SQL,
+                                         budget=_KS_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# cache_curve — sliding-TTL origin-offload simulation
+# ---------------------------------------------------------------------------
+
+_CC_TTLS = (600, 3600, 21600)
+
+
+def _cc_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 400).cast("string"))
+        .alias("url"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("ts_s"))
+
+
+_CC_FETCHES_SQL = """
+  SELECT 'u' || (event_id % 400) AS url,
+    epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+"""
+
+
+def q_cache_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.cache_ttl_curve: hit ratio per candidate TTL
+    from one lag window over the replayed fetch log."""
+    return _recrawl.cache_ttl_curve(_cc_fetches(spark, sf), ttls=_CC_TTLS)
+
+
+def _cache_curve_sql() -> str:
+    return _recrawl.cache_ttl_curve_sql(_CC_FETCHES_SQL, ttls=_CC_TTLS)
+
+
+# ---------------------------------------------------------------------------
+# session_sweep — inactivity-timeout sensitivity
+# ---------------------------------------------------------------------------
+
+_SS_GAPS = (300, 1800, 3600)
+
+
+def _ss_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("user_id"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("ts_s"))
+
+
+_SS_EVENTS_SQL = """
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+"""
+
+
+def q_session_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.session_sweep: sessions-per-threshold knee
+    finder over one shared lag window."""
+    return _sessions.session_sweep(_ss_events(spark, sf), gaps=_SS_GAPS)
+
+
+def _session_sweep_sql() -> str:
+    return _sessions.session_sweep_sql(_SS_EVENTS_SQL, gaps=_SS_GAPS)
+
+
+def queries55():
+    return {
+        "pareto_hosts": q_pareto_hosts,
+        "split_balance": q_split_balance,
+        "knapsack": q_knapsack,
+        "cache_curve": q_cache_curve,
+        "session_sweep": q_session_sweep,
+    }
+
+
+def oracle_sql55():
+    return {
+        "pareto_hosts": _pareto_hosts_sql(),
+        "split_balance": _split_balance_sql(),
+        "knapsack": _knapsack_sql(),
+        "cache_curve": _cache_curve_sql(),
+        "session_sweep": _session_sweep_sql(),
+    }

@@ -1365,3 +1365,132 @@ SELECT key, x,
     FALSE) AS is_outlier
 FROM dev CROSS JOIN mad
 """
+
+
+def pareto_hosts(
+    candidates: DataFrame,
+    key_col: str = "host",
+    value_col: str = "value",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Pareto frontier (skyline) of crawl candidates on (maximize value,
+    minimize cost) — the multi-objective seed-selection primitive: any
+    host OFF the frontier is strictly beaten by another that yields more
+    and costs less, so budget debates only need to range over the
+    staircase. Börzsönyi et al.'s skyline operator (ICDE 2001), done with
+    one ordered window instead of the O(n²) dominance join: a point is on
+    the frontier iff its value exceeds every strictly-cheaper point's
+    value and it is the best of its own cost tier.
+
+    Returns frontier rows only: (host, value, cost). Exact integers
+    end-to-end.
+
+    Scale shape: ONE global ordered window over the CANDIDATE table —
+    fine for per-planning-round candidate sets (10^4-10^6 hosts); for
+    larger inputs pre-prune with a coarse cost-bucket local skyline
+    (same operator per bucket) before the global pass.
+    """
+    d = candidates.select(F.col(key_col).alias("host"),
+                          F.col(value_col).cast("long").alias("value"),
+                          F.col(cost_col).cast("long").alias("cost"))
+    w_cheaper = (Window.orderBy("cost")
+                 .rangeBetween(Window.unboundedPreceding, -1))
+    w_tier = Window.partitionBy("cost")
+    flagged = (d.withColumn("__best_cheaper",
+                            F.max("value").over(w_cheaper))
+               .withColumn("__tier_best", F.max("value").over(w_tier)))
+    return (flagged.filter(
+        (F.col("value") == F.col("__tier_best"))
+        & ((F.col("__best_cheaper").isNull())
+           | (F.col("value") > F.col("__best_cheaper"))))
+        .select("host", "value", "cost").distinct())
+
+
+def pareto_hosts_sql(candidates_sql: str) -> str:
+    """DuckDB mirror of :func:`pareto_hosts` over a (host, value, cost)
+    SELECT."""
+    return f"""
+WITH d AS (
+  SELECT host, CAST(value AS BIGINT) AS value, CAST(cost AS BIGINT) AS cost
+  FROM ({candidates_sql})
+),
+flagged AS (
+  SELECT host, value, cost,
+    max(value) OVER (ORDER BY cost
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS best_cheaper,
+    max(value) OVER (PARTITION BY cost) AS tier_best
+  FROM d
+)
+SELECT DISTINCT host, value, cost
+FROM flagged
+WHERE value = tier_best
+  AND (best_cheaper IS NULL OR value > best_cheaper)
+"""
+
+
+def split_balance(
+    assigned: DataFrame,
+    key_col: str = "host",
+    split_col: str = "split",
+) -> DataFrame:
+    """Chi-square balance audit of a train/val/test assignment across a
+    grouping key: per (key, split) cell, observed count vs the
+    independence expectation (key_total·split_total/N) and the cell's
+    chi-square contribution. A split that looks 80/10/10 globally can
+    still concentrate one host's pages in test — summing chi2_term per
+    key ranks exactly the hosts whose assignment is most skewed (the
+    leakage-adjacent failure `split_leakage` can't see because no pair is
+    a near-dup).
+
+    Scale shape: ONE groupBy(key, split); key totals via a key-partitioned
+    window over those cells; split totals + N are a broadcast-size
+    dimension. Expected/chi2 are single divides rounded 6.
+    """
+    cells = (assigned.select(F.col(key_col).alias("key"),
+                             F.col(split_col).alias("split"))
+             .groupBy("key", "split")
+             .agg(F.count("*").cast("long").alias("n")))
+    w_key = Window.partitionBy("key")
+    splits = (cells.groupBy("split")
+              .agg(F.sum("n").cast("long").alias("__split_tot")))
+    grand = F.sum("__split_tot").over(Window.partitionBy()).cast("double")
+    splits = splits.withColumn("__grand", grand)
+    out = (cells.withColumn("__key_tot", F.sum("n").over(w_key))
+           .join(F.broadcast(splits), "split"))
+    exp = (F.col("__key_tot").cast("double") * F.col("__split_tot")
+           / F.col("__grand"))
+    return (out.select(
+        "key", "split", "n",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6)
+        .alias("chi2_term"))
+        .filter(F.col("expected") > 0))
+
+
+def split_balance_sql(assigned_sql: str) -> str:
+    """DuckDB mirror of :func:`split_balance` over a (host, split)
+    SELECT."""
+    return f"""
+WITH cells AS (
+  SELECT host AS key, split, CAST(count(*) AS BIGINT) AS n
+  FROM ({assigned_sql}) GROUP BY 1, 2
+),
+splits AS (
+  SELECT split, CAST(sum(n) AS BIGINT) AS split_tot FROM cells GROUP BY 1
+),
+grand AS (SELECT CAST(sum(n) AS DOUBLE) AS g FROM cells),
+keyed AS (
+  SELECT key, split, n,
+    sum(n) OVER (PARTITION BY key) AS key_tot
+  FROM cells
+)
+SELECT k.key, k.split, k.n,
+  round(CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g, 6) AS expected,
+  round((k.n - CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g)
+        * (k.n - CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g)
+        / (CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g), 6)
+    AS chi2_term
+FROM keyed k JOIN splits s USING (split) CROSS JOIN grand
+WHERE CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g > 0
+"""

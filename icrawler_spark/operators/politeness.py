@@ -1370,3 +1370,60 @@ SELECT host, win, n_requests, n_errors,
     AS breach
 FROM per
 """
+
+
+def knapsack_plan(
+    candidates: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    value_col: str = "value",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Greedy value-density knapsack over crawl candidates: rank hosts by
+    value/cost, take prefixes while cumulative cost fits the budget — the
+    classic ½-approximation that is THE practical budgeted-selection rule
+    when the item count is millions (exact DP is off the table). The
+    complement of `budget_alloc` (fairness) and `pareto_hosts`
+    (dominance): this one maximizes total expected value under one shared
+    byte/request budget.
+
+    The density sort key is value/cost computed as one divide of the same
+    exact integers in both engines (identical doubles → identical order),
+    tie-broken by key for determinism.
+
+    Returns (host, value, cost, density rounded 6, cum_cost, selected).
+
+    Scale shape: ONE global ordered window (the planning candidate set,
+    not the corpus); two-phase rank it per `budget_alloc` if the
+    candidate set itself is huge.
+    """
+    d = candidates.select(F.col(key_col).alias("host"),
+                          F.col(value_col).cast("long").alias("value"),
+                          F.col(cost_col).cast("long").alias("cost"))
+    density = F.col("value").cast("double") / F.col("cost").cast("double")
+    w = (Window.orderBy(F.desc("__density"), F.asc("host"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.withColumn("__density", density)
+            .withColumn("cum_cost", F.sum("cost").over(w))
+            .withColumn("selected", F.col("cum_cost") <= int(budget))
+            .select("host", "value", "cost",
+                    F.round("__density", 6).alias("density"),
+                    "cum_cost", "selected"))
+
+
+def knapsack_plan_sql(candidates_sql: str, budget: int) -> str:
+    """DuckDB mirror of :func:`knapsack_plan` over a (host, value, cost)
+    SELECT."""
+    return f"""
+WITH d AS (
+  SELECT host, CAST(value AS BIGINT) AS value, CAST(cost AS BIGINT) AS cost,
+    CAST(value AS DOUBLE) / CAST(cost AS DOUBLE) AS density
+  FROM ({candidates_sql})
+)
+SELECT host, value, cost, round(density, 6) AS density,
+  sum(cost) OVER (ORDER BY density DESC, host
+                  ROWS UNBOUNDED PRECEDING) AS cum_cost,
+  sum(cost) OVER (ORDER BY density DESC, host
+                  ROWS UNBOUNDED PRECEDING) <= {int(budget)} AS selected
+FROM d
+"""

@@ -961,3 +961,77 @@ SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
     END, 6) AS survival
 FROM risked WHERE n_deaths > 0
 """
+
+
+def cache_ttl_curve(
+    fetches: DataFrame,
+    ttls=(60, 600, 3600),
+    url_col: str = "url",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Origin-offload curve for a sliding-TTL cache in front of the
+    fetcher: replay the fetch log and, for each candidate TTL, count a
+    request as a HIT when the same URL was fetched less than TTL seconds
+    earlier (sliding expiry — every access refreshes the entry, the
+    nginx `proxy_cache` + `inactive=` model). The curve prices how much
+    origin traffic each TTL would have absorbed — the data for the
+    politeness argument that a cache IS politeness.
+
+    One url-partitioned lag window computes every inter-fetch gap once;
+    each TTL is then a literal comparison over the same gaps. Returns
+    (ttl_s, n_requests, n_hits, hit_ratio rounded 6) — n_requests counts
+    all fetches (a URL's first fetch is always a miss).
+
+    Scale shape: ONE window partitioned by url + ONE global agg; the TTL
+    sweep adds columns, not passes.
+    """
+    w = Window.partitionBy("url").orderBy("ts")
+    gaps = (fetches.select(F.col(url_col).alias("url"),
+                           F.col(ts_col).cast("long").alias("ts"))
+            .withColumn("__gap", F.col("ts") - F.lag("ts").over(w)))
+    aggs = [F.count("*").cast("long").alias("n_requests")]
+    for t in ttls:
+        aggs.append(F.sum(((F.col("__gap").isNotNull())
+                           & (F.col("__gap") < int(t))).cast("int"))
+                    .cast("long").alias(f"__h{int(t)}"))
+    one = gaps.agg(*aggs)
+    rows = []
+    for t in ttls:
+        rows.append(one.select(
+            F.lit(int(t)).cast("long").alias("ttl_s"),
+            F.col("n_requests"),
+            F.col(f"__h{int(t)}").alias("n_hits"),
+            F.round(F.col(f"__h{int(t)}")
+                    / F.col("n_requests").cast("double"), 6)
+            .alias("hit_ratio")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cache_ttl_curve_sql(fetches_sql: str, ttls=(60, 600, 3600)) -> str:
+    """DuckDB mirror of :func:`cache_ttl_curve` over a (url, ts_s)
+    SELECT."""
+    legs = []
+    for t in ttls:
+        legs.append(f"""
+SELECT CAST({int(t)} AS BIGINT) AS ttl_s,
+  CAST(count(*) AS BIGINT) AS n_requests,
+  CAST(sum(CASE WHEN gap IS NOT NULL AND gap < {int(t)}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  round(sum(CASE WHEN gap IS NOT NULL AND gap < {int(t)}
+            THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS hit_ratio
+FROM gaps""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH gaps AS (
+  SELECT url, CAST(ts_s AS BIGINT) AS ts,
+    CAST(ts_s AS BIGINT)
+      - lag(CAST(ts_s AS BIGINT)) OVER (PARTITION BY url ORDER BY ts_s)
+      AS gap
+  FROM ({fetches_sql})
+)
+{body}
+"""

@@ -561,3 +561,79 @@ SELECT rank, CAST(count(*) AS BIGINT) AS n_examined,
 FROM flagged WHERE f IS NULL OR rank <= f
 GROUP BY 1
 """
+
+
+def session_sweep(
+    events: DataFrame,
+    gaps=(300, 1800, 3600),
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Inactivity-timeout sensitivity sweep for sessionization: for each
+    candidate gap threshold, how many sessions the SAME event log splits
+    into and the mean events/session. Session counts are knee-shaped in
+    the timeout — this table finds the knee, which is how the 30-minute
+    industry default gets either justified or replaced for a given log.
+
+    A session starts at a user's first event or when the inter-event gap
+    is ≥ the threshold, so n_sessions = n_users + Σ(gap ≥ g) — ONE
+    user-partitioned lag window computes every gap once, then each
+    threshold is a literal comparison aggregated in the same pass.
+    Returns (gap_s, n_sessions, n_events, events_per_session rounded 6).
+
+    Scale shape: ONE window partitioned by user + ONE global agg; the
+    sweep adds columns, not passes.
+    """
+    w = Window.partitionBy("u").orderBy("ts")
+    g = (events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("long").alias("ts"))
+         .withColumn("__gap", F.col("ts") - F.lag("ts").over(w)))
+    aggs = [F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("u").cast("long").alias("__users")]
+    for t in gaps:
+        aggs.append(F.coalesce(
+            F.sum((F.col("__gap") >= int(t)).cast("int")), F.lit(0))
+            .cast("long").alias(f"__b{int(t)}"))
+    one = g.agg(*aggs)
+    rows = []
+    for t in gaps:
+        ns = F.col("__users") + F.col(f"__b{int(t)}")
+        rows.append(one.select(
+            F.lit(int(t)).cast("long").alias("gap_s"),
+            ns.alias("n_sessions"),
+            F.col("n_events"),
+            F.round(F.col("n_events") / ns.cast("double"), 6)
+            .alias("events_per_session")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def session_sweep_sql(events_sql: str, gaps=(300, 1800, 3600)) -> str:
+    """DuckDB mirror of :func:`session_sweep` over a (user_id, ts_s)
+    SELECT."""
+    legs = []
+    for t in gaps:
+        legs.append(f"""
+SELECT CAST({int(t)} AS BIGINT) AS gap_s,
+  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM g)
+    + CAST(sum(CASE WHEN gap >= {int(t)} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sessions,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(count(*) / CAST(
+    (SELECT count(DISTINCT u) FROM g)
+    + sum(CASE WHEN gap >= {int(t)} THEN 1 ELSE 0 END) AS DOUBLE), 6)
+    AS events_per_session
+FROM g""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH g AS (
+  SELECT user_id AS u, CAST(ts_s AS BIGINT) AS ts,
+    CAST(ts_s AS BIGINT)
+      - lag(CAST(ts_s AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts_s)
+      AS gap
+  FROM ({events_sql})
+)
+{body}
+"""

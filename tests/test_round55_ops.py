@@ -1,0 +1,118 @@
+"""Unit tests for the round-55 pack: Pareto skyline, split balance,
+knapsack plan, cache TTL curve, session sweep."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import pareto_hosts, split_balance
+from icrawler_spark.operators.politeness import knapsack_plan
+from icrawler_spark.operators.recrawl import cache_ttl_curve
+from icrawler_spark.operators.sessions import session_sweep
+
+
+# ---------------------------------------------------------------------------
+# pareto_hosts
+# ---------------------------------------------------------------------------
+
+def test_pareto_dominated_dropped(spark):
+    rows = [("a", 10, 1), ("b", 20, 5), ("c", 15, 5), ("d", 5, 10),
+            ("e", 30, 8)]
+    df = spark.createDataFrame(rows, "host string, value long, cost long")
+    out = {r["host"] for r in pareto_hosts(df).collect()}
+    # c dominated by b (same cost, less value); d dominated by everything
+    assert out == {"a", "b", "e"}
+
+
+def test_pareto_tied_frontier_points_survive(spark):
+    rows = [("a", 10, 1), ("b", 10, 1), ("c", 9, 1)]
+    df = spark.createDataFrame(rows, "host string, value long, cost long")
+    out = {r["host"] for r in pareto_hosts(df).collect()}
+    assert out == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# split_balance
+# ---------------------------------------------------------------------------
+
+def test_split_balance_perfect_split_zero_chi2(spark):
+    rows = [(f"h{i}", s) for i in range(4)
+            for s in ["train"] * 8 + ["val"] + ["test"]]
+    df = spark.createDataFrame(rows, "host string, split string")
+    out = split_balance(df).collect()
+    assert all(r["chi2_term"] == 0.0 for r in out)
+    assert all(abs(r["expected"] - r["n"]) < 1e-9 for r in out)
+
+
+def test_split_balance_flags_skewed_host(spark):
+    rows = ([("good", s) for s in ["train"] * 8 + ["val", "test"]] * 5
+            + [("bad", "test")] * 10)
+    df = spark.createDataFrame(rows, "host string, split string")
+    out = {(r["key"], r["split"]): r for r in split_balance(df).collect()}
+    assert out[("bad", "test")]["chi2_term"] > 5.0
+    assert out[("good", "train")]["chi2_term"] < 2.0
+
+
+# ---------------------------------------------------------------------------
+# knapsack_plan
+# ---------------------------------------------------------------------------
+
+def test_knapsack_density_order_and_cut(spark):
+    rows = [("a", 100, 10), ("b", 50, 10), ("c", 10, 10), ("d", 9, 10)]
+    df = spark.createDataFrame(rows, "host string, value long, cost long")
+    out = {r["host"]: r for r in knapsack_plan(df, budget=25).collect()}
+    # density order a(10) b(5) c(1) d(0.9): a,b fit (cum 20), c busts (30)
+    assert out["a"]["selected"] and out["b"]["selected"]
+    assert not out["c"]["selected"] and not out["d"]["selected"]
+    assert out["b"]["cum_cost"] == 20 and out["c"]["cum_cost"] == 30
+
+
+def test_knapsack_tie_broken_by_host(spark):
+    rows = [("z", 10, 10), ("a", 10, 10)]
+    df = spark.createDataFrame(rows, "host string, value long, cost long")
+    out = {r["host"]: r["cum_cost"] for r in
+           knapsack_plan(df, budget=10).collect()}
+    assert out["a"] == 10 and out["z"] == 20
+
+
+# ---------------------------------------------------------------------------
+# cache_ttl_curve
+# ---------------------------------------------------------------------------
+
+def test_cache_curve_monotone_in_ttl(spark):
+    rows = [("u", t) for t in [0, 30, 100, 1000]] + [("v", 0), ("v", 500)]
+    df = spark.createDataFrame(rows, "url string, ts_s long")
+    out = {r["ttl_s"]: r for r in
+           cache_ttl_curve(df, ttls=(60, 600, 2000)).collect()}
+    # gaps: u: 30,70,900; v: 500
+    assert out[60]["n_hits"] == 1
+    assert out[600]["n_hits"] == 3
+    assert out[2000]["n_hits"] == 4
+    assert all(r["n_requests"] == 6 for r in out.values())
+
+
+def test_cache_curve_first_fetch_is_miss(spark):
+    df = spark.createDataFrame([("u", 0)], "url string, ts_s long")
+    out = cache_ttl_curve(df, ttls=(60,)).collect()[0]
+    assert out["n_hits"] == 0 and out["hit_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# session_sweep
+# ---------------------------------------------------------------------------
+
+def test_session_sweep_knee(spark):
+    # one user: gaps 10, 400, 2000
+    rows = [(1, 0), (1, 10), (1, 410), (1, 2410)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long")
+    out = {r["gap_s"]: r for r in
+           session_sweep(df, gaps=(100, 1000, 5000)).collect()}
+    assert out[100]["n_sessions"] == 3   # splits at 400 and 2000
+    assert out[1000]["n_sessions"] == 2  # splits at 2000
+    assert out[5000]["n_sessions"] == 1
+    assert abs(out[5000]["events_per_session"] - 4.0) < 1e-9
+
+
+def test_session_sweep_counts_users(spark):
+    rows = [(u, 0) for u in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long")
+    out = session_sweep(df, gaps=(60,)).collect()[0]
+    assert out["n_sessions"] == 5 and out["n_events"] == 5
