@@ -309,6 +309,8 @@ _EXTRA_PICKS = [
     # round-3 batch-49 (multi-objective planning + audits + cache sim)
     "pareto_hosts", "split_balance", "knapsack", "cache_curve",
     "session_sweep",
+    # round-3 batch-50 (auto-threshold + design tables + stats rigor)
+    "otsu", "lsh_design", "kappa", "mase", "jackknife",
 ]
 
 

@@ -1,0 +1,193 @@
+"""Round-3 driver-contract queries (batch 50): Otsu threshold, LSH
+design table, Cohen's kappa, seasonal-naive MASE, block jackknife SE.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# otsu — automatic quality-gate threshold over a bimodal score
+# ---------------------------------------------------------------------------
+
+_OTSU_BINS = 64
+
+
+def _otsu_scored(spark, sf) -> DataFrame:
+    """Bimodal score: a low cluster in [0, 0.3) and a high one in
+    [0.6, 0.95) so the argmax row lands in the valley."""
+    ev = _events(spark, sf)
+    m = F.col("event_id") * 7919 % 1000
+    low = (m % 300) / F.lit(1000.0)
+    high = 0.6 + (m % 350) / F.lit(1000.0)
+    return ev.select(
+        F.when(F.col("event_id") % 3 == 0, low).otherwise(high)
+        .alias("score"))
+
+
+_OTSU_SCORED_SQL = """
+  SELECT CASE WHEN event_id % 3 = 0
+    THEN (event_id * 7919 % 1000 % 300) / CAST(1000 AS DOUBLE)
+    ELSE 0.6 + (event_id * 7919 % 1000 % 350) / CAST(1000 AS DOUBLE)
+    END AS score
+  FROM events
+"""
+
+
+def q_otsu(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.otsu_threshold: between-class variance per
+    candidate cut — argmax is the data-driven keep/drop threshold."""
+    return _corpus.otsu_threshold(_otsu_scored(spark, sf),
+                                  n_bins=_OTSU_BINS)
+
+
+def _otsu_sql() -> str:
+    return _corpus.otsu_threshold_sql(_OTSU_SCORED_SQL, n_bins=_OTSU_BINS)
+
+
+# ---------------------------------------------------------------------------
+# lsh_design — banding factorization table for a 64-hash signature
+# ---------------------------------------------------------------------------
+
+_LD_K = 64
+
+
+def q_lsh_design(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.lsh_design: thresholds + catch probabilities per
+    (b, r) factorization — the design step lsh_curve later validates."""
+    return _docdedup.lsh_design(spark, k_hashes=_LD_K)
+
+
+def _lsh_design_sql() -> str:
+    return _docdedup.lsh_design_sql(k_hashes=_LD_K)
+
+
+# ---------------------------------------------------------------------------
+# kappa — inter-annotator agreement on quality labels
+# ---------------------------------------------------------------------------
+
+
+def _kp_labels(spark, sf, flip: bool) -> DataFrame:
+    """Annotator B disagrees with A on ~6% of items (e*13%17 == 0)."""
+    ev = _events(spark, sf)
+    base = F.col("event_id") * 7 % 10 < 6
+    lab = base if not flip else (base != (F.col("event_id") * 13 % 17 == 0))
+    return ev.select(
+        F.concat(F.lit("i"), F.col("event_id").cast("string")).alias("item"),
+        F.when(lab, "good").otherwise("bad").alias("label"))
+
+
+def _kp_labels_sql(flip: bool) -> str:
+    if not flip:
+        cond = "event_id * 7 % 10 < 6"
+    else:
+        cond = "(event_id * 7 % 10 < 6) <> (event_id * 13 % 17 = 0)"
+    return (f"SELECT 'i' || event_id AS item, "
+            f"CASE WHEN {cond} THEN 'good' ELSE 'bad' END AS label "
+            f"FROM events")
+
+
+def q_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cohens_kappa: chance-corrected agreement between
+    two labelings of the same items."""
+    return _corpus.cohens_kappa(_kp_labels(spark, sf, False),
+                                _kp_labels(spark, sf, True))
+
+
+def _kappa_sql() -> str:
+    return _corpus.cohens_kappa_sql(_kp_labels_sql(False),
+                                    _kp_labels_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# mase — seasonal-naive vs naive forecast on hourly traffic
+# ---------------------------------------------------------------------------
+
+_MASE_SEASON = 24
+
+
+def _mase_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    b = F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 3600")
+    return (ev.select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("y")))
+
+
+_MASE_SERIES_SQL = """
+  SELECT epoch_us(ts) // 1000000 // 3600 AS bucket,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+"""
+
+
+def q_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.seasonal_naive_eval: MASE of the seasonal-naive
+    forecast — is the daily cycle worth phase-locking to?"""
+    return _sessions.seasonal_naive_eval(_mase_series(spark, sf),
+                                         season=_MASE_SEASON)
+
+
+def _mase_sql() -> str:
+    return _sessions.seasonal_naive_eval_sql(_MASE_SERIES_SQL,
+                                             season=_MASE_SEASON)
+
+
+# ---------------------------------------------------------------------------
+# jackknife — block-jackknife SE of a corpus mean
+# ---------------------------------------------------------------------------
+
+_JK_BLOCKS = 20
+
+
+def _jk_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").alias("key"),
+                     (F.col("event_id") % 100 + F.col("event_id") % 7)
+                     .cast("long").alias("x"))
+
+
+_JK_VALUES_SQL = """
+  SELECT event_id AS key,
+    CAST(event_id % 100 + event_id % 7 AS BIGINT) AS x
+  FROM events
+"""
+
+
+def q_jackknife(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.jackknife_se: delete-one-block SE for the corpus
+    mean — the deterministic error bar."""
+    return _corpus.jackknife_se(_jk_values(spark, sf), n_blocks=_JK_BLOCKS)
+
+
+def _jackknife_sql() -> str:
+    return _corpus.jackknife_se_sql(_JK_VALUES_SQL, n_blocks=_JK_BLOCKS)
+
+
+def queries56():
+    return {
+        "otsu": q_otsu,
+        "lsh_design": q_lsh_design,
+        "kappa": q_kappa,
+        "mase": q_mase,
+        "jackknife": q_jackknife,
+    }
+
+
+def oracle_sql56():
+    return {
+        "otsu": _otsu_sql(),
+        "lsh_design": _lsh_design_sql(),
+        "kappa": _kappa_sql(),
+        "mase": _mase_sql(),
+        "jackknife": _jackknife_sql(),
+    }

@@ -1494,3 +1494,282 @@ SELECT k.key, k.split, k.n,
 FROM keyed k JOIN splits s USING (split) CROSS JOIN grand
 WHERE CAST(k.key_tot AS DOUBLE) * s.split_tot / grand.g > 0
 """
+
+
+def otsu_threshold(
+    scored: DataFrame,
+    n_bins: int = 64,
+    score_col: str = "score",
+) -> DataFrame:
+    """Otsu's automatic threshold (Otsu 1979, public) over a [0,1] quality
+    score: bin the scores, then for every candidate cut maximize the
+    between-class variance w0·w1·(μ0−μ1)² — the data-driven alternative
+    to hand-picking the keep/drop cut for a corpus quality gate. The
+    returned table has one row per candidate threshold so the argmax AND
+    the full separability curve ship together.
+
+    All moments are exact integers (bin index · count); the variance is
+    two divides and one square per row, rounded 6. Returns (cut_bin,
+    threshold, w0, w1, between_var) — filter to max(between_var) for the
+    operating point.
+
+    Scale shape: ONE groupBy(bin) over ≤n_bins groups, then two cumulative
+    windows over those tiny rows. The corpus never leaves its first
+    aggregation.
+    """
+    b = F.least(F.floor(F.col(score_col) * int(n_bins)).cast("long"),
+                F.lit(int(n_bins) - 1))
+    hist = (scored.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count("*").cast("long").alias("n")))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy()
+    cum = (hist
+           .withColumn("__cn", F.sum("n").over(w))
+           .withColumn("__cs", F.sum(F.col("n") * F.col("bin")).over(w))
+           .withColumn("__tn", F.sum("n").over(tot))
+           .withColumn("__ts", F.sum(F.col("n") * F.col("bin")).over(tot)))
+    n0 = F.col("__cn")
+    n1 = F.col("__tn") - n0
+    mu0 = F.col("__cs").cast("double") / n0
+    mu1 = (F.col("__ts") - F.col("__cs")).cast("double") / n1
+    w0 = n0.cast("double") / F.col("__tn")
+    w1 = n1.cast("double") / F.col("__tn")
+    bv = F.when(n1 > 0, w0 * w1 * (mu0 - mu1) * (mu0 - mu1))
+    return cum.select(
+        F.col("bin").alias("cut_bin"),
+        F.round((F.col("bin") + 1).cast("double") / int(n_bins), 6)
+        .alias("threshold"),
+        F.round(w0, 6).alias("w0"),
+        F.round(w1, 6).alias("w1"),
+        F.round(bv, 6).alias("between_var"))
+
+
+def otsu_threshold_sql(scored_sql: str, n_bins: int = 64) -> str:
+    """DuckDB mirror of :func:`otsu_threshold` over a (score) SELECT."""
+    n = int(n_bins)
+    return f"""
+WITH hist AS (
+  SELECT least(CAST(floor(score * {n}) AS BIGINT), {n - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS n
+  FROM ({scored_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT bin, n,
+    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+    sum(n * bin) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs,
+    sum(n) OVER () AS tn,
+    sum(n * bin) OVER () AS ts
+  FROM hist
+)
+SELECT bin AS cut_bin,
+  round(CAST(bin + 1 AS DOUBLE) / {n}, 6) AS threshold,
+  round(CAST(cn AS DOUBLE) / tn, 6) AS w0,
+  round(CAST(tn - cn AS DOUBLE) / tn, 6) AS w1,
+  round(CASE WHEN tn - cn > 0
+    THEN (CAST(cn AS DOUBLE) / tn) * (CAST(tn - cn AS DOUBLE) / tn)
+         * (CAST(cs AS DOUBLE) / cn - CAST(ts - cs AS DOUBLE) / (tn - cn))
+         * (CAST(cs AS DOUBLE) / cn - CAST(ts - cs AS DOUBLE) / (tn - cn))
+    END, 6) AS between_var
+FROM cum
+"""
+
+
+def cohens_kappa(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    item_col: str = "item",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960, public)
+    between two labelings of the same items — the QC gate for the quality
+    labels every trained corpus filter depends on: raw percent agreement
+    flatters annotators whenever one class dominates; kappa subtracts the
+    agreement chance predicts from the marginals.
+
+    κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement share and
+    p_e = Σ_c margin_a(c)·margin_b(c)/n². All counts exact integers; the
+    two shares and κ are the only divides, rounded 6. Returns one row
+    (n_items, n_agree, po, pe, kappa); κ NULL when p_e = 1 (both
+    annotators constant).
+
+    Scale shape: ONE equi-join on item, ONE groupBy(pair of labels) into
+    ≤|classes|² cells, then driver-size arithmetic over those cells.
+    """
+    a = labels_a.select(F.col(item_col).alias("item"),
+                        F.col(label_col).alias("__la"))
+    b = labels_b.select(F.col(item_col).alias("item"),
+                        F.col(label_col).alias("__lb"))
+    cells = (a.join(b, "item")
+             .groupBy("__la", "__lb")
+             .agg(F.count("*").cast("long").alias("n")))
+    tot = Window.partitionBy()
+    withm = (cells
+             .withColumn("__n", F.sum("n").over(tot))
+             .withColumn("__ma", F.sum("n").over(
+                 Window.partitionBy("__la")))
+             .withColumn("__mb", F.sum("n").over(
+                 Window.partitionBy("__lb"))))
+    agg = withm.agg(
+        F.max("__n").alias("n_items"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), F.col("n"))
+              .otherwise(0)).cast("long").alias("n_agree"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"),
+                     F.col("__ma") * F.col("__mb")).otherwise(0))
+        .alias("__pe_num"))
+    po = F.col("n_agree").cast("double") / F.col("n_items")
+    pe = (F.col("__pe_num").cast("double")
+          / (F.col("n_items") * F.col("n_items")))
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6))
+    return agg.select(
+        "n_items", "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.alias("kappa"))
+
+
+def cohens_kappa_sql(labels_a_sql: str, labels_b_sql: str) -> str:
+    """DuckDB mirror of :func:`cohens_kappa` over two (item, label)
+    SELECTs."""
+    return f"""
+WITH cells AS (
+  SELECT a.label AS la, b.label AS lb, CAST(count(*) AS BIGINT) AS n
+  FROM ({labels_a_sql}) a JOIN ({labels_b_sql}) b ON b.item = a.item
+  GROUP BY 1, 2
+),
+withm AS (
+  SELECT la, lb, n,
+    sum(n) OVER () AS tn,
+    sum(n) OVER (PARTITION BY la) AS ma,
+    sum(n) OVER (PARTITION BY lb) AS mb
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(tn) AS BIGINT) AS n_items,
+    CAST(sum(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS n_agree,
+    sum(CASE WHEN la = lb THEN ma * mb ELSE 0 END) AS pe_num
+  FROM withm
+)
+SELECT n_items, n_agree,
+  round(CAST(n_agree AS DOUBLE) / n_items, 6) AS po,
+  round(CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items), 6)
+    AS pe,
+  CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items)
+            < 1.0
+    THEN round((CAST(n_agree AS DOUBLE) / n_items
+                - CAST(pe_num AS DOUBLE)
+                  / (CAST(n_items AS DOUBLE) * n_items))
+               / (1.0 - CAST(pe_num AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * n_items)), 6)
+  END AS kappa
+FROM agg
+"""
+
+
+def jackknife_se(
+    values: DataFrame,
+    n_blocks: int = 20,
+    key_col: str = "key",
+    x_col: str = "x",
+    salt: str = "jk",
+) -> DataFrame:
+    """Delete-one-block jackknife standard error (Quenouille/Tukey,
+    public) for a corpus mean: hash each row's KEY into B deterministic
+    blocks, compute the mean with each block left out, and estimate
+    SE² = (B−1)/B · Σ(θ̂_(i) − θ̄)². The error bar a corpus-stat report
+    (mean quality, mean doc length) should carry — computed without RNG,
+    so two engines produce the SAME bar.
+
+    Block assignment is md5(key||salt) mod B — reproducible and
+    oracle-replayable; x must be integer-valued (sums stay exact, the
+    only doubles are the final divides and squares). Returns one row
+    (n, mean, se_jack, n_blocks), mean/se rounded 6; se NULL when a
+    block holds everything.
+
+    Scale shape: ONE groupBy(block) into B partial (sum, count) pairs;
+    the leave-one-out means are window arithmetic over those B rows.
+    The corpus is read once.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    blk = (_md5_int(F.concat(F.col(key_col).cast("string"), F.lit(salt)),
+                    1, 8) % int(n_blocks))
+    per = (values.select(blk.alias("b"),
+                         F.col(x_col).cast("long").alias("x"))
+           .groupBy("b")
+           .agg(F.sum("x").cast("long").alias("s"),
+                F.count("*").cast("long").alias("c")))
+    tot = Window.partitionBy()
+    loo = (per
+           .withColumn("__ts", F.sum("s").over(tot))
+           .withColumn("__tc", F.sum("c").over(tot))
+           .withColumn("__nb", F.count("*").over(tot))
+           .withColumn("__theta",
+                       F.when(F.col("__tc") > F.col("c"),
+                              (F.col("__ts") - F.col("s")).cast("double")
+                              / (F.col("__tc") - F.col("c"))))
+           # center on the exact overall mean BEFORE squaring: the spread
+           # formula is shift-invariant and the small deviations dodge the
+           # catastrophic cancellation sum(θ²) − n·θ̄² suffers on large means
+           .withColumn("__dev",
+                       F.col("__theta")
+                       - F.col("__ts").cast("double") / F.col("__tc")))
+    agg = loo.agg(
+        F.max("__tc").alias("n"),
+        F.max("__ts").alias("__sum"),
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.avg("__dev").alias("__tbar"),
+        F.sum(F.col("__dev") * F.col("__dev")).alias("__t2"),
+        F.count("__dev").alias("__nt"))
+    var = ((F.col("n_blocks") - 1).cast("double") / F.col("n_blocks")
+           * (F.col("__t2") - F.col("__nt") * F.col("__tbar")
+              * F.col("__tbar")))
+    se = F.when(F.col("__nt") == F.col("n_blocks"),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__sum").cast("double") / F.col("n"), 6)
+        .alias("mean"),
+        se.alias("se_jack"),
+        "n_blocks")
+
+
+def jackknife_se_sql(values_sql: str, n_blocks: int = 20,
+                     salt: str = "jk") -> str:
+    """DuckDB mirror of :func:`jackknife_se` over a (key, x) SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    h = md5_int_sql(f"CAST(key AS VARCHAR) || '{salt}'", 1, 8)
+    b = int(n_blocks)
+    return f"""
+WITH per AS (
+  SELECT ({h}) % {b} AS b,
+    sum(CAST(x AS BIGINT)) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM ({values_sql}) GROUP BY 1
+),
+loo AS (
+  SELECT b, s, c,
+    sum(s) OVER () AS ts, sum(c) OVER () AS tc,
+    count(*) OVER () AS nb,
+    CASE WHEN sum(c) OVER () > c
+      THEN CAST(sum(s) OVER () - s AS DOUBLE) / (sum(c) OVER () - c)
+           - CAST(sum(s) OVER () AS DOUBLE) / sum(c) OVER ()
+    END AS theta
+  FROM per
+),
+agg AS (
+  SELECT CAST(max(tc) AS BIGINT) AS n, max(ts) AS total,
+    CAST(max(nb) AS BIGINT) AS n_blocks,
+    avg(theta) AS tbar, sum(theta * theta) AS t2,
+    count(theta) AS nt
+  FROM loo
+)
+SELECT n, round(CAST(total AS DOUBLE) / n, 6) AS mean,
+  CASE WHEN nt = n_blocks
+    THEN round(sqrt(greatest(
+      CAST(n_blocks - 1 AS DOUBLE) / n_blocks
+      * (t2 - nt * tbar * tbar), 0.0)), 6)
+  END AS se_jack,
+  n_blocks
+FROM agg
+"""

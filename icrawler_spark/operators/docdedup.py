@@ -1107,3 +1107,54 @@ JOIN sp sa ON sa.id = cand.id_a
 JOIN sp sb ON sb.id = cand.id_b
 GROUP BY 1, 2
 """
+
+
+def lsh_design(
+    spark,
+    k_hashes: int = 128,
+    s_values=(0.5, 0.6, 0.7, 0.8, 0.9),
+) -> "DataFrame":
+    """LSH banding design table: every (bands b, rows r) factorization of
+    the signature length k, the threshold s* = (1/b)^(1/r) where the
+    S-curve crosses ~50%, and the catch probability 1−(1−s^r)^b at each
+    candidate similarity. `lsh_curve` VALIDATES a chosen banding against
+    measured pairs; this table is the DESIGN step before it — pick the
+    (b, r) whose s* brackets the dedup threshold and whose catch column
+    meets the recall target (Leskovec/Rajaraman/Ullman, MMDS ch.3,
+    public).
+
+    Pure arithmetic over literal factorizations — the only input is k.
+    Returns (b, r, threshold, s, p_catch) rounded 6, one row per
+    factorization × similarity.
+
+    Scale shape: driver-size (divisors(k)·|s| rows); runs as a local
+    table, joins nothing.
+    """
+    k = int(k_hashes)
+    pairs = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+    rows = [(b, r, float(s)) for (b, r) in pairs for s in s_values]
+    df = spark.createDataFrame(rows, "b int, r int, s double")
+    thr = F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))
+    catch = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    return df.select(
+        "b", "r",
+        F.round(thr, 6).alias("threshold"),
+        F.round(F.col("s"), 6).alias("s"),
+        F.round(catch, 6).alias("p_catch"))
+
+
+def lsh_design_sql(k_hashes: int = 128,
+                   s_values=(0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
+    """DuckDB mirror of :func:`lsh_design` — same literal factorizations,
+    pow computed engine-side like the Spark plan."""
+    k = int(k_hashes)
+    pairs = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+    vals = ", ".join(f"({b}, {r}, {float(s)!r})"
+                     for (b, r) in pairs for s in s_values)
+    return f"""
+SELECT b, r,
+  round(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+  round(s, 6) AS s,
+  round(1.0 - pow(1.0 - pow(s, r), b), 6) AS p_catch
+FROM (VALUES {vals}) AS t(b, r, s)
+"""

@@ -637,3 +637,77 @@ WITH g AS (
 )
 {body}
 """
+
+
+def seasonal_naive_eval(
+    series: DataFrame,
+    season: int = 24,
+    bucket_col: str = "bucket",
+    y_col: str = "y",
+) -> DataFrame:
+    """Forecast-baseline shootout for crawl capacity planning: on a
+    (bucket, y) traffic series, score the naive forecast ŷ_t = y_{t−1}
+    against the seasonal-naive ŷ_t = y_{t−season} by mean absolute error,
+    and report MASE (Hyndman & Koehler 2006, public) = MAE_model /
+    MAE_naive. MASE < 1 for the seasonal row is the data saying the
+    series has a real daily cycle worth phase-locking recrawl waves to —
+    the decision `fetch_periodicity` hints at, priced in forecast error.
+
+    Both models are evaluated on the SAME buckets (t > season) so the
+    comparison is apples-to-apples. y is integer: the absolute errors
+    stay exact, the MAEs and ratio are the only divides, rounded 6.
+    Returns (model, n, mae, mase); the naive row's mase is 1 by
+    construction.
+
+    Scale shape: the series is an already-aggregated per-bucket table
+    (tiny); ONE ordered window computes both lags in one pass.
+    """
+    w = Window.orderBy("b")
+    d = (series.select(F.col(bucket_col).cast("long").alias("b"),
+                       F.col(y_col).cast("long").alias("y"))
+         .withColumn("__l1", F.lag("y", 1).over(w))
+         .withColumn("__ls", F.lag("y", int(season)).over(w))
+         .filter(F.col("__ls").isNotNull()))
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("y") - F.col("__l1"))).cast("long").alias("__e1"),
+        F.sum(F.abs(F.col("y") - F.col("__ls"))).cast("long").alias("__es"))
+    naive = agg.select(
+        F.lit("naive").alias("model"), "n",
+        F.round(F.col("__e1").cast("double") / F.col("n"), 6).alias("mae"),
+        F.lit(1.0).alias("mase"))
+    seasonal = agg.select(
+        F.lit("seasonal").alias("model"), "n",
+        F.round(F.col("__es").cast("double") / F.col("n"), 6).alias("mae"),
+        F.when(F.col("__e1") > 0,
+               F.round(F.col("__es").cast("double") / F.col("__e1"), 6))
+        .alias("mase"))
+    return naive.unionByName(seasonal)
+
+
+def seasonal_naive_eval_sql(series_sql: str, season: int = 24) -> str:
+    """DuckDB mirror of :func:`seasonal_naive_eval` over a (bucket, y)
+    SELECT."""
+    return f"""
+WITH d AS (
+  SELECT CAST(bucket AS BIGINT) AS b, CAST(y AS BIGINT) AS y,
+    lag(y, 1) OVER (ORDER BY bucket) AS l1,
+    lag(y, {int(season)}) OVER (ORDER BY bucket) AS ls
+  FROM ({series_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(abs(y - l1)) AS BIGINT) AS e1,
+    CAST(sum(abs(y - ls)) AS BIGINT) AS es
+  FROM d WHERE ls IS NOT NULL
+)
+SELECT 'naive' AS model, n,
+  round(CAST(e1 AS DOUBLE) / n, 6) AS mae,
+  CAST(1.0 AS DOUBLE) AS mase
+FROM agg
+UNION ALL
+SELECT 'seasonal' AS model, n,
+  round(CAST(es AS DOUBLE) / n, 6) AS mae,
+  CASE WHEN e1 > 0 THEN round(CAST(es AS DOUBLE) / e1, 6) END AS mase
+FROM agg
+"""

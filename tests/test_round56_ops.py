@@ -1,0 +1,131 @@
+"""Unit tests for the round-56 pack: Otsu threshold, LSH design,
+Cohen's kappa, seasonal-naive MASE, jackknife SE."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (cohens_kappa, jackknife_se,
+                                             otsu_threshold)
+from icrawler_spark.operators.docdedup import lsh_design
+from icrawler_spark.operators.sessions import seasonal_naive_eval
+
+
+# ---------------------------------------------------------------------------
+# otsu_threshold
+# ---------------------------------------------------------------------------
+
+def test_otsu_finds_valley(spark):
+    rows = [(0.1,)] * 50 + [(0.12,)] * 50 + [(0.8,)] * 50 + [(0.85,)] * 50
+    df = spark.createDataFrame(rows, "score double")
+    out = sorted(otsu_threshold(df, n_bins=20).collect(),
+                 key=lambda r: (r["between_var"] or -1))
+    best = out[-1]
+    # the argmax cut sits between the clusters
+    assert 0.15 <= best["threshold"] <= 0.8
+    assert abs(best["w0"] - 0.5) < 0.01
+
+
+def test_otsu_weights_sum_to_one(spark):
+    rows = [(i / 10,) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double")
+    for r in otsu_threshold(df, n_bins=10).collect():
+        assert abs(r["w0"] + r["w1"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# lsh_design
+# ---------------------------------------------------------------------------
+
+def test_lsh_design_factorizations(spark):
+    out = lsh_design(spark, k_hashes=16, s_values=(0.5,)).collect()
+    assert {(r["b"], r["r"]) for r in out} == {
+        (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    by_b = {r["b"]: r for r in out}
+    # threshold (1/b)^(1/r): more bands → lower threshold
+    assert by_b[16]["threshold"] < by_b[2]["threshold"]
+    # exact value check: b=4, r=4 → (1/4)^(1/4)
+    assert abs(by_b[4]["threshold"] - 0.25 ** 0.25) < 1e-6
+
+
+def test_lsh_design_catch_monotone_in_s(spark):
+    out = [r for r in lsh_design(spark, k_hashes=16,
+                                 s_values=(0.3, 0.6, 0.9)).collect()
+           if r["b"] == 4]
+    got = {r["s"]: r["p_catch"] for r in out}
+    assert got[0.3] < got[0.6] < got[0.9]
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+def test_kappa_perfect_agreement(spark):
+    a = spark.createDataFrame([(i, "x" if i % 2 else "y") for i in range(20)],
+                              "item long, label string")
+    out = cohens_kappa(a, a).collect()[0]
+    assert out["kappa"] == 1.0 and out["po"] == 1.0
+
+
+def test_kappa_chance_only_is_zero(spark):
+    # independent labelings with 50/50 marginals → po = pe = 0.5 → κ = 0
+    a = spark.createDataFrame([(i, "x" if i % 2 else "y") for i in range(40)],
+                              "item long, label string")
+    b = spark.createDataFrame([(i, "x" if (i // 2) % 2 else "y")
+                               for i in range(40)],
+                              "item long, label string")
+    out = cohens_kappa(a, b).collect()[0]
+    assert abs(out["kappa"]) < 1e-9
+
+
+def test_kappa_constant_annotators_null(spark):
+    a = spark.createDataFrame([(i, "x") for i in range(5)],
+                              "item long, label string")
+    out = cohens_kappa(a, a).collect()[0]
+    assert out["kappa"] is None and out["pe"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_eval
+# ---------------------------------------------------------------------------
+
+def test_mase_perfect_seasonal_cycle(spark):
+    # y = bucket % 4 repeating → seasonal-naive (m=4) is exact, naive is not
+    rows = [(b, b % 4 + 1) for b in range(40)]
+    df = spark.createDataFrame(rows, "bucket long, y long")
+    out = {r["model"]: r for r in
+           seasonal_naive_eval(df, season=4).collect()}
+    assert out["seasonal"]["mae"] == 0.0 and out["seasonal"]["mase"] == 0.0
+    assert out["naive"]["mae"] > 0 and out["naive"]["mase"] == 1.0
+    assert out["naive"]["n"] == 36
+
+
+def test_mase_trend_favors_naive(spark):
+    rows = [(b, 10 * b) for b in range(30)]
+    df = spark.createDataFrame(rows, "bucket long, y long")
+    out = {r["model"]: r for r in
+           seasonal_naive_eval(df, season=6).collect()}
+    assert out["seasonal"]["mase"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# jackknife_se
+# ---------------------------------------------------------------------------
+
+def test_jackknife_constant_data_zero_se(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(200)],
+                               "key long, x long")
+    out = jackknife_se(df, n_blocks=10).collect()[0]
+    assert out["mean"] == 7.0 and out["se_jack"] == 0.0
+    assert out["n"] == 200 and out["n_blocks"] == 10
+
+
+def test_jackknife_se_tracks_scatter(spark):
+    small = spark.createDataFrame([(i, i % 3) for i in range(300)],
+                                  "key long, x long")
+    big = spark.createDataFrame([(i, (i % 3) * 100) for i in range(300)],
+                                "key long, x long")
+    se_small = jackknife_se(small, n_blocks=10).collect()[0]["se_jack"]
+    se_big = jackknife_se(big, n_blocks=10).collect()[0]["se_jack"]
+    assert se_big > se_small >= 0
+    assert math.isfinite(se_big)
