@@ -311,6 +311,8 @@ _EXTRA_PICKS = [
     "session_sweep",
     # round-3 batch-50 (auto-threshold + design tables + stats rigor)
     "otsu", "lsh_design", "kappa", "mase", "jackknife",
+    # round-3 batch-51 (sequential testing + shrinkage + ops audits)
+    "sprt", "eb_rates", "srm", "trending", "littles",
 ]
 
 

@@ -46,7 +46,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round50, entry_round51,
                             entry_round52, entry_round53,
                             entry_round54, entry_round55,
-                            entry_round56)
+                            entry_round56, entry_round57)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -869,6 +869,7 @@ def queries():
         **entry_round54.queries54(),
         **entry_round55.queries55(),
         **entry_round56.queries56(),
+        **entry_round57.queries57(),
     }
 
 
@@ -957,4 +958,5 @@ def oracle_sql():
         **entry_round54.oracle_sql54(),
         **entry_round55.oracle_sql55(),
         **entry_round56.oracle_sql56(),
+        **entry_round57.oracle_sql57(),
     }

@@ -1,0 +1,224 @@
+"""Round-3 driver-contract queries (batch 51): SPRT sequential monitor,
+empirical-Bayes rate shrinkage, sample-ratio-mismatch check, decayed
+trending terms, Little's-law concurrency audit.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.functions import text as _text
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# sprt — sequential interleaving monitor
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.5, 0.6
+
+
+def _sprt_trials(spark, sf) -> DataFrame:
+    """Ordered Bernoulli stream with a true win rate ≈ 0.58 so H1 is
+    eventually accepted but not instantly."""
+    ev = _events(spark, sf)
+    return (ev.filter(F.col("event_id") < 400)
+            .select(F.col("event_id").alias("seq"),
+                    (F.col("event_id") * 7919 % 100 < 58).cast("int")
+                    .alias("success")))
+
+
+_SPRT_TRIALS_SQL = """
+  SELECT event_id AS seq,
+    CASE WHEN event_id * 7919 % 100 < 58 THEN 1 ELSE 0 END AS success
+  FROM events WHERE event_id < 400
+"""
+
+
+def q_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.sprt_monitor: cumulative LLR vs Wald boundaries —
+    early stopping without the peeking penalty."""
+    return _search.sprt_monitor(_sprt_trials(spark, sf),
+                                p0=_SPRT_P0, p1=_SPRT_P1)
+
+
+def _sprt_sql() -> str:
+    return _search.sprt_monitor_sql(_SPRT_TRIALS_SQL,
+                                    p0=_SPRT_P0, p1=_SPRT_P1)
+
+
+# ---------------------------------------------------------------------------
+# eb_rates — shrunk per-host keep rates
+# ---------------------------------------------------------------------------
+
+_EB_M = 50
+
+
+def _eb_outcomes(spark, sf) -> DataFrame:
+    """Per-host (fetches, keeps): host sizes vary by two orders of
+    magnitude so shrinkage actually differs across rows."""
+    ev = _events(spark, sf)
+    host = F.when(F.col("event_id") % 50 == 0,
+                  F.concat(F.lit("rare"),
+                           (F.col("event_id") % 7).cast("string"))) \
+        .otherwise(F.concat(F.lit("big"),
+                            (F.col("event_id") % 5).cast("string")))
+    return (ev.select(host.alias("host"),
+                      (F.col("event_id") * 13 % 10 < 7).cast("int")
+                      .alias("kept"))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("kept").cast("long").alias("k")))
+
+
+_EB_OUTCOMES_SQL = """
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_id * 13 % 10 < 7 THEN 1 ELSE 0 END)
+      AS BIGINT) AS k
+  FROM (
+    SELECT event_id,
+      CASE WHEN event_id % 50 = 0 THEN 'rare' || (event_id % 7)
+           ELSE 'big' || (event_id % 5) END AS host
+    FROM events)
+  GROUP BY 1
+"""
+
+
+def q_eb_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.eb_shrinkage: beta-binomial shrinkage toward the
+    global keep rate — small hosts stop outranking big ones."""
+    return _corpus.eb_shrinkage(_eb_outcomes(spark, sf),
+                                prior_strength=_EB_M)
+
+
+def _eb_rates_sql() -> str:
+    return _corpus.eb_shrinkage_sql(_EB_OUTCOMES_SQL, prior_strength=_EB_M)
+
+
+# ---------------------------------------------------------------------------
+# srm — two-arm assignment sanity
+# ---------------------------------------------------------------------------
+
+
+def _srm_assignments(spark, sf) -> DataFrame:
+    """A deliberately broken 52/48 split (md5-free arithmetic bias)."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.when(F.col("event_id") * 7919 % 100 < 52, "treatment")
+        .otherwise("control").alias("arm"))
+
+
+_SRM_ASSIGNMENTS_SQL = """
+  SELECT CASE WHEN event_id * 7919 % 100 < 52
+    THEN 'treatment' ELSE 'control' END AS arm
+  FROM events
+"""
+
+
+def q_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.srm_check: binomial z on the arm counts — the
+    gate every experiment readout passes first."""
+    return _corpus.srm_check(_srm_assignments(spark, sf))
+
+
+def _srm_sql() -> str:
+    return _corpus.srm_check_sql(_SRM_ASSIGNMENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# trending — decayed term counters over the event stream
+# ---------------------------------------------------------------------------
+
+_TR_NOW = 720
+_TR_HL = 24
+
+
+def _tr_term_events(spark, sf) -> DataFrame:
+    """Term mentions across hourly buckets: terms t0..t29, with mention
+    times skewed early or late by term parity so trend ratios spread."""
+    ev = _events(spark, sf)
+    term = F.concat(F.lit("t"), (F.col("event_id") % 30).cast("string"))
+    bucket = F.when(F.col("event_id") % 30 % 2 == 0,
+                    F.col("event_id") % 240) \
+        .otherwise(480 + F.col("event_id") % 240)
+    return ev.select(term.alias("term"), bucket.cast("long").alias("bucket"))
+
+
+_TR_TERM_EVENTS_SQL = """
+  SELECT 't' || (event_id % 30) AS term,
+    CAST(CASE WHEN event_id % 30 % 2 = 0 THEN event_id % 240
+         ELSE 480 + event_id % 240 END AS BIGINT) AS bucket
+  FROM events
+"""
+
+
+def q_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.trending_terms: half-life-decayed counters vs raw
+    counts — rising terms separate from evergreen heavyweights."""
+    return _text.trending_terms(_tr_term_events(spark, sf),
+                                now_bucket=_TR_NOW, half_life=_TR_HL)
+
+
+def _trending_sql() -> str:
+    return _text.trending_terms_sql(_TR_TERM_EVENTS_SQL,
+                                    now_bucket=_TR_NOW, half_life=_TR_HL)
+
+
+# ---------------------------------------------------------------------------
+# littles — concurrency audit from the fetch interval log
+# ---------------------------------------------------------------------------
+
+
+def _ll_fetches(spark, sf) -> DataFrame:
+    """Fetch intervals: start from the event clock, latency 1..30 s."""
+    ev = _events(spark, sf)
+    start = F.col("event_id") * 3 % 5000
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("host"),
+        start.cast("long").alias("start_s"),
+        (start + 1 + F.col("event_id") % 30).cast("long").alias("end_s"))
+
+
+_LL_FETCHES_SQL = """
+  SELECT 'h' || (user_id % 10) AS host,
+    CAST(event_id * 3 % 5000 AS BIGINT) AS start_s,
+    CAST(event_id * 3 % 5000 + 1 + event_id % 30 AS BIGINT) AS end_s
+  FROM events
+"""
+
+
+def q_littles(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.littles_law: L = λW from exact integer ratios
+    + measured peak concurrency via the ±1 endpoint sweep."""
+    return _politeness.littles_law(_ll_fetches(spark, sf))
+
+
+def _littles_sql() -> str:
+    return _politeness.littles_law_sql(_LL_FETCHES_SQL)
+
+
+def queries57():
+    return {
+        "sprt": q_sprt,
+        "eb_rates": q_eb_rates,
+        "srm": q_srm,
+        "trending": q_trending,
+        "littles": q_littles,
+    }
+
+
+def oracle_sql57():
+    return {
+        "sprt": _sprt_sql(),
+        "eb_rates": _eb_rates_sql(),
+        "srm": _srm_sql(),
+        "trending": _trending_sql(),
+        "littles": _littles_sql(),
+    }

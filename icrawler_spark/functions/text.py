@@ -428,3 +428,61 @@ def linear_text_score(
     return agg.select(F.col("__id").alias(id_col), "n_tokens", "weight_sum",
                       F.round(score, 6).alias("score"),
                       (margin > 0).alias("label"))
+
+
+def trending_terms(
+    term_events: DataFrame,
+    now_bucket: int,
+    half_life: int = 24,
+    min_count: int = 3,
+    term_col: str = "term",
+    bucket_col: str = "bucket",
+) -> "DataFrame":
+    """Exponentially-decayed term counters (the streaming 'trending'
+    primitive, public lore — e.g. Redis/Reddit hot ranking): each mention
+    contributes 2^(−age/half_life), so a term with 30 mentions this hour
+    outranks one with 300 last week. trend_ratio = decayed/raw separates
+    genuinely-rising terms (ratio near 1) from evergreen heavyweights
+    (ratio near 0) — the seed-discovery feed a topical crawler tails.
+
+    The decay weight is pow(2, −age/h) on integer ages computed
+    identically in both engines; sums are map-side combinable. Returns
+    (term, n_mentions, decayed, trend_ratio) rounded 6, filtered to
+    n_mentions ≥ min_count.
+
+    Scale shape: ONE groupBy(term); the weight is a scan-stage
+    projection. Nothing else.
+    """
+    from pyspark.sql import functions as F
+
+    age = (F.lit(int(now_bucket)) - F.col(bucket_col).cast("long"))
+    wgt = F.pow(F.lit(2.0), -age.cast("double") / float(half_life))
+    per = (term_events.select(F.col(term_col).alias("term"),
+                              wgt.alias("__w"))
+           .groupBy("term")
+           .agg(F.count("*").cast("long").alias("n_mentions"),
+                F.sum("__w").alias("__d")))
+    return (per.filter(F.col("n_mentions") >= int(min_count))
+            .select("term", "n_mentions",
+                    F.round("__d", 6).alias("decayed"),
+                    F.round(F.col("__d") / F.col("n_mentions"), 6)
+                    .alias("trend_ratio")))
+
+
+def trending_terms_sql(term_events_sql: str, now_bucket: int,
+                       half_life: int = 24, min_count: int = 3) -> str:
+    """DuckDB mirror of :func:`trending_terms` over a (term, bucket)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_mentions,
+    sum(pow(2.0, -CAST({int(now_bucket)} - CAST(bucket AS BIGINT)
+                       AS DOUBLE) / {float(half_life)!r})) AS d
+  FROM ({term_events_sql}) GROUP BY 1
+)
+SELECT term, n_mentions,
+  round(d, 6) AS decayed,
+  round(d / n_mentions, 6) AS trend_ratio
+FROM per
+WHERE n_mentions >= {int(min_count)}
+"""

@@ -1773,3 +1773,105 @@ SELECT n, round(CAST(total AS DOUBLE) / n, 6) AS mean,
   n_blocks
 FROM agg
 """
+
+
+def eb_shrinkage(
+    outcomes: DataFrame,
+    prior_strength: int = 50,
+    key_col: str = "host",
+    n_col: str = "n",
+    k_col: str = "k",
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-host success rates (beta-binomial
+    with a data-estimated prior mean, the standard small-sample fix for
+    rate features): rate_eb = (k + m·p̄)/(n + m) where p̄ is the global
+    rate and m the prior strength. A host with 1 keep / 1 fetch stops
+    outranking one with 900/1000 — same cure `click_ctr`'s Wilson bound
+    applies to clicks, done Bayes-style for any keep/success count table.
+
+    Inputs are per-key integer (n, k) pairs. The global p̄ is an exact
+    integer ratio broadcast back; every output is one divide, rounded 6.
+    Returns (host, n, k, rate_raw, rate_eb, shrink = m/(n+m)).
+
+    Scale shape: ONE global agg (two longs) broadcast into a pure
+    projection over the per-key table. No shuffle beyond the input's.
+    """
+    d = outcomes.select(F.col(key_col).alias("host"),
+                        F.col(n_col).cast("long").alias("n"),
+                        F.col(k_col).cast("long").alias("k"))
+    g = d.agg(F.sum("n").alias("__tn"), F.sum("k").alias("__tk"))
+    m = int(prior_strength)
+    pbar = F.col("__tk").cast("double") / F.col("__tn")
+    return (d.crossJoin(F.broadcast(g))
+            .select(
+                "host", "n", "k",
+                F.round(F.col("k").cast("double") / F.col("n"), 6)
+                .alias("rate_raw"),
+                F.round((F.col("k") + m * pbar) / (F.col("n") + m), 6)
+                .alias("rate_eb"),
+                F.round(F.lit(float(m)) / (F.col("n") + m), 6)
+                .alias("shrink")))
+
+
+def eb_shrinkage_sql(outcomes_sql: str, prior_strength: int = 50) -> str:
+    """DuckDB mirror of :func:`eb_shrinkage` over a (host, n, k)
+    SELECT."""
+    m = int(prior_strength)
+    return f"""
+WITH d AS (
+  SELECT host, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k
+  FROM ({outcomes_sql})
+),
+g AS (SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS pbar FROM d)
+SELECT host, n, k,
+  round(CAST(k AS DOUBLE) / n, 6) AS rate_raw,
+  round((k + {m} * g.pbar) / (n + {m}), 6) AS rate_eb,
+  round(CAST({float(m)!r} AS DOUBLE) / (n + {m}), 6) AS shrink
+FROM d CROSS JOIN g
+"""
+
+
+def srm_check(
+    assignments: DataFrame,
+    arm_col: str = "arm",
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a two-arm crawl/corpus experiment
+    (the first gate every A/B readout must pass, public practice): under
+    a fair 50/50 split the arm-count difference is binomial noise; the
+    z statistic (n_arm − N/2)/√(N/4) beyond ~±4 means the assignment
+    itself is broken and the experiment's deltas are meaningless.
+
+    Counts are exact integers; z is one divide+sqrt, rounded 4. Returns
+    one row per arm (arm, n, share, z, srm_suspect = |z| > 4).
+
+    Scale shape: ONE groupBy(arm) into two cells; the total rides a
+    window over those cells.
+    """
+    per = (assignments.select(F.col(arm_col).alias("arm"))
+           .groupBy("arm").agg(F.count("*").cast("long").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy())
+    z = ((F.col("n").cast("double") - tot.cast("double") / 2)
+         / F.sqrt(tot.cast("double") / 4))
+    return (per.withColumn("share", F.round(F.col("n") / tot.cast("double"),
+                                            6))
+            .withColumn("z", F.round(z, 4))
+            .withColumn("srm_suspect", F.abs(F.round(z, 4)) > 4.0)
+            .select("arm", "n", "share", "z", "srm_suspect"))
+
+
+def srm_check_sql(assignments_sql: str) -> str:
+    """DuckDB mirror of :func:`srm_check` over an (arm) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n
+  FROM ({assignments_sql}) GROUP BY 1
+)
+SELECT arm, n,
+  round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+  round((CAST(n AS DOUBLE) - CAST(sum(n) OVER () AS DOUBLE) / 2)
+        / sqrt(CAST(sum(n) OVER () AS DOUBLE) / 4), 4) AS z,
+  abs(round((CAST(n AS DOUBLE) - CAST(sum(n) OVER () AS DOUBLE) / 2)
+            / sqrt(CAST(sum(n) OVER () AS DOUBLE) / 4), 4)) > 4.0
+    AS srm_suspect
+FROM per
+"""

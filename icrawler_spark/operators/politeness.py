@@ -1427,3 +1427,86 @@ SELECT host, value, cost, round(density, 6) AS density,
                   ROWS UNBOUNDED PRECEDING) <= {int(budget)} AS selected
 FROM d
 """
+
+
+def littles_law(
+    fetches: DataFrame,
+    host_col: str = "host",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Little's law audit of per-host fetch concurrency: from the fetch
+    interval log derive arrival rate λ = n/span and mean latency W, so
+    L = λ·W (= Σdurations/span — an exact integer ratio) is the average
+    in-flight request count the host actually carried; the measured PEAK
+    concurrency comes from the classic +1/−1 interval-endpoint sweep. An
+    operator sizing per-host connection caps compares the cap against
+    L and the peak — queueing theory's one free equation, applied to
+    politeness budgets.
+
+    Ties sweep ends before starts (delta ascending) so back-to-back
+    intervals don't count as overlap. Returns (host, n_fetches, span_s,
+    mean_latency_s, l_little, peak_concurrency), doubles rounded 6.
+
+    Scale shape: ONE groupBy(host) for the aggregates + ONE
+    host-partitioned ordered window over 2n endpoint rows. Host keys
+    hash uniformly — no skew beyond a genuinely hot host.
+    """
+    d = fetches.select(F.col(host_col).alias("host"),
+                       F.col(start_col).cast("long").alias("s"),
+                       F.col(end_col).cast("long").alias("e"))
+    agg = (d.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_fetches"),
+                (F.max("e") - F.min("s")).cast("long").alias("span_s"),
+                F.sum(F.col("e") - F.col("s")).cast("long").alias("__dur")))
+    pts = (d.select("host", F.col("s").alias("ts"), F.lit(1).alias("dlt"))
+           .unionAll(d.select("host", F.col("e").alias("ts"),
+                              F.lit(-1).alias("dlt"))))
+    w = (Window.partitionBy("host").orderBy("ts", "dlt")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    peak = (pts.withColumn("__c", F.sum("dlt").over(w))
+            .groupBy("host")
+            .agg(F.max("__c").cast("long").alias("peak_concurrency")))
+    return (agg.join(peak, "host")
+            .select(
+                "host", "n_fetches", "span_s",
+                F.round(F.col("__dur").cast("double")
+                        / F.col("n_fetches"), 6).alias("mean_latency_s"),
+                F.when(F.col("span_s") > 0,
+                       F.round(F.col("__dur").cast("double")
+                               / F.col("span_s"), 6)).alias("l_little"),
+                "peak_concurrency"))
+
+
+def littles_law_sql(fetches_sql: str) -> str:
+    """DuckDB mirror of :func:`littles_law` over a (host, start_s, end_s)
+    SELECT."""
+    return f"""
+WITH d AS (
+  SELECT host, CAST(start_s AS BIGINT) AS s, CAST(end_s AS BIGINT) AS e
+  FROM ({fetches_sql})
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+    CAST(max(e) - min(s) AS BIGINT) AS span_s,
+    CAST(sum(e - s) AS BIGINT) AS dur
+  FROM d GROUP BY 1
+),
+pts AS (
+  SELECT host, s AS ts, 1 AS dlt FROM d
+  UNION ALL SELECT host, e, -1 FROM d
+),
+peak AS (
+  SELECT host, CAST(max(c) AS BIGINT) AS peak_concurrency FROM (
+    SELECT host, sum(dlt) OVER (PARTITION BY host ORDER BY ts, dlt
+                                ROWS UNBOUNDED PRECEDING) AS c
+    FROM pts
+  ) GROUP BY 1
+)
+SELECT a.host, a.n_fetches, a.span_s,
+  round(CAST(a.dur AS DOUBLE) / a.n_fetches, 6) AS mean_latency_s,
+  CASE WHEN a.span_s > 0
+    THEN round(CAST(a.dur AS DOUBLE) / a.span_s, 6) END AS l_little,
+  p.peak_concurrency
+FROM agg a JOIN peak p ON p.host = a.host
+"""

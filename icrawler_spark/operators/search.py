@@ -1854,3 +1854,78 @@ SELECT n, wins, losses, ties,
   END AS t_stat
 FROM agg
 """
+
+
+def sprt_monitor(
+    trials: DataFrame,
+    p0: float = 0.5,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    seq_col: str = "seq",
+    success_col: str = "success",
+) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945 — public)
+    over an ordered Bernoulli trial stream (e.g. per-query interleaving
+    wins for a ranker candidate): the cumulative log-likelihood ratio
+    crosses ln((1−β)/α) → accept H1 (ship), crosses ln(β/(1−α)) → accept
+    H0 (stop early). Sequential stopping reads results DURING the
+    experiment without the peeking penalty fixed-horizon tests pay.
+
+    LLR increments are the two literal constants ln(p1/p0) and
+    ln((1−p1)/(1−p0)) precomputed in Python (both engines consume the
+    SAME doubles); the cumulative sum runs in one ordered window.
+    Returns (seq, success, llr rounded 6, decision ∈
+    {continue, accept_h1, accept_h0}) — decision at each prefix.
+
+    Scale shape: ONE ordered window over the trial stream (one stream
+    per experiment — partition by experiment id when running many).
+    """
+    import math
+
+    win = math.log(p1 / p0)
+    lose = math.log((1 - p1) / (1 - p0))
+    up = math.log((1 - beta) / alpha)
+    down = math.log(beta / (1 - alpha))
+    w = (Window.orderBy("seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = trials.select(F.col(seq_col).cast("long").alias("seq"),
+                      F.col(success_col).cast("int").alias("success"))
+    llr = F.sum(F.when(F.col("success") == 1, F.lit(win))
+                .otherwise(F.lit(lose))).over(w)
+    decision = (F.when(F.round(llr, 6) >= round(up, 6), "accept_h1")
+                .when(F.round(llr, 6) <= round(down, 6), "accept_h0")
+                .otherwise("continue"))
+    return d.select("seq", "success",
+                    F.round(llr, 6).alias("llr"),
+                    decision.alias("decision"))
+
+
+def sprt_monitor_sql(trials_sql: str, p0: float = 0.5, p1: float = 0.6,
+                     alpha: float = 0.05, beta: float = 0.2) -> str:
+    """DuckDB mirror of :func:`sprt_monitor` over a (seq, success)
+    SELECT."""
+    import math
+
+    win = math.log(p1 / p0)
+    lose = math.log((1 - p1) / (1 - p0))
+    up = round(math.log((1 - beta) / alpha), 6)
+    down = round(math.log(beta / (1 - alpha)), 6)
+    return f"""
+WITH d AS (
+  SELECT CAST(seq AS BIGINT) AS seq, CAST(success AS INT) AS success
+  FROM ({trials_sql})
+),
+c AS (
+  SELECT seq, success,
+    round(sum(CASE WHEN success = 1 THEN CAST({win!r} AS DOUBLE)
+              ELSE CAST({lose!r} AS DOUBLE) END)
+          OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING), 6) AS llr
+  FROM d
+)
+SELECT seq, success, llr,
+  CASE WHEN llr >= {up!r} THEN 'accept_h1'
+       WHEN llr <= {down!r} THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM c
+"""

@@ -1,0 +1,118 @@
+"""Unit tests for the round-57 pack: SPRT, EB shrinkage, SRM check,
+trending terms, Little's law."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.functions.text import trending_terms
+from icrawler_spark.operators.corpus import eb_shrinkage, srm_check
+from icrawler_spark.operators.politeness import littles_law
+from icrawler_spark.operators.search import sprt_monitor
+
+
+# ---------------------------------------------------------------------------
+# sprt_monitor
+# ---------------------------------------------------------------------------
+
+def test_sprt_all_wins_accepts_h1(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(60)],
+                               "seq long, success int")
+    rows = sorted(sprt_monitor(df).collect(), key=lambda r: r["seq"])
+    assert rows[-1]["decision"] == "accept_h1"
+    # llr strictly increases on wins
+    assert rows[-1]["llr"] > rows[0]["llr"] > 0
+
+
+def test_sprt_all_losses_accepts_h0(spark):
+    df = spark.createDataFrame([(i, 0) for i in range(60)],
+                               "seq long, success int")
+    rows = sorted(sprt_monitor(df).collect(), key=lambda r: r["seq"])
+    assert rows[-1]["decision"] == "accept_h0"
+
+
+def test_sprt_boundaries_are_walds(spark):
+    df = spark.createDataFrame([(0, 1)], "seq long, success int")
+    r = sprt_monitor(df, p0=0.5, p1=0.6).collect()[0]
+    assert abs(r["llr"] - math.log(0.6 / 0.5)) < 1e-6
+    assert r["decision"] == "continue"
+
+
+# ---------------------------------------------------------------------------
+# eb_shrinkage
+# ---------------------------------------------------------------------------
+
+def test_eb_small_host_shrinks_to_prior(spark):
+    rows = [("tiny", 1, 1), ("big", 1000, 500)]
+    df = spark.createDataFrame(rows, "host string, n long, k long")
+    out = {r["host"]: r for r in eb_shrinkage(df, 50).collect()}
+    # global rate ≈ 0.5; tiny's raw 1.0 shrinks near 0.5, big barely moves
+    assert out["tiny"]["rate_raw"] == 1.0
+    assert abs(out["tiny"]["rate_eb"] - 0.5) < 0.05
+    assert abs(out["big"]["rate_eb"] - 0.5) < 0.01
+    assert out["tiny"]["shrink"] > 0.9 and out["big"]["shrink"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# srm_check
+# ---------------------------------------------------------------------------
+
+def test_srm_fair_split_passes(spark):
+    rows = [("a",)] * 500 + [("b",)] * 500
+    df = spark.createDataFrame(rows, "arm string")
+    out = {r["arm"]: r for r in srm_check(df).collect()}
+    assert out["a"]["z"] == 0.0 and not out["a"]["srm_suspect"]
+
+
+def test_srm_broken_split_flagged(spark):
+    rows = [("a",)] * 600 + [("b",)] * 400
+    df = spark.createDataFrame(rows, "arm string")
+    out = {r["arm"]: r for r in srm_check(df).collect()}
+    # z = 100/sqrt(250) ≈ 6.32
+    assert out["a"]["srm_suspect"] and out["b"]["srm_suspect"]
+    assert abs(out["a"]["z"] - 6.3246) < 1e-3
+    assert abs(out["a"]["share"] - 0.6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# trending_terms
+# ---------------------------------------------------------------------------
+
+def test_trending_recent_beats_stale(spark):
+    rows = ([("fresh", 100)] * 5 + [("stale", 0)] * 5)
+    df = spark.createDataFrame(rows, "term string, bucket long")
+    out = {r["term"]: r for r in
+           trending_terms(df, now_bucket=100, half_life=24,
+                          min_count=3).collect()}
+    assert out["fresh"]["trend_ratio"] == 1.0
+    assert out["stale"]["trend_ratio"] < 0.1
+    assert out["fresh"]["decayed"] > out["stale"]["decayed"]
+
+
+def test_trending_min_count_filter(spark):
+    df = spark.createDataFrame([("once", 0)], "term string, bucket long")
+    assert trending_terms(df, now_bucket=10, min_count=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# littles_law
+# ---------------------------------------------------------------------------
+
+def test_littles_sequential_vs_parallel(spark):
+    # host s: back-to-back intervals (peak 1); host p: 3 overlapping
+    rows = [("s", 0, 10), ("s", 10, 20), ("s", 20, 30),
+            ("p", 0, 10), ("p", 0, 10), ("p", 0, 10)]
+    df = spark.createDataFrame(rows, "host string, start_s long, end_s long")
+    out = {r["host"]: r for r in littles_law(df).collect()}
+    assert out["s"]["peak_concurrency"] == 1
+    assert out["p"]["peak_concurrency"] == 3
+    # s: 30s of work over a 30s span → L = 1; p: 30s over 10s span → 3
+    assert abs(out["s"]["l_little"] - 1.0) < 1e-9
+    assert abs(out["p"]["l_little"] - 3.0) < 1e-9
+
+
+def test_littles_zero_span_null(spark):
+    df = spark.createDataFrame([("h", 5, 5)],
+                               "host string, start_s long, end_s long")
+    out = littles_law(df).collect()[0]
+    assert out["l_little"] is None and out["mean_latency_s"] == 0.0
