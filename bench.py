@@ -313,6 +313,8 @@ _EXTRA_PICKS = [
     "otsu", "lsh_design", "kappa", "mase", "jackknife",
     # round-3 batch-51 (sequential testing + shrinkage + ops audits)
     "sprt", "eb_rates", "srm", "trending", "littles",
+    # round-3 batch-52 (tail stats + design tables + experiment readouts)
+    "hill", "delta_se", "bloom_design", "saturation", "qte",
 ]
 
 

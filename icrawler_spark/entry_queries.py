@@ -46,7 +46,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round50, entry_round51,
                             entry_round52, entry_round53,
                             entry_round54, entry_round55,
-                            entry_round56, entry_round57)
+                            entry_round56, entry_round57,
+                            entry_round58)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -870,6 +871,7 @@ def queries():
         **entry_round55.queries55(),
         **entry_round56.queries56(),
         **entry_round57.queries57(),
+        **entry_round58.queries58(),
     }
 
 
@@ -959,4 +961,5 @@ def oracle_sql():
         **entry_round55.oracle_sql55(),
         **entry_round56.oracle_sql56(),
         **entry_round57.oracle_sql57(),
+        **entry_round58.oracle_sql58(),
     }

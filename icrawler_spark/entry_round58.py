@@ -1,0 +1,186 @@
+"""Round-3 driver-contract queries (batch 52): Hill tail index, delta-
+method ratio SE, Bloom design table, discovery saturation, quantile
+treatment effects.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# hill — tail index of the host-size distribution
+# ---------------------------------------------------------------------------
+
+_HILL_K = 30
+
+
+def _hill_sizes(spark, sf) -> DataFrame:
+    """Host sizes with a heavy-ish spread: sqrt-bucketing makes bucket k
+    hold ~2k+1 events, a linearly-growing size ladder."""
+    ev = _events(spark, sf)
+    host = F.floor(F.sqrt((F.col("event_id") % 10000).cast("double")))
+    return (ev.groupBy(host.cast("long").alias("host"))
+            .agg(F.count("*").cast("long").alias("x"))
+            .select("x"))
+
+
+_HILL_SIZES_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS x FROM (
+    SELECT CAST(floor(sqrt(CAST(event_id % 10000 AS DOUBLE))) AS BIGINT)
+      AS host
+    FROM events) GROUP BY host
+"""
+
+
+def q_hill(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hill_tail: top-k order-statistic MLE of the
+    power-law tail index + top-k mass share."""
+    return _corpus.hill_tail(_hill_sizes(spark, sf), k=_HILL_K)
+
+
+def _hill_sql() -> str:
+    return _corpus.hill_tail_sql(_HILL_SIZES_SQL, k=_HILL_K)
+
+
+# ---------------------------------------------------------------------------
+# delta_se — ratio-metric standard error (kept per fetched, by user)
+# ---------------------------------------------------------------------------
+
+
+def _dm_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("x"),
+                 F.sum((F.col("event_id") % 3 == 0).cast("int"))
+                 .cast("long").alias("y")))
+
+
+_DM_PAIRS_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+"""
+
+
+def q_delta_se(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.delta_method: SE of Σy/Σx from exact integer
+    moments — the correct error bar for per-unit-weighted ratios."""
+    return _corpus.delta_method(_dm_pairs(spark, sf))
+
+
+def _delta_se_sql() -> str:
+    return _corpus.delta_method_sql(_DM_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bloom_design — FP-rate sizing table for the seen-set shards
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_design(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_design: (bits/key, k) grid with FP rates and
+    the optimal-k marker — the sizing step before bloom_shard_stats."""
+    return _dedup.bloom_design(spark)
+
+
+def _bloom_design_sql() -> str:
+    return _dedup.bloom_design_sql()
+
+
+# ---------------------------------------------------------------------------
+# saturation — new-URL yield per crawl-order decile
+# ---------------------------------------------------------------------------
+
+
+def _ds_log(spark, sf) -> DataFrame:
+    """Crawl log fetching into a 3000-URL universe: coupon-collector
+    dynamics make early deciles discovery-rich, late ones refetch-heavy."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("event_id").alias("fetch_seq"),
+        F.concat(F.lit("u"), (F.col("event_id") * 7919 % 3000)
+                 .cast("string")).alias("url"))
+
+
+_DS_LOG_SQL = """
+  SELECT event_id AS fetch_seq,
+    'u' || (event_id * 7919 % 3000) AS url
+  FROM events
+"""
+
+
+def q_saturation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.discovery_saturation: per-decile new-URL
+    share — the measured 'this crawl is done' signal."""
+    return _politeness.discovery_saturation(_ds_log(spark, sf))
+
+
+def _saturation_sql() -> str:
+    return _politeness.discovery_saturation_sql(_DS_LOG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qte — quantile treatment effects of a quality-gate change
+# ---------------------------------------------------------------------------
+
+
+def _qte_outcomes(spark, sf) -> DataFrame:
+    """Treatment shifts only the upper half of the outcome distribution
+    (+20 above the base-100 midpoint) so QTE is ~0 at low quantiles and
+    ~20 at high ones."""
+    ev = _events(spark, sf)
+    base = F.col("event_id") * 31 % 200
+    arm = F.when(F.col("event_id") % 2 == 0, "treatment") \
+        .otherwise("control")
+    x = F.when((F.col("event_id") % 2 == 0) & (base > 100), base + 20) \
+        .otherwise(base)
+    return ev.select(arm.alias("arm"), x.cast("long").alias("x"))
+
+
+_QTE_OUTCOMES_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'treatment' ELSE 'control' END
+    AS arm,
+    CAST(CASE WHEN event_id % 2 = 0 AND event_id * 31 % 200 > 100
+      THEN event_id * 31 % 200 + 20
+      ELSE event_id * 31 % 200 END AS BIGINT) AS x
+  FROM events
+"""
+
+
+def q_qte(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.qte_deciles: per-quantile treatment-control
+    differences — the readout a mean delta hides."""
+    return _corpus.qte_deciles(_qte_outcomes(spark, sf))
+
+
+def _qte_sql() -> str:
+    return _corpus.qte_deciles_sql(_QTE_OUTCOMES_SQL)
+
+
+def queries58():
+    return {
+        "hill": q_hill,
+        "delta_se": q_delta_se,
+        "bloom_design": q_bloom_design,
+        "saturation": q_saturation,
+        "qte": q_qte,
+    }
+
+
+def oracle_sql58():
+    return {
+        "hill": _hill_sql(),
+        "delta_se": _delta_se_sql(),
+        "bloom_design": _bloom_design_sql(),
+        "saturation": _saturation_sql(),
+        "qte": _qte_sql(),
+    }

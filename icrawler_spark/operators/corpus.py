@@ -1875,3 +1875,215 @@ SELECT arm, n,
     AS srm_suspect
 FROM per
 """
+
+
+def hill_tail(
+    values: DataFrame,
+    k: int = 50,
+    x_col: str = "x",
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975, public)
+    over a positive size distribution (host page counts, dup-cluster
+    sizes): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) on the top-k order
+    statistics. Heavier tail → smaller α → more of the crawl rides on a
+    few monster hosts — the number that decides whether skew salting and
+    hot-host caps are nice-to-have or load-bearing. Complements
+    `zipf_slope` (regression over ALL ranks) with the tail-only MLE.
+
+    Returns one row (k, x_kplus1, alpha rounded 6, tail_mass_share
+    rounded 6 — the top-k share of the total). α NULL when fewer than
+    k+1 values or a zero log-sum (all top values equal).
+
+    Scale shape: global top-(k+1) (TakeOrdered-size, k is small) + ONE
+    agg over those k rows; the total for tail share rides the same first
+    aggregation pass.
+    """
+    d = (values.select(F.col(x_col).cast("long").alias("x"))
+         .filter(F.col("x") > 0))
+    tot = d.agg(F.sum("x").alias("__tot"))
+    w = Window.orderBy(F.desc("x"))
+    top = (d.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= int(k) + 1))
+    xk1 = (top.filter(F.col("__r") == int(k) + 1)
+           .select(F.col("x").alias("__xk1")))
+    agg = (top.filter(F.col("__r") <= int(k))
+           .crossJoin(F.broadcast(xk1))
+           .agg(F.count("*").alias("__n"),
+                F.sum(F.log(F.col("x").cast("double")
+                            / F.col("__xk1").cast("double")))
+                .alias("__lsum"),
+                F.sum("x").alias("__topmass"),
+                F.max("__xk1").alias("x_kplus1")))
+    alpha = F.when((F.col("__n") == int(k)) & (F.col("__lsum") > 0),
+                   F.round(int(k) / F.col("__lsum"), 6))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.lit(int(k)).cast("long").alias("k"),
+                    F.col("x_kplus1").cast("long").alias("x_kplus1"),
+                    alpha.alias("alpha"),
+                    F.round(F.col("__topmass").cast("double")
+                            / F.col("__tot"), 6).alias("tail_mass_share")))
+
+
+def hill_tail_sql(values_sql: str, k: int = 50) -> str:
+    """DuckDB mirror of :func:`hill_tail` over an (x) SELECT."""
+    n = int(k)
+    return f"""
+WITH d AS (
+  SELECT CAST(x AS BIGINT) AS x FROM ({values_sql}) WHERE x > 0
+),
+top AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC) AS r FROM d
+),
+xk1 AS (SELECT x AS xk1 FROM top WHERE r = {n + 1}),
+agg AS (
+  SELECT count(*) AS nn,
+    sum(ln(CAST(t.x AS DOUBLE) / xk1.xk1)) AS lsum,
+    sum(t.x) AS topmass, max(xk1.xk1) AS x_kplus1
+  FROM top t CROSS JOIN xk1 WHERE t.r <= {n}
+),
+tot AS (SELECT CAST(sum(x) AS DOUBLE) AS total FROM d)
+SELECT CAST({n} AS BIGINT) AS k,
+  CAST(x_kplus1 AS BIGINT) AS x_kplus1,
+  CASE WHEN nn = {n} AND lsum > 0
+    THEN round({n} / lsum, 6) END AS alpha,
+  round(CAST(topmass AS DOUBLE) / tot.total, 6) AS tail_mass_share
+FROM agg CROSS JOIN tot
+"""
+
+
+def delta_method(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Delta-method standard error for a ratio metric R = Σy/Σx
+    (tokens-per-byte, clicks-per-session — the metrics where per-unit
+    averaging is WRONG because units have different weights; public
+    experimentation practice, e.g. Deng et al. KDD 2018). SE² =
+    (σ²_y − 2R·σ_xy + R²·σ²_x) / (n·x̄²), every (co)variance built from
+    exact integer moments so both engines combine identical doubles.
+
+    Returns one row (n, ratio, se_delta) rounded 6; se NULL when n < 2
+    or x̄ = 0.
+
+    Scale shape: ONE global aggregation of six integer moments,
+    map-side combinable.
+    """
+    d = pairs.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    m = d.agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    n = F.col("n").cast("double")
+    r = F.col("sy").cast("double") / F.col("sx")
+    # sample (co)variances from exact integer numerators
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double") / (n * (n - 1))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double") / (n * (n - 1))
+    vxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double") / (n * (n - 1))
+    xbar = F.col("sx").cast("double") / n
+    var = (vy - 2.0 * r * vxy + r * r * vx) / (n * xbar * xbar)
+    se = F.when((F.col("n") > 1) & (F.col("sx") != 0),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6))
+    return m.select("n", F.round(r, 6).alias("ratio"),
+                    se.alias("se_delta"))
+
+
+def delta_method_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`delta_method` over an (x, y) SELECT."""
+    return f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS BIGINT)) AS sx, sum(CAST(y AS BIGINT)) AS sy,
+    sum(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS sxy,
+    sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+    sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS syy
+  FROM ({pairs_sql})
+)
+SELECT n,
+  round(CAST(sy AS DOUBLE) / sx, 6) AS ratio,
+  CASE WHEN n > 1 AND sx <> 0 THEN
+    round(sqrt(greatest(
+      (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+       - 2.0 * (CAST(sy AS DOUBLE) / sx)
+         * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+       + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+         * CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+      / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+         * (CAST(sx AS DOUBLE) / n)), 0.0)), 6)
+  END AS se_delta
+FROM m
+"""
+
+
+def qte_deciles(
+    outcomes: DataFrame,
+    qs=(0.1, 0.25, 0.5, 0.75, 0.9),
+    arm_col: str = "arm",
+    x_col: str = "x",
+    treatment: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Quantile treatment effects: the per-quantile difference between
+    the treatment and control outcome distributions — the readout that
+    catches what a mean delta hides (a quality-gate change that helps
+    the median document while gutting the p90 tail shows up HERE).
+    Quantiles interpolate linearly in both engines (Spark `percentile`,
+    DuckDB `quantile_cont`) over exact integer inputs.
+
+    Returns one row per q: (q, q_treatment, q_control, qte) rounded 6.
+
+    Scale shape: ONE groupBy(arm) computing all quantiles in one exact-
+    percentile pass per arm (swap in approx_percentile on a cluster);
+    the per-q rows are a literal union over the two-row aggregate.
+    """
+    d = outcomes.select(F.col(arm_col).alias("arm"),
+                        F.col(x_col).cast("long").alias("x"))
+    aggs = []
+    for i, q in enumerate(qs):
+        aggs.append(F.expr(f"percentile(x, {float(q)!r})").alias(f"__q{i}"))
+    per = d.groupBy("arm").agg(*aggs)
+    t = per.filter(F.col("arm") == treatment)
+    c = per.filter(F.col("arm") == control)
+    rows = []
+    for i, q in enumerate(qs):
+        rows.append(
+            t.crossJoin(c.select(*[F.col(f"__q{j}").alias(f"__c{j}")
+                                   for j in range(len(qs))]))
+            .select(F.lit(float(q)).alias("q"),
+                    F.round(F.col(f"__q{i}"), 6).alias("q_treatment"),
+                    F.round(F.col(f"__c{i}"), 6).alias("q_control"),
+                    F.round(F.col(f"__q{i}") - F.col(f"__c{i}"), 6)
+                    .alias("qte")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def qte_deciles_sql(outcomes_sql: str, qs=(0.1, 0.25, 0.5, 0.75, 0.9),
+                    treatment: str = "treatment",
+                    control: str = "control") -> str:
+    """DuckDB mirror of :func:`qte_deciles` over an (arm, x) SELECT."""
+    legs = []
+    for q in qs:
+        legs.append(f"""
+SELECT CAST({float(q)!r} AS DOUBLE) AS q,
+  round((SELECT quantile_cont(CAST(x AS BIGINT), {float(q)!r}) FROM d
+         WHERE arm = '{treatment}'), 6) AS q_treatment,
+  round((SELECT quantile_cont(CAST(x AS BIGINT), {float(q)!r}) FROM d
+         WHERE arm = '{control}'), 6) AS q_control,
+  round((SELECT quantile_cont(CAST(x AS BIGINT), {float(q)!r}) FROM d
+         WHERE arm = '{treatment}')
+        - (SELECT quantile_cont(CAST(x AS BIGINT), {float(q)!r}) FROM d
+           WHERE arm = '{control}'), 6) AS qte""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH d AS (SELECT arm, x FROM ({outcomes_sql}))
+{body}
+"""

@@ -396,3 +396,56 @@ SELECT per.shard, per.n_probes, per.n_fp,
     AS est_fpr
 FROM per LEFT JOIN fill ON fill.shard = per.shard
 """
+
+
+def bloom_design(
+    spark,
+    bits_per_key=(8, 10, 12, 16, 20),
+    max_k: int = 12,
+) -> "DataFrame":
+    """Bloom-filter design table: for each bits-per-key budget c = m/n
+    and hash count k, the false-positive rate (1 − e^(−k/c))^k, plus the
+    optimal k* = c·ln2 each budget row carries. `bloom_fp` MEASURES a
+    built filter; this table is the sizing step before it — pick the
+    cheapest c whose best-k row clears the FP target for the seen-set
+    shards (`bloom_shard_stats`). Standard filter algebra (public,
+    Broder & Mitzenmacher's survey).
+
+    Pure arithmetic over literal (c, k) pairs; exp/pow run IN-ENGINE on
+    identical doubles. Returns (bits_per_key, k, fp rounded 8,
+    k_optimal rounded 2, is_best_k — the argmin-fp row per budget).
+
+    Scale shape: driver-size literal table; joins nothing.
+    """
+    from pyspark.sql import Window as W
+
+    rows = [(int(c), k) for c in bits_per_key
+            for k in range(1, int(max_k) + 1)]
+    df = spark.createDataFrame(rows, "bits_per_key int, k int")
+    fp = F.pow(1.0 - F.exp(-F.col("k").cast("double")
+                           / F.col("bits_per_key")), F.col("k"))
+    kopt = F.round(F.col("bits_per_key") * F.lit(0.6931471805599453), 2)
+    d = (df.withColumn("fp", F.round(fp, 8))
+         .withColumn("k_optimal", kopt))
+    best = F.min("fp").over(W.partitionBy("bits_per_key"))
+    return (d.withColumn("is_best_k", F.col("fp") == best)
+            .select("bits_per_key", "k", "fp", "k_optimal", "is_best_k"))
+
+
+def bloom_design_sql(bits_per_key=(8, 10, 12, 16, 20),
+                     max_k: int = 12) -> str:
+    """DuckDB mirror of :func:`bloom_design` — same literal (c, k) grid,
+    exp/pow engine-side."""
+    vals = ", ".join(f"({int(c)}, {k})" for c in bits_per_key
+                     for k in range(1, int(max_k) + 1))
+    return f"""
+WITH d AS (
+  SELECT bits_per_key, k,
+    round(pow(1.0 - exp(-CAST(k AS DOUBLE) / bits_per_key), k), 8) AS fp,
+    round(bits_per_key * 0.6931471805599453, 2) AS k_optimal
+  FROM (VALUES {vals}) AS t(bits_per_key, k)
+)
+SELECT bits_per_key, k, fp, k_optimal,
+  fp = min(fp) OVER (PARTITION BY bits_per_key) AS is_best_k
+FROM d
+"""

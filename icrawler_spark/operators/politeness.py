@@ -1510,3 +1510,78 @@ SELECT a.host, a.n_fetches, a.span_s,
   p.peak_concurrency
 FROM agg a JOIN peak p ON p.host = a.host
 """
+
+
+def discovery_saturation(
+    crawl_log: DataFrame,
+    n_buckets: int = 10,
+    seq_col: str = "fetch_seq",
+    url_col: str = "url",
+) -> DataFrame:
+    """Discovery-saturation curve: split the crawl log into order
+    deciles and measure, per decile, how many fetches hit a
+    never-before-seen URL. The new-share column falling off a cliff is
+    the empirical "this crawl is done" signal — the by-crawl-order
+    complement of `depth_yield`'s by-depth knee, and the measured input
+    to a stop-early policy that `capture_recapture` then sanity-checks.
+
+    First occurrence = row_number 1 within the url partition ordered by
+    fetch_seq. Returns (bucket, n_fetches, n_new, new_share rounded 6,
+    cum_new) — bucket = floor(seq·B/total), clamped to B−1.
+
+    Scale shape: ONE url-partitioned window (first-occurrence flag), ONE
+    groupBy(bucket) over B cells, one tiny ordered window for the
+    cumulative column. The total rides a window over the B cells'
+    source agg — no second scan.
+    """
+    d = crawl_log.select(F.col(seq_col).cast("long").alias("seq"),
+                         F.col(url_col).alias("url"))
+    w_url = Window.partitionBy("url").orderBy("seq")
+    tot = Window.partitionBy()
+    flagged = (d.withColumn("__first",
+                            (F.row_number().over(w_url) == 1).cast("int"))
+               .withColumn("__n", F.count("*").over(tot)))
+    b = F.least(F.floor(F.col("seq") * int(n_buckets) / F.col("__n"))
+                .cast("long"), F.lit(int(n_buckets) - 1))
+    per = (flagged.select(b.alias("bucket"), "__first")
+           .groupBy("bucket")
+           .agg(F.count("*").cast("long").alias("n_fetches"),
+                F.sum("__first").cast("long").alias("n_new")))
+    w_cum = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per.withColumn("new_share",
+                           F.round(F.col("n_new")
+                                   / F.col("n_fetches").cast("double"), 6))
+            .withColumn("cum_new", F.sum("n_new").over(w_cum))
+            .select("bucket", "n_fetches", "n_new", "new_share",
+                    "cum_new"))
+
+
+def discovery_saturation_sql(crawl_log_sql: str, n_buckets: int = 10) -> str:
+    """DuckDB mirror of :func:`discovery_saturation` over a
+    (fetch_seq, url) SELECT."""
+    nb = int(n_buckets)
+    return f"""
+WITH d AS (
+  SELECT CAST(fetch_seq AS BIGINT) AS seq, url FROM ({crawl_log_sql})
+),
+flagged AS (
+  SELECT seq,
+    CASE WHEN row_number() OVER (PARTITION BY url ORDER BY seq) = 1
+      THEN 1 ELSE 0 END AS first_seen,
+    count(*) OVER () AS n
+  FROM d
+),
+per AS (
+  SELECT least(CAST(floor(seq * {nb} / CAST(n AS DOUBLE)) AS BIGINT),
+               {nb - 1}) AS bucket,
+    CAST(count(*) AS BIGINT) AS n_fetches,
+    CAST(sum(first_seen) AS BIGINT) AS n_new
+  FROM flagged GROUP BY 1
+)
+SELECT bucket, n_fetches, n_new,
+  round(n_new / CAST(n_fetches AS DOUBLE), 6) AS new_share,
+  CAST(sum(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_new
+FROM per
+"""

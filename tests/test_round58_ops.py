@@ -1,0 +1,116 @@
+"""Unit tests for the round-58 pack: Hill tail index, delta method,
+Bloom design, discovery saturation, QTE."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (delta_method, hill_tail,
+                                             qte_deciles)
+from icrawler_spark.operators.dedup import bloom_design
+from icrawler_spark.operators.politeness import discovery_saturation
+
+
+# ---------------------------------------------------------------------------
+# hill_tail
+# ---------------------------------------------------------------------------
+
+def test_hill_recovers_pareto_alpha(spark):
+    # exact Pareto(α=1) order statistics: x_(i) = 1000/i
+    rows = [(1000 // i,) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "x long")
+    out = hill_tail(df, k=20).collect()[0]
+    assert out["alpha"] is not None
+    assert 0.7 < out["alpha"] < 1.4  # MLE near the true α = 1
+    assert out["x_kplus1"] == 1000 // 21
+    assert 0 < out["tail_mass_share"] < 1
+
+
+def test_hill_too_few_values_null(spark):
+    df = spark.createDataFrame([(10,), (5,)], "x long")
+    out = hill_tail(df, k=30).collect()[0]
+    assert out["alpha"] is None
+
+
+def test_hill_flat_top_null(spark):
+    df = spark.createDataFrame([(7,)] * 40, "x long")
+    out = hill_tail(df, k=10).collect()[0]
+    assert out["alpha"] is None  # zero log-sum: all top values equal
+
+
+# ---------------------------------------------------------------------------
+# delta_method
+# ---------------------------------------------------------------------------
+
+def test_delta_constant_ratio_zero_se(spark):
+    # y = 2x exactly → the ratio has no sampling noise
+    df = spark.createDataFrame([(i + 1, 2 * (i + 1)) for i in range(50)],
+                               "x long, y long")
+    out = delta_method(df).collect()[0]
+    assert out["ratio"] == 2.0 and out["se_jack" if False else "se_delta"] == 0.0
+
+
+def test_delta_noisy_ratio_positive_se(spark):
+    df = spark.createDataFrame(
+        [(10, 5 + (i % 7)) for i in range(60)], "x long, y long")
+    out = delta_method(df).collect()[0]
+    assert out["se_delta"] > 0 and math.isfinite(out["se_delta"])
+
+
+# ---------------------------------------------------------------------------
+# bloom_design
+# ---------------------------------------------------------------------------
+
+def test_bloom_design_known_point(spark):
+    out = {(r["bits_per_key"], r["k"]): r
+           for r in bloom_design(spark).collect()}
+    # classic: 10 bits/key, k=7 → fp ≈ 0.82%
+    assert abs(out[(10, 7)]["fp"] - 0.00819) < 0.0005
+    assert abs(out[(10, 7)]["k_optimal"] - 6.93) < 0.01
+
+
+def test_bloom_design_best_k_near_optimal(spark):
+    rows = [r for r in bloom_design(spark).collect()
+            if r["bits_per_key"] == 12 and r["is_best_k"]]
+    assert len(rows) == 1
+    # k* = 12·ln2 ≈ 8.3 → integer argmin is 8 or 9
+    assert rows[0]["k"] in (8, 9)
+
+
+# ---------------------------------------------------------------------------
+# discovery_saturation
+# ---------------------------------------------------------------------------
+
+def test_saturation_all_unique_then_refetch(spark):
+    # first 50 fetches all new, second 50 refetch the same urls
+    rows = ([(i, f"u{i}") for i in range(50)]
+            + [(50 + i, f"u{i}") for i in range(50)])
+    df = spark.createDataFrame(rows, "fetch_seq long, url string")
+    out = {r["bucket"]: r for r in
+           discovery_saturation(df, n_buckets=2).collect()}
+    assert out[0]["n_new"] == 50 and out[0]["new_share"] == 1.0
+    assert out[1]["n_new"] == 0 and out[1]["new_share"] == 0.0
+    assert out[1]["cum_new"] == 50
+
+
+def test_saturation_buckets_cover_all_fetches(spark):
+    rows = [(i, f"u{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "fetch_seq long, url string")
+    out = discovery_saturation(df, n_buckets=10).collect()
+    assert sum(r["n_fetches"] for r in out) == 100
+    assert max(r["cum_new"] for r in out) == 7
+
+
+# ---------------------------------------------------------------------------
+# qte_deciles
+# ---------------------------------------------------------------------------
+
+def test_qte_upper_tail_shift(spark):
+    rows = ([("control", v) for v in range(101)]
+            + [("treatment", v if v <= 50 else v + 30)
+               for v in range(101)])
+    df = spark.createDataFrame(rows, "arm string, x long")
+    out = {r["q"]: r for r in qte_deciles(df).collect()}
+    assert abs(out[0.25]["qte"]) < 1e-6           # lower tail unshifted
+    assert abs(out[0.9]["qte"] - 30.0) < 1e-6      # upper tail +30
+    assert out[0.5]["q_control"] == 50.0
