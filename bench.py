@@ -315,6 +315,8 @@ _EXTRA_PICKS = [
     "sprt", "eb_rates", "srm", "trending", "littles",
     # round-3 batch-52 (tail stats + design tables + experiment readouts)
     "hill", "delta_se", "bloom_design", "saturation", "qte",
+    # round-3 batch-53 (sitemap trust + sampling + rankings + infra)
+    "lastmod_trust", "neyman", "rank_moves", "prf", "shared_ip",
 ]
 
 

@@ -1,0 +1,239 @@
+"""Round-3 driver-contract queries (batch 53): lastmod trust audit,
+Neyman allocation, rank-turbulence divergence, per-class PRF, shared-IP
+co-hosting clusters.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sitemap as _sitemap
+
+# ---------------------------------------------------------------------------
+# lastmod_trust — sitemap change claims vs content reality
+# ---------------------------------------------------------------------------
+
+
+def _lt_claims(spark, sf) -> DataFrame:
+    """Sitemap claims change for ~40% of URLs."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        (F.col("event_id") * 7 % 10 < 4).alias("claimed_changed"))
+
+
+_LT_CLAIMS_SQL = """
+  SELECT 'u' || event_id AS url,
+    event_id * 7 % 10 < 4 AS claimed_changed
+  FROM events
+"""
+
+
+def _lt_observed(spark, sf) -> DataFrame:
+    """Reality agrees with the claim except when event_id*11 % 5 == 0
+    (a ~20% noise band) — precision and recall land strictly inside
+    (0, 1)."""
+    ev = _events(spark, sf)
+    claim = F.col("event_id") * 7 % 10 < 4
+    flip = F.col("event_id") * 11 % 5 == 0
+    return ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        (claim != flip).alias("actually_changed"))
+
+
+_LT_OBSERVED_SQL = """
+  SELECT 'u' || event_id AS url,
+    (event_id * 7 % 10 < 4) <> (event_id * 11 % 5 = 0)
+      AS actually_changed
+  FROM events
+"""
+
+
+def q_lastmod_trust(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.lastmod_trust: confusion matrix + PRF of
+    sitemap lastmod claims vs content-hash reality."""
+    return _sitemap.lastmod_trust(_lt_claims(spark, sf),
+                                  _lt_observed(spark, sf))
+
+
+def _lastmod_trust_sql() -> str:
+    return _sitemap.lastmod_trust_sql(_LT_CLAIMS_SQL, _LT_OBSERVED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# neyman — audit-budget allocation across quality tiers
+# ---------------------------------------------------------------------------
+
+_NA_BUDGET = 1000
+
+
+def _na_strata(spark, sf) -> DataFrame:
+    """Three strata with different sizes AND variances: tier0 big/flat,
+    tier1 mid/noisy, tier2 small/very noisy."""
+    ev = _events(spark, sf)
+    tier = F.col("event_id") % 7 % 3
+    x = (F.when(tier == 0, 50 + F.col("event_id") % 3)
+         .when(tier == 1, 40 + F.col("event_id") % 30)
+         .otherwise(F.col("event_id") % 100))
+    return ev.select(F.concat(F.lit("tier"), tier.cast("string"))
+                     .alias("stratum"), x.cast("long").alias("x"))
+
+
+_NA_STRATA_SQL = """
+  SELECT 'tier' || (event_id % 7 % 3) AS stratum,
+    CAST(CASE event_id % 7 % 3
+      WHEN 0 THEN 50 + event_id % 3
+      WHEN 1 THEN 40 + event_id % 30
+      ELSE event_id % 100 END AS BIGINT) AS x
+  FROM events
+"""
+
+
+def q_neyman(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.neyman_alloc: audit sample sizes ∝ N_h·σ_h from
+    exact integer moments."""
+    return _corpus.neyman_alloc(_na_strata(spark, sf), total_n=_NA_BUDGET)
+
+
+def _neyman_sql() -> str:
+    return _corpus.neyman_alloc_sql(_NA_STRATA_SQL, total_n=_NA_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# rank_moves — rank-turbulence divergence between two term rankings
+# ---------------------------------------------------------------------------
+
+
+def _rm_ranking(spark, sf, permuted: bool) -> DataFrame:
+    ev = _events(spark, sf)
+    base = ev.filter(F.col("event_id") < 60)
+    rank = (F.col("event_id") * 13 % 60 + 1) if permuted \
+        else (F.col("event_id") + 1)
+    keep = base.filter(F.col("event_id") % 10 != 0) if permuted else base
+    return keep.select(
+        F.concat(F.lit("t"), F.col("event_id").cast("string")).alias("term"),
+        rank.cast("long").alias("rank"))
+
+
+def _rm_ranking_sql(permuted: bool) -> str:
+    rank = "event_id * 13 % 60 + 1" if permuted else "event_id + 1"
+    extra = " AND event_id % 10 <> 0" if permuted else ""
+    return (f"SELECT 't' || event_id AS term, "
+            f"CAST({rank} AS BIGINT) AS rank "
+            f"FROM events WHERE event_id < 60{extra}")
+
+
+def q_rank_moves(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.rank_turbulence: |1/r_a − 1/r_b| per term with
+    missing terms at last-place-plus-one — the movers report."""
+    return _search.rank_turbulence(_rm_ranking(spark, sf, False),
+                                   _rm_ranking(spark, sf, True))
+
+
+def _rank_moves_sql() -> str:
+    return _search.rank_turbulence_sql(_rm_ranking_sql(False),
+                                       _rm_ranking_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# prf — per-class precision/recall/F1 of the language gate
+# ---------------------------------------------------------------------------
+
+
+def _prf_predictions(spark, sf) -> DataFrame:
+    """3-class confusion with class-dependent error patterns."""
+    ev = _events(spark, sf)
+    truth = F.col("event_id") % 5 % 3
+    err = F.col("event_id") * 17 % 11 == 0
+    pred = F.when(err, (truth + 1) % 3).otherwise(truth)
+    names = ["en", "de", "fr"]
+    return ev.select(
+        F.element_at(F.lit(names), (pred + 1).cast("int")).alias("pred"),
+        F.element_at(F.lit(names), (truth + 1).cast("int")).alias("truth"))
+
+
+_PRF_PREDICTIONS_SQL = """
+  SELECT ['en','de','fr'][CAST(
+      (CASE WHEN event_id * 17 % 11 = 0
+        THEN (event_id % 5 % 3 + 1) % 3
+        ELSE event_id % 5 % 3 END) + 1 AS INT)] AS pred,
+    ['en','de','fr'][CAST(event_id % 5 % 3 + 1 AS INT)] AS truth
+  FROM events
+"""
+
+
+def q_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.classifier_prf: per-class precision/recall/F1
+    from the confusion cells."""
+    return _corpus.classifier_prf(_prf_predictions(spark, sf))
+
+
+def _prf_sql() -> str:
+    return _corpus.classifier_prf_sql(_PRF_PREDICTIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shared_ip — co-hosting clusters per IP
+# ---------------------------------------------------------------------------
+
+
+def _si_hosting(spark, sf) -> DataFrame:
+    """IP space where low ids host many tiny parked hosts and high ids
+    are 1:1 organic hosts."""
+    ev = _events(spark, sf)
+    ip_id = F.col("event_id") % 40
+    host = F.when(ip_id < 10,
+                  F.concat(F.lit("park"),
+                           (F.col("event_id") % 200).cast("string")))\
+        .otherwise(F.concat(F.lit("org"), ip_id.cast("string")))
+    return ev.select(
+        host.alias("host"),
+        F.concat(F.lit("10.0.0."), ip_id.cast("string")).alias("ip"),
+        (F.col("event_id") % 9 + 1).cast("long").alias("n_pages"))
+
+
+_SI_HOSTING_SQL = """
+  SELECT CASE WHEN event_id % 40 < 10 THEN 'park' || (event_id % 200)
+         ELSE 'org' || (event_id % 40) END AS host,
+    '10.0.0.' || (event_id % 40) AS ip,
+    CAST(event_id % 9 + 1 AS BIGINT) AS n_pages
+  FROM events
+"""
+
+
+def q_shared_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.shared_ip_clusters: hosts-per-IP with top-host
+    share — parked farms vs CDN edges vs organic hosts."""
+    return _graph.shared_ip_clusters(_si_hosting(spark, sf))
+
+
+def _shared_ip_sql() -> str:
+    return _graph.shared_ip_clusters_sql(_SI_HOSTING_SQL)
+
+
+def queries59():
+    return {
+        "lastmod_trust": q_lastmod_trust,
+        "neyman": q_neyman,
+        "rank_moves": q_rank_moves,
+        "prf": q_prf,
+        "shared_ip": q_shared_ip,
+    }
+
+
+def oracle_sql59():
+    return {
+        "lastmod_trust": _lastmod_trust_sql(),
+        "neyman": _neyman_sql(),
+        "rank_moves": _rank_moves_sql(),
+        "prf": _prf_sql(),
+        "shared_ip": _shared_ip_sql(),
+    }

@@ -2087,3 +2087,160 @@ SELECT CAST({float(q)!r} AS DOUBLE) AS q,
 WITH d AS (SELECT arm, x FROM ({outcomes_sql}))
 {body}
 """
+
+
+def neyman_alloc(
+    strata: DataFrame,
+    total_n: int = 1000,
+    stratum_col: str = "stratum",
+    x_col: str = "x",
+) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934, public) of a fixed audit
+    budget across strata: sample n_h ∝ N_h·σ_h — big AND noisy strata
+    get the auditors. The sampling plan behind every human-eval pass
+    over a stratified corpus (by language, by source, by quality tier):
+    uniform-per-stratum wastes labels on homogeneous strata,
+    proportional wastes them on low-variance giants.
+
+    σ_h is the exact-integer-moment sample sd; shares and allocations
+    are single divides (allocation rounded to an integer, half-up in
+    both engines). Returns (stratum, n_h, sd, alloc_share, n_alloc)
+    rounded 6. Zero-variance strata get weight 0 (nothing to audit).
+
+    Scale shape: ONE groupBy(stratum) of integer moments; the weight
+    total rides a window over the (tiny) strata rows.
+    """
+    d = strata.select(F.col(stratum_col).alias("stratum"),
+                      F.col(x_col).cast("long").alias("x"))
+    per = (d.groupBy("stratum")
+           .agg(F.count("*").cast("long").alias("n_h"),
+                F.sum("x").cast("long").alias("__s"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("__s2")))
+    var_num = (F.col("n_h") * F.col("__s2")
+               - F.col("__s") * F.col("__s")).cast("double")
+    sd = F.when(F.col("n_h") > 1,
+                F.sqrt(F.greatest(var_num, F.lit(0.0))
+                       / (F.col("n_h") * (F.col("n_h") - 1))
+                       .cast("double"))).otherwise(F.lit(0.0))
+    weighted = per.withColumn("__w", F.col("n_h") * sd)
+    tot = F.sum("__w").over(Window.partitionBy())
+    share = F.when(tot > 0, F.col("__w") / tot).otherwise(F.lit(0.0))
+    return (weighted
+            .select("stratum", "n_h",
+                    F.round(sd, 6).alias("sd"),
+                    F.round(share, 6).alias("alloc_share"),
+                    F.round(share * int(total_n), 0).cast("long")
+                    .alias("n_alloc")))
+
+
+def neyman_alloc_sql(strata_sql: str, total_n: int = 1000) -> str:
+    """DuckDB mirror of :func:`neyman_alloc` over a (stratum, x)
+    SELECT."""
+    sd = ("CASE WHEN n_h > 1 THEN sqrt(greatest("
+          "CAST(n_h * s2 - s * s AS DOUBLE), 0.0)"
+          " / CAST(n_h * (n_h - 1) AS DOUBLE)) ELSE 0.0 END")
+    return f"""
+WITH per AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+    sum(CAST(x AS BIGINT)) AS s,
+    sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS s2
+  FROM ({strata_sql}) GROUP BY 1
+),
+weighted AS (
+  SELECT stratum, n_h, {sd} AS sd, n_h * ({sd}) AS w FROM per
+)
+SELECT stratum, n_h, round(sd, 6) AS sd,
+  round(CASE WHEN sum(w) OVER () > 0
+    THEN w / sum(w) OVER () ELSE 0.0 END, 6) AS alloc_share,
+  CAST(round((CASE WHEN sum(w) OVER () > 0
+    THEN w / sum(w) OVER () ELSE 0.0 END) * {int(total_n)}, 0) AS BIGINT)
+    AS n_alloc
+FROM weighted
+"""
+
+
+def classifier_prf(
+    predictions: DataFrame,
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from a (pred, truth) table — the
+    basic eval every quality/language/spam classifier in the pipeline
+    reports before its gate goes live. Complements `cohens_kappa`
+    (agreement) and `calibration_bins` (probability quality) with the
+    per-class decision quality.
+
+    tp/fp/fn come from the confusion cells via two marginal windows;
+    PRF are single divides rounded 6 (NULL on empty denominators).
+    Returns one row per class that appears in either column: (label,
+    n_pred, n_truth, tp, precision, recall, f1).
+
+    Scale shape: ONE groupBy(pred, truth) into ≤k² cells; everything
+    after is window arithmetic over those cells.
+    """
+    cells = (predictions.select(F.col(pred_col).alias("p"),
+                                F.col(truth_col).alias("t"))
+             .groupBy("p", "t").agg(F.count("*").cast("long").alias("n")))
+    wp = Window.partitionBy("p")
+    wt = Window.partitionBy("t")
+    m = (cells.withColumn("__np", F.sum("n").over(wp))
+         .withColumn("__nt", F.sum("n").over(wt)))
+    per_class = (m.filter(F.col("p") == F.col("t"))
+                 .select(F.col("p").alias("label"),
+                         F.col("__np").cast("long").alias("n_pred"),
+                         F.col("__nt").cast("long").alias("n_truth"),
+                         F.col("n").alias("tp")))
+    # classes never predicted correctly still need a row: union marginals
+    preds = (cells.groupBy(F.col("p").alias("label"))
+             .agg(F.sum("n").cast("long").alias("n_pred")))
+    truths = (cells.groupBy(F.col("t").alias("label"))
+              .agg(F.sum("n").cast("long").alias("n_truth")))
+    base = (preds.join(truths, "label", "full_outer")
+            .withColumn("n_pred", F.coalesce("n_pred", F.lit(0)))
+            .withColumn("n_truth", F.coalesce("n_truth", F.lit(0))))
+    out = (base.join(per_class.select("label", "tp"), "label", "left")
+           .withColumn("tp", F.coalesce("tp", F.lit(0))))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp").cast("double") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0,
+                 F.col("tp").cast("double") / F.col("n_truth"))
+    f1 = F.when(F.col("n_pred") + F.col("n_truth") > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_truth")))
+    return out.select("label", "n_pred", "n_truth", "tp",
+                      F.round(prec, 6).alias("precision"),
+                      F.round(rec, 6).alias("recall"),
+                      F.round(f1, 6).alias("f1"))
+
+
+def classifier_prf_sql(predictions_sql: str) -> str:
+    """DuckDB mirror of :func:`classifier_prf` over a (pred, truth)
+    SELECT."""
+    return f"""
+WITH cells AS (
+  SELECT pred AS p, truth AS t, CAST(count(*) AS BIGINT) AS n
+  FROM ({predictions_sql}) GROUP BY 1, 2
+),
+preds AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+          FROM cells GROUP BY 1),
+truths AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS n_truth
+           FROM cells GROUP BY 1),
+tps AS (SELECT p AS label, n AS tp FROM cells WHERE p = t),
+base AS (
+  SELECT coalesce(pr.label, tr.label) AS label,
+    coalesce(pr.n_pred, 0) AS n_pred,
+    coalesce(tr.n_truth, 0) AS n_truth
+  FROM preds pr FULL OUTER JOIN truths tr ON tr.label = pr.label
+)
+SELECT b.label, b.n_pred, b.n_truth,
+  CAST(coalesce(tps.tp, 0) AS BIGINT) AS tp,
+  CASE WHEN b.n_pred > 0
+    THEN round(CAST(coalesce(tps.tp, 0) AS DOUBLE) / b.n_pred, 6)
+  END AS precision,
+  CASE WHEN b.n_truth > 0
+    THEN round(CAST(coalesce(tps.tp, 0) AS DOUBLE) / b.n_truth, 6)
+  END AS recall,
+  CASE WHEN b.n_pred + b.n_truth > 0
+    THEN round(2.0 * coalesce(tps.tp, 0) / (b.n_pred + b.n_truth), 6)
+  END AS f1
+FROM base b LEFT JOIN tps ON tps.label = b.label
+"""

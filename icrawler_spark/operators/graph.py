@@ -1644,3 +1644,54 @@ s{i + 1} AS (
 SELECT node, round(hub, 6) AS hub, round(auth, 6) AS authority
 FROM s{int(n_iters)}""")
     return "".join(parts)
+
+
+def shared_ip_clusters(
+    hosting: DataFrame,
+    host_col: str = "host",
+    ip_col: str = "ip",
+    pages_col: str = "n_pages",
+) -> DataFrame:
+    """Co-hosting report per IP: how many distinct hosts share it, the
+    total page volume, and the largest single host's share. The
+    infrastructure axis of spam/mirror detection — a parked-domain farm
+    is hundreds of hosts on one IP with uniform tiny shares, a CDN edge
+    is many hosts with real volume, an organic host is alone. Also the
+    table `ip_politeness`-style rate limits consult to see what a
+    per-IP cap actually throttles.
+
+    Returns (ip, n_hosts, n_pages, top_host_share rounded 6,
+    shared = n_hosts > 1).
+
+    Scale shape: ONE groupBy(ip, host) + ONE groupBy(ip); the top share
+    is a max over the per-host subtotals in the same second pass.
+    """
+    per_host = (hosting.select(F.col(ip_col).alias("ip"),
+                               F.col(host_col).alias("host"),
+                               F.col(pages_col).cast("long").alias("p"))
+                .groupBy("ip", "host")
+                .agg(F.sum("p").alias("__hp")))
+    return (per_host.groupBy("ip")
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.sum("__hp").cast("long").alias("n_pages"),
+                 F.max("__hp").alias("__top"))
+            .select("ip", "n_hosts", "n_pages",
+                    F.round(F.col("__top").cast("double")
+                            / F.col("n_pages"), 6).alias("top_host_share"),
+                    (F.col("n_hosts") > 1).alias("shared")))
+
+
+def shared_ip_clusters_sql(hosting_sql: str) -> str:
+    """DuckDB mirror of :func:`shared_ip_clusters` over a
+    (host, ip, n_pages) SELECT."""
+    return f"""
+WITH per_host AS (
+  SELECT ip, host, sum(CAST(n_pages AS BIGINT)) AS hp
+  FROM ({hosting_sql}) GROUP BY 1, 2
+)
+SELECT ip, CAST(count(*) AS BIGINT) AS n_hosts,
+  CAST(sum(hp) AS BIGINT) AS n_pages,
+  round(CAST(max(hp) AS DOUBLE) / sum(hp), 6) AS top_host_share,
+  count(*) > 1 AS shared
+FROM per_host GROUP BY 1
+"""

@@ -1929,3 +1929,61 @@ SELECT seq, success, llr,
        ELSE 'continue' END AS decision
 FROM c
 """
+
+
+def rank_turbulence(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    term_col: str = "term",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-turbulence divergence contributions (Dodds et al. 2023,
+    public) between two term rankings — which terms MOVED between two
+    corpus snapshots or two rankers, weighted so head movement counts
+    more than tail noise: contribution = |1/r_a − 1/r_b| (the α=1
+    instance). Terms absent from one list take that list's
+    last-place-plus-one rank, so appear/disappear events rank among the
+    biggest movers instead of being dropped — the property plain
+    rank-diff lists lack.
+
+    Returns (term, rank_a, rank_b, rtd rounded 6). Sum the column for
+    the scalar divergence; sort by it for the movers report.
+
+    Scale shape: ONE full-outer equi-join on term; each side's max rank
+    is a broadcast scalar.
+    """
+    a = rank_a.select(F.col(term_col).alias("term"),
+                      F.col(rank_col).cast("long").alias("__ra"))
+    b = rank_b.select(F.col(term_col).alias("term"),
+                      F.col(rank_col).cast("long").alias("__rb"))
+    na = a.agg((F.max("__ra") + 1).alias("__na"))
+    nb = b.agg((F.max("__rb") + 1).alias("__nb"))
+    j = (a.join(b, "term", "full_outer")
+         .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+         .withColumn("rank_a", F.coalesce(F.col("__ra"), F.col("__na")))
+         .withColumn("rank_b", F.coalesce(F.col("__rb"), F.col("__nb"))))
+    rtd = F.abs(1.0 / F.col("rank_a").cast("double")
+                - 1.0 / F.col("rank_b").cast("double"))
+    return j.select("term", "rank_a", "rank_b",
+                    F.round(rtd, 6).alias("rtd"))
+
+
+def rank_turbulence_sql(rank_a_sql: str, rank_b_sql: str) -> str:
+    """DuckDB mirror of :func:`rank_turbulence` over two (term, rank)
+    SELECTs."""
+    return f"""
+WITH a AS (SELECT term, CAST(rank AS BIGINT) AS ra FROM ({rank_a_sql})),
+b AS (SELECT term, CAST(rank AS BIGINT) AS rb FROM ({rank_b_sql})),
+na AS (SELECT max(ra) + 1 AS v FROM a),
+nb AS (SELECT max(rb) + 1 AS v FROM b),
+j AS (
+  SELECT coalesce(a.term, b.term) AS term,
+    coalesce(a.ra, na.v) AS rank_a,
+    coalesce(b.rb, nb.v) AS rank_b
+  FROM a FULL OUTER JOIN b ON b.term = a.term
+  CROSS JOIN na CROSS JOIN nb
+)
+SELECT term, rank_a, rank_b,
+  round(abs(1.0 / rank_a - 1.0 / rank_b), 6) AS rtd
+FROM j
+"""

@@ -297,3 +297,80 @@ FROM j
 WHERE old_lastmod IS NULL OR new_lastmod IS NULL
    OR old_lastmod <> new_lastmod
 """
+
+
+def lastmod_trust(
+    claims: DataFrame,
+    observed: DataFrame,
+    url_col: str = "url",
+    claim_col: str = "claimed_changed",
+    actual_col: str = "actually_changed",
+) -> DataFrame:
+    """Can this host's sitemap <lastmod> be trusted? Confusion matrix of
+    the sitemap's change claims against content-hash reality (the
+    pages_latest / snapshot_cdc output): a host whose lastmod has high
+    precision AND recall earns lastmod-driven recrawl (skip unchanged
+    URLs); a host that stamps every URL daily (high recall, dead
+    precision) gets its claims ignored. Google's documented stance —
+    lastmod is used 'if consistently accurate' — made measurable.
+
+    Returns one row (n, tp, fp, fn, tn, precision, recall, f1) rounded 6;
+    PRF NULL when the denominator is empty.
+
+    Scale shape: ONE equi-join on url + ONE global agg of four
+    conditional counts.
+    """
+    c = claims.select(F.col(url_col).alias("url"),
+                      F.col(claim_col).cast("boolean").alias("__c"))
+    o = observed.select(F.col(url_col).alias("url"),
+                        F.col(actual_col).cast("boolean").alias("__a"))
+    j = c.join(o, "url")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("__c") & F.col("__a")).cast("int")).cast("long")
+        .alias("tp"),
+        F.sum((F.col("__c") & ~F.col("__a")).cast("int")).cast("long")
+        .alias("fp"),
+        F.sum((~F.col("__c") & F.col("__a")).cast("int")).cast("long")
+        .alias("fn"),
+        F.sum((~F.col("__c") & ~F.col("__a")).cast("int")).cast("long")
+        .alias("tn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp").cast("double") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp").cast("double") / (F.col("tp") + F.col("fn")))
+    f1 = F.when((2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+    return agg.select("n", "tp", "fp", "fn", "tn",
+                      F.round(prec, 6).alias("precision"),
+                      F.round(rec, 6).alias("recall"),
+                      F.round(f1, 6).alias("f1"))
+
+
+def lastmod_trust_sql(claims_sql: str, observed_sql: str) -> str:
+    """DuckDB mirror of :func:`lastmod_trust` over (url, claimed_changed)
+    and (url, actually_changed) SELECTs."""
+    return f"""
+WITH j AS (
+  SELECT CAST(c.claimed_changed AS BOOLEAN) AS c,
+         CAST(o.actually_changed AS BOOLEAN) AS a
+  FROM ({claims_sql}) c JOIN ({observed_sql}) o ON o.url = c.url
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN c AND a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN c AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT c AND a THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT c AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM j
+)
+SELECT n, tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0
+    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+  CASE WHEN tp + fn > 0
+    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+    THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM agg
+"""

@@ -1,0 +1,121 @@
+"""Unit tests for the round-59 pack: lastmod trust, Neyman allocation,
+rank turbulence, classifier PRF, shared-IP clusters."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import classifier_prf, neyman_alloc
+from icrawler_spark.operators.graph import shared_ip_clusters
+from icrawler_spark.operators.search import rank_turbulence
+from icrawler_spark.operators.sitemap import lastmod_trust
+
+
+# ---------------------------------------------------------------------------
+# lastmod_trust
+# ---------------------------------------------------------------------------
+
+def test_lastmod_confusion_counts(spark):
+    claims = spark.createDataFrame(
+        [("u1", True), ("u2", True), ("u3", False), ("u4", False)],
+        "url string, claimed_changed boolean")
+    observed = spark.createDataFrame(
+        [("u1", True), ("u2", False), ("u3", True), ("u4", False)],
+        "url string, actually_changed boolean")
+    out = lastmod_trust(claims, observed).collect()[0]
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (1, 1, 1, 1)
+    assert out["precision"] == 0.5 and out["recall"] == 0.5
+    assert out["f1"] == 0.5
+
+
+def test_lastmod_never_claims_null_precision(spark):
+    claims = spark.createDataFrame([("u1", False)],
+                                   "url string, claimed_changed boolean")
+    observed = spark.createDataFrame([("u1", True)],
+                                     "url string, actually_changed boolean")
+    out = lastmod_trust(claims, observed).collect()[0]
+    assert out["precision"] is None and out["recall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# neyman_alloc
+# ---------------------------------------------------------------------------
+
+def test_neyman_favors_big_noisy_strata(spark):
+    rows = ([("flat", 100)] * 100                        # zero variance
+            + [("noisy", v) for v in range(100)]         # big + noisy
+            + [("small", v * 3) for v in range(10)])     # small + noisy
+    df = spark.createDataFrame(rows, "stratum string, x long")
+    out = {r["stratum"]: r for r in
+           neyman_alloc(df, total_n=100).collect()}
+    assert out["flat"]["n_alloc"] == 0 and out["flat"]["sd"] == 0.0
+    assert out["noisy"]["n_alloc"] > out["small"]["n_alloc"] > 0
+    total = sum(r["n_alloc"] for r in out.values())
+    assert abs(total - 100) <= 1  # rounding slack
+
+
+# ---------------------------------------------------------------------------
+# rank_turbulence
+# ---------------------------------------------------------------------------
+
+def test_rtd_head_swap_beats_tail_swap(spark):
+    a = spark.createDataFrame([("w1", 1), ("w2", 2), ("w9", 9), ("w10", 10)],
+                              "term string, rank long")
+    b = spark.createDataFrame([("w1", 2), ("w2", 1), ("w9", 10), ("w10", 9)],
+                              "term string, rank long")
+    out = {r["term"]: r["rtd"] for r in rank_turbulence(a, b).collect()}
+    assert out["w1"] == out["w2"] > out["w9"] == out["w10"]
+
+
+def test_rtd_missing_term_gets_last_place(spark):
+    a = spark.createDataFrame([("x", 1), ("y", 2)], "term string, rank long")
+    b = spark.createDataFrame([("x", 1)], "term string, rank long")
+    out = {r["term"]: r for r in rank_turbulence(a, b).collect()}
+    # y missing from b → rank_b = max(b)+1 = 2
+    assert out["y"]["rank_b"] == 2 and out["x"]["rtd"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# classifier_prf
+# ---------------------------------------------------------------------------
+
+def test_prf_counts(spark):
+    rows = [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5 \
+        + [("b", "a")] * 5
+    df = spark.createDataFrame(rows, "pred string, truth string")
+    out = {r["label"]: r for r in classifier_prf(df).collect()}
+    assert out["a"]["tp"] == 8 and out["a"]["n_pred"] == 10
+    assert out["a"]["precision"] == 0.8
+    assert abs(out["a"]["recall"] - 8 / 13) < 1e-6
+    assert out["b"]["precision"] == 0.5
+
+
+def test_prf_class_never_predicted(spark):
+    rows = [("a", "a"), ("a", "c")]
+    df = spark.createDataFrame(rows, "pred string, truth string")
+    out = {r["label"]: r for r in classifier_prf(df).collect()}
+    assert out["c"]["n_pred"] == 0 and out["c"]["tp"] == 0
+    assert out["c"]["precision"] is None and out["c"]["recall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# shared_ip_clusters
+# ---------------------------------------------------------------------------
+
+def test_shared_ip_farm_vs_organic(spark):
+    rows = ([(f"park{i}", "1.1.1.1", 1) for i in range(20)]
+            + [("big", "2.2.2.2", 500), ("side", "2.2.2.2", 5)])
+    df = spark.createDataFrame(rows, "host string, ip string, n_pages long")
+    out = {r["ip"]: r for r in shared_ip_clusters(df).collect()}
+    farm = out["1.1.1.1"]
+    assert farm["n_hosts"] == 20 and farm["shared"]
+    assert farm["top_host_share"] == 0.05
+    org = out["2.2.2.2"]
+    assert org["n_hosts"] == 2
+    assert abs(org["top_host_share"] - 500 / 505) < 1e-6
+
+
+def test_shared_ip_dedups_host_rows(spark):
+    rows = [("h", "3.3.3.3", 2), ("h", "3.3.3.3", 3)]
+    df = spark.createDataFrame(rows, "host string, ip string, n_pages long")
+    out = shared_ip_clusters(df).collect()[0]
+    assert out["n_hosts"] == 1 and out["n_pages"] == 5
+    assert not out["shared"] and out["top_host_share"] == 1.0
