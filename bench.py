@@ -317,6 +317,10 @@ _EXTRA_PICKS = [
     "hill", "delta_se", "bloom_design", "saturation", "qte",
     # round-3 batch-53 (sitemap trust + sampling + rankings + infra)
     "lastmod_trust", "neyman", "rank_moves", "prf", "shared_ip",
+    # round-3 batch-54 (privacy + feature hygiene + capacity planning)
+    "k_anon", "hash_load", "stump", "makespan", "oov",
+    # round-3 batch-55 (rank eval + linkage + churn + journeys + theory)
+    "auc", "linkage", "tier_churn", "trigrams", "coupon",
 ]
 
 

@@ -47,7 +47,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round52, entry_round53,
                             entry_round54, entry_round55,
                             entry_round56, entry_round57,
-                            entry_round58, entry_round59)
+                            entry_round58, entry_round59,
+                            entry_round60, entry_round61)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -873,6 +874,8 @@ def queries():
         **entry_round57.queries57(),
         **entry_round58.queries58(),
         **entry_round59.queries59(),
+        **entry_round60.queries60(),
+        **entry_round61.queries61(),
     }
 
 
@@ -964,4 +967,6 @@ def oracle_sql():
         **entry_round57.oracle_sql57(),
         **entry_round58.oracle_sql58(),
         **entry_round59.oracle_sql59(),
+        **entry_round60.oracle_sql60(),
+        **entry_round61.oracle_sql61(),
     }

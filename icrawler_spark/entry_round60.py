@@ -1,0 +1,196 @@
+"""Round-3 driver-contract queries (batch 54): k-anonymity audit,
+hashing-trick collisions, Gini stump scan, crawl makespan bounds, OOV
+coverage curve.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# k_anon — release-gate audit over (host, lang) quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KA_K = 5
+
+
+def _ka_records(spark, sf) -> DataFrame:
+    """Quasi-identifiers with a long tail: host ids sqrt-bucketed so some
+    (host, lang) classes are singletons."""
+    ev = _events(spark, sf)
+    host = F.floor(F.sqrt((F.col("event_id") % 40000).cast("double")))
+    return ev.select(
+        F.concat(F.lit("h"), host.cast("long").cast("string")).alias("host"),
+        F.concat(F.lit("l"), (F.col("event_id") % 5).cast("string"))
+        .alias("lang"))
+
+
+_KA_RECORDS_SQL = """
+  SELECT 'h' || CAST(floor(sqrt(CAST(event_id % 40000 AS DOUBLE)))
+                     AS BIGINT) AS host,
+    'l' || (event_id % 5) AS lang
+  FROM events
+"""
+
+
+def q_k_anon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.k_anonymity: class-size histogram with the
+    at-risk share — the dataset-release gate."""
+    return _corpus.k_anonymity(_ka_records(spark, sf), k=_KA_K)
+
+
+def _k_anon_sql() -> str:
+    return _corpus.k_anonymity_sql(_KA_RECORDS_SQL, k=_KA_K)
+
+
+# ---------------------------------------------------------------------------
+# hash_load — md5 hashing-trick bucket loads over a 6k vocab
+# ---------------------------------------------------------------------------
+
+_HC_BITS = 10
+
+
+def _hc_vocab(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.concat(F.lit("w"), (F.col("event_id") % 6000)
+                                .cast("string")).alias("term"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+_HC_VOCAB_SQL = """
+  SELECT 'w' || (event_id % 6000) AS term,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+"""
+
+
+def q_hash_load(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.hash_collisions: bucket-load histogram + collided
+    mass for 2^10 hashed-feature buckets."""
+    return _dedup.hash_collisions(_hc_vocab(spark, sf), bits=_HC_BITS)
+
+
+def _hash_load_sql() -> str:
+    return _dedup.hash_collisions_sql(_HC_VOCAB_SQL, bits=_HC_BITS)
+
+
+# ---------------------------------------------------------------------------
+# stump — supervised single-split scan of the quality score
+# ---------------------------------------------------------------------------
+
+_GS_BINS = 32
+
+
+def _gs_scored(spark, sf) -> DataFrame:
+    """Calibrated score vs label (same construction family as the
+    calibration fixture, different constants)."""
+    ev = _events(spark, sf)
+    m = F.col("event_id") * 6101 % 1000
+    u = F.col("event_id") * 211 % 1000
+    return ev.select((m / 1000.0).alias("score"),
+                     (m > u).cast("int").alias("label"))
+
+
+_GS_SCORED_SQL = """
+  SELECT (event_id * 6101 % 1000) / CAST(1000 AS DOUBLE) AS score,
+    CASE WHEN event_id * 6101 % 1000 > event_id * 211 % 1000
+      THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+
+def q_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.gini_stump: per-cut weighted Gini impurity and
+    gain — the optimal labeled single-threshold gate."""
+    return _corpus.gini_stump(_gs_scored(spark, sf), n_bins=_GS_BINS)
+
+
+def _stump_sql() -> str:
+    return _corpus.gini_stump_sql(_GS_SCORED_SQL, n_bins=_GS_BINS)
+
+
+# ---------------------------------------------------------------------------
+# makespan — politeness-vs-work lower bounds per candidate delay
+# ---------------------------------------------------------------------------
+
+_MS_DELAYS = (500, 1000, 2000)
+_MS_SLOTS = 64
+
+
+def _ms_demands(spark, sf) -> DataFrame:
+    """Per-host page demands with one deliberately hot host (user 0)."""
+    ev = _events(spark, sf)
+    host = F.when(F.col("user_id") % 50 == 0, "hot.test") \
+        .otherwise(F.concat(F.lit("h"), (F.col("user_id") % 50)
+                            .cast("string")))
+    return ev.select(host.alias("host"),
+                     (F.col("event_id") % 5 + 1).cast("long").alias("pages"))
+
+
+_MS_DEMANDS_SQL = """
+  SELECT CASE WHEN user_id % 50 = 0 THEN 'hot.test'
+         ELSE 'h' || (user_id % 50) END AS host,
+    CAST(event_id % 5 + 1 AS BIGINT) AS pages
+  FROM events
+"""
+
+
+def q_makespan(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.makespan_plan: max(hottest×delay, work/slots)
+    lower bounds per candidate crawl delay."""
+    return _politeness.makespan_plan(_ms_demands(spark, sf),
+                                     delays_ms=_MS_DELAYS,
+                                     n_slots=_MS_SLOTS)
+
+
+def _makespan_sql() -> str:
+    return _politeness.makespan_plan_sql(_MS_DEMANDS_SQL,
+                                         delays_ms=_MS_DELAYS,
+                                         n_slots=_MS_SLOTS)
+
+
+# ---------------------------------------------------------------------------
+# oov — vocabulary coverage curve over the documents corpus
+# ---------------------------------------------------------------------------
+
+_OOV_SIZES = (5, 10, 20, 50)
+
+
+def q_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.oov_curve: token coverage of the top-V vocabulary
+    at each candidate size."""
+    return _corpus.oov_curve(_docs(spark, sf), vocab_sizes=_OOV_SIZES)
+
+
+def _oov_sql() -> str:
+    return _corpus.oov_curve_sql("SELECT text FROM documents",
+                                 vocab_sizes=_OOV_SIZES)
+
+
+def queries60():
+    return {
+        "k_anon": q_k_anon,
+        "hash_load": q_hash_load,
+        "stump": q_stump,
+        "makespan": q_makespan,
+        "oov": q_oov,
+    }
+
+
+def oracle_sql60():
+    return {
+        "k_anon": _k_anon_sql(),
+        "hash_load": _hash_load_sql(),
+        "stump": _stump_sql(),
+        "makespan": _makespan_sql(),
+        "oov": _oov_sql(),
+    }

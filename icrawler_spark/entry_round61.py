@@ -1,0 +1,210 @@
+"""Round-3 driver-contract queries (batch 55): exact AUC, probabilistic
+record linkage, tier-churn matrix, event path trigrams, coupon-collector
+design table.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# auc — exact rank AUC of the quality score
+# ---------------------------------------------------------------------------
+
+
+def _auc_scored(spark, sf) -> DataFrame:
+    """Score separates the classes imperfectly (label flips on an ~9%
+    noise band) and takes only 97 distinct values so ties exercise the
+    average-rank path."""
+    ev = _events(spark, sf)
+    m = F.col("event_id") * 4241 % 97
+    noisy = F.col("event_id") * 13 % 11 == 0
+    label = (m > 48) != noisy
+    return ev.select((m / F.lit(97.0)).alias("score"),
+                     label.cast("int").alias("label"))
+
+
+_AUC_SCORED_SQL = """
+  SELECT (event_id * 4241 % 97) / CAST(97 AS DOUBLE) AS score,
+    CASE WHEN (event_id * 4241 % 97 > 48) <> (event_id * 13 % 11 = 0)
+      THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+
+def q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.auc_rank: Mann-Whitney AUC with tie-averaged
+    ranks from exact integer rank sums."""
+    return _corpus.auc_rank(_auc_scored(spark, sf))
+
+
+def _auc_sql() -> str:
+    return _corpus.auc_rank_sql(_AUC_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# linkage — Fellegi-Sunter over blocked crawl records
+# ---------------------------------------------------------------------------
+
+
+def _rl_records(spark, sf, side: int) -> DataFrame:
+    """Two record sets over a shared block key; the right side perturbs
+    title/year on deterministic bands so scores spread across the
+    link/possible/non-link cuts."""
+    ev = _events(spark, sf)
+    base = ev.filter(F.col("event_id") < 600)
+    rid = F.col("event_id") * 2 + side
+    block = (F.col("event_id") % 60).cast("string")
+    title = F.concat(F.lit("doc"), (F.col("event_id") % 80).cast("string"),
+                     F.when((side == 1) & (F.col("event_id") % 7 == 0),
+                            F.lit("_v2")).otherwise(F.lit("")))
+    host = F.concat(F.lit("h"), (F.col("event_id") % 12).cast("string"))
+    year = (F.lit(2020) + F.col("event_id") % 4
+            + F.when((side == 1) & (F.col("event_id") % 5 == 0), 1)
+            .otherwise(0))
+    return base.select(rid.cast("long").alias("rec_id"),
+                       block.alias("block"), title.alias("title"),
+                       host.alias("host"), year.cast("long").alias("year"))
+
+
+def _rl_records_sql(side: int) -> str:
+    t_extra = (" || CASE WHEN event_id % 7 = 0 THEN '_v2' ELSE '' END"
+               if side == 1 else "")
+    y_extra = (" + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END"
+               if side == 1 else "")
+    return (f"SELECT CAST(event_id * 2 + {side} AS BIGINT) AS rec_id, "
+            f"CAST(event_id % 60 AS VARCHAR) AS block, "
+            f"'doc' || (event_id % 80){t_extra} AS title, "
+            f"'h' || (event_id % 12) AS host, "
+            f"CAST(2020 + event_id % 4{y_extra} AS BIGINT) AS year "
+            f"FROM events WHERE event_id < 600")
+
+
+def q_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.record_linkage: blocked field-agreement log-odds
+    with link/possible/non-link thresholds."""
+    return _dedup.record_linkage(_rl_records(spark, sf, 0),
+                                 _rl_records(spark, sf, 1))
+
+
+def _linkage_sql() -> str:
+    return _dedup.record_linkage_sql(_rl_records_sql(0), _rl_records_sql(1))
+
+
+# ---------------------------------------------------------------------------
+# tier_churn — quality-tier transition matrix between snapshots
+# ---------------------------------------------------------------------------
+
+
+def _tc_tiers(spark, sf, snap: int) -> DataFrame:
+    """Host tiers; snapshot 1 promotes/demotes a deterministic band and
+    drops every 17th host (absence path)."""
+    ev = _events(spark, sf)
+    host_id = F.col("event_id") % 300
+    base_tier = host_id % 3
+    tier = base_tier if snap == 0 else \
+        F.when(host_id % 13 == 0, (base_tier + 1) % 3).otherwise(base_tier)
+    d = ev.select(F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+                  F.concat(F.lit("tier"), tier.cast("string")).alias("tier"))
+    if snap == 1:
+        d = d.filter(host_id % 17 != 0)
+    return d.distinct()
+
+
+def _tc_tiers_sql(snap: int) -> str:
+    tier = ("event_id % 300 % 3" if snap == 0 else
+            "CASE WHEN event_id % 300 % 13 = 0 "
+            "THEN (event_id % 300 % 3 + 1) % 3 ELSE event_id % 300 % 3 END")
+    extra = " AND event_id % 300 % 17 <> 0" if snap == 1 else ""
+    return (f"SELECT DISTINCT 'h' || (event_id % 300) AS host, "
+            f"'tier' || ({tier}) AS tier FROM events WHERE TRUE{extra}")
+
+
+def q_tier_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.tier_transitions: (old, new) tier counts with
+    row shares; absent hosts transition to '__absent__'."""
+    return _sessions.tier_transitions(_tc_tiers(spark, sf, 0),
+                                      _tc_tiers(spark, sf, 1))
+
+
+def _tier_churn_sql() -> str:
+    return _sessions.tier_transitions_sql(_tc_tiers_sql(0), _tc_tiers_sql(1))
+
+
+# ---------------------------------------------------------------------------
+# trigrams — frequent 3-step event paths
+# ---------------------------------------------------------------------------
+
+
+def _pt_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("ts_s"))
+
+
+_PT_EVENTS_SQL = """
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ts_s FROM events
+"""
+
+
+def q_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.path_trigrams: 3-step path counts over the
+    per-user stream — the converting-vs-looping journey separator."""
+    return _sessions.path_trigrams(_pt_events(spark, sf))
+
+
+def _trigrams_sql() -> str:
+    return _sessions.path_trigrams_sql(_PT_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# coupon — uniform-draw discovery expectation table
+# ---------------------------------------------------------------------------
+
+_CP_UNIVERSE = 3000
+_CP_DRAWS = (1000, 3000, 10000, 30000)
+
+
+def q_coupon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.coupon_design: E[unique] and marginal
+    new-share per draw count — the theory column beside the measured
+    saturation curve."""
+    return _politeness.coupon_design(spark, universe=_CP_UNIVERSE,
+                                     draws=_CP_DRAWS)
+
+
+def _coupon_sql() -> str:
+    return _politeness.coupon_design_sql(universe=_CP_UNIVERSE,
+                                         draws=_CP_DRAWS)
+
+
+def queries61():
+    return {
+        "auc": q_auc,
+        "linkage": q_linkage,
+        "tier_churn": q_tier_churn,
+        "trigrams": q_trigrams,
+        "coupon": q_coupon,
+    }
+
+
+def oracle_sql61():
+    return {
+        "auc": _auc_sql(),
+        "linkage": _linkage_sql(),
+        "tier_churn": _tier_churn_sql(),
+        "trigrams": _trigrams_sql(),
+        "coupon": _coupon_sql(),
+    }

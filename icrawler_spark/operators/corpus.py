@@ -2244,3 +2244,325 @@ SELECT b.label, b.n_pred, b.n_truth,
   END AS f1
 FROM base b LEFT JOIN tps ON tps.label = b.label
 """
+
+
+def k_anonymity(
+    records: DataFrame,
+    quasi_cols=("host", "lang"),
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public) before publishing a
+    crawl-derived dataset: group rows by the quasi-identifier columns and
+    measure how much of the corpus sits in equivalence classes smaller
+    than k — the rows a linkage attack can single out. The release gate
+    is the `at_risk_share` row, the per-size histogram shows how far the
+    generalization has to coarsen to pass.
+
+    Returns one row per class-size bucket: (class_size, n_classes,
+    n_rows, at_risk = class_size < k, share rounded 6).
+
+    Scale shape: ONE groupBy(quasi cols) + ONE groupBy(class size) over
+    the class-size table; the total rides a window over those rows.
+    """
+    classes = (records.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.count("*").cast("long").alias("__sz")))
+    per = (classes.groupBy(F.col("__sz").alias("class_size"))
+           .agg(F.count("*").cast("long").alias("n_classes")))
+    tot = Window.partitionBy()
+    return (per.withColumn("n_rows",
+                           (F.col("class_size") * F.col("n_classes"))
+                           .cast("long"))
+            .withColumn("at_risk", F.col("class_size") < int(k))
+            .withColumn("share",
+                        F.round(F.col("n_rows")
+                                / F.sum("n_rows").over(tot)
+                                .cast("double"), 6))
+            .select("class_size", "n_classes", "n_rows", "at_risk",
+                    "share"))
+
+
+def k_anonymity_sql(records_sql: str, quasi_cols=("host", "lang"),
+                    k: int = 5) -> str:
+    """DuckDB mirror of :func:`k_anonymity` over a records SELECT."""
+    cols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+  SELECT CAST(count(*) AS BIGINT) AS sz
+  FROM ({records_sql}) GROUP BY {cols}
+),
+per AS (
+  SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes
+  FROM classes GROUP BY 1
+)
+SELECT class_size, n_classes,
+  CAST(class_size * n_classes AS BIGINT) AS n_rows,
+  class_size < {int(k)} AS at_risk,
+  round(class_size * n_classes
+        / CAST(sum(class_size * n_classes) OVER () AS DOUBLE), 6) AS share
+FROM per
+"""
+
+
+def gini_stump(
+    scored: DataFrame,
+    n_bins: int = 32,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Decision-stump scan with Gini impurity (CART's split criterion,
+    Breiman et al. 1984 — public) over a binned score vs a binary label:
+    for every candidate cut, the weighted child impurity and the gain
+    vs the root. The supervised sibling of `otsu` (which needs no
+    labels): when a labeled sample EXISTS, the argmax-gain row is the
+    optimal single-threshold quality gate, and a near-zero best gain
+    says the score simply doesn't separate the classes.
+
+    All counts are exact integers via two cumulative windows over ≤n_bins
+    rows; impurities are single divides rounded 6. Returns (cut_bin,
+    threshold, n_left, n_right, gini_split, gain).
+
+    Scale shape: ONE groupBy(bin) with two conditional counts; window
+    arithmetic over the tiny bin table after that.
+    """
+    b = F.least(F.floor(F.col(score_col) * int(n_bins)).cast("long"),
+                F.lit(int(n_bins) - 1))
+    hist = (scored.select(b.alias("bin"),
+                          F.col(label_col).cast("int").alias("__y"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("__y").cast("long").alias("pos")))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy()
+    cum = (hist.withColumn("__cn", F.sum("n").over(w))
+           .withColumn("__cp", F.sum("pos").over(w))
+           .withColumn("__tn", F.sum("n").over(tot))
+           .withColumn("__tp", F.sum("pos").over(tot)))
+    nl = F.col("__cn").cast("double")
+    nr = (F.col("__tn") - F.col("__cn")).cast("double")
+    pl = F.col("__cp").cast("double") / nl
+    pr = (F.col("__tp") - F.col("__cp")).cast("double") / nr
+    gl = 2.0 * pl * (1.0 - pl)
+    gr = 2.0 * pr * (1.0 - pr)
+    split = (nl * gl + nr * gr) / F.col("__tn")
+    proot = F.col("__tp").cast("double") / F.col("__tn")
+    root = 2.0 * proot * (1.0 - proot)
+    valid = (F.col("__cn") > 0) & (F.col("__tn") > F.col("__cn"))
+    return cum.select(
+        F.col("bin").alias("cut_bin"),
+        F.round((F.col("bin") + 1).cast("double") / int(n_bins), 6)
+        .alias("threshold"),
+        F.col("__cn").cast("long").alias("n_left"),
+        (F.col("__tn") - F.col("__cn")).cast("long").alias("n_right"),
+        F.round(F.when(valid, split), 6).alias("gini_split"),
+        F.round(F.when(valid, root - split), 6).alias("gain"))
+
+
+def gini_stump_sql(scored_sql: str, n_bins: int = 32) -> str:
+    """DuckDB mirror of :func:`gini_stump` over a (score, label)
+    SELECT."""
+    n = int(n_bins)
+    return f"""
+WITH hist AS (
+  SELECT least(CAST(floor(score * {n}) AS BIGINT), {n - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CAST(label AS INT)) AS BIGINT) AS pos
+  FROM ({scored_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+    sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp,
+    sum(cnt) OVER () AS tn, sum(pos) OVER () AS tp
+  FROM hist
+)
+SELECT bin AS cut_bin,
+  round(CAST(bin + 1 AS DOUBLE) / {n}, 6) AS threshold,
+  CAST(cn AS BIGINT) AS n_left,
+  CAST(tn - cn AS BIGINT) AS n_right,
+  round(CASE WHEN cn > 0 AND tn > cn THEN
+    (CAST(cn AS DOUBLE) * (2.0 * (CAST(cp AS DOUBLE) / cn)
+                           * (1.0 - CAST(cp AS DOUBLE) / cn))
+     + CAST(tn - cn AS DOUBLE) * (2.0 * (CAST(tp - cp AS DOUBLE) / (tn - cn))
+                                  * (1.0 - CAST(tp - cp AS DOUBLE)
+                                     / (tn - cn))))
+    / tn END, 6) AS gini_split,
+  round(CASE WHEN cn > 0 AND tn > cn THEN
+    2.0 * (CAST(tp AS DOUBLE) / tn) * (1.0 - CAST(tp AS DOUBLE) / tn)
+    - (CAST(cn AS DOUBLE) * (2.0 * (CAST(cp AS DOUBLE) / cn)
+                             * (1.0 - CAST(cp AS DOUBLE) / cn))
+       + CAST(tn - cn AS DOUBLE)
+         * (2.0 * (CAST(tp - cp AS DOUBLE) / (tn - cn))
+            * (1.0 - CAST(tp - cp AS DOUBLE) / (tn - cn))))
+      / tn END, 6) AS gain
+FROM cum
+"""
+
+
+def oov_curve(
+    docs: DataFrame,
+    vocab_sizes=(100, 500, 1000, 5000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary curve: token coverage of the frequency-top-V
+    vocabulary for each candidate size V — the table that sizes a
+    tokenizer/hash-feature vocabulary for THIS corpus instead of
+    folklore defaults. `vocab_growth` tracks Heaps' law over documents;
+    this is the dual: for a fixed corpus, how fast coverage saturates
+    in V (the OOV rate is 1 − coverage).
+
+    Terms tie-break by term text at equal frequency so the top-V set is
+    deterministic. Returns (vocab_size, n_terms_total, covered_tokens,
+    total_tokens, coverage rounded 6).
+
+    Scale shape: token explode + ONE groupBy(term), a frequency-ordered
+    rank window over the vocab table, then ONE pass computing every
+    cutoff's cumulative coverage (literal comparisons, no re-scan).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    terms = (docs.select(F.explode(tokens_col(F.col(text_col)))
+                         .alias("term"))
+             .filter(F.length("term") >= 1)
+             .groupBy("term").agg(F.count("*").cast("long").alias("n")))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    tot = Window.partitionBy()
+    ranked = (terms.withColumn("__r", F.row_number().over(w))
+              .withColumn("__tt", F.sum("n").over(tot))
+              .withColumn("__nt", F.count("*").over(tot)))
+    aggs = [F.max("__tt").alias("total_tokens"),
+            F.max("__nt").alias("n_terms_total")]
+    for v in vocab_sizes:
+        aggs.append(F.sum(F.when(F.col("__r") <= int(v), F.col("n"))
+                          .otherwise(0)).cast("long").alias(f"__c{int(v)}"))
+    one = ranked.agg(*aggs)
+    rows = []
+    for v in vocab_sizes:
+        rows.append(one.select(
+            F.lit(int(v)).cast("long").alias("vocab_size"),
+            F.col("n_terms_total").cast("long").alias("n_terms_total"),
+            F.col(f"__c{int(v)}").alias("covered_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(F.col(f"__c{int(v)}")
+                    / F.col("total_tokens").cast("double"), 6)
+            .alias("coverage")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def oov_curve_sql(docs_sql: str, vocab_sizes=(100, 500, 1000, 5000)) -> str:
+    """DuckDB mirror of :func:`oov_curve` over a (text) SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    legs = []
+    for v in vocab_sizes:
+        legs.append(f"""
+SELECT CAST({int(v)} AS BIGINT) AS vocab_size,
+  CAST(max(nt) AS BIGINT) AS n_terms_total,
+  CAST(sum(CASE WHEN r <= {int(v)} THEN n ELSE 0 END) AS BIGINT)
+    AS covered_tokens,
+  CAST(max(tt) AS BIGINT) AS total_tokens,
+  round(sum(CASE WHEN r <= {int(v)} THEN n ELSE 0 END)
+        / CAST(max(tt) AS DOUBLE), 6) AS coverage
+FROM ranked""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH terms AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split({norm}, ' ')) AS term FROM ({docs_sql})
+  ) WHERE length(term) >= 1 GROUP BY 1
+),
+ranked AS (
+  SELECT term, n,
+    row_number() OVER (ORDER BY n DESC, term ASC) AS r,
+    sum(n) OVER () AS tt, count(*) OVER () AS nt
+  FROM terms
+)
+{body}
+"""
+
+
+def auc_rank(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity (public):
+    AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with ties handled by average
+    ranks — the threshold-free quality-classifier eval that `stump`
+    (one cut) and `calibration_bins` (probability quality) don't give.
+    Also reports the normal-approximation z against AUC = 0.5 (the
+    Mann-Whitney test, tie-corrected denominator omitted — documented:
+    z is the untied approximation).
+
+    Average ranks come from an ordered window over DISTINCT scores with
+    integer rank sums (exact rationals: rank_sum stays a sum of
+    (lo+hi)/2 halves → compute 2·ranksum as an integer). Returns one row
+    (n_pos, n_neg, auc rounded 6, z rounded 4).
+
+    Scale shape: ONE groupBy(score) + one ordered window over the
+    distinct-score table + ONE global agg.
+    """
+    d = scored.select(F.col(score_col).cast("double").alias("s"),
+                      F.col(label_col).cast("int").alias("y"))
+    per = (d.groupBy("s")
+           .agg(F.count("*").cast("long").alias("c"),
+                F.sum("y").cast("long").alias("p")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.withColumn("__hi", F.sum("c").over(w))
+    # avg rank of a tie group = (lo + hi)/2 = (hi - c + 1 + hi)/2
+    # 2·ranksum⁺ = Σ p·(2·hi − c + 1)  — exact integers
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("__hi") - F.col("c") + 1))
+        .cast("long").alias("__r2"))
+    u2 = (F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+    auc = u2.cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    mu2 = F.col("n_pos") * F.col("n_neg")  # 2·U mean = n+·n−
+    sd2 = F.sqrt((F.col("n_pos") * F.col("n_neg")
+                  * (F.col("n_pos") + F.col("n_neg") + 1) / 3.0)
+                 .cast("double"))
+    z = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (sd2 > 0),
+               F.round((u2 - mu2).cast("double") / sd2, 4))
+    return agg.select(
+        "n_pos", "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(auc, 6)).alias("auc"),
+        z.alias("z"))
+
+
+def auc_rank_sql(scored_sql: str) -> str:
+    """DuckDB mirror of :func:`auc_rank` over a (score, label) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(score AS DOUBLE) AS s,
+    CAST(count(*) AS BIGINT) AS c,
+    CAST(sum(CAST(label AS INT)) AS BIGINT) AS p
+  FROM ({scored_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT s, c, p,
+    sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS hi
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+    CAST(sum(p * (2 * hi - c + 1)) AS BIGINT) AS r2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+          / (2.0 * n_pos * n_neg), 6) END AS auc,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+        AND n_pos * n_neg * (n_pos + n_neg + 1) > 0 THEN
+    round(CAST(r2 - n_pos * (n_pos + 1) - n_pos * n_neg AS DOUBLE)
+          / sqrt(CAST(n_pos * n_neg * (n_pos + n_neg + 1) AS DOUBLE)
+                 / 3.0), 4) END AS z
+FROM agg
+"""

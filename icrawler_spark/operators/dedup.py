@@ -449,3 +449,147 @@ SELECT bits_per_key, k, fp, k_optimal,
   fp = min(fp) OVER (PARTITION BY bits_per_key) AS is_best_k
 FROM d
 """
+
+
+def hash_collisions(
+    vocab: DataFrame,
+    bits: int = 12,
+    term_col: str = "term",
+    weight_col: str = "n",
+) -> DataFrame:
+    """Hashing-trick collision audit for md5-bucketed features (the
+    hashed unigrams `dsir_weights` and hashed feature vectors ride on):
+    map the vocabulary into 2^bits buckets and report, per bucket-load
+    size, how many buckets and how much token MASS landed there — plus
+    the birthday-bound expectation E[singletons] ≈ V·e^(−(V−1)/B) each
+    row can be compared against. High collided mass says the feature
+    space is too small for THIS vocabulary, before the model quietly
+    blends 'medical' with 'casino'.
+
+    Bucket = first-8-hex md5 int mod 2^bits (the engine-shared hash).
+    Returns (load, n_buckets, n_terms, mass, mass_share rounded 6).
+
+    Scale shape: ONE groupBy(bucket) + ONE groupBy(load) over the bucket
+    table; the totals ride windows over those rows.
+    """
+    b = 1 << int(bits)
+    bucket = _md5_int(F.col(term_col), 1, 8) % b
+    per_bucket = (vocab.select(bucket.alias("__b"),
+                               F.col(weight_col).cast("long").alias("__n"))
+                  .groupBy("__b")
+                  .agg(F.count("*").cast("long").alias("__load"),
+                       F.sum("__n").cast("long").alias("__mass")))
+    from pyspark.sql import Window
+
+    per_load = (per_bucket.groupBy(F.col("__load").alias("load"))
+                .agg(F.count("*").cast("long").alias("n_buckets"),
+                     F.sum("__load").cast("long").alias("n_terms"),
+                     F.sum("__mass").cast("long").alias("mass")))
+    tot = Window.partitionBy()
+    return (per_load.withColumn(
+        "mass_share",
+        F.round(F.col("mass") / F.sum("mass").over(tot).cast("double"), 6))
+        .select("load", "n_buckets", "n_terms", "mass", "mass_share"))
+
+
+def hash_collisions_sql(vocab_sql: str, bits: int = 12) -> str:
+    """DuckDB mirror of :func:`hash_collisions` over a (term, n)
+    SELECT."""
+    b = 1 << int(bits)
+    h = md5_int_sql("term", 1, 8)
+    return f"""
+WITH per_bucket AS (
+  SELECT ({h}) % {b} AS bucket,
+    CAST(count(*) AS BIGINT) AS load,
+    sum(CAST(n AS BIGINT)) AS mass
+  FROM ({vocab_sql}) GROUP BY 1
+),
+per_load AS (
+  SELECT load, CAST(count(*) AS BIGINT) AS n_buckets,
+    CAST(sum(load) AS BIGINT) AS n_terms,
+    CAST(sum(mass) AS BIGINT) AS mass
+  FROM per_bucket GROUP BY 1
+)
+SELECT load, n_buckets, n_terms, mass,
+  round(mass / CAST(sum(mass) OVER () AS DOUBLE), 6) AS mass_share
+FROM per_load
+"""
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    field_weights=(("title", 2.0, -0.5), ("host", 1.5, -0.3),
+                   ("year", 1.0, -0.2)),
+    block_col: str = "block",
+    id_col: str = "rec_id",
+    upper: float = 2.5,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969, public) over
+    blocked candidate pairs: each field agreement adds its log-odds
+    match weight, each disagreement its (negative) non-match weight; the
+    summed score classifies link / possible / non-link against the two
+    thresholds. The metadata-dedup complement of the text near-dup
+    family — two crawl records of the same document with different URLs
+    link on (title, host, year) agreement long before any content hash
+    matches.
+
+    ``field_weights`` is (column, agree_weight, disagree_weight) —
+    weights are literals (precomputed ln(m/u); both engines consume the
+    same doubles). NULL fields score 0 (no evidence). Returns
+    (left_id, right_id, score rounded 6, decision).
+
+    Scale shape: ONE equi-join on the block key (never a cross join —
+    blocking IS the scale knob), then pure projection arithmetic.
+    """
+    l = left.select(F.col(id_col).alias("left_id"),
+                    F.col(block_col).alias("block"),
+                    *[F.col(c).alias(f"__l_{c}") for c, _, _ in
+                      field_weights])
+    r = right.select(F.col(id_col).alias("right_id"),
+                     F.col(block_col).alias("block"),
+                     *[F.col(c).alias(f"__r_{c}") for c, _, _ in
+                       field_weights])
+    j = l.join(r, "block").filter(F.col("left_id") != F.col("right_id"))
+    score = F.lit(0.0)
+    for c, agree, disagree in field_weights:
+        lc, rc = F.col(f"__l_{c}"), F.col(f"__r_{c}")
+        score = score + (F.when(lc.isNull() | rc.isNull(), 0.0)
+                         .when(lc == rc, float(agree))
+                         .otherwise(float(disagree)))
+    decision = (F.when(score >= float(upper), "link")
+                .when(score > float(lower), "possible")
+                .otherwise("non_link"))
+    return j.select("left_id", "right_id",
+                    F.round(score, 6).alias("score"),
+                    decision.alias("decision"))
+
+
+def record_linkage_sql(left_sql: str, right_sql: str,
+                       field_weights=(("title", 2.0, -0.5),
+                                      ("host", 1.5, -0.3),
+                                      ("year", 1.0, -0.2)),
+                       upper: float = 2.5, lower: float = 0.0) -> str:
+    """DuckDB mirror of :func:`record_linkage` over two
+    (rec_id, block, field...) SELECTs."""
+    terms = []
+    for c, agree, disagree in field_weights:
+        terms.append(
+            f"CASE WHEN l.{c} IS NULL OR r.{c} IS NULL THEN 0.0 "
+            f"WHEN l.{c} = r.{c} THEN CAST({float(agree)!r} AS DOUBLE) "
+            f"ELSE CAST({float(disagree)!r} AS DOUBLE) END")
+    score = " + ".join(terms)
+    return f"""
+WITH j AS (
+  SELECT l.rec_id AS left_id, r.rec_id AS right_id,
+    {score} AS score
+  FROM ({left_sql}) l JOIN ({right_sql}) r ON r.block = l.block
+  WHERE l.rec_id <> r.rec_id
+)
+SELECT left_id, right_id, round(score, 6) AS score,
+  CASE WHEN score >= {float(upper)!r} THEN 'link'
+       WHEN score > {float(lower)!r} THEN 'possible'
+       ELSE 'non_link' END AS decision
+FROM j
+"""

@@ -1585,3 +1585,133 @@ SELECT bucket, n_fetches, n_new,
        AS BIGINT) AS cum_new
 FROM per
 """
+
+
+def makespan_plan(
+    demands: DataFrame,
+    delays_ms=(500, 1000, 2000),
+    n_slots: int = 64,
+    host_col: str = "host",
+    pages_col: str = "pages",
+) -> DataFrame:
+    """Crawl-makespan lower bounds per candidate crawl-delay: with
+    per-host serialization (politeness) and S parallel fetch slots, the
+    wall-clock floor is max(hottest host × delay, total work / S) — the
+    two-sided bound from scheduling theory (LPT/Graham). The capacity
+    answer to 'what if we halve the delay': if the hottest-host term
+    dominates, faster hardware buys NOTHING — only more hosts or a
+    politeness renegotiation moves the finish line.
+
+    All arithmetic is exact integer milliseconds. Returns one row per
+    delay: (delay_ms, total_pages, hottest_host_pages, bound_polite_ms,
+    bound_work_ms, makespan_lb_ms, politeness_bound = which side binds).
+
+    Scale shape: ONE groupBy(host) + ONE global agg; the delay sweep is
+    literal arithmetic over that single row.
+    """
+    per = (demands.select(F.col(host_col).alias("host"),
+                          F.col(pages_col).cast("long").alias("p"))
+           .groupBy("host").agg(F.sum("p").alias("__hp")))
+    one = per.agg(F.sum("__hp").cast("long").alias("total_pages"),
+                  F.max("__hp").cast("long").alias("hottest_host_pages"))
+    rows = []
+    for d in delays_ms:
+        polite = F.col("hottest_host_pages") * int(d)
+        work = F.ceil(F.col("total_pages") * int(d)
+                      / F.lit(int(n_slots))).cast("long")
+        rows.append(one.select(
+            F.lit(int(d)).cast("long").alias("delay_ms"),
+            "total_pages", "hottest_host_pages",
+            polite.cast("long").alias("bound_polite_ms"),
+            work.alias("bound_work_ms"),
+            F.greatest(polite.cast("long"), work).alias("makespan_lb_ms"),
+            (polite >= work).alias("politeness_bound")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def makespan_plan_sql(demands_sql: str, delays_ms=(500, 1000, 2000),
+                      n_slots: int = 64) -> str:
+    """DuckDB mirror of :func:`makespan_plan` over a (host, pages)
+    SELECT."""
+    legs = []
+    for d in delays_ms:
+        legs.append(f"""
+SELECT CAST({int(d)} AS BIGINT) AS delay_ms, total_pages,
+  hottest_host_pages,
+  CAST(hottest_host_pages * {int(d)} AS BIGINT) AS bound_polite_ms,
+  CAST(ceil(total_pages * {int(d)} / CAST({int(n_slots)} AS DOUBLE))
+       AS BIGINT) AS bound_work_ms,
+  greatest(CAST(hottest_host_pages * {int(d)} AS BIGINT),
+           CAST(ceil(total_pages * {int(d)}
+                     / CAST({int(n_slots)} AS DOUBLE)) AS BIGINT))
+    AS makespan_lb_ms,
+  hottest_host_pages * {int(d)}
+    >= ceil(total_pages * {int(d)} / CAST({int(n_slots)} AS DOUBLE))
+    AS politeness_bound
+FROM one""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH per AS (
+  SELECT host, sum(CAST(pages AS BIGINT)) AS hp
+  FROM ({demands_sql}) GROUP BY 1
+),
+one AS (
+  SELECT CAST(sum(hp) AS BIGINT) AS total_pages,
+    CAST(max(hp) AS BIGINT) AS hottest_host_pages
+  FROM per
+)
+{body}
+"""
+
+
+def coupon_design(
+    spark,
+    universe: int = 100000,
+    draws=(10000, 50000, 100000, 200000, 500000),
+) -> "DataFrame":
+    """Coupon-collector design table: expected distinct URLs after n
+    uniform draws from a universe of N — E[unique] = N·(1−(1−1/N)^n) —
+    and the marginal new-URL probability (1−1/N)^n at that point. The
+    THEORY column to put beside `discovery_saturation`'s measured curve:
+    a crawl whose new-share decays FASTER than the uniform-draw
+    expectation is trapped in a hub cluster, slower means the frontier
+    is still opening fresh territory.
+
+    Pure literal arithmetic; pow runs in-engine on identical doubles.
+    Returns (n_draws, expected_unique rounded 2, expected_new_share
+    rounded 6, coverage rounded 6).
+
+    Scale shape: driver-size table, joins nothing.
+    """
+    rows = [(int(n),) for n in draws]
+    df = spark.createDataFrame(rows, "n_draws long")
+    base = 1.0 - 1.0 / float(int(universe))
+    survive = F.pow(F.lit(base), F.col("n_draws").cast("double"))
+    uniq = float(int(universe)) * (1.0 - survive)
+    return df.select(
+        "n_draws",
+        F.round(uniq, 2).alias("expected_unique"),
+        F.round(survive, 6).alias("expected_new_share"),
+        F.round(uniq / float(int(universe)), 6).alias("coverage"))
+
+
+def coupon_design_sql(universe: int = 100000,
+                      draws=(10000, 50000, 100000, 200000, 500000)) -> str:
+    """DuckDB mirror of :func:`coupon_design` — same literal draw grid,
+    pow engine-side."""
+    n = float(int(universe))
+    base = 1.0 - 1.0 / n
+    vals = ", ".join(f"({int(d)})" for d in draws)
+    return f"""
+SELECT n_draws,
+  round({n!r} * (1.0 - pow({base!r}, CAST(n_draws AS DOUBLE))), 2)
+    AS expected_unique,
+  round(pow({base!r}, CAST(n_draws AS DOUBLE)), 6)
+    AS expected_new_share,
+  round({n!r} * (1.0 - pow({base!r}, CAST(n_draws AS DOUBLE))) / {n!r}, 6)
+    AS coverage
+FROM (VALUES {vals}) AS t(n_draws)
+"""

@@ -711,3 +711,126 @@ SELECT 'seasonal' AS model, n,
   CASE WHEN e1 > 0 THEN round(CAST(es AS DOUBLE) / e1, 6) END AS mase
 FROM agg
 """
+
+
+def tier_transitions(
+    old_tiers: DataFrame,
+    new_tiers: DataFrame,
+    key_col: str = "host",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Tier-churn matrix between two ranking/quality snapshots: counts
+    per (old tier, new tier) plus the share of the old tier that moved
+    there — the stability report for any tiered system (ccnet quality
+    buckets, index tiers, crawl priorities). A healthy re-rank keeps the
+    diagonal heavy; a noisy scorer churns mass across rows, and every
+    off-diagonal point is reprocessing cost.
+
+    Keys missing from one snapshot transition to/from the literal tier
+    '__absent__' so appearing/disappearing hosts are counted, not
+    dropped. Returns (old_tier, new_tier, n, row_share rounded 6).
+
+    Scale shape: ONE full-outer equi-join on the key + ONE groupBy(old,
+    new) into ≤(k+1)² cells; row totals via a window over those cells.
+    """
+    o = old_tiers.select(F.col(key_col).alias("k"),
+                         F.col(tier_col).alias("__o"))
+    n = new_tiers.select(F.col(key_col).alias("k"),
+                         F.col(tier_col).alias("__n"))
+    j = (o.join(n, "k", "full_outer")
+         .select(F.coalesce(F.col("__o"), F.lit("__absent__"))
+                 .alias("old_tier"),
+                 F.coalesce(F.col("__n"), F.lit("__absent__"))
+                 .alias("new_tier")))
+    cells = (j.groupBy("old_tier", "new_tier")
+             .agg(F.count("*").cast("long").alias("n")))
+    w = Window.partitionBy("old_tier")
+    return (cells.withColumn(
+        "row_share",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6))
+        .select("old_tier", "new_tier", "n", "row_share"))
+
+
+def tier_transitions_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB mirror of :func:`tier_transitions` over two (host, tier)
+    SELECTs."""
+    return f"""
+WITH j AS (
+  SELECT coalesce(o.tier, '__absent__') AS old_tier,
+         coalesce(n.tier, '__absent__') AS new_tier
+  FROM ({old_sql}) o FULL OUTER JOIN ({new_sql}) n ON n.host = o.host
+),
+cells AS (
+  SELECT old_tier, new_tier, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+)
+SELECT old_tier, new_tier, n,
+  round(n / CAST(sum(n) OVER (PARTITION BY old_tier) AS DOUBLE), 6)
+    AS row_share
+FROM cells
+"""
+
+
+def path_trigrams(
+    events: DataFrame,
+    min_n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Frequent 3-step event paths per actor stream — the next order of
+    structure above `event_transitions`' bigram matrix: 'view → click →
+    purchase' vs 'view → click → view' separates converting journeys
+    from browsing loops, and on a crawl's own operational log, 'fetch →
+    error → retry' hotspots rank the failure loops worth fixing first.
+
+    Ties at equal timestamps order by the event type string so trigram
+    extraction is deterministic. Returns (step1, step2, step3, n,
+    share rounded 6) for trigrams with n ≥ min_n.
+
+    Scale shape: ONE actor-partitioned window (two leads in one
+    exchange) + ONE groupBy(trigram); the total rides a window over the
+    (small) trigram table.
+    """
+    w = Window.partitionBy("u").orderBy("ts", "t")
+    d = (events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"),
+                       F.col(ts_col).cast("long").alias("ts"))
+         .withColumn("__t2", F.lead("t", 1).over(w))
+         .withColumn("__t3", F.lead("t", 2).over(w))
+         .filter(F.col("__t3").isNotNull()))
+    per = (d.groupBy(F.col("t").alias("step1"),
+                     F.col("__t2").alias("step2"),
+                     F.col("__t3").alias("step3"))
+           .agg(F.count("*").cast("long").alias("n")))
+    tot = Window.partitionBy()
+    return (per.withColumn("share",
+                           F.round(F.col("n")
+                                   / F.sum("n").over(tot).cast("double"),
+                                   6))
+            .filter(F.col("n") >= int(min_n))
+            .select("step1", "step2", "step3", "n", "share"))
+
+
+def path_trigrams_sql(events_sql: str, min_n: int = 3) -> str:
+    """DuckDB mirror of :func:`path_trigrams` over a
+    (user_id, event_type, ts_s) SELECT."""
+    return f"""
+WITH d AS (
+  SELECT user_id AS u, event_type AS t, CAST(ts_s AS BIGINT) AS ts
+  FROM ({events_sql})
+),
+tri AS (
+  SELECT t AS step1,
+    lead(t, 1) OVER (PARTITION BY u ORDER BY ts, t) AS step2,
+    lead(t, 2) OVER (PARTITION BY u ORDER BY ts, t) AS step3
+  FROM d
+),
+per AS (
+  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT step1, step2, step3, n,
+  round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+FROM per WHERE n >= {int(min_n)}
+"""

@@ -1,0 +1,118 @@
+"""Unit tests for the round-60 pack: k-anonymity, hash collisions,
+Gini stump, makespan bounds, OOV curve."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (gini_stump, k_anonymity,
+                                             oov_curve)
+from icrawler_spark.operators.dedup import hash_collisions
+from icrawler_spark.operators.politeness import makespan_plan
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+def test_k_anon_histogram(spark):
+    rows = ([("a.com", "en")] * 10 + [("b.com", "en")] * 3
+            + [("c.com", "de")])
+    df = spark.createDataFrame(rows, "host string, lang string")
+    out = {r["class_size"]: r for r in k_anonymity(df, k=5).collect()}
+    assert out[10]["n_classes"] == 1 and not out[10]["at_risk"]
+    assert out[3]["at_risk"] and out[1]["at_risk"]
+    assert abs(out[1]["share"] - 1 / 14) < 1e-6
+    assert sum(r["n_rows"] for r in out.values()) == 14
+
+
+# ---------------------------------------------------------------------------
+# hash_collisions
+# ---------------------------------------------------------------------------
+
+def test_hash_collisions_conserve_terms_and_mass(spark):
+    rows = [(f"term{i}", i + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "term string, n long")
+    out = hash_collisions(df, bits=4).collect()  # 16 buckets, 200 terms
+    assert sum(r["n_terms"] for r in out) == 200
+    assert sum(r["mass"] for r in out) == sum(i + 1 for i in range(200))
+    assert abs(sum(r["mass_share"] for r in out) - 1.0) < 1e-4
+    # with load factor 12.5 no bucket should be empty-ish singleton-only
+    assert max(r["load"] for r in out) > 1
+
+
+def test_hash_collisions_huge_space_all_singletons(spark):
+    rows = [(f"t{i}", 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "term string, n long")
+    out = hash_collisions(df, bits=24).collect()
+    assert len(out) == 1 and out[0]["load"] == 1
+    assert out[0]["n_buckets"] == 20
+
+
+# ---------------------------------------------------------------------------
+# gini_stump
+# ---------------------------------------------------------------------------
+
+def test_stump_perfect_separation(spark):
+    rows = [(0.1, 0)] * 50 + [(0.9, 1)] * 50
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = gini_stump(df, n_bins=10).collect()
+    best = max((r for r in out if r["gain"] is not None),
+               key=lambda r: r["gain"])
+    # a clean split: children pure → gini_split 0, gain = root gini 0.5
+    assert best["gini_split"] == 0.0
+    assert abs(best["gain"] - 0.5) < 1e-6
+    assert 0.1 < best["threshold"] < 0.9
+
+
+def test_stump_useless_score_zero_gain(spark):
+    rows = [(i / 100, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = gini_stump(df, n_bins=4).collect()
+    assert all(r["gain"] is None or r["gain"] < 0.02 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# makespan_plan
+# ---------------------------------------------------------------------------
+
+def test_makespan_politeness_bound_dominates(spark):
+    # hot host 1000 pages, 9 hosts × 10 pages; 64 slots
+    rows = [("hot", 1000)] + [(f"h{i}", 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "host string, pages long")
+    out = {r["delay_ms"]: r for r in
+           makespan_plan(df, delays_ms=(1000,), n_slots=64).collect()}
+    r = out[1000]
+    assert r["hottest_host_pages"] == 1000
+    assert r["bound_polite_ms"] == 1_000_000
+    assert r["makespan_lb_ms"] == 1_000_000 and r["politeness_bound"]
+
+
+def test_makespan_work_bound_dominates(spark):
+    # uniform hosts, few slots → work term binds
+    rows = [(f"h{i}", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "host string, pages long")
+    out = makespan_plan(df, delays_ms=(1000,), n_slots=2).collect()[0]
+    assert out["bound_work_ms"] == 500_000
+    assert out["makespan_lb_ms"] == 500_000 and not out["politeness_bound"]
+
+
+# ---------------------------------------------------------------------------
+# oov_curve
+# ---------------------------------------------------------------------------
+
+def test_oov_coverage_monotone_and_saturating(spark):
+    text = " ".join(["common"] * 90 + [f"rare{i}" for i in range(10)])
+    df = spark.createDataFrame([(text,)], "text string")
+    out = {r["vocab_size"]: r for r in
+           oov_curve(df, vocab_sizes=(1, 5, 100)).collect()}
+    assert out[1]["coverage"] == 0.9       # 'common' alone covers 90%
+    assert out[5]["coverage"] == 0.94      # +4 rare terms
+    assert out[100]["coverage"] == 1.0
+    assert out[1]["n_terms_total"] == 11
+
+
+def test_oov_tie_break_deterministic(spark):
+    df = spark.createDataFrame([("b a b a",)], "text string")
+    out = {r["vocab_size"]: r for r in
+           oov_curve(df, vocab_sizes=(1,)).collect()}
+    # a and b tie at 2; 'a' wins the tie-break → coverage 0.5 exactly
+    assert out[1]["coverage"] == 0.5

@@ -1,0 +1,134 @@
+"""Unit tests for the round-61 pack: AUC, record linkage, tier churn,
+path trigrams, coupon design."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import auc_rank
+from icrawler_spark.operators.dedup import record_linkage
+from icrawler_spark.operators.politeness import coupon_design
+from icrawler_spark.operators.sessions import path_trigrams, tier_transitions
+
+
+# ---------------------------------------------------------------------------
+# auc_rank
+# ---------------------------------------------------------------------------
+
+def test_auc_perfect_separation(spark):
+    rows = [(0.1, 0)] * 20 + [(0.9, 1)] * 20
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = auc_rank(df).collect()[0]
+    assert out["auc"] == 1.0 and out["z"] > 5
+
+
+def test_auc_random_is_half(spark):
+    # identical score for everything → all ties → AUC exactly 0.5
+    rows = [(0.5, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = auc_rank(df).collect()[0]
+    assert out["auc"] == 0.5 and out["z"] == 0.0
+
+
+def test_auc_known_small_case(spark):
+    # pos scores {3, 5}, neg {1, 4}: pairs won 3>1, 5>1, 5>4 → 3/4
+    rows = [(3.0, 1), (5.0, 1), (1.0, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = auc_rank(df).collect()[0]
+    assert abs(out["auc"] - 0.75) < 1e-9
+
+
+def test_auc_single_class_null(spark):
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    out = auc_rank(df).collect()[0]
+    assert out["auc"] is None
+
+
+# ---------------------------------------------------------------------------
+# record_linkage
+# ---------------------------------------------------------------------------
+
+def test_linkage_decisions(spark):
+    left = spark.createDataFrame(
+        [(1, "b1", "alpha", "h1", 2020)],
+        "rec_id long, block string, title string, host string, year long")
+    right = spark.createDataFrame(
+        [(2, "b1", "alpha", "h1", 2020),    # all agree → 4.5 → link
+         (3, "b1", "alpha", "h2", 2021),    # title only → 2.0-0.5 → possible
+         (4, "b1", "beta", "h9", 1999)],    # all disagree → -1.0 → non_link
+        "rec_id long, block string, title string, host string, year long")
+    out = {r["right_id"]: r for r in record_linkage(left, right).collect()}
+    assert out[2]["decision"] == "link" and out[2]["score"] == 4.5
+    assert out[3]["decision"] == "possible"
+    assert out[4]["decision"] == "non_link" and out[4]["score"] == -1.0
+
+
+def test_linkage_null_field_no_evidence(spark):
+    left = spark.createDataFrame(
+        [(1, "b", "t", None, 2020)],
+        "rec_id long, block string, title string, host string, year long")
+    right = spark.createDataFrame(
+        [(2, "b", "t", "h", 2020)],
+        "rec_id long, block string, title string, host string, year long")
+    out = record_linkage(left, right).collect()[0]
+    assert out["score"] == 3.0  # title 2.0 + year 1.0, host contributes 0
+
+
+def test_linkage_blocking_prevents_cross_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, "b1", "t", "h", 2020)],
+        "rec_id long, block string, title string, host string, year long")
+    right = spark.createDataFrame(
+        [(2, "b2", "t", "h", 2020)],
+        "rec_id long, block string, title string, host string, year long")
+    assert record_linkage(left, right).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# tier_transitions
+# ---------------------------------------------------------------------------
+
+def test_tier_matrix_and_absent(spark):
+    old = spark.createDataFrame(
+        [("a", "t0"), ("b", "t0"), ("c", "t1")], "host string, tier string")
+    new = spark.createDataFrame(
+        [("a", "t0"), ("b", "t1"), ("d", "t0")], "host string, tier string")
+    out = {(r["old_tier"], r["new_tier"]): r for r in
+           tier_transitions(old, new).collect()}
+    assert out[("t0", "t0")]["n"] == 1 and out[("t0", "t1")]["n"] == 1
+    assert out[("t0", "t0")]["row_share"] == 0.5
+    assert out[("t1", "__absent__")]["n"] == 1   # c disappeared
+    assert out[("__absent__", "t0")]["n"] == 1   # d appeared
+
+
+# ---------------------------------------------------------------------------
+# path_trigrams
+# ---------------------------------------------------------------------------
+
+def test_trigrams_counts_and_share(spark):
+    rows = []
+    for u in range(4):
+        rows += [(u, "view", 1), (u, "click", 2), (u, "buy", 3)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    out = path_trigrams(df, min_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["step1"], r["step2"], r["step3"]) == ("view", "click", "buy")
+    assert r["n"] == 4 and r["share"] == 1.0
+
+
+def test_trigrams_never_cross_users(spark):
+    rows = [(1, "a", 1), (1, "b", 2), (2, "c", 3), (2, "d", 4)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    assert path_trigrams(df, min_n=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# coupon_design
+# ---------------------------------------------------------------------------
+
+def test_coupon_expectations(spark):
+    out = {r["n_draws"]: r for r in
+           coupon_design(spark, universe=100, draws=(100, 10000)).collect()}
+    # n = N → E[unique] = 100(1-(0.99^100)) ≈ 63.4
+    assert abs(out[100]["expected_unique"] - 63.4) < 0.1
+    assert out[10000]["coverage"] > 0.999
+    assert out[100]["expected_new_share"] > out[10000]["expected_new_share"]
