@@ -321,6 +321,8 @@ _EXTRA_PICKS = [
     "k_anon", "hash_load", "stump", "makespan", "oov",
     # round-3 batch-55 (rank eval + linkage + churn + journeys + theory)
     "auc", "linkage", "tier_churn", "trigrams", "coupon",
+    # round-3 batch-56 (multiple testing + graph scoring + allocation)
+    "fdr", "modularity", "markov_rate", "apportion", "ab_ztest",
 ]
 
 

@@ -48,7 +48,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round54, entry_round55,
                             entry_round56, entry_round57,
                             entry_round58, entry_round59,
-                            entry_round60, entry_round61)
+                            entry_round60, entry_round61,
+                            entry_round62)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -876,6 +877,7 @@ def queries():
         **entry_round59.queries59(),
         **entry_round60.queries60(),
         **entry_round61.queries61(),
+        **entry_round62.queries62(),
     }
 
 
@@ -969,4 +971,5 @@ def oracle_sql():
         **entry_round59.oracle_sql59(),
         **entry_round60.oracle_sql60(),
         **entry_round61.oracle_sql61(),
+        **entry_round62.oracle_sql62(),
     }

@@ -1,0 +1,221 @@
+"""Round-3 driver-contract queries (batch 56): BH-FDR correction,
+modularity score, Markov entropy rate, largest-remainder apportionment,
+two-proportion z-test.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# fdr — BH step-up over a 40-metric sweep
+# ---------------------------------------------------------------------------
+
+_FDR_Q = 0.05
+
+
+def _fdr_tests(spark, sf) -> DataFrame:
+    """40 p-values: every 7th is a genuine signal (scaled into [0,
+    0.004]), the rest uniform-ish — the step-up cutoff lands between."""
+    ev = _events(spark, sf)
+    base = (F.col("event_id") * 37 % 997) / F.lit(997.0)
+    p = F.when(F.col("event_id") % 7 == 0, base / 250.0).otherwise(base)
+    return (ev.filter(F.col("event_id") < 40)
+            .select(F.concat(F.lit("t"), F.col("event_id").cast("string"))
+                    .alias("test"), p.alias("p")))
+
+
+_FDR_TESTS_SQL = """
+  SELECT 't' || event_id AS test,
+    CASE WHEN event_id % 7 = 0
+      THEN (event_id * 37 % 997) / CAST(997 AS DOUBLE) / 250.0
+      ELSE (event_id * 37 % 997) / CAST(997 AS DOUBLE) END AS p
+  FROM events WHERE event_id < 40
+"""
+
+
+def q_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bh_fdr: step-up FDR rejection set over the
+    metric-sweep p-values."""
+    return _corpus.bh_fdr(_fdr_tests(spark, sf), q=_FDR_Q)
+
+
+def _fdr_sql() -> str:
+    return _corpus.bh_fdr_sql(_FDR_TESTS_SQL, q=_FDR_Q)
+
+
+# ---------------------------------------------------------------------------
+# modularity — scoring the block partition of the ring-with-chords graph
+# ---------------------------------------------------------------------------
+
+
+def _mod_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id") % 25
+    return ev.select(
+        u.cast("long").alias("src"),
+        ((u + F.col("event_id") % 6 + 1) % 25).cast("long").alias("dst"))
+
+
+_MOD_EDGES_SQL = (
+    "SELECT CAST(user_id % 25 AS BIGINT) AS src, "
+    "CAST(((user_id % 25) + event_id % 6 + 1) % 25 AS BIGINT) AS dst "
+    "FROM events")
+
+
+def _mod_communities(spark, sf) -> DataFrame:
+    """Contiguous blocks of 5 ring nodes — aligned with the short-offset
+    chords, so Q should be solidly positive."""
+    ev = _events(spark, sf)
+    u = (F.col("user_id") % 25).cast("long")
+    return (ev.select(u.alias("node"),
+                      F.concat(F.lit("c"), F.expr("(user_id % 25) div 5")
+                               .cast("string")).alias("community"))
+            .distinct())
+
+
+_MOD_COMMUNITIES_SQL = (
+    "SELECT DISTINCT CAST(user_id % 25 AS BIGINT) AS node, "
+    "'c' || CAST((user_id % 25) // 5 AS VARCHAR) AS community FROM events")
+
+
+def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.modularity_score: per-community Q contributions
+    for the block partition — within share minus the degree null."""
+    return _graph.modularity_score(_mod_edges(spark, sf),
+                                   _mod_communities(spark, sf))
+
+
+def _modularity_sql() -> str:
+    return _graph.modularity_score_sql(_MOD_EDGES_SQL,
+                                       _MOD_COMMUNITIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# markov_rate — journey predictability from the event stream
+# ---------------------------------------------------------------------------
+
+
+def _me_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("ts_s"))
+
+
+_ME_EVENTS_SQL = """
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ts_s FROM events
+"""
+
+
+def q_markov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.markov_entropy: per-state conditional entropy
+    + stationary-weighted rate contributions."""
+    return _sessions.markov_entropy(_me_events(spark, sf))
+
+
+def _markov_rate_sql() -> str:
+    return _sessions.markov_entropy_sql(_ME_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# apportion — fetch slots to hosts, exact total
+# ---------------------------------------------------------------------------
+
+_AP_SEATS = 100
+
+
+def _ap_weights(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.concat(F.lit("h"), (F.col("event_id") % 23)
+                                .cast("string")).alias("key"))
+            .agg(F.count("*").cast("long").alias("w")))
+
+
+_AP_WEIGHTS_SQL = """
+  SELECT 'h' || (event_id % 23) AS key,
+    CAST(count(*) AS BIGINT) AS w
+  FROM events GROUP BY 1
+"""
+
+
+def q_apportion(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.seat_apportion: Hare-quota largest-remainder
+    allocation — the allocations sum to the budget exactly."""
+    return _corpus.seat_apportion(_ap_weights(spark, sf), seats=_AP_SEATS)
+
+
+def _apportion_sql() -> str:
+    return _corpus.seat_apportion_sql(_AP_WEIGHTS_SQL, seats=_AP_SEATS)
+
+
+# ---------------------------------------------------------------------------
+# ab_ztest — binary-endpoint A/B readout
+# ---------------------------------------------------------------------------
+
+
+def _ab_arms(spark, sf) -> DataFrame:
+    """Treatment converts at ~12%, control at ~10%."""
+    ev = _events(spark, sf)
+    arm = F.when(F.col("event_id") % 2 == 0, "treatment") \
+        .otherwise("control")
+    cut = F.when(F.col("event_id") % 2 == 0, 12).otherwise(10)
+    conv = (F.col("event_id") * 7919 % 100 < cut).cast("int")
+    return (ev.select(arm.alias("arm"), conv.alias("c"))
+            .groupBy("arm")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("c").cast("long").alias("conv")))
+
+
+_AB_ARMS_SQL = """
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS conv
+  FROM (
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'treatment' ELSE 'control' END
+      AS arm,
+      CASE WHEN event_id * 7919 % 100
+                < CASE WHEN event_id % 2 = 0 THEN 12 ELSE 10 END
+        THEN 1 ELSE 0 END AS c
+    FROM events)
+  GROUP BY 1
+"""
+
+
+def q_ab_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.prop_ztest: pooled two-proportion z on the
+    conversion endpoint."""
+    return _corpus.prop_ztest(_ab_arms(spark, sf))
+
+
+def _ab_ztest_sql() -> str:
+    return _corpus.prop_ztest_sql(_AB_ARMS_SQL)
+
+
+def queries62():
+    return {
+        "fdr": q_fdr,
+        "modularity": q_modularity,
+        "markov_rate": q_markov_rate,
+        "apportion": q_apportion,
+        "ab_ztest": q_ab_ztest,
+    }
+
+
+def oracle_sql62():
+    return {
+        "fdr": _fdr_sql(),
+        "modularity": _modularity_sql(),
+        "markov_rate": _markov_rate_sql(),
+        "apportion": _apportion_sql(),
+        "ab_ztest": _ab_ztest_sql(),
+    }

@@ -2566,3 +2566,217 @@ SELECT n_pos, n_neg,
                  / 3.0), 4) END AS z
 FROM agg
 """
+
+
+def bh_fdr(
+    tests: DataFrame,
+    q: float = 0.05,
+    test_col: str = "test",
+    p_col: str = "p",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995, public) over a batch of
+    experiment p-values: rank ascending, find the largest rank with
+    p ≤ (rank/m)·q, reject everything at or below it. The multiple-
+    testing gate for a metrics dashboard that fires dozens of A/B
+    readouts per crawl release — at q=0.05 a 100-metric sweep is
+    EXPECTED to hand you five naive 'wins' that are noise.
+
+    Returns (test, p, rank, bh_threshold rounded 6, reject) — rejection
+    uses the step-up rule (all ranks ≤ the largest crossing), not the
+    naive per-row comparison.
+
+    Scale shape: ONE ordered window over the (small) test table —
+    rank, threshold, and the step-up cutoff all ride the same sort.
+    """
+    m = Window.partitionBy()
+    w = Window.orderBy("p", "test")
+    w_all = (Window.orderBy("p", "test")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    d = (tests.select(F.col(test_col).alias("test"),
+                      F.col(p_col).cast("double").alias("p"))
+         .withColumn("rank", F.row_number().over(w))
+         .withColumn("__m", F.count("*").over(m)))
+    thr = F.col("rank").cast("double") / F.col("__m") * float(q)
+    d = d.withColumn("__thr", thr)
+    cutoff = F.max(F.when(F.col("p") <= F.col("__thr"),
+                          F.col("rank"))).over(w_all)
+    return (d.withColumn("reject",
+                         F.coalesce(F.col("rank") <= cutoff, F.lit(False)))
+            .select("test", "p", "rank",
+                    F.round("__thr", 6).alias("bh_threshold"), "reject"))
+
+
+def bh_fdr_sql(tests_sql: str, q: float = 0.05) -> str:
+    """DuckDB mirror of :func:`bh_fdr` over a (test, p) SELECT."""
+    return f"""
+WITH d AS (
+  SELECT test, CAST(p AS DOUBLE) AS p,
+    row_number() OVER (ORDER BY p, test) AS rank,
+    count(*) OVER () AS m
+  FROM ({tests_sql})
+),
+t AS (
+  SELECT test, p, rank,
+    CAST(rank AS DOUBLE) / m * {float(q)!r} AS thr
+  FROM d
+),
+c AS (
+  SELECT test, p, rank, thr,
+    max(CASE WHEN p <= thr THEN rank END) OVER () AS cutoff
+  FROM t
+)
+SELECT test, p, rank, round(thr, 6) AS bh_threshold,
+  coalesce(rank <= cutoff, FALSE) AS reject
+FROM c
+"""
+
+
+def prop_ztest(
+    arms: DataFrame,
+    arm_col: str = "arm",
+    n_col: str = "n",
+    conv_col: str = "conv",
+    treatment: str = "treatment",
+    control: str = "control",
+) -> DataFrame:
+    """Two-proportion pooled z-test (the standard conversion-rate A/B
+    readout, public): z = (p̂_t − p̂_c)/√(p̂(1−p̂)(1/n_t + 1/n_c)) with
+    the pooled p̂. The final member of the experimentation family here:
+    `srm` gates the assignment, `sprt` monitors sequentially, `delta_se`
+    handles ratio metrics, this one reads the classic binary endpoint.
+
+    Counts are exact integers; the z is the only float chain, rounded 4.
+    Returns one row (n_t, conv_t, n_c, conv_c, rate_t, rate_c, lift,
+    z); z NULL when the pooled variance is zero.
+
+    Scale shape: two single-row filters over the per-arm aggregate —
+    driver-size arithmetic.
+    """
+    per = (arms.select(F.col(arm_col).alias("arm"),
+                       F.col(n_col).cast("long").alias("n"),
+                       F.col(conv_col).cast("long").alias("conv"))
+           .groupBy("arm")
+           .agg(F.sum("n").alias("n"), F.sum("conv").alias("conv")))
+    t = per.filter(F.col("arm") == treatment) \
+        .select(F.col("n").alias("n_t"), F.col("conv").alias("conv_t"))
+    c = per.filter(F.col("arm") == control) \
+        .select(F.col("n").alias("n_c"), F.col("conv").alias("conv_c"))
+    j = t.crossJoin(c)
+    pt = F.col("conv_t").cast("double") / F.col("n_t")
+    pc = F.col("conv_c").cast("double") / F.col("n_c")
+    pool = ((F.col("conv_t") + F.col("conv_c")).cast("double")
+            / (F.col("n_t") + F.col("n_c")))
+    var = pool * (1.0 - pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    z = F.when(var > 0, F.round((pt - pc) / F.sqrt(var), 4))
+    return j.select(
+        "n_t", "conv_t", "n_c", "conv_c",
+        F.round(pt, 6).alias("rate_t"),
+        F.round(pc, 6).alias("rate_c"),
+        F.round(pt - pc, 6).alias("lift"),
+        z.alias("z"))
+
+
+def prop_ztest_sql(arms_sql: str, treatment: str = "treatment",
+                   control: str = "control") -> str:
+    """DuckDB mirror of :func:`prop_ztest` over an (arm, n, conv)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT arm, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(conv) AS BIGINT) AS conv
+  FROM ({arms_sql}) GROUP BY 1
+),
+j AS (
+  SELECT t.n AS n_t, t.conv AS conv_t, c.n AS n_c, c.conv AS conv_c
+  FROM (SELECT n, conv FROM per WHERE arm = '{treatment}') t
+  CROSS JOIN (SELECT n, conv FROM per WHERE arm = '{control}') c
+)
+SELECT n_t, conv_t, n_c, conv_c,
+  round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+  round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+  round(CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c, 6)
+    AS lift,
+  CASE WHEN (CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+            * (1.0 - CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+            * (1.0 / n_t + 1.0 / n_c) > 0 THEN
+    round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+          / sqrt((CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                 * (1.0 - CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                 * (1.0 / n_t + 1.0 / n_c)), 4)
+  END AS z
+FROM j
+"""
+
+
+def seat_apportion(
+    weights: DataFrame,
+    seats: int = 100,
+    key_col: str = "key",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Largest-remainder (Hare quota) apportionment of an integer budget
+    across weighted keys — the exact-total answer to `neyman_alloc`'s
+    independent rounding: floor every quota, then hand the leftover
+    seats to the largest fractional remainders (ties by key). Allocating
+    fetch slots to hosts, audit labels to strata, shards to tenants —
+    whenever the allocations MUST sum to the budget exactly.
+
+    Quotas are exact integer cross-products (w·seats as BIGINT; floor
+    and remainder via integer div/mod — no float order sensitivity
+    anywhere). Returns (key, w, floor_seats, remainder_rank, extra,
+    alloc).
+
+    Scale shape: ONE global weight sum via window + ONE ordered window
+    over the key table for the remainder ranking.
+    """
+    tot = Window.partitionBy()
+    d = (weights.select(F.col(key_col).alias("key"),
+                        F.col(weight_col).cast("long").alias("w"))
+         .withColumn("__tw", F.sum("w").over(tot)))
+    num = F.col("w") * int(seats)
+    fl = F.expr(f"(w * {int(seats)}) div __tw")
+    rem = num % F.col("__tw")
+    d = (d.withColumn("floor_seats", fl.cast("long"))
+         .withColumn("__rem", rem))
+    short = F.lit(int(seats)) - F.sum("floor_seats").over(tot)
+    w_rem = Window.orderBy(F.desc("__rem"), F.asc("key"))
+    d = (d.withColumn("__short", short)
+         .withColumn("remainder_rank", F.row_number().over(w_rem)))
+    extra = (F.col("remainder_rank") <= F.col("__short")).cast("int")
+    return (d.withColumn("extra", extra.cast("long"))
+            .withColumn("alloc",
+                        (F.col("floor_seats") + extra).cast("long"))
+            .select("key", "w", "floor_seats", "remainder_rank", "extra",
+                    "alloc"))
+
+
+def seat_apportion_sql(weights_sql: str, seats: int = 100) -> str:
+    """DuckDB mirror of :func:`seat_apportion` over a (key, w) SELECT."""
+    s = int(seats)
+    return f"""
+WITH d AS (
+  SELECT key, CAST(w AS BIGINT) AS w,
+    sum(CAST(w AS BIGINT)) OVER () AS tw
+  FROM ({weights_sql})
+),
+fl AS (
+  SELECT key, w,
+    (w * {s}) // tw AS floor_seats,
+    (w * {s}) % tw AS rem
+  FROM d
+),
+rk AS (
+  SELECT key, w, floor_seats, rem,
+    row_number() OVER (ORDER BY rem DESC, key ASC) AS remainder_rank,
+    {s} - sum(floor_seats) OVER () AS short
+  FROM fl
+)
+SELECT key, w, CAST(floor_seats AS BIGINT) AS floor_seats,
+  CAST(remainder_rank AS BIGINT) AS remainder_rank,
+  CAST(CASE WHEN remainder_rank <= short THEN 1 ELSE 0 END AS BIGINT)
+    AS extra,
+  CAST(floor_seats + CASE WHEN remainder_rank <= short THEN 1 ELSE 0 END
+       AS BIGINT) AS alloc
+FROM rk
+"""

@@ -1695,3 +1695,93 @@ SELECT ip, CAST(count(*) AS BIGINT) AS n_hosts,
   count(*) > 1 AS shared
 FROM per_host GROUP BY 1
 """
+
+
+def modularity_score(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a GIVEN partition (Newman & Girvan 2004,
+    public) on the undirected host graph: Q = Σ_c (e_c/m − (d_c/2m)²) —
+    within-community edge share minus the degree-null expectation. The
+    scorer for whatever community assignment the pipeline produced
+    (`host_clustering` buckets, `dedup_clusters` labels): Q near 0 says
+    the 'communities' are degree noise, and comparing Q across two
+    assignments picks the better clustering without eyeballs.
+
+    Per-community rows plus the exact integer inputs (within-edges,
+    degree mass) so the Q column is auditable. Returns (community,
+    n_nodes, within_edges, degree_sum, q_contrib rounded 6).
+
+    Scale shape: degree table from ONE explode+groupBy, two membership
+    equi-joins on node, ONE groupBy(community). The null-model term
+    needs no pair enumeration — just degree sums.
+    """
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    m = e.count()
+    cm = communities.select(F.col(node_col).alias("node"),
+                            F.col(comm_col).alias("community"))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    dmass = (deg.join(cm, "node")
+             .groupBy("community")
+             .agg(F.count("*").cast("long").alias("n_nodes"),
+                  F.sum("deg").cast("long").alias("degree_sum")))
+    within = (e.join(cm.select(F.col("node").alias("a"),
+                               F.col("community").alias("__ca")), "a")
+              .join(cm.select(F.col("node").alias("b"),
+                              F.col("community").alias("__cb")), "b")
+              .filter(F.col("__ca") == F.col("__cb"))
+              .groupBy(F.col("__ca").alias("community"))
+              .agg(F.count("*").cast("long").alias("within_edges")))
+    out = (dmass.join(within, "community", "left")
+           .withColumn("within_edges",
+                       F.coalesce(F.col("within_edges"), F.lit(0))))
+    mm = float(m) if m else 1.0
+    q = (F.col("within_edges").cast("double") / mm
+         - (F.col("degree_sum").cast("double") / (2.0 * mm))
+         * (F.col("degree_sum").cast("double") / (2.0 * mm)))
+    return out.select("community", "n_nodes", "within_edges",
+                      "degree_sum", F.round(q, 6).alias("q_contrib"))
+
+
+def modularity_score_sql(edges_sql: str, communities_sql: str) -> str:
+    """DuckDB mirror of :func:`modularity_score` over (src, dst) and
+    (node, community) SELECTs."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+cm AS (SELECT node, community FROM ({communities_sql})),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+dmass AS (
+  SELECT cm.community, CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+  FROM deg JOIN cm ON cm.node = deg.node GROUP BY 1
+),
+within AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS within_edges
+  FROM e JOIN cm ca ON ca.node = e.a JOIN cm cb ON cb.node = e.b
+  WHERE ca.community = cb.community GROUP BY 1
+)
+SELECT d.community, d.n_nodes,
+  coalesce(w.within_edges, 0) AS within_edges, d.degree_sum,
+  round(coalesce(w.within_edges, 0) / m.m
+        - (d.degree_sum / (2.0 * m.m)) * (d.degree_sum / (2.0 * m.m)), 6)
+    AS q_contrib
+FROM dmass d LEFT JOIN within w ON w.community = d.community
+CROSS JOIN m
+"""

@@ -834,3 +834,83 @@ SELECT step1, step2, step3, n,
   round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
 FROM per WHERE n >= {int(min_n)}
 """
+
+
+def markov_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Entropy rate of the first-order journey chain: per source state,
+    the conditional next-step entropy H_i = −Σ_j p_ij·log2(p_ij) and its
+    stationary-weighted contribution (π estimated by transition mass) —
+    summing the last column gives the chain's entropy rate in
+    bits/step. Low entropy = predictable journeys (prefetchable, or
+    bot-like); high = browsing chaos. The scalar summary over
+    `event_transitions`' full matrix.
+
+    Transition counts are exact integers; p and log2 combine identical
+    doubles. Returns (state, n_out, out_entropy rounded 6, pi rounded 6,
+    rate_contrib rounded 6).
+
+    Scale shape: ONE actor-partitioned lag window + ONE groupBy(pair) +
+    ONE groupBy(state); totals via windows over the tiny state tables.
+    """
+    w = Window.partitionBy("u").orderBy("ts", "t")
+    d = (events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"),
+                       F.col(ts_col).cast("long").alias("ts"))
+         .withColumn("__nx", F.lead("t", 1).over(w))
+         .filter(F.col("__nx").isNotNull()))
+    pairs = (d.groupBy(F.col("t").alias("state"),
+                       F.col("__nx").alias("nxt"))
+             .agg(F.count("*").cast("long").alias("n")))
+    w_state = Window.partitionBy("state")
+    tot = Window.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(w_state)
+    per_pair = pairs.withColumn("__h", -p * F.log2(p))
+    per_state = (per_pair.groupBy("state")
+                 .agg(F.sum("n").cast("long").alias("n_out"),
+                      F.sum("__h").alias("__H")))
+    pi = F.col("n_out").cast("double") / F.sum("n_out").over(tot)
+    return (per_state
+            .select("state", "n_out",
+                    F.round("__H", 6).alias("out_entropy"),
+                    F.round(pi, 6).alias("pi"),
+                    F.round(pi * F.col("__H"), 6).alias("rate_contrib")))
+
+
+def markov_entropy_sql(events_sql: str) -> str:
+    """DuckDB mirror of :func:`markov_entropy` over a
+    (user_id, event_type, ts_s) SELECT."""
+    return f"""
+WITH d AS (
+  SELECT user_id AS u, event_type AS t, CAST(ts_s AS BIGINT) AS ts
+  FROM ({events_sql})
+),
+steps AS (
+  SELECT t AS state,
+    lead(t, 1) OVER (PARTITION BY u ORDER BY ts, t) AS nxt
+  FROM d
+),
+pairs AS (
+  SELECT state, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+per_pair AS (
+  SELECT state, n,
+    -(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY state))
+      * log2(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY state)) AS h
+  FROM pairs
+),
+per_state AS (
+  SELECT state, CAST(sum(n) AS BIGINT) AS n_out, sum(h) AS H
+  FROM per_pair GROUP BY 1
+)
+SELECT state, n_out, round(H, 6) AS out_entropy,
+  round(CAST(n_out AS DOUBLE) / sum(n_out) OVER (), 6) AS pi,
+  round((CAST(n_out AS DOUBLE) / sum(n_out) OVER ()) * H, 6)
+    AS rate_contrib
+FROM per_state
+"""

@@ -1,0 +1,136 @@
+"""Unit tests for the round-62 pack: BH FDR, modularity, Markov entropy,
+apportionment, two-proportion z."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (bh_fdr, prop_ztest,
+                                             seat_apportion)
+from icrawler_spark.operators.graph import modularity_score
+from icrawler_spark.operators.sessions import markov_entropy
+
+
+# ---------------------------------------------------------------------------
+# bh_fdr
+# ---------------------------------------------------------------------------
+
+def test_bh_stepup_rejects_below_cutoff(spark):
+    # m=4, q=0.5 → thresholds 0.125, 0.25, 0.375, 0.5
+    rows = [("a", 0.01), ("b", 0.30), ("c", 0.40), ("d", 0.9)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = {r["test"]: r for r in bh_fdr(df, q=0.5).collect()}
+    # largest crossing: rank 2? p=0.30 > 0.25; rank 3: 0.40 > 0.375 →
+    # only rank 1 crosses → reject a alone
+    assert out["a"]["reject"]
+    assert not out["b"]["reject"] and not out["d"]["reject"]
+
+
+def test_bh_stepup_pulls_in_earlier_noncrossers(spark):
+    # classic step-up: rank-2 p misses its threshold but rank 3 crosses
+    # → ranks 1..3 all rejected
+    rows = [("a", 0.10), ("b", 0.26), ("c", 0.37), ("d", 0.9)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = {r["test"]: r for r in bh_fdr(df, q=0.5).collect()}
+    assert out["a"]["reject"] and out["b"]["reject"] and out["c"]["reject"]
+    assert not out["d"]["reject"]
+
+
+def test_bh_nothing_significant(spark):
+    rows = [("a", 0.8), ("b", 0.9)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = bh_fdr(df, q=0.05).collect()
+    assert not any(r["reject"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# modularity_score
+# ---------------------------------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    # two disjoint triangles, partition = the cliques → Q = 1/2
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    comm = [(n, "c1") for n in "abc"] + [(n, "c2") for n in "xyz"]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    c = spark.createDataFrame(comm, "node string, community string")
+    out = modularity_score(e, c).collect()
+    q = sum(r["q_contrib"] for r in out)
+    assert abs(q - 0.5) < 1e-6
+    assert all(r["within_edges"] == 3 for r in out)
+
+
+def test_modularity_random_partition_near_zero(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    comm = [("a", "c1"), ("b", "c2"), ("c", "c1"),
+            ("x", "c2"), ("y", "c1"), ("z", "c2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    c = spark.createDataFrame(comm, "node string, community string")
+    q = sum(r["q_contrib"] for r in modularity_score(e, c).collect())
+    assert q < 0.1
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy
+# ---------------------------------------------------------------------------
+
+def test_markov_deterministic_chain_zero_entropy(spark):
+    rows = [(u, t, i) for u in range(3)
+            for i, t in enumerate(["a", "b", "a", "b", "a"])]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    out = {r["state"]: r for r in markov_entropy(df).collect()}
+    assert out["a"]["out_entropy"] == 0.0 and out["b"]["out_entropy"] == 0.0
+    assert sum(r["rate_contrib"] for r in out.values()) == 0.0
+
+
+def test_markov_uniform_branching_one_bit(spark):
+    # from 's' go to x or y with equal counts → H(s) = 1 bit
+    rows = []
+    ts = 0
+    for u in range(10):
+        nxt = "x" if u % 2 == 0 else "y"
+        rows += [(u, "s", 0), (u, nxt, 1)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    out = {r["state"]: r for r in markov_entropy(df).collect()}
+    assert out["s"]["out_entropy"] == 1.0 and out["s"]["pi"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# seat_apportion
+# ---------------------------------------------------------------------------
+
+def test_apportion_exact_total(spark):
+    rows = [("a", 333), ("b", 333), ("c", 334)]
+    df = spark.createDataFrame(rows, "key string, w long")
+    out = seat_apportion(df, seats=10).collect()
+    assert sum(r["alloc"] for r in out) == 10
+
+
+def test_apportion_largest_remainder_wins(spark):
+    # quotas: a 4.9, b 4.9, c 0.2 over 10 seats → floors 4,4,0; two
+    # leftovers go to a and b (largest remainders)
+    rows = [("a", 49), ("b", 49), ("c", 2)]
+    df = spark.createDataFrame(rows, "key string, w long")
+    out = {r["key"]: r for r in seat_apportion(df, seats=10).collect()}
+    assert out["a"]["alloc"] == 5 and out["b"]["alloc"] == 5
+    assert out["c"]["alloc"] == 0
+    assert sum(r["alloc"] for r in out.values()) == 10
+
+
+# ---------------------------------------------------------------------------
+# prop_ztest
+# ---------------------------------------------------------------------------
+
+def test_ztest_positive_lift(spark):
+    rows = [("treatment", 1000, 120), ("control", 1000, 100)]
+    df = spark.createDataFrame(rows, "arm string, n long, conv long")
+    out = prop_ztest(df).collect()[0]
+    assert out["rate_t"] == 0.12 and out["rate_c"] == 0.1
+    assert abs(out["lift"] - 0.02) < 1e-9
+    assert 1.0 < out["z"] < 2.0  # ~1.43 for these counts
+
+
+def test_ztest_no_conversions_null_z(spark):
+    rows = [("treatment", 100, 0), ("control", 100, 0)]
+    df = spark.createDataFrame(rows, "arm string, n long, conv long")
+    out = prop_ztest(df).collect()[0]
+    assert out["z"] is None and out["lift"] == 0.0
