@@ -323,6 +323,8 @@ _EXTRA_PICKS = [
     "auc", "linkage", "tier_churn", "trigrams", "coupon",
     # round-3 batch-56 (multiple testing + graph scoring + allocation)
     "fdr", "modularity", "markov_rate", "apportion", "ab_ztest",
+    # round-3 batch-57 (rank-sum + richness + inequality + change detection)
+    "mrr", "mann_whitney", "chao1", "theil", "cusum",
 ]
 
 

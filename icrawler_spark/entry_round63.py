@@ -1,0 +1,202 @@
+"""Round-3 driver-contract queries (batch 57): MRR navigational eval,
+Mann-Whitney rank-sum, Chao1 vocabulary richness, Theil inequality
+decomposition, two-sided CUSUM change detection.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# mrr — first-relevant-rank eval; some queries have no hit inside k
+# ---------------------------------------------------------------------------
+
+_MRR_K = 10
+
+
+def _mrr_run(spark, sf) -> DataFrame:
+    d = _docs(spark, sf).filter(F.col("doc_id") < 60)
+    doc_id = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("q"), (doc_id % 5).cast("string")).alias("query"),
+        (F.floor(doc_id / 5) + 1).cast("long").alias("rank"),
+        doc_id.alias("doc_id"))
+
+
+_MRR_RUN_SQL = ("SELECT 'q' || (doc_id % 5) AS query, "
+                "CAST(doc_id // 5 + 1 AS BIGINT) AS rank, doc_id "
+                "FROM documents WHERE doc_id < 60")
+
+
+def _mrr_qrels(spark, sf) -> DataFrame:
+    d = _docs(spark, sf).filter(F.col("doc_id") % 9 == 0)
+    return d.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 5).cast("string"))
+        .alias("query"),
+        F.col("doc_id").alias("doc_id"), F.lit(1).alias("rel"))
+
+
+_MRR_QRELS_SQL = ("SELECT 'q' || (doc_id % 5) AS query, doc_id, 1 AS rel "
+                  "FROM documents WHERE doc_id % 9 = 0")
+
+
+def q_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.mrr_eval: reciprocal rank of the first relevant
+    result per query — broadcast qrels join, rank filter in the scan."""
+    return _search.mrr_eval(_mrr_run(spark, sf), _mrr_qrels(spark, sf),
+                            k=_MRR_K)
+
+
+def _mrr_sql() -> str:
+    return _search.mrr_eval_sql(_MRR_RUN_SQL, _MRR_QRELS_SQL, k=_MRR_K)
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney — integerized latencies with heavy ties, +3 shift on arm a
+# ---------------------------------------------------------------------------
+
+
+def _mw_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") < 400)
+    grp = F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    v = (F.col("event_id") * 7919 % 50
+         + F.when(F.col("event_id") % 2 == 0, 3).otherwise(0))
+    return ev.select(grp.alias("grp"), v.cast("double").alias("v"))
+
+
+_MW_SAMPLES_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+    CAST(event_id * 7919 % 50
+         + CASE WHEN event_id % 2 = 0 THEN 3 ELSE 0 END AS DOUBLE) AS v
+  FROM events WHERE event_id < 400
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mann_whitney: tie-corrected rank-sum z on the
+    shifted arm — groupBy(value) then a value-cardinality window."""
+    return _corpus.mann_whitney(_mw_samples(spark, sf))
+
+
+def _mann_whitney_sql() -> str:
+    return _corpus.mann_whitney_sql(_MW_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# chao1 — per-source vocabulary richness over the raw corpus
+# ---------------------------------------------------------------------------
+
+
+def q_chao1(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.chao1_richness: bias-corrected Chao1 + Good's
+    coverage per source — same two-groupBy shuffle shape as hapax."""
+    return _curation.chao1_richness(
+        _docs(spark, sf).select("source", "text"))
+
+
+def _chao1_sql() -> str:
+    return _curation.chao1_richness_sql("SELECT source, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# theil — traffic inequality across user tiers, between vs within
+# ---------------------------------------------------------------------------
+
+
+def _th_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    per = (ev.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("x")))
+    return per.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+        .alias("grp"), "x")
+
+
+_TH_ROWS_SQL = """
+  SELECT 't' || (user_id % 4) AS grp, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+"""
+
+
+def q_theil(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.theil_decomp: exact between/within split of the
+    per-tier traffic Theil index — one global agg broadcast into one
+    groupBy(grp)."""
+    return _corpus.theil_decomp(_th_rows(spark, sf))
+
+
+def _theil_sql() -> str:
+    return _corpus.theil_decomp_sql(_TH_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cusum — per-bucket load with a +8 level shift from bucket 25 on
+# ---------------------------------------------------------------------------
+
+_CUSUM_TARGET = 60.0
+_CUSUM_K = 2.0
+_CUSUM_H = 20.0
+
+
+def _cu_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    seq = F.floor(F.col("event_id") / 20)
+    per = (ev.groupBy(seq.cast("long").alias("seq"))
+           .agg(F.sum(F.col("event_id") % 7).cast("long").alias("load")))
+    return per.select(
+        "seq",
+        (F.col("load") + F.when(F.col("seq") >= 25, 8).otherwise(0))
+        .cast("double").alias("x"))
+
+
+_CU_SERIES_SQL = """
+  SELECT seq, CAST(load + CASE WHEN seq >= 25 THEN 8 ELSE 0 END
+               AS DOUBLE) AS x
+  FROM (
+    SELECT CAST(event_id // 20 AS BIGINT) AS seq,
+      CAST(sum(event_id % 7) AS BIGINT) AS load
+    FROM events GROUP BY 1)
+"""
+
+
+def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.cusum_drift: recursion unrolled to prefix-sum
+    minus running-min — two windows, no UDF; alarms after the shift."""
+    return _recrawl.cusum_drift(_cu_series(spark, sf),
+                                target=_CUSUM_TARGET, k=_CUSUM_K,
+                                h=_CUSUM_H)
+
+
+def _cusum_sql() -> str:
+    return _recrawl.cusum_drift_sql(_CU_SERIES_SQL, target=_CUSUM_TARGET,
+                                    k=_CUSUM_K, h=_CUSUM_H)
+
+
+def queries63():
+    return {
+        "mrr": q_mrr,
+        "mann_whitney": q_mann_whitney,
+        "chao1": q_chao1,
+        "theil": q_theil,
+        "cusum": q_cusum,
+    }
+
+
+def oracle_sql63():
+    return {
+        "mrr": _mrr_sql(),
+        "mann_whitney": _mann_whitney_sql(),
+        "chao1": _chao1_sql(),
+        "theil": _theil_sql(),
+        "cusum": _cusum_sql(),
+    }

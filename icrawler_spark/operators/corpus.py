@@ -2780,3 +2780,171 @@ SELECT key, w, CAST(floor_seats AS BIGINT) AS floor_seats,
        AS BIGINT) AS alloc
 FROM rk
 """
+
+
+def mann_whitney(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing two samples — the
+    nonparametric counterpart to `ranker_ttest` for metrics whose
+    distributions are heavy-tailed (fetch latencies, page sizes), where
+    a mean test is dominated by the tail. Ranks are tie-averaged; the
+    normal approximation carries the standard tie correction.
+
+    Tie-averaged ranks are computed from the per-distinct-value counts:
+    avg_rank(v) = (# strictly smaller) + (ties + 1)/2 — multiples of
+    0.5, exact in a double, so the rank sum is exact and only the final
+    z is a float chain (rounded 4).
+
+    Returns one row (n_a, n_b, r_a, u_a, u_b, z); z NULL when the
+    variance is zero (all values tied).
+
+    Scale shape: ONE groupBy(value) over the union, one short window
+    over the distinct values (bounded by value cardinality, not sample
+    size), then a single-row agg — no join, no cross product.
+    """
+    per = (samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+           .groupBy("v")
+           .agg(F.count("*").cast("long").alias("cnt"),
+                F.sum(F.when(F.col("grp") == a, 1)
+                      .otherwise(0)).cast("long").alias("cnt_a")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per.select(
+        "cnt", "cnt_a",
+        (F.sum("cnt").over(w) - F.col("cnt")
+         + (F.col("cnt") + 1) / 2.0).alias("avg_rank"))
+    agg = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long").alias("ties"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    nn = n_a + n_b
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    var = (n_a * n_b / 12.0
+           * ((nn + 1) - F.col("ties") / (nn.cast("double") * (nn - 1))))
+    z = F.when(var > 0,
+               F.round((u_a - n_a * n_b / 2.0) / F.sqrt(var), 4))
+    return agg.select(
+        "n_a", "n_b",
+        F.round("r_a", 2).alias("r_a"),
+        F.round(u_a, 2).alias("u_a"),
+        F.round(n_a * n_b - u_a, 2).alias("u_b"),
+        z.alias("z"))
+
+
+def mann_whitney_sql(samples_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`mann_whitney` over a (grp, v) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(v AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CASE WHEN grp = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+  FROM ({samples_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, cnt_a,
+    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+    sum(cnt_a * avg_rank) AS r_a,
+    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT n_a, n_b, round(r_a, 2) AS r_a,
+  round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+  round(n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0), 2) AS u_b,
+  CASE WHEN n_a * n_b / 12.0 * ((n_a + n_b + 1)
+         - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) > 0
+    THEN round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+           / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+                  - ties / (CAST(n_a + n_b AS DOUBLE)
+                            * (n_a + n_b - 1)))), 4)
+  END AS z
+FROM agg
+"""
+
+
+def theil_decomp(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Theil-T inequality decomposition of a positive quantity (crawl
+    traffic, bytes, tokens) across groups (host tiers, TLDs, shards):
+    per group g the population share, mass share s_g, within-group
+    Theil T_g = (1/n_g)·Σ(x/μ_g)·ln(x/μ_g), and the two additive
+    contributions within_contrib = s_g·T_g and between_contrib =
+    s_g·ln(μ_g/μ). Unlike the Gini (`host_gini`), Theil decomposes
+    EXACTLY into between + within — the audit that says whether crawl
+    inequality is a tier-design choice or intra-tier skew.
+
+    Means are exact ratios of exact sums; ln terms are rounded 6 only
+    at the output. Returns one row per group, ordered by grp.
+
+    Scale shape: one global single-row agg broadcast into one
+    groupBy(grp) agg — two shuffles, both key-bounded; no window over
+    the raw rows.
+    """
+    vals = rows.select(F.col(grp_col).alias("grp"),
+                       F.col(x_col).cast("double").alias("x"))
+    tot = vals.agg(F.sum("x").alias("sx"),
+                   F.count("*").cast("long").alias("n"))
+    mu = (F.col("sx") / F.col("n"))
+    g = (vals.groupBy("grp")
+         .agg(F.sum("x").alias("sx_g"),
+              F.count("*").cast("long").alias("n_g"),
+              F.sum(F.col("x") * F.log("x")).alias("sxlx_g")))
+    j = g.crossJoin(F.broadcast(tot))
+    mu_g = F.col("sx_g") / F.col("n_g")
+    # T_g = (1/n_g) Σ (x/μ_g) ln(x/μ_g) = (Σ x·ln x)/(n_g·μ_g) − ln μ_g
+    t_g = F.col("sxlx_g") / (F.col("n_g") * mu_g) - F.log(mu_g)
+    s_g = F.col("sx_g") / F.col("sx")
+    return (j.select(
+        "grp", F.col("n_g").alias("n"),
+        F.round(mu_g, 6).alias("mean_x"),
+        F.round(F.col("n_g") / F.col("n"), 6).alias("pop_share"),
+        F.round(s_g, 6).alias("mass_share"),
+        F.round(t_g, 6).alias("theil_within"),
+        F.round(s_g * t_g, 6).alias("within_contrib"),
+        F.round(s_g * F.log(mu_g / mu), 6).alias("between_contrib"))
+        .orderBy("grp"))
+
+
+def theil_decomp_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`theil_decomp` over a (grp, x) SELECT."""
+    return f"""
+WITH vals AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x FROM ({rows_sql})
+),
+tot AS (
+  SELECT sum(x) AS sx, CAST(count(*) AS BIGINT) AS n FROM vals
+),
+g AS (
+  SELECT grp, sum(x) AS sx_g, CAST(count(*) AS BIGINT) AS n_g,
+    sum(x * ln(x)) AS sxlx_g
+  FROM vals GROUP BY 1
+)
+SELECT grp, n_g AS n,
+  round(sx_g / n_g, 6) AS mean_x,
+  round(CAST(n_g AS DOUBLE) / tot.n, 6) AS pop_share,
+  round(sx_g / tot.sx, 6) AS mass_share,
+  round(sxlx_g / (n_g * (sx_g / n_g)) - ln(sx_g / n_g), 6)
+    AS theil_within,
+  round(sx_g / tot.sx
+        * (sxlx_g / (n_g * (sx_g / n_g)) - ln(sx_g / n_g)), 6)
+    AS within_contrib,
+  round(sx_g / tot.sx * ln((sx_g / n_g) / (tot.sx / tot.n)), 6)
+    AS between_contrib
+FROM g CROSS JOIN tot
+ORDER BY grp
+"""

@@ -2282,3 +2282,71 @@ SELECT a.r, a.n_r,
 FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
 WHERE a.r <= {int(max_r)}
 """
+
+
+def chao1_richness(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per source: how many distinct
+    terms the source WOULD show with unbounded sampling, from the
+    frequency spectrum's singletons/doubletons — the capture-recapture
+    idea applied to vocabulary. A source whose chao1 vastly exceeds its
+    observed vocab is under-sampled (crawl more of it before judging
+    its diversity); `coverage` is Good's sample-coverage 1 − f1/N.
+
+    Uses the bias-corrected estimator s_obs + f1(f1−1)/(2(f2+1)),
+    defined even when no doubletons exist. Counts exact; the two
+    derived floats rounded 6.
+
+    Scale shape: ONE groupBy(source, term), then ONE groupBy(source) —
+    identical shuffle shape to `hapax_share`, no join.
+    """
+    toks = docs.select(F.col(source_col).alias("src"),
+                       F.explode(tokens_col(F.col(text_col))).alias("term"))
+    cf = (toks.filter(F.length("term") >= 1)
+          .groupBy("src", "term")
+          .agg(F.count("*").cast("long").alias("cf")))
+    agg = (cf.groupBy(F.col("src").alias("source"))
+           .agg(F.count("*").cast("long").alias("s_obs"),
+                F.sum(F.when(F.col("cf") == 1, 1).otherwise(0))
+                .cast("long").alias("f1"),
+                F.sum(F.when(F.col("cf") == 2, 1).otherwise(0))
+                .cast("long").alias("f2"),
+                F.sum("cf").cast("long").alias("n_tokens")))
+    chao1 = (F.col("s_obs")
+             + F.col("f1") * (F.col("f1") - 1)
+             / (2.0 * (F.col("f2") + 1)))
+    return (agg.select(
+        "source", "n_tokens", "s_obs", "f1", "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(1.0 - F.col("f1") / F.col("n_tokens"), 6)
+        .alias("coverage"))
+        .orderBy("source"))
+
+
+def chao1_richness_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`chao1_richness` over a (source, text)
+    SELECT."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH cf AS (
+  SELECT src, term, CAST(count(*) AS BIGINT) AS cf FROM (
+    SELECT source AS src, unnest(string_split({norm}, ' ')) AS term
+    FROM ({docs_sql}))
+  WHERE length(term) >= 1 GROUP BY 1, 2
+),
+agg AS (
+  SELECT src AS source, CAST(count(*) AS BIGINT) AS s_obs,
+    CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN cf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+    CAST(sum(cf) AS BIGINT) AS n_tokens
+  FROM cf GROUP BY 1
+)
+SELECT source, n_tokens, s_obs, f1, f2,
+  round(s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+FROM agg ORDER BY source
+"""

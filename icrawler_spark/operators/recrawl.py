@@ -1035,3 +1035,77 @@ WITH gaps AS (
 )
 {body}
 """
+
+
+def cusum_drift(
+    series: DataFrame,
+    target: float,
+    k: float,
+    h: float,
+    seq_col: str = "seq",
+    x_col: str = "x",
+) -> DataFrame:
+    """Two-sided CUSUM over an ordered metric series (per-interval fetch
+    rate, error rate, bytes) — the classic sequential change detector
+    that accumulates small persistent shifts the per-point `ks_drift` /
+    `psi_drift` snapshots miss. ``target`` is the in-control mean, ``k``
+    the slack (half the shift worth detecting), ``h`` the alarm level.
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t−1} + x_t − target − k)
+    is not window-expressible directly, but it unrolls exactly to
+    S⁺_t = A_t − min(0, min_{j≤t} A_j) with A the running sum of
+    (x − target − k) — so both engines compute it with TWO prefix
+    windows (sum + min), one shuffle-free pass over the ordered series,
+    no recursion, no UDF. Same trick mirrored for S⁻.
+
+    Returns (seq, x, s_pos, s_neg, alarm) ordered by seq; floats
+    rounded 6. Scale shape: windows ordered by seq — partition by a
+    series key before calling for many parallel series; a single
+    monitoring series is driver-scale anyway.
+    """
+    v = series.select(F.col(seq_col).cast("long").alias("seq"),
+                      F.col(x_col).cast("double").alias("x"))
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    a_inc = F.col("x") - F.lit(float(target)) - F.lit(float(k))
+    b_inc = F.lit(float(target)) - F.lit(float(k)) - F.col("x")
+    pre = v.select("seq", "x",
+                   F.sum(a_inc).over(w).alias("a_run"),
+                   F.sum(b_inc).over(w).alias("b_run"))
+    s_pos = F.col("a_run") - F.least(F.lit(0.0), F.min("a_run").over(w))
+    s_neg = F.col("b_run") - F.least(F.lit(0.0), F.min("b_run").over(w))
+    return (pre.select(
+        "seq", "x",
+        F.round(s_pos, 6).alias("s_pos"),
+        F.round(s_neg, 6).alias("s_neg"),
+        ((s_pos > h) | (s_neg > h)).alias("alarm"))
+        .orderBy("seq"))
+
+
+def cusum_drift_sql(series_sql: str, target: float, k: float,
+                    h: float) -> str:
+    """DuckDB mirror of :func:`cusum_drift` over a (seq, x) SELECT."""
+    return f"""
+WITH v AS (
+  SELECT CAST(seq AS BIGINT) AS seq, CAST(x AS DOUBLE) AS x
+  FROM ({series_sql})
+),
+pre AS (
+  SELECT seq, x,
+    sum(x - {target} - {k}) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW) AS a_run,
+    sum({target} - {k} - x) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW) AS b_run
+  FROM v
+),
+s AS (
+  SELECT seq, x,
+    a_run - least(0.0, min(a_run) OVER (ORDER BY seq ROWS BETWEEN
+      UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_pos,
+    b_run - least(0.0, min(b_run) OVER (ORDER BY seq ROWS BETWEEN
+      UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_neg
+  FROM pre
+)
+SELECT seq, x, round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
+  (s_pos > {h} OR s_neg > {h}) AS alarm
+FROM s ORDER BY seq
+"""

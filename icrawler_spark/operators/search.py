@@ -1987,3 +1987,70 @@ SELECT term, rank_a, rank_b,
   round(abs(1.0 / rank_a - 1.0 / rank_b), 6) AS rtd
 FROM j
 """
+
+
+def mrr_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    rank_col: str = "rank",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Mean-reciprocal-rank inputs per query: the rank of the first
+    relevant result within the top ``k`` and its reciprocal — the
+    navigational-search metric (one right answer) complementing the
+    graded family here (`ndcg_eval`, `err_eval`, `rbp_eval`,
+    `map_eval`). Queries with no relevant result in the top k emit
+    first_rel_rank NULL and rr = 0, so the caller's avg(rr) is the MRR
+    over ALL queries, not just the lucky ones.
+
+    rr = 1/rank is exact-ish; rounded 6. Returns (query, n_ranked,
+    first_rel_rank, rr) ordered by query.
+
+    Scale shape: the qrels side of the join is the eval suite —
+    broadcast; the run is filtered to rank ≤ k inside the scan. ONE
+    groupBy(query).
+    """
+    r = (run.select(F.col(query_col).alias("query"),
+                    F.col(rank_col).cast("long").alias("rank"),
+                    F.col(doc_col).alias("doc_id"))
+         .filter(F.col("rank") <= k))
+    rel = (qrels.filter(F.col("rel") > 0)
+           .select(F.col(query_col).alias("query"),
+                   F.col(doc_col).alias("doc_id"),
+                   F.lit(1).alias("__rel")))
+    j = r.join(F.broadcast(rel), ["query", "doc_id"], "left")
+    agg = (j.groupBy("query")
+           .agg(F.count("*").cast("long").alias("n_ranked"),
+                F.min(F.when(F.col("__rel") == 1, F.col("rank")))
+                .alias("first_rel_rank")))
+    return (agg.select(
+        "query", "n_ranked", "first_rel_rank",
+        F.round(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6)
+        .alias("rr"))
+        .orderBy("query"))
+
+
+def mrr_eval_sql(run_sql: str, qrels_sql: str, k: int = 10) -> str:
+    """DuckDB mirror of :func:`mrr_eval` over (query, rank, doc_id) and
+    (query, doc_id, rel) SELECTs."""
+    return f"""
+WITH r AS (
+  SELECT query, CAST(rank AS BIGINT) AS rank, doc_id
+  FROM ({run_sql}) WHERE rank <= {k}
+),
+rel AS (
+  SELECT query, doc_id, 1 AS __rel FROM ({qrels_sql}) WHERE rel > 0
+),
+agg AS (
+  SELECT r.query, CAST(count(*) AS BIGINT) AS n_ranked,
+    CAST(min(CASE WHEN rel.__rel = 1 THEN r.rank END) AS BIGINT)
+      AS first_rel_rank
+  FROM r LEFT JOIN rel ON r.query = rel.query AND r.doc_id = rel.doc_id
+  GROUP BY 1
+)
+SELECT query, n_ranked, first_rel_rank,
+  round(coalesce(1.0 / first_rel_rank, 0.0), 6) AS rr
+FROM agg ORDER BY query
+"""

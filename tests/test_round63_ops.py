@@ -1,0 +1,144 @@
+"""Unit tests for the round-63 pack: MRR, Mann-Whitney, Chao1, Theil
+decomposition, CUSUM."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import mann_whitney, theil_decomp
+from icrawler_spark.operators.curation import chao1_richness
+from icrawler_spark.operators.recrawl import cusum_drift
+from icrawler_spark.operators.search import mrr_eval
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney
+# ---------------------------------------------------------------------------
+
+def test_mw_separated_samples(spark):
+    # a = {1,2,3}, b = {4,5,6}: r_a = 6, u_a = 0, u_b = 9,
+    # z = -4.5 / sqrt(9*7/12) = -1.9640
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["r_a"] == 6.0 and r["u_a"] == 0.0 and r["u_b"] == 9.0
+    assert abs(r["z"] + 1.964) < 1e-3
+
+
+def test_mw_tie_averaged_ranks(spark):
+    # a = {1,2}, b = {2,3}: ranks 1, 2.5, 2.5, 4 → r_a = 3.5, u_a = 0.5
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney(df).collect()[0]
+    assert r["r_a"] == 3.5 and r["u_a"] == 0.5 and r["u_b"] == 3.5
+
+
+def test_mw_all_tied_z_null(spark):
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney(df).collect()[0]
+    assert r["u_a"] == 2.0 and r["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness
+# ---------------------------------------------------------------------------
+
+def test_chao1_spectrum(spark):
+    # counts a:1 c:1 b:2 → s_obs=3, f1=2, f2=1, chao1 = 3 + 2*1/4 = 3.5
+    df = spark.createDataFrame([("s1", "a c b b")], "source string, text string")
+    r = chao1_richness(df).collect()[0]
+    assert (r["s_obs"], r["f1"], r["f2"], r["n_tokens"]) == (3, 2, 1, 4)
+    assert abs(r["chao1"] - 3.5) < 1e-9
+    assert abs(r["coverage"] - 0.5) < 1e-9
+
+
+def test_chao1_no_doubletons_defined(spark):
+    # a:1 b:3 → f2=0 but bias-corrected form stays finite: 2 + 1*0/2 = 2
+    df = spark.createDataFrame([("s1", "a b b b")], "source string, text string")
+    r = chao1_richness(df).collect()[0]
+    assert r["f2"] == 0 and abs(r["chao1"] - 2.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# theil_decomp
+# ---------------------------------------------------------------------------
+
+def test_theil_between_only(spark):
+    # equal within groups → theil_within = 0; between sums to total T
+    rows = [("g1", 2.0), ("g1", 2.0), ("g2", 4.0), ("g2", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {r["grp"]: r for r in theil_decomp(df).collect()}
+    assert abs(out["g1"]["theil_within"]) < 1e-6
+    assert abs(out["g2"]["theil_within"]) < 1e-6
+    total = (out["g1"]["between_contrib"] + out["g2"]["between_contrib"])
+    assert abs(total - 0.056633) < 1e-4
+
+
+def test_theil_within_single_group(spark):
+    # one group {1,3}: T = (1/2)[(1/2)ln(1/2) + (3/2)ln(3/2)] = 0.130812
+    rows = [("g", 1.0), ("g", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = theil_decomp(df).collect()[0]
+    assert abs(r["theil_within"] - 0.130812) < 1e-4
+    assert abs(r["between_contrib"]) < 1e-9  # μ_g = μ
+
+
+# ---------------------------------------------------------------------------
+# mrr_eval
+# ---------------------------------------------------------------------------
+
+def test_mrr_first_relevant(spark):
+    run = spark.createDataFrame(
+        [("q1", 1, "d1"), ("q1", 2, "d2"), ("q1", 3, "d3"),
+         ("q2", 1, "e1"), ("q2", 2, "e2")],
+        "query string, rank long, doc_id string")
+    qrels = spark.createDataFrame(
+        [("q1", "d2", 1), ("q1", "d3", 1)],
+        "query string, doc_id string, rel long")
+    out = {r["query"]: r for r in mrr_eval(run, qrels, k=10).collect()}
+    assert out["q1"]["first_rel_rank"] == 2 and out["q1"]["rr"] == 0.5
+    assert out["q2"]["first_rel_rank"] is None and out["q2"]["rr"] == 0.0
+
+
+def test_mrr_k_cutoff(spark):
+    # relevant doc at rank 3 with k=2 → no hit inside the window
+    run = spark.createDataFrame(
+        [("q", 1, "a"), ("q", 2, "b"), ("q", 3, "c")],
+        "query string, rank long, doc_id string")
+    qrels = spark.createDataFrame(
+        [("q", "c", 1)], "query string, doc_id string, rel long")
+    r = mrr_eval(run, qrels, k=2).collect()[0]
+    assert r["n_ranked"] == 2 and r["rr"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_recursion_up(spark):
+    # x=[5,5,9,9,9], target=5, k=1 → S+ = [0,0,3,6,9]; alarms once > h=2
+    rows = [(i + 1, x) for i, x in enumerate([5.0, 5.0, 9.0, 9.0, 9.0])]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = cusum_drift(df, target=5.0, k=1.0, h=2.0).collect()
+    assert [r["s_pos"] for r in out] == [0.0, 0.0, 3.0, 6.0, 9.0]
+    assert [r["s_neg"] for r in out] == [0.0] * 5
+    assert [r["alarm"] for r in out] == [False, False, True, True, True]
+
+
+def test_cusum_matches_recursion_down(spark):
+    # x=[5,1,1], target=5, k=1 → S- = [0,3,6]
+    rows = [(1, 5.0), (2, 1.0), (3, 1.0)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = cusum_drift(df, target=5.0, k=1.0, h=4.0).collect()
+    assert [r["s_neg"] for r in out] == [0.0, 3.0, 6.0]
+    assert [r["alarm"] for r in out] == [False, False, True]
+
+
+def test_cusum_resets_after_dip(spark):
+    # a deep dip must clamp at zero, not go negative and mask the rise:
+    # x=[1,9,9], target=5, k=1 → a=[-5,3,3], S+ = [0,3,6]
+    rows = [(1, 1.0), (2, 9.0), (3, 9.0)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = cusum_drift(df, target=5.0, k=1.0, h=100.0).collect()
+    assert [r["s_pos"] for r in out] == [0.0, 3.0, 6.0]
