@@ -325,6 +325,8 @@ _EXTRA_PICKS = [
     "fdr", "modularity", "markov_rate", "apportion", "ab_ztest",
     # round-3 batch-57 (rank-sum + richness + inequality + change detection)
     "mrr", "mann_whitney", "chao1", "theil", "cusum",
+    # round-3 batch-58 (survival test + concordance + intervals + forecast)
+    "log_rank", "kendall", "wilson", "mcc", "brier",
 ]
 
 

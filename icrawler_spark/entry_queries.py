@@ -49,7 +49,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round56, entry_round57,
                             entry_round58, entry_round59,
                             entry_round60, entry_round61,
-                            entry_round62, entry_round63)
+                            entry_round62, entry_round63,
+                            entry_round64)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -879,6 +880,7 @@ def queries():
         **entry_round61.queries61(),
         **entry_round62.queries62(),
         **entry_round63.queries63(),
+        **entry_round64.queries64(),
     }
 
 
@@ -974,4 +976,5 @@ def oracle_sql():
         **entry_round61.oracle_sql61(),
         **entry_round62.oracle_sql62(),
         **entry_round63.oracle_sql63(),
+        **entry_round64.oracle_sql64(),
     }

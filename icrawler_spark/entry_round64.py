@@ -1,0 +1,202 @@
+"""Round-3 driver-contract queries (batch 58): log-rank survival test,
+Kendall tau-b, Wilson score intervals, Matthews correlation, Brier-score
+Murphy decomposition.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle. Forecast
+probabilities use /64 denominators so float sums are order-independent
+(exact binary fractions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# log_rank — cohort b lives ~5 days longer by construction
+# ---------------------------------------------------------------------------
+
+
+def _lr_lifetimes(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    grp = F.when(e % 2 == 0, "a").otherwise("b")
+    t = (e * 7919 % 30 + F.when(e % 2 == 0, 0).otherwise(5) + 1)
+    return ev.select(grp.alias("grp"), t.cast("long").alias("t"),
+                     (e % 5 != 0).cast("int").alias("d"))
+
+
+_LR_LIFETIMES_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+    CAST(event_id * 7919 % 30
+         + CASE WHEN event_id % 2 = 0 THEN 0 ELSE 5 END + 1
+      AS BIGINT) AS t,
+    CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END AS d
+  FROM events
+"""
+
+
+def q_log_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.log_rank: hypergeometric O−E over distinct
+    death times — page_survival's suffix-sum at-risk trick, no joins."""
+    return _recrawl.log_rank(_lr_lifetimes(spark, sf))
+
+
+def _log_rank_sql() -> str:
+    return _recrawl.log_rank_sql(_LR_LIFETIMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kendall — priority model vs realized value, ties in the second ranking
+# ---------------------------------------------------------------------------
+
+
+def _kt_ranks(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") < 80)
+    e = F.col("event_id")
+    ra = e * 7 % 80
+    return ev.select(
+        F.concat(F.lit("k"), F.lpad(e.cast("string"), 3, "0"))
+        .alias("key"),
+        ra.cast("long").alias("ra"),
+        (F.floor((ra + e % 9) / 2)).cast("long").alias("rb"))
+
+
+_KT_RANKS_SQL = """
+  SELECT 'k' || lpad(CAST(event_id AS VARCHAR), 3, '0') AS key,
+    CAST(event_id * 7 % 80 AS BIGINT) AS ra,
+    CAST((event_id * 7 % 80 + event_id % 9) // 2 AS BIGINT) AS rb
+  FROM events WHERE event_id < 80
+"""
+
+
+def q_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.kendall_tau: exact tau-b over the i<j pair join —
+    the sampled-keys exact audit beside spearman_prio's full-table path."""
+    return _corpus.kendall_tau(_kt_ranks(spark, sf))
+
+
+def _kendall_sql() -> str:
+    return _corpus.kendall_tau_sql(_KT_RANKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wilson — per-host fetch-success bands over single-trial rows
+# ---------------------------------------------------------------------------
+
+
+def _wi_outcomes(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 17).cast("string")).alias("key"),
+        F.lit(1).cast("long").alias("n"),
+        (e * 31 % 100 < 70).cast("long").alias("s"))
+
+
+_WI_OUTCOMES_SQL = """
+  SELECT 'h' || (event_id % 17) AS key, CAST(1 AS BIGINT) AS n,
+    CAST(CASE WHEN event_id * 31 % 100 < 70 THEN 1 ELSE 0 END
+      AS BIGINT) AS s
+  FROM events
+"""
+
+
+def q_wilson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.wilson_ci: score intervals per host — one
+    groupBy(key) then pure per-row arithmetic."""
+    return _corpus.wilson_ci(_wi_outcomes(spark, sf))
+
+
+def _wilson_sql() -> str:
+    return _corpus.wilson_ci_sql(_WI_OUTCOMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mcc — spam gate with ~14% label-flip noise
+# ---------------------------------------------------------------------------
+
+
+def _mc_preds(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    label = (e * 13 % 10 < 3).cast("int")
+    flip = (e % 7 == 0).cast("int")
+    return ev.select(label.alias("label"),
+                     F.abs(label - flip).alias("pred"))
+
+
+_MC_PREDS_SQL = """
+  SELECT label, abs(label - flip) AS pred FROM (
+    SELECT CASE WHEN event_id * 13 % 10 < 3 THEN 1 ELSE 0 END AS label,
+      CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS flip
+    FROM events)
+"""
+
+
+def q_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mcc_score: imbalance-honest single-number
+    classifier readout — one single-row aggregate."""
+    return _corpus.mcc_score(_mc_preds(spark, sf))
+
+
+def _mcc_sql() -> str:
+    return _corpus.mcc_score_sql(_MC_PREDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# brier — calibrated-by-construction change forecasts on /64 grid
+# ---------------------------------------------------------------------------
+
+_BR_BINS = 8
+
+
+def _br_forecasts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    f = (e * 13 % 64) / F.lit(64.0)
+    y = (e * 7919 % 64 < e * 13 % 64).cast("int")
+    return ev.select(f.alias("f"), y.alias("y"))
+
+
+_BR_FORECASTS_SQL = """
+  SELECT (event_id * 13 % 64) / CAST(64 AS DOUBLE) AS f,
+    CASE WHEN event_id * 7919 % 64 < event_id * 13 % 64
+      THEN 1 ELSE 0 END AS y
+  FROM events
+"""
+
+
+def q_brier(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.brier_decomp: reliability vs resolution split of
+    the change-forecast Brier score — ONE bounded groupBy(bin)."""
+    return _corpus.brier_decomp(_br_forecasts(spark, sf), n_bins=_BR_BINS)
+
+
+def _brier_sql() -> str:
+    return _corpus.brier_decomp_sql(_BR_FORECASTS_SQL, n_bins=_BR_BINS)
+
+
+def queries64():
+    return {
+        "log_rank": q_log_rank,
+        "kendall": q_kendall,
+        "wilson": q_wilson,
+        "mcc": q_mcc,
+        "brier": q_brier,
+    }
+
+
+def oracle_sql64():
+    return {
+        "log_rank": _log_rank_sql(),
+        "kendall": _kendall_sql(),
+        "wilson": _wilson_sql(),
+        "mcc": _mcc_sql(),
+        "brier": _brier_sql(),
+    }

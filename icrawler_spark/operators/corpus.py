@@ -2948,3 +2948,280 @@ SELECT grp, n_g AS n,
 FROM g CROSS JOIN tot
 ORDER BY grp
 """
+
+
+def kendall_tau(
+    ranks: DataFrame,
+    key_col: str = "key",
+    ra_col: str = "ra",
+    rb_col: str = "rb",
+) -> DataFrame:
+    """Kendall tau-b between two rankings of the same keys (priority
+    model vs realized crawl value) — the concordance view that
+    complements `spearman_prio`: tau counts pairwise order agreements,
+    so it is less sensitive to a few large rank displacements and
+    handles ties via the tau-b denominator.
+
+    Exact pair counting via a strict i<j self-join — O(n²) pairs BY
+    DESIGN, the exact-verification twin for a sampled key set (cap the
+    input: 10^3 keys → ~5·10^5 pairs, trivially; this is a rank-quality
+    audit, not a corpus-sized op; `spearman_prio` is the O(n log n)
+    full-table path). Returns one row (n, n_pairs, concordant,
+    discordant, tau_b); tau_b NULL when either denominator term is 0
+    (a ranking fully tied).
+    """
+    r = ranks.select(F.col(key_col).alias("k"),
+                     F.col(ra_col).cast("long").alias("ra"),
+                     F.col(rb_col).cast("long").alias("rb"))
+    lhs = r.select(F.col("k").alias("ki"), F.col("ra").alias("ai"),
+                   F.col("rb").alias("bi"))
+    rhs = r.select(F.col("k").alias("kj"), F.col("ra").alias("aj"),
+                   F.col("rb").alias("bj"))
+    pairs = lhs.join(rhs, F.col("ki") < F.col("kj"))
+    da = F.col("ai") - F.col("aj")
+    db = F.col("bi") - F.col("bj")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((da * db > 0).cast("int")).cast("long").alias("concordant"),
+        F.sum((da * db < 0).cast("int")).cast("long").alias("discordant"),
+        F.sum((da == 0).cast("int")).cast("long").alias("tied_a"),
+        F.sum((db == 0).cast("int")).cast("long").alias("tied_b"))
+    n = r.agg(F.count("*").cast("long").alias("n"))
+    j = n.crossJoin(F.broadcast(agg))
+    den_a = (F.col("n_pairs") - F.col("tied_a")).cast("double")
+    den_b = (F.col("n_pairs") - F.col("tied_b")).cast("double")
+    tau = F.when((den_a > 0) & (den_b > 0),
+                 F.round((F.col("concordant") - F.col("discordant"))
+                         / F.sqrt(den_a * den_b), 6))
+    return j.select("n", "n_pairs", "concordant", "discordant",
+                    tau.alias("tau_b"))
+
+
+def kendall_tau_sql(ranks_sql: str) -> str:
+    """DuckDB mirror of :func:`kendall_tau` over a (key, ra, rb)
+    SELECT."""
+    return f"""
+WITH r AS (
+  SELECT key AS k, CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
+  FROM ({ranks_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN i.ra = j.ra THEN 1 ELSE 0 END) AS BIGINT)
+      AS tied_a,
+    CAST(sum(CASE WHEN i.rb = j.rb THEN 1 ELSE 0 END) AS BIGINT)
+      AS tied_b
+  FROM r i JOIN r j ON i.k < j.k
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+SELECT n, n_pairs, concordant, discordant,
+  CASE WHEN n_pairs - tied_a > 0 AND n_pairs - tied_b > 0
+    THEN round((concordant - discordant)
+           / sqrt(CAST(n_pairs - tied_a AS DOUBLE)
+                  * CAST(n_pairs - tied_b AS DOUBLE)), 6)
+  END AS tau_b
+FROM n CROSS JOIN agg
+"""
+
+
+def wilson_ci(
+    outcomes: DataFrame,
+    z: float = 1.96,
+    key_col: str = "key",
+    n_col: str = "n",
+    s_col: str = "s",
+) -> DataFrame:
+    """Wilson score interval per key for a binomial rate (per-host fetch
+    success, robots-allow share, dedup precision) — the interval that
+    stays inside [0,1] and behaves at n·p̂ ≈ 0, unlike the Wald
+    interval; the right uncertainty band for ranking hosts by success
+    rate when sample sizes differ wildly (pairs with `eb_rates`, which
+    shrinks the point estimate; this bounds it).
+
+    center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n). Pure per-row arithmetic after
+    the per-key aggregate — zero joins, zero windows. Returns
+    (key, n, s, rate, lo, hi) ordered by key, floats rounded 6.
+    """
+    per = (outcomes.select(F.col(key_col).alias("key"),
+                           F.col(n_col).cast("long").alias("n"),
+                           F.col(s_col).cast("long").alias("s"))
+           .groupBy("key")
+           .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
+    zz = float(z) * float(z)
+    p = F.col("s").cast("double") / F.col("n")
+    denom = 1.0 + zz / F.col("n")
+    center = (p + zz / (2.0 * F.col("n"))) / denom
+    half = (float(z)
+            * F.sqrt(p * (1.0 - p) / F.col("n")
+                     + zz / (4.0 * F.col("n") * F.col("n")))
+            / denom)
+    return (per.select("key", "n", "s",
+                       F.round(p, 6).alias("rate"),
+                       F.round(center - half, 6).alias("lo"),
+                       F.round(center + half, 6).alias("hi"))
+            .orderBy("key"))
+
+
+def wilson_ci_sql(outcomes_sql: str, z: float = 1.96) -> str:
+    """DuckDB mirror of :func:`wilson_ci` over a (key, n, s) SELECT."""
+    zz = float(z) * float(z)
+    return f"""
+WITH per AS (
+  SELECT key, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+  FROM ({outcomes_sql}) GROUP BY 1
+)
+SELECT key, n, s,
+  round(CAST(s AS DOUBLE) / n, 6) AS rate,
+  round(((CAST(s AS DOUBLE) / n + {zz} / (2.0 * n))
+         - {float(z)} * sqrt((CAST(s AS DOUBLE) / n)
+             * (1.0 - CAST(s AS DOUBLE) / n) / n
+             + {zz} / (4.0 * n * n)))
+        / (1.0 + {zz} / n), 6) AS lo,
+  round(((CAST(s AS DOUBLE) / n + {zz} / (2.0 * n))
+         + {float(z)} * sqrt((CAST(s AS DOUBLE) / n)
+             * (1.0 - CAST(s AS DOUBLE) / n) / n
+             + {zz} / (4.0 * n * n)))
+        / (1.0 + {zz} / n), 6) AS hi
+FROM per ORDER BY key
+"""
+
+
+def mcc_score(
+    predictions: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Matthews correlation coefficient from a binary confusion matrix —
+    the single-number classifier readout that stays honest under class
+    imbalance (a spam filter predicting 'ham' always gets accuracy 0.99
+    and MCC 0). Complements `classifier_prf` (per-class view) and
+    `auc_rank` (threshold-free view).
+
+    mcc = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)), NULL when
+    any marginal is empty. Counts exact; one float chain rounded 6.
+    Scale shape: ONE single-row aggregate over the scan — nothing else.
+    """
+    lab = F.col(label_col).cast("int")
+    prd = F.col(pred_col).cast("int")
+    agg = predictions.agg(
+        F.sum(((lab == 1) & (prd == 1)).cast("int")).cast("long")
+        .alias("tp"),
+        F.sum(((lab == 0) & (prd == 1)).cast("int")).cast("long")
+        .alias("fp"),
+        F.sum(((lab == 1) & (prd == 0)).cast("int")).cast("long")
+        .alias("fn"),
+        F.sum(((lab == 0) & (prd == 0)).cast("int")).cast("long")
+        .alias("tn"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).cast("double")
+    mcc = F.when(den > 0,
+                 F.round((tp * tn - fp * fn).cast("double")
+                         / F.sqrt(den), 6))
+    return agg.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+def mcc_score_sql(predictions_sql: str) -> str:
+    """DuckDB mirror of :func:`mcc_score` over a (label, pred) SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS tn
+  FROM ({predictions_sql})
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN CAST((tp + fp) * (tp + fn) AS DOUBLE)
+            * ((tn + fp) * (tn + fn)) > 0
+    THEN round(CAST(tp * tn - fp * fn AS DOUBLE)
+           / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                  * ((tn + fp) * (tn + fn))), 6)
+  END AS mcc
+FROM agg
+"""
+
+
+def brier_decomp(
+    forecasts: DataFrame,
+    n_bins: int = 10,
+    f_col: str = "f",
+    y_col: str = "y",
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over binned probability
+    forecasts (will-this-page-change predictions, spam probabilities):
+    per forecast bin the mean forecast, empirical outcome rate, and the
+    additive reliability / resolution contributions — Brier = REL − RES
+    + UNC with UNC = ō(1−ō) fixed by the base rate. `calibration_bins`
+    reads the same table for ECE; this one splits skill (resolution)
+    from miscalibration (reliability), which ECE conflates.
+
+    Returns one row per non-empty bin (bin, n, f_mean, o_rate,
+    rel_contrib, res_contrib) ordered by bin, floats rounded 6.
+
+    Scale shape: ONE groupBy(bin) (≤ n_bins groups) plus a single-row
+    global agg broadcast back — no window over raw rows.
+    """
+    v = forecasts.select(F.col(f_col).cast("double").alias("f"),
+                         F.col(y_col).cast("int").alias("y"))
+    b = F.least(F.floor(F.col("f") * int(n_bins)).cast("long"),
+                F.lit(int(n_bins) - 1))
+    per = (v.groupBy(b.alias("bin"))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("f").alias("sf"),
+                F.sum("y").cast("long").alias("sy")))
+    tot = v.agg(F.count("*").cast("long").alias("n_all"),
+                F.sum("y").cast("long").alias("sy_all"))
+    j = per.crossJoin(F.broadcast(tot))
+    f_mean = F.col("sf") / F.col("n")
+    o_rate = F.col("sy").cast("double") / F.col("n")
+    o_bar = F.col("sy_all").cast("double") / F.col("n_all")
+    return (j.select(
+        "bin", "n",
+        F.round(f_mean, 6).alias("f_mean"),
+        F.round(o_rate, 6).alias("o_rate"),
+        F.round(F.col("n") * F.pow(f_mean - o_rate, 2)
+                / F.col("n_all"), 6).alias("rel_contrib"),
+        F.round(F.col("n") * F.pow(o_rate - o_bar, 2)
+                / F.col("n_all"), 6).alias("res_contrib"))
+        .orderBy("bin"))
+
+
+def brier_decomp_sql(forecasts_sql: str, n_bins: int = 10) -> str:
+    """DuckDB mirror of :func:`brier_decomp` over a (f, y) SELECT."""
+    return f"""
+WITH v AS (
+  SELECT CAST(f AS DOUBLE) AS f, CAST(y AS INT) AS y
+  FROM ({forecasts_sql})
+),
+per AS (
+  SELECT least(CAST(floor(f * {int(n_bins)}) AS BIGINT),
+               {int(n_bins) - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS n, sum(f) AS sf,
+    CAST(sum(y) AS BIGINT) AS sy
+  FROM v GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+    CAST(sum(y) AS BIGINT) AS sy_all
+  FROM v
+)
+SELECT bin, n,
+  round(sf / n, 6) AS f_mean,
+  round(CAST(sy AS DOUBLE) / n, 6) AS o_rate,
+  round(n * pow(sf / n - CAST(sy AS DOUBLE) / n, 2) / n_all, 6)
+    AS rel_contrib,
+  round(n * pow(CAST(sy AS DOUBLE) / n
+                - CAST(sy_all AS DOUBLE) / n_all, 2) / n_all, 6)
+    AS res_contrib
+FROM per CROSS JOIN tot ORDER BY bin
+"""

@@ -1109,3 +1109,114 @@ SELECT seq, x, round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
   (s_pos > {h} OR s_neg > {h}) AS alarm
 FROM s ORDER BY seq
 """
+
+
+def log_rank(
+    lifetimes: DataFrame,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    d_col: str = "d",
+    a: str = "a",
+) -> DataFrame:
+    """Log-rank test comparing the survival of two page cohorts (tier a
+    vs rest) — the hypothesis-test companion to `page_survival`'s
+    Kaplan-Meier curve: do tier-1 pages actually die slower, or does
+    the curve gap fit chance? Input is one row per page: group, observed
+    lifetime, d = 1 death / 0 right-censored.
+
+    At each distinct death time: observed deaths in a, expected
+    e1 = d·n1/n under the null, hypergeometric variance
+    v1 = d·(n1/n)·(1−n1/n)·(n−d)/(n−1). χ² = (Σd1 − Σe1)²/Σv1.
+    At-risk counts are suffix sums over descending t — exactly the
+    `page_survival` trick, so no join back to the page table.
+
+    Counts exact; e1/v1 are exact-ratio arithmetic summed over the
+    (tiny) distinct-death-time rows, rounded at the end. Returns one
+    row (n_a, n_b, obs_a, exp_a, var_a, chi2); chi2 NULL when var is 0.
+
+    Scale shape: ONE groupBy(t) then windows over distinct times —
+    identical shuffle shape to `page_survival`.
+    """
+    life = lifetimes.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(d_col).cast("int").alias("d"),
+        (F.col(grp_col) == a).cast("int").alias("in_a"))
+    per = (life.groupBy("t")
+           .agg(F.count("*").cast("long").alias("n_t"),
+                F.sum("in_a").cast("long").alias("n_a_t"),
+                F.sum("d").cast("long").alias("d_t"),
+                F.sum(F.col("d") * F.col("in_a")).cast("long")
+                .alias("d_a_t")))
+    w_desc = (Window.orderBy(F.desc("t"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    risked = (per.select(
+        "t", "d_t", "d_a_t",
+        F.sum("n_t").over(w_desc).alias("n_risk"),
+        F.sum("n_a_t").over(w_desc).alias("n_risk_a"))
+        .filter(F.col("d_t") > 0))
+    share = F.col("n_risk_a").cast("double") / F.col("n_risk")
+    e1 = F.col("d_t") * share
+    v1 = F.when(F.col("n_risk") > 1,
+                F.col("d_t") * share * (1.0 - share)
+                * (F.col("n_risk") - F.col("d_t"))
+                / (F.col("n_risk") - 1)).otherwise(F.lit(0.0))
+    tot = life.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"))
+    agg = risked.agg(F.sum("d_a_t").cast("long").alias("obs_a"),
+                     F.sum(e1).alias("exp_a"),
+                     F.sum(v1).alias("var_a"))
+    j = tot.crossJoin(F.broadcast(agg))
+    chi2 = F.when(
+        F.col("var_a") > 0,
+        F.round(F.pow(F.col("obs_a") - F.col("exp_a"), 2)
+                / F.col("var_a"), 4))
+    return j.select("n_a", "n_b", "obs_a",
+                    F.round("exp_a", 6).alias("exp_a"),
+                    F.round("var_a", 6).alias("var_a"),
+                    chi2.alias("chi2"))
+
+
+def log_rank_sql(lifetimes_sql: str, a: str = "a") -> str:
+    """DuckDB mirror of :func:`log_rank` over a (grp, t, d) SELECT."""
+    return f"""
+WITH life AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(d AS INT) AS d,
+    CASE WHEN grp = '{a}' THEN 1 ELSE 0 END AS in_a
+  FROM ({lifetimes_sql})
+),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+    CAST(sum(in_a) AS BIGINT) AS n_a_t,
+    CAST(sum(d) AS BIGINT) AS d_t,
+    CAST(sum(d * in_a) AS BIGINT) AS d_a_t
+  FROM life GROUP BY 1
+),
+risked AS (
+  SELECT t, d_t, d_a_t,
+    sum(n_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk,
+    sum(n_a_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+      AS n_risk_a
+  FROM per
+),
+ev AS (SELECT * FROM risked WHERE d_t > 0),
+tot AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+    CAST(sum(1 - in_a) AS BIGINT) AS n_b
+  FROM life
+),
+agg AS (
+  SELECT CAST(sum(d_a_t) AS BIGINT) AS obs_a,
+    sum(d_t * (CAST(n_risk_a AS DOUBLE) / n_risk)) AS exp_a,
+    sum(CASE WHEN n_risk > 1 THEN
+      d_t * (CAST(n_risk_a AS DOUBLE) / n_risk)
+          * (1.0 - CAST(n_risk_a AS DOUBLE) / n_risk)
+          * (n_risk - d_t) / (n_risk - 1) ELSE 0.0 END) AS var_a
+  FROM ev
+)
+SELECT n_a, n_b, obs_a, round(exp_a, 6) AS exp_a,
+  round(var_a, 6) AS var_a,
+  CASE WHEN var_a > 0
+    THEN round(pow(obs_a - exp_a, 2) / var_a, 4) END AS chi2
+FROM tot CROSS JOIN agg
+"""

@@ -1,0 +1,123 @@
+"""Unit tests for the round-64 pack: log-rank, Kendall tau-b, Wilson CI,
+MCC, Brier decomposition."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (brier_decomp, kendall_tau,
+                                             mcc_score, wilson_ci)
+from icrawler_spark.operators.recrawl import log_rank
+
+
+# ---------------------------------------------------------------------------
+# log_rank
+# ---------------------------------------------------------------------------
+
+def test_log_rank_two_deaths(spark):
+    # a dies at t=1, b at t=2: O=1, E=0.5, V=0.25 → chi2 = 1.0
+    df = spark.createDataFrame([("a", 1, 1), ("b", 2, 1)],
+                               "grp string, t long, d int")
+    r = log_rank(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["obs_a"]) == (1, 1, 1)
+    assert abs(r["exp_a"] - 0.5) < 1e-9
+    assert abs(r["var_a"] - 0.25) < 1e-9
+    assert abs(r["chi2"] - 1.0) < 1e-9
+
+
+def test_log_rank_censoring_in_risk_set(spark):
+    # censored (a, 3, 0) stays at risk through both deaths:
+    # E = 2/3 + 1/2 = 7/6, V = 2/9 + 1/4 = 17/36, chi2 = 1/17
+    df = spark.createDataFrame([("a", 1, 1), ("b", 2, 1), ("a", 3, 0)],
+                               "grp string, t long, d int")
+    r = log_rank(df).collect()[0]
+    assert r["obs_a"] == 1
+    assert abs(r["exp_a"] - 7 / 6) < 1e-5
+    assert abs(r["var_a"] - 17 / 36) < 1e-5
+    assert abs(r["chi2"] - 1 / 17) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau
+# ---------------------------------------------------------------------------
+
+def test_kendall_perfect_agreement(spark):
+    rows = [(f"k{i}", i, i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "key string, ra long, rb long")
+    r = kendall_tau(df).collect()[0]
+    assert r["tau_b"] == 1.0 and r["discordant"] == 0
+
+
+def test_kendall_perfect_reversal(spark):
+    rows = [(f"k{i}", i, 5 - i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "key string, ra long, rb long")
+    r = kendall_tau(df).collect()[0]
+    assert r["tau_b"] == -1.0 and r["concordant"] == 0
+
+
+def test_kendall_tau_b_tie_denominator(spark):
+    # rb has one tied pair: C=2, D=0, tied_b=1 → 2/sqrt(3*2) = 0.816497
+    rows = [("k1", 1, 1), ("k2", 2, 1), ("k3", 3, 2)]
+    df = spark.createDataFrame(rows, "key string, ra long, rb long")
+    r = kendall_tau(df).collect()[0]
+    assert (r["concordant"], r["discordant"]) == (2, 0)
+    assert abs(r["tau_b"] - 0.816497) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# wilson_ci
+# ---------------------------------------------------------------------------
+
+def test_wilson_half_rate_symmetric(spark):
+    # n=4, s=2 at z=1.96: interval centered at 0.5, half-width 0.349965
+    rows = [("h", 1, 1), ("h", 1, 0), ("h", 1, 1), ("h", 1, 0)]
+    df = spark.createDataFrame(rows, "key string, n long, s long")
+    r = wilson_ci(df).collect()[0]
+    assert r["rate"] == 0.5
+    assert abs(r["lo"] - 0.150035) < 1e-5
+    assert abs(r["hi"] - 0.849965) < 1e-5
+
+
+def test_wilson_zero_successes_stays_in_unit(spark):
+    df = spark.createDataFrame([("h", 5, 0)], "key string, n long, s long")
+    r = wilson_ci(df).collect()[0]
+    assert r["lo"] == 0.0 and 0.0 < r["hi"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# mcc_score
+# ---------------------------------------------------------------------------
+
+def test_mcc_known_confusion(spark):
+    # tp=2 tn=3 fp=1 fn=1 → (6-1)/sqrt(3*3*4*4) = 5/12
+    rows = ([(1, 1)] * 2 + [(0, 0)] * 3 + [(0, 1)] + [(1, 0)])
+    df = spark.createDataFrame(rows, "label int, pred int")
+    r = mcc_score(df).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 3)
+    assert abs(r["mcc"] - 5 / 12) < 1e-6
+
+
+def test_mcc_degenerate_marginal_null(spark):
+    # everything predicted positive → a zero marginal → NULL, not crash
+    df = spark.createDataFrame([(1, 1), (0, 1)], "label int, pred int")
+    assert mcc_score(df).collect()[0]["mcc"] is None
+
+
+# ---------------------------------------------------------------------------
+# brier_decomp
+# ---------------------------------------------------------------------------
+
+def test_brier_calibrated_bins(spark):
+    # two perfectly calibrated bins → rel = 0, res = n(o-0.5)^2/N each
+    rows = ([(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)])
+    df = spark.createDataFrame(rows, "f double, y int")
+    out = {r["bin"]: r for r in brier_decomp(df, n_bins=8).collect()}
+    assert set(out) == {2, 6}
+    for b in (2, 6):
+        assert out[b]["rel_contrib"] == 0.0
+        assert abs(out[b]["res_contrib"] - 0.03125) < 1e-9
+    assert out[2]["o_rate"] == 0.25 and out[6]["o_rate"] == 0.75
+
+
+def test_brier_top_edge_clamps_to_last_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.99, 0)], "f double, y int")
+    out = brier_decomp(df, n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 9 and out[0]["n"] == 2
