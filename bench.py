@@ -327,6 +327,8 @@ _EXTRA_PICKS = [
     "mrr", "mann_whitney", "chao1", "theil", "cusum",
     # round-3 batch-58 (survival test + concordance + intervals + forecast)
     "log_rank", "kendall", "wilson", "mcc", "brier",
+    # round-3 batch-59 (queueing + concentration + independence + anomalies)
+    "backlog", "hhi", "runs", "friedman", "rolling_z",
 ]
 
 

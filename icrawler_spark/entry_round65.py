@@ -1,0 +1,216 @@
+"""Round-3 driver-contract queries (batch 59): Lindley host backlog,
+Herfindahl concentration, Wald-Wolfowitz runs test, Friedman k-ranker
+test, trailing-window z-score anomalies.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle. Series
+values are integer-valued so window sums are exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# backlog — arrivals outrun the politeness cap on hot hosts
+# ---------------------------------------------------------------------------
+
+
+def _bl_rounds(spark, sf) -> DataFrame:
+    """8 hosts × rounds; host h gets 3+h arrivals/round vs capacity 6 —
+    hosts 4+ accumulate, the rest drain to zero."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return (ev.groupBy(
+        F.concat(F.lit("h"), (e % 8).cast("string")).alias("host"),
+        (e % 64 / 8).cast("long").alias("round"))
+        .agg((F.count("*") % 5 + (F.min(e) % 8) + 1).cast("long")
+             .alias("arrivals"))
+        .withColumn("capacity", F.lit(6).cast("long")))
+
+
+_BL_ROUNDS_SQL = """
+  SELECT host, round, arrivals, CAST(6 AS BIGINT) AS capacity FROM (
+    SELECT 'h' || (event_id % 8) AS host,
+      CAST(event_id % 64 // 8 AS BIGINT) AS round,
+      CAST(count(*) % 5 + min(event_id) % 8 + 1 AS BIGINT) AS arrivals
+    FROM events GROUP BY 1, 2)
+"""
+
+
+def q_backlog(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_backlog: Lindley recursion unrolled to
+    prefix-sum minus running-min, windows partitioned by host."""
+    return _politeness.host_backlog(_bl_rounds(spark, sf))
+
+
+def _backlog_sql() -> str:
+    return _politeness.host_backlog_sql(_BL_ROUNDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hhi — fetch concentration per tier
+# ---------------------------------------------------------------------------
+
+
+def _hh_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("t"), (e % 3).cast("string")).alias("grp"),
+        F.concat(F.lit("h"), (e * 7 % 19).cast("string")).alias("key"),
+        (e % 9 + 1).cast("double").alias("x"))
+
+
+_HH_ROWS_SQL = """
+  SELECT 't' || (event_id % 3) AS grp,
+    'h' || (event_id * 7 % 19) AS key,
+    CAST(event_id % 9 + 1 AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.herfindahl: squared-share concentration +
+    effective host count per tier — two bounded groupBys."""
+    return _politeness.herfindahl(_hh_rows(spark, sf))
+
+
+def _hhi_sql() -> str:
+    return _politeness.herfindahl_sql(_HH_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# runs — serially clumped fetch outcomes (block pattern by construction)
+# ---------------------------------------------------------------------------
+
+
+def _ru_seq(spark, sf) -> DataFrame:
+    """Blocks of ~6 same outcomes → far fewer runs than E[R] → z ≪ 0."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 500)
+    e = F.col("event_id")
+    return ev.select(e.cast("long").alias("seq"),
+                     ((e / 6).cast("long") % 2).cast("int").alias("b"))
+
+
+_RU_SEQ_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS seq,
+    CAST(event_id // 6 % 2 AS INT) AS b
+  FROM events WHERE event_id < 500
+"""
+
+
+def q_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.runs_test: run count via ONE lag window, z
+    against the i.i.d. null — clumped outcomes by construction."""
+    return _corpus.runs_test(_ru_seq(spark, sf))
+
+
+def _runs_sql() -> str:
+    return _corpus.runs_test_sql(_RU_SEQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# friedman — 4 rankers on shared queries, ranker r2 best by construction
+# ---------------------------------------------------------------------------
+
+
+def _fr_scores(spark, sf) -> DataFrame:
+    """Tie-free scores: base noise + per-ranker lift (r2 > r1 > r3 > r0)."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 200)
+    e = F.col("event_id")
+    q = F.concat(F.lit("q"), (e % 50).cast("string"))
+    r = (e / 50).cast("long") % 4
+    lift = F.element_at(F.array(F.lit(0), F.lit(20), F.lit(30), F.lit(10)),
+                        (r + 1).cast("int"))
+    score = (e * 13 % 17 + lift).cast("double")
+    return ev.select(q.alias("query"),
+                     F.concat(F.lit("r"), r.cast("string")).alias("ranker"),
+                     score.alias("score"))
+
+
+_FR_SCORES_SQL = """
+  SELECT 'q' || (event_id % 50) AS query,
+    'r' || (event_id // 50 % 4) AS ranker,
+    CAST(event_id * 13 % 17
+         + ([0, 20, 30, 10])[CAST(event_id // 50 % 4 AS INT) + 1]
+      AS DOUBLE) AS score
+  FROM events WHERE event_id < 200
+"""
+
+
+def q_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.friedman_test: repeated-measures rank test across
+    k rankers — per-query window + groupBy(ranker) + k-row window."""
+    return _search.friedman_test(_fr_scores(spark, sf))
+
+
+def _friedman_sql() -> str:
+    return _search.friedman_test_sql(_FR_SCORES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rolling_z — integer-valued load series with two injected spikes
+# ---------------------------------------------------------------------------
+
+_RZ_W = 20
+_RZ_THRESH = 3.0
+
+
+def _rz_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    per = (ev.groupBy((e / 10).cast("long").alias("seq"))
+           .agg(F.sum(e % 5).cast("long").alias("load")))
+    spike = F.when(F.col("seq") % 37 == 30, 40).otherwise(0)
+    return per.select("seq",
+                      (F.col("load") + spike).cast("double").alias("x"))
+
+
+_RZ_SERIES_SQL = """
+  SELECT seq, CAST(load + CASE WHEN seq % 37 = 30 THEN 40 ELSE 0 END
+               AS DOUBLE) AS x
+  FROM (
+    SELECT CAST(event_id // 10 AS BIGINT) AS seq,
+      CAST(sum(event_id % 5) AS BIGINT) AS load
+    FROM events GROUP BY 1)
+"""
+
+
+def q_rolling_z(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.rolling_anomaly: trailing-20 z-score with the
+    current point excluded from its own baseline — bounded window."""
+    return _recrawl.rolling_anomaly(_rz_series(spark, sf), w=_RZ_W,
+                                    z_thresh=_RZ_THRESH)
+
+
+def _rolling_z_sql() -> str:
+    return _recrawl.rolling_anomaly_sql(_RZ_SERIES_SQL, w=_RZ_W,
+                                        z_thresh=_RZ_THRESH)
+
+
+def queries65():
+    return {
+        "backlog": q_backlog,
+        "hhi": q_hhi,
+        "runs": q_runs,
+        "friedman": q_friedman,
+        "rolling_z": q_rolling_z,
+    }
+
+
+def oracle_sql65():
+    return {
+        "backlog": _backlog_sql(),
+        "hhi": _hhi_sql(),
+        "runs": _runs_sql(),
+        "friedman": _friedman_sql(),
+        "rolling_z": _rolling_z_sql(),
+    }

@@ -3225,3 +3225,79 @@ SELECT bin, n,
     AS res_contrib
 FROM per CROSS JOIN tot ORDER BY bin
 """
+
+
+def runs_test(
+    seq: DataFrame,
+    seq_col: str = "seq",
+    b_col: str = "b",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on an ordered binary sequence (fetch
+    success/failure per request, cache hit/miss) — are the outcomes
+    serially independent, or do failures clump (a flapping host) /
+    alternate (a round-robin artifact)? Too few runs ⇒ clustering, too
+    many ⇒ anti-correlation; both break the i.i.d. assumption the
+    sampling-based auditors here quietly make.
+
+    R = 1 + Σ 1[b_t ≠ b_{t−1}] via ONE lag window; E[R] = 2n₁n₀/n + 1,
+    Var[R] = 2n₁n₀(2n₁n₀ − n)/(n²(n−1)), z = (R − E)/√Var. Counts
+    exact; z is the only float chain, rounded 4 (NULL when either class
+    is empty). Returns one row (n, n_ones, n_zeros, runs, exp_runs, z).
+
+    Scale shape: one ordered lag window + one single-row agg — for
+    per-host parallelism, partition the window by host upstream.
+    """
+    v = seq.select(F.col(seq_col).cast("long").alias("seq"),
+                   F.col(b_col).cast("int").alias("b"))
+    w = Window.orderBy("seq")
+    flip = (F.col("b") != F.lag("b", 1).over(w)).cast("int")
+    marked = v.select("b", F.coalesce(flip, F.lit(1)).alias("new_run"))
+    agg = marked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("n_ones"),
+        F.sum(1 - F.col("b")).cast("long").alias("n_zeros"),
+        F.sum("new_run").cast("long").alias("runs"))
+    n, n1, n0 = F.col("n"), F.col("n_ones"), F.col("n_zeros")
+    m = 2.0 * n1 * n0
+    exp_r = m / n + 1.0
+    var_r = m * (m - n) / (n.cast("double") * n * (n - 1))
+    z = F.when((n1 > 0) & (n0 > 0) & (var_r > 0),
+               F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 4))
+    return agg.select("n", "n_ones", "n_zeros", "runs",
+                      F.round(exp_r, 6).alias("exp_runs"),
+                      z.alias("z"))
+
+
+def runs_test_sql(seq_sql: str) -> str:
+    """DuckDB mirror of :func:`runs_test` over a (seq, b) SELECT."""
+    return f"""
+WITH v AS (
+  SELECT CAST(seq AS BIGINT) AS seq, CAST(b AS INT) AS b
+  FROM ({seq_sql})
+),
+marked AS (
+  -- first row: b != NULL is NULL, which must count as a new run (a CASE
+  -- would collapse it to the ELSE arm before coalesce sees it)
+  SELECT b, coalesce(CAST(b != lag(b) OVER (ORDER BY seq) AS INT), 1)
+    AS new_run
+  FROM v
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(b) AS BIGINT) AS n_ones,
+    CAST(sum(1 - b) AS BIGINT) AS n_zeros,
+    CAST(sum(new_run) AS BIGINT) AS runs
+  FROM marked
+)
+SELECT n, n_ones, n_zeros, runs,
+  round(2.0 * n_ones * n_zeros / n + 1.0, 6) AS exp_runs,
+  CASE WHEN n_ones > 0 AND n_zeros > 0
+        AND 2.0 * n_ones * n_zeros * (2.0 * n_ones * n_zeros - n)
+            / (CAST(n AS DOUBLE) * n * (n - 1)) > 0
+    THEN round((runs - (2.0 * n_ones * n_zeros / n + 1.0))
+           / sqrt(2.0 * n_ones * n_zeros
+                  * (2.0 * n_ones * n_zeros - n)
+                  / (CAST(n AS DOUBLE) * n * (n - 1))), 4)
+  END AS z
+FROM agg
+"""

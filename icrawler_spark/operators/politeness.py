@@ -1715,3 +1715,139 @@ SELECT n_draws,
     AS coverage
 FROM (VALUES {vals}) AS t(n_draws)
 """
+
+
+def host_backlog(
+    rounds: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    arrivals_col: str = "arrivals",
+    capacity_col: str = "capacity",
+) -> DataFrame:
+    """Per-host frontier backlog over crawl rounds under the politeness
+    cap — the Lindley queue recursion W_{t+1} = max(0, W_t + arrivals_t
+    − capacity_t), which says how many discovered-but-unfetched URLs a
+    host accumulates when link discovery outruns its token-bucket rate.
+    The capacity planner's view of `politeness_batch`: a host whose
+    backlog grows without bound needs a bigger crawl-delay budget or a
+    frontier cap.
+
+    Same unroll as `recrawl.cusum_drift`: the max(0, ·) recursion is
+    exactly prefix-sum minus running-min — W_t = D_t − min(0, min_{j≤t}
+    D_j) with D the running sum of (arrivals − capacity) — so each
+    host's whole trajectory is TWO window passes, no recursion, no UDF.
+
+    Returns (host, round, arrivals, capacity, backlog) ordered by
+    (host, round); exact integer arithmetic throughout.
+
+    Scale shape: windows partitioned by host — 10^7 hosts parallelize
+    across partitions; per-host round counts are crawl-depth-bounded
+    (tens), so no window is long.
+    """
+    v = rounds.select(F.col(host_col).alias("host"),
+                      F.col(round_col).cast("long").alias("round"),
+                      F.col(arrivals_col).cast("long").alias("arrivals"),
+                      F.col(capacity_col).cast("long").alias("capacity"))
+    w = (Window.partitionBy("host").orderBy("round")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d_run = F.sum(F.col("arrivals") - F.col("capacity")).over(w)
+    pre = v.select("host", "round", "arrivals", "capacity",
+                   d_run.alias("d_run"))
+    backlog = (F.col("d_run")
+               - F.least(F.lit(0).cast("long"),
+                         F.min("d_run").over(
+                             Window.partitionBy("host").orderBy("round")
+                             .rowsBetween(Window.unboundedPreceding, 0))))
+    return (pre.select("host", "round", "arrivals", "capacity",
+                       backlog.cast("long").alias("backlog"))
+            .orderBy("host", "round"))
+
+
+def host_backlog_sql(rounds_sql: str) -> str:
+    """DuckDB mirror of :func:`host_backlog` over a (host, round,
+    arrivals, capacity) SELECT."""
+    return f"""
+WITH v AS (
+  SELECT host, CAST(round AS BIGINT) AS round,
+    CAST(arrivals AS BIGINT) AS arrivals,
+    CAST(capacity AS BIGINT) AS capacity
+  FROM ({rounds_sql})
+),
+pre AS (
+  SELECT host, round, arrivals, capacity,
+    sum(arrivals - capacity) OVER (PARTITION BY host ORDER BY round
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_run
+  FROM v
+)
+SELECT host, round, arrivals, capacity,
+  CAST(d_run - least(0, min(d_run) OVER (PARTITION BY host ORDER BY
+    round ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    AS BIGINT) AS backlog
+FROM pre ORDER BY host, round
+"""
+
+
+def herfindahl(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    key_col: str = "key",
+    x_col: str = "x",
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of a quantity (fetches, bytes,
+    frontier mass) across keys (hosts) within each group (tier, shard):
+    HHI = Σ share², normalized HHI* = (HHI − 1/n)/(1 − 1/n), and the
+    effective number of hosts 1/HHI — the "how many hosts does this
+    tier REALLY crawl" number. Complements `host_gini` (rank-area view)
+    with the antitrust-standard squared-share view, and is the direct
+    skew predictor for shuffle partitions keyed by host.
+
+    Shares are exact ratios of exact sums; HHI is a sum of squared
+    ratios rounded 6. Returns (grp, n_keys, total_x, hhi, hhi_norm,
+    effective_n) ordered by grp; hhi_norm NULL for single-key groups.
+
+    Scale shape: ONE groupBy(grp, key) then ONE groupBy(grp) — no
+    window over raw rows, no join.
+    """
+    per = (rows.select(F.col(grp_col).alias("grp"),
+                       F.col(key_col).alias("key"),
+                       F.col(x_col).cast("double").alias("x"))
+           .groupBy("grp", "key")
+           .agg(F.sum("x").alias("xk")))
+    tot = (per.groupBy("grp")
+           .agg(F.count("*").cast("long").alias("n_keys"),
+                F.sum("xk").alias("total_x"),
+                F.sum(F.col("xk") * F.col("xk")).alias("sq")))
+    hhi = F.col("sq") / (F.col("total_x") * F.col("total_x"))
+    inv_n = 1.0 / F.col("n_keys")
+    return (tot.select(
+        "grp", "n_keys",
+        F.round("total_x", 6).alias("total_x"),
+        F.round(hhi, 6).alias("hhi"),
+        F.when(F.col("n_keys") > 1,
+               F.round((hhi - inv_n) / (1.0 - inv_n), 6))
+        .alias("hhi_norm"),
+        F.round(1.0 / hhi, 6).alias("effective_n"))
+        .orderBy("grp"))
+
+
+def herfindahl_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`herfindahl` over a (grp, key, x)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT grp, key, sum(CAST(x AS DOUBLE)) AS xk
+  FROM ({rows_sql}) GROUP BY 1, 2
+),
+tot AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_keys, sum(xk) AS total_x,
+    sum(xk * xk) AS sq
+  FROM per GROUP BY 1
+)
+SELECT grp, n_keys, round(total_x, 6) AS total_x,
+  round(sq / (total_x * total_x), 6) AS hhi,
+  CASE WHEN n_keys > 1 THEN
+    round((sq / (total_x * total_x) - 1.0 / n_keys)
+          / (1.0 - 1.0 / n_keys), 6) END AS hhi_norm,
+  round(total_x * total_x / sq, 6) AS effective_n
+FROM tot ORDER BY grp
+"""

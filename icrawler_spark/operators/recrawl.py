@@ -1220,3 +1220,82 @@ SELECT n_a, n_b, obs_a, round(exp_a, 6) AS exp_a,
     THEN round(pow(obs_a - exp_a, 2) / var_a, 4) END AS chi2
 FROM tot CROSS JOIN agg
 """
+
+
+def rolling_anomaly(
+    series: DataFrame,
+    w: int = 20,
+    z_thresh: float = 3.0,
+    min_n: int = 8,
+    seq_col: str = "seq",
+    x_col: str = "x",
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags over an ordered metric
+    series (per-interval fetch rate, error count, parse latency): each
+    point is scored against the mean/std of the previous ``w`` points —
+    the current point EXCLUDED, so a spike can't mask itself by
+    inflating its own baseline. The pointwise alarm complementing
+    `cusum_drift` (which accumulates small persistent shifts; this one
+    catches single large excursions).
+
+    Variance uses the explicit Σx²/Σx form over the trailing frame —
+    exact when x is integer-valued (recommended; counts usually are),
+    and both engines sum the same frame in the same order. Points with
+    fewer than ``min_n`` predecessors emit NULL z and never alarm.
+
+    Returns (seq, x, base_mean, z, alarm) ordered by seq, floats
+    rounded 4. Scale shape: one bounded trailing window — partition by
+    a series key upstream for many parallel series.
+    """
+    v = series.select(F.col(seq_col).cast("long").alias("seq"),
+                      F.col(x_col).cast("double").alias("x"))
+    win = (Window.orderBy("seq").rowsBetween(-int(w), -1))
+    m = F.count("x").over(win).cast("long")
+    sx = F.sum("x").over(win)
+    sxx = F.sum(F.col("x") * F.col("x")).over(win)
+    pre = v.select("seq", "x", m.alias("m"), sx.alias("sx"),
+                   sxx.alias("sxx"))
+    mean = F.col("sx") / F.col("m")
+    var = ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+           / (F.col("m") - 1))
+    z = F.when((F.col("m") >= int(min_n)) & (var > 0),
+               F.round((F.col("x") - mean) / F.sqrt(var), 4))
+    return (pre.select(
+        "seq", "x",
+        F.when(F.col("m") >= int(min_n), F.round(mean, 4))
+        .alias("base_mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > float(z_thresh), F.lit(False))
+        .alias("alarm"))
+        .orderBy("seq"))
+
+
+def rolling_anomaly_sql(series_sql: str, w: int = 20,
+                        z_thresh: float = 3.0, min_n: int = 8) -> str:
+    """DuckDB mirror of :func:`rolling_anomaly` over a (seq, x)
+    SELECT."""
+    frame = f"ROWS BETWEEN {int(w)} PRECEDING AND 1 PRECEDING"
+    return f"""
+WITH v AS (
+  SELECT CAST(seq AS BIGINT) AS seq, CAST(x AS DOUBLE) AS x
+  FROM ({series_sql})
+),
+pre AS (
+  SELECT seq, x,
+    CAST(count(x) OVER (ORDER BY seq {frame}) AS BIGINT) AS m,
+    sum(x) OVER (ORDER BY seq {frame}) AS sx,
+    sum(x * x) OVER (ORDER BY seq {frame}) AS sxx
+  FROM v
+)
+SELECT seq, x,
+  CASE WHEN m >= {int(min_n)} THEN round(sx / m, 4) END AS base_mean,
+  CASE WHEN m >= {int(min_n)}
+        AND (sxx - sx * sx / m) / (m - 1) > 0
+    THEN round((x - sx / m) / sqrt((sxx - sx * sx / m) / (m - 1)), 4)
+  END AS z,
+  coalesce(abs(CASE WHEN m >= {int(min_n)}
+        AND (sxx - sx * sx / m) / (m - 1) > 0
+    THEN round((x - sx / m) / sqrt((sxx - sx * sx / m) / (m - 1)), 4)
+  END) > {float(z_thresh)}, false) AS alarm
+FROM pre ORDER BY seq
+"""

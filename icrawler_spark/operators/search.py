@@ -2054,3 +2054,78 @@ SELECT query, n_ranked, first_rel_rank,
   round(coalesce(1.0 / first_rel_rank, 0.0), 6) AS rr
 FROM agg ORDER BY query
 """
+
+
+def friedman_test(
+    scores: DataFrame,
+    query_col: str = "query",
+    ranker_col: str = "ranker",
+    score_col: str = "score",
+) -> DataFrame:
+    """Friedman test across k rankers scored on the same n queries — the
+    repeated-measures extension of `ranker_ttest`: before declaring one
+    ranker best among several, test whether the per-query rank profiles
+    differ at all (the gate before pairwise comparisons inflate the
+    family-wise error; pair with `bh_fdr` for the post-hoc sweep).
+
+    Within each query the rankers are ranked by score descending
+    (rank 1 = best; callers should pass tie-free scores — ranks use
+    dense ordering, so exact ties get order-of-ranker-name resolution,
+    stated here so it is deterministic). χ²_F = 12/(nk(k+1))·ΣR_j² −
+    3n(k+1) with k−1 degrees of freedom.
+
+    Returns one row per ranker (ranker, rank_sum, mean_rank, n_queries,
+    k, chi2) ordered by ranker — chi2 repeated per row (single-group
+    window over k rows). Rank sums exact integers.
+
+    Scale shape: ONE per-query window (k rows each) + ONE
+    groupBy(ranker) + a k-row window — no join.
+    """
+    w_q = Window.partitionBy("query").orderBy(F.desc("score"), "ranker")
+    ranked = (scores.select(F.col(query_col).alias("query"),
+                            F.col(ranker_col).alias("ranker"),
+                            F.col(score_col).cast("double").alias("score"))
+              .withColumn("rk", F.row_number().over(w_q)))
+    per = (ranked.groupBy("ranker")
+           .agg(F.sum("rk").cast("long").alias("rank_sum"),
+                F.count("*").cast("long").alias("n_queries")))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    k = F.count("*").over(w_all).cast("long")
+    sum_sq = F.sum(F.col("rank_sum") * F.col("rank_sum")).over(w_all)
+    n = F.col("n_queries")
+    chi2 = (12.0 * sum_sq / (n * k * (k + 1)) - 3.0 * n * (k + 1))
+    return (per.select(
+        "ranker", "rank_sum",
+        F.round(F.col("rank_sum") / n, 6).alias("mean_rank"),
+        "n_queries", k.alias("k"),
+        F.round(chi2, 4).alias("chi2"))
+        .orderBy("ranker"))
+
+
+def friedman_test_sql(scores_sql: str) -> str:
+    """DuckDB mirror of :func:`friedman_test` over a (query, ranker,
+    score) SELECT."""
+    return f"""
+WITH ranked AS (
+  SELECT ranker,
+    row_number() OVER (PARTITION BY query
+                       ORDER BY CAST(score AS DOUBLE) DESC, ranker)
+      AS rk
+  FROM ({scores_sql})
+),
+per AS (
+  SELECT ranker, CAST(sum(rk) AS BIGINT) AS rank_sum,
+    CAST(count(*) AS BIGINT) AS n_queries
+  FROM ranked GROUP BY 1
+)
+SELECT ranker, rank_sum,
+  round(CAST(rank_sum AS DOUBLE) / n_queries, 6) AS mean_rank,
+  n_queries,
+  CAST(count(*) OVER () AS BIGINT) AS k,
+  round(12.0 * (sum(rank_sum * rank_sum) OVER ())
+          / (n_queries * (count(*) OVER ())
+             * (count(*) OVER () + 1))
+        - 3.0 * n_queries * (count(*) OVER () + 1), 4) AS chi2
+FROM per ORDER BY ranker
+"""

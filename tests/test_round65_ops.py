@@ -1,0 +1,139 @@
+"""Unit tests for the round-65 pack: host backlog, Herfindahl, runs test,
+Friedman test, rolling anomaly."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import runs_test
+from icrawler_spark.operators.politeness import herfindahl, host_backlog
+from icrawler_spark.operators.recrawl import rolling_anomaly
+from icrawler_spark.operators.search import friedman_test
+
+
+# ---------------------------------------------------------------------------
+# host_backlog
+# ---------------------------------------------------------------------------
+
+def test_backlog_matches_lindley_recursion(spark):
+    # arrivals [10,2,2] vs cap 6 → W = [4,0,0]; arrivals 8 → W = [2,4,6]
+    rows = [("a", 1, 10, 6), ("a", 2, 2, 6), ("a", 3, 2, 6),
+            ("b", 1, 8, 6), ("b", 2, 8, 6), ("b", 3, 8, 6)]
+    df = spark.createDataFrame(
+        rows, "host string, round long, arrivals long, capacity long")
+    out = host_backlog(df).collect()
+    got = {(r["host"], r["round"]): r["backlog"] for r in out}
+    assert [got[("a", i)] for i in (1, 2, 3)] == [4, 0, 0]
+    assert [got[("b", i)] for i in (1, 2, 3)] == [2, 4, 6]
+
+
+def test_backlog_clamps_at_zero(spark):
+    # a deep drain round cannot go negative and mask later growth
+    rows = [("h", 1, 0, 6), ("h", 2, 0, 6), ("h", 3, 9, 6)]
+    df = spark.createDataFrame(
+        rows, "host string, round long, arrivals long, capacity long")
+    out = [r["backlog"] for r in host_backlog(df).collect()]
+    assert out == [0, 0, 3]
+
+
+# ---------------------------------------------------------------------------
+# herfindahl
+# ---------------------------------------------------------------------------
+
+def test_hhi_uniform_and_monopoly(spark):
+    rows = ([("u", f"k{i}", 1.0) for i in range(4)]
+            + [("m", "k0", 7.0)])
+    df = spark.createDataFrame(rows, "grp string, key string, x double")
+    out = {r["grp"]: r for r in herfindahl(df).collect()}
+    assert out["u"]["hhi"] == 0.25 and out["u"]["hhi_norm"] == 0.0
+    assert out["u"]["effective_n"] == 4.0
+    assert out["m"]["hhi"] == 1.0 and out["m"]["hhi_norm"] is None
+
+
+def test_hhi_three_to_one(spark):
+    rows = [("g", "a", 3.0), ("g", "b", 1.0)]
+    df = spark.createDataFrame(rows, "grp string, key string, x double")
+    r = herfindahl(df).collect()[0]
+    assert abs(r["hhi"] - 0.625) < 1e-9
+    assert abs(r["hhi_norm"] - 0.25) < 1e-9
+    assert abs(r["effective_n"] - 1.6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# runs_test
+# ---------------------------------------------------------------------------
+
+def test_runs_alternating_positive_z(spark):
+    # 0101: R=4, E=3, Var=2/3 → z = +1.2247
+    df = spark.createDataFrame([(1, 0), (2, 1), (3, 0), (4, 1)],
+                               "seq long, b int")
+    r = runs_test(df).collect()[0]
+    assert r["runs"] == 4 and abs(r["exp_runs"] - 3.0) < 1e-9
+    assert abs(r["z"] - 1.2247) < 1e-4
+
+
+def test_runs_clumped_negative_z(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0), (3, 1), (4, 1)],
+                               "seq long, b int")
+    r = runs_test(df).collect()[0]
+    assert r["runs"] == 2 and abs(r["z"] + 1.2247) < 1e-4
+
+
+def test_runs_single_class_null(spark):
+    df = spark.createDataFrame([(1, 1), (2, 1)], "seq long, b int")
+    r = runs_test(df).collect()[0]
+    assert r["runs"] == 1 and r["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# friedman_test
+# ---------------------------------------------------------------------------
+
+def test_friedman_perfect_separation(spark):
+    # A>B>C on both queries: R = [2,4,6] → chi2 = 12·56/24 − 24 = 4
+    rows = []
+    for q in ("q1", "q2"):
+        rows += [(q, "A", 3.0), (q, "B", 2.0), (q, "C", 1.0)]
+    df = spark.createDataFrame(rows, "query string, ranker string, score double")
+    out = {r["ranker"]: r for r in friedman_test(df).collect()}
+    assert out["A"]["rank_sum"] == 2 and out["C"]["rank_sum"] == 6
+    assert out["A"]["k"] == 3 and out["A"]["n_queries"] == 2
+    assert abs(out["A"]["chi2"] - 4.0) < 1e-9
+
+
+def test_friedman_no_difference(spark):
+    # rankers swap places across queries → equal rank sums → chi2 = 0
+    rows = [("q1", "A", 2.0), ("q1", "B", 1.0),
+            ("q2", "A", 1.0), ("q2", "B", 2.0)]
+    df = spark.createDataFrame(rows, "query string, ranker string, score double")
+    out = friedman_test(df).collect()
+    assert all(r["rank_sum"] == 3 for r in out)
+    assert all(abs(r["chi2"]) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# rolling_anomaly
+# ---------------------------------------------------------------------------
+
+def test_rolling_spike_flagged_baseline_not(spark):
+    # alternating 9/11 baseline (sd≈1.054), then a 20 → z ≈ 9.49
+    xs = [9.0, 11.0] * 5 + [20.0]
+    rows = [(i + 1, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = rolling_anomaly(df, w=20, z_thresh=3.0, min_n=8).collect()
+    assert out[-1]["alarm"] and abs(out[-1]["z"] - 9.4868) < 1e-3
+    assert not any(r["alarm"] for r in out[:-1])
+
+
+def test_rolling_warmup_never_alarms(spark):
+    rows = [(i + 1, 1000.0 if i == 3 else 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = rolling_anomaly(df, w=20, z_thresh=3.0, min_n=8).collect()
+    assert all(r["z"] is None and not r["alarm"] for r in out)
+
+
+def test_rolling_spike_excluded_from_own_baseline(spark):
+    # base_mean at the spike equals the pre-spike mean exactly
+    xs = [9.0, 11.0] * 6 + [50.0]
+    rows = [(i + 1, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = rolling_anomaly(df, w=20, z_thresh=3.0, min_n=8).collect()
+    assert out[-1]["base_mean"] == 10.0
