@@ -329,6 +329,8 @@ _EXTRA_PICKS = [
     "log_rank", "kendall", "wilson", "mcc", "brier",
     # round-3 batch-59 (queueing + concentration + independence + anomalies)
     "backlog", "hhi", "runs", "friedman", "rolling_z",
+    # round-3 batch-60 (connections + audit design + retries + association)
+    "conn_reuse", "sample_size", "retry_ladder", "overdisp", "cramers",
 ]
 
 

@@ -1,0 +1,205 @@
+"""Round-3 driver-contract queries (batch 60): connection-reuse audit,
+Hoeffding sample-size design, exponential-backoff retry ladder, Poisson
+overdispersion test, Cramér's V association.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# conn_reuse — per-host fetch schedule with mixed gaps
+# ---------------------------------------------------------------------------
+
+_CR_KEEPALIVE = 15
+_CR_HANDSHAKE = 150
+
+
+def _cr_fetches(spark, sf) -> DataFrame:
+    """12 hosts; intra-host gaps cycle 5,10,20,40 s — half within the
+    15 s keep-alive, half not."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    gap = F.element_at(F.array(F.lit(5), F.lit(10), F.lit(20), F.lit(40)),
+                       ((e / 12) % 4 + 1).cast("int"))
+    # cumulative-ish clock per host: base position * 75 + gap offset
+    ts = (e / 12).cast("long") * 75 + gap
+    return ev.select(
+        F.concat(F.lit("h"), (e % 12).cast("string")).alias("host"),
+        ts.cast("long").alias("ts_s"))
+
+
+_CR_FETCHES_SQL = """
+  SELECT 'h' || (event_id % 12) AS host,
+    CAST((event_id // 12) * 75
+         + ([5, 10, 20, 40])[CAST(event_id // 12 % 4 AS INT) + 1]
+      AS BIGINT) AS ts_s
+  FROM events
+"""
+
+
+def q_conn_reuse(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.connection_reuse: keep-alive hit rate per
+    host — ONE host-partitioned lag window + ONE groupBy(host)."""
+    return _politeness.connection_reuse(
+        _cr_fetches(spark, sf), keepalive_s=_CR_KEEPALIVE,
+        handshake_ms=_CR_HANDSHAKE)
+
+
+def _conn_reuse_sql() -> str:
+    return _politeness.connection_reuse_sql(
+        _CR_FETCHES_SQL, keepalive_s=_CR_KEEPALIVE,
+        handshake_ms=_CR_HANDSHAKE)
+
+
+# ---------------------------------------------------------------------------
+# sample_size — audit-sample design over the documents universe
+# ---------------------------------------------------------------------------
+
+_SS_EPS = (0.01, 0.02, 0.05)
+_SS_DELTA = (0.05, 0.01)
+
+
+def q_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.sample_size_grid: Hoeffding n per (ε, δ) cell
+    vs this corpus's size — a count() plus a literal grid."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return _corpus.sample_size_grid(docs, eps=_SS_EPS, delta=_SS_DELTA)
+
+
+def _sample_size_sql() -> str:
+    return _corpus.sample_size_grid_sql("SELECT * FROM documents",
+                                        eps=_SS_EPS, delta=_SS_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# retry_ladder — failure-rate spread across hosts
+# ---------------------------------------------------------------------------
+
+_RL_K = 4
+_RL_BASE = 1.0
+
+
+def _rl_hosts(spark, sf) -> DataFrame:
+    """Host h fails at roughly h/20: single-trial rows the operator
+    aggregates; includes a p=0 host (h0) exercising the clean path."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    h = e % 15
+    return ev.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        F.lit(1).cast("long").alias("n"),
+        (e * 31 % 20 < h).cast("long").alias("fails"))
+
+
+_RL_HOSTS_SQL = """
+  SELECT 'h' || (event_id % 15) AS host, CAST(1 AS BIGINT) AS n,
+    CAST(CASE WHEN event_id * 31 % 20 < event_id % 15
+      THEN 1 ELSE 0 END AS BIGINT) AS fails
+  FROM events
+"""
+
+
+def q_retry_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.retry_ladder: truncated-geometric retry cost
+    per host from observed failure rates — ONE groupBy + closed form."""
+    return _politeness.retry_ladder(_rl_hosts(spark, sf),
+                                    max_attempts=_RL_K,
+                                    base_delay_s=_RL_BASE)
+
+
+def _retry_ladder_sql() -> str:
+    return _politeness.retry_ladder_sql(_RL_HOSTS_SQL,
+                                        max_attempts=_RL_K,
+                                        base_delay_s=_RL_BASE)
+
+
+# ---------------------------------------------------------------------------
+# overdisp — clumped per-host counts (power-law-ish loads)
+# ---------------------------------------------------------------------------
+
+
+def _od_counts(spark, sf) -> DataFrame:
+    """Per-host event counts where host 'share' scales with h² — far
+    from Poisson-uniform, so D ≫ 1 by construction."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    h = (e * e) % 31
+    return ev.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("key"),
+        F.lit(1).cast("long").alias("c"))
+
+
+_OD_COUNTS_SQL = """
+  SELECT 'h' || (event_id * event_id % 31) AS key,
+    CAST(1 AS BIGINT) AS c
+  FROM events
+"""
+
+
+def q_overdisp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.overdispersion: variance/mean index over per-key
+    counts with exact integer sums — two aggregates total."""
+    return _corpus.overdispersion(_od_counts(spark, sf))
+
+
+def _overdisp_sql() -> str:
+    return _corpus.overdispersion_sql(_OD_COUNTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cramers — tier × event_type association
+# ---------------------------------------------------------------------------
+
+
+def _cv_rows(spark, sf) -> DataFrame:
+    """Tier correlates with event_type by construction (shared user_id
+    driver), so V lands solidly between 0 and 1."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string"))
+        .alias("a"),
+        F.col("event_type").alias("b"))
+
+
+_CV_ROWS_SQL = """
+  SELECT 't' || (user_id % 3) AS a, event_type AS b FROM events
+"""
+
+
+def q_cramers(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cramers_v: χ² via the Σo²/e − N identity over
+    observed cells only (no dense cross join), then the V effect size."""
+    return _corpus.cramers_v(_cv_rows(spark, sf))
+
+
+def _cramers_sql() -> str:
+    return _corpus.cramers_v_sql(_CV_ROWS_SQL)
+
+
+def queries66():
+    return {
+        "conn_reuse": q_conn_reuse,
+        "sample_size": q_sample_size,
+        "retry_ladder": q_retry_ladder,
+        "overdisp": q_overdisp,
+        "cramers": q_cramers,
+    }
+
+
+def oracle_sql66():
+    return {
+        "conn_reuse": _conn_reuse_sql(),
+        "sample_size": _sample_size_sql(),
+        "retry_ladder": _retry_ladder_sql(),
+        "overdisp": _overdisp_sql(),
+        "cramers": _cramers_sql(),
+    }

@@ -3301,3 +3301,212 @@ SELECT n, n_ones, n_zeros, runs,
   END AS z
 FROM agg
 """
+
+
+def sample_size_grid(
+    universe: DataFrame,
+    eps=(0.01, 0.02, 0.05),
+    delta=(0.05, 0.01),
+) -> DataFrame:
+    """Hoeffding sample-size design table for estimating corpus
+    proportions (quality-pass rate, language share, dup rate) by
+    sampling instead of scanning: n ≥ ln(2/δ)/(2ε²) guarantees the
+    sample proportion is within ±ε of truth with probability 1 − δ,
+    distribution-free. The audit planner's first question — "how many
+    docs must the human-eval sample contain" — answered per (ε, δ)
+    cell, with the implied sampling fraction of THIS corpus.
+
+    ``universe`` is the table being sampled (only its count is used).
+    The (ε, δ) grid is a driver-size literal (same constants embedded
+    in the SQL twin). Returns (eps, delta, n_required, universe_n,
+    sample_frac, feasible) ordered by (eps, delta).
+
+    Scale shape: one count() aggregate over the universe (Catalyst
+    reads parquet row-group stats, no full scan) cross-joined to a
+    literal grid — nothing else.
+    """
+    import math
+
+    rows = [(float(e), float(d),
+             int(math.ceil(math.log(2.0 / d) / (2.0 * e * e))))
+            for e in eps for d in delta]
+    spark = universe.sparkSession
+    grid = spark.createDataFrame(
+        rows, "eps double, delta double, n_required long")
+    tot = universe.agg(F.count("*").cast("long").alias("universe_n"))
+    j = grid.crossJoin(F.broadcast(tot))
+    return (j.select(
+        "eps", "delta", "n_required", "universe_n",
+        F.round(F.least(F.col("n_required").cast("double")
+                        / F.col("universe_n"), F.lit(1.0)), 6)
+        .alias("sample_frac"),
+        (F.col("n_required") <= F.col("universe_n")).alias("feasible"))
+        .orderBy("eps", "delta"))
+
+
+def sample_size_grid_sql(universe_sql: str, eps=(0.01, 0.02, 0.05),
+                         delta=(0.05, 0.01)) -> str:
+    """DuckDB mirror of :func:`sample_size_grid`; the grid cells are
+    computed in Python (identical constants) and emitted as literals."""
+    import math
+
+    cells = ", ".join(
+        f"({float(e)}, {float(d)}, "
+        f"{int(math.ceil(math.log(2.0 / d) / (2.0 * e * e)))})"
+        for e in eps for d in delta)
+    return f"""
+WITH grid(eps, delta, n_required) AS (VALUES {cells}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS universe_n FROM ({universe_sql})
+)
+SELECT CAST(eps AS DOUBLE) AS eps, CAST(delta AS DOUBLE) AS delta,
+  CAST(n_required AS BIGINT) AS n_required, universe_n,
+  round(least(CAST(n_required AS DOUBLE) / universe_n, 1.0), 6)
+    AS sample_frac,
+  n_required <= universe_n AS feasible
+FROM grid CROSS JOIN tot ORDER BY eps, delta
+"""
+
+
+def overdispersion(
+    counts: DataFrame,
+    key_col: str = "key",
+    c_col: str = "c",
+) -> DataFrame:
+    """Poisson overdispersion test over per-key event counts (fetches
+    per host, errors per shard): sample mean/variance of the counts,
+    the dispersion index D = s²/x̄, and the normal-approximation
+    z = (D − 1)·√((n−1)/2) against the Poisson null D = 1. D ≫ 1 says
+    the counts are clumped (hot hosts, bursty failures) — so Poisson
+    capacity math (`littles`, `crawl_capacity`) underestimates queues
+    and a negative-binomial margin is needed.
+
+    The variance is computed from exact integer Σc and Σc² (counts are
+    integers), centered exactly: s² = (Σc² − (Σc)²/n)/(n−1) — no
+    float-cancellation risk at integer inputs. Returns one row
+    (n_keys, mean_c, var_c, dispersion, z), floats rounded 6; z NULL
+    when mean is 0 or n < 2.
+
+    Scale shape: ONE groupBy(key) then ONE single-row agg.
+    """
+    per = (counts.select(F.col(key_col).alias("key"),
+                         F.col(c_col).cast("long").alias("c"))
+           .groupBy("key")
+           .agg(F.sum("c").alias("c")))
+    agg = per.agg(F.count("*").cast("long").alias("n_keys"),
+                  F.sum("c").cast("long").alias("sc"),
+                  F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"))
+    n = F.col("n_keys")
+    mean = F.col("sc").cast("double") / n
+    var = ((F.col("scc") - F.col("sc").cast("double") * F.col("sc") / n)
+           / (n - 1))
+    disp = var / mean
+    z = F.when((n > 1) & (mean > 0),
+               F.round((disp - 1.0) * F.sqrt((n - 1) / 2.0), 4))
+    return agg.select(
+        "n_keys", F.round(mean, 6).alias("mean_c"),
+        F.round(var, 6).alias("var_c"),
+        F.round(disp, 6).alias("dispersion"), z.alias("z"))
+
+
+def overdispersion_sql(counts_sql: str) -> str:
+    """DuckDB mirror of :func:`overdispersion` over a (key, c)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS c
+  FROM ({counts_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum(c * c) AS BIGINT) AS scc
+  FROM per
+)
+SELECT n AS n_keys,
+  round(CAST(sc AS DOUBLE) / n, 6) AS mean_c,
+  round((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1), 6) AS var_c,
+  round(((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+        / (CAST(sc AS DOUBLE) / n), 6) AS dispersion,
+  CASE WHEN n > 1 AND sc > 0 THEN
+    round((((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+           / (CAST(sc AS DOUBLE) / n) - 1.0)
+          * sqrt((n - 1) / 2.0), 4) END AS z
+FROM agg
+"""
+
+
+def cramers_v(
+    rows: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Cramér's V association between two categorical columns (host
+    tier × language, source × status class): the χ²-based effect size
+    in [0, 1] that, unlike raw χ², is comparable across table sizes —
+    "is the crawl's language mix actually tier-dependent, and how
+    strongly" in one number. Complements `kappa` (agreement on the
+    SAME variable) with cross-variable association.
+
+    Cell and marginal counts are exact; expected counts are exact
+    ratios; χ² sums (obs − exp)²/exp over non-empty cells (empty cells
+    contribute their expectation, added analytically via the
+    Σobs²/exp − N identity, so sparse tables need no dense cross
+    join). V = √(χ²/(N·(min(r,c) − 1))). Returns one row (n, r, c,
+    chi2, v); NULL when min(r,c) < 2.
+
+    Scale shape: ONE groupBy(a, b) + two marginal groupBys joined back
+    on their keys (each key-bounded), then a single-row agg.
+    """
+    v = rows.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cells = v.groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
+    ma = v.groupBy("a").agg(F.count("*").cast("long").alias("ra"))
+    mb = v.groupBy("b").agg(F.count("*").cast("long").alias("cb"))
+    j = cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+    # χ² = Σ o²/e − N over observed cells (absent cells' (0−e)²/e terms
+    # are covered by the −N identity since Σe over ALL cells = N)
+    agg = j.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o").cast("double") * F.col("o")
+              / (F.col("ra").cast("double") * F.col("cb"))).alias("s"))
+    tot_n = F.col("n")
+    r = ma.agg(F.count("*").cast("long").alias("r"))
+    c = mb.agg(F.count("*").cast("long").alias("c"))
+    full = agg.crossJoin(F.broadcast(r)).crossJoin(F.broadcast(c))
+    # e = ra*cb/N so Σo²/e = N·s → χ² = N·s − N = N(s − 1)
+    chi2 = tot_n * (F.col("s") - 1.0)
+    kmin = F.least(F.col("r"), F.col("c"))
+    vv = F.when(kmin > 1,
+                F.round(F.sqrt(chi2 / (tot_n * (kmin - 1))), 6))
+    return full.select(
+        "n", "r", "c",
+        F.when(kmin > 1, F.round(chi2, 4)).alias("chi2"),
+        vv.alias("v"))
+
+
+def cramers_v_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`cramers_v` over an (a, b) SELECT."""
+    return f"""
+WITH v AS (SELECT a, b FROM ({rows_sql})),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM v GROUP BY 1),
+mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM v GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+    sum(CAST(o AS DOUBLE) * o / (CAST(ra AS DOUBLE) * cb)) AS s
+  FROM cells JOIN ma USING (a) JOIN mb USING (b)
+),
+rc AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS r,
+    (SELECT CAST(count(*) AS BIGINT) FROM mb) AS c
+)
+SELECT n, r, c,
+  CASE WHEN least(r, c) > 1
+    THEN round(n * (s - 1.0), 4) END AS chi2,
+  CASE WHEN least(r, c) > 1
+    THEN round(sqrt(n * (s - 1.0) / (n * (least(r, c) - 1))), 6)
+  END AS v
+FROM agg CROSS JOIN rc
+"""

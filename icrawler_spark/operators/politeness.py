@@ -1851,3 +1851,145 @@ SELECT grp, n_keys, round(total_x, 6) AS total_x,
   round(total_x * total_x / sq, 6) AS effective_n
 FROM tot ORDER BY grp
 """
+
+
+def connection_reuse(
+    fetches: DataFrame,
+    keepalive_s: int = 15,
+    handshake_ms: int = 150,
+    host_col: str = "host",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Keep-alive connection-reuse audit per host: a fetch rides an
+    existing connection when the previous fetch to the SAME host was
+    ≤ ``keepalive_s`` ago, otherwise it pays a fresh
+    TCP+TLS handshake (~``handshake_ms``). Crawl schedulers that batch
+    per-host (as `politeness_batch` does) get reuse almost free; this
+    measures how much the realized schedule actually captured, and what
+    re-ordering is worth in connection-setup milliseconds.
+
+    Returns (host, n_fetches, n_reused, n_handshakes, reuse_rate,
+    saved_ms) ordered by host — exact integers + one ratio rounded 6.
+
+    Scale shape: ONE lag window partitioned by host + ONE
+    groupBy(host); both shuffle on the same key, and AQE coalesces the
+    tiny post-agg partitions.
+    """
+    v = fetches.select(F.col(host_col).alias("host"),
+                       F.col(ts_col).cast("long").alias("ts_s"))
+    w = Window.partitionBy("host").orderBy("ts_s")
+    gap = F.col("ts_s") - F.lag("ts_s", 1).over(w)
+    marked = v.select(
+        "host",
+        F.coalesce((gap <= int(keepalive_s)).cast("int"), F.lit(0))
+        .alias("reused"))
+    agg = (marked.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_fetches"),
+                F.sum("reused").cast("long").alias("n_reused")))
+    return (agg.select(
+        "host", "n_fetches", "n_reused",
+        (F.col("n_fetches") - F.col("n_reused")).alias("n_handshakes"),
+        F.round(F.col("n_reused") / F.col("n_fetches"), 6)
+        .alias("reuse_rate"),
+        (F.col("n_reused") * int(handshake_ms)).alias("saved_ms"))
+        .orderBy("host"))
+
+
+def connection_reuse_sql(fetches_sql: str, keepalive_s: int = 15,
+                         handshake_ms: int = 150) -> str:
+    """DuckDB mirror of :func:`connection_reuse` over a (host, ts_s)
+    SELECT."""
+    return f"""
+WITH v AS (
+  SELECT host, CAST(ts_s AS BIGINT) AS ts_s FROM ({fetches_sql})
+),
+marked AS (
+  SELECT host,
+    coalesce(CAST(ts_s - lag(ts_s) OVER (PARTITION BY host
+      ORDER BY ts_s) <= {int(keepalive_s)} AS INT), 0) AS reused
+  FROM v
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+    CAST(sum(reused) AS BIGINT) AS n_reused
+  FROM marked GROUP BY 1
+)
+SELECT host, n_fetches, n_reused,
+  n_fetches - n_reused AS n_handshakes,
+  round(CAST(n_reused AS DOUBLE) / n_fetches, 6) AS reuse_rate,
+  n_reused * {int(handshake_ms)} AS saved_ms
+FROM agg ORDER BY host
+"""
+
+
+def retry_ladder(
+    hosts: DataFrame,
+    max_attempts: int = 4,
+    base_delay_s: float = 1.0,
+    host_col: str = "host",
+    n_col: str = "n",
+    fail_col: str = "fails",
+) -> DataFrame:
+    """Expected cost of the exponential-backoff retry ladder per host,
+    from its observed failure rate p = fails/n: success probability
+    within k attempts 1 − p^k, expected attempts per successful URL
+    (1 − p^k)/(1 − p) restricted to eventual successes' geometric mean
+    (standard truncated-geometric expectation:
+    E[A] = (1 − p^k)/(1 − p)), and expected backoff wait
+    Σ_{i=1..k−1} p^i·2^{i−1}·base — the planning twin of
+    `host_backoff` (which audits the realized schedule; this prices
+    the configured one from measured failure rates).
+
+    Closed-form per-row arithmetic after ONE groupBy(host); the
+    p-power ladder is generated from the same Python constant in both
+    engines, so the float chains are identical. Returns (host, n,
+    fails, p_fail, p_give_up, exp_attempts, exp_wait_s) ordered by
+    host, floats rounded 6; degenerate p = 1 hosts emit NULL
+    exp_attempts.
+    """
+    k = int(max_attempts)
+    per = (hosts.select(F.col(host_col).alias("host"),
+                        F.col(n_col).cast("long").alias("n"),
+                        F.col(fail_col).cast("long").alias("fails"))
+           .groupBy("host")
+           .agg(F.sum("n").alias("n"), F.sum("fails").alias("fails")))
+    p = F.col("fails").cast("double") / F.col("n")
+    give_up = F.pow(p, F.lit(k))
+    exp_att = F.when(p < 1.0, (1.0 - F.pow(p, F.lit(k))) / (1.0 - p))
+    wait = None
+    for i in range(1, k):
+        term = F.pow(p, F.lit(i)) * float(2 ** (i - 1)) * float(base_delay_s)
+        wait = term if wait is None else wait + term
+    return (per.select(
+        "host", "n", "fails",
+        F.round(p, 6).alias("p_fail"),
+        F.round(give_up, 6).alias("p_give_up"),
+        F.round(exp_att, 6).alias("exp_attempts"),
+        F.round(wait, 6).alias("exp_wait_s"))
+        .orderBy("host"))
+
+
+def retry_ladder_sql(hosts_sql: str, max_attempts: int = 4,
+                     base_delay_s: float = 1.0) -> str:
+    """DuckDB mirror of :func:`retry_ladder` over a (host, n, fails)
+    SELECT."""
+    k = int(max_attempts)
+    p = "(CAST(fails AS DOUBLE) / n)"
+    wait = " + ".join(
+        f"pow({p}, {i}) * {float(2 ** (i - 1))} * {float(base_delay_s)}"
+        for i in range(1, k))
+    return f"""
+WITH per AS (
+  SELECT host, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(fails) AS BIGINT) AS fails
+  FROM ({hosts_sql}) GROUP BY 1
+)
+SELECT host, n, fails,
+  round({p}, 6) AS p_fail,
+  round(pow({p}, {k}), 6) AS p_give_up,
+  CASE WHEN {p} < 1.0
+    THEN round((1.0 - pow({p}, {k})) / (1.0 - {p}), 6)
+  END AS exp_attempts,
+  round({wait}, 6) AS exp_wait_s
+FROM per ORDER BY host
+"""

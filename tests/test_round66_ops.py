@@ -1,0 +1,116 @@
+"""Unit tests for the round-66 pack: connection reuse, sample-size grid,
+retry ladder, overdispersion, Cramér's V."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (cramers_v, overdispersion,
+                                             sample_size_grid)
+from icrawler_spark.operators.politeness import connection_reuse, retry_ladder
+
+
+# ---------------------------------------------------------------------------
+# connection_reuse
+# ---------------------------------------------------------------------------
+
+def test_reuse_counts_gaps_within_keepalive(spark):
+    rows = [("h", 0), ("h", 10), ("h", 30), ("g", 0)]
+    df = spark.createDataFrame(rows, "host string, ts_s long")
+    out = {r["host"]: r for r in
+           connection_reuse(df, keepalive_s=15, handshake_ms=150).collect()}
+    assert out["h"]["n_reused"] == 1 and out["h"]["n_handshakes"] == 2
+    assert out["h"]["saved_ms"] == 150
+    assert out["g"]["n_reused"] == 0  # a first fetch never reuses
+
+
+def test_reuse_is_per_host_not_global(spark):
+    # interleaved hosts at close timestamps must not count cross-host
+    rows = [("a", 0), ("b", 1), ("a", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "host string, ts_s long")
+    out = connection_reuse(df, keepalive_s=15).collect()
+    assert all(r["n_reused"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# sample_size_grid
+# ---------------------------------------------------------------------------
+
+def test_sample_size_hoeffding_cell(spark):
+    # ε=0.1, δ=0.05 → ceil(ln(40)/0.02) = 185
+    df = spark.range(1000)
+    r = sample_size_grid(df, eps=(0.1,), delta=(0.05,)).collect()[0]
+    assert r["n_required"] == 185 and r["feasible"]
+    assert abs(r["sample_frac"] - 0.185) < 1e-9
+
+
+def test_sample_size_infeasible_small_universe(spark):
+    df = spark.range(100)
+    r = sample_size_grid(df, eps=(0.1,), delta=(0.05,)).collect()[0]
+    assert not r["feasible"] and r["sample_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# retry_ladder
+# ---------------------------------------------------------------------------
+
+def test_retry_ladder_closed_form(spark):
+    # p=0.5, k=4: give_up=0.0625, E[A]=1.875, wait=0.5+0.5+0.5=1.5
+    df = spark.createDataFrame([("h", 4, 2)], "host string, n long, fails long")
+    r = retry_ladder(df, max_attempts=4, base_delay_s=1.0).collect()[0]
+    assert abs(r["p_give_up"] - 0.0625) < 1e-9
+    assert abs(r["exp_attempts"] - 1.875) < 1e-9
+    assert abs(r["exp_wait_s"] - 1.5) < 1e-9
+
+
+def test_retry_ladder_edge_rates(spark):
+    rows = [("clean", 5, 0), ("dead", 5, 5)]
+    df = spark.createDataFrame(rows, "host string, n long, fails long")
+    out = {r["host"]: r for r in retry_ladder(df).collect()}
+    assert out["clean"]["exp_attempts"] == 1.0
+    assert out["clean"]["exp_wait_s"] == 0.0
+    assert out["dead"]["exp_attempts"] is None
+    assert out["dead"]["p_give_up"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# overdispersion
+# ---------------------------------------------------------------------------
+
+def test_overdispersion_clumped(spark):
+    # per-key totals [1,1,1,5]: mean 2, var 4, D = 2, z = +1.2247
+    rows = [("a", 1), ("b", 1), ("c", 1), ("d", 5)]
+    df = spark.createDataFrame(rows, "key string, c long")
+    r = overdispersion(df).collect()[0]
+    assert r["mean_c"] == 2.0 and r["var_c"] == 4.0
+    assert r["dispersion"] == 2.0 and abs(r["z"] - 1.2247) < 1e-4
+
+
+def test_overdispersion_underdispersed(spark):
+    rows = [(k, 2) for k in "abcd"]
+    df = spark.createDataFrame(rows, "key string, c long")
+    r = overdispersion(df).collect()[0]
+    assert r["dispersion"] == 0.0 and abs(r["z"] + 1.2247) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# cramers_v
+# ---------------------------------------------------------------------------
+
+def test_cramers_perfect_association(spark):
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df).collect()[0]
+    assert (r["n"], r["r"], r["c"]) == (10, 2, 2)
+    assert abs(r["chi2"] - 10.0) < 1e-9 and r["v"] == 1.0
+
+
+def test_cramers_independent(spark):
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df).collect()[0]
+    assert abs(r["chi2"]) < 1e-9 and r["v"] == 0.0
+
+
+def test_cramers_degenerate_single_level(spark):
+    df = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r = cramers_v(df).collect()[0]
+    assert r["chi2"] is None and r["v"] is None
