@@ -331,6 +331,8 @@ _EXTRA_PICKS = [
     "backlog", "hhi", "runs", "friedman", "rolling_z",
     # round-3 batch-60 (connections + audit design + retries + association)
     "conn_reuse", "sample_size", "retry_ladder", "overdisp", "cramers",
+    # round-3 batch-61 (fairness + seasonality + thresholds + trend + mixing)
+    "jain", "acf", "pr_curve", "trend", "ei",
 ]
 
 

@@ -1,0 +1,229 @@
+"""Round-3 driver-contract queries (batch 61): Jain fairness, lag-k
+autocorrelation, precision-recall curve, Cochran-Armitage trend test,
+Krackhardt E-I mixing index.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle. Series and
+score fixtures are integer-valued so every pre-division sum is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# jain — slot allocation fairness per tier
+# ---------------------------------------------------------------------------
+
+
+def _jn_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("t"), (e % 3).cast("string")).alias("grp"),
+        F.concat(F.lit("h"), (e * 11 % 13).cast("string")).alias("key"),
+        (e % 6 + 1).cast("double").alias("x"))
+
+
+_JN_ROWS_SQL = """
+  SELECT 't' || (event_id % 3) AS grp,
+    'h' || (event_id * 11 % 13) AS key,
+    CAST(event_id % 6 + 1 AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_jain(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.jain_fairness: (Σx)²/(n·Σx²) per tier — two
+    bounded groupBys, the equity reading of herfindahl's statistics."""
+    return _politeness.jain_fairness(_jn_rows(spark, sf))
+
+
+def _jain_sql() -> str:
+    return _politeness.jain_fairness_sql(_JN_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# acf — period-6 load series, so r(6) and r(12) spike
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 6, 12)
+
+
+def _ac_series(spark, sf) -> DataFrame:
+    """Per-bucket load with a period-6 component + deterministic noise."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    per = (ev.groupBy((e / 5).cast("long").alias("seq"))
+           .agg(F.sum(e % 3).cast("long").alias("noise")))
+    season = F.element_at(
+        F.array(*[F.lit(v) for v in (0, 2, 8, 14, 8, 2)]),
+        (F.col("seq") % 6 + 1).cast("int"))
+    return per.select("seq",
+                      (F.col("noise") + season).cast("double").alias("x"))
+
+
+_AC_SERIES_SQL = """
+  SELECT seq, CAST(noise + ([0, 2, 8, 14, 8, 2])[CAST(seq % 6 AS INT) + 1]
+               AS DOUBLE) AS x
+  FROM (
+    SELECT CAST(event_id // 5 AS BIGINT) AS seq,
+      CAST(sum(event_id % 3) AS BIGINT) AS noise
+    FROM events GROUP BY 1)
+"""
+
+
+def q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.acf: exact-integer Pearson over lagged pairs,
+    one lag window per k — the seasonality fingerprint."""
+    return _recrawl.acf(_ac_series(spark, sf), lags=_ACF_LAGS)
+
+
+def _acf_sql() -> str:
+    return _recrawl.acf_sql(_AC_SERIES_SQL, lags=_ACF_LAGS)
+
+
+# ---------------------------------------------------------------------------
+# pr_curve — 16-level integer spam score, higher = spammier
+# ---------------------------------------------------------------------------
+
+
+def _pc_scored(spark, sf) -> DataFrame:
+    """Label odds rise with the score level by construction."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    score = (e * 13 % 16).cast("double")
+    label = (e * 7919 % 16 < e * 13 % 16).cast("int")
+    return ev.select(score.alias("score"), label.alias("label"))
+
+
+_PC_SCORED_SQL = """
+  SELECT CAST(event_id * 13 % 16 AS DOUBLE) AS score,
+    CASE WHEN event_id * 7919 % 16 < event_id * 13 % 16
+      THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.pr_curve: per-threshold precision/recall via ONE
+    groupBy(score) + ONE cumulative window over distinct scores."""
+    return _search.pr_curve(_pc_scored(spark, sf))
+
+
+def _pr_curve_sql() -> str:
+    return _search.pr_curve_sql(_PC_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# trend — success rate declines with crawl depth by construction
+# ---------------------------------------------------------------------------
+
+
+def _tr_tiers(spark, sf) -> DataFrame:
+    """Depth t ∈ 0..5; success iff hash % 100 ≥ 10·t — monotone decline."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    t = e % 6
+    return ev.select(t.cast("long").alias("t"),
+                     F.lit(1).cast("long").alias("n"),
+                     (e * 31 % 100 >= t * 10).cast("long").alias("s"))
+
+
+_TR_TIERS_SQL = """
+  SELECT CAST(event_id % 6 AS BIGINT) AS t, CAST(1 AS BIGINT) AS n,
+    CAST(CASE WHEN event_id * 31 % 100 >= (event_id % 6) * 10
+      THEN 1 ELSE 0 END AS BIGINT) AS s
+  FROM events
+"""
+
+
+def q_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.trend_test: Cochran-Armitage z for the ordered
+    depth→success decline — exact integer sufficient statistics."""
+    return _corpus.trend_test(_tr_tiers(spark, sf))
+
+
+def _trend_sql() -> str:
+    return _corpus.trend_test_sql(_TR_TIERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ei — tier mixing of the derived host graph
+# ---------------------------------------------------------------------------
+
+
+def _ei_edges(spark, sf) -> DataFrame:
+    """24-node graph: short chords stay in-tier, every 5th edge crosses."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    src = e % 24
+    hop = F.when(e % 5 == 0, 8).otherwise(1)
+    return ev.select(
+        F.concat(F.lit("n"), src.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((src + hop) % 24).cast("string"))
+        .alias("dst"))
+
+
+_EI_EDGES_SQL = """
+  SELECT 'n' || (event_id % 24) AS src,
+    'n' || ((event_id % 24
+             + CASE WHEN event_id % 5 = 0 THEN 8 ELSE 1 END) % 24)
+      AS dst
+  FROM events
+"""
+
+
+def _ei_members(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    n = (F.col("event_id") % 24)
+    return (ev.select(
+        F.concat(F.lit("n"), n.cast("string")).alias("node"),
+        F.concat(F.lit("t"), F.expr("(event_id % 24) div 8")
+                 .cast("string")).alias("grp"))
+        .distinct())
+
+
+_EI_MEMBERS_SQL = """
+  SELECT DISTINCT 'n' || (event_id % 24) AS node,
+    't' || CAST(event_id % 24 // 8 AS VARCHAR) AS grp
+  FROM events
+"""
+
+
+def q_ei(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.ei_index: internal vs boundary link counts per
+    tier — two broadcast membership joins + ONE groupBy(grp)."""
+    return _graph.ei_index(_ei_edges(spark, sf), _ei_members(spark, sf))
+
+
+def _ei_sql() -> str:
+    return _graph.ei_index_sql(_EI_EDGES_SQL, _EI_MEMBERS_SQL)
+
+
+def queries67():
+    return {
+        "jain": q_jain,
+        "acf": q_acf,
+        "pr_curve": q_pr_curve,
+        "trend": q_trend,
+        "ei": q_ei,
+    }
+
+
+def oracle_sql67():
+    return {
+        "jain": _jain_sql(),
+        "acf": _acf_sql(),
+        "pr_curve": _pr_curve_sql(),
+        "trend": _trend_sql(),
+        "ei": _ei_sql(),
+    }

@@ -3510,3 +3510,77 @@ SELECT n, r, c,
   END AS v
 FROM agg CROSS JOIN rc
 """
+
+
+def trend_test(
+    tiers: DataFrame,
+    t_col: str = "t",
+    n_col: str = "n",
+    s_col: str = "s",
+) -> DataFrame:
+    """Cochran-Armitage trend test across ordered groups (crawl depth,
+    tier, retry count) for a binomial outcome: does success rate
+    actually DECLINE with depth, or is the per-depth wobble noise? The
+    ordered-alternative test that `ab_ztest` (two groups) and the
+    per-group `wilson_ci` bands can't answer — a monotone trend can be
+    significant while every adjacent pair is not.
+
+    With ordinal scores t_i: num = Σt_i·s_i − p̄·Σt_i·n_i,
+    var = p̄(1−p̄)·[Σn_i·t_i² − (Σn_i·t_i)²/N], z = num/√var. All
+    sums are exact integers (p̄ is one exact ratio), so both engines
+    difference identical values; z rounded 4, NULL at zero variance.
+    Returns one row (n_tiers, n_total, s_total, z).
+
+    Scale shape: ONE groupBy(t) + ONE single-row agg.
+    """
+    per = (tiers.select(F.col(t_col).cast("long").alias("t"),
+                        F.col(n_col).cast("long").alias("n"),
+                        F.col(s_col).cast("long").alias("s"))
+           .groupBy("t")
+           .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_tiers"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum(F.col("t") * F.col("s")).cast("long").alias("ts"),
+        F.sum(F.col("t") * F.col("n")).cast("long").alias("tn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n")).cast("long")
+        .alias("ttn"))
+    p = F.col("s_total").cast("double") / F.col("n_total")
+    num = F.col("ts") - p * F.col("tn")
+    var = (p * (1.0 - p)
+           * (F.col("ttn")
+              - F.col("tn").cast("double") * F.col("tn")
+              / F.col("n_total")))
+    z = F.when(var > 0, F.round(num / F.sqrt(var), 4))
+    return agg.select("n_tiers", "n_total", "s_total", z.alias("z"))
+
+
+def trend_test_sql(tiers_sql: str) -> str:
+    """DuckDB mirror of :func:`trend_test` over a (t, n, s) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(s) AS BIGINT) AS s
+  FROM ({tiers_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tiers,
+    CAST(sum(n) AS BIGINT) AS n_total,
+    CAST(sum(s) AS BIGINT) AS s_total,
+    CAST(sum(t * s) AS BIGINT) AS ts,
+    CAST(sum(t * n) AS BIGINT) AS tn,
+    CAST(sum(t * t * n) AS BIGINT) AS ttn
+  FROM per
+)
+SELECT n_tiers, n_total, s_total,
+  CASE WHEN (CAST(s_total AS DOUBLE) / n_total)
+            * (1.0 - CAST(s_total AS DOUBLE) / n_total)
+            * (ttn - CAST(tn AS DOUBLE) * tn / n_total) > 0
+    THEN round((ts - (CAST(s_total AS DOUBLE) / n_total) * tn)
+           / sqrt((CAST(s_total AS DOUBLE) / n_total)
+                  * (1.0 - CAST(s_total AS DOUBLE) / n_total)
+                  * (ttn - CAST(tn AS DOUBLE) * tn / n_total)), 4)
+  END AS z
+FROM agg
+"""

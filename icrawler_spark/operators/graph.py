@@ -1785,3 +1785,83 @@ SELECT d.community, d.n_nodes,
 FROM dmass d LEFT JOIN within w ON w.community = d.community
 CROSS JOIN m
 """
+
+
+def ei_index(
+    edges: DataFrame,
+    membership: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    grp_col: str = "grp",
+) -> DataFrame:
+    """Krackhardt E-I index of the host link graph under a grouping
+    (tier, TLD, language): per group the internal edge count (both
+    endpoints inside), external edge count (exactly one endpoint
+    inside), and EI = (E − I)/(E + I) ∈ [−1, 1] — the categorical
+    mixing readout beside `assortativity` (degree mixing) and
+    `modularity` (null-adjusted density): EI → −1 means the tier links
+    only to itself (a crawl silo), EI → +1 means it exists only as a
+    bridge.
+
+    Each edge is classified once via TWO broadcast membership joins,
+    then contributes to its endpoint groups: internal once, external
+    once per side. Counts exact; EI rounded 6. Returns (grp, internal,
+    external, ei) ordered by grp.
+
+    Scale shape: membership is the small side (hosts, not pages) —
+    broadcast; ONE groupBy(grp) over the exploded endpoint view.
+    """
+    ms = membership.select(F.col(node_col).alias("__s"),
+                           F.col(grp_col).alias("sg"))
+    md = membership.select(F.col(node_col).alias("__d"),
+                           F.col(grp_col).alias("dg"))
+    tagged = (edges.select(F.col(src_col).alias("__s"),
+                           F.col(dst_col).alias("__d"))
+              .join(F.broadcast(ms), "__s")
+              .join(F.broadcast(md), "__d"))
+    # endpoint view: internal edges emit one (grp, internal) row;
+    # cross-group edges emit one external row per side
+    internal = (tagged.filter(F.col("sg") == F.col("dg"))
+                .select(F.col("sg").alias("grp"),
+                        F.lit(1).alias("i"), F.lit(0).alias("e")))
+    ext_s = (tagged.filter(F.col("sg") != F.col("dg"))
+             .select(F.col("sg").alias("grp"),
+                     F.lit(0).alias("i"), F.lit(1).alias("e")))
+    ext_d = (tagged.filter(F.col("sg") != F.col("dg"))
+             .select(F.col("dg").alias("grp"),
+                     F.lit(0).alias("i"), F.lit(1).alias("e")))
+    u = internal.unionByName(ext_s).unionByName(ext_d)
+    agg = (u.groupBy("grp")
+           .agg(F.sum("i").cast("long").alias("internal"),
+                F.sum("e").cast("long").alias("external")))
+    ei = ((F.col("external") - F.col("internal")).cast("double")
+          / (F.col("external") + F.col("internal")))
+    return (agg.select("grp", "internal", "external",
+                       F.round(ei, 6).alias("ei"))
+            .orderBy("grp"))
+
+
+def ei_index_sql(edges_sql: str, membership_sql: str) -> str:
+    """DuckDB mirror of :func:`ei_index` over (src, dst) and
+    (node, grp) SELECTs."""
+    return f"""
+WITH m AS (SELECT node, grp FROM ({membership_sql})),
+tagged AS (
+  SELECT ms.grp AS sg, md.grp AS dg
+  FROM ({edges_sql}) e
+  JOIN m ms ON e.src = ms.node
+  JOIN m md ON e.dst = md.node
+),
+u AS (
+  SELECT sg AS grp, 1 AS i, 0 AS e FROM tagged WHERE sg = dg
+  UNION ALL
+  SELECT sg AS grp, 0 AS i, 1 AS e FROM tagged WHERE sg != dg
+  UNION ALL
+  SELECT dg AS grp, 0 AS i, 1 AS e FROM tagged WHERE sg != dg
+)
+SELECT grp, CAST(sum(i) AS BIGINT) AS internal,
+  CAST(sum(e) AS BIGINT) AS external,
+  round(CAST(sum(e) - sum(i) AS DOUBLE) / (sum(e) + sum(i)), 6) AS ei
+FROM u GROUP BY 1 ORDER BY grp
+"""

@@ -1993,3 +1993,62 @@ SELECT host, n, fails,
   round({wait}, 6) AS exp_wait_s
 FROM per ORDER BY host
 """
+
+
+def jain_fairness(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    key_col: str = "key",
+    x_col: str = "x",
+) -> DataFrame:
+    """Jain's fairness index of a resource split (fetch slots, bandwidth)
+    across keys (hosts) within each group (tier, executor): J =
+    (Σx)²/(n·Σx²) ∈ [1/n, 1], where J = 1 is a perfectly even split
+    and J = k/n means "effectively k of the n keys get served". The
+    scheduler-fairness companion to `herfindahl` (same sufficient
+    statistics, opposite reading: HHI measures concentration for the
+    skew planner, Jain measures equity for the politeness SLA).
+
+    Also emits ``effective_share`` = J·n — the "how many hosts' worth
+    of fairness" count. Exact sums; two rounded ratios. Returns
+    (grp, n_keys, total_x, jain, effective_share) ordered by grp.
+
+    Scale shape: ONE groupBy(grp, key) then ONE groupBy(grp).
+    """
+    per = (rows.select(F.col(grp_col).alias("grp"),
+                       F.col(key_col).alias("key"),
+                       F.col(x_col).cast("double").alias("x"))
+           .groupBy("grp", "key")
+           .agg(F.sum("x").alias("xk")))
+    tot = (per.groupBy("grp")
+           .agg(F.count("*").cast("long").alias("n_keys"),
+                F.sum("xk").alias("total_x"),
+                F.sum(F.col("xk") * F.col("xk")).alias("sq")))
+    jain = (F.col("total_x") * F.col("total_x")
+            / (F.col("n_keys") * F.col("sq")))
+    return (tot.select(
+        "grp", "n_keys",
+        F.round("total_x", 6).alias("total_x"),
+        F.round(jain, 6).alias("jain"),
+        F.round(jain * F.col("n_keys"), 6).alias("effective_share"))
+        .orderBy("grp"))
+
+
+def jain_fairness_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`jain_fairness` over a (grp, key, x)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT grp, key, sum(CAST(x AS DOUBLE)) AS xk
+  FROM ({rows_sql}) GROUP BY 1, 2
+),
+tot AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_keys, sum(xk) AS total_x,
+    sum(xk * xk) AS sq
+  FROM per GROUP BY 1
+)
+SELECT grp, n_keys, round(total_x, 6) AS total_x,
+  round(total_x * total_x / (n_keys * sq), 6) AS jain,
+  round(total_x * total_x / sq, 6) AS effective_share
+FROM tot ORDER BY grp
+"""

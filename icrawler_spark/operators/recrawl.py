@@ -1299,3 +1299,75 @@ SELECT seq, x,
   END) > {float(z_thresh)}, false) AS alarm
 FROM pre ORDER BY seq
 """
+
+
+def acf(
+    series: DataFrame,
+    lags=(1, 2, 3, 6, 12),
+    seq_col: str = "seq",
+    x_col: str = "x",
+) -> DataFrame:
+    """Lag-k autocorrelation of an ordered integer-valued metric series
+    (per-interval fetch counts, error counts): for each requested lag
+    the Pearson r over the (x_t, x_{t−k}) pairs — the seasonality/
+    persistence fingerprint that says whether `seasonal_naive_eval`'s
+    season or `cusum_drift`'s slack are set against a truly independent
+    baseline.
+
+    Uses the exact-integer Pearson form (mΣxy − ΣxΣy)/√(…) over each
+    lag's paired subset: when x is integer-valued every sum is exact,
+    so both engines produce identical doubles before the final
+    division (rounded 6). Returns (lag, n_pairs, r) ordered by lag;
+    r NULL for degenerate (constant) windows.
+
+    Scale shape: one lag window per requested k over the ordered
+    series, each a shuffle-free pass (series are per-host or global
+    monitoring streams — short); the k unions are independent branches
+    of one job.
+    """
+    v = series.select(F.col(seq_col).cast("long").alias("seq"),
+                      F.col(x_col).cast("double").alias("x"))
+    w = Window.orderBy("seq")
+    out = None
+    for k in lags:
+        shifted = v.select(
+            "x", F.lag("x", int(k)).over(w).alias("y"))
+        paired = shifted.filter(F.col("y").isNotNull())
+        agg = paired.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        m = F.col("n_pairs")
+        num = m * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = ((m * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * (m * F.col("syy") - F.col("sy") * F.col("sy")))
+        row = agg.select(F.lit(int(k)).cast("long").alias("lag"),
+                         "n_pairs",
+                         F.when(den > 0,
+                                F.round(num / F.sqrt(den), 6)).alias("r"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")
+
+
+def acf_sql(series_sql: str, lags=(1, 2, 3, 6, 12)) -> str:
+    """DuckDB mirror of :func:`acf` over a (seq, x) SELECT."""
+    parts = []
+    for k in lags:
+        parts.append(f"""
+SELECT CAST({int(k)} AS BIGINT) AS lag,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CASE WHEN (count(*) * sum(x * x) - sum(x) * sum(x))
+            * (count(*) * sum(y * y) - sum(y) * sum(y)) > 0
+    THEN round((count(*) * sum(x * y) - sum(x) * sum(y))
+           / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                  * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+  END AS r
+FROM (
+  SELECT CAST(x AS DOUBLE) AS x,
+    lag(CAST(x AS DOUBLE), {int(k)}) OVER (ORDER BY seq) AS y
+  FROM ({series_sql}))
+WHERE y IS NOT NULL""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY lag"

@@ -2129,3 +2129,78 @@ SELECT ranker, rank_sum,
         - 3.0 * n_queries * (count(*) OVER () + 1), 4) AS chi2
 FROM per ORDER BY ranker
 """
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision-recall curve points for a scored binary gate (spam
+    score, quality score): one row per distinct score value, treating
+    it as the decision threshold (keep if score ≥ t). The
+    threshold-picker's view beside `auc_rank` (one number) and
+    `calibration_bins` (probability quality): where on the curve does
+    the corpus gate actually want to sit?
+
+    Cumulative tp/fp come from ONE groupBy(score) + ONE cumulative
+    window over the distinct scores (descending) — never a window over
+    raw rows, so score cardinality (not corpus size) bounds the window.
+    Counts exact; precision/recall/F1 rounded 6. Returns (threshold,
+    n_pred, tp, precision, recall, f1) ordered by threshold DESC.
+    """
+    per = (scored.select(F.col(score_col).cast("double").alias("score"),
+                         F.col(label_col).cast("int").alias("label"))
+           .groupBy("score")
+           .agg(F.count("*").cast("long").alias("cnt"),
+                F.sum("label").cast("long").alias("pos")))
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = per.select(
+        F.col("score").alias("threshold"),
+        F.sum("cnt").over(w).alias("n_pred"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("pos").over(w_all).alias("p_all"))
+    prec = F.col("tp").cast("double") / F.col("n_pred")
+    rec = F.col("tp").cast("double") / F.col("p_all")
+    f1 = F.when(F.col("tp") > 0,
+                F.round(2.0 * prec * rec / (prec + rec), 6))
+    return (cum.select(
+        "threshold", "n_pred", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.coalesce(f1, F.lit(0.0)).alias("f1"))
+        .orderBy(F.desc("threshold")))
+
+
+def pr_curve_sql(scored_sql: str) -> str:
+    """DuckDB mirror of :func:`pr_curve` over a (score, label)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(score AS DOUBLE) AS score,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(label) AS BIGINT) AS pos
+  FROM ({scored_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT score AS threshold,
+    sum(cnt) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+      AS n_pred,
+    sum(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    sum(pos) OVER () AS p_all
+  FROM per
+)
+SELECT threshold, CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(tp AS BIGINT) AS tp,
+  round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+  round(CAST(tp AS DOUBLE) / p_all, 6) AS recall,
+  coalesce(CASE WHEN tp > 0 THEN
+    round(2.0 * (CAST(tp AS DOUBLE) / n_pred)
+          * (CAST(tp AS DOUBLE) / p_all)
+          / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / p_all),
+      6) END, 0.0) AS f1
+FROM cum ORDER BY threshold DESC
+"""

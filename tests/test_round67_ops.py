@@ -1,0 +1,115 @@
+"""Unit tests for the round-67 pack: Jain fairness, ACF, PR curve,
+Cochran-Armitage trend, E-I index."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import trend_test
+from icrawler_spark.operators.graph import ei_index
+from icrawler_spark.operators.politeness import jain_fairness
+from icrawler_spark.operators.recrawl import acf
+from icrawler_spark.operators.search import pr_curve
+
+
+# ---------------------------------------------------------------------------
+# jain_fairness
+# ---------------------------------------------------------------------------
+
+def test_jain_uniform_is_one(spark):
+    rows = [("g", f"k{i}", 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, key string, x double")
+    r = jain_fairness(df).collect()[0]
+    assert r["jain"] == 1.0 and r["effective_share"] == 4.0
+
+
+def test_jain_one_hot(spark):
+    rows = [("g", "a", 4.0), ("g", "b", 0.0), ("g", "c", 0.0),
+            ("g", "d", 0.0)]
+    df = spark.createDataFrame(rows, "grp string, key string, x double")
+    r = jain_fairness(df).collect()[0]
+    assert r["jain"] == 0.25 and r["effective_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# acf
+# ---------------------------------------------------------------------------
+
+def test_acf_alternating_series(spark):
+    rows = [(i, float(1 + i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = {r["lag"]: r for r in acf(df, lags=(1, 2)).collect()}
+    assert out[1]["r"] == -1.0 and out[2]["r"] == 1.0
+    assert out[1]["n_pairs"] == 19 and out[2]["n_pairs"] == 18
+
+
+def test_acf_constant_series_null(spark):
+    rows = [(i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "seq long, x double")
+    out = acf(df, lags=(1,)).collect()
+    assert out[0]["r"] is None
+
+
+# ---------------------------------------------------------------------------
+# pr_curve
+# ---------------------------------------------------------------------------
+
+def test_pr_curve_points(spark):
+    rows = [(3.0, 1), (2.0, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["threshold"]: r for r in pr_curve(df).collect()}
+    assert out[3.0]["precision"] == 1.0 and out[3.0]["recall"] == 0.5
+    assert abs(out[3.0]["f1"] - 0.666667) < 1e-6
+    assert out[2.0]["precision"] == 0.5
+    assert out[1.0]["recall"] == 1.0 and abs(out[1.0]["f1"] - 0.8) < 1e-6
+
+
+def test_pr_curve_zero_tp_prefix(spark):
+    # the top threshold has no positives → precision 0, f1 coalesces to 0
+    rows = [(5.0, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    top = pr_curve(df).collect()[0]
+    assert top["threshold"] == 5.0 and top["precision"] == 0.0
+    assert top["f1"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# trend_test
+# ---------------------------------------------------------------------------
+
+def test_trend_declining_rate(spark):
+    # t=0: 8/10, t=1: 2/10 → z = −3/√1.25 = −2.6833
+    rows = [(0, 10, 8), (1, 10, 2)]
+    df = spark.createDataFrame(rows, "t long, n long, s long")
+    r = trend_test(df).collect()[0]
+    assert (r["n_tiers"], r["n_total"], r["s_total"]) == (2, 20, 10)
+    assert abs(r["z"] + 2.6833) < 1e-4
+
+
+def test_trend_flat_is_zero(spark):
+    rows = [(0, 10, 5), (1, 10, 5), (2, 10, 5)]
+    df = spark.createDataFrame(rows, "t long, n long, s long")
+    r = trend_test(df).collect()[0]
+    assert abs(r["z"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ei_index
+# ---------------------------------------------------------------------------
+
+def test_ei_counts_internal_once_external_per_side(spark):
+    edges = [("a1", "a2"), ("a1", "b1")]
+    members = [("a1", "A"), ("a2", "A"), ("b1", "B")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    m = spark.createDataFrame(members, "node string, grp string")
+    out = {r["grp"]: r for r in ei_index(e, m).collect()}
+    assert out["A"]["internal"] == 1 and out["A"]["external"] == 1
+    assert out["A"]["ei"] == 0.0
+    assert out["B"]["internal"] == 0 and out["B"]["ei"] == 1.0
+
+
+def test_ei_silo_is_minus_one(spark):
+    edges = [("a1", "a2"), ("a2", "a1")]
+    members = [("a1", "A"), ("a2", "A")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    m = spark.createDataFrame(members, "node string, grp string")
+    r = ei_index(e, m).collect()[0]
+    assert r["ei"] == -1.0 and r["internal"] == 2
