@@ -333,6 +333,8 @@ _EXTRA_PICKS = [
     "conn_reuse", "sample_size", "retry_ladder", "overdisp", "cramers",
     # round-3 batch-61 (fairness + seasonality + thresholds + trend + mixing)
     "jain", "acf", "pr_curve", "trend", "ei",
+    # round-3 batch-62 (information + fits + fair split + graph bridges)
+    "mi", "lognormal", "maxmin", "bridges", "kish",
 ]
 
 

@@ -1,0 +1,202 @@
+"""Round-3 driver-contract queries (batch 62): mutual information,
+restricted use of the log-normal fit, max-min fair budget split, edge
+embeddedness / local bridges, plus RMST-style survival is covered by the
+log-rank family (batch 58).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# mi — tier × event_type information
+# ---------------------------------------------------------------------------
+
+
+def _mi_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+        .alias("a"),
+        F.col("event_type").alias("b"))
+
+
+_MI_ROWS_SQL = "SELECT 't' || (user_id % 4) AS a, event_type AS b FROM events"
+
+
+def q_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mutual_info: MI + NMI from observed cells only —
+    same sparse shuffle shape as cramers_v."""
+    return _corpus.mutual_info(_mi_rows(spark, sf))
+
+
+def _mi_sql() -> str:
+    return _corpus.mutual_info_sql(_MI_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lognormal — page-size-like positive skewed metric
+# ---------------------------------------------------------------------------
+
+
+def _ln_values(spark, sf) -> DataFrame:
+    """x = (1 + h1)·(1 + h2) with small integer hashes — multiplicative,
+    so genuinely log-normal-ish and strictly positive."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = (1 + e * 13 % 20) * (1 + e * 31 % 11)
+    return ev.select(x.cast("double").alias("x"))
+
+
+_LN_VALUES_SQL = """
+  SELECT CAST((1 + event_id * 13 % 20) * (1 + event_id * 31 % 11)
+    AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_lognormal(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lognormal_fit: μ/σ of ln x + median/p95/mean
+    planning numbers — one single-row aggregate."""
+    return _corpus.lognormal_fit(_ln_values(spark, sf))
+
+
+def _lognormal_sql() -> str:
+    return _corpus.lognormal_fit_sql(_LN_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# maxmin — water-filling fetch-slot split across hosts
+# ---------------------------------------------------------------------------
+
+_MM_BUDGET = 400
+
+
+def _mm_demands(spark, sf) -> DataFrame:
+    """18 hosts with demands 5·(h+1) — budget 400 < Σdemand = 855, so
+    the level lands mid-ladder and both branches are exercised."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return (ev.groupBy(F.concat(F.lit("h"), (e % 18).cast("string"))
+                       .alias("key"))
+            .agg((5 * (F.min(e) % 18 + 1)).cast("long").alias("demand")))
+
+
+_MM_DEMANDS_SQL = """
+  SELECT 'h' || (event_id % 18) AS key,
+    CAST(5 * (min(event_id) % 18 + 1) AS BIGINT) AS demand
+  FROM events GROUP BY 1
+"""
+
+
+def q_maxmin(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.maxmin_alloc: iterative water-filling
+    collapsed to ONE sort window + a broadcast single-row agg."""
+    return _politeness.maxmin_alloc(_mm_demands(spark, sf),
+                                    budget=_MM_BUDGET)
+
+
+def _maxmin_sql() -> str:
+    return _politeness.maxmin_alloc_sql(_MM_DEMANDS_SQL,
+                                        budget=_MM_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# bridges — ring-with-chords graph: chords are embedded, spokes aren't
+# ---------------------------------------------------------------------------
+
+
+def _br_edges(spark, sf) -> DataFrame:
+    """20-node ring + distance-2 chords (embedded, common neighbor =
+    the midpoint) + a few distance-9 spokes (local bridges)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    src = e % 20
+    hop = F.when(e % 7 == 0, 9).otherwise(F.when(e % 2 == 0, 1)
+                                          .otherwise(2))
+    return ev.select(
+        F.concat(F.lit("n"), F.lpad(src.cast("string"), 2, "0"))
+        .alias("src"),
+        F.concat(F.lit("n"), F.lpad(((src + hop) % 20).cast("string"),
+                                    2, "0")).alias("dst"))
+
+
+_BR_EDGES_SQL = """
+  SELECT 'n' || lpad(CAST(event_id % 20 AS VARCHAR), 2, '0') AS src,
+    'n' || lpad(CAST((event_id % 20
+      + CASE WHEN event_id % 7 = 0 THEN 9
+             WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) % 20 AS VARCHAR),
+      2, '0') AS dst
+  FROM events
+"""
+
+
+def q_bridges(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.embeddedness: common-neighbor count per edge via
+    the wedge join; embeddedness-0 edges are the discovery bridges."""
+    return _graph.embeddedness(_br_edges(spark, sf))
+
+
+def _bridges_sql() -> str:
+    return _graph.embeddedness_sql(_BR_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kish — effective sample size under IPW-style weights
+# ---------------------------------------------------------------------------
+
+
+def _kw_weights(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("t"), (e % 3).cast("string")).alias("grp"),
+        F.concat(F.lit("u"), e.cast("string")).alias("key"),
+        (1 + e * 7 % 5).cast("double").alias("x"))
+
+
+_KW_WEIGHTS_SQL = """
+  SELECT 't' || (event_id % 3) AS grp, 'u' || event_id AS key,
+    CAST(1 + event_id * 7 % 5 AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_kish(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.jain_fairness reused as the Kish
+    effective-sample-size readout: ESS = (Σw)²/Σw² = jain·n — reported
+    per weighting stratum via the effective_share column."""
+    return _politeness.jain_fairness(_kw_weights(spark, sf))
+
+
+def _kish_sql() -> str:
+    return _politeness.jain_fairness_sql(_KW_WEIGHTS_SQL)
+
+
+def queries68():
+    return {
+        "mi": q_mi,
+        "lognormal": q_lognormal,
+        "maxmin": q_maxmin,
+        "bridges": q_bridges,
+        "kish": q_kish,
+    }
+
+
+def oracle_sql68():
+    return {
+        "mi": _mi_sql(),
+        "lognormal": _lognormal_sql(),
+        "maxmin": _maxmin_sql(),
+        "bridges": _bridges_sql(),
+        "kish": _kish_sql(),
+    }

@@ -3584,3 +3584,152 @@ SELECT n_tiers, n_total, s_total,
   END AS z
 FROM agg
 """
+
+
+def mutual_info(
+    rows: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Mutual information (and NMI) between two categorical columns —
+    the information-theoretic companion to `cramers_v`: how many nats
+    knowing the tier tells you about the language. NMI =
+    MI/√(H(A)·H(B)) normalizes to [0, 1] so mixes of different
+    cardinalities compare; the standard feature-vs-label screen before
+    training a quality classifier on crawl metadata.
+
+    MI = Σ (o/N)·ln(o·N/(ra·cb)) over observed cells (absent cells
+    contribute 0 exactly). Counts exact; the log sums run over
+    key-bounded cell tables, rounded 6 at output. Returns one row
+    (n, r, c, mi, h_a, h_b, nmi); nmi NULL when either entropy is 0.
+
+    Scale shape: ONE groupBy(a, b) + two marginal groupBys broadcast
+    back — identical shuffle shape to `cramers_v`.
+    """
+    v = rows.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cells = v.groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
+    ma = v.groupBy("a").agg(F.count("*").cast("long").alias("ra"))
+    mb = v.groupBy("b").agg(F.count("*").cast("long").alias("cb"))
+    j = cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+    n_tot = F.sum("o").cast("long")
+    mi_sum = F.sum(F.col("o")
+                   * F.log(F.col("o").cast("double")
+                           / (F.col("ra").cast("double") * F.col("cb"))))
+    agg = j.agg(n_tot.alias("n"), mi_sum.alias("mi_part"))
+    ha = ma.agg(F.sum(F.col("ra") * F.log(F.col("ra").cast("double")))
+                .alias("ha_part"),
+                F.sum("ra").cast("long").alias("na"))
+    hb = mb.agg(F.sum(F.col("cb") * F.log(F.col("cb").cast("double")))
+                .alias("hb_part"),
+                F.count("*").cast("long").alias("c"))
+    rr = ma.agg(F.count("*").cast("long").alias("r"))
+    full = (agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+            .crossJoin(F.broadcast(rr)))
+    n = F.col("n").cast("double")
+    ln_n = F.log(n)
+    # MI = (Σ o·ln(o/(ra·cb)))/N + ln N ;  H = ln N − (Σ m·ln m)/N
+    mi = F.col("mi_part") / n + ln_n
+    h_a = ln_n - F.col("ha_part") / n
+    h_b = ln_n - F.col("hb_part") / n
+    nmi = F.when((h_a > 0) & (h_b > 0),
+                 F.round(mi / F.sqrt(h_a * h_b), 6))
+    return full.select(
+        "n", "r", "c",
+        F.round(mi, 6).alias("mi"),
+        F.round(h_a, 6).alias("h_a"),
+        F.round(h_b, 6).alias("h_b"),
+        nmi.alias("nmi"))
+
+
+def mutual_info_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`mutual_info` over an (a, b) SELECT."""
+    return f"""
+WITH v AS (SELECT a, b FROM ({rows_sql})),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM v GROUP BY 1),
+mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM v GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+    sum(o * ln(CAST(o AS DOUBLE) / (CAST(ra AS DOUBLE) * cb)))
+      AS mi_part
+  FROM cells JOIN ma USING (a) JOIN mb USING (b)
+),
+ha AS (SELECT sum(ra * ln(CAST(ra AS DOUBLE))) AS ha_part,
+              CAST(count(*) AS BIGINT) AS r FROM ma),
+hb AS (SELECT sum(cb * ln(CAST(cb AS DOUBLE))) AS hb_part,
+              CAST(count(*) AS BIGINT) AS c FROM mb)
+SELECT n, r, c,
+  round(mi_part / n + ln(CAST(n AS DOUBLE)), 6) AS mi,
+  round(ln(CAST(n AS DOUBLE)) - ha_part / n, 6) AS h_a,
+  round(ln(CAST(n AS DOUBLE)) - hb_part / n, 6) AS h_b,
+  CASE WHEN ln(CAST(n AS DOUBLE)) - ha_part / n > 0
+        AND ln(CAST(n AS DOUBLE)) - hb_part / n > 0
+    THEN round((mi_part / n + ln(CAST(n AS DOUBLE)))
+           / sqrt((ln(CAST(n AS DOUBLE)) - ha_part / n)
+                  * (ln(CAST(n AS DOUBLE)) - hb_part / n)), 6)
+  END AS nmi
+FROM agg CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+def lognormal_fit(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Log-normal fit of a positive heavy-tailed metric (page bytes,
+    fetch latency): μ̂/σ̂ of ln x, and the three planning numbers a
+    capacity model wants — median exp(μ̂), p95 exp(μ̂ + 1.6449σ̂),
+    and the log-normal mean exp(μ̂ + σ̂²/2), which for skewed metrics
+    is FAR above the median (the "mean bytes per page" trap). Pairs
+    with `hill` (tail index) — Hill says whether the tail is power-law;
+    this prices the body if it isn't.
+
+    σ̂² uses Σl²/Σl with the (n−1) divisor; ln values are O(1–10) so
+    the sums carry no cancellation risk at corpus scale. Floats rounded
+    6. Returns one row (n, mu, sigma, p50, p95, mean_pred); sigma NULL
+    when n < 2.
+
+    Scale shape: ONE single-row aggregate over the scan.
+    """
+    v = values.select(F.log(F.col(x_col).cast("double")).alias("l"))
+    agg = v.agg(F.count("*").cast("long").alias("n"),
+                F.sum("l").alias("sl"),
+                F.sum(F.col("l") * F.col("l")).alias("sll"))
+    n = F.col("n")
+    mu = F.col("sl") / n
+    # ANSI mode: guard the n−1 divisor (n=1 → NULL var, not an error)
+    var = ((F.col("sll") - F.col("sl") * F.col("sl") / n)
+           / F.when(n > 1, n - 1))
+    sigma = F.when((n > 1) & (var >= 0), F.sqrt(var))
+    return agg.select(
+        "n", F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(F.exp(mu), 6).alias("p50"),
+        F.round(F.exp(mu + 1.6449 * sigma), 6).alias("p95"),
+        F.round(F.exp(mu + var / 2.0), 6).alias("mean_pred"))
+
+
+def lognormal_fit_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`lognormal_fit` over an (x) SELECT."""
+    return f"""
+WITH v AS (SELECT ln(CAST(x AS DOUBLE)) AS l FROM ({values_sql})),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(l) AS sl,
+    sum(l * l) AS sll
+  FROM v
+)
+SELECT n, round(sl / n, 6) AS mu,
+  CASE WHEN n > 1 AND (sll - sl * sl / n) / (n - 1) >= 0
+    THEN round(sqrt((sll - sl * sl / n) / (n - 1)), 6) END AS sigma,
+  round(exp(sl / n), 6) AS p50,
+  CASE WHEN n > 1 AND (sll - sl * sl / n) / (n - 1) >= 0
+    THEN round(exp(sl / n
+                   + 1.6449 * sqrt((sll - sl * sl / n) / (n - 1))), 6)
+  END AS p95,
+  CASE WHEN n > 1
+    THEN round(exp(sl / n + (sll - sl * sl / n) / (n - 1) / 2.0), 6)
+  END AS mean_pred
+FROM agg
+"""

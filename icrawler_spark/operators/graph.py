@@ -1865,3 +1865,83 @@ SELECT grp, CAST(sum(i) AS BIGINT) AS internal,
   round(CAST(sum(e) - sum(i) AS DOUBLE) / (sum(e) + sum(i)), 6) AS ei
 FROM u GROUP BY 1 ORDER BY grp
 """
+
+
+def embeddedness(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Edge embeddedness over the undirected host graph: for every edge
+    the number of common neighbors of its endpoints. Embeddedness-0
+    edges are local bridges (Granovetter's weak ties) — in a crawl
+    graph these are the cross-community discovery links worth
+    prioritizing, while high-embeddedness edges are redundant intra-
+    cluster navigation. The per-edge refinement of `clustering_coeff`
+    (per-node triangle density) and the structural dual of `k_core`.
+
+    Edges are canonicalized (u < v, deduped, self-loops dropped); the
+    common-neighbor count is the wedge join adj(u) ⋈ adj(v). Returns
+    (u, v, common_neighbors, is_bridge) ordered by (u, v) — exact
+    integers.
+
+    Scale shape: one adjacency self-join producing length-2 paths —
+    the standard triangle-enumeration shuffle; at web scale cap wedge
+    fan-out by filtering hub nodes first (the documented
+    degree-ordering trick), which the host graph's eTLD+1 rollup
+    already bounds.
+    """
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.select(F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"))
+           .distinct())
+    adj = (und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+           .unionByName(und.select(F.col("v").alias("x"),
+                                   F.col("u").alias("y")))
+           .distinct())
+    a1 = adj.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    a2 = adj.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    wedges = (und.join(a1, "u").join(a2, ["v", "w"])
+              .filter((F.col("w") != F.col("u"))
+                      & (F.col("w") != F.col("v"))))
+    common = (wedges.groupBy("u", "v")
+              .agg(F.count("*").cast("long").alias("common_neighbors")))
+    out = (und.join(common, ["u", "v"], "left")
+           .select("u", "v",
+                   F.coalesce("common_neighbors", F.lit(0))
+                   .cast("long").alias("common_neighbors")))
+    return (out.withColumn("is_bridge", F.col("common_neighbors") == 0)
+            .orderBy("u", "v"))
+
+
+def embeddedness_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`embeddedness` over a (src, dst)
+    SELECT."""
+    return f"""
+WITH e AS (
+  SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src != dst
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e
+),
+adj AS (
+  SELECT u AS x, v AS y FROM und
+  UNION
+  SELECT v AS x, u AS y FROM und
+),
+common AS (
+  SELECT und.u, und.v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM und
+  JOIN adj a1 ON a1.x = und.u
+  JOIN adj a2 ON a2.x = und.v AND a2.y = a1.y
+  WHERE a1.y != und.u AND a1.y != und.v
+  GROUP BY 1, 2
+)
+SELECT und.u, und.v,
+  CAST(coalesce(common.common_neighbors, 0) AS BIGINT)
+    AS common_neighbors,
+  coalesce(common.common_neighbors, 0) = 0 AS is_bridge
+FROM und LEFT JOIN common ON und.u = common.u AND und.v = common.v
+ORDER BY und.u, und.v
+"""

@@ -2052,3 +2052,89 @@ SELECT grp, n_keys, round(total_x, 6) AS total_x,
   round(total_x * total_x / sq, 6) AS effective_share
 FROM tot ORDER BY grp
 """
+
+
+def maxmin_alloc(
+    demands: DataFrame,
+    budget: int,
+    key_col: str = "key",
+    d_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair (water-filling) split of a crawl budget across
+    hosts: every host gets min(demand, level) with the water level set
+    so the budget is exactly exhausted — small demands are fully
+    served, the rest share equally. The fairness-first alternative to
+    `budget_alloc`'s value-weighted split and `knapsack`'s
+    value-greedy one; this is what a per-host politeness SLA means by
+    "no host starves another".
+
+    The usual iterative water-filling is ONE window pass here: sort
+    demands ascending, f_i = [d_i·(n−i+1) ≤ B − prefix_{i−1}] marks
+    the fully-served prefix (monotone in i), and the level is
+    (B − Σ_{served} d)/#unserved — all exact integer arithmetic until
+    the one final ratio. Returns (key, demand, satisfied, alloc)
+    ordered by key, alloc rounded 6.
+
+    Scale shape: one global sort window over hosts-with-demand (the
+    per-round frontier's host table, not the page table) + one
+    single-row agg broadcast back.
+    """
+    b = int(budget)
+    v = demands.select(F.col(key_col).alias("key"),
+                       F.col(d_col).cast("long").alias("demand"))
+    w = Window.orderBy("demand", "key")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    n_all = F.count("*").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    i = F.row_number().over(w)
+    prefix = F.sum("demand").over(wc)
+    fully = (F.col("demand") * (n_all - i + 1)
+             <= b - (prefix - F.col("demand")))
+    marked = v.select("key", "demand", i.alias("i"),
+                      fully.alias("satisfied"))
+    tot = marked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("satisfied"), F.col("demand"))
+              .otherwise(0)).cast("long").alias("served"),
+        F.sum(F.when(F.col("satisfied"), 0).otherwise(1))
+        .cast("long").alias("n_unserved"))
+    j = marked.crossJoin(F.broadcast(tot))
+    level = (b - F.col("served")).cast("double") / F.col("n_unserved")
+    alloc = F.when(F.col("satisfied"), F.col("demand").cast("double")) \
+        .otherwise(level)
+    return (j.select("key", "demand", "satisfied",
+                     F.round(alloc, 6).alias("alloc"))
+            .orderBy("key"))
+
+
+def maxmin_alloc_sql(demands_sql: str, budget: int) -> str:
+    """DuckDB mirror of :func:`maxmin_alloc` over a (key, demand)
+    SELECT."""
+    b = int(budget)
+    return f"""
+WITH v AS (
+  SELECT key, CAST(demand AS BIGINT) AS demand FROM ({demands_sql})
+),
+marked AS (
+  SELECT key, demand,
+    demand * (count(*) OVER ()
+              - row_number() OVER (ORDER BY demand, key) + 1)
+      <= {b} - (sum(demand) OVER (ORDER BY demand, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - demand) AS satisfied
+  FROM v
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN satisfied THEN demand ELSE 0 END) AS BIGINT)
+      AS served,
+    CAST(sum(CASE WHEN satisfied THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_unserved
+  FROM marked
+)
+SELECT key, demand, satisfied,
+  round(CASE WHEN satisfied THEN CAST(demand AS DOUBLE)
+        ELSE CAST({b} - served AS DOUBLE) / n_unserved END, 6) AS alloc
+FROM marked CROSS JOIN tot ORDER BY key
+"""

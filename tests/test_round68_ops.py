@@ -1,0 +1,102 @@
+"""Unit tests for the round-68 pack: mutual information, log-normal fit,
+max-min allocation, edge embeddedness."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import lognormal_fit, mutual_info
+from icrawler_spark.operators.graph import embeddedness
+from icrawler_spark.operators.politeness import maxmin_alloc
+
+
+# ---------------------------------------------------------------------------
+# mutual_info
+# ---------------------------------------------------------------------------
+
+def test_mi_perfect_association(spark):
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_info(df).collect()[0]
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    assert abs(r["h_a"] - math.log(2)) < 1e-6
+    assert r["nmi"] == 1.0
+
+
+def test_mi_independent_is_zero(spark):
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_info(df).collect()[0]
+    assert abs(r["mi"]) < 1e-9 and r["nmi"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# lognormal_fit
+# ---------------------------------------------------------------------------
+
+def test_lognormal_two_point(spark):
+    # ln x = {0, 2} → μ=1, σ²=2; p50 = e, mean_pred = e²
+    df = spark.createDataFrame([(1.0,), (math.e ** 2,)], "x double")
+    r = lognormal_fit(df).collect()[0]
+    assert abs(r["mu"] - 1.0) < 1e-6
+    assert abs(r["sigma"] - math.sqrt(2)) < 1e-6
+    assert abs(r["p50"] - math.e) < 1e-5
+    assert abs(r["mean_pred"] - math.e ** 2) < 1e-4
+
+
+def test_lognormal_single_point_degenerate(spark):
+    df = spark.createDataFrame([(5.0,)], "x double")
+    r = lognormal_fit(df).collect()[0]
+    assert r["n"] == 1 and r["sigma"] is None and r["p95"] is None
+    assert abs(r["p50"] - 5.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# maxmin_alloc
+# ---------------------------------------------------------------------------
+
+def test_maxmin_water_level(spark):
+    # demands {2,4,10}, B=10 → a,b fully served; c capped at level 4
+    rows = [("a", 2), ("b", 4), ("c", 10)]
+    df = spark.createDataFrame(rows, "key string, demand long")
+    out = {r["key"]: r for r in maxmin_alloc(df, budget=10).collect()}
+    assert out["a"]["alloc"] == 2.0 and out["a"]["satisfied"]
+    assert out["b"]["alloc"] == 4.0 and out["b"]["satisfied"]
+    assert out["c"]["alloc"] == 4.0 and not out["c"]["satisfied"]
+    assert sum(r["alloc"] for r in out.values()) == 10.0
+
+
+def test_maxmin_surplus_budget(spark):
+    rows = [("a", 3), ("b", 5)]
+    df = spark.createDataFrame(rows, "key string, demand long")
+    out = {r["key"]: r for r in maxmin_alloc(df, budget=20).collect()}
+    assert out["a"]["alloc"] == 3.0 and out["b"]["alloc"] == 5.0
+    assert all(r["satisfied"] for r in out.values())
+
+
+def test_maxmin_equal_split_when_all_starved(spark):
+    rows = [("a", 9), ("b", 9), ("c", 9)]
+    df = spark.createDataFrame(rows, "key string, demand long")
+    out = maxmin_alloc(df, budget=6).collect()
+    assert all(r["alloc"] == 2.0 and not r["satisfied"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# embeddedness
+# ---------------------------------------------------------------------------
+
+def test_embeddedness_triangle_plus_pendant(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["u"], r["v"]): r for r in embeddedness(df).collect()}
+    assert out[("a", "b")]["common_neighbors"] == 1
+    assert not out[("a", "b")]["is_bridge"]
+    assert out[("c", "d")]["common_neighbors"] == 0
+    assert out[("c", "d")]["is_bridge"]
+
+
+def test_embeddedness_dedups_direction_and_loops(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = embeddedness(df).collect()
+    assert len(out) == 1 and out[0]["common_neighbors"] == 0
