@@ -335,6 +335,8 @@ _EXTRA_PICKS = [
     "jain", "acf", "pr_curve", "trend", "ei",
     # round-3 batch-62 (information + fits + fair split + graph bridges)
     "mi", "lognormal", "maxmin", "bridges", "kish",
+    # round-3 batch-63 (queueing + tails + multiscale + graph core + diversity)
+    "erlang", "hedging", "haar", "rich_club", "frontier_h",
 ]
 
 

@@ -52,7 +52,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round62, entry_round63,
                             entry_round64, entry_round65,
                             entry_round66, entry_round67,
-                            entry_round68)
+                            entry_round68, entry_round69)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -887,6 +887,7 @@ def queries():
         **entry_round66.queries66(),
         **entry_round67.queries67(),
         **entry_round68.queries68(),
+        **entry_round69.queries69(),
     }
 
 
@@ -987,4 +988,5 @@ def oracle_sql():
         **entry_round66.oracle_sql66(),
         **entry_round67.oracle_sql67(),
         **entry_round68.oracle_sql68(),
+        **entry_round69.oracle_sql69(),
     }

@@ -1,0 +1,221 @@
+"""Round-3 driver-contract queries (batch 63): Erlang-C pool sizing,
+hedged-request latency curve, Haar multi-scale energy, rich-club
+coefficient, frontier host-mix entropy.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# erlang — pool sizes for a spread of request rates
+# ---------------------------------------------------------------------------
+
+_EC_CS = (1, 2, 4, 8)
+_EC_SERVICE_MS = 200
+
+
+def _ec_hosts(spark, sf) -> DataFrame:
+    """Rates 0.5..7.5 req/s across 8 hosts — loads 0.1..1.5 at s=200ms,
+    so low-c rows saturate and high-c rows are comfortable."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 8).cast("string")).alias("host"),
+        ((e % 8) + 0.5).cast("double").alias("req_per_s"))
+
+
+_EC_HOSTS_SQL = """
+  SELECT 'h' || (event_id % 8) AS host,
+    CAST((event_id % 8) + 0.5 AS DOUBLE) AS req_per_s
+  FROM events
+"""
+
+
+def q_erlang(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.erlang_c_grid: queueing probability + wait
+    per (host, c) from the unrolled a^k/k! ladder — no window."""
+    return _politeness.erlang_c_grid(_ec_hosts(spark, sf), cs=_EC_CS,
+                                     service_ms=_EC_SERVICE_MS)
+
+
+def _erlang_sql() -> str:
+    return _politeness.erlang_c_grid_sql(_EC_HOSTS_SQL, cs=_EC_CS,
+                                         service_ms=_EC_SERVICE_MS)
+
+
+# ---------------------------------------------------------------------------
+# hedging — long-tailed integer latencies
+# ---------------------------------------------------------------------------
+
+
+def _hd_latencies(spark, sf) -> DataFrame:
+    """Mostly 50–200 ms with a deterministic 5% tail out to 2 s."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    base = 50 + e * 13 % 150
+    tail = F.when(e % 20 == 0, 1800).otherwise(0)
+    return ev.select((base + tail).cast("double").alias("x"))
+
+
+_HD_LATENCIES_SQL = """
+  SELECT CAST(50 + event_id * 13 % 150
+         + CASE WHEN event_id % 20 = 0 THEN 1800 ELSE 0 END
+      AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_hedging(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.hedging_curve: F vs 1−(1−F)² over the distinct
+    latencies — the tail-at-scale pricing of send-two-take-first."""
+    return _recrawl.hedging_curve(_hd_latencies(spark, sf))
+
+
+def _hedging_sql() -> str:
+    return _recrawl.hedging_curve_sql(_HD_LATENCIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# haar — burstiness concentrated at scale 2 by construction
+# ---------------------------------------------------------------------------
+
+_HA_LEVELS = (1, 2, 3)
+
+
+def _ha_series(spark, sf) -> DataFrame:
+    """Period-8 square wave (flips every 4 samples) + small noise: the
+    level-2 half-block means differ most."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    per = (ev.groupBy((e / 2).cast("long").alias("seq"))
+           .agg(F.sum(e % 2).cast("long").alias("noise")))
+    wave = F.when((F.col("seq") / 4).cast("long") % 2 == 0, 10).otherwise(0)
+    return per.select("seq",
+                      (F.col("noise") + wave).cast("double").alias("x"))
+
+
+_HA_SERIES_SQL = """
+  SELECT seq, CAST(noise + CASE WHEN seq // 4 % 2 = 0 THEN 10 ELSE 0 END
+               AS DOUBLE) AS x
+  FROM (
+    SELECT CAST(event_id // 2 AS BIGINT) AS seq,
+      CAST(sum(event_id % 2) AS BIGINT) AS noise
+    FROM events GROUP BY 1)
+"""
+
+
+def q_haar(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.haar_energy: per-scale half-block mean
+    differences — exact through the power-of-two divisions."""
+    return _recrawl.haar_energy(_ha_series(spark, sf), levels=_HA_LEVELS)
+
+
+def _haar_sql() -> str:
+    return _recrawl.haar_energy_sql(_HA_SERIES_SQL, levels=_HA_LEVELS)
+
+
+# ---------------------------------------------------------------------------
+# rich_club — hub core on the chord graph
+# ---------------------------------------------------------------------------
+
+_RC_KS = (2, 3, 4)
+
+
+def _rc_edges(spark, sf) -> DataFrame:
+    """30-node ring; nodes 0-5 also pairwise linked via small chords →
+    a genuine rich core above the ring's degree-2 baseline."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    src = e % 30
+    hop = F.when((e % 9 == 0) & (src < 6), (e % 4) + 1).otherwise(1)
+    dst = F.when((e % 9 == 0) & (src < 6), (src + hop) % 6) \
+        .otherwise((src + 1) % 30)
+    return ev.select(
+        F.concat(F.lit("n"), F.lpad(src.cast("string"), 2, "0"))
+        .alias("src"),
+        F.concat(F.lit("n"), F.lpad(dst.cast("string"), 2, "0"))
+        .alias("dst"))
+
+
+_RC_EDGES_SQL = """
+  SELECT 'n' || lpad(CAST(event_id % 30 AS VARCHAR), 2, '0') AS src,
+    'n' || lpad(CAST(CASE WHEN event_id % 9 = 0 AND event_id % 30 < 6
+      THEN (event_id % 30 + event_id % 4 + 1) % 6
+      ELSE (event_id % 30 + 1) % 30 END AS VARCHAR), 2, '0') AS dst
+  FROM events
+"""
+
+
+def q_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.rich_club: φ(k) over the degree cutoffs — degree
+    groupBy + per-k broadcast semi-joins."""
+    return _graph.rich_club(_rc_edges(spark, sf), ks=_RC_KS)
+
+
+def _rich_club_sql() -> str:
+    return _graph.rich_club_sql(_RC_EDGES_SQL, ks=_RC_KS)
+
+
+# ---------------------------------------------------------------------------
+# frontier_h — exploration → collapse trajectory
+# ---------------------------------------------------------------------------
+
+
+def _fe_frontier(spark, sf) -> DataFrame:
+    """Round r draws from 16 − 2r hosts: diversity shrinks each round
+    by construction, so entropy falls monotonically."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    r = e % 5
+    n_hosts = 16 - 2 * r
+    return ev.select(r.cast("long").alias("round"),
+                     F.concat(F.lit("h"),
+                              (e * 7 % n_hosts).cast("string"))
+                     .alias("host"))
+
+
+_FE_FRONTIER_SQL = """
+  SELECT CAST(event_id % 5 AS BIGINT) AS round,
+    'h' || (event_id * 7 % (16 - 2 * (event_id % 5))) AS host
+  FROM events
+"""
+
+
+def q_frontier_h(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.frontier_entropy: per-round host-mix entropy
+    + perplexity — two bounded groupBys."""
+    return _politeness.frontier_entropy(_fe_frontier(spark, sf))
+
+
+def _frontier_h_sql() -> str:
+    return _politeness.frontier_entropy_sql(_FE_FRONTIER_SQL)
+
+
+def queries69():
+    return {
+        "erlang": q_erlang,
+        "hedging": q_hedging,
+        "haar": q_haar,
+        "rich_club": q_rich_club,
+        "frontier_h": q_frontier_h,
+    }
+
+
+def oracle_sql69():
+    return {
+        "erlang": _erlang_sql(),
+        "hedging": _hedging_sql(),
+        "haar": _haar_sql(),
+        "rich_club": _rich_club_sql(),
+        "frontier_h": _frontier_h_sql(),
+    }

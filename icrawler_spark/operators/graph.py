@@ -1945,3 +1945,92 @@ SELECT und.u, und.v,
 FROM und LEFT JOIN common ON und.u = common.u AND und.v = common.v
 ORDER BY und.u, und.v
 """
+
+
+def rich_club(
+    edges: DataFrame,
+    ks=(2, 4, 8),
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient of the undirected host graph at degree
+    cutoffs k: among the nodes of degree > k, what fraction of their
+    possible links actually exist — φ(k) = 2·E_k/(n_k·(n_k−1)). A
+    rising φ(k) says the high-degree hosts form a densely wired core
+    (navigational hubs linking hubs), which is exactly the structure
+    PageRank-style priorities amplify — the audit behind `trust_rank`
+    seed choice and `k_core` peeling.
+
+    Edges canonicalized (u < v, deduped, loops dropped); degrees from
+    the undirected view. Returns (k, n_nodes, n_edges, phi) ordered by
+    k; phi NULL when fewer than two qualifying nodes.
+
+    Scale shape: ONE degree groupBy, then per-k two broadcast
+    semi-joins of the (small) qualifying-node set against the edge
+    list — the k grid is a short literal.
+    """
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.select(F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count("*").cast("long").alias("deg")))
+    out = None
+    for k in ks:
+        k = int(k)
+        rich = deg.filter(F.col("deg") > k).select("node")
+        n_k = rich.agg(F.count("*").cast("long").alias("n_nodes"))
+        e_k = (und.join(F.broadcast(rich.withColumnRenamed("node", "u")),
+                        "u")
+               .join(F.broadcast(rich.withColumnRenamed("node", "v")),
+                     "v")
+               .agg(F.count("*").cast("long").alias("n_edges")))
+        j = n_k.crossJoin(F.broadcast(e_k))
+        phi = F.when(
+            F.col("n_nodes") > 1,
+            F.round(2.0 * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6))
+        row = j.select(F.lit(k).cast("long").alias("k"),
+                       "n_nodes", "n_edges", phi.alias("phi"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def rich_club_sql(edges_sql: str, ks=(2, 4, 8)) -> str:
+    """DuckDB mirror of :func:`rich_club` over a (src, dst) SELECT."""
+    parts = []
+    for k in ks:
+        k = int(k)
+        parts.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > {k}) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM und
+   WHERE u IN (SELECT node FROM deg WHERE deg > {k})
+     AND v IN (SELECT node FROM deg WHERE deg > {k})) AS n_edges,
+  CASE WHEN (SELECT count(*) FROM deg WHERE deg > {k}) > 1 THEN
+    round(2.0 * (SELECT count(*) FROM und
+                 WHERE u IN (SELECT node FROM deg WHERE deg > {k})
+                   AND v IN (SELECT node FROM deg WHERE deg > {k}))
+          / ((SELECT count(*) FROM deg WHERE deg > {k})
+             * ((SELECT count(*) FROM deg WHERE deg > {k}) - 1)), 6)
+  END AS phi""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH e AS (
+  SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src != dst
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+)
+SELECT * FROM (
+{body}
+) ORDER BY k
+"""

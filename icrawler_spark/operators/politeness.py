@@ -2138,3 +2138,163 @@ SELECT key, demand, satisfied,
         ELSE CAST({b} - served AS DOUBLE) / n_unserved END, 6) AS alloc
 FROM marked CROSS JOIN tot ORDER BY key
 """
+
+
+def erlang_c_grid(
+    hosts: DataFrame,
+    cs=(1, 2, 4, 8),
+    service_ms: int = 200,
+    host_col: str = "host",
+    rate_col: str = "req_per_s",
+) -> DataFrame:
+    """Erlang-C connection-pool sizing per host: for each measured
+    request rate and each candidate concurrency c, the probability a
+    request must queue and its expected wait — the "how many parallel
+    connections does this host deserve" table that turns `littles`'
+    aggregate view into a per-host pool size. Offered load a = λ·s;
+    P_wait = (a^c/c!)·(c/(c−a)) / (Σ_{k<c} a^k/k! + (a^c/c!)·(c/(c−a)))
+    and E[W] = P_wait·s/(c−a), valid for a < c (else saturated).
+
+    The k-ladder (a^k/k!) is unrolled from the same Python constants in
+    both engines — closed-form per-row arithmetic after ONE
+    groupBy(host), no window, no join. Returns (host, req_per_s, c,
+    load, p_wait, wait_ms, saturated) ordered by (host, c), floats
+    rounded 6.
+    """
+    s_s = float(service_ms) / 1000.0
+    per = (hosts.select(F.col(host_col).alias("host"),
+                        F.col(rate_col).cast("double").alias("lam"))
+           .groupBy("host")
+           .agg(F.max("lam").alias("lam")))
+    out = None
+    for c in cs:
+        c = int(c)
+        a = F.col("lam") * s_s
+        # Σ_{k=0..c-1} a^k/k!  and  a^c/c!
+        fact = 1.0
+        terms = None
+        for k in range(c):
+            if k > 0:
+                fact *= k
+            t = F.pow(a, F.lit(k)) / float(fact)
+            terms = t if terms is None else terms + t
+        fact_c = fact * c if c > 1 else 1.0
+        top = F.pow(a, F.lit(c)) / float(fact_c) * (c / (c - a))
+        p_wait = F.when(a < c, top / (terms + top))
+        wait_ms = F.when(a < c,
+                         p_wait * s_s / (c - a) * 1000.0)
+        row = per.select(
+            "host", F.round("lam", 6).alias("req_per_s"),
+            F.lit(c).cast("long").alias("c"),
+            F.round(a, 6).alias("load"),
+            F.round(p_wait, 6).alias("p_wait"),
+            F.round(wait_ms, 6).alias("wait_ms"),
+            (a >= c).alias("saturated"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("host", "c")
+
+
+def erlang_c_grid_sql(hosts_sql: str, cs=(1, 2, 4, 8),
+                      service_ms: int = 200) -> str:
+    """DuckDB mirror of :func:`erlang_c_grid` over a (host, req_per_s)
+    SELECT."""
+    s_s = float(service_ms) / 1000.0
+    parts = []
+    for c in cs:
+        c = int(c)
+        fact = 1.0
+        terms = []
+        for k in range(c):
+            if k > 0:
+                fact *= k
+            terms.append(f"pow(a, {k}) / {float(fact)}")
+        fact_c = fact * c if c > 1 else 1.0
+        sum_terms = " + ".join(terms)
+        top = f"(pow(a, {c}) / {float(fact_c)} * ({c} / ({c} - a)))"
+        parts.append(f"""
+SELECT host, round(lam, 6) AS req_per_s,
+  CAST({c} AS BIGINT) AS c, round(a, 6) AS load,
+  CASE WHEN a < {c}
+    THEN round({top} / (({sum_terms}) + {top}), 6) END AS p_wait,
+  CASE WHEN a < {c}
+    THEN round({top} / (({sum_terms}) + {top})
+           * {s_s} / ({c} - a) * 1000.0, 6) END AS wait_ms,
+  a >= {c} AS saturated
+FROM (SELECT host, lam, lam * {s_s} AS a FROM per)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per AS (
+  SELECT host, max(CAST(req_per_s AS DOUBLE)) AS lam
+  FROM ({hosts_sql}) GROUP BY 1
+)
+SELECT * FROM (
+{body}
+) ORDER BY host, c
+"""
+
+
+def frontier_entropy(
+    frontier: DataFrame,
+    round_col: str = "round",
+    host_col: str = "host",
+) -> DataFrame:
+    """Shannon entropy of the frontier's host mix per crawl round —
+    the diversity trajectory that says whether the crawl is exploring
+    (entropy grows with discovered hosts) or collapsing into a few hot
+    domains (entropy falls while `host_skew` rises). The round-level
+    gauge the per-host views (`host_backlog`, `hhi`) don't give: one
+    number per round, comparable across rounds.
+
+    H = ln N − (Σ c·ln c)/N from exact per-(round, host) counts; also
+    emits the normalized H/ln(hosts) and the perplexity exp(H) ("the
+    frontier behaves like this many equally-loaded hosts"). Returns
+    (round, n_urls, n_hosts, entropy, entropy_norm, perplexity)
+    ordered by round; entropy_norm NULL for single-host rounds.
+
+    Scale shape: ONE groupBy(round, host) + ONE groupBy(round).
+    """
+    per = (frontier.select(F.col(round_col).cast("long").alias("round"),
+                           F.col(host_col).alias("host"))
+           .groupBy("round", "host")
+           .agg(F.count("*").cast("long").alias("c")))
+    agg = (per.groupBy("round")
+           .agg(F.sum("c").cast("long").alias("n_urls"),
+                F.count("*").cast("long").alias("n_hosts"),
+                F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                .alias("clc")))
+    n = F.col("n_urls").cast("double")
+    h = F.log(n) - F.col("clc") / n
+    return (agg.select(
+        "round", "n_urls", "n_hosts",
+        F.round(h, 6).alias("entropy"),
+        F.when(F.col("n_hosts") > 1,
+               F.round(h / F.log(F.col("n_hosts").cast("double")), 6))
+        .alias("entropy_norm"),
+        F.round(F.exp(h), 6).alias("perplexity"))
+        .orderBy("round"))
+
+
+def frontier_entropy_sql(frontier_sql: str) -> str:
+    """DuckDB mirror of :func:`frontier_entropy` over a (round, host)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(round AS BIGINT) AS round, host,
+    CAST(count(*) AS BIGINT) AS c
+  FROM ({frontier_sql}) GROUP BY 1, 2
+),
+agg AS (
+  SELECT round, CAST(sum(c) AS BIGINT) AS n_urls,
+    CAST(count(*) AS BIGINT) AS n_hosts,
+    sum(c * ln(CAST(c AS DOUBLE))) AS clc
+  FROM per GROUP BY 1
+)
+SELECT round, n_urls, n_hosts,
+  round(ln(CAST(n_urls AS DOUBLE)) - clc / n_urls, 6) AS entropy,
+  CASE WHEN n_hosts > 1 THEN
+    round((ln(CAST(n_urls AS DOUBLE)) - clc / n_urls)
+          / ln(CAST(n_hosts AS DOUBLE)), 6) END AS entropy_norm,
+  round(exp(ln(CAST(n_urls AS DOUBLE)) - clc / n_urls), 6)
+    AS perplexity
+FROM agg ORDER BY round
+"""

@@ -1371,3 +1371,129 @@ FROM (
 WHERE y IS NOT NULL""")
     body = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{body}\n) ORDER BY lag"
+
+
+def hedging_curve(
+    latencies: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Hedged-request latency curve from an empirical latency
+    distribution: if a second copy of a request is issued whenever the
+    first is still running (send-two-take-first), the new latency CDF
+    is F₂ = 1 − (1 − F)² — the tail-taming trick (Dean & Barroso,
+    "The Tail at Scale") priced directly on this crawl's measured
+    per-request latencies. Read off where F crosses 0.99 before vs
+    after to see the p99 win; the duplicate-work cost is 1 − F at the
+    hedge point.
+
+    CDF from exact per-value counts + ONE cumulative window over the
+    distinct values (value cardinality bounds the window, not request
+    count). Returns (x, n, cdf, cdf_hedged) ordered by x, rounded 6.
+    """
+    per = (latencies.select(F.col(x_col).cast("double").alias("x"))
+           .groupBy("x")
+           .agg(F.count("*").cast("long").alias("n")))
+    w = (Window.orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = per.select(
+        "x", "n",
+        (F.sum("n").over(w).cast("double")
+         / F.sum("n").over(w_all)).alias("cdf"))
+    return (cum.select(
+        "x", "n",
+        F.round("cdf", 6).alias("cdf"),
+        F.round(1.0 - (1.0 - F.col("cdf")) * (1.0 - F.col("cdf")), 6)
+        .alias("cdf_hedged"))
+        .orderBy("x"))
+
+
+def hedging_curve_sql(latencies_sql: str) -> str:
+    """DuckDB mirror of :func:`hedging_curve` over an (x) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS n
+  FROM ({latencies_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT x, n,
+    CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      / sum(n) OVER () AS cdf
+  FROM per
+)
+SELECT x, n, round(cdf, 6) AS cdf,
+  round(1.0 - (1.0 - cdf) * (1.0 - cdf), 6) AS cdf_hedged
+FROM cum ORDER BY x
+"""
+
+
+def haar_energy(
+    series: DataFrame,
+    levels=(1, 2, 3),
+    seq_col: str = "seq",
+    x_col: str = "x",
+) -> DataFrame:
+    """Haar detail energy of an ordered metric series per dyadic scale:
+    at level k the series is cut into blocks of 2^k points and the
+    squared difference of half-block means is summed — which timescale
+    carries the burstiness? A spiky-every-interval series loads level
+    1; slow regime shifts load the top level. The multi-resolution
+    companion to `acf` (which fingerprints periodicity, not scale of
+    variance).
+
+    Block means divide by powers of two, so integer-valued series stay
+    EXACT through the difference; the energies are sums of exact
+    squares. Only complete blocks count. Returns (level, block,
+    n_blocks, energy, mean_abs_d) — one row per level with block =
+    2^level — ordered by level, floats rounded 6.
+
+    Scale shape: one groupBy(block-id) per level (levels are a short
+    literal list); no window, no join.
+    """
+    v = series.select(F.col(seq_col).cast("long").alias("seq"),
+                      F.col(x_col).cast("double").alias("x"))
+    out = None
+    for k in levels:
+        k = int(k)
+        blk = 2 ** k
+        half = blk // 2
+        sign = F.when((F.col("seq") % blk) < half, 1.0).otherwise(-1.0)
+        per = (v.groupBy((F.col("seq") / blk).cast("long").alias("b"))
+               .agg(F.count("*").cast("long").alias("cnt"),
+                    F.sum(sign * F.col("x")).alias("sd")))
+        full = per.filter(F.col("cnt") == blk)
+        d = F.col("sd") / float(half)
+        agg = full.agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(d * d).alias("energy"),
+            F.avg(F.abs(d)).alias("mean_abs_d"))
+        row = agg.select(F.lit(k).cast("long").alias("level"),
+                         F.lit(blk).cast("long").alias("block"),
+                         "n_blocks",
+                         F.round("energy", 6).alias("energy"),
+                         F.round("mean_abs_d", 6).alias("mean_abs_d"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("level")
+
+
+def haar_energy_sql(series_sql: str, levels=(1, 2, 3)) -> str:
+    """DuckDB mirror of :func:`haar_energy` over a (seq, x) SELECT."""
+    parts = []
+    for k in levels:
+        k = int(k)
+        blk = 2 ** k
+        half = blk // 2
+        parts.append(f"""
+SELECT CAST({k} AS BIGINT) AS level, CAST({blk} AS BIGINT) AS block,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  round(sum((sd / {float(half)}) * (sd / {float(half)})), 6) AS energy,
+  round(avg(abs(sd / {float(half)})), 6) AS mean_abs_d
+FROM (
+  SELECT seq // {blk} AS b, count(*) AS cnt,
+    sum(CASE WHEN seq % {blk} < {half} THEN 1.0 ELSE -1.0 END
+        * CAST(x AS DOUBLE)) AS sd
+  FROM ({series_sql}) GROUP BY 1)
+WHERE cnt = {blk}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY level"

@@ -1,0 +1,99 @@
+"""Unit tests for the round-69 pack: Erlang-C grid, hedging curve, Haar
+energy, rich club, frontier entropy."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.graph import rich_club
+from icrawler_spark.operators.politeness import (erlang_c_grid,
+                                                 frontier_entropy)
+from icrawler_spark.operators.recrawl import haar_energy, hedging_curve
+
+
+# ---------------------------------------------------------------------------
+# erlang_c_grid
+# ---------------------------------------------------------------------------
+
+def test_erlang_mm1_classic(spark):
+    # c=1, a=0.5: P_wait = a = 0.5, E[W] = 0.5·0.2/0.5 = 200 ms
+    df = spark.createDataFrame([("h", 2.5)], "host string, req_per_s double")
+    out = {r["c"]: r for r in
+           erlang_c_grid(df, cs=(1, 2), service_ms=200).collect()}
+    assert abs(out[1]["p_wait"] - 0.5) < 1e-9
+    assert abs(out[1]["wait_ms"] - 200.0) < 1e-6
+    # c=2: top = 0.125·(2/1.5) = 1/6, denom = 1.5 + 1/6 → P = 0.1
+    assert abs(out[2]["p_wait"] - 0.1) < 1e-6
+    assert abs(out[2]["wait_ms"] - 13.333333) < 1e-4
+
+
+def test_erlang_saturated_null(spark):
+    df = spark.createDataFrame([("h", 10.0)], "host string, req_per_s double")
+    r = erlang_c_grid(df, cs=(1,), service_ms=200).collect()[0]
+    assert r["saturated"] and r["p_wait"] is None and r["wait_ms"] is None
+
+
+# ---------------------------------------------------------------------------
+# hedging_curve
+# ---------------------------------------------------------------------------
+
+def test_hedging_squares_survival(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,), (2.0,), (3.0,)], "x double")
+    out = {r["x"]: r for r in hedging_curve(df).collect()}
+    assert out[1.0]["cdf"] == 0.5 and out[1.0]["cdf_hedged"] == 0.75
+    assert out[2.0]["cdf"] == 0.75 and out[2.0]["cdf_hedged"] == 0.9375
+    assert out[3.0]["cdf"] == 1.0 and out[3.0]["cdf_hedged"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# haar_energy
+# ---------------------------------------------------------------------------
+
+def test_haar_energy_scale_separation(spark):
+    # period-4 square wave over 8 points: all energy at level 2
+    xs = [0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 10.0]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "seq long, x double")
+    out = {r["level"]: r for r in haar_energy(df, levels=(1, 2, 3)).collect()}
+    assert out[1]["energy"] == 0.0
+    assert out[2]["energy"] == 200.0 and out[2]["n_blocks"] == 2
+    assert out[3]["energy"] == 0.0 and out[3]["n_blocks"] == 1
+
+
+def test_haar_ignores_partial_blocks(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]  # 5 points: level-2 keeps one block
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "seq long, x double")
+    out = {r["level"]: r for r in haar_energy(df, levels=(2,)).collect()}
+    assert out[2]["n_blocks"] == 1
+    # block [1,2,3,4]: left mean 1.5, right 3.5 → d = −2 → energy 4
+    assert out[2]["energy"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# rich_club
+# ---------------------------------------------------------------------------
+
+def test_rich_club_k4_core(spark):
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("a", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["k"]: r for r in rich_club(df, ks=(2, 3)).collect()}
+    assert out[2]["n_nodes"] == 4 and out[2]["n_edges"] == 6
+    assert out[2]["phi"] == 1.0
+    assert out[3]["n_nodes"] == 1 and out[3]["phi"] is None
+
+
+# ---------------------------------------------------------------------------
+# frontier_entropy
+# ---------------------------------------------------------------------------
+
+def test_frontier_entropy_uniform_and_collapsed(spark):
+    rows = ([(1, f"h{i}") for i in range(4)] * 2
+            + [(2, "h0")] * 5)
+    df = spark.createDataFrame(rows, "round long, host string")
+    out = {r["round"]: r for r in frontier_entropy(df).collect()}
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-6
+    assert out[1]["entropy_norm"] == 1.0 and out[1]["perplexity"] == 4.0
+    assert out[2]["entropy"] == 0.0 and out[2]["entropy_norm"] is None
+    assert out[2]["perplexity"] == 1.0
