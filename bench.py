@@ -337,6 +337,8 @@ _EXTRA_PICKS = [
     "mi", "lognormal", "maxmin", "bridges", "kish",
     # round-3 batch-63 (queueing + tails + multiscale + graph core + diversity)
     "erlang", "hedging", "haar", "rich_club", "frontier_h",
+    # round-3 batch-64 (scaling fit + forecasting + weighted tails + queues)
+    "amdahl", "pinball", "wquantile", "kingman", "host_new",
 ]
 
 

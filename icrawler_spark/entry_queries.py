@@ -52,7 +52,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round62, entry_round63,
                             entry_round64, entry_round65,
                             entry_round66, entry_round67,
-                            entry_round68, entry_round69)
+                            entry_round68, entry_round69,
+                            entry_round70)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -888,6 +889,7 @@ def queries():
         **entry_round67.queries67(),
         **entry_round68.queries68(),
         **entry_round69.queries69(),
+        **entry_round70.queries70(),
     }
 
 
@@ -989,4 +991,5 @@ def oracle_sql():
         **entry_round67.oracle_sql67(),
         **entry_round68.oracle_sql68(),
         **entry_round69.oracle_sql69(),
+        **entry_round70.oracle_sql70(),
     }

@@ -1,0 +1,210 @@
+"""Round-3 driver-contract queries (batch 64): Amdahl scaling fit,
+pinball quantile-forecast loss, weighted quantiles, Kingman GI/G/1 wait,
+Good-Turing unseen host mass.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# amdahl — synthetic scaling observations with 5% serial fraction
+# ---------------------------------------------------------------------------
+
+
+def _am_obs(spark, sf) -> DataFrame:
+    """Exact Amdahl curve X(c) = 100·c/(1 + 0.05(c−1)) at c ∈
+    {1,2,4,8,16,32} — the fit must recover σ = 0.05, X₁ = 100."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 6)
+    c = F.pow(F.lit(2.0), F.col("event_id").cast("double"))
+    x = 100.0 * c / (1.0 + 0.05 * (c - 1.0))
+    return ev.select(c.alias("cores"), x.alias("throughput"))
+
+
+_AM_OBS_SQL = """
+  SELECT pow(2.0, event_id) AS cores,
+    100.0 * pow(2.0, event_id)
+      / (1.0 + 0.05 * (pow(2.0, event_id) - 1.0)) AS throughput
+  FROM events WHERE event_id < 6
+"""
+
+
+def q_amdahl(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.amdahl_fit: closed-form OLS on c/X vs (c−1) —
+    the model-based N→4N efficiency readout behind the scaling rule."""
+    return _corpus.amdahl_fit(_am_obs(spark, sf))
+
+
+def _amdahl_sql() -> str:
+    return _corpus.amdahl_fit_sql(_AM_OBS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pinball — per-quantile load forecasts with a known bias
+# ---------------------------------------------------------------------------
+
+
+def _pb_forecasts(spark, sf) -> DataFrame:
+    """ŷ at q ∈ {0.5, 0.9} from a shifted model over integer loads."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    q = F.when(e % 2 == 0, 0.5).otherwise(0.9)
+    y = (e * 13 % 40).cast("double")
+    yhat = F.when(e % 2 == 0, 20.0).otherwise(36.0)
+    return ev.select(q.alias("q"), yhat.alias("yhat"), y.alias("y"))
+
+
+_PB_FORECASTS_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 0.5 ELSE 0.9 END AS q,
+    CASE WHEN event_id % 2 = 0 THEN 20.0 ELSE 36.0 END AS yhat,
+    CAST(event_id * 13 % 40 AS DOUBLE) AS y
+  FROM events
+"""
+
+
+def q_pinball(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.pinball_loss: asymmetric quantile loss +
+    empirical coverage per q — ONE groupBy(q)."""
+    return _sessions.pinball_loss(_pb_forecasts(spark, sf))
+
+
+def _pinball_sql() -> str:
+    return _sessions.pinball_loss_sql(_PB_FORECASTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wquantile — latency weighted by response bytes
+# ---------------------------------------------------------------------------
+
+_WQ_QS = (0.5, 0.9, 0.95, 0.99)
+
+
+def _wq_values(spark, sf) -> DataFrame:
+    """Bigger responses are slower by construction, so byte-weighted
+    quantiles sit far above the unweighted ones."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = (50 + e * 13 % 150).cast("double")
+    w = (1 + (e * 13 % 150)).cast("long")
+    return ev.select(x.alias("x"), w.alias("w"))
+
+
+_WQ_VALUES_SQL = """
+  SELECT CAST(50 + event_id * 13 % 150 AS DOUBLE) AS x,
+    CAST(1 + event_id * 13 % 150 AS BIGINT) AS w
+  FROM events
+"""
+
+
+def q_wquantile(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.weighted_quantiles: first-crossing cumulative-
+    weight quantiles — groupBy(value) + one window + literal q grid."""
+    return _corpus.weighted_quantiles(_wq_values(spark, sf), qs=_WQ_QS)
+
+
+def _wquantile_sql() -> str:
+    return _corpus.weighted_quantiles_sql(_WQ_VALUES_SQL, qs=_WQ_QS)
+
+
+# ---------------------------------------------------------------------------
+# kingman — bursty vs smooth hosts at the same utilization
+# ---------------------------------------------------------------------------
+
+
+def _km_samples(spark, sf) -> DataFrame:
+    """Host 'bursty': interarrivals alternate 1/9 s; host 'smooth':
+    constant 5 s. Same mean arrival rate and service profile — Kingman
+    must price bursty's queue higher purely from c_a²."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = F.when(e % 2 == 0, "bursty").otherwise("smooth")
+    ia = F.when(e % 2 == 0,
+                F.when(e % 4 == 0, 1.0).otherwise(9.0)).otherwise(5.0)
+    svc = (2 + e % 3).cast("double")
+    return ev.select(host.alias("host"), ia.alias("interarrival_s"),
+                     svc.alias("service_s"))
+
+
+_KM_SAMPLES_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'bursty' ELSE 'smooth' END
+      AS host,
+    CASE WHEN event_id % 2 = 0 THEN
+      CASE WHEN event_id % 4 = 0 THEN 1.0 ELSE 9.0 END
+    ELSE 5.0 END AS interarrival_s,
+    CAST(2 + event_id % 3 AS DOUBLE) AS service_s
+  FROM events
+"""
+
+
+def q_kingman(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.kingman_wait: VUT heavy-traffic wait from
+    measured moments — exact Σx/Σx² per host."""
+    return _politeness.kingman_wait(_km_samples(spark, sf))
+
+
+def _kingman_sql() -> str:
+    return _politeness.kingman_wait_sql(_KM_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# host_new — discovery saturation odds from the frequency spectrum
+# ---------------------------------------------------------------------------
+
+_HN_NEXT = 1000
+
+
+def _hn_draws(spark, sf) -> DataFrame:
+    """Quadratic host hash clumps mass on few hosts while leaving a
+    deterministic singleton fringe — p₀ lands strictly inside (0, 1)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), ((e * e + e * 7) % 211).cast("string"))
+        .alias("key"))
+
+
+_HN_DRAWS_SQL = """
+  SELECT 'h' || ((event_id * event_id + event_id * 7) % 211) AS key
+  FROM events
+"""
+
+
+def q_host_new(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.unseen_mass: Good-Turing p₀ over frontier
+    host draws — the next-1000-fetches discovery forecast."""
+    return _politeness.unseen_mass(_hn_draws(spark, sf),
+                                   next_draws=_HN_NEXT)
+
+
+def _host_new_sql() -> str:
+    return _politeness.unseen_mass_sql(_HN_DRAWS_SQL,
+                                       next_draws=_HN_NEXT)
+
+
+def queries70():
+    return {
+        "amdahl": q_amdahl,
+        "pinball": q_pinball,
+        "wquantile": q_wquantile,
+        "kingman": q_kingman,
+        "host_new": q_host_new,
+    }
+
+
+def oracle_sql70():
+    return {
+        "amdahl": _amdahl_sql(),
+        "pinball": _pinball_sql(),
+        "wquantile": _wquantile_sql(),
+        "kingman": _kingman_sql(),
+        "host_new": _host_new_sql(),
+    }

@@ -3733,3 +3733,154 @@ SELECT n, round(sl / n, 6) AS mu,
   END AS mean_pred
 FROM agg
 """
+
+
+def amdahl_fit(
+    obs: DataFrame,
+    c_col: str = "cores",
+    x_col: str = "throughput",
+) -> DataFrame:
+    """Amdahl's-law fit from measured (cores, throughput) pairs — the
+    two-cluster-size scaling evidence, extrapolated: with X(c) =
+    X₁·c/(1 + σ(c−1)), the transform y = c/X is LINEAR in (c−1), so
+    ordinary least squares recovers the serial fraction σ and the
+    single-core rate X₁ in closed form — no iterative fitting. Emits
+    the predicted throughput and parallel efficiency at 4× the largest
+    measured size: exactly the north-rule "N → 4N ≥ 0.8" number, but
+    model-based from ALL the scaling points instead of one pair.
+
+    OLS over a handful of scaling observations: every sum is over
+    driver-scale rows. Returns one row (n_obs, x1_fit, sigma,
+    c_max, x_at_c_max, pred_x_4x, eff_4x), floats rounded 6; NULL fit
+    when fewer than 2 distinct core counts.
+    """
+    v = obs.select(F.col(c_col).cast("double").alias("c"),
+                   F.col(x_col).cast("double").alias("x"))
+    t = v.select("c", (F.col("c") / F.col("x")).alias("y"),
+                 (F.col("c") - 1).alias("u"))
+    agg = t.agg(F.count("*").cast("long").alias("n_obs"),
+                F.sum("u").alias("su"), F.sum("y").alias("sy"),
+                F.sum(F.col("u") * F.col("u")).alias("suu"),
+                F.sum(F.col("u") * F.col("y")).alias("suy"),
+                F.max("c").alias("c_max"))
+    n = F.col("n_obs").cast("double")
+    den = n * F.col("suu") - F.col("su") * F.col("su")
+    b = F.when(den > 0,
+               (n * F.col("suy") - F.col("su") * F.col("sy")) / den)
+    a = (F.col("sy") - b * F.col("su")) / n
+    x1 = 1.0 / a
+    sigma = b / a
+    cm = F.col("c_max")
+    x_cm = cm / (a + b * (cm - 1))
+    c4 = 4.0 * cm
+    x_c4 = c4 / (a + b * (c4 - 1))
+    return agg.select(
+        "n_obs",
+        F.round(x1, 6).alias("x1_fit"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(cm, 6).alias("c_max"),
+        F.round(x_cm, 6).alias("x_at_c_max"),
+        F.round(x_c4, 6).alias("pred_x_4x"),
+        F.round(x_c4 / (4.0 * x_cm), 6).alias("eff_4x"))
+
+
+def amdahl_fit_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`amdahl_fit` over a (cores, throughput)
+    SELECT."""
+    return f"""
+WITH t AS (
+  SELECT CAST(cores AS DOUBLE) AS c,
+    CAST(cores AS DOUBLE) / CAST(throughput AS DOUBLE) AS y,
+    CAST(cores AS DOUBLE) - 1 AS u
+  FROM ({obs_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_obs, sum(u) AS su, sum(y) AS sy,
+    sum(u * u) AS suu, sum(u * y) AS suy, max(c) AS c_max
+  FROM t
+),
+fit AS (
+  SELECT n_obs, c_max,
+    CASE WHEN n_obs * suu - su * su > 0
+      THEN (n_obs * suy - su * sy) / (n_obs * suu - su * su) END AS b,
+    (sy - (CASE WHEN n_obs * suu - su * su > 0
+       THEN (n_obs * suy - su * sy) / (n_obs * suu - su * su) END) * su)
+      / n_obs AS a
+  FROM agg
+)
+SELECT n_obs,
+  round(1.0 / a, 6) AS x1_fit,
+  round(b / a, 6) AS sigma,
+  round(c_max, 6) AS c_max,
+  round(c_max / (a + b * (c_max - 1)), 6) AS x_at_c_max,
+  round(4.0 * c_max / (a + b * (4.0 * c_max - 1)), 6) AS pred_x_4x,
+  round((4.0 * c_max / (a + b * (4.0 * c_max - 1)))
+        / (4.0 * (c_max / (a + b * (c_max - 1)))), 6) AS eff_4x
+FROM fit
+"""
+
+
+def weighted_quantiles(
+    values: DataFrame,
+    qs=(0.5, 0.9, 0.95, 0.99),
+    x_col: str = "x",
+    w_col: str = "w",
+) -> DataFrame:
+    """Weight-aware quantiles of a metric (latency weighted by bytes,
+    page size weighted by fetch count): the q-quantile is the smallest
+    x whose cumulative weight reaches q·W. Unweighted percentiles
+    answer "the p99 request"; these answer "the p99 BYTE" — the number
+    a bandwidth budget actually cares about, and the two diverge hard
+    whenever size correlates with latency.
+
+    One groupBy(x) (value cardinality, not row count), ONE cumulative
+    window, then a broadcast literal q-grid joined by range — exact
+    integer weights, first-crossing semantics. Returns (q, xq,
+    cum_weight, total_weight) ordered by q.
+    """
+    per = (values.select(F.col(x_col).cast("double").alias("x"),
+                         F.col(w_col).cast("long").alias("w"))
+           .groupBy("x")
+           .agg(F.sum("w").alias("w")))
+    w_cum = (Window.orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = per.select("x",
+                     F.sum("w").over(w_cum).alias("cw"),
+                     F.sum("w").over(w_all).alias("tw"))
+    spark = values.sparkSession
+    grid = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    j = cum.crossJoin(F.broadcast(grid)) \
+        .filter(F.col("cw") >= F.col("q") * F.col("tw"))
+    return (j.groupBy("q")
+            .agg(F.min("x").alias("xq"),
+                 F.min_by("cw", "x").cast("long").alias("cum_weight"),
+                 F.max("tw").cast("long").alias("total_weight"))
+            .orderBy("q"))
+
+
+def weighted_quantiles_sql(values_sql: str,
+                           qs=(0.5, 0.9, 0.95, 0.99)) -> str:
+    """DuckDB mirror of :func:`weighted_quantiles` over an (x, w)
+    SELECT."""
+    cells = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH per AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(sum(w) AS BIGINT) AS w
+  FROM ({values_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT x,
+    sum(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(w) OVER () AS tw
+  FROM per
+),
+grid(q) AS (VALUES {cells})
+SELECT CAST(q AS DOUBLE) AS q, min(x) AS xq,
+  CAST(min_by(cw, x) AS BIGINT) AS cum_weight,
+  CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum CROSS JOIN grid
+WHERE cw >= q * tw
+GROUP BY 1 ORDER BY 1
+"""

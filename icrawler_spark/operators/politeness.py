@@ -2298,3 +2298,143 @@ SELECT round, n_urls, n_hosts,
     AS perplexity
 FROM agg ORDER BY round
 """
+
+
+def kingman_wait(
+    samples: DataFrame,
+    host_col: str = "host",
+    ia_col: str = "interarrival_s",
+    svc_col: str = "service_s",
+) -> DataFrame:
+    """Kingman (VUT) heavy-traffic wait estimate per host for the
+    GI/G/1 fetch queue: E[Wq] ≈ (ρ/(1−ρ))·((c_a² + c_s²)/2)·E[S] from
+    the measured interarrival and service moments — the variability
+    correction that `littles` (averages only) and `erlang` (Poisson/
+    exponential assumptions) both miss: bursty arrivals (c_a² > 1)
+    multiply queue time even at identical utilization.
+
+    Moments use exact Σx/Σx² per host (integer-valued fixtures stay
+    exact); the squared CVs and the final product are the only float
+    chains, rounded 6. Returns (host, n, rho, ca2, cs2, wq_s) ordered
+    by host; wq_s NULL when ρ ≥ 1 or n < 2.
+
+    Scale shape: ONE groupBy(host) — moments are sums.
+    """
+    v = samples.select(F.col(host_col).alias("host"),
+                       F.col(ia_col).cast("double").alias("a"),
+                       F.col(svc_col).cast("double").alias("s"))
+    agg = (v.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("a").alias("sa"),
+                F.sum(F.col("a") * F.col("a")).alias("saa"),
+                F.sum("s").alias("ss"),
+                F.sum(F.col("s") * F.col("s")).alias("sss")))
+    n = F.col("n")
+    ma = F.col("sa") / n
+    ms = F.col("ss") / n
+    va = (F.col("saa") - F.col("sa") * F.col("sa") / n) / F.when(n > 1,
+                                                                 n - 1)
+    vs = (F.col("sss") - F.col("ss") * F.col("ss") / n) / F.when(n > 1,
+                                                                 n - 1)
+    rho = ms / ma
+    ca2 = va / (ma * ma)
+    cs2 = vs / (ms * ms)
+    wq = F.when((rho < 1.0) & (n > 1),
+                rho / (1.0 - rho) * (ca2 + cs2) / 2.0 * ms)
+    return (agg.select(
+        "host", "n",
+        F.round(rho, 6).alias("rho"),
+        F.round(ca2, 6).alias("ca2"),
+        F.round(cs2, 6).alias("cs2"),
+        F.round(wq, 6).alias("wq_s"))
+        .orderBy("host"))
+
+
+def kingman_wait_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`kingman_wait` over a (host,
+    interarrival_s, service_s) SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(interarrival_s AS DOUBLE)) AS sa,
+    sum(CAST(interarrival_s AS DOUBLE)
+        * CAST(interarrival_s AS DOUBLE)) AS saa,
+    sum(CAST(service_s AS DOUBLE)) AS ss,
+    sum(CAST(service_s AS DOUBLE) * CAST(service_s AS DOUBLE)) AS sss
+  FROM ({samples_sql}) GROUP BY 1
+),
+m AS (
+  SELECT host, n, sa / n AS ma, ss / n AS ms,
+    CASE WHEN n > 1 THEN (saa - sa * sa / n) / (n - 1) END AS va,
+    CASE WHEN n > 1 THEN (sss - ss * ss / n) / (n - 1) END AS vs
+  FROM agg
+)
+SELECT host, n,
+  round(ms / ma, 6) AS rho,
+  round(va / (ma * ma), 6) AS ca2,
+  round(vs / (ms * ms), 6) AS cs2,
+  CASE WHEN ms / ma < 1.0 AND n > 1 THEN
+    round((ms / ma) / (1.0 - ms / ma)
+          * (va / (ma * ma) + vs / (ms * ms)) / 2.0 * ms, 6)
+  END AS wq_s
+FROM m ORDER BY host
+"""
+
+
+def unseen_mass(
+    draws: DataFrame,
+    next_draws: int = 1000,
+    key_col: str = "key",
+) -> DataFrame:
+    """Good-Turing unseen-mass estimate over discovery draws (hosts hit
+    by the frontier, eTLD+1s, URL templates): p₀ = N₁/N — the share of
+    singleton keys — estimates the chance the NEXT fetch discovers a
+    brand-new key, and p₀·m prices the next m draws' expected
+    discoveries to first order. The discovery-budget gauge pairing
+    `saturation` (curve so far) with `good_turing` (vocabulary form):
+    when p₀ falls below the per-fetch cost threshold, stop widening.
+
+    Counts exact; ratios rounded 6. Returns one row (n_draws, n_keys,
+    singletons, doubletons, p_new, expected_new_next).
+
+    Scale shape: ONE groupBy(key) + ONE single-row agg.
+    """
+    per = (draws.select(F.col(key_col).alias("key"))
+           .groupBy("key")
+           .agg(F.count("*").cast("long").alias("c")))
+    agg = per.agg(
+        F.sum("c").cast("long").alias("n_draws"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long")
+        .alias("singletons"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long")
+        .alias("doubletons"))
+    p0 = F.col("singletons").cast("double") / F.col("n_draws")
+    return agg.select(
+        "n_draws", "n_keys", "singletons", "doubletons",
+        F.round(p0, 6).alias("p_new"),
+        F.round(p0 * int(next_draws), 6).alias("expected_new_next"))
+
+
+def unseen_mass_sql(draws_sql: str, next_draws: int = 1000) -> str:
+    """DuckDB mirror of :func:`unseen_mass` over a (key) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c
+  FROM ({draws_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_draws,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS singletons,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS doubletons
+  FROM per
+)
+SELECT n_draws, n_keys, singletons, doubletons,
+  round(CAST(singletons AS DOUBLE) / n_draws, 6) AS p_new,
+  round(CAST(singletons AS DOUBLE) / n_draws * {int(next_draws)}, 6)
+    AS expected_new_next
+FROM agg
+"""

@@ -914,3 +914,53 @@ SELECT state, n_out, round(H, 6) AS out_entropy,
     AS rate_contrib
 FROM per_state
 """
+
+
+def pinball_loss(
+    forecasts: DataFrame,
+    q_col: str = "q",
+    yhat_col: str = "yhat",
+    y_col: str = "y",
+) -> DataFrame:
+    """Pinball (quantile) loss per forecast quantile — the proper
+    scoring rule for the per-quantile load forecasts a crawl capacity
+    planner actually issues ("p90 fetches next hour"), where
+    `seasonal_naive_eval`'s MAE only scores the median. Loss =
+    mean(max(q·(y−ŷ), (q−1)·(y−ŷ))); an UNDER-prediction at q=0.9
+    costs 9× an over-prediction, matching the operational asymmetry.
+
+    Also emits the empirical coverage share(y ≤ ŷ), which should sit
+    near q for a calibrated forecaster — miscalibration shows up here
+    before it costs capacity. Returns (q, n, pinball, coverage)
+    ordered by q, floats rounded 6.
+
+    Scale shape: ONE groupBy(q) over per-row column arithmetic.
+    """
+    v = forecasts.select(F.col(q_col).cast("double").alias("q"),
+                         F.col(yhat_col).cast("double").alias("yhat"),
+                         F.col(y_col).cast("double").alias("y"))
+    d = F.col("y") - F.col("yhat")
+    loss = F.greatest(F.col("q") * d, (F.col("q") - 1.0) * d)
+    return (v.groupBy("q")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.avg(loss), 6).alias("pinball"),
+                 F.round(F.avg((F.col("y") <= F.col("yhat"))
+                               .cast("double")), 6).alias("coverage"))
+            .orderBy("q"))
+
+
+def pinball_loss_sql(forecasts_sql: str) -> str:
+    """DuckDB mirror of :func:`pinball_loss` over a (q, yhat, y)
+    SELECT."""
+    return f"""
+WITH v AS (
+  SELECT CAST(q AS DOUBLE) AS q, CAST(yhat AS DOUBLE) AS yhat,
+    CAST(y AS DOUBLE) AS y
+  FROM ({forecasts_sql})
+)
+SELECT q, CAST(count(*) AS BIGINT) AS n,
+  round(avg(greatest(q * (y - yhat), (q - 1.0) * (y - yhat))), 6)
+    AS pinball,
+  round(avg(CASE WHEN y <= yhat THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM v GROUP BY 1 ORDER BY 1
+"""

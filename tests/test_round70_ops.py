@@ -1,0 +1,111 @@
+"""Unit tests for the round-70 pack: Amdahl fit, pinball loss, weighted
+quantiles, Kingman wait, unseen mass."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import amdahl_fit, weighted_quantiles
+from icrawler_spark.operators.politeness import kingman_wait, unseen_mass
+from icrawler_spark.operators.sessions import pinball_loss
+
+
+# ---------------------------------------------------------------------------
+# amdahl_fit
+# ---------------------------------------------------------------------------
+
+def test_amdahl_recovers_exact_params(spark):
+    # points on X(c) = 100c/(1 + 0.05(c−1)) → σ = 0.05, X₁ = 100
+    rows = [(c, 100.0 * c / (1 + 0.05 * (c - 1))) for c in (1.0, 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "cores double, throughput double")
+    r = amdahl_fit(df).collect()[0]
+    assert abs(r["x1_fit"] - 100.0) < 1e-3
+    assert abs(r["sigma"] - 0.05) < 1e-6
+    # eff at 16 = X(16)/(4·X(4)) = (1600/1.75)/(4·400/1.15)
+    assert abs(r["eff_4x"] - (1600 / 1.75) / (4 * 400 / 1.15)) < 1e-4
+
+
+def test_amdahl_linear_scaling_sigma_zero(spark):
+    rows = [(c, 10.0 * c) for c in (1.0, 2.0, 8.0)]
+    df = spark.createDataFrame(rows, "cores double, throughput double")
+    r = amdahl_fit(df).collect()[0]
+    assert abs(r["sigma"]) < 1e-9 and abs(r["eff_4x"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# pinball_loss
+# ---------------------------------------------------------------------------
+
+def test_pinball_median_is_half_mae(spark):
+    rows = [(0.5, 5.0, 0.0), (0.5, 5.0, 10.0)]
+    df = spark.createDataFrame(rows, "q double, yhat double, y double")
+    r = pinball_loss(df).collect()[0]
+    assert r["pinball"] == 2.5 and r["coverage"] == 0.5
+
+
+def test_pinball_asymmetry_at_high_q(spark):
+    # under-prediction at q=0.9 costs 9× the over-prediction
+    rows = [(0.9, 0.0, 10.0), (0.9, 10.0, 0.0)]
+    df = spark.createDataFrame(rows, "q double, yhat double, y double")
+    r = pinball_loss(df).collect()[0]
+    assert abs(r["pinball"] - 5.0) < 1e-9  # (9 + 1)/2
+    assert r["coverage"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_follows_mass(spark):
+    rows = [(1.0, 1), (2.0, 1), (10.0, 8)]
+    df = spark.createDataFrame(rows, "x double, w long")
+    out = {r["q"]: r for r in
+           weighted_quantiles(df, qs=(0.1, 0.5)).collect()}
+    assert out[0.1]["xq"] == 1.0
+    assert out[0.5]["xq"] == 10.0  # unweighted median would be 2
+    assert out[0.5]["total_weight"] == 10
+
+
+# ---------------------------------------------------------------------------
+# kingman_wait
+# ---------------------------------------------------------------------------
+
+def test_kingman_prices_burstiness(spark):
+    # bursty: ia {1,9,1,9}, svc 2 → ρ=0.4, ca²=64/75·... var=64/3, wq>0
+    rows = ([("b", 1.0, 2.0), ("b", 9.0, 2.0)] * 2
+            + [("s", 5.0, 2.0)] * 4)
+    df = spark.createDataFrame(
+        rows, "host string, interarrival_s double, service_s double")
+    out = {r["host"]: r for r in kingman_wait(df).collect()}
+    assert abs(out["b"]["rho"] - 0.4) < 1e-9
+    assert abs(out["b"]["ca2"] - (64 / 3) / 25) < 1e-5
+    assert abs(out["b"]["wq_s"]
+               - 0.4 / 0.6 * ((64 / 3) / 25) / 2 * 2.0) < 1e-4
+    # same mean rate, zero variance → zero wait
+    assert out["s"]["ca2"] == 0.0 and out["s"]["wq_s"] == 0.0
+
+
+def test_kingman_saturated_null(spark):
+    rows = [("h", 1.0, 2.0), ("h", 1.0, 2.0)]
+    df = spark.createDataFrame(
+        rows, "host string, interarrival_s double, service_s double")
+    r = kingman_wait(df).collect()[0]
+    assert r["rho"] == 2.0 and r["wq_s"] is None
+
+
+# ---------------------------------------------------------------------------
+# unseen_mass
+# ---------------------------------------------------------------------------
+
+def test_unseen_mass_spectrum(spark):
+    rows = [("a",), ("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "key string")
+    r = unseen_mass(df, next_draws=1000).collect()[0]
+    assert (r["n_draws"], r["n_keys"]) == (4, 3)
+    assert (r["singletons"], r["doubletons"]) == (2, 1)
+    assert r["p_new"] == 0.5 and r["expected_new_next"] == 500.0
+
+
+def test_unseen_mass_saturated(spark):
+    rows = [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "key string")
+    r = unseen_mass(df).collect()[0]
+    assert r["p_new"] == 0.0 and r["expected_new_next"] == 0.0
