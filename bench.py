@@ -339,6 +339,8 @@ _EXTRA_PICKS = [
     "erlang", "hedging", "haar", "rich_club", "frontier_h",
     # round-3 batch-64 (scaling fit + forecasting + weighted tails + queues)
     "amdahl", "pinball", "wquantile", "kingman", "host_new",
+    # round-3 batch-65 (dns cache + lru curve + wfq + m/g/1 + ewma)
+    "dns_cache", "stack_distance", "wfq", "mg1", "ewma",
 ]
 
 

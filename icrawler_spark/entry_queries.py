@@ -53,7 +53,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round64, entry_round65,
                             entry_round66, entry_round67,
                             entry_round68, entry_round69,
-                            entry_round70)
+                            entry_round70, entry_round71,
+                            entry_round72)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -890,6 +891,8 @@ def queries():
         **entry_round68.queries68(),
         **entry_round69.queries69(),
         **entry_round70.queries70(),
+        **entry_round71.queries71(),
+        **entry_round72.queries72(),
     }
 
 
@@ -992,4 +995,6 @@ def oracle_sql():
         **entry_round68.oracle_sql68(),
         **entry_round69.oracle_sql69(),
         **entry_round70.oracle_sql70(),
+        **entry_round71.oracle_sql71(),
+        **entry_round72.oracle_sql72(),
     }

@@ -1,0 +1,224 @@
+"""Round-3 driver-contract queries (batch 65): epoch-anchored DNS cache
+audit, Mattson LRU stack-distance curve, weighted-fair-queueing dispatch,
+M/G/1 Pollaczek-Khinchine wait, closed-form EWMA forecast.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# dns_cache — fetch log with 23 hosts on a shared clock
+# ---------------------------------------------------------------------------
+
+_DNS_TTLS = (16, 128, 1024)
+
+
+def _dns_fetches(spark, sf) -> DataFrame:
+    """Host stride 7 over a 23-host pool, one fetch per second — bucket
+    counts differ sharply across the TTL grid."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), ((e * 7) % 23).cast("string")).alias("host"),
+        e.cast("long").alias("ts_s"))
+
+
+_DNS_FETCHES_SQL = """
+  SELECT 'h' || CAST(event_id * 7 % 23 AS VARCHAR) AS host,
+    CAST(event_id AS BIGINT) AS ts_s
+  FROM events
+"""
+
+
+def q_dns_cache(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.dns_cache_audit: exact lookup counts for an
+    epoch-anchored resolver cache — ONE multi-distinct agg."""
+    return _politeness.dns_cache_audit(_dns_fetches(spark, sf),
+                                       ttls=_DNS_TTLS)
+
+
+def _dns_cache_sql() -> str:
+    return _politeness.dns_cache_audit_sql(_DNS_FETCHES_SQL,
+                                           ttls=_DNS_TTLS)
+
+
+# ---------------------------------------------------------------------------
+# stack_distance — URL access trace with quadratic reuse pattern
+# ---------------------------------------------------------------------------
+
+_SD_SIZES = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _sd_trace(spark, sf) -> DataFrame:
+    """Quadratic key hash over 53 urls gives a spread of reuse
+    distances; 2000 positions bound the range-join cost."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    return ev.select(
+        e.cast("long").alias("pos"),
+        F.concat(F.lit("u"), ((e * e + 3 * e) % 53).cast("string"))
+        .alias("url"))
+
+
+_SD_TRACE_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS pos,
+    'u' || CAST((event_id * event_id + 3 * event_id) % 53 AS VARCHAR)
+      AS url
+  FROM events WHERE event_id < 2000
+"""
+
+
+def q_stack_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.stack_distance_curve: every-cache-size LRU
+    hit-ratio curve from one reuse-distance pass."""
+    return _sessions.stack_distance_curve(_sd_trace(spark, sf),
+                                          sizes=_SD_SIZES)
+
+
+def _stack_distance_sql() -> str:
+    return _sessions.stack_distance_curve_sql(_SD_TRACE_SQL,
+                                              sizes=_SD_SIZES)
+
+
+# ---------------------------------------------------------------------------
+# wfq — five backlogged host queues with unequal weights
+# ---------------------------------------------------------------------------
+
+_WFQ_K = 50
+
+
+def _wfq_jobs(spark, sf) -> DataFrame:
+    """Host i has weight i+1; job sizes cycle 1..20 — heavier hosts
+    must land proportionally more of the first 50 dispatch slots."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 5).cast("string")).alias("host"),
+        F.floor(e / 5).cast("long").alias("seq"),
+        (1 + (e * 13) % 20).cast("double").alias("size"),
+        (1 + e % 5).cast("double").alias("weight"))
+
+
+_WFQ_JOBS_SQL = """
+  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) AS host,
+    CAST(floor(CAST(event_id AS DOUBLE) / 5) AS BIGINT) AS seq,
+    CAST(1 + event_id * 13 % 20 AS DOUBLE) AS size,
+    CAST(1 + event_id % 5 AS DOUBLE) AS weight
+  FROM events
+"""
+
+
+def q_wfq(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.wfq_schedule: GPS virtual finish times +
+    next-50 dispatch plan — host-partitioned cumsum, top-k global."""
+    return _politeness.wfq_schedule(_wfq_jobs(spark, sf), k=_WFQ_K)
+
+
+def _wfq_sql() -> str:
+    return _politeness.wfq_schedule_sql(_WFQ_JOBS_SQL, k=_WFQ_K)
+
+
+# ---------------------------------------------------------------------------
+# mg1 — two stable hosts and one deliberately saturated one
+# ---------------------------------------------------------------------------
+
+
+def _mg1_samples(spark, sf) -> DataFrame:
+    """Hosts h0/h1 run at rho ~ 0.3; h2's service mean exceeds its
+    interarrival mean so rho > 1 and both waits must go NULL."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = F.concat(F.lit("h"), (e % 3).cast("string"))
+    ia = 1.0 + ((e * 7) % 13).cast("double") / 2.0
+    svc = F.when(e % 3 == 2, 4.0 + (e % 4).cast("double")).otherwise(
+        (1 + e % 4).cast("double") / 2.0)
+    return ev.select(host.alias("host"), ia.alias("interarrival_s"),
+                     svc.alias("service_s"))
+
+
+_MG1_SAMPLES_SQL = """
+  SELECT 'h' || CAST(event_id % 3 AS VARCHAR) AS host,
+    CAST(1 AS DOUBLE) + CAST(event_id * 7 % 13 AS DOUBLE) / 2
+      AS interarrival_s,
+    CASE WHEN event_id % 3 = 2
+      THEN CAST(4 AS DOUBLE) + CAST(event_id % 4 AS DOUBLE)
+      ELSE CAST(1 + event_id % 4 AS DOUBLE) / 2 END AS service_s
+  FROM events
+"""
+
+
+def q_mg1(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.mg1_wait: exact Pollaczek-Khinchine wait
+    from measured service moments — ONE groupBy(host)."""
+    return _politeness.mg1_wait(_mg1_samples(spark, sf))
+
+
+def _mg1_sql() -> str:
+    return _politeness.mg1_wait_sql(_MG1_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ewma — four host rate series smoothed at alpha 0.3
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_series(spark, sf) -> DataFrame:
+    """Rates cycle 0..39 with stride 13 so the EWMA sits strictly
+    between the series mean and the last value."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 4).cast("string")).alias("host"),
+        F.floor(e / 4).cast("long").alias("pos"),
+        ((e * 13) % 40).cast("double").alias("x"))
+
+
+_EWMA_SERIES_SQL = """
+  SELECT 'h' || CAST(event_id % 4 AS VARCHAR) AS host,
+    CAST(floor(CAST(event_id AS DOUBLE) / 4) AS BIGINT) AS pos,
+    CAST(event_id * 13 % 40 AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.ewma_forecast: closed-form per-host
+    exponential smoothing — ONE window + ONE groupBy."""
+    return _sessions.ewma_forecast(_ewma_series(spark, sf),
+                                   alpha=_EWMA_ALPHA)
+
+
+def _ewma_sql() -> str:
+    return _sessions.ewma_forecast_sql(_EWMA_SERIES_SQL,
+                                       alpha=_EWMA_ALPHA)
+
+
+def queries71():
+    return {
+        "dns_cache": q_dns_cache,
+        "stack_distance": q_stack_distance,
+        "wfq": q_wfq,
+        "mg1": q_mg1,
+        "ewma": q_ewma,
+    }
+
+
+def oracle_sql71():
+    return {
+        "dns_cache": _dns_cache_sql(),
+        "stack_distance": _stack_distance_sql(),
+        "wfq": _wfq_sql(),
+        "mg1": _mg1_sql(),
+        "ewma": _ewma_sql(),
+    }

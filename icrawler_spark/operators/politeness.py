@@ -2438,3 +2438,211 @@ SELECT n_draws, n_keys, singletons, doubletons,
     AS expected_new_next
 FROM agg
 """
+
+
+def dns_cache_audit(
+    fetches: DataFrame,
+    ttls=(16, 128, 1024),
+    host_col: str = "host",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Epoch-anchored DNS-cache audit over the fetch log: a resolver
+    entry is created at a fixed TTL-aligned epoch and is NOT refreshed
+    by later hits (the resolver model — RFC 1035 TTL counts from the
+    authoritative answer, not from last use), so the exact lookup count
+    is the number of distinct (host, floor(ts/ttl)) buckets. Complement
+    of :func:`recrawl.cache_ttl_curve`, which prices the *sliding*
+    expiry model per URL; together they bracket real cache behavior
+    from below and above. The reference resolves DNS implicitly through
+    `requests` per thread with no cache audit at all
+    (icrawler/utils/session.py:29-59).
+
+    Returns one row per TTL: (ttl_s, n_fetches, n_hosts, n_lookups,
+    hit_ratio rounded 6) — hits = fetches − lookups, since every bucket's
+    first fetch pays the lookup.
+
+    Scale shape: ONE multi-distinct agg (Expand ×|ttls|) — no window, no
+    join; at 10^10 fetches swap exact distinct for HLL per bucket.
+    """
+    base = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"))
+    aggs = [F.count("*").cast("long").alias("n_fetches"),
+            F.countDistinct("host").cast("long").alias("n_hosts")]
+    for t in ttls:
+        aggs.append(
+            F.countDistinct(F.concat_ws(
+                "\x00", F.col("host"),
+                F.floor(F.col("ts") / int(t)).cast("string")))
+            .cast("long").alias(f"__l{int(t)}"))
+    one = base.agg(*aggs)
+    rows = []
+    for t in ttls:
+        lk = F.col(f"__l{int(t)}")
+        rows.append(one.select(
+            F.lit(int(t)).cast("long").alias("ttl_s"),
+            F.col("n_fetches"), F.col("n_hosts"),
+            lk.alias("n_lookups"),
+            F.round((F.col("n_fetches") - lk)
+                    / F.col("n_fetches").cast("double"), 6)
+            .alias("hit_ratio")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def dns_cache_audit_sql(fetches_sql: str, ttls=(16, 128, 1024)) -> str:
+    """DuckDB mirror of :func:`dns_cache_audit` over a (host, ts_s)
+    SELECT."""
+    legs = []
+    for t in ttls:
+        legs.append(f"""
+  SELECT CAST({int(t)} AS BIGINT) AS ttl_s,
+    CAST(count(*) AS BIGINT) AS n_fetches,
+    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+    CAST(count(DISTINCT host || chr(1) ||
+               CAST(CAST(floor(CAST(ts_s AS BIGINT) / {int(t)}.0)
+                         AS BIGINT) AS VARCHAR)) AS BIGINT)
+      AS n_lookups,
+    round((count(*) - count(DISTINCT host || chr(1) ||
+               CAST(CAST(floor(CAST(ts_s AS BIGINT) / {int(t)}.0)
+                         AS BIGINT) AS VARCHAR)))
+          / CAST(count(*) AS DOUBLE), 6) AS hit_ratio
+  FROM f""")
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH f AS ({fetches_sql})
+{union}
+"""
+
+
+def wfq_schedule(
+    jobs: DataFrame,
+    k: int = 50,
+    host_col: str = "host",
+    seq_col: str = "seq",
+    size_col: str = "size",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted-fair-queueing dispatch plan over backlogged per-host
+    fetch queues (Demers/Keshav/Shenker '89 / PGPS): the k-th job of
+    host h gets GPS virtual finish time cumsum(size)/weight, and the
+    dispatcher serves ascending VFT — each host's long-run byte share
+    is proportional to its weight regardless of job sizes. This is the
+    budget-weighted counterpart of the plain round-robin batches in
+    :func:`politeness_batches`.
+
+    Returns the next-``k`` dispatch plan: (serve_rank, host, seq, vft
+    rounded 6), ties broken (vft, host, seq) for determinism.
+
+    Scale shape: ONE host-partitioned cumsum window, then a global
+    TakeOrderedAndProject of k rows (constant) — the final row_number
+    runs on k rows only, never a full-table single-partition window.
+    """
+    w = Window.partitionBy("host").orderBy("seq")
+    vft = (jobs.select(
+        F.col(host_col).alias("host"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(size_col).cast("double").alias("size"),
+        F.col(weight_col).cast("double").alias("weight"))
+        .withColumn("vft", F.sum("size").over(w) / F.col("weight")))
+    top = vft.orderBy("vft", "host", "seq").limit(int(k))
+    wr = Window.orderBy("vft", "host", "seq")
+    return (top.withColumn("serve_rank",
+                           F.row_number().over(wr).cast("long"))
+            .select("serve_rank", "host", "seq",
+                    F.round("vft", 6).alias("vft")))
+
+
+def wfq_schedule_sql(jobs_sql: str, k: int = 50) -> str:
+    """DuckDB mirror of :func:`wfq_schedule` over a (host, seq, size,
+    weight) SELECT."""
+    return f"""
+WITH j AS ({jobs_sql}),
+v AS (
+  SELECT host, CAST(seq AS BIGINT) AS seq,
+    sum(CAST(size AS DOUBLE)) OVER (
+      PARTITION BY host ORDER BY seq
+      ROWS UNBOUNDED PRECEDING) / CAST(weight AS DOUBLE) AS vft
+  FROM j
+),
+top AS (
+  SELECT * FROM v ORDER BY vft, host, seq LIMIT {int(k)}
+)
+SELECT CAST(row_number() OVER (ORDER BY vft, host, seq) AS BIGINT)
+    AS serve_rank,
+  host, seq, round(vft, 6) AS vft
+FROM top
+"""
+
+
+def mg1_wait(
+    samples: DataFrame,
+    host_col: str = "host",
+    ia_col: str = "interarrival_s",
+    svc_col: str = "service_s",
+) -> DataFrame:
+    """Exact M/G/1 mean queueing delay per host via Pollaczek–Khinchine:
+    Wq = λ·E[S²] / (2(1−ρ)) from the measured first and second service
+    moments — the exact companion of the GI/G/1 *approximation* in
+    :func:`kingman_wait` (which needs both arrival and service SCVs).
+    The wq_mm1 column is the exponential-service benchmark ρE[S]/(1−ρ);
+    variance_penalty = E[S²]/(2E[S]²) says how much of the wait is pure
+    service-time variance — the knob a byte-capped fetcher actually
+    controls.
+
+    Rates/waits rounded 6; hosts at ρ ≥ 1 report NULL waits (unstable
+    queue — the politeness budget, not the formula, is the fix there).
+
+    Scale shape: ONE groupBy(host) of plain moments.
+    """
+    g = (samples.select(
+        F.col(host_col).alias("host"),
+        F.col(ia_col).cast("double").alias("ia"),
+        F.col(svc_col).cast("double").alias("svc"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.avg("ia").alias("mia"),
+             F.avg("svc").alias("es"),
+             F.avg(F.col("svc") * F.col("svc")).alias("es2")))
+    lam = 1.0 / F.col("mia")
+    rho = lam * F.col("es")
+    stable = rho < 1.0
+    wq_pk = lam * F.col("es2") / (2.0 * (1.0 - rho))
+    wq_mm1 = rho * F.col("es") / (1.0 - rho)
+    return (g.select(
+        "host", "n",
+        F.round(lam, 6).alias("lambda_hz"),
+        F.round(F.col("es"), 6).alias("es"),
+        F.round(rho, 6).alias("rho"),
+        F.round(F.when(stable, wq_pk), 6).alias("wq_pk"),
+        F.round(F.when(stable, wq_mm1), 6).alias("wq_mm1"),
+        F.round(F.col("es2") / (2.0 * F.col("es") * F.col("es")), 6)
+        .alias("variance_penalty"))
+        .orderBy("host"))
+
+
+def mg1_wait_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`mg1_wait` over a (host, interarrival_s,
+    service_s) SELECT."""
+    return f"""
+WITH s AS ({samples_sql}),
+g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+    avg(CAST(interarrival_s AS DOUBLE)) AS mia,
+    avg(CAST(service_s AS DOUBLE)) AS es,
+    avg(CAST(service_s AS DOUBLE) * CAST(service_s AS DOUBLE)) AS es2
+  FROM s GROUP BY 1
+)
+SELECT host, n,
+  round(1.0 / mia, 6) AS lambda_hz,
+  round(es, 6) AS es,
+  round(es / mia, 6) AS rho,
+  round(CASE WHEN es / mia < 1.0
+    THEN (1.0 / mia) * es2 / (2.0 * (1.0 - es / mia)) END, 6) AS wq_pk,
+  round(CASE WHEN es / mia < 1.0
+    THEN (es / mia) * es / (1.0 - es / mia) END, 6) AS wq_mm1,
+  round(es2 / (2.0 * es * es), 6) AS variance_penalty
+FROM g ORDER BY host
+"""

@@ -964,3 +964,170 @@ SELECT q, CAST(count(*) AS BIGINT) AS n,
   round(avg(CASE WHEN y <= yhat THEN 1.0 ELSE 0.0 END), 6) AS coverage
 FROM v GROUP BY 1 ORDER BY 1
 """
+
+
+def stack_distance_curve(
+    trace: DataFrame,
+    sizes=(1, 2, 4, 8, 16, 32, 64),
+    pos_col: str = "pos",
+    key_col: str = "url",
+) -> DataFrame:
+    """Mattson LRU stack-distance analysis of an access trace: the reuse
+    distance of an access is the number of DISTINCT keys touched since
+    the previous access to the same key (exclusive), and an LRU cache of
+    size C hits exactly the accesses with distance < C — so one pass
+    prices the hit ratio of EVERY cache size at once (Mattson et al.,
+    IBM Sys J 1970). First accesses are cold misses at every size. The
+    input carries an explicit monotone ``pos`` sequence id (crawl logs
+    have one; never derive it with a global row_number).
+
+    Returns one row per candidate size: (cache_size, n_accesses,
+    n_cold, n_hits, hit_ratio rounded 6).
+
+    Scale shape: ONE key-partitioned lag window + a position-range self
+    join whose cost is Σ gap lengths (trace-local, not quadratic in the
+    table); at production trace volumes run it over a Bernoulli sample
+    of keys (Olken sampling) — distances are per-key independent.
+    """
+    base = trace.select(F.col(pos_col).cast("long").alias("pos"),
+                        F.col(key_col).alias("key"))
+    w = Window.partitionBy("key").orderBy("pos")
+    acc = base.withColumn("prev", F.lag("pos").over(w))
+    reuse = acc.filter(F.col("prev").isNotNull())
+    mid = base.select(F.col("pos").alias("mpos"),
+                      F.col("key").alias("mkey"))
+    dist = (reuse.join(
+        mid,
+        (F.col("mpos") > F.col("prev")) & (F.col("mpos") < F.col("pos")),
+        "left")
+        .groupBy("pos")
+        .agg(F.countDistinct("mkey").cast("long").alias("d")))
+    aggs = [F.count("*").cast("long").alias("n_reuse")]
+    for c in sizes:
+        aggs.append(F.sum((F.col("d") < int(c)).cast("int"))
+                    .cast("long").alias(f"__h{int(c)}"))
+    one = dist.agg(*aggs)
+    tot = base.agg(F.count("*").cast("long").alias("n_accesses"),
+                   F.countDistinct("key").cast("long").alias("n_cold"))
+    j = tot.crossJoin(one)
+    rows = []
+    for c in sizes:
+        h = F.coalesce(F.col(f"__h{int(c)}"), F.lit(0))
+        rows.append(j.select(
+            F.lit(int(c)).cast("long").alias("cache_size"),
+            F.col("n_accesses"), F.col("n_cold"),
+            h.alias("n_hits"),
+            F.round(h / F.col("n_accesses").cast("double"), 6)
+            .alias("hit_ratio")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def stack_distance_curve_sql(trace_sql: str,
+                             sizes=(1, 2, 4, 8, 16, 32, 64)) -> str:
+    """DuckDB mirror of :func:`stack_distance_curve` over a (pos, url)
+    SELECT."""
+    legs = []
+    for c in sizes:
+        legs.append(f"""
+  SELECT CAST({int(c)} AS BIGINT) AS cache_size,
+    (SELECT n_accesses FROM tot) AS n_accesses,
+    (SELECT n_cold FROM tot) AS n_cold,
+    CAST(coalesce(sum(CASE WHEN d < {int(c)} THEN 1 END), 0) AS BIGINT)
+      AS n_hits,
+    round(coalesce(sum(CASE WHEN d < {int(c)} THEN 1 END), 0)
+          / CAST((SELECT n_accesses FROM tot) AS DOUBLE), 6)
+      AS hit_ratio
+  FROM dist""")
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH t AS (SELECT CAST(pos AS BIGINT) AS pos, url AS key
+           FROM ({trace_sql})),
+acc AS (
+  SELECT pos, key,
+    lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev
+  FROM t
+),
+reuse AS (SELECT pos, prev FROM acc WHERE prev IS NOT NULL),
+dist AS (
+  SELECT r.pos,
+    CAST(count(DISTINCT m.key) AS BIGINT) AS d
+  FROM reuse r LEFT JOIN t m
+    ON m.pos > r.prev AND m.pos < r.pos
+  GROUP BY r.pos
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_accesses,
+    CAST(count(DISTINCT key) AS BIGINT) AS n_cold
+  FROM t
+)
+{union}
+"""
+
+
+def ewma_forecast(
+    series: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "host",
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Per-key exponential smoothing (EWMA) one-step forecast in closed
+    form: S_n = α·Σ_{i>first} (1−α)^{n−i}·x_i + (1−α)^{n−first}·x_first
+    — each row contributes its own weight from (n − pos), so the whole
+    recurrence is ONE window + ONE groupBy, no sequential scan and no
+    (1−α)^{-i} overflow trick. S_n is the standard next-interval fetch-
+    rate / queue-depth forecast the adaptive politeness loop keys off
+    (pair with :func:`operators.recrawl` change rates).
+
+    Returns per key: (key, n_obs, x_last, ewma rounded 6). Weights below
+    double-underflow contribute exact 0 identically in Spark and DuckDB.
+
+    Scale shape: ONE key-partitioned window (max pos / min pos) + ONE
+    groupBy(key) — linear, no self-join.
+    """
+    a = float(alpha)
+    base = series.select(F.col(key_col).alias("key"),
+                         F.col(pos_col).cast("long").alias("pos"),
+                         F.col(x_col).cast("double").alias("x"))
+    w = Window.partitionBy("key")
+    ann = (base
+           .withColumn("nmax", F.max("pos").over(w))
+           .withColumn("nmin", F.min("pos").over(w)))
+    wgt = F.when(
+        F.col("pos") == F.col("nmin"),
+        F.pow(F.lit(1.0 - a), (F.col("nmax") - F.col("pos"))
+              .cast("double"))).otherwise(
+        a * F.pow(F.lit(1.0 - a), (F.col("nmax") - F.col("pos"))
+                  .cast("double")))
+    return (ann.groupBy("key")
+            .agg(F.count("*").cast("long").alias("n_obs"),
+                 F.max_by("x", "pos").alias("x_last"),
+                 F.round(F.sum(wgt * F.col("x")), 6).alias("ewma"))
+            .orderBy("key"))
+
+
+def ewma_forecast_sql(series_sql: str, alpha: float = 0.3) -> str:
+    """DuckDB mirror of :func:`ewma_forecast` over a (host, pos, x)
+    SELECT."""
+    a = float(alpha)
+    return f"""
+WITH s AS (SELECT host AS key, CAST(pos AS BIGINT) AS pos,
+                  CAST(x AS DOUBLE) AS x
+           FROM ({series_sql})),
+ann AS (
+  SELECT key, pos, x,
+    max(pos) OVER (PARTITION BY key) AS nmax,
+    min(pos) OVER (PARTITION BY key) AS nmin
+  FROM s
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+  max_by(x, pos) AS x_last,
+  round(sum(CASE WHEN pos = nmin
+    THEN pow({1.0 - a!r}, CAST(nmax - pos AS DOUBLE))
+    ELSE {a!r} * pow({1.0 - a!r}, CAST(nmax - pos AS DOUBLE))
+    END * x), 6) AS ewma
+FROM ann GROUP BY 1 ORDER BY key
+"""

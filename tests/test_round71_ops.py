@@ -1,0 +1,126 @@
+"""Unit tests for the round-71 pack: DNS cache audit, LRU stack-distance
+curve, WFQ dispatch, M/G/1 wait, EWMA forecast."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.politeness import (dns_cache_audit, mg1_wait,
+                                                 wfq_schedule)
+from icrawler_spark.operators.sessions import (ewma_forecast,
+                                               stack_distance_curve)
+
+
+# ---------------------------------------------------------------------------
+# dns_cache_audit
+# ---------------------------------------------------------------------------
+
+def test_dns_cache_bucket_counts(spark):
+    # host a at ts 0,5,12 → one 10s-bucket pair (0,1); host b at 3 → one
+    rows = [("a", 0), ("a", 5), ("a", 12), ("b", 3)]
+    df = spark.createDataFrame(rows, "host string, ts_s long")
+    out = {r["ttl_s"]: r for r in dns_cache_audit(df, ttls=(10,)).collect()}
+    r = out[10]
+    assert r["n_fetches"] == 4 and r["n_hosts"] == 2
+    assert r["n_lookups"] == 3  # (a,0) (a,1) (b,0)
+    assert abs(r["hit_ratio"] - 0.25) < 1e-9
+
+
+def test_dns_cache_huge_ttl_one_lookup_per_host(spark):
+    rows = [("a", t) for t in range(20)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "host string, ts_s long")
+    r = dns_cache_audit(df, ttls=(10_000,)).collect()[0]
+    assert r["n_lookups"] == 2
+    assert abs(r["hit_ratio"] - 19 / 21) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# stack_distance_curve
+# ---------------------------------------------------------------------------
+
+def test_stack_distance_classic_trace(spark):
+    # trace A B A B: reuse distances 1,1 → hit iff size ≥ 2
+    rows = [(0, "A"), (1, "B"), (2, "A"), (3, "B")]
+    df = spark.createDataFrame(rows, "pos long, url string")
+    out = {r["cache_size"]: r
+           for r in stack_distance_curve(df, sizes=(1, 2)).collect()}
+    assert out[1]["n_hits"] == 0
+    assert out[2]["n_hits"] == 2
+    assert out[2]["n_cold"] == 2 and out[2]["n_accesses"] == 4
+    assert abs(out[2]["hit_ratio"] - 0.5) < 1e-9
+
+
+def test_stack_distance_immediate_reuse_hits_size_one(spark):
+    rows = [(0, "A"), (1, "A"), (2, "A")]
+    df = spark.createDataFrame(rows, "pos long, url string")
+    out = {r["cache_size"]: r
+           for r in stack_distance_curve(df, sizes=(1,)).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["n_cold"] == 1
+
+
+# ---------------------------------------------------------------------------
+# wfq_schedule
+# ---------------------------------------------------------------------------
+
+def test_wfq_weight_proportional_share(spark):
+    # equal unit-size jobs; host w2 has twice host w1's weight → in any
+    # prefix w2 finishes ~2× the jobs (VFT k/2 vs k)
+    rows = ([("w1", i, 1.0, 1.0) for i in range(10)]
+            + [("w2", i, 1.0, 2.0) for i in range(10)])
+    df = spark.createDataFrame(rows, "host string, seq long, size double, weight double")
+    plan = wfq_schedule(df, k=9).collect()
+    counts = {}
+    for r in plan:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    assert counts["w2"] == 2 * counts["w1"]
+
+
+def test_wfq_vft_is_cumsum_over_weight(spark):
+    rows = [("h", 0, 4.0, 2.0), ("h", 1, 6.0, 2.0)]
+    df = spark.createDataFrame(rows, "host string, seq long, size double, weight double")
+    plan = {r["seq"]: r for r in wfq_schedule(df, k=10).collect()}
+    assert plan[0]["vft"] == 2.0 and plan[1]["vft"] == 5.0
+    assert plan[0]["serve_rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mg1_wait
+# ---------------------------------------------------------------------------
+
+def test_mg1_deterministic_service_halves_mm1_wait(spark):
+    # deterministic S: E[S²] = E[S]² → Wq = ρE[S]/(2(1−ρ)) = wq_mm1/2
+    rows = [("h", 4.0, 1.0)] * 8
+    df = spark.createDataFrame(rows, "host string, interarrival_s double, service_s double")
+    r = mg1_wait(df).collect()[0]
+    assert abs(r["rho"] - 0.25) < 1e-9
+    assert abs(r["wq_pk"] - r["wq_mm1"] / 2) < 1e-6
+    assert abs(r["variance_penalty"] - 0.5) < 1e-9
+
+
+def test_mg1_unstable_host_reports_null(spark):
+    rows = [("h", 1.0, 2.0)] * 4
+    df = spark.createDataFrame(rows, "host string, interarrival_s double, service_s double")
+    r = mg1_wait(df).collect()[0]
+    assert r["rho"] == 2.0 and r["wq_pk"] is None and r["wq_mm1"] is None
+
+
+# ---------------------------------------------------------------------------
+# ewma_forecast
+# ---------------------------------------------------------------------------
+
+def test_ewma_matches_recurrence(spark):
+    xs = [10.0, 20.0, 0.0, 40.0]
+    a = 0.3
+    s = xs[0]
+    for x in xs[1:]:
+        s = a * x + (1 - a) * s
+    rows = [("h", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "host string, pos long, x double")
+    r = ewma_forecast(df, alpha=a).collect()[0]
+    assert abs(r["ewma"] - s) < 1e-6
+    assert r["n_obs"] == 4 and r["x_last"] == 40.0
+
+
+def test_ewma_constant_series_is_identity(spark):
+    rows = [("h", i, 7.5) for i in range(30)]
+    df = spark.createDataFrame(rows, "host string, pos long, x double")
+    r = ewma_forecast(df, alpha=0.2).collect()[0]
+    assert abs(r["ewma"] - 7.5) < 1e-9
