@@ -341,6 +341,8 @@ _EXTRA_PICKS = [
     "amdahl", "pinball", "wquantile", "kingman", "host_new",
     # round-3 batch-65 (dns cache + lru curve + wfq + m/g/1 + ewma)
     "dns_cache", "stack_distance", "wfq", "mg1", "ewma",
+    # round-3 batch-66 (rank anova + variance + extremes + lifetimes + drift)
+    "kruskal", "levene", "gumbel", "weibull", "jsd",
 ]
 
 

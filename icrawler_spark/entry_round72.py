@@ -1,0 +1,202 @@
+"""Round-3 driver-contract queries (batch 66): Kruskal-Wallis rank
+ANOVA, Brown-Forsythe variance test, Gumbel block-maxima return levels,
+Weibull lifetime fit, Jensen-Shannon corpus drift.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# kruskal — three host tiers with shifted latency distributions
+# ---------------------------------------------------------------------------
+
+
+def _kw_samples(spark, sf) -> DataFrame:
+    """Tier g_i's latencies sit 10·i above the base cycle — H must be
+    decisively non-null."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("g"), (e % 3).cast("string")).alias("grp"),
+        ((e * 7) % 50 + 10 * (e % 3)).cast("double").alias("v"))
+
+
+_KW_SAMPLES_SQL = """
+  SELECT 'g' || CAST(event_id % 3 AS VARCHAR) AS grp,
+    CAST(event_id * 7 % 50 + 10 * (event_id % 3) AS DOUBLE) AS v
+  FROM events
+"""
+
+
+def q_kruskal(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.kruskal_wallis: tie-corrected rank ANOVA —
+    distinct-value window, no global row_number."""
+    return _corpus.kruskal_wallis(_kw_samples(spark, sf))
+
+
+def _kruskal_sql() -> str:
+    return _corpus.kruskal_wallis_sql(_KW_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# levene — equal-median groups whose spreads differ 1:2:3
+# ---------------------------------------------------------------------------
+
+
+def _bf_samples(spark, sf) -> DataFrame:
+    """Same centered cycle scaled by (1 + tier): pure variance signal,
+    so Brown-Forsythe must fire without any mean shift."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("g"), (e % 3).cast("string")).alias("grp"),
+        (((e * 7) % 13 - 6) * (1 + e % 3)).cast("double").alias("v"))
+
+
+_BF_SAMPLES_SQL = """
+  SELECT 'g' || CAST(event_id % 3 AS VARCHAR) AS grp,
+    CAST((event_id * 7 % 13 - 6) * (1 + event_id % 3) AS DOUBLE) AS v
+  FROM events
+"""
+
+
+def q_levene(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.brown_forsythe: median-centered Levene W —
+    groupBy medians broadcast back, two moment passes."""
+    return _corpus.brown_forsythe(_bf_samples(spark, sf))
+
+
+def _levene_sql() -> str:
+    return _corpus.brown_forsythe_sql(_BF_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gumbel — block maxima of a deterministic latency stream
+# ---------------------------------------------------------------------------
+
+_GB_PERIODS = (10, 100, 1000)
+
+
+def _gb_obs(spark, sf) -> DataFrame:
+    """Latency cycles mod 97 over 50-observation windows — block maxima
+    vary across windows, giving a proper nonzero Gumbel scale."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.floor(e / 50).cast("long").alias("win"),
+        (((e * 13) % 97).cast("double") / 10.0).alias("x"))
+
+
+_GB_OBS_SQL = """
+  SELECT CAST(floor(CAST(event_id AS DOUBLE) / 50) AS BIGINT) AS win,
+    CAST(event_id * 13 % 97 AS DOUBLE) / 10.0 AS x
+  FROM events
+"""
+
+
+def q_gumbel(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.gumbel_block_max: moment-fit Gumbel return
+    levels for timeout/hedging budgets — ONE groupBy(win) + one agg."""
+    return _recrawl.gumbel_block_max(_gb_obs(spark, sf),
+                                     return_periods=_GB_PERIODS)
+
+
+def _gumbel_sql() -> str:
+    return _recrawl.gumbel_block_max_sql(_GB_OBS_SQL,
+                                         return_periods=_GB_PERIODS)
+
+
+# ---------------------------------------------------------------------------
+# weibull — quadratic lifetime spread with heavy ties
+# ---------------------------------------------------------------------------
+
+
+def _wb_lifetimes(spark, sf) -> DataFrame:
+    """Lifetimes 0.1..40 days with deliberate ties (≤400 distinct
+    values) — the ranked window stays bounded by value cardinality."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        ((1 + (e * e + 5 * e) % 400).cast("double") / 10.0).alias("t"))
+
+
+_WB_LIFETIMES_SQL = """
+  SELECT CAST(1 + (event_id * event_id + 5 * event_id) % 400 AS DOUBLE)
+      / 10.0 AS t
+  FROM events
+"""
+
+
+def q_weibull(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.weibull_lifetime_fit: median-rank-regression
+    Weibull (shape, scale) for link-rot extrapolation."""
+    return _recrawl.weibull_lifetime_fit(_wb_lifetimes(spark, sf))
+
+
+def _weibull_sql() -> str:
+    return _recrawl.weibull_lifetime_fit_sql(_WB_LIFETIMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jsd — two corpus snapshots with overlapping vocabularies
+# ---------------------------------------------------------------------------
+
+
+def _jsd_tokens(spark, sf) -> DataFrame:
+    """Snapshot a draws from 50 tokens, b from 60 with a different
+    stride — partial overlap puts JSD strictly inside (0, 1)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    snap = F.when(e % 2 == 0, "a").otherwise("b")
+    tok = F.when(e % 2 == 0,
+                 F.concat(F.lit("t"), ((e * 7) % 50).cast("string")))\
+        .otherwise(F.concat(F.lit("t"), ((e * 11) % 60).cast("string")))
+    return ev.select(snap.alias("snap"), tok.alias("token"))
+
+
+_JSD_TOKENS_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+    CASE WHEN event_id % 2 = 0
+      THEN 't' || CAST(event_id * 7 % 50 AS VARCHAR)
+      ELSE 't' || CAST(event_id * 11 % 60 AS VARCHAR) END AS token
+  FROM events
+"""
+
+
+def q_jsd(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.js_divergence: bounded symmetric corpus drift
+    in bits — ONE groupBy(token) + single-row agg."""
+    return _corpus.js_divergence(_jsd_tokens(spark, sf))
+
+
+def _jsd_sql() -> str:
+    return _corpus.js_divergence_sql(_JSD_TOKENS_SQL)
+
+
+def queries72():
+    return {
+        "kruskal": q_kruskal,
+        "levene": q_levene,
+        "gumbel": q_gumbel,
+        "weibull": q_weibull,
+        "jsd": q_jsd,
+    }
+
+
+def oracle_sql72():
+    return {
+        "kruskal": _kruskal_sql(),
+        "levene": _levene_sql(),
+        "gumbel": _gumbel_sql(),
+        "weibull": _weibull_sql(),
+        "jsd": _jsd_sql(),
+    }

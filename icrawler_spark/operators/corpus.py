@@ -3884,3 +3884,257 @@ FROM cum CROSS JOIN grid
 WHERE cw >= q * tw
 GROUP BY 1 ORDER BY 1
 """
+
+
+def kruskal_wallis(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+) -> DataFrame:
+    """Kruskal-Wallis H test across k ≥ 3 groups — the rank ANOVA that
+    extends :func:`mann_whitney` to host tiers / content buckets when
+    latency or size distributions are heavy-tailed. Tie-averaged ranks
+    come from per-distinct-value counts exactly as in `mann_whitney`
+    (avg_rank = smaller + (ties+1)/2, a multiple of 0.5, exact in a
+    double); H carries the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N), and H/C ~ χ²(k−1) under H₀.
+
+    Returns one row: (n, k, h, h_corrected rounded 4) — h_corrected
+    NULL when every value is tied (C = 0).
+
+    Scale shape: ONE groupBy(value) + ONE groupBy(value, grp), a window
+    over distinct values (bounded by value cardinality), one broadcast
+    join, then two tiny aggs — no cross product.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+    per_v = (base.groupBy("v")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.select(
+        "v", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")
+         + (F.col("cnt") + 1) / 2.0).alias("avg_rank"))
+    per_vg = (base.groupBy("v", "grp")
+              .agg(F.count("*").cast("long").alias("cnt_g")))
+    joined = per_vg.join(F.broadcast(ranked), "v")
+    per_g = (joined.groupBy("grp")
+             .agg(F.sum("cnt_g").cast("long").alias("n_g"),
+                  F.sum(F.col("cnt_g") * F.col("avg_rank")).alias("r_g")))
+    ties = ranked.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long").alias("ties"))
+    agg = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"))
+    out = agg.crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("rr") - 3.0 * (n + 1.0)
+    c = 1.0 - F.col("ties") / (n * n * n - n)
+    return out.select(
+        "n", "k",
+        F.round(h, 4).alias("h"),
+        F.round(F.when(c > 0, h / c), 4).alias("h_corrected"))
+
+
+def kruskal_wallis_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`kruskal_wallis` over a (grp, v) SELECT."""
+    return f"""
+WITH base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM ({samples_sql})),
+per_v AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT v, cnt,
+    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM per_v
+),
+per_vg AS (
+  SELECT v, grp, CAST(count(*) AS BIGINT) AS cnt_g
+  FROM base GROUP BY 1, 2
+),
+per_g AS (
+  SELECT grp, CAST(sum(cnt_g) AS BIGINT) AS n_g,
+    sum(cnt_g * avg_rank) AS r_g
+  FROM per_vg JOIN ranked USING (v) GROUP BY 1
+),
+tie AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM ranked
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k,
+    sum(r_g * r_g / n_g) AS rr
+  FROM per_g
+)
+SELECT n, k,
+  round(12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * rr
+        - 3.0 * (n + 1.0), 4) AS h,
+  round(CASE WHEN 1.0 - ties / (CAST(n AS DOUBLE) * n * n - n) > 0
+    THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * rr - 3.0 * (n + 1.0))
+      / (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)) END, 4)
+    AS h_corrected
+FROM agg, tie
+"""
+
+
+def brown_forsythe(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal variances
+    across groups — the gate before trusting a pooled-variance test:
+    z_ij = |x_ij − median_j|, then the one-way ANOVA F statistic on z.
+    Median-centering (vs mean-centering in classic Levene) keeps the
+    test robust for the skewed latency/size distributions crawl logs
+    actually have (Brown & Forsythe, JASA 1974).
+
+    Returns one row: (n, k, df1, df2, w rounded 4) — w NULL when the
+    within-group spread of z is zero.
+
+    Scale shape: ONE groupBy(grp) medians broadcast back + TWO
+    groupBy(grp) moment passes — no window over the full table.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+    med = base.groupBy("grp").agg(F.median("v").alias("med"))
+    z = (base.join(F.broadcast(med), "grp")
+         .select("grp", F.abs(F.col("v") - F.col("med")).alias("z")))
+    per_g = z.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.avg("z").alias("zbar_g"),
+        F.sum(F.col("z") * F.col("z")).alias("zz_g"))
+    agg = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("n_g") * F.col("zbar_g")).alias("zsum"),
+        F.sum(F.col("n_g") * F.col("zbar_g") * F.col("zbar_g"))
+        .alias("nzb2"),
+        F.sum(F.col("zz_g") - F.col("n_g") * F.col("zbar_g")
+              * F.col("zbar_g")).alias("within"))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    between = F.col("nzb2") - F.col("zsum") * F.col("zsum") / n
+    w = ((n - k) / (k - 1.0)) * between / F.col("within")
+    return agg.select(
+        "n", "k",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(F.when(F.col("within") > 0, w), 4).alias("w"))
+
+
+def brown_forsythe_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`brown_forsythe` over a (grp, v) SELECT."""
+    return f"""
+WITH base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM ({samples_sql})),
+med AS (SELECT grp, median(v) AS med FROM base GROUP BY 1),
+z AS (
+  SELECT base.grp, abs(v - med) AS z FROM base JOIN med USING (grp)
+),
+per_g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+    avg(z) AS zbar_g, sum(z * z) AS zz_g
+  FROM z GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k,
+    sum(n_g * zbar_g) AS zsum,
+    sum(n_g * zbar_g * zbar_g) AS nzb2,
+    sum(zz_g - n_g * zbar_g * zbar_g) AS within
+  FROM per_g
+)
+SELECT n, k,
+  CAST(k - 1 AS BIGINT) AS df1,
+  CAST(n - k AS BIGINT) AS df2,
+  round(CASE WHEN within > 0
+    THEN ((CAST(n AS DOUBLE) - k) / (CAST(k AS DOUBLE) - 1.0))
+      * (nzb2 - zsum * zsum / CAST(n AS DOUBLE)) / within END, 4) AS w
+FROM agg
+"""
+
+
+def js_divergence(
+    tokens: DataFrame,
+    snap_col: str = "snap",
+    token_col: str = "token",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the token distributions
+    of two corpus snapshots — the symmetric, bounded-[0,1] drift gauge
+    that complements PSI (`psi_drift`, which blows up on empty bins) and
+    KS (`ks_drift`, continuous values only): JSD = ½KL(p‖m) + ½KL(q‖m),
+    m = (p+q)/2, with zero-probability terms contributing exactly their
+    nonzero side. sqrt(JSD) is a metric (the JS distance), the usual
+    corpus-shift threshold unit.
+
+    Returns one row: (vocab, n_a, n_b, jsd_bits, js_distance rounded 6).
+
+    Scale shape: ONE groupBy(token) with conditional sums + ONE
+    single-row agg; totals ride a broadcast crossJoin of one row.
+    """
+    per = (tokens.select(F.col(snap_col).alias("snap"),
+                         F.col(token_col).alias("token"))
+           .groupBy("token")
+           .agg(F.sum(F.when(F.col("snap") == a, 1).otherwise(0))
+                .cast("long").alias("c_a"),
+                F.sum(F.when(F.col("snap") == b, 1).otherwise(0))
+                .cast("long").alias("c_b")))
+    tot = per.agg(F.sum("c_a").cast("long").alias("n_a"),
+                  F.sum("c_b").cast("long").alias("n_b"))
+    j = per.crossJoin(F.broadcast(tot))
+    p = F.col("c_a") / F.col("n_a").cast("double")
+    q = F.col("c_b") / F.col("n_b").cast("double")
+    m = (p + q) / 2.0
+    term = (F.when(F.col("c_a") > 0, 0.5 * p * F.log2(p / m)).otherwise(0.0)
+            + F.when(F.col("c_b") > 0,
+                     0.5 * q * F.log2(q / m)).otherwise(0.0))
+    agg = j.agg(F.count("*").cast("long").alias("vocab"),
+                F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.sum(term).alias("jsd"))
+    return agg.select(
+        "vocab", "n_a", "n_b",
+        F.round(F.col("jsd"), 6).alias("jsd_bits"),
+        F.round(F.sqrt(F.greatest(F.col("jsd"), F.lit(0.0))), 6)
+        .alias("js_distance"))
+
+
+def js_divergence_sql(tokens_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`js_divergence` over a (snap, token)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT token,
+    CAST(sum(CASE WHEN snap = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(sum(CASE WHEN snap = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM ({tokens_sql}) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+    CAST(sum(c_b) AS BIGINT) AS n_b
+  FROM per
+),
+terms AS (
+  SELECT
+    CASE WHEN c_a > 0 THEN 0.5 * (c_a / CAST(n_a AS DOUBLE))
+      * log2((c_a / CAST(n_a AS DOUBLE))
+             / ((c_a / CAST(n_a AS DOUBLE)
+                 + c_b / CAST(n_b AS DOUBLE)) / 2.0)) ELSE 0.0 END
+    + CASE WHEN c_b > 0 THEN 0.5 * (c_b / CAST(n_b AS DOUBLE))
+      * log2((c_b / CAST(n_b AS DOUBLE))
+             / ((c_a / CAST(n_a AS DOUBLE)
+                 + c_b / CAST(n_b AS DOUBLE)) / 2.0)) ELSE 0.0 END
+      AS term,
+    n_a, n_b
+  FROM per, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab,
+  max(n_a) AS n_a, max(n_b) AS n_b,
+  round(sum(term), 6) AS jsd_bits,
+  round(sqrt(greatest(sum(term), 0.0)), 6) AS js_distance
+FROM terms
+"""

@@ -16,6 +16,8 @@ No UDF, no global window, no skew risk (url keys hash uniformly).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1497,3 +1499,189 @@ FROM (
 WHERE cnt = {blk}""")
     body = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{body}\n) ORDER BY level"
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_max(
+    obs: DataFrame,
+    return_periods=(10, 100, 1000),
+    win_col: str = "win",
+    x_col: str = "x",
+) -> DataFrame:
+    """Extreme-value (Gumbel/EVI-0) fit over block maxima of a latency
+    or queue-depth stream — the classical block-maxima method: take the
+    max per window, fit location/scale by moments (β = s·√6/π,
+    μ = x̄ − γβ), and read off T-window return levels
+    x_T = μ − β·ln(−ln(1 − 1/T)) — "the worst latency you should
+    expect once per T windows", the principled way to set fetch
+    timeouts and hedging triggers instead of an arbitrary p999.
+
+    Variance uses the moment form n/(n−1)·(E[x²] − E[x]²) written
+    identically in both engines. Returns one row per return period:
+    (t_windows, n_windows, mu, beta, ret_level rounded 4).
+
+    Scale shape: ONE groupBy(win) max + ONE single-row moment agg; the
+    return-period grid adds projections, not passes.
+    """
+    mx = (obs.select(F.col(win_col).alias("win"),
+                     F.col(x_col).cast("double").alias("x"))
+          .groupBy("win").agg(F.max("x").alias("m")))
+    agg = mx.agg(F.count("*").cast("long").alias("n_windows"),
+                 F.avg("m").alias("mean"),
+                 F.avg(F.col("m") * F.col("m")).alias("mean2"))
+    n = F.col("n_windows").cast("double")
+    var = (F.col("mean2") - F.col("mean") * F.col("mean")) * n / (n - 1.0)
+    beta = F.sqrt(F.greatest(var, F.lit(0.0)) * 6.0) / math.pi
+    mu = F.col("mean") - _EULER_GAMMA * beta
+    ann = agg.select("n_windows", mu.alias("mu"), beta.alias("beta"))
+    rows = []
+    for t in return_periods:
+        yt = -math.log(-math.log(1.0 - 1.0 / float(t)))
+        rows.append(ann.select(
+            F.lit(int(t)).cast("long").alias("t_windows"),
+            "n_windows",
+            F.round("mu", 4).alias("mu"),
+            F.round("beta", 4).alias("beta"),
+            F.round(F.col("mu") + F.col("beta") * float(yt), 4)
+            .alias("ret_level")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def gumbel_block_max_sql(obs_sql: str,
+                         return_periods=(10, 100, 1000)) -> str:
+    """DuckDB mirror of :func:`gumbel_block_max` over a (win, x)
+    SELECT."""
+    legs = []
+    for t in return_periods:
+        yt = -math.log(-math.log(1.0 - 1.0 / float(t)))
+        legs.append(f"""
+  SELECT CAST({int(t)} AS BIGINT) AS t_windows, n_windows,
+    round(mu, 4) AS mu, round(beta, 4) AS beta,
+    round(mu + beta * {yt!r}, 4) AS ret_level
+  FROM ann""")
+    union = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH mx AS (
+  SELECT win, max(CAST(x AS DOUBLE)) AS m FROM ({obs_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_windows,
+    avg(m) AS mean, avg(m * m) AS mean2
+  FROM mx
+),
+ann AS (
+  SELECT n_windows,
+    mean - {_EULER_GAMMA!r} * (sqrt(greatest(
+      (mean2 - mean * mean) * n_windows / (n_windows - 1.0), 0.0)
+      * 6.0) / {math.pi!r}) AS mu,
+    sqrt(greatest(
+      (mean2 - mean * mean) * n_windows / (n_windows - 1.0), 0.0)
+      * 6.0) / {math.pi!r} AS beta
+  FROM agg
+)
+{union}
+"""
+
+
+def weibull_lifetime_fit(
+    lifetimes: DataFrame,
+    t_col: str = "t",
+) -> DataFrame:
+    """Weibull fit of observed lifetimes (link rot, page deletion,
+    cache-entry death) via median-rank regression — the probability-
+    plot method: sort lifetimes, assign Bernard median ranks
+    F_i = (i − 0.3)/(n + 0.4), and OLS-fit y = ln(−ln(1 − F)) on
+    x = ln t; the slope is the shape k (k < 1 = infant mortality — rot
+    early or live long; k > 1 = wear-out) and scale λ = exp(−b/k).
+    Complements the nonparametric `page_survival` (Kaplan-Meier) with a
+    2-parameter form you can extrapolate recrawl budgets from.
+
+    Ties share the max rank of their block (cumulative count over
+    distinct values, the standard plotting-position treatment), each
+    distinct value weighted by its multiplicity in the OLS. Returns one
+    row: (n, shape, scale, t_median rounded 4) — NULL fit when all
+    lifetimes are equal (zero x-variance).
+
+    Scale shape: ONE groupBy(t) + a window over distinct values
+    (bounded by value cardinality) + ONE single-row weighted-OLS agg;
+    no global row_number over raw rows.
+    """
+    per = (lifetimes.select(F.col(t_col).cast("double").alias("t"))
+           .filter(F.col("t") > 0)
+           .groupBy("t").agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per.select(
+        "t", "cnt", F.sum("cnt").over(w).cast("long").alias("r"))
+    tot = ranked.agg(F.sum("cnt").cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    fi = (F.col("r").cast("double") - 0.3) / (F.col("n") + 0.4)
+    x = F.log(F.col("t"))
+    y = F.log(-F.log(1.0 - fi))
+    cw = F.col("cnt").cast("double")
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.sum(cw).alias("sw"),
+        F.sum(cw * x).alias("sx"),
+        F.sum(cw * y).alias("sy"),
+        F.sum(cw * x * x).alias("sxx"),
+        F.sum(cw * x * y).alias("sxy"))
+    sw = F.col("sw")
+    det = sw * F.col("sxx") - F.col("sx") * F.col("sx")
+    k = (sw * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    b = (F.col("sy") - k * F.col("sx")) / sw
+    lam = F.exp(-b / k)
+    ln2 = 0.6931471805599453
+    fit_ok = det > 1e-12
+    return agg.select(
+        "n",
+        F.round(F.when(fit_ok, k), 4).alias("shape"),
+        F.round(F.when(fit_ok, lam), 4).alias("scale"),
+        F.round(F.when(fit_ok, lam * F.pow(F.lit(ln2), 1.0 / k)), 4)
+        .alias("t_median"))
+
+
+def weibull_lifetime_fit_sql(lifetimes_sql: str) -> str:
+    """DuckDB mirror of :func:`weibull_lifetime_fit` over a (t)
+    SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(t AS DOUBLE) AS t, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({lifetimes_sql}) WHERE CAST(t AS DOUBLE) > 0 GROUP BY 1
+),
+ranked AS (
+  SELECT t, cnt,
+    CAST(sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS r
+  FROM per
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ranked),
+pts AS (
+  SELECT CAST(cnt AS DOUBLE) AS cw, ln(t) AS x,
+    ln(-ln(1.0 - (CAST(r AS DOUBLE) - 0.3) / (n + 0.4))) AS y, n
+  FROM ranked, tot
+),
+agg AS (
+  SELECT max(n) AS n, sum(cw) AS sw, sum(cw * x) AS sx,
+    sum(cw * y) AS sy, sum(cw * x * x) AS sxx, sum(cw * x * y) AS sxy
+  FROM pts
+)
+SELECT n,
+  round(CASE WHEN sw * sxx - sx * sx > 1e-12
+    THEN (sw * sxy - sx * sy) / (sw * sxx - sx * sx) END, 4) AS shape,
+  round(CASE WHEN sw * sxx - sx * sx > 1e-12
+    THEN exp(-((sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx) * sx)
+               / sw) / ((sw * sxy - sx * sy) / (sw * sxx - sx * sx)))
+    END, 4) AS scale,
+  round(CASE WHEN sw * sxx - sx * sx > 1e-12
+    THEN exp(-((sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx) * sx)
+               / sw) / ((sw * sxy - sx * sy) / (sw * sxx - sx * sx)))
+      * pow(0.6931471805599453,
+            1.0 / ((sw * sxy - sx * sy) / (sw * sxx - sx * sx)))
+    END, 4) AS t_median
+FROM agg
+"""

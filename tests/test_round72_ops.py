@@ -1,0 +1,127 @@
+"""Unit tests for the round-72 pack: Kruskal-Wallis, Brown-Forsythe,
+Gumbel block maxima, Weibull lifetime fit, Jensen-Shannon divergence."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (brown_forsythe, js_divergence,
+                                             kruskal_wallis)
+from icrawler_spark.operators.recrawl import (gumbel_block_max,
+                                              weibull_lifetime_fit)
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis
+# ---------------------------------------------------------------------------
+
+def test_kruskal_textbook_no_ties(spark):
+    # groups fully separated: ranks g0={1,2,3} g1={4,5,6} g2={7,8,9}
+    rows = ([("g0", v) for v in (1.0, 2.0, 3.0)]
+            + [("g1", v) for v in (4.0, 5.0, 6.0)]
+            + [("g2", v) for v in (7.0, 8.0, 9.0)])
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = kruskal_wallis(df).collect()[0]
+    # H = 12/(9·10)·(36+225+576)/3 − 3·10 = 7.2
+    assert r["n"] == 9 and r["k"] == 3
+    assert abs(r["h"] - 7.2) < 1e-9
+    assert abs(r["h_corrected"] - 7.2) < 1e-9  # no ties → C = 1
+
+
+def test_kruskal_all_tied_null(spark):
+    rows = [("g0", 5.0), ("g1", 5.0), ("g2", 5.0), ("g0", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = kruskal_wallis(df).collect()[0]
+    assert r["h_corrected"] is None
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe
+# ---------------------------------------------------------------------------
+
+def test_brown_forsythe_equal_spread_is_zero(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 11.0), ("b", 12.0), ("b", 13.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = brown_forsythe(df).collect()[0]
+    # identical |v − median| profiles in both groups → between = 0
+    assert abs(r["w"]) < 1e-9
+    assert r["df1"] == 1 and r["df2"] == 4
+
+
+def test_brown_forsythe_detects_spread(spark):
+    rows = ([("a", v) for v in (-1.0, 0.0, 1.0)]
+            + [("b", v) for v in (-10.0, 0.0, 10.0)])
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = brown_forsythe(df).collect()[0]
+    assert r["w"] is not None and r["w"] > 1.0
+
+
+# ---------------------------------------------------------------------------
+# gumbel_block_max
+# ---------------------------------------------------------------------------
+
+def test_gumbel_moment_fit_and_return_level(spark):
+    maxima = [10.0, 12.0, 11.0, 13.0]  # one obs per window
+    rows = [(i, m) for i, m in enumerate(maxima)]
+    df = spark.createDataFrame(rows, "win long, x double")
+    out = {r["t_windows"]: r
+           for r in gumbel_block_max(df, return_periods=(10,)).collect()}
+    r = out[10]
+    mean = sum(maxima) / 4
+    var = sum((m - mean) ** 2 for m in maxima) / 3
+    beta = math.sqrt(6 * var) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    yt = -math.log(-math.log(1 - 1 / 10))
+    assert abs(r["mu"] - round(mu, 4)) < 1e-9
+    assert abs(r["beta"] - round(beta, 4)) < 1e-9
+    assert abs(r["ret_level"] - round(mu + beta * yt, 4)) < 1e-3
+
+
+def test_gumbel_return_level_monotone_in_t(spark):
+    rows = [(i, float(5 + (i * 7) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "win long, x double")
+    out = {r["t_windows"]: r["ret_level"]
+           for r in gumbel_block_max(df, return_periods=(10, 100)).collect()}
+    assert out[100] > out[10]
+
+
+# ---------------------------------------------------------------------------
+# weibull_lifetime_fit
+# ---------------------------------------------------------------------------
+
+def test_weibull_recovers_exponential_shape(spark):
+    # exact exponential quantiles (k = 1, λ = 2): t_i = −2·ln(1 − F_i)
+    n = 200
+    rows = [(-2.0 * math.log(1.0 - (i - 0.3) / (n + 0.4)),)
+            for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "t double")
+    r = weibull_lifetime_fit(df).collect()[0]
+    assert abs(r["shape"] - 1.0) < 0.05
+    assert abs(r["scale"] - 2.0) < 0.1
+    assert abs(r["t_median"] - 2.0 * math.log(2)) < 0.1
+
+
+def test_weibull_degenerate_null(spark):
+    df = spark.createDataFrame([(3.0,)] * 5, "t double")
+    r = weibull_lifetime_fit(df).collect()[0]
+    assert r["shape"] is None and r["scale"] is None
+
+
+# ---------------------------------------------------------------------------
+# js_divergence
+# ---------------------------------------------------------------------------
+
+def test_jsd_identical_is_zero(spark):
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "snap string, token string")
+    r = js_divergence(df).collect()[0]
+    assert abs(r["jsd_bits"]) < 1e-12 and abs(r["js_distance"]) < 1e-6
+
+
+def test_jsd_disjoint_is_one_bit(spark):
+    rows = [("a", "x"), ("a", "y"), ("b", "u"), ("b", "w")]
+    df = spark.createDataFrame(rows, "snap string, token string")
+    r = js_divergence(df).collect()[0]
+    assert abs(r["jsd_bits"] - 1.0) < 1e-9
+    assert r["vocab"] == 4 and r["n_a"] == 2 and r["n_b"] == 2
