@@ -343,6 +343,9 @@ _EXTRA_PICKS = [
     "dns_cache", "stack_distance", "wfq", "mg1", "ewma",
     # round-3 batch-66 (rank anova + variance + extremes + lifetimes + drift)
     "kruskal", "levene", "gumbel", "weibull", "jsd",
+    # round-3 batch-67 (security headers + cookies + mixed content + cdn + sd)
+    "sec_headers", "cookie_audit", "mixed_content", "cdn_detect",
+    "structured_data",
 ]
 
 

@@ -54,7 +54,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round66, entry_round67,
                             entry_round68, entry_round69,
                             entry_round70, entry_round71,
-                            entry_round72)
+                            entry_round72, entry_round73)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -893,6 +893,7 @@ def queries():
         **entry_round70.queries70(),
         **entry_round71.queries71(),
         **entry_round72.queries72(),
+        **entry_round73.queries73(),
     }
 
 
@@ -997,4 +998,5 @@ def oracle_sql():
         **entry_round70.oracle_sql70(),
         **entry_round71.oracle_sql71(),
         **entry_round72.oracle_sql72(),
+        **entry_round73.oracle_sql73(),
     }

@@ -1,0 +1,283 @@
+"""Round-3 driver-contract queries (batch 67): security-header audit,
+Set-Cookie attribute audit, mixed-content scan, CDN fingerprinting,
+structured-data coverage.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import warc as _warc
+
+# ---------------------------------------------------------------------------
+# sec_headers — 5 header rows per url, adoption varying by host
+# ---------------------------------------------------------------------------
+
+
+def _sh_headers(spark, sf) -> DataFrame:
+    """Each (host, page) gets 5 header rows; CSP only on even hosts,
+    XFO only on hosts ≡ 0 mod 3 — per-host shares differ by design."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    h = e % 7
+    url = F.concat(F.lit("https://h"), h.cast("string"),
+                   F.lit(".test/p"), F.floor(e / 35).cast("string"))
+    name = (F.when(e % 5 == 0, "Strict-Transport-Security")
+            .when(e % 5 == 1,
+                  F.when(h % 2 == 0, "Content-Security-Policy")
+                  .otherwise("X-Powered-By"))
+            .when(e % 5 == 2, "X-Content-Type-Options")
+            .when(e % 5 == 3,
+                  F.when(h % 3 == 0, "X-Frame-Options")
+                  .otherwise("Server"))
+            .otherwise("Referrer-Policy"))
+    val = (F.when(e % 5 == 2, "NOSNIFF")
+           .when(e % 5 == 3, "DENY")
+           .otherwise(F.lit("v").cast("string")))
+    return ev.select(url.alias("url"),
+                     F.concat(F.lit("h"), h.cast("string")).alias("host"),
+                     name.alias("hname"), val.alias("hvalue"))
+
+
+_SH_HEADERS_SQL = """
+  SELECT 'https://h' || CAST(event_id % 7 AS VARCHAR) || '.test/p'
+      || CAST(CAST(floor(CAST(event_id AS DOUBLE) / 35) AS BIGINT)
+              AS VARCHAR) AS url,
+    'h' || CAST(event_id % 7 AS VARCHAR) AS host,
+    CASE WHEN event_id % 5 = 0 THEN 'Strict-Transport-Security'
+      WHEN event_id % 5 = 1 THEN
+        CASE WHEN (event_id % 7) % 2 = 0
+          THEN 'Content-Security-Policy' ELSE 'X-Powered-By' END
+      WHEN event_id % 5 = 2 THEN 'X-Content-Type-Options'
+      WHEN event_id % 5 = 3 THEN
+        CASE WHEN (event_id % 7) % 3 = 0
+          THEN 'X-Frame-Options' ELSE 'Server' END
+      ELSE 'Referrer-Policy' END AS hname,
+    CASE WHEN event_id % 5 = 2 THEN 'NOSNIFF'
+      WHEN event_id % 5 = 3 THEN 'DENY' ELSE 'v' END AS hvalue
+  FROM events
+"""
+
+
+def q_sec_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.security_headers_audit: per-host hardening shares
+    + 0-5 mean score — two keyed groupBys, no window."""
+    return _warc.security_headers_audit(_sh_headers(spark, sf))
+
+
+def _sec_headers_sql() -> str:
+    return _warc.security_headers_audit_sql(_SH_HEADERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cookie_audit — attribute combos cycling mod 2/3/4
+# ---------------------------------------------------------------------------
+
+
+def _ck_cookies(spark, sf) -> DataFrame:
+    """SameSite=None lands on every 4th cookie; half of those lack
+    Secure — the broken_none counter must catch exactly them."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    ck = F.concat(
+        F.lit("sid="), e.cast("string"),
+        F.when(e % 2 == 0, "; Secure").otherwise(""),
+        F.when(e % 3 == 0, "; HttpOnly").otherwise(""),
+        F.when(e % 4 == 0, "; SameSite=None")
+        .when(e % 4 == 1, "; SameSite=Lax").otherwise(""))
+    return ev.select(
+        F.concat(F.lit("h"), (e % 5).cast("string")).alias("host"),
+        ck.alias("set_cookie"))
+
+
+_CK_COOKIES_SQL = """
+  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) AS host,
+    'sid=' || CAST(event_id AS VARCHAR)
+    || CASE WHEN event_id % 2 = 0 THEN '; Secure' ELSE '' END
+    || CASE WHEN event_id % 3 = 0 THEN '; HttpOnly' ELSE '' END
+    || CASE WHEN event_id % 4 = 0 THEN '; SameSite=None'
+         WHEN event_id % 4 = 1 THEN '; SameSite=Lax' ELSE '' END
+      AS set_cookie
+  FROM events
+"""
+
+
+def q_cookie_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.cookie_audit: RFC 6265bis attribute shares +
+    broken SameSite=None-without-Secure count — ONE groupBy(host)."""
+    return _warc.cookie_audit(_ck_cookies(spark, sf))
+
+
+def _cookie_audit_sql() -> str:
+    return _warc.cookie_audit_sql(_CK_COOKIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mixed_content — https pages with plaintext src/href refs
+# ---------------------------------------------------------------------------
+
+
+def _mc_pages(spark, sf) -> DataFrame:
+    """Every 3rd page embeds an active http:// script+img, every 5th a
+    passive link; every 4th page is plain http and must be ignored."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    scheme = F.when(e % 4 == 3, "http://").otherwise("https://")
+    url = F.concat(scheme, F.lit("h"), (e % 8).cast("string"),
+                   F.lit(".test/p"), e.cast("string"))
+    body = F.concat(
+        F.lit("<html><head></head><body>"),
+        F.when(e % 3 == 0,
+               '<script src="http://cdn.test/a.js"></script>'
+               '<img src="http://cdn.test/i.png">').otherwise(""),
+        F.when(e % 5 == 0, '<a href="http://plain.test/p">x</a>')
+        .otherwise(""),
+        F.lit('<img src="https://ok.test/s.png"></body></html>'))
+    return ev.select(url.alias("url"), body.alias("body"))
+
+
+_MC_PAGES_SQL = """
+  SELECT (CASE WHEN event_id % 4 = 3 THEN 'http://'
+           ELSE 'https://' END)
+      || 'h' || CAST(event_id % 8 AS VARCHAR) || '.test/p'
+      || CAST(event_id AS VARCHAR) AS url,
+    '<html><head></head><body>'
+    || CASE WHEN event_id % 3 = 0
+         THEN '<script src="http://cdn.test/a.js"></script>'
+           || '<img src="http://cdn.test/i.png">' ELSE '' END
+    || CASE WHEN event_id % 5 = 0
+         THEN '<a href="http://plain.test/p">x</a>' ELSE '' END
+    || '<img src="https://ok.test/s.png"></body></html>' AS body
+  FROM events
+"""
+
+
+def q_mixed_content(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.mixed_content: active/passive plaintext refs on
+    https pages — scan-stage regexps + ONE groupBy(host)."""
+    return _warc.mixed_content(_mc_pages(spark, sf))
+
+
+def _mixed_content_sql() -> str:
+    return _warc.mixed_content_sql(_MC_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cdn_detect — Server/Via fingerprints across 50 hosts
+# ---------------------------------------------------------------------------
+
+
+def _cd_responses(spark, sf) -> DataFrame:
+    """Server cycles 7 fingerprints (incl. a NULL), Via adds varnish on
+    every 6th response — precedence must resolve overlaps."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    server = (F.when(e % 7 == 0, "cloudflare")
+              .when(e % 7 == 1, "CloudFront")
+              .when(e % 7 == 2, "AkamaiGHost")
+              .when(e % 7 == 3, "Apache/2.4")
+              .when(e % 7 == 5, "nginx/1.25")
+              .when(e % 7 == 6, "Fastly"))
+    via = F.when(e % 6 == 0, "1.1 varnish")
+    return ev.select(
+        F.concat(F.lit("h"), (e % 50).cast("string")).alias("host"),
+        server.alias("server"), via.alias("via"))
+
+
+_CD_RESPONSES_SQL = """
+  SELECT 'h' || CAST(event_id % 50 AS VARCHAR) AS host,
+    CASE WHEN event_id % 7 = 0 THEN 'cloudflare'
+      WHEN event_id % 7 = 1 THEN 'CloudFront'
+      WHEN event_id % 7 = 2 THEN 'AkamaiGHost'
+      WHEN event_id % 7 = 3 THEN 'Apache/2.4'
+      WHEN event_id % 7 = 5 THEN 'nginx/1.25'
+      WHEN event_id % 7 = 6 THEN 'Fastly' END AS server,
+    CASE WHEN event_id % 6 = 0 THEN '1.1 varnish' END AS via
+  FROM events
+"""
+
+
+def q_cdn_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.cdn_detect: passive edge classification for
+    capacity-aware politeness — ONE groupBy(cdn)."""
+    return _warc.cdn_detect(_cd_responses(spark, sf))
+
+
+def _cdn_detect_sql() -> str:
+    return _warc.cdn_detect_sql(_CD_RESPONSES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# structured_data — JSON-LD / OG / microdata coverage per host
+# ---------------------------------------------------------------------------
+
+
+def _sd_pages(spark, sf) -> DataFrame:
+    """Channels cycle mod 3/4/5 so each host sees distinct shares and
+    the any_share union differs from every single channel."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    url = F.concat(F.lit("https://h"), (e % 6).cast("string"),
+                   F.lit(".test/p"), e.cast("string"))
+    body = F.concat(
+        F.lit("<html><head>"),
+        F.when(e % 3 == 0,
+               '<script type="application/ld+json">{"@type":"Article"}'
+               '</script>').otherwise(""),
+        F.when(e % 4 == 0,
+               '<meta property="og:title" content="t">').otherwise(""),
+        F.lit("</head><body"),
+        F.when(e % 5 == 0, " itemscope").otherwise(""),
+        F.lit("><p>x</p></body></html>"))
+    return ev.select(url.alias("url"), body.alias("body"))
+
+
+_SD_PAGES_SQL = """
+  SELECT 'https://h' || CAST(event_id % 6 AS VARCHAR) || '.test/p'
+      || CAST(event_id AS VARCHAR) AS url,
+    '<html><head>'
+    || CASE WHEN event_id % 3 = 0
+         THEN '<script type="application/ld+json">{"@type":"Article"}'
+           || '</script>' ELSE '' END
+    || CASE WHEN event_id % 4 = 0
+         THEN '<meta property="og:title" content="t">' ELSE '' END
+    || '</head><body'
+    || CASE WHEN event_id % 5 = 0 THEN ' itemscope' ELSE '' END
+    || '><p>x</p></body></html>' AS body
+  FROM events
+"""
+
+
+def q_structured_data(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.structured_data_coverage: machine-readable
+    annotation shares per host — scan regexps + ONE groupBy(host)."""
+    return _warc.structured_data_coverage(_sd_pages(spark, sf))
+
+
+def _structured_data_sql() -> str:
+    return _warc.structured_data_coverage_sql(_SD_PAGES_SQL)
+
+
+def queries73():
+    return {
+        "sec_headers": q_sec_headers,
+        "cookie_audit": q_cookie_audit,
+        "mixed_content": q_mixed_content,
+        "cdn_detect": q_cdn_detect,
+        "structured_data": q_structured_data,
+    }
+
+
+def oracle_sql73():
+    return {
+        "sec_headers": _sec_headers_sql(),
+        "cookie_audit": _cookie_audit_sql(),
+        "mixed_content": _mixed_content_sql(),
+        "cdn_detect": _cdn_detect_sql(),
+        "structured_data": _structured_data_sql(),
+    }

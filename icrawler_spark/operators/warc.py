@@ -1053,3 +1053,357 @@ SELECT url, n_forms, n_password, n_ext_actions,
   n_password > 0 AND n_ext_actions > 0 AS exfil_form
 FROM scored
 """.replace("{src}", pages_sql)
+
+
+def security_headers_audit(
+    headers: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    name_col: str = "hname",
+    value_col: str = "hvalue",
+) -> DataFrame:
+    """Per-host security-response-header audit over parsed (url, host,
+    name, value) header rows (the long shape :func:`parse_http_records`
+    explodes into): presence of HSTS, CSP, X-Content-Type-Options:
+    nosniff, X-Frame-Options, and Referrer-Policy per response, then
+    per-host adoption shares and a 0-5 mean hardening score. Hosts that
+    score 0 while serving credential forms (`form_security`) are the
+    classic phishing-target shape; hosts ≥4 are the ones whose markup
+    can be trusted not to be trivially injected (MDN web-security
+    guidance; OWASP secure-headers project).
+
+    Returns per host: (host, n_responses, hsts_share, csp_share,
+    nosniff_share, xfo_share, refpol_share, mean_score rounded 6).
+
+    Scale shape: ONE groupBy(url) flag-max + ONE groupBy(host) — both
+    shuffles key on url/host, no window, no join.
+    """
+    n = F.lower(F.col(name_col))
+    v = F.lower(F.col(value_col))
+    base = headers.select(
+        F.col(url_col).alias("url"), F.col(host_col).alias("host"),
+        (n == "strict-transport-security").cast("int").alias("f_hsts"),
+        (n == "content-security-policy").cast("int").alias("f_csp"),
+        ((n == "x-content-type-options")
+         & v.contains("nosniff")).cast("int").alias("f_nosniff"),
+        (n == "x-frame-options").cast("int").alias("f_xfo"),
+        (n == "referrer-policy").cast("int").alias("f_refpol"))
+    per_url = base.groupBy("url", "host").agg(
+        F.max("f_hsts").alias("hsts"), F.max("f_csp").alias("csp"),
+        F.max("f_nosniff").alias("nosniff"), F.max("f_xfo").alias("xfo"),
+        F.max("f_refpol").alias("refpol"))
+    score = (F.col("hsts") + F.col("csp") + F.col("nosniff")
+             + F.col("xfo") + F.col("refpol"))
+    return (per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.round(F.avg("hsts"), 6).alias("hsts_share"),
+        F.round(F.avg("csp"), 6).alias("csp_share"),
+        F.round(F.avg("nosniff"), 6).alias("nosniff_share"),
+        F.round(F.avg("xfo"), 6).alias("xfo_share"),
+        F.round(F.avg("refpol"), 6).alias("refpol_share"),
+        F.round(F.avg(score), 6).alias("mean_score"))
+        .orderBy("host"))
+
+
+def security_headers_audit_sql(headers_sql: str) -> str:
+    """DuckDB mirror of :func:`security_headers_audit` over a (url,
+    host, hname, hvalue) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT url, host,
+    CASE WHEN lower(hname) = 'strict-transport-security'
+      THEN 1 ELSE 0 END AS f_hsts,
+    CASE WHEN lower(hname) = 'content-security-policy'
+      THEN 1 ELSE 0 END AS f_csp,
+    CASE WHEN lower(hname) = 'x-content-type-options'
+      AND contains(lower(hvalue), 'nosniff') THEN 1 ELSE 0 END
+      AS f_nosniff,
+    CASE WHEN lower(hname) = 'x-frame-options' THEN 1 ELSE 0 END
+      AS f_xfo,
+    CASE WHEN lower(hname) = 'referrer-policy' THEN 1 ELSE 0 END
+      AS f_refpol
+  FROM ({headers_sql})
+),
+per_url AS (
+  SELECT url, host, max(f_hsts) AS hsts, max(f_csp) AS csp,
+    max(f_nosniff) AS nosniff, max(f_xfo) AS xfo,
+    max(f_refpol) AS refpol
+  FROM base GROUP BY 1, 2
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_responses,
+  round(avg(hsts), 6) AS hsts_share,
+  round(avg(csp), 6) AS csp_share,
+  round(avg(nosniff), 6) AS nosniff_share,
+  round(avg(xfo), 6) AS xfo_share,
+  round(avg(refpol), 6) AS refpol_share,
+  round(avg(hsts + csp + nosniff + xfo + refpol), 6) AS mean_score
+FROM per_url GROUP BY 1 ORDER BY host
+"""
+
+
+def cookie_audit(
+    cookies: DataFrame,
+    host_col: str = "host",
+    cookie_col: str = "set_cookie",
+) -> DataFrame:
+    """Per-host Set-Cookie attribute audit (RFC 6265bis): shares of
+    cookies carrying Secure, HttpOnly, and an explicit SameSite, plus
+    the count of the broken `SameSite=None` *without* Secure combo that
+    modern browsers reject outright. For a crawler this doubles as a
+    politeness signal — hosts that set many cookies per response are
+    the ones where per-host session affinity (reference
+    utils/session.py keeps one `requests.Session` per thread) actually
+    changes what gets served.
+
+    Returns per host: (host, n_cookies, secure_share, httponly_share,
+    samesite_share, broken_none rounded 6/long).
+
+    Scale shape: ONE groupBy(host) over scan-stage regexps.
+    """
+    c = F.col(cookie_col)
+    secure = c.rlike(r"(?i);\s*secure\s*(;|$)")
+    httponly = c.rlike(r"(?i);\s*httponly\s*(;|$)")
+    ss = F.lower(F.regexp_extract(
+        c, r"(?i);\s*samesite\s*=\s*([a-z]+)", 1))
+    base = cookies.select(
+        F.col(host_col).alias("host"),
+        secure.cast("int").alias("sec"),
+        httponly.cast("int").alias("ho"),
+        (ss != "").cast("int").alias("has_ss"),
+        ((ss == "none") & ~secure).cast("int").alias("broken"))
+    return (base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_cookies"),
+        F.round(F.avg("sec"), 6).alias("secure_share"),
+        F.round(F.avg("ho"), 6).alias("httponly_share"),
+        F.round(F.avg("has_ss"), 6).alias("samesite_share"),
+        F.sum("broken").cast("long").alias("broken_none"))
+        .orderBy("host"))
+
+
+def cookie_audit_sql(cookies_sql: str) -> str:
+    """DuckDB mirror of :func:`cookie_audit` over a (host, set_cookie)
+    SELECT."""
+    return r"""
+WITH base AS (
+  SELECT host,
+    CASE WHEN regexp_matches(set_cookie, '(?i);\s*secure\s*(;|$)')
+      THEN 1 ELSE 0 END AS sec,
+    CASE WHEN regexp_matches(set_cookie, '(?i);\s*httponly\s*(;|$)')
+      THEN 1 ELSE 0 END AS ho,
+    CASE WHEN lower(regexp_extract(set_cookie,
+        '(?i);\s*samesite\s*=\s*([a-z]+)', 1)) <> '' THEN 1 ELSE 0 END
+      AS has_ss,
+    CASE WHEN lower(regexp_extract(set_cookie,
+        '(?i);\s*samesite\s*=\s*([a-z]+)', 1)) = 'none'
+      AND NOT regexp_matches(set_cookie, '(?i);\s*secure\s*(;|$)')
+      THEN 1 ELSE 0 END AS broken
+  FROM ({src})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_cookies,
+  round(avg(sec), 6) AS secure_share,
+  round(avg(ho), 6) AS httponly_share,
+  round(avg(has_ss), 6) AS samesite_share,
+  CAST(sum(broken) AS BIGINT) AS broken_none
+FROM base GROUP BY 1 ORDER BY host
+""".replace("{src}", cookies_sql)
+
+
+def mixed_content(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Mixed-content audit of https:// pages: plaintext http://
+    subresources referenced from a secure page, split active
+    (``src=`` — scripts/iframes/images, blocked or upgraded by
+    browsers) vs passive (``href=`` — links, merely warned). Beyond
+    hygiene, this matters to a corpus builder: active-mixed pages
+    render broken in modern browsers, so their *live* text diverges
+    from the crawled HTML — a freshness/cloaking confounder.
+
+    Returns per host: (host, n_pages, mixed_pages, active_refs,
+    passive_refs, mixed_share rounded 6).
+
+    Scale shape: scan-stage regexp_extract_all + ONE groupBy(host).
+    """
+    body = F.col(body_col)
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    active = F.size(F.regexp_extract_all(
+        body, F.lit(r'(?i)\bsrc="http://[^"]*"'), F.lit(0))).cast("long")
+    passive = F.size(F.regexp_extract_all(
+        body, F.lit(r'(?i)\bhref="http://[^"]*"'), F.lit(0))).cast("long")
+    base = (pages.filter(F.col(url_col).startswith("https://"))
+            .select(host.alias("host"), active.alias("a"),
+                    passive.alias("p")))
+    return (base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(((F.col("a") + F.col("p")) > 0).cast("int")).cast("long")
+        .alias("mixed_pages"),
+        F.sum("a").cast("long").alias("active_refs"),
+        F.sum("p").cast("long").alias("passive_refs"),
+        F.round(F.avg(((F.col("a") + F.col("p")) > 0).cast("double")), 6)
+        .alias("mixed_share"))
+        .orderBy("host"))
+
+
+def mixed_content_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`mixed_content` over a (url, body)
+    SELECT."""
+    return r"""
+WITH base AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+      AS host,
+    CAST(len(regexp_extract_all(body, '(?i)\bsrc="http://[^"]*"'))
+      AS BIGINT) AS a,
+    CAST(len(regexp_extract_all(body, '(?i)\bhref="http://[^"]*"'))
+      AS BIGINT) AS p
+  FROM ({src}) WHERE starts_with(url, 'https://')
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(CASE WHEN a + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS mixed_pages,
+  CAST(sum(a) AS BIGINT) AS active_refs,
+  CAST(sum(p) AS BIGINT) AS passive_refs,
+  round(avg(CASE WHEN a + p > 0 THEN 1.0 ELSE 0.0 END), 6)
+    AS mixed_share
+FROM base GROUP BY 1 ORDER BY host
+""".replace("{src}", pages_sql)
+
+
+def cdn_detect(
+    responses: DataFrame,
+    host_col: str = "host",
+    server_col: str = "server",
+    via_col: str = "via",
+) -> DataFrame:
+    """CDN/edge classification from response fingerprints (Server/Via
+    header rules — the standard passive method, cf. WebPageTest's
+    public cdn rules): cloudflare, cloudfront, akamai, fastly, varnish
+    cache, else origin. The crawl-capacity input that matters at
+    10^10 frontier: CDN-fronted hosts tolerate far higher per-host
+    request rates than single-origin ones, so the politeness budget
+    can key on this class.
+
+    Returns per class: (cdn, n_responses, n_hosts, share rounded 6),
+    ordered by class.
+
+    Scale shape: case-when projection + ONE groupBy(cdn) + a broadcast
+    one-row total.
+    """
+    s = F.lower(F.coalesce(F.col(server_col), F.lit("")))
+    v = F.lower(F.coalesce(F.col(via_col), F.lit("")))
+    cdn = (F.when(s.contains("cloudflare"), "cloudflare")
+           .when(s.contains("cloudfront") | v.contains("cloudfront"),
+                 "cloudfront")
+           .when(s.contains("akamai"), "akamai")
+           .when(v.contains("fastly") | s.contains("fastly"), "fastly")
+           .when(v.contains("varnish"), "varnish")
+           .otherwise("origin"))
+    base = responses.select(F.col(host_col).alias("host"),
+                            cdn.alias("cdn"))
+    per = base.groupBy("cdn").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.countDistinct("host").cast("long").alias("n_hosts"))
+    tot = per.agg(F.sum("n_responses").cast("long").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("cdn", "n_responses", "n_hosts",
+                    F.round(F.col("n_responses")
+                            / F.col("t").cast("double"), 6).alias("share"))
+            .orderBy("cdn"))
+
+
+def cdn_detect_sql(responses_sql: str) -> str:
+    """DuckDB mirror of :func:`cdn_detect` over a (host, server, via)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT host,
+    CASE
+      WHEN contains(lower(coalesce(server, '')), 'cloudflare')
+        THEN 'cloudflare'
+      WHEN contains(lower(coalesce(server, '')), 'cloudfront')
+        OR contains(lower(coalesce(via, '')), 'cloudfront')
+        THEN 'cloudfront'
+      WHEN contains(lower(coalesce(server, '')), 'akamai')
+        THEN 'akamai'
+      WHEN contains(lower(coalesce(via, '')), 'fastly')
+        OR contains(lower(coalesce(server, '')), 'fastly')
+        THEN 'fastly'
+      WHEN contains(lower(coalesce(via, '')), 'varnish')
+        THEN 'varnish'
+      ELSE 'origin' END AS cdn
+  FROM ({responses_sql})
+),
+per AS (
+  SELECT cdn, CAST(count(*) AS BIGINT) AS n_responses,
+    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_responses) AS BIGINT) AS t FROM per)
+SELECT cdn, n_responses, n_hosts,
+  round(n_responses / CAST(t AS DOUBLE), 6) AS share
+FROM per, tot ORDER BY cdn
+"""
+
+
+def structured_data_coverage(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Structured-data coverage per host: shares of pages carrying
+    JSON-LD (``<script type="application/ld+json">``), OpenGraph
+    (``property="og:…"`` metas), and microdata (``itemscope``) — the
+    three machine-readable annotation channels (schema.org / Open Graph
+    protocol). For corpus building these pages carry aligned
+    (text, metadata) pairs — the cheap supervised signal — so the
+    coverage table prices where extraction effort pays.
+
+    Returns per host: (host, n_pages, jsonld_share, og_share,
+    microdata_share, any_share rounded 6).
+
+    Scale shape: scan-stage regexps + ONE groupBy(host).
+    """
+    body = F.col(body_col)
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    jsonld = body.rlike(
+        r'(?i)<script[^>]*type="application/ld\+json"').cast("int")
+    og = body.rlike(r'(?i)<meta[^>]*property="og:').cast("int")
+    micro = body.rlike(r"(?i)\bitemscope\b").cast("int")
+    base = pages.select(host.alias("host"), jsonld.alias("j"),
+                        og.alias("o"), micro.alias("m"))
+    any_ = F.greatest(F.col("j"), F.col("o"), F.col("m"))
+    return (base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("j"), 6).alias("jsonld_share"),
+        F.round(F.avg("o"), 6).alias("og_share"),
+        F.round(F.avg("m"), 6).alias("microdata_share"),
+        F.round(F.avg(any_), 6).alias("any_share"))
+        .orderBy("host"))
+
+
+def structured_data_coverage_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`structured_data_coverage` over a (url,
+    body) SELECT."""
+    return r"""
+WITH base AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+      AS host,
+    CASE WHEN regexp_matches(body,
+      '(?i)<script[^>]*type="application/ld\+json"')
+      THEN 1 ELSE 0 END AS j,
+    CASE WHEN regexp_matches(body, '(?i)<meta[^>]*property="og:')
+      THEN 1 ELSE 0 END AS o,
+    CASE WHEN regexp_matches(body, '(?i)\bitemscope\b')
+      THEN 1 ELSE 0 END AS m
+  FROM ({src})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+  round(avg(j), 6) AS jsonld_share,
+  round(avg(o), 6) AS og_share,
+  round(avg(m), 6) AS microdata_share,
+  round(avg(greatest(j, o, m)), 6) AS any_share
+FROM base GROUP BY 1 ORDER BY host
+""".replace("{src}", pages_sql)

@@ -1,0 +1,132 @@
+"""Unit tests for the round-73 pack: security headers, cookie audit,
+mixed content, CDN detection, structured-data coverage."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.warc import (cdn_detect, cookie_audit,
+                                           mixed_content,
+                                           security_headers_audit,
+                                           structured_data_coverage)
+
+
+# ---------------------------------------------------------------------------
+# security_headers_audit
+# ---------------------------------------------------------------------------
+
+def test_sec_headers_scores_and_shares(spark):
+    rows = [
+        ("https://a.test/1", "a", "Strict-Transport-Security", "max-age=1"),
+        ("https://a.test/1", "a", "Content-Security-Policy", "default-src"),
+        ("https://a.test/1", "a", "X-Content-Type-Options", "nosniff"),
+        ("https://a.test/2", "a", "X-Frame-Options", "DENY"),
+        ("https://b.test/1", "b", "Server", "nginx"),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, hname string, hvalue string")
+    out = {r["host"]: r for r in security_headers_audit(df).collect()}
+    assert out["a"]["n_responses"] == 2
+    assert abs(out["a"]["mean_score"] - 2.0) < 1e-9  # (3 + 1)/2
+    assert out["a"]["hsts_share"] == 0.5 and out["a"]["xfo_share"] == 0.5
+    assert out["b"]["mean_score"] == 0.0
+
+
+def test_sec_headers_nosniff_requires_value(spark):
+    rows = [("https://a.test/1", "a", "X-Content-Type-Options", "whatever")]
+    df = spark.createDataFrame(rows, "url string, host string, hname string, hvalue string")
+    r = security_headers_audit(df).collect()[0]
+    assert r["nosniff_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# cookie_audit
+# ---------------------------------------------------------------------------
+
+def test_cookie_audit_flags(spark):
+    rows = [
+        ("a", "sid=1; Secure; HttpOnly; SameSite=Lax"),
+        ("a", "sid=2; SameSite=None"),          # broken: None w/o Secure
+        ("a", "sid=3; Secure; SameSite=None"),  # fine
+        ("a", "sid=4"),
+    ]
+    df = spark.createDataFrame(rows, "host string, set_cookie string")
+    r = cookie_audit(df).collect()[0]
+    assert r["n_cookies"] == 4
+    assert abs(r["secure_share"] - 0.5) < 1e-9
+    assert abs(r["httponly_share"] - 0.25) < 1e-9
+    assert abs(r["samesite_share"] - 0.75) < 1e-9
+    assert r["broken_none"] == 1
+
+
+def test_cookie_audit_case_insensitive(spark):
+    rows = [("a", "sid=1; SECURE; HTTPONLY; samesite=STRICT")]
+    df = spark.createDataFrame(rows, "host string, set_cookie string")
+    r = cookie_audit(df).collect()[0]
+    assert r["secure_share"] == 1.0 and r["httponly_share"] == 1.0
+    assert r["samesite_share"] == 1.0 and r["broken_none"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mixed_content
+# ---------------------------------------------------------------------------
+
+def test_mixed_content_counts_and_ignores_http_pages(spark):
+    rows = [
+        ("https://a.test/1",
+         '<img src="http://x.test/i.png"><a href="http://y.test/p">l</a>'),
+        ("https://a.test/2", '<img src="https://x.test/i.png">'),
+        ("http://a.test/3", '<img src="http://x.test/i.png">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    r = mixed_content(df).collect()[0]
+    assert r["n_pages"] == 2  # http:// page excluded
+    assert r["mixed_pages"] == 1
+    assert r["active_refs"] == 1 and r["passive_refs"] == 1
+    assert abs(r["mixed_share"] - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# cdn_detect
+# ---------------------------------------------------------------------------
+
+def test_cdn_detect_classes_and_precedence(spark):
+    rows = [
+        ("a", "cloudflare", None),
+        ("b", "CloudFront", "1.1 varnish"),  # cloudfront wins over varnish
+        ("c", "Apache", "1.1 varnish"),
+        ("d", "nginx", None),
+        ("e", None, None),
+    ]
+    df = spark.createDataFrame(rows, "host string, server string, via string")
+    out = {r["cdn"]: r for r in cdn_detect(df).collect()}
+    assert out["cloudflare"]["n_responses"] == 1
+    assert out["cloudfront"]["n_responses"] == 1
+    assert out["varnish"]["n_responses"] == 1
+    assert out["origin"]["n_responses"] == 2
+    assert abs(out["origin"]["share"] - 0.4) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# structured_data_coverage
+# ---------------------------------------------------------------------------
+
+def test_structured_data_shares(spark):
+    rows = [
+        ("https://a.test/1",
+         '<script type="application/ld+json">{}</script>'),
+        ("https://a.test/2", '<meta property="og:title" content="t">'),
+        ("https://a.test/3", "<body itemscope><p>x</p></body>"),
+        ("https://a.test/4", "<p>plain</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    r = structured_data_coverage(df).collect()[0]
+    assert r["n_pages"] == 4
+    assert abs(r["jsonld_share"] - 0.25) < 1e-9
+    assert abs(r["og_share"] - 0.25) < 1e-9
+    assert abs(r["microdata_share"] - 0.25) < 1e-9
+    assert abs(r["any_share"] - 0.75) < 1e-9
+
+
+def test_structured_data_itemscope_word_boundary(spark):
+    rows = [("https://a.test/1", "<p>itemscoped text mentioning</p>")]
+    df = spark.createDataFrame(rows, "url string, body string")
+    r = structured_data_coverage(df).collect()[0]
+    assert r["microdata_share"] == 0.0  # 'itemscoped' must not match
