@@ -346,6 +346,8 @@ _EXTRA_PICKS = [
     # round-3 batch-67 (security headers + cookies + mixed content + cdn + sd)
     "sec_headers", "cookie_audit", "mixed_content", "cdn_detect",
     "structured_data",
+    # round-3 batch-68 (link prediction + dyads + hrw + cuckoo + typosquat)
+    "adamic_adar", "dyad_census", "hrw", "cuckoo", "typosquat",
 ]
 
 

@@ -54,7 +54,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round66, entry_round67,
                             entry_round68, entry_round69,
                             entry_round70, entry_round71,
-                            entry_round72, entry_round73)
+                            entry_round72, entry_round73,
+                            entry_round74)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -894,6 +895,7 @@ def queries():
         **entry_round71.queries71(),
         **entry_round72.queries72(),
         **entry_round73.queries73(),
+        **entry_round74.queries74(),
     }
 
 
@@ -999,4 +1001,5 @@ def oracle_sql():
         **entry_round71.oracle_sql71(),
         **entry_round72.oracle_sql72(),
         **entry_round73.oracle_sql73(),
+        **entry_round74.oracle_sql74(),
     }

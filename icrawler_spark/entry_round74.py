@@ -1,0 +1,211 @@
+"""Round-3 driver-contract queries (batch 68): Adamic-Adar link
+prediction, Holland-Leinhardt dyad census, rendezvous-hash shard audit,
+cuckoo-filter sizing, typosquat screening.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import blocklist as _blocklist
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# adamic_adar — host link graph with hub + rare shared neighbors
+# ---------------------------------------------------------------------------
+
+_AA_MIN_COMMON = 2
+
+
+def _aa_edges(spark, sf) -> DataFrame:
+    """Coprime periods (37, 41) give ~1500 distinct arcs over 78 hosts
+    — dense shared-neighbor structure with a spread of degrees, so AA
+    must rank rare-shared pairs above hub-shared ones."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("a"), (e % 37).cast("string")).alias("src"),
+        F.concat(F.lit("b"), ((e * e) % 41).cast("string")).alias("dst"))
+
+
+_AA_EDGES_SQL = """
+  SELECT 'a' || CAST(event_id % 37 AS VARCHAR) AS src,
+    'b' || CAST((event_id * event_id) % 41 AS VARCHAR) AS dst
+  FROM events WHERE event_id < 3000
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.adamic_adar: inverse-log-degree shared-neighbor
+    mass — SpGEMM join keyed on the shared neighbor."""
+    return _graph.adamic_adar(_aa_edges(spark, sf),
+                              min_common=_AA_MIN_COMMON)
+
+
+def _adamic_adar_sql() -> str:
+    return _graph.adamic_adar_sql(_AA_EDGES_SQL,
+                                  min_common=_AA_MIN_COMMON)
+
+
+# ---------------------------------------------------------------------------
+# dyad_census — directed host graph with planted mutual arcs
+# ---------------------------------------------------------------------------
+
+
+def _dc_edges(spark, sf) -> DataFrame:
+    """Stride graph on 31 hosts plus planted reverse arcs on every 5th
+    event — mutual count well above the density null."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 4000)
+    e = F.col("event_id")
+    src = F.when(e % 5 == 0, (e * 3) % 31).otherwise(e % 31)
+    dst = F.when(e % 5 == 0, e % 31).otherwise((e * 3) % 31)
+    return ev.select(
+        F.concat(F.lit("h"), src.cast("string")).alias("src"),
+        F.concat(F.lit("h"), dst.cast("string")).alias("dst"))
+
+
+_DC_EDGES_SQL = """
+  SELECT 'h' || CAST(CASE WHEN event_id % 5 = 0
+      THEN (event_id * 3) % 31 ELSE event_id % 31 END AS VARCHAR)
+      AS src,
+    'h' || CAST(CASE WHEN event_id % 5 = 0
+      THEN event_id % 31 ELSE (event_id * 3) % 31 END AS VARCHAR)
+      AS dst
+  FROM events WHERE event_id < 4000
+"""
+
+
+def q_dyad_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.dyad_census: M/A/N dyad counts + reciprocity vs
+    the density null — one reversed self-join, no enumeration of
+    nulls."""
+    return _graph.dyad_census(_dc_edges(spark, sf))
+
+
+def _dyad_census_sql() -> str:
+    return _graph.dyad_census_sql(_DC_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hrw — rendezvous hashing over 8 shards with one removed
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+_HRW_REMOVED = "s3"
+
+
+def _hrw_urls(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("https://h"), (e % 97).cast("string"),
+                 F.lit(".test/p"), e.cast("string")).alias("url"))
+
+
+_HRW_URLS_SQL = """
+  SELECT 'https://h' || CAST(event_id % 97 AS VARCHAR) || '.test/p'
+      || CAST(event_id AS VARCHAR) AS url
+  FROM events
+"""
+
+
+def q_hrw(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.hrw_assign: highest-random-weight shard
+    placement + minimal-disruption audit after removing s3."""
+    return _politeness.hrw_assign(_hrw_urls(spark, sf),
+                                  shards=_HRW_SHARDS,
+                                  removed=_HRW_REMOVED)
+
+
+def _hrw_sql() -> str:
+    return _politeness.hrw_assign_sql(_HRW_URLS_SQL,
+                                      shards=_HRW_SHARDS,
+                                      removed=_HRW_REMOVED)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo — literal sizing grid (no input table)
+# ---------------------------------------------------------------------------
+
+_CK_FPPS = (0.03, 0.01, 0.001, 0.0001)
+
+
+def q_cuckoo(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.cuckoo_design: cuckoo-vs-Bloom bits/item table
+    for the deletable seen-set shards — pure literal algebra."""
+    return _dedup.cuckoo_design(spark, fpps=_CK_FPPS)
+
+
+def _cuckoo_sql() -> str:
+    return _dedup.cuckoo_design_sql(fpps=_CK_FPPS)
+
+
+# ---------------------------------------------------------------------------
+# typosquat — crawled hosts vs a 4-brand protect list
+# ---------------------------------------------------------------------------
+
+_TS_BRANDS = ("example", "github", "wikipedia", "mozilla")
+
+
+def _ts_hosts(spark, sf) -> DataFrame:
+    """Every 9th host is a planted 1-edit squat; every 13th is the real
+    brand (must NOT flag); the rest are unrelated strides."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    host = (F.when(e % 13 == 0, "example.com")
+            .when(e % 9 == 0, "examp1e.com")
+            .when(e % 9 == 1, "githib.net")
+            .when(e % 9 == 2, "wikipedla.org")
+            .otherwise(F.concat(F.lit("host"), (e % 211).cast("string"),
+                                F.lit(".test"))))
+    return ev.select(host.alias("host")).distinct()
+
+
+_TS_HOSTS_SQL = """
+  SELECT DISTINCT CASE WHEN event_id % 13 = 0 THEN 'example.com'
+    WHEN event_id % 9 = 0 THEN 'examp1e.com'
+    WHEN event_id % 9 = 1 THEN 'githib.net'
+    WHEN event_id % 9 = 2 THEN 'wikipedla.org'
+    ELSE 'host' || CAST(event_id % 211 AS VARCHAR) || '.test' END
+      AS host
+  FROM events WHERE event_id < 3000
+"""
+
+
+def q_typosquat(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.typosquat_candidates: 1-edit brand squats
+    via length-pruned broadcast levenshtein."""
+    return _blocklist.typosquat_candidates(_ts_hosts(spark, sf),
+                                           brands=_TS_BRANDS)
+
+
+def _typosquat_sql() -> str:
+    return _blocklist.typosquat_candidates_sql(_TS_HOSTS_SQL,
+                                               brands=_TS_BRANDS)
+
+
+def queries74():
+    return {
+        "adamic_adar": q_adamic_adar,
+        "dyad_census": q_dyad_census,
+        "hrw": q_hrw,
+        "cuckoo": q_cuckoo,
+        "typosquat": q_typosquat,
+    }
+
+
+def oracle_sql74():
+    return {
+        "adamic_adar": _adamic_adar_sql(),
+        "dyad_census": _dyad_census_sql(),
+        "hrw": _hrw_sql(),
+        "cuckoo": _cuckoo_sql(),
+        "typosquat": _typosquat_sql(),
+    }

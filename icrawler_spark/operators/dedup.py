@@ -593,3 +593,60 @@ SELECT left_id, right_id, round(score, 6) AS score,
        ELSE 'non_link' END AS decision
 FROM j
 """
+
+
+def cuckoo_design(
+    spark,
+    fpps=(0.03, 0.01, 0.001, 0.0001),
+    bucket_slots: int = 4,
+    load: float = 0.955,
+) -> "DataFrame":
+    """Cuckoo-filter sizing table vs the Bloom alternative for the URL
+    seen-set shards (Fan et al., CoNEXT 2014, public algebra): a
+    (2,4)-cuckoo filter needs fingerprint bits f = ceil(log2(2b/ε)) and
+    stores them at load factor α ≈ 0.955, so bits/item = f/α; a Bloom
+    filter needs log2(1/ε)/ln2 ≈ 1.44·log2(1/ε) bits/item. Below
+    ε ≈ 3% cuckoo wins on space AND supports deletes — which is exactly
+    what a recrawl-capable seen-set (urls age out) needs; the table
+    makes the crossover explicit instead of folklore.
+
+    Pure arithmetic over a literal ε grid; log/ceil run in-engine on
+    identical doubles. Returns (fpp, fp_bits, bits_per_item_cuckoo,
+    bits_per_item_bloom, cuckoo_wins) rounded 4.
+
+    Scale shape: driver-size literal table; joins nothing.
+    """
+    rows = [(float(e),) for e in fpps]
+    df = spark.createDataFrame(rows, "fpp double")
+    lg = F.log2(2.0 * int(bucket_slots) / F.col("fpp"))
+    f_bits = F.ceil(lg).cast("long")
+    bpi_c = f_bits.cast("double") / float(load)
+    bpi_b = F.log2(1.0 / F.col("fpp")) / 0.6931471805599453
+    return df.select(
+        "fpp", f_bits.alias("fp_bits"),
+        F.round(bpi_c, 4).alias("bits_per_item_cuckoo"),
+        F.round(bpi_b, 4).alias("bits_per_item_bloom"),
+        (bpi_c < bpi_b).alias("cuckoo_wins")).orderBy(
+        F.col("fpp").desc())
+
+
+def cuckoo_design_sql(fpps=(0.03, 0.01, 0.001, 0.0001),
+                      bucket_slots: int = 4,
+                      load: float = 0.955) -> str:
+    """DuckDB mirror of :func:`cuckoo_design` over the same literal
+    grid."""
+    vals = ", ".join(f"(CAST({float(e)!r} AS DOUBLE))" for e in fpps)
+    return f"""
+WITH g AS (SELECT fpp FROM (VALUES {vals}) AS t(fpp))
+SELECT fpp,
+  CAST(ceil(log2(2.0 * {int(bucket_slots)} / fpp)) AS BIGINT)
+    AS fp_bits,
+  round(CAST(ceil(log2(2.0 * {int(bucket_slots)} / fpp)) AS BIGINT)
+        / {float(load)!r}, 4) AS bits_per_item_cuckoo,
+  round(log2(1.0 / fpp) / 0.6931471805599453, 4)
+    AS bits_per_item_bloom,
+  CAST(ceil(log2(2.0 * {int(bucket_slots)} / fpp)) AS BIGINT)
+      / {float(load)!r}
+    < log2(1.0 / fpp) / 0.6931471805599453 AS cuckoo_wins
+FROM g ORDER BY fpp DESC
+"""

@@ -2034,3 +2034,156 @@ SELECT * FROM (
 {body}
 ) ORDER BY k
 """
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_deg: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected host graph
+    (Adamic & Adar 2003): score(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) —
+    shared rare neighbors say far more than shared hubs, the standard
+    "which hosts will link next / which seeds belong together" signal
+    for frontier seed expansion. Weighted big sibling of
+    :func:`cocitation_pairs` (count → inverse-log-degree mass).
+
+    Scale shape: undirect + distinct once, degree groupBy broadcast
+    back, then the SpGEMM pair join keyed on the shared neighbor z with
+    the same ``max_deg`` hub pruning as cocitation (a hub z both
+    contributes ~0 mass AND deg² pairs — pruning it is correct and
+    cheap). Returns (host_a, host_b, n_common, aa_score rounded 6)
+    with host_a < host_b; only shared neighbors of degree ≥ 2 score
+    (ln 1 = 0 would divide by zero; a degree-1 node cannot be a shared
+    neighbor anyway).
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    if max_deg is not None:
+        deg = deg.filter(F.col("deg") <= int(max_deg))
+    # z's neighbor list with z's own degree attached
+    nz = (und.select(F.col("a").alias("z"), F.col("b").alias("nb"))
+          .join(deg.select(F.col("a").alias("z"), "deg"), "z"))
+    lhs = nz.select("z", F.col("nb").alias("host_a"), "deg")
+    rhs = nz.select("z", F.col("nb").alias("host_b"))
+    return (lhs.join(rhs, "z")
+            .filter(F.col("host_a") < F.col("host_b"))
+            .groupBy("host_a", "host_b")
+            .agg(F.count("*").cast("long").alias("n_common"),
+                 F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))),
+                         6).alias("aa_score"))
+            .filter(F.col("n_common") >= int(min_common))
+            .orderBy("host_a", "host_b"))
+
+
+def adamic_adar_sql(edges_sql: str, min_common: int = 1,
+                    max_deg: int | None = None) -> str:
+    """DuckDB mirror of :func:`adamic_adar` over a (src, dst) SELECT."""
+    prune = f"WHERE deg <= {int(max_deg)}" if max_deg is not None else ""
+    return f"""
+WITH fwd AS (SELECT src AS a, dst AS b FROM ({edges_sql})),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b FROM fwd
+  ) WHERE a <> b
+),
+deg AS (
+  SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1
+),
+dz AS (SELECT z, deg FROM deg {prune}),
+nz AS (
+  SELECT und.a AS z, und.b AS nb, dz.deg
+  FROM und JOIN dz ON und.a = dz.z
+)
+SELECT l.nb AS host_a, r.nb AS host_b,
+  CAST(count(*) AS BIGINT) AS n_common,
+  round(sum(1.0 / ln(CAST(l.deg AS DOUBLE))), 6) AS aa_score
+FROM nz l JOIN nz r ON l.z = r.z AND l.nb < r.nb
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_common)}
+ORDER BY host_a, host_b
+"""
+
+
+def dyad_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Holland-Leinhardt dyad census of the directed host graph: counts
+    of Mutual (both arcs), Asymmetric (one arc), and Null (neither)
+    dyads, plus arc reciprocity r = 2M/(2M+A) and the expected mutual
+    count under the constant-density null E[M] = C(n,2)·p² with
+    p = L/(n(n−1)). M ≫ E[M] is the link-farm
+    tell at graph level (the per-host view is :func:`reciprocity`);
+    M ≈ E[M] says mutual links are chance, not collusion.
+
+    Returns one row: (n_nodes, n_arcs, mutual, asym, null_dyads,
+    arc_reciprocity, expected_mutual rounded 4/6).
+
+    Scale shape: distinct arcs once, ONE reversed self-join, two tiny
+    aggs — no cross product; null dyads come from arithmetic, never
+    enumeration.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("v"))
+             .unionByName(e.select(F.col("dst").alias("v")))
+             .agg(F.countDistinct("v").cast("long").alias("n_nodes")))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("__r"))
+    marked = e.join(rev, ["src", "dst"], "left")
+    arcs = marked.agg(
+        F.count("*").cast("long").alias("n_arcs"),
+        (F.sum(F.coalesce(F.col("__r"), F.lit(0))) / 2).cast("long")
+        .alias("mutual"))
+    j = arcs.crossJoin(F.broadcast(nodes))
+    n = F.col("n_nodes").cast("double")
+    dyads = n * (n - 1.0) / 2.0
+    m = F.col("mutual").cast("double")
+    a = F.col("n_arcs") - 2 * F.col("mutual")
+    p = F.col("n_arcs") / (n * (n - 1.0))
+    return j.select(
+        "n_nodes", "n_arcs", "mutual",
+        a.cast("long").alias("asym"),
+        (dyads - m - a).cast("long").alias("null_dyads"),
+        F.round(2.0 * m / (2.0 * m + a.cast("double")), 6)
+        .alias("arc_reciprocity"),
+        F.round(dyads * p * p, 4).alias("expected_mutual"))
+
+
+def dyad_census_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`dyad_census` over a (src, dst) SELECT."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+),
+nodes AS (
+  SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+  )
+),
+arcs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+    CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) / 2
+         AS BIGINT) AS mutual
+  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+)
+SELECT n_nodes, n_arcs, mutual,
+  CAST(n_arcs - 2 * mutual AS BIGINT) AS asym,
+  CAST(CAST(n_nodes AS DOUBLE) * (n_nodes - 1.0) / 2.0 - mutual
+       - (n_arcs - 2 * mutual) AS BIGINT) AS null_dyads,
+  round(2.0 * mutual / (2.0 * mutual + (n_arcs - 2.0 * mutual)), 6)
+    AS arc_reciprocity,
+  round(CAST(n_nodes AS DOUBLE) * (n_nodes - 1.0) / 2.0
+        * pow(n_arcs / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1.0)), 2),
+        4) AS expected_mutual
+FROM arcs, nodes
+"""

@@ -2646,3 +2646,107 @@ SELECT host, n,
   round(es2 / (2.0 * es * es), 6) AS variance_penalty
 FROM g ORDER BY host
 """
+
+
+def hrw_assign(
+    urls: DataFrame,
+    shards,
+    removed: str | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing audit for frontier /
+    seen-set shard placement (Thaler & Ravishankar '96): each url goes
+    to argmax_s md5(url # s) — when a shard dies, ONLY its keys move
+    (minimal disruption), unlike mod-N hashing where nearly everything
+    reshuffles (the comparison table mod-N side is `reshard_moves`).
+    Reports the load balance of the full ring AND the post-removal
+    assignment in one pass so the disruption claim is checkable:
+    surviving shards keep every key they had (gained ≥ 0, never lost).
+
+    Returns per shard: (shard, n_urls, share, n_after_remove, gained) —
+    n_after_remove NULL on the removed shard; rounded 6.
+
+    Scale shape: a literal |S|-way explode (S is dozens, not data), one
+    url-partitioned max pick per assignment, ONE groupBy(shard); no
+    global window, no join against data-sized tables.
+    """
+    names = [str(s) for s in shards]
+    sh = F.explode(F.array(*[F.lit(s) for s in names])).alias("shard")
+    pairs = urls.select(F.col(url_col).alias("url"), sh)
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.col("url"), F.lit("#"), F.col("shard"))),
+        1, 8), 16, 10).cast("long"))
+    key = F.concat(F.lpad(h.cast("string"), 10, "0"), F.col("shard"))
+    scored = pairs.select("url", "shard", key.alias("hkey"))
+    full = (scored.groupBy("url")
+            .agg(F.max_by("shard", F.col("hkey")).alias("shard")))
+    per_full = full.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_urls"))
+    tot = per_full.agg(F.sum("n_urls").cast("long").alias("t"))
+    out = (per_full.crossJoin(F.broadcast(tot))
+           .select("shard", "n_urls",
+                   F.round(F.col("n_urls") / F.col("t").cast("double"), 6)
+                   .alias("share")))
+    if removed is None:
+        return (out.select("shard", "n_urls", "share",
+                           F.col("n_urls").alias("n_after_remove"),
+                           F.lit(0).cast("long").alias("gained"))
+                .orderBy("shard"))
+    after = (scored.filter(F.col("shard") != removed)
+             .groupBy("url")
+             .agg(F.max_by("shard", F.col("hkey")).alias("shard"))
+             .groupBy("shard")
+             .agg(F.count("*").cast("long").alias("n_after_remove")))
+    return (out.join(after, "shard", "left")
+            .select("shard", "n_urls", "share", "n_after_remove",
+                    (F.col("n_after_remove") - F.col("n_urls"))
+                    .alias("gained"))
+            .orderBy("shard"))
+
+
+def hrw_assign_sql(urls_sql: str, shards, removed: str | None = None) -> str:
+    """DuckDB mirror of :func:`hrw_assign` over a (url) SELECT — the
+    md5-prefix integer via the md5_unit_sql positional-arithmetic
+    trick."""
+    names = ", ".join(f"('{str(s)}')" for s in shards)
+    hx = "md5(url || '#' || shard)"
+    val = " + ".join(
+        f"(strpos('{_HEXDIGITS}', substr({hx}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    base = f"""
+scored AS (
+  SELECT u.url, s.shard,
+    lpad(CAST(CAST(({val}) AS BIGINT) AS VARCHAR), 10, '0') || shard
+      AS hkey
+  FROM ({urls_sql}) u CROSS JOIN (VALUES {names}) AS s(shard)
+),
+full_a AS (
+  SELECT url, max_by(shard, hkey) AS shard FROM scored GROUP BY 1
+),
+per_full AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_urls
+  FROM full_a GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS t FROM per_full)"""
+    if removed is None:
+        return f"""
+WITH {base}
+SELECT shard, n_urls, round(n_urls / CAST(t AS DOUBLE), 6) AS share,
+  n_urls AS n_after_remove, CAST(0 AS BIGINT) AS gained
+FROM per_full, tot ORDER BY shard
+"""
+    return f"""
+WITH {base},
+after_a AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_after_remove FROM (
+    SELECT url, max_by(shard, hkey) AS shard
+    FROM scored WHERE shard <> '{removed}' GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT p.shard, p.n_urls, round(p.n_urls / CAST(t AS DOUBLE), 6)
+    AS share,
+  a.n_after_remove, a.n_after_remove - p.n_urls AS gained
+FROM per_full p CROSS JOIN tot LEFT JOIN after_a a ON p.shard = a.shard
+ORDER BY p.shard
+"""

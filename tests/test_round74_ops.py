@@ -1,0 +1,131 @@
+"""Unit tests for the round-74 pack: Adamic-Adar, dyad census, HRW
+sharding, cuckoo sizing, typosquat screening."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.blocklist import typosquat_candidates
+from icrawler_spark.operators.dedup import cuckoo_design
+from icrawler_spark.operators.graph import adamic_adar, dyad_census
+from icrawler_spark.operators.politeness import hrw_assign
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar
+# ---------------------------------------------------------------------------
+
+def test_adamic_adar_weights_rare_neighbors(spark):
+    # a and b share z (deg 2); c and d share hub (deg 4):
+    # score(a,b) = 1/ln2 > score(c,d) = 1/ln4
+    rows = [("a", "z"), ("b", "z"),
+            ("c", "hub"), ("d", "hub"), ("e", "hub"), ("f", "hub")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["host_a"], r["host_b"]): r["aa_score"]
+           for r in adamic_adar(df).collect()}
+    assert abs(out[("a", "b")] - 1 / math.log(2)) < 1e-4
+    assert abs(out[("c", "d")] - 1 / math.log(4)) < 1e-4
+    assert out[("a", "b")] > out[("c", "d")]
+
+
+def test_adamic_adar_undirected_and_min_common(spark):
+    rows = [("z", "a"), ("b", "z"), ("z", "c"),
+            ("y", "a"), ("b", "y")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["host_a"], r["host_b"]): r
+           for r in adamic_adar(df, min_common=2).collect()}
+    # (a, b) share {z deg 3, y deg 2}; (y, z) share {a deg 2, b deg 2}
+    assert set(out) == {("a", "b"), ("y", "z")}
+    r = out[("a", "b")]
+    assert r["n_common"] == 2
+    assert abs(r["aa_score"]
+               - (1 / math.log(3) + 1 / math.log(2))) < 1e-4
+    assert abs(out[("y", "z")]["aa_score"] - 2 / math.log(2)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# dyad_census
+# ---------------------------------------------------------------------------
+
+def test_dyad_census_counts(spark):
+    # 4 nodes; mutual a<->b, asym c->d
+    rows = [("a", "b"), ("b", "a"), ("c", "d")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    r = dyad_census(df).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_arcs"] == 3
+    assert r["mutual"] == 1 and r["asym"] == 1
+    assert r["null_dyads"] == 4  # C(4,2)=6 − 1 − 1
+    assert abs(r["arc_reciprocity"] - 2 / 3) < 1e-6
+    # p = 3/12 → E[M] = 6·(1/16)
+    assert abs(r["expected_mutual"] - 0.375) < 1e-9
+
+
+def test_dyad_census_ignores_self_loops_and_dups(spark):
+    rows = [("a", "a"), ("a", "b"), ("a", "b")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    r = dyad_census(df).collect()[0]
+    assert r["n_arcs"] == 1 and r["mutual"] == 0 and r["asym"] == 1
+
+
+# ---------------------------------------------------------------------------
+# hrw_assign
+# ---------------------------------------------------------------------------
+
+def test_hrw_minimal_disruption(spark):
+    urls = [(f"https://h{i}.test/p{i}",) for i in range(300)]
+    df = spark.createDataFrame(urls, "url string")
+    shards = ["s0", "s1", "s2", "s3"]
+    out = {r["shard"]: r
+           for r in hrw_assign(df, shards, removed="s1").collect()}
+    assert sum(r["n_urls"] for r in out.values()) == 300
+    # removed shard reports NULL after; survivors never lose keys
+    assert out["s1"]["n_after_remove"] is None
+    for s in ("s0", "s2", "s3"):
+        assert out[s]["gained"] >= 0
+    moved = sum(out[s]["gained"] for s in ("s0", "s2", "s3"))
+    assert moved == out["s1"]["n_urls"]  # ONLY the dead shard's keys move
+
+
+def test_hrw_no_removal_identity(spark):
+    urls = [(f"https://x{i}.test/",) for i in range(50)]
+    df = spark.createDataFrame(urls, "url string")
+    for r in hrw_assign(df, ["s0", "s1"]).collect():
+        assert r["n_after_remove"] == r["n_urls"] and r["gained"] == 0
+
+
+# ---------------------------------------------------------------------------
+# cuckoo_design
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_design_algebra(spark):
+    out = {r["fpp"]: r for r in cuckoo_design(spark, fpps=(0.01,)).collect()}
+    r = out[0.01]
+    # f = ceil(log2(8/0.01)) = ceil(9.64) = 10
+    assert r["fp_bits"] == 10
+    assert abs(r["bits_per_item_cuckoo"] - 10 / 0.955) < 1e-3
+    assert abs(r["bits_per_item_bloom"]
+               - math.log2(1 / 0.01) / math.log(2)) < 1e-3
+    assert bool(r["cuckoo_wins"]) is False  # 10.47 vs 9.59 at 1%
+
+
+def test_cuckoo_wins_at_low_fpp(spark):
+    r = cuckoo_design(spark, fpps=(0.0001,)).collect()[0]
+    # f = ceil(log2(80000)) = 17 → 17.8 vs bloom 19.17
+    assert bool(r["cuckoo_wins"]) is True
+
+
+# ---------------------------------------------------------------------------
+# typosquat_candidates
+# ---------------------------------------------------------------------------
+
+def test_typosquat_flags_one_edit_not_exact(spark):
+    rows = [("examp1e.com",), ("example.com",), ("exampleee.com",),
+            ("unrelated.test",), ("sub.githib.io",)]
+    df = spark.createDataFrame(rows, "host string")
+    out = typosquat_candidates(df, brands=("example", "github")).collect()
+    got = {(r["host"], r["brand"]): r["dist"] for r in out}
+    assert got[("examp1e.com", "example")] == 1
+    assert got[("sub.githib.io", "github")] == 1
+    assert ("example.com", "example") not in got  # exact → not a squat
+    assert ("exampleee.com", "example") not in got  # dist 2, len-pruned
+    assert ("unrelated.test", "example") not in got
