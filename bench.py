@@ -348,6 +348,8 @@ _EXTRA_PICKS = [
     "structured_data",
     # round-3 batch-68 (link prediction + dyads + hrw + cuckoo + typosquat)
     "adamic_adar", "dyad_census", "hrw", "cuckoo", "typosquat",
+    # round-3 batch-69 (bootstrap + permutation + welch + anova + centroids)
+    "bootstrap", "permutation", "welch", "anova", "centroid_drift",
 ]
 
 

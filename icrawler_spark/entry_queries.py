@@ -55,7 +55,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round68, entry_round69,
                             entry_round70, entry_round71,
                             entry_round72, entry_round73,
-                            entry_round74)
+                            entry_round74, entry_round75)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -896,6 +896,7 @@ def queries():
         **entry_round72.queries72(),
         **entry_round73.queries73(),
         **entry_round74.queries74(),
+        **entry_round75.queries75(),
     }
 
 
@@ -1002,4 +1003,5 @@ def oracle_sql():
         **entry_round72.oracle_sql72(),
         **entry_round73.oracle_sql73(),
         **entry_round74.oracle_sql74(),
+        **entry_round75.oracle_sql75(),
     }

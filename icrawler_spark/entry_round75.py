@@ -1,0 +1,203 @@
+"""Round-3 driver-contract queries (batch 69): Poisson-bootstrap CI,
+sign-flip permutation test, Welch t, one-way ANOVA, embedding-centroid
+drift.
+
+Fixtures derive deterministically from events/embeddings; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import similarity as _similarity
+
+# ---------------------------------------------------------------------------
+# bootstrap — 2000 skewed latencies, 200 Poisson replicates
+# ---------------------------------------------------------------------------
+
+_BS_REPS = 200
+
+
+def _bs_samples(spark, sf) -> DataFrame:
+    """Right-skewed deterministic latencies (quadratic residue tail)."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    return ev.select(
+        e.alias("id"),
+        (10.0 + ((e * e) % 89).cast("double")
+         + F.when(e % 50 == 0, 300.0).otherwise(0.0)).alias("x"))
+
+
+_BS_SAMPLES_SQL = """
+  SELECT event_id AS id,
+    10.0 + CAST((event_id * event_id) % 89 AS DOUBLE)
+    + CASE WHEN event_id % 50 = 0 THEN 300.0 ELSE 0.0 END AS x
+  FROM events WHERE event_id < 2000
+"""
+
+
+def q_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bootstrap_ci: Poisson-weight bootstrap — ONE
+    explode + ONE groupBy(rep), no per-replicate join."""
+    return _corpus.bootstrap_ci(_bs_samples(spark, sf), b_reps=_BS_REPS)
+
+
+def _bootstrap_sql() -> str:
+    return _corpus.bootstrap_ci_sql(_BS_SAMPLES_SQL, b_reps=_BS_REPS)
+
+
+# ---------------------------------------------------------------------------
+# permutation — paired deltas with a real +0.6 shift
+# ---------------------------------------------------------------------------
+
+_PM_REPS = 200
+
+
+def _pm_pairs(spark, sf) -> DataFrame:
+    """Per-query metric deltas centered near +0.6 — the sign-flip null
+    should reject at the usual levels."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 1500)
+    e = F.col("event_id")
+    return ev.select(
+        e.alias("id"),
+        ((((e * 7) % 13).cast("double") - 6.0) / 2.0 + 0.6).alias("d"))
+
+
+_PM_PAIRS_SQL = """
+  SELECT event_id AS id,
+    (CAST(event_id * 7 % 13 AS DOUBLE) - 6.0) / 2.0 + 0.6 AS d
+  FROM events WHERE event_id < 1500
+"""
+
+
+def q_permutation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.permutation_test: deterministic sign-flip
+    randomization p-value — same explode/groupBy shape as bootstrap."""
+    return _corpus.permutation_test(_pm_pairs(spark, sf),
+                                    b_reps=_PM_REPS)
+
+
+def _permutation_sql() -> str:
+    return _corpus.permutation_test_sql(_PM_PAIRS_SQL, b_reps=_PM_REPS)
+
+
+# ---------------------------------------------------------------------------
+# welch — unequal means AND unequal variances
+# ---------------------------------------------------------------------------
+
+
+def _wt_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    grp = F.when(e % 2 == 0, "a").otherwise("b")
+    v = (((e * 7) % 13).cast("double") * (1.0 + (e % 2).cast("double"))
+         + 3.0 * (e % 2).cast("double"))
+    return ev.select(grp.alias("grp"), v.alias("v"))
+
+
+_WT_SAMPLES_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+    CAST(event_id * 7 % 13 AS DOUBLE)
+      * (1.0 + CAST(event_id % 2 AS DOUBLE))
+      + 3.0 * CAST(event_id % 2 AS DOUBLE) AS v
+  FROM events
+"""
+
+
+def q_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.welch_ttest: unequal-variance t with
+    Welch-Satterthwaite df — ONE groupBy(grp)."""
+    return _corpus.welch_ttest(_wt_samples(spark, sf))
+
+
+def _welch_sql() -> str:
+    return _corpus.welch_ttest_sql(_WT_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# anova — three tiers, mean shifts 0/+4/+8
+# ---------------------------------------------------------------------------
+
+
+def _av_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("t"), (e % 3).cast("string")).alias("grp"),
+        (((e * 11) % 17).cast("double") + 4.0 * (e % 3).cast("double"))
+        .alias("v"))
+
+
+_AV_SAMPLES_SQL = """
+  SELECT 't' || CAST(event_id % 3 AS VARCHAR) AS grp,
+    CAST(event_id * 11 % 17 AS DOUBLE)
+      + 4.0 * CAST(event_id % 3 AS DOUBLE) AS v
+  FROM events
+"""
+
+
+def q_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.anova_oneway: F + eta-squared effect size —
+    group moments only, one shuffle."""
+    return _corpus.anova_oneway(_av_samples(spark, sf))
+
+
+def _anova_sql() -> str:
+    return _corpus.anova_oneway_sql(_AV_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# centroid_drift — embeddings split into two snapshots by vec_id parity
+# ---------------------------------------------------------------------------
+
+
+def _cd_vectors(spark, sf) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return emb.select(
+        F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+        .alias("grp"),
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+        .alias("snap"),
+        F.col("embedding").alias("vec"))
+
+
+_CD_VECTORS_SQL = """
+  SELECT 'g' || CAST(label % 3 AS VARCHAR) AS grp,
+    CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+    embedding AS vec
+  FROM embeddings
+"""
+
+
+def q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.centroid_drift: per-group centroid cosine +
+    L2 shift — posexplode + (grp, dim) agg, never a pairwise join."""
+    return _similarity.centroid_drift(_cd_vectors(spark, sf))
+
+
+def _centroid_drift_sql() -> str:
+    return _similarity.centroid_drift_sql(_CD_VECTORS_SQL)
+
+
+def queries75():
+    return {
+        "bootstrap": q_bootstrap,
+        "permutation": q_permutation,
+        "welch": q_welch,
+        "anova": q_anova,
+        "centroid_drift": q_centroid_drift,
+    }
+
+
+def oracle_sql75():
+    return {
+        "bootstrap": _bootstrap_sql(),
+        "permutation": _permutation_sql(),
+        "welch": _welch_sql(),
+        "anova": _anova_sql(),
+        "centroid_drift": _centroid_drift_sql(),
+    }

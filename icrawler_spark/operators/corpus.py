@@ -4138,3 +4138,357 @@ SELECT CAST(count(*) AS BIGINT) AS vocab,
   round(sqrt(greatest(sum(term), 0.0)), 6) AS js_distance
 FROM terms
 """
+
+
+_POISSON1_CUM = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238462,
+                 0.9963401531726563)
+
+
+def _unit_hash(id_col, rep_col):
+    """Deterministic uniform in [0, 1) from md5(id # rep) — the same
+    8-hex-digit prefix integer both engines can rebuild digit-by-digit."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit("#"),
+                       rep_col.cast("string"))), 1, 8), 16, 10)
+    return h.cast("long") / 4294967296.0
+
+
+_HEX = "0123456789abcdef"
+
+
+def _unit_hash_sql(id_expr: str, rep_expr: str) -> str:
+    h = f"md5(CAST({id_expr} AS VARCHAR) || '#' || CAST({rep_expr} AS VARCHAR))"
+    val = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"(({val}) / 4294967296.0)"
+
+
+def bootstrap_ci(
+    samples: DataFrame,
+    b_reps: int = 200,
+    alpha: float = 0.05,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — the
+    bootstrap that actually runs at cluster scale (Chamandy et al.,
+    Google 2012): instead of resampling indices (a join per replicate),
+    every row draws an independent Poisson(1) weight per replicate, so
+    B replicates are ONE explode + ONE groupBy. Weights come from a
+    deterministic md5-derived uniform through the exact Poisson(1)
+    inverse CDF (P[w=0] = e⁻¹, ...), so runs — and the DuckDB oracle —
+    reproduce bit-identically.
+
+    Returns one row: (n, b_reps, mean_full, se_boot, ci_lo, ci_hi
+    rounded 6); the CI is the percentile interval over replicate means.
+
+    Scale shape: B·n exploded rows → ONE groupBy(rep) (B cells) → one
+    B-row agg. No joins against data, no driver loop.
+    """
+    b = int(b_reps)
+    base = samples.select(F.col(id_col).alias("id"),
+                          F.col(x_col).cast("double").alias("x"))
+    full = base.agg(F.count("*").cast("long").alias("n"),
+                    F.avg("x").alias("mean_full"))
+    rep = base.select(
+        "id", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"))
+    u = _unit_hash(F.col("id"), F.col("rep"))
+    t = _POISSON1_CUM
+    w = (F.when(u < t[0], 0).when(u < t[1], 1).when(u < t[2], 2)
+         .when(u < t[3], 3).when(u < t[4], 4).otherwise(5))
+    means = (rep.select("rep", w.alias("w"), F.col("x"))
+             .groupBy("rep")
+             .agg((F.sum(F.col("w") * F.col("x"))
+                   / F.nullif(F.sum("w"), F.lit(0)).cast("double"))
+                  .alias("m")))
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    agg = means.agg(
+        F.count("*").cast("long").alias("b_reps"),
+        F.avg("m").alias("mb"),
+        F.avg(F.col("m") * F.col("m")).alias("mb2"),
+        F.percentile("m", F.lit(lo)).alias("ci_lo"),
+        F.percentile("m", F.lit(hi)).alias("ci_hi"))
+    nb = F.col("b_reps").cast("double")
+    se = F.sqrt(F.greatest(
+        (F.col("mb2") - F.col("mb") * F.col("mb")) * nb / (nb - 1.0),
+        F.lit(0.0)))
+    return (full.crossJoin(F.broadcast(agg))
+            .select("n", "b_reps",
+                    F.round("mean_full", 6).alias("mean_full"),
+                    F.round(se, 6).alias("se_boot"),
+                    F.round("ci_lo", 6).alias("ci_lo"),
+                    F.round("ci_hi", 6).alias("ci_hi")))
+
+
+def bootstrap_ci_sql(samples_sql: str, b_reps: int = 200,
+                     alpha: float = 0.05) -> str:
+    """DuckDB mirror of :func:`bootstrap_ci` over an (id, x) SELECT."""
+    t = _POISSON1_CUM
+    u = _unit_hash_sql("id", "rep")
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    return f"""
+WITH base AS (SELECT id, CAST(x AS DOUBLE) AS x FROM ({samples_sql})),
+fullagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mean_full FROM base
+),
+rep AS (
+  SELECT id, x, unnest(range(0, {int(b_reps)})) AS rep FROM base
+),
+wtd AS (
+  SELECT rep,
+    CASE WHEN {u} < {t[0]!r} THEN 0 WHEN {u} < {t[1]!r} THEN 1
+      WHEN {u} < {t[2]!r} THEN 2 WHEN {u} < {t[3]!r} THEN 3
+      WHEN {u} < {t[4]!r} THEN 4 ELSE 5 END AS w,
+    x
+  FROM rep
+),
+means AS (
+  SELECT rep, sum(w * x) / CAST(nullif(sum(w), 0) AS DOUBLE) AS m
+  FROM wtd GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS b_reps, avg(m) AS mb,
+    avg(m * m) AS mb2,
+    quantile_cont(m, {lo!r}) AS ci_lo,
+    quantile_cont(m, {hi!r}) AS ci_hi
+  FROM means
+)
+SELECT n, b_reps, round(mean_full, 6) AS mean_full,
+  round(sqrt(greatest(
+    (mb2 - mb * mb) * b_reps / (b_reps - 1.0), 0.0)), 6) AS se_boot,
+  round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi
+FROM fullagg, agg
+"""
+
+
+def permutation_test(
+    pairs: DataFrame,
+    b_reps: int = 200,
+    id_col: str = "id",
+    d_col: str = "d",
+) -> DataFrame:
+    """Paired sign-flip permutation test for a mean difference (Fisher
+    randomization): under H₀ each per-pair delta's sign is exchangeable,
+    so B deterministic ±1 relabelings (md5-derived, oracle-replayable)
+    give the exact-null distribution of the mean; p is the add-one
+    two-sided tail share. The assumption-free companion of
+    `ranker_ttest` for the same paired layout.
+
+    Returns one row: (n, b_reps, mean_d, p_two rounded 6).
+
+    Scale shape: identical to :func:`bootstrap_ci` — one explode, one
+    groupBy(rep), one B-row agg.
+    """
+    b = int(b_reps)
+    base = pairs.select(F.col(id_col).alias("id"),
+                        F.col(d_col).cast("double").alias("d"))
+    obs = base.agg(F.count("*").cast("long").alias("n"),
+                   F.avg("d").alias("mean_d"))
+    rep = base.select(
+        "id", "d",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"))
+    u = _unit_hash(F.col("id"), F.col("rep"))
+    s = F.when(u < 0.5, -1.0).otherwise(1.0)
+    stats = (rep.select("rep", (s * F.col("d")).alias("sd"))
+             .groupBy("rep").agg(F.avg("sd").alias("m")))
+    j = stats.crossJoin(F.broadcast(obs))
+    tail = j.agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("b_reps"),
+        F.max("mean_d").alias("mean_d"),
+        F.sum((F.abs(F.col("m")) >= F.abs(F.col("mean_d")))
+              .cast("int")).cast("long").alias("hits"))
+    return tail.select(
+        "n", "b_reps", F.round("mean_d", 6).alias("mean_d"),
+        F.round((F.col("hits") + 1)
+                / (F.col("b_reps") + 1).cast("double"), 6)
+        .alias("p_two"))
+
+
+def permutation_test_sql(pairs_sql: str, b_reps: int = 200) -> str:
+    """DuckDB mirror of :func:`permutation_test` over an (id, d)
+    SELECT."""
+    u = _unit_hash_sql("id", "rep")
+    return f"""
+WITH base AS (SELECT id, CAST(d AS DOUBLE) AS d FROM ({pairs_sql})),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(d) AS mean_d FROM base
+),
+rep AS (
+  SELECT id, d, unnest(range(0, {int(b_reps)})) AS rep FROM base
+),
+stats AS (
+  SELECT rep,
+    avg(CASE WHEN {u} < 0.5 THEN -d ELSE d END) AS m
+  FROM rep GROUP BY 1
+),
+tail AS (
+  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS b_reps,
+    max(mean_d) AS mean_d,
+    CAST(sum(CASE WHEN abs(m) >= abs(mean_d) THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits
+  FROM stats, obs
+)
+SELECT n, b_reps, round(mean_d, 6) AS mean_d,
+  round((hits + 1) / CAST(b_reps + 1 AS DOUBLE), 6) AS p_two
+FROM tail
+"""
+
+
+def welch_ttest(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test with the
+    Welch-Satterthwaite df — the default mean comparison when group
+    variances differ (host tiers, engines, crawler versions); the
+    pooled-variance test silently miscalibrates there, which is why
+    :func:`brown_forsythe` gates it. Variances use the moment form
+    n/(n−1)(E[x²]−E[x]²) written identically in both engines.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, t, df_ws rounded 4/6);
+    t NULL when both variances are zero.
+
+    Scale shape: ONE groupBy(grp) + a one-row projection.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+    g = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("v").alias("m"),
+        F.avg(F.col("v") * F.col("v")).alias("m2"))
+    piv = g.agg(
+        F.max(F.when(F.col("grp") == a, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == b, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == a, F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("grp") == b, F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("grp") == a, F.col("m2"))).alias("m2a"),
+        F.max(F.when(F.col("grp") == b, F.col("m2"))).alias("m2b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va = (F.col("m2a") - F.col("ma") * F.col("ma")) * na / (na - 1.0)
+    vb = (F.col("m2b") - F.col("mb") * F.col("mb")) * nb / (nb - 1.0)
+    sa, sb = va / na, vb / nb
+    se2 = sa + sb
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = se2 * se2 / (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0))
+    return piv.select(
+        "n_a", "n_b",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round(F.when(se2 > 0, t), 4).alias("t"),
+        F.round(F.when(se2 > 0, df), 4).alias("df_ws"))
+
+
+def welch_ttest_sql(samples_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`welch_ttest` over a (grp, v) SELECT."""
+    return f"""
+WITH base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM ({samples_sql})),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+    avg(v * v) AS m2
+  FROM base GROUP BY 1
+),
+piv AS (
+  SELECT max(CASE WHEN grp = '{a}' THEN n END) AS n_a,
+    max(CASE WHEN grp = '{b}' THEN n END) AS n_b,
+    max(CASE WHEN grp = '{a}' THEN m END) AS ma,
+    max(CASE WHEN grp = '{b}' THEN m END) AS mb,
+    max(CASE WHEN grp = '{a}' THEN m2 END) AS m2a,
+    max(CASE WHEN grp = '{b}' THEN m2 END) AS m2b
+  FROM g
+),
+v AS (
+  SELECT n_a, n_b, ma, mb,
+    (m2a - ma * ma) * n_a / (n_a - 1.0) / n_a AS sa,
+    (m2b - mb * mb) * n_b / (n_b - 1.0) / n_b AS sb
+  FROM piv
+)
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(CASE WHEN sa + sb > 0
+    THEN (ma - mb) / sqrt(sa + sb) END, 4) AS t,
+  round(CASE WHEN sa + sb > 0
+    THEN (sa + sb) * (sa + sb)
+      / (sa * sa / (n_a - 1.0) + sb * sb / (n_b - 1.0)) END, 4)
+    AS df_ws
+FROM v
+"""
+
+
+def anova_oneway(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+) -> DataFrame:
+    """One-way ANOVA F over k groups plus the η² effect size — the
+    mean-level counterpart of :func:`kruskal_wallis` (ranks) and
+    :func:`brown_forsythe` (variances), closing the classical trio.
+    η² = SSB/SST says how much latency variance host tier *explains*,
+    which matters more than the p-value at crawl-log sample sizes where
+    everything is "significant".
+
+    Returns one row: (n, k, df1, df2, f_stat, eta_sq rounded 4/6);
+    f NULL when the within-group variance is zero.
+
+    Scale shape: ONE groupBy(grp) + a one-row agg of group moments.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+    g = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_g"))
+    agg = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb"))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    sst = F.col("ss") - F.col("s") * F.col("s") / n
+    ssw = sst - ssb
+    fstat = (ssb / (k - 1.0)) / (ssw / (n - k))
+    return agg.select(
+        "n", "k",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(F.when(ssw > 0, fstat), 4).alias("f_stat"),
+        F.round(F.when(sst > 0, ssb / sst), 6).alias("eta_sq"))
+
+
+def anova_oneway_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`anova_oneway` over a (grp, v) SELECT."""
+    return f"""
+WITH base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM ({samples_sql})),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g, sum(v) AS s_g,
+    sum(v * v) AS ss_g
+  FROM base GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k,
+    sum(s_g) AS s, sum(ss_g) AS ss,
+    sum(s_g * s_g / n_g) AS sb
+  FROM g
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS df1,
+  CAST(n - k AS BIGINT) AS df2,
+  round(CASE WHEN (ss - s * s / CAST(n AS DOUBLE))
+             - (sb - s * s / CAST(n AS DOUBLE)) > 0
+    THEN ((sb - s * s / CAST(n AS DOUBLE)) / (k - 1.0))
+      / (((ss - s * s / CAST(n AS DOUBLE))
+          - (sb - s * s / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - k))
+    END, 4) AS f_stat,
+  round(CASE WHEN ss - s * s / CAST(n AS DOUBLE) > 0
+    THEN (sb - s * s / CAST(n AS DOUBLE))
+      / (ss - s * s / CAST(n AS DOUBLE)) END, 6) AS eta_sq
+FROM agg
+"""

@@ -944,3 +944,94 @@ SELECT ne.q AS query_id, ne.n_exact,
     AS recall
 FROM ne LEFT JOIN na ON na.q = ne.q LEFT JOIN c ON c.q = ne.q
 """
+
+
+def centroid_drift(
+    vectors: DataFrame,
+    grp_col: str = "grp",
+    snap_col: str = "snap",
+    vec_col: str = "vec",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Per-group embedding-centroid drift between two corpus snapshots:
+    cosine similarity and L2 shift of the mean vector — the cheapest
+    embedding-space distribution-shift monitor (centroid moves before
+    per-pair metrics notice), the vector-space companion of the token-
+    level `jsd` drift gauge. Groups are whatever the corpus slices on
+    (lang, domain tier, topic cluster).
+
+    Returns per group: (grp, n_a, n_b, dims, cos_sim, l2_shift rounded
+    5).
+
+    Scale shape: ONE posexplode + ONE groupBy(grp, dim) + ONE
+    groupBy(grp) — centroids are (groups × dims) scalars, never a
+    pairwise join; vector counts ride a tiny pre-agg broadcast.
+    """
+    base = vectors.select(F.col(grp_col).alias("grp"),
+                          F.col(snap_col).alias("snap"),
+                          F.col(vec_col).alias("vec"))
+    counts = base.groupBy("grp").agg(
+        F.sum((F.col("snap") == a).cast("int")).cast("long").alias("n_a"),
+        F.sum((F.col("snap") == b).cast("int")).cast("long").alias("n_b"))
+    ex = base.select(
+        "grp", "snap",
+        F.posexplode(F.col("vec")).alias("dim", "v"))
+    per_dim = ex.groupBy("grp", "dim").agg(
+        F.avg(F.when(F.col("snap") == a, F.col("v").cast("double")))
+        .alias("ca"),
+        F.avg(F.when(F.col("snap") == b, F.col("v").cast("double")))
+        .alias("cb"))
+    per_grp = per_dim.groupBy("grp").agg(
+        F.count("*").cast("long").alias("dims"),
+        F.sum(F.col("ca") * F.col("cb")).alias("ab"),
+        F.sum(F.col("ca") * F.col("ca")).alias("aa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("bb"),
+        F.sum((F.col("ca") - F.col("cb"))
+              * (F.col("ca") - F.col("cb"))).alias("d2"))
+    cos = F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb")))
+    return (per_grp.join(F.broadcast(counts), "grp")
+            .select("grp", "n_a", "n_b", "dims",
+                    F.round(cos, 5).alias("cos_sim"),
+                    F.round(F.sqrt(F.col("d2")), 5).alias("l2_shift"))
+            .orderBy("grp"))
+
+
+def centroid_drift_sql(vectors_sql: str, a: str = "a",
+                       b: str = "b") -> str:
+    """DuckDB mirror of :func:`centroid_drift` over a (grp, snap, vec)
+    SELECT — parallel unnest zips (dim, value)."""
+    return f"""
+WITH base AS (SELECT grp, snap, vec FROM ({vectors_sql})),
+counts AS (
+  SELECT grp,
+    CAST(sum(CASE WHEN snap = '{a}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(sum(CASE WHEN snap = '{b}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b
+  FROM base GROUP BY 1
+),
+ex AS (
+  SELECT grp, snap,
+    unnest(range(0, len(vec))) AS dim,
+    unnest(vec) AS v
+  FROM base
+),
+per_dim AS (
+  SELECT grp, dim,
+    avg(CASE WHEN snap = '{a}' THEN CAST(v AS DOUBLE) END) AS ca,
+    avg(CASE WHEN snap = '{b}' THEN CAST(v AS DOUBLE) END) AS cb
+  FROM ex GROUP BY 1, 2
+),
+per_grp AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS dims,
+    sum(ca * cb) AS ab, sum(ca * ca) AS aa, sum(cb * cb) AS bb,
+    sum((ca - cb) * (ca - cb)) AS d2
+  FROM per_dim GROUP BY 1
+)
+SELECT p.grp, c.n_a, c.n_b, p.dims,
+  round(ab / (sqrt(aa) * sqrt(bb)), 5) AS cos_sim,
+  round(sqrt(d2), 5) AS l2_shift
+FROM per_grp p JOIN counts c ON p.grp = c.grp
+ORDER BY p.grp
+"""

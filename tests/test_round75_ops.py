@@ -1,0 +1,118 @@
+"""Unit tests for the round-75 pack: Poisson bootstrap, permutation
+test, Welch t, one-way ANOVA, centroid drift."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (anova_oneway, bootstrap_ci,
+                                             permutation_test, welch_ttest)
+from icrawler_spark.operators.similarity import centroid_drift
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_ci_brackets_mean(spark):
+    rows = [(i, float(10 + i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    r = bootstrap_ci(df, b_reps=100).collect()[0]
+    assert r["n"] == 400 and r["b_reps"] == 100
+    assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
+    assert 0 < r["se_boot"] < 1.0  # se ~ sd/sqrt(n) ≈ 2/20
+
+
+def test_bootstrap_ci_deterministic(spark):
+    rows = [(i, float(i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    a = bootstrap_ci(df, b_reps=50).collect()[0]
+    b = bootstrap_ci(df, b_reps=50).collect()[0]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# permutation_test
+# ---------------------------------------------------------------------------
+
+def test_permutation_rejects_large_shift(spark):
+    rows = [(i, 5.0 + (i % 3) * 0.1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, d double")
+    r = permutation_test(df, b_reps=199).collect()[0]
+    assert r["p_two"] <= 1 / 100  # all-positive deltas: only add-one mass
+
+
+def test_permutation_accepts_symmetric_null(spark):
+    rows = [(i, 1.0 if i % 2 == 0 else -1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, d double")
+    r = permutation_test(df, b_reps=199).collect()[0]
+    assert r["mean_d"] == 0.0 and r["p_two"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+def test_welch_matches_hand_computation(spark):
+    xa, xb = [1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = welch_ttest(df).collect()[0]
+    ma, mb = sum(xa) / 4, sum(xb) / 5
+    va = sum((v - ma) ** 2 for v in xa) / 3
+    vb = sum((v - mb) ** 2 for v in xb) / 4
+    sa, sb = va / 4, vb / 5
+    t = (ma - mb) / math.sqrt(sa + sb)
+    dfws = (sa + sb) ** 2 / (sa * sa / 3 + sb * sb / 4)
+    assert abs(r["t"] - round(t, 4)) < 1e-9
+    assert abs(r["df_ws"] - round(dfws, 4)) < 1e-9
+
+
+def test_welch_zero_variance_null(spark):
+    rows = [("a", 2.0)] * 3 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = welch_ttest(df).collect()[0]
+    assert r["t"] is None and r["df_ws"] is None
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway
+# ---------------------------------------------------------------------------
+
+def test_anova_textbook(spark):
+    rows = ([("g0", v) for v in (1.0, 2.0, 3.0)]
+            + [("g1", v) for v in (4.0, 5.0, 6.0)]
+            + [("g2", v) for v in (7.0, 8.0, 9.0)])
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = anova_oneway(df).collect()[0]
+    # SSB = 54, SSW = 6 → F = (54/2)/(6/6) = 27; eta² = 0.9
+    assert r["df1"] == 2 and r["df2"] == 6
+    assert abs(r["f_stat"] - 27.0) < 1e-9
+    assert abs(r["eta_sq"] - 0.9) < 1e-9
+
+
+def test_anova_no_effect_f_near_zero(spark):
+    rows = [("g0", 1.0), ("g0", 3.0), ("g1", 1.0), ("g1", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = anova_oneway(df).collect()[0]
+    assert r["f_stat"] == 0.0 and r["eta_sq"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# centroid_drift
+# ---------------------------------------------------------------------------
+
+def test_centroid_drift_identical_snapshots(spark):
+    rows = [("g", "a", [1.0, 0.0]), ("g", "b", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "grp string, snap string, vec array<float>")
+    r = centroid_drift(df).collect()[0]
+    assert r["cos_sim"] == 1.0 and r["l2_shift"] == 0.0
+    assert r["n_a"] == 1 and r["n_b"] == 1 and r["dims"] == 2
+
+
+def test_centroid_drift_orthogonal(spark):
+    rows = [("g", "a", [2.0, 0.0]), ("g", "b", [0.0, 2.0])]
+    df = spark.createDataFrame(rows, "grp string, snap string, vec array<float>")
+    r = centroid_drift(df).collect()[0]
+    assert r["cos_sim"] == 0.0
+    assert abs(r["l2_shift"] - math.sqrt(8)) < 1e-4
