@@ -350,6 +350,8 @@ _EXTRA_PICKS = [
     "adamic_adar", "dyad_census", "hrw", "cuckoo", "typosquat",
     # round-3 batch-69 (bootstrap + permutation + welch + anova + centroids)
     "bootstrap", "permutation", "welch", "anova", "centroid_drift",
+    # round-3 batch-70 (refresh policy + docid sort + throttling + parked + wildcard)
+    "freshness", "docid_sort", "throttle", "parked", "wildcard",
 ]
 
 

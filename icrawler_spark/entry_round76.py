@@ -1,0 +1,234 @@
+"""Round-3 driver-contract queries (batch 70): Cho-Garcia-Molina
+refresh allocation, docid-reassignment compression gain, throttle-knee
+detection, parked-domain screening, wildcard-subdomain traps.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import blocklist as _blocklist
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# freshness — change rates 0.1..2.0, one refresh per page-interval
+# ---------------------------------------------------------------------------
+
+
+def _fp_pages(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        (0.1 + ((e * 7) % 20).cast("double") / 10.0).alias("lam"))
+
+
+_FP_PAGES_SQL = """
+  SELECT 0.1 + CAST(event_id * 7 % 20 AS DOUBLE) / 10.0 AS lam
+  FROM events
+"""
+
+
+def q_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.freshness_policy: uniform-vs-proportional
+    refresh split on measured change rates — two aggs, no window."""
+    return _recrawl.freshness_policy(_fp_pages(spark, sf),
+                                     budget_per_page=1.0)
+
+
+def _freshness_sql() -> str:
+    return _recrawl.freshness_policy_sql(_FP_PAGES_SQL,
+                                         budget_per_page=1.0)
+
+
+# ---------------------------------------------------------------------------
+# docid_sort — host-local terms cluster in URL order
+# ---------------------------------------------------------------------------
+
+
+def _ds_postings(spark, sf) -> DataFrame:
+    """1-in-5 postings use cross-host generic terms; the rest are
+    host-local, so URL-ordered docids compress them sharply."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    term = (F.when(e % 5 == 0,
+                   F.concat(F.lit("t"), (e % 7).cast("string")))
+            .otherwise(F.concat(F.lit("h_t"), (e % 40).cast("string"))))
+    url = F.concat(F.lit("https://h"), (e % 40).cast("string"),
+                   F.lit(".test/p"), F.floor(e / 40).cast("string"))
+    return ev.select(term.alias("term"), url.alias("url"))
+
+
+_DS_POSTINGS_SQL = """
+  SELECT CASE WHEN event_id % 5 = 0
+      THEN 't' || CAST(event_id % 7 AS VARCHAR)
+      ELSE 'h_t' || CAST(event_id % 40 AS VARCHAR) END AS term,
+    'https://h' || CAST(event_id % 40 AS VARCHAR) || '.test/p'
+      || CAST(CAST(floor(CAST(event_id AS DOUBLE) / 40) AS BIGINT)
+              AS VARCHAR) AS url
+  FROM events
+"""
+
+
+def q_docid_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.docid_sort_gain: gap-bit cost under URL-sorted
+    vs random docids, per-shard docid spaces — no global sort."""
+    return _search.docid_sort_gain(_ds_postings(spark, sf))
+
+
+def _docid_sort_sql() -> str:
+    return _search.docid_sort_gain_sql(_DS_POSTINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# throttle — quadratic minute clumping, 429s at clumped minutes
+# ---------------------------------------------------------------------------
+
+
+def _tk_requests(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    minute = (e * e) % 64
+    status = F.when((minute < 8) & (e % 3 == 0), 429).otherwise(200)
+    return ev.select(
+        F.concat(F.lit("h"), (e % 4).cast("string")).alias("host"),
+        minute.cast("long").alias("minute"),
+        status.cast("int").alias("status"))
+
+
+_TK_REQUESTS_SQL = """
+  SELECT 'h' || CAST(event_id % 4 AS VARCHAR) AS host,
+    CAST((event_id * event_id) % 64 AS BIGINT) AS minute,
+    CAST(CASE WHEN (event_id * event_id) % 64 < 8
+          AND event_id % 3 = 0 THEN 429 ELSE 200 END AS INT) AS status
+  FROM events
+"""
+
+
+def q_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.throttle_knee: empirical per-host rate
+    limit from 429/503 shares by rate bucket — host-keyed groupBys."""
+    return _politeness.throttle_knee(_tk_requests(spark, sf))
+
+
+def _throttle_sql() -> str:
+    return _politeness.throttle_knee_sql(_TK_REQUESTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# parked — registrar banners + structurally empty pages
+# ---------------------------------------------------------------------------
+
+
+def _pk_pages(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    url = F.concat(F.lit("https://h"), (e % 9).cast("string"),
+                   F.lit(".test/p"), e.cast("string"))
+    body = (F.when(e % 7 == 0,
+                   "<html><body>This domain is for sale. "
+                   '<a href="/buy">buy</a></body></html>')
+            .when(e % 7 == 1,
+                  '<html><body><a href="/x">x</a></body></html>')
+            .otherwise(
+                '<html><body><a href="/a">a</a><a href="/b">b</a>'
+                '<a href="/c">c</a>content</body></html>'))
+    text = (F.when(e % 7 == 1, "x")
+            .otherwise(F.repeat(F.lit("lorem ipsum dolor "), 8)))
+    return ev.select(url.alias("url"), body.alias("body"),
+                     text.alias("text"))
+
+
+_PK_PAGES_SQL = """
+  SELECT 'https://h' || CAST(event_id % 9 AS VARCHAR) || '.test/p'
+      || CAST(event_id AS VARCHAR) AS url,
+    CASE WHEN event_id % 7 = 0
+      THEN '<html><body>This domain is for sale. '
+        || '<a href="/buy">buy</a></body></html>'
+      WHEN event_id % 7 = 1
+      THEN '<html><body><a href="/x">x</a></body></html>'
+      ELSE '<html><body><a href="/a">a</a><a href="/b">b</a>'
+        || '<a href="/c">c</a>content</body></html>' END AS body,
+    CASE WHEN event_id % 7 = 1 THEN 'x'
+      ELSE repeat('lorem ipsum dolor ', 8) END AS text
+  FROM events
+"""
+
+
+def q_parked(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.parked_domains: registrar-marker +
+    structural parked-page shares per host."""
+    return _blocklist.parked_domains(_pk_pages(spark, sf))
+
+
+def _parked_sql() -> str:
+    return _blocklist.parked_domains_sql(_PK_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wildcard — one catch-all domain, one organic domain
+# ---------------------------------------------------------------------------
+
+
+def _wc_pages(spark, sf) -> DataFrame:
+    """spam.test: 50 subdomains, 5 contents (wildcard); ok.test: 15
+    subdomains, ~500 contents (organic)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = (F.when(e % 3 == 0,
+                   F.concat(F.lit("sub"), (e % 50).cast("string"),
+                            F.lit(".spam.test")))
+            .otherwise(F.concat(F.lit("sub"), (e % 15).cast("string"),
+                                F.lit(".ok.test"))))
+    ch = (F.when(e % 3 == 0,
+                 F.concat(F.lit("c"), (e % 5).cast("string")))
+          .otherwise(F.concat(F.lit("c"), (e % 500).cast("string"))))
+    return ev.select(host.alias("host"), ch.alias("content_hash"))
+
+
+_WC_PAGES_SQL = """
+  SELECT CASE WHEN event_id % 3 = 0
+      THEN 'sub' || CAST(event_id % 50 AS VARCHAR) || '.spam.test'
+      ELSE 'sub' || CAST(event_id % 15 AS VARCHAR) || '.ok.test' END
+      AS host,
+    CASE WHEN event_id % 3 = 0
+      THEN 'c' || CAST(event_id % 5 AS VARCHAR)
+      ELSE 'c' || CAST(event_id % 500 AS VARCHAR) END AS content_hash
+  FROM events
+"""
+
+
+def q_wildcard(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.wildcard_hosts: subdomain-vs-content
+    diversity trap detector — ONE groupBy(domain)."""
+    return _blocklist.wildcard_hosts(_wc_pages(spark, sf))
+
+
+def _wildcard_sql() -> str:
+    return _blocklist.wildcard_hosts_sql(_WC_PAGES_SQL)
+
+
+def queries76():
+    return {
+        "freshness": q_freshness,
+        "docid_sort": q_docid_sort,
+        "throttle": q_throttle,
+        "parked": q_parked,
+        "wildcard": q_wildcard,
+    }
+
+
+def oracle_sql76():
+    return {
+        "freshness": _freshness_sql(),
+        "docid_sort": _docid_sort_sql(),
+        "throttle": _throttle_sql(),
+        "parked": _parked_sql(),
+        "wildcard": _wildcard_sql(),
+    }

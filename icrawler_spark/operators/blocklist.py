@@ -116,3 +116,130 @@ FROM pairs
 WHERE levenshtein(sld, brand) BETWEEN 1 AND {int(max_dist)}
 ORDER BY host, brand
 """
+
+
+_PARKED_RE = (r"(?i)(domain (is )?for sale|buy this domain|"
+              r"parked free|domain parking|this domain has expired)")
+
+
+def parked_domains(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parked-domain detection per host: registrar sale/parking banner
+    markers, plus the structural tell (near-empty text with ≤2
+    outlinks). Parked pages are pure corpus pollution AND a crawl-trap
+    precursor (wildcard registrars serve them on every subdomain —
+    pair with :func:`wildcard_hosts`); Vissers et al. (USENIX Sec '15)
+    measured exactly these markers at census scale.
+
+    Returns per host: (host, n_pages, marker_pages, structural_pages,
+    parked_share rounded 6) where parked = marker OR structural.
+
+    Scale shape: scan-stage regexps + ONE groupBy(host).
+    """
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    marker = F.col(body_col).rlike(_PARKED_RE)
+    n_links = F.size(F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?i)<a[ \t][^>]*href="), F.lit(0)))
+    structural = (~marker & (n_links <= 2)
+                  & (F.length(F.col(text_col)) < 100))
+    base = pages.select(host.alias("host"),
+                        marker.cast("int").alias("mk"),
+                        structural.cast("int").alias("st"))
+    return (base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("mk").cast("long").alias("marker_pages"),
+        F.sum("st").cast("long").alias("structural_pages"),
+        F.round(F.avg(F.greatest(F.col("mk"), F.col("st"))), 6)
+        .alias("parked_share"))
+        .orderBy("host"))
+
+
+def parked_domains_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`parked_domains` over a (url, body, text)
+    SELECT."""
+    return r"""
+WITH base AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+      AS host,
+    CASE WHEN regexp_matches(body,
+      '(?i)(domain (is )?for sale|buy this domain|parked free|domain parking|this domain has expired)')
+      THEN 1 ELSE 0 END AS mk,
+    CASE WHEN NOT regexp_matches(body,
+      '(?i)(domain (is )?for sale|buy this domain|parked free|domain parking|this domain has expired)')
+      AND len(regexp_extract_all(body, '(?i)<a[ \t][^>]*href=')) <= 2
+      AND len(text) < 100
+      THEN 1 ELSE 0 END AS st
+  FROM ({src})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(mk) AS BIGINT) AS marker_pages,
+  CAST(sum(st) AS BIGINT) AS structural_pages,
+  round(avg(greatest(mk, st)), 6) AS parked_share
+FROM base GROUP BY 1 ORDER BY host
+""".replace("{src}", pages_sql)
+
+
+def wildcard_hosts(
+    pages: DataFrame,
+    min_subdomains: int = 10,
+    max_diversity: float = 0.2,
+    host_col: str = "host",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Wildcard-DNS subdomain-trap detection: a registrable domain that
+    answers on MANY distinct subdomains but serves FEW distinct
+    contents is a wildcard catch-all (infinite `*.spam.test` URL space
+    — the crawler can mint frontier entries forever; the subdomain
+    cousin of path-level `url_traps`). Flag when subdomains ≥
+    ``min_subdomains`` and content diversity ≤ ``max_diversity``.
+
+    Returns per registrable domain: (domain, n_subdomains, n_contents,
+    diversity rounded 6, is_wildcard), ordered.
+
+    Scale shape: ONE groupBy(domain) of two distinct counts — at
+    production cardinality swap exact distinct for HLL.
+    """
+    dom = F.regexp_extract(F.col(host_col), r"([^.]+\.[^.]+)$", 1)
+    base = pages.select(dom.alias("domain"),
+                        F.col(host_col).alias("host"),
+                        F.col(hash_col).alias("ch"))
+    per = base.groupBy("domain").agg(
+        F.countDistinct("host").cast("long").alias("n_subdomains"),
+        F.countDistinct("ch").cast("long").alias("n_contents"))
+    div = F.col("n_contents") / F.col("n_subdomains").cast("double")
+    return (per.select(
+        "domain", "n_subdomains", "n_contents",
+        F.round(div, 6).alias("diversity"),
+        ((F.col("n_subdomains") >= int(min_subdomains))
+         & (div <= float(max_diversity))).alias("is_wildcard"))
+        .orderBy("domain"))
+
+
+def wildcard_hosts_sql(pages_sql: str, min_subdomains: int = 10,
+                       max_diversity: float = 0.2) -> str:
+    """DuckDB mirror of :func:`wildcard_hosts` over a (host,
+    content_hash) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+    host, content_hash AS ch
+  FROM ({pages_sql})
+),
+per AS (
+  SELECT domain,
+    CAST(count(DISTINCT host) AS BIGINT) AS n_subdomains,
+    CAST(count(DISTINCT ch) AS BIGINT) AS n_contents
+  FROM base GROUP BY 1
+)
+SELECT domain, n_subdomains, n_contents,
+  round(n_contents / CAST(n_subdomains AS DOUBLE), 6) AS diversity,
+  n_subdomains >= {int(min_subdomains)}
+    AND n_contents / CAST(n_subdomains AS DOUBLE)
+        <= {float(max_diversity)!r} AS is_wildcard
+FROM per ORDER BY domain
+"""

@@ -2750,3 +2750,82 @@ SELECT p.shard, p.n_urls, round(p.n_urls / CAST(t AS DOUBLE), 6)
 FROM per_full p CROSS JOIN tot LEFT JOIN after_a a ON p.shard = a.shard
 ORDER BY p.shard
 """
+
+
+def throttle_knee(
+    requests: DataFrame,
+    share_threshold: float = 0.2,
+    host_col: str = "host",
+    minute_col: str = "minute",
+    status_col: str = "status",
+) -> DataFrame:
+    """Empirical rate-limit (knee) detection per host: bucket each
+    host-minute by its request rate (power-of-two buckets), measure the
+    throttle share (HTTP 429/503) per bucket, and report the smallest
+    rate bucket whose throttle share crosses the threshold — the host's
+    observed rate limit. This turns passive crawl logs into the
+    politeness ceiling the token bucket should be configured with,
+    instead of guessing a global crawl_delay (the reference hard-codes
+    none at all — every thread hits hosts as fast as it can,
+    icrawler/downloader.py has no delay path).
+
+    Returns per host: (host, n_minutes, peak_rate, knee_rate,
+    max_throttle_share rounded 6) — knee_rate NULL when no bucket
+    crosses (host never throttled us).
+
+    Scale shape: groupBy(host, minute) → groupBy(host, bucket) → ONE
+    conditional-min groupBy(host); all shuffles keyed on host.
+    """
+    per_min = (requests.select(
+        F.col(host_col).alias("host"),
+        F.col(minute_col).cast("long").alias("minute"),
+        F.col(status_col).cast("int").alias("status"))
+        .groupBy("host", "minute")
+        .agg(F.count("*").cast("long").alias("n_req"),
+             F.sum(F.col("status").isin(429, 503).cast("int"))
+             .cast("long").alias("n_thr")))
+    bucket = F.pow(F.lit(2.0),
+                   F.floor(F.log2(F.col("n_req").cast("double"))))\
+        .cast("long")
+    per_bucket = (per_min.withColumn("bucket", bucket)
+                  .groupBy("host", "bucket")
+                  .agg(F.count("*").cast("long").alias("n_minutes"),
+                       (F.sum("n_thr") / F.sum("n_req").cast("double"))
+                       .alias("share")))
+    thr = float(share_threshold)
+    return (per_bucket.groupBy("host").agg(
+        F.sum("n_minutes").cast("long").alias("n_minutes"),
+        F.max("bucket").alias("peak_rate"),
+        F.min(F.when(F.col("share") >= thr, F.col("bucket")))
+        .alias("knee_rate"),
+        F.round(F.max("share"), 6).alias("max_throttle_share"))
+        .orderBy("host"))
+
+
+def throttle_knee_sql(requests_sql: str,
+                      share_threshold: float = 0.2) -> str:
+    """DuckDB mirror of :func:`throttle_knee` over a (host, minute,
+    status) SELECT."""
+    return f"""
+WITH per_min AS (
+  SELECT host, CAST(minute AS BIGINT) AS minute,
+    CAST(count(*) AS BIGINT) AS n_req,
+    CAST(sum(CASE WHEN CAST(status AS INT) IN (429, 503)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_thr
+  FROM ({requests_sql}) GROUP BY 1, 2
+),
+per_bucket AS (
+  SELECT host,
+    CAST(pow(2.0, floor(log2(CAST(n_req AS DOUBLE)))) AS BIGINT)
+      AS bucket,
+    CAST(count(*) AS BIGINT) AS n_minutes,
+    sum(n_thr) / CAST(sum(n_req) AS DOUBLE) AS share
+  FROM per_min GROUP BY 1, 2
+)
+SELECT host, CAST(sum(n_minutes) AS BIGINT) AS n_minutes,
+  max(bucket) AS peak_rate,
+  min(CASE WHEN share >= {float(share_threshold)!r} THEN bucket END)
+    AS knee_rate,
+  round(max(share), 6) AS max_throttle_share
+FROM per_bucket GROUP BY 1 ORDER BY host
+"""

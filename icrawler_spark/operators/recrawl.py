@@ -1685,3 +1685,75 @@ SELECT n,
     END, 4) AS t_median
 FROM agg
 """
+
+
+def freshness_policy(
+    pages: DataFrame,
+    budget_per_page: float = 1.0,
+    lam_col: str = "lam",
+) -> DataFrame:
+    """Cho & Garcia-Molina refresh-allocation comparison (VLDB '00 /
+    TODS '03): for Poisson page-change rates λᵢ and a shared refresh
+    budget, expected freshness at refresh frequency f is
+    F(λ, f) = (f/λ)(1 − e^(−λ/f)); the famous counterintuitive result
+    is that UNIFORM allocation beats CHANGE-PROPORTIONAL allocation
+    (chasing hot pages wastes refreshes on pages stale again seconds
+    later). This operator prices both policies on the measured λ table
+    (`recrawl_schedule` estimates λ; this decides the budget split).
+
+    Returns one row: (n, total_budget, fresh_uniform,
+    fresh_proportional, uniform_wins) rounded 6.
+
+    Scale shape: one Σλ agg broadcast back + ONE avg agg — two passes,
+    no window, no join against data.
+    """
+    base = pages.select(F.col(lam_col).cast("double").alias("lam")) \
+        .filter(F.col("lam") > 0)
+    tot = base.agg(F.count("*").cast("long").alias("n"),
+                   F.sum("lam").alias("slam"))
+    j = base.crossJoin(F.broadcast(tot))
+    bpp = float(budget_per_page)
+    f_u = F.lit(bpp)
+    f_p = bpp * F.col("n") * F.col("lam") / F.col("slam")
+    lam = F.col("lam")
+
+    def fresh(f):
+        return (f / lam) * (1.0 - F.exp(-lam / f))
+
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.round(F.max(F.col("n") * bpp), 4).alias("total_budget"),
+        F.round(F.avg(fresh(f_u)), 6).alias("fresh_uniform"),
+        F.round(F.avg(fresh(f_p)), 6).alias("fresh_proportional"))
+    return agg.select(
+        "n", "total_budget", "fresh_uniform", "fresh_proportional",
+        (F.col("fresh_uniform") > F.col("fresh_proportional"))
+        .alias("uniform_wins"))
+
+
+def freshness_policy_sql(pages_sql: str,
+                         budget_per_page: float = 1.0) -> str:
+    """DuckDB mirror of :func:`freshness_policy` over a (lam) SELECT."""
+    b = float(budget_per_page)
+    return f"""
+WITH base AS (
+  SELECT CAST(lam AS DOUBLE) AS lam FROM ({pages_sql})
+  WHERE CAST(lam AS DOUBLE) > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(lam) AS slam FROM base
+),
+agg AS (
+  SELECT max(n) AS n,
+    round(max(n * CAST({b!r} AS DOUBLE)), 4) AS total_budget,
+    round(avg(({b!r} / lam) * (1.0 - exp(-lam / {b!r}))), 6)
+      AS fresh_uniform,
+    round(avg((({b!r} * n * lam / slam) / lam)
+              * (1.0 - exp(-lam / ({b!r} * n * lam / slam)))), 6)
+      AS fresh_proportional
+  FROM base, tot
+)
+SELECT n, total_budget, fresh_uniform, fresh_proportional,
+  fresh_uniform > fresh_proportional AS uniform_wins
+FROM agg
+"""

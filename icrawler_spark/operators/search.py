@@ -2204,3 +2204,117 @@ SELECT threshold, CAST(n_pred AS BIGINT) AS n_pred,
       6) END, 0.0) AS f1
 FROM cum ORDER BY threshold DESC
 """
+
+
+def docid_sort_gain(
+    postings: DataFrame,
+    n_shards: int = 16,
+    term_col: str = "term",
+    url_col: str = "url",
+) -> DataFrame:
+    """Docid-reassignment compression audit (Silvestri ECIR '07): gap-
+    coded posting lists shrink when docids follow URL order, because
+    same-site pages share terms and land adjacent — vs random docid
+    assignment. Measures mean gap bits (floor(log2 gap)+1, the
+    Elias-gamma body cost) under both orderings over the SAME postings,
+    within per-shard docid spaces (docids are dense per index shard =
+    md5(url) mod ``n_shards``, exactly how a distributed index assigns
+    them — so ranking windows are shard-partitioned, never global).
+
+    Returns one row: (n_postings, n_docs, bits_url_order,
+    bits_random_order, gain_pct rounded 4/6).
+
+    Scale shape: distinct-url ranking via shard-PARTITIONED windows;
+    per-(term, shard) lag windows for gaps; no global sort, no join
+    beyond the docid map broadcast-back.
+    """
+    p = postings.select(F.col(term_col).alias("term"),
+                        F.col(url_col).alias("url")).distinct()
+    urls = p.select("url").distinct()
+    shard = (F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10)
+             .cast("long") % int(n_shards)).cast("int")
+    w_url = Window.partitionBy("shard").orderBy("url")
+    w_rnd = Window.partitionBy("shard").orderBy(F.md5(F.col("url")))
+    ids = (urls.withColumn("shard", shard)
+           .withColumn("id_url", F.row_number().over(w_url)
+                       .cast("long"))
+           .withColumn("id_rnd", F.row_number().over(w_rnd)
+                       .cast("long")))
+    j = p.join(ids, "url")
+
+    def bits(id_col):
+        w = Window.partitionBy("term", "shard").orderBy(id_col)
+        gap = F.col(id_col) - F.lag(id_col).over(w)
+        return F.when(gap.isNull(), F.floor(F.log2(F.col(id_col)
+                                                   .cast("double"))) + 1) \
+            .otherwise(F.floor(F.log2(gap.cast("double"))) + 1)
+
+    scored = j.select(
+        "term", "shard", "id_url",
+        bits("id_url").alias("b_url"),
+        bits("id_rnd").alias("b_rnd"))
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.countDistinct("shard", "id_url").cast("long").alias("n_docs"),
+        F.avg("b_url").alias("bu"),
+        F.avg("b_rnd").alias("br"))
+    return agg.select(
+        "n_postings", "n_docs",
+        F.round("bu", 4).alias("bits_url_order"),
+        F.round("br", 4).alias("bits_random_order"),
+        F.round((F.col("br") - F.col("bu")) / F.col("br"), 6)
+        .alias("gain_pct"))
+
+
+def docid_sort_gain_sql(postings_sql: str, n_shards: int = 16) -> str:
+    """DuckDB mirror of :func:`docid_sort_gain` over a (term, url)
+    SELECT — md5-prefix shard via positional hex arithmetic."""
+    hexd = "0123456789abcdef"
+    val = " + ".join(
+        f"(strpos('{hexd}', substr(md5(url), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"""
+WITH p AS (SELECT DISTINCT term, url FROM ({postings_sql})),
+urls AS (SELECT DISTINCT url FROM p),
+ids AS (
+  SELECT url,
+    CAST(({val}) % {int(n_shards)} AS INT) AS shard,
+    CAST(row_number() OVER (
+      PARTITION BY CAST(({val}) % {int(n_shards)} AS INT)
+      ORDER BY url) AS BIGINT) AS id_url,
+    CAST(row_number() OVER (
+      PARTITION BY CAST(({val}) % {int(n_shards)} AS INT)
+      ORDER BY md5(url)) AS BIGINT) AS id_rnd
+  FROM urls
+),
+j AS (SELECT p.term, ids.shard, ids.id_url, ids.id_rnd
+      FROM p JOIN ids ON p.url = ids.url),
+scored AS (
+  SELECT term, shard, id_url,
+    CASE WHEN lag(id_url) OVER (PARTITION BY term, shard
+                                ORDER BY id_url) IS NULL
+      THEN floor(log2(CAST(id_url AS DOUBLE))) + 1
+      ELSE floor(log2(CAST(id_url - lag(id_url) OVER (
+        PARTITION BY term, shard ORDER BY id_url) AS DOUBLE))) + 1
+      END AS b_url,
+    CASE WHEN lag(id_rnd) OVER (PARTITION BY term, shard
+                                ORDER BY id_rnd) IS NULL
+      THEN floor(log2(CAST(id_rnd AS DOUBLE))) + 1
+      ELSE floor(log2(CAST(id_rnd - lag(id_rnd) OVER (
+        PARTITION BY term, shard ORDER BY id_rnd) AS DOUBLE))) + 1
+      END AS b_rnd
+  FROM j
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_postings,
+    CAST(count(DISTINCT (shard, id_url)) AS BIGINT) AS n_docs,
+    avg(b_url) AS bu, avg(b_rnd) AS br
+  FROM scored
+)
+SELECT n_postings, n_docs,
+  round(bu, 4) AS bits_url_order,
+  round(br, 4) AS bits_random_order,
+  round((br - bu) / br, 6) AS gain_pct
+FROM agg
+"""

@@ -1,0 +1,124 @@
+"""Unit tests for the round-76 pack: freshness policy, docid sort gain,
+throttle knee, parked domains, wildcard hosts."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.blocklist import (parked_domains,
+                                                wildcard_hosts)
+from icrawler_spark.operators.politeness import throttle_knee
+from icrawler_spark.operators.recrawl import freshness_policy
+from icrawler_spark.operators.search import docid_sort_gain
+
+
+# ---------------------------------------------------------------------------
+# freshness_policy
+# ---------------------------------------------------------------------------
+
+def test_freshness_uniform_beats_proportional(spark):
+    # classic C&GM: heterogeneous rates → uniform wins
+    rows = [(0.2,), (0.2,), (0.2,), (5.0,)]
+    df = spark.createDataFrame(rows, "lam double")
+    r = freshness_policy(df, budget_per_page=1.0).collect()[0]
+    assert r["uniform_wins"] is True
+    assert r["n"] == 4 and r["total_budget"] == 4.0
+    # hand value for uniform: mean of (1/λ)(1−e^{−λ})
+    exp = sum((1 / l) * (1 - math.exp(-l)) for l in (0.2, 0.2, 0.2, 5.0)) / 4
+    assert abs(r["fresh_uniform"] - exp) < 1e-5
+
+
+def test_freshness_policies_equal_when_rates_equal(spark):
+    df = spark.createDataFrame([(1.0,)] * 5, "lam double")
+    r = freshness_policy(df).collect()[0]
+    assert abs(r["fresh_uniform"] - r["fresh_proportional"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# docid_sort_gain
+# ---------------------------------------------------------------------------
+
+def test_docid_sort_gain_positive_for_clustered_terms(spark):
+    # each term lives on one host whose pages are URL-adjacent
+    rows = [(f"term{h}", f"https://h{h:02d}.test/p{p:03d}")
+            for h in range(6) for p in range(30)]
+    df = spark.createDataFrame(rows, "term string, url string")
+    r = docid_sort_gain(df, n_shards=4).collect()[0]
+    assert r["n_postings"] == 180 and r["n_docs"] == 180
+    assert r["bits_url_order"] < r["bits_random_order"]
+    assert r["gain_pct"] > 0
+
+
+def test_docid_sort_gain_zero_when_term_everywhere(spark):
+    # one term on every doc: gaps are 1 under BOTH orderings
+    rows = [("t", f"https://h.test/p{p:03d}") for p in range(40)]
+    df = spark.createDataFrame(rows, "term string, url string")
+    r = docid_sort_gain(df, n_shards=2).collect()[0]
+    assert r["bits_url_order"] == r["bits_random_order"]
+    assert r["gain_pct"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# throttle_knee
+# ---------------------------------------------------------------------------
+
+def test_throttle_knee_detects_rate_limit(spark):
+    rows = []
+    # minute 0: 16 requests, half throttled; minute 1..4: 2 requests, clean
+    for i in range(16):
+        rows.append(("h", 0, 429 if i % 2 == 0 else 200))
+    for m in range(1, 5):
+        rows.append(("h", m, 200))
+        rows.append(("h", m, 200))
+    df = spark.createDataFrame(rows, "host string, minute long, status int")
+    r = throttle_knee(df, share_threshold=0.2).collect()[0]
+    assert r["peak_rate"] == 16 and r["knee_rate"] == 16
+    assert abs(r["max_throttle_share"] - 0.5) < 1e-9
+
+
+def test_throttle_knee_null_when_never_throttled(spark):
+    rows = [("h", m, 200) for m in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "host string, minute long, status int")
+    r = throttle_knee(df).collect()[0]
+    assert r["knee_rate"] is None and r["max_throttle_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# parked_domains
+# ---------------------------------------------------------------------------
+
+def test_parked_marker_and_structural(spark):
+    long_text = "real content " * 20
+    rows = [
+        ("https://a.test/1", "<body>This domain is for sale</body>", long_text),
+        ("https://a.test/2", '<body><a href="/x">x</a></body>', "x"),
+        ("https://a.test/3",
+         '<body><a href="/1">1</a><a href="/2">2</a><a href="/3">3</a></body>',
+         long_text),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string, text string")
+    r = parked_domains(df).collect()[0]
+    assert r["marker_pages"] == 1 and r["structural_pages"] == 1
+    assert abs(r["parked_share"] - 2 / 3) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# wildcard_hosts
+# ---------------------------------------------------------------------------
+
+def test_wildcard_flags_low_diversity_catchall(spark):
+    rows = ([(f"s{i}.spam.test", f"c{i % 2}") for i in range(20)]
+            + [(f"s{i}.ok.test", f"c{i}") for i in range(20)])
+    df = spark.createDataFrame(rows, "host string, content_hash string")
+    out = {r["domain"]: r for r in wildcard_hosts(df).collect()}
+    assert out["spam.test"]["is_wildcard"] is True
+    assert out["spam.test"]["n_subdomains"] == 20
+    assert out["spam.test"]["n_contents"] == 2
+    assert out["ok.test"]["is_wildcard"] is False  # diversity 1.0
+
+
+def test_wildcard_needs_min_subdomains(spark):
+    rows = [(f"s{i}.tiny.test", "c0") for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, content_hash string")
+    r = wildcard_hosts(df, min_subdomains=10).collect()[0]
+    assert r["is_wildcard"] is False  # only 3 subdomains
