@@ -352,6 +352,8 @@ _EXTRA_PICKS = [
     "bootstrap", "permutation", "welch", "anova", "centroid_drift",
     # round-3 batch-70 (refresh policy + docid sort + throttling + parked + wildcard)
     "freshness", "docid_sort", "throttle", "parked", "wildcard",
+    # round-3 batch-71 (paired tests + residual autocorr + cuped + theil-sen)
+    "mcnemar", "cochran", "durbin_watson", "cuped", "theil_sen",
 ]
 
 

@@ -1,0 +1,208 @@
+"""Round-3 driver-contract queries (batch 71): McNemar paired-detector
+test, Cochran's Q k-detector test, Durbin-Watson residual
+autocorrelation, CUPED variance reduction, Theil-Sen robust slope.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# mcnemar — two soft-404 detectors disagree on a deterministic sliver
+# ---------------------------------------------------------------------------
+
+
+def _mc_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    base = (e % 13 < 6).cast("int")
+    y1 = F.when(e % 17 == 0, 1 - base).otherwise(base)
+    y2 = F.when(e % 23 == 0, 1 - base).otherwise(base)
+    return ev.select(y1.alias("y1"), y2.alias("y2"))
+
+
+_MC_PAIRS_SQL = """
+  SELECT CASE WHEN event_id % 17 = 0
+      THEN 1 - CASE WHEN event_id % 13 < 6 THEN 1 ELSE 0 END
+      ELSE CASE WHEN event_id % 13 < 6 THEN 1 ELSE 0 END END AS y1,
+    CASE WHEN event_id % 23 = 0
+      THEN 1 - CASE WHEN event_id % 13 < 6 THEN 1 ELSE 0 END
+      ELSE CASE WHEN event_id % 13 < 6 THEN 1 ELSE 0 END END AS y2
+  FROM events
+"""
+
+
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mcnemar_test: continuity-corrected paired
+    detector comparison — ONE global agg."""
+    return _corpus.mcnemar_test(_mc_pairs(spark, sf))
+
+
+def _mcnemar_sql() -> str:
+    return _corpus.mcnemar_test_sql(_MC_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cochran — three quality gates with distinct deterministic flips
+# ---------------------------------------------------------------------------
+
+
+def _cq_flags(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    base = (e % 11 < 5).cast("int")
+    d1 = F.when(e % 19 == 0, 1 - base).otherwise(base)
+    d2 = F.when(e % 29 == 0, 1 - base).otherwise(base)
+    d3 = F.when(e % 31 < 2, 1 - base).otherwise(base)
+    return ev.select(d1.alias("d1"), d2.alias("d2"), d3.alias("d3"))
+
+
+_CQ_FLAGS_SQL = """
+  SELECT CASE WHEN event_id % 19 = 0
+      THEN 1 - CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END
+      ELSE CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END END AS d1,
+    CASE WHEN event_id % 29 = 0
+      THEN 1 - CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END
+      ELSE CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END END AS d2,
+    CASE WHEN event_id % 31 < 2
+      THEN 1 - CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END
+      ELSE CASE WHEN event_id % 11 < 5 THEN 1 ELSE 0 END END AS d3
+  FROM events
+"""
+
+
+def q_cochran(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cochran_q: k=3 paired binary gates — per-row
+    sums in the scan + ONE global agg."""
+    return _corpus.cochran_q(_cq_flags(spark, sf))
+
+
+def _cochran_sql() -> str:
+    return _corpus.cochran_q_sql(_CQ_FLAGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson — 4 latency series with an alternating load component
+# ---------------------------------------------------------------------------
+
+
+def _dw_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    y = (e.cast("double") * 0.003 + (e % 2).cast("double") * 2.0
+         + (e * 7 % 5).cast("double"))
+    return ev.select(
+        F.concat(F.lit("g"), (e % 4).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), y.alias("y"))
+
+
+_DW_SERIES_SQL = """
+  SELECT 'g' || CAST(event_id % 4 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CAST(event_id AS DOUBLE) * 0.003
+      + CAST(event_id % 2 AS DOUBLE) * 2.0
+      + CAST(event_id * 7 % 5 AS DOUBLE) AS y
+  FROM events
+"""
+
+
+def q_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.durbin_watson: lag-1 residual autocorrelation
+    per series — ONE grp shuffle reused by every window layer."""
+    return _corpus.durbin_watson(_dw_series(spark, sf))
+
+
+def _durbin_watson_sql() -> str:
+    return _corpus.durbin_watson_sql(_DW_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cuped — pre-period covariate strongly predicts the experiment metric
+# ---------------------------------------------------------------------------
+
+
+def _cu_units(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = (e % 50).cast("double")
+    y = x + (e * 17 % 11).cast("double") + (e % 2).cast("double") * 2.0
+    return ev.select(x.alias("x"), y.alias("y"), (e % 2).alias("arm"))
+
+
+_CU_UNITS_SQL = """
+  SELECT CAST(event_id % 50 AS DOUBLE) AS x,
+    CAST(event_id % 50 AS DOUBLE) + CAST(event_id * 17 % 11 AS DOUBLE)
+      + CAST(event_id % 2 AS DOUBLE) * 2.0 AS y,
+    event_id % 2 AS arm
+  FROM events
+"""
+
+
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cuped_adjust: pre-period covariate variance
+    reduction — ONE global agg of eight moments."""
+    return _corpus.cuped_adjust(_cu_units(spark, sf))
+
+
+def _cuped_sql() -> str:
+    return _corpus.cuped_adjust_sql(_CU_UNITS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen — 8 bounded series (1-in-5 systematic sample) with spikes
+# ---------------------------------------------------------------------------
+
+
+def _ts_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    e = F.col("event_id")
+    y = (e % 7).cast("double") + e.cast("double") * 0.002
+    return ev.select(
+        F.concat(F.lit("h"), (e % 8).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), y.alias("y"))
+
+
+_TS_SERIES_SQL = """
+  SELECT 'h' || CAST(event_id % 8 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CAST(event_id % 7 AS DOUBLE)
+      + CAST(event_id AS DOUBLE) * 0.002 AS y
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.theil_sen: median pairwise slope per bounded
+    group — ONE grp self-join + ONE groupBy(grp)."""
+    return _corpus.theil_sen(_ts_series(spark, sf))
+
+
+def _theil_sen_sql() -> str:
+    return _corpus.theil_sen_sql(_TS_SERIES_SQL)
+
+
+def queries77():
+    return {
+        "mcnemar": q_mcnemar,
+        "cochran": q_cochran,
+        "durbin_watson": q_durbin_watson,
+        "cuped": q_cuped,
+        "theil_sen": q_theil_sen,
+    }
+
+
+def oracle_sql77():
+    return {
+        "mcnemar": _mcnemar_sql(),
+        "cochran": _cochran_sql(),
+        "durbin_watson": _durbin_watson_sql(),
+        "cuped": _cuped_sql(),
+        "theil_sen": _theil_sen_sql(),
+    }

@@ -4492,3 +4492,684 @@ SELECT n, k, CAST(k - 1 AS BIGINT) AS df1,
       / (ss - s * s / CAST(n AS DOUBLE)) END, 6) AS eta_sq
 FROM agg
 """
+
+
+def mcnemar_test(
+    pairs: DataFrame,
+    y1_col: str = "y1",
+    y2_col: str = "y2",
+) -> DataFrame:
+    """McNemar's test (continuity-corrected) for two binary detectors
+    scored on the SAME items — the correct paired comparison when
+    promoting e.g. a new soft-404 or spam gate over the incumbent:
+    only the discordant items (b = only detector 1 fires, c = only
+    detector 2 fires) carry information, so accuracy deltas on the
+    concordant mass are noise. chi2_cc = (|b-c|-1)^2/(b+c), 1 df;
+    NULL when b + c = 0 (no disagreements).
+
+    Returns one row: (n, both_pos, b_only, c_only, both_neg,
+    chi2_cc rounded 6).
+
+    Scale shape: ONE global agg of four conditional counts — no
+    shuffle wider than a single reduce.
+    """
+    y1 = F.col(y1_col).cast("int")
+    y2 = F.col(y2_col).cast("int")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((y1 == 1) & (y2 == 1)).cast("long")).alias("both_pos"),
+        F.sum(((y1 == 1) & (y2 == 0)).cast("long")).alias("b_only"),
+        F.sum(((y1 == 0) & (y2 == 1)).cast("long")).alias("c_only"),
+        F.sum(((y1 == 0) & (y2 == 0)).cast("long")).alias("both_neg"))
+    b, c = F.col("b_only").cast("double"), F.col("c_only").cast("double")
+    num = (F.abs(b - c) - 1.0)
+    chi2 = num * num / (b + c)
+    return agg.select(
+        "n", "both_pos", "b_only", "c_only", "both_neg",
+        F.round(F.when(b + c > 0, chi2), 6).alias("chi2_cc"))
+
+
+def mcnemar_test_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`mcnemar_test` over a (y1, y2) SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN y1 = 1 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_pos,
+    CAST(sum(CASE WHEN y1 = 1 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_only,
+    CAST(sum(CASE WHEN y1 = 0 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_only,
+    CAST(sum(CASE WHEN y1 = 0 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_neg
+  FROM ({pairs_sql})
+)
+SELECT n, both_pos, b_only, c_only, both_neg,
+  round(CASE WHEN b_only + c_only > 0
+    THEN (abs(CAST(b_only AS DOUBLE) - c_only) - 1.0)
+      * (abs(CAST(b_only AS DOUBLE) - c_only) - 1.0)
+      / (CAST(b_only AS DOUBLE) + c_only) END, 6) AS chi2_cc
+FROM agg
+"""
+
+
+def cochran_q(
+    flags: DataFrame,
+    d_cols: tuple = ("d1", "d2", "d3"),
+) -> DataFrame:
+    """Cochran's Q test — the k-detector generalization of
+    :func:`mcnemar_test`: are k binary gates (e.g. three quality
+    filters) firing at the same underlying rate on the same items?
+    Q = (k-1)(k*sum Tj^2 - (sum Tj)^2) / (k*sum Ri - sum Ri^2) with
+    Tj = per-detector totals and Ri = per-item row sums; Q ~ chi2 on
+    k-1 df under H0. Items where all detectors agree (Ri = 0 or k)
+    contribute nothing, mirroring McNemar's discordant-only logic.
+
+    Returns one row: (n, t1..tk, q rounded 6); q NULL when the
+    denominator is zero (every item unanimous).
+
+    Scale shape: per-row sums in the scan stage + ONE global agg.
+    """
+    k = len(d_cols)
+    cols = [F.col(c).cast("long") for c in d_cols]
+    ri = cols[0]
+    for c in cols[1:]:
+        ri = ri + c
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, c in enumerate(d_cols):
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"t{i + 1}"))
+    aggs.append(F.sum(ri).alias("sr"))
+    aggs.append(F.sum(ri * ri).alias("sr2"))
+    agg = flags.agg(*aggs)
+    tsum = F.col("t1").cast("double")
+    tsq = F.col("t1").cast("double") * F.col("t1")
+    for i in range(2, k + 1):
+        tsum = tsum + F.col(f"t{i}")
+        tsq = tsq + F.col(f"t{i}").cast("double") * F.col(f"t{i}")
+    den = k * F.col("sr").cast("double") - F.col("sr2")
+    q = (k - 1.0) * (k * tsq - tsum * tsum) / den
+    return agg.select(
+        "n", *[f"t{i}" for i in range(1, k + 1)],
+        F.round(F.when(den > 0, q), 6).alias("q"))
+
+
+def cochran_q_sql(flags_sql: str, d_cols: tuple = ("d1", "d2", "d3")) -> str:
+    """DuckDB mirror of :func:`cochran_q` over a (d1..dk) SELECT."""
+    k = len(d_cols)
+    ts = ",\n    ".join(
+        f"CAST(sum({c}) AS BIGINT) AS t{i + 1}"
+        for i, c in enumerate(d_cols))
+    ri = " + ".join(d_cols)
+    tsum = " + ".join(f"t{i}" for i in range(1, k + 1))
+    tsq = " + ".join(f"CAST(t{i} AS DOUBLE) * t{i}"
+                     for i in range(1, k + 1))
+    tnames = ", ".join(f"t{i}" for i in range(1, k + 1))
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    {ts},
+    CAST(sum({ri}) AS BIGINT) AS sr,
+    CAST(sum(({ri}) * ({ri})) AS BIGINT) AS sr2
+  FROM ({flags_sql})
+)
+SELECT n, {tnames},
+  round(CASE WHEN {k} * CAST(sr AS DOUBLE) - sr2 > 0
+    THEN ({k} - 1.0) * ({k} * ({tsq}) - ({tsum}) * CAST(({tsum}) AS DOUBLE))
+      / ({k} * CAST(sr AS DOUBLE) - sr2) END, 6) AS q
+FROM agg
+"""
+
+
+def durbin_watson(
+    series: DataFrame,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-series Durbin-Watson statistic on simple-OLS residuals —
+    the standard lag-1 autocorrelation check for latency / rate
+    trends: DW ~ 2 means the linear fit's errors are independent,
+    DW -> 0 positive autocorrelation (trend model too stiff, e.g.
+    regime shifts), DW -> 4 negative (over-differenced or
+    alternating load). Residuals come from the per-group closed-form
+    fit y = a + b*t; all deviations are centered on exact group
+    means (window AVG) before any product, so no catastrophic
+    cancellation on large t.
+
+    Returns per group: (grp, n, slope, dw rounded 6); slope NULL on
+    a degenerate (constant-t) group, dw NULL when residuals are all
+    zero or n < 2.
+
+    Scale shape: ONE shuffle on grp reused by every window layer
+    (means -> slope -> residual lag); no join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp")
+    wt = Window.partitionBy("grp").orderBy("t")
+    base = series.select(
+        F.col(grp_col).alias("grp"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(y_col).cast("double").alias("y"))
+    cent = base.select(
+        "grp", "t", "y",
+        (F.col("t") - F.avg("t").over(w)).alias("dt"),
+        (F.col("y") - F.avg("y").over(w)).alias("dy"))
+    fit = cent.select(
+        "grp", "t", "dy", "dt",
+        F.sum(F.col("dt") * F.col("dy")).over(w).alias("sxy"),
+        F.sum(F.col("dt") * F.col("dt")).over(w).alias("sxx"))
+    resid = fit.select(
+        "grp", "t",
+        F.col("sxx"), (F.col("sxy") / F.col("sxx")).alias("b"),
+        F.when(F.col("sxx") > 0,
+               F.col("dy") - F.col("sxy") / F.col("sxx") * F.col("dt"))
+        .alias("e"))
+    lagged = resid.select(
+        "grp", "b", "sxx", "e",
+        (F.col("e") - F.lag("e").over(wt)).alias("de"))
+    return (lagged.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max(F.when(F.col("sxx") > 0, F.col("b"))), 6)
+        .alias("slope"),
+        F.round(
+            F.when(F.sum(F.col("e") * F.col("e")) > 0,
+                   F.sum(F.col("de") * F.col("de"))
+                   / F.sum(F.col("e") * F.col("e"))), 6).alias("dw"))
+        .orderBy("grp"))
+
+
+def durbin_watson_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`durbin_watson` over a (grp, t, y)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+cent AS (
+  SELECT grp, t, y,
+    t - avg(t) OVER (PARTITION BY grp) AS dt,
+    y - avg(y) OVER (PARTITION BY grp) AS dy
+  FROM base
+),
+fit AS (
+  SELECT grp, t, dy, dt,
+    sum(dt * dy) OVER (PARTITION BY grp) AS sxy,
+    sum(dt * dt) OVER (PARTITION BY grp) AS sxx
+  FROM cent
+),
+resid AS (
+  SELECT grp, t, sxx, sxy / sxx AS b,
+    CASE WHEN sxx > 0 THEN dy - sxy / sxx * dt END AS e
+  FROM fit
+),
+lagged AS (
+  SELECT grp, b, sxx, e,
+    e - lag(e) OVER (PARTITION BY grp ORDER BY t) AS de
+  FROM resid
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+  round(max(CASE WHEN sxx > 0 THEN b END), 6) AS slope,
+  round(CASE WHEN sum(e * e) > 0
+    THEN sum(de * de) / sum(e * e) END, 6) AS dw
+FROM lagged GROUP BY grp ORDER BY grp
+"""
+
+
+def cuped_adjust(
+    units: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    arm_col: str = "arm",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM '13) for crawl
+    A/B rollouts: regress the experiment metric y on the pre-period
+    covariate x (theta = cov(x,y)/var(x), pooled), report the
+    adjusted-metric variance and both the raw and CUPED lift between
+    arm 1 and arm 0. With a well-correlated pre-period metric the
+    variance drop is rho^2 — often 2-5x fewer crawl-days to
+    significance. Population moments (E[xy]-E[x]E[y]) are written
+    identically in both engines; values are assumed pre-scaled (no
+    large-offset cancellation).
+
+    Returns one row: (n, theta, var_y, var_cuped, var_reduction,
+    lift_raw, lift_cuped rounded 6).
+
+    Scale shape: ONE global agg of eight moments — a single reduce.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    t1 = F.col(arm_col) == 1
+    agg = units.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(x).alias("mx"), F.avg(y).alias("my"),
+        F.avg(x * x).alias("mxx"), F.avg(y * y).alias("myy"),
+        F.avg(x * y).alias("mxy"),
+        F.avg(F.when(t1, y)).alias("my1"),
+        F.avg(F.when(~t1, y)).alias("my0"),
+        F.avg(F.when(t1, x)).alias("mx1"),
+        F.avg(F.when(~t1, x)).alias("mx0"))
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    theta = F.when(varx > 0, cov / varx)
+    var_cuped = F.when(varx > 0, vary - cov * cov / varx)
+    lift_raw = F.col("my1") - F.col("my0")
+    lift_cuped = lift_raw - theta * (F.col("mx1") - F.col("mx0"))
+    return agg.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(vary, 6).alias("var_y"),
+        F.round(var_cuped, 6).alias("var_cuped"),
+        F.round(F.when((varx > 0) & (vary > 0),
+                       1.0 - var_cuped / vary), 6).alias("var_reduction"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(lift_cuped, 6).alias("lift_cuped"))
+
+
+def cuped_adjust_sql(units_sql: str) -> str:
+    """DuckDB mirror of :func:`cuped_adjust` over an (x, y, arm)
+    SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    avg(CAST(x AS DOUBLE)) AS mx, avg(CAST(y AS DOUBLE)) AS my,
+    avg(CAST(x AS DOUBLE) * x) AS mxx,
+    avg(CAST(y AS DOUBLE) * y) AS myy,
+    avg(CAST(x AS DOUBLE) * y) AS mxy,
+    avg(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) END) AS my1,
+    avg(CASE WHEN arm <> 1 THEN CAST(y AS DOUBLE) END) AS my0,
+    avg(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) END) AS mx1,
+    avg(CASE WHEN arm <> 1 THEN CAST(x AS DOUBLE) END) AS mx0
+  FROM ({units_sql})
+),
+d AS (
+  SELECT n, mxx - mx * mx AS varx, myy - my * my AS vary,
+    mxy - mx * my AS cov, my1, my0, mx1, mx0
+  FROM agg
+)
+SELECT n,
+  round(CASE WHEN varx > 0 THEN cov / varx END, 6) AS theta,
+  round(vary, 6) AS var_y,
+  round(CASE WHEN varx > 0 THEN vary - cov * cov / varx END, 6)
+    AS var_cuped,
+  round(CASE WHEN varx > 0 AND vary > 0
+    THEN 1.0 - (vary - cov * cov / varx) / vary END, 6)
+    AS var_reduction,
+  round(my1 - my0, 6) AS lift_raw,
+  round(my1 - my0 - CASE WHEN varx > 0 THEN cov / varx END
+    * (mx1 - mx0), 6) AS lift_cuped
+FROM d
+"""
+
+
+def theil_sen(
+    series: DataFrame,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil-Sen slope — the median of all pairwise slopes
+    (y_j - y_i)/(t_j - t_i), t_i < t_j. The robust replacement for
+    per-host OLS trend (:func:`durbin_watson`'s fit) when latency or
+    change-rate series carry heavy-tailed spikes: a 29% outlier mass
+    leaves the estimate intact. Exact within-group pairing is
+    O(n_g^2); the documented scale knob is pre-bucketing t (median
+    of per-bucket medians) or capping n_g by systematic sampling —
+    callers at 100 TB pass bounded groups.
+
+    Returns per group: (grp, n, n_pairs, ts_slope rounded 6) where
+    the median uses linear interpolation (Spark `percentile` ==
+    DuckDB quantile_cont).
+
+    Scale shape: ONE equi-join on grp (self) + ONE groupBy(grp).
+    """
+    a = series.select(F.col(grp_col).alias("grp"),
+                      F.col(t_col).cast("double").alias("t1"),
+                      F.col(y_col).cast("double").alias("y1"))
+    b = series.select(F.col(grp_col).alias("grp"),
+                      F.col(t_col).cast("double").alias("t2"),
+                      F.col(y_col).cast("double").alias("y2"))
+    pairs = (a.join(b, "grp").filter(F.col("t1") < F.col("t2"))
+             .select("grp", ((F.col("y2") - F.col("y1"))
+                             / (F.col("t2") - F.col("t1"))).alias("s")))
+    n = series.select(F.col(grp_col).alias("grp")).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"))
+    med = pairs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("ts_slope"))
+    return (n.join(med, "grp", "left")
+            .select("grp", "n",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    "ts_slope")
+            .orderBy("grp"))
+
+
+def theil_sen_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`theil_sen` over a (grp, t, y) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+pairs AS (
+  SELECT a.grp, (b.y - a.y) / (b.t - a.t) AS s
+  FROM base a JOIN base b ON a.grp = b.grp AND a.t < b.t
+),
+n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+med AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+    round(quantile_cont(s, 0.5), 6) AS ts_slope
+  FROM pairs GROUP BY 1
+)
+SELECT n.grp, n.n, COALESCE(med.n_pairs, 0) AS n_pairs, med.ts_slope
+FROM n LEFT JOIN med ON n.grp = med.grp
+ORDER BY n.grp
+"""
+
+
+def page_hinkley(
+    series: DataFrame,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    x_col: str = "x",
+    delta: float = 0.05,
+    lam: float = 20.0,
+) -> DataFrame:
+    """Page-Hinkley sequential change detection per metric series —
+    the online CUSUM variant used to flag crawl-rate or quality-score
+    level shifts: m_t = sum_{s<=t}(x_s - xbar_s - delta) with xbar_s
+    the running prefix mean; an UPWARD shift alarms when
+    m_t - min_{s<=t} m_s > lam, a DOWNWARD one when
+    max_{s<=t} m_s - m_t > lam. delta is the magnitude deadband,
+    lam the evidence threshold (both in metric units).
+
+    Returns per group: (grp, n, max_ph_up, max_ph_down rounded 6,
+    first_up_t, first_down_t) — first alarm times NULL when never
+    triggered.
+
+    Scale shape: ONE shuffle on grp; three stacked window layers
+    (prefix mean -> prefix sum -> prefix extrema) reuse it.
+    """
+    from pyspark.sql import Window
+
+    wt = (Window.partitionBy("grp").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    base = series.select(
+        F.col(grp_col).alias("grp"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(x_col).cast("double").alias("x"))
+    dev = base.select(
+        "grp", "t",
+        (F.col("x") - F.avg("x").over(wt) - F.lit(float(delta)))
+        .alias("d"))
+    cum = dev.select("grp", "t", F.sum("d").over(wt).alias("m"))
+    ph = cum.select(
+        "grp", "t",
+        (F.col("m") - F.min("m").over(wt)).alias("ph_up"),
+        (F.max("m").over(wt) - F.col("m")).alias("ph_down"))
+    return (ph.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max("ph_up"), 6).alias("max_ph_up"),
+        F.round(F.max("ph_down"), 6).alias("max_ph_down"),
+        F.min(F.when(F.col("ph_up") > lam, F.col("t")))
+        .alias("first_up_t"),
+        F.min(F.when(F.col("ph_down") > lam, F.col("t")))
+        .alias("first_down_t"))
+        .orderBy("grp"))
+
+
+def page_hinkley_sql(series_sql: str, delta: float = 0.05,
+                     lam: float = 20.0) -> str:
+    """DuckDB mirror of :func:`page_hinkley` over a (grp, t, x)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(x AS DOUBLE) AS x
+  FROM ({series_sql})
+),
+dev AS (
+  SELECT grp, t,
+    x - avg(x) OVER (PARTITION BY grp ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {delta!r} AS d
+  FROM base
+),
+cum AS (
+  SELECT grp, t, sum(d) OVER (PARTITION BY grp ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM dev
+),
+ph AS (
+  SELECT grp, t,
+    m - min(m) OVER (PARTITION BY grp ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_up,
+    max(m) OVER (PARTITION BY grp ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS ph_down
+  FROM cum
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+  round(max(ph_up), 6) AS max_ph_up,
+  round(max(ph_down), 6) AS max_ph_down,
+  min(CASE WHEN ph_up > {lam!r} THEN t END) AS first_up_t,
+  min(CASE WHEN ph_down > {lam!r} THEN t END) AS first_down_t
+FROM ph GROUP BY grp ORDER BY grp
+"""
+
+
+def mann_kendall(
+    series: DataFrame,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series — the
+    distribution-free companion to :func:`theil_sen`: S = sum of
+    sign(y_j - y_i) over t_i < t_j, tie-corrected variance
+    var(S) = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)]/18, and the
+    continuity-corrected z. Use it to decide WHETHER a host's
+    latency / change-rate trend is real before quoting the
+    Theil-Sen slope. Exact pairing is O(n_g^2) — bounded groups, as
+    with theil_sen.
+
+    Returns per group: (grp, n, s, var_s rounded 4, z rounded 4);
+    z NULL when var(S) = 0 (all values tied).
+
+    Scale shape: ONE grp self-join + ONE groupBy(grp, y) for ties
+    + ONE groupBy(grp).
+    """
+    a = series.select(F.col(grp_col).alias("grp"),
+                      F.col(t_col).cast("double").alias("t1"),
+                      F.col(y_col).cast("double").alias("y1"))
+    b = series.select(F.col(grp_col).alias("grp"),
+                      F.col(t_col).cast("double").alias("t2"),
+                      F.col(y_col).cast("double").alias("y2"))
+    s = (a.join(b, "grp").filter(F.col("t1") < F.col("t2"))
+         .groupBy("grp").agg(
+             F.sum(F.signum(F.col("y2") - F.col("y1")))
+             .cast("long").alias("s")))
+    ties = (series.select(F.col(grp_col).alias("grp"),
+                          F.col(y_col).cast("double").alias("y"))
+            .groupBy("grp", "y").agg(F.count("*").alias("tg"))
+            .groupBy("grp").agg(
+                F.count("*").cast("long").alias("n_levels"),
+                F.sum("tg").cast("long").alias("n"),
+                F.sum(F.col("tg") * (F.col("tg") - 1)
+                      * (2 * F.col("tg") + 5)).alias("tie_term")))
+    nn = F.col("n").cast("double")
+    var_s = ((nn * (nn - 1.0) * (2.0 * nn + 5.0) - F.col("tie_term"))
+             / 18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(sd > 0, (sd - 1.0) / F.sqrt(var_s)) \
+         .when(sd < 0, (sd + 1.0) / F.sqrt(var_s)) \
+         .otherwise(F.lit(0.0))
+    return (ties.join(s, "grp")
+            .select("grp", "n", "s",
+                    F.round(var_s, 4).alias("var_s"),
+                    F.round(F.when(var_s > 0, z), 4).alias("z"))
+            .orderBy("grp"))
+
+
+def mann_kendall_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`mann_kendall` over a (grp, t, y)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+s AS (
+  SELECT a.grp, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+  FROM base a JOIN base b ON a.grp = b.grp AND a.t < b.t
+  GROUP BY 1
+),
+lv AS (
+  SELECT grp, y, count(*) AS tg FROM base GROUP BY 1, 2
+),
+ties AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_levels,
+    CAST(sum(tg) AS BIGINT) AS n,
+    sum(tg * (tg - 1) * (2 * tg + 5)) AS tie_term
+  FROM lv GROUP BY 1
+),
+v AS (
+  SELECT ties.grp, ties.n, s.s,
+    (CAST(ties.n AS DOUBLE) * (ties.n - 1.0) * (2.0 * ties.n + 5.0)
+      - tie_term) / 18.0 AS var_s
+  FROM ties JOIN s ON ties.grp = s.grp
+)
+SELECT grp, n, s, round(var_s, 4) AS var_s,
+  round(CASE WHEN var_s > 0 THEN
+    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+      ELSE 0.0 END END, 4) AS z
+FROM v ORDER BY grp
+"""
+
+
+def holm_bonferroni(
+    pvals: DataFrame,
+    id_col: str = "test_id",
+    p_col: str = "p",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm step-down multiple-testing correction — the FWER
+    companion to the BH-FDR gate: adjusted p_(i) = running max of
+    (m - i + 1) * p_(i) over the p-sorted sequence, capped at 1.
+    Uniformly more powerful than plain Bonferroni at the same
+    family-wise guarantee; use it when ANY false rejection is
+    costly (e.g. auto-blocking hosts off A/B metric alarms),
+    BH-FDR when a controlled false-discovery share is fine.
+
+    Returns per test: (test_id, p, rnk, p_holm rounded 6, reject)
+    ordered by p (ties broken by test_id for determinism).
+
+    Scale shape: m tests is panel-sized (thousands at most) — one
+    single-partition ordered window, by design; the inputs are the
+    OUTPUT of massive per-test aggregations upstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("p", "test_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = pvals.select(F.col(id_col).alias("test_id"),
+                        F.col(p_col).cast("double").alias("p"))
+    m = base.count()
+    ranked = base.select(
+        "test_id", "p", F.row_number().over(w).alias("rnk"))
+    adj = ranked.select(
+        "test_id", "p", "rnk",
+        F.least(F.max((F.lit(float(m)) - F.col("rnk") + 1.0)
+                      * F.col("p")).over(wc), F.lit(1.0))
+        .alias("p_holm"))
+    return adj.select(
+        "test_id", F.round("p", 6).alias("p"), "rnk",
+        F.round("p_holm", 6).alias("p_holm"),
+        (F.col("p_holm") <= alpha).cast("int").alias("reject")) \
+        .orderBy("rnk")
+
+
+def holm_bonferroni_sql(pvals_sql: str, alpha: float = 0.05) -> str:
+    """DuckDB mirror of :func:`holm_bonferroni` over a (test_id, p)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT test_id, CAST(p AS DOUBLE) AS p FROM ({pvals_sql})
+),
+ranked AS (
+  SELECT test_id, p,
+    row_number() OVER (ORDER BY p, test_id) AS rnk,
+    count(*) OVER () AS m
+  FROM base
+),
+adj AS (
+  SELECT test_id, p, rnk,
+    least(max((CAST(m AS DOUBLE) - rnk + 1.0) * p)
+      OVER (ORDER BY p, test_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+      AS p_holm
+  FROM ranked
+)
+SELECT test_id, round(p, 6) AS p, CAST(rnk AS BIGINT) AS rnk,
+  round(p_holm, 6) AS p_holm,
+  CAST(CASE WHEN p_holm <= {alpha!r} THEN 1 ELSE 0 END AS INTEGER)
+    AS reject
+FROM adj ORDER BY rnk
+"""
+
+
+def l_diversity(
+    records: DataFrame,
+    quasi_col: str = "q",
+    sensitive_col: str = "s",
+    l_req: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit — the follow-on to the k-anonymity
+    gate: a quasi-identifier group that is k-large but serves ONE
+    sensitive value still leaks it (homogeneity attack). Reports
+    how much of the release fails l >= l_req, which is what decides
+    whether published crawl/user aggregates need further
+    generalization.
+
+    Returns one row: (n_groups, n_records, min_l, groups_ok,
+    records_ok, share_records_ok rounded 6).
+
+    Scale shape: ONE groupBy(quasi) with a distinct agg + one
+    global reduce.
+    """
+    g = (records.select(F.col(quasi_col).alias("q"),
+                        F.col(sensitive_col).alias("s"))
+         .groupBy("q").agg(
+             F.count("*").cast("long").alias("n"),
+             F.countDistinct("s").cast("long").alias("l")))
+    ok = F.col("l") >= l_req
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_records"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(ok.cast("long")).alias("groups_ok"),
+        F.sum(F.when(ok, F.col("n")).otherwise(F.lit(0)))
+        .cast("long").alias("records_ok"),
+        F.round(F.sum(F.when(ok, F.col("n")).otherwise(F.lit(0)))
+                / F.sum("n"), 6).alias("share_records_ok"))
+
+
+def l_diversity_sql(records_sql: str, l_req: int = 3) -> str:
+    """DuckDB mirror of :func:`l_diversity` over a (q, s) SELECT."""
+    return f"""
+WITH g AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT s) AS BIGINT) AS l
+  FROM ({records_sql}) GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(n) AS BIGINT) AS n_records,
+  CAST(min(l) AS BIGINT) AS min_l,
+  CAST(sum(CASE WHEN l >= {l_req} THEN 1 ELSE 0 END) AS BIGINT)
+    AS groups_ok,
+  CAST(sum(CASE WHEN l >= {l_req} THEN n ELSE 0 END) AS BIGINT)
+    AS records_ok,
+  round(sum(CASE WHEN l >= {l_req} THEN n ELSE 0 END)
+    / CAST(sum(n) AS DOUBLE), 6) AS share_records_ok
+FROM g
+"""

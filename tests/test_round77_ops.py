@@ -1,0 +1,115 @@
+"""Unit tests for the round-77 pack: McNemar, Cochran's Q,
+Durbin-Watson, CUPED, Theil-Sen."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (cochran_q, cuped_adjust,
+                                             durbin_watson, mcnemar_test,
+                                             theil_sen)
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_counts_and_chi2(spark):
+    # b=3 (y1 only), c=1 (y2 only) → chi2_cc = (|3-1|-1)^2/4 = 0.25
+    rows = ([(1, 1)] * 5 + [(0, 0)] * 4 + [(1, 0)] * 3 + [(0, 1)] * 1)
+    df = spark.createDataFrame(rows, "y1 int, y2 int")
+    r = mcnemar_test(df).collect()[0]
+    assert (r["n"], r["both_pos"], r["b_only"], r["c_only"],
+            r["both_neg"]) == (13, 5, 3, 1, 4)
+    assert abs(r["chi2_cc"] - 0.25) < 1e-9
+
+
+def test_mcnemar_null_when_no_discordance(spark):
+    df = spark.createDataFrame([(1, 1), (0, 0)], "y1 int, y2 int")
+    r = mcnemar_test(df).collect()[0]
+    assert r["chi2_cc"] is None
+
+
+# ---------------------------------------------------------------------------
+# cochran_q
+# ---------------------------------------------------------------------------
+
+def test_cochran_q_hand_value(spark):
+    # 4 items, k=3: rows (1,1,0),(1,0,0),(1,1,1),(0,0,0)
+    # T = (3,2,1), sum R = 6, sum R^2 = 14 → Q = 2*(3*14-36)/(18-14) = 3
+    rows = [(1, 1, 0), (1, 0, 0), (1, 1, 1), (0, 0, 0)]
+    df = spark.createDataFrame(rows, "d1 int, d2 int, d3 int")
+    r = cochran_q(df).collect()[0]
+    assert (r["t1"], r["t2"], r["t3"]) == (3, 2, 1)
+    assert abs(r["q"] - 3.0) < 1e-9
+
+
+def test_cochran_q_null_when_unanimous(spark):
+    df = spark.createDataFrame([(1, 1, 1), (0, 0, 0)],
+                               "d1 int, d2 int, d3 int")
+    assert cochran_q(df).collect()[0]["q"] is None
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson
+# ---------------------------------------------------------------------------
+
+def test_durbin_watson_alternating_residuals_near_4(spark):
+    # y alternates around a flat line → e_t = -e_{t-1} → DW → 4
+    rows = [("g", float(t), 1.0 if t % 2 == 0 else -1.0)
+            for t in range(40)]
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    r = durbin_watson(df).collect()[0]
+    assert r["dw"] > 3.5
+
+
+def test_durbin_watson_perfect_line_null_dw(spark):
+    # zero residuals everywhere → dw NULL, slope exact
+    rows = [("g", float(t), 2.0 + 3.0 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    r = durbin_watson(df).collect()[0]
+    assert abs(r["slope"] - 3.0) < 1e-9
+    assert r["dw"] is None
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjust
+# ---------------------------------------------------------------------------
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    # y = 2x exactly → theta=2, var_cuped=0, reduction=1
+    rows = [(float(x), 2.0 * x, x % 2) for x in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double, arm int")
+    r = cuped_adjust(df).collect()[0]
+    assert abs(r["theta"] - 2.0) < 1e-9
+    assert abs(r["var_cuped"]) < 1e-6
+    assert abs(r["var_reduction"] - 1.0) < 1e-6
+
+
+def test_cuped_lift_recovers_true_effect(spark):
+    # y = x + 2*arm with x balanced across arms → raw lift biased by
+    # x imbalance 0, cuped lift == raw == 2
+    rows = [(float(x), float(x) + 2.0 * (i % 2), i % 2)
+            for i, x in enumerate([5, 5, 9, 9, 1, 1, 7, 7])]
+    df = spark.createDataFrame(rows, "x double, y double, arm int")
+    r = cuped_adjust(df).collect()[0]
+    assert abs(r["lift_cuped"] - 2.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# theil_sen
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_robust_to_outlier(spark):
+    # 9 points on y=2t plus one wild outlier: TS slope stays 2
+    rows = [("g", float(t), 2.0 * t) for t in range(9)]
+    rows.append(("g", 9.0, 500.0))
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    r = theil_sen(df).collect()[0]
+    assert r["n"] == 10 and r["n_pairs"] == 45
+    assert abs(r["ts_slope"] - 2.0) < 1e-9
+
+
+def test_theil_sen_single_point_group(spark):
+    df = spark.createDataFrame([("a", 1.0, 1.0)],
+                               "grp string, t double, y double")
+    r = theil_sen(df).collect()[0]
+    assert r["n"] == 1 and r["n_pairs"] == 0 and r["ts_slope"] is None
