@@ -354,6 +354,8 @@ _EXTRA_PICKS = [
     "freshness", "docid_sort", "throttle", "parked", "wildcard",
     # round-3 batch-71 (paired tests + residual autocorr + cuped + theil-sen)
     "mcnemar", "cochran", "durbin_watson", "cuped", "theil_sen",
+    # round-3 batch-72 (change detection + trend + fwer + privacy + sketch)
+    "page_hinkley", "mann_kendall", "holm", "l_diversity", "ams_f2",
 ]
 
 

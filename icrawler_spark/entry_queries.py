@@ -56,7 +56,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round70, entry_round71,
                             entry_round72, entry_round73,
                             entry_round74, entry_round75,
-                            entry_round76, entry_round77)
+                            entry_round76, entry_round77,
+                            entry_round78)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -900,6 +901,7 @@ def queries():
         **entry_round75.queries75(),
         **entry_round76.queries76(),
         **entry_round77.queries77(),
+        **entry_round78.queries78(),
     }
 
 
@@ -1009,4 +1011,5 @@ def oracle_sql():
         **entry_round75.oracle_sql75(),
         **entry_round76.oracle_sql76(),
         **entry_round77.oracle_sql77(),
+        **entry_round78.oracle_sql78(),
     }

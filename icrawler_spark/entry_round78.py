@@ -1,0 +1,199 @@
+"""Round-3 driver-contract queries (batch 72): Page-Hinkley change
+detection, Mann-Kendall trend test, Holm step-down correction,
+l-diversity audit, AMS F2 sketch.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import sketches as _sketches
+
+# ---------------------------------------------------------------------------
+# page_hinkley — upward level shift in the last 40% of each 1000-cycle
+# ---------------------------------------------------------------------------
+
+
+def _ph_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = ((e * 3 % 7).cast("double")
+         + F.when(e % 1000 >= 600, F.lit(3.0)).otherwise(F.lit(0.0)))
+    return ev.select(
+        F.concat(F.lit("g"), (e % 4).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), x.alias("x"))
+
+
+_PH_SERIES_SQL = """
+  SELECT 'g' || CAST(event_id % 4 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CAST(event_id * 3 % 7 AS DOUBLE)
+      + CASE WHEN event_id % 1000 >= 600 THEN 3.0 ELSE 0.0 END AS x
+  FROM events
+"""
+
+
+def q_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.page_hinkley: sequential level-shift alarms —
+    ONE grp shuffle, three stacked prefix windows."""
+    return _corpus.page_hinkley(_ph_series(spark, sf))
+
+
+def _page_hinkley_sql() -> str:
+    return _corpus.page_hinkley_sql(_PH_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall — 6 bounded series (1-in-7 sample) with upward drift
+# ---------------------------------------------------------------------------
+
+
+def _mk_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") % 7 == 0)
+    e = F.col("event_id")
+    y = (e % 11).cast("double") + e.cast("double") * 0.004
+    return ev.select(
+        F.concat(F.lit("m"), (e % 6).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), y.alias("y"))
+
+
+_MK_SERIES_SQL = """
+  SELECT 'm' || CAST(event_id % 6 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CAST(event_id % 11 AS DOUBLE)
+      + CAST(event_id AS DOUBLE) * 0.004 AS y
+  FROM events WHERE event_id % 7 = 0
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mann_kendall: tie-corrected monotonic trend —
+    grp self-join on bounded groups + two grp aggs."""
+    return _corpus.mann_kendall(_mk_series(spark, sf))
+
+
+def _mann_kendall_sql() -> str:
+    return _corpus.mann_kendall_sql(_MK_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# holm — 40-test panel with a deterministic p spread
+# ---------------------------------------------------------------------------
+
+
+def _hb_pvals(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    tid = (e % 40).alias("tid")
+    base = ev.select(tid).distinct()
+    t = F.col("tid")
+    p = ((t * t * 7 % 89).cast("double") + 1.0) / 100.0
+    return base.select(
+        F.concat(F.lit("t"), t.cast("string")).alias("test_id"),
+        p.alias("p"))
+
+
+_HB_PVALS_SQL = """
+  SELECT 't' || CAST(tid AS VARCHAR) AS test_id,
+    (CAST(tid * tid * 7 % 89 AS DOUBLE) + 1.0) / 100.0 AS p
+  FROM (SELECT DISTINCT event_id % 40 AS tid FROM events)
+"""
+
+
+def q_holm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.holm_bonferroni: FWER step-down over a
+    panel-sized input — one ordered window by design."""
+    return _corpus.holm_bonferroni(_hb_pvals(spark, sf))
+
+
+def _holm_sql() -> str:
+    return _corpus.holm_bonferroni_sql(_HB_PVALS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# l_diversity — 5 of 25 quasi-groups serve a single sensitive value
+# ---------------------------------------------------------------------------
+
+
+def _ld_records(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    q = F.concat(F.lit("q"), (e % 25).cast("string"))
+    s = (F.when(e % 25 < 5, F.lit("x"))
+         .otherwise(F.concat(F.lit("s"), (e % 7).cast("string"))))
+    return ev.select(q.alias("q"), s.alias("s"))
+
+
+_LD_RECORDS_SQL = """
+  SELECT 'q' || CAST(event_id % 25 AS VARCHAR) AS q,
+    CASE WHEN event_id % 25 < 5 THEN 'x'
+      ELSE 's' || CAST(event_id % 7 AS VARCHAR) END AS s
+  FROM events
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.l_diversity: homogeneity-attack audit — ONE
+    groupBy(quasi) + one reduce."""
+    return _corpus.l_diversity(_ld_records(spark, sf))
+
+
+def _l_diversity_sql() -> str:
+    return _corpus.l_diversity_sql(_LD_RECORDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ams_f2 — 5 heavy keys + a 97-key tail
+# ---------------------------------------------------------------------------
+
+
+def _af_items(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    k = (F.when(e % 2 == 0, F.concat(F.lit("k"), (e % 5).cast("string")))
+         .otherwise(F.concat(F.lit("t"), (e % 97).cast("string"))))
+    return ev.select(k.alias("k"))
+
+
+_AF_ITEMS_SQL = """
+  SELECT CASE WHEN event_id % 2 = 0
+      THEN 'k' || CAST(event_id % 5 AS VARCHAR)
+      ELSE 't' || CAST(event_id % 97 AS VARCHAR) END AS k
+  FROM events
+"""
+
+
+def q_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.ams_f2: ±1-sign F2 sketch vs exact — ONE
+    groupBy(key) + r-way explode over distinct values."""
+    return _sketches.ams_f2(_af_items(spark, sf))
+
+
+def _ams_f2_sql() -> str:
+    return _sketches.ams_f2_sql(_AF_ITEMS_SQL)
+
+
+def queries78():
+    return {
+        "page_hinkley": q_page_hinkley,
+        "mann_kendall": q_mann_kendall,
+        "holm": q_holm,
+        "l_diversity": q_l_diversity,
+        "ams_f2": q_ams_f2,
+    }
+
+
+def oracle_sql78():
+    return {
+        "page_hinkley": _page_hinkley_sql(),
+        "mann_kendall": _mann_kendall_sql(),
+        "holm": _holm_sql(),
+        "l_diversity": _l_diversity_sql(),
+        "ams_f2": _ams_f2_sql(),
+    }

@@ -312,3 +312,77 @@ SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
   CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp
 FROM picked
 """
+
+
+def ams_f2(
+    items: DataFrame,
+    key_col: str = "k",
+    r: int = 16,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy '96)
+    vs the exact F2 = sum f_v^2 — the one-pass self-join-size /
+    skew estimator: each of r estimators draws a deterministic
+    md5-derived ±1 sign per VALUE, accumulates Z_j = sum_v f_v *
+    sign_j(v), and E[Z_j^2] = F2; the report is the median of the
+    r squares plus the realized relative error, which is how you
+    size r before trusting the sketch on a 100 TB key column
+    (mergeable: Z_j adds across partitions/days).
+
+    Returns one row: (n_items, n_distinct, f2_exact, f2_est,
+    rel_err rounded 6).
+
+    Scale shape: ONE groupBy(key) (the same agg exact F2 needs
+    anyway) + an r-way explode over DISTINCT values only + one
+    global median — at production scale the estimator sums run
+    straight off the stream with a single reduce.
+    """
+    freq = (items.select(F.col(key_col).cast("string").alias("k"))
+            .groupBy("k").agg(F.count("*").cast("long").alias("f")))
+    est = freq.select(
+        "k", "f", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+        .alias("j"))
+    sign = 1 - 2 * (_md5_int(
+        F.concat(F.col("k"), F.lit("#"), F.col("j").cast("string")),
+        1, 1) % 2)
+    z = (est.select("j", (F.col("f").cast("double") * sign).alias("t"))
+         .groupBy("j").agg(F.sum("t").alias("z")))
+    sq = z.select((F.col("z") * F.col("z")).alias("z2"))
+    med = sq.agg(F.expr("percentile(z2, 0.5)").alias("f2_est"))
+    exact = freq.agg(
+        F.sum("f").cast("long").alias("n_items"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
+    return exact.crossJoin(med).select(
+        "n_items", "n_distinct", "f2_exact",
+        F.round("f2_est", 6).alias("f2_est"),
+        F.round(F.abs(F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact"), 6).alias("rel_err"))
+
+
+def ams_f2_sql(items_sql: str, r: int = 16) -> str:
+    """DuckDB mirror of :func:`ams_f2` over a (k) SELECT."""
+    sign = ("1 - 2 * ("
+            + md5_int_sql("k || '#' || CAST(j AS VARCHAR)", 1, 1)
+            + " % 2)")
+    return f"""
+WITH freq AS (
+  SELECT CAST(k AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS f
+  FROM ({items_sql}) GROUP BY 1
+),
+est AS (
+  SELECT j, sum(CAST(f AS DOUBLE) * ({sign})) AS z
+  FROM freq, range(0, {r}) t(j)
+  GROUP BY 1
+),
+med AS (SELECT quantile_cont(z * z, 0.5) AS f2_est FROM est),
+exact AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_items,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM freq
+)
+SELECT n_items, n_distinct, f2_exact,
+  round(f2_est, 6) AS f2_est,
+  round(abs(f2_est - f2_exact) / f2_exact, 6) AS rel_err
+FROM exact, med
+"""

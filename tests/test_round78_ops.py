@@ -1,0 +1,110 @@
+"""Unit tests for the round-78 pack: Page-Hinkley, Mann-Kendall,
+Holm, l-diversity, AMS F2."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import (holm_bonferroni, l_diversity,
+                                             mann_kendall, page_hinkley)
+from icrawler_spark.operators.sketches import ams_f2
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley
+# ---------------------------------------------------------------------------
+
+def test_page_hinkley_detects_upward_shift(spark):
+    # flat 0 for 50 steps then jumps to 5: upward alarm, no downward
+    rows = [("g", float(t), 0.0 if t < 50 else 5.0) for t in range(100)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = page_hinkley(df, delta=0.1, lam=10.0).collect()[0]
+    assert r["first_up_t"] is not None and r["first_up_t"] >= 50.0
+    assert r["first_down_t"] is None
+    assert r["max_ph_up"] > r["max_ph_down"]
+
+
+def test_page_hinkley_quiet_series_no_alarm(spark):
+    rows = [("g", float(t), 1.0) for t in range(30)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = page_hinkley(df, delta=0.05, lam=5.0).collect()[0]
+    assert r["first_up_t"] is None and r["first_down_t"] is None
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_monotonic_series(spark):
+    # strictly increasing: S = n(n-1)/2, z > 0
+    n = 10
+    rows = [("g", float(t), float(t)) for t in range(n)]
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    r = mann_kendall(df).collect()[0]
+    assert r["s"] == n * (n - 1) // 2
+    assert r["z"] > 2.0
+
+
+def test_mann_kendall_all_tied_null_z(spark):
+    rows = [("g", float(t), 7.0) for t in range(8)]
+    df = spark.createDataFrame(rows, "grp string, t double, y double")
+    r = mann_kendall(df).collect()[0]
+    assert r["s"] == 0 and r["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# holm_bonferroni
+# ---------------------------------------------------------------------------
+
+def test_holm_hand_example(spark):
+    # classic: p = .01, .02, .03, m=3 → adj = .03, .04, .04 wait:
+    # (3*.01)=.03, max(.03, 2*.02=.04)=.04, max(.04, 1*.03)= .04
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    got = {r["test_id"]: r for r in holm_bonferroni(df, alpha=0.05).collect()}
+    assert abs(got["a"]["p_holm"] - 0.03) < 1e-9
+    assert abs(got["b"]["p_holm"] - 0.04) < 1e-9
+    assert abs(got["c"]["p_holm"] - 0.04) < 1e-9
+    assert (got["a"]["reject"], got["b"]["reject"],
+            got["c"]["reject"]) == (1, 1, 1)
+
+
+def test_holm_caps_at_one(spark):
+    rows = [("a", 0.9), ("b", 0.8)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    got = {r["test_id"]: r["p_holm"] for r in holm_bonferroni(df).collect()}
+    assert got["a"] == 1.0 and got["b"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# l_diversity
+# ---------------------------------------------------------------------------
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    rows = ([("q1", "s1"), ("q1", "s2"), ("q1", "s3")]
+            + [("q2", "x")] * 4)
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = l_diversity(df, l_req=3).collect()[0]
+    assert (r["n_groups"], r["n_records"], r["min_l"]) == (2, 7, 1)
+    assert r["groups_ok"] == 1 and r["records_ok"] == 3
+    assert abs(r["share_records_ok"] - 3 / 7) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ams_f2
+# ---------------------------------------------------------------------------
+
+def test_ams_f2_exact_and_estimate(spark):
+    # f = (4, 2, 1) → F2 = 21; estimate within a loose sketch band
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = ams_f2(df, r=32).collect()[0]
+    assert (r["n_items"], r["n_distinct"], r["f2_exact"]) == (7, 3, 21)
+    assert r["f2_est"] > 0
+    assert r["rel_err"] >= 0
+
+
+def test_ams_f2_single_key_is_exact(spark):
+    # one distinct value: every estimator is (±f)^2 = f^2 exactly
+    df = spark.createDataFrame([("k",)] * 9, "k string")
+    r = ams_f2(df, r=8).collect()[0]
+    assert r["f2_exact"] == 81 and abs(r["f2_est"] - 81.0) < 1e-9
+    assert r["rel_err"] == 0.0
