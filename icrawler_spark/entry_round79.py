@@ -1,0 +1,223 @@
+"""Round-3 driver-contract queries (batch 73): KMV distinct sketch,
+chi-square goodness-of-fit, 3-player Shapley attribution, truncated
+Katz centrality, rescaled-range Hurst exponent.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import sketches as _sketches
+
+# ---------------------------------------------------------------------------
+# kmv_distinct — K-minimum-values sketch over a ~N/3-cardinality URL key
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_items(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") * 11 % 3000).cast("string"))
+        .alias("k"))
+
+
+_KMV_ITEMS_SQL = ("SELECT 'u' || CAST(event_id * 11 % 3000 AS VARCHAR) AS k"
+                  " FROM events")
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.kmv_distinct: (k-1)/u_(k) order-statistic
+    estimator vs exact — one distinct-reduce + one global top-k."""
+    return _sketches.kmv_distinct(_kmv_items(spark, sf), k=_KMV_K)
+
+
+def _kmv_distinct_sql() -> str:
+    return _sketches.kmv_distinct_sql(_KMV_ITEMS_SQL, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# chisq_gof — per-host category mix vs the pooled mix (h0 is skewed)
+# ---------------------------------------------------------------------------
+
+
+def _gof_obs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    cat_ix = F.when(F.col("user_id") % 6 == 0, F.col("event_id") % 3) \
+        .otherwise(F.col("event_id") % 5)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"))
+        .alias("grp"),
+        F.concat(F.lit("c"), cat_ix.cast("string")).alias("cat"))
+
+
+_GOF_OBS_SQL = """
+  SELECT 'h' || CAST(user_id % 6 AS VARCHAR) AS grp,
+    'c' || CAST(CASE WHEN user_id % 6 = 0 THEN event_id % 3
+                ELSE event_id % 5 END AS VARCHAR) AS cat
+  FROM events
+"""
+
+
+def q_chisq_gof(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.chisq_gof: pooled-mix goodness-of-fit with
+    Wilson-Hilferty crit95 — two tiny agg shuffles + broadcast cross."""
+    return _corpus.chisq_gof(_gof_obs(spark, sf))
+
+
+def _chisq_gof_sql() -> str:
+    return _corpus.chisq_gof_sql(_GOF_OBS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shapley3 — seed-source attribution from full coalition values
+# ---------------------------------------------------------------------------
+
+
+def _coalitions(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    base = ev.groupBy(
+        F.concat(F.lit("g"), (F.col("user_id") % 8).cast("string"))
+        .alias("grp")).agg(
+        F.sum(F.when(F.col("event_id") % 3 == 0, 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("event_id") % 3 == 1, 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when(F.col("event_id") % 3 == 2, 1).otherwise(0))
+        .cast("long").alias("c"))
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    return base.select(
+        "grp",
+        a.cast("double").alias("v_a"),
+        b.cast("double").alias("v_b"),
+        c.cast("double").alias("v_c"),
+        (a + b + (a * b) % 17).cast("double").alias("v_ab"),
+        (a + c + (a * c) % 13).cast("double").alias("v_ac"),
+        (b + c + (b * c) % 11).cast("double").alias("v_bc"),
+        (a + b + c + (a * b * c) % 19).cast("double").alias("v_abc"))
+
+
+_COALITIONS_SQL = """
+  SELECT grp,
+    CAST(a AS DOUBLE) AS v_a, CAST(b AS DOUBLE) AS v_b,
+    CAST(c AS DOUBLE) AS v_c,
+    CAST(a + b + (a * b) % 17 AS DOUBLE) AS v_ab,
+    CAST(a + c + (a * c) % 13 AS DOUBLE) AS v_ac,
+    CAST(b + c + (b * c) % 11 AS DOUBLE) AS v_bc,
+    CAST(a + b + c + (a * b * c) % 19 AS DOUBLE) AS v_abc
+  FROM (
+    SELECT 'g' || CAST(user_id % 8 AS VARCHAR) AS grp,
+      CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      CAST(sum(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      CAST(sum(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM events GROUP BY 1
+  )
+"""
+
+
+def q_shapley3(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.shapley3: exact 3-source Shapley split — pure
+    column arithmetic over an 8-row coalition table."""
+    return _corpus.shapley3(_coalitions(spark, sf))
+
+
+def _shapley3_sql() -> str:
+    return _corpus.shapley3_sql(_COALITIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# katz — truncated Katz centrality over a 60-host synthetic link graph
+# ---------------------------------------------------------------------------
+
+_KATZ_HOSTS = 60
+_KATZ_ITERS = 3
+_KATZ_ALPHA = 0.2
+
+
+def _katz_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _KATZ_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") * 3 + F.col("event_id") * 7) % _KATZ_HOSTS)
+        .cast("long").alias("dst"))
+
+
+_KATZ_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_KATZ_HOSTS} AS BIGINT) AS src, "
+    f"CAST((user_id * 3 + event_id * 7) % {_KATZ_HOSTS} AS BIGINT) AS dst"
+    " FROM events")
+
+
+def q_katz(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.katz: damped length<=3 walk counts — one
+    join+agg shuffle per iteration, all keyed on the host id."""
+    return _graph.katz(_katz_edges(spark, sf), n_iters=_KATZ_ITERS,
+                       alpha=_KATZ_ALPHA)
+
+
+def _katz_sql() -> str:
+    return _graph.katz_sql(_KATZ_EDGES_SQL, n_iters=_KATZ_ITERS,
+                           alpha=_KATZ_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# hurst — R/S exponent over two deterministic traffic series
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (50, 100, 250, 500)
+
+
+def _hurst_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = (e * 7 % 13).cast("double") + (e % 97).cast("double") / 10
+    return ev.select(
+        F.concat(F.lit("g"), (e % 2).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), x.alias("x"))
+
+
+_HURST_SERIES_SQL = """
+  SELECT 'g' || CAST(event_id % 2 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CAST(event_id * 7 % 13 AS DOUBLE)
+      + CAST(event_id % 97 AS DOUBLE) / 10 AS x
+  FROM events
+"""
+
+
+def q_hurst(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hurst_rs: Mandelbrot-Wallis R/S slope — one grp
+    shuffle, size-explode, block-local windows, two tiny agg layers."""
+    return _corpus.hurst_rs(_hurst_series(spark, sf), sizes=_HURST_SIZES)
+
+
+def _hurst_sql() -> str:
+    return _corpus.hurst_rs_sql(_HURST_SERIES_SQL, sizes=_HURST_SIZES)
+
+
+def queries79():
+    return {
+        "kmv_distinct": q_kmv_distinct,
+        "chisq_gof": q_chisq_gof,
+        "shapley3": q_shapley3,
+        "katz": q_katz,
+        "hurst": q_hurst,
+    }
+
+
+def oracle_sql79():
+    return {
+        "kmv_distinct": _kmv_distinct_sql(),
+        "chisq_gof": _chisq_gof_sql(),
+        "shapley3": _shapley3_sql(),
+        "katz": _katz_sql(),
+        "hurst": _hurst_sql(),
+    }

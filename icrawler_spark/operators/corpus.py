@@ -5173,3 +5173,608 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
     / CAST(sum(n) AS DOUBLE), 6) AS share_records_ok
 FROM g
 """
+
+
+def chisq_gof(
+    obs: DataFrame,
+    grp_col: str = "grp",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Chi-square goodness-of-fit of each group's category mix against
+    the pooled corpus mix — the monitoring-plane test for "does this
+    host's status-class / MIME / language distribution look like the
+    fleet's?" (a skewed one flags cloaking, soft-404 farms, or a
+    misbehaving fetch pool). Expected counts are n_grp * pooled share;
+    groups missing a pooled category still pay its expected mass.
+
+    Returns per group: (grp, n, df, chisq rounded 6, crit95 rounded 6,
+    reject 0/1) with crit95 the Wilson-Hilferty approximation of the
+    chi-square 95th percentile — closed-form in both engines.
+
+    Scale shape: two count shuffles (grp x cat, cat) + a broadcast
+    cross of the two tiny aggregates; never a row-level cross join.
+    """
+    z95 = 1.6448536269514722
+    by_gc = obs.groupBy(F.col(grp_col).alias("grp"),
+                        F.col(cat_col).alias("cat")) \
+        .agg(F.count("*").cast("double").alias("o"))
+    by_c = obs.groupBy(F.col(cat_col).alias("cat")) \
+        .agg(F.count("*").cast("double").alias("tot_c"))
+    by_g = by_gc.groupBy("grp").agg(F.sum("o").alias("n_g"))
+    total = obs.agg(F.count("*").cast("double").alias("tot"))
+    grid = (by_g.crossJoin(F.broadcast(by_c))
+            .crossJoin(F.broadcast(total))
+            .join(by_gc, ["grp", "cat"], "left")
+            .select("grp", "n_g", "tot",
+                    F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+                    (F.col("n_g") * F.col("tot_c") / F.col("tot"))
+                    .alias("e")))
+    per_g = grid.groupBy("grp").agg(
+        F.max("n_g").cast("long").alias("n"),
+        (F.count("*") - F.lit(1)).cast("long").alias("df"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+              / F.col("e")).alias("chisq_raw"))
+    dfd = F.col("df").cast("double")
+    crit = dfd * F.pow(F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfd)
+                       + F.lit(z95) * F.sqrt(F.lit(2.0)
+                                             / (F.lit(9.0) * dfd)),
+                       F.lit(3.0))
+    return per_g.select(
+        "grp", "n", "df",
+        F.round(F.col("chisq_raw"), 6).alias("chisq"),
+        F.round(crit, 6).alias("crit95"),
+        F.when(F.col("chisq_raw") > crit, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("reject")).orderBy("grp")
+
+
+def chisq_gof_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`chisq_gof` over a (grp, cat) SELECT."""
+    z95 = 1.6448536269514722
+    return f"""
+WITH obs AS ({obs_sql}),
+by_gc AS (
+  SELECT grp, cat, CAST(count(*) AS DOUBLE) AS o FROM obs GROUP BY 1, 2
+),
+by_c AS (
+  SELECT cat, CAST(count(*) AS DOUBLE) AS tot_c FROM obs GROUP BY 1
+),
+by_g AS (SELECT grp, sum(o) AS n_g FROM by_gc GROUP BY 1),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM obs),
+grid AS (
+  SELECT g.grp, g.n_g, t.tot,
+    COALESCE(gc.o, 0.0) AS o,
+    g.n_g * c.tot_c / t.tot AS e
+  FROM by_g g CROSS JOIN by_c c CROSS JOIN total t
+  LEFT JOIN by_gc gc ON gc.grp = g.grp AND gc.cat = c.cat
+),
+per_g AS (
+  SELECT grp, CAST(max(n_g) AS BIGINT) AS n,
+    CAST(count(*) - 1 AS BIGINT) AS df,
+    sum((o - e) * (o - e) / e) AS chisq_raw
+  FROM grid GROUP BY grp
+)
+SELECT grp, n, df,
+  round(chisq_raw, 6) AS chisq,
+  round(CAST(df AS DOUBLE) * pow(1.0 - 2.0 / (9.0 * df)
+        + {z95!r} * sqrt(2.0 / (9.0 * df)), 3.0), 6) AS crit95,
+  CAST(CASE WHEN chisq_raw > CAST(df AS DOUBLE)
+       * pow(1.0 - 2.0 / (9.0 * df)
+             + {z95!r} * sqrt(2.0 / (9.0 * df)), 3.0)
+       THEN 1 ELSE 0 END AS BIGINT) AS reject
+FROM per_g ORDER BY grp
+"""
+
+
+def shapley3(
+    coalitions: DataFrame,
+    grp_col: str = "grp",
+) -> DataFrame:
+    """Exact 3-player Shapley attribution from the full coalition
+    value table — how much of a host's harvested value each of three
+    seed sources (sitemap feed, SERP feed, link discovery) actually
+    contributed, accounting for overlap: the coalition value v(S) is
+    "pages harvested using only sources in S", and the Shapley value
+    is the unique efficient/symmetric split. For n=3 the permutation
+    average collapses to a fixed linear form:
+    phi_a = (2*v_a + (v_ab - v_b) + (v_ac - v_c) + 2*(v_abc - v_bc))/6.
+
+    Input: one row per group with columns (v_a, v_b, v_c, v_ab, v_ac,
+    v_bc, v_abc). Returns (grp, phi_a, phi_b, phi_c rounded 6,
+    total = v_abc, resid rounded 6 — the efficiency check, always 0).
+
+    Scale shape: pure column arithmetic on an already-aggregated
+    per-host table — no shuffle at all beyond the input's.
+    """
+    va, vb, vc = F.col("v_a"), F.col("v_b"), F.col("v_c")
+    vab, vac, vbc = F.col("v_ab"), F.col("v_ac"), F.col("v_bc")
+    vabc = F.col("v_abc")
+    pa = (2 * va + (vab - vb) + (vac - vc) + 2 * (vabc - vbc)) / 6
+    pb = (2 * vb + (vab - va) + (vbc - vc) + 2 * (vabc - vac)) / 6
+    pc = (2 * vc + (vac - va) + (vbc - vb) + 2 * (vabc - vab)) / 6
+    return coalitions.select(
+        F.col(grp_col).alias("grp"),
+        F.round(pa, 6).alias("phi_a"),
+        F.round(pb, 6).alias("phi_b"),
+        F.round(pc, 6).alias("phi_c"),
+        vabc.alias("total"),
+        F.round(pa + pb + pc - vabc, 6).alias("resid")).orderBy("grp")
+
+
+def shapley3_sql(coalitions_sql: str) -> str:
+    """DuckDB mirror of :func:`shapley3` over a
+    (grp, v_a, v_b, v_c, v_ab, v_ac, v_bc, v_abc) SELECT."""
+    pa = ("(2 * v_a + (v_ab - v_b) + (v_ac - v_c)"
+          " + 2 * (v_abc - v_bc)) / 6")
+    pb = ("(2 * v_b + (v_ab - v_a) + (v_bc - v_c)"
+          " + 2 * (v_abc - v_ac)) / 6")
+    pc = ("(2 * v_c + (v_ac - v_a) + (v_bc - v_b)"
+          " + 2 * (v_abc - v_ab)) / 6")
+    return f"""
+WITH c AS ({coalitions_sql})
+SELECT grp,
+  round({pa}, 6) AS phi_a,
+  round({pb}, 6) AS phi_b,
+  round({pc}, 6) AS phi_c,
+  v_abc AS total,
+  round({pa} + {pb} + {pc} - v_abc, 6) AS resid
+FROM c ORDER BY grp
+"""
+
+
+def hurst_rs(
+    series: DataFrame,
+    sizes: tuple = (50, 100, 250, 500),
+    grp_col: str = "grp",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent per traffic series — the
+    long-range-dependence probe for crawl traffic: H ~ 0.5 means the
+    per-host request stream is memoryless (Poisson capacity math
+    holds), H > 0.5 means bursts cluster across timescales and the
+    politeness budget needs headroom. Classic Mandelbrot-Wallis R/S:
+    for each block size n, split the series into full blocks, compute
+    R = range of the cumulative mean-deviation walk and S = population
+    std inside the block, average R/S across blocks, then H = OLS
+    slope of ln(avg R/S) on ln(n).
+
+    Returns per group: (grp, n_obs, n_sizes, hurst rounded 6).
+
+    Scale shape: ONE shuffle on grp (row-number), a size-explode that
+    multiplies rows by len(sizes), block-local windows, then two tiny
+    agg layers — no cross join, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("grp").orderBy("t")
+    base = series.select(
+        F.col(grp_col).alias("grp"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(x_col).cast("double").alias("x")) \
+        .withColumn("idx", F.row_number().over(wn) - 1)
+    sz = F.explode(F.array(*[F.lit(int(s)) for s in sizes])).alias("size")
+    blk = base.select("grp", "t", "x", "idx", sz) \
+        .withColumn("blk", (F.col("idx") / F.col("size")).cast("long"))
+    wb = Window.partitionBy("grp", "size", "blk")
+    wc = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    lay1 = blk.select(
+        "grp", "size", "blk", "t", "x",
+        F.count("*").over(wb).alias("n_in"),
+        F.stddev_pop("x").over(wb).alias("s"),
+        F.avg("x").over(wb).alias("m"))
+    cum = lay1.select(
+        "grp", "size", "blk", "n_in", "s",
+        F.sum(F.col("x") - F.col("m")).over(wc).alias("y"))
+    per_blk = (cum.filter(F.col("n_in") == F.col("size"))
+               .groupBy("grp", "size", "blk")
+               .agg(((F.max("y") - F.min("y")) / F.max("s")).alias("rs"),
+                    F.max("s").alias("s_chk"))
+               .filter(F.col("s_chk") > 0))
+    per_size = per_blk.groupBy("grp", "size").agg(
+        F.avg("rs").alias("avg_rs")).filter(F.col("avg_rs") > 0)
+    lx = F.log(F.col("size").cast("double"))
+    ly = F.log(F.col("avg_rs"))
+    fit = per_size.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_sizes"),
+        F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"), F.sum(lx * ly).alias("sxy"))
+    n = F.col("n_sizes").cast("double")
+    slope = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (n * F.col("sxx") - F.col("sx") * F.col("sx")))
+    n_obs = base.groupBy("grp").agg(F.count("*").cast("long").alias("n_obs"))
+    return (n_obs.join(fit, "grp")
+            .select("grp", "n_obs", "n_sizes",
+                    F.round(slope, 6).alias("hurst"))
+            .orderBy("grp"))
+
+
+def hurst_rs_sql(series_sql: str, sizes: tuple = (50, 100, 250, 500)) -> str:
+    """DuckDB mirror of :func:`hurst_rs` over a (grp, t, x) SELECT."""
+    size_list = ", ".join(str(int(s)) for s in sizes)
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(x AS DOUBLE) AS x,
+    row_number() OVER (PARTITION BY grp ORDER BY t) - 1 AS idx
+  FROM ({series_sql})
+),
+blk AS (
+  SELECT b.grp, b.t, b.x,
+    CAST(floor(b.idx / s.size) AS BIGINT) AS blk, s.size
+  FROM base b CROSS JOIN (SELECT unnest([{size_list}]) AS size) s
+),
+lay1 AS (
+  SELECT grp, size, blk, t, x,
+    count(*) OVER (PARTITION BY grp, size, blk) AS n_in,
+    stddev_pop(x) OVER (PARTITION BY grp, size, blk) AS s,
+    avg(x) OVER (PARTITION BY grp, size, blk) AS m
+  FROM blk
+),
+cum AS (
+  SELECT grp, size, blk, n_in, s,
+    sum(x - m) OVER (PARTITION BY grp, size, blk ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM lay1
+),
+per_blk AS (
+  SELECT grp, size, blk, (max(y) - min(y)) / max(s) AS rs
+  FROM cum WHERE n_in = size
+  GROUP BY grp, size, blk HAVING max(s) > 0
+),
+per_size AS (
+  SELECT grp, size, avg(rs) AS avg_rs FROM per_blk
+  GROUP BY grp, size HAVING avg(rs) > 0
+),
+fit AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_sizes,
+    sum(ln(CAST(size AS DOUBLE))) AS sx, sum(ln(avg_rs)) AS sy,
+    sum(ln(CAST(size AS DOUBLE)) * ln(CAST(size AS DOUBLE))) AS sxx,
+    sum(ln(CAST(size AS DOUBLE)) * ln(avg_rs)) AS sxy
+  FROM per_size GROUP BY grp
+),
+n_obs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_obs FROM base GROUP BY grp)
+SELECT n_obs.grp, n_obs.n_obs, fit.n_sizes,
+  round((n_sizes * sxy - sx * sy)
+        / (n_sizes * sxx - sx * sx), 6) AS hurst
+FROM n_obs JOIN fit ON n_obs.grp = fit.grp ORDER BY n_obs.grp
+"""
+
+
+def cvm_twosample(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    sample_col: str = "sample",
+    v_col: str = "v",
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test per group — the whole-shape
+    companion to the repo's KS drift check (:func:`ks_drift` cousin in
+    the query pack): with pooled ranks r_i for sample X (sizes n, m)
+    and within-sample indexes i, U = n*sum_x (r_i - i)^2 +
+    m*sum_y (s_j - j)^2 and T = U/(n m (n+m)) - (4 n m - 1)/(6 (n+m))
+    (Anderson 1962). T weights every quantile, so slow distribution
+    drifts that never open a large KS gap still register.
+
+    Ordering is made deterministic under ties by (v, sample) —
+    callers feeding heavily tied data should jitter-free pre-rank.
+
+    Returns per group: (grp, n, m, cvm_t rounded 6).
+
+    Scale shape: ONE shuffle on grp; the pooled rank and the
+    within-sample rank are two window layers over it.
+    """
+    from pyspark.sql import Window
+
+    base = samples.select(
+        F.col(grp_col).alias("grp"),
+        F.col(sample_col).alias("sample"),
+        F.col(v_col).cast("double").alias("v"))
+    wp = Window.partitionBy("grp").orderBy("v", "sample")
+    ws = Window.partitionBy("grp", "sample").orderBy("v", "sample")
+    ranked = base.select(
+        "grp", "sample",
+        F.row_number().over(wp).cast("double").alias("r"),
+        F.row_number().over(ws).cast("double").alias("i"))
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.when(F.col("sample") == "x", 1).otherwise(0))
+        .cast("long").alias("n"),
+        F.sum(F.when(F.col("sample") == "y", 1).otherwise(0))
+        .cast("long").alias("m"),
+        F.sum(F.when(F.col("sample") == "x",
+                     (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))))
+        .alias("sx"),
+        F.sum(F.when(F.col("sample") == "y",
+                     (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))))
+        .alias("sy"))
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    u = n * F.col("sx") + m * F.col("sy")
+    t = (u / (n * m * (n + m))
+         - (F.lit(4.0) * n * m - F.lit(1.0)) / (F.lit(6.0) * (n + m)))
+    return agg.select("grp", "n", "m",
+                      F.round(t, 6).alias("cvm_t")).orderBy("grp")
+
+
+def cvm_twosample_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`cvm_twosample` over a (grp, sample, v)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, sample, CAST(v AS DOUBLE) AS v FROM ({samples_sql})
+),
+ranked AS (
+  SELECT grp, sample,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY v, sample)
+         AS DOUBLE) AS r,
+    CAST(row_number() OVER (PARTITION BY grp, sample ORDER BY v, sample)
+         AS DOUBLE) AS i
+  FROM base
+),
+agg AS (
+  SELECT grp,
+    CAST(sum(CASE WHEN sample = 'x' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN sample = 'y' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+    sum(CASE WHEN sample = 'x' THEN (r - i) * (r - i) END) AS sx,
+    sum(CASE WHEN sample = 'y' THEN (r - i) * (r - i) END) AS sy
+  FROM ranked GROUP BY grp
+)
+SELECT grp, n, m,
+  round((CAST(n AS DOUBLE) * sx + CAST(m AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * m * (n + m))
+        - (4.0 * CAST(n AS DOUBLE) * m - 1.0)
+          / (6.0 * (CAST(n AS DOUBLE) + m)), 6) AS cvm_t
+FROM agg ORDER BY grp
+"""
+
+
+def burrows_delta(
+    tokens: DataFrame,
+    top_m: int = 40,
+    grp_col: str = "grp",
+    term_col: str = "term",
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between hosts (Burrows
+    2002) — the boilerplate/ghost-writing attribution signal: restrict
+    to the M most frequent terms corpus-wide, z-score each term's
+    per-host relative frequency across hosts, and Delta(a, b) = mean_t
+    |z_a(t) - z_b(t)|. Near-zero Delta between "different" sites is a
+    mirror / template-farm tell that survives token reordering.
+
+    Returns every unordered host pair: (grp_a, grp_b, delta rounded 6)
+    ordered by (grp_a, grp_b).
+
+    Scale shape: top-M terms via ONE count shuffle + TakeOrdered;
+    the z-score grid is (hosts x M) — built with a broadcast cross and
+    a left join, never a row-level cross join; the pairwise layer is
+    a self-join on the M-sized term key, quadratic only in HOSTS
+    (callers pre-bucket hosts; M and the host panel are knobs).
+    """
+    base = tokens.select(F.col(grp_col).alias("grp"),
+                         F.col(term_col).alias("term"))
+    top = (base.groupBy("term").agg(F.count("*").alias("tot"))
+           .orderBy(F.desc("tot"), "term").limit(top_m)
+           .select("term"))
+    grp_tot = base.groupBy("grp").agg(F.count("*").cast("double")
+                                      .alias("g_tot"))
+    cnt = (base.join(F.broadcast(top), "term")
+           .groupBy("grp", "term").agg(F.count("*").cast("double")
+                                       .alias("c")))
+    grid = (grp_tot.crossJoin(F.broadcast(top))
+            .join(cnt, ["grp", "term"], "left")
+            .select("grp", "term",
+                    (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("g_tot"))
+                    .alias("f")))
+    stats = grid.groupBy("term").agg(
+        F.avg("f").alias("mu"), F.stddev_pop("f").alias("sd"))
+    z = (grid.join(F.broadcast(stats), "term")
+         .filter(F.col("sd") > 0)
+         .select("grp", "term",
+                 ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")))
+    za = z.select(F.col("grp").alias("grp_a"), "term",
+                  F.col("z").alias("z_a"))
+    zb = z.select(F.col("grp").alias("grp_b"), "term",
+                  F.col("z").alias("z_b"))
+    return (za.join(zb, "term")
+            .filter(F.col("grp_a") < F.col("grp_b"))
+            .groupBy("grp_a", "grp_b")
+            .agg(F.round(F.avg(F.abs(F.col("z_a") - F.col("z_b"))), 6)
+                 .alias("delta"))
+            .orderBy("grp_a", "grp_b"))
+
+
+def burrows_delta_sql(tokens_sql: str, top_m: int = 40) -> str:
+    """DuckDB mirror of :func:`burrows_delta` over a (grp, term)
+    SELECT."""
+    return f"""
+WITH base AS ({tokens_sql}),
+top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tot FROM base GROUP BY 1
+    ORDER BY tot DESC, term LIMIT {top_m}
+  )
+),
+grp_tot AS (
+  SELECT grp, CAST(count(*) AS DOUBLE) AS g_tot FROM base GROUP BY 1
+),
+cnt AS (
+  SELECT grp, b.term, CAST(count(*) AS DOUBLE) AS c
+  FROM base b JOIN top USING (term) GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.grp, t.term, COALESCE(c.c, 0.0) / g.g_tot AS f
+  FROM grp_tot g CROSS JOIN top t
+  LEFT JOIN cnt c ON c.grp = g.grp AND c.term = t.term
+),
+stats AS (
+  SELECT term, avg(f) AS mu, stddev_pop(f) AS sd FROM grid GROUP BY 1
+),
+z AS (
+  SELECT grp, grid.term, (f - mu) / sd AS z
+  FROM grid JOIN stats ON stats.term = grid.term WHERE sd > 0
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+  round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.grp < b.grp
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def extremal_index(
+    series: DataFrame,
+    threshold: float,
+    run_len: int = 4,
+    grp_col: str = "grp",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Runs-declustering extremal index per traffic series (Smith &
+    Weissman 1994) — the burst-clustering complement to
+    :func:`hurst_rs`: theta = (# clusters of threshold exceedances) /
+    (# exceedances), where a new cluster starts when an exceedance is
+    separated from the previous one by more than run_len observations.
+    theta ~ 1 means spikes arrive independently (Poisson capacity math
+    holds); theta << 1 means 1/theta spikes per burst and the
+    politeness budget must absorb whole bursts, not single peaks.
+
+    Returns per group: (grp, n_obs, n_exc, n_clusters, theta rounded 6
+    — NULL when no exceedance).
+
+    Scale shape: ONE shuffle on grp; exceedance positions lag via a
+    single window over it.
+    """
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("grp").orderBy("t")
+    base = series.select(
+        F.col(grp_col).alias("grp"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(x_col).cast("double").alias("x")) \
+        .withColumn("idx", F.row_number().over(wn))
+    exc = base.filter(F.col("x") > threshold)
+    we = Window.partitionBy("grp").orderBy("idx")
+    marks = exc.select(
+        "grp", "idx",
+        F.when(F.lag("idx").over(we).isNull()
+               | ((F.col("idx") - F.lag("idx").over(we)) > run_len), 1)
+        .otherwise(0).alias("is_start"))
+    n_obs = base.groupBy("grp").agg(F.count("*").cast("long")
+                                    .alias("n_obs"))
+    agg = marks.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_exc"),
+        F.sum("is_start").cast("long").alias("n_clusters"))
+    return (n_obs.join(agg, "grp", "left")
+            .select("grp", "n_obs",
+                    F.coalesce(F.col("n_exc"), F.lit(0)).cast("long")
+                    .alias("n_exc"),
+                    F.coalesce(F.col("n_clusters"), F.lit(0)).cast("long")
+                    .alias("n_clusters"),
+                    F.round(F.col("n_clusters").cast("double")
+                            / F.col("n_exc"), 6).alias("theta"))
+            .orderBy("grp"))
+
+
+def extremal_index_sql(series_sql: str, threshold: float,
+                       run_len: int = 4) -> str:
+    """DuckDB mirror of :func:`extremal_index` over a (grp, t, x)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(t AS DOUBLE) AS t, CAST(x AS DOUBLE) AS x,
+    row_number() OVER (PARTITION BY grp ORDER BY t) AS idx
+  FROM ({series_sql})
+),
+exc AS (SELECT grp, idx FROM base WHERE x > {threshold!r}),
+marks AS (
+  SELECT grp, idx,
+    CASE WHEN lag(idx) OVER (PARTITION BY grp ORDER BY idx) IS NULL
+         OR idx - lag(idx) OVER (PARTITION BY grp ORDER BY idx)
+            > {run_len} THEN 1 ELSE 0 END AS is_start
+  FROM exc
+),
+n_obs AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_obs FROM base GROUP BY 1
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_exc,
+    CAST(sum(is_start) AS BIGINT) AS n_clusters
+  FROM marks GROUP BY 1
+)
+SELECT n_obs.grp, n_obs.n_obs,
+  CAST(COALESCE(agg.n_exc, 0) AS BIGINT) AS n_exc,
+  CAST(COALESCE(agg.n_clusters, 0) AS BIGINT) AS n_clusters,
+  round(CAST(agg.n_clusters AS DOUBLE) / agg.n_exc, 6) AS theta
+FROM n_obs LEFT JOIN agg ON agg.grp = n_obs.grp
+ORDER BY n_obs.grp
+"""
+
+
+def juilland_d(
+    tokens: DataFrame,
+    min_total: int = 30,
+    part_col: str = "part",
+    term_col: str = "term",
+) -> DataFrame:
+    """Juilland's D dispersion coefficient per term (Juilland &
+    Chang-Rodriguez 1964) — the corpus-linguistics "is this word
+    everywhere or one document's tic" score that keyword extractors
+    and stopword builders both want: split the corpus into n parts,
+    D = 1 - CV / sqrt(n - 1) with CV the coefficient of variation of
+    the term's per-part counts (zeros included). D ~ 1 means evenly
+    dispersed (stopword-like), D ~ 0 means concentrated (topical or
+    boilerplate-local).
+
+    Returns terms with total >= min_total: (term, total, d rounded 6)
+    ordered by term.
+
+    Scale shape: ONE (part, term) count shuffle; the zero-filled grid
+    crosses the qualifying-term list (bounded by min_total) with the
+    tiny part list — broadcast both ways, never row-level.
+    """
+    base = tokens.select(F.col(part_col).alias("part"),
+                         F.col(term_col).alias("term"))
+    parts = base.select("part").distinct()
+    n_parts = parts.count()
+    cnt = base.groupBy("part", "term").agg(
+        F.count("*").cast("double").alias("c"))
+    keep = (cnt.groupBy("term").agg(F.sum("c").alias("total"))
+            .filter(F.col("total") >= min_total))
+    grid = (keep.crossJoin(F.broadcast(parts))
+            .join(cnt, ["part", "term"], "left")
+            .select("term", "total",
+                    F.coalesce(F.col("c"), F.lit(0.0)).alias("c")))
+    stats = grid.groupBy("term").agg(
+        F.max("total").cast("long").alias("total"),
+        F.avg("c").alias("mu"), F.stddev_pop("c").alias("sd"))
+    d = (F.lit(1.0) - (F.col("sd") / F.col("mu"))
+         / F.lit(float(n_parts - 1) ** 0.5))
+    return stats.select("term", "total",
+                        F.round(d, 6).alias("d")).orderBy("term")
+
+
+def juilland_d_sql(tokens_sql: str, min_total: int = 30) -> str:
+    """DuckDB mirror of :func:`juilland_d` over a (part, term) SELECT.
+    The sqrt(n_parts - 1) factor is computed inline from the same
+    part list."""
+    return f"""
+WITH base AS ({tokens_sql}),
+parts AS (SELECT DISTINCT part FROM base),
+np AS (SELECT CAST(count(*) AS DOUBLE) AS n_parts FROM parts),
+cnt AS (
+  SELECT part, term, CAST(count(*) AS DOUBLE) AS c
+  FROM base GROUP BY 1, 2
+),
+keep AS (
+  SELECT term, sum(c) AS total FROM cnt GROUP BY 1
+  HAVING sum(c) >= {min_total}
+),
+grid AS (
+  SELECT k.term, k.total, COALESCE(c.c, 0.0) AS c
+  FROM keep k CROSS JOIN parts p
+  LEFT JOIN cnt c ON c.part = p.part AND c.term = k.term
+),
+stats AS (
+  SELECT term, CAST(max(total) AS BIGINT) AS total,
+    avg(c) AS mu, stddev_pop(c) AS sd
+  FROM grid GROUP BY 1
+)
+SELECT term, total,
+  round(1.0 - (sd / mu) / sqrt(np.n_parts - 1.0), 6) AS d
+FROM stats, np ORDER BY term
+"""

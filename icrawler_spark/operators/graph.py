@@ -2187,3 +2187,146 @@ SELECT n_nodes, n_arcs, mutual,
         4) AS expected_mutual
 FROM arcs, nodes
 """
+
+
+def katz(
+    edges: DataFrame,
+    n_iters: int = 3,
+    alpha: float = 0.2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Truncated Katz centrality over the host graph — the third
+    frontier-priority signal next to :func:`pagerank` and :func:`hits`:
+    c(v) = sum_{k=1..n_iters} alpha^k * walks_k(v), where walks_k(v)
+    counts length-k directed walks ending at v (Katz 1953, truncated
+    power series — the classic damped walk-count centrality). Unlike
+    PageRank it rewards raw reachability rather than normalized vote
+    share, which is the signal a seed-expansion pass wants.
+
+    Returns (node, katz rounded 6) for EVERY node in the edge set —
+    pure-source hosts score 0, they are walk origins only.
+
+    Scale shape: edges collapse to distinct once; each iteration is one
+    join + one groupBy shuffle keyed on the host id (same alignment as
+    pagerank so AQE reuses the layout); the k partial scores union and
+    fold in ONE final node-keyed agg.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    wk = e.groupBy(F.col("dst").alias("node")) \
+        .agg(F.count("*").cast("double").alias("w"))
+    parts = [wk.select("node", (F.col("w") * float(alpha)).alias("c"))]
+    for k in range(2, n_iters + 1):
+        wk = (e.join(wk.withColumnRenamed("node", "src"), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.sum("w").alias("w")))
+        parts.append(
+            wk.select("node", (F.col("w") * float(alpha) ** k).alias("c")))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.union(p)
+    scores = acc.groupBy("node").agg(F.sum("c").alias("katz_raw"))
+    return (nodes.join(scores, "node", "left")
+            .select("node",
+                    F.round(F.coalesce(F.col("katz_raw"), F.lit(0.0)), 6)
+                    .alias("katz"))
+            .orderBy("node"))
+
+
+def katz_sql(edges_sql: str, n_iters: int = 3, alpha: float = 0.2) -> str:
+    """DuckDB mirror of :func:`katz` over a (src, dst) SELECT."""
+    ctes = ["w1 AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS w"
+            " FROM e GROUP BY 1)"]
+    for k in range(2, n_iters + 1):
+        ctes.append(
+            f"w{k} AS (SELECT e.dst AS node, sum(w{k-1}.w) AS w"
+            f" FROM e JOIN w{k-1} ON w{k-1}.node = e.src GROUP BY 1)")
+    acc = " UNION ALL ".join(
+        f"SELECT node, w * {float(alpha) ** k!r} AS c FROM w{k}"
+        for k in range(1, n_iters + 1))
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+{cte_block},
+acc AS ({acc})
+SELECT n.node, round(COALESCE(sum(acc.c), 0.0), 6) AS katz
+FROM nodes n LEFT JOIN acc ON acc.node = n.node
+GROUP BY n.node ORDER BY n.node
+"""
+
+
+def moran_i(
+    edges: DataFrame,
+    values: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    x_col: str = "x",
+) -> DataFrame:
+    """Moran's I autocorrelation of a per-host metric over the link
+    graph (Moran 1950, binary adjacency weights) — "do spammy hosts
+    link to spammy hosts?" as one number: with z = x - mean(x),
+    I = (n / W) * sum_{(i,j) in E} z_i z_j / sum_i z_i^2, W = |E|
+    after collapsing duplicates and dropping self-loops. I > 0 means
+    the metric clusters along links (neighborhoods of low quality —
+    the TrustRank premise), I ~ E[I] = -1/(n-1) means no assortative
+    structure.
+
+    Returns ONE row: (n_nodes, n_edges, moran rounded 6,
+    expected rounded 6).
+
+    Scale shape: two broadcast-able joins of the edge list against the
+    (node, z) table + ONE global agg; no cross join, no iteration.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    v = values.select(F.col(node_col).alias("node"),
+                      F.col(x_col).cast("double").alias("x"))
+    mu = v.agg(F.avg("x").alias("mu"))
+    z = v.crossJoin(F.broadcast(mu)).select(
+        "node", (F.col("x") - F.col("mu")).alias("z"))
+    num = (e.join(z.select(F.col("node").alias("src"),
+                           F.col("z").alias("z_i")), "src")
+           .join(z.select(F.col("node").alias("dst"),
+                          F.col("z").alias("z_j")), "dst")
+           .agg(F.count("*").cast("long").alias("n_edges"),
+                F.sum(F.col("z_i") * F.col("z_j")).alias("cross_sum")))
+    den = z.agg(F.count("*").cast("long").alias("n_nodes"),
+                F.sum(F.col("z") * F.col("z")).alias("z2"))
+    n = F.col("n_nodes").cast("double")
+    moran = (n / F.col("n_edges").cast("double")) \
+        * F.col("cross_sum") / F.col("z2")
+    return den.crossJoin(num).select(
+        "n_nodes", "n_edges",
+        F.round(moran, 6).alias("moran"),
+        F.round(F.lit(-1.0) / (n - F.lit(1.0)), 6).alias("expected"))
+
+
+def moran_i_sql(edges_sql: str, values_sql: str) -> str:
+    """DuckDB mirror of :func:`moran_i` over (src, dst) and (node, x)
+    SELECTs."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+),
+v AS (SELECT node, CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+mu AS (SELECT avg(x) AS mu FROM v),
+z AS (SELECT node, x - mu AS z FROM v, mu),
+num AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    sum(zi.z * zj.z) AS cross_sum
+  FROM e JOIN z zi ON zi.node = e.src JOIN z zj ON zj.node = e.dst
+),
+den AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes, sum(z * z) AS z2 FROM z
+)
+SELECT n_nodes, n_edges,
+  round(CAST(n_nodes AS DOUBLE) / n_edges * cross_sum / z2, 6) AS moran,
+  round(-1.0 / (CAST(n_nodes AS DOUBLE) - 1.0), 6) AS expected
+FROM den, num
+"""

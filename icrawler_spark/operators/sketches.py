@@ -386,3 +386,86 @@ SELECT n_items, n_distinct, f2_exact,
   round(abs(f2_est - f2_exact) / f2_exact, 6) AS rel_err
 FROM exact, med
 """
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    items: DataFrame,
+    key_col: str = "k",
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    vs the exact count — the third classic distinct estimator next to
+    the repo's HLL (:func:`hll_distinct`): hash every value to a
+    uniform u in (0, 1], keep only the k smallest hashes, and estimate
+    D-hat = (k - 1) / u_(k) from the k-th order statistic. Unlike HLL
+    the KMV synopsis supports set intersection/Jaccard directly, which
+    is why frontier-overlap monitors prefer it.
+
+    Returns ONE row: (n_items, n_distinct, kmv_k, kmv_est rounded 4,
+    rel_err rounded 6). When the true cardinality is below k the
+    sketch is exact by construction (est = n_distinct).
+
+    Scale shape: a distinct-reduce on the value, ONE global top-k on
+    the hash (Spark picks a partial per-partition top-k before the
+    single-reducer tail) — the k-sized synopsis is the only thing that
+    ever reaches the driver.
+    """
+    from pyspark.sql import Window
+
+    u = ((_md5_int(key_col, 1, 12) + F.lit(1)).cast("double")
+         / F.lit(float(16 ** 12)))
+    hashed = items.select(F.col(key_col).alias("k")).distinct() \
+        .select("k", u.alias("u"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-k, k-sized merge) — the global row_number window then
+    # only ever sees k rows, never the full distinct set
+    topk = hashed.select("u").orderBy("u").limit(k)
+    wr = Window.orderBy("u")
+    kth = (topk.select(F.row_number().over(wr).alias("r"), "u")
+           .filter(F.col("r") == k)
+           .select(F.col("u").alias("uk")))
+    exact = items.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.countDistinct(key_col).cast("long").alias("n_distinct"))
+    est = (F.when(F.col("uk").isNotNull(), (F.lit(float(k - 1)) / F.col("uk")))
+           .otherwise(F.col("n_distinct").cast("double")))
+    return (exact.join(kth, how="left")
+            .select(
+                "n_items", "n_distinct",
+                F.lit(k).cast("long").alias("kmv_k"),
+                F.round(est, 4).alias("kmv_est"),
+                F.round(F.abs(est - F.col("n_distinct"))
+                        / F.col("n_distinct"), 6).alias("rel_err")))
+
+
+def kmv_distinct_sql(items_sql: str, k: int = 64) -> str:
+    """DuckDB mirror of :func:`kmv_distinct` over a (k) SELECT."""
+    u = f"(({md5_int_sql('k', 1, 12)}) + 1) / {float(16 ** 12)!r}"
+    return f"""
+WITH items AS ({items_sql}),
+hashed AS (
+  SELECT {u} AS u FROM (SELECT DISTINCT k FROM items)
+),
+kth AS (
+  SELECT u AS uk FROM (
+    SELECT u, row_number() OVER (ORDER BY u) AS r FROM hashed
+  ) WHERE r = {k}
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+    CAST(count(DISTINCT k) AS BIGINT) AS n_distinct
+  FROM items
+)
+SELECT n_items, n_distinct, CAST({k} AS BIGINT) AS kmv_k,
+  round(CASE WHEN uk IS NOT NULL THEN {float(k - 1)!r} / uk
+        ELSE CAST(n_distinct AS DOUBLE) END, 4) AS kmv_est,
+  round(abs(CASE WHEN uk IS NOT NULL THEN {float(k - 1)!r} / uk
+        ELSE CAST(n_distinct AS DOUBLE) END - n_distinct)
+        / n_distinct, 6) AS rel_err
+FROM exact LEFT JOIN kth ON TRUE
+"""

@@ -1,0 +1,125 @@
+"""Unit tests for the round-79 pack: KMV distinct sketch, chi-square
+GOF, 3-player Shapley, Katz centrality, Hurst R/S exponent."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import chisq_gof, hurst_rs, shapley3
+from icrawler_spark.operators.graph import katz
+from icrawler_spark.operators.sketches import kmv_distinct
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    # 10 distinct values with k=64: sketch is exact by construction
+    rows = [(f"v{i % 10}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    r = kmv_distinct(df, k=64).collect()[0]
+    assert r["n_items"] == 100 and r["n_distinct"] == 10
+    assert r["kmv_est"] == 10.0 and r["rel_err"] == 0.0
+
+
+def test_kmv_estimates_above_k(spark):
+    rows = [(f"v{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string")
+    r = kmv_distinct(df, k=64).collect()[0]
+    assert r["n_distinct"] == 2000
+    # k=64 gives ~1/sqrt(62) ≈ 13% std error; allow 4 sigma
+    assert abs(r["kmv_est"] - 2000) / 2000 < 0.5
+
+
+# ---------------------------------------------------------------------------
+# chisq_gof
+# ---------------------------------------------------------------------------
+
+def test_chisq_gof_flags_skewed_group(spark):
+    # g_skew emits only cat a and is small enough that the pooled mix
+    # stays near-uniform, so only it deviates from the pool
+    rows = [("g_skew", "a")] * 9
+    for g in ("g_flat1", "g_flat2"):
+        for c in ("a", "b", "c"):
+            rows += [(g, c)] * 100
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = {r["grp"]: r for r in chisq_gof(df).collect()}
+    assert out["g_skew"]["reject"] == 1
+    assert out["g_flat1"]["reject"] == 0
+    assert out["g_skew"]["df"] == 2
+    assert out["g_skew"]["chisq"] > out["g_flat1"]["chisq"]
+
+
+def test_chisq_gof_uniform_zero_stat(spark):
+    # every group has the pooled mix exactly: chisq == 0
+    rows = [(g, c) for g in ("g1", "g2") for c in ("a", "b") for _ in range(5)]
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    for r in chisq_gof(df).collect():
+        assert r["chisq"] == 0.0 and r["reject"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shapley3
+# ---------------------------------------------------------------------------
+
+def test_shapley_additive_game(spark):
+    # purely additive coalition values: phi_i == v_i
+    rows = [("g", 1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 6.0)]
+    cols = ("grp string, v_a double, v_b double, v_c double, "
+            "v_ab double, v_ac double, v_bc double, v_abc double")
+    r = shapley3(spark.createDataFrame(rows, cols)).collect()[0]
+    assert (r["phi_a"], r["phi_b"], r["phi_c"]) == (1.0, 2.0, 3.0)
+    assert r["resid"] == 0.0
+
+
+def test_shapley_symmetric_synergy(spark):
+    # symmetric players: equal split of v_abc; efficiency holds
+    rows = [("g", 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 3.0)]
+    cols = ("grp string, v_a double, v_b double, v_c double, "
+            "v_ab double, v_ac double, v_bc double, v_abc double")
+    r = shapley3(spark.createDataFrame(rows, cols)).collect()[0]
+    assert r["phi_a"] == r["phi_b"] == r["phi_c"] == 1.0
+    assert r["resid"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# katz
+# ---------------------------------------------------------------------------
+
+def test_katz_chain(spark):
+    # 1 -> 2 -> 3: walks into 2: len1 only; into 3: len1 + len2
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r["node"]: r["katz"] for r in katz(df, n_iters=3,
+                                              alpha=0.5).collect()}
+    assert out[1] == 0.0
+    assert math.isclose(out[2], 0.5)
+    assert math.isclose(out[3], 0.5 + 0.25)
+
+
+def test_katz_multi_edges_collapse(spark):
+    # duplicate edges collapse to distinct before counting walks
+    df = spark.createDataFrame([(1, 2), (1, 2), (1, 2)], "src long, dst long")
+    out = {r["node"]: r["katz"] for r in katz(df, alpha=0.5).collect()}
+    assert math.isclose(out[2], 0.5)
+
+
+# ---------------------------------------------------------------------------
+# hurst_rs
+# ---------------------------------------------------------------------------
+
+def test_hurst_periodic_series_antipersistent(spark):
+    # strict alternation is maximally anti-persistent: H well below 0.5
+    rows = [("g", float(t), float(t % 2)) for t in range(800)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = hurst_rs(df, sizes=(20, 40, 80, 160)).collect()[0]
+    assert r["n_sizes"] == 4 and r["n_obs"] == 800
+    assert r["hurst"] < 0.3
+
+
+def test_hurst_trending_series_persistent(spark):
+    # a pure linear trend walks away from its mean: H near 1
+    rows = [("g", float(t), float(t)) for t in range(800)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = hurst_rs(df, sizes=(20, 40, 80, 160)).collect()[0]
+    assert r["hurst"] > 0.85
