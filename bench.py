@@ -356,6 +356,10 @@ _EXTRA_PICKS = [
     "mcnemar", "cochran", "durbin_watson", "cuped", "theil_sen",
     # round-3 batch-72 (change detection + trend + fwer + privacy + sketch)
     "page_hinkley", "mann_kendall", "holm", "l_diversity", "ams_f2",
+    # round-3 batch-73 (sketches + attribution + LRD)
+    "kmv_distinct", "chisq_gof", "shapley3", "katz", "hurst",
+    # round-3 batch-74 (two-sample shape + stylometry + dispersion)
+    "cvm", "burrows", "extremal", "juilland", "moran",
 ]
 
 

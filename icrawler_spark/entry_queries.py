@@ -57,7 +57,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round72, entry_round73,
                             entry_round74, entry_round75,
                             entry_round76, entry_round77,
-                            entry_round78)
+                            entry_round78, entry_round79,
+                            entry_round80)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -902,6 +903,8 @@ def queries():
         **entry_round76.queries76(),
         **entry_round77.queries77(),
         **entry_round78.queries78(),
+        **entry_round79.queries79(),
+        **entry_round80.queries80(),
     }
 
 
@@ -1012,4 +1015,6 @@ def oracle_sql():
         **entry_round76.oracle_sql76(),
         **entry_round77.oracle_sql77(),
         **entry_round78.oracle_sql78(),
+        **entry_round79.oracle_sql79(),
+        **entry_round80.oracle_sql80(),
     }

@@ -1,0 +1,226 @@
+"""Round-3 driver-contract queries (batch 74): Cramér-von Mises
+two-sample test, Burrows' Delta stylometry, runs-declustering extremal
+index, Juilland's D dispersion, Moran's I graph autocorrelation.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+
+# ---------------------------------------------------------------------------
+# cvm — sample y in group g0 is shifted by +20000; others match x
+# ---------------------------------------------------------------------------
+
+
+def _cvm_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    grp = F.concat(F.lit("g"), (e % 3).cast("string"))
+    sample = F.when(u % 2 == 0, F.lit("x")).otherwise(F.lit("y"))
+    v = e.cast("double") + F.when((e % 3 == 0) & (u % 2 == 1),
+                                  F.lit(20000.0)).otherwise(F.lit(0.0))
+    return ev.select(grp.alias("grp"), sample.alias("sample"),
+                     v.alias("v"))
+
+
+_CVM_SAMPLES_SQL = """
+  SELECT 'g' || CAST(event_id % 3 AS VARCHAR) AS grp,
+    CASE WHEN user_id % 2 = 0 THEN 'x' ELSE 'y' END AS sample,
+    CAST(event_id AS DOUBLE)
+      + CASE WHEN event_id % 3 = 0 AND user_id % 2 = 1
+             THEN 20000.0 ELSE 0.0 END AS v
+  FROM events
+"""
+
+
+def q_cvm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cvm_twosample: Anderson U-form CvM statistic —
+    ONE grp shuffle, two stacked rank windows."""
+    return _corpus.cvm_twosample(_cvm_samples(spark, sf))
+
+
+def _cvm_sql() -> str:
+    return _corpus.cvm_twosample_sql(_CVM_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# burrows — 6 hosts with host-skewed draws over a 60-term vocabulary
+# ---------------------------------------------------------------------------
+
+_BD_TOP_M = 40
+
+
+def _bd_tokens(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    term_ix = (e * 7 + (u % 6) * (e % 3)) % 60
+    return ev.select(
+        F.concat(F.lit("h"), (u % 6).cast("string")).alias("grp"),
+        F.concat(F.lit("t"), term_ix.cast("string")).alias("term"))
+
+
+_BD_TOKENS_SQL = """
+  SELECT 'h' || CAST(user_id % 6 AS VARCHAR) AS grp,
+    't' || CAST((event_id * 7 + (user_id % 6) * (event_id % 3)) % 60
+                AS VARCHAR) AS term
+  FROM events
+"""
+
+
+def q_burrows(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.burrows_delta: z-scored top-M relative
+    frequencies, pairwise mean |dz| — broadcast grid, M-keyed
+    self-join quadratic only in hosts."""
+    return _corpus.burrows_delta(_bd_tokens(spark, sf), top_m=_BD_TOP_M)
+
+
+def _burrows_sql() -> str:
+    return _corpus.burrows_delta_sql(_BD_TOKENS_SQL, top_m=_BD_TOP_M)
+
+
+# ---------------------------------------------------------------------------
+# extremal — one 3-spike burst every 500 events per parity series
+# ---------------------------------------------------------------------------
+
+_EI_THRESHOLD = 97.0
+_EI_RUN = 4
+
+
+def _ei_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    x = F.when(e % 500 < 6, F.lit(99.0)) \
+        .otherwise((e * 31 % 97).cast("double"))
+    return ev.select(
+        F.concat(F.lit("g"), (e % 2).cast("string")).alias("grp"),
+        e.cast("double").alias("t"), x.alias("x"))
+
+
+_EI_SERIES_SQL = """
+  SELECT 'g' || CAST(event_id % 2 AS VARCHAR) AS grp,
+    CAST(event_id AS DOUBLE) AS t,
+    CASE WHEN event_id % 500 < 6 THEN 99.0
+         ELSE CAST(event_id * 31 % 97 AS DOUBLE) END AS x
+  FROM events
+"""
+
+
+def q_extremal(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.extremal_index: runs declustering — ONE grp
+    shuffle, one lag window over exceedances."""
+    return _corpus.extremal_index(_ei_series(spark, sf),
+                                  threshold=_EI_THRESHOLD,
+                                  run_len=_EI_RUN)
+
+
+def _extremal_sql() -> str:
+    return _corpus.extremal_index_sql(_EI_SERIES_SQL,
+                                      threshold=_EI_THRESHOLD,
+                                      run_len=_EI_RUN)
+
+
+# ---------------------------------------------------------------------------
+# juilland — dispersed 50-term vocab + one part-locked term
+# ---------------------------------------------------------------------------
+
+_JD_MIN_TOTAL = 30
+
+
+def _jd_tokens(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    term = F.when(e % 8 == 0, F.lit("conc")) \
+        .otherwise(F.concat(F.lit("t"), (e * 11 % 50).cast("string")))
+    return ev.select(
+        F.concat(F.lit("p"), (e % 8).cast("string")).alias("part"),
+        term.alias("term"))
+
+
+_JD_TOKENS_SQL = """
+  SELECT 'p' || CAST(event_id % 8 AS VARCHAR) AS part,
+    CASE WHEN event_id % 8 = 0 THEN 'conc'
+         ELSE 't' || CAST(event_id * 11 % 50 AS VARCHAR) END AS term
+  FROM events
+"""
+
+
+def q_juilland(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.juilland_d: 1 - CV/sqrt(n-1) over a zero-filled
+    part grid — ONE (part, term) count shuffle + broadcast grid."""
+    return _corpus.juilland_d(_jd_tokens(spark, sf),
+                              min_total=_JD_MIN_TOTAL)
+
+
+def _juilland_sql() -> str:
+    return _corpus.juilland_d_sql(_JD_TOKENS_SQL,
+                                  min_total=_JD_MIN_TOTAL)
+
+
+# ---------------------------------------------------------------------------
+# moran — metric homophily over the 60-host synthetic link graph
+# ---------------------------------------------------------------------------
+
+_MI_HOSTS = 60
+
+
+def _mi_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _MI_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") * 3 + F.col("event_id") * 7) % _MI_HOSTS)
+        .cast("long").alias("dst"))
+
+
+def _mi_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.select((F.col("user_id") % _MI_HOSTS).cast("long")
+                      .alias("node")).distinct()
+            .select("node", (F.col("node") % 6).cast("double").alias("x")))
+
+
+_MI_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_MI_HOSTS} AS BIGINT) AS src, "
+    f"CAST((user_id * 3 + event_id * 7) % {_MI_HOSTS} AS BIGINT) AS dst"
+    " FROM events")
+_MI_VALUES_SQL = (
+    f"SELECT node, CAST(node % 6 AS DOUBLE) AS x FROM ("
+    f"SELECT DISTINCT CAST(user_id % {_MI_HOSTS} AS BIGINT) AS node"
+    " FROM events)")
+
+
+def q_moran(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.moran_i: z-product sum over distinct edges —
+    two node-keyed joins + ONE global agg."""
+    return _graph.moran_i(_mi_edges(spark, sf), _mi_values(spark, sf))
+
+
+def _moran_sql() -> str:
+    return _graph.moran_i_sql(_MI_EDGES_SQL, _MI_VALUES_SQL)
+
+
+def queries80():
+    return {
+        "cvm": q_cvm,
+        "burrows": q_burrows,
+        "extremal": q_extremal,
+        "juilland": q_juilland,
+        "moran": q_moran,
+    }
+
+
+def oracle_sql80():
+    return {
+        "cvm": _cvm_sql(),
+        "burrows": _burrows_sql(),
+        "extremal": _extremal_sql(),
+        "juilland": _juilland_sql(),
+        "moran": _moran_sql(),
+    }

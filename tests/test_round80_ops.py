@@ -1,0 +1,134 @@
+"""Unit tests for the round-80 pack: CvM two-sample, Burrows' Delta,
+extremal index, Juilland's D, Moran's I."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (burrows_delta, cvm_twosample,
+                                             extremal_index, juilland_d)
+from icrawler_spark.operators.graph import moran_i
+
+
+# ---------------------------------------------------------------------------
+# cvm_twosample
+# ---------------------------------------------------------------------------
+
+def test_cvm_identical_samples_small_stat(spark):
+    # interleaved identical distributions: T near its minimum
+    rows = [("g", "x" if i % 2 == 0 else "y", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, sample string, v double")
+    r = cvm_twosample(df).collect()[0]
+    assert r["n"] == 100 and r["m"] == 100
+    assert r["cvm_t"] < 0.1
+
+
+def test_cvm_disjoint_samples_large_stat(spark):
+    # fully separated supports: T far above the ~0.46 5% critical value
+    rows = [("g", "x", float(i)) for i in range(100)]
+    rows += [("g", "y", float(i + 1000)) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, sample string, v double")
+    r = cvm_twosample(df).collect()[0]
+    assert r["cvm_t"] > 5.0
+
+
+# ---------------------------------------------------------------------------
+# burrows_delta
+# ---------------------------------------------------------------------------
+
+def test_burrows_twin_hosts_closest(spark):
+    # h1 and h2 share a profile; h3 is skewed: delta(h1,h2) smallest
+    rows = []
+    for h in ("h1", "h2"):
+        rows += [(h, f"t{i % 10}") for i in range(400)]
+    rows += [("h3", f"t{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    out = {(r["grp_a"], r["grp_b"]): r["delta"]
+           for r in burrows_delta(df, top_m=10).collect()}
+    assert out[("h1", "h2")] < out[("h1", "h3")]
+    assert out[("h1", "h2")] < out[("h2", "h3")]
+    assert out[("h1", "h2")] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# extremal_index
+# ---------------------------------------------------------------------------
+
+def test_extremal_isolated_spikes_theta_one(spark):
+    # spikes every 50 steps, far beyond run_len: every spike a cluster
+    rows = [("g", float(t), 10.0 if t % 50 == 0 else 0.0)
+            for t in range(500)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = extremal_index(df, threshold=5.0, run_len=4).collect()[0]
+    assert r["n_exc"] == 10 and r["n_clusters"] == 10
+    assert r["theta"] == 1.0
+
+
+def test_extremal_bursts_theta_fraction(spark):
+    # 3-spike bursts (adjacent) every 100 steps: theta = 1/3
+    rows = [("g", float(t), 10.0 if t % 100 < 3 else 0.0)
+            for t in range(500)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = extremal_index(df, threshold=5.0, run_len=4).collect()[0]
+    assert r["n_exc"] == 15 and r["n_clusters"] == 5
+    assert math.isclose(r["theta"], round(1 / 3, 6))
+
+
+def test_extremal_no_exceedance_null_theta(spark):
+    rows = [("g", float(t), 0.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "grp string, t double, x double")
+    r = extremal_index(df, threshold=5.0).collect()[0]
+    assert r["n_exc"] == 0 and r["theta"] is None
+
+
+# ---------------------------------------------------------------------------
+# juilland_d
+# ---------------------------------------------------------------------------
+
+def test_juilland_even_vs_concentrated(spark):
+    # "every" appears 10x in each of 4 parts (D = 1); "one" only in p0
+    rows = []
+    for p in ("p0", "p1", "p2", "p3"):
+        rows += [(p, "every")] * 10
+    rows += [("p0", "one")] * 40
+    df = spark.createDataFrame(rows, "part string, term string")
+    out = {r["term"]: r for r in juilland_d(df, min_total=30).collect()}
+    assert out["every"]["d"] == 1.0
+    assert out["one"]["d"] == 0.0
+    assert out["every"]["total"] == 40
+
+
+def test_juilland_min_total_filters(spark):
+    rows = [("p0", "rare")] * 5 + [("p1", "kept")] * 30
+    df = spark.createDataFrame(rows, "part string, term string")
+    terms = {r["term"] for r in juilland_d(df, min_total=30).collect()}
+    assert terms == {"kept"}
+
+
+# ---------------------------------------------------------------------------
+# moran_i
+# ---------------------------------------------------------------------------
+
+def test_moran_assortative_positive(spark):
+    # two cliques with opposite metric signs: strong positive I
+    edges = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    edges += [(a, b) for a in (4, 5, 6) for b in (4, 5, 6) if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame(
+        [(n, 1.0 if n <= 3 else -1.0) for n in range(1, 7)],
+        "node long, x double")
+    r = moran_i(e, v).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 12
+    assert r["moran"] == 1.0
+    assert math.isclose(r["expected"], -0.2)
+
+
+def test_moran_anti_assortative_negative(spark):
+    # bipartite crossing edges between the sign classes: I < 0
+    edges = [(a, b) for a in (1, 2, 3) for b in (4, 5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame(
+        [(n, 1.0 if n <= 3 else -1.0) for n in range(1, 7)],
+        "node long, x double")
+    r = moran_i(e, v).collect()[0]
+    assert r["moran"] == -1.0
