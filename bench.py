@@ -360,6 +360,8 @@ _EXTRA_PICKS = [
     "kmv_distinct", "chisq_gof", "shapley3", "katz", "hurst",
     # round-3 batch-74 (two-sample shape + stylometry + dispersion)
     "cvm", "burrows", "extremal", "juilland", "moran",
+    # round-3 batch-75 (exact tests + centrality + pricing + freshness)
+    "fisher", "eigenvector", "gsp", "aoi", "chash",
 ]
 
 

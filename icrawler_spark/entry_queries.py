@@ -58,7 +58,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round74, entry_round75,
                             entry_round76, entry_round77,
                             entry_round78, entry_round79,
-                            entry_round80)
+                            entry_round80, entry_round81)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -905,6 +905,7 @@ def queries():
         **entry_round78.queries78(),
         **entry_round79.queries79(),
         **entry_round80.queries80(),
+        **entry_round81.queries81(),
     }
 
 
@@ -1017,4 +1018,5 @@ def oracle_sql():
         **entry_round78.oracle_sql78(),
         **entry_round79.oracle_sql79(),
         **entry_round80.oracle_sql80(),
+        **entry_round81.oracle_sql81(),
     }

@@ -1,0 +1,218 @@
+"""Round-3 driver-contract queries (batch 75): Fisher exact test,
+eigenvector centrality, GSP slot auction, age-of-information audit,
+consistent-hash ring moves.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# fisher — five 2x2 tables with group-dependent enrichment
+# ---------------------------------------------------------------------------
+
+
+def _fisher_tables(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    grp = F.concat(F.lit("g"), (u % 5).cast("string"))
+    m = (e + u) % 11
+    return ev.groupBy(grp.alias("grp")).agg(
+        F.sum(F.when(m == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(m.isin(1, 2, 3), 1).otherwise(0)).cast("long")
+        .alias("b"),
+        F.sum(F.when(m.isin(4, 5), 1).otherwise(0)).cast("long")
+        .alias("c"),
+        F.sum(F.when(m > 5, 1).otherwise(0)).cast("long").alias("d"))
+
+
+_FISHER_TABLES_SQL = """
+  SELECT 'g' || CAST(user_id % 5 AS VARCHAR) AS grp,
+    CAST(sum(CASE WHEN (event_id + user_id) % 11 = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN (event_id + user_id) % 11 IN (1, 2, 3)
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN (event_id + user_id) % 11 IN (4, 5)
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN (event_id + user_id) % 11 > 5
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY 1
+"""
+
+
+def q_fisher(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.fisher_exact: hypergeometric tail via a shared
+    prefix-sum ln-factorial table — bounded tail explode + grp aggs."""
+    return _corpus.fisher_exact(_fisher_tables(spark, sf))
+
+
+def _fisher_sql() -> str:
+    return _corpus.fisher_exact_sql(_FISHER_TABLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# eigenvector — 50-host synthetic link graph, 3 power iterations
+# ---------------------------------------------------------------------------
+
+_EC_HOSTS = 50
+_EC_ITERS = 3
+
+
+def _ec_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _EC_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") * 3) % _EC_HOSTS)
+        .cast("long").alias("dst"))
+
+
+_EC_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_EC_HOSTS} AS BIGINT) AS src, "
+    f"CAST((user_id * 7 + event_id * 3) % {_EC_HOSTS} AS BIGINT) AS dst"
+    " FROM events")
+
+
+def q_eigenvector(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.eigen_centrality: L1-normalized power method —
+    one host-keyed join+agg per iteration, one-row broadcast norms."""
+    return _graph.eigen_centrality(_ec_edges(spark, sf),
+                                   n_iters=_EC_ITERS)
+
+
+def _eigenvector_sql() -> str:
+    return _graph.eigen_centrality_sql(_EC_EDGES_SQL, n_iters=_EC_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# gsp — 20 auctions, 9 bidders, reserve 5.0, 3 slots
+# ---------------------------------------------------------------------------
+
+_GSP_SLOTS = 3
+_GSP_RESERVE = 5.0
+
+
+def _gsp_bids(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        F.concat(F.lit("q"), (e % 20).cast("string")).alias("auction"),
+        F.concat(F.lit("b"), (u % 9).cast("string")).alias("bidder"),
+        ((e * 17 % 997).cast("double") / 10).alias("bid"))
+
+
+_GSP_BIDS_SQL = """
+  SELECT 'q' || CAST(event_id % 20 AS VARCHAR) AS auction,
+    'b' || CAST(user_id % 9 AS VARCHAR) AS bidder,
+    CAST(event_id * 17 % 997 AS DOUBLE) / 10 AS bid
+  FROM events
+"""
+
+
+def q_gsp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.gsp_auction: rank + next-bid pricing — ONE
+    auction-keyed shuffle, two functions over one window."""
+    return _search.gsp_auction(_gsp_bids(spark, sf), n_slots=_GSP_SLOTS,
+                               reserve=_GSP_RESERVE)
+
+
+def _gsp_sql() -> str:
+    return _search.gsp_auction_sql(_GSP_BIDS_SQL, n_slots=_GSP_SLOTS,
+                                   reserve=_GSP_RESERVE)
+
+
+# ---------------------------------------------------------------------------
+# aoi — 6 hosts, 20% updates / 80% polls interleaved by event order
+# ---------------------------------------------------------------------------
+
+
+def _aoi_obs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        F.concat(F.lit("h"), (u % 6).cast("string")).alias("host"),
+        e.cast("double").alias("t"),
+        F.when(e % 5 == 0, F.lit("u")).otherwise(F.lit("p"))
+        .alias("kind"))
+
+
+_AOI_OBS_SQL = """
+  SELECT 'h' || CAST(user_id % 6 AS VARCHAR) AS host,
+    CAST(event_id AS DOUBLE) AS t,
+    CASE WHEN event_id % 5 = 0 THEN 'u' ELSE 'p' END AS kind
+  FROM events
+"""
+
+
+def q_aoi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.age_of_information: running-max update lookup
+    — ONE host shuffle, one window."""
+    return _recrawl.age_of_information(_aoi_obs(spark, sf))
+
+
+def _aoi_sql() -> str:
+    return _recrawl.age_of_information_sql(_AOI_OBS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# chash — ring ownership of ~4000 frontier keys, 5 -> 6 nodes
+# ---------------------------------------------------------------------------
+
+_CH_NODES = 5
+_CH_VNODES = 16
+
+
+def _ch_keys(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("k"), (F.col("event_id") * 13 % 4000)
+                 .cast("string")).alias("url"))
+
+
+_CH_KEYS_SQL = ("SELECT 'k' || CAST(event_id * 13 % 4000 AS VARCHAR)"
+                " AS url FROM events")
+
+
+def q_chash(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.chash_ring_moves: vnode ring ownership +
+    resize move share — broadcast ring join, ONE min_by groupBy per
+    ring."""
+    return _politeness.chash_ring_moves(_ch_keys(spark, sf),
+                                        n_nodes=_CH_NODES,
+                                        n_vnodes=_CH_VNODES)
+
+
+def _chash_sql() -> str:
+    return _politeness.chash_ring_moves_sql(_CH_KEYS_SQL,
+                                            n_nodes=_CH_NODES,
+                                            n_vnodes=_CH_VNODES)
+
+
+def queries81():
+    return {
+        "fisher": q_fisher,
+        "eigenvector": q_eigenvector,
+        "gsp": q_gsp,
+        "aoi": q_aoi,
+        "chash": q_chash,
+    }
+
+
+def oracle_sql81():
+    return {
+        "fisher": _fisher_sql(),
+        "eigenvector": _eigenvector_sql(),
+        "gsp": _gsp_sql(),
+        "aoi": _aoi_sql(),
+        "chash": _chash_sql(),
+    }

@@ -5778,3 +5778,143 @@ SELECT term, total,
   round(1.0 - (sd / mu) / sqrt(np.n_parts - 1.0), 6) AS d
 FROM stats, np ORDER BY term
 """
+
+
+def fisher_exact(
+    tables: DataFrame,
+    grp_col: str = "grp",
+) -> DataFrame:
+    """One-sided Fisher exact test (P[X >= a], enrichment direction)
+    per 2x2 table — the small-count companion to the z/chi-square
+    family for detector comparisons where expected cells go below 5
+    and the normal approximations (:func:`mcnemar`, chi-square) break:
+    p = sum_i C(r1, i) C(r2, kk - i) / C(n, kk) over the observed-or-
+    more-extreme tail. Log-factorials come from a shared prefix-sum
+    ln table so BOTH engines evaluate the identical float expression
+    tree (no lgamma, which Spark lacks).
+
+    Input: one row per group with integer columns (a, b, c, d) laid
+    out as [[a, b], [c, d]]. Returns (grp, n, p_greater rounded 6,
+    odds_ratio rounded 6 — NULL when b*c = 0).
+
+    Scale shape: the ln-factorial table is one prefix-sum window over
+    max(n) rows (bounded by the largest table total, trivially small
+    next to the corpus); the tail explodes to at most min(r1, kk)
+    terms per group and folds back with two grp-keyed aggs.
+    """
+    from pyspark.sql import Window
+
+    t = tables.select(
+        F.col(grp_col).alias("grp"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"))
+    t = t.select(
+        "grp", "a", "b", "c", "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("kk"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"))
+    max_n = t.agg(F.max("n")).collect()[0][0] or 0
+    spark = tables.sparkSession
+    lf = spark.range(0, int(max_n) + 1).select(
+        F.col("id").alias("arg"),
+        F.sum(F.when(F.col("id") > 0, F.log(F.col("id").cast("double")))
+              .otherwise(F.lit(0.0)))
+        .over(Window.orderBy("id")
+              .rowsBetween(Window.unboundedPreceding, 0)).alias("lf"))
+    cst = t.select("grp", F.explode(F.array(
+        F.struct(F.col("r1").alias("arg"), F.lit(1.0).alias("sgn")),
+        F.struct(F.col("r2").alias("arg"), F.lit(1.0).alias("sgn")),
+        F.struct(F.col("kk").alias("arg"), F.lit(1.0).alias("sgn")),
+        F.struct((F.col("n") - F.col("kk")).alias("arg"),
+                 F.lit(1.0).alias("sgn")),
+        F.struct(F.col("n").alias("arg"), F.lit(-1.0).alias("sgn"))))
+        .alias("s")).select("grp", "s.arg", "s.sgn")
+    cagg = (cst.join(lf, "arg")
+            .groupBy("grp").agg(F.sum(F.col("sgn") * F.col("lf"))
+                                .alias("cpart")))
+    rows = t.select(
+        "grp", "r1", "r2", "kk",
+        F.explode(F.sequence(F.col("a"), F.least("r1", "kk"))).alias("i"))
+    roles = rows.select("grp", "i", F.explode(F.array(
+        F.col("i"), F.col("r1") - F.col("i"), F.col("kk") - F.col("i"),
+        F.col("r2") - F.col("kk") + F.col("i"))).alias("arg"))
+    ragg = (roles.join(lf, "arg")
+            .groupBy("grp", "i").agg((-F.sum("lf")).alias("rpart")))
+    p = (ragg.join(cagg, "grp")
+         .groupBy("grp")
+         .agg(F.sum(F.exp(F.col("cpart") + F.col("rpart"))).alias("p")))
+    odds = F.when((F.col("b") * F.col("c")) > 0,
+                  (F.col("a") * F.col("d")).cast("double")
+                  / (F.col("b") * F.col("c")).cast("double"))
+    return (t.join(p, "grp", "left")
+            .select("grp", "n",
+                    F.round(F.least(F.coalesce(F.col("p"), F.lit(0.0)),
+                                    F.lit(1.0)), 6).alias("p_greater"),
+                    F.round(odds, 6).alias("odds_ratio"))
+            .orderBy("grp"))
+
+
+def fisher_exact_sql(tables_sql: str) -> str:
+    """DuckDB mirror of :func:`fisher_exact` over a (grp, a, b, c, d)
+    SELECT — same prefix-sum ln-factorial table, same stacking."""
+    return f"""
+WITH t0 AS (
+  SELECT grp, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+    CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d
+  FROM ({tables_sql})
+),
+t AS (
+  SELECT grp, a, b, c, d, a + b AS r1, c + d AS r2, a + c AS kk,
+    a + b + c + d AS n
+  FROM t0
+),
+lf AS (
+  SELECT id AS arg,
+    sum(CASE WHEN id > 0 THEN ln(CAST(id AS DOUBLE)) ELSE 0.0 END)
+      OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+  FROM (SELECT unnest(generate_series(0, (SELECT max(n) FROM t)))
+        AS id)
+),
+cst AS (
+  SELECT grp, r1 AS arg, 1.0 AS sgn FROM t
+  UNION ALL SELECT grp, r2, 1.0 FROM t
+  UNION ALL SELECT grp, kk, 1.0 FROM t
+  UNION ALL SELECT grp, n - kk, 1.0 FROM t
+  UNION ALL SELECT grp, n, -1.0 FROM t
+),
+cagg AS (
+  SELECT grp, sum(sgn * lf) AS cpart
+  FROM cst JOIN lf ON lf.arg = cst.arg GROUP BY grp
+),
+rows_ AS (
+  SELECT t.grp, t.r1, t.r2, t.kk, g.i
+  FROM t JOIN LATERAL (
+    SELECT unnest(generate_series(t.a, least(t.r1, t.kk))) AS i
+  ) AS g ON TRUE
+),
+roles AS (
+  SELECT grp, i, i AS arg FROM rows_
+  UNION ALL SELECT grp, i, r1 - i FROM rows_
+  UNION ALL SELECT grp, i, kk - i FROM rows_
+  UNION ALL SELECT grp, i, r2 - kk + i FROM rows_
+),
+ragg AS (
+  SELECT grp, i, -sum(lf) AS rpart
+  FROM roles JOIN lf ON lf.arg = roles.arg GROUP BY grp, i
+),
+p AS (
+  SELECT ragg.grp, sum(exp(cagg.cpart + ragg.rpart)) AS p
+  FROM ragg JOIN cagg ON cagg.grp = ragg.grp GROUP BY ragg.grp
+)
+SELECT t.grp, t.n,
+  round(least(COALESCE(p.p, 0.0), 1.0), 6) AS p_greater,
+  round(CASE WHEN t.b * t.c > 0
+        THEN CAST(t.a * t.d AS DOUBLE) / CAST(t.b * t.c AS DOUBLE)
+        END, 6) AS odds_ratio
+FROM t LEFT JOIN p ON p.grp = t.grp
+ORDER BY t.grp
+"""

@@ -2330,3 +2330,70 @@ SELECT n_nodes, n_edges,
   round(-1.0 / (CAST(n_nodes AS DOUBLE) - 1.0), 6) AS expected
 FROM den, num
 """
+
+
+def eigen_centrality(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration eigenvector centrality (power method, L1
+    normalization each step) over the host graph — the undamped
+    limit of the :func:`pagerank` / :func:`katz` family: score mass
+    flows along in-links with NO teleport and NO out-degree
+    normalization, so it concentrates on the dominant strongly-linked
+    core (the signal a hub-farm detector wants, where PageRank's
+    teleport would smooth it away).
+
+    Starts uniform (1/n), iterates x <- A^T x, renormalizes to sum 1.
+    Returns (node, eigc rounded 6) for every node; pure sources decay
+    toward 0 with each iteration.
+
+    Scale shape: identical join+agg layout to :func:`pagerank` — one
+    host-keyed join + groupBy per iteration; the L1 norm is a one-row
+    broadcast, never a collect of the score vector.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n_row = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    x = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("x"))
+    for _ in range(n_iters):
+        raw = (e.join(x.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("x").alias("x")))
+        raw = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("x"))
+        norm = raw.agg(F.sum("x").alias("s"))
+        x = raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("s") > 0, F.col("x") / F.col("s"))
+            .otherwise(F.lit(0.0)).alias("x"))
+    return x.select("node", F.round("x", 6).alias("eigc")).orderBy("node")
+
+
+def eigen_centrality_sql(edges_sql: str, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`eigen_centrality` over a (src, dst)
+    SELECT."""
+    ctes = ["x0 AS (SELECT node, CAST(1.0 AS DOUBLE)"
+            " / (SELECT count(*) FROM nodes) AS x FROM nodes)"]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.node, COALESCE(s.x, 0.0) AS x FROM nodes n"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(x{k-1}.x) AS x"
+            f" FROM e JOIN x{k-1} ON x{k-1}.node = e.src GROUP BY 1) s"
+            " ON s.node = n.node)")
+        ctes.append(
+            f"x{k} AS (SELECT node, CASE WHEN (SELECT sum(x) FROM r{k})"
+            f" > 0 THEN x / (SELECT sum(x) FROM r{k}) ELSE 0.0 END AS x"
+            f" FROM r{k})")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+{cte_block}
+SELECT node, round(x, 6) AS eigc FROM x{n_iters} ORDER BY node
+"""

@@ -2829,3 +2829,121 @@ SELECT host, CAST(sum(n_minutes) AS BIGINT) AS n_minutes,
   round(max(share), 6) AS max_throttle_share
 FROM per_bucket GROUP BY 1 ORDER BY host
 """
+
+
+def chash_ring_moves(
+    keys: DataFrame,
+    n_nodes: int = 5,
+    n_vnodes: int = 16,
+    key_col: str = "url",
+) -> DataFrame:
+    """Consistent-hash RING audit (Karger et al. 1997, with virtual
+    nodes) — the ring-based alternative to :func:`rendezvous_moves`
+    for placing frontier/seen-set shards: every node owns n_vnodes
+    points on an md5 ring, a key belongs to the first vnode clockwise
+    from its own hash, and adding one node should move ~1/(N+1) of
+    keys while the vnode count controls load spread. This operator
+    MEASURES both on the real key population: the moved share going
+    N -> N+1 nodes and the ring-A load-balance profile.
+
+    Returns ONE row: (n_keys, n_moved, moved_share rounded 6,
+    max_load, min_load, lb_ratio rounded 4 — max over mean load).
+
+    Scale shape: DISTINCT keys once; ownership is a broadcast join
+    against the (N+1)*V-point ring table + ONE min_by groupBy per
+    ring; loads fold in a node-keyed agg over the key table.
+    """
+    from icrawler_spark.operators.dedup import _md5_int
+
+    spark = keys.sparkSession
+    n, v = int(n_nodes), int(n_vnodes)
+    vn = (spark.range(0, n + 1).select(F.col("id").alias("node"))
+          .crossJoin(spark.range(0, v).select(F.col("id").alias("vslot")))
+          .select("node", "vslot",
+                  _md5_int(F.concat(F.lit("n"), F.col("node"),
+                                    F.lit("#"), F.col("vslot")), 1, 12)
+                  .alias("h")))
+    k = (keys.select(F.col(key_col).alias("key")).distinct()
+         .select("key", _md5_int("key", 1, 12).alias("kh")))
+
+    def owners(ring, tag):
+        fb = ring.agg(F.expr("min_by(node, h)").alias(f"fb_{tag}"))
+        per = (k.crossJoin(F.broadcast(ring))
+               .groupBy("key", "kh")
+               .agg(F.expr("min_by(node, case when h >= kh then h end)")
+                    .alias(f"own_{tag}")))
+        return per.crossJoin(F.broadcast(fb)).select(
+            "key",
+            F.coalesce(F.col(f"own_{tag}"), F.col(f"fb_{tag}"))
+            .alias(f"owner_{tag}"))
+
+    ring_a = vn.filter(F.col("node") < n)
+    oa = owners(ring_a, "a")
+    ob = owners(vn, "b")
+    both = oa.join(ob, "key")
+    moves = both.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum((F.col("owner_a") != F.col("owner_b")).cast("int"))
+        .cast("long").alias("n_moved"))
+    loads = (oa.groupBy("owner_a").agg(F.count("*").alias("load"))
+             .agg(F.max("load").cast("long").alias("max_load"),
+                  F.min("load").cast("long").alias("min_load"),
+                  F.avg("load").alias("mean_load")))
+    return moves.crossJoin(loads).select(
+        "n_keys", "n_moved",
+        F.round(F.col("n_moved") / F.col("n_keys").cast("double"), 6)
+        .alias("moved_share"),
+        "max_load", "min_load",
+        F.round(F.col("max_load") / F.col("mean_load"), 4)
+        .alias("lb_ratio"))
+
+
+def chash_ring_moves_sql(keys_sql: str, n_nodes: int = 5,
+                         n_vnodes: int = 16) -> str:
+    """DuckDB mirror of :func:`chash_ring_moves` over a (url)
+    SELECT."""
+    from icrawler_spark.operators.dedup import md5_int_sql
+
+    n, v = int(n_nodes), int(n_vnodes)
+    vh = md5_int_sql("'n' || CAST(node AS VARCHAR) || '#' "
+                     "|| CAST(vslot AS VARCHAR)", 1, 12)
+    kh = md5_int_sql("key", 1, 12)
+    return f"""
+WITH vn AS (
+  SELECT a.node, b.vslot, {vh} AS h
+  FROM generate_series(0, {n}) AS a(node)
+  CROSS JOIN generate_series(0, {v - 1}) AS b(vslot)
+),
+k AS (
+  SELECT key, {kh} AS kh
+  FROM (SELECT DISTINCT url AS key FROM ({keys_sql}))
+),
+oa AS (
+  SELECT key, COALESCE(
+    min_by(node, CASE WHEN h >= kh THEN h END),
+    (SELECT min_by(node, h) FROM vn WHERE node < {n})) AS owner_a
+  FROM k CROSS JOIN vn WHERE vn.node < {n} GROUP BY key, kh
+),
+ob AS (
+  SELECT key, COALESCE(
+    min_by(node, CASE WHEN h >= kh THEN h END),
+    (SELECT min_by(node, h) FROM vn)) AS owner_b
+  FROM k CROSS JOIN vn GROUP BY key, kh
+),
+moves AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN oa.owner_a <> ob.owner_b THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_moved
+  FROM oa JOIN ob USING (key)
+),
+loads AS (
+  SELECT CAST(max(load) AS BIGINT) AS max_load,
+    CAST(min(load) AS BIGINT) AS min_load, avg(load) AS mean_load
+  FROM (SELECT owner_a, count(*) AS load FROM oa GROUP BY 1)
+)
+SELECT n_keys, n_moved,
+  round(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_share,
+  max_load, min_load,
+  round(max_load / mean_load, 4) AS lb_ratio
+FROM moves CROSS JOIN loads
+"""

@@ -1757,3 +1757,81 @@ SELECT n, total_budget, fresh_uniform, fresh_proportional,
   fresh_uniform > fresh_proportional AS uniform_wins
 FROM agg
 """
+
+
+def age_of_information(
+    obs: DataFrame,
+    host_col: str = "host",
+    t_col: str = "t",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Age-of-information audit per host (Kaul, Yates & Gruteser
+    2012) — the freshness metric a recrawl scheduler actually
+    minimizes: given an interleaved stream of source UPDATES
+    (kind='u') and crawler POLLS (kind='p'), each poll's age is
+    poll_t - latest update strictly before it (same-instant updates
+    are not yet visible). Average/max age quantify how stale served
+    snapshots are under the CURRENT schedule, which is the input the
+    refresh-allocation policy needs.
+
+    Returns per host: (host, n_updates, n_polls, n_served — polls
+    with at least one prior update, avg_age rounded 6, max_age).
+
+    Scale shape: ONE shuffle on host; the latest-update lookup is a
+    single running-max window over (t, kind) order.
+    """
+    from pyspark.sql import Window
+
+    base = obs.select(
+        F.col(host_col).alias("host"),
+        F.col(t_col).cast("double").alias("t"),
+        F.col(kind_col).alias("kind"))
+    w = Window.partitionBy("host").orderBy("t", "kind") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    aged = base.select(
+        "host", "t", "kind",
+        F.max(F.when(F.col("kind") == "u", F.col("t"))).over(w)
+        .alias("last_u"))
+    age = F.when((F.col("kind") == "p") & F.col("last_u").isNotNull(),
+                 F.col("t") - F.col("last_u"))
+    return (aged.groupBy("host").agg(
+        F.sum(F.when(F.col("kind") == "u", 1).otherwise(0))
+        .cast("long").alias("n_updates"),
+        F.sum(F.when(F.col("kind") == "p", 1).otherwise(0))
+        .cast("long").alias("n_polls"),
+        F.count(age).cast("long").alias("n_served"),
+        F.round(F.avg(age), 6).alias("avg_age"),
+        F.max(age).alias("max_age"))
+        .orderBy("host"))
+
+
+def age_of_information_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`age_of_information` over a
+    (host, t, kind) SELECT."""
+    return """
+WITH base AS (
+  SELECT host, CAST(t AS DOUBLE) AS t, kind FROM ({obs})
+),
+aged AS (
+  SELECT host, t, kind,
+    max(CASE WHEN kind = 'u' THEN t END)
+      OVER (PARTITION BY host ORDER BY t, kind
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_u
+  FROM base
+),
+scored AS (
+  SELECT host, kind,
+    CASE WHEN kind = 'p' AND last_u IS NOT NULL
+         THEN t - last_u END AS age
+  FROM aged
+)
+SELECT host,
+  CAST(sum(CASE WHEN kind = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_updates,
+  CAST(sum(CASE WHEN kind = 'p' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_polls,
+  CAST(count(age) AS BIGINT) AS n_served,
+  round(avg(age), 6) AS avg_age,
+  max(age) AS max_age
+FROM scored GROUP BY host ORDER BY host
+""".format(obs=obs_sql)

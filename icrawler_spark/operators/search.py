@@ -2318,3 +2318,77 @@ SELECT n_postings, n_docs,
   round((br - bu) / br, 6) AS gain_pct
 FROM agg
 """
+
+
+def gsp_auction(
+    bids: DataFrame,
+    n_slots: int = 3,
+    reserve: float = 0.0,
+    auction_col: str = "auction",
+    bidder_col: str = "bidder",
+    bid_col: str = "bid",
+) -> DataFrame:
+    """Generalized second-price slot auction per query (Edelman,
+    Ostrovsky & Schwarz 2007 — the sponsored-SERP mechanism): bidders
+    at or above the reserve are ranked by bid (bidder id breaks
+    ties deterministically), the top n_slots win, and slot i pays the
+    NEXT ranked bid (the reserve when none follows). The per-query
+    revenue/competition profile is the monetization-side counterpart
+    of the organic ranking operators in this module.
+
+    Returns per auction: (auction, n_bidders, n_winners, top_bid,
+    top_pay, revenue rounded 6) ordered by auction.
+
+    Scale shape: ONE shuffle on the auction key; rank and the
+    next-bid lookup are two functions over the same window.
+    """
+    from pyspark.sql import Window
+
+    base = bids.select(
+        F.col(auction_col).alias("auction"),
+        F.col(bidder_col).alias("bidder"),
+        F.col(bid_col).cast("double").alias("bid")) \
+        .filter(F.col("bid") >= reserve)
+    w = Window.partitionBy("auction").orderBy(F.desc("bid"), "bidder")
+    ranked = base.select(
+        "auction", "bid",
+        F.row_number().over(w).alias("rnk"),
+        F.coalesce(F.lead("bid").over(w), F.lit(float(reserve)))
+        .alias("pay"))
+    return (ranked.groupBy("auction").agg(
+        F.count("*").cast("long").alias("n_bidders"),
+        F.sum(F.when(F.col("rnk") <= n_slots, 1).otherwise(0))
+        .cast("long").alias("n_winners"),
+        F.max(F.when(F.col("rnk") == 1, F.col("bid"))).alias("top_bid"),
+        F.max(F.when(F.col("rnk") == 1, F.col("pay"))).alias("top_pay"),
+        F.round(F.sum(F.when(F.col("rnk") <= n_slots, F.col("pay"))
+                      .otherwise(F.lit(0.0))), 6).alias("revenue"))
+        .orderBy("auction"))
+
+
+def gsp_auction_sql(bids_sql: str, n_slots: int = 3,
+                    reserve: float = 0.0) -> str:
+    """DuckDB mirror of :func:`gsp_auction` over a
+    (auction, bidder, bid) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT auction, bidder, CAST(bid AS DOUBLE) AS bid
+  FROM ({bids_sql}) WHERE CAST(bid AS DOUBLE) >= {reserve!r}
+),
+ranked AS (
+  SELECT auction, bid,
+    row_number() OVER (PARTITION BY auction ORDER BY bid DESC, bidder)
+      AS rnk,
+    COALESCE(lead(bid) OVER (PARTITION BY auction
+      ORDER BY bid DESC, bidder), {float(reserve)!r}) AS pay
+  FROM base
+)
+SELECT auction, CAST(count(*) AS BIGINT) AS n_bidders,
+  CAST(sum(CASE WHEN rnk <= {n_slots} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_winners,
+  max(CASE WHEN rnk = 1 THEN bid END) AS top_bid,
+  max(CASE WHEN rnk = 1 THEN pay END) AS top_pay,
+  round(sum(CASE WHEN rnk <= {n_slots} THEN pay ELSE 0.0 END), 6)
+    AS revenue
+FROM ranked GROUP BY auction ORDER BY auction
+"""

@@ -1,0 +1,143 @@
+"""Unit tests for the round-81 pack: Fisher exact, eigenvector
+centrality, GSP auction, age-of-information, consistent-hash ring."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import fisher_exact
+from icrawler_spark.operators.graph import eigen_centrality
+from icrawler_spark.operators.politeness import chash_ring_moves
+from icrawler_spark.operators.recrawl import age_of_information
+from icrawler_spark.operators.search import gsp_auction
+
+
+# ---------------------------------------------------------------------------
+# fisher_exact
+# ---------------------------------------------------------------------------
+
+def test_fisher_hand_values(spark):
+    # [[3,0],[0,3]]: P[X>=3] = C(3,3)C(3,0)/C(6,3) = 1/20 = 0.05
+    # [[1,2],[2,1]]: P[X>=1] = (9+9+1)/20 = 0.95
+    df = spark.createDataFrame(
+        [("t1", 3, 0, 0, 3), ("t2", 1, 2, 2, 1)],
+        "grp string, a long, b long, c long, d long")
+    out = {r["grp"]: r for r in fisher_exact(df).collect()}
+    assert math.isclose(out["t1"]["p_greater"], 0.05, abs_tol=1e-6)
+    assert math.isclose(out["t2"]["p_greater"], 0.95, abs_tol=1e-6)
+    assert out["t1"]["odds_ratio"] is None
+    assert out["t2"]["odds_ratio"] == 0.25
+
+
+def test_fisher_no_association_p_high(spark):
+    # proportional table: observed a equals its expectation, p > 0.5
+    df = spark.createDataFrame([("g", 10, 10, 10, 10)],
+                               "grp string, a long, b long, c long, d long")
+    r = fisher_exact(df).collect()[0]
+    assert r["p_greater"] > 0.5
+    assert r["odds_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# eigen_centrality
+# ---------------------------------------------------------------------------
+
+def test_eigen_star_concentrates(spark):
+    # in-star, one step: all mass lands on the hub; the graph is
+    # nilpotent so further iterations decay the whole vector to 0
+    df = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                               "src long, dst long")
+    out = {r["node"]: r["eigc"]
+           for r in eigen_centrality(df, n_iters=1).collect()}
+    assert out[0] == 1.0
+    assert all(out[i] == 0.0 for i in range(1, 5))
+    dead = {r["node"]: r["eigc"]
+            for r in eigen_centrality(df, n_iters=3).collect()}
+    assert all(v == 0.0 for v in dead.values())
+
+
+def test_eigen_cycle_uniform(spark):
+    # directed 4-cycle: uniform is the fixed point
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                               "src long, dst long")
+    for r in eigen_centrality(df).collect():
+        assert r["eigc"] == 0.25
+
+
+# ---------------------------------------------------------------------------
+# gsp_auction
+# ---------------------------------------------------------------------------
+
+def test_gsp_pricing(spark):
+    # bids 10 > 8 > 6 > 4: slots pay 8, 6, 4; revenue 18
+    rows = [("q", f"b{i}", float(b)) for i, b in enumerate([10, 8, 6, 4])]
+    df = spark.createDataFrame(rows, "auction string, bidder string, "
+                               "bid double")
+    r = gsp_auction(df, n_slots=3, reserve=0.0).collect()[0]
+    assert r["n_bidders"] == 4 and r["n_winners"] == 3
+    assert r["top_bid"] == 10.0 and r["top_pay"] == 8.0
+    assert r["revenue"] == 18.0
+
+
+def test_gsp_reserve_floor(spark):
+    # lone bidder above reserve pays the reserve; below-reserve drops
+    rows = [("q", "hi", 10.0), ("q", "lo", 1.0)]
+    df = spark.createDataFrame(rows, "auction string, bidder string, "
+                               "bid double")
+    r = gsp_auction(df, n_slots=2, reserve=5.0).collect()[0]
+    assert r["n_bidders"] == 1
+    assert r["top_pay"] == 5.0 and r["revenue"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# age_of_information
+# ---------------------------------------------------------------------------
+
+def test_aoi_basic_ages(spark):
+    # updates at 0 and 10; polls at 5 (age 5), 12 (age 2)
+    rows = [("h", 0.0, "u"), ("h", 5.0, "p"), ("h", 10.0, "u"),
+            ("h", 12.0, "p")]
+    df = spark.createDataFrame(rows, "host string, t double, kind string")
+    r = age_of_information(df).collect()[0]
+    assert r["n_updates"] == 2 and r["n_polls"] == 2 and r["n_served"] == 2
+    assert r["avg_age"] == 3.5 and r["max_age"] == 5.0
+
+
+def test_aoi_poll_before_any_update(spark):
+    # poll at t=1 has no prior update: excluded from ages
+    rows = [("h", 1.0, "p"), ("h", 2.0, "u"), ("h", 3.0, "p")]
+    df = spark.createDataFrame(rows, "host string, t double, kind string")
+    r = age_of_information(df).collect()[0]
+    assert r["n_polls"] == 2 and r["n_served"] == 1
+    assert r["avg_age"] == 1.0
+
+
+def test_aoi_same_instant_update_invisible(spark):
+    # update and poll at the same t: the poll sees only older updates
+    rows = [("h", 0.0, "u"), ("h", 5.0, "u"), ("h", 5.0, "p")]
+    df = spark.createDataFrame(rows, "host string, t double, kind string")
+    r = age_of_information(df).collect()[0]
+    assert r["avg_age"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# chash_ring_moves
+# ---------------------------------------------------------------------------
+
+def test_chash_move_share_near_one_over_n(spark):
+    # 5 -> 6 nodes should move ~1/6 of keys, never the ~5/6 of mod-N
+    rows = [(f"k{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "url string")
+    r = chash_ring_moves(df, n_nodes=5, n_vnodes=16).collect()[0]
+    assert r["n_keys"] == 3000
+    assert r["moved_share"] < 0.35
+    assert r["n_moved"] > 0
+    assert r["min_load"] > 0 and r["lb_ratio"] < 3.0
+
+
+def test_chash_deterministic(spark):
+    rows = [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "url string")
+    a = chash_ring_moves(df).collect()[0]
+    b = chash_ring_moves(df).collect()[0]
+    assert a == b
