@@ -362,6 +362,8 @@ _EXTRA_PICKS = [
     "cvm", "burrows", "extremal", "juilland", "moran",
     # round-3 batch-75 (exact tests + centrality + pricing + freshness)
     "fisher", "eigenvector", "gsp", "aoi", "chash",
+    # round-3 batch-76 (fusion + stylometrics + network model + privacy)
+    "borda", "yule", "harmonic", "jackson", "tclose",
 ]
 
 

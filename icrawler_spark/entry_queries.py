@@ -58,7 +58,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round74, entry_round75,
                             entry_round76, entry_round77,
                             entry_round78, entry_round79,
-                            entry_round80, entry_round81)
+                            entry_round80, entry_round81,
+                            entry_round82)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -906,6 +907,7 @@ def queries():
         **entry_round79.queries79(),
         **entry_round80.queries80(),
         **entry_round81.queries81(),
+        **entry_round82.queries82(),
     }
 
 
@@ -1019,4 +1021,5 @@ def oracle_sql():
         **entry_round79.oracle_sql79(),
         **entry_round80.oracle_sql80(),
         **entry_round81.oracle_sql81(),
+        **entry_round82.oracle_sql82(),
     }

@@ -1,0 +1,242 @@
+"""Round-3 driver-contract queries (batch 76): Borda rank fusion,
+Yule's K, 3-hop harmonic centrality, Jackson pipeline network,
+t-closeness audit.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# borda — 3 systems x 10 queries over a 40-doc pool, md5-shuffled ranks
+# ---------------------------------------------------------------------------
+
+_BF_K = 10
+
+
+def _bf_rankings(spark, sf) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    trip = ev.select(
+        F.concat(F.lit("s"), (e % 3).cast("string")).alias("system"),
+        F.concat(F.lit("q"), (u % 10).cast("string")).alias("q"),
+        F.concat(F.lit("d"), (e * 7 % 40).cast("string")).alias("doc")) \
+        .distinct()
+    w = Window.partitionBy("system", "q").orderBy(
+        F.md5(F.concat(F.col("system"), F.col("q"), F.col("doc"))))
+    return trip.select("system", "q", "doc",
+                       F.row_number().over(w).cast("long").alias("rnk"))
+
+
+_BF_RANKINGS_SQL = """
+  SELECT system, q, doc,
+    CAST(row_number() OVER (PARTITION BY system, q
+      ORDER BY md5(system || q || doc)) AS BIGINT) AS rnk
+  FROM (
+    SELECT DISTINCT 's' || CAST(event_id % 3 AS VARCHAR) AS system,
+      'q' || CAST(user_id % 10 AS VARCHAR) AS q,
+      'd' || CAST(event_id * 7 % 40 AS VARCHAR) AS doc
+    FROM events
+  )
+"""
+
+
+def q_borda(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.borda_fusion: positional points fold — two
+    keyed groupBys + one q window."""
+    return _search.borda_fusion(_bf_rankings(spark, sf), k=_BF_K)
+
+
+def _borda_sql() -> str:
+    return _search.borda_fusion_sql(_BF_RANKINGS_SQL, k=_BF_K)
+
+
+# ---------------------------------------------------------------------------
+# yule — 5 hosts with vocabulary sizes 30..110
+# ---------------------------------------------------------------------------
+
+
+def _yk_tokens(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    vocab = F.lit(30) + (u % 5) * F.lit(20)
+    return ev.select(
+        F.concat(F.lit("h"), (u % 5).cast("string")).alias("grp"),
+        F.concat(F.lit("t"), ((e * 13) % vocab).cast("string"))
+        .alias("term"))
+
+
+_YK_TOKENS_SQL = """
+  SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS grp,
+    't' || CAST((event_id * 13) % (30 + (user_id % 5) * 20) AS VARCHAR)
+      AS term
+  FROM events
+"""
+
+
+def q_yule(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.yule_k: frequency-spectrum constant — ONE
+    (grp, term) count shuffle + ONE grp fold."""
+    return _corpus.yule_k(_yk_tokens(spark, sf))
+
+
+def _yule_sql() -> str:
+    return _corpus.yule_k_sql(_YK_TOKENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# harmonic — 40-host graph, exact-distance 3-hop neighborhoods
+# ---------------------------------------------------------------------------
+
+_H3_HOSTS = 40
+
+
+def _h3_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _H3_HOSTS).cast("long").alias("src"),
+        ((F.col("user_id") * 11 + F.col("event_id") * 5) % _H3_HOSTS)
+        .cast("long").alias("dst"))
+
+
+_H3_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_H3_HOSTS} AS BIGINT) AS src, "
+    f"CAST((user_id * 11 + event_id * 5) % {_H3_HOSTS} AS BIGINT) AS dst"
+    " FROM events")
+
+
+def q_harmonic(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.harmonic3: bounded BFS with per-hop anti-join
+    dedup — node-keyed joins only."""
+    return _graph.harmonic3(_h3_edges(spark, sf))
+
+
+def _harmonic_sql() -> str:
+    return _graph.harmonic3_sql(_H3_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jackson — 4-stage crawl pipeline with a 5% redirect loop
+# ---------------------------------------------------------------------------
+
+_JN_ITERS = 6
+
+
+def _jn_stations(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    base = ev.agg((F.count("*").cast("double") / 1000).alias("r"))
+    rows = F.array(
+        F.struct(F.lit("fetch").alias("node"), F.col("r").alias("gamma"),
+                 (F.col("r") * 1.5).alias("mu")),
+        F.struct(F.lit("parse").alias("node"), F.lit(0.0).alias("gamma"),
+                 (F.col("r") * 1.4).alias("mu")),
+        F.struct(F.lit("extract").alias("node"),
+                 F.lit(0.0).alias("gamma"),
+                 (F.col("r") * 1.2).alias("mu")),
+        F.struct(F.lit("store").alias("node"), F.lit(0.0).alias("gamma"),
+                 (F.col("r") * 1.1).alias("mu")))
+    return base.select(F.explode(rows).alias("s")) \
+        .select("s.node", "s.gamma", "s.mu")
+
+
+_JN_STATIONS_SQL = """
+  SELECT v.node,
+    CASE WHEN v.gsel = 1 THEN b.r ELSE CAST(0.0 AS DOUBLE) END AS gamma,
+    b.r * v.mul AS mu
+  FROM (SELECT CAST(count(*) AS DOUBLE) / 1000 AS r FROM events) b
+  CROSS JOIN (
+    VALUES ('fetch', 1, 1.5), ('parse', 0, 1.4),
+           ('extract', 0, 1.2), ('store', 0, 1.1)
+  ) AS v(node, gsel, mul)
+"""
+
+_JN_ROUTES = [("fetch", "parse", 0.9), ("parse", "extract", 0.7),
+              ("extract", "store", 0.95), ("parse", "fetch", 0.05)]
+
+_JN_ROUTES_SQL = ("SELECT * FROM (VALUES " + ", ".join(
+    f"('{s}', '{d}', {p!r})" for s, d, p in _JN_ROUTES)
+    + ") AS r(src, dst, p)")
+
+
+def _jn_routes(spark, sf) -> DataFrame:
+    return spark.createDataFrame(_JN_ROUTES,
+                                 "src string, dst string, p double")
+
+
+def q_jackson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.jackson_network: unrolled traffic
+    equations + M/M/1 per stage — broadcast-size joins per step."""
+    return _politeness.jackson_network(_jn_stations(spark, sf),
+                                       _jn_routes(spark, sf),
+                                       n_iters=_JN_ITERS)
+
+
+def _jackson_sql() -> str:
+    return _politeness.jackson_network_sql(_JN_STATIONS_SQL,
+                                           _JN_ROUTES_SQL,
+                                           n_iters=_JN_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# tclose — ordered 7-value sensitive attribute, z0 concentrated low
+# ---------------------------------------------------------------------------
+
+
+def _tc_records(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    s = F.when(u % 6 == 0, (e % 3).cast("double")) \
+        .otherwise((e * 3 % 7).cast("double"))
+    return ev.select(
+        F.concat(F.lit("z"), (u % 6).cast("string")).alias("quasi"),
+        s.alias("s"))
+
+
+_TC_RECORDS_SQL = """
+  SELECT 'z' || CAST(user_id % 6 AS VARCHAR) AS quasi,
+    CAST(CASE WHEN user_id % 6 = 0 THEN event_id % 3
+         ELSE event_id * 3 % 7 END AS DOUBLE) AS s
+  FROM events
+"""
+
+
+def q_tclose(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.t_closeness: ordered-domain EMD via cumsum
+    windows — ONE (quasi, s) shuffle + broadcast value grid."""
+    return _corpus.t_closeness(_tc_records(spark, sf))
+
+
+def _tclose_sql() -> str:
+    return _corpus.t_closeness_sql(_TC_RECORDS_SQL)
+
+
+def queries82():
+    return {
+        "borda": q_borda,
+        "yule": q_yule,
+        "harmonic": q_harmonic,
+        "jackson": q_jackson,
+        "tclose": q_tclose,
+    }
+
+
+def oracle_sql82():
+    return {
+        "borda": _borda_sql(),
+        "yule": _yule_sql(),
+        "harmonic": _harmonic_sql(),
+        "jackson": _jackson_sql(),
+        "tclose": _tclose_sql(),
+    }

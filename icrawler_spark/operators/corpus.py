@@ -5918,3 +5918,138 @@ SELECT t.grp, t.n,
 FROM t LEFT JOIN p ON p.grp = t.grp
 ORDER BY t.grp
 """
+
+
+def yule_k(
+    tokens: DataFrame,
+    grp_col: str = "grp",
+    term_col: str = "term",
+) -> DataFrame:
+    """Yule's characteristic K per host/author (Yule 1944) — the
+    vocabulary-repetitiveness constant the template/boilerplate
+    detectors want because it is (asymptotically) text-length
+    invariant, unlike raw type-token ratio: K = 10^4 * (sum_t f_t^2 -
+    N) / N^2 over type frequencies f_t. Generated spam and template
+    farms sit at high K (few types recycled), organic prose low.
+
+    Returns per group: (grp, n_tokens, n_types, yule_k rounded 6).
+
+    Scale shape: ONE (grp, term) count shuffle + ONE grp fold —
+    the same two-level agg as every frequency-spectrum operator here.
+    """
+    cnt = tokens.groupBy(F.col(grp_col).alias("grp"),
+                         F.col(term_col).alias("term")) \
+        .agg(F.count("*").cast("double").alias("c"))
+    agg = cnt.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    kk = (F.lit(10000.0) * (F.col("s2") - F.col("n"))
+          / (F.col("n") * F.col("n")))
+    return agg.select("grp", F.col("n").cast("long").alias("n_tokens"),
+                      "n_types", F.round(kk, 6).alias("yule_k")) \
+        .orderBy("grp")
+
+
+def yule_k_sql(tokens_sql: str) -> str:
+    """DuckDB mirror of :func:`yule_k` over a (grp, term) SELECT."""
+    return f"""
+WITH cnt AS (
+  SELECT grp, term, CAST(count(*) AS DOUBLE) AS c
+  FROM ({tokens_sql}) GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_types,
+    sum(c * c) AS s2
+  FROM cnt GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n_tokens, n_types,
+  round(10000.0 * (s2 - n) / (n * n), 6) AS yule_k
+FROM agg ORDER BY grp
+"""
+
+
+def t_closeness(
+    records: DataFrame,
+    quasi_col: str = "quasi",
+    s_col: str = "s",
+) -> DataFrame:
+    """t-closeness audit over an ORDERED sensitive attribute (Li, Li
+    & Venkatasubramanian 2007) — the third rung of the release-audit
+    ladder after k-anonymity and l-diversity: per quasi-identifier
+    group, the Earth Mover's Distance between the group's sensitive
+    distribution and the global one, with the ordered-domain ground
+    distance normalized by (m - 1) so t is in [0, 1]. EMD in 1-D
+    collapses to sum |cumsum(p - q)| / (m - 1) over the m global
+    values — pure windows, no LP.
+
+    Returns per group: (quasi, n, t rounded 6) ordered by quasi.
+
+    Scale shape: ONE (quasi, s) count shuffle; the zero-filled grid
+    crosses the quasi list with the (small) global value list —
+    broadcast the value list; the cumsum is a window per quasi.
+    """
+    from pyspark.sql import Window
+
+    base = records.select(F.col(quasi_col).alias("quasi"),
+                          F.col(s_col).cast("double").alias("s"))
+    gcnt = base.groupBy("s").agg(F.count("*").cast("double").alias("gc"))
+    gtot = base.agg(F.count("*").cast("double").alias("gt"),
+                    F.countDistinct("s").cast("double").alias("m"))
+    qcnt = base.groupBy("quasi", "s").agg(
+        F.count("*").cast("double").alias("qc"))
+    qtot = base.groupBy("quasi").agg(F.count("*").cast("double")
+                                     .alias("qt"))
+    grid = (qtot.crossJoin(F.broadcast(gcnt))
+            .join(qcnt, ["quasi", "s"], "left")
+            .crossJoin(F.broadcast(gtot))
+            .select("quasi", "s", "qt", "m",
+                    (F.coalesce(F.col("qc"), F.lit(0.0)) / F.col("qt")
+                     - F.col("gc") / F.col("gt")).alias("diff")))
+    w = Window.partitionBy("quasi").orderBy("s") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("quasi", "qt", "m",
+                      F.sum("diff").over(w).alias("cum"))
+    return (cum.groupBy("quasi").agg(
+        F.max("qt").cast("long").alias("n"),
+        F.round(F.sum(F.abs(F.col("cum"))) / (F.max("m") - F.lit(1.0)),
+                6).alias("t"))
+        .orderBy("quasi"))
+
+
+def t_closeness_sql(records_sql: str) -> str:
+    """DuckDB mirror of :func:`t_closeness` over a (quasi, s)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT quasi, CAST(s AS DOUBLE) AS s FROM ({records_sql})
+),
+gcnt AS (SELECT s, CAST(count(*) AS DOUBLE) AS gc FROM base GROUP BY 1),
+gtot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS gt,
+    CAST(count(DISTINCT s) AS DOUBLE) AS m
+  FROM base
+),
+qcnt AS (
+  SELECT quasi, s, CAST(count(*) AS DOUBLE) AS qc
+  FROM base GROUP BY 1, 2
+),
+qtot AS (
+  SELECT quasi, CAST(count(*) AS DOUBLE) AS qt FROM base GROUP BY 1
+),
+grid AS (
+  SELECT q.quasi, g.s, q.qt, t.m,
+    COALESCE(c.qc, 0.0) / q.qt - g.gc / t.gt AS diff
+  FROM qtot q CROSS JOIN gcnt g CROSS JOIN gtot t
+  LEFT JOIN qcnt c ON c.quasi = q.quasi AND c.s = g.s
+),
+cum AS (
+  SELECT quasi, qt, m,
+    sum(diff) OVER (PARTITION BY quasi ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM grid
+)
+SELECT quasi, CAST(max(qt) AS BIGINT) AS n,
+  round(sum(abs(cum)) / (max(m) - 1.0), 6) AS t
+FROM cum GROUP BY quasi ORDER BY quasi
+"""

@@ -2947,3 +2947,98 @@ SELECT n_keys, n_moved,
   round(max_load / mean_load, 4) AS lb_ratio
 FROM moves CROSS JOIN loads
 """
+
+
+def jackson_network(
+    stations: DataFrame,
+    routes: DataFrame,
+    n_iters: int = 6,
+    node_col: str = "node",
+    gamma_col: str = "gamma",
+    mu_col: str = "mu",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    p_col: str = "p",
+) -> DataFrame:
+    """Open Jackson network model of the crawl pipeline (Jackson
+    1957): stations = pipeline stages (fetch, parse, extract, store),
+    external arrivals gamma_i, service rates mu_i, routing
+    probabilities P[src -> dst]. Effective arrivals solve the traffic
+    equations lambda = gamma + P^T lambda — unrolled n_iters fixed-
+    point steps (geometric convergence for substochastic P). Each
+    station then behaves as M/M/1: rho = lambda/mu, L = rho/(1-rho),
+    W = 1/(mu - lambda) — the end-to-end sizing math for "how many
+    parser executors does this fetch rate need".
+
+    Returns per station: (node, lam rounded 6, rho rounded 6,
+    l rounded 6, w rounded 6, stable 0/1). L/W are NULL for unstable
+    stations (rho >= 1).
+
+    Scale shape: each fixed-point step is one join + one groupBy on
+    the station key; station count is tiny (it's a pipeline DAG), so
+    every join broadcasts.
+    """
+    st = stations.select(F.col(node_col).alias("node"),
+                         F.col(gamma_col).cast("double").alias("gamma"),
+                         F.col(mu_col).cast("double").alias("mu"))
+    rt = routes.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"),
+                       F.col(p_col).cast("double").alias("p"))
+    lam = st.select("node", F.col("gamma").alias("lam"))
+    for _ in range(n_iters):
+        inflow = (rt.join(lam.withColumnRenamed("node", "src"), "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum(F.col("p") * F.col("lam")).alias("inflow")))
+        lam = (st.join(inflow, "node", "left")
+               .select("node",
+                       (F.col("gamma")
+                        + F.coalesce(F.col("inflow"), F.lit(0.0)))
+                       .alias("lam")))
+    out = st.join(lam, "node")
+    rho = F.col("lam") / F.col("mu")
+    stable = rho < 1.0
+    return out.select(
+        "node",
+        F.round(F.col("lam"), 6).alias("lam"),
+        F.round(rho, 6).alias("rho"),
+        F.round(F.when(stable, rho / (F.lit(1.0) - rho)), 6).alias("l"),
+        F.round(F.when(stable,
+                       F.lit(1.0) / (F.col("mu") - F.col("lam"))), 6)
+        .alias("w"),
+        F.when(stable, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("stable")).orderBy("node")
+
+
+def jackson_network_sql(stations_sql: str, routes_sql: str,
+                        n_iters: int = 6) -> str:
+    """DuckDB mirror of :func:`jackson_network` over (node, gamma, mu)
+    and (src, dst, p) SELECTs."""
+    ctes = ["l0 AS (SELECT node, gamma AS lam FROM st)"]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"l{k} AS (SELECT st.node, st.gamma + COALESCE(f.inflow, 0.0)"
+            f" AS lam FROM st LEFT JOIN (SELECT rt.dst AS node,"
+            f" sum(rt.p * l{k-1}.lam) AS inflow FROM rt"
+            f" JOIN l{k-1} ON l{k-1}.node = rt.src GROUP BY 1) f"
+            " ON f.node = st.node)")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH st AS (
+  SELECT node, CAST(gamma AS DOUBLE) AS gamma, CAST(mu AS DOUBLE) AS mu
+  FROM ({stations_sql})
+),
+rt AS (
+  SELECT src, dst, CAST(p AS DOUBLE) AS p FROM ({routes_sql})
+),
+{cte_block}
+SELECT st.node, round(l.lam, 6) AS lam,
+  round(l.lam / st.mu, 6) AS rho,
+  round(CASE WHEN l.lam / st.mu < 1.0
+        THEN (l.lam / st.mu) / (1.0 - l.lam / st.mu) END, 6) AS l,
+  round(CASE WHEN l.lam / st.mu < 1.0
+        THEN 1.0 / (st.mu - l.lam) END, 6) AS w,
+  CAST(CASE WHEN l.lam / st.mu < 1.0 THEN 1 ELSE 0 END AS BIGINT)
+    AS stable
+FROM st JOIN l{n_iters} l ON l.node = st.node
+ORDER BY st.node
+"""

@@ -2392,3 +2392,75 @@ SELECT auction, CAST(count(*) AS BIGINT) AS n_bidders,
     AS revenue
 FROM ranked GROUP BY auction ORDER BY auction
 """
+
+
+def borda_fusion(
+    rankings: DataFrame,
+    k: int = 10,
+    sys_col: str = "system",
+    q_col: str = "q",
+    doc_col: str = "doc",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Borda-count rank fusion across retrieval systems (de Borda
+    1781; Aslam & Montague 2001 for metasearch) — the positional
+    complement to the repo's reciprocal-rank fusion (rrf_fusion):
+    each system awards a ranked doc (L - rank) points, where L is THAT
+    system's list length for the query; unranked docs get 0 from that
+    system. Linear decay makes Borda more sensitive to mid-list
+    agreement than RRF's 1/(60+r) tail.
+
+    Returns the fused top-k per query: (q, doc, n_systems, points,
+    fused_rank) ordered by (q, fused_rank); ties break by doc id.
+
+    Scale shape: ONE groupBy on (system, q) for list lengths joined
+    back map-side, ONE groupBy on (q, doc) to fold points, ONE
+    window on q for the fused rank.
+    """
+    from pyspark.sql import Window
+
+    base = rankings.select(
+        F.col(sys_col).alias("system"), F.col(q_col).alias("q"),
+        F.col(doc_col).alias("doc"),
+        F.col(rank_col).cast("long").alias("rnk"))
+    lens = base.groupBy("system", "q").agg(
+        F.count("*").cast("long").alias("list_len"))
+    pts = (base.join(lens, ["system", "q"])
+           .groupBy("q", "doc")
+           .agg(F.countDistinct("system").cast("long").alias("n_systems"),
+                F.sum(F.col("list_len") - F.col("rnk")).cast("long")
+                .alias("points")))
+    w = Window.partitionBy("q").orderBy(F.desc("points"), "doc")
+    return (pts.withColumn("fused_rank", F.row_number().over(w)
+                           .cast("long"))
+            .filter(F.col("fused_rank") <= k)
+            .orderBy("q", "fused_rank"))
+
+
+def borda_fusion_sql(rankings_sql: str, k: int = 10) -> str:
+    """DuckDB mirror of :func:`borda_fusion` over a
+    (system, q, doc, rnk) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT system, q, doc, CAST(rnk AS BIGINT) AS rnk
+  FROM ({rankings_sql})
+),
+lens AS (
+  SELECT system, q, CAST(count(*) AS BIGINT) AS list_len
+  FROM base GROUP BY 1, 2
+),
+pts AS (
+  SELECT b.q, b.doc,
+    CAST(count(DISTINCT b.system) AS BIGINT) AS n_systems,
+    CAST(sum(l.list_len - b.rnk) AS BIGINT) AS points
+  FROM base b JOIN lens l ON l.system = b.system AND l.q = b.q
+  GROUP BY 1, 2
+)
+SELECT q, doc, n_systems, points, fused_rank FROM (
+  SELECT q, doc, n_systems, points,
+    CAST(row_number() OVER (PARTITION BY q
+      ORDER BY points DESC, doc) AS BIGINT) AS fused_rank
+  FROM pts
+) WHERE fused_rank <= {k}
+ORDER BY q, fused_rank
+"""

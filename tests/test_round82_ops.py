@@ -1,0 +1,133 @@
+"""Unit tests for the round-82 pack: Borda fusion, Yule's K,
+harmonic-3 centrality, Jackson network, t-closeness."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import t_closeness, yule_k
+from icrawler_spark.operators.graph import harmonic3
+from icrawler_spark.operators.politeness import jackson_network
+from icrawler_spark.operators.search import borda_fusion
+
+
+# ---------------------------------------------------------------------------
+# borda_fusion
+# ---------------------------------------------------------------------------
+
+def test_borda_hand_points(spark):
+    # two 3-doc lists: A ranked 1+2, B 2+1, C 3+3
+    rows = [("s1", "q", "A", 1), ("s1", "q", "B", 2), ("s1", "q", "C", 3),
+            ("s2", "q", "A", 2), ("s2", "q", "B", 1), ("s2", "q", "C", 3)]
+    df = spark.createDataFrame(rows, "system string, q string, doc string, "
+                               "rnk long")
+    out = {r["doc"]: r for r in borda_fusion(df, k=10).collect()}
+    # points = (3-rnk) summed: A = 2+1 = 3, B = 1+2 = 3, C = 0+0 = 0
+    assert out["A"]["points"] == 3 and out["B"]["points"] == 3
+    assert out["C"]["points"] == 0
+    # tie on points: doc id breaks → A rank 1, B rank 2
+    assert out["A"]["fused_rank"] == 1 and out["B"]["fused_rank"] == 2
+    assert out["C"]["n_systems"] == 2
+
+
+def test_borda_top_k_cut(spark):
+    rows = [("s1", "q", f"d{i}", i) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "system string, q string, doc string, "
+                               "rnk long")
+    assert borda_fusion(df, k=3).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# yule_k
+# ---------------------------------------------------------------------------
+
+def test_yule_uniform_vocab(spark):
+    # 10 types x 10 tokens each: K = 1e4 * (10*100 - 100) / 100^2 = 900
+    rows = [("g", f"t{i % 10}") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    r = yule_k(df).collect()[0]
+    assert r["n_tokens"] == 100 and r["n_types"] == 10
+    assert r["yule_k"] == 900.0
+
+
+def test_yule_all_distinct_zero(spark):
+    # every token unique: sum f^2 = N → K = 0 (maximally diverse)
+    rows = [("g", f"t{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    assert yule_k(df).collect()[0]["yule_k"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# harmonic3
+# ---------------------------------------------------------------------------
+
+def test_harmonic_chain(spark):
+    # 0->1->2->3->4: node 3 reached from 2 (d1), 1 (d2), 0 (d3)
+    df = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                               "src long, dst long")
+    out = {r["node"]: r for r in harmonic3(df).collect()}
+    assert (out[3]["n1"], out[3]["n2"], out[3]["n3"]) == (1, 1, 1)
+    assert math.isclose(out[3]["h3"], 1 + 0.5 + round(1 / 3, 10),
+                        abs_tol=1e-6)
+    assert out[0]["h3"] == 0.0
+    # node 4: d1 from 3, d2 from 2, d3 from 1 — node 0 is beyond cutoff
+    assert (out[4]["n1"], out[4]["n2"], out[4]["n3"]) == (1, 1, 1)
+
+
+def test_harmonic_shortest_distance_wins(spark):
+    # 0->2 direct AND 0->1->2: pair (0,2) counts at distance 1 only
+    df = spark.createDataFrame([(0, 2), (0, 1), (1, 2)],
+                               "src long, dst long")
+    out = {r["node"]: r for r in harmonic3(df).collect()}
+    assert out[2]["n1"] == 2 and out[2]["n2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# jackson_network
+# ---------------------------------------------------------------------------
+
+def test_jackson_tandem(spark):
+    # fetch(γ=2, μ=4) -> parse(μ=3) with p=1: λ_parse=2, ρ=2/3, W=1
+    st = spark.createDataFrame([("fetch", 2.0, 4.0), ("parse", 0.0, 3.0)],
+                               "node string, gamma double, mu double")
+    rt = spark.createDataFrame([("fetch", "parse", 1.0)],
+                               "src string, dst string, p double")
+    out = {r["node"]: r for r in jackson_network(st, rt).collect()}
+    assert out["fetch"]["lam"] == 2.0 and out["fetch"]["rho"] == 0.5
+    assert out["parse"]["lam"] == 2.0
+    assert math.isclose(out["parse"]["rho"], round(2 / 3, 6))
+    assert out["parse"]["w"] == 1.0
+    assert out["parse"]["stable"] == 1
+
+
+def test_jackson_unstable_station_null_metrics(spark):
+    st = spark.createDataFrame([("a", 5.0, 4.0)],
+                               "node string, gamma double, mu double")
+    rt = spark.createDataFrame([], "src string, dst string, p double")
+    r = jackson_network(st, rt).collect()[0]
+    assert r["stable"] == 0 and r["l"] is None and r["w"] is None
+
+
+# ---------------------------------------------------------------------------
+# t_closeness
+# ---------------------------------------------------------------------------
+
+def test_tclose_matching_group_zero(spark):
+    # group with the exact global mix: t = 0
+    rows = []
+    for q in ("z1", "z2"):
+        for s in (1.0, 2.0, 3.0):
+            rows += [(q, s)] * 10
+    df = spark.createDataFrame(rows, "quasi string, s double")
+    for r in t_closeness(df).collect():
+        assert r["t"] == 0.0
+
+
+def test_tclose_concentrated_group_high(spark):
+    # z_bad holds only the lowest value; z_ok mirrors the remainder
+    rows = [("z_bad", 1.0)] * 30
+    rows += [("z_ok", s) for s in (1.0, 2.0, 3.0) for _ in range(30)]
+    df = spark.createDataFrame(rows, "quasi string, s double")
+    out = {r["quasi"]: r["t"] for r in t_closeness(df).collect()}
+    assert out["z_bad"] > out["z_ok"]
+    assert out["z_bad"] > 0.3
