@@ -364,6 +364,10 @@ _EXTRA_PICKS = [
     "fisher", "eigenvector", "gsp", "aoi", "chash",
     # round-3 batch-76 (fusion + stylometrics + network model + privacy)
     "borda", "yule", "harmonic", "jackson", "tclose",
+    # round-3 batch-77 (link analysis + effect size + agreement + fairness)
+    "salsa", "cliffs", "fleiss", "atkinson", "bpref",
+    # round-3 batch-78 (similarity + scheduling + auctions + sketches)
+    "simrank", "johnson", "vcg", "theta", "mattr",
 ]
 
 

@@ -59,7 +59,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round76, entry_round77,
                             entry_round78, entry_round79,
                             entry_round80, entry_round81,
-                            entry_round82)
+                            entry_round82, entry_round83,
+                            entry_round84)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -908,6 +909,8 @@ def queries():
         **entry_round80.queries80(),
         **entry_round81.queries81(),
         **entry_round82.queries82(),
+        **entry_round83.queries83(),
+        **entry_round84.queries84(),
     }
 
 
@@ -1022,4 +1025,6 @@ def oracle_sql():
         **entry_round80.oracle_sql80(),
         **entry_round81.oracle_sql81(),
         **entry_round82.oracle_sql82(),
+        **entry_round83.oracle_sql83(),
+        **entry_round84.oracle_sql84(),
     }

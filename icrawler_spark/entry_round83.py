@@ -1,0 +1,247 @@
+"""Round-3 driver-contract queries (batch 77): SALSA link analysis,
+Cliff's delta effect size, Fleiss' kappa multi-rater agreement,
+Atkinson inequality index, bpref incomplete-judgment eval.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# salsa — 36-host link graph with a deliberate tightly-knit clique
+# ---------------------------------------------------------------------------
+
+_SL_HOSTS = 36
+_SL_ITERS = 3
+
+
+def _sl_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    organic = ev.select(
+        (u % _SL_HOSTS).cast("long").alias("src"),
+        ((u * 7 + e * 3) % _SL_HOSTS).cast("long").alias("dst"))
+    clique = ev.filter(e % 11 == 0).select(
+        (30 + e % 4).cast("long").alias("src"),
+        (30 + (e + 1) % 4).cast("long").alias("dst"))
+    return organic.unionByName(clique)
+
+
+_SL_EDGES_SQL = f"""
+  SELECT CAST(user_id % {_SL_HOSTS} AS BIGINT) AS src,
+    CAST((user_id * 7 + event_id * 3) % {_SL_HOSTS} AS BIGINT) AS dst
+  FROM events
+  UNION ALL
+  SELECT CAST(30 + event_id % 4 AS BIGINT) AS src,
+    CAST(30 + (event_id + 1) % 4 AS BIGINT) AS dst
+  FROM events WHERE event_id % 11 = 0
+"""
+
+
+def q_salsa(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.salsa: degree-normalized hub/authority walk —
+    per iteration one join+groupBy per direction, mass broadcast."""
+    return _graph.salsa(_sl_edges(spark, sf), n_iters=_SL_ITERS)
+
+
+def _salsa_sql() -> str:
+    return _graph.salsa_sql(_SL_EDGES_SQL, n_iters=_SL_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# cliffs — latency-like skewed metric, treatment shifted on a user slice
+# ---------------------------------------------------------------------------
+
+
+def _cd_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    grp = F.when(u % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    v = (e * 17 % 97).cast("double") \
+        + F.when(u % 2 == 0, (e % 13).cast("double")).otherwise(F.lit(0.0))
+    return ev.select(grp.alias("grp"), v.alias("v"))
+
+
+_CD_SAMPLES_SQL = """
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+    CAST(event_id * 17 % 97 AS DOUBLE)
+      + CASE WHEN user_id % 2 = 0 THEN CAST(event_id % 13 AS DOUBLE)
+             ELSE 0.0 END AS v
+  FROM events
+"""
+
+
+def q_cliffs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cliffs_delta: rank-identity effect size — one
+    value-count shuffle + one bounded window, no pair join."""
+    return _corpus.cliffs_delta(_cd_samples(spark, sf))
+
+
+def _cliffs_sql() -> str:
+    return _corpus.cliffs_delta_sql(_CD_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fleiss — 40 items x 5 raters, 4 quality categories, partial agreement
+# ---------------------------------------------------------------------------
+
+
+def _fk_ratings(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    item = (e % 40).cast("long")
+    rater = (u % 5).cast("long")
+    # majority signal from the item, noise from the rater
+    cat = F.when((item + rater) % 7 < 5, item % 4).otherwise(
+        (item * 3 + rater) % 4)
+    return ev.select(
+        F.concat(F.lit("i"), item.cast("string")).alias("item"),
+        F.concat(F.lit("r"), rater.cast("string")).alias("rater"),
+        F.concat(F.lit("c"), cat.cast("string")).alias("cat")) \
+        .distinct()
+
+
+_FK_RATINGS_SQL = """
+  SELECT DISTINCT 'i' || CAST(event_id % 40 AS VARCHAR) AS item,
+    'r' || CAST(user_id % 5 AS VARCHAR) AS rater,
+    'c' || CAST(CASE WHEN (event_id % 40 + user_id % 5) % 7 < 5
+                THEN event_id % 40 % 4
+                ELSE (event_id % 40 * 3 + user_id % 5) % 4 END
+           AS VARCHAR) AS cat
+  FROM events
+"""
+
+
+def q_fleiss(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.fleiss_kappa: chance-corrected multi-rater
+    agreement — two keyed aggs + one global fold."""
+    return _corpus.fleiss_kappa(_fk_ratings(spark, sf))
+
+
+def _fleiss_sql() -> str:
+    return _corpus.fleiss_kappa_sql(_FK_RATINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# atkinson — Zipf-ish host fetch allocation, three welfare dials
+# ---------------------------------------------------------------------------
+
+
+def _ak_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    # host h gets traffic proportional-ish to 1/(h+1): e*31%100 < cutoff
+    host = (e * 13 % 25).cast("long")
+    return ev.filter((e * 31 % 100) < F.floor(100 / (host + 1))) \
+        .select(F.concat(F.lit("h"), host.cast("string")).alias("host"))
+
+
+_AK_FETCHES_SQL = """
+  SELECT 'h' || CAST(event_id * 13 % 25 AS VARCHAR) AS host
+  FROM events
+  WHERE event_id * 31 % 100
+    < floor(100 / (event_id * 13 % 25 + 1))
+"""
+
+
+def q_atkinson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.atkinson_index: welfare-weighted
+    inequality — ONE host count + one fold per epsilon."""
+    return _politeness.atkinson_index(_ak_fetches(spark, sf))
+
+
+def _atkinson_sql() -> str:
+    return _politeness.atkinson_index_sql(_AK_FETCHES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bpref — 8 queries, 30-doc pool, ~half the pool judged
+# ---------------------------------------------------------------------------
+
+
+def _bp_run(spark, sf) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    trip = ev.select(
+        F.concat(F.lit("q"), (u % 8).cast("string")).alias("query"),
+        F.concat(F.lit("d"), (e * 3 % 30).cast("string")).alias("doc")) \
+        .distinct()
+    w = Window.partitionBy("query").orderBy(
+        F.md5(F.concat(F.col("query"), F.col("doc"))))
+    return trip.select("query", "doc",
+                       F.row_number().over(w).cast("long").alias("rank"))
+
+
+_BP_RUN_SQL = """
+  SELECT query, doc,
+    CAST(row_number() OVER (PARTITION BY query
+      ORDER BY md5(query || doc)) AS BIGINT) AS rank
+  FROM (
+    SELECT DISTINCT 'q' || CAST(user_id % 8 AS VARCHAR) AS query,
+      'd' || CAST(event_id * 3 % 30 AS VARCHAR) AS doc
+    FROM events
+  )
+"""
+
+
+def _bp_qrels(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    q = (u % 8).cast("long")
+    d = (e * 7 % 30).cast("long")
+    return ev.filter((q * 31 + d * 17) % 2 == 0).select(
+        F.concat(F.lit("q"), q.cast("string")).alias("query"),
+        F.concat(F.lit("d"), d.cast("string")).alias("doc"),
+        ((q + d) % 3 == 0).cast("int").alias("rel")) \
+        .distinct()
+
+
+_BP_QRELS_SQL = """
+  SELECT DISTINCT 'q' || CAST(user_id % 8 AS VARCHAR) AS query,
+    'd' || CAST(event_id * 7 % 30 AS VARCHAR) AS doc,
+    CAST((user_id % 8 + event_id * 7 % 30) % 3 = 0 AS INT) AS rel
+  FROM events
+  WHERE (user_id % 8 * 31 + event_id * 7 % 30 * 17) % 2 = 0
+"""
+
+
+def q_bpref(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.bpref_eval: incomplete-judgment preference
+    metric — one broadcast join + one query-ordered window."""
+    return _search.bpref_eval(_bp_run(spark, sf), _bp_qrels(spark, sf))
+
+
+def _bpref_sql() -> str:
+    return _search.bpref_eval_sql(_BP_RUN_SQL, _BP_QRELS_SQL)
+
+
+def queries83():
+    return {
+        "salsa": q_salsa,
+        "cliffs": q_cliffs,
+        "fleiss": q_fleiss,
+        "atkinson": q_atkinson,
+        "bpref": q_bpref,
+    }
+
+
+def oracle_sql83():
+    return {
+        "salsa": _salsa_sql(),
+        "cliffs": _cliffs_sql(),
+        "fleiss": _fleiss_sql(),
+        "atkinson": _atkinson_sql(),
+        "bpref": _bpref_sql(),
+    }

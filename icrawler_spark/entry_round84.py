@@ -1,0 +1,236 @@
+"""Round-3 driver-contract queries (batch 78): SimRank pairs, Johnson
+two-machine flow-shop schedule, VCG position auction, theta-sketch
+intersection, moving-average TTR.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import sketches as _sketches
+
+# ---------------------------------------------------------------------------
+# simrank — 14-host graph (pair space bounded at 196)
+# ---------------------------------------------------------------------------
+
+_SR_HOSTS = 14
+_SR_ITERS = 3
+
+
+def _sr_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        (u % _SR_HOSTS).cast("long").alias("src"),
+        ((u * 5 + e * 3) % _SR_HOSTS).cast("long").alias("dst"))
+
+
+_SR_EDGES_SQL = f"""
+  SELECT CAST(user_id % {_SR_HOSTS} AS BIGINT) AS src,
+    CAST((user_id * 5 + event_id * 3) % {_SR_HOSTS} AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_simrank(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.simrank: in-neighbor similarity power form —
+    pair-space joins bounded by the 14-node fixture."""
+    return _graph.simrank(_sr_edges(spark, sf), n_iters=_SR_ITERS)
+
+
+def _simrank_sql() -> str:
+    return _graph.simrank_sql(_SR_EDGES_SQL, n_iters=_SR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# johnson — 4 lanes x 18 jobs with fetch/parse times in 1..30
+# ---------------------------------------------------------------------------
+
+
+def _jf_jobs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    j = (e % 18).cast("long")
+    lane = (e % 4).cast("long")
+    return ev.select(
+        F.concat(F.lit("lane"), lane.cast("string")).alias("grp"),
+        F.concat(F.lit("j"), j.cast("string")).alias("job"),
+        (1 + (j * 13 + lane * 7) % 30).cast("long").alias("a"),
+        (1 + (j * 17 + lane * 11) % 30).cast("long").alias("b")) \
+        .distinct()
+
+
+_JF_JOBS_SQL = """
+  SELECT DISTINCT 'lane' || CAST(event_id % 4 AS VARCHAR) AS grp,
+    'j' || CAST(event_id % 18 AS VARCHAR) AS job,
+    CAST(1 + (event_id % 18 * 13 + event_id % 4 * 7) % 30 AS BIGINT)
+      AS a,
+    CAST(1 + (event_id % 18 * 17 + event_id % 4 * 11) % 30 AS BIGINT)
+      AS b
+  FROM events
+"""
+
+
+def q_johnson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.johnson_flow: optimal 2-machine sequence +
+    prefix-sum makespan — two lane-partitioned windows."""
+    return _politeness.johnson_flow(_jf_jobs(spark, sf))
+
+
+def _johnson_sql() -> str:
+    return _politeness.johnson_flow_sql(_JF_JOBS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# vcg — 6 auctions x 8 bidders, 3 slots with decaying click rates
+# ---------------------------------------------------------------------------
+
+_VCG_ALPHAS = (1.0, 0.6, 0.4)
+
+
+def _vcg_bids(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        F.concat(F.lit("q"), (u % 6).cast("string")).alias("auction"),
+        F.concat(F.lit("b"), (e % 8).cast("string")).alias("bidder"),
+        (F.round((1 + (u % 6 * 19 + e % 8 * 23) % 50).cast("double")
+                 / 10.0, 1)).alias("bid")) \
+        .distinct()
+
+
+_VCG_BIDS_SQL = """
+  SELECT DISTINCT 'q' || CAST(user_id % 6 AS VARCHAR) AS auction,
+    'b' || CAST(event_id % 8 AS VARCHAR) AS bidder,
+    round(CAST(1 + (user_id % 6 * 19 + event_id % 8 * 23) % 50
+          AS DOUBLE) / 10.0, 1) AS bid
+  FROM events
+"""
+
+
+def q_vcg(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.vcg_auction: externality payments via one
+    auction-keyed suffix-sum window."""
+    return _search.vcg_auction(_vcg_bids(spark, sf), alphas=_VCG_ALPHAS)
+
+
+def _vcg_sql() -> str:
+    return _search.vcg_auction_sql(_VCG_BIDS_SQL, alphas=_VCG_ALPHAS)
+
+
+# ---------------------------------------------------------------------------
+# theta — two URL streams with a ~1/3 overlap, k=64 sketches
+# ---------------------------------------------------------------------------
+
+_TH_K = 64
+
+
+def _th_items(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    side_a = ev.filter(e % 2 == 0).select(
+        F.lit("a").alias("grp"),
+        F.concat(F.lit("u"), (e * 7 % 1500).cast("string")).alias("k"))
+    side_b = ev.filter(e % 2 == 1).select(
+        F.lit("b").alias("grp"),
+        F.concat(F.lit("u"), (1000 + e * 11 % 1500).cast("string"))
+        .alias("k"))
+    return side_a.unionByName(side_b)
+
+
+_TH_ITEMS_SQL = """
+  SELECT 'a' AS grp, 'u' || CAST(event_id * 7 % 1500 AS VARCHAR) AS k
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 'b' AS grp,
+    'u' || CAST(1000 + event_id * 11 % 1500 AS VARCHAR) AS k
+  FROM events WHERE event_id % 2 = 1
+"""
+
+
+def q_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sketches.theta_intersect: KMV-synopsis set
+    intersection — per-side top-k, k-row downstream."""
+    return _sketches.theta_intersect(_th_items(spark, sf), k=_TH_K)
+
+
+def _theta_sql() -> str:
+    return _sketches.theta_intersect_sql(_TH_ITEMS_SQL, k=_TH_K)
+
+
+# ---------------------------------------------------------------------------
+# mattr — 4 documents, dense positions, vocab richness varies by doc
+# ---------------------------------------------------------------------------
+
+_MA_W = 50
+
+
+def _ma_tokens(spark, sf) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    base = ev.select(
+        F.concat(F.lit("doc"), (e % 4).cast("string")).alias("grp"),
+        e.alias("eid"),
+        F.concat(F.lit("t"),
+                 ((e * 7) % (20 + (e % 4) * 25)).cast("string"))
+        .alias("token"))
+    w = Window.partitionBy("grp").orderBy("eid")
+    return base.select(
+        "grp", F.row_number().over(w).cast("long").alias("pos"),
+        "token")
+
+
+_MA_TOKENS_SQL = """
+  SELECT grp,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY eid) AS BIGINT)
+      AS pos,
+    token
+  FROM (
+    SELECT 'doc' || CAST(event_id % 4 AS VARCHAR) AS grp,
+      event_id AS eid,
+      't' || CAST((event_id * 7) % (20 + (event_id % 4) * 25)
+             AS VARCHAR) AS token
+    FROM events
+  )
+"""
+
+
+def q_mattr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mattr: sliding-window TTR via the
+    first-occurrence closed form — one lag + one fold."""
+    return _corpus.mattr(_ma_tokens(spark, sf), window=_MA_W)
+
+
+def _mattr_sql() -> str:
+    return _corpus.mattr_sql(_MA_TOKENS_SQL, window=_MA_W)
+
+
+def queries84():
+    return {
+        "simrank": q_simrank,
+        "johnson": q_johnson,
+        "vcg": q_vcg,
+        "theta": q_theta,
+        "mattr": q_mattr,
+    }
+
+
+def oracle_sql84():
+    return {
+        "simrank": _simrank_sql(),
+        "johnson": _johnson_sql(),
+        "vcg": _vcg_sql(),
+        "theta": _theta_sql(),
+        "mattr": _mattr_sql(),
+    }

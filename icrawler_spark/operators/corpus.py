@@ -6053,3 +6053,406 @@ SELECT quasi, CAST(max(qt) AS BIGINT) AS n,
   round(sum(abs(cum)) / (max(m) - 1.0), 6) AS t
 FROM cum GROUP BY quasi ORDER BY quasi
 """
+
+
+def cliffs_delta(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    v_col: str = "v",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993, public
+    literature) between two samples: δ = P(x_a > x_b) − P(x_a < x_b).
+    The companion to `mann_whitney` — that one answers "is the shift
+    real", this one answers "is it big enough to care", which is what
+    a ranker A/B readout needs before shipping. Computed without the
+    O(n_a·n_b) pairwise comparison via the tie-averaged rank identity
+    δ = 2·U_a/(n_a·n_b) − 1 with U_a = R_a − n_a(n_a+1)/2.
+
+    Ranks are multiples of 0.5 (exact in a double) so δ's float chain
+    is one subtraction + division, rounded 6. The magnitude label uses
+    the standard |δ| thresholds (0.147 / 0.33 / 0.474, Romano et al.
+    2006). Returns one row (n_a, n_b, delta, magnitude).
+
+    Scale shape: ONE groupBy(value) over the union, one window bounded
+    by DISTINCT-value cardinality, one single-row agg — no pair join.
+    """
+    per = (samples.select(F.col(grp_col).alias("grp"),
+                          F.col(v_col).cast("double").alias("v"))
+           .groupBy("v")
+           .agg(F.count("*").cast("long").alias("cnt"),
+                F.sum(F.when(F.col("grp") == a, 1)
+                      .otherwise(0)).cast("long").alias("cnt_a")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per.select(
+        "cnt", "cnt_a",
+        (F.sum("cnt").over(w) - F.col("cnt")
+         + (F.col("cnt") + 1) / 2.0).alias("avg_rank"))
+    agg = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r_a"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    delta = F.round(2.0 * u_a / (n_a * n_b) - 1.0, 6)
+    mag = F.when(F.abs(delta) < 0.147, F.lit("negligible")) \
+        .when(F.abs(delta) < 0.33, F.lit("small")) \
+        .when(F.abs(delta) < 0.474, F.lit("medium")) \
+        .otherwise(F.lit("large"))
+    return agg.select("n_a", "n_b", delta.alias("delta"),
+                      mag.alias("magnitude"))
+
+
+def cliffs_delta_sql(samples_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`cliffs_delta` over a (grp, v) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(v AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CASE WHEN grp = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+  FROM ({samples_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, cnt_a,
+    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+    sum(cnt_a * avg_rank) AS r_a
+  FROM ranked
+),
+d AS (
+  SELECT n_a, n_b,
+    round(2.0 * (r_a - n_a * (n_a + 1) / 2.0) / (n_a * n_b) - 1.0, 6)
+      AS delta
+  FROM agg
+)
+SELECT n_a, n_b, delta,
+  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+       WHEN abs(delta) < 0.33 THEN 'small'
+       WHEN abs(delta) < 0.474 THEN 'medium'
+       ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement (Fleiss 1971, public
+    literature) over categorical labels — THE statistic for a
+    quality-labeling campaign where each document is judged by several
+    annotators (or several heuristic classifiers): chance-corrected
+    agreement κ = (P̄ − P_e)/(1 − P_e) with per-item agreement
+    P_i = (Σ_j n_ij² − n_i)/(n_i(n_i−1)) and chance P_e = Σ_j p_j²
+    from the pooled category shares. Generalized to per-item rater
+    counts n_i (items with n_i < 2 are excluded — no pair to agree).
+    Complements `kappa` (Cohen, exactly two raters).
+
+    Returns one row (n_items, n_ratings, p_bar, p_e, kappa) rounded 6.
+
+    Scale shape: ONE (item, cat) count shuffle, ONE item fold, ONE
+    global fold for p_j — three aggs, no join wider than the category
+    list.
+    """
+    cell = (ratings.select(F.col(item_col).alias("item"),
+                           F.col(rater_col).alias("rater"),
+                           F.col(cat_col).alias("cat"))
+            .groupBy("item", "cat")
+            .agg(F.countDistinct("rater").cast("double").alias("nij")))
+    per_item = (cell.groupBy("item")
+                .agg(F.sum("nij").alias("ni"),
+                     F.sum(F.col("nij") * F.col("nij")).alias("s2"))
+                .filter(F.col("ni") >= 2)
+                .withColumn("p_i", (F.col("s2") - F.col("ni"))
+                            / (F.col("ni") * (F.col("ni") - 1))))
+    kept = per_item.select("item", "ni", "p_i")
+    pj = (cell.join(kept.select("item"), "item")
+          .groupBy("cat").agg(F.sum("nij").alias("cj")))
+    tot = kept.agg(F.count("*").cast("long").alias("n_items"),
+                   F.sum("ni").alias("n_tot"),
+                   F.avg("p_i").alias("p_bar"))
+    pe = (pj.crossJoin(F.broadcast(tot.select("n_tot")))
+          .agg(F.sum(F.pow(F.col("cj") / F.col("n_tot"), 2))
+               .alias("p_e")))
+    return (tot.crossJoin(F.broadcast(pe))
+            .select("n_items",
+                    F.col("n_tot").cast("long").alias("n_ratings"),
+                    F.round("p_bar", 6).alias("p_bar"),
+                    F.round("p_e", 6).alias("p_e"),
+                    F.round(F.when(
+                        F.col("p_e") < 1.0,
+                        (F.col("p_bar") - F.col("p_e"))
+                        / (1.0 - F.col("p_e"))), 6).alias("kappa")))
+
+
+def fleiss_kappa_sql(ratings_sql: str) -> str:
+    """DuckDB mirror of :func:`fleiss_kappa` over an
+    (item, rater, cat) SELECT."""
+    return f"""
+WITH cell AS (
+  SELECT item, cat, CAST(count(DISTINCT rater) AS DOUBLE) AS nij
+  FROM ({ratings_sql}) GROUP BY 1, 2
+),
+per_item AS (
+  SELECT item, sum(nij) AS ni,
+    (sum(nij * nij) - sum(nij)) / (sum(nij) * (sum(nij) - 1)) AS p_i
+  FROM cell GROUP BY 1 HAVING sum(nij) >= 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items, sum(ni) AS n_tot,
+    avg(p_i) AS p_bar
+  FROM per_item
+),
+pe AS (
+  SELECT sum(pow(cj / (SELECT n_tot FROM tot), 2)) AS p_e
+  FROM (
+    SELECT c.cat, sum(c.nij) AS cj
+    FROM cell c JOIN per_item p ON p.item = c.item GROUP BY 1
+  )
+)
+SELECT t.n_items, CAST(t.n_tot AS BIGINT) AS n_ratings,
+  round(t.p_bar, 6) AS p_bar, round(pe.p_e, 6) AS p_e,
+  round(CASE WHEN pe.p_e < 1.0
+    THEN (t.p_bar - pe.p_e) / (1.0 - pe.p_e) END, 6) AS kappa
+FROM tot t CROSS JOIN pe
+"""
+
+
+def mattr(
+    tokens: DataFrame,
+    window: int = 50,
+    grp_col: str = "grp",
+    pos_col: str = "pos",
+    token_col: str = "token",
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010,
+    public literature) — the length-invariant lexical-diversity measure:
+    mean distinct/W over EVERY length-W sliding window of the token
+    stream. Raw TTR decays with document length (`lexical_diversity`),
+    Yule's K needs long texts (`yule_k`); MATTR is the one quality
+    filters compare across documents of different sizes.
+
+    No per-window distinct scan: token at position i is distinct
+    within window t iff its previous occurrence is before the window,
+    so its contribution is |[max(i, prev+W, W), min(i+W−1, N)]| —
+    a per-ROW closed form from one lag. ΣcontribW/(W·(N−W+1)) is
+    exactly the window average. Positions must be dense 1..N per grp.
+
+    Returns per group with N ≥ W: (grp, n_tokens, n_types, mattr
+    rounded 6), ordered by grp.
+
+    Scale shape: ONE lag window keyed (grp, token), ONE groupBy(grp)
+    fold — two shuffles regardless of W, versus the naive N·W explode.
+    """
+    w_int = int(window)
+    base = tokens.select(F.col(grp_col).alias("grp"),
+                         F.col(pos_col).cast("long").alias("pos"),
+                         F.col(token_col).alias("token"))
+    wt = Window.partitionBy("grp", "token").orderBy("pos")
+    wg = Window.partitionBy("grp")
+    per = base.select(
+        "grp", "pos", "token",
+        F.coalesce(F.lag("pos").over(wt), F.lit(0)).alias("prev"),
+        F.count("*").over(wg).alias("n"))
+    lo = F.greatest(F.col("pos"), F.col("prev") + w_int, F.lit(w_int))
+    hi = F.least(F.col("pos") + w_int - 1, F.col("n"))
+    contrib = F.greatest(hi - lo + 1, F.lit(0))
+    return (per.withColumn("__c", contrib)
+            .groupBy("grp")
+            .agg(F.max("n").alias("n_tokens"),
+                 F.countDistinct("token").cast("long").alias("n_types"),
+                 F.sum("__c").alias("__s"))
+            .filter(F.col("n_tokens") >= w_int)
+            .select("grp",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "n_types",
+                    F.round(F.col("__s").cast("double")
+                            / (float(w_int)
+                               * (F.col("n_tokens") - w_int + 1)), 6)
+                    .alias("mattr"))
+            .orderBy("grp"))
+
+
+def mattr_sql(tokens_sql: str, window: int = 50) -> str:
+    """DuckDB mirror of :func:`mattr` over a (grp, pos, token)
+    SELECT."""
+    w = int(window)
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(pos AS BIGINT) AS pos, token FROM ({tokens_sql})
+),
+per AS (
+  SELECT grp, pos, token,
+    coalesce(lag(pos) OVER (PARTITION BY grp, token ORDER BY pos), 0)
+      AS prev,
+    count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+c AS (
+  SELECT grp, n, token,
+    greatest(least(pos + {w} - 1, n)
+      - greatest(pos, prev + {w}, {w}) + 1, 0) AS contrib
+  FROM per
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+  round(CAST(sum(contrib) AS DOUBLE)
+        / ({float(w)!r} * (max(n) - {w} + 1)), 6) AS mattr
+FROM c GROUP BY 1 HAVING max(n) >= {w} ORDER BY grp
+"""
+
+
+def bayes_ab(
+    trials: DataFrame,
+    max_n: int = 4000,
+    grp_col: str = "grp",
+    s_col: str = "s",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Exact Bayesian A/B readout (closed form via Beta posteriors,
+    public literature — the Σ-over-Beta identity usually credited to
+    Cook / Miller): with uniform priors, P(p_b > p_a) =
+    Σ_{i=0}^{α_b−1} B(α_a+i, β_a+β_b) / ((β_b+i)·B(1+i, β_b)·B(α_a, β_a)),
+    all parameters integer. The decision-ready companion to `ab_ztest`:
+    a probability, not a p-value, and exact at the small n where the
+    z approximation is worst.
+
+    Neither engine has lgamma, so ln k! comes from a cumulative-sum
+    table over sequence(1..max_n) — IDENTICAL ascending float chains in
+    both engines (max_n caps α+β totals; raise it for bigger arms; the
+    table is max_n rows, trivially broadcast). Terms are positive and
+    exp/ln-bounded; the final sum rounds to 6.
+
+    Returns one row: (n_a, s_a, n_b, s_b, mean_a, mean_b, lift,
+    prob_b_beats_a) rounded 6.
+
+    Scale shape: ONE groupBy for the four counts; the α_b-term series
+    and the log-factorial table are broadcast-sized lookups — nothing
+    scales with the trial count but the first agg.
+    """
+    m = int(max_n)
+    base = trials.select(F.col(grp_col).alias("grp"),
+                         F.col(s_col).cast("int").alias("s"))
+    cnt = base.agg(
+        F.sum(F.when(F.col("grp") == a, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == a, F.col("s")).otherwise(0))
+        .cast("long").alias("s_a"),
+        F.sum(F.when(F.col("grp") == b, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == b, F.col("s")).otherwise(0))
+        .cast("long").alias("s_b"))
+    # ln k! table: k = 0..m, lf = cumsum(ln k) in ascending order
+    spark = trials.sparkSession
+    ks = spark.range(0, m + 1).select(F.col("id").alias("k"))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    lf = ks.select("k", F.sum(
+        F.when(F.col("k") > 0, F.log(F.col("k").cast("double")))
+        .otherwise(F.lit(0.0))).over(wk).alias("lf"))
+    p = (cnt.withColumn("aa", F.col("s_a") + 1)
+         .withColumn("ba", F.col("n_a") - F.col("s_a") + 1)
+         .withColumn("ab", F.col("s_b") + 1)
+         .withColumn("bb", F.col("n_b") - F.col("s_b") + 1))
+    terms = p.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ab") - 1))
+        .alias("i"))
+    idx = {
+        "l1": F.col("aa") + F.col("i") - 1,
+        "l2": F.col("ba") + F.col("bb") - 1,
+        "l3": F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1,
+        "l4": F.col("i"),
+        "l5": F.col("bb") - 1,
+        "l6": F.col("i") + F.col("bb"),
+        "l7": F.col("aa") - 1,
+        "l8": F.col("ba") - 1,
+        "l9": F.col("aa") + F.col("ba") - 1,
+    }
+    t = terms.select("i", "aa", "ba", "ab", "bb",
+                     *[v.alias(n) for n, v in idx.items()])
+    for n in idx:
+        t = t.join(F.broadcast(lf.select(F.col("k").alias(n),
+                                         F.col("lf").alias(f"f{n}"))),
+                   n)
+    ln_term = ((F.col("fl1") + F.col("fl2") - F.col("fl3"))
+               - F.log((F.col("bb") + F.col("i")).cast("double"))
+               - (F.col("fl4") + F.col("fl5") - F.col("fl6"))
+               - (F.col("fl7") + F.col("fl8") - F.col("fl9")))
+    prob = t.agg(F.sum(F.exp(ln_term)).alias("prob"))
+    return (cnt.crossJoin(F.broadcast(prob))
+            .select("n_a", "s_a", "n_b", "s_b",
+                    F.round((F.col("s_a") + 1)
+                            / (F.col("n_a") + 2).cast("double"), 6)
+                    .alias("mean_a"),
+                    F.round((F.col("s_b") + 1)
+                            / (F.col("n_b") + 2).cast("double"), 6)
+                    .alias("mean_b"),
+                    F.round((F.col("s_b") + 1)
+                            / (F.col("n_b") + 2).cast("double")
+                            - (F.col("s_a") + 1)
+                            / (F.col("n_a") + 2).cast("double"), 6)
+                    .alias("lift"),
+                    F.round("prob", 6).alias("prob_b_beats_a")))
+
+
+def bayes_ab_sql(trials_sql: str, max_n: int = 4000,
+                 a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`bayes_ab` over a (grp, s) SELECT."""
+    m = int(max_n)
+    return f"""
+WITH cnt AS (
+  SELECT CAST(sum(CASE WHEN grp = '{a}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(sum(CASE WHEN grp = '{a}' THEN s ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(sum(CASE WHEN grp = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN grp = '{b}' THEN s ELSE 0 END) AS BIGINT) AS s_b
+  FROM (SELECT grp, CAST(s AS INT) AS s FROM ({trials_sql}))
+),
+lf AS (
+  SELECT k, sum(CASE WHEN k > 0 THEN ln(CAST(k AS DOUBLE))
+                ELSE 0.0 END) OVER (ORDER BY k
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+  FROM (SELECT unnest(range(0, {m + 1})) AS k)
+),
+p AS (
+  SELECT n_a, s_a, n_b, s_b, s_a + 1 AS aa, n_a - s_a + 1 AS ba,
+    s_b + 1 AS ab, n_b - s_b + 1 AS bb
+  FROM cnt
+),
+t AS (
+  SELECT p.*, i.i FROM p
+  JOIN (SELECT unnest(range(0, {m + 1})) AS i) i ON i.i < p.ab
+),
+terms AS (
+  SELECT t.i, t.bb,
+    (f1.lf + f2.lf - f3.lf)
+      - ln(CAST(t.bb + t.i AS DOUBLE))
+      - (f4.lf + f5.lf - f6.lf)
+      - (f7.lf + f8.lf - f9.lf) AS ln_term
+  FROM t
+  JOIN lf f1 ON f1.k = t.aa + t.i - 1
+  JOIN lf f2 ON f2.k = t.ba + t.bb - 1
+  JOIN lf f3 ON f3.k = t.aa + t.i + t.ba + t.bb - 1
+  JOIN lf f4 ON f4.k = t.i
+  JOIN lf f5 ON f5.k = t.bb - 1
+  JOIN lf f6 ON f6.k = t.i + t.bb
+  JOIN lf f7 ON f7.k = t.aa - 1
+  JOIN lf f8 ON f8.k = t.ba - 1
+  JOIN lf f9 ON f9.k = t.aa + t.ba - 1
+),
+prob AS (SELECT sum(exp(ln_term)) AS prob FROM terms)
+SELECT c.n_a, c.s_a, c.n_b, c.s_b,
+  round((c.s_a + 1) / CAST(c.n_a + 2 AS DOUBLE), 6) AS mean_a,
+  round((c.s_b + 1) / CAST(c.n_b + 2 AS DOUBLE), 6) AS mean_b,
+  round((c.s_b + 1) / CAST(c.n_b + 2 AS DOUBLE)
+        - (c.s_a + 1) / CAST(c.n_a + 2 AS DOUBLE), 6) AS lift,
+  round(pr.prob, 6) AS prob_b_beats_a
+FROM cnt c CROSS JOIN prob pr
+"""

@@ -2499,3 +2499,303 @@ LEFT JOIN c2 ON c2.node = n.node
 LEFT JOIN c3 ON c3.node = n.node
 ORDER BY n.node
 """
+
+
+def salsa(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SALSA hubs & authorities (Lempel & Moran 2000, public
+    literature) over the directed host graph — HITS with the mutual
+    reinforcement replaced by a DEGREE-NORMALIZED random walk:
+    auth(j) = Σ_{(i,j)∈E} hub(i)/outdeg(i), hub(i) = Σ_{(i,j)∈E}
+    auth(j)/indeg(j). The normalization makes SALSA robust to the
+    tightly-knit-community (TKC) effect that lets a small dense clique
+    capture HITS — the reason link-spam analyses prefer it for seed
+    scoring. Complements `hits_scores` (same fixture axis, different
+    operator family).
+
+    Each half-step is L1-normalized and rounded to 12 places so both
+    engines accumulate identical float chains; fixed iteration count as
+    in `host_pagerank`. Returns (node, hub, authority) rounded 6.
+
+    Scale shape: degree tables are ONE groupBy each, computed once;
+    per iteration ONE join + groupBy in each direction on the distinct
+    edge list with the L1 mass broadcast — a PageRank-step cost.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    outd = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ind = e.groupBy("dst").agg(F.count("*").cast("double").alias("idg"))
+    ew = e.join(outd, "src").join(ind, "dst").select("src", "dst",
+                                                     "od", "idg")
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    cur = nodes.select("node", F.lit(1.0).alias("hub"),
+                       F.lit(1.0).alias("auth"))
+    for _ in range(int(n_iters)):
+        a = (ew.join(cur.select(F.col("node").alias("src"), "hub"), "src")
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum(F.col("hub") / F.col("od")).alias("__a")))
+        cur = (nodes.join(a, "node", "left")
+               .join(cur.select("node", "hub"), "node")
+               .withColumn("__a", F.coalesce(F.col("__a"), F.lit(0.0))))
+        tot_a = cur.select(F.sum("__a").alias("t"))
+        cur = (cur.crossJoin(F.broadcast(tot_a))
+               .withColumn("auth", F.round(F.col("__a") / F.col("t"), 12))
+               .drop("__a", "t"))
+        h = (ew.join(cur.select(F.col("node").alias("dst"), "auth"),
+                     "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum(F.col("auth") / F.col("idg")).alias("__h")))
+        cur = (cur.join(h, "node", "left")
+               .withColumn("__h", F.coalesce(F.col("__h"), F.lit(0.0))))
+        tot_h = cur.select(F.sum("__h").alias("t"))
+        cur = (cur.crossJoin(F.broadcast(tot_h))
+               .withColumn("hub", F.round(F.col("__h") / F.col("t"), 12))
+               .drop("__h", "t"))
+        cur = cur.localCheckpoint(eager=False)
+    return cur.select("node", F.round("hub", 6).alias("hub"),
+                      F.round("auth", 6).alias("authority")) \
+        .orderBy("node")
+
+
+def salsa_sql(edges_sql: str, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`salsa`: the same degree-normalized
+    half-step CTE chain with per-step round(…,12) normalization."""
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS idg FROM e GROUP BY 1),
+ew AS (
+  SELECT e.src, e.dst, outd.od, ind.idg
+  FROM e JOIN outd ON outd.src = e.src JOIN ind ON ind.dst = e.dst
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub, CAST(1 AS DOUBLE) AS auth
+       FROM nodes)"""]
+    for i in range(int(n_iters)):
+        parts.append(f""",
+a{i} AS (
+  SELECT ew.dst AS node, sum(s.hub / ew.od) AS m
+  FROM ew JOIN s{i} s ON s.node = ew.src GROUP BY 1
+),
+sa{i} AS (
+  SELECT n.node, s.hub,
+    round(coalesce(a.m, 0) / (SELECT sum(coalesce(m, 0))
+                              FROM nodes n2 LEFT JOIN a{i} a2
+                              ON a2.node = n2.node), 12) AS auth
+  FROM nodes n JOIN s{i} s ON s.node = n.node
+  LEFT JOIN a{i} a ON a.node = n.node
+),
+h{i} AS (
+  SELECT ew.src AS node, sum(s.auth / ew.idg) AS m
+  FROM ew JOIN sa{i} s ON s.node = ew.dst GROUP BY 1
+),
+s{i + 1} AS (
+  SELECT n.node,
+    round(coalesce(h.m, 0) / (SELECT sum(coalesce(m, 0))
+                              FROM nodes n2 LEFT JOIN h{i} h2
+                              ON h2.node = n2.node), 12) AS hub,
+    s.auth
+  FROM nodes n JOIN sa{i} s ON s.node = n.node
+  LEFT JOIN h{i} h ON h.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, round(hub, 6) AS hub, round(auth, 6) AS authority
+FROM s{int(n_iters)} ORDER BY node""")
+    return "".join(parts)
+
+
+def simrank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    c: float = 0.8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SimRank structural similarity (Jeh & Widom 2002, public
+    literature): two hosts are similar when they are LINKED-TO by
+    similar hosts — s(u,v) = C/(|I(u)||I(v)|)·Σ_{i∈I(u),j∈I(v)} s(i,j),
+    s(u,u)=1. The link-topology complement to content near-dup: mirror
+    clusters and scraped-template farms score high with zero shared
+    text. Fixed-iteration power form, per-step round(12) for engine
+    parity. Returns the non-trivial pairs (u < v, s > 0) as
+    (u, v, simrank rounded 6), ordered.
+
+    Scale shape: pair-space iteration — per round the s table joins the
+    in-edge list TWICE (one per side) then groupBy(u,v). Pair count is
+    bounded by the node set, so this is the documented bounded-graph
+    operator (run on the host graph, never the URL graph), same
+    envelope contract as `harmonic3`.
+    """
+    e = (edges.select(F.col(src_col).alias("i"),
+                      F.col(dst_col).alias("u"))
+         .filter(F.col("i") != F.col("u")).distinct())
+    ind = e.groupBy("u").agg(F.count("*").cast("double").alias("d"))
+    nodes = (e.select(F.col("i").alias("node"))
+             .union(e.select(F.col("u").alias("node"))).distinct())
+    # s starts as the identity; store only non-zero off-diagonal pairs
+    cur = nodes.select(F.col("node").alias("su"),
+                       F.col("node").alias("sv"),
+                       F.lit(1.0).alias("s")) \
+        .filter(F.lit(False))
+    ea = e.select(F.col("i").alias("su"), F.col("u").alias("nu"))
+    eb = e.select(F.col("i").alias("sv"), F.col("u").alias("nv"))
+    for _ in range(int(n_iters)):
+        diag = nodes.select(F.col("node").alias("su"),
+                            F.col("node").alias("sv"),
+                            F.lit(1.0).alias("s"))
+        s_full = cur.unionByName(diag)
+        nxt = (s_full.join(ea, "su").join(eb, "sv")
+               .filter(F.col("nu") != F.col("nv"))
+               .groupBy(F.col("nu").alias("su"), F.col("nv").alias("sv"))
+               .agg(F.sum("s").alias("__m")))
+        cur = (nxt.join(ind.select(F.col("u").alias("su"),
+                                   F.col("d").alias("du")), "su")
+               .join(ind.select(F.col("u").alias("sv"),
+                                F.col("d").alias("dv")), "sv")
+               .select("su", "sv",
+                       F.round(F.lit(float(c)) * F.col("__m")
+                               / (F.col("du") * F.col("dv")), 12)
+                       .alias("s")))
+        cur = cur.localCheckpoint(eager=False)
+    return (cur.filter((F.col("su") < F.col("sv")) & (F.col("s") > 0))
+            .select(F.col("su").alias("u"), F.col("sv").alias("v"),
+                    F.round("s", 6).alias("simrank"))
+            .orderBy("u", "v"))
+
+
+def simrank_sql(edges_sql: str, n_iters: int = 3, c: float = 0.8) -> str:
+    """DuckDB mirror of :func:`simrank`: identity-seeded pair CTE chain
+    with per-step round(…,12)."""
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src AS i, dst AS u FROM e0 WHERE src <> dst),
+ind AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+nodes AS (SELECT i AS node FROM e UNION SELECT u FROM e),
+s0 AS (SELECT node AS su, node AS sv, CAST(1 AS DOUBLE) AS s
+       FROM nodes WHERE FALSE)"""]
+    for i in range(int(n_iters)):
+        parts.append(f""",
+f{i} AS (
+  SELECT su, sv, s FROM s{i}
+  UNION ALL
+  SELECT node, node, CAST(1 AS DOUBLE) FROM nodes
+),
+s{i + 1} AS (
+  SELECT ea.u AS su, eb.u AS sv,
+    round({float(c)!r} * sum(f.s) / (da.d * db.d), 12) AS s
+  FROM f{i} f
+  JOIN e ea ON ea.i = f.su
+  JOIN e eb ON eb.i = f.sv
+  JOIN ind da ON da.u = ea.u
+  JOIN ind db ON db.u = eb.u
+  WHERE ea.u <> eb.u
+  GROUP BY 1, 2, da.d, db.d
+)""")
+    parts.append(f"""
+SELECT su AS u, sv AS v, round(s, 6) AS simrank
+FROM s{int(n_iters)}
+WHERE su < sv AND s > 0
+ORDER BY u, v""")
+    return "".join(parts)
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss edge pruning (Cohen 2008, public literature) — the
+    EDGE-strength cousin of `k_core`'s node decomposition: keep only
+    edges participating in ≥ k−2 triangles among surviving edges,
+    iterated. Link-farm edges (pairwise links without closed wedges)
+    wash out while genuine community cores stay — the edge filter to
+    run before trusting any link-based score on a spammy region.
+
+    Fixed unrolled iteration count as the repo's bounded-envelope
+    contract (a fixpoint needs ≤ |E| rounds; 3 suffices for the test
+    graphs and each extra round is the same plan again). Returns the
+    surviving undirected edges (u, v, support) with the LAST round's
+    support, ordered.
+
+    Scale shape: per round, support = one self-join of the adjacency
+    list on the shared endpoint + one membership semi-join + ONE
+    groupBy(edge) — the standard distributed triangle count keyed on
+    node then edge; no step materializes anything wider than the
+    wedge list.
+    """
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+           .distinct())
+    cur = und
+    thr = int(k) - 2
+    for _ in range(int(n_iters)):
+        adj = cur.select(F.col("u").alias("x"), F.col("v").alias("y")) \
+            .unionByName(
+                cur.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        # wedges through x: (y1 < y2 neighbors of x) that close an edge
+        wedge = (adj.alias("l").join(adj.alias("r"), "x")
+                 .filter(F.col("l.y") < F.col("r.y"))
+                 .select(F.col("l.y").alias("u"),
+                         F.col("r.y").alias("v"),
+                         F.col("x").alias("w")))
+        # every triangle appears once per apex, and each of its three
+        # edges is the CLOSING edge for exactly one apex row — so the
+        # per-(u,v) count is already the exact triangle support
+        tri = wedge.join(cur.select("u", "v"), ["u", "v"]) \
+            .select("u", "v", "w")
+        sup = tri.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("support"))
+        cur = (cur.select("u", "v").join(sup, ["u", "v"], "left")
+               .withColumn("support",
+                           F.coalesce(F.col("support"), F.lit(0)))
+               .filter(F.col("support") >= thr)
+               .select("u", "v", "support"))
+        cur = cur.localCheckpoint(eager=False)
+    return cur.orderBy("u", "v")
+
+
+def k_truss_sql(edges_sql: str, k: int = 4, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`k_truss`: unrolled prune rounds."""
+    thr = int(k) - 2
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+c0 AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, 0 AS support
+  FROM (SELECT src AS a, dst AS b FROM e0 WHERE src <> dst)
+)"""]
+    for i in range(int(n_iters)):
+        parts.append(f""",
+adj{i} AS (
+  SELECT u AS x, v AS y FROM c{i}
+  UNION ALL SELECT v, u FROM c{i}
+),
+tri{i} AS (
+  SELECT l.y AS u, r.y AS v, l.x AS w
+  FROM adj{i} l JOIN adj{i} r ON l.x = r.x AND l.y < r.y
+  JOIN c{i} c ON c.u = l.y AND c.v = r.y
+),
+sup{i} AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS support
+  FROM tri{i} GROUP BY 1, 2
+),
+c{i + 1} AS (
+  SELECT c.u, c.v, coalesce(s.support, 0) AS support
+  FROM c{i} c LEFT JOIN sup{i} s ON s.u = c.u AND s.v = c.v
+  WHERE coalesce(s.support, 0) >= {thr}
+)""")
+    parts.append(f"""
+SELECT u, v, CAST(support AS BIGINT) AS support
+FROM c{int(n_iters)} ORDER BY u, v""")
+    return "".join(parts)

@@ -3042,3 +3042,155 @@ SELECT st.node, round(l.lam, 6) AS lam,
 FROM st JOIN l{n_iters} l ON l.node = st.node
 ORDER BY st.node
 """
+
+
+def atkinson_index(
+    fetches: DataFrame,
+    epsilons=(0.5, 1.0, 2.0),
+    host_col: str = "host",
+) -> DataFrame:
+    """Atkinson inequality index of the per-host fetch allocation
+    (Atkinson 1970, public literature) — the welfare-weighted cousin of
+    `host_gini`: A(ε) = 1 − (EDE/mean) where the equally-distributed
+    equivalent is the power mean (Σ x^(1−ε)/n)^(1/(1−ε)), collapsing to
+    the geometric mean at ε = 1. Unlike Gini, ε is an explicit knob for
+    how much the scheduler should care about the STARVED tail of hosts:
+    ε→0 ignores it, ε = 2 is dominated by it — the fairness dial a
+    politeness budget review wants.
+
+    Returns one row per ε: (eps, n_hosts, mean_fetches, ede, atkinson)
+    rounded 6, ordered by eps.
+
+    Scale shape: ONE groupBy(host) count, then a per-ε fold over the
+    (small) host-count table exploded against the broadcast ε grid —
+    no join wider than |hosts|·|ε|.
+    """
+    cnt = (fetches.groupBy(F.col(host_col).alias("host"))
+           .agg(F.count("*").cast("double").alias("x")))
+    eps_arr = F.array(*[F.lit(float(e)) for e in epsilons])
+    grid = cnt.select("x", F.explode(eps_arr).alias("eps"))
+    agg = grid.groupBy("eps").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.avg("x").alias("mean_x"),
+        F.avg(F.log("x")).alias("mlog"),
+        F.avg(F.pow(F.col("x"), 1.0 - F.col("eps"))).alias("mpow"))
+    ede = F.when(F.abs(F.col("eps") - 1.0) < 1e-12, F.exp(F.col("mlog"))) \
+        .otherwise(F.pow(F.col("mpow"), 1.0 / (1.0 - F.col("eps"))))
+    return agg.select(
+        F.round("eps", 4).alias("eps"), "n_hosts",
+        F.round("mean_x", 6).alias("mean_fetches"),
+        F.round(ede, 6).alias("ede"),
+        F.round(1.0 - ede / F.col("mean_x"), 6).alias("atkinson")) \
+        .orderBy("eps")
+
+
+def atkinson_index_sql(fetch_sql: str, epsilons=(0.5, 1.0, 2.0)) -> str:
+    """DuckDB mirror of :func:`atkinson_index` over a (host, …) SELECT."""
+    eps_rows = ", ".join(
+        f"(CAST({float(e)!r} AS DOUBLE))" for e in epsilons)
+    return f"""
+WITH cnt AS (
+  SELECT host, CAST(count(*) AS DOUBLE) AS x
+  FROM ({fetch_sql}) GROUP BY 1
+),
+grid AS (
+  SELECT c.x, e.eps FROM cnt c
+  CROSS JOIN (VALUES {eps_rows}) AS e(eps)
+),
+agg AS (
+  SELECT eps, CAST(count(*) AS BIGINT) AS n_hosts, avg(x) AS mean_x,
+    avg(ln(x)) AS mlog, avg(pow(x, 1.0 - eps)) AS mpow
+  FROM grid GROUP BY 1
+),
+ede AS (
+  SELECT eps, n_hosts, mean_x,
+    CASE WHEN abs(eps - 1.0) < 1e-12 THEN exp(mlog)
+         ELSE pow(mpow, 1.0 / (1.0 - eps)) END AS ede
+  FROM agg
+)
+SELECT round(eps, 4) AS eps, n_hosts,
+  round(mean_x, 6) AS mean_fetches, round(ede, 6) AS ede,
+  round(1.0 - ede / mean_x, 6) AS atkinson
+FROM ede ORDER BY eps
+"""
+
+
+def johnson_flow(
+    jobs: DataFrame,
+    grp_col: str = "grp",
+    job_col: str = "job",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Johnson's rule for the two-machine flow shop (Johnson 1954,
+    public literature) applied per pipeline lane: every page passes
+    fetch (machine 1, time a) then parse (machine 2, time b); Johnson's
+    ordering — a<b jobs first by ascending a, then the rest by
+    descending b — provably minimizes the makespan. The schedule a
+    fetch/parse worker pair should run its assigned batch in.
+
+    Completion times need no sequential scan: with prefix sums
+    A_j = Σa, B_j = Σb in Johnson order, machine-2 completion is
+    c2_j = B_j + max_{i≤j}(A_i − B_{i−1}) — a running max over one
+    window, exact in integer arithmetic until the final cast.
+
+    Returns per job: (grp, pos, job, a, b, c1, c2) with c2 of the last
+    position the lane makespan, ordered (grp, pos).
+
+    Scale shape: TWO windows per lane partition (rank + running max) —
+    lanes are independent, so the shuffle key is grp and no lane's
+    row count exceeds its politeness batch.
+    """
+    base = jobs.select(F.col(grp_col).alias("grp"),
+                       F.col(job_col).alias("job"),
+                       F.col(a_col).cast("long").alias("a"),
+                       F.col(b_col).cast("long").alias("b"))
+    phase = F.when(F.col("a") < F.col("b"), F.lit(0)).otherwise(F.lit(1))
+    key1 = F.when(phase == 0, F.col("a")).otherwise(-F.col("b"))
+    w = Window.partitionBy("grp").orderBy(phase.asc(), key1.asc(),
+                                          F.col("job").asc())
+    ranked = base.select(
+        "grp", "job", "a", "b",
+        F.row_number().over(w).cast("long").alias("pos"))
+    wc = Window.partitionBy("grp").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "grp", "pos", "job", "a", "b",
+        F.sum("a").over(wc).alias("c1"),
+        F.sum("b").over(wc).alias("__cb"))
+    out = cum.select(
+        "grp", "pos", "job", "a", "b", "c1",
+        (F.col("__cb") + F.max(
+            F.col("c1") - (F.col("__cb") - F.col("b"))).over(wc))
+        .alias("c2"))
+    return out.orderBy("grp", "pos")
+
+
+def johnson_flow_sql(jobs_sql: str) -> str:
+    """DuckDB mirror of :func:`johnson_flow` over a (grp, job, a, b)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, job, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM ({jobs_sql})
+),
+ranked AS (
+  SELECT grp, job, a, b,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY
+      CASE WHEN a < b THEN 0 ELSE 1 END,
+      CASE WHEN a < b THEN a ELSE -b END, job) AS BIGINT) AS pos
+  FROM base
+),
+cum AS (
+  SELECT grp, pos, job, a, b,
+    sum(a) OVER (PARTITION BY grp ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+    sum(b) OVER (PARTITION BY grp ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM ranked
+)
+SELECT grp, pos, job, a, b, c1,
+  cb + max(c1 - (cb - b)) OVER (PARTITION BY grp ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+FROM cum ORDER BY grp, pos
+"""

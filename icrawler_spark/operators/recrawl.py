@@ -1835,3 +1835,83 @@ SELECT host,
   max(age) AS max_age
 FROM scored GROUP BY host ORDER BY host
 """.format(obs=obs_sql)
+
+
+def nelson_aalen(
+    lifetimes: DataFrame,
+    t_col: str = "t",
+    d_col: str = "d",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972 / Aalen
+    1978, public literature) over right-censored page lifetimes — the
+    additive companion to `page_survival`'s Kaplan-Meier product:
+    H(t) = Σ_{t_i ≤ t} d_i/n_i. Because hazard INCREMENTS add, the
+    curve's local slope reads directly as the per-day death rate a
+    recrawl scheduler budgets against, and -ln(KM) ≈ H is the standard
+    cross-check between the two estimators.
+
+    Input is one row per page: observed lifetime t, d = 1 death /
+    0 right-censored. At-risk counts are suffix sums over descending
+    t — the `page_survival` trick, no join back to the page table.
+    Increments are exact ratios of longs; only the cumulative sum is a
+    float chain, accumulated in ascending-t order in both engines.
+
+    Returns one row per distinct DEATH time: (t, n_risk, d_t,
+    hazard_inc rounded 8, cum_hazard rounded 6, km_check rounded 6 =
+    exp(-H)), ordered by t.
+
+    Scale shape: ONE groupBy(t) + two windows over the distinct-time
+    rows — cardinality bounded by the time domain, not the page count.
+    """
+    life = lifetimes.select(F.col(t_col).cast("long").alias("t"),
+                            F.col(d_col).cast("int").alias("d"))
+    per = life.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("d").cast("long").alias("d_t"))
+    w_ge = Window.orderBy(F.desc("t")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per.select(
+        "t", "d_t", F.sum("n_t").over(w_ge).alias("n_risk"))
+    inc = F.col("d_t").cast("double") / F.col("n_risk")
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    out = (at_risk.withColumn("__inc", inc)
+           .withColumn("__h", F.sum("__inc").over(w_le))
+           .filter(F.col("d_t") > 0))
+    return out.select(
+        "t", "n_risk", "d_t",
+        F.round("__inc", 8).alias("hazard_inc"),
+        F.round("__h", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("__h")), 6).alias("km_check")) \
+        .orderBy("t")
+
+
+def nelson_aalen_sql(lifetimes_sql: str) -> str:
+    """DuckDB mirror of :func:`nelson_aalen` over a (t, d) SELECT."""
+    return f"""
+WITH life AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(d AS INT) AS d
+  FROM ({lifetimes_sql})
+),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+    CAST(sum(d) AS BIGINT) AS d_t
+  FROM life GROUP BY 1
+),
+at_risk AS (
+  SELECT t, d_t,
+    sum(n_t) OVER (ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per
+),
+cum AS (
+  SELECT t, n_risk, d_t,
+    CAST(d_t AS DOUBLE) / n_risk AS inc,
+    sum(CAST(d_t AS DOUBLE) / n_risk) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM at_risk
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_t,
+  round(inc, 8) AS hazard_inc, round(h, 6) AS cum_hazard,
+  round(exp(-h), 6) AS km_check
+FROM cum WHERE d_t > 0 ORDER BY t
+"""

@@ -2464,3 +2464,203 @@ SELECT q, doc, n_systems, points, fused_rank FROM (
 ) WHERE fused_rank <= {k}
 ORDER BY q, fused_rank
 """
+
+
+def bpref_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """bpref (Buckley & Voorhees 2004, public literature) — the
+    binary-preference metric built for INCOMPLETE judgments, the normal
+    state of a web-scale eval pool: only JUDGED documents count, and
+    each retrieved relevant document is penalized by the judged
+    NON-relevant documents ranked above it:
+    bpref = (1/R) Σ_{r retrieved} (1 − min(n_above(r), R)/min(R, N)),
+    with R/N the judged relevant/non-relevant totals per query.
+    Complements `map_eval`/`ndcg_eval`, which silently treat unjudged
+    docs as non-relevant.
+
+    Unretrieved relevant docs contribute 0 (the leading 1/R divisor
+    keeps them in the denominator). Returns per query
+    (query, n_rel, n_nonrel, n_rel_ret, bpref rounded 6), ordered.
+
+    Scale shape: one equi-join run⋈qrels on (query, doc) with the
+    judgment pool broadcast, ONE query-partitioned ordered window over
+    judged rows only, ONE groupBy(query).
+    """
+    j = (qrels.select(F.col(query_col).alias("query"),
+                      F.col(doc_col).alias("doc"),
+                      F.col(rel_col).cast("int").alias("rel"))
+         .groupBy("query", "doc").agg(F.max("rel").alias("rel")))
+    totals = j.groupBy("query").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(1 - F.col("rel")).cast("long").alias("n_nonrel"))
+    judged = (run.select(F.col(query_col).alias("query"),
+                         F.col(doc_col).alias("doc"),
+                         F.col(rank_col).cast("long").alias("rank"))
+              .join(F.broadcast(j), ["query", "doc"]))
+    w_prev = (Window.partitionBy("query").orderBy("rank", "doc")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    scored = judged.withColumn(
+        "__n_above",
+        F.coalesce(F.sum(1 - F.col("rel")).over(w_prev), F.lit(0)))
+    denom = F.least(F.col("n_rel"), F.col("n_nonrel")).cast("double")
+    per_q = (scored.filter(F.col("rel") == 1)
+             .join(F.broadcast(totals), "query")
+             .withColumn("__c", 1.0 - F.least(
+                 F.col("__n_above").cast("double"),
+                 F.col("n_rel").cast("double")) / denom)
+             .groupBy("query")
+             .agg(F.count("*").cast("long").alias("n_rel_ret"),
+                  F.sum("__c").alias("__contrib")))
+    return (totals.join(per_q, "query", "left")
+            .select("query", "n_rel", "n_nonrel",
+                    F.coalesce(F.col("n_rel_ret"), F.lit(0))
+                    .alias("n_rel_ret"),
+                    F.round(F.coalesce(F.col("__contrib"), F.lit(0.0))
+                            / F.col("n_rel"), 6).alias("bpref"))
+            .orderBy("query"))
+
+
+def bpref_eval_sql(run_sql: str, qrels_sql: str) -> str:
+    """DuckDB mirror of :func:`bpref_eval` over (query, doc, rank) and
+    (query, doc, rel) SELECTs."""
+    return f"""
+WITH j AS (
+  SELECT query, doc, CAST(max(rel) AS INT) AS rel
+  FROM ({qrels_sql}) GROUP BY 1, 2
+),
+totals AS (
+  SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel,
+    CAST(sum(1 - rel) AS BIGINT) AS n_nonrel
+  FROM j GROUP BY 1
+),
+judged AS (
+  SELECT r.query, r.doc, CAST(r.rank AS BIGINT) AS rank, j.rel
+  FROM ({run_sql}) r JOIN j ON j.query = r.query AND j.doc = r.doc
+),
+scored AS (
+  SELECT query, doc, rel,
+    coalesce(sum(1 - rel) OVER (PARTITION BY query ORDER BY rank, doc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above
+  FROM judged
+),
+per_q AS (
+  SELECT s.query, CAST(count(*) AS BIGINT) AS n_rel_ret,
+    sum(1.0 - least(CAST(s.n_above AS DOUBLE), t.n_rel)
+        / CAST(least(t.n_rel, t.n_nonrel) AS DOUBLE)) AS contrib
+  FROM scored s JOIN totals t ON t.query = s.query
+  WHERE s.rel = 1 GROUP BY 1
+)
+SELECT t.query, t.n_rel, t.n_nonrel,
+  coalesce(p.n_rel_ret, 0) AS n_rel_ret,
+  round(coalesce(p.contrib, 0.0) / t.n_rel, 6) AS bpref
+FROM totals t LEFT JOIN per_q p ON p.query = t.query
+ORDER BY t.query
+"""
+
+
+def vcg_auction(
+    bids: DataFrame,
+    alphas=(1.0, 0.6, 0.4),
+    auction_col: str = "auction",
+    bidder_col: str = "bidder",
+    bid_col: str = "bid",
+) -> DataFrame:
+    """VCG position auction per query (Vickrey-Clarke-Groves, public
+    literature; Varian 2007 for the position form) — the
+    truthful-payment counterpart of :func:`gsp_auction`: with slot
+    click rates α_1 ≥ … ≥ α_k, the bidder at slot i pays its
+    externality Σ_{j>i} b_(j)·(α_{j−1} − α_j) — in equilibrium less
+    than GSP's next-bid rule, which is why its revenue floor matters
+    in monetization planning.
+
+    The suffix sum needs no self-join: with t_j = b_(j)·(α_{j−1}−α_j)
+    per rank, pay_i = Σt − cumsum(t through i) over ONE auction
+    window. Returns per winning slot: (auction, slot, bidder, bid,
+    alpha, vcg_pay, pay_per_click rounded 6) ordered (auction, slot).
+
+    Scale shape: ONE shuffle on the auction key; rank, cumsum, and
+    the total are three functions over the same window spec.
+    """
+    from pyspark.sql import Window
+
+    k = len(alphas)
+    base = bids.select(
+        F.col(auction_col).alias("auction"),
+        F.col(bidder_col).alias("bidder"),
+        F.col(bid_col).cast("double").alias("bid"))
+    w = Window.partitionBy("auction").orderBy(F.desc("bid"), "bidder")
+    alpha = F.lit(0.0)
+    for i, a in reversed(list(enumerate(alphas, start=1))):
+        alpha = F.when(F.col("slot") == i, F.lit(float(a))) \
+            .otherwise(alpha)
+    prev_alpha = F.lit(0.0)
+    for i, a in reversed(list(enumerate(alphas, start=2))):
+        prev_alpha = F.when(F.col("slot") == i, F.lit(float(a))) \
+            .otherwise(prev_alpha)
+    ranked = base.select(
+        "auction", "bidder", "bid",
+        F.row_number().over(w).cast("long").alias("slot"))
+    td = ranked.select(
+        "auction", "bidder", "bid", "slot", alpha.alias("alpha"),
+        F.when(F.col("slot") >= 2,
+               F.col("bid") * (prev_alpha - alpha))
+        .otherwise(F.lit(0.0)).alias("__t"))
+    wa = Window.partitionBy("auction")
+    wc = Window.partitionBy("auction").orderBy("slot") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    pay = F.sum("__t").over(wa) - F.sum("__t").over(wc)
+    out = td.select(
+        "auction", "slot", "bidder", "bid", "alpha",
+        F.round(pay, 6).alias("vcg_pay"),
+        F.round(F.when(F.col("alpha") > 0, pay / F.col("alpha")), 6)
+        .alias("pay_per_click"))
+    return out.filter(F.col("slot") <= k).orderBy("auction", "slot")
+
+
+def vcg_auction_sql(bids_sql: str, alphas=(1.0, 0.6, 0.4)) -> str:
+    """DuckDB mirror of :func:`vcg_auction` over a
+    (auction, bidder, bid) SELECT."""
+    k = len(alphas)
+    a_case = ("CAST(CASE " + " ".join(
+        f"WHEN slot = {i} THEN {float(a)!r}"
+        for i, a in enumerate(alphas, start=1))
+        + " ELSE 0.0 END AS DOUBLE)")
+    pa_case = ("CAST(CASE " + " ".join(
+        f"WHEN slot = {i} THEN {float(a)!r}"
+        for i, a in enumerate(alphas, start=2))
+        + " ELSE 0.0 END AS DOUBLE)")
+    return f"""
+WITH base AS (
+  SELECT auction, bidder, CAST(bid AS DOUBLE) AS bid
+  FROM ({bids_sql})
+),
+ranked AS (
+  SELECT auction, bidder, bid,
+    CAST(row_number() OVER (PARTITION BY auction
+      ORDER BY bid DESC, bidder) AS BIGINT) AS slot
+  FROM base
+),
+td AS (
+  SELECT auction, bidder, bid, slot, {a_case} AS alpha,
+    CASE WHEN slot >= 2 THEN bid * (({pa_case}) - ({a_case}))
+         ELSE 0.0 END AS t
+  FROM ranked
+),
+paid AS (
+  SELECT auction, slot, bidder, bid, alpha,
+    sum(t) OVER (PARTITION BY auction)
+      - sum(t) OVER (PARTITION BY auction ORDER BY slot
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pay
+  FROM td
+)
+SELECT auction, slot, bidder, bid, alpha,
+  round(pay, 6) AS vcg_pay,
+  round(CASE WHEN alpha > 0 THEN pay / alpha END, 6) AS pay_per_click
+FROM paid WHERE slot <= {k} ORDER BY auction, slot
+"""

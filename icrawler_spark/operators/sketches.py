@@ -469,3 +469,125 @@ SELECT n_items, n_distinct, CAST({k} AS BIGINT) AS kmv_k,
         / n_distinct, 6) AS rel_err
 FROM exact LEFT JOIN kth ON TRUE
 """
+
+
+def theta_intersect(
+    items: DataFrame,
+    k: int = 64,
+    grp_col: str = "grp",
+    key_col: str = "k",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Theta-sketch set intersection between two keyed streams
+    (Dasgupta et al. 2016 "Theta sketch framework", public literature)
+    — the operation :func:`kmv_distinct` exists to enable: keep the k
+    minimum hash values per side, set θ = min(θ_a, θ_b), and estimate
+    |A∩B| ≈ |{h in BOTH sketches, h < θ}| / θ. The frontier-overlap /
+    corpus-contamination question ("how many of tomorrow's seed URLs
+    did we already crawl") answered without ever joining the full sets.
+
+    Returns ONE row: (k, n_a, n_b, exact_common, theta rounded 12,
+    n_common_sketch, inter_est rounded 4, rel_err rounded 6); when
+    both sides have < k distinct values the sketch is exact.
+
+    Scale shape: per side a distinct-reduce + per-side top-k on the
+    hash (partial per partition); everything downstream touches only
+    the two k-row synopses plus one exact-count agg for the report.
+    """
+    from pyspark.sql import Window
+
+    u = ((_md5_int(key_col, 1, 12) + F.lit(1)).cast("double")
+         / F.lit(float(16 ** 12)))
+    hashed = (items.select(F.col(grp_col).alias("grp"),
+                           F.col(key_col).alias("k"))
+              .filter(F.col("grp").isin([a, b]))
+              .distinct()
+              .select("grp", u.alias("u")))
+    wr = Window.partitionBy("grp").orderBy("u")
+    sk = hashed.select("grp", "u", F.row_number().over(wr).alias("r")) \
+        .filter(F.col("r") <= k)
+    # per-side theta: the k-th min when the side saturates, else 1.0
+    th = sk.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_sk"),
+        F.max("u").alias("u_max"))
+    th = th.select(
+        "grp",
+        F.when(F.col("n_sk") >= k, F.col("u_max"))
+        .otherwise(F.lit(1.0)).alias("th"))
+    theta = th.agg(F.min("th").alias("theta"))
+    common = (sk.filter(F.col("grp") == a).select("u")
+              .join(sk.filter(F.col("grp") == b).select("u"), "u")
+              .crossJoin(F.broadcast(theta))
+              .filter(F.col("u") < F.col("theta"))
+              .agg(F.count("*").cast("long").alias("n_common_sketch")))
+    sides = items.select(F.col(grp_col).alias("grp"),
+                         F.col(key_col).alias("k")).distinct()
+    exact = sides.groupBy("k").agg(
+        F.sum(F.when(F.col("grp") == a, 1).otherwise(0)).alias("ia"),
+        F.sum(F.when(F.col("grp") == b, 1).otherwise(0)).alias("ib")) \
+        .agg(F.sum(F.col("ia")).cast("long").alias("n_a"),
+             F.sum(F.col("ib")).cast("long").alias("n_b"),
+             F.sum((F.col("ia") * F.col("ib") > 0).cast("int"))
+             .cast("long").alias("exact_common"))
+    est = F.round(F.col("n_common_sketch") / F.col("theta"), 4)
+    return (exact.crossJoin(F.broadcast(theta))
+            .crossJoin(F.broadcast(common))
+            .select(F.lit(k).cast("long").alias("k"),
+                    "n_a", "n_b", "exact_common",
+                    F.round("theta", 12).alias("theta"),
+                    "n_common_sketch",
+                    est.alias("inter_est"),
+                    F.round(F.when(F.col("exact_common") > 0,
+                                   F.abs(est - F.col("exact_common"))
+                                   / F.col("exact_common")), 6)
+                    .alias("rel_err")))
+
+
+def theta_intersect_sql(items_sql: str, k: int = 64,
+                        a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`theta_intersect` over a (grp, k)
+    SELECT."""
+    u = f"(({md5_int_sql('k', 1, 12)}) + 1) / {float(16 ** 12)!r}"
+    return f"""
+WITH items AS ({items_sql}),
+hashed AS (
+  SELECT grp, {u} AS u
+  FROM (SELECT DISTINCT grp, k FROM items
+        WHERE grp IN ('{a}', '{b}'))
+),
+sk AS (
+  SELECT grp, u FROM (
+    SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS r
+    FROM hashed
+  ) WHERE r <= {k}
+),
+th AS (
+  SELECT grp, CASE WHEN count(*) >= {k} THEN max(u) ELSE 1.0 END AS th
+  FROM sk GROUP BY 1
+),
+theta AS (SELECT min(th) AS theta FROM th),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common_sketch
+  FROM sk sa JOIN sk sb ON sa.u = sb.u
+    AND sa.grp = '{a}' AND sb.grp = '{b}'
+  CROSS JOIN theta WHERE sa.u < theta.theta
+),
+exact AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN ia * ib > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS exact_common
+  FROM (
+    SELECT k, sum(CASE WHEN grp = '{a}' THEN 1 ELSE 0 END) AS ia,
+      sum(CASE WHEN grp = '{b}' THEN 1 ELSE 0 END) AS ib
+    FROM (SELECT DISTINCT grp, k FROM items) GROUP BY 1
+  )
+)
+SELECT CAST({k} AS BIGINT) AS k, e.n_a, e.n_b, e.exact_common,
+  round(t.theta, 12) AS theta, c.n_common_sketch,
+  round(c.n_common_sketch / t.theta, 4) AS inter_est,
+  round(CASE WHEN e.exact_common > 0
+    THEN abs(round(c.n_common_sketch / t.theta, 4) - e.exact_common)
+         / e.exact_common END, 6) AS rel_err
+FROM exact e CROSS JOIN theta t CROSS JOIN common c
+"""

@@ -1,0 +1,143 @@
+"""Unit tests for the round-83 pack: SALSA, Cliff's delta,
+Fleiss' kappa, Atkinson index, bpref."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import cliffs_delta, fleiss_kappa
+from icrawler_spark.operators.graph import salsa
+from icrawler_spark.operators.politeness import atkinson_index
+from icrawler_spark.operators.search import bpref_eval
+
+
+# ---------------------------------------------------------------------------
+# salsa
+# ---------------------------------------------------------------------------
+
+def test_salsa_two_hubs_one_authority(spark):
+    # 0->2 and 1->2: node 2 is the sole authority, hubs split evenly
+    df = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+    out = {r["node"]: r for r in salsa(df, n_iters=2).collect()}
+    assert out[2]["authority"] == 1.0
+    assert out[0]["hub"] == 0.5 and out[1]["hub"] == 0.5
+    assert out[2]["hub"] == 0.0
+
+
+def test_salsa_degree_normalization_differs_from_hits(spark):
+    # spam hub 3 links everything; SALSA divides its mass by outdeg
+    df = spark.createDataFrame(
+        [(3, 0), (3, 1), (3, 2), (4, 0)], "src long, dst long")
+    out = {r["node"]: r for r in salsa(df, n_iters=1).collect()}
+    # auth(0) gets 1/3 from node 3 plus 1/1 from node 4 → dominates
+    assert out[0]["authority"] > out[1]["authority"]
+    assert out[1]["authority"] == out[2]["authority"]
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta
+# ---------------------------------------------------------------------------
+
+def test_cliffs_complete_separation(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = cliffs_delta(df).collect()[0]
+    assert r["delta"] == -1.0 and r["magnitude"] == "large"
+    assert r["n_a"] == 3 and r["n_b"] == 3
+
+
+def test_cliffs_identical_distributions_zero(spark):
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = cliffs_delta(df).collect()[0]
+    assert r["delta"] == 0.0 and r["magnitude"] == "negligible"
+
+
+def test_cliffs_hand_value(spark):
+    # a = [1, 3], b = [2]: pairs (1<2), (3>2) → delta = 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "grp string, v double")
+    assert cliffs_delta(df).collect()[0]["delta"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+def test_fleiss_perfect_agreement(spark):
+    rows = [(f"i{i}", f"r{r}", "x" if i == 0 else "y")
+            for i in range(2) for r in range(3)]
+    df = spark.createDataFrame(rows, "item string, rater string, cat string")
+    r = fleiss_kappa(df).collect()[0]
+    assert r["p_bar"] == 1.0 and r["kappa"] == 1.0
+    assert r["n_items"] == 2 and r["n_ratings"] == 6
+
+
+def test_fleiss_single_rater_items_excluded(spark):
+    rows = [("i0", "r0", "x"), ("i0", "r1", "x"),
+            ("i1", "r0", "y")]  # i1 has one rating → dropped
+    df = spark.createDataFrame(rows, "item string, rater string, cat string")
+    r = fleiss_kappa(df).collect()[0]
+    assert r["n_items"] == 1 and r["n_ratings"] == 2
+
+
+# ---------------------------------------------------------------------------
+# atkinson_index
+# ---------------------------------------------------------------------------
+
+def test_atkinson_equal_allocation_zero(spark):
+    rows = [(f"h{i}",) for i in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "host string")
+    for r in atkinson_index(df).collect():
+        assert r["atkinson"] == 0.0
+        assert r["ede"] == r["mean_fetches"] == 10.0
+
+
+def test_atkinson_inequality_rises_with_epsilon(spark):
+    rows = [("h0",)] * 90 + [("h1",)] * 10
+    df = spark.createDataFrame(rows, "host string")
+    out = {r["eps"]: r["atkinson"] for r in atkinson_index(df).collect()}
+    assert 0.0 < out[0.5] < out[1.0] < out[2.0] < 1.0
+    # eps=1 is the geometric-mean case: 1 - 30/50 = 0.4
+    assert math.isclose(out[1.0], 0.4, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bpref_eval
+# ---------------------------------------------------------------------------
+
+def test_bpref_hand_case(spark):
+    run = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 0), ("q", "d3", 1)],
+        "query string, doc string, rel int")
+    r = bpref_eval(run, qrels).collect()[0]
+    # d1: 0 nonrel above → 1; d3: 1 nonrel above, min(R,N)=1 → 0
+    assert r["bpref"] == 0.5
+    assert r["n_rel"] == 2 and r["n_nonrel"] == 1 and r["n_rel_ret"] == 2
+
+
+def test_bpref_unjudged_docs_ignored(spark):
+    # unjudged dX above d1 must not count as nonrelevant
+    run = spark.createDataFrame(
+        [("q", "dX", 1), ("q", "d1", 2), ("q", "d2", 3)],
+        "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 0)],
+        "query string, doc string, rel int")
+    r = bpref_eval(run, qrels).collect()[0]
+    assert r["bpref"] == 1.0
+
+
+def test_bpref_relevant_unretrieved_penalized(spark):
+    run = spark.createDataFrame(
+        [("q", "d1", 1)], "query string, doc string, rank long")
+    qrels = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d9", 1), ("q", "d2", 0)],
+        "query string, doc string, rel int")
+    r = bpref_eval(run, qrels).collect()[0]
+    # d9 never retrieved → contributes 0; bpref = 1/2
+    assert r["bpref"] == 0.5 and r["n_rel_ret"] == 1

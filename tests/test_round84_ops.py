@@ -1,0 +1,137 @@
+"""Unit tests for the round-84 pack: SimRank, Johnson flow shop,
+VCG auction, theta-sketch intersection, MATTR."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import mattr
+from icrawler_spark.operators.graph import simrank
+from icrawler_spark.operators.politeness import johnson_flow
+from icrawler_spark.operators.search import vcg_auction
+from icrawler_spark.operators.sketches import theta_intersect
+
+
+# ---------------------------------------------------------------------------
+# simrank
+# ---------------------------------------------------------------------------
+
+def test_simrank_common_in_neighbor(spark):
+    # 0 -> 1 and 0 -> 2: s(1,2) = C·s(0,0)/(1·1) = 0.8, stable
+    df = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    rows = simrank(df, n_iters=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["v"]) == (1, 2) and r["simrank"] == 0.8
+
+
+def test_simrank_no_shared_ancestry_empty(spark):
+    # 0 -> 1, 2 -> 3: I(1) and I(3) never meet → no nonzero pair
+    df = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    assert simrank(df, n_iters=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# johnson_flow
+# ---------------------------------------------------------------------------
+
+def test_johnson_hand_schedule(spark):
+    # (a,b): J1(3,2) J2(1,4) J3(2,3) → order J2, J3, J1, makespan 10
+    df = spark.createDataFrame(
+        [("g", "J1", 3, 2), ("g", "J2", 1, 4), ("g", "J3", 2, 3)],
+        "grp string, job string, a long, b long")
+    rows = johnson_flow(df).collect()
+    assert [r["job"] for r in rows] == ["J2", "J3", "J1"]
+    assert [r["c1"] for r in rows] == [1, 3, 6]
+    assert [r["c2"] for r in rows] == [5, 8, 10]
+
+
+def test_johnson_machine2_idle_gap(spark):
+    # long first fetch: machine 2 waits for c1 before starting
+    df = spark.createDataFrame(
+        [("g", "A", 10, 1), ("g", "B", 1, 1)],
+        "grp string, job string, a long, b long")
+    rows = {r["job"]: r for r in johnson_flow(df).collect()}
+    # both phase 1 (a >= b), b ties → job id orders A first
+    assert rows["A"]["pos"] < rows["B"]["pos"]
+    # machine 2 idles until A's fetch ends at 10: c2 = 11, then B at 12
+    assert rows["A"]["c2"] == 11 and rows["B"]["c2"] == 12
+
+
+# ---------------------------------------------------------------------------
+# vcg_auction
+# ---------------------------------------------------------------------------
+
+def test_vcg_hand_payments(spark):
+    df = spark.createDataFrame(
+        [("q", "b1", 10.0), ("q", "b2", 8.0), ("q", "b3", 6.0),
+         ("q", "b4", 4.0)],
+        "auction string, bidder string, bid double")
+    rows = {r["slot"]: r for r in
+            vcg_auction(df, alphas=(1.0, 0.6, 0.4)).collect()}
+    assert len(rows) == 3
+    assert rows[1]["vcg_pay"] == 6.0 and rows[1]["pay_per_click"] == 6.0
+    assert rows[2]["vcg_pay"] == 2.8
+    assert math.isclose(rows[2]["pay_per_click"], 4.666667, abs_tol=1e-6)
+    assert rows[3]["vcg_pay"] == 1.6 and rows[3]["pay_per_click"] == 4.0
+    # truthful VCG per-click never exceeds GSP's next-bid rule
+    assert rows[1]["pay_per_click"] <= 8.0
+
+
+def test_vcg_fewer_bidders_than_slots(spark):
+    df = spark.createDataFrame([("q", "b1", 5.0)],
+                               "auction string, bidder string, bid double")
+    rows = vcg_auction(df, alphas=(1.0, 0.5)).collect()
+    assert len(rows) == 1 and rows[0]["vcg_pay"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# theta_intersect
+# ---------------------------------------------------------------------------
+
+def test_theta_exact_below_k(spark):
+    rows = [("a", f"u{i}") for i in range(10)]
+    rows += [("b", f"u{i}") for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "grp string, k string")
+    r = theta_intersect(df, k=64).collect()[0]
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["exact_common"] == 5
+    assert r["theta"] == 1.0  # both sides under k → exact mode
+    assert r["inter_est"] == 5.0 and r["rel_err"] == 0.0
+
+
+def test_theta_sketch_estimates_overlap(spark):
+    rows = [("a", f"u{i}") for i in range(600)]
+    rows += [("b", f"u{i}") for i in range(300, 900)]
+    df = spark.createDataFrame(rows, "grp string, k string")
+    r = theta_intersect(df, k=128).collect()[0]
+    assert r["theta"] < 1.0 and r["exact_common"] == 300
+    # KMV at k=128 over 600-element sets: loose 50% envelope
+    assert 150 <= r["inter_est"] <= 450
+
+
+# ---------------------------------------------------------------------------
+# mattr
+# ---------------------------------------------------------------------------
+
+def test_mattr_hand_values(spark):
+    rows = [("d", 1, "x"), ("d", 2, "x")]
+    df = spark.createDataFrame(rows, "grp string, pos long, token string")
+    assert mattr(df, window=2).collect()[0]["mattr"] == 0.5
+    rows = [("d", 1, "x"), ("d", 2, "y"), ("d", 3, "x")]
+    df = spark.createDataFrame(rows, "grp string, pos long, token string")
+    assert mattr(df, window=2).collect()[0]["mattr"] == 1.0
+
+
+def test_mattr_repetitive_floor(spark):
+    # one token repeated: every window has 1 type → mattr = 1/W
+    rows = [("d", i + 1, "t") for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, pos long, token string")
+    r = mattr(df, window=5).collect()[0]
+    assert r["mattr"] == 0.2 and r["n_types"] == 1
+
+
+def test_mattr_short_group_dropped(spark):
+    rows = [("short", 1, "a"), ("short", 2, "b")]
+    df = spark.createDataFrame(rows, "grp string, pos long, token string")
+    assert mattr(df, window=5).count() == 0
