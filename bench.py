@@ -368,6 +368,8 @@ _EXTRA_PICKS = [
     "salsa", "cliffs", "fleiss", "atkinson", "bpref",
     # round-3 batch-78 (similarity + scheduling + auctions + sketches)
     "simrank", "johnson", "vcg", "theta", "mattr",
+    # round-3 batch-79 (graph pruning + survival + A/B + rankers)
+    "ktruss", "nelson", "bayes", "pl2", "witten",
 ]
 
 

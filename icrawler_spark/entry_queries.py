@@ -60,7 +60,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round78, entry_round79,
                             entry_round80, entry_round81,
                             entry_round82, entry_round83,
-                            entry_round84)
+                            entry_round84, entry_round85)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -911,6 +911,7 @@ def queries():
         **entry_round82.queries82(),
         **entry_round83.queries83(),
         **entry_round84.queries84(),
+        **entry_round85.queries85(),
     }
 
 
@@ -1027,4 +1028,5 @@ def oracle_sql():
         **entry_round82.oracle_sql82(),
         **entry_round83.oracle_sql83(),
         **entry_round84.oracle_sql84(),
+        **entry_round85.oracle_sql85(),
     }

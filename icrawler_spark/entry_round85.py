@@ -1,0 +1,173 @@
+"""Round-3 driver-contract queries (batch 79): k-truss edge pruning,
+Nelson-Aalen cumulative hazard, exact Bayesian A/B, PL2
+divergence-from-randomness retrieval, Witten-Bell bigram LM.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# ktruss — 30-host graph with a dense residential core
+# ---------------------------------------------------------------------------
+
+_KT_HOSTS = 30
+_KT_K = 4
+_KT_ITERS = 3
+
+
+def _kt_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        (u % _KT_HOSTS).cast("long").alias("src"),
+        ((u * 7 + e * 5) % _KT_HOSTS).cast("long").alias("dst"))
+
+
+_KT_EDGES_SQL = f"""
+  SELECT CAST(user_id % {_KT_HOSTS} AS BIGINT) AS src,
+    CAST((user_id * 7 + event_id * 5) % {_KT_HOSTS} AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.k_truss: triangle-support edge pruning — per
+    round one adjacency self-join + one edge groupBy."""
+    return _graph.k_truss(_kt_edges(spark, sf), k=_KT_K,
+                          n_iters=_KT_ITERS)
+
+
+def _ktruss_sql() -> str:
+    return _graph.k_truss_sql(_KT_EDGES_SQL, k=_KT_K, n_iters=_KT_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# nelson — page lifetimes, 20% right-censored
+# ---------------------------------------------------------------------------
+
+
+def _na_lifetimes(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        (1 + e * 13 % 60).cast("long").alias("t"),
+        (e % 5 > 0).cast("int").alias("d"))
+
+
+_NA_LIFETIMES_SQL = """
+  SELECT CAST(1 + event_id * 13 % 60 AS BIGINT) AS t,
+    CAST(event_id % 5 > 0 AS INT) AS d
+  FROM events
+"""
+
+
+def q_nelson(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.nelson_aalen: cumulative hazard from suffix-sum
+    at-risk counts — distinct-time windows only."""
+    return _recrawl.nelson_aalen(_na_lifetimes(spark, sf))
+
+
+def _nelson_sql() -> str:
+    return _recrawl.nelson_aalen_sql(_NA_LIFETIMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bayes — 700 deduped user-level trials, arm b lifted ~8 points
+# ---------------------------------------------------------------------------
+
+
+def _ba_trials(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    uid = (F.col("user_id") % 700).cast("long")
+    return ev.select(uid.alias("uid")).distinct().select(
+        F.when(F.col("uid") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("grp"),
+        ((F.col("uid") * 13 % 100)
+         < (42 + (F.col("uid") % 2) * 8)).cast("int").alias("s"))
+
+
+_BA_TRIALS_SQL = """
+  SELECT CASE WHEN uid % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+    CAST(uid * 13 % 100 < 42 + uid % 2 * 8 AS INT) AS s
+  FROM (SELECT DISTINCT CAST(user_id % 700 AS BIGINT) AS uid FROM events)
+"""
+
+
+def q_bayes(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bayes_ab: exact P(B>A) over Beta posteriors via
+    a shared log-factorial table — counts agg + broadcast series."""
+    return _corpus.bayes_ab(_ba_trials(spark, sf))
+
+
+def _bayes_sql() -> str:
+    return _corpus.bayes_ab_sql(_BA_TRIALS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pl2 — DFR retrieval for the same 3-term query bm25/dirichlet run
+# ---------------------------------------------------------------------------
+
+_PL2_QUERY = ["hash", "merge", "window"]
+_PL2_C = 1.0
+_PL2_K = 25
+
+
+def q_pl2(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.pl2_topk: Poisson divergence-from-randomness
+    ranking — third ranker family on the bm25/dirichlet corpus."""
+    return _search.pl2_topk(_docs(spark, sf), _PL2_QUERY, c=_PL2_C,
+                            k=_PL2_K)
+
+
+def _pl2_sql() -> str:
+    return _search.pl2_sql(_TOK_SQL, _PL2_QUERY, c=_PL2_C, k=_PL2_K)
+
+
+# ---------------------------------------------------------------------------
+# witten — WB bigram LM, estimated on even doc_ids, scoring all
+# ---------------------------------------------------------------------------
+
+_WB_PRED_SQL = "doc_id % 2 = 0"
+
+
+def q_witten(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.witten_bell_nll: type-diversity-smoothed
+    bigram LM — gram-keyed joins over reduced counts."""
+    return _curation.witten_bell_nll(
+        _docs(spark, sf), lm_filter=F.col("doc_id") % 2 == 0)
+
+
+def _witten_sql() -> str:
+    return _curation.witten_bell_sql(_TOK_SQL, _WB_PRED_SQL)
+
+
+def queries85():
+    return {
+        "ktruss": q_ktruss,
+        "nelson": q_nelson,
+        "bayes": q_bayes,
+        "pl2": q_pl2,
+        "witten": q_witten,
+    }
+
+
+def oracle_sql85():
+    return {
+        "ktruss": _ktruss_sql(),
+        "nelson": _nelson_sql(),
+        "bayes": _bayes_sql(),
+        "pl2": _pl2_sql(),
+        "witten": _witten_sql(),
+    }

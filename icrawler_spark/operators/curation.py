@@ -2350,3 +2350,145 @@ SELECT source, n_tokens, s_obs, f1, f2,
   round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
 FROM agg ORDER BY source
 """
+
+
+def witten_bell_nll(
+    df: DataFrame,
+    lm_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_uni: float = 0.5,
+) -> DataFrame:
+    """Per-document mean -ln P(w|v) under a Witten-Bell-smoothed bigram
+    LM (Witten & Bell 1991, public literature) — the PROPERLY-normalized
+    counterpart to :func:`stupid_backoff_nll`'s score: mass reserved for
+    unseen continuations equals the context's observed TYPE diversity,
+
+        P_WB(w|v) = (c(vw) + T(v)·P_uni(w)) / (c(v·) + T(v)),
+
+    with T(v) = distinct continuations of v in the LM half and the same
+    add-k unigram floor P_uni so OOV tokens stay finite; a context never
+    seen in the LM (c=T=0) backs off to P_uni outright. Diverse contexts
+    (high T) trust their counts less — exactly the property that makes
+    WB stable on the template-heavy web text where an ML bigram LM
+    overfits boilerplate.
+
+    The LM estimates from the rows selected by ``lm_filter`` and scores
+    ALL rows. Returns (doc_id, n_bigrams, n_big_hit, n_ctx_hit,
+    mean_nll rounded 6) for docs with ≥2 tokens.
+
+    Scale shape: token streams reduce FIRST to (doc, bigram) counts —
+    one gram-keyed shuffle; c2/(c1,T)/c1w are groupBys over those
+    reduced counts; scoring is a chain of gram-keyed equi-joins
+    (AQE-splittable) with the single-row (C, V) broadcast.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"),
+                     lm_filter.alias("__lm"))
+    t = F.col("__t")
+    bi = base.where(F.size(t) >= 2).select(
+        "doc", "__lm",
+        F.explode(F.zip_with(
+            F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b))).alias("g"))
+    doc_bi = (bi.groupBy("doc", "__lm", "g")
+              .agg(F.count("*").alias("n"))
+              .localCheckpoint(eager=False))
+
+    c2 = doc_bi.where("__lm").groupBy("g").agg(F.sum("n").alias("c2"))
+    ctx_of = lambda col: F.element_at(F.split(col, " "), 1)  # noqa: E731
+    w_of = lambda col: F.element_at(F.split(col, " "), 2)  # noqa: E731
+    ctx = (c2.select(ctx_of(F.col("g")).alias("v"),
+                     F.col("c2").alias("n"))
+           .groupBy("v").agg(F.sum("n").alias("c1v"),
+                             F.count("*").cast("long").alias("tv")))
+    uni = base.where("__lm").select(F.explode(t).alias("w")) \
+        .where(F.length("w") > 0)
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    stats = uni.agg(F.count("*").cast("double").alias("c_total"),
+                    F.count_distinct("w").cast("double").alias("v_sz"))
+
+    kk = float(k_uni)
+    scored = (doc_bi
+              .join(c2, "g", "left")
+              .withColumn("__v", ctx_of(F.col("g")))
+              .join(ctx.withColumnRenamed("v", "__v"), "__v", "left")
+              .withColumn("__w", w_of(F.col("g")))
+              .join(c1.select(F.col("w").alias("__w"),
+                              F.col("c1").alias("c1w")), "__w", "left")
+              .crossJoin(F.broadcast(stats)))
+    p_uni = ((F.coalesce("c1w", F.lit(0)) + F.lit(kk))
+             / (F.col("c_total") + F.lit(kk) * (F.col("v_sz") + 1)))
+    ctx_hit = F.col("c1v").isNotNull()
+    big_hit = F.col("c2").isNotNull()
+    p = (F.when(ctx_hit,
+                (F.coalesce("c2", F.lit(0)) + F.col("tv") * p_uni)
+                / (F.col("c1v") + F.col("tv")))
+         .otherwise(p_uni))
+    return (scored.select("doc", "n", big_hit.cast("int").alias("bh"),
+                          ctx_hit.cast("int").alias("ch"),
+                          (-F.log(p)).alias("nll"))
+            .groupBy("doc").agg(
+                F.sum("n").alias("n_bigrams"),
+                F.sum(F.col("n") * F.col("bh")).alias("n_big_hit"),
+                F.sum(F.col("n") * F.col("ch")).alias("n_ctx_hit"),
+                F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 6)
+                .alias("mean_nll"))
+            .select(F.col("doc").alias(id_col), "n_bigrams",
+                    "n_big_hit", "n_ctx_hit", "mean_nll"))
+
+
+def witten_bell_sql(tok_sql: str, lm_pred: str,
+                    k_uni: float = 0.5) -> str:
+    """DuckDB mirror of :func:`witten_bell_nll` over ``documents``;
+    ``lm_pred`` selects the LM-estimation half."""
+    kk = float(k_uni)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS t, ({lm_pred}) AS lm FROM documents
+),
+bi AS (
+  SELECT doc, lm,
+    unnest(list_transform(range(1, len(t)),
+           i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base WHERE len(t) >= 2
+),
+doc_bi AS (SELECT doc, lm, g, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+c2 AS (SELECT g, sum(n) AS c2 FROM doc_bi WHERE lm GROUP BY 1),
+ctx AS (
+  SELECT split_part(g, ' ', 1) AS v, sum(c2) AS c1v,
+    CAST(count(*) AS BIGINT) AS tv
+  FROM c2 GROUP BY 1
+),
+uni AS (SELECT unnest(t) AS w FROM base WHERE lm),
+uni_ne AS (SELECT w FROM uni WHERE length(w) > 0),
+c1 AS (SELECT w, count(*) AS c1 FROM uni_ne GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS c_total,
+         CAST(count(DISTINCT w) AS DOUBLE) AS v_sz
+  FROM uni_ne
+),
+scored AS (
+  SELECT d.doc, d.n,
+    (b2.c2 IS NOT NULL) AS bh,
+    (cx.c1v IS NOT NULL) AS ch,
+    -ln(CASE WHEN cx.c1v IS NOT NULL
+      THEN (COALESCE(b2.c2, 0) + cx.tv
+            * ((COALESCE(u2.c1, 0) + {kk})
+               / (st.c_total + {kk} * (st.v_sz + 1))))
+           / (cx.c1v + cx.tv)
+      ELSE (COALESCE(u2.c1, 0) + {kk})
+           / (st.c_total + {kk} * (st.v_sz + 1))
+    END) AS nll
+  FROM doc_bi d
+  LEFT JOIN c2 b2 USING (g)
+  LEFT JOIN ctx cx ON cx.v = split_part(d.g, ' ', 1)
+  LEFT JOIN c1 u2 ON u2.w = split_part(d.g, ' ', 2)
+  CROSS JOIN st
+)
+SELECT doc AS doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+  CAST(sum(n * CAST(bh AS INT)) AS BIGINT) AS n_big_hit,
+  CAST(sum(n * CAST(ch AS INT)) AS BIGINT) AS n_ctx_hit,
+  round(sum(n * nll) / sum(n), 6) AS mean_nll
+FROM scored GROUP BY 1
+"""

@@ -2664,3 +2664,124 @@ SELECT auction, slot, bidder, bid, alpha,
   round(CASE WHEN alpha > 0 THEN pay / alpha END, 6) AS pay_per_click
 FROM paid WHERE slot <= {k} ORDER BY auction, slot
 """
+
+
+def pl2_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    c: float = 1.0,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under the PL2 Divergence-From-Randomness model
+    (Amati & van Rijsbergen, TOIS 2002) — the third classic ranking
+    family next to BM25 (:func:`bm25_topk`) and Dirichlet QL
+    (:func:`dirichlet_lm_topk`): score each matched term by how far its
+    in-document frequency diverges from a collection-wide Poisson,
+    normalized by the first normalization 1/(tfn+1):
+
+        tfn = tf · log2(1 + c·avgdl/dl)
+        score += (tfn·log2(tfn/λ) + (λ − tfn)·log2(e)
+                  + 0.5·log2(2π·tfn)) / (tfn + 1),  λ = F_t/N.
+
+    Scores round to 4 BEFORE ranking; ties break on doc id. Returns
+    (doc_id, n_hits, score, rank) with rank 1..k.
+
+    Scale shape mirrors :func:`bm25_topk`: the query-literal isin
+    filter runs inside the scan so the scoring shuffle is
+    (matched docs × |Q|)-sized; N/avgdl are one single-row broadcast;
+    collection frequencies are a |Q|-row broadcast; top-k is
+    TakeOrderedAndProject.
+    """
+    import math as _math
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+    ln2 = _math.log(2.0)
+    log2e = 1.0 / ln2
+    log2_2pi = _math.log(2.0 * _math.pi) / ln2
+
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("__toks"))
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    cf = hits.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    scored_rows = (hits.join(F.broadcast(cf), "term").join(dl, "doc")
+                   .crossJoin(F.broadcast(stats)))
+    tfn = (F.col("tf").cast("double")
+           * F.log(F.lit(1.0) + F.lit(float(c)) * F.col("avgdl")
+                   / F.col("dl")) / F.lit(ln2))
+    lam = F.col("cf") / F.col("n_docs")
+    part = ((tfn * F.log(tfn / lam) / F.lit(ln2)
+             + (lam - tfn) * F.lit(log2e)
+             + F.lit(0.5) * (F.lit(log2_2pi)
+                             + F.log(tfn) / F.lit(ln2)))
+            / (tfn + F.lit(1.0)))
+    scored = (scored_rows.withColumn("__p", part)
+              .groupBy("doc")
+              .agg(F.count("*").cast("long").alias("n_hits"),
+                   F.round(F.sum("__p"), 4).alias("score")))
+    topk = (scored.withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("doc").alias(id_col), "n_hits", "score",
+                    "rank"))
+
+
+def pl2_sql(tok_sql: str, query_terms: list[str],
+            c: float = 1.0, k: int = 10) -> str:
+    """DuckDB mirror of :func:`pl2_topk` over ``documents``."""
+    import math as _math
+
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    ln2 = _math.log(2.0)
+    log2e = 1.0 / ln2
+    log2_2pi = _math.log(2.0 * _math.pi) / ln2
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS toks FROM documents
+),
+dl AS (SELECT doc, len(list_filter(toks, x -> length(x) > 0)) AS dl
+       FROM base),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       FROM dl),
+hits AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM hits GROUP BY 1),
+parts AS (
+  SELECT h.doc,
+    (tfn * ln(tfn / lam) / {ln2!r}
+     + (lam - tfn) * {log2e!r}
+     + 0.5 * ({log2_2pi!r} + ln(tfn) / {ln2!r})) / (tfn + 1.0) AS p
+  FROM (
+    SELECT h.doc, h.term,
+      CAST(h.tf AS DOUBLE)
+        * ln(1.0 + {float(c)!r} * st.avgdl / dl.dl) / {ln2!r} AS tfn,
+      c.cf / st.n_docs AS lam
+    FROM hits h JOIN cf c USING (term) JOIN dl ON dl.doc = h.doc
+    CROSS JOIN st
+  ) h
+),
+scored AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum(p), 4) AS score
+  FROM parts GROUP BY 1
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+FROM scored ORDER BY score DESC, doc LIMIT {k}
+"""

@@ -1,0 +1,143 @@
+"""Unit tests for the round-85 pack: k-truss, Nelson-Aalen,
+exact Bayesian A/B, PL2 DFR ranking, Witten-Bell bigram LM."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.corpus import bayes_ab
+from icrawler_spark.operators.curation import witten_bell_nll
+from icrawler_spark.operators.graph import k_truss
+from icrawler_spark.operators.recrawl import nelson_aalen
+from icrawler_spark.operators.search import pl2_topk
+
+
+# ---------------------------------------------------------------------------
+# k_truss
+# ---------------------------------------------------------------------------
+
+def test_ktruss_k4_clique_survives_pendant_pruned(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges.append((3, 9))  # pendant edge: no triangle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = k_truss(df, k=4, n_iters=2).collect()
+    assert len(rows) == 6
+    assert all(r["support"] == 2 for r in rows)
+    assert all(r["v"] != 9 for r in rows)
+
+
+def test_ktruss_triangle_below_k_empty(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                               "src long, dst long")
+    # k=4 needs support >= 2; a lone triangle has support 1 everywhere
+    assert k_truss(df, k=4, n_iters=1).count() == 0
+    assert k_truss(df, k=3, n_iters=2).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen
+# ---------------------------------------------------------------------------
+
+def test_nelson_hand_curve(spark):
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 0)], "t long, d int")
+    rows = nelson_aalen(df).collect()
+    assert [r["t"] for r in rows] == [1, 2]  # censored time dropped
+    assert rows[0]["n_risk"] == 3 and rows[1]["n_risk"] == 2
+    assert math.isclose(rows[0]["cum_hazard"], 1 / 3, abs_tol=1e-6)
+    assert math.isclose(rows[1]["cum_hazard"], 1 / 3 + 0.5, abs_tol=1e-6)
+    assert math.isclose(rows[1]["km_check"],
+                        math.exp(-(1 / 3 + 0.5)), abs_tol=1e-6)
+
+
+def test_nelson_censoring_keeps_at_risk(spark):
+    # censored rows never emit a hazard step but stay in n_risk
+    df = spark.createDataFrame([(5, 0)] * 9 + [(5, 1)], "t long, d int")
+    r = nelson_aalen(df).collect()[0]
+    assert r["n_risk"] == 10 and r["d_t"] == 1
+    assert r["hazard_inc"] == 0.1
+
+
+# ---------------------------------------------------------------------------
+# bayes_ab
+# ---------------------------------------------------------------------------
+
+def _prob_b_beats_a(s_a, n_a, s_b, n_b):
+    aa, ba = s_a + 1, n_a - s_a + 1
+    ab, bb = s_b + 1, n_b - s_b + 1
+    lg = math.lgamma
+
+    def lbeta(x, y):
+        return lg(x) + lg(y) - lg(x + y)
+
+    return sum(
+        math.exp(lbeta(aa + i, ba + bb) - math.log(bb + i)
+                 - lbeta(1 + i, bb) - lbeta(aa, ba))
+        for i in range(ab))
+
+
+def test_bayes_matches_lgamma_reference(spark):
+    rows = [("a", 1)] * 3 + [("a", 0)] * 7 + [("b", 1)] * 7 + [("b", 0)] * 3
+    df = spark.createDataFrame(rows, "grp string, s int")
+    r = bayes_ab(df, max_n=100).collect()[0]
+    want = _prob_b_beats_a(3, 10, 7, 10)
+    assert math.isclose(r["prob_b_beats_a"], want, abs_tol=1e-5)
+    assert r["s_a"] == 3 and r["s_b"] == 7
+    assert r["lift"] > 0
+
+
+def test_bayes_symmetric_half(spark):
+    rows = [("a", 1)] * 5 + [("a", 0)] * 5 + [("b", 1)] * 5 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "grp string, s int")
+    r = bayes_ab(df, max_n=100).collect()[0]
+    assert r["prob_b_beats_a"] == 0.5 and r["lift"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pl2_topk
+# ---------------------------------------------------------------------------
+
+def test_pl2_more_matches_rank_higher(spark):
+    rows = [(0, "hash merge window join"), (1, "hash filter scan scan"),
+            (2, "sort scan filter join")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pl2_topk(df, ["hash", "merge", "window"], k=10).collect()
+    assert out[0]["doc_id"] == 0 and out[0]["rank"] == 1
+    assert out[0]["n_hits"] == 3
+    docs = {r["doc_id"] for r in out}
+    assert 2 not in docs  # zero-hit doc never returned
+
+
+def test_pl2_rank_contiguous(spark):
+    rows = [(i, "hash " * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pl2_topk(df, ["hash"], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# witten_bell_nll
+# ---------------------------------------------------------------------------
+
+def test_witten_bell_hand_value(spark):
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    r = witten_bell_nll(df, lm_filter=F.col("doc_id") % 2 == 0).collect()[0]
+    # c2(ab)=2, c2(ba)=1; ctx a:(2,T1), b:(1,T1); P_uni = 2.5/5.5
+    pu = 2.5 / 5.5
+    p_ab = (2 + pu) / 3
+    p_ba = (1 + pu) / 2
+    want = (2 * -math.log(p_ab) + -math.log(p_ba)) / 3
+    assert math.isclose(r["mean_nll"], want, abs_tol=1e-6)
+    assert r["n_bigrams"] == 3 and r["n_big_hit"] == 3
+
+
+def test_witten_bell_unseen_context_backs_off(spark):
+    df = spark.createDataFrame([(0, "a b a b"), (1, "c d")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in witten_bell_nll(
+        df, lm_filter=F.col("doc_id") % 2 == 0).collect()}
+    r = out[1]
+    assert r["n_ctx_hit"] == 0 and r["n_big_hit"] == 0
+    # pure unigram floor: P = (0 + .5)/(4 + .5*3)
+    assert math.isclose(r["mean_nll"], -math.log(0.5 / 5.5), abs_tol=1e-6)
