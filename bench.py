@@ -370,19 +370,42 @@ _EXTRA_PICKS = [
     "simrank", "johnson", "vcg", "theta", "mattr",
     # round-3 batch-79 (graph pruning + survival + A/B + rankers)
     "ktruss", "nelson", "bayes", "pl2", "witten",
+    # round-3 batch-80 (voting power + seed expansion + fairness + LM)
+    "banzhaf", "ppr", "hoover", "jmlm",
+    # round-3 batch-81 (reliability + rules + drift metrics + normality)
+    "cronbach", "assoc_rules", "wasserstein", "hellinger", "jarque_bera",
+    # round-3 batch-82 (rank fusion + graph dual + count fit + clustering + survival)
+    "copeland", "bib_coupling", "negbin", "silhouette", "rmst",
+    # round-3 batch-83 (agreement family + variance homogeneity + LoA)
+    "lin_ccc", "kendall_w", "bartlett", "weighted_kappa", "bland_altman",
 ]
 
 
 def _extra_operator_benches(spark) -> dict:
+    """Coverage sweep over the full driver query pack. Runs with a small
+    thread pool: each query is overhead-dominated (job scheduling +
+    session round-trips) at bench scale, and Spark's FIFO scheduler
+    interleaves the jobs cleanly, so the pool cuts the sweep's wall time
+    ~6x without touching the serial headline benches above. Per-query
+    times are therefore approximate under concurrency — the sweep's
+    purpose is breadth (every operator exercised end-to-end at SF scale),
+    not per-query precision; `queries` in the headline JSON stays serial.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from icrawler_spark import entry_queries as q
 
     registry = q.queries()
-    out = {}
-    for name in _EXTRA_PICKS:
+
+    def run_one(name: str) -> float:
         t0 = time.time()
-        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        registry[name](spark, SF_DIR).write.format("noop") \
+            .mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        walls = pool.map(run_one, _EXTRA_PICKS)
+    return dict(zip(_EXTRA_PICKS, walls))
 
 
 def bench_extract(spark, pages_path: str) -> dict:
@@ -413,7 +436,9 @@ def run_once(cores: int) -> dict:
         _release_crawl_state(spark)
         extract = bench_extract(spark, pages_path)
         ops = _operator_benches(spark)
+        t_extra = time.time()
         extra = _extra_operator_benches(spark)
+        extra_wall = round(time.time() - t_extra, 3)
         total = round(crawl["wall_s"] + polite["wall_s"] + extract["wall_s"]
                       + sum(ops.values()), 3)
         queries = {"crawl_round": round(crawl["wall_s"], 3),
@@ -424,7 +449,7 @@ def run_once(cores: int) -> dict:
             "value": total, "unit": "sec", "queries": queries,
             "sf": _SF_TAG.replace("sf", ""),
             "crawl": crawl, "crawl_polite": polite, "extract": extract,
-            "extra_queries": extra,
+            "extra_queries": extra, "extra_wall_s": extra_wall,
             "cores": cores,
         }
     finally:

@@ -60,7 +60,9 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round78, entry_round79,
                             entry_round80, entry_round81,
                             entry_round82, entry_round83,
-                            entry_round84, entry_round85)
+                            entry_round84, entry_round85,
+                            entry_round86, entry_round87,
+                            entry_round88, entry_round89)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -912,6 +914,10 @@ def queries():
         **entry_round83.queries83(),
         **entry_round84.queries84(),
         **entry_round85.queries85(),
+        **entry_round86.queries86(),
+        **entry_round87.queries87(),
+        **entry_round88.queries88(),
+        **entry_round89.queries89(),
     }
 
 
@@ -1029,4 +1035,8 @@ def oracle_sql():
         **entry_round83.oracle_sql83(),
         **entry_round84.oracle_sql84(),
         **entry_round85.oracle_sql85(),
+        **entry_round86.oracle_sql86(),
+        **entry_round87.oracle_sql87(),
+        **entry_round88.oracle_sql88(),
+        **entry_round89.oracle_sql89(),
     }

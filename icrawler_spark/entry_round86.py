@@ -1,0 +1,160 @@
+"""Round-3 driver-contract queries (batch 80): Banzhaf voting power,
+personalized PageRank seed expansion, Hoover fairness index,
+Jelinek-Mercer LM retrieval.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# banzhaf — 9 shard voters with skewed integer budget weights
+# ---------------------------------------------------------------------------
+
+_BZ_PLAYERS = 9
+
+
+def _bz_players(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    p = (F.col("user_id") % _BZ_PLAYERS).cast("long")
+    return (ev.select(p.alias("player")).distinct()
+            .select("player",
+                    (1 + (F.col("player") * 7) % 12).cast("long")
+                    .alias("w")))
+
+
+_BZ_PLAYERS_SQL = f"""
+  SELECT player, CAST(1 + player * 7 % 12 AS BIGINT) AS w
+  FROM (SELECT DISTINCT CAST(user_id % {_BZ_PLAYERS} AS BIGINT)
+          AS player FROM events)
+"""
+
+
+def q_banzhaf(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.banzhaf: exact swing-count voting power — one
+    groupBy over the 2^n exploded membership rows."""
+    return _corpus.banzhaf(_bz_players(spark, sf))
+
+
+def _banzhaf_sql() -> str:
+    return _corpus.banzhaf_sql(_BZ_PLAYERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ppr — 40-host link graph, walk personalized to 3 seed hosts
+# ---------------------------------------------------------------------------
+
+_PPR_HOSTS = 40
+_PPR_ITERS = 4
+_PPR_ALPHA = 0.85
+
+
+def _ppr_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        (u % _PPR_HOSTS).cast("long").alias("src"),
+        ((u * 11 + e * 3) % _PPR_HOSTS).cast("long").alias("dst"))
+
+
+_PPR_EDGES_SQL = f"""
+  SELECT CAST(user_id % {_PPR_HOSTS} AS BIGINT) AS src,
+    CAST((user_id * 11 + event_id * 3) % {_PPR_HOSTS} AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def _ppr_seeds(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 3).cast("long").alias("node"))
+
+
+_PPR_SEEDS_SQL = "SELECT CAST(user_id % 3 AS BIGINT) AS node FROM events"
+
+
+def q_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.personalized_pagerank: teleport-to-seed power
+    iteration — one join+groupBy per step plus dangling broadcast."""
+    return _graph.personalized_pagerank(
+        _ppr_edges(spark, sf), _ppr_seeds(spark, sf),
+        n_iters=_PPR_ITERS, alpha=_PPR_ALPHA)
+
+
+def _ppr_sql() -> str:
+    return _graph.personalized_pagerank_sql(
+        _PPR_EDGES_SQL, _PPR_SEEDS_SQL,
+        n_iters=_PPR_ITERS, alpha=_PPR_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# hoover — skewed per-host fetch allocation (quadratic residues)
+# ---------------------------------------------------------------------------
+
+
+def _hv_fetches(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id")
+    return ev.select(((u * u) % 37).cast("long").alias("host"))
+
+
+_HV_FETCHES_SQL = """
+  SELECT CAST(user_id * user_id % 37 AS BIGINT) AS host FROM events
+"""
+
+
+def q_hoover(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.hoover_index: Robin-Hood share-to-move
+    fairness — one host count + one global fold."""
+    return _politeness.hoover_index(_hv_fetches(spark, sf))
+
+
+def _hoover_sql() -> str:
+    return _politeness.hoover_index_sql(_HV_FETCHES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jmlm — JM-smoothed LM retrieval, same 3-term query as bm25/pl2
+# ---------------------------------------------------------------------------
+
+_JM_QUERY = ["hash", "merge", "window"]
+_JM_LAM = 0.3
+_JM_K = 25
+
+
+def q_jmlm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.jm_lm_topk: fixed-interpolation query
+    likelihood — third LM ranker next to bm25/dirichlet/pl2."""
+    return _search.jm_lm_topk(_docs(spark, sf), _JM_QUERY, lam=_JM_LAM,
+                              k=_JM_K)
+
+
+def _jmlm_sql() -> str:
+    return _search.jm_lm_sql(_TOK_SQL, _JM_QUERY, lam=_JM_LAM, k=_JM_K)
+
+
+def queries86():
+    return {
+        "banzhaf": q_banzhaf,
+        "ppr": q_ppr,
+        "hoover": q_hoover,
+        "jmlm": q_jmlm,
+    }
+
+
+def oracle_sql86():
+    return {
+        "banzhaf": _banzhaf_sql(),
+        "ppr": _ppr_sql(),
+        "hoover": _hoover_sql(),
+        "jmlm": _jmlm_sql(),
+    }

@@ -1,0 +1,184 @@
+"""Round-3 driver-contract queries (batch 81): Cronbach alpha
+reliability, pairwise association rules, 1-D Wasserstein drift,
+Hellinger distance, Jarque-Bera normality.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import sessions as _sessions
+
+# ---------------------------------------------------------------------------
+# cronbach — 60 subjects scored on the 5 event-type "items"
+# ---------------------------------------------------------------------------
+
+_CR_SUBJ = 60
+
+
+def _cr_scores(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % _CR_SUBJ).cast("long").alias("subj"),
+        F.col("event_type").alias("item"),
+        F.col("value").alias("x"))
+
+
+_CR_SCORES_SQL = f"""
+  SELECT CAST(event_id % {_CR_SUBJ} AS BIGINT) AS subj,
+    event_type AS item, value AS x
+  FROM events
+"""
+
+
+def q_cronbach(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cronbach_alpha: k-item internal consistency —
+    complete-case filter, exact-mean variance passes, one row."""
+    return _corpus.cronbach_alpha(_cr_scores(spark, sf))
+
+
+def _cronbach_sql() -> str:
+    return _corpus.cronbach_alpha_sql(_CR_SCORES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# assoc_rules — 120 event-slot baskets over the 15 user "items"
+# ---------------------------------------------------------------------------
+
+_AR_BASKETS = 120
+_AR_MIN_PAIR = 2
+
+
+def _ar_baskets(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % _AR_BASKETS).cast("long").alias("basket"),
+        F.col("user_id").cast("long").alias("item"))
+
+
+_AR_BASKETS_SQL = f"""
+  SELECT CAST(event_id % {_AR_BASKETS} AS BIGINT) AS basket,
+    CAST(user_id AS BIGINT) AS item
+  FROM events
+"""
+
+
+def q_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sessions.assoc_rules: support/confidence/lift — one
+    basket-keyed equi self-join + pair groupBy, counts broadcast back."""
+    return _sessions.assoc_rules(_ar_baskets(spark, sf),
+                                 min_pair=_AR_MIN_PAIR)
+
+
+def _assoc_sql() -> str:
+    return _sessions.assoc_rules_sql(_AR_BASKETS_SQL,
+                                     min_pair=_AR_MIN_PAIR)
+
+
+# ---------------------------------------------------------------------------
+# wasserstein — integer-binned value metric split by user parity
+# ---------------------------------------------------------------------------
+
+
+def _ws_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.floor("value").cast("long").alias("v"),
+        (F.col("user_id") % 2).cast("long").alias("grp"))
+
+
+_WS_VALUES_SQL = """
+  SELECT CAST(floor(value) AS BIGINT) AS v,
+    CAST(user_id % 2 AS BIGINT) AS grp
+  FROM events
+"""
+
+
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.wasserstein_1d: earth-mover drift, integer-
+    exact ECDF gaps × value gaps, one divide at the end."""
+    return _recrawl.wasserstein_1d(_ws_values(spark, sf), grp_a=0)
+
+
+def _wasserstein_sql() -> str:
+    return _recrawl.wasserstein_1d_sql(_WS_VALUES_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# hellinger — 53-bucket quadratic-residue tokens split by user parity
+# ---------------------------------------------------------------------------
+
+
+def _hg_tokens(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        F.when((F.col("user_id") % 2) == 0, "a").otherwise("b")
+        .alias("snap"),
+        ((e * e) % 53).cast("long").alias("token"))
+
+
+_HG_TOKENS_SQL = """
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+    CAST(event_id * event_id % 53 AS BIGINT) AS token
+  FROM events
+"""
+
+
+def q_hellinger(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hellinger: Bhattacharyya-coefficient distance —
+    one token groupBy + one single-row fold."""
+    return _corpus.hellinger(_hg_tokens(spark, sf))
+
+
+def _hellinger_sql() -> str:
+    return _corpus.hellinger_sql(_HG_TOKENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jarque — normality test on the raw value metric
+# ---------------------------------------------------------------------------
+
+
+def _jb_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_JB_VALUES_SQL = "SELECT value AS x FROM events"
+
+
+def q_jarque(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.jarque_bera: central-moment skew/kurtosis gate —
+    exact-mean deviation moments, one row."""
+    return _corpus.jarque_bera(_jb_values(spark, sf))
+
+
+def _jarque_sql() -> str:
+    return _corpus.jarque_bera_sql(_JB_VALUES_SQL)
+
+
+def queries87():
+    return {
+        "cronbach": q_cronbach,
+        "assoc_rules": q_assoc,
+        "wasserstein": q_wasserstein,
+        "hellinger": q_hellinger,
+        "jarque_bera": q_jarque,
+    }
+
+
+def oracle_sql87():
+    return {
+        "cronbach": _cronbach_sql(),
+        "assoc_rules": _assoc_sql(),
+        "wasserstein": _wasserstein_sql(),
+        "hellinger": _hellinger_sql(),
+        "jarque_bera": _jarque_sql(),
+    }

@@ -1,0 +1,198 @@
+"""Round-3 driver-contract queries (batch 82): Copeland pairwise
+ranking, bibliographic coupling, negative-binomial fit, simplified
+silhouette, restricted mean survival time.
+
+Fixtures derive deterministically from events/embeddings; every
+computed column is aliased identically in the Spark plan and the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import similarity as _similarity
+
+# ---------------------------------------------------------------------------
+# copeland — 15 voters rank the 5 event types by personal frequency
+# ---------------------------------------------------------------------------
+
+
+def _cp_ballots(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    cnt = (ev.groupBy(F.col("user_id").alias("voter"),
+                      F.col("event_type").alias("cand"))
+           .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("voter").orderBy(F.desc("cnt"), "cand")
+    return cnt.select("voter", "cand",
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
+_CP_BALLOTS_SQL = """
+  SELECT voter, cand,
+    CAST(row_number() OVER (PARTITION BY voter
+      ORDER BY cnt DESC, cand) AS BIGINT) AS rank
+  FROM (
+    SELECT user_id AS voter, event_type AS cand, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+"""
+
+
+def q_copeland(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.copeland: pairwise-majority duels — voter-keyed
+    self-join + pair/cand groupBys."""
+    return _corpus.copeland(_cp_ballots(spark, sf))
+
+
+def _copeland_sql() -> str:
+    return _corpus.copeland_sql(_CP_BALLOTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bib_coupling — 15 source hosts over 40 shared outlink targets
+# ---------------------------------------------------------------------------
+
+_BC_TARGETS = 40
+_BC_MIN_SHARED = 2
+
+
+def _bc_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (F.col("event_id") % _BC_TARGETS).cast("long").alias("dst"))
+
+
+_BC_EDGES_SQL = f"""
+  SELECT CAST(user_id AS BIGINT) AS src,
+    CAST(event_id % {_BC_TARGETS} AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_bib_coupling(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.bib_coupling: shared-outlink source pairs — dst-
+    keyed self-join with mega-target guard, degrees broadcast back."""
+    return _graph.bib_coupling(_bc_edges(spark, sf),
+                               min_shared=_BC_MIN_SHARED)
+
+
+def _bib_coupling_sql() -> str:
+    return _graph.bib_coupling_sql(_BC_EDGES_SQL,
+                                   min_shared=_BC_MIN_SHARED)
+
+
+# ---------------------------------------------------------------------------
+# negbin — overdispersed bucket counts via quadratic-residue fold
+# ---------------------------------------------------------------------------
+
+
+def _nb_counts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    u = F.col("user_id")
+    return (ev.groupBy(((u * u) % 23).cast("long").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("k"))
+            .select("k"))
+
+
+_NB_COUNTS_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY CAST(user_id * user_id % 23 AS BIGINT)
+"""
+
+
+def q_negbin(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.negbin_fit: method-of-moments NB params —
+    exact-mean variance, one row."""
+    return _corpus.negbin_fit(_nb_counts(spark, sf))
+
+
+def _negbin_sql() -> str:
+    return _corpus.negbin_fit_sql(_NB_COUNTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# silhouette — embeddings against their generator labels
+# ---------------------------------------------------------------------------
+
+
+def _sl_vectors(spark, sf) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return emb.select(F.col("vec_id").alias("id"),
+                      F.col("label").cast("long").alias("cl"),
+                      F.col("embedding").alias("vec"))
+
+
+_SL_VECTORS_SQL = """
+  SELECT vec_id AS id, CAST(label AS BIGINT) AS cl,
+    embedding AS vec
+  FROM embeddings
+"""
+
+
+def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.silhouette_simplified: centroid-based
+    cluster quality — k×dims centroids broadcast, dim-keyed join."""
+    return _similarity.silhouette_simplified(_sl_vectors(spark, sf),
+                                             cluster_col="cl")
+
+
+def _silhouette_sql() -> str:
+    return _similarity.silhouette_simplified_sql(_SL_VECTORS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rmst — restricted mean survival over synthetic censored lifetimes
+# ---------------------------------------------------------------------------
+
+_RM_TAU = 20
+
+
+def _rm_lifetimes(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        ((F.col("event_id") % 30) + 1).cast("long").alias("t"),
+        ((F.col("user_id") % 4) > 0).cast("int").alias("d"))
+
+
+_RM_LIFETIMES_SQL = """
+  SELECT CAST(event_id % 30 + 1 AS BIGINT) AS t,
+    CAST(user_id % 4 > 0 AS INT) AS d
+  FROM events
+"""
+
+
+def q_rmst(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.rmst: area under the KM curve to tau —
+    distinct-death-time windows + single-row fold."""
+    return _recrawl.rmst(_rm_lifetimes(spark, sf), tau=_RM_TAU)
+
+
+def _rmst_sql() -> str:
+    return _recrawl.rmst_sql(_RM_LIFETIMES_SQL, tau=_RM_TAU)
+
+
+def queries88():
+    return {
+        "copeland": q_copeland,
+        "bib_coupling": q_bib_coupling,
+        "negbin": q_negbin,
+        "silhouette": q_silhouette,
+        "rmst": q_rmst,
+    }
+
+
+def oracle_sql88():
+    return {
+        "copeland": _copeland_sql(),
+        "bib_coupling": _bib_coupling_sql(),
+        "negbin": _negbin_sql(),
+        "silhouette": _silhouette_sql(),
+        "rmst": _rmst_sql(),
+    }

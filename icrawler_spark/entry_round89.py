@@ -1,0 +1,165 @@
+"""Round-3 driver-contract queries (batch 83): Lin's CCC, Kendall's W,
+Bartlett variance test, quadratic-weighted kappa, Bland-Altman limits.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.entry_round88 import _cp_ballots, _CP_BALLOTS_SQL
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# lin_ccc — value vs a rescaled+shifted second scorer
+# ---------------------------------------------------------------------------
+
+
+def _lc_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 0.8 + (F.col("event_id") % 7)).alias("y"))
+
+
+_LC_PAIRS_SQL = """
+  SELECT value AS x, value * 0.8 + event_id % 7 AS y FROM events
+"""
+
+
+def q_lin_ccc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lin_ccc: concordance vs identity line — exact-
+    mean co-moments, one row."""
+    return _corpus.lin_ccc(_lc_pairs(spark, sf))
+
+
+def _lin_ccc_sql() -> str:
+    return _corpus.lin_ccc_sql(_LC_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kendall_w — concordance of the copeland ballot ranks
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_w(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.kendall_w: m-ranker concordance over the same
+    per-user frequency ballots copeland duels on."""
+    b = _cp_ballots(spark, sf)
+    return _corpus.kendall_w(b.select(F.col("voter").alias("rater"),
+                                      F.col("cand").alias("item"),
+                                      "rank"))
+
+
+def _kendall_w_sql() -> str:
+    return _corpus.kendall_w_sql(f"""
+  SELECT voter AS rater, cand AS item, rank FROM ({_CP_BALLOTS_SQL})
+""")
+
+
+# ---------------------------------------------------------------------------
+# bartlett — value variance homogeneity across event types
+# ---------------------------------------------------------------------------
+
+
+def _bt_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_type").alias("grp"),
+                     F.col("value").alias("x"))
+
+
+_BT_SAMPLES_SQL = "SELECT event_type AS grp, value AS x FROM events"
+
+
+def q_bartlett(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bartlett: parametric equal-variance test —
+    exact-group-mean variances, one row."""
+    return _corpus.bartlett(_bt_samples(spark, sf))
+
+
+def _bartlett_sql() -> str:
+    return _corpus.bartlett_sql(_BT_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# weighted_kappa — two correlated ordinal quality raters on a 1..5 scale
+# ---------------------------------------------------------------------------
+
+
+def _wk_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    a = F.least(F.floor(F.col("value") / 70).cast("long") + 1, F.lit(5))
+    b = F.when((F.col("event_id") % 10) < 7, a) \
+        .otherwise(F.least(a + 1, F.lit(5)))
+    return ev.select(a.alias("a"), b.cast("long").alias("b"))
+
+
+_WK_PAIRS_SQL = """
+  SELECT a, CAST(CASE WHEN event_id % 10 < 7 THEN a
+    ELSE least(a + 1, 5) END AS BIGINT) AS b
+  FROM (
+    SELECT event_id,
+      least(CAST(floor(value / 70) AS BIGINT) + 1, 5) AS a
+    FROM events
+  )
+"""
+
+
+def q_weighted_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.weighted_kappa: quadratic-weight ordinal
+    agreement — contingency + marginal-product joins, int-exact."""
+    return _corpus.weighted_kappa(_wk_pairs(spark, sf))
+
+
+def _weighted_kappa_sql() -> str:
+    return _corpus.weighted_kappa_sql(_WK_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bland_altman — value vs a recalibrated scorer
+# ---------------------------------------------------------------------------
+
+
+def _ba_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("value").alias("x"),
+                     (F.col("value") * 0.95 + 3.0).alias("y"))
+
+
+_BA_PAIRS_SQL = """
+  SELECT value AS x, value * 0.95 + 3.0 AS y FROM events
+"""
+
+
+def q_bland_altman(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bland_altman: bias ± z·sd limits of agreement
+    — exact-mean sd, broadcast limits re-pass."""
+    return _corpus.bland_altman(_ba_pairs(spark, sf))
+
+
+def _bland_altman_sql() -> str:
+    return _corpus.bland_altman_sql(_BA_PAIRS_SQL)
+
+
+def queries89():
+    return {
+        "lin_ccc": q_lin_ccc,
+        "kendall_w": q_kendall_w,
+        "bartlett": q_bartlett,
+        "weighted_kappa": q_weighted_kappa,
+        "bland_altman": q_bland_altman,
+    }
+
+
+def oracle_sql89():
+    return {
+        "lin_ccc": _lin_ccc_sql(),
+        "kendall_w": _kendall_w_sql(),
+        "bartlett": _bartlett_sql(),
+        "weighted_kappa": _weighted_kappa_sql(),
+        "bland_altman": _bland_altman_sql(),
+    }

@@ -1,0 +1,174 @@
+"""Round-3 driver-contract queries (batch 84): Goodman-Kruskal gamma,
+Theil uncertainty coefficient, Woolf odds ratio, cumulative-gains
+deciles, winsorized mean.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# gk_gamma — ordinal value tier vs ordinal event-slot tier
+# ---------------------------------------------------------------------------
+
+
+def _gg_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.least(F.floor(F.col("value") / 70).cast("long") + 1, F.lit(5))
+        .alias("a"),
+        ((F.col("event_id") % 4) + 1).cast("long").alias("b"))
+
+
+_GG_PAIRS_SQL = """
+  SELECT least(CAST(floor(value / 70) AS BIGINT) + 1, 5) AS a,
+    CAST(event_id % 4 + 1 AS BIGINT) AS b
+  FROM events
+"""
+
+
+def q_gk_gamma(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.gk_gamma: tie-dropping ordinal association —
+    contingency cells cross-compared, integer-exact."""
+    return _corpus.gk_gamma(_gg_pairs(spark, sf))
+
+
+def _gk_gamma_sql() -> str:
+    return _corpus.gk_gamma_sql(_GG_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# uncertainty — U(event_type | user bucket)
+# ---------------------------------------------------------------------------
+
+
+def _uc_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 6).cast("long").alias("x"),
+                     F.col("event_type").alias("y"))
+
+
+_UC_PAIRS_SQL = """
+  SELECT CAST(user_id % 6 AS BIGINT) AS x, event_type AS y FROM events
+"""
+
+
+def q_uncertainty(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.uncertainty_coeff: normalized asymmetric MI —
+    one contingency shuffle + marginal folds."""
+    return _corpus.uncertainty_coeff(_uc_pairs(spark, sf))
+
+
+def _uncertainty_sql() -> str:
+    return _corpus.uncertainty_coeff_sql(_UC_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# odds_ratio — high-value exposure vs error outcome
+# ---------------------------------------------------------------------------
+
+
+def _or_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("value") > 150).cast("int").alias("exposed"),
+        (F.col("event_type") == "error").cast("int").alias("outcome"))
+
+
+_OR_PAIRS_SQL = """
+  SELECT CAST(value > 150 AS INT) AS exposed,
+    CAST(event_type = 'error' AS INT) AS outcome
+  FROM events
+"""
+
+
+def q_odds_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.odds_ratio: 2x2 OR + Woolf CI — one
+    conditional-sum fold."""
+    return _corpus.odds_ratio(_or_pairs(spark, sf))
+
+
+def _odds_ratio_sql() -> str:
+    return _corpus.odds_ratio_sql(_OR_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gains_deciles — value as score, purchase as label
+# ---------------------------------------------------------------------------
+
+
+def _gd_scored(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("id"),
+                     F.col("value").alias("score"),
+                     (F.col("event_type") == "purchase").cast("int")
+                     .alias("label"))
+
+
+_GD_SCORED_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS id, value AS score,
+    CAST(event_type = 'purchase' AS INT) AS label
+  FROM events
+"""
+
+
+def q_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.gains_deciles: cumulative-gains / lift table —
+    one ntile window + decile groupBy."""
+    return _search.gains_deciles(_gd_scored(spark, sf))
+
+
+def _gains_sql() -> str:
+    return _search.gains_deciles_sql(_GD_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# winsorized — 5% two-sided winsorization of the value metric
+# ---------------------------------------------------------------------------
+
+_WM_P = 0.05
+
+
+def _wm_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_WM_VALUES_SQL = "SELECT value AS x FROM events"
+
+
+def q_winsorized(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.winsorized_mean: rank-defined clamp means —
+    one sort-rank window + broadcast cuts."""
+    return _corpus.winsorized_mean(_wm_values(spark, sf), p=_WM_P)
+
+
+def _winsorized_sql() -> str:
+    return _corpus.winsorized_mean_sql(_WM_VALUES_SQL, p=_WM_P)
+
+
+def queries90():
+    return {
+        "gk_gamma": q_gk_gamma,
+        "uncertainty": q_uncertainty,
+        "odds_ratio": q_odds_ratio,
+        "gains": q_gains,
+        "winsorized": q_winsorized,
+    }
+
+
+def oracle_sql90():
+    return {
+        "gk_gamma": _gk_gamma_sql(),
+        "uncertainty": _uncertainty_sql(),
+        "odds_ratio": _odds_ratio_sql(),
+        "gains": _gains_sql(),
+        "winsorized": _winsorized_sql(),
+    }

@@ -6456,3 +6456,867 @@ SELECT c.n_a, c.s_a, c.n_b, c.s_b,
   round(pr.prob, 6) AS prob_b_beats_a
 FROM cnt c CROSS JOIN prob pr
 """
+
+
+def banzhaf(
+    players: DataFrame,
+    player_col: str = "player",
+    w_col: str = "w",
+) -> DataFrame:
+    """Banzhaf power index over a weighted MAJORITY game (Banzhaf 1965,
+    public literature) — with integer weights w_i (crawl-budget shares,
+    shard vote weights) and quota q = ⌊Σw/2⌋+1, player i's raw index is
+    its SWING count: coalitions S ∌ i with w(S) < q ≤ w(S)+w_i, over
+    2^(n−1). The voting-power companion to `shapley3`: Shapley divides
+    marginal credit over orderings, Banzhaf over coalitions — they
+    disagree exactly when weights are skewed, which is the interesting
+    case for quorum design.
+
+    Exhaustive 2^n enumeration (the exact-index contract): membership
+    tests are floor(s/2^idx) % 2 arithmetic — identical in both
+    engines; n beyond ~16 needs the sampling estimator instead, which
+    is the documented envelope. Returns per player: (player, w, swings,
+    banzhaf_raw, banzhaf_norm rounded 6), ordered by player.
+
+    Scale shape: subset weights are ONE groupBy over (2^n·n) exploded
+    membership rows; the swing join is subsets × players with the
+    player table broadcast — bounded by the enumeration, not the data.
+    """
+    base = players.select(F.col(player_col).alias("player"),
+                          F.col(w_col).cast("long").alias("w"))
+    wn = Window.orderBy("player")
+    idx = base.select("player", "w",
+                      (F.row_number().over(wn) - 1).alias("idx"))
+    tot = idx.agg(F.count("*").cast("int").alias("n"),
+                  F.sum("w").alias("tw"))
+    subs = tot.select(
+        "n", "tw",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.pow(F.lit(2.0), F.col("n")).cast("long") - 1)).alias("s"))
+    bit = F.floor(F.col("s") / F.pow(F.lit(2.0), F.col("idx"))) \
+        .cast("long") % 2
+    member = (subs.join(F.broadcast(idx), how="cross")
+              .filter(bit == 1)
+              .groupBy("s").agg(F.sum("w").alias("ws")))
+    sw = (subs.join(member, "s", "left")
+          .withColumn("ws", F.coalesce(F.col("ws"), F.lit(0)))
+          .withColumn("q", F.floor(F.col("tw") / 2) + 1)
+          .join(F.broadcast(idx), how="cross")
+          .filter((bit == 0) & (F.col("ws") < F.col("q"))
+                  & (F.col("ws") + F.col("w") >= F.col("q")))
+          .groupBy("player", "w", "idx")
+          .agg(F.count("*").cast("long").alias("swings")))
+    # players with zero swings still get a row
+    out = (idx.join(sw.select("player", "swings"), "player", "left")
+           .withColumn("swings", F.coalesce(F.col("swings"), F.lit(0)))
+           .crossJoin(F.broadcast(tot.select("n")))
+           .withColumn("banzhaf_raw",
+                       F.col("swings")
+                       / F.pow(F.lit(2.0), F.col("n") - 1)))
+    tot_sw = out.agg(F.sum("swings").alias("tsw"))
+    return (out.crossJoin(F.broadcast(tot_sw))
+            .select("player", "w", "swings",
+                    F.round("banzhaf_raw", 6).alias("banzhaf_raw"),
+                    F.round(F.when(F.col("tsw") > 0,
+                                   F.col("swings") / F.col("tsw")), 6)
+                    .alias("banzhaf_norm"))
+            .orderBy("player"))
+
+
+def banzhaf_sql(players_sql: str) -> str:
+    """DuckDB mirror of :func:`banzhaf` over a (player, w) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT player, CAST(w AS BIGINT) AS w FROM ({players_sql})
+),
+idx AS (
+  SELECT player, w, row_number() OVER (ORDER BY player) - 1 AS idx
+  FROM base
+),
+tot AS (SELECT CAST(count(*) AS INT) AS n, sum(w) AS tw FROM idx),
+subs AS (
+  SELECT t.n, t.tw, g.s
+  FROM tot t JOIN (
+    SELECT unnest(range(0, 1 << 16)) AS s
+  ) g ON g.s < CAST(pow(2.0, (SELECT n FROM tot)) AS BIGINT)
+),
+member AS (
+  SELECT s.s, sum(i.w) AS ws
+  FROM subs s CROSS JOIN idx i
+  WHERE CAST(floor(s.s / pow(2.0, i.idx)) AS BIGINT) % 2 = 1
+  GROUP BY 1
+),
+sw AS (
+  SELECT i.player, CAST(count(*) AS BIGINT) AS swings
+  FROM subs s
+  LEFT JOIN member m ON m.s = s.s
+  CROSS JOIN idx i
+  WHERE CAST(floor(s.s / pow(2.0, i.idx)) AS BIGINT) % 2 = 0
+    AND coalesce(m.ws, 0) < floor(s.tw / 2) + 1
+    AND coalesce(m.ws, 0) + i.w >= floor(s.tw / 2) + 1
+  GROUP BY 1
+),
+out AS (
+  SELECT i.player, i.w, coalesce(sw.swings, 0) AS swings,
+    coalesce(sw.swings, 0) / pow(2.0, (SELECT n FROM tot) - 1)
+      AS banzhaf_raw
+  FROM idx i LEFT JOIN sw ON sw.player = i.player
+)
+SELECT player, w, swings, round(banzhaf_raw, 6) AS banzhaf_raw,
+  round(CASE WHEN (SELECT sum(swings) FROM out) > 0
+    THEN swings / CAST((SELECT sum(swings) FROM out) AS DOUBLE) END, 6)
+    AS banzhaf_norm
+FROM out ORDER BY player
+"""
+
+
+def cronbach_alpha(
+    scores: DataFrame,
+    subj_col: str = "subj",
+    item_col: str = "item",
+    x_col: str = "x",
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability (Cronbach
+    1951, public literature) over k quality-heuristic "items" scored on
+    n documents: α = k/(k−1)·(1 − Σ_i var_i / var_total). The question
+    it answers for a filtering stack: do the k heuristics measure ONE
+    underlying quality trait (α high → averaging them is legitimate)
+    or k different things (α low → a single composite score is a lie).
+    The continuous-score companion to `fleiss_kappa`'s categorical
+    agreement.
+
+    Variances are sample (n−1) and computed as Σ(x−μ)²/(n−1) around
+    exact per-item / total means joined back in — never the
+    Σx²−n·x̄² shortcut, whose cancellation breaks cross-engine parity.
+    Only subjects scored on ALL k items enter. Returns one row:
+    (n_subjects, k_items, sum_item_var, total_var, alpha) rounded 6.
+
+    Scale shape: ONE (subj,item) dedup shuffle, one subj fold for
+    totals, two mean-join passes — all keyed aggregations, no window
+    wider than the item list.
+    """
+    base = (scores.select(F.col(subj_col).alias("subj"),
+                          F.col(item_col).alias("item"),
+                          F.col(x_col).cast("double").alias("x"))
+            .groupBy("subj", "item").agg(F.avg("x").alias("x")))
+    k_tot = base.agg(F.countDistinct("item").alias("k"))
+    complete = (base.groupBy("subj")
+                .agg(F.count("*").alias("ki"), F.sum("x").alias("tot"))
+                .crossJoin(F.broadcast(k_tot))
+                .filter(F.col("ki") == F.col("k"))
+                .select("subj", "tot", "k"))
+    rows = base.join(complete.select("subj"), "subj")
+    imean = rows.groupBy("item").agg(F.avg("x").alias("mu_i"))
+    ivar = (rows.join(imean, "item")
+            .groupBy("item")
+            .agg((F.sum(F.pow(F.col("x") - F.col("mu_i"), 2))
+                  / (F.count("*") - 1)).alias("v_i")))
+    sum_ivar = ivar.agg(F.sum("v_i").alias("siv"))
+    tmean = complete.agg(F.avg("tot").alias("mu_t"),
+                         F.count("*").cast("long").alias("n_subj"),
+                         F.max("k").alias("k"))
+    tvar = (complete.crossJoin(F.broadcast(tmean.select("mu_t")))
+            .agg((F.sum(F.pow(F.col("tot") - F.col("mu_t"), 2))
+                  / (F.count("*") - 1)).alias("v_t")))
+    kk = F.col("k").cast("double")
+    return (tmean.crossJoin(F.broadcast(sum_ivar))
+            .crossJoin(F.broadcast(tvar))
+            .select(F.col("n_subj").alias("n_subjects"),
+                    F.col("k").cast("long").alias("k_items"),
+                    F.round("siv", 6).alias("sum_item_var"),
+                    F.round("v_t", 6).alias("total_var"),
+                    F.round(kk / (kk - 1)
+                            * (1.0 - F.col("siv") / F.col("v_t")), 6)
+                    .alias("alpha")))
+
+
+def cronbach_alpha_sql(scores_sql: str) -> str:
+    """DuckDB mirror of :func:`cronbach_alpha` over a (subj, item, x)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT subj, item, avg(CAST(x AS DOUBLE)) AS x
+  FROM ({scores_sql}) GROUP BY 1, 2
+),
+k_tot AS (SELECT count(DISTINCT item) AS k FROM base),
+complete AS (
+  SELECT subj, sum(x) AS tot, (SELECT k FROM k_tot) AS k
+  FROM base GROUP BY 1
+  HAVING count(*) = (SELECT k FROM k_tot)
+),
+rows_ AS (
+  SELECT b.* FROM base b JOIN complete c ON c.subj = b.subj
+),
+imean AS (SELECT item, avg(x) AS mu_i FROM rows_ GROUP BY 1),
+ivar AS (
+  SELECT r.item, sum(pow(r.x - m.mu_i, 2)) / (count(*) - 1) AS v_i
+  FROM rows_ r JOIN imean m ON m.item = r.item GROUP BY 1
+),
+siv AS (SELECT sum(v_i) AS siv FROM ivar),
+tmean AS (
+  SELECT avg(tot) AS mu_t, CAST(count(*) AS BIGINT) AS n_subj,
+    max(k) AS k
+  FROM complete
+),
+tvar AS (
+  SELECT sum(pow(c.tot - t.mu_t, 2)) / (count(*) - 1) AS v_t
+  FROM complete c CROSS JOIN tmean t
+)
+SELECT t.n_subj AS n_subjects, CAST(t.k AS BIGINT) AS k_items,
+  round(s.siv, 6) AS sum_item_var, round(v.v_t, 6) AS total_var,
+  round(CAST(t.k AS DOUBLE) / (t.k - 1) * (1.0 - s.siv / v.v_t), 6)
+    AS alpha
+FROM tmean t CROSS JOIN siv s CROSS JOIN tvar v
+"""
+
+
+def hellinger(
+    tokens: DataFrame,
+    snap_col: str = "snap",
+    token_col: str = "token",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Hellinger distance between the categorical distributions of two
+    corpus snapshots — the third member of the drift family next to
+    `js_divergence` (information-theoretic) and `psi_drift` (log-odds,
+    blows up on empty bins): H = sqrt(1 − BC) with Bhattacharyya
+    coefficient BC = Σ √(p_i·q_i). H is a proper metric on [0, 1],
+    zero-count bins contribute exactly 0 (no smoothing lies), and
+    H² ≤ JSD·ln2 ≤ 2H² gives a cross-check against the JSD gauge.
+
+    Returns one row: (vocab, n_a, n_b, bc, hellinger) rounded 6.
+
+    Scale shape: ONE groupBy(token) with conditional sums + ONE
+    single-row agg; totals ride a broadcast crossJoin of one row.
+    """
+    per = (tokens.select(F.col(snap_col).alias("snap"),
+                         F.col(token_col).alias("token"))
+           .groupBy("token")
+           .agg(F.sum(F.when(F.col("snap") == a, 1).otherwise(0))
+                .cast("long").alias("c_a"),
+                F.sum(F.when(F.col("snap") == b, 1).otherwise(0))
+                .cast("long").alias("c_b")))
+    tot = per.agg(F.sum("c_a").cast("long").alias("n_a"),
+                  F.sum("c_b").cast("long").alias("n_b"))
+    j = per.crossJoin(F.broadcast(tot))
+    term = F.sqrt((F.col("c_a") / F.col("n_a").cast("double"))
+                  * (F.col("c_b") / F.col("n_b").cast("double")))
+    agg = j.agg(F.count("*").cast("long").alias("vocab"),
+                F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.sum(term).alias("bc"))
+    return agg.select(
+        "vocab", "n_a", "n_b",
+        F.round("bc", 6).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - F.col("bc"),
+                                  F.lit(0.0))), 6).alias("hellinger"))
+
+
+def hellinger_sql(tokens_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB mirror of :func:`hellinger` over a (snap, token) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT token,
+    CAST(sum(CASE WHEN snap = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(sum(CASE WHEN snap = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM ({tokens_sql}) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+    CAST(sum(c_b) AS BIGINT) AS n_b
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab,
+  max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+  round(sum(sqrt((p.c_a / CAST(t.n_a AS DOUBLE))
+                 * (p.c_b / CAST(t.n_b AS DOUBLE)))), 6) AS bc,
+  round(sqrt(greatest(1.0 - sum(sqrt((p.c_a / CAST(t.n_a AS DOUBLE))
+                 * (p.c_b / CAST(t.n_b AS DOUBLE)))), 0.0)), 6)
+    AS hellinger
+FROM per p CROSS JOIN tot t
+"""
+
+
+def jarque_bera(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980, public
+    literature) over a metric column (per-host latency, quality score):
+    JB = n/6·(S² + K²/4) with sample skewness S = m₃/m₂^1.5 and EXCESS
+    kurtosis K = m₄/m₂² − 3 from central moments. The gate before any
+    z-score / 3-sigma alerting rule (`rolling_z`, `robust_outliers`):
+    JB ≫ 9.2 (χ²₂ at 1%) means the Gaussian tail math those alerts
+    assume is wrong and quantile rules should be used instead.
+
+    Moments are computed as averages of powered deviations around the
+    exact mean joined back in — never the Σx^k raw-moment shortcut,
+    whose catastrophic cancellation breaks cross-engine parity. Engine
+    builtins (skewness/kurtosis) are avoided for the same reason: Spark
+    and DuckDB disagree on sample-vs-population corrections.
+
+    Returns one row: (n, skew, ex_kurtosis, jb) rounded 6.
+
+    Scale shape: one mean agg broadcast back + ONE moment agg — two
+    passes over the column, no window, no shuffle wider than a row.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    mu = base.agg(F.avg("x").alias("mu"))
+    dev = base.crossJoin(F.broadcast(mu)).select(
+        (F.col("x") - F.col("mu")).alias("d"))
+    m = dev.agg(F.count("*").cast("long").alias("n"),
+                F.avg(F.pow("d", 2)).alias("m2"),
+                F.avg(F.pow("d", 3)).alias("m3"),
+                F.avg(F.pow("d", 4)).alias("m4"))
+    s = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    k = F.col("m4") / F.pow(F.col("m2"), 2) - 3.0
+    return m.select(
+        "n", F.round(s, 6).alias("skew"),
+        F.round(k, 6).alias("ex_kurtosis"),
+        F.round(F.col("n") / 6.0 * (F.pow(s, 2) + F.pow(k, 2) / 4.0), 6)
+        .alias("jb"))
+
+
+def jarque_bera_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`jarque_bera` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+mu AS (SELECT avg(x) AS mu FROM base),
+dev AS (SELECT b.x - m.mu AS d FROM base b CROSS JOIN mu m),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    avg(pow(d, 2)) AS m2, avg(pow(d, 3)) AS m3, avg(pow(d, 4)) AS m4
+  FROM dev
+)
+SELECT n,
+  round(m3 / pow(m2, 1.5), 6) AS skew,
+  round(m4 / pow(m2, 2) - 3.0, 6) AS ex_kurtosis,
+  round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                   + pow(m4 / pow(m2, 2) - 3.0, 2) / 4.0), 6) AS jb
+FROM mom
+"""
+
+
+def copeland(
+    ballots: DataFrame,
+    voter_col: str = "voter",
+    cand_col: str = "cand",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Copeland pairwise-majority ranking (Copeland 1951, public
+    literature) over ranked ballots — the Condorcet-consistent
+    aggregator next to `borda_fusion`'s positional one: candidate x
+    beats y if a strict majority of voters ranking both put x first;
+    the Copeland score is wins − losses over all pairwise duels. Where
+    Borda rewards broad mediocrity, Copeland finds the candidate that
+    survives every head-to-head — and they disagree exactly on the
+    cyclic profiles that make rank fusion interesting (quality raters,
+    ranker ensembles, mirror-preference votes).
+
+    Pairwise duels count only voters who ranked BOTH candidates (lower
+    rank = preferred). Ties in a duel give each side half a win.
+    Returns per candidate: (cand, wins, ties, losses, copeland) with
+    copeland = wins − losses, ordered by cand.
+
+    Scale shape: the duel join is EQUI-keyed on voter — quadratic only
+    within one ballot, bounded by ballot length; then one groupBy(pair)
+    + one groupBy(cand). No global window anywhere.
+    """
+    base = (ballots.select(F.col(voter_col).alias("voter"),
+                           F.col(cand_col).alias("cand"),
+                           F.col(rank_col).cast("long").alias("rank"))
+            .groupBy("voter", "cand").agg(F.min("rank").alias("rank")))
+    a = base.select("voter", F.col("cand").alias("x"),
+                    F.col("rank").alias("rx"))
+    b = base.select("voter", F.col("cand").alias("y"),
+                    F.col("rank").alias("ry"))
+    duel = (a.join(b, "voter")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.sum((F.col("rx") < F.col("ry")).cast("int"))
+                 .cast("long").alias("wx"),
+                 F.sum((F.col("ry") < F.col("rx")).cast("int"))
+                 .cast("long").alias("wy")))
+    win_x = F.when(F.col("wx") > F.col("wy"), 1).otherwise(0)
+    win_y = F.when(F.col("wy") > F.col("wx"), 1).otherwise(0)
+    tie = F.when(F.col("wx") == F.col("wy"), 1).otherwise(0)
+    per = (duel.select(F.col("x").alias("cand"), win_x.alias("w"),
+                       tie.alias("t"), win_y.alias("l"))
+           .unionByName(
+               duel.select(F.col("y").alias("cand"), win_y.alias("w"),
+                           tie.alias("t"), win_x.alias("l"))))
+    return (per.groupBy("cand")
+            .agg(F.sum("w").cast("long").alias("wins"),
+                 F.sum("t").cast("long").alias("ties"),
+                 F.sum("l").cast("long").alias("losses"))
+            .withColumn("copeland",
+                        (F.col("wins") - F.col("losses")).cast("long"))
+            .orderBy("cand"))
+
+
+def copeland_sql(ballots_sql: str) -> str:
+    """DuckDB mirror of :func:`copeland` over a (voter, cand, rank)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT voter, cand, CAST(min(rank) AS BIGINT) AS rank
+  FROM ({ballots_sql}) GROUP BY 1, 2
+),
+duel AS (
+  SELECT a.cand AS x, b.cand AS y,
+    CAST(sum(CASE WHEN a.rank < b.rank THEN 1 ELSE 0 END) AS BIGINT)
+      AS wx,
+    CAST(sum(CASE WHEN b.rank < a.rank THEN 1 ELSE 0 END) AS BIGINT)
+      AS wy
+  FROM base a JOIN base b ON a.voter = b.voter AND a.cand < b.cand
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT x AS cand,
+    CASE WHEN wx > wy THEN 1 ELSE 0 END AS w,
+    CASE WHEN wx = wy THEN 1 ELSE 0 END AS t,
+    CASE WHEN wy > wx THEN 1 ELSE 0 END AS l
+  FROM duel
+  UNION ALL
+  SELECT y AS cand,
+    CASE WHEN wy > wx THEN 1 ELSE 0 END AS w,
+    CASE WHEN wx = wy THEN 1 ELSE 0 END AS t,
+    CASE WHEN wx > wy THEN 1 ELSE 0 END AS l
+  FROM duel
+)
+SELECT cand, CAST(sum(w) AS BIGINT) AS wins,
+  CAST(sum(t) AS BIGINT) AS ties,
+  CAST(sum(l) AS BIGINT) AS losses,
+  CAST(sum(w) - sum(l) AS BIGINT) AS copeland
+FROM per GROUP BY 1 ORDER BY cand
+"""
+
+
+def negbin_fit(
+    counts: DataFrame,
+    k_col: str = "k",
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit (public literature)
+    over a count column (per-host fetches, per-URL revisits): with
+    sample mean μ and variance s², r = μ²/(s²−μ) and p = μ/s². The
+    follow-through to `overdisp`'s yes/no: once the Poisson is
+    rejected, these are the parameters a capacity planner actually
+    simulates from — small r means a few hosts will absorb wildly more
+    than μ fetches, which sizes the politeness queue tail.
+
+    Variance is sample (n−1) around the EXACT mean joined back in (the
+    Σk²−n·k̄² shortcut's cancellation breaks cross-engine parity).
+    When s² ≤ μ (no overdispersion) r and p are NULL and the
+    `overdispersed` flag is 0. Returns one row: (n, mean, var,
+    overdispersed, r, p) rounded 6.
+
+    Scale shape: one mean agg broadcast back + one deviation agg —
+    two keyed passes, single-row output.
+    """
+    base = counts.select(F.col(k_col).cast("double").alias("k"))
+    mu = base.agg(F.avg("k").alias("mu"))
+    dev = base.crossJoin(F.broadcast(mu))
+    m = dev.agg(F.count("*").cast("long").alias("n"),
+                F.max("mu").alias("mu"),
+                (F.sum(F.pow(F.col("k") - F.col("mu"), 2))
+                 / (F.count("*") - 1)).alias("s2"))
+    over = F.col("s2") > F.col("mu")
+    return m.select(
+        "n", F.round("mu", 6).alias("mean"),
+        F.round("s2", 6).alias("var"),
+        over.cast("int").alias("overdispersed"),
+        F.round(F.when(over, F.pow(F.col("mu"), 2)
+                       / (F.col("s2") - F.col("mu"))), 6).alias("r"),
+        F.round(F.when(over, F.col("mu") / F.col("s2")), 6).alias("p"))
+
+
+def negbin_fit_sql(counts_sql: str) -> str:
+    """DuckDB mirror of :func:`negbin_fit` over a (k) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(k AS DOUBLE) AS k FROM ({counts_sql})),
+mu AS (SELECT avg(k) AS mu FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(mu.mu) AS mu,
+    sum(pow(b.k - mu.mu, 2)) / (count(*) - 1) AS s2
+  FROM base b CROSS JOIN mu
+)
+SELECT n, round(mu, 6) AS mean, round(s2, 6) AS var,
+  CAST(s2 > mu AS INT) AS overdispersed,
+  round(CASE WHEN s2 > mu THEN pow(mu, 2) / (s2 - mu) END, 6) AS r,
+  round(CASE WHEN s2 > mu THEN mu / s2 END, 6) AS p
+FROM m
+"""
+
+
+def lin_ccc(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989, public
+    literature) between two continuous scorers of the same items — the
+    agreement gauge that Pearson r refuses to be: r rewards any linear
+    relation, CCC only the identity line. ccc = 2·s_xy /
+    (s_x² + s_y² + (μ_x−μ_y)²). For two quality models scoring the
+    same documents, r ≈ 1 with ccc ≪ 1 means "same ranking, different
+    calibration" — rescale, don't retrain. C_b = ccc/r isolates that
+    calibration penalty.
+
+    Moments are population (÷n) around exact means joined back in (the
+    cancellation-safe form). Returns one row: (n, pearson, ccc, c_b)
+    rounded 6.
+
+    Scale shape: one mean agg broadcast back + one co-moment agg — two
+    keyed passes, single-row output.
+    """
+    base = pairs.select(F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"))
+    mu = base.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    dev = base.crossJoin(F.broadcast(mu))
+    m = dev.agg(F.count("*").cast("long").alias("n"),
+                F.max("mx").alias("mx"), F.max("my").alias("my"),
+                F.avg((F.col("x") - F.col("mx"))
+                      * (F.col("y") - F.col("my"))).alias("sxy"),
+                F.avg(F.pow(F.col("x") - F.col("mx"), 2)).alias("sx2"),
+                F.avg(F.pow(F.col("y") - F.col("my"), 2)).alias("sy2"))
+    r = F.col("sxy") / F.sqrt(F.col("sx2") * F.col("sy2"))
+    ccc = (2.0 * F.col("sxy")
+           / (F.col("sx2") + F.col("sy2")
+              + F.pow(F.col("mx") - F.col("my"), 2)))
+    return m.select("n", F.round(r, 6).alias("pearson"),
+                    F.round(ccc, 6).alias("ccc"),
+                    F.round(ccc / r, 6).alias("c_b"))
+
+
+def lin_ccc_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`lin_ccc` over an (x, y) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM ({pairs_sql})
+),
+mu AS (SELECT avg(x) AS mx, avg(y) AS my FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(mx) AS mx, max(my) AS my,
+    avg((x - mx) * (y - my)) AS sxy,
+    avg(pow(x - mx, 2)) AS sx2, avg(pow(y - my, 2)) AS sy2
+  FROM base CROSS JOIN mu
+)
+SELECT n,
+  round(sxy / sqrt(sx2 * sy2), 6) AS pearson,
+  round(2.0 * sxy / (sx2 + sy2 + pow(mx - my, 2)), 6) AS ccc,
+  round((2.0 * sxy / (sx2 + sy2 + pow(mx - my, 2)))
+        / (sxy / sqrt(sx2 * sy2)), 6) AS c_b
+FROM m
+"""
+
+
+def kendall_w(
+    ratings: DataFrame,
+    rater_col: str = "rater",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939, public literature) over m complete tie-free rankings of
+    n items: W = 12·S / (m²·(n³−n)) with S the sum of squared
+    deviations of per-item rank totals from their mean. The effect-size
+    companion to `friedman`'s p-value — how MUCH do the m rankers
+    (quality heuristics, ranking functions, human raters) agree, 0 =
+    random, 1 = unanimous; χ² = m·(n−1)·W is the significance bridge.
+
+    Only complete tie-free rankings are defined here (the fixture
+    contract: ranks are row_numbers); use `friedman` when ties matter.
+    S is computed around the EXACT mean total joined back in. Returns
+    one row: (m, n_items, w, chi2) rounded 6.
+
+    Scale shape: one groupBy(item) for totals + one single-row fold —
+    the item-total table is the only shuffled payload.
+    """
+    base = ratings.select(F.col(rater_col).alias("rater"),
+                          F.col(item_col).alias("item"),
+                          F.col(rank_col).cast("double").alias("rank"))
+    m_cnt = base.agg(F.countDistinct("rater").cast("long").alias("m"))
+    tot = base.groupBy("item").agg(F.sum("rank").alias("r_i"))
+    mu = tot.agg(F.avg("r_i").alias("mu"),
+                 F.count("*").cast("long").alias("n_items"))
+    s = (tot.crossJoin(F.broadcast(mu))
+         .agg(F.max("n_items").alias("n_items"),
+              F.sum(F.pow(F.col("r_i") - F.col("mu"), 2)).alias("s")))
+    nn = F.col("n_items").cast("double")
+    w = (12.0 * F.col("s")
+         / (F.col("m") * F.col("m") * (F.pow(nn, 3) - nn)))
+    return (s.crossJoin(F.broadcast(m_cnt))
+            .select("m", "n_items", F.round(w, 6).alias("w"),
+                    F.round(F.col("m") * (nn - 1.0) * w, 6)
+                    .alias("chi2")))
+
+
+def kendall_w_sql(ratings_sql: str) -> str:
+    """DuckDB mirror of :func:`kendall_w` over a (rater, item, rank)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT rater, item, CAST(rank AS DOUBLE) AS rank
+  FROM ({ratings_sql})
+),
+m_cnt AS (SELECT CAST(count(DISTINCT rater) AS BIGINT) AS m FROM base),
+tot AS (SELECT item, sum(rank) AS r_i FROM base GROUP BY 1),
+mu AS (
+  SELECT avg(r_i) AS mu, CAST(count(*) AS BIGINT) AS n_items FROM tot
+),
+s AS (
+  SELECT max(n_items) AS n_items, sum(pow(r_i - mu, 2)) AS s
+  FROM tot CROSS JOIN mu
+)
+SELECT m, n_items,
+  round(12.0 * s / (m * m * (pow(CAST(n_items AS DOUBLE), 3)
+                             - n_items)), 6) AS w,
+  round(m * (CAST(n_items AS DOUBLE) - 1.0)
+        * 12.0 * s / (m * m * (pow(CAST(n_items AS DOUBLE), 3)
+                               - n_items)), 6) AS chi2
+FROM s CROSS JOIN m_cnt
+"""
+
+
+def bartlett(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Bartlett's test of equal variances (Bartlett 1937, public
+    literature) across k groups — the parametric member of the
+    variance-homogeneity family next to `levene` (mean-based robust)
+    and Brown-Forsythe (median-based): T = [(N−k)·ln s_p² −
+    Σ(n_i−1)·ln s_i²] / C with the usual C correction, χ²_{k−1} under
+    H₀. Most powerful when the data are near-normal (gate with
+    `jarque_bera`); inflates wildly on heavy tails, which is exactly
+    why all three live side by side.
+
+    Group variances are sample (n_i−1) around exact group means joined
+    back in. Groups with n_i < 2 are excluded (their variance is
+    undefined). Returns one row: (k, n, pooled_var, statistic)
+    rounded 6.
+
+    Scale shape: one groupBy(grp) mean pass, one deviation pass, one
+    single-row fold — all keyed, no window.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(x_col).cast("double").alias("x"))
+    gmu = base.groupBy("grp").agg(F.avg("x").alias("mu"),
+                                  F.count("*").cast("long").alias("ni"))
+    gv = (base.join(gmu, "grp")
+          .filter(F.col("ni") >= 2)
+          .groupBy("grp", "ni")
+          .agg((F.sum(F.pow(F.col("x") - F.col("mu"), 2))
+                / (F.max("ni") - 1)).alias("s2")))
+    agg = gv.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum((F.col("ni") - 1) * F.col("s2")).alias("ss"),
+        F.sum((F.col("ni") - 1) * F.log("s2")).alias("sumlog"),
+        F.sum(1.0 / (F.col("ni") - 1)).alias("sinv"))
+    nk = (F.col("n") - F.col("k")).cast("double")
+    sp2 = F.col("ss") / nk
+    c = (1.0 + (F.col("sinv") - 1.0 / nk)
+         / (3.0 * (F.col("k").cast("double") - 1.0)))
+    t = (nk * F.log(sp2) - F.col("sumlog")) / c
+    return agg.select("k", "n", F.round(sp2, 6).alias("pooled_var"),
+                      F.round(t, 6).alias("statistic"))
+
+
+def bartlett_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`bartlett` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x FROM ({samples_sql})
+),
+gmu AS (
+  SELECT grp, avg(x) AS mu, CAST(count(*) AS BIGINT) AS ni
+  FROM base GROUP BY 1
+),
+gv AS (
+  SELECT b.grp, max(g.ni) AS ni,
+    sum(pow(b.x - g.mu, 2)) / (max(g.ni) - 1) AS s2
+  FROM base b JOIN gmu g ON g.grp = b.grp
+  WHERE g.ni >= 2
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+    sum((ni - 1) * s2) AS ss, sum((ni - 1) * ln(s2)) AS sumlog,
+    sum(1.0 / (ni - 1)) AS sinv
+  FROM gv
+)
+SELECT k, n,
+  round(ss / CAST(n - k AS DOUBLE), 6) AS pooled_var,
+  round((CAST(n - k AS DOUBLE) * ln(ss / CAST(n - k AS DOUBLE))
+         - sumlog)
+        / (1.0 + (sinv - 1.0 / CAST(n - k AS DOUBLE))
+           / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS statistic
+FROM agg
+"""
+
+
+def weighted_kappa(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa (Cohen 1968, public literature)
+    between two ORDINAL raters on an integer scale — the graded-label
+    member of the agreement family: `kappa` treats a 1-vs-5 clash the
+    same as 1-vs-2, weighted kappa charges (i−j)²/(c_max−c_min)². The
+    right gauge for quality TIERS (two models bucketing documents
+    1..5): κ_w = (p_o^w − p_e^w)/(1 − p_e^w), expectation from the
+    product of marginals.
+
+    Runs integer-exact until the final ratios: observed and expected
+    accumulate as Σ count·(i−j)² BIGINTs, divided by n (resp. n²)
+    once. Returns one row: (n, c_min, c_max, po_w, pe_w, kappa_w)
+    rounded 6.
+
+    Scale shape: one groupBy(a,b) contingency pass + broadcast
+    marginal-product join — the c×c table is the only joined payload.
+    """
+    base = pairs.select(F.col(a_col).cast("long").alias("a"),
+                        F.col(b_col).cast("long").alias("b"))
+    obs = base.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("o"))
+    lim = base.agg(
+        F.least(F.min("a"), F.min("b")).alias("c_min"),
+        F.greatest(F.max("a"), F.max("b")).alias("c_max"),
+        F.count("*").cast("long").alias("n"))
+    ma = base.groupBy("a").agg(F.count("*").cast("long").alias("na"))
+    mb = base.groupBy("b").agg(F.count("*").cast("long").alias("nb"))
+    span2 = F.pow((F.col("c_max") - F.col("c_min")).cast("double"), 2)
+    d2 = F.pow((F.col("a") - F.col("b")).cast("double"), 2)
+    po = (obs.crossJoin(F.broadcast(lim))
+          .agg(F.max("n").alias("n"), F.max("c_min").alias("c_min"),
+               F.max("c_max").alias("c_max"),
+               (F.sum(F.col("o") * d2 / span2)
+                / F.max("n")).alias("dis_o")))
+    pe = (ma.crossJoin(mb).crossJoin(F.broadcast(lim))
+          .agg((F.sum(F.col("na") * F.col("nb") * d2 / span2)
+                / (F.max("n") * F.max("n"))).alias("dis_e")))
+    return (po.crossJoin(F.broadcast(pe))
+            .select("n", "c_min", "c_max",
+                    F.round(1.0 - F.col("dis_o"), 6).alias("po_w"),
+                    F.round(1.0 - F.col("dis_e"), 6).alias("pe_w"),
+                    F.round(1.0 - F.col("dis_o") / F.col("dis_e"), 6)
+                    .alias("kappa_w")))
+
+
+def weighted_kappa_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`weighted_kappa` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM ({pairs_sql})
+),
+lim AS (
+  SELECT least(min(a), min(b)) AS c_min,
+    greatest(max(a), max(b)) AS c_max,
+    CAST(count(*) AS BIGINT) AS n
+  FROM base
+),
+obs AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY 1),
+mb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY 1),
+po AS (
+  SELECT max(l.n) AS n, max(l.c_min) AS c_min, max(l.c_max) AS c_max,
+    sum(o.o * pow(CAST(o.a - o.b AS DOUBLE), 2)
+        / pow(CAST(l.c_max - l.c_min AS DOUBLE), 2)) / max(l.n)
+      AS dis_o
+  FROM obs o CROSS JOIN lim l
+),
+pe AS (
+  SELECT sum(ma.na * mb.nb * pow(CAST(ma.a - mb.b AS DOUBLE), 2)
+             / pow(CAST(l.c_max - l.c_min AS DOUBLE), 2))
+         / (max(l.n) * max(l.n)) AS dis_e
+  FROM ma CROSS JOIN mb CROSS JOIN lim l
+)
+SELECT po.n, po.c_min, po.c_max,
+  round(1.0 - po.dis_o, 6) AS po_w,
+  round(1.0 - pe.dis_e, 6) AS pe_w,
+  round(1.0 - po.dis_o / pe.dis_e, 6) AS kappa_w
+FROM po CROSS JOIN pe
+"""
+
+
+def bland_altman(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z: float = 1.96,
+) -> DataFrame:
+    """Bland-Altman limits of agreement (Bland & Altman 1986, public
+    literature) between two measurement methods on the same items: bias
+    = mean(x−y), LoA = bias ± z·sd(x−y). Where `lin_ccc` compresses
+    agreement to one number, the LoA answer the operational question —
+    "if I swap scorer y for scorer x, how far can a single document's
+    score move?" — and frac_within audits the normality assumption
+    behind the ±z band (≈95% when differences are Gaussian).
+
+    The sd is sample (n−1) around the exact mean difference joined
+    back in. Returns one row: (n, bias, sd, loa_lo, loa_hi,
+    frac_within) rounded 6.
+
+    Scale shape: one mean agg broadcast back + one deviation agg + one
+    counted re-pass against the broadcast limits — three keyed passes,
+    single-row output.
+    """
+    base = pairs.select((F.col(x_col).cast("double")
+                         - F.col(y_col).cast("double")).alias("d"))
+    mu = base.agg(F.avg("d").alias("bias"))
+    m = (base.crossJoin(F.broadcast(mu))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.max("bias").alias("bias"),
+              F.sqrt(F.sum(F.pow(F.col("d") - F.col("bias"), 2))
+                     / (F.count("*") - 1)).alias("sd")))
+    lim = m.select(
+        "n", "bias", "sd",
+        (F.col("bias") - z * F.col("sd")).alias("lo"),
+        (F.col("bias") + z * F.col("sd")).alias("hi"))
+    within = (base.crossJoin(F.broadcast(lim))
+              .agg(F.max("n").alias("n"), F.max("bias").alias("bias"),
+                   F.max("sd").alias("sd"), F.max("lo").alias("lo"),
+                   F.max("hi").alias("hi"),
+                   F.avg(((F.col("d") >= F.col("lo"))
+                          & (F.col("d") <= F.col("hi")))
+                         .cast("double")).alias("fw")))
+    return within.select(
+        "n", F.round("bias", 6).alias("bias"),
+        F.round("sd", 6).alias("sd"),
+        F.round("lo", 6).alias("loa_lo"),
+        F.round("hi", 6).alias("loa_hi"),
+        F.round("fw", 6).alias("frac_within"))
+
+
+def bland_altman_sql(pairs_sql: str, z: float = 1.96) -> str:
+    """DuckDB mirror of :func:`bland_altman` over an (x, y) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+  FROM ({pairs_sql})
+),
+mu AS (SELECT avg(d) AS bias FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(bias) AS bias,
+    sqrt(sum(pow(d - bias, 2)) / (count(*) - 1)) AS sd
+  FROM base CROSS JOIN mu
+),
+lim AS (
+  SELECT n, bias, sd, bias - {z!r} * sd AS lo, bias + {z!r} * sd AS hi
+  FROM m
+)
+SELECT max(l.n) AS n, round(max(l.bias), 6) AS bias,
+  round(max(l.sd), 6) AS sd,
+  round(max(l.lo), 6) AS loa_lo, round(max(l.hi), 6) AS loa_hi,
+  round(avg(CAST(b.d >= l.lo AND b.d <= l.hi AS DOUBLE)), 6)
+    AS frac_within
+FROM base b CROSS JOIN lim l
+"""

@@ -2799,3 +2799,204 @@ c{i + 1} AS (
 SELECT u, v, CAST(support AS BIGINT) AS support
 FROM c{int(n_iters)} ORDER BY u, v""")
     return "".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 4,
+    alpha: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank with a seed teleport set (Haveliwala 2002,
+    public literature) — the seed-expansion workhorse: the random walk
+    teleports to the TRUSTED seed hosts instead of everywhere, so mass
+    concentrates in the seeds' link neighborhood. The query a frontier
+    planner asks before opening a new topical crawl: "which un-crawled
+    hosts are closest, link-wise, to my seed list". Generalizes
+    `host_pagerank` (uniform teleport) and `trust_rank` shares the
+    seed-bias idea for spam demotion.
+
+    r ← (1−α)·s + α·(Pᵀr + dangling·s), s uniform over seeds; per-step
+    round(12) for engine parity, fixed iteration envelope. Returns
+    (node, ppr rounded 6, is_seed) ordered by node.
+
+    Scale shape: per iteration ONE join + groupBy on the distinct edge
+    list plus a single-row dangling broadcast — exactly a PageRank
+    step; the seed indicator is a broadcast semi-join.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct() \
+        .join(nodes, "node")
+    n_seed = sd.agg(F.count("*").cast("double").alias("ns"))
+    sv = (nodes.join(sd.withColumn("__is", F.lit(1)), "node", "left")
+          .crossJoin(F.broadcast(n_seed))
+          .select("node",
+                  (F.coalesce(F.col("__is"), F.lit(0)) / F.col("ns"))
+                  .alias("s"),
+                  F.coalesce(F.col("__is"), F.lit(0)).alias("is_seed")))
+    outd = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    a = float(alpha)
+    cur = sv.select("node", "s", "is_seed", F.col("s").alias("r"))
+    for _ in range(int(n_iters)):
+        push = (e.join(cur.select(F.col("node").alias("src"), "r"), "src")
+                .join(outd, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("r") / F.col("od")).alias("__in")))
+        dang = (cur.join(outd.select(F.col("src").alias("node"), "od"),
+                         "node", "left")
+                .filter(F.col("od").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        cur = (cur.join(push, "node", "left")
+               .crossJoin(F.broadcast(dang))
+               .select("node", "s", "is_seed",
+                       F.round((1.0 - a) * F.col("s")
+                               + a * (F.coalesce(F.col("__in"),
+                                                 F.lit(0.0))
+                                      + F.col("dm") * F.col("s")), 12)
+                       .alias("r")))
+        cur = cur.localCheckpoint(eager=False)
+    return cur.select("node", F.round("r", 6).alias("ppr"),
+                      F.col("is_seed").cast("int").alias("is_seed")) \
+        .orderBy("node")
+
+
+def personalized_pagerank_sql(edges_sql: str, seeds_sql: str,
+                              n_iters: int = 4,
+                              alpha: float = 0.85) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank`: unrolled
+    teleport-to-seed power iterations with per-step round(…,12)."""
+    a = float(alpha)
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sd AS (
+  SELECT DISTINCT s.node FROM ({seeds_sql}) s
+  JOIN nodes n ON n.node = s.node
+),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+sv AS (
+  SELECT n.node,
+    CASE WHEN sd.node IS NOT NULL THEN 1.0 ELSE 0.0 END
+      / (SELECT ns FROM ns) AS s,
+    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM nodes n LEFT JOIN sd ON sd.node = n.node
+),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+r0 AS (SELECT node, s, is_seed, s AS r FROM sv)"""]
+    for i in range(int(n_iters)):
+        parts.append(f""",
+p{i} AS (
+  SELECT e.dst AS node, sum(r.r / o.od) AS m
+  FROM e JOIN r{i} r ON r.node = e.src JOIN outd o ON o.src = e.src
+  GROUP BY 1
+),
+d{i} AS (
+  SELECT coalesce(sum(r.r), 0.0) AS dm
+  FROM r{i} r LEFT JOIN outd o ON o.src = r.node
+  WHERE o.src IS NULL
+),
+r{i + 1} AS (
+  SELECT r.node, r.s, r.is_seed,
+    round({1.0 - a!r} * r.s
+      + {a!r} * (coalesce(p.m, 0.0) + d.dm * r.s), 12) AS r
+  FROM r{i} r LEFT JOIN p{i} p ON p.node = r.node
+  CROSS JOIN d{i} d
+)""")
+    parts.append(f"""
+SELECT node, round(r, 6) AS ppr, CAST(is_seed AS INT) AS is_seed
+FROM r{int(n_iters)} ORDER BY node""")
+    return "".join(parts)
+
+
+def bib_coupling(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_shared: int = 2,
+    max_indegree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963, public literature): two
+    source hosts are coupled by the OUT-links they share — the dual of
+    `cocitation_pairs` (which couples targets by shared citers). On a
+    web graph, high coupling between sources whose outlink sets overlap
+    flags template families, mirror navigation, and link farms seeded
+    from the same list; cosine normalization sqrt(deg_a·deg_b) keeps
+    hub sources from dominating.
+
+    Returns per coupled pair (src_a < src_b): (src_a, src_b, shared,
+    deg_a, deg_b, coupling rounded 6), ordered by (src_a, src_b).
+
+    Scale shape: the pair join is EQUI-keyed on dst, quadratic only
+    within one target's citers — the ``max_indegree`` guard drops
+    mega-shared targets (the skew knob, same move as cocitation's);
+    out-degrees ride a broadcast join back.
+    """
+    base = (edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+            .distinct())
+    deg = base.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    keep = (base.groupBy("dst").agg(F.count("*").alias("__in"))
+            .filter(F.col("__in") <= max_indegree)
+            .select("dst"))
+    pruned = base.join(keep, "dst")
+    a = pruned.select("dst", F.col("src").alias("src_a"))
+    b = pruned.select("dst", F.col("src").alias("src_b"))
+    pairs = (a.join(b, "dst")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count("*").cast("long").alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    return (pairs
+            .join(F.broadcast(deg.select(F.col("src").alias("src_a"),
+                                         F.col("deg").alias("deg_a"))),
+                  "src_a")
+            .join(F.broadcast(deg.select(F.col("src").alias("src_b"),
+                                         F.col("deg").alias("deg_b"))),
+                  "src_b")
+            .select("src_a", "src_b", "shared", "deg_a", "deg_b",
+                    F.round(F.col("shared")
+                            / F.sqrt((F.col("deg_a") * F.col("deg_b"))
+                                     .cast("double")), 6)
+                    .alias("coupling"))
+            .orderBy("src_a", "src_b"))
+
+
+def bib_coupling_sql(edges_sql: str, min_shared: int = 2,
+                     max_indegree: int = 1000) -> str:
+    """DuckDB mirror of :func:`bib_coupling` over a (src, dst) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM base GROUP BY 1
+),
+keep AS (
+  SELECT dst FROM base GROUP BY 1
+  HAVING count(*) <= {max_indegree}
+),
+pruned AS (SELECT b.* FROM base b JOIN keep k USING (dst)),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+    CAST(count(*) AS BIGINT) AS shared
+  FROM pruned a JOIN pruned b
+    ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT p.src_a, p.src_b, p.shared, da.deg AS deg_a, db.deg AS deg_b,
+  round(p.shared / sqrt(CAST(da.deg * db.deg AS DOUBLE)), 6)
+    AS coupling
+FROM pairs p
+JOIN deg da ON da.src = p.src_a
+JOIN deg db ON db.src = p.src_b
+ORDER BY p.src_a, p.src_b
+"""

@@ -3194,3 +3194,50 @@ SELECT grp, pos, job, a, b, c1,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
 FROM cum ORDER BY grp, pos
 """
+
+
+def hoover_index(
+    fetches: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Hoover (Robin Hood) index of the per-host fetch allocation
+    (Hoover 1936, public literature): H = ½·Σ|x_i/Σx − 1/n| — the
+    share of total fetch budget that would have to MOVE between hosts
+    to equalize the allocation. The bluntest of the repo's three
+    inequality dials (`host_gini` rank-weighted, `atkinson_index`
+    welfare-weighted): a scheduler review reads H directly as
+    "re-shuffle 23% of requests to be perfectly fair".
+
+    Returns one row: (n_hosts, n_fetches, hoover rounded 6, plus
+    top_share = largest single-host share rounded 6 for context).
+
+    Scale shape: ONE groupBy(host) count + ONE global fold; the
+    equal-share constant folds into the agg — nothing else moves.
+    """
+    cnt = (fetches.groupBy(F.col(host_col).alias("host"))
+           .agg(F.count("*").cast("double").alias("x")))
+    tot = cnt.agg(F.sum("x").alias("tx"),
+                  F.count("*").cast("long").alias("n"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .agg(F.max("n").alias("n_hosts"),
+                 F.max("tx").cast("long").alias("n_fetches"),
+                 F.round(0.5 * F.sum(F.abs(
+                     F.col("x") / F.col("tx") - 1.0 / F.col("n"))), 6)
+                 .alias("hoover"),
+                 F.round(F.max(F.col("x") / F.col("tx")), 6)
+                 .alias("top_share")))
+
+
+def hoover_index_sql(fetch_sql: str) -> str:
+    """DuckDB mirror of :func:`hoover_index` over a (host, …) SELECT."""
+    return f"""
+WITH cnt AS (
+  SELECT host, CAST(count(*) AS DOUBLE) AS x
+  FROM ({fetch_sql}) GROUP BY 1
+),
+tot AS (SELECT sum(x) AS tx, CAST(count(*) AS BIGINT) AS n FROM cnt)
+SELECT max(t.n) AS n_hosts, CAST(max(t.tx) AS BIGINT) AS n_fetches,
+  round(0.5 * sum(abs(c.x / t.tx - 1.0 / t.n)), 6) AS hoover,
+  round(max(c.x / t.tx), 6) AS top_share
+FROM cnt c CROSS JOIN tot t
+"""

@@ -1915,3 +1915,206 @@ SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_t,
   round(exp(-h), 6) AS km_check
 FROM cum WHERE d_t > 0 ORDER BY t
 """
+
+
+def wasserstein_1d(
+    values: DataFrame,
+    grp_a,
+    val_col: str = "v",
+    grp_col: str = "grp",
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between slice A and B of
+    an integer metric — the drift gauge that, unlike KS's max-gap
+    (`ks_drift`), weighs HOW FAR mass moved, not just whether it moved:
+    W1 = ∫|ECDF_a − ECDF_b| dv, the average distance each probability
+    quantum travels. A proxy cap that truncates the top 1% barely moves
+    KS but shows up in W1 proportionally to the truncated distance.
+
+    Runs integer-exact until the last division: per distinct value the
+    scaled ECDF gap is |cum_a·n_b − cum_b·n_a| (BIGINT), multiplied by
+    the gap to the next distinct value and summed as BIGINT; ONE divide
+    by n_a·n_b at the end, so both engines round the same double once.
+    Returns one row: (n_a, n_b, n_values, w1 rounded 6).
+
+    Scale shape: ONE groupBy(v) (map-side combinable) + windows over the
+    DISTINCT-VALUE table — bounded for binned/integer metrics; bin first
+    if the support is unbounded. Final agg is a single row.
+    """
+    per = (values.select(F.col(val_col).cast("long").alias("v"),
+                         (F.col(grp_col) == grp_a).alias("__a"))
+           .groupBy("v").agg(
+               F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+               .alias("ca"),
+               F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+               .alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    w_lead = Window.orderBy("v")
+    cum = per.select(
+        "v", F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("v").over(w_lead) - F.col("v")).alias("gap"))
+    marg = per.agg(F.sum("ca").cast("long").alias("n_a"),
+                   F.sum("cb").cast("long").alias("n_b"),
+                   F.count("*").cast("long").alias("n_values"))
+    j = cum.crossJoin(F.broadcast(marg))
+    num = (j.filter(F.col("gap").isNotNull())
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max("n_values").alias("n_values"),
+                F.sum(F.abs(F.col("cum_a") * F.col("n_b")
+                            - F.col("cum_b") * F.col("n_a"))
+                      * F.col("gap")).cast("long").alias("__num")))
+    return num.select(
+        "n_a", "n_b", "n_values",
+        F.round(F.col("__num")
+                / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+        .alias("w1"))
+
+
+def wasserstein_1d_sql(values_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`wasserstein_1d` over a (v, grp) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH per AS (
+  SELECT CAST(v AS BIGINT) AS v,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 1 ELSE 0 END) AS BIGINT)
+      AS ca,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 0 ELSE 1 END) AS BIGINT)
+      AS cb
+  FROM ({values_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT v,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    lead(v) OVER (ORDER BY v) - v AS gap
+  FROM per
+),
+marg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+    CAST(count(*) AS BIGINT) AS n_values
+  FROM per
+)
+SELECT m.n_a, m.n_b, m.n_values,
+  round(CAST(sum(abs(c.cum_a * m.n_b - c.cum_b * m.n_a) * c.gap)
+             AS BIGINT)
+        / CAST(m.n_a * m.n_b AS DOUBLE), 6) AS w1
+FROM cum c CROSS JOIN marg m
+WHERE c.gap IS NOT NULL
+GROUP BY m.n_a, m.n_b, m.n_values
+"""
+
+
+def rmst(
+    lifetimes: DataFrame,
+    tau: int,
+    t_col: str = "t",
+    d_col: str = "d",
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013, public
+    literature) over right-censored page lifetimes: RMST(τ) =
+    ∫₀^τ S(t)dt with S the Kaplan-Meier curve — the single-number
+    summary of `page_survival` that prices refresh budgets directly:
+    "a URL discovered today is fetchable for an expected RMST days of
+    the next τ". Unlike median survival it is defined even when the
+    curve never crosses 0.5, and unlike mean lifetime it ignores the
+    unobservable tail beyond the horizon.
+
+    The KM curve uses the `page_survival` machinery: at-risk suffix
+    sums, exp(cumsum(ln)) in ascending-t order, an explicit zero-factor
+    flag (a n_risk == d_t step zeroes S forever; Spark's ln(0) is NULL
+    and silently skipped by sum). The integral is Σ S_i·len of each
+    inter-death segment clipped to τ plus the S=1 head segment.
+
+    Returns one row: (tau, n, n_deaths, rmst rounded 6).
+
+    Scale shape: ONE groupBy(t) + ordered windows over the DISTINCT
+    death times + a single-row fold — never a second pass over pages.
+    """
+    life = lifetimes.select(F.col(t_col).cast("long").alias("t"),
+                            F.col(d_col).cast("int").alias("d"))
+    marg = life.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("d").cast("long").alias("n_deaths"))
+    per = life.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("d").cast("long").alias("d_t"))
+    w_desc = Window.orderBy(F.desc("t")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ev = (per.select("t", "d_t",
+                     F.sum("n_t").over(w_desc).alias("n_risk"))
+          .filter(F.col("d_t") > 0))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    ratio = ((F.col("n_risk") - F.col("d_t")).cast("double")
+             / F.col("n_risk").cast("double"))
+    n_zero = F.sum((F.col("n_risk") == F.col("d_t")).cast("int")) \
+        .over(w_asc)
+    surv = F.when(n_zero > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(F.when(ratio > 0, ratio))).over(w_asc)))
+    lead_t = F.coalesce(F.lead("t").over(Window.orderBy("t")),
+                        F.lit(int(tau)))
+    seg = F.greatest(
+        F.lit(0).cast("double"),
+        (F.least(lead_t, F.lit(int(tau)))
+         - F.least(F.col("t"), F.lit(int(tau)))).cast("double"))
+    segs = ev.select((surv * seg).alias("__area"), "t")
+    tail = segs.agg(F.sum("__area").alias("tail_area"),
+                    F.min("t").alias("first_t"))
+    head = F.least(F.coalesce(F.col("first_t"), F.lit(int(tau))),
+                   F.lit(int(tau))).cast("double")
+    return (F.broadcast(marg).crossJoin(tail)
+            .select(F.lit(int(tau)).cast("long").alias("tau"),
+                    "n", "n_deaths",
+                    F.round(head + F.coalesce(F.col("tail_area"),
+                                              F.lit(0.0)), 6)
+                    .alias("rmst")))
+
+
+def rmst_sql(lifetimes_sql: str, tau: int) -> str:
+    """DuckDB mirror of :func:`rmst` over a (t, d) SELECT."""
+    return f"""
+WITH life AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(d AS INT) AS d
+  FROM ({lifetimes_sql})
+),
+marg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(d) AS BIGINT) AS n_deaths
+  FROM life
+),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+    CAST(sum(d) AS BIGINT) AS d_t
+  FROM life GROUP BY 1
+),
+ev AS (
+  SELECT t, d_t,
+    sum(n_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM per
+  QUALIFY d_t > 0
+),
+surv AS (
+  SELECT t, d_t, n_risk,
+    CASE WHEN sum(CASE WHEN n_risk = d_t THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+    THEN 0.0
+    ELSE exp(sum(ln(CASE WHEN n_risk > d_t
+                    THEN CAST(n_risk - d_t AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE) END))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+    END AS s,
+    coalesce(lead(t) OVER (ORDER BY t), {int(tau)}) AS lead_t
+  FROM ev
+),
+tail AS (
+  SELECT sum(s * greatest(0.0,
+    CAST(least(lead_t, {int(tau)}) - least(t, {int(tau)}) AS DOUBLE)))
+    AS tail_area,
+    min(t) AS first_t
+  FROM surv
+)
+SELECT CAST({int(tau)} AS BIGINT) AS tau, m.n, m.n_deaths,
+  round(CAST(least(coalesce(f.first_t, {int(tau)}), {int(tau)})
+             AS DOUBLE)
+        + coalesce(f.tail_area, 0.0), 6) AS rmst
+FROM marg m CROSS JOIN tail f
+"""

@@ -2785,3 +2785,94 @@ SELECT doc AS doc_id, n_hits, score,
   CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
 FROM scored ORDER BY score DESC, doc LIMIT {k}
 """
+
+
+def jm_lm_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    lam: float = 0.3,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under Jelinek-Mercer-smoothed query likelihood
+    (Jelinek & Mercer 1980; Zhai & Lafferty 2001 for retrieval) — the
+    FIXED-interpolation member of the LM ranker family next to
+    :func:`dirichlet_lm_topk`'s document-length-adaptive prior:
+    P(q|d) = (1−λ)·tf/dl + λ·cf/C. Zhai & Lafferty's finding — JM wins
+    on verbose queries, Dirichlet on keyword queries — is why an IR
+    stack carries both.
+
+    Rank-equivalent matched-terms-only form:
+    score(d) = Σ_{q matched} ln(1 + ((1−λ)/λ)·(tf/dl)/(cf/C)).
+    Scores round to 4 BEFORE ranking; ties break on doc id. Returns
+    (doc_id, n_hits, score, rank) with rank 1..k.
+
+    Scale shape mirrors :func:`bm25_topk`: query-literal isin filter in
+    the scan, C one single-row broadcast, cf a |Q|-row broadcast,
+    TakeOrderedAndProject top-k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+    ratio = (1.0 - float(lam)) / float(lam)
+
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("__toks"))
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    stats = dl.agg(F.sum("dl").cast("double").alias("c_total"))
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    cf = hits.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    part = F.log(F.lit(1.0) + F.lit(ratio)
+                 * (F.col("tf").cast("double") / F.col("dl"))
+                 / (F.col("cf") / F.col("c_total")))
+    scored = (hits.join(F.broadcast(cf), "term").join(dl, "doc")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc")
+              .agg(F.count("*").cast("long").alias("n_hits"),
+                   F.round(F.sum(part), 4).alias("score")))
+    topk = (scored.withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(F.col("doc").alias(id_col), "n_hits", "score",
+                    "rank"))
+
+
+def jm_lm_sql(tok_sql: str, query_terms: list[str],
+              lam: float = 0.3, k: int = 10) -> str:
+    """DuckDB mirror of :func:`jm_lm_topk` over ``documents``."""
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    ratio = (1.0 - float(lam)) / float(lam)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS toks FROM documents
+),
+dl AS (SELECT doc, len(list_filter(toks, x -> length(x) > 0)) AS dl
+       FROM base),
+st AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_total FROM dl),
+hits AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc, CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum(ln(1.0 + {ratio!r}
+      * (CAST(h.tf AS DOUBLE) / dl.dl) / (c.cf / st.c_total))), 4)
+      AS score
+  FROM hits h JOIN cf c USING (term) JOIN dl ON dl.doc = h.doc
+  CROSS JOIN st
+  GROUP BY h.doc
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+FROM scored ORDER BY score DESC, doc LIMIT {k}
+"""

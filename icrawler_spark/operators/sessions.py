@@ -1131,3 +1131,115 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
     END * x), 6) AS ewma
 FROM ann GROUP BY 1 ORDER BY key
 """
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_pair: int = 2,
+    max_basket_items: int = 256,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift —
+    Agrawal & Srikant 1994, public literature) over item baskets: which
+    co-occurrences beat independence. On crawl telemetry the baskets
+    are sessions or hosts and the items path segments, query params, or
+    mirror targets — lift ≫ 1 pairs expose template families and
+    navigation couplings that `pmi_collocations` sees only for adjacent
+    tokens; lift ≪ 1 pairs are near-exclusive alternatives (A/B split
+    hosts, language mirrors).
+
+    For each unordered co-occurring pair both directed rules are
+    emitted: support = c_xy/N baskets, confidence = c_xy/c_ante,
+    lift = c_xy·N/(c_x·c_y). Pairs below ``min_pair`` baskets are cut.
+    Returns (ante, cons, n_pair, n_ante, n_cons, support, confidence,
+    lift) rounded 6, ordered by (ante, cons).
+
+    Scale shape: dedup shuffle on (basket, item); the pair join is
+    EQUI-keyed on basket, quadratic only within one basket — the
+    ``max_basket_items`` guard drops degenerate mega-baskets (the
+    `ngram_jaccard` max_shingle_freq move) and is the documented scale
+    knob; then one groupBy(pair). Item counts broadcast back.
+    """
+    base = (baskets.select(F.col(basket_col).alias("basket"),
+                           F.col(item_col).alias("item"))
+            .distinct())
+    sized = (base.groupBy("basket")
+             .agg(F.count("*").alias("__sz"))
+             .filter(F.col("__sz") <= max_basket_items)
+             .select("basket"))
+    base = base.join(sized, "basket")
+    nb = base.agg(F.countDistinct("basket").cast("long").alias("n_b"))
+    ci = base.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    a = base.select("basket", F.col("item").alias("x"))
+    b = base.select("basket", F.col("item").alias("y"))
+    pairs = (a.join(b, "basket")
+             .filter(F.col("x") < F.col("y"))
+             .groupBy("x", "y")
+             .agg(F.count("*").cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_pair))
+    both = (pairs.select(F.col("x").alias("ante"),
+                         F.col("y").alias("cons"), "n_pair")
+            .unionByName(
+                pairs.select(F.col("y").alias("ante"),
+                             F.col("x").alias("cons"), "n_pair")))
+    out = (both
+           .join(F.broadcast(ci.select(F.col("item").alias("ante"),
+                                       F.col("c").alias("n_ante"))),
+                 "ante")
+           .join(F.broadcast(ci.select(F.col("item").alias("cons"),
+                                       F.col("c").alias("n_cons"))),
+                 "cons")
+           .crossJoin(F.broadcast(nb)))
+    nbd = F.col("n_b").cast("double")
+    return (out.select(
+        "ante", "cons", "n_pair", "n_ante", "n_cons",
+        F.round(F.col("n_pair") / nbd, 6).alias("support"),
+        F.round(F.col("n_pair") / F.col("n_ante").cast("double"), 6)
+        .alias("confidence"),
+        F.round(F.col("n_pair") * nbd
+                / (F.col("n_ante") * F.col("n_cons")).cast("double"), 6)
+        .alias("lift"))
+        .orderBy("ante", "cons"))
+
+
+def assoc_rules_sql(baskets_sql: str, min_pair: int = 2,
+                    max_basket_items: int = 256) -> str:
+    """DuckDB mirror of :func:`assoc_rules` over a (basket, item)
+    SELECT."""
+    return f"""
+WITH base0 AS (
+  SELECT DISTINCT basket, item FROM ({baskets_sql})
+),
+sized AS (
+  SELECT basket FROM base0 GROUP BY 1
+  HAVING count(*) <= {max_basket_items}
+),
+base AS (SELECT b.* FROM base0 b JOIN sized s USING (basket)),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_b FROM base),
+ci AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+),
+pairs AS (
+  SELECT a.item AS x, b.item AS y,
+    CAST(count(*) AS BIGINT) AS n_pair
+  FROM base a JOIN base b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pair}
+),
+bothdir AS (
+  SELECT x AS ante, y AS cons, n_pair FROM pairs
+  UNION ALL
+  SELECT y AS ante, x AS cons, n_pair FROM pairs
+)
+SELECT t.ante, t.cons, t.n_pair, ca.c AS n_ante, cc.c AS n_cons,
+  round(t.n_pair / CAST(n.n_b AS DOUBLE), 6) AS support,
+  round(t.n_pair / CAST(ca.c AS DOUBLE), 6) AS confidence,
+  round(t.n_pair * CAST(n.n_b AS DOUBLE)
+        / CAST(ca.c * cc.c AS DOUBLE), 6) AS lift
+FROM bothdir t
+JOIN ci ca ON ca.item = t.ante
+JOIN ci cc ON cc.item = t.cons
+CROSS JOIN nb n
+ORDER BY t.ante, t.cons
+"""

@@ -1035,3 +1035,108 @@ SELECT p.grp, c.n_a, c.n_b, p.dims,
 FROM per_grp p JOIN counts c ON p.grp = c.grp
 ORDER BY p.grp
 """
+
+
+def silhouette_simplified(
+    vectors: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette coefficient (Rousseeuw
+    1987 full form; the centroid approximation is the standard
+    large-data variant, e.g. Spark MLlib's ClusteringEvaluator): for
+    each point, a = distance to its OWN cluster centroid, b = distance
+    to the NEAREST other centroid, s = (b−a)/max(a,b). The cluster-
+    quality gate for `ann_ivf`'s codebook and any host/topic
+    clustering: mean s near 0 means the partition is arbitrary and
+    IVF probe counts must rise to compensate.
+
+    The full silhouette is O(n²) pairwise; this variant is the
+    documented scale form — exact given the centroids. Returns per
+    cluster: (cluster, n, mean_sil rounded 5) plus the overall row
+    (cluster = −1), ordered by cluster.
+
+    Scale shape: centroids are (k × dims) scalars from ONE posexplode
+    + groupBy; distances are ONE dim-keyed join against the broadcast
+    centroid table + groupBy(point, centroid) — N·k·d flops with no
+    pairwise point join anywhere.
+    """
+    base = vectors.select(F.col(id_col).alias("id"),
+                          F.col(cluster_col).cast("long").alias("cl"),
+                          F.col(vec_col).alias("vec"))
+    ex = base.select("id", "cl",
+                     F.posexplode("vec").alias("dim", "v"))
+    cent = (ex.groupBy(F.col("cl").alias("ccl"), "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("c")))
+    d2 = (ex.join(F.broadcast(cent), "dim")
+          .groupBy("id", "cl", "ccl")
+          .agg(F.sum(F.pow(F.col("v").cast("double") - F.col("c"), 2))
+               .alias("d2")))
+    per_pt = (d2.groupBy("id", "cl")
+              .agg(F.min(F.when(F.col("cl") == F.col("ccl"),
+                                F.sqrt("d2"))).alias("a"),
+                   F.min(F.when(F.col("cl") != F.col("ccl"),
+                                F.sqrt("d2"))).alias("b")))
+    s = F.when(F.greatest("a", "b") > 0,
+               (F.col("b") - F.col("a")) / F.greatest("a", "b")) \
+        .otherwise(F.lit(0.0))
+    scored = per_pt.select("cl", s.alias("s"))
+    per_cl = (scored.groupBy("cl")
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.round(F.avg("s"), 5).alias("mean_sil")))
+    overall = scored.agg(
+        F.lit(-1).cast("long").alias("cl"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("s"), 5).alias("mean_sil"))
+    return (per_cl.unionByName(overall)
+            .select(F.col("cl").alias("cluster"), "n", "mean_sil")
+            .orderBy("cluster"))
+
+
+def silhouette_simplified_sql(vectors_sql: str) -> str:
+    """DuckDB mirror of :func:`silhouette_simplified` over an
+    (id, cl, vec) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT id, CAST(cl AS BIGINT) AS cl, vec FROM ({vectors_sql})
+),
+ex AS (
+  SELECT id, cl,
+    unnest(range(0, len(vec))) AS dim,
+    unnest(vec) AS v
+  FROM base
+),
+cent AS (
+  SELECT cl AS ccl, dim, avg(CAST(v AS DOUBLE)) AS c
+  FROM ex GROUP BY 1, 2
+),
+d2 AS (
+  SELECT e.id, e.cl, c.ccl,
+    sum(pow(CAST(e.v AS DOUBLE) - c.c, 2)) AS d2
+  FROM ex e JOIN cent c ON c.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+per_pt AS (
+  SELECT id, cl,
+    min(CASE WHEN cl = ccl THEN sqrt(d2) END) AS a,
+    min(CASE WHEN cl <> ccl THEN sqrt(d2) END) AS b
+  FROM d2 GROUP BY 1, 2
+),
+scored AS (
+  SELECT cl,
+    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         ELSE 0.0 END AS s
+  FROM per_pt
+),
+per_cl AS (
+  SELECT cl, CAST(count(*) AS BIGINT) AS n,
+    round(avg(s), 5) AS mean_sil
+  FROM scored GROUP BY 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS cl, CAST(count(*) AS BIGINT) AS n,
+    round(avg(s), 5) AS mean_sil
+  FROM scored
+)
+SELECT cl AS cluster, n, mean_sil FROM per_cl ORDER BY cluster
+"""

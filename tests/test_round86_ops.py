@@ -1,0 +1,146 @@
+"""Unit tests for the round-86 pack: Banzhaf power index,
+personalized PageRank, Hoover index, Jelinek-Mercer LM ranking."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import banzhaf
+from icrawler_spark.operators.graph import personalized_pagerank
+from icrawler_spark.operators.politeness import hoover_index
+from icrawler_spark.operators.search import jm_lm_topk
+
+
+# ---------------------------------------------------------------------------
+# banzhaf
+# ---------------------------------------------------------------------------
+
+def test_banzhaf_classic_2_1_1(spark):
+    # weights [2,1,1], quota 3: textbook swings (3,1,1) — the two
+    # weight-1 players have equal, strictly positive power.
+    df = spark.createDataFrame([(0, 2), (1, 1), (2, 1)],
+                               "player long, w long")
+    rows = banzhaf(df).collect()
+    sw = {r["player"]: r["swings"] for r in rows}
+    assert sw == {0: 3, 1: 1, 2: 1}
+    nm = {r["player"]: r["banzhaf_norm"] for r in rows}
+    assert math.isclose(nm[0], 0.6, abs_tol=1e-6)
+    assert math.isclose(nm[1], 0.2, abs_tol=1e-6)
+
+
+def test_banzhaf_dictator(spark):
+    # w=4 meets quota 4 alone: dictator swings in all 2^2 coalitions
+    df = spark.createDataFrame([(0, 4), (1, 2), (2, 1)],
+                               "player long, w long")
+    sw = {r["player"]: r["swings"] for r in banzhaf(df).collect()}
+    assert sw == {0: 4, 1: 0, 2: 0}
+
+
+def test_banzhaf_symmetric_equal_power(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(5)],
+                               "player long, w long")
+    rows = banzhaf(df).collect()
+    # majority game of 5 equals: everyone identical
+    assert len({r["swings"] for r in rows}) == 1
+    assert all(math.isclose(r["banzhaf_norm"], 0.2, abs_tol=1e-6)
+               for r in rows)
+
+
+def test_banzhaf_dummy_player_zero(spark):
+    # [2,2,2,1] quota 4: even-weight subsets never sum to 3, so the
+    # weight-1 player is a dummy despite no dictator being present
+    df = spark.createDataFrame([(0, 2), (1, 2), (2, 2), (3, 1)],
+                               "player long, w long")
+    sw = {r["player"]: r["swings"] for r in banzhaf(df).collect()}
+    assert sw[3] == 0 and sw[0] == sw[1] == sw[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank
+# ---------------------------------------------------------------------------
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    # two disconnected 3-cycles; seeds only in the first
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = {r["node"]: r for r in
+            personalized_pagerank(df, seeds, n_iters=6).collect()}
+    assert rows[0]["is_seed"] == 1 and rows[10]["is_seed"] == 0
+    # the unseeded component receives exactly zero mass
+    assert rows[10]["ppr"] == 0.0 and rows[11]["ppr"] == 0.0
+    assert rows[0]["ppr"] > rows[1]["ppr"] > 0
+
+
+def test_ppr_mass_conserved(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    rows = personalized_pagerank(df, seeds, n_iters=8).collect()
+    assert math.isclose(sum(r["ppr"] for r in rows), 1.0, abs_tol=1e-4)
+
+
+def test_ppr_dangling_mass_returns_to_seeds(spark):
+    # 1 has no outlinks: its mass teleports back via the seed vector
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = {r["node"]: r["ppr"] for r in
+            personalized_pagerank(df, seeds, n_iters=10).collect()}
+    assert math.isclose(rows[0] + rows[1], 1.0, abs_tol=1e-4)
+    assert rows[0] > rows[1]
+
+
+# ---------------------------------------------------------------------------
+# hoover_index
+# ---------------------------------------------------------------------------
+
+def test_hoover_uniform_zero(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)] * 4,
+                               "host string")
+    r = hoover_index(df).collect()[0]
+    assert r["hoover"] == 0.0
+    assert r["n_hosts"] == 3 and r["n_fetches"] == 12
+    assert math.isclose(r["top_share"], 1 / 3, abs_tol=1e-6)
+
+
+def test_hoover_hand_value(spark):
+    # shares (0.75, 0.25) over 2 hosts: H = 0.5*(|.75-.5|+|.25-.5|)=0.25
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "host string")
+    r = hoover_index(df).collect()[0]
+    assert math.isclose(r["hoover"], 0.25, abs_tol=1e-6)
+    assert math.isclose(r["top_share"], 0.75, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# jm_lm_topk
+# ---------------------------------------------------------------------------
+
+def test_jmlm_tf_and_brevity_rank(spark):
+    docs = [
+        (1, "hash hash hash join"),
+        (2, "hash join scan filter sort limit"),
+        (3, "scan filter"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = jm_lm_topk(df, ["hash"], lam=0.3, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0]["score"] > rows[1]["score"]
+    assert rows[0]["rank"] == 1 and rows[1]["rank"] == 2
+
+
+def test_jmlm_lambda_one_limit_flat(spark):
+    # lam→1 collapses toward the collection model: scores shrink to ~0
+    docs = [(1, "hash join"), (2, "hash scan")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hi = jm_lm_topk(df, ["hash"], lam=0.999, k=5).collect()
+    assert all(abs(r["score"]) < 0.01 for r in hi)
+
+
+def test_jmlm_empty_query_raises(spark):
+    docs = [(1, "hash join")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        jm_lm_topk(df, [], k=5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

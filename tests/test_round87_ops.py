@@ -1,0 +1,166 @@
+"""Unit tests for the round-87 pack: Cronbach alpha, association rules,
+1-D Wasserstein distance, Hellinger distance, Jarque-Bera."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (cronbach_alpha, hellinger,
+                                             jarque_bera)
+from icrawler_spark.operators.recrawl import wasserstein_1d
+from icrawler_spark.operators.sessions import assoc_rules
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha
+# ---------------------------------------------------------------------------
+
+def test_cronbach_perfectly_parallel_items_alpha_one(spark):
+    rows = [(s, it, float(s)) for s in (1, 2, 3) for it in ("a", "b")]
+    df = spark.createDataFrame(rows, "subj long, item string, x double")
+    r = cronbach_alpha(df).collect()[0]
+    assert r["n_subjects"] == 3 and r["k_items"] == 2
+    assert math.isclose(r["alpha"], 1.0, abs_tol=1e-6)
+
+
+def test_cronbach_hand_value(spark):
+    # item a: 1,2,3; item b: 1,3,2 → v_a=v_b=1, totals (2,5,5) var 3:
+    # alpha = 2*(1 - 2/3) = 2/3
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+            (1, "b", 1.0), (2, "b", 3.0), (3, "b", 2.0)]
+    df = spark.createDataFrame(rows, "subj long, item string, x double")
+    r = cronbach_alpha(df).collect()[0]
+    assert math.isclose(r["alpha"], 2.0 / 3.0, abs_tol=1e-6)
+    assert math.isclose(r["total_var"], 3.0, abs_tol=1e-6)
+
+
+def test_cronbach_incomplete_subject_dropped(spark):
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+            (1, "b", 1.0), (2, "b", 3.0), (3, "b", 2.0),
+            (4, "a", 9.0)]  # subject 4 missing item b
+    df = spark.createDataFrame(rows, "subj long, item string, x double")
+    r = cronbach_alpha(df).collect()[0]
+    assert r["n_subjects"] == 3
+    assert math.isclose(r["alpha"], 2.0 / 3.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# assoc_rules
+# ---------------------------------------------------------------------------
+
+def _basket_df(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"),
+            (3, "x"), (4, "y"), (4, "z")]
+    return spark.createDataFrame(rows, "basket long, item string")
+
+
+def test_assoc_rules_hand_values(spark):
+    out = {(r["ante"], r["cons"]): r
+           for r in assoc_rules(_basket_df(spark), min_pair=1).collect()}
+    xy = out[("x", "y")]
+    assert xy["n_pair"] == 2 and xy["n_ante"] == 3 and xy["n_cons"] == 3
+    assert math.isclose(xy["support"], 0.5, abs_tol=1e-6)
+    assert math.isclose(xy["confidence"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(xy["lift"], 8 / 9, abs_tol=1e-6)
+    yz = out[("y", "z")]
+    assert math.isclose(yz["confidence"], 1 / 3, abs_tol=1e-6)
+    assert math.isclose(yz["lift"], 4 / 3, abs_tol=1e-6)
+    # both directions are present
+    assert ("y", "x") in out and ("z", "y") in out
+
+
+def test_assoc_rules_min_pair_cuts(spark):
+    rows = assoc_rules(_basket_df(spark), min_pair=2).collect()
+    assert {(r["ante"], r["cons"]) for r in rows} == {("x", "y"),
+                                                      ("y", "x")}
+
+
+def test_assoc_rules_mega_basket_guard(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y")] \
+        + [(9, f"i{k}") for k in range(10)]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = assoc_rules(df, min_pair=1, max_basket_items=4).collect()
+    # the 10-item basket is dropped entirely: only the x/y rules remain
+    assert {(r["ante"], r["cons"]) for r in out} == {("x", "y"),
+                                                     ("y", "x")}
+    assert all(r["n_pair"] == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_1d
+# ---------------------------------------------------------------------------
+
+def test_wasserstein_unit_shift(spark):
+    df = spark.createDataFrame([(0, "a"), (0, "a"), (1, "b"), (1, "b")],
+                               "v long, grp string")
+    r = wasserstein_1d(df, grp_a="a").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert math.isclose(r["w1"], 1.0, abs_tol=1e-6)
+
+
+def test_wasserstein_identical_zero(spark):
+    rows = [(v, g) for v in (1, 5, 9) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = wasserstein_1d(df, grp_a="a").collect()[0]
+    assert r["w1"] == 0.0 and r["n_values"] == 3
+
+
+def test_wasserstein_scales_with_distance(spark):
+    # moving mass 10 units costs 10x moving it 1 unit
+    near = spark.createDataFrame([(0, "a"), (1, "b")], "v long, grp string")
+    far = spark.createDataFrame([(0, "a"), (10, "b")], "v long, grp string")
+    w_near = wasserstein_1d(near, grp_a="a").collect()[0]["w1"]
+    w_far = wasserstein_1d(far, grp_a="a").collect()[0]["w1"]
+    assert math.isclose(w_far, 10 * w_near, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# hellinger
+# ---------------------------------------------------------------------------
+
+def test_hellinger_identical_zero(spark):
+    rows = [(g, t) for g in ("a", "b") for t in ("t1", "t1", "t2")]
+    df = spark.createDataFrame(rows, "snap string, token string")
+    r = hellinger(df).collect()[0]
+    assert math.isclose(r["bc"], 1.0, abs_tol=1e-6)
+    assert r["hellinger"] == 0.0
+
+
+def test_hellinger_disjoint_one(spark):
+    df = spark.createDataFrame([("a", "t1"), ("b", "t2")],
+                               "snap string, token string")
+    r = hellinger(df).collect()[0]
+    assert r["bc"] == 0.0 and r["hellinger"] == 1.0
+
+
+def test_hellinger_hand_value(spark):
+    # p=(1,0), q=(.5,.5): BC = sqrt(.5), H = sqrt(1-sqrt(.5))
+    df = spark.createDataFrame([("a", "t1"), ("a", "t1"),
+                                ("b", "t1"), ("b", "t2")],
+                               "snap string, token string")
+    r = hellinger(df).collect()[0]
+    assert math.isclose(r["bc"], math.sqrt(0.5), abs_tol=1e-6)
+    assert math.isclose(r["hellinger"], math.sqrt(1 - math.sqrt(0.5)),
+                        abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera
+# ---------------------------------------------------------------------------
+
+def test_jarque_bera_hand_moments(spark):
+    # x = 1,2,3: skew 0, m4/m2^2 = 1.5 → excess -1.5, JB = .5*(2.25/4)
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    r = jarque_bera(df).collect()[0]
+    assert r["n"] == 3
+    assert r["skew"] == 0.0
+    assert math.isclose(r["ex_kurtosis"], -1.5, abs_tol=1e-6)
+    assert math.isclose(r["jb"], 0.28125, abs_tol=1e-6)
+
+
+def test_jarque_bera_right_skew_positive(spark):
+    df = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (10.0,)],
+                               "x double")
+    r = jarque_bera(df).collect()[0]
+    assert r["skew"] > 1.0
+    assert r["jb"] > 0.0

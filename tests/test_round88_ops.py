@@ -1,0 +1,149 @@
+"""Unit tests for the round-88 pack: Copeland ranking, bibliographic
+coupling, negative-binomial fit, simplified silhouette, RMST."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import copeland, negbin_fit
+from icrawler_spark.operators.graph import bib_coupling
+from icrawler_spark.operators.recrawl import rmst
+from icrawler_spark.operators.similarity import silhouette_simplified
+
+
+# ---------------------------------------------------------------------------
+# copeland
+# ---------------------------------------------------------------------------
+
+def test_copeland_condorcet_winner(spark):
+    # v1: a>b>c, v2: b>c>a, v3: a>c>b — a beats both head-to-head
+    rows = [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+            (2, "b", 1), (2, "c", 2), (2, "a", 3),
+            (3, "a", 1), (3, "c", 2), (3, "b", 3)]
+    df = spark.createDataFrame(rows, "voter long, cand string, rank long")
+    out = {r["cand"]: r for r in copeland(df).collect()}
+    assert out["a"]["copeland"] == 2 and out["a"]["wins"] == 2
+    assert out["b"]["copeland"] == 0
+    assert out["c"]["copeland"] == -2 and out["c"]["losses"] == 2
+
+
+def test_copeland_tie_counts_as_half(spark):
+    rows = [(1, "a", 1), (1, "b", 2), (2, "b", 1), (2, "a", 2)]
+    df = spark.createDataFrame(rows, "voter long, cand string, rank long")
+    out = {r["cand"]: r for r in copeland(df).collect()}
+    for c in ("a", "b"):
+        assert out[c]["ties"] == 1 and out[c]["copeland"] == 0
+
+
+def test_copeland_partial_ballot_ignored_in_duel(spark):
+    # voter 3 ranked only 'a' — contributes to no duel
+    rows = [(1, "a", 1), (1, "b", 2), (2, "a", 1), (2, "b", 2),
+            (3, "a", 1)]
+    df = spark.createDataFrame(rows, "voter long, cand string, rank long")
+    out = {r["cand"]: r for r in copeland(df).collect()}
+    assert out["a"]["wins"] == 1 and out["b"]["losses"] == 1
+
+
+# ---------------------------------------------------------------------------
+# bib_coupling
+# ---------------------------------------------------------------------------
+
+def test_bib_coupling_hand_value(spark):
+    edges = [(1, 10), (1, 11), (1, 12), (2, 11), (2, 12), (2, 13),
+             (3, 99)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = bib_coupling(df, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"], r["shared"]) == (1, 2, 2)
+    assert r["deg_a"] == 3 and r["deg_b"] == 3
+    assert math.isclose(r["coupling"], 2 / 3, abs_tol=1e-6)
+
+
+def test_bib_coupling_hub_guard(spark):
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11),
+             (1, 99), (2, 99), (3, 99)]  # 99 cited by everyone
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = bib_coupling(df, min_shared=1, max_indegree=2).collect()
+    pairs = {(r["src_a"], r["src_b"]): r["shared"] for r in rows}
+    # dst 99 dropped: shared(1,2) counts only 10 and 11; src 3 pairless
+    assert pairs == {(1, 2): 2}
+    # degrees still count the full outlink set
+    assert rows[0]["deg_a"] == 3
+
+
+# ---------------------------------------------------------------------------
+# negbin_fit
+# ---------------------------------------------------------------------------
+
+def test_negbin_hand_values(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (6,)], "k long")
+    r = negbin_fit(df).collect()[0]
+    assert r["n"] == 4 and r["overdispersed"] == 1
+    assert math.isclose(r["mean"], 3.0, abs_tol=1e-6)
+    assert math.isclose(r["var"], 14 / 3, abs_tol=1e-5)
+    assert math.isclose(r["r"], 5.4, abs_tol=1e-5)
+    assert math.isclose(r["p"], 9 / 14, abs_tol=1e-5)
+
+
+def test_negbin_underdispersed_nulls(spark):
+    df = spark.createDataFrame([(2,), (2,), (2,)], "k long")
+    r = negbin_fit(df).collect()[0]
+    assert r["overdispersed"] == 0
+    assert r["r"] is None and r["p"] is None
+
+
+# ---------------------------------------------------------------------------
+# silhouette_simplified
+# ---------------------------------------------------------------------------
+
+def test_silhouette_tight_far_clusters(spark):
+    rows = [(1, 0, [0.0, 0.0]), (2, 0, [0.0, 1.0]),
+            (3, 1, [10.0, 0.0]), (4, 1, [10.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, cluster long, vec array<double>")
+    out = {r["cluster"]: r for r in silhouette_simplified(df).collect()}
+    assert out[0]["n"] == 2 and out[1]["n"] == 2
+    assert out[0]["mean_sil"] > 0.9 and out[1]["mean_sil"] > 0.9
+    # overall row
+    assert out[-1]["n"] == 4 and out[-1]["mean_sil"] > 0.9
+
+
+def test_silhouette_point_on_centroid(spark):
+    # a=0 for the lone own-cluster point sitting on its centroid: s = 1
+    rows = [(1, 0, [0.0, 0.0]), (2, 1, [5.0, 0.0]), (3, 1, [7.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, cluster long, vec array<double>")
+    out = {r["cluster"]: r for r in silhouette_simplified(df).collect()}
+    assert math.isclose(out[0]["mean_sil"], 1.0, abs_tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# rmst
+# ---------------------------------------------------------------------------
+
+def test_rmst_hand_curve(spark):
+    # deaths at 1 and 2 of 2 subjects: S=1 on [0,1), .5 on [1,2), 0 after
+    df = spark.createDataFrame([(1, 1), (2, 1)], "t long, d int")
+    r = rmst(df, tau=5).collect()[0]
+    assert r["n"] == 2 and r["n_deaths"] == 2
+    assert math.isclose(r["rmst"], 1.5, abs_tol=1e-6)
+
+
+def test_rmst_censoring_keeps_curve_up(spark):
+    # censored at 1, death at 2: S=1 until 2, then 0 → area = 2
+    df = spark.createDataFrame([(1, 0), (2, 1)], "t long, d int")
+    r = rmst(df, tau=10).collect()[0]
+    assert math.isclose(r["rmst"], 2.0, abs_tol=1e-6)
+
+
+def test_rmst_no_deaths_equals_tau(spark):
+    df = spark.createDataFrame([(3, 0), (4, 0)], "t long, d int")
+    r = rmst(df, tau=7).collect()[0]
+    assert r["n_deaths"] == 0
+    assert math.isclose(r["rmst"], 7.0, abs_tol=1e-6)
+
+
+def test_rmst_tau_clips_tail(spark):
+    # death at 10 of 1 subject, tau=4: S=1 on [0,4) → rmst = 4
+    df = spark.createDataFrame([(10, 1)], "t long, d int")
+    r = rmst(df, tau=4).collect()[0]
+    assert math.isclose(r["rmst"], 4.0, abs_tol=1e-6)

@@ -1,0 +1,146 @@
+"""Unit tests for the round-89 pack: Lin's CCC, Kendall's W, Bartlett,
+quadratic-weighted kappa, Bland-Altman."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (bartlett, bland_altman,
+                                             kendall_w, lin_ccc,
+                                             weighted_kappa)
+
+
+# ---------------------------------------------------------------------------
+# lin_ccc
+# ---------------------------------------------------------------------------
+
+def test_lin_ccc_identity_is_one(spark):
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)],
+                               "x double, y double")
+    r = lin_ccc(df).collect()[0]
+    assert math.isclose(r["pearson"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["ccc"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["c_b"], 1.0, abs_tol=1e-6)
+
+
+def test_lin_ccc_shift_penalized_pearson_blind(spark):
+    # y = x + 2: perfect correlation, poor concordance
+    df = spark.createDataFrame([(1.0, 3.0), (2.0, 4.0), (3.0, 5.0)],
+                               "x double, y double")
+    r = lin_ccc(df).collect()[0]
+    assert math.isclose(r["pearson"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["ccc"], 0.25, abs_tol=1e-6)
+    assert math.isclose(r["c_b"], 0.25, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# kendall_w
+# ---------------------------------------------------------------------------
+
+def test_kendall_w_unanimous(spark):
+    rows = [(r, it, k + 1) for r in (1, 2, 3)
+            for k, it in enumerate(("a", "b", "c"))]
+    df = spark.createDataFrame(rows, "rater long, item string, rank long")
+    r = kendall_w(df).collect()[0]
+    assert r["m"] == 3 and r["n_items"] == 3
+    assert math.isclose(r["w"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["chi2"], 6.0, abs_tol=1e-6)
+
+
+def test_kendall_w_opposite_rankings_zero(spark):
+    rows = [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+            (2, "a", 3), (2, "b", 2), (2, "c", 1)]
+    df = spark.createDataFrame(rows, "rater long, item string, rank long")
+    r = kendall_w(df).collect()[0]
+    assert math.isclose(r["w"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bartlett
+# ---------------------------------------------------------------------------
+
+def test_bartlett_equal_variances_zero(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = bartlett(df).collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+    assert math.isclose(r["pooled_var"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["statistic"], 0.0, abs_tol=1e-6)
+
+
+def test_bartlett_hand_value(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 0.0), ("g2", 4.0), ("g2", 8.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = bartlett(df).collect()[0]
+    # sp2 = 8.5, T = (4 ln 8.5 - 2 ln 16) / 1.25
+    t = (4 * math.log(8.5) - 2 * math.log(16.0)) / 1.25
+    assert math.isclose(r["pooled_var"], 8.5, abs_tol=1e-6)
+    assert math.isclose(r["statistic"], t, abs_tol=1e-4)
+
+
+def test_bartlett_singleton_group_excluded(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 4.0), ("g2", 5.0), ("g2", 6.0), ("g3", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = bartlett(df).collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+
+
+# ---------------------------------------------------------------------------
+# weighted_kappa
+# ---------------------------------------------------------------------------
+
+def test_weighted_kappa_perfect(spark):
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 3), (1, 1)],
+                               "a long, b long")
+    r = weighted_kappa(df).collect()[0]
+    assert math.isclose(r["po_w"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["kappa_w"], 1.0, abs_tol=1e-6)
+
+
+def test_weighted_kappa_independent_zero(spark):
+    # uniform 2x2 contingency: observed disagreement equals chance
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1), (2, 2)],
+                               "a long, b long")
+    r = weighted_kappa(df).collect()[0]
+    assert math.isclose(r["po_w"], 0.5, abs_tol=1e-6)
+    assert math.isclose(r["pe_w"], 0.5, abs_tol=1e-6)
+    assert math.isclose(r["kappa_w"], 0.0, abs_tol=1e-6)
+
+
+def test_weighted_kappa_near_misses_cheaper(spark):
+    # same #disagreements, once adjacent (1v2), once extreme (1v5)
+    near = spark.createDataFrame([(1, 2)] + [(i, i) for i in (1, 2, 5)],
+                                 "a long, b long")
+    far = spark.createDataFrame([(1, 5)] + [(i, i) for i in (1, 2, 5)],
+                                "a long, b long")
+    k_near = weighted_kappa(near).collect()[0]["kappa_w"]
+    k_far = weighted_kappa(far).collect()[0]["kappa_w"]
+    assert k_near > k_far
+
+
+# ---------------------------------------------------------------------------
+# bland_altman
+# ---------------------------------------------------------------------------
+
+def test_bland_altman_constant_offset(spark):
+    df = spark.createDataFrame([(5.0, 3.0), (7.0, 5.0), (9.0, 7.0)],
+                               "x double, y double")
+    r = bland_altman(df).collect()[0]
+    assert math.isclose(r["bias"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["sd"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["loa_lo"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["frac_within"], 1.0, abs_tol=1e-6)
+
+
+def test_bland_altman_hand_limits(spark):
+    # d = [-1, 1]: bias 0, sd sqrt(2), LoA = ±1.96*sqrt(2)
+    df = spark.createDataFrame([(0.0, 1.0), (1.0, 0.0)],
+                               "x double, y double")
+    r = bland_altman(df).collect()[0]
+    assert math.isclose(r["bias"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["sd"], math.sqrt(2.0), abs_tol=1e-6)
+    assert math.isclose(r["loa_hi"], 1.96 * math.sqrt(2.0), abs_tol=1e-5)
+    assert math.isclose(r["frac_within"], 1.0, abs_tol=1e-6)

@@ -1,0 +1,136 @@
+"""Unit tests for the round-90 pack: GK gamma, uncertainty coefficient,
+odds ratio, cumulative-gains deciles, winsorized mean."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (gk_gamma, odds_ratio,
+                                             uncertainty_coeff,
+                                             winsorized_mean)
+from icrawler_spark.operators.search import gains_deciles
+
+
+# ---------------------------------------------------------------------------
+# gk_gamma
+# ---------------------------------------------------------------------------
+
+def test_gk_gamma_perfect_order(spark):
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "a long, b long")
+    r = gk_gamma(df).collect()[0]
+    assert r["concordant"] == 3 and r["discordant"] == 0
+    assert math.isclose(r["gamma"], 1.0, abs_tol=1e-6)
+
+
+def test_gk_gamma_reversed(spark):
+    df = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "a long, b long")
+    r = gk_gamma(df).collect()[0]
+    assert math.isclose(r["gamma"], -1.0, abs_tol=1e-6)
+
+
+def test_gk_gamma_independent_square(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1), (2, 2)],
+                               "a long, b long")
+    r = gk_gamma(df).collect()[0]
+    assert r["concordant"] == 1 and r["discordant"] == 1
+    assert math.isclose(r["gamma"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# uncertainty_coeff
+# ---------------------------------------------------------------------------
+
+def test_uncertainty_deterministic_one(spark):
+    rows = [(0, "a"), (0, "a"), (1, "b"), (1, "b")]
+    df = spark.createDataFrame(rows, "x long, y string")
+    r = uncertainty_coeff(df).collect()[0]
+    assert math.isclose(r["h_y"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["h_y_given_x"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["u"], 1.0, abs_tol=1e-6)
+
+
+def test_uncertainty_independent_zero(spark):
+    rows = [(0, "a"), (0, "b"), (1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, "x long, y string")
+    r = uncertainty_coeff(df).collect()[0]
+    assert math.isclose(r["u"], 0.0, abs_tol=1e-6)
+
+
+def test_uncertainty_asymmetric(spark):
+    # x (4 levels) determines y (2 levels) but not vice versa
+    rows = [(0, "a"), (1, "a"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "x long, y string")
+    u_yx = uncertainty_coeff(df).collect()[0]["u"]
+    df_rev = df.selectExpr("y as x", "x as y")
+    u_xy = uncertainty_coeff(df_rev).collect()[0]["u"]
+    assert math.isclose(u_yx, 1.0, abs_tol=1e-6)
+    assert u_xy < 1.0
+
+
+# ---------------------------------------------------------------------------
+# odds_ratio
+# ---------------------------------------------------------------------------
+
+def test_odds_ratio_hand_values(spark):
+    rows = ([(1, 1)] * 10 + [(1, 0)] * 5 + [(0, 1)] * 2 + [(0, 0)] * 8)
+    df = spark.createDataFrame(rows, "exposed int, outcome int")
+    r = odds_ratio(df).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (10, 5, 2, 8)
+    assert math.isclose(r["odds_ratio"], 8.0, abs_tol=1e-6)
+    se = math.sqrt(1 / 10 + 1 / 5 + 1 / 2 + 1 / 8)
+    assert math.isclose(r["ci_lo"], math.exp(math.log(8) - 1.96 * se),
+                        abs_tol=1e-4)
+    assert math.isclose(r["ci_hi"], math.exp(math.log(8) + 1.96 * se),
+                        abs_tol=1e-3)
+
+
+def test_odds_ratio_empty_cell_null(spark):
+    rows = [(1, 1), (1, 0), (0, 0)]  # c = 0
+    df = spark.createDataFrame(rows, "exposed int, outcome int")
+    r = odds_ratio(df).collect()[0]
+    assert r["odds_ratio"] is None and r["ci_lo"] is None
+
+
+# ---------------------------------------------------------------------------
+# gains_deciles
+# ---------------------------------------------------------------------------
+
+def test_gains_top_heavy(spark):
+    rows = [(i, float(11 - i), 1 if i <= 5 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = {r["decile"]: r for r in gains_deciles(df, n_bins=5).collect()}
+    assert out[1]["pos"] == 2 and out[1]["cum_pos"] == 2
+    assert math.isclose(out[1]["gain"], 0.4, abs_tol=1e-6)
+    assert math.isclose(out[1]["lift"], 2.0, abs_tol=1e-6)
+    assert math.isclose(out[5]["gain"], 1.0, abs_tol=1e-6)
+    assert math.isclose(out[5]["lift"], 1.0, abs_tol=1e-6)
+
+
+def test_gains_random_scores_lift_one_at_end(spark):
+    rows = [(i, 1.0, i % 2) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = gains_deciles(df, n_bins=4).collect()
+    assert math.isclose(out[-1]["gain"], 1.0, abs_tol=1e-6)
+    assert all(r["n"] == 5 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean
+# ---------------------------------------------------------------------------
+
+def test_winsorized_clamps_outlier(spark):
+    rows = [(float(v),) for v in list(range(1, 10)) + [100]]
+    df = spark.createDataFrame(rows, "x double")
+    r = winsorized_mean(df, p=0.1).collect()[0]
+    assert r["n"] == 10 and r["k_each_side"] == 1
+    assert r["cut_lo"] == 2.0 and r["cut_hi"] == 9.0
+    assert math.isclose(r["mean_raw"], 14.5, abs_tol=1e-6)
+    assert math.isclose(r["mean_winsorized"], 5.5, abs_tol=1e-6)
+
+
+def test_winsorized_p_zero_is_identity(spark):
+    rows = [(float(v),) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "x double")
+    r = winsorized_mean(df, p=0.0).collect()[0]
+    assert r["k_each_side"] == 0
+    assert math.isclose(r["mean_winsorized"], r["mean_raw"], abs_tol=1e-9)
