@@ -378,6 +378,8 @@ _EXTRA_PICKS = [
     "copeland", "bib_coupling", "negbin", "silhouette", "rmst",
     # round-3 batch-83 (agreement family + variance homogeneity + LoA)
     "lin_ccc", "kendall_w", "bartlett", "weighted_kappa", "bland_altman",
+    # round-3 batch-84 (ordinal association + effect sizes + triage curves)
+    "gk_gamma", "uncertainty", "odds_ratio", "gains", "winsorized",
 ]
 
 

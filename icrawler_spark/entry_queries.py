@@ -62,7 +62,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round82, entry_round83,
                             entry_round84, entry_round85,
                             entry_round86, entry_round87,
-                            entry_round88, entry_round89)
+                            entry_round88, entry_round89,
+                            entry_round90)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -918,6 +919,7 @@ def queries():
         **entry_round87.queries87(),
         **entry_round88.queries88(),
         **entry_round89.queries89(),
+        **entry_round90.queries90(),
     }
 
 
@@ -1039,4 +1041,5 @@ def oracle_sql():
         **entry_round87.oracle_sql87(),
         **entry_round88.oracle_sql88(),
         **entry_round89.oracle_sql89(),
+        **entry_round90.oracle_sql90(),
     }

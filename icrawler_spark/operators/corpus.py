@@ -7320,3 +7320,306 @@ SELECT max(l.n) AS n, round(max(l.bias), 6) AS bias,
     AS frac_within
 FROM base b CROSS JOIN lim l
 """
+
+
+def gk_gamma(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Goodman-Kruskal gamma (Goodman & Kruskal 1954, public
+    literature) between two ordinal variables — the tie-free member of
+    the rank-association family: where `kendall` (tau-b) charges tied
+    pairs against the denominator, gamma drops them entirely, γ =
+    (C−D)/(C+D) over concordant/discordant pairs only. On heavily
+    discretized scales (quality tiers × depth buckets) tau-b is pulled
+    toward 0 by the massive tie mass; gamma answers "among pairs that
+    DO order, how consistently do the two variables agree?".
+
+    Pair counts come from the CELL table, not the rows: C = Σ n_ij ·
+    (count strictly below-right), D = Σ n_ij · (strictly below-left) —
+    a cells × cells join bounded by the contingency size, integer-exact
+    throughout. Returns one row: (n, concordant, discordant, gamma
+    rounded 6).
+
+    Scale shape: one groupBy(a,b) contingency pass, then a broadcast
+    cell×cell join over the c₁·c₂ cells — never a row-level pair join.
+    """
+    base = pairs.select(F.col(a_col).cast("long").alias("a"),
+                        F.col(b_col).cast("long").alias("b"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c"))
+    o = cells.select(F.col("a").alias("a2"), F.col("b").alias("b2"),
+                     F.col("c").alias("c2"))
+    j = cells.crossJoin(F.broadcast(o))
+    conc = F.when((F.col("a2") > F.col("a"))
+                  & (F.col("b2") > F.col("b")),
+                  F.col("c") * F.col("c2")).otherwise(F.lit(0))
+    disc = F.when((F.col("a2") > F.col("a"))
+                  & (F.col("b2") < F.col("b")),
+                  F.col("c") * F.col("c2")).otherwise(F.lit(0))
+    agg = j.agg(F.sum(conc).cast("long").alias("concordant"),
+                F.sum(disc).cast("long").alias("discordant"))
+    return (agg.crossJoin(F.broadcast(n_tot))
+            .select("n", "concordant", "discordant",
+                    F.round((F.col("concordant") - F.col("discordant"))
+                            .cast("double")
+                            / (F.col("concordant")
+                               + F.col("discordant")).cast("double"), 6)
+                    .alias("gamma")))
+
+
+def gk_gamma_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`gk_gamma` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM ({pairs_sql})
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN o.a > c.a AND o.b > c.b
+             THEN c.c * o.c ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN o.a > c.a AND o.b < c.b
+             THEN c.c * o.c ELSE 0 END) AS BIGINT) AS discordant
+  FROM cells c CROSS JOIN cells o
+)
+SELECT n, concordant, discordant,
+  round(CAST(concordant - discordant AS DOUBLE)
+        / CAST(concordant + discordant AS DOUBLE), 6) AS gamma
+FROM agg CROSS JOIN n_tot
+"""
+
+
+def uncertainty_coeff(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) (Theil 1970, public
+    literature) — the NORMALIZED, asymmetric cousin of `mi`: U =
+    (H(Y) − H(Y|X)) / H(Y) = I(X;Y)/H(Y) ∈ [0,1], "what fraction of
+    Y's surprise does knowing X remove?". Unlike `cramers` it is
+    direction-aware (U(Y|X) ≠ U(X|Y)): host → language may be nearly
+    deterministic while language → host explains almost nothing, and U
+    is the gauge that shows the asymmetry.
+
+    Entropies in bits from the joint contingency, 0·log0 terms
+    contributing exactly 0. Returns one row: (n, h_y, h_y_given_x,
+    u rounded 6).
+
+    Scale shape: one groupBy(x,y) contingency pass + per-x and global
+    folds — the joint table is the only shuffled payload.
+    """
+    base = pairs.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    joint = base.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("c"))
+    margx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    margy = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    hy = (margy.crossJoin(F.broadcast(n_tot))
+          .agg(F.max("n").alias("n"),
+               (-F.sum((F.col("cy") / F.col("n").cast("double"))
+                       * F.log2(F.col("cy")
+                                / F.col("n").cast("double"))))
+               .alias("h_y")))
+    hyx = (joint.join(margx, "x").crossJoin(F.broadcast(n_tot))
+           .agg((-F.sum((F.col("c") / F.col("n").cast("double"))
+                        * F.log2(F.col("c")
+                                 / F.col("cx").cast("double"))))
+                .alias("h_y_given_x")))
+    return (hy.crossJoin(F.broadcast(hyx))
+            .select("n", F.round("h_y", 6).alias("h_y"),
+                    F.round("h_y_given_x", 6).alias("h_y_given_x"),
+                    F.round((F.col("h_y") - F.col("h_y_given_x"))
+                            / F.col("h_y"), 6).alias("u")))
+
+
+def uncertainty_coeff_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`uncertainty_coeff` over an (x, y)
+    SELECT."""
+    return f"""
+WITH base AS (SELECT x, y FROM ({pairs_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+joint AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+margx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY 1),
+margy AS (SELECT y, sum(c) AS cy FROM joint GROUP BY 1),
+hy AS (
+  SELECT max(n) AS n,
+    -sum((cy / CAST(n AS DOUBLE)) * log2(cy / CAST(n AS DOUBLE)))
+      AS h_y
+  FROM margy CROSS JOIN n_tot
+),
+hyx AS (
+  SELECT
+    -sum((j.c / CAST(n.n AS DOUBLE))
+         * log2(j.c / CAST(m.cx AS DOUBLE))) AS h_y_given_x
+  FROM joint j JOIN margx m ON m.x = j.x CROSS JOIN n_tot n
+)
+SELECT n, round(h_y, 6) AS h_y,
+  round(h_y_given_x, 6) AS h_y_given_x,
+  round((h_y - h_y_given_x) / h_y, 6) AS u
+FROM hy CROSS JOIN hyx
+"""
+
+
+def odds_ratio(
+    pairs: DataFrame,
+    exposed_col: str = "exposed",
+    outcome_col: str = "outcome",
+    z: float = 1.96,
+) -> DataFrame:
+    """Odds ratio with Woolf logit confidence interval (Woolf 1955,
+    public literature) from a 2×2 exposure/outcome table — the effect-
+    SIZE companion to `fisher_exact`'s p-value and `two-proportion`
+    z-test: OR = (a·d)/(b·c), CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)).
+    For crawl ops the canonical question shape is "does serving cohort
+    X (proxy, UA, tier) change the odds of outcome Y (block, soft-404,
+    timeout)" — the CI says whether the observed odds double is signal.
+
+    Cells: a = exposed∧outcome, b = exposed∧¬outcome, c = ¬exposed∧
+    outcome, d = neither. Any empty cell yields NULL OR/CI (Woolf is
+    undefined; the standard Haldane +0.5 correction is deliberately NOT
+    silently applied). Returns one row: (a, b, c, d, odds_ratio,
+    ci_lo, ci_hi) rounded 6.
+
+    Scale shape: ONE conditional-sum fold over the pair column — a
+    single map-side-combinable aggregation, single-row output.
+    """
+    e = F.col(exposed_col).cast("int") == 1
+    o = F.col(outcome_col).cast("int") == 1
+    agg = pairs.agg(
+        F.sum((e & o).cast("int")).cast("long").alias("a"),
+        F.sum((e & ~o).cast("int")).cast("long").alias("b"),
+        F.sum((~e & o).cast("int")).cast("long").alias("c"),
+        F.sum((~e & ~o).cast("int")).cast("long").alias("d"))
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) \
+        & (F.col("d") > 0)
+    orr = (F.col("a") * F.col("d")).cast("double") \
+        / (F.col("b") * F.col("c")).cast("double")
+    se = F.sqrt(1.0 / F.col("a") + 1.0 / F.col("b")
+                + 1.0 / F.col("c") + 1.0 / F.col("d"))
+    return agg.select(
+        "a", "b", "c", "d",
+        F.round(F.when(ok, orr), 6).alias("odds_ratio"),
+        F.round(F.when(ok, F.exp(F.log(orr) - z * se)), 6)
+        .alias("ci_lo"),
+        F.round(F.when(ok, F.exp(F.log(orr) + z * se)), 6)
+        .alias("ci_hi"))
+
+
+def odds_ratio_sql(pairs_sql: str, z: float = 1.96) -> str:
+    """DuckDB mirror of :func:`odds_ratio` over an (exposed, outcome)
+    SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN exposed = 1 AND outcome = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN exposed = 1 AND outcome <> 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN exposed <> 1 AND outcome = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN exposed <> 1 AND outcome <> 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM ({pairs_sql})
+)
+SELECT a, b, c, d,
+  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+    THEN CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) END, 6)
+    AS odds_ratio,
+  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+    THEN exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+             - {z!r} * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) END, 6)
+    AS ci_lo,
+  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+    THEN exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+             + {z!r} * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) END, 6)
+    AS ci_hi
+FROM agg
+"""
+
+
+def winsorized_mean(
+    values: DataFrame,
+    p: float = 0.05,
+    x_col: str = "x",
+) -> DataFrame:
+    """Winsorized mean (public literature) of a metric column — the
+    robust-location member next to `trimmed_mean`: instead of DROPPING
+    the k = ⌊n·p⌋ most extreme values each side, winsorizing CLAMPS
+    them to the surviving boundary values, keeping n constant — the
+    right choice when the tail rows are real traffic that must stay
+    counted (latency SLO math) but must not let one proxy timeout move
+    the mean.
+
+    Cut values are defined by RANK, not interpolated quantiles (whose
+    definitions differ across engines): low cut = (k+1)-th smallest,
+    high cut = (n−k)-th smallest; clamping is by value so ties are
+    order-independent. Returns one row: (n, k_each_side, cut_lo,
+    cut_hi, mean_raw, mean_winsorized) rounded 6.
+
+    Scale shape: one global sort-rank window over the column (bin
+    first if the column is unbounded-cardinality), one broadcast of
+    the two cut scalars, one mean fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).alias("rn"),
+                      F.floor(F.col("n") * float(p)).alias("k")))
+    cuts = (ranked
+            .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+                 F.min(F.when(F.col("rn") == F.col("k") + 1,
+                              F.col("x"))).alias("cut_lo"),
+                 F.min(F.when(F.col("rn") == F.col("n") - F.col("k"),
+                              F.col("x"))).alias("cut_hi")))
+    clamped = (base.crossJoin(F.broadcast(cuts))
+               .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+                    F.max("cut_lo").alias("cut_lo"),
+                    F.max("cut_hi").alias("cut_hi"),
+                    F.avg("x").alias("mean_raw"),
+                    F.avg(F.least(F.greatest(F.col("x"),
+                                             F.col("cut_lo")),
+                                  F.col("cut_hi")))
+                    .alias("mean_winsorized")))
+    return clamped.select(
+        "n", F.col("k").cast("long").alias("k_each_side"),
+        F.round("cut_lo", 6).alias("cut_lo"),
+        F.round("cut_hi", 6).alias("cut_hi"),
+        F.round("mean_raw", 6).alias("mean_raw"),
+        F.round("mean_winsorized", 6).alias("mean_winsorized"))
+
+
+def winsorized_mean_sql(values_sql: str, p: float = 0.05) -> str:
+    """DuckDB mirror of :func:`winsorized_mean` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n, row_number() OVER (ORDER BY x) AS rn,
+    CAST(floor(n * {p!r}) AS BIGINT) AS k
+  FROM base CROSS JOIN n_tot
+),
+cuts AS (
+  SELECT max(n) AS n, max(k) AS k,
+    min(CASE WHEN rn = k + 1 THEN x END) AS cut_lo,
+    min(CASE WHEN rn = n - k THEN x END) AS cut_hi
+  FROM ranked
+)
+SELECT max(c.n) AS n, CAST(max(c.k) AS BIGINT) AS k_each_side,
+  round(max(c.cut_lo), 6) AS cut_lo,
+  round(max(c.cut_hi), 6) AS cut_hi,
+  round(avg(b.x), 6) AS mean_raw,
+  round(avg(least(greatest(b.x, c.cut_lo), c.cut_hi)), 6)
+    AS mean_winsorized
+FROM base b CROSS JOIN cuts c
+"""

@@ -2876,3 +2876,82 @@ SELECT doc AS doc_id, n_hits, score,
   CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
 FROM scored ORDER BY score DESC, doc LIMIT {k}
 """
+
+
+def gains_deciles(
+    scored: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "id",
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cumulative-gains / lift table (public literature, the classic
+    model-triage chart) for a scored binary outcome: sort by score
+    descending, cut into ``n_bins`` equal-count bins, and report what
+    fraction of all positives the top-k bins capture vs the random
+    baseline k/n_bins. The operating-point companion to `auc` (a
+    single number) and `pr_curve` (per-threshold): a crawl scheduler
+    acting on only the top 20% of scored URLs reads its expected yield
+    straight off the decile-2 row.
+
+    The bin cut is ntile over (score DESC, id) — the id tiebreak makes
+    bin membership deterministic and identical across engines (both
+    implement SQL-standard ntile with remainder rows going to the
+    leading bins). Returns per bin: (decile, n, pos, cum_pos,
+    gain, lift) rounded 6, ordered by decile.
+
+    Scale shape: ONE global sort window (the score column is the
+    bottleneck — pre-bin scores if unbounded) + one groupBy(bin) + an
+    ordered window over the n_bins rows.
+    """
+    w = Window.orderBy(F.desc("score"), "id")
+    base = (scored.select(F.col(id_col).alias("id"),
+                          F.col(score_col).alias("score"),
+                          F.col(label_col).cast("int").alias("label"))
+            .withColumn("decile", F.ntile(n_bins).over(w)))
+    per = base.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"))
+    tot = per.agg(F.sum("pos").cast("long").alias("tp"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (per.crossJoin(F.broadcast(tot))
+           .withColumn("cum_pos", F.sum("pos").over(w_cum)))
+    gain = F.col("cum_pos") / F.col("tp").cast("double")
+    frac = F.col("decile").cast("double") / float(n_bins)
+    return (cum.select(F.col("decile").cast("long").alias("decile"),
+                       "n", "pos",
+                       F.col("cum_pos").cast("long").alias("cum_pos"),
+                       F.round(gain, 6).alias("gain"),
+                       F.round(gain / frac, 6).alias("lift"))
+            .orderBy("decile"))
+
+
+def gains_deciles_sql(scored_sql: str, n_bins: int = 10) -> str:
+    """DuckDB mirror of :func:`gains_deciles` over an (id, score,
+    label) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT id, score, CAST(label AS INT) AS label,
+    ntile({n_bins}) OVER (ORDER BY score DESC, id) AS decile
+  FROM ({scored_sql})
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(label) AS BIGINT) AS pos
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp FROM per),
+cum AS (
+  SELECT decile, n, pos, tp,
+    sum(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      AS cum_pos
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(decile AS BIGINT) AS decile, n, pos,
+  CAST(cum_pos AS BIGINT) AS cum_pos,
+  round(cum_pos / CAST(tp AS DOUBLE), 6) AS gain,
+  round((cum_pos / CAST(tp AS DOUBLE))
+        / (CAST(decile AS DOUBLE) / {n_bins}), 6) AS lift
+FROM cum ORDER BY decile
+"""
