@@ -380,6 +380,14 @@ _EXTRA_PICKS = [
     "lin_ccc", "kendall_w", "bartlett", "weighted_kappa", "bland_altman",
     # round-3 batch-84 (ordinal association + effect sizes + triage curves)
     "gk_gamma", "uncertainty", "odds_ratio", "gains", "winsorized",
+    # round-3 batch-85 (ragged agreement + trend + effect + scale + confound)
+    "krippendorff", "page_trend", "hedges_g", "ansari", "partial_corr",
+    # round-3 batch-86 (loss blocking + fluctuation scaling + stability + tails)
+    "erlang_b", "taylor", "allan", "flatness", "cvar",
+    # round-3 batch-87 (stratified OR + LLR independence + ordered trend + props)
+    "cmh", "g_test", "jonckheere", "cohens_h", "scotts_pi",
+    # round-3 batch-88 (weighted blocks + CL effect + fairness curve + backtests)
+    "quade", "superiority", "lorenz", "kupiec", "bowker",
 ]
 
 

@@ -63,7 +63,9 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round84, entry_round85,
                             entry_round86, entry_round87,
                             entry_round88, entry_round89,
-                            entry_round90)
+                            entry_round90, entry_round91,
+                            entry_round92, entry_round93,
+                            entry_round94)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -920,6 +922,10 @@ def queries():
         **entry_round88.queries88(),
         **entry_round89.queries89(),
         **entry_round90.queries90(),
+        **entry_round91.queries91(),
+        **entry_round92.queries92(),
+        **entry_round93.queries93(),
+        **entry_round94.queries94(),
     }
 
 
@@ -1042,4 +1048,8 @@ def oracle_sql():
         **entry_round88.oracle_sql88(),
         **entry_round89.oracle_sql89(),
         **entry_round90.oracle_sql90(),
+        **entry_round91.oracle_sql91(),
+        **entry_round92.oracle_sql92(),
+        **entry_round93.oracle_sql93(),
+        **entry_round94.oracle_sql94(),
     }

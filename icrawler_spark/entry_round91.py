@@ -1,0 +1,158 @@
+"""Round-3 driver-contract queries (batch 85): Krippendorff alpha,
+Page trend test, Hedges g, Ansari-Bradley scale test, partial
+correlation.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.entry_round88 import _cp_ballots, _CP_BALLOTS_SQL
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# krippendorff — ragged multi-rater event-type labels per unit
+# ---------------------------------------------------------------------------
+
+_KA_UNITS = 120
+
+
+def _ka_ratings(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % _KA_UNITS).cast("long").alias("unit"),
+        F.col("event_type").alias("value"))
+
+
+_KA_RATINGS_SQL = f"""
+  SELECT CAST(event_id % {_KA_UNITS} AS BIGINT) AS unit,
+    event_type AS value
+  FROM events
+"""
+
+
+def q_krippendorff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.krippendorff_alpha: coincidence-matrix
+    agreement folded to three keyed aggs, integer-exact."""
+    return _corpus.krippendorff_alpha(_ka_ratings(spark, sf))
+
+
+def _krippendorff_sql() -> str:
+    return _corpus.krippendorff_alpha_sql(_KA_RATINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# page_trend — ordered-alternative trend over the frequency ballots
+# ---------------------------------------------------------------------------
+
+
+def q_page_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.page_trend: L statistic over per-user ballots —
+    completeness gate + rank-sum fold."""
+    b = _cp_ballots(spark, sf)
+    return _corpus.page_trend(b.select(F.col("voter").alias("block"),
+                                       F.col("cand").alias("treat"),
+                                       "rank"))
+
+
+def _page_trend_sql() -> str:
+    return _corpus.page_trend_sql(f"""
+  SELECT voter AS block, cand AS treat, rank FROM ({_CP_BALLOTS_SQL})
+""")
+
+
+# ---------------------------------------------------------------------------
+# hedges_g — standardized value gap between user-parity cohorts
+# ---------------------------------------------------------------------------
+
+
+def _hg_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("long").alias("grp"),
+                     F.col("value").alias("x"))
+
+
+_HG_SAMPLES_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp, value AS x FROM events
+"""
+
+
+def q_hedges_g(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hedges_g: bias-corrected standardized effect —
+    exact-group-mean pooled sd, one row."""
+    return _corpus.hedges_g(_hg_samples(spark, sf), grp_a=0)
+
+
+def _hedges_g_sql() -> str:
+    return _corpus.hedges_g_sql(_HG_SAMPLES_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# ansari — rank-based scale comparison of the same cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_ansari(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ansari_bradley: min(rank, N+1-rank) midrank
+    scores — sort window + per-value midscore groupBy."""
+    return _corpus.ansari_bradley(_hg_samples(spark, sf), grp_a=0)
+
+
+def _ansari_sql() -> str:
+    return _corpus.ansari_bradley_sql(_HG_SAMPLES_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# partial_corr — value vs composite with the shared driver partialled out
+# ---------------------------------------------------------------------------
+
+
+def _pc_triples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 0.5 + (F.col("event_id") % 13)).alias("y"),
+        ((F.col("event_id") % 13) + (F.col("user_id") % 7))
+        .cast("double").alias("z"))
+
+
+_PC_TRIPLES_SQL = """
+  SELECT value AS x, value * 0.5 + event_id % 13 AS y,
+    CAST(event_id % 13 + user_id % 7 AS DOUBLE) AS z
+  FROM events
+"""
+
+
+def q_partial_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.partial_corr: confounder-screened correlation —
+    one exact-mean co-moment fold."""
+    return _corpus.partial_corr(_pc_triples(spark, sf))
+
+
+def _partial_corr_sql() -> str:
+    return _corpus.partial_corr_sql(_PC_TRIPLES_SQL)
+
+
+def queries91():
+    return {
+        "krippendorff": q_krippendorff,
+        "page_trend": q_page_trend,
+        "hedges_g": q_hedges_g,
+        "ansari": q_ansari,
+        "partial_corr": q_partial_corr,
+    }
+
+
+def oracle_sql91():
+    return {
+        "krippendorff": _krippendorff_sql(),
+        "page_trend": _page_trend_sql(),
+        "hedges_g": _hedges_g_sql(),
+        "ansari": _ansari_sql(),
+        "partial_corr": _partial_corr_sql(),
+    }

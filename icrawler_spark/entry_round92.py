@@ -1,0 +1,168 @@
+"""Round-3 driver-contract queries (batch 86): Erlang-B blocking,
+Taylor's power law, Allan variance, spectral flatness, CVaR.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# erlang_b — blocking at candidate slot-pool sizes from the event log
+# ---------------------------------------------------------------------------
+
+_EB_SERVICE_S = 900.0
+_EB_SERVERS = (4, 8, 16)
+
+
+def _eb_arrivals(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.expr("unix_micros(cast(ts as timestamp))") / F.lit(1e6))
+        .alias("ts_s"))
+
+
+_EB_ARRIVALS_SQL = "SELECT epoch_us(ts) / 1e6 AS ts_s FROM events"
+
+
+def q_erlang_b(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.erlang_b: loss-system blocking curve —
+    one log fold + exploded factorial series."""
+    return _politeness.erlang_b(_eb_arrivals(spark, sf),
+                                service_s=_EB_SERVICE_S,
+                                n_servers=_EB_SERVERS)
+
+
+def _erlang_b_sql() -> str:
+    return _politeness.erlang_b_sql(_EB_ARRIVALS_SQL,
+                                    service_s=_EB_SERVICE_S,
+                                    n_servers=_EB_SERVERS)
+
+
+# ---------------------------------------------------------------------------
+# taylor — fluctuation scaling of per-window per-host event counts
+# ---------------------------------------------------------------------------
+
+_TL_HOSTS = 15
+_TL_WINS = 20
+
+
+def _tl_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % _TL_HOSTS).cast("long").alias("host"),
+        (F.col("event_id") % _TL_WINS).cast("long").alias("win"))
+
+
+_TL_EVENTS_SQL = f"""
+  SELECT CAST(user_id % {_TL_HOSTS} AS BIGINT) AS host,
+    CAST(event_id % {_TL_WINS} AS BIGINT) AS win
+  FROM events
+"""
+
+
+def q_taylor(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.taylor_law: ln-var vs ln-mean OLS across
+    hosts — three keyed aggs + regression fold."""
+    return _recrawl.taylor_law(_tl_events(spark, sf))
+
+
+def _taylor_sql() -> str:
+    return _recrawl.taylor_law_sql(_TL_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# allan — rate-stability curve over the event-slot value series
+# ---------------------------------------------------------------------------
+
+_AV_TAUS = (1, 2, 4)
+
+
+def _av_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("pos"),
+                     F.col("value").alias("y"))
+
+
+_AV_SERIES_SQL = "SELECT CAST(event_id AS BIGINT) AS pos, value AS y FROM events"
+
+
+def q_allan(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.allan_variance: two-sample variance at block
+    sizes tau — per-tau block groupBy + lag over block means."""
+    return _recrawl.allan_variance(_av_series(spark, sf), taus=_AV_TAUS)
+
+
+def _allan_sql() -> str:
+    return _recrawl.allan_variance_sql(_AV_SERIES_SQL, taus=_AV_TAUS)
+
+
+# ---------------------------------------------------------------------------
+# flatness — how level is the value histogram at width 25
+# ---------------------------------------------------------------------------
+
+_SF_BIN_W = 25.0
+
+
+def _sf_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_SF_VALUES_SQL = "SELECT value AS x FROM events"
+
+
+def q_flatness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.spectral_flatness: geomean/amean of occupied
+    histogram bins — one bin groupBy + one fold."""
+    return _corpus.spectral_flatness(_sf_values(spark, sf),
+                                     bin_width=_SF_BIN_W)
+
+
+def _flatness_sql() -> str:
+    return _corpus.spectral_flatness_sql(_SF_VALUES_SQL,
+                                         bin_width=_SF_BIN_W)
+
+
+# ---------------------------------------------------------------------------
+# cvar — expected shortfall of the worst 5% of the value metric
+# ---------------------------------------------------------------------------
+
+_CV_P = 0.05
+
+
+def q_cvar(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cvar: rank-defined tail mean — sort window +
+    k-row fold."""
+    return _corpus.cvar(_sf_values(spark, sf), p=_CV_P)
+
+
+def _cvar_sql() -> str:
+    return _corpus.cvar_sql(_SF_VALUES_SQL, p=_CV_P)
+
+
+def queries92():
+    return {
+        "erlang_b": q_erlang_b,
+        "taylor": q_taylor,
+        "allan": q_allan,
+        "flatness": q_flatness,
+        "cvar": q_cvar,
+    }
+
+
+def oracle_sql92():
+    return {
+        "erlang_b": _erlang_b_sql(),
+        "taylor": _taylor_sql(),
+        "allan": _allan_sql(),
+        "flatness": _flatness_sql(),
+        "cvar": _cvar_sql(),
+    }

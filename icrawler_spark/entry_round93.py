@@ -1,0 +1,183 @@
+"""Round-3 driver-contract queries (batch 87): Mantel-Haenszel pooled
+OR, G-test of independence, Jonckheere-Terpstra trend, Cohen's h,
+Scott's pi.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# cmh — exposure/outcome pooled across 4 user strata
+# ---------------------------------------------------------------------------
+
+
+def _mh_tables(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % 4).cast("long").alias("stratum"),
+        (F.col("value") > 150).cast("int").alias("exposed"),
+        (F.col("event_type") == "error").cast("int").alias("outcome"))
+
+
+_MH_TABLES_SQL = """
+  SELECT CAST(user_id % 4 AS BIGINT) AS stratum,
+    CAST(value > 150 AS INT) AS exposed,
+    CAST(event_type = 'error' AS INT) AS outcome
+  FROM events
+"""
+
+
+def q_cmh(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mantel_haenszel: stratified pooled OR + CMH —
+    one stratum groupBy + one fold."""
+    return _corpus.mantel_haenszel(_mh_tables(spark, sf))
+
+
+def _cmh_sql() -> str:
+    return _corpus.mantel_haenszel_sql(_MH_TABLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# g_test — user bucket × event type independence
+# ---------------------------------------------------------------------------
+
+
+def _gt_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 6).cast("long").alias("x"),
+                     F.col("event_type").alias("y"))
+
+
+_GT_PAIRS_SQL = """
+  SELECT CAST(user_id % 6 AS BIGINT) AS x, event_type AS y FROM events
+"""
+
+
+def q_g_test(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.g_test: log-likelihood-ratio independence —
+    contingency + marginal folds."""
+    return _corpus.g_test(_gt_pairs(spark, sf))
+
+
+def _g_test_sql() -> str:
+    return _corpus.g_test_sql(_GT_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# jonckheere — ordered event-slot tiers vs binned value
+# ---------------------------------------------------------------------------
+
+
+def _jt_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("event_id") % 3).cast("long").alias("grp"),
+                     F.floor(F.col("value") / 10).cast("double")
+                     .alias("x"))
+
+
+_JT_SAMPLES_SQL = """
+  SELECT CAST(event_id % 3 AS BIGINT) AS grp,
+    CAST(floor(value / 10) AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_jonckheere(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.jonckheere: ordered-group trend — cell×cell
+    broadcast compare, ties at half credit."""
+    return _corpus.jonckheere(_jt_samples(spark, sf))
+
+
+def _jonckheere_sql() -> str:
+    return _corpus.jonckheere_sql(_JT_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cohens_h — click-rate gap between user-parity cohorts
+# ---------------------------------------------------------------------------
+
+
+def _ch_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("long").alias("grp"),
+                     (F.col("event_type") == "click").cast("int")
+                     .alias("hit"))
+
+
+_CH_PAIRS_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+    CAST(event_type = 'click' AS INT) AS hit
+  FROM events
+"""
+
+
+def q_cohens_h(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cohens_h: arcsine-stabilized proportion gap —
+    one conditional-sum fold."""
+    return _corpus.cohens_h(_ch_pairs(spark, sf), grp_a=0)
+
+
+def _cohens_h_sql() -> str:
+    return _corpus.cohens_h_sql(_CH_PAIRS_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# scotts_pi — the weighted-kappa raters under a pooled-marginal null
+# ---------------------------------------------------------------------------
+
+
+def _sp_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    a = F.least(F.floor(F.col("value") / 70).cast("long") + 1, F.lit(5))
+    b = F.when((F.col("event_id") % 10) < 7, a) \
+        .otherwise(F.least(a + 1, F.lit(5)))
+    return ev.select(a.alias("a"), b.cast("long").alias("b"))
+
+
+_SP_PAIRS_SQL = """
+  SELECT a, CAST(CASE WHEN event_id % 10 < 7 THEN a
+    ELSE least(a + 1, 5) END AS BIGINT) AS b
+  FROM (
+    SELECT event_id,
+      least(CAST(floor(value / 70) AS BIGINT) + 1, 5) AS a
+    FROM events
+  )
+"""
+
+
+def q_scotts_pi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.scotts_pi: pooled-marginal chance correction —
+    agreement fold + pooled-label groupBy."""
+    return _corpus.scotts_pi(_sp_pairs(spark, sf))
+
+
+def _scotts_pi_sql() -> str:
+    return _corpus.scotts_pi_sql(_SP_PAIRS_SQL)
+
+
+def queries93():
+    return {
+        "cmh": q_cmh,
+        "g_test": q_g_test,
+        "jonckheere": q_jonckheere,
+        "cohens_h": q_cohens_h,
+        "scotts_pi": q_scotts_pi,
+    }
+
+
+def oracle_sql93():
+    return {
+        "cmh": _cmh_sql(),
+        "g_test": _g_test_sql(),
+        "jonckheere": _jonckheere_sql(),
+        "cohens_h": _cohens_h_sql(),
+        "scotts_pi": _scotts_pi_sql(),
+    }

@@ -1,0 +1,175 @@
+"""Round-3 driver-contract queries (batch 88): Quade test, probability
+of superiority, Lorenz deciles, Kupiec POF backtest, Bowker symmetry.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# quade — range-weighted blocked comparison of per-user type means
+# ---------------------------------------------------------------------------
+
+
+def _qd_ratings(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.col("user_id").alias("block"),
+                       F.col("event_type").alias("treat"))
+            .agg(F.avg("value").alias("x")))
+
+
+_QD_RATINGS_SQL = """
+  SELECT user_id AS block, event_type AS treat, avg(value) AS x
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_quade(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.quade: range-weighted Friedman — block rank
+    windows + treat fold."""
+    return _corpus.quade(_qd_ratings(spark, sf))
+
+
+def _quade_sql() -> str:
+    return _corpus.quade_sql(_QD_RATINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# superiority — P(cohort-A metric beats cohort-B) on binned values
+# ---------------------------------------------------------------------------
+
+
+def _ps_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("long").alias("grp"),
+                     F.floor(F.col("value") / 10).cast("double")
+                     .alias("x"))
+
+
+_PS_SAMPLES_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+    CAST(floor(value / 10) AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_superiority(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.prob_superiority: common-language effect —
+    cell×cell broadcast compare, ties at half."""
+    return _corpus.prob_superiority(_ps_samples(spark, sf), grp_a=0)
+
+
+def _superiority_sql() -> str:
+    return _corpus.prob_superiority_sql(_PS_SAMPLES_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# lorenz — cumulative load share by value decile
+# ---------------------------------------------------------------------------
+
+
+def _lz_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_LZ_VALUES_SQL = "SELECT value AS x FROM events"
+
+
+def q_lorenz(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lorenz_deciles: ascending-ntile cumulative
+    shares — one sort window + decile groupBy."""
+    return _corpus.lorenz_deciles(_lz_values(spark, sf))
+
+
+def _lorenz_sql() -> str:
+    return _corpus.lorenz_deciles_sql(_LZ_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kupiec — did the 5% tail budget hold?
+# ---------------------------------------------------------------------------
+
+_KP_P = 0.05
+_KP_CUT = 311.0
+
+
+def _kp_exceptions(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("value") > _KP_CUT).cast("int")
+                     .alias("exceed"))
+
+
+_KP_EXCEPTIONS_SQL = f"""
+  SELECT CAST(value > {_KP_CUT!r} AS INT) AS exceed FROM events
+"""
+
+
+def q_kupiec(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.kupiec_pof: VaR exception-rate backtest —
+    one indicator fold."""
+    return _corpus.kupiec_pof(_kp_exceptions(spark, sf), p=_KP_P)
+
+
+def _kupiec_sql() -> str:
+    return _corpus.kupiec_pof_sql(_KP_EXCEPTIONS_SQL, p=_KP_P)
+
+
+# ---------------------------------------------------------------------------
+# bowker — directed drift between the two ordinal raters' labels
+# ---------------------------------------------------------------------------
+
+
+def _bk_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    a = F.least(F.floor(F.col("value") / 70).cast("long") + 1, F.lit(5))
+    b = F.when((F.col("event_id") % 10) < 7, a) \
+        .otherwise(F.least(a + 1, F.lit(5)))
+    return ev.select(a.alias("a"), b.cast("long").alias("b"))
+
+
+_BK_PAIRS_SQL = """
+  SELECT a, CAST(CASE WHEN event_id % 10 < 7 THEN a
+    ELSE least(a + 1, 5) END AS BIGINT) AS b
+  FROM (
+    SELECT event_id,
+      least(CAST(floor(value / 70) AS BIGINT) + 1, 5) AS a
+    FROM events
+  )
+"""
+
+
+def q_bowker(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bowker: k×k paired symmetry — mirrored-cell
+    join, integer-exact."""
+    return _corpus.bowker(_bk_pairs(spark, sf))
+
+
+def _bowker_sql() -> str:
+    return _corpus.bowker_sql(_BK_PAIRS_SQL)
+
+
+def queries94():
+    return {
+        "quade": q_quade,
+        "superiority": q_superiority,
+        "lorenz": q_lorenz,
+        "kupiec": q_kupiec,
+        "bowker": q_bowker,
+    }
+
+
+def oracle_sql94():
+    return {
+        "quade": _quade_sql(),
+        "superiority": _superiority_sql(),
+        "lorenz": _lorenz_sql(),
+        "kupiec": _kupiec_sql(),
+        "bowker": _bowker_sql(),
+    }

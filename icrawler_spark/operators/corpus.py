@@ -7623,3 +7623,1312 @@ SELECT max(c.n) AS n, CAST(max(c.k) AS BIGINT) AS k_each_side,
     AS mean_winsorized
 FROM base b CROSS JOIN cuts c
 """
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    unit_col: str = "unit",
+    value_col: str = "value",
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970, public
+    literature) — the agreement coefficient that survives real
+    annotation tables: unlike `kappa` (exactly 2 raters) and
+    `fleiss_kappa` (fixed rater count per item), alpha accepts ANY
+    number of ratings per unit and simply drops unpairable units. The
+    right gauge for crowd-labeled quality tiers where coverage is
+    ragged.
+
+    Coincidence-matrix formulation, folded so no c×c matrix is ever
+    materialized: with r_uv = ratings of value v on unit u and m_u =
+    Σ_v r_uv (units with m_u ≥ 2 only), observed disagreement D_o =
+    Σ_u (m_u² − Σ_v r_uv²)/(m_u−1) / n, marginals n_v = Σ_u r_uv, n =
+    Σ n_v, expected D_e = (n² − Σ n_v²)/(n(n−1)), α = 1 − D_o/D_e.
+    Everything is integer-exact until the two final ratios. Returns
+    one row: (n_units, n_pairable, d_o, d_e, alpha) rounded 6.
+
+    Scale shape: one groupBy(unit, value) + one groupBy(unit) + one
+    groupBy(value) — three keyed aggregations, single-row output.
+    """
+    base = ratings.select(F.col(unit_col).alias("unit"),
+                          F.col(value_col).alias("value"))
+    ruv = base.groupBy("unit", "value").agg(
+        F.count("*").cast("long").alias("r"))
+    per_u = ruv.groupBy("unit").agg(
+        F.sum("r").cast("long").alias("m"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sq"))
+    pair_u = per_u.filter(F.col("m") >= 2)
+    do_num = pair_u.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum((F.col("m") * F.col("m") - F.col("sq")).cast("double")
+              / (F.col("m") - 1)).alias("do_num"))
+    nv = (ruv.join(pair_u.select("unit"), "unit")
+          .groupBy("value").agg(F.sum("r").cast("long").alias("nv")))
+    marg = nv.agg(F.sum("nv").cast("long").alias("n"),
+                  F.sum(F.col("nv") * F.col("nv")).cast("long")
+                  .alias("nv2"))
+    j = do_num.crossJoin(F.broadcast(marg))
+    d_o = F.col("do_num") / F.col("n").cast("double")
+    d_e = (F.col("n") * F.col("n") - F.col("nv2")).cast("double") \
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return j.select(
+        "n_units", F.col("n").alias("n_pairable"),
+        F.round(d_o, 6).alias("d_o"), F.round(d_e, 6).alias("d_e"),
+        F.round(1.0 - d_o / d_e, 6).alias("alpha"))
+
+
+def krippendorff_alpha_sql(ratings_sql: str) -> str:
+    """DuckDB mirror of :func:`krippendorff_alpha` over a (unit, value)
+    SELECT."""
+    return f"""
+WITH base AS (SELECT unit, value FROM ({ratings_sql})),
+ruv AS (
+  SELECT unit, value, CAST(count(*) AS BIGINT) AS r
+  FROM base GROUP BY 1, 2
+),
+per_u AS (
+  SELECT unit, CAST(sum(r) AS BIGINT) AS m,
+    CAST(sum(r * r) AS BIGINT) AS sq
+  FROM ruv GROUP BY 1
+),
+pair_u AS (SELECT * FROM per_u WHERE m >= 2),
+do_num AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+    sum(CAST(m * m - sq AS DOUBLE) / (m - 1)) AS do_num
+  FROM pair_u
+),
+nv AS (
+  SELECT r.value, CAST(sum(r.r) AS BIGINT) AS nv
+  FROM ruv r JOIN pair_u p ON p.unit = r.unit
+  GROUP BY 1
+),
+marg AS (
+  SELECT CAST(sum(nv) AS BIGINT) AS n,
+    CAST(sum(nv * nv) AS BIGINT) AS nv2
+  FROM nv
+)
+SELECT d.n_units, m.n AS n_pairable,
+  round(d.do_num / CAST(m.n AS DOUBLE), 6) AS d_o,
+  round(CAST(m.n * m.n - m.nv2 AS DOUBLE)
+        / CAST(m.n * (m.n - 1) AS DOUBLE), 6) AS d_e,
+  round(1.0 - (d.do_num / CAST(m.n AS DOUBLE))
+        / (CAST(m.n * m.n - m.nv2 AS DOUBLE)
+           / CAST(m.n * (m.n - 1) AS DOUBLE)), 6) AS alpha
+FROM do_num d CROSS JOIN marg m
+"""
+
+
+def page_trend(
+    ratings: DataFrame,
+    block_col: str = "block",
+    treat_col: str = "treat",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Page's trend test (Page 1963, public literature) for ORDERED
+    alternatives across k treatments in b complete blocks — the
+    directional sibling of `friedman`: where Friedman asks "do the
+    treatments differ at all?", Page asks "do they increase in THIS
+    hypothesized order?" (treatments ordered by their sort order). L =
+    Σ_j j·R_j over rank sums; z = (L−E)/√Var with E = b·k(k+1)²/4,
+    Var = b·k²(k+1)(k²−1)/144. The crawl-shaped question: does page
+    quality fall monotonically with crawl depth tier?
+
+    Only complete tie-free blocks enter (the `kendall_w` contract);
+    incomplete blocks are dropped. The treatment weight j is its
+    1-based position in the treatment sort order. Returns one row:
+    (b, k, l_stat, e_l, var_l, z) rounded 6.
+
+    Scale shape: one groupBy(block) completeness gate + one
+    groupBy(treat) rank-sum + a k-row ordered fold.
+    """
+    base = ratings.select(F.col(block_col).alias("block"),
+                          F.col(treat_col).alias("treat"),
+                          F.col(rank_col).cast("double").alias("rank"))
+    k_tot = base.agg(F.countDistinct("treat").alias("k"))
+    complete = (base.groupBy("block")
+                .agg(F.count("*").alias("kb"))
+                .crossJoin(F.broadcast(k_tot))
+                .filter(F.col("kb") == F.col("k"))
+                .select("block"))
+    rows = base.join(complete, "block")
+    b_cnt = rows.agg((F.countDistinct("block")).cast("long").alias("b"))
+    rs = rows.groupBy("treat").agg(F.sum("rank").alias("r_j"))
+    w = Window.orderBy("treat")
+    l_stat = (rs.select((F.row_number().over(w).cast("double")
+                         * F.col("r_j")).alias("jr"))
+              .agg(F.sum("jr").alias("l_stat"),
+                   F.count("*").cast("long").alias("k")))
+    j = l_stat.crossJoin(F.broadcast(b_cnt))
+    bb = F.col("b").cast("double")
+    kk = F.col("k").cast("double")
+    e_l = bb * kk * F.pow(kk + 1.0, 2) / 4.0
+    var_l = bb * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    return j.select(
+        "b", "k", F.round("l_stat", 6).alias("l_stat"),
+        F.round(e_l, 6).alias("e_l"), F.round(var_l, 6).alias("var_l"),
+        F.round((F.col("l_stat") - e_l) / F.sqrt(var_l), 6).alias("z"))
+
+
+def page_trend_sql(ratings_sql: str) -> str:
+    """DuckDB mirror of :func:`page_trend` over a (block, treat, rank)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT block, treat, CAST(rank AS DOUBLE) AS rank
+  FROM ({ratings_sql})
+),
+k_tot AS (SELECT count(DISTINCT treat) AS k FROM base),
+complete AS (
+  SELECT block FROM base GROUP BY 1
+  HAVING count(*) = (SELECT k FROM k_tot)
+),
+rows_ AS (SELECT b.* FROM base b JOIN complete c USING (block)),
+b_cnt AS (
+  SELECT CAST(count(DISTINCT block) AS BIGINT) AS b FROM rows_
+),
+rs AS (SELECT treat, sum(rank) AS r_j FROM rows_ GROUP BY 1),
+jr AS (
+  SELECT CAST(row_number() OVER (ORDER BY treat) AS DOUBLE) * r_j
+    AS jr
+  FROM rs
+),
+l AS (
+  SELECT sum(jr) AS l_stat, CAST(count(*) AS BIGINT) AS k FROM jr
+)
+SELECT b_cnt.b, l.k,
+  round(l.l_stat, 6) AS l_stat,
+  round(b * l.k * pow(l.k + 1.0, 2) / 4.0, 6) AS e_l,
+  round(b * l.k * l.k * (l.k + 1.0) * (l.k * l.k - 1.0) / 144.0, 6)
+    AS var_l,
+  round((l.l_stat - b * l.k * pow(l.k + 1.0, 2) / 4.0)
+        / sqrt(b * l.k * l.k * (l.k + 1.0) * (l.k * l.k - 1.0)
+               / 144.0), 6) AS z
+FROM l CROSS JOIN b_cnt
+"""
+
+
+def hedges_g(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Hedges' g standardized effect size (Hedges 1981, public
+    literature) between slice A and B of a metric — the magnitude
+    companion to `welch`'s p-value: d = (μ_a−μ_b)/s_pooled, then the
+    small-sample bias correction J = 1 − 3/(4ν−1), g = J·d. The number
+    that survives the "significant but tiny" trap: at crawl-log n,
+    everything is significant; g says whether the difference is worth
+    an engineering change.
+
+    Group variances are sample (n−1) around exact group means joined
+    back in; the pooled sd weights by degrees of freedom. Returns one
+    row: (n_a, n_b, mean_a, mean_b, pooled_sd, d, g) rounded 6.
+
+    Scale shape: one group-mean pass + one deviation fold — two keyed
+    passes, single-row output.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    gmu = base.groupBy("ia").agg(F.avg("x").alias("mu"),
+                                 F.count("*").cast("long").alias("ni"))
+    gv = (base.join(gmu, "ia")
+          .groupBy("ia", "ni", "mu")
+          .agg(F.sum(F.pow(F.col("x") - F.col("mu"), 2)).alias("ss")))
+    agg = gv.agg(
+        F.max(F.when(F.col("ia"), F.col("ni"))).alias("n_a"),
+        F.max(F.when(~F.col("ia"), F.col("ni"))).alias("n_b"),
+        F.max(F.when(F.col("ia"), F.col("mu"))).alias("mean_a"),
+        F.max(F.when(~F.col("ia"), F.col("mu"))).alias("mean_b"),
+        F.sum("ss").alias("ss"))
+    nu = (F.col("n_a") + F.col("n_b") - 2).cast("double")
+    sp = F.sqrt(F.col("ss") / nu)
+    d = (F.col("mean_a") - F.col("mean_b")) / sp
+    g = (1.0 - 3.0 / (4.0 * nu - 1.0)) * d
+    return agg.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("d"), F.round(g, 6).alias("g"))
+
+
+def hedges_g_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`hedges_g` over a (grp, x) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+gmu AS (
+  SELECT ia, avg(x) AS mu, CAST(count(*) AS BIGINT) AS ni
+  FROM base GROUP BY 1
+),
+gv AS (
+  SELECT b.ia, max(g.ni) AS ni, max(g.mu) AS mu,
+    sum(pow(b.x - g.mu, 2)) AS ss
+  FROM base b JOIN gmu g ON g.ia = b.ia
+  GROUP BY 1
+),
+agg AS (
+  SELECT max(CASE WHEN ia THEN ni END) AS n_a,
+    max(CASE WHEN NOT ia THEN ni END) AS n_b,
+    max(CASE WHEN ia THEN mu END) AS mean_a,
+    max(CASE WHEN NOT ia THEN mu END) AS mean_b,
+    sum(ss) AS ss
+  FROM gv
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+  round(mean_b, 6) AS mean_b,
+  round(sqrt(ss / CAST(n_a + n_b - 2 AS DOUBLE)), 6) AS pooled_sd,
+  round((mean_a - mean_b)
+        / sqrt(ss / CAST(n_a + n_b - 2 AS DOUBLE)), 6) AS d,
+  round((1.0 - 3.0 / (4.0 * CAST(n_a + n_b - 2 AS DOUBLE) - 1.0))
+        * (mean_a - mean_b)
+        / sqrt(ss / CAST(n_a + n_b - 2 AS DOUBLE)), 6) AS g
+FROM agg
+"""
+
+
+def ansari_bradley(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (Ansari & Bradley 1960,
+    public literature) — the dispersion member of the rank family:
+    where `mann_whitney` detects a location shift, AB detects a
+    spread change around a common center by scoring each observation
+    min(rank, N+1−rank) — extremes score low, the middle scores high —
+    and summing sample A's scores. A proxy pool that widens latency
+    variance without moving the median is invisible to MW and lights
+    up AB.
+
+    Ties take midranks of the SCORES: per tied value the block's score
+    multiset is averaged — tiebreak-order independent, so both engines
+    agree exactly. z uses the standard null moments (even/odd N
+    formulas). Returns one row: (n_a, n_b, ab_stat, e_ab, var_ab, z)
+    rounded 6.
+
+    Scale shape: one global sort-rank window over the value column
+    (bin first if unbounded) + one per-value midscore groupBy + one
+    fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("nn"))
+    w = Window.orderBy("x")
+    rn = (base.crossJoin(F.broadcast(n_tot))
+          .withColumn("rn", F.row_number().over(w).cast("long")))
+    scored = rn.withColumn(
+        "sc", F.least(F.col("rn"), F.col("nn") + 1 - F.col("rn"))
+        .cast("double"))
+    mid = (scored.groupBy("x").agg(F.avg("sc").alias("msc")))
+    ab = (scored.join(mid, "x")
+          .agg(F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+               .alias("n_a"),
+               F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+               .alias("n_b"),
+               F.sum(F.when(F.col("ia"), F.col("msc"))).alias("ab"),
+               F.max("nn").alias("nn")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = F.col("nn").cast("double")
+    even = F.col("nn") % 2 == 0
+    e_ab = F.when(even, na * (nd + 2.0) / 4.0) \
+        .otherwise(na * F.pow(nd + 1.0, 2) / (4.0 * nd))
+    var_ab = F.when(
+        even, na * nb * (nd + 2.0) * (nd - 2.0) / (48.0 * (nd - 1.0))) \
+        .otherwise(na * nb * (nd + 1.0) * (3.0 + nd * nd)
+                   / (48.0 * nd * nd))
+    return ab.select(
+        "n_a", "n_b", F.round("ab", 6).alias("ab_stat"),
+        F.round(e_ab, 6).alias("e_ab"),
+        F.round(var_ab, 6).alias("var_ab"),
+        F.round((F.col("ab") - e_ab) / F.sqrt(var_ab), 6).alias("z"))
+
+
+def ansari_bradley_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`ansari_bradley` over a (grp, x) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+scored AS (
+  SELECT ia, x, nn,
+    CAST(least(rn, nn + 1 - rn) AS DOUBLE) AS sc
+  FROM (
+    SELECT ia, x, nn,
+      row_number() OVER (ORDER BY x) AS rn
+    FROM base CROSS JOIN n_tot
+  )
+),
+mid AS (SELECT x, avg(sc) AS msc FROM scored GROUP BY 1),
+ab AS (
+  SELECT
+    CAST(sum(CASE WHEN s.ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT s.ia THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN s.ia THEN m.msc END) AS ab,
+    max(s.nn) AS nn
+  FROM scored s JOIN mid m ON m.x = s.x
+)
+SELECT n_a, n_b, round(ab, 6) AS ab_stat,
+  round(CASE WHEN nn % 2 = 0
+    THEN n_a * (nn + 2.0) / 4.0
+    ELSE n_a * pow(nn + 1.0, 2) / (4.0 * nn) END, 6) AS e_ab,
+  round(CASE WHEN nn % 2 = 0
+    THEN n_a * CAST(n_b AS DOUBLE) * (nn + 2.0) * (nn - 2.0)
+         / (48.0 * (nn - 1.0))
+    ELSE n_a * CAST(n_b AS DOUBLE) * (nn + 1.0) * (3.0 + nn * nn)
+         / (48.0 * nn * nn) END, 6) AS var_ab,
+  round((ab - CASE WHEN nn % 2 = 0
+    THEN n_a * (nn + 2.0) / 4.0
+    ELSE n_a * pow(nn + 1.0, 2) / (4.0 * nn) END)
+    / sqrt(CASE WHEN nn % 2 = 0
+    THEN n_a * CAST(n_b AS DOUBLE) * (nn + 2.0) * (nn - 2.0)
+         / (48.0 * (nn - 1.0))
+    ELSE n_a * CAST(n_b AS DOUBLE) * (nn + 1.0) * (3.0 + nn * nn)
+         / (48.0 * nn * nn) END), 6) AS z
+FROM ab
+"""
+
+
+def partial_corr(
+    triples: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """First-order partial correlation (public literature): r_xy·z =
+    (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the confounder
+    screen behind every crawl-metrics correlation: depth correlates
+    with quality, but is that just because BOTH correlate with host
+    size? Partial out z (host size) and see what survives. The
+    multivariate step beyond `ols_fit`'s single regressor.
+
+    All three Pearson correlations come from ONE pass of exact-mean
+    co-moments (means joined back in, never the ΣXY−nX̄Ȳ shortcut).
+    Returns one row: (n, r_xy, r_xz, r_yz, r_xy_z) rounded 6.
+
+    Scale shape: one mean agg broadcast back + one co-moment fold —
+    two keyed passes, single-row output.
+    """
+    base = triples.select(F.col(x_col).cast("double").alias("x"),
+                          F.col(y_col).cast("double").alias("y"),
+                          F.col(z_col).cast("double").alias("z"))
+    mu = base.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                  F.avg("z").alias("mz"))
+    dev = base.crossJoin(F.broadcast(mu)).select(
+        (F.col("x") - F.col("mx")).alias("dx"),
+        (F.col("y") - F.col("my")).alias("dy"),
+        (F.col("z") - F.col("mz")).alias("dz"))
+    m = dev.agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+                F.sum(F.col("dx") * F.col("dz")).alias("sxz"),
+                F.sum(F.col("dy") * F.col("dz")).alias("syz"),
+                F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+                F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+                F.sum(F.col("dz") * F.col("dz")).alias("szz"))
+    rxy = F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
+    rxz = F.col("sxz") / F.sqrt(F.col("sxx") * F.col("szz"))
+    ryz = F.col("syz") / F.sqrt(F.col("syy") * F.col("szz"))
+    pc = (rxy - rxz * ryz) / F.sqrt((1.0 - rxz * rxz)
+                                    * (1.0 - ryz * ryz))
+    return m.select("n", F.round(rxy, 6).alias("r_xy"),
+                    F.round(rxz, 6).alias("r_xz"),
+                    F.round(ryz, 6).alias("r_yz"),
+                    F.round(pc, 6).alias("r_xy_z"))
+
+
+def partial_corr_sql(triples_sql: str) -> str:
+    """DuckDB mirror of :func:`partial_corr` over an (x, y, z)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+    CAST(z AS DOUBLE) AS z
+  FROM ({triples_sql})
+),
+mu AS (SELECT avg(x) AS mx, avg(y) AS my, avg(z) AS mz FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum((x - mx) * (y - my)) AS sxy,
+    sum((x - mx) * (z - mz)) AS sxz,
+    sum((y - my) * (z - mz)) AS syz,
+    sum(pow(x - mx, 2)) AS sxx,
+    sum(pow(y - my, 2)) AS syy,
+    sum(pow(z - mz, 2)) AS szz
+  FROM base CROSS JOIN mu
+)
+SELECT n,
+  round(sxy / sqrt(sxx * syy), 6) AS r_xy,
+  round(sxz / sqrt(sxx * szz), 6) AS r_xz,
+  round(syz / sqrt(syy * szz), 6) AS r_yz,
+  round((sxy / sqrt(sxx * syy)
+         - (sxz / sqrt(sxx * szz)) * (syz / sqrt(syy * szz)))
+        / sqrt((1.0 - pow(sxz / sqrt(sxx * szz), 2))
+               * (1.0 - pow(syz / sqrt(syy * szz), 2))), 6) AS r_xy_z
+FROM m
+"""
+
+def spectral_flatness(
+    values: DataFrame,
+    bin_width: float,
+    x_col: str = "x",
+) -> DataFrame:
+    """Spectral-flatness (Wiener-entropy) measure of a load histogram
+    (public literature): geometric mean / arithmetic mean of per-bin
+    counts over the OCCUPIED bins — 1.0 when load is perfectly level
+    across bins, → 0 as mass concentrates. The one-number "is traffic
+    level?" reading that pairs with `jain` (per-entity fairness) when
+    the axis is a continuum (time-of-day, latency band) instead of a
+    host list.
+
+    Occupied-bin convention (empty bins would zero the geomean
+    identically for every input; the occupancy ratio is reported
+    separately so emptiness is still visible): bins = floor(x/width).
+    Returns one row: (n, n_bins, span_bins, gmean, amean, flatness)
+    rounded 6.
+
+    Scale shape: one groupBy(bin) + one fold — geomean via
+    exp(avg(ln)), safe because occupied bins have count ≥ 1.
+    """
+    base = values.select(
+        F.floor(F.col(x_col).cast("double") / float(bin_width))
+        .cast("long").alias("b"))
+    per = base.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    agg = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        (F.max("b") - F.min("b") + 1).cast("long").alias("span_bins"),
+        F.exp(F.avg(F.log(F.col("c").cast("double")))).alias("gmean"),
+        F.avg(F.col("c").cast("double")).alias("amean"))
+    return agg.select(
+        "n", "n_bins", "span_bins",
+        F.round("gmean", 6).alias("gmean"),
+        F.round("amean", 6).alias("amean"),
+        F.round(F.col("gmean") / F.col("amean"), 6).alias("flatness"))
+
+
+def spectral_flatness_sql(values_sql: str, bin_width: float) -> str:
+    """DuckDB mirror of :func:`spectral_flatness` over an (x) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / {float(bin_width)!r})
+              AS BIGINT) AS b,
+    CAST(count(*) AS BIGINT) AS c
+  FROM ({values_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_bins,
+    CAST(max(b) - min(b) + 1 AS BIGINT) AS span_bins,
+    exp(avg(ln(CAST(c AS DOUBLE)))) AS gmean,
+    avg(CAST(c AS DOUBLE)) AS amean
+  FROM per
+)
+SELECT n, n_bins, span_bins,
+  round(gmean, 6) AS gmean, round(amean, 6) AS amean,
+  round(gmean / amean, 6) AS flatness
+FROM agg
+"""
+
+
+def cvar(
+    values: DataFrame,
+    p: float = 0.05,
+    x_col: str = "x",
+) -> DataFrame:
+    """Conditional value-at-risk / expected shortfall (public
+    literature) of a latency-like metric: the MEAN of the worst
+    ⌈n·p⌉ observations — the tail number an SLO should price, where a
+    quantile (`wquantile`, `hist_quantiles`) only marks the tail's
+    doorstep and says nothing about how bad it is inside. VaR (the
+    smallest tail value) is reported alongside so the gap cvar − var
+    reads directly as tail heaviness.
+
+    Tail membership is by RANK (k = ⌈n·p⌉ largest, ties broken by
+    rank), not by value threshold — so the tail always holds exactly k
+    rows and both engines agree under ties. Returns one row: (n,
+    k_tail, var_cut, cvar) rounded 6.
+
+    Scale shape: one global sort-rank window (use an approximate
+    pre-filter at the ~p quantile first if the column is huge) + one
+    k-row fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("x"))
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).alias("rn"),
+                      F.ceil(F.col("n") * float(p)).cast("long")
+                      .alias("k")))
+    tail = ranked.filter(F.col("rn") <= F.col("k"))
+    return (tail.agg(F.max("n").alias("n"),
+                     F.max("k").alias("k_tail"),
+                     F.round(F.min("x"), 6).alias("var_cut"),
+                     F.round(F.avg("x"), 6).alias("cvar")))
+
+
+def cvar_sql(values_sql: str, p: float = 0.05) -> str:
+    """DuckDB mirror of :func:`cvar` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n, row_number() OVER (ORDER BY x DESC) AS rn,
+    CAST(ceil(n * {p!r}) AS BIGINT) AS k
+  FROM base CROSS JOIN n_tot
+)
+SELECT max(n) AS n, max(k) AS k_tail,
+  round(min(x), 6) AS var_cut, round(avg(x), 6) AS cvar
+FROM ranked WHERE rn <= k
+"""
+
+
+def mantel_haenszel(
+    tables: DataFrame,
+    stratum_col: str = "stratum",
+    exposed_col: str = "exposed",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio + test (Mantel &
+    Haenszel 1959, public literature) over STRATIFIED 2×2 tables — the
+    Simpson's-paradox-proof version of `odds_ratio`: when the
+    exposure/outcome mix differs per stratum (host tier, country,
+    datacenter), the crude OR can point the wrong way; MH pools the
+    per-stratum ORs weighted by information. OR_MH = Σ(a_s·d_s/n_s) /
+    Σ(b_s·c_s/n_s); the CMH statistic (continuity-corrected) tests
+    association after stratification.
+
+    Per-stratum expectations and hypergeometric variances use exact
+    integer margins; strata with a zero margin contribute nothing
+    (their variance is 0). Returns one row: (n_strata, n, or_mh, cmh)
+    rounded 6.
+
+    Scale shape: one groupBy(stratum) conditional-sum pass + one fold —
+    two keyed aggregations, single-row output.
+    """
+    e = F.col(exposed_col).cast("int") == 1
+    o = F.col(outcome_col).cast("int") == 1
+    per = tables.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum((e & o).cast("int")).cast("long").alias("a"),
+        F.sum((e & ~o).cast("int")).cast("long").alias("b"),
+        F.sum((~e & o).cast("int")).cast("long").alias("c"),
+        F.sum((~e & ~o).cast("int")).cast("long").alias("d"))
+    n_s = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    r2 = (F.col("c") + F.col("d")).cast("double")
+    c2 = (F.col("b") + F.col("d")).cast("double")
+    e_a = r1 * c1 / n_s
+    v_a = r1 * r2 * c1 * c2 / (n_s * n_s * (n_s - 1.0))
+    agg = per.filter(n_s > 1).agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(n_s).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("d") / n_s).alias("num"),
+        F.sum(F.col("b") * F.col("c") / n_s).alias("den"),
+        F.sum(F.col("a") - e_a).alias("dev"),
+        F.sum(v_a).alias("v"))
+    cmh = F.pow(F.abs(F.col("dev")) - 0.5, 2) / F.col("v")
+    return agg.select(
+        "n_strata", "n",
+        F.round(F.when(F.col("den") > 0,
+                       F.col("num") / F.col("den")), 6).alias("or_mh"),
+        F.round(F.when(F.col("v") > 0, cmh), 6).alias("cmh"))
+
+
+def mantel_haenszel_sql(tables_sql: str) -> str:
+    """DuckDB mirror of :func:`mantel_haenszel` over a (stratum,
+    exposed, outcome) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT stratum,
+    CAST(sum(CASE WHEN exposed = 1 AND outcome = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN exposed = 1 AND outcome <> 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN exposed <> 1 AND outcome = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN exposed <> 1 AND outcome <> 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM ({tables_sql}) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+    CAST(sum(a + b + c + d) AS BIGINT) AS n,
+    sum(a * CAST(d AS DOUBLE) / (a + b + c + d)) AS num,
+    sum(b * CAST(c AS DOUBLE) / (a + b + c + d)) AS den,
+    sum(a - (a + b) * CAST(a + c AS DOUBLE) / (a + b + c + d))
+      AS dev,
+    sum((a + b) * CAST(c + d AS DOUBLE) * (a + c) * (b + d)
+        / (pow(CAST(a + b + c + d AS DOUBLE), 2)
+           * (a + b + c + d - 1.0))) AS v
+  FROM per WHERE a + b + c + d > 1
+)
+SELECT n_strata, n,
+  round(CASE WHEN den > 0 THEN num / den END, 6) AS or_mh,
+  round(CASE WHEN v > 0
+    THEN pow(abs(dev) - 0.5, 2) / v END, 6) AS cmh
+FROM agg
+"""
+
+
+def g_test(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """G-test of independence (log-likelihood ratio, public
+    literature) on an r×c contingency — `cramers`'s χ² sibling with
+    better small-expected-count behavior and exact additivity across
+    partitions of the table: G = 2·Σ O·ln(O/E), E from the product of
+    marginals. Because G decomposes (unlike Pearson χ²), drilling a
+    significant host×status table into per-tier sub-tables conserves
+    the total — the property that makes it the right gate for
+    hierarchical slicing.
+
+    Zero-observed cells contribute exactly 0. Degrees of freedom
+    (r−1)(c−1) are reported for the χ² lookup. Returns one row:
+    (n, r, c, df, g) rounded 6.
+
+    Scale shape: one groupBy(x,y) contingency pass + marginal folds —
+    the joint table is the only shuffled payload.
+    """
+    base = pairs.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    joint = base.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("o"))
+    mx = joint.groupBy("x").agg(F.sum("o").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("o").alias("cy"))
+    terms = (joint.join(mx, "x").join(my, "y")
+             .crossJoin(F.broadcast(n_tot)))
+    e_cell = F.col("cx") * F.col("cy").cast("double") / F.col("n")
+    g = 2.0 * F.sum(F.col("o") * F.log(F.col("o") / e_cell))
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("c"),
+        g.alias("g"))
+    return agg.select(
+        "n", "r", "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+        F.round("g", 6).alias("g"))
+
+
+def g_test_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`g_test` over an (x, y) SELECT."""
+    return f"""
+WITH base AS (SELECT x, y FROM ({pairs_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+joint AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+mx AS (SELECT x, sum(o) AS cx FROM joint GROUP BY 1),
+my AS (SELECT y, sum(o) AS cy FROM joint GROUP BY 1),
+agg AS (
+  SELECT max(n.n) AS n,
+    CAST(count(DISTINCT j.x) AS BIGINT) AS r,
+    CAST(count(DISTINCT j.y) AS BIGINT) AS c,
+    2.0 * sum(j.o * ln(j.o / (mx.cx * CAST(my.cy AS DOUBLE) / n.n)))
+      AS g
+  FROM joint j
+  JOIN mx ON mx.x = j.x
+  JOIN my ON my.y = j.y
+  CROSS JOIN n_tot n
+)
+SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+  round(g, 6) AS g
+FROM agg
+"""
+
+
+def jonckheere(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test (Jonckheere 1954, public
+    literature) for a monotone shift across k ORDERED groups — the
+    between-subjects twin of `page_trend` (which needs blocks): J =
+    Σ_{i<j} #(x_i < x_j) + ½#(x_i = x_j) over all group pairs in group
+    sort order. "Does latency rise with depth tier?" asked without
+    pairing assumptions; more powerful than `kruskal` when the
+    alternative is ordered rather than "any difference".
+
+    Pair counts come from the (group, value) CELL table joined to
+    itself — bounded by cells², never rows². z uses the no-ties null
+    moments E = (N²−Σn_i²)/4, Var = [N²(2N+3)−Σn_i²(2n_i+3)]/72 (with
+    heavy ties the z is approximate; both engines compute identically).
+    Returns one row: (k, n, j_stat, e_j, var_j, z) rounded 6.
+
+    Scale shape: one groupBy(grp, value) + a broadcast cell×cell join
+    + one fold. Bin continuous values first if cardinality is huge.
+    """
+    base = samples.select(F.col(grp_col).alias("g"),
+                          F.col(x_col).cast("double").alias("x"))
+    cells = base.groupBy("g", "x").agg(
+        F.count("*").cast("long").alias("c"))
+    sizes = base.groupBy("g").agg(F.count("*").cast("long").alias("ni"))
+    o = cells.select(F.col("g").alias("g2"), F.col("x").alias("x2"),
+                     F.col("c").alias("c2"))
+    j = (cells.crossJoin(F.broadcast(o))
+         .filter(F.col("g") < F.col("g2"))
+         .agg(F.sum(F.when(F.col("x") < F.col("x2"),
+                           (F.col("c") * F.col("c2")).cast("double"))
+                    .when(F.col("x") == F.col("x2"),
+                          0.5 * F.col("c") * F.col("c2"))
+                    .otherwise(F.lit(0.0))).alias("j_stat")))
+    marg = sizes.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+        F.sum(F.col("ni") * F.col("ni") * (2 * F.col("ni") + 3))
+        .alias("sn23"))
+    out = j.crossJoin(F.broadcast(marg))
+    nd = F.col("n").cast("double")
+    e_j = (nd * nd - F.col("sn2")) / 4.0
+    var_j = (nd * nd * (2.0 * nd + 3.0) - F.col("sn23")) / 72.0
+    return out.select(
+        "k", "n", F.round("j_stat", 6).alias("j_stat"),
+        F.round(e_j, 6).alias("e_j"), F.round(var_j, 6).alias("var_j"),
+        F.round((F.col("j_stat") - e_j) / F.sqrt(var_j), 6).alias("z"))
+
+
+def jonckheere_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`jonckheere` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp AS g, CAST(x AS DOUBLE) AS x FROM ({samples_sql})
+),
+cells AS (
+  SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+sizes AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ni FROM base GROUP BY 1
+),
+j AS (
+  SELECT sum(CASE WHEN a.x < b.x
+             THEN CAST(a.c * b.c AS DOUBLE)
+             WHEN a.x = b.x THEN 0.5 * a.c * b.c
+             ELSE 0.0 END) AS j_stat
+  FROM cells a JOIN cells b ON a.g < b.g
+),
+marg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+    sum(ni * ni) AS sn2, sum(ni * ni * (2 * ni + 3)) AS sn23
+  FROM sizes
+)
+SELECT k, n, round(j_stat, 6) AS j_stat,
+  round((CAST(n AS DOUBLE) * n - sn2) / 4.0, 6) AS e_j,
+  round((CAST(n AS DOUBLE) * n * (2.0 * n + 3.0) - sn23) / 72.0, 6)
+    AS var_j,
+  round((j_stat - (CAST(n AS DOUBLE) * n - sn2) / 4.0)
+        / sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3.0) - sn23)
+               / 72.0), 6) AS z
+FROM j CROSS JOIN marg
+"""
+
+
+def cohens_h(
+    pairs: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    hit_col: str = "hit",
+) -> DataFrame:
+    """Cohen's h effect size for two proportions (Cohen 1988, public
+    literature): h = 2·arcsin√p₁ − 2·arcsin√p₂ — the magnitude
+    companion to `ab_ztest`/`two-proportion` significance, on the
+    variance-stabilized scale where a 1%→2% move and a 50%→60% move
+    get comparable numbers. The conventional small/medium/large
+    bands (0.2/0.5/0.8) make block-rate or error-rate changes
+    comparable across wildly different base rates.
+
+    Returns one row: (n_a, n_b, p_a, p_b, h) rounded 6.
+
+    Scale shape: ONE conditional-sum fold — single pass, single row.
+    """
+    ia = F.col(grp_col) == grp_a
+    hit = F.col(hit_col).cast("int") == 1
+    agg = pairs.agg(
+        F.sum(ia.cast("int")).cast("long").alias("n_a"),
+        F.sum((~ia).cast("int")).cast("long").alias("n_b"),
+        F.sum((ia & hit).cast("int")).cast("long").alias("h_a"),
+        F.sum((~ia & hit).cast("int")).cast("long").alias("h_b"))
+    pa = F.col("h_a") / F.col("n_a").cast("double")
+    pb = F.col("h_b") / F.col("n_b").cast("double")
+    h = 2.0 * F.asin(F.sqrt(pa)) - 2.0 * F.asin(F.sqrt(pb))
+    return agg.select("n_a", "n_b",
+                      F.round(pa, 6).alias("p_a"),
+                      F.round(pb, 6).alias("p_b"),
+                      F.round(h, 6).alias("h"))
+
+
+def cohens_h_sql(pairs_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`cohens_h` over a (grp, hit) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN grp <> {grp_a_sql} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN grp = {grp_a_sql} AND hit = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS h_a,
+    CAST(sum(CASE WHEN grp <> {grp_a_sql} AND hit = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS h_b
+  FROM ({pairs_sql})
+)
+SELECT n_a, n_b,
+  round(h_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+  round(h_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+  round(2.0 * asin(sqrt(h_a / CAST(n_a AS DOUBLE)))
+        - 2.0 * asin(sqrt(h_b / CAST(n_b AS DOUBLE))), 6) AS h
+FROM agg
+"""
+
+
+def scotts_pi(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Scott's pi (Scott 1955, public literature) — two-rater chance-
+    corrected agreement with POOLED marginals: where Cohen's `kappa`
+    models each rater's own label distribution as their chance
+    behavior, pi assumes one shared distribution (the average of the
+    two marginals) — the right null when raters are interchangeable
+    annotators drawing from the same guideline, and the 2-rater
+    special case of `krippendorff_alpha` (π = α in the large-n limit).
+    kappa − pi > 0 reads directly as "the raters' label PRIORS
+    disagree", separating prior drift from per-item disagreement.
+
+    p_o is the exact agreement fraction; p_e = Σ_c ((n_ac+n_bc)/2n)².
+    Returns one row: (n, po, pe, pi) rounded 6.
+
+    Scale shape: one agreement fold + one label-marginal groupBy —
+    two keyed passes, single-row output.
+    """
+    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    n_tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("long")
+        .alias("agree"))
+    pooled = (base.select(F.col("a").alias("v"))
+              .unionAll(base.select(F.col("b").alias("v")))
+              .groupBy("v").agg(F.count("*").cast("long").alias("cv")))
+    pe = (pooled.crossJoin(F.broadcast(n_tot))
+          .agg(F.max("n").alias("n"), F.max("agree").alias("agree"),
+               F.sum(F.pow(F.col("cv") / (2.0 * F.col("n")), 2))
+               .alias("pe")))
+    po = F.col("agree") / F.col("n").cast("double")
+    return pe.select(
+        "n", F.round(po, 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round((po - F.col("pe")) / (1.0 - F.col("pe")), 6)
+        .alias("pi"))
+
+
+def scotts_pi_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`scotts_pi` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (SELECT a, b FROM ({pairs_sql})),
+n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM base
+),
+pooled AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cv
+  FROM (SELECT a AS v FROM base UNION ALL SELECT b AS v FROM base)
+  GROUP BY 1
+),
+pe AS (
+  SELECT max(n) AS n, max(agree) AS agree,
+    sum(pow(cv / (2.0 * n), 2)) AS pe
+  FROM pooled CROSS JOIN n_tot
+)
+SELECT n, round(agree / CAST(n AS DOUBLE), 6) AS po,
+  round(pe, 6) AS pe,
+  round((agree / CAST(n AS DOUBLE) - pe) / (1.0 - pe), 6) AS pi
+FROM pe
+"""
+
+
+def quade(
+    ratings: DataFrame,
+    block_col: str = "block",
+    treat_col: str = "treat",
+    x_col: str = "x",
+) -> DataFrame:
+    """Quade test (Quade 1979, public literature) for k treatments in b
+    complete blocks — `friedman` with the blocks that DISCRIMINATE
+    weighted up: each block is ranked by its within-block range, so a
+    host where the k ranking functions produce wildly different scores
+    counts for more than one where they nearly tie. More powerful than
+    Friedman at small k when treatment effects scale with block spread.
+
+    Within-block ranks use (x, treat) positional ordering (documented
+    tie policy — both engines order identically); block weights are the
+    rank of the block's range with (range, block) tiebreak. S_ij =
+    Q_b·(r_ij − (k+1)/2), A = ΣS², B = Σ_j S_j²/b, F = (b−1)B/(A−B)
+    with df (k−1, (b−1)(k−1)). Only complete blocks enter. Returns one
+    row: (b, k, a_stat, b_stat, f) rounded 6.
+
+    Scale shape: block-partitioned rank windows + one groupBy(treat)
+    + folds — no window wider than a block except the b-row weight
+    rank.
+    """
+    base = ratings.select(F.col(block_col).alias("block"),
+                          F.col(treat_col).alias("treat"),
+                          F.col(x_col).cast("double").alias("x"))
+    k_tot = base.agg(F.countDistinct("treat").alias("k"))
+    sized = (base.groupBy("block").agg(
+        F.count("*").alias("kb"),
+        (F.max("x") - F.min("x")).alias("rng"))
+        .crossJoin(F.broadcast(k_tot))
+        .filter(F.col("kb") == F.col("k")))
+    w_q = Window.orderBy("rng", "block")
+    weights = sized.select(
+        "block", "k", F.row_number().over(w_q).cast("double").alias("q"))
+    w_r = Window.partitionBy("block").orderBy("x", "treat")
+    ranked = (base.join(weights, "block")
+              .withColumn("r", F.row_number().over(w_r).cast("double")))
+    s = ranked.select(
+        "block", "treat", "k",
+        (F.col("q") * (F.col("r") - (F.col("k") + 1.0) / 2.0))
+        .alias("s"))
+    b_cnt = s.agg(F.countDistinct("block").cast("long").alias("b"),
+                  F.max("k").cast("long").alias("k"),
+                  F.sum(F.col("s") * F.col("s")).alias("a_stat"))
+    sj = s.groupBy("treat").agg(F.sum("s").alias("sj"))
+    b_stat = (sj.crossJoin(F.broadcast(b_cnt))
+              .agg(F.max("b").alias("b"), F.max("k").alias("k"),
+                   F.max("a_stat").alias("a_stat"),
+                   (F.sum(F.col("sj") * F.col("sj"))
+                    / F.max("b")).alias("b_stat")))
+    f = (F.col("b") - 1.0) * F.col("b_stat") \
+        / (F.col("a_stat") - F.col("b_stat"))
+    return b_stat.select(
+        "b", "k", F.round("a_stat", 6).alias("a_stat"),
+        F.round("b_stat", 6).alias("b_stat"),
+        F.round(f, 6).alias("f"))
+
+
+def quade_sql(ratings_sql: str) -> str:
+    """DuckDB mirror of :func:`quade` over a (block, treat, x)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT block, treat, CAST(x AS DOUBLE) AS x FROM ({ratings_sql})
+),
+k_tot AS (SELECT count(DISTINCT treat) AS k FROM base),
+sized AS (
+  SELECT block, max(x) - min(x) AS rng,
+    (SELECT k FROM k_tot) AS k
+  FROM base GROUP BY 1
+  HAVING count(*) = (SELECT k FROM k_tot)
+),
+weights AS (
+  SELECT block, k,
+    CAST(row_number() OVER (ORDER BY rng, block) AS DOUBLE) AS q
+  FROM sized
+),
+ranked AS (
+  SELECT b.block, b.treat, w.k, w.q,
+    CAST(row_number() OVER (PARTITION BY b.block ORDER BY b.x, b.treat)
+         AS DOUBLE) AS r
+  FROM base b JOIN weights w ON w.block = b.block
+),
+s AS (
+  SELECT block, treat, k, q * (r - (k + 1.0) / 2.0) AS s
+  FROM ranked
+),
+b_cnt AS (
+  SELECT CAST(count(DISTINCT block) AS BIGINT) AS b,
+    CAST(max(k) AS BIGINT) AS k, sum(s * s) AS a_stat
+  FROM s
+),
+sj AS (SELECT treat, sum(s) AS sj FROM s GROUP BY 1),
+agg AS (
+  SELECT max(c.b) AS b, max(c.k) AS k, max(c.a_stat) AS a_stat,
+    sum(sj * sj) / max(c.b) AS b_stat
+  FROM sj CROSS JOIN b_cnt c
+)
+SELECT b, k, round(a_stat, 6) AS a_stat, round(b_stat, 6) AS b_stat,
+  round((b - 1.0) * b_stat / (a_stat - b_stat), 6) AS f
+FROM agg
+"""
+
+
+def prob_superiority(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Common-language effect size / probability of superiority
+    (McGraw & Wong 1992, public literature): Â = P(X_a > X_b) +
+    ½P(X_a = X_b) — `mann_whitney`'s U rescaled to the one number a
+    human can act on: "pick a random URL from each cohort; how often
+    is A's metric higher?" 0.5 = no effect, and unlike Hedges' g it
+    needs no normality and survives any monotone transform of the
+    metric.
+
+    Pair counts come from the (grp, value) CELL table joined to itself
+    — bounded by distinct values², never rows². Returns one row:
+    (n_a, n_b, u, a_hat) rounded 6.
+
+    Scale shape: one groupBy(grp, value) + a broadcast cell join + one
+    fold. Bin continuous values first if cardinality is huge.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    cells = base.groupBy("ia", "x").agg(
+        F.count("*").cast("long").alias("c"))
+    a = cells.filter(F.col("ia")).select(
+        F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = cells.filter(~F.col("ia")).select(
+        F.col("x").alias("xb"), F.col("c").alias("cb"))
+    u = (a.crossJoin(F.broadcast(b))
+         .agg(F.sum(F.when(F.col("xa") > F.col("xb"),
+                           (F.col("ca") * F.col("cb")).cast("double"))
+                    .when(F.col("xa") == F.col("xb"),
+                          0.5 * F.col("ca") * F.col("cb"))
+                    .otherwise(F.lit(0.0))).alias("u")))
+    marg = base.agg(
+        F.sum(F.col("ia").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("ia")).cast("int")).cast("long").alias("n_b"))
+    return (u.crossJoin(F.broadcast(marg))
+            .select("n_a", "n_b", F.round("u", 6).alias("u"),
+                    F.round(F.col("u")
+                            / (F.col("n_a") * F.col("n_b"))
+                            .cast("double"), 6).alias("a_hat")))
+
+
+def prob_superiority_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`prob_superiority` over a (grp, x)
+    SELECT; ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+cells AS (
+  SELECT ia, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+u AS (
+  SELECT sum(CASE WHEN a.x > b.x THEN CAST(a.c * b.c AS DOUBLE)
+             WHEN a.x = b.x THEN 0.5 * a.c * b.c
+             ELSE 0.0 END) AS u
+  FROM cells a JOIN cells b ON a.ia AND NOT b.ia
+),
+marg AS (
+  SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n_a, n_b, round(u, 6) AS u,
+  round(u / CAST(n_a * n_b AS DOUBLE), 6) AS a_hat
+FROM u CROSS JOIN marg
+"""
+
+
+def lorenz_deciles(
+    values: DataFrame,
+    n_bins: int = 10,
+    x_col: str = "x",
+) -> DataFrame:
+    """Lorenz-curve decile table (Lorenz 1905, public literature) of a
+    non-negative load metric: sort ascending, cut into equal-count
+    bins, report each bin's cumulative share of the total — the CURVE
+    behind `host_gini`'s single number and the fairness mirror of
+    `gains`' top-down triage view. "The busiest 10% of hosts carry
+    1 − cum_share(9) of all fetches" reads straight off the last rows.
+
+    Bin cut is ntile over (x, id-free) ascending; ties are split
+    deterministically by value then position (SQL-standard ntile in
+    both engines). Returns per bin: (decile, n, bin_sum, cum_share,
+    equality_gap = decile/n_bins − cum_share) rounded 6.
+
+    Scale shape: ONE global sort window + one groupBy(bin) + an
+    ordered window over the n_bins rows.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    w = Window.orderBy("x")
+    binned = base.withColumn("decile", F.ntile(n_bins).over(w))
+    per = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("bin_sum"))
+    tot = per.agg(F.sum("bin_sum").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (per.crossJoin(F.broadcast(tot))
+           .withColumn("cum", F.sum("bin_sum").over(w_cum)))
+    share = F.col("cum") / F.col("t")
+    frac = F.col("decile").cast("double") / float(n_bins)
+    return (cum.select(F.col("decile").cast("long").alias("decile"),
+                       "n", F.round("bin_sum", 6).alias("bin_sum"),
+                       F.round(share, 6).alias("cum_share"),
+                       F.round(frac - share, 6).alias("equality_gap"))
+            .orderBy("decile"))
+
+
+def lorenz_deciles_sql(values_sql: str, n_bins: int = 10) -> str:
+    """DuckDB mirror of :func:`lorenz_deciles` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+binned AS (
+  SELECT x, ntile({n_bins}) OVER (ORDER BY x) AS decile FROM base
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n, sum(x) AS bin_sum
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(bin_sum) AS t FROM per),
+cum AS (
+  SELECT decile, n, bin_sum, t,
+    sum(bin_sum) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      AS cum
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(decile AS BIGINT) AS decile, n,
+  round(bin_sum, 6) AS bin_sum,
+  round(cum / t, 6) AS cum_share,
+  round(CAST(decile AS DOUBLE) / {n_bins} - cum / t, 6)
+    AS equality_gap
+FROM cum ORDER BY decile
+"""
+
+
+def kupiec_pof(
+    exceptions: DataFrame,
+    p: float,
+    exceed_col: str = "exceed",
+) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest (Kupiec 1995, public
+    literature) — the audit that closes the `cvar` loop: an SLO
+    committed to "latency exceeds the VaR cut only p of the time"; the
+    exception log says it happened x/n times; LR_pof = −2·ln L(p) +
+    2·ln L(x/n) ~ χ²₁ says whether the gap is luck or a broken model.
+    Rejecting HIGH means the tail was underpriced; rejecting LOW means
+    the budget is wastefully padded.
+
+    x = 0 and x = n degenerate terms contribute exactly 0 (0·ln0 = 0
+    by convention, applied identically in both engines). Returns one
+    row: (n, x, expected_rate, observed_rate, lr_pof) rounded 6.
+
+    Scale shape: ONE sum fold over the indicator — single pass,
+    single row.
+    """
+    agg = exceptions.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(exceed_col).cast("int")).cast("long").alias("x"))
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    rate = xd / nd
+    pp = float(p)
+    def _term(cnt, prob):
+        return F.when(cnt > 0, cnt * F.log(prob)).otherwise(F.lit(0.0))
+    ll0 = _term(nd - xd, F.lit(1.0 - pp)) + _term(xd, F.lit(pp))
+    ll1 = _term(nd - xd, 1.0 - rate) + _term(xd, rate)
+    return agg.select(
+        "n", "x", F.round(F.lit(pp), 6).alias("expected_rate"),
+        F.round(rate, 6).alias("observed_rate"),
+        F.round(-2.0 * ll0 + 2.0 * ll1, 6).alias("lr_pof"))
+
+
+def kupiec_pof_sql(exceptions_sql: str, p: float) -> str:
+    """DuckDB mirror of :func:`kupiec_pof` over an (exceed) SELECT."""
+    pp = float(p)
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(exceed AS INT)) AS BIGINT) AS x
+  FROM ({exceptions_sql})
+)
+SELECT n, x, round({pp!r}, 6) AS expected_rate,
+  round(x / CAST(n AS DOUBLE), 6) AS observed_rate,
+  round(
+    -2.0 * (CASE WHEN n - x > 0
+            THEN (n - x) * ln(1.0 - {pp!r}) ELSE 0.0 END
+            + CASE WHEN x > 0 THEN x * ln({pp!r}) ELSE 0.0 END)
+    + 2.0 * (CASE WHEN n - x > 0
+             THEN (n - x) * ln(1.0 - x / CAST(n AS DOUBLE))
+             ELSE 0.0 END
+             + CASE WHEN x > 0
+               THEN x * ln(x / CAST(n AS DOUBLE)) ELSE 0.0 END), 6)
+    AS lr_pof
+FROM agg
+"""
+
+
+def bowker(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Bowker's test of symmetry (Bowker 1948, public literature) on a
+    paired k×k table — `mcnemar` generalized beyond 2 categories: for
+    every label pair (i < j), does traffic move i→j as often as j→i?
+    χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji), df = #pairs observed.
+    On before/after crawl labels (status class, quality tier, language)
+    a significant Bowker says the re-crawl doesn't just RELABEL noise —
+    there is a directed drift between specific label pairs.
+
+    Pairs with n_ij + n_ji = 0 contribute nothing and don't count
+    toward df. Integer-exact until the final ratio sum. Returns one
+    row: (n, df, chi2) rounded 6.
+
+    Scale shape: one groupBy(a,b) contingency pass + a self-join on
+    the mirrored key over the k² cells — never the raw rows.
+    """
+    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c"))
+    up = cells.filter(F.col("a") < F.col("b"))
+    dn = cells.filter(F.col("a") > F.col("b")).select(
+        F.col("b").alias("a"), F.col("a").alias("b"),
+        F.col("c").alias("c_rev"))
+    both = (up.join(dn, ["a", "b"], "full_outer")
+            .select(F.coalesce("c", F.lit(0)).alias("cij"),
+                    F.coalesce("c_rev", F.lit(0)).alias("cji")))
+    agg = both.filter(F.col("cij") + F.col("cji") > 0).agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.pow((F.col("cij") - F.col("cji")).cast("double"), 2)
+              / (F.col("cij") + F.col("cji")).cast("double"))
+        .alias("chi2"))
+    return (agg.crossJoin(F.broadcast(n_tot))
+            .select("n", "df", F.round("chi2", 6).alias("chi2")))
+
+
+def bowker_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`bowker` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (SELECT a, b FROM ({pairs_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+up AS (SELECT a, b, c FROM cells WHERE a < b),
+dn AS (SELECT b AS a, a AS b, c AS c_rev FROM cells WHERE a > b),
+bothdir AS (
+  SELECT coalesce(u.c, 0) AS cij, coalesce(d.c_rev, 0) AS cji
+  FROM up u FULL OUTER JOIN dn d ON d.a = u.a AND d.b = u.b
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS df,
+    sum(pow(CAST(cij - cji AS DOUBLE), 2)
+        / CAST(cij + cji AS DOUBLE)) AS chi2
+  FROM bothdir WHERE cij + cji > 0
+)
+SELECT n, df, round(chi2, 6) AS chi2
+FROM agg CROSS JOIN n_tot
+"""

@@ -3241,3 +3241,91 @@ SELECT max(t.n) AS n_hosts, CAST(max(t.tx) AS BIGINT) AS n_fetches,
   round(max(c.x / t.tx), 6) AS top_share
 FROM cnt c CROSS JOIN tot t
 """
+
+def erlang_b(
+    arrivals: DataFrame,
+    service_s: float,
+    n_servers=(8, 16, 32),
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Erlang-B blocking probability (Erlang 1917, public literature)
+    for a LOSS system — the no-queue companion to `erlang`'s Erlang-C
+    pool sizing: when a fetch slot pool rejects rather than queues
+    (connection caps, per-host socket limits), the blocked fraction is
+    B(c, a) = (a^c/c!) / Σ_{k≤c} a^k/k! with offered load a = λ·s
+    measured from the arrival log. Reports B for each candidate pool
+    size c so the knee is read off one table.
+
+    a comes from the data: λ = arrivals / observed span. The factorial
+    series is evaluated as exp(k·ln a − Σ_{j≤k} ln j) under an ordered
+    cumulative window — identical double accumulation order in both
+    engines, no factorial overflow. Returns per c: (c, a, erlang_b)
+    rounded 6, ordered by c.
+
+    Scale shape: one min/max/count fold over the log + a c_max-row
+    exploded series per candidate — the series never touches the data
+    again.
+    """
+    lam = arrivals.agg(
+        (F.count("*").cast("double")
+         / (F.max(F.col(ts_col)).cast("double")
+            - F.min(F.col(ts_col)).cast("double"))).alias("lam"))
+    a = lam.select((F.col("lam") * float(service_s)).alias("a"))
+    c_max = max(int(c) for c in n_servers)
+    ks = a.select(
+        "a", F.explode(F.sequence(F.lit(0), F.lit(c_max))).alias("k"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    lnfac = F.sum(F.when(F.col("k") > 0,
+                         F.log(F.col("k").cast("double")))
+                  .otherwise(F.lit(0.0))).over(w)
+    terms = ks.select(
+        "a", "k",
+        F.exp(F.col("k").cast("double") * F.log("a") - lnfac)
+        .alias("t"))
+    cum = terms.select(
+        "a", "k", "t",
+        F.sum("t").over(w).alias("s"))
+    cs = [int(c) for c in sorted(n_servers)]
+    picked = cum.filter(F.col("k").isin(cs))
+    return (picked.select(F.col("k").cast("long").alias("c"),
+                          F.round("a", 6).alias("a"),
+                          F.round(F.col("t") / F.col("s"), 6)
+                          .alias("erlang_b"))
+            .orderBy("c"))
+
+
+def erlang_b_sql(arrivals_sql: str, service_s: float,
+                 n_servers=(8, 16, 32)) -> str:
+    """DuckDB mirror of :func:`erlang_b` over a (ts_s) SELECT."""
+    c_max = max(int(c) for c in n_servers)
+    cs = ", ".join(str(int(c)) for c in sorted(n_servers))
+    return f"""
+WITH lam AS (
+  SELECT CAST(count(*) AS DOUBLE)
+    / (CAST(max(ts_s) AS DOUBLE) - CAST(min(ts_s) AS DOUBLE)) AS lam
+  FROM ({arrivals_sql})
+),
+a AS (SELECT lam * {float(service_s)!r} AS a FROM lam),
+ks AS (
+  SELECT a.a, g.k
+  FROM a CROSS JOIN (
+    SELECT unnest(range(0, {c_max + 1})) AS k
+  ) g
+),
+terms AS (
+  SELECT a, k,
+    exp(CAST(k AS DOUBLE) * ln(a)
+        - sum(CASE WHEN k > 0 THEN ln(CAST(k AS DOUBLE))
+              ELSE 0.0 END)
+          OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)) AS t
+  FROM ks
+),
+cum AS (
+  SELECT a, k, t,
+    sum(t) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS s
+  FROM terms
+)
+SELECT CAST(k AS BIGINT) AS c, round(a, 6) AS a,
+  round(t / s, 6) AS erlang_b
+FROM cum WHERE k IN ({cs}) ORDER BY c
+"""

@@ -2118,3 +2118,162 @@ SELECT CAST({int(tau)} AS BIGINT) AS tau, m.n, m.n_deaths,
         + coalesce(f.tail_area, 0.0), 6) AS rmst
 FROM marg m CROSS JOIN tail f
 """
+
+def taylor_law(
+    events: DataFrame,
+    host_col: str = "host",
+    win_col: str = "win",
+    min_wins: int = 2,
+) -> DataFrame:
+    """Taylor's power law fit (Taylor 1961, public literature) across
+    hosts: fluctuation scaling var ≈ A·mean^b of per-window fetch
+    counts. The exponent b is the one-number answer to "how bursty is
+    this corpus's traffic?": b ≈ 1 is Poisson-like (per-host politeness
+    budgets can be static), b → 2 means variance grows with the square
+    of volume (hot hosts need proportionally padded headroom — size
+    token buckets from the fitted law, not the global mean).
+
+    Per host: mean/variance of per-window counts (sample, exact-mean).
+    Hosts with var = 0 or fewer than ``min_wins`` windows are excluded
+    (their log-variance is undefined). The ln-ln OLS uses exact-mean
+    co-moments. Returns one row: (n_hosts, slope, intercept, r2)
+    rounded 6.
+
+    Scale shape: one groupBy(host, win) + one groupBy(host) + one
+    regression fold — all keyed, no window.
+    """
+    cnt = (events.select(F.col(host_col).alias("host"),
+                         F.col(win_col).alias("win"))
+           .groupBy("host", "win")
+           .agg(F.count("*").cast("long").alias("k")))
+    gmu = cnt.groupBy("host").agg(
+        F.avg("k").alias("mu"), F.count("*").cast("long").alias("nw"))
+    gv = (cnt.join(gmu, "host")
+          .filter(F.col("nw") >= min_wins)
+          .groupBy("host", "mu", "nw")
+          .agg((F.sum(F.pow(F.col("k") - F.col("mu"), 2))
+                / (F.max("nw") - 1)).alias("s2"))
+          .filter((F.col("s2") > 0) & (F.col("mu") > 0)))
+    pts = gv.select(F.log("mu").alias("lx"), F.log("s2").alias("ly"))
+    pmu = pts.agg(F.avg("lx").alias("mx"), F.avg("ly").alias("my"))
+    reg = (pts.crossJoin(F.broadcast(pmu))
+           .agg(F.count("*").cast("long").alias("n_hosts"),
+                F.max("mx").alias("mx"), F.max("my").alias("my"),
+                F.sum((F.col("lx") - F.col("mx"))
+                      * (F.col("ly") - F.col("my"))).alias("sxy"),
+                F.sum(F.pow(F.col("lx") - F.col("mx"), 2)).alias("sxx"),
+                F.sum(F.pow(F.col("ly") - F.col("my"), 2)).alias("syy")))
+    slope = F.col("sxy") / F.col("sxx")
+    return reg.select(
+        "n_hosts", F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(F.pow(F.col("sxy"), 2)
+                / (F.col("sxx") * F.col("syy")), 6).alias("r2"))
+
+
+def taylor_law_sql(events_sql: str, min_wins: int = 2) -> str:
+    """DuckDB mirror of :func:`taylor_law` over a (host, win) SELECT."""
+    return f"""
+WITH cnt AS (
+  SELECT host, win, CAST(count(*) AS BIGINT) AS k
+  FROM ({events_sql}) GROUP BY 1, 2
+),
+gmu AS (
+  SELECT host, avg(k) AS mu, CAST(count(*) AS BIGINT) AS nw
+  FROM cnt GROUP BY 1
+),
+gv AS (
+  SELECT c.host, max(g.mu) AS mu,
+    sum(pow(c.k - g.mu, 2)) / (max(g.nw) - 1) AS s2
+  FROM cnt c JOIN gmu g ON g.host = c.host
+  WHERE g.nw >= {min_wins}
+  GROUP BY 1
+  HAVING sum(pow(c.k - g.mu, 2)) / (max(g.nw) - 1) > 0
+     AND max(g.mu) > 0
+),
+pts AS (SELECT ln(mu) AS lx, ln(s2) AS ly FROM gv),
+pmu AS (SELECT avg(lx) AS mx, avg(ly) AS my FROM pts),
+reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+    max(mx) AS mx, max(my) AS my,
+    sum((lx - mx) * (ly - my)) AS sxy,
+    sum(pow(lx - mx, 2)) AS sxx,
+    sum(pow(ly - my, 2)) AS syy
+  FROM pts CROSS JOIN pmu
+)
+SELECT n_hosts, round(sxy / sxx, 6) AS slope,
+  round(my - (sxy / sxx) * mx, 6) AS intercept,
+  round(pow(sxy, 2) / (sxx * syy), 6) AS r2
+FROM reg
+"""
+
+
+def allan_variance(
+    series: DataFrame,
+    taus=(1, 2, 4),
+    pos_col: str = "pos",
+    y_col: str = "y",
+) -> DataFrame:
+    """Allan variance (Allan 1966, public literature) of a rate series
+    at block sizes τ — the drift-vs-noise separator that a plain
+    variance can't be: white noise falls as 1/τ, a slow rate drift
+    makes avar(τ) RISE with τ. Run on per-slot fetch rates, the τ
+    where the curve turns is the averaging window beyond which
+    "throughput is stable" stops being true — the right horizon for
+    `ewma`-style smoothing constants.
+
+    avar(τ) = ½·mean((ȳ_{i+1} − ȳ_i)²) over consecutive NON-overlapping
+    τ-slot block means (block = floor(pos/τ)); trailing partial blocks
+    are dropped. Returns per τ: (tau, n_blocks, avar) rounded 6.
+
+    Scale shape: per τ one groupBy(block) + one lag window over the
+    block-mean table (bounded by series length / τ) — τ sweep adds
+    passes over the tiny block table, not the data.
+    """
+    base = series.select(F.col(pos_col).cast("long").alias("pos"),
+                         F.col(y_col).cast("double").alias("y"))
+    outs = []
+    for tau in taus:
+        t = int(tau)
+        blocks = (base
+                  .withColumn("blk", F.floor(F.col("pos") / t))
+                  .groupBy("blk")
+                  .agg(F.count("*").alias("cnt"), F.avg("y").alias("m"))
+                  .filter(F.col("cnt") == t))
+        w = Window.orderBy("blk")
+        d = blocks.select(
+            (F.col("m") - F.lag("m").over(w)).alias("d"),
+            (F.col("blk") - F.lag("blk").over(w)).alias("step"))
+        av = (d.filter((F.col("d").isNotNull()) & (F.col("step") == 1))
+              .agg((F.count("*") + 1).cast("long").alias("n_blocks"),
+                   F.round(0.5 * F.avg(F.pow("d", 2)), 6).alias("avar")))
+        outs.append(av.select(F.lit(t).cast("long").alias("tau"),
+                              "n_blocks", "avar"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tau")
+
+
+def allan_variance_sql(series_sql: str, taus=(1, 2, 4)) -> str:
+    """DuckDB mirror of :func:`allan_variance` over a (pos, y)
+    SELECT."""
+    legs = []
+    for tau in taus:
+        t = int(tau)
+        legs.append(f"""
+SELECT CAST({t} AS BIGINT) AS tau,
+  CAST(count(*) + 1 AS BIGINT) AS n_blocks,
+  round(0.5 * avg(pow(d, 2)), 6) AS avar
+FROM (
+  SELECT m - lag(m) OVER (ORDER BY blk) AS d,
+    blk - lag(blk) OVER (ORDER BY blk) AS step
+  FROM (
+    SELECT CAST(floor(pos / {t}) AS BIGINT) AS blk,
+      count(*) AS cnt, avg(y) AS m
+    FROM (SELECT CAST(pos AS BIGINT) AS pos, CAST(y AS DOUBLE) AS y
+          FROM ({series_sql}))
+    GROUP BY 1
+  ) WHERE cnt = {t}
+) WHERE d IS NOT NULL AND step = 1""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tau"

@@ -1,0 +1,135 @@
+"""Unit tests for the round-91 pack: Krippendorff alpha, Page trend,
+Hedges g, Ansari-Bradley, partial correlation."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (ansari_bradley, hedges_g,
+                                             krippendorff_alpha,
+                                             page_trend, partial_corr)
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha
+# ---------------------------------------------------------------------------
+
+def test_krippendorff_hand_value(spark):
+    # u1: aa, u2: ab, u3: bb → D_o = 1/3, D_e = 0.6, alpha = 4/9
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "unit long, value string")
+    r = krippendorff_alpha(df).collect()[0]
+    assert r["n_units"] == 3 and r["n_pairable"] == 6
+    assert math.isclose(r["d_o"], 1 / 3, abs_tol=1e-6)
+    assert math.isclose(r["d_e"], 0.6, abs_tol=1e-6)
+    assert math.isclose(r["alpha"], 4 / 9, abs_tol=1e-6)
+
+
+def test_krippendorff_perfect_agreement(spark):
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "unit long, value string")
+    r = krippendorff_alpha(df).collect()[0]
+    assert math.isclose(r["alpha"], 1.0, abs_tol=1e-6)
+
+
+def test_krippendorff_unpairable_unit_dropped(spark):
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b"),
+            (4, "a")]  # unit 4 has a single rating
+    df = spark.createDataFrame(rows, "unit long, value string")
+    r = krippendorff_alpha(df).collect()[0]
+    assert r["n_units"] == 3 and r["n_pairable"] == 6
+    assert math.isclose(r["alpha"], 4 / 9, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# page_trend
+# ---------------------------------------------------------------------------
+
+def test_page_trend_perfect_trend(spark):
+    rows = [(b, t, k + 1) for b in (1, 2)
+            for k, t in enumerate(("t1", "t2", "t3"))]
+    df = spark.createDataFrame(rows, "block long, treat string, rank long")
+    r = page_trend(df).collect()[0]
+    assert r["b"] == 2 and r["k"] == 3
+    assert math.isclose(r["l_stat"], 28.0, abs_tol=1e-6)
+    assert math.isclose(r["e_l"], 24.0, abs_tol=1e-6)
+    assert math.isclose(r["var_l"], 4.0, abs_tol=1e-6)
+    assert math.isclose(r["z"], 2.0, abs_tol=1e-5)
+
+
+def test_page_trend_incomplete_block_dropped(spark):
+    rows = [(1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+            (2, "t1", 1), (2, "t2", 2), (2, "t3", 3),
+            (3, "t1", 1)]
+    df = spark.createDataFrame(rows, "block long, treat string, rank long")
+    r = page_trend(df).collect()[0]
+    assert r["b"] == 2
+
+
+# ---------------------------------------------------------------------------
+# hedges_g
+# ---------------------------------------------------------------------------
+
+def test_hedges_g_hand_value(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = hedges_g(df, grp_a="a").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert math.isclose(r["pooled_sd"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["d"], -2.0, abs_tol=1e-6)
+    assert math.isclose(r["g"], -1.6, abs_tol=1e-6)
+
+
+def test_hedges_g_shrinks_toward_zero(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = hedges_g(df, grp_a="a").collect()[0]
+    assert abs(r["g"]) < abs(r["d"])
+
+
+# ---------------------------------------------------------------------------
+# ansari_bradley
+# ---------------------------------------------------------------------------
+
+def test_ansari_extremes_in_a(spark):
+    rows = [("a", 1.0), ("a", 4.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = ansari_bradley(df, grp_a="a").collect()[0]
+    assert math.isclose(r["ab_stat"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["e_ab"], 3.0, abs_tol=1e-6)
+    assert math.isclose(r["var_ab"], 1 / 3, abs_tol=1e-6)
+    assert math.isclose(r["z"], -math.sqrt(3.0), abs_tol=1e-5)
+
+
+def test_ansari_midrank_ties(spark):
+    # tied value 2.0 spans ranks {2,3}: scores {2,2} → midscore 2
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = ansari_bradley(df, grp_a="a").collect()[0]
+    assert math.isclose(r["ab_stat"], 3.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# partial_corr
+# ---------------------------------------------------------------------------
+
+def test_partial_corr_additive_confound(spark):
+    # y = x + z: controlling z makes the x-y relation exact
+    rows = [(1.0, 1.0, 0.0), (2.0, 3.0, 1.0),
+            (3.0, 3.0, 0.0), (4.0, 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_corr(df).collect()[0]
+    assert math.isclose(r["r_xy_z"], 1.0, abs_tol=1e-5)
+    assert r["r_xy"] < 1.0
+
+
+def test_partial_corr_pure_confound_vanishes(spark):
+    # x = z + rx, y = z + ry with rx ⊥ ry and both ⊥ z: the raw r_xy
+    # is driven entirely by the shared z, the partial is exactly 0
+    rows = [(0.5, 0.1, 0.0), (0.5, 0.7, 1.0),
+            (1.5, 2.3, 2.0), (3.5, 2.9, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_corr(df).collect()[0]
+    assert r["r_xy"] > 0.5
+    assert abs(r["r_xy_z"]) < 1e-6

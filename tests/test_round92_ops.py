@@ -1,0 +1,139 @@
+"""Unit tests for the round-92 pack: Erlang-B, Taylor's law, Allan
+variance, spectral flatness, CVaR."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import cvar, spectral_flatness
+from icrawler_spark.operators.politeness import erlang_b
+from icrawler_spark.operators.recrawl import allan_variance, taylor_law
+
+
+def _erlang_b_ref(a: float, c: int) -> float:
+    b = 1.0
+    for k in range(1, c + 1):
+        b = a * b / (k + a * b)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# erlang_b
+# ---------------------------------------------------------------------------
+
+def test_erlang_b_matches_recursion(spark):
+    # 11 arrivals over span 20 → lam=0.55; service 10 → a=5.5
+    rows = [(float(t),) for t in range(0, 21, 2)]
+    df = spark.createDataFrame(rows, "ts_s double")
+    out = {r["c"]: r for r in
+           erlang_b(df, service_s=10.0, n_servers=(1, 2, 4)).collect()}
+    assert math.isclose(out[1]["a"], 5.5, abs_tol=1e-6)
+    for c in (1, 2, 4):
+        assert math.isclose(out[c]["erlang_b"], _erlang_b_ref(5.5, c),
+                            abs_tol=1e-6)
+
+
+def test_erlang_b_monotone_in_servers(spark):
+    rows = [(float(t),) for t in range(0, 100)]
+    df = spark.createDataFrame(rows, "ts_s double")
+    out = erlang_b(df, service_s=5.0, n_servers=(2, 8, 32)).collect()
+    bs = [r["erlang_b"] for r in sorted(out, key=lambda r: r["c"])]
+    assert bs[0] > bs[1] > bs[2]
+
+
+# ---------------------------------------------------------------------------
+# taylor_law
+# ---------------------------------------------------------------------------
+
+def test_taylor_law_quadratic_scaling(spark):
+    # var = 0.5 * mean^2 exactly → slope 2, r2 = 1
+    rows = []
+    for host, (c1, c2) in enumerate([(1, 3), (2, 6), (4, 12)]):
+        rows += [(host, 0)] * c1 + [(host, 1)] * c2
+    df = spark.createDataFrame(rows, "host long, win long")
+    r = taylor_law(df).collect()[0]
+    assert r["n_hosts"] == 3
+    assert math.isclose(r["slope"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["intercept"], math.log(0.5), abs_tol=1e-6)
+    assert math.isclose(r["r2"], 1.0, abs_tol=1e-6)
+
+
+def test_taylor_law_zero_variance_host_excluded(spark):
+    rows = []
+    for host, (c1, c2) in enumerate([(1, 3), (2, 6), (4, 12)]):
+        rows += [(host, 0)] * c1 + [(host, 1)] * c2
+    rows += [(9, 0)] * 5 + [(9, 1)] * 5  # var 0
+    df = spark.createDataFrame(rows, "host long, win long")
+    r = taylor_law(df).collect()[0]
+    assert r["n_hosts"] == 3
+
+
+# ---------------------------------------------------------------------------
+# allan_variance
+# ---------------------------------------------------------------------------
+
+def test_allan_linear_drift_rises_with_tau(spark):
+    rows = [(i, float(i)) for i in range(16)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    out = {r["tau"]: r["avar"] for r in
+           allan_variance(df, taus=(1, 2, 4)).collect()}
+    assert math.isclose(out[1], 0.5, abs_tol=1e-6)
+    assert math.isclose(out[2], 2.0, abs_tol=1e-6)
+    assert math.isclose(out[4], 8.0, abs_tol=1e-6)
+
+
+def test_allan_constant_series_zero(spark):
+    rows = [(i, 7.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    out = allan_variance(df, taus=(1, 3)).collect()
+    assert all(r["avar"] == 0.0 for r in out)
+
+
+def test_allan_partial_block_dropped(spark):
+    # 10 points, tau=4: only 2 full blocks → 1 diff, n_blocks = 2
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    r = allan_variance(df, taus=(4,)).collect()[0]
+    assert r["n_blocks"] == 2
+
+
+# ---------------------------------------------------------------------------
+# spectral_flatness
+# ---------------------------------------------------------------------------
+
+def test_flatness_level_histogram_one(spark):
+    rows = [(float(v),) for v in (0.5, 1.5, 2.5, 3.5)]
+    df = spark.createDataFrame(rows, "x double")
+    r = spectral_flatness(df, bin_width=1.0).collect()[0]
+    assert r["n_bins"] == 4 and r["span_bins"] == 4
+    assert math.isclose(r["flatness"], 1.0, abs_tol=1e-6)
+
+
+def test_flatness_skewed_histogram(spark):
+    rows = [(0.1,), (0.2,), (0.3,), (1.5,)]
+    df = spark.createDataFrame(rows, "x double")
+    r = spectral_flatness(df, bin_width=1.0).collect()[0]
+    assert math.isclose(r["gmean"], math.sqrt(3.0), abs_tol=1e-6)
+    assert math.isclose(r["flatness"], math.sqrt(3.0) / 2.0,
+                        abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# cvar
+# ---------------------------------------------------------------------------
+
+def test_cvar_hand_tail(spark):
+    rows = [(float(v),) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double")
+    r = cvar(df, p=0.2).collect()[0]
+    assert r["n"] == 10 and r["k_tail"] == 2
+    assert math.isclose(r["var_cut"], 9.0, abs_tol=1e-6)
+    assert math.isclose(r["cvar"], 9.5, abs_tol=1e-6)
+
+
+def test_cvar_exceeds_var(spark):
+    rows = [(float(v),) for v in (1, 1, 1, 1, 1, 1, 1, 1, 5, 50)]
+    df = spark.createDataFrame(rows, "x double")
+    r = cvar(df, p=0.2).collect()[0]
+    assert r["cvar"] > r["var_cut"]
+    assert math.isclose(r["cvar"], 27.5, abs_tol=1e-6)

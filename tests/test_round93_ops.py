@@ -1,0 +1,131 @@
+"""Unit tests for the round-93 pack: Mantel-Haenszel, G-test,
+Jonckheere-Terpstra, Cohen's h, Scott's pi."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (cohens_h, g_test,
+                                             jonckheere,
+                                             mantel_haenszel, scotts_pi)
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel
+# ---------------------------------------------------------------------------
+
+def _stratum_rows(stratum):
+    return ([(stratum, 1, 1)] * 10 + [(stratum, 1, 0)] * 5
+            + [(stratum, 0, 1)] * 2 + [(stratum, 0, 0)] * 8)
+
+
+def test_cmh_single_stratum_matches_crude_or(spark):
+    df = spark.createDataFrame(_stratum_rows(0),
+                               "stratum long, exposed int, outcome int")
+    r = mantel_haenszel(df).collect()[0]
+    assert r["n_strata"] == 1 and r["n"] == 25
+    assert math.isclose(r["or_mh"], 8.0, abs_tol=1e-6)
+    # E[a] = 7.2, V = 1.56, CMH = (2.8 - .5)^2 / 1.56
+    assert math.isclose(r["cmh"], 2.3 ** 2 / 1.56, abs_tol=1e-4)
+
+
+def test_cmh_identical_strata_keep_or(spark):
+    rows = _stratum_rows(0) + _stratum_rows(1)
+    df = spark.createDataFrame(rows,
+                               "stratum long, exposed int, outcome int")
+    r = mantel_haenszel(df).collect()[0]
+    assert r["n_strata"] == 2
+    assert math.isclose(r["or_mh"], 8.0, abs_tol=1e-6)
+    # pooled evidence: CMH roughly doubles vs one stratum
+    assert r["cmh"] > 5.0
+
+
+# ---------------------------------------------------------------------------
+# g_test
+# ---------------------------------------------------------------------------
+
+def test_g_test_independent_zero(spark):
+    rows = [(x, y) for x in (0, 1) for y in ("a", "b") for _ in range(5)]
+    df = spark.createDataFrame(rows, "x long, y string")
+    r = g_test(df).collect()[0]
+    assert r["df"] == 1
+    assert math.isclose(r["g"], 0.0, abs_tol=1e-9)
+
+
+def test_g_test_perfect_association(spark):
+    rows = [(0, "a")] * 5 + [(1, "b")] * 5
+    df = spark.createDataFrame(rows, "x long, y string")
+    r = g_test(df).collect()[0]
+    assert math.isclose(r["g"], 20 * math.log(2.0), abs_tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# jonckheere
+# ---------------------------------------------------------------------------
+
+def test_jonckheere_hand_value(spark):
+    rows = [(0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0)]
+    df = spark.createDataFrame(rows, "grp long, x double")
+    r = jonckheere(df).collect()[0]
+    assert r["k"] == 2 and r["n"] == 4
+    assert math.isclose(r["j_stat"], 4.0, abs_tol=1e-6)
+    assert math.isclose(r["e_j"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["var_j"], 120 / 72, abs_tol=1e-6)
+    assert math.isclose(r["z"], 2.0 / math.sqrt(120 / 72), abs_tol=1e-5)
+
+
+def test_jonckheere_ties_half_credit(spark):
+    rows = [(0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0)]
+    df = spark.createDataFrame(rows, "grp long, x double")
+    r = jonckheere(df).collect()[0]
+    assert math.isclose(r["j_stat"], 3.5, abs_tol=1e-6)
+
+
+def test_jonckheere_reversed_trend_negative_z(spark):
+    rows = [(0, 9.0), (0, 8.0), (1, 2.0), (1, 1.0)]
+    df = spark.createDataFrame(rows, "grp long, x double")
+    r = jonckheere(df).collect()[0]
+    assert r["j_stat"] == 0.0 and r["z"] < 0
+
+
+# ---------------------------------------------------------------------------
+# cohens_h
+# ---------------------------------------------------------------------------
+
+def test_cohens_h_hand_value(spark):
+    rows = [("a", 1), ("a", 0), ("a", 0), ("a", 0), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "grp string, hit int")
+    r = cohens_h(df, grp_a="a").collect()[0]
+    assert math.isclose(r["p_a"], 0.25, abs_tol=1e-6)
+    assert math.isclose(r["p_b"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["h"], -2 * math.pi / 3, abs_tol=1e-5)
+
+
+def test_cohens_h_equal_rates_zero(spark):
+    rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+    df = spark.createDataFrame(rows, "grp string, hit int")
+    r = cohens_h(df, grp_a="a").collect()[0]
+    assert math.isclose(r["h"], 0.0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# scotts_pi
+# ---------------------------------------------------------------------------
+
+def test_scotts_pi_hand_value(spark):
+    rows = [("x", "x"), ("x", "x"), ("x", "y"), ("y", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = scotts_pi(df).collect()[0]
+    assert math.isclose(r["po"], 0.75, abs_tol=1e-6)
+    assert math.isclose(r["pe"], 34 / 64, abs_tol=1e-6)
+    assert math.isclose(r["pi"], (0.75 - 34 / 64) / (1 - 34 / 64),
+                        abs_tol=1e-6)
+
+
+def test_scotts_pi_below_kappa_when_priors_differ(spark):
+    # rater b systematically shifts labels: pooled-null pi <= kappa
+    from icrawler_spark.operators.corpus import scotts_pi as _pi
+    rows = [("x", "x")] * 6 + [("x", "y")] * 2 + [("y", "y")] * 2
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _pi(df).collect()[0]
+    assert r["pi"] < r["po"]

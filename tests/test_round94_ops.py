@@ -1,0 +1,126 @@
+"""Unit tests for the round-94 pack: Quade, probability of superiority,
+Lorenz deciles, Kupiec POF, Bowker symmetry."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (bowker, kupiec_pof,
+                                             lorenz_deciles,
+                                             prob_superiority, quade)
+
+
+# ---------------------------------------------------------------------------
+# quade
+# ---------------------------------------------------------------------------
+
+def test_quade_hand_value(spark):
+    # block1 x=(1,2) range 1 → weight 1; block2 x=(3,7) range 4 →
+    # weight 2. A=2.5, B=2.25, F = 1*2.25/0.25 = 9
+    rows = [(1, "t1", 1.0), (1, "t2", 2.0),
+            (2, "t1", 3.0), (2, "t2", 7.0)]
+    df = spark.createDataFrame(rows, "block long, treat string, x double")
+    r = quade(df).collect()[0]
+    assert r["b"] == 2 and r["k"] == 2
+    assert math.isclose(r["a_stat"], 2.5, abs_tol=1e-6)
+    assert math.isclose(r["b_stat"], 2.25, abs_tol=1e-6)
+    assert math.isclose(r["f"], 9.0, abs_tol=1e-6)
+
+
+def test_quade_incomplete_block_dropped(spark):
+    rows = [(1, "t1", 1.0), (1, "t2", 2.0),
+            (2, "t1", 3.0), (2, "t2", 7.0), (3, "t1", 9.0)]
+    df = spark.createDataFrame(rows, "block long, treat string, x double")
+    r = quade(df).collect()[0]
+    assert r["b"] == 2
+
+
+# ---------------------------------------------------------------------------
+# prob_superiority
+# ---------------------------------------------------------------------------
+
+def test_superiority_hand_value(spark):
+    rows = [("a", 2.0), ("a", 3.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = prob_superiority(df, grp_a="a").collect()[0]
+    assert math.isclose(r["u"], 3.5, abs_tol=1e-6)
+    assert math.isclose(r["a_hat"], 0.875, abs_tol=1e-6)
+
+
+def test_superiority_identical_half(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = prob_superiority(df, grp_a="a").collect()[0]
+    assert math.isclose(r["a_hat"], 0.5, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# lorenz_deciles
+# ---------------------------------------------------------------------------
+
+def test_lorenz_hand_curve(spark):
+    rows = [(float(v),) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["decile"]: r for r in
+           lorenz_deciles(df, n_bins=5).collect()}
+    assert math.isclose(out[1]["cum_share"], 3 / 55, abs_tol=1e-6)
+    assert math.isclose(out[1]["equality_gap"], 0.2 - 3 / 55,
+                        abs_tol=1e-6)
+    assert math.isclose(out[5]["cum_share"], 1.0, abs_tol=1e-6)
+    assert math.isclose(out[5]["equality_gap"], 0.0, abs_tol=1e-6)
+
+
+def test_lorenz_uniform_no_gap(spark):
+    rows = [(1.0,)] * 10
+    df = spark.createDataFrame(rows, "x double")
+    out = lorenz_deciles(df, n_bins=5).collect()
+    assert all(abs(r["equality_gap"]) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# kupiec_pof
+# ---------------------------------------------------------------------------
+
+def test_kupiec_on_target_zero(spark):
+    rows = [(1,)] * 5 + [(0,)] * 95
+    df = spark.createDataFrame(rows, "exceed int")
+    r = kupiec_pof(df, p=0.05).collect()[0]
+    assert r["n"] == 100 and r["x"] == 5
+    assert math.isclose(r["lr_pof"], 0.0, abs_tol=1e-9)
+
+
+def test_kupiec_excess_exceptions(spark):
+    rows = [(1,)] * 10 + [(0,)] * 90
+    df = spark.createDataFrame(rows, "exceed int")
+    r = kupiec_pof(df, p=0.05).collect()[0]
+    expected = (-2 * (90 * math.log(0.95) + 10 * math.log(0.05))
+                + 2 * (90 * math.log(0.9) + 10 * math.log(0.1)))
+    assert math.isclose(r["lr_pof"], expected, abs_tol=1e-5)
+
+
+def test_kupiec_zero_exceptions_defined(spark):
+    rows = [(0,)] * 50
+    df = spark.createDataFrame(rows, "exceed int")
+    r = kupiec_pof(df, p=0.05).collect()[0]
+    assert math.isclose(r["lr_pof"], -2 * 50 * math.log(0.95),
+                        abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bowker
+# ---------------------------------------------------------------------------
+
+def test_bowker_hand_value(spark):
+    rows = ([(1, 2)] * 3 + [(2, 1)] * 1 + [(1, 1)] * 5 + [(1, 3)] * 2)
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = bowker(df).collect()[0]
+    assert r["n"] == 11 and r["df"] == 2
+    # (3-1)^2/4 + (2-0)^2/2 = 1 + 2
+    assert math.isclose(r["chi2"], 3.0, abs_tol=1e-6)
+
+
+def test_bowker_symmetric_zero(spark):
+    rows = [(1, 2)] * 4 + [(2, 1)] * 4 + [(2, 3)] * 2 + [(3, 2)] * 2
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = bowker(df).collect()[0]
+    assert math.isclose(r["chi2"], 0.0, abs_tol=1e-9)
