@@ -388,6 +388,10 @@ _EXTRA_PICKS = [
     "cmh", "g_test", "jonckheere", "cohens_h", "scotts_pi",
     # round-3 batch-88 (weighted blocks + CL effect + fairness curve + backtests)
     "quade", "superiority", "lorenz", "kupiec", "bowker",
+    # round-3 batch-89 (exception clustering + provisioning + residual life + SPC)
+    "christoffersen", "newsvendor", "mrl", "gwet", "p_chart",
+    # round-3 batch-90 (long memory + random-walk audit + cycles + lead-lag)
+    "dfa", "vratio", "seasonal", "xcorr", "dixon",
 ]
 
 

@@ -65,7 +65,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round88, entry_round89,
                             entry_round90, entry_round91,
                             entry_round92, entry_round93,
-                            entry_round94)
+                            entry_round94, entry_round95,
+                            entry_round96)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -926,6 +927,8 @@ def queries():
         **entry_round92.queries92(),
         **entry_round93.queries93(),
         **entry_round94.queries94(),
+        **entry_round95.queries95(),
+        **entry_round96.queries96(),
     }
 
 
@@ -1052,4 +1055,6 @@ def oracle_sql():
         **entry_round92.oracle_sql92(),
         **entry_round93.oracle_sql93(),
         **entry_round94.oracle_sql94(),
+        **entry_round95.oracle_sql95(),
+        **entry_round96.oracle_sql96(),
     }

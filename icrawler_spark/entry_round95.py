@@ -1,0 +1,186 @@
+"""Round-3 driver-contract queries (batch 89): Christoffersen
+independence, newsvendor quantile, mean residual life, Gwet AC1,
+Shewhart p-chart.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# christoffersen — do tail-latency exceptions cluster?
+# ---------------------------------------------------------------------------
+
+_CF_CUT = 280.0
+
+
+def _cf_exceptions(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("pos"),
+                     (F.col("value") > _CF_CUT).cast("int")
+                     .alias("exceed"))
+
+
+_CF_EXCEPTIONS_SQL = f"""
+  SELECT CAST(event_id AS BIGINT) AS pos,
+    CAST(value > {_CF_CUT!r} AS INT) AS exceed
+  FROM events
+"""
+
+
+def q_christoffersen(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.christoffersen: exception-clustering LR —
+    one lag window + one fold."""
+    return _corpus.christoffersen(_cf_exceptions(spark, sf))
+
+
+def _christoffersen_sql() -> str:
+    return _corpus.christoffersen_sql(_CF_EXCEPTIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# newsvendor — slot provisioning at a 3:1 miss/idle cost ratio
+# ---------------------------------------------------------------------------
+
+_NV_CU = 3.0
+_NV_CO = 1.0
+
+
+def _nv_demand(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.floor(F.col("value")).cast("double").alias("x"))
+
+
+_NV_DEMAND_SQL = "SELECT CAST(floor(value) AS DOUBLE) AS x FROM events"
+
+
+def q_newsvendor(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.newsvendor: empirical critical-ratio quantile —
+    sort-rank window + fold."""
+    return _corpus.newsvendor(_nv_demand(spark, sf), cu=_NV_CU,
+                              co=_NV_CO)
+
+
+def _newsvendor_sql() -> str:
+    return _corpus.newsvendor_sql(_NV_DEMAND_SQL, cu=_NV_CU, co=_NV_CO)
+
+
+# ---------------------------------------------------------------------------
+# mrl — mean residual life of the value-as-lifetime proxy
+# ---------------------------------------------------------------------------
+
+_MR_TS = (0, 100, 250)
+
+
+def _mr_lifetimes(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("t"))
+
+
+_MR_LIFETIMES_SQL = "SELECT value AS t FROM events"
+
+
+def q_mrl(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.mean_residual_life: E[T-t | T>t] probe ages —
+    single conditional-agg pass."""
+    return _recrawl.mean_residual_life(_mr_lifetimes(spark, sf),
+                                       ts=_MR_TS)
+
+
+def _mrl_sql() -> str:
+    return _recrawl.mean_residual_life_sql(_MR_LIFETIMES_SQL, ts=_MR_TS)
+
+
+# ---------------------------------------------------------------------------
+# gwet — AC1 on the ordinal rater pair (prevalence-robust)
+# ---------------------------------------------------------------------------
+
+
+def _gw_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    a = F.least(F.floor(F.col("value") / 70).cast("long") + 1, F.lit(5))
+    b = F.when((F.col("event_id") % 10) < 7, a) \
+        .otherwise(F.least(a + 1, F.lit(5)))
+    return ev.select(a.alias("a"), b.cast("long").alias("b"))
+
+
+_GW_PAIRS_SQL = """
+  SELECT a, CAST(CASE WHEN event_id % 10 < 7 THEN a
+    ELSE least(a + 1, 5) END AS BIGINT) AS b
+  FROM (
+    SELECT event_id,
+      least(CAST(floor(value / 70) AS BIGINT) + 1, 5) AS a
+    FROM events
+  )
+"""
+
+
+def q_gwet(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.gwet_ac1: paradox-resistant agreement —
+    agreement fold + pooled-label groupBy."""
+    return _corpus.gwet_ac1(_gw_pairs(spark, sf))
+
+
+def _gwet_sql() -> str:
+    return _corpus.gwet_ac1_sql(_GW_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# p_chart — per-window error-rate control limits
+# ---------------------------------------------------------------------------
+
+_PC_WINS = 20
+
+
+def _pc_windows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % _PC_WINS).cast("long").alias("win"),
+        F.lit(1).cast("long").alias("n"),
+        (F.col("event_type") == "error").cast("long").alias("x"))
+
+
+_PC_WINDOWS_SQL = f"""
+  SELECT CAST(event_id % {_PC_WINS} AS BIGINT) AS win,
+    CAST(1 AS BIGINT) AS n,
+    CAST(event_type = 'error' AS BIGINT) AS x
+  FROM events
+"""
+
+
+def q_p_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.p_chart: 3-sigma proportion limits per
+    window — window groupBy + pooled fold."""
+    return _politeness.p_chart(_pc_windows(spark, sf))
+
+
+def _p_chart_sql() -> str:
+    return _politeness.p_chart_sql(_PC_WINDOWS_SQL)
+
+
+def queries95():
+    return {
+        "christoffersen": q_christoffersen,
+        "newsvendor": q_newsvendor,
+        "mrl": q_mrl,
+        "gwet": q_gwet,
+        "p_chart": q_p_chart,
+    }
+
+
+def oracle_sql95():
+    return {
+        "christoffersen": _christoffersen_sql(),
+        "newsvendor": _newsvendor_sql(),
+        "mrl": _mrl_sql(),
+        "gwet": _gwet_sql(),
+        "p_chart": _p_chart_sql(),
+    }

@@ -1,0 +1,170 @@
+"""Round-3 driver-contract queries (batch 90): DFA, variance-ratio
+test, seasonal strength, cross-correlation peak, Dixon Q.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# dfa — long-memory exponent of the value series
+# ---------------------------------------------------------------------------
+
+_DF_SIZES = (8, 16, 32)
+
+
+def _series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("pos"),
+                     F.col("value").alias("y"))
+
+
+_SERIES_SQL = "SELECT CAST(event_id AS BIGINT) AS pos, value AS y FROM events"
+
+
+def q_dfa(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.dfa: detrended fluctuation scaling — cumsum
+    window + per-size closed-form box aggregates."""
+    return _recrawl.dfa(_series(spark, sf), sizes=_DF_SIZES)
+
+
+def _dfa_sql() -> str:
+    return _recrawl.dfa_sql(_SERIES_SQL, sizes=_DF_SIZES)
+
+
+# ---------------------------------------------------------------------------
+# vratio — random-walk audit of the cumulative value curve
+# ---------------------------------------------------------------------------
+
+_VR_Q = 4
+
+
+def _vr_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    base = ev.select(F.col("event_id").cast("long").alias("pos"),
+                     F.col("value").alias("v"))
+    return base.select("pos", F.sum("v").over(w).alias("y"))
+
+
+_VR_SERIES_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS pos,
+    sum(value) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS y
+  FROM events
+"""
+
+
+def q_vratio(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.variance_ratio: Lo-MacKinlay VR(q) — two lag
+    windows + folds."""
+    return _recrawl.variance_ratio(_vr_series(spark, sf), q=_VR_Q)
+
+
+def _vratio_sql() -> str:
+    return _recrawl.variance_ratio_sql(_VR_SERIES_SQL, q=_VR_Q)
+
+
+# ---------------------------------------------------------------------------
+# seasonal — is there a 24-slot cycle in the value series?
+# ---------------------------------------------------------------------------
+
+_SS_PERIOD = 24
+
+
+def q_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.seasonal_strength: phase-mean variance ratio —
+    one phase groupBy + one deviation fold."""
+    return _recrawl.seasonal_strength(_series(spark, sf),
+                                      period=_SS_PERIOD)
+
+
+def _seasonal_sql() -> str:
+    return _recrawl.seasonal_strength_sql(_SERIES_SQL,
+                                          period=_SS_PERIOD)
+
+
+# ---------------------------------------------------------------------------
+# xcorr — lead/lag between the value metric and a derived load proxy
+# ---------------------------------------------------------------------------
+
+_XC_MAX_LAG = 3
+
+
+def _xc_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("event_id").cast("long").alias("pos"),
+        F.col("value").alias("x"),
+        ((F.col("user_id") % 7).cast("double")
+         + F.col("value") / 50).alias("y"))
+
+
+_XC_SERIES_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS pos, value AS x,
+    CAST(user_id % 7 AS DOUBLE) + value / 50 AS y
+  FROM events
+"""
+
+
+def q_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.xcorr_peak: CCF over ±3 lags with peak flag —
+    lead/lag windows, no self-join."""
+    return _recrawl.xcorr_peak(_xc_series(spark, sf),
+                               max_lag=_XC_MAX_LAG)
+
+
+def _xcorr_sql() -> str:
+    return _recrawl.xcorr_peak_sql(_XC_SERIES_SQL, max_lag=_XC_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# dixon — outlier screen on the 15 per-user mean values
+# ---------------------------------------------------------------------------
+
+
+def _dx_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy("user_id").agg(F.avg("value").alias("x"))
+            .select("x"))
+
+
+_DX_VALUES_SQL = """
+  SELECT avg(value) AS x FROM events GROUP BY user_id
+"""
+
+
+def q_dixon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.dixon_q: extreme-gap ratio on the shard
+    summary table — sort window + fold."""
+    return _recrawl.dixon_q(_dx_values(spark, sf))
+
+
+def _dixon_sql() -> str:
+    return _recrawl.dixon_q_sql(_DX_VALUES_SQL)
+
+
+def queries96():
+    return {
+        "dfa": q_dfa,
+        "vratio": q_vratio,
+        "seasonal": q_seasonal,
+        "xcorr": q_xcorr,
+        "dixon": q_dixon,
+    }
+
+
+def oracle_sql96():
+    return {
+        "dfa": _dfa_sql(),
+        "vratio": _vratio_sql(),
+        "seasonal": _seasonal_sql(),
+        "xcorr": _xcorr_sql(),
+        "dixon": _dixon_sql(),
+    }

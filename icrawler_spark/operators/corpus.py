@@ -8932,3 +8932,257 @@ agg AS (
 SELECT n, df, round(chi2, 6) AS chi2
 FROM agg CROSS JOIN n_tot
 """
+
+def christoffersen(
+    exceptions: DataFrame,
+    pos_col: str = "pos",
+    exceed_col: str = "exceed",
+) -> DataFrame:
+    """Christoffersen independence test (Christoffersen 1998, public
+    literature) — the clustering half of VaR backtesting that
+    `kupiec_pof` cannot see: the POF test passes a model whose
+    exceptions all land in one burst (a breached politeness budget
+    during one incident) as long as the COUNT is right. This LR tests
+    whether P(exceed | exceeded yesterday) = P(exceed | calm
+    yesterday) from the 2×2 transition counts of the ordered
+    indicator.
+
+    Transitions come from ONE lag window over the sequence; degenerate
+    terms (zero counts) contribute exactly 0 in both engines. Returns
+    one row: (n_trans, n00, n01, n10, n11, pi01, pi11, lr_ind)
+    rounded 6.
+
+    Scale shape: one ordered lag window (partition by series if
+    multiple) + one fold.
+    """
+    w = Window.orderBy("pos")
+    base = (exceptions.select(F.col(pos_col).cast("long").alias("pos"),
+                              F.col(exceed_col).cast("int").alias("e"))
+            .withColumn("prev", F.lag("e").over(w))
+            .filter(F.col("prev").isNotNull()))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_trans"),
+        F.sum(((F.col("prev") == 0) & (F.col("e") == 0)).cast("int"))
+        .cast("long").alias("n00"),
+        F.sum(((F.col("prev") == 0) & (F.col("e") == 1)).cast("int"))
+        .cast("long").alias("n01"),
+        F.sum(((F.col("prev") == 1) & (F.col("e") == 0)).cast("int"))
+        .cast("long").alias("n10"),
+        F.sum(((F.col("prev") == 1) & (F.col("e") == 1)).cast("int"))
+        .cast("long").alias("n11"))
+    pi = (F.col("n01") + F.col("n11")).cast("double") / F.col("n_trans")
+    pi01 = F.col("n01") / (F.col("n00") + F.col("n01")).cast("double")
+    pi11 = F.col("n11") / (F.col("n10") + F.col("n11")).cast("double")
+
+    def _t(cnt, prob):
+        return F.when((cnt > 0) & (prob > 0),
+                      cnt * F.log(prob)).otherwise(F.lit(0.0))
+
+    ll0 = _t((F.col("n00") + F.col("n10")).cast("double"), 1.0 - pi) \
+        + _t((F.col("n01") + F.col("n11")).cast("double"), pi)
+    ll1 = _t(F.col("n00").cast("double"), 1.0 - pi01) \
+        + _t(F.col("n01").cast("double"), pi01) \
+        + _t(F.col("n10").cast("double"), 1.0 - pi11) \
+        + _t(F.col("n11").cast("double"), pi11)
+    return agg.select(
+        "n_trans", "n00", "n01", "n10", "n11",
+        F.round(pi01, 6).alias("pi01"),
+        F.round(F.coalesce(pi11, F.lit(0.0)), 6).alias("pi11"),
+        F.round(-2.0 * ll0 + 2.0 * ll1, 6).alias("lr_ind"))
+
+
+def christoffersen_sql(exceptions_sql: str) -> str:
+    """DuckDB mirror of :func:`christoffersen` over a (pos, exceed)
+    SELECT."""
+    return f"""
+WITH seq AS (
+  SELECT CAST(exceed AS INT) AS e,
+    lag(CAST(exceed AS INT)) OVER (ORDER BY CAST(pos AS BIGINT))
+      AS prev
+  FROM ({exceptions_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_trans,
+    CAST(sum(CASE WHEN prev = 0 AND e = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n00,
+    CAST(sum(CASE WHEN prev = 0 AND e = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n01,
+    CAST(sum(CASE WHEN prev = 1 AND e = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN prev = 1 AND e = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n11
+  FROM seq WHERE prev IS NOT NULL
+),
+p AS (
+  SELECT *,
+    (n01 + n11) / CAST(n_trans AS DOUBLE) AS pi,
+    n01 / CAST(n00 + n01 AS DOUBLE) AS pi01,
+    n11 / CAST(nullif(n10 + n11, 0) AS DOUBLE) AS pi11
+  FROM agg
+)
+SELECT n_trans, n00, n01, n10, n11,
+  round(pi01, 6) AS pi01,
+  round(coalesce(pi11, 0.0), 6) AS pi11,
+  round(
+    -2.0 * (CASE WHEN n00 + n10 > 0 AND 1.0 - pi > 0
+            THEN (n00 + n10) * ln(1.0 - pi) ELSE 0.0 END
+            + CASE WHEN n01 + n11 > 0 AND pi > 0
+              THEN (n01 + n11) * ln(pi) ELSE 0.0 END)
+    + 2.0 * (CASE WHEN n00 > 0 AND 1.0 - pi01 > 0
+             THEN n00 * ln(1.0 - pi01) ELSE 0.0 END
+             + CASE WHEN n01 > 0 AND pi01 > 0
+               THEN n01 * ln(pi01) ELSE 0.0 END
+             + CASE WHEN n10 > 0 AND pi11 IS NOT NULL
+                    AND 1.0 - pi11 > 0
+               THEN n10 * ln(1.0 - pi11) ELSE 0.0 END
+             + CASE WHEN n11 > 0 AND pi11 IS NOT NULL AND pi11 > 0
+               THEN n11 * ln(pi11) ELSE 0.0 END), 6) AS lr_ind
+FROM p
+"""
+
+
+def newsvendor(
+    demand: DataFrame,
+    cu: float,
+    co: float,
+    x_col: str = "x",
+) -> DataFrame:
+    """Newsvendor quantile stocking rule (public literature) on an
+    empirical demand sample: order q* = the smallest observed demand
+    whose empirical CDF reaches the critical ratio cu/(cu+co) — for a
+    crawler, "how many fetch slots / prefetched DNS entries / warmed
+    connections to provision per window" when under-provisioning costs
+    cu per miss and over-provisioning co per idle unit. Pure
+    rank-based: no distribution fit, identical in both engines.
+
+    Returns one row: (n, critical_ratio, q_star, cdf_at_q,
+    mean_demand) rounded 6 — q* vs mean reads directly as the safety
+    margin the cost asymmetry buys.
+
+    Scale shape: one global sort-rank window (bin first if unbounded)
+    + one fold.
+    """
+    cr = float(cu) / (float(cu) + float(co))
+    base = demand.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"),
+                     F.avg("x").alias("mean_demand"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", "mean_demand",
+                      (F.row_number().over(w).cast("double")
+                       / F.col("n")).alias("cdf")))
+    hit = (ranked.filter(F.col("cdf") >= F.lit(cr))
+           .agg(F.max("n").alias("n"),
+                F.max("mean_demand").alias("mean_demand"),
+                F.min("x").alias("q_star")))
+    at_q = (ranked.join(F.broadcast(hit.select("q_star")),
+                        F.col("x") <= F.col("q_star"))
+            .agg(F.max("n").alias("n"),
+                 (F.count("*").cast("double") / F.max("n"))
+                 .alias("cdf_at_q")))
+    return (hit.crossJoin(F.broadcast(at_q.select("cdf_at_q")))
+            .select("n", F.round(F.lit(cr), 6).alias("critical_ratio"),
+                    F.round("q_star", 6).alias("q_star"),
+                    F.round("cdf_at_q", 6).alias("cdf_at_q"),
+                    F.round("mean_demand", 6).alias("mean_demand")))
+
+
+def newsvendor_sql(demand_sql: str, cu: float, co: float) -> str:
+    """DuckDB mirror of :func:`newsvendor` over an (x) SELECT."""
+    cr = float(cu) / (float(cu) + float(co))
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({demand_sql})),
+n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mean_demand
+  FROM base
+),
+ranked AS (
+  SELECT x, n, mean_demand,
+    CAST(row_number() OVER (ORDER BY x) AS DOUBLE) / n AS cdf
+  FROM base CROSS JOIN n_tot
+),
+hit AS (
+  SELECT max(n) AS n, max(mean_demand) AS mean_demand,
+    min(x) AS q_star
+  FROM ranked WHERE cdf >= {cr!r}
+),
+at_q AS (
+  SELECT CAST(count(*) AS DOUBLE) / max(r.n) AS cdf_at_q
+  FROM ranked r CROSS JOIN hit h
+  WHERE r.x <= h.q_star
+)
+SELECT h.n, round({cr!r}, 6) AS critical_ratio,
+  round(h.q_star, 6) AS q_star,
+  round(a.cdf_at_q, 6) AS cdf_at_q,
+  round(h.mean_demand, 6) AS mean_demand
+FROM hit h CROSS JOIN at_q a
+"""
+
+
+def gwet_ac1(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Gwet's AC1 agreement coefficient (Gwet 2008, public literature)
+    for two raters — the fix for the kappa paradox that bites real
+    labeling audits: when one label dominates (99% of URLs are "ok"),
+    `kappa` and `scotts_pi` collapse toward 0 even at 99% raw
+    agreement, because their chance term saturates. AC1's chance of
+    agreement e_γ = Σ_c π_c(1−π_c)/(q−1) peaks at a UNIFORM marginal
+    instead, so prevalence skew doesn't destroy the score.
+
+    π_c are pooled two-rater marginals; q = #distinct labels. Returns
+    one row: (n, q, po, pe, ac1) rounded 6.
+
+    Scale shape: one agreement fold + one pooled-label groupBy — two
+    keyed passes, single-row output.
+    """
+    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    n_tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("long")
+        .alias("agree"))
+    pooled = (base.select(F.col("a").alias("v"))
+              .unionAll(base.select(F.col("b").alias("v")))
+              .groupBy("v").agg(F.count("*").cast("long").alias("cv")))
+    pe = (pooled.crossJoin(F.broadcast(n_tot))
+          .agg(F.max("n").alias("n"), F.max("agree").alias("agree"),
+               F.count("*").cast("long").alias("q"),
+               F.sum((F.col("cv") / (2.0 * F.col("n")))
+                     * (1.0 - F.col("cv") / (2.0 * F.col("n"))))
+               .alias("s")))
+    po = F.col("agree") / F.col("n").cast("double")
+    pe_g = F.col("s") / (F.col("q") - 1).cast("double")
+    return pe.select(
+        "n", "q", F.round(po, 6).alias("po"),
+        F.round(pe_g, 6).alias("pe"),
+        F.round((po - pe_g) / (1.0 - pe_g), 6).alias("ac1"))
+
+
+def gwet_ac1_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`gwet_ac1` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (SELECT a, b FROM ({pairs_sql})),
+n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM base
+),
+pooled AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cv
+  FROM (SELECT a AS v FROM base UNION ALL SELECT b AS v FROM base)
+  GROUP BY 1
+),
+pe AS (
+  SELECT max(n) AS n, max(agree) AS agree,
+    CAST(count(*) AS BIGINT) AS q,
+    sum((cv / (2.0 * n)) * (1.0 - cv / (2.0 * n))) AS s
+  FROM pooled CROSS JOIN n_tot
+)
+SELECT n, q, round(agree / CAST(n AS DOUBLE), 6) AS po,
+  round(s / CAST(q - 1 AS DOUBLE), 6) AS pe,
+  round((agree / CAST(n AS DOUBLE) - s / CAST(q - 1 AS DOUBLE))
+        / (1.0 - s / CAST(q - 1 AS DOUBLE)), 6) AS ac1
+FROM pe
+"""

@@ -3329,3 +3329,65 @@ SELECT CAST(k AS BIGINT) AS c, round(a, 6) AS a,
   round(t / s, 6) AS erlang_b
 FROM cum WHERE k IN ({cs}) ORDER BY c
 """
+
+def p_chart(
+    windows: DataFrame,
+    win_col: str = "win",
+    n_col: str = "n",
+    x_col: str = "x",
+) -> DataFrame:
+    """Shewhart p-chart (public literature) over per-window failure
+    proportions — the control-chart member of the drift family: where
+    `cusum` accumulates small persistent shifts and `rolling_z` tracks
+    a moving baseline, the p-chart asks the classic SPC question
+    against a FIXED process standard: is window w's error rate outside
+    p̄ ± 3·√(p̄(1−p̄)/n_w)? Variable window sizes get their own limits —
+    a 1% blip in a 100k-fetch window signals, the same blip in a
+    100-fetch window doesn't.
+
+    p̄ pools all windows (Σx/Σn). Returns per window: (win, n, x, p,
+    ucl, lcl, signal) rounded 6, ordered by win — LCL floors at 0.
+
+    Scale shape: one groupBy(win) + one pooled fold broadcast back —
+    two keyed passes.
+    """
+    per = (windows.groupBy(F.col(win_col).alias("win"))
+           .agg(F.sum(F.col(n_col)).cast("long").alias("n"),
+                F.sum(F.col(x_col)).cast("long").alias("x")))
+    pooled = per.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("pbar"))
+    j = per.crossJoin(F.broadcast(pooled))
+    se = F.sqrt(F.col("pbar") * (1.0 - F.col("pbar"))
+                / F.col("n").cast("double"))
+    p = F.col("x") / F.col("n").cast("double")
+    ucl = F.col("pbar") + 3.0 * se
+    lcl = F.greatest(F.col("pbar") - 3.0 * se, F.lit(0.0))
+    return (j.select("win", "n", "x",
+                     F.round(p, 6).alias("p"),
+                     F.round(ucl, 6).alias("ucl"),
+                     F.round(lcl, 6).alias("lcl"),
+                     ((p > ucl) | (p < lcl)).cast("int").alias("signal"))
+            .orderBy("win"))
+
+
+def p_chart_sql(windows_sql: str) -> str:
+    """DuckDB mirror of :func:`p_chart` over a (win, n, x) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT win, CAST(sum(n) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS x
+  FROM ({windows_sql}) GROUP BY 1
+),
+pooled AS (
+  SELECT sum(x) / CAST(sum(n) AS DOUBLE) AS pbar FROM per
+)
+SELECT win, n, x,
+  round(x / CAST(n AS DOUBLE), 6) AS p,
+  round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS ucl,
+  round(greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n), 0.0), 6)
+    AS lcl,
+  CAST(x / CAST(n AS DOUBLE) > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+    OR x / CAST(n AS DOUBLE) < greatest(pbar - 3.0
+         * sqrt(pbar * (1.0 - pbar) / n), 0.0) AS INT) AS signal
+FROM per CROSS JOIN pooled
+ORDER BY win
+"""

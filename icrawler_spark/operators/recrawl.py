@@ -2277,3 +2277,494 @@ FROM (
   ) WHERE cnt = {t}
 ) WHERE d IS NOT NULL AND step = 1""")
     return "\nUNION ALL\n".join(legs) + "\nORDER BY tau"
+
+def mean_residual_life(
+    lifetimes: DataFrame,
+    ts=(0, 7, 30),
+    t_col: str = "t",
+) -> DataFrame:
+    """Mean residual life curve (public literature) over UNCENSORED
+    page lifetimes: MRL(t) = E[T − t | T > t] — the number a recrawl
+    scheduler actually plugs in: "this URL has already survived t
+    days; how much longer until it changes/dies, in expectation?" The
+    curve's SHAPE is the model check: exponential lifetimes give a
+    flat MRL, heavy tails (`hill`, `lognormal`) make it RISE — old
+    pages keep getting durable, so refresh budgets should taper with
+    age, not stay constant.
+
+    Evaluated at the given probe ages. Ages beyond the oldest lifetime
+    give NULL (no survivors). Returns per t: (t, n_survivors, mrl)
+    rounded 6, ordered by t.
+
+    Scale shape: one conditional-sum fold per probe age computed in a
+    SINGLE pass (ages become conditional aggregates, not separate
+    scans).
+    """
+    base = lifetimes.select(F.col(t_col).cast("double").alias("t"))
+    aggs = []
+    for t in ts:
+        tv = float(t)
+        surv = F.col("t") > tv
+        aggs.append(F.sum(surv.cast("int")).cast("long")
+                    .alias(f"__n{t}"))
+        aggs.append(F.avg(F.when(surv, F.col("t") - tv))
+                    .alias(f"__m{t}"))
+    one = base.agg(*aggs)
+    rows = None
+    for t in ts:
+        leg = one.select(
+            F.lit(int(t)).cast("long").alias("t"),
+            F.col(f"__n{t}").alias("n_survivors"),
+            F.round(F.col(f"__m{t}"), 6).alias("mrl"))
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows.orderBy("t")
+
+
+def mean_residual_life_sql(lifetimes_sql: str, ts=(0, 7, 30)) -> str:
+    """DuckDB mirror of :func:`mean_residual_life` over a (t)
+    SELECT."""
+    legs = []
+    for t in ts:
+        tv = float(t)
+        legs.append(f"""
+SELECT CAST({int(t)} AS BIGINT) AS t,
+  CAST(sum(CASE WHEN CAST(t AS DOUBLE) > {tv!r}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+  round(avg(CASE WHEN CAST(t AS DOUBLE) > {tv!r}
+            THEN CAST(t AS DOUBLE) - {tv!r} END), 6) AS mrl
+FROM ({lifetimes_sql})""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY t"
+
+
+def dfa(
+    series: DataFrame,
+    sizes=(8, 16, 32),
+    pos_col: str = "pos",
+    y_col: str = "y",
+) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al. 1994, public
+    literature) of a rate series — the long-memory estimator that,
+    unlike `hurst_rs`, is not fooled by slow linear trends in the
+    load curve: integrate the centered series, split into boxes of s
+    slots, remove each box's OLS line, measure RMS fluctuation F(s);
+    the log-log slope α is the scaling exponent (α≈0.5 uncorrelated,
+    α→1 long-range correlated — queue-depth autocorrelation that
+    politeness planning must budget for, not average away).
+
+    Per box the detrended residual SS uses the closed form
+    Syy − Sxy²/Sxx around exact in-box means — no per-point residual
+    materialization. Trailing partial boxes are dropped. Returns one
+    row per size plus the fitted exponent replicated: (s, n_boxes,
+    f_s, alpha) rounded 6, ordered by s.
+
+    Scale shape: one cumulative-sum window over the series, then per
+    size one groupBy(box) with closed-form aggregates + a 3-point OLS
+    fold — the data is rescanned once per size, boxes never join.
+    """
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    base = series.select(F.col(pos_col).cast("long").alias("pos"),
+                         F.col(y_col).cast("double").alias("y"))
+    mu = base.agg(F.avg("y").alias("mu"))
+    prof = (base.crossJoin(F.broadcast(mu))
+            .select("pos",
+                    F.sum(F.col("y") - F.col("mu")).over(w).alias("p")))
+    prof = prof.persist()
+    legs = []
+    for s in sizes:
+        sv = int(s)
+        boxed = (prof.withColumn("box", F.floor(F.col("pos") / sv))
+                 .groupBy("box")
+                 .agg(F.count("*").alias("cnt"),
+                      F.avg(F.col("pos").cast("double")).alias("mx"),
+                      F.avg("p").alias("my"),
+                      F.sum(F.col("pos").cast("double") * F.col("p"))
+                      .alias("sxy_r"),
+                      F.sum(F.col("pos").cast("double")
+                            * F.col("pos")).alias("sxx_r"),
+                      F.sum(F.col("p") * F.col("p")).alias("syy_r"))
+                 .filter(F.col("cnt") == sv))
+        sxx = F.col("sxx_r") - sv * F.col("mx") * F.col("mx")
+        sxy = F.col("sxy_r") - sv * F.col("mx") * F.col("my")
+        syy = F.col("syy_r") - sv * F.col("my") * F.col("my")
+        rss = syy - sxy * sxy / sxx
+        leg = boxed.agg(
+            F.lit(sv).cast("long").alias("s"),
+            F.count("*").cast("long").alias("n_boxes"),
+            F.sqrt(F.greatest(F.avg(rss / sv), F.lit(0.0)))
+            .alias("f_s"))
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    pts = out.select("s", "n_boxes", "f_s",
+                     F.log(F.col("s").cast("double")).alias("lx"),
+                     F.log("f_s").alias("ly"))
+    pmu = pts.agg(F.avg("lx").alias("mx"), F.avg("ly").alias("my"))
+    alpha = (pts.crossJoin(F.broadcast(pmu))
+             .agg((F.sum((F.col("lx") - F.col("mx"))
+                         * (F.col("ly") - F.col("my")))
+                   / F.sum(F.pow(F.col("lx") - F.col("mx"), 2)))
+                  .alias("alpha")))
+    res = (pts.crossJoin(F.broadcast(alpha))
+           .select("s", "n_boxes", F.round("f_s", 6).alias("f_s"),
+                   F.round("alpha", 6).alias("alpha"))
+           .orderBy("s"))
+    return res
+
+
+def dfa_sql(series_sql: str, sizes=(8, 16, 32)) -> str:
+    """DuckDB mirror of :func:`dfa` over a (pos, y) SELECT."""
+    legs = []
+    for s in sizes:
+        sv = int(s)
+        legs.append(f"""
+SELECT CAST({sv} AS BIGINT) AS s,
+  CAST(count(*) AS BIGINT) AS n_boxes,
+  sqrt(greatest(avg(
+    (syy_r - {sv} * my * my
+     - pow(sxy_r - {sv} * mx * my, 2)
+       / (sxx_r - {sv} * mx * mx)) / {sv}), 0.0)) AS f_s
+FROM (
+  SELECT CAST(floor(pos / {sv}) AS BIGINT) AS box,
+    count(*) AS cnt,
+    avg(CAST(pos AS DOUBLE)) AS mx, avg(p) AS my,
+    sum(CAST(pos AS DOUBLE) * p) AS sxy_r,
+    sum(CAST(pos AS DOUBLE) * pos) AS sxx_r,
+    sum(p * p) AS syy_r
+  FROM prof GROUP BY 1
+) WHERE cnt = {sv}""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+mu AS (SELECT avg(y) AS mu FROM base),
+prof AS (
+  SELECT pos,
+    sum(y - mu) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS p
+  FROM base CROSS JOIN mu
+),
+fs AS (
+{union}
+),
+pts AS (
+  SELECT s, n_boxes, f_s,
+    ln(CAST(s AS DOUBLE)) AS lx, ln(f_s) AS ly
+  FROM fs
+),
+pmu AS (SELECT avg(lx) AS mx, avg(ly) AS my FROM pts),
+al AS (
+  SELECT sum((lx - mx) * (ly - my)) / sum(pow(lx - mx, 2)) AS alpha
+  FROM pts CROSS JOIN pmu
+)
+SELECT s, n_boxes, round(f_s, 6) AS f_s, round(alpha, 6) AS alpha
+FROM pts CROSS JOIN al
+ORDER BY s
+"""
+
+
+def variance_ratio(
+    series: DataFrame,
+    q: int = 4,
+    pos_col: str = "pos",
+    y_col: str = "y",
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (Lo & MacKinlay 1988, public
+    literature) on a series' increments: VR(q) = Var(q-step change) /
+    (q·Var(1-step change)) — the random-walk audit for any cumulative
+    crawl metric (frontier size, bytes fetched, queue depth). VR ≈ 1
+    means increments are uncorrelated (forecast with `ewma` and go
+    home); VR > 1 means momentum (backlogs trend — intervene early);
+    VR < 1 mean-reversion (spikes self-correct — don't chase them).
+
+    Both variances center on the exact mean 1-step drift; the q-step
+    variance uses overlapping windows with the standard (T−q+1)
+    normalization. z uses the homoskedastic null variance
+    2(2q−1)(q−1)/(3qT). Returns one row: (t_obs, q, vr, z) rounded 6.
+
+    Scale shape: two lag windows + folds over the series — no joins.
+    """
+    qi = int(q)
+    w = Window.orderBy("pos")
+    base = (series.select(F.col(pos_col).cast("long").alias("pos"),
+                          F.col(y_col).cast("double").alias("y"))
+            .withColumn("d1", F.col("y") - F.lag("y", 1).over(w))
+            .withColumn("dq", F.col("y") - F.lag("y", qi).over(w)))
+    mu = base.agg(F.avg("d1").alias("mu1"),
+                  F.count(F.col("d1")).cast("long").alias("t_obs"))
+    agg = (base.crossJoin(F.broadcast(mu))
+           .agg(F.max("t_obs").alias("t_obs"), F.max("mu1").alias("mu1"),
+                (F.sum(F.pow(F.col("d1") - F.col("mu1"), 2))
+                 / F.max("t_obs")).alias("v1"),
+                (F.sum(F.pow(F.col("dq") - qi * F.col("mu1"), 2))
+                 / F.count(F.col("dq"))).alias("vq")))
+    vr = F.col("vq") / (qi * F.col("v1"))
+    tt = F.col("t_obs").cast("double")
+    null_v = 2.0 * (2.0 * qi - 1.0) * (qi - 1.0) / (3.0 * qi * tt)
+    return agg.select(
+        "t_obs", F.lit(qi).cast("long").alias("q"),
+        F.round(vr, 6).alias("vr"),
+        F.round((vr - 1.0) / F.sqrt(null_v), 6).alias("z"))
+
+
+def variance_ratio_sql(series_sql: str, q: int = 4) -> str:
+    """DuckDB mirror of :func:`variance_ratio` over a (pos, y)
+    SELECT."""
+    qi = int(q)
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+lagd AS (
+  SELECT y - lag(y, 1) OVER (ORDER BY pos) AS d1,
+    y - lag(y, {qi}) OVER (ORDER BY pos) AS dq
+  FROM base
+),
+mu AS (
+  SELECT avg(d1) AS mu1, CAST(count(d1) AS BIGINT) AS t_obs FROM lagd
+),
+agg AS (
+  SELECT max(t_obs) AS t_obs, max(mu1) AS mu1,
+    sum(pow(d1 - mu1, 2)) / max(t_obs) AS v1,
+    sum(pow(dq - {qi} * mu1, 2)) / count(dq) AS vq
+  FROM lagd CROSS JOIN mu
+)
+SELECT t_obs, CAST({qi} AS BIGINT) AS q,
+  round(vq / ({qi} * v1), 6) AS vr,
+  round((vq / ({qi} * v1) - 1.0)
+        / sqrt(2.0 * (2.0 * {qi} - 1.0) * ({qi} - 1.0)
+               / (3.0 * {qi} * CAST(t_obs AS DOUBLE))), 6) AS z
+FROM agg
+"""
+
+
+def seasonal_strength(
+    series: DataFrame,
+    period: int,
+    pos_col: str = "pos",
+    y_col: str = "y",
+) -> DataFrame:
+    """Seasonal-strength score (Hyndman's STL-based measure, public
+    literature; computed here against a seasonal-means model):
+    strength = max(0, 1 − Var(residual)/Var(total)) after removing
+    per-phase means (phase = pos mod period). The one-number answer to
+    "is there a real daily/weekly cycle in this host's traffic?" that
+    gates everything seasonal: `mase`'s seasonal-naive baseline and
+    recrawl cadences only make sense when strength is material.
+
+    Both variances are population (÷n) around exact means; residuals
+    center per phase. Returns one row: (n, period, var_total,
+    var_resid, strength) rounded 6.
+
+    Scale shape: one phase groupBy for means + one deviation fold —
+    two keyed passes, no window.
+    """
+    pi = int(period)
+    base = series.select(
+        (F.col(pos_col).cast("long") % pi).alias("phase"),
+        F.col(y_col).cast("double").alias("y"))
+    mu = base.agg(F.avg("y").alias("mu"))
+    pmu = base.groupBy("phase").agg(F.avg("y").alias("pm"))
+    dev = (base.join(pmu, "phase").crossJoin(F.broadcast(mu)))
+    agg = dev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.pow(F.col("y") - F.col("mu"), 2)).alias("var_total"),
+        F.avg(F.pow(F.col("y") - F.col("pm"), 2)).alias("var_resid"))
+    strength = F.greatest(
+        F.lit(0.0), 1.0 - F.col("var_resid") / F.col("var_total"))
+    return agg.select(
+        "n", F.lit(pi).cast("long").alias("period"),
+        F.round("var_total", 6).alias("var_total"),
+        F.round("var_resid", 6).alias("var_resid"),
+        F.round(strength, 6).alias("strength"))
+
+
+def seasonal_strength_sql(series_sql: str, period: int) -> str:
+    """DuckDB mirror of :func:`seasonal_strength` over a (pos, y)
+    SELECT."""
+    pi = int(period)
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) % {pi} AS phase, CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+mu AS (SELECT avg(y) AS mu FROM base),
+pmu AS (SELECT phase, avg(y) AS pm FROM base GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    avg(pow(b.y - m.mu, 2)) AS var_total,
+    avg(pow(b.y - p.pm, 2)) AS var_resid
+  FROM base b JOIN pmu p ON p.phase = b.phase CROSS JOIN mu m
+)
+SELECT n, CAST({pi} AS BIGINT) AS period,
+  round(var_total, 6) AS var_total,
+  round(var_resid, 6) AS var_resid,
+  round(greatest(0.0, 1.0 - var_resid / var_total), 6) AS strength
+FROM agg
+"""
+
+
+def xcorr_peak(
+    series: DataFrame,
+    max_lag: int = 3,
+    pos_col: str = "pos",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Cross-correlation function over lags −L..L between two aligned
+    series (public literature) with the peak flagged — the lead/lag
+    detector for paired crawl metrics: does the error rate LEAD the
+    latency curve (errors cause retries cause queueing) or LAG it
+    (slowness causes timeouts)? The sign of the peak lag is the
+    causal-direction hint `acf` (one series) cannot give.
+
+    corr at lag k pairs x_t with y_{t+k} over the overlap, each
+    moment computed on the overlap window around exact overlap means.
+    Returns per lag: (lag, n_pairs, r) rounded 6 plus is_peak (max |r|,
+    smallest lag wins ties), ordered by lag.
+
+    Scale shape: one lead/lag window pass per lag over the series (the
+    lag sweep is bounded and tiny) — no self-joins.
+    """
+    li = int(max_lag)
+    w = Window.orderBy("pos")
+    base = series.select(F.col(pos_col).cast("long").alias("pos"),
+                         F.col(x_col).cast("double").alias("x"),
+                         F.col(y_col).cast("double").alias("y"))
+    legs = []
+    for k in range(-li, li + 1):
+        shifted = base.withColumn(
+            "yk", F.lead("y", k).over(w) if k >= 0
+            else F.lag("y", -k).over(w)).filter(F.col("yk").isNotNull())
+        mus = shifted.agg(F.avg("x").alias("mx"), F.avg("yk").alias("my"),
+                          F.count("*").cast("long").alias("np"))
+        r = (shifted.crossJoin(F.broadcast(mus))
+             .agg(F.max("np").alias("n_pairs"),
+                  (F.sum((F.col("x") - F.col("mx"))
+                         * (F.col("yk") - F.col("my")))
+                   / F.sqrt(F.sum(F.pow(F.col("x") - F.col("mx"), 2))
+                            * F.sum(F.pow(F.col("yk") - F.col("my"),
+                                          2)))).alias("r")))
+        legs.append(r.select(F.lit(k).cast("long").alias("lag"),
+                             "n_pairs", "r"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    best = out.agg(F.max(F.abs(F.col("r"))).alias("m"))
+    peak = (out.crossJoin(F.broadcast(best))
+            .withColumn("__is", (F.abs(F.col("r")) == F.col("m"))
+                        .cast("int")))
+    w_first = Window.orderBy(F.desc("__is"), "lag")
+    flagged = peak.withColumn(
+        "is_peak", ((F.col("__is") == 1)
+                    & (F.row_number().over(w_first) == 1)).cast("int"))
+    return (flagged.select("lag", "n_pairs",
+                           F.round("r", 6).alias("r"), "is_peak")
+            .orderBy("lag"))
+
+
+def xcorr_peak_sql(series_sql: str, max_lag: int = 3) -> str:
+    """DuckDB mirror of :func:`xcorr_peak` over a (pos, x, y)
+    SELECT."""
+    li = int(max_lag)
+    legs = []
+    for k in range(-li, li + 1):
+        shift = (f"lead(y, {k})" if k >= 0 else f"lag(y, {-k})")
+        legs.append(f"""
+SELECT CAST({k} AS BIGINT) AS lag,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  sum((x - mx) * (yk - my))
+    / sqrt(sum(pow(x - mx, 2)) * sum(pow(yk - my, 2))) AS r
+FROM (
+  SELECT x, yk, avg(x) OVER () AS mx, avg(yk) OVER () AS my
+  FROM (
+    SELECT x, {shift} OVER (ORDER BY pos) AS yk
+    FROM base
+  ) WHERE yk IS NOT NULL
+)""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x,
+    CAST(y AS DOUBLE) AS y
+  FROM ({series_sql})
+),
+ccf AS (
+{union}
+),
+best AS (SELECT max(abs(r)) AS m FROM ccf),
+flagged AS (
+  SELECT lag, n_pairs, r,
+    CASE WHEN abs(r) = m THEN 1 ELSE 0 END AS isq,
+    row_number() OVER (ORDER BY CASE WHEN abs(r) = m THEN 0 ELSE 1
+                       END, lag) AS rn
+  FROM ccf CROSS JOIN best
+)
+SELECT lag, n_pairs, round(r, 6) AS r,
+  CAST(CASE WHEN isq = 1 AND rn = 1 THEN 1 ELSE 0 END AS INT)
+    AS is_peak
+FROM flagged ORDER BY lag
+"""
+
+
+def dixon_q(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Dixon's Q outlier screen (Dixon 1950, public literature) on a
+    small sample of aggregates: Q = gap-to-nearest-neighbor / range,
+    evaluated at BOTH extremes — the per-shard sanity check before a
+    handful of per-partition statistics get averaged into a headline
+    number (one corrupt shard mean shouldn't pollute the fleet
+    average; `robust_outliers` is for big columns, Dixon is for the
+    20-shard summary table).
+
+    Returns one row: (n, x_min, x_max, q_low, q_high) rounded 6 —
+    compare against the Dixon critical table for the sample size.
+
+    Scale shape: one sort window over the (small) sample + one fold.
+    """
+    w = Window.orderBy("x")
+    base = (values.select(F.col(x_col).cast("double").alias("x"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("nxt", F.lead("x").over(w))
+            .withColumn("prv", F.lag("x").over(w)))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min(F.when(F.col("rn") == 1,
+                     F.col("nxt") - F.col("x"))).alias("gap_lo"),
+        F.max(F.when(F.col("nxt").isNull(),
+                     F.col("x") - F.col("prv"))).alias("gap_hi"))
+    rng = F.col("x_max") - F.col("x_min")
+    return agg.select(
+        "n", F.round("x_min", 6).alias("x_min"),
+        F.round("x_max", 6).alias("x_max"),
+        F.round(F.col("gap_lo") / rng, 6).alias("q_low"),
+        F.round(F.col("gap_hi") / rng, 6).alias("q_high"))
+
+
+def dixon_q_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`dixon_q` over an (x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) AS x,
+    row_number() OVER (ORDER BY CAST(x AS DOUBLE)) AS rn,
+    lead(CAST(x AS DOUBLE)) OVER (ORDER BY CAST(x AS DOUBLE)) AS nxt,
+    lag(CAST(x AS DOUBLE)) OVER (ORDER BY CAST(x AS DOUBLE)) AS prv
+  FROM ({values_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    min(x) AS x_min, max(x) AS x_max,
+    min(CASE WHEN rn = 1 THEN nxt - x END) AS gap_lo,
+    max(CASE WHEN nxt IS NULL THEN x - prv END) AS gap_hi
+  FROM base
+)
+SELECT n, round(x_min, 6) AS x_min, round(x_max, 6) AS x_max,
+  round(gap_lo / (x_max - x_min), 6) AS q_low,
+  round(gap_hi / (x_max - x_min), 6) AS q_high
+FROM agg
+"""

@@ -1,0 +1,126 @@
+"""Unit tests for the round-95 pack: Christoffersen, newsvendor, mean
+residual life, Gwet AC1, p-chart."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (christoffersen, gwet_ac1,
+                                             newsvendor)
+from icrawler_spark.operators.politeness import p_chart
+from icrawler_spark.operators.recrawl import mean_residual_life
+
+
+# ---------------------------------------------------------------------------
+# christoffersen
+# ---------------------------------------------------------------------------
+
+def test_christoffersen_alternating(spark):
+    rows = [(i, i % 2) for i in range(6)]  # 0,1,0,1,0,1
+    df = spark.createDataFrame(rows, "pos long, exceed int")
+    r = christoffersen(df).collect()[0]
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (0, 3, 2, 0)
+    assert math.isclose(r["pi01"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["pi11"], 0.0, abs_tol=1e-6)
+    ll0 = 2 * math.log(2 / 5) + 3 * math.log(3 / 5)
+    assert math.isclose(r["lr_ind"], -2 * ll0, abs_tol=1e-5)
+
+
+def test_christoffersen_clustered(spark):
+    rows = [(0, 1), (1, 1), (2, 1), (3, 0), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "pos long, exceed int")
+    r = christoffersen(df).collect()[0]
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (2, 0, 1, 2)
+    assert math.isclose(r["pi11"], 2 / 3, abs_tol=1e-6)
+    assert r["lr_ind"] > 0
+
+
+# ---------------------------------------------------------------------------
+# newsvendor
+# ---------------------------------------------------------------------------
+
+def test_newsvendor_hand_quantile(spark):
+    rows = [(float(v),) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double")
+    r = newsvendor(df, cu=3.0, co=1.0).collect()[0]
+    assert math.isclose(r["critical_ratio"], 0.75, abs_tol=1e-6)
+    assert math.isclose(r["q_star"], 8.0, abs_tol=1e-6)
+    assert math.isclose(r["cdf_at_q"], 0.8, abs_tol=1e-6)
+    assert math.isclose(r["mean_demand"], 5.5, abs_tol=1e-6)
+
+
+def test_newsvendor_symmetric_costs_median(spark):
+    rows = [(float(v),) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double")
+    r = newsvendor(df, cu=1.0, co=1.0).collect()[0]
+    assert math.isclose(r["q_star"], 5.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mean_residual_life
+# ---------------------------------------------------------------------------
+
+def test_mrl_hand_values(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)],
+                               "t double")
+    out = {r["t"]: r for r in
+           mean_residual_life(df, ts=(0, 2, 10)).collect()}
+    assert math.isclose(out[0]["mrl"], 2.5, abs_tol=1e-6)
+    assert out[2]["n_survivors"] == 2
+    assert math.isclose(out[2]["mrl"], 1.5, abs_tol=1e-6)
+    assert out[10]["n_survivors"] == 0 and out[10]["mrl"] is None
+
+
+def test_mrl_exponential_flatish(spark):
+    # memoryless-ish: geometric-ish data should not drop MRL sharply
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    df = spark.createDataFrame([(v,) for v in vals], "t double")
+    out = {r["t"]: r["mrl"] for r in
+           mean_residual_life(df, ts=(0, 4)).collect()}
+    assert out[4] > out[0] / 2  # heavy tail: residual life persists
+
+
+# ---------------------------------------------------------------------------
+# gwet_ac1
+# ---------------------------------------------------------------------------
+
+def test_gwet_hand_value(spark):
+    rows = [("x", "x"), ("x", "x"), ("x", "y"), ("y", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = gwet_ac1(df).collect()[0]
+    assert r["q"] == 2
+    assert math.isclose(r["po"], 0.75, abs_tol=1e-6)
+    assert math.isclose(r["pe"], 30 / 64, abs_tol=1e-6)
+    assert math.isclose(r["ac1"], (0.75 - 30 / 64) / (1 - 30 / 64),
+                        abs_tol=1e-6)
+
+
+def test_gwet_survives_prevalence_skew(spark):
+    # 18 agreements on 'ok', 2 disagreements: kappa-style pe ~ saturates,
+    # AC1 stays high
+    rows = [("ok", "ok")] * 18 + [("ok", "bad"), ("bad", "ok")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = gwet_ac1(df).collect()[0]
+    assert r["ac1"] > 0.8
+
+
+# ---------------------------------------------------------------------------
+# p_chart
+# ---------------------------------------------------------------------------
+
+def test_p_chart_flags_outlier_window(spark):
+    rows = [(1, 100, 10), (2, 100, 10), (3, 100, 30)]
+    df = spark.createDataFrame(rows, "win long, n long, x long")
+    out = {r["win"]: r for r in p_chart(df).collect()}
+    pbar = 50 / 300
+    se = math.sqrt(pbar * (1 - pbar) / 100)
+    assert math.isclose(out[1]["ucl"], pbar + 3 * se, abs_tol=1e-6)
+    assert out[1]["signal"] == 0 and out[2]["signal"] == 0
+    assert out[3]["signal"] == 1
+
+
+def test_p_chart_lcl_floors_at_zero(spark):
+    rows = [(1, 10, 1), (2, 10, 1)]
+    df = spark.createDataFrame(rows, "win long, n long, x long")
+    out = p_chart(df).collect()
+    assert all(r["lcl"] == 0.0 for r in out)

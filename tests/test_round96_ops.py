@@ -1,0 +1,156 @@
+"""Unit tests for the round-96 pack: DFA, variance ratio, seasonal
+strength, cross-correlation peak, Dixon Q."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from icrawler_spark.operators.recrawl import (dfa, dixon_q,
+                                              seasonal_strength,
+                                              variance_ratio,
+                                              xcorr_peak)
+
+_NOISE = [3.1, 1.2, 4.7, 0.6, 2.9, 5.3, 1.8, 3.6, 0.2, 4.1,
+          2.4, 5.0, 1.1, 3.3, 0.8, 4.4, 2.2, 5.5, 1.6, 3.9,
+          0.4, 4.8, 2.7, 5.1, 1.4, 3.0, 0.9, 4.2, 2.0, 5.7,
+          1.3, 3.7]
+
+
+def _dfa_ref(y, sizes):
+    y = np.asarray(y, dtype=float)
+    prof = np.cumsum(y - y.mean())
+    pos = np.arange(len(y), dtype=float)
+    fs = []
+    for s in sizes:
+        rss = []
+        for b in range(len(y) // s):
+            idx = slice(b * s, (b + 1) * s)
+            x, p = pos[idx], prof[idx]
+            sxx = (x * x).sum() - s * x.mean() ** 2
+            sxy = (x * p).sum() - s * x.mean() * p.mean()
+            syy = (p * p).sum() - s * p.mean() ** 2
+            rss.append((syy - sxy * sxy / sxx) / s)
+        fs.append(math.sqrt(max(np.mean(rss), 0.0)))
+    lx = np.log(sizes)
+    ly = np.log(fs)
+    alpha = (((lx - lx.mean()) * (ly - ly.mean())).sum()
+             / ((lx - lx.mean()) ** 2).sum())
+    return fs, alpha
+
+
+# ---------------------------------------------------------------------------
+# dfa
+# ---------------------------------------------------------------------------
+
+def test_dfa_matches_reference(spark):
+    rows = [(i, v) for i, v in enumerate(_NOISE)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    out = {r["s"]: r for r in dfa(df, sizes=(4, 8, 16)).collect()}
+    fs, alpha = _dfa_ref(_NOISE, (4, 8, 16))
+    for s, f_ref in zip((4, 8, 16), fs):
+        assert math.isclose(out[s]["f_s"], f_ref, abs_tol=1e-5)
+        assert math.isclose(out[s]["alpha"], alpha, abs_tol=1e-5)
+    assert out[4]["n_boxes"] == 8 and out[16]["n_boxes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# variance_ratio
+# ---------------------------------------------------------------------------
+
+def _vr_ref(y, q):
+    y = np.asarray(y, dtype=float)
+    d1 = y[1:] - y[:-1]
+    dq = y[q:] - y[:-q]
+    mu1 = d1.mean()
+    t = len(d1)
+    v1 = ((d1 - mu1) ** 2).sum() / t
+    vq = ((dq - q * mu1) ** 2).sum() / len(dq)
+    vr = vq / (q * v1)
+    z = (vr - 1) / math.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * t))
+    return vr, z
+
+
+def test_variance_ratio_matches_reference(spark):
+    y = list(np.cumsum(_NOISE))
+    rows = [(i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    r = variance_ratio(df, q=4).collect()[0]
+    vr, z = _vr_ref(y, 4)
+    assert r["t_obs"] == len(y) - 1
+    assert math.isclose(r["vr"], vr, abs_tol=1e-5)
+    assert math.isclose(r["z"], z, abs_tol=1e-4)
+
+
+def test_variance_ratio_mean_reverting_below_one(spark):
+    # strongly alternating level series: 1-step changes huge, q-step tiny
+    y = [0.0, 1.0] * 16
+    rows = [(i, v) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    r = variance_ratio(df, q=4).collect()[0]
+    assert r["vr"] < 0.5 and r["z"] < 0
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength
+# ---------------------------------------------------------------------------
+
+def test_seasonal_pure_cycle_one(spark):
+    rows = [(i, float(i % 4) * 2.0) for i in range(24)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    r = seasonal_strength(df, period=4).collect()[0]
+    assert math.isclose(r["var_resid"], 0.0, abs_tol=1e-9)
+    assert math.isclose(r["strength"], 1.0, abs_tol=1e-6)
+
+
+def test_seasonal_wrong_period_weak(spark):
+    rows = [(i, float(i % 4) * 2.0) for i in range(24)]
+    df = spark.createDataFrame(rows, "pos long, y double")
+    # period 3 is coprime to the true cycle 4: phase means are all equal
+    r = seasonal_strength(df, period=3).collect()[0]
+    assert r["strength"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# xcorr_peak
+# ---------------------------------------------------------------------------
+
+def test_xcorr_detects_lag(spark):
+    # y lags x by 2: corr(x_t, y_{t+2}) = 1 → peak at +2
+    x = _NOISE
+    y = [0.0, 0.0] + x[:-2]
+    rows = [(i, xv, yv) for i, (xv, yv) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "pos long, x double, y double")
+    out = {r["lag"]: r for r in xcorr_peak(df, max_lag=3).collect()}
+    assert out[2]["is_peak"] == 1
+    assert math.isclose(out[2]["r"], 1.0, abs_tol=1e-6)
+    assert sum(r["is_peak"] for r in out.values()) == 1
+
+
+def test_xcorr_zero_lag_identity(spark):
+    rows = [(i, v, v) for i, v in enumerate(_NOISE)]
+    df = spark.createDataFrame(rows, "pos long, x double, y double")
+    out = {r["lag"]: r for r in xcorr_peak(df, max_lag=2).collect()}
+    assert out[0]["is_peak"] == 1
+    assert math.isclose(out[0]["r"], 1.0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# dixon_q
+# ---------------------------------------------------------------------------
+
+def test_dixon_hand_values(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)],
+                               "x double")
+    r = dixon_q(df).collect()[0]
+    assert r["n"] == 4
+    assert math.isclose(r["q_high"], 7 / 9, abs_tol=1e-6)
+    assert math.isclose(r["q_low"], 1 / 9, abs_tol=1e-6)
+
+
+def test_dixon_uniform_small_q(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                               "x double")
+    r = dixon_q(df).collect()[0]
+    assert r["q_high"] < 0.2 and r["q_low"] < 0.2
