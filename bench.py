@@ -392,6 +392,16 @@ _EXTRA_PICKS = [
     "christoffersen", "newsvendor", "mrl", "gwet", "p_chart",
     # round-3 batch-90 (long memory + random-walk audit + cycles + lead-lag)
     "dfa", "vratio", "seasonal", "xcorr", "dixon",
+    # round-3 batch-91 (pricing + scheduling value + forecast errors + richness)
+    "reserve", "wspt", "wape", "chao2", "poststrat",
+    # round-3 batch-92 (paired tests + robust location/variance + equivalence)
+    "wilcoxon", "sign_test", "mood", "cochran_c", "tost",
+    # round-3 batch-93 (robust effects + post-hoc pairs + covariate adjustment)
+    "hodges", "dunn", "ancova", "split_half", "yuen",
+    # round-3 batch-94 (method comparison + meta pooling + SPC charts)
+    "deming", "meta", "mahalanobis", "imr", "ewma_chart",
+    # round-3 batch-95 (multi-round census + evenness + robust dispersion)
+    "schnabel", "pielou", "gmd", "robust_summary", "decile_ratios",
 ]
 
 

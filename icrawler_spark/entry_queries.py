@@ -66,7 +66,9 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round90, entry_round91,
                             entry_round92, entry_round93,
                             entry_round94, entry_round95,
-                            entry_round96)
+                            entry_round96, entry_round97,
+                            entry_round98, entry_round99,
+                            entry_round100, entry_round101)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -929,6 +931,11 @@ def queries():
         **entry_round94.queries94(),
         **entry_round95.queries95(),
         **entry_round96.queries96(),
+        **entry_round97.queries97(),
+        **entry_round98.queries98(),
+        **entry_round99.queries99(),
+        **entry_round100.queries100(),
+        **entry_round101.queries101(),
     }
 
 
@@ -1057,4 +1064,9 @@ def oracle_sql():
         **entry_round94.oracle_sql94(),
         **entry_round95.oracle_sql95(),
         **entry_round96.oracle_sql96(),
+        **entry_round97.oracle_sql97(),
+        **entry_round98.oracle_sql98(),
+        **entry_round99.oracle_sql99(),
+        **entry_round100.oracle_sql100(),
+        **entry_round101.oracle_sql101(),
     }

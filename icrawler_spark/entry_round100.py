@@ -1,0 +1,177 @@
+"""Round-3 driver-contract queries (batch 94): Deming regression,
+meta-analytic pooling, 2-D Mahalanobis screen, I-MR chart, EWMA chart.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+
+# ---------------------------------------------------------------------------
+# deming — structural slope between value and a noisy rescale
+# ---------------------------------------------------------------------------
+
+
+def _dm_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 1.5 + (F.col("event_id") % 11) - 5.0)
+        .alias("y"))
+
+
+_DM_PAIRS_SQL = """
+  SELECT value AS x, value * 1.5 + event_id % 11 - 5.0 AS y
+  FROM events
+"""
+
+
+def q_deming(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.deming: errors-in-both-variables line —
+    one co-moment fold, closed form."""
+    return _corpus.deming(_dm_pairs(spark, sf))
+
+
+def _deming_sql() -> str:
+    return _corpus.deming_sql(_DM_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# meta — pool the 15 per-user means with synthetic shard SEs
+# ---------------------------------------------------------------------------
+
+
+def _mt_studies(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.col("user_id").alias("study"))
+            .agg(F.avg("value").alias("mu"))
+            .select("study", "mu",
+                    ((F.col("study") % 5 + 1) / 2.0).alias("se")))
+
+
+_MT_STUDIES_SQL = """
+  SELECT study, mu, (study % 5 + 1) / 2.0 AS se
+  FROM (
+    SELECT user_id AS study, avg(value) AS mu
+    FROM events GROUP BY 1
+  )
+"""
+
+
+def q_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.meta_pool: fixed + DL random effects —
+    two folds over the shard summary."""
+    return _corpus.meta_pool(_mt_studies(spark, sf))
+
+
+def _meta_sql() -> str:
+    return _corpus.meta_pool_sql(_MT_STUDIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis — joint outliers in the (value, composite) plane
+# ---------------------------------------------------------------------------
+
+
+def _mh_points(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 0.5 + (F.col("event_id") % 31)).alias("y"))
+
+
+_MH_POINTS_SQL = """
+  SELECT value AS x, value * 0.5 + event_id % 31 AS y FROM events
+"""
+
+
+def q_mahalanobis(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mahalanobis2: closed-form 2x2 joint outlier
+    screen — moment fold + scored re-pass."""
+    return _corpus.mahalanobis2(_mh_points(spark, sf))
+
+
+def _mahalanobis_sql() -> str:
+    return _corpus.mahalanobis2_sql(_MH_POINTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# imr — individuals/moving-range chart on the value series
+# ---------------------------------------------------------------------------
+
+
+def _im_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("pos"),
+                     F.col("value").alias("x"))
+
+
+_IM_SERIES_SQL = "SELECT CAST(event_id AS BIGINT) AS pos, value AS x FROM events"
+
+
+def q_imr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.imr_chart: Shewhart individuals chart —
+    lag window + stats broadcast."""
+    return _politeness.imr_chart(_im_series(spark, sf))
+
+
+def _imr_sql() -> str:
+    return _politeness.imr_chart_sql(_IM_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ewma_chart — small-shift detector on a bounded prefix of the series
+# ---------------------------------------------------------------------------
+
+_EW_LIMIT = 500
+_EW_LAM = 0.2
+
+
+def _ew_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.filter(F.col("event_id") < _EW_LIMIT)
+            .select(F.col("event_id").cast("long").alias("pos"),
+                    F.col("value").alias("x")))
+
+
+_EW_SERIES_SQL = f"""
+  SELECT CAST(event_id AS BIGINT) AS pos, value AS x
+  FROM events WHERE event_id < {_EW_LIMIT}
+"""
+
+
+def q_ewma_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.ewma_chart: closed-form EWMA with
+    time-varying limits — prefix-sum windows (t<=500 envelope)."""
+    return _politeness.ewma_chart(_ew_series(spark, sf), lam=_EW_LAM)
+
+
+def _ewma_chart_sql() -> str:
+    return _politeness.ewma_chart_sql(_EW_SERIES_SQL, lam=_EW_LAM)
+
+
+def queries100():
+    return {
+        "deming": q_deming,
+        "meta": q_meta,
+        "mahalanobis": q_mahalanobis,
+        "imr": q_imr,
+        "ewma_chart": q_ewma_chart,
+    }
+
+
+def oracle_sql100():
+    return {
+        "deming": _deming_sql(),
+        "meta": _meta_sql(),
+        "mahalanobis": _mahalanobis_sql(),
+        "imr": _imr_sql(),
+        "ewma_chart": _ewma_chart_sql(),
+    }

@@ -1,0 +1,132 @@
+"""Round-3 driver-contract queries (batch 95): Schnabel census, Pielou
+evenness, Gini mean difference, robust five-number summary, decile
+ratios.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# schnabel — multi-round census over quadratic-residue "templates"
+# ---------------------------------------------------------------------------
+
+_SC_ROUNDS = 8
+_SC_MOD = 311
+
+
+def _sc_sightings(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        (e % _SC_ROUNDS).cast("long").alias("round"),
+        ((e * e) % _SC_MOD).cast("long").alias("item"))
+
+
+_SC_SIGHTINGS_SQL = f"""
+  SELECT CAST(event_id % {_SC_ROUNDS} AS BIGINT) AS round,
+    CAST(event_id * event_id % {_SC_MOD} AS BIGINT) AS item
+  FROM events
+"""
+
+
+def q_schnabel(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.schnabel: k-round capture-recapture —
+    first-seen groupBy + ordered marked counts."""
+    return _recrawl.schnabel(_sc_sightings(spark, sf))
+
+
+def _schnabel_sql() -> str:
+    return _recrawl.schnabel_sql(_SC_SIGHTINGS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pielou — evenness of the event-type mix
+# ---------------------------------------------------------------------------
+
+
+def _pe_items(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("event_type").alias("key"))
+
+
+_PE_ITEMS_SQL = "SELECT event_type AS key FROM events"
+
+
+def q_pielou(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.pielou_evenness: H/ln(S) — one groupBy + one
+    fold."""
+    return _corpus.pielou_evenness(_pe_items(spark, sf))
+
+
+def _pielou_sql() -> str:
+    return _corpus.pielou_evenness_sql(_PE_ITEMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gmd / robust / deciles — dispersion family over the value metric
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_VALS_SQL = "SELECT value AS x FROM events"
+
+
+def q_gmd(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.gini_mean_difference: sorted closed form —
+    sort-rank window + fold, no pair join."""
+    return _corpus.gini_mean_difference(_vals(spark, sf))
+
+
+def _gmd_sql() -> str:
+    return _corpus.gini_mean_difference_sql(_VALS_SQL)
+
+
+def q_robust_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.robust_summary: rank-exact five numbers +
+    trimean/midhinge/QCD."""
+    return _corpus.robust_summary(_vals(spark, sf))
+
+
+def _robust_summary_sql() -> str:
+    return _corpus.robust_summary_sql(_VALS_SQL)
+
+
+def q_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.decile_ratios: P90/P10 inequality split —
+    rank-exact percentiles."""
+    return _corpus.decile_ratios(_vals(spark, sf))
+
+
+def _deciles_sql() -> str:
+    return _corpus.decile_ratios_sql(_VALS_SQL)
+
+
+def queries101():
+    return {
+        "schnabel": q_schnabel,
+        "pielou": q_pielou,
+        "gmd": q_gmd,
+        "robust_summary": q_robust_summary,
+        "decile_ratios": q_deciles,
+    }
+
+
+def oracle_sql101():
+    return {
+        "schnabel": _schnabel_sql(),
+        "pielou": _pielou_sql(),
+        "gmd": _gmd_sql(),
+        "robust_summary": _robust_summary_sql(),
+        "decile_ratios": _deciles_sql(),
+    }

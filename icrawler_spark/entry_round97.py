@@ -1,0 +1,179 @@
+"""Round-3 driver-contract queries (batch 91): Myerson reserve price,
+WSPT schedule audit, forecast-error table, Chao2 richness,
+post-stratification.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# reserve — optimal admission cutoff over the value "bids"
+# ---------------------------------------------------------------------------
+
+
+def _rp_bids(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.floor(F.col("value")).cast("double").alias("x"))
+
+
+_RP_BIDS_SQL = "SELECT CAST(floor(value) AS DOUBLE) AS x FROM events"
+
+
+def q_reserve(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.reserve_price: posted-price revenue argmax —
+    distinct-value suffix window + argmax fold."""
+    return _search.reserve_price(_rp_bids(spark, sf))
+
+
+def _reserve_sql() -> str:
+    return _search.reserve_price_sql(_RP_BIDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wspt — priority-queue value over the per-user job summary
+# ---------------------------------------------------------------------------
+
+
+def _wp_jobs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.col("user_id").alias("job"))
+            .agg(F.avg("value").alias("p"),
+                 F.count("*").cast("double").alias("w")))
+
+
+_WP_JOBS_SQL = """
+  SELECT user_id AS job, avg(value) AS p,
+    CAST(count(*) AS DOUBLE) AS w
+  FROM events GROUP BY 1
+"""
+
+
+def q_wspt(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.wspt_value: Smith's rule vs FIFO — two
+    cumulative windows + fold."""
+    return _politeness.wspt_value(_wp_jobs(spark, sf))
+
+
+def _wspt_sql() -> str:
+    return _politeness.wspt_value_sql(_WP_JOBS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# wape — seasonal-naive error table on the value series
+# ---------------------------------------------------------------------------
+
+_FE_SEASON = 24
+
+
+def _fe_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").cast("long").alias("pos"),
+                     F.col("value").alias("y"))
+
+
+_FE_SERIES_SQL = "SELECT CAST(event_id AS BIGINT) AS pos, value AS y FROM events"
+
+
+def q_wape(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.forecast_errors: WAPE/sMAPE/bias of the
+    seasonal-naive forecast — one lag window + fold."""
+    return _recrawl.forecast_errors(_fe_series(spark, sf),
+                                    season=_FE_SEASON)
+
+
+def _wape_sql() -> str:
+    return _recrawl.forecast_errors_sql(_FE_SERIES_SQL,
+                                        season=_FE_SEASON)
+
+
+# ---------------------------------------------------------------------------
+# chao2 — unseen-template mass from round-membership incidence
+# ---------------------------------------------------------------------------
+
+_C2_SAMPLES = 10
+_C2_MOD = 211
+
+
+def _c2_incidence(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(
+        (e % _C2_SAMPLES).cast("long").alias("sample"),
+        ((e * e) % _C2_MOD).cast("long").alias("species"))
+
+
+_C2_INCIDENCE_SQL = f"""
+  SELECT CAST(event_id % {_C2_SAMPLES} AS BIGINT) AS sample,
+    CAST(event_id * event_id % {_C2_MOD} AS BIGINT) AS species
+  FROM events
+"""
+
+
+def q_chao2(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.chao2: incidence-based richness — dedup +
+    incidence groupBy + fold."""
+    return _corpus.chao2(_c2_incidence(spark, sf))
+
+
+def _chao2_sql() -> str:
+    return _corpus.chao2_sql(_C2_INCIDENCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# poststrat — TLD-style reweighting of the mean value
+# ---------------------------------------------------------------------------
+
+_PS_SHARES = {"click": 0.3, "view": 0.3, "error": 0.1,
+              "signup": 0.2, "purchase": 0.1}
+
+
+def _ps_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_type").alias("stratum"),
+                     F.col("value").alias("x"))
+
+
+_PS_SAMPLES_SQL = "SELECT event_type AS stratum, value AS x FROM events"
+
+
+def q_poststrat(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.poststrat_mean: known-share reweighting —
+    one stratum groupBy + literal share map."""
+    return _corpus.poststrat_mean(_ps_samples(spark, sf),
+                                  pop_shares=_PS_SHARES)
+
+
+def _poststrat_sql() -> str:
+    return _corpus.poststrat_mean_sql(_PS_SAMPLES_SQL,
+                                      pop_shares=_PS_SHARES)
+
+
+def queries97():
+    return {
+        "reserve": q_reserve,
+        "wspt": q_wspt,
+        "wape": q_wape,
+        "chao2": q_chao2,
+        "poststrat": q_poststrat,
+    }
+
+
+def oracle_sql97():
+    return {
+        "reserve": _reserve_sql(),
+        "wspt": _wspt_sql(),
+        "wape": _wape_sql(),
+        "chao2": _chao2_sql(),
+        "poststrat": _poststrat_sql(),
+    }

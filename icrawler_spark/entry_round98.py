@@ -1,0 +1,137 @@
+"""Round-3 driver-contract queries (batch 92): Wilcoxon signed-rank,
+sign test, Mood's median, Cochran's C, TOST equivalence.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# shared paired fixture: value vs a recalibrated scorer on binned units
+# ---------------------------------------------------------------------------
+
+
+def _paired(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.floor(F.col("value") / 5).cast("double").alias("x"),
+        (F.floor(F.col("value") / 5) * 0.9
+         + (F.col("event_id") % 9)).alias("y"))
+
+
+_PAIRED_SQL = """
+  SELECT CAST(floor(value / 5) AS DOUBLE) AS x,
+    floor(value / 5) * 0.9 + event_id % 9 AS y
+  FROM events
+"""
+
+
+def q_wilcoxon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.wilcoxon_signed_rank: paired signed midranks —
+    |d| groupBy + ordered window + fold."""
+    return _corpus.wilcoxon_signed_rank(_paired(spark, sf))
+
+
+def _wilcoxon_sql() -> str:
+    return _corpus.wilcoxon_signed_rank_sql(_PAIRED_SQL)
+
+
+def q_sign_test(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.sign_test: direction-only paired floor —
+    one conditional fold."""
+    return _corpus.sign_test(_paired(spark, sf))
+
+
+def _sign_test_sql() -> str:
+    return _corpus.sign_test_sql(_PAIRED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mood — grand-median dichotomy across event types
+# ---------------------------------------------------------------------------
+
+
+def _md_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_type").alias("grp"),
+                     F.col("value").alias("x"))
+
+
+_MD_SAMPLES_SQL = "SELECT event_type AS grp, value AS x FROM events"
+
+
+def q_mood(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.mood_median: above/below grand-median chi2 —
+    rank window + group folds."""
+    return _corpus.mood_median(_md_samples(spark, sf))
+
+
+def _mood_sql() -> str:
+    return _corpus.mood_median_sql(_MD_SAMPLES_SQL)
+
+
+def q_cochran_c(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cochran_c: max-variance-share screen —
+    group-mean passes + argmax fold."""
+    return _corpus.cochran_c(_md_samples(spark, sf))
+
+
+def _cochran_c_sql() -> str:
+    return _corpus.cochran_c_sql(_MD_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# tost — certify the user-parity cohorts are equivalent within ±8
+# ---------------------------------------------------------------------------
+
+_TO_MARGIN = 8.0
+
+
+def _to_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("long").alias("grp"),
+                     F.col("value").alias("x"))
+
+
+_TO_SAMPLES_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp, value AS x FROM events
+"""
+
+
+def q_tost(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.tost_equivalence: two one-sided Welch tests —
+    group folds, one row."""
+    return _corpus.tost_equivalence(_to_samples(spark, sf), grp_a=0,
+                                    margin=_TO_MARGIN)
+
+
+def _tost_sql() -> str:
+    return _corpus.tost_equivalence_sql(_TO_SAMPLES_SQL, "0",
+                                        margin=_TO_MARGIN)
+
+
+def queries98():
+    return {
+        "wilcoxon": q_wilcoxon,
+        "sign_test": q_sign_test,
+        "mood": q_mood,
+        "cochran_c": q_cochran_c,
+        "tost": q_tost,
+    }
+
+
+def oracle_sql98():
+    return {
+        "wilcoxon": _wilcoxon_sql(),
+        "sign_test": _sign_test_sql(),
+        "mood": _mood_sql(),
+        "cochran_c": _cochran_c_sql(),
+        "tost": _tost_sql(),
+    }

@@ -1,0 +1,175 @@
+"""Round-3 driver-contract queries (batch 93): Hodges-Lehmann shift,
+Dunn post-hoc pairs, ANCOVA adjusted means, split-half reliability,
+Yuen trimmed t.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# hodges — typical value shift between user-parity cohorts (binned)
+# ---------------------------------------------------------------------------
+
+
+def _hl_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("long").alias("grp"),
+                     F.floor(F.col("value") / 10).cast("double")
+                     .alias("x"))
+
+
+_HL_SAMPLES_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+    CAST(floor(value / 10) AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_hodges(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hodges_lehmann: weighted median of pairwise
+    diffs — cell join + cumulative window."""
+    return _corpus.hodges_lehmann(_hl_samples(spark, sf), grp_a=0)
+
+
+def _hodges_sql() -> str:
+    return _corpus.hodges_lehmann_sql(_HL_SAMPLES_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# dunn — pairwise rank comparisons across event types (binned values)
+# ---------------------------------------------------------------------------
+
+
+def _dn_samples(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_type").alias("grp"),
+                     F.floor(F.col("value") / 10).cast("double")
+                     .alias("x"))
+
+
+_DN_SAMPLES_SQL = """
+  SELECT event_type AS grp,
+    CAST(floor(value / 10) AS DOUBLE) AS x
+  FROM events
+"""
+
+
+def q_dunn(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.dunn_pairs: tie-corrected pairwise rank z —
+    midrank groupBy + k×k broadcast pairs."""
+    return _corpus.dunn_pairs(_dn_samples(spark, sf))
+
+
+def _dunn_sql() -> str:
+    return _corpus.dunn_pairs_sql(_DN_SAMPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ancova — per-type mean value adjusted for the event-slot covariate
+# ---------------------------------------------------------------------------
+
+
+def _ac_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_type").alias("grp"),
+                     (F.col("event_id") % 50).cast("double").alias("x"),
+                     F.col("value").alias("y"))
+
+
+_AC_ROWS_SQL = """
+  SELECT event_type AS grp, CAST(event_id % 50 AS DOUBLE) AS x,
+    value AS y
+  FROM events
+"""
+
+
+def q_ancova(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ancova_adjusted: pooled within-slope adjusted
+    means — three keyed aggregations."""
+    return _corpus.ancova_adjusted(_ac_rows(spark, sf))
+
+
+def _ancova_sql() -> str:
+    return _corpus.ancova_adjusted_sql(_AC_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# split_half — odd/even item split of per-subject quality items
+# ---------------------------------------------------------------------------
+
+_SH_SUBJ = 60
+_SH_ITEMS = 6
+
+
+def _sh_scores(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % _SH_SUBJ).cast("long").alias("subj"),
+        (F.floor(F.col("event_id") / _SH_SUBJ) % _SH_ITEMS)
+        .cast("long").alias("item_idx"),
+        F.col("value").alias("x"))
+
+
+_SH_SCORES_SQL = f"""
+  SELECT CAST(event_id % {_SH_SUBJ} AS BIGINT) AS subj,
+    CAST(CAST(floor(event_id / {_SH_SUBJ}) AS BIGINT)
+         % {_SH_ITEMS} AS BIGINT) AS item_idx,
+    value AS x
+  FROM events
+"""
+
+
+def q_split_half(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.split_half: odd/even halves + Spearman-Brown —
+    one subj groupBy + co-moment fold."""
+    return _corpus.split_half(_sh_scores(spark, sf))
+
+
+def _split_half_sql() -> str:
+    return _corpus.split_half_sql(_SH_SCORES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# yuen — trimmed-means comparison of the user-parity cohorts
+# ---------------------------------------------------------------------------
+
+_YU_P = 0.2
+
+
+def q_yuen(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.yuen_trimmed: trimmed means + winsorized
+    variances — per-group rank windows + folds."""
+    return _corpus.yuen_trimmed(_hl_samples(spark, sf), grp_a=0,
+                                p=_YU_P)
+
+
+def _yuen_sql() -> str:
+    return _corpus.yuen_trimmed_sql(_HL_SAMPLES_SQL, "0", p=_YU_P)
+
+
+def queries99():
+    return {
+        "hodges": q_hodges,
+        "dunn": q_dunn,
+        "ancova": q_ancova,
+        "split_half": q_split_half,
+        "yuen": q_yuen,
+    }
+
+
+def oracle_sql99():
+    return {
+        "hodges": _hodges_sql(),
+        "dunn": _dunn_sql(),
+        "ancova": _ancova_sql(),
+        "split_half": _split_half_sql(),
+        "yuen": _yuen_sql(),
+    }

@@ -9186,3 +9186,1567 @@ SELECT n, q, round(agree / CAST(n AS DOUBLE), 6) AS po,
         / (1.0 - s / CAST(q - 1 AS DOUBLE)), 6) AS ac1
 FROM pe
 """
+
+def chao2(
+    incidence: DataFrame,
+    sample_col: str = "sample",
+    species_col: str = "species",
+) -> DataFrame:
+    """Chao2 incidence-based richness estimator (Chao 1987, public
+    literature) — `chao1`'s sibling when the unit of evidence is
+    PRESENCE per sample, not abundance: from T samples (crawl rounds,
+    shards), q1 = species seen in exactly one sample, q2 = in exactly
+    two; Ŝ = S_obs + ((T−1)/T)·q1²/(2q2). The right "how many hosts/
+    templates/languages exist that we haven't seen YET" when per-round
+    duplicate counts are untrustworthy (dedup upstream) but
+    round-membership is solid.
+
+    q2 = 0 falls back to the bias-corrected form q1(q1−1)/2. Returns
+    one row: (t_samples, s_obs, q1, q2, s_chao2) rounded 6.
+
+    Scale shape: one (sample, species) dedup + one per-species
+    incidence groupBy + one fold.
+    """
+    base = (incidence.select(F.col(sample_col).alias("s"),
+                             F.col(species_col).alias("sp"))
+            .distinct())
+    t_cnt = base.agg(F.countDistinct("s").cast("long").alias("t"))
+    inc = base.groupBy("sp").agg(F.count("*").cast("long").alias("k"))
+    agg = inc.agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum((F.col("k") == 1).cast("int")).cast("long").alias("q1"),
+        F.sum((F.col("k") == 2).cast("int")).cast("long").alias("q2"))
+    j = agg.crossJoin(F.broadcast(t_cnt))
+    ratio = (F.col("t") - 1).cast("double") / F.col("t")
+    extra = F.when(F.col("q2") > 0,
+                   ratio * F.col("q1") * F.col("q1")
+                   / (2.0 * F.col("q2"))) \
+        .otherwise(ratio * F.col("q1") * (F.col("q1") - 1) / 2.0)
+    return j.select(
+        F.col("t").alias("t_samples"), "s_obs", "q1", "q2",
+        F.round(F.col("s_obs") + extra, 6).alias("s_chao2"))
+
+
+def chao2_sql(incidence_sql: str) -> str:
+    """DuckDB mirror of :func:`chao2` over a (sample, species)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT sample AS s, species AS sp FROM ({incidence_sql})
+),
+t_cnt AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS t FROM base),
+inc AS (
+  SELECT sp, CAST(count(*) AS BIGINT) AS k FROM base GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s_obs,
+    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2
+  FROM inc
+)
+SELECT t AS t_samples, s_obs, q1, q2,
+  round(s_obs + CASE WHEN q2 > 0
+    THEN (CAST(t - 1 AS DOUBLE) / t) * q1 * q1 / (2.0 * q2)
+    ELSE (CAST(t - 1 AS DOUBLE) / t) * q1 * (q1 - 1) / 2.0 END, 6)
+    AS s_chao2
+FROM agg CROSS JOIN t_cnt
+"""
+
+
+def poststrat_mean(
+    samples: DataFrame,
+    pop_shares: dict,
+    stratum_col: str = "stratum",
+    x_col: str = "x",
+) -> DataFrame:
+    """Post-stratification estimator (public literature): reweight
+    per-stratum sample means to KNOWN population shares — the repair
+    for a biased convenience sample that `neyman` (design-time
+    allocation) can't apply after the fact: a crawl that over-sampled
+    .com hosts still yields an unbiased all-web mean quality if the
+    true TLD shares are known. Also reports the raw mean, so the gap
+    IS the measured selection bias.
+
+    Strata present in the population map but absent from the sample
+    contribute nothing and are surfaced as `missing_share` (the
+    estimator is then biased — visible, not silent). Returns one row:
+    (n, n_strata, missing_share, mean_raw, mean_poststrat) rounded 6.
+
+    Scale shape: one stratum groupBy + a broadcast literal share map —
+    one keyed pass.
+    """
+    base = samples.select(F.col(stratum_col).alias("stratum"),
+                          F.col(x_col).cast("double").alias("x"))
+    per = base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.avg("x").alias("mu_s"))
+    share = F.create_map(
+        *[F.lit(v) for kv in pop_shares.items() for v in kv])
+    scored = per.withColumn("w", share[F.col("stratum")])
+    agg = (scored.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.col("mu_s") * F.col("n_s")).alias("tot"),
+        F.sum(F.when(F.col("w").isNotNull(),
+                     F.col("w") * F.col("mu_s"))).alias("ps"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("wsum")))
+    covered = float(sum(pop_shares.values()))
+    return agg.select(
+        "n", "n_strata",
+        F.round(F.lit(covered) - F.col("wsum"), 6)
+        .alias("missing_share"),
+        F.round(F.col("tot") / F.col("n"), 6).alias("mean_raw"),
+        F.round(F.col("ps") / F.col("wsum"), 6).alias("mean_poststrat"))
+
+
+def poststrat_mean_sql(samples_sql: str, pop_shares: dict) -> str:
+    """DuckDB mirror of :func:`poststrat_mean` over a (stratum, x)
+    SELECT."""
+    cases = " ".join(
+        f"WHEN stratum = {k!r} THEN {float(v)!r}"
+        for k, v in pop_shares.items())
+    covered = float(sum(pop_shares.values()))
+    return f"""
+WITH per AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+    avg(CAST(x AS DOUBLE)) AS mu_s
+  FROM ({samples_sql}) GROUP BY 1
+),
+scored AS (
+  SELECT *, CASE {cases} END AS w FROM per
+),
+agg AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_strata,
+    sum(mu_s * n_s) AS tot,
+    sum(CASE WHEN w IS NOT NULL THEN w * mu_s END) AS ps,
+    sum(coalesce(w, 0.0)) AS wsum
+  FROM scored
+)
+SELECT n, n_strata,
+  round(CAST({covered!r} AS DOUBLE) - wsum, 6) AS missing_share,
+  round(tot / n, 6) AS mean_raw,
+  round(ps / wsum, 6) AS mean_poststrat
+FROM agg
+"""
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945, public literature) for
+    PAIRED samples — the within-subject member of the rank family:
+    `mann_whitney` compares two independent cohorts; this one asks
+    whether the same URLs scored by config A vs config B shifted,
+    using signed midranks of |difference| so one huge regression can't
+    drown fifty small wins. Zero differences drop (the standard
+    Wilcoxon convention); ties in |d| take midranks with the matching
+    variance correction Σ(t³−t)/48.
+
+    W+ = Σ ranks of positive differences; z = (W+ − n(n+1)/4) /
+    √(n(n+1)(2n+1)/24 − tie_corr). Returns one row: (n_nonzero,
+    w_plus, e_w, var_w, z) rounded 6.
+
+    Scale shape: one groupBy(|d|) for midranks (distinct-value
+    bounded) + ordered window over the distinct table + one fold.
+    """
+    base = (pairs.select((F.col(x_col).cast("double")
+                          - F.col(y_col).cast("double")).alias("d"))
+            .filter(F.col("d") != 0)
+            .select(F.abs("d").alias("ad"),
+                    (F.col("d") > 0).alias("pos")))
+    per = base.groupBy("ad").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum(F.col("pos").cast("int")).cast("long").alias("tp"))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "before", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    midrank = F.col("before") + (F.col("t") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n_nonzero"),
+        F.sum(F.col("tp") * midrank).alias("w_plus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie3"))
+    nd = F.col("n_nonzero").cast("double")
+    e_w = nd * (nd + 1.0) / 4.0
+    var_w = nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 \
+        - F.col("tie3") / 48.0
+    return agg.select(
+        "n_nonzero", F.round("w_plus", 6).alias("w_plus"),
+        F.round(e_w, 6).alias("e_w"), F.round(var_w, 6).alias("var_w"),
+        F.round((F.col("w_plus") - e_w) / F.sqrt(var_w), 6).alias("z"))
+
+
+def wilcoxon_signed_rank_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`wilcoxon_signed_rank` over an (x, y)
+    SELECT."""
+    return f"""
+WITH d AS (
+  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+  FROM ({pairs_sql})
+),
+base AS (
+  SELECT abs(d) AS ad, d > 0 AS pos FROM d WHERE d <> 0
+),
+per AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS t,
+    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT *, coalesce(sum(t) OVER (ORDER BY ad
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_nonzero,
+    sum(tp * (before + (t + 1) / 2.0)) AS w_plus,
+    sum(t * t * t - t) AS tie3
+  FROM ranked
+)
+SELECT n_nonzero, round(w_plus, 6) AS w_plus,
+  round(n_nonzero * (n_nonzero + 1.0) / 4.0, 6) AS e_w,
+  round(n_nonzero * (n_nonzero + 1.0) * (2.0 * n_nonzero + 1.0)
+        / 24.0 - tie3 / 48.0, 6) AS var_w,
+  round((w_plus - n_nonzero * (n_nonzero + 1.0) / 4.0)
+        / sqrt(n_nonzero * (n_nonzero + 1.0)
+               * (2.0 * n_nonzero + 1.0) / 24.0 - tie3 / 48.0), 6)
+    AS z
+FROM agg
+"""
+
+
+def sign_test(
+    pairs: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Paired sign test (public literature) — the assumption-free floor
+    of the paired family: count only the DIRECTION of each pair's
+    change; under H₀ positives ~ Binomial(n, ½). Immune to any
+    monotone transform and any outlier magnitude — when
+    `wilcoxon_signed_rank` and the sign test disagree, a few large
+    differences carry the former, which is itself the diagnostic.
+    Zero differences drop.
+
+    z uses the normal approximation with continuity correction.
+    Returns one row: (n_nonzero, n_pos, n_neg, z) rounded 6.
+
+    Scale shape: ONE conditional-sum fold — single pass, single row.
+    """
+    d = F.col(x_col).cast("double") - F.col(y_col).cast("double")
+    agg = pairs.select(d.alias("d")).filter(F.col("d") != 0).agg(
+        F.count("*").cast("long").alias("n_nonzero"),
+        F.sum((F.col("d") > 0).cast("int")).cast("long").alias("n_pos"))
+    nd = F.col("n_nonzero").cast("double")
+    k = F.col("n_pos").cast("double")
+    z = (F.abs(k - nd / 2.0) - 0.5) / F.sqrt(nd / 4.0) \
+        * F.when(k >= nd / 2.0, 1.0).otherwise(-1.0)
+    return agg.select(
+        "n_nonzero", "n_pos",
+        (F.col("n_nonzero") - F.col("n_pos")).alias("n_neg"),
+        F.round(z, 6).alias("z"))
+
+
+def sign_test_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`sign_test` over an (x, y) SELECT."""
+    return f"""
+WITH d AS (
+  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+  FROM ({pairs_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM d WHERE d <> 0
+)
+SELECT n_nonzero, n_pos, n_nonzero - n_pos AS n_neg,
+  round((abs(n_pos - n_nonzero / 2.0) - 0.5)
+        / sqrt(n_nonzero / 4.0)
+        * CASE WHEN n_pos >= n_nonzero / 2.0
+          THEN 1.0 ELSE -1.0 END, 6) AS z
+FROM agg
+"""
+
+
+def mood_median(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Mood's median test (public literature) across k groups — the
+    bluntest, most robust member of the location family: dichotomize
+    every value at the GRAND median (by rank, engine-identical) and
+    χ²-test the k×2 above/below table. Far less powerful than
+    `kruskal`, but its judgment survives arbitrary per-group outliers
+    and wildly different shapes — the right first look at per-proxy
+    latency medians when some proxies log garbage.
+
+    The grand median is the lower median by rank (position ⌈N/2⌉ of
+    the sorted column); values equal to it count as "below or equal".
+    Returns one row: (k, n, grand_median, chi2, df) rounded 6.
+
+    Scale shape: one sort-rank window for the median + one
+    groupBy(grp) conditional fold + one χ² fold over k rows.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    med = (base.crossJoin(F.broadcast(n_tot))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == F.ceil(F.col("n") / 2.0)
+                   .cast("long"))
+           .select(F.col("x").alias("gm")))
+    per = (base.crossJoin(F.broadcast(med))
+           .groupBy("grp")
+           .agg(F.count("*").cast("long").alias("ni"),
+                F.sum((F.col("x") > F.col("gm")).cast("int"))
+                .cast("long").alias("ai"),
+                F.max("gm").alias("gm")))
+    tot = per.agg(F.sum("ni").cast("long").alias("n"),
+                  F.sum("ai").cast("long").alias("a"),
+                  F.count("*").cast("long").alias("k"),
+                  F.max("gm").alias("gm"))
+    j = per.crossJoin(F.broadcast(tot.select(
+        F.col("n").alias("nn"), F.col("a").alias("aa"))))
+    e_a = F.col("ni") * F.col("aa").cast("double") / F.col("nn")
+    e_b = F.col("ni") * (F.col("nn") - F.col("aa")).cast("double") \
+        / F.col("nn")
+    chi = (F.pow(F.col("ai") - e_a, 2) / e_a
+           + F.pow((F.col("ni") - F.col("ai")) - e_b, 2) / e_b)
+    agg = j.agg(F.sum(chi).alias("chi2"),
+                F.count("*").cast("long").alias("k"))
+    return (agg.crossJoin(F.broadcast(tot.select("n", "gm")))
+            .select("k", "n", F.round("gm", 6).alias("grand_median"),
+                    F.round("chi2", 6).alias("chi2"),
+                    (F.col("k") - 1).cast("long").alias("df")))
+
+
+def mood_median_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`mood_median` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x FROM ({samples_sql})
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+med AS (
+  SELECT x AS gm FROM (
+    SELECT x, row_number() OVER (ORDER BY x) AS rn, n
+    FROM base CROSS JOIN n_tot
+  ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS ni,
+    CAST(sum(CASE WHEN b.x > m.gm THEN 1 ELSE 0 END) AS BIGINT)
+      AS ai,
+    max(m.gm) AS gm
+  FROM base b CROSS JOIN med m
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ai) AS BIGINT) AS a,
+    CAST(count(*) AS BIGINT) AS k, max(gm) AS gm
+  FROM per
+),
+chi AS (
+  SELECT sum(pow(p.ai - p.ni * CAST(t.a AS DOUBLE) / t.n, 2)
+             / (p.ni * CAST(t.a AS DOUBLE) / t.n)
+             + pow((p.ni - p.ai)
+                   - p.ni * CAST(t.n - t.a AS DOUBLE) / t.n, 2)
+             / (p.ni * CAST(t.n - t.a AS DOUBLE) / t.n)) AS chi2,
+    CAST(count(*) AS BIGINT) AS k
+  FROM per p CROSS JOIN tot t
+)
+SELECT c.k, t.n, round(t.gm, 6) AS grand_median,
+  round(c.chi2, 6) AS chi2, CAST(c.k - 1 AS BIGINT) AS df
+FROM chi c CROSS JOIN tot t
+"""
+
+
+def cochran_c(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Cochran's C test (Cochran 1941, public literature) — the
+    "is ONE group's variance the problem?" screen that `bartlett` and
+    `levene` (omnibus answers) don't give: C = max s_i² / Σ s_i². A
+    single flaky proxy with 10× latency variance drives C toward 1
+    while the omnibus tests only say "something differs". The critical
+    value depends on (k, n); the statistic plus which group attained it
+    is the actionable output.
+
+    Group variances are sample (n−1) around exact group means; groups
+    with n_i < 2 are excluded. Ties on the max break to the smallest
+    group key. Returns one row: (k, n, c_stat, worst_grp,
+    worst_var) rounded 6.
+
+    Scale shape: one group-mean pass + one deviation pass + one
+    argmax fold over k rows.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(x_col).cast("double").alias("x"))
+    gmu = base.groupBy("grp").agg(F.avg("x").alias("mu"),
+                                  F.count("*").cast("long").alias("ni"))
+    gv = (base.join(gmu, "grp")
+          .filter(F.col("ni") >= 2)
+          .groupBy("grp")
+          .agg((F.sum(F.pow(F.col("x") - F.col("mu"), 2))
+                / (F.max("ni") - 1)).alias("s2"),
+               F.max("ni").alias("ni")))
+    tot = gv.agg(F.count("*").cast("long").alias("k"),
+                 F.sum("ni").cast("long").alias("n"),
+                 F.sum("s2").alias("ssum"),
+                 F.max("s2").alias("smax"))
+    worst = (gv.crossJoin(F.broadcast(tot.select(
+        F.col("smax").alias("m"))))
+        .filter(F.col("s2") == F.col("m"))
+        .agg(F.min("grp").alias("worst_grp"),
+             F.max("s2").alias("worst_var")))
+    return (tot.crossJoin(F.broadcast(worst))
+            .select("k", "n",
+                    F.round(F.col("smax") / F.col("ssum"), 6)
+                    .alias("c_stat"),
+                    "worst_grp",
+                    F.round("worst_var", 6).alias("worst_var")))
+
+
+def cochran_c_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`cochran_c` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x FROM ({samples_sql})
+),
+gmu AS (
+  SELECT grp, avg(x) AS mu, CAST(count(*) AS BIGINT) AS ni
+  FROM base GROUP BY 1
+),
+gv AS (
+  SELECT b.grp, sum(pow(b.x - g.mu, 2)) / (max(g.ni) - 1) AS s2,
+    max(g.ni) AS ni
+  FROM base b JOIN gmu g ON g.grp = b.grp
+  WHERE g.ni >= 2 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+    sum(s2) AS ssum, max(s2) AS smax
+  FROM gv
+),
+worst AS (
+  SELECT min(g.grp) AS worst_grp, max(g.s2) AS worst_var
+  FROM gv g CROSS JOIN tot t WHERE g.s2 = t.smax
+)
+SELECT t.k, t.n, round(t.smax / t.ssum, 6) AS c_stat,
+  w.worst_grp, round(w.worst_var, 6) AS worst_var
+FROM tot t CROSS JOIN worst w
+"""
+
+
+def tost_equivalence(
+    samples: DataFrame,
+    grp_a,
+    margin: float,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Two-one-sided-tests equivalence (Schuirmann 1987, public
+    literature) — the inverted question the `welch` t-test can't ask:
+    not "did the change move the metric?" but "can we CERTIFY it moved
+    by less than ±margin?" — the gate for no-regression rollouts,
+    where failing to reject H₀ is NOT evidence of equivalence. Both
+    one-sided stats must clear the one-sided normal critical value
+    (≈1.645 at α=.05), reported as the `equivalent` flag against
+    1.645.
+
+    Welch (unpooled) SE around exact group means. Returns one row:
+    (n_a, n_b, diff, se, t_lower, t_upper, equivalent) rounded 6.
+
+    Scale shape: one group-mean pass + one deviation fold — two keyed
+    passes, single-row output.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    gmu = base.groupBy("ia").agg(F.avg("x").alias("mu"),
+                                 F.count("*").cast("long").alias("ni"))
+    gv = (base.join(gmu, "ia")
+          .groupBy("ia", "ni", "mu")
+          .agg((F.sum(F.pow(F.col("x") - F.col("mu"), 2))
+                / (F.max("ni") - 1)).alias("s2")))
+    agg = gv.agg(
+        F.max(F.when(F.col("ia"), F.col("ni"))).alias("n_a"),
+        F.max(F.when(~F.col("ia"), F.col("ni"))).alias("n_b"),
+        F.max(F.when(F.col("ia"), F.col("mu"))).alias("mu_a"),
+        F.max(F.when(~F.col("ia"), F.col("mu"))).alias("mu_b"),
+        F.max(F.when(F.col("ia"), F.col("s2"))).alias("v_a"),
+        F.max(F.when(~F.col("ia"), F.col("s2"))).alias("v_b"))
+    diff = F.col("mu_a") - F.col("mu_b")
+    se = F.sqrt(F.col("v_a") / F.col("n_a")
+                + F.col("v_b") / F.col("n_b"))
+    m = float(margin)
+    t_lo = (diff + m) / se
+    t_hi = (diff - m) / se
+    return agg.select(
+        "n_a", "n_b", F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > 1.645) & (t_hi < -1.645)).cast("int")
+        .alias("equivalent"))
+
+
+def tost_equivalence_sql(samples_sql: str, grp_a_sql: str,
+                         margin: float) -> str:
+    """DuckDB mirror of :func:`tost_equivalence` over a (grp, x)
+    SELECT; ``grp_a_sql`` is the slice-A literal."""
+    m = float(margin)
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+gmu AS (
+  SELECT ia, avg(x) AS mu, CAST(count(*) AS BIGINT) AS ni
+  FROM base GROUP BY 1
+),
+gv AS (
+  SELECT b.ia, max(g.ni) AS ni, max(g.mu) AS mu,
+    sum(pow(b.x - g.mu, 2)) / (max(g.ni) - 1) AS s2
+  FROM base b JOIN gmu g ON g.ia = b.ia GROUP BY 1
+),
+agg AS (
+  SELECT max(CASE WHEN ia THEN ni END) AS n_a,
+    max(CASE WHEN NOT ia THEN ni END) AS n_b,
+    max(CASE WHEN ia THEN mu END) AS mu_a,
+    max(CASE WHEN NOT ia THEN mu END) AS mu_b,
+    max(CASE WHEN ia THEN s2 END) AS v_a,
+    max(CASE WHEN NOT ia THEN s2 END) AS v_b
+  FROM gv
+)
+SELECT n_a, n_b, round(mu_a - mu_b, 6) AS diff,
+  round(sqrt(v_a / n_a + v_b / n_b), 6) AS se,
+  round((mu_a - mu_b + {m!r}) / sqrt(v_a / n_a + v_b / n_b), 6)
+    AS t_lower,
+  round((mu_a - mu_b - {m!r}) / sqrt(v_a / n_a + v_b / n_b), 6)
+    AS t_upper,
+  CAST((mu_a - mu_b + {m!r}) / sqrt(v_a / n_a + v_b / n_b) > 1.645
+    AND (mu_a - mu_b - {m!r}) / sqrt(v_a / n_a + v_b / n_b) < -1.645
+    AS INT) AS equivalent
+FROM agg
+"""
+
+
+def hodges_lehmann(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Two-sample Hodges-Lehmann location estimator (Hodges & Lehmann
+    1963, public literature): the MEDIAN of all pairwise differences
+    x_a − x_b — the effect-size answer in the metric's own units that
+    pairs with `mann_whitney`'s p-value and `prob_superiority`'s
+    probability: "config A is typically +37 ms slower", robust to both
+    samples' outliers at once.
+
+    Differences come from the (value, count) CELL join — every
+    distinct diff carries weight c_a·c_b; the estimate is the weighted
+    LOWER median (smallest diff whose cumulative weight reaches half),
+    engine-identical by construction. Returns one row: (n_a, n_b,
+    n_pairs, hl_estimate) rounded 6.
+
+    Scale shape: one groupBy(grp, value) + a broadcast cell×cell join
+    (distinct-values² bounded — bin first if huge) + one cumulative
+    window over distinct diffs.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    cells = base.groupBy("ia", "x").agg(
+        F.count("*").cast("long").alias("c"))
+    a = cells.filter(F.col("ia")).select(
+        F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = cells.filter(~F.col("ia")).select(
+        F.col("x").alias("xb"), F.col("c").alias("cb"))
+    diffs = (a.crossJoin(F.broadcast(b))
+             .groupBy((F.col("xa") - F.col("xb")).alias("d"))
+             .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                  .alias("wt")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select("d", F.sum("wt").over(w).alias("cw"))
+    marg = base.agg(
+        F.sum(F.col("ia").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("ia")).cast("int")).cast("long").alias("n_b"))
+    half = (marg.select(
+        "n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        F.ceil((F.col("n_a") * F.col("n_b")).cast("double") / 2.0)
+        .cast("long").alias("h")))
+    pick = (cum.crossJoin(F.broadcast(half))
+            .filter(F.col("cw") >= F.col("h"))
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.max("n_pairs").alias("n_pairs"),
+                 F.min("d").alias("hl")))
+    return pick.select("n_a", "n_b", "n_pairs",
+                       F.round("hl", 6).alias("hl_estimate"))
+
+
+def hodges_lehmann_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`hodges_lehmann` over a (grp, x) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+cells AS (
+  SELECT ia, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+diffs AS (
+  SELECT a.x - b.x AS d, CAST(sum(a.c * b.c) AS BIGINT) AS wt
+  FROM cells a JOIN cells b ON a.ia AND NOT b.ia
+  GROUP BY 1
+),
+cum AS (
+  SELECT d, sum(wt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw
+  FROM diffs
+),
+marg AS (
+  SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM base
+),
+half AS (
+  SELECT n_a, n_b, n_a * n_b AS n_pairs,
+    CAST(ceil(n_a * n_b / 2.0) AS BIGINT) AS h
+  FROM marg
+)
+SELECT max(h.n_a) AS n_a, max(h.n_b) AS n_b,
+  CAST(max(h.n_pairs) AS BIGINT) AS n_pairs,
+  round(min(c.d), 6) AS hl_estimate
+FROM cum c CROSS JOIN half h WHERE c.cw >= h.h
+"""
+
+
+def dunn_pairs(
+    samples: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964, public
+    literature) after a significant `kruskal`: which GROUP PAIRS
+    actually differ. z_ij = (R̄_i − R̄_j) / √(V·(1/n_i + 1/n_j)) with
+    V = (N(N+1)/12 − Σ(t³−t)/(12(N−1))) — midranks over the combined
+    sample with the standard tie correction. Apply `holm`/`fdr` to the
+    emitted z's for the multiplicity step; this operator's job is the
+    exact pairwise table.
+
+    Midranks come from the distinct-value table (cumulative counts),
+    never a global row sort. Returns per pair (g_i < g_j): (grp_i,
+    grp_j, n_i, n_j, mean_rank_i, mean_rank_j, z) rounded 6, ordered
+    by (grp_i, grp_j).
+
+    Scale shape: one groupBy(value) for midranks + value-keyed join
+    back + one groupBy(grp) + a k×k broadcast pair join.
+    """
+    base = samples.select(F.col(grp_col).alias("grp"),
+                          F.col(x_col).cast("double").alias("x"))
+    per_v = base.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mid = per_v.select(
+        "x", "t",
+        (F.coalesce(F.sum("t").over(w), F.lit(0))
+         + (F.col("t") + 1) / 2.0).alias("mr"))
+    marg = per_v.agg(F.sum("t").cast("long").alias("nn"),
+                     F.sum(F.col("t") * F.col("t") * F.col("t")
+                           - F.col("t")).alias("tie3"))
+    per_g = (base.join(mid.select("x", "mr"), "x")
+             .groupBy("grp")
+             .agg(F.count("*").cast("long").alias("ni"),
+                  F.avg("mr").alias("rbar")))
+    o = per_g.select(F.col("grp").alias("grp_j"),
+                     F.col("ni").alias("nj"),
+                     F.col("rbar").alias("rbar_j"))
+    pairs = (per_g.crossJoin(F.broadcast(o))
+             .filter(F.col("grp") < F.col("grp_j"))
+             .crossJoin(F.broadcast(marg)))
+    nd = F.col("nn").cast("double")
+    v = (nd * (nd + 1.0) / 12.0
+         - F.col("tie3").cast("double") / (12.0 * (nd - 1.0)))
+    z = (F.col("rbar") - F.col("rbar_j")) \
+        / F.sqrt(v * (1.0 / F.col("ni") + 1.0 / F.col("nj")))
+    return (pairs.select(
+        F.col("grp").alias("grp_i"), F.col("grp_j"),
+        F.col("ni").alias("n_i"), F.col("nj").alias("n_j"),
+        F.round("rbar", 6).alias("mean_rank_i"),
+        F.round("rbar_j", 6).alias("mean_rank_j"),
+        F.round(z, 6).alias("z"))
+        .orderBy("grp_i", "grp_j"))
+
+
+def dunn_pairs_sql(samples_sql: str) -> str:
+    """DuckDB mirror of :func:`dunn_pairs` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x FROM ({samples_sql})
+),
+per_v AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1
+),
+mid AS (
+  SELECT x, t,
+    coalesce(sum(t) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    + (t + 1) / 2.0 AS mr
+  FROM per_v
+),
+marg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS nn,
+    sum(t * t * t - t) AS tie3
+  FROM per_v
+),
+per_g AS (
+  SELECT b.grp, CAST(count(*) AS BIGINT) AS ni, avg(m.mr) AS rbar
+  FROM base b JOIN mid m ON m.x = b.x
+  GROUP BY 1
+)
+SELECT i.grp AS grp_i, j.grp AS grp_j, i.ni AS n_i, j.ni AS n_j,
+  round(i.rbar, 6) AS mean_rank_i, round(j.rbar, 6) AS mean_rank_j,
+  round((i.rbar - j.rbar)
+        / sqrt((CAST(m.nn AS DOUBLE) * (m.nn + 1.0) / 12.0
+                - CAST(m.tie3 AS DOUBLE) / (12.0 * (m.nn - 1.0)))
+               * (1.0 / i.ni + 1.0 / j.ni)), 6) AS z
+FROM per_g i JOIN per_g j ON i.grp < j.grp
+CROSS JOIN marg m
+ORDER BY grp_i, grp_j
+"""
+
+
+def ancova_adjusted(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One-covariate ANCOVA adjusted means (public literature): the
+    per-group outcome means AFTER removing the shared linear effect of
+    a covariate, using the pooled within-group slope b_w = Σ_g S_xy^g /
+    Σ_g S_xx^g; adjusted ȳ_g' = ȳ_g − b_w(x̄_g − x̄). The fair scoreboard
+    when groups didn't get comparable inputs: raw per-proxy quality
+    means are confounded by page depth mix — adjust for depth and the
+    proxy ranking often flips. The grouped sequel to `partial_corr`'s
+    single-number confound screen.
+
+    All co-moments center on exact per-group means. Returns per group:
+    (grp, n, mean_x, mean_y, adj_mean_y) rounded 6 plus the pooled
+    slope replicated, ordered by grp.
+
+    Scale shape: one group-mean pass + one co-moment pass + broadcast
+    of two scalars back — three keyed aggregations.
+    """
+    base = rows.select(F.col(grp_col).alias("grp"),
+                       F.col(x_col).cast("double").alias("x"),
+                       F.col(y_col).cast("double").alias("y"))
+    gmu = base.groupBy("grp").agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.count("*").cast("long").alias("n"))
+    com = (base.join(gmu, "grp")
+           .groupBy("grp")
+           .agg(F.sum((F.col("x") - F.col("mx"))
+                      * (F.col("y") - F.col("my"))).alias("sxy"),
+                F.sum(F.pow(F.col("x") - F.col("mx"), 2))
+                .alias("sxx")))
+    slope = com.agg((F.sum("sxy") / F.sum("sxx")).alias("b_w"))
+    gx = base.agg(F.avg("x").alias("gx"))
+    return (gmu.crossJoin(F.broadcast(slope))
+            .crossJoin(F.broadcast(gx))
+            .select("grp", "n",
+                    F.round("mx", 6).alias("mean_x"),
+                    F.round("my", 6).alias("mean_y"),
+                    F.round(F.col("my")
+                            - F.col("b_w") * (F.col("mx")
+                                              - F.col("gx")), 6)
+                    .alias("adj_mean_y"),
+                    F.round("b_w", 6).alias("pooled_slope"))
+            .orderBy("grp"))
+
+
+def ancova_adjusted_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`ancova_adjusted` over a (grp, x, y)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM ({rows_sql})
+),
+gmu AS (
+  SELECT grp, avg(x) AS mx, avg(y) AS my,
+    CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+),
+com AS (
+  SELECT b.grp, sum((b.x - g.mx) * (b.y - g.my)) AS sxy,
+    sum(pow(b.x - g.mx, 2)) AS sxx
+  FROM base b JOIN gmu g ON g.grp = b.grp
+  GROUP BY 1
+),
+slope AS (SELECT sum(sxy) / sum(sxx) AS b_w FROM com),
+gx AS (SELECT avg(x) AS gx FROM base)
+SELECT g.grp, g.n, round(g.mx, 6) AS mean_x,
+  round(g.my, 6) AS mean_y,
+  round(g.my - s.b_w * (g.mx - x.gx), 6) AS adj_mean_y,
+  round(s.b_w, 6) AS pooled_slope
+FROM gmu g CROSS JOIN slope s CROSS JOIN gx x
+ORDER BY g.grp
+"""
+
+
+def split_half(
+    scores: DataFrame,
+    subj_col: str = "subj",
+    item_col: str = "item_idx",
+    x_col: str = "x",
+) -> DataFrame:
+    """Split-half reliability with the Spearman-Brown step-up (public
+    literature): sum each subject's ODD-indexed items and EVEN-indexed
+    items, correlate the halves, then SB = 2r/(1+r) projects to the
+    full-length reliability — the quick, assumption-light cousin of
+    `cronbach_alpha` (alpha equals the average over all possible
+    splits; one deterministic split is the 5-second audit). Items are
+    identified by an integer index so the split is reproducible.
+
+    Only subjects with at least one item in EACH half enter. The
+    half-sum correlation uses exact-mean co-moments. Returns one row:
+    (n_subjects, r_halves, spearman_brown) rounded 6.
+
+    Scale shape: one subj groupBy with parity-conditional sums + one
+    co-moment fold.
+    """
+    base = scores.select(F.col(subj_col).alias("subj"),
+                         (F.col(item_col).cast("long") % 2 == 0)
+                         .alias("even"),
+                         F.col(x_col).cast("double").alias("x"))
+    halves = (base.groupBy("subj")
+              .agg(F.sum(F.when(F.col("even"), F.col("x")))
+                   .alias("he"),
+                   F.sum(F.when(~F.col("even"), F.col("x")))
+                   .alias("ho"))
+              .filter(F.col("he").isNotNull()
+                      & F.col("ho").isNotNull()))
+    mu = halves.agg(F.avg("he").alias("me"), F.avg("ho").alias("mo"))
+    m = (halves.crossJoin(F.broadcast(mu))
+         .agg(F.count("*").cast("long").alias("n_subjects"),
+              F.sum((F.col("he") - F.col("me"))
+                    * (F.col("ho") - F.col("mo"))).alias("sxy"),
+              F.sum(F.pow(F.col("he") - F.col("me"), 2)).alias("sxx"),
+              F.sum(F.pow(F.col("ho") - F.col("mo"), 2)).alias("syy")))
+    r = F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
+    return m.select("n_subjects", F.round(r, 6).alias("r_halves"),
+                    F.round(2.0 * r / (1.0 + r), 6)
+                    .alias("spearman_brown"))
+
+
+def split_half_sql(scores_sql: str) -> str:
+    """DuckDB mirror of :func:`split_half` over a (subj, item_idx, x)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT subj, CAST(item_idx AS BIGINT) % 2 = 0 AS even,
+    CAST(x AS DOUBLE) AS x
+  FROM ({scores_sql})
+),
+halves AS (
+  SELECT subj,
+    sum(CASE WHEN even THEN x END) AS he,
+    sum(CASE WHEN NOT even THEN x END) AS ho
+  FROM base GROUP BY 1
+  HAVING sum(CASE WHEN even THEN x END) IS NOT NULL
+     AND sum(CASE WHEN NOT even THEN x END) IS NOT NULL
+),
+mu AS (SELECT avg(he) AS me, avg(ho) AS mo FROM halves),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+    sum((he - me) * (ho - mo)) AS sxy,
+    sum(pow(he - me, 2)) AS sxx,
+    sum(pow(ho - mo, 2)) AS syy
+  FROM halves CROSS JOIN mu
+)
+SELECT n_subjects,
+  round(sxy / sqrt(sxx * syy), 6) AS r_halves,
+  round(2.0 * (sxy / sqrt(sxx * syy))
+        / (1.0 + sxy / sqrt(sxx * syy)), 6) AS spearman_brown
+FROM m
+"""
+
+
+def yuen_trimmed(
+    samples: DataFrame,
+    grp_a,
+    p: float = 0.2,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Yuen's trimmed-means test (Yuen 1974, public literature) — the
+    two-sample t that survives heavy tails by construction: compare
+    p-TRIMMED means with WINSORIZED variances, the `welch` analog for
+    latency-like columns where the raw mean is a hostage of the 99th
+    percentile. With p = 0 it degrades exactly to Welch.
+
+    Per group: k = ⌊n·p⌋ cut each side by rank; trimmed mean over the
+    middle h = n−2k values; winsorized SSD clamps the tails to the cut
+    values; se² = Σ_g sw_g²·(n_g−1)/(h_g(h_g−1)) with sw² the
+    winsorized sample variance. Returns one row: (n_a, n_b, h_a, h_b,
+    tmean_a, tmean_b, t) rounded 6.
+
+    Scale shape: per-group sort-rank windows (partitioned by group) +
+    two keyed folds — no global window.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    cnt = base.groupBy("ia").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("ia").orderBy("x")
+    ranked = (base.join(cnt, "ia")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("k", F.floor(F.col("n") * float(p))
+                          .cast("long")))
+    cuts = (ranked.groupBy("ia")
+            .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+                 F.min(F.when(F.col("rn") == F.col("k") + 1,
+                              F.col("x"))).alias("lo"),
+                 F.min(F.when(F.col("rn") == F.col("n") - F.col("k"),
+                              F.col("x"))).alias("hi")))
+    j = ranked.join(cuts.select("ia", "lo", "hi"), "ia")
+    mid = F.col("x").between(F.col("lo"), F.col("hi")) \
+        & (F.col("rn") > F.col("k")) \
+        & (F.col("rn") <= F.col("n") - F.col("k"))
+    winz = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    tm = (j.groupBy("ia")
+          .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+               F.avg(F.when(mid, F.col("x"))).alias("tmean"),
+               F.avg(winz).alias("wmean")))
+    wv = (j.join(tm.select("ia", "wmean"), "ia")
+          .groupBy("ia")
+          .agg((F.sum(F.pow(winz - F.col("wmean"), 2))
+                / (F.count("*") - 1)).alias("sw2")))
+    agg = (tm.join(wv, "ia")
+           .agg(F.max(F.when(F.col("ia"), F.col("n"))).alias("n_a"),
+                F.max(F.when(~F.col("ia"), F.col("n"))).alias("n_b"),
+                F.max(F.when(F.col("ia"), F.col("n") - 2 * F.col("k")))
+                .alias("h_a"),
+                F.max(F.when(~F.col("ia"),
+                             F.col("n") - 2 * F.col("k")))
+                .alias("h_b"),
+                F.max(F.when(F.col("ia"), F.col("tmean")))
+                .alias("tmean_a"),
+                F.max(F.when(~F.col("ia"), F.col("tmean")))
+                .alias("tmean_b"),
+                F.max(F.when(F.col("ia"), F.col("sw2"))).alias("v_a"),
+                F.max(F.when(~F.col("ia"), F.col("sw2")))
+                .alias("v_b")))
+    se2 = (F.col("v_a") * (F.col("n_a") - 1)
+           / (F.col("h_a") * (F.col("h_a") - 1)).cast("double")
+           + F.col("v_b") * (F.col("n_b") - 1)
+           / (F.col("h_b") * (F.col("h_b") - 1)).cast("double"))
+    return agg.select(
+        "n_a", "n_b", "h_a", "h_b",
+        F.round("tmean_a", 6).alias("tmean_a"),
+        F.round("tmean_b", 6).alias("tmean_b"),
+        F.round((F.col("tmean_a") - F.col("tmean_b")) / F.sqrt(se2), 6)
+        .alias("t"))
+
+
+def yuen_trimmed_sql(samples_sql: str, grp_a_sql: str,
+                     p: float = 0.2) -> str:
+    """DuckDB mirror of :func:`yuen_trimmed` over a (grp, x) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+cnt AS (SELECT ia, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+ranked AS (
+  SELECT b.ia, b.x, c.n,
+    row_number() OVER (PARTITION BY b.ia ORDER BY b.x) AS rn,
+    CAST(floor(c.n * {float(p)!r}) AS BIGINT) AS k
+  FROM base b JOIN cnt c ON c.ia = b.ia
+),
+cuts AS (
+  SELECT ia, max(n) AS n, max(k) AS k,
+    min(CASE WHEN rn = k + 1 THEN x END) AS lo,
+    min(CASE WHEN rn = n - k THEN x END) AS hi
+  FROM ranked GROUP BY 1
+),
+j AS (
+  SELECT r.*, c.lo, c.hi,
+    least(greatest(r.x, c.lo), c.hi) AS wx
+  FROM ranked r JOIN cuts c ON c.ia = r.ia
+),
+tm AS (
+  SELECT ia, max(n) AS n, max(k) AS k,
+    avg(CASE WHEN rn > k AND rn <= n - k THEN x END) AS tmean,
+    avg(wx) AS wmean
+  FROM j GROUP BY 1
+),
+wv AS (
+  SELECT j.ia, sum(pow(j.wx - t.wmean, 2)) / (count(*) - 1) AS sw2
+  FROM j JOIN tm t ON t.ia = j.ia GROUP BY 1
+),
+agg AS (
+  SELECT
+    max(CASE WHEN t.ia THEN t.n END) AS n_a,
+    max(CASE WHEN NOT t.ia THEN t.n END) AS n_b,
+    max(CASE WHEN t.ia THEN t.n - 2 * t.k END) AS h_a,
+    max(CASE WHEN NOT t.ia THEN t.n - 2 * t.k END) AS h_b,
+    max(CASE WHEN t.ia THEN t.tmean END) AS tmean_a,
+    max(CASE WHEN NOT t.ia THEN t.tmean END) AS tmean_b,
+    max(CASE WHEN t.ia THEN v.sw2 END) AS v_a,
+    max(CASE WHEN NOT t.ia THEN v.sw2 END) AS v_b
+  FROM tm t JOIN wv v ON v.ia = t.ia
+)
+SELECT n_a, n_b, h_a, h_b,
+  round(tmean_a, 6) AS tmean_a, round(tmean_b, 6) AS tmean_b,
+  round((tmean_a - tmean_b)
+        / sqrt(v_a * (n_a - 1) / CAST(h_a * (h_a - 1) AS DOUBLE)
+               + v_b * (n_b - 1)
+                 / CAST(h_b * (h_b - 1) AS DOUBLE)), 6) AS t
+FROM agg
+"""
+
+def deming(
+    pairs: DataFrame,
+    lam: float = 1.0,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Deming regression (Deming 1943, public literature) — the
+    method-comparison line OLS cannot be: when BOTH scorers carry
+    measurement error (two quality models, two latency probes), OLS
+    slope is attenuated toward 0; Deming with error-variance ratio
+    λ = σ²_y/σ²_x recovers the structural slope: β = (s_yy − λ·s_xx +
+    √((s_yy − λ·s_xx)² + 4λ·s_xy²)) / (2·s_xy). Completes the
+    method-comparison kit next to `bland_altman` (agreement band) and
+    `lin_ccc` (one-number concordance).
+
+    Moments center on exact means. Returns one row: (n, slope,
+    intercept, ols_slope, attenuation) rounded 6 — attenuation =
+    ols_slope/slope reads directly as how much noise was eating the
+    fit.
+
+    Scale shape: one mean agg broadcast back + one co-moment fold.
+    """
+    base = pairs.select(F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"))
+    mu = base.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    m = (base.crossJoin(F.broadcast(mu))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.max("mx").alias("mx"), F.max("my").alias("my"),
+              F.sum((F.col("x") - F.col("mx"))
+                    * (F.col("y") - F.col("my"))).alias("sxy"),
+              F.sum(F.pow(F.col("x") - F.col("mx"), 2)).alias("sxx"),
+              F.sum(F.pow(F.col("y") - F.col("my"), 2)).alias("syy")))
+    lv = float(lam)
+    d = F.col("syy") - lv * F.col("sxx")
+    slope = (d + F.sqrt(d * d + 4.0 * lv * F.col("sxy")
+                        * F.col("sxy"))) / (2.0 * F.col("sxy"))
+    ols = F.col("sxy") / F.col("sxx")
+    return m.select(
+        "n", F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6)
+        .alias("intercept"),
+        F.round(ols, 6).alias("ols_slope"),
+        F.round(ols / slope, 6).alias("attenuation"))
+
+
+def deming_sql(pairs_sql: str, lam: float = 1.0) -> str:
+    """DuckDB mirror of :func:`deming` over an (x, y) SELECT."""
+    lv = float(lam)
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM ({pairs_sql})
+),
+mu AS (SELECT avg(x) AS mx, avg(y) AS my FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(mx) AS mx, max(my) AS my,
+    sum((x - mx) * (y - my)) AS sxy,
+    sum(pow(x - mx, 2)) AS sxx, sum(pow(y - my, 2)) AS syy
+  FROM base CROSS JOIN mu
+)
+SELECT n,
+  round((syy - {lv!r} * sxx
+         + sqrt(pow(syy - {lv!r} * sxx, 2)
+                + 4 * {lv!r} * sxy * sxy)) / (2.0 * sxy), 6) AS slope,
+  round(my - (syy - {lv!r} * sxx
+              + sqrt(pow(syy - {lv!r} * sxx, 2)
+                     + 4 * {lv!r} * sxy * sxy)) / (2.0 * sxy) * mx, 6)
+    AS intercept,
+  round(sxy / sxx, 6) AS ols_slope,
+  round((sxy / sxx) / ((syy - {lv!r} * sxx
+         + sqrt(pow(syy - {lv!r} * sxx, 2)
+                + 4 * {lv!r} * sxy * sxy)) / (2.0 * sxy)), 6)
+    AS attenuation
+FROM m
+"""
+
+
+def meta_pool(
+    studies: DataFrame,
+    study_col: str = "study",
+    mean_col: str = "mu",
+    se_col: str = "se",
+) -> DataFrame:
+    """Fixed- and random-effects meta-analytic pooling (public
+    literature; DerSimonian & Laird 1986 for τ²) of per-shard
+    estimates — the statistically honest fleet rollup: each shard
+    reports (mean, SE); inverse-variance weighting pools them, Q and
+    I² say whether the shards even agree, and the DL random-effects
+    mean widens appropriately when they don't. The difference between
+    fixed and random pooled means IS the heterogeneity warning a
+    plain weighted average hides.
+
+    Q = Σw(μ_i − μ_fixed)², I² = max(0, (Q−df)/Q), τ² = max(0,
+    (Q−df)/(Σw − Σw²/Σw)), random weights 1/(se²+τ²). Returns one
+    row: (k, mu_fixed, se_fixed, q, i2, tau2, mu_random, se_random)
+    rounded 6.
+
+    Scale shape: two folds over the k-row study table (second pass
+    re-weights with τ²) — the study table is a summary, never raw
+    rows.
+    """
+    base = studies.select(F.col(study_col).alias("study"),
+                          F.col(mean_col).cast("double").alias("mu"),
+                          F.col(se_col).cast("double").alias("se"))
+    wtd = base.select("study", "mu",
+                      (1.0 / (F.col("se") * F.col("se"))).alias("w"),
+                      (F.col("se") * F.col("se")).alias("v"))
+    f1 = wtd.agg(F.count("*").cast("long").alias("k"),
+                 F.sum("w").alias("sw"),
+                 F.sum(F.col("w") * F.col("w")).alias("sw2"),
+                 (F.sum(F.col("w") * F.col("mu"))
+                  / F.sum("w")).alias("mu_f"))
+    q = (wtd.crossJoin(F.broadcast(f1))
+         .agg(F.max("k").alias("k"), F.max("sw").alias("sw"),
+              F.max("sw2").alias("sw2"), F.max("mu_f").alias("mu_f"),
+              F.sum(F.col("w") * F.pow(F.col("mu") - F.col("mu_f"), 2))
+              .alias("q")))
+    df_ = (F.col("k") - 1).cast("double")
+    tau2 = F.greatest(
+        F.lit(0.0),
+        (F.col("q") - df_) / (F.col("sw")
+                              - F.col("sw2") / F.col("sw")))
+    qq = q.select("k", "sw", "mu_f", "q",
+                  F.when(F.col("q") > 0,
+                         F.greatest(F.lit(0.0),
+                                    (F.col("q") - df_) / F.col("q")))
+                  .otherwise(F.lit(0.0)).alias("i2"),
+                  tau2.alias("tau2"))
+    rnd = (wtd.crossJoin(F.broadcast(qq.select("tau2")))
+           .select("mu", (1.0 / (F.col("v") + F.col("tau2")))
+                   .alias("wr"))
+           .agg((F.sum(F.col("wr") * F.col("mu")) / F.sum("wr"))
+                .alias("mu_r"),
+                (1.0 / F.sqrt(F.sum("wr"))).alias("se_r")))
+    return (qq.crossJoin(F.broadcast(rnd))
+            .select("k",
+                    F.round("mu_f", 6).alias("mu_fixed"),
+                    F.round(1.0 / F.sqrt(F.col("sw")), 6)
+                    .alias("se_fixed"),
+                    F.round("q", 6).alias("q"),
+                    F.round("i2", 6).alias("i2"),
+                    F.round("tau2", 6).alias("tau2"),
+                    F.round("mu_r", 6).alias("mu_random"),
+                    F.round("se_r", 6).alias("se_random")))
+
+
+def meta_pool_sql(studies_sql: str) -> str:
+    """DuckDB mirror of :func:`meta_pool` over a (study, mu, se)
+    SELECT."""
+    return f"""
+WITH wtd AS (
+  SELECT study, CAST(mu AS DOUBLE) AS mu,
+    1.0 / (CAST(se AS DOUBLE) * se) AS w,
+    CAST(se AS DOUBLE) * se AS v
+  FROM ({studies_sql})
+),
+f1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(w) AS sw,
+    sum(w * w) AS sw2, sum(w * mu) / sum(w) AS mu_f
+  FROM wtd
+),
+q AS (
+  SELECT max(k) AS k, max(sw) AS sw, max(sw2) AS sw2,
+    max(mu_f) AS mu_f,
+    sum(w * pow(mu - mu_f, 2)) AS q
+  FROM wtd CROSS JOIN f1
+),
+qq AS (
+  SELECT k, sw, mu_f, q,
+    CASE WHEN q > 0 THEN greatest(0.0, (q - (k - 1.0)) / q)
+      ELSE 0.0 END AS i2,
+    greatest(0.0, (q - (k - 1.0)) / (sw - sw2 / sw)) AS tau2
+  FROM q
+),
+rnd AS (
+  SELECT sum(mu / (v + tau2)) / sum(1.0 / (v + tau2)) AS mu_r,
+    1.0 / sqrt(sum(1.0 / (v + tau2))) AS se_r
+  FROM wtd CROSS JOIN qq
+)
+SELECT k, round(mu_f, 6) AS mu_fixed,
+  round(1.0 / sqrt(sw), 6) AS se_fixed,
+  round(q, 6) AS q, round(i2, 6) AS i2, round(tau2, 6) AS tau2,
+  round(mu_r, 6) AS mu_random, round(se_r, 6) AS se_random
+FROM qq CROSS JOIN rnd
+"""
+
+
+def mahalanobis2(
+    points: DataFrame,
+    chi2_cut: float = 9.21,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen (public literature) with
+    the 2×2 covariance inverted in closed form: d²(p) =
+    [sy²·dx² − 2·sxy·dx·dy + sx²·dy²] / (sx²·sy² − sxy²) — the
+    CORRELATION-AWARE outlier rule for paired metrics (bytes,
+    latency): a point can be unremarkable in each margin yet wildly
+    off the joint ridge, which per-column z-scores (`rolling_z`,
+    `robust_outliers`) never see. Under normality d² ~ χ²₂; the
+    default cut 9.21 is the 1% tail.
+
+    Moments are population (÷n) around exact means. Returns one row:
+    (n, corr, n_outliers, max_d2, frac_outliers) rounded 6.
+
+    Scale shape: one mean/co-moment fold + one scored re-pass with
+    the five scalars broadcast — two passes, no window.
+    """
+    base = points.select(F.col(x_col).cast("double").alias("x"),
+                         F.col(y_col).cast("double").alias("y"))
+    mu = base.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    m = (base.crossJoin(F.broadcast(mu))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.max("mx").alias("mx"), F.max("my").alias("my"),
+              F.avg((F.col("x") - F.col("mx"))
+                    * (F.col("y") - F.col("my"))).alias("sxy"),
+              F.avg(F.pow(F.col("x") - F.col("mx"), 2)).alias("sx2"),
+              F.avg(F.pow(F.col("y") - F.col("my"), 2)).alias("sy2")))
+    j = base.crossJoin(F.broadcast(m))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("sx2") * F.col("sy2") - F.col("sxy") * F.col("sxy")
+    d2 = (F.col("sy2") * dx * dx - 2.0 * F.col("sxy") * dx * dy
+          + F.col("sx2") * dy * dy) / det
+    cut = float(chi2_cut)
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max(F.col("sxy") / F.sqrt(F.col("sx2") * F.col("sy2")))
+        .alias("corr"),
+        F.sum((d2 > cut).cast("int")).cast("long").alias("n_outliers"),
+        F.max(d2).alias("max_d2"))
+    return agg.select(
+        "n", F.round("corr", 6).alias("corr"), "n_outliers",
+        F.round("max_d2", 6).alias("max_d2"),
+        F.round(F.col("n_outliers") / F.col("n").cast("double"), 6)
+        .alias("frac_outliers"))
+
+
+def mahalanobis2_sql(points_sql: str, chi2_cut: float = 9.21) -> str:
+    """DuckDB mirror of :func:`mahalanobis2` over an (x, y) SELECT."""
+    cut = float(chi2_cut)
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM ({points_sql})
+),
+mu AS (SELECT avg(x) AS mx, avg(y) AS my FROM base),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(mx) AS mx,
+    max(my) AS my,
+    avg((x - mx) * (y - my)) AS sxy,
+    avg(pow(x - mx, 2)) AS sx2, avg(pow(y - my, 2)) AS sy2
+  FROM base CROSS JOIN mu
+),
+scored AS (
+  SELECT m.n, m.sxy / sqrt(m.sx2 * m.sy2) AS corr,
+    (m.sy2 * pow(b.x - m.mx, 2)
+     - 2.0 * m.sxy * (b.x - m.mx) * (b.y - m.my)
+     + m.sx2 * pow(b.y - m.my, 2))
+    / (m.sx2 * m.sy2 - m.sxy * m.sxy) AS d2
+  FROM base b CROSS JOIN m
+)
+SELECT max(n) AS n, round(max(corr), 6) AS corr,
+  CAST(sum(CASE WHEN d2 > {cut!r} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(max(d2), 6) AS max_d2,
+  round(sum(CASE WHEN d2 > {cut!r} THEN 1 ELSE 0 END)
+        / CAST(max(n) AS DOUBLE), 6) AS frac_outliers
+FROM scored
+"""
+
+def pielou_evenness(
+    items: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Pielou's evenness J (Pielou 1966, public literature) of a
+    categorical load distribution: J = H/ln(S) — Shannon entropy
+    normalized by its maximum, so 1 means perfectly level across the
+    OBSERVED categories and the number is comparable across slices
+    with different category counts (which raw entropy is not). The
+    ecology-standard partner to `jain` (which squares shares instead)
+    and the per-slice fairness scalar for host/TLD/language mixes.
+
+    H uses natural log; S = 1 yields NULL J (evenness undefined for
+    one category — surfaced, not defaulted). Returns one row:
+    (n, s_categories, h_nats, j_evenness) rounded 6.
+
+    Scale shape: one groupBy(key) + one fold.
+    """
+    per = (items.select(F.col(key_col).alias("key"))
+           .groupBy("key").agg(F.count("*").cast("long").alias("c")))
+    tot = per.agg(F.sum("c").cast("long").alias("n"),
+                  F.count("*").cast("long").alias("s"))
+    h = (per.crossJoin(F.broadcast(tot))
+         .agg(F.max("n").alias("n"), F.max("s").alias("s"),
+              (-F.sum((F.col("c") / F.col("n").cast("double"))
+                      * F.log(F.col("c")
+                              / F.col("n").cast("double"))))
+              .alias("h")))
+    return h.select(
+        "n", F.col("s").alias("s_categories"),
+        F.round("h", 6).alias("h_nats"),
+        F.round(F.when(F.col("s") > 1,
+                       F.col("h") / F.log(F.col("s").cast("double"))),
+                6).alias("j_evenness"))
+
+
+def pielou_evenness_sql(items_sql: str) -> str:
+    """DuckDB mirror of :func:`pielou_evenness` over a (key) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c
+  FROM ({items_sql}) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS s
+  FROM per
+),
+h AS (
+  SELECT max(n) AS n, max(s) AS s,
+    -sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))) AS h
+  FROM per CROSS JOIN tot
+)
+SELECT n, s AS s_categories, round(h, 6) AS h_nats,
+  round(CASE WHEN s > 1 THEN h / ln(CAST(s AS DOUBLE)) END, 6)
+    AS j_evenness
+FROM h
+"""
+
+
+def gini_mean_difference(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Gini mean difference (public literature): GMD = mean |x_i −
+    x_j| over all pairs — the dispersion gauge that needs no center:
+    where sd squares deviations from a mean it had to estimate, GMD
+    reads "pick two random fetches; how far apart are they?" directly,
+    is finite-sample robust, and relates to the Gini coefficient as
+    G = GMD/(2μ). Computed by the sorted closed form Σ(2i−n−1)·x_(i)
+    · 2/(n(n−1)) — NO pairwise join.
+
+    Returns one row: (n, mean, gmd, gini) rounded 6 (gini NULL when
+    the mean is 0).
+
+    Scale shape: one global sort-rank window + one fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).cast("long")
+                      .alias("i")))
+    agg = ranked.agg(
+        F.max("n").alias("n"), F.avg("x").alias("mean"),
+        F.sum((2 * F.col("i") - F.col("n") - 1).cast("double")
+              * F.col("x")).alias("s"))
+    nd = F.col("n").cast("double")
+    gmd = 2.0 * F.col("s") / (nd * (nd - 1.0))
+    return agg.select(
+        "n", F.round("mean", 6).alias("mean"),
+        F.round(gmd, 6).alias("gmd"),
+        F.round(F.when(F.col("mean") != 0,
+                       gmd / (2.0 * F.col("mean"))), 6).alias("gini"))
+
+
+def gini_mean_difference_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`gini_mean_difference` over an (x)
+    SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n,
+    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+  FROM base CROSS JOIN n_tot
+),
+agg AS (
+  SELECT max(n) AS n, avg(x) AS mean,
+    sum(CAST(2 * i - n - 1 AS DOUBLE) * x) AS s
+  FROM ranked
+)
+SELECT n, round(mean, 6) AS mean,
+  round(2.0 * s / (CAST(n AS DOUBLE) * (n - 1.0)), 6) AS gmd,
+  round(CASE WHEN mean <> 0
+    THEN (2.0 * s / (CAST(n AS DOUBLE) * (n - 1.0)))
+         / (2.0 * mean) END, 6) AS gini
+FROM agg
+"""
+
+
+def robust_summary(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Rank-based five-number summary plus the Tukey robust location/
+    scale derivatives (public literature): min, Q1, median, Q3, max by
+    the LOWER-rank convention (Q_k = value at position ⌈k·n/4⌉ —
+    engine-identical, no interpolation-scheme ambiguity), trimean =
+    (Q1 + 2·median + Q3)/4, IQR, midhinge, and the quartile
+    coefficient of dispersion (Q3−Q1)/(Q3+Q1). The approximate-
+    percentile-free counterpart of `hist_quantiles` for audits where
+    the numbers must be reproducible to the bit across engines.
+
+    Returns one row: (n, x_min, q1, median, q3, x_max, iqr, trimean,
+    midhinge, qcd) rounded 6.
+
+    Scale shape: one global sort-rank window + one conditional fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).cast("long")
+                      .alias("i")))
+    def at(q):
+        pos = F.ceil(F.col("n").cast("double") * q).cast("long")
+        return F.min(F.when(F.col("i") == F.greatest(pos, F.lit(1)),
+                            F.col("x")))
+    agg = ranked.agg(
+        F.max("n").alias("n"), F.min("x").alias("x_min"),
+        at(0.25).alias("q1"), at(0.5).alias("median"),
+        at(0.75).alias("q3"), F.max("x").alias("x_max"))
+    return agg.select(
+        "n", F.round("x_min", 6).alias("x_min"),
+        F.round("q1", 6).alias("q1"),
+        F.round("median", 6).alias("median"),
+        F.round("q3", 6).alias("q3"),
+        F.round("x_max", 6).alias("x_max"),
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        F.round((F.col("q1") + 2 * F.col("median") + F.col("q3"))
+                / 4.0, 6).alias("trimean"),
+        F.round((F.col("q1") + F.col("q3")) / 2.0, 6).alias("midhinge"),
+        F.round(F.when(F.col("q3") + F.col("q1") != 0,
+                       (F.col("q3") - F.col("q1"))
+                       / (F.col("q3") + F.col("q1"))), 6).alias("qcd"))
+
+
+def robust_summary_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`robust_summary` over an (x) SELECT."""
+    def at(q):
+        return (f"min(CASE WHEN i = greatest(CAST(ceil("
+                f"CAST(n AS DOUBLE) * {q}) AS BIGINT), 1) "
+                f"THEN x END)")
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n,
+    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+  FROM base CROSS JOIN n_tot
+),
+agg AS (
+  SELECT max(n) AS n, min(x) AS x_min,
+    {at(0.25)} AS q1, {at(0.5)} AS median, {at(0.75)} AS q3,
+    max(x) AS x_max
+  FROM ranked
+)
+SELECT n, round(x_min, 6) AS x_min, round(q1, 6) AS q1,
+  round(median, 6) AS median, round(q3, 6) AS q3,
+  round(x_max, 6) AS x_max,
+  round(q3 - q1, 6) AS iqr,
+  round((q1 + 2 * median + q3) / 4.0, 6) AS trimean,
+  round((q1 + q3) / 2.0, 6) AS midhinge,
+  round(CASE WHEN q3 + q1 <> 0
+    THEN (q3 - q1) / (q3 + q1) END, 6) AS qcd
+FROM agg
+"""
+
+
+def decile_ratios(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Inequality decile ratios (public literature, the labor-econ
+    standard): P90/P10, P90/P50, P50/P10 by the lower-rank convention
+    (position ⌈q·n⌉) — the tail-vs-middle decomposition `host_gini`'s
+    single number can't give: P90/P50 isolates the top's pull,
+    P50/P10 the floor's sag; a rising 90/10 with flat 90/50 means the
+    BOTTOM fell out, which for latency SLOs is a completely different
+    incident than a runaway top.
+
+    Returns one row: (n, p10, p50, p90, r90_10, r90_50, r50_10)
+    rounded 6 (ratios NULL when the denominator is 0).
+
+    Scale shape: one global sort-rank window + one conditional fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).cast("long")
+                      .alias("i")))
+    def at(q):
+        pos = F.ceil(F.col("n").cast("double") * q).cast("long")
+        return F.min(F.when(F.col("i") == F.greatest(pos, F.lit(1)),
+                            F.col("x")))
+    agg = ranked.agg(F.max("n").alias("n"), at(0.1).alias("p10"),
+                     at(0.5).alias("p50"), at(0.9).alias("p90"))
+    def ratio(a, b):
+        return F.round(F.when(F.col(b) != 0,
+                              F.col(a) / F.col(b)), 6)
+    return agg.select(
+        "n", F.round("p10", 6).alias("p10"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        ratio("p90", "p10").alias("r90_10"),
+        ratio("p90", "p50").alias("r90_50"),
+        ratio("p50", "p10").alias("r50_10"))
+
+
+def decile_ratios_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`decile_ratios` over an (x) SELECT."""
+    def at(q):
+        return (f"min(CASE WHEN i = greatest(CAST(ceil("
+                f"CAST(n AS DOUBLE) * {q}) AS BIGINT), 1) "
+                f"THEN x END)")
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n,
+    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+  FROM base CROSS JOIN n_tot
+),
+agg AS (
+  SELECT max(n) AS n, {at(0.1)} AS p10, {at(0.5)} AS p50,
+    {at(0.9)} AS p90
+  FROM ranked
+)
+SELECT n, round(p10, 6) AS p10, round(p50, 6) AS p50,
+  round(p90, 6) AS p90,
+  round(CASE WHEN p10 <> 0 THEN p90 / p10 END, 6) AS r90_10,
+  round(CASE WHEN p50 <> 0 THEN p90 / p50 END, 6) AS r90_50,
+  round(CASE WHEN p10 <> 0 THEN p50 / p10 END, 6) AS r50_10
+FROM agg
+"""

@@ -3391,3 +3391,237 @@ SELECT win, n, x,
 FROM per CROSS JOIN pooled
 ORDER BY win
 """
+
+def wspt_value(
+    jobs: DataFrame,
+    id_col: str = "job",
+    p_col: str = "p",
+    w_col: str = "w",
+) -> DataFrame:
+    """Weighted-shortest-processing-time schedule audit (Smith's rule,
+    1956, public literature): on one worker, ordering jobs by w/p
+    descending MINIMIZES total weighted completion time — the
+    provably-optimal single-queue analog of `johnson`'s two-machine
+    rule. Reports the WSPT objective next to FIFO's (arrival order =
+    id order): the gap is the latency-weighted win a priority fetch
+    queue buys over naive ordering, in the objective's own units.
+
+    Both schedules are evaluated with exact cumulative sums. Returns
+    one row: (n, total_p, wct_wspt, wct_fifo, saving_ratio) rounded 6.
+
+    Scale shape: two ordered cumulative windows over the job table
+    (the job table is a summary, not the event log) + one fold.
+    """
+    base = jobs.select(F.col(id_col).alias("job"),
+                       F.col(p_col).cast("double").alias("p"),
+                       F.col(w_col).cast("double").alias("w"))
+    w_opt = Window.orderBy(F.desc(F.col("w") / F.col("p")), "job") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_fifo = Window.orderBy("job") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    scored = base.select(
+        "p", "w",
+        (F.col("w") * F.sum("p").over(w_opt)).alias("wc_opt"),
+        (F.col("w") * F.sum("p").over(w_fifo)).alias("wc_fifo"))
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("p"), 6).alias("total_p"),
+        F.sum("wc_opt").alias("wct_wspt"),
+        F.sum("wc_fifo").alias("wct_fifo"))
+    return agg.select(
+        "n", "total_p",
+        F.round("wct_wspt", 6).alias("wct_wspt"),
+        F.round("wct_fifo", 6).alias("wct_fifo"),
+        F.round(1.0 - F.col("wct_wspt") / F.col("wct_fifo"), 6)
+        .alias("saving_ratio"))
+
+
+def wspt_value_sql(jobs_sql: str) -> str:
+    """DuckDB mirror of :func:`wspt_value` over a (job, p, w)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT job, CAST(p AS DOUBLE) AS p, CAST(w AS DOUBLE) AS w
+  FROM ({jobs_sql})
+),
+scored AS (
+  SELECT p, w,
+    w * sum(p) OVER (ORDER BY w / p DESC, job
+                     ROWS UNBOUNDED PRECEDING) AS wc_opt,
+    w * sum(p) OVER (ORDER BY job ROWS UNBOUNDED PRECEDING)
+      AS wc_fifo
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  round(sum(p), 6) AS total_p,
+  round(sum(wc_opt), 6) AS wct_wspt,
+  round(sum(wc_fifo), 6) AS wct_fifo,
+  round(1.0 - sum(wc_opt) / sum(wc_fifo), 6) AS saving_ratio
+FROM scored
+"""
+
+def imr_chart(
+    series: DataFrame,
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Individuals / moving-range control chart (Shewhart, public
+    literature) — the SPC chart for one-at-a-time continuous readings
+    (a canary fetcher's per-probe latency): center x̄, limits x̄ ±
+    2.66·M̄R with M̄R the mean absolute consecutive difference; the MR
+    chart's own limit is 3.267·M̄R. The constants fold d₂ for n=2; the
+    chart flags both level breaks and dispersion breaks that a
+    fixed-σ `rolling_z` misses when σ itself drifted.
+
+    Returns per point: (pos, x, mr, signal_x, signal_mr) with the
+    limits replicated as columns, ordered by pos.
+
+    Scale shape: one lag window + one fold broadcast back — two
+    passes; partition by probe key when applied per host.
+    """
+    w = Window.orderBy("pos")
+    base = (series.select(F.col(pos_col).cast("long").alias("pos"),
+                          F.col(x_col).cast("double").alias("x"))
+            .withColumn("mr", F.abs(F.col("x")
+                                    - F.lag("x").over(w))))
+    stats = base.agg(F.avg("x").alias("xbar"),
+                     F.avg("mr").alias("mrbar"))
+    j = base.crossJoin(F.broadcast(stats))
+    ucl_x = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl_x = F.col("xbar") - 2.66 * F.col("mrbar")
+    ucl_mr = 3.267 * F.col("mrbar")
+    return (j.select(
+        "pos", F.round("x", 6).alias("x"),
+        F.round("mr", 6).alias("mr"),
+        F.round(ucl_x, 6).alias("ucl_x"),
+        F.round(lcl_x, 6).alias("lcl_x"),
+        F.round(ucl_mr, 6).alias("ucl_mr"),
+        ((F.col("x") > ucl_x) | (F.col("x") < lcl_x)).cast("int")
+        .alias("signal_x"),
+        F.coalesce((F.col("mr") > ucl_mr).cast("int"), F.lit(0))
+        .alias("signal_mr"))
+        .orderBy("pos"))
+
+
+def imr_chart_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`imr_chart` over a (pos, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x,
+    abs(CAST(x AS DOUBLE)
+        - lag(CAST(x AS DOUBLE)) OVER (ORDER BY CAST(pos AS BIGINT)))
+      AS mr
+  FROM ({series_sql})
+),
+stats AS (SELECT avg(x) AS xbar, avg(mr) AS mrbar FROM base)
+SELECT pos, round(x, 6) AS x, round(mr, 6) AS mr,
+  round(xbar + 2.66 * mrbar, 6) AS ucl_x,
+  round(xbar - 2.66 * mrbar, 6) AS lcl_x,
+  round(3.267 * mrbar, 6) AS ucl_mr,
+  CAST(x > xbar + 2.66 * mrbar OR x < xbar - 2.66 * mrbar AS INT)
+    AS signal_x,
+  CAST(coalesce(mr > 3.267 * mrbar, false) AS INT) AS signal_mr
+FROM base CROSS JOIN stats
+ORDER BY pos
+"""
+
+
+def ewma_chart(
+    series: DataFrame,
+    lam: float = 0.2,
+    l_sigma: float = 3.0,
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959, public literature) — the
+    small-persistent-shift detector between Shewhart (`imr_chart`,
+    big sudden breaks) and `cusum` (pure accumulation): z_t =
+    λ·x_t + (1−λ)·z_{t−1} against time-varying limits μ ±
+    L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). A 0.5σ drift that never trips a
+    3σ point test trips the EWMA in a handful of steps.
+
+    z_t is computed in closed form as a weighted sum over the whole
+    prefix (z_0 = x̄): λ·Σ(1−λ)^{t−i}x_i + (1−λ)^t·x̄ — an ordered
+    cumulative expression both engines evaluate in identical order
+    via Σ x_i·(1−λ)^{−i} prefix sums scaled by (1−λ)^t (documented
+    envelope: t ≲ 1500 before (1−λ)^{−i} overflows — chunk longer
+    series). σ is the moving-range estimate M̄R/1.128. Returns per
+    point: (pos, x, z, ucl, lcl, signal) rounded 6, ordered by pos.
+
+    Scale shape: two ordered windows (prefix sum + row index) + one
+    stats fold broadcast back.
+    """
+    lv = float(lam)
+    w = Window.orderBy("pos")
+    wc = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    base = (series.select(F.col(pos_col).cast("long").alias("pos"),
+                          F.col(x_col).cast("double").alias("x"))
+            .withColumn("t", F.row_number().over(w).cast("double"))
+            .withColumn("mr", F.abs(F.col("x") - F.lag("x").over(w))))
+    stats = base.agg(F.avg("x").alias("mu"),
+                     (F.avg("mr") / 1.128).alias("sigma"))
+    j = base.crossJoin(F.broadcast(stats))
+    decay = F.pow(F.lit(1.0 - lv), F.col("t"))
+    scaled = j.withColumn("sx", F.col("x")
+                          * F.pow(F.lit(1.0 - lv), -F.col("t")))
+    z = (F.lit(lv) * F.sum("sx").over(wc) * decay
+         + decay * F.col("mu"))
+    band = (F.col("sigma")
+            * F.sqrt(F.lit(lv / (2.0 - lv))
+                     * (1.0 - F.pow(F.lit((1.0 - lv) * (1.0 - lv)),
+                                    F.col("t")))))
+    ucl = F.col("mu") + float(l_sigma) * band
+    lcl = F.col("mu") - float(l_sigma) * band
+    # signal compares ROUNDED values: at band = 0 the closed-form z
+    # reconstructs mu only to ~1e-15, which a raw compare misreads
+    zr, uclr, lclr = F.round(z, 6), F.round(ucl, 6), F.round(lcl, 6)
+    return (scaled.select(
+        "pos", F.round("x", 6).alias("x"),
+        zr.alias("z"), uclr.alias("ucl"), lclr.alias("lcl"),
+        ((zr > uclr) | (zr < lclr)).cast("int").alias("signal"))
+        .orderBy("pos"))
+
+
+def ewma_chart_sql(series_sql: str, lam: float = 0.2,
+                   l_sigma: float = 3.0) -> str:
+    """DuckDB mirror of :func:`ewma_chart` over a (pos, x) SELECT."""
+    lv = float(lam)
+    ls = float(l_sigma)
+    return f"""
+WITH base AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x,
+    CAST(row_number() OVER (ORDER BY CAST(pos AS BIGINT)) AS DOUBLE)
+      AS t,
+    abs(CAST(x AS DOUBLE)
+        - lag(CAST(x AS DOUBLE)) OVER (ORDER BY CAST(pos AS BIGINT)))
+      AS mr
+  FROM ({series_sql})
+),
+stats AS (SELECT avg(x) AS mu, avg(mr) / 1.128 AS sigma FROM base),
+scaled AS (
+  SELECT b.*, s.mu, s.sigma,
+    b.x * pow({1.0 - lv!r}, -b.t) AS sx
+  FROM base b CROSS JOIN stats s
+),
+z AS (
+  SELECT pos, x, t, mu, sigma,
+    {lv!r} * sum(sx) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      * pow({1.0 - lv!r}, t)
+    + pow({1.0 - lv!r}, t) * mu AS z
+  FROM scaled
+)
+SELECT pos, round(x, 6) AS x, round(z, 6) AS z,
+  round(ucl, 6) AS ucl, round(lcl, 6) AS lcl,
+  CAST(round(z, 6) > round(ucl, 6)
+    OR round(z, 6) < round(lcl, 6) AS INT) AS signal
+FROM (
+  SELECT pos, x, z,
+    mu + {ls!r} * sigma
+      * sqrt({lv / (2.0 - lv)!r}
+             * (1.0 - pow({(1.0 - lv) ** 2!r}, t))) AS ucl,
+    mu - {ls!r} * sigma
+      * sqrt({lv / (2.0 - lv)!r}
+             * (1.0 - pow({(1.0 - lv) ** 2!r}, t))) AS lcl
+  FROM z
+) ORDER BY pos
+"""

@@ -2768,3 +2768,146 @@ SELECT n, round(x_min, 6) AS x_min, round(x_max, 6) AS x_max,
   round(gap_hi / (x_max - x_min), 6) AS q_high
 FROM agg
 """
+
+def forecast_errors(
+    series: DataFrame,
+    season: int = 1,
+    pos_col: str = "pos",
+    y_col: str = "y",
+) -> DataFrame:
+    """Scale-free forecast-error table (public literature) for the
+    seasonal-naive forecast ŷ_t = y_{t−season}: WAPE = Σ|e|/Σ|y|,
+    sMAPE = mean 2|e|/(|y|+|ŷ|), and bias = Σe/Σ|y| — the two error
+    gauges `mase` deliberately isn't: WAPE is the budget owner's
+    number (absolute error as a fraction of absolute volume), sMAPE
+    the cross-series comparable one, and signed bias says whether the
+    naive carry-forward systematically over- or under-shoots (a
+    growing corpus makes it undershoot — which argues for a trend
+    term, not a bigger buffer).
+
+    Zero-denominator sMAPE terms (both actual and forecast 0) are
+    skipped. Returns one row: (n_forecasts, wape, smape, bias)
+    rounded 6.
+
+    Scale shape: one lag window + one fold; partition by series key
+    when applied per host.
+    """
+    si = int(season)
+    w = Window.orderBy("pos")
+    base = (series.select(F.col(pos_col).cast("long").alias("pos"),
+                          F.col(y_col).cast("double").alias("y"))
+            .withColumn("f", F.lag("y", si).over(w))
+            .filter(F.col("f").isNotNull()))
+    e = F.col("y") - F.col("f")
+    denom = F.abs(F.col("y")) + F.abs(F.col("f"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_forecasts"),
+        (F.sum(F.abs(e)) / F.sum(F.abs(F.col("y")))).alias("wape"),
+        F.avg(F.when(denom > 0, 2.0 * F.abs(e) / denom)).alias("smape"),
+        (F.sum(e) / F.sum(F.abs(F.col("y")))).alias("bias"))
+    return agg.select("n_forecasts",
+                      F.round("wape", 6).alias("wape"),
+                      F.round("smape", 6).alias("smape"),
+                      F.round("bias", 6).alias("bias"))
+
+
+def forecast_errors_sql(series_sql: str, season: int = 1) -> str:
+    """DuckDB mirror of :func:`forecast_errors` over a (pos, y)
+    SELECT."""
+    si = int(season)
+    return f"""
+WITH base AS (
+  SELECT CAST(y AS DOUBLE) AS y,
+    lag(CAST(y AS DOUBLE), {si})
+      OVER (ORDER BY CAST(pos AS BIGINT)) AS f
+  FROM ({series_sql})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+  round(sum(abs(y - f)) / sum(abs(y)), 6) AS wape,
+  round(avg(CASE WHEN abs(y) + abs(f) > 0
+            THEN 2.0 * abs(y - f) / (abs(y) + abs(f)) END), 6)
+    AS smape,
+  round(sum(y - f) / sum(abs(y)), 6) AS bias
+FROM base WHERE f IS NOT NULL
+"""
+
+def schnabel(
+    sightings: DataFrame,
+    round_col: str = "round",
+    item_col: str = "item",
+) -> DataFrame:
+    """Schnabel multi-round capture-recapture census (Schnabel 1938,
+    public literature) — the k-round generalization of the two-sample
+    `capture_recapture` Lincoln-Petersen estimate: over crawl rounds,
+    each round "captures" C_t items of which R_t were already seen
+    (marked M_t grows round by round); N̂ = Σ_t C_t·M_t / Σ_t R_t.
+    The "how many URLs/templates exist in this site that we have NOT
+    yet discovered" estimator that uses EVERY round's overlap, not
+    just one pair — tighter at the same crawl budget.
+
+    M_t (marked before round t) comes from each item's FIRST round: a
+    min-per-item pass, then ordered cumulative counts — no per-round
+    scans. Returns one row: (k_rounds, n_distinct, sum_cm, sum_r,
+    n_hat) rounded 6.
+
+    Scale shape: one (round, item) dedup + one min-per-item groupBy +
+    one k-row ordered window + one fold.
+    """
+    base = (sightings.select(F.col(round_col).cast("long").alias("r"),
+                             F.col(item_col).alias("item"))
+            .distinct())
+    per_r = base.groupBy("r").agg(F.count("*").cast("long").alias("c"))
+    first = (base.groupBy("item").agg(F.min("r").alias("fr"))
+             .groupBy("fr").agg(F.count("*").cast("long").alias("new")))
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    joined = (per_r.join(first.withColumnRenamed("fr", "r"), "r",
+                         "left")
+              .withColumn("new", F.coalesce(F.col("new"), F.lit(0)))
+              .withColumn("m", F.coalesce(F.sum("new").over(w),
+                                          F.lit(0))))
+    agg = joined.agg(
+        F.count("*").cast("long").alias("k_rounds"),
+        F.sum("new").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("sum_cm"),
+        F.sum(F.col("c") - F.col("new")).cast("long").alias("sum_r"))
+    return agg.select(
+        "k_rounds", "n_distinct", "sum_cm", "sum_r",
+        F.round(F.when(F.col("sum_r") > 0,
+                       F.col("sum_cm").cast("double")
+                       / F.col("sum_r")), 6).alias("n_hat"))
+
+
+def schnabel_sql(sightings_sql: str) -> str:
+    """DuckDB mirror of :func:`schnabel` over a (round, item)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT CAST(round AS BIGINT) AS r, item
+  FROM ({sightings_sql})
+),
+per_r AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+),
+first_r AS (
+  SELECT fr AS r, CAST(count(*) AS BIGINT) AS new
+  FROM (SELECT item, min(r) AS fr FROM base GROUP BY 1)
+  GROUP BY 1
+),
+joined AS (
+  SELECT p.r, p.c, coalesce(f.new, 0) AS new,
+    coalesce(sum(coalesce(f.new, 0)) OVER (ORDER BY p.r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+  FROM per_r p LEFT JOIN first_r f ON f.r = p.r
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_rounds,
+    CAST(sum(new) AS BIGINT) AS n_distinct,
+    CAST(sum(c * m) AS BIGINT) AS sum_cm,
+    CAST(sum(c - new) AS BIGINT) AS sum_r
+  FROM joined
+)
+SELECT k_rounds, n_distinct, sum_cm, sum_r,
+  round(CASE WHEN sum_r > 0
+    THEN CAST(sum_cm AS DOUBLE) / sum_r END, 6) AS n_hat
+FROM agg
+"""

@@ -2955,3 +2955,79 @@ SELECT CAST(decile AS BIGINT) AS decile, n, pos,
         / (CAST(decile AS DOUBLE) / {n_bins}), 6) AS lift
 FROM cum ORDER BY decile
 """
+
+def reserve_price(
+    bids: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Empirical Myerson reserve / optimal posted price (public
+    literature): over observed bids (or willingness-to-pay proxies),
+    the revenue of posting price v is v·#(bids ≥ v); the optimal
+    reserve is the bid value maximizing it. The `gsp`/`vcg`
+    companion for the one-seller case — and for a crawl stack, the
+    same math prices admission thresholds: if "bid" is a URL's
+    predicted value and capacity costs are per-fetch, the
+    revenue-maximizing score cutoff is exactly this argmax.
+
+    #(bids ≥ v) is a suffix count over the distinct-value table;
+    ties in revenue break toward the LOWEST price (serve more).
+    Returns one row: (n, n_distinct, reserve, n_served, revenue)
+    rounded 6.
+
+    Scale shape: one groupBy(value) + one ordered suffix window over
+    the distinct values + one argmax fold.
+    """
+    base = bids.select(F.col(x_col).cast("double").alias("x"))
+    per = base.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    rev = per.select(
+        "x", F.sum("c").over(w).alias("n_ge"),
+        (F.col("x") * F.sum("c").over(w)).alias("revenue"))
+    n_tot = per.agg(F.sum("c").cast("long").alias("n"),
+                    F.count("*").cast("long").alias("n_distinct"))
+    best = rev.agg(F.max("revenue").alias("m"))
+    pick = (rev.crossJoin(F.broadcast(best))
+            .filter(F.col("revenue") == F.col("m"))
+            .agg(F.min("x").alias("reserve"),
+                 F.max("m").alias("revenue")))
+    served = (rev.crossJoin(F.broadcast(pick.select("reserve")))
+              .filter(F.col("x") == F.col("reserve"))
+              .select(F.col("n_ge").alias("n_served")))
+    return (F.broadcast(n_tot).crossJoin(pick).crossJoin(served)
+            .select("n", "n_distinct",
+                    F.round("reserve", 6).alias("reserve"),
+                    "n_served", F.round("revenue", 6).alias("revenue")))
+
+
+def reserve_price_sql(bids_sql: str) -> str:
+    """DuckDB mirror of :func:`reserve_price` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({bids_sql})),
+per AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+rev AS (
+  SELECT x,
+    sum(c) OVER (ORDER BY x DESC ROWS UNBOUNDED PRECEDING) AS n_ge,
+    x * sum(c) OVER (ORDER BY x DESC ROWS UNBOUNDED PRECEDING)
+      AS revenue
+  FROM per
+),
+n_tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_distinct
+  FROM per
+),
+best AS (SELECT max(revenue) AS m FROM rev),
+pick AS (
+  SELECT min(x) AS reserve, max(m) AS revenue
+  FROM rev CROSS JOIN best WHERE revenue = m
+),
+served AS (
+  SELECT r.n_ge AS n_served
+  FROM rev r JOIN pick p ON r.x = p.reserve
+)
+SELECT t.n, t.n_distinct, round(p.reserve, 6) AS reserve,
+  CAST(s.n_served AS BIGINT) AS n_served,
+  round(p.revenue, 6) AS revenue
+FROM n_tot t CROSS JOIN pick p CROSS JOIN served s
+"""

@@ -1,0 +1,141 @@
+"""Unit tests for the round-100 pack: Deming, meta pooling,
+Mahalanobis 2-D, I-MR chart, EWMA chart."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (deming, mahalanobis2,
+                                             meta_pool)
+from icrawler_spark.operators.politeness import ewma_chart, imr_chart
+
+
+# ---------------------------------------------------------------------------
+# deming
+# ---------------------------------------------------------------------------
+
+def test_deming_exact_line(spark):
+    rows = [(float(v), 2.0 * v) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = deming(df).collect()[0]
+    assert math.isclose(r["slope"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["intercept"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["attenuation"], 1.0, abs_tol=1e-6)
+
+
+def test_deming_beats_attenuated_ols(spark):
+    # y = 2*z exactly, x = z + alternating noise: OLS slope shrinks,
+    # Deming recovers more
+    zs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    noise = [0.5, -0.5, 0.5, -0.5, 0.5, -0.5]
+    rows = [(z + e, 2.0 * z) for z, e in zip(zs, noise)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = deming(df).collect()[0]
+    assert r["ols_slope"] < r["slope"]
+    assert r["attenuation"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# meta_pool
+# ---------------------------------------------------------------------------
+
+def test_meta_hand_values(spark):
+    rows = [(1, 1.0, 1.0), (2, 3.0, 1.0)]
+    df = spark.createDataFrame(rows, "study long, mu double, se double")
+    r = meta_pool(df).collect()[0]
+    assert r["k"] == 2
+    assert math.isclose(r["mu_fixed"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["se_fixed"], 1 / math.sqrt(2), abs_tol=1e-6)
+    assert math.isclose(r["q"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["i2"], 0.5, abs_tol=1e-6)
+    assert math.isclose(r["tau2"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["mu_random"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["se_random"], 1.0, abs_tol=1e-6)
+
+
+def test_meta_homogeneous_no_tau(spark):
+    rows = [(1, 2.0, 0.5), (2, 2.0, 0.5), (3, 2.0, 0.5)]
+    df = spark.createDataFrame(rows, "study long, mu double, se double")
+    r = meta_pool(df).collect()[0]
+    assert r["q"] == 0.0 and r["i2"] == 0.0 and r["tau2"] == 0.0
+    assert math.isclose(r["mu_random"], r["mu_fixed"], abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis2
+# ---------------------------------------------------------------------------
+
+def test_mahalanobis_flags_joint_outlier(spark):
+    pts = [(float(i % 5), float((i * 3) % 7)) for i in range(30)]
+    pts.append((30.0, 30.0))
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = mahalanobis2(df).collect()[0]
+    assert r["n_outliers"] >= 1
+    assert r["max_d2"] > 9.21
+
+
+def test_mahalanobis_clean_cloud_no_flags(spark):
+    pts = [(float(i % 3), float((i * 2) % 5)) for i in range(15)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = mahalanobis2(df, chi2_cut=50.0).collect()[0]
+    assert r["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# imr_chart
+# ---------------------------------------------------------------------------
+
+def test_imr_flags_level_break(spark):
+    rows = [(i, 10.0) for i in range(5)] + [(5, 20.0)]
+    df = spark.createDataFrame(rows, "pos long, x double")
+    out = {r["pos"]: r for r in imr_chart(df).collect()}
+    # xbar = 35/3, mrbar = 2 → UCL_x = xbar + 5.32
+    assert math.isclose(out[0]["ucl_x"], 35 / 3 + 5.32, abs_tol=1e-6)
+    assert out[5]["signal_x"] == 1 and out[5]["signal_mr"] == 1
+    assert out[2]["signal_x"] == 0
+
+
+def test_imr_first_row_mr_null_no_signal(spark):
+    rows = [(i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "pos long, x double")
+    out = imr_chart(df).collect()
+    assert out[0]["mr"] is None and out[0]["signal_mr"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ewma_chart
+# ---------------------------------------------------------------------------
+
+def _ewma_ref(xs, lam):
+    mu = sum(xs) / len(xs)
+    z = mu
+    out = []
+    for x in xs:
+        z = lam * x + (1 - lam) * z
+        out.append(z)
+    return out
+
+
+def test_ewma_matches_recursion(spark):
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(list(enumerate(xs)), "pos long, x double")
+    out = ewma_chart(df, lam=0.2).collect()
+    ref = _ewma_ref(xs, 0.2)
+    for row, z_ref in zip(sorted(out, key=lambda r: r["pos"]), ref):
+        assert math.isclose(row["z"], z_ref, abs_tol=1e-5)
+
+
+def test_ewma_constant_series_quiet(spark):
+    rows = [(i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "pos long, x double")
+    out = ewma_chart(df).collect()
+    assert all(r["signal"] == 0 for r in out)
+    assert all(math.isclose(r["z"], 5.0, abs_tol=1e-9) for r in out)
+
+
+def test_ewma_detects_small_step(spark):
+    xs = [0.0, 0.1] * 10 + [0.6, 0.7] * 10  # +0.6 step, tiny MR sigma
+    df = spark.createDataFrame(list(enumerate(xs)), "pos long, x double")
+    out = sorted(ewma_chart(df, lam=0.2).collect(),
+                 key=lambda r: r["pos"])
+    assert any(r["signal"] == 1 for r in out[20:])

@@ -1,0 +1,118 @@
+"""Unit tests for the round-101 pack: Schnabel census, Pielou evenness,
+Gini mean difference, robust summary, decile ratios."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (decile_ratios,
+                                             gini_mean_difference,
+                                             pielou_evenness,
+                                             robust_summary)
+from icrawler_spark.operators.recrawl import schnabel
+
+
+# ---------------------------------------------------------------------------
+# schnabel
+# ---------------------------------------------------------------------------
+
+def test_schnabel_hand_value(spark):
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C"),
+            (3, "B"), (3, "C"), (3, "D")]
+    df = spark.createDataFrame(rows, "round long, item string")
+    r = schnabel(df).collect()[0]
+    assert r["k_rounds"] == 3 and r["n_distinct"] == 4
+    assert r["sum_cm"] == 13 and r["sum_r"] == 3
+    assert math.isclose(r["n_hat"], 13 / 3, abs_tol=1e-6)
+
+
+def test_schnabel_no_recaptures_null(spark):
+    rows = [(1, "A"), (2, "B"), (3, "C")]
+    df = spark.createDataFrame(rows, "round long, item string")
+    r = schnabel(df).collect()[0]
+    assert r["sum_r"] == 0 and r["n_hat"] is None
+
+
+# ---------------------------------------------------------------------------
+# pielou_evenness
+# ---------------------------------------------------------------------------
+
+def test_pielou_uniform_one(spark):
+    rows = [("a",), ("b",), ("a",), ("b",)]
+    df = spark.createDataFrame(rows, "key string")
+    r = pielou_evenness(df).collect()[0]
+    assert r["s_categories"] == 2
+    assert math.isclose(r["j_evenness"], 1.0, abs_tol=1e-6)
+
+
+def test_pielou_single_category_null(spark):
+    df = spark.createDataFrame([("a",)] * 5, "key string")
+    r = pielou_evenness(df).collect()[0]
+    assert r["h_nats"] == 0.0 and r["j_evenness"] is None
+
+
+def test_pielou_skew_below_one(spark):
+    rows = [("a",)] * 9 + [("b",)]
+    df = spark.createDataFrame(rows, "key string")
+    r = pielou_evenness(df).collect()[0]
+    assert 0 < r["j_evenness"] < 0.6
+
+
+# ---------------------------------------------------------------------------
+# gini_mean_difference
+# ---------------------------------------------------------------------------
+
+def test_gmd_hand_value(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    r = gini_mean_difference(df).collect()[0]
+    assert math.isclose(r["gmd"], 4 / 3, abs_tol=1e-6)
+    assert math.isclose(r["gini"], 1 / 3, abs_tol=1e-6)
+
+
+def test_gmd_constant_zero(spark):
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    r = gini_mean_difference(df).collect()[0]
+    assert r["gmd"] == 0.0 and r["gini"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# robust_summary
+# ---------------------------------------------------------------------------
+
+def test_robust_summary_hand_values(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 9)],
+                               "x double")
+    r = robust_summary(df).collect()[0]
+    assert (r["q1"], r["median"], r["q3"]) == (2.0, 4.0, 6.0)
+    assert r["iqr"] == 4.0 and r["trimean"] == 4.0
+    assert r["midhinge"] == 4.0
+    assert math.isclose(r["qcd"], 0.5, abs_tol=1e-6)
+
+
+def test_robust_summary_outlier_immune_trimean(spark):
+    vals = [float(v) for v in range(1, 9)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = robust_summary(df).collect()[0]
+    assert r["x_max"] == 1000.0
+    assert r["trimean"] < 10.0
+
+
+# ---------------------------------------------------------------------------
+# decile_ratios
+# ---------------------------------------------------------------------------
+
+def test_decile_ratios_hand_values(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                               "x double")
+    r = decile_ratios(df).collect()[0]
+    assert (r["p10"], r["p50"], r["p90"]) == (1.0, 5.0, 9.0)
+    assert math.isclose(r["r90_10"], 9.0, abs_tol=1e-6)
+    assert math.isclose(r["r90_50"], 1.8, abs_tol=1e-6)
+    assert math.isclose(r["r50_10"], 5.0, abs_tol=1e-6)
+
+
+def test_decile_ratios_zero_floor_null(spark):
+    df = spark.createDataFrame([(0.0,)] * 5 + [(float(v),) for v in
+                                               range(1, 6)], "x double")
+    r = decile_ratios(df).collect()[0]
+    assert r["p10"] == 0.0 and r["r90_10"] is None

@@ -1,0 +1,117 @@
+"""Unit tests for the round-97 pack: reserve price, WSPT, forecast
+errors, Chao2, post-stratification."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import chao2, poststrat_mean
+from icrawler_spark.operators.politeness import wspt_value
+from icrawler_spark.operators.recrawl import forecast_errors
+from icrawler_spark.operators.search import reserve_price
+
+
+# ---------------------------------------------------------------------------
+# reserve_price
+# ---------------------------------------------------------------------------
+
+def test_reserve_hand_argmax(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    r = reserve_price(df).collect()[0]
+    # revenue: 3*1=3, 2*2=4, 1*3=3 → reserve 2 serving 2
+    assert math.isclose(r["reserve"], 2.0, abs_tol=1e-6)
+    assert r["n_served"] == 2
+    assert math.isclose(r["revenue"], 4.0, abs_tol=1e-6)
+
+
+def test_reserve_tie_prefers_lower_price(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    r = reserve_price(df).collect()[0]
+    # both prices yield revenue 2 → pick 1.0 (serve everyone)
+    assert math.isclose(r["reserve"], 1.0, abs_tol=1e-6)
+    assert r["n_served"] == 2
+
+
+# ---------------------------------------------------------------------------
+# wspt_value
+# ---------------------------------------------------------------------------
+
+def test_wspt_hand_value(spark):
+    rows = [(1, 3.0, 1.0), (2, 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "job long, p double, w double")
+    r = wspt_value(df).collect()[0]
+    assert math.isclose(r["wct_fifo"], 15.0, abs_tol=1e-6)
+    assert math.isclose(r["wct_wspt"], 7.0, abs_tol=1e-6)
+    assert math.isclose(r["saving_ratio"], 8 / 15, abs_tol=1e-6)
+
+
+def test_wspt_never_worse_than_fifo(spark):
+    rows = [(j, float(1 + j % 5), float(1 + (j * 3) % 7))
+            for j in range(20)]
+    df = spark.createDataFrame(rows, "job long, p double, w double")
+    r = wspt_value(df).collect()[0]
+    assert r["wct_wspt"] <= r["wct_fifo"] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# forecast_errors
+# ---------------------------------------------------------------------------
+
+def test_forecast_errors_hand_values(spark):
+    ys = [10.0, 12.0, 11.0, 13.0]
+    df = spark.createDataFrame(list(enumerate(ys)), "pos long, y double")
+    r = forecast_errors(df, season=1).collect()[0]
+    assert r["n_forecasts"] == 3
+    assert math.isclose(r["wape"], 5 / 36, abs_tol=1e-6)
+    smape = (2 * 2 / 22 + 2 * 1 / 23 + 2 * 2 / 24) / 3
+    assert math.isclose(r["smape"], smape, abs_tol=1e-6)
+    assert math.isclose(r["bias"], 3 / 36, abs_tol=1e-6)
+
+
+def test_forecast_errors_perfect_season(spark):
+    ys = [5.0, 9.0] * 6
+    df = spark.createDataFrame(list(enumerate(ys)), "pos long, y double")
+    r = forecast_errors(df, season=2).collect()[0]
+    assert r["wape"] == 0.0 and r["smape"] == 0.0 and r["bias"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# chao2
+# ---------------------------------------------------------------------------
+
+def test_chao2_hand_value(spark):
+    rows = [(1, "A"), (2, "A"), (1, "B"), (2, "C")]
+    df = spark.createDataFrame(rows, "sample long, species string")
+    r = chao2(df).collect()[0]
+    assert r["t_samples"] == 2 and r["s_obs"] == 3
+    assert r["q1"] == 2 and r["q2"] == 1
+    assert math.isclose(r["s_chao2"], 3 + 0.5 * 4 / 2, abs_tol=1e-6)
+
+
+def test_chao2_no_doubletons_fallback(spark):
+    rows = [(1, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, "sample long, species string")
+    r = chao2(df).collect()[0]
+    assert r["q2"] == 0
+    assert math.isclose(r["s_chao2"], 2.5, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# poststrat_mean
+# ---------------------------------------------------------------------------
+
+def test_poststrat_reweights(spark):
+    rows = [("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "stratum string, x double")
+    r = poststrat_mean(df, {"a": 0.25, "b": 0.75}).collect()[0]
+    assert math.isclose(r["mean_raw"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["mean_poststrat"], 2.5, abs_tol=1e-6)
+    assert math.isclose(r["missing_share"], 0.0, abs_tol=1e-6)
+
+
+def test_poststrat_missing_stratum_visible(spark):
+    rows = [("a", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "stratum string, x double")
+    r = poststrat_mean(df, {"a": 0.25, "b": 0.5, "z": 0.25}).collect()[0]
+    assert math.isclose(r["missing_share"], 0.25, abs_tol=1e-6)
+    assert math.isclose(r["mean_poststrat"], 1.75 / 0.75, abs_tol=1e-6)

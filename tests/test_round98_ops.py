@@ -1,0 +1,126 @@
+"""Unit tests for the round-98 pack: Wilcoxon signed-rank, sign test,
+Mood's median, Cochran's C, TOST."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (cochran_c, mood_median,
+                                             sign_test,
+                                             tost_equivalence,
+                                             wilcoxon_signed_rank)
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_hand_no_ties(spark):
+    # d = 1, -2, 3 → ranks 1,2,3; W+ = 4, E = 3, Var = 3.5
+    rows = [(1.0, 0.0), (0.0, 2.0), (3.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = wilcoxon_signed_rank(df).collect()[0]
+    assert r["n_nonzero"] == 3
+    assert math.isclose(r["w_plus"], 4.0, abs_tol=1e-6)
+    assert math.isclose(r["e_w"], 3.0, abs_tol=1e-6)
+    assert math.isclose(r["var_w"], 3.5, abs_tol=1e-6)
+    assert math.isclose(r["z"], 1.0 / math.sqrt(3.5), abs_tol=1e-5)
+
+
+def test_wilcoxon_midranks_and_tie_correction(spark):
+    # d = 1, -1, 2 → |d| ties at 1 get midrank 1.5; tie3 = 6
+    rows = [(1.0, 0.0), (0.0, 1.0), (2.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = wilcoxon_signed_rank(df).collect()[0]
+    assert math.isclose(r["w_plus"], 4.5, abs_tol=1e-6)
+    assert math.isclose(r["var_w"], 3.5 - 6 / 48, abs_tol=1e-6)
+
+
+def test_wilcoxon_zero_diffs_dropped(spark):
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = wilcoxon_signed_rank(df).collect()[0]
+    assert r["n_nonzero"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sign_test
+# ---------------------------------------------------------------------------
+
+def test_sign_test_hand_value(spark):
+    rows = [(1.0, 0.0)] * 7 + [(0.0, 1.0)] * 3
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = sign_test(df).collect()[0]
+    assert r["n_pos"] == 7 and r["n_neg"] == 3
+    assert math.isclose(r["z"], 1.5 / math.sqrt(2.5), abs_tol=1e-5)
+
+
+def test_sign_test_symmetric_sign(spark):
+    rows = [(0.0, 1.0)] * 7 + [(1.0, 0.0)] * 3
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = sign_test(df).collect()[0]
+    assert math.isclose(r["z"], -1.5 / math.sqrt(2.5), abs_tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# mood_median
+# ---------------------------------------------------------------------------
+
+def test_mood_hand_value(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = mood_median(df).collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+    assert math.isclose(r["grand_median"], 3.0, abs_tol=1e-6)
+    assert math.isclose(r["chi2"], 6.0, abs_tol=1e-6)
+    assert r["df"] == 1
+
+
+def test_mood_identical_groups_zero(spark):
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = mood_median(df).collect()[0]
+    assert math.isclose(r["chi2"], 0.0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# cochran_c
+# ---------------------------------------------------------------------------
+
+def test_cochran_c_hand_value(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 0.0), ("g2", 4.0), ("g2", 8.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = cochran_c(df).collect()[0]
+    assert math.isclose(r["c_stat"], 16 / 17, abs_tol=1e-6)
+    assert r["worst_grp"] == "g2"
+    assert math.isclose(r["worst_var"], 16.0, abs_tol=1e-6)
+
+
+def test_cochran_c_equal_variances(spark):
+    rows = [(g, float(v)) for g in ("a", "b", "c") for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = cochran_c(df).collect()[0]
+    assert math.isclose(r["c_stat"], 1 / 3, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# tost_equivalence
+# ---------------------------------------------------------------------------
+
+def test_tost_certifies_within_margin(spark):
+    rows = [("a", float(v)) for v in (10, 11, 12) * 10] \
+        + [("b", float(v)) for v in (10, 11, 12) * 10]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = tost_equivalence(df, grp_a="a", margin=5.0).collect()[0]
+    assert math.isclose(r["diff"], 0.0, abs_tol=1e-9)
+    assert r["equivalent"] == 1
+
+
+def test_tost_tiny_margin_fails(spark):
+    rows = [("a", float(v)) for v in (10, 11, 12) * 10] \
+        + [("b", float(v)) for v in (10, 11, 12) * 10]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = tost_equivalence(df, grp_a="a", margin=0.001).collect()[0]
+    assert r["equivalent"] == 0

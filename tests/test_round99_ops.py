@@ -1,0 +1,123 @@
+"""Unit tests for the round-99 pack: Hodges-Lehmann, Dunn pairs,
+ANCOVA adjusted means, split-half reliability, Yuen trimmed t."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (ancova_adjusted,
+                                             dunn_pairs,
+                                             hodges_lehmann, split_half,
+                                             yuen_trimmed)
+
+
+# ---------------------------------------------------------------------------
+# hodges_lehmann
+# ---------------------------------------------------------------------------
+
+def test_hodges_hand_median(spark):
+    rows = [("a", 2.0), ("a", 3.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = hodges_lehmann(df, grp_a="a").collect()[0]
+    assert r["n_pairs"] == 4
+    assert math.isclose(r["hl_estimate"], 1.0, abs_tol=1e-6)
+
+
+def test_hodges_pure_shift_recovered(spark):
+    rows = [("a", float(v) + 7) for v in range(10)] \
+        + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = hodges_lehmann(df, grp_a="a").collect()[0]
+    assert math.isclose(r["hl_estimate"], 7.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# dunn_pairs
+# ---------------------------------------------------------------------------
+
+def test_dunn_hand_value(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = dunn_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_i"], r["grp_j"]) == ("a", "b")
+    assert math.isclose(r["mean_rank_i"], 1.5, abs_tol=1e-6)
+    assert math.isclose(r["mean_rank_j"], 3.5, abs_tol=1e-6)
+    assert math.isclose(r["z"], -2.0 / math.sqrt(5 / 3), abs_tol=1e-5)
+
+
+def test_dunn_three_groups_all_pairs(spark):
+    rows = [(g, float(v + off)) for off, g in ((0, "a"), (3, "b"),
+                                               (6, "c"))
+            for v in (1, 2)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = dunn_pairs(df).collect()
+    assert [(r["grp_i"], r["grp_j"]) for r in out] == \
+        [("a", "b"), ("a", "c"), ("b", "c")]
+    zs = {(r["grp_i"], r["grp_j"]): r["z"] for r in out}
+    assert zs[("a", "c")] < zs[("a", "b")] < 0
+
+
+# ---------------------------------------------------------------------------
+# ancova_adjusted
+# ---------------------------------------------------------------------------
+
+def test_ancova_removes_covariate_gap(spark):
+    rows = [("g1", 0.0, 0.0), ("g1", 1.0, 1.0),
+            ("g2", 2.0, 3.0), ("g2", 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in ancova_adjusted(df).collect()}
+    assert math.isclose(out["g1"]["pooled_slope"], 1.0, abs_tol=1e-6)
+    assert math.isclose(out["g1"]["adj_mean_y"], 1.5, abs_tol=1e-6)
+    assert math.isclose(out["g2"]["adj_mean_y"], 2.5, abs_tol=1e-6)
+    # raw gap 3.0 shrinks to 1.0 after adjustment
+    assert math.isclose(out["g2"]["mean_y"] - out["g1"]["mean_y"], 3.0,
+                        abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# split_half
+# ---------------------------------------------------------------------------
+
+def test_split_half_proportional_halves(spark):
+    rows = [(1, 0, 1.0), (1, 1, 2.0),
+            (2, 0, 3.0), (2, 1, 6.0),
+            (3, 0, 2.0), (3, 1, 4.0)]
+    df = spark.createDataFrame(rows, "subj long, item_idx long, x double")
+    r = split_half(df).collect()[0]
+    assert r["n_subjects"] == 3
+    assert math.isclose(r["r_halves"], 1.0, abs_tol=1e-6)
+    assert math.isclose(r["spearman_brown"], 1.0, abs_tol=1e-6)
+
+
+def test_split_half_one_sided_subject_dropped(spark):
+    rows = [(1, 0, 1.0), (1, 1, 2.0),
+            (2, 0, 3.0), (2, 1, 5.0),
+            (3, 1, 4.0), (4, 0, 9.0), (4, 1, 13.0)]  # subj 3 odd-only
+    df = spark.createDataFrame(rows, "subj long, item_idx long, x double")
+    r = split_half(df).collect()[0]
+    assert r["n_subjects"] == 3
+
+
+# ---------------------------------------------------------------------------
+# yuen_trimmed
+# ---------------------------------------------------------------------------
+
+def test_yuen_p_zero_equals_welch(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = yuen_trimmed(df, grp_a="a", p=0.0).collect()[0]
+    assert r["h_a"] == 3 and r["h_b"] == 3
+    assert math.isclose(r["tmean_a"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["t"], -2.0 / math.sqrt(2 / 3), abs_tol=1e-5)
+
+
+def test_yuen_trims_outlier(spark):
+    rows = [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("a", 100.0)] + [("b", float(v)) for v in range(5)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = yuen_trimmed(df, grp_a="a", p=0.2).collect()[0]
+    assert r["h_a"] == 3
+    assert math.isclose(r["tmean_a"], 2.0, abs_tol=1e-6)
