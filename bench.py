@@ -402,6 +402,8 @@ _EXTRA_PICKS = [
     "deming", "meta", "mahalanobis", "imr", "ewma_chart",
     # round-3 batch-95 (multi-round census + evenness + robust dispersion)
     "schnabel", "pielou", "gmd", "robust_summary", "decile_ratios",
+    # round-3 batch-96 (percolation + vocabulary + diversity + burstiness)
+    "percolation", "richness", "hill_numbers", "prices_law", "burstiness",
 ]
 
 

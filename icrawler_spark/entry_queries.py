@@ -68,7 +68,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round94, entry_round95,
                             entry_round96, entry_round97,
                             entry_round98, entry_round99,
-                            entry_round100, entry_round101)
+                            entry_round100, entry_round101,
+                            entry_round102)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -936,6 +937,7 @@ def queries():
         **entry_round99.queries99(),
         **entry_round100.queries100(),
         **entry_round101.queries101(),
+        **entry_round102.queries102(),
     }
 
 
@@ -1069,4 +1071,5 @@ def oracle_sql():
         **entry_round99.oracle_sql99(),
         **entry_round100.oracle_sql100(),
         **entry_round101.oracle_sql101(),
+        **entry_round102.oracle_sql102(),
     }

@@ -1,0 +1,176 @@
+"""Round-3 driver-contract queries (batch 96): percolation check,
+lexical richness indices, Hill diversity profile, Price's law,
+Goh-Barabási burstiness.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _TOK_SQL, _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# percolation — is the user→slot link sample supercritical?
+# ---------------------------------------------------------------------------
+
+_PC_SLOTS = 40
+
+
+def _pc_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (1000 + F.col("event_id") % _PC_SLOTS).cast("long")
+        .alias("dst"))
+
+
+_PC_EDGES_SQL = f"""
+  SELECT CAST(user_id AS BIGINT) AS src,
+    CAST(1000 + event_id % {_PC_SLOTS} AS BIGINT) AS dst
+  FROM events
+"""
+
+
+def q_percolation(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.percolation_check: Molloy-Reed kappa +
+    f_critical — edge dedup + degree moments."""
+    return _graph.percolation_check(_pc_edges(spark, sf))
+
+
+def _percolation_sql() -> str:
+    return _graph.percolation_check_sql(_PC_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# richness — length-corrected vocabulary indices over documents
+# ---------------------------------------------------------------------------
+
+
+def _rx_tokens(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+
+
+_RX_TOKENS_SQL = f"""
+  SELECT unnest({_TOK_SQL}) AS token FROM documents
+"""
+
+
+def q_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lexical_richness: Guiraud/Herdan/Maas —
+    one distinct-count fold."""
+    return _corpus.lexical_richness(_rx_tokens(spark, sf))
+
+
+def _richness_sql() -> str:
+    return _corpus.lexical_richness_sql(_RX_TOKENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hill — diversity profile of the 53-bucket key mix
+# ---------------------------------------------------------------------------
+
+
+def _hn_items(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(((e * e) % 53).cast("long").alias("key"))
+
+
+_HN_ITEMS_SQL = """
+  SELECT CAST(event_id * event_id % 53 AS BIGINT) AS key FROM events
+"""
+
+
+def q_hill_numbers(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.hill_numbers: effective-category profile at
+    q=0,1,2 — one groupBy + fold."""
+    return _corpus.hill_numbers(_hn_items(spark, sf))
+
+
+def _hill_numbers_sql() -> str:
+    return _corpus.hill_numbers_sql(_HN_ITEMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# prices — does sqrt(S) of hosts carry half the traffic?
+# ---------------------------------------------------------------------------
+
+
+def _pl_items(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(((F.col("event_id") * 7) % 97).cast("long")
+                     .alias("key"))
+
+
+_PL_ITEMS_SQL = """
+  SELECT CAST(event_id * 7 % 97 AS BIGINT) AS key FROM events
+"""
+
+
+def q_prices_law(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.prices_law: sqrt-law concentration check —
+    ordered cumulative + folds."""
+    return _corpus.prices_law(_pl_items(spark, sf))
+
+
+def _prices_law_sql() -> str:
+    return _corpus.prices_law_sql(_PL_ITEMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# burstiness — (B, M) plane of per-cohort arrival gaps
+# ---------------------------------------------------------------------------
+
+
+def _bg_arrivals(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % 5).cast("long").alias("host"),
+        (F.expr("unix_micros(cast(ts as timestamp))") / F.lit(1e6))
+        .alias("ts_s"))
+
+
+_BG_ARRIVALS_SQL = """
+  SELECT CAST(user_id % 5 AS BIGINT) AS host,
+    epoch_us(ts) / 1e6 AS ts_s
+  FROM events
+"""
+
+
+def q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.burstiness_gb: Goh-Barabási B and memory M —
+    host-partitioned lag windows + moment passes."""
+    return _recrawl.burstiness_gb(_bg_arrivals(spark, sf))
+
+
+def _burstiness_sql() -> str:
+    return _recrawl.burstiness_gb_sql(_BG_ARRIVALS_SQL)
+
+
+def queries102():
+    return {
+        "percolation": q_percolation,
+        "richness": q_richness,
+        "hill_numbers": q_hill_numbers,
+        "prices_law": q_prices_law,
+        "burstiness": q_burstiness,
+    }
+
+
+def oracle_sql102():
+    return {
+        "percolation": _percolation_sql(),
+        "richness": _richness_sql(),
+        "hill_numbers": _hill_numbers_sql(),
+        "prices_law": _prices_law_sql(),
+        "burstiness": _burstiness_sql(),
+    }

@@ -10750,3 +10750,197 @@ SELECT n, round(p10, 6) AS p10, round(p50, 6) AS p50,
   round(CASE WHEN p10 <> 0 THEN p50 / p10 END, 6) AS r50_10
 FROM agg
 """
+
+def lexical_richness(
+    tokens: DataFrame,
+    token_col: str = "token",
+) -> DataFrame:
+    """Length-corrected lexical-richness indices (public literature):
+    Guiraud's R = V/√N, Herdan's C = ln V / ln N, and Maas a² =
+    (ln N − ln V)/ln²N — the trio that stays comparable when document
+    sizes differ, which raw TTR famously doesn't (it decays with N no
+    matter how rich the vocabulary). Complements `yule` (frequency-
+    spectrum based) and `mattr` (windowed): these need only (V, N), so
+    they survive any upstream that kept counts but dropped positions.
+    Maas is the most length-stable of the three — LOWER Maas = richer.
+
+    Returns one row: (n_tokens, vocab, ttr, guiraud_r, herdan_c,
+    maas_a2) rounded 6.
+
+    Scale shape: one distinct-count fold over the token column.
+    """
+    agg = tokens.select(F.col(token_col).alias("t")).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("vocab"))
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("vocab").cast("double")
+    return agg.select(
+        "n_tokens", "vocab",
+        F.round(vd / nd, 6).alias("ttr"),
+        F.round(vd / F.sqrt(nd), 6).alias("guiraud_r"),
+        F.round(F.log(vd) / F.log(nd), 6).alias("herdan_c"),
+        F.round((F.log(nd) - F.log(vd))
+                / (F.log(nd) * F.log(nd)), 6).alias("maas_a2"))
+
+
+def lexical_richness_sql(tokens_sql: str) -> str:
+    """DuckDB mirror of :func:`lexical_richness` over a (token)
+    SELECT."""
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(count(DISTINCT token) AS BIGINT) AS vocab
+  FROM ({tokens_sql})
+)
+SELECT n_tokens, vocab,
+  round(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+  round(vocab / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS guiraud_r,
+  round(ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+    AS herdan_c,
+  round((ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(vocab AS DOUBLE)))
+        / pow(ln(CAST(n_tokens AS DOUBLE)), 2), 6) AS maas_a2
+FROM agg
+"""
+
+
+def hill_numbers(
+    items: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Hill-number diversity profile (Hill 1973, public literature):
+    the effective number of categories at orders q = 0, 1, 2 — ⁰D =
+    richness S, ¹D = exp(Shannon H), ²D = 1/Σp² (inverse Simpson) —
+    all in the SAME unit ("equally-common categories"), which raw
+    entropy and `hhi` are not. The gap ⁰D ≫ ²D quantifies how much of
+    the nominal diversity is rare-tail: a corpus with 80 languages but
+    ²D = 3 is, for training-mix purposes, a 3-language corpus with a
+    long tail.
+
+    Returns one row: (n, d0, d1, d2, evenness_ratio = ²D/⁰D)
+    rounded 6.
+
+    Scale shape: one groupBy(key) + one fold.
+    """
+    per = (items.select(F.col(key_col).alias("key"))
+           .groupBy("key").agg(F.count("*").cast("long").alias("c")))
+    tot = per.agg(F.sum("c").cast("long").alias("n"))
+    agg = (per.crossJoin(F.broadcast(tot))
+           .agg(F.max("n").alias("n"),
+                F.count("*").cast("long").alias("d0"),
+                F.exp(-F.sum((F.col("c") / F.col("n").cast("double"))
+                             * F.log(F.col("c")
+                                     / F.col("n").cast("double"))))
+                .alias("d1"),
+                (1.0 / F.sum(F.pow(F.col("c")
+                                   / F.col("n").cast("double"), 2)))
+                .alias("d2")))
+    return agg.select(
+        "n", F.col("d0").cast("double").alias("d0"),
+        F.round("d1", 6).alias("d1"),
+        F.round("d2", 6).alias("d2"),
+        F.round(F.col("d2") / F.col("d0"), 6).alias("evenness_ratio"))
+
+
+def hill_numbers_sql(items_sql: str) -> str:
+    """DuckDB mirror of :func:`hill_numbers` over a (key) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c
+  FROM ({items_sql}) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+agg AS (
+  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS d0,
+    exp(-sum((c / CAST(n AS DOUBLE))
+             * ln(c / CAST(n AS DOUBLE)))) AS d1,
+    1.0 / sum(pow(c / CAST(n AS DOUBLE), 2)) AS d2
+  FROM per CROSS JOIN tot
+)
+SELECT n, CAST(d0 AS DOUBLE) AS d0, round(d1, 6) AS d1,
+  round(d2, 6) AS d2,
+  round(d2 / d0, 6) AS evenness_ratio
+FROM agg
+"""
+
+
+def prices_law(
+    items: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Price's square-root law check (Price 1963, public literature):
+    do √S of the S contributors produce half the output? Computed
+    exactly: k_half = the smallest number of top categories whose
+    cumulative count reaches half of all events, compared to √S. The
+    one-line concentration diagnosis for host traffic and author-style
+    corpora — ratio ≈ 1 is Price-like elite concentration; ratio ≫ 1
+    is flatter than scholarly output, ratio ≪ 1 more oligarchic.
+
+    Returns one row: (n, s_categories, k_half, sqrt_s, price_ratio =
+    k_half/√S, top_share_at_sqrt_s) rounded 6.
+
+    Scale shape: one groupBy(key) + one ordered cumulative window
+    over the category table + folds.
+    """
+    per = (items.select(F.col(key_col).alias("key"))
+           .groupBy("key").agg(F.count("*").cast("long").alias("c")))
+    tot = per.agg(F.sum("c").cast("long").alias("n"),
+                  F.count("*").cast("long").alias("s"))
+    w = Window.orderBy(F.desc("c"), "key") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_rn = Window.orderBy(F.desc("c"), "key")
+    cum = (per.crossJoin(F.broadcast(tot))
+           .select("n", "s",
+                   F.sum("c").over(w).alias("cum"),
+                   F.row_number().over(w_rn).cast("long").alias("rn")))
+    k_half = (cum.filter(F.col("cum") * 2 >= F.col("n"))
+              .agg(F.min("rn").alias("k_half")))
+    at_sqrt = (cum.filter(
+        F.col("rn") == F.greatest(
+            F.ceil(F.sqrt(F.col("s").cast("double"))).cast("long"),
+            F.lit(1)))
+        .agg(F.max(F.col("cum").cast("double") / F.col("n"))
+             .alias("top_share_at_sqrt_s")))
+    return (tot.crossJoin(F.broadcast(k_half))
+            .crossJoin(F.broadcast(at_sqrt))
+            .select("n", F.col("s").alias("s_categories"), "k_half",
+                    F.round(F.sqrt(F.col("s").cast("double")), 6)
+                    .alias("sqrt_s"),
+                    F.round(F.col("k_half")
+                            / F.sqrt(F.col("s").cast("double")), 6)
+                    .alias("price_ratio"),
+                    F.round("top_share_at_sqrt_s", 6)
+                    .alias("top_share_at_sqrt_s")))
+
+
+def prices_law_sql(items_sql: str) -> str:
+    """DuckDB mirror of :func:`prices_law` over a (key) SELECT."""
+    return f"""
+WITH per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c
+  FROM ({items_sql}) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS s
+  FROM per
+),
+cum AS (
+  SELECT t.n, t.s,
+    sum(c) OVER (ORDER BY c DESC, key
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    CAST(row_number() OVER (ORDER BY c DESC, key) AS BIGINT) AS rn
+  FROM per CROSS JOIN tot t
+),
+k_half AS (
+  SELECT min(rn) AS k_half FROM cum WHERE cum * 2 >= n
+),
+at_sqrt AS (
+  SELECT max(CAST(cum AS DOUBLE) / n) AS top_share_at_sqrt_s
+  FROM cum
+  WHERE rn = greatest(CAST(ceil(sqrt(CAST(s AS DOUBLE))) AS BIGINT), 1)
+)
+SELECT t.n, t.s AS s_categories, k.k_half,
+  round(sqrt(CAST(t.s AS DOUBLE)), 6) AS sqrt_s,
+  round(k.k_half / sqrt(CAST(t.s AS DOUBLE)), 6) AS price_ratio,
+  round(a.top_share_at_sqrt_s, 6) AS top_share_at_sqrt_s
+FROM tot t CROSS JOIN k_half k CROSS JOIN at_sqrt a
+"""

@@ -3000,3 +3000,80 @@ JOIN deg da ON da.src = p.src_a
 JOIN deg db ON db.src = p.src_b
 ORDER BY p.src_a, p.src_b
 """
+
+def percolation_check(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Molloy-Reed percolation criterion (Molloy & Reed 1995, public
+    literature) on the undirected degree sequence: κ = ⟨k²⟩/⟨k⟩ > 2
+    means a giant component exists, and f_c = 1 − 1/(κ−1) is the
+    random-failure fraction needed to break it. The crawl question it
+    answers BEFORE any traversal: does this seed-reachable web sample
+    even have the connectivity for BFS frontiers to snowball, and how
+    robust is reach to dead hosts? Also reports ⟨k²⟩/⟨k⟩ ÷ ⟨k⟩, the
+    friendship-paradox factor (your linked host is this many times
+    better connected than average — why frontier sampling overweights
+    hubs).
+
+    Degrees are undirected-unique (dedup both directions). Returns one
+    row: (n_nodes, n_edges, mean_k, mean_k2, kappa, supercritical,
+    f_critical, paradox_factor) rounded 6.
+
+    Scale shape: one edge dedup + one degree groupBy + one moment
+    fold.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (e.select(F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("k")))
+    m = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("k") / 2).cast("long").alias("n_edges"),
+        F.avg("k").alias("mean_k"),
+        F.avg(F.col("k") * F.col("k")).alias("mean_k2"))
+    kappa = F.col("mean_k2") / F.col("mean_k")
+    return m.select(
+        "n_nodes", "n_edges",
+        F.round("mean_k", 6).alias("mean_k"),
+        F.round("mean_k2", 6).alias("mean_k2"),
+        F.round(kappa, 6).alias("kappa"),
+        (kappa > 2.0).cast("int").alias("supercritical"),
+        F.round(F.when(kappa > 1.0, 1.0 - 1.0 / (kappa - 1.0)), 6)
+        .alias("f_critical"),
+        F.round(kappa / F.col("mean_k"), 6).alias("paradox_factor"))
+
+
+def percolation_check_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`percolation_check` over a (src, dst)
+    SELECT."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({edges_sql}) WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(k) / 2 AS BIGINT) AS n_edges,
+    avg(k) AS mean_k, avg(k * k) AS mean_k2
+  FROM deg
+)
+SELECT n_nodes, n_edges, round(mean_k, 6) AS mean_k,
+  round(mean_k2, 6) AS mean_k2,
+  round(mean_k2 / mean_k, 6) AS kappa,
+  CAST(mean_k2 / mean_k > 2.0 AS INT) AS supercritical,
+  round(CASE WHEN mean_k2 / mean_k > 1.0
+    THEN 1.0 - 1.0 / (mean_k2 / mean_k - 1.0) END, 6) AS f_critical,
+  round((mean_k2 / mean_k) / mean_k, 6) AS paradox_factor
+FROM m
+"""

@@ -2911,3 +2911,115 @@ SELECT k_rounds, n_distinct, sum_cm, sum_r,
     THEN CAST(sum_cm AS DOUBLE) / sum_r END, 6) AS n_hat
 FROM agg
 """
+
+def burstiness_gb(
+    arrivals: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_s",
+    min_gaps: int = 3,
+) -> DataFrame:
+    """Goh-Barabási burstiness/memory plane (Goh & Barabási 2008,
+    public literature) of per-host inter-arrival gaps: B = (σ−μ)/
+    (σ+μ) ∈ (−1, 1) — B ≈ 0 Poisson, B → 1 bursty, B → −1 pacemaker-
+    regular — and M = lag-1 correlation of consecutive gaps. Together
+    they separate the two ways traffic clumps: heavy-tailed gap SIZES
+    (high B) vs long-short alternation structure (M ≠ 0) — `interarrival`
+    reports the gap moments, this places each host on the (B, M) map a
+    politeness planner reads burst risk from.
+
+    Per host: gaps from an ordered lag window, σ population (÷n)
+    around the exact gap mean; M uses the overlap pairs' exact means.
+    Hosts with fewer than ``min_gaps`` gaps are dropped. Returns per
+    host: (host, n_gaps, mean_gap, b, m) rounded 6, ordered by host.
+
+    Scale shape: one host-partitioned lag window + two keyed moment
+    passes — no global window.
+    """
+    w = Window.partitionBy("host").orderBy("ts")
+    base = (arrivals.select(F.col(host_col).alias("host"),
+                            F.col(ts_col).cast("double").alias("ts"))
+            .withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+            .withColumn("nxt", F.lead("gap").over(w))
+            .filter(F.col("gap").isNotNull()))
+    gmu = (base.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_gaps"),
+                F.avg("gap").alias("mu")))
+    gsd = (base.join(gmu, "host")
+           .filter(F.col("n_gaps") >= min_gaps)
+           .groupBy("host", "n_gaps", "mu")
+           .agg(F.sqrt(F.avg(F.pow(F.col("gap") - F.col("mu"), 2)))
+                .alias("sd")))
+    pairs = base.filter(F.col("nxt").isNotNull()).select(
+        "host", F.col("gap").alias("g1"), F.col("nxt").alias("g2"))
+    pmu = pairs.groupBy("host").agg(F.avg("g1").alias("m1"),
+                                    F.avg("g2").alias("m2"))
+    mcor = (pairs.join(pmu, "host")
+            .groupBy("host")
+            .agg(F.sum((F.col("g1") - F.col("m1"))
+                       * (F.col("g2") - F.col("m2"))).alias("sxy"),
+                 (F.sum(F.pow(F.col("g1") - F.col("m1"), 2))
+                  * F.sum(F.pow(F.col("g2") - F.col("m2"), 2)))
+                 .alias("den"))
+            .select("host", F.when(F.col("den") > 0,
+                                   F.col("sxy")
+                                   / F.sqrt(F.col("den")))
+                    .alias("m")))
+    return (gsd.join(mcor, "host", "left")
+            .select("host", "n_gaps",
+                    F.round("mu", 6).alias("mean_gap"),
+                    F.round((F.col("sd") - F.col("mu"))
+                            / (F.col("sd") + F.col("mu")), 6)
+                    .alias("b"),
+                    F.round("m", 6).alias("m"))
+            .orderBy("host"))
+
+
+def burstiness_gb_sql(arrivals_sql: str, min_gaps: int = 3) -> str:
+    """DuckDB mirror of :func:`burstiness_gb` over a (host, ts_s)
+    SELECT."""
+    return f"""
+WITH seq AS (
+  SELECT host, CAST(ts_s AS DOUBLE) AS ts,
+    CAST(ts_s AS DOUBLE)
+      - lag(CAST(ts_s AS DOUBLE))
+          OVER (PARTITION BY host ORDER BY CAST(ts_s AS DOUBLE))
+      AS gap
+  FROM ({arrivals_sql})
+),
+base AS (
+  SELECT host, gap,
+    lead(gap) OVER (PARTITION BY host ORDER BY ts) AS nxt
+  FROM seq WHERE gap IS NOT NULL
+),
+gmu AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_gaps, avg(gap) AS mu
+  FROM base GROUP BY 1
+),
+gsd AS (
+  SELECT b.host, max(g.n_gaps) AS n_gaps, max(g.mu) AS mu,
+    sqrt(avg(pow(b.gap - g.mu, 2))) AS sd
+  FROM base b JOIN gmu g ON g.host = b.host
+  WHERE g.n_gaps >= {min_gaps}
+  GROUP BY 1
+),
+pairs AS (
+  SELECT host, gap AS g1, nxt AS g2 FROM base WHERE nxt IS NOT NULL
+),
+pmu AS (SELECT host, avg(g1) AS m1, avg(g2) AS m2 FROM pairs GROUP BY 1),
+mcor AS (
+  SELECT host,
+    CASE WHEN den > 0 THEN sxy / sqrt(den) END AS m
+  FROM (
+    SELECT p.host,
+      sum((p.g1 - u.m1) * (p.g2 - u.m2)) AS sxy,
+      sum(pow(p.g1 - u.m1, 2)) * sum(pow(p.g2 - u.m2, 2)) AS den
+    FROM pairs p JOIN pmu u ON u.host = p.host
+    GROUP BY 1
+  )
+)
+SELECT g.host, g.n_gaps, round(g.mu, 6) AS mean_gap,
+  round((g.sd - g.mu) / (g.sd + g.mu), 6) AS b,
+  round(m.m, 6) AS m
+FROM gsd g LEFT JOIN mcor m ON m.host = g.host
+ORDER BY g.host
+"""

@@ -1,0 +1,150 @@
+"""Unit tests for the round-102 pack: percolation check, lexical
+richness, Hill numbers, Price's law, Goh-Barabási burstiness."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (hill_numbers,
+                                             lexical_richness,
+                                             prices_law)
+from icrawler_spark.operators.graph import percolation_check
+from icrawler_spark.operators.recrawl import burstiness_gb
+
+
+# ---------------------------------------------------------------------------
+# percolation_check
+# ---------------------------------------------------------------------------
+
+def test_percolation_star_graph(spark):
+    # star on 5 leaves: degrees hub 5, leaves 1 → <k>=10/6, <k2>=30/6
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = percolation_check(df).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5
+    assert math.isclose(r["mean_k"], 10 / 6, abs_tol=1e-6)
+    assert math.isclose(r["kappa"], 3.0, abs_tol=1e-6)
+    assert r["supercritical"] == 1
+    assert math.isclose(r["f_critical"], 0.5, abs_tol=1e-6)
+
+
+def test_percolation_matching_subcritical(spark):
+    # disjoint pairs: all degrees 1 → kappa 1 → subcritical, f NULL
+    edges = [(0, 1), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = percolation_check(df).collect()[0]
+    assert math.isclose(r["kappa"], 1.0, abs_tol=1e-6)
+    assert r["supercritical"] == 0 and r["f_critical"] is None
+
+
+def test_percolation_dedups_and_drops_loops(spark):
+    edges = [(0, 1), (1, 0), (0, 0), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = percolation_check(df).collect()[0]
+    assert r["n_edges"] == 2
+
+
+# ---------------------------------------------------------------------------
+# lexical_richness
+# ---------------------------------------------------------------------------
+
+def test_richness_hand_values(spark):
+    toks = ["a", "b", "c", "a"]  # N=4, V=3
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    r = lexical_richness(df).collect()[0]
+    assert r["n_tokens"] == 4 and r["vocab"] == 3
+    assert math.isclose(r["ttr"], 0.75, abs_tol=1e-6)
+    assert math.isclose(r["guiraud_r"], 1.5, abs_tol=1e-6)
+    assert math.isclose(r["herdan_c"], math.log(3) / math.log(4),
+                        abs_tol=1e-6)
+    assert math.isclose(r["maas_a2"],
+                        (math.log(4) - math.log(3)) / math.log(4) ** 2,
+                        abs_tol=1e-6)
+
+
+def test_richness_repetition_raises_maas(spark):
+    rich = [(f"t{i}",) for i in range(20)]
+    poor = [("t0",)] * 19 + [("t1",)]
+    m_rich = lexical_richness(
+        spark.createDataFrame(rich, "token string")).collect()[0]
+    m_poor = lexical_richness(
+        spark.createDataFrame(poor, "token string")).collect()[0]
+    assert m_poor["maas_a2"] > m_rich["maas_a2"]
+
+
+# ---------------------------------------------------------------------------
+# hill_numbers
+# ---------------------------------------------------------------------------
+
+def test_hill_uniform_all_equal(spark):
+    rows = [(k,) for k in ("a", "b", "c", "d") for _ in range(5)]
+    df = spark.createDataFrame(rows, "key string")
+    r = hill_numbers(df).collect()[0]
+    assert r["d0"] == 4.0
+    assert math.isclose(r["d1"], 4.0, abs_tol=1e-6)
+    assert math.isclose(r["d2"], 4.0, abs_tol=1e-6)
+    assert math.isclose(r["evenness_ratio"], 1.0, abs_tol=1e-6)
+
+
+def test_hill_skew_orders_descend(spark):
+    rows = [("a",)] * 90 + [("b",)] * 5 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "key string")
+    r = hill_numbers(df).collect()[0]
+    assert r["d0"] > r["d1"] > r["d2"]
+    assert r["evenness_ratio"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# prices_law
+# ---------------------------------------------------------------------------
+
+def test_prices_law_hand_values(spark):
+    # 4 categories with counts 5,3,1,1 (total 10): k_half = 1 (5*2=10),
+    # sqrt_s = 2
+    rows = ([("a",)] * 5 + [("b",)] * 3 + [("c",)] + [("d",)])
+    df = spark.createDataFrame(rows, "key string")
+    r = prices_law(df).collect()[0]
+    assert r["s_categories"] == 4 and r["k_half"] == 1
+    assert math.isclose(r["sqrt_s"], 2.0, abs_tol=1e-6)
+    assert math.isclose(r["price_ratio"], 0.5, abs_tol=1e-6)
+    # top 2 categories carry 8/10
+    assert math.isclose(r["top_share_at_sqrt_s"], 0.8, abs_tol=1e-6)
+
+
+def test_prices_law_uniform_flatter(spark):
+    rows = [(f"k{i}",) for i in range(16) for _ in range(2)]
+    df = spark.createDataFrame(rows, "key string")
+    r = prices_law(df).collect()[0]
+    assert r["k_half"] == 8 and r["price_ratio"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# burstiness_gb
+# ---------------------------------------------------------------------------
+
+def test_burstiness_regular_negative_one(spark):
+    rows = [("h", float(t)) for t in range(0, 50, 5)]
+    df = spark.createDataFrame(rows, "host string, ts_s double")
+    r = burstiness_gb(df).collect()[0]
+    # constant gaps: sigma 0 → B = -1, memory undefined-ish (NaN/None)
+    assert math.isclose(r["b"], -1.0, abs_tol=1e-6)
+    assert math.isclose(r["mean_gap"], 5.0, abs_tol=1e-6)
+
+
+def test_burstiness_bursty_positive(spark):
+    ts, t = [], 0.0
+    for k in range(12):
+        t += 0.1 if k % 4 else 30.0  # rare huge gaps, many tiny ones
+        ts.append(t)
+    df = spark.createDataFrame([("h", v) for v in ts],
+                               "host string, ts_s double")
+    r = burstiness_gb(df).collect()[0]
+    assert r["b"] > 0.3
+
+
+def test_burstiness_min_gaps_filter(spark):
+    rows = [("a", 0.0), ("a", 1.0), ("b", 0.0), ("b", 1.0),
+            ("b", 3.0), ("b", 7.0), ("b", 8.0)]
+    df = spark.createDataFrame(rows, "host string, ts_s double")
+    out = burstiness_gb(df, min_gaps=3).collect()
+    assert [r["host"] for r in out] == ["b"]
