@@ -404,6 +404,8 @@ _EXTRA_PICKS = [
     "schnabel", "pielou", "gmd", "robust_summary", "decile_ratios",
     # round-3 batch-96 (percolation + vocabulary + diversity + burstiness)
     "percolation", "richness", "hill_numbers", "prices_law", "burstiness",
+    # round-3 batch-97 (memoryless fit + cutpoints + rate effects + shape)
+    "ks_expon", "youden", "rate_ratio", "egger", "shape",
 ]
 
 

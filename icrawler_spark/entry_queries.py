@@ -69,7 +69,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round96, entry_round97,
                             entry_round98, entry_round99,
                             entry_round100, entry_round101,
-                            entry_round102)
+                            entry_round102, entry_round103)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -938,6 +938,7 @@ def queries():
         **entry_round100.queries100(),
         **entry_round101.queries101(),
         **entry_round102.queries102(),
+        **entry_round103.queries103(),
     }
 
 
@@ -1072,4 +1073,5 @@ def oracle_sql():
         **entry_round100.oracle_sql100(),
         **entry_round101.oracle_sql101(),
         **entry_round102.oracle_sql102(),
+        **entry_round103.oracle_sql103(),
     }

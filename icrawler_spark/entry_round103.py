@@ -1,0 +1,171 @@
+"""Round-3 driver-contract queries (batch 97): KS-vs-exponential fit,
+Youden optimal threshold, Poisson rate ratio, Egger bias, robust shape.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# ks_expon — are the value "gaps" memoryless?
+# ---------------------------------------------------------------------------
+
+
+def _ke_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("value") + 1.0).alias("x"))
+
+
+_KE_VALUES_SQL = "SELECT value + 1.0 AS x FROM events"
+
+
+def q_ks_expon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.ks_exponential: one-sample KS vs fitted
+    exponential — distinct-value windows + argmax fold."""
+    return _recrawl.ks_exponential(_ke_values(spark, sf))
+
+
+def _ks_expon_sql() -> str:
+    return _recrawl.ks_exponential_sql(_KE_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# youden — optimal quality-score gate for 'purchase' prediction
+# ---------------------------------------------------------------------------
+
+
+def _yd_scored(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.floor(F.col("value") / 4).cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"))
+
+
+_YD_SCORED_SQL = """
+  SELECT CAST(floor(value / 4) AS DOUBLE) AS score,
+    CAST(event_type = 'purchase' AS INT) AS label
+  FROM events
+"""
+
+
+def q_youden(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.youden_threshold: max TPR−FPR cutpoint —
+    suffix window + integer-exact argmax."""
+    return _search.youden_threshold(_yd_scored(spark, sf))
+
+
+def _youden_sql() -> str:
+    return _search.youden_threshold_sql(_YD_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rate_ratio — error events per unit value-exposure across cohorts
+# ---------------------------------------------------------------------------
+
+
+def _rr_events(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        (F.col("value") + 1.0).alias("t"),
+        (F.col("event_type") == "error").cast("long").alias("k"))
+
+
+_RR_EVENTS_SQL = """
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp, value + 1.0 AS t,
+    CAST(event_type = 'error' AS BIGINT) AS k
+  FROM events
+"""
+
+
+def q_rate_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.rate_ratio: Poisson RR + log CI — one
+    conditional fold."""
+    return _corpus.rate_ratio(_rr_events(spark, sf), grp_a=0)
+
+
+def _rate_ratio_sql() -> str:
+    return _corpus.rate_ratio_sql(_RR_EVENTS_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# egger — small-shard asymmetry of the meta_pool study table
+# ---------------------------------------------------------------------------
+
+
+def _eg_studies(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.col("user_id").alias("study"))
+            .agg(F.avg("value").alias("mu"))
+            .select("study", "mu",
+                    ((F.col("study") % 5 + 1) / 2.0).alias("se")))
+
+
+_EG_STUDIES_SQL = """
+  SELECT study, mu, (study % 5 + 1) / 2.0 AS se
+  FROM (
+    SELECT user_id AS study, avg(value) AS mu
+    FROM events GROUP BY 1
+  )
+"""
+
+
+def q_egger(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.egger_bias: precision-vs-z intercept test —
+    exact-mean OLS over the shard table."""
+    return _corpus.egger_bias(_eg_studies(spark, sf))
+
+
+def _egger_sql() -> str:
+    return _corpus.egger_bias_sql(_EG_STUDIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shape — octile-based skew/kurtosis of the value metric
+# ---------------------------------------------------------------------------
+
+
+def _sp_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("value").alias("x"))
+
+
+_SP_VALUES_SQL = "SELECT value AS x FROM events"
+
+
+def q_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.robust_shape: Bowley + Moors octile shape —
+    rank-exact octiles, one fold."""
+    return _corpus.robust_shape(_sp_values(spark, sf))
+
+
+def _shape_sql() -> str:
+    return _corpus.robust_shape_sql(_SP_VALUES_SQL)
+
+
+def queries103():
+    return {
+        "ks_expon": q_ks_expon,
+        "youden": q_youden,
+        "rate_ratio": q_rate_ratio,
+        "egger": q_egger,
+        "shape": q_shape,
+    }
+
+
+def oracle_sql103():
+    return {
+        "ks_expon": _ks_expon_sql(),
+        "youden": _youden_sql(),
+        "rate_ratio": _rate_ratio_sql(),
+        "egger": _egger_sql(),
+        "shape": _shape_sql(),
+    }

@@ -10944,3 +10944,230 @@ SELECT t.n, t.s AS s_categories, k.k_half,
   round(a.top_share_at_sqrt_s, 6) AS top_share_at_sqrt_s
 FROM tot t CROSS JOIN k_half k CROSS JOIN at_sqrt a
 """
+
+def rate_ratio(
+    events: DataFrame,
+    grp_a,
+    z: float = 1.96,
+    grp_col: str = "grp",
+    exposure_col: str = "t",
+    count_col: str = "k",
+) -> DataFrame:
+    """Poisson rate-ratio comparison with log-scale CI (public
+    literature): two cohorts with event counts k and exposures T
+    (fetch-hours, request volume): RR = (k_a/T_a)/(k_b/T_b), CI =
+    exp(ln RR ± z·√(1/k_a + 1/k_b)). The COUNT-world sibling of
+    `odds_ratio` — errors per fetch-hour between proxy pools, blocks
+    per million requests between user agents — where the binomial
+    framing has no natural denominator.
+
+    Zero counts yield NULL RR/CI (surfaced, not corrected). Returns
+    one row: (k_a, t_a, k_b, t_b, rate_a, rate_b, rr, ci_lo, ci_hi)
+    rounded 6.
+
+    Scale shape: one conditional-sum fold — single pass, single row.
+    """
+    ia = F.col(grp_col) == grp_a
+    agg = events.agg(
+        F.sum(F.when(ia, F.col(count_col))).cast("long").alias("k_a"),
+        F.sum(F.when(ia, F.col(exposure_col))).alias("t_a"),
+        F.sum(F.when(~ia, F.col(count_col))).cast("long").alias("k_b"),
+        F.sum(F.when(~ia, F.col(exposure_col))).alias("t_b"))
+    ra = F.col("k_a") / F.col("t_a")
+    rb = F.col("k_b") / F.col("t_b")
+    ok = (F.col("k_a") > 0) & (F.col("k_b") > 0)
+    rr = ra / rb
+    se = F.sqrt(1.0 / F.col("k_a") + 1.0 / F.col("k_b"))
+    return agg.select(
+        "k_a", F.round("t_a", 6).alias("t_a"),
+        "k_b", F.round("t_b", 6).alias("t_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(F.when(ok, rr), 6).alias("rr"),
+        F.round(F.when(ok, F.exp(F.log(rr) - z * se)), 6)
+        .alias("ci_lo"),
+        F.round(F.when(ok, F.exp(F.log(rr) + z * se)), 6)
+        .alias("ci_hi"))
+
+
+def rate_ratio_sql(events_sql: str, grp_a_sql: str,
+                   z: float = 1.96) -> str:
+    """DuckDB mirror of :func:`rate_ratio` over a (grp, t, k) SELECT;
+    ``grp_a_sql`` is the slice-A literal."""
+    return f"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = {grp_a_sql} THEN k END) AS BIGINT)
+      AS k_a,
+    sum(CASE WHEN grp = {grp_a_sql} THEN t END) AS t_a,
+    CAST(sum(CASE WHEN grp <> {grp_a_sql} THEN k END) AS BIGINT)
+      AS k_b,
+    sum(CASE WHEN grp <> {grp_a_sql} THEN t END) AS t_b
+  FROM ({events_sql})
+)
+SELECT k_a, round(t_a, 6) AS t_a, k_b, round(t_b, 6) AS t_b,
+  round(k_a / t_a, 6) AS rate_a,
+  round(k_b / t_b, 6) AS rate_b,
+  round(CASE WHEN k_a > 0 AND k_b > 0
+    THEN (k_a / t_a) / (k_b / t_b) END, 6) AS rr,
+  round(CASE WHEN k_a > 0 AND k_b > 0
+    THEN exp(ln((k_a / t_a) / (k_b / t_b))
+             - {z!r} * sqrt(1.0 / k_a + 1.0 / k_b)) END, 6) AS ci_lo,
+  round(CASE WHEN k_a > 0 AND k_b > 0
+    THEN exp(ln((k_a / t_a) / (k_b / t_b))
+             + {z!r} * sqrt(1.0 / k_a + 1.0 / k_b)) END, 6) AS ci_hi
+FROM agg
+"""
+
+
+def egger_bias(
+    studies: DataFrame,
+    mean_col: str = "mu",
+    se_col: str = "se",
+) -> DataFrame:
+    """Egger's regression asymmetry test (Egger et al. 1997, public
+    literature) on the per-shard estimates that `meta_pool` pools:
+    regress the standardized effect z_i = μ_i/se_i on precision
+    1/se_i; the INTERCEPT estimates small-study bias — shards whose
+    imprecise estimates systematically skew one way (a flaky region
+    only reporting when numbers look good is publication bias in
+    infrastructure form). |intercept| ≫ 0 means the pooled number is
+    built on asymmetric evidence.
+
+    OLS with exact-mean co-moments; the intercept's t uses the
+    residual variance over n−2 df. Returns one row: (k, intercept,
+    slope, se_intercept, t_intercept) rounded 6.
+
+    Scale shape: one fold over the k-row study table + a residual
+    pass.
+    """
+    base = studies.select(
+        (F.col(mean_col).cast("double")
+         / F.col(se_col).cast("double")).alias("zz"),
+        (1.0 / F.col(se_col).cast("double")).alias("prec"))
+    mu = base.agg(F.avg("prec").alias("mx"), F.avg("zz").alias("my"),
+                  F.count("*").cast("long").alias("k"))
+    m = (base.crossJoin(F.broadcast(mu))
+         .agg(F.max("k").alias("k"), F.max("mx").alias("mx"),
+              F.max("my").alias("my"),
+              F.sum((F.col("prec") - F.col("mx"))
+                    * (F.col("zz") - F.col("my"))).alias("sxy"),
+              F.sum(F.pow(F.col("prec") - F.col("mx"), 2))
+              .alias("sxx"),
+              F.sum(F.pow(F.col("zz") - F.col("my"), 2)).alias("syy")))
+    slope = F.col("sxy") / F.col("sxx")
+    icpt = F.col("my") - slope * F.col("mx")
+    rss = F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")
+    kd = F.col("k").cast("double")
+    s2 = rss / (kd - 2.0)
+    se_i = F.sqrt(s2 * (1.0 / kd
+                        + F.col("mx") * F.col("mx") / F.col("sxx")))
+    return m.select(
+        "k", F.round(icpt, 6).alias("intercept"),
+        F.round(slope, 6).alias("slope"),
+        F.round(se_i, 6).alias("se_intercept"),
+        F.round(F.when(se_i > 0, icpt / se_i), 6).alias("t_intercept"))
+
+
+def egger_bias_sql(studies_sql: str) -> str:
+    """DuckDB mirror of :func:`egger_bias` over a (study, mu, se)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(mu AS DOUBLE) / CAST(se AS DOUBLE) AS zz,
+    1.0 / CAST(se AS DOUBLE) AS prec
+  FROM ({studies_sql})
+),
+mu AS (
+  SELECT avg(prec) AS mx, avg(zz) AS my,
+    CAST(count(*) AS BIGINT) AS k
+  FROM base
+),
+m AS (
+  SELECT max(k) AS k, max(mx) AS mx, max(my) AS my,
+    sum((prec - mx) * (zz - my)) AS sxy,
+    sum(pow(prec - mx, 2)) AS sxx,
+    sum(pow(zz - my, 2)) AS syy
+  FROM base CROSS JOIN mu
+)
+SELECT k,
+  round(my - (sxy / sxx) * mx, 6) AS intercept,
+  round(sxy / sxx, 6) AS slope,
+  round(sqrt((syy - sxy * sxy / sxx) / (k - 2.0)
+             * (1.0 / k + mx * mx / sxx)), 6) AS se_intercept,
+  round(CASE WHEN (syy - sxy * sxy / sxx) > 0
+    THEN (my - (sxy / sxx) * mx)
+         / sqrt((syy - sxy * sxy / sxx) / (k - 2.0)
+                * (1.0 / k + mx * mx / sxx)) END, 6) AS t_intercept
+FROM m
+"""
+
+
+def robust_shape(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Quantile-based shape coefficients (public literature): Bowley
+    skewness (Q1 + Q3 − 2·median)/(Q3 − Q1) and Moors kurtosis
+    ((E7−E5) + (E3−E1))/(E6−E2) over rank-exact octiles — the shape
+    diagnostics that survive what breaks `jarque_bera`'s moment-based
+    S and K: a single 10⁶× latency outlier saturates m₃/m₄ but moves
+    no octile. Bowley ∈ [−1, 1]; Moors ≈ 1.233 for a normal, higher =
+    heavier tails.
+
+    Octiles use the lower-rank convention (position ⌈k·n/8⌉) —
+    engine-identical, no interpolation ambiguity. Returns one row:
+    (n, bowley, moors) plus the octiles e1..e7 rounded 6.
+
+    Scale shape: one global sort-rank window + one conditional fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    ranked = (base.crossJoin(F.broadcast(n_tot))
+              .select("x", "n", F.row_number().over(w).cast("long")
+                      .alias("i")))
+    def at(k):
+        pos = F.ceil(F.col("n").cast("double") * k / 8.0).cast("long")
+        return F.min(F.when(F.col("i") == F.greatest(pos, F.lit(1)),
+                            F.col("x")))
+    agg = ranked.agg(F.max("n").alias("n"),
+                     *[at(k).alias(f"e{k}") for k in range(1, 8)])
+    bowley = (F.col("e2") + F.col("e6") - 2 * F.col("e4")) \
+        / (F.col("e6") - F.col("e2"))
+    moors = ((F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1"))) \
+        / (F.col("e6") - F.col("e2"))
+    cols = ["n"] + [F.round(f"e{k}", 6).alias(f"e{k}")
+                    for k in range(1, 8)]
+    return agg.select(*cols,
+                      F.round(bowley, 6).alias("bowley"),
+                      F.round(moors, 6).alias("moors"))
+
+
+def robust_shape_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`robust_shape` over an (x) SELECT."""
+    def at(k):
+        return (f"min(CASE WHEN i = greatest(CAST(ceil("
+                f"CAST(n AS DOUBLE) * {k} / 8.0) AS BIGINT), 1) "
+                f"THEN x END)")
+    es = ",\n    ".join(f"{at(k)} AS e{k}" for k in range(1, 8))
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT x, n,
+    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+  FROM base CROSS JOIN n_tot
+),
+agg AS (
+  SELECT max(n) AS n,
+    {es}
+  FROM ranked
+)
+SELECT n, round(e1, 6) AS e1, round(e2, 6) AS e2,
+  round(e3, 6) AS e3, round(e4, 6) AS e4, round(e5, 6) AS e5,
+  round(e6, 6) AS e6, round(e7, 6) AS e7,
+  round((e2 + e6 - 2 * e4) / (e6 - e2), 6) AS bowley,
+  round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors
+FROM agg
+"""

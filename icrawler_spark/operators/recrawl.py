@@ -3023,3 +3023,71 @@ SELECT g.host, g.n_gaps, round(g.mu, 6) AS mean_gap,
 FROM gsd g LEFT JOIN mcor m ON m.host = g.host
 ORDER BY g.host
 """
+
+def ks_exponential(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov fit test against the exponential
+    law (public literature), rate fitted by the sample mean: D =
+    max |ECDF(x) − (1 − e^{−x/μ})| — the quantitative half of the
+    Poisson-arrivals question that `burstiness_gb` scores: B near 0
+    SUGGESTS exponential gaps, this measures how far the actual gap
+    law is from it, the same number for every politeness model that
+    assumes memoryless arrivals (`mg1`, `erlang`, `kingman` inputs).
+
+    The ECDF side evaluates at distinct values with both the left and
+    right limits (the sup is attained at a jump); the theoretical CDF
+    is exact given μ. Returns one row: (n, mean_x, d, d_at) rounded 6
+    — d_at is the smallest value attaining the max.
+
+    Scale shape: one groupBy(value) + ordered cumulative window over
+    distinct values + one argmax fold.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    mu = base.agg(F.avg("x").alias("mu"),
+                  F.count("*").cast("long").alias("n"))
+    per = base.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per.crossJoin(F.broadcast(mu))
+           .withColumn("cf", F.sum("c").over(w)
+                       / F.col("n").cast("double")))
+    th = 1.0 - F.exp(-F.col("x") / F.col("mu"))
+    gap = F.greatest(
+        F.abs(F.col("cf") - th),
+        F.abs(F.col("cf") - F.col("c") / F.col("n").cast("double")
+              - th))
+    scored = cum.withColumn("g", gap)
+    best = scored.agg(F.max("g").alias("m"))
+    pick = (scored.crossJoin(F.broadcast(best))
+            .filter(F.col("g") == F.col("m"))
+            .agg(F.max("n").alias("n"), F.max("mu").alias("mu"),
+                 F.max("m").alias("d"), F.min("x").alias("d_at")))
+    return pick.select("n", F.round("mu", 6).alias("mean_x"),
+                       F.round("d", 6).alias("d"),
+                       F.round("d_at", 6).alias("d_at"))
+
+
+def ks_exponential_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`ks_exponential` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+mu AS (
+  SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n FROM base
+),
+per AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+scored AS (
+  SELECT x, n, mu,
+    greatest(
+      abs(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+          / CAST(n AS DOUBLE) - (1.0 - exp(-x / mu))),
+      abs(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+          / CAST(n AS DOUBLE) - c / CAST(n AS DOUBLE)
+          - (1.0 - exp(-x / mu)))) AS g
+  FROM per CROSS JOIN mu
+),
+best AS (SELECT max(g) AS m FROM scored)
+SELECT max(n) AS n, round(max(mu), 6) AS mean_x,
+  round(max(m), 6) AS d, round(min(x), 6) AS d_at
+FROM scored CROSS JOIN best WHERE g = m
+"""

@@ -3031,3 +3031,103 @@ SELECT t.n, t.n_distinct, round(p.reserve, 6) AS reserve,
   round(p.revenue, 6) AS revenue
 FROM n_tot t CROSS JOIN pick p CROSS JOIN served s
 """
+
+def youden_threshold(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Youden's J optimal operating point (Youden 1950, public
+    literature) over a scored binary outcome: sweep every distinct
+    score as the cut, J(t) = TPR(t) − FPR(t), report the argmax — the
+    point `auc` (a threshold-free integral) deliberately refuses to
+    pick. For a URL-quality gate this is the score cut that maximizes
+    kept-good minus kept-bad when the two error costs are equal; at
+    unequal costs the full emitted sweep lets the caller re-argmax
+    with weights.
+
+    Thresholds mean "predict positive when score ≥ t"; counts come
+    from a descending cumulative over distinct scores — integer-exact
+    until the final ratios. Ties on J break toward the HIGHEST
+    threshold (stricter gate). Returns one row: (n_pos, n_neg,
+    threshold, tpr, fpr, j) rounded 6.
+
+    Scale shape: one groupBy(score) + ordered suffix window + argmax
+    fold.
+    """
+    base = scored.select(F.col(score_col).cast("double").alias("s"),
+                         F.col(label_col).cast("int").alias("y"))
+    per = base.groupBy("s").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("q"))
+    marg = per.agg(F.sum("p").cast("long").alias("np"),
+                   F.sum("q").cast("long").alias("nq"))
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (per.crossJoin(F.broadcast(marg))
+           .select("s", "np", "nq",
+                   F.sum("p").over(w).alias("tp"),
+                   F.sum("q").over(w).alias("fp")))
+    j = (F.col("tp") * F.col("nq") - F.col("fp") * F.col("np"))
+    scoredj = cum.withColumn("__j", j)
+    best = scoredj.agg(F.max("__j").alias("m"))
+    pick = (scoredj.crossJoin(F.broadcast(best))
+            .filter(F.col("__j") == F.col("m"))
+            .agg(F.max("np").alias("n_pos"),
+                 F.max("nq").alias("n_neg"),
+                 F.max("s").alias("threshold")))
+    at = (scoredj.crossJoin(F.broadcast(pick.select(
+        F.col("threshold").alias("t"))))
+        .filter(F.col("s") == F.col("t"))
+        .select((F.col("tp") / F.col("np").cast("double"))
+                .alias("tpr"),
+                (F.col("fp") / F.col("nq").cast("double"))
+                .alias("fpr")))
+    return (pick.crossJoin(F.broadcast(at))
+            .select("n_pos", "n_neg",
+                    F.round("threshold", 6).alias("threshold"),
+                    F.round("tpr", 6).alias("tpr"),
+                    F.round("fpr", 6).alias("fpr"),
+                    F.round(F.col("tpr") - F.col("fpr"), 6)
+                    .alias("j")))
+
+
+def youden_threshold_sql(scored_sql: str) -> str:
+    """DuckDB mirror of :func:`youden_threshold` over a (score, label)
+    SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(score AS DOUBLE) AS s, CAST(label AS INT) AS y
+  FROM ({scored_sql})
+),
+per AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS q
+  FROM base GROUP BY 1
+),
+marg AS (
+  SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nq
+  FROM per
+),
+cum AS (
+  SELECT s, np, nq,
+    sum(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    sum(q) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS fp
+  FROM per CROSS JOIN marg
+),
+scoredj AS (SELECT *, tp * nq - fp * np AS j FROM cum),
+best AS (SELECT max(j) AS m FROM scoredj),
+pick AS (
+  SELECT max(np) AS n_pos, max(nq) AS n_neg, max(s) AS threshold
+  FROM scoredj CROSS JOIN best WHERE j = m
+),
+at AS (
+  SELECT c.tp / CAST(c.np AS DOUBLE) AS tpr,
+    c.fp / CAST(c.nq AS DOUBLE) AS fpr
+  FROM scoredj c JOIN pick p ON c.s = p.threshold
+)
+SELECT p.n_pos, p.n_neg, round(p.threshold, 6) AS threshold,
+  round(a.tpr, 6) AS tpr, round(a.fpr, 6) AS fpr,
+  round(a.tpr - a.fpr, 6) AS j
+FROM pick p CROSS JOIN at a
+"""

@@ -1,0 +1,137 @@
+"""Unit tests for the round-103 pack: KS-vs-exponential, Youden
+threshold, rate ratio, Egger bias, robust shape."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (egger_bias, rate_ratio,
+                                             robust_shape)
+from icrawler_spark.operators.recrawl import ks_exponential
+from icrawler_spark.operators.search import youden_threshold
+
+
+# ---------------------------------------------------------------------------
+# ks_exponential
+# ---------------------------------------------------------------------------
+
+def test_ks_expon_reference_small_sample(spark):
+    xs = [1.0, 2.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    r = ks_exponential(df).collect()[0]
+    mu = sum(xs) / 3
+    # brute-force sup over jump points (left and right limits)
+    best = 0.0
+    for i, v in enumerate(sorted(xs)):
+        th = 1 - math.exp(-v / mu)
+        best = max(best, abs((i + 1) / 3 - th), abs(i / 3 - th))
+    assert math.isclose(r["mean_x"], mu, abs_tol=1e-6)
+    assert math.isclose(r["d"], best, abs_tol=1e-6)
+
+
+def test_ks_expon_uniformish_worse_than_geometricish(spark):
+    # exponential-like data (doubling gaps) fits better than constant
+    geo = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    flat = [10.0, 10.5, 11.0, 11.5, 12.0, 12.5]
+    d_geo = ks_exponential(
+        spark.createDataFrame([(v,) for v in geo], "x double")
+    ).collect()[0]["d"]
+    d_flat = ks_exponential(
+        spark.createDataFrame([(v,) for v in flat], "x double")
+    ).collect()[0]["d"]
+    assert d_flat > d_geo
+
+
+# ---------------------------------------------------------------------------
+# youden_threshold
+# ---------------------------------------------------------------------------
+
+def test_youden_separable(spark):
+    rows = [(float(s), 1) for s in (7, 8, 9)] \
+        + [(float(s), 0) for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = youden_threshold(df).collect()[0]
+    assert math.isclose(r["threshold"], 7.0, abs_tol=1e-6)
+    assert r["tpr"] == 1.0 and r["fpr"] == 0.0 and r["j"] == 1.0
+
+
+def test_youden_hand_overlap(spark):
+    rows = [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = youden_threshold(df).collect()[0]
+    # t=3: J=0.5; t=2: J = 1 - 0.5 = 0.5 → tie → pick higher t=3
+    assert math.isclose(r["threshold"], 3.0, abs_tol=1e-6)
+    assert math.isclose(r["j"], 0.5, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# rate_ratio
+# ---------------------------------------------------------------------------
+
+def test_rate_ratio_hand_values(spark):
+    # cohort a: 10 events over exposure 100; b: 5 over 200
+    rows = [("a", 10.0, 1)] * 10 + [("b", 40.0, 1)] * 5
+    df = spark.createDataFrame(rows, "grp string, t double, k long")
+    r = rate_ratio(df, grp_a="a").collect()[0]
+    assert r["k_a"] == 10 and r["k_b"] == 5
+    assert math.isclose(r["rate_a"], 0.1, abs_tol=1e-6)
+    assert math.isclose(r["rate_b"], 0.025, abs_tol=1e-6)
+    assert math.isclose(r["rr"], 4.0, abs_tol=1e-6)
+    se = math.sqrt(1 / 10 + 1 / 5)
+    assert math.isclose(r["ci_lo"], math.exp(math.log(4) - 1.96 * se),
+                        abs_tol=1e-4)
+
+
+def test_rate_ratio_zero_count_null(spark):
+    rows = [("a", 10.0, 0), ("b", 10.0, 1)]
+    df = spark.createDataFrame(rows, "grp string, t double, k long")
+    r = rate_ratio(df, grp_a="a").collect()[0]
+    assert r["rr"] is None and r["ci_lo"] is None
+
+
+# ---------------------------------------------------------------------------
+# egger_bias
+# ---------------------------------------------------------------------------
+
+def test_egger_symmetric_near_zero_intercept(spark):
+    # same true effect 2.0 at all precisions → z = 2/se = 2*prec:
+    # z on prec has slope 2 and intercept 0 exactly
+    rows = [(i, 2.0, se) for i, se in enumerate((0.5, 1.0, 2.0, 4.0))]
+    df = spark.createDataFrame(rows, "study long, mu double, se double")
+    r = egger_bias(df).collect()[0]
+    assert math.isclose(r["intercept"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["slope"], 2.0, abs_tol=1e-6)
+
+
+def test_egger_biased_small_studies_positive_intercept(spark):
+    # small (imprecise) shards report inflated effects
+    rows = [(1, 2.0, 0.5), (2, 2.0, 1.0), (3, 6.0, 4.0), (4, 5.0, 3.0)]
+    df = spark.createDataFrame(rows, "study long, mu double, se double")
+    r = egger_bias(df).collect()[0]
+    assert r["intercept"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# robust_shape
+# ---------------------------------------------------------------------------
+
+def test_robust_shape_symmetric_zero_bowley(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 9)],
+                               "x double")
+    r = robust_shape(df).collect()[0]
+    # octiles of 1..8 are exactly 1..7 (lower-rank convention)
+    assert (r["e1"], r["e4"], r["e7"]) == (1.0, 4.0, 7.0)
+    assert math.isclose(r["bowley"], 0.0, abs_tol=1e-6)
+    assert math.isclose(r["moors"], ((7 - 5) + (3 - 1)) / (6 - 2),
+                        abs_tol=1e-6)
+
+
+def test_robust_shape_outlier_immune(spark):
+    base = [float(v) for v in range(1, 9)]
+    spiked = base + [10_000.0]
+    r0 = robust_shape(spark.createDataFrame([(v,) for v in base],
+                                            "x double")).collect()[0]
+    r1 = robust_shape(spark.createDataFrame([(v,) for v in spiked],
+                                            "x double")).collect()[0]
+    assert abs(r1["bowley"] - r0["bowley"]) < 0.3
+    assert abs(r1["moors"] - r0["moors"]) < 0.6
