@@ -406,6 +406,8 @@ _EXTRA_PICKS = [
     "percolation", "richness", "hill_numbers", "prices_law", "burstiness",
     # round-3 batch-97 (memoryless fit + cutpoints + rate effects + shape)
     "ks_expon", "youden", "rate_ratio", "egger", "shape",
+    # round-3 batch-98 (serial-independence panel + ranker D + trend + pacing)
+    "ljung_box", "turning_pt", "bartels", "somers_d", "ca_trend", "drawdown",
 ]
 
 

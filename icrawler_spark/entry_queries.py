@@ -69,7 +69,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round96, entry_round97,
                             entry_round98, entry_round99,
                             entry_round100, entry_round101,
-                            entry_round102, entry_round103)
+                            entry_round102, entry_round103,
+                            entry_round104)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -939,6 +940,7 @@ def queries():
         **entry_round101.queries101(),
         **entry_round102.queries102(),
         **entry_round103.queries103(),
+        **entry_round104.queries104(),
     }
 
 
@@ -1074,4 +1076,5 @@ def oracle_sql():
         **entry_round101.oracle_sql101(),
         **entry_round102.oracle_sql102(),
         **entry_round103.oracle_sql103(),
+        **entry_round104.oracle_sql104(),
     }

@@ -1,0 +1,178 @@
+"""Round-3 driver-contract queries (batch 98): Ljung-Box whiteness,
+turning-point randomness, Bartels rank von Neumann, Somers' D ranker
+quality, Cochran-Armitage trend, absolute max-drawdown/ulcer pacing.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# ljung_box — is the bucketed value series white noise?
+# ---------------------------------------------------------------------------
+
+
+def _lb_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.floor(F.col("event_id") / 10).alias("t"))
+            .agg(F.sum("value").alias("x")))
+
+
+_LB_SERIES_SQL = """
+  SELECT CAST(floor(event_id / 10) AS BIGINT) AS t, sum(value) AS x
+  FROM events GROUP BY 1
+"""
+
+
+def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.ljung_box: portmanteau Q at lags 1..3 —
+    one ordered lag window + one centered fold."""
+    return _recrawl.ljung_box(_lb_series(spark, sf), max_lag=3)
+
+
+def _ljung_box_sql() -> str:
+    return _recrawl.ljung_box_sql(_LB_SERIES_SQL, max_lag=3)
+
+
+# ---------------------------------------------------------------------------
+# turning_pt — local-extrema randomness of the raw value sequence
+# ---------------------------------------------------------------------------
+
+
+def _tp_series(spark, sf) -> DataFrame:
+    return _events(spark, sf).select(F.col("event_id").alias("t"),
+                                     F.col("value").alias("x"))
+
+
+_TP_SERIES_SQL = "SELECT event_id AS t, value AS x FROM events"
+
+
+def q_turning_pt(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.turning_point_test: strict local-extrema
+    count vs 2(n-2)/3 — one lag/lead window, integer-exact T."""
+    return _recrawl.turning_point_test(_tp_series(spark, sf))
+
+
+def _turning_pt_sql() -> str:
+    return _recrawl.turning_point_test_sql(_TP_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bartels — rank von Neumann serial-independence check
+# ---------------------------------------------------------------------------
+
+
+def q_bartels(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.bartels_rvn: average-rank von Neumann ratio —
+    tie-exact ranks, one rank window + one lead window."""
+    return _recrawl.bartels_rvn(_tp_series(spark, sf))
+
+
+def _bartels_sql() -> str:
+    return _recrawl.bartels_rvn_sql(_TP_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# somers_d — rank quality of the score for 'purchase' prediction
+# ---------------------------------------------------------------------------
+
+
+def _sd_scored(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        F.floor(F.col("value") / 4).cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"))
+
+
+_SD_SCORED_SQL = """
+  SELECT CAST(floor(value / 4) AS DOUBLE) AS score,
+    CAST(event_type = 'purchase' AS INT) AS label
+  FROM events
+"""
+
+
+def q_somers_d(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.somers_d: (C-D)/(P*N) over distinct-score
+    cumulative counts — integer-exact, never a pairs join."""
+    return _search.somers_d(_sd_scored(spark, sf))
+
+
+def _somers_d_sql() -> str:
+    return _search.somers_d_sql(_SD_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ca_trend — does error share trend across value-quintile tiers?
+# ---------------------------------------------------------------------------
+
+
+def _ca_groups(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy(F.floor(F.col("value") / 20).alias("c"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum((F.col("event_type") == "error").cast("long"))
+                 .alias("r")))
+
+
+_CA_GROUPS_SQL = """
+  SELECT CAST(floor(value / 20) AS BIGINT) AS c,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY 1
+"""
+
+
+def q_ca_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cochran_armitage: 1-df trend in proportions —
+    one fold over the per-tier contingency table."""
+    return _corpus.cochran_armitage(_ca_groups(spark, sf))
+
+
+def _ca_trend_sql() -> str:
+    return _corpus.cochran_armitage_sql(_CA_GROUPS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# drawdown — budget-pacing health of the mean-centered value walk
+# ---------------------------------------------------------------------------
+
+
+def q_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.max_drawdown: running-max gap + ulcer index —
+    two sequential windows, mean-centered walk."""
+    return _recrawl.max_drawdown(_tp_series(spark, sf))
+
+
+def _drawdown_sql() -> str:
+    return _recrawl.max_drawdown_sql(_TP_SERIES_SQL)
+
+
+def queries104():
+    return {
+        "ljung_box": q_ljung_box,
+        "turning_pt": q_turning_pt,
+        "bartels": q_bartels,
+        "somers_d": q_somers_d,
+        "ca_trend": q_ca_trend,
+        "drawdown": q_drawdown,
+    }
+
+
+def oracle_sql104():
+    return {
+        "ljung_box": _ljung_box_sql(),
+        "turning_pt": _turning_pt_sql(),
+        "bartels": _bartels_sql(),
+        "somers_d": _somers_d_sql(),
+        "ca_trend": _ca_trend_sql(),
+        "drawdown": _drawdown_sql(),
+    }

@@ -11171,3 +11171,64 @@ SELECT n, round(e1, 6) AS e1, round(e2, 6) AS e2,
   round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors
 FROM agg
 """
+
+
+def cochran_armitage(
+    groups: DataFrame,
+    score_col: str = "c",
+    n_col: str = "n",
+    r_col: str = "r",
+) -> DataFrame:
+    """Cochran-Armitage trend-in-proportions test (public formula):
+    with ordinal group scores c_i, n_i trials and r_i successes,
+    T = Σ c_i (r_i − n_i·p̄), Var T = p̄(1−p̄)(Σ c_i² n_i −
+    (Σ c_i n_i)²/N), z = T/√Var. THE dose-response check for a
+    crawler: does error rate rise monotonically with crawl depth /
+    politeness tier / retry count — sharper than the chi-square
+    homogeneity pass because it spends its one degree of freedom on
+    the ordering.
+
+    Everything above the final division is integer/rational on
+    shared counts; z is rounded 6. One row (n_tot, r_tot, t, z).
+
+    Scale shape: the input is already the per-group contingency
+    table (one upstream groupBy); this is a single fold over it.
+    """
+    base = groups.select(F.col(score_col).cast("double").alias("c"),
+                         F.col(n_col).cast("long").alias("n"),
+                         F.col(r_col).cast("long").alias("r"))
+    agg = base.agg(
+        F.sum("n").alias("n_tot"), F.sum("r").alias("r_tot"),
+        F.sum(F.col("c") * F.col("r")).alias("cr"),
+        F.sum(F.col("c") * F.col("n")).alias("cn"),
+        F.sum(F.col("c") * F.col("c") * F.col("n")).alias("ccn"))
+    p = F.col("r_tot").cast("double") / F.col("n_tot").cast("double")
+    t = F.col("cr") - F.col("cn") * p
+    var = p * (F.lit(1.0) - p) * (
+        F.col("ccn") - F.col("cn") * F.col("cn")
+        / F.col("n_tot").cast("double"))
+    return agg.select("n_tot", "r_tot", F.round(t, 6).alias("t"),
+                      F.round(t / F.sqrt(var), 6).alias("z"))
+
+
+def cochran_armitage_sql(groups_sql: str) -> str:
+    """DuckDB mirror of :func:`cochran_armitage` over (c, n, r)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(c AS DOUBLE) AS c, CAST(n AS BIGINT) AS n,
+    CAST(r AS BIGINT) AS r
+  FROM ({groups_sql})
+),
+agg AS (
+  SELECT sum(n) AS n_tot, sum(r) AS r_tot, sum(c * r) AS cr,
+    sum(c * n) AS cn, sum(c * c * n) AS ccn
+  FROM base
+)
+SELECT n_tot, r_tot,
+  round(cr - cn * (CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS t,
+  round((cr - cn * (CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+    / sqrt((CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      * (1.0 - CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      * (ccn - cn * cn / CAST(n_tot AS DOUBLE))), 6) AS z
+FROM agg
+"""

@@ -3091,3 +3091,270 @@ SELECT max(n) AS n, round(max(mu), 6) AS mean_x,
   round(max(m), 6) AS d, round(min(x), 6) AS d_at
 FROM scored CROSS JOIN best WHERE g = m
 """
+
+
+def ljung_box(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Ljung-Box portmanteau Q over an ordered series (public formula):
+    Q = n(n+2) Σ_{h=1..m} r_h²/(n−h), r_h the lag-h autocorrelation
+    around the exact sample mean. The whiteness check behind every
+    recrawl-interval model here: `recrawl_schedule` assumes change
+    arrivals are memoryless, and a large Q on the per-bucket fetch
+    series says the residual structure the scheduler is leaving on
+    the table (cf. burstiness_gb, which scores the same series with
+    a single moment ratio).
+
+    Deviations are centered on one exactly-shared mean (jackknife_se
+    parity rule); lags come from a single ordered window, so both
+    engines see identical sequential frames. Returns one row
+    (n, q, df) with q rounded 6.
+
+    Scale shape: one global ordered window over the (small, bucketed)
+    series + one fold; at production scale partition the window by
+    series id — the bucket series per host is tiny by construction.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    m = base.agg(F.avg("x").alias("mu"),
+                 F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("t")
+    d = base.crossJoin(F.broadcast(m)).withColumn("dev",
+                                                  F.col("x") - F.col("mu"))
+    for h in range(1, max_lag + 1):
+        d = d.withColumn(f"dev{h}", F.lag("dev", h).over(w))
+    num = [F.sum(F.col("dev") * F.col(f"dev{h}")).alias(f"s{h}")
+           for h in range(1, max_lag + 1)]
+    agg = d.agg(F.sum(F.col("dev") * F.col("dev")).alias("s0"),
+                F.max("n").alias("n"), *num)
+    q = None
+    for h in range(1, max_lag + 1):
+        r2 = F.pow(F.col(f"s{h}") / F.col("s0"), F.lit(2.0))
+        term = r2 / (F.col("n") - F.lit(h)).cast("double")
+        q = term if q is None else q + term
+    qstat = (F.col("n").cast("double")
+             * (F.col("n") + F.lit(2)).cast("double") * q)
+    return agg.select(F.col("n"),
+                      F.round(qstat, 6).alias("q"),
+                      F.lit(max_lag).cast("int").alias("df"))
+
+
+def ljung_box_sql(series_sql: str, max_lag: int = 3) -> str:
+    """DuckDB mirror of :func:`ljung_box` over a (t, x) SELECT."""
+    lags = ",\n    ".join(
+        f"lag(x - mu, {h}) OVER (ORDER BY t) AS dev{h}"
+        for h in range(1, max_lag + 1))
+    sums = ",\n    ".join(
+        f"sum((x - mu) * dev{h}) AS s{h}" for h in range(1, max_lag + 1))
+    terms = " + ".join(
+        f"pow(s{h} / s0, 2.0) / CAST(n - {h} AS DOUBLE)"
+        for h in range(1, max_lag + 1))
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+m AS (SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n FROM base),
+d AS (
+  SELECT x, mu, n,
+    {lags}
+  FROM base CROSS JOIN m
+),
+agg AS (
+  SELECT sum((x - mu) * (x - mu)) AS s0, max(n) AS n,
+    {sums}
+  FROM d
+)
+SELECT n,
+  round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ({terms}), 6) AS q,
+  CAST({max_lag} AS INT) AS df
+FROM agg
+"""
+
+
+def turning_point_test(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Turning-point randomness test (public formula): T = count of
+    strict local extrema in the ordered series; under i.i.d.
+    E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, z = (T−E)/√Var. The
+    cheapest lag-free "is this fetch series already noise" gate — a
+    significant z on a host's inter-fetch series says order the
+    richer `ljung_box` / `bartels_rvn` passes.
+
+    T is an integer count off lag/lead comparisons, so it is exact in
+    both engines; only z is rounded (6).
+
+    Scale shape: one ordered window (lag+lead), one fold; partition
+    by host/series id at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    w = Window.orderBy("t")
+    d = (base.withColumn("p", F.lag("x", 1).over(w))
+         .withColumn("f", F.lead("x", 1).over(w)))
+    turn = ((F.col("p") < F.col("x")) & (F.col("x") > F.col("f"))) | \
+           ((F.col("p") > F.col("x")) & (F.col("x") < F.col("f")))
+    agg = d.agg(
+        F.sum(F.when(turn, 1).otherwise(0)).cast("long").alias("t_cnt"),
+        F.count("*").cast("long").alias("n"))
+    e = F.lit(2.0) * (F.col("n") - F.lit(2)).cast("double") / F.lit(3.0)
+    v = (F.lit(16.0) * F.col("n").cast("double") - F.lit(29.0)) / F.lit(90.0)
+    return agg.select("n", "t_cnt",
+                      F.round(e, 6).alias("expected"),
+                      F.round((F.col("t_cnt") - e) / F.sqrt(v), 6).alias("z"))
+
+
+def turning_point_test_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`turning_point_test` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+d AS (
+  SELECT x, lag(x, 1) OVER (ORDER BY t) AS p,
+    lead(x, 1) OVER (ORDER BY t) AS f
+  FROM base
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN (p < x AND x > f) OR (p > x AND x < f)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+    CAST(count(*) AS BIGINT) AS n
+  FROM d
+)
+SELECT n, t_cnt,
+  round(2.0 * CAST(n - 2 AS DOUBLE) / 3.0, 6) AS expected,
+  round((t_cnt - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+        / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) AS z
+FROM agg
+"""
+
+
+def bartels_rvn(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Bartels rank von Neumann ratio (public formula): average ranks
+    r_t of the values, RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)²,
+    z = (RVN − 2)/√(4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²)). The
+    rank-based randomness companion to `turning_point_test` — robust
+    to the heavy-tailed fetch-latency marginals where moment tests
+    saturate.
+
+    Average ranks are exact rationals (min-rank + (ties−1)/2, the
+    same arithmetic both engines); r̄ = (n+1)/2 exactly, so numerator
+    and denominator are tie-stable. One row (n, rvn, z) rounded 6.
+
+    Scale shape: one rank window + one ordered lead window + a fold;
+    partition both by series id at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    wr = Window.orderBy("x")
+    we = Window.partitionBy("x")
+    wt = Window.orderBy("t")
+    d = base.select(
+        "t",
+        (F.rank().over(wr).cast("double")
+         + (F.count("*").over(we) - F.lit(1)).cast("double") / F.lit(2.0)
+         ).alias("r"))
+    d = d.withColumn("rn", F.lead("r", 1).over(wt))
+    n = F.col("n").cast("double")
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.pow(F.col("r") - F.col("rn"), F.lit(2.0))).alias("num"),
+        F.sum("r").alias("sr"), F.sum(F.col("r") * F.col("r")).alias("srr"))
+    den = F.col("srr") - F.lit(2.0) * ((n + 1) / 2) * F.col("sr") \
+        + n * F.pow((n + 1) / 2, F.lit(2.0))
+    rvn = F.col("num") / den
+    var = (F.lit(4.0) * (n - 2) * (F.lit(5.0) * n * n - 2 * n - 9)
+           / (F.lit(5.0) * n * (n + 1) * (n - 1) * (n - 1)))
+    return agg.select("n", F.round(rvn, 6).alias("rvn"),
+                      F.round((rvn - F.lit(2.0)) / F.sqrt(var), 6).alias("z"))
+
+
+def bartels_rvn_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`bartels_rvn` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+rk AS (
+  SELECT t,
+    CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+      + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS r
+  FROM base
+),
+d AS (SELECT r, lead(r, 1) OVER (ORDER BY t) AS rn FROM rk),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(pow(r - rn, 2.0)) AS num, sum(r) AS sr, sum(r * r) AS srr
+  FROM d
+)
+SELECT n,
+  round(num / (srr - 2.0 * (CAST(n AS DOUBLE) + 1) / 2 * sr
+    + CAST(n AS DOUBLE) * pow((CAST(n AS DOUBLE) + 1) / 2, 2.0)), 6) AS rvn,
+  round((num / (srr - 2.0 * (CAST(n AS DOUBLE) + 1) / 2 * sr
+    + CAST(n AS DOUBLE) * pow((CAST(n AS DOUBLE) + 1) / 2, 2.0)) - 2.0)
+    / sqrt(4.0 * (CAST(n AS DOUBLE) - 2)
+      * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         - 2 * CAST(n AS DOUBLE) - 9)
+      / (5.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+         * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 1))), 6) AS z
+FROM agg
+"""
+
+
+def max_drawdown(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Absolute max drawdown + ulcer index of the mean-centered
+    cumulative series (public formulas): e_t = Σ_{s≤t}(x_s − x̄),
+    dd_t = max_{s≤t} e_s − e_t, max_dd = max dd_t, ulcer =
+    √(mean dd_t²). Budget-pacing health for a crawl queue: x is the
+    per-step net value (fetched minus target), drawdowns are
+    sustained under-delivery stretches the `budget_limit` throttle
+    must absorb; the absolute variant avoids the divide-by-peak
+    instability of the percent form near zero equity.
+
+    The running sum and running max are sequential window frames —
+    identical evaluation order in both engines — and deviations are
+    centered on one exactly-shared mean. One row rounded 6.
+
+    Scale shape: two ordered windows (cumsum, cummax) + one fold;
+    partition by account/host series at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    m = base.agg(F.avg("x").alias("mu"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    d = (base.crossJoin(F.broadcast(m))
+         .withColumn("e", F.sum(F.col("x") - F.col("mu")).over(w))
+         .withColumn("dd", F.max("e").over(w) - F.col("e")))
+    return d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max("dd"), 6).alias("max_dd"),
+        F.round(F.sqrt(F.avg(F.col("dd") * F.col("dd"))), 6).alias("ulcer"),
+        F.round(F.max_by("dd", "t"), 6).alias("dd_end"))
+
+
+def max_drawdown_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`max_drawdown` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+m AS (SELECT avg(x) AS mu FROM base),
+d AS (
+  SELECT t, sum(x - mu) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS e
+  FROM base CROSS JOIN m
+),
+dd AS (
+  SELECT t, max(e) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - e AS dd
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  round(max(dd), 6) AS max_dd,
+  round(sqrt(avg(dd * dd)), 6) AS ulcer,
+  round(arg_max(dd, t), 6) AS dd_end
+FROM dd
+"""

@@ -3131,3 +3131,74 @@ SELECT p.n_pos, p.n_neg, round(p.threshold, 6) AS threshold,
   round(a.tpr - a.fpr, 6) AS j
 FROM pick p CROSS JOIN at a
 """
+
+
+def somers_d(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Somers' D_yx of a binary label on a ranking score (public
+    formula): over all (pos, neg) pairs, D = (C − D)/(P·N) with C the
+    pairs where the positive outranks the negative and D the reverse
+    — the tie-aware rank-correlation twin of `youden_threshold`'s
+    single-cutpoint view, and exactly 2·AUC−1 when scores are
+    untied. The standard "is this ranker better than coin-flip"
+    number for a fetch-priority model.
+
+    C and D come from integer cumulative counts over the distinct
+    score groups, so everything up to the final division is exact.
+    One row (n_pos, n_neg, nc, nd, d) with d rounded 6.
+
+    Scale shape: one groupBy(score) + one ordered cumulative window
+    over distinct scores + one fold — never a pairs join.
+    """
+    base = scored.select(F.col(score_col).cast("double").alias("s"),
+                         F.col(label_col).cast("int").alias("y"))
+    per = base.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("pos").alias("p_tot"), F.sum("neg").alias("n_tot"))
+    d = (per.crossJoin(F.broadcast(tot))
+         .withColumn("neg_below", F.sum("neg").over(w) - F.col("neg"))
+         .withColumn("pos_below", F.sum("pos").over(w) - F.col("pos")))
+    agg = d.agg(
+        F.max("p_tot").alias("n_pos"), F.max("n_tot").alias("n_neg"),
+        F.sum(F.col("pos") * F.col("neg_below")).cast("long").alias("nc"),
+        F.sum(F.col("neg") * F.col("pos_below")).cast("long").alias("nd"))
+    dv = ((F.col("nc") - F.col("nd")).cast("double")
+          / (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    return agg.select("n_pos", "n_neg", "nc", "nd",
+                      F.round(dv, 6).alias("d"))
+
+
+def somers_d_sql(scored_sql: str) -> str:
+    """DuckDB mirror of :func:`somers_d` over a (score, label) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(score AS DOUBLE) AS s, CAST(label AS INT) AS y
+  FROM ({scored_sql})
+),
+per AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(pos) AS p_tot, sum(neg) AS n_tot FROM per),
+d AS (
+  SELECT pos, neg, p_tot, n_tot,
+    sum(neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - neg AS neg_below,
+    sum(pos) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - pos AS pos_below
+  FROM per CROSS JOIN tot
+),
+agg AS (
+  SELECT max(p_tot) AS n_pos, max(n_tot) AS n_neg,
+    CAST(sum(pos * neg_below) AS BIGINT) AS nc,
+    CAST(sum(neg * pos_below) AS BIGINT) AS nd
+  FROM d
+)
+SELECT n_pos, n_neg, nc, nd,
+  round(CAST(nc - nd AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE), 6) AS d
+FROM agg
+"""

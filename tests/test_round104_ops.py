@@ -1,0 +1,132 @@
+"""Unit tests for the round-104 pack: Ljung-Box, turning-point,
+Bartels RVN, Somers' D, Cochran-Armitage trend, max drawdown."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import cochran_armitage
+from icrawler_spark.operators.recrawl import (bartels_rvn, ljung_box,
+                                              max_drawdown,
+                                              turning_point_test)
+from icrawler_spark.operators.search import somers_d
+
+
+def _series(spark, xs):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "t long, x double")
+
+
+# ---------------------------------------------------------------------------
+# ljung_box
+# ---------------------------------------------------------------------------
+
+def test_ljung_box_alternating_hand_value(spark):
+    # [2,1]*3: r1=-5/6, r2=2/3, r3=-1/2 → Q = 48*(r1²/5+r2²/4+r3²/3) = 16
+    r = ljung_box(_series(spark, [2, 1, 2, 1, 2, 1]), max_lag=3)
+    row = r.collect()[0]
+    assert row["n"] == 6 and row["df"] == 3
+    assert math.isclose(row["q"], 16.0, abs_tol=1e-6)
+
+
+def test_ljung_box_zero_lag1_autocorr(spark):
+    # [1,2,3]: devs [-1,0,1] → lag-1 cross products are all zero
+    row = ljung_box(_series(spark, [1, 2, 3]), max_lag=1).collect()[0]
+    assert math.isclose(row["q"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# turning_point_test
+# ---------------------------------------------------------------------------
+
+def test_turning_point_hand_count(spark):
+    row = turning_point_test(_series(spark, [1, 3, 2, 4, 3])).collect()[0]
+    assert row["t_cnt"] == 3 and row["n"] == 5
+    assert math.isclose(row["expected"], 2.0, abs_tol=1e-6)
+    assert math.isclose(row["z"], 1.0 / math.sqrt(51.0 / 90.0),
+                        abs_tol=1e-6)
+
+
+def test_turning_point_monotone_zero(spark):
+    row = turning_point_test(_series(spark, [1, 2, 3, 4, 5])).collect()[0]
+    assert row["t_cnt"] == 0 and row["z"] < -2.0
+
+
+# ---------------------------------------------------------------------------
+# bartels_rvn
+# ---------------------------------------------------------------------------
+
+def test_bartels_monotone_vs_alternating(spark):
+    mono = bartels_rvn(_series(spark, [1, 2, 3, 4, 5])).collect()[0]
+    alt = bartels_rvn(_series(spark, [1, 5, 2, 4, 3])).collect()[0]
+    assert math.isclose(mono["rvn"], 0.4, abs_tol=1e-6)   # 4/10
+    assert math.isclose(alt["rvn"], 3.0, abs_tol=1e-6)    # 30/10
+    assert mono["z"] < 0 < alt["z"]
+
+
+def test_bartels_average_ranks_on_ties(spark):
+    # [1,1,2]: avg ranks [1.5,1.5,3] → num 2.25, den 1.5 → RVN 1.5
+    row = bartels_rvn(_series(spark, [1.0, 1.0, 2.0])).collect()[0]
+    assert math.isclose(row["rvn"], 1.5, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# somers_d
+# ---------------------------------------------------------------------------
+
+def test_somers_d_separable(spark):
+    rows = [(float(s), 1) for s in (7, 8, 9)] \
+        + [(float(s), 0) for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = somers_d(df).collect()[0]
+    assert (r["nc"], r["nd"]) == (9, 0)
+    assert math.isclose(r["d"], 1.0, abs_tol=1e-6)
+
+
+def test_somers_d_ties_count_neither_way(spark):
+    # pos scores [2,3], neg [1,2]: C=3, D=0, one tied pair → d=3/4
+    rows = [(2.0, 1), (3.0, 1), (1.0, 0), (2.0, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = somers_d(df).collect()[0]
+    assert (r["nc"], r["nd"]) == (3, 0)
+    assert math.isclose(r["d"], 0.75, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage
+# ---------------------------------------------------------------------------
+
+def test_cochran_armitage_hand_value(spark):
+    rows = [(0.0, 10, 1), (1.0, 10, 5), (2.0, 10, 9)]
+    df = spark.createDataFrame(rows, "c double, n long, r long")
+    row = cochran_armitage(df).collect()[0]
+    # p̄=.5, T = 23-15 = 8, Var = .25*(50-30) = 5
+    assert math.isclose(row["t"], 8.0, abs_tol=1e-6)
+    assert math.isclose(row["z"], 8.0 / math.sqrt(5.0), abs_tol=1e-6)
+
+
+def test_cochran_armitage_flat_zero(spark):
+    rows = [(0.0, 10, 3), (1.0, 10, 3), (2.0, 10, 3)]
+    df = spark.createDataFrame(rows, "c double, n long, r long")
+    row = cochran_armitage(df).collect()[0]
+    assert math.isclose(row["t"], 0.0, abs_tol=1e-6)
+    assert math.isclose(row["z"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# max_drawdown
+# ---------------------------------------------------------------------------
+
+def test_max_drawdown_hand_values(spark):
+    # x=[1,1,1,-3], mu=0 → e=[1,2,3,0], dd=[0,0,0,3]
+    row = max_drawdown(_series(spark, [1, 1, 1, -3])).collect()[0]
+    assert math.isclose(row["max_dd"], 3.0, abs_tol=1e-6)
+    assert math.isclose(row["ulcer"], 1.5, abs_tol=1e-6)
+    assert math.isclose(row["dd_end"], 3.0, abs_tol=1e-6)
+
+
+def test_max_drawdown_trending_small(spark):
+    # x=[1,2,3,4] centered → e=[-1.5,-2,-1.5,0], dd=[0,.5,0,0]
+    row = max_drawdown(_series(spark, [1, 2, 3, 4])).collect()[0]
+    assert math.isclose(row["max_dd"], 0.5, abs_tol=1e-6)
+    assert math.isclose(row["dd_end"], 0.0, abs_tol=1e-6)
