@@ -408,6 +408,8 @@ _EXTRA_PICKS = [
     "ks_expon", "youden", "rate_ratio", "egger", "shape",
     # round-3 batch-98 (serial-independence panel + ranker D + trend + pacing)
     "ljung_box", "turning_pt", "bartels", "somers_d", "ca_trend", "drawdown",
+    # round-3 batch-99 (location-scale pair + outlier + fit + drift panel)
+    "cucconi", "lepage", "grubbs", "cvm_expon", "sortino", "tv_dist", "psi",
 ]
 
 

@@ -70,7 +70,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round98, entry_round99,
                             entry_round100, entry_round101,
                             entry_round102, entry_round103,
-                            entry_round104)
+                            entry_round104, entry_round105)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -941,6 +941,7 @@ def queries():
         **entry_round102.queries102(),
         **entry_round103.queries103(),
         **entry_round104.queries104(),
+        **entry_round105.queries105(),
     }
 
 
@@ -1077,4 +1078,5 @@ def oracle_sql():
         **entry_round102.oracle_sql102(),
         **entry_round103.oracle_sql103(),
         **entry_round104.oracle_sql104(),
+        **entry_round105.oracle_sql105(),
     }

@@ -1,0 +1,195 @@
+"""Round-3 driver-contract queries (batch 99): Cucconi and Lepage
+location-scale tests, Grubbs outlier screen, Cramér-von Mises
+exponential fit, Sortino downside ratio, total-variation and PSI drift.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# cucconi / lepage — did the odd-user cohort shift OR spread?
+# ---------------------------------------------------------------------------
+
+
+def _two_sample(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("int").alias("grp"),
+                     F.col("value").alias("x"))
+
+
+_TWO_SAMPLE_SQL = """
+  SELECT CAST(user_id % 2 AS INT) AS grp, value AS x FROM events
+"""
+
+
+def q_cucconi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.cucconi: joint location-scale rank test —
+    one midrank window + one fold."""
+    return _corpus.cucconi(_two_sample(spark, sf), grp_a=0)
+
+
+def _cucconi_sql() -> str:
+    return _corpus.cucconi_sql(_TWO_SAMPLE_SQL, "0")
+
+
+def q_lepage(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.lepage: Wilcoxon² + Ansari-Bradley² portmanteau
+    — one rank window + per-value mid-scores + one fold."""
+    return _corpus.lepage(_two_sample(spark, sf), grp_a=0)
+
+
+def _lepage_sql() -> str:
+    return _corpus.lepage_sql(_TWO_SAMPLE_SQL, "0")
+
+
+# ---------------------------------------------------------------------------
+# grubbs — single worst per-user total, studentized
+# ---------------------------------------------------------------------------
+
+
+def _gr_values(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy("user_id")
+            .agg(F.sum("value").alias("x"))
+            .select("x"))
+
+
+_GR_VALUES_SQL = """
+  SELECT sum(value) AS x FROM events GROUP BY user_id
+"""
+
+
+def q_grubbs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.grubbs: max studentized deviation — two folds
+    + exact argmax, centered on the shared mean."""
+    return _corpus.grubbs(_gr_values(spark, sf))
+
+
+def _grubbs_sql() -> str:
+    return _corpus.grubbs_sql(_GR_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cvm_expon — whole-curve memorylessness audit of the value gaps
+# ---------------------------------------------------------------------------
+
+
+def _cv_values(spark, sf) -> DataFrame:
+    return _events(spark, sf).select((F.col("value") + 1.0).alias("x"))
+
+
+_CV_VALUES_SQL = "SELECT value + 1.0 AS x FROM events"
+
+
+def q_cvm_expon(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.cvm_exponential: integrated-squared ECDF gap
+    vs fitted exponential — one sort window + one fold."""
+    return _recrawl.cvm_exponential(_cv_values(spark, sf))
+
+
+def _cvm_expon_sql() -> str:
+    return _recrawl.cvm_exponential_sql(_CV_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sortino — downside-only pacing quality of the centered value flow
+# ---------------------------------------------------------------------------
+
+
+def _so_series(spark, sf) -> DataFrame:
+    return _events(spark, sf).select((F.col("value") - 50.0).alias("x"))
+
+
+_SO_SERIES_SQL = "SELECT value - 50.0 AS x FROM events"
+
+
+def q_sortino(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.sortino: mean excess per unit downside
+    deviation — one map-side fold, no window."""
+    return _recrawl.sortino(_so_series(spark, sf))
+
+
+def _sortino_sql() -> str:
+    return _recrawl.sortino_sql(_SO_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# tv_dist / psi — cohort drift, L1-bound and decile-dashboard views
+# ---------------------------------------------------------------------------
+
+
+def _tv_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("int").alias("grp"),
+                     F.col("event_type").alias("key"))
+
+
+_TV_ROWS_SQL = """
+  SELECT CAST(user_id % 2 AS INT) AS grp, event_type AS key FROM events
+"""
+
+
+def q_tv_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.tv_distance: ½·L1 between cohort category
+    frequencies — one groupBy + one fold."""
+    return _corpus.tv_distance(_tv_rows(spark, sf), grp_a=0)
+
+
+def _tv_dist_sql() -> str:
+    return _corpus.tv_distance_sql(_TV_ROWS_SQL, "0")
+
+
+def _psi_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 2).cast("int").alias("grp"),
+                     F.floor(F.col("value") / 10).cast("long").alias("bin"))
+
+
+_PSI_ROWS_SQL = """
+  SELECT CAST(user_id % 2 AS INT) AS grp,
+    CAST(floor(value / 10) AS BIGINT) AS bin
+  FROM events
+"""
+
+
+def q_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.psi_index: common-support PSI with one-sided
+    mass reported, never epsilon-smoothed — one groupBy + one fold."""
+    return _corpus.psi_index(_psi_rows(spark, sf), grp_a=0)
+
+
+def _psi_sql() -> str:
+    return _corpus.psi_index_sql(_PSI_ROWS_SQL, "0")
+
+
+def queries105():
+    return {
+        "cucconi": q_cucconi,
+        "lepage": q_lepage,
+        "grubbs": q_grubbs,
+        "cvm_expon": q_cvm_expon,
+        "sortino": q_sortino,
+        "tv_dist": q_tv_dist,
+        "psi": q_psi,
+    }
+
+
+def oracle_sql105():
+    return {
+        "cucconi": _cucconi_sql(),
+        "lepage": _lepage_sql(),
+        "grubbs": _grubbs_sql(),
+        "cvm_expon": _cvm_expon_sql(),
+        "sortino": _sortino_sql(),
+        "tv_dist": _tv_dist_sql(),
+        "psi": _psi_sql(),
+    }

@@ -11232,3 +11232,402 @@ SELECT n_tot, r_tot,
       * (ccn - cn * cn / CAST(n_tot AS DOUBLE))), 6) AS z
 FROM agg
 """
+
+def cucconi(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Cucconi two-sample location-AND-scale test (Cucconi 1968,
+    public literature): with pooled midranks R_j of sample B (size n,
+    pool size N), U standardizes Σ R_j² and V standardizes
+    Σ (N+1−R_j)²; C = (U² + V² − 2ρUV)/(2(1−ρ²)) with
+    ρ = 2(N²−4)/((2N+1)(8N+11)) − 1. One statistic that catches a
+    mirror pool that shifts OR widens latency — the single-number
+    alternative to running `mann_whitney` and `ansari_bradley`
+    separately (Lepage's older rival, usually slightly more
+    powerful).
+
+    Midranks (rank + (ties−1)/2) are tiebreak-order independent, so
+    both engines agree exactly; the null moments are the no-ties
+    classics, documented as such. One row
+    (n_a, n_b, u, v, c) rounded 6.
+
+    Scale shape: one rank window over the pooled values + one fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    wr = Window.orderBy("x")
+    we = Window.partitionBy("x")
+    rk = base.select(
+        "ia",
+        (F.rank().over(wr).cast("double")
+         + (F.count("*").over(we) - F.lit(1)).cast("double") / F.lit(2.0)
+         ).alias("r"))
+    agg = rk.agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(~F.col("ia"), F.col("r") * F.col("r"))).alias("s2"),
+        F.sum(F.when(~F.col("ia"), F.col("r"))).alias("s1"))
+    m = F.col("n_a").cast("double")
+    n = F.col("n_b").cast("double")
+    nn = m + n
+    # Σ(N+1−R)² = n(N+1)² − 2(N+1)ΣR + ΣR²
+    s2c = (n * F.pow(nn + 1, F.lit(2.0))
+           - F.lit(2.0) * (nn + 1) * F.col("s1") + F.col("s2"))
+    den = F.sqrt(m * n * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / F.lit(5.0))
+    u = (F.lit(6.0) * F.col("s2") - n * (nn + 1) * (2 * nn + 1)) / den
+    v = (F.lit(6.0) * s2c - n * (nn + 1) * (2 * nn + 1)) / den
+    rho = (F.lit(2.0) * (nn * nn - 4)
+           / ((2 * nn + 1) * (8 * nn + 11)) - F.lit(1.0))
+    c = ((u * u + v * v - F.lit(2.0) * rho * u * v)
+         / (F.lit(2.0) * (F.lit(1.0) - rho * rho)))
+    return agg.select("n_a", "n_b", F.round(u, 6).alias("u"),
+                      F.round(v, 6).alias("v"), F.round(c, 6).alias("c"))
+
+
+def cucconi_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`cucconi` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+rk AS (
+  SELECT ia,
+    CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+      + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS r
+  FROM base
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN NOT ia THEN r * r END) AS s2,
+    sum(CASE WHEN NOT ia THEN r END) AS s1
+  FROM rk
+),
+t AS (
+  SELECT n_a, n_b,
+    (6.0 * s2 - CAST(n_b AS DOUBLE) * (n_a + n_b + 1.0)
+      * (2.0 * (n_a + n_b) + 1))
+      / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1.0)
+        * (2.0 * (n_a + n_b) + 1) * (8.0 * (n_a + n_b) + 11) / 5.0) AS u,
+    (6.0 * (CAST(n_b AS DOUBLE) * pow(n_a + n_b + 1.0, 2.0)
+        - 2.0 * (n_a + n_b + 1.0) * s1 + s2)
+      - CAST(n_b AS DOUBLE) * (n_a + n_b + 1.0)
+      * (2.0 * (n_a + n_b) + 1))
+      / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1.0)
+        * (2.0 * (n_a + n_b) + 1) * (8.0 * (n_a + n_b) + 11) / 5.0) AS v,
+    2.0 * (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b) - 4)
+      / ((2.0 * (n_a + n_b) + 1) * (8.0 * (n_a + n_b) + 11)) - 1.0 AS rho
+  FROM agg
+)
+SELECT n_a, n_b, round(u, 6) AS u, round(v, 6) AS v,
+  round((u * u + v * v - 2.0 * rho * u * v)
+    / (2.0 * (1.0 - rho * rho)), 6) AS c
+FROM t
+"""
+
+
+def lepage(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Lepage two-sample location-scale test (Lepage 1971, public
+    literature): L = z_W² + z_AB², the standardized Wilcoxon
+    rank-sum (location) plus the standardized Ansari-Bradley score
+    sum (scale) — the classic portmanteau that `cucconi` competes
+    with; values near χ²₂ quantiles flag a pool that moved OR
+    spread. W uses midranks; AB uses per-value mid-scores (the
+    `ansari_bradley` convention); both null moments are the no-ties
+    classics, documented as such.
+
+    One row (n_a, n_b, z_w, z_ab, l) rounded 6.
+
+    Scale shape: one rank window + one per-value mid-score groupBy +
+    one fold — the same passes the two parent tests already make.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    n_tot = base.agg(F.count("*").cast("long").alias("nn"))
+    wr = Window.orderBy("x")
+    we = Window.partitionBy("x")
+    rn = (base.crossJoin(F.broadcast(n_tot))
+          .withColumn("mr", F.rank().over(wr).cast("double")
+                      + (F.count("*").over(we) - F.lit(1)).cast("double")
+                      / F.lit(2.0))
+          .withColumn("rn", F.row_number().over(wr).cast("long")))
+    scored = rn.withColumn(
+        "sc", F.least(F.col("rn"), F.col("nn") + 1 - F.col("rn"))
+        .cast("double"))
+    mid = scored.groupBy("x").agg(F.avg("sc").alias("msc"))
+    agg = (scored.join(mid, "x")
+           .agg(F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long")
+                .alias("n_a"),
+                F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long")
+                .alias("n_b"),
+                F.sum(F.when(F.col("ia"), F.col("mr"))).alias("w"),
+                F.sum(F.when(F.col("ia"), F.col("msc"))).alias("ab"),
+                F.max("nn").alias("nn")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = F.col("nn").cast("double")
+    z_w = ((F.col("w") - na * (nd + 1.0) / 2.0)
+           / F.sqrt(na * nb * (nd + 1.0) / 12.0))
+    even = F.col("nn") % 2 == 0
+    e_ab = F.when(even, na * (nd + 2.0) / 4.0) \
+        .otherwise(na * F.pow(nd + 1.0, 2) / (4.0 * nd))
+    var_ab = F.when(
+        even, na * nb * (nd + 2.0) * (nd - 2.0) / (48.0 * (nd - 1.0))) \
+        .otherwise(na * nb * (nd + 1.0) * (3.0 + nd * nd)
+                   / (48.0 * nd * nd))
+    z_ab = (F.col("ab") - e_ab) / F.sqrt(var_ab)
+    return agg.select("n_a", "n_b", F.round(z_w, 6).alias("z_w"),
+                      F.round(z_ab, 6).alias("z_ab"),
+                      F.round(z_w * z_w + z_ab * z_ab, 6).alias("l"))
+
+
+def lepage_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`lepage` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+scored AS (
+  SELECT ia, x, nn, mr,
+    CAST(least(rn, nn + 1 - rn) AS DOUBLE) AS sc
+  FROM (
+    SELECT ia, x, nn,
+      CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+        + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS mr,
+      row_number() OVER (ORDER BY x) AS rn
+    FROM base CROSS JOIN n_tot
+  )
+),
+mid AS (SELECT x, avg(sc) AS msc FROM scored GROUP BY 1),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN s.ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT s.ia THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN s.ia THEN s.mr END) AS w,
+    sum(CASE WHEN s.ia THEN m.msc END) AS ab,
+    max(s.nn) AS nn
+  FROM scored s JOIN mid m ON m.x = s.x
+),
+z AS (
+  SELECT n_a, n_b,
+    (w - n_a * (nn + 1.0) / 2.0)
+      / sqrt(n_a * CAST(n_b AS DOUBLE) * (nn + 1.0) / 12.0) AS z_w,
+    (ab - CASE WHEN nn % 2 = 0
+      THEN n_a * (nn + 2.0) / 4.0
+      ELSE n_a * pow(nn + 1.0, 2) / (4.0 * nn) END)
+      / sqrt(CASE WHEN nn % 2 = 0
+      THEN n_a * CAST(n_b AS DOUBLE) * (nn + 2.0) * (nn - 2.0)
+           / (48.0 * (nn - 1.0))
+      ELSE n_a * CAST(n_b AS DOUBLE) * (nn + 1.0) * (3.0 + nn * nn)
+           / (48.0 * nn * nn) END) AS z_ab
+  FROM agg
+)
+SELECT n_a, n_b, round(z_w, 6) AS z_w, round(z_ab, 6) AS z_ab,
+  round(z_w * z_w + z_ab * z_ab, 6) AS l
+FROM z
+"""
+
+
+def grubbs(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Grubbs maximum-studentized-deviation outlier test (Grubbs 1950,
+    public literature): G = max|x_i − x̄| / s with the n−1 sample
+    s — the one-outlier screen a metrics pipeline runs before
+    trusting a per-host mean; pairs with the rank-robust
+    `robust_shape`, which refuses to see the outlier at all.
+
+    Deviations center on one exactly-shared mean (never the
+    sum-of-squares shortcut — catastrophic-cancellation parity
+    rule), and the offending value is returned via an exact argmax.
+    One row (n, mean_x, sd, g, x_at) rounded 6.
+
+    Scale shape: two folds (mean, then centered moments) + one
+    argmax — all map-side combinable.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    m = base.agg(F.avg("x").alias("mu"),
+                 F.count("*").cast("long").alias("n"))
+    d = (base.crossJoin(F.broadcast(m))
+         .withColumn("dev", F.abs(F.col("x") - F.col("mu"))))
+    agg = d.agg(F.max("n").alias("n"), F.max("mu").alias("mu"),
+                F.sum(F.pow(F.col("x") - F.col("mu"), F.lit(2.0)))
+                .alias("ss"),
+                F.max("dev").alias("mdev"))
+    pick = (d.crossJoin(F.broadcast(agg.select("mdev")))
+            .filter(F.col("dev") == F.col("mdev"))
+            .agg(F.min("x").alias("x_at")))
+    sd = F.sqrt(F.col("ss") / (F.col("n") - F.lit(1)).cast("double"))
+    return agg.crossJoin(F.broadcast(pick)).select(
+        "n", F.round("mu", 6).alias("mean_x"), F.round(sd, 6).alias("sd"),
+        F.round(F.col("mdev") / sd, 6).alias("g"),
+        F.round("x_at", 6).alias("x_at"))
+
+
+def grubbs_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`grubbs` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+m AS (SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n FROM base),
+d AS (
+  SELECT x, mu, n, abs(x - mu) AS dev FROM base CROSS JOIN m
+),
+agg AS (
+  SELECT max(n) AS n, max(mu) AS mu,
+    sum(pow(x - mu, 2.0)) AS ss, max(dev) AS mdev
+  FROM d
+),
+pick AS (
+  SELECT min(x) AS x_at FROM d CROSS JOIN agg WHERE dev = mdev
+)
+SELECT n, round(mu, 6) AS mean_x,
+  round(sqrt(ss / CAST(n - 1 AS DOUBLE)), 6) AS sd,
+  round(mdev / sqrt(ss / CAST(n - 1 AS DOUBLE)), 6) AS g,
+  round(x_at, 6) AS x_at
+FROM agg CROSS JOIN pick
+"""
+
+
+def tv_distance(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    key_col: str = "key",
+    grp_a=0,
+) -> DataFrame:
+    """Total-variation distance (public formula) between the
+    categorical distributions of two cohorts: TV = ½ Σ_k |p_k − q_k|
+    ∈ [0, 1] — the tightest "how much probability mass moved"
+    bound, the L1 sibling of the smooth `js_divergence` drift score
+    and the number that directly caps how differently any downstream
+    classifier can behave on the two cohorts.
+
+    Frequencies are exact count ratios over shared totals; zero-count
+    keys contribute their full mass from the present side. One row
+    (n_a, n_b, keys, tv) rounded 6.
+
+    Scale shape: one groupBy(key) with conditional partial counts +
+    one fold — map-side combinable.
+    """
+    base = rows.select(
+        (F.col(grp_col) == F.lit(grp_a)).cast("int").alias("a"),
+        F.col(key_col).cast("string").alias("k"))
+    per = base.groupBy("k").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("cb"))
+    tot = per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d = per.crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("ca") / F.col("na").cast("double")
+                - F.col("cb") / F.col("nb").cast("double"))
+    return d.agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                 F.count("*").cast("long").alias("keys"),
+                 F.round(F.sum(gap) / F.lit(2.0), 6).alias("tv"))
+
+
+def tv_distance_sql(rows_sql: str, grp_a_sql: str = "0") -> str:
+    """DuckDB mirror of :func:`tv_distance` over (grp, key)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a, CAST(key AS VARCHAR) AS k
+  FROM ({rows_sql})
+),
+per AS (
+  SELECT k, CAST(sum(a) AS BIGINT) AS ca,
+    CAST(sum(1 - a) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per)
+SELECT max(na) AS n_a, max(nb) AS n_b,
+  CAST(count(*) AS BIGINT) AS keys,
+  round(sum(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)))
+    / 2.0, 6) AS tv
+FROM per CROSS JOIN tot
+"""
+
+
+def psi_index(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    bin_col: str = "bin",
+    grp_a=0,
+) -> DataFrame:
+    """Population stability index (public credit-scoring formula) on
+    common support: PSI = Σ_bins (p − q)·ln(p/q) over the bins both
+    cohorts populate, with the mass that lives in one-sided bins
+    reported separately (p_only, q_only) instead of being hidden by
+    an epsilon smoother. The monitoring-dashboard twin of
+    `js_divergence`: unbounded, so a single shifted decile screams.
+
+    Frequencies are exact count ratios; the CASE keeps ln on strictly
+    positive ratios in both engines. One row
+    (n_a, n_b, bins_common, psi, p_only, q_only) rounded 6.
+
+    Scale shape: one groupBy(bin) + one fold — the input is already
+    binned upstream (fixed-width or quantile, caller's choice).
+    """
+    base = rows.select(
+        (F.col(grp_col) == F.lit(grp_a)).cast("int").alias("a"),
+        F.col(bin_col).cast("long").alias("b"))
+    per = base.groupBy("b").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("cb"))
+    tot = per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d = per.crossJoin(F.broadcast(tot)).select(
+        "ca", "cb", "na", "nb",
+        (F.col("ca") / F.col("na").cast("double")).alias("p"),
+        (F.col("cb") / F.col("nb").cast("double")).alias("q"))
+    both = (F.col("ca") > 0) & (F.col("cb") > 0)
+    term = F.when(both,
+                  (F.col("p") - F.col("q"))
+                  * F.log(F.col("p") / F.col("q"))).otherwise(F.lit(0.0))
+    return d.agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.sum(both.cast("long")).alias("bins_common"),
+        F.round(F.sum(term), 6).alias("psi"),
+        F.round(F.sum(F.when(F.col("cb") == 0, F.col("p"))
+                      .otherwise(F.lit(0.0))), 6).alias("p_only"),
+        F.round(F.sum(F.when(F.col("ca") == 0, F.col("q"))
+                      .otherwise(F.lit(0.0))), 6).alias("q_only"))
+
+
+def psi_index_sql(rows_sql: str, grp_a_sql: str = "0") -> str:
+    """DuckDB mirror of :func:`psi_index` over (grp, bin)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a, CAST(bin AS BIGINT) AS b
+  FROM ({rows_sql})
+),
+per AS (
+  SELECT b, CAST(sum(a) AS BIGINT) AS ca,
+    CAST(sum(1 - a) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+d AS (
+  SELECT ca, cb, na, nb, ca / CAST(na AS DOUBLE) AS p,
+    cb / CAST(nb AS DOUBLE) AS q
+  FROM per CROSS JOIN tot
+)
+SELECT max(na) AS n_a, max(nb) AS n_b,
+  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS bins_common,
+  round(sum(CASE WHEN ca > 0 AND cb > 0
+    THEN (p - q) * ln(p / q) ELSE 0.0 END), 6) AS psi,
+  round(sum(CASE WHEN cb = 0 THEN p ELSE 0.0 END), 6) AS p_only,
+  round(sum(CASE WHEN ca = 0 THEN q ELSE 0.0 END), 6) AS q_only
+FROM d
+"""

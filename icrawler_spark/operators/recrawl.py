@@ -3358,3 +3358,110 @@ SELECT CAST(count(*) AS BIGINT) AS n,
   round(arg_max(dd, t), 6) AS dd_end
 FROM dd
 """
+
+
+def cvm_exponential(
+    values: DataFrame,
+    x_col: str = "x",
+) -> DataFrame:
+    """Cramér-von Mises one-sample fit test against the exponential
+    law (public formula), rate fitted by the sample mean:
+    W² = 1/(12n) + Σ_i (F(x_(i)) − (2i−1)/(2n))² with
+    F(x) = 1 − e^{−x/μ}. The integrated-squared companion of
+    `ks_exponential`: KS scores the single worst ECDF gap, W² scores
+    the whole curve, so a gap spread across the body that never
+    spikes still registers — the fuller memorylessness audit for the
+    politeness models that assume Poisson arrivals.
+
+    Order statistics come from one deterministic sort (ties broken by
+    position don't change the sum: tied values get consecutive i with
+    the same F). One row (n, mean_x, w2) rounded 6.
+
+    Scale shape: one global sort window + one fold; at production
+    scale partition by host series — per-host gap samples are small.
+    """
+    base = values.select(F.col(x_col).cast("double").alias("x"))
+    m = base.agg(F.avg("x").alias("mu"),
+                 F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("x")
+    d = (base.crossJoin(F.broadcast(m))
+         .withColumn("i", F.row_number().over(w).cast("long")))
+    th = F.lit(1.0) - F.exp(-F.col("x") / F.col("mu"))
+    gap = th - (F.lit(2.0) * F.col("i") - 1).cast("double") \
+        / (F.lit(2.0) * F.col("n").cast("double"))
+    agg = d.agg(F.max("n").alias("n"), F.max("mu").alias("mu"),
+                F.sum(gap * gap).alias("s"))
+    w2 = F.lit(1.0) / (F.lit(12.0) * F.col("n").cast("double")) + F.col("s")
+    return agg.select("n", F.round("mu", 6).alias("mean_x"),
+                      F.round(w2, 6).alias("w2"))
+
+
+def cvm_exponential_sql(values_sql: str) -> str:
+    """DuckDB mirror of :func:`cvm_exponential` over an (x) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({values_sql})),
+m AS (SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n FROM base),
+d AS (
+  SELECT x, mu, n,
+    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+  FROM base CROSS JOIN m
+),
+agg AS (
+  SELECT max(n) AS n, max(mu) AS mu,
+    sum(pow((1.0 - exp(-x / mu))
+      - CAST(2 * i - 1 AS DOUBLE) / (2.0 * n), 2.0)) AS s
+  FROM d
+)
+SELECT n, round(mu, 6) AS mean_x,
+  round(1.0 / (12.0 * CAST(n AS DOUBLE)) + s, 6) AS w2
+FROM agg
+"""
+
+
+def sortino(
+    series: DataFrame,
+    x_col: str = "x",
+    target: float = 0.0,
+) -> DataFrame:
+    """Sortino ratio (public formula): (x̄ − τ) / √(mean(min(x−τ,0)²))
+    — mean excess over the target per unit of DOWNSIDE deviation
+    only. The pacing-quality twin of `max_drawdown`: a queue that
+    overshoots wildly but never starves scores high here and low on
+    a Sharpe-style symmetric ratio, which is exactly the asymmetry a
+    crawl budget wants.
+
+    The downside second moment uses the full-sample denominator
+    (population convention, documented); x̄ and the fold are exact
+    shared aggregates. One row (n, mean_x, downside_dev, sortino)
+    rounded 6.
+
+    Scale shape: one fold — fully map-side combinable, no window.
+    """
+    base = series.select(F.col(x_col).cast("double").alias("x"))
+    t = F.lit(float(target))
+    dn = F.least(F.col("x") - t, F.lit(0.0))
+    agg = base.agg(F.count("*").cast("long").alias("n"),
+                   F.avg("x").alias("mu"),
+                   F.avg(dn * dn).alias("d2"))
+    dd = F.sqrt(F.col("d2"))
+    return agg.select(
+        "n", F.round("mu", 6).alias("mean_x"),
+        F.round(dd, 6).alias("downside_dev"),
+        F.round((F.col("mu") - t) / dd, 6).alias("sortino"))
+
+
+def sortino_sql(series_sql: str, target: float = 0.0) -> str:
+    """DuckDB mirror of :func:`sortino` over an (x) SELECT."""
+    t = repr(float(target))
+    return f"""
+WITH base AS (SELECT CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mu,
+    avg(least(x - {t}, 0.0) * least(x - {t}, 0.0)) AS d2
+  FROM base
+)
+SELECT n, round(mu, 6) AS mean_x,
+  round(sqrt(d2), 6) AS downside_dev,
+  round((mu - {t}) / sqrt(d2), 6) AS sortino
+FROM agg
+"""

@@ -1,0 +1,194 @@
+"""Unit tests for the round-105 pack: Cucconi, Lepage, Grubbs,
+Cramér-von Mises vs exponential, Sortino, TV distance, PSI."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (cucconi, grubbs, lepage,
+                                             psi_index, tv_distance)
+from icrawler_spark.operators.recrawl import cvm_exponential, sortino
+
+
+def _two(spark, xs_a, xs_b):
+    rows = [(0, float(v)) for v in xs_a] + [(1, float(v)) for v in xs_b]
+    return spark.createDataFrame(rows, "grp int, x double")
+
+
+def _midranks(xs):
+    s = sorted(xs)
+    return [(sum(1 for v in s if v < x) + 1
+             + (sum(1 for v in s if v == x) - 1) / 2.0) for x in xs]
+
+
+def _cucconi_ref(xs_a, xs_b):
+    pool = list(xs_a) + list(xs_b)
+    r = _midranks(pool)[len(xs_a):]
+    m, n = len(xs_a), len(xs_b)
+    nn = m + n
+    den = math.sqrt(m * n * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0)
+    u = (6 * sum(v * v for v in r) - n * (nn + 1) * (2 * nn + 1)) / den
+    v = (6 * sum((nn + 1 - x) ** 2 for x in r)
+         - n * (nn + 1) * (2 * nn + 1)) / den
+    rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1.0
+    return u, v, (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+
+
+# ---------------------------------------------------------------------------
+# cucconi
+# ---------------------------------------------------------------------------
+
+def test_cucconi_matches_bruteforce(spark):
+    xs_a = [1.0, 3.0, 5.0, 7.0]
+    xs_b = [2.0, 4.0, 6.0, 20.0]
+    u, v, c = _cucconi_ref(xs_a, xs_b)
+    row = cucconi(_two(spark, xs_a, xs_b), grp_a=0).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (4, 4)
+    assert math.isclose(row["u"], u, abs_tol=1e-6)
+    assert math.isclose(row["v"], v, abs_tol=1e-6)
+    assert math.isclose(row["c"], c, abs_tol=1e-6)
+
+
+def test_cucconi_detects_shift_and_scale(spark):
+    base = [float(v) for v in range(1, 21)]
+    same = cucconi(_two(spark, base, base), grp_a=0).collect()[0]["c"]
+    shift = cucconi(_two(spark, base, [v + 30 for v in base]),
+                    grp_a=0).collect()[0]["c"]
+    scale = cucconi(_two(spark, base, [10.5 + (v - 10.5) * 6
+                                       for v in base]),
+                    grp_a=0).collect()[0]["c"]
+    assert shift > same and scale > same
+
+
+# ---------------------------------------------------------------------------
+# lepage
+# ---------------------------------------------------------------------------
+
+def test_lepage_components_split_shift_vs_scale(spark):
+    base = [float(v) for v in range(1, 21)]
+    sh = lepage(_two(spark, base, [v + 30 for v in base]),
+                grp_a=0).collect()[0]
+    sc = lepage(_two(spark, base, [10.5 + (v - 10.5) * 6 for v in base]),
+                grp_a=0).collect()[0]
+    assert abs(sh["z_w"]) > abs(sh["z_ab"])
+    assert abs(sc["z_ab"]) > abs(sc["z_w"])
+    assert sh["l"] > 5 and sc["l"] > 5
+
+
+def test_lepage_wilcoxon_z_hand_value(spark):
+    # A = {1,2}, B = {3,4}: W = 3, E = 2*5/2 = 5, Var = 4*5/12
+    row = lepage(_two(spark, [1, 2], [3, 4]), grp_a=0).collect()[0]
+    assert math.isclose(row["z_w"], (3 - 5) / math.sqrt(20 / 12.0),
+                        abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# grubbs
+# ---------------------------------------------------------------------------
+
+def test_grubbs_flags_the_spike(spark):
+    xs = [float(v) for v in range(1, 9)] + [100.0]
+    mu = sum(xs) / len(xs)
+    ss = sum((v - mu) ** 2 for v in xs)
+    sd = math.sqrt(ss / (len(xs) - 1))
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    row = grubbs(df).collect()[0]
+    assert row["x_at"] == 100.0
+    assert math.isclose(row["g"], (100.0 - mu) / sd, abs_tol=1e-6)
+
+
+def test_grubbs_ties_pick_smallest_attaining_value(spark):
+    # symmetric: both -5 and 5 attain max deviation → report -5
+    xs = [-5.0, 0.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    assert grubbs(df).collect()[0]["x_at"] == -5.0
+
+
+# ---------------------------------------------------------------------------
+# cvm_exponential
+# ---------------------------------------------------------------------------
+
+def test_cvm_expon_matches_bruteforce(spark):
+    xs = [0.5, 1.0, 2.0, 4.0, 8.0]
+    mu = sum(xs) / len(xs)
+    n = len(xs)
+    w2 = 1.0 / (12 * n) + sum(
+        ((1 - math.exp(-x / mu)) - (2 * (i + 1) - 1) / (2.0 * n)) ** 2
+        for i, x in enumerate(sorted(xs)))
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    row = cvm_exponential(df).collect()[0]
+    assert math.isclose(row["w2"], w2, abs_tol=1e-6)
+
+
+def test_cvm_expon_flat_data_fits_worse(spark):
+    geo = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    flat = [10.0, 10.5, 11.0, 11.5, 12.0, 12.5]
+    w_geo = cvm_exponential(
+        spark.createDataFrame([(v,) for v in geo], "x double")
+    ).collect()[0]["w2"]
+    w_flat = cvm_exponential(
+        spark.createDataFrame([(v,) for v in flat], "x double")
+    ).collect()[0]["w2"]
+    assert w_flat > w_geo
+
+
+# ---------------------------------------------------------------------------
+# sortino
+# ---------------------------------------------------------------------------
+
+def test_sortino_hand_value(spark):
+    df = spark.createDataFrame([(3.0,), (-1.0,)], "x double")
+    row = sortino(df).collect()[0]
+    assert math.isclose(row["downside_dev"], math.sqrt(0.5), abs_tol=1e-6)
+    assert math.isclose(row["sortino"], 1.0 / math.sqrt(0.5), abs_tol=1e-6)
+
+
+def test_sortino_ignores_upside_volatility(spark):
+    calm = sortino(spark.createDataFrame(
+        [(1.0,), (1.0,), (-1.0,)], "x double")).collect()[0]
+    spiky = sortino(spark.createDataFrame(
+        [(1.0,), (100.0,), (-1.0,)], "x double")).collect()[0]
+    assert math.isclose(calm["downside_dev"], spiky["downside_dev"],
+                        abs_tol=1e-6)
+    assert spiky["sortino"] > calm["sortino"]
+
+
+# ---------------------------------------------------------------------------
+# tv_distance
+# ---------------------------------------------------------------------------
+
+def test_tv_distance_hand_value(spark):
+    rows = [(0, "a")] * 2 + [(0, "b")] * 2 + [(1, "a")] + [(1, "b")] * 3
+    df = spark.createDataFrame(rows, "grp int, key string")
+    row = tv_distance(df, grp_a=0).collect()[0]
+    assert math.isclose(row["tv"], 0.25, abs_tol=1e-6)
+
+
+def test_tv_distance_disjoint_is_one(spark):
+    rows = [(0, "a"), (0, "b"), (1, "c"), (1, "d")]
+    df = spark.createDataFrame(rows, "grp int, key string")
+    assert math.isclose(tv_distance(df, grp_a=0).collect()[0]["tv"],
+                        1.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# psi_index
+# ---------------------------------------------------------------------------
+
+def test_psi_hand_value(spark):
+    rows = [(0, 0)] * 5 + [(0, 1)] * 5 + [(1, 0)] * 8 + [(1, 1)] * 2
+    df = spark.createDataFrame(rows, "grp int, bin long")
+    row = psi_index(df, grp_a=0).collect()[0]
+    want = (0.5 - 0.8) * math.log(0.5 / 0.8) \
+        + (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert math.isclose(row["psi"], want, abs_tol=1e-6)
+    assert row["p_only"] == 0.0 and row["q_only"] == 0.0
+
+
+def test_psi_one_sided_mass_reported_not_smoothed(spark):
+    rows = [(0, 0)] * 5 + [(0, 9)] * 5 + [(1, 0)] * 10
+    df = spark.createDataFrame(rows, "grp int, bin long")
+    row = psi_index(df, grp_a=0).collect()[0]
+    assert row["bins_common"] == 1
+    assert math.isclose(row["p_only"], 0.5, abs_tol=1e-6)
+    assert math.isclose(row["q_only"], 0.0, abs_tol=1e-6)
