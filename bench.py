@@ -410,6 +410,8 @@ _EXTRA_PICKS = [
     "ljung_box", "turning_pt", "bartels", "somers_d", "ca_trend", "drawdown",
     # round-3 batch-99 (location-scale pair + outlier + fit + drift panel)
     "cucconi", "lepage", "grubbs", "cvm_expon", "sortino", "tv_dist", "psi",
+    # round-3 batch-100 (the two-sample distribution-comparison panel)
+    "brunner", "bws", "energy_dist", "ks_2samp", "ad_2samp",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Round-3 driver-contract queries (batch 100): the two-sample panel —
+Brunner-Munzel, Baumgartner-Weiß-Schindler, energy distance, two-sample
+Kolmogorov-Smirnov and Anderson-Darling over even/odd event cohorts.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+
+# ---------------------------------------------------------------------------
+# shared fixture — even vs odd event ids, value metric
+# ---------------------------------------------------------------------------
+
+
+def _cohorts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("event_id") % 2).cast("int").alias("grp"),
+                     F.col("value").alias("x"),
+                     F.col("event_id").alias("id"))
+
+
+_COHORTS_SQL = """
+  SELECT CAST(event_id % 2 AS INT) AS grp, value AS x, event_id AS id
+  FROM events
+"""
+
+
+def q_brunner(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.brunner_munzel: heteroscedastic-safe rank test
+    — pooled + per-sample midrank windows, one fold."""
+    return _corpus.brunner_munzel(_cohorts(spark, sf), grp_a=0)
+
+
+def _brunner_sql() -> str:
+    return _corpus.brunner_munzel_sql(_COHORTS_SQL, "0")
+
+
+def q_bws(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.bws_test: variance-weighted whole-ECDF rank
+    test — one pooled sort + per-sample row_numbers + one fold."""
+    return _corpus.bws_test(_cohorts(spark, sf), grp_a=0)
+
+
+def _bws_sql() -> str:
+    return _corpus.bws_test_sql(_COHORTS_SQL, "0")
+
+
+def q_energy_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.energy_distance: 2∫(F−G)² breakpoint integral
+    — O(distinct) cumulative window, never an O(n²) pairs join."""
+    return _corpus.energy_distance(_cohorts(spark, sf), grp_a=0)
+
+
+def _energy_dist_sql() -> str:
+    return _corpus.energy_distance_sql(_COHORTS_SQL, "0")
+
+
+def q_ks_2samp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ks_2samp: sup ECDF gap on the pooled grid —
+    one cumulative window + exact argmax."""
+    return _corpus.ks_2samp(_cohorts(spark, sf), grp_a=0)
+
+
+def _ks_2samp_sql() -> str:
+    return _corpus.ks_2samp_sql(_COHORTS_SQL, "0")
+
+
+def q_ad_2samp(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ad_2samp: tail-weighted Pettitt A² — one
+    pooled sort window + one fold."""
+    return _corpus.ad_2samp(_cohorts(spark, sf), grp_a=0)
+
+
+def _ad_2samp_sql() -> str:
+    return _corpus.ad_2samp_sql(_COHORTS_SQL, "0")
+
+
+def queries106():
+    return {
+        "brunner": q_brunner,
+        "bws": q_bws,
+        "energy_dist": q_energy_dist,
+        "ks_2samp": q_ks_2samp,
+        "ad_2samp": q_ad_2samp,
+    }
+
+
+def oracle_sql106():
+    return {
+        "brunner": _brunner_sql(),
+        "bws": _bws_sql(),
+        "energy_dist": _energy_dist_sql(),
+        "ks_2samp": _ks_2samp_sql(),
+        "ad_2samp": _ad_2samp_sql(),
+    }

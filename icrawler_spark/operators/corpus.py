@@ -11631,3 +11631,424 @@ SELECT max(na) AS n_a, max(nb) AS n_b,
   round(sum(CASE WHEN ca = 0 THEN q ELSE 0.0 END), 6) AS q_only
 FROM d
 """
+
+def brunner_munzel(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test (Brunner & Munzel
+    2000, public literature): estimates p = P(X<Y) + ½P(X=Y) via
+    pooled midranks and studentizes it WITHOUT assuming equal
+    variances — the heteroscedastic-safe replacement for
+    `mann_whitney` when one latency pool is fat-tailed and the other
+    is not. With pooled midranks Rc, within-sample midranks Rw and
+    pooled means m_k: S_k² = Σ(Rc − Rw − m_k + (n_k+1)/2)²/(n_k−1),
+    W = n_a·n_b·(m_b − m_a) / (N·√(n_a·S_a² + n_b·S_b²)).
+
+    Midranks (both pooled and within-sample) are tiebreak-order
+    independent, so the engines agree exactly. One row
+    (n_a, n_b, p_hat, w) rounded 6.
+
+    Scale shape: one pooled rank window + one per-sample rank window
+    + one fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"))
+    wr = Window.orderBy("x")
+    we = Window.partitionBy("x")
+    wg = Window.partitionBy("ia").orderBy("x")
+    wge = Window.partitionBy("ia", "x")
+    rk = base.select(
+        "ia",
+        (F.rank().over(wr).cast("double")
+         + (F.count("*").over(we) - F.lit(1)).cast("double") / F.lit(2.0)
+         ).alias("rc"),
+        (F.rank().over(wg).cast("double")
+         + (F.count("*").over(wge) - F.lit(1)).cast("double") / F.lit(2.0)
+         ).alias("rw"))
+    m = rk.groupBy("ia").agg(F.avg("rc").alias("mk"),
+                             F.count("*").cast("long").alias("nk"))
+    d = rk.join(F.broadcast(m), "ia")
+    dev = F.col("rc") - F.col("rw") - F.col("mk") \
+        + (F.col("nk") + F.lit(1)).cast("double") / F.lit(2.0)
+    agg = d.groupBy("ia").agg(
+        F.max("nk").alias("nk"), F.max("mk").alias("mk"),
+        (F.sum(dev * dev) / (F.max("nk") - F.lit(1)).cast("double"))
+        .alias("s2"))
+    a = agg.filter(F.col("ia")).select(
+        F.col("nk").alias("n_a"), F.col("mk").alias("m_a"),
+        F.col("s2").alias("s2_a"))
+    b = agg.filter(~F.col("ia")).select(
+        F.col("nk").alias("n_b"), F.col("mk").alias("m_b"),
+        F.col("s2").alias("s2_b"))
+    j = a.crossJoin(F.broadcast(b))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    p_hat = (F.col("m_b") - (nb + 1) / 2) / na
+    w = (na * nb * (F.col("m_b") - F.col("m_a"))
+         / ((na + nb) * F.sqrt(na * F.col("s2_a") + nb * F.col("s2_b"))))
+    return j.select("n_a", "n_b", F.round(p_hat, 6).alias("p_hat"),
+                    F.round(w, 6).alias("w"))
+
+
+def brunner_munzel_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`brunner_munzel` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+rk AS (
+  SELECT ia,
+    CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+      + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS rc,
+    CAST(rank() OVER (PARTITION BY ia ORDER BY x) AS DOUBLE)
+      + CAST(count(*) OVER (PARTITION BY ia, x) - 1 AS DOUBLE) / 2.0 AS rw
+  FROM base
+),
+m AS (
+  SELECT ia, avg(rc) AS mk, CAST(count(*) AS BIGINT) AS nk
+  FROM rk GROUP BY 1
+),
+agg AS (
+  SELECT r.ia, max(m.nk) AS nk, max(m.mk) AS mk,
+    sum(pow(r.rc - r.rw - m.mk + (m.nk + 1.0) / 2.0, 2.0))
+      / CAST(max(m.nk) - 1 AS DOUBLE) AS s2
+  FROM rk r JOIN m ON m.ia = r.ia
+  GROUP BY 1
+),
+j AS (
+  SELECT a.nk AS n_a, a.mk AS m_a, a.s2 AS s2_a,
+    b.nk AS n_b, b.mk AS m_b, b.s2 AS s2_b
+  FROM (SELECT * FROM agg WHERE ia) a
+  CROSS JOIN (SELECT * FROM agg WHERE NOT ia) b
+)
+SELECT n_a, n_b,
+  round((m_b - (CAST(n_b AS DOUBLE) + 1) / 2)
+    / CAST(n_a AS DOUBLE), 6) AS p_hat,
+  round(CAST(n_a AS DOUBLE) * n_b * (m_b - m_a)
+    / ((CAST(n_a AS DOUBLE) + n_b)
+       * sqrt(n_a * s2_a + n_b * s2_b)), 6) AS w
+FROM j
+"""
+
+
+def bws_test(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+    id_col: str = "id",
+) -> DataFrame:
+    """Baumgartner-Weiß-Schindler two-sample test (BWS 1998, public
+    literature): B = (B_A + B_B)/2 with B_A = (1/n_a) Σ_i
+    (R_i − N/n_a·i)² / ((i/(n_a+1))(1−i/(n_a+1)) · n_b·N/n_a), R_i
+    the pooled rank of sample A's i-th order statistic — a
+    variance-weighted whole-ECDF comparison that out-powers both KS
+    and Cramér-von Mises against tail differences (the shape a mirror
+    with truncated slow-tail shows).
+
+    Ranks use one deterministic pooled sort with the caller's unique
+    id as tiebreak (documented: the classic statistic assumes
+    continuous data; under ties this is the fixed-order variant, and
+    both engines order identically). One row (n_a, n_b, b_a, b_b, b)
+    rounded 6.
+
+    Scale shape: one pooled sort window + two per-sample row_number
+    windows + one fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).alias("ia"),
+                          F.col(x_col).cast("double").alias("x"),
+                          F.col(id_col).cast("long").alias("id"))
+    wr = Window.orderBy("x", "id")
+    wg = Window.partitionBy("ia").orderBy("x", "id")
+    rk = base.select(
+        "ia",
+        F.row_number().over(wr).cast("double").alias("r"),
+        F.row_number().over(wg).cast("double").alias("i"))
+    m = rk.groupBy("ia").agg(F.count("*").cast("long").alias("nk"))
+    tot = m.agg(F.sum("nk").alias("nn"))
+    d = (rk.join(F.broadcast(m), "ia").crossJoin(F.broadcast(tot)))
+    nk = F.col("nk").cast("double")
+    nn = F.col("nn").cast("double")
+    other = nn - nk
+    frac = F.col("i") / (nk + 1)
+    term = (F.pow(F.col("r") - nn / nk * F.col("i"), F.lit(2.0))
+            / (frac * (1 - frac) * other * nn / nk))
+    agg = d.groupBy("ia").agg(
+        F.max("nk").alias("nk"),
+        (F.sum(term) / F.max(nk)).alias("bk"))
+    a = agg.filter(F.col("ia")).select(F.col("nk").alias("n_a"),
+                                       F.col("bk").alias("b_a"))
+    b = agg.filter(~F.col("ia")).select(F.col("nk").alias("n_b"),
+                                        F.col("bk").alias("b_b"))
+    j = a.crossJoin(F.broadcast(b))
+    return j.select("n_a", "n_b", F.round("b_a", 6).alias("b_a"),
+                    F.round("b_b", 6).alias("b_b"),
+                    F.round((F.col("b_a") + F.col("b_b")) / 2, 6)
+                    .alias("b"))
+
+
+def bws_test_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`bws_test` over a (grp, x, id) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT grp = {grp_a_sql} AS ia, CAST(x AS DOUBLE) AS x,
+    CAST(id AS BIGINT) AS id
+  FROM ({samples_sql})
+),
+rk AS (
+  SELECT ia,
+    CAST(row_number() OVER (ORDER BY x, id) AS DOUBLE) AS r,
+    CAST(row_number() OVER (PARTITION BY ia ORDER BY x, id) AS DOUBLE)
+      AS i
+  FROM base
+),
+m AS (SELECT ia, CAST(count(*) AS BIGINT) AS nk FROM rk GROUP BY 1),
+tot AS (SELECT sum(nk) AS nn FROM m),
+agg AS (
+  SELECT r.ia, max(m.nk) AS nk,
+    sum(pow(r.r - CAST(nn AS DOUBLE) / m.nk * r.i, 2.0)
+      / ((r.i / (m.nk + 1.0)) * (1 - r.i / (m.nk + 1.0))
+         * (CAST(nn AS DOUBLE) - m.nk) * nn / m.nk))
+      / max(CAST(m.nk AS DOUBLE)) AS bk
+  FROM rk r JOIN m ON m.ia = r.ia CROSS JOIN tot
+  GROUP BY 1
+),
+j AS (
+  SELECT a.nk AS n_a, a.bk AS b_a, b.nk AS n_b, b.bk AS b_b
+  FROM (SELECT * FROM agg WHERE ia) a
+  CROSS JOIN (SELECT * FROM agg WHERE NOT ia) b
+)
+SELECT n_a, n_b, round(b_a, 6) AS b_a, round(b_b, 6) AS b_b,
+  round((b_a + b_b) / 2, 6) AS b
+FROM j
+"""
+
+
+def energy_distance(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Squared energy distance between two 1-d samples (Székely &
+    Rizzo, public literature), via the exact univariate identity
+    D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| = 2∫(F−G)² dt — an
+    expectation-of-distances metric that is zero iff the
+    distributions match, computed here WITHOUT any pairwise join:
+    the integral is a single pass over the distinct pooled values
+    with each step weighted by the gap to the next value.
+
+    ECDF steps are exact count ratios and the breakpoint integral is
+    a finite sum, identical in both engines. One row
+    (n_a, n_b, e2) rounded 6.
+
+    Scale shape: one groupBy(value) + one ordered cumulative window
+    over distinct values + one fold — O(distinct) state, never
+    O(n²) pairs.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).cast("int").alias("a"),
+                          F.col(x_col).cast("double").alias("x"))
+    per = base.groupBy("x").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("cb"))
+    tot = per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("x")
+    d = (per.crossJoin(F.broadcast(tot))
+         .withColumn("fa", F.sum("ca").over(w) / F.col("na").cast("double"))
+         .withColumn("fb", F.sum("cb").over(w) / F.col("nb").cast("double"))
+         .withColumn("nx", F.lead("x", 1).over(wl)))
+    gap2 = F.pow(F.col("fa") - F.col("fb"), F.lit(2.0)) \
+        * (F.col("nx") - F.col("x"))
+    return d.agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.round(F.lit(2.0) * F.sum(F.when(F.col("nx").isNotNull(), gap2)
+                                   .otherwise(F.lit(0.0))), 6).alias("e2"))
+
+
+def energy_distance_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`energy_distance` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+per AS (
+  SELECT x, CAST(sum(a) AS BIGINT) AS ca,
+    CAST(sum(1 - a) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+d AS (
+  SELECT x, na, nb,
+    sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+      / CAST(na AS DOUBLE) AS fa,
+    sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+      / CAST(nb AS DOUBLE) AS fb,
+    lead(x, 1) OVER (ORDER BY x) AS nx
+  FROM per CROSS JOIN tot
+)
+SELECT max(na) AS n_a, max(nb) AS n_b,
+  round(2.0 * sum(CASE WHEN nx IS NOT NULL
+    THEN pow(fa - fb, 2.0) * (nx - x) ELSE 0.0 END), 6) AS e2
+FROM d
+"""
+
+
+def ks_2samp(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (public formula):
+    D = sup_x |F_a(x) − F_b(x)|, evaluated exactly at the pooled
+    jump points, with the asymptotic scaling √(n_a·n_b/N)·D — the
+    default "same latency distribution?" gate between two proxy
+    pools, distribution-free and tail-agnostic (pair with
+    `energy_distance`/`bws_test` when the tails are the question).
+
+    Both ECDFs are right-continuous cumulative count ratios over the
+    SAME distinct-value grid, so the sup is attained on the grid and
+    both engines agree exactly; d_at is the smallest attaining value.
+    One row (n_a, n_b, d, d_at, ks_stat) rounded 6.
+
+    Scale shape: one groupBy(value) + one cumulative window over
+    distinct values + one argmax fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).cast("int").alias("a"),
+                          F.col(x_col).cast("double").alias("x"))
+    per = base.groupBy("x").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("cb"))
+    tot = per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    d = (per.crossJoin(F.broadcast(tot))
+         .withColumn("g", F.abs(
+             F.sum("ca").over(w) / F.col("na").cast("double")
+             - F.sum("cb").over(w) / F.col("nb").cast("double"))))
+    best = d.agg(F.max("g").alias("m"))
+    pick = (d.crossJoin(F.broadcast(best))
+            .filter(F.col("g") == F.col("m"))
+            .agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                 F.max("m").alias("d"), F.min("x").alias("d_at")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    return pick.select(
+        "n_a", "n_b", F.round("d", 6).alias("d"),
+        F.round("d_at", 6).alias("d_at"),
+        F.round(F.sqrt(na * nb / (na + nb)) * F.col("d"), 6)
+        .alias("ks_stat"))
+
+
+def ks_2samp_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`ks_2samp` over a (grp, x) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a, CAST(x AS DOUBLE) AS x
+  FROM ({samples_sql})
+),
+per AS (
+  SELECT x, CAST(sum(a) AS BIGINT) AS ca,
+    CAST(sum(1 - a) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+d AS (
+  SELECT x, na, nb,
+    abs(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        / CAST(na AS DOUBLE)
+      - sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        / CAST(nb AS DOUBLE)) AS g
+  FROM per CROSS JOIN tot
+),
+best AS (SELECT max(g) AS m FROM d),
+pick AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b, max(m) AS d,
+    min(x) AS d_at
+  FROM d CROSS JOIN best WHERE g = m
+)
+SELECT n_a, n_b, round(d, 6) AS d, round(d_at, 6) AS d_at,
+  round(sqrt(CAST(n_a AS DOUBLE) * n_b
+    / (CAST(n_a AS DOUBLE) + n_b)) * d, 6) AS ks_stat
+FROM pick
+"""
+
+
+def ad_2samp(
+    samples: DataFrame,
+    grp_a,
+    grp_col: str = "grp",
+    x_col: str = "x",
+    id_col: str = "id",
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt 1976 form,
+    public literature): A² = (1/(n_a·n_b)) Σ_{i=1}^{N−1}
+    (N·M_i − n_a·i)² / (i·(N−i)), M_i the count of sample-A values
+    among the i smallest pooled — the tail-weighted ECDF comparison
+    (weights blow up at both ends) that catches the
+    slow-one-percent regression `ks_2samp`'s body-dominated sup
+    misses.
+
+    The pooled order uses the caller's unique id as tiebreak
+    (documented: the classic statistic assumes continuous data; this
+    is the fixed-order variant and both engines order identically).
+    One row (n_a, n_b, a2) rounded 6.
+
+    Scale shape: one pooled sort window + one fold.
+    """
+    base = samples.select((F.col(grp_col) == grp_a).cast("int").alias("a"),
+                          F.col(x_col).cast("double").alias("x"),
+                          F.col(id_col).cast("long").alias("id"))
+    tot = base.agg(F.sum("a").alias("na"),
+                   F.sum(F.lit(1) - F.col("a")).alias("nb"),
+                   F.count("*").cast("long").alias("nn"))
+    wr = Window.orderBy("x", "id")
+    wc = Window.orderBy("x", "id").rowsBetween(Window.unboundedPreceding, 0)
+    d = (base.crossJoin(F.broadcast(tot))
+         .withColumn("i", F.row_number().over(wr).cast("long"))
+         .withColumn("mi", F.sum("a").over(wc).cast("long")))
+    nn = F.col("nn").cast("double")
+    term = (F.pow(nn * F.col("mi") - F.col("na") * F.col("i"), F.lit(2.0))
+            / (F.col("i") * (F.col("nn") - F.col("i"))).cast("double"))
+    agg = (d.filter(F.col("i") < F.col("nn"))
+           .agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                F.sum(term).alias("s")))
+    a2 = F.col("s") / (F.col("n_a") * F.col("n_b")).cast("double")
+    return agg.select("n_a", "n_b", F.round(a2, 6).alias("a2"))
+
+
+def ad_2samp_sql(samples_sql: str, grp_a_sql: str) -> str:
+    """DuckDB mirror of :func:`ad_2samp` over a (grp, x, id) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a, CAST(x AS DOUBLE) AS x,
+    CAST(id AS BIGINT) AS id
+  FROM ({samples_sql})
+),
+tot AS (
+  SELECT sum(a) AS na, sum(1 - a) AS nb,
+    CAST(count(*) AS BIGINT) AS nn
+  FROM base
+),
+d AS (
+  SELECT na, nb, nn,
+    CAST(row_number() OVER (ORDER BY x, id) AS BIGINT) AS i,
+    CAST(sum(a) OVER (ORDER BY x, id ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS mi
+  FROM base CROSS JOIN tot
+),
+agg AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+    sum(pow(CAST(nn AS DOUBLE) * mi - na * i, 2.0)
+      / CAST(i * (nn - i) AS DOUBLE)) AS s
+  FROM d WHERE i < nn
+)
+SELECT n_a, n_b,
+  round(s / CAST(n_a * n_b AS DOUBLE), 6) AS a2
+FROM agg
+"""

@@ -1,0 +1,175 @@
+"""Unit tests for the round-106 pack: Brunner-Munzel, BWS, energy
+distance, two-sample KS, two-sample Anderson-Darling."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import (ad_2samp, brunner_munzel,
+                                             bws_test, energy_distance,
+                                             ks_2samp)
+
+
+def _two(spark, xs_a, xs_b, with_id=False):
+    rows_a = [(0, float(v), i) for i, v in enumerate(xs_a)]
+    rows_b = [(1, float(v), 1000 + i) for i, v in enumerate(xs_b)]
+    df = spark.createDataFrame(rows_a + rows_b,
+                               "grp int, x double, id long")
+    return df if with_id else df.select("grp", "x")
+
+
+def _midranks_of(pool, xs):
+    s = sorted(pool)
+    return [(sum(1 for v in s if v < x) + 1
+             + (sum(1 for v in s if v == x) - 1) / 2.0) for x in xs]
+
+
+def _bm_ref(xs_a, xs_b):
+    pool = list(xs_a) + list(xs_b)
+    rca = _midranks_of(pool, xs_a)
+    rcb = _midranks_of(pool, xs_b)
+    rwa = _midranks_of(xs_a, xs_a)
+    rwb = _midranks_of(xs_b, xs_b)
+    na, nb = len(xs_a), len(xs_b)
+    ma, mb = sum(rca) / na, sum(rcb) / nb
+    sa = sum((rc - rw - ma + (na + 1) / 2.0) ** 2
+             for rc, rw in zip(rca, rwa)) / (na - 1)
+    sb = sum((rc - rw - mb + (nb + 1) / 2.0) ** 2
+             for rc, rw in zip(rcb, rwb)) / (nb - 1)
+    w = na * nb * (mb - ma) / ((na + nb) * math.sqrt(na * sa + nb * sb))
+    p_hat = (mb - (nb + 1) / 2.0) / na
+    return p_hat, w
+
+
+# ---------------------------------------------------------------------------
+# brunner_munzel
+# ---------------------------------------------------------------------------
+
+def test_brunner_munzel_matches_bruteforce(spark):
+    xs_a = [1.0, 2.0, 2.0, 5.0, 9.0]
+    xs_b = [3.0, 4.0, 4.0, 7.0, 8.0, 12.0]
+    p, w = _bm_ref(xs_a, xs_b)
+    row = brunner_munzel(_two(spark, xs_a, xs_b), grp_a=0).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (5, 6)
+    assert math.isclose(row["p_hat"], p, abs_tol=1e-6)
+    assert math.isclose(row["w"], w, abs_tol=1e-6)
+
+
+def test_brunner_munzel_shift_sign(spark):
+    base = [float(v) for v in range(1, 16)]
+    up = brunner_munzel(_two(spark, base, [v + 10 for v in base]),
+                        grp_a=0).collect()[0]
+    assert up["p_hat"] > 0.8 and up["w"] > 2
+
+
+# ---------------------------------------------------------------------------
+# bws_test
+# ---------------------------------------------------------------------------
+
+def _bws_ref(xs_a, xs_b):
+    na, nb = len(xs_a), len(xs_b)
+    nn = na + nb
+    pool = sorted([(v, 0, i) for i, v in enumerate(xs_a)]
+                  + [(v, 1, 1000 + i) for i, v in enumerate(xs_b)],
+                  key=lambda t: (t[0], t[2]))
+    out = []
+    for grp, nk in ((0, na), (1, nb)):
+        other = nn - nk
+        ranks = [r + 1 for r, t in enumerate(pool) if t[1] == grp]
+        bk = sum((r - nn / nk * i) ** 2
+                 / ((i / (nk + 1)) * (1 - i / (nk + 1)) * other * nn / nk)
+                 for i, r in enumerate(ranks, start=1)) / nk
+        out.append(bk)
+    return out[0], out[1], (out[0] + out[1]) / 2
+
+
+def test_bws_matches_bruteforce(spark):
+    xs_a = [1.0, 4.0, 6.0, 9.0, 13.0]
+    xs_b = [2.0, 3.0, 7.0, 11.0, 12.0, 20.0]
+    b_a, b_b, b = _bws_ref(xs_a, xs_b)
+    row = bws_test(_two(spark, xs_a, xs_b, with_id=True),
+                   grp_a=0).collect()[0]
+    assert math.isclose(row["b_a"], b_a, abs_tol=1e-6)
+    assert math.isclose(row["b_b"], b_b, abs_tol=1e-6)
+    assert math.isclose(row["b"], b, abs_tol=1e-6)
+
+
+def test_bws_grows_with_separation(spark):
+    base = [float(v) for v in range(1, 11)]
+    near = bws_test(_two(spark, base, [v + 0.5 for v in base],
+                         with_id=True), grp_a=0).collect()[0]["b"]
+    far = bws_test(_two(spark, base, [v + 20 for v in base],
+                        with_id=True), grp_a=0).collect()[0]["b"]
+    assert far > near
+
+
+# ---------------------------------------------------------------------------
+# energy_distance
+# ---------------------------------------------------------------------------
+
+def test_energy_distance_matches_pairwise(spark):
+    xs_a = [1.0, 3.0, 3.0, 8.0]
+    xs_b = [2.0, 5.0, 9.0]
+    na, nb = len(xs_a), len(xs_b)
+    exy = sum(abs(x - y) for x in xs_a for y in xs_b) / (na * nb)
+    exx = sum(abs(x - y) for x in xs_a for y in xs_a) / (na * na)
+    eyy = sum(abs(x - y) for x in xs_b for y in xs_b) / (nb * nb)
+    want = 2 * exy - exx - eyy
+    row = energy_distance(_two(spark, xs_a, xs_b), grp_a=0).collect()[0]
+    assert math.isclose(row["e2"], want, abs_tol=1e-6)
+
+
+def test_energy_distance_zero_for_identical(spark):
+    xs = [1.0, 2.0, 5.0, 7.0]
+    row = energy_distance(_two(spark, xs, xs), grp_a=0).collect()[0]
+    assert math.isclose(row["e2"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ks_2samp
+# ---------------------------------------------------------------------------
+
+def test_ks_2samp_hand_value(spark):
+    # A={1,2,3,4}, B={3,4,5,6}: sup gap 0.5 first attained at x=2
+    row = ks_2samp(_two(spark, [1, 2, 3, 4], [3, 4, 5, 6]),
+                   grp_a=0).collect()[0]
+    assert math.isclose(row["d"], 0.5, abs_tol=1e-6)
+    assert row["d_at"] == 2.0
+    assert math.isclose(row["ks_stat"], math.sqrt(2.0) * 0.5,
+                        abs_tol=1e-6)
+
+
+def test_ks_2samp_disjoint_is_one(spark):
+    row = ks_2samp(_two(spark, [1, 2], [10, 11]), grp_a=0).collect()[0]
+    assert math.isclose(row["d"], 1.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ad_2samp
+# ---------------------------------------------------------------------------
+
+def test_ad_2samp_matches_bruteforce(spark):
+    xs_a = [1.0, 4.0, 6.0, 9.0]
+    xs_b = [2.0, 3.0, 7.0, 11.0, 12.0]
+    na, nb = len(xs_a), len(xs_b)
+    nn = na + nb
+    pool = sorted([(v, 1, i) for i, v in enumerate(xs_a)]
+                  + [(v, 0, 1000 + i) for i, v in enumerate(xs_b)],
+                  key=lambda t: (t[0], t[2]))
+    mi, s = 0, 0.0
+    for i, (v, a, _) in enumerate(pool[:-1], start=1):
+        mi += a
+        s += (nn * mi - na * i) ** 2 / (i * (nn - i))
+    want = s / (na * nb)
+    row = ad_2samp(_two(spark, xs_a, xs_b, with_id=True),
+                   grp_a=0).collect()[0]
+    assert math.isclose(row["a2"], want, abs_tol=1e-6)
+
+
+def test_ad_2samp_tail_shift_beats_identical(spark):
+    base = [float(v) for v in range(1, 21)]
+    same = ad_2samp(_two(spark, base, base, with_id=True),
+                    grp_a=0).collect()[0]["a2"]
+    tail = ad_2samp(_two(spark, base, base[:-3] + [80.0, 90.0, 99.0],
+                         with_id=True), grp_a=0).collect()[0]["a2"]
+    assert tail > same
