@@ -412,6 +412,8 @@ _EXTRA_PICKS = [
     "cucconi", "lepage", "grubbs", "cvm_expon", "sortino", "tv_dist", "psi",
     # round-3 batch-100 (the two-sample distribution-comparison panel)
     "brunner", "bws", "energy_dist", "ks_2samp", "ad_2samp",
+    # round-3 batch-101 (components + community + vocab growth + keywords)
+    "label_prop", "conductance", "heaps", "log_odds",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Round-3 driver-contract queries (batch 101): min-label propagation
+components, partition conductance, Heaps'-law vocabulary growth, and
+Monroe log-odds keyword contrast.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _docs, _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators.docdedup import tokens_col
+
+# ---------------------------------------------------------------------------
+# label_prop — five 8-host blocks must collapse to their min host ids
+# ---------------------------------------------------------------------------
+
+_LP_N = 40
+_LP_BLK = 8
+_LP_ITERS = 3
+
+
+def _lp_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    src = (F.col("user_id") % _LP_N).cast("long")
+    off = src - (src % _LP_BLK)
+    dst = off + (src % _LP_BLK + F.col("event_id") % 5 + 1) % _LP_BLK
+    return ev.select(src.alias("src"), dst.cast("long").alias("dst"))
+
+
+_LP_EDGES_SQL = (
+    f"SELECT CAST(user_id % {_LP_N} AS BIGINT) AS src, "
+    f"CAST((user_id % {_LP_N}) - ((user_id % {_LP_N}) % {_LP_BLK}) "
+    f"+ ((user_id % {_LP_N}) % {_LP_BLK} + event_id % 5 + 1) % {_LP_BLK} "
+    f"AS BIGINT) AS dst FROM events")
+
+
+def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.label_prop: synchronous min-label rounds —
+    k bucketable hash joins, no driver iteration."""
+    return _graph.label_prop(_lp_edges(spark, sf), n_iters=_LP_ITERS)
+
+
+def _label_prop_sql() -> str:
+    return _graph.label_prop_sql(_LP_EDGES_SQL, n_iters=_LP_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# conductance — is the even-host slice a community or a random cut?
+# ---------------------------------------------------------------------------
+
+
+def _cd_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    src = (F.col("user_id") % _LP_N).cast("long")
+    dst = ((src + F.col("event_id") % 6 + 1) % _LP_N).cast("long")
+    return ev.select((src % 2 == 0).alias("a"), (dst % 2 == 0).alias("b"))
+
+
+_CD_EDGES_SQL = (
+    f"SELECT (user_id % {_LP_N}) % 2 = 0 AS a, "
+    f"(((user_id % {_LP_N}) + event_id % 6 + 1) % {_LP_N}) % 2 = 0 AS b "
+    f"FROM events")
+
+
+def q_conductance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.conductance: cut / min-volume for a precomputed
+    membership — one map-side fold."""
+    return _graph.conductance(_cd_edges(spark, sf))
+
+
+def _conductance_sql() -> str:
+    return _graph.conductance_sql(_CD_EDGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# heaps — vocabulary growth exponent of the document stream
+# ---------------------------------------------------------------------------
+
+_HL_DOCS_SQL = "SELECT doc_id, text FROM documents"
+_HL_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text),"
+                " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def q_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.heaps_law: V(n)=K·n^β via first-occurrence
+    marking + doc-boundary OLS — token-partitioned rank window."""
+    return _corpus.heaps_law(_docs(spark, sf))
+
+
+def _heaps_sql() -> str:
+    return _corpus.heaps_law_sql(_HL_DOCS_SQL, _HL_NORM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# log_odds — what words mark the even-doc cohort?
+# ---------------------------------------------------------------------------
+
+
+def _lo_rows(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (d.select((F.col("doc_id") % 2).cast("int").alias("grp"),
+                     F.explode(tokens_col("text")).alias("tok")))
+
+
+_LO_ROWS_SQL = f"""
+  SELECT CAST(doc_id % 2 AS INT) AS grp, unnest(string_split(
+    {_HL_NORM_SQL}, ' ')) AS tok
+  FROM documents
+"""
+
+
+def q_log_odds(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.log_odds_terms: Fightin'-Words shrunken
+    log-odds top-k — one groupBy(token) + broadcast totals."""
+    return _corpus.log_odds_terms(_lo_rows(spark, sf), grp_a=0)
+
+
+def _log_odds_sql() -> str:
+    return _corpus.log_odds_terms_sql(_LO_ROWS_SQL, "0")
+
+
+def queries107():
+    return {
+        "label_prop": q_label_prop,
+        "conductance": q_conductance,
+        "heaps": q_heaps,
+        "log_odds": q_log_odds,
+    }
+
+
+def oracle_sql107():
+    return {
+        "label_prop": _label_prop_sql(),
+        "conductance": _conductance_sql(),
+        "heaps": _heaps_sql(),
+        "log_odds": _log_odds_sql(),
+    }

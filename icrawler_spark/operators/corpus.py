@@ -12052,3 +12052,188 @@ SELECT n_a, n_b,
   round(s / CAST(n_a * n_b AS DOUBLE), 6) AS a2
 FROM agg
 """
+
+def heaps_law(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (public literature):
+    V(n) ≈ K·n^β, estimated by OLS on (ln tokens-seen,
+    ln distinct-tokens-seen) at every document boundary of the
+    id-ordered corpus stream. The capacity-planning constant for
+    every dictionary the pipeline keeps (minhash vocab, tfidf terms,
+    language-ID n-grams): β says how fast those state stores grow as
+    the crawl scales 100×, and the companion sub-linear check that
+    `richness`-style single-point indices can't give.
+
+    First occurrences are exact (row_number over token, ordered by
+    the unique (doc_id, position)); the OLS centers on exact shared
+    means. One row (docs, toks, vocab, beta, k) rounded 6.
+
+    Scale shape: one groupBy-free rank window partitioned BY TOKEN
+    (uniform hash keys) + one per-doc fold + one cumulative window
+    over doc ids + one small OLS fold.
+    """
+    toked = docs.select(F.col(id_col).cast("long").alias("id"),
+                        tokens_col(text_col).alias("l"))
+    toks = toked.select(
+        "id", F.posexplode("l").alias("pos", "tok"))
+    wf = Window.partitionBy("tok").orderBy("id", "pos")
+    first = toks.withColumn(
+        "is_first", (F.row_number().over(wf) == 1).cast("long"))
+    per = first.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum("is_first").cast("long").alias("n_new"))
+    wc = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per.withColumn("ct", F.sum("n_toks").over(wc))
+           .withColumn("cv", F.sum("n_new").over(wc))
+           .select(F.log("ct").alias("u"), F.log("cv").alias("w"),
+                   "ct", "cv"))
+    m = cum.agg(F.avg("u").alias("mu"), F.avg("w").alias("mw"),
+                F.count("*").cast("long").alias("docs"),
+                F.max("ct").alias("toks"), F.max("cv").alias("vocab"))
+    d = cum.crossJoin(F.broadcast(m))
+    agg = d.agg(
+        F.max("docs").alias("docs"), F.max("toks").alias("toks"),
+        F.max("vocab").alias("vocab"), F.max("mu").alias("mu"),
+        F.max("mw").alias("mw"),
+        F.sum((F.col("u") - F.col("mu")) * (F.col("w") - F.col("mw")))
+        .alias("sxy"),
+        F.sum(F.pow(F.col("u") - F.col("mu"), F.lit(2.0))).alias("sxx"))
+    beta = F.col("sxy") / F.col("sxx")
+    k = F.exp(F.col("mw") - beta * F.col("mu"))
+    return agg.select("docs", "toks", "vocab",
+                      F.round(beta, 6).alias("beta"),
+                      F.round(k, 6).alias("k"))
+
+
+def heaps_law_sql(docs_sql: str, norm_sql: str) -> str:
+    """DuckDB mirror of :func:`heaps_law`; ``norm_sql`` is the
+    normalized-text expression over the ``text`` column."""
+    return f"""
+WITH toked AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+    string_split({norm_sql}, ' ') AS l
+  FROM ({docs_sql})
+),
+toks AS (
+  SELECT id, x AS pos, l[x] AS tok
+  FROM (SELECT id, l, unnest(range(1, len(l) + 1)) AS x FROM toked)
+),
+first AS (
+  SELECT id,
+    CAST(row_number() OVER (PARTITION BY tok ORDER BY id, pos) = 1
+      AS BIGINT) AS is_first
+  FROM toks
+),
+per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_toks,
+    CAST(sum(is_first) AS BIGINT) AS n_new
+  FROM first GROUP BY 1
+),
+cum AS (
+  SELECT ln(sum(n_toks) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING))
+      AS u,
+    ln(sum(n_new) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)) AS w,
+    sum(n_toks) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS ct,
+    sum(n_new) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cv
+  FROM per
+),
+m AS (
+  SELECT avg(u) AS mu, avg(w) AS mw,
+    CAST(count(*) AS BIGINT) AS docs, max(ct) AS toks,
+    max(cv) AS vocab
+  FROM cum
+),
+agg AS (
+  SELECT max(docs) AS docs, max(toks) AS toks, max(vocab) AS vocab,
+    max(mu) AS mu, max(mw) AS mw,
+    sum((u - mu) * (w - mw)) AS sxy,
+    sum(pow(u - mu, 2.0)) AS sxx
+  FROM cum CROSS JOIN m
+)
+SELECT docs, CAST(toks AS BIGINT) AS toks,
+  CAST(vocab AS BIGINT) AS vocab,
+  round(sxy / sxx, 6) AS beta,
+  round(exp(mw - sxy / sxx * mu), 6) AS k
+FROM agg
+"""
+
+
+def log_odds_terms(
+    rows: DataFrame,
+    grp_col: str = "grp",
+    tok_col: str = "tok",
+    grp_a=0,
+    alpha0: float = 100.0,
+    k: int = 10,
+) -> DataFrame:
+    """Monroe-Colaresi-Quinn weighted log-odds with an informative
+    Dirichlet prior ("Fightin' Words", 2008, public literature):
+    with prior α_w = α0·y_w/n_pool, δ_w = ln((y_aw+α_w)/(n_a+α0−
+    y_aw−α_w)) − ln((y_bw+α_w)/(n_b+α0−y_bw−α_w)), z = δ/√(1/(y_aw+
+    α_w) + 1/(y_bw+α_w)). THE keyword-contrast ranker for two
+    crawl cohorts — unlike raw log-odds or tf-idf it doesn't blow up
+    rare words (prior shrinkage) and comes with a variance, so the
+    top-k is a significance ranking, not a frequency artifact.
+
+    Counts are exact; selection orders by the ROUNDED z (then token)
+    so both engines pick identical rows. Returns the k most
+    A-associated terms: (tok, y_a, y_b, z).
+
+    Scale shape: one groupBy(token) with conditional partial counts
+    + a broadcast totals join + one top-k (TakeOrdered, no global
+    sort).
+    """
+    base = rows.select(
+        (F.col(grp_col) == F.lit(grp_a)).cast("int").alias("a"),
+        F.col(tok_col).cast("string").alias("tok"))
+    per = base.groupBy("tok").agg(
+        F.sum("a").cast("long").alias("ya"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("yb"))
+    tot = per.agg(F.sum("ya").alias("na"), F.sum("yb").alias("nb"))
+    d = per.crossJoin(F.broadcast(tot))
+    a0 = F.lit(float(alpha0))
+    aw = a0 * (F.col("ya") + F.col("yb")).cast("double") \
+        / (F.col("na") + F.col("nb")).cast("double")
+    fa = (F.col("ya") + aw) / (F.col("na") + a0 - F.col("ya") - aw)
+    fb = (F.col("yb") + aw) / (F.col("nb") + a0 - F.col("yb") - aw)
+    delta = F.log(fa) - F.log(fb)
+    var = F.lit(1.0) / (F.col("ya") + aw) + F.lit(1.0) / (F.col("yb") + aw)
+    scored = d.select("tok", F.col("ya").alias("y_a"),
+                      F.col("yb").alias("y_b"),
+                      F.round(delta / F.sqrt(var), 6).alias("z"))
+    return scored.orderBy(F.desc("z"), "tok").limit(k)
+
+
+def log_odds_terms_sql(rows_sql: str, grp_a_sql: str = "0",
+                       alpha0: float = 100.0, k: int = 10) -> str:
+    """DuckDB mirror of :func:`log_odds_terms` over (grp, tok)."""
+    a0 = repr(float(alpha0))
+    return f"""
+WITH base AS (
+  SELECT CAST(grp = {grp_a_sql} AS INT) AS a,
+    CAST(tok AS VARCHAR) AS tok
+  FROM ({rows_sql})
+),
+per AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS ya,
+    CAST(sum(1 - a) AS BIGINT) AS yb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(ya) AS na, sum(yb) AS nb FROM per),
+d AS (
+  SELECT tok, ya, yb,
+    {a0} * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS aw,
+    na, nb
+  FROM per CROSS JOIN tot
+)
+SELECT tok, ya AS y_a, yb AS y_b,
+  round((ln((ya + aw) / (na + {a0} - ya - aw))
+    - ln((yb + aw) / (nb + {a0} - yb - aw)))
+    / sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)), 6) AS z
+FROM d
+ORDER BY z DESC, tok
+LIMIT {k}
+"""

@@ -3077,3 +3077,124 @@ SELECT n_nodes, n_edges, round(mean_k, 6) AS mean_k,
   round((mean_k2 / mean_k) / mean_k, 6) AS paradox_factor
 FROM m
 """
+
+
+def label_prop(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Min-label propagation over the undirected host graph (the
+    classic synchronous label-propagation / hash-min connected-
+    components kernel, public literature): every node starts as its
+    own label and repeatedly takes the minimum label among itself and
+    its neighbors; after k rounds labels are constant within any
+    component of diameter ≤ k. The mirror-cluster grouper: hosts
+    joined by cross-links collapse onto one canonical (minimum) host
+    id without any driver-side iteration over collected rows.
+
+    Labels are integer minima — exact in both engines. Returns one
+    summary row (n_nodes, n_labels, max_size) after ``n_iters``
+    synchronous rounds.
+
+    Scale shape: k joins of the label table against the (reversed +
+    forward) edge list, each a hash shuffle on the node id; at
+    production scale bucket both sides on the node id so every round
+    reuses the same partitioning, and stop early via the hash-min
+    convergence check (`pr_convergence` pattern).
+    """
+    e = edges.select(F.col(src_col).cast("long").alias("s"),
+                     F.col(dst_col).cast("long").alias("d"))
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = und.select(F.col("s").alias("v")).distinct()
+    lab = nodes.select("v", F.col("v").alias("lab"))
+    for _ in range(n_iters):
+        msgs = (und.join(lab.withColumnRenamed("v", "d"), "d")
+                .select(F.col("s").alias("v"), "lab")
+                .union(lab))
+        lab = msgs.groupBy("v").agg(F.min("lab").alias("lab"))
+    sizes = lab.groupBy("lab").agg(F.count("*").cast("long").alias("sz"))
+    return sizes.agg(F.sum("sz").alias("n_nodes"),
+                     F.count("*").cast("long").alias("n_labels"),
+                     F.max("sz").alias("max_size"))
+
+
+def label_prop_sql(edges_sql: str, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`label_prop` with the rounds unrolled."""
+    ctes = ["""
+e AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+      FROM ({edges})),
+und AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+l0 AS (SELECT DISTINCT s AS v, s AS lab FROM und)""".format(
+        edges=edges_sql)]
+    for i in range(1, n_iters + 1):
+        ctes.append("""
+l{i} AS (
+  SELECT v, min(lab) AS lab FROM (
+    SELECT u.s AS v, p.lab FROM und u JOIN l{p} p ON p.v = u.d
+    UNION ALL SELECT v, lab FROM l{p}
+  ) GROUP BY v
+)""".format(i=i, p=i - 1))
+    return """
+WITH {ctes},
+sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS sz
+          FROM l{k} GROUP BY 1)
+SELECT sum(sz) AS n_nodes, CAST(count(*) AS BIGINT) AS n_labels,
+  max(sz) AS max_size
+FROM sizes
+""".format(ctes=",".join(ctes), k=n_iters)
+
+
+def conductance(
+    edges: DataFrame,
+    src_in_s_col: str = "a",
+    dst_in_s_col: str = "b",
+) -> DataFrame:
+    """Conductance of a node partition S over an undirected view of
+    the edge list (public formula): φ(S) = cut(S, S̄) /
+    min(vol(S), vol(S̄)) with vol counting edge ENDPOINTS — the
+    standard "is this host community real or an artifact" score: a
+    low-φ S is a link community (mirror farm, language cluster), a
+    high-φ S is a random slice. The caller precomputes membership
+    per endpoint, so the same operator scores hash-bucketed,
+    registrar-based, or label-prop-derived partitions.
+
+    cut and the volumes are integer counts — exact in both engines;
+    only φ is rounded (6). One row (edges, cut, vol_s, vol_t, phi).
+
+    Scale shape: one map-side fold over the edge list — no shuffle
+    beyond the final single-row agg.
+    """
+    base = edges.select(F.col(src_in_s_col).cast("int").alias("a"),
+                        F.col(dst_in_s_col).cast("int").alias("b"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("edges"),
+        F.sum((F.col("a") != F.col("b")).cast("long")).alias("cut"),
+        F.sum(F.col("a") + F.col("b")).cast("long").alias("vol_s"))
+    vol_t = F.lit(2) * F.col("edges") - F.col("vol_s")
+    phi = (F.col("cut").cast("double")
+           / F.least(F.col("vol_s"), vol_t).cast("double"))
+    return agg.select("edges", "cut", "vol_s",
+                      vol_t.cast("long").alias("vol_t"),
+                      F.round(phi, 6).alias("phi"))
+
+
+def conductance_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`conductance` over an (a, b) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b FROM ({edges_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS edges,
+    CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+    CAST(sum(a + b) AS BIGINT) AS vol_s
+  FROM base
+)
+SELECT edges, cut, vol_s,
+  CAST(2 * edges - vol_s AS BIGINT) AS vol_t,
+  round(CAST(cut AS DOUBLE)
+    / CAST(least(vol_s, 2 * edges - vol_s) AS DOUBLE), 6) AS phi
+FROM agg
+"""

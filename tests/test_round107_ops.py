@@ -1,0 +1,117 @@
+"""Unit tests for the round-107 pack: label propagation, conductance,
+Heaps' law, Monroe log-odds."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import heaps_law, log_odds_terms
+from icrawler_spark.operators.graph import conductance, label_prop
+
+
+# ---------------------------------------------------------------------------
+# label_prop
+# ---------------------------------------------------------------------------
+
+def test_label_prop_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    row = label_prop(edges, n_iters=3).collect()[0]
+    assert (row["n_nodes"], row["n_labels"], row["max_size"]) == (5, 2, 3)
+
+
+def test_label_prop_chain_needs_enough_rounds(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src long, dst long")
+    one = label_prop(chain, n_iters=1).collect()[0]
+    full = label_prop(chain, n_iters=6).collect()[0]
+    assert one["n_labels"] == 6 and one["max_size"] == 2
+    assert full["n_labels"] == 1 and full["max_size"] == 7
+
+
+# ---------------------------------------------------------------------------
+# conductance
+# ---------------------------------------------------------------------------
+
+def test_conductance_hand_values(spark):
+    edges = spark.createDataFrame(
+        [(True, True), (True, False), (False, False), (False, False)],
+        "a boolean, b boolean")
+    row = conductance(edges).collect()[0]
+    assert (row["edges"], row["cut"], row["vol_s"], row["vol_t"]) \
+        == (4, 1, 3, 5)
+    assert math.isclose(row["phi"], 1 / 3.0, abs_tol=1e-6)
+
+
+def test_conductance_perfect_community_is_zero(spark):
+    edges = spark.createDataFrame(
+        [(True, True), (True, True), (False, False)],
+        "a boolean, b boolean")
+    assert conductance(edges).collect()[0]["phi"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# heaps_law
+# ---------------------------------------------------------------------------
+
+def test_heaps_law_hand_ols(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c a b"), (3, "d d e")],
+        "doc_id long, text string")
+    row = heaps_law(docs).collect()[0]
+    assert (row["docs"], row["toks"], row["vocab"]) == (3, 9, 5)
+    us = [math.log(v) for v in (3, 6, 9)]
+    ws = [math.log(v) for v in (2, 3, 5)]
+    mu, mw = sum(us) / 3, sum(ws) / 3
+    beta = sum((u - mu) * (w - mw) for u, w in zip(us, ws)) \
+        / sum((u - mu) ** 2 for u in us)
+    k = math.exp(mw - beta * mu)
+    assert math.isclose(row["beta"], beta, abs_tol=1e-6)
+    assert math.isclose(row["k"], k, abs_tol=1e-6)
+
+
+def test_heaps_law_saturating_vocab_low_beta(spark):
+    grow = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(5))) for i in range(1, 9)],
+        "doc_id long, text string")
+    flat = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(1, 9)],
+        "doc_id long, text string")
+    b_grow = heaps_law(grow).collect()[0]["beta"]
+    b_flat = heaps_law(flat).collect()[0]["beta"]
+    assert math.isclose(b_grow, 1.0, abs_tol=1e-6)  # all-new vocab
+    assert b_flat < 0.3
+
+
+# ---------------------------------------------------------------------------
+# log_odds_terms
+# ---------------------------------------------------------------------------
+
+def _lo_ref(ya, yb, na, nb, npool_y, npool, a0):
+    aw = a0 * npool_y / npool
+    d = math.log((ya + aw) / (na + a0 - ya - aw)) \
+        - math.log((yb + aw) / (nb + a0 - yb - aw))
+    v = 1.0 / (ya + aw) + 1.0 / (yb + aw)
+    return d / math.sqrt(v)
+
+
+def test_log_odds_matches_bruteforce(spark):
+    rows = [(0, "x")] * 9 + [(0, "y")] + [(1, "y")] * 9 + [(1, "x")]
+    df = spark.createDataFrame(rows, "grp int, tok string")
+    got = {r["tok"]: r for r in
+           log_odds_terms(df, grp_a=0, alpha0=10.0, k=2).collect()}
+    zx = _lo_ref(9, 1, 10, 10, 10, 20, 10.0)
+    zy = _lo_ref(1, 9, 10, 10, 10, 20, 10.0)
+    assert math.isclose(got["x"]["z"], zx, abs_tol=1e-6)
+    assert math.isclose(got["y"]["z"], zy, abs_tol=1e-6)
+    assert got["x"]["z"] > 0 > got["y"]["z"]
+
+
+def test_log_odds_topk_order_and_shrinkage(spark):
+    # 'rare' appears once, only in cohort A: shrinkage keeps |z| modest
+    rows = [(0, "x")] * 50 + [(1, "x")] * 30 + [(0, "rare")]
+    df = spark.createDataFrame(rows, "grp int, tok string")
+    out = log_odds_terms(df, grp_a=0, alpha0=20.0, k=2).collect()
+    assert out[0]["z"] >= out[1]["z"]
+    rare = [r for r in out if r["tok"] == "rare"][0]
+    assert abs(rare["z"]) < 2.0
