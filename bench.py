@@ -414,6 +414,8 @@ _EXTRA_PICKS = [
     "brunner", "bws", "energy_dist", "ks_2samp", "ad_2samp",
     # round-3 batch-101 (components + community + vocab growth + keywords)
     "label_prop", "conductance", "heaps", "log_odds",
+    # round-3 batch-102 (changepoints + paired margins + unseen richness)
+    "amoc", "pettitt", "cox_stuart", "stuart_maxwell", "ace_rich",
 ]
 
 

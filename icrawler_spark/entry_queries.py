@@ -71,7 +71,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round100, entry_round101,
                             entry_round102, entry_round103,
                             entry_round104, entry_round105,
-                            entry_round106, entry_round107)
+                            entry_round106, entry_round107,
+                            entry_round108)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -945,6 +946,7 @@ def queries():
         **entry_round105.queries105(),
         **entry_round106.queries106(),
         **entry_round107.queries107(),
+        **entry_round108.queries108(),
     }
 
 
@@ -1084,4 +1086,5 @@ def oracle_sql():
         **entry_round105.oracle_sql105(),
         **entry_round106.oracle_sql106(),
         **entry_round107.oracle_sql107(),
+        **entry_round108.oracle_sql108(),
     }

@@ -1,0 +1,144 @@
+"""Round-3 driver-contract queries (batch 102): AMOC and Pettitt
+changepoint scans, Cox-Stuart trend sign test, Stuart-Maxwell marginal
+homogeneity, ACE unseen-species richness.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import recrawl as _recrawl
+
+# ---------------------------------------------------------------------------
+# shifted series — value with a +40 regime inside each 1000-id block
+# ---------------------------------------------------------------------------
+
+
+def _cp_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    shift = F.when(F.col("event_id") % 1000 >= 500, F.lit(40.0)) \
+        .otherwise(F.lit(0.0))
+    return ev.select(F.col("event_id").alias("t"),
+                     (F.col("value") + shift).alias("x"))
+
+
+_CP_SERIES_SQL = """
+  SELECT event_id AS t,
+    value + CASE WHEN event_id % 1000 >= 500 THEN 40.0 ELSE 0.0 END AS x
+  FROM events
+"""
+
+
+def q_amoc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.amoc_changepoint: scaled mean-gap argmax —
+    one cumulative window + one argmax fold."""
+    return _recrawl.amoc_changepoint(_cp_series(spark, sf))
+
+
+def _amoc_sql() -> str:
+    return _recrawl.amoc_changepoint_sql(_CP_SERIES_SQL)
+
+
+def q_pettitt(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.pettitt: rank-based U_k changepoint —
+    midrank + cumulative windows, integer-exact U."""
+    return _recrawl.pettitt(_cp_series(spark, sf))
+
+
+def _pettitt_sql() -> str:
+    return _recrawl.pettitt_sql(_CP_SERIES_SQL)
+
+
+def q_cox_stuart(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.cox_stuart: half-offset sign trend —
+    one row_number window + one offset equi-join."""
+    return _recrawl.cox_stuart(_cp_series(spark, sf))
+
+
+def _cox_stuart_sql() -> str:
+    return _recrawl.cox_stuart_sql(_CP_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell — did the 3-tier rating of the same users move?
+# ---------------------------------------------------------------------------
+
+
+def _sm_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select((F.col("user_id") % 3).cast("int").alias("r"),
+                     ((F.col("user_id") + F.col("event_id") % 7) % 3)
+                     .cast("int").alias("c"))
+
+
+_SM_PAIRS_SQL = """
+  SELECT CAST(user_id % 3 AS INT) AS r,
+    CAST((user_id + event_id % 7) % 3 AS INT) AS c
+  FROM events
+"""
+
+
+def q_stuart_maxwell(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.stuart_maxwell: 3-level paired marginal
+    homogeneity χ² — one conditional fold."""
+    return _corpus.stuart_maxwell(_sm_pairs(spark, sf))
+
+
+def _stuart_maxwell_sql() -> str:
+    return _corpus.stuart_maxwell_sql(_SM_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ace_rich — unseen (user, type, value-band) cells from the histogram
+# ---------------------------------------------------------------------------
+
+
+def _ace_species(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return (ev.groupBy("user_id", "event_type",
+                       F.floor(F.col("value") / 5).alias("band"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select("cnt"))
+
+
+_ACE_SPECIES_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  GROUP BY user_id, event_type, floor(value / 5)
+"""
+
+
+def q_ace_rich(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.ace_richness: Chao-Lee coverage estimator —
+    one fold over the species-count table."""
+    return _corpus.ace_richness(_ace_species(spark, sf))
+
+
+def _ace_rich_sql() -> str:
+    return _corpus.ace_richness_sql(_ACE_SPECIES_SQL)
+
+
+def queries108():
+    return {
+        "amoc": q_amoc,
+        "pettitt": q_pettitt,
+        "cox_stuart": q_cox_stuart,
+        "stuart_maxwell": q_stuart_maxwell,
+        "ace_rich": q_ace_rich,
+    }
+
+
+def oracle_sql108():
+    return {
+        "amoc": _amoc_sql(),
+        "pettitt": _pettitt_sql(),
+        "cox_stuart": _cox_stuart_sql(),
+        "stuart_maxwell": _stuart_maxwell_sql(),
+        "ace_rich": _ace_rich_sql(),
+    }

@@ -12237,3 +12237,159 @@ FROM d
 ORDER BY z DESC, tok
 LIMIT {k}
 """
+
+def stuart_maxwell(
+    pairs: DataFrame,
+    r_col: str = "r",
+    c_col: str = "c",
+) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test for paired 3-level
+    categories (public literature): with paired counts n_ij and
+    d_i = n_i· − n_·i, χ² = (S₂₂d₁² − 2S₁₂d₁d₂ + S₁₁d₂²) /
+    (S₁₁S₂₂ − S₁₂²) on 2 df, where S_ii = n_i· + n_·i − 2n_ii and
+    S₁₂ = −(n₁₂ + n₂₁) — the 3-class generalization of `mcnemar`:
+    did the quality-tier distribution of the SAME pages move between
+    two crawls, using the pairing instead of throwing it away like a
+    two-sample test would.
+
+    Everything is integer counts until the single final division.
+    One row (n, d1, d2, chi2) with chi2 rounded 6; levels are the
+    integers 0/1/2 with d over levels 1 and 2 (level 0 is the
+    reference, its margin is determined).
+
+    Scale shape: one groupBy fold over the paired rows — map-side
+    combinable conditional counts.
+    """
+    base = pairs.select(F.col(r_col).cast("int").alias("r"),
+                        F.col(c_col).cast("int").alias("c"))
+    def cnt(pred):
+        return F.sum(pred.cast("long"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        cnt(F.col("r") == 1).alias("r1"), cnt(F.col("r") == 2).alias("r2"),
+        cnt(F.col("c") == 1).alias("c1"), cnt(F.col("c") == 2).alias("c2"),
+        cnt((F.col("r") == 1) & (F.col("c") == 1)).alias("n11"),
+        cnt((F.col("r") == 2) & (F.col("c") == 2)).alias("n22"),
+        cnt((F.col("r") == 1) & (F.col("c") == 2)).alias("n12"),
+        cnt((F.col("r") == 2) & (F.col("c") == 1)).alias("n21"))
+    d1 = (F.col("r1") - F.col("c1")).cast("double")
+    d2 = (F.col("r2") - F.col("c2")).cast("double")
+    s11 = (F.col("r1") + F.col("c1") - 2 * F.col("n11")).cast("double")
+    s22 = (F.col("r2") + F.col("c2") - 2 * F.col("n22")).cast("double")
+    s12 = -(F.col("n12") + F.col("n21")).cast("double")
+    chi2 = (s22 * d1 * d1 - 2 * s12 * d1 * d2 + s11 * d2 * d2) \
+        / (s11 * s22 - s12 * s12)
+    return agg.select("n", d1.cast("long").alias("d1"),
+                      d2.cast("long").alias("d2"),
+                      F.round(chi2, 6).alias("chi2"))
+
+
+def stuart_maxwell_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`stuart_maxwell` over an (r, c) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c FROM ({pairs_sql})
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(r = 1 AS INT)) AS BIGINT) AS r1,
+    CAST(sum(CAST(r = 2 AS INT)) AS BIGINT) AS r2,
+    CAST(sum(CAST(c = 1 AS INT)) AS BIGINT) AS c1,
+    CAST(sum(CAST(c = 2 AS INT)) AS BIGINT) AS c2,
+    CAST(sum(CAST(r = 1 AND c = 1 AS INT)) AS BIGINT) AS n11,
+    CAST(sum(CAST(r = 2 AND c = 2 AS INT)) AS BIGINT) AS n22,
+    CAST(sum(CAST(r = 1 AND c = 2 AS INT)) AS BIGINT) AS n12,
+    CAST(sum(CAST(r = 2 AND c = 1 AS INT)) AS BIGINT) AS n21
+  FROM base
+)
+SELECT n, r1 - c1 AS d1, r2 - c2 AS d2,
+  round((CAST(r2 + c2 - 2 * n22 AS DOUBLE)
+      * CAST(r1 - c1 AS DOUBLE) * (r1 - c1)
+    - 2.0 * (-(CAST(n12 + n21 AS DOUBLE)))
+      * (r1 - c1) * (r2 - c2)
+    + CAST(r1 + c1 - 2 * n11 AS DOUBLE)
+      * CAST(r2 - c2 AS DOUBLE) * (r2 - c2))
+    / (CAST(r1 + c1 - 2 * n11 AS DOUBLE) * (r2 + c2 - 2 * n22)
+       - CAST(n12 + n21 AS DOUBLE) * (n12 + n21)), 6) AS chi2
+FROM agg
+"""
+
+
+def ace_richness(
+    species: DataFrame,
+    count_col: str = "cnt",
+    rare_max: int = 10,
+) -> DataFrame:
+    """ACE abundance-based coverage estimator of total species
+    richness (Chao & Lee 1992, public literature): with rare species
+    those of count ≤ 10, coverage C = 1 − F₁/N_rare, γ² =
+    max(S_rare·Σk(k−1)F_k / (C·N_rare(N_rare−1)) − 1, 0), ACE =
+    S_abund + S_rare/C + F₁γ²/C — the unseen-vocabulary gauge that
+    complements `chao1` (which only sees singles and doubles):
+    how many URL templates / tokens / hosts exist that the crawl has
+    NOT yet fetched, from the abundance histogram alone.
+
+    All inputs are integer frequency counts; both engines fold them
+    identically and only the final estimator is rounded (6).
+    One row (s_abund, s_rare, f1, coverage, gamma2, ace).
+
+    Scale shape: the input is the per-species count table (one
+    upstream groupBy); this is a single conditional fold over it.
+    """
+    base = species.select(F.col(count_col).cast("long").alias("k"))
+    rare = F.col("k") <= F.lit(rare_max)
+    agg = base.agg(
+        F.sum((~rare).cast("long")).alias("s_abund"),
+        F.sum(rare.cast("long")).alias("s_rare"),
+        F.sum(F.when(rare, F.col("k")).otherwise(F.lit(0))).alias("n_rare"),
+        F.sum((F.col("k") == 1).cast("long")).alias("f1"),
+        F.sum(F.when(rare, F.col("k") * (F.col("k") - 1))
+              .otherwise(F.lit(0))).alias("kk1"))
+    c = F.lit(1.0) - F.col("f1").cast("double") \
+        / F.col("n_rare").cast("double")
+    g2 = F.greatest(
+        F.col("s_rare").cast("double") * F.col("kk1").cast("double")
+        / (c * (F.col("n_rare") * (F.col("n_rare") - 1)).cast("double"))
+        - F.lit(1.0), F.lit(0.0))
+    ace = F.col("s_abund").cast("double") \
+        + F.col("s_rare").cast("double") / c \
+        + F.col("f1").cast("double") * g2 / c
+    return agg.select(
+        "s_abund", "s_rare", "f1",
+        F.round(c, 6).alias("coverage"),
+        F.round(g2, 6).alias("gamma2"),
+        F.round(ace, 6).alias("ace"))
+
+
+def ace_richness_sql(species_sql: str, rare_max: int = 10) -> str:
+    """DuckDB mirror of :func:`ace_richness` over a (cnt) SELECT."""
+    return f"""
+WITH base AS (SELECT CAST(cnt AS BIGINT) AS k FROM ({species_sql})),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN k > {rare_max} THEN 1 ELSE 0 END) AS BIGINT)
+      AS s_abund,
+    CAST(sum(CASE WHEN k <= {rare_max} THEN 1 ELSE 0 END) AS BIGINT)
+      AS s_rare,
+    CAST(sum(CASE WHEN k <= {rare_max} THEN k ELSE 0 END) AS BIGINT)
+      AS n_rare,
+    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN k <= {rare_max} THEN k * (k - 1) ELSE 0 END)
+      AS BIGINT) AS kk1
+  FROM base
+)
+SELECT s_abund, s_rare, f1,
+  round(1.0 - CAST(f1 AS DOUBLE) / n_rare, 6) AS coverage,
+  round(greatest(CAST(s_rare AS DOUBLE) * kk1
+    / ((1.0 - CAST(f1 AS DOUBLE) / n_rare)
+       * CAST(n_rare * (n_rare - 1) AS DOUBLE)) - 1.0, 0.0), 6)
+    AS gamma2,
+  round(s_abund + CAST(s_rare AS DOUBLE)
+      / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+    + CAST(f1 AS DOUBLE)
+      * greatest(CAST(s_rare AS DOUBLE) * kk1
+        / ((1.0 - CAST(f1 AS DOUBLE) / n_rare)
+           * CAST(n_rare * (n_rare - 1) AS DOUBLE)) - 1.0, 0.0)
+      / (1.0 - CAST(f1 AS DOUBLE) / n_rare), 6) AS ace
+FROM agg
+"""

@@ -3465,3 +3465,232 @@ SELECT n, round(mu, 6) AS mean_x,
   round((mu - {t}) / sqrt(d2), 6) AS sortino
 FROM agg
 """
+
+
+def amoc_changepoint(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """At-most-one-changepoint mean-shift scan (the classic CUSUM /
+    binary-segmentation first step, public literature): for every
+    split k the scaled mean gap T(k) = √(k(n−k)/n)·|x̄_left −
+    x̄_right|; the changepoint is the argmax. The "when did this
+    host's latency regime change" primitive that `cusum`-style
+    control charts monitor online and this answers offline, and the
+    first call of a recursive segmentation.
+
+    Prefix sums come from one sequential cumulative window (identical
+    evaluation order both engines); the argmax picks the smallest
+    attaining position via min_by on the unique index. One row
+    (n, k_at, t_at, tstat, mean_l, mean_r) rounded 6.
+
+    Scale shape: one ordered cumulative window + one argmax fold;
+    partition by host series at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    tot = base.agg(F.count("*").cast("long").alias("n"),
+                   F.sum("x").alias("sn"))
+    w = Window.orderBy("t")
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    d = (base.crossJoin(F.broadcast(tot))
+         .withColumn("i", F.row_number().over(w).cast("long"))
+         .withColumn("s", F.sum("x").over(wc))
+         .filter(F.col("i") < F.col("n")))
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    ml = F.col("s") / i
+    mr = (F.col("sn") - F.col("s")) / (n - i)
+    d = (d.withColumn("ml", ml).withColumn("mr", mr)
+         .withColumn("g", F.sqrt(i * (n - i) / n)
+                     * F.abs(ml - mr)))
+    best = d.agg(F.max("g").alias("m"))
+    pick = (d.crossJoin(F.broadcast(best))
+            .filter(F.col("g") == F.col("m"))
+            .agg(F.max("n").alias("n"), F.min("i").alias("k_at"),
+                 F.min_by("t", "i").alias("t_at"),
+                 F.max("m").alias("tstat"),
+                 F.min_by("ml", "i").alias("mean_l"),
+                 F.min_by("mr", "i").alias("mean_r")))
+    return pick.select("n", "k_at", "t_at",
+                       F.round("tstat", 6).alias("tstat"),
+                       F.round("mean_l", 6).alias("mean_l"),
+                       F.round("mean_r", 6).alias("mean_r"))
+
+
+def amoc_changepoint_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`amoc_changepoint` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sn FROM base
+),
+d AS (
+  SELECT t, n, sn,
+    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+    sum(x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS s
+  FROM base CROSS JOIN tot
+),
+g AS (
+  SELECT t, n, i, s / i AS ml, (sn - s) / (n - i) AS mr,
+    sqrt(CAST(i AS DOUBLE) * (n - i) / n)
+      * abs(s / i - (sn - s) / (n - i)) AS g
+  FROM d WHERE i < n
+),
+best AS (SELECT max(g) AS m FROM g)
+SELECT max(n) AS n, min(i) AS k_at, min_by(t, i) AS t_at,
+  round(max(m), 6) AS tstat,
+  round(min_by(ml, i), 6) AS mean_l,
+  round(min_by(mr, i), 6) AS mean_r
+FROM g CROSS JOIN best WHERE g = m
+"""
+
+
+def pettitt(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Pettitt rank changepoint test (Pettitt 1979, public
+    literature): U_k = 2·Σ_{i≤k} r_i − k(n+1) with midranks r, the
+    changepoint at max|U_k| — the distribution-free companion to
+    `amoc_changepoint`: immune to the heavy-tailed latency marginals
+    that drag a mean-based split toward single spikes.
+
+    Midranks are tiebreak-order independent and the cumulative sum
+    is a sequential window, so both engines agree exactly (U is an
+    exact rational). One row (n, k_at, t_at, u_abs) with u_abs
+    integer-exact before rounding.
+
+    Scale shape: one rank window + one cumulative window + one
+    argmax fold.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    wr = Window.orderBy("x")
+    we = Window.partitionBy("x")
+    wt = Window.orderBy("t")
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    rk = base.crossJoin(F.broadcast(tot)).select(
+        "t", "n",
+        (F.rank().over(wr).cast("double")
+         + (F.count("*").over(we) - F.lit(1)).cast("double") / F.lit(2.0)
+         ).alias("r"))
+    d = (rk.withColumn("i", F.row_number().over(wt).cast("long"))
+         .withColumn("rs", F.sum("r").over(wc))
+         .filter(F.col("i") < F.col("n")))
+    u = F.lit(2.0) * F.col("rs") \
+        - (F.col("i") * (F.col("n") + 1)).cast("double")
+    d = d.withColumn("ua", F.abs(u))
+    best = d.agg(F.max("ua").alias("m"))
+    pick = (d.crossJoin(F.broadcast(best))
+            .filter(F.col("ua") == F.col("m"))
+            .agg(F.max("n").alias("n"), F.min("i").alias("k_at"),
+                 F.min_by("t", "i").alias("t_at"),
+                 F.max("m").alias("u_abs")))
+    return pick.select("n", "k_at", "t_at",
+                       F.round("u_abs", 6).alias("u_abs"))
+
+
+def pettitt_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`pettitt` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+rk AS (
+  SELECT t, n,
+    CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+      + CAST(count(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS r
+  FROM base CROSS JOIN tot
+),
+d AS (
+  SELECT t, n,
+    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+    sum(r) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+  FROM rk
+),
+g AS (
+  SELECT t, n, i,
+    abs(2.0 * rs - CAST(i * (n + 1) AS DOUBLE)) AS ua
+  FROM d WHERE i < n
+),
+best AS (SELECT max(ua) AS m FROM g)
+SELECT max(n) AS n, min(i) AS k_at, min_by(t, i) AS t_at,
+  round(max(m), 6) AS u_abs
+FROM g CROSS JOIN best WHERE ua = m
+"""
+
+
+def cox_stuart(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Cox-Stuart sign trend test (Cox & Stuart 1955, public
+    literature): pair the i-th observation with the (i+⌈n/2⌉)-th
+    (middle dropped when n is odd), count sign(later − earlier),
+    z = (S⁺ − m/2)/√(m/4) over the m untied pairs — the cheapest
+    "is this drifting at all" gate, one bit per pair, running before
+    the heavier `mann_kendall`/`theil_sen` fits.
+
+    S⁺ and m are integer counts off one half-offset self-join on the
+    exact row index, so everything before z is exact. One row
+    (n, n_pairs, s_plus, z) rounded 6.
+
+    Scale shape: one row_number window + one equi-join on the offset
+    index (both sides hash-partition on the pair key) + one fold.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(x_col).cast("double").alias("x"))
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("t")
+    d = (base.crossJoin(F.broadcast(tot))
+         .withColumn("i", F.row_number().over(w).cast("long")))
+    c = (F.col("n") / F.lit(2)).cast("long")
+    left = d.filter(F.col("i") <= c).select(F.col("i").alias("key"),
+                                            F.col("x").alias("xl"))
+    right = d.filter(F.col("i") > F.col("n") - c).select(
+        (F.col("i") - (F.col("n") - c)).alias("key"),
+        F.col("x").alias("xr"))
+    pairs = left.join(right, "key")
+    agg = pairs.agg(
+        F.sum((F.col("xr") > F.col("xl")).cast("long")).alias("s_plus"),
+        F.sum((F.col("xr") < F.col("xl")).cast("long")).alias("s_minus"))
+    m = (F.col("s_plus") + F.col("s_minus")).cast("double")
+    z = (F.col("s_plus") - m / 2) / F.sqrt(m / 4)
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("n", (F.col("s_plus") + F.col("s_minus"))
+                    .alias("n_pairs"), "s_plus",
+                    F.round(z, 6).alias("z")))
+
+
+def cox_stuart_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`cox_stuart` over (t, x)."""
+    return f"""
+WITH base AS (SELECT t, CAST(x AS DOUBLE) AS x FROM ({series_sql})),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+d AS (
+  SELECT x, n,
+    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+  FROM base CROSS JOIN tot
+),
+pairs AS (
+  SELECT l.x AS xl, r.x AS xr
+  FROM (SELECT i AS key, x FROM d WHERE i <= n // 2) l
+  JOIN (SELECT i - (n - n // 2) AS key, x FROM d
+        WHERE i > n - n // 2) r
+    ON r.key = l.key
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN xr > xl THEN 1 ELSE 0 END) AS BIGINT)
+      AS s_plus,
+    CAST(sum(CASE WHEN xr < xl THEN 1 ELSE 0 END) AS BIGINT) AS s_minus
+  FROM pairs
+)
+SELECT n, s_plus + s_minus AS n_pairs, s_plus,
+  round((s_plus - CAST(s_plus + s_minus AS DOUBLE) / 2)
+    / sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4), 6) AS z
+FROM agg CROSS JOIN tot
+"""

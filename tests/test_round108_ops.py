@@ -1,0 +1,106 @@
+"""Unit tests for the round-108 pack: AMOC changepoint, Pettitt,
+Cox-Stuart, Stuart-Maxwell, ACE richness."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import ace_richness, stuart_maxwell
+from icrawler_spark.operators.recrawl import (amoc_changepoint, cox_stuart,
+                                              pettitt)
+
+
+def _series(spark, xs):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs, start=1)],
+        "t long, x double")
+
+
+# ---------------------------------------------------------------------------
+# amoc_changepoint
+# ---------------------------------------------------------------------------
+
+def test_amoc_hand_values(spark):
+    row = amoc_changepoint(_series(spark, [0, 0, 0, 10, 10])).collect()[0]
+    assert (row["k_at"], row["t_at"]) == (3, 3)
+    assert math.isclose(row["tstat"], math.sqrt(3 * 2 / 5.0) * 10,
+                        abs_tol=1e-6)
+    assert row["mean_l"] == 0.0 and row["mean_r"] == 10.0
+
+
+def test_amoc_flat_series_small_stat(spark):
+    row = amoc_changepoint(_series(spark, [5, 5, 5, 5, 5, 5])).collect()[0]
+    assert math.isclose(row["tstat"], 0.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# pettitt
+# ---------------------------------------------------------------------------
+
+def test_pettitt_hand_values(spark):
+    # midranks [2,2,2,4.5,4.5]; U = [-2,-4,-6,-3] → max |U|=6 at k=3
+    row = pettitt(_series(spark, [0, 0, 0, 10, 10])).collect()[0]
+    assert (row["k_at"], row["u_abs"]) == (3, 6.0)
+
+
+def test_pettitt_agrees_with_amoc_on_clean_shift(spark):
+    xs = [1.0] * 10 + [9.0] * 10
+    p = pettitt(_series(spark, xs)).collect()[0]
+    a = amoc_changepoint(_series(spark, xs)).collect()[0]
+    assert p["k_at"] == a["k_at"] == 10
+
+
+# ---------------------------------------------------------------------------
+# cox_stuart
+# ---------------------------------------------------------------------------
+
+def test_cox_stuart_monotone_even(spark):
+    row = cox_stuart(_series(spark, [1, 2, 3, 4, 5, 6])).collect()[0]
+    assert (row["n_pairs"], row["s_plus"]) == (3, 3)
+    assert math.isclose(row["z"], 1.5 / math.sqrt(0.75), abs_tol=1e-6)
+
+
+def test_cox_stuart_odd_drops_middle_and_ties(spark):
+    # pairs (1,4),(2,2): the tied pair drops → m=1
+    row = cox_stuart(_series(spark, [1, 2, 3, 4, 2])).collect()[0]
+    assert row["n_pairs"] == 1 and row["s_plus"] == 1
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell
+# ---------------------------------------------------------------------------
+
+def test_stuart_maxwell_hand_chi2(spark):
+    rows = [(1, 1)] * 5 + [(1, 2)] * 3 + [(2, 1)] * 2 + [(2, 2)] * 4 \
+        + [(0, 0)] * 6 + [(1, 0)] + [(0, 2)] * 2
+    df = spark.createDataFrame(rows, "r int, c int")
+    row = stuart_maxwell(df).collect()[0]
+    assert (row["d1"], row["d2"]) == (2, -3)
+    assert math.isclose(row["chi2"], 22 / 17.0, abs_tol=1e-6)
+
+
+def test_stuart_maxwell_symmetric_zero(spark):
+    rows = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    df = spark.createDataFrame(rows, "r int, c int")
+    assert stuart_maxwell(df).collect()[0]["chi2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ace_richness
+# ---------------------------------------------------------------------------
+
+def test_ace_hand_values(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (12,), (15,)],
+                               "cnt long")
+    row = ace_richness(df).collect()[0]
+    assert (row["s_abund"], row["s_rare"], row["f1"]) == (2, 3, 2)
+    assert math.isclose(row["coverage"], 0.5, abs_tol=1e-6)
+    assert row["gamma2"] == 0.0
+    assert math.isclose(row["ace"], 8.0, abs_tol=1e-6)
+
+
+def test_ace_more_singletons_higher_estimate(spark):
+    few = spark.createDataFrame([(1,)] * 2 + [(3,)] * 8, "cnt long")
+    many = spark.createDataFrame([(1,)] * 8 + [(3,)] * 2, "cnt long")
+    assert ace_richness(many).collect()[0]["ace"] \
+        > ace_richness(few).collect()[0]["ace"]
