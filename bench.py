@@ -416,6 +416,8 @@ _EXTRA_PICKS = [
     "label_prop", "conductance", "heaps", "log_odds",
     # round-3 batch-102 (changepoints + paired margins + unseen richness)
     "amoc", "pettitt", "cox_stuart", "stuart_maxwell", "ace_rich",
+    # round-3 batch-103 (probabilistic + operating-point forecast/rank eval)
+    "crps", "theil_u", "tracking", "prk", "tau_ap",
 ]
 
 

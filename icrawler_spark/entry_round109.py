@@ -1,0 +1,168 @@
+"""Round-3 driver-contract queries (batch 103): CRPS ensemble scoring,
+Theil's U2 vs naive, tracking-signal drift alarm, P/R@k operating
+table, AP-weighted rank correlation.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.entry_round11 import _events
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import search as _search
+
+# ---------------------------------------------------------------------------
+# crps — per-cohort value ensembles vs a deterministic observation
+# ---------------------------------------------------------------------------
+
+
+def _cr_rows(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    cs = (F.col("user_id") % 50).cast("long")
+    return ev.select(cs.alias("case"), F.col("value").alias("x"),
+                     ((cs * 7) % 100 + 10).cast("double").alias("y"))
+
+
+_CR_ROWS_SQL = """
+  SELECT CAST(user_id % 50 AS BIGINT) AS "case", value AS x,
+    CAST((user_id % 50) * 7 % 100 + 10 AS DOUBLE) AS y
+  FROM events
+"""
+
+
+def q_crps(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.crps_ensemble: proper scoring rule via the
+    sorted identity — per-case windows, never an O(m²) join."""
+    return _recrawl.crps_ensemble(_cr_rows(spark, sf))
+
+
+def _crps_sql() -> str:
+    return _recrawl.crps_ensemble_sql(_CR_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# theil_u / tracking — a damped forecast of the value stream
+# ---------------------------------------------------------------------------
+
+
+def _fc_series(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.col("event_id").alias("t"),
+                     F.col("value").alias("y"),
+                     (F.col("value") * 0.9 + 5.0).alias("yhat"))
+
+
+_FC_SERIES_SQL = """
+  SELECT event_id AS t, value AS y, value * 0.9 + 5.0 AS yhat
+  FROM events
+"""
+
+
+def q_theil_u(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.theil_u2: beats-carry-forward ratio — one
+    lag window + one fold."""
+    return _recrawl.theil_u2(_fc_series(spark, sf))
+
+
+def _theil_u_sql() -> str:
+    return _recrawl.theil_u2_sql(_FC_SERIES_SQL)
+
+
+def q_tracking(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.tracking_signal: cumulative-bias / MAD alarm
+    — sequential cumulative windows + argmax."""
+    return _recrawl.tracking_signal(_fc_series(spark, sf))
+
+
+def _tracking_sql() -> str:
+    return _recrawl.tracking_signal_sql(_FC_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# prk — budget operating points of the purchase ranker
+# ---------------------------------------------------------------------------
+
+
+def _pk_scored(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(F.floor(F.col("value") * 10).cast("double")
+                     .alias("score"),
+                     (F.col("event_type") == "purchase").cast("int")
+                     .alias("label"),
+                     F.col("event_id").alias("id"))
+
+
+_PK_SCORED_SQL = """
+  SELECT CAST(floor(value * 10) AS DOUBLE) AS score,
+    CAST(event_type = 'purchase' AS INT) AS label, event_id AS id
+  FROM events
+"""
+
+
+def q_prk(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.prk_table: P/R/F1 at k∈{5,10,20,50} — one
+    sort window, one fold for all cutoffs."""
+    return _search.prk_table(_pk_scored(spark, sf))
+
+
+def _prk_sql() -> str:
+    return _search.prk_table_sql(_PK_SCORED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# tau_ap — do two host rankers agree where it matters (the top)?
+# ---------------------------------------------------------------------------
+
+
+def _ta_ranks(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    ids = ev.select((F.col("user_id") % 100).cast("long")
+                    .alias("id")).distinct()
+    w1 = F.row_number().over(
+        Window.orderBy((F.col("id") * 37 % 101), F.col("id")))
+    w2 = F.row_number().over(
+        Window.orderBy((F.col("id") * 17 % 103), F.col("id")))
+    return ids.select("id", w1.cast("long").alias("r1"),
+                      w2.cast("long").alias("r2"))
+
+
+_TA_RANKS_SQL = """
+  SELECT id,
+    CAST(row_number() OVER (ORDER BY id * 37 % 101, id) AS BIGINT) AS r1,
+    CAST(row_number() OVER (ORDER BY id * 17 % 103, id) AS BIGINT) AS r2
+  FROM (SELECT DISTINCT CAST(user_id % 100 AS BIGINT) AS id FROM events)
+"""
+
+
+def q_tau_ap(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.tau_ap: top-weighted rank agreement — a
+    k²-pairs join over the two TOP-K lists only."""
+    return _search.tau_ap(_ta_ranks(spark, sf))
+
+
+def _tau_ap_sql() -> str:
+    return _search.tau_ap_sql(_TA_RANKS_SQL)
+
+
+def queries109():
+    return {
+        "crps": q_crps,
+        "theil_u": q_theil_u,
+        "tracking": q_tracking,
+        "prk": q_prk,
+        "tau_ap": q_tau_ap,
+    }
+
+
+def oracle_sql109():
+    return {
+        "crps": _crps_sql(),
+        "theil_u": _theil_u_sql(),
+        "tracking": _tracking_sql(),
+        "prk": _prk_sql(),
+        "tau_ap": _tau_ap_sql(),
+    }

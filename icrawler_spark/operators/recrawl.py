@@ -3694,3 +3694,195 @@ SELECT n, s_plus + s_minus AS n_pairs, s_plus,
     / sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4), 6) AS z
 FROM agg CROSS JOIN tot
 """
+
+
+def crps_ensemble(
+    rows: DataFrame,
+    case_col: str = "case",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Continuous ranked probability score of an empirical ensemble
+    forecast (public formula, Gneiting & Raftery 2007): per case,
+    CRPS = (1/m)Σ|x_i − y| − (1/(2m²))ΣΣ|x_i − x_j|, the proper
+    scoring rule that rewards BOTH calibration and sharpness of the
+    per-host fetch-latency / change-rate predictive distributions
+    (a point forecast is the m=1 special case = absolute error).
+
+    The double sum collapses via the sorted identity ΣΣ|x_i−x_j| =
+    2Σ_i(2i−1−m)·x_(i), so the whole thing is one per-case sort
+    window — never an O(m²) pairs join. Mean over cases, one row
+    (n_cases, n_members, crps) rounded 6.
+
+    Scale shape: one window partitioned by case (ensembles are
+    small by construction) + two folds.
+    """
+    base = rows.select(F.col(case_col).cast("long").alias("cs"),
+                       F.col(x_col).cast("double").alias("x"),
+                       F.col(y_col).cast("double").alias("y"))
+    w = Window.partitionBy("cs").orderBy("x")
+    wm = Window.partitionBy("cs")
+    d = (base.withColumn("i", F.row_number().over(w).cast("long"))
+         .withColumn("m", F.count("*").over(wm).cast("long")))
+    per = d.groupBy("cs").agg(
+        F.max("m").alias("m"),
+        F.avg(F.abs(F.col("x") - F.col("y"))).alias("t1"),
+        F.sum((F.lit(2) * F.col("i") - 1 - F.col("m")).cast("double")
+              * F.col("x")).alias("ss"))
+    crps = F.col("t1") - F.col("ss") / (F.col("m") * F.col("m"))\
+        .cast("double")
+    scored = per.select("cs", F.col("m").alias("mm"),
+                        crps.alias("crps"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_cases"),
+        F.max("mm").alias("n_members"),
+        F.round(F.avg("crps"), 6).alias("crps"))
+
+
+def crps_ensemble_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`crps_ensemble` over (case, x, y)."""
+    return f"""
+WITH base AS (
+  SELECT CAST("case" AS BIGINT) AS cs, CAST(x AS DOUBLE) AS x,
+    CAST(y AS DOUBLE) AS y
+  FROM ({rows_sql})
+),
+d AS (
+  SELECT cs, x, y,
+    CAST(row_number() OVER (PARTITION BY cs ORDER BY x) AS BIGINT) AS i,
+    CAST(count(*) OVER (PARTITION BY cs) AS BIGINT) AS m
+  FROM base
+),
+per AS (
+  SELECT cs, max(m) AS m, avg(abs(x - y)) AS t1,
+    sum(CAST(2 * i - 1 - m AS DOUBLE) * x) AS ss
+  FROM d GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cases, max(m) AS n_members,
+  round(avg(t1 - ss / CAST(m * m AS DOUBLE)), 6) AS crps
+FROM per
+"""
+
+
+def theil_u2(
+    series: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    yhat_col: str = "yhat",
+) -> DataFrame:
+    """Theil's U2 forecast-quality ratio (public formula):
+    U2 = √(Σ(ŷ_t − y_t)²) / √(Σ(y_{t−1} − y_t)²) over t ≥ 2 —
+    the "beats carry-forward?" gate every recrawl-interval model
+    must pass: U2 < 1 means the model adds information over naive
+    persistence, U2 ≥ 1 means delete the model and refetch on the
+    last-seen cadence (cf. `forecast_errors`, which scores the naive
+    itself).
+
+    Both sums share one lag window and exact row alignment; one row
+    (n, rmse_f, rmse_naive, u2) rounded 6.
+
+    Scale shape: one ordered lag window + one fold; partition by
+    host series at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         F.col(y_col).cast("double").alias("y"),
+                         F.col(yhat_col).cast("double").alias("yh"))
+    w = Window.orderBy("t")
+    d = base.withColumn("yp", F.lag("y", 1).over(w)) \
+        .filter(F.col("yp").isNotNull())
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.pow(F.col("yh") - F.col("y"), F.lit(2.0))).alias("sf"),
+        F.sum(F.pow(F.col("yp") - F.col("y"), F.lit(2.0))).alias("sn"))
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n", F.round(F.sqrt(F.col("sf") / n), 6).alias("rmse_f"),
+        F.round(F.sqrt(F.col("sn") / n), 6).alias("rmse_naive"),
+        F.round(F.sqrt(F.col("sf")) / F.sqrt(F.col("sn")), 6).alias("u2"))
+
+
+def theil_u2_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`theil_u2` over (t, y, yhat)."""
+    return f"""
+WITH base AS (
+  SELECT t, CAST(y AS DOUBLE) AS y, CAST(yhat AS DOUBLE) AS yh
+  FROM ({series_sql})
+),
+d AS (
+  SELECT y, yh, lag(y, 1) OVER (ORDER BY t) AS yp FROM base
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(pow(yh - y, 2.0)) AS sf, sum(pow(yp - y, 2.0)) AS sn
+  FROM d WHERE yp IS NOT NULL
+)
+SELECT n, round(sqrt(sf / CAST(n AS DOUBLE)), 6) AS rmse_f,
+  round(sqrt(sn / CAST(n AS DOUBLE)), 6) AS rmse_naive,
+  round(sqrt(sf) / sqrt(sn), 6) AS u2
+FROM agg
+"""
+
+
+def tracking_signal(
+    series: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    yhat_col: str = "yhat",
+) -> DataFrame:
+    """Forecast tracking signal (the classic Brown monitoring ratio,
+    public literature): TS_t = Σ_{s≤t} e_s / ((1/t)Σ_{s≤t}|e_s|),
+    e = actual − forecast — the drift alarm a capacity planner keeps
+    on every per-host volume forecast: |TS| past ~4 says the model
+    is persistently biased (regime change), long before the RMSE
+    moves. Reported: the final TS, the worst |TS| along the way and
+    when it happened.
+
+    Both cumulative sums are sequential frames over the same order;
+    one row (n, ts_end, ts_max_abs, t_at) rounded 6.
+
+    Scale shape: one cumulative window + one argmax fold; partition
+    by series at production scale.
+    """
+    base = series.select(F.col(t_col).alias("t"),
+                         (F.col(y_col).cast("double")
+                          - F.col(yhat_col).cast("double")).alias("e"))
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    d = (base.withColumn("ce", F.sum("e").over(wc))
+         .withColumn("ca", F.avg(F.abs(F.col("e"))).over(wc))
+         .withColumn("ts", F.col("ce") / F.col("ca")))
+    agg = d.agg(F.count("*").cast("long").alias("n"),
+                F.max_by("ts", "t").alias("ts_end"),
+                F.max(F.abs(F.col("ts"))).alias("mx"))
+    pick = (d.crossJoin(F.broadcast(agg.select("mx")))
+            .filter(F.abs(F.col("ts")) == F.col("mx"))
+            .agg(F.min("t").alias("t_at")))
+    return agg.crossJoin(F.broadcast(pick)).select(
+        "n", F.round("ts_end", 6).alias("ts_end"),
+        F.round("mx", 6).alias("ts_max_abs"), "t_at")
+
+
+def tracking_signal_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`tracking_signal` over (t, y, yhat)."""
+    return f"""
+WITH base AS (
+  SELECT t, CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE) AS e
+  FROM ({series_sql})
+),
+d AS (
+  SELECT t,
+    sum(e) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      / avg(abs(e)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ts
+  FROM base
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max_by(ts, t) AS ts_end,
+    max(abs(ts)) AS mx
+  FROM d
+),
+pick AS (
+  SELECT min(t) AS t_at FROM d CROSS JOIN agg WHERE abs(ts) = mx
+)
+SELECT n, round(ts_end, 6) AS ts_end, round(mx, 6) AS ts_max_abs,
+  t_at
+FROM agg CROSS JOIN pick
+"""

@@ -3202,3 +3202,161 @@ SELECT n_pos, n_neg, nc, nd,
   round(CAST(nc - nd AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE), 6) AS d
 FROM agg
 """
+
+
+
+def prk_table(
+    scored: DataFrame,
+    ks: list | None = None,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "id",
+) -> DataFrame:
+    """Precision / recall / F1 at fixed cutoffs (public IR formulas)
+    over one ranking: P@k = rel_in_top_k / k, R@k = rel_in_top_k / R,
+    F1 their harmonic mean — the operating-point table behind the
+    single-number evals (`map_eval`, `rbp_eval`): a crawl budget is
+    a literal k, so "P@10k of the priority queue" is the number the
+    budget owner actually buys.
+
+    Counts at integer ranks with a deterministic id tiebreak, exact
+    in both engines; one row per k ordered ascending, (k, rel_k,
+    prec, rec, f1) rounded 6.
+
+    Scale shape: one sort window + one conditional fold per k over
+    the same pass (no per-k rescans); pre-truncate to max(ks) at
+    production scale.
+    """
+    ks = sorted(ks or [5, 10, 20, 50])
+    base = scored.select(F.col(score_col).cast("double").alias("s"),
+                         F.col(label_col).cast("int").alias("y"),
+                         F.col(id_col).cast("long").alias("id"))
+    w = Window.orderBy(F.desc("s"), "id")
+    d = base.withColumn("k", F.row_number().over(w).cast("long"))
+    aggs = [F.sum("y").cast("long").alias("r_tot")]
+    for k in ks:
+        aggs.append(F.sum(F.when(F.col("k") <= k, F.col("y"))
+                          .otherwise(F.lit(0))).cast("long")
+                    .alias(f"r{k}"))
+    agg = d.agg(*aggs)
+    rows = []
+    for k in ks:
+        rel = F.col(f"r{k}").cast("double")
+        prec = rel / F.lit(float(k))
+        rec = rel / F.col("r_tot").cast("double")
+        f1 = F.when(rel > 0, 2 * prec * rec / (prec + rec)) \
+            .otherwise(F.lit(0.0))
+        rows.append(agg.select(
+            F.lit(k).cast("long").alias("k"),
+            F.col(f"r{k}").alias("rel_k"),
+            F.round(prec, 6).alias("prec"),
+            F.round(rec, 6).alias("rec"),
+            F.round(f1, 6).alias("f1")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def prk_table_sql(scored_sql: str, ks: list | None = None) -> str:
+    """DuckDB mirror of :func:`prk_table` over (score, label, id)."""
+    ks = sorted(ks or [5, 10, 20, 50])
+    sums = ",\n    ".join(
+        f"CAST(sum(CASE WHEN k <= {k} THEN y ELSE 0 END) AS BIGINT)"
+        f" AS r{k}" for k in ks)
+    selects = []
+    for k in ks:
+        selects.append(f"""
+SELECT CAST({k} AS BIGINT) AS k, r{k} AS rel_k,
+  round(CAST(r{k} AS DOUBLE) / {float(k)!r}, 6) AS prec,
+  round(CAST(r{k} AS DOUBLE) / CAST(r_tot AS DOUBLE), 6) AS rec,
+  round(CASE WHEN r{k} > 0
+    THEN 2 * (CAST(r{k} AS DOUBLE) / {float(k)!r})
+           * (CAST(r{k} AS DOUBLE) / CAST(r_tot AS DOUBLE))
+         / (CAST(r{k} AS DOUBLE) / {float(k)!r}
+            + CAST(r{k} AS DOUBLE) / CAST(r_tot AS DOUBLE))
+    ELSE 0.0 END, 6) AS f1
+FROM agg""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT CAST(score AS DOUBLE) AS s, CAST(label AS INT) AS y,
+    CAST(id AS BIGINT) AS id
+  FROM ({scored_sql})
+),
+d AS (
+  SELECT y,
+    CAST(row_number() OVER (ORDER BY s DESC, id) AS BIGINT) AS k
+  FROM base
+),
+agg AS (
+  SELECT CAST(sum(y) AS BIGINT) AS r_tot,
+    {sums}
+  FROM d
+)
+{body}
+"""
+
+
+def tau_ap(
+    ranks: DataFrame,
+    id_col: str = "id",
+    r1_col: str = "r1",
+    r2_col: str = "r2",
+) -> DataFrame:
+    """AP-weighted rank correlation τ_AP (Yilmaz, Aslam & Robertson
+    2008, public literature): sort by ranking 1; for each position
+    i ≥ 2, C(i) = how many of the i−1 items above are ALSO above
+    item i in ranking 2; τ_AP = (2/(n−1))·Σ C(i)/(i−1) − 1 — the
+    rank correlation that, unlike `kendall_tau`, weights the TOP of
+    the list the way users read it: two rankers that agree on the
+    head and shuffle the tail score near 1.
+
+    C comes from integer pair counts with exact ranks. One row
+    (n, tau_ap) rounded 6.
+
+    Scale shape: one pairs join over the two TOP-K lists only
+    (k² pairs, k is a ranking cutoff — never corpus-sized).
+    """
+    base = ranks.select(F.col(id_col).cast("long").alias("id"),
+                        F.col(r1_col).cast("long").alias("r1"),
+                        F.col(r2_col).cast("long").alias("r2"))
+    a = base.select(F.col("r1").alias("i"), F.col("r2").alias("s2"))
+    b = base.select(F.col("r1").alias("j"), F.col("r2").alias("t2"))
+    pairs = a.join(b, a["i"] > b["j"])
+    per = (pairs.groupBy("i")
+           .agg(F.sum((F.col("t2") < F.col("s2")).cast("long"))
+                .alias("c")))
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    agg = (per.crossJoin(F.broadcast(n_tot))
+           .agg(F.max("n").alias("n"),
+                F.sum(F.col("c").cast("double")
+                      / (F.col("i") - 1).cast("double")).alias("sc")))
+    tau = F.lit(2.0) * F.col("sc") / (F.col("n") - 1).cast("double") \
+        - F.lit(1.0)
+    return agg.select("n", F.round(tau, 6).alias("tau_ap"))
+
+
+def tau_ap_sql(ranks_sql: str) -> str:
+    """DuckDB mirror of :func:`tau_ap` over (id, r1, r2)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(r1 AS BIGINT) AS r1,
+    CAST(r2 AS BIGINT) AS r2
+  FROM ({ranks_sql})
+),
+pairs AS (
+  SELECT a.r1 AS i,
+    CAST(sum(CASE WHEN b.r2 < a.r2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM base a JOIN base b ON a.r1 > b.r1
+  GROUP BY 1
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+agg AS (
+  SELECT max(n) AS n,
+    sum(CAST(c AS DOUBLE) / CAST(i - 1 AS DOUBLE)) AS sc
+  FROM pairs CROSS JOIN n_tot
+)
+SELECT n, round(2.0 * sc / CAST(n - 1 AS DOUBLE) - 1.0, 6) AS tau_ap
+FROM agg
+"""

@@ -1,0 +1,134 @@
+"""Unit tests for the round-109 pack: CRPS, Theil U2, tracking signal,
+P/R@k table, tau_AP."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.recrawl import (crps_ensemble,
+                                              theil_u2,
+                                              tracking_signal)
+from icrawler_spark.operators.search import prk_table, tau_ap
+
+
+# ---------------------------------------------------------------------------
+# crps_ensemble
+# ---------------------------------------------------------------------------
+
+def test_crps_hand_value(spark):
+    rows = [(1, 1.0, 2.0), (1, 3.0, 2.0)]
+    df = spark.createDataFrame(rows, "case long, x double, y double")
+    row = crps_ensemble(df).collect()[0]
+    # t1 = 1, double-sum term = 4/(2*4) = 0.5
+    assert math.isclose(row["crps"], 0.5, abs_tol=1e-6)
+
+
+def test_crps_point_forecast_is_abs_error(spark):
+    df = spark.createDataFrame([(1, 5.0, 2.0)],
+                               "case long, x double, y double")
+    row = crps_ensemble(df).collect()[0]
+    assert math.isclose(row["crps"], 3.0, abs_tol=1e-6)
+    assert row["n_members"] == 1
+
+
+def test_crps_sharp_calibrated_beats_diffuse(spark):
+    tight = [(1, 9.9, 10.0), (1, 10.1, 10.0)]
+    wide = [(1, 0.0, 10.0), (1, 20.0, 10.0)]
+    c_t = crps_ensemble(spark.createDataFrame(
+        tight, "case long, x double, y double")).collect()[0]["crps"]
+    c_w = crps_ensemble(spark.createDataFrame(
+        wide, "case long, x double, y double")).collect()[0]["crps"]
+    assert c_t < c_w
+
+
+# ---------------------------------------------------------------------------
+# theil_u2
+# ---------------------------------------------------------------------------
+
+def test_theil_u2_hand_value(spark):
+    rows = [(1, 1.0, 2.0), (2, 2.0, 3.0), (3, 4.0, 3.0)]
+    df = spark.createDataFrame(rows, "t long, y double, yhat double")
+    row = theil_u2(df).collect()[0]
+    # t>=2: sf = (3-2)² + (3-4)² = 2; sn = (1-2)² + (2-4)² = 5
+    assert row["n"] == 2
+    assert math.isclose(row["u2"], math.sqrt(2 / 5.0), abs_tol=1e-6)
+
+
+def test_theil_u2_perfect_forecast_zero(spark):
+    rows = [(i, float(i), float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "t long, y double, yhat double")
+    assert theil_u2(df).collect()[0]["u2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# tracking_signal
+# ---------------------------------------------------------------------------
+
+def test_tracking_signal_persistent_bias_grows(spark):
+    rows = [(i, 10.0, 9.0) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "t long, y double, yhat double")
+    row = tracking_signal(df).collect()[0]
+    assert math.isclose(row["ts_end"], 3.0, abs_tol=1e-6)
+    assert math.isclose(row["ts_max_abs"], 3.0, abs_tol=1e-6)
+    assert row["t_at"] == 3
+
+
+def test_tracking_signal_alternating_cancels(spark):
+    rows = [(1, 12.0, 10.0), (2, 8.0, 10.0)]
+    df = spark.createDataFrame(rows, "t long, y double, yhat double")
+    row = tracking_signal(df).collect()[0]
+    assert math.isclose(row["ts_end"], 0.0, abs_tol=1e-6)
+    assert math.isclose(row["ts_max_abs"], 1.0, abs_tol=1e-6)
+    assert row["t_at"] == 1
+
+
+# ---------------------------------------------------------------------------
+# prk_table
+# ---------------------------------------------------------------------------
+
+def test_prk_hand_values(spark):
+    rows = [(6.0, 1, 1), (5.0, 0, 2), (4.0, 1, 3),
+            (3.0, 0, 4), (2.0, 0, 5), (1.0, 1, 6)]
+    df = spark.createDataFrame(rows, "score double, label int, id long")
+    out = {r["k"]: r for r in prk_table(df, ks=[2, 4]).collect()}
+    assert out[2]["rel_k"] == 1
+    assert math.isclose(out[2]["prec"], 0.5, abs_tol=1e-6)
+    assert math.isclose(out[2]["rec"], 1 / 3.0, abs_tol=1e-6)
+    assert math.isclose(out[2]["f1"], 0.4, abs_tol=1e-6)
+    assert math.isclose(out[4]["f1"], 4 / 7.0, abs_tol=1e-6)
+
+
+def test_prk_perfect_head(spark):
+    rows = [(3.0, 1, 1), (2.0, 1, 2), (1.0, 0, 3)]
+    df = spark.createDataFrame(rows, "score double, label int, id long")
+    out = {r["k"]: r for r in prk_table(df, ks=[2]).collect()}
+    assert out[2]["prec"] == 1.0 and out[2]["rec"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# tau_ap
+# ---------------------------------------------------------------------------
+
+def test_tau_ap_identical_and_reversed(spark):
+    n = 6
+    same = spark.createDataFrame([(i, i, i) for i in range(1, n + 1)],
+                                 "id long, r1 long, r2 long")
+    rev = spark.createDataFrame(
+        [(i, i, n + 1 - i) for i in range(1, n + 1)],
+        "id long, r1 long, r2 long")
+    assert tau_ap(same).collect()[0]["tau_ap"] == 1.0
+    assert tau_ap(rev).collect()[0]["tau_ap"] == -1.0
+
+
+def test_tau_ap_head_swap_hurts_more_than_tail_swap(spark):
+    n = 8
+    base = list(range(1, n + 1))
+    head = base[:]; head[0], head[1] = head[1], head[0]
+    tail = base[:]; tail[-1], tail[-2] = tail[-2], tail[-1]
+    def mk(r2s):
+        return spark.createDataFrame(
+            [(i, i, r2s[i - 1]) for i in base],
+            "id long, r1 long, r2 long")
+    t_head = tau_ap(mk(head)).collect()[0]["tau_ap"]
+    t_tail = tau_ap(mk(tail)).collect()[0]["tau_ap"]
+    assert t_head < t_tail
