@@ -72,7 +72,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round102, entry_round103,
                             entry_round104, entry_round105,
                             entry_round106, entry_round107,
-                            entry_round108, entry_round109)
+                            entry_round108, entry_round109,
+                            entry_round110)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -948,6 +949,7 @@ def queries():
         **entry_round107.queries107(),
         **entry_round108.queries108(),
         **entry_round109.queries109(),
+        **entry_round110.queries110(),
     }
 
 
@@ -1089,4 +1091,5 @@ def oracle_sql():
         **entry_round107.oracle_sql107(),
         **entry_round108.oracle_sql108(),
         **entry_round109.oracle_sql109(),
+        **entry_round110.oracle_sql110(),
     }

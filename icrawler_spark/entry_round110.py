@@ -1,0 +1,80 @@
+"""Round-3 driver-contract queries (batch 104): Rocchio nearest-centroid
+classification, kNN majority vote, multinomial Naive Bayes, sorted-
+neighborhood blocking, and the blocking-quality scorecard.
+
+The classifiers train/test-split the labeled `embeddings` / `documents`
+tables by id modulus (deterministic); the blocking pair runs over
+`documents`. Every computed column is aliased identically in the Spark
+plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.operators import classify as _classify
+from icrawler_spark.operators import docdedup as _docdedup
+
+_DOCS_SQL = "SELECT * FROM documents"
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def q_rocchio(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.rocchio_classify: K·dim-scalar centroid model via
+    one posexplode groupBy; scoring broadcasts the centroids — the corpus
+    never joins itself."""
+    return _classify.rocchio_classify(_emb(spark, sf))
+
+
+def q_knn_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.knn_vote: brute-force correctness baseline
+    (test side broadcast); the 100 TB candidate path is similarity.srp_topk
+    buckets feeding the same vote."""
+    return _classify.knn_vote(_emb(spark, sf))
+
+
+def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.nb_classify: (term, lang) count model in ONE
+    shuffle on term; scoring is a hash join on the term key."""
+    return _classify.nb_classify(_docs(spark, sf))
+
+
+def q_sorted_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.sorted_neighbors: O(n·w) candidate pairs via the
+    two-phase distributed ranker + rank-offset equi-join — no Window.orderBy
+    single task, no n² product."""
+    return _docdedup.sorted_neighbors(_docs(spark, sf))
+
+
+def q_blocking_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.blocking_eval: reduction ratio + pairs
+    completeness from exact integer counts (truth pairs counted per
+    fingerprint group, never materialized)."""
+    return _docdedup.blocking_eval(_docs(spark, sf))
+
+
+def queries110():
+    return {
+        "rocchio": q_rocchio,
+        "knn_vote": q_knn_vote,
+        "nb_classify": q_nb_classify,
+        "sorted_neighbors": q_sorted_neighbors,
+        "blocking_eval": q_blocking_eval,
+    }
+
+
+def oracle_sql110():
+    return {
+        "rocchio": _classify.rocchio_classify_sql(),
+        "knn_vote": _classify.knn_vote_sql(),
+        "nb_classify": _classify.nb_classify_sql(),
+        "sorted_neighbors": _docdedup.sorted_neighbors_sql(_DOCS_SQL),
+        "blocking_eval": _docdedup.blocking_eval_sql(_DOCS_SQL),
+    }

@@ -1,0 +1,298 @@
+"""Distributed classification operators for corpus curation.
+
+A 100 TB crawl pipeline labels documents constantly — language routing,
+quality tiers, topic buckets — and the classic lightweight classifiers
+(Rocchio centroids, kNN majority vote, multinomial Naive Bayes) are all
+expressible as pure DataFrame aggregations + joins, no model server needed.
+These complement the heuristic scorers in ``functions/text.py`` (langid,
+quality) with *trained* counterparts fit on a labeled split of the same
+table. Methods are public literature: Rocchio (1971, SMART), kNN (Cover &
+Hart 1967), multinomial NB with Laplace smoothing (McCallum & Nigam 1998).
+
+Scale shapes (the part that matters at 100 TB):
+
+- ``rocchio_classify``: the model is K centroids (K·dim scalars) built by ONE
+  posexplode + groupBy(label, dim) with map-side partial aggregation; scoring
+  broadcasts the centroid table against exploded test vectors — the corpus
+  shuffles once on (id, label), never pairwise.
+- ``knn_vote``: the labeled train side is broadcast against the (small) test
+  side, exactly like ``similarity.ann_topk``'s query broadcast; at corpus
+  scale the candidate set comes from ``similarity.srp_topk`` buckets instead
+  of the exhaustive product (documented brute-force correctness baseline).
+- ``nb_classify``: the model is (term, lang) counts — ONE shuffle on term
+  over the train split; scoring joins test term-frequencies against the model
+  on the term key (hash-partitioned, skew handled by AQE), with the constant
+  lang dimension crossed in. No Python in any path.
+
+Every float that reaches an output row is rounded or reduced to an argmax of
+well-separated scores, so the DuckDB oracle twins (`*_sql`) reproduce results
+exactly (the driver correctness gate hashes values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: characters treated as token separators (both engines use the same regex,
+#: 'g'-flagged on the DuckDB side).
+NONWORD_RE = "[^a-z0-9]+"
+
+
+def _split_base(emb: DataFrame, id_col: str, vec_col: str, label_col: str,
+                holdout_mod: int) -> tuple[DataFrame, DataFrame]:
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).cast("long").alias("y"))
+    train = base.filter(F.col("id") % holdout_mod != 0)
+    test = base.filter(F.col("id") % holdout_mod == 0)
+    return train, test
+
+
+def rocchio_classify(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", label_col: str = "label",
+                     holdout_mod: int = 5) -> DataFrame:
+    """Rocchio / nearest-centroid classification of the held-out split
+    (``id % holdout_mod == 0``) against per-label centroids fit on the rest.
+
+    Returns (vec_id, pred_label, true_label) — argmax of cosine(test vector,
+    label centroid), ties broken toward the smaller label. Only the argmax is
+    emitted (cosines themselves stay internal, rounded to 6 before the argmax
+    so both engines rank identical values).
+    """
+    train, test = _split_base(emb, id_col, vec_col, label_col, holdout_mod)
+
+    cent = (train.select("y", F.posexplode("v").alias("dim", "x"))
+            .groupBy("y", "dim").agg(F.avg("x").alias("c")))
+    cnorm = cent.groupBy("y").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+
+    tx = test.select("id", F.col("y").alias("true_label"),
+                     F.posexplode("v").alias("dim", "x"))
+    tnorm = (test.select(
+        "id", F.sqrt(F.aggregate("v", F.lit(0.0),
+                                 lambda a, x: a + x * x)).alias("tn")))
+
+    dots = (tx.join(F.broadcast(cent), "dim")
+            .groupBy("id", "true_label", "y")
+            .agg(F.sum(F.col("x") * F.col("c")).alias("dot")))
+    scored = (dots.join(F.broadcast(cnorm), "y").join(tnorm, "id")
+              .withColumn("cos", F.round(F.col("dot")
+                                         / (F.col("tn") * F.col("cn")), 6)))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("y"))
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("id").alias("vec_id"),
+                    F.col("y").alias("pred_label"), "true_label"))
+
+
+def rocchio_classify_sql(table: str = "embeddings", holdout_mod: int = 5) -> str:
+    """DuckDB mirror of :func:`rocchio_classify` (1-based list dims)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(label AS BIGINT) AS y
+  FROM {table}
+),
+train AS (SELECT * FROM base WHERE id % {holdout_mod} <> 0),
+test AS (SELECT * FROM base WHERE id % {holdout_mod} = 0),
+cent AS (
+  SELECT y, g.dim AS dim, avg(v[g.dim]) AS c
+  FROM train CROSS JOIN (
+    SELECT unnest(range(1, (SELECT max(len(v)) FROM train) + 1)) AS dim) g
+  GROUP BY 1, 2
+),
+cnorm AS (SELECT y, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1),
+tnorm AS (SELECT id, sqrt(list_sum(list_transform(v, x -> x * x))) AS tn FROM test),
+dots AS (
+  SELECT t.id, t.y AS true_label, cent.y AS y, sum(t.v[cent.dim] * cent.c) AS dot
+  FROM test t CROSS JOIN cent
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.id, d.true_label, d.y,
+    round(d.dot / (tn.tn * cn.cn), 6) AS cos
+  FROM dots d JOIN cnorm cn USING (y) JOIN tnorm tn USING (id)
+)
+SELECT id AS vec_id, y AS pred_label, true_label
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, y ASC) = 1
+"""
+
+
+def knn_vote(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", label_col: str = "label",
+             holdout_mod: int = 5) -> DataFrame:
+    """k-nearest-neighbor majority vote: each held-out vector takes the
+    modal label of its ``k`` nearest train vectors by cosine (rounded 6;
+    neighbor ties broken by smaller train id, vote ties by smaller label).
+
+    Returns (vec_id, pred_label, true_label). The exhaustive test×train
+    product here is the correctness baseline (test side broadcast, same
+    contract as ``similarity.ann_topk``); the corpus-scale candidate set is
+    ``similarity.srp_topk``'s bucket join feeding the same vote.
+    """
+    train, test = _split_base(emb, id_col, vec_col, label_col, holdout_mod)
+    t = test.select(F.col("id").alias("qid"), F.col("y").alias("true_label"),
+                    F.col("v").alias("qv"),
+                    F.sqrt(F.aggregate("v", F.lit(0.0),
+                                       lambda a, x: a + x * x)).alias("qn"))
+    tr = train.select(F.col("id").alias("tid"), F.col("y").alias("ty"),
+                      F.col("v").alias("tv"),
+                      F.sqrt(F.aggregate("v", F.lit(0.0),
+                                         lambda a, x: a + x * x)).alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (tr.crossJoin(F.broadcast(t))
+             .withColumn("cos", F.round(dot / (F.col("qn") * F.col("tn")), 6)))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("tid"))
+    topk = (pairs.withColumn("__r", F.row_number().over(wk))
+            .filter(F.col("__r") <= k))
+    votes = topk.groupBy("qid", "true_label", "ty").agg(F.count("*").alias("n"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("ty"))
+    return (votes.withColumn("__v", F.row_number().over(wv))
+            .filter(F.col("__v") == 1)
+            .select(F.col("qid").alias("vec_id"),
+                    F.col("ty").alias("pred_label"), "true_label"))
+
+
+def knn_vote_sql(table: str = "embeddings", k: int = 5,
+                 holdout_mod: int = 5) -> str:
+    """DuckDB mirror of :func:`knn_vote`."""
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(label AS BIGINT) AS y
+  FROM {table}
+),
+train AS (SELECT id, v, y, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+          FROM base WHERE id % {holdout_mod} <> 0),
+test AS (SELECT id, v, y, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+         FROM base WHERE id % {holdout_mod} = 0),
+topk AS (
+  SELECT t.id AS qid, t.y AS true_label, tr.id AS tid, tr.y AS ty,
+    round(list_sum(list_transform(list_zip(t.v, tr.v),
+                                  p -> p[1] * p[2])) / (t.n * tr.n), 6) AS cos
+  FROM test t CROSS JOIN train tr
+  QUALIFY row_number() OVER (PARTITION BY t.id ORDER BY cos DESC, tr.id ASC)
+    <= {k}
+),
+votes AS (
+  SELECT qid, true_label, ty, count(*) AS n
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT qid AS vec_id, ty AS pred_label, true_label
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, ty ASC) = 1
+"""
+
+
+def nb_classify(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", label_col: str = "lang",
+                holdout_mod: int = 5) -> DataFrame:
+    """Multinomial Naive Bayes with Laplace (+1) smoothing: fit (term, label)
+    counts on ``id % holdout_mod != 0``, score the held-out rest with
+    log prior + Σ tf·log p(term | label); unseen-in-class terms contribute
+    the smoothed floor 1/(class_total + |V|). Terms outside the train
+    vocabulary are dropped (standard multinomial NB treatment).
+
+    Returns (doc_id, pred_label, true_label) — the argmax only; log scores
+    stay internal (class margins dwarf cross-engine float-summation noise,
+    and ties break toward the lexicographically smaller label).
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("string").alias("y"),
+        F.split(F.regexp_replace(F.lower(text_col), NONWORD_RE, " "), " ")
+        .alias("toks"))
+    train = base.filter(F.col("id") % holdout_mod != 0)
+    test = base.filter(F.col("id") % holdout_mod == 0)
+
+    train_terms = (train.select("y", F.explode("toks").alias("term"))
+                   .filter(F.col("term") != ""))
+    counts = train_terms.groupBy("y", "term").agg(
+        F.count("*").cast("double").alias("c"))
+    totals = counts.groupBy("y").agg(F.sum("c").alias("tot"))
+    vocab_n = counts.select("term").distinct().agg(
+        F.count("*").cast("double").alias("vn"))
+    priors = (train.groupBy("y").agg(F.count("*").cast("double").alias("nd"))
+              .crossJoin(train.agg(F.count("*").cast("double").alias("ntot")))
+              .select("y", (F.log("nd") - F.log("ntot")).alias("lprior")))
+
+    test_tf = (test.select("id", F.col("y").alias("true_label"),
+                           F.explode("toks").alias("term"))
+               .filter(F.col("term") != "")
+               .groupBy("id", "true_label", "term")
+               .agg(F.count("*").cast("double").alias("tf")))
+    # keep only train-vocabulary terms, then cross the constant label dim in
+    vocab_terms = counts.select("term").distinct()
+    labels = totals.select(F.col("y").alias("ly"), "tot")
+    c2 = counts.select(F.col("y").alias("cy"), F.col("term").alias("cterm"),
+                       "c")
+    scored_terms = (test_tf.join(vocab_terms, "term")
+                    .crossJoin(F.broadcast(labels.crossJoin(vocab_n)))
+                    .join(c2, (F.col("cy") == F.col("ly"))
+                          & (F.col("cterm") == F.col("term")), "left_outer")
+                    .select("id", "true_label", F.col("ly").alias("y"),
+                            (F.col("tf")
+                             * (F.log(F.coalesce(F.col("c"), F.lit(0.0)) + 1.0)
+                                - F.log(F.col("tot") + F.col("vn"))))
+                            .alias("lp")))
+    scores = (scored_terms.groupBy("id", "true_label", "y")
+              .agg(F.sum("lp").alias("ll"))
+              .join(F.broadcast(priors), "y")
+              .withColumn("score", F.col("ll") + F.col("lprior")))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("y"))
+    return (scores.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("y").alias("pred_label"), "true_label"))
+
+
+def nb_classify_sql(table: str = "documents", holdout_mod: int = 5) -> str:
+    """DuckDB mirror of :func:`nb_classify`."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(lang AS VARCHAR) AS y,
+    string_split(
+      regexp_replace(lower(text), '{NONWORD_RE}', ' ', 'g'), ' ') AS toks
+  FROM {table}
+),
+train AS (SELECT * FROM base WHERE id % {holdout_mod} <> 0),
+test AS (SELECT * FROM base WHERE id % {holdout_mod} = 0),
+train_terms AS (
+  SELECT y, t.term FROM train, unnest(toks) AS t(term) WHERE t.term <> ''
+),
+counts AS (SELECT y, term, CAST(count(*) AS DOUBLE) AS c
+           FROM train_terms GROUP BY 1, 2),
+totals AS (SELECT y, sum(c) AS tot FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM counts),
+vocab_n AS (SELECT CAST(count(*) AS DOUBLE) AS vn FROM vocab),
+priors AS (
+  SELECT y, ln(CAST(count(*) AS DOUBLE))
+    - ln((SELECT CAST(count(*) AS DOUBLE) FROM train)) AS lprior
+  FROM train GROUP BY 1
+),
+test_tf AS (
+  SELECT id, y AS true_label, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM test, unnest(toks) AS t(term) WHERE t.term <> ''
+  GROUP BY 1, 2, 3
+),
+scored_terms AS (
+  SELECT tf.id, tf.true_label, tot.y,
+    tf.tf * (ln(coalesce(c.c, 0.0) + 1.0) - ln(tot.tot + vn.vn)) AS lp
+  FROM test_tf tf
+  JOIN vocab USING (term)
+  CROSS JOIN totals tot CROSS JOIN vocab_n vn
+  LEFT JOIN counts c ON c.y = tot.y AND c.term = tf.term
+),
+scores AS (
+  SELECT st.id, st.true_label, st.y, sum(st.lp) + any_value(p.lprior) AS score
+  FROM scored_terms st JOIN priors p USING (y)
+  GROUP BY 1, 2, 3
+)
+SELECT id AS doc_id, y AS pred_label, true_label
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, y ASC) = 1
+"""

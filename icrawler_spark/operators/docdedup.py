@@ -1158,3 +1158,139 @@ SELECT b, r,
   round(1.0 - pow(1.0 - pow(s, r), b), 6) AS p_catch
 FROM (VALUES {vals}) AS t(b, r, s)
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995, SIGMOD)
+# ---------------------------------------------------------------------------
+
+def sorted_neighbors(docs: DataFrame, window: int = 3, key_len: int = 16,
+                     truth_len: int = 100, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sorted-neighborhood candidate pairs: sort the corpus by a cheap
+    blocking key (the first ``key_len`` chars of the normalized text), then
+    emit every pair within ``window`` positions of each other — the classic
+    O(n·w) alternative to the O(n²) product for near-dup candidate
+    generation (Hernandez & Stolfo 1995).
+
+    Returns (a_id, b_id, near_dup) with a_id the earlier-ranked side;
+    ``near_dup`` marks candidates whose normalized ``truth_len``-char prefix
+    fingerprints match (the synthetic corpus has no byte-identical texts, so
+    the prefix fingerprint is the duplicate ground truth — the usual proxy in
+    blocking-scheme evaluations). Row count is exactly
+    (n - window)·window + window·(window-1)/2.
+
+    Scale shape: the global sort rank uses the two-phase distributed ranker
+    (``budget.global_row_number`` — range partition then per-partition
+    offset; a bare Window.orderBy single task never appears); the
+    rank-offset self-join is an equi-join on rnk+off, hash-partitioned, so
+    the whole operator is one range shuffle + one hash shuffle regardless of
+    corpus size.
+    """
+    from icrawler_spark.operators.budget import global_row_number
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.substring(normalized_text(text_col), 1, key_len).alias("key"),
+        F.md5(F.substring(normalized_text(text_col), 1, truth_len))
+        .alias("th"))
+    ranked = global_row_number(base, ["key", "id"], "rnk", start=1)
+    a = ranked.select(F.col("id").alias("a_id"), F.col("th").alias("a_th"),
+                      F.col("rnk").alias("a_rnk"))
+    offs = F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("off")
+    a_off = a.select("*", offs).withColumn("b_rnk", F.col("a_rnk") + F.col("off"))
+    b = ranked.select(F.col("id").alias("b_id"), F.col("th").alias("b_th"),
+                      F.col("rnk").alias("b_rnk"))
+    return (a_off.join(b, "b_rnk")
+            .select("a_id", "b_id",
+                    (F.col("a_th") == F.col("b_th")).alias("near_dup")))
+
+
+def sorted_neighbors_sql(docs_sql: str, window: int = 3,
+                         key_len: int = 16, truth_len: int = 100) -> str:
+    """DuckDB mirror of :func:`sorted_neighbors`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+    md5(substr({norm}, 1, {truth_len})) AS th,
+    row_number() OVER (ORDER BY substr({norm}, 1, {key_len}), doc_id) AS rnk
+  FROM ({docs_sql})
+)
+SELECT a.id AS a_id, b.id AS b_id, a.th = b.th AS near_dup
+FROM ranked a JOIN ranked b
+  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {int(window)}
+"""
+
+
+def blocking_eval(docs: DataFrame, window: int = 3, key_len: int = 16,
+                  truth_len: int = 100, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Blocking-quality scorecard for :func:`sorted_neighbors` against the
+    prefix-fingerprint ground truth (see :func:`sorted_neighbors`): the two
+    standard record-
+    linkage metrics — reduction ratio (candidate pairs avoided vs the full
+    n·(n-1)/2 product) and pairs completeness (fraction of true duplicate
+    pairs the blocking scheme surfaces) — as ONE summary row
+    (n_docs, n_candidates, n_truth_pairs, n_found_pairs, reduction_ratio,
+    completeness), ratios rounded 6 from exact integer counts.
+
+    Scale shape: candidates come from the O(n·w) sorted-neighborhood join;
+    truth-pair counts come from ONE groupBy(md5) — c·(c-1)/2 summed per
+    group, never materializing the truth pairs themselves.
+    """
+    cand = sorted_neighbors(docs, window=window, key_len=key_len,
+                            truth_len=truth_len, text_col=text_col,
+                            id_col=id_col)
+    cand_agg = cand.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.col("near_dup").cast("long")).alias("n_found_pairs"))
+    truth = (docs.groupBy(
+        F.md5(F.substring(normalized_text(text_col), 1, truth_len))
+        .alias("th"))
+             .agg(F.count("*").cast("long").alias("c"))
+             .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                  .alias("n_truth_pairs"),
+                  F.sum("c").cast("long").alias("n_docs")))
+    out = cand_agg.crossJoin(truth)
+    total_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0)
+    return out.select(
+        "n_docs", "n_candidates", "n_truth_pairs", "n_found_pairs",
+        F.round(1.0 - F.col("n_candidates") / total_pairs, 6)
+        .alias("reduction_ratio"),
+        F.round(F.when(F.col("n_truth_pairs") > 0,
+                       F.col("n_found_pairs").cast("double")
+                       / F.col("n_truth_pairs")).otherwise(F.lit(1.0)), 6)
+        .alias("completeness"))
+
+
+def blocking_eval_sql(docs_sql: str, window: int = 3,
+                      key_len: int = 16, truth_len: int = 100) -> str:
+    """DuckDB mirror of :func:`blocking_eval`."""
+    cand = sorted_neighbors_sql(docs_sql, window=window, key_len=key_len,
+                                truth_len=truth_len)
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH cand AS ({cand}),
+cand_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+    CAST(sum(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_found_pairs
+  FROM cand
+),
+truth AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_truth_pairs,
+    CAST(sum(c) AS BIGINT) AS n_docs
+  FROM (SELECT count(*) AS c FROM ({docs_sql})
+        GROUP BY md5(substr({norm}, 1, {truth_len})))
+)
+SELECT n_docs, n_candidates, n_truth_pairs, n_found_pairs,
+  round(1.0 - n_candidates / (n_docs * (n_docs - 1) / 2.0), 6)
+    AS reduction_ratio,
+  round(CASE WHEN n_truth_pairs > 0
+    THEN CAST(n_found_pairs AS DOUBLE) / n_truth_pairs ELSE 1.0 END, 6)
+    AS completeness
+FROM cand_agg CROSS JOIN truth
+"""

@@ -1,0 +1,130 @@
+"""Unit tests for the round-110 pack: Rocchio centroids, kNN vote,
+multinomial Naive Bayes, sorted-neighborhood blocking, blocking eval."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.classify import (knn_vote, nb_classify,
+                                               rocchio_classify)
+from icrawler_spark.operators.docdedup import blocking_eval, sorted_neighbors
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+# ---------------------------------------------------------------------------
+# rocchio_classify
+# ---------------------------------------------------------------------------
+
+def test_rocchio_separable_clusters(spark):
+    # label 0 lives on +x, label 1 on +y; held-out ids 0,5,10 (mod 5)
+    rows = [(1, [1.0, 0.1], 0), (2, [0.9, 0.0], 0),
+            (3, [0.1, 1.0], 1), (4, [0.0, 0.9], 1),
+            (0, [1.0, 0.0], 0), (5, [0.0, 1.0], 1), (10, [0.8, 0.2], 0)]
+    out = {r["vec_id"]: (r["pred_label"], r["true_label"])
+           for r in rocchio_classify(_emb(spark, rows)).collect()}
+    assert out == {0: (0, 0), 5: (1, 1), 10: (0, 0)}
+
+
+def test_rocchio_tie_breaks_to_smaller_label(spark):
+    # both centroids identical -> equal cosine -> pred = min label
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1), (0, [1.0, 0.0], 1)]
+    row = rocchio_classify(_emb(spark, rows)).collect()[0]
+    assert (row["pred_label"], row["true_label"]) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# knn_vote
+# ---------------------------------------------------------------------------
+
+def test_knn_vote_majority(spark):
+    # k=3: test vector nearest to two label-7 trains and one label-8
+    rows = [(1, [1.0, 0.0], 7), (2, [0.99, 0.01], 7), (3, [0.9, 0.3], 8),
+            (4, [-1.0, 0.0], 9), (0, [1.0, 0.05], 7)]
+    row = knn_vote(_emb(spark, rows), k=3).collect()[0]
+    assert (row["vec_id"], row["pred_label"], row["true_label"]) == (0, 7, 7)
+
+
+def test_knn_vote_tie_breaks_to_smaller_label(spark):
+    # k=2, one neighbor each of labels 3 and 4 at equal cosine
+    rows = [(1, [1.0, 0.0], 4), (2, [1.0, 0.0], 3), (0, [1.0, 0.0], 4)]
+    row = knn_vote(_emb(spark, rows), k=2).collect()[0]
+    assert row["pred_label"] == 3
+
+
+# ---------------------------------------------------------------------------
+# nb_classify
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_nb_classify_obvious_vocab(spark):
+    rows = [(1, "der hund der hund", "de"), (2, "der baum", "de"),
+            (3, "the dog the dog", "en"), (4, "the tree", "en"),
+            (0, "der der hund", "de"), (5, "the the dog", "en")]
+    out = {r["doc_id"]: (r["pred_label"], r["true_label"])
+           for r in nb_classify(_docs(spark, rows)).collect()}
+    assert out == {0: ("de", "de"), 5: ("en", "en")}
+
+
+def test_nb_classify_drops_oov_only_docs(spark):
+    # the held-out doc shares no vocabulary with train -> no output row
+    rows = [(1, "alpha beta", "en"), (2, "gamma delta", "de"),
+            (0, "zzz qqq", "en")]
+    assert nb_classify(_docs(spark, rows)).count() == 0
+
+
+def test_nb_prior_decides_empty_overlap_tie(spark):
+    # token 'x' seen equally in both classes, but 'en' has 2 train docs
+    rows = [(1, "x", "en"), (2, "x", "en"), (3, "x x", "de"), (0, "x", "en")]
+    row = nb_classify(_docs(spark, rows)).collect()[0]
+    # p(x|en)=(2+1)/(2+1), p(x|de)=(2+1)/(2+1) equal; prior 2/3 vs 1/3 -> en
+    assert row["pred_label"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighbors / blocking_eval
+# ---------------------------------------------------------------------------
+
+def _docs2(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string, lang string")
+
+
+def test_sorted_neighbors_pair_count_and_flag(spark):
+    texts = ["apple pie recipe", "apple pie recipe", "zebra stripes",
+             "yak wool", "walrus tusk"]
+    out = sorted_neighbors(_docs2(spark, texts), window=2).collect()
+    # (n - w)*w + w*(w-1)/2 = 3*2 + 1 = 7 pairs
+    assert len(out) == 7
+    dup = [(r["a_id"], r["b_id"]) for r in out if r["near_dup"]]
+    assert dup == [(1, 2)]
+
+
+def test_sorted_neighbors_window_bounds_pairs(spark):
+    texts = [f"doc number {i}" for i in range(10)]
+    out = sorted_neighbors(_docs2(spark, texts), window=3)
+    assert out.count() == 7 * 3 + 3  # (n-w)*w + w(w-1)/2
+
+
+def test_blocking_eval_counts(spark):
+    texts = ["apple pie recipe", "apple pie recipe", "zebra stripes",
+             "yak wool", "walrus tusk"]
+    row = blocking_eval(_docs2(spark, texts), window=2).collect()[0]
+    assert (row["n_docs"], row["n_candidates"]) == (5, 7)
+    assert (row["n_truth_pairs"], row["n_found_pairs"]) == (1, 1)
+    assert math.isclose(row["reduction_ratio"], 1 - 7 / 10.0, abs_tol=1e-9)
+    assert row["completeness"] == 1.0
+
+
+def test_blocking_eval_no_truth_pairs_degenerate(spark):
+    texts = ["alpha", "beta", "gamma"]
+    row = blocking_eval(_docs2(spark, texts), window=1).collect()[0]
+    assert row["n_truth_pairs"] == 0
+    assert row["completeness"] == 1.0
