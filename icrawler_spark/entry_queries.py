@@ -73,7 +73,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round104, entry_round105,
                             entry_round106, entry_round107,
                             entry_round108, entry_round109,
-                            entry_round110)
+                            entry_round110, entry_round111)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -950,6 +950,7 @@ def queries():
         **entry_round108.queries108(),
         **entry_round109.queries109(),
         **entry_round110.queries110(),
+        **entry_round111.queries111(),
     }
 
 
@@ -1092,4 +1093,5 @@ def oracle_sql():
         **entry_round108.oracle_sql108(),
         **entry_round109.oracle_sql109(),
         **entry_round110.oracle_sql110(),
+        **entry_round111.oracle_sql111(),
     }

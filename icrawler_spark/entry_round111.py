@@ -1,0 +1,176 @@
+"""Round-3 driver-contract queries (batch 105): pivoted-length-norm
+retrieval, TextRank keywords, MMR diversified re-ranking, Jaro-Winkler
+brand confusables, DGA hostname screening.
+
+Fixtures derive deterministically from documents/embeddings/events; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import domains as _domains
+from icrawler_spark.operators import blocklist as _blocklist
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import search as _search
+from icrawler_spark.operators import similarity as _similarity
+
+_TOK_SQL = ("string_split(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pivoted_norm — Singhal pivoted length normalization retrieval
+# ---------------------------------------------------------------------------
+
+_PN_QUERY = ["scan", "filter", "join"]
+_PN_K = 25
+
+
+def q_pivoted_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.pivoted_topk: same scan-stage query-term filter and
+    TakeOrderedAndProject top-k as bm25_topk, VSM weighting."""
+    return _search.pivoted_topk(_docs(spark, sf), _PN_QUERY, k=_PN_K)
+
+
+# ---------------------------------------------------------------------------
+# textrank — keyword extraction via PageRank on the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def q_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.textrank_keywords: zip-shift edge projection +
+    fixed-iteration pagerank on the token-vocabulary graph."""
+    return _graph.textrank_keywords(_docs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# mmr — diversified top-k
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = list(range(8))
+
+
+def q_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.mmr_rerank: k greedy DataFrame iterations over
+    pool-sized per-query shortlists; nothing in the loop touches the
+    corpus."""
+    return _similarity.mmr_rerank(_emb(spark, sf), _MMR_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# jw_confusables — brand-confusable hostnames by Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+_JW_WORDS = ["shop", "mail", "news", "blog", "wiki", "game", "bank", "data"]
+_JW_WORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _JW_WORDS) + "]"
+
+
+def _jw_hosts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    w = F.array(*[F.lit(x) for x in _JW_WORDS])
+    return (ev.select(F.concat(
+        F.element_at(w, (F.col("user_id") % 8 + 1).cast("int")),
+        (F.col("user_id") % 30).cast("string"), F.lit(".test"))
+        .alias("host")).distinct())
+
+
+def _jw_brands(spark, sf) -> DataFrame:
+    w = F.array(*[F.lit(x) for x in _JW_WORDS])
+    return (spark.range(len(_JW_WORDS))
+            .select(F.concat(F.element_at(w, (F.col("id") + 1).cast("int")),
+                             F.lit(".test")).alias("brand")))
+
+
+_JW_HOSTS_SQL = f"""
+  SELECT DISTINCT {_JW_WORDS_SQL}[CAST(user_id % 8 AS INT) + 1]
+    || CAST(user_id % 30 AS VARCHAR) || '.test' AS host
+  FROM events
+"""
+_JW_BRANDS_SQL = f"""
+  SELECT w || '.test' AS brand FROM (SELECT unnest({_JW_WORDS_SQL}) AS w)
+"""
+
+
+def q_jw_confusables(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.jw_confusables: prefix-blocked candidate pairs,
+    Arrow-batched Jaro-Winkler verify (differential-matched to DuckDB's
+    native jaro_winkler_similarity)."""
+    return _blocklist.jw_confusables(_jw_hosts(spark, sf),
+                                     _jw_brands(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# dga_hosts — character-bigram likelihood screening
+# ---------------------------------------------------------------------------
+
+
+def _dga_names(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    w = F.array(*[F.lit(x) for x in _JW_WORDS])
+    benignish = F.concat(
+        F.element_at(w, (F.col("user_id") % 8 + 1).cast("int")),
+        F.element_at(w, (F.floor(F.col("user_id") / 8) % 8 + 1).cast("int")))
+    randomish = F.substring(F.md5(F.col("user_id").cast("string")), 1, 10)
+    return ev.select(
+        F.col("user_id").alias("uid"),
+        F.when(F.col("user_id") % 4 == 0, randomish)
+        .otherwise(benignish).alias("name"))
+
+
+_DGA_NAMES_SQL = f"""
+  SELECT user_id AS uid,
+    CASE WHEN user_id % 4 = 0
+      THEN substr(md5(CAST(user_id AS VARCHAR)), 1, 10)
+      ELSE {_JW_WORDS_SQL}[CAST(user_id % 8 AS INT) + 1]
+        || {_JW_WORDS_SQL}[CAST(user_id // 8 % 8 AS INT) + 1]
+    END AS name
+  FROM events
+"""
+
+
+def q_dga_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/domains.dga_scores: 36²-bounded broadcast bigram model,
+    one explode + groupBy(name) to score."""
+    names = _dga_names(spark, sf)
+    benign = names.filter((F.col("uid") % 4 != 0) & (F.col("uid") % 5 != 0))
+    return _domains.dga_scores(names, benign)
+
+
+def queries111():
+    return {
+        "pivoted_norm": q_pivoted_norm,
+        "textrank": q_textrank,
+        "mmr": q_mmr,
+        "jw_confusables": q_jw_confusables,
+        "dga_hosts": q_dga_hosts,
+    }
+
+
+def oracle_sql111():
+    return {
+        "pivoted_norm": _search.pivoted_sql(_TOK_SQL, _PN_QUERY, k=_PN_K),
+        "textrank": _graph.textrank_sql(),
+        "mmr": _similarity.mmr_sql(_MMR_QUERIES),
+        "jw_confusables": _blocklist.jw_confusables_sql(
+            _JW_HOSTS_SQL, _JW_BRANDS_SQL),
+        "dga_hosts": _domains.dga_scores_sql(
+            _DGA_NAMES_SQL,
+            f"SELECT name FROM ({_DGA_NAMES_SQL}) "
+            "WHERE uid % 4 <> 0 AND uid % 5 <> 0"),
+    }

@@ -199,3 +199,95 @@ def registrable_host_groups(
     return res.select(
         F.col(host_col).alias("host"),
         F.coalesce(F.col("registrable"), F.col(host_col)).alias("grp"))
+
+
+# ---------------------------------------------------------------------------
+# DGA-style hostname scoring (character-bigram likelihood)
+# ---------------------------------------------------------------------------
+
+#: fixed smoothing alphabet size — [a-z0-9], the hostname-label charset
+DGA_ALPHABET = 36
+
+
+def dga_scores(names: DataFrame, benign: DataFrame,
+               threshold: float = -3.4,
+               name_col: str = "name") -> DataFrame:
+    """Domain-generation-algorithm screening: score each hostname label by
+    its mean natural-log character-bigram probability under a model fit on
+    a known-benign label set (Laplace +1 over a fixed 36-char alphabet),
+    flagging low-likelihood (random-looking) names. The standard lightweight
+    DGA detector from the botnet-measurement literature (e.g. Yadav et al.
+    2010, IMC — public work).
+
+    Returns (name, n_bigrams, score rounded 4, is_dga = score < threshold).
+    Names shorter than 2 chars are dropped (no bigrams).
+
+    Scale shape: the model is a (bigram, count) table bounded by 36² rows —
+    broadcast; scoring is one explode + broadcast join + groupBy(name), all
+    JVM exprs. The benign fit is one shuffle on bigram.
+    """
+    def bigrams(col):
+        return F.expr(
+            f"transform(sequence(1, length({col}) - 1),"
+            f" i -> substr({col}, i, 2))")
+
+    b = (benign.select(F.lower(F.col(name_col)).alias("name"))
+         .filter(F.length("name") >= 2)
+         .select(F.explode(bigrams("name")).alias("bg")))
+    counts = b.groupBy("bg").agg(F.count("*").cast("double").alias("c"))
+    firsts = (b.select(F.substring("bg", 1, 1).alias("c1"))
+              .groupBy("c1").agg(F.count("*").cast("double").alias("ctot")))
+
+    n = (names.select(F.lower(F.col(name_col)).alias("name")).distinct()
+         .filter(F.length("name") >= 2)
+         .select("name", F.explode(bigrams("name")).alias("bg")))
+    scored = (n.withColumn("c1", F.substring("bg", 1, 1))
+              .join(F.broadcast(counts), "bg", "left")
+              .join(F.broadcast(firsts), "c1", "left")
+              .select("name",
+                      (F.log(F.coalesce(F.col("c"), F.lit(0.0)) + 1.0)
+                       - F.log(F.coalesce(F.col("ctot"), F.lit(0.0))
+                               + F.lit(float(DGA_ALPHABET)))).alias("lp")))
+    agg = scored.groupBy("name").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("score"))
+    return agg.select("name", "n_bigrams", "score",
+                      (F.col("score") < threshold).alias("is_dga"))
+
+
+def dga_scores_sql(names_sql: str, benign_sql: str,
+                   threshold: float = -3.4) -> str:
+    """DuckDB mirror of :func:`dga_scores` over (name) SELECTs."""
+    bg = ("list_transform(range(1, length(name)),"
+          " i -> substr(name, i, 2))")
+    return f"""
+WITH bnames AS (
+  SELECT lower(name) AS name FROM ({benign_sql}) WHERE length(name) >= 2
+),
+b AS (SELECT unnest({bg}) AS bg FROM bnames),
+counts AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1),
+firsts AS (
+  SELECT substr(bg, 1, 1) AS c1, CAST(count(*) AS DOUBLE) AS ctot
+  FROM b GROUP BY 1
+),
+n AS (
+  SELECT name, unnest({bg}) AS bg
+  FROM (SELECT DISTINCT lower(name) AS name FROM ({names_sql})
+        WHERE length(name) >= 2)
+),
+scored AS (
+  SELECT n.name,
+    ln(coalesce(c.c, 0.0) + 1.0)
+      - ln(coalesce(f.ctot, 0.0) + {float(DGA_ALPHABET)!r}) AS lp
+  FROM n
+  LEFT JOIN counts c USING (bg)
+  LEFT JOIN firsts f ON f.c1 = substr(n.bg, 1, 1)
+),
+agg AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(avg(lp), 4) AS score
+  FROM scored GROUP BY 1
+)
+SELECT name, n_bigrams, score, score < {float(threshold)!r} AS is_dga
+FROM agg
+"""

@@ -17,6 +17,7 @@ approach that dies at 10^10 × 10^6.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -242,4 +243,122 @@ SELECT domain, n_subdomains, n_contents,
     AND n_contents / CAST(n_subdomains AS DOUBLE)
         <= {float(max_diversity)!r} AS is_wildcard
 FROM per ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler brand-confusable verification
+# ---------------------------------------------------------------------------
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """Standard Jaro-Winkler (p=0.1, prefix cap 4, boost only when jaro >
+    0.7) — the exact semantics of DuckDB's ``jaro_winkler_similarity``
+    (verified by the differential unit test), so the driver oracle can use
+    the native function."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB: '' vs anything (incl. '') scores 0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    # transpositions = floor(mismatched-position count / 2) — the integer
+    # halving DuckDB/rapidfuzz use (differential-tested), not the x.5-capable
+    # textbook t/2
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for ca, cb in zip(a, b):
+            if ca != cb or prefix == 4:
+                break
+            prefix += 1
+        return jaro + prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jw_udf():
+    """Arrow-batched pandas UDF computing Jaro-Winkler per candidate pair.
+
+    String-metric verification only ever runs on BLOCKED candidate pairs
+    (same prefix block below), so the Python cost is O(candidates), never
+    O(hosts²); the batch crosses the Arrow boundary once per ~10k rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_jaro_winkler_py(x, y) for x, y in zip(a, b)],
+                         dtype="float64")
+
+    return _jw
+
+
+def jw_confusables(hosts: DataFrame, brands: DataFrame,
+                   threshold: float = 0.85, block_len: int = 3,
+                   host_col: str = "host", brand_col: str = "brand"
+                   ) -> DataFrame:
+    """Brand-confusable hostnames by Jaro-Winkler: block candidate pairs on
+    a shared ``block_len``-char prefix (typosquats rarely touch the head of
+    the string — the same blocking Winkler's prefix boost rewards), then
+    verify JW ≥ threshold, excluding exact matches.
+
+    Returns (brand, host, jw rounded 6). Complements ``typosquat_screen``
+    (edit-distance) with the transposition-tolerant metric used in record
+    linkage (Winkler 1990, US Census).
+
+    Scale shape: brands are broadcast; the prefix block turns the host×brand
+    product into an equi-join; the Python metric runs only on blocked pairs.
+    """
+    h = hosts.select(F.col(host_col).cast("string").alias("host"))
+    br = brands.select(F.col(brand_col).cast("string").alias("brand"))
+    jw = jw_udf()
+    pairs = (h.withColumn("__blk", F.substring("host", 1, block_len))
+             .join(F.broadcast(
+                 br.withColumn("__blk", F.substring("brand", 1, block_len))),
+                 "__blk")
+             .filter(F.col("host") != F.col("brand")))
+    return (pairs.withColumn("jw", F.round(jw(F.col("brand"),
+                                              F.col("host")), 6))
+            .filter(F.col("jw") >= threshold)
+            .select("brand", "host", "jw"))
+
+
+def jw_confusables_sql(hosts_sql: str, brands_sql: str,
+                       threshold: float = 0.85, block_len: int = 3) -> str:
+    """DuckDB mirror of :func:`jw_confusables` (native
+    jaro_winkler_similarity)."""
+    return f"""
+WITH h AS (SELECT CAST(host AS VARCHAR) AS host FROM ({hosts_sql})),
+b AS (SELECT CAST(brand AS VARCHAR) AS brand FROM ({brands_sql})),
+pairs AS (
+  SELECT b.brand, h.host,
+    round(jaro_winkler_similarity(b.brand, h.host), 6) AS jw
+  FROM h JOIN b ON substr(h.host, 1, {int(block_len)})
+                 = substr(b.brand, 1, {int(block_len)})
+  WHERE h.host <> b.brand
+)
+SELECT brand, host, jw FROM pairs WHERE jw >= {float(threshold)!r}
 """

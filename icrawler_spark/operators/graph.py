@@ -3198,3 +3198,69 @@ SELECT edges, cut, vol_s,
     / CAST(least(vol_s, 2 * edges - vol_s) AS DOUBLE), 6) AS phi
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004, EMNLP)
+# ---------------------------------------------------------------------------
+
+def textrank_keywords(
+    docs: DataFrame,
+    n_iters: int = 3,
+    k: int = 20,
+    min_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank: PageRank over the word co-occurrence graph
+    (adjacent-token pairs, both directions), top-k tokens by rank.
+
+    Uses :func:`pagerank` (fixed ``n_iters`` power iterations, rank rounded
+    6) so the Spark loop and the DuckDB CTE chain compute the identical
+    fixed-point prefix; ties break lexicographically.
+
+    Scale shape: the edge list is ONE zip-shift projection per document
+    (no self-join on position), distinct-ed in the same shuffle pagerank
+    needs anyway; per-iteration cost is the usual join+agg on the (small)
+    token-vocabulary graph, never on the corpus.
+    """
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.regexp_replace(
+                F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " ")),
+                " "),
+            lambda t: F.length(t) >= min_len).alias("l"))
+    pairs = toks.select(F.explode(F.arrays_zip(
+        F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))))).alias("p"))
+    fwd = pairs.select(F.col("p.0").alias("src"), F.col("p.1").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    ranked = pagerank(edges, n_iters=n_iters)
+    return (ranked.orderBy(F.desc("rank"), F.asc("node")).limit(k)
+            .select(F.col("node").alias("term"), "rank"))
+
+
+def textrank_sql(n_iters: int = 3, k: int = 20, min_len: int = 4,
+                 table: str = "documents") -> str:
+    """DuckDB mirror of :func:`textrank_keywords`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    edges_cte = f"""
+  SELECT l[i] AS src, l[i + 1] AS dst
+  FROM (SELECT list_filter(string_split({norm}, ' '),
+                           t -> length(t) >= {int(min_len)}) AS l
+        FROM {table}),
+    unnest(range(1, greatest(len(l), 1))) AS t(i)
+  UNION ALL
+  SELECT l[i + 1] AS src, l[i] AS dst
+  FROM (SELECT list_filter(string_split({norm}, ' '),
+                           t -> length(t) >= {int(min_len)}) AS l
+        FROM {table}),
+    unnest(range(1, greatest(len(l), 1))) AS t(i)
+"""
+    pr = pagerank_sql(edges_cte, n_iters=n_iters)
+    return f"""
+SELECT node AS term, rank FROM ({pr})
+ORDER BY rank DESC, node ASC
+LIMIT {int(k)}
+"""

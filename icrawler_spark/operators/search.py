@@ -3360,3 +3360,99 @@ agg AS (
 SELECT n, round(2.0 * sc / CAST(n - 1 AS DOUBLE) - 1.0, 6) AS tau_ap
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivoted length normalization (Singhal, Buckley & Mitra 1996, SIGIR)
+# ---------------------------------------------------------------------------
+
+def pivoted_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    slope: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under pivoted length normalization — the classic
+    pre-BM25 VSM correction for the long-document retrieval bias:
+
+    score(d) = Σ_t (1 + ln(1 + ln(tf))) / ((1-s) + s·|d|/avgdl) · ln((N+1)/df)
+
+    Same contract as :func:`bm25_topk`: scores rounded to 4 BEFORE ranking,
+    ties on doc id; returns (doc_id, n_hits, score, rank).
+
+    Scale shape: identical to bm25_topk — the query-term isin() literal
+    filters inside the scan, so only hit rows reach the (doc, term)
+    shuffle; N/avgdl are one short driver agg; top-k lowers to
+    TakeOrderedAndProject (per-partition heaps, no global window).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+
+    base = df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    dl = base.select("doc", F.size(F.filter(
+        "__toks", lambda x: F.length(x) > 0)).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("dl").alias("total_dl")).collect()[0]
+    n_docs = stats["n"]
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(stats["total_dl"]) / float(n_docs)
+
+    hits = (base.select("doc", F.explode("__toks").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / F.col("df"))
+    tfw = F.lit(1.0) + F.log(F.lit(1.0) + F.log(F.col("tf").cast("double")))
+    norm = F.lit(1.0 - slope) + F.lit(slope) * F.col("dl") / F.lit(avgdl)
+    part = tfw / norm * idf
+    scored = (hits.join(dfreq, "term").join(dl, "doc")
+              .groupBy("doc").agg(
+                  F.count("*").cast("long").alias("n_hits"),
+                  F.round(F.sum(part), 4).alias("score")))
+    topk = (scored
+            .withColumn("__neg", -F.col("score"))
+            .orderBy(F.col("__neg").asc(), F.col("doc").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("__neg").asc(), F.col("doc").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select(F.col("doc").alias(id_col), "n_hits", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def pivoted_sql(tok_sql: str, query_terms: list[str], k: int = 10,
+                slope: float = 0.2) -> str:
+    """DuckDB mirror of :func:`pivoted_topk` over ``documents``."""
+    terms = sorted({t for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {tok_sql} AS toks FROM documents
+),
+dl AS (SELECT doc, len(list_filter(toks, x -> length(x) > 0)) AS dl FROM base),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+hits AS (
+  SELECT doc, term, count(*) AS tf
+  FROM (SELECT doc, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc, CAST(count(*) AS BIGINT) AS n_hits,
+    round(sum((1.0 + ln(1.0 + ln(CAST(h.tf AS DOUBLE))))
+              / ({1.0 - slope!r} + {slope!r} * dl.dl / st.avgdl)
+              * ln((st.n + 1.0) / d.df)), 4) AS score
+  FROM hits h JOIN dfreq d USING (term) JOIN dl ON dl.doc = h.doc
+  CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc AS doc_id, n_hits, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY score DESC, doc ASC
+LIMIT {int(k)}
+"""

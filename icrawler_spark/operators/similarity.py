@@ -1140,3 +1140,143 @@ per_cl AS (
 )
 SELECT cl AS cluster, n, mean_sil FROM per_cl ORDER BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998, SIGIR)
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(emb: DataFrame, query_ids: list[int], k: int = 3,
+               lam: float = 0.7, pool: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """MMR diversified top-k: greedily select, per query, the candidate
+    maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) over a
+    ``pool``-sized relevance shortlist (from :func:`cosine_topk`).
+
+    Returns (query_id, step, doc_id, mmr) — step 1..k in selection order,
+    mmr the objective value at selection time; ties break on doc id.
+    All cosines are rounded 6 before the arithmetic; the objective
+    λ·rel − (1−λ)·msim over 6-decimal inputs is then an (at most)
+    7-decimal-exact value, so it is rounded to SEVEN decimals — rounding it
+    to 6 would land exactly on .5 decimal ties, where Spark (BigDecimal
+    HALF_UP on the shortest repr) and DuckDB (binary) disagree.
+
+    Scale shape: the greedy loop is k fixed DataFrame iterations over
+    pool-sized per-query shortlists — candidate relevance comes from the
+    ANN stack (brute/SRP/IVF), and the intra-pool similarity matrix is
+    pool²·|Q| rows, never corpus². Nothing in the loop touches the corpus.
+    """
+    rel = cosine_topk(emb, query_ids, k=pool, id_col=id_col,
+                      vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("doc"),
+        F.col("cos").alias("rel"))
+    vecs = emb.select(F.col(id_col).alias("doc"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    pooled = rel.join(vecs, "doc")
+    a = pooled.select("query_id", F.col("doc").alias("da"),
+                      F.col("v").alias("va"))
+    b = pooled.select("query_id", F.col("doc").alias("db"),
+                      F.col("v").alias("vb"))
+    sims = (a.join(b, ["query_id"])
+            .filter(F.col("da") != F.col("db"))
+            .select("query_id", "da", "db",
+                    F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                    .alias("sim")))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__mmr"), F.asc("doc"))
+    sel = (rel.withColumn("__mmr", F.round(F.lit(lam) * F.col("rel"), 7))
+           .withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") == 1)
+           .select("query_id", F.lit(1).cast("long").alias("step"),
+                   "doc", F.col("__mmr").alias("mmr")))
+    simsr = sims.select(F.col("query_id").alias("pq"), "da", "db", "sim")
+    for step in range(2, k + 1):
+        rem = rel.join(sel.select("query_id", "doc"),
+                       ["query_id", "doc"], "left_anti")
+        ms = (rem.join(simsr, (F.col("query_id") == F.col("pq"))
+                       & (F.col("doc") == F.col("da")))
+              .join(sel.select(F.col("query_id").alias("sq"),
+                               F.col("doc").alias("sd")),
+                    (F.col("pq") == F.col("sq"))
+                    & (F.col("db") == F.col("sd")))
+              .groupBy("query_id", "doc", "rel")
+              .agg(F.max("sim").alias("msim")))
+        pick = (ms.withColumn(
+            "__mmr", F.round(F.lit(lam) * F.col("rel")
+                             - F.lit(1.0 - lam) * F.col("msim"), 7))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("query_id", F.lit(step).cast("long").alias("step"),
+                    "doc", F.col("__mmr").alias("mmr")))
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", "step", F.col("doc").alias("doc_id"), "mmr")
+
+
+def mmr_sql(query_ids: list[int], k: int = 3, lam: float = 0.7,
+            pool: int = 10, table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`mmr_rerank` — the greedy loop unrolled as one
+    CTE stage per selection step."""
+    ids = ", ".join(str(int(i)) for i in sorted(query_ids))
+    parts = [f"""
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS doc, embedding::DOUBLE[] AS e
+           FROM {table}),
+q AS (SELECT doc AS query_id, e AS qe FROM v WHERE doc IN ({ids})),
+rel0 AS (
+  SELECT q.query_id, v.doc,
+    round(list_dot_product(q.qe, v.e)
+          / (sqrt(list_dot_product(q.qe, q.qe))
+             * sqrt(list_dot_product(v.e, v.e))), 6) AS rel
+  FROM q, v WHERE v.doc <> q.query_id
+),
+rel AS (
+  SELECT query_id, doc, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc ASC) AS rnk
+    FROM rel0) WHERE rnk <= {int(pool)}
+),
+sims AS (
+  SELECT a.query_id, a.doc AS da, b.doc AS db,
+    round(list_dot_product(va.e, vb.e)
+          / (sqrt(list_dot_product(va.e, va.e))
+             * sqrt(list_dot_product(vb.e, vb.e))), 6) AS sim
+  FROM rel a JOIN rel b ON a.query_id = b.query_id AND a.doc <> b.doc
+  JOIN v va ON va.doc = a.doc JOIN v vb ON vb.doc = b.doc
+),
+s1 AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS step, doc,
+    round({lam!r} * rel, 7) AS mmr
+  FROM rel
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY round({lam!r} * rel, 7) DESC, doc ASC)
+    = 1
+)"""]
+    prev = ["s1"]
+    for step in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, doc FROM {s}" for s in prev)
+        parts.append(f""",
+sel{step} AS ({sel_union}),
+ms{step} AS (
+  SELECT r.query_id, r.doc, r.rel, max(s.sim) AS msim
+  FROM rel r
+  JOIN sims s ON s.query_id = r.query_id AND s.da = r.doc
+  JOIN sel{step} x ON x.query_id = s.query_id AND x.doc = s.db
+  WHERE NOT EXISTS (SELECT 1 FROM sel{step} z
+                    WHERE z.query_id = r.query_id AND z.doc = r.doc)
+  GROUP BY 1, 2, 3
+),
+s{step} AS (
+  SELECT query_id, CAST({step} AS BIGINT) AS step, doc,
+    round({lam!r} * rel - {1.0 - lam!r} * msim, 7) AS mmr
+  FROM ms{step}
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round({lam!r} * rel - {1.0 - lam!r} * msim, 7) DESC, doc ASC)
+    = 1
+)""")
+        prev.append(f"s{step}")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, step, doc AS doc_id, mmr FROM {s}" for s in prev)
+    parts.append(f"\n{union}")
+    return "".join(parts)

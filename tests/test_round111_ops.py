@@ -1,0 +1,146 @@
+"""Unit tests for the round-111 pack: pivoted-norm retrieval, TextRank,
+MMR re-ranking, Jaro-Winkler confusables, DGA screening."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from icrawler_spark.functions.domains import dga_scores
+from icrawler_spark.operators.blocklist import (_jaro_winkler_py,
+                                                jw_confusables)
+from icrawler_spark.operators.graph import textrank_keywords
+from icrawler_spark.operators.search import pivoted_topk
+from icrawler_spark.operators.similarity import mmr_rerank
+
+
+# ---------------------------------------------------------------------------
+# pivoted_topk
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+def test_pivoted_hand_score(spark):
+    # one query term, two docs: doc1 tf=2 dl=2, doc2 tf=1 dl=4; avgdl=3
+    out = {r["doc_id"]: r for r in pivoted_topk(
+        _docs(spark, ["cat cat", "cat dog emu fox"]), ["cat"],
+        k=5).collect()}
+    n, s = 2, 0.2
+    idf = math.log((n + 1) / 2)
+    w1 = (1 + math.log(1 + math.log(2))) / ((1 - s) + s * 2 / 3.0) * idf
+    w2 = (1 + math.log(1 + math.log(1))) / ((1 - s) + s * 4 / 3.0) * idf
+    assert math.isclose(out[1]["score"], round(w1, 4), abs_tol=1e-9)
+    assert math.isclose(out[2]["score"], round(w2, 4), abs_tol=1e-9)
+    assert out[1]["rank"] == 1  # short doc with double tf wins
+
+
+def test_pivoted_requires_query(spark):
+    with pytest.raises(ValueError):
+        pivoted_topk(_docs(spark, ["x"]), [])
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords
+# ---------------------------------------------------------------------------
+
+def test_textrank_hub_token_wins(spark):
+    texts = ["alpha bravo", "charlie bravo", "delta bravo", "echo fox"]
+    out = textrank_keywords(_docs(spark, texts), k=3).collect()
+    assert out[0]["term"] == "bravo"  # highest-degree co-occurrence node
+
+
+def test_textrank_short_tokens_excluded(spark):
+    out = textrank_keywords(_docs(spark, ["ab cd alpha beta"]),
+                            min_len=4).collect()
+    assert {r["term"] for r in out} == {"alpha", "beta"}
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    # query sits between two clusters; docs 1,2 are clones of one cluster,
+    # doc 3 is the other. Pure relevance picks (1, 2); MMR's step 2 must
+    # skip the clone (sim=1.0 penalty) and take the other cluster.
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 0.05]), (2, [1.0, 0.05]),
+            (3, [0.05, 1.0])]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<double>, label int")
+    out = {r["step"]: r["doc_id"]
+           for r in mmr_rerank(emb, [0], k=3, lam=0.5).collect()}
+    assert out[1] == 1          # most relevant
+    assert out[2] == 3          # diverse beats the near-clone
+    assert out[3] == 2
+
+
+def test_mmr_step_count_per_query(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0], 0) for i in range(30)],
+        "vec_id long, embedding array<double>, label int")
+    out = mmr_rerank(emb, [0, 1], k=3).collect()
+    assert len(out) == 6
+    assert {(r["query_id"], r["step"]) for r in out} \
+        == {(q, s) for q in (0, 1) for s in (1, 2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# jaro-winkler
+# ---------------------------------------------------------------------------
+
+def test_jw_matches_duckdb_on_fuzz():
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    con = duckdb.connect()
+    names = ["".join(rng.choice("abcdef12.") for _ in range(rng.randint(0, 9)))
+             for _ in range(60)]
+    for a, b in itertools.combinations(names, 2):
+        d = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert abs(_jaro_winkler_py(a, b) - d) < 1e-12, (a, b)
+
+
+def test_jw_confusables_blocks_and_verifies(spark):
+    hosts = spark.createDataFrame(
+        [("shop0.test",), ("sh0p.test",), ("mail.test",), ("zzz.test",)],
+        "host string")
+    brands = spark.createDataFrame([("shop.test",), ("mail.test",)],
+                                   "brand string")
+    out = jw_confusables(hosts, brands, threshold=0.85).collect()
+    got = {(r["brand"], r["host"]) for r in out}
+    # mail.test == mail.test excluded (identity); zzz blocked out by prefix
+    assert ("shop.test", "shop0.test") in got
+    assert ("mail.test", "mail.test") not in got
+    assert all(r["jw"] >= 0.85 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# dga_scores
+# ---------------------------------------------------------------------------
+
+def test_dga_flags_random_names(spark):
+    benign = spark.createDataFrame(
+        [("shopmail",), ("mailshop",), ("newsshop",), ("shopnews",),
+         ("mailnews",), ("newsmail",)], "name string")
+    names = spark.createDataFrame(
+        [("shopmail",), ("x7qz9kv2w1",)], "name string")
+    out = {r["name"]: r for r in dga_scores(names, benign).collect()}
+    assert out["shopmail"]["score"] > out["x7qz9kv2w1"]["score"]
+    assert not out["shopmail"]["is_dga"]
+    assert out["x7qz9kv2w1"]["is_dga"]
+
+
+def test_dga_drops_single_char_names(spark):
+    benign = spark.createDataFrame([("abcd",)], "name string")
+    names = spark.createDataFrame([("a",), ("ab",)], "name string")
+    got = {r["name"] for r in dga_scores(names, benign).collect()}
+    assert got == {"ab"}
