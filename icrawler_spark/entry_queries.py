@@ -73,7 +73,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round104, entry_round105,
                             entry_round106, entry_round107,
                             entry_round108, entry_round109,
-                            entry_round110, entry_round111)
+                            entry_round110, entry_round111,
+                            entry_round112)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -951,6 +952,7 @@ def queries():
         **entry_round109.queries109(),
         **entry_round110.queries110(),
         **entry_round111.queries111(),
+        **entry_round112.queries112(),
     }
 
 
@@ -1094,4 +1096,5 @@ def oracle_sql():
         **entry_round109.oracle_sql109(),
         **entry_round110.oracle_sql110(),
         **entry_round111.oracle_sql111(),
+        **entry_round112.oracle_sql112(),
     }

@@ -1,0 +1,155 @@
+"""Round-3 driver-contract queries (batch 106): homograph skeleton
+matching, k-gram compressibility, exact weighted Jaccard, Fellegi-Sunter
+record-linkage weights.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import blocklist as _blocklist
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# homograph — confusable-skeleton hostname collisions
+# ---------------------------------------------------------------------------
+
+_HG_VARIANTS = ["sh0p", "b1og", "new5", "rnail", "vviki", "clata",
+                "game", "shop"]
+_HG_BRANDS = ["shop", "blog", "news", "mail", "wiki", "data", "bank",
+              "game"]
+_HG_VARIANTS_SQL = "[" + ", ".join(f"'{w}'" for w in _HG_VARIANTS) + "]"
+_HG_BRANDS_SQL = "[" + ", ".join(f"'{w}'" for w in _HG_BRANDS) + "]"
+
+_HG_HOSTS_SQL = f"""
+  SELECT DISTINCT {_HG_VARIANTS_SQL}[CAST(user_id % 8 AS INT) + 1]
+    || '.test' AS host
+  FROM events
+"""
+_HG_BRANDS_TBL_SQL = f"""
+  SELECT w || '.test' AS brand FROM (SELECT unnest({_HG_BRANDS_SQL}) AS w)
+"""
+
+
+def _hg_hosts(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    w = F.array(*[F.lit(x) for x in _HG_VARIANTS])
+    return (ev.select(F.concat(
+        F.element_at(w, (F.col("user_id") % 8 + 1).cast("int")),
+        F.lit(".test")).alias("host")).distinct())
+
+
+def _hg_brands(spark, sf) -> DataFrame:
+    w = F.array(*[F.lit(x) for x in _HG_BRANDS])
+    return (spark.range(len(_HG_BRANDS))
+            .select(F.concat(F.element_at(w, (F.col("id") + 1).cast("int")),
+                             F.lit(".test")).alias("brand")))
+
+
+def q_homograph(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/blocklist.homograph_matches: TR#39-style skeleton fold in
+    the scan projection, broadcast equi-join on the skeleton — never a
+    pairwise metric."""
+    return _blocklist.homograph_matches(_hg_hosts(spark, sf),
+                                        _hg_brands(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# kgram_compress — distinct-k-gram compressibility proxy
+# ---------------------------------------------------------------------------
+
+_KG_K = 4
+_KG_MIN_RATIO = 0.3
+
+
+def q_kgram_compress(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.kgram_compressibility: in-row array exprs fused
+    into the scan — zero shuffles."""
+    return _curation.kgram_compressibility(_docs(spark, sf), k=_KG_K,
+                                           min_ratio=_KG_MIN_RATIO)
+
+
+# ---------------------------------------------------------------------------
+# wjaccard — exact tf-weighted Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+_WJ_N = 2
+_WJ_T = 0.12
+_WJ_MAXFREQ = 50
+
+
+def q_wjaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.weighted_jaccard_pairs: min-sum from ONE shingle
+    equi-join, max-sum from per-doc totals; stop-shingle pruning on both."""
+    return _docdedup.weighted_jaccard_pairs(
+        _docs(spark, sf), n=_WJ_N, threshold=_WJ_T,
+        max_shingle_freq=_WJ_MAXFREQ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"), "wjaccard")
+
+
+# ---------------------------------------------------------------------------
+# fs_weights — Fellegi-Sunter per-field linkage weights
+# ---------------------------------------------------------------------------
+
+_FS_COLS = ["agree_name", "agree_city", "agree_zip"]
+
+_FS_PAIRS_SQL = """
+  SELECT event_id % 3 = 0 AS agree_name,
+         event_id % 2 = 0 AS agree_city,
+         event_id % 7 < 3 AS agree_zip,
+         event_id % 4 = 0 AS is_match
+  FROM events
+"""
+
+
+def _fs_pairs(spark, sf) -> DataFrame:
+    ev = _events(spark, sf)
+    return ev.select(
+        (F.col("event_id") % 3 == 0).alias("agree_name"),
+        (F.col("event_id") % 2 == 0).alias("agree_city"),
+        (F.col("event_id") % 7 < 3).alias("agree_zip"),
+        (F.col("event_id") % 4 == 0).alias("is_match"))
+
+
+def q_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.fellegi_sunter_weights: one aggregation pass over
+    labeled pairs, |fields| output rows."""
+    return _docdedup.fellegi_sunter_weights(_fs_pairs(spark, sf), _FS_COLS)
+
+
+def queries112():
+    return {
+        "homograph": q_homograph,
+        "kgram_compress": q_kgram_compress,
+        "wjaccard": q_wjaccard,
+        "fs_weights": q_fs_weights,
+    }
+
+
+def oracle_sql112():
+    return {
+        "homograph": _blocklist.homograph_matches_sql(
+            _HG_HOSTS_SQL, _HG_BRANDS_TBL_SQL),
+        "kgram_compress": _curation.kgram_compressibility_sql(
+            "SELECT doc_id, text FROM documents", k=_KG_K,
+            min_ratio=_KG_MIN_RATIO),
+        "wjaccard": _docdedup.weighted_jaccard_sql(
+            "SELECT doc_id, text FROM documents", n=_WJ_N, threshold=_WJ_T,
+            max_shingle_freq=_WJ_MAXFREQ),
+        "fs_weights": _docdedup.fellegi_sunter_sql(_FS_PAIRS_SQL, _FS_COLS),
+    }

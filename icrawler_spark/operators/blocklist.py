@@ -362,3 +362,72 @@ pairs AS (
 )
 SELECT brand, host, jw FROM pairs WHERE jw >= {float(threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Homograph / lookalike skeleton matching
+# ---------------------------------------------------------------------------
+
+#: single-char confusable folds (digit→letter lookalikes), applied before
+#: the digraph folds below. Ordered and identical in both engines.
+_SKELETON_CHARS = ("015", "ols")
+_SKELETON_DIGRAPHS = (("rn", "m"), ("vv", "w"), ("cl", "d"))
+
+
+def skeleton_col(col) -> "F.Column":
+    """Unicode-TR39-style skeleton restricted to the ASCII confusables a
+    hostname label can carry (0→o, 1→l, 5→s, rn→m, vv→w, cl→d) — the
+    lookalike fold behind IDN/typosquat homograph screening. The digraph
+    folds run left-to-right after the char folds, mirrored exactly in SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.translate(F.lower(c), *_SKELETON_CHARS)
+    for a, b in _SKELETON_DIGRAPHS:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def homograph_matches(hosts: DataFrame, brands: DataFrame,
+                      host_col: str = "host",
+                      brand_col: str = "brand") -> DataFrame:
+    """Hosts whose confusable skeleton collides with a protected brand's —
+    `sh0p.test` vs `shop.test`, `rnail.test` vs `mail.test` — the
+    homograph complement to edit-distance (``typosquat_candidates``) and
+    Jaro-Winkler (``jw_confusables``) screening; skeleton equality is
+    Unicode TR#39's confusable-detection recipe applied to the hostname
+    ASCII range.
+
+    Returns (brand, host, skeleton), host ≠ brand, exact equi-join on the
+    skeleton (never a pairwise metric) — the brand side broadcasts, the
+    host side folds in the scan projection; O(hosts) total.
+    """
+    h = (hosts.select(F.col(host_col).cast("string").alias("host"))
+         .withColumn("skeleton", skeleton_col("host")))
+    b = (brands.select(F.col(brand_col).cast("string").alias("brand"))
+         .withColumn("skeleton", skeleton_col("brand")))
+    return (h.join(F.broadcast(b), "skeleton")
+            .filter(F.col("host") != F.col("brand"))
+            .select("brand", "host", "skeleton"))
+
+
+def skeleton_sql(expr: str) -> str:
+    """SQL spelling of :func:`skeleton_col` over an expression."""
+    out = f"translate(lower({expr}), '{_SKELETON_CHARS[0]}', '{_SKELETON_CHARS[1]}')"
+    for a, b in _SKELETON_DIGRAPHS:
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+def homograph_matches_sql(hosts_sql: str, brands_sql: str) -> str:
+    """DuckDB mirror of :func:`homograph_matches`."""
+    return f"""
+WITH h AS (SELECT CAST(host AS VARCHAR) AS host,
+             {skeleton_sql('host')} AS skeleton
+           FROM ({hosts_sql})),
+b AS (SELECT CAST(brand AS VARCHAR) AS brand,
+        {skeleton_sql('brand')} AS skeleton
+      FROM ({brands_sql}))
+SELECT b.brand, h.host, h.skeleton
+FROM h JOIN b USING (skeleton)
+WHERE h.host <> b.brand
+"""

@@ -2492,3 +2492,66 @@ SELECT doc AS doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
   round(sum(n * nll) / sum(n), 6) AS mean_nll
 FROM scored GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# k-gram compressibility (distinct-ratio gzip proxy)
+# ---------------------------------------------------------------------------
+
+def kgram_compressibility(docs: DataFrame, k: int = 4,
+                          min_ratio: float = 0.3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document compressibility proxy: distinct character-k-gram count
+    over total k-grams of the normalized text. Highly repetitive (template /
+    spam / keyword-stuffed) pages compress far below natural prose, and the
+    distinct-k-gram ratio tracks the gzip ratio quality pipelines actually
+    threshold on (RefinedWeb and MassiveText both gate on repetition) —
+    without needing a codec in the engine.
+
+    Returns (doc_id, n_grams, n_distinct, ratio rounded 6,
+    too_repetitive = ratio < min_ratio); docs shorter than k chars are
+    dropped.
+
+    Scale shape: entirely in-row array exprs (transform + array_distinct)
+    fused into the scan — zero shuffles, zero joins, O(len) per document.
+    """
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
+    grams = F.expr(
+        f"transform(sequence(1, length({'__t'}) - {k} + 1),"
+        f" i -> substr(__t, i, {k}))")
+    base = (docs.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+            .filter(F.length("__t") >= k)
+            .select("doc_id", grams.alias("__g")))
+    out = base.select(
+        "doc_id",
+        F.size("__g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("n_distinct"))
+    ratio = F.round(F.col("n_distinct") / F.col("n_grams"), 6)
+    return out.select("doc_id", "n_grams", "n_distinct",
+                      ratio.alias("ratio"),
+                      (ratio < min_ratio).alias("too_repetitive"))
+
+
+def kgram_compressibility_sql(docs_sql: str, k: int = 4,
+                              min_ratio: float = 0.3) -> str:
+    """DuckDB mirror of :func:`kgram_compressibility`."""
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_transform(range(1, length(t) - {k} + 2),
+                                i -> substr(t, i, {k})) AS g
+  FROM (SELECT doc_id, {norm} AS t FROM ({docs_sql}))
+  WHERE length(t) >= {k}
+),
+cnt AS (
+  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+    CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+  FROM base
+)
+SELECT doc_id, n_grams, n_distinct,
+  round(n_distinct / CAST(n_grams AS DOUBLE), 6) AS ratio,
+  round(n_distinct / CAST(n_grams AS DOUBLE), 6) < {float(min_ratio)!r}
+    AS too_repetitive
+FROM cnt
+"""

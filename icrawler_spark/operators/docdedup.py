@@ -1294,3 +1294,184 @@ SELECT n_docs, n_candidates, n_truth_pairs, n_found_pairs,
     AS completeness
 FROM cand_agg CROSS JOIN truth
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted Jaccard (tf-weighted shingle overlap)
+# ---------------------------------------------------------------------------
+
+def weighted_shingle_tf(df: DataFrame, n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document shingle term frequencies: (id, shingle, w) — the
+    multiset view :func:`shingle_rows` collapses with distinct()."""
+    toked = df.select(F.col(id_col).alias("id"),
+                      tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (toked.filter(F.size(toks) >= n)
+            .select("id", F.explode(sh).alias("shingle"))
+            .groupBy("id", "shingle")
+            .agg(F.count("*").cast("double").alias("w")))
+
+
+def weighted_jaccard_pairs(df: DataFrame, n: int = 3,
+                           threshold: float = 0.3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_shingle_freq: int | None = None
+                           ) -> DataFrame:
+    """Weighted-Jaccard near-dup pairs — J_w(a,b) = Σ min(w_a, w_b) /
+    Σ max(w_a, w_b) over tf-weighted shingles, the multiset refinement of
+    plain Jaccard that boilerplate repetition can't saturate (Ioffe 2010
+    motivates the weighted measure; here it's computed EXACTLY).
+
+    Returns (id_a, id_b, wjaccard rounded 6) with id_a < id_b.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — the min-sum comes
+    from ONE equi-join on the shingle key (only co-occurring shingles
+    matter), and Σ max = tot_a + tot_b − Σ min from per-doc totals, so the
+    union is never materialized. ``max_shingle_freq`` prunes stop-shingles
+    from BOTH the join and the totals, same contract as the unweighted op.
+    """
+    tf = weighted_shingle_tf(df, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_freq is not None:
+        hot = (tf.groupBy("shingle").agg(F.count("*").alias("__df"))
+               .filter(F.col("__df") > max_shingle_freq)
+               .select("shingle"))
+        tf = tf.join(F.broadcast(hot), "shingle", "left_anti")
+    tf = tf.localCheckpoint(eager=False)
+    tot = tf.groupBy("id").agg(F.sum("w").alias("tot"))
+    a = tf.select(F.col("id").alias("id_a"), "shingle",
+                  F.col("w").alias("wa"))
+    b = tf.select(F.col("id").alias("id_b"), "shingle",
+                  F.col("w").alias("wb"))
+    smin = (a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("wa", "wb")).alias("smin")))
+    wj = (smin
+          .join(tot.select(F.col("id").alias("id_a"),
+                           F.col("tot").alias("tot_a")), "id_a")
+          .join(tot.select(F.col("id").alias("id_b"),
+                           F.col("tot").alias("tot_b")), "id_b")
+          .select("id_a", "id_b",
+                  F.round(F.col("smin")
+                          / (F.col("tot_a") + F.col("tot_b")
+                             - F.col("smin")), 6).alias("wjaccard")))
+    return wj.filter(F.col("wjaccard") >= threshold)
+
+
+def weighted_jaccard_sql(docs_sql: str, n: int = 3, threshold: float = 0.3,
+                         max_shingle_freq: int | None = None) -> str:
+    """DuckDB mirror of :func:`weighted_jaccard_pairs`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    keep = ""
+    if max_shingle_freq is not None:
+        keep = f"""
+  WHERE shingle IN (SELECT shingle FROM tf0 GROUP BY shingle
+                    HAVING count(*) <= {int(max_shingle_freq)})"""
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT id, array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT id, l, unnest(range(1, len(l) - {n} + 2)) AS x FROM toked)
+  WHERE len(l) >= {n}
+),
+tf0 AS (
+  SELECT id, shingle, CAST(count(*) AS DOUBLE) AS w FROM sh GROUP BY 1, 2
+),
+tf AS (
+  SELECT id, shingle, w FROM tf0{keep}
+),
+tot AS (SELECT id, sum(w) AS tot FROM tf GROUP BY 1),
+smin AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(least(a.w, b.w)) AS smin
+  FROM tf a JOIN tf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+  round(s.smin / (ta.tot + tb.tot - s.smin), 6) AS wjaccard
+FROM smin s JOIN tot ta ON ta.id = s.id_a JOIN tot tb ON tb.id = s.id_b
+WHERE s.smin / (ta.tot + tb.tot - s.smin) >= {float(threshold)!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969, JASA)
+# ---------------------------------------------------------------------------
+
+def fellegi_sunter_weights(pairs: DataFrame,
+                           agree_cols: list[str],
+                           label_col: str = "is_match") -> DataFrame:
+    """Per-field match/non-match agreement weights from a labeled pair
+    sample: m_k = P(agree_k | match), u_k = P(agree_k | non-match),
+    w_agree = log2(m/u), w_disagree = log2((1−m)/(1−u)) — the classic
+    probabilistic record-linkage scorer (Fellegi & Sunter 1969; Winkler's
+    Census implementations). Laplace-smoothed (+1/+2) so empty cells never
+    produce infinities.
+
+    Returns one row per field: (field, m, u, w_agree, w_disagree), every
+    value rounded 4, ordered by field.
+
+    Scale shape: ONE aggregation pass over the labeled pairs (a constant
+    number of conditional sums per field — map-side partial agg); the
+    output is |fields| rows. Scoring unlabeled candidate pairs is then a
+    broadcast join of this table (the pairs themselves come from a blocked
+    generator: ``sorted_neighbors`` / LSH — never the full product).
+    """
+    aggs = [F.count("*").cast("double").alias("n"),
+            F.sum(F.col(label_col).cast("double")).alias("nm")]
+    for c in agree_cols:
+        aggs.append(F.sum((F.col(c) & F.col(label_col)).cast("double"))
+                    .alias(f"am_{c}"))
+        aggs.append(F.sum((F.col(c) & ~F.col(label_col)).cast("double"))
+                    .alias(f"au_{c}"))
+    row = pairs.agg(*aggs)
+    fields = None
+    for c in agree_cols:
+        m = (F.col(f"am_{c}") + 1.0) / (F.col("nm") + 2.0)
+        u = (F.col(f"au_{c}") + 1.0) / (F.col("n") - F.col("nm") + 2.0)
+        one = row.select(
+            F.lit(c).alias("field"),
+            F.round(m, 4).alias("m"),
+            F.round(u, 4).alias("u"),
+            F.round((F.log2(m) - F.log2(u)), 4).alias("w_agree"),
+            F.round((F.log2(1.0 - m) - F.log2(1.0 - u)), 4)
+            .alias("w_disagree"))
+        fields = one if fields is None else fields.unionByName(one)
+    return fields.orderBy("field")
+
+
+def fellegi_sunter_sql(pairs_sql: str, agree_cols: list[str],
+                       label_col: str = "is_match") -> str:
+    """DuckDB mirror of :func:`fellegi_sunter_weights`."""
+    sums = [f"CAST(count(*) AS DOUBLE) AS n",
+            f"CAST(sum(CASE WHEN {label_col} THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" AS nm"]
+    for c in agree_cols:
+        sums.append(f"CAST(sum(CASE WHEN {c} AND {label_col} THEN 1 ELSE 0"
+                    f" END) AS DOUBLE) AS am_{c}")
+        sums.append(f"CAST(sum(CASE WHEN {c} AND NOT {label_col} THEN 1"
+                    f" ELSE 0 END) AS DOUBLE) AS au_{c}")
+    selects = []
+    for c in agree_cols:
+        m = f"((am_{c} + 1.0) / (nm + 2.0))"
+        u = f"((au_{c} + 1.0) / (n - nm + 2.0))"
+        selects.append(f"""
+SELECT '{c}' AS field, round({m}, 4) AS m, round({u}, 4) AS u,
+  round(log2({m}) - log2({u}), 4) AS w_agree,
+  round(log2(1.0 - {m}) - log2(1.0 - {u}), 4) AS w_disagree
+FROM agg""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH agg AS (
+  SELECT {", ".join(sums)} FROM ({pairs_sql})
+)
+{union}
+ORDER BY field
+"""
