@@ -1,0 +1,129 @@
+"""Unit tests for the round-112 pack: homograph skeleton matching,
+k-gram compressibility, exact weighted Jaccard, Fellegi-Sunter weights."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.blocklist import homograph_matches
+from icrawler_spark.operators.curation import kgram_compressibility
+from icrawler_spark.operators.docdedup import (fellegi_sunter_weights,
+                                               weighted_jaccard_pairs)
+
+
+# ---------------------------------------------------------------------------
+# homograph_matches
+# ---------------------------------------------------------------------------
+
+def _hosts(spark, names):
+    return spark.createDataFrame([(h,) for h in names], "host string")
+
+
+def _brands(spark, names):
+    return spark.createDataFrame([(b,) for b in names], "brand string")
+
+
+def test_homograph_folds_and_excludes_identity(spark):
+    out = {(r["brand"], r["host"]) for r in homograph_matches(
+        _hosts(spark, ["sh0p.test", "game.test", "rnail.test"]),
+        _brands(spark, ["shop.test", "game.test", "mail.test"])).collect()}
+    # digit and digraph folds collide; identical host==brand is excluded
+    assert out == {("shop.test", "sh0p.test"), ("mail.test", "rnail.test")}
+
+
+def test_homograph_all_folds(spark):
+    hosts = ["sh0p.x", "b1og.x", "new5.x", "rnail.x", "vviki.x", "clata.x"]
+    brands = ["shop.x", "blog.x", "news.x", "mail.x", "wiki.x", "data.x"]
+    out = homograph_matches(_hosts(spark, hosts), _brands(spark, brands))
+    assert out.count() == 6  # every confusable spelling hits its brand
+
+
+def test_homograph_no_false_positive(spark):
+    out = homograph_matches(_hosts(spark, ["other.x"]),
+                            _brands(spark, ["shop.x"]))
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# kgram_compressibility
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+def test_kgram_hand_ratio(spark):
+    out = {r["doc_id"]: r for r in kgram_compressibility(
+        _docs(spark, ["aaaaaa", "abcdef"]), k=4, min_ratio=0.5).collect()}
+    # "aaaaaa": 3 grams, 1 distinct -> 0.333333 repetitive
+    assert out[1]["n_grams"] == 3 and out[1]["n_distinct"] == 1
+    assert math.isclose(out[1]["ratio"], 0.333333, abs_tol=1e-9)
+    assert out[1]["too_repetitive"]
+    # "abcdef": 3 grams, all distinct -> 1.0 not repetitive
+    assert math.isclose(out[2]["ratio"], 1.0, abs_tol=1e-9)
+    assert not out[2]["too_repetitive"]
+
+
+def test_kgram_short_doc_dropped(spark):
+    assert kgram_compressibility(_docs(spark, ["abc"]), k=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# weighted_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+def test_weighted_jaccard_hand_value(spark):
+    # doc1 shingles(n=2): "a b"x3, "b a"x2 (tot 5); doc2: "a b"x2, "b a"x1
+    # smin = min(3,2)+min(2,1) = 3 ; wj = 3 / (5 + 3 - 3) = 0.6
+    out = weighted_jaccard_pairs(
+        _docs(spark, ["a b a b a b", "a b a b"]), n=2,
+        threshold=0.0).collect()
+    assert len(out) == 1
+    assert math.isclose(out[0]["wjaccard"], 0.6, abs_tol=1e-9)
+
+
+def test_weighted_jaccard_repetition_not_saturated(spark):
+    # identical distinct-shingle sets (plain Jaccard = 1.0) but different
+    # multiplicities -> weighted value strictly below 1
+    out = weighted_jaccard_pairs(
+        _docs(spark, ["x y x y x y x y", "x y"]), n=2,
+        threshold=0.0).collect()
+    assert len(out) == 1 and out[0]["wjaccard"] < 1.0
+
+
+def test_weighted_jaccard_stop_shingle_pruning(spark):
+    # the shared shingle appears in 3 docs; max_shingle_freq=2 removes it,
+    # leaving no co-occurring shingles at all
+    out = weighted_jaccard_pairs(
+        _docs(spark, ["q w e", "q w r", "q w t"]), n=2, threshold=0.0,
+        max_shingle_freq=2)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_weights
+# ---------------------------------------------------------------------------
+
+def test_fs_hand_weights(spark):
+    rows = [(True, True), (True, True), (False, False), (True, False)]
+    pairs = spark.createDataFrame(rows, "agree_name boolean, is_match boolean")
+    out = fellegi_sunter_weights(pairs, ["agree_name"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # n=4 nm=2 am=2 au=1 ; m=(2+1)/(2+2)=0.75 u=(1+1)/(2+2)=0.5
+    assert math.isclose(r["m"], 0.75, abs_tol=1e-9)
+    assert math.isclose(r["u"], 0.5, abs_tol=1e-9)
+    assert math.isclose(r["w_agree"], round(math.log2(0.75 / 0.5), 4),
+                        abs_tol=1e-9)
+    assert math.isclose(r["w_disagree"], round(math.log2(0.25 / 0.5), 4),
+                        abs_tol=1e-9)
+
+
+def test_fs_multi_field_ordered(spark):
+    rows = [(True, False, True), (False, True, False)]
+    pairs = spark.createDataFrame(
+        rows, "agree_b boolean, agree_a boolean, is_match boolean")
+    out = fellegi_sunter_weights(pairs, ["agree_b", "agree_a"]).collect()
+    assert [r["field"] for r in out] == ["agree_a", "agree_b"]
