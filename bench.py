@@ -418,6 +418,15 @@ _EXTRA_PICKS = [
     "amoc", "pettitt", "cox_stuart", "stuart_maxwell", "ace_rich",
     # round-3 batch-103 (probabilistic + operating-point forecast/rank eval)
     "crps", "theil_u", "tracking", "prk", "tau_ap",
+    # round-3 batch (classification + retrieval + confusables)
+    "blocking_eval", "sorted_neighbors", "rocchio", "knn_vote",
+    "nb_classify", "pivoted_norm", "textrank", "mmr", "jw_confusables",
+    "dga_hosts",
+    # round-3 batch (homograph + compressibility + weighted Jaccard + F-S)
+    "homograph", "kgram_compress", "wjaccard", "fs_weights",
+    # round-3 batch (stuffing + CWS + DP + PCA)
+    "keyword_stuffing", "cws_minhash", "cws_pairs", "dp_release",
+    "embed_pca",
 ]
 
 

@@ -74,7 +74,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round106, entry_round107,
                             entry_round108, entry_round109,
                             entry_round110, entry_round111,
-                            entry_round112)
+                            entry_round112, entry_round113)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -953,6 +953,7 @@ def queries():
         **entry_round110.queries110(),
         **entry_round111.queries111(),
         **entry_round112.queries112(),
+        **entry_round113.queries113(),
     }
 
 
@@ -1097,4 +1098,5 @@ def oracle_sql():
         **entry_round110.oracle_sql110(),
         **entry_round111.oracle_sql111(),
         **entry_round112.oracle_sql112(),
+        **entry_round113.oracle_sql113(),
     }

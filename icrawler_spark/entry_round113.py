@@ -1,0 +1,114 @@
+"""Round-3 driver-contract queries (batch 107): keyword stuffing, CWS
+weighted MinHash (signatures + estimated pairs), DP count release,
+power-iteration PCA.
+
+Fixtures are the documents/embeddings tables directly; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import similarity as _similarity
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+# ---------------------------------------------------------------------------
+# keyword_stuffing — top-term concentration spam signal
+# ---------------------------------------------------------------------------
+
+_KS_T = 0.2
+
+
+def q_keyword_stuffing(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.keyword_stuffing: groupBy(doc,term) + per-doc
+    window + groupBy(doc) — all keyed on doc_id."""
+    return _curation.keyword_stuffing(_docs(spark, sf), top1_threshold=_KS_T)
+
+
+# ---------------------------------------------------------------------------
+# cws_minhash / cws_pairs — Ioffe consistent weighted sampling
+# ---------------------------------------------------------------------------
+
+_CWS_K = 6
+_CWS_N = 2
+_CWS_T = 0.25
+
+
+def q_cws_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.cws_signatures: tf × broadcast seeds, ONE
+    groupBy(id, seed) argmin — the weighted-Jaccard sketch plain MinHash
+    cannot provide."""
+    return _docdedup.cws_signatures(_docs(spark, sf), k=_CWS_K, n=_CWS_N)
+
+
+def q_cws_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.cws_pairs: signature bucket join on the full
+    (seed, shingle, t) component — never all-pairs; estimates the exact
+    ``wjaccard`` query's measure."""
+    return _docdedup.cws_pairs(_docs(spark, sf), k=_CWS_K, n=_CWS_N,
+                               threshold=_CWS_T)
+
+
+# ---------------------------------------------------------------------------
+# dp_release — ε-DP per-language count release
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+
+
+def q_dp_release(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.dp_counts: one groupBy + deterministic seeded
+    Laplace noise on the |groups|-sized aggregate."""
+    return _corpus.dp_counts(_docs(spark, sf).select("lang"), "lang",
+                             epsilon=_DP_EPS)
+
+
+# ---------------------------------------------------------------------------
+# embed_pca — leading principal component via power iteration
+# ---------------------------------------------------------------------------
+
+
+def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.embed_pca: distributed d²-cell covariance (one
+    data pass), then d-sized broadcast matvec iterations — N-independent
+    after the first pass."""
+    return _similarity.embed_pca(_emb(spark, sf))
+
+
+def queries113():
+    return {
+        "keyword_stuffing": q_keyword_stuffing,
+        "cws_minhash": q_cws_minhash,
+        "cws_pairs": q_cws_pairs,
+        "dp_release": q_dp_release,
+        "embed_pca": q_embed_pca,
+    }
+
+
+def oracle_sql113():
+    return {
+        "keyword_stuffing": _curation.keyword_stuffing_sql(
+            _DOCS_SQL, top1_threshold=_KS_T),
+        "cws_minhash": _docdedup.cws_signatures_sql(
+            _DOCS_SQL, k=_CWS_K, n=_CWS_N),
+        "cws_pairs": _docdedup.cws_pairs_sql(
+            _DOCS_SQL, k=_CWS_K, n=_CWS_N, threshold=_CWS_T),
+        "dp_release": _corpus.dp_counts_sql(
+            "SELECT lang FROM documents", "lang", epsilon=_DP_EPS),
+        "embed_pca": _similarity.embed_pca_sql(
+            "SELECT vec_id, embedding FROM embeddings"),
+    }

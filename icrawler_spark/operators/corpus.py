@@ -12393,3 +12393,60 @@ SELECT s_abund, s_rare, f1,
       / (1.0 - CAST(f1 AS DOUBLE) / n_rare), 6) AS ace
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (Laplace mechanism, Dwork et al. 2006)
+# ---------------------------------------------------------------------------
+
+def dp_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
+              salt: str = "dp") -> DataFrame:
+    """Per-group counts released under ε-differential privacy via the
+    Laplace mechanism (Dwork, McSherry, Nissim & Smith 2006): noise ~
+    Laplace(1/ε) added to each count (sensitivity 1 for disjoint groups),
+    negative releases clamped to 0. Corpus-stats publication (per-host /
+    per-language document counts) is the standard use.
+
+    The Laplace draw is DETERMINISTIC — inverse-CDF over a md5-seeded
+    uniform per group (``u ∈ (0,1]`` → ``s = u−½`` →
+    ``−(1/ε)·sign(s)·ln(1−2|s|)``) — so releases are reproducible and the
+    DuckDB mirror is exact; swap the salt to redraw.
+
+    Returns (group, noisy rounded 4, released = max(0, round(noisy))).
+
+    Scale shape: ONE groupBy(group) + pure per-row noise exprs — the noise
+    never sees the raw rows, only the |groups|-sized aggregate.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").cast("double").alias("cnt"))
+    s = md5_unit("grp", salt) - F.lit(0.5)
+    lnarg = F.greatest(1.0 - 2.0 * F.abs(s), F.lit(1e-12))
+    noise = -(1.0 / F.lit(float(epsilon))) * F.signum(s) * F.log(lnarg)
+    noisy = F.round(F.col("cnt") + noise, 4)
+    return g.select(
+        F.col("grp").alias(group_col), noisy.alias("noisy"),
+        F.greatest(F.round(noisy, 0), F.lit(0.0)).cast("long")
+        .alias("released"))
+
+
+def dp_counts_sql(rows_sql: str, group_col: str, epsilon: float = 1.0,
+                  salt: str = "dp") -> str:
+    """DuckDB mirror of :func:`dp_counts`."""
+    u = md5_unit_sql("grp", salt)
+    return f"""
+WITH g AS (
+  SELECT {group_col} AS grp, CAST(count(*) AS DOUBLE) AS cnt
+  FROM ({rows_sql}) GROUP BY 1
+),
+n AS (
+  SELECT grp, cnt, ({u}) - 0.5 AS s FROM g
+),
+rel AS (
+  SELECT grp, round(cnt - (1.0 / {float(epsilon)!r}) * sign(s)
+      * ln(greatest(1.0 - 2.0 * abs(s), 1e-12)), 4) AS noisy
+  FROM n
+)
+SELECT grp AS {group_col}, noisy,
+  CAST(greatest(round(noisy, 0), 0.0) AS BIGINT) AS released
+FROM rel
+"""

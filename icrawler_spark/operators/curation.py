@@ -2555,3 +2555,74 @@ SELECT doc_id, n_grams, n_distinct,
     AS too_repetitive
 FROM cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyword-stuffing score (top-term concentration)
+# ---------------------------------------------------------------------------
+
+def keyword_stuffing(docs: DataFrame, top1_threshold: float = 0.2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-term concentration — the classic SEO-spam signal
+    (a page whose single most frequent term carries >~20% of all tokens is
+    keyword-stuffed; search-engine quality guidelines and the web-spam
+    taxonomy of Gyöngyi & Garcia-Molina 2005 both flag term repetition).
+
+    Returns (doc_id, n_tokens, top_term, top1_ratio, top3_ratio,
+    stuffed = top1_ratio > top1_threshold), ratios rounded 6; the top term
+    is tie-broken lexicographically.
+
+    Scale shape: one groupBy(doc, term) + one per-doc window (partitioned,
+    never global) + one groupBy(doc) — all keyed on doc_id, no joins.
+    """
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_col(text_col)).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    out = ranked.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.max(F.when(F.col("rn") == 1, F.col("term"))).alias("top_term"),
+        F.sum(F.when(F.col("rn") == 1, F.col("tf")).otherwise(0))
+        .alias("__t1"),
+        F.sum(F.when(F.col("rn") <= 3, F.col("tf")).otherwise(0))
+        .alias("__t3"))
+    r1 = F.round(F.col("__t1") / F.col("n_tokens"), 6)
+    r3 = F.round(F.col("__t3") / F.col("n_tokens"), 6)
+    return out.select("doc_id", "n_tokens", "top_term",
+                      r1.alias("top1_ratio"), r3.alias("top3_ratio"),
+                      (r1 > top1_threshold).alias("stuffed"))
+
+
+def keyword_stuffing_sql(docs_sql: str, top1_threshold: float = 0.2) -> str:
+    """DuckDB mirror of :func:`keyword_stuffing`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS term
+        FROM ({docs_sql}))
+  WHERE term <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, term, tf, row_number()
+    OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+  FROM tf
+),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+    max(CASE WHEN rn = 1 THEN term END) AS top_term,
+    sum(CASE WHEN rn = 1 THEN tf ELSE 0 END) AS t1,
+    sum(CASE WHEN rn <= 3 THEN tf ELSE 0 END) AS t3
+  FROM ranked GROUP BY 1
+)
+SELECT doc_id, n_tokens, top_term,
+  round(t1 / CAST(n_tokens AS DOUBLE), 6) AS top1_ratio,
+  round(t3 / CAST(n_tokens AS DOUBLE), 6) AS top3_ratio,
+  round(t1 / CAST(n_tokens AS DOUBLE), 6) > {float(top1_threshold)!r}
+    AS stuffed
+FROM agg
+"""

@@ -1475,3 +1475,145 @@ WITH agg AS (
 {union}
 ORDER BY field
 """
+
+
+# ---------------------------------------------------------------------------
+# Consistent weighted sampling / weighted MinHash (Ioffe 2010, ICDM)
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+
+
+def _cws_unit(key, salt: str) -> "F.Column":
+    """Deterministic uniform-(0,1] draw from md5(key || salt) — local twin
+    of corpus.md5_unit (corpus imports this module, so no import here)."""
+    v = F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8),
+               16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(4294967297.0)
+
+
+def _cws_unit_sql(expr: str, salt: str) -> str:
+    h = f"md5({expr} || '{salt}')"
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"(({terms}) + CAST(1 AS DOUBLE)) / CAST(4294967297 AS DOUBLE)"
+
+
+def cws_signatures(df: DataFrame, k: int = 8, n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Consistent-weighted-sampling signatures (Ioffe 2010): per (doc,
+    seed), the shingle minimizing a = c / (y·e^r) where r, c ~ Gamma(2,1)
+    and β ~ U[0,1] derive deterministically from md5(shingle|seed), with
+    t = ⌊ln w / r + β⌋ — so P[sample_a == sample_b] = J_w(a, b), the
+    tf-weighted Jaccard that plain MinHash cannot estimate. The unbiased
+    sketch counterpart of the EXACT ``weighted_jaccard_pairs``.
+
+    Returns (id, seed, shingle, t) — two docs agree on a component iff the
+    full (shingle, t) pair matches.
+
+    Scale shape: tf table × broadcast seed range, ONE groupBy(id, seed)
+    argmin via min(struct) — same shape as ``minhash_signatures``; k·|tf|
+    intermediate rows, map-side partial agg.
+    """
+    tf = weighted_shingle_tf(df, n=n, text_col=text_col, id_col=id_col)
+    seeds = df.sparkSession.range(0, k).select(F.col("id").alias("seed"))
+    key = F.concat_ws("|", F.col("shingle"), F.col("seed"))
+    r = -(F.log(_cws_unit(key, ":r1")) + F.log(_cws_unit(key, ":r2")))
+    c = -(F.log(_cws_unit(key, ":c1")) + F.log(_cws_unit(key, ":c2")))
+    b = _cws_unit(key, ":b")
+    t = F.floor(F.log(F.col("w")) / r + b)
+    lna = F.log(c) - r * (t.cast("double") - b) - r
+    scored = (tf.crossJoin(F.broadcast(seeds))
+              .select("id", "seed",
+                      F.struct(lna.alias("lna"), F.col("shingle"),
+                               t.alias("t")).alias("s")))
+    best = scored.groupBy("id", "seed").agg(F.min("s").alias("s"))
+    return best.select("id", "seed", F.col("s.shingle").alias("shingle"),
+                       F.col("s.t").alias("t"))
+
+
+def cws_pairs(df: DataFrame, k: int = 8, n: int = 3,
+              threshold: float = 0.3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Weighted-Jaccard near-dup pairs estimated from CWS signature
+    agreement: est = |matching components| / k, kept when est ≥ threshold.
+
+    Scale shape: signatures equi-join on the full component value
+    (seed, shingle, t) — a bucket join like LSH bands, NEVER all-pairs;
+    only docs sharing a sampled component meet.
+    """
+    sigs = cws_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=False)
+    a = sigs.select(F.col("id").alias("id_a"), "seed", "shingle", "t")
+    b = sigs.select(F.col("id").alias("id_b"), "seed", "shingle", "t")
+    return (a.join(b, ["seed", "shingle", "t"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg((F.count("*") / F.lit(float(k))).alias("est_wjaccard"))
+            .filter(F.col("est_wjaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("est_wjaccard", 6).alias("est_wjaccard")))
+
+
+def _cws_scored_sql(docs_sql: str, k: int, n: int) -> str:
+    """Shared normalize→tf→CWS-score chain for the DuckDB mirrors."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    key = "(shingle || '|' || CAST(seed AS VARCHAR))"
+    u = {s: _cws_unit_sql(key, s) for s in (":r1", ":r2", ":c1", ":c2", ":b")}
+    return f"""
+toked AS (
+  SELECT doc_id AS id, string_split({norm}, ' ') AS l FROM ({docs_sql})
+),
+sh AS (
+  SELECT id, array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT id, l, unnest(range(1, len(l) - {n} + 2)) AS x FROM toked)
+  WHERE len(l) >= {n}
+),
+tf AS (
+  SELECT id, shingle, CAST(count(*) AS DOUBLE) AS w FROM sh GROUP BY 1, 2
+),
+scored AS (
+  SELECT id, seed, shingle,
+    CAST(floor(ln(w) / r + b) AS BIGINT) AS t,
+    ln(c) - r * (floor(ln(w) / r + b) - b) - r AS lna
+  FROM (
+    SELECT id, seed, shingle, w,
+      -(ln({u[':r1']}) + ln({u[':r2']})) AS r,
+      -(ln({u[':c1']}) + ln({u[':c2']})) AS c,
+      {u[':b']} AS b
+    FROM tf CROSS JOIN (SELECT unnest(range({k})) AS seed)
+  )
+),
+best AS (
+  SELECT id, seed, shingle, t FROM (
+    SELECT id, seed, shingle, t, row_number()
+      OVER (PARTITION BY id, seed ORDER BY lna, shingle, t) AS rn
+    FROM scored)
+  WHERE rn = 1
+)"""
+
+
+def cws_signatures_sql(docs_sql: str, k: int = 8, n: int = 3) -> str:
+    """DuckDB mirror of :func:`cws_signatures`."""
+    return f"""
+WITH {_cws_scored_sql(docs_sql, k, n)}
+SELECT id, seed, shingle, t FROM best
+"""
+
+
+def cws_pairs_sql(docs_sql: str, k: int = 8, n: int = 3,
+                  threshold: float = 0.3) -> str:
+    """DuckDB mirror of :func:`cws_pairs`."""
+    return f"""
+WITH {_cws_scored_sql(docs_sql, k, n)}
+SELECT a.id AS id_a, b.id AS id_b,
+  round(count(*) / CAST({k} AS DOUBLE), 6) AS est_wjaccard
+FROM best a JOIN best b
+  ON a.seed = b.seed AND a.shingle = b.shingle AND a.t = b.t
+  AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) / CAST({k} AS DOUBLE) >= {float(threshold)!r}
+"""

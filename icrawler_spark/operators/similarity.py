@@ -1280,3 +1280,128 @@ s{step} AS (
         f"SELECT query_id, step, doc AS doc_id, mmr FROM {s}" for s in prev)
     parts.append(f"\n{union}")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by distributed power iteration
+# ---------------------------------------------------------------------------
+
+def embed_pca(emb: DataFrame, iters: int = 5, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Leading principal component of an embedding table by power
+    iteration over the covariance matrix — the direction a corpus's
+    vectors spread along most (embedding-drift dashboards, whitening, and
+    the first step of an anisotropy check all want it).
+
+    The covariance is built DISTRIBUTED (one d²-cell aggregation over the
+    posexploded vectors — the N-row table is read once; the driver never
+    holds more than d² scalars) and rounded to 6 decimals so the
+    fixed-iteration recurrence is engine-exact. v₀ = 1/√d; each iteration
+    is a d×d broadcast matvec + renormalize; the sign is fixed so the
+    largest-|loading| dimension is positive (ties → lowest dim).
+
+    Returns one row per dimension: (dim, loading rounded 4,
+    eigval rounded 4, explained rounded 4 = eigval / trace).
+
+    Scale shape: ONE pass over the data (self-join on id explodes to N·d²
+    product terms with map-side partial agg); every subsequent step
+    touches only d×d / d×1 frames — independent of N.
+    """
+    e = emb.select(F.col(id_col).alias("vid"),
+                   F.posexplode(vec_col).alias("i", "x")) \
+        .select("vid", "i", F.col("x").cast("double").alias("x"))
+    mu = e.groupBy("i").agg(F.avg("x").alias("mu"))
+    ej = e.select(F.col("vid").alias("vid2"), F.col("i").alias("j"),
+                  F.col("x").alias("y"))
+    exy = (e.join(ej, e.vid == ej.vid2)
+           .groupBy("i", "j").agg(F.avg(F.col("x") * F.col("y")).alias("exy")))
+    cov = (exy
+           .join(mu.select(F.col("i"), F.col("mu").alias("mi")), "i")
+           .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("mj")),
+                 "j")
+           .select("i", "j", F.round(F.col("exy") - F.col("mi") * F.col("mj"),
+                                     6).alias("c"))
+           .localCheckpoint(eager=False))
+    d = cov.agg(F.max("i")).collect()[0][0] + 1
+    v = cov.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1.0 / float(d) ** 0.5).alias("v"))
+    for _ in range(iters):
+        w = (cov.join(F.broadcast(v), "j")
+             .groupBy("i").agg(F.sum(F.col("c") * F.col("v")).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select(F.col("i").alias("j"), (F.col("w") / F.col("n"))
+                     .alias("v")))
+    v = v.select(F.col("j").alias("i"), "v").localCheckpoint(eager=False)
+    lam = (cov.join(F.broadcast(v.select(F.col("i").alias("j"),
+                                         F.col("v").alias("vj"))), "j")
+           .join(F.broadcast(v.select("i", F.col("v").alias("vi"))), "i")
+           .agg(F.sum(F.col("c") * F.col("vi") * F.col("vj"))
+                .alias("eigval")))
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("trace"))
+    sgn = (v.orderBy(F.desc(F.abs(F.col("v"))), F.asc("i")).limit(1)
+           .select(F.when(F.signum("v") == 0, F.lit(1.0))
+                   .otherwise(F.signum("v")).alias("sgn")))
+    return (v.crossJoin(F.broadcast(sgn)).crossJoin(F.broadcast(lam))
+            .crossJoin(F.broadcast(trace))
+            .select(F.col("i").alias("dim"),
+                    F.round(F.col("v") * F.col("sgn"), 4).alias("loading"),
+                    F.round("eigval", 4).alias("eigval"),
+                    F.round(F.col("eigval") / F.col("trace"), 4)
+                    .alias("explained")))
+
+
+def embed_pca_sql(emb_sql: str, iters: int = 5) -> str:
+    """DuckDB mirror of :func:`embed_pca` — same rounded covariance, same
+    unrolled fixed-iteration recurrence."""
+    steps = []
+    prev = "v0"
+    for t in range(iters):
+        steps.append(f"""
+w{t} AS (
+  SELECT cov.i, sum(cov.c * {prev}.v) AS w
+  FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY 1
+),
+v{t + 1} AS (
+  SELECT i AS j, w / (SELECT sqrt(sum(w * w)) FROM w{t}) AS v FROM w{t}
+)""")
+        prev = f"v{t + 1}"
+    chain = ",".join(steps)
+    return f"""
+WITH base AS (SELECT vec_id AS vid, embedding FROM ({emb_sql})),
+e AS (
+  SELECT vid, CAST(i AS INT) AS i,
+    CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM base, (SELECT unnest(range(0, len(embedding))) AS i
+              FROM (SELECT embedding FROM base LIMIT 1))
+),
+mu AS (SELECT i, avg(x) AS mu FROM e GROUP BY 1),
+exy AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM e a JOIN e b ON a.vid = b.vid GROUP BY 1, 2
+),
+cov AS (
+  SELECT exy.i, exy.j, round(exy.exy - mi.mu * mj.mu, 6) AS c
+  FROM exy JOIN mu mi ON mi.i = exy.i JOIN mu mj ON mj.i = exy.j
+),
+v0 AS (
+  SELECT i AS j, 1.0 / sqrt(CAST(count(*) OVER () AS DOUBLE)) AS v
+  FROM mu
+),{chain},
+vf AS (SELECT j AS i, v FROM {prev}),
+lam AS (
+  SELECT sum(cov.c * vi.v * vj.v) AS eigval
+  FROM cov JOIN vf vj ON cov.j = vj.i JOIN vf vi ON cov.i = vi.i
+),
+tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+sgn AS (
+  SELECT CASE WHEN sign(v) = 0 THEN 1.0 ELSE sign(v) END AS sgn
+  FROM vf ORDER BY abs(v) DESC, i ASC LIMIT 1
+)
+SELECT vf.i AS dim, round(vf.v * sgn.sgn, 4) AS loading,
+  round(lam.eigval, 4) AS eigval,
+  round(lam.eigval / tr.trace, 4) AS explained
+FROM vf CROSS JOIN sgn CROSS JOIN lam CROSS JOIN tr
+"""

@@ -1,0 +1,118 @@
+"""Unit tests for the round-113 pack: keyword stuffing, CWS weighted
+MinHash, DP count release, power-iteration PCA."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from icrawler_spark.operators.corpus import dp_counts
+from icrawler_spark.operators.curation import keyword_stuffing
+from icrawler_spark.operators.docdedup import (cws_pairs, cws_signatures,
+                                               weighted_jaccard_pairs)
+from icrawler_spark.operators.similarity import embed_pca
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# keyword_stuffing
+# ---------------------------------------------------------------------------
+
+def test_stuffing_hand_ratios(spark):
+    out = {r["doc_id"]: r for r in keyword_stuffing(
+        _docs(spark, ["buy buy buy now", "one two three four"]),
+        top1_threshold=0.5).collect()}
+    assert out[1]["top_term"] == "buy"
+    assert math.isclose(out[1]["top1_ratio"], 0.75, abs_tol=1e-9)
+    assert out[1]["stuffed"]
+    assert math.isclose(out[2]["top1_ratio"], 0.25, abs_tol=1e-9)
+    assert not out[2]["stuffed"]
+
+
+def test_stuffing_top3_and_tiebreak(spark):
+    out = keyword_stuffing(_docs(spark, ["b a b a c d"]),).collect()[0]
+    # tf: a=2 b=2 c=1 d=1 -> top term 'a' (lexicographic tie-break)
+    assert out["top_term"] == "a"
+    assert math.isclose(out["top3_ratio"], 5 / 6, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# cws_signatures / cws_pairs
+# ---------------------------------------------------------------------------
+
+def test_cws_identical_docs_agree_everywhere(spark):
+    out = cws_signatures(_docs(spark, ["x y z x y", "x y z x y"]),
+                         k=8, n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], {})[r["seed"]] = (r["shingle"], r["t"])
+    assert by_doc[1] == by_doc[2]  # same weighted set -> same samples
+
+
+def test_cws_pairs_estimates_weighted_jaccard(spark):
+    texts = ["the cat sat on the mat " * 3 + "purring softly",
+             "the cat sat on the mat " * 3 + "meowing loudly",
+             "completely different words entirely here now"]
+    df = _docs(spark, texts)
+    exact = {(r["id_a"], r["id_b"]): r["wjaccard"]
+             for r in weighted_jaccard_pairs(df, n=2, threshold=0.0).collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_wjaccard"]
+           for r in cws_pairs(df, k=32, n=2, threshold=0.0).collect()}
+    # the near-dup pair dominates; estimator within sketch noise of exact
+    assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.25
+    assert est.get((1, 3), 0.0) <= exact.get((1, 3), 0.0) + 0.25
+
+
+def test_cws_disjoint_docs_never_pair(spark):
+    out = cws_pairs(_docs(spark, ["aa bb cc dd", "ee ff gg hh"]),
+                    k=8, n=2, threshold=0.0)
+    assert out.count() == 0  # no shared component possible
+
+
+# ---------------------------------------------------------------------------
+# dp_counts
+# ---------------------------------------------------------------------------
+
+def test_dp_release_clamped_and_bounded(spark):
+    rows = [("en",)] * 50 + [("de",)] * 3
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r["lang"]: r for r in dp_counts(df, "lang", epsilon=1.0).collect()}
+    assert set(out) == {"en", "de"}
+    for lang, true in [("en", 50), ("de", 3)]:
+        assert out[lang]["released"] >= 0
+        # Laplace(1) at the md5 percentile is small vs these counts
+        assert abs(out[lang]["noisy"] - true) < 25.0
+
+
+def test_dp_release_salt_changes_draw(spark):
+    df = spark.createDataFrame([("en",)] * 10, "lang string")
+    a = dp_counts(df, "lang", salt="s1").collect()[0]["noisy"]
+    b = dp_counts(df, "lang", salt="s2").collect()[0]["noisy"]
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# embed_pca
+# ---------------------------------------------------------------------------
+
+def test_pca_recovers_dominant_axis(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(0, 0.05, size=(60, 4))
+    base[:, 2] += rng.normal(0, 2.0, size=60)  # dim 2 dominates variance
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in embed_pca(df, iters=8).collect()}
+    assert len(out) == 4
+    assert abs(out[2]["loading"]) > 0.99  # points along dim 2
+    assert out[2]["loading"] > 0          # sign fix: biggest |loading| > 0
+    assert out[0]["explained"] > 0.9      # dominant axis explains most
+    # loadings are unit-norm
+    nrm = sum(out[d]["loading"] ** 2 for d in out)
+    assert math.isclose(nrm, 1.0, abs_tol=1e-2)
