@@ -427,6 +427,8 @@ _EXTRA_PICKS = [
     # round-3 batch (stuffing + CWS + DP + PCA)
     "keyword_stuffing", "cws_minhash", "cws_pairs", "dp_release",
     "embed_pca",
+    # round-3 batch (trained classifier + tokenizer + chunking + pairs)
+    "logreg_quality", "bpe_merges", "texttiles", "contrastive",
 ]
 
 

@@ -74,7 +74,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round106, entry_round107,
                             entry_round108, entry_round109,
                             entry_round110, entry_round111,
-                            entry_round112, entry_round113)
+                            entry_round112, entry_round113,
+                            entry_round114)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -954,6 +955,7 @@ def queries():
         **entry_round111.queries111(),
         **entry_round112.queries112(),
         **entry_round113.queries113(),
+        **entry_round114.queries114(),
     }
 
 
@@ -1099,4 +1101,5 @@ def oracle_sql():
         **entry_round111.oracle_sql111(),
         **entry_round112.oracle_sql112(),
         **entry_round113.oracle_sql113(),
+        **entry_round114.oracle_sql114(),
     }

@@ -1,0 +1,103 @@
+"""Round-3 driver-contract queries (batch 108): distributed logistic-
+regression training, BPE merge learning, TextTiling chunk boundaries,
+contrastive pair mining.
+
+Fixtures are the documents table directly; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import classify as _classify
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import curation as _curation
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+# ---------------------------------------------------------------------------
+# logreg_quality — hashed-feature logistic regression by gradient descent
+# ---------------------------------------------------------------------------
+
+_LR_FEATURES = 8
+_LR_ITERS = 5
+_LR_LR = 2.0
+
+
+def q_logreg_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.logreg_train: one corpus pass builds the hashed
+    long-form feature table; each GD step is two keyed aggregations plus a
+    broadcast of the (n_features+1)-row weight vector."""
+    docs = _docs(spark, sf).withColumn("__y", F.col("lang") == "en")
+    return _classify.logreg_train(docs, "__y", n_features=_LR_FEATURES,
+                                  iters=_LR_ITERS, lr=_LR_LR)
+
+
+def _docs_lang(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges — first merge rules of a BPE tokenizer
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 5
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.bpe_learn: corpus → (word, count) vocab once,
+    then |vocab|-sized explode+groupBy per merge step."""
+    return _curation.bpe_learn(_docs(spark, sf), merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# texttiles — lexical-cohesion chunk boundaries
+# ---------------------------------------------------------------------------
+
+_TT_BLOCK = 10
+
+
+def q_texttiles(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.texttile_boundaries: doc-keyed block vectors,
+    adjacent-block cosine join, per-doc window threshold."""
+    return _curation.texttile_boundaries(_docs(spark, sf), block=_TT_BLOCK)
+
+
+# ---------------------------------------------------------------------------
+# contrastive — LSH positives + hash-bucket negatives
+# ---------------------------------------------------------------------------
+
+
+def q_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.contrastive_pairs: band-bucket join positives,
+    bucket-representative negatives, anti-join overlap removal."""
+    return _corpus.contrastive_pairs(_docs(spark, sf))
+
+
+def queries114():
+    return {
+        "logreg_quality": q_logreg_quality,
+        "bpe_merges": q_bpe_merges,
+        "texttiles": q_texttiles,
+        "contrastive": q_contrastive,
+    }
+
+
+def oracle_sql114():
+    return {
+        "logreg_quality": _classify.logreg_train_sql(
+            "SELECT doc_id, text, lang FROM documents", "lang = 'en'",
+            n_features=_LR_FEATURES, iters=_LR_ITERS, lr=_LR_LR),
+        "bpe_merges": _curation.bpe_learn_sql(_DOCS_SQL,
+                                              merges=_BPE_MERGES),
+        "texttiles": _curation.texttile_boundaries_sql(_DOCS_SQL,
+                                                       block=_TT_BLOCK),
+        "contrastive": _corpus.contrastive_pairs_sql(_DOCS_SQL),
+    }

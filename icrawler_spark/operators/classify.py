@@ -296,3 +296,154 @@ SELECT id AS doc_id, y AS pred_label, true_label
 FROM scores
 QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, y ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by distributed gradient descent (hashed features)
+# ---------------------------------------------------------------------------
+
+def logreg_train(docs: DataFrame, label_col: str, n_features: int = 8,
+                 iters: int = 5, lr: float = 2.0, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Train a binary quality/topic classifier at corpus scale: logistic
+    regression over hashing-trick bag-of-words features (Weinberger et al.
+    2009) fit by ``iters`` full-batch gradient-descent steps — the
+    fastText/CCNet-style quality-filter shape, expressed entirely as
+    DataFrame aggregations (the model never leaves the cluster; the driver
+    holds nothing).
+
+    Features: token → md5 bucket ∈ [0, n_features), x = tf/n_tokens
+    (L1-normalized), plus an always-on bias feature f = n_features. w₀ = 0;
+    each step is  w ← w − lr · (1/N)·Σ_d (σ(w·x_d) − y_d)·x_d,  i.e. two
+    keyed aggregations: per-doc margin (groupBy doc), per-feature gradient
+    (groupBy feature). Fixed iteration count and deterministic hashing make
+    the DuckDB mirror exact.
+
+    Returns one row per feature: (feature, weight rounded 4,
+    logloss rounded 4 — the final mean clamped log-loss, repeated).
+
+    Scale shape: the corpus is touched once to build the long-form feature
+    table (pinned); every GD step shuffles only that table keyed by doc
+    then by feature (map-side partial aggs), and w is a (n_features+1)-row
+    broadcast — N-scalable, no collect, no Python UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(F.split(F.trim(F.regexp_replace(F.regexp_replace(
+            F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +", " ")), " "))
+        .alias("tok")).filter(F.col("tok") != "")
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+              .cast("long") % n_features).cast("int")
+    tf = (toks.groupBy("doc", "y", bucket.alias("f"))
+          .agg(F.count("*").cast("double").alias("tf")))
+    nt = tf.groupBy("doc").agg(F.sum("tf").alias("nt"))
+    feats = (tf.join(nt, "doc")
+             .select("doc", "y", "f", (F.col("tf") / F.col("nt")).alias("x")))
+    bias = (feats.select("doc", "y").distinct()
+            .select("doc", "y", F.lit(n_features).alias("f"),
+                    F.lit(1.0).alias("x")))
+    feats = feats.unionByName(bias).localCheckpoint(eager=False)
+    n = feats.select("doc").distinct().agg(
+        F.count("*").cast("double").alias("n"))
+    spark = docs.sparkSession
+    w = spark.range(n_features + 1).select(
+        F.col("id").cast("int").alias("f"), F.lit(0.0).alias("w"))
+    sig = lambda z: 1.0 / (1.0 + F.exp(-z))  # noqa: E731
+    for _ in range(iters):
+        z = (feats.join(F.broadcast(w), "f")
+             .groupBy("doc", "y")
+             .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+             .select("doc", (sig(F.col("z")) - F.col("y")).alias("r")))
+        g = (feats.join(z, "doc")
+             .groupBy("f").agg(F.sum(F.col("r") * F.col("x")).alias("sg"))
+             .crossJoin(F.broadcast(n))
+             .select("f", (F.col("sg") / F.col("n")).alias("g")))
+        w = (w.join(g, "f", "left")
+             .select("f", (F.col("w") - F.lit(float(lr))
+                           * F.coalesce(F.col("g"), F.lit(0.0))).alias("w")))
+        # w is referenced twice next step (directly and inside the gradient)
+        # — without an eager cut the logical plan doubles per iteration.
+        w = w.localCheckpoint(eager=True)
+    p = (feats.join(F.broadcast(w), "f")
+         .groupBy("doc", "y").agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+         .select("y", F.least(F.greatest(sig(F.col("z")), F.lit(1e-12)),
+                              F.lit(1.0 - 1e-12)).alias("p")))
+    loss = p.agg(F.avg(-(F.col("y") * F.log("p")
+                         + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))))
+                 .alias("logloss"))
+    return (w.crossJoin(F.broadcast(loss))
+            .select(F.col("f").alias("feature"),
+                    F.round("w", 4).alias("weight"),
+                    F.round("logloss", 4).alias("logloss")))
+
+
+def logreg_train_sql(docs_sql: str, label_expr: str, n_features: int = 8,
+                     iters: int = 5, lr: float = 2.0) -> str:
+    """DuckDB mirror of :func:`logreg_train` — same hashing, same unrolled
+    fixed-iteration recurrence. ``label_expr`` is a boolean SQL expression
+    over the doc row (e.g. ``lang = 'en'``)."""
+    from icrawler_spark.operators.docdedup import _HEXD
+
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    h = "md5(tok)"
+    conv = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    steps = []
+    prev = "w0"
+    for t in range(iters):
+        steps.append(f"""
+z{t} AS (
+  SELECT feats.doc, feats.y, sum(feats.x * {prev}.w) AS z
+  FROM feats JOIN {prev} ON feats.f = {prev}.f GROUP BY 1, 2
+),
+g{t} AS (
+  SELECT feats.f,
+    sum((1.0 / (1.0 + exp(-z{t}.z)) - z{t}.y) * feats.x)
+      / (SELECT n FROM nn) AS g
+  FROM feats JOIN z{t} ON feats.doc = z{t}.doc GROUP BY 1
+),
+w{t + 1} AS (
+  SELECT {prev}.f, {prev}.w - {float(lr)!r} * coalesce(g{t}.g, 0.0) AS w
+  FROM {prev} LEFT JOIN g{t} ON {prev}.f = g{t}.f
+)""")
+        prev = f"w{t + 1}"
+    chain = ",".join(steps)
+    return f"""
+WITH toks AS (
+  SELECT doc, y, tok FROM (
+    SELECT doc_id AS doc, CAST(({label_expr}) AS DOUBLE) AS y,
+      unnest(string_split({norm}, ' ')) AS tok
+    FROM ({docs_sql}))
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT doc, y, CAST(({conv}) % {n_features} AS INT) AS f,
+    CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY 1, 2, 3
+),
+nt AS (SELECT doc, sum(tf) AS nt FROM tf GROUP BY 1),
+feats AS (
+  SELECT tf.doc, tf.y, tf.f, tf.tf / nt.nt AS x FROM tf JOIN nt USING (doc)
+  UNION ALL
+  SELECT DISTINCT doc, y, {n_features} AS f, 1.0 AS x FROM tf
+),
+nn AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM feats),
+w0 AS (
+  SELECT CAST(unnest(range({n_features + 1})) AS INT) AS f, 0.0 AS w
+),{chain},
+pl AS (
+  SELECT z.y, least(greatest(1.0 / (1.0 + exp(-z.z)), 1e-12),
+                    1.0 - 1e-12) AS p
+  FROM (SELECT feats.doc, feats.y, sum(feats.x * {prev}.w) AS z
+        FROM feats JOIN {prev} ON feats.f = {prev}.f GROUP BY 1, 2) z
+),
+loss AS (
+  SELECT avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS logloss FROM pl
+)
+SELECT {prev}.f AS feature, round({prev}.w, 4) AS weight,
+  round(loss.logloss, 4) AS logloss
+FROM {prev} CROSS JOIN loss
+"""

@@ -12450,3 +12450,103 @@ SELECT grp AS {group_col}, noisy,
   CAST(greatest(round(noisy, 0), 0.0) AS BIGINT) AS released
 FROM rel
 """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining for embedding-model training data
+# ---------------------------------------------------------------------------
+
+def contrastive_pairs(docs: DataFrame, k: int = 6, n: int = 3,
+                      band_rows: int = 2, n_buckets: int = 32,
+                      salt: str = "neg", text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Training pairs for a contrastive text-embedding model mined from
+    the corpus itself (the SimCSE/E5-style recipe: near-duplicates are
+    positives, unrelated docs are negatives): positives come from MinHash
+    band-LSH candidates, negatives from a deterministic hash-bucket
+    pairing (each doc against its bucket's representative), with any
+    accidental LSH candidate removed from the negative side.
+
+    Returns (id_a, id_b, label) with id_a < id_b; label 1 = positive,
+    0 = negative.
+
+    Scale shape: positives are the band-bucket join (never all-pairs);
+    negatives are one groupBy(bucket) min + a broadcast-back join + an
+    anti-join on the positive set — every stage keyed, nothing quadratic,
+    no collect.
+    """
+    from icrawler_spark.operators.docdedup import (lsh_candidate_pairs,
+                                                   minhash_signatures)
+
+    sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col,
+                              id_col=id_col)
+    pos = (lsh_candidate_pairs(sigs, band_rows=band_rows)
+           .localCheckpoint(eager=False))
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    bucketed = ids.select(
+        "id", (F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                                 F.lit(salt))), 1, 8),
+                      16, 10).cast("long") % n_buckets).alias("b"))
+    reps = bucketed.groupBy("b").agg(F.min("id").alias("rep"))
+    negs = (bucketed.join(F.broadcast(reps), "b")
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.least("rep", "id").alias("id_a"),
+                    F.greatest("rep", "id").alias("id_b"))
+            .join(pos, ["id_a", "id_b"], "left_anti"))
+    return (pos.select("id_a", "id_b", F.lit(1).alias("label"))
+            .unionByName(negs.select("id_a", "id_b",
+                                     F.lit(0).alias("label"))))
+
+
+def contrastive_pairs_sql(docs_sql: str, k: int = 6, n: int = 3,
+                          band_rows: int = 2, n_buckets: int = 32,
+                          salt: str = "neg") -> str:
+    """DuckDB mirror of :func:`contrastive_pairs` — replays the
+    normalize→shingle→minhash→band chain."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    h = f"md5(CAST(id AS VARCHAR) || '{salt}')"
+    conv = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"""
+WITH toked AS (SELECT doc_id, string_split({norm}, ' ') AS l
+               FROM ({docs_sql})),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toked)
+  WHERE len(l) >= {n}
+),
+sig AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sig GROUP BY 1, 2
+),
+pos AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b USING (band, band_sig)
+  WHERE a.id < b.id
+),
+ids AS (SELECT DISTINCT doc_id AS id FROM ({docs_sql})),
+bucketed AS (SELECT id, ({conv}) % {n_buckets} AS b FROM ids),
+reps AS (SELECT b, min(id) AS rep FROM bucketed GROUP BY 1),
+negs AS (
+  SELECT least(bk.rep, bk.id) AS id_a, greatest(bk.rep, bk.id) AS id_b
+  FROM (SELECT bucketed.id, reps.rep FROM bucketed
+        JOIN reps USING (b)) bk
+  WHERE bk.id <> bk.rep
+)
+SELECT id_a, id_b, 1 AS label FROM pos
+UNION ALL
+SELECT n.id_a, n.id_b, 0 AS label FROM negs n
+WHERE NOT EXISTS (SELECT 1 FROM pos p
+                  WHERE p.id_a = n.id_a AND p.id_b = n.id_b)
+"""

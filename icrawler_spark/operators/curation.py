@@ -2626,3 +2626,202 @@ SELECT doc_id, n_tokens, top_term,
     AS stuffed
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich, Haddow & Birch 2016, ACL)
+# ---------------------------------------------------------------------------
+
+def bpe_learn(docs: DataFrame, merges: int = 4, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Learn the first ``merges`` byte-pair-encoding merge rules from the
+    corpus — the tokenizer-training primitive (Sennrich et al. 2016) as a
+    fixed-iteration DataFrame loop. Words collapse to a (word, count)
+    vocabulary first (the classic trick: the corpus is touched ONCE; every
+    merge step runs on the |vocab|-sized table), each word spelled as a
+    space-joined symbol sequence; each step counts adjacent symbol pairs
+    weighted by word count, merges the most frequent pair (ties broken
+    lexicographically), and rewrites the sequences.
+
+    Pair occurrences merge left-to-right non-overlapping via substring
+    replace, which skips the run-internal overlap (``a a a a`` merges once
+    per scan, not twice) — both engines share the semantics, documented
+    divergence from the reference subword-nmt rescan.
+
+    Returns ``merges`` rows: (step, left_sym, right_sym, merged, pair_n).
+
+    Scale shape: one corpus pass to build the vocab (groupBy word), then
+    per step one explode+groupBy over the vocab table and one projection —
+    vocabulary-sized, corpus-independent; the argmax is a 1-row broadcast.
+    """
+    toks = docs.select(
+        F.explode(tokens_col(text_col)).alias("word")) \
+        .filter(F.col("word") != "")
+    vocab = (toks.groupBy("word").agg(F.count("*").alias("n"))
+             .select("n", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("seq"))
+             .localCheckpoint(eager=False))
+    rules = None
+    for step in range(1, merges + 1):
+        arr = F.split(F.col("seq"), " ")
+        pair = F.explode(F.expr(
+            "transform(sequence(1, size(split(seq, ' ')) - 1),"
+            " i -> concat(split(seq, ' ')[i - 1], ' ', split(seq, ' ')[i]))"))
+        pairs = (vocab.filter(F.size(arr) >= 2)
+                 .select("n", pair.alias("pair"))
+                 .groupBy("pair").agg(F.sum("n").alias("pair_n")))
+        top = (pairs.orderBy(F.desc("pair_n"), F.asc("pair")).limit(1)
+               .select(F.lit(step).alias("step"),
+                       F.split("pair", " ")[0].alias("left_sym"),
+                       F.split("pair", " ")[1].alias("right_sym"),
+                       F.concat(F.split("pair", " ")[0],
+                                F.split("pair", " ")[1]).alias("merged"),
+                       "pair_n")
+               .localCheckpoint(eager=False))
+        rules = top if rules is None else rules.unionByName(top)
+        vocab = (vocab.crossJoin(F.broadcast(top))
+                 .select("n", F.trim(F.replace(
+                     F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                     F.concat(F.lit(" "), F.col("left_sym"), F.lit(" "),
+                              F.col("right_sym"), F.lit(" ")),
+                     F.concat(F.lit(" "), F.col("merged"), F.lit(" "))))
+                     .alias("seq"))
+                 .localCheckpoint(eager=False))
+    return rules
+
+
+def bpe_learn_sql(docs_sql: str, merges: int = 4) -> str:
+    """DuckDB mirror of :func:`bpe_learn`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    steps = []
+    prev = "v0"
+    for t in range(1, merges + 1):
+        steps.append(f"""
+p{t} AS (
+  SELECT l[i] || ' ' || l[i + 1] AS pair, sum(n) AS pair_n
+  FROM (SELECT n, string_split(seq, ' ') AS l FROM {prev}),
+       unnest(range(1, len(l))) AS u(i)
+  GROUP BY 1
+),
+t{t} AS (
+  SELECT {t} AS step, string_split(pair, ' ')[1] AS left_sym,
+    string_split(pair, ' ')[2] AS right_sym,
+    string_split(pair, ' ')[1] || string_split(pair, ' ')[2] AS merged,
+    pair_n
+  FROM p{t} ORDER BY pair_n DESC, pair ASC LIMIT 1
+),
+v{t} AS (
+  SELECT n, trim(replace(' ' || seq || ' ',
+    ' ' || t{t}.left_sym || ' ' || t{t}.right_sym || ' ',
+    ' ' || t{t}.merged || ' ')) AS seq
+  FROM {prev} CROSS JOIN t{t}
+)""")
+        prev = f"v{t}"
+    chain = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT step, left_sym, right_sym, merged, pair_n FROM t{t}"
+        for t in range(1, merges + 1))
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS word
+        FROM ({docs_sql}))
+  WHERE word <> '' GROUP BY 1
+),
+v0 AS (
+  SELECT n, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM words
+),{chain}
+{union}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TextTiling-style chunk boundaries (Hearst 1997, windowed variant)
+# ---------------------------------------------------------------------------
+
+def texttile_boundaries(docs: DataFrame, block: int = 20,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Lexical-cohesion chunk boundaries per document: split each doc into
+    fixed ``block``-token blocks, compute the cosine similarity of adjacent
+    blocks' term-frequency vectors, and mark gaps whose similarity falls
+    below mean − σ/2 of the doc's gap series — the TextTiling idea
+    (Hearst 1997) with the per-gap depth score replaced by a per-doc
+    threshold (documented simplification; no sequential peak climb).
+    Semantic chunking for training-data pipelines.
+
+    Returns (doc_id, gap, sim rounded 6, is_boundary) for docs with ≥2
+    blocks; gap g sits between block g and g+1.
+
+    Scale shape: everything is keyed by doc_id (one groupBy for block
+    vectors, one self-join on (doc, term) restricted to adjacent blocks,
+    per-doc windows for the threshold) — no global shuffle key, no UDF.
+    """
+    t = (docs.select(F.col(id_col).alias("doc"),
+                     F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+         .filter(F.col("term") != "")
+         .select("doc", (F.col("pos") / block).cast("int").alias("blk"),
+                 "term"))
+    tf = t.groupBy("doc", "blk", "term").agg(F.count("*").alias("c"))
+    nrm = tf.groupBy("doc", "blk").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    b = tf.select("doc", F.col("blk").alias("blk2"),
+                  F.col("term"), F.col("c").alias("c2"))
+    dot = (tf.join(b, ["doc", "term"])
+           .filter(F.col("blk2") == F.col("blk") + 1)
+           .groupBy("doc", "blk")
+           .agg(F.sum(F.col("c") * F.col("c2")).alias("dot")))
+    gaps = (nrm.alias("a")
+            .join(nrm.select("doc", (F.col("blk") - 1).alias("blk"),
+                             F.col("nrm").alias("nrm2")), ["doc", "blk"])
+            .join(dot, ["doc", "blk"], "left")
+            .select("doc", F.col("blk").alias("gap"),
+                    F.round(F.coalesce(F.col("dot"), F.lit(0.0))
+                            / (F.col("nrm") * F.col("nrm2")), 6)
+                    .alias("sim")))
+    w = Window.partitionBy("doc")
+    return (gaps
+            .withColumn("__m", F.avg("sim").over(w))
+            .withColumn("__s", F.stddev_pop("sim").over(w))
+            .select(F.col("doc").alias("doc_id"), "gap", "sim",
+                    (F.col("sim") < F.col("__m") - 0.5 * F.col("__s"))
+                    .alias("is_boundary")))
+
+
+def texttile_boundaries_sql(docs_sql: str, block: int = 20) -> str:
+    """DuckDB mirror of :func:`texttile_boundaries`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH t AS (
+  SELECT doc, CAST((pos - 1) // {block} AS INT) AS blk, term
+  FROM (SELECT doc_id AS doc,
+          unnest(string_split({norm}, ' ')) AS term,
+          generate_subscripts(string_split({norm}, ' '), 1) AS pos
+        FROM ({docs_sql}))
+  WHERE term <> ''
+),
+tf AS (SELECT doc, blk, term, count(*) AS c FROM t GROUP BY 1, 2, 3),
+nrm AS (
+  SELECT doc, blk, sqrt(sum(c * c)) AS nrm FROM tf GROUP BY 1, 2
+),
+dot AS (
+  SELECT a.doc, a.blk, sum(a.c * b.c) AS dot
+  FROM tf a JOIN tf b ON a.doc = b.doc AND a.term = b.term
+    AND b.blk = a.blk + 1
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT a.doc, a.blk AS gap,
+    round(coalesce(dot.dot, 0.0) / (a.nrm * n2.nrm), 6) AS sim
+  FROM nrm a
+  JOIN nrm n2 ON n2.doc = a.doc AND n2.blk = a.blk + 1
+  LEFT JOIN dot ON dot.doc = a.doc AND dot.blk = a.blk
+)
+SELECT doc AS doc_id, gap, sim,
+  sim < avg(sim) OVER (PARTITION BY doc)
+    - 0.5 * stddev_pop(sim) OVER (PARTITION BY doc) AS is_boundary
+FROM gaps
+"""

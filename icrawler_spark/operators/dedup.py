@@ -650,3 +650,95 @@ SELECT fpp,
     < log2(1.0 / fpp) / 0.6931471805599453 AS cuckoo_wins
 FROM g ORDER BY fpp DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-shard merge cardinality estimation (Swamidass & Baldi 2007)
+# ---------------------------------------------------------------------------
+
+def bloom_merge_est(urls_a: DataFrame, urls_b: DataFrame,
+                    url_col: str = "url", m_bits: int = 1 << 16,
+                    k: int = 4) -> DataFrame:
+    """Estimate how much two crawlers' URL-seen sets overlap WITHOUT
+    exchanging URLs — only their Bloom filters meet. Cardinality from fill
+    (Swamidass & Baldi 2007):  n̂ = −(m/k)·ln(1 − t/m)  per filter; the
+    union filter is the bitwise OR (exactly the bit-set union here), and
+    intersection follows by inclusion–exclusion — the shard-merge planner
+    for a federated 10^10-URL seen set (north-star D1 at multi-crawler
+    scale).
+
+    Returns ONE row: (bits_a, bits_b, bits_union, est_a, est_b, est_union,
+    est_intersection), estimates rounded 2.
+
+    Scale shape: each side is one hash-explode (k bits/url) + one
+    distinct-bit count; the "merge" is a bit-set union of at most m rows
+    per side — URLs never join, never shuffle across sides.
+    """
+    def bits(urls: DataFrame) -> DataFrame:
+        u = urls.select(F.col(url_col).alias("u")).distinct()
+        h1 = _md5_int("u", 1, 8)
+        h2 = _md5_int("u", 9, 6)
+        return u.select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (h1 + i * (h2 * 2 + 1)) % m_bits)).alias("bit")) \
+            .distinct()
+    ba = bits(urls_a).localCheckpoint(eager=False)
+    bb = bits(urls_b).localCheckpoint(eager=False)
+    ca = ba.agg(F.count("*").cast("double").alias("bits_a"))
+    cb = bb.agg(F.count("*").cast("double").alias("bits_b"))
+    cu = ba.unionByName(bb).distinct().agg(
+        F.count("*").cast("double").alias("bits_union"))
+    m = float(m_bits)
+
+    def est(c):
+        return F.round(-(m / k) * F.log(1.0 - c / m), 2)
+
+    return (ca.crossJoin(cb).crossJoin(cu)
+            .select(F.col("bits_a").cast("long").alias("bits_a"),
+                    F.col("bits_b").cast("long").alias("bits_b"),
+                    F.col("bits_union").cast("long").alias("bits_union"),
+                    est(F.col("bits_a")).alias("est_a"),
+                    est(F.col("bits_b")).alias("est_b"),
+                    est(F.col("bits_union")).alias("est_union"),
+                    F.round(est(F.col("bits_a")) + est(F.col("bits_b"))
+                            - est(F.col("bits_union")), 2)
+                    .alias("est_intersection")))
+
+
+def bloom_merge_est_sql(a_sql: str, b_sql: str, m_bits: int = 1 << 16,
+                        k: int = 4) -> str:
+    """DuckDB mirror of :func:`bloom_merge_est` over two url SELECTs."""
+    h1 = md5_int_sql("u", 1, 8)
+    h2 = md5_int_sql("u", 9, 6)
+
+    def bits_cte(src: str, tag: str) -> str:
+        return f"""
+u_{tag} AS (SELECT DISTINCT url AS u FROM ({src})),
+bits_{tag} AS (
+  SELECT DISTINCT ({h1} + i * ({h2} * 2 + 1)) % {m_bits} AS bit
+  FROM u_{tag}, (SELECT unnest(range(0, {k})) AS i)
+)"""
+
+    m = float(m_bits)
+
+    def est(c: str) -> str:
+        return f"round(-({m!r} / {k}) * ln(1.0 - {c} / {m!r}), 2)"
+
+    return f"""
+WITH {bits_cte(a_sql, 'a').lstrip()},
+{bits_cte(b_sql, 'b').lstrip()},
+c AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bits_a) AS bits_a,
+         (SELECT CAST(count(*) AS DOUBLE) FROM bits_b) AS bits_b,
+         (SELECT CAST(count(*) AS DOUBLE) FROM
+            (SELECT bit FROM bits_a UNION SELECT bit FROM bits_b))
+           AS bits_union
+)
+SELECT CAST(bits_a AS BIGINT) AS bits_a, CAST(bits_b AS BIGINT) AS bits_b,
+  CAST(bits_union AS BIGINT) AS bits_union,
+  {est('bits_a')} AS est_a, {est('bits_b')} AS est_b,
+  {est('bits_union')} AS est_union,
+  round({est('bits_a')} + {est('bits_b')} - {est('bits_union')}, 2)
+    AS est_intersection
+FROM c
+"""

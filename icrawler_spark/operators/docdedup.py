@@ -1617,3 +1617,198 @@ FROM best a JOIN best b
 GROUP BY 1, 2
 HAVING count(*) / CAST({k} AS DOUBLE) >= {float(threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sketch-equality dedup with best-representative selection
+# ---------------------------------------------------------------------------
+
+def sketch_dedup_best(df: DataFrame, k: int = 8, n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-exact dedup groups keyed by FULL MinHash sketch equality
+    (all k mins identical — catches whitespace/punctuation re-renderings
+    that byte-exact md5 grouping misses), keeping the BEST member per
+    group: longest text wins, ties to the lowest id — the "keep the
+    richest duplicate" policy real corpus pipelines use instead of
+    min-id-wins (a truncated syndication copy should lose to the full
+    article).
+
+    Returns one row per group: (sketch, rep_id, rep_chars, n_members).
+
+    Scale shape: the signature build is ONE groupBy(id, seed); grouping on
+    the concatenated sketch is ONE more shuffle keyed by the sketch hash —
+    no pair join at all (contrast LSH candidates), so it scales like exact
+    dedup while tolerating near-exact variation.
+    """
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col,
+                              id_col=id_col)
+    sketch = (sigs.groupBy("id")
+              .agg(F.array_join(F.array_sort(F.collect_list(
+                  F.concat_ws("=", "seed", "minhash"))), "|")
+                  .alias("sketch")))
+    lens = df.select(F.col(id_col).alias("id"),
+                     F.length(text_col).cast("long").alias("chars"))
+    member = sketch.join(lens, "id")
+    best = (member
+            .groupBy("sketch")
+            .agg(F.max(F.struct(F.col("chars"), (-F.col("id")).alias("ni")))
+                 .alias("b"),
+                 F.count("*").alias("n_members"))
+            .select("sketch", (-F.col("b.ni")).cast("long").alias("rep_id"),
+                    F.col("b.chars").alias("rep_chars"), "n_members"))
+    return best
+
+
+def sketch_dedup_best_sql(docs_sql: str, k: int = 8, n: int = 3) -> str:
+    """DuckDB mirror of :func:`sketch_dedup_best`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toked AS (SELECT doc_id, text, string_split({norm}, ' ') AS l
+               FROM ({docs_sql})),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toked)
+  WHERE len(l) >= {n}
+),
+sig AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT id, array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+    AS sketch
+  FROM sig GROUP BY 1
+),
+member AS (
+  SELECT sk.sketch, sk.id, CAST(length(t.text) AS BIGINT) AS chars
+  FROM sk JOIN ({docs_sql}) t ON t.doc_id = sk.id
+),
+ranked AS (
+  SELECT sketch, id, chars, row_number()
+    OVER (PARTITION BY sketch ORDER BY chars DESC, id ASC) AS rn,
+    count(*) OVER (PARTITION BY sketch) AS n_members
+  FROM member
+)
+SELECT sketch, id AS rep_id, chars AS rep_chars, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash containment estimation (Broder 1997 resemblance→containment)
+# ---------------------------------------------------------------------------
+
+def containment_est_pairs(df: DataFrame, k: int = 8, n: int = 3,
+                          band_rows: int = 2, threshold: float = 0.5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Directed containment estimated from sketches alone: for LSH
+    candidate pairs, est_J = |matching signature components| / k, then
+    Broder's identity  C(sub→sup) = J·(|A|+|B|) / ((1+J)·|A|)  converts
+    resemblance to containment using only per-doc distinct-shingle counts
+    — the sketch-budget version of the exact ``containment_pairs`` (which
+    joins full shingle sets). Excerpt/syndication detection at sketch
+    cost.
+
+    Returns (id_sub, id_sup, est_j rounded 6, est_containment rounded 6,
+    clamped to 1) for pairs whose estimated containment ≥ threshold,
+    both directions emitted.
+
+    Scale shape: candidates from the band join; the estimate needs one
+    signature-agreement groupBy on the candidate pairs plus two
+    broadcast-size joins for the shingle counts — never the shingle sets.
+    """
+    sh = shingle_rows(df, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh")) \
+        .localCheckpoint(eager=False)
+    sigs = minhash_signatures(df, k=k, n=n, text_col=text_col,
+                              id_col=id_col).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(sigs, band_rows=band_rows)
+    a = sigs.select(F.col("id").alias("id_a"), "seed",
+                    F.col("minhash").alias("ma"))
+    b = sigs.select(F.col("id").alias("id_b"), "seed",
+                    F.col("minhash").alias("mb"))
+    agree = (cand.join(a, "id_a").join(b, ["id_b", "seed"])
+             .groupBy("id_a", "id_b")
+             .agg((F.sum((F.col("ma") == F.col("mb")).cast("int"))
+                   / F.lit(float(k))).alias("est_j")))
+    both = agree.unionByName(
+        agree.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"), "est_j"))
+    out = (both
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("n_sh").alias("na")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("n_sh").alias("nb")), "id_b")
+           .select(F.col("id_a").alias("id_sub"),
+                   F.col("id_b").alias("id_sup"),
+                   F.round("est_j", 6).alias("est_j"),
+                   F.round(F.least(
+                       F.col("est_j") * (F.col("na") + F.col("nb"))
+                       / ((1.0 + F.col("est_j")) * F.col("na")),
+                       F.lit(1.0)), 6).alias("est_containment")))
+    return out.filter(F.col("est_containment") >= threshold)
+
+
+def containment_est_sql(docs_sql: str, k: int = 8, n: int = 3,
+                        band_rows: int = 2, threshold: float = 0.5) -> str:
+    """DuckDB mirror of :func:`containment_est_pairs`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    return f"""
+WITH toked AS (SELECT doc_id, string_split({norm}, ' ') AS l
+               FROM ({docs_sql})),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[x : x + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS x
+        FROM toked)
+  WHERE len(l) >= {n}
+),
+sizes AS (SELECT doc_id AS id, count(*) AS n_sh FROM sh GROUP BY 1),
+sig AS (
+  SELECT doc_id AS id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {k})) AS seed)
+  GROUP BY 1, 2
+),
+band AS (
+  SELECT id, CAST(seed // {band_rows} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), '|')
+           AS band_sig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b USING (band, band_sig)
+  WHERE a.id < b.id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+      / CAST({k} AS DOUBLE) AS est_j
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+),
+both AS (
+  SELECT id_a, id_b, est_j FROM agree
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, est_j FROM agree
+),
+est AS (
+  SELECT b.id_a AS id_sub, b.id_b AS id_sup, round(b.est_j, 6) AS est_j,
+    round(least(b.est_j * (na.n_sh + nb.n_sh)
+                / ((1.0 + b.est_j) * na.n_sh), 1.0), 6) AS est_containment
+  FROM both b
+  JOIN sizes na ON na.id = b.id_a
+  JOIN sizes nb ON nb.id = b.id_b
+)
+SELECT id_sub, id_sup, est_j, est_containment
+FROM est WHERE est_containment >= {float(threshold)!r}
+"""

@@ -374,3 +374,88 @@ SELECT n, tp, fp, fn, tn,
     THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed entry extraction
+# ---------------------------------------------------------------------------
+
+#: RSS 2.0 <item> blocks and Atom <entry> blocks; [\s\S] spans newlines in
+#: both Java regex and RE2 without needing a dotall flag.
+_RSS_ITEM_RE = r"<item>([\s\S]*?)</item>"
+_ATOM_ENTRY_RE = r"<entry>([\s\S]*?)</entry>"
+_TITLE_RE = r"<title>\s*([\s\S]*?)\s*</title>"
+_RSS_LINK_RE = r"<link>\s*([^<\s][^<]*?)\s*</link>"
+_ATOM_LINK_RE = "<link[^>]*href=\"([^\"]+)\""
+_RSS_DATE_RE = r"<pubDate>\s*([\s\S]*?)\s*</pubDate>"
+_ATOM_DATE_RE = r"<updated>\s*([\s\S]*?)\s*</updated>"
+
+
+def feed_entries(feeds: DataFrame, url_col: str = "url",
+                 body_col: str = "body") -> DataFrame:
+    """Explode fetched RSS 2.0 / Atom feed documents into per-entry rows —
+    the other frontier bootstrap besides sitemaps (``feed_discovery`` finds
+    the feed URLs; this parses the fetched bodies into crawlable links
+    with freshness hints for the recrawl scheduler).
+
+    Returns (feed_url, pos, kind 'rss'|'atom', title, link, published) in
+    document order; entries missing a field carry NULL (regexp miss →
+    empty → NULLed), feeds with no entries emit nothing.
+
+    Scale shape: regexp_extract_all + posexplode + per-row regexps — pure
+    JVM projection fused into the feed-table scan, no shuffle, no Python
+    (same shape as ``sitemap_entries``).
+    """
+    base = feeds.select(F.col(url_col).alias("feed_url"),
+                        F.col(body_col).alias("b"))
+    is_atom = F.col("b").contains("<feed")
+    blocks = F.when(
+        is_atom,
+        F.regexp_extract_all("b", F.lit(_ATOM_ENTRY_RE), F.lit(1))) \
+        .otherwise(F.regexp_extract_all("b", F.lit(_RSS_ITEM_RE), F.lit(1)))
+    ex = base.select(
+        "feed_url", F.when(is_atom, F.lit("atom")).otherwise(F.lit("rss"))
+        .alias("kind"), F.posexplode(blocks).alias("pos", "blk"))
+    link = F.when(F.col("kind") == "atom",
+                  F.regexp_extract("blk", _ATOM_LINK_RE, 1)) \
+        .otherwise(F.regexp_extract("blk", _RSS_LINK_RE, 1))
+    pub = F.when(F.col("kind") == "atom",
+                 F.regexp_extract("blk", _ATOM_DATE_RE, 1)) \
+        .otherwise(F.regexp_extract("blk", _RSS_DATE_RE, 1))
+    title = F.regexp_extract("blk", _TITLE_RE, 1)
+
+    def nn(c):
+        return F.when(c != "", c)
+
+    return ex.select("feed_url", "pos", "kind", nn(title).alias("title"),
+                     nn(link).alias("link"), nn(pub).alias("published"))
+
+
+def feed_entries_sql(feeds_sql: str) -> str:
+    """DuckDB mirror of :func:`feed_entries`."""
+    atom_link = _ATOM_LINK_RE  # double quotes are fine inside a '' literal
+    return f"""
+WITH base AS (SELECT url AS feed_url, body AS b FROM ({feeds_sql})),
+ex AS (
+  SELECT feed_url,
+    CASE WHEN contains(b, '<feed') THEN 'atom' ELSE 'rss' END AS kind,
+    CAST(generate_subscripts(blocks, 1) - 1 AS INT) AS pos,
+    unnest(blocks) AS blk
+  FROM (
+    SELECT feed_url, b,
+      CASE WHEN contains(b, '<feed')
+        THEN regexp_extract_all(b, '{_ATOM_ENTRY_RE}', 1)
+        ELSE regexp_extract_all(b, '{_RSS_ITEM_RE}', 1)
+      END AS blocks
+    FROM base)
+)
+SELECT feed_url, pos, kind,
+  nullif(regexp_extract(blk, '{_TITLE_RE}', 1), '') AS title,
+  nullif(CASE WHEN kind = 'atom'
+    THEN regexp_extract(blk, '{atom_link}', 1)
+    ELSE regexp_extract(blk, '{_RSS_LINK_RE}', 1) END, '') AS link,
+  nullif(CASE WHEN kind = 'atom'
+    THEN regexp_extract(blk, '{_ATOM_DATE_RE}', 1)
+    ELSE regexp_extract(blk, '{_RSS_DATE_RE}', 1) END, '') AS published
+FROM ex
+"""

@@ -1,0 +1,112 @@
+"""Unit tests for the round-114 pack: logistic-regression training, BPE
+merge learning, TextTiling boundaries, contrastive pair mining."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators.classify import logreg_train
+from icrawler_spark.operators.corpus import contrastive_pairs
+from icrawler_spark.operators.curation import bpe_learn, texttile_boundaries
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# logreg_train
+# ---------------------------------------------------------------------------
+
+def test_logreg_separates_classes(spark):
+    texts = ["good clean prose here"] * 6 + ["zzz spam zzz junk"] * 6
+    df = _docs(spark, texts).withColumn("y", F.col("doc_id") <= 6)
+    out = logreg_train(df, "y", n_features=4, iters=20, lr=5.0).collect()
+    assert len(out) == 5  # 4 hashed features + bias
+    # loss decreases well below the w=0 starting point ln 2 ≈ 0.693
+    assert out[0]["logloss"] < 0.4
+    # weights are finite and non-trivial
+    assert any(abs(r["weight"]) > 0.1 for r in out)
+
+
+def test_logreg_zero_iters_is_prior(spark):
+    df = _docs(spark, ["a b", "c d"]).withColumn("y", F.col("doc_id") == 1)
+    out = logreg_train(df, "y", n_features=4, iters=0).collect()
+    assert all(r["weight"] == 0.0 for r in out)
+    assert math.isclose(out[0]["logloss"], round(math.log(2), 4),
+                        abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn
+# ---------------------------------------------------------------------------
+
+def test_bpe_first_merge_is_most_frequent_pair(spark):
+    out = bpe_learn(_docs(spark, ["low low low lowest", "newer newer"]),
+                    merges=2).collect()
+    by_step = {r["step"]: r for r in out}
+    # 'lo' and 'ow' both occur 4x within words; tie-break picks 'l o'
+    assert (by_step[1]["left_sym"], by_step[1]["right_sym"]) == ("l", "o")
+    assert by_step[1]["pair_n"] == 4
+    # after merging 'lo', the pair ('lo','w') occurs 4x and wins step 2
+    assert by_step[2]["merged"] == "low"
+
+
+def test_bpe_nonoverlapping_left_to_right(spark):
+    # 'aaaa' -> one 'aa' merge per scan: ' a a a a ' -> ' aa a a '
+    out = bpe_learn(_docs(spark, ["aaaa"]), merges=1).collect()[0]
+    assert out["merged"] == "aa" and out["pair_n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# texttile_boundaries
+# ---------------------------------------------------------------------------
+
+def test_texttile_topic_shift_is_boundary(spark):
+    text = ("cats cats cats cats " * 2 + "dogs dogs dogs dogs " * 2
+            + "cats cats cats cats " * 2).strip()
+    out = texttile_boundaries(_docs(spark, [text]), block=8).collect()
+    sims = {r["gap"]: r for r in out}
+    assert len(sims) == 2  # 3 blocks -> 2 gaps
+    # both gaps are topic shifts with zero overlap
+    assert all(r["sim"] == 0.0 for r in out)
+
+
+def test_texttile_uniform_doc_no_boundary(spark):
+    text = "same words repeat here " * 10
+    out = texttile_boundaries(_docs(spark, [text]), block=8).collect()
+    assert len(out) > 0
+    assert not any(r["is_boundary"] for r in out)
+
+
+def test_texttile_single_block_doc_dropped(spark):
+    out = texttile_boundaries(_docs(spark, ["too short"]), block=50)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs
+# ---------------------------------------------------------------------------
+
+def test_contrastive_near_dups_positive(spark):
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy dog today",
+             "completely unrelated text about database internals design",
+             "another separate document mentioning crawler scheduling"]
+    out = contrastive_pairs(_docs(spark, texts), k=6, n=3,
+                            n_buckets=2).collect()
+    labels = {(r["id_a"], r["id_b"]): r["label"] for r in out}
+    assert labels[(1, 2)] == 1          # identical docs are positive
+    assert all(a < b for a, b in labels)
+    assert any(v == 0 for v in labels.values())  # negatives exist
+
+
+def test_contrastive_no_pair_duplicated(spark):
+    texts = ["alpha beta gamma delta epsilon"] * 3 + ["zeta eta theta iota"]
+    out = contrastive_pairs(_docs(spark, texts), k=6, n=2).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys))  # anti-join removed overlaps
