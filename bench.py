@@ -429,6 +429,8 @@ _EXTRA_PICKS = [
     "embed_pca",
     # round-3 batch (trained classifier + tokenizer + chunking + pairs)
     "logreg_quality", "bpe_merges", "texttiles", "contrastive",
+    # round-3 batch (sketch dedup + containment est + bloom merge + feeds)
+    "sketch_best", "containment_sketch", "bloom_merge", "feed_items",
 ]
 
 

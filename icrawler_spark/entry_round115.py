@@ -1,0 +1,163 @@
+"""Round-3 driver-contract queries (batch 109): sketch-equality dedup with
+best-representative selection, MinHash containment estimation, Bloom-shard
+merge cardinality estimation, RSS/Atom feed entry extraction.
+
+Fixtures derive deterministically from documents/events; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import dedup as _dedup
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import sitemap as _sitemap
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+# ---------------------------------------------------------------------------
+# sketch_best — fuzzy-exact dedup keeping the richest member
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_best(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.sketch_dedup_best: group on the FULL minhash
+    sketch (one shuffle, no pair join), keep the longest member."""
+    return _docdedup.sketch_dedup_best(_docs(spark, sf), k=8, n=3)
+
+
+# ---------------------------------------------------------------------------
+# containment_sketch — Broder containment from signatures alone
+# ---------------------------------------------------------------------------
+
+_CE_T = 0.3
+
+
+def q_containment_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.containment_est_pairs: LSH candidates +
+    signature-agreement estimate + Broder's J→C identity — the sketch-cost
+    twin of the exact ``containment`` query."""
+    return _docdedup.containment_est_pairs(_docs(spark, sf), k=8, n=3,
+                                           threshold=_CE_T)
+
+
+# ---------------------------------------------------------------------------
+# bloom_merge — federated seen-set overlap from filters alone
+# ---------------------------------------------------------------------------
+
+_BM_URL = "concat('http://h', cast(user_id % 50 as string), '.test/e/', cast(event_id as string))"
+_BM_URL_SQL = ("'http://h' || CAST(user_id % 50 AS VARCHAR) || '.test/e/'"
+               " || CAST(event_id AS VARCHAR)")
+
+
+def q_bloom_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_merge_est: per-side hash-explode +
+    distinct-bit count; the merge is a bit-set union — URLs never cross
+    sides."""
+    ev = _events(spark, sf)
+    a = ev.filter(F.col("event_id") % 3 != 0).selectExpr(f"{_BM_URL} AS url")
+    b = ev.filter(F.col("event_id") % 2 == 0).selectExpr(f"{_BM_URL} AS url")
+    return _dedup.bloom_merge_est(a, b)
+
+
+# ---------------------------------------------------------------------------
+# feed_items — RSS/Atom entry extraction
+# ---------------------------------------------------------------------------
+
+
+def _feed_fixture(spark, sf) -> DataFrame:
+    """~20 synthetic feeds from events: hosts 0..19, RSS for even hosts,
+    Atom for odd; items are the host's events with event_id % 50 < 3,
+    concatenated in lexicographic item order (engine-portable)."""
+    ev = (_events(spark, sf)
+          .filter(F.col("event_id") % 50 < 3)
+          .select((F.col("user_id") % 20).cast("long").alias("h"),
+                  F.col("event_id").cast("long").alias("eid")))
+    rss_item = F.concat(
+        F.lit("<item><title>e"), F.col("eid").cast("string"),
+        F.lit("</title><link>http://h"), F.col("h").cast("string"),
+        F.lit(".test/p/"), F.col("eid").cast("string"),
+        F.lit("</link><pubDate>d"), (F.col("eid") % 28).cast("string"),
+        F.lit("</pubDate></item>"))
+    atom_item = F.concat(
+        F.lit("<entry><title>e"), F.col("eid").cast("string"),
+        F.lit('</title><link href="http://h'), F.col("h").cast("string"),
+        F.lit(".test/p/"), F.col("eid").cast("string"),
+        F.lit('"/><updated>d'), (F.col("eid") % 28).cast("string"),
+        F.lit("</updated></entry>"))
+    item = F.when(F.col("h") % 2 == 0, rss_item).otherwise(atom_item)
+    agg = (ev.select("h", item.alias("item"))
+           .groupBy("h")
+           .agg(F.array_join(F.array_sort(F.collect_list("item")), "")
+                .alias("body")))
+    return agg.select(
+        F.concat(F.lit("http://h"), F.col("h").cast("string"),
+                 F.lit(".test/feed")).alias("url"),
+        F.when(F.col("h") % 2 == 0,
+               F.concat(F.lit("<rss><channel>"), F.col("body"),
+                        F.lit("</channel></rss>")))
+        .otherwise(F.concat(F.lit("<feed>"), F.col("body"),
+                            F.lit("</feed>"))).alias("body"))
+
+
+_FEED_FIXTURE_SQL = """
+  SELECT 'http://h' || CAST(h AS VARCHAR) || '.test/feed' AS url,
+    CASE WHEN h % 2 = 0
+      THEN '<rss><channel>' || body || '</channel></rss>'
+      ELSE '<feed>' || body || '</feed>' END AS body
+  FROM (
+    SELECT h, string_agg(item, '' ORDER BY item) AS body
+    FROM (
+      SELECT h, CASE WHEN h % 2 = 0
+        THEN '<item><title>e' || CAST(eid AS VARCHAR)
+          || '</title><link>http://h' || CAST(h AS VARCHAR) || '.test/p/'
+          || CAST(eid AS VARCHAR) || '</link><pubDate>d'
+          || CAST(eid % 28 AS VARCHAR) || '</pubDate></item>'
+        ELSE '<entry><title>e' || CAST(eid AS VARCHAR)
+          || '</title><link href="http://h' || CAST(h AS VARCHAR)
+          || '.test/p/' || CAST(eid AS VARCHAR) || '"/><updated>d'
+          || CAST(eid % 28 AS VARCHAR) || '</updated></entry>'
+        END AS item
+      FROM (SELECT CAST(user_id % 20 AS BIGINT) AS h,
+              CAST(event_id AS BIGINT) AS eid
+            FROM events WHERE event_id % 50 < 3))
+    GROUP BY h)
+"""
+
+
+def q_feed_items(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.feed_entries: regexp_extract_all + posexplode —
+    pure JVM projection fused into the feed-table scan."""
+    return _sitemap.feed_entries(_feed_fixture(spark, sf))
+
+
+def queries115():
+    return {
+        "sketch_best": q_sketch_best,
+        "containment_sketch": q_containment_sketch,
+        "bloom_merge": q_bloom_merge,
+        "feed_items": q_feed_items,
+    }
+
+
+def oracle_sql115():
+    return {
+        "sketch_best": _docdedup.sketch_dedup_best_sql(_DOCS_SQL, k=8, n=3),
+        "containment_sketch": _docdedup.containment_est_sql(
+            _DOCS_SQL, k=8, n=3, threshold=_CE_T),
+        "bloom_merge": _dedup.bloom_merge_est_sql(
+            f"SELECT {_BM_URL_SQL} AS url FROM events WHERE event_id % 3 <> 0",
+            f"SELECT {_BM_URL_SQL} AS url FROM events WHERE event_id % 2 = 0"),
+        "feed_items": _sitemap.feed_entries_sql(_FEED_FIXTURE_SQL),
+    }

@@ -1796,7 +1796,7 @@ agree AS (
   JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
   GROUP BY 1, 2
 ),
-both AS (
+bi AS (
   SELECT id_a, id_b, est_j FROM agree
   UNION ALL
   SELECT id_b AS id_a, id_a AS id_b, est_j FROM agree
@@ -1805,7 +1805,7 @@ est AS (
   SELECT b.id_a AS id_sub, b.id_b AS id_sup, round(b.est_j, 6) AS est_j,
     round(least(b.est_j * (na.n_sh + nb.n_sh)
                 / ((1.0 + b.est_j) * na.n_sh), 1.0), 6) AS est_containment
-  FROM both b
+  FROM bi b
   JOIN sizes na ON na.id = b.id_a
   JOIN sizes nb ON nb.id = b.id_b
 )

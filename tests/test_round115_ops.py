@@ -1,0 +1,112 @@
+"""Unit tests for the round-115 pack: sketch-best dedup, containment
+estimation, Bloom merge estimation, feed entry extraction."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.dedup import bloom_merge_est
+from icrawler_spark.operators.docdedup import (containment_est_pairs,
+                                               sketch_dedup_best)
+from icrawler_spark.operators.sitemap import feed_entries
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# sketch_dedup_best
+# ---------------------------------------------------------------------------
+
+def test_sketch_best_keeps_longest(spark):
+    # docs 1 and 2 normalize to identical token streams (same sketch);
+    # doc 2 is longer raw text and must win the group
+    out = sketch_dedup_best(_docs(spark, [
+        "the cat sat on the mat quietly today",
+        "The cat -- SAT on the MAT, quietly today!!",
+        "entirely different content about spark engines",
+    ]), k=6, n=3).collect()
+    groups = {r["rep_id"]: r for r in out}
+    assert len(out) == 2
+    assert 2 in groups and groups[2]["n_members"] == 2
+    assert groups[2]["rep_chars"] > len("the cat sat on the mat quietly today") - 1
+
+
+def test_sketch_best_tie_breaks_low_id(spark):
+    out = sketch_dedup_best(_docs(spark, ["a b c d e f", "a b c d e f"]),
+                            k=4, n=2).collect()
+    assert len(out) == 1 and out[0]["rep_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# containment_est_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_excerpt_detected(spark):
+    sup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon")
+    sub = "alpha beta gamma delta epsilon zeta eta theta"
+    out = containment_est_pairs(_docs(spark, [sup, sub]), k=16, n=2,
+                                band_rows=1, threshold=0.0).collect()
+    rows = {(r["id_sub"], r["id_sup"]): r for r in out}
+    assert (2, 1) in rows
+    # the excerpt direction estimates higher containment than the reverse
+    assert (rows[(2, 1)]["est_containment"]
+            >= rows[(1, 2)]["est_containment"])
+
+
+def test_containment_est_clamped(spark):
+    out = containment_est_pairs(_docs(spark, ["x y z w v", "x y z w v"]),
+                                k=8, n=2, threshold=0.0).collect()
+    assert all(r["est_containment"] <= 1.0 for r in out)
+    assert all(r["est_j"] == 1.0 for r in out)  # identical docs
+
+
+# ---------------------------------------------------------------------------
+# bloom_merge_est
+# ---------------------------------------------------------------------------
+
+def test_bloom_merge_estimates_overlap(spark):
+    a = spark.range(0, 2000).selectExpr("concat('u', id) AS url")
+    b = spark.range(1000, 3000).selectExpr("concat('u', id) AS url")
+    r = bloom_merge_est(a, b, m_bits=1 << 18, k=4).collect()[0]
+    assert abs(r["est_a"] - 2000) / 2000 < 0.05
+    assert abs(r["est_b"] - 2000) / 2000 < 0.05
+    assert abs(r["est_union"] - 3000) / 3000 < 0.05
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.15
+
+
+def test_bloom_merge_disjoint(spark):
+    a = spark.range(0, 500).selectExpr("concat('a', id) AS url")
+    b = spark.range(0, 500).selectExpr("concat('b', id) AS url")
+    r = bloom_merge_est(a, b, m_bits=1 << 18, k=4).collect()[0]
+    assert abs(r["est_intersection"]) < 60  # near zero up to filter noise
+
+
+# ---------------------------------------------------------------------------
+# feed_entries
+# ---------------------------------------------------------------------------
+
+def test_feed_entries_rss_and_atom(spark):
+    rss = ("<rss><channel><item><title>A</title><link>http://x/a</link>"
+           "<pubDate>D1</pubDate></item><item><title>B</title>"
+           "<link>http://x/b</link></item></channel></rss>")
+    atom = ('<feed><entry><title>X</title>'
+            '<link rel="alternate" href="http://x/x"/>'
+            "<updated>D2</updated></entry></feed>")
+    df = spark.createDataFrame([("f1", rss), ("f2", atom)],
+                               "url string, body string")
+    out = {(r["feed_url"], r["pos"]): r for r in feed_entries(df).collect()}
+    assert out[("f1", 0)]["link"] == "http://x/a"
+    assert out[("f1", 0)]["published"] == "D1"
+    assert out[("f1", 1)]["published"] is None  # missing pubDate -> NULL
+    assert out[("f2", 0)]["kind"] == "atom"
+    assert out[("f2", 0)]["link"] == "http://x/x"
+    assert out[("f2", 0)]["published"] == "D2"
+
+
+def test_feed_entries_empty_feed_emits_nothing(spark):
+    df = spark.createDataFrame([("f", "<rss><channel></channel></rss>")],
+                               "url string, body string")
+    assert feed_entries(df).count() == 0
