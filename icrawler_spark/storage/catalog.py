@@ -105,6 +105,10 @@ class RoundCatalog:
 
     def read(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of all round partitions written during rounds ≤ upto_round."""
+        # an interrupted compaction leaves sources partially deleted with
+        # the full copy still in _compact_tmp — finish it before scanning,
+        # or this read would undercount.
+        self._recover_compact(table)
         base = self._tpath(table)
         if not os.path.isdir(base):
             return None
@@ -130,6 +134,74 @@ class RoundCatalog:
                     r = self._part_round(part)
                     if r is not None and r > rnd:
                         shutil.rmtree(os.path.join(path, part))
+
+    # ---- compaction ---------------------------------------------------
+    # A 10^10-URL crawl writes one seen-set partition per round; after
+    # 10^4 rounds the union scan pays 10^4 directory opens per anti-join.
+    # compact_table() rewrites all partitions <= R into ONE, with a
+    # marker-file protocol so a crash at any step never loses or
+    # double-counts rows (read() sees either all originals or the single
+    # compacted partition, never both).
+    def _recover_compact(self, table: str) -> None:
+        """Finish or roll back an interrupted compact_table()."""
+        marker = os.path.join(self.root, f"_compact_{table}.json")
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            st = json.load(f)
+        tmp = os.path.join(self.root, table, "_compact_tmp")
+        dest = self._tpath(table, st["round"], "compact")
+        if os.path.isdir(tmp):
+            # tmp holds the full compacted copy: finish forward — delete
+            # any surviving sources, then publish.
+            for part in st["sources"]:
+                path = os.path.join(self.root, table, part)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)  # rename raced a prior recovery
+            os.replace(tmp, dest)
+        os.remove(marker)
+
+    def compact_table(self, table: str, upto_round: int,
+                      n_files: int = 1) -> int:
+        """Rewrite every partition of ``table`` with round <= upto_round
+        into one ``round={upto_round}.compact`` partition. Only compact
+        rounds ≤ the last COMMITTED round: drop_rounds_after() during crash
+        recovery removes partitions keyed above its cutoff, and a compacted
+        partition carries the upto_round key for all the rows it absorbed.
+        Crash-safe:
+        data lands in an ignored ``_compact_tmp`` dir first, a marker
+        records the source list, sources are deleted, tmp is renamed,
+        marker removed — _recover_compact() replays from any point
+        (read() skips names that don't start with ``round=``, so the tmp
+        copy is invisible until the rename). Returns the number of source
+        partitions folded in (0 = nothing to do)."""
+        self._recover_compact(table)
+        base = self._tpath(table)
+        if not os.path.isdir(base):
+            return 0
+        sources = [name for name in sorted(os.listdir(base))
+                   if (r := self._part_round(name)) is not None
+                   and r <= upto_round]
+        if len(sources) <= 1:
+            return 0
+        df = self.spark.read.parquet(
+            *[os.path.join(base, name) for name in sources])
+        tmp = os.path.join(base, "_compact_tmp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        marker = os.path.join(self.root, f"_compact_{table}.json")
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"round": upto_round, "sources": sources}, f)
+        os.replace(mtmp, marker)
+        for name in sources:
+            shutil.rmtree(os.path.join(base, name))
+        os.replace(tmp, self._tpath(table, upto_round, "compact"))
+        os.remove(marker)
+        return len(sources)
 
 
 PAGES_BUCKETS_DEFAULT = 64

@@ -1,0 +1,100 @@
+"""RoundCatalog.compact_table: equivalence, file-count reduction, and
+crash recovery at every step of the marker protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from icrawler_spark.storage.catalog import RoundCatalog
+
+
+def _mk(spark, tmp_path, rounds=5, rows_per=10):
+    cat = RoundCatalog(spark, str(tmp_path / "cat"))
+    for r in range(1, rounds + 1):
+        df = spark.range((r - 1) * rows_per, r * rows_per) \
+            .selectExpr("concat('u', id) AS url")
+        cat.append(df, "seen_pages", r)
+        cat.commit_round(r, {})
+    return cat
+
+
+def _urls(cat, upto=None):
+    df = cat.read("seen_pages", upto)
+    return sorted(r["url"] for r in df.collect()) if df is not None else []
+
+
+def test_compact_preserves_rows_and_reduces_parts(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    before = _urls(cat)
+    folded = cat.compact_table("seen_pages", upto_round=5)
+    assert folded == 5
+    assert _urls(cat) == before
+    parts = [n for n in os.listdir(os.path.join(cat.root, "seen_pages"))
+             if n.startswith("round=")]
+    assert parts == ["round=5.compact"]
+    # idempotent: nothing left to fold
+    assert cat.compact_table("seen_pages", upto_round=5) == 0
+
+
+def test_compact_respects_upto_round(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.compact_table("seen_pages", upto_round=3)
+    parts = sorted(n for n in os.listdir(os.path.join(cat.root, "seen_pages"))
+                   if n.startswith("round="))
+    assert parts == ["round=3.compact", "round=4", "round=5"]
+    assert len(_urls(cat, upto=3)) == 30
+    assert len(_urls(cat)) == 50
+
+
+def test_recover_after_crash_before_deletes(spark, tmp_path):
+    """Crash right after the marker lands (tmp full, sources intact)."""
+    cat = _mk(spark, tmp_path)
+    before = _urls(cat)
+    base = os.path.join(cat.root, "seen_pages")
+    sources = sorted(n for n in os.listdir(base) if n.startswith("round="))
+    df = cat.read("seen_pages")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "_compact_tmp"))
+    with open(os.path.join(cat.root, "_compact_seen_pages.json"), "w") as f:
+        json.dump({"round": 5, "sources": sources}, f)
+    # read() must recover forward and still see every row exactly once
+    assert _urls(cat) == before
+    parts = [n for n in os.listdir(base) if n.startswith("round=")]
+    assert parts == ["round=5.compact"]
+
+
+def test_recover_after_partial_deletes(spark, tmp_path):
+    """Crash mid-delete: some sources gone, tmp still holds everything."""
+    cat = _mk(spark, tmp_path)
+    before = _urls(cat)
+    base = os.path.join(cat.root, "seen_pages")
+    sources = sorted(n for n in os.listdir(base) if n.startswith("round="))
+    cat.read("seen_pages").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "_compact_tmp"))
+    with open(os.path.join(cat.root, "_compact_seen_pages.json"), "w") as f:
+        json.dump({"round": 5, "sources": sources}, f)
+    shutil.rmtree(os.path.join(base, sources[0]))
+    shutil.rmtree(os.path.join(base, sources[2]))
+    assert _urls(cat) == before
+
+
+def test_recover_after_rename_before_marker_removal(spark, tmp_path):
+    """Crash after publish: compacted partition live, stale marker left."""
+    cat = _mk(spark, tmp_path)
+    before = _urls(cat)
+    cat.compact_table("seen_pages", upto_round=5)
+    # resurrect a stale marker with no tmp: recovery must just drop it
+    with open(os.path.join(cat.root, "_compact_seen_pages.json"), "w") as f:
+        json.dump({"round": 5, "sources": ["round=1"]}, f)
+    assert _urls(cat) == before
+    assert not os.path.exists(
+        os.path.join(cat.root, "_compact_seen_pages.json"))
+
+
+def test_compacted_partition_survives_resume_truncation(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    cat.compact_table("seen_pages", upto_round=3)
+    cat.drop_rounds_after(3)  # crash-recovery rollback to round 3
+    assert len(_urls(cat)) == 30  # rounds 4,5 gone; compacted 1-3 intact
