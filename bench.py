@@ -431,6 +431,8 @@ _EXTRA_PICKS = [
     "logreg_quality", "bpe_merges", "texttiles", "contrastive",
     # round-3 batch (sketch dedup + containment est + bloom merge + feeds)
     "sketch_best", "containment_sketch", "bloom_merge", "feed_items",
+    # round-3 batch (mixture weights + interleaving)
+    "doremi", "teamdraft",
 ]
 
 

@@ -75,7 +75,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round108, entry_round109,
                             entry_round110, entry_round111,
                             entry_round112, entry_round113,
-                            entry_round114, entry_round115)
+                            entry_round114, entry_round115,
+                            entry_round116)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -957,6 +958,7 @@ def queries():
         **entry_round113.queries113(),
         **entry_round114.queries114(),
         **entry_round115.queries115(),
+        **entry_round116.queries116(),
     }
 
 
@@ -1104,4 +1106,5 @@ def oracle_sql():
         **entry_round113.oracle_sql113(),
         **entry_round114.oracle_sql114(),
         **entry_round115.oracle_sql115(),
+        **entry_round116.oracle_sql116(),
     }

@@ -1,0 +1,102 @@
+"""Round-3 driver-contract queries (batch 110): DoReMi domain
+reweighting, team-draft interleaving.
+
+Fixtures derive deterministically from documents/embeddings; every
+computed column is aliased identically in the Spark plan and the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import search as _search
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# doremi — excess-loss softmax mixture weights per source domain
+# ---------------------------------------------------------------------------
+
+_DM_ETA = 1.0
+_DM_SMOOTH = 0.1
+
+_DM_LOSSES_SQL = """
+  SELECT source AS domain,
+    CAST(n_chars % 100 AS DOUBLE) / 20.0 AS loss
+  FROM documents
+"""
+
+
+def q_doremi(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.doremi_weights: ONE groupBy(domain), then
+    |domains|-sized arithmetic."""
+    losses = _docs(spark, sf).select(
+        F.col("source").alias("domain"),
+        ((F.col("n_chars") % 100).cast("double") / 20.0).alias("loss"))
+    return _corpus.doremi_weights(losses, eta=_DM_ETA,
+                                  smoothing=_DM_SMOOTH)
+
+
+# ---------------------------------------------------------------------------
+# teamdraft — deterministic team-draft interleaving of two rankers
+# ---------------------------------------------------------------------------
+
+_TD_K = 6
+
+
+def _rankings(spark, sf):
+    base = _emb(spark, sf).select(
+        (F.col("vec_id") % 4).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("label"), (F.col("vec_id") % 7).alias("alt"))
+    wa = Window.partitionBy("query_id").orderBy("label", "doc_id")
+    wb = Window.partitionBy("query_id").orderBy("alt", "doc_id")
+    a = (base.withColumn("rank", F.row_number().over(wa))
+         .filter(F.col("rank") <= 8).select("query_id", "doc_id", "rank"))
+    b = (base.withColumn("rank", F.row_number().over(wb))
+         .filter(F.col("rank") <= 8).select("query_id", "doc_id", "rank"))
+    return a, b
+
+
+def _ranking_sql(order: str) -> str:
+    return f"""
+  SELECT query_id, doc_id, rank FROM (
+    SELECT vec_id % 4 AS query_id, vec_id AS doc_id,
+      row_number() OVER (PARTITION BY vec_id % 4 ORDER BY {order}) AS rank
+    FROM embeddings)
+  WHERE rank <= 8
+"""
+
+
+def q_teamdraft(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/search.teamdraft_interleave: k fixed steps, each one
+    anti-join + per-query window over top-k shortlists."""
+    a, b = _rankings(spark, sf)
+    return _search.teamdraft_interleave(a, b, k=_TD_K)
+
+
+def queries116():
+    return {
+        "doremi": q_doremi,
+        "teamdraft": q_teamdraft,
+    }
+
+
+def oracle_sql116():
+    return {
+        "doremi": _corpus.doremi_weights_sql(_DM_LOSSES_SQL, eta=_DM_ETA,
+                                             smoothing=_DM_SMOOTH),
+        "teamdraft": _search.teamdraft_interleave_sql(
+            _ranking_sql("label, vec_id"),
+            _ranking_sql("vec_id % 7, vec_id"), k=_TD_K),
+    }

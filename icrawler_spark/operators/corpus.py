@@ -12550,3 +12550,69 @@ SELECT n.id_a, n.id_b, 0 AS label FROM negs n
 WHERE NOT EXISTS (SELECT 1 FROM pos p
                   WHERE p.id_a = n.id_a AND p.id_b = n.id_b)
 """
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, simplified one-shot)
+# ---------------------------------------------------------------------------
+
+def doremi_weights(losses: DataFrame, eta: float = 1.0,
+                   smoothing: float = 0.1, domain_col: str = "domain",
+                   loss_col: str = "loss") -> DataFrame:
+    """Training-mixture domain weights from per-document losses — the
+    DoReMi idea (Xie et al. 2023: upweight domains with excess loss over
+    the best domain) collapsed to its one-shot form: excess_d = L̄_d −
+    min_d L̄_d, weight ∝ exp(η·excess), then uniform-smoothed —
+    ``(1−s)·softmax + s/K``. The iterative original interleaves proxy-model
+    retraining between updates, which is out of engine scope (documented);
+    one-shot excess-loss softmax is the same update direction.
+
+    Returns (domain, n_docs, mean_loss, excess, weight), floats rounded 6;
+    weights sum to 1 up to rounding.
+
+    Scale shape: ONE groupBy(domain) over the corpus; everything after is
+    |domains|-sized (min/sum via broadcast-size cross joins).
+    """
+    per = losses.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col(loss_col).cast("double")).alias("mean_loss"))
+    lo = per.agg(F.min("mean_loss").alias("lo"))
+    ex = (per.crossJoin(F.broadcast(lo))
+          .select("domain", "n_docs", "mean_loss",
+                  (F.col("mean_loss") - F.col("lo")).alias("excess"),
+                  F.exp(F.lit(float(eta))
+                        * (F.col("mean_loss") - F.col("lo"))).alias("__e")))
+    tot = ex.agg(F.sum("__e").alias("z"),
+                 F.count("*").cast("double").alias("k"))
+    return (ex.crossJoin(F.broadcast(tot))
+            .select("domain", "n_docs",
+                    F.round("mean_loss", 6).alias("mean_loss"),
+                    F.round("excess", 6).alias("excess"),
+                    F.round((1.0 - smoothing) * F.col("__e") / F.col("z")
+                            + F.lit(float(smoothing)) / F.col("k"), 6)
+                    .alias("weight")))
+
+
+def doremi_weights_sql(losses_sql: str, eta: float = 1.0,
+                       smoothing: float = 0.1) -> str:
+    """DuckDB mirror of :func:`doremi_weights` over (domain, loss) rows."""
+    return f"""
+WITH per AS (
+  SELECT domain, count(*) AS n_docs,
+    avg(CAST(loss AS DOUBLE)) AS mean_loss
+  FROM ({losses_sql}) GROUP BY 1
+),
+ex AS (
+  SELECT domain, n_docs, mean_loss,
+    mean_loss - (SELECT min(mean_loss) FROM per) AS excess,
+    exp({float(eta)!r} * (mean_loss - (SELECT min(mean_loss) FROM per)))
+      AS e
+  FROM per
+)
+SELECT domain, n_docs, round(mean_loss, 6) AS mean_loss,
+  round(excess, 6) AS excess,
+  round((1.0 - {float(smoothing)!r}) * e / (SELECT sum(e) FROM ex)
+        + {float(smoothing)!r} / (SELECT CAST(count(*) AS DOUBLE) FROM ex),
+        6) AS weight
+FROM ex
+"""

@@ -3456,3 +3456,98 @@ FROM scored
 ORDER BY score DESC, doc ASC
 LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Team-draft interleaving (Radlinski, Kurup & Joachims 2008, CIKM)
+# ---------------------------------------------------------------------------
+
+def teamdraft_interleave(rank_a: DataFrame, rank_b: DataFrame, k: int = 6,
+                         query_col: str = "query_id", doc_col: str = "doc_id",
+                         rank_col: str = "rank") -> DataFrame:
+    """Interleave two rankers' per-query result lists for online A/B
+    evaluation — team-draft interleaving: picks alternate in pairs, each
+    team contributing its highest-ranked not-yet-shown document; clicks on
+    team-A docs credit ranker A. The original flips a coin for within-pair
+    order; here the order is DETERMINISTIC — A first when
+    (pair_index + query_id) is even — documented derandomization (a
+    deployment would hash a session seed the same way).
+
+    Returns (query_id, pos 1..k, team 'A'|'B', doc_id).
+
+    Scale shape: k fixed DataFrame steps (same pattern as
+    ``similarity.mmr_rerank``) over per-query TOP-k shortlists; each step
+    is one anti-join + one per-query window — never global, never
+    corpus-sized.
+    """
+    def side(df, team):
+        return df.select(F.col(query_col).alias("q"),
+                         F.col(doc_col).alias("doc"),
+                         F.col(rank_col).cast("long").alias("rk"),
+                         F.lit(team).alias("team"))
+
+    a = side(rank_a, "A").localCheckpoint(eager=False)
+    b = side(rank_b, "B").localCheckpoint(eager=False)
+    w = Window.partitionBy("q").orderBy("rk", "doc")
+    sel = None
+    for pos in range(1, k + 1):
+        pair = (pos - 1) // 2
+        a_first = F.pmod(F.lit(pair) + F.col("q"), F.lit(2)) == 0
+        first_is_a = (pos % 2) == 1
+        # within pair: first pick goes to A iff a_first, second to the other
+        take_a = a_first if first_is_a else ~a_first
+        cand = a.filter(take_a).unionByName(b.filter(~take_a))
+        if sel is not None:
+            cand = cand.join(sel.select("q", "doc"), ["q", "doc"],
+                             "left_anti")
+        pick = (cand.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("q", F.lit(pos).cast("long").alias("pos"),
+                        "team", "doc")
+                .localCheckpoint(eager=False))
+        sel = pick if sel is None else sel.unionByName(pick)
+    return sel.select(F.col("q").alias("query_id"), "pos", "team",
+                      F.col("doc").alias("doc_id"))
+
+
+def teamdraft_interleave_sql(a_sql: str, b_sql: str, k: int = 6) -> str:
+    """DuckDB mirror of :func:`teamdraft_interleave` over two
+    (query_id, doc_id, rank) SELECTs."""
+    steps = []
+    prevs = []
+    for pos in range(1, k + 1):
+        pair = (pos - 1) // 2
+        first_is_a = (pos % 2) == 1
+        cond = f"(({pair} + q) % 2 = 0)"
+        take_a = cond if first_is_a else f"(NOT {cond})"
+        anti = ""
+        if prevs:
+            u = " UNION ALL ".join(f"SELECT q, doc FROM {p}" for p in prevs)
+            anti = f"""
+  AND NOT EXISTS (SELECT 1 FROM ({u}) s
+                  WHERE s.q = c.q AND s.doc = c.doc)"""
+        steps.append(f"""
+s{pos} AS (
+  SELECT q, CAST({pos} AS BIGINT) AS pos, team, doc FROM (
+    SELECT c.q, c.team, c.doc,
+      row_number() OVER (PARTITION BY c.q ORDER BY c.rk, c.doc) AS rn
+    FROM (
+      SELECT * FROM sa WHERE {take_a}
+      UNION ALL
+      SELECT * FROM sb WHERE NOT {take_a}
+    ) c
+  WHERE TRUE{anti})
+  WHERE rn = 1
+)""")
+        prevs.append(f"s{pos}")
+    chain = ",".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT q AS query_id, pos, team, doc AS doc_id FROM {p}"
+        for p in prevs)
+    return f"""
+WITH sa AS (SELECT query_id AS q, doc_id AS doc,
+              CAST(rank AS BIGINT) AS rk, 'A' AS team FROM ({a_sql})),
+sb AS (SELECT query_id AS q, doc_id AS doc,
+         CAST(rank AS BIGINT) AS rk, 'B' AS team FROM ({b_sql})),{chain}
+{union}
+"""

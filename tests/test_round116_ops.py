@@ -1,0 +1,70 @@
+"""Unit tests for the round-116 pack: DoReMi weights and team-draft
+interleaving."""
+
+from __future__ import annotations
+
+import math
+
+from icrawler_spark.operators.corpus import doremi_weights
+from icrawler_spark.operators.search import teamdraft_interleave
+
+
+# ---------------------------------------------------------------------------
+# doremi_weights
+# ---------------------------------------------------------------------------
+
+def test_doremi_upweights_high_loss_domain(spark):
+    rows = [("easy", 1.0)] * 4 + [("hard", 3.0)] * 4
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {r["domain"]: r for r in doremi_weights(df, eta=1.0,
+                                                  smoothing=0.0).collect()}
+    assert out["easy"]["excess"] == 0.0
+    assert out["hard"]["excess"] == 2.0
+    # softmax over (0, 2)
+    z = 1.0 + math.exp(2.0)
+    assert math.isclose(out["hard"]["weight"], round(math.exp(2.0) / z, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(sum(r["weight"] for r in out.values()), 1.0,
+                        abs_tol=1e-5)
+
+
+def test_doremi_smoothing_floors_weights(spark):
+    rows = [("a", 0.0), ("b", 50.0)]
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {r["domain"]: r["weight"]
+           for r in doremi_weights(df, eta=1.0, smoothing=0.2).collect()}
+    assert out["a"] >= 0.1 - 1e-6  # smoothing/K floor survives exp(-50)
+
+
+# ---------------------------------------------------------------------------
+# teamdraft_interleave
+# ---------------------------------------------------------------------------
+
+def _rank(spark, q, docs):
+    return spark.createDataFrame(
+        [(q, d, i + 1) for i, d in enumerate(docs)],
+        "query_id long, doc_id long, rank long")
+
+
+def test_teamdraft_alternates_and_dedups(spark):
+    a = _rank(spark, 0, [10, 20, 30, 40])
+    b = _rank(spark, 0, [20, 50, 10, 60])
+    out = sorted(teamdraft_interleave(a, b, k=4).collect(),
+                 key=lambda r: r["pos"])
+    # q=0, pair 0: A first -> A picks 10; B picks its best unseen: 20
+    assert [(r["team"], r["doc_id"]) for r in out[:2]] == [("A", 10),
+                                                           ("B", 20)]
+    # pair 1: (1+0)%2=1 -> B first: B picks 50 (20 already shown);
+    # A's 10 and 20 are both shown, so A contributes 30
+    assert [(r["team"], r["doc_id"]) for r in out[2:]] == [("B", 50),
+                                                           ("A", 30)]
+    docs = [r["doc_id"] for r in out]
+    assert len(docs) == len(set(docs))  # no doc shown twice
+
+
+def test_teamdraft_each_team_gets_half(spark):
+    a = _rank(spark, 1, [1, 2, 3, 4, 5, 6])
+    b = _rank(spark, 1, [7, 8, 9, 10, 11, 12])
+    out = teamdraft_interleave(a, b, k=6).collect()
+    teams = [r["team"] for r in out]
+    assert teams.count("A") == 3 and teams.count("B") == 3
