@@ -433,6 +433,8 @@ _EXTRA_PICKS = [
     "sketch_best", "containment_sketch", "bloom_merge", "feed_items",
     # round-3 batch (mixture weights + interleaving)
     "doremi", "teamdraft",
+    # round-3 batch (corpus safety)
+    "secrets",
 ]
 
 

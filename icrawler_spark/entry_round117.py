@@ -1,0 +1,63 @@
+"""Round-3 driver-contract queries (batch 111): credential/secret leak
+scanning (the streaming hot-host monitor ships alongside as a
+pytest-covered streaming op — no batch oracle exists for a watermarked
+stream).
+
+The fixture plants deterministic fake credentials (md5-derived, valid
+format, no real secrets) into a slice of the documents table — the same
+expressions in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import text as _text
+
+
+def _docs_with_secrets(spark, sf) -> DataFrame:
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    aws = F.concat(F.lit(" key=AKIA"),
+                   F.upper(F.substring(md5, 1, 16)))
+    hexb = F.concat(F.lit(" sig="),
+                    F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                               F.lit("h"))), 1, 32))
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, aws).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, hexb).otherwise(F.lit("")))
+    return d.select("doc_id", text.alias("text"))
+
+
+_DOCS_SECRETS_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' key=AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' sig=' || substr(md5(CAST(doc_id AS VARCHAR) || 'h'), 1, 32)
+         ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_secrets(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.secrets_scan: regexp candidates in the scan
+    projection + candidate-sized char-entropy aggregation; output is
+    masked (prefix only) so the scan table is publishable."""
+    return _text.secrets_scan(_docs_with_secrets(spark, sf))
+
+
+def queries117():
+    return {
+        "secrets": q_secrets,
+    }
+
+
+def oracle_sql117():
+    return {
+        "secrets": _text.secrets_scan_sql(_DOCS_SECRETS_SQL),
+    }

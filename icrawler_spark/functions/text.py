@@ -486,3 +486,100 @@ SELECT term, n_mentions,
 FROM per
 WHERE n_mentions >= {int(min_count)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Credential / secret leak scanning
+# ---------------------------------------------------------------------------
+
+#: candidate extractors: (kind, regex). Patterns are public formats — AWS
+#: access-key ids ("AKIA" + 16 uppercase/digits), long hex blobs, long
+#: base64 runs. Order fixed so both engines emit identical kind labels.
+SECRET_PATTERNS = (
+    ("aws_key", "AKIA[0-9A-Z]{16}"),
+    ("hex_blob", "[0-9a-f]{32,}"),
+    ("b64_blob", "[A-Za-z0-9+/]{32,}={0,2}"),
+)
+
+SECRET_ENTROPY_BITS = 3.0
+
+
+def secrets_scan(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Credential-leak scan for corpus publication — crawled web text
+    routinely embeds leaked API keys and tokens, and training-data
+    releases are expected to strip them (the counterpart of
+    ``scrub_pii`` for machine credentials). Candidates come from public
+    format regexes (:data:`SECRET_PATTERNS`); each is scored by Shannon
+    character entropy, the standard low-false-positive gate (hex dumps of
+    zeros score ~0 bits; real keys score >3).
+
+    The candidate itself is NEVER emitted — only a 4-char prefix mask —
+    so the scan's own output table is publishable.
+
+    Returns one row per distinct (doc, kind, candidate):
+    (doc_id, kind, mask, length, entropy rounded 4,
+    flagged = entropy ≥ SECRET_ENTROPY_BITS).
+
+    Scale shape: regexp_extract_all in the scan projection + one explode
+    per candidate char for the entropy aggregation (candidate-sized, not
+    document-sized), grouped on (doc, candidate) — no joins, no UDF.
+    """
+    cands = None
+    for kind, pat in SECRET_PATTERNS:
+        one = docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(kind).alias("kind"),
+            F.explode(F.regexp_extract_all(text_col, F.lit(f"({pat})"),
+                                           F.lit(1))).alias("cand"))
+        cands = one if cands is None else cands.unionByName(one)
+    cands = cands.distinct()
+    chars = cands.select(
+        "doc_id", "kind", "cand",
+        F.explode(F.expr(
+            "transform(sequence(1, length(cand)), i -> substr(cand, i, 1))"
+        )).alias("ch"))
+    cnt = chars.groupBy("doc_id", "kind", "cand", "ch") \
+        .agg(F.count("*").cast("double").alias("c"))
+    ent = (cnt.groupBy("doc_id", "kind", "cand")
+           .agg(F.sum("c").alias("L"),
+                F.sum(F.col("c") * F.log2("c")).alias("clog")))
+    entropy = F.log2(F.col("L")) - F.col("clog") / F.col("L")
+    return ent.select(
+        "doc_id", "kind",
+        F.concat(F.substring("cand", 1, 4), F.lit("…")).alias("mask"),
+        F.col("L").cast("long").alias("length"),
+        F.round(entropy, 4).alias("entropy"),
+        (F.round(entropy, 4) >= SECRET_ENTROPY_BITS).alias("flagged"))
+
+
+def secrets_scan_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`secrets_scan`."""
+    parts = []
+    for kind, pat in SECRET_PATTERNS:
+        parts.append(f"""
+  SELECT doc_id, '{kind}' AS kind,
+    unnest(regexp_extract_all(text, '({pat})', 1)) AS cand
+  FROM ({docs_sql})""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH cands AS (
+  SELECT DISTINCT doc_id, kind, cand FROM ({union})
+),
+chars AS (
+  SELECT doc_id, kind, cand, substr(cand, CAST(i AS INT), 1) AS ch
+  FROM cands, unnest(range(1, length(cand) + 1)) AS u(i)
+),
+cnt AS (
+  SELECT doc_id, kind, cand, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars GROUP BY 1, 2, 3, 4
+),
+ent AS (
+  SELECT doc_id, kind, cand, sum(c) AS L, sum(c * log2(c)) AS clog
+  FROM cnt GROUP BY 1, 2, 3
+)
+SELECT doc_id, kind, substr(cand, 1, 4) || '…' AS mask,
+  CAST(L AS BIGINT) AS length,
+  round(log2(L) - clog / L, 4) AS entropy,
+  round(log2(L) - clog / L, 4) >= {SECRET_ENTROPY_BITS!r} AS flagged
+FROM ent
+"""

@@ -87,3 +87,61 @@ def run_metrics_available(spark: SparkSession, source_dir: str,
             [], "window_start timestamp, window_end timestamp, "
                 "n_urls long, n_hosts_approx long")
     return spark.read.parquet(metrics_path)
+
+
+# ---------------------------------------------------------------------------
+# Per-window host top-k (hot-host monitor)
+# ---------------------------------------------------------------------------
+
+def host_topk_stream(stream_df: DataFrame, k: int = 5,
+                     window_duration: str = "1 minute",
+                     watermark: str = "2 minutes") -> DataFrame:
+    """Windowed hot-host leaderboard: per tumbling event-time window, the
+    per-host URL counts — the stream side emits the full (window, host)
+    count table in append mode once the watermark closes the window, and
+    the CONSUMER ranks to top-k (streaming aggregations cannot nest a
+    window-rank; materializing counts and ranking in the reader is the
+    standard pattern, and the per-window host-count table is itself the
+    useful artifact: joins against the blocklist, feeds the politeness
+    planner).
+
+    State is O(open windows × distinct hosts in them) — bounded by the
+    watermark horizon, independent of stream length.
+    """
+    host = F.parse_url("url", F.lit("HOST"))
+    return (stream_df
+            .withWatermark("discovered_ts", watermark)
+            .groupBy(F.window("discovered_ts", window_duration).alias("w"),
+                     host.alias("host"))
+            .agg(F.count("*").alias("n_urls"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "host", "n_urls"))
+
+
+def run_host_topk_available(spark: SparkSession, source_dir: str,
+                            state_dir: str, k: int = 5,
+                            timeout_s: int = 120) -> DataFrame:
+    """One availableNow pass appending finalized (window, host) counts to
+    ``state_dir/host_counts``, then rank batch-side: returns the top-k
+    hosts per window (rank by n_urls desc, host asc)."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    counts_path = os.path.join(state_dir, "host_counts")
+    checkpoint = os.path.join(state_dir, "checkpoint_topk")
+    out = host_topk_stream(read_timed_url_stream(spark, source_dir))
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", counts_path)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    if not os.path.isdir(counts_path):
+        return spark.createDataFrame(
+            [], "window_start timestamp, window_end timestamp, "
+                "host string, n_urls long, rank int")
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_urls"), F.asc("host"))
+    return (spark.read.parquet(counts_path)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
