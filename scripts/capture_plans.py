@@ -239,6 +239,53 @@ def main() -> None:
         "into the scan projection.",
     ))
 
+    # 10. CWS weighted-MinHash pairs (bucket join, never all-pairs)
+    from icrawler_spark.operators import docdedup as _dd
+
+    sections.append((
+        "CWS weighted-MinHash candidate pairs",
+        fmt(_dd.cws_pairs(docs, k=6, n=2, threshold=0.25)),
+        "Weighted-Jaccard near-dup candidates from consistent weighted\n"
+        "sampling. What to check: the pair generator is an equi-join on the\n"
+        "FULL signature component (seed, shingle, t) — a bucket join exactly\n"
+        "like LSH bands, so only docs sharing a sampled component ever meet;\n"
+        "there is NO cross join and no corpus-sized pair exchange. The\n"
+        "signature build itself is one groupBy(id, seed) argmin with\n"
+        "map-side partial aggregation.",
+    ))
+
+    # 11. power-iteration PCA (one data pass, then N-independent)
+    from icrawler_spark.operators import similarity as _sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections.append((
+        "Embedding PCA (distributed covariance + power iteration)",
+        fmt(_sim.embed_pca(emb, iters=2)),
+        "Leading principal component. What to check: the embeddings scan\n"
+        "feeds ONE d²-cell covariance aggregation (the self-join on vec_id\n"
+        "explodes to N·d² product terms with map-side partial agg — the only\n"
+        "N-sized stage); every matvec iteration after it joins the 64×64\n"
+        "covariance against a broadcast 64-row vector — BroadcastExchange,\n"
+        "no corpus re-scan, cost independent of N.",
+    ))
+
+    # 12. GD logistic regression (keyed aggs + broadcast weight vector)
+    from icrawler_spark.operators import classify as _cl
+    from pyspark.sql import functions as F
+
+    labeled = docs.withColumn("__y", F.col("lang") == "en")
+    sections.append((
+        "Logistic-regression training step (hashed features, full-batch GD)",
+        fmt(_cl.logreg_train(labeled, "__y", n_features=8, iters=1)),
+        "One gradient step of the corpus quality classifier. What to check:\n"
+        "the hashed long-form feature table builds once (explode + two\n"
+        "keyed aggs, all map-side-partial); the weight vector enters every\n"
+        "step as a 9-row BroadcastExchange; the per-doc margin and\n"
+        "per-feature gradient are groupBy(doc) / groupBy(f) exchanges —\n"
+        "nothing collects, no Python, and the eager per-step lineage cut\n"
+        "keeps the logical plan linear in the iteration count.",
+    ))
+
     header = (
         "# PLANS — physical plans of the core operators\n\n"
         "Captured `explain(\"formatted\")` output (operator tree section) for the\n"
