@@ -1,0 +1,138 @@
+"""Property-based differentials for the session's pure operators:
+secrets-scan entropy, exact weighted Jaccard, keyword stuffing, and
+k-gram compressibility — each checked against an independent pure-Python
+oracle on hypothesis-generated batches (one Spark job per example)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=5)
+_text = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# secrets_scan entropy vs Counter-based oracle
+# ---------------------------------------------------------------------------
+
+_hexish = st.text(alphabet="0123456789abcdef", min_size=32, max_size=40)
+
+
+def _entropy(s: str) -> float:
+    n = len(s)
+    return -sum((c / n) * math.log2(c / n) for c in Counter(s).values())
+
+
+@given(blobs=st.lists(_hexish, min_size=1, max_size=6, unique=True))
+@settings(**_SETTINGS)
+def test_secrets_entropy_matches_python(spark, blobs):
+    from icrawler_spark.functions.text import secrets_scan
+
+    texts = [f"lead {b} trail" for b in blobs]
+    out = secrets_scan(_docs(spark, texts)).collect()
+    got = {(r["doc_id"], r["kind"]): r for r in out}
+    for i, b in enumerate(blobs, start=1):
+        r = got[(i, "hex_blob")]
+        assert r["length"] == len(b)
+        assert math.isclose(r["entropy"], round(_entropy(b), 4),
+                            abs_tol=1e-9)
+        assert r["mask"] == b[:4] + "…"
+
+
+# ---------------------------------------------------------------------------
+# weighted_jaccard_pairs vs multiset oracle
+# ---------------------------------------------------------------------------
+
+def _wj_py(a: str, b: str, n: int) -> float | None:
+    def tf(t):
+        toks = re.sub(" +", " ", t.strip()).split(" ")
+        return Counter(" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1)) \
+            if len(toks) >= n else None
+    ca, cb = tf(a), tf(b)
+    if ca is None or cb is None:
+        return None
+    smin = sum(min(ca[k], cb[k]) for k in ca.keys() & cb.keys())
+    smax = sum(ca.values()) + sum(cb.values()) - smin
+    return smin / smax if smax else None
+
+
+@given(a=_text, b=_text)
+@settings(**_SETTINGS)
+def test_weighted_jaccard_matches_python(spark, a, b):
+    from icrawler_spark.operators.docdedup import weighted_jaccard_pairs
+
+    out = weighted_jaccard_pairs(_docs(spark, [a, b]), n=2,
+                                 threshold=0.0).collect()
+    exp = _wj_py(a, b, 2)
+    if exp is None or exp == 0.0:
+        # no shared shingles (or a doc too short): the equi-join emits
+        # nothing — zero-similarity pairs never materialize
+        assert out == []
+    else:
+        assert len(out) == 1
+        assert math.isclose(out[0]["wjaccard"], round(exp, 6), abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# keyword_stuffing vs Counter oracle
+# ---------------------------------------------------------------------------
+
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_keyword_stuffing_matches_python(spark, texts):
+    from icrawler_spark.operators.curation import keyword_stuffing
+
+    out = {r["doc_id"]: r for r in
+           keyword_stuffing(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts, start=1):
+        toks = [w for w in re.sub(" +", " ", t.strip()).split(" ") if w]
+        if not toks:
+            assert i not in out
+            continue
+        cnt = Counter(toks)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_term"] == ranked[0][0]
+        assert math.isclose(
+            r["top3_ratio"],
+            round(sum(c for _, c in ranked[:3]) / len(toks), 6),
+            abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# kgram_compressibility vs set oracle
+# ---------------------------------------------------------------------------
+
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_kgram_ratio_matches_python(spark, texts):
+    from icrawler_spark.operators.curation import kgram_compressibility
+
+    k = 4
+    out = {r["doc_id"]: r for r in
+           kgram_compressibility(_docs(spark, texts), k=k).collect()}
+    for i, t in enumerate(texts, start=1):
+        norm = re.sub(" +", " ", t.lower()).strip()
+        if len(norm) < k:
+            assert i not in out
+            continue
+        grams = [norm[j:j + k] for j in range(len(norm) - k + 1)]
+        r = out[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_distinct"] == len(set(grams))
