@@ -435,6 +435,8 @@ _EXTRA_PICKS = [
     "doremi", "teamdraft",
     # round-3 batch (corpus safety)
     "secrets",
+    # round-3 batch (templates + http dates)
+    "dom_templates", "http_dates",
 ]
 
 

@@ -76,7 +76,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round110, entry_round111,
                             entry_round112, entry_round113,
                             entry_round114, entry_round115,
-                            entry_round116, entry_round117)
+                            entry_round116, entry_round117,
+                            entry_round118)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -960,6 +961,7 @@ def queries():
         **entry_round115.queries115(),
         **entry_round116.queries116(),
         **entry_round117.queries117(),
+        **entry_round118.queries118(),
     }
 
 
@@ -1109,4 +1111,5 @@ def oracle_sql():
         **entry_round115.oracle_sql115(),
         **entry_round116.oracle_sql116(),
         **entry_round117.oracle_sql117(),
+        **entry_round118.oracle_sql118(),
     }

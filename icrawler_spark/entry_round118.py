@@ -1,0 +1,141 @@
+"""Round-3 driver-contract queries (batch 112): DOM template clustering,
+HTTP date parsing.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dom_templates — tag-sequence template clusters
+# ---------------------------------------------------------------------------
+
+
+def _dom_fixture(spark, sf) -> DataFrame:
+    """Pages from events (event_id % 40 == 0): two site templates (article
+    vs listing) chosen by user parity, hosts user_id % 10."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 40 == 0)
+    eid = F.col("event_id").cast("string")
+    article = F.concat(
+        F.lit("<html><head><title>t"), eid,
+        F.lit("</title></head><body><article><h1>h"), eid,
+        F.lit("</h1><p>x</p><p>y</p></article></body></html>"))
+    listing = F.concat(
+        F.lit("<html><head><title>t"), eid,
+        F.lit("</title></head><body><ul><li>a"), eid,
+        F.lit("</li><li>b</li></ul></body></html>"))
+    return ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit(".test/p/"), eid).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.when(F.col("user_id") % 2 == 0, article).otherwise(listing)
+        .alias("html"))
+
+
+_DOM_FIXTURE_SQL = """
+  SELECT 'http://h' || CAST(user_id % 10 AS VARCHAR) || '.test/p/'
+      || CAST(event_id AS VARCHAR) AS url,
+    'h' || CAST(user_id % 10 AS VARCHAR) || '.test' AS host,
+    CASE WHEN user_id % 2 = 0
+      THEN '<html><head><title>t' || CAST(event_id AS VARCHAR)
+        || '</title></head><body><article><h1>h'
+        || CAST(event_id AS VARCHAR)
+        || '</h1><p>x</p><p>y</p></article></body></html>'
+      ELSE '<html><head><title>t' || CAST(event_id AS VARCHAR)
+        || '</title></head><body><ul><li>a' || CAST(event_id AS VARCHAR)
+        || '</li><li>b</li></ul></body></html>'
+    END AS html
+  FROM events WHERE event_id % 40 = 0
+"""
+
+
+def q_dom_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.dom_templates: tag sequence via ONE
+    regexp_extract_all in the scan; fixed-width md5 fingerprints shuffle,
+    never markup."""
+    return _warc.dom_templates(_dom_fixture(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# http_dates — RFC 7231 three-format date parsing
+# ---------------------------------------------------------------------------
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONTHS_SQL = "[" + ", ".join(f"'{m}'" for m in _MONTHS) + "]"
+
+
+def _dates_fixture(spark, sf) -> DataFrame:
+    """Header rows from events (event_id % 25 == 0): the three RFC 7231
+    formats plus garbage, rotating on event_id % 4."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 25 == 0)
+    day = F.lpad((F.col("event_id") % 28 + 1).cast("string"), 2, "0")
+    mon = F.element_at(F.array(*[F.lit(m) for m in _MONTHS]),
+                       (F.col("event_id") % 12 + 1).cast("int"))
+    hh = F.lpad((F.col("event_id") % 24).cast("string"), 2, "0")
+    imf = F.concat(F.lit("Mon, "), day, F.lit(" "), mon,
+                   F.lit(" 2024 "), hh, F.lit(":30:00 GMT"))
+    r850 = F.concat(F.lit("Monday, "), day, F.lit("-"), mon,
+                    F.lit("-24 "), hh, F.lit(":30:00 GMT"))
+    asct = F.concat(F.lit("Mon "), mon, F.lit(" "),
+                    (F.col("event_id") % 28 + 1).cast("string"),
+                    F.lit(" "), hh, F.lit(":30:00 2024"))
+    v = (F.when(F.col("event_id") % 4 == 0, imf)
+         .when(F.col("event_id") % 4 == 1, r850)
+         .when(F.col("event_id") % 4 == 2, asct)
+         .otherwise(F.lit("not a date")))
+    return ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        v.alias("last_modified"))
+
+
+_DATES_FIXTURE_SQL = f"""
+  SELECT 'u' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'Mon, ' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+        || ' ' || {_MONTHS_SQL}[CAST(event_id % 12 AS INT) + 1] || ' 2024 '
+        || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':30:00 GMT'
+      WHEN 1 THEN 'Monday, '
+        || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+        || '-' || {_MONTHS_SQL}[CAST(event_id % 12 AS INT) + 1] || '-24 '
+        || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':30:00 GMT'
+      WHEN 2 THEN 'Mon ' || {_MONTHS_SQL}[CAST(event_id % 12 AS INT) + 1]
+        || ' ' || CAST(event_id % 28 + 1 AS VARCHAR) || ' '
+        || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':30:00 2024'
+      ELSE 'not a date'
+    END AS last_modified
+  FROM events WHERE event_id % 25 = 0
+"""
+
+
+def q_http_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.http_dates: coalesce chain of try_to_timestamp
+    over a normalized projection — fused into the scan."""
+    return _recrawl.http_dates(_dates_fixture(spark, sf))
+
+
+def queries118():
+    return {
+        "dom_templates": q_dom_templates,
+        "http_dates": q_http_dates,
+    }
+
+
+def oracle_sql118():
+    return {
+        "dom_templates": _warc.dom_templates_sql(_DOM_FIXTURE_SQL),
+        "http_dates": _recrawl.http_dates_sql(_DATES_FIXTURE_SQL),
+    }

@@ -3886,3 +3886,75 @@ SELECT n, round(ts_end, 6) AS ts_end, round(mx, 6) AS ts_max_abs,
   t_at
 FROM agg CROSS JOIN pick
 """
+
+
+# ---------------------------------------------------------------------------
+# HTTP date parsing (RFC 7231 §7.1.1.1 — the three accepted formats)
+# ---------------------------------------------------------------------------
+
+#: (format_name, strip regex, Spark pattern, DuckDB strptime pattern).
+#: RFC 7231 obliges recipients to accept IMF-fixdate, the obsolete RFC 850
+#: form, and asctime. The day name is STRIPPED before parsing (Spark 3's
+#: parser dropped text day-of-week fields for parsing); GMT is literal.
+#: Two-digit RFC-850 years pivot 00-68 → 20xx in both engines (POSIX and
+#: JDK agree on modern values; 69-99 diverge — legacy-era corner,
+#: documented).
+HTTP_DATE_FORMATS = (
+    ("imf_fixdate", "^[A-Za-z]+, ", "dd MMM yyyy HH:mm:ss 'GMT'",
+     "%d %b %Y %H:%M:%S GMT"),
+    ("rfc850", "^[A-Za-z]+, ", "dd-MMM-yy HH:mm:ss 'GMT'",
+     "%d-%b-%y %H:%M:%S GMT"),
+    ("asctime", "^[A-Za-z]+ ", "MMM d HH:mm:ss yyyy",
+     "%b %-d %H:%M:%S %Y"),
+)
+
+
+def http_dates(headers: DataFrame, value_col: str = "last_modified",
+               key_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Parse HTTP date header values — Last-Modified / Expires / Date carry
+    any of RFC 7231's three formats in real crawls (IMF-fixdate dominates,
+    RFC 850 and asctime survive on legacy servers), and the recrawl
+    scheduler needs them as timestamps. First-matching-format wins; an
+    unparseable value yields (NULL ts, 'invalid'). The day-name token is
+    stripped, not validated (engine-portable; RFC receivers are lenient
+    here in practice).
+
+    Returns key columns + (raw, ts, fmt) — fmt one of imf_fixdate /
+    rfc850 / asctime / invalid.
+
+    Scale shape: a coalesce chain of try_to_timestamp calls over one
+    normalized projection — fused into the scan, no shuffle, no UDF.
+    """
+    v = F.col(value_col)
+    norm = F.regexp_replace(F.trim(v), " +", " ")
+    ts = None
+    fmt = None
+    for name, strip, spat, _ in HTTP_DATE_FORMATS:
+        t = F.try_to_timestamp(F.regexp_replace(norm, strip, ""),
+                               F.lit(spat))
+        ts = t if ts is None else F.coalesce(ts, t)
+        fmt = (F.when(t.isNotNull(), name) if fmt is None
+               else fmt.when(t.isNotNull(), name))
+    return headers.select(
+        *[F.col(c) for c in key_cols], v.alias("raw"), ts.alias("ts"),
+        F.coalesce(fmt, F.lit("invalid")).alias("fmt"))
+
+
+def http_dates_sql(rows_sql: str, value_col: str = "last_modified",
+                   key_cols: tuple[str, ...] = ("url",)) -> str:
+    """DuckDB mirror of :func:`http_dates`."""
+    norm = f"regexp_replace(trim({value_col}), ' +', ' ', 'g')"
+    tries = [
+        f"try_strptime(regexp_replace({norm}, '{strip}', ''), '{dpat}')"
+        for _, strip, _, dpat in HTTP_DATE_FORMATS]
+    whens = "".join(
+        f"\n    WHEN {t} IS NOT NULL THEN '{name}'"
+        for (name, _, _, _), t in zip(HTTP_DATE_FORMATS, tries))
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT {keys}, {value_col} AS raw,
+  coalesce({", ".join(tries)}) AS ts,
+  CASE{whens}
+    ELSE 'invalid' END AS fmt
+FROM ({rows_sql})
+"""

@@ -1407,3 +1407,56 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
   round(avg(greatest(j, o, m)), 6) AS any_share
 FROM base GROUP BY 1 ORDER BY host
 """.replace("{src}", pages_sql)
+
+
+# ---------------------------------------------------------------------------
+# DOM template clustering (tag-sequence fingerprints)
+# ---------------------------------------------------------------------------
+
+def dom_templates(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  host_col: str | None = "host") -> DataFrame:
+    """Template clusters from DOM SHAPE alone: the opening-tag sequence of
+    each page (scripts/text ignored) hashes to a structure fingerprint;
+    pages sharing it were rendered by the same template — the
+    boilerplate/template-detection signal (Gibson, Punera & Tomkins 2005
+    measure template prevalence this way) that works before any text
+    extraction, and the unit at which ``strip_boilerplate`` should operate.
+
+    Returns one row per (host, fingerprint): (host, fingerprint, n_pages,
+    n_tags, sample_url = min url) — n_tags the template's tag count.
+
+    Scale shape: the tag sequence is ONE regexp_extract_all in the scan
+    projection; the fingerprint is a fixed-width md5 so only 32-byte keys
+    shuffle; ONE groupBy(host, fingerprint). No parsing library, no UDF.
+    """
+    host = (F.col(host_col) if host_col else
+            F.parse_url(url_col, F.lit("HOST")))
+    tags = F.regexp_extract_all(
+        F.lower(F.col(html_col).cast("string")),
+        F.lit("<([a-z][a-z0-9]*)[ />]"), F.lit(1))
+    base = pages.select(F.col(url_col).alias("url"), host.alias("host"),
+                        tags.alias("__tags"))
+    return (base.select(
+        "url", "host", F.size("__tags").alias("n_tags"),
+        F.md5(F.array_join("__tags", ">")).alias("fingerprint"))
+        .groupBy("host", "fingerprint")
+        .agg(F.count("*").alias("n_pages"), F.max("n_tags").alias("n_tags"),
+             F.min("url").alias("sample_url")))
+
+
+def dom_templates_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`dom_templates` over (url, host, html)."""
+    return f"""
+WITH base AS (
+  SELECT url, host,
+    regexp_extract_all(lower(CAST(html AS VARCHAR)),
+                       '<([a-z][a-z0-9]*)[ />]', 1) AS tags
+  FROM ({pages_sql})
+)
+SELECT host, md5(array_to_string(tags, '>')) AS fingerprint,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(max(len(tags)) AS BIGINT) AS n_tags,
+  min(url) AS sample_url
+FROM base GROUP BY 1, 2
+"""

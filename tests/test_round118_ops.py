@@ -1,0 +1,77 @@
+"""Unit tests for the round-118 pack: DOM template clustering and HTTP
+date parsing."""
+
+from __future__ import annotations
+
+import datetime
+
+from icrawler_spark.operators.recrawl import http_dates
+from icrawler_spark.operators.warc import dom_templates
+
+
+# ---------------------------------------------------------------------------
+# dom_templates
+# ---------------------------------------------------------------------------
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, host string, html string")
+
+
+def test_dom_same_structure_different_text_clusters(spark):
+    out = dom_templates(_pages(spark, [
+        ("http://a/1", "a", "<html><body><div><p>one</p></div></body></html>"),
+        ("http://a/2", "a", "<html><body><div><p>two two</p></div></body></html>"),
+        ("http://a/3", "a", "<html><body><table><tr><td>x</td></tr></table></body></html>"),
+    ])).collect()
+    by_n = sorted(r["n_pages"] for r in out)
+    assert by_n == [1, 2]  # two templates: 2 article pages, 1 table page
+    big = [r for r in out if r["n_pages"] == 2][0]
+    assert big["sample_url"] == "http://a/1"
+    assert big["n_tags"] == 4  # html body div p
+
+
+def test_dom_attributes_do_not_split_templates(spark):
+    out = dom_templates(_pages(spark, [
+        ("http://a/1", "a", '<div class="x"><p id="p1">t</p></div>'),
+        ("http://a/2", "a", "<div data-k=v><p>u</p></div>"),
+    ])).collect()
+    assert len(out) == 1 and out[0]["n_pages"] == 2
+
+
+def test_dom_hosts_partition_clusters(spark):
+    html = "<div><p>t</p></div>"
+    out = dom_templates(_pages(spark, [
+        ("http://a/1", "a", html), ("http://b/1", "b", html)])).collect()
+    assert len(out) == 2  # same fingerprint, separate host rows
+    assert len({r["fingerprint"] for r in out}) == 1
+
+
+# ---------------------------------------------------------------------------
+# http_dates
+# ---------------------------------------------------------------------------
+
+def _hdrs(spark, vals):
+    return spark.createDataFrame(
+        [(f"u{i}", v) for i, v in enumerate(vals)],
+        "url string, last_modified string")
+
+
+def test_http_dates_three_formats(spark):
+    out = {r["raw"]: r for r in http_dates(_hdrs(spark, [
+        "Mon, 15 Jan 2024 10:30:00 GMT",
+        "Monday, 15-Jan-24 10:30:00 GMT",
+        "Mon Jan  1 10:30:00 2024",
+    ])).collect()}
+    exp = datetime.datetime(2024, 1, 15, 10, 30)
+    assert out["Mon, 15 Jan 2024 10:30:00 GMT"]["fmt"] == "imf_fixdate"
+    assert out["Mon, 15 Jan 2024 10:30:00 GMT"]["ts"] == exp
+    assert out["Monday, 15-Jan-24 10:30:00 GMT"]["fmt"] == "rfc850"
+    assert out["Monday, 15-Jan-24 10:30:00 GMT"]["ts"] == exp
+    r = out["Mon Jan  1 10:30:00 2024"]
+    assert r["fmt"] == "asctime"
+    assert r["ts"] == datetime.datetime(2024, 1, 1, 10, 30)
+
+
+def test_http_dates_invalid_is_null(spark):
+    out = http_dates(_hdrs(spark, ["yesterday-ish", ""])).collect()
+    assert all(r["fmt"] == "invalid" and r["ts"] is None for r in out)
