@@ -77,7 +77,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round112, entry_round113,
                             entry_round114, entry_round115,
                             entry_round116, entry_round117,
-                            entry_round118)
+                            entry_round118, entry_round119)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -962,6 +962,7 @@ def queries():
         **entry_round116.queries116(),
         **entry_round117.queries117(),
         **entry_round118.queries118(),
+        **entry_round119.queries119(),
     }
 
 
@@ -1112,4 +1113,5 @@ def oracle_sql():
         **entry_round116.oracle_sql116(),
         **entry_round117.oracle_sql117(),
         **entry_round118.oracle_sql118(),
+        **entry_round119.oracle_sql119(),
     }

@@ -1,0 +1,143 @@
+"""Round-3 driver-contract queries (batch 113): SURT keys, exact
+duplicated-span dedup (Lee et al. 2022 style), anchor-text target index.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# surt_keys — CDX-style sort-friendly URL keys
+# ---------------------------------------------------------------------------
+
+
+def _surt_fixture(spark, sf) -> DataFrame:
+    """Messy URL spellings from events (event_id % 7 == 0): rotating scheme
+    case, www prefix, default/explicit ports, query params out of order,
+    fragments."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 7 == 0)
+    eid = F.col("event_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"),
+                    F.lit(".Example.COM"))
+    scheme = (F.when(F.col("event_id") % 2 == 0, F.lit("HTTP://"))
+              .otherwise(F.lit("https://")))
+    www = F.when(F.col("event_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (F.when(F.col("event_id") % 4 == 0, F.lit(":80"))
+            .when(F.col("event_id") % 4 == 1, F.lit(":443"))
+            .when(F.col("event_id") % 4 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")))
+    tail = (F.when(F.col("event_id") % 5 == 0, F.lit("?b=2&a=1"))
+            .when(F.col("event_id") % 5 == 1, F.lit("?z=9#frag"))
+            .when(F.col("event_id") % 5 == 2, F.lit("#only-frag"))
+            .otherwise(F.lit("")))
+    return ev.select(F.concat(scheme, www, host, port, F.lit("/Pg/"), eid,
+                              tail).alias("url"))
+
+
+_SURT_FIXTURE_SQL = """
+  SELECT (CASE WHEN event_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+    || (CASE WHEN event_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'h' || CAST(user_id % 20 AS VARCHAR) || '.Example.COM'
+    || (CASE CAST(event_id % 4 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+         WHEN 2 THEN ':8080' ELSE '' END)
+    || '/Pg/' || CAST(event_id AS VARCHAR)
+    || (CASE CAST(event_id % 5 AS INT) WHEN 0 THEN '?b=2&a=1'
+         WHEN 1 THEN '?z=9#frag' WHEN 2 THEN '#only-frag' ELSE '' END)
+    AS url
+  FROM events WHERE event_id % 7 = 0
+"""
+
+
+def q_surt_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.surt_keys: pure regexp/array projection — the
+    range-partitionable CDX key; no shuffle."""
+    return _wa.surt_keys(_surt_fixture(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup — duplicated k-token window profile over documents
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.duplicate_spans over the documents table:
+    distributed equivalent of suffix-array exact-substring dedup (every
+    duplicated ≥k-token substring contains a duplicated k-window). One
+    shuffle on fixed-width window hashes."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    return _wa.duplicate_spans(docs, k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# anchor_index — per-target anchor text aggregation
+# ---------------------------------------------------------------------------
+
+
+def _edges_fixture(spark, sf) -> DataFrame:
+    """Link edges from events (event_id % 3 == 0): source page per user,
+    target per event_id % 40, anchor text from a 5-word vocabulary with an
+    empty-anchor (image link) lane."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    src = F.concat(F.lit("http://s"), (F.col("user_id") % 25).cast("string"),
+                   F.lit(".test/p/"), (F.col("event_id") % 11).cast("string"))
+    href = F.concat(F.lit("http://t.test/d/"),
+                    (F.col("event_id") % 40).cast("string"))
+    txt = (F.when(F.col("event_id") % 6 == 0, F.lit(""))
+           .when(F.col("event_id") % 6 == 1, F.lit("click here"))
+           .when(F.col("event_id") % 6 == 2, F.lit("spark engine"))
+           .when(F.col("event_id") % 6 == 3, F.lit("docs"))
+           .when(F.col("event_id") % 6 == 4, F.lit("spark engine"))
+           .otherwise(F.lit("home")))
+    return ev.select(src.alias("url"), href.alias("href"),
+                     txt.alias("anchor_text"))
+
+
+_EDGES_FIXTURE_SQL = """
+  SELECT 'http://s' || CAST(user_id % 25 AS VARCHAR) || '.test/p/'
+      || CAST(event_id % 11 AS VARCHAR) AS url,
+    'http://t.test/d/' || CAST(event_id % 40 AS VARCHAR) AS href,
+    CASE CAST(event_id % 6 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'click here'
+      WHEN 2 THEN 'spark engine' WHEN 3 THEN 'docs'
+      WHEN 4 THEN 'spark engine' ELSE 'home' END AS anchor_text
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_anchor_index(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.anchor_index: per-target top-anchor + fan-in —
+    all aggs shuffle on href (co-partitioned joins)."""
+    return _wa.anchor_index(_edges_fixture(spark, sf))
+
+
+def queries119():
+    return {
+        "surt_keys": q_surt_keys,
+        "substring_dedup": q_substring_dedup,
+        "anchor_index": q_anchor_index,
+    }
+
+
+def oracle_sql119():
+    return {
+        "surt_keys": _wa.surt_keys_sql(_SURT_FIXTURE_SQL),
+        "substring_dedup": _wa.duplicate_spans_sql(
+            "SELECT doc_id, text FROM documents", k=_SPAN_K),
+        "anchor_index": _wa.anchor_index_sql(_EDGES_FIXTURE_SQL),
+    }

@@ -1,0 +1,281 @@
+"""Web-archive interop + exact substring dedup + anchor indexing.
+
+Three operators a Common-Crawl-scale corpus pipeline needs that the engine
+did not yet expose:
+
+- **SURT keys** (Sort-friendly URI Reordering Transform): the canonical
+  page key used by web archives (Wayback/OpenWayback CDX, pywb) —
+  ``http://www.Example.com:80/Path?b=2&a=1`` →
+  ``com,example)/Path?a=1&b=2``. Reversed-host keys sort/range-partition by
+  registrable domain, so one Iceberg range partition holds one site: the
+  partitioning trick that makes per-site scans (CDX lookups, site deletes,
+  per-domain quotas) a partition-pruned read instead of a full scan.
+- **duplicated k-token spans**: the exact-substring dedup signal of Lee et
+  al. 2022 ("Deduplicating Training Data Makes Language Models Better",
+  arXiv:2107.06499) re-expressed Spark-first. Their suffix array is a
+  single-machine structure; the distributed equivalent detects any ≥k-token
+  duplicated substring via its k-token windows — every duplicated substring
+  of length ≥ k contains a duplicated k-window, so window-hash grouping
+  finds exactly the docs/positions suffix-array dedup would (with k the
+  match-length threshold). One shuffle on fixed-width window hashes.
+- **anchor index**: per-target aggregation of anchor texts (what linking
+  pages call the target) — the classic relevance label (used as document
+  expansion since McBryan 1994 / Google's original anchor index). Input is
+  the edge list ``anchor_texts`` (operators/warc.py) emits.
+
+The reference has none of these (it has no corpus layer at all); they
+complete the archive-side story around its crawl semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# SURT
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url_col) -> "F.Column":
+    """SURT form of an absolute http(s) URL.
+
+    Canonicalization choices (the pywb/OpenWayback defaults):
+    - scheme dropped entirely (http/https collapse — archives treat them as
+      one capture stream);
+    - host lowercased, leading ``www.`` folded, label order reversed and
+      comma-joined, default ports (:80/:443) dropped, non-default ports kept
+      as ``:port`` after the reversed host;
+    - ``)`` separates authority from path; path kept verbatim (case can be
+      significant on origin servers);
+    - fragment dropped; query params sorted bytewise, ``?`` dropped when the
+      query is empty.
+
+    Pure JVM regexp/array expressions — fuses into the frontier/pages scan,
+    and the key is range-partition-friendly (all of ``com,example,…`` sorts
+    contiguously).
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col) if isinstance(url_col, str)
+                                else url_col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = (F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+                .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+                .otherwise(hostport))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    rhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        rhost, port, F.lit(")"), path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
+def surt_keys(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, …) → (url, surt): the CDX key projection. No shuffle."""
+    return urls.select(F.col(url_col).alias("url"),
+                       surt_key(url_col).alias("surt"))
+
+
+def surt_keys_sql(urls_sql: str) -> str:
+    """DuckDB mirror of :func:`surt_keys` over a relation with ``url``."""
+    return f"""
+WITH u0 AS (
+  SELECT url, regexp_replace(trim(url), '#.*$', '') AS u FROM ({urls_sql})
+), p AS (
+  SELECT url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM u0
+), hp AS (
+  SELECT url, scheme, rest,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                   '^www\\.', '') AS hostport0
+  FROM p
+), hp2 AS (
+  SELECT url, rest,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport0, ':443$', '')
+         ELSE hostport0 END AS hostport
+  FROM hp
+), parts AS (
+  SELECT url,
+    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+    regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM hp2
+), q AS (
+  SELECT url,
+    array_to_string(list_reverse(string_split(host, '.')), ',') AS rhost,
+    port,
+    regexp_extract(pathq, '^([^?]*)', 1) AS path,
+    -- coalesce: DuckDB's list_sort/array_to_string yield NULL on the
+    -- empty list the no-query case produces
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+      x -> x <> '')), '&'), '') AS qs
+  FROM parts
+)
+SELECT url, rhost || port || ')' || path ||
+       (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS surt
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated k-token spans (distributed suffix-array-dedup equivalent)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document exact-duplication profile at the k-token granularity.
+
+    A k-token window is *duplicated* when its exact token sequence occurs at
+    ≥2 distinct (doc, position) sites corpus-wide (cross-doc or repeated
+    within one doc — Lee et al. §3 count both). Returns one row per doc:
+    (doc_id, n_windows, n_dup_windows, dup_frac), docs with < k tokens
+    yielding (0, 0, 0.0) — nothing to match.
+
+    Scale shape: tokenization and window hashing are array expressions in
+    the scan projection; only (hash, doc_id) pairs — fixed-width md5, never
+    text — reach the ONE shuffle (groupBy hash). The duplicated-hash set
+    joins back broadcast-style via a second agg keyed by doc. Window count
+    per doc is L-k+1, so data volume is O(total tokens), same as the scan.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t")) \
+        .withColumn("__n", F.when(F.trim(F.array_join("__t", " ")) == "",
+                                  F.lit(0)).otherwise(F.size("__t")))
+    # NB: guard n < k explicitly — Spark's sequence(1, 0) defaults to step
+    # -1 and yields [1, 0], not [] (docs: desc step when start > stop)
+    hashes = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice("__t", i, k), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select("doc_id", "__n", hashes.alias("__hashes"))
+    exploded = wins.select("doc_id", F.explode("__hashes").alias("h"))
+    dup = (exploded.groupBy("h")
+           .agg(F.count("*").alias("occ"))
+           .filter(F.col("occ") >= 2)
+           .select("h"))
+    per_doc_dup = (exploded.join(dup, "h", "left_semi")
+                   .groupBy("doc_id")
+                   .agg(F.count("*").alias("n_dup_windows")))
+    totals = wins.select("doc_id", F.size("__hashes").alias("n_windows"))
+    out = (totals.join(per_doc_dup, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.col("n_windows").cast("long").alias("n_windows"),
+               F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+               .alias("n_dup_windows")))
+    return out.withColumn(
+        "dup_frac",
+        F.when(F.col("n_windows") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_dup_windows") /
+                           F.col("n_windows").cast("double"), 6)))
+
+
+def duplicate_spans_sql(docs_sql: str, k: int = 8) -> str:
+    """DuckDB mirror of :func:`duplicate_spans` over (doc_id, text)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM ({docs_sql})
+), wins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i) s
+  WHERE len(t) >= {k}
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_windows
+  FROM wins WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CASE WHEN len(t) >= {k} THEN len(t) - {k - 1} ELSE 0 END AS n_windows
+  FROM base
+)
+SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CASE WHEN t.n_windows = 0 THEN 0.0
+       ELSE round(coalesce(p.n_dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6)
+  END AS dup_frac
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor index (per-target anchor text aggregation)
+# ---------------------------------------------------------------------------
+
+
+def anchor_index(edges: DataFrame,
+                 src_col: str = "url",
+                 href_col: str = "href",
+                 text_col: str = "anchor_text") -> DataFrame:
+    """Edge list (src url, href, anchor_text) → per-target anchor summary:
+    (href, n_links, n_sources, top_anchor, top_anchor_links).
+
+    ``top_anchor`` is the most frequent non-empty anchor text pointing at
+    the target (ties broken bytewise-ascending — deterministic); targets
+    with only empty anchors get top_anchor NULL. ``n_sources`` counts
+    distinct linking pages (the of-independent-origin signal that separates
+    sitewide boilerplate links from editorial ones).
+
+    Scale shape: two aggs keyed by the target URL — (href, text) counts then
+    a window top-1 partitioned by href (bounded by distinct anchor texts per
+    target), plus one href-level agg; everything shuffles on href, so the
+    joins are co-partitioned and AQE coalesces the small side.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(href_col).alias("href"),
+                     F.col(text_col).alias("txt"))
+    tot = e.groupBy("href").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src").alias("n_sources"))
+    txt = (e.filter(F.col("txt") != "")
+           .groupBy("href", "txt").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("href").orderBy(F.desc("cnt"), F.asc("txt"))
+    top = (txt.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+           .select("href", F.col("txt").alias("top_anchor"),
+                   F.col("cnt").alias("top_anchor_links")))
+    return (tot.join(top, "href", "left")
+            .select("href",
+                    F.col("n_links").cast("long").alias("n_links"),
+                    F.col("n_sources").cast("long").alias("n_sources"),
+                    "top_anchor",
+                    F.coalesce("top_anchor_links", F.lit(0)).cast("long")
+                    .alias("top_anchor_links")))
+
+
+def anchor_index_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`anchor_index` over (url, href, anchor_text)."""
+    return f"""
+WITH e AS (
+  SELECT url AS src, href, anchor_text AS txt FROM ({edges_sql})
+), tot AS (
+  SELECT href, count(*) AS n_links, count(DISTINCT src) AS n_sources
+  FROM e GROUP BY href
+), txt AS (
+  SELECT href, txt, count(*) AS cnt FROM e WHERE txt <> '' GROUP BY href, txt
+), top AS (
+  SELECT href, txt AS top_anchor, cnt AS top_anchor_links,
+         row_number() OVER (PARTITION BY href ORDER BY cnt DESC, txt ASC) AS rn
+  FROM txt
+)
+SELECT t.href, CAST(t.n_links AS BIGINT) AS n_links,
+  CAST(t.n_sources AS BIGINT) AS n_sources,
+  top.top_anchor, CAST(coalesce(top.top_anchor_links, 0) AS BIGINT) AS top_anchor_links
+FROM tot t LEFT JOIN top ON t.href = top.href AND top.rn = 1
+"""
