@@ -966,7 +966,47 @@ def queries():
     }
 
 
+_WINDOW_AS_RE = None
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Force ``AS MATERIALIZED`` on every CTE in a DuckDB oracle.
+
+    DuckDB 1.0 inlines non-materialized CTEs at every reference site, so an
+    iterative oracle (pagerank/salsa/simrank-style chains where level i
+    references level i-1 several times) re-evaluates the whole upstream
+    chain per reference — exponential in iteration depth (measured: the
+    salsa oracle went >120 s → 0.04 s at sf0.01 with materialization).
+    Materialization is a pure planner hint; results are unchanged.
+    ``WINDOW w AS (...)`` clauses are shielded — MATERIALIZED is invalid
+    there.
+    """
+    global _WINDOW_AS_RE
+    import re
+
+    if _WINDOW_AS_RE is None:
+        _WINDOW_AS_RE = (re.compile(r"(WINDOW\s+\w+\s+)AS\s*\(", re.I),
+                         re.compile(r"\bAS\s*\("))
+    win_re, as_re = _WINDOW_AS_RE
+    guards: dict[str, str] = {}
+
+    def _protect(m):
+        key = f"\x01WIN{len(guards)}\x01"
+        guards[key] = m.group(0)
+        return key
+
+    s = win_re.sub(_protect, sql)
+    s = as_re.sub("AS MATERIALIZED (", s)
+    for key, orig in guards.items():
+        s = s.replace(key, orig)
+    return s
+
+
 def oracle_sql():
+    return {k: _materialize_ctes(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw():
     return {
         "urllist_pipeline": Q_URLLIST_SQL,
         "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
