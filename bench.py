@@ -437,6 +437,8 @@ _EXTRA_PICKS = [
     "secrets",
     # round-3 batch (templates + http dates)
     "dom_templates", "http_dates",
+    # round-3 batch (web-archive keys + substring dedup + anchor index)
+    "surt_keys", "substring_dedup", "anchor_index",
 ]
 
 
