@@ -1,0 +1,147 @@
+"""Unit tests for the round-119 pack: SURT keys, exact duplicated-span
+dedup, anchor-text target index."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.webarchive import (anchor_index,
+                                                 duplicate_spans, surt_keys)
+
+# ---------------------------------------------------------------------------
+# surt_keys
+# ---------------------------------------------------------------------------
+
+
+def _surts(spark, urls):
+    rows = surt_keys(spark.createDataFrame([(u,) for u in urls],
+                                           "url string")).collect()
+    return {r["url"]: r["surt"] for r in rows}
+
+
+def test_surt_canonical_form(spark):
+    got = _surts(spark, ["http://www.Example.COM:80/Path?b=2&a=1#frag"])
+    assert got["http://www.Example.COM:80/Path?b=2&a=1#frag"] == \
+        "com,example)/Path?a=1&b=2"
+
+
+def test_surt_scheme_collapse_and_ports(spark):
+    got = _surts(spark, [
+        "https://a.test/p",        # default https port implied
+        "http://a.test:80/p",      # default http port dropped
+        "https://a.test:443/p",    # default https port dropped
+        "http://a.test:8080/p",    # non-default port kept
+    ])
+    assert got["https://a.test/p"] == "test,a)/p"
+    assert got["http://a.test:80/p"] == "test,a)/p"
+    assert got["https://a.test:443/p"] == "test,a)/p"
+    assert got["http://a.test:8080/p"] == "test,a:8080)/p"
+
+
+def test_surt_path_case_preserved_host_reversed(spark):
+    got = _surts(spark, ["http://news.bbc.co.uk/Sport/X"])
+    assert got["http://news.bbc.co.uk/Sport/X"] == "uk,co,bbc,news)/Sport/X"
+
+
+def test_surt_empty_query_and_root(spark):
+    got = _surts(spark, ["http://a.test/", "http://a.test", "http://a.test/p?"])
+    assert got["http://a.test/"] == "test,a)/"
+    assert got["http://a.test"] == "test,a)"
+    assert got["http://a.test/p?"] == "test,a)/p"
+
+
+def test_surt_sorts_by_site(spark):
+    # the point of SURT: one site's pages are contiguous under the key sort
+    urls = ["http://b.example.com/z", "http://a.example.com/a",
+            "http://b.example.com/a", "http://other.test/x"]
+    got = _surts(spark, urls)
+    ordered = sorted(urls, key=lambda u: got[u])
+    assert ordered[:1] == ["http://a.example.com/a"]
+    assert set(ordered[1:3]) == {"http://b.example.com/a",
+                                 "http://b.example.com/z"}
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+
+
+def test_duplicate_spans_cross_doc(spark):
+    shared = "one two three four five six seven eight"  # exactly k=8 tokens
+    out = {r["doc_id"]: r for r in duplicate_spans(_docs(spark, [
+        shared + " tail9 tailA",
+        "head0 " + shared,
+        "totally different words here nothing matches at all",
+    ]), k=8).collect()}
+    # doc0: 3 windows, window at pos1 == doc1's window at pos2
+    assert out[0]["n_windows"] == 3 and out[0]["n_dup_windows"] == 1
+    assert out[1]["n_windows"] == 2 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 0
+    assert out[0]["dup_frac"] == round(1 / 3, 6)
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    # the same 8-token run twice inside ONE doc: both windows duplicated
+    run = "a b c d e f g h"
+    out = duplicate_spans(_docs(spark, [run + " x " + run]), k=8).collect()[0]
+    assert out["n_dup_windows"] >= 2
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    out = {r["doc_id"]: r for r in duplicate_spans(_docs(spark, [
+        "", "   ", "one two three"]), k=8).collect()}
+    for i in range(3):
+        assert out[i]["n_windows"] == 0
+        assert out[i]["n_dup_windows"] == 0
+        assert out[i]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_no_false_positives(spark):
+    out = duplicate_spans(_docs(spark, [
+        " ".join(f"w{i}" for i in range(30)),
+        " ".join(f"v{i}" for i in range(30)),
+    ]), k=8).collect()
+    assert all(r["n_dup_windows"] == 0 for r in out)
+    assert all(r["n_windows"] == 23 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# anchor_index
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, href string, anchor_text string")
+
+
+def test_anchor_index_top_anchor_and_fanin(spark):
+    out = {r["href"]: r for r in anchor_index(_edges(spark, [
+        ("http://s1/a", "http://t/x", "docs"),
+        ("http://s1/b", "http://t/x", "docs"),
+        ("http://s2/a", "http://t/x", "home"),
+        ("http://s2/a", "http://t/y", ""),
+    ])).collect()}
+    x = out["http://t/x"]
+    assert x["n_links"] == 3 and x["n_sources"] == 3
+    assert x["top_anchor"] == "docs" and x["top_anchor_links"] == 2
+    y = out["http://t/y"]
+    assert y["n_links"] == 1 and y["top_anchor"] is None
+    assert y["top_anchor_links"] == 0
+
+
+def test_anchor_index_tie_breaks_bytewise(spark):
+    out = anchor_index(_edges(spark, [
+        ("s", "t", "beta"), ("s", "t", "alpha"),
+    ])).collect()[0]
+    assert out["top_anchor"] == "alpha"  # equal counts -> bytewise-ascending
+
+
+def test_anchor_index_sitewide_boilerplate_signal(spark):
+    # one source linking many times: n_links high, n_sources == 1
+    out = anchor_index(_edges(spark, [
+        ("s", "t", "nav")] * 5)).collect()[0]
+    assert out["n_links"] == 5 and out["n_sources"] == 1
