@@ -439,6 +439,8 @@ _EXTRA_PICKS = [
     "dom_templates", "http_dates",
     # round-3 batch (web-archive keys + substring dedup + anchor index)
     "surt_keys", "substring_dedup", "anchor_index",
+    # round-3 batch (timegate + link reciprocity + politeness audit + 429s)
+    "timegate", "reciprocal_links", "politeness_audit", "retry_after",
 ]
 
 

@@ -1,0 +1,225 @@
+"""Round-3 driver-contract queries (batch 114): Memento timegate,
+reciprocal-link detection, politeness compliance audit, Retry-After.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# timegate — RFC 7089 nearest-snapshot resolution
+# ---------------------------------------------------------------------------
+
+
+def _tg_snapshots(spark, sf) -> DataFrame:
+    """Snapshot store: one capture per event (event_id % 2 == 0), ~30 urls,
+    warc_ts = the event time."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    return ev.select(
+        F.concat(F.lit("http://a.test/p/"),
+                 (F.col("user_id") % 30).cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"))
+
+
+_TG_SNAPSHOTS_SQL = """
+  SELECT 'http://a.test/p/' || CAST(user_id % 30 AS VARCHAR) AS url,
+         ts AS warc_ts
+  FROM events WHERE event_id % 2 = 0
+"""
+
+
+def _tg_targets(spark, sf) -> DataFrame:
+    """Timegate requests: the odd events ask for their own timestamp at a
+    url they may or may not have snapshots for (user_id % 37 spreads some
+    requests onto missing urls)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 101 == 1)
+    return ev.select(
+        F.concat(F.lit("http://a.test/p/"),
+                 (F.col("user_id") % 37).cast("string")).alias("url"),
+        F.col("ts").alias("target_ts"))
+
+
+_TG_TARGETS_SQL = """
+  SELECT 'http://a.test/p/' || CAST(user_id % 37 AS VARCHAR) AS url,
+         ts AS target_ts
+  FROM events WHERE event_id % 101 = 1
+"""
+
+
+def q_timegate(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.timegate: one url equi-join + min over a
+    (delta, ts) struct — no window, single co-partitioned shuffle."""
+    return _wa.timegate(_tg_snapshots(spark, sf), _tg_targets(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# reciprocal_links — nepotistic host-pair detection
+# ---------------------------------------------------------------------------
+
+
+def _rl_edges(spark, sf) -> DataFrame:
+    """Host link graph: organic edges user→(3u+e)%30 plus a forced webring
+    among hosts 24..27 (every even event adds both directions)."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    organic = ev.select(
+        (u % 30).cast("long").alias("src"),
+        ((u * 3 + e) % 30).cast("long").alias("dst"))
+    ring_fwd = ev.filter(e % 13 == 0).select(
+        (24 + e % 4).cast("long").alias("src"),
+        (24 + (e + 1) % 4).cast("long").alias("dst"))
+    ring_back = ev.filter(e % 13 == 0).select(
+        (24 + (e + 1) % 4).cast("long").alias("src"),
+        (24 + e % 4).cast("long").alias("dst"))
+    return organic.unionByName(ring_fwd).unionByName(ring_back)
+
+
+_RL_EDGES_SQL = """
+  SELECT CAST(user_id % 30 AS BIGINT) AS src,
+         CAST((user_id * 3 + event_id) % 30 AS BIGINT) AS dst
+  FROM events
+  UNION ALL
+  SELECT CAST(24 + event_id % 4 AS BIGINT),
+         CAST(24 + (event_id + 1) % 4 AS BIGINT)
+  FROM events WHERE event_id % 13 = 0
+  UNION ALL
+  SELECT CAST(24 + (event_id + 1) % 4 AS BIGINT),
+         CAST(24 + event_id % 4 AS BIGINT)
+  FROM events WHERE event_id % 13 = 0
+"""
+
+
+def q_reciprocal_links(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.reciprocal_links: distinct edge set semi-joined
+    against its transpose — one pair-key shuffle, no iteration."""
+    return _graph.reciprocal_links(_rl_edges(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# politeness_audit — executed-log compliance vs crawl-delay rules
+# ---------------------------------------------------------------------------
+
+
+def _pa_fetches(spark, sf) -> DataFrame:
+    """Fetch log: host = user_id % 20, fetch_ms = epoch seconds * 1000 of
+    the event time (second resolution both engines — parquet NTZ timestamps;
+    irregular real-looking gaps), url from event_id."""
+    ev = _events(spark, sf)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.unix_timestamp("ts") * 1000).alias("fetch_ms"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"))
+
+
+_PA_FETCHES_SQL = """
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS fetch_ms,
+         'u' || CAST(event_id AS VARCHAR) AS url
+  FROM events
+"""
+
+
+def _pa_rules(spark, sf) -> DataFrame:
+    """Delay rules: hosts 0..14 declare (h+1)*40000 ms; 15..19 no rule."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % 20).cast("long")
+    return (ev.select(h.alias("h")).distinct().filter(F.col("h") < 15)
+            .select(F.concat(F.lit("h"), F.col("h").cast("string"),
+                             F.lit(".test")).alias("host"),
+                    ((F.col("h") + 1) * 40000).alias("crawl_delay_ms")))
+
+
+_PA_RULES_SQL = """
+  SELECT 'h' || CAST(h AS VARCHAR) || '.test' AS host,
+         (h + 1) * 40000 AS crawl_delay_ms
+  FROM (SELECT DISTINCT CAST(user_id % 20 AS BIGINT) AS h FROM events)
+  WHERE h < 15
+"""
+
+
+def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.politeness_audit: ONE per-host lag window +
+    one groupBy(host) + broadcast rules join."""
+    return _politeness.politeness_audit(_pa_fetches(spark, sf),
+                                        _pa_rules(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# retry_after — RFC 7231 delta-seconds / HTTP-date resolution
+# ---------------------------------------------------------------------------
+
+_RA_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_RA_MONTHS_SQL = "[" + ", ".join(f"'{m}'" for m in _RA_MONTHS) + "]"
+
+
+def _ra_rows(spark, sf) -> DataFrame:
+    """Retry-After values rotating on event_id % 3: delta-seconds /
+    IMF-fixdate / garbage; base ts = the event time."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 9 == 0)
+    day = F.lpad((F.col("event_id") % 28 + 1).cast("string"), 2, "0")
+    mon = F.element_at(F.array(*[F.lit(m) for m in _RA_MONTHS]),
+                       (F.col("event_id") % 12 + 1).cast("int"))
+    imf = F.concat(F.lit("Mon, "), day, F.lit(" "), mon,
+                   F.lit(" 2025 10:30:00 GMT"))
+    v = (F.when(F.col("event_id") % 3 == 0,
+                (F.col("event_id") % 600).cast("string"))
+         .when(F.col("event_id") % 3 == 1, imf)
+         .otherwise(F.lit("soon")))
+    return ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        v.alias("retry_after"), F.col("ts").alias("fetched_ts"))
+
+
+_RA_ROWS_SQL = f"""
+  SELECT 'u' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN CAST(event_id % 600 AS VARCHAR)
+      WHEN 1 THEN 'Mon, ' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+        || ' ' || {_RA_MONTHS_SQL}[CAST(event_id % 12 AS INT) + 1]
+        || ' 2025 10:30:00 GMT'
+      ELSE 'soon'
+    END AS retry_after,
+    ts AS fetched_ts
+  FROM events WHERE event_id % 9 = 0
+"""
+
+
+def q_retry_after(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.retry_after: pure projection (regexp +
+    try_to_timestamp coalesce + timestamp arithmetic), no shuffle."""
+    return _recrawl.retry_after(_ra_rows(spark, sf))
+
+
+def queries120():
+    return {
+        "timegate": q_timegate,
+        "reciprocal_links": q_reciprocal_links,
+        "politeness_audit": q_politeness_audit,
+        "retry_after": q_retry_after,
+    }
+
+
+def oracle_sql120():
+    return {
+        "timegate": _wa.timegate_sql(_TG_SNAPSHOTS_SQL, _TG_TARGETS_SQL),
+        "reciprocal_links": _graph.reciprocal_links_sql(_RL_EDGES_SQL),
+        "politeness_audit": _politeness.politeness_audit_sql(
+            _PA_FETCHES_SQL, _PA_RULES_SQL),
+        "retry_after": _recrawl.retry_after_sql(_RA_ROWS_SQL),
+    }

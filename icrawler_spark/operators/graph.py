@@ -3264,3 +3264,58 @@ SELECT node AS term, rank FROM ({pr})
 ORDER BY rank DESC, node ASC
 LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal (nepotistic) link detection
+# ---------------------------------------------------------------------------
+
+
+def reciprocal_links(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Per-host link reciprocity — the nepotistic-linking signal (Davison
+    2000, "Recognizing Nepotistic Links on the Web"): hosts whose
+    out-neighborhood largely links back are trading links (webrings, link
+    farms), not endorsing. Returns one row per linking host:
+    (host, n_out, n_reciprocal, recip_frac) over the DISTINCT host-pair
+    graph (self-loops dropped) — n_out distinct out-neighbors, n_reciprocal
+    those that also link back.
+
+    Scale shape: the distinct edge set semi-joins its own transpose on the
+    (dst, src) pair — one hash shuffle on host pairs; counts are a groupBy
+    on the src key. No windows, no iteration.
+    """
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    back = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(back, ["src", "dst"], "left_semi") \
+        .groupBy("src").agg(F.count("*").alias("n_reciprocal"))
+    out = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    return (out.join(recip, "src", "left")
+            .select(F.col("src").alias("host"),
+                    F.col("n_out").cast("long").alias("n_out"),
+                    F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+                    .alias("n_reciprocal"))
+            .withColumn("recip_frac",
+                        F.round(F.col("n_reciprocal") /
+                                F.col("n_out").cast("double"), 6)))
+
+
+def reciprocal_links_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`reciprocal_links` over (src, dst)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+), recip AS (
+  SELECT e.src, count(*) AS n_reciprocal
+  FROM e WHERE EXISTS (SELECT 1 FROM e b
+                       WHERE b.src = e.dst AND b.dst = e.src)
+  GROUP BY e.src
+), outd AS (
+  SELECT src, count(*) AS n_out FROM e GROUP BY src
+)
+SELECT o.src AS host, CAST(o.n_out AS BIGINT) AS n_out,
+  CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+  round(coalesce(r.n_reciprocal, 0) / CAST(o.n_out AS DOUBLE), 6) AS recip_frac
+FROM outd o LEFT JOIN recip r ON r.src = o.src
+"""

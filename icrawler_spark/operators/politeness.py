@@ -3625,3 +3625,74 @@ FROM (
   FROM z
 ) ORDER BY pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Politeness compliance audit (post-hoc fetch-log verification)
+# ---------------------------------------------------------------------------
+
+
+def politeness_audit(fetches: DataFrame, rules: DataFrame,
+                     host_col: str = "host", ts_col: str = "fetch_ms",
+                     url_col: str = "url",
+                     delay_col: str = "crawl_delay_ms") -> DataFrame:
+    """Audit a fetch log against per-host crawl-delay rules: per host,
+    the observed inter-arrival gaps vs the host's declared delay.
+
+    Returns (host, n_fetches, n_gaps, min_gap_ms, n_violations, compliant):
+    min_gap_ms NULL for single-fetch hosts; a violation is a gap STRICTLY
+    below the delay; hosts with no rule (or NULL delay) audit clean — no
+    declared floor to violate. The operator closes the loop on the
+    scheduler (token_bucket_batches etc. are *planned* politeness; this
+    verifies the *executed* log, which on a real cluster includes retry
+    and straggler reordering effects the plan never sees).
+
+    Ordering within a host is (fetch_ms, url) — a total order, so the audit
+    is deterministic under ties.
+
+    Scale shape: ONE window partitioned by host (lag) + one groupBy(host)
+    + a broadcast-size join against the rules table. Never a global window.
+    """
+    w = Window.partitionBy("host").orderBy("ts", "url")
+    f = fetches.select(F.col(host_col).alias("host"),
+                       F.col(ts_col).cast("long").alias("ts"),
+                       F.col(url_col).alias("url"))
+    gaps = f.withColumn("__gap", F.col("ts") - F.lag("ts").over(w))
+    r = rules.select(F.col(host_col).alias("host"),
+                     F.col(delay_col).cast("long").alias("__delay"))
+    g = gaps.join(F.broadcast(r), "host", "left")
+    agg = g.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.min("__gap").cast("long").alias("min_gap_ms"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gap") < F.col("__delay"), 1)
+                  .otherwise(0)), F.lit(0)).cast("long")
+        .alias("n_violations"))
+    return agg.withColumn("compliant",
+                          (F.col("n_violations") == 0).cast("int"))
+
+
+def politeness_audit_sql(fetches_sql: str, rules_sql: str) -> str:
+    """DuckDB mirror of :func:`politeness_audit` over
+    (host, fetch_ms, url) fetches and (host, crawl_delay_ms) rules."""
+    return f"""
+WITH f AS (
+  SELECT host, CAST(fetch_ms AS BIGINT) AS ts, url FROM ({fetches_sql})
+), gaps AS (
+  SELECT host, ts,
+    ts - lag(ts) OVER (PARTITION BY host ORDER BY ts, url) AS gap
+  FROM f
+), g AS (
+  SELECT gaps.*, r.crawl_delay_ms AS delay
+  FROM gaps LEFT JOIN ({rules_sql}) r ON r.host = gaps.host
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(min(gap) AS BIGINT) AS min_gap_ms,
+  CAST(coalesce(sum(CASE WHEN gap < delay THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violations,
+  CAST(coalesce(sum(CASE WHEN gap < delay THEN 1 ELSE 0 END), 0) = 0 AS INT)
+    AS compliant
+FROM g GROUP BY host
+"""

@@ -3958,3 +3958,65 @@ SELECT {keys}, {value_col} AS raw,
     ELSE 'invalid' END AS fmt
 FROM ({rows_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# Retry-After header resolution (RFC 7231 §7.1.3)
+# ---------------------------------------------------------------------------
+
+
+def retry_after(headers: DataFrame, value_col: str = "retry_after",
+                base_col: str = "fetched_ts",
+                key_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Resolve ``Retry-After`` into the next allowed fetch time. RFC 7231
+    permits two spellings: delta-seconds (``120``) or an HTTP-date (any of
+    the three RFC 7231 formats — parsed with the same coalesce chain as
+    :func:`http_dates`). 429/503 responses carry it; a scheduler that
+    ignores it re-hammers a throttling host.
+
+    Returns key columns + (raw, next_ok_ts, kind) — kind one of
+    delta / http_date / invalid; invalid values yield NULL next_ok_ts
+    (scheduler falls back to its own backoff).
+
+    Scale shape: pure projection (regexp + try_to_timestamp coalesce chain
+    + timestamp arithmetic) fused into the response scan; no shuffle.
+    """
+    v = F.trim(F.col(value_col))
+    norm = F.regexp_replace(v, " +", " ")
+    is_delta = v.rlike(r"^[0-9]+$")
+    delta_ts = F.timestamp_add(
+        "SECOND", v.cast("long"), F.col(base_col))
+    date_ts = None
+    for _, strip, spat, _ in HTTP_DATE_FORMATS:
+        t = F.try_to_timestamp(F.regexp_replace(norm, strip, ""),
+                               F.lit(spat))
+        date_ts = t if date_ts is None else F.coalesce(date_ts, t)
+    return headers.select(
+        *[F.col(c) for c in key_cols], v.alias("raw"),
+        F.when(is_delta, delta_ts).otherwise(date_ts).alias("next_ok_ts"),
+        F.when(is_delta, F.lit("delta"))
+        .when(date_ts.isNotNull(), F.lit("http_date"))
+        .otherwise(F.lit("invalid")).alias("kind"))
+
+
+def retry_after_sql(rows_sql: str, value_col: str = "retry_after",
+                    base_col: str = "fetched_ts",
+                    key_cols: tuple[str, ...] = ("url",)) -> str:
+    """DuckDB mirror of :func:`retry_after`."""
+    v = f"trim({value_col})"
+    norm = f"regexp_replace({v}, ' +', ' ', 'g')"
+    tries = [
+        f"try_strptime(regexp_replace({norm}, '{strip}', ''), '{dpat}')"
+        for _, strip, _, dpat in HTTP_DATE_FORMATS]
+    date_ts = f"coalesce({', '.join(tries)})"
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT {keys}, {v} AS raw,
+  CASE WHEN regexp_matches({v}, '^[0-9]+$')
+       THEN {base_col} + to_seconds(CAST({v} AS BIGINT))
+       ELSE {date_ts} END AS next_ok_ts,
+  CASE WHEN regexp_matches({v}, '^[0-9]+$') THEN 'delta'
+       WHEN {date_ts} IS NOT NULL THEN 'http_date'
+       ELSE 'invalid' END AS kind
+FROM ({rows_sql})
+"""

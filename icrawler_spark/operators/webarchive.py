@@ -279,3 +279,59 @@ SELECT t.href, CAST(t.n_links AS BIGINT) AS n_links,
   top.top_anchor, CAST(coalesce(top.top_anchor_links, 0) AS BIGINT) AS top_anchor_links
 FROM tot t LEFT JOIN top ON t.href = top.href AND top.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Memento timegate resolution (RFC 7089)
+# ---------------------------------------------------------------------------
+
+
+def timegate(snapshots: DataFrame, targets: DataFrame,
+             url_col: str = "url", ts_col: str = "warc_ts",
+             target_col: str = "target_ts") -> DataFrame:
+    """RFC 7089 timegate: for each (url, target_ts) request, resolve the
+    memento — the stored snapshot whose capture time is CLOSEST to the
+    requested datetime (ties break to the earlier capture, Wayback's
+    behavior). Returns (url, target_ts, memento_ts, delta_s); requests for
+    urls with no snapshots are omitted (a 404 timegate).
+
+    Scale shape: one equi-join on url (snapshots per url are bounded by
+    capture frequency) + min over a (|delta|, ts) struct — no window, no
+    sort, single shuffle co-partitioned with the snapshot table's natural
+    url bucketing.
+    """
+    snaps = snapshots.select(F.col(url_col).alias("url"),
+                             F.col(ts_col).alias("__sts"))
+    req = targets.select(F.col(url_col).alias("url"),
+                         F.col(target_col).alias("target_ts"))
+    j = req.join(snaps, "url")
+    delta = F.abs(F.unix_timestamp("__sts") - F.unix_timestamp("target_ts"))
+    best = (j.groupBy("url", "target_ts")
+            .agg(F.min(F.struct(delta.alias("d"), F.col("__sts").alias("ts")))
+                 .alias("__best")))
+    return best.select(
+        "url", "target_ts",
+        F.col("__best.ts").alias("memento_ts"),
+        F.col("__best.d").cast("long").alias("delta_s"))
+
+
+def timegate_sql(snapshots_sql: str, targets_sql: str) -> str:
+    """DuckDB mirror of :func:`timegate` over (url, warc_ts) snapshots and
+    (url, target_ts) requests."""
+    return f"""
+WITH j AS (
+  SELECT t.url, t.target_ts, s.warc_ts,
+    -- floor(epoch): match Spark unix_timestamp's truncation of
+    -- sub-second capture times (CAST in DuckDB would round-half-even)
+    abs(CAST(floor(epoch(s.warc_ts)) AS BIGINT)
+        - CAST(floor(epoch(t.target_ts)) AS BIGINT)) AS d
+  FROM ({targets_sql}) t JOIN ({snapshots_sql}) s ON s.url = t.url
+), r AS (
+  SELECT url, target_ts, warc_ts, d,
+    row_number() OVER (PARTITION BY url, target_ts
+                       ORDER BY d, warc_ts) AS rn
+  FROM j
+)
+SELECT url, target_ts, warc_ts AS memento_ts, CAST(d AS BIGINT) AS delta_s
+FROM r WHERE rn = 1
+"""

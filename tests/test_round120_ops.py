@@ -1,0 +1,122 @@
+"""Unit tests for the round-120 pack: Memento timegate, reciprocal links,
+politeness audit, Retry-After."""
+
+from __future__ import annotations
+
+import datetime
+
+from icrawler_spark.operators.graph import reciprocal_links
+from icrawler_spark.operators.politeness import politeness_audit
+from icrawler_spark.operators.recrawl import retry_after
+from icrawler_spark.operators.webarchive import timegate
+
+# ---------------------------------------------------------------------------
+# timegate
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_timegate_picks_closest_and_breaks_ties_earlier(spark):
+    snaps = spark.createDataFrame([
+        ("u", _ts("2024-01-01T00:00:00")),
+        ("u", _ts("2024-01-01T00:02:00")),
+        ("u", _ts("2024-01-01T00:03:00")),
+    ], "url string, warc_ts timestamp")
+    targets = spark.createDataFrame([
+        ("u", _ts("2024-01-01T00:01:50")),   # closest = 00:02:00
+        ("u", _ts("2024-01-01T00:01:00")),   # tie 60s both sides -> earlier
+    ], "url string, target_ts timestamp")
+    got = {r["target_ts"].isoformat(): r
+           for r in timegate(snaps, targets).collect()}
+    assert got["2024-01-01T00:01:50"]["memento_ts"] == _ts("2024-01-01T00:02:00")
+    assert got["2024-01-01T00:01:50"]["delta_s"] == 10
+    assert got["2024-01-01T00:01:00"]["memento_ts"] == _ts("2024-01-01T00:00:00")
+
+
+def test_timegate_missing_url_omitted(spark):
+    snaps = spark.createDataFrame([("u", _ts("2024-01-01T00:00:00"))],
+                                  "url string, warc_ts timestamp")
+    targets = spark.createDataFrame([("v", _ts("2024-01-01T00:00:00"))],
+                                    "url string, target_ts timestamp")
+    assert timegate(snaps, targets).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# reciprocal_links
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_reciprocal_ring_vs_one_way(spark):
+    out = {r["host"]: r for r in reciprocal_links(_edges(spark, [
+        ("a", "b"), ("b", "a"),          # reciprocal pair
+        ("a", "c"),                      # one-way
+        ("c", "d"), ("c", "d"),          # duplicate edge collapses
+    ])).collect()}
+    assert out["a"]["n_out"] == 2 and out["a"]["n_reciprocal"] == 1
+    assert out["a"]["recip_frac"] == 0.5
+    assert out["b"]["n_out"] == 1 and out["b"]["recip_frac"] == 1.0
+    assert out["c"]["n_out"] == 1 and out["c"]["n_reciprocal"] == 0
+
+
+def test_reciprocal_self_loops_dropped(spark):
+    out = reciprocal_links(_edges(spark, [("a", "a"), ("a", "b")])).collect()
+    assert len(out) == 1 and out[0]["n_out"] == 1
+
+
+# ---------------------------------------------------------------------------
+# politeness_audit
+# ---------------------------------------------------------------------------
+
+
+def test_politeness_audit_counts_violations(spark):
+    fetches = spark.createDataFrame([
+        ("h", 0, "u1"), ("h", 500, "u2"), ("h", 2000, "u3"),
+        ("g", 0, "u4"),
+    ], "host string, fetch_ms long, url string")
+    rules = spark.createDataFrame([("h", 1000)],
+                                  "host string, crawl_delay_ms long")
+    out = {r["host"]: r for r in politeness_audit(fetches, rules).collect()}
+    h = out["h"]
+    assert h["n_fetches"] == 3 and h["n_gaps"] == 2
+    assert h["min_gap_ms"] == 500
+    assert h["n_violations"] == 1 and h["compliant"] == 0
+    g = out["g"]  # no rule, single fetch: clean
+    assert g["min_gap_ms"] is None and g["compliant"] == 1
+
+
+def test_politeness_audit_no_rule_never_violates(spark):
+    fetches = spark.createDataFrame(
+        [("h", i, f"u{i}") for i in range(5)],
+        "host string, fetch_ms long, url string")
+    rules = spark.createDataFrame([], "host string, crawl_delay_ms long")
+    out = politeness_audit(fetches, rules).collect()[0]
+    assert out["n_violations"] == 0 and out["compliant"] == 1
+    assert out["min_gap_ms"] == 1
+
+
+# ---------------------------------------------------------------------------
+# retry_after
+# ---------------------------------------------------------------------------
+
+
+def test_retry_after_delta_and_date_and_invalid(spark):
+    base = _ts("2024-06-01T12:00:00")
+    rows = spark.createDataFrame([
+        ("u1", "120", base),
+        ("u2", "Wed, 05 Jun 2024 10:00:00 GMT", base),
+        ("u3", "soon", base),
+    ], "url string, retry_after string, fetched_ts timestamp")
+    got = {r["url"]: r for r in retry_after(rows).collect()}
+    assert got["u1"]["kind"] == "delta"
+    assert got["u1"]["next_ok_ts"] == _ts("2024-06-01T12:02:00")
+    assert got["u2"]["kind"] == "http_date"
+    assert got["u2"]["next_ok_ts"] == _ts("2024-06-05T10:00:00")
+    assert got["u3"]["kind"] == "invalid"
+    assert got["u3"]["next_ok_ts"] is None
