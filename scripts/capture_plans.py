@@ -286,6 +286,38 @@ def main() -> None:
         "keeps the logical plan linear in the iteration count.",
     ))
 
+    # 13. exact duplicated-span dedup (webarchive pack)
+    from icrawler_spark.operators import webarchive as _wa
+
+    sections.append((
+        "Exact duplicated-span dedup (Lee et al. k-token windows)",
+        fmt(_wa.duplicate_spans(docs.select("doc_id", "text"), k=8)),
+        "The distributed suffix-array-dedup equivalent. What to check:\n"
+        "tokenization + per-doc window hashing are array expressions inside\n"
+        "the scan projection (no shuffle before the explode); the ONE\n"
+        "Exchange hashes on the fixed-width md5 window hash — document text\n"
+        "never crosses the wire; the duplicated-hash set flows back through\n"
+        "a left-semi join co-partitioned with the same hash key, and the\n"
+        "per-doc profile is a groupBy(doc_id) with map-side partial agg.",
+    ))
+
+    # 14. Memento timegate (struct-min, no window)
+    snaps = ev.select(F.expr(q._EVENT_URL_EXPR).alias("url"),
+                      F.col("ts").alias("warc_ts"))
+    targets = ev.filter(F.col("event_id") % 101 == 1).select(
+        F.expr(q._EVENT_URL_EXPR).alias("url"), F.col("ts").alias("target_ts"))
+    sections.append((
+        "Memento timegate resolution (RFC 7089)",
+        fmt(_wa.timegate(snaps, targets)),
+        "Nearest-snapshot lookup. What to check: one equi-join on url\n"
+        "followed by a min() over a (delta, ts) struct — a two-phase\n"
+        "SortAggregate (struct mins are sort-based in Spark) with a\n"
+        "map-side partial min, NOT a row_number window (no per-key sort\n"
+        "state held across the whole partition, no skew cliff on\n"
+        "heavily-captured urls); both sides hash on url so the join is\n"
+        "co-partitioned with the aggregate that follows.",
+    ))
+
     header = (
         "# PLANS — physical plans of the core operators\n\n"
         "Captured `explain(\"formatted\")` output (operator tree section) for the\n"
