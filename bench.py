@@ -441,6 +441,8 @@ _EXTRA_PICKS = [
     "surt_keys", "substring_dedup", "anchor_index",
     # round-3 batch (timegate + link reciprocity + politeness audit + 429s)
     "timegate", "reciprocal_links", "politeness_audit", "retry_after",
+    # round-3 batch (WET/WAT sidecars + dirtree rollup)
+    "wet_export", "wat_export", "dirtree",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Round-3 driver-contract queries (batch 115): WET/WAT sidecar export,
+site directory-tree rollup.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle. The WAT
+fixture deliberately avoids JSON-special characters (quotes, backslashes)
+in urls/titles — Spark renders the payload via ``to_json`` (which escapes)
+while the oracle builds the string by hand (which doesn't); the operator
+contract documents the envelope as JSON, the parity domain is the
+escape-free fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import warc as _warc
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# wet_export — extracted-text conversion records
+# ---------------------------------------------------------------------------
+
+
+def _wet_pages(spark, sf) -> DataFrame:
+    """Texts with a newline and a non-ASCII char (byte-vs-char length)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 8 == 0)
+    return ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p/"), F.col("event_id").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("text line one "), F.col("event_id").cast("string"),
+                 F.lit("\nличная строка")).alias("text"),
+        F.col("ts").alias("warc_ts"))
+
+
+_WET_PAGES_SQL = """
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || event_id AS url,
+         'text line one ' || event_id || chr(10) || 'личная строка' AS text,
+         ts AS warc_ts
+  FROM events WHERE event_id % 8 = 0
+"""
+
+
+def q_wet_export(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.to_wet_records: pure string-building projection,
+    no shuffle; Refers-To cross-links the WARC response record."""
+    return _warc.to_wet_records(_wet_pages(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# wat_export — metadata JSON records
+# ---------------------------------------------------------------------------
+
+
+def _wat_pages(spark, sf) -> DataFrame:
+    """HTML with title (whitespace to collapse), links and images; one lane
+    (event_id % 3 == 2) has no title and no links."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 10 == 0)
+    eid = F.col("event_id").cast("string")
+    rich = F.concat(
+        F.lit("<html><head><title>  Page  "), eid,
+        F.lit(" </title></head><body><a href=\"/a\">x</a>"
+              "<a href=\"/b\">y</a><img src=\"/i.png\"></body></html>"))
+    bare = F.concat(F.lit("<html><body>plain "), eid,
+                    F.lit("</body></html>"))
+    return ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p/"), eid).alias("url"),
+        F.when(F.col("event_id") % 3 == 2, bare).otherwise(rich).alias("html"),
+        F.col("ts").alias("warc_ts"))
+
+
+_WAT_PAGES_SQL = """
+  SELECT 'http://h' || (user_id % 20) || '.test/p/' || event_id AS url,
+    CASE WHEN event_id % 3 = 2
+      THEN '<html><body>plain ' || event_id || '</body></html>'
+      ELSE '<html><head><title>  Page  ' || event_id
+        || ' </title></head><body><a href="/a">x</a>'
+        || '<a href="/b">y</a><img src="/i.png"></body></html>'
+    END AS html,
+    ts AS warc_ts
+  FROM events WHERE event_id % 10 = 0
+"""
+
+
+def q_wat_export(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.to_wat_records: title/link/img features are regexp
+    projections in the scan — html never leaves the stage."""
+    return _warc.to_wat_records(_wat_pages(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# dirtree — per-(host, section) rollup
+# ---------------------------------------------------------------------------
+
+
+def _dt_urls(spark, sf) -> DataFrame:
+    """URLs over 10 hosts × 4 sections with varying depth; some root pages
+    and some query strings to ignore."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    sec = (F.when(e % 5 == 0, F.lit("/forum/t"))
+           .when(e % 5 == 1, F.lit("/wiki/page"))
+           .when(e % 5 == 2, F.lit("/static/img/deep"))
+           .when(e % 5 == 3, F.lit("")).otherwise(F.lit("/blog")))
+    tail = (F.when(e % 7 == 0, F.lit("?sid=9")).otherwise(F.lit("")))
+    return ev.select(
+        F.concat(F.lit("HTTP://H"), (F.col("user_id") % 10).cast("string"),
+                 F.lit(".test"), sec,
+                 F.when(sec == "", F.lit("")).otherwise(
+                     F.concat(F.lit("/"), e.cast("string"))),
+                 tail).alias("url"),
+        (F.length(F.col("props")) + 100).cast("long").alias("bytes"))
+
+
+_DT_URLS_SQL = """
+  SELECT 'HTTP://H' || (user_id % 10) || '.test'
+    || (CASE CAST(event_id % 5 AS INT)
+          WHEN 0 THEN '/forum/t' WHEN 1 THEN '/wiki/page'
+          WHEN 2 THEN '/static/img/deep' WHEN 3 THEN '' ELSE '/blog' END)
+    || (CASE WHEN event_id % 5 = 3 THEN ''
+             ELSE '/' || CAST(event_id AS VARCHAR) END)
+    || (CASE WHEN event_id % 7 = 0 THEN '?sid=9' ELSE '' END) AS url,
+    CAST(len(props) + 100 AS BIGINT) AS bytes
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_dirtree(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.dirtree_rollup: fixed-arity rollup key (no
+    prefix explosion), ONE groupBy(host, section)."""
+    return _wa.dirtree_rollup(_dt_urls(spark, sf), bytes_col="bytes")
+
+
+def queries121():
+    return {
+        "wet_export": q_wet_export,
+        "wat_export": q_wat_export,
+        "dirtree": q_dirtree,
+    }
+
+
+def oracle_sql121():
+    return {
+        "wet_export": _warc.to_wet_records_sql(_WET_PAGES_SQL),
+        "wat_export": _warc.to_wat_records_sql(_WAT_PAGES_SQL),
+        "dirtree": _wa.dirtree_rollup_sql(_DT_URLS_SQL, with_bytes=True),
+    }

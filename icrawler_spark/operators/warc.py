@@ -1460,3 +1460,157 @@ SELECT host, md5(array_to_string(tags, '>')) AS fingerprint,
   min(url) AS sample_url
 FROM base GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# WET / WAT sidecar generation (Common Crawl's companion formats)
+# ---------------------------------------------------------------------------
+
+
+def to_wet_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, text, warc_ts) → WET ``conversion`` records — the
+    extracted-text sidecar Common Crawl publishes next to each WARC
+    (``WARC-Type: conversion``, ``Content-Type: text/plain``; the
+    ``WARC-Refers-To`` id points at the response record, derived here with
+    the exact same url+date identity rule as :func:`to_warc_records`, so the
+    two exports cross-link without a join).
+
+    Returns (url, record_id, refers_to, content_length, record).
+    ``content_length`` counts text BYTES (utf-8), per spec.
+
+    Scale shape: pure string-building projection fused into the texts scan —
+    no shuffle; writing partitions by whatever the caller's sink dictates.
+    """
+    url = F.col(url_col)
+    text = F.col(text_col)
+    wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    refers = F.concat(F.lit("<urn:uuid:"),
+                      F.md5(F.concat_ws("", url, wdate)), F.lit(">"))
+    rec_id = F.concat(F.lit("<urn:uuid:"),
+                      F.md5(F.concat_ws("", url, wdate, F.lit("wet"))),
+                      F.lit(">"))
+    clen = F.length(F.encode(text, "utf-8"))
+    crlf = "\r\n"
+    header = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf
+              + "WARC-Target-URI: "), url,
+        F.lit(crlf + "WARC-Date: "), wdate,
+        F.lit(crlf + "WARC-Record-ID: "), rec_id,
+        F.lit(crlf + "WARC-Refers-To: "), refers,
+        F.lit(crlf + "Content-Type: text/plain" + crlf + "Content-Length: "),
+        clen.cast("string"))
+    return pages.select(
+        url.alias("url"), rec_id.alias("record_id"),
+        refers.alias("refers_to"),
+        clen.cast("long").alias("content_length"),
+        F.concat(header, F.lit(crlf + crlf), text).alias("record"))
+
+
+def to_wet_records_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`to_wet_records` over (url, text, warc_ts)."""
+    return """
+WITH rendered AS (
+  SELECT url, text,
+    strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+    octet_length(encode(text)) AS clen
+  FROM ({pages_sql})
+), ids AS (
+  SELECT url, text, wdate, clen,
+    '<urn:uuid:' || md5(url || wdate) || '>' AS refers_to,
+    '<urn:uuid:' || md5(url || wdate || 'wet') || '>' AS record_id
+  FROM rendered
+)
+SELECT url, record_id, refers_to, CAST(clen AS BIGINT) AS content_length,
+  'WARC/1.0' || chr(13) || chr(10)
+  || 'WARC-Type: conversion' || chr(13) || chr(10)
+  || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+  || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+  || 'WARC-Record-ID: ' || record_id || chr(13) || chr(10)
+  || 'WARC-Refers-To: ' || refers_to || chr(13) || chr(10)
+  || 'Content-Type: text/plain' || chr(13) || chr(10)
+  || 'Content-Length: ' || clen || chr(13) || chr(10)
+  || chr(13) || chr(10) || text AS record
+FROM ids
+""".replace("{pages_sql}", pages_sql)
+
+
+def to_wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, html, warc_ts) → WAT ``metadata`` records: per-capture JSON
+    envelope (title, outlink count, image count, html byte length) — the
+    link-graph/metadata sidecar Common Crawl ships so consumers can build
+    webgraphs without parsing HTML themselves.
+
+    The JSON payload is built with ``to_json(struct(...))`` — canonical
+    key order, engine-portable. Returns (url, record_id, n_links, n_imgs,
+    title, payload). Title whitespace is collapsed; a page without a
+    <title> yields the empty string (Common Crawl's WAT does the same).
+
+    Scale shape: counting links/imgs is ``size(regexp_extract_all(...))``
+    inside the scan projection — the html column never leaves the stage;
+    no shuffle.
+    """
+    url = F.col(url_col)
+    html = F.col(html_col).cast("string")
+    wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rec_id = F.concat(F.lit("<urn:uuid:"),
+                      F.md5(F.concat_ws("", url, wdate, F.lit("wat"))),
+                      F.lit(">"))
+    title = F.trim(F.regexp_replace(
+        F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1),
+        r"\s+", " "))
+    n_links = F.size(F.regexp_extract_all(
+        html, F.lit(r'<a\s[^>]*href="([^"]*)"'), F.lit(1)))
+    n_imgs = F.size(F.regexp_extract_all(
+        html, F.lit(r'<img\s[^>]*src="([^"]*)"'), F.lit(1)))
+    payload = F.to_json(F.struct(
+        url.alias("u"), wdate.alias("d"), title.alias("t"),
+        n_links.cast("long").alias("l"), n_imgs.cast("long").alias("i"),
+        F.length(F.encode(html, "utf-8")).cast("long").alias("b")))
+    return pages.select(
+        url.alias("url"), rec_id.alias("record_id"),
+        n_links.cast("long").alias("n_links"),
+        n_imgs.cast("long").alias("n_imgs"),
+        title.alias("title"), payload.alias("payload"))
+
+
+def to_wat_records_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`to_wat_records` over (url, html, warc_ts).
+
+    The JSON payload is rendered with explicit string building in the same
+    key order as Spark's ``to_json`` (struct field order), so the two
+    engines emit byte-identical envelopes."""
+    return """
+WITH base AS (
+  SELECT url, CAST(html AS VARCHAR) AS h,
+    strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate
+  FROM ({pages_sql})
+), feats AS (
+  SELECT url, wdate,
+    trim(regexp_replace(
+      coalesce(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1), ''),
+      '\\s+', ' ', 'g')) AS title,
+    len(regexp_extract_all(h, '<a\\s[^>]*href="([^"]*)"', 1)) AS n_links,
+    len(regexp_extract_all(h, '<img\\s[^>]*src="([^"]*)"', 1)) AS n_imgs,
+    octet_length(encode(h)) AS b
+  FROM base
+)
+SELECT url,
+  '<urn:uuid:' || md5(url || wdate || 'wat') || '>' AS record_id,
+  CAST(n_links AS BIGINT) AS n_links,
+  CAST(n_imgs AS BIGINT) AS n_imgs,
+  title,
+  '{"u":"' || url || '","d":"' || wdate || '","t":"' || title
+    || '","l":' || n_links || ',"i":' || n_imgs || ',"b":' || b || '}'
+    AS payload
+FROM feats
+""".replace("{pages_sql}", pages_sql)

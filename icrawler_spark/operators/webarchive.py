@@ -335,3 +335,65 @@ WITH j AS (
 SELECT url, target_ts, warc_ts AS memento_ts, CAST(d AS BIGINT) AS delta_s
 FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Site directory-tree rollup (per-section crawl accounting)
+# ---------------------------------------------------------------------------
+
+
+def dirtree_rollup(pages: DataFrame, url_col: str = "url",
+                   bytes_col: str | None = None) -> DataFrame:
+    """Roll a URL set up to (host, first path segment): pages per site
+    section, distinct max depth, and optionally total bytes. The per-site
+    accounting view behind section-level crawl budgets ("/forum is 80% of
+    the host's pages"), robots-exclusion impact estimates and seed-list
+    audits. Root pages roll up under section ''.
+
+    Depth counts path segments ('/a/b/c' → 3, '/' and '' → 0).
+
+    Scale shape: host/section/depth are regexp projections in the scan;
+    ONE groupBy(host, section). No explode — the rollup key is fixed-arity,
+    unlike a full path-prefix explosion which multiplies rows by depth.
+    """
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)", 1)
+    section = F.regexp_extract(path, r"^/([^/]+)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != "")) \
+        .cast("long")
+    cols = [host.alias("host"), section.alias("section"),
+            depth.alias("__depth")]
+    if bytes_col is not None:
+        cols.append(F.col(bytes_col).cast("long").alias("__bytes"))
+    base = pages.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n_pages"),
+            F.max("__depth").cast("long").alias("max_depth")]
+    if bytes_col is not None:
+        aggs.append(F.sum("__bytes").cast("long").alias("total_bytes"))
+    return base.groupBy("host", "section").agg(*aggs)
+
+
+def dirtree_rollup_sql(pages_sql: str, with_bytes: bool = False) -> str:
+    """DuckDB mirror of :func:`dirtree_rollup` over (url[, bytes])."""
+    bytes_sel = ", CAST(bytes AS BIGINT) AS b" if with_bytes else ""
+    bytes_agg = (", CAST(sum(b) AS BIGINT) AS total_bytes"
+                 if with_bytes else "")
+    return f"""
+WITH base AS (
+  SELECT
+    lower(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1)) AS host,
+    regexp_extract(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/?#]*(/[^?#]*)', 1),
+      '^/([^/]+)', 1) AS section,
+    len(list_filter(string_split(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/?#]*(/[^?#]*)', 1), '/'),
+      s -> s <> '')) AS depth{bytes_sel}
+  FROM ({pages_sql})
+)
+SELECT host, section, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(max(depth) AS BIGINT) AS max_depth{bytes_agg}
+FROM base GROUP BY host, section
+"""

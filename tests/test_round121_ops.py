@@ -1,0 +1,104 @@
+"""Unit tests for the round-121 pack: WET/WAT sidecar export, dirtree
+rollup."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from icrawler_spark.operators.warc import (to_warc_records, to_wat_records,
+                                           to_wet_records)
+from icrawler_spark.operators.webarchive import dirtree_rollup
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# WET
+# ---------------------------------------------------------------------------
+
+
+def test_wet_record_structure_and_byte_length(spark):
+    pages = spark.createDataFrame(
+        [("http://a.test/p", "héllo\nworld", _ts("2024-03-01T10:00:00"))],
+        "url string, text string, warc_ts timestamp")
+    r = to_wet_records(pages).collect()[0]
+    assert r["record"].startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert "WARC-Target-URI: http://a.test/p\r\n" in r["record"]
+    assert "Content-Type: text/plain\r\n" in r["record"]
+    assert r["record"].endswith("\r\n\r\nhéllo\nworld")
+    # é is 2 utf-8 bytes: 11 chars -> 12 bytes
+    assert r["content_length"] == len("héllo\nworld".encode())
+
+
+def test_wet_refers_to_matches_warc_response_id(spark):
+    pages = spark.createDataFrame(
+        [("http://a.test/p", "body", _ts("2024-03-01T10:00:00"))],
+        "url string, text string, warc_ts timestamp")
+    warc = to_warc_records(pages.withColumnRenamed("text", "body")).collect()[0]
+    wet = to_wet_records(pages).collect()[0]
+    assert wet["refers_to"] == warc["record_id"]
+    assert wet["record_id"] != warc["record_id"]
+
+
+# ---------------------------------------------------------------------------
+# WAT
+# ---------------------------------------------------------------------------
+
+
+def test_wat_features_and_json_payload(spark):
+    html = ('<html><head><title> A  B </title></head><body>'
+            '<a href="/x">l</a><a href="/y">m</a>'
+            '<img src="/i.png"></body></html>')
+    pages = spark.createDataFrame(
+        [("http://a.test/p", html, _ts("2024-03-01T10:00:00"))],
+        "url string, html string, warc_ts timestamp")
+    r = to_wat_records(pages).collect()[0]
+    assert r["title"] == "A B"
+    assert r["n_links"] == 2 and r["n_imgs"] == 1
+    p = json.loads(r["payload"])
+    assert p["u"] == "http://a.test/p" and p["t"] == "A B"
+    assert p["l"] == 2 and p["i"] == 1
+    assert p["b"] == len(html.encode())
+
+
+def test_wat_no_title_no_links(spark):
+    pages = spark.createDataFrame(
+        [("u", "<html><body>x</body></html>", _ts("2024-03-01T10:00:00"))],
+        "url string, html string, warc_ts timestamp")
+    r = to_wat_records(pages).collect()[0]
+    assert r["title"] == "" and r["n_links"] == 0 and r["n_imgs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dirtree_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_dirtree_sections_depth_bytes(spark):
+    pages = spark.createDataFrame([
+        ("http://A.test/forum/t/1", 10),
+        ("http://a.test/forum/t/2/3?q=1", 20),
+        ("http://a.test/wiki", 5),
+        ("http://a.test/", 1),
+        ("http://a.test", 1),
+        ("http://b.test/x", 7),
+    ], "url string, bytes long")
+    out = {(r["host"], r["section"]): r
+           for r in dirtree_rollup(pages, bytes_col="bytes").collect()}
+    forum = out[("a.test", "forum")]
+    assert forum["n_pages"] == 2 and forum["max_depth"] == 4
+    assert forum["total_bytes"] == 30
+    assert out[("a.test", "wiki")]["max_depth"] == 1
+    root = out[("a.test", "")]
+    assert root["n_pages"] == 2 and root["max_depth"] == 0
+    assert ("b.test", "x") in out
+
+
+def test_dirtree_without_bytes_column(spark):
+    pages = spark.createDataFrame([("http://a.test/s/p",)], "url string")
+    out = dirtree_rollup(pages).collect()[0]
+    assert out["n_pages"] == 1 and out["max_depth"] == 2
+    assert "total_bytes" not in out.asDict()
