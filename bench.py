@@ -443,6 +443,8 @@ _EXTRA_PICKS = [
     "timegate", "reciprocal_links", "politeness_audit", "retry_after",
     # round-3 batch (WET/WAT sidecars + dirtree rollup)
     "wet_export", "wat_export", "dirtree",
+    # round-3 batch (provenance + circuit breaker + fairness + CAS)
+    "frontier_provenance", "host_circuit", "jain_fairness", "cas_savings",
 ]
 
 

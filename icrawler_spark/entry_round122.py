@@ -1,0 +1,164 @@
+"""Round-3 driver-contract queries (batch 116): frontier provenance,
+host circuit breaker, Jain fairness, CAS dedup savings.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# frontier_provenance
+# ---------------------------------------------------------------------------
+
+
+def _fp_candidates(spark, sf) -> DataFrame:
+    """Discovery stream: each event mentions a url (event_id % 200) from a
+    source chosen by event_id % 7 (anchors dominate, as in real crawls);
+    rank = event_id (global discovery order)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    src = (F.when(e % 7 == 0, F.lit("seed"))
+           .when(e % 7 == 1, F.lit("sitemap"))
+           .otherwise(F.lit("anchor")))
+    return ev.select(
+        F.concat(F.lit("http://c.test/p/"),
+                 (e % 200).cast("string")).alias("url"),
+        src.alias("source"), e.cast("long").alias("rank"))
+
+
+_FP_CANDIDATES_SQL = """
+  SELECT 'http://c.test/p/' || CAST(event_id % 200 AS VARCHAR) AS url,
+    CASE WHEN event_id % 7 = 0 THEN 'seed'
+         WHEN event_id % 7 = 1 THEN 'sitemap' ELSE 'anchor' END AS source,
+    CAST(event_id AS BIGINT) AS rank
+  FROM events
+"""
+
+
+def q_frontier_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.frontier_provenance: min-struct winner agg on
+    url + one groupBy(source) — no windows."""
+    return _politeness.frontier_provenance(_fp_candidates(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# host_circuit
+# ---------------------------------------------------------------------------
+
+
+def _hc_log(spark, sf) -> DataFrame:
+    """Fetch log over 12 hosts: deterministic ok/fail pattern with real
+    failure bursts (fail when (event_id // 3) % 5 == 0 — runs of 3)."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    ok = ~(((e / F.lit(3)).cast("long") % 5 == 0) & (u % 3 == 0))
+    return ev.select(
+        F.concat(F.lit("h"), (u % 12).cast("string"),
+                 F.lit(".test")).alias("host"),
+        e.cast("long").alias("seq"), ok.alias("ok"))
+
+
+_HC_LOG_SQL = """
+  SELECT 'h' || CAST(user_id % 12 AS VARCHAR) || '.test' AS host,
+    CAST(event_id AS BIGINT) AS seq,
+    NOT ((event_id // 3) % 5 = 0 AND user_id % 3 = 0) AS ok
+  FROM events
+"""
+
+_HC_THRESHOLD = 3
+
+
+def q_host_circuit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_circuit: gaps-and-islands with ONE
+    per-host running-sum window + two keyed aggs."""
+    return _politeness.host_circuit(_hc_log(spark, sf),
+                                    threshold=_HC_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# jain_fairness
+# ---------------------------------------------------------------------------
+
+
+def _jf_alloc(spark, sf) -> DataFrame:
+    """Per-host allocation counts: how many events (fetch slots) each of
+    50 hosts got — the Zipf-ish skew of user_id % 50 activity."""
+    ev = _events(spark, sf)
+    return (ev.groupBy((F.col("user_id") % 50).cast("long").alias("h"))
+            .agg(F.count("*").cast("long").alias("n_allocated"))
+            .select(F.concat(F.lit("h"), F.col("h").cast("string"),
+                             F.lit(".test")).alias("host"), "n_allocated"))
+
+
+_JF_ALLOC_SQL = """
+  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) || '.test' AS host,
+         CAST(count(*) AS BIGINT) AS n_allocated
+  FROM events GROUP BY user_id % 50
+"""
+
+
+def q_jain_fairness(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.jain_fairness: one scalar fold."""
+    return _politeness.jain_fairness(_jf_alloc(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# cas_savings
+# ---------------------------------------------------------------------------
+
+
+def _cs_pages(spark, sf) -> DataFrame:
+    """Capture set with heavy duplication: body keyed by event_id % 60
+    (≈60 distinct bodies across all captures) + a non-ASCII char so byte
+    and char lengths differ."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    return ev.select(
+        F.concat(F.lit("http://s.test/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.concat(F.lit("body β "), (F.col("event_id") % 60).cast("string"),
+                 F.lit(" content")).alias("body"))
+
+
+_CS_PAGES_SQL = """
+  SELECT 'http://s.test/p/' || CAST(event_id AS VARCHAR) AS url,
+         'body β ' || CAST(event_id % 60 AS VARCHAR) || ' content' AS body
+  FROM events WHERE event_id % 2 = 0
+"""
+
+
+def q_cas_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.cas_savings: digest groupBy (bodies never
+    shuffle) + scalar fold."""
+    return _wa.cas_savings(_cs_pages(spark, sf))
+
+
+def queries122():
+    return {
+        "frontier_provenance": q_frontier_provenance,
+        "host_circuit": q_host_circuit,
+        "jain_fairness": q_jain_fairness,
+        "cas_savings": q_cas_savings,
+    }
+
+
+def oracle_sql122():
+    return {
+        "frontier_provenance": _politeness.frontier_provenance_sql(
+            _FP_CANDIDATES_SQL),
+        "host_circuit": _politeness.host_circuit_sql(
+            _HC_LOG_SQL, threshold=_HC_THRESHOLD),
+        "jain_fairness": _politeness.jain_fairness_sql(_JF_ALLOC_SQL),
+        "cas_savings": _wa.cas_savings_sql(_CS_PAGES_SQL),
+    }

@@ -3696,3 +3696,204 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
     AS compliant
 FROM g GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Frontier discovery provenance (which source found each URL first)
+# ---------------------------------------------------------------------------
+
+
+def frontier_provenance(candidates: DataFrame, url_col: str = "url",
+                        source_col: str = "source",
+                        rank_col: str = "rank") -> DataFrame:
+    """Attribute each frontier URL to the discovery source that found it
+    first — the dedup-at-enqueue rule (D2: earliest rank wins, source name
+    as the deterministic tiebreak) aggregated into a per-source scoreboard:
+    (source, n_mentions, n_wins, win_frac). The seed-list/sitemap/anchor
+    mix is the standard crawl-ops dashboard for "where does our frontier
+    actually come from", and win_frac exposes sources that only re-discover
+    what anchors already found.
+
+    Scale shape: one min-struct agg keyed on url (map-side partial min — no
+    window, no sort) + one groupBy(source) on the winner set; mention
+    counts ride the same source agg. Both shuffles are on low-cardinality
+    or uniformly-hashed keys; hot hosts don't skew a url-keyed agg.
+    """
+    c = candidates.select(F.col(url_col).alias("url"),
+                          F.col(source_col).alias("source"),
+                          F.col(rank_col).cast("long").alias("rank"))
+    mentions = c.groupBy("source").agg(F.count("*").alias("n_mentions"))
+    winners = (c.groupBy("url")
+               .agg(F.min(F.struct(F.col("rank"), F.col("source")))
+                    .alias("__w"))
+               .select(F.col("__w.source").alias("source")))
+    wins = winners.groupBy("source").agg(F.count("*").alias("n_wins"))
+    return (mentions.join(wins, "source", "left")
+            .select("source",
+                    F.col("n_mentions").cast("long").alias("n_mentions"),
+                    F.coalesce("n_wins", F.lit(0)).cast("long")
+                    .alias("n_wins"))
+            .withColumn("win_frac",
+                        F.round(F.col("n_wins") /
+                                F.col("n_mentions").cast("double"), 6)))
+
+
+def frontier_provenance_sql(candidates_sql: str) -> str:
+    """DuckDB mirror of :func:`frontier_provenance` over
+    (url, source, rank)."""
+    return f"""
+WITH c AS (
+  SELECT url, source, CAST(rank AS BIGINT) AS rank FROM ({candidates_sql})
+), mentions AS (
+  SELECT source, count(*) AS n_mentions FROM c GROUP BY source
+), winners AS (
+  SELECT url, source FROM (
+    SELECT url, source,
+           row_number() OVER (PARTITION BY url ORDER BY rank, source) AS rn
+    FROM c) WHERE rn = 1
+), wins AS (
+  SELECT source, count(*) AS n_wins FROM winners GROUP BY source
+)
+SELECT m.source, CAST(m.n_mentions AS BIGINT) AS n_mentions,
+  CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+  round(coalesce(w.n_wins, 0) / CAST(m.n_mentions AS DOUBLE), 6) AS win_frac
+FROM mentions m LEFT JOIN wins w ON w.source = m.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host circuit breaker (consecutive-failure trip analysis)
+# ---------------------------------------------------------------------------
+
+
+def host_circuit(fetchlog: DataFrame, threshold: int = 3,
+                 host_col: str = "host", seq_col: str = "seq",
+                 ok_col: str = "ok") -> DataFrame:
+    """Circuit-breaker view of a per-host fetch log: a breaker trips after
+    ``threshold`` CONSECUTIVE failures and re-closes on the next success.
+    Returns (host, n_fetches, n_fails, max_fail_streak, n_trips, open_end):
+    n_trips counts distinct failure runs reaching the threshold; open_end=1
+    when the log ends inside a tripped run (the scheduler should skip the
+    host next round — the batch analogue of a live breaker).
+
+    Gaps-and-islands: a failure's island id is the count of successes at or
+    before it (one running sum window per host), islands aggregate to run
+    lengths, runs aggregate to the host row. Deliberately NOT a Python
+    state machine: three keyed aggs, each with map-side partials.
+
+    Scale shape: one window partitioned by host (bounded by per-host log
+    length) + two groupBys ((host, island) then host). Rules tables never
+    join here — the breaker is derived from the log alone.
+    """
+    w = Window.partitionBy("host").orderBy("seq") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    f = fetchlog.select(F.col(host_col).alias("host"),
+                        F.col(seq_col).cast("long").alias("seq"),
+                        F.col(ok_col).cast("boolean").alias("ok"))
+    marked = f.withColumn("__isl", F.sum(F.col("ok").cast("int")).over(w))
+    # per-host last island id (the trailing run is a failure run iff the
+    # log's last row is a failure — i.e. its island has fails > 0)
+    runs = (marked.filter(~F.col("ok"))
+            .groupBy("host", "__isl")
+            .agg(F.count("*").alias("__len")))
+    last_isl = marked.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_fails"),
+        F.max("__isl").alias("__last_isl"))
+    per_host = (runs.groupBy("host").agg(
+        F.max("__len").cast("long").alias("max_fail_streak"),
+        F.sum((F.col("__len") >= threshold).cast("int")).cast("long")
+        .alias("n_trips")))
+    open_end = (runs.join(last_isl.select("host", "__last_isl"),
+                          ["host"], "inner")
+                .filter((F.col("__isl") == F.col("__last_isl"))
+                        & (F.col("__len") >= threshold))
+                .select("host", F.lit(1).alias("__open")))
+    return (last_isl.drop("__last_isl")
+            .join(per_host, "host", "left")
+            .join(open_end, "host", "left")
+            .select("host", "n_fetches", "n_fails",
+                    F.coalesce("max_fail_streak", F.lit(0)).cast("long")
+                    .alias("max_fail_streak"),
+                    F.coalesce("n_trips", F.lit(0)).cast("long")
+                    .alias("n_trips"),
+                    F.coalesce("__open", F.lit(0)).cast("int")
+                    .alias("open_end")))
+
+
+def host_circuit_sql(fetchlog_sql: str, threshold: int = 3) -> str:
+    """DuckDB mirror of :func:`host_circuit` over (host, seq, ok)."""
+    return f"""
+WITH f AS (
+  SELECT host, CAST(seq AS BIGINT) AS seq, CAST(ok AS BOOLEAN) AS ok
+  FROM ({fetchlog_sql})
+), marked AS (
+  SELECT host, seq, ok,
+    sum(CASE WHEN ok THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY seq
+            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM f
+), runs AS (
+  SELECT host, isl, count(*) AS len
+  FROM marked WHERE NOT ok GROUP BY host, isl
+), hostagg AS (
+  SELECT host, count(*) AS n_fetches,
+    sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_fails,
+    max(isl) AS last_isl
+  FROM marked GROUP BY host
+), per_host AS (
+  SELECT host, max(len) AS max_fail_streak,
+    sum(CASE WHEN len >= {int(threshold)} THEN 1 ELSE 0 END) AS n_trips
+  FROM runs GROUP BY host
+), open_end AS (
+  SELECT r.host, 1 AS open_flag
+  FROM runs r JOIN hostagg h ON h.host = r.host AND r.isl = h.last_isl
+  WHERE r.len >= {int(threshold)}
+)
+SELECT h.host, CAST(h.n_fetches AS BIGINT) AS n_fetches,
+  CAST(h.n_fails AS BIGINT) AS n_fails,
+  CAST(coalesce(p.max_fail_streak, 0) AS BIGINT) AS max_fail_streak,
+  CAST(coalesce(p.n_trips, 0) AS BIGINT) AS n_trips,
+  CAST(coalesce(o.open_flag, 0) AS INT) AS open_end
+FROM hostagg h LEFT JOIN per_host p ON p.host = h.host
+LEFT JOIN open_end o ON o.host = h.host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jain's fairness index over per-host allocations
+# ---------------------------------------------------------------------------
+
+
+def jain_fairness(alloc: DataFrame, host_col: str = "host",
+                  x_col: str = "n_allocated") -> DataFrame:
+    """Jain's fairness index (Jain, Chiu & Hawe 1984) over a round's
+    per-host fetch allocations: J = (Σx)² / (n·Σx²) ∈ (0, 1], 1 = all
+    hosts got equal slots, → 1/n when one host got everything. THE
+    single-number answer to "is the politeness scheduler starving the
+    tail"; Jain designed it for exactly this shared-resource question.
+    Returns one row (n_hosts, total, jain) rounded 6.
+
+    Scale shape: one fold over the per-host allocation table (itself
+    already one row per host) — map-side partials, single scalar out.
+    """
+    a = alloc.select(F.col(host_col).alias("host"),
+                     F.col(x_col).cast("double").alias("x"))
+    agg = a.agg(F.count("*").cast("long").alias("n_hosts"),
+                F.sum("x").alias("__s"), F.sum(F.col("x") * F.col("x"))
+                .alias("__s2"))
+    return agg.select(
+        "n_hosts",
+        F.col("__s").cast("long").alias("total"),
+        F.round((F.col("__s") * F.col("__s"))
+                / (F.col("n_hosts") * F.col("__s2")), 6).alias("jain"))
+
+
+def jain_fairness_sql(alloc_sql: str) -> str:
+    """DuckDB mirror of :func:`jain_fairness` over (host, n_allocated)."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+  CAST(sum(x) AS BIGINT) AS total,
+  round(sum(x) * sum(x) / (count(*) * sum(x * x)), 6) AS jain
+FROM (SELECT CAST(n_allocated AS DOUBLE) AS x FROM ({alloc_sql}))
+"""

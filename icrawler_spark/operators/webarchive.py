@@ -397,3 +397,55 @@ SELECT host, section, CAST(count(*) AS BIGINT) AS n_pages,
   CAST(max(depth) AS BIGINT) AS max_depth{bytes_agg}
 FROM base GROUP BY host, section
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed storage dedup savings
+# ---------------------------------------------------------------------------
+
+
+def cas_savings(pages: DataFrame, url_col: str = "url",
+                body_col: str = "body") -> DataFrame:
+    """What content-addressed storage would save on this capture set: bodies
+    are keyed by md5 digest, identical bodies store once. Returns ONE row
+    (n_pages, n_unique, logical_bytes, stored_bytes, savings_frac) — the
+    sizing input for a dedup-at-rest archive tier (mirrors, soft-404 pages
+    and template farms make real crawl sets highly compressible this way).
+
+    Scale shape: digest + byte length are scan-projection expressions; one
+    groupBy(digest) keeps (len, count) per digest — bodies never shuffle,
+    only 16-byte digests and two longs; the final fold is a scalar agg.
+    """
+    d = pages.select(
+        F.md5(F.col(body_col)).alias("__dg"),
+        F.length(F.encode(F.col(body_col), "utf-8")).cast("long")
+        .alias("__len"))
+    per = d.groupBy("__dg").agg(F.count("*").alias("__n"),
+                                F.max("__len").alias("__l"))
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("__l") * F.col("__n")).cast("long")
+        .alias("logical_bytes"),
+        F.sum("__l").cast("long").alias("stored_bytes"))
+    return agg.withColumn(
+        "savings_frac",
+        F.round(F.lit(1.0) - F.col("stored_bytes")
+                / F.col("logical_bytes").cast("double"), 6))
+
+
+def cas_savings_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`cas_savings` over (url, body)."""
+    return f"""
+WITH per AS (
+  SELECT md5(body) AS dg, count(*) AS n,
+         max(octet_length(encode(body))) AS l
+  FROM ({pages_sql}) GROUP BY md5(body)
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_pages,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(l * n) AS BIGINT) AS logical_bytes,
+  CAST(sum(l) AS BIGINT) AS stored_bytes,
+  round(1.0 - sum(l) / CAST(sum(l * n) AS DOUBLE), 6) AS savings_frac
+FROM per
+"""

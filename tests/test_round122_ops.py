@@ -1,0 +1,113 @@
+"""Unit tests for the round-122 pack: frontier provenance, host circuit
+breaker, Jain fairness, CAS savings."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.politeness import (frontier_provenance,
+                                                 host_circuit, jain_fairness)
+from icrawler_spark.operators.webarchive import cas_savings
+
+# ---------------------------------------------------------------------------
+# frontier_provenance
+# ---------------------------------------------------------------------------
+
+
+def test_provenance_earliest_rank_wins(spark):
+    c = spark.createDataFrame([
+        ("u1", "anchor", 5), ("u1", "sitemap", 2),   # sitemap wins u1
+        ("u2", "seed", 0), ("u2", "anchor", 1),      # seed wins u2
+        ("u3", "anchor", 9),                         # anchor wins u3
+    ], "url string, source string, rank long")
+    out = {r["source"]: r for r in frontier_provenance(c).collect()}
+    assert out["sitemap"]["n_wins"] == 1 and out["sitemap"]["n_mentions"] == 1
+    assert out["seed"]["n_wins"] == 1
+    assert out["anchor"]["n_mentions"] == 3 and out["anchor"]["n_wins"] == 1
+    assert out["anchor"]["win_frac"] == round(1 / 3, 6)
+
+
+def test_provenance_tie_breaks_on_source_name(spark):
+    c = spark.createDataFrame([
+        ("u", "b_src", 1), ("u", "a_src", 1),
+    ], "url string, source string, rank long")
+    out = {r["source"]: r for r in frontier_provenance(c).collect()}
+    assert out["a_src"]["n_wins"] == 1 and out["b_src"]["n_wins"] == 0
+
+
+# ---------------------------------------------------------------------------
+# host_circuit
+# ---------------------------------------------------------------------------
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "host string, seq long, ok boolean")
+
+
+def test_circuit_trips_and_reopens(spark):
+    # h: ok F F F ok F F -> one trip (3-run), trailing 2-run below threshold
+    rows = [("h", i, ok) for i, ok in enumerate(
+        [True, False, False, False, True, False, False])]
+    out = host_circuit(_log(spark, rows), threshold=3).collect()[0]
+    assert out["n_fetches"] == 7 and out["n_fails"] == 5
+    assert out["max_fail_streak"] == 3
+    assert out["n_trips"] == 1
+    assert out["open_end"] == 0
+
+
+def test_circuit_open_at_end(spark):
+    rows = [("h", i, ok) for i, ok in enumerate(
+        [True, False, False, False])]
+    out = host_circuit(_log(spark, rows), threshold=3).collect()[0]
+    assert out["open_end"] == 1 and out["n_trips"] == 1
+
+
+def test_circuit_all_ok_host(spark):
+    rows = [("h", i, True) for i in range(4)]
+    out = host_circuit(_log(spark, rows), threshold=3).collect()[0]
+    assert out["n_fails"] == 0 and out["max_fail_streak"] == 0
+    assert out["n_trips"] == 0 and out["open_end"] == 0
+
+
+def test_circuit_leading_failures_count(spark):
+    # failures before any success form island 0
+    rows = [("h", i, ok) for i, ok in enumerate(
+        [False, False, False, True])]
+    out = host_circuit(_log(spark, rows), threshold=3).collect()[0]
+    assert out["max_fail_streak"] == 3 and out["n_trips"] == 1
+    assert out["open_end"] == 0
+
+
+# ---------------------------------------------------------------------------
+# jain_fairness
+# ---------------------------------------------------------------------------
+
+
+def test_jain_equal_allocation_is_one(spark):
+    a = spark.createDataFrame([(f"h{i}", 10) for i in range(5)],
+                              "host string, n_allocated long")
+    out = jain_fairness(a).collect()[0]
+    assert out["jain"] == 1.0 and out["n_hosts"] == 5 and out["total"] == 50
+
+
+def test_jain_single_hog_is_one_over_n(spark):
+    a = spark.createDataFrame(
+        [("h0", 100)] + [(f"h{i}", 0) for i in range(1, 4)],
+        "host string, n_allocated long")
+    out = jain_fairness(a).collect()[0]
+    assert out["jain"] == 0.25  # 1/n with n=4
+
+
+# ---------------------------------------------------------------------------
+# cas_savings
+# ---------------------------------------------------------------------------
+
+
+def test_cas_savings_counts_bytes_once_per_digest(spark):
+    pages = spark.createDataFrame([
+        ("u1", "samé"), ("u2", "samé"), ("u3", "other"),
+    ], "url string, body string")
+    out = cas_savings(pages).collect()[0]
+    b = len("samé".encode())
+    assert out["n_pages"] == 3 and out["n_unique"] == 2
+    assert out["logical_bytes"] == 2 * b + 5
+    assert out["stored_bytes"] == b + 5
+    assert out["savings_frac"] == round(1 - (b + 5) / (2 * b + 5), 6)
