@@ -445,6 +445,8 @@ _EXTRA_PICKS = [
     "wet_export", "wat_export", "dirtree",
     # round-3 batch (provenance + circuit breaker + fairness + CAS)
     "frontier_provenance", "host_circuit", "jain_fairness", "cas_savings",
+    # round-3 batch (lang QA + robots drift + coverage + concurrency)
+    "lang_agreement", "robots_drift", "sitemap_coverage", "host_concurrency",
 ]
 
 

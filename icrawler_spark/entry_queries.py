@@ -79,7 +79,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round116, entry_round117,
                             entry_round118, entry_round119,
                             entry_round120, entry_round121,
-                            entry_round122)
+                            entry_round122, entry_round123)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -968,6 +968,7 @@ def queries():
         **entry_round120.queries120(),
         **entry_round121.queries121(),
         **entry_round122.queries122(),
+        **entry_round123.queries123(),
     }
 
 
@@ -1162,4 +1163,5 @@ def _oracle_sql_raw():
         **entry_round120.oracle_sql120(),
         **entry_round121.oracle_sql121(),
         **entry_round122.oracle_sql122(),
+        **entry_round123.oracle_sql123(),
     }

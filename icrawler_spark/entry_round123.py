@@ -1,0 +1,225 @@
+"""Round-3 driver-contract queries (batch 117): language agreement audit,
+robots policy drift, sitemap coverage, fetch concurrency reconstruction.
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+from icrawler_spark.operators import sitemap as _sitemap
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# lang_agreement
+# ---------------------------------------------------------------------------
+
+
+def _la_pages(spark, sf) -> DataFrame:
+    """Documents with URL spellings that rotate the hint form: /xx/ path
+    segment, ccTLD, an unknown segment, or no hint at all."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    code = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"),
+                                F.lit("zz")), (i % 4 + 1).cast("int"))
+    url = (F.when(i % 3 == 0,
+                  F.concat(F.lit("http://a.test/"), code, F.lit("/p/"),
+                           i.cast("string")))
+           .when(i % 3 == 1,
+                 F.concat(F.lit("http://b."), code, F.lit("/p/"),
+                          i.cast("string")))
+           .otherwise(F.concat(F.lit("http://c.test/p/"), i.cast("string"))))
+    return d.select(url.alias("url"), F.col("lang"))
+
+
+_LA_PAGES_SQL = """
+  SELECT CASE
+      WHEN doc_id % 3 = 0 THEN 'http://a.test/'
+        || (['en','de','fr','zz'])[CAST(doc_id % 4 AS INT) + 1]
+        || '/p/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 3 = 1 THEN 'http://b.'
+        || (['en','de','fr','zz'])[CAST(doc_id % 4 AS INT) + 1]
+        || '/p/' || CAST(doc_id AS VARCHAR)
+      ELSE 'http://c.test/p/' || CAST(doc_id AS VARCHAR)
+    END AS url, lang
+  FROM documents
+"""
+
+
+def q_lang_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.lang_agreement: hint regexps in the scan, ONE
+    bounded-key groupBy."""
+    return _curation.lang_agreement(_la_pages(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# robots_drift
+# ---------------------------------------------------------------------------
+
+
+def _rd_rules(spark, sf, snap: int) -> DataFrame:
+    """Rules snapshot over 18 hosts. Snapshot 2 adds a prefix on h%3==0,
+    removes one on h%3==1, raises the delay on h%4==0; hosts h%5==4 exist
+    only at t1 (site died) and h%5==0 gains a first-ever robots at t2."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % 18).cast("long")
+    hosts = ev.select(h.alias("h")).distinct()
+    if snap == 1:
+        hosts = hosts.filter(F.col("h") % 5 != 0)
+        prefixes = F.when(F.col("h") % 3 == 1,
+                          F.array(F.lit("/a"), F.lit("/old")))
+        prefixes = prefixes.otherwise(F.array(F.lit("/a")))
+        delay = F.when(F.col("h") % 2 == 0,
+                       (F.col("h") + 1) * 1000).cast("long")
+    else:
+        hosts = hosts.filter(F.col("h") % 5 != 4)
+        prefixes = (F.when(F.col("h") % 3 == 0,
+                           F.array(F.lit("/a"), F.lit("/new")))
+                    .otherwise(F.array(F.lit("/a"))))
+        delay = (F.when(F.col("h") % 4 == 0, (F.col("h") + 5) * 1000)
+                 .when(F.col("h") % 2 == 0, (F.col("h") + 1) * 1000)
+                 ).cast("long")
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".test"))
+        .alias("host"),
+        prefixes.alias("disallow_prefixes"),
+        delay.alias("crawl_delay_ms"))
+
+
+def _rd_rules_sql(snap: int) -> str:
+    if snap == 1:
+        return """
+  SELECT 'h' || CAST(h AS VARCHAR) || '.test' AS host,
+    CASE WHEN h % 3 = 1 THEN ['/a', '/old'] ELSE ['/a'] END
+      AS disallow_prefixes,
+    CASE WHEN h % 2 = 0 THEN CAST((h + 1) * 1000 AS BIGINT) END
+      AS crawl_delay_ms
+  FROM (SELECT DISTINCT CAST(user_id % 18 AS BIGINT) AS h FROM events)
+  WHERE h % 5 <> 0
+"""
+    return """
+  SELECT 'h' || CAST(h AS VARCHAR) || '.test' AS host,
+    CASE WHEN h % 3 = 0 THEN ['/a', '/new'] ELSE ['/a'] END
+      AS disallow_prefixes,
+    CASE WHEN h % 4 = 0 THEN CAST((h + 5) * 1000 AS BIGINT)
+         WHEN h % 2 = 0 THEN CAST((h + 1) * 1000 AS BIGINT) END
+      AS crawl_delay_ms
+  FROM (SELECT DISTINCT CAST(user_id % 18 AS BIGINT) AS h FROM events)
+  WHERE h % 5 <> 4
+"""
+
+
+def q_robots_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.robots_drift: one full-outer join on host,
+    array_except set arithmetic per row."""
+    return _politeness.robots_drift(_rd_rules(spark, sf, 1),
+                                    _rd_rules(spark, sf, 2))
+
+
+# ---------------------------------------------------------------------------
+# sitemap_coverage
+# ---------------------------------------------------------------------------
+
+
+def _sc_sitemap(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("event_id") % 400).cast("string"))
+        .alias("url"))
+
+
+_SC_SITEMAP_SQL = """
+  SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+         '/p/' || CAST(event_id % 400 AS VARCHAR) AS url
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def _sc_crawled(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("event_id") % 500).cast("string"))
+        .alias("url"))
+
+
+_SC_CRAWLED_SQL = """
+  SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+         '/p/' || CAST(event_id % 500 AS VARCHAR) AS url
+  FROM events WHERE event_id % 2 = 0
+"""
+
+
+def q_sitemap_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.sitemap_coverage: full-outer join on (host, url)
+    + one groupBy(host)."""
+    return _sitemap.sitemap_coverage(_sc_sitemap(spark, sf),
+                                     _sc_crawled(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# host_concurrency
+# ---------------------------------------------------------------------------
+
+
+def _hc_intervals(spark, sf) -> DataFrame:
+    """Fetch intervals: start = epoch seconds of the event, duration
+    5-124 s by event_id — slow responses overlap within a host."""
+    ev = _events(spark, sf)
+    start = F.unix_timestamp("ts")
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (start * 1000).alias("start_ms"),
+        ((start + 5 + F.col("event_id") % 120) * 1000).alias("end_ms"))
+
+
+_HC_INTERVALS_SQL = """
+  SELECT 'h' || CAST(user_id % 10 AS VARCHAR) || '.test' AS host,
+    CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS start_ms,
+    (CAST(floor(epoch(ts)) AS BIGINT) + 5 + event_id % 120) * 1000 AS end_ms
+  FROM events
+"""
+
+
+def q_host_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.host_concurrency: ±1 event sweep, one per-host
+    running-sum window + groupBy(host)."""
+    return _politeness.host_concurrency(_hc_intervals(spark, sf))
+
+
+def queries123():
+    return {
+        "lang_agreement": q_lang_agreement,
+        "robots_drift": q_robots_drift,
+        "sitemap_coverage": q_sitemap_coverage,
+        "host_concurrency": q_host_concurrency,
+    }
+
+
+def oracle_sql123():
+    return {
+        "lang_agreement": _curation.lang_agreement_sql(_LA_PAGES_SQL),
+        "robots_drift": _politeness.robots_drift_sql(
+            _rd_rules_sql(1), _rd_rules_sql(2)),
+        "sitemap_coverage": _sitemap.sitemap_coverage_sql(
+            _SC_SITEMAP_SQL, _SC_CRAWLED_SQL),
+        "host_concurrency": _politeness.host_concurrency_sql(
+            _HC_INTERVALS_SQL),
+    }

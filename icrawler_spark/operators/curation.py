@@ -2825,3 +2825,72 @@ SELECT doc AS doc_id, gap, sim,
     - 0.5 * stddev_pop(sim) OVER (PARTITION BY doc) AS is_boundary
 FROM gaps
 """
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language agreement audit
+# ---------------------------------------------------------------------------
+
+# URL language hints recognized by lang_agreement: a path segment or ccTLD
+# naming one of these ISO-639-1 codes. Shared by the Spark expression and
+# the SQL twin so the whitelist cannot drift.
+LANG_HINT_CODES = ["en", "de", "fr", "es", "it", "ru", "zh", "ja"]
+
+
+def lang_agreement(pages: DataFrame, url_col: str = "url",
+                   lang_col: str = "lang") -> DataFrame:
+    """Confusion table between the language a URL DECLARES (a /xx/ path
+    segment, else a ccTLD matching a known code) and the language detection
+    assigned to the content: (declared, detected, n, agree). The
+    off-diagonal mass is the standard localization-QA / wrong-hreflang /
+    machine-translation-farm signal; 'none' rows measure how much of the
+    corpus carries no URL hint at all.
+
+    Scale shape: hint extraction is a regexp projection in the scan; ONE
+    groupBy(declared, detected) — a bounded key space (|codes|+1)².
+    """
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)", 1)
+    seg = F.lower(F.regexp_extract(path, r"^/([A-Za-z]{2})(?:/|$)", 1))
+    tld = F.lower(F.regexp_extract(host, r"\.([a-z]{2})(?::[0-9]+)?$", 1))
+    codes = list(LANG_HINT_CODES)
+    declared = (F.when(seg.isin(codes), seg)
+                .when(tld.isin(codes), tld)
+                .otherwise(F.lit("none")))
+    base = pages.select(declared.alias("declared"),
+                        F.lower(F.col(lang_col)).alias("detected"))
+    return (base.groupBy("declared", "detected")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("agree",
+                        (F.col("declared") == F.col("detected")).cast("int")))
+
+
+def lang_agreement_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`lang_agreement` over (url, lang)."""
+    codes = ", ".join(f"'{c}'" for c in LANG_HINT_CODES)
+    return f"""
+WITH p AS (
+  SELECT regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest,
+         lower(lang) AS detected
+  FROM ({pages_sql})
+), h AS (
+  SELECT detected,
+    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS host,
+    lower(regexp_extract(regexp_extract(rest, '^[^/?#]*(/[^?#]*)', 1),
+                         '^/([A-Za-z]{{2}})(/|$)', 1)) AS seg
+  FROM p
+), d AS (
+  SELECT detected,
+    CASE WHEN seg IN ({codes}) THEN seg
+         WHEN lower(regexp_extract(host, '\\.([a-z]{{2}})(:[0-9]+)?$', 1))
+              IN ({codes})
+         THEN lower(regexp_extract(host, '\\.([a-z]{{2}})(:[0-9]+)?$', 1))
+         ELSE 'none' END AS declared
+  FROM h
+)
+SELECT declared, detected, CAST(count(*) AS BIGINT) AS n,
+  CAST(declared = detected AS INT) AS agree
+FROM d GROUP BY declared, detected
+"""

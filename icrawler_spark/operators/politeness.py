@@ -3897,3 +3897,139 @@ SELECT CAST(count(*) AS BIGINT) AS n_hosts,
   round(sum(x) * sum(x) / (count(*) * sum(x * x)), 6) AS jain
 FROM (SELECT CAST(n_allocated AS DOUBLE) AS x FROM ({alloc_sql}))
 """
+
+
+# ---------------------------------------------------------------------------
+# Robots policy drift (rules diff between snapshots)
+# ---------------------------------------------------------------------------
+
+
+def robots_drift(rules_t1: DataFrame, rules_t2: DataFrame,
+                 host_col: str = "host",
+                 prefixes_col: str = "disallow_prefixes",
+                 delay_col: str = "crawl_delay_ms") -> DataFrame:
+    """Diff two parsed robots rules tables (the parse_robots output shape)
+    captured at t1 and t2: per host, how the policy moved. Returns
+    (host, n_added, n_removed, delay_before, delay_after, tightened):
+    added/removed count disallow prefixes; ``tightened`` = 1 when the host
+    got MORE restrictive (any prefix added, or the delay grew / appeared) —
+    the signal a recrawl scheduler must honor promptly (new exclusions are
+    legally loaded; relaxations can wait a cycle). Hosts present at only
+    one snapshot diff against the allow-all empty policy.
+
+    Scale shape: one full-outer equi-join on host + array_except both ways
+    inside the projection — set arithmetic stays per-row (robots arrays are
+    small by construction), nothing explodes.
+    """
+    t1 = rules_t1.select(F.col(host_col).alias("host"),
+                         F.col(prefixes_col).alias("__p1"),
+                         F.col(delay_col).cast("long").alias("delay_before"))
+    t2 = rules_t2.select(F.col(host_col).alias("host"),
+                         F.col(prefixes_col).alias("__p2"),
+                         F.col(delay_col).cast("long").alias("delay_after"))
+    j = t1.join(t2, "host", "full_outer")
+    p1 = F.coalesce("__p1", F.array().cast("array<string>"))
+    p2 = F.coalesce("__p2", F.array().cast("array<string>"))
+    added = F.size(F.array_except(p2, p1)).cast("long")
+    removed = F.size(F.array_except(p1, p2)).cast("long")
+    tightened = ((added > 0)
+                 | (F.coalesce("delay_after", F.lit(0))
+                    > F.coalesce("delay_before", F.lit(0)))).cast("int")
+    return j.select("host", added.alias("n_added"),
+                    removed.alias("n_removed"),
+                    "delay_before", "delay_after",
+                    tightened.alias("tightened"))
+
+
+def robots_drift_sql(rules_t1_sql: str, rules_t2_sql: str) -> str:
+    """DuckDB mirror of :func:`robots_drift` over two
+    (host, disallow_prefixes, crawl_delay_ms) relations (prefixes as
+    LIST(VARCHAR))."""
+    return f"""
+WITH t1 AS (
+  SELECT host, disallow_prefixes AS p1, CAST(crawl_delay_ms AS BIGINT)
+    AS delay_before FROM ({rules_t1_sql})
+), t2 AS (
+  SELECT host, disallow_prefixes AS p2, CAST(crawl_delay_ms AS BIGINT)
+    AS delay_after FROM ({rules_t2_sql})
+), j AS (
+  SELECT coalesce(t1.host, t2.host) AS host,
+    coalesce(p1, []) AS p1, coalesce(p2, []) AS p2,
+    delay_before, delay_after
+  FROM t1 FULL OUTER JOIN t2 ON t1.host = t2.host
+)
+SELECT host,
+  CAST(len(list_filter(p2, x -> NOT list_contains(p1, x))) AS BIGINT)
+    AS n_added,
+  CAST(len(list_filter(p1, x -> NOT list_contains(p2, x))) AS BIGINT)
+    AS n_removed,
+  delay_before, delay_after,
+  CAST(len(list_filter(p2, x -> NOT list_contains(p1, x))) > 0
+       OR coalesce(delay_after, 0) > coalesce(delay_before, 0) AS INT)
+    AS tightened
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host fetch concurrency reconstruction (interval sweep)
+# ---------------------------------------------------------------------------
+
+
+def host_concurrency(fetches: DataFrame, host_col: str = "host",
+                     start_col: str = "start_ms",
+                     end_col: str = "end_ms") -> DataFrame:
+    """Reconstruct the max concurrent in-flight fetches per host from a
+    (host, start, end) fetch log — the post-hoc check that the executed
+    crawl honored its max-connections-per-host promise (the politeness
+    property time-gap audits can't see: two fetches can respect the start
+    delay yet still overlap when responses are slow).
+
+    Classic interval sweep as columns: ±1 events, per-host running sum
+    ordered by (time, delta) with ENDS BEFORE STARTS at the same tick
+    (delta ascending: -1 sorts first) — back-to-back fetches sharing a
+    boundary count as 1, matching a connection pool that reuses the socket.
+    Returns (host, n_fetches, max_concurrent).
+
+    Scale shape: one explode to 2 events/fetch + ONE per-host window +
+    one groupBy(host) — bounded by per-host log size, never global.
+    """
+    f = fetches.select(F.col(host_col).alias("host"),
+                       F.col(start_col).cast("long").alias("s"),
+                       F.col(end_col).cast("long").alias("e"))
+    ev = f.select(
+        "host", F.explode(F.array(
+            F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+            F.struct(F.col("e").alias("t"), F.lit(-1).alias("d"))))
+        .alias("__ev"))
+    ev = ev.select("host", F.col("__ev.t").alias("t"),
+                   F.col("__ev.d").alias("d"))
+    w = Window.partitionBy("host").orderBy("t", "d") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    run = ev.withColumn("__c", F.sum("d").over(w))
+    return (run.groupBy("host")
+            .agg((F.count("*") / 2).cast("long").alias("n_fetches"),
+                 F.max("__c").cast("long").alias("max_concurrent")))
+
+
+def host_concurrency_sql(fetches_sql: str) -> str:
+    """DuckDB mirror of :func:`host_concurrency` over
+    (host, start_ms, end_ms)."""
+    return f"""
+WITH f AS (
+  SELECT host, CAST(start_ms AS BIGINT) AS s, CAST(end_ms AS BIGINT) AS e
+  FROM ({fetches_sql})
+), ev AS (
+  SELECT host, s AS t, 1 AS d FROM f
+  UNION ALL
+  SELECT host, e AS t, -1 AS d FROM f
+), run AS (
+  SELECT host,
+    sum(d) OVER (PARTITION BY host ORDER BY t, d
+                 ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev
+)
+SELECT host, CAST(count(*) / 2 AS BIGINT) AS n_fetches,
+  CAST(max(c) AS BIGINT) AS max_concurrent
+FROM run GROUP BY host
+"""

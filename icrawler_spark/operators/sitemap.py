@@ -459,3 +459,77 @@ SELECT feed_url, pos, kind,
     ELSE regexp_extract(blk, '{_RSS_DATE_RE}', 1) END, '') AS published
 FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Sitemap vs crawl coverage diff
+# ---------------------------------------------------------------------------
+
+
+def sitemap_coverage(sitemap_urls: DataFrame, crawled_urls: DataFrame,
+                     url_col: str = "url",
+                     host_col: str = "host") -> DataFrame:
+    """Per-host coverage audit between what the publisher lists and what
+    the crawl fetched: (host, n_sitemap, n_crawled, n_both,
+    n_sitemap_only, n_crawled_only, coverage) — ``coverage`` =
+    n_both / n_sitemap (how much of the publisher's own listing we got),
+    NULL when the host published no sitemap. ``n_crawled_only`` counts
+    discovery the sitemap misses (orphan pages reachable only by links) —
+    both tails are actionable: sitemap_only = fetch backlog, crawled_only
+    = stale sitemap.
+
+    Scale shape: one full-outer equi-join on (host, url) + one
+    groupBy(host); both inputs are projections, the join keys are the
+    natural frontier keys so co-partitioning carries through.
+    """
+    s = sitemap_urls.select(F.col(host_col).alias("host"),
+                            F.col(url_col).alias("url")).distinct() \
+        .withColumn("__s", F.lit(1))
+    c = crawled_urls.select(F.col(host_col).alias("host"),
+                            F.col(url_col).alias("url")).distinct() \
+        .withColumn("__c", F.lit(1))
+    j = s.join(c, ["host", "url"], "full_outer")
+    agg = j.groupBy("host").agg(
+        F.sum(F.coalesce("__s", F.lit(0))).cast("long").alias("n_sitemap"),
+        F.sum(F.coalesce("__c", F.lit(0))).cast("long").alias("n_crawled"),
+        F.sum(F.when(F.col("__s").isNotNull() & F.col("__c").isNotNull(), 1)
+              .otherwise(0)).cast("long").alias("n_both"))
+    return agg.select(
+        "host", "n_sitemap", "n_crawled", "n_both",
+        (F.col("n_sitemap") - F.col("n_both")).cast("long")
+        .alias("n_sitemap_only"),
+        (F.col("n_crawled") - F.col("n_both")).cast("long")
+        .alias("n_crawled_only"),
+        F.when(F.col("n_sitemap") > 0,
+               F.round(F.col("n_both") / F.col("n_sitemap").cast("double"),
+                       6)).alias("coverage"))
+
+
+def sitemap_coverage_sql(sitemap_sql: str, crawled_sql: str) -> str:
+    """DuckDB mirror of :func:`sitemap_coverage` over two (host, url)
+    relations."""
+    return f"""
+WITH s AS (
+  SELECT DISTINCT host, url, 1 AS in_s FROM ({sitemap_sql})
+), c AS (
+  SELECT DISTINCT host, url, 1 AS in_c FROM ({crawled_sql})
+), j AS (
+  SELECT coalesce(s.host, c.host) AS host, in_s, in_c
+  FROM s FULL OUTER JOIN c ON s.host = c.host AND s.url = c.url
+), agg AS (
+  SELECT host,
+    sum(coalesce(in_s, 0)) AS n_sitemap,
+    sum(coalesce(in_c, 0)) AS n_crawled,
+    sum(CASE WHEN in_s IS NOT NULL AND in_c IS NOT NULL
+        THEN 1 ELSE 0 END) AS n_both
+  FROM j GROUP BY host
+)
+SELECT host, CAST(n_sitemap AS BIGINT) AS n_sitemap,
+  CAST(n_crawled AS BIGINT) AS n_crawled,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST(n_sitemap - n_both AS BIGINT) AS n_sitemap_only,
+  CAST(n_crawled - n_both AS BIGINT) AS n_crawled_only,
+  CASE WHEN n_sitemap > 0
+       THEN round(n_both / CAST(n_sitemap AS DOUBLE), 6) END AS coverage
+FROM agg
+"""

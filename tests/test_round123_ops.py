@@ -1,0 +1,113 @@
+"""Unit tests for the round-123 pack: language agreement, robots drift,
+sitemap coverage, host concurrency."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import lang_agreement
+from icrawler_spark.operators.politeness import (host_concurrency,
+                                                 robots_drift)
+from icrawler_spark.operators.sitemap import sitemap_coverage
+
+# ---------------------------------------------------------------------------
+# lang_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_lang_agreement_path_tld_none(spark):
+    pages = spark.createDataFrame([
+        ("http://a.test/en/p", "en"),     # path hint, agrees
+        ("http://a.test/de/p", "en"),     # path hint, disagrees
+        ("http://b.de/p", "de"),          # ccTLD hint, agrees
+        ("http://c.test/p", "en"),        # no hint
+        ("http://a.test/zz/p", "en"),     # unknown segment -> none
+    ], "url string, lang string")
+    out = {(r["declared"], r["detected"]): r
+           for r in lang_agreement(pages).collect()}
+    assert out[("en", "en")]["n"] == 1 and out[("en", "en")]["agree"] == 1
+    assert out[("de", "en")]["agree"] == 0
+    assert out[("de", "de")]["n"] == 1
+    assert out[("none", "en")]["n"] == 2
+
+
+def test_lang_agreement_path_beats_tld(spark):
+    pages = spark.createDataFrame([("http://a.de/fr/p", "fr")],
+                                  "url string, lang string")
+    out = lang_agreement(pages).collect()[0]
+    assert out["declared"] == "fr" and out["agree"] == 1
+
+
+# ---------------------------------------------------------------------------
+# robots_drift
+# ---------------------------------------------------------------------------
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long")
+
+
+def test_robots_drift_add_remove_delay(spark):
+    t1 = _rules(spark, [("h", ["/a", "/b"], 1000), ("gone", ["/x"], None)])
+    t2 = _rules(spark, [("h", ["/a", "/c"], 2000), ("new", ["/y"], None)])
+    out = {r["host"]: r for r in robots_drift(t1, t2).collect()}
+    h = out["h"]
+    assert h["n_added"] == 1 and h["n_removed"] == 1
+    assert h["delay_before"] == 1000 and h["delay_after"] == 2000
+    assert h["tightened"] == 1
+    assert out["gone"]["n_removed"] == 1 and out["gone"]["tightened"] == 0
+    assert out["new"]["n_added"] == 1 and out["new"]["tightened"] == 1
+
+
+def test_robots_drift_relaxation_not_tightened(spark):
+    t1 = _rules(spark, [("h", ["/a", "/b"], 2000)])
+    t2 = _rules(spark, [("h", ["/a"], 1000)])
+    out = robots_drift(t1, t2).collect()[0]
+    assert out["n_removed"] == 1 and out["n_added"] == 0
+    assert out["tightened"] == 0
+
+
+# ---------------------------------------------------------------------------
+# sitemap_coverage
+# ---------------------------------------------------------------------------
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "host string, url string")
+
+
+def test_sitemap_coverage_tails(spark):
+    s = _urls(spark, [("h", "/1"), ("h", "/2"), ("h", "/3")])
+    c = _urls(spark, [("h", "/2"), ("h", "/3"), ("h", "/9"),
+                      ("o", "/orphan")])
+    out = {r["host"]: r for r in sitemap_coverage(s, c).collect()}
+    h = out["h"]
+    assert h["n_sitemap"] == 3 and h["n_crawled"] == 3 and h["n_both"] == 2
+    assert h["n_sitemap_only"] == 1 and h["n_crawled_only"] == 1
+    assert h["coverage"] == round(2 / 3, 6)
+    o = out["o"]  # crawled-only host: no sitemap -> coverage NULL
+    assert o["n_sitemap"] == 0 and o["coverage"] is None
+
+
+# ---------------------------------------------------------------------------
+# host_concurrency
+# ---------------------------------------------------------------------------
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "host string, start_ms long, end_ms long")
+
+
+def test_concurrency_overlap_counting(spark):
+    f = _iv(spark, [
+        ("h", 0, 100), ("h", 50, 150), ("h", 60, 80),   # triple overlap
+        ("h", 200, 300),
+    ])
+    out = host_concurrency(f).collect()[0]
+    assert out["n_fetches"] == 4 and out["max_concurrent"] == 3
+
+
+def test_concurrency_shared_boundary_not_overlap(spark):
+    f = _iv(spark, [("h", 0, 100), ("h", 100, 200)])
+    out = host_concurrency(f).collect()[0]
+    assert out["max_concurrent"] == 1  # end sorts before start at t=100
