@@ -447,6 +447,8 @@ _EXTRA_PICKS = [
     "frontier_provenance", "host_circuit", "jain_fairness", "cas_savings",
     # round-3 batch (lang QA + robots drift + coverage + concurrency)
     "lang_agreement", "robots_drift", "sitemap_coverage", "host_concurrency",
+    # round-3 batch (ETag honesty + scheme migration + syndication)
+    "etag_audit", "https_migration", "title_syndication",
 ]
 
 

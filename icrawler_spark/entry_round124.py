@@ -1,0 +1,178 @@
+"""Round-3 driver-contract queries (batch 118): ETag honesty audit, HTTPS
+migration audit, title syndication detection.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import recrawl as _recrawl
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# etag_audit
+# ---------------------------------------------------------------------------
+
+
+def _ea_obs(spark, sf) -> DataFrame:
+    """Two-capture observations over 15 hosts: etag/content change
+    independently by event_id lanes; hosts h%5==4 never send ETags."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    h = (F.col("user_id") % 15).cast("long")
+    etag1 = F.when(h % 5 != 4, F.concat(F.lit("W/e"), (e % 97).cast("string")))
+    etag_changed = e % 4 == 0
+    body_changed = e % 5 == 0
+    etag2 = F.when(h % 5 != 4,
+                   F.when(etag_changed,
+                          F.concat(F.lit("W/f"), (e % 97).cast("string")))
+                   .otherwise(F.concat(F.lit("W/e"), (e % 97).cast("string"))))
+    d1 = F.md5(F.concat(F.lit("b"), (e % 89).cast("string")))
+    d2 = F.when(body_changed,
+                F.md5(F.concat(F.lit("c"), (e % 89).cast("string")))) \
+        .otherwise(d1)
+    return ev.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+        F.concat(F.lit("u"), e.cast("string")).alias("url"),
+        etag1.alias("etag_t1"), etag2.alias("etag_t2"),
+        d1.alias("digest_t1"), d2.alias("digest_t2"))
+
+
+_EA_OBS_SQL = """
+  SELECT 'h' || CAST(user_id % 15 AS VARCHAR) || '.test' AS host,
+    'u' || CAST(event_id AS VARCHAR) AS url,
+    CASE WHEN (user_id % 15) % 5 <> 4
+         THEN 'W/e' || CAST(event_id % 97 AS VARCHAR) END AS etag_t1,
+    CASE WHEN (user_id % 15) % 5 <> 4
+         THEN CASE WHEN event_id % 4 = 0
+                   THEN 'W/f' || CAST(event_id % 97 AS VARCHAR)
+                   ELSE 'W/e' || CAST(event_id % 97 AS VARCHAR) END
+    END AS etag_t2,
+    md5('b' || CAST(event_id % 89 AS VARCHAR)) AS digest_t1,
+    CASE WHEN event_id % 5 = 0
+         THEN md5('c' || CAST(event_id % 89 AS VARCHAR))
+         ELSE md5('b' || CAST(event_id % 89 AS VARCHAR)) END AS digest_t2
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_etag_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.etag_audit: per-row classification in the scan +
+    ONE groupBy(host)."""
+    return _recrawl.etag_audit(_ea_obs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# https_migration
+# ---------------------------------------------------------------------------
+
+
+def _hm_urls(spark, sf) -> DataFrame:
+    """URL set over 12 hosts: scheme by event parity, a both-scheme lane
+    (event_id % 5 == 0 emits the same path under both), plus an ftp row
+    lane that must be ignored."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    e = F.col("event_id")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"),
+                    F.lit(".test"))
+    path = F.concat(F.lit("/p/"), (e % 300).cast("string"))
+    sch = F.when(e % 3 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    single = F.concat(sch, host, path)
+    other = F.when(e % 5 == 0,
+                   F.concat(F.when(e % 3 == 0, F.lit("https://"))
+                            .otherwise(F.lit("http://")), host, path))
+    ftp = F.when(e % 7 == 0, F.concat(F.lit("ftp://"), host, path))
+    out = ev.select(F.explode(F.array(single, other, ftp)).alias("url"))
+    return out.filter(F.col("url").isNotNull())
+
+
+_HM_URLS_SQL = """
+  SELECT url FROM (
+    SELECT unnest([
+      (CASE WHEN event_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+        || 'h' || CAST(user_id % 12 AS VARCHAR) || '.test/p/'
+        || CAST(event_id % 300 AS VARCHAR),
+      CASE WHEN event_id % 5 = 0 THEN
+        (CASE WHEN event_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
+        || 'h' || CAST(user_id % 12 AS VARCHAR) || '.test/p/'
+        || CAST(event_id % 300 AS VARCHAR) END,
+      CASE WHEN event_id % 7 = 0 THEN
+        'ftp://h' || CAST(user_id % 12 AS VARCHAR) || '.test/p/'
+        || CAST(event_id % 300 AS VARCHAR) END
+    ]) AS url
+    FROM events WHERE event_id % 2 = 0
+  ) WHERE url IS NOT NULL
+"""
+
+
+def q_https_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.https_migration: two host-prefixed groupBys,
+    non-http(s) schemes filtered in the scan."""
+    return _wa.https_migration(_hm_urls(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# title_syndication
+# ---------------------------------------------------------------------------
+
+
+def _ts_pages(spark, sf) -> DataFrame:
+    """Pages over 25 hosts; titles from a pool of 40 — syndicated by
+    construction; case/whitespace jitter exercises normalization; one lane
+    of empty titles."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    base = F.concat(F.lit("Breaking Story "), (e % 40).cast("string"))
+    jit = (F.when(e % 3 == 0, F.upper(base))
+           .when(e % 3 == 1, F.concat(F.lit("  "), base, F.lit("   ")))
+           .otherwise(base))
+    title = F.when(e % 11 == 0, F.lit("")).otherwise(jit)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"),
+                 F.lit(".test")).alias("host"),
+        title.alias("title"))
+
+
+_TS_PAGES_SQL = """
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) || '.test' AS host,
+    CASE WHEN event_id % 11 = 0 THEN ''
+      WHEN event_id % 3 = 0
+        THEN upper('Breaking Story ' || CAST(event_id % 40 AS VARCHAR))
+      WHEN event_id % 3 = 1
+        THEN '  Breaking Story ' || CAST(event_id % 40 AS VARCHAR) || '   '
+      ELSE 'Breaking Story ' || CAST(event_id % 40 AS VARCHAR)
+    END AS title
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_title_syndication(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.title_syndication: normalize in scan, ONE
+    groupBy(title_norm)."""
+    return _curation.title_syndication(_ts_pages(spark, sf))
+
+
+def queries124():
+    return {
+        "etag_audit": q_etag_audit,
+        "https_migration": q_https_migration,
+        "title_syndication": q_title_syndication,
+    }
+
+
+def oracle_sql124():
+    return {
+        "etag_audit": _recrawl.etag_audit_sql(_EA_OBS_SQL),
+        "https_migration": _wa.https_migration_sql(_HM_URLS_SQL),
+        "title_syndication": _curation.title_syndication_sql(_TS_PAGES_SQL),
+    }

@@ -2894,3 +2894,48 @@ SELECT declared, detected, CAST(count(*) AS BIGINT) AS n,
   CAST(declared = detected AS INT) AS agree
 FROM d GROUP BY declared, detected
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-host title syndication detection
+# ---------------------------------------------------------------------------
+
+
+def title_syndication(pages: DataFrame, host_col: str = "host",
+                      title_col: str = "title",
+                      min_hosts: int = 2) -> DataFrame:
+    """Titles that appear on ≥ min_hosts DISTINCT hosts — the cheap
+    syndication/scraper-network detector (press-release wires, content
+    farms republishing verbatim, mirror networks that near-dup misses when
+    bodies diverge in boilerplate but headlines don't). Titles normalize
+    by lowercase + whitespace collapse; empty titles are dropped. Returns
+    (title_norm, n_hosts, n_pages, sample_host = min host).
+
+    Scale shape: normalization in the scan; ONE groupBy on the normalized
+    title (fixed-width md5 could key the shuffle at extreme scale, but
+    titles are short — the raw string key keeps the output readable).
+    """
+    t = F.trim(F.regexp_replace(F.lower(F.col(title_col)), r"\s+", " "))
+    base = (pages.select(F.col(host_col).alias("host"),
+                         t.alias("title_norm"))
+            .filter(F.col("title_norm") != ""))
+    agg = base.groupBy("title_norm").agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_pages"),
+        F.min("host").alias("sample_host"))
+    return agg.filter(F.col("n_hosts") >= int(min_hosts))
+
+
+def title_syndication_sql(pages_sql: str, min_hosts: int = 2) -> str:
+    """DuckDB mirror of :func:`title_syndication` over (host, title)."""
+    return f"""
+WITH base AS (
+  SELECT host,
+    trim(regexp_replace(lower(title), '\\s+', ' ', 'g')) AS title_norm
+  FROM ({pages_sql})
+)
+SELECT title_norm, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(count(*) AS BIGINT) AS n_pages, min(host) AS sample_host
+FROM base WHERE title_norm <> ''
+GROUP BY title_norm HAVING count(DISTINCT host) >= {int(min_hosts)}
+"""

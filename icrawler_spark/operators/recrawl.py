@@ -4020,3 +4020,66 @@ SELECT {keys}, {v} AS raw,
        ELSE 'invalid' END AS kind
 FROM ({rows_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# ETag honesty audit (validator vs content cross-classification)
+# ---------------------------------------------------------------------------
+
+
+def etag_audit(observations: DataFrame, host_col: str = "host",
+               url_col: str = "url",
+               etag1_col: str = "etag_t1", etag2_col: str = "etag_t2",
+               digest1_col: str = "digest_t1",
+               digest2_col: str = "digest_t2") -> DataFrame:
+    """Cross-classify each url's (ETag changed?, content changed?) between
+    two captures, aggregated per host: (host, n_urls, honest_stable,
+    honest_changed, lying_cache, cache_busting). ``lying_cache`` = ETag
+    unchanged but bytes changed — conditional GETs against this host LOSE
+    updates; ``cache_busting`` = ETag churns over identical bytes —
+    conditional GETs are useless and the scheduler should stop sending
+    If-None-Match. The two off-diagonal counts decide, per host, whether
+    revalidation (operators/recrawl.revalidate) is worth its round-trips.
+
+    Scale shape: pure per-row classification in the scan projection + ONE
+    groupBy(host). NULL etags (host never sent one) are excluded from all
+    four classes but count in n_urls.
+    """
+    same_etag = F.col(etag1_col) == F.col(etag2_col)
+    same_body = F.col(digest1_col) == F.col(digest2_col)
+    has = F.col(etag1_col).isNotNull() & F.col(etag2_col).isNotNull()
+    obs = observations.select(
+        F.col(host_col).alias("host"),
+        (has & same_etag & same_body).cast("int").alias("__hs"),
+        (has & ~same_etag & ~same_body).cast("int").alias("__hc"),
+        (has & same_etag & ~same_body).cast("int").alias("__lc"),
+        (has & ~same_etag & same_body).cast("int").alias("__cb"))
+    return obs.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("__hs").cast("long").alias("honest_stable"),
+        F.sum("__hc").cast("long").alias("honest_changed"),
+        F.sum("__lc").cast("long").alias("lying_cache"),
+        F.sum("__cb").cast("long").alias("cache_busting"))
+
+
+def etag_audit_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`etag_audit` over
+    (host, url, etag_t1, etag_t2, digest_t1, digest_t2)."""
+    return f"""
+WITH o AS (
+  SELECT host,
+    (etag_t1 IS NOT NULL AND etag_t2 IS NOT NULL) AS has,
+    etag_t1 = etag_t2 AS se, digest_t1 = digest_t2 AS sb
+  FROM ({obs_sql})
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(sum(CASE WHEN has AND se AND sb THEN 1 ELSE 0 END) AS BIGINT)
+    AS honest_stable,
+  CAST(sum(CASE WHEN has AND NOT se AND NOT sb THEN 1 ELSE 0 END) AS BIGINT)
+    AS honest_changed,
+  CAST(sum(CASE WHEN has AND se AND NOT sb THEN 1 ELSE 0 END) AS BIGINT)
+    AS lying_cache,
+  CAST(sum(CASE WHEN has AND NOT se AND sb THEN 1 ELSE 0 END) AS BIGINT)
+    AS cache_busting
+FROM o GROUP BY host
+"""

@@ -449,3 +449,76 @@ SELECT CAST(sum(n) AS BIGINT) AS n_pages,
   round(1.0 - sum(l) / CAST(sum(l * n) AS DOUBLE), 6) AS savings_frac
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# HTTPS migration audit
+# ---------------------------------------------------------------------------
+
+
+def https_migration(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host scheme migration state over a URL set: (host, n_http,
+    n_https, n_both, https_frac) — n_both counts path+query spellings seen
+    under BOTH schemes (the duplicate-capture cost of a half-migrated
+    site), https_frac = n_https / (n_http + n_https). Feeds the
+    canonicalization policy (scheme-folding is safe exactly when n_both is
+    high and bodies agree) and the frontier's default-scheme choice.
+
+    Scale shape: scheme/host/rest are scan projections; one
+    groupBy(host, rest) marks both-scheme spellings, one groupBy(host)
+    rolls up. Both shuffles share the host-prefixed key.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    base = (urls.select(scheme.alias("__sch"), host.alias("host"),
+                        tail.alias("__rest"))
+            .filter(F.col("__sch").isin("http", "https")))
+    per_path = base.groupBy("host", "__rest").agg(
+        F.max((F.col("__sch") == "http").cast("int")).alias("__h"),
+        F.max((F.col("__sch") == "https").cast("int")).alias("__s"),
+        F.sum((F.col("__sch") == "http").cast("int")).alias("__nh"),
+        F.sum((F.col("__sch") == "https").cast("int")).alias("__ns"))
+    agg = per_path.groupBy("host").agg(
+        F.sum("__nh").cast("long").alias("n_http"),
+        F.sum("__ns").cast("long").alias("n_https"),
+        F.sum((F.col("__h") + F.col("__s") == 2).cast("int")).cast("long")
+        .alias("n_both"))
+    return agg.withColumn(
+        "https_frac",
+        F.round(F.col("n_https")
+                / (F.col("n_http") + F.col("n_https")).cast("double"), 6))
+
+
+def https_migration_sql(urls_sql: str) -> str:
+    """DuckDB mirror of :func:`https_migration` over (url)."""
+    return f"""
+WITH base AS (
+  SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+      AS sch,
+    lower(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1)) AS host,
+    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+      '^[^/?#]*', '') AS rest
+  FROM ({urls_sql})
+), f AS (
+  SELECT * FROM base WHERE sch IN ('http', 'https')
+), per_path AS (
+  SELECT host, rest,
+    max(CASE WHEN sch = 'http' THEN 1 ELSE 0 END) AS h,
+    max(CASE WHEN sch = 'https' THEN 1 ELSE 0 END) AS s,
+    sum(CASE WHEN sch = 'http' THEN 1 ELSE 0 END) AS nh,
+    sum(CASE WHEN sch = 'https' THEN 1 ELSE 0 END) AS ns
+  FROM f GROUP BY host, rest
+), agg AS (
+  SELECT host, sum(nh) AS n_http, sum(ns) AS n_https,
+    sum(CASE WHEN h + s = 2 THEN 1 ELSE 0 END) AS n_both
+  FROM per_path GROUP BY host
+)
+SELECT host, CAST(n_http AS BIGINT) AS n_http,
+  CAST(n_https AS BIGINT) AS n_https, CAST(n_both AS BIGINT) AS n_both,
+  round(n_https / CAST(n_http + n_https AS DOUBLE), 6) AS https_frac
+FROM agg
+"""

@@ -1,0 +1,88 @@
+"""Unit tests for the round-124 pack: ETag honesty, HTTPS migration,
+title syndication."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.curation import title_syndication
+from icrawler_spark.operators.recrawl import etag_audit
+from icrawler_spark.operators.webarchive import https_migration
+
+# ---------------------------------------------------------------------------
+# etag_audit
+# ---------------------------------------------------------------------------
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, url string, etag_t1 string, etag_t2 string, "
+              "digest_t1 string, digest_t2 string")
+
+
+def test_etag_audit_four_classes(spark):
+    out = etag_audit(_obs(spark, [
+        ("h", "u1", "e", "e", "d", "d"),     # honest stable
+        ("h", "u2", "e", "f", "d", "x"),     # honest changed
+        ("h", "u3", "e", "e", "d", "x"),     # lying cache
+        ("h", "u4", "e", "f", "d", "d"),     # cache busting
+        ("h", "u5", None, None, "d", "d"),   # no etag: counted in n_urls only
+    ])).collect()[0]
+    assert out["n_urls"] == 5
+    assert out["honest_stable"] == 1 and out["honest_changed"] == 1
+    assert out["lying_cache"] == 1 and out["cache_busting"] == 1
+
+
+# ---------------------------------------------------------------------------
+# https_migration
+# ---------------------------------------------------------------------------
+
+
+def test_https_migration_counts_and_both(spark):
+    urls = spark.createDataFrame([(u,) for u in [
+        "http://a.test/p1", "https://a.test/p1",   # both-scheme spelling
+        "https://a.test/p2",
+        "http://b.test/x",
+        "ftp://a.test/ignored",
+    ]], "url string")
+    out = {r["host"]: r for r in https_migration(urls).collect()}
+    a = out["a.test"]
+    assert a["n_http"] == 1 and a["n_https"] == 2 and a["n_both"] == 1
+    assert a["https_frac"] == round(2 / 3, 6)
+    b = out["b.test"]
+    assert b["n_https"] == 0 and b["https_frac"] == 0.0
+
+
+def test_https_migration_query_distinguishes_paths(spark):
+    urls = spark.createDataFrame([(u,) for u in [
+        "http://a.test/p?x=1", "https://a.test/p?x=2",
+    ]], "url string")
+    out = https_migration(urls).collect()[0]
+    assert out["n_both"] == 0  # different query strings are different paths
+
+
+# ---------------------------------------------------------------------------
+# title_syndication
+# ---------------------------------------------------------------------------
+
+
+def test_title_syndication_normalizes_and_filters(spark):
+    pages = spark.createDataFrame([
+        ("a.test", "Breaking  News"),
+        ("b.test", "breaking news"),
+        ("b.test", "BREAKING NEWS"),
+        ("c.test", "Unique Story"),
+        ("d.test", ""),
+    ], "host string, title string")
+    out = title_syndication(pages).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["title_norm"] == "breaking news"
+    assert r["n_hosts"] == 2 and r["n_pages"] == 3
+    assert r["sample_host"] == "a.test"
+
+
+def test_title_syndication_min_hosts_threshold(spark):
+    pages = spark.createDataFrame(
+        [("a.test", "t"), ("b.test", "t"), ("c.test", "t")],
+        "host string, title string")
+    assert title_syndication(pages, min_hosts=4).count() == 0
+    assert title_syndication(pages, min_hosts=3).count() == 1
