@@ -80,7 +80,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round118, entry_round119,
                             entry_round120, entry_round121,
                             entry_round122, entry_round123,
-                            entry_round124)
+                            entry_round124, entry_round125)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -971,6 +971,7 @@ def queries():
         **entry_round122.queries122(),
         **entry_round123.queries123(),
         **entry_round124.queries124(),
+        **entry_round125.queries125(),
     }
 
 
@@ -1167,4 +1168,5 @@ def _oracle_sql_raw():
         **entry_round122.oracle_sql122(),
         **entry_round123.oracle_sql123(),
         **entry_round124.oracle_sql124(),
+        **entry_round125.oracle_sql125(),
     }

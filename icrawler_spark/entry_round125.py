@@ -1,0 +1,57 @@
+"""Round-3 driver-contract queries (batch 119): product quantization —
+codes + asymmetric-distance top-k (Jégou, Douze & Schmid 2011).
+
+Both queries run over the driver's embeddings table; the DuckDB oracles
+REBUILD the codebooks from the table with the same modulo-seed rule the
+Spark side uses (iters=0, SQL-expressible — the ann_ivf precedent), so the
+code assignment and ADC arithmetic are verified end-to-end by value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.operators import similarity as _sim
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DIM = 64
+_PQ_TOPK = 5
+_PQ_QUERIES = list(range(10))
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.pq_encode: m·k fixed-size JVM distance
+    expressions in the scan projection — no shuffle, no UDF; 64 float
+    dims compress to m byte codes (the memory-side ANN scale story)."""
+    emb = _emb(spark, sf)
+    books = _sim.pq_codebooks(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    return _sim.pq_encode(emb, books)
+
+
+def q_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/similarity.pq_adc_topk: queries stay raw, corpus is its
+    codes; per-pair distance is element_at lookups into literal centroid
+    arrays — the join moves m bytes per vector, never the vector."""
+    emb = _emb(spark, sf)
+    books = _sim.pq_codebooks(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    return _sim.pq_adc_topk(emb, books, _PQ_QUERIES, topk=_PQ_TOPK)
+
+
+def queries125():
+    return {
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
+    }
+
+
+def oracle_sql125():
+    return {
+        "pq_codes": _sim.pq_encode_sql(_PQ_M, _PQ_K, dim=_PQ_DIM),
+        "pq_adc": _sim.pq_adc_sql(_PQ_M, _PQ_K, _PQ_QUERIES,
+                                  topk=_PQ_TOPK, dim=_PQ_DIM),
+    }

@@ -1,0 +1,66 @@
+"""Unit tests for the round-125 pack: product quantization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from icrawler_spark.operators.similarity import (pq_adc_topk, pq_codebooks,
+                                                 pq_encode)
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def test_pq_codebooks_shape_and_seed_rule(spark):
+    vecs = np.arange(16 * 8, dtype=float).reshape(16, 8)
+    emb = _emb(spark, vecs)
+    books = pq_codebooks(emb, m=2, k=4, dim=8)
+    assert books.shape == (2, 4, 4)
+    # stride = 16//4 = 4 -> seeds are rows 0, 4, 8, 12
+    np.testing.assert_allclose(books[0][1], vecs[4][:4])
+    np.testing.assert_allclose(books[1][2], vecs[8][4:])
+
+
+def test_pq_encode_seed_vectors_have_zero_error(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(16, 8))
+    emb = _emb(spark, vecs)
+    books = pq_codebooks(emb, m=2, k=4, dim=8)
+    out = {r["vec_id"]: r for r in pq_encode(emb, books).collect()}
+    # a seed vector reconstructs exactly: code = its own seed slot, mse 0
+    for sid, slot in [(0, 0), (4, 1), (8, 2), (12, 3)]:
+        # float32 storage rounds the seed, so error is ~1e-15, rounds to 0
+        assert out[sid]["recon_mse"] == 0.0
+        assert out[sid]["codes"] == [slot, slot]
+    # every vector got m codes in range
+    for r in out.values():
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_pq_adc_ranks_seed_twin_first(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(16, 8))
+    vecs[5] = vecs[4] + 1e-6  # near-twin of seed row 4
+    emb = _emb(spark, vecs)
+    books = pq_codebooks(emb, m=2, k=4, dim=8)
+    out = pq_adc_topk(emb, books, [5], topk=3).collect()
+    assert out[0]["rank"] == 1
+    # vec 4 shares vec 5's codes, so its asymmetric distance is minimal
+    assert out[0]["neighbor_id"] == 4
+    assert out[0]["adist"] <= out[-1]["adist"]
+
+
+def test_pq_adc_excludes_self(spark):
+    rng = np.random.default_rng(3)
+    emb = _emb(spark, rng.normal(size=(12, 8)))
+    books = pq_codebooks(emb, m=2, k=4, dim=8)
+    rows = pq_adc_topk(emb, books, [0, 1], topk=4).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert sorted(by_q[0]) == [1, 2, 3, 4]
