@@ -451,6 +451,8 @@ _EXTRA_PICKS = [
     "etag_audit", "https_migration", "title_syndication",
     # round-3 batch (product quantization)
     "pq_codes", "pq_adc",
+    # round-3 batch (pure-SQL surface)
+    "sql_surface",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Round-3 driver-contract queries (batch 120): the pure-SQL surface.
+
+The engine is DataFrame-first, but every relational operator is equally
+reachable through ``spark.sql`` over registered views — the deployment mode
+where analysts drive the crawl warehouse from SQL alone (north-rule API:
+"pyspark.sql DataFrame + vectorized UDFs"; Catalyst compiles both surfaces
+to the same plans). This batch runs one representative crawl pipeline
+written ENTIRELY as a SQL string on the Spark side, so the driver verifies
+the SQL face end-to-end: same string semantics, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# One crawl round as SQL: candidate urls from events, anti-join the seen
+# set (every 3rd event), take 2 politeness slots per host, global rank by
+# (ts, event_id) — the entry() flagship pipeline, spelled in SQL. The
+# dialect-portable core is shared; only the url-concat spelling differs
+# (Spark concat vs DuckDB ||), generated from the same Python constants.
+
+_PIPELINE = """
+WITH frontier AS (
+  SELECT {url} AS url,
+         CAST(user_id % 50 AS BIGINT) AS host,
+         ts, CAST(event_id AS BIGINT) AS event_id
+  FROM events
+), seen AS (
+  SELECT {url} AS url FROM events WHERE event_id % 3 = 0
+), new AS (
+  SELECT f.* FROM frontier f
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+), slots AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY ts, event_id) AS slot
+  FROM new
+), batch AS (
+  SELECT * FROM slots WHERE slot <= 2
+)
+SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS file_idx,
+       url, host
+FROM batch
+ORDER BY file_idx
+LIMIT 200
+"""
+
+_SPARK_URL = "concat('http://h', CAST(user_id % 50 AS STRING), '.test/e/', CAST(event_id AS STRING))"
+_DUCK_URL = "'http://h' || CAST(user_id % 50 AS VARCHAR) || '.test/e/' || CAST(event_id AS VARCHAR)"
+
+
+def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole pipeline as ONE spark.sql string over a registered view —
+    Catalyst lowers it to the same anti-join + windows the DataFrame
+    surface produces (NOT EXISTS → left-anti hash join, per-host window,
+    TakeOrderedAndProject for the ranked LIMIT)."""
+    spark.read.parquet(f"{sf}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_PIPELINE.format(url=_SPARK_URL))
+
+
+def queries126():
+    return {
+        "sql_surface": q_sql_surface,
+    }
+
+
+def oracle_sql126():
+    return {
+        "sql_surface": _PIPELINE.format(url=_DUCK_URL),
+    }

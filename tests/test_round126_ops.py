@@ -1,0 +1,26 @@
+"""Unit tests for the round-126 pack: the pure-SQL pipeline surface."""
+
+from __future__ import annotations
+
+from icrawler_spark.entry_round126 import q_sql_surface
+
+
+def test_sql_surface_runs_and_ranks(spark):
+    out = q_sql_surface(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    idxs = [r["file_idx"] for r in out]
+    assert idxs == list(range(1, len(out) + 1))
+    # politeness slot cap: ≤2 urls per host in the batch
+    hosts = {}
+    for r in out:
+        hosts[r["host"]] = hosts.get(r["host"], 0) + 1
+    assert max(hosts.values()) <= 2
+
+
+def test_sql_surface_lowers_to_anti_join(spark):
+    """Catalyst compiles the NOT EXISTS into a left-anti hash join — the
+    same physical plan the DataFrame surface's anti_join_seen produces."""
+    df = q_sql_surface(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
