@@ -51,8 +51,11 @@ _DUCK_URL = "'http://h' || CAST(user_id % 50 AS VARCHAR) || '.test/e/' || CAST(e
 def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The whole pipeline as ONE spark.sql string over a registered view —
     Catalyst lowers it to the same anti-join + windows the DataFrame
-    surface produces (NOT EXISTS → left-anti hash join, per-host window,
-    TakeOrderedAndProject for the ranked LIMIT)."""
+    surface produces (NOT EXISTS → left-anti hash join, per-host window).
+    The final global rank IS a single-partition window — acceptable here
+    ONLY because its input is the politeness batch (≤ 2 rows per host, so
+    O(hosts) rows); the round loop's unbounded equivalent uses the
+    two-phase ranker (operators/budget.global_row_number) instead."""
     spark.read.parquet(f"{sf}/events.parquet") \
         .createOrReplaceTempView("events")
     return spark.sql(_PIPELINE.format(url=_SPARK_URL))
