@@ -453,6 +453,8 @@ _EXTRA_PICKS = [
     "pq_codes", "pq_adc",
     # round-3 batch (pure-SQL surface)
     "sql_surface",
+    # round-3 batch (link density + table census)
+    "link_density", "table_profile",
 ]
 
 

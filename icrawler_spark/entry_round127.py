@@ -1,0 +1,127 @@
+"""Round-3 driver-contract queries (batch 121): link-density filter and
+HTML table census.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# link_density
+# ---------------------------------------------------------------------------
+
+
+def _ld_pages(spark, sf) -> DataFrame:
+    """Three page shapes by event_id % 3: article (low density), nav page
+    (all links), empty shell."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 6 == 0)
+    eid = F.col("event_id").cast("string")
+    article = F.concat(
+        F.lit("<html><body><p>Real prose paragraph number "), eid,
+        F.lit(" with many plain words here.</p>"
+              "<a href=\"/x\">more</a></body></html>"))
+    nav = F.concat(
+        F.lit("<html><body><a href=\"/1\">Section one</a> "
+              "<a href=\"/2\">Section two "), eid,
+        F.lit("</a> <a href=\"/3\">Section three</a></body></html>"))
+    shell = F.lit("<html><body><div></div></body></html>")
+    body = (F.when(F.col("event_id") % 3 == 0, article)
+            .when(F.col("event_id") % 3 == 1, nav).otherwise(shell))
+    return ev.select(
+        F.concat(F.lit("http://p.test/"), eid).alias("url"),
+        body.alias("html"))
+
+
+_LD_PAGES_SQL = """
+  SELECT 'http://p.test/' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<html><body><p>Real prose paragraph number '
+        || CAST(event_id AS VARCHAR)
+        || ' with many plain words here.</p><a href="/x">more</a></body></html>'
+      WHEN 1 THEN '<html><body><a href="/1">Section one</a> '
+        || '<a href="/2">Section two ' || CAST(event_id AS VARCHAR)
+        || '</a> <a href="/3">Section three</a></body></html>'
+      ELSE '<html><body><div></div></body></html>'
+    END AS html
+  FROM events WHERE event_id % 6 = 0
+"""
+
+
+def q_link_density(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.link_density: three regexp passes in the scan,
+    no shuffle."""
+    return _warc.link_density(_ld_pages(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+# ---------------------------------------------------------------------------
+
+
+def _tp_pages(spark, sf) -> DataFrame:
+    """Pages with a data table (numeric cells), a layout table (text
+    cells), or no table, by event_id % 3."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id").cast("string")
+    data = F.concat(
+        F.lit("<html><body><table><tr><th>year</th><th>value</th></tr>"
+              "<tr><td>2023</td><td>1,234.5</td></tr><tr><td>2024</td><td>"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("</td></tr></table></body></html>"))
+    layout = F.lit(
+        "<html><body><table><tr><td><b>Menu</b></td><td>About us</td>"
+        "</tr></table></body></html>")
+    none = F.concat(F.lit("<html><body><p>no tables "), eid,
+                    F.lit("</p></body></html>"))
+    body = (F.when(F.col("event_id") % 3 == 0, data)
+            .when(F.col("event_id") % 3 == 1, layout).otherwise(none))
+    return ev.select(
+        F.concat(F.lit("http://t.test/"), eid).alias("url"),
+        body.alias("html"))
+
+
+_TP_PAGES_SQL = """
+  SELECT 'http://t.test/' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<html><body><table><tr><th>year</th><th>value</th></tr>'
+        || '<tr><td>2023</td><td>1,234.5</td></tr><tr><td>2024</td><td>'
+        || CAST(event_id % 1000 AS VARCHAR)
+        || '</td></tr></table></body></html>'
+      WHEN 1 THEN '<html><body><table><tr><td><b>Menu</b></td>'
+        || '<td>About us</td></tr></table></body></html>'
+      ELSE '<html><body><p>no tables ' || CAST(event_id AS VARCHAR)
+        || '</p></body></html>'
+    END AS html
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.table_profile: regexp census + one filter-reduce
+    over the cell array, all in the scan projection."""
+    return _warc.table_profile(_tp_pages(spark, sf))
+
+
+def queries127():
+    return {
+        "link_density": q_link_density,
+        "table_profile": q_table_profile,
+    }
+
+
+def oracle_sql127():
+    return {
+        "link_density": _warc.link_density_sql(_LD_PAGES_SQL),
+        "table_profile": _warc.table_profile_sql(_TP_PAGES_SQL),
+    }

@@ -1614,3 +1614,140 @@ SELECT url,
     AS payload
 FROM feats
 """.replace("{pages_sql}", pages_sql)
+
+
+# ---------------------------------------------------------------------------
+# Link density (link-farm / navigation-page filter)
+# ---------------------------------------------------------------------------
+
+
+def link_density(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html",
+                 max_density: float = 0.5) -> DataFrame:
+    """Per-page link-density profile: (url, n_links, text_chars,
+    anchor_chars, link_density, is_link_farm). ``link_density`` =
+    anchor-text chars / all text chars (tags stripped, whitespace
+    collapsed, rounded 6; 0 when the page has no text); pages above
+    ``max_density`` flag as link farms — the classic navigation/directory
+    page filter (Gopher and FineWeb both gate on it) that pure text
+    quality scores miss because anchor text IS well-formed text.
+
+    Scale shape: three regexp passes in the scan projection (anchors,
+    tag strip, whitespace) — html never leaves the stage, no shuffle.
+    """
+    html = F.col(html_col).cast("string")
+    anchors = F.regexp_extract_all(
+        html, F.lit(r"(?is)<a\s[^>]*>(.*?)</a>"), F.lit(1))
+    strip = (lambda c: F.regexp_replace(
+        F.regexp_replace(c, r"(?is)<[^>]*>", " "), r"\s+", " "))
+    anchor_text = strip(F.array_join(anchors, " "))
+    body_text = strip(html)
+    n_links = F.size(anchors).cast("long")
+    tc = F.length(F.trim(body_text)).cast("long")
+    ac = F.length(F.trim(anchor_text)).cast("long")
+    dens = F.when(tc > 0, F.round(ac / tc.cast("double"), 6)) \
+        .otherwise(F.lit(0.0))
+    return pages.select(
+        F.col(url_col).alias("url"), n_links.alias("n_links"),
+        tc.alias("text_chars"), ac.alias("anchor_chars"),
+        dens.alias("link_density"),
+        (dens > float(max_density)).cast("int").alias("is_link_farm"))
+
+
+def link_density_sql(pages_sql: str, max_density: float = 0.5) -> str:
+    """DuckDB mirror of :func:`link_density` over (url, html)."""
+    return f"""
+WITH base AS (
+  SELECT url, CAST(html AS VARCHAR) AS h FROM ({pages_sql})
+), x AS (
+  SELECT url,
+    regexp_extract_all(h, '(?is)<a\\s[^>]*>(.*?)</a>', 1) AS anchors,
+    trim(regexp_replace(regexp_replace(h, '(?is)<[^>]*>', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS body_text
+  FROM base
+), y AS (
+  SELECT url, len(anchors) AS n_links,
+    length(body_text) AS tc,
+    length(trim(regexp_replace(regexp_replace(
+      array_to_string(anchors, ' '), '(?is)<[^>]*>', ' ', 'g'),
+      '\\s+', ' ', 'g'))) AS ac
+  FROM x
+)
+SELECT url, CAST(n_links AS BIGINT) AS n_links,
+  CAST(tc AS BIGINT) AS text_chars, CAST(ac AS BIGINT) AS anchor_chars,
+  CASE WHEN tc > 0 THEN round(ac / CAST(tc AS DOUBLE), 6)
+       ELSE 0.0 END AS link_density,
+  CAST((CASE WHEN tc > 0 THEN round(ac / CAST(tc AS DOUBLE), 6)
+             ELSE 0.0 END) > {float(max_density)!r} AS INT) AS is_link_farm
+FROM y
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction profile (structured-data mining signal)
+# ---------------------------------------------------------------------------
+
+
+def table_profile(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Per-page table census: (url, n_tables, n_rows, n_cells,
+    numeric_cells, numeric_frac) — the triage signal for structured-data
+    mining over a crawl (WebTables/DWTC-style corpora start by finding
+    pages whose tables are DATA — high numeric cell share — rather than
+    layout scaffolding). Counts are page-total across tables; a cell is
+    numeric when, tags stripped and trimmed, it matches an optionally
+    signed/decimal/thousands number.
+
+    Scale shape: regexp_extract_all + one filter-reduce over the cell
+    array, all in the scan projection; no shuffle, no parser library.
+    """
+    html = F.col(html_col).cast("string")
+    n_tables = F.size(F.regexp_extract_all(
+        html, F.lit(r"(?is)<table[\s>]"), F.lit(0))).cast("long")
+    n_rows = F.size(F.regexp_extract_all(
+        html, F.lit(r"(?is)<tr[\s>]"), F.lit(0))).cast("long")
+    cells = F.regexp_extract_all(
+        html, F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"), F.lit(1))
+    clean = F.transform(
+        cells, lambda c: F.trim(F.regexp_replace(
+            F.regexp_replace(c, r"(?is)<[^>]*>", " "), r"\s+", " ")))
+    num_re = r"^[+-]?[0-9][0-9,]*(\.[0-9]+)?%?$"
+    numeric = F.size(F.filter(clean, lambda c: c.rlike(num_re))).cast("long")
+    n_cells = F.size(cells).cast("long")
+    return pages.select(
+        F.col(url_col).alias("url"), n_tables.alias("n_tables"),
+        n_rows.alias("n_rows"), n_cells.alias("n_cells"),
+        numeric.alias("numeric_cells"),
+        F.when(n_cells > 0,
+               F.round(numeric / n_cells.cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("numeric_frac"))
+
+
+def table_profile_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`table_profile` over (url, html)."""
+    return f"""
+WITH base AS (
+  SELECT url, CAST(html AS VARCHAR) AS h FROM ({pages_sql})
+), x AS (
+  SELECT url,
+    len(regexp_extract_all(h, '(?is)<table[\\s>]')) AS n_tables,
+    len(regexp_extract_all(h, '(?is)<tr[\\s>]')) AS n_rows,
+    list_transform(
+      regexp_extract_all(h, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+      c -> trim(regexp_replace(regexp_replace(c, '(?is)<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS cells
+  FROM base
+)
+SELECT url, CAST(n_tables AS BIGINT) AS n_tables,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(len(cells) AS BIGINT) AS n_cells,
+  CAST(len(list_filter(cells,
+    c -> regexp_matches(c, '^[+-]?[0-9][0-9,]*(\\.[0-9]+)?%?$')))
+    AS BIGINT) AS numeric_cells,
+  CASE WHEN len(cells) > 0
+       THEN round(len(list_filter(cells,
+         c -> regexp_matches(c, '^[+-]?[0-9][0-9,]*(\\.[0-9]+)?%?$')))
+         / CAST(len(cells) AS DOUBLE), 6)
+       ELSE 0.0 END AS numeric_frac
+FROM x
+"""

@@ -1,0 +1,66 @@
+"""Unit tests for the round-127 pack: link density, table profile."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.warc import link_density, table_profile
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+# ---------------------------------------------------------------------------
+# link_density
+# ---------------------------------------------------------------------------
+
+
+def test_link_density_flags_nav_pages(spark):
+    out = {r["url"]: r for r in link_density(_pages(spark, [
+        ("art", "<p>a long paragraph of ordinary prose text here"
+                "</p><a href='/x'>more</a>"),
+        ("nav", "<a href='/1'>one</a> <a href='/2'>two</a>"),
+        ("empty", "<div></div>"),
+    ])).collect()}
+    assert out["art"]["is_link_farm"] == 0
+    assert out["art"]["n_links"] == 1
+    assert out["nav"]["is_link_farm"] == 1
+    assert out["nav"]["link_density"] > 0.5
+    assert out["empty"]["text_chars"] == 0
+    assert out["empty"]["link_density"] == 0.0
+
+
+def test_link_density_nested_markup_in_anchor(spark):
+    out = link_density(_pages(spark, [
+        ("u", "<a href='/x'><b>bold</b> link</a> plus body prose text"),
+    ])).collect()[0]
+    assert out["anchor_chars"] == len("bold link")
+    assert out["n_links"] == 1
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_numeric_census(spark):
+    html = ("<table><tr><th>year</th><th>v</th></tr>"
+            "<tr><td>2023</td><td>1,234.5</td></tr>"
+            "<tr><td>n/a</td><td>-7%</td></tr></table>")
+    out = table_profile(_pages(spark, [("u", html)])).collect()[0]
+    assert out["n_tables"] == 1 and out["n_rows"] == 3
+    assert out["n_cells"] == 6
+    # numeric: 2023, 1,234.5, -7% -> 3 of 6
+    assert out["numeric_cells"] == 3
+    assert out["numeric_frac"] == 0.5
+
+
+def test_table_profile_no_tables(spark):
+    out = table_profile(_pages(spark, [("u", "<p>plain</p>")])).collect()[0]
+    assert out["n_tables"] == 0 and out["n_cells"] == 0
+    assert out["numeric_frac"] == 0.0
+
+
+def test_table_profile_strips_tags_in_cells(spark):
+    out = table_profile(_pages(spark, [
+        ("u", "<table><tr><td><b>42</b></td></tr></table>")])).collect()[0]
+    assert out["numeric_cells"] == 1
