@@ -455,6 +455,8 @@ _EXTRA_PICKS = [
     "sql_surface",
     # round-3 batch (link density + table census)
     "link_density", "table_profile",
+    # round-3 batch (host quota wired into the loop)
+    "crawl_hostquota",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Round-3 driver-contract queries (batch 122): per-host quota wired into
+the crawl loop (CrawlConfig.max_per_host).
+
+Follows the crawl_blocklist oracle pattern (entry_round6): the shared
+synthetic-web CTEs replay the BFS with the quota applied — round-0 seeds
+use one slot per host, so round-1 candidates get quota−1 slots per host in
+(parent_rank, pos) order, and surviving visit ranks stay contiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUOTA = 2
+
+
+def q_crawl_hostquota(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with max_per_host=2: the host-domination control.
+    Seeds (1 per host) pass; each host admits ONE more URL in round 1 —
+    the earliest by (parent_rank, pos). Ranks stay contiguous (counted-
+    ranker path); seen accumulates pre-gate so shed URLs never re-enter."""
+    from icrawler_spark.entry_round2 import _round_pages
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    pages, _ = _round_pages(spark, sf)
+    cfg = CrawlConfig(max_rounds=2, max_per_host=_QUOTA)
+    res = GreedyCrawl(spark, pages, cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_hostquota_sql() -> str:
+    from icrawler_spark.entry_round2 import _ROUND_PAGES_SQL
+
+    return f"""
+WITH {_ROUND_PAGES_SQL},
+qe0 AS (
+  SELECT s.visit_rank, s.url AS parent, e.pos, e.kind, e.target
+  FROM seeds s JOIN emit e ON e.url = s.url
+),
+qf1 AS (  -- dedup-at-enqueue minus seen (identical to f1)
+  SELECT target AS url, parent, pos, parent_rank
+  FROM (
+    SELECT e.target, e.parent, e.pos, e.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY e.target
+                              ORDER BY e.visit_rank, e.pos) AS rn
+    FROM qe0 e WHERE e.kind = 'url'
+      AND e.target NOT IN (SELECT url FROM seeds)
+  ) WHERE rn = 1
+),
+qs1 AS (  -- per-host quota: seeds used 1 slot each, so 1 remains
+  SELECT *, row_number() OVER (
+      PARTITION BY regexp_extract(url, '^http://([^/]*)', 1)
+      ORDER BY parent_rank, pos) AS qslot
+  FROM qf1
+),
+qv1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM qs1 WHERE 1 + qslot <= {_QUOTA}
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM qv1
+"""
+
+
+def queries128():
+    return {
+        "crawl_hostquota": q_crawl_hostquota,
+    }
+
+
+def oracle_sql128():
+    return {
+        "crawl_hostquota": _crawl_hostquota_sql(),
+    }

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icrawler_spark.operators.budget import (
@@ -76,6 +76,13 @@ class CrawlConfig:
     # domain blocklist (domain:string): frontier URLs under any listed
     # domain (label-boundary suffix match) are dropped before fetch
     blocklist: DataFrame | None = None
+    # per-host visit quota: across the WHOLE crawl (seeds included), at
+    # most this many URLs per host enter the ranked batch — the host-
+    # domination control (one 10^7-page site cannot monopolize a corpus
+    # crawl). Cumulative use derives from the accumulated order table (so
+    # resume needs no extra state); the within-round remainder is a
+    # per-host row_number over the frontier order. None = off.
+    max_per_host: int | None = None
     # canonical seen-set keys (functions/urls.canonicalize_url — the
     # north-star "URL canonicalization + 64-bit hashing" seen set): when
     # True, dedup-at-enqueue and the seen anti-join key on the CANONICAL
@@ -571,7 +578,8 @@ class GreedyCrawl:
             gated = (cfg.robots is not None or cfg.round_seconds is not None
                      or cfg.blocklist is not None or cfg.recrawl is not None
                      or cfg.max_trap_score is not None
-                     or cfg.max_spam_score is not None)
+                     or cfg.max_spam_score is not None
+                     or cfg.max_per_host is not None)
             if gated:
                 # gates shrink the batch below the frontier anyway, so the
                 # full-frontier stats job is dead weight: a near-free
@@ -635,6 +643,39 @@ class GreedyCrawl:
                 frontier_r = (apply_blocklist(frontier_r, cfg.blocklist)
                               .filter(F.col("kept"))
                               .drop("host", "blocked_by", "kept"))
+            if cfg.max_per_host is not None:
+                # per-host quota gate: cumulative use from the accumulated
+                # order table (counts only — one groupBy over visited rows,
+                # never re-reads pages) + a per-host row_number for this
+                # round's remainder. Runs BEFORE rank so surviving ranks
+                # stay contiguous; seen accumulates pre-gate, so a
+                # quota-shed URL never re-enters (same contract as the
+                # blocklist/trap gates).
+                host_c = F.parse_url("url", F.lit("HOST"))
+                frontier_r = frontier_r.withColumn("__qh", host_c)
+                if order_parts:
+                    prior = order_parts[0]
+                    for _p in order_parts[1:]:
+                        prior = prior.unionByName(_p)
+                    used = (prior
+                            .select(F.parse_url("url", F.lit("HOST"))
+                                    .alias("__qh"))
+                            .groupBy("__qh")
+                            .agg(F.count("*").alias("__used")))
+                    frontier_r = frontier_r.join(
+                        F.broadcast(used), "__qh", "left")
+                else:
+                    frontier_r = frontier_r.withColumn(
+                        "__used", F.lit(None).cast("long"))
+                w_q = Window.partitionBy("__qh").orderBy(
+                    *[F.col(c) for c in order_cols])
+                frontier_r = (frontier_r
+                              .withColumn("__qslot",
+                                          F.row_number().over(w_q))
+                              .filter(F.coalesce(F.col("__used"), F.lit(0))
+                                      + F.col("__qslot")
+                                      <= F.lit(int(cfg.max_per_host)))
+                              .drop("__qh", "__used", "__qslot"))
             if cfg.recrawl is not None:
                 # adaptive-recrawl gate: scheduled-but-not-yet-due URLs skip
                 # this crawl (plain equi-join on url; AQE picks the strategy
