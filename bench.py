@@ -457,6 +457,8 @@ _EXTRA_PICKS = [
     "link_density", "table_profile",
     # round-3 batch (host quota wired into the loop)
     "crawl_hostquota",
+    # round-3 batch (JSON-LD census + rel pagination)
+    "jsonld", "rel_pagination",
 ]
 
 

@@ -82,7 +82,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round122, entry_round123,
                             entry_round124, entry_round125,
                             entry_round126, entry_round127,
-                            entry_round128)
+                            entry_round128, entry_round129)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -977,6 +977,7 @@ def queries():
         **entry_round126.queries126(),
         **entry_round127.queries127(),
         **entry_round128.queries128(),
+        **entry_round129.queries129(),
     }
 
 
@@ -1177,4 +1178,5 @@ def _oracle_sql_raw():
         **entry_round126.oracle_sql126(),
         **entry_round127.oracle_sql127(),
         **entry_round128.oracle_sql128(),
+        **entry_round129.oracle_sql129(),
     }

@@ -1,0 +1,142 @@
+"""Round-3 driver-contract queries (batch 123): JSON-LD census and
+rel-pagination link extraction.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# jsonld — structured-data census
+# ---------------------------------------------------------------------------
+
+
+def _jl_pages(spark, sf) -> DataFrame:
+    """Pages rotating: two LD blocks (Article + Product w/ Offer), one
+    block, none."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 7 == 0)
+    eid = F.col("event_id").cast("string")
+    two = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type": "Article", "headline": "h'), eid,
+        F.lit('"}</script><script type="application/ld+json">'
+              '{"@type": "Product", "offers": {"@type": "Offer"}}'
+              "</script></head><body>x</body></html>"))
+    one = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type": "Recipe", "name": "r'), eid,
+        F.lit('"}</script></head><body>y</body></html>'))
+    none = F.concat(F.lit("<html><body>plain "), eid, F.lit("</body></html>"))
+    body = (F.when(F.col("event_id") % 3 == 0, two)
+            .when(F.col("event_id") % 3 == 1, one).otherwise(none))
+    return ev.select(F.concat(F.lit("http://j.test/"), eid).alias("url"),
+                     body.alias("html"))
+
+
+_JL_PAGES_SQL = """
+  SELECT 'http://j.test/' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<html><head><script type="application/ld+json">'
+        || '{"@type": "Article", "headline": "h' || CAST(event_id AS VARCHAR)
+        || '"}</script><script type="application/ld+json">'
+        || '{"@type": "Product", "offers": {"@type": "Offer"}}'
+        || '</script></head><body>x</body></html>'
+      WHEN 1 THEN '<html><head><script type="application/ld+json">'
+        || '{"@type": "Recipe", "name": "r' || CAST(event_id AS VARCHAR)
+        || '"}</script></head><body>y</body></html>'
+      ELSE '<html><body>plain ' || CAST(event_id AS VARCHAR)
+        || '</body></html>'
+    END AS html
+  FROM events WHERE event_id % 7 = 0
+"""
+
+
+def q_jsonld(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.jsonld_census: block + type scan as array exprs in
+    the scan projection. Types render comma-joined for the value hash."""
+    out = _warc.jsonld_census(_jl_pages(spark, sf))
+    return out.select("url", "n_blocks",
+                      F.array_join("types", ",").alias("types"))
+
+
+def _jsonld_sql() -> str:
+    inner = _warc.jsonld_census_sql(_JL_PAGES_SQL)
+    return f"""
+SELECT url, n_blocks,
+  coalesce(array_to_string(types, ','), '') AS types
+FROM ({inner})
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel_pagination
+# ---------------------------------------------------------------------------
+
+
+def _rp_pages(spark, sf) -> DataFrame:
+    """Pages rotating: next+prev (rel-first), next only (href-first),
+    canonical only, bare."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 8 == 0)
+    eid = F.col("event_id").cast("string")
+    chain = F.concat(
+        F.lit('<html><head><link rel="next" href="/p?page='), eid,
+        F.lit('"><link rel="prev" href="/p?page=0"></head><body></body></html>'))
+    hreffirst = F.concat(
+        F.lit('<html><head><link href="/n/'), eid,
+        F.lit('" rel="next"></head><body></body></html>'))
+    canon = F.concat(
+        F.lit('<html><head><link rel="canonical" href="http://c.test/'), eid,
+        F.lit('"></head><body></body></html>'))
+    bare = F.lit("<html><body>no links</body></html>")
+    body = (F.when(F.col("event_id") % 4 == 0, chain)
+            .when(F.col("event_id") % 4 == 1, hreffirst)
+            .when(F.col("event_id") % 4 == 2, canon).otherwise(bare))
+    return ev.select(F.concat(F.lit("http://r.test/"), eid).alias("url"),
+                     body.alias("html"))
+
+
+_RP_PAGES_SQL = """
+  SELECT 'http://r.test/' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<html><head><link rel="next" href="/p?page='
+        || CAST(event_id AS VARCHAR)
+        || '"><link rel="prev" href="/p?page=0"></head><body></body></html>'
+      WHEN 1 THEN '<html><head><link href="/n/' || CAST(event_id AS VARCHAR)
+        || '" rel="next"></head><body></body></html>'
+      WHEN 2 THEN '<html><head><link rel="canonical" href="http://c.test/'
+        || CAST(event_id AS VARCHAR) || '"></head><body></body></html>'
+      ELSE '<html><body>no links</body></html>'
+    END AS html
+  FROM events WHERE event_id % 8 = 0
+"""
+
+
+def q_rel_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.rel_pagination: anchored regexp pairs in the scan,
+    both attribute orders."""
+    return _warc.rel_pagination(_rp_pages(spark, sf))
+
+
+def queries129():
+    return {
+        "jsonld": q_jsonld,
+        "rel_pagination": q_rel_pagination,
+    }
+
+
+def oracle_sql129():
+    return {
+        "jsonld": _jsonld_sql(),
+        "rel_pagination": _warc.rel_pagination_sql(_RP_PAGES_SQL),
+    }

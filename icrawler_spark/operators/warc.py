@@ -1751,3 +1751,121 @@ SELECT url, CAST(n_tables AS BIGINT) AS n_tables,
        ELSE 0.0 END AS numeric_frac
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data census
+# ---------------------------------------------------------------------------
+
+
+def jsonld_census(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Per-page JSON-LD census: (url, n_blocks, types) — the count of
+    ``<script type="application/ld+json">`` blocks and the sorted distinct
+    ``@type`` values they declare. Schema.org coverage is the standard
+    triage for structured-data corpora (which pages carry Product/Article/
+    Recipe markup worth a dedicated extractor) — and at crawl scale the
+    census must run without a JSON parser in the loop.
+
+    Deliberately regexp-scoped (documented): ``@type`` values are read
+    lexically from the block text, so nested/escaped exotica aren't
+    interpreted — the census is a ROUTING signal, not a parser; route
+    matching pages to ``from_json`` with a real schema downstream.
+
+    Scale shape: block extraction + per-block type scan are array
+    expressions in the scan projection; no shuffle, no UDF.
+    """
+    html = F.col(html_col).cast("string")
+    blocks = F.regexp_extract_all(
+        html,
+        F.lit(r'(?is)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'),
+        F.lit(1))
+    types = F.array_sort(F.array_distinct(F.flatten(F.transform(
+        blocks,
+        lambda b: F.regexp_extract_all(
+            b, F.lit(r'"@type"\s*:\s*"([^"]+)"'), F.lit(1))))))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.size(blocks).cast("long").alias("n_blocks"),
+        types.alias("types"))
+
+
+def jsonld_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`jsonld_census` over (url, html)."""
+    return f"""
+WITH base AS (
+  SELECT url, CAST(html AS VARCHAR) AS h FROM ({pages_sql})
+), b AS (
+  SELECT url,
+    regexp_extract_all(h,
+      '(?is)<script[^>]*type="application/ld\\+json"[^>]*>(.*?)</script>', 1)
+      AS blocks
+  FROM base
+)
+SELECT url, CAST(len(blocks) AS BIGINT) AS n_blocks,
+  list_sort(list_distinct(flatten(list_transform(blocks,
+    x -> regexp_extract_all(x, '"@type"\\s*:\\s*"([^"]+)"', 1))))) AS types
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel-pagination link extraction (next/prev/canonical)
+# ---------------------------------------------------------------------------
+
+_REL_HREF = ('(?is)<link[^>]*rel="{rel}"[^>]*href="([^"]*)"'
+             '|<link[^>]*href="([^"]*)"[^>]*rel="{rel}"')
+
+
+def rel_pagination(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Per-page pagination/canonical link tags: (url, next_href, prev_href,
+    canonical_href, is_paginated). ``rel=next/prev`` chains are the
+    publisher's own statement of sequence — the frontier hint that lets a
+    crawler fetch a paginated listing IN ORDER (and cap its depth) instead
+    of rediscovering pages via the calendar-trap path; ``canonical``
+    feeds the canonical-cluster dedup. Attribute order is free in HTML, so
+    both ``rel…href`` and ``href…rel`` spellings parse; absent tags yield
+    NULL.
+
+    Scale shape: three anchored regexp pairs in the scan projection —
+    no shuffle.
+    """
+    html = F.col(html_col).cast("string")
+
+    def pick(rel: str):
+        pat = _REL_HREF.format(rel=rel)
+        a = F.regexp_extract(html, pat, 1)
+        b = F.regexp_extract(html, pat, 2)
+        v = F.when(a != "", a).when(b != "", b)
+        return v
+
+    nxt, prv, canon = pick("next"), pick("prev"), pick("canonical")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        nxt.alias("next_href"), prv.alias("prev_href"),
+        canon.alias("canonical_href"),
+        (nxt.isNotNull() | prv.isNotNull()).cast("int").alias("is_paginated"))
+
+
+def rel_pagination_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`rel_pagination` over (url, html)."""
+    def pick(rel: str) -> str:
+        pat = _REL_HREF.format(rel=rel).replace("'", "''")
+        return (f"CASE WHEN regexp_extract(h, '{pat}', 1) <> '' "
+                f"THEN regexp_extract(h, '{pat}', 1) "
+                f"WHEN regexp_extract(h, '{pat}', 2) <> '' "
+                f"THEN regexp_extract(h, '{pat}', 2) END")
+
+    return f"""
+WITH base AS (
+  SELECT url, CAST(html AS VARCHAR) AS h FROM ({pages_sql})
+)
+SELECT url,
+  {pick("next")} AS next_href,
+  {pick("prev")} AS prev_href,
+  {pick("canonical")} AS canonical_href,
+  CAST({pick("next")} IS NOT NULL OR {pick("prev")} IS NOT NULL AS INT)
+    AS is_paginated
+FROM base
+"""

@@ -1,0 +1,58 @@
+"""Unit tests for the round-129 pack: JSON-LD census, rel pagination."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.warc import jsonld_census, rel_pagination
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+# ---------------------------------------------------------------------------
+# jsonld_census
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_counts_blocks_and_types(spark):
+    html = ('<script type="application/ld+json">{"@type": "Article"}'
+            '</script><script type="application/ld+json">'
+            '{"@type": "Product", "offers": {"@type": "Offer"}}</script>')
+    out = jsonld_census(_pages(spark, [("u", html)])).collect()[0]
+    assert out["n_blocks"] == 2
+    assert out["types"] == ["Article", "Offer", "Product"]
+
+
+def test_jsonld_dedups_types_and_handles_none(spark):
+    html = ('<script type="application/ld+json">{"@type": "A"}</script>'
+            '<script type="application/ld+json">{"@type": "A"}</script>')
+    out = {r["url"]: r for r in jsonld_census(_pages(spark, [
+        ("u", html), ("v", "<p>none</p>")])).collect()}
+    assert out["u"]["types"] == ["A"]
+    assert out["v"]["n_blocks"] == 0 and out["v"]["types"] == []
+
+
+def test_jsonld_ignores_plain_scripts(spark):
+    out = jsonld_census(_pages(spark, [
+        ("u", '<script>var x = {"@type": "Fake"}</script>')])).collect()[0]
+    assert out["n_blocks"] == 0 and out["types"] == []
+
+
+# ---------------------------------------------------------------------------
+# rel_pagination
+# ---------------------------------------------------------------------------
+
+
+def test_rel_pagination_both_attribute_orders(spark):
+    out = {r["url"]: r for r in rel_pagination(_pages(spark, [
+        ("a", '<link rel="next" href="/2"><link rel="prev" href="/0">'),
+        ("b", '<link href="/n" rel="next">'),
+        ("c", '<link rel="canonical" href="http://x/c">'),
+        ("d", "<p>none</p>"),
+    ])).collect()}
+    assert out["a"]["next_href"] == "/2" and out["a"]["prev_href"] == "/0"
+    assert out["a"]["is_paginated"] == 1
+    assert out["b"]["next_href"] == "/n" and out["b"]["prev_href"] is None
+    assert out["c"]["canonical_href"] == "http://x/c"
+    assert out["c"]["is_paginated"] == 0
+    assert out["d"]["next_href"] is None and out["d"]["is_paginated"] == 0
