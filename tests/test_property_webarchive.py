@@ -1,0 +1,141 @@
+"""Property-based differentials (hypothesis) for the round-3 webarchive /
+politeness-analytics operators. One Spark job per example (batched inputs)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from icrawler_spark.operators.politeness import host_concurrency, politeness_audit
+from icrawler_spark.operators.webarchive import duplicate_spans, surt_keys
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+# ---------------------------------------------------------------------------
+# surt_keys vs a direct Python re-implementation
+# ---------------------------------------------------------------------------
+
+_hostlbl = st.text(alphabet="abz0", min_size=1, max_size=3)
+
+
+@st.composite
+def _url(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = ".".join(draw(st.lists(_hostlbl, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":81"]))
+    path = draw(st.sampled_from(["", "/", "/A/b", "/x"]))
+    q = draw(st.sampled_from(["", "?b=2&a=1", "?z=", "?k"]))
+    frag = draw(st.sampled_from(["", "#f"]))
+    return f"{scheme}://{www}{host}{port}{path}{q}{frag}"
+
+
+def _surt_py(url: str) -> str:
+    import re
+
+    u = re.sub(r"#.*$", "", url.strip())
+    msch = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+    scheme = msch.group(1).lower() if msch else ""
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u)
+    hostport = re.match(r"^([^/?]*)", rest).group(1).lower()
+    hostport = re.sub(r"^www\.", "", hostport)
+    if scheme == "http":
+        hostport = re.sub(r":80$", "", hostport)
+    elif scheme == "https":
+        hostport = re.sub(r":443$", "", hostport)
+    host = re.match(r"^([^:]*)", hostport).group(1)
+    mp = re.search(r"(:[0-9]+)$", hostport)
+    port = mp.group(1) if mp else ""
+    pathq = rest[len(re.match(r"^([^/?]*)", rest).group(1)):]
+    path = re.match(r"^([^?]*)", pathq).group(1)
+    mq = re.search(r"\?(.*)$", pathq)
+    params = sorted(p for p in (mq.group(1).split("&") if mq else []) if p)
+    qs = "&".join(params)
+    return ",".join(reversed(host.split("."))) + port + ")" + path + \
+        ("?" + qs if qs else "")
+
+
+@given(urls=st.lists(_url(), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_surt_matches_python_reference(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["surt"] for r in surt_keys(df).collect()}
+    for u in set(urls):
+        assert got[u] == _surt_py(u), u
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans vs a Python window-hash oracle
+# ---------------------------------------------------------------------------
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_duplicate_spans_matches_python(spark, docs):
+    k = 3
+    wins: dict[int, list[str]] = {}
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for i, text in enumerate(docs):
+        toks = text.split() if text.strip() else []
+        ws = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        wins[i] = ws
+        counts.update(ws)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_spans(df, k=k).collect()}
+    for i in range(len(docs)):
+        exp_total = len(wins[i])
+        exp_dup = sum(1 for w in wins[i] if counts[w] >= 2)
+        assert got[i]["n_windows"] == exp_total, (i, docs)
+        assert got[i]["n_dup_windows"] == exp_dup, (i, docs)
+
+
+# ---------------------------------------------------------------------------
+# host_concurrency vs a Python interval sweep
+# ---------------------------------------------------------------------------
+
+
+@given(iv=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 30)),
+                   min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_host_concurrency_matches_python(spark, iv):
+    rows = [("h", s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "host string, start_ms long, end_ms long")
+    got = host_concurrency(df).collect()[0]
+    events = sorted([(s, 1) for _, s, _ in rows] +
+                    [(e, -1) for _, _, e in rows],
+                    key=lambda t: (t[0], t[1]))
+    cur = peak = 0
+    for _, d in events:
+        cur += d
+        peak = max(peak, cur)
+    assert got["max_concurrent"] == peak
+    assert got["n_fetches"] == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# politeness_audit vs a Python gap check
+# ---------------------------------------------------------------------------
+
+
+@given(ts=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+       delay=st.integers(1, 2_000))
+@settings(**_SETTINGS)
+def test_politeness_audit_matches_python(spark, ts, delay):
+    rows = [("h", t, f"u{i}") for i, t in enumerate(ts)]
+    fetches = spark.createDataFrame(rows,
+                                    "host string, fetch_ms long, url string")
+    rules = spark.createDataFrame([("h", delay)],
+                                  "host string, crawl_delay_ms long")
+    got = politeness_audit(fetches, rules).collect()[0]
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    gaps = [b[1] - a[1] for a, b in zip(ordered, ordered[1:])]
+    assert got["n_gaps"] == len(gaps)
+    assert got["min_gap_ms"] == (min(gaps) if gaps else None)
+    assert got["n_violations"] == sum(1 for g in gaps if g < delay)
