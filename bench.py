@@ -449,8 +449,6 @@ _EXTRA_PICKS = [
     "lang_agreement", "robots_drift", "sitemap_coverage", "host_concurrency",
     # round-3 batch (ETag honesty + scheme migration + syndication)
     "etag_audit", "https_migration", "title_syndication",
-    # round-3 batch (product quantization)
-    "pq_codes", "pq_adc",
     # round-3 batch (pure-SQL surface)
     "sql_surface",
     # round-3 batch (link density + table census)

@@ -80,7 +80,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round118, entry_round119,
                             entry_round120, entry_round121,
                             entry_round122, entry_round123,
-                            entry_round124, entry_round125,
+                            entry_round124,
                             entry_round126, entry_round127,
                             entry_round128, entry_round129)
 from icrawler_spark.operators import docdedup, multimodal, similarity
@@ -973,7 +973,6 @@ def queries():
         **entry_round122.queries122(),
         **entry_round123.queries123(),
         **entry_round124.queries124(),
-        **entry_round125.queries125(),
         **entry_round126.queries126(),
         **entry_round127.queries127(),
         **entry_round128.queries128(),
@@ -1174,7 +1173,6 @@ def _oracle_sql_raw():
         **entry_round122.oracle_sql122(),
         **entry_round123.oracle_sql123(),
         **entry_round124.oracle_sql124(),
-        **entry_round125.oracle_sql125(),
         **entry_round126.oracle_sql126(),
         **entry_round127.oracle_sql127(),
         **entry_round128.oracle_sql128(),

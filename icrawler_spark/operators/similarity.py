@@ -1405,206 +1405,3 @@ SELECT vf.i AS dim, round(vf.v * sgn.sgn, 4) AS loading,
   round(lam.eigval / tr.trace, 4) AS explained
 FROM vf CROSS JOIN sgn CROSS JOIN lam CROSS JOIN tr
 """
-
-
-# ---------------------------------------------------------------------------
-# Product quantization (Jégou, Douze & Schmid 2011 — public literature)
-# ---------------------------------------------------------------------------
-
-
-def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 8,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64) -> np.ndarray:
-    """Deterministic PQ codebooks: the vector space splits into ``m``
-    contiguous subspaces of dim/m; each subspace's K centroids are the
-    sub-slices of the modulo-seeded sample vectors (id % stride == 0,
-    first K by id — the SQL-expressible rule ivf_centroids uses, iters=0
-    so the DuckDB oracle can rebuild the identical books). Returns
-    (m, k, dim//m) float64.
-
-    At 10^9-vector scale this is the memory-side ANN story IVF alone
-    lacks: 64 float32 dims (256 B) compress to m single-byte codes, so
-    the candidate set ADC scans per query touches ~64× less memory.
-    """
-    total = emb.count()
-    if total == 0:
-        raise ValueError("pq_codebooks: empty embedding table")
-    stride = max(1, total // k)
-    rows = (emb.filter(F.col(id_col) % stride == 0)
-            .orderBy(id_col).limit(k).collect())
-    if len(rows) < min(k, total):
-        rows = emb.orderBy(id_col).limit(k).collect()
-    x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    dsub = dim // m
-    return x[:, :m * dsub].reshape(len(rows), m, dsub).transpose(1, 0, 2)
-
-
-def _pq_sub_dists(vec_col, book_m: np.ndarray, start: int):
-    """K rounded squared-L2 distances of a subspace slice against one
-    codebook — pure JVM zip_with/aggregate expressions. Distances round to
-    9 decimals BEFORE the argmin so both engines tie-break identically."""
-    dsub = book_m.shape[1]
-    sub = F.slice(vec_col, start + 1, dsub)
-    return F.array(*[
-        F.round(F.aggregate(
-            F.zip_with(sub,
-                       F.array(*[F.lit(float(c)) for c in centroid]),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v), 9)
-        for centroid in book_m])
-
-
-def pq_encode(emb: DataFrame, books: np.ndarray,
-              id_col: str = "vec_id", vec_col: str = "embedding"
-              ) -> DataFrame:
-    """(id, vector) → (vec_id, codes array<int>, recon_mse): per-subspace
-    nearest-centroid codes (ties → lowest code) and the squared
-    reconstruction error per dimension (rounded 6) — the codebook-quality
-    metric PQ papers report.
-
-    Scale shape: every distance is a fixed-size JVM expression in the scan
-    projection (m·k zip_with/aggregate terms over dim/m-length slices);
-    no shuffle, no UDF, no collect — the codes table writes partitioned
-    however the sink dictates.
-    """
-    m, _, dsub = books.shape
-    v = _as_double(F.col(vec_col))
-    codes, errs = [], []
-    for mi in range(m):
-        dists = _pq_sub_dists(v, books[mi], mi * dsub)
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-        errs.append(F.array_min(dists))
-    total_err = errs[0]
-    for e in errs[1:]:
-        total_err = total_err + e
-    return emb.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.array(*codes).alias("codes"),
-        F.round(total_err / float(m * dsub), 6).alias("recon_mse"))
-
-
-def pq_encode_sql(m: int, k: int, dim: int = 64,
-                  table: str = "embeddings") -> str:
-    """DuckDB mirror of :func:`pq_encode` — the codebooks are REBUILT from
-    the table with the same modulo-seed rule (stride = total//k, first K by
-    id), so the oracle is self-contained and cannot drift from the Spark
-    side's pq_codebooks."""
-    dsub = dim // m
-    parts = [f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {table}),
-n AS (SELECT greatest(count(*) // {int(k)}, 1) AS stride FROM v),
-seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
-  FROM (SELECT v.* FROM v, n WHERE v.vec_id % n.stride = 0
-        ORDER BY vec_id LIMIT {int(k)})
-)"""]
-    joins = []
-    for mi in range(m):
-        lo, hi = mi * dsub + 1, (mi + 1) * dsub
-        parts.append(f""",
-sub{mi} AS (
-  SELECT v.vec_id, s.cid,
-    round(list_sum(list_transform(list_zip(v.e[{lo}:{hi}], s.c[{lo}:{hi}]),
-      p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS dist
-  FROM v CROSS JOIN seeds s
-),
-best{mi} AS (
-  SELECT vec_id, CAST(cid AS INT) AS code, dist FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) AS rn
-    FROM sub{mi}) WHERE rn = 1
-)""")
-        joins.append(f"JOIN best{mi} b{mi} USING (vec_id)")
-    code_list = "[" + ", ".join(f"b{mi}.code" for mi in range(m)) + "]"
-    err_sum = " + ".join(f"b{mi}.dist" for mi in range(m))
-    parts.append(f"""
-SELECT CAST(v.vec_id AS BIGINT) AS vec_id, {code_list} AS codes,
-  round(({err_sum}) / {float(m * dsub)!r}, 6) AS recon_mse
-FROM v {" ".join(joins)}
-""")
-    return "".join(parts)
-
-
-def pq_adc_topk(emb: DataFrame, books: np.ndarray, query_ids: list[int],
-                topk: int = 5, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """Asymmetric-distance top-k: queries stay raw, the corpus is its PQ
-    codes; dist(q, x) = Σ_m ‖q_m − centroid_m[code_m(x)]‖² (each subspace
-    term rounded 9, total rounded 6). Returns (query_id, neighbor_id,
-    rank, adist) — ranks ascending by (adist, neighbor_id).
-
-    Scale shape: the query side is a broadcast (|Q| rows); the corpus side
-    carries only codes, so the join moves m bytes per vector, not the
-    vector; per-pair distance is element_at lookups into literal centroid
-    arrays — JVM only. Rank is a per-query window over |Q|·k candidates
-    after a TakeOrderedAndProject-style pushdown through the (adist, id)
-    sort.
-    """
-    m, _, dsub = books.shape
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col) \
-        .select("vec_id", "codes")
-    q = emb.filter(F.col(id_col).isin([int(i) for i in query_ids])) \
-        .select(F.col(id_col).cast("long").alias("query_id"),
-                _as_double(F.col(vec_col)).alias("qe"))
-    pair = F.broadcast(q).crossJoin(codes) \
-        .filter(F.col("query_id") != F.col("vec_id"))
-    total = None
-    for mi in range(m):
-        qsub = F.slice(F.col("qe"), mi * dsub + 1, dsub)
-        cent_table = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cent]) for cent in books[mi]])
-        cent = F.element_at(cent_table,
-                            F.element_at(F.col("codes"), mi + 1) + 1)
-        term = F.round(F.aggregate(
-            F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v), 9)
-        total = term if total is None else total + term
-    scored = pair.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                         F.round(total, 6).alias("adist"))
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= int(topk)))
-
-
-def pq_adc_sql(m: int, k: int, query_ids: list[int], topk: int = 5,
-               dim: int = 64, table: str = "embeddings") -> str:
-    """DuckDB mirror of :func:`pq_adc_topk` — codebooks rebuilt in SQL via
-    the same modulo-seed rule as :func:`pq_encode_sql`."""
-    dsub = dim // m
-    encode = pq_encode_sql(m, k, dim=dim, table=table)
-    terms = []
-    joins = []
-    for mi in range(m):
-        lo, hi = mi * dsub + 1, (mi + 1) * dsub
-        joins.append(f"JOIN seeds2 s{mi} ON s{mi}.cid = c.codes[{mi + 1}]")
-        terms.append(
-            f"round(list_sum(list_transform("
-            f"list_zip(q.qe[{lo}:{hi}], s{mi}.c[{lo}:{hi}]),"
-            f" p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)")
-    dist = " + ".join(terms)
-    ids = ", ".join(str(int(i)) for i in query_ids)
-    return f"""
-WITH codes AS ({encode}),
-v2 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {table}),
-n2 AS (SELECT greatest(count(*) // {int(k)}, 1) AS stride FROM v2),
-seeds2 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
-  FROM (SELECT v2.* FROM v2, n2 WHERE v2.vec_id % n2.stride = 0
-        ORDER BY vec_id LIMIT {int(k)})
-),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM {table}
-      WHERE vec_id IN ({ids})),
-scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, round({dist}, 6) AS adist
-  FROM q CROSS JOIN codes c {" ".join(joins)}
-  WHERE c.vec_id <> q.query_id
-)
-SELECT CAST(query_id AS BIGINT) AS query_id,
-  CAST(neighbor_id AS BIGINT) AS neighbor_id,
-  CAST(rank AS BIGINT) AS rank, adist
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adist, neighbor_id) AS rank
-      FROM scored)
-WHERE rank <= {int(topk)}
-"""
