@@ -110,8 +110,8 @@ _JF_ALLOC_SQL = """
 
 
 def q_jain_fairness(spark: SparkSession, sf: str) -> DataFrame:
-    """operators/politeness.jain_fairness: one scalar fold."""
-    return _politeness.jain_fairness(_jf_alloc(spark, sf))
+    """operators/politeness.allocation_fairness: one scalar fold."""
+    return _politeness.allocation_fairness(_jf_alloc(spark, sf))
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +159,6 @@ def oracle_sql122():
             _FP_CANDIDATES_SQL),
         "host_circuit": _politeness.host_circuit_sql(
             _HC_LOG_SQL, threshold=_HC_THRESHOLD),
-        "jain_fairness": _politeness.jain_fairness_sql(_JF_ALLOC_SQL),
+        "jain_fairness": _politeness.allocation_fairness_sql(_JF_ALLOC_SQL),
         "cas_savings": _wa.cas_savings_sql(_CS_PAGES_SQL),
     }

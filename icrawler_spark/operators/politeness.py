@@ -3861,11 +3861,12 @@ LEFT JOIN open_end o ON o.host = h.host
 
 
 # ---------------------------------------------------------------------------
-# Jain's fairness index over per-host allocations
+# Single-pool Jain index over per-host allocations (allocation_fairness;
+# the per-group variant is jain_fairness above)
 # ---------------------------------------------------------------------------
 
 
-def jain_fairness(alloc: DataFrame, host_col: str = "host",
+def allocation_fairness(alloc: DataFrame, host_col: str = "host",
                   x_col: str = "n_allocated") -> DataFrame:
     """Jain's fairness index (Jain, Chiu & Hawe 1984) over a round's
     per-host fetch allocations: J = (Σx)² / (n·Σx²) ∈ (0, 1], 1 = all
@@ -3889,8 +3890,8 @@ def jain_fairness(alloc: DataFrame, host_col: str = "host",
                 / (F.col("n_hosts") * F.col("__s2")), 6).alias("jain"))
 
 
-def jain_fairness_sql(alloc_sql: str) -> str:
-    """DuckDB mirror of :func:`jain_fairness` over (host, n_allocated)."""
+def allocation_fairness_sql(alloc_sql: str) -> str:
+    """DuckDB mirror of :func:`allocation_fairness` over (host, n_allocated)."""
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_hosts,
   CAST(sum(x) AS BIGINT) AS total,

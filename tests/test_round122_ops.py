@@ -3,8 +3,9 @@ breaker, Jain fairness, CAS savings."""
 
 from __future__ import annotations
 
-from icrawler_spark.operators.politeness import (frontier_provenance,
-                                                 host_circuit, jain_fairness)
+from icrawler_spark.operators.politeness import (allocation_fairness,
+                                                 frontier_provenance,
+                                                 host_circuit)
 from icrawler_spark.operators.webarchive import cas_savings
 
 # ---------------------------------------------------------------------------
@@ -84,7 +85,7 @@ def test_circuit_leading_failures_count(spark):
 def test_jain_equal_allocation_is_one(spark):
     a = spark.createDataFrame([(f"h{i}", 10) for i in range(5)],
                               "host string, n_allocated long")
-    out = jain_fairness(a).collect()[0]
+    out = allocation_fairness(a).collect()[0]
     assert out["jain"] == 1.0 and out["n_hosts"] == 5 and out["total"] == 50
 
 
@@ -92,7 +93,7 @@ def test_jain_single_hog_is_one_over_n(spark):
     a = spark.createDataFrame(
         [("h0", 100)] + [(f"h{i}", 0) for i in range(1, 4)],
         "host string, n_allocated long")
-    out = jain_fairness(a).collect()[0]
+    out = allocation_fairness(a).collect()[0]
     assert out["jain"] == 0.25  # 1/n with n=4
 
 
