@@ -446,7 +446,7 @@ _EXTRA_PICKS = [
     # round-3 batch (provenance + circuit breaker + fairness + CAS)
     "frontier_provenance", "host_circuit", "jain_fairness", "cas_savings",
     # round-3 batch (lang QA + robots drift + coverage + concurrency)
-    "lang_agreement", "robots_drift", "sitemap_coverage", "host_concurrency",
+    "lang_agreement", "robots_drift", "coverage_diff", "host_concurrency",
     # round-3 batch (ETag honesty + scheme migration + syndication)
     "etag_audit", "https_migration", "title_syndication",
     # round-3 batch (pure-SQL surface)

@@ -208,7 +208,7 @@ def queries123():
     return {
         "lang_agreement": q_lang_agreement,
         "robots_drift": q_robots_drift,
-        "sitemap_coverage": q_sitemap_coverage,
+        "coverage_diff": q_sitemap_coverage,
         "host_concurrency": q_host_concurrency,
     }
 
@@ -218,7 +218,7 @@ def oracle_sql123():
         "lang_agreement": _curation.lang_agreement_sql(_LA_PAGES_SQL),
         "robots_drift": _politeness.robots_drift_sql(
             _rd_rules_sql(1), _rd_rules_sql(2)),
-        "sitemap_coverage": _sitemap.sitemap_coverage_sql(
+        "coverage_diff": _sitemap.sitemap_coverage_sql(
             _SC_SITEMAP_SQL, _SC_CRAWLED_SQL),
         "host_concurrency": _politeness.host_concurrency_sql(
             _HC_INTERVALS_SQL),

@@ -1,0 +1,58 @@
+"""Repo hygiene guards.
+
+These exist because the operator modules are large enough that a duplicated
+top-level ``def`` silently shadows the earlier definition (later def wins)
+and breaks whatever called the original — found twice on 2026-08-20
+(a second pq_codebooks broke adc_search; a second jain_fairness broke
+q_jain). Cheap static scans, no Spark session.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import re
+
+_PKG = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                    "icrawler_spark")
+
+
+def test_no_duplicate_top_level_defs():
+    offenders = {}
+    for f in sorted(glob.glob(os.path.join(_PKG, "**", "*.py"),
+                              recursive=True)):
+        names = collections.Counter(
+            m.group(1) for m in
+            re.finditer(r"^def (\w+)\(", open(f).read(), re.M))
+        dups = {n: c for n, c in names.items() if c > 1}
+        if dups:
+            offenders[os.path.relpath(f, _PKG)] = dups
+    assert not offenders, (
+        f"duplicate top-level defs shadow earlier ones: {offenders}")
+
+
+def test_every_query_has_oracle_and_unique_name():
+    """Registry invariants the driver gate depends on: every queries() name
+    carries an oracle, and no entry_roundNN file registers a name another
+    file already claimed (late dict-merge silently wins otherwise)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(_PKG))
+    from icrawler_spark import entry_queries
+
+    qs = entry_queries.queries()
+    os_ = entry_queries.oracle_sql()
+    assert set(qs) == set(os_), (
+        sorted(set(qs) ^ set(os_)))
+
+    # per-module name ownership: collect every "name": mapping per entry file
+    owners: dict[str, list[str]] = {}
+    for f in sorted(glob.glob(os.path.join(_PKG, "entry_round*.py"))):
+        src = open(f).read()
+        mod = os.path.basename(f)
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*(?:q_|_q|lambda)', src):
+            owners.setdefault(m.group(1), []).append(mod)
+    clashes = {n: mods for n, mods in owners.items()
+               if len(set(mods)) > 1 and n in qs}
+    assert not clashes, f"query names registered by multiple files: {clashes}"
