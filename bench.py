@@ -457,6 +457,8 @@ _EXTRA_PICKS = [
     "crawl_hostquota",
     # round-3 batch (JSON-LD census + rel pagination)
     "jsonld", "rel_pagination",
+    # round-3 batch (shared assets + size histogram)
+    "shared_assets", "size_histogram",
 ]
 
 

@@ -82,7 +82,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round122, entry_round123,
                             entry_round124,
                             entry_round126, entry_round127,
-                            entry_round128, entry_round129)
+                            entry_round128, entry_round129,
+                            entry_round130)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -977,6 +978,7 @@ def queries():
         **entry_round127.queries127(),
         **entry_round128.queries128(),
         **entry_round129.queries129(),
+        **entry_round130.queries130(),
     }
 
 
@@ -1177,4 +1179,5 @@ def _oracle_sql_raw():
         **entry_round127.oracle_sql127(),
         **entry_round128.oracle_sql128(),
         **entry_round129.oracle_sql129(),
+        **entry_round130.oracle_sql130(),
     }

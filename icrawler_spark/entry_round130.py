@@ -1,0 +1,104 @@
+"""Round-3 driver-contract queries (batch 124): cross-host shared assets
+and per-host size histograms.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared_assets
+# ---------------------------------------------------------------------------
+
+
+def _sa_refs(spark, sf) -> DataFrame:
+    """Asset references: pages on 30 hosts pulling a shared CDN pool
+    (event_id % 12 → cdn.test assets, cross-host by construction) plus
+    per-host private assets (same-host, never shared)."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    page = F.concat(F.lit("http://s"), (u % 30).cast("string"),
+                    F.lit(".test/p/"), e.cast("string"))
+    cdn = F.concat(F.lit("https://cdn.test/lib/"), (e % 12).cast("string"),
+                   F.lit(".js"))
+    private = F.concat(F.lit("http://s"), (u % 30).cast("string"),
+                       F.lit(".test/own/"), (e % 7).cast("string"),
+                       F.lit(".png"))
+    asset = F.when(e % 3 == 0, cdn).otherwise(private)
+    return ev.select(page.alias("url"), asset.alias("asset"))
+
+
+_SA_REFS_SQL = """
+  SELECT 'http://s' || CAST(user_id % 30 AS VARCHAR) || '.test/p/'
+      || CAST(event_id AS VARCHAR) AS url,
+    CASE WHEN event_id % 3 = 0
+      THEN 'https://cdn.test/lib/' || CAST(event_id % 12 AS VARCHAR) || '.js'
+      ELSE 'http://s' || CAST(user_id % 30 AS VARCHAR) || '.test/own/'
+        || CAST(event_id % 7 AS VARCHAR) || '.png'
+    END AS asset
+  FROM events
+"""
+
+
+def q_shared_assets(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.shared_assets: ONE groupBy(asset) with a
+    distinct-host count — asset keys hash uniformly, no host skew."""
+    return _wa.shared_assets(_sa_refs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# size_histogram
+# ---------------------------------------------------------------------------
+
+
+def _sh_pages(spark, sf) -> DataFrame:
+    """Per-page byte sizes spanning several log2 decades (value column
+    scaled + a zero-byte lane)."""
+    ev = _events(spark, sf)
+    b = F.when(F.col("event_id") % 50 == 0, F.lit(0)) \
+        .otherwise((F.col("event_id") % 17 + 1) * 512
+                   + (F.col("event_id") % 7919))
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"),
+                 F.lit(".test")).alias("host"),
+        b.cast("long").alias("bytes"))
+
+
+_SH_PAGES_SQL = """
+  SELECT 'h' || CAST(user_id % 12 AS VARCHAR) || '.test' AS host,
+    CAST(CASE WHEN event_id % 50 = 0 THEN 0
+      ELSE (event_id % 17 + 1) * 512 + (event_id % 7919) END AS BIGINT)
+      AS bytes
+  FROM events
+"""
+
+
+def q_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.size_histogram: bucket expr in scan, ONE
+    bounded groupBy(host, bucket)."""
+    return _wa.size_histogram(_sh_pages(spark, sf))
+
+
+def queries130():
+    return {
+        "shared_assets": q_shared_assets,
+        "size_histogram": q_size_histogram,
+    }
+
+
+def oracle_sql130():
+    return {
+        "shared_assets": _wa.shared_assets_sql(_SA_REFS_SQL),
+        "size_histogram": _wa.size_histogram_sql(_SH_PAGES_SQL),
+    }

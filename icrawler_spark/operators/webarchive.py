@@ -522,3 +522,99 @@ SELECT host, CAST(n_http AS BIGINT) AS n_http,
   round(n_https / CAST(n_http + n_https AS DOUBLE), 6) AS https_frac
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-host shared-asset detection (CDN / tracker census)
+# ---------------------------------------------------------------------------
+
+
+def shared_assets(refs: DataFrame, page_col: str = "url",
+                  asset_col: str = "asset",
+                  min_hosts: int = 2) -> DataFrame:
+    """Assets (images/scripts) referenced from ≥ min_hosts DISTINCT page
+    hosts: (asset, asset_host, n_hosts, n_refs). High-fan-in assets are
+    CDNs, tracking pixels and shared widget providers — the census drives
+    both the fetch planner (cache one copy, not one per referring site)
+    and third-party-dependency audits (which tracker sees how much of the
+    crawl). ``asset_host`` marks cross-origin reuse at a glance.
+
+    Scale shape: page-host extraction in the scan; ONE
+    groupBy(asset) carrying a distinct-host count — the asset key hashes
+    uniformly, so CDN mega-assets don't skew a host-keyed stage (the
+    classic reason to aggregate on asset, not host, first).
+    """
+    page_host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(page_col),
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""),
+        r"^([^/?#]*)", 1))
+    asset_host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(asset_col),
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""),
+        r"^([^/?#]*)", 1))
+    base = refs.select(F.col(asset_col).alias("asset"),
+                       asset_host.alias("asset_host"),
+                       page_host.alias("__ph"))
+    agg = base.groupBy("asset", "asset_host").agg(
+        F.countDistinct("__ph").cast("long").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_refs"))
+    return agg.filter(F.col("n_hosts") >= int(min_hosts))
+
+
+def shared_assets_sql(refs_sql: str, min_hosts: int = 2) -> str:
+    """DuckDB mirror of :func:`shared_assets` over (url, asset)."""
+    return f"""
+WITH base AS (
+  SELECT asset,
+    lower(regexp_extract(regexp_replace(asset,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1)) AS asset_host,
+    lower(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1)) AS ph
+  FROM ({refs_sql})
+)
+SELECT asset, asset_host,
+  CAST(count(DISTINCT ph) AS BIGINT) AS n_hosts,
+  CAST(count(*) AS BIGINT) AS n_refs
+FROM base GROUP BY asset, asset_host
+HAVING count(DISTINCT ph) >= {int(min_hosts)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host content-size histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+def size_histogram(pages: DataFrame, host_col: str = "host",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-host log2 content-size histogram: (host, bucket, n_pages,
+    total_bytes) where bucket = floor(log2(bytes)) (bytes ≤ 0 land in
+    bucket −1). The storage/transfer-planning view — Common-Crawl-style
+    captures are log-normal-ish per host, and the histogram is what sizes
+    `spark.sql.files.maxPartitionBytes` and flags hosts whose tail pages
+    would blow a fetch-size cap.
+
+    Scale shape: the bucket is a pure column expr; ONE
+    groupBy(host, bucket) — bounded at ~40 buckets per host.
+    """
+    b = F.col(bytes_col).cast("long")
+    bucket = F.when(b <= 0, F.lit(-1)) \
+        .otherwise(F.floor(F.log2(b.cast("double")))).cast("long")
+    return (pages.select(F.col(host_col).alias("host"), b.alias("__b"),
+                         bucket.alias("bucket"))
+            .groupBy("host", "bucket")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum("__b").cast("long").alias("total_bytes")))
+
+
+def size_histogram_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`size_histogram` over (host, bytes)."""
+    return f"""
+SELECT host,
+  CAST(CASE WHEN b <= 0 THEN -1
+            ELSE floor(log2(CAST(b AS DOUBLE))) END AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(b) AS BIGINT) AS total_bytes
+FROM (SELECT host, CAST(bytes AS BIGINT) AS b FROM ({pages_sql}))
+GROUP BY 1, 2
+"""

@@ -1,0 +1,43 @@
+"""Unit tests for the round-130 pack: shared assets, size histogram."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.webarchive import shared_assets, size_histogram
+
+
+def test_shared_assets_cdn_vs_private(spark):
+    refs = spark.createDataFrame([
+        ("http://a.test/1", "https://cdn.test/x.js"),
+        ("http://b.test/1", "https://cdn.test/x.js"),
+        ("http://b.test/2", "https://cdn.test/x.js"),
+        ("http://a.test/1", "http://a.test/own.png"),
+        ("http://a.test/2", "http://a.test/own.png"),
+    ], "url string, asset string")
+    out = shared_assets(refs).collect()
+    assert len(out) == 1  # own.png: 2 refs but ONE host -> excluded
+    r = out[0]
+    assert r["asset"] == "https://cdn.test/x.js"
+    assert r["asset_host"] == "cdn.test"
+    assert r["n_hosts"] == 2 and r["n_refs"] == 3
+
+
+def test_shared_assets_min_hosts(spark):
+    refs = spark.createDataFrame(
+        [(f"http://h{i}.test/p", "https://cdn.test/y.js") for i in range(3)],
+        "url string, asset string")
+    assert shared_assets(refs, min_hosts=4).count() == 0
+    assert shared_assets(refs, min_hosts=3).count() == 1
+
+
+def test_size_histogram_buckets(spark):
+    pages = spark.createDataFrame([
+        ("h", 0), ("h", 1), ("h", 1023), ("h", 1024), ("h", 1025),
+        ("g", 7),
+    ], "host string, bytes long")
+    out = {(r["host"], r["bucket"]): r for r in size_histogram(pages).collect()}
+    assert out[("h", -1)]["n_pages"] == 1          # zero bytes
+    assert out[("h", 0)]["n_pages"] == 1           # 1 byte -> bucket 0
+    assert out[("h", 9)]["n_pages"] == 1           # 1023 -> floor(log2)=9
+    assert out[("h", 10)]["n_pages"] == 2          # 1024, 1025
+    assert out[("h", 10)]["total_bytes"] == 2049
+    assert out[("g", 2)]["n_pages"] == 1           # 7 -> bucket 2
