@@ -44,7 +44,17 @@ def apply_blocklist(
     matching blocklist domain) and ``kept``. Callers filter on ``kept`` or
     keep the annotation for audit side-outputs.
     """
-    f = frontier.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    # total host extraction (regexp, not parse_url): java.net.URI-backed
+    # parse_url returns NULL for degenerate-but-matchable authorities
+    # (e.g. the all-numeric 'http://0.0/x' the hypothesis differential
+    # found), and a NULL host silently ALLOWS the URL — fail-open is the
+    # wrong default for a blocklist. Strip scheme → authority → userinfo
+    # → port; every input yields a host to match.
+    rest = F.regexp_replace(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.regexp_extract(F.regexp_replace(auth, r"^.*@", ""),
+                            r"^([^:]*)", 1)
+    f = frontier.withColumn("host", host)
     sufs = f.select(url_col, "host",
                     F.posexplode(host_suffixes("host")).alias("sidx", "suffix"))
     bl = F.broadcast(blocklist.select(F.col(domain_col).alias("suffix"))
