@@ -459,6 +459,8 @@ _EXTRA_PICKS = [
     "jsonld", "rel_pagination",
     # round-3 batch (shared assets + size histogram)
     "shared_assets", "size_histogram",
+    # round-3 batch (sitemap writer + llms.txt)
+    "sitemap_write", "llmstxt",
 ]
 
 

@@ -83,7 +83,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round124,
                             entry_round126, entry_round127,
                             entry_round128, entry_round129,
-                            entry_round130)
+                            entry_round130, entry_round131)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -979,6 +979,7 @@ def queries():
         **entry_round128.queries128(),
         **entry_round129.queries129(),
         **entry_round130.queries130(),
+        **entry_round131.queries131(),
     }
 
 
@@ -1180,4 +1181,5 @@ def _oracle_sql_raw():
         **entry_round128.oracle_sql128(),
         **entry_round129.oracle_sql129(),
         **entry_round130.oracle_sql130(),
+        **entry_round131.oracle_sql131(),
     }

@@ -1,0 +1,121 @@
+"""Round-3 driver-contract queries (batch 125): sitemap generation and
+llms.txt parsing.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import sitemap as _sitemap
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sitemap_write — per-host urlset generation with part chunking
+# ---------------------------------------------------------------------------
+
+_SW_MAX = 40  # small cap so the part-chunking path exercises at sf0.01
+
+
+def _sw_pages(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("http://h"), (F.col("user_id") % 6).cast("string"),
+                 F.lit(".test/p/"), (F.col("event_id") % 300).cast("string"))
+        .alias("url"),
+        F.col("ts").alias("lastmod")).distinct()
+
+
+_SW_PAGES_SQL = """
+  SELECT DISTINCT
+    'h' || CAST(user_id % 6 AS VARCHAR) || '.test' AS host,
+    'http://h' || CAST(user_id % 6 AS VARCHAR) || '.test/p/'
+      || CAST(event_id % 300 AS VARCHAR) AS url,
+    ts AS lastmod
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_sitemap_write(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.sitemap_write: per-host rank window + ONE ordered
+    string-agg per (host, part); 50k-per-urlset protocol chunking
+    exercised with a small cap. lastmod omitted here — the DISTINCT
+    page set keys on (host, url, ts) and duplicate urls across ts would
+    make the fixture nondeterministic; the lastmod path is pytest-covered."""
+    pages = _sw_pages(spark, sf).drop("lastmod").distinct()
+    return _sitemap.sitemap_write(pages, max_urls=_SW_MAX)
+
+
+def _sitemap_write_sql() -> str:
+    inner = "SELECT DISTINCT host, url FROM (" + _SW_PAGES_SQL + ")"
+    return _sitemap.sitemap_write_sql(inner, with_lastmod=False,
+                                      max_urls=_SW_MAX)
+
+
+# ---------------------------------------------------------------------------
+# llmstxt — llms.txt link-list parsing
+# ---------------------------------------------------------------------------
+
+
+def _lt_bodies(spark, sf) -> DataFrame:
+    """llms.txt bodies over 10 hosts: H1 title, a pre-section link, two H2
+    sections with link lists, plus prose lines to skip."""
+    ev = _events(spark, sf)
+    h = (F.col("user_id") % 10).cast("long")
+    hosts = ev.select(h.alias("h")).distinct()
+    hs = F.col("h").cast("string")
+    body = F.concat(
+        F.lit("# Site "), hs, F.lit("\n\n> About the site.\n\n"
+                                    "- [Start here](http://h"), hs,
+        F.lit(".test/start)\n\n## Docs\n\n- [Guide](http://h"), hs,
+        F.lit(".test/guide)\n- [API ref](http://h"), hs,
+        F.lit(".test/api)\nplain prose line\n\n## Optional\n\n"
+              "- [Blog](http://h"), hs, F.lit(".test/blog)\n"))
+    return hosts.select(
+        F.concat(F.lit("h"), hs, F.lit(".test")).alias("host"),
+        body.alias("body"))
+
+
+_LT_BODIES_SQL = """
+  SELECT 'h' || CAST(h AS VARCHAR) || '.test' AS host,
+    '# Site ' || CAST(h AS VARCHAR) || chr(10) || chr(10)
+    || '> About the site.' || chr(10) || chr(10)
+    || '- [Start here](http://h' || CAST(h AS VARCHAR) || '.test/start)'
+    || chr(10) || chr(10) || '## Docs' || chr(10) || chr(10)
+    || '- [Guide](http://h' || CAST(h AS VARCHAR) || '.test/guide)'
+    || chr(10) || '- [API ref](http://h' || CAST(h AS VARCHAR)
+    || '.test/api)' || chr(10) || 'plain prose line' || chr(10) || chr(10)
+    || '## Optional' || chr(10) || chr(10)
+    || '- [Blog](http://h' || CAST(h AS VARCHAR) || '.test/blog)' || chr(10)
+    AS body
+  FROM (SELECT DISTINCT CAST(user_id % 10 AS BIGINT) AS h FROM events)
+"""
+
+
+def q_llmstxt(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.llmstxt_parse: line explode + per-host section
+    window + link regexp — the parse_robots group trick on markdown."""
+    return _sitemap.llmstxt_parse(_lt_bodies(spark, sf))
+
+
+def queries131():
+    return {
+        "sitemap_write": q_sitemap_write,
+        "llmstxt": q_llmstxt,
+    }
+
+
+def oracle_sql131():
+    return {
+        "sitemap_write": _sitemap_write_sql(),
+        "llmstxt": _sitemap.llmstxt_parse_sql(_LT_BODIES_SQL),
+    }

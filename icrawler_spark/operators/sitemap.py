@@ -533,3 +533,144 @@ SELECT host, CAST(n_sitemap AS BIGINT) AS n_sitemap,
        THEN round(n_both / CAST(n_sitemap AS DOUBLE), 6) END AS coverage
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Sitemap generation (the write-side inverse of sitemap_entries)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_write(pages: DataFrame, host_col: str = "host",
+                  url_col: str = "url", lastmod_col: str | None = None,
+                  max_urls: int = 50_000) -> DataFrame:
+    """Per-host urlset XML documents from a crawled/published page set:
+    (host, part, n_urls, xml). The sitemaps.org protocol caps a urlset at
+    50,000 URLs, so hosts chunk into parts (part = url_rank // max_urls,
+    urls sorted bytewise for determinism); ``lastmod`` elements render
+    when a lastmod column is supplied (date-formatted, W3C style).
+
+    The write-side twin of sitemap_entries — an engine that INGESTS
+    archives (WARC/CDX readers) should also publish them; this completes
+    the sitemap half of that symmetry for mirror/republish pipelines.
+
+    Scale shape: one per-host window ranks urls (bounded by per-host page
+    count), then ONE groupBy(host, part) string-aggregates the <url>
+    elements in rank order — the XML body is built from sorted_array of
+    (rank, element) structs, so assembly is deterministic and the full
+    document only materializes in the output row.
+    """
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    el = F.concat(F.lit("<url><loc>"), u, F.lit("</loc>"))
+    if lastmod_col is not None:
+        el = F.concat(el, F.lit("<lastmod>"),
+                      F.date_format(F.col(lastmod_col), "yyyy-MM-dd"),
+                      F.lit("</lastmod>"))
+    el = F.concat(el, F.lit("</url>"))
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    ranked = pages.select(F.col(host_col).alias("host"),
+                          el.alias("__el"),
+                          (F.row_number().over(w) - 1).alias("__rk"))
+    ranked = ranked.withColumn("part",
+                               (F.col("__rk") / max_urls).cast("long"))
+    agg = (ranked.groupBy("host", "part")
+           .agg(F.count("*").cast("long").alias("n_urls"),
+                F.array_sort(F.collect_list(F.struct("__rk", "__el")))
+                .alias("__els")))
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(F.transform("__els", lambda s: s["__el"]), ""),
+        F.lit("</urlset>"))
+    return agg.select("host", "part", "n_urls", xml.alias("xml"))
+
+
+def sitemap_write_sql(pages_sql: str, with_lastmod: bool = False,
+                      max_urls: int = 50_000) -> str:
+    """DuckDB mirror of :func:`sitemap_write` over (host, url[, lastmod])."""
+    el = "'<url><loc>' || url || '</loc>'"
+    if with_lastmod:
+        el += " || '<lastmod>' || strftime(lastmod, '%Y-%m-%d') || '</lastmod>'"
+    el += " || '</url>'"
+    return f"""
+WITH ranked AS (
+  SELECT host, {el} AS el,
+    row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS rk
+  FROM ({pages_sql})
+)
+SELECT host, CAST(rk // {int(max_urls)} AS BIGINT) AS part,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  '<?xml version="1.0" encoding="UTF-8"?><urlset '
+    || 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    || string_agg(el, '' ORDER BY rk) || '</urlset>' AS xml
+FROM ranked GROUP BY host, rk // {int(max_urls)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# llms.txt parsing (llmstxt.org convention, 2024 — public spec)
+# ---------------------------------------------------------------------------
+
+
+def llmstxt_parse(bodies: DataFrame, host_col: str = "host",
+                  body_col: str = "body") -> DataFrame:
+    """Parse ``/llms.txt`` bodies (the llmstxt.org markdown convention: an
+    H1 site title, free text, then H2 sections of ``- [title](url)``
+    link lists) into (host, section, pos, title, url) link rows — the
+    publisher's own statement of which pages LLM pipelines should read,
+    i.e. a curation-priority feed exactly like sitemaps are a crawl feed.
+    Links before any H2 get section ''; ``pos`` is the line number for
+    order-preserving ingestion.
+
+    Scale shape: split → posexplode → running-count-of-H2 window per host
+    (the parse_robots group trick) + regexp link extraction — pure JVM,
+    one bounded per-host window.
+    """
+    from pyspark.sql import Window
+
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "line"))
+    is_h2 = F.col("line").rlike(r"^##\s")
+    w = Window.partitionBy("host").orderBy("pos")
+    d = lines.withColumn("__sec_n", F.sum(is_h2.cast("int")).over(w))
+    sec_name = F.trim(F.regexp_extract("line", r"^##\s+(.*)$", 1))
+    d = d.withColumn("__sec", F.when(is_h2, sec_name))
+    d = d.withColumn("section",
+                     F.coalesce(F.last("__sec", ignorenulls=True).over(w),
+                                F.lit("")))
+    title = F.regexp_extract("line", r"^\s*-\s*\[([^\]]*)\]\(([^)\s]+)\)", 1)
+    url = F.regexp_extract("line", r"^\s*-\s*\[([^\]]*)\]\(([^)\s]+)\)", 2)
+    return (d.filter(url != "")
+            .select("host", "section", F.col("pos").cast("long").alias("pos"),
+                    title.alias("title"), url.alias("url")))
+
+
+def llmstxt_parse_sql(bodies_sql: str) -> str:
+    """DuckDB mirror of :func:`llmstxt_parse` over (host, body)."""
+    return f"""
+WITH lns AS (
+  SELECT host, CAST(ln - 1 AS BIGINT) AS pos, l[ln] AS line
+  FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS l
+        FROM ({bodies_sql})),
+    LATERAL (SELECT unnest(generate_series(1, len(l))) AS ln) s
+), secs AS (
+  SELECT host, pos, line,
+    sum(CASE WHEN regexp_matches(line, '^##\\s') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sn,
+    CASE WHEN regexp_matches(line, '^##\\s')
+         THEN trim(regexp_extract(line, '^##\\s+(.*)$', 1)) END AS sec
+  FROM lns
+), named AS (
+  SELECT host, pos, line,
+    coalesce(max(sec) OVER (PARTITION BY host, sn), '') AS section
+  FROM secs
+)
+SELECT host, section, pos,
+  regexp_extract(line, '^\\s*-\\s*\\[([^\\]]*)\\]\\(([^)\\s]+)\\)', 1)
+    AS title,
+  regexp_extract(line, '^\\s*-\\s*\\[([^\\]]*)\\]\\(([^)\\s]+)\\)', 2) AS url
+FROM named
+WHERE regexp_extract(line, '^\\s*-\\s*\\[([^\\]]*)\\]\\(([^)\\s]+)\\)', 2) <> ''
+"""

@@ -1,0 +1,47 @@
+"""Unit tests for the round-131 pack: sitemap generation, llms.txt."""
+
+from __future__ import annotations
+
+import datetime
+
+from icrawler_spark.operators.sitemap import llmstxt_parse, sitemap_write
+
+
+def test_sitemap_write_chunks_and_orders(spark):
+    pages = spark.createDataFrame(
+        [("h", f"http://h.test/{i:03d}") for i in range(5)],
+        "host string, url string")
+    out = {r["part"]: r for r in sitemap_write(pages, max_urls=2).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_urls"] == 2 and out[2]["n_urls"] == 1
+    assert out[0]["xml"].startswith('<?xml version="1.0"')
+    assert "<loc>http://h.test/000</loc>" in out[0]["xml"]
+    assert "<loc>http://h.test/004</loc>" in out[2]["xml"]
+    assert out[0]["xml"].endswith("</urlset>")
+
+
+def test_sitemap_write_lastmod(spark):
+    pages = spark.createDataFrame(
+        [("h", "http://h.test/a", datetime.datetime(2024, 5, 2, 10, 0))],
+        "host string, url string, lastmod timestamp")
+    out = sitemap_write(pages, lastmod_col="lastmod").collect()[0]
+    assert "<lastmod>2024-05-02</lastmod>" in out["xml"]
+
+
+def test_llmstxt_sections_and_order(spark):
+    body = ("# T\n\n- [Pre](http://h/p)\n\n## Docs\n\n"
+            "- [A](http://h/a)\nprose\n- [B](http://h/b)\n\n"
+            "## Optional\n\n- [C](http://h/c)\n")
+    bodies = spark.createDataFrame([("h.test", body)],
+                                   "host string, body string")
+    rows = llmstxt_parse(bodies).orderBy("pos").collect()
+    assert [(r["section"], r["title"]) for r in rows] == [
+        ("", "Pre"), ("Docs", "A"), ("Docs", "B"), ("Optional", "C")]
+    assert rows[1]["url"] == "http://h/a"
+
+
+def test_llmstxt_ignores_non_links(spark):
+    bodies = spark.createDataFrame(
+        [("h", "# T\nplain\n> quote\n## S\nno link here")],
+        "host string, body string")
+    assert llmstxt_parse(bodies).count() == 0
