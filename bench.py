@@ -461,6 +461,8 @@ _EXTRA_PICKS = [
     "shared_assets", "size_histogram",
     # round-3 batch (sitemap writer + llms.txt)
     "sitemap_write", "llmstxt",
+    # round-3 batch (pct normalization + param census)
+    "pct_decode", "param_census",
 ]
 
 

@@ -83,7 +83,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round124,
                             entry_round126, entry_round127,
                             entry_round128, entry_round129,
-                            entry_round130, entry_round131)
+                            entry_round130, entry_round131,
+                            entry_round132)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -980,6 +981,7 @@ def queries():
         **entry_round129.queries129(),
         **entry_round130.queries130(),
         **entry_round131.queries131(),
+        **entry_round132.queries132(),
     }
 
 
@@ -1182,4 +1184,5 @@ def _oracle_sql_raw():
         **entry_round129.oracle_sql129(),
         **entry_round130.oracle_sql130(),
         **entry_round131.oracle_sql131(),
+        **entry_round132.oracle_sql132(),
     }

@@ -1,0 +1,120 @@
+"""Round-3 driver-contract queries (batch 126): percent-encoding
+normalization and per-host query-param census.
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import urls as _urls
+from icrawler_spark.operators import webarchive as _wa
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pct_decode — RFC 3986 §6.2.2 normalization
+# ---------------------------------------------------------------------------
+
+
+def _pd_urls(spark, sf) -> DataFrame:
+    """URL spellings rotating the escape cases: unreserved escapes (upper
+    and lower hex), reserved escapes with lowercase hex, invalid escapes,
+    clean URLs."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id").cast("string")
+    v = (F.when(F.col("event_id") % 4 == 0,
+                F.concat(F.lit("http://a.test/%7Euser/p%41ge/"), eid))
+         .when(F.col("event_id") % 4 == 1,
+               F.concat(F.lit("http://a.test/%7e/q?x=%2fkeep%3a&y="), eid))
+         .when(F.col("event_id") % 4 == 2,
+               F.concat(F.lit("http://a.test/bad%G1%/"), eid))
+         .otherwise(F.concat(F.lit("http://a.test/clean/"), eid)))
+    return ev.select(v.alias("url"))
+
+
+_PD_URLS_SQL = """
+  SELECT CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'http://a.test/%7Euser/p%41ge/' || CAST(event_id AS VARCHAR)
+      WHEN 1 THEN 'http://a.test/%7e/q?x=%2fkeep%3a&y=' || CAST(event_id AS VARCHAR)
+      WHEN 2 THEN 'http://a.test/bad%G1%/' || CAST(event_id AS VARCHAR)
+      ELSE 'http://a.test/clean/' || CAST(event_id AS VARCHAR)
+    END AS url
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_pct_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/urls.pct_normalize: one split + 66-entry map transform,
+    fused into the scan."""
+    return _pd_urls(spark, sf).select(
+        "url", _urls.pct_normalize("url").alias("normalized"))
+
+
+def _pct_decode_sql() -> str:
+    return f"""
+SELECT url, {_urls.pct_normalize_sql("url")} AS normalized
+FROM ({_PD_URLS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# param_census
+# ---------------------------------------------------------------------------
+
+
+def _pc_urls(spark, sf) -> DataFrame:
+    """URLs over 10 hosts: a session-id param (value = event_id — high
+    cardinality), a page param (low cardinality), a bare flag, and a
+    no-query lane."""
+    ev = _events(spark, sf)
+    e, u = F.col("event_id"), F.col("user_id")
+    q = (F.when(e % 4 == 0,
+                F.concat(F.lit("?sid="), e.cast("string"),
+                         F.lit("&page="), (e % 5).cast("string")))
+         .when(e % 4 == 1, F.concat(F.lit("?page="), (e % 5).cast("string")))
+         .when(e % 4 == 2, F.lit("?flag"))
+         .otherwise(F.lit("")))
+    return ev.select(
+        F.concat(F.lit("http://h"), (u % 10).cast("string"),
+                 F.lit(".test/p/"), e.cast("string"), q).alias("url"))
+
+
+_PC_URLS_SQL = """
+  SELECT 'http://h' || CAST(user_id % 10 AS VARCHAR) || '.test/p/'
+    || CAST(event_id AS VARCHAR)
+    || CASE CAST(event_id % 4 AS INT)
+         WHEN 0 THEN '?sid=' || CAST(event_id AS VARCHAR)
+           || '&page=' || CAST(event_id % 5 AS VARCHAR)
+         WHEN 1 THEN '?page=' || CAST(event_id % 5 AS VARCHAR)
+         WHEN 2 THEN '?flag'
+         ELSE ''
+       END AS url
+  FROM events
+"""
+
+
+def q_param_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/webarchive.param_census: param explode in scan + ONE
+    groupBy(host, param) with a distinct-value count."""
+    return _wa.param_census(_pc_urls(spark, sf))
+
+
+def queries132():
+    return {
+        "pct_decode": q_pct_decode,
+        "param_census": q_param_census,
+    }
+
+
+def oracle_sql132():
+    return {
+        "pct_decode": _pct_decode_sql(),
+        "param_census": _wa.param_census_sql(_PC_URLS_SQL),
+    }

@@ -633,3 +633,67 @@ SELECT tld, n_hosts,
     AS surprisal
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 §6.2.2 percent-encoding normalization
+# ---------------------------------------------------------------------------
+
+# Unreserved characters: an octet escaped as %XX decodes without changing
+# meaning; everything else must STAY encoded (decoding %2F would change
+# path structure). Both engines build the same chunk-map from this table.
+_UNRESERVED = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+PCT_DECODE_TABLE: list[tuple[str, str]] = sorted(
+    (f"{ord(c):02X}", c) for c in _UNRESERVED)
+
+
+def pct_normalize(url_col) -> "F.Column":
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode %XX for
+    UNRESERVED octets (A-Z a-z 0-9 - . _ ~), uppercase the hex of every
+    remaining escape (%3a → %3A), leave invalid escapes (%G1, trailing %)
+    verbatim. ``%7Euser`` and ``~user`` collapse to one seen-set key
+    without touching reserved escapes — the canonicalization depth
+    crawler traps exploit by minting infinite %-variant spellings.
+
+    ONE pass: split on '%', then each chunk resolves via a 66-entry map
+    literal (broadcast into the expression, the baidu replace-chain
+    precedent) — pure JVM transform/concat, fuses into the frontier scan.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    pairs = []
+    for hx, ch in PCT_DECODE_TABLE:
+        pairs.extend([F.lit(hx), F.lit(ch)])
+    dec_map = F.create_map(*pairs)
+    parts = F.split(c, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(chunk):
+        hex2 = F.upper(F.substring(chunk, 1, 2))
+        valid = chunk.rlike("^[0-9A-Fa-f]{2}")
+        rest = F.substring(chunk, 3, 1 << 30)
+        decoded = F.element_at(dec_map, hex2)
+        return (F.when(valid & decoded.isNotNull(),
+                       F.concat(decoded, rest))
+                .when(valid, F.concat(F.lit("%"), hex2, rest))
+                .otherwise(F.concat(F.lit("%"), chunk)))
+
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
+def pct_normalize_sql(url_expr: str = "url") -> str:
+    """DuckDB expression mirroring :func:`pct_normalize` (same chunk-map:
+    a generated 66-branch CASE)."""
+    cases = " ".join(
+        f"WHEN '{hx}' THEN '{ch}' || c[3:]"
+        for hx, ch in PCT_DECODE_TABLE)
+    chunk = (f"CASE WHEN regexp_matches(c, '^[0-9A-Fa-f]{{2}}') THEN "
+             f"(CASE upper(c[1:2]) {cases} "
+             f"ELSE '%' || upper(c[1:2]) || c[3:] END) "
+             f"ELSE '%' || c END")
+    return (f"(list_element(string_split({url_expr}, '%'), 1) || "
+            f"coalesce(array_to_string(list_transform("
+            f"string_split({url_expr}, '%')[2:], c -> {chunk}), ''), ''))")

@@ -618,3 +618,58 @@ SELECT host,
 FROM (SELECT host, CAST(bytes AS BIGINT) AS b FROM ({pages_sql}))
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-host query-parameter census
+# ---------------------------------------------------------------------------
+
+
+def param_census(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host query-parameter vocabulary: (host, param, n_urls,
+    n_values) — how many URLs carry each param key and how many distinct
+    values it takes. High-cardinality params (n_values ≈ n_urls) are
+    session ids / cache busters the canonicalizer should strip per host;
+    low-cardinality ones (page, sort, lang) are real navigation. The
+    census is what turns the GLOBAL tracking-param list
+    (urls.TRACKING_PARAM_RE) into per-host policy.
+
+    Scale shape: host + param split in the scan; one explode over the
+    per-URL param array; ONE groupBy(host, param) with a distinct-count.
+    """
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    base = (urls.select(host.alias("host"),
+                        F.explode(params).alias("__p"))
+            .select("host",
+                    F.regexp_extract("__p", r"^([^=]*)", 1).alias("param"),
+                    F.regexp_extract("__p", r"=(.*)$", 1).alias("__v"))
+            .filter(F.col("param") != ""))
+    return base.groupBy("host", "param").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("__v").cast("long").alias("n_values"))
+
+
+def param_census_sql(urls_sql: str) -> str:
+    """DuckDB mirror of :func:`param_census` over (url)."""
+    return f"""
+WITH base AS (
+  SELECT
+    lower(regexp_extract(regexp_replace(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1)) AS host,
+    list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                p -> p <> '') AS params
+  FROM ({urls_sql})
+), kv AS (
+  SELECT host,
+    regexp_extract(p, '^([^=]*)', 1) AS param,
+    regexp_extract(p, '=(.*)$', 1) AS v
+  FROM base, LATERAL (SELECT unnest(params) AS p) s
+)
+SELECT host, param, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT v) AS BIGINT) AS n_values
+FROM kv WHERE param <> '' GROUP BY host, param
+"""

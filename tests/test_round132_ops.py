@@ -1,0 +1,64 @@
+"""Unit tests for the round-132 pack: percent normalization, param census."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.urls import pct_normalize
+from icrawler_spark.operators.webarchive import param_census
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r["url"]: r["n"]
+            for r in df.select("url", pct_normalize("url").alias("n")).collect()}
+
+
+def test_pct_decode_unreserved_and_uppercase_reserved(spark):
+    got = _norm(spark, [
+        "http://a/%7Euser", "http://a/%7euser",        # ~ both hex cases
+        "http://a/%2Fkeep", "http://a/%2fkeep",        # / stays encoded
+        "http://a/%41%6c%6C",                          # A l l
+    ])
+    assert got["http://a/%7Euser"] == "http://a/~user"
+    assert got["http://a/%7euser"] == "http://a/~user"
+    assert got["http://a/%2Fkeep"] == "http://a/%2Fkeep"
+    assert got["http://a/%2fkeep"] == "http://a/%2Fkeep"  # hex uppercased
+    assert got["http://a/%41%6c%6C"] == "http://a/All"
+
+
+def test_pct_decode_invalid_escapes_verbatim(spark):
+    got = _norm(spark, ["x%G1y", "trail%", "%%41", "plain"])
+    assert got["x%G1y"] == "x%G1y"
+    assert got["trail%"] == "trail%"
+    assert got["%%41"] == "%A"
+    assert got["plain"] == "plain"
+
+
+def test_pct_decode_python_differential(spark):
+    """Cross-check vs urllib: for URLs whose escapes are ALL unreserved,
+    pct_normalize fully decodes — same as urllib.parse.unquote."""
+    from urllib.parse import unquote
+
+    urls = ["a%41b%2Dc%5F%7E", "%30%39%61%7A"]
+    got = _norm(spark, urls)
+    for u in urls:
+        assert got[u] == unquote(u)
+
+
+def test_param_census_cardinality(spark):
+    urls = spark.createDataFrame([(u,) for u in [
+        "http://h.test/p?sid=1&page=0",
+        "http://h.test/q?sid=2&page=0",
+        "http://h.test/r?sid=3&page=1",
+        "http://h.test/s?flag",
+        "http://h.test/t",
+        "http://g.test/x?page=0",
+    ]], "url string")
+    out = {(r["host"], r["param"]): r for r in param_census(urls).collect()}
+    sid = out[("h.test", "sid")]
+    assert sid["n_urls"] == 3 and sid["n_values"] == 3  # session-id shape
+    page = out[("h.test", "page")]
+    assert page["n_urls"] == 3 and page["n_values"] == 2
+    flag = out[("h.test", "flag")]
+    assert flag["n_urls"] == 1 and flag["n_values"] == 1  # bare -> value ''
+    assert ("g.test", "page") in out
+    assert ("h.test", "") not in out
