@@ -1,0 +1,50 @@
+"""Composition contract: pct_normalize ∘ canonicalize_url.
+
+The two normalizers are deliberately separate stages (pct_normalize is
+RFC 3986 §6.2.2, canonicalize_url is the scheme/host/port/param fold);
+maximum seen-set folding runs pct FIRST so decoded unreserved chars
+participate in the slash/param rules. These tests pin the composed
+behavior so the stages can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions.urls import canonicalize_url, pct_normalize
+
+
+def _canon_pct(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url", canonicalize_url(pct_normalize("url")).alias("c")).collect()
+    return {r["url"]: r["c"] for r in out}
+
+
+def test_pct_variants_fold_to_one_seen_key(spark):
+    got = _canon_pct(spark, [
+        "http://a.test/%7Euser?b=2&a=1",
+        "HTTP://WWW.a.test:80/%7euser?a=1&utm_source=x&b=2",
+        "http://a.test/~user/?b=2&a=1",
+    ])
+    assert len(set(got.values())) == 1
+    assert list(got.values())[0] == "http://a.test/~user?a=1&b=2"
+
+
+def test_reserved_escapes_survive_composition(spark):
+    # %2F must NOT decode: the composed key keeps path structure intact
+    got = _canon_pct(spark, ["http://a.test/x%2Fy", "http://a.test/x%2fy"])
+    assert set(got.values()) == {"http://a.test/x%2Fy"}
+
+
+def test_composition_idempotent(spark):
+    urls = ["http://a.test/%7Eu/%2Fv?b=%41&a=1#f", "https://b.test//p//"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        canonicalize_url(pct_normalize("url")).alias("c"))
+    twice = once.select(
+        canonicalize_url(pct_normalize("c")).alias("c2"))
+    pairs = list(zip([r["c"] for r in once.collect()],
+                     [r["c2"] for r in twice.collect()]))
+    for a, b in pairs:
+        assert a == b
