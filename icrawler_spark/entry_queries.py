@@ -84,7 +84,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round126, entry_round127,
                             entry_round128, entry_round129,
                             entry_round130, entry_round131,
-                            entry_round132)
+                            entry_round132, entry_round133,
+                            entry_round134)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -982,6 +983,8 @@ def queries():
         **entry_round130.queries130(),
         **entry_round131.queries131(),
         **entry_round132.queries132(),
+        **entry_round133.queries133(),
+        **entry_round134.queries134(),
     }
 
 
@@ -1185,4 +1188,6 @@ def _oracle_sql_raw():
         **entry_round130.oracle_sql130(),
         **entry_round131.oracle_sql131(),
         **entry_round132.oracle_sql132(),
+        **entry_round133.oracle_sql133(),
+        **entry_round134.oracle_sql134(),
     }

@@ -1,0 +1,187 @@
+"""Round-3 driver-contract queries (batch 127): response security-policy
+audits — CSP directive parsing, subresource-integrity coverage, Alt-Svc
+protocol census (operators/websec.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import websec as _ws
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# csp_audit — policy lanes rotating weak sources
+# ---------------------------------------------------------------------------
+
+
+def _csp_rows(spark, sf) -> DataFrame:
+    """One CSP per page over 7 hosts. Lanes: strict policy; script-src
+    with 'unsafe-inline'; default-src with * and data:; script-src
+    'unsafe-eval' with a wildcard *subdomain* (must NOT count as the full
+    wildcard); trailing-; empty-directive policy."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    url = F.concat(F.lit("https://s"), (e % 7).cast("string"),
+                   F.lit(".test/p"), e.cast("string"))
+    csp = (F.when(e % 5 == 0, "default-src 'self'; img-src https:")
+           .when(e % 5 == 1,
+                 "script-src 'self' 'unsafe-inline'; object-src 'none'")
+           .when(e % 5 == 2, "default-src * data:; frame-ancestors 'none'")
+           .when(e % 5 == 3,
+                 "script-src 'unsafe-eval' *.cdn.test; base-uri 'self'")
+           .otherwise("default-src 'self';"))
+    return ev.select(F.concat(F.lit("s"), (e % 7).cast("string"))
+                     .alias("host"), url.alias("url"), csp.alias("csp"))
+
+
+_CSP_ROWS_SQL = """
+  SELECT 's' || CAST(event_id % 7 AS VARCHAR) AS host,
+    'https://s' || CAST(event_id % 7 AS VARCHAR) || '.test/p'
+      || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'default-src ''self''; img-src https:'
+      WHEN 1 THEN 'script-src ''self'' ''unsafe-inline''; object-src ''none'''
+      WHEN 2 THEN 'default-src * data:; frame-ancestors ''none'''
+      WHEN 3 THEN 'script-src ''unsafe-eval'' *.cdn.test; base-uri ''self'''
+      ELSE 'default-src ''self'';'
+    END AS csp
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_csp_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.csp_audit: directive explode in scan + two keyed
+    groupBys; wildcard-subdomain lane must not trip the `*` flag."""
+    return _ws.csp_audit(_csp_rows(spark, sf))
+
+
+def _csp_audit_sql() -> str:
+    return _ws.csp_audit_sql(_CSP_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sri_audit — script tags rotating src origin × integrity
+# ---------------------------------------------------------------------------
+
+
+def _sri_pages(spark, sf) -> DataFrame:
+    """Each page carries two script tags; lanes rotate (same-host
+    absolute, third-party with/without integrity, relative src, srcless
+    inline tag that must be ignored)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    host = F.concat(F.lit("w"), (e % 5).cast("string"), F.lit(".test"))
+    own = F.concat(F.lit('<script src="https://'), host,
+                   F.lit('/app.js"></script>'))
+    third = F.concat(F.lit('<script src="https://cdn'), (e % 3).cast("string"),
+                     F.lit('.lib/x.js"'),
+                     F.when(e % 2 == 0,
+                            ' integrity="sha384-abc" crossorigin>')
+                     .otherwise(">"), F.lit("</script>"))
+    rel = F.lit('<script src="/local.js"></script>')
+    inline = F.lit("<script>var a=1;</script>")
+    html = (F.when(e % 3 == 0, F.concat(own, third))
+            .when(e % 3 == 1, F.concat(third, rel))
+            .otherwise(F.concat(inline, own)))
+    return ev.select(host.alias("host"),
+                     F.concat(F.lit("https://"), host, F.lit("/p"),
+                              e.cast("string")).alias("url"),
+                     html.alias("html"))
+
+
+_SRI_PAGES_SQL = """
+  SELECT host, 'https://' || host || '/p' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN own || third
+      WHEN 1 THEN third || '<script src="/local.js"></script>'
+      ELSE '<script>var a=1;</script>' || own
+    END AS html
+  FROM (
+    SELECT event_id, host,
+      '<script src="https://' || host || '/app.js"></script>' AS own,
+      '<script src="https://cdn' || CAST(event_id % 3 AS VARCHAR)
+        || '.lib/x.js"'
+        || CASE WHEN event_id % 2 = 0
+             THEN ' integrity="sha384-abc" crossorigin>' ELSE '>' END
+        || '</script>' AS third
+    FROM (SELECT event_id,
+            'w' || CAST(event_id % 5 AS VARCHAR) || '.test' AS host
+          FROM events WHERE event_id % 4 = 0)
+  )
+"""
+
+
+def q_sri_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.sri_audit: regexp_extract_all + explode in scan,
+    ONE groupBy(host); relative and inline tags excluded from external."""
+    return _ws.sri_audit(_sri_pages(spark, sf))
+
+
+def _sri_audit_sql() -> str:
+    return _ws.sri_audit_sql(_SRI_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# altsvc_census — RFC 7838 entries with mixed protocols and ma
+# ---------------------------------------------------------------------------
+
+
+def _altsvc_rows(spark, sf) -> DataFrame:
+    """Alt-Svc lanes: h3+h2 pair with max-age, bare h3 without ma,
+    h3-29 draft id, clear (no '=', must be dropped)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    e = F.col("event_id")
+    v = (F.when(e % 4 == 0,
+                'h3=":443"; ma=86400, h2=":443"; ma=3600')
+         .when(e % 4 == 1, 'h3=":443"')
+         .when(e % 4 == 2, 'h3-29=":443"; ma=7200')
+         .otherwise("clear"))
+    return ev.select(F.concat(F.lit("a"), (e % 7).cast("string"))
+                     .alias("host"), v.alias("alt_svc"))
+
+
+_ALTSVC_ROWS_SQL = """
+  SELECT 'a' || CAST(event_id % 7 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'h3=":443"; ma=86400, h2=":443"; ma=3600'
+      WHEN 1 THEN 'h3=":443"'
+      WHEN 2 THEN 'h3-29=":443"; ma=7200'
+      ELSE 'clear'
+    END AS alt_svc
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_altsvc_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.altsvc_census: entry explode + ONE
+    groupBy(proto) with distinct hosts; 'clear' entries dropped."""
+    return _ws.altsvc_census(_altsvc_rows(spark, sf))
+
+
+def _altsvc_census_sql() -> str:
+    return _ws.altsvc_census_sql(_ALTSVC_ROWS_SQL)
+
+
+def queries133():
+    return {
+        "csp_audit": q_csp_audit,
+        "sri_audit": q_sri_audit,
+        "altsvc_census": q_altsvc_census,
+    }
+
+
+def oracle_sql133():
+    return {
+        "csp_audit": _csp_audit_sql(),
+        "sri_audit": _sri_audit_sql(),
+        "altsvc_census": _altsvc_census_sql(),
+    }

@@ -1,0 +1,84 @@
+"""Round-3 driver-contract queries (batch 128): invisible-character /
+bidi-control audit (functions/text.bidi_audit — Trojan Source hygiene).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.functions import text as _text
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bidi_audit — lanes rotating clean / RLO / zero-width / both
+# ---------------------------------------------------------------------------
+
+_RLO = chr(0x202E)   # right-to-left override
+_PDI = chr(0x2069)   # pop directional isolate
+_ZWSP = chr(0x200B)  # zero-width space
+_BOM = chr(0xFEFF)
+
+
+def _bidi_docs(spark, sf) -> DataFrame:
+    """Doc lanes rotating on event_id//4 (the filter keeps multiples of
+    4): clean; one RLO+PDI pair; a 3-char zero-width run; BOM prefix
+    plus both classes mixed."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    lane = F.floor(e / 4) % 4
+    eid = e.cast("string")
+    text = (F.when(lane == 0, F.concat(F.lit("plain text "), eid))
+            .when(lane == 1,
+                  F.concat(F.lit("evil "), F.lit(_RLO), F.lit("gpj.exe"),
+                           F.lit(_PDI), F.lit(" tail "), eid))
+            .when(lane == 2,
+                  F.concat(F.lit("a"), F.lit(_ZWSP * 3), F.lit("b "), eid))
+            .otherwise(
+                F.concat(F.lit(_BOM), F.lit("x "), F.lit(_RLO),
+                         F.lit(_ZWSP), F.lit("y "), eid)))
+    return ev.select(e.cast("long").alias("doc_id"), text.alias("text"))
+
+
+_BIDI_DOCS_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS doc_id,
+    CASE CAST((event_id // 4) % 4 AS INT)
+      WHEN 0 THEN 'plain text ' || CAST(event_id AS VARCHAR)
+      WHEN 1 THEN 'evil ' || chr(8238) || 'gpj.exe' || chr(8297)
+        || ' tail ' || CAST(event_id AS VARCHAR)
+      WHEN 2 THEN 'a' || repeat(chr(8203), 3) || 'b '
+        || CAST(event_id AS VARCHAR)
+      ELSE chr(65279) || 'x ' || chr(8238) || chr(8203) || 'y '
+        || CAST(event_id AS VARCHAR)
+    END AS text
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_bidi_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """functions/text.bidi_audit: pure length/translate projection fused
+    into the scan — zero shuffles."""
+    return _text.bidi_audit(_bidi_docs(spark, sf))
+
+
+def _bidi_audit_sql() -> str:
+    return _text.bidi_audit_sql(_BIDI_DOCS_SQL)
+
+
+def queries134():
+    return {
+        "bidi_audit": q_bidi_audit,
+    }
+
+
+def oracle_sql134():
+    return {
+        "bidi_audit": _bidi_audit_sql(),
+    }

@@ -583,3 +583,66 @@ SELECT doc_id, kind, substr(cand, 1, 4) || '…' AS mask,
   round(log2(L) - clog / L, 4) >= {SECRET_ENTROPY_BITS!r} AS flagged
 FROM ent
 """
+
+
+# ---------------------------------------------------------------------------
+# Invisible-character / bidi-control audit (Trojan Source hygiene)
+# ---------------------------------------------------------------------------
+
+# Explicit inventories shared by the Spark plan and the DuckDB oracle.
+# Bidi embeds/overrides/isolates (U+202A-202E, U+2066-2069): Boucher &
+# Anderson, "Trojan Source" (USENIX Sec '22) — reordered rendering can
+# cloak text/URLs. Zero-widths (U+200B-200D, U+FEFF, U+2060): invisible
+# joiners used for SEO cloaking, watermarks, and filter evasion; they
+# also break whitespace tokenizers (see normalize_typography above).
+BIDI_CONTROL_CODEPOINTS = (0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+                           0x2066, 0x2067, 0x2068, 0x2069)
+ZERO_WIDTH_CODEPOINTS = (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF)
+
+_BIDI_STR = "".join(chr(c) for c in BIDI_CONTROL_CODEPOINTS)
+_ZW_STR = "".join(chr(c) for c in ZERO_WIDTH_CODEPOINTS)
+
+
+def bidi_audit(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document invisible-character audit: counts of bidi control
+    characters and zero-width characters, plus flags. A corpus gate runs
+    this before training-data export — bidi controls inside identifiers
+    or URLs are the Trojan-Source attack surface, and zero-width runs
+    inflate token counts while hiding from review.
+
+    Returns (doc_id, n_chars, n_bidi, n_zw, flag_bidi, flag_zw).
+
+    Scale shape: pure length/translate column expressions fused into the
+    scan — no shuffle at all.
+    """
+    t = F.col(text_col)
+    n_bidi = F.length(t) - F.length(F.translate(t, _BIDI_STR, ""))
+    n_zw = F.length(t) - F.length(F.translate(t, _ZW_STR, ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_bidi.cast("long").alias("n_bidi"),
+        n_zw.cast("long").alias("n_zw"),
+        (n_bidi > 0).alias("flag_bidi"),
+        (n_zw > 0).alias("flag_zw"))
+
+
+def bidi_audit_sql(docs_sql: str) -> str:
+    """DuckDB mirror of :func:`bidi_audit` (chr()-built inventories so
+    the SQL text stays ASCII)."""
+    bidi = " || ".join(f"chr({c})" for c in BIDI_CONTROL_CODEPOINTS)
+    zw = " || ".join(f"chr({c})" for c in ZERO_WIDTH_CODEPOINTS)
+    return f"""
+WITH d AS ({docs_sql}),
+m AS (
+  SELECT doc_id, length(text) AS n_chars,
+    length(text) - length(translate(text, {bidi}, '')) AS n_bidi,
+    length(text) - length(translate(text, {zw}, '')) AS n_zw
+  FROM d
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_bidi AS BIGINT) AS n_bidi, CAST(n_zw AS BIGINT) AS n_zw,
+  n_bidi > 0 AS flag_bidi, n_zw > 0 AS flag_zw
+FROM m
+"""

@@ -1,0 +1,253 @@
+"""Response security-policy audits: CSP directive parsing, subresource
+integrity coverage, Alt-Svc protocol census.
+
+Complements :mod:`icrawler_spark.operators.warc`'s header-level audits
+(``security_headers_audit`` checks *presence* of a CSP header; here we
+parse its *content*) and ``mixed_content`` (http-on-https embeds; here we
+check whether third-party scripts are integrity-pinned at all). Reference
+scope: the reference crawler stores raw responses
+(``icrawler/utils/session.py:29-59``) but never inspects policy headers —
+these are crawl-corpus quality/security signals a 100 TB web pipeline
+wants per-host.
+
+All operators are pure JVM column expressions over explode/groupBy —
+no UDFs, one shuffle each; every ``*_sql`` twin generates the DuckDB
+mirror used by the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# CSP directive audit
+# ---------------------------------------------------------------------------
+
+_SCRIPTISH = ("script-src", "default-src")
+
+
+def csp_audit(policies: DataFrame, host_col: str = "host",
+              url_col: str = "url", csp_col: str = "csp") -> DataFrame:
+    """Parse Content-Security-Policy values (CSP3 §2.2: ``;``-separated
+    directives, each a name plus space-separated source list) and score
+    per host how often the script-controlling directives (``script-src``,
+    falling back to ``default-src``) carry the classic weak sources:
+    ``'unsafe-inline'``, ``'unsafe-eval'``, the full wildcard ``*``, and
+    ``data:`` (each defeats injection protection per MDN / OWASP secure
+    headers guidance).
+
+    Returns per host: (host, n_policies, avg_dirs, inline_share,
+    eval_share, wildcard_share, data_share), shares rounded 6.
+
+    Scale shape: ONE explode fused into the scan + groupBy(url) flag-max
+    + groupBy(host) — two keyed shuffles, no window, no join, no UDF.
+    """
+    d = F.explode(F.split(F.col(csp_col), ";")).alias("dir")
+    base = policies.select(F.col(host_col).alias("host"),
+                           F.col(url_col).alias("url"), d)
+    toks = F.split(F.trim(F.col("dir")), r"\s+")
+    name = F.lower(toks.getItem(0))
+    scriptish = name.isin(*_SCRIPTISH)
+    has = lambda t: (scriptish & F.array_contains(toks, t)).cast("int")  # noqa: E731
+    dirs = base.select(
+        "host", "url",
+        F.when(F.trim(F.col("dir")) != "", 1).otherwise(0).alias("is_dir"),
+        has("'unsafe-inline'").alias("f_inline"),
+        has("'unsafe-eval'").alias("f_eval"),
+        has("*").alias("f_wild"),
+        has("data:").alias("f_data"))
+    per_url = dirs.groupBy("host", "url").agg(
+        F.sum("is_dir").alias("n_dirs"),
+        F.max("f_inline").alias("inline"), F.max("f_eval").alias("eval"),
+        F.max("f_wild").alias("wild"), F.max("f_data").alias("data"))
+    return (per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_policies"),
+        F.round(F.avg("n_dirs"), 6).alias("avg_dirs"),
+        F.round(F.avg("inline"), 6).alias("inline_share"),
+        F.round(F.avg("eval"), 6).alias("eval_share"),
+        F.round(F.avg("wild"), 6).alias("wildcard_share"),
+        F.round(F.avg("data"), 6).alias("data_share")))
+
+
+def csp_audit_sql(policies_sql: str) -> str:
+    """DuckDB mirror of :func:`csp_audit` over a (host, url, csp)
+    SELECT."""
+    scriptish = ("lower(toks[1]) IN ('script-src', 'default-src')")
+    has = lambda t: (f"CASE WHEN {scriptish} AND list_contains(toks, '{t}') "  # noqa: E731
+                     "THEN 1 ELSE 0 END")
+    return f"""
+WITH pol AS ({policies_sql}),
+dirs AS (
+  SELECT host, url, regexp_split_to_array(trim(d), '\\s+') AS toks,
+    CASE WHEN trim(d) <> '' THEN 1 ELSE 0 END AS is_dir
+  FROM (SELECT host, url, unnest(string_split(csp, ';')) AS d FROM pol)
+),
+flags AS (
+  SELECT host, url, is_dir,
+    {has("''unsafe-inline''")} AS f_inline,
+    {has("''unsafe-eval''")} AS f_eval,
+    {has('*')} AS f_wild,
+    {has('data:')} AS f_data
+  FROM dirs
+),
+per_url AS (
+  SELECT host, url, SUM(is_dir) AS n_dirs, MAX(f_inline) AS m_inline,
+    MAX(f_eval) AS m_eval, MAX(f_wild) AS m_wild, MAX(f_data) AS m_data
+  FROM flags GROUP BY host, url
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_policies,
+  round(AVG(n_dirs), 6) AS avg_dirs,
+  round(AVG(m_inline), 6) AS inline_share,
+  round(AVG(m_eval), 6) AS eval_share,
+  round(AVG(m_wild), 6) AS wildcard_share,
+  round(AVG(m_data), 6) AS data_share
+FROM per_url GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Subresource-integrity coverage
+# ---------------------------------------------------------------------------
+
+_SCRIPT_TAG_RE = r"<script[^>]*>"
+_SRC_RE = r'src="([^"]*)"'
+
+
+def sri_audit(pages: DataFrame, host_col: str = "host",
+              url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Subresource-integrity coverage (W3C SRI): of the ``<script src>``
+    tags each host serves, how many third-party ones carry an
+    ``integrity`` attribute? Un-pinned third-party scripts are the
+    supply-chain injection surface (Magecart-style); a crawl corpus
+    flagging them per host is a standard web-hygiene census.
+
+    A script is *external* when its src is absolute (``http…``) and not
+    under the serving host. Returns per host: (host, n_scripts,
+    n_external, n_external_sri, sri_share) with sri_share = pinned share
+    of external scripts (NULL when a host has none), rounded 6.
+
+    Scale shape: regexp_extract_all + explode fused into the scan, ONE
+    groupBy(host) — one shuffle, no join, no UDF.
+    """
+    tags = pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(
+            f"regexp_extract_all({html_col}, '{_SCRIPT_TAG_RE}', 0)"))
+        .alias("tag"))
+    src = F.regexp_extract("tag", _SRC_RE, 1)
+    scripts = tags.select("host", src.alias("src"),
+                          F.col("tag").contains("integrity=")
+                          .cast("int").alias("has_sri")) \
+        .filter(F.col("src") != "")
+    same_host = (F.col("src").startswith(F.concat(F.lit("https://"),
+                                                  F.col("host"), F.lit("/")))
+                 | F.col("src").startswith(F.concat(F.lit("http://"),
+                                                    F.col("host"),
+                                                    F.lit("/"))))
+    external = (F.col("src").startswith("http") & ~same_host).cast("int")
+    per = scripts.select("host", "has_sri", external.alias("ext"))
+    n_ext = F.sum("ext")
+    return (per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_scripts"),
+        n_ext.cast("long").alias("n_external"),
+        F.sum(F.col("ext") * F.col("has_sri")).cast("long")
+        .alias("n_external_sri"))
+        .select("host", "n_scripts", "n_external", "n_external_sri",
+                F.when(F.col("n_external") > 0,
+                       F.round(F.col("n_external_sri")
+                               / F.col("n_external"), 6))
+                .alias("sri_share")))
+
+
+def sri_audit_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`sri_audit` over a (host, url, html)
+    SELECT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+tags AS (
+  SELECT host, unnest(regexp_extract_all(html, '{_SCRIPT_TAG_RE}')) AS tag
+  FROM pg
+),
+scripts AS (
+  SELECT host, regexp_extract(tag, 'src="([^"]*)"', 1) AS src,
+    CASE WHEN contains(tag, 'integrity=') THEN 1 ELSE 0 END AS has_sri
+  FROM tags
+),
+per AS (
+  SELECT host, has_sri,
+    CASE WHEN starts_with(src, 'http')
+      AND NOT (starts_with(src, 'https://' || host || '/')
+               OR starts_with(src, 'http://' || host || '/'))
+      THEN 1 ELSE 0 END AS ext
+  FROM scripts WHERE src <> ''
+),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_scripts,
+    CAST(SUM(ext) AS BIGINT) AS n_external,
+    CAST(SUM(ext * has_sri) AS BIGINT) AS n_external_sri
+  FROM per GROUP BY host
+)
+SELECT host, n_scripts, n_external, n_external_sri,
+  CASE WHEN n_external > 0
+    THEN round(CAST(n_external_sri AS DOUBLE) / n_external, 6) END
+    AS sri_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Alt-Svc protocol census
+# ---------------------------------------------------------------------------
+
+
+def altsvc_census(headers: DataFrame, host_col: str = "host",
+                  altsvc_col: str = "alt_svc") -> DataFrame:
+    """HTTP/3 / QUIC adoption census from ``Alt-Svc`` response headers
+    (RFC 7838 §3: comma-separated ``proto="authority"; ma=seconds``
+    entries). Per advertised protocol id: how many entries, how many
+    distinct hosts advertise it, and the mean max-age — the standard way
+    a crawler decides which hosts are worth upgrading transports for.
+
+    Returns (proto, n_entries, n_hosts, avg_ma) with avg_ma over the
+    entries that carry an ``ma=`` parameter, rounded 6.
+
+    Scale shape: explode fused into the scan + ONE groupBy(proto) with a
+    distinct-count — one shuffle, no join, no UDF.
+    """
+    entries = headers.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(altsvc_col), ",")).alias("entry"))
+    proto = F.regexp_extract(F.trim(F.col("entry")), r"^([a-zA-Z0-9-]+)=", 1)
+    ma = F.regexp_extract(F.col("entry"), r"ma=([0-9]+)", 1)
+    per = entries.select(
+        "host", proto.alias("proto"),
+        F.when(ma != "", ma.cast("long")).alias("ma")) \
+        .filter(F.col("proto") != "")
+    return per.groupBy("proto").agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.round(F.avg("ma"), 6).alias("avg_ma"))
+
+
+def altsvc_census_sql(headers_sql: str) -> str:
+    """DuckDB mirror of :func:`altsvc_census` over a (host, alt_svc)
+    SELECT."""
+    return f"""
+WITH hd AS ({headers_sql}),
+entries AS (
+  SELECT host, unnest(string_split(alt_svc, ',')) AS entry FROM hd
+),
+per AS (
+  SELECT host,
+    regexp_extract(trim(entry), '^([a-zA-Z0-9-]+)=', 1) AS proto,
+    CASE WHEN regexp_extract(entry, 'ma=([0-9]+)', 1) <> ''
+      THEN CAST(regexp_extract(entry, 'ma=([0-9]+)', 1) AS BIGINT)
+    END AS ma
+  FROM entries
+)
+SELECT proto, CAST(COUNT(*) AS BIGINT) AS n_entries,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+  round(AVG(ma), 6) AS avg_ma
+FROM per WHERE proto <> '' GROUP BY proto
+"""

@@ -1,0 +1,64 @@
+"""Unit tests for the round-133 pack: CSP audit, SRI coverage, Alt-Svc."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.websec import altsvc_census, csp_audit, sri_audit
+
+
+def test_csp_flags_scriptish_only(spark):
+    rows = [
+        # img-src unsafe-inline must NOT count (not script-controlling)
+        ("h1", "u1", "img-src 'unsafe-inline'; script-src 'self'"),
+        ("h1", "u2", "script-src 'unsafe-inline' 'unsafe-eval'"),
+        ("h2", "u3", "default-src * data:"),
+        # *.cdn wildcard subdomain is not the full wildcard
+        ("h2", "u4", "script-src *.cdn.test"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, csp string")
+    out = {r["host"]: r for r in csp_audit(df).collect()}
+    assert out["h1"]["inline_share"] == 0.5
+    assert out["h1"]["eval_share"] == 0.5
+    assert out["h2"]["wildcard_share"] == 0.5
+    assert out["h2"]["data_share"] == 0.5
+
+
+def test_csp_trailing_semicolon_not_a_directive(spark):
+    df = spark.createDataFrame([("h", "u", "default-src 'self';")],
+                               "host string, url string, csp string")
+    assert csp_audit(df).collect()[0]["avg_dirs"] == 1.0
+
+
+def test_sri_external_vs_same_host(spark):
+    html = ('<script src="https://w.test/a.js"></script>'
+            '<script src="https://cdn.lib/x.js" integrity="sha384-a">'
+            '</script>'
+            '<script src="https://cdn.lib/y.js"></script>'
+            '<script src="/rel.js"></script>'
+            "<script>inline()</script>")
+    df = spark.createDataFrame([("w.test", "u", html)],
+                               "host string, url string, html string")
+    r = sri_audit(df).collect()[0]
+    # inline tag has no src → 4 scripts; same-host + relative not external
+    assert r["n_scripts"] == 4
+    assert r["n_external"] == 2
+    assert r["n_external_sri"] == 1
+    assert r["sri_share"] == 0.5
+
+
+def test_sri_share_null_without_externals(spark):
+    df = spark.createDataFrame(
+        [("h.test", "u", '<script src="/only-local.js"></script>')],
+        "host string, url string, html string")
+    assert sri_audit(df).collect()[0]["sri_share"] is None
+
+
+def test_altsvc_parses_entries_and_drops_clear(spark):
+    rows = [("h1", 'h3=":443"; ma=86400, h2=":443"; ma=3600'),
+            ("h2", 'h3=":443"'),
+            ("h3", "clear")]
+    df = spark.createDataFrame(rows, "host string, alt_svc string")
+    out = {r["proto"]: r for r in altsvc_census(df).collect()}
+    assert sorted(out) == ["h2", "h3"]
+    assert out["h3"]["n_entries"] == 2 and out["h3"]["n_hosts"] == 2
+    assert out["h3"]["avg_ma"] == 86400.0  # bare h3 has no ma → excluded
+    assert out["h2"]["avg_ma"] == 3600.0

@@ -1,0 +1,31 @@
+"""Unit tests for the round-134 pack: bidi / zero-width audit."""
+
+from __future__ import annotations
+
+from icrawler_spark.functions.text import bidi_audit
+
+
+def test_bidi_audit_counts_and_flags(spark):
+    rlo, pdi, zwsp, bom = chr(0x202E), chr(0x2069), chr(0x200B), chr(0xFEFF)
+    rows = [
+        (1, "clean ascii"),
+        (2, f"evil {rlo}gpj.exe{pdi}"),
+        (3, f"a{zwsp}{zwsp}b"),
+        (4, f"{bom}x{rlo}{zwsp}y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bidi_audit(df).collect()}
+    assert out[1]["n_bidi"] == 0 and out[1]["n_zw"] == 0
+    assert not out[1]["flag_bidi"] and not out[1]["flag_zw"]
+    assert out[2]["n_bidi"] == 2 and out[2]["n_zw"] == 0
+    assert out[2]["flag_bidi"] and not out[2]["flag_zw"]
+    assert out[3]["n_bidi"] == 0 and out[3]["n_zw"] == 2
+    assert out[4]["n_bidi"] == 1 and out[4]["n_zw"] == 2  # BOM counts as zw
+    assert out[4]["flag_bidi"] and out[4]["flag_zw"]
+
+
+def test_bidi_audit_char_lengths(spark):
+    zwsp = chr(0x200B)
+    df = spark.createDataFrame([(1, f"ab{zwsp}")], "doc_id long, text string")
+    r = bidi_audit(df).collect()[0]
+    assert r["n_chars"] == 3 and r["n_zw"] == 1
