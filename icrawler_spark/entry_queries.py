@@ -85,7 +85,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round128, entry_round129,
                             entry_round130, entry_round131,
                             entry_round132, entry_round133,
-                            entry_round134)
+                            entry_round134, entry_round135,
+                            entry_round136)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -985,6 +986,8 @@ def queries():
         **entry_round132.queries132(),
         **entry_round133.queries133(),
         **entry_round134.queries134(),
+        **entry_round135.queries135(),
+        **entry_round136.queries136(),
     }
 
 
@@ -1190,4 +1193,6 @@ def _oracle_sql_raw():
         **entry_round132.oracle_sql132(),
         **entry_round133.oracle_sql133(),
         **entry_round134.oracle_sql134(),
+        **entry_round135.oracle_sql135(),
+        **entry_round136.oracle_sql136(),
     }

@@ -1,0 +1,112 @@
+"""Round-3 driver-contract queries (batch 129): deterministic sampling
+estimators — Duffield priority sampling with the subset-sum estimator,
+and Warner randomized response (operators/corpus.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import corpus as _corpus
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# priority_sample — per-host byte weights, k=8 kept per host
+# ---------------------------------------------------------------------------
+
+_PS_K = 8
+
+
+def _ps_rows(spark, sf) -> DataFrame:
+    """One weighted row per fetch: 7 hosts, skewed integer byte weights
+    (1..5000 via a quadratic lane so a few heavy rows dominate — the
+    regime priority sampling exists for)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    e = F.col("event_id")
+    w = 1 + (e % 9) * (e % 11) * (e % 13)
+    return ev.select(
+        F.concat(F.lit("h"), (e % 7).cast("string")).alias("host"),
+        e.cast("long").alias("fetch_id"), w.cast("long").alias("bytes"))
+
+
+_PS_ROWS_SQL = """
+  SELECT 'h' || CAST(event_id % 7 AS VARCHAR) AS host,
+    CAST(event_id AS BIGINT) AS fetch_id,
+    CAST(1 + (event_id % 9) * (event_id % 11) * (event_id % 13)
+         AS BIGINT) AS bytes
+  FROM events WHERE event_id % 2 = 0
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.priority_sample: per-group priority-rank window
+    + broadcast tau join; est_sum must track true_sum."""
+    return _corpus.priority_sample(
+        _ps_rows(spark, sf), "bytes", group_col="host", id_col="fetch_id",
+        k=_PS_K)
+
+
+def _priority_sample_sql() -> str:
+    return _corpus.priority_sample_sql(
+        _PS_ROWS_SQL, "bytes", group_col="host", id_col="fetch_id",
+        k=_PS_K)
+
+
+# ---------------------------------------------------------------------------
+# rand_response — sensitive bit per doc, 5 sources
+# ---------------------------------------------------------------------------
+
+
+def _rr_rows(spark, sf) -> DataFrame:
+    """A 'sensitive' bit whose true per-source share differs by source
+    (source s has share ~ s/10 via the mod-10 lane)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    s = e % 5
+    bit = (e % 10 < s + 1).cast("int")
+    return ev.select(
+        F.concat(F.lit("src"), s.cast("string")).alias("source"),
+        e.cast("long").alias("doc_id"), bit.alias("sensitive"))
+
+
+_RR_ROWS_SQL = """
+  SELECT 'src' || CAST(event_id % 5 AS VARCHAR) AS source,
+    CAST(event_id AS BIGINT) AS doc_id,
+    CASE WHEN event_id % 10 < (event_id % 5) + 1 THEN 1 ELSE 0 END
+      AS sensitive
+  FROM events
+"""
+
+
+def q_rand_response(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.rand_response: deterministic md5 coin + ONE
+    groupBy; pi_hat must invert the noise around true_share."""
+    return _corpus.rand_response(_rr_rows(spark, sf), "sensitive",
+                                 group_col="source", id_col="doc_id")
+
+
+def _rand_response_sql() -> str:
+    return _corpus.rand_response_sql(_RR_ROWS_SQL, "sensitive",
+                                     group_col="source", id_col="doc_id")
+
+
+def queries135():
+    return {
+        "priority_sample": q_priority_sample,
+        "rand_response": q_rand_response,
+    }
+
+
+def oracle_sql135():
+    return {
+        "priority_sample": _priority_sample_sql(),
+        "rand_response": _rand_response_sql(),
+    }

@@ -1,0 +1,70 @@
+"""Round-3 driver-contract queries (batch 130): Croston/SBA intermittent
+change forecasting for adaptive recrawl (operators/recrawl.croston_sba).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import recrawl as _recrawl
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# croston — 300 URLs × periods, intermittent demand lanes
+# ---------------------------------------------------------------------------
+
+
+def _cr_rows(spark, sf) -> DataFrame:
+    """Per-URL period series: url = event_id % 300, period = event_id
+    // 300 + 1 (distinct per url). Demand fires on ~3/7 of periods with
+    size 1-3 — intermittent by construction; URLs ≡ 0 mod 10 never
+    change and must be absent from the output."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    url = F.concat(F.lit("http://c"), (e % 300).cast("string"),
+                   F.lit(".test/"))
+    z = F.when((e % 300) % 10 == 0, 0) \
+        .when(e % 7 < 3, (e % 3) + 1).otherwise(0)
+    return ev.select(url.alias("url"),
+                     (F.floor(e / 300) + 1).cast("long").alias("t"),
+                     z.cast("long").alias("z"))
+
+
+_CR_ROWS_SQL = """
+  SELECT 'http://c' || CAST(event_id % 300 AS VARCHAR) || '.test/' AS url,
+    CAST((event_id // 300) + 1 AS BIGINT) AS t,
+    CAST(CASE WHEN (event_id % 300) % 10 = 0 THEN 0
+      WHEN event_id % 7 < 3 THEN (event_id % 3) + 1 ELSE 0 END
+      AS BIGINT) AS z
+  FROM events
+"""
+
+
+def q_croston(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/recrawl.croston_sba: closed-form EWMA over nonzero
+    points — two same-partition windows + ONE groupBy(url)."""
+    return _recrawl.croston_sba(_cr_rows(spark, sf))
+
+
+def _croston_sql() -> str:
+    return _recrawl.croston_sba_sql(_CR_ROWS_SQL)
+
+
+def queries136():
+    return {
+        "croston": q_croston,
+    }
+
+
+def oracle_sql136():
+    return {
+        "croston": _croston_sql(),
+    }

@@ -12616,3 +12616,172 @@ SELECT domain, n_docs, round(mean_loss, 6) AS mean_loss,
         6) AS weight
 FROM ex
 """
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "ps",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): priority
+    q_i = w_i / u_i with u_i uniform-(0,1]; keep the k largest priorities
+    per group and set the threshold tau to the (k+1)-th priority. The
+    subset-sum estimator sum(max(w_i, tau)) over the sample is unbiased
+    for the group's total weight with near-optimal variance — the
+    standard way to keep a tiny per-host sample of fetch bytes / token
+    counts whose totals still aggregate correctly. Complements
+    :func:`weighted_sample` (Efraimidis–Spirakis draws a sample but
+    estimates nothing).
+
+    u is the deterministic :func:`md5_unit` draw, so the sample and
+    estimate replay exactly in the DuckDB oracle.
+
+    Returns per group: (group, n, k_eff, true_sum, est_sum, rel_err),
+    sums rounded 6.
+
+    Scale shape: one per-group window rank over the priority key + one
+    broadcast-size join of the (k+1)-th-priority row back onto the k
+    kept rows — no global window, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    u = md5_unit(id_col, salt)
+    w = F.col(weight_col).cast("double")
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(id_col).alias("id"), w.alias("weight"),
+                     (w / u).alias("__q"))
+    ranked = base.withColumn("rn", F.row_number().over(
+        Window.partitionBy("grp")
+        .orderBy(F.col("__q").desc(), F.col("id"))))
+    tau = ranked.filter(F.col("rn") == k + 1) \
+        .select("grp", F.col("__q").alias("tau"))
+    sample = (ranked.filter(F.col("rn") <= k)
+              .join(F.broadcast(tau), "grp", "left")
+              .select("grp", F.greatest("weight",
+                                        F.coalesce("tau", F.lit(0.0)))
+                      .alias("w_hat")))
+    totals = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("weight").alias("true_sum"))
+    est = sample.groupBy("grp").agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.sum("w_hat").alias("est_sum"))
+    return (totals.join(est, "grp").select(
+        F.col("grp").alias(group_col), "n", "k_eff",
+        F.round("true_sum", 6).alias("true_sum"),
+        F.round("est_sum", 6).alias("est_sum"),
+        F.round(F.abs(F.col("est_sum") - F.col("true_sum"))
+                / F.col("true_sum"), 6).alias("rel_err")))
+
+
+def priority_sample_sql(rows_sql: str, weight_col: str,
+                        group_col: str = "source", id_col: str = "doc_id",
+                        k: int = 5, salt: str = "ps") -> str:
+    """DuckDB mirror of :func:`priority_sample`."""
+    u = md5_unit_sql(id_col, salt)
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col} AS id,
+    CAST({weight_col} AS DOUBLE) AS weight,
+    CAST({weight_col} AS DOUBLE) / ({u}) AS q
+  FROM ({rows_sql})
+),
+ranked AS (
+  SELECT grp, id, weight, q,
+    row_number() OVER (PARTITION BY grp ORDER BY q DESC, id) AS rn
+  FROM base
+),
+tau AS (SELECT grp, q AS tau FROM ranked WHERE rn = {k + 1}),
+sample AS (
+  SELECT r.grp, greatest(r.weight, coalesce(t.tau, 0.0)) AS w_hat
+  FROM ranked r LEFT JOIN tau t USING (grp) WHERE r.rn <= {k}
+),
+totals AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(weight) AS true_sum
+  FROM base GROUP BY grp
+),
+est AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS k_eff, SUM(w_hat) AS est_sum
+  FROM sample GROUP BY grp
+)
+SELECT totals.grp AS {group_col}, n, k_eff,
+  round(true_sum, 6) AS true_sum, round(est_sum, 6) AS est_sum,
+  round(abs(est_sum - true_sum) / true_sum, 6) AS rel_err
+FROM totals JOIN est USING (grp)
+"""
+
+
+def rand_response(
+    df: DataFrame,
+    bit_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    p: float = 0.75,
+    salt: str = "rr",
+) -> DataFrame:
+    """Warner's randomized response (JASA 1965), the classic local-DP
+    frequency estimator: each row reports its true bit with probability
+    ``p`` and the flipped bit otherwise (epsilon = ln(p/(1-p)) local
+    differential privacy); the collector sees only the noisy share
+    lambda and inverts it to pi_hat = (lambda + p - 1)/(2p - 1) with
+    standard error sqrt(lambda(1-lambda)/n)/|2p-1|. The shape a crawl
+    pipeline uses to publish per-host sensitive-content rates without
+    row-level disclosure (complements k_anon / dp_release, which
+    privatize the *output* table — this privatizes at *ingest*).
+
+    The coin is the deterministic :func:`md5_unit` draw so the whole
+    mechanism replays in the DuckDB oracle.
+
+    Returns per group: (group, n, lambda_obs, pi_hat, se, true_share),
+    floats rounded 6.
+
+    Scale shape: pure projection + ONE groupBy — one shuffle, no window,
+    no join.
+    """
+    u = md5_unit(id_col, salt)
+    b = F.col(bit_col).cast("int")
+    report = F.when(u <= F.lit(p), b).otherwise(1 - b)
+    base = df.select(F.col(group_col).alias("grp"), b.alias("b"),
+                     report.alias("r"))
+    lam = F.avg("r")
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"), lam.alias("lam"),
+        F.avg("b").alias("true_share"))
+    denom = 2.0 * p - 1.0
+    return agg.select(
+        F.col("grp").alias(group_col), "n",
+        F.round("lam", 6).alias("lambda_obs"),
+        F.round((F.col("lam") + F.lit(p - 1.0)) / F.lit(denom), 6)
+        .alias("pi_hat"),
+        F.round(F.sqrt(F.col("lam") * (1.0 - F.col("lam")) / F.col("n"))
+                / F.lit(abs(denom)), 6).alias("se"),
+        F.round("true_share", 6).alias("true_share"))
+
+
+def rand_response_sql(rows_sql: str, bit_col: str,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      p: float = 0.75, salt: str = "rr") -> str:
+    """DuckDB mirror of :func:`rand_response`."""
+    u = md5_unit_sql(id_col, salt)
+    denom = 2.0 * p - 1.0
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, CAST({bit_col} AS INT) AS b,
+    CASE WHEN ({u}) <= {p!r} THEN CAST({bit_col} AS INT)
+      ELSE 1 - CAST({bit_col} AS INT) END AS r
+  FROM ({rows_sql})
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+    AVG(CAST(r AS DOUBLE)) AS lam, AVG(CAST(b AS DOUBLE)) AS true_share
+  FROM base GROUP BY grp
+)
+SELECT grp AS {group_col}, n, round(lam, 6) AS lambda_obs,
+  round((lam + {p - 1.0!r}) / {denom!r}, 6) AS pi_hat,
+  round(sqrt(lam * (1.0 - lam) / n) / {abs(denom)!r}, 6) AS se,
+  round(true_share, 6) AS true_share
+FROM agg
+"""

@@ -4083,3 +4083,99 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
     AS cache_busting
 FROM o GROUP BY host
 """
+
+
+def croston_sba(
+    changes: DataFrame,
+    url_col: str = "url",
+    t_col: str = "t",
+    z_col: str = "z",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Croston's method with the Syntetos–Boylan approximation (SBA,
+    IJF 2005) for *intermittent* change forecasting: most pages change
+    rarely and in bursts, so a plain EWMA of per-period change counts
+    systematically under-forecasts. Croston smooths two series over the
+    nonzero-demand points only — demand size z and inter-demand interval
+    i — and forecasts their ratio; SBA's (1 - alpha/2) factor removes
+    Croston's positive bias. Per-URL forecast feeds the same scheduler
+    as ``recrawl_schedule`` (which assumes Poisson-ish steady change —
+    this is its bursty-tail complement).
+
+    The EWMA is evaluated in closed form so the whole thing is one
+    aggregation, replayable by the SQL oracle: with nonzero points
+    j = 1..m, s_m = (1-a)^(m-1) x_1 + a * sum_{j>=2} (1-a)^(m-j) x_j.
+    The first interval is the first nonzero period index itself
+    (periods since series start — Croston's standard initialization).
+
+    Input: one row per (url, period t >= 1) with demand ``z`` (number of
+    observed changes; 0 = no change that period). Returns per url with
+    at least one change: (url, m, z_hat, i_hat, sba_forecast) — m =
+    number of nonzero points, forecast = expected changes per period,
+    floats rounded 6.
+
+    Scale shape: filter fused into the scan, two per-URL windows
+    (row_number + lag on the same partitioning — ONE shuffle), one
+    groupBy(url).
+    """
+    from pyspark.sql import Window
+
+    a = alpha
+    nz = changes.filter(F.col(z_col) > 0).select(
+        F.col(url_col).alias("url"), F.col(t_col).alias("t"),
+        F.col(z_col).cast("double").alias("z"))
+    w = Window.partitionBy("url").orderBy("t")
+    wm = Window.partitionBy("url")
+    pts = nz.select(
+        "url", "z",
+        F.row_number().over(w).alias("rn"),
+        (F.col("t") - F.coalesce(F.lag("t").over(w), F.lit(0)))
+        .cast("double").alias("ivl"),
+        F.count("*").over(wm).alias("m"))
+    wt = F.when(F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("m") - 1)) \
+        .otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("m") - F.col("rn")))
+    agg = pts.groupBy("url").agg(
+        F.max("m").cast("long").alias("m"),
+        F.sum(wt * F.col("z")).alias("z_hat"),
+        F.sum(wt * F.col("ivl")).alias("i_hat"))
+    return agg.select(
+        "url", "m", F.round("z_hat", 6).alias("z_hat"),
+        F.round("i_hat", 6).alias("i_hat"),
+        F.round(F.lit(1 - a / 2) * F.col("z_hat") / F.col("i_hat"), 6)
+        .alias("sba_forecast"))
+
+
+def croston_sba_sql(changes_sql: str, url_col: str = "url",
+                    t_col: str = "t", z_col: str = "z",
+                    alpha: float = 0.2) -> str:
+    """DuckDB mirror of :func:`croston_sba`."""
+    a = alpha
+    return f"""
+WITH nz AS (
+  SELECT {url_col} AS url, {t_col} AS t, CAST({z_col} AS DOUBLE) AS z
+  FROM ({changes_sql}) WHERE {z_col} > 0
+),
+pts AS (
+  SELECT url, z,
+    row_number() OVER (PARTITION BY url ORDER BY t) AS rn,
+    CAST(t - coalesce(lag(t) OVER (PARTITION BY url ORDER BY t), 0)
+         AS DOUBLE) AS ivl,
+    COUNT(*) OVER (PARTITION BY url) AS m
+  FROM nz
+),
+wtd AS (
+  SELECT url, m,
+    CASE WHEN rn = 1 THEN pow({1 - a!r}, m - 1)
+      ELSE {a!r} * pow({1 - a!r}, m - rn) END AS wt,
+    z, ivl
+  FROM pts
+),
+agg AS (
+  SELECT url, CAST(MAX(m) AS BIGINT) AS m, SUM(wt * z) AS z_hat,
+    SUM(wt * ivl) AS i_hat
+  FROM wtd GROUP BY url
+)
+SELECT url, m, round(z_hat, 6) AS z_hat, round(i_hat, 6) AS i_hat,
+  round({1 - a / 2!r} * z_hat / i_hat, 6) AS sba_forecast
+FROM agg
+"""
