@@ -463,6 +463,10 @@ _EXTRA_PICKS = [
     "sitemap_write", "llmstxt",
     # round-3 batch (pct normalization + param census)
     "pct_decode", "param_census",
+    # round-3 batch (websec audits + invisible chars)
+    "csp_audit", "sri_audit", "altsvc_census", "bidi_audit",
+    # round-3 batch (sampling estimators + croston)
+    "priority_sample", "rand_response", "croston",
 ]
 
 
