@@ -467,6 +467,8 @@ _EXTRA_PICKS = [
     "csp_audit", "sri_audit", "altsvc_census", "bidi_audit",
     # round-3 batch (sampling estimators + croston)
     "priority_sample", "rand_response", "croston",
+    # round-3 batch (bpe apply + record linkage + PID)
+    "bpe_encode", "fellegi_sunter", "pid_control",
 ]
 
 

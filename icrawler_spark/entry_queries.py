@@ -86,7 +86,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round130, entry_round131,
                             entry_round132, entry_round133,
                             entry_round134, entry_round135,
-                            entry_round136)
+                            entry_round136, entry_round137)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -988,6 +988,7 @@ def queries():
         **entry_round134.queries134(),
         **entry_round135.queries135(),
         **entry_round136.queries136(),
+        **entry_round137.queries137(),
     }
 
 
@@ -1195,4 +1196,5 @@ def _oracle_sql_raw():
         **entry_round134.oracle_sql134(),
         **entry_round135.oracle_sql135(),
         **entry_round136.oracle_sql136(),
+        **entry_round137.oracle_sql137(),
     }

@@ -1,0 +1,157 @@
+"""Round-3 driver-contract queries (batch 131): BPE encoding with a
+fixed merge table (operators/curation.bpe_apply), Fellegi–Sunter record
+linkage (operators/classify.fellegi_sunter), per-host PID crawl-rate
+control (operators/politeness.pid_control).
+
+Fixtures derive deterministically from events/documents; every computed
+column is aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import classify as _classify
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import politeness as _politeness
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _documents(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode — fixed 6-rule merge table over the documents corpus
+# ---------------------------------------------------------------------------
+
+# An ordered English-ish merge table exercising chained merges ("t h" ->
+# "th" feeding "th e" -> "the") and run overlap ("e e" in "three").
+_BPE_RULES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r")]
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.bpe_apply: merge chain compiled into ONE
+    vocabulary projection; census groupBy(token)."""
+    return _curation.bpe_apply(
+        _documents(spark, sf).select("text"), _BPE_RULES)
+
+
+def _bpe_encode_sql() -> str:
+    return _curation.bpe_apply_sql("SELECT text FROM documents",
+                                   _BPE_RULES)
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter — 3-field agreement vectors, 1/5 labeled
+# ---------------------------------------------------------------------------
+
+
+def _fs_pairs(spark, sf) -> DataFrame:
+    """Candidate pairs in long shape: fields (title, host, dates) whose
+    agreement correlates with a hidden truth bit (event_id % 3 == 0);
+    every 5th pair is labeled with that truth, the rest are scored."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    truth = (e % 3 == 0).cast("int")
+    base = ev.select(e.cast("long").alias("pair_id"), truth.alias("truth"))
+    fields = []
+    for fld, noise_mod in (("title", 7), ("host", 11), ("dates", 13)):
+        # agree = truth unless the noise lane flips it
+        flip = (F.col("pair_id") % noise_mod == 0).cast("int")
+        agree = (F.col("truth") + flip) % 2
+        fields.append(base.select(
+            "pair_id", F.lit(fld).alias("field"),
+            agree.cast("int").alias("agree"),
+            F.when(F.col("pair_id") % 5 == 0, F.col("truth"))
+            .alias("label")))
+    out = fields[0]
+    for f_ in fields[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+_FS_PAIRS_SQL = """
+  SELECT pair_id, field, CAST((truth + flip) % 2 AS INT) AS agree,
+    CASE WHEN pair_id % 5 = 0 THEN truth END AS label
+  FROM (
+    SELECT CAST(event_id AS BIGINT) AS pair_id,
+      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS truth,
+      f.field,
+      CASE WHEN event_id % f.noise_mod = 0 THEN 1 ELSE 0 END AS flip
+    FROM events,
+      (SELECT 'title' AS field, 7 AS noise_mod
+       UNION ALL SELECT 'host', 11
+       UNION ALL SELECT 'dates', 13) f
+  )
+"""
+
+
+def q_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.fellegi_sunter: |fields|-scalar model from the
+    labeled fifth, broadcast onto candidates, ONE groupBy(pair)."""
+    return _classify.fellegi_sunter(_fs_pairs(spark, sf))
+
+
+def _fellegi_sunter_sql() -> str:
+    return _classify.fellegi_sunter_sql(_FS_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pid_control — per-host backlog series around the target
+# ---------------------------------------------------------------------------
+
+
+def _pid_rows(spark, sf) -> DataFrame:
+    """20 hosts × rounds; backlog oscillates around the target=100 with
+    a host-dependent phase and a ramp lane (host 0 drifts upward — its
+    integral term must wind up)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    host = e % 20
+    t = F.floor(e / 20) + 1
+    backlog = (F.when(host == 0, 90 + t * 2)
+               .otherwise(80 + (e % 41))).cast("double")
+    return ev.select(F.concat(F.lit("h"), host.cast("string")).alias("host"),
+                     t.cast("long").alias("t"), backlog.alias("backlog"))
+
+
+_PID_ROWS_SQL = """
+  SELECT 'h' || CAST(event_id % 20 AS VARCHAR) AS host,
+    CAST((event_id // 20) + 1 AS BIGINT) AS t,
+    CAST(CASE WHEN event_id % 20 = 0
+      THEN 90 + ((event_id // 20) + 1) * 2
+      ELSE 80 + (event_id % 41) END AS DOUBLE) AS backlog
+  FROM events
+"""
+
+
+def q_pid_control(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/politeness.pid_control: cumsum+lag windows on ONE
+    host-keyed shuffle."""
+    return _politeness.pid_control(_pid_rows(spark, sf))
+
+
+def _pid_control_sql() -> str:
+    return _politeness.pid_control_sql(_PID_ROWS_SQL)
+
+
+def queries137():
+    return {
+        "bpe_encode": q_bpe_encode,
+        "fellegi_sunter": q_fellegi_sunter,
+        "pid_control": q_pid_control,
+    }
+
+
+def oracle_sql137():
+    return {
+        "bpe_encode": _bpe_encode_sql(),
+        "fellegi_sunter": _fellegi_sunter_sql(),
+        "pid_control": _pid_control_sql(),
+    }

@@ -447,3 +447,91 @@ SELECT {prev}.f AS feature, round({prev}.w, 4) AS weight,
   round(loss.logloss, 4) AS logloss
 FROM {prev} CROSS JOIN loss
 """
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    pair_col: str = "pair_id",
+    field_col: str = "field",
+    agree_col: str = "agree",
+    label_col: str = "label",
+    upper: float = 2.0,
+    lower: float = -2.0,
+    eps: float = 0.01,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969), the
+    canonical scorer behind Splink/dedupe-style entity resolution: from
+    a labeled subset of candidate pairs estimate per-field m = P(agree |
+    match) and u = P(agree | non-match), then score every unlabeled pair
+    with the log-likelihood-ratio weights log2(m/u) on agreement and
+    log2((1-m)/(1-u)) on disagreement, classifying against the
+    (upper, lower) decision thresholds. The crawl-pipeline use is linking
+    near-identical site entities (mirrors, syndicated articles, product
+    pages) where single-field equality is too brittle — candidate pairs
+    come from the blocking operators (``sorted_neighbors``,
+    ``minhash_lsh_pairs``), this ranks them.
+
+    Input is long-shape: one row per (pair, field) with a 0/1 agreement
+    and a 0/1 ``label`` on the training subset (NULL elsewhere). m and u
+    are clamped to [eps, 1-eps] so weights stay finite on degenerate
+    fields.
+
+    Returns per unlabeled pair: (pair_id, score, decision in
+    {'match', 'possible', 'non_match'}), score rounded 6.
+
+    Scale shape: the model is |fields| scalars from ONE groupBy(field)
+    over the labeled subset, broadcast onto the unlabeled rows; scoring
+    is ONE groupBy(pair) — no pairwise anything beyond the incoming
+    candidate set.
+    """
+    lab = pairs.filter(F.col(label_col).isNotNull())
+    clamp = lambda c: F.least(F.greatest(c, F.lit(eps)),  # noqa: E731
+                              F.lit(1.0 - eps))
+    model = lab.groupBy(field_col).agg(
+        clamp(F.avg(F.when(F.col(label_col) == 1, F.col(agree_col))))
+        .alias("m"),
+        clamp(F.avg(F.when(F.col(label_col) == 0, F.col(agree_col))))
+        .alias("u"))
+    unl = pairs.filter(F.col(label_col).isNull())
+    scored = unl.join(F.broadcast(model), field_col)
+    w = F.when(F.col(agree_col) == 1, F.log2(F.col("m") / F.col("u"))) \
+        .otherwise(F.log2((1.0 - F.col("m")) / (1.0 - F.col("u"))))
+    agg = scored.groupBy(pair_col).agg(F.round(F.sum(w), 6).alias("score"))
+    return agg.select(
+        F.col(pair_col), "score",
+        F.when(F.col("score") >= upper, "match")
+        .when(F.col("score") >= lower, "possible")
+        .otherwise("non_match").alias("decision"))
+
+
+def fellegi_sunter_sql(pairs_sql: str, pair_col: str = "pair_id",
+                       field_col: str = "field", agree_col: str = "agree",
+                       label_col: str = "label", upper: float = 2.0,
+                       lower: float = -2.0, eps: float = 0.01) -> str:
+    """DuckDB mirror of :func:`fellegi_sunter`."""
+    clamp = lambda c: f"least(greatest({c}, {eps!r}), {1.0 - eps!r})"  # noqa: E731
+    return f"""
+WITH pairs AS ({pairs_sql}),
+model AS (
+  SELECT {field_col},
+    {clamp(f"AVG(CASE WHEN {label_col} = 1 THEN CAST({agree_col} AS DOUBLE) END)")} AS m,
+    {clamp(f"AVG(CASE WHEN {label_col} = 0 THEN CAST({agree_col} AS DOUBLE) END)")} AS u
+  FROM pairs WHERE {label_col} IS NOT NULL GROUP BY {field_col}
+),
+scored AS (
+  SELECT p.{pair_col},
+    CASE WHEN p.{agree_col} = 1 THEN log2(m.m / m.u)
+      ELSE log2((1.0 - m.m) / (1.0 - m.u)) END AS w
+  FROM pairs p JOIN model m USING ({field_col})
+  WHERE p.{label_col} IS NULL
+),
+agg AS (
+  SELECT {pair_col}, round(SUM(w), 6) AS score FROM scored
+  GROUP BY {pair_col}
+)
+SELECT {pair_col}, score,
+  CASE WHEN score >= {upper!r} THEN 'match'
+    WHEN score >= {lower!r} THEN 'possible'
+    ELSE 'non_match' END AS decision
+FROM agg
+"""

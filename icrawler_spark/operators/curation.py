@@ -2939,3 +2939,68 @@ SELECT title_norm, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
 FROM base WHERE title_norm <> ''
 GROUP BY title_norm HAVING count(DISTINCT host) >= {int(min_hosts)}
 """
+
+
+def bpe_apply(docs: DataFrame, rules, text_col: str = "text") -> DataFrame:
+    """Apply a fixed byte-pair-encoding merge table — the *encode* half
+    of the tokenizer (:func:`bpe_learn` is the train half): words spell
+    out as space-joined character sequences, then each (left, right)
+    rule in order collapses via the same left-to-right non-overlapping
+    delimiter-replace :func:`bpe_learn` trains with, so a vocabulary
+    learned there round-trips through here exactly. Shared caveat: the
+    replace consumes the boundary delimiter, so a run like ``a a a a``
+    merges once per scan boundary (``aa a a``), not twice — documented
+    divergence from the reference subword-nmt rescan, identical in both
+    engines.
+
+    ``rules`` is an ordered list of (left_sym, right_sym) pairs — a
+    plan-time constant, so the entire merge chain compiles into ONE
+    projection (K nested replaces, no joins, no loop over data).
+
+    Returns the corpus token census after encoding: (token, n, tok_len)
+    with n = total occurrences weighted by word frequency.
+
+    Scale shape: one corpus pass to the (word, count) vocabulary, the
+    merge chain + token explode run on the vocabulary table (corpus-size
+    independent), ONE final groupBy(token).
+    """
+    from icrawler_spark.operators.docdedup import tokens_col
+
+    words = (docs.select(F.explode(tokens_col(text_col)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("n")))
+    seq = F.concat(F.lit(" "),
+                   F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+                   F.lit(" "))
+    for left, right in rules:
+        seq = F.replace(seq, F.lit(f" {left} {right} "),
+                        F.lit(f" {left}{right} "))
+    toks = words.select(
+        "n", F.explode(F.split(F.trim(seq), " ")).alias("token"))
+    return (toks.groupBy("token").agg(
+        F.sum("n").cast("long").alias("n"))
+        .select("token", "n", F.length("token").cast("long")
+                .alias("tok_len")))
+
+
+def bpe_apply_sql(docs_sql: str, rules) -> str:
+    """DuckDB mirror of :func:`bpe_apply`."""
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    seq = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    for left, right in rules:
+        seq = f"replace({seq}, ' {left} {right} ', ' {left}{right} ')"
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS word
+        FROM ({docs_sql}))
+  WHERE word <> '' GROUP BY 1
+),
+toks AS (
+  SELECT n, unnest(string_split(trim({seq}), ' ')) AS token FROM words
+)
+SELECT token, CAST(SUM(n) AS BIGINT) AS n,
+  CAST(length(token) AS BIGINT) AS tok_len
+FROM toks GROUP BY token
+"""

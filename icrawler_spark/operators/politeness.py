@@ -4034,3 +4034,73 @@ SELECT host, CAST(count(*) / 2 AS BIGINT) AS n_fetches,
   CAST(max(c) AS BIGINT) AS max_concurrent
 FROM run GROUP BY host
 """
+
+
+def pid_control(
+    series: DataFrame,
+    host_col: str = "host",
+    t_col: str = "t",
+    value_col: str = "backlog",
+    target: float = 100.0,
+    kp: float = 0.5,
+    ki: float = 0.1,
+    kd: float = 0.2,
+) -> DataFrame:
+    """Per-host PID controller over a crawl-round series — the classic
+    feedback shape (Åström & Hägglund) for holding a host's fetch
+    backlog at a target: error e_t = target − value_t, control
+    u_t = kp·e_t + ki·Σ_{s≤t} e_s + kd·(e_t − e_{t−1}). Positive u
+    means "fetch more from this host next round", negative means back
+    off — a smoother alternative to the bang-bang ±AIMD of
+    ``adaptive_delay`` and the hard trip of ``host_circuit``, and the
+    three terms decompose why (instantaneous gap, accumulated debt,
+    trend).
+
+    Returns (host, t, error, integral, derivative, control), floats
+    rounded 6.
+
+    Scale shape: cumulative-sum + lag windows on the SAME (host, t)
+    partitioning — ONE shuffle keyed by host, O(rounds) rows per host.
+    """
+    from pyspark.sql import Window
+
+    e = F.lit(target) - F.col(value_col).cast("double")
+    w = Window.partitionBy(host_col).orderBy(t_col)
+    cum = Window.partitionBy(host_col).orderBy(t_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    base = series.select(F.col(host_col).alias("host"),
+                         F.col(t_col).alias("t"), e.alias("e"))
+    integ = F.sum("e").over(cum)
+    deriv = F.col("e") - F.coalesce(F.lag("e").over(w), F.col("e"))
+    return base.select(
+        "host", "t", F.round("e", 6).alias("error"),
+        F.round(integ, 6).alias("integral"),
+        F.round(deriv, 6).alias("derivative"),
+        F.round(F.lit(kp) * F.col("e") + F.lit(ki) * integ
+                + F.lit(kd) * deriv, 6).alias("control"))
+
+
+def pid_control_sql(series_sql: str, host_col: str = "host",
+                    t_col: str = "t", value_col: str = "backlog",
+                    target: float = 100.0, kp: float = 0.5,
+                    ki: float = 0.1, kd: float = 0.2) -> str:
+    """DuckDB mirror of :func:`pid_control`."""
+    return f"""
+WITH base AS (
+  SELECT {host_col} AS host, {t_col} AS t,
+    {target!r} - CAST({value_col} AS DOUBLE) AS e
+  FROM ({series_sql})
+),
+win AS (
+  SELECT host, t, e,
+    SUM(e) OVER (PARTITION BY host ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS integ,
+    e - coalesce(lag(e) OVER (PARTITION BY host ORDER BY t), e) AS deriv
+  FROM base
+)
+SELECT host, t, round(e, 6) AS error, round(integ, 6) AS integral,
+  round(deriv, 6) AS derivative,
+  round({kp!r} * e + {ki!r} * integ + {kd!r} * deriv, 6) AS control
+FROM win
+"""

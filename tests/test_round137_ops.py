@@ -1,0 +1,66 @@
+"""Unit tests for round 137: BPE apply, Fellegi-Sunter, PID control."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.classify import fellegi_sunter
+from icrawler_spark.operators.curation import bpe_apply
+from icrawler_spark.operators.politeness import pid_control
+
+
+def test_bpe_apply_chained_merges(spark):
+    df = spark.createDataFrame([(1, "the then there")],
+                               "doc_id long, text string")
+    rules = [("t", "h"), ("th", "e")]
+    out = {r["token"]: r["n"] for r in bpe_apply(df, rules).collect()}
+    # "the" -> [the]; "then" -> [the, n]; "there" -> [the, r, e]
+    assert out["the"] == 3
+    assert out["n"] == 1 and out["r"] == 1 and out["e"] == 1
+
+
+def test_bpe_apply_nonoverlapping_runs(spark):
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = {r["token"]: r["n"] for r in bpe_apply(df, [("a", "a")]).collect()}
+    # delimiter-consuming replace (same semantics bpe_learn documents):
+    # " a a a a " merges once per scan boundary -> aa a a, NOT aa aa
+    assert out == {"aa": 1, "a": 2}
+
+
+def test_bpe_apply_weights_by_word_frequency(spark):
+    df = spark.createDataFrame([(1, "ab ab ab"), (2, "ab")],
+                               "doc_id long, text string")
+    out = {r["token"]: r["n"] for r in bpe_apply(df, [("a", "b")]).collect()}
+    assert out == {"ab": 4}
+
+
+def test_fellegi_sunter_separates_matches(spark):
+    # 60 pairs x 2 fields; agreement == truth exactly (clean fields),
+    # labels on pair_id % 3 == 0, decisions on the rest
+    rows = []
+    for pid in range(60):
+        truth = 1 if pid % 2 == 0 else 0
+        label = truth if pid % 3 == 0 else None
+        for fld in ("a", "b"):
+            rows.append((pid, fld, truth, label))
+    df = spark.createDataFrame(
+        rows, "pair_id long, field string, agree int, label int")
+    out = {r["pair_id"]: r for r in fellegi_sunter(df).collect()}
+    assert all(pid % 3 != 0 for pid in out)  # labeled pairs not scored
+    evens = [r for pid, r in out.items() if pid % 2 == 0]
+    odds = [r for pid, r in out.items() if pid % 2 == 1]
+    assert all(r["decision"] == "match" for r in evens)
+    assert all(r["decision"] == "non_match" for r in odds)
+    assert evens[0]["score"] > 0 > odds[0]["score"]
+
+
+def test_pid_control_terms(spark):
+    rows = [("h", 1, 90.0), ("h", 2, 110.0), ("h", 3, 100.0)]
+    df = spark.createDataFrame(rows, "host string, t long, backlog double")
+    out = {r["t"]: r for r in
+           pid_control(df, target=100.0, kp=1.0, ki=0.0, kd=0.0).collect()}
+    assert out[1]["error"] == 10.0 and out[2]["error"] == -10.0
+    assert out[1]["derivative"] == 0.0  # first point: no lag -> 0
+    assert out[2]["derivative"] == -20.0
+    assert out[3]["integral"] == pytest.approx(0.0)
+    assert out[2]["control"] == -10.0  # kp only
