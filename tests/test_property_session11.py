@@ -1,0 +1,158 @@
+"""Property-based differentials for session-11 operators: Croston/SBA
+vs a pure-Python recursive EWMA, priority-sampling estimator laws,
+bidi/zero-width counting vs Python, and BPE apply vs a string-replace
+oracle — one Spark job per hypothesis example."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+# ---------------------------------------------------------------------------
+# croston_sba vs recursive EWMA
+# ---------------------------------------------------------------------------
+
+_series = st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                   max_size=15)
+
+
+def _croston_py(zs, alpha=0.2):
+    """Textbook recursive Croston update over nonzero points."""
+    pts = [(t + 1, z) for t, z in enumerate(zs) if z > 0]
+    if not pts:
+        return None
+    z_hat = float(pts[0][1])
+    i_hat = float(pts[0][0])
+    prev_t = pts[0][0]
+    for t, z in pts[1:]:
+        z_hat = alpha * z + (1 - alpha) * z_hat
+        i_hat = alpha * (t - prev_t) + (1 - alpha) * i_hat
+        prev_t = t
+    return len(pts), z_hat, i_hat, (1 - alpha / 2) * z_hat / i_hat
+
+
+@given(zs=_series)
+@settings(**_SETTINGS)
+def test_croston_matches_recursive_ewma(spark, zs):
+    from icrawler_spark.operators.recrawl import croston_sba
+
+    df = spark.createDataFrame(
+        [("u", t + 1, z) for t, z in enumerate(zs)],
+        "url string, t long, z long")
+    rows = croston_sba(df).collect()
+    exp = _croston_py(zs)
+    if exp is None:
+        assert rows == []
+        return
+    m, z_hat, i_hat, sba = exp
+    r = rows[0]
+    assert r["m"] == m
+    assert r["z_hat"] == pytest.approx(z_hat, abs=2e-6)
+    assert r["i_hat"] == pytest.approx(i_hat, abs=2e-6)
+    assert r["sba_forecast"] == pytest.approx(sba, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# priority_sample: estimator laws
+# ---------------------------------------------------------------------------
+
+_weights = st.lists(st.integers(min_value=1, max_value=1000), min_size=1,
+                    max_size=20)
+
+
+@given(ws=_weights)
+@settings(**_SETTINGS)
+def test_priority_sample_exact_at_full_coverage(spark, ws):
+    from icrawler_spark.operators.corpus import priority_sample
+
+    df = spark.createDataFrame(
+        [("g", i, w) for i, w in enumerate(ws)],
+        "source string, doc_id long, w long")
+    r = priority_sample(df, "w", k=len(ws)).collect()[0]
+    assert r["k_eff"] == len(ws)
+    assert r["est_sum"] == r["true_sum"] == pytest.approx(sum(ws))
+    assert r["rel_err"] == 0.0
+
+
+@given(ws=_weights)
+@settings(**_SETTINGS)
+def test_priority_sample_threshold_law(spark, ws):
+    from icrawler_spark.operators.corpus import priority_sample
+
+    k = max(1, len(ws) // 2)
+    df = spark.createDataFrame(
+        [("g", i, w) for i, w in enumerate(ws)],
+        "source string, doc_id long, w long")
+    r = priority_sample(df, "w", k=k).collect()[0]
+    assert r["k_eff"] == min(k, len(ws))
+    # every kept estimate is >= its weight, so est_sum >= sum of the k
+    # largest true weights can fail, but est_sum >= k_eff * 0 and
+    # est_sum >= sum(kept weights) always holds via max(w, tau)
+    assert r["est_sum"] >= 0
+    assert r["n"] == len(ws)
+
+
+# ---------------------------------------------------------------------------
+# bidi_audit vs Python counting
+# ---------------------------------------------------------------------------
+
+_mixed = st.text(
+    alphabet=list("abc ") + [chr(0x202E), chr(0x2066), chr(0x200B),
+                             chr(0xFEFF)],
+    min_size=0, max_size=30)
+
+
+@given(texts=st.lists(_mixed, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_bidi_audit_matches_python(spark, texts):
+    from icrawler_spark.functions.text import (BIDI_CONTROL_CODEPOINTS,
+                                               ZERO_WIDTH_CODEPOINTS,
+                                               bidi_audit)
+
+    bidi = {chr(c) for c in BIDI_CONTROL_CODEPOINTS}
+    zw = {chr(c) for c in ZERO_WIDTH_CODEPOINTS}
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bidi_audit(df).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["n_chars"] == len(t)
+        assert out[i]["n_bidi"] == sum(ch in bidi for ch in t)
+        assert out[i]["n_zw"] == sum(ch in zw for ch in t)
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply vs string-replace oracle
+# ---------------------------------------------------------------------------
+
+_bpe_text = st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                     min_size=1, max_size=10).map(" ".join)
+
+
+def _bpe_py(words, rules):
+    from collections import Counter
+
+    census = Counter()
+    wc = Counter(w for w in words if w)
+    for w, n in wc.items():
+        seq = " " + " ".join(w) + " "
+        for left, right in rules:
+            seq = seq.replace(f" {left} {right} ", f" {left}{right} ")
+        for tok in seq.split():
+            census[tok] += n
+    return dict(census)
+
+
+@given(text=_bpe_text)
+@settings(**_SETTINGS)
+def test_bpe_apply_matches_replace_oracle(spark, text):
+    from icrawler_spark.operators.curation import bpe_apply
+
+    rules = [("a", "b"), ("ab", "a"), ("b", "b")]
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["token"]: r["n"] for r in bpe_apply(df, rules).collect()}
+    assert got == _bpe_py(text.split(" "), rules)
