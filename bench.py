@@ -469,6 +469,8 @@ _EXTRA_PICKS = [
     "priority_sample", "rand_response", "croston",
     # round-3 batch (bpe apply + record linkage + PID)
     "bpe_encode", "fellegi_sunter", "pid_control",
+    # round-3 batch (conformal + vary + resource hints)
+    "conformal", "vary_census", "resource_hints",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Round-3 driver-contract queries (batch 132): split-conformal
+prediction intervals (operators/classify.conformal_interval), Vary
+header census and resource-hint census (operators/websec.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import classify as _classify
+from icrawler_spark.operators import websec as _ws
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# conformal — predictor with a bounded deterministic residual lane
+# ---------------------------------------------------------------------------
+
+
+def _cf_rows(spark, sf) -> DataFrame:
+    """y on a 0..10 grid; the 'model' misses by a residual cycling
+    -0.6..+0.6 (mod-13 lane); every 3rd row calibrates, the rest test.
+    Coverage at alpha=0.1 must land >= 0.9 by the conformal guarantee."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    y = (e % 100).cast("double") / 10.0
+    resid = ((e % 13).cast("double") - 6.0) / 10.0
+    return ev.select(
+        e.cast("long").alias("doc_id"), y.alias("y"),
+        (y + resid).alias("y_pred"),
+        (e % 3 == 0).cast("int").alias("is_cal"))
+
+
+_CF_ROWS_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS doc_id,
+    CAST(event_id % 100 AS DOUBLE) / 10.0 AS y,
+    CAST(event_id % 100 AS DOUBLE) / 10.0
+      + (CAST(event_id % 13 AS DOUBLE) - 6.0) / 10.0 AS y_pred,
+    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS is_cal
+  FROM events
+"""
+
+
+def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/classify.conformal_interval: exact order-statistic qhat
+    from the calibration split, broadcast onto test rows."""
+    return _classify.conformal_interval(_cf_rows(spark, sf))
+
+
+def _conformal_sql() -> str:
+    return _classify.conformal_interval_sql(_CF_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# vary_census — Vary keys rotating cache-buster lanes
+# ---------------------------------------------------------------------------
+
+
+def _vary_rows(spark, sf) -> DataFrame:
+    """Vary lanes: Accept-Encoding only; Cookie+User-Agent (the
+    cache-busters); the uncacheable *; mixed-case with spaces."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    v = (F.when(e % 4 == 0, "Accept-Encoding")
+         .when(e % 4 == 1, "Cookie, User-Agent")
+         .when(e % 4 == 2, "*")
+         .otherwise("accept-encoding , Accept-Language"))
+    return ev.select(F.concat(F.lit("v"), (e % 9).cast("string"))
+                     .alias("host"), v.alias("vary"))
+
+
+_VARY_ROWS_SQL = """
+  SELECT 'v' || CAST(event_id % 9 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'Accept-Encoding'
+      WHEN 1 THEN 'Cookie, User-Agent'
+      WHEN 2 THEN '*'
+      ELSE 'accept-encoding , Accept-Language'
+    END AS vary
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_vary_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.vary_census: split+explode in scan + ONE
+    groupBy(key); case/space-normalized keys collapse."""
+    return _ws.vary_census(_vary_rows(spark, sf))
+
+
+def _vary_census_sql() -> str:
+    return _ws.vary_census_sql(_VARY_ROWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# resource_hints — link tags rotating hint rels
+# ---------------------------------------------------------------------------
+
+
+def _rh_pages(spark, sf) -> DataFrame:
+    """Two link tags per page: a rotating resource hint + a stylesheet
+    (non-hint, must be excluded)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    rel = (F.when(e % 5 == 0, "preload").when(e % 5 == 1, "prefetch")
+           .when(e % 5 == 2, "preconnect").when(e % 5 == 3, "dns-prefetch")
+           .otherwise("modulepreload"))
+    hint = F.concat(F.lit('<link rel="'), rel,
+                    F.lit('" href="https://cdn'), (e % 4).cast("string"),
+                    F.lit('.lib/r'), (e % 7).cast("string"),
+                    F.lit('.js">'))
+    css = F.lit('<link rel="stylesheet" href="/main.css">')
+    return ev.select(
+        F.concat(F.lit("p"), (e % 6).cast("string")).alias("host"),
+        F.concat(hint, css).alias("html"))
+
+
+_RH_PAGES_SQL = """
+  SELECT 'p' || CAST(event_id % 6 AS VARCHAR) AS host,
+    '<link rel="' ||
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'preload' WHEN 1 THEN 'prefetch'
+      WHEN 2 THEN 'preconnect' WHEN 3 THEN 'dns-prefetch'
+      ELSE 'modulepreload' END
+    || '" href="https://cdn' || CAST(event_id % 4 AS VARCHAR)
+    || '.lib/r' || CAST(event_id % 7 AS VARCHAR) || '.js">'
+    || '<link rel="stylesheet" href="/main.css">' AS html
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_resource_hints(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.resource_hints: link-tag extract in scan + ONE
+    groupBy(host, rel); stylesheet rows excluded."""
+    return _ws.resource_hints(_rh_pages(spark, sf))
+
+
+def _resource_hints_sql() -> str:
+    return _ws.resource_hints_sql(_RH_PAGES_SQL)
+
+
+def queries138():
+    return {
+        "conformal": q_conformal,
+        "vary_census": q_vary_census,
+        "resource_hints": q_resource_hints,
+    }
+
+
+def oracle_sql138():
+    return {
+        "conformal": _conformal_sql(),
+        "vary_census": _vary_census_sql(),
+        "resource_hints": _resource_hints_sql(),
+    }

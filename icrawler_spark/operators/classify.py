@@ -535,3 +535,86 @@ SELECT {pair_col}, score,
     ELSE 'non_match' END AS decision
 FROM agg
 """
+
+
+def conformal_interval(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    y_col: str = "y",
+    pred_col: str = "y_pred",
+    cal_col: str = "is_cal",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    JASA 2018) around any point predictor — the distribution-free way to
+    attach finite-sample coverage to the pipeline's quality/score models
+    (``logreg_quality``, ``linear_score``): qhat is the k-th smallest
+    absolute calibration residual with k = ceil((n_cal+1)(1-alpha)),
+    and every test prediction gets [pred-qhat, pred+qhat], guaranteed
+    >= 1-alpha marginal coverage.
+
+    qhat is an exact order statistic (rank selection, not interpolated
+    percentile) so both engines agree bit-for-bit; k > n_cal degrades to
+    the max residual.
+
+    Returns per test row: (id, y_pred, lo, hi, covered), floats rounded
+    6.
+
+    Scale shape: ONE rank window over the calibration split (tiny by
+    construction) → a 1-row qhat broadcast crossed onto the test rows —
+    the corpus-side work is a pure projection.
+    """
+    from pyspark.sql import Window
+
+    resid = F.abs(F.col(y_col) - F.col(pred_col))
+    cal = scored.filter(F.col(cal_col) == 1) \
+        .select(resid.alias("r"),
+                F.col(id_col).alias("__id"))
+    ranked = cal.select(
+        "r", F.row_number().over(Window.orderBy(F.col("r").asc(),
+                                                F.col("__id").asc()))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_cal"))
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha))
+    qhat = ranked.filter(F.col("rn") == F.least(k, F.col("n_cal"))) \
+        .select(F.col("r").alias("qhat"))
+    test = scored.filter(F.col(cal_col) == 0)
+    out = test.crossJoin(F.broadcast(qhat))
+    lo = F.col(pred_col) - F.col("qhat")
+    hi = F.col(pred_col) + F.col("qhat")
+    # + 0.0 collapses IEEE -0.0 (DuckDB's round keeps the sign) to +0.0
+    return out.select(
+        F.col(id_col), (F.round(pred_col, 6) + 0.0).alias("y_pred"),
+        (F.round(lo, 6) + 0.0).alias("lo"),
+        (F.round(hi, 6) + 0.0).alias("hi"),
+        ((F.col(y_col) >= lo) & (F.col(y_col) <= hi)).alias("covered"))
+
+
+def conformal_interval_sql(scored_sql: str, id_col: str = "doc_id",
+                           y_col: str = "y", pred_col: str = "y_pred",
+                           cal_col: str = "is_cal",
+                           alpha: float = 0.1) -> str:
+    """DuckDB mirror of :func:`conformal_interval`."""
+    return f"""
+WITH s AS ({scored_sql}),
+cal AS (
+  SELECT abs({y_col} - {pred_col}) AS r, {id_col} AS id
+  FROM s WHERE {cal_col} = 1
+),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r ASC, id ASC) AS rn,
+    COUNT(*) OVER () AS n_cal
+  FROM cal
+),
+q AS (
+  SELECT r AS qhat FROM ranked
+  WHERE rn = least(CAST(ceil((n_cal + 1) * {1.0 - alpha!r}) AS BIGINT),
+                   n_cal)
+)
+SELECT {id_col}, round({pred_col}, 6) + 0.0 AS y_pred,
+  round({pred_col} - qhat, 6) + 0.0 AS lo,
+  round({pred_col} + qhat, 6) + 0.0 AS hi,
+  {y_col} >= {pred_col} - qhat AND {y_col} <= {pred_col} + qhat
+    AS covered
+FROM s CROSS JOIN q WHERE {cal_col} = 0
+"""

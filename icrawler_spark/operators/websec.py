@@ -251,3 +251,110 @@ SELECT proto, CAST(COUNT(*) AS BIGINT) AS n_entries,
   round(AVG(ma), 6) AS avg_ma
 FROM per WHERE proto <> '' GROUP BY proto
 """
+
+
+# ---------------------------------------------------------------------------
+# Vary header census
+# ---------------------------------------------------------------------------
+
+
+def vary_census(headers: DataFrame, host_col: str = "host",
+                vary_col: str = "vary") -> DataFrame:
+    """Census of ``Vary`` response-header keys (RFC 9110 §12.5.5):
+    which request headers do origins key their caches on, and how many
+    hosts send the uncacheable ``Vary: *``? High-cardinality Vary keys
+    (Cookie, User-Agent) are the classic CDN cache-busters — a crawler
+    dedup pipeline uses this census to decide which response variants
+    are real content forks vs cache noise (pairs with
+    ``cache_control`` / ``revalidate``).
+
+    Returns (vary_key, n_responses, n_hosts, star) — keys lowercased,
+    ``star`` marks the ``*`` row.
+
+    Scale shape: split+explode fused into the scan + ONE groupBy(key).
+    """
+    keys = headers.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(vary_col), ",")).alias("k"))
+    key = F.lower(F.trim(F.col("k")))
+    per = keys.select("host", key.alias("vary_key")) \
+        .filter(F.col("vary_key") != "")
+    return per.groupBy("vary_key").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.countDistinct("host").cast("long").alias("n_hosts")) \
+        .withColumn("star", F.col("vary_key") == "*")
+
+
+def vary_census_sql(headers_sql: str) -> str:
+    """DuckDB mirror of :func:`vary_census` over a (host, vary)
+    SELECT."""
+    return f"""
+WITH hd AS ({headers_sql}),
+per AS (
+  SELECT host, lower(trim(k)) AS vary_key
+  FROM (SELECT host, unnest(string_split(vary, ',')) AS k FROM hd)
+)
+SELECT vary_key, CAST(COUNT(*) AS BIGINT) AS n_responses,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+  vary_key = '*' AS star
+FROM per WHERE vary_key <> '' GROUP BY vary_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Resource-hint census (<link rel=preload/prefetch/preconnect/...>)
+# ---------------------------------------------------------------------------
+
+_LINK_TAG_RE = r"<link[^>]*>"
+_HINT_RELS = ("preload", "prefetch", "preconnect", "dns-prefetch",
+              "modulepreload")
+
+
+def resource_hints(pages: DataFrame, host_col: str = "host",
+                   html_col: str = "html") -> DataFrame:
+    """Census of resource-hint ``<link>`` tags (W3C Resource Hints /
+    HTML spec rel values: preload, prefetch, preconnect, dns-prefetch,
+    modulepreload) per host: how many hint tags of each kind, over how
+    many distinct targets. A crawl pipeline reads this as the origin's
+    own declaration of its critical third-party dependencies — preconnect
+    targets are the hosts the page will hit before any user action
+    (pairs with :func:`sri_audit`'s third-party script census).
+
+    Returns (host, rel, n, n_targets), rel lowercased.
+
+    Scale shape: regexp_extract_all + explode fused into the scan + ONE
+    groupBy(host, rel) with a distinct-count.
+    """
+    tags = pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(
+            f"regexp_extract_all({html_col}, '{_LINK_TAG_RE}', 0)"))
+        .alias("tag"))
+    rel = F.lower(F.regexp_extract("tag", 'rel="([^"]*)"', 1))
+    href = F.regexp_extract("tag", 'href="([^"]*)"', 1)
+    per = tags.select("host", rel.alias("rel"), href.alias("href")) \
+        .filter(F.col("rel").isin(*_HINT_RELS))
+    return per.groupBy("host", "rel").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("href").cast("long").alias("n_targets"))
+
+
+def resource_hints_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`resource_hints` over a (host, html)
+    SELECT."""
+    rels = ", ".join(f"'{r}'" for r in _HINT_RELS)
+    return f"""
+WITH pg AS ({pages_sql}),
+tags AS (
+  SELECT host, unnest(regexp_extract_all(html, '{_LINK_TAG_RE}')) AS tag
+  FROM pg
+),
+per AS (
+  SELECT host, lower(regexp_extract(tag, 'rel="([^"]*)"', 1)) AS rel,
+    regexp_extract(tag, 'href="([^"]*)"', 1) AS href
+  FROM tags
+)
+SELECT host, rel, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT href) AS BIGINT) AS n_targets
+FROM per WHERE rel IN ({rels}) GROUP BY host, rel
+"""

@@ -1,0 +1,55 @@
+"""Unit tests for round 138: conformal intervals, Vary census,
+resource hints."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.classify import conformal_interval
+from icrawler_spark.operators.websec import resource_hints, vary_census
+
+
+def _scored(spark, residuals, test_rows):
+    rows = [(i, 10.0, 10.0 + r, 1) for i, r in enumerate(residuals)]
+    rows += [(100 + i, y, p, 0) for i, (y, p) in enumerate(test_rows)]
+    return spark.createDataFrame(
+        rows, "doc_id long, y double, y_pred double, is_cal int")
+
+
+def test_conformal_qhat_is_order_statistic(spark):
+    # 9 calibration residuals 0.1..0.9; alpha=0.1 -> k=ceil(10*0.9)=9
+    # -> qhat = 0.9
+    df = _scored(spark, [i / 10 for i in range(1, 10)],
+                 [(5.0, 5.5), (5.0, 6.5)])
+    out = {r["doc_id"]: r for r in conformal_interval(df).collect()}
+    assert out[100]["lo"] == 4.6 and out[100]["hi"] == 6.4
+    assert out[100]["covered"] is True
+    assert out[101]["covered"] is False  # |resid| 1.5 > qhat 0.9
+
+
+def test_conformal_k_caps_at_n(spark):
+    # 2 calibration rows, k = ceil(3*0.9) = 3 > n -> qhat = max resid
+    df = _scored(spark, [0.2, 0.5], [(1.0, 1.4)])
+    r = conformal_interval(df).collect()[0]
+    assert r["lo"] == 0.9 and r["hi"] == 1.9 and r["covered"] is True
+
+
+def test_vary_census_normalizes_and_flags_star(spark):
+    rows = [("h1", "Cookie, User-Agent"), ("h2", "cookie"),
+            ("h2", "*"), ("h3", " Accept-Encoding ")]
+    df = spark.createDataFrame(rows, "host string, vary string")
+    out = {r["vary_key"]: r for r in vary_census(df).collect()}
+    assert out["cookie"]["n_responses"] == 2
+    assert out["cookie"]["n_hosts"] == 2
+    assert out["*"]["star"] is True and out["cookie"]["star"] is False
+    assert out["accept-encoding"]["n_responses"] == 1
+
+
+def test_resource_hints_excludes_non_hints(spark):
+    html = ('<link rel="preload" href="/a.js">'
+            '<link rel="preload" href="/a.js">'
+            '<link rel="preconnect" href="https://cdn.x">'
+            '<link rel="stylesheet" href="/m.css">'
+            '<link rel="icon" href="/f.ico">')
+    df = spark.createDataFrame([("h", html)], "host string, html string")
+    out = {r["rel"]: r for r in resource_hints(df).collect()}
+    assert sorted(out) == ["preconnect", "preload"]
+    assert out["preload"]["n"] == 2 and out["preload"]["n_targets"] == 1
