@@ -471,6 +471,8 @@ _EXTRA_PICKS = [
     "bpe_encode", "fellegi_sunter", "pid_control",
     # round-3 batch (conformal + vary + resource hints)
     "conformal", "vary_census", "resource_hints",
+    # round-3 batch (sweep cut + resample + hsts)
+    "sweep_cut", "systematic_resample", "hsts_audit",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Round-3 driver-contract queries (batch 133): PPR-Nibble sweep cut
+(operators/graph.sweep_cut), systematic resampling
+(operators/corpus.systematic_resample), HSTS preload-eligibility audit
+(operators/websec.hsts_audit).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import corpus as _corpus
+from icrawler_spark.operators import graph as _graph
+from icrawler_spark.operators import websec as _ws
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sweep_cut — two planted communities bridged by few edges
+# ---------------------------------------------------------------------------
+
+# 40 nodes: community A = 0..19 (dense ring+chords), B = 20..39, two
+# bridge edges. Scores decay with node id so the sweep enters A first;
+# the conductance minimum must sit at the A/B boundary.
+
+
+def _sc_edges(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") < 80)
+    e = F.col("event_id")
+    half = (e >= 40).cast("long")
+    base = (e % 40) % 20 + half * 20  # 0..19 in A, 20..39 in B
+    ring_dst = (base + 1 - half * 0) % 20 + half * 20
+    chord_dst = (base + 7) % 20 + half * 20
+    src = base
+    dst = F.when(e % 2 == 0, ring_dst).otherwise(chord_dst)
+    edges = ev.select(src.cast("long").alias("src"),
+                      dst.cast("long").alias("dst"))
+    bridges = ev.filter(e < 2).select(
+        (e * 5).cast("long").alias("src"),       # 0, 5
+        (e * 7 + 20).cast("long").alias("dst"))  # 20, 27
+    return edges.unionByName(bridges)
+
+
+_SC_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT CAST((event_id % 40) % 20
+                + (CASE WHEN event_id >= 40 THEN 20 ELSE 0 END)
+                AS BIGINT) AS src,
+      CAST(CASE WHEN event_id % 2 = 0
+        THEN ((event_id % 40) % 20 + 1) % 20
+        ELSE ((event_id % 40) % 20 + 7) % 20 END
+        + (CASE WHEN event_id >= 40 THEN 20 ELSE 0 END) AS BIGINT) AS dst
+    FROM events WHERE event_id < 80
+    UNION ALL
+    SELECT CAST(event_id * 5 AS BIGINT),
+      CAST(event_id * 7 + 20 AS BIGINT)
+    FROM events WHERE event_id < 2
+  )
+"""
+
+
+def _sc_scores(spark, sf) -> DataFrame:
+    ev = _events(spark, sf).filter(F.col("event_id") < 40)
+    e = F.col("event_id")
+    return ev.select(e.cast("long").alias("node"),
+                     (F.lit(100.0) - e.cast("double")).alias("score"))
+
+
+_SC_SCORES_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS node,
+    100.0 - CAST(event_id AS DOUBLE) AS score
+  FROM events WHERE event_id < 40
+"""
+
+
+def q_sweep_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/graph.sweep_cut: incremental prefix conductance over
+    the score/degree ordering — argmin must sit at the planted A/B
+    boundary."""
+    return _graph.sweep_cut(_sc_edges(spark, sf), _sc_scores(spark, sf),
+                            max_rank=40)
+
+
+def _sweep_cut_sql() -> str:
+    return _graph.sweep_cut_sql(_SC_EDGES_SQL, _SC_SCORES_SQL,
+                                max_rank=40)
+
+
+# ---------------------------------------------------------------------------
+# systematic_resample — skewed weights, copies sum to N per group
+# ---------------------------------------------------------------------------
+
+_SR_N = 1000
+
+
+def _sr_rows(spark, sf) -> DataFrame:
+    """4 sources × skewed weights (quadratic lane) — heavy docs must
+    repeat, light docs drop; per-group copies sum to exactly 1000."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    w = 1 + (e % 31) * (e % 17)
+    return ev.select(
+        F.concat(F.lit("s"), (e % 4).cast("string")).alias("source"),
+        e.cast("long").alias("doc_id"), w.cast("double").alias("w"))
+
+
+_SR_ROWS_SQL = """
+  SELECT 's' || CAST(event_id % 4 AS VARCHAR) AS source,
+    CAST(event_id AS BIGINT) AS doc_id,
+    CAST(1 + (event_id % 31) * (event_id % 17) AS DOUBLE) AS w
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_systematic_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.systematic_resample: per-group cumsum window +
+    total broadcast; exact-N copy counts without RNG."""
+    return _corpus.systematic_resample(_sr_rows(spark, sf), "w", _SR_N)
+
+
+def _systematic_resample_sql() -> str:
+    return _corpus.systematic_resample_sql(_SR_ROWS_SQL, "w", _SR_N)
+
+
+# ---------------------------------------------------------------------------
+# hsts_audit — policy lanes around the preload bar
+# ---------------------------------------------------------------------------
+
+
+def _hsts_rows(spark, sf) -> DataFrame:
+    """Lanes: fully eligible; long max-age without preload; short
+    max-age with both tokens; bare max-age=0 (clearing); malformed
+    (no max-age)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    e = F.col("event_id")
+    v = (F.when(e % 5 == 0,
+                "max-age=63072000; includeSubDomains; preload")
+         .when(e % 5 == 1, "max-age=63072000; includeSubDomains")
+         .when(e % 5 == 2, "max-age=300; includeSubDomains; preload")
+         .when(e % 5 == 3, "max-age=0")
+         .otherwise("includeSubDomains"))
+    return ev.select(F.concat(F.lit("t"), (e % 7).cast("string"))
+                     .alias("host"), v.alias("hsts"))
+
+
+_HSTS_ROWS_SQL = """
+  SELECT 't' || CAST(event_id % 7 AS VARCHAR) AS host,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'max-age=63072000; includeSubDomains; preload'
+      WHEN 1 THEN 'max-age=63072000; includeSubDomains'
+      WHEN 2 THEN 'max-age=300; includeSubDomains; preload'
+      WHEN 3 THEN 'max-age=0'
+      ELSE 'includeSubDomains'
+    END AS hsts
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_hsts_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/websec.hsts_audit: regexp flags in scan + ONE
+    groupBy(host); eligibility requires a single qualifying response."""
+    return _ws.hsts_audit(_hsts_rows(spark, sf))
+
+
+def _hsts_audit_sql() -> str:
+    return _ws.hsts_audit_sql(_HSTS_ROWS_SQL)
+
+
+def queries139():
+    return {
+        "sweep_cut": q_sweep_cut,
+        "systematic_resample": q_systematic_resample,
+        "hsts_audit": q_hsts_audit,
+    }
+
+
+def oracle_sql139():
+    return {
+        "sweep_cut": _sweep_cut_sql(),
+        "systematic_resample": _systematic_resample_sql(),
+        "hsts_audit": _hsts_audit_sql(),
+    }

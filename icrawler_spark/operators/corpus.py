@@ -12785,3 +12785,74 @@ SELECT grp AS {group_col}, n, round(lam, 6) AS lambda_obs,
   round(true_share, 6) AS true_share
 FROM agg
 """
+
+
+def systematic_resample(
+    df: DataFrame,
+    weight_col: str,
+    target_n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic (stratified-grid) resampling — the lowest-variance
+    classical resampler (Kitagawa 1996; the particle-filter standard):
+    lay ``target_n`` equally spaced points over the cumulative weight
+    axis per group and give each row one copy per point inside its
+    weight segment: n_i = floor(N·cum_i/W) − floor(N·cum_{i−1}/W).
+    Copies sum to N exactly and every row lands within ±1 of its
+    expectation N·w_i/W — this is how a corpus mix from
+    ``dsir_weights`` / ``temperature_mix`` materializes into actual
+    per-document repeat counts without RNG (deterministic, so the
+    DuckDB oracle replays it bit-for-bit; grid phase 0 documented
+    in place of the usual random offset).
+
+    Returns (group, id, weight, n_copies) for rows with n_copies > 0.
+
+    Scale shape: ONE per-group cumsum window (ordered by id) + the
+    group-total broadcast join — no RNG state, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(id_col).alias("id"), w.alias("w"))
+    cum = Window.partitionBy("grp").orderBy("id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = base.groupBy("grp").agg(F.sum("w").alias("wtot"))
+    cs = base.withColumn("cum", F.sum("w").over(cum)) \
+        .join(F.broadcast(tot), "grp")
+    n = F.lit(float(target_n))
+    copies = (F.floor(n * F.col("cum") / F.col("wtot"))
+              - F.floor(n * (F.col("cum") - F.col("w")) / F.col("wtot")))
+    return (cs.select(F.col("grp").alias(group_col),
+                      F.col("id").alias(id_col),
+                      F.col("w").alias("weight"),
+                      copies.cast("long").alias("n_copies"))
+            .filter(F.col("n_copies") > 0))
+
+
+def systematic_resample_sql(rows_sql: str, weight_col: str, target_n: int,
+                            group_col: str = "source",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`systematic_resample`."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col} AS id,
+    CAST({weight_col} AS DOUBLE) AS w
+  FROM ({rows_sql})
+),
+cs AS (
+  SELECT grp, id, w,
+    SUM(w) OVER (PARTITION BY grp ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(w) OVER (PARTITION BY grp) AS wtot
+  FROM base
+)
+SELECT grp AS {group_col}, id AS {id_col}, w AS weight,
+  CAST(floor({float(target_n)!r} * cum / wtot)
+       - floor({float(target_n)!r} * (cum - w) / wtot) AS BIGINT)
+    AS n_copies
+FROM cs
+WHERE floor({float(target_n)!r} * cum / wtot)
+      - floor({float(target_n)!r} * (cum - w) / wtot) > 0
+"""

@@ -3319,3 +3319,127 @@ SELECT o.src AS host, CAST(o.n_out AS BIGINT) AS n_out,
   round(coalesce(r.n_reciprocal, 0) / CAST(o.n_out AS DOUBLE), 6) AS recip_frac
 FROM outd o LEFT JOIN recip r ON r.src = o.src
 """
+
+
+def sweep_cut(
+    edges: DataFrame,
+    scores: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    score_col: str = "score",
+    max_rank: int = 50,
+) -> DataFrame:
+    """PPR-Nibble sweep cut (Andersen–Chung–Lang FOCS 2006): order nodes
+    by score/degree, then evaluate the conductance of every prefix — the
+    local-clustering step that turns :func:`ppr`'s scores into an actual
+    low-conductance host community (spam farms, mirror pools, link rings
+    all surface this way). The prefix whose conductance is minimal is
+    the extracted cluster.
+
+    Edges are treated as undirected and must be distinct pairs; degree
+    and volume come from the edge list itself. cut(S_r) updates
+    incrementally: adding the rank-r node v contributes
+    deg(v) - 2·|edges from v into S_{r-1}|.
+
+    Returns the first ``max_rank`` prefixes: (rank, node, degree, vol,
+    cut, conductance rounded 6) — argmin over ``conductance`` is the
+    cluster boundary. Nodes without a score row are ignored; ties order
+    by node id.
+
+    Scale shape: degrees from ONE groupBy over the symmetrized edges;
+    the e_in(v) term is ONE self-join of edges against the rank
+    projection (both sides keyed on node); the sweep itself is cumsum
+    windows over the ``max_rank``-bounded prefix — the quadratic
+    all-prefix evaluation collapses to linear incremental updates. The
+    single-task ranking window runs over ``scores``, which for PPR is
+    the sparse epsilon-support near the seed (ACL06 Thm 1: O(1/(eps*
+    alpha)) nodes), not the full graph.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col(src_col).alias("a"),
+                       F.col(dst_col).alias("b")).union(
+        edges.select(F.col(dst_col).alias("a"),
+                     F.col(src_col).alias("b"))).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    total_vol = sym.count()  # = 2|E|, a driver-side scalar
+    sc = scores.select(F.col(node_col).alias("a"),
+                       F.col(score_col).alias("s"))
+    ranked = (sc.join(deg, "a")
+              .select("a", "deg",
+                      (F.col("s") / F.col("deg")).alias("key"))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("key").desc(), F.col("a"))))
+              .filter(F.col("rank") <= max_rank))
+    # e_in(v) = neighbors of v ranked strictly earlier
+    r1 = ranked.select(F.col("a"), F.col("rank"))
+    e_in = (sym.join(r1.withColumnRenamed("rank", "rank_a"), "a")
+            .join(r1.select(F.col("a").alias("b"),
+                            F.col("rank").alias("rank_b")), "b")
+            .filter(F.col("rank_b") < F.col("rank_a"))
+            .groupBy(F.col("a")).agg(F.count("*").alias("e_in")))
+    pref = ranked.join(e_in, "a", "left") \
+        .select("a", "rank", "deg",
+                F.coalesce("e_in", F.lit(0)).alias("e_in"))
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    vol = F.sum("deg").over(cum)
+    cut = F.sum(F.col("deg") - 2 * F.col("e_in")).over(cum)
+    # the full-graph prefix has min(vol, total-vol) = 0 -> NULL, not a cut
+    phi = cut / F.nullif(F.least(vol, F.lit(total_vol) - vol), F.lit(0))
+    return pref.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("a").alias("node"), F.col("deg").cast("long").alias("degree"),
+        vol.cast("long").alias("vol"), cut.cast("long").alias("cut"),
+        F.round(phi, 6).alias("conductance"))
+
+
+def sweep_cut_sql(edges_sql: str, scores_sql: str,
+                  max_rank: int = 50) -> str:
+    """DuckDB mirror of :func:`sweep_cut` over (src, dst) edges and
+    (node, score) score SELECTs."""
+    return f"""
+WITH e AS ({edges_sql}),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst AS a, src AS b FROM e)
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+tot AS (SELECT COUNT(*) AS total_vol FROM sym),
+sc AS (SELECT node AS a, score AS s FROM ({scores_sql})),
+ranked AS (
+  SELECT a, deg, rank FROM (
+    SELECT sc.a, deg.deg,
+      row_number() OVER (ORDER BY sc.s / deg.deg DESC, sc.a) AS rank
+    FROM sc JOIN deg USING (a))
+  WHERE rank <= {max_rank}
+),
+ein AS (
+  SELECT ra.a, COUNT(*) AS e_in
+  FROM sym
+  JOIN ranked ra ON sym.a = ra.a
+  JOIN ranked rb ON sym.b = rb.a
+  WHERE rb.rank < ra.rank
+  GROUP BY ra.a
+),
+pref AS (
+  SELECT r.a, r.rank, r.deg, coalesce(ein.e_in, 0) AS e_in
+  FROM ranked r LEFT JOIN ein USING (a)
+),
+sweep AS (
+  SELECT rank, a, deg,
+    SUM(deg) OVER (ORDER BY rank
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol,
+    SUM(deg - 2 * e_in) OVER (ORDER BY rank
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut
+  FROM pref
+)
+SELECT CAST(rank AS BIGINT) AS rank, a AS node,
+  CAST(deg AS BIGINT) AS degree, CAST(vol AS BIGINT) AS vol,
+  CAST(cut AS BIGINT) AS cut,
+  round(CAST(cut AS DOUBLE)
+        / nullif(least(vol, (SELECT total_vol FROM tot) - vol), 0), 6)
+    AS conductance
+FROM sweep
+"""

@@ -358,3 +358,73 @@ SELECT host, rel, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(COUNT(DISTINCT href) AS BIGINT) AS n_targets
 FROM per WHERE rel IN ({rels}) GROUP BY host, rel
 """
+
+
+# ---------------------------------------------------------------------------
+# HSTS policy audit
+# ---------------------------------------------------------------------------
+
+_HSTS_PRELOAD_MIN = 31536000  # hstspreload.org: >= 1 year
+
+
+def hsts_audit(headers: DataFrame, host_col: str = "host",
+               hsts_col: str = "hsts") -> DataFrame:
+    """Parse Strict-Transport-Security values (RFC 6797 §6.1) and audit
+    preload-list eligibility per host: max-age seconds,
+    ``includeSubDomains``, ``preload``, and the hstspreload.org bar
+    (max-age >= 1 year AND both tokens). The content-level counterpart
+    to ``security_headers_audit``'s presence bit, the same way
+    :func:`csp_audit` deepens its CSP bit.
+
+    Multiple responses per host reduce with max/any (a host qualifies if
+    any response carries a qualifying policy). Returns per host: (host,
+    n_responses, max_age, subdomains, preload, eligible); max_age NULL
+    when no response parsed one.
+
+    Scale shape: regexp flags in the scan + ONE groupBy(host).
+    """
+    v = F.lower(F.col(hsts_col))
+    ma = F.regexp_extract(v, r"max-age=([0-9]+)", 1)
+    base = headers.select(
+        F.col(host_col).alias("host"),
+        F.when(ma != "", ma.cast("long")).alias("ma"),
+        v.contains("includesubdomains").cast("int").alias("sub"),
+        v.contains("preload").cast("int").alias("pre"))
+    elig = ((F.col("ma").isNotNull())
+            & (F.col("ma") >= _HSTS_PRELOAD_MIN)
+            & (F.col("sub") == 1) & (F.col("pre") == 1)).cast("int")
+    per = base.withColumn("elig", elig)
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.max("ma").alias("max_age"),
+        (F.max("sub") == 1).alias("subdomains"),
+        (F.max("pre") == 1).alias("preload"),
+        (F.max("elig") == 1).alias("eligible"))
+
+
+def hsts_audit_sql(headers_sql: str) -> str:
+    """DuckDB mirror of :func:`hsts_audit` over a (host, hsts)
+    SELECT."""
+    return f"""
+WITH hd AS ({headers_sql}),
+base AS (
+  SELECT host,
+    CASE WHEN regexp_extract(lower(hsts), 'max-age=([0-9]+)', 1) <> ''
+      THEN CAST(regexp_extract(lower(hsts), 'max-age=([0-9]+)', 1)
+                AS BIGINT) END AS ma,
+    CASE WHEN contains(lower(hsts), 'includesubdomains')
+      THEN 1 ELSE 0 END AS sub,
+    CASE WHEN contains(lower(hsts), 'preload') THEN 1 ELSE 0 END AS pre
+  FROM hd
+),
+per AS (
+  SELECT host, ma, sub, pre,
+    CASE WHEN ma IS NOT NULL AND ma >= {_HSTS_PRELOAD_MIN}
+      AND sub = 1 AND pre = 1 THEN 1 ELSE 0 END AS elig
+  FROM base
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_responses,
+  MAX(ma) AS max_age, MAX(sub) = 1 AS subdomains,
+  MAX(pre) = 1 AS preload, MAX(elig) = 1 AS eligible
+FROM per GROUP BY host
+"""

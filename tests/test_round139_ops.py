@@ -1,0 +1,80 @@
+"""Unit tests for round 139: sweep cut, systematic resampling, HSTS."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.corpus import systematic_resample
+from icrawler_spark.operators.graph import sweep_cut
+from icrawler_spark.operators.websec import hsts_audit
+
+
+def test_sweep_cut_finds_planted_boundary(spark):
+    # two 4-cliques bridged by one edge; scores favor clique A
+    a = [0, 1, 2, 3]
+    b = [4, 5, 6, 7]
+    edges = [(i, j) for i in a for j in a if i < j]
+    edges += [(i, j) for i in b for j in b if i < j]
+    edges.append((0, 4))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(n, 10.0 - n) for n in a + b],
+                              "node long, score double")
+    rows = sweep_cut(e, s, max_rank=8).orderBy("rank").collect()
+    # full-graph prefix -> NULL conductance
+    assert rows[-1]["conductance"] is None
+    # argmin over the rest sits exactly after clique A (rank 4, cut=1)
+    best = min((r for r in rows if r["conductance"] is not None),
+               key=lambda r: r["conductance"])
+    assert best["rank"] == 4 and best["cut"] == 1
+
+
+def test_sweep_cut_cut_counts(spark):
+    # path graph 0-1-2: prefix {0} cuts 1 edge, {0,1} cuts 1, {0,1,2} all
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(0, 3.0), (1, 2.0), (2, 1.0)],
+                              "node long, score double")
+    rows = {r["rank"]: r for r in sweep_cut(e, s).collect()}
+    assert rows[1]["cut"] == 1
+    assert rows[2]["cut"] == 1
+    assert rows[3]["cut"] == 0
+
+
+def test_systematic_resample_exact_total(spark):
+    rows = [("g", i, float(1 + (i * 13) % 97)) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    out = systematic_resample(df, "w", 500).collect()
+    assert sum(r["n_copies"] for r in out) == 500
+    # every copy count within 1 of its expectation
+    tot = sum(r[2] for r in rows)
+    by_id = {r[1]: r[2] for r in rows}
+    for r in out:
+        exp = 500 * by_id[r["doc_id"]] / tot
+        assert abs(r["n_copies"] - exp) <= 1.0
+
+
+def test_systematic_resample_per_group(spark):
+    rows = [("a", 1, 1.0), ("a", 2, 3.0), ("b", 3, 2.0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    out = {(r["source"], r["doc_id"]): r["n_copies"]
+           for r in systematic_resample(df, "w", 4).collect()}
+    assert out[("a", 1)] == 1 and out[("a", 2)] == 3
+    assert out[("b", 3)] == 4
+
+
+def test_hsts_audit_eligibility(spark):
+    rows = [
+        ("h1", "max-age=63072000; includeSubDomains; preload"),
+        ("h2", "max-age=63072000; includeSubDomains"),
+        ("h3", "max-age=300; includeSubDomains; preload"),
+        ("h4", "max-age=0"),
+        # eligibility requires a single qualifying response, not a
+        # cross-response union of tokens
+        ("h5", "max-age=63072000; includeSubDomains"),
+        ("h5", "max-age=100; preload"),
+    ]
+    df = spark.createDataFrame(rows, "host string, hsts string")
+    out = {r["host"]: r for r in hsts_audit(df).collect()}
+    assert out["h1"]["eligible"] is True
+    assert out["h2"]["eligible"] is False and out["h2"]["preload"] is False
+    assert out["h3"]["eligible"] is False
+    assert out["h4"]["max_age"] == 0
+    assert out["h5"]["eligible"] is False
+    assert out["h5"]["preload"] is True and out["h5"]["subdomains"] is True
