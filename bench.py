@@ -473,6 +473,8 @@ _EXTRA_PICKS = [
     "conformal", "vary_census", "resource_hints",
     # round-3 batch (sweep cut + resample + hsts)
     "sweep_cut", "systematic_resample", "hsts_audit",
+    # round-3 batch (zorder layout + a11y + srcset)
+    "zorder_layout", "layout_skip", "a11y_audit", "srcset_census",
 ]
 
 

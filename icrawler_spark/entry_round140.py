@@ -1,0 +1,184 @@
+"""Round-3 driver-contract queries (batch 134): Z-order file layout +
+skip-rate comparison (operators/layout.py), accessibility census and
+srcset census (operators/warc.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import layout as _layout
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout / layout_skip — host-hash × day grid
+# ---------------------------------------------------------------------------
+
+_ZB = 5        # 32×32 grid
+_ZSHIFT = 4    # 2^(2*5-4) = 64 z-files
+
+
+def _zl_rows(spark, sf) -> DataFrame:
+    """(x, y) = (host bucket, day bucket) pairs covering the grid
+    unevenly (x from a hash-ish lane, y from the id ramp)."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    return ev.select(((e * 7 + 3) % 32).cast("long").alias("x"),
+                     (F.floor(e / 320) % 32).cast("long").alias("y"))
+
+
+_ZL_ROWS_SQL = """
+  SELECT CAST((event_id * 7 + 3) % 32 AS BIGINT) AS x,
+    CAST((event_id // 320) % 32 AS BIGINT) AS y
+  FROM events
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/layout.zorder_layout: Morton-prefix file assignment —
+    pure bit projection + ONE groupBy(file_id); zone maps must bound
+    each file to a 2^k × 2^k tile."""
+    return _layout.zorder_layout(_zl_rows(spark, sf), bits=_ZB,
+                                 file_shift=_ZSHIFT, probe_x=3)
+
+
+def _zorder_layout_sql() -> str:
+    return _layout.zorder_layout_sql(_ZL_ROWS_SQL, bits=_ZB,
+                                     file_shift=_ZSHIFT, probe_x=3)
+
+
+def q_layout_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/layout.layout_skip_compare: Z-order vs y-major linear —
+    zorder's avg scanned files must beat linear's scan-everything."""
+    return _layout.layout_skip_compare(_zl_rows(spark, sf), bits=_ZB,
+                                       file_shift=_ZSHIFT)
+
+
+def _layout_skip_sql() -> str:
+    return _layout.layout_skip_compare_sql(_ZL_ROWS_SQL, bits=_ZB,
+                                           file_shift=_ZSHIFT)
+
+
+# ---------------------------------------------------------------------------
+# a11y_audit — image/alt/aria lanes
+# ---------------------------------------------------------------------------
+
+
+def _ay_pages(spark, sf) -> DataFrame:
+    """Pages rotating: alt-covered image + aria nav; bare image; no
+    images but lang attr; image with empty alt (must NOT count as
+    covered)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 4 == 0, F.concat(
+        F.lit('<html lang="en"><img src="a.jpg" alt="cat '), eid,
+        F.lit('"><div role="nav" aria-label="x"></div></html>')))
+        .when(e % 4 == 1, F.concat(
+            F.lit('<html><img src="b'), eid, F.lit('.jpg"></html>')))
+        .when(e % 4 == 2, F.concat(
+            F.lit('<html lang="de"><p>text '), eid, F.lit("</p></html>")))
+        .otherwise(F.concat(
+            F.lit('<html><img src="c.jpg" alt=""><img src="d'), eid,
+            F.lit('.jpg" alt="dog"></html>'))))
+    return ev.select(F.concat(F.lit("y"), (e % 5).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_AY_PAGES_SQL = """
+  SELECT 'y' || CAST(event_id % 5 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<html lang="en"><img src="a.jpg" alt="cat '
+        || CAST(event_id AS VARCHAR)
+        || '"><div role="nav" aria-label="x"></div></html>'
+      WHEN 1 THEN '<html><img src="b' || CAST(event_id AS VARCHAR)
+        || '.jpg"></html>'
+      WHEN 2 THEN '<html lang="de"><p>text ' || CAST(event_id AS VARCHAR)
+        || '</p></html>'
+      ELSE '<html><img src="c.jpg" alt=""><img src="d'
+        || CAST(event_id AS VARCHAR) || '.jpg" alt="dog"></html>'
+    END AS html
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_a11y_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.a11y_audit: regexp censuses in scan + ONE
+    groupBy(host); empty alt must not count."""
+    return _warc.a11y_audit(_ay_pages(spark, sf))
+
+
+def _a11y_audit_sql() -> str:
+    return _warc.a11y_audit_sql(_AY_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# srcset_census — width and density descriptors
+# ---------------------------------------------------------------------------
+
+
+def _sc_pages(spark, sf) -> DataFrame:
+    """Lanes: 3-candidate width srcset; 2-candidate density srcset
+    (no widths -> NULL max); plain img without srcset (excluded)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 3 == 0, F.concat(
+        F.lit('<img srcset="/a'), eid,
+        F.lit('-s.jpg 320w, /a-m.jpg 640w, /a-l.jpg 1280w" src="/a.jpg">')))
+        .when(e % 3 == 1, F.concat(
+            F.lit('<img srcset="/b'), eid,
+            F.lit('.jpg 1x, /b-2.jpg 2x" src="/b.jpg">')))
+        .otherwise(F.concat(F.lit('<img src="/c'), eid, F.lit('.jpg">'))))
+    return ev.select(F.concat(F.lit("z"), (e % 5).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_SC_PAGES_SQL = """
+  SELECT 'z' || CAST(event_id % 5 AS VARCHAR) AS host,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<img srcset="/a' || CAST(event_id AS VARCHAR)
+        || '-s.jpg 320w, /a-m.jpg 640w, /a-l.jpg 1280w" src="/a.jpg">'
+      WHEN 1 THEN '<img srcset="/b' || CAST(event_id AS VARCHAR)
+        || '.jpg 1x, /b-2.jpg 2x" src="/b.jpg">'
+      ELSE '<img src="/c' || CAST(event_id AS VARCHAR) || '.jpg">'
+    END AS html
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_srcset_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.srcset_census: attribute extract + explode in
+    scan + two keyed groupBys; density-only hosts get NULL max_width."""
+    return _warc.srcset_census(_sc_pages(spark, sf))
+
+
+def _srcset_census_sql() -> str:
+    return _warc.srcset_census_sql(_SC_PAGES_SQL)
+
+
+def queries140():
+    return {
+        "zorder_layout": q_zorder_layout,
+        "layout_skip": q_layout_skip,
+        "a11y_audit": q_a11y_audit,
+        "srcset_census": q_srcset_census,
+    }
+
+
+def oracle_sql140():
+    return {
+        "zorder_layout": _zorder_layout_sql(),
+        "layout_skip": _layout_skip_sql(),
+        "a11y_audit": _a11y_audit_sql(),
+        "srcset_census": _srcset_census_sql(),
+    }

@@ -1869,3 +1869,145 @@ SELECT url,
     AS is_paginated
 FROM base
 """
+
+
+def a11y_audit(pages: DataFrame, host_col: str = "host",
+               html_col: str = "html") -> DataFrame:
+    """Accessibility markup census per host (WCAG/WAI-ARIA basics a
+    crawler can see statically): images with vs without ``alt`` text,
+    ARIA role/aria-* attribute usage, and ``<html lang>`` declaration.
+    Alt-text coverage doubles as training-data signal — alt strings are
+    the classic weak image-caption supervision (every public image-text
+    corpus mines them), so the hosts with high alt coverage are the
+    caption-harvest targets.
+
+    Returns per host: (host, n_pages, n_imgs, n_imgs_alt, alt_share,
+    n_aria, lang_share), shares rounded 6; alt_share NULL when a host
+    serves no images.
+
+    Scale shape: regexp censuses in the scan + ONE groupBy(host).
+    """
+    h = F.col(html_col)
+    imgs = F.expr(f"size(regexp_extract_all({html_col}, '<img[^>]*>', 0))")
+    imgs_alt = F.expr(
+        f"size(regexp_extract_all({html_col}, '<img[^>]*\\\\salt=\"[^\"]+\"[^>]*>', 0))")
+    aria = F.expr(
+        f"size(regexp_extract_all({html_col}, '(role|aria-[a-z]+)=\"', 0))")
+    lang = h.rlike('<html[^>]* lang="[^"]+"').cast("int")
+    per = pages.select(F.col(host_col).alias("host"),
+                       imgs.alias("n_i"), imgs_alt.alias("n_a"),
+                       aria.alias("n_r"), lang.alias("lang"))
+    agg = per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_i").cast("long").alias("n_imgs"),
+        F.sum("n_a").cast("long").alias("n_imgs_alt"),
+        F.sum("n_r").cast("long").alias("n_aria"),
+        F.round(F.avg("lang"), 6).alias("lang_share"))
+    return agg.select(
+        "host", "n_pages", "n_imgs", "n_imgs_alt",
+        F.when(F.col("n_imgs") > 0,
+               F.round(F.col("n_imgs_alt") / F.col("n_imgs"), 6))
+        .alias("alt_share"), "n_aria", "lang_share")
+
+
+def a11y_audit_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`a11y_audit` over a (host, html)
+    SELECT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+per AS (
+  SELECT host,
+    len(regexp_extract_all(html, '<img[^>]*>')) AS n_i,
+    len(regexp_extract_all(html, '<img[^>]*\\salt="[^"]+"[^>]*>')) AS n_a,
+    len(regexp_extract_all(html, '(role|aria-[a-z]+)="')) AS n_r,
+    CASE WHEN regexp_matches(html, '<html[^>]* lang="[^"]+"')
+      THEN 1 ELSE 0 END AS lang
+  FROM pg
+),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+    CAST(SUM(n_i) AS BIGINT) AS n_imgs,
+    CAST(SUM(n_a) AS BIGINT) AS n_imgs_alt,
+    CAST(SUM(n_r) AS BIGINT) AS n_aria,
+    round(AVG(lang), 6) AS lang_share
+  FROM per GROUP BY host
+)
+SELECT host, n_pages, n_imgs, n_imgs_alt,
+  CASE WHEN n_imgs > 0
+    THEN round(CAST(n_imgs_alt AS DOUBLE) / n_imgs, 6) END AS alt_share,
+  n_aria, lang_share
+FROM agg
+"""
+
+
+def srcset_census(pages: DataFrame, host_col: str = "host",
+                  html_col: str = "html") -> DataFrame:
+    """Responsive-image ``srcset`` census (HTML spec §4.8.4.3: comma-
+    separated ``url NNNw`` / ``url Nx`` candidates): per host, how many
+    images declare variants, how many candidate URLs, and the largest
+    declared width. An image-harvest pipeline (the reference's whole
+    purpose — ``downloader.py`` fetches one file_url per task) uses this
+    to pick the highest-resolution variant instead of the default src.
+
+    Returns per host: (host, n_srcset_imgs, n_candidates, avg_variants,
+    max_width), avg rounded 6; max_width NULL when only ``Nx`` density
+    descriptors appear.
+
+    Scale shape: attribute extract + explode fused into the scan + ONE
+    groupBy(host).
+    """
+    sets = pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(
+            f"regexp_extract_all({html_col}, 'srcset=\"([^\"]*)\"', 1)"))
+        .alias("ss")).withColumn(
+        # id must bind BEFORE the candidate explode (a generator in the
+        # same projection would stamp one id per candidate, not per img)
+        "img_id", F.monotonically_increasing_id())
+    cand = sets.select(
+        "host", "img_id",
+        F.explode(F.split(F.col("ss"), ",")).alias("c"))
+    width = F.regexp_extract(F.trim(F.col("c")), r"\s([0-9]+)w$", 1)
+    per = cand.select(
+        "host", "img_id",
+        F.when(width != "", width.cast("long")).alias("w"))
+    img = per.groupBy("host", "img_id").agg(
+        F.count("*").alias("n_cand"), F.max("w").alias("max_w"))
+    return img.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_srcset_imgs"),
+        F.sum("n_cand").cast("long").alias("n_candidates"),
+        F.round(F.avg("n_cand"), 6).alias("avg_variants"),
+        F.max("max_w").alias("max_width"))
+
+
+def srcset_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`srcset_census` over a (host, html)
+    SELECT. The per-image id is positional (each srcset attribute is one
+    image), mirrored with row_number."""
+    return f"""
+WITH pg AS ({pages_sql}),
+sets AS (
+  SELECT host, row_number() OVER () AS img_id, ss FROM (
+    SELECT host, unnest(regexp_extract_all(html, 'srcset="([^"]*)"', 1))
+      AS ss
+    FROM pg)
+),
+cand AS (
+  SELECT host, img_id, unnest(string_split(ss, ',')) AS c FROM sets
+),
+per AS (
+  SELECT host, img_id,
+    CASE WHEN regexp_extract(trim(c), '\\s([0-9]+)w$', 1) <> ''
+      THEN CAST(regexp_extract(trim(c), '\\s([0-9]+)w$', 1) AS BIGINT)
+    END AS w
+  FROM cand
+),
+img AS (
+  SELECT host, img_id, COUNT(*) AS n_cand, MAX(w) AS max_w
+  FROM per GROUP BY host, img_id
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_srcset_imgs,
+  CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+  round(AVG(n_cand), 6) AS avg_variants, MAX(max_w) AS max_width
+FROM img GROUP BY host
+"""

@@ -1,0 +1,70 @@
+"""Unit tests for round 140: Z-order layout, a11y, srcset."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.layout import layout_skip_compare, zorder_layout
+from icrawler_spark.operators.warc import a11y_audit, srcset_census
+
+
+def _grid(spark, bits=3):
+    n = 2 ** bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    return spark.createDataFrame(rows, "x long, y long")
+
+
+def test_zorder_files_are_tiles(spark):
+    # bits=3, file_shift=2 -> each file is a 2x2 Morton tile of the 8x8
+    # grid: 16 files, 4 rows each, x and y spans of exactly 2
+    out = zorder_layout(_grid(spark), bits=3, file_shift=2,
+                        probe_x=3).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["n_rows"] == 4
+        assert r["max_x"] - r["min_x"] == 1
+        assert r["max_y"] - r["min_y"] == 1
+    # probe x=3 hits exactly the files whose x-tile is {2,3}
+    assert sum(r["scanned"] for r in out) == 4
+
+
+def test_layout_skip_zorder_beats_linear(spark):
+    out = {r["layout"]: r for r in
+           layout_skip_compare(_grid(spark), bits=3, file_shift=2)
+           .collect()}
+    z, lin = out["zorder"], out["linear"]
+    assert z["n_files"] == 16
+    # full uniform grid: every x probe scans 4 of 16 z-files; the
+    # y-major linear layout's files all span the full x domain
+    assert z["avg_scanned"] == 4.0 and z["worst_scanned"] == 4
+    assert lin["avg_scanned"] == lin["n_files"]
+
+
+def test_a11y_audit_counts(spark):
+    html = ('<html lang="en">'
+            '<img src="a.jpg" alt="cat">'
+            '<img src="b.jpg" alt="">'
+            '<img src="c.jpg">'
+            '<div role="nav" aria-label="m"></div></html>')
+    df = spark.createDataFrame([("h", html)], "host string, html string")
+    r = a11y_audit(df).collect()[0]
+    assert r["n_imgs"] == 3 and r["n_imgs_alt"] == 1
+    assert r["alt_share"] == 0.333333
+    assert r["n_aria"] == 2  # role= and aria-label=
+    assert r["lang_share"] == 1.0
+
+
+def test_a11y_no_images_null_share(spark):
+    df = spark.createDataFrame([("h", "<html><p>x</p></html>")],
+                               "host string, html string")
+    assert a11y_audit(df).collect()[0]["alt_share"] is None
+
+
+def test_srcset_census_variants(spark):
+    html = ('<img srcset="/s.jpg 320w, /m.jpg 640w" src="/s.jpg">'
+            '<img srcset="/x.jpg 1x, /y.jpg 2x" src="/x.jpg">'
+            '<img src="/plain.jpg">')
+    df = spark.createDataFrame([("h", html)], "host string, html string")
+    r = srcset_census(df).collect()[0]
+    assert r["n_srcset_imgs"] == 2
+    assert r["n_candidates"] == 4
+    assert r["avg_variants"] == 2.0
+    assert r["max_width"] == 640
