@@ -475,6 +475,8 @@ _EXTRA_PICKS = [
     "sweep_cut", "systematic_resample", "hsts_audit",
     # round-3 batch (zorder layout + a11y + srcset)
     "zorder_layout", "layout_skip", "a11y_audit", "srcset_census",
+    # round-3 batch (catalog maintenance planners)
+    "compaction_plan", "snapshot_expiry",
 ]
 
 

@@ -88,7 +88,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round134, entry_round135,
                             entry_round136, entry_round137,
                             entry_round138, entry_round139,
-                            entry_round140)
+                            entry_round140, entry_round141)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -994,6 +994,7 @@ def queries():
         **entry_round138.queries138(),
         **entry_round139.queries139(),
         **entry_round140.queries140(),
+        **entry_round141.queries141(),
     }
 
 
@@ -1205,4 +1206,5 @@ def _oracle_sql_raw():
         **entry_round138.oracle_sql138(),
         **entry_round139.oracle_sql139(),
         **entry_round140.oracle_sql140(),
+        **entry_round141.oracle_sql141(),
     }

@@ -1,0 +1,107 @@
+"""Round-3 driver-contract queries (batch 135): catalog maintenance
+planners — small-file compaction and snapshot expiry
+(operators/layout.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import layout as _layout
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan — per-partition file sizes, small-file heavy
+# ---------------------------------------------------------------------------
+
+_CP_TARGET = 1000
+
+
+def _cp_files(spark, sf) -> DataFrame:
+    """8 partitions; 1-in-7 files already big (>= 750 = 0.75*target,
+    kept), the rest small (40..400 bytes) and packed."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    e = F.col("event_id")
+    sz = F.when(e % 7 == 0, 900 + (e % 4) * 100) \
+        .otherwise(40 + (e % 10) * 40)
+    return ev.select(
+        F.concat(F.lit("day="), (e % 8).cast("string")).alias("part"),
+        e.cast("long").alias("file_id"), sz.cast("long").alias("bytes"))
+
+
+_CP_FILES_SQL = """
+  SELECT 'day=' || CAST(event_id % 8 AS VARCHAR) AS part,
+    CAST(event_id AS BIGINT) AS file_id,
+    CAST(CASE WHEN event_id % 7 = 0 THEN 900 + (event_id % 4) * 100
+      ELSE 40 + (event_id % 10) * 40 END AS BIGINT) AS bytes
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/layout.compaction_plan: keep-large + cumsum binning —
+    one per-partition window + ONE groupBy(part)."""
+    return _layout.compaction_plan(_cp_files(spark, sf),
+                                   target=_CP_TARGET)
+
+
+def _compaction_plan_sql() -> str:
+    return _layout.compaction_plan_sql(_CP_FILES_SQL, target=_CP_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_expiry — per-table snapshot history
+# ---------------------------------------------------------------------------
+
+
+def _se_snaps(spark, sf) -> DataFrame:
+    """4 tables × a snapshot per event; day advances every 50 events so
+    both the retain-last and the older-than clause bind."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("t"), (e % 4).cast("string")).alias("tbl"),
+        e.cast("long").alias("snap_id"),
+        F.floor(e / 50).cast("long").alias("ts_day"),
+        (100 + e % 900).cast("long").alias("bytes_added"))
+
+
+_SE_SNAPS_SQL = """
+  SELECT 't' || CAST(event_id % 4 AS VARCHAR) AS tbl,
+    CAST(event_id AS BIGINT) AS snap_id,
+    CAST(event_id // 50 AS BIGINT) AS ts_day,
+    CAST(100 + event_id % 900 AS BIGINT) AS bytes_added
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_snapshot_expiry(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/layout.snapshot_expiry: retain-last + older-than
+    policy — one per-table rank window + ONE groupBy(tbl)."""
+    return _layout.snapshot_expiry(_se_snaps(spark, sf))
+
+
+def _snapshot_expiry_sql() -> str:
+    return _layout.snapshot_expiry_sql(_SE_SNAPS_SQL)
+
+
+def queries141():
+    return {
+        "compaction_plan": q_compaction_plan,
+        "snapshot_expiry": q_snapshot_expiry,
+    }
+
+
+def oracle_sql141():
+    return {
+        "compaction_plan": _compaction_plan_sql(),
+        "snapshot_expiry": _snapshot_expiry_sql(),
+    }

@@ -194,3 +194,173 @@ probes AS (SELECT CAST(range AS BIGINT) AS px FROM range(0, {2 ** bits}))
 UNION ALL
 {leg('lf', 'linear')}
 """
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "bytes",
+    target: int = 128 * 1024 * 1024,
+    small_frac: float = 0.75,
+) -> DataFrame:
+    """Small-file compaction planning, the Iceberg/Delta ``binPack``
+    rewrite strategy in public form: within each partition, files
+    already >= ``small_frac * target`` are left alone (rewriting them
+    buys nothing); the small ones pack into contiguous ~``target`` bins
+    by cumulative size in file-id order — the ubiquitous maintenance job
+    for a crawl catalog that appends a round's worth of small parquet
+    files every cycle (our RoundCatalog writes per-round shards exactly
+    like that). Complements ``pack_shards`` (which bins *rows being
+    written*; this plans rewrites of *files already on disk*, with the
+    keep-large rule and cost metrics a maintenance scheduler needs).
+
+    Returns per partition: (part, files_before, files_kept,
+    files_rewritten, n_bins, bytes_rewritten, files_after,
+    rewrite_frac rounded 6) — files_after = kept + bins;
+    rewrite_frac = rewritten bytes / total bytes (the job's write
+    amplification).
+
+    Scale shape: one per-partition cumsum window over the small files +
+    ONE groupBy(part) — partitions are independent, so the plan
+    parallelizes across the catalog.
+    """
+    from pyspark.sql import Window
+
+    thresh = int(target * small_frac)
+    sz = F.col(size_col).cast("long")
+    base = files.select(F.col(part_col).alias("part"),
+                        F.col(file_col).alias("fid"), sz.alias("sz"),
+                        (sz >= thresh).cast("int").alias("keep"))
+    cum = Window.partitionBy("part", "keep").orderBy("fid") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    binned = base.withColumn(
+        "bin", F.when(F.col("keep") == 1, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.coalesce(F.sum("sz").over(cum), F.lit(0))
+                           / F.lit(target))))
+    return binned.groupBy("part").agg(
+        F.count("*").cast("long").alias("files_before"),
+        F.sum("keep").cast("long").alias("files_kept"),
+        F.sum(1 - F.col("keep")).cast("long").alias("files_rewritten"),
+        F.countDistinct("bin").cast("long").alias("n_bins"),
+        F.sum(F.col("sz") * (1 - F.col("keep"))).cast("long")
+        .alias("bytes_rewritten"),
+        (F.sum("keep") + F.countDistinct("bin")).cast("long")
+        .alias("files_after"),
+        F.round(F.sum(F.col("sz") * (1 - F.col("keep"))) / F.sum("sz"), 6)
+        .alias("rewrite_frac"))
+
+
+def compaction_plan_sql(files_sql: str, part_col: str = "part",
+                        file_col: str = "file_id", size_col: str = "bytes",
+                        target: int = 128 * 1024 * 1024,
+                        small_frac: float = 0.75) -> str:
+    """DuckDB mirror of :func:`compaction_plan`."""
+    thresh = int(target * small_frac)
+    return f"""
+WITH base AS (
+  SELECT {part_col} AS part, {file_col} AS fid,
+    CAST({size_col} AS BIGINT) AS sz,
+    CASE WHEN CAST({size_col} AS BIGINT) >= {thresh}
+      THEN 1 ELSE 0 END AS keep
+  FROM ({files_sql})
+),
+binned AS (
+  SELECT part, sz, keep,
+    CASE WHEN keep = 1 THEN NULL
+      ELSE CAST(floor(coalesce(SUM(sz) OVER (
+        PARTITION BY part, keep ORDER BY fid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        / {target}.0) AS BIGINT) END AS bin
+  FROM base
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS files_before,
+  CAST(SUM(keep) AS BIGINT) AS files_kept,
+  CAST(SUM(1 - keep) AS BIGINT) AS files_rewritten,
+  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+  CAST(SUM(sz * (1 - keep)) AS BIGINT) AS bytes_rewritten,
+  CAST(SUM(keep) + COUNT(DISTINCT bin) AS BIGINT) AS files_after,
+  round(CAST(SUM(sz * (1 - keep)) AS DOUBLE) / SUM(sz), 6)
+    AS rewrite_frac
+FROM binned GROUP BY part
+"""
+
+
+def snapshot_expiry(
+    snaps: DataFrame,
+    table_col: str = "tbl",
+    snap_col: str = "snap_id",
+    ts_col: str = "ts_day",
+    bytes_col: str = "bytes_added",
+    keep_last: int = 5,
+    retain_days: int = 7,
+) -> DataFrame:
+    """Snapshot-expiry planning (the Iceberg ``expireSnapshots``
+    retain-last / older-than policy in public form): per table keep the
+    ``keep_last`` most recent snapshots AND anything within
+    ``retain_days`` of the newest, expire the rest, and report the
+    reclaimable bytes — the other half of catalog maintenance next to
+    :func:`compaction_plan`. Our RoundCatalog accretes one snapshot per
+    crawl round, so an unexpired 1000-round crawl holds 1000× the live
+    bytes.
+
+    Returns per table: (tbl, n_snapshots, n_keep, n_expire,
+    reclaim_bytes, oldest_kept_day).
+
+    Scale shape: one per-table rank window + ONE groupBy(tbl).
+    """
+    from pyspark.sql import Window
+
+    base = snaps.select(
+        F.col(table_col).alias("tbl"), F.col(snap_col).alias("snap"),
+        F.col(ts_col).cast("long").alias("day"),
+        F.col(bytes_col).cast("long").alias("b"))
+    ranked = base.withColumn("rn", F.row_number().over(
+        Window.partitionBy("tbl").orderBy(F.col("day").desc(),
+                                          F.col("snap").desc()))) \
+        .withColumn("newest", F.max("day").over(Window.partitionBy("tbl")))
+    keep = ((F.col("rn") <= keep_last)
+            | (F.col("day") > F.col("newest") - retain_days)).cast("int")
+    per = ranked.withColumn("keep", keep)
+    return per.groupBy("tbl").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.sum(1 - F.col("keep")).cast("long").alias("n_expire"),
+        F.sum(F.col("b") * (1 - F.col("keep"))).cast("long")
+        .alias("reclaim_bytes"),
+        F.min(F.when(F.col("keep") == 1, F.col("day")))
+        .alias("oldest_kept_day"))
+
+
+def snapshot_expiry_sql(snaps_sql: str, table_col: str = "tbl",
+                        snap_col: str = "snap_id", ts_col: str = "ts_day",
+                        bytes_col: str = "bytes_added",
+                        keep_last: int = 5, retain_days: int = 7) -> str:
+    """DuckDB mirror of :func:`snapshot_expiry`."""
+    return f"""
+WITH base AS (
+  SELECT {table_col} AS tbl, {snap_col} AS snap,
+    CAST({ts_col} AS BIGINT) AS day,
+    CAST({bytes_col} AS BIGINT) AS b
+  FROM ({snaps_sql})
+),
+ranked AS (
+  SELECT tbl, snap, day, b,
+    row_number() OVER (PARTITION BY tbl ORDER BY day DESC, snap DESC)
+      AS rn,
+    MAX(day) OVER (PARTITION BY tbl) AS newest
+  FROM base
+),
+per AS (
+  SELECT tbl, day, b,
+    CASE WHEN rn <= {keep_last} OR day > newest - {retain_days}
+      THEN 1 ELSE 0 END AS keep
+  FROM ranked
+)
+SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+  CAST(SUM(keep) AS BIGINT) AS n_keep,
+  CAST(SUM(1 - keep) AS BIGINT) AS n_expire,
+  CAST(SUM(b * (1 - keep)) AS BIGINT) AS reclaim_bytes,
+  MIN(CASE WHEN keep = 1 THEN day END) AS oldest_kept_day
+FROM per GROUP BY tbl
+"""

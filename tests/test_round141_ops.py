@@ -1,0 +1,48 @@
+"""Unit tests for round 141: compaction planning, snapshot expiry."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.layout import compaction_plan, snapshot_expiry
+
+
+def test_compaction_packs_small_keeps_large(spark):
+    rows = [("p", 1, 1000), ("p", 2, 300), ("p", 3, 300), ("p", 4, 300),
+            ("p", 5, 300), ("p", 6, 60)]
+    df = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    r = compaction_plan(df, target=1000).collect()[0]
+    assert r["files_before"] == 6
+    assert r["files_kept"] == 1          # the 1000-byte file (>= 750)
+    assert r["files_rewritten"] == 5
+    # cum exclusive sums of smalls: 0,300,600,900,1200 -> bins 0,0,0,0,1
+    assert r["n_bins"] == 2
+    assert r["files_after"] == 3
+    assert r["bytes_rewritten"] == 1260
+    assert abs(r["rewrite_frac"] - 1260 / 2260) < 1e-6
+
+
+def test_compaction_partitions_independent(spark):
+    rows = [("a", 1, 100), ("a", 2, 100), ("b", 3, 100)]
+    df = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    out = {r["part"]: r for r in compaction_plan(df, target=1000).collect()}
+    assert out["a"]["n_bins"] == 1 and out["b"]["n_bins"] == 1
+
+
+def test_snapshot_expiry_policy(spark):
+    # 10 snapshots on days 0..9; keep_last=3 -> days 7,8,9;
+    # retain_days=4 -> days > 9-4=5 i.e. 6..9. Union: 6,7,8,9 kept.
+    rows = [("t", i, i, 100) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "tbl string, snap_id long, ts_day long, bytes_added long")
+    r = snapshot_expiry(df, keep_last=3, retain_days=4).collect()[0]
+    assert r["n_snapshots"] == 10
+    assert r["n_keep"] == 4 and r["n_expire"] == 6
+    assert r["reclaim_bytes"] == 600
+    assert r["oldest_kept_day"] == 6
+
+
+def test_snapshot_expiry_keeps_all_when_recent(spark):
+    rows = [("t", i, 100, 50) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "tbl string, snap_id long, ts_day long, bytes_added long")
+    r = snapshot_expiry(df, keep_last=5, retain_days=7).collect()[0]
+    assert r["n_expire"] == 0 and r["reclaim_bytes"] == 0
