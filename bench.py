@@ -477,6 +477,8 @@ _EXTRA_PICKS = [
     "zorder_layout", "layout_skip", "a11y_audit", "srcset_census",
     # round-3 batch (catalog maintenance planners)
     "compaction_plan", "snapshot_expiry",
+    # round-3 batch (segmentation + clustering eval + encodings)
+    "pk_windowdiff", "bcubed", "encoding_stats",
 ]
 
 

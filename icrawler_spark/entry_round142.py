@@ -1,0 +1,170 @@
+"""Round-3 driver-contract queries (batch 136): segmentation metrics
+Pk/WindowDiff (operators/curation.pk_windowdiff), B-cubed clustering
+evaluation (operators/docdedup.bcubed), column-encoding planner
+(operators/layout.encoding_stats).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import curation as _curation
+from icrawler_spark.operators import docdedup as _docdedup
+from icrawler_spark.operators import layout as _layout
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pk_windowdiff — 100 docs × 50 gaps, hypothesis off-by-one lanes
+# ---------------------------------------------------------------------------
+
+
+def _pw_gaps(spark, sf) -> DataFrame:
+    """Reference boundaries every 10 gaps; the hypothesis shifts them by
+    one on odd docs (Pk forgives within-window shifts more than
+    WindowDiff) and drops every third boundary on docs ≡ 2 mod 4."""
+    ev = _events(spark, sf).filter(F.col("event_id") < 5000)
+    e = F.col("event_id")
+    doc = (e % 100).cast("long")
+    pos = (F.floor(e / 100) + 1).cast("long")
+    ref = (pos % 10 == 0).cast("int")
+    hyp = (F.when(doc % 4 == 1, (pos % 10 == 1))
+           .when(doc % 4 == 2, (pos % 10 == 0) & (pos % 30 != 0))
+           .otherwise(pos % 10 == 0)).cast("int")
+    return ev.select(doc.alias("doc_id"), pos.alias("pos"),
+                     ref.alias("ref_b"), hyp.alias("hyp_b"))
+
+
+_PW_GAPS_SQL = """
+  SELECT CAST(event_id % 100 AS BIGINT) AS doc_id,
+    CAST((event_id // 100) + 1 AS BIGINT) AS pos,
+    CASE WHEN (event_id // 100) + 1 >= 10
+      AND ((event_id // 100) + 1) % 10 = 0 THEN 1 ELSE 0 END AS ref_b,
+    CASE CAST((event_id % 100) % 4 AS INT)
+      WHEN 1 THEN CASE WHEN ((event_id // 100) + 1) % 10 = 1
+        THEN 1 ELSE 0 END
+      WHEN 2 THEN CASE WHEN ((event_id // 100) + 1) % 10 = 0
+        AND ((event_id // 100) + 1) % 30 <> 0 THEN 1 ELSE 0 END
+      ELSE CASE WHEN ((event_id // 100) + 1) % 10 = 0
+        THEN 1 ELSE 0 END
+    END AS hyp_b
+  FROM events WHERE event_id < 5000
+"""
+
+
+def q_pk_windowdiff(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/curation.pk_windowdiff: cumsum + lead(k) on ONE doc-
+    keyed shuffle; shifted-boundary docs must score pk < windowdiff."""
+    return _curation.pk_windowdiff(_pw_gaps(spark, sf), k=5)
+
+
+def _pk_windowdiff_sql() -> str:
+    return _curation.pk_windowdiff_sql(_PW_GAPS_SQL, k=5)
+
+
+# ---------------------------------------------------------------------------
+# bcubed — system clustering vs gold with controlled noise
+# ---------------------------------------------------------------------------
+
+
+def _bc_assign(spark, sf) -> DataFrame:
+    """Gold clusters of 5 items; the system merges cluster pairs on a
+    mod-7 lane and splits singletons off on a mod-11 lane."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    gold = F.floor(e / 5)
+    merged = F.floor(gold / 2) * 2  # merge adjacent gold pairs
+    sys = (F.when(gold % 7 == 0, merged)
+           .when(e % 11 == 0, F.lit(1000000) + e)  # split one item off
+           .otherwise(gold))
+    return ev.select(e.cast("long").alias("item_id"),
+                     sys.cast("long").alias("sys_cluster"),
+                     gold.cast("long").alias("gold_cluster"))
+
+
+_BC_ASSIGN_SQL = """
+  SELECT CAST(event_id AS BIGINT) AS item_id,
+    CAST(CASE WHEN (event_id // 5) % 7 = 0
+        THEN ((event_id // 5) // 2) * 2
+      WHEN event_id % 11 = 0 THEN 1000000 + event_id
+      ELSE event_id // 5 END AS BIGINT) AS sys_cluster,
+    CAST(event_id // 5 AS BIGINT) AS gold_cluster
+  FROM events
+"""
+
+
+def q_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/docdedup.bcubed: contingency-cell aggregation — three
+    keyed groupBys, no per-item sets."""
+    return _docdedup.bcubed(_bc_assign(spark, sf))
+
+
+def _bcubed_sql() -> str:
+    return _docdedup.bcubed_sql(_BC_ASSIGN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# encoding_stats — low- vs high-cardinality URL-ish columns
+# ---------------------------------------------------------------------------
+
+
+def _es_cols(spark, sf) -> DataFrame:
+    """Two columns per partition: 'host' (20 distinct values — must pick
+    dictionary) and 'url' (unique per row — must pick plain)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 2 == 0)
+    e = F.col("event_id")
+    part = F.concat(F.lit("day="), (e % 3).cast("string"))
+    host = ev.select(part.alias("part"), F.lit("host").alias("col_name"),
+                     F.concat(F.lit("www.site"), (e % 20).cast("string"),
+                              F.lit(".test")).alias("val"))
+    url = ev.select(part.alias("part"), F.lit("url").alias("col_name"),
+                    F.concat(F.lit("https://www.site.test/page/"),
+                             e.cast("string"), F.lit("?x=1")).alias("val"))
+    return host.unionByName(url)
+
+
+_ES_COLS_SQL = """
+  SELECT part, col_name, val FROM (
+    SELECT 'day=' || CAST(event_id % 3 AS VARCHAR) AS part,
+      'host' AS col_name,
+      'www.site' || CAST(event_id % 20 AS VARCHAR) || '.test' AS val
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'day=' || CAST(event_id % 3 AS VARCHAR), 'url',
+      'https://www.site.test/page/' || CAST(event_id AS VARCHAR) || '?x=1'
+    FROM events WHERE event_id % 2 = 0
+  )
+"""
+
+
+def q_encoding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/layout.encoding_stats: distinct-size groupBy feeding
+    the per-column aggregate; host -> dictionary, url -> plain."""
+    return _layout.encoding_stats(_es_cols(spark, sf))
+
+
+def _encoding_stats_sql() -> str:
+    return _layout.encoding_stats_sql(_ES_COLS_SQL)
+
+
+def queries142():
+    return {
+        "pk_windowdiff": q_pk_windowdiff,
+        "bcubed": q_bcubed,
+        "encoding_stats": q_encoding_stats,
+    }
+
+
+def oracle_sql142():
+    return {
+        "pk_windowdiff": _pk_windowdiff_sql(),
+        "bcubed": _bcubed_sql(),
+        "encoding_stats": _encoding_stats_sql(),
+    }

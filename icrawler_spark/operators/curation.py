@@ -3004,3 +3004,86 @@ SELECT token, CAST(SUM(n) AS BIGINT) AS n,
   CAST(length(token) AS BIGINT) AS tok_len
 FROM toks GROUP BY token
 """
+
+
+def pk_windowdiff(
+    gaps: DataFrame,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    ref_col: str = "ref_b",
+    hyp_col: str = "hyp_b",
+    k: int = 3,
+) -> DataFrame:
+    """Text-segmentation error metrics Pk (Beeferman et al. 1999) and
+    WindowDiff (Pevzner & Hearst 2002) — the standard scores for boundary
+    detectors like ``texttiles`` / ``passage_split``: slide a window of
+    ``k`` gaps over each document; Pk counts probes where reference and
+    hypothesis disagree on *whether* a boundary falls inside the window,
+    WindowDiff counts probes where the boundary *counts* differ (stricter:
+    catches near-miss double boundaries Pk forgives). Convention: k is
+    usually half the mean reference segment length.
+
+    Input is one row per inter-sentence gap: (doc, pos 1..G, ref 0/1,
+    hyp 0/1). Returns per doc: (doc_id, n_probes, pk, windowdiff)
+    rounded 6; documents with <= k gaps produce no probes and are
+    omitted.
+
+    Scale shape: two per-doc cumsum windows + a ``lead(k)`` on the same
+    partitioning — ONE shuffle keyed by doc, no self-join.
+    """
+    from pyspark.sql import Window
+
+    base = gaps.select(
+        F.col(doc_col).alias("doc_id"), F.col(pos_col).alias("pos"),
+        F.col(ref_col).cast("long").alias("r"),
+        F.col(hyp_col).cast("long").alias("h"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    cum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    cs = base.select(
+        "doc_id", "pos",
+        F.sum("r").over(cum).alias("rc"),
+        F.sum("h").over(cum).alias("hc"))
+    probes = cs.select(
+        "doc_id",
+        (F.lead("rc", k).over(wd) - F.col("rc")).alias("rdiff"),
+        (F.lead("hc", k).over(wd) - F.col("hc")).alias("hdiff")) \
+        .filter(F.col("rdiff").isNotNull())
+    pk_err = ((F.col("rdiff") > 0) != (F.col("hdiff") > 0)).cast("int")
+    wd_err = (F.col("rdiff") != F.col("hdiff")).cast("int")
+    return probes.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.round(F.avg(pk_err), 6).alias("pk"),
+        F.round(F.avg(wd_err), 6).alias("windowdiff"))
+
+
+def pk_windowdiff_sql(gaps_sql: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`pk_windowdiff` over a (doc_id, pos,
+    ref_b, hyp_b) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, pos, CAST(ref_b AS BIGINT) AS r,
+    CAST(hyp_b AS BIGINT) AS h
+  FROM ({gaps_sql})
+),
+cs AS (
+  SELECT doc_id, pos,
+    SUM(r) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,
+    SUM(h) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hc
+  FROM base
+),
+probes AS (
+  SELECT doc_id,
+    lead(rc, {k}) OVER (PARTITION BY doc_id ORDER BY pos) - rc AS rdiff,
+    lead(hc, {k}) OVER (PARTITION BY doc_id ORDER BY pos) - hc AS hdiff
+  FROM cs
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes,
+  round(AVG(CASE WHEN (rdiff > 0) <> (hdiff > 0) THEN 1 ELSE 0 END), 6)
+    AS pk,
+  round(AVG(CASE WHEN rdiff <> hdiff THEN 1 ELSE 0 END), 6)
+    AS windowdiff
+FROM probes WHERE rdiff IS NOT NULL
+GROUP BY doc_id
+"""

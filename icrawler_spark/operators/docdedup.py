@@ -1812,3 +1812,73 @@ est AS (
 SELECT id_sub, id_sup, est_j, est_containment
 FROM est WHERE est_containment >= {float(threshold)!r}
 """
+
+
+def bcubed(
+    assign: DataFrame,
+    id_col: str = "item_id",
+    sys_col: str = "sys_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; Amigó et al.
+    2009 showed it's the only common clustering metric satisfying all
+    four formal constraints): item-level precision/recall of a system
+    clustering against gold — the standard score for entity-resolution /
+    dedup-cluster output (``dedup_clusters``, ``canonical_cluster``),
+    complementing ``dedup_eval``'s pair-level P/R (B³ weights by item,
+    so one giant wrong cluster costs proportionally more than many small
+    ones).
+
+    Identity: per item i, P(i) = |C(i) ∩ G(i)|/|C(i)| and R(i) =
+    |C(i) ∩ G(i)|/|G(i)|; averaging over items collapses to
+    Σ_cells n_sg²/n_s (resp. /n_g) over the (sys, gold) contingency
+    cells — so the whole metric is three aggregations, never per-item
+    set intersections.
+
+    Returns ONE row: (n_items, precision, recall, f1) rounded 6.
+
+    Scale shape: ONE groupBy(sys, gold) + two cluster-size groupBys
+    joined on their keys — everything keys on cluster ids.
+    """
+    base = assign.select(F.col(id_col).alias("id"),
+                         F.col(sys_col).alias("s"),
+                         F.col(gold_col).alias("g"))
+    cells = base.groupBy("s", "g").agg(F.count("*").alias("n_sg"))
+    ns = base.groupBy("s").agg(F.count("*").alias("n_s"))
+    ng = base.groupBy("g").agg(F.count("*").alias("n_g"))
+    j = cells.join(ns, "s").join(ng, "g")
+    agg = j.agg(
+        F.sum("n_sg").cast("long").alias("n_items"),
+        F.sum(F.col("n_sg") * F.col("n_sg") / F.col("n_s")).alias("sp"),
+        F.sum(F.col("n_sg") * F.col("n_sg") / F.col("n_g")).alias("sr"))
+    p = F.col("sp") / F.col("n_items")
+    r = F.col("sr") / F.col("n_items")
+    return agg.select(
+        "n_items", F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"))
+
+
+def bcubed_sql(assign_sql: str) -> str:
+    """DuckDB mirror of :func:`bcubed` over an (item_id, sys_cluster,
+    gold_cluster) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT item_id AS id, sys_cluster AS s, gold_cluster AS g
+  FROM ({assign_sql})
+),
+cells AS (SELECT s, g, COUNT(*) AS n_sg FROM base GROUP BY s, g),
+ns AS (SELECT s, COUNT(*) AS n_s FROM base GROUP BY s),
+ng AS (SELECT g, COUNT(*) AS n_g FROM base GROUP BY g),
+agg AS (
+  SELECT CAST(SUM(n_sg) AS BIGINT) AS n_items,
+    SUM(CAST(n_sg AS DOUBLE) * n_sg / n_s) AS sp,
+    SUM(CAST(n_sg AS DOUBLE) * n_sg / n_g) AS sr
+  FROM cells JOIN ns USING (s) JOIN ng USING (g)
+)
+SELECT n_items, round(sp / n_items, 6) AS precision,
+  round(sr / n_items, 6) AS recall,
+  round(2 * (sp / n_items) * (sr / n_items)
+        / (sp / n_items + sr / n_items), 6) AS f1
+FROM agg
+"""

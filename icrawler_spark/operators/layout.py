@@ -364,3 +364,81 @@ SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_snapshots,
   MIN(CASE WHEN keep = 1 THEN day END) AS oldest_kept_day
 FROM per GROUP BY tbl
 """
+
+
+def encoding_stats(
+    cols: DataFrame,
+    part_col: str = "part",
+    col_col: str = "col_name",
+    val_col: str = "val",
+) -> DataFrame:
+    """Column-encoding planner: estimate PLAIN vs DICTIONARY bytes per
+    (partition, column) from the values themselves — the parquet
+    writer's RLE_DICTIONARY decision in public form (the format spec
+    documents both encodings; writers fall back to plain when the
+    dictionary page overflows). URL-shaped columns are the interesting
+    case at 100 TB: hosts/schemes dictionary-encode to almost nothing,
+    full URLs don't — this op is how the catalog decides which derived
+    columns are worth materializing.
+
+    Model (documented, deliberately simple): plain = Σ(len+4) (length-
+    prefixed); dict = Σ_distinct(len+4) + n·ceil(log2(max(n_distinct,
+    2)))/8 (dictionary page + bit-packed indices). Returns per
+    (part, col): (part, col_name, n, n_distinct, plain_bytes,
+    dict_bytes, ratio rounded 6, encoding = the cheaper one).
+
+    Scale shape: ONE groupBy(part, col, val) for distinct sizes feeding
+    ONE groupBy(part, col) — both keyed shuffles, no window.
+    """
+    base = cols.select(F.col(part_col).alias("part"),
+                       F.col(col_col).alias("col_name"),
+                       F.col(val_col).cast("string").alias("v"))
+    per_val = base.groupBy("part", "col_name", "v").agg(
+        F.count("*").alias("n_occ"))
+    agg = per_val.groupBy("part", "col_name").agg(
+        F.sum("n_occ").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum((F.length("v") + 4) * F.col("n_occ")).cast("long")
+        .alias("plain_bytes"),
+        F.sum(F.length("v") + 4).cast("long").alias("dict_page"))
+    bits = F.ceil(F.log2(F.greatest(F.col("n_distinct"), F.lit(2))))
+    dict_bytes = (F.col("dict_page")
+                  + F.ceil(F.col("n") * bits / 8).cast("long"))
+    return agg.select(
+        "part", "col_name", "n", "n_distinct", "plain_bytes",
+        dict_bytes.cast("long").alias("dict_bytes"),
+        F.round(dict_bytes / F.col("plain_bytes"), 6).alias("ratio"),
+        F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
+        .otherwise("plain").alias("encoding"))
+
+
+def encoding_stats_sql(cols_sql: str) -> str:
+    """DuckDB mirror of :func:`encoding_stats` over a (part, col_name,
+    val) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT part, col_name, CAST(val AS VARCHAR) AS v FROM ({cols_sql})
+),
+per_val AS (
+  SELECT part, col_name, v, COUNT(*) AS n_occ
+  FROM base GROUP BY part, col_name, v
+),
+agg AS (
+  SELECT part, col_name, CAST(SUM(n_occ) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(SUM((length(v) + 4) * n_occ) AS BIGINT) AS plain_bytes,
+    CAST(SUM(length(v) + 4) AS BIGINT) AS dict_page
+  FROM per_val GROUP BY part, col_name
+),
+calc AS (
+  SELECT part, col_name, n, n_distinct, plain_bytes,
+    dict_page + CAST(ceil(n * ceil(log2(greatest(n_distinct, 2)))
+                          / 8.0) AS BIGINT) AS dict_bytes
+  FROM agg
+)
+SELECT part, col_name, n, n_distinct, plain_bytes, dict_bytes,
+  round(CAST(dict_bytes AS DOUBLE) / plain_bytes, 6) AS ratio,
+  CASE WHEN dict_bytes < plain_bytes THEN 'dictionary' ELSE 'plain' END
+    AS encoding
+FROM calc
+"""

@@ -1,0 +1,61 @@
+"""Unit tests for round 142: Pk/WindowDiff, B-cubed, encoding stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.curation import pk_windowdiff
+from icrawler_spark.operators.docdedup import bcubed
+from icrawler_spark.operators.layout import encoding_stats
+
+
+def _gaps(spark, ref, hyp):
+    rows = [(1, i + 1, r, h) for i, (r, h) in enumerate(zip(ref, hyp))]
+    return spark.createDataFrame(
+        rows, "doc_id long, pos long, ref_b int, hyp_b int")
+
+
+def test_pk_perfect_hypothesis_scores_zero(spark):
+    ref = [0, 0, 1, 0, 0, 1, 0, 0]
+    out = pk_windowdiff(_gaps(spark, ref, ref), k=2).collect()[0]
+    assert out["pk"] == 0.0 and out["windowdiff"] == 0.0
+    assert out["n_probes"] == 6  # 8 gaps - k
+
+
+def test_pk_forgives_near_miss_windowdiff_does_not(spark):
+    # double boundary inside one window vs single: Pk sees "both have a
+    # boundary" at some probes where WindowDiff sees 2 != 1
+    ref = [0, 1, 0, 0, 0, 0]
+    hyp = [0, 1, 1, 0, 0, 0]
+    out = pk_windowdiff(_gaps(spark, ref, hyp), k=2).collect()[0]
+    assert out["windowdiff"] > out["pk"]
+
+
+def test_bcubed_perfect_and_merged(spark):
+    # perfect clustering
+    rows = [(i, i // 3, i // 3) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "item_id long, sys_cluster long, gold_cluster long")
+    r = bcubed(df).collect()[0]
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+    # everything merged into one system cluster: recall 1, precision =
+    # sum over gold clusters of (n_g/N)^2 summed... = n_g/N per item
+    rows2 = [(i, 0, i // 3) for i in range(12)]
+    df2 = spark.createDataFrame(
+        rows2, "item_id long, sys_cluster long, gold_cluster long")
+    r2 = bcubed(df2).collect()[0]
+    assert r2["recall"] == 1.0
+    assert r2["precision"] == pytest.approx(3 / 12, abs=1e-6)
+
+
+def test_encoding_stats_picks_the_right_encoding(spark):
+    rows = [("p", "host", f"h{i % 3}") for i in range(100)]
+    rows += [("p", "url", f"https://very-long-url.example/{i}")
+             for i in range(100)]
+    df = spark.createDataFrame(rows, "part string, col_name string, val string")
+    out = {r["col_name"]: r for r in encoding_stats(df).collect()}
+    assert out["host"]["encoding"] == "dictionary"
+    assert out["host"]["n_distinct"] == 3
+    assert out["url"]["encoding"] == "plain"
+    assert out["url"]["n_distinct"] == 100
+    assert out["host"]["ratio"] < 1.0 < out["url"]["ratio"]
