@@ -479,6 +479,8 @@ _EXTRA_PICKS = [
     "compaction_plan", "snapshot_expiry",
     # round-3 batch (segmentation + clustering eval + encodings)
     "pk_windowdiff", "bcubed", "encoding_stats",
+    # round-3 batch (text-completeness page gates)
+    "consent_wall", "paywall_detect", "js_required",
 ]
 
 

@@ -1,0 +1,196 @@
+"""Round-3 driver-contract queries (batch 137): text-completeness page
+gates — consent walls, paywalls, client-side-rendering shells
+(operators/warc.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+_LONG_TEXT = "word " * 60  # 300 chars of visible text
+
+
+# ---------------------------------------------------------------------------
+# consent_wall
+# ---------------------------------------------------------------------------
+
+
+def _cw_pages(spark, sf) -> DataFrame:
+    """Lanes: OneTrust CMP script; banner phrase only; both; clean."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 4 == 0, F.concat(
+        F.lit('<script src="https://cdn.onetrust.io/x.js"></script><p>a'),
+        eid, F.lit("</p>")))
+        .when(e % 4 == 1, F.concat(
+            F.lit("<div>We use cookies to improve "), eid, F.lit("</div>")))
+        .when(e % 4 == 2, F.concat(
+            F.lit('<script src="/cookiebot.js"></script>'
+                  "<div>Accept all cookies</div><p>"), eid, F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<p>clean page "), eid, F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("c"), (e % 7).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_CW_PAGES_SQL = """
+  SELECT 'c' || CAST(event_id % 7 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<script src="https://cdn.onetrust.io/x.js"></script><p>a'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 1 THEN '<div>We use cookies to improve '
+        || CAST(event_id AS VARCHAR) || '</div>'
+      WHEN 2 THEN '<script src="/cookiebot.js"></script>'
+        || '<div>Accept all cookies</div><p>'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<p>clean page ' || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_consent_wall(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.consent_wall: contains-chain in scan + ONE
+    groupBy(host)."""
+    return _warc.consent_wall(_cw_pages(spark, sf))
+
+
+def _consent_wall_sql() -> str:
+    return _warc.consent_wall_sql(_CW_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# paywall_detect
+# ---------------------------------------------------------------------------
+
+
+def _pw_pages(spark, sf) -> DataFrame:
+    """Lanes: declared isAccessibleForFree:false; Piano vendor script;
+    teaser phrase; free page (isAccessibleForFree:true — must NOT
+    count)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 4 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"isAccessibleForFree": false}</script><p>'),
+        eid, F.lit("</p>")))
+        .when(e % 4 == 1, F.concat(
+            F.lit('<script src="https://cdn.tinypass.com/api.js">'
+                  "</script><p>"), eid, F.lit("</p>")))
+        .when(e % 4 == 2, F.concat(
+            F.lit("<div>Subscribe to continue reading "), eid,
+            F.lit("</div>")))
+        .otherwise(F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"isAccessibleForFree": true}</script><p>free '),
+            eid, F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("w"), (e % 5).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_PW_PAGES_SQL = """
+  SELECT 'w' || CAST(event_id % 5 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<script type="application/ld+json">'
+        || '{"isAccessibleForFree": false}</script><p>'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 1 THEN '<script src="https://cdn.tinypass.com/api.js">'
+        || '</script><p>' || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 2 THEN '<div>Subscribe to continue reading '
+        || CAST(event_id AS VARCHAR) || '</div>'
+      ELSE '<script type="application/ld+json">'
+        || '{"isAccessibleForFree": true}</script><p>free '
+        || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_paywall_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.paywall_detect: declared/vendor/phrase signals in
+    scan + ONE groupBy(host); the free lane must stay clean."""
+    return _warc.paywall_detect(_pw_pages(spark, sf))
+
+
+def _paywall_detect_sql() -> str:
+    return _warc.paywall_detect_sql(_PW_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# js_required
+# ---------------------------------------------------------------------------
+
+
+def _jr_pages(spark, sf) -> DataFrame:
+    """Lanes: SPA shell; noscript warning with real text; thin text +
+    2 scripts; full server-rendered page (clean)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 4 == 0, F.concat(
+        F.lit('<div id="root"></div><script src="/bundle'), eid,
+        F.lit('.js"></script>')))
+        .when(e % 4 == 1, F.concat(
+            F.lit("<noscript>Please enable JavaScript</noscript><p>"),
+            F.lit(_LONG_TEXT), eid, F.lit("</p>")))
+        .when(e % 4 == 2, F.concat(
+            F.lit('<script>var a=1;</script><script src="/x.js">'
+                  "</script><p>tiny "), eid, F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<p>"), F.lit(_LONG_TEXT), eid,
+                            F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("j"), (e % 5).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_JR_PAGES_SQL = f"""
+  SELECT 'j' || CAST(event_id % 5 AS VARCHAR) AS host,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<div id="root"></div><script src="/bundle'
+        || CAST(event_id AS VARCHAR) || '.js"></script>'
+      WHEN 1 THEN '<noscript>Please enable JavaScript</noscript><p>'
+        || '{_LONG_TEXT}' || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 2 THEN '<script>var a=1;</script><script src="/x.js">'
+        || '</script><p>tiny ' || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<p>' || '{_LONG_TEXT}' || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_js_required(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.js_required: shell/noscript/thin-text signals in
+    scan + ONE groupBy(host); the server-rendered lane must stay
+    clean."""
+    return _warc.js_required(_jr_pages(spark, sf))
+
+
+def _js_required_sql() -> str:
+    return _warc.js_required_sql(_JR_PAGES_SQL)
+
+
+def queries143():
+    return {
+        "consent_wall": q_consent_wall,
+        "paywall_detect": q_paywall_detect,
+        "js_required": q_js_required,
+    }
+
+
+def oracle_sql143():
+    return {
+        "consent_wall": _consent_wall_sql(),
+        "paywall_detect": _paywall_detect_sql(),
+        "js_required": _js_required_sql(),
+    }

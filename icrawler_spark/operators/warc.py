@@ -2011,3 +2011,205 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_srcset_imgs,
   round(AVG(n_cand), 6) AS avg_variants, MAX(max_w) AS max_width
 FROM img GROUP BY host
 """
+
+
+_CMP_VENDORS = ("onetrust", "cookiebot", "didomi", "consentmanager",
+                "quantcast", "cookielaw", "usercentrics", "trustarc")
+_CONSENT_PHRASES = ("we use cookies", "accept all cookies",
+                    "cookie settings", "manage preferences")
+
+
+def consent_wall(pages: DataFrame, host_col: str = "host",
+                 html_col: str = "html") -> DataFrame:
+    """Cookie-consent-wall census: pages loading a known consent-
+    management-platform script (public CMP vendor list: OneTrust,
+    Cookiebot, Didomi, …) or showing banner phrases. A text-extraction
+    pipeline needs this gate because consent overlays inject boilerplate
+    ('We use cookies…') into extracted text and, when the wall blocks
+    rendering, the stored HTML is the banner rather than the article —
+    the documents should be routed to ``strip_boilerplate`` or dropped.
+
+    Returns per host: (host, n_pages, cmp_share, banner_share,
+    wall_share) — wall = cmp OR banner, shares rounded 6.
+
+    Scale shape: lowercase once, fixed contains-chain in the scan + ONE
+    groupBy(host).
+    """
+    h = F.lower(F.col(html_col))
+    cmp_flag = F.lit(False)
+    for v in _CMP_VENDORS:
+        cmp_flag = cmp_flag | h.contains(v)
+    banner = F.lit(False)
+    for p in _CONSENT_PHRASES:
+        banner = banner | h.contains(p)
+    per = pages.select(F.col(host_col).alias("host"),
+                       cmp_flag.cast("int").alias("cmp"),
+                       banner.cast("int").alias("ban"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("cmp"), 6).alias("cmp_share"),
+        F.round(F.avg("ban"), 6).alias("banner_share"),
+        F.round(F.avg(F.greatest("cmp", "ban")), 6).alias("wall_share"))
+
+
+def consent_wall_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`consent_wall` over a (host, html)
+    SELECT."""
+    cmp_expr = " OR ".join(f"contains(h, '{v}')" for v in _CMP_VENDORS)
+    ban_expr = " OR ".join(f"contains(h, '{p}')"
+                           for p in _CONSENT_PHRASES)
+    return f"""
+WITH pg AS (SELECT host, lower(html) AS h FROM ({pages_sql})),
+per AS (
+  SELECT host,
+    CASE WHEN {cmp_expr} THEN 1 ELSE 0 END AS cmp,
+    CASE WHEN {ban_expr} THEN 1 ELSE 0 END AS ban
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(cmp), 6) AS cmp_share, round(AVG(ban), 6) AS banner_share,
+  round(AVG(greatest(cmp, ban)), 6) AS wall_share
+FROM per GROUP BY host
+"""
+
+
+_PAYWALL_VENDORS = ("tinypass", "piano.io", "poool", "laterpay",
+                    "pelcro", "leaky-paywall")
+_PAYWALL_PHRASES = ("subscribe to continue", "subscribers only",
+                    "remaining free articles", "to keep reading")
+
+
+def paywall_detect(pages: DataFrame, host_col: str = "host",
+                   html_col: str = "html") -> DataFrame:
+    """Paywall census: the schema.org ``isAccessibleForFree: false``
+    declaration (the standard machine-readable paywall marker Google's
+    flexible-sampling docs require), known paywall-vendor scripts
+    (Piano/Tinypass, …), and teaser phrases. Paywalled captures hold
+    truncated teaser text — a training corpus must drop or down-weight
+    them (truncation shows up downstream as mid-sentence EOS).
+
+    Returns per host: (host, n_pages, declared_share, vendor_share,
+    phrase_share, paywalled_share) — paywalled = any signal, rounded 6.
+
+    Scale shape: lowercase once, contains-chain + one regexp in the
+    scan + ONE groupBy(host).
+    """
+    h = F.lower(F.col(html_col))
+    declared = h.rlike(
+        r'"isaccessibleforfree"\s*:\s*(false|"false")').cast("int")
+    vend = F.lit(False)
+    for v in _PAYWALL_VENDORS:
+        vend = vend | h.contains(v)
+    phr = F.lit(False)
+    for p in _PAYWALL_PHRASES:
+        phr = phr | h.contains(p)
+    per = pages.select(F.col(host_col).alias("host"),
+                       declared.alias("dec"),
+                       vend.cast("int").alias("ven"),
+                       phr.cast("int").alias("phr"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("dec"), 6).alias("declared_share"),
+        F.round(F.avg("ven"), 6).alias("vendor_share"),
+        F.round(F.avg("phr"), 6).alias("phrase_share"),
+        F.round(F.avg(F.greatest("dec", "ven", "phr")), 6)
+        .alias("paywalled_share"))
+
+
+def paywall_detect_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`paywall_detect` over a (host, html)
+    SELECT."""
+    vend = " OR ".join(f"contains(h, '{v}')" for v in _PAYWALL_VENDORS)
+    phr = " OR ".join(f"contains(h, '{p}')" for p in _PAYWALL_PHRASES)
+    return f"""
+WITH pg AS (SELECT host, lower(html) AS h FROM ({pages_sql})),
+per AS (
+  SELECT host,
+    CASE WHEN regexp_matches(h,
+      '"isaccessibleforfree"\\s*:\\s*(false|"false")')
+      THEN 1 ELSE 0 END AS dec,
+    CASE WHEN {vend} THEN 1 ELSE 0 END AS ven,
+    CASE WHEN {phr} THEN 1 ELSE 0 END AS phr
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(dec), 6) AS declared_share,
+  round(AVG(ven), 6) AS vendor_share,
+  round(AVG(phr), 6) AS phrase_share,
+  round(AVG(greatest(dec, ven, phr)), 6) AS paywalled_share
+FROM per GROUP BY host
+"""
+
+
+def js_required(pages: DataFrame, host_col: str = "host",
+                html_col: str = "html",
+                min_text_chars: int = 200) -> DataFrame:
+    """Client-side-rendering shell detection: pages whose static HTML
+    is an empty SPA mount point (``<div id="root">``/``app`` with no
+    content), carries a noscript-enable-JavaScript warning, or has
+    almost no visible text next to multiple script tags. These captures
+    have no extractable text at all — the crawler must route them to a
+    rendering fetcher or drop them (the reference's requests-based fetch
+    has the same blindness: ``icrawler/utils/session.py`` GETs raw HTML
+    only).
+
+    Visible text length is approximated as chars outside tags after
+    script/style removal — the same regexp approximation
+    ``strip_boilerplate`` documents.
+
+    Returns per host: (host, n_pages, shell_share, noscript_share,
+    thin_share, js_required_share) — any signal, rounded 6.
+
+    Scale shape: three regexp passes in the scan + ONE groupBy(host).
+    """
+    h = F.lower(F.col(html_col))
+    shell = h.rlike(
+        r'<div id="(root|app)">\s*</div>').cast("int")
+    noscript = (h.contains("<noscript")
+                & (h.contains("enable javascript")
+                   | h.contains("javascript is required"))).cast("int")
+    nostyle = F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " ")
+    text_len = F.length(F.trim(F.regexp_replace(
+        F.regexp_replace(nostyle, r"<[^>]*>", " "), r"\s+", " ")))
+    n_scripts = F.expr(f"size(regexp_extract_all(lower({html_col}),"
+                       " '<script', 0))")
+    thin = ((text_len < min_text_chars) & (n_scripts >= 2)).cast("int")
+    per = pages.select(F.col(host_col).alias("host"),
+                       shell.alias("sh"), noscript.alias("ns"),
+                       thin.alias("th"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("sh"), 6).alias("shell_share"),
+        F.round(F.avg("ns"), 6).alias("noscript_share"),
+        F.round(F.avg("th"), 6).alias("thin_share"),
+        F.round(F.avg(F.greatest("sh", "ns", "th")), 6)
+        .alias("js_required_share"))
+
+
+def js_required_sql(pages_sql: str, min_text_chars: int = 200) -> str:
+    """DuckDB mirror of :func:`js_required` over a (host, html)
+    SELECT."""
+    return f"""
+WITH pg AS (SELECT host, lower(html) AS h FROM ({pages_sql})),
+per AS (
+  SELECT host,
+    CASE WHEN regexp_matches(h, '<div id="(root|app)">\\s*</div>')
+      THEN 1 ELSE 0 END AS sh,
+    CASE WHEN contains(h, '<noscript')
+      AND (contains(h, 'enable javascript')
+           OR contains(h, 'javascript is required'))
+      THEN 1 ELSE 0 END AS ns,
+    CASE WHEN length(trim(regexp_replace(regexp_replace(
+        regexp_replace(h, '<(script|style)[^>]*>.*?</\\1>', ' ', 'gs'),
+        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) < {min_text_chars}
+      AND len(regexp_extract_all(h, '<script')) >= 2
+      THEN 1 ELSE 0 END AS th
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(sh), 6) AS shell_share,
+  round(AVG(ns), 6) AS noscript_share,
+  round(AVG(th), 6) AS thin_share,
+  round(AVG(greatest(sh, ns, th)), 6) AS js_required_share
+FROM per GROUP BY host
+"""

@@ -1,0 +1,52 @@
+"""Unit tests for round 143: consent wall, paywall, JS-shell gates."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.warc import (consent_wall, js_required,
+                                           paywall_detect)
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame([("h", x) for x in htmls],
+                                 "host string, html string")
+
+
+def test_consent_wall_signals(spark):
+    df = _pages(spark, [
+        '<script src="https://cdn.onetrust.io/x.js"></script>',
+        "<div>We use cookies to improve your experience</div>",
+        "<p>clean</p>",
+        "<p>clean two</p>",
+    ])
+    r = consent_wall(df).collect()[0]
+    assert r["cmp_share"] == 0.25
+    assert r["banner_share"] == 0.25
+    assert r["wall_share"] == 0.5
+
+
+def test_paywall_free_declaration_not_flagged(spark):
+    df = _pages(spark, [
+        '{"isAccessibleForFree": false}',
+        '{"isAccessibleForFree": "false"}',
+        '{"isAccessibleForFree": true}',
+        "<div>Subscribe to continue reading</div>",
+    ])
+    r = paywall_detect(df).collect()[0]
+    assert r["declared_share"] == 0.5
+    assert r["phrase_share"] == 0.25
+    assert r["paywalled_share"] == 0.75
+
+
+def test_js_required_shell_and_thin(spark):
+    long_text = "<p>" + "word " * 80 + "</p>"
+    df = _pages(spark, [
+        '<div id="root"></div><script src="/b.js"></script>',
+        "<noscript>Please enable JavaScript</noscript>" + long_text,
+        '<script>a</script><script src="/x.js"></script><p>tiny</p>',
+        long_text,
+    ])
+    r = js_required(df).collect()[0]
+    assert r["shell_share"] == 0.25
+    assert r["noscript_share"] == 0.25
+    assert r["thin_share"] == 0.25  # shell page has 1 script -> not thin
+    assert r["js_required_share"] == 0.75  # long-text page stays clean
