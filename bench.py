@@ -481,6 +481,8 @@ _EXTRA_PICKS = [
     "pk_windowdiff", "bcubed", "encoding_stats",
     # round-3 batch (text-completeness page gates)
     "consent_wall", "paywall_detect", "js_required",
+    # round-3 batch (amp + pwa + hreflang reciprocity)
+    "amp_census", "pwa_census", "hreflang_return",
 ]
 
 

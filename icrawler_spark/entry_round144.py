@@ -1,0 +1,189 @@
+"""Round-3 driver-contract queries (batch 138): AMP adoption census,
+PWA capability census (operators/warc.py), hreflang return-tag
+validation (operators/sitemap.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import sitemap as _sitemap
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# amp_census
+# ---------------------------------------------------------------------------
+
+
+def _amp_pages(spark, sf) -> DataFrame:
+    """Lanes: amp document (html amp attr); canonical declaring an
+    amphtml twin; page whose class contains 'amp' as a substring (must
+    NOT count); plain page."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 4 == 0, F.concat(
+        F.lit('<html amp lang="en"><body>a'), eid, F.lit("</body></html>")))
+        .when(e % 4 == 1, F.concat(
+            F.lit('<html><link rel="amphtml" href="https://m.test/amp/'),
+            (e % 9).cast("string"), F.lit('"><p>c'), eid, F.lit("</p>")))
+        .when(e % 4 == 2, F.concat(
+            F.lit('<html class="lampshade"><p>x'), eid, F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<html><p>plain "), eid, F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("a"), (e % 5).cast("string"))
+                     .alias("host"),
+                     F.concat(F.lit("https://a.test/p"), eid).alias("url"),
+                     html.alias("html"))
+
+
+_AMP_PAGES_SQL = """
+  SELECT 'a' || CAST(event_id % 5 AS VARCHAR) AS host,
+    'https://a.test/p' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN '<html amp lang="en"><body>a'
+        || CAST(event_id AS VARCHAR) || '</body></html>'
+      WHEN 1 THEN '<html><link rel="amphtml" href="https://m.test/amp/'
+        || CAST(event_id % 9 AS VARCHAR) || '"><p>c'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 2 THEN '<html class="lampshade"><p>x'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<html><p>plain ' || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_amp_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.amp_census: attr regexp + amphtml link extract in
+    scan + ONE groupBy(host); 'lampshade' class must not count."""
+    return _warc.amp_census(_amp_pages(spark, sf))
+
+
+def _amp_census_sql() -> str:
+    return _warc.amp_census_sql(_AMP_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pwa_census
+# ---------------------------------------------------------------------------
+
+
+def _pwa_pages(spark, sf) -> DataFrame:
+    """Lanes: full PWA (manifest + SW + theme); touch-icon only;
+    plain."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 3 == 0, F.concat(
+        F.lit('<link rel="manifest" href="/m.json">'
+              '<meta name="theme-color" content="#fff">'
+              "<script>navigator.serviceWorker.register('/sw.js')"
+              "</script><p>"), eid, F.lit("</p>")))
+        .when(e % 3 == 1, F.concat(
+            F.lit('<link rel="apple-touch-icon" href="/i.png"><p>'),
+            eid, F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<p>plain "), eid, F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("q"), (e % 4).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_PWA_PAGES_SQL = """
+  SELECT 'q' || CAST(event_id % 4 AS VARCHAR) AS host,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<link rel="manifest" href="/m.json">'
+        || '<meta name="theme-color" content="#fff">'
+        || '<script>navigator.serviceWorker.register(''/sw.js'')'
+        || '</script><p>' || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 1 THEN '<link rel="apple-touch-icon" href="/i.png"><p>'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<p>plain ' || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_pwa_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.pwa_census: contains flags in scan + ONE
+    groupBy(host)."""
+    return _warc.pwa_census(_pwa_pages(spark, sf))
+
+
+def _pwa_census_sql() -> str:
+    return _warc.pwa_census_sql(_PWA_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hreflang_return — reciprocal vs dangling annotation lanes
+# ---------------------------------------------------------------------------
+
+
+def _hr_tags(spark, sf) -> DataFrame:
+    """Pages a<k> and b<k> cross-declare each other (confirmed both
+    ways); pages c<k> declare d<k> which never declares back
+    (dangling)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
+    e = F.col("event_id")
+    k = (e % 50).cast("string")
+    a = F.concat(F.lit("https://en.test/a"), k)
+    b = F.concat(F.lit("https://de.test/b"), k)
+    c = F.concat(F.lit("https://en.test/c"), k)
+    d = F.concat(F.lit("https://fr.test/d"), k)
+    src = (F.when(e % 3 == 0, a).when(e % 3 == 1, b).otherwise(c))
+    dst = (F.when(e % 3 == 0, b).when(e % 3 == 1, a).otherwise(d))
+    lang = (F.when(e % 3 == 0, "de").when(e % 3 == 1, "en")
+            .otherwise("fr"))
+    return ev.select(src.alias("url"), dst.alias("alt_url"),
+                     lang.alias("lang"))
+
+
+_HR_TAGS_SQL = """
+  SELECT
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN 'https://en.test/a' || CAST(event_id % 50 AS VARCHAR)
+      WHEN 1 THEN 'https://de.test/b' || CAST(event_id % 50 AS VARCHAR)
+      ELSE 'https://en.test/c' || CAST(event_id % 50 AS VARCHAR)
+    END AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN 'https://de.test/b' || CAST(event_id % 50 AS VARCHAR)
+      WHEN 1 THEN 'https://en.test/a' || CAST(event_id % 50 AS VARCHAR)
+      ELSE 'https://fr.test/d' || CAST(event_id % 50 AS VARCHAR)
+    END AS alt_url,
+    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'de'
+      WHEN 1 THEN 'en' ELSE 'fr' END AS lang
+  FROM events WHERE event_id % 4 = 0
+"""
+
+
+def q_hreflang_return(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/sitemap.hreflang_return: ONE reversed-pair self-join;
+    a/b pairs confirm, c->d dangles."""
+    return _sitemap.hreflang_return(_hr_tags(spark, sf))
+
+
+def _hreflang_return_sql() -> str:
+    return _sitemap.hreflang_return_sql(_HR_TAGS_SQL)
+
+
+def queries144():
+    return {
+        "amp_census": q_amp_census,
+        "pwa_census": q_pwa_census,
+        "hreflang_return": q_hreflang_return,
+    }
+
+
+def oracle_sql144():
+    return {
+        "amp_census": _amp_census_sql(),
+        "pwa_census": _pwa_census_sql(),
+        "hreflang_return": _hreflang_return_sql(),
+    }

@@ -674,3 +674,69 @@ SELECT host, section, pos,
 FROM named
 WHERE regexp_extract(line, '^\\s*-\\s*\\[([^\\]]*)\\]\\(([^)\\s]+)\\)', 2) <> ''
 """
+
+
+def hreflang_return(
+    tags: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "alt_url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """hreflang return-tag validation (Google's hreflang spec requires
+    reciprocity: if A declares B as its ``de`` alternate, B must declare
+    A back, else the annotation is ignored): over extracted (page, alt,
+    lang) link rows, classify each directed annotation as confirmed
+    (some return annotation B→A exists) or dangling. Complements
+    :func:`hreflang_clusters` (which groups by declared cluster and
+    assumes the site is well-formed) — at web scale unreciprocated
+    hreflang is the norm, and crawlers must not merge clusters on
+    dangling edges.
+
+    Returns per source host: (host, n_annotations, n_confirmed,
+    n_dangling, confirmed_share rounded 6).
+
+    Scale shape: ONE self-join on the (dst, src) reversed key — both
+    sides key on url pairs, no windows.
+    """
+    base = tags.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"),
+                       F.col(lang_col).alias("lang"))
+    rev = base.select(F.col("src").alias("r_src"),
+                      F.col("dst").alias("r_dst")).distinct()
+    joined = base.join(
+        rev, (base.dst == rev.r_src) & (base.src == rev.r_dst), "left")
+    host = F.regexp_extract("src", r"^https?://([^/]+)", 1)
+    per = joined.select(
+        host.alias("host"),
+        F.col("r_src").isNotNull().cast("int").alias("ok"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_annotations"),
+        F.sum("ok").cast("long").alias("n_confirmed"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_dangling"),
+        F.round(F.avg("ok"), 6).alias("confirmed_share"))
+
+
+def hreflang_return_sql(tags_sql: str) -> str:
+    """DuckDB mirror of :func:`hreflang_return` over a (url, alt_url,
+    lang) SELECT."""
+    return f"""
+WITH base AS (
+  SELECT url AS src, alt_url AS dst, lang FROM ({tags_sql})
+),
+rev AS (SELECT DISTINCT src AS r_src, dst AS r_dst FROM base),
+joined AS (
+  SELECT b.src,
+    CASE WHEN r.r_src IS NOT NULL THEN 1 ELSE 0 END AS ok
+  FROM base b
+  LEFT JOIN rev r ON b.dst = r.r_src AND b.src = r.r_dst
+),
+per AS (
+  SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS host, ok
+  FROM joined
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_annotations,
+  CAST(SUM(ok) AS BIGINT) AS n_confirmed,
+  CAST(SUM(1 - ok) AS BIGINT) AS n_dangling,
+  round(AVG(ok), 6) AS confirmed_share
+FROM per GROUP BY host
+"""

@@ -2213,3 +2213,110 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
   round(AVG(greatest(sh, ns, th)), 6) AS js_required_share
 FROM per GROUP BY host
 """
+
+
+def amp_census(pages: DataFrame, host_col: str = "host",
+               url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """AMP adoption census (amp.dev spec: the ``<html amp>`` / ``<html
+    ⚡>`` attribute marks an AMP document; canonical pages point to
+    their AMP twin via ``<link rel="amphtml" href>``): per host, how
+    many captures ARE amp documents, how many canonical pages DECLARE
+    an amp alternate, and how many distinct amp URLs those declarations
+    cover. AMP twins are exact content duplicates by construction —
+    a dedup pipeline treats the amphtml link as a free
+    duplicate-cluster edge (same role as the canonical link in
+    ``crawl_canonical``).
+
+    Returns per host: (host, n_pages, is_amp_share, declares_amp_share,
+    n_amp_targets), shares rounded 6.
+
+    Scale shape: regexp flags in scan + ONE groupBy(host).
+    """
+    h = F.lower(F.col(html_col))
+    is_amp = h.rlike(r"<html[^>]*\s(amp|⚡)[\s>]").cast("int")
+    amp_href = F.regexp_extract(
+        F.col(html_col), r'<link rel="amphtml" href="([^"]*)"', 1)
+    per = pages.select(
+        F.col(host_col).alias("host"), is_amp.alias("amp"),
+        F.when(amp_href != "", amp_href).alias("target"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("amp"), 6).alias("is_amp_share"),
+        F.round(F.avg(F.col("target").isNotNull().cast("int")), 6)
+        .alias("declares_amp_share"),
+        F.countDistinct("target").cast("long").alias("n_amp_targets"))
+
+
+def amp_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`amp_census` over a (host, url, html)
+    SELECT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+per AS (
+  SELECT host,
+    CASE WHEN regexp_matches(lower(html), '<html[^>]*\\s(amp|⚡)[\\s>]')
+      THEN 1 ELSE 0 END AS amp,
+    CASE WHEN regexp_extract(html,
+        '<link rel="amphtml" href="([^"]*)"', 1) <> ''
+      THEN regexp_extract(html, '<link rel="amphtml" href="([^"]*)"', 1)
+    END AS target
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(amp), 6) AS is_amp_share,
+  round(AVG(CASE WHEN target IS NOT NULL THEN 1 ELSE 0 END), 6)
+    AS declares_amp_share,
+  CAST(COUNT(DISTINCT target) AS BIGINT) AS n_amp_targets
+FROM per GROUP BY host
+"""
+
+
+def pwa_census(pages: DataFrame, host_col: str = "host",
+               html_col: str = "html") -> DataFrame:
+    """Progressive-web-app capability census (W3C appmanifest +
+    service-worker registration): ``<link rel="manifest">``,
+    ``serviceWorker.register`` in inline script, apple-touch-icon, and
+    theme-color meta. PWA-shell hosts correlate strongly with the
+    client-side-rendered shells ``js_required`` flags — the census pair
+    tells the fetch planner which hosts need a rendering crawler.
+
+    Returns per host: (host, n_pages, manifest_share, sw_share,
+    touch_icon_share, theme_share), rounded 6.
+
+    Scale shape: contains/regexp flags in scan + ONE groupBy(host).
+    """
+    h = F.lower(F.col(html_col))
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        h.contains('rel="manifest"').cast("int").alias("man"),
+        h.contains("serviceworker.register").cast("int").alias("sw"),
+        h.contains('rel="apple-touch-icon"').cast("int").alias("ti"),
+        h.contains('name="theme-color"').cast("int").alias("th"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("man"), 6).alias("manifest_share"),
+        F.round(F.avg("sw"), 6).alias("sw_share"),
+        F.round(F.avg("ti"), 6).alias("touch_icon_share"),
+        F.round(F.avg("th"), 6).alias("theme_share"))
+
+
+def pwa_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`pwa_census` over a (host, html)
+    SELECT."""
+    return f"""
+WITH pg AS (SELECT host, lower(html) AS h FROM ({pages_sql})),
+per AS (
+  SELECT host,
+    CASE WHEN contains(h, 'rel="manifest"') THEN 1 ELSE 0 END AS man,
+    CASE WHEN contains(h, 'serviceworker.register')
+      THEN 1 ELSE 0 END AS sw,
+    CASE WHEN contains(h, 'rel="apple-touch-icon"')
+      THEN 1 ELSE 0 END AS ti,
+    CASE WHEN contains(h, 'name="theme-color"') THEN 1 ELSE 0 END AS th
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(man), 6) AS manifest_share, round(AVG(sw), 6) AS sw_share,
+  round(AVG(ti), 6) AS touch_icon_share, round(AVG(th), 6) AS theme_share
+FROM per GROUP BY host
+"""

@@ -1,0 +1,46 @@
+"""Unit tests for round 144: AMP census, PWA census, hreflang return."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.sitemap import hreflang_return
+from icrawler_spark.operators.warc import amp_census, pwa_census
+
+
+def test_amp_census_attr_and_link(spark):
+    rows = [
+        ("h", "u1", '<html amp lang="en"><body>x</body></html>'),
+        ("h", "u2", '<html ⚡><body>y</body></html>'),
+        ("h", "u3", '<html><link rel="amphtml" href="https://m/a1">'),
+        ("h", "u4", '<html class="lampshade"><p>no</p></html>'),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, html string")
+    r = amp_census(df).collect()[0]
+    assert r["is_amp_share"] == 0.5          # amp + ⚡
+    assert r["declares_amp_share"] == 0.25
+    assert r["n_amp_targets"] == 1
+
+
+def test_pwa_census_flags(spark):
+    rows = [
+        ("h", '<link rel="manifest" href="/m.json">'
+              "<script>navigator.serviceWorker.register('/sw')</script>"),
+        ("h", '<link rel="apple-touch-icon" href="/i.png">'),
+    ]
+    df = spark.createDataFrame(rows, "host string, html string")
+    r = pwa_census(df).collect()[0]
+    assert r["manifest_share"] == 0.5 and r["sw_share"] == 0.5
+    assert r["touch_icon_share"] == 0.5 and r["theme_share"] == 0.0
+
+
+def test_hreflang_return_reciprocity(spark):
+    rows = [
+        ("https://en.t/a", "https://de.t/b", "de"),
+        ("https://de.t/b", "https://en.t/a", "en"),
+        ("https://en.t/c", "https://fr.t/d", "fr"),  # dangling
+    ]
+    df = spark.createDataFrame(rows, "url string, alt_url string, lang string")
+    out = {r["host"]: r for r in hreflang_return(df).collect()}
+    assert out["en.t"]["n_annotations"] == 2
+    assert out["en.t"]["n_confirmed"] == 1
+    assert out["en.t"]["n_dangling"] == 1
+    assert out["de.t"]["confirmed_share"] == 1.0
