@@ -483,6 +483,8 @@ _EXTRA_PICKS = [
     "consent_wall", "paywall_detect", "js_required",
     # round-3 batch (amp + pwa + hreflang reciprocity)
     "amp_census", "pwa_census", "hreflang_return",
+    # round-3 batch (dom depth + breadcrumbs + prices)
+    "dom_depth", "breadcrumbs", "price_census",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Round-3 driver-contract queries (batch 139): DOM nesting depth,
+breadcrumb structured-data census, price-mention census
+(operators/warc.py).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import warc as _warc
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dom_depth — nesting lanes incl. voids and self-closing
+# ---------------------------------------------------------------------------
+
+
+def _dd_pages(spark, sf) -> DataFrame:
+    """Lanes: depth-3 nest with a void (img must not add depth);
+    depth-5 div stack; flat page with self-closing svg use."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 3 == 0, F.concat(
+        F.lit('<html><body><div><img src="x.png"><p>a'), eid,
+        F.lit("</p></div></body></html>")))
+        .when(e % 3 == 1, F.concat(
+            F.lit("<div><div><div><div><div>deep "), eid,
+            F.lit("</div></div></div></div></div>")))
+        .otherwise(F.concat(
+            F.lit('<p>flat '), eid, F.lit('</p><use href="#i"/>'))))
+    return ev.select(F.concat(F.lit("d"), (e % 4).cast("string"))
+                     .alias("host"),
+                     F.concat(F.lit("https://d.test/"), eid).alias("url"),
+                     html.alias("html"))
+
+
+_DD_PAGES_SQL = """
+  SELECT 'd' || CAST(event_id % 4 AS VARCHAR) AS host,
+    'https://d.test/' || CAST(event_id AS VARCHAR) AS url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<html><body><div><img src="x.png"><p>a'
+        || CAST(event_id AS VARCHAR) || '</p></div></body></html>'
+      WHEN 1 THEN '<div><div><div><div><div>deep '
+        || CAST(event_id AS VARCHAR)
+        || '</div></div></div></div></div>'
+      ELSE '<p>flat ' || CAST(event_id AS VARCHAR)
+        || '</p><use href="#i"/>'
+    END AS html
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+def q_dom_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.dom_depth: tag-stream running sum per page + ONE
+    groupBy(host); voids/self-closing must not add depth."""
+    return _warc.dom_depth(_dd_pages(spark, sf))
+
+
+def _dom_depth_sql() -> str:
+    return _warc.dom_depth_sql(_DD_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# breadcrumb_census
+# ---------------------------------------------------------------------------
+
+
+def _bc_pages(spark, sf) -> DataFrame:
+    """Lanes: 3-item BreadcrumbList; 2-item; none."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    three = ('{"@type": "BreadcrumbList", "itemListElement": ['
+             '{"position": 1}, {"position": 2}, {"position": 3}]}')
+    two = ('{"@type": "BreadcrumbList", "itemListElement": ['
+           '{"position": 1}, {"position": 2}]}')
+    html = (F.when(e % 3 == 0, F.concat(F.lit("<script>" + three
+                                              + "</script><p>"), eid,
+                                        F.lit("</p>")))
+            .when(e % 3 == 1, F.concat(F.lit("<script>" + two
+                                             + "</script><p>"), eid,
+                                       F.lit("</p>")))
+            .otherwise(F.concat(F.lit("<p>none "), eid, F.lit("</p>"))))
+    return ev.select(F.concat(F.lit("b"), (e % 4).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_BC_PAGES_SQL = """
+  SELECT 'b' || CAST(event_id % 4 AS VARCHAR) AS host,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<script>{"@type": "BreadcrumbList", '
+        || '"itemListElement": [{"position": 1}, {"position": 2}, '
+        || '{"position": 3}]}</script><p>'
+        || CAST(event_id AS VARCHAR) || '</p>'
+      WHEN 1 THEN '<script>{"@type": "BreadcrumbList", '
+        || '"itemListElement": [{"position": 1}, {"position": 2}]}'
+        || '</script><p>' || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<p>none ' || CAST(event_id AS VARCHAR) || '</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_breadcrumbs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.breadcrumb_census: flag + position census in
+    scan + ONE groupBy(host)."""
+    return _warc.breadcrumb_census(_bc_pages(spark, sf))
+
+
+def _breadcrumbs_sql() -> str:
+    return _warc.breadcrumb_census_sql(_BC_PAGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# price_census
+# ---------------------------------------------------------------------------
+
+
+def _pc_pages(spark, sf) -> DataFrame:
+    """Lanes: two dollar prices; one euro price; prose with a bare
+    number (no symbol — excluded)."""
+    ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
+    e = F.col("event_id")
+    eid = e.cast("string")
+    html = (F.when(e % 3 == 0, F.concat(
+        F.lit("<p>now $19.99 was $"), (e % 90 + 10).cast("string"),
+        F.lit(".00</p>")))
+        .when(e % 3 == 1, F.concat(
+            F.lit("<p>für €"), (e % 50 + 1).cast("string"),
+            F.lit(",99 kaufen "), eid, F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<p>chapter "), eid,
+                            F.lit(" has 42 pages</p>"))))
+    return ev.select(F.concat(F.lit("e"), (e % 4).cast("string"))
+                     .alias("host"), html.alias("html"))
+
+
+_PC_PAGES_SQL = """
+  SELECT 'e' || CAST(event_id % 4 AS VARCHAR) AS host,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '<p>now $19.99 was $'
+        || CAST(event_id % 90 + 10 AS VARCHAR) || '.00</p>'
+      WHEN 1 THEN '<p>für €' || CAST(event_id % 50 + 1 AS VARCHAR)
+        || ',99 kaufen ' || CAST(event_id AS VARCHAR) || '</p>'
+      ELSE '<p>chapter ' || CAST(event_id AS VARCHAR)
+        || ' has 42 pages</p>'
+    END AS html
+  FROM events WHERE event_id % 3 = 0
+"""
+
+
+def q_price_census(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/warc.price_census: symbol extract + explode in scan +
+    two keyed groupBys; the bare-number lane must not count."""
+    return _warc.price_census(_pc_pages(spark, sf))
+
+
+def _price_census_sql() -> str:
+    return _warc.price_census_sql(_PC_PAGES_SQL)
+
+
+def queries145():
+    return {
+        "dom_depth": q_dom_depth,
+        "breadcrumbs": q_breadcrumbs,
+        "price_census": q_price_census,
+    }
+
+
+def oracle_sql145():
+    return {
+        "dom_depth": _dom_depth_sql(),
+        "breadcrumbs": _breadcrumbs_sql(),
+        "price_census": _price_census_sql(),
+    }

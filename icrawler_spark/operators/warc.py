@@ -2320,3 +2320,205 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
   round(AVG(ti), 6) AS touch_icon_share, round(AVG(th), 6) AS theme_share
 FROM per GROUP BY host
 """
+
+
+_VOID_TAGS = ("area", "base", "br", "col", "embed", "hr", "img", "input",
+              "link", "meta", "source", "track", "wbr")
+
+
+def dom_depth(pages: DataFrame, host_col: str = "host",
+              url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """DOM nesting-depth profile without building a DOM: stream the tags
+    in document order, +1 on an open tag, -1 on a close, 0 on void/self-
+    closing elements (HTML spec void list), and track the running depth.
+    Deep nesting is the classic template/builder signature (nested
+    layout divs), and extreme depth breaks real parsers — a crawler
+    flags those captures before handing them to an extraction DOM
+    (complements ``markup_density``'s flat tag/text ratios with the
+    structural dimension).
+
+    Malformed HTML makes the count approximate (unclosed tags leave the
+    running sum high) — documented, same trade every streaming depth
+    estimate makes.
+
+    Returns per host: (host, n_pages, avg_max_depth, deepest,
+    avg_tags), rounded 6.
+
+    Scale shape: posexplode fused into the scan + one per-page running-
+    sum window + ONE groupBy(host) — the window partitions by page, not
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    tags = pages.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url"),
+        F.posexplode(F.expr(
+            f"regexp_extract_all(lower({html_col}), '</?[a-z][^>]*>', 0)"))
+        .alias("pos", "tag"))
+    name = F.regexp_extract("tag", r"^</?([a-z][a-z0-9]*)", 1)
+    delta = (F.when(F.col("tag").startswith("</"), -1)
+             .when(name.isin(*_VOID_TAGS) | F.col("tag").endswith("/>"), 0)
+             .otherwise(1))
+    w = Window.partitionBy("url").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    depths = tags.select("host", "url",
+                         F.sum(delta).over(w).alias("depth"))
+    per_page = depths.groupBy("host", "url").agg(
+        F.max("depth").alias("max_depth"), F.count("*").alias("n_tags"))
+    return per_page.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("max_depth"), 6).alias("avg_max_depth"),
+        F.max("max_depth").cast("long").alias("deepest"),
+        F.round(F.avg("n_tags"), 6).alias("avg_tags"))
+
+
+def dom_depth_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`dom_depth` over a (host, url, html)
+    SELECT."""
+    voids = ", ".join(f"'{t}'" for t in _VOID_TAGS)
+    return f"""
+WITH pg AS ({pages_sql}),
+arrs AS (
+  SELECT host, url,
+    regexp_extract_all(lower(html), '</?[a-z][^>]*>') AS arr
+  FROM pg
+),
+tags AS (
+  SELECT host, url, CAST(i AS BIGINT) AS pos, arr[CAST(i AS INT)] AS tag
+  FROM arrs, unnest(range(1, len(arr) + 1)) AS u(i)
+),
+deltas AS (
+  SELECT host, url, pos,
+    CASE WHEN starts_with(tag, '</') THEN -1
+      WHEN regexp_extract(tag, '^</?([a-z][a-z0-9]*)', 1) IN ({voids})
+        OR tag LIKE '%/>' THEN 0
+      ELSE 1 END AS delta
+  FROM tags
+),
+depths AS (
+  SELECT host, url,
+    SUM(delta) OVER (PARTITION BY url ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+  FROM deltas
+),
+per_page AS (
+  SELECT host, url, MAX(depth) AS max_depth, COUNT(*) AS n_tags
+  FROM depths GROUP BY host, url
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(max_depth), 6) AS avg_max_depth,
+  CAST(MAX(max_depth) AS BIGINT) AS deepest,
+  round(AVG(n_tags), 6) AS avg_tags
+FROM per_page GROUP BY host
+"""
+
+
+def breadcrumb_census(pages: DataFrame, host_col: str = "host",
+                      html_col: str = "html") -> DataFrame:
+    """Breadcrumb structured-data census (schema.org BreadcrumbList —
+    the machine-readable site hierarchy Google's docs specify): per
+    host, how many pages declare a breadcrumb trail and how many
+    ListItem positions deep the trails run. The declared hierarchy
+    cross-checks the URL-derived one (``dirtree``): sites whose
+    breadcrumb depth disagrees with their path depth route content
+    through query params or flat slugs — which changes how
+    ``url_templates`` should cluster them.
+
+    Returns per host: (host, n_pages, bc_share, avg_trail_len) — trail
+    length averaged over declaring pages only (NULL when none),
+    rounded 6.
+
+    Scale shape: contains flag + one regexp census in the scan + ONE
+    groupBy(host).
+    """
+    h = F.col(html_col)
+    has_bc = F.lower(h).contains('"breadcrumblist"').cast("int")
+    n_items = F.expr(
+        f"size(regexp_extract_all({html_col}, '\"position\"', 0))")
+    per = pages.select(F.col(host_col).alias("host"),
+                       has_bc.alias("bc"),
+                       F.when(has_bc == 1, n_items).alias("items"))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.avg("bc"), 6).alias("bc_share"),
+        F.round(F.avg("items"), 6).alias("avg_trail_len"))
+
+
+def breadcrumb_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`breadcrumb_census` over a (host, html)
+    SELECT."""
+    return f"""
+WITH pg AS ({pages_sql}),
+per AS (
+  SELECT host,
+    CASE WHEN contains(lower(html), '"breadcrumblist"')
+      THEN 1 ELSE 0 END AS bc,
+    CASE WHEN contains(lower(html), '"breadcrumblist"')
+      THEN len(regexp_extract_all(html, '"position"')) END AS items
+  FROM pg
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  round(AVG(bc), 6) AS bc_share,
+  round(AVG(items), 6) AS avg_trail_len
+FROM per GROUP BY host
+"""
+
+
+_PRICE_RE = r"([$€£])\s?[0-9][0-9.,]*"
+
+
+def price_census(pages: DataFrame, host_col: str = "host",
+                 html_col: str = "html") -> DataFrame:
+    """Price-mention census: currency-symbol amounts per page, split by
+    symbol — the cheap e-commerce/listing-page detector (product and
+    category pages are price-dense, articles are price-free), which
+    routes hosts between the text-corpus path and the product-catalog
+    path. Complements ``structured_data_coverage`` (schema.org Product
+    is declared; prices in markup are observed).
+
+    Returns per (host, currency): (host, currency, n_pages,
+    n_mentions) plus per-host share via the ``price_pages`` column
+    (pages on this host with >= 1 mention of this currency).
+
+    Scale shape: regexp extract-all + explode fused into the scan + ONE
+    groupBy(host, currency).
+    """
+    # page_id binds BEFORE the explode (a generator in the same
+    # projection would stamp one id per mention, not per page)
+    ids = pages.select(F.col(host_col).alias("host"), F.col(html_col)
+                       .alias("__html")) \
+        .withColumn("page_id", F.monotonically_increasing_id())
+    per = ids.select(
+        "host", "page_id",
+        F.explode(F.expr(
+            f"regexp_extract_all(__html, '{_PRICE_RE}', 1)"))
+        .alias("currency"))
+    pp = per.groupBy("host", "currency", "page_id").agg(
+        F.count("*").alias("n_mention"))
+    return pp.groupBy("host", "currency").agg(
+        F.count("*").cast("long").alias("price_pages"),
+        F.sum("n_mention").cast("long").alias("n_mentions"))
+
+
+def price_census_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`price_census` over a (host, html)
+    SELECT. Page identity is positional (row_number), mirroring the
+    engine's monotonic id — only per-(host, currency) aggregates are
+    compared."""
+    return f"""
+WITH pg AS (
+  SELECT host, row_number() OVER () AS page_id, html FROM ({pages_sql})
+),
+per AS (
+  SELECT host, page_id,
+    unnest(regexp_extract_all(html, '{_PRICE_RE}', 1)) AS currency
+  FROM pg
+),
+pp AS (
+  SELECT host, currency, page_id, COUNT(*) AS n_mention
+  FROM per GROUP BY host, currency, page_id
+)
+SELECT host, currency, CAST(COUNT(*) AS BIGINT) AS price_pages,
+  CAST(SUM(n_mention) AS BIGINT) AS n_mentions
+FROM pp GROUP BY host, currency
+"""

@@ -1,0 +1,44 @@
+"""Unit tests for round 145: DOM depth, breadcrumbs, price census."""
+
+from __future__ import annotations
+
+from icrawler_spark.operators.warc import (breadcrumb_census, dom_depth,
+                                           price_census)
+
+
+def test_dom_depth_voids_dont_nest(spark):
+    html = '<html><body><div><img src="x"><p>t</p></div></body></html>'
+    df = spark.createDataFrame([("h", "u", html)],
+                               "host string, url string, html string")
+    r = dom_depth(df).collect()[0]
+    # html>body>div>p = 4; img is void
+    assert r["deepest"] == 4
+    assert r["avg_tags"] == 9.0
+
+
+def test_dom_depth_self_closing(spark):
+    html = '<div><use href="#i"/><span>x</span></div>'
+    df = spark.createDataFrame([("h", "u", html)],
+                               "host string, url string, html string")
+    assert dom_depth(df).collect()[0]["deepest"] == 2
+
+
+def test_breadcrumbs_trail_length(spark):
+    bc = ('<script>{"@type": "BreadcrumbList", "itemListElement": '
+          '[{"position": 1}, {"position": 2}]}</script>')
+    rows = [("h", bc), ("h", "<p>no</p>")]
+    df = spark.createDataFrame(rows, "host string, html string")
+    r = breadcrumb_census(df).collect()[0]
+    assert r["bc_share"] == 0.5
+    assert r["avg_trail_len"] == 2.0  # averaged over declaring pages
+
+
+def test_price_census_symbols(spark):
+    rows = [("h", "<p>now $19.99 was $25.00</p>"),
+            ("h", "<p>für €5,99</p>"),
+            ("h", "<p>42 pages</p>")]
+    df = spark.createDataFrame(rows, "host string, html string")
+    out = {r["currency"]: r for r in price_census(df).collect()}
+    assert out["$"]["price_pages"] == 1 and out["$"]["n_mentions"] == 2
+    assert out["€"]["price_pages"] == 1 and out["€"]["n_mentions"] == 1
+    assert sorted(out) == ["$", "€"]
