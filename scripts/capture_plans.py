@@ -318,6 +318,45 @@ def main() -> None:
         "co-partitioned with the aggregate that follows.",
     ))
 
+    # 16. Z-order layout assignment (file-skipping evidence)
+    from icrawler_spark.operators.layout import zorder_layout
+
+    zl_rows = ev.select(((F.col("event_id") * 7 + 3) % 32).cast("long")
+                        .alias("x"),
+                        (F.floor(F.col("event_id") / 320) % 32)
+                        .cast("long").alias("y"))
+    sections.append((
+        "Z-order (Morton) file assignment + zone maps",
+        fmt(zorder_layout(zl_rows, bits=5, file_shift=4, probe_x=3)),
+        "The write-path layout decision for the pages corpus (host-hash ×\n"
+        "crawl-day). What to check: the Morton interleave is a pure bit\n"
+        "projection FUSED into the scan (no exchange below the single\n"
+        "HashAggregate); the only shuffle keys on file_id — at write time\n"
+        "the same z expression feeds repartitionByRange, so laying out\n"
+        "100 TB costs exactly one range shuffle and the zone maps it\n"
+        "produces are what Iceberg min/max pruning reads back.",
+    ))
+
+    # 17. PPR-Nibble sweep cut (local community extraction)
+    from icrawler_spark.operators.graph import sweep_cut
+
+    sc_edges = ev.filter(F.col("event_id") < 80).select(
+        (F.col("event_id") % 40).cast("long").alias("src"),
+        ((F.col("event_id") * 3 + 1) % 40).cast("long").alias("dst"))
+    sc_scores = ev.filter(F.col("event_id") < 40).select(
+        F.col("event_id").cast("long").alias("node"),
+        (100.0 - F.col("event_id")).alias("score"))
+    sections.append((
+        "PPR-Nibble sweep cut (conductance sweep)",
+        fmt(sweep_cut(sc_edges, sc_scores, max_rank=20)),
+        "Local community extraction from PPR scores. What to check: degrees\n"
+        "come from ONE groupBy over the symmetrized edges; the e_in term is\n"
+        "an edge/rank self-join keyed on node ids (hash joins, no cross\n"
+        "product); the only single-task window ranks the PPR support —\n"
+        "sparse by ACL06 — and the cumsum sweep runs over the max_rank-\n"
+        "bounded prefix only.",
+    ))
+
     header = (
         "# PLANS — physical plans of the core operators\n\n"
         "Captured `explain(\"formatted\")` output (operator tree section) for the\n"
