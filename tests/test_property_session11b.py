@@ -1,0 +1,136 @@
+"""Property differentials for the websec parsers: CSP audit, HSTS
+audit, and Vary census against pure-Python oracles on hypothesis-
+generated headers — one Spark job per example."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+# ---------------------------------------------------------------------------
+# csp_audit vs Python
+# ---------------------------------------------------------------------------
+
+_src = st.sampled_from(["'self'", "'unsafe-inline'", "'unsafe-eval'", "*",
+                        "data:", "https:", "*.cdn.test", "cdn.example"])
+_dirname = st.sampled_from(["script-src", "default-src", "img-src",
+                            "style-src", "object-src"])
+_directive = st.tuples(_dirname, st.lists(_src, min_size=0, max_size=4)) \
+    .map(lambda t: t[0] + ("" if not t[1] else " " + " ".join(t[1])))
+_policy = st.lists(_directive, min_size=1, max_size=4).map("; ".join)
+
+
+def _csp_py(policy):
+    inline = ev = wild = data = 0
+    n_dirs = 0
+    for d in policy.split(";"):
+        d = d.strip()
+        if d:
+            n_dirs += 1
+        toks = re.split(r"\s+", d)
+        if toks[0].lower() in ("script-src", "default-src"):
+            srcs = toks[1:]
+            inline |= "'unsafe-inline'" in srcs
+            ev |= "'unsafe-eval'" in srcs
+            wild |= "*" in srcs
+            data |= "data:" in srcs
+    return n_dirs, bool(inline), bool(ev), bool(wild), bool(data)
+
+
+@given(policies=st.lists(_policy, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_csp_audit_matches_python(spark, policies):
+    from icrawler_spark.operators.websec import csp_audit
+
+    rows = [("h", f"u{i}", p) for i, p in enumerate(policies)]
+    df = spark.createDataFrame(rows, "host string, url string, csp string")
+    r = csp_audit(df).collect()[0]
+    exp = [_csp_py(p) for p in policies]
+    n = len(policies)
+    assert r["n_policies"] == n
+    assert r["avg_dirs"] == round(sum(e[0] for e in exp) / n, 6)
+    assert r["inline_share"] == round(sum(e[1] for e in exp) / n, 6)
+    assert r["eval_share"] == round(sum(e[2] for e in exp) / n, 6)
+    assert r["wildcard_share"] == round(sum(e[3] for e in exp) / n, 6)
+    assert r["data_share"] == round(sum(e[4] for e in exp) / n, 6)
+
+
+# ---------------------------------------------------------------------------
+# hsts_audit vs Python
+# ---------------------------------------------------------------------------
+
+_hsts_val = st.builds(
+    lambda ma, sub, pre: "; ".join(
+        ([f"max-age={ma}"] if ma is not None else [])
+        + (["includeSubDomains"] if sub else [])
+        + (["preload"] if pre else [])) or "x",
+    st.one_of(st.none(), st.integers(min_value=0, max_value=10**8)),
+    st.booleans(), st.booleans())
+
+
+def _hsts_py(vals):
+    mas = [int(m.group(1)) for v in vals
+           if (m := re.search(r"max-age=([0-9]+)", v.lower()))]
+    sub = any("includesubdomains" in v.lower() for v in vals)
+    pre = any("preload" in v.lower() for v in vals)
+    elig = any(
+        (m := re.search(r"max-age=([0-9]+)", v.lower()))
+        and int(m.group(1)) >= 31536000
+        and "includesubdomains" in v.lower() and "preload" in v.lower()
+        for v in vals)
+    return (max(mas) if mas else None), sub, pre, elig
+
+
+@given(vals=st.lists(_hsts_val, min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_hsts_audit_matches_python(spark, vals):
+    from icrawler_spark.operators.websec import hsts_audit
+
+    df = spark.createDataFrame([("h", v) for v in vals],
+                               "host string, hsts string")
+    r = hsts_audit(df).collect()[0]
+    ma, sub, pre, elig = _hsts_py(vals)
+    assert r["max_age"] == ma
+    assert r["subdomains"] is sub and r["preload"] is pre
+    assert r["eligible"] is elig
+
+
+# ---------------------------------------------------------------------------
+# vary_census vs Python
+# ---------------------------------------------------------------------------
+
+_vkey = st.sampled_from(["Accept-Encoding", "cookie", "User-Agent", "*",
+                         " Accept-Language "])
+_vary = st.lists(_vkey, min_size=1, max_size=3).map(", ".join)
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from("abc"), _vary),
+                     min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_vary_census_matches_python(spark, rows):
+    from collections import defaultdict
+
+    from icrawler_spark.operators.websec import vary_census
+
+    df = spark.createDataFrame([(f"h{h}", v) for h, v in rows],
+                               "host string, vary string")
+    out = {r["vary_key"]: r for r in vary_census(df).collect()}
+    counts = defaultdict(int)
+    hosts = defaultdict(set)
+    for h, v in rows:
+        for k in v.split(","):
+            k = k.strip().lower()
+            if k:
+                counts[k] += 1
+                hosts[k].add(f"h{h}")
+    assert set(out) == set(counts)
+    for k in counts:
+        assert out[k]["n_responses"] == counts[k]
+        assert out[k]["n_hosts"] == len(hosts[k])
+        assert out[k]["star"] is (k == "*")
