@@ -84,7 +84,7 @@ def _sri_pages(spark, sf) -> DataFrame:
                    F.lit('/app.js"></script>'))
     third = F.concat(F.lit('<script src="https://cdn'), (e % 3).cast("string"),
                      F.lit('.lib/x.js"'),
-                     F.when(e % 2 == 0,
+                     F.when(F.floor(e / 4) % 2 == 0,
                             ' integrity="sha384-abc" crossorigin>')
                      .otherwise(">"), F.lit("</script>"))
     rel = F.lit('<script src="/local.js"></script>')
@@ -110,7 +110,7 @@ _SRI_PAGES_SQL = """
       '<script src="https://' || host || '/app.js"></script>' AS own,
       '<script src="https://cdn' || CAST(event_id % 3 AS VARCHAR)
         || '.lib/x.js"'
-        || CASE WHEN event_id % 2 = 0
+        || CASE WHEN (event_id // 4) % 2 = 0
              THEN ' integrity="sha384-abc" crossorigin>' ELSE '>' END
         || '</script>' AS third
     FROM (SELECT event_id,

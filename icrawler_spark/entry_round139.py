@@ -139,11 +139,12 @@ def _hsts_rows(spark, sf) -> DataFrame:
     (no max-age)."""
     ev = _events(spark, sf).filter(F.col("event_id") % 5 == 0)
     e = F.col("event_id")
-    v = (F.when(e % 5 == 0,
+    lane = F.floor(e / 5) % 5
+    v = (F.when(lane == 0,
                 "max-age=63072000; includeSubDomains; preload")
-         .when(e % 5 == 1, "max-age=63072000; includeSubDomains")
-         .when(e % 5 == 2, "max-age=300; includeSubDomains; preload")
-         .when(e % 5 == 3, "max-age=0")
+         .when(lane == 1, "max-age=63072000; includeSubDomains")
+         .when(lane == 2, "max-age=300; includeSubDomains; preload")
+         .when(lane == 3, "max-age=0")
          .otherwise("includeSubDomains"))
     return ev.select(F.concat(F.lit("t"), (e % 7).cast("string"))
                      .alias("host"), v.alias("hsts"))
@@ -151,7 +152,7 @@ def _hsts_rows(spark, sf) -> DataFrame:
 
 _HSTS_ROWS_SQL = """
   SELECT 't' || CAST(event_id % 7 AS VARCHAR) AS host,
-    CASE CAST(event_id % 5 AS INT)
+    CASE CAST((event_id // 5) % 5 AS INT)
       WHEN 0 THEN 'max-age=63072000; includeSubDomains; preload'
       WHEN 1 THEN 'max-age=63072000; includeSubDomains'
       WHEN 2 THEN 'max-age=300; includeSubDomains; preload'

@@ -79,13 +79,14 @@ def _ay_pages(spark, sf) -> DataFrame:
     covered)."""
     ev = _events(spark, sf).filter(F.col("event_id") % 4 == 0)
     e = F.col("event_id")
+    lane = F.floor(e / 4) % 4
     eid = e.cast("string")
-    html = (F.when(e % 4 == 0, F.concat(
+    html = (F.when(lane == 0, F.concat(
         F.lit('<html lang="en"><img src="a.jpg" alt="cat '), eid,
         F.lit('"><div role="nav" aria-label="x"></div></html>')))
-        .when(e % 4 == 1, F.concat(
+        .when(lane == 1, F.concat(
             F.lit('<html><img src="b'), eid, F.lit('.jpg"></html>')))
-        .when(e % 4 == 2, F.concat(
+        .when(lane == 2, F.concat(
             F.lit('<html lang="de"><p>text '), eid, F.lit("</p></html>")))
         .otherwise(F.concat(
             F.lit('<html><img src="c.jpg" alt=""><img src="d'), eid,
@@ -96,7 +97,7 @@ def _ay_pages(spark, sf) -> DataFrame:
 
 _AY_PAGES_SQL = """
   SELECT 'y' || CAST(event_id % 5 AS VARCHAR) AS host,
-    CASE CAST(event_id % 4 AS INT)
+    CASE CAST((event_id // 4) % 4 AS INT)
       WHEN 0 THEN '<html lang="en"><img src="a.jpg" alt="cat '
         || CAST(event_id AS VARCHAR)
         || '"><div role="nav" aria-label="x"></div></html>'

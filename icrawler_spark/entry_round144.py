@@ -82,13 +82,14 @@ def _pwa_pages(spark, sf) -> DataFrame:
     plain."""
     ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
     e = F.col("event_id")
+    lane = F.floor(e / 3) % 3
     eid = e.cast("string")
-    html = (F.when(e % 3 == 0, F.concat(
+    html = (F.when(lane == 0, F.concat(
         F.lit('<link rel="manifest" href="/m.json">'
               '<meta name="theme-color" content="#fff">'
               "<script>navigator.serviceWorker.register('/sw.js')"
               "</script><p>"), eid, F.lit("</p>")))
-        .when(e % 3 == 1, F.concat(
+        .when(lane == 1, F.concat(
             F.lit('<link rel="apple-touch-icon" href="/i.png"><p>'),
             eid, F.lit("</p>")))
         .otherwise(F.concat(F.lit("<p>plain "), eid, F.lit("</p>"))))
@@ -98,7 +99,7 @@ def _pwa_pages(spark, sf) -> DataFrame:
 
 _PWA_PAGES_SQL = """
   SELECT 'q' || CAST(event_id % 4 AS VARCHAR) AS host,
-    CASE CAST(event_id % 3 AS INT)
+    CASE CAST((event_id // 3) % 3 AS INT)
       WHEN 0 THEN '<link rel="manifest" href="/m.json">'
         || '<meta name="theme-color" content="#fff">'
         || '<script>navigator.serviceWorker.register(''/sw.js'')'

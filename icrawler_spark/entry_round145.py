@@ -78,15 +78,16 @@ def _bc_pages(spark, sf) -> DataFrame:
     """Lanes: 3-item BreadcrumbList; 2-item; none."""
     ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
     e = F.col("event_id")
+    lane = F.floor(e / 3) % 3
     eid = e.cast("string")
     three = ('{"@type": "BreadcrumbList", "itemListElement": ['
              '{"position": 1}, {"position": 2}, {"position": 3}]}')
     two = ('{"@type": "BreadcrumbList", "itemListElement": ['
            '{"position": 1}, {"position": 2}]}')
-    html = (F.when(e % 3 == 0, F.concat(F.lit("<script>" + three
+    html = (F.when(lane == 0, F.concat(F.lit("<script>" + three
                                               + "</script><p>"), eid,
                                         F.lit("</p>")))
-            .when(e % 3 == 1, F.concat(F.lit("<script>" + two
+            .when(lane == 1, F.concat(F.lit("<script>" + two
                                              + "</script><p>"), eid,
                                        F.lit("</p>")))
             .otherwise(F.concat(F.lit("<p>none "), eid, F.lit("</p>"))))
@@ -96,7 +97,7 @@ def _bc_pages(spark, sf) -> DataFrame:
 
 _BC_PAGES_SQL = """
   SELECT 'b' || CAST(event_id % 4 AS VARCHAR) AS host,
-    CASE CAST(event_id % 3 AS INT)
+    CASE CAST((event_id // 3) % 3 AS INT)
       WHEN 0 THEN '<script>{"@type": "BreadcrumbList", '
         || '"itemListElement": [{"position": 1}, {"position": 2}, '
         || '{"position": 3}]}</script><p>'
@@ -130,11 +131,12 @@ def _pc_pages(spark, sf) -> DataFrame:
     number (no symbol — excluded)."""
     ev = _events(spark, sf).filter(F.col("event_id") % 3 == 0)
     e = F.col("event_id")
+    lane = F.floor(e / 3) % 3
     eid = e.cast("string")
-    html = (F.when(e % 3 == 0, F.concat(
+    html = (F.when(lane == 0, F.concat(
         F.lit("<p>now $19.99 was $"), (e % 90 + 10).cast("string"),
         F.lit(".00</p>")))
-        .when(e % 3 == 1, F.concat(
+        .when(lane == 1, F.concat(
             F.lit("<p>für €"), (e % 50 + 1).cast("string"),
             F.lit(",99 kaufen "), eid, F.lit("</p>")))
         .otherwise(F.concat(F.lit("<p>chapter "), eid,
@@ -145,7 +147,7 @@ def _pc_pages(spark, sf) -> DataFrame:
 
 _PC_PAGES_SQL = """
   SELECT 'e' || CAST(event_id % 4 AS VARCHAR) AS host,
-    CASE CAST(event_id % 3 AS INT)
+    CASE CAST((event_id // 3) % 3 AS INT)
       WHEN 0 THEN '<p>now $19.99 was $'
         || CAST(event_id % 90 + 10 AS VARCHAR) || '.00</p>'
       WHEN 1 THEN '<p>für €' || CAST(event_id % 50 + 1 AS VARCHAR)

@@ -3363,7 +3363,10 @@ def sweep_cut(
         edges.select(F.col(dst_col).alias("a"),
                      F.col(src_col).alias("b"))).distinct()
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-    total_vol = sym.count()  # = 2|E|, a driver-side scalar
+    # 2|E| rides the plan as a 1-row crossJoin (like layout_skip_compare's
+    # n_files) instead of an eager count() that would run the
+    # union+distinct shuffle twice
+    tot = sym.agg(F.count("*").alias("total_vol"))
     sc = scores.select(F.col(node_col).alias("a"),
                        F.col(score_col).alias("s"))
     ranked = (sc.join(deg, "a")
@@ -3381,12 +3384,13 @@ def sweep_cut(
             .groupBy(F.col("a")).agg(F.count("*").alias("e_in")))
     pref = ranked.join(e_in, "a", "left") \
         .select("a", "rank", "deg",
-                F.coalesce("e_in", F.lit(0)).alias("e_in"))
+                F.coalesce("e_in", F.lit(0)).alias("e_in")) \
+        .crossJoin(F.broadcast(tot))
     cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     vol = F.sum("deg").over(cum)
     cut = F.sum(F.col("deg") - 2 * F.col("e_in")).over(cum)
     # the full-graph prefix has min(vol, total-vol) = 0 -> NULL, not a cut
-    phi = cut / F.nullif(F.least(vol, F.lit(total_vol) - vol), F.lit(0))
+    phi = cut / F.nullif(F.least(vol, F.col("total_vol") - vol), F.lit(0))
     return pref.select(
         F.col("rank").cast("long").alias("rank"),
         F.col("a").alias("node"), F.col("deg").cast("long").alias("degree"),

@@ -1887,12 +1887,13 @@ def a11y_audit(pages: DataFrame, host_col: str = "host",
 
     Scale shape: regexp censuses in the scan + ONE groupBy(host).
     """
-    h = F.col(html_col)
-    imgs = F.expr(f"size(regexp_extract_all({html_col}, '<img[^>]*>', 0))")
+    low = f"lower({html_col})"
+    h = F.lower(F.col(html_col))
+    imgs = F.expr(f"size(regexp_extract_all({low}, '<img[^>]*>', 0))")
     imgs_alt = F.expr(
-        f"size(regexp_extract_all({html_col}, '<img[^>]*\\\\salt=\"[^\"]+\"[^>]*>', 0))")
+        f"size(regexp_extract_all({low}, '<img[^>]*\\\\salt=\"[^\"]+\"[^>]*>', 0))")
     aria = F.expr(
-        f"size(regexp_extract_all({html_col}, '(role|aria-[a-z]+)=\"', 0))")
+        f"size(regexp_extract_all({low}, '(role|aria-[a-z]+)=\"', 0))")
     lang = h.rlike('<html[^>]* lang="[^"]+"').cast("int")
     per = pages.select(F.col(host_col).alias("host"),
                        imgs.alias("n_i"), imgs_alt.alias("n_a"),
@@ -1917,10 +1918,11 @@ def a11y_audit_sql(pages_sql: str) -> str:
 WITH pg AS ({pages_sql}),
 per AS (
   SELECT host,
-    len(regexp_extract_all(html, '<img[^>]*>')) AS n_i,
-    len(regexp_extract_all(html, '<img[^>]*\\salt="[^"]+"[^>]*>')) AS n_a,
-    len(regexp_extract_all(html, '(role|aria-[a-z]+)="')) AS n_r,
-    CASE WHEN regexp_matches(html, '<html[^>]* lang="[^"]+"')
+    len(regexp_extract_all(lower(html), '<img[^>]*>')) AS n_i,
+    len(regexp_extract_all(lower(html),
+        '<img[^>]*\\salt="[^"]+"[^>]*>')) AS n_a,
+    len(regexp_extract_all(lower(html), '(role|aria-[a-z]+)="')) AS n_r,
+    CASE WHEN regexp_matches(lower(html), '<html[^>]* lang="[^"]+"')
       THEN 1 ELSE 0 END AS lang
   FROM pg
 ),
@@ -2168,7 +2170,10 @@ def js_required(pages: DataFrame, host_col: str = "host",
     noscript = (h.contains("<noscript")
                 & (h.contains("enable javascript")
                    | h.contains("javascript is required"))).cast("int")
-    nostyle = F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " ")
+    # two branches, not a backreference — DuckDB's RE2 silently never
+    # matches \1, so both engines use the RE2-safe form
+    nostyle = F.regexp_replace(
+        h, r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     text_len = F.length(F.trim(F.regexp_replace(
         F.regexp_replace(nostyle, r"<[^>]*>", " "), r"\s+", " ")))
     n_scripts = F.expr(f"size(regexp_extract_all(lower({html_col}),"
@@ -2200,7 +2205,8 @@ per AS (
            OR contains(h, 'javascript is required'))
       THEN 1 ELSE 0 END AS ns,
     CASE WHEN length(trim(regexp_replace(regexp_replace(
-        regexp_replace(h, '<(script|style)[^>]*>.*?</\\1>', ' ', 'gs'),
+        regexp_replace(h,
+          '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gs'),
         '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) < {min_text_chars}
       AND len(regexp_extract_all(h, '<script')) >= 2
       THEN 1 ELSE 0 END AS th
@@ -2234,8 +2240,9 @@ def amp_census(pages: DataFrame, host_col: str = "host",
     """
     h = F.lower(F.col(html_col))
     is_amp = h.rlike(r"<html[^>]*\s(amp|⚡)[\s>]").cast("int")
-    amp_href = F.regexp_extract(
-        F.col(html_col), r'<link rel="amphtml" href="([^"]*)"', 1)
+    # the link extract reads the SAME lowercased source as the attr flag
+    # (legacy uppercase markup must count in both halves or neither)
+    amp_href = F.regexp_extract(h, r'<link rel="amphtml" href="([^"]*)"', 1)
     per = pages.select(
         F.col(host_col).alias("host"), is_amp.alias("amp"),
         F.when(amp_href != "", amp_href).alias("target"))
@@ -2256,9 +2263,10 @@ per AS (
   SELECT host,
     CASE WHEN regexp_matches(lower(html), '<html[^>]*\\s(amp|⚡)[\\s>]')
       THEN 1 ELSE 0 END AS amp,
-    CASE WHEN regexp_extract(html,
+    CASE WHEN regexp_extract(lower(html),
         '<link rel="amphtml" href="([^"]*)"', 1) <> ''
-      THEN regexp_extract(html, '<link rel="amphtml" href="([^"]*)"', 1)
+      THEN regexp_extract(lower(html),
+        '<link rel="amphtml" href="([^"]*)"', 1)
     END AS target
   FROM pg
 )
@@ -2359,7 +2367,7 @@ def dom_depth(pages: DataFrame, host_col: str = "host",
     delta = (F.when(F.col("tag").startswith("</"), -1)
              .when(name.isin(*_VOID_TAGS) | F.col("tag").endswith("/>"), 0)
              .otherwise(1))
-    w = Window.partitionBy("url").orderBy("pos") \
+    w = Window.partitionBy("host", "url").orderBy("pos") \
         .rowsBetween(Window.unboundedPreceding, 0)
     depths = tags.select("host", "url",
                          F.sum(delta).over(w).alias("depth"))
@@ -2397,7 +2405,7 @@ deltas AS (
 ),
 depths AS (
   SELECT host, url,
-    SUM(delta) OVER (PARTITION BY url ORDER BY pos
+    SUM(delta) OVER (PARTITION BY host, url ORDER BY pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
   FROM deltas
 ),
@@ -2434,7 +2442,7 @@ def breadcrumb_census(pages: DataFrame, host_col: str = "host",
     h = F.col(html_col)
     has_bc = F.lower(h).contains('"breadcrumblist"').cast("int")
     n_items = F.expr(
-        f"size(regexp_extract_all({html_col}, '\"position\"', 0))")
+        f"size(regexp_extract_all(lower({html_col}), '\"position\"', 0))")
     per = pages.select(F.col(host_col).alias("host"),
                        has_bc.alias("bc"),
                        F.when(has_bc == 1, n_items).alias("items"))
@@ -2454,7 +2462,7 @@ per AS (
     CASE WHEN contains(lower(html), '"breadcrumblist"')
       THEN 1 ELSE 0 END AS bc,
     CASE WHEN contains(lower(html), '"breadcrumblist"')
-      THEN len(regexp_extract_all(html, '"position"')) END AS items
+      THEN len(regexp_extract_all(lower(html), '"position"')) END AS items
   FROM pg
 )
 SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
@@ -2476,9 +2484,9 @@ def price_census(pages: DataFrame, host_col: str = "host",
     path. Complements ``structured_data_coverage`` (schema.org Product
     is declared; prices in markup are observed).
 
-    Returns per (host, currency): (host, currency, n_pages,
-    n_mentions) plus per-host share via the ``price_pages`` column
-    (pages on this host with >= 1 mention of this currency).
+    Returns per (host, currency): (host, currency, price_pages,
+    n_mentions) — price_pages = pages on this host with >= 1 mention
+    of this currency.
 
     Scale shape: regexp extract-all + explode fused into the scan + ONE
     groupBy(host, currency).
@@ -2488,10 +2496,11 @@ def price_census(pages: DataFrame, host_col: str = "host",
     ids = pages.select(F.col(host_col).alias("host"), F.col(html_col)
                        .alias("__html")) \
         .withColumn("page_id", F.monotonically_increasing_id())
+    expr_re = _PRICE_RE.replace("\\", "\\\\")  # F.expr unescapes once
     per = ids.select(
         "host", "page_id",
         F.explode(F.expr(
-            f"regexp_extract_all(__html, '{_PRICE_RE}', 1)"))
+            f"regexp_extract_all(__html, '{expr_re}', 1)"))
         .alias("currency"))
     pp = per.groupBy("host", "currency", "page_id").agg(
         F.count("*").alias("n_mention"))

@@ -50,3 +50,13 @@ def test_js_required_shell_and_thin(spark):
     assert r["noscript_share"] == 0.25
     assert r["thin_share"] == 0.25  # shell page has 1 script -> not thin
     assert r["js_required_share"] == 0.75  # long-text page stays clean
+
+
+def test_js_required_ignores_inline_script_text(spark):
+    # regression: inline script/style bodies are NOT visible text; the
+    # strip must be RE2-safe (no backreference) so the DuckDB oracle
+    # strips them identically
+    big_js = "<script>" + "var x = 1; " * 40 + "</script>"
+    df = _pages(spark, [big_js + '<script src="/x.js"></script><p>hi</p>'])
+    r = js_required(df).collect()[0]
+    assert r["thin_share"] == 1.0

@@ -42,3 +42,22 @@ def test_price_census_symbols(spark):
     assert out["$"]["price_pages"] == 1 and out["$"]["n_mentions"] == 2
     assert out["€"]["price_pages"] == 1 and out["€"]["n_mentions"] == 1
     assert sorted(out) == ["$", "€"]
+
+
+def test_price_census_space_separated(spark):
+    # regression: the \s in the price regex must survive F.expr
+    # unescaping (it silently became 's?' once)
+    df = spark.createDataFrame([("h", "<p>now $ 19.99 and $5</p>")],
+                               "host string, html string")
+    r = price_census(df).collect()[0]
+    assert r["n_mentions"] == 2
+
+
+def test_dom_depth_same_url_two_hosts(spark):
+    # regression: the depth window partitions by (host, url), so the
+    # same path on two hosts must not interleave tag streams
+    html = "<div><p>x</p></div>"
+    rows = [("h1", "https://x/p", html), ("h2", "https://x/p", html)]
+    df = spark.createDataFrame(rows, "host string, url string, html string")
+    out = {r["host"]: r for r in dom_depth(df).collect()}
+    assert out["h1"]["deepest"] == 2 and out["h2"]["deepest"] == 2
