@@ -485,6 +485,8 @@ _EXTRA_PICKS = [
     "amp_census", "pwa_census", "hreflang_return",
     # round-3 batch (dom depth + breadcrumbs + prices)
     "dom_depth", "breadcrumbs", "price_census",
+    # round-3 batch (unimax language mix)
+    "unimax",
 ]
 
 

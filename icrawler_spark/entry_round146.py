@@ -1,0 +1,70 @@
+"""Round-3 driver-contract queries (batch 140): UniMax epoch-capped
+language allocation (operators/corpus.unimax_alloc).
+
+Fixtures derive deterministically from events; every computed column is
+aliased identically in the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icrawler_spark.operators import corpus as _corpus
+
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# unimax — Zipf-ish per-language availability, budget forces a mix of
+# capped tail languages and level-bound head languages
+# ---------------------------------------------------------------------------
+
+_UM_BUDGET = 200_000.0
+_UM_EPOCHS = 4.0
+
+
+def _um_langs(spark, sf) -> DataFrame:
+    """30 languages with quadratic-skew availability — the tail must hit
+    the 4-epoch cap, the head must share the water level."""
+    ev = _events(spark, sf)
+    e = F.col("event_id")
+    lang = e % 30
+    return (ev.groupBy(F.concat(F.lit("lang"), lang.cast("string"))
+                       .alias("lang"))
+            .agg(F.sum((e % 50) * (e % 7) + 1).cast("long")
+                 .alias("avail_tokens")))
+
+
+_UM_LANGS_SQL = """
+  SELECT 'lang' || CAST(event_id % 30 AS VARCHAR) AS lang,
+    CAST(SUM((event_id % 50) * (event_id % 7) + 1) AS BIGINT)
+      AS avail_tokens
+  FROM events GROUP BY 1
+"""
+
+
+def q_unimax(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/corpus.unimax_alloc: water-filling over the bounded
+    language table; capped tail at 4 epochs, head at the shared level."""
+    return _corpus.unimax_alloc(_um_langs(spark, sf), budget=_UM_BUDGET,
+                                max_epochs=_UM_EPOCHS)
+
+
+def _unimax_sql() -> str:
+    return _corpus.unimax_alloc_sql(_UM_LANGS_SQL, budget=_UM_BUDGET,
+                                    max_epochs=_UM_EPOCHS)
+
+
+def queries146():
+    return {
+        "unimax": q_unimax,
+    }
+
+
+def oracle_sql146():
+    return {
+        "unimax": _unimax_sql(),
+    }

@@ -12856,3 +12856,104 @@ FROM cs
 WHERE floor({float(target_n)!r} * cum / wtot)
       - floor({float(target_n)!r} * (cum - w) / wtot) > 0
 """
+
+
+def unimax_alloc(
+    langs: DataFrame,
+    lang_col: str = "lang",
+    avail_col: str = "avail_tokens",
+    budget: float = 1e9,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax language allocation (Chung et al., ICLR 2023): split a
+    token budget across languages as uniformly as possible subject to a
+    per-language epoch cap — the principled fix for temperature sampling
+    (``temperature_mix``) over-repeating tail languages. Water-filling
+    closed form: sort languages by cap = avail × max_epochs ascending;
+    the first k are capped (affordable at their cap), the rest share the
+    remainder equally at level c = (budget − Σ_{i≤k} cap_i)/(n−k). When
+    every cap fits, the leftover budget is deliberately left unspent
+    (UniMax never exceeds the epoch bound). Complements
+    ``allocate_host_budgets`` (largest-remainder *proportional* split —
+    no cap, different fairness objective).
+
+    Returns per language: (lang, avail, cap, alloc, epochs, capped),
+    floats rounded 6.
+
+    Scale shape: the language table is vocabulary-sized (hundreds of
+    rows), so the single-task sort window is bounded; the corpus itself
+    is only touched upstream when computing avail_tokens.
+    """
+    from pyspark.sql import Window
+
+    cap = (F.col(avail_col).cast("double") * F.lit(float(max_epochs)))
+    base = langs.select(F.col(lang_col).alias("lang"),
+                        F.col(avail_col).cast("double").alias("avail"),
+                        cap.alias("cap"))
+    w = Window.orderBy(F.col("cap").asc(), F.col("lang").asc())
+    ranked = base.select(
+        "lang", "avail", "cap",
+        F.row_number().over(w).alias("i"),
+        F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    b = F.lit(float(budget))
+    # capped iff funding everyone from rank i at cap_i is affordable
+    affordable = (F.col("cap") * (F.col("n") - F.col("i") + 1)
+                  <= b - (F.col("prefix") - F.col("cap")))
+    flagged = ranked.withColumn("capped", affordable)
+    agg = flagged.agg(
+        F.max(F.when(F.col("capped"), F.col("i"))).alias("k"),
+        F.max(F.when(F.col("capped"), F.col("prefix"))).alias("spent"))
+    level = ((b - F.coalesce(F.col("spent"), F.lit(0.0)))
+             / (F.col("n") - F.coalesce(F.col("k"), F.lit(0))))
+    out = flagged.crossJoin(F.broadcast(agg))
+    alloc = F.when(F.col("capped"), F.col("cap")) \
+        .otherwise(F.least(F.col("cap"), level))
+    return out.select(
+        "lang", F.round("avail", 6).alias("avail"),
+        F.round("cap", 6).alias("cap"),
+        F.round(alloc, 6).alias("alloc"),
+        F.round(alloc / F.col("avail"), 6).alias("epochs"),
+        F.col("capped"))
+
+
+def unimax_alloc_sql(langs_sql: str, lang_col: str = "lang",
+                     avail_col: str = "avail_tokens",
+                     budget: float = 1e9,
+                     max_epochs: float = 4.0) -> str:
+    """DuckDB mirror of :func:`unimax_alloc`."""
+    return f"""
+WITH base AS (
+  SELECT {lang_col} AS lang, CAST({avail_col} AS DOUBLE) AS avail,
+    CAST({avail_col} AS DOUBLE) * {float(max_epochs)!r} AS cap
+  FROM ({langs_sql})
+),
+ranked AS (
+  SELECT lang, avail, cap,
+    row_number() OVER (ORDER BY cap ASC, lang ASC) AS i,
+    SUM(cap) OVER (ORDER BY cap ASC, lang ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+    COUNT(*) OVER () AS n
+  FROM base
+),
+flagged AS (
+  SELECT *, cap * (n - i + 1) <= {float(budget)!r} - (prefix - cap)
+    AS capped
+  FROM ranked
+),
+agg AS (
+  SELECT MAX(CASE WHEN capped THEN i END) AS k,
+    MAX(CASE WHEN capped THEN prefix END) AS spent
+  FROM flagged
+)
+SELECT lang, round(avail, 6) AS avail, round(cap, 6) AS cap,
+  round(CASE WHEN capped THEN cap
+    ELSE least(cap, ({float(budget)!r} - coalesce(spent, 0.0))
+               / (n - coalesce(k, 0))) END, 6) AS alloc,
+  round(CASE WHEN capped THEN cap
+    ELSE least(cap, ({float(budget)!r} - coalesce(spent, 0.0))
+               / (n - coalesce(k, 0))) END / avail, 6) AS epochs,
+  capped
+FROM flagged CROSS JOIN agg
+"""

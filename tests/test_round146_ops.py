@@ -1,0 +1,46 @@
+"""Unit tests for round 146: UniMax allocation."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.corpus import unimax_alloc
+
+
+def _langs(spark, avails):
+    return spark.createDataFrame(
+        [(f"l{i}", a) for i, a in enumerate(avails)],
+        "lang string, avail_tokens long")
+
+
+def test_unimax_waterfill(spark):
+    # caps at E=2: [20, 200, 2000]; budget 1000:
+    # l0 capped (20*3=60 <= 1000); l1 capped (20+200*2=420 <= 1000);
+    # l2 takes the rest: 1000-220 = 780 < 4000 cap
+    out = {r["lang"]: r for r in
+           unimax_alloc(_langs(spark, [10, 100, 1000]), budget=1000.0,
+                        max_epochs=2.0).collect()}
+    assert out["l0"]["alloc"] == 20.0 and out["l0"]["capped"]
+    assert out["l1"]["alloc"] == 200.0 and out["l1"]["capped"]
+    assert out["l2"]["alloc"] == 780.0 and not out["l2"]["capped"]
+    assert out["l2"]["epochs"] == pytest.approx(0.78)
+    total = sum(r["alloc"] for r in out.values())
+    assert total == pytest.approx(1000.0)
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    # everything capped, leftover deliberately unspent
+    out = {r["lang"]: r for r in
+           unimax_alloc(_langs(spark, [10, 20]), budget=1000.0,
+                        max_epochs=3.0).collect()}
+    assert out["l0"]["alloc"] == 30.0 and out["l1"]["alloc"] == 60.0
+    assert all(r["capped"] for r in out.values())
+
+
+def test_unimax_uniform_when_no_cap_binds(spark):
+    # budget far below all caps: equal split
+    out = {r["lang"]: r for r in
+           unimax_alloc(_langs(spark, [1000, 2000, 4000]), budget=300.0,
+                        max_epochs=4.0).collect()}
+    assert all(r["alloc"] == 100.0 for r in out.values())
+    assert not any(r["capped"] for r in out.values())
