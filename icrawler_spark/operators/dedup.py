@@ -174,17 +174,23 @@ class BloomSeenFilter:
 
 
 def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
-                         bloom: BloomSeenFilter | None, key: str = "url") -> DataFrame:
+                         bloom: BloomSeenFilter | None, key: str = "url",
+                         release_into: list | None = None) -> DataFrame:
     """Bloom-accelerated exact dedup: definite-new rows bypass the shuffle;
     maybe-seen rows take the exact anti-join. Union preserves exactness.
 
     The marked frame is pinned so the two consumer branches don't recompute
-    the upstream plan (probe UDF + everything above it) twice."""
+    the upstream plan (probe UDF + everything above it) twice. Long-lived
+    callers (streaming foreachBatch) pass ``release_into`` to collect the
+    pinned frame and unpersist it once the result is materialized —
+    otherwise the checkpoint blocks live until driver GC."""
     if seen is None:
         return candidates
     if bloom is None:
         return anti_join_seen(candidates, seen, key)
     marked = bloom.mark_maybe_seen(candidates, key).localCheckpoint(eager=True)
+    if release_into is not None:
+        release_into.append(marked)
     definite_new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return definite_new.unionByName(anti_join_seen(maybe, seen, key))

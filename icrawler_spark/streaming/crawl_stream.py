@@ -31,6 +31,7 @@ invariants as the batch catalog, expressed with streaming primitives.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,6 +124,9 @@ def stream_crawl_pass(
                     os.replace(os.path.join(stage, p),
                                os.path.join(source_dir,
                                             f"discovered_{batch_id}_{i}.txt"))
+                # the per-batch uuid dir (with its _SUCCESS/.crc leftovers)
+                # would otherwise leak one directory per batch
+                shutil.rmtree(stage, ignore_errors=True)
         finally:
             fetched.unpersist()
             if em is not None:
@@ -133,7 +137,10 @@ def stream_crawl_pass(
     try:
         q = start_frontier_ingest(spark, source_dir, state_dir,
                                   available_now=True, on_novel=on_novel)
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream crawl pass did not finish within {timeout_s}s")
     except StreamingQueryException:
         # Transient executor/worker failure mid-pass: every per-batch write
         # is an idempotent overwrite and the stream checkpoint replays the
@@ -145,7 +152,10 @@ def stream_crawl_pass(
         # propagate.
         q = start_frontier_ingest(spark, source_dir, state_dir,
                                   available_now=True, on_novel=on_novel)
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream crawl retry did not finish within {timeout_s}s")
     return stats["novel"]
 
 

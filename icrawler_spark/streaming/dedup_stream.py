@@ -31,16 +31,14 @@ from pyspark.sql import functions as F
 
 def read_discovery_stream(spark: SparkSession, path: str,
                           max_files_per_trigger: int | None = None):
-    """File-source stream of ``<iso-timestamp> <url>`` discovery lines
-    (same record shape as metrics_stream.read_timed_url_stream)."""
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(path)
-    return raw.select(
-        F.to_timestamp(F.substring_index("value", " ", 1))
-         .alias("discovered_ts"),
-        F.substring_index("value", " ", -1).alias("url"))
+    """File-source stream of ``<iso-timestamp> <url>`` discovery lines —
+    delegates to metrics_stream.read_timed_url_stream (ONE parser for the
+    record shape: a prior local copy split on the LAST space, truncating
+    urls that contain one, and let malformed lines through as NULL event
+    times into the stateful operator)."""
+    from icrawler_spark.streaming.metrics_stream import read_timed_url_stream
+
+    return read_timed_url_stream(spark, path, max_files_per_trigger)
 
 
 def dedup_discoveries(stream: DataFrame, watermark: str = "10 minutes",

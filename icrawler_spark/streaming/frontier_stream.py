@@ -5,9 +5,10 @@ The reference's feeder threads push URLs continuously into a queue
 ``readStream`` source of seed/discovered URLs flowing through the same dedup
 and politeness operators:
 
-- in-stream dedup: ``dropDuplicates`` keyed on url under a watermark
-  (bounded state — the streaming analogue of the CachedQueue LRU bound,
-  cached_queue.py:48-49);
+- in-stream dedup: ``dropDuplicatesWithinWatermark`` keyed on url —
+  state truly bounded by the watermark horizon (the streaming analogue of
+  the CachedQueue LRU bound, cached_queue.py:48-49); URLs re-seen past
+  the horizon are caught by the exact anti-join below;
 - cross-batch/cross-restart exact dedup: each micro-batch anti-joins the
   persistent ``seen`` table inside ``foreachBatch`` and appends the novel
   rows — exactly the round loop's D1 operator, with checkpointed offsets
@@ -41,10 +42,16 @@ def read_url_stream(spark: SparkSession, path: str, max_files_per_trigger: int |
 
 
 def dedup_in_stream(stream_df, watermark: str = "10 minutes"):
-    """Bounded-state streaming dedup (dropDuplicates under watermark)."""
+    """Bounded-state streaming dedup. dropDuplicatesWithinWatermark, NOT
+    plain dropDuplicates(["url"]): without the event-time column in the
+    dedup subset the watermark never evicts dropDuplicates state, so a
+    10^8-URL crawl would accumulate every URL in the state store. Within-
+    horizon re-discoveries dedup here; older ones pass through to the
+    exact frontier anti-join (two-tier, same as Bloom + anti-join in the
+    batch engine)."""
     return (stream_df
             .withWatermark("discovered_ts", watermark)
-            .dropDuplicates(["url"]))
+            .dropDuplicatesWithinWatermark(["url"]))
 
 
 FRONTIER_BUCKETS = 32
@@ -112,9 +119,13 @@ def start_frontier_ingest(
         from icrawler_spark.operators.dedup import BloomSeenFilter, anti_join_seen_bloom
 
         ss = batch_df.sparkSession
+        # pinned frames released at batch end so a long-lived query keeps
+        # O(1) block storage (crawl_stream.py's persist discipline)
+        pinned: list[DataFrame] = []
         novel = batch_df.select("url").distinct().withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
         novel = novel.localCheckpoint(eager=True)
+        pinned.append(novel)
         if _frontier_nonempty(frontier_path):
             if state["bloom"] is None:
                 state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
@@ -130,7 +141,8 @@ def start_frontier_ingest(
                     .filter(F.col("bucket").isin(buckets) &
                             (F.col("batch_id") != F.lit(batch_id)))
                     .select("url"))
-            novel = anti_join_seen_bloom(novel, seen, state["bloom"], "url")
+            novel = anti_join_seen_bloom(novel, seen, state["bloom"], "url",
+                                         release_into=pinned)
         elif state["bloom"] is None:
             state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
         novel = novel.localCheckpoint(eager=True)
@@ -147,6 +159,9 @@ def start_frontier_ingest(
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("bucket", "batch_id").parquet(frontier_path))
         state["bloom"].absorb(novel.select("url"), "url")
+        for df in pinned:        # novel itself stays pinned for this batch's
+            df.unpersist()       # writes above; earlier stages are done
+        novel.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)
@@ -160,8 +175,15 @@ def ingest_available(spark: SparkSession, source_dir: str, state_dir: str,
                      timeout_s: int = 120) -> DataFrame:
     """Run one availableNow ingest to completion; return the frontier table."""
     q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True)
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # timed out: the query is STILL RUNNING — returning a partial read
+        # would silently truncate the ingest and orphan the query on the
+        # shared checkpoint. Stop it and surface the timeout.
+        q.stop()
+        raise TimeoutError(
+            f"frontier ingest did not finish within {timeout_s}s")
     frontier_path = os.path.join(state_dir, "frontier")
     if not os.path.isdir(frontier_path):
-        return spark.createDataFrame([], "url string, batch_id long")
+        return spark.createDataFrame(
+            [], "url string, bucket long, batch_id long")
     return spark.read.parquet(frontier_path)

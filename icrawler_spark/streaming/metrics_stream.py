@@ -81,7 +81,9 @@ def run_metrics_available(spark: SparkSession, source_dir: str,
          .option("path", metrics_path)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not finish within {timeout_s}s")
     if not os.path.isdir(metrics_path):
         return spark.createDataFrame(
             [], "window_start timestamp, window_end timestamp, "
@@ -93,7 +95,7 @@ def run_metrics_available(spark: SparkSession, source_dir: str,
 # Per-window host top-k (hot-host monitor)
 # ---------------------------------------------------------------------------
 
-def host_topk_stream(stream_df: DataFrame, k: int = 5,
+def host_topk_stream(stream_df: DataFrame,
                      window_duration: str = "1 minute",
                      watermark: str = "2 minutes") -> DataFrame:
     """Windowed hot-host leaderboard: per tumbling event-time window, the
@@ -135,7 +137,9 @@ def run_host_topk_available(spark: SparkSession, source_dir: str,
          .option("path", counts_path)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not finish within {timeout_s}s")
     if not os.path.isdir(counts_path):
         return spark.createDataFrame(
             [], "window_start timestamp, window_end timestamp, "

@@ -13,7 +13,9 @@ Emission is on-close: a session row appears when a later event (possibly
 batches later) exceeds the gap. The trailing open session stays in state —
 exactly the semantics a downstream joiner wants (only finished sessions are
 facts). All per-batch math is vectorized numpy over the Arrow batch; no
-per-row Python.
+per-row Python. Cross-batch late events (ts older than the persisted
+last-seen) are dropped — the stream twin's explicit late-data policy;
+the batch operator, which sorts globally, has no such cut.
 """
 
 from __future__ import annotations
@@ -48,6 +50,19 @@ def make_sessionizer(gap_s: int = 1800):
             seq0, start0, last0, n0 = state.get
         else:
             seq0, start0, last0, n0 = 0, int(ts[0]), None, 0
+
+        if last0 is not None:
+            # late-data policy: an event older than the persisted
+            # last-seen would regress state (negative-duration sessions,
+            # wrong gap boundaries) — drop it, the same decision
+            # metrics_stream makes via its watermark. In-order streams
+            # are unaffected.
+            keep = ts >= np.int64(last0)
+            if not keep.all():
+                rows = rows[keep]
+                ts = ts[keep]
+                if len(rows) == 0:
+                    return
 
         prev = np.concatenate((
             [np.int64(last0 if last0 is not None else ts[0])], ts[:-1]))

@@ -1,0 +1,65 @@
+"""Direct unit tests for the stateful sessionizer's cross-batch
+semantics (no streaming query: make_sessionizer is a pure function over
+pandas batches plus a GroupState stub)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from icrawler_spark.streaming.session_stream import make_sessionizer
+
+
+class _State:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _batch(ts_list):
+    return pd.DataFrame({"ts_us": ts_list,
+                         "event_id": list(range(len(ts_list)))})
+
+
+def _run(fn, state, ts_list):
+    return list(fn((7,), iter([_batch(ts_list)]), state))
+
+
+def test_sessionizer_closes_on_gap(spark):
+    fn = make_sessionizer(gap_s=1)  # 1s = 1_000_000 us
+    st = _State()
+    out = _run(fn, st, [100, 200, 5_000_000])
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2 and row["duration_us"] == 100
+    # open session (the 5s event) persisted in state
+    seq, start, last, n = st.get
+    assert start == 5_000_000 and n == 1
+
+
+def test_sessionizer_drops_cross_batch_late_events(spark):
+    fn = make_sessionizer(gap_s=1)
+    st = _State((0, 1000, 2000, 2))  # open session last seen at 2000
+    # a straggler at 500 must NOT regress last_us or emit a negative
+    # duration; the in-horizon event at 2500 folds in normally
+    out = _run(fn, st, [500, 2500])
+    assert out == []  # nothing closed
+    seq, start, last, n = st.get
+    assert last == 2500 and start == 1000 and n == 3
+
+
+def test_sessionizer_all_late_batch_keeps_state(spark):
+    fn = make_sessionizer(gap_s=1)
+    st = _State((3, 1000, 2000, 5))
+    out = _run(fn, st, [100, 200])
+    assert out == []
+    assert st.get == (3, 1000, 2000, 5)  # untouched
