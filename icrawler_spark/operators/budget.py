@@ -161,6 +161,14 @@ def ordered_prefix_sum(df: DataFrame, order_cols: list[str], weight_col: str,
     """
     from pyspark.sql import Window
 
+    wtype = dict(df.dtypes).get(weight_col, "")
+    if wtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # the per-partition offsets and the window sum both run in long —
+        # fractional weights would silently truncate to 0-contributions
+        raise TypeError(
+            f"ordered_prefix_sum needs an integral weight column; "
+            f"{weight_col!r} is {wtype} — cast upstream (e.g. to bytes "
+            f"or token counts)")
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
               .withColumn("__pid", F.spark_partition_id())

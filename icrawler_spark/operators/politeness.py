@@ -651,10 +651,15 @@ def host_gini(
     orders below the log itself), then one scalar aggregate. Returns one row
     (n_hosts, total_fetches, gini, top_decile_share), ratios rounded 6.
     """
+    from icrawler_spark.operators.budget import global_row_number
+
     counts = (fetches.groupBy(F.col(host_col).alias("h"))
               .agg(F.count("*").cast("long").alias("cnt")))
-    ranked = counts.withColumn(
-        "i", F.row_number().over(Window.orderBy("cnt", "h")))
+    # two-phase distributed rank (budget.global_row_number), NOT a bare
+    # Window.orderBy — at the ~10^7 hosts this docstring cites, the
+    # unpartitioned window is the single-task cliff host_skew_report's
+    # docstring forbids
+    ranked = global_row_number(counts, ["cnt", "h"], "i", start=1)
     agg = ranked.agg(
         F.count("*").cast("long").alias("n_hosts"),
         F.sum("cnt").cast("long").alias("total_fetches"),
@@ -1960,6 +1965,8 @@ def retry_ladder(
     for i in range(1, k):
         term = F.pow(p, F.lit(i)) * float(2 ** (i - 1)) * float(base_delay_s)
         wait = term if wait is None else wait + term
+    if wait is None:  # max_attempts=1: no retries, no backoff wait
+        wait = F.lit(0.0)
     return (per.select(
         "host", "n", "fails",
         F.round(p, 6).alias("p_fail"),
@@ -1977,7 +1984,7 @@ def retry_ladder_sql(hosts_sql: str, max_attempts: int = 4,
     p = "(CAST(fails AS DOUBLE) / n)"
     wait = " + ".join(
         f"pow({p}, {i}) * {float(2 ** (i - 1))} * {float(base_delay_s)}"
-        for i in range(1, k))
+        for i in range(1, k)) or "0.0"
     return f"""
 WITH per AS (
   SELECT host, CAST(sum(n) AS BIGINT) AS n,

@@ -515,6 +515,13 @@ class GreedyCrawl:
         import time as _time
 
         idx_offset = resolve_file_idx_offset(cfg, self.catalog)
+        if cfg.file_idx_offset == "auto" and fetched_n:
+            # mid-crawl resume: the kept ranker already restarts at
+            # fetched_n, so 'auto' must contribute only the crawl's
+            # ORIGINAL offset (max committed idx minus rows this crawl
+            # fetched) — adding the full max would double-count and leave
+            # a fetched_n-wide gap in the file numbering
+            idx_offset = max(idx_offset - fetched_n, 0)
         if seen_pages is None:
             if cfg.canonical_seen:
                 from icrawler_spark.functions.urls import canonicalize_url
@@ -644,6 +651,16 @@ class GreedyCrawl:
                               .filter(F.col("kept"))
                               .drop("host", "blocked_by", "kept"))
             if cfg.max_per_host is not None:
+                if cfg.robots is not None:
+                    # robots-disallowed URLs must not burn quota slots: a
+                    # host whose earliest-ordered URLs are all disallowed
+                    # would otherwise spend its whole quota on rows the
+                    # robots gate drops anyway, while allowed URLs past the
+                    # quota line are shed permanently (they are in seen).
+                    # Drop-only pass; the fused mark below re-checks
+                    # disallow (idempotent).
+                    frontier_r, _ = robots_politeness_split(
+                        frontier_r, cfg.robots, None, order_cols)
                 # per-host quota gate: cumulative use from the accumulated
                 # order table (counts only — one groupBy over visited rows,
                 # never re-reads pages) + a per-host row_number for this
@@ -718,6 +735,12 @@ class GreedyCrawl:
                 # deferral), counted+measured ranker rides one collect
                 active, deferred = robots_politeness_split(
                     frontier_r, cfg.robots, None, order_cols)
+                # normalize to the frontier schema: frontier_r may carry
+                # gate columns (__priority/__host_prio) that the fused
+                # branch strips via the same select — without it the
+                # round_seconds+no-robots config crashes unioning deferred
+                # into next_frontier
+                deferred = deferred.select(_FRONTIER_SCHEMA_COLS)
                 if gated:
                     ranked, n_visit, batch_chars = global_row_number_measured(
                         active, order_cols, "visit_rank", start=visited,
@@ -740,11 +763,18 @@ class GreedyCrawl:
             # user's batch-HTTP fetcher when CrawlPlugins.fetch is set;
             # broadcast decision from measured frontier bytes, batch-scaled
             if cfg.plugins is not None and cfg.plugins.fetch is not None:
-                fetched_pages = _fetch_plugin(
+                # pin the live-fetch result: texts write, parse-error and
+                # retry-miss anti-joins, and the final texts union all read
+                # fetched_pages — without the pin each action re-runs the
+                # user's HTTP fetcher (duplicate traffic, and an
+                # intermittently-failing URL could land in texts yet count
+                # as a miss). The pages-table join paths below stay lazy:
+                # re-reading parquet is cheap and pure.
+                fetched_pages = self._pin(_fetch_plugin(
                     ranked.select("url", "visit_rank", "parent"),
                     cfg.plugins.fetch,
                     proxy_col=(cfg.proxies.proxy_col("url")
-                               if cfg.proxies is not None else None))
+                               if cfg.proxies is not None else None)))
             elif redirect_map is not None:
                 # redirect-following fetch: join the batch through the
                 # resolved chain map, fetch the TERMINAL url, then key the
@@ -934,12 +964,24 @@ class GreedyCrawl:
                     (err_parts[-1], "parse_errors", rnd),
                     (lineage, "lineage", rnd),
                     (task_new.select("file_url"), "seen_tasks", rnd),
-                    (next_frontier.select("url"), "seen_pages", rnd, "new"),
+                    # page_seen_add carries the SAME key the in-memory seen
+                    # parts hold (canonical under canonical_seen, raw
+                    # otherwise) — the compaction below and resume() feed
+                    # these rows straight back into the canonical-keyed
+                    # anti-join, so writing raw urls here would silently
+                    # break dedup after _COMPACT_PARTS rounds
+                    (page_seen_add, "seen_pages", rnd, "new"),
                     (next_frontier, "frontier", rnd, "next"),
                 ]
                 if rnd == start_round and start_round == 0:
-                    writes.append((frontier.select("url"), "seen_pages", rnd,
-                                   "seeds"))
+                    if cfg.canonical_seen:
+                        from icrawler_spark.functions.urls import                             canonicalize_url
+
+                        seed_seen = frontier.select(
+                            canonicalize_url("url").alias("url"))
+                    else:
+                        seed_seen = frontier.select("url")
+                    writes.append((seed_seen, "seen_pages", rnd, "seeds"))
                 # one concurrent batch, THEN the commit marker: round data
                 # stays invisible until every table's write landed
                 self.catalog.append_many(writes)
@@ -968,6 +1010,13 @@ class GreedyCrawl:
             frontier = next_frontier
             est_rank_rows = max(64, 4 * max(n_visit, n_kept))
             rnd += 1
+        else:
+            # exited on the round budget, not an observed closure: the
+            # frontier may well be non-empty, so 'frontier_exhausted'
+            # would mislead callers distinguishing "crawl complete" from
+            # "round budget hit" (the catalog state stays resumable
+            # either way — only reach_max_num is a terminal marker)
+            stop_reason = "max_rounds"
 
         def _union(parts: list[DataFrame], schema: str) -> DataFrame:
             if not parts:

@@ -1,0 +1,132 @@
+"""Regression tests for the session-11 crawl-core review fixes:
+canonical seen keys in the catalog, 'auto' file-idx on mid-crawl
+resume, quota-vs-robots gate order, the round_seconds+no-robots
+deferred-schema crash, max_rounds stop labeling, and retry_ladder's
+no-retry configuration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+
+def _variant_pages(spark, n=4):
+    k = F.col("id").cast("string")
+    host = F.concat(F.lit("http://h"), k, F.lit(".test"))
+    html = F.concat(
+        F.lit('<a href="'), host, F.lit("/p/"), k, F.lit('">a</a>'),
+        F.lit('<a href="'), host, F.lit("/p/"), k,
+        F.lit('#x">b</a><a href="'), host, F.lit("/p/"), k,
+        F.lit('?utm_source=z">c</a>'))
+    return spark.range(n).select(
+        host.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("root "), k).alias("text"))
+
+
+def test_canonical_seen_catalog_holds_canonical_keys(spark, tmp_path):
+    """The catalog's seen_pages shards must hold the SAME key the
+    in-memory parts hold (canonical), or the post-commit compaction and
+    resume() would swap raw urls into a canonical-keyed anti-join."""
+    from icrawler_spark.storage.catalog import RoundCatalog
+
+    root = str(tmp_path / "cat")
+    pages = _variant_pages(spark)
+    seeds = [f"h{i}.test" for i in range(4)]
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(max_rounds=2, canonical_seen=True,
+                                  checkpoint_dir=root)).run(seeds)
+    assert res.order.count() == 4 + 4  # one /p/k per seed
+    cat_seen = [r["url"] for r in
+                RoundCatalog(spark, root).read("seen_pages").collect()]
+    assert cat_seen, "catalog seen_pages empty"
+    assert not any("#" in u or "utm_" in u for u in cat_seen)
+
+
+def test_canonical_seen_survives_compaction(spark, tmp_path, monkeypatch):
+    """Force compaction every round: dedup must still collapse URL
+    variants (compaction reads the catalog shards back into the
+    anti-join)."""
+    monkeypatch.setattr(GreedyCrawl, "_COMPACT_PARTS", 1)
+    root = str(tmp_path / "cat")
+    pages = _variant_pages(spark)
+    seeds = [f"h{i}.test" for i in range(4)]
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(max_rounds=3, canonical_seen=True,
+                                  checkpoint_dir=root)).run(seeds)
+    rows = [r["url"] for r in res.order.collect()]
+    assert len(rows) == len(set(rows)) == 8  # no re-enqueued variants
+
+
+def test_auto_file_idx_no_gap_on_resume(spark, tmp_path, smoke_pages_df):
+    """Kill-resume with file_idx_offset='auto': the resumed indices must
+    continue contiguously (the ranker already restarts at fetched_n; a
+    naive 'auto' offset would double-count)."""
+    root = str(tmp_path / "cat")
+    cfg = CrawlConfig(file_idx_offset="auto", checkpoint_dir=root)
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    full = GreedyCrawl(spark, smoke_pages_df, cfg).run(seeds)
+    idx_full = sorted(r["file_idx"] for r in full.fetched.collect())
+
+    # re-crawl from a truncated catalog (drop everything after round 0)
+    from icrawler_spark.storage.catalog import RoundCatalog
+
+    root2 = str(tmp_path / "cat2")
+    cfg2 = CrawlConfig(file_idx_offset="auto", checkpoint_dir=root2)
+    crawler = GreedyCrawl(spark, smoke_pages_df, cfg2)
+    crawler.run(seeds)
+    RoundCatalog(spark, root2).drop_rounds_after(0)
+    resumed = GreedyCrawl(spark, smoke_pages_df, cfg2).resume(seeds)
+    idx_res = sorted(r["file_idx"] for r in resumed.fetched.collect())
+    assert idx_res == idx_full  # contiguous 1..N, no fetched_n-wide gap
+
+
+def test_quota_not_burned_by_robots_disallowed(spark):
+    """A host whose earliest-ordered URLs are robots-disallowed must not
+    spend its max_per_host quota on them."""
+    html = ('<a href="http://q.test/block/a">a</a>'
+            '<a href="http://q.test/block/b">b</a>'
+            '<a href="http://q.test/ok/c">c</a>'
+            '<a href="http://q.test/ok/d">d</a>')
+    pages = spark.createDataFrame(
+        [("http://q.test", html.encode(), "root")],
+        "url string, html binary, text string")
+    robots = spark.createDataFrame(
+        [("q.test", 0, ["/block/"])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    res = GreedyCrawl(spark, pages,
+                      CrawlConfig(max_rounds=2, robots=robots,
+                                  max_per_host=3)).run(["q.test"])
+    urls = sorted(r["url"] for r in res.order.collect())
+    # seed + both allowed /ok/ pages; the disallowed pair burned no slots
+    assert urls == ["http://q.test", "http://q.test/ok/c",
+                    "http://q.test/ok/d"]
+
+
+def test_round_seconds_without_robots_runs(spark, smoke_pages_df):
+    """round_seconds set, robots=None, priority configured: the crawl
+    must run (the deferred frame must match the frontier schema)."""
+    cfg = CrawlConfig(max_rounds=2, round_seconds=1000.0,
+                      priority=F.length("url").cast("double"))
+    res = GreedyCrawl(spark, smoke_pages_df, cfg).run(["host0000.test"])
+    assert res.order.count() >= 1
+
+
+def test_max_rounds_stop_reason(spark, smoke_pages_df):
+    seeds = ["host0000.test", "host0001.test"]
+    res = GreedyCrawl(spark, smoke_pages_df,
+                      CrawlConfig(max_rounds=1)).run(seeds)
+    assert res.stop_reason == "max_rounds"
+    full = GreedyCrawl(spark, smoke_pages_df,
+                       CrawlConfig()).run(seeds)
+    assert full.stop_reason == "frontier_exhausted"
+
+
+def test_retry_ladder_single_attempt(spark):
+    from icrawler_spark.operators.politeness import retry_ladder
+
+    df = spark.createDataFrame([("h", 10, 4)],
+                               "host string, n long, fails long")
+    r = retry_ladder(df, max_attempts=1).collect()[0]
+    assert r["exp_wait_s"] == 0.0
+    assert r["p_give_up"] == 0.4
