@@ -175,7 +175,7 @@ WITH fr AS (
       AS session_id,
     (CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END)
       > {TRAP_MAX_PARAMS} AS many_params,
-    len(regexp_extract_all(url, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/|$)')) >= 2
+    len(regexp_extract_all(url, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}')) >= 2
       AS calendar
   FROM feat
 )

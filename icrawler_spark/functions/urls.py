@@ -49,6 +49,16 @@ def normalize_hrefs(hrefs: pd.Series, base_urls: pd.Series) -> pd.Series:
     out[has_scheme] = hrefs[has_scheme].str.rstrip("/")
     out[relative] = base_urls[relative] + "/" + hrefs[relative].str.rstrip("/")
 
+    # query/fragment-only hrefs: urljoin attaches them directly to the
+    # netloc-only base with NO path slash ('?page=2' on http://h.test is
+    # http://h.test?page=2) — the concat fast-path above would insert one
+    stripped_all = hrefs.str.strip("/").where(
+        hrefs.str.startswith("/"), hrefs.str.rstrip("/"))
+    qf = (rooted | relative) & (stripped_all.str.startswith("?")
+                                | stripped_all.str.startswith("#"))
+    if qf.any():
+        out[qf] = base_urls[qf] + stripped_all[qf]
+
     # exact fallback for dot-segment relatives, where concat != urljoin
     dotty = (rooted | relative) & hrefs.str.contains(_DOTSEG_RE, regex=True)
     if dotty.any():
@@ -57,7 +67,11 @@ def normalize_hrefs(hrefs: pd.Series, base_urls: pd.Series) -> pd.Series:
         sub = hrefs[dotty]
         bases = base_urls[dotty]
         stripped = sub.str.strip("/").where(sub.str.startswith("/"), sub.str.rstrip("/"))
-        out[dotty] = [urljoin(b, h) for b, h in zip(bases, stripped)]
+        # a base that never parsed to scheme://netloc is NaN — emit NaN
+        # (skip) for its dotty hrefs instead of urljoin(nan, ...) killing
+        # the whole Arrow batch
+        out[dotty] = [urljoin(b, h) if isinstance(b, str) else np.nan
+                      for b, h in zip(bases, stripped)]
     return out
 
 
@@ -118,7 +132,10 @@ TRAP_MAX_URL_LEN = 256       # beyond this, almost always generated permutations
 TRAP_MAX_DEPTH = 10          # path segments; real content rarely nests deeper
 TRAP_MAX_PARAMS = 8          # query params; facet/session explosions go higher
 _SESSION_PARAM_RE = r"(?i)[?&](sid|sessionid|session_id|phpsessid|jsessionid|cfid|cftoken|zenid)="
-_DATE_SEG_RE = r"/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)"
+# no trailing (/|$): regexp_count is non-overlapping, and consuming the
+# boundary slash made back-to-back date segments (/2020/01/2021/02/)
+# count once — the month match itself is evidence enough
+_DATE_SEG_RE = r"/(19|20)[0-9]{2}/[0-9]{1,2}"
 
 
 def trap_flags(url_col) -> dict[str, "F.Column"]:
@@ -264,7 +281,10 @@ def spam_flags(url_col) -> dict[str, "F.Column"]:
     from pyspark.sql import functions as F
 
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
+    # lowercase the host first: the [^a-z0-9] strips below would
+    # otherwise delete uppercase letters and misclassify HOST.TEST
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
     host_alnum = F.regexp_replace(host, r"[^a-z0-9]", "")
     host_digits = F.regexp_replace(host, r"[^0-9]", "")
     return {
@@ -284,7 +304,8 @@ def spam_flags(url_col) -> dict[str, "F.Column"]:
 
 def spam_flags_sql(expr: str) -> dict[str, str]:
     """DuckDB twins of :func:`spam_flags` (same regex constants)."""
-    host = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)"
+    host = (f"lower(regexp_extract({expr}, "
+            f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1))")
     host_alnum = f"regexp_replace({host}, '[^a-z0-9]', '', 'g')"
     host_digits = f"regexp_replace({host}, '[^0-9]', '', 'g')"
     words = "|".join(SPAM_WORDS)
@@ -461,8 +482,8 @@ def url_depth_profile(frontier, url_col: str = "url"):
     from pyspark.sql import functions as F
 
     u = F.col(url_col)
-    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
-    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)?", 1)
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)?", 1)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     depth = F.size(segs).cast("long")
     first = F.get(segs, 0)  # NULL for depth-0 URLs (element_at would throw)
@@ -561,7 +582,7 @@ def host_variants(urls, url_col: str = "url"):
     from pyspark.sql import functions as F
 
     host = F.regexp_extract(F.col(url_col),
-                            r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+                            r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
     canon = F.regexp_replace(host, r"^www\.", "")
     per = (urls.select(host.alias("h"), canon.alias("canon_host"))
            .groupBy("canon_host", "h")
@@ -580,7 +601,7 @@ def host_variants_sql(urls_sql: str) -> str:
 WITH per AS (
   SELECT regexp_replace(h, '^www\.', '') AS canon_host, h,
          CAST(count(*) AS BIGINT) AS n
-  FROM (SELECT regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+  FROM (SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)
           AS h FROM ({src}))
   GROUP BY 1, 2
 )

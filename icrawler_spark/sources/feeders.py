@@ -41,10 +41,14 @@ def url_list_feed(spark: SparkSession, url_list, offset: int = 0, max_num: int =
         df = global_row_number(df.withColumnRenamed("feed_rank", "__mono"),
                                ["__mono"], "feed_rank", start=0).drop("__mono")
     else:
+        if offset >= len(url_list):
+            # feeder.py:60 — the reference refuses an offset past the end
+            # (a silent empty crawl hides caller bugs)
+            raise ValueError('"offset" exceed the list length')
         df = spark.createDataFrame(
             [(u, i) for i, u in enumerate(url_list)], "url string, feed_rank long")
     if offset < 0:
-        raise ValueError('"offset" exceeds the list length')
+        raise ValueError('"offset" exceed the list length')
     df = df.filter(F.col("feed_rank") >= offset)
     if max_num > 0:
         df = df.filter(F.col("feed_rank") < offset + max_num)
@@ -54,7 +58,11 @@ def url_list_feed(spark: SparkSession, url_list, offset: int = 0, max_num: int =
 def simple_se_feed(spark: SparkSession, url_template: str, keyword: str,
                    offset: int, max_num: int, page_step: int) -> DataFrame:
     """SimpleSEFeeder (feeder.py:73-89): url_template.format(keyword, i)."""
-    tmpl = url_template.replace("%", "%%").replace("{}", "%s", 1).replace("{}", "%d", 1)
+    # java positional specs (%1$s/%2$d) so '{0}'/'{1}' work in any order
+    # and repeated, exactly like str.format(keyword, i) in the reference
+    tmpl = (url_template.replace("%", "%%")
+            .replace("{0}", "%1$s").replace("{1}", "%2$d")
+            .replace("{}", "%1$s", 1).replace("{}", "%2$d", 1))
     rng = spark.range(offset, offset + max_num, page_step)
     return rng.select(
         F.format_string(tmpl, F.lit(keyword), F.col("id")).alias("url"),
@@ -90,8 +98,11 @@ def bing_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int =
     max_num = clamp_engine_budget(offset, max_num)
     filter_str = bing_filter().apply(filters)
     suffix = ("&qft=" + filter_str) if filter_str else ""
-    tmpl = ("https://www.bing.com/images/async?q=" + keyword + "&first=%d" + suffix
-            ).replace("%", "%%").replace("%%d", "%d", 1)
+    # escape BEFORE splicing in the %d slot: a literal '%d' inside the
+    # keyword must not hijack the page-number placeholder
+    esc = lambda t: t.replace("%", "%%")  # noqa: E731
+    tmpl = ("https://www.bing.com/images/async?q=" + esc(keyword)
+            + "&first=%d" + esc(suffix))
     rng = spark.range(offset, offset + max_num, 20)
     return rng.select(
         F.format_string(tmpl, F.col("id")).alias("url"),
@@ -105,9 +116,9 @@ def baidu_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int 
     max_num = clamp_engine_budget(offset, max_num)
     filter_str = baidu_filter().apply(filters, sep="&")
     suffix = ("&" + filter_str) if filter_str else ""
+    esc = lambda t: t.replace("%", "%%")  # noqa: E731
     tmpl = ("http://image.baidu.com/search/acjson?tn=resultjson_com&ipn=rj&word="
-            + keyword + "&pn=%d&rn=30" + suffix)
-    tmpl = tmpl.replace("%", "%%").replace("%%d", "%d", 1)
+            + esc(keyword) + "&pn=%d&rn=30" + esc(suffix))
     rng = spark.range(offset, offset + max_num, 30)
     return rng.select(
         F.format_string(tmpl, F.col("id")).alias("url"),
@@ -118,9 +129,10 @@ def baidu_feed(spark: SparkSession, keyword: str, offset: int = 0, max_num: int 
 FLICKR_ALLOWED = {
     "user_id", "tags", "tag_mode", "text", "license", "sort", "privacy_filter",
     "accuracy", "safe_search", "content_type", "machine_tags", "machine_tag_mode",
-    "group_id", "contacts", "woe_id", "place_id", "media", "has_geo", "geo_context",
+    "group_id", "contacts", "woe_id", "place_id", "has_geo", "geo_context",
     "lat", "lon", "radius", "radius_units", "is_commons", "in_gallery", "is_getty",
-    "extras", "per_page", "min_upload_date", "max_upload_date",
+    "extras", "per_page", "page", "color_codes", "styles", "orientation",
+    "min_upload_date", "max_upload_date",
     "min_taken_date", "max_taken_date",
 }
 _FLICKR_DATES = {"min_upload_date", "max_upload_date", "min_taken_date", "max_taken_date"}
@@ -137,19 +149,27 @@ def flickr_feed(spark: SparkSession, apikey: str, max_num: int = FLICKR_RESULT_C
     clean: dict = {}
     for k, v in params.items():
         if k not in FLICKR_ALLOWED:
-            continue  # flickr.py:49-50 logs & skips unexpected args
+            continue  # flickr.py:60 logs & skips unexpected args
         if k in _FLICKR_DATES:
-            if isinstance(v, (_dt.date, _dt.datetime)):
-                v = int(v.timestamp()) if isinstance(v, _dt.datetime) else v.strftime("%Y-%m-%d")
+            # flickr.py:52-58: datetime.date (datetime included — it IS a
+            # date) renders '%Y-%m-%d'; int/str pass through; anything
+            # else is an error the reference logs and drops
+            if isinstance(v, _dt.date):
+                v = v.strftime("%Y-%m-%d")
+            elif not isinstance(v, (int, str)):
+                continue
         clean[k] = v
     per_page = int(clean.get("per_page", 100))
+    # flickr.py:64-65: pagination starts at the caller's 'page' (which
+    # also rides in the query string, as in the reference URL text)
+    start_page = int(clean.get("page", 1))
     pages = max(1, math.ceil(max_num / per_page))
     base = ("https://api.flickr.com/services/rest/?method=flickr.photos.search"
             f"&api_key={apikey}&format=json&nojsoncallback=1")
     extra = "".join(f"&{k}={quote_plus(str(v))}" for k, v in sorted(clean.items()))
     tmpl = (base + extra).replace("%", "%%") + "&page=%d"
-    rng = spark.range(1, pages + 1)
+    rng = spark.range(start_page, start_page + pages)
     return rng.select(
         F.format_string(tmpl, F.col("id")).alias("url"),
-        (F.col("id") - 1).alias("feed_rank"),
+        (F.col("id") - start_page).alias("feed_rank"),
     )

@@ -141,7 +141,15 @@ def baidu_parse(df: DataFrame, content_col: str = "html") -> DataFrame:
         "parent", "visit_rank", F.col("pos").cast("int").alias("pos"),
         F.when(F.col("item.objURL").isNotNull(), baidu_decode_url(F.col("item.objURL")))
          .otherwise(F.col("item.hoverURL")).alias("file_url"))
-    return decoded.filter(F.col("file_url").isNotNull())
+    kept = decoded.filter(F.col("file_url").isNotNull())
+    # dense emission positions: the reference `continue`s over items with
+    # neither url (baidu.py:135-140), so skipped items consume no slot —
+    # re-rank the survivors in array order (per-page window)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("parent", "visit_rank").orderBy("pos")
+    return kept.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int"))
 
 
 FLICKR_PAGE_SCHEMA = T.StructType([
@@ -203,9 +211,18 @@ def flickr_parse(df: DataFrame, sizes_df: DataFrame,
                   .filter(F.col("pref_rank") > 0)
     best = ranked.groupBy("photo_id").agg(
         F.min_by("source", "pref_rank").alias("file_url"))
-    return (photos.join(best, "photo_id")
-            .select("parent", "visit_rank", F.col("pos").cast("int").alias("pos"),
-                    "file_url", F.col("photo").alias("meta")))
+    joined = (photos.join(best, "photo_id")
+              .select("parent", "visit_rank",
+                      F.col("pos").cast("int").alias("pos"),
+                      "file_url", F.col("photo").alias("meta")))
+    # dense positions, matching the reference generator: photos whose
+    # getSizes failed or had no preferred size yield nothing and consume
+    # no emission slot (flickr.py:96-110)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("parent", "visit_rank").orderBy("pos")
+    return joined.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int"))
 
 
 def pseudo_parse(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -1,0 +1,103 @@
+"""Regression tests for the session-11 parity-layer review fixes:
+query-only hrefs, NaN-base dotty fallback, %-escaping in feed
+templates, Flickr param whitelist/date coercion/page start, url-list
+offset errors, numbered SE placeholders, dense parser positions,
+uppercase-host spam flags, adjacent calendar segments."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+from icrawler_spark.functions.urls import normalize_hrefs
+from icrawler_spark.oracle import normalize_href
+from icrawler_spark.sources.feeders import (bing_feed, flickr_feed,
+                                            simple_se_feed, url_list_feed)
+
+
+def test_query_only_href_matches_oracle(spark):
+    cases = ["?page=2", "/?x=1", "#frag", "a?b=1"]
+    base = "http://h.test"
+    got = normalize_hrefs(pd.Series(cases), pd.Series([base] * len(cases)))
+    for h, g in zip(cases, got):
+        exp = normalize_href(h, base)
+        assert (exp is None and g != g) or g == exp, (h, g, exp)
+
+
+def test_dotty_href_with_unparseable_base_skips_not_crashes(spark):
+    # base_url_of yields an object Series mixing string bases and NaN
+    # (a seed line without scheme://netloc); dotty hrefs on the NaN base
+    # must skip, not TypeError the whole Arrow batch
+    bases = pd.Series(["http://h.test", float("nan")], dtype=object)
+    out = normalize_hrefs(pd.Series(["../up", "../up"]), bases)
+    assert out.iloc[0] == "http://h.test/up"
+    assert out.iloc[1] != out.iloc[1]  # NaN -> skipped
+
+
+def test_bing_feed_percent_in_keyword(spark):
+    rows = bing_feed(spark, "50%discount", 0, 40).collect()
+    assert all("q=50%discount" in r["url"] for r in rows)
+    firsts = sorted(int(r["url"].split("first=")[1]) for r in rows)
+    assert firsts == [0, 20]
+
+
+def test_simple_se_numbered_placeholders(spark):
+    rows = simple_se_feed(spark, "http://se.test/s?p={1}&q={0}",
+                          "cat", 0, 40, 20).collect()
+    urls = sorted(r["url"] for r in rows)
+    assert urls == ["http://se.test/s?p=0&q=cat",
+                    "http://se.test/s?p=20&q=cat"]
+
+
+def test_flickr_feed_reference_params(spark):
+    rows = flickr_feed(
+        spark, "KEY", max_num=200, per_page=100, page=3,
+        orientation="landscape", media="photos",  # media NOT allowed
+        min_upload_date=datetime.datetime(2020, 1, 1, 12, 30)).collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == 2  # pages 3 and 4
+    assert all("orientation=landscape" in u for u in urls)
+    assert all("media=" not in u for u in urls)
+    assert all("min_upload_date=2020-01-01" in u for u in urls)
+    assert urls[0].endswith("&page=3")
+
+
+def test_url_list_feed_offset_past_end_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        url_list_feed(spark, ["a", "b"], offset=5)
+
+
+def test_baidu_parse_dense_positions(spark):
+    from icrawler_spark.sources.parsers import baidu_parse
+
+    body = ('{"data": [{"hoverURL": "http://i/a.jpg"}, {}, '
+            '{"hoverURL": "http://i/b.jpg"}]}')
+    df = spark.createDataFrame([("p", 0, body)],
+                               "parent string, visit_rank long, html string")
+    rows = baidu_parse(df).orderBy("pos").collect()
+    # the empty middle item consumes no emission slot (reference continue)
+    assert [(r["pos"], r["file_url"]) for r in rows] == [
+        (0, "http://i/a.jpg"), (1, "http://i/b.jpg")]
+
+
+def test_spam_flags_uppercase_host(spark):
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.functions.urls import spam_flags
+
+    df = spark.createDataFrame([("http://EXAMPLE99.COM/x",)], "url string")
+    flags = spam_flags("url")
+    r = df.select(*(c.alias(n) for n, c in flags.items())).collect()[0]
+    assert r["digit_host"] is False  # 2 digits of 12 alnum chars
+
+
+def test_calendar_trap_adjacent_segments(spark):
+    from icrawler_spark.functions.urls import trap_flags
+
+    df = spark.createDataFrame([("http://h.test/2020/01/2021/02/",)],
+                               "url string")
+    flags = trap_flags("url")
+    assert df.select(flags["calendar"].alias("c")).collect()[0]["c"] is True
