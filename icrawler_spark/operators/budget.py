@@ -139,6 +139,89 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
     return out, (n_taken if n_taken is not None else acc - start), measured
 
 
+def ordered_rank_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_cols: list[str],
+    out_cols: list[str],
+    rank_col: str | None = None,
+    rank_start: int = 1,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[int], int]:
+    """Two-phase global rank + N cumulative sums in ONE range shuffle —
+    the drop-in replacement for the single-task ``Window.orderBy``
+    cumulative-report pattern (budget_curve / knapsack_plan / maxmin_alloc).
+
+    Phase 1 range-partitions on ``order_cols`` (a total order — include a
+    unique tiebreak) and collects one row per partition: its count and its
+    total per weight column. Phase 2 adds the broadcast prefix offsets to
+    within-partition running sums / row_number — every window state is one
+    pinned partition, never the global single-task cliff, so the host table
+    at 10^8 rows fans out across the cluster.
+
+    Weight columns must already be integral (long) — same contract as
+    :func:`ordered_prefix_sum`; order-key doubles are fine (they only
+    partition, never accumulate). Returns
+    (df + out_cols [+ rank_col], grand_totals per weight, n_rows) — the
+    totals and count come free from the phase-1 collect, replacing the
+    separate single-row agg + crossJoin callers previously spent a job on.
+    """
+    from pyspark.sql import Window
+
+    dtypes = dict(df.dtypes)
+    for wc in weight_cols:
+        if dtypes.get(wc, "") not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise TypeError(
+                f"ordered_rank_prefix_sums needs integral weight columns; "
+                f"{wc!r} is {dtypes.get(wc)} — cast upstream")
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    aggs = [F.count("*").alias("__cnt")] + [
+        F.coalesce(F.sum(wc), F.lit(0)).alias(f"__w{i}")
+        for i, wc in enumerate(weight_cols)]
+    rows = parted.groupBy("__pid").agg(*aggs).collect()
+    counts = {r["__pid"]: int(r["__cnt"]) for r in rows}
+    totals = [sum(int(r[f"__w{i}"]) for r in rows) for i in range(len(weight_cols))]
+    n_rows = sum(counts.values())
+    # broadcast prefix offsets: one (count, weight...) tuple per partition
+    offs: dict[int, list[int]] = {}
+    acc = [rank_start] + [0] * len(weight_cols)
+    for pid in sorted(counts):
+        offs[pid] = list(acc)
+        acc[0] += counts[pid]
+        r = next(rr for rr in rows if rr["__pid"] == pid)
+        for i in range(len(weight_cols)):
+            acc[i + 1] += int(r[f"__w{i}"])
+    w = (Window.partitionBy("__pid")
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = parted
+    if rank_col is not None:
+        if offs:
+            pairs: list = []
+            for pid, o in offs.items():
+                pairs += [F.lit(pid), F.lit(o[0])]
+            rank_off = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        else:
+            rank_off = F.lit(rank_start)
+        rw = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+        out = out.withColumn(rank_col,
+                             (F.row_number().over(rw) - 1 + rank_off).cast("long"))
+    for i, (wc, oc) in enumerate(zip(weight_cols, out_cols)):
+        if offs:
+            pairs = []
+            for pid, o in offs.items():
+                pairs += [F.lit(pid), F.lit(o[i + 1])]
+            w_off = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        else:
+            w_off = F.lit(0)
+        out = out.withColumn(
+            oc, (F.sum(F.col(wc).cast("long")).over(w) + w_off).cast("long"))
+    return out.drop("__pid"), totals, n_rows
+
+
 def ordered_limit(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     """First n rows in total order (distributed top-k)."""
     return df.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)

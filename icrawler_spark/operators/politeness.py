@@ -908,28 +908,36 @@ def budget_curve(
     value·docs_other vs value_other·docs would be the tie-free form; for
     the audited host table the (density rounded 12, host) order is
     engine-stable because both engines compute the identical double).
-    Cumulative sums are exact BIGINTs; shares divide once. Window runs
-    over the HOST table (orders below the log). Returns (host, n_docs,
-    value, cum_docs, cum_value, docs_share, value_share) rounded 6.
+    Cumulative sums are exact BIGINTs; shares divide once.
+
+    Scale shape: the host table is itself a distributed dataset (10^8
+    hosts at 100 TB), so the cumulative sums use the two-phase
+    ``ordered_rank_prefix_sums`` ranker (range-partition on the density
+    key + broadcast prefix offsets), NEVER a single-task global
+    ``Window.orderBy`` — and the grand totals come free from the phase-1
+    collect, replacing the old single-row agg + crossJoin. Density DESC
+    becomes negated-density ASC (exact double negation preserves order;
+    NULL densities — zero-doc hosts — coalesce to +inf so they still sort
+    last, matching desc_nulls_last). Returns (host, n_docs, value,
+    cum_docs, cum_value, docs_share, value_share) rounded 6.
     """
+    from icrawler_spark.operators.budget import ordered_rank_prefix_sums
+
     base = host_values.select(F.col(host_col).alias("host"),
                               F.col(docs_col).cast("long").alias("n_docs"),
                               F.col(value_col).cast("long").alias("value"))
     dens = F.round((F.col("value") / F.col("n_docs")), 12)
-    w = (Window.orderBy(dens.desc(), "host")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot = base.agg(F.sum("n_docs").cast("long").alias("__d"),
-                   F.sum("value").cast("long").alias("__v"))
-    cum = base.select(
-        "host", "n_docs", "value",
-        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
-        F.sum("value").over(w).cast("long").alias("cum_value"))
-    return (cum.crossJoin(F.broadcast(tot))
-            .select("host", "n_docs", "value", "cum_docs", "cum_value",
-                    F.round(F.col("cum_docs") / F.col("__d"), 6)
-                    .alias("docs_share"),
-                    F.round(F.col("cum_value") / F.col("__v"), 6)
-                    .alias("value_share")))
+    d = base.withColumn("__negdens",
+                        F.coalesce(-dens, F.lit(float("inf"))))
+    cum, (tot_d, tot_v), _n = ordered_rank_prefix_sums(
+        d, ["__negdens", "host"], ["n_docs", "value"],
+        ["cum_docs", "cum_value"])
+    return cum.select(
+        "host", "n_docs", "value", "cum_docs", "cum_value",
+        F.round(F.col("cum_docs") / F.lit(float(tot_d)) if tot_d else
+                F.col("cum_docs") / F.lit(0), 6).alias("docs_share"),
+        F.round(F.col("cum_value") / F.lit(float(tot_v)) if tot_v else
+                F.col("cum_value") / F.lit(0), 6).alias("value_share"))
 
 
 def budget_curve_sql(host_values_sql: str) -> str:
@@ -1398,18 +1406,24 @@ def knapsack_plan(
 
     Returns (host, value, cost, density rounded 6, cum_cost, selected).
 
-    Scale shape: ONE global ordered window (the planning candidate set,
-    not the corpus); two-phase rank it per `budget_alloc` if the
-    candidate set itself is huge.
+    Scale shape: the candidate set is a per-round host table that reaches
+    10^8 rows at 100 TB, so the cumulative cost uses the two-phase
+    ``ordered_rank_prefix_sums`` ranker (range-partition on negated
+    density + broadcast prefix offsets) — NEVER a single-task global
+    ``Window.orderBy``. NULL densities (zero-cost rows) coalesce to +inf
+    on the negated ascending key, matching desc_nulls_last.
     """
+    from icrawler_spark.operators.budget import ordered_rank_prefix_sums
+
     d = candidates.select(F.col(key_col).alias("host"),
                           F.col(value_col).cast("long").alias("value"),
                           F.col(cost_col).cast("long").alias("cost"))
     density = F.col("value").cast("double") / F.col("cost").cast("double")
-    w = (Window.orderBy(F.desc("__density"), F.asc("host"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d.withColumn("__density", density)
-            .withColumn("cum_cost", F.sum("cost").over(w))
+    d = (d.withColumn("__density", density)
+         .withColumn("__negdens", F.coalesce(-density, F.lit(float("inf")))))
+    ranked, _tot, _n = ordered_rank_prefix_sums(
+        d, ["__negdens", "host"], ["cost"], ["cum_cost"])
+    return (ranked
             .withColumn("selected", F.col("cum_cost") <= int(budget))
             .select("host", "value", "cost",
                     F.round("__density", 6).alias("density"),
@@ -2082,24 +2096,24 @@ def maxmin_alloc(
     the one final ratio. Returns (key, demand, satisfied, alloc)
     ordered by key, alloc rounded 6.
 
-    Scale shape: one global sort window over hosts-with-demand (the
-    per-round frontier's host table, not the page table) + one
-    single-row agg broadcast back.
+    Scale shape: the hosts-with-demand table is itself distributed
+    (10^8 hosts at 100 TB), so rank + prefix sum use the two-phase
+    ``ordered_rank_prefix_sums`` ranker in ONE range shuffle — NEVER a
+    single-task global ``Window.orderBy`` — and the row count comes free
+    from the phase-1 collect; only the single-row served/unserved agg
+    is broadcast back.
     """
+    from icrawler_spark.operators.budget import ordered_rank_prefix_sums
+
     b = int(budget)
     v = demands.select(F.col(key_col).alias("key"),
                        F.col(d_col).cast("long").alias("demand"))
-    w = Window.orderBy("demand", "key")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    n_all = F.count("*").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    i = F.row_number().over(w)
-    prefix = F.sum("demand").over(wc)
-    fully = (F.col("demand") * (n_all - i + 1)
-             <= b - (prefix - F.col("demand")))
-    marked = v.select("key", "demand", i.alias("i"),
-                      fully.alias("satisfied"))
+    ranked, _tot, n_rows = ordered_rank_prefix_sums(
+        v, ["demand", "key"], ["demand"], ["__prefix"], rank_col="__i")
+    fully = (F.col("demand") * (F.lit(n_rows) - F.col("__i") + 1)
+             <= b - (F.col("__prefix") - F.col("demand")))
+    marked = ranked.select("key", "demand", F.col("__i").alias("i"),
+                           fully.alias("satisfied"))
     tot = marked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.when(F.col("satisfied"), F.col("demand"))
