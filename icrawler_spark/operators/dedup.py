@@ -65,6 +65,55 @@ def _hash2(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def _partial_bitmaps(df: DataFrame, key: str, n_shards: int, m_shard: int,
+                     k: int) -> DataFrame:
+    """Per-Arrow-partition partial Bloom bitmaps: one (shard, bits) row per
+    touched shard per partition — bits, never keys, leave the executor.
+    Shared by the driver-held :class:`BloomSeenFilter` (which collects and
+    ORs the partials) and the executor-resident :class:`ShardedBloomFilter`
+    (which OR-merges them with a keyed applyInPandas, driver untouched)."""
+    hashes = df.select(F.xxhash64(key).alias("h"))
+
+    def build_batches(batches):
+        bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
+        touched = np.zeros(n_shards, dtype=bool)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1, h2 = _hash2(pdf["h"].to_numpy())
+            shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+            for s in range(n_shards):
+                sel = shard == s
+                if not sel.any():
+                    continue
+                touched[s] = True
+                a, b = h1[sel], h2[sel]
+                for i in range(k):
+                    bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
+                    np.bitwise_or.at(
+                        bms[s], (bit >> np.uint64(6)).astype(np.int64),
+                        np.uint64(1) << (bit & np.uint64(63)),
+                    )
+        hit = [s for s in range(n_shards) if touched[s]]
+        if hit:
+            yield pd.DataFrame(
+                {"shard": hit, "bits": [bms[s].tobytes() for s in hit]})
+
+    return hashes.mapInPandas(build_batches, schema="shard long, bits binary")
+
+
+def _probe_shard_np(h: np.ndarray, bm: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership probe of hash values against ONE shard bitmap
+    (Kirsch-Mitzenmacher double hashing, same math as the builder)."""
+    h1, h2 = _hash2(h)
+    sub = np.ones(len(h), dtype=bool)
+    for i in range(k):
+        bit = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        word = bm[(bit >> np.uint64(6)).astype(np.int64)]
+        sub &= (word >> (bit & np.uint64(63))) & np.uint64(1) > 0
+    return sub
+
+
 class BloomSeenFilter:
     """Sharded Bloom filter over xxhash64(key) values.
 
@@ -93,34 +142,8 @@ class BloomSeenFilter:
     def absorb(self, df: DataFrame, key: str = "url") -> "BloomSeenFilter":
         """OR the keys of ``df`` into this filter (distributed partial bitmaps,
         reduced driver-side — the driver sees bits, never keys)."""
-        n_shards, m_shard, k = self.n_shards, self.m_bits, self.k
-        hashes = df.select(F.xxhash64(key).alias("h"))
-
-        def build_batches(batches):
-            bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
-            any_rows = False
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                any_rows = True
-                h1, h2 = _hash2(pdf["h"].to_numpy())
-                shard = (h1 % np.uint64(n_shards)).astype(np.int64)
-                for s in range(n_shards):
-                    sel = shard == s
-                    if not sel.any():
-                        continue
-                    a, b = h1[sel], h2[sel]
-                    for i in range(k):
-                        bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
-                        np.bitwise_or.at(
-                            bms[s], (bit >> np.uint64(6)).astype(np.int64),
-                            np.uint64(1) << (bit & np.uint64(63)),
-                        )
-            if any_rows:
-                yield pd.DataFrame(
-                    {"shard": range(n_shards), "bits": [bm.tobytes() for bm in bms]})
-
-        partials = hashes.mapInPandas(build_batches, schema="shard int, bits binary").collect()
+        partials = _partial_bitmaps(
+            df, key, self.n_shards, self.m_bits, self.k).collect()
         for row in partials:
             self.bitmaps[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
         return self
@@ -194,6 +217,107 @@ def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
     definite_new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return definite_new.unionByName(anti_join_seen(maybe, seen, key))
+
+
+class ShardedBloomFilter:
+    """Executor-resident shard-partitioned Bloom filter — the 10^10-frontier
+    seen-set design: bitmaps live as a pinned ``(shard, bits)`` DataFrame in
+    executor block storage, built and merged with keyed Arrow batches and
+    probed with a cogrouped applyInPandas. Bits, never URLs, leave a shard;
+    the driver holds only ``(n_shards, m_bits, k)`` — never a bitmap.
+
+    Contrast with :class:`BloomSeenFilter`, which collects the shard bitmaps
+    to the driver and broadcasts them: fine at the 1M-capacity default, but
+    sized for a 10^10-URL frontier the bitmaps are ~12 GB — this class keeps
+    them sharded across executors (each shard bitmap sized to fit one task).
+
+    Same hash math as BloomSeenFilter (xxhash64 → Kirsch-Mitzenmacher double
+    hashing, shard = h1 mod n_shards), so for identical parameters the two
+    filters mark identical ``__maybe_seen`` sets. ``n_shards`` must be a
+    power of two: the JVM-side shard key is ``xxhash64 & (n_shards-1)``,
+    which equals the numpy builder's unsigned ``h1 % n_shards`` exactly when
+    n_shards is a power of two (two's-complement low bits).
+
+    Drop-in for the :func:`anti_join_seen_bloom` seam: implements the same
+    ``absorb(df, key)`` / ``mark_maybe_seen(df, key)`` surface. False
+    positives still only route rows into the exact anti-join — seen-set
+    parity is preserved by construction (north_rule; SURVEY.md X1, D1).
+    """
+
+    def __init__(self, spark, n_shards: int, m_bits: int, k: int,
+                 shards_df: DataFrame | None = None):
+        if n_shards & (n_shards - 1):
+            raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+        self.spark = spark
+        self.n_shards = n_shards
+        self.m_bits = m_bits
+        self.k = k
+        self.shards_df = shards_df  # (shard long, bits binary), localCheckpointed
+
+    @classmethod
+    def empty(cls, spark, expected: int, fpp: float = 0.01,
+              n_shards: int = 32) -> "ShardedBloomFilter":
+        """Capacity-sized empty filter (no shard rows yet — absorb fills)."""
+        m, k = _bloom_params(max(expected, 1024), fpp)
+        m_shard = (m + n_shards - 1) // n_shards
+        m_shard = ((m_shard + 63) // 64) * 64
+        return cls(spark, n_shards, m_shard, k)
+
+    def absorb(self, df: DataFrame, key: str = "url") -> "ShardedBloomFilter":
+        """OR the keys of ``df`` into the shard table: per-partition partial
+        bitmaps → union with the current shard rows → ONE groupBy(shard)
+        OR-merge → re-pinned. Incremental absorbs OR-compose, so per-round
+        absorption equals a one-shot build. The merge shuffles at most
+        ``partitions × n_shards`` fixed-size bitmap rows — never keys."""
+        partials = _partial_bitmaps(df, key, self.n_shards, self.m_bits, self.k)
+        merged_in = (partials if self.shards_df is None
+                     else self.shards_df.unionByName(partials))
+
+        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint64).copy()
+            for raw in pdf["bits"].iloc[1:]:
+                acc |= np.frombuffer(raw, dtype=np.uint64)
+            return pd.DataFrame({"shard": [pdf["shard"].iloc[0]],
+                                 "bits": [acc.tobytes()]})
+
+        merged = (merged_in.groupBy("shard")
+                  .applyInPandas(or_merge, schema="shard long, bits binary")
+                  .localCheckpoint(eager=True))
+        old = self.shards_df
+        self.shards_df = merged
+        if old is not None:
+            old.unpersist()
+        return self
+
+    def mark_maybe_seen(self, df: DataFrame, key: str = "url") -> DataFrame:
+        """Adds boolean ``__maybe_seen``; False ⇒ definitely not in seen.
+        Candidates shuffle to their shard (hash keys, so hot hosts don't
+        skew) and cogroup with the one bitmap row per shard — the bitmap
+        never broadcasts and never reaches the driver."""
+        out_schema = df.withColumn("__maybe_seen", F.lit(True)).schema
+        if self.shards_df is None:
+            return df.withColumn("__maybe_seen", F.lit(False))
+        cols = df.columns
+        m_bits, k = self.m_bits, self.k
+        with_s = (df.withColumn("__h", F.xxhash64(key))
+                  .withColumn("__shard",
+                              F.col("__h").bitwiseAND(self.n_shards - 1)))
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(columns=[*cols, "__maybe_seen"])
+            out = left[cols].copy()
+            if len(right) == 0:
+                out["__maybe_seen"] = False
+            else:
+                bm = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
+                out["__maybe_seen"] = _probe_shard_np(
+                    left["__h"].to_numpy(), bm, m_bits, k)
+            return out
+
+        return (with_s.groupby("__shard")
+                .cogroup(self.shards_df.groupby("shard"))
+                .applyInPandas(probe, schema=out_schema))
 
 
 # ---------------------------------------------------------------------------

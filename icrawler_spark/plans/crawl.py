@@ -140,6 +140,15 @@ class CrawlConfig:
     use_bloom: bool = False             # Bloom pre-filter in front of exact anti-join
     bloom_fpp: float = 0.01
     bloom_capacity: int = 1_000_000     # sizing for the incremental filters
+    # "driver": BloomSeenFilter — shard bitmaps collected to the driver and
+    #   broadcast; right default at the 1M-capacity scale (bitmaps ~1 MB).
+    # "sharded": ShardedBloomFilter — bitmaps stay pinned in executor block
+    #   storage as a (shard, bits) table, probed via cogroup; the scale mode
+    #   for a 10^10-URL frontier where bitmaps are ~12 GB and must never
+    #   aggregate on one node. Outputs are identical (Bloom only pre-routes
+    #   rows around the exact anti-join).
+    bloom_mode: str = "driver"
+    bloom_shards: int = 32              # sharded mode shard count (power of 2)
     salt: int = 0                       # >0: salted repartition before extract
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
@@ -537,9 +546,19 @@ class GreedyCrawl:
         # rebuild at a fraction of the per-round cost
         bloom_pages = bloom_tasks = None
         if cfg.use_bloom:
-            bloom_pages = BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
+            if cfg.bloom_mode == "sharded":
+                from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+                def _new_bloom():
+                    return ShardedBloomFilter.empty(
+                        spark, cfg.bloom_capacity, cfg.bloom_fpp,
+                        n_shards=cfg.bloom_shards)
+            else:
+                def _new_bloom():
+                    return BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
+            bloom_pages = _new_bloom()
             bloom_pages.absorb(seen_pages, "url")
-            bloom_tasks = BloomSeenFilter.empty(cfg.bloom_capacity, cfg.bloom_fpp)
+            bloom_tasks = _new_bloom()
             if seen_tasks is not None:
                 bloom_tasks.absorb(seen_tasks, "file_url")
         # redirect chains resolved ONCE for the whole crawl (the map is

@@ -69,6 +69,7 @@ def start_frontier_ingest(
     available_now: bool = True,
     n_buckets: int = FRONTIER_BUCKETS,
     bloom_capacity: int = 1_000_000,
+    bloom_mode: str = "driver",
     on_novel=None,
 ):
     """Stream URLs from ``source_dir`` into a persistent frontier table with
@@ -100,23 +101,35 @@ def start_frontier_ingest(
 
     Per-batch cost does NOT grow with total ingested volume: the seen-side
     anti-join reads only the bucket partitions the batch actually touches
-    (partition-pruned scan), and a driver-held Bloom filter — absorbed
-    incrementally per batch, rebuilt from the frontier table on restart —
-    routes definitely-new URLs around the join entirely. False positives
-    cost a pruned-scan join row, never a dropped/duplicated URL.
+    (partition-pruned scan), and a Bloom filter (driver-held or
+    executor-sharded per ``bloom_mode``) — absorbed incrementally per
+    batch, rebuilt from the frontier table on restart — routes
+    definitely-new URLs around the join entirely. False positives cost a
+    pruned-scan join row, never a dropped/duplicated URL.
     """
     frontier_path = os.path.join(state_dir, "frontier")
     checkpoint = os.path.join(state_dir, "checkpoint")
 
     stream = dedup_in_stream(read_url_stream(spark, source_dir))
 
-    # cross-batch Bloom state (driver-held; bitmaps only, never URLs).
-    # On restart, rebuilt from the committed frontier table — one distributed
-    # absorb, after which every batch is again O(batch) not O(total).
+    # cross-batch Bloom state (bitmaps only, never URLs). bloom_mode
+    # "driver" holds the bitmaps on the driver (fine at 1M capacity);
+    # "sharded" keeps them pinned in executor block storage as a
+    # (shard, bits) table — the 10^10-frontier scale mode, the driver
+    # holds nothing. On restart either is rebuilt from the committed
+    # frontier table — one distributed absorb, after which every batch is
+    # again O(batch) not O(total).
     state = {"bloom": None}
 
+    def _new_bloom(ss):
+        from icrawler_spark.operators.dedup import BloomSeenFilter, ShardedBloomFilter
+
+        if bloom_mode == "sharded":
+            return ShardedBloomFilter.empty(ss, bloom_capacity)
+        return BloomSeenFilter.empty(bloom_capacity)
+
     def process_batch(batch_df: DataFrame, batch_id: int):
-        from icrawler_spark.operators.dedup import BloomSeenFilter, anti_join_seen_bloom
+        from icrawler_spark.operators.dedup import anti_join_seen_bloom
 
         ss = batch_df.sparkSession
         # pinned frames released at batch end so a long-lived query keeps
@@ -128,7 +141,7 @@ def start_frontier_ingest(
         pinned.append(novel)
         if _frontier_nonempty(frontier_path):
             if state["bloom"] is None:
-                state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
+                state["bloom"] = _new_bloom(ss)
                 state["bloom"].absorb(
                     ss.read.parquet(frontier_path).select("url"), "url")
             # partition pruning: only the batch's buckets are scanned.
@@ -144,7 +157,7 @@ def start_frontier_ingest(
             novel = anti_join_seen_bloom(novel, seen, state["bloom"], "url",
                                          release_into=pinned)
         elif state["bloom"] is None:
-            state["bloom"] = BloomSeenFilter.empty(bloom_capacity)
+            state["bloom"] = _new_bloom(ss)
         novel = novel.localCheckpoint(eager=True)
         if on_novel is not None:
             # continuation hook BEFORE the frontier commit: the streaming
@@ -172,9 +185,10 @@ def start_frontier_ingest(
 
 
 def ingest_available(spark: SparkSession, source_dir: str, state_dir: str,
-                     timeout_s: int = 120) -> DataFrame:
+                     timeout_s: int = 120, bloom_mode: str = "driver") -> DataFrame:
     """Run one availableNow ingest to completion; return the frontier table."""
-    q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True)
+    q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True,
+                              bloom_mode=bloom_mode)
     if not q.awaitTermination(timeout_s):
         # timed out: the query is STILL RUNNING — returning a partial read
         # would silently truncate the ingest and orphan the query on the

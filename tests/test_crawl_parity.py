@@ -87,6 +87,19 @@ def test_greedy_bloom_prefilter_is_exact(spark, smoke_web, smoke_pages_df):
     _assert_match(result, golden)
 
 
+def test_greedy_sharded_bloom_is_exact(spark, smoke_web, smoke_pages_df):
+    """bloom_mode="sharded" (executor-resident shard table, round-3 verdict
+    item 1) must not change any output either — same exactness contract as
+    the driver-held filter, scale path for the 10^10-URL frontier."""
+    golden = _oracle_greedy(smoke_web, max_num=60)
+    result = GreedyCrawl(
+        spark, smoke_pages_df,
+        CrawlConfig(max_num=60, use_bloom=True, bloom_fpp=0.2,
+                    bloom_mode="sharded", bloom_shards=8),
+    ).run(SEEDS)
+    _assert_match(result, golden)
+
+
 def test_greedy_salted_extraction_parity(spark, smoke_web, smoke_pages_df):
     """Salted repartition reshuffles the extract stage; ordering columns must
     make the result independent of physical partitioning (SURVEY.md O1)."""

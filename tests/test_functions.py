@@ -225,3 +225,76 @@ def test_connected_components_no_edges(spark):
     labels = connected_components(nodes, pairs)
     assert {r["id"]: r["cluster_rep"] for r in labels.collect()} == \
         {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sharded_bloom_matches_driver_bloom_and_is_exact(spark):
+    """ShardedBloomFilter (executor-resident shard table) must mark the
+    identical __maybe_seen set as the driver-held BloomSeenFilter for the
+    same (n_shards, m_bits, k), have zero false negatives, and leave the
+    anti-join result exact (round-3 verdict item 1)."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import (
+        BloomSeenFilter,
+        ShardedBloomFilter,
+        anti_join_seen_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 13}.test/p{i}",) for i in range(800)], "url string")
+    cand = spark.createDataFrame(
+        [(f"http://h{i % 13}.test/p{i}",) for i in range(600, 1400)], "url string")
+
+    drv = BloomSeenFilter.empty(1200, 0.05, n_shards=8).absorb(seen, "url")
+    shd = ShardedBloomFilter.empty(spark, 1200, 0.05, n_shards=8)
+    shd.m_bits, shd.k = drv.m_bits, drv.k  # align params for bit-identical marks
+    shd.absorb(seen, "url")
+
+    a = drv.mark_maybe_seen(cand, "url").select("url", "__maybe_seen").collect()
+    b = shd.mark_maybe_seen(cand, "url").select("url", "__maybe_seen").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # no false negatives on absorbed keys
+    assert shd.mark_maybe_seen(seen, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+    # anti-join stays exact through the sharded pre-filter
+    out = anti_join_seen_bloom(cand, seen, shd, "url")
+    assert sorted(r["url"] for r in out.collect()) == sorted(
+        f"http://h{i % 13}.test/p{i}" for i in range(800, 1400))
+
+
+def test_sharded_bloom_incremental_absorb_and_empty(spark):
+    """Empty filter marks everything definitely-new; incremental absorbs
+    OR-compose (per-round absorption == one-shot build)."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(300)], "url string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(300)], "url string")
+
+    flt = ShardedBloomFilter.empty(spark, 1000, 0.05, n_shards=8)
+    marked = flt.mark_maybe_seen(a, "url")
+    assert marked.filter(F.col("__maybe_seen")).count() == 0
+
+    flt.absorb(a, "url").absorb(b, "url")
+    both = a.unionByName(b)
+    assert flt.mark_maybe_seen(both, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+    one_shot = ShardedBloomFilter.empty(spark, 1000, 0.05, n_shards=8)
+    one_shot.absorb(both, "url")
+    inc = flt.shards_df.orderBy("shard").collect()
+    ones = one_shot.shards_df.orderBy("shard").collect()
+    assert [(r["shard"], bytes(r["bits"])) for r in inc] == \
+        [(r["shard"], bytes(r["bits"])) for r in ones]
+
+
+def test_sharded_bloom_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+    with _pytest.raises(ValueError):
+        ShardedBloomFilter(spark, 12, 640, 4)

@@ -347,3 +347,24 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
                                 "host string, url string")
     batch_est = hll_distinct(bdf, "url", "host").collect()[0]["n_est"]
     assert batch_est == ref_union
+
+
+def test_stream_ingest_sharded_bloom_mode_is_exact(spark, tmp_path):
+    """bloom_mode="sharded" (executor-resident shard table) must produce the
+    identical frontier as the driver-held default — the Bloom only routes
+    rows around the exact anti-join (round-3 verdict item 1)."""
+    from icrawler_spark.streaming.frontier_stream import ingest_available
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+
+    _write_urls(src, "a.txt", [f"http://s.test/{i}" for i in range(40)])
+    out1 = ingest_available(spark, src, state, bloom_mode="sharded")
+    assert sorted(r["url"] for r in out1.collect()) == sorted(
+        f"http://s.test/{i}" for i in range(40))
+
+    # overlapping second batch dedups exactly through the sharded filter
+    _write_urls(src, "b.txt", [f"http://s.test/{i}" for i in range(30, 60)])
+    out2 = ingest_available(spark, src, state, bloom_mode="sharded")
+    assert sorted(r["url"] for r in out2.collect()) == sorted(
+        f"http://s.test/{i}" for i in range(60))
