@@ -1,0 +1,164 @@
+"""Default batch-HTTP FetchFn (functions/http.py) — round-3 verdict item 3.
+
+Deterministic fake transports stand in for the network (no sandbox
+network); every semantic ABOVE the socket — retry count, backoff schedule,
+Referer, cookie jar, proxy pass-through, join-miss equivalence — is real
+code under test, shared with the requests transport.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from icrawler_spark.functions.http import (
+    DEFAULT_HEADERS,
+    RequestsFetchFn,
+    backoff_wait,
+)
+from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+from icrawler_spark.plugins import CrawlPlugins
+
+
+def _web_transport(web: dict, log: list | None = None, fail: dict | None = None):
+    """Transport serving a {url: (html_bytes, set_cookie|None)} dict.
+    ``fail[url] = n`` makes the first n attempts raise ConnectionError."""
+    remaining = dict(fail or {})
+
+    def transport(url, headers, proxy, timeout):
+        if log is not None:
+            log.append({"url": url, "headers": dict(headers), "proxy": proxy})
+        if remaining.get(url, 0) > 0:
+            remaining[url] -= 1
+            raise ConnectionError(f"transient: {url}")
+        if url not in web:
+            raise ConnectionError(f"unreachable: {url}")
+        html, set_cookie = web[url]
+        resp_headers = {"Set-Cookie": set_cookie} if set_cookie else {}
+        return (200, resp_headers, html, "utf-8")
+
+    return transport
+
+
+def test_fetchfn_mode_equals_join_mode(spark, smoke_web, smoke_pages_df):
+    """RequestsFetchFn over a fake transport serving the same synthetic web
+    must produce a CrawlResult identical to the pages-table join — order,
+    texts, fetched files (the verdict's 'join-mode ≡ fetchfn-mode' gate)."""
+    _, pdf = smoke_web
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    web = {u: (h, None) for u, h in zip(pdf.url, pdf.html)}
+    texts = dict(zip(pdf.url, pdf.text))
+
+    join_res = GreedyCrawl(spark, smoke_pages_df,
+                           CrawlConfig(max_num=40)).run(seeds)
+    fetch = RequestsFetchFn(
+        transport=_web_transport(web),
+        text_fn=lambda url, content, enc: texts[url],
+        sleep=lambda s: None, rng_seed=7)
+    fetch_res = GreedyCrawl(
+        spark, smoke_pages_df.limit(0),
+        CrawlConfig(max_num=40, plugins=CrawlPlugins(fetch=fetch))).run(seeds)
+
+    def _snap(res):
+        return (
+            [(r["visit_rank"], r["url"])
+             for r in res.order.orderBy("visit_rank").collect()],
+            sorted((r["url"], r["text"]) for r in res.texts.collect()),
+            sorted((r["file_idx"], r["file_url"], r["filename"])
+                   for r in res.fetched.collect()),
+        )
+
+    assert _snap(fetch_res) == _snap(join_res)
+
+
+def test_backoff_schedule_matches_reference_formula():
+    """Recorded sleeps must equal tenacity wait_random_exponential
+    (session.py:29-33, defaults BACKOFF_BASE=1.2): after failed attempt n,
+    uniform(0, 1.2**n) — verified draw-by-draw against an identically
+    seeded generator."""
+    sleeps: list[float] = []
+    web = {"http://h.test/x": (b"ok", None)}
+    fetch = RequestsFetchFn(
+        transport=_web_transport(web, fail={"http://h.test/x": 2}),
+        sleep=sleeps.append, rng_seed=42)
+    out = fetch(pd.DataFrame({"url": ["http://h.test/x"], "parent": [None]}))
+    assert list(out["url"]) == ["http://h.test/x"]  # 3rd attempt succeeded
+
+    rng = random.Random(42)
+    expected = [rng.uniform(0.0, min(60.0, 1.2 ** n)) for n in (1, 2)]
+    assert sleeps == expected
+    # and the helper alone agrees with the formula
+    rng2, rng3 = random.Random(9), random.Random(9)
+    assert backoff_wait(rng2, 3) == rng3.uniform(0.0, min(60.0, 1.2 ** 3))
+
+
+def test_retry_exhaustion_omits_row_like_join_miss():
+    """MAX_RETRIES=3 attempts (defaults.py:1), then the URL is omitted —
+    the round loop re-queues it exactly like a pages-join miss."""
+    log: list = []
+    web = {"http://h.test/ok": (b"ok", None)}
+    fetch = RequestsFetchFn(
+        transport=_web_transport(web, fail={"http://h.test/dead": 99}),
+        sleep=lambda s: None, rng_seed=1)
+    out = fetch(pd.DataFrame({
+        "url": ["http://h.test/dead", "http://h.test/ok"],
+        "parent": [None, None]}))
+    assert list(out["url"]) == ["http://h.test/ok"]
+    fetch2 = RequestsFetchFn(
+        transport=_web_transport(web, log=log, fail={"http://h.test/dead": 99}),
+        sleep=lambda s: None, rng_seed=1)
+    fetch2(pd.DataFrame({"url": ["http://h.test/dead"], "parent": [None]}))
+    assert len(log) == 3  # exactly MAX_RETRIES attempts
+
+
+def test_http_error_status_retries_like_raise_for_status():
+    """status >= 400 raises into the retry loop (session.py:58-59)."""
+    calls = {"n": 0}
+
+    def transport(url, headers, proxy, timeout):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return (503, {}, b"busy", None)
+        return (200, {}, b"fine", "utf-8")
+
+    fetch = RequestsFetchFn(transport=transport, sleep=lambda s: None,
+                            rng_seed=0)
+    out = fetch(pd.DataFrame({"url": ["http://h.test/a"], "parent": [None]}))
+    assert list(out["text"]) == ["fine"] and calls["n"] == 3
+
+
+def test_cookie_jar_referer_and_proxy():
+    """Set-Cookie accumulates into the jar and is sent on later requests
+    (session.py:56-57); Referer is the parent when known, else the URL's
+    scheme://netloc (parser.py:85-86); the row's proxy reaches the
+    transport (session.py:38-43); default headers are the reference's."""
+    log: list = []
+    web = {
+        "http://a.test/1": (b"one", "sid=abc; Path=/"),
+        "http://a.test/2": (b"two", None),
+    }
+    fetch = RequestsFetchFn(transport=_web_transport(web, log=log),
+                            sleep=lambda s: None, rng_seed=0)
+    fetch(pd.DataFrame({
+        "url": ["http://a.test/1", "http://a.test/2"],
+        "parent": [None, "http://a.test/1"],
+        "proxy": [None, "http://proxy.test:3128"]}))
+
+    first, second = log
+    assert "Cookie" not in first["headers"]
+    assert first["headers"]["Referer"] == "http://a.test"
+    assert first["headers"]["User-Agent"] == DEFAULT_HEADERS["User-Agent"]
+    assert first["proxy"] is None
+    assert second["headers"]["Cookie"] == "sid=abc"
+    assert second["headers"]["Referer"] == "http://a.test/1"
+    assert second["proxy"] == "http://proxy.test:3128"
+
+
+def test_requests_transport_is_import_guarded():
+    """The real transport defers `import requests` to call time — module
+    import and construction never require the package."""
+    import icrawler_spark.functions.http as http_mod
+
+    assert "requests" not in http_mod.__dict__  # not imported at module load
+    RequestsFetchFn()  # construction fine without touching the network
