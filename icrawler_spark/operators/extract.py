@@ -13,6 +13,8 @@ Output: (parent:string, visit_rank:long, pos:int, kind:string, target:string)
 
 from __future__ import annotations
 
+from html.parser import HTMLParser
+
 import pandas as pd
 
 from icrawler_spark.functions.urls import (
@@ -28,17 +30,32 @@ _HREF_RE = r'href="([^"]*)"'
 EMISSIONS_SCHEMA = "parent string, visit_rank long, pos int, kind string, target string"
 
 
+def _empty_emissions() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"parent": pd.Series(dtype=object), "visit_rank": pd.Series(dtype="int64"),
+         "pos": pd.Series(dtype="int32"), "kind": pd.Series(dtype=object),
+         "target": pd.Series(dtype=object)}
+    )
+
+
 def _extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
     if len(pdf) == 0:
-        return pd.DataFrame(
-            {"parent": pd.Series(dtype=object), "visit_rank": pd.Series(dtype="int64"),
-             "pos": pd.Series(dtype="int32"), "kind": pd.Series(dtype=object),
-             "target": pd.Series(dtype=object)}
-        )
+        return _empty_emissions()
     doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
 
     # --- <img src> pass (greedy.py:31-38) ---
     imgs = doc.str.findall(_IMG_SRC_RE).explode().dropna()
+    hrefs = doc.str.findall(_HREF_RE).explode().dropna()
+    return _emissions_from_tokens(pdf, imgs, hrefs, domains)
+
+
+def _emissions_from_tokens(pdf: pd.DataFrame, imgs: pd.Series,
+                           hrefs: pd.Series, domains: list[str]) -> pd.DataFrame:
+    """Shared filter/order pipeline below token extraction: ``imgs`` /
+    ``hrefs`` are exploded Series (indexed by pdf row, document order within
+    a row). Both the regex tokenizer (`_extract_batch`) and the parser-grade
+    tokenizer (`html_parser_extract_batch`) feed here, so the two paths can
+    only diverge in WHAT tokens they see, never in filtering/ordering."""
     img_df = pd.DataFrame({"src": imgs})
     img_df["parent"] = pdf["parent"].reindex(imgs.index)
     img_df["visit_rank"] = pdf["visit_rank"].reindex(imgs.index)
@@ -50,7 +67,6 @@ def _extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
     img_df["kind"] = "task"
 
     # --- href pass (greedy.py:39-71) ---
-    hrefs = doc.str.findall(_HREF_RE).explode().dropna()
     href_df = pd.DataFrame({"href": hrefs})
     href_df["parent"] = pdf["parent"].reindex(hrefs.index)
     href_df["visit_rank"] = pdf["visit_rank"].reindex(hrefs.index)
@@ -72,6 +88,73 @@ def _extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
     allrows["pos"] = allrows.groupby("visit_rank").cumcount().astype("int32")
     allrows["visit_rank"] = allrows["visit_rank"].astype("int64")
     return allrows[["parent", "visit_rank", "pos", "kind", "target"]].reset_index(drop=True)
+
+
+class _TokenCollector(HTMLParser):
+    """Document-order (img src, any-tag href) collector over tolerant
+    stdlib parsing — the BeautifulSoup ``find_all("img", src=True)`` /
+    ``find_all(href=True)`` analogue (greedy.py:31-40, bing.py:117-123)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.imgs: list[str] = []
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        # first occurrence wins on duplicate attributes (BeautifulSoup's
+        # behavior); valueless attrs (<img src>) carry None and are skipped
+        if tag == "img":
+            src = next((v for k, v in attrs if k == "src"), None)
+            if src is not None:
+                self.imgs.append(src)
+        href = next((v for k, v in attrs if k == "href"), None)
+        if href is not None:
+            self.hrefs.append(href)
+
+
+def html_parser_tokens(html: str) -> tuple[list[str], list[str]]:
+    """(img srcs, hrefs) in document order via the tolerant parser. A
+    document the parser cannot process at all yields no tokens (the
+    reference's BeautifulSoup never raises either — it salvages)."""
+    c = _TokenCollector()
+    try:
+        c.feed(html)
+        c.close()
+    except Exception:
+        pass  # salvage whatever was collected before the failure
+    return c.imgs, c.hrefs
+
+
+def html_parser_extract_batch(pdf: pd.DataFrame, domains: list[str]) -> pd.DataFrame:
+    """Parser-grade extraction (opt-in ParseBatchFn; round-3 verdict item 4):
+    ``CrawlPlugins(parse=html_parser_extract_batch)``.
+
+    The default `_extract_batch` tokenizes with vectorized regexes — fast,
+    and exact on well-formed double-quoted markup, but blind where the
+    reference's BeautifulSoup (builtin/greedy.py:18-29, bing.py:117-123)
+    is tolerant. This path tokenizes with stdlib ``html.parser`` (lxml is
+    not in this environment; same tolerance class) and feeds the SAME
+    filter/order pipeline, closing the regex path's known divergences:
+
+    - single-quoted / unquoted attribute values (``src='x'``, ``src=x``);
+    - uppercase tag/attribute names (``<IMG SRC=...>``);
+    - a ``>`` inside an earlier quoted attribute value;
+    - HTML entities in attribute values (``&amp;`` → ``&`` — the parser
+      unescapes like BeautifulSoup; the regex path keeps the raw bytes);
+    - unclosed/misnested tags never confuse attribute scanning.
+
+    Cost: per-document Python parsing inside the Arrow batch (the
+    tokenizer is the HTMLParser state machine, not vectorizable) — use it
+    when markup quality demands it; the regex path remains the default.
+    Fixture differentials: tests/test_extract_malformed.py.
+    """
+    if len(pdf) == 0:
+        return _empty_emissions()
+    doc = pdf["html"].str.decode("utf-8", errors="ignore").fillna("")
+    toks = doc.map(html_parser_tokens)
+    imgs = pd.Series([t[0] for t in toks], index=pdf.index).explode().dropna()
+    hrefs = pd.Series([t[1] for t in toks], index=pdf.index).explode().dropna()
+    return _emissions_from_tokens(pdf, imgs, hrefs, domains)
 
 
 def extract_emissions(fetched_df, domains: list[str], batch_fn=None):

@@ -1,0 +1,126 @@
+"""Malformed-markup differential: regex extractor vs parser-grade extractor
+(round-3 verdict item 4 — the extraction blind spot).
+
+The reference parses with BeautifulSoup (builtin/greedy.py:18-29,
+bing.py:117-123), which tolerates markup the default vectorized-regex
+tokenizer cannot see. ``html_parser_extract_batch`` closes that gap via
+stdlib ``html.parser`` feeding the SAME filter/order pipeline. Each fixture
+below asserts (a) what the parser path extracts — the reference-faithful
+answer — and (b) whether the regex path agrees, so every known divergence
+is pinned as an executable list rather than a blind spot.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from icrawler_spark.operators.extract import (
+    _extract_batch,
+    html_parser_extract_batch,
+    html_parser_tokens,
+)
+
+DOMAINS = ["a.test"]
+
+
+def _targets(fn, html: bytes):
+    pdf = pd.DataFrame({"parent": ["http://a.test"], "visit_rank": [0],
+                        "html": [html]})
+    out = fn(pdf, DOMAINS)
+    return [(r.kind, r.target) for r in out.itertuples()]
+
+
+# (name, html, parser-path answer, regex path agrees?)
+FIXTURES = [
+    ("well_formed",
+     b'<img src="http://a.test/i/x-10x10.jpg"><a href="http://a.test/p.html">x</a>',
+     [("task", "http://a.test/i/x-10x10.jpg"), ("url", "http://a.test/p.html")],
+     True),
+    ("unclosed_tags",
+     b'<div><p><img src="http://a.test/i/x-10x10.jpg">'
+     b'<a href="http://a.test/p.html">x',
+     [("task", "http://a.test/i/x-10x10.jpg"), ("url", "http://a.test/p.html")],
+     True),
+    ("attribute_reorder",
+     b'<img alt="z" width="5" src="http://a.test/i/x-10x10.jpg">',
+     [("task", "http://a.test/i/x-10x10.jpg")],
+     True),
+    ("single_quoted_src",
+     b"<img src='http://a.test/i/x-10x10.jpg'>"
+     b"<a href='http://a.test/p.html'>x</a>",
+     [("task", "http://a.test/i/x-10x10.jpg"), ("url", "http://a.test/p.html")],
+     False),  # regex only matches double quotes
+    ("unquoted_src",
+     b"<img src=http://a.test/i/x-10x10.jpg>",
+     [("task", "http://a.test/i/x-10x10.jpg")],
+     False),  # regex requires quotes
+    ("uppercase_markup",
+     b'<IMG SRC="http://a.test/i/x-10x10.jpg">',
+     [("task", "http://a.test/i/x-10x10.jpg")],
+     False),  # regex is case-sensitive
+    ("gt_inside_earlier_attr",
+     b'<img alt="a>b" src="http://a.test/i/x-10x10.jpg">',
+     [("task", "http://a.test/i/x-10x10.jpg")],
+     False),  # regex [^>]* stops at the embedded '>'
+    ("entity_in_href",
+     b'<a href="http://a.test/p&amp;q/r.html">x</a>',
+     [("url", "http://a.test/p&q/r.html")],
+     False),  # parser unescapes like BeautifulSoup; regex keeps &amp;
+    # NOTE: query-string hrefs (?a=1&amp;b=2) are dropped by BOTH paths —
+    # the reference's extension whitelist splits on '.' of the LAST path
+    # segment (greedy.py:60-62), and 'html?a=1' is not in the whitelist;
+    # entity handling only matters where the URL survives that filter.
+    ("valueless_src_skipped",
+     b"<img src><img>",
+     [],
+     True),
+    ("duplicate_attr_first_wins",
+     b'<img src="http://a.test/i/x-10x10.jpg" src="http://a.test/i/y-10x10.jpg">',
+     [("task", "http://a.test/i/x-10x10.jpg")],
+     False),  # regex greedy [^>]* reaches the LAST src= in the tag
+]
+
+
+@pytest.mark.parametrize("name,html,expected,regex_agrees",
+                         FIXTURES, ids=[f[0] for f in FIXTURES])
+def test_parser_path_is_reference_faithful(name, html, expected, regex_agrees):
+    got = _targets(html_parser_extract_batch, html)
+    assert got == expected, f"parser path wrong on {name}"
+    regex_got = _targets(_extract_batch, html)
+    if regex_agrees:
+        assert regex_got == got, f"{name}: fixture claims agreement"
+    else:
+        assert regex_got != got, (
+            f"{name}: regex path now agrees — move it to regex_agrees=True")
+
+
+def test_token_order_is_document_order():
+    imgs, hrefs = html_parser_tokens(
+        '<a href="h1"><img src="s1"></a><img src="s2"><link href="h2">')
+    assert imgs == ["s1", "s2"]
+    assert hrefs == ["h1", "h2"]
+
+
+def test_paths_identical_on_well_formed_corpus(spark, smoke_web, smoke_pages_df):
+    """On the (well-formed, double-quoted) synthetic web the two tokenizers
+    must emit IDENTICAL crawl results — the parser path is a superset only
+    where markup is malformed."""
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+    from icrawler_spark.plugins import CrawlPlugins
+
+    seeds = ["host0000.test", "host0001.test", "host0002.test"]
+    base = GreedyCrawl(spark, smoke_pages_df, CrawlConfig(max_num=40)).run(seeds)
+    alt = GreedyCrawl(
+        spark, smoke_pages_df,
+        CrawlConfig(max_num=40,
+                    plugins=CrawlPlugins(parse=html_parser_extract_batch))
+    ).run(seeds)
+
+    def _snap(res):
+        return ([(r["visit_rank"], r["url"])
+                 for r in res.order.orderBy("visit_rank").collect()],
+                sorted((r["file_idx"], r["file_url"])
+                       for r in res.fetched.collect()))
+
+    assert _snap(alt) == _snap(base)
