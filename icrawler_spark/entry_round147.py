@@ -1,0 +1,179 @@
+"""Round-4 driver-contract queries (batch 147): crawl_full_gates — the
+combined production-config crawl (round-3 verdict item 5).
+
+Every frontier gate the loop supports, TOGETHER in one two-round crawl:
+canonical_seen + robots + traps + spam + blocklist + recrawl + max_per_host.
+Each gate is individually oracled elsewhere (crawl_canonical, crawl_robots,
+crawl_traps, crawl_spam, crawl_blocklist, crawl_recrawl, crawl_hostquota);
+this query oracles their INTERACTIONS — in particular the loop's gate
+order (traps → spam → blocklist → robots-drop → per-host quota → recrawl
+→ rank, plans/crawl.py:646-729): a robots-disallowed URL must not burn a
+quota slot, while a scheduled-not-due URL DOES burn one (recrawl runs
+after quota), and canonical dedup-at-enqueue happens before any gate.
+
+The page universe is a hand-built 4-host web whose round-1 candidates each
+trigger exactly one gate (or none); the oracle replays the BFS and every
+gate in DuckDB over the same literals, reusing the per-gate SQL renderers
+(_canon_expr, _trap_score_sql, spam_flags_sql) so both engines compute the
+identical detector arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUOTA = 3
+_NOW = 1000
+
+# (seed k, doc-order href list). Every href passes the extraction filters
+# (ext whitelist / no dot, scheme, seed-domain substring — the normalized
+# seed is the FULL 'http://hK.test' URL, greedy.py:85-88, so every
+# candidate keeps that prefix), hence emission pos = list index; gates act
+# afterwards, in the round loop.
+_LINKS = [
+    (0, ["http://h0.test/a.html",
+         "http://h0.test:80/a.html",    # canonical dup of a.html (:80 fold)
+         "http://h0.test/x/x/x/x/x/x/x/x/x/x/x/t",  # trap: depth + loops
+         "http://h0.test/b.html",
+         "http://h0.test/c.html"]),     # quota-shed (slot 3 + seed > 3)
+    # spam: host keeps the h1.test prefix but is hyphen-stuffed (3 '-') and
+    # carries a lexicon word -> 2 independent signals
+    (1, ["http://h1.test.free-casino-win-now.test/s.html",
+         "http://h1.test.blocked.test/d.html",     # blocklisted domain
+         "http://h1.test/d.html",
+         "http://h1.test/e.html"]),
+    (2, ["http://h2.test/private/p.html",  # robots Disallow: /private
+         "http://h2.test/f.html",
+         "http://h2.test/g.html"]),
+    (3, ["http://h3.test/later.html",   # scheduled, due at 2000 > now
+         "http://h3.test/due.html",     # scheduled, due at 500 <= now
+         "http://h3.test/i.html"]),     # quota-shed: later burned slot 1
+]
+
+_ROBOTS_BODY = "User-agent: *\nDisallow: /private"
+
+
+def _gate_pages(spark: SparkSession) -> DataFrame:
+    rows = []
+    for k, hrefs in _LINKS:
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        rows.append((f"http://h{k}.test", html.encode(), f"root {k}"))
+    return spark.createDataFrame(rows, "url string, html binary, text string")
+
+
+def q_crawl_full_gates(spark: SparkSession, sf: str) -> DataFrame:
+    """Two greedy rounds with EVERY gate on: canonical seen-set, robots,
+    trap/spam shedding, domain blocklist, adaptive recrawl, per-host
+    quota. See module docstring for the per-candidate design."""
+    from icrawler_spark.functions.robots import parse_robots_matchers
+    from icrawler_spark.plans.crawl import CrawlConfig, GreedyCrawl
+
+    bodies = spark.createDataFrame([("h2.test", _ROBOTS_BODY)],
+                                   "host string, body string")
+    sched = spark.createDataFrame(
+        [("http://h3.test/later.html", 2000), ("http://h3.test/due.html", 500)],
+        "url string, next_due_epoch long")
+    blocklist = spark.createDataFrame([("h1.test.blocked.test",)],
+                                      "domain string")
+    cfg = CrawlConfig(
+        max_rounds=2,
+        canonical_seen=True,
+        robots=parse_robots_matchers(bodies, agent="*"),
+        max_trap_score=2,
+        max_spam_score=2,
+        blocklist=blocklist,
+        recrawl=sched,
+        now_epoch=_NOW,
+        max_per_host=_QUOTA,
+    )
+    res = GreedyCrawl(spark, _gate_pages(spark), cfg).run(
+        ["h0.test", "h1.test", "h2.test", "h3.test"])
+    return res.order.select(
+        F.col("visit_rank").cast("long").alias("visit_rank"), "url",
+        F.col("round").cast("long").alias("round"), "parent",
+        F.col("link_pos").cast("long").alias("link_pos"))
+
+
+def _crawl_full_gates_sql() -> str:
+    from icrawler_spark.entry_round8 import _canon_expr, _trap_score_sql
+    from icrawler_spark.functions.urls import spam_flags_sql
+
+    emit_rows = ",\n    ".join(
+        f"({k}, {pos}, '{t}')"
+        for k, hrefs in _LINKS for pos, t in enumerate(hrefs))
+    spam = spam_flags_sql("url")
+    spam_score = " + ".join(f"({v})::INT" for v in spam.values())
+    return f"""
+WITH seeds AS (
+  SELECT 'http://h' || k || '.test' AS url, CAST(k AS BIGINT) AS visit_rank,
+         CAST(NULL AS VARCHAR) AS parent, CAST(k AS INT) AS pos
+  FROM (SELECT unnest(range(0, 4)) AS k)
+),
+emit(seed_k, pos, target) AS (
+  VALUES {emit_rows}
+),
+cand AS (  -- canonical dedup-at-enqueue (earliest wins) minus canonical seen
+  SELECT target AS url, parent, pos, parent_rank
+  FROM (
+    SELECT e.target, s.url AS parent, e.pos,
+           s.visit_rank AS parent_rank,
+           row_number() OVER (PARTITION BY {_canon_expr('e.target')}
+                              ORDER BY s.visit_rank, e.pos) AS rn
+    FROM emit e JOIN seeds s ON s.visit_rank = e.seed_k
+    WHERE {_canon_expr('e.target')} NOT IN
+          (SELECT {_canon_expr('url')} FROM seeds)
+  ) WHERE rn = 1
+),
+hosted AS (
+  SELECT *, regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1) AS thost,
+         coalesce(nullif(regexp_extract(url,
+             '^[a-z]+://[^/]*(/[^?#]*)', 1), ''), '/') AS tpath
+  FROM cand
+),
+g_lex AS (  -- traps, spam, blocklist, robots (loop order, crawl.py:646-712)
+  SELECT * FROM hosted
+  WHERE ({_trap_score_sql('url')}) < 2
+    AND ({spam_score}) < 2
+    AND NOT (thost = 'h1.test.blocked.test'
+             OR thost LIKE '%.h1.test.blocked.test')
+    AND NOT (thost = 'h2.test' AND starts_with(tpath, '/private'))
+),
+g_quota AS (  -- per-host quota: seeds burned 1 slot each
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY thost
+                                 ORDER BY parent_rank, pos) AS qslot
+    FROM g_lex
+  ) WHERE 1 + qslot <= {_QUOTA}
+),
+g_due AS (  -- recrawl gate AFTER quota: not-due rows already burned slots
+  SELECT g.* FROM g_quota g
+  LEFT JOIN (VALUES ('http://h3.test/later.html', 2000),
+                    ('http://h3.test/due.html', 500)) s(surl, due)
+    ON s.surl = g.url
+  WHERE s.due IS NULL OR s.due <= {_NOW}
+),
+v1 AS (
+  SELECT url, parent, pos,
+         CAST(3 + row_number() OVER (ORDER BY parent_rank, pos) AS BIGINT)
+           AS visit_rank
+  FROM g_due
+)
+SELECT visit_rank, url, CAST(0 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM seeds
+UNION ALL
+SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
+       CAST(pos AS BIGINT) AS link_pos FROM v1
+"""
+
+
+def queries147():
+    return {
+        "crawl_full_gates": q_crawl_full_gates,
+    }
+
+
+def oracle_sql147():
+    return {
+        "crawl_full_gates": _crawl_full_gates_sql(),
+    }
