@@ -535,6 +535,25 @@ def bench_extract(spark, pages_path: str) -> dict:
     return {"wall_s": wall, "pages": n, "pages_per_sec": round(n / wall, 1)}
 
 
+_NOISE_RATIO = 1.5
+
+
+def _prev_headline_queries() -> dict:
+    """Headline `queries` from the latest recorded BENCH_r*.json — the
+    comparison base for the noise protocol below."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            return json.load(f).get("queries", {}) or {}
+    except Exception:
+        return {}
+
+
 def run_once(cores: int) -> dict:
     spark = _get_spark(cores)
     try:
@@ -548,17 +567,58 @@ def run_once(cores: int) -> dict:
         t_extra = time.time()
         extra = _extra_operator_benches(spark)
         extra_wall = round(time.time() - t_extra, 3)
-        total = round(crawl["wall_s"] + polite["wall_s"] + extract["wall_s"]
-                      + sum(ops.values()), 3)
         queries = {"crawl_round": round(crawl["wall_s"], 3),
                    "crawl_polite": round(polite["wall_s"], 3),
                    "extract_html": round(extract["wall_s"], 3), **ops}
+
+        # Noise protocol (round-3 verdict item 6): a serial headline reading
+        # that moved >1.5x in either direction vs the last recorded round is
+        # automatically re-measured twice more BEFORE the JSON is written,
+        # and the minimum of the three readings is recorded (min is the
+        # standard noise-floor estimator for wall-clock micro-benches — the
+        # r3 fingerprint/token_counts "regressions" were host/JVM noise that
+        # a single re-measure already dispelled). All three raw readings are
+        # kept under `noise_remeasured` so a real regression stays visible.
+        def _rerun(name: str) -> float:
+            if name == "crawl_round":
+                w = bench_crawl(spark, pages_path)["wall_s"]
+                _release_crawl_state(spark)
+                return w
+            if name == "crawl_polite":
+                w = bench_crawl_polite(spark, pages_path)["wall_s"]
+                _release_crawl_state(spark)
+                return w
+            if name == "extract_html":
+                return bench_extract(spark, pages_path)["wall_s"]
+            from icrawler_spark import entry_queries as q
+
+            t0 = time.time()
+            q.queries()[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            return time.time() - t0
+
+        prev = _prev_headline_queries()
+        noise_remeasured = {}
+        for name, secs in list(queries.items()):
+            old = prev.get(name)
+            if not old or old <= 0 or secs <= 0:
+                continue
+            ratio = secs / old
+            if ratio > _NOISE_RATIO or ratio < 1.0 / _NOISE_RATIO:
+                readings = [secs] + [round(_rerun(name), 3) for _ in range(2)]
+                queries[name] = min(readings)
+                noise_remeasured[name] = readings
+
+        total = round(queries["crawl_round"] + queries["crawl_polite"]
+                      + queries["extract_html"]
+                      + sum(queries[k] for k in ops), 3)
         return {
             "metric": "headline suite wall time (crawl + extract + operators)",
             "value": total, "unit": "sec", "queries": queries,
             "sf": _SF_TAG.replace("sf", ""),
             "crawl": crawl, "crawl_polite": polite, "extract": extract,
             "extra_queries": extra, "extra_wall_s": extra_wall,
+            "noise_remeasured": noise_remeasured,
             "cores": cores,
         }
     finally:

@@ -209,3 +209,53 @@ class RequestsFetchFn:
                 text = content.decode(encoding or "utf-8", errors="replace")
             rows.append((url, content, text))
         return pd.DataFrame(rows, columns=["url", "html", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Live proxy-validation probe (round-3 "What's missing" item 3): a shipped
+# check_fn for functions/proxy.validate_proxies, built on the same transport
+# seam as RequestsFetchFn so the sandbox tests it against fakes and a
+# cluster runs it against the network.
+# ---------------------------------------------------------------------------
+
+#: Reference per-protocol probe URLs (utils/proxy_pool.py:85 — public
+#: constants; override per deployment).
+PROXY_TEST_URLS = {"http": "http://www.sina.com.cn",
+                   "https": "https://www.taobao.com"}
+
+
+def proxy_probe_check_fn(test_urls: Mapping | None = None,
+                         timeout: float = 5.0,
+                         transport: Transport | None = None):
+    """Build a ``validate_proxies`` ``check_fn`` that probes each
+    (addr, protocol) candidate through the proxy against the protocol's
+    test URL — the distributed analogue of ProxyPool.is_valid
+    (utils/proxy_pool.py:200-227): GET ``test_url[protocol]`` with
+    ``proxies={protocol: 'http://' + addr}`` and ``timeout``; valid iff
+    the request completes with status 200 (timeouts / connection errors /
+    non-200 all invalid, exactly the reference's three reject branches).
+
+    Runs per Arrow batch inside validate_proxies' mapInPandas — each probe
+    is network I/O, so the loop is deliberately per-row (same rationale as
+    RequestsFetchFn). Unknown protocols (no test URL) are invalid, like a
+    KeyError in the reference's ``self.test_url[protocol]``.
+    """
+    urls = dict(test_urls or PROXY_TEST_URLS)
+    tp = transport or requests_transport
+
+    def check(pdf: pd.DataFrame) -> pd.Series:
+        ok = []
+        for addr, protocol in zip(pdf["addr"], pdf["protocol"]):
+            url = urls.get(protocol)
+            if url is None:
+                ok.append(False)
+                continue
+            try:
+                status, _hdrs, _content, _enc = tp(
+                    url, DEFAULT_HEADERS, "http://" + addr, timeout)
+                ok.append(status == 200)
+            except Exception:
+                ok.append(False)
+        return pd.Series(ok, index=pdf.index)
+
+    return check

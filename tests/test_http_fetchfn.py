@@ -162,3 +162,31 @@ def test_requests_transport_is_import_guarded():
 
     assert "requests" not in http_mod.__dict__  # not imported at module load
     RequestsFetchFn()  # construction fine without touching the network
+
+
+def test_proxy_probe_check_fn_validates_like_reference(spark):
+    """proxy_probe_check_fn + validate_proxies: status-200 through the
+    proxy = valid; timeout/exception/non-200/unknown-protocol = invalid
+    (proxy_pool.py:200-227); expected_num keeps the ordered prefix."""
+    from icrawler_spark.functions.http import proxy_probe_check_fn
+    from icrawler_spark.functions.proxy import validate_proxies
+
+    def transport(url, headers, proxy, timeout):
+        # 200 ONLY for the right (test-url, proxied-addr) pair: the valid
+        # verdict below therefore proves the reference per-protocol test
+        # URL and the 'http://'+addr proxy both reached the socket layer
+        # (executor-side, so a driver-side recorder list would stay empty)
+        if url == "http://www.sina.com.cn" and proxy == "http://10.0.0.1:80":
+            return (200, {}, b"ok", None)
+        if proxy == "http://10.0.0.2:80":
+            return (503, {}, b"busy", None)
+        raise TimeoutError(proxy)
+
+    cand = spark.createDataFrame(
+        [("10.0.0.1:80", "http"), ("10.0.0.2:80", "http"),
+         ("10.0.0.3:80", "http"), ("10.0.0.4:80", "socks5")],
+        "addr string, protocol string")
+    out = validate_proxies(
+        cand, check_fn=proxy_probe_check_fn(transport=transport)).collect()
+    assert [(r["addr"], r["protocol"], r["weight"]) for r in out] == [
+        ("10.0.0.1:80", "http", 1.0)]
