@@ -549,7 +549,16 @@ def _prev_headline_queries() -> dict:
         return {}
     try:
         with open(paths[-1]) as f:
-            return json.load(f).get("queries", {}) or {}
+            d = json.load(f)
+        # the driver wraps the bench's JSON line under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        # readings are only comparable at the same scale factor: a local
+        # sf0.01 iteration must not tank against the recorded sf0.1 round
+        # (it would re-measure every query 3x for nothing)
+        if str(d.get("sf")) != _SF_TAG.replace("sf", ""):
+            return {}
+        return d.get("queries", {}) or {}
     except Exception:
         return {}
 
