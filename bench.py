@@ -647,7 +647,8 @@ def bench_big_round(spark, pages_path: str, n_hosts: int = 1000) -> dict:
 
     from icrawler_spark.operators.budget import global_row_number
     from icrawler_spark.operators.dedup import (
-        BloomSeenFilter, anti_join_seen_bloom, earliest_occurrence)
+        BloomSeenFilter, ShardedBloomFilter, anti_join_seen_bloom,
+        earliest_occurrence)
     from icrawler_spark.operators.extract import extract_emissions
     from icrawler_spark.operators.politeness import apply_robots, politeness_batch
 
@@ -668,7 +669,14 @@ def bench_big_round(spark, pages_path: str, n_hosts: int = 1000) -> dict:
         [(f"host{h:04d}.test", 10, ["/x-private"]) for h in range(n_hosts)],
         "host string, crawl_delay_ms long, disallow_prefixes array<string>")
 
-    bloom = BloomSeenFilter.empty(n_frontier, 0.01).absorb(seen, "url")
+    # SPARK_GRAFT_SCALING_BLOOM_MODE=sharded measures the executor-resident
+    # shard-table filter (the 10^10-frontier seen-set path) instead of the
+    # driver-held broadcast filter; outputs are identical by construction
+    if os.environ.get("SPARK_GRAFT_SCALING_BLOOM_MODE") == "sharded":
+        bloom = ShardedBloomFilter.empty(spark, n_frontier, 0.01) \
+            .absorb(seen, "url")
+    else:
+        bloom = BloomSeenFilter.empty(n_frontier, 0.01).absorb(seen, "url")
     # state pinning mirrors the real round loop (plans/crawl.py pins the
     # politeness split, the emissions, the deduped tasks and the rank each
     # round — that IS the engine's execution structure, and it is what makes
@@ -737,7 +745,8 @@ def _scaling_one(cores: int, force: bool = False) -> dict:
     (JIT + OS page cache + python workers), then measure. Result cached to
     /tmp so legs can run in separate invocations."""
     scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
-    cache = f"/tmp/icrawler_scaling_c{cores}_p{scaling_pages}.json"
+    bmode = os.environ.get("SPARK_GRAFT_SCALING_BLOOM_MODE", "driver")
+    cache = f"/tmp/icrawler_scaling_c{cores}_p{scaling_pages}_b{bmode}.json"
     if not force and os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
