@@ -167,13 +167,43 @@ SELECT visit_rank, url, CAST(1 AS BIGINT) AS round, parent,
 """
 
 
+def q_rank_prefix_sums(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/budget.ordered_rank_prefix_sums as a standalone op: the
+    crawl ledger burn-down — every event ranked in (ts, event_id) order
+    with the running value total, in ONE range shuffle (two-phase rank +
+    prefix offsets; the oracle may use a global window — the ENGINE side
+    must not, and the hygiene gate enforces it)."""
+    from icrawler_spark.operators.budget import ordered_rank_prefix_sums
+
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_id", "ts",
+                  F.floor("value").cast("long").alias("__v")))
+    ranked, _totals, _n = ordered_rank_prefix_sums(
+        ev, ["ts", "event_id"], ["__v"], ["cum_value"], rank_col="rank")
+    return ranked.select(F.col("event_id").cast("long").alias("event_id"),
+                         F.col("rank").cast("long").alias("rank"),
+                         F.col("cum_value").cast("long").alias("cum_value"))
+
+
+_RANK_PREFIX_SUMS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank,
+  CAST(sum(CAST(floor(value) AS BIGINT))
+       OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_value
+FROM events
+"""
+
+
 def queries147():
     return {
         "crawl_full_gates": q_crawl_full_gates,
+        "rank_prefix_sums": q_rank_prefix_sums,
     }
 
 
 def oracle_sql147():
     return {
         "crawl_full_gates": _crawl_full_gates_sql(),
+        "rank_prefix_sums": _RANK_PREFIX_SUMS_SQL,
     }
