@@ -298,3 +298,36 @@ def test_sharded_bloom_rejects_non_power_of_two(spark):
 
     with _pytest.raises(ValueError):
         ShardedBloomFilter(spark, 12, 640, 4)
+
+
+def test_ordered_rank_prefix_sums_edges(spark):
+    """Two-phase ranked prefix sums: rank + multi-weight cumsums match a
+    single-partition reference; empty input and weight-type guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.budget import ordered_rank_prefix_sums
+
+    df = spark.range(0, 5000).select(
+        ((F.col("id") * 7919) % 5000).alias("k"),
+        (F.col("id") % 97).cast("long").alias("w1"),
+        (F.col("id") % 13).cast("long").alias("w2"))
+    out, totals, n = ordered_rank_prefix_sums(
+        df, ["k"], ["w1", "w2"], ["c1", "c2"], rank_col="r", rank_start=7)
+    rows = out.orderBy("k").collect()
+    assert n == 5000 and totals == [sum(r["w1"] for r in rows),
+                                    sum(r["w2"] for r in rows)]
+    acc1 = acc2 = 0
+    for i, r in enumerate(rows):
+        acc1 += r["w1"]
+        acc2 += r["w2"]
+        assert r["r"] == 7 + i and r["c1"] == acc1 and r["c2"] == acc2
+
+    empty = spark.createDataFrame([], "k long, w1 long")
+    out2, totals2, n2 = ordered_rank_prefix_sums(empty, ["k"], ["w1"], ["c"])
+    assert out2.count() == 0 and totals2 == [0] and n2 == 0
+
+    with _pytest.raises(TypeError):
+        ordered_rank_prefix_sums(
+            df.withColumn("wd", F.col("w1").cast("double")),
+            ["k"], ["wd"], ["c"])
