@@ -271,3 +271,38 @@ def test_max_idle_wall_clock_stop(spark, smoke_pages_df):
     relaxed = GreedyCrawl(spark, smoke_pages_df,
                           CrawlConfig(max_num=0, max_idle_s=3600.0)).run(SEEDS)
     assert relaxed.stop_reason == "frontier_exhausted"
+
+
+def test_canonical_seen_with_sharded_bloom_matches_driver_modes(spark):
+    """canonical_seen keys the Bloom/anti-join on __ckey instead of url;
+    both bloom modes (and bloom off) must produce the identical crawl over
+    a web whose round-1 candidates include canonical variants."""
+    rows = [
+        ("http://hc0.test",
+         b'<a href="http://hc0.test/a.html">x</a>'
+         b'<a href="http://hc0.test:80/a.html">dup</a>'
+         b'<a href="http://hc0.test/b.html">y</a>',
+         "root0"),
+        ("http://hc1.test",
+         b'<a href="http://hc1.test/c.html">z</a>', "root1"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string")
+    seeds = ["hc0.test", "hc1.test"]
+
+    def snap(**kw):
+        res = GreedyCrawl(spark, pages,
+                          CrawlConfig(max_rounds=2, canonical_seen=True, **kw)
+                          ).run(seeds)
+        return ([(r["visit_rank"], r["url"])
+                 for r in res.order.orderBy("visit_rank").collect()],
+                sorted(r["url"] for r in res.seen_pages.collect()))
+
+    base = snap()
+    assert snap(use_bloom=True, bloom_fpp=0.2) == base
+    assert snap(use_bloom=True, bloom_fpp=0.2, bloom_mode="sharded",
+                bloom_shards=8) == base
+    # the :80 canonical dup never entered the frontier
+    urls = [u for _r, u in base[0]]
+    assert "http://hc0.test:80/a.html" not in urls
+    assert "http://hc0.test/a.html" in urls
