@@ -56,12 +56,23 @@ def stream_crawl_pass(
     pages: DataFrame,
     domains: list[str],
     timeout_s: int = 300,
+    fetch_fn=None,
 ) -> int:
     """One availableNow pass: ingest → fetch → extract → feed back.
 
     Returns the number of novel URLs ingested (0 = crawl closure reached).
     Texts land under ``state_dir/texts`` (url, text), image tasks under
     ``state_dir/tasks`` (parent, pos, target).
+
+    ``fetch_fn`` (a :data:`icrawler_spark.plugins.FetchBatchFn`, e.g.
+    ``functions.http.RequestsFetchFn``) replaces the pages-table join with
+    a live batch-HTTP mapInPandas fetch — the streaming pipeline then IS
+    the reference's continuous crawler: feeder stream in, live GETs, texts
+    and tasks out, discovered outlinks fed back. URLs the fetcher omits
+    (failures after its own retries) simply produce no texts/outlinks this
+    pass; they remain in the frontier's seen set, matching the batch
+    engine's join-miss semantics for streams (no per-round re-queue —
+    continuous re-discovery takes its place).
     """
     texts_path = os.path.join(state_dir, "texts")
     tasks_path = os.path.join(state_dir, "tasks")
@@ -79,8 +90,28 @@ def stream_crawl_pass(
         # at batch end — a long-lived streaming query keeps O(1) block
         # storage instead of accumulating checkpoint blocks per batch
         # (recompute-on-eviction is safe: join and extraction are pure)
-        fetched = (F.broadcast(novel)
-                   .join(pages.select("url", "html", "text"), "url"))
+        if fetch_fn is not None:
+            # live-HTTP seam: same Arrow-batched contract as the round
+            # loop's _fetch_plugin — (url, parent) in, (url, html, text)
+            # out; parent is unknown at ingest (feedback files carry bare
+            # URLs), so the fetcher's Referer falls back to the URL's own
+            # scheme://netloc, the reference's feed-page behavior
+            def _gen(batches):
+                import pandas as pd
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    inp = pdf[["url"]].copy()
+                    inp["parent"] = None
+                    res = fetch_fn(inp)
+                    if res is None or len(res) == 0:
+                        continue
+                    yield res[["url", "html", "text"]]
+            fetched = novel.select("url").mapInPandas(
+                _gen, "url string, html binary, text string")
+        else:
+            fetched = (F.broadcast(novel)
+                       .join(pages.select("url", "html", "text"), "url"))
         fetched = fetched.persist()
         em = None
         try:
@@ -167,14 +198,18 @@ def stream_crawl(
     pages: DataFrame,
     domains: list[str],
     max_passes: int = 50,
+    fetch_fn=None,
 ) -> dict:
     """Run availableNow passes until the feedback loop drains (a pass with
-    zero novel URLs). Returns {passes, frontier_urls, texts, tasks} counts."""
+    zero novel URLs). Returns {passes, frontier_urls, texts, tasks} counts.
+    ``fetch_fn`` switches every pass to the live batch-HTTP fetch seam
+    (see :func:`stream_crawl_pass`)."""
     write_seed_urls(source_dir, seeds)
     passes = 0
     while passes < max_passes:
         passes += 1
-        if stream_crawl_pass(spark, source_dir, state_dir, pages, domains) == 0:
+        if stream_crawl_pass(spark, source_dir, state_dir, pages, domains,
+                             fetch_fn=fetch_fn) == 0:
             break
     frontier_path = os.path.join(state_dir, "frontier")
     texts_path = os.path.join(state_dir, "texts")

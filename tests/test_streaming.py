@@ -368,3 +368,43 @@ def test_stream_ingest_sharded_bloom_mode_is_exact(spark, tmp_path):
     out2 = ingest_available(spark, src, state, bloom_mode="sharded")
     assert sorted(r["url"] for r in out2.collect()) == sorted(
         f"http://s.test/{i}" for i in range(60))
+
+
+def test_stream_crawl_live_fetchfn_matches_pages_join(spark, smoke_web,
+                                                      smoke_pages_df, tmp_path):
+    """stream_crawl(fetch_fn=RequestsFetchFn) — the live-HTTP streaming
+    crawler — must reach the identical closure (texts, frontier) as the
+    pages-join streaming crawl over the same synthetic web."""
+    from icrawler_spark.functions.http import RequestsFetchFn
+    from icrawler_spark.streaming.crawl_stream import stream_crawl
+
+    cfg, pdf = smoke_web
+    seeds_hosts = ["host0000.test", "host0001.test", "host0002.test"]
+    seed_urls = [f"http://{h}" for h in seeds_hosts]
+    web = {u: h for u, h in zip(pdf.url, pdf.html)}
+    texts_map = dict(zip(pdf.url, pdf.text))
+
+    def transport(url, headers, proxy, timeout):
+        if url not in web:
+            raise ConnectionError(url)
+        return (200, {}, web[url], "utf-8")
+
+    fetch = RequestsFetchFn(transport=transport,
+                            text_fn=lambda u, c, e: texts_map[u],
+                            sleep=lambda s: None, rng_seed=5)
+
+    join_res = stream_crawl(spark, seed_urls,
+                            str(tmp_path / "src_j"), str(tmp_path / "st_j"),
+                            smoke_pages_df, seeds_hosts)
+    live_res = stream_crawl(spark, seed_urls,
+                            str(tmp_path / "src_l"), str(tmp_path / "st_l"),
+                            smoke_pages_df.limit(0), seeds_hosts,
+                            fetch_fn=fetch)
+
+    def _texts(st):
+        return {r["url"]: r["text"] for r in
+                spark.read.parquet(str(tmp_path / st / "texts")).collect()}
+
+    assert _texts("st_l") == _texts("st_j")
+    assert live_res["frontier_urls"] == join_res["frontier_urls"]
+    assert live_res["tasks"] == join_res["tasks"]
