@@ -40,6 +40,14 @@ def main() -> int:
                     help="optional robots rules parquet (host, allow, crawl_delay)")
     ap.add_argument("--round-seconds", type=float, default=None)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--bloom-mode", default="driver",
+                    choices=["driver", "sharded"],
+                    help="sharded = executor-resident shard-table filter "
+                         "(the 10^10-frontier seen-set mode)")
+    ap.add_argument("--live-fetch", action="store_true",
+                    help="fetch over HTTP with the default RequestsFetchFn "
+                         "instead of joining --pages (requires `requests` "
+                         "on the executors)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,9 +72,17 @@ def main() -> int:
         pages = spark.read.parquet(args.pages)
 
     robots = spark.read.parquet(args.robots) if args.robots else None
+    plugins = None
+    if args.live_fetch:
+        from icrawler_spark.functions.http import RequestsFetchFn
+        from icrawler_spark.plugins import CrawlPlugins
+
+        plugins = CrawlPlugins(fetch=RequestsFetchFn())
     cfg = CrawlConfig(max_num=args.max_num, robots=robots,
                       round_seconds=args.round_seconds,
                       use_bloom=args.use_bloom,
+                      bloom_mode=args.bloom_mode,
+                      plugins=plugins,
                       checkpoint_dir=args.checkpoint)
     t0 = time.time()
     res = GreedyCrawl(spark, pages, cfg).run(args.seeds.split(","))
