@@ -277,3 +277,38 @@ def test_sessionize_matches_python_oracle(spark, ts, gap):
     got = [r["session_seq"] for r in
            sessionize(df, gap_s=gap).orderBy("ts_us", "event_id").collect()]
     assert got == _sessions_py(ts, gap)
+
+
+@given(seen=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                     unique=True),
+       cand=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                     unique=True),
+       n_shards=st.sampled_from([1, 2, 8]))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sharded_bloom_anti_join_always_exact(spark, seen, cand, n_shards):
+    """Property: for ANY url sets and shard count, anti_join_seen_bloom
+    through ShardedBloomFilter equals the exact anti-join (Bloom false
+    positives may only route rows INTO the join, never drop them), and
+    absorbed keys are never marked definitely-new."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import (
+        ShardedBloomFilter,
+        anti_join_seen_bloom,
+    )
+
+    mk = lambda xs: spark.createDataFrame(  # noqa: E731
+        [(f"http://p{i % 7}.test/{i}",) for i in xs], "url string")
+    seen_df, cand_df = mk(seen), mk(cand)
+    # tiny m_bits: force a high false-positive rate to stress the routing
+    flt = ShardedBloomFilter(spark, n_shards, 128, 2).absorb(seen_df, "url")
+
+    got = sorted(r["url"] for r in
+                 anti_join_seen_bloom(cand_df, seen_df, flt, "url").collect())
+    exact = sorted(f"http://p{i % 7}.test/{i}" for i in set(cand) - set(seen))
+    assert got == exact
+
+    fn = flt.mark_maybe_seen(seen_df, "url").filter(
+        ~F.col("__maybe_seen")).count()
+    assert fn == 0
