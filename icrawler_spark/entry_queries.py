@@ -91,7 +91,8 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round140, entry_round141,
                             entry_round142, entry_round143,
                             entry_round144, entry_round145,
-                            entry_round146, entry_round147)
+                            entry_round146, entry_round147,
+                            entry_round148)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -1004,6 +1005,7 @@ def queries():
         **entry_round145.queries145(),
         **entry_round146.queries146(),
         **entry_round147.queries147(),
+        **entry_round148.queries148(),
     }
 
 
@@ -1222,4 +1224,5 @@ def _oracle_sql_raw():
         **entry_round145.oracle_sql145(),
         **entry_round146.oracle_sql146(),
         **entry_round147.oracle_sql147(),
+        **entry_round148.oracle_sql148(),
     }

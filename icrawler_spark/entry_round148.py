@@ -1,0 +1,58 @@
+"""Round-4 driver-contract queries (batch 148): bloom_split_plan — the
+shard-split control plane for the partitioned Bloom seen set.
+
+`bloom_shards` (entry_round21) monitors per-shard saturation; this query is
+the DECISION that monitor exists for: from each shard's bit fill, estimate
+resident keys (Swamidass & Baldi 2007) and the power-of-two split factor
+that brings the shard back under the FP target. Same engine-portable md5
+double hashing, same events-derived URL universe, so the oracle rebuilds
+the identical filter and replays the identical closed-form arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.entry_round21 import (
+    _BL_K,
+    _BL_URLS_SQL,
+    _bloom_urls,
+)
+
+# fewer shards + smaller bitmaps than bloom_shards so the planner sees
+# genuinely saturated shards at sf0.01 (split_factor > 1 rows exercised)
+_SP_SHARDS = 8
+_SP_MBITS = 1 << 12
+_SP_TARGET = 0.01
+
+
+def q_bloom_split_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_split_plan: per-shard est_keys vs the
+    fp-target capacity, and the 2^ceil split factor — the supervisor
+    action that keeps a 10^10-URL partitioned seen set under its FP
+    budget as the crawl grows."""
+    from icrawler_spark.operators.dedup import bloom_split_plan
+
+    return bloom_split_plan(_bloom_urls(spark, sf), n_shards=_SP_SHARDS,
+                            m_bits=_SP_MBITS, k=_BL_K,
+                            fp_target=_SP_TARGET)
+
+
+def _bloom_split_plan_sql() -> str:
+    from icrawler_spark.operators.dedup import bloom_split_plan_sql
+
+    return bloom_split_plan_sql(_BL_URLS_SQL, n_shards=_SP_SHARDS,
+                                m_bits=_SP_MBITS, k=_BL_K,
+                                fp_target=_SP_TARGET)
+
+
+def queries148():
+    return {
+        "bloom_split_plan": q_bloom_split_plan,
+    }
+
+
+def oracle_sql148():
+    return {
+        "bloom_split_plan": _bloom_split_plan_sql(),
+    }

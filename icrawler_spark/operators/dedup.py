@@ -289,6 +289,38 @@ class ShardedBloomFilter:
             old.unpersist()
         return self
 
+    def save(self, path: str) -> None:
+        """Snapshot the filter to parquet: the shard rows plus one params
+        row (shard = -1 carries (n_shards, m_bits, k) packed as little-
+        endian uint64s). Restart-path complement to :meth:`load` — a
+        resumed crawl or stream skips the O(total-frontier) re-absorb and
+        reloads O(n_shards) bitmap rows instead."""
+        params = np.array([self.n_shards, self.m_bits, self.k],
+                          dtype=np.uint64).tobytes()
+        spark = self.spark
+        pdf_rows = [(-1, bytearray(params))]
+        meta = spark.createDataFrame(pdf_rows, "shard long, bits binary")
+        body = (self.shards_df if self.shards_df is not None
+                else spark.createDataFrame([], "shard long, bits binary"))
+        meta.unionByName(body).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ShardedBloomFilter":
+        """Reload a :meth:`save` snapshot; bitmap rows go straight back to
+        executor block storage (one localCheckpoint), the driver reads only
+        the 3-integer params row."""
+        df = spark.read.parquet(path)
+        meta = df.filter(F.col("shard") == -1).select("bits").collect()
+        if len(meta) != 1:
+            raise ValueError(f"not a ShardedBloomFilter snapshot: {path}")
+        n_shards, m_bits, k = (int(x) for x in
+                               np.frombuffer(bytes(meta[0]["bits"]),
+                                             dtype=np.uint64))
+        shards = df.filter(F.col("shard") >= 0).localCheckpoint(eager=True)
+        flt = cls(spark, n_shards, m_bits, k)
+        flt.shards_df = shards if shards.count() else None
+        return flt
+
     def mark_maybe_seen(self, df: DataFrame, key: str = "url") -> DataFrame:
         """Adds boolean ``__maybe_seen``; False ⇒ definitely not in seen.
         Candidates shuffle to their shard (hash keys, so hot hosts don't
@@ -785,6 +817,77 @@ FROM g ORDER BY fpp DESC
 # ---------------------------------------------------------------------------
 # Bloom-shard merge cardinality estimation (Swamidass & Baldi 2007)
 # ---------------------------------------------------------------------------
+
+def bloom_split_plan(
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    fp_target: float = 0.01,
+) -> DataFrame:
+    """The shard-split decision `bloom_shard_stats` monitors for: per
+    shard, estimate the resident key count from the bit fill (Swamidass &
+    Baldi 2007: n_hat = -(m/k)*ln(1 - fill)) and emit the power-of-two
+    split factor that brings each child shard back under the fp target.
+
+    Capacity derivation (closed form, so the oracle replays it exactly):
+    a shard meets ``fp_target`` while fill <= fill* = fp_target^(1/k), i.e.
+    while it holds at most n* = -(m/k)*ln(1 - fill*) keys. split_factor =
+    2^ceil(log2(n_hat / n*)) when n_hat > n*, else 1 — splitting a shard in
+    half halves its resident keys (shard = hash mod 2N refines hash mod N
+    for power-of-two N, so a split never rehashes other shards' keys).
+
+    Returns (shard, n_urls, n_bits_set, fill_ratio, est_keys,
+    capacity_keys, split_factor, needs_split); ratios rounded 6, key
+    estimates rounded 2.
+
+    Scale shape: same as bloom_shard_stats — one k-way hash explode + one
+    distinct-count per shard; bits, never URLs, leave the shard. The plan
+    table is n_shards rows, a broadcast-sized control-plane output.
+    """
+    fill_star = fp_target ** (1.0 / k)
+    cap = -(float(m_bits) / k) * math.log(1.0 - fill_star)
+    stats = bloom_shard_stats(urls, url_col, n_shards, m_bits, k)
+    fill = F.col("fill_ratio")
+    est_keys = -(F.lit(float(m_bits)) / k) * F.log(1.0 - fill)
+    ratio = est_keys / F.lit(cap)
+    factor = F.when(
+        ratio <= 1.0, F.lit(1)
+    ).otherwise(F.pow(F.lit(2.0), F.ceil(F.log2(ratio))).cast("int"))
+    return stats.select(
+        "shard", "n_urls", "n_bits_set", "fill_ratio",
+        F.round(est_keys, 2).alias("est_keys"),
+        F.round(F.lit(cap), 2).alias("capacity_keys"),
+        factor.alias("split_factor"),
+        (ratio > 1.0).alias("needs_split"))
+
+
+def bloom_split_plan_sql(
+    urls_sql: str,
+    n_shards: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    fp_target: float = 0.01,
+) -> str:
+    """DuckDB replay of :func:`bloom_split_plan`."""
+    fill_star = fp_target ** (1.0 / k)
+    cap = -(float(m_bits) / k) * math.log(1.0 - fill_star)
+    stats = bloom_shard_stats_sql(urls_sql, n_shards, m_bits, k)
+    m = float(m_bits)
+    est = f"(-({m!r} / {k}) * ln(1.0 - fill_ratio))"
+    return f"""
+WITH stats AS ({stats})
+SELECT shard, n_urls, n_bits_set, fill_ratio,
+  round({est}, 2) AS est_keys,
+  round({cap!r}, 2) AS capacity_keys,
+  CAST(CASE WHEN {est} / {cap!r} <= 1.0 THEN 1
+       ELSE pow(2.0, ceil(log2({est} / {cap!r}))) END AS INT)
+    AS split_factor,
+  {est} / {cap!r} > 1.0 AS needs_split
+FROM stats
+"""
+
 
 def bloom_merge_est(urls_a: DataFrame, urls_b: DataFrame,
                     url_col: str = "url", m_bits: int = 1 << 16,

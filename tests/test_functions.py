@@ -331,3 +331,43 @@ def test_ordered_rank_prefix_sums_edges(spark):
         ordered_rank_prefix_sums(
             df.withColumn("wd", F.col("w1").cast("double")),
             ["k"], ["wd"], ["c"])
+
+
+def test_bloom_split_plan_branches_and_snapshot_roundtrip(spark):
+    """bloom_split_plan: an under-capacity filter yields split_factor=1
+    everywhere; an oversized key load yields power-of-two factors >1.
+    ShardedBloomFilter.save/load roundtrips params + bitmaps exactly."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import (
+        ShardedBloomFilter,
+        bloom_split_plan,
+    )
+
+    urls = spark.range(2000).select(
+        F.concat(F.lit("http://h.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    roomy = bloom_split_plan(urls, n_shards=4, m_bits=1 << 16, k=4).collect()
+    assert all(r["split_factor"] == 1 and not r["needs_split"] for r in roomy)
+
+    tight = bloom_split_plan(urls, n_shards=4, m_bits=1 << 10, k=4).collect()
+    assert all(r["needs_split"] for r in tight)
+    assert all(r["split_factor"] >= 2
+               and r["split_factor"] & (r["split_factor"] - 1) == 0
+               for r in tight)
+
+    flt = ShardedBloomFilter.empty(spark, 2000, 0.05, n_shards=8) \
+        .absorb(urls, "url")
+    snap = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/bloom_snap_test"
+    flt.save(snap)
+    flt2 = ShardedBloomFilter.load(spark, snap)
+    assert (flt2.n_shards, flt2.m_bits, flt2.k) == \
+        (flt.n_shards, flt.m_bits, flt.k)
+    a = sorted((r["shard"], bytes(r["bits"]))
+               for r in flt.shards_df.collect())
+    b = sorted((r["shard"], bytes(r["bits"]))
+               for r in flt2.shards_df.collect())
+    assert a == b
+    assert flt2.mark_maybe_seen(urls, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
