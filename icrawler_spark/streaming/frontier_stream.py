@@ -70,6 +70,7 @@ def start_frontier_ingest(
     n_buckets: int = FRONTIER_BUCKETS,
     bloom_capacity: int = 1_000_000,
     bloom_mode: str = "driver",
+    bloom_snapshot: bool = False,
     on_novel=None,
 ):
     """Stream URLs from ``source_dir`` into a persistent frontier table with
@@ -121,12 +122,30 @@ def start_frontier_ingest(
     # again O(batch) not O(total).
     state = {"bloom": None}
 
+    bloom_path = os.path.join(state_dir, "bloom")
+
     def _new_bloom(ss):
         from icrawler_spark.operators.dedup import BloomSeenFilter, ShardedBloomFilter
 
         if bloom_mode == "sharded":
             return ShardedBloomFilter.empty(ss, bloom_capacity)
         return BloomSeenFilter.empty(bloom_capacity)
+
+    def _restore_bloom(ss):
+        """Restart path: with ``bloom_snapshot`` (sharded mode), reload the
+        committed (shard, bits) snapshot — O(n_shards) rows — instead of
+        re-absorbing the whole frontier table. A stale or missing snapshot
+        is harmless either way: the Bloom only routes rows into/around the
+        EXACT anti-join, and absorb() after each batch re-converges it."""
+        from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+        if bloom_mode == "sharded" and bloom_snapshot \
+                and os.path.isdir(bloom_path):
+            try:
+                return ShardedBloomFilter.load(ss, bloom_path)
+            except Exception:
+                pass  # corrupt/partial snapshot: fall back to re-absorb
+        return None
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         from icrawler_spark.operators.dedup import anti_join_seen_bloom
@@ -140,6 +159,8 @@ def start_frontier_ingest(
         novel = novel.localCheckpoint(eager=True)
         pinned.append(novel)
         if _frontier_nonempty(frontier_path):
+            if state["bloom"] is None:
+                state["bloom"] = _restore_bloom(ss)
             if state["bloom"] is None:
                 state["bloom"] = _new_bloom(ss)
                 state["bloom"].absorb(
@@ -172,6 +193,11 @@ def start_frontier_ingest(
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("bucket", "batch_id").parquet(frontier_path))
         state["bloom"].absorb(novel.select("url"), "url")
+        if bloom_mode == "sharded" and bloom_snapshot:
+            # n_shards fixed-size rows per batch — cheap, idempotent
+            # overwrite; a replayed batch rewrites the same bits (OR is
+            # idempotent), a crash before this line just re-absorbs
+            state["bloom"].save(bloom_path)
         for df in pinned:        # novel itself stays pinned for this batch's
             df.unpersist()       # writes above; earlier stages are done
         novel.unpersist()
@@ -185,10 +211,12 @@ def start_frontier_ingest(
 
 
 def ingest_available(spark: SparkSession, source_dir: str, state_dir: str,
-                     timeout_s: int = 120, bloom_mode: str = "driver") -> DataFrame:
+                     timeout_s: int = 120, bloom_mode: str = "driver",
+                     bloom_snapshot: bool = False) -> DataFrame:
     """Run one availableNow ingest to completion; return the frontier table."""
     q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True,
-                              bloom_mode=bloom_mode)
+                              bloom_mode=bloom_mode,
+                              bloom_snapshot=bloom_snapshot)
     if not q.awaitTermination(timeout_s):
         # timed out: the query is STILL RUNNING — returning a partial read
         # would silently truncate the ingest and orphan the query on the

@@ -408,3 +408,38 @@ def test_stream_crawl_live_fetchfn_matches_pages_join(spark, smoke_web,
     assert _texts("st_l") == _texts("st_j")
     assert live_res["frontier_urls"] == join_res["frontier_urls"]
     assert live_res["tasks"] == join_res["tasks"]
+
+
+def test_stream_ingest_bloom_snapshot_restores_across_restarts(spark, tmp_path):
+    """bloom_snapshot (sharded mode): the filter snapshot written per batch
+    is reloaded on restart (state_dir/bloom exists) and ingest stays exact
+    across overlapping batches — and a deleted snapshot falls back to the
+    re-absorb path with identical results."""
+    import os
+    import shutil
+
+    from icrawler_spark.streaming.frontier_stream import ingest_available
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+
+    _write_urls(src, "a.txt", [f"http://sn.test/{i}" for i in range(30)])
+    ingest_available(spark, src, state, bloom_mode="sharded",
+                     bloom_snapshot=True)
+    assert os.path.isdir(os.path.join(state, "bloom"))  # snapshot committed
+
+    # "restart": fresh driver-side state dict each ingest_available call;
+    # this batch overlaps -> exact dedup through the RESTORED filter
+    _write_urls(src, "b.txt", [f"http://sn.test/{i}" for i in range(20, 50)])
+    out2 = ingest_available(spark, src, state, bloom_mode="sharded",
+                            bloom_snapshot=True)
+    assert sorted(r["url"] for r in out2.collect()) == sorted(
+        f"http://sn.test/{i}" for i in range(50))
+
+    # snapshot gone -> re-absorb fallback, still exact
+    shutil.rmtree(os.path.join(state, "bloom"))
+    _write_urls(src, "c.txt", [f"http://sn.test/{i}" for i in range(40, 70)])
+    out3 = ingest_available(spark, src, state, bloom_mode="sharded",
+                            bloom_snapshot=True)
+    assert sorted(r["url"] for r in out3.collect()) == sorted(
+        f"http://sn.test/{i}" for i in range(70))
