@@ -842,6 +842,12 @@ def bloom_split_plan(
     capacity_keys, split_factor, needs_split); ratios rounded 6, key
     estimates rounded 2.
 
+    A fully saturated shard (every bit set, fill_ratio = 1.0) makes the
+    estimator's ln(1 - fill) undefined; fill is clamped to (m-1)/m — the
+    highest observable non-saturated fill — so saturation yields the
+    largest *defined* estimate (and hence the largest split factor)
+    instead of NULL / an oracle error.
+
     Scale shape: same as bloom_shard_stats — one k-way hash explode + one
     distinct-count per shard; bits, never URLs, leave the shard. The plan
     table is n_shards rows, a broadcast-sized control-plane output.
@@ -849,7 +855,8 @@ def bloom_split_plan(
     fill_star = fp_target ** (1.0 / k)
     cap = -(float(m_bits) / k) * math.log(1.0 - fill_star)
     stats = bloom_shard_stats(urls, url_col, n_shards, m_bits, k)
-    fill = F.col("fill_ratio")
+    fill = F.least(F.col("fill_ratio"),
+                   F.lit((m_bits - 1.0) / m_bits))
     est_keys = -(F.lit(float(m_bits)) / k) * F.log(1.0 - fill)
     ratio = est_keys / F.lit(cap)
     factor = F.when(
@@ -875,7 +882,8 @@ def bloom_split_plan_sql(
     cap = -(float(m_bits) / k) * math.log(1.0 - fill_star)
     stats = bloom_shard_stats_sql(urls_sql, n_shards, m_bits, k)
     m = float(m_bits)
-    est = f"(-({m!r} / {k}) * ln(1.0 - fill_ratio))"
+    clamp = f"least(fill_ratio, {(m_bits - 1.0) / m_bits!r})"
+    est = f"(-({m!r} / {k}) * ln(1.0 - {clamp}))"
     return f"""
 WITH stats AS ({stats})
 SELECT shard, n_urls, n_bits_set, fill_ratio,

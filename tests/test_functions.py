@@ -371,3 +371,43 @@ def test_bloom_split_plan_branches_and_snapshot_roundtrip(spark):
     assert a == b
     assert flt2.mark_maybe_seen(urls, "url").filter(
         ~F.col("__maybe_seen")).count() == 0
+
+
+def test_bloom_split_plan_saturated_shard(spark):
+    """Regression for the fill_ratio=1.0 regime: a fully saturated shard
+    (every bit of the bitmap set) used to make est_keys = -(m/k)*ln(0) —
+    NULL in Spark, an error in the DuckDB oracle. The clamp to (m-1)/m
+    must leave both renderers defined, agreeing, and flagging the shard
+    for the maximum split."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import (
+        bloom_split_plan,
+        bloom_split_plan_sql,
+    )
+
+    # 2000 urls into 64-bit shards with k=4 saturates every shard.
+    urls = spark.range(2000).select(
+        F.concat(F.lit("http://h.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    rows = bloom_split_plan(urls, n_shards=4, m_bits=64, k=4).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["fill_ratio"] == 1.0
+        assert r["est_keys"] is not None
+        assert r["split_factor"] is not None and r["split_factor"] >= 2
+        assert r["needs_split"] is True
+
+    urls_sql = ("SELECT 'http://h.test/' || CAST(i AS VARCHAR) AS url "
+                "FROM range(0, 2000) AS t(i)")
+    sql = bloom_split_plan_sql(urls_sql, n_shards=4, m_bits=64, k=4)
+    oracle = duckdb.sql(sql).fetchall()
+    spark_t = sorted(
+        (r["shard"], r["n_urls"], r["n_bits_set"],
+         round(r["fill_ratio"], 6), r["est_keys"], r["capacity_keys"],
+         r["split_factor"], r["needs_split"]) for r in rows)
+    oracle_t = sorted(
+        (a, b, c, round(float(d), 6), float(e), float(f), g, h)
+        for a, b, c, d, e, f, g, h in oracle)
+    assert spark_t == oracle_t
