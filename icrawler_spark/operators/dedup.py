@@ -253,6 +253,9 @@ class ShardedBloomFilter:
         self.m_bits = m_bits
         self.k = k
         self.shards_df = shards_df  # (shard long, bits binary), localCheckpointed
+        # set by load(): the high-water marker the snapshot was saved at
+        # (e.g. a streaming batch_id), None for legacy 3-int snapshots
+        self.snapshot_marker: int | None = None
 
     @classmethod
     def empty(cls, spark, expected: int, fpp: float = 0.01,
@@ -289,14 +292,25 @@ class ShardedBloomFilter:
             old.unpersist()
         return self
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, marker: int | None = None) -> None:
         """Snapshot the filter to parquet: the shard rows plus one params
-        row (shard = -1 carries (n_shards, m_bits, k) packed as little-
-        endian uint64s). Restart-path complement to :meth:`load` — a
+        row (shard = -1 carries (n_shards, m_bits, k[, marker]) packed as
+        little-endian uint64s). Restart-path complement to :meth:`load` — a
         resumed crawl or stream skips the O(total-frontier) re-absorb and
-        reloads O(n_shards) bitmap rows instead."""
-        params = np.array([self.n_shards, self.m_bits, self.k],
-                          dtype=np.uint64).tobytes()
+        reloads O(n_shards) bitmap rows instead.
+
+        ``marker`` (optional, >= 0) records the high-water point the
+        snapshot covers — e.g. the last streaming batch_id absorbed — so a
+        restorer can detect a snapshot that UNDER-approximates the
+        committed seen set (batches committed while snapshotting was
+        toggled off) and top-up-absorb exactly the lagging partitions
+        instead of trusting stale bits."""
+        vals = [self.n_shards, self.m_bits, self.k]
+        if marker is not None:
+            if marker < 0:
+                raise ValueError(f"marker must be >= 0, got {marker}")
+            vals.append(int(marker))
+        params = np.array(vals, dtype=np.uint64).tobytes()
         spark = self.spark
         pdf_rows = [(-1, bytearray(params))]
         meta = spark.createDataFrame(pdf_rows, "shard long, bits binary")
@@ -313,12 +327,13 @@ class ShardedBloomFilter:
         meta = df.filter(F.col("shard") == -1).select("bits").collect()
         if len(meta) != 1:
             raise ValueError(f"not a ShardedBloomFilter snapshot: {path}")
-        n_shards, m_bits, k = (int(x) for x in
-                               np.frombuffer(bytes(meta[0]["bits"]),
-                                             dtype=np.uint64))
+        vals = [int(x) for x in np.frombuffer(bytes(meta[0]["bits"]),
+                                              dtype=np.uint64)]
+        n_shards, m_bits, k = vals[:3]
         shards = df.filter(F.col("shard") >= 0).localCheckpoint(eager=True)
         flt = cls(spark, n_shards, m_bits, k)
         flt.shards_df = shards if shards.count() else None
+        flt.snapshot_marker = vals[3] if len(vals) > 3 else None
         return flt
 
     def mark_maybe_seen(self, df: DataFrame, key: str = "url") -> DataFrame:

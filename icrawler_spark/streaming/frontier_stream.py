@@ -62,6 +62,55 @@ def _frontier_nonempty(frontier_path: str) -> bool:
         f.endswith(".parquet") for _, _, fs in os.walk(frontier_path) for f in fs)
 
 
+def _frontier_max_batch(frontier_path: str) -> int:
+    """Largest committed batch_id in the frontier table, read from the
+    partition directory names (``bucket=N/batch_id=M``) — no Spark job."""
+    mx = -1
+    for _, dirs, _ in os.walk(frontier_path):
+        for d in dirs:
+            if d.startswith("batch_id="):
+                mx = max(mx, int(d.split("=", 1)[1]))
+    return mx
+
+
+def restore_bloom_snapshot(ss, bloom_path: str, frontier_path: str):
+    """Reload a sharded-Bloom snapshot for a restarting frontier stream,
+    guaranteeing the result is a SUPERSET of the committed frontier.
+
+    A snapshot that OVER-approximates the frontier (a crashed batch saved
+    bits, then its frontier write was replayed) is harmless: extra bits
+    only route rows INTO the exact anti-join. One that UNDER-approximates
+    it is NOT: missing committed URLs are marked definitely-new, bypass
+    the anti-join, and duplicate into the frontier. That regime is real —
+    run with ``bloom_snapshot=False`` for a while, then toggle it back on:
+    batches commit while the snapshot stays frozen. Each snapshot
+    therefore records the batch_id it was saved at (see
+    ``ShardedBloomFilter.save(marker=...)``), and this restore
+    top-up-absorbs exactly the frontier partitions with a later batch_id
+    (partition-pruned; zero scan when the snapshot is current). A legacy
+    marker-less snapshot re-absorbs the whole table onto the loaded bits
+    (OR is idempotent, so this converges to the same superset).
+
+    Returns the filter, or None when no usable snapshot exists (caller
+    falls back to a full rebuild-from-frontier)."""
+    from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+    if not os.path.isdir(bloom_path):
+        return None
+    try:
+        flt = ShardedBloomFilter.load(ss, bloom_path)
+    except Exception:
+        return None  # corrupt/partial snapshot: full re-absorb
+    marker = flt.snapshot_marker
+    if marker is None or marker < _frontier_max_batch(frontier_path):
+        if _frontier_nonempty(frontier_path):
+            lagged = ss.read.parquet(frontier_path)
+            if marker is not None:
+                lagged = lagged.filter(F.col("batch_id") > marker)
+            flt.absorb(lagged.select("url"), "url")
+    return flt
+
+
 def start_frontier_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -133,18 +182,12 @@ def start_frontier_ingest(
 
     def _restore_bloom(ss):
         """Restart path: with ``bloom_snapshot`` (sharded mode), reload the
-        committed (shard, bits) snapshot — O(n_shards) rows — instead of
-        re-absorbing the whole frontier table. A stale or missing snapshot
-        is harmless either way: the Bloom only routes rows into/around the
-        EXACT anti-join, and absorb() after each batch re-converges it."""
-        from icrawler_spark.operators.dedup import ShardedBloomFilter
-
-        if bloom_mode == "sharded" and bloom_snapshot \
-                and os.path.isdir(bloom_path):
-            try:
-                return ShardedBloomFilter.load(ss, bloom_path)
-            except Exception:
-                pass  # corrupt/partial snapshot: fall back to re-absorb
+        committed (shard, bits) snapshot — O(n_shards) rows plus a
+        partition-pruned top-up of any batches committed after the
+        snapshot's marker (see :func:`restore_bloom_snapshot`) — instead
+        of re-absorbing the whole frontier table."""
+        if bloom_mode == "sharded" and bloom_snapshot:
+            return restore_bloom_snapshot(ss, bloom_path, frontier_path)
         return None
 
     def process_batch(batch_df: DataFrame, batch_id: int):
@@ -196,8 +239,10 @@ def start_frontier_ingest(
         if bloom_mode == "sharded" and bloom_snapshot:
             # n_shards fixed-size rows per batch — cheap, idempotent
             # overwrite; a replayed batch rewrites the same bits (OR is
-            # idempotent), a crash before this line just re-absorbs
-            state["bloom"].save(bloom_path)
+            # idempotent), a crash before this line just re-absorbs. The
+            # batch_id marker lets a later restore detect snapshot lag
+            # (see restore_bloom_snapshot).
+            state["bloom"].save(bloom_path, marker=batch_id)
         for df in pinned:        # novel itself stays pinned for this batch's
             df.unpersist()       # writes above; earlier stages are done
         novel.unpersist()

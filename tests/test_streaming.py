@@ -443,3 +443,66 @@ def test_stream_ingest_bloom_snapshot_restores_across_restarts(spark, tmp_path):
                             bloom_snapshot=True)
     assert sorted(r["url"] for r in out3.collect()) == sorted(
         f"http://sn.test/{i}" for i in range(70))
+
+
+def test_stream_ingest_stale_snapshot_toggle_path(spark, tmp_path):
+    """Regression: a snapshot saved at batch N, followed by batches
+    committed with bloom_snapshot=False (snapshot not updated), then a
+    restart with bloom_snapshot=True used to restore an UNDER-approximating
+    filter — committed URLs marked definitely-new would bypass the exact
+    anti-join and duplicate into the frontier once the in-stream
+    watermark state no longer covers them. The batch_id marker in the
+    snapshot params row now triggers a partition-pruned top-up absorb of
+    the lagging batches: the restored filter must be a SUPERSET of the
+    committed frontier (every committed url maybe_seen)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.streaming.frontier_stream import (
+        _frontier_max_batch,
+        ingest_available,
+        restore_bloom_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    bloom_path = os.path.join(state, "bloom")
+    frontier_path = os.path.join(state, "frontier")
+
+    _write_urls(src, "a.txt", [f"http://tg.test/{i}" for i in range(20)])
+    ingest_available(spark, src, state, bloom_mode="sharded",
+                     bloom_snapshot=True)
+    marker_saved = _frontier_max_batch(frontier_path)
+
+    # committed WITHOUT updating the snapshot — the stale regime
+    _write_urls(src, "b.txt", [f"http://tg.test/{i}" for i in range(20, 40)])
+    ingest_available(spark, src, state, bloom_mode="sharded",
+                     bloom_snapshot=False)
+    assert _frontier_max_batch(frontier_path) > marker_saved  # b committed
+
+    # the superset invariant: the restore path (what a snapshot=True
+    # restart runs) must mark EVERY committed url maybe_seen, including
+    # b.txt's batch, which the snapshot never saw — pre-fix those came
+    # back definitely-new and bypassed the exact anti-join
+    flt = restore_bloom_snapshot(spark, bloom_path, frontier_path)
+    # marker covers run 1's batches (a trailing empty batch may push it
+    # past the last data batch) but lags b.txt's commit
+    assert flt is not None and flt.snapshot_marker is not None
+    assert marker_saved <= flt.snapshot_marker \
+        < _frontier_max_batch(frontier_path)
+    committed = spark.read.parquet(frontier_path).select("url")
+    missed = flt.mark_maybe_seen(committed, "url").filter(
+        ~F.col("__maybe_seen")).count()
+    assert missed == 0
+
+    # end-to-end: a snapshot=True restart over overlapping input stays
+    # exact and refreshes the snapshot marker to the latest batch
+    _write_urls(src, "c.txt", [f"http://tg.test/{i}" for i in range(30, 50)])
+    out = ingest_available(spark, src, state, bloom_mode="sharded",
+                           bloom_snapshot=True)
+    urls = sorted(r["url"] for r in out.collect())
+    assert urls == sorted(f"http://tg.test/{i}" for i in range(50))
+    flt2 = restore_bloom_snapshot(spark, bloom_path, frontier_path)
+    assert flt2.snapshot_marker >= _frontier_max_batch(frontier_path)
+    assert flt2.snapshot_marker > flt.snapshot_marker
