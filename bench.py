@@ -565,6 +565,16 @@ def _prev_headline_queries() -> dict:
         return {}
 
 
+def _noise_median(runs: list) -> tuple:
+    """(median_index, wall_s readings) for a list of re-measure runs
+    (dicts with wall_s, or bare floats). The MEDIAN is recorded — min let
+    an anomalously fast first reading survive two slower re-measures."""
+    walls = [round(r["wall_s"] if isinstance(r, dict) else r, 3)
+             for r in runs]
+    med_i = sorted(range(len(walls)), key=lambda i: walls[i])[len(walls) // 2]
+    return med_i, walls
+
+
 def run_once(cores: int) -> dict:
     spark = _get_spark(cores)
     try:
@@ -585,22 +595,29 @@ def run_once(cores: int) -> dict:
         # Noise protocol (round-3 verdict item 6): a serial headline reading
         # that moved >1.5x in either direction vs the last recorded round is
         # automatically re-measured twice more BEFORE the JSON is written,
-        # and the minimum of the three readings is recorded (min is the
-        # standard noise-floor estimator for wall-clock micro-benches — the
-        # r3 fingerprint/token_counts "regressions" were host/JVM noise that
-        # a single re-measure already dispelled). All three raw readings are
-        # kept under `noise_remeasured` so a real regression stays visible.
-        def _rerun(name: str) -> float:
+        # and the MEDIAN of the three readings is recorded. (Round-4 used
+        # min, which let an anomalously fast first reading survive even
+        # when both re-measures were slower — an optimistic bias on
+        # improvements; the median is robust to one outlier in either
+        # direction.) All three raw readings are kept under
+        # `noise_remeasured` so a real regression stays visible, and the
+        # nested crawl/crawl_polite/extract detail dicts are replaced by
+        # the run whose wall_s is the recorded median so the JSON stays
+        # internally consistent with queries[name].
+        details = {"crawl_round": crawl, "crawl_polite": polite,
+                   "extract_html": extract}
+
+        def _rerun(name: str) -> "dict | float":
             if name == "crawl_round":
-                w = bench_crawl(spark, pages_path)["wall_s"]
+                d = bench_crawl(spark, pages_path)
                 _release_crawl_state(spark)
-                return w
+                return d
             if name == "crawl_polite":
-                w = bench_crawl_polite(spark, pages_path)["wall_s"]
+                d = bench_crawl_polite(spark, pages_path)
                 _release_crawl_state(spark)
-                return w
+                return d
             if name == "extract_html":
-                return bench_extract(spark, pages_path)["wall_s"]
+                return bench_extract(spark, pages_path)
             from icrawler_spark import entry_queries as q
 
             t0 = time.time()
@@ -616,9 +633,18 @@ def run_once(cores: int) -> dict:
                 continue
             ratio = secs / old
             if ratio > _NOISE_RATIO or ratio < 1.0 / _NOISE_RATIO:
-                readings = [secs] + [round(_rerun(name), 3) for _ in range(2)]
-                queries[name] = min(readings)
-                noise_remeasured[name] = readings
+                runs = [details.get(name, secs)] + \
+                    [_rerun(name) for _ in range(2)]
+                med_i, walls = _noise_median(runs)
+                queries[name] = walls[med_i]
+                noise_remeasured[name] = walls
+                if name in details and med_i != 0 \
+                        and isinstance(runs[med_i], dict):
+                    # in-place so the crawl/polite/extract refs below see it
+                    # (med_i == 0 IS details[name] already)
+                    replacement = dict(runs[med_i])
+                    details[name].clear()
+                    details[name].update(replacement)
 
         total = round(queries["crawl_round"] + queries["crawl_polite"]
                       + queries["extract_html"]

@@ -39,6 +39,7 @@ network); ``sleep``/``rng`` inject recorders for the backoff differential.
 from __future__ import annotations
 
 import random
+import re
 import time
 from collections.abc import Callable, Mapping
 from urllib.parse import urlsplit
@@ -96,15 +97,29 @@ class _HttpError(Exception):
     """status >= 400 — the raise_for_status analogue (session.py:58-59)."""
 
 
-def _parse_set_cookie(value: str) -> tuple[str, str] | None:
-    """First k=v pair of a Set-Cookie header (attributes after ';' dropped) —
-    the jar-accumulation subset the reference relies on."""
-    first = value.split(";", 1)[0]
-    if "=" not in first:
-        return None
-    k, v = first.split("=", 1)
-    k = k.strip()
-    return (k, v.strip()) if k else None
+# a comma separates two cookies only when a new token=value pair follows
+# before the next ';' — an Expires date ("Thu, 01 Jan 1970 ...") or a
+# comma inside a value has no '=' in that span, so it stays intact
+_COOKIE_SPLIT = re.compile(r",(?=[^;,]*=)")
+
+
+def _parse_set_cookie(value: str) -> list[tuple[str, str]]:
+    """All (k, v) cookie pairs of a Set-Cookie header (attributes after
+    ';' dropped) — the jar-accumulation subset the reference relies on.
+
+    requests folds multiple Set-Cookie response headers into ONE
+    ', '-joined string, so ``a=1, b=2`` is two cookies; parsing only the
+    first pair stored ``a = '1, b=2'`` (corrupt) and dropped ``b``."""
+    out = []
+    for part in _COOKIE_SPLIT.split(value):
+        first = part.split(";", 1)[0]
+        if "=" not in first:
+            continue
+        k, v = first.split("=", 1)
+        k = k.strip()
+        if k:
+            out.append((k, v.strip()))
+    return out
 
 
 class RequestsFetchFn:
@@ -162,9 +177,8 @@ class RequestsFetchFn:
     def _absorb_cookies(self, resp_headers: Mapping) -> None:
         for key, value in dict(resp_headers).items():
             if key.lower() == "set-cookie":
-                kv = _parse_set_cookie(value)
-                if kv:
-                    self.cookies[kv[0]] = kv[1]
+                for k, v in _parse_set_cookie(value):
+                    self.cookies[k] = v
 
     def _fetch_one(self, url: str, parent: str | None,
                    proxy: str | None) -> tuple | None:

@@ -155,6 +155,36 @@ def test_cookie_jar_referer_and_proxy():
     assert second["proxy"] == "http://proxy.test:3128"
 
 
+def test_parse_set_cookie_comma_merged_headers():
+    """requests folds multiple Set-Cookie response headers into one
+    ', '-joined string; the parser must yield EVERY cookie pair and keep
+    commas inside Expires dates and values intact (a first-pair-only
+    parse stored a='1, b=2' and dropped b)."""
+    from icrawler_spark.functions.http import _parse_set_cookie
+
+    assert _parse_set_cookie("a=1, b=2") == [("a", "1"), ("b", "2")]
+    assert _parse_set_cookie("a=1; Path=/, b=2; HttpOnly") == \
+        [("a", "1"), ("b", "2")]
+    assert _parse_set_cookie("sess=abc; Path=/; Secure") == [("sess", "abc")]
+    assert _parse_set_cookie(
+        "exp=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT, b=2") == \
+        [("exp", "1"), ("b", "2")]
+    assert _parse_set_cookie("a=with, comma; Path=/") == [("a", "with, comma")]
+    assert _parse_set_cookie("noequals") == []
+
+    # end-to-end through the jar: both cookies sent on the next request
+    log: list = []
+    web = {
+        "http://c.test/1": (b"one", "a=1; Path=/, b=2; HttpOnly"),
+        "http://c.test/2": (b"two", None),
+    }
+    fetch = RequestsFetchFn(transport=_web_transport(web, log=log),
+                            sleep=lambda s: None, rng_seed=0)
+    fetch(pd.DataFrame({"url": ["http://c.test/1", "http://c.test/2"],
+                        "parent": [None, "http://c.test/1"]}))
+    assert log[1]["headers"]["Cookie"] == "a=1; b=2"
+
+
 def test_requests_transport_is_import_guarded():
     """The real transport defers `import requests` to call time — module
     import and construction never require the package."""

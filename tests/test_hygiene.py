@@ -126,3 +126,28 @@ def test_no_new_bare_global_windows():
         f"files over their bare-Window.orderBy ceiling (got, ceiling): {over} "
         "— use budget.global_row_number / ordered_prefix_sum / "
         "ordered_rank_prefix_sums, or justify + bump the ceiling")
+
+
+def test_bench_noise_median_pick():
+    """The noise protocol records the MEDIAN of the three readings (min
+    let an anomalously fast first reading survive two slower re-measures
+    — optimistic bias on improvements) and points the detail dict at the
+    median run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # fast-outlier first reading: median must win, not the outlier
+    med_i, walls = bench._noise_median(
+        [{"wall_s": 1.0}, {"wall_s": 9.0}, {"wall_s": 10.0}])
+    assert (med_i, walls[med_i]) == (1, 9.0)
+    # slow-outlier first reading (suspected regression): median again
+    med_i, walls = bench._noise_median([12.0, 4.0, 4.2])
+    assert (med_i, walls[med_i]) == (2, 4.2)
+    # mixed dict/float runs
+    med_i, walls = bench._noise_median([{"wall_s": 5.0}, 3.0, 7.0])
+    assert (med_i, walls[med_i]) == (0, 5.0)
