@@ -102,6 +102,67 @@ def _partial_bitmaps(df: DataFrame, key: str, n_shards: int, m_shard: int,
     return hashes.mapInPandas(build_batches, schema="shard long, bits binary")
 
 
+def _route_nodes(h1: np.ndarray, base_n: int,
+                 splits_by_depth: list) -> np.ndarray:
+    """Trie-node id for each hash: base node ``base_n + (h & (base_n-1))``
+    unless a split leaf covers the key — ``splits_by_depth`` is
+    [(depth, sorted int64 array of shard_ids)] ascending, so deeper
+    (nested) splits override shallower ones. Node id = (1<<depth)|shard_id
+    — unique across depths, and its low log2(base_n) bits are always the
+    base shard, which keeps the cogroup key stable across splits."""
+    h = h1.astype(np.int64)
+    node = (h & (base_n - 1)) + base_n
+    for depth, sids in splits_by_depth:
+        cand = h & ((np.int64(1) << np.int64(depth)) - 1)
+        sel = np.isin(cand, sids)
+        if sel.any():
+            node[sel] = cand[sel] + (np.int64(1) << np.int64(depth))
+    return node
+
+
+def _partial_bitmaps_nodes(df: DataFrame, key: str, base_n: int,
+                           m_shard: int, k: int,
+                           split_nodes: tuple) -> DataFrame:
+    """Per-Arrow-partition partial Bloom bitmaps keyed by TRIE NODE id —
+    the split-aware twin of :func:`_partial_bitmaps` used by
+    :class:`ShardedBloomFilter`. ``split_nodes`` is the (small,
+    driver-held) list of split leaf node ids; bit math is identical, only
+    the shard routing differs."""
+    by_depth: dict[int, list] = {}
+    for n in split_nodes:
+        d = n.bit_length() - 1
+        by_depth.setdefault(d, []).append(n - (1 << d))
+    splits_by_depth = [(d, np.array(sorted(s), dtype=np.int64))
+                       for d, s in sorted(by_depth.items())]
+    hashes = df.select(F.xxhash64(key).alias("h"))
+
+    def build_batches(batches):
+        bms: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1, h2 = _hash2(pdf["h"].to_numpy())
+            node = _route_nodes(h1, base_n, splits_by_depth)
+            for s in np.unique(node):
+                sel = node == s
+                bm = bms.get(int(s))
+                if bm is None:
+                    bm = bms[int(s)] = np.zeros(m_shard // 64, dtype=np.uint64)
+                a, b = h1[sel], h2[sel]
+                for i in range(k):
+                    bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
+                    np.bitwise_or.at(
+                        bm, (bit >> np.uint64(6)).astype(np.int64),
+                        np.uint64(1) << (bit & np.uint64(63)),
+                    )
+        if bms:
+            yield pd.DataFrame(
+                {"shard": list(bms.keys()),
+                 "bits": [bm.tobytes() for bm in bms.values()]})
+
+    return hashes.mapInPandas(build_batches, schema="shard long, bits binary")
+
+
 def _probe_shard_np(h: np.ndarray, bm: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """Vectorized membership probe of hash values against ONE shard bitmap
     (Kirsch-Mitzenmacher double hashing, same math as the builder)."""
@@ -242,6 +303,21 @@ class ShardedBloomFilter:
     ``absorb(df, key)`` / ``mark_maybe_seen(df, key)`` surface. False
     positives still only route rows into the exact anti-join — seen-set
     parity is preserved by construction (north_rule; SURVEY.md X1, D1).
+
+    **Shard splitting** (the 10^10 seen-set maintenance op): a long crawl
+    saturates shards; :meth:`split_plan` reads per-node fill straight off
+    the bitmaps (popcount — no key scan) and :meth:`apply_split` rebuilds
+    each saturated shard as 2^f children by re-absorbing that shard's
+    keys from the EXACT seen set (the source of truth, so the rebuild is
+    exact and the child FP rate resets). Addressing is a binary trie:
+    rows carry node id ``(1<<depth)|shard_id`` (fresh filters: every node
+    at depth log2(n_shards), id = n_shards + shard); a shard with keys
+    ``h & (2^d - 1) == sid`` splits into children ``sid + j·2^d`` at
+    depth ``d+f``, which never re-keys any other shard. Only the split
+    LEAF list lives on the driver (ints, control plane) — bitmaps never
+    leave the executors. The reference analogue is the unbounded
+    CachedQueue cache (utils/cached_queue.py:20-23); the bounded design
+    needs exactly this maintenance op.
     """
 
     def __init__(self, spark, n_shards: int, m_bits: int, k: int,
@@ -256,6 +332,14 @@ class ShardedBloomFilter:
         # set by load(): the high-water marker the snapshot was saved at
         # (e.g. a streaming batch_id), None for legacy 3-int snapshots
         self.snapshot_marker: int | None = None
+        # split leaves: node ids at depth > log2(n_shards) produced by
+        # apply_split — the trie structure, maintained driver-side
+        # (ints only; restored by load() from the materialized rows)
+        self._split_nodes: tuple[int, ...] = ()
+
+    @property
+    def base_depth(self) -> int:
+        return self.n_shards.bit_length() - 1
 
     @classmethod
     def empty(cls, spark, expected: int, fpp: float = 0.01,
@@ -271,8 +355,12 @@ class ShardedBloomFilter:
         bitmaps → union with the current shard rows → ONE groupBy(shard)
         OR-merge → re-pinned. Incremental absorbs OR-compose, so per-round
         absorption equals a one-shot build. The merge shuffles at most
-        ``partitions × n_shards`` fixed-size bitmap rows — never keys."""
-        partials = _partial_bitmaps(df, key, self.n_shards, self.m_bits, self.k)
+        ``partitions × n_shards`` fixed-size bitmap rows — never keys.
+        Keys route to their trie LEAF (split children after
+        :meth:`apply_split`; base shards otherwise)."""
+        partials = _partial_bitmaps_nodes(df, key, self.n_shards,
+                                          self.m_bits, self.k,
+                                          self._split_nodes)
         merged_in = (partials if self.shards_df is None
                      else self.shards_df.unionByName(partials))
 
@@ -330,17 +418,35 @@ class ShardedBloomFilter:
         vals = [int(x) for x in np.frombuffer(bytes(meta[0]["bits"]),
                                               dtype=np.uint64)]
         n_shards, m_bits, k = vals[:3]
-        shards = df.filter(F.col("shard") >= 0).localCheckpoint(eager=True)
+        # legacy (pre-split) snapshots stored plain shard ids in
+        # [0, n_shards); trie node ids are >= n_shards — remap in place
+        shards = (df.filter(F.col("shard") >= 0)
+                  .withColumn("shard",
+                              F.when(F.col("shard") < n_shards,
+                                     F.col("shard") + n_shards)
+                              .otherwise(F.col("shard")))
+                  .localCheckpoint(eager=True))
         flt = cls(spark, n_shards, m_bits, k)
-        flt.shards_df = shards if shards.count() else None
+        node_ids = [r["shard"] for r in shards.select("shard").collect()]
+        flt.shards_df = shards if node_ids else None
+        # split leaves = materialized nodes deeper than the base (children
+        # are materialized even when empty, so the trie restores exactly)
+        base_depth = flt.base_depth
+        flt._split_nodes = tuple(sorted(
+            n for n in node_ids if n.bit_length() - 1 > base_depth))
         flt.snapshot_marker = vals[3] if len(vals) > 3 else None
         return flt
 
     def mark_maybe_seen(self, df: DataFrame, key: str = "url") -> DataFrame:
         """Adds boolean ``__maybe_seen``; False ⇒ definitely not in seen.
-        Candidates shuffle to their shard (hash keys, so hot hosts don't
-        skew) and cogroup with the one bitmap row per shard — the bitmap
-        never broadcasts and never reaches the driver."""
+        Candidates shuffle to their BASE shard (hash keys, so hot hosts
+        don't skew) and cogroup with that base shard's trie subtree —
+        one bitmap row pre-split, the split children after — the bitmaps
+        never broadcast and never reach the driver. A node's low
+        log2(n_shards) bits are its base shard, so the cogroup key is
+        split-invariant; within the group each key probes the one leaf
+        whose (depth, shard_id) covers it. Keys with no covering row are
+        definitely-new."""
         out_schema = df.withColumn("__maybe_seen", F.lit(True)).schema
         if self.shards_df is None:
             return df.withColumn("__maybe_seen", F.lit(False))
@@ -354,17 +460,135 @@ class ShardedBloomFilter:
             if len(left) == 0:
                 return pd.DataFrame(columns=[*cols, "__maybe_seen"])
             out = left[cols].copy()
-            if len(right) == 0:
-                out["__maybe_seen"] = False
-            else:
-                bm = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
-                out["__maybe_seen"] = _probe_shard_np(
-                    left["__h"].to_numpy(), bm, m_bits, k)
+            h = left["__h"].to_numpy()
+            maybe = np.zeros(len(h), dtype=bool)
+            for node, raw in zip(right["shard"], right["bits"]):
+                depth = int(node).bit_length() - 1
+                sid = int(node) - (1 << depth)
+                sel = (h.astype(np.int64) &
+                       ((np.int64(1) << np.int64(depth)) - 1)) == sid
+                if sel.any():
+                    bm = np.frombuffer(raw, dtype=np.uint64)
+                    maybe[sel] = _probe_shard_np(h[sel], bm, m_bits, k)
+            out["__maybe_seen"] = maybe
             return out
 
         return (with_s.groupby("__shard")
-                .cogroup(self.shards_df.groupby("shard"))
+                .cogroup(self.shards_df.groupby(
+                    F.col("shard").bitwiseAND(self.n_shards - 1)))
                 .applyInPandas(probe, schema=out_schema))
+
+    def split_plan(self, fp_target: float = 0.01) -> DataFrame:
+        """Per-node split decision read straight off the bitmaps (popcount
+        — no key scan, no shuffle): est_keys from the fill (Swamidass &
+        Baldi 2007, fill clamped below 1 exactly as
+        :func:`bloom_split_plan`), capacity from ``fp_target``, and the
+        power-of-two split factor that brings each child back under it.
+
+        Returns (node, depth, shard_id, n_bits_set, fill_ratio, est_keys,
+        capacity_keys, split_factor, needs_split) — n_nodes rows, a
+        control-plane output. Distinct from :func:`bloom_split_plan`,
+        which is the engine-portable (md5/DuckDB-replayable) monitor over
+        raw URL tables; this one audits THIS filter's actual bitmaps."""
+        m_bits, k = self.m_bits, self.k
+        fill_star = fp_target ** (1.0 / k)
+        cap = -(float(m_bits) / k) * math.log(1.0 - fill_star)
+        schema = ("node long, depth int, shard_id long, n_bits_set long, "
+                  "fill_ratio double, est_keys double, capacity_keys "
+                  "double, split_factor int, needs_split boolean")
+        if self.shards_df is None:
+            return self.spark.createDataFrame([], schema)
+
+        def stats(batches):
+            for pdf in batches:
+                rows = []
+                for node, raw in zip(pdf["shard"], pdf["bits"]):
+                    nbits = int(np.unpackbits(
+                        np.frombuffer(raw, dtype=np.uint8)).sum())
+                    fill = nbits / m_bits
+                    clamped = min(fill, (m_bits - 1.0) / m_bits)
+                    est = -(m_bits / k) * math.log(1.0 - clamped)
+                    ratio = est / cap
+                    factor = (1 if ratio <= 1.0
+                              else 1 << math.ceil(math.log2(ratio)))
+                    depth = int(node).bit_length() - 1
+                    rows.append((int(node), depth,
+                                 int(node) - (1 << depth), nbits,
+                                 round(fill, 6), round(est, 2),
+                                 round(cap, 2), factor, ratio > 1.0))
+                if rows:
+                    yield pd.DataFrame(rows, columns=[
+                        "node", "depth", "shard_id", "n_bits_set",
+                        "fill_ratio", "est_keys", "capacity_keys",
+                        "split_factor", "needs_split"])
+
+        return self.shards_df.mapInPandas(stats, schema=schema)
+
+    def apply_split(self, seen_df: DataFrame, key: str = "url",
+                    fp_target: float = 0.01, plan: DataFrame | None = None,
+                    max_factor: int = 256) -> dict:
+        """Execute the shard split :meth:`split_plan` decides: for every
+        saturated node, rebuild 2^f replacement children by re-absorbing
+        that node's keys from ``seen_df`` — the EXACT seen set (frontier
+        table / seen catalog), the source of truth, so the rebuild is
+        exact and the children's false-positive rate resets to the fresh
+        value at their halved-or-better load. The parent rows are
+        dropped, all children materialized (zero bitmaps when empty, so
+        save/load reconstructs the trie), and future absorbs route to
+        the children.
+
+        ``seen_df`` MUST contain every key ever absorbed (a superset is
+        fine — extra keys only add bits); an under-approximating source
+        would rebuild children that miss committed keys, the same
+        invariant the streaming snapshot marker protects.
+
+        Scale shape: ONE scan of the seen set filtered to the split
+        regions (``h & (2^d - 1) == sid`` — at most a full scan when many
+        shards split at once), partial bitmaps built per Arrow batch,
+        one keyed OR-merge; keys never reach the driver, bitmaps never
+        leave the executors. Returns a summary dict."""
+        if plan is None:
+            plan = self.split_plan(fp_target)
+        to_split = [(int(r["node"]), min(int(r["split_factor"]), max_factor))
+                    for r in plan.filter(F.col("needs_split")).collect()]
+        if not to_split or self.shards_df is None:
+            return {"n_split": 0, "children": 0}
+
+        split_set = set(self._split_nodes)
+        regions = []          # (depth, shard_id) of each split parent
+        children_all = []
+        for node, factor in to_split:
+            d = node.bit_length() - 1
+            sid = node - (1 << d)
+            f = max(1, factor.bit_length() - 1)   # factor = 2^f
+            regions.append((d, sid))
+            split_set.discard(node)
+            kids = [(1 << (d + f)) | (sid + (j << d)) for j in range(1 << f)]
+            children_all += kids
+            split_set.update(kids)
+
+        parents = [n for n, _ in to_split]
+        kept = self.shards_df.filter(~F.col("shard").isin(parents))
+        zeros = self.spark.createDataFrame(
+            [(c, bytearray(self.m_bits // 8)) for c in children_all],
+            "shard long, bits binary")
+        old = self.shards_df
+        self.shards_df = kept.unionByName(zeros).localCheckpoint(eager=True)
+        old.unpersist()
+        self._split_nodes = tuple(sorted(split_set))
+
+        # one pruned scan of the exact seen set: only split regions' keys
+        h = F.xxhash64(key)
+        by_depth: dict[int, list] = {}
+        for d, sid in regions:
+            by_depth.setdefault(d, []).append(sid)
+        cond = None
+        for d, sids in by_depth.items():
+            c = h.bitwiseAND((1 << d) - 1).isin(sids)
+            cond = c if cond is None else (cond | c)
+        self.absorb(seen_df.filter(cond).select(key), key)
+        return {"n_split": len(to_split), "children": len(children_all),
+                "split_leaves": len(self._split_nodes)}
 
 
 # ---------------------------------------------------------------------------

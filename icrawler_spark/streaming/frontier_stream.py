@@ -120,6 +120,7 @@ def start_frontier_ingest(
     bloom_capacity: int = 1_000_000,
     bloom_mode: str = "driver",
     bloom_snapshot: bool = False,
+    bloom_split_fp_target: float | None = None,
     on_novel=None,
 ):
     """Stream URLs from ``source_dir`` into a persistent frontier table with
@@ -236,6 +237,16 @@ def start_frontier_ingest(
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("bucket", "batch_id").parquet(frontier_path))
         state["bloom"].absorb(novel.select("url"), "url")
+        if bloom_mode == "sharded" and bloom_split_fp_target is not None:
+            # seen-set maintenance: saturated shards split into 2^f
+            # children rebuilt from the just-committed frontier table —
+            # the exact seen set (it includes this batch, written above),
+            # so the rebuild is a superset of everything absorbed. The
+            # per-batch cost when nothing splits is one popcount pass
+            # over the n_shards bitmap rows.
+            state["bloom"].apply_split(
+                ss.read.parquet(frontier_path).select("url"), "url",
+                fp_target=bloom_split_fp_target)
         if bloom_mode == "sharded" and bloom_snapshot:
             # n_shards fixed-size rows per batch — cheap, idempotent
             # overwrite; a replayed batch rewrites the same bits (OR is
@@ -257,11 +268,15 @@ def start_frontier_ingest(
 
 def ingest_available(spark: SparkSession, source_dir: str, state_dir: str,
                      timeout_s: int = 120, bloom_mode: str = "driver",
-                     bloom_snapshot: bool = False) -> DataFrame:
+                     bloom_snapshot: bool = False,
+                     bloom_capacity: int = 1_000_000,
+                     bloom_split_fp_target: float | None = None) -> DataFrame:
     """Run one availableNow ingest to completion; return the frontier table."""
     q = start_frontier_ingest(spark, source_dir, state_dir, available_now=True,
                               bloom_mode=bloom_mode,
-                              bloom_snapshot=bloom_snapshot)
+                              bloom_capacity=bloom_capacity,
+                              bloom_snapshot=bloom_snapshot,
+                              bloom_split_fp_target=bloom_split_fp_target)
     if not q.awaitTermination(timeout_s):
         # timed out: the query is STILL RUNNING — returning a partial read
         # would silently truncate the ingest and orphan the query on the

@@ -373,6 +373,143 @@ def test_bloom_split_plan_branches_and_snapshot_roundtrip(spark):
         ~F.col("__maybe_seen")).count() == 0
 
 
+def test_sharded_bloom_apply_split_full(spark):
+    """apply_split executes what bloom_split_plan/split_plan decide: every
+    saturated shard is rebuilt as 2^f children re-absorbed from the EXACT
+    seen set. With all base shards splitting by the same factor, the
+    result must be BIT-IDENTICAL (node ids and bitmaps) to a fresh filter
+    built at the uniform new geometry; fill drops back under threshold;
+    the snapshot round-trips the trie; membership never regresses."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+    urls = spark.range(4000).select(
+        F.concat(F.lit("http://sp.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    probes = spark.range(3000, 8000).select(
+        F.concat(F.lit("http://sp.test/"), F.col("id").cast("string"))
+        .alias("url"))  # 1000 members + 4000 non-members
+
+    flt = ShardedBloomFilter(spark, n_shards=4, m_bits=2048, k=4)
+    flt.absorb(urls, "url")
+    plan = flt.split_plan(fp_target=0.01).collect()
+    assert len(plan) == 4 and all(r["needs_split"] for r in plan)
+    factors = {r["split_factor"] for r in plan}
+    assert len(factors) == 1  # uniform load -> uniform factor
+    f = factors.pop()
+    assert f >= 2 and f & (f - 1) == 0
+
+    res = flt.apply_split(urls, "url", fp_target=0.01)
+    assert res["n_split"] == 4 and res["children"] == 4 * f
+
+    # no false negatives: every absorbed key still maybe_seen
+    assert flt.mark_maybe_seen(urls, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+    # bit-identical to a fresh filter at the uniform new geometry —
+    # node ids coincide ((1<<depth)|shard_id), so rows compare directly
+    fresh = ShardedBloomFilter(spark, n_shards=4 * f, m_bits=2048, k=4)
+    fresh.absorb(urls, "url")
+    split_rows = {r["shard"]: bytes(r["bits"])
+                  for r in flt.shards_df.collect() if any(bytes(r["bits"]))}
+    fresh_rows = {r["shard"]: bytes(r["bits"])
+                  for r in fresh.shards_df.collect()}
+    assert split_rows == fresh_rows
+    a = [r["__maybe_seen"] for r in flt.mark_maybe_seen(probes, "url")
+         .orderBy("url").collect()]
+    b = [r["__maybe_seen"] for r in fresh.mark_maybe_seen(probes, "url")
+         .orderBy("url").collect()]
+    assert a == b
+
+    # fill back under threshold (per-child load halved f times)
+    plan2 = flt.split_plan(fp_target=0.01).collect()
+    assert all(r["fill_ratio"] < 1.0 for r in plan2)
+    assert max(r["fill_ratio"] for r in plan2) < \
+        min(r["fill_ratio"] for r in plan)
+
+    # snapshot round-trips the trie (children materialized even if empty)
+    snap = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/bloom_split_snap"
+    flt.save(snap, marker=7)
+    flt2 = ShardedBloomFilter.load(spark, snap)
+    assert flt2._split_nodes == flt._split_nodes
+    assert flt2.snapshot_marker == 7
+    c = [r["__maybe_seen"] for r in flt2.mark_maybe_seen(probes, "url")
+         .orderBy("url").collect()]
+    assert c == a
+
+    # post-split absorbs route to the children and stay fresh-identical
+    more = spark.range(4000, 4500).select(
+        F.concat(F.lit("http://sp.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    flt.absorb(more, "url")
+    fresh.absorb(more, "url")
+    a2 = [r["__maybe_seen"] for r in flt.mark_maybe_seen(probes, "url")
+          .orderBy("url").collect()]
+    b2 = [r["__maybe_seen"] for r in fresh.mark_maybe_seen(probes, "url")
+          .orderBy("url").collect()]
+    assert a2 == b2
+    assert flt.mark_maybe_seen(more, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+
+def test_sharded_bloom_apply_split_partial_and_nested(spark):
+    """A plan that splits only SOME shards leaves the others' rows
+    byte-untouched; a second split of one child (nested, deeper trie)
+    still routes and probes exactly; membership never regresses at any
+    step."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.dedup import ShardedBloomFilter
+
+    urls = spark.range(3000).select(
+        F.concat(F.lit("http://pn.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    flt = ShardedBloomFilter(spark, n_shards=4, m_bits=2048, k=4)
+    flt.absorb(urls, "url")
+    before = {r["shard"]: bytes(r["bits"]) for r in flt.shards_df.collect()}
+
+    def manual_plan(nodes_factors):
+        return spark.createDataFrame(
+            [(n, f, True) for n, f in nodes_factors],
+            "node long, split_factor int, needs_split boolean")
+
+    # split only base shard 1 (node 4|1 = 5) by 2
+    flt.apply_split(urls, "url", plan=manual_plan([(5, 2)]))
+    # children of (depth 2, sid 1): sids 1 and 1+4 at depth 3
+    assert set(flt._split_nodes) == {8 | 1, 8 | 5}
+    after = {r["shard"]: bytes(r["bits"]) for r in flt.shards_df.collect()}
+    for node in (4 | 0, 4 | 2, 4 | 3):  # untouched base shards
+        assert after[node] == before[node]
+    assert 5 not in after
+    assert flt.mark_maybe_seen(urls, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+    # nested: split child (depth 3, sid 1) = node 8|1 = 9 by 4
+    flt.apply_split(urls, "url", plan=manual_plan([(9, 4)]))
+    kids = {(1 << 5) | (1 + (j << 3)) for j in range(4)}
+    assert set(flt._split_nodes) == kids | {8 | 5}
+    assert flt.mark_maybe_seen(urls, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+    # roundtrip the nested trie
+    snap = str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/bloom_nested_snap"
+    flt.save(snap)
+    flt2 = ShardedBloomFilter.load(spark, snap)
+    assert flt2._split_nodes == flt._split_nodes
+    assert flt2.mark_maybe_seen(urls, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+    # new absorbs through the loaded trie keep exactness
+    more = spark.range(3000, 3400).select(
+        F.concat(F.lit("http://pn.test/"), F.col("id").cast("string"))
+        .alias("url"))
+    flt2.absorb(more, "url")
+    assert flt2.mark_maybe_seen(more, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0
+
+
 def test_bloom_split_plan_saturated_shard(spark):
     """Regression for the fill_ratio=1.0 regime: a fully saturated shard
     (every bit of the bitmap set) used to make est_keys = -(m/k)*ln(0) —

@@ -445,6 +445,46 @@ def test_stream_ingest_bloom_snapshot_restores_across_restarts(spark, tmp_path):
         f"http://sn.test/{i}" for i in range(70))
 
 
+def test_stream_ingest_restart_across_bloom_split(spark, tmp_path):
+    """bloom_split_fp_target (sharded mode): a stream whose shards
+    saturate splits them mid-ingest (children rebuilt from the committed
+    frontier), the snapshot persists the deeper trie, and a RESTART
+    restores it — ingest stays exact across the split on both sides of
+    the restart."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.streaming.frontier_stream import (
+        ingest_available,
+        restore_bloom_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    kw = dict(bloom_mode="sharded", bloom_snapshot=True,
+              bloom_capacity=100, bloom_split_fp_target=0.01)
+
+    # tiny capacity: ~3000 urls saturate every shard -> split fires
+    _write_urls(src, "a.txt", [f"http://bs.test/{i}" for i in range(3000)])
+    ingest_available(spark, src, state, **kw)
+
+    flt = restore_bloom_snapshot(spark, os.path.join(state, "bloom"),
+                                 os.path.join(state, "frontier"))
+    assert flt._split_nodes, "expected the saturated shards to have split"
+    committed = spark.read.parquet(
+        os.path.join(state, "frontier")).select("url")
+    assert flt.mark_maybe_seen(committed, "url").filter(
+        ~F.col("__maybe_seen")).count() == 0  # superset across the split
+
+    # restart: overlapping + new urls through the restored deeper trie
+    _write_urls(src, "b.txt",
+                [f"http://bs.test/{i}" for i in range(2500, 3500)])
+    out = ingest_available(spark, src, state, **kw)
+    urls = sorted(r["url"] for r in out.collect())
+    assert urls == sorted(f"http://bs.test/{i}" for i in range(3500))
+
+
 def test_stream_ingest_stale_snapshot_toggle_path(spark, tmp_path):
     """Regression: a snapshot saved at batch N, followed by batches
     committed with bloom_snapshot=False (snapshot not updated), then a
