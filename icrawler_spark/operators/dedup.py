@@ -257,6 +257,29 @@ class BloomSeenFilter:
         return with_h.mapInPandas(probe, schema=schema_df.schema)
 
 
+# comfortable upper bound for a driver-held + broadcast Bloom bitmap —
+# the same class of driver control-plane bound as the crawl plan's
+# byte-capped frontier broadcast (_BROADCAST_FRONTIER_MAX_BYTES)
+DRIVER_BLOOM_MAX_BYTES = 64 << 20
+
+
+def resolve_bloom_mode(mode: str, capacity: int, fpp: float = 0.01,
+                       max_driver_bytes: int = DRIVER_BLOOM_MAX_BYTES) -> str:
+    """Resolve ``bloom_mode="auto"`` from the filter's expected capacity:
+    "driver" (:class:`BloomSeenFilter`, bitmaps collected + broadcast)
+    while the full bitmap fits comfortably on the driver, else "sharded"
+    (:class:`ShardedBloomFilter`, bitmaps pinned in executor block
+    storage). The 10^10-URL path must not depend on an operator
+    remembering a flag: at 10^10 keys / 1% fpp the bitmap is ~12 GB —
+    far past any sane driver bound — so auto lands on sharded; at the
+    1M default it is ~1.2 MB and driver mode's broadcast probe is
+    faster. Explicit modes pass through untouched."""
+    if mode != "auto":
+        return mode
+    m_bits, _ = _bloom_params(max(int(capacity), 1024), fpp)
+    return "driver" if m_bits // 8 <= max_driver_bytes else "sharded"
+
+
 def anti_join_seen_bloom(candidates: DataFrame, seen: DataFrame | None,
                          bloom: BloomSeenFilter | None, key: str = "url",
                          release_into: list | None = None) -> DataFrame:

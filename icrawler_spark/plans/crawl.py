@@ -147,8 +147,13 @@ class CrawlConfig:
     #   for a 10^10-URL frontier where bitmaps are ~12 GB and must never
     #   aggregate on one node. Outputs are identical (Bloom only pre-routes
     #   rows around the exact anti-join).
+    # "auto": pick by expected bitmap size (operators/dedup.
+    #   resolve_bloom_mode): driver while the full bitmap fits under
+    #   bloom_driver_max_bytes, sharded beyond — so the 10^10 path does
+    #   not depend on the operator remembering a flag.
     bloom_mode: str = "driver"
     bloom_shards: int = 32              # sharded mode shard count (power of 2)
+    bloom_driver_max_bytes: int = 64 << 20   # "auto" driver/sharded cutover
     salt: int = 0                       # >0: salted repartition before extract
     pages_buckets: int | None = None    # pages table bucket count (scan pruning)
     checkpoint_dir: str | None = None   # RoundCatalog root; None = in-memory
@@ -546,7 +551,12 @@ class GreedyCrawl:
         # rebuild at a fraction of the per-round cost
         bloom_pages = bloom_tasks = None
         if cfg.use_bloom:
-            if cfg.bloom_mode == "sharded":
+            from icrawler_spark.operators.dedup import resolve_bloom_mode
+
+            mode = resolve_bloom_mode(
+                cfg.bloom_mode, cfg.bloom_capacity, cfg.bloom_fpp,
+                cfg.bloom_driver_max_bytes)
+            if mode == "sharded":
                 from icrawler_spark.operators.dedup import ShardedBloomFilter
 
                 def _new_bloom():

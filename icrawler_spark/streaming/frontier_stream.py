@@ -174,6 +174,12 @@ def start_frontier_ingest(
 
     bloom_path = os.path.join(state_dir, "bloom")
 
+    from icrawler_spark.operators.dedup import resolve_bloom_mode
+
+    # "auto" resolves once from capacity (10^10-scale capacities land on
+    # sharded without the caller remembering a flag)
+    bloom_mode = resolve_bloom_mode(bloom_mode, bloom_capacity)
+
     def _new_bloom(ss):
         from icrawler_spark.operators.dedup import BloomSeenFilter, ShardedBloomFilter
 

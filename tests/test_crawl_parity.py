@@ -100,6 +100,45 @@ def test_greedy_sharded_bloom_is_exact(spark, smoke_web, smoke_pages_df):
     _assert_match(result, golden)
 
 
+def test_greedy_bloom_mode_auto_both_sides(spark, smoke_web, smoke_pages_df):
+    """bloom_mode="auto" resolves driver vs sharded from expected bitmap
+    size (round-4 verdict item 2) — the 10^10 path must not depend on the
+    operator remembering a flag. Both resolutions must produce the
+    identical exact crawl; the resolver itself flips exactly at the
+    byte bound."""
+    from icrawler_spark.operators.dedup import (
+        _bloom_params,
+        resolve_bloom_mode,
+    )
+
+    # resolver: passthrough + both sides of the cutover
+    assert resolve_bloom_mode("driver", 10**10) == "driver"
+    assert resolve_bloom_mode("sharded", 1000) == "sharded"
+    assert resolve_bloom_mode("auto", 1_000_000) == "driver"
+    assert resolve_bloom_mode("auto", 10**10) == "sharded"  # ~12 GB bitmap
+    m, _ = _bloom_params(1_000_000, 0.01)
+    assert resolve_bloom_mode("auto", 1_000_000,
+                              max_driver_bytes=m // 8) == "driver"
+    assert resolve_bloom_mode("auto", 1_000_000,
+                              max_driver_bytes=m // 8 - 1) == "sharded"
+
+    golden = _oracle_greedy(smoke_web, max_num=60)
+    # auto->driver (default bound) and auto->sharded (tiny bound) runs
+    result_d = GreedyCrawl(
+        spark, smoke_pages_df,
+        CrawlConfig(max_num=60, use_bloom=True, bloom_fpp=0.2,
+                    bloom_mode="auto"),
+    ).run(SEEDS)
+    _assert_match(result_d, golden)
+    result_s = GreedyCrawl(
+        spark, smoke_pages_df,
+        CrawlConfig(max_num=60, use_bloom=True, bloom_fpp=0.2,
+                    bloom_mode="auto", bloom_driver_max_bytes=1,
+                    bloom_shards=8),
+    ).run(SEEDS)
+    _assert_match(result_s, golden)
+
+
 def test_greedy_salted_extraction_parity(spark, smoke_web, smoke_pages_df):
     """Salted repartition reshuffles the extract stage; ordering columns must
     make the result independent of physical partitioning (SURVEY.md O1)."""

@@ -445,6 +445,22 @@ def test_stream_ingest_bloom_snapshot_restores_across_restarts(spark, tmp_path):
         f"http://sn.test/{i}" for i in range(70))
 
 
+def test_stream_ingest_bloom_mode_auto(spark, tmp_path):
+    """bloom_mode="auto" is accepted by the stream (resolved once from
+    capacity — the 1M default lands on driver mode) and ingest stays
+    exact across overlapping batches."""
+    from icrawler_spark.streaming.frontier_stream import ingest_available
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _write_urls(src, "a.txt", [f"http://au.test/{i}" for i in range(30)])
+    ingest_available(spark, src, state, bloom_mode="auto")
+    _write_urls(src, "b.txt", [f"http://au.test/{i}" for i in range(20, 50)])
+    out = ingest_available(spark, src, state, bloom_mode="auto")
+    assert sorted(r["url"] for r in out.collect()) == sorted(
+        f"http://au.test/{i}" for i in range(50))
+
+
 def test_stream_ingest_restart_across_bloom_split(spark, tmp_path):
     """bloom_split_fp_target (sharded mode): a stream whose shards
     saturate splits them mid-ingest (children rebuilt from the committed
