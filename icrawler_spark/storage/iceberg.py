@@ -66,7 +66,10 @@ class IcebergRoundCatalog:
     def _ensure(self, df: DataFrame, table: str) -> None:
         if self.spark.catalog.tableExists(self._t(table)):
             return
-        writer = df.writeTo(self._t(table)).using("iceberg")
+        # create EMPTY with the append's schema: writeTo(...).create() is
+        # CTAS — creating with the data rows would double-write the first
+        # append (caught by tests/test_iceberg_contract.py)
+        writer = df.limit(0).writeTo(self._t(table)).using("iceberg")
         if table in _TABLES_WITH_URL_BUCKETS:
             writer = writer.partitionedBy(
                 F.col("round"), F.expr(f"bucket({self.pages_buckets}, url)"))
@@ -76,9 +79,11 @@ class IcebergRoundCatalog:
 
     # -- RoundCatalog interface ----------------------------------------------
     def append(self, df: DataFrame, table: str, rnd: int, tag: str | None = None) -> None:
-        out = df.withColumn("round", F.lit(rnd))
-        if tag is not None:
-            out = out.withColumn("tag", F.lit(tag))
+        # tag is ALWAYS materialized (NULL when absent): the engine appends
+        # tagged and untagged batches to the same table (e.g. seen_pages
+        # "seeds"/"new" vs resume paths) and Iceberg enforces one schema
+        out = (df.withColumn("round", F.lit(rnd))
+               .withColumn("tag", F.lit(tag).cast("string")))
         self._ensure(out, table)
         out.writeTo(self._t(table)).append()
 

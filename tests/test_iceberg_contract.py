@@ -1,0 +1,219 @@
+"""Contract test: the Iceberg RoundCatalog binding must produce the same
+LOGICAL rows as the parquet stand-in for every interface call —
+append/read (incl. upto_round), commit_round/last_committed_round/
+read_state, drop_rounds_after — without the iceberg-spark-runtime jar
+(round-3 advice item 9 / round-4 verdict item 3).
+
+The jar is absent in this sandbox, so the Iceberg side runs against a
+mocked writeTo capture: a FakeIcebergBackend holds each table as a real
+Spark DataFrame, DataFrame.writeTo/.create()/.append() are intercepted
+for the test catalog's names (create = CTAS: table gets the frame's
+rows; append = strict-schema unionByName, as Iceberg enforces one
+schema), and spark.table / catalog.tableExists / the three SQL shapes
+the binding emits (CREATE NAMESPACE, SHOW TABLES, DELETE FROM ... WHERE
+round > N) are emulated over that store. Partition specs passed to
+partitionedBy are captured and asserted (round everywhere; pages
+additionally bucket(url) — the scan-pruning contract).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FakeWriter:
+    def __init__(self, backend, df, name):
+        self.backend = backend
+        self.df = df
+        self.name = name
+        self.partition_spec: tuple = ()
+
+    def using(self, fmt):
+        assert fmt == "iceberg"
+        return self
+
+    def partitionedBy(self, *cols):
+        self.partition_spec = tuple(str(c) for c in cols)
+        return self
+
+    def create(self):
+        assert self.name not in self.backend.tables, "CREATE on existing"
+        # CTAS semantics: the table is created WITH the frame's rows
+        self.backend.tables[self.name] = self.df
+        self.backend.specs[self.name] = self.partition_spec
+
+    def append(self):
+        cur = self.backend.tables[self.name]
+        # Iceberg enforces one schema per table: a mismatched append fails
+        assert [f.simpleString() for f in cur.schema.fields] == \
+            [f.simpleString() for f in self.df.schema.fields], \
+            f"schema drift on append to {self.name}"
+        self.backend.tables[self.name] = cur.unionByName(self.df)
+
+
+class FakeIcebergBackend:
+    """In-memory stand-in for an Iceberg catalog named ``ice``."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+        self.specs: dict[str, tuple] = {}
+        self.namespaces: set[str] = set()
+
+    def is_ours(self, name: str) -> bool:
+        return name.startswith("ice.")
+
+    def sql(self, query: str):
+        q = query.strip()
+        m = re.match(r"CREATE NAMESPACE IF NOT EXISTS (\S+)$", q)
+        if m:
+            self.namespaces.add(m.group(1))
+            return self.spark.createDataFrame([], "ok string")
+        m = re.match(r"SHOW TABLES IN (\S+)$", q)
+        if m:
+            prefix = m.group(1) + "."
+            names = [(t[len(prefix):],) for t in self.tables
+                     if t.startswith(prefix)]
+            return self.spark.createDataFrame(names or [],
+                                              "tableName string")
+        m = re.match(r"DELETE FROM (\S+) WHERE round > (\d+)$", q)
+        if m:
+            t, rnd = m.group(1), int(m.group(2))
+            self.tables[t] = self.tables[t].filter(
+                ~(F.col("round") > rnd))
+            return self.spark.createDataFrame([], "ok string")
+        raise AssertionError(f"unexpected SQL through the binding: {q}")
+
+
+@pytest.fixture
+def ice(spark, monkeypatch):
+    """IcebergRoundCatalog wired to the fake backend."""
+    import icrawler_spark.storage.iceberg as iceberg_mod
+
+    backend = FakeIcebergBackend(spark)
+    df_cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    orig_write_to = df_cls.writeTo
+    orig_table = type(spark).table
+    orig_sql = type(spark).sql
+    orig_exists = type(spark.catalog).tableExists
+
+    monkeypatch.setattr(iceberg_mod, "iceberg_available",
+                        lambda s, catalog="iceberg": True)
+    monkeypatch.setattr(
+        df_cls, "writeTo",
+        lambda self, name: (FakeWriter(backend, self, name)
+                            if backend.is_ours(name)
+                            else orig_write_to(self, name)))
+    monkeypatch.setattr(
+        type(spark), "table",
+        lambda self, name: (backend.tables[name]
+                            if backend.is_ours(name)
+                            else orig_table(self, name)))
+    monkeypatch.setattr(
+        type(spark), "sql",
+        lambda self, q, **kw: (backend.sql(q)
+                               if "ice." in q or "ice\n" in q
+                               or q.strip().endswith(" ice.ns")
+                               else orig_sql(self, q, **kw)))
+    monkeypatch.setattr(
+        type(spark.catalog), "tableExists",
+        lambda self, name, dbName=None: (
+            name in backend.tables if backend.is_ours(name)
+            else orig_exists(self, name, dbName)))
+
+    cat = iceberg_mod.IcebergRoundCatalog(spark, "ice", "ns",
+                                          pages_buckets=16)
+    cat._backend = backend
+    return cat
+
+
+def _logical(df):
+    """Order-insensitive (columns, rows) fingerprint; None passes through."""
+    if df is None:
+        return None
+    cols = sorted(df.columns)
+    return (cols, sorted(tuple(r) for r in df.select(*cols).collect()))
+
+
+def test_iceberg_contract(spark, tmp_path, ice):
+    """The same call sequence against the parquet RoundCatalog and the
+    Iceberg binding yields identical logical state at every probe."""
+    from icrawler_spark.storage.catalog import RoundCatalog
+
+    pq = RoundCatalog(spark, str(tmp_path / "cat"))
+    both = (pq, ice)
+
+    def df_of(rows, schema="url string, file_idx long"):
+        return spark.createDataFrame(rows, schema)
+
+    r0a = df_of([("http://a/1", 1), ("http://a/2", 2)])
+    r0b = df_of([("http://a/3", 3)])
+    r1 = df_of([("http://b/1", 4)])
+    r2 = df_of([("http://c/1", 5)])
+
+    for cat in both:
+        cat.append(r0a, "fetched", 0)
+        cat.append(r0b, "fetched", 0, tag="extra")   # mixed tag/untag
+        cat.append(df_of([("http://a/1", 0)]), "seen_pages", 0, tag="seeds")
+        cat.commit_round(0, {"next_round": 1, "visited": 3})
+        cat.append(r1, "fetched", 1)
+        cat.commit_round(1, {"next_round": 2, "visited": 4})
+        cat.append(r2, "fetched", 2)                 # uncommitted round
+
+    # reads agree, with and without the snapshot bound
+    assert _logical(pq.read("fetched")) == _logical(ice.read("fetched"))
+    assert _logical(pq.read("fetched", upto_round=0)) == \
+        _logical(ice.read("fetched", upto_round=0))
+    assert _logical(pq.read("seen_pages")) == _logical(ice.read("seen_pages"))
+    assert pq.read("nope") is None and ice.read("nope") is None
+
+    # commit log agrees
+    assert pq.last_committed_round() == ice.last_committed_round() == 1
+    for rnd in (0, 1):
+        ps, is_ = pq.read_state(rnd), ice.read_state(rnd)
+        assert {k: ps[k] for k in ("next_round", "visited")} == \
+            {k: is_[k] for k in ("next_round", "visited")}
+
+    # crash-recovery rollback agrees: uncommitted round-2 data vanishes
+    for cat in both:
+        cat.drop_rounds_after(1)
+    assert _logical(pq.read("fetched")) == _logical(ice.read("fetched"))
+    assert sorted(r[0] for r in _logical(ice.read("fetched"))[1]) == \
+        [1, 2, 3, 4]  # _logical sorts columns: file_idx first
+
+    # deeper rollback removes round-1 data AND its commit marker
+    for cat in both:
+        cat.drop_rounds_after(0)
+    assert _logical(pq.read("fetched")) == _logical(ice.read("fetched"))
+    assert pq.last_committed_round() == ice.last_committed_round() == 0
+
+
+def test_iceberg_partition_specs_and_first_append_single(spark, ice):
+    """The binding creates every table partitioned by round (snapshot
+    pruning), pages additionally bucket(url) (the fetch-join pruning
+    contract), and the FIRST append lands its rows exactly once (create
+    must be empty-CTAS — creating with the data double-wrote it)."""
+    pages = spark.createDataFrame(
+        [("http://p/1", b"<html>", "t")], "url string, html binary, text string")
+    ice.append(pages, "pages", 0)
+    assert ice.read("pages").count() == 1  # not doubled by create+append
+
+    specs = ice._backend.specs
+    assert any("bucket" in s and "url" in s for s in specs["ice.ns.pages"])
+    assert any("round" in s for s in specs["ice.ns.pages"])
+
+    other = spark.createDataFrame([("u", 1)], "url string, file_idx long")
+    ice.append(other, "fetched", 3)
+    assert specs["ice.ns.fetched"] and \
+        all("bucket" not in s for s in specs["ice.ns.fetched"])
+    assert [r["url"] for r in ice.read("fetched").collect()] == ["u"]
+    # commit marker table participates in rollback like any other
+    ice.commit_round(3, {"next_round": 4})
+    assert ice.last_committed_round() == 3
+    ice.drop_rounds_after(2)
+    assert ice.read("fetched") is None or ice.read("fetched").count() == 0
+    assert ice.last_committed_round() is None
