@@ -1,10 +1,23 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-behind a deterministic fake (or NotImplementedError for real decoding), but
-the Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
-mapInPandas signatures, partitioning. On a cluster you swap ``_fake_decode``
-for PIL/ffmpeg inside the same batch iterator.
+The *decode* stage emits (width, height, n_frames) metadata — and that
+decode is REAL here, in two import-guarded tiers inside the same Arrow
+batch iterator:
+
+1. **PIL**, when importable (`PIL.Image.open(BytesIO(raw))` — the
+   reference's own image decoder, /root/reference/icrawler/
+   downloader.py:236-263): any format Pillow reads.
+2. **stdlib header parsers** otherwise (this container ships no codec
+   libs): PNG/APNG (IHDR dims + acTL frame count), GIF87a/89a (logical
+   screen dims + a full block walk counting image descriptors), JPEG
+   (SOF marker scan), BMP (BITMAPINFOHEADER), WAV (RIFF). These parse
+   the actual public byte formats — not a simulation.
+
+Payloads neither tier recognizes raise, per item, with a clear message
+(that's the honest remainder of the seam: full-frame video decoding
+still needs ffmpeg). The deterministic ``_fake_decode`` stays as the
+oracle path (`use_real_codecs=False`, the default) so driver-gate
+queries remain engine-independent and replayable in DuckDB.
 
 Media table schema: (media_id long, kind string, bytes binary,
 meta struct<width:int, height:int, duration_ms:long, mime:string>).
@@ -13,6 +26,7 @@ meta struct<width:int, height:int, duration_ms:long, mime:string>).
 from __future__ import annotations
 
 import hashlib
+import io
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -28,30 +42,148 @@ DECODED_SCHEMA_DDL = (
     "width int, height int, n_frames int"
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
-
 
 def _fake_decode(raw: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a codec: dims derived from content hash.
-    Replace with PIL.Image.open / av.open on a real cluster."""
+    """Deterministic stand-in for a codec: dims derived from content hash —
+    the oracle-replayable path (the DuckDB mirrors recompute it)."""
     h = hashlib.md5(raw).digest()
     return 16 + h[0] % 2048, 16 + h[1] % 2048, 1 + h[2] % 64
 
 
+# -- real decoders (import-guarded PIL; stdlib header parsers fallback) -----
+
+def _pil_image_module():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _parse_png(raw: bytes):
+    if len(raw) >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" \
+            and raw[12:16] == b"IHDR":
+        w = int.from_bytes(raw[16:20], "big")
+        h = int.from_bytes(raw[20:24], "big")
+        i = raw.find(b"acTL")           # APNG animation control chunk
+        n = int.from_bytes(raw[i + 4:i + 8], "big") if 0 <= i <= len(raw) - 8 else 1
+        return w, h, max(n, 1)
+    return None
+
+
+def _parse_gif(raw: bytes):
+    if len(raw) >= 13 and raw[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(raw[6:8], "little")
+        h = int.from_bytes(raw[8:10], "little")
+        flags = raw[10]
+        pos = 13
+        if flags & 0x80:                 # global color table
+            pos += 3 * (2 << (flags & 0x07))
+        frames = 0
+        while pos < len(raw):
+            b0 = raw[pos]
+            if b0 == 0x3B:               # trailer
+                break
+            if b0 == 0x21:               # extension: label, then sub-blocks
+                pos += 2
+                while pos < len(raw) and raw[pos] != 0:
+                    pos += raw[pos] + 1
+                pos += 1
+            elif b0 == 0x2C:             # image descriptor = one frame
+                frames += 1
+                if pos + 10 > len(raw):
+                    break
+                lflags = raw[pos + 9]
+                pos += 10
+                if lflags & 0x80:        # local color table
+                    pos += 3 * (2 << (lflags & 0x07))
+                pos += 1                 # LZW minimum code size
+                while pos < len(raw) and raw[pos] != 0:
+                    pos += raw[pos] + 1
+                pos += 1
+            else:
+                break
+        return w, h, max(frames, 1)
+    return None
+
+
+def _parse_jpeg(raw: bytes):
+    if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        pos = 2
+        while pos + 9 <= len(raw):
+            if raw[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = raw[pos + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker in sof:
+                h = int.from_bytes(raw[pos + 5:pos + 7], "big")
+                w = int.from_bytes(raw[pos + 7:pos + 9], "big")
+                return w, h, 1
+            pos += 2 + int.from_bytes(raw[pos + 2:pos + 4], "big")
+    return None
+
+
+def _parse_bmp(raw: bytes):
+    if len(raw) >= 26 and raw[:2] == b"BM":
+        w = int.from_bytes(raw[18:22], "little", signed=True)
+        h = abs(int.from_bytes(raw[22:26], "little", signed=True))
+        return w, h, 1
+    return None
+
+
+def _parse_wav(raw: bytes):
+    if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return 0, 0, 1                   # audio: no raster dims, one stream
+    return None
+
+
+_HEADER_PARSERS = (_parse_png, _parse_gif, _parse_jpeg, _parse_bmp,
+                   _parse_wav)
+
+
+def _real_decode(raw: bytes) -> tuple[int, int, int]:
+    """Real metadata decode of actual media bytes: PIL when importable
+    (anything Pillow reads, incl. n_frames for animations), else the
+    stdlib header parsers above. Unknown payloads raise ValueError —
+    full-frame video decoding still needs ffmpeg (the remaining,
+    clearly-scoped seam)."""
+    Image = _pil_image_module()
+    if Image is not None:
+        try:
+            img = Image.open(io.BytesIO(raw))
+            return (int(img.size[0]), int(img.size[1]),
+                    int(getattr(img, "n_frames", 1)))
+        except Exception:
+            pass                          # fall through to header parsers
+    for parse in _HEADER_PARSERS:
+        got = parse(raw)
+        if got is not None:
+            return got
+    raise ValueError(
+        "unrecognized media bytes: not PNG/GIF/JPEG/BMP/WAV and "
+        + ("PIL could not decode them" if Image is not None
+           else "PIL is not installed"))
+
+
 def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """mapInPandas decode: binary → (dims, frames, sha). Arrow-batched; the
-    per-batch loop is the codec boundary (codecs are per-item by nature)."""
-    if use_real_codecs and not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "real image/audio decoding requires PIL/ffmpeg — not present in "
-            "this container; use use_real_codecs=False for the deterministic stub")
+    per-batch loop is the codec boundary (codecs are per-item by nature).
+    ``use_real_codecs=True`` decodes the actual bytes (PIL or stdlib
+    header parsers — see :func:`_real_decode`); the default keeps the
+    deterministic oracle-replayable fake."""
+    decode = _real_decode if use_real_codecs else _fake_decode
 
     def fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             raws = [bytes(b) if b is not None else b"" for b in pdf["bytes"]]
-            dims = [_fake_decode(r) for r in raws]
+            dims = [decode(r) for r in raws]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -72,20 +204,18 @@ def decode_dims(df: DataFrame, id_col: str = "file_url",
 
     The reference sizes the ACTUAL downloaded image via PIL before keep_file
     (/root/reference/icrawler/downloader.py:242-263); this is the same seam
-    as an Arrow-batched mapInPandas stage — the deterministic stub decoder
-    here, ``PIL.Image.open(BytesIO(raw)).size`` inside the same loop on a
-    cluster (REAL_DECODERS_AVAILABLE)."""
-    if use_real_codecs and not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "real image decoding requires PIL — not present in this "
-            "container; use use_real_codecs=False for the deterministic stub")
+    as an Arrow-batched mapInPandas stage. ``use_real_codecs=True`` runs
+    :func:`_real_decode` (PIL when importable, stdlib header parsers
+    otherwise) on the actual bytes; the default keeps the deterministic
+    oracle fake."""
+    decode = _real_decode if use_real_codecs else _fake_decode
 
     def fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
-            dims = [_fake_decode(r) for r in raws]
+            dims = [decode(r) for r in raws]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "width": [d[0] for d in dims],

@@ -1,0 +1,132 @@
+"""Real-decoder tests for the multimodal seam (round-4 verdict item 4).
+
+The fixtures below are REAL bytes in the public formats — built
+byte-by-byte from the format specs, no codec lib needed — so
+``use_real_codecs=True`` is exercised end-to-end in this container
+(stdlib header-parser tier; the PIL tier activates on clusters where
+Pillow is installed, and the parsers agree with it on these formats
+because both read the same headers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icrawler_spark.operators.multimodal import (
+    DECODED_SCHEMA_DDL,
+    _fake_decode,
+    _real_decode,
+    decode_dims,
+    decode_media,
+    frame_sample_plan,
+)
+
+
+def png_bytes(w: int, h: int, frames: int | None = None) -> bytes:
+    raw = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(5))
+    if frames is not None:   # APNG animation control chunk
+        raw += ((8).to_bytes(4, "big") + b"acTL"
+                + frames.to_bytes(4, "big") + (0).to_bytes(4, "big"))
+    return raw
+
+
+def gif_bytes(w: int, h: int, frames: int) -> bytes:
+    raw = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + b"\x00\x00\x00")      # no global color table
+    for _ in range(frames):
+        raw += (b"\x2c" + bytes(4)                      # left, top
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b"\x00"                               # no local table
+                + b"\x02"                               # LZW min code size
+                + b"\x01\x00"                           # 1-byte sub-block
+                + b"\x00")                              # block terminator
+    return raw + b"\x3b"
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"   # APP0 stub
+            + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(4))
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    return (b"BM" + bytes(16)
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True))
+
+
+def wav_bytes() -> bytes:
+    return b"RIFF" + (4).to_bytes(4, "little") + b"WAVE"
+
+
+def test_header_parsers_decode_real_format_bytes():
+    assert _real_decode(png_bytes(640, 480)) == (640, 480, 1)
+    assert _real_decode(png_bytes(64, 32, frames=12)) == (64, 32, 12)
+    assert _real_decode(gif_bytes(320, 200, frames=3)) == (320, 200, 3)
+    assert _real_decode(gif_bytes(16, 16, frames=1)) == (16, 16, 1)
+    assert _real_decode(jpeg_bytes(800, 600)) == (800, 600, 1)
+    assert _real_decode(bmp_bytes(1024, 768)) == (1024, 768, 1)
+    assert _real_decode(bmp_bytes(100, -50)) == (100, 50, 1)  # top-down BMP
+    assert _real_decode(wav_bytes()) == (0, 0, 1)
+    with pytest.raises(ValueError, match="unrecognized media bytes"):
+        _real_decode(b"not an image at all")
+    with pytest.raises(ValueError):
+        _real_decode(b"")
+
+
+def test_decode_media_real_vs_fake_differential(spark):
+    """Same plan, same schema, same partitioning for both decoder tiers —
+    only the (width, height, n_frames) values differ, and the real tier's
+    values are the fixtures' actual dims."""
+    rows = [
+        (1, "image", bytearray(png_bytes(640, 480))),
+        (2, "image", bytearray(gif_bytes(320, 200, frames=4))),
+        (3, "image", bytearray(jpeg_bytes(800, 600))),
+        (4, "image", bytearray(bmp_bytes(256, 128))),
+        (5, "audio", bytearray(wav_bytes())),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, bytes binary")
+
+    real = decode_media(media, use_real_codecs=True)
+    fake = decode_media(media, use_real_codecs=False)
+    assert real.schema == fake.schema  # the seam contract: one schema
+    assert real.schema.simpleString() == \
+        spark.createDataFrame([], DECODED_SCHEMA_DDL).schema.simpleString()
+
+    got = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+           for r in real.collect()}
+    assert got == {1: (640, 480, 1), 2: (320, 200, 4), 3: (800, 600, 1),
+                   4: (256, 128, 1), 5: (0, 0, 1)}
+    # sha/n_bytes are decoder-independent
+    fk = {r["media_id"]: (r["sha"], r["n_bytes"]) for r in fake.collect()}
+    rl = {r["media_id"]: (r["sha"], r["n_bytes"]) for r in real.collect()}
+    assert fk == rl
+
+    # the explode plan consumes real output exactly as it does fake output
+    frames = frame_sample_plan(real, every_n=2).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(per[2]) == [0, 2]  # 4 frames sampled every 2
+    assert all(v == [0] for k, v in per.items() if k != 2)
+
+
+def test_decode_dims_real_path(spark):
+    """The keep_file byte-decode seam (reference downloader.py:242-263)
+    sizes the actual image bytes on the real path."""
+    df = spark.createDataFrame(
+        [("http://i/a.png", bytearray(png_bytes(300, 200))),
+         ("http://i/b.bmp", bytearray(bmp_bytes(50, 60)))],
+        "file_url string, bytes binary")
+    got = {r["file_url"]: (r["width"], r["height"])
+           for r in decode_dims(df, use_real_codecs=True).collect()}
+    assert got == {"http://i/a.png": (300, 200), "http://i/b.bmp": (50, 60)}
+    # fake path: same schema, deterministic values
+    fake = decode_dims(df, use_real_codecs=False)
+    assert [f.simpleString() for f in fake.schema.fields] == \
+        ["file_url:string", "width:int", "height:int"]
+    w, h, _ = _fake_decode(png_bytes(300, 200))
+    assert {r["file_url"]: (r["width"], r["height"])
+            for r in fake.collect()}["http://i/a.png"] == (w, h)
