@@ -1,0 +1,130 @@
+"""Opt-in LIVE HTTP smoke for RequestsFetchFn / proxy_probe_check_fn
+(round-4 verdict item 5): run with ``SPARK_GRAFT_LIVE=1 pytest -k live``.
+
+Skipped by default so offline/sandboxed CI stays green; when enabled it
+needs NO external network — a stdlib http.server on 127.0.0.1 (a thread)
+serves retry/cookie/referer/proxy scenarios and the REAL
+``requests_transport`` talks to it, so the requests interop (session-less
+GET, header passing, response header folding, proxy routing) is exercised
+before a cluster user's first real fetch. One test additionally drives
+the fetcher through executor-side mapInPandas.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pandas as pd
+import pytest
+
+live = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_LIVE"),
+    reason="live-HTTP smoke is opt-in: SPARK_GRAFT_LIVE=1 pytest -k live")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    flaky_counts: dict = {}
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        # absolute-URI request line = we are being used as an HTTP proxy
+        if self.path.startswith("http://"):
+            return self._respond(200, b"via-proxy")
+        if self.path == "/ok":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            # two Set-Cookie headers: requests folds them into one
+            # comma-joined value client-side — the jar must keep both
+            self.send_header("Set-Cookie", "a=1; Path=/")
+            self.send_header("Set-Cookie", "b=2; HttpOnly")
+            body = b"<html>ok</html>"
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if self.path == "/flaky":
+            n = self.flaky_counts["flaky"] = \
+                self.flaky_counts.get("flaky", 0) + 1
+            if n < 3:
+                return self._respond(503, b"busy")
+            return self._respond(200, b"finally")
+        if self.path == "/echo":
+            body = (f"referer={self.headers.get('Referer', '')};"
+                    f"cookie={self.headers.get('Cookie', '')}"
+                    .encode())
+            return self._respond(200, body)
+        return self._respond(404, b"nope")
+
+    def _respond(self, status: int, body: bytes):
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture
+def server():
+    _Handler.flaky_counts = {}
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+@live
+def test_live_fetch_retry_cookies_referer(server):
+    from icrawler_spark.functions.http import RequestsFetchFn
+
+    fetch = RequestsFetchFn(sleep=lambda s: None, rng_seed=0, timeout=5.0)
+    out = fetch(pd.DataFrame({
+        "url": [f"{server}/ok", f"{server}/flaky", f"{server}/echo",
+                f"{server}/missing"],
+        "parent": [None, f"{server}/ok", f"{server}/ok", None]}))
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+
+    assert by_url[f"{server}/ok"]["text"] == "<html>ok</html>"
+    # 503,503,200 through the real retry loop
+    assert by_url[f"{server}/flaky"]["text"] == "finally"
+    # Referer = linking parent; jar carries BOTH folded Set-Cookie pairs
+    echo = by_url[f"{server}/echo"]["text"]
+    assert f"referer={server}/ok" in echo
+    assert "a=1" in echo and "b=2" in echo
+    # 404 exhausts retries -> omitted, the join-miss contract
+    assert f"{server}/missing" not in by_url
+    assert len(out) == 3
+
+
+@live
+def test_live_fetch_through_mapinpandas(server, spark):
+    """Executor-side interop: the same callable under real mapInPandas."""
+    from icrawler_spark.functions.http import RequestsFetchFn
+
+    fetch = RequestsFetchFn(sleep=lambda s: None, rng_seed=0, timeout=5.0)
+    urls = spark.createDataFrame(
+        [(f"{server}/ok", None)], "url string, parent string")
+    got = urls.mapInPandas(
+        lambda batches: (fetch(p) for p in batches),
+        "url string, html binary, text string").collect()
+    assert len(got) == 1 and got[0]["text"] == "<html>ok</html>"
+
+
+@live
+def test_live_proxy_probe(server):
+    """proxy_probe_check_fn routes the probe THROUGH the proxy: the local
+    server sees an absolute-URI request line (plain-HTTP proxying) and
+    answers 200 -> valid; a dead proxy port -> invalid."""
+    from icrawler_spark.functions.http import proxy_probe_check_fn
+
+    addr = server.replace("http://", "")
+    check = proxy_probe_check_fn(
+        test_urls={"http": "http://liveprobe.invalid/anything"},
+        timeout=3.0)
+    ok = check(pd.DataFrame({"addr": [addr, "127.0.0.1:1"],
+                             "protocol": ["http", "http"]}))
+    assert list(ok) == [True, False]
