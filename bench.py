@@ -740,6 +740,95 @@ def bench_big_round(spark, pages_path: str, n_hosts: int = 1000) -> dict:
             "urls_per_sec": round(n_frontier / wall, 1)}
 
 
+def bench_multi_round(spark, pages_path: str, n_hosts: int = 1000,
+                      rounds: int = 3) -> dict:
+    """≥3 production-shaped crawl rounds back-to-back — the steady-state
+    regime of a 10^10-URL crawl, which one isolated round cannot show:
+    the seen set GROWS between rounds (one more localCheckpointed part
+    per round, exactly the round loop's commit structure), the Bloom
+    filter absorbs INCREMENTALLY (OR-compose, the per-round cost a long
+    crawl actually pays), politeness-deferred rows re-queue into the next
+    round's frontier, and re-discovered URLs (each url arrives in two
+    waves) are actually deduped by the Bloom+exact path rather than
+    passing through untouched.
+
+    Frontier schedule: wave r = urls with pmod(xxhash64(url), rounds) in
+    {r, (r+1) mod rounds} — every url is presented exactly twice, so
+    across rounds the engine processes 2x|pages| frontier rows of which
+    half dedup away. urls/s = frontier rows presented / total wall
+    (the same convention as bench_big_round).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.budget import global_row_number
+    from icrawler_spark.operators.dedup import (
+        BloomSeenFilter, ShardedBloomFilter, anti_join_seen_bloom,
+        earliest_occurrence)
+    from icrawler_spark.operators.extract import extract_emissions
+    from icrawler_spark.operators.politeness import apply_robots, politeness_batch
+
+    pages = spark.read.parquet(pages_path)
+    urls = pages.select("url").withColumn("rank", F.xxhash64("url"))
+    n_pages = urls.count()
+    robots = spark.createDataFrame(
+        [(f"host{h:04d}.test", 10, ["/x-private"]) for h in range(n_hosts)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+    domains = [f"host{h:04d}.test" for h in range(_WEB_SCALE[0])]
+    if os.environ.get("SPARK_GRAFT_SCALING_BLOOM_MODE") == "sharded":
+        bloom = ShardedBloomFilter.empty(spark, n_pages, 0.01)
+    else:
+        bloom = BloomSeenFilter.empty(n_pages, 0.01)
+
+    pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    wave_key = F.pmod(F.xxhash64("url"), F.lit(rounds))
+    seen_parts: list = []
+    deferred = None
+    per_round = []
+    presented = 0
+    t0 = time.time()
+    for rnd in range(rounds):
+        frontier = urls.filter(
+            (wave_key == rnd) | (wave_key == (rnd + 1) % rounds))
+        if deferred is not None:
+            frontier = frontier.unionByName(deferred)
+        seen = None
+        if seen_parts:
+            seen = seen_parts[0]
+            for p in seen_parts[1:]:
+                seen = seen.unionByName(p)
+        new = anti_join_seen_bloom(frontier, seen, bloom, "url")
+        new = apply_robots(new, robots)
+        active, deferred = politeness_batch(new, robots, 30.0, ["rank"],
+                                            pin=pin)
+        fetched = active.join(pages.select("url", "html"), "url") \
+                        .select(F.col("url").alias("parent"),
+                                F.col("rank").alias("visit_rank"), "html")
+        em = pin(extract_emissions(fetched, domains))
+        tasks = em.filter(F.col("kind") == "task").select(
+            F.col("target").alias("file_url"), "visit_rank", "pos")
+        tasks = pin(earliest_occurrence(tasks, "file_url",
+                                        ["visit_rank", "pos"]))
+        host = F.parse_url("file_url", F.lit("HOST"))
+        w = Window.partitionBy(host).orderBy("visit_rank", "pos")
+        batch = pin(tasks.withColumn("slot", F.row_number().over(w))
+                    .filter("slot <= 10000"))
+        ranked = global_row_number(batch, ["visit_rank", "pos"], "file_idx")
+        n_ranked = ranked.count()
+        # round commit: fetched urls join the seen set (one part per
+        # round, the catalog append shape) and the Bloom absorbs them
+        part = pin(active.select("url"))
+        seen_parts.append(part)
+        bloom.absorb(part, "url")
+        n_frontier = frontier.count()
+        presented += n_frontier
+        per_round.append({"frontier": n_frontier, "ranked_tasks": n_ranked})
+    wall = time.time() - t0
+    return {"wall_s": wall, "rounds": rounds, "presented": presented,
+            "per_round": per_round,
+            "urls_per_sec": round(presented / wall, 1)}
+
+
 def run_scaling() -> dict:
     """North-rule scaling evidence: same job, same input, N vs 4N cores.
     Workload: bench_big_round (one production-shaped crawl round).
@@ -801,10 +890,68 @@ def _scaling_one(cores: int, force: bool = False) -> dict:
     return res
 
 
+def _scaling_multi_one(cores: int, rounds: int = 3,
+                       force: bool = False) -> dict:
+    """One core-count leg of the MULTI-ROUND scaling protocol (same
+    warmup/cache discipline as _scaling_one; reps via
+    SPARK_GRAFT_SCALING_REPS, best-of)."""
+    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+    bmode = os.environ.get("SPARK_GRAFT_SCALING_BLOOM_MODE", "driver")
+    cache = (f"/tmp/icrawler_scalingM_c{cores}_p{scaling_pages}"
+             f"_b{bmode}_r{rounds}.json")
+    if not force and os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    spark = _get_spark(cores)
+    try:
+        pages_path = _ensure_pages(spark, 1000, scaling_pages)
+        bench_big_round(spark, pages_path)  # warmup (JIT, workers, cache)
+        res = bench_multi_round(spark, pages_path, rounds=rounds)
+        for _ in range(reps - 1):
+            r = bench_multi_round(spark, pages_path, rounds=rounds)
+            if r["wall_s"] < res["wall_s"]:
+                res = r
+    finally:
+        spark.stop()
+    with open(cache, "w") as f:
+        json.dump(res, f)
+    return res
+
+
+def run_scaling_multi(rounds: int = 3) -> dict:
+    """North-rule scaling evidence over a MULTI-ROUND crawl (round-4
+    verdict item 6): same ≥3-round job, same input, local[2] vs local[8]
+    (pair rationale in run_scaling's docstring)."""
+    lo_cores, hi_cores = 2, 8
+    results = {c: _scaling_multi_one(c, rounds) for c in (hi_cores, lo_cores)}
+    lo, hi = results[lo_cores], results[hi_cores]
+    speedup = lo["wall_s"] / hi["wall_s"]
+    eff = speedup / (hi_cores / lo_cores)
+    return {
+        "metric": (f"{rounds}-round crawl scaling efficiency "
+                   f"(local[{lo_cores}] -> local[{hi_cores}])"),
+        "value": round(eff, 3), "unit": "efficiency",
+        "queries": {f"multi_local{lo_cores}": round(lo["wall_s"], 3),
+                    f"multi_local{hi_cores}": round(hi["wall_s"], 3)},
+        "sf": _SF_TAG.replace("sf", ""),
+        "throughput": {f"local{lo_cores}_urls_per_sec": lo["urls_per_sec"],
+                       f"local{hi_cores}_urls_per_sec": hi["urls_per_sec"]},
+        "per_round": {f"local{hi_cores}": hi["per_round"],
+                      f"local{lo_cores}": lo["per_round"]},
+        "speedup": round(speedup, 3), "efficiency": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-one" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--scaling-one") + 1])
         print(json.dumps({"cores": cores, **_scaling_one(cores)}))
+    elif "--scaling-multi-one" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--scaling-multi-one") + 1])
+        print(json.dumps({"cores": cores, **_scaling_multi_one(cores)}))
+    elif "--scaling-multi" in sys.argv:
+        print(json.dumps(run_scaling_multi()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
