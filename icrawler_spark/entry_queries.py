@@ -92,7 +92,7 @@ from icrawler_spark import (entry_round2, entry_round3, entry_round4,
                             entry_round142, entry_round143,
                             entry_round144, entry_round145,
                             entry_round146, entry_round147,
-                            entry_round148)
+                            entry_round148, entry_round149)
 from icrawler_spark.operators import docdedup, multimodal, similarity
 from icrawler_spark.oracle import IMAGE_EXT_WHITELIST
 
@@ -1006,6 +1006,7 @@ def queries():
         **entry_round146.queries146(),
         **entry_round147.queries147(),
         **entry_round148.queries148(),
+        **entry_round149.queries149(),
     }
 
 
@@ -1225,4 +1226,5 @@ def _oracle_sql_raw():
         **entry_round146.oracle_sql146(),
         **entry_round147.oracle_sql147(),
         **entry_round148.oracle_sql148(),
+        **entry_round149.oracle_sql149(),
     }

@@ -1,0 +1,59 @@
+"""Round-5 driver-contract queries (batch 149): bloom_split_children —
+the split OUTCOME audit for the partitioned Bloom seen set.
+
+`bloom_split_plan` (entry_round148) decides WHICH shards split and by what
+factor; `ShardedBloomFilter.apply_split` executes the split on the
+engine's xxhash trie (pytest-covered, SURVEY §2.15). This query pins the
+MATH of that execution portably: for every needs_split shard, the
+per-child bit statistics after refining the shard key by the split
+factor — the fill/FPR relief the rebuild achieves — in the same
+md5-portable form the oracle can replay, over the same events-derived
+URL universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icrawler_spark.entry_round21 import (
+    _BL_K,
+    _BL_URLS_SQL,
+    _bloom_urls,
+)
+from icrawler_spark.entry_round148 import (
+    _SP_MBITS,
+    _SP_SHARDS,
+    _SP_TARGET,
+)
+
+
+def q_bloom_split_children(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dedup.bloom_split_children: post-split per-child
+    (n_urls, n_bits_set, fill, est_fpr) for every shard the split plan
+    marks — the audit row a crawl supervisor reads after apply_split to
+    confirm the children landed back under the FP budget."""
+    from icrawler_spark.operators.dedup import bloom_split_children
+
+    return bloom_split_children(_bloom_urls(spark, sf),
+                                n_shards=_SP_SHARDS, m_bits=_SP_MBITS,
+                                k=_BL_K, fp_target=_SP_TARGET)
+
+
+def _bloom_split_children_sql() -> str:
+    from icrawler_spark.operators.dedup import bloom_split_children_sql
+
+    return bloom_split_children_sql(_BL_URLS_SQL, n_shards=_SP_SHARDS,
+                                    m_bits=_SP_MBITS, k=_BL_K,
+                                    fp_target=_SP_TARGET)
+
+
+def queries149():
+    return {
+        "bloom_split_children": q_bloom_split_children,
+    }
+
+
+def oracle_sql149():
+    return {
+        "bloom_split_children": _bloom_split_children_sql(),
+    }

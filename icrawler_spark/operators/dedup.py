@@ -1159,6 +1159,124 @@ FROM stats
 """
 
 
+def bloom_split_children(
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 8,
+    m_bits: int = 1 << 12,
+    k: int = 4,
+    fp_target: float = 0.01,
+) -> DataFrame:
+    """The split OUTCOME audit — the engine-portable (md5, DuckDB-
+    replayable) twin of what :meth:`ShardedBloomFilter.apply_split`
+    executes: for every shard :func:`bloom_split_plan` marks, compute the
+    post-split per-child bit statistics at the SAME per-shard bitmap
+    geometry. Child shard = byte % (n_shards · factor), which refines the
+    parent (byte % n_shards) exactly as the trie split refines the hash
+    mask; each child's fill/FPR shows the saturation the rebuild
+    relieves.
+
+    Shard byte granularity bounds the refinement: shards derive from one
+    md5 byte (0..255), so ``n_shards · factor`` is capped at 256 (LEAST
+    in both renderers) — plenty for the audit table; the executor itself
+    has no such cap (64-bit xxhash mask).
+
+    Returns (parent_shard, child_shard, split_factor, n_urls,
+    n_bits_set, fill_ratio, est_fpr), one row per child of each
+    needs_split parent; ratios rounded 6.
+
+    Scale shape: one broadcast of the n_shards-row plan onto the hashed
+    URL stream, one k-way bit explode, one distinct-count per child —
+    bits, never URLs, leave the shard (same as bloom_shard_stats).
+    """
+    plan = bloom_split_plan(urls, url_col, n_shards, m_bits, k, fp_target)
+    parents = plan.filter(F.col("needs_split")).select(
+        "shard", F.least(F.col("split_factor"),
+                         F.lit(256 // n_shards)).alias("split_factor"))
+    u = urls.select(F.col(url_col).alias("u")).distinct()
+    keyed = u.select(
+        (_md5_int("u", 15, 2) % n_shards).alias("parent_shard"),
+        _md5_int("u", 15, 2).alias("byte"),
+        _md5_int("u", 1, 8).alias("h1"),
+        _md5_int("u", 9, 6).alias("h2"))
+    j = keyed.join(
+        F.broadcast(parents.withColumnRenamed("shard", "parent_shard")),
+        "parent_shard")
+    child = F.pmod(F.col("byte"),
+                   F.col("split_factor") * n_shards).alias("child_shard")
+    hashed = j.select("parent_shard", "split_factor", child, "h1", "h2")
+    bits = hashed.select(
+        "parent_shard", "child_shard", "split_factor",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (F.col("h1") + i * (F.col("h2") * 2 + 1)) % m_bits))
+        .alias("bit"))
+    agg = bits.groupBy("parent_shard", "child_shard", "split_factor").agg(
+        F.count_distinct("bit").alias("n_bits_set"))
+    n_urls = hashed.groupBy("parent_shard", "child_shard").agg(
+        F.count("*").alias("n_urls"))
+    fill = F.col("n_bits_set") / F.lit(float(m_bits))
+    return (n_urls.join(agg, ["parent_shard", "child_shard"])
+            .select("parent_shard", "child_shard", "split_factor", "n_urls",
+                    "n_bits_set", F.round(fill, 6).alias("fill_ratio"),
+                    F.round(F.pow(fill, F.lit(float(k))), 6)
+                     .alias("est_fpr")))
+
+
+def bloom_split_children_sql(
+    urls_sql: str,
+    n_shards: int = 8,
+    m_bits: int = 1 << 12,
+    k: int = 4,
+    fp_target: float = 0.01,
+) -> str:
+    """DuckDB replay of :func:`bloom_split_children`."""
+    plan = bloom_split_plan_sql(urls_sql, n_shards, m_bits, k, fp_target)
+    byte = md5_int_sql("u", 15, 2)
+    h1 = md5_int_sql("u", 1, 8)
+    h2 = md5_int_sql("u", 9, 6)
+    return f"""
+WITH plan AS ({plan}),
+parents AS (
+  SELECT shard AS parent_shard,
+         LEAST(split_factor, {256 // n_shards}) AS split_factor
+  FROM plan WHERE needs_split
+),
+urls AS (SELECT DISTINCT url AS u FROM ({urls_sql})),
+keyed AS (
+  SELECT {byte} % {n_shards} AS parent_shard, {byte} AS byte,
+         {h1} AS h1, {h2} AS h2
+  FROM urls
+),
+j AS (
+  SELECT k.parent_shard, p.split_factor,
+         k.byte % (p.split_factor * {n_shards}) AS child_shard,
+         k.h1, k.h2
+  FROM keyed k JOIN parents p USING (parent_shard)
+),
+bits AS (
+  SELECT parent_shard, child_shard, split_factor,
+         (h1 + i * (h2 * 2 + 1)) % {m_bits} AS bit
+  FROM j, (SELECT unnest(range(0, {k})) AS i)
+),
+agg AS (
+  SELECT parent_shard, child_shard, split_factor,
+         count(DISTINCT bit) AS n_bits_set
+  FROM bits GROUP BY 1, 2, 3
+),
+nu AS (
+  SELECT parent_shard, child_shard, count(*) AS n_urls
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(nu.parent_shard AS BIGINT) AS parent_shard,
+  CAST(nu.child_shard AS BIGINT) AS child_shard,
+  agg.split_factor, nu.n_urls, agg.n_bits_set,
+  round(agg.n_bits_set / CAST({m_bits} AS DOUBLE), 6) AS fill_ratio,
+  round(pow(agg.n_bits_set / CAST({m_bits} AS DOUBLE), {k}), 6) AS est_fpr
+FROM nu JOIN agg USING (parent_shard, child_shard)
+"""
+
+
 def bloom_merge_est(urls_a: DataFrame, urls_b: DataFrame,
                     url_col: str = "url", m_bits: int = 1 << 16,
                     k: int = 4) -> DataFrame:

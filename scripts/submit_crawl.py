@@ -41,9 +41,10 @@ def main() -> int:
     ap.add_argument("--round-seconds", type=float, default=None)
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--bloom-mode", default="driver",
-                    choices=["driver", "sharded"],
+                    choices=["driver", "sharded", "auto"],
                     help="sharded = executor-resident shard-table filter "
-                         "(the 10^10-frontier seen-set mode)")
+                         "(the 10^10-frontier seen-set mode); auto = pick "
+                         "by expected bitmap size (driver under 64 MiB)")
     ap.add_argument("--live-fetch", action="store_true",
                     help="fetch over HTTP with the default RequestsFetchFn "
                          "instead of joining --pages (requires `requests` "

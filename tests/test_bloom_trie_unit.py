@@ -1,0 +1,66 @@
+"""Pure-numpy unit tests for the Bloom trie routing (no SparkSession):
+the node addressing that apply_split / absorb / probe all share."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from icrawler_spark.operators.dedup import _route_nodes
+
+
+def _route(h_values, base_n, split_nodes):
+    by_depth: dict[int, list] = {}
+    for n in split_nodes:
+        d = n.bit_length() - 1
+        by_depth.setdefault(d, []).append(n - (1 << d))
+    splits = [(d, np.array(sorted(s), dtype=np.int64))
+              for d, s in sorted(by_depth.items())]
+    return list(_route_nodes(np.array(h_values, dtype=np.uint64),
+                             base_n, splits))
+
+
+def test_route_base_only():
+    # no splits: node = base_n + (h & (base_n - 1))
+    assert _route([0, 1, 7, 8, 9, 15], 8, []) == [8, 9, 15, 8, 9, 15]
+
+
+def test_route_single_split_overrides_base():
+    # split leaf children of base shard 1 at depth 4 (base_n=8, depth 3):
+    # nodes (1<<4)|1 = 17 and (1<<4)|9 = 25
+    nodes = [17, 25]
+    # h=1 -> h&15=1 -> child 17; h=9 -> child 25; h=2 -> base 10
+    assert _route([1, 9, 2], 8, nodes) == [17, 25, 10]
+    # h=17 -> h&15=1 -> child 17 again (refinement is by mask, not value)
+    assert _route([17, 25, 33], 8, nodes) == [17, 25, 17]
+
+
+def test_route_nested_deeper_wins():
+    # child (depth 4, sid 1) further split at depth 6: sids 1+16j for j<4
+    deep = [(1 << 6) | (1 + (j << 4)) for j in range(4)]
+    nodes = [25] + deep  # sibling at depth 4 remains a leaf
+    # h=1: h&63=1 -> deep child 65; h=9: depth-4 leaf 25
+    assert _route([1, 9], 8, nodes) == [65, 25]
+    # h=17: h&63=17 -> deep child (1<<6)|17 = 81
+    assert _route([17], 8, nodes) == [81]
+
+
+def test_route_negative_hashes_use_low_bits():
+    # xxhash64 is signed; two's-complement low bits must route like the
+    # unsigned value (the power-of-two-mask invariant)
+    h = np.uint64(2**64 - 7)  # int64 value -7; low 3 bits = 001
+    assert _route([h], 8, []) == [8 + 1]
+    assert _route([h], 8, [17, 25]) == [25]  # low 4 bits = 1001 -> sid 9
+
+
+def test_parsers_truncated_inputs_are_not_crashes():
+    from icrawler_spark.operators.multimodal import (
+        _parse_gif,
+        _parse_jpeg,
+        _parse_png,
+    )
+
+    assert _parse_png(b"\x89PNG\r\n\x1a\n") is None        # no IHDR
+    assert _parse_jpeg(b"\xff\xd8\xff") is None            # no SOF
+    got = _parse_gif(b"GIF89a" + (5).to_bytes(2, "little")
+                     + (6).to_bytes(2, "little") + b"\x00\x00\x00")
+    assert got == (5, 6, 1)                                # no frames yet
