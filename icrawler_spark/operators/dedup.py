@@ -65,39 +65,64 @@ def _hash2(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def _encode_partial(bit_lists: list, m_shard: int) -> bytes:
+    """One partial for a shard: SPARSE (packed uint64 bit indices) when
+    that is strictly smaller than the dense bitmap, dense otherwise.
+    The two encodings are length-discriminated — sparse is emitted only
+    when ``8·n_bits < m_shard//8``, so a buffer of exactly the bitmap
+    length is always dense. Sparse partials are the 10^10-scale fix for
+    absorb shuffle volume: a dense partial costs m_shard/8 bytes per
+    (partition, shard) REGARDLESS of batch size (at a 10^10-key filter
+    that is ~12 MB × shards × partitions per absorb), where the sparse
+    form costs 8 bytes per distinct bit actually set."""
+    bits = np.unique(np.concatenate(bit_lists))
+    if bits.nbytes < m_shard // 8:
+        return bits.astype(np.uint64).tobytes()
+    bm = np.zeros(m_shard // 64, dtype=np.uint64)
+    np.bitwise_or.at(bm, (bits >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (bits & np.uint64(63)))
+    return bm.tobytes()
+
+
+def _or_into(acc: np.ndarray, raw: bytes, m_shard: int) -> None:
+    """OR one partial (sparse or dense, see :func:`_encode_partial`) into
+    a dense uint64 bitmap of m_shard bits."""
+    buf = np.frombuffer(raw, dtype=np.uint64)
+    if len(raw) == m_shard // 8:
+        acc |= buf
+    else:
+        np.bitwise_or.at(acc, (buf >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (buf & np.uint64(63)))
+
+
 def _partial_bitmaps(df: DataFrame, key: str, n_shards: int, m_shard: int,
                      k: int) -> DataFrame:
-    """Per-Arrow-partition partial Bloom bitmaps: one (shard, bits) row per
-    touched shard per partition — bits, never keys, leave the executor.
+    """Per-Arrow-partition partial Bloom state: one (shard, bits) row per
+    touched shard per partition, sparse- or dense-encoded per
+    :func:`_encode_partial` — bits, never keys, leave the executor.
     Shared by the driver-held :class:`BloomSeenFilter` (which collects and
     ORs the partials) and the executor-resident :class:`ShardedBloomFilter`
     (which OR-merges them with a keyed applyInPandas, driver untouched)."""
     hashes = df.select(F.xxhash64(key).alias("h"))
 
     def build_batches(batches):
-        bms = [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)]
-        touched = np.zeros(n_shards, dtype=bool)
+        idx: dict[int, list] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             h1, h2 = _hash2(pdf["h"].to_numpy())
             shard = (h1 % np.uint64(n_shards)).astype(np.int64)
-            for s in range(n_shards):
+            for s in np.unique(shard):
                 sel = shard == s
-                if not sel.any():
-                    continue
-                touched[s] = True
                 a, b = h1[sel], h2[sel]
+                lists = idx.setdefault(int(s), [])
                 for i in range(k):
-                    bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
-                    np.bitwise_or.at(
-                        bms[s], (bit >> np.uint64(6)).astype(np.int64),
-                        np.uint64(1) << (bit & np.uint64(63)),
-                    )
-        hit = [s for s in range(n_shards) if touched[s]]
-        if hit:
+                    lists.append((a + np.uint64(i) * b) % np.uint64(m_shard))
+        if idx:
             yield pd.DataFrame(
-                {"shard": hit, "bits": [bms[s].tobytes() for s in hit]})
+                {"shard": list(idx.keys()),
+                 "bits": [_encode_partial(ls, m_shard)
+                          for ls in idx.values()]})
 
     return hashes.mapInPandas(build_batches, schema="shard long, bits binary")
 
@@ -137,7 +162,7 @@ def _partial_bitmaps_nodes(df: DataFrame, key: str, base_n: int,
     hashes = df.select(F.xxhash64(key).alias("h"))
 
     def build_batches(batches):
-        bms: dict[int, np.ndarray] = {}
+        idx: dict[int, list] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -145,20 +170,15 @@ def _partial_bitmaps_nodes(df: DataFrame, key: str, base_n: int,
             node = _route_nodes(h1, base_n, splits_by_depth)
             for s in np.unique(node):
                 sel = node == s
-                bm = bms.get(int(s))
-                if bm is None:
-                    bm = bms[int(s)] = np.zeros(m_shard // 64, dtype=np.uint64)
                 a, b = h1[sel], h2[sel]
+                lists = idx.setdefault(int(s), [])
                 for i in range(k):
-                    bit = (a + np.uint64(i) * b) % np.uint64(m_shard)
-                    np.bitwise_or.at(
-                        bm, (bit >> np.uint64(6)).astype(np.int64),
-                        np.uint64(1) << (bit & np.uint64(63)),
-                    )
-        if bms:
+                    lists.append((a + np.uint64(i) * b) % np.uint64(m_shard))
+        if idx:
             yield pd.DataFrame(
-                {"shard": list(bms.keys()),
-                 "bits": [bm.tobytes() for bm in bms.values()]})
+                {"shard": list(idx.keys()),
+                 "bits": [_encode_partial(ls, m_shard)
+                          for ls in idx.values()]})
 
     return hashes.mapInPandas(build_batches, schema="shard long, bits binary")
 
@@ -201,12 +221,14 @@ class BloomSeenFilter:
                    [np.zeros(m_shard // 64, dtype=np.uint64) for _ in range(n_shards)])
 
     def absorb(self, df: DataFrame, key: str = "url") -> "BloomSeenFilter":
-        """OR the keys of ``df`` into this filter (distributed partial bitmaps,
-        reduced driver-side — the driver sees bits, never keys)."""
+        """OR the keys of ``df`` into this filter (distributed partial
+        bitmaps — sparse-encoded when small, see :func:`_encode_partial` —
+        reduced driver-side; the driver sees bits, never keys)."""
         partials = _partial_bitmaps(
             df, key, self.n_shards, self.m_bits, self.k).collect()
         for row in partials:
-            self.bitmaps[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
+            _or_into(self.bitmaps[row["shard"]], bytes(row["bits"]),
+                     self.m_bits)
         return self
 
     @classmethod
@@ -386,11 +408,14 @@ class ShardedBloomFilter:
                                           self._split_nodes)
         merged_in = (partials if self.shards_df is None
                      else self.shards_df.unionByName(partials))
+        m_bits = self.m_bits
 
         def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint64).copy()
-            for raw in pdf["bits"].iloc[1:]:
-                acc |= np.frombuffer(raw, dtype=np.uint64)
+            # rows mix dense bitmaps (the current shard state, zero
+            # children) and sparse/dense partials; output is always dense
+            acc = np.zeros(m_bits // 64, dtype=np.uint64)
+            for raw in pdf["bits"]:
+                _or_into(acc, bytes(raw), m_bits)
             return pd.DataFrame({"shard": [pdf["shard"].iloc[0]],
                                  "bits": [acc.tobytes()]})
 

@@ -64,3 +64,36 @@ def test_parsers_truncated_inputs_are_not_crashes():
     got = _parse_gif(b"GIF89a" + (5).to_bytes(2, "little")
                      + (6).to_bytes(2, "little") + b"\x00\x00\x00")
     assert got == (5, 6, 1)                                # no frames yet
+
+
+def test_partial_encoding_sparse_dense_equivalence():
+    """_encode_partial picks sparse iff strictly smaller than the dense
+    bitmap; _or_into reproduces the identical dense bitmap from either
+    encoding (length-discriminated, no marker byte)."""
+    from icrawler_spark.operators.dedup import _encode_partial, _or_into
+
+    m = 1024  # dense = 128 bytes
+    few = [np.array([1, 5, 1023, 5], dtype=np.uint64)]
+    raw_sparse = _encode_partial(few, m)
+    assert len(raw_sparse) == 3 * 8  # deduped indices, sparse wins
+    many = [np.arange(0, m, 2, dtype=np.uint64)]  # 512 bits -> 4096 > 128
+    raw_dense = _encode_partial(many, m)
+    assert len(raw_dense) == m // 8
+
+    acc1 = np.zeros(m // 64, dtype=np.uint64)
+    _or_into(acc1, raw_sparse, m)
+    acc2 = np.zeros(m // 64, dtype=np.uint64)
+    for b in (1, 5, 1023):
+        acc2[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    assert (acc1 == acc2).all()
+
+    # dense round-trip: encode exactly the same set both ways
+    same = [np.array([0, 63, 64, 1000], dtype=np.uint64)]
+    sparse = _encode_partial(same, m)
+    dense_full = _encode_partial([np.concatenate(same + many)], m)
+    accA = np.zeros(m // 64, dtype=np.uint64)
+    _or_into(accA, sparse, m)
+    _or_into(accA, raw_dense, m)
+    accB = np.zeros(m // 64, dtype=np.uint64)
+    _or_into(accB, dense_full, m)
+    assert (accA == accB).all()
