@@ -788,6 +788,15 @@ def bench_multi_round(spark, pages_path: str, n_hosts: int = 1000,
     presented = 0
     t0 = time.time()
     for rnd in range(rounds):
+        stages = {}
+        tprev = time.time()
+
+        def lap(name):
+            nonlocal tprev
+            now = time.time()
+            stages[name] = round(now - tprev, 3)
+            tprev = now
+
         frontier = urls.filter(
             (wave_key == rnd) | (wave_key == (rnd + 1) % rounds))
         if deferred is not None:
@@ -801,10 +810,12 @@ def bench_multi_round(spark, pages_path: str, n_hosts: int = 1000,
         new = apply_robots(new, robots)
         active, deferred = politeness_batch(new, robots, 30.0, ["rank"],
                                             pin=pin)
+        lap("dedup_politeness")  # bloom mark + anti-join + robots + split
         fetched = active.join(pages.select("url", "html"), "url") \
                         .select(F.col("url").alias("parent"),
                                 F.col("rank").alias("visit_rank"), "html")
         em = pin(extract_emissions(fetched, domains))
+        lap("fetch_extract")
         tasks = em.filter(F.col("kind") == "task").select(
             F.col("target").alias("file_url"), "visit_rank", "pos")
         tasks = pin(earliest_occurrence(tasks, "file_url",
@@ -815,14 +826,18 @@ def bench_multi_round(spark, pages_path: str, n_hosts: int = 1000,
                     .filter("slot <= 10000"))
         ranked = global_row_number(batch, ["visit_rank", "pos"], "file_idx")
         n_ranked = ranked.count()
+        lap("task_dedup_rank")
         # round commit: fetched urls join the seen set (one part per
         # round, the catalog append shape) and the Bloom absorbs them
         part = pin(active.select("url"))
         seen_parts.append(part)
         bloom.absorb(part, "url")
+        lap("seen_commit_absorb")
         n_frontier = frontier.count()
+        lap("frontier_count")
         presented += n_frontier
-        per_round.append({"frontier": n_frontier, "ranked_tasks": n_ranked})
+        per_round.append({"frontier": n_frontier, "ranked_tasks": n_ranked,
+                          "stages": stages})
     wall = time.time() - t0
     return {"wall_s": wall, "rounds": rounds, "presented": presented,
             "per_round": per_round,

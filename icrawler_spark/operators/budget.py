@@ -139,6 +139,56 @@ def _two_phase_rank(df: DataFrame, order_cols: list[str], out_col: str,
     return out, (n_taken if n_taken is not None else acc - start), measured
 
 
+def grouped_row_number(df: DataFrame, group_cols: list[str],
+                       order_cols: list[str], out_col: str = "__grn",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Per-group contiguous 1-based rank WITHOUT the per-group window's
+    skew ceiling: ``Window.partitionBy(group)`` runs each group as ONE
+    sequential task, so a Zipf-hot host holding 13% of a crawl round's
+    frontier serializes politeness ranking no matter the cluster size
+    (measured: the multi-round 10M leg's dedup/politeness stage scaled
+    0.47, BASELINE.md round-5 entry). Here the hot group's rows SPLIT
+    across range partitions on (group, order):
+
+    phase 1: range-repartition + sort on (group_cols, order_cols) and pin
+    (the range boundaries come from sampling, so the partitioning must be
+    frozen for both passes); per (partition, group): row count and first
+    ``monotonically_increasing_id`` — the control table, ≤ groups +
+    partitions rows by contiguity, aggregated map-side.
+
+    phase 2: per-group prefix offsets over that SMALL table (a window
+    whose partitions are ≤ n_partitions rows each), broadcast-joined
+    back; rank = offset + (mid − first_mid) + 1, pure JVM arithmetic.
+
+    ``order_cols`` must be unique within a group for a deterministic
+    rank (same requirement row_number parity already imposes). The
+    broadcast control table assumes group counts are broadcast-scale —
+    the politeness caller's hosts already ride a broadcast robots join.
+    """
+    from pyspark.sql import Window
+
+    n_part = (num_partitions
+              or df.sparkSession.sparkContext.defaultParallelism)
+    keys = [F.col(c) for c in [*group_cols, *order_cols]]
+    parted = (df.repartitionByRange(n_part, *keys)
+              .sortWithinPartitions(*keys)
+              .withColumn("__pid", F.spark_partition_id())
+              .withColumn("__mid", F.monotonically_increasing_id())
+              .localCheckpoint(eager=True))
+    ctl = parted.groupBy("__pid", *group_cols).agg(
+        F.count("*").alias("__cnt"), F.min("__mid").alias("__first"))
+    woff = (Window.partitionBy(*group_cols).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ctl = ctl.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
+    out = parted.join(
+        F.broadcast(ctl.select("__pid", *group_cols, "__first", "__off")),
+        ["__pid", *group_cols])
+    rank = F.col("__off") + (F.col("__mid") - F.col("__first")) + 1
+    return (out.withColumn(out_col, rank.cast("long"))
+            .drop("__pid", "__mid", "__first", "__off"))
+
+
 def ordered_rank_prefix_sums(
     df: DataFrame,
     order_cols: list[str],

@@ -78,10 +78,19 @@ def politeness_batch(
 
     ``pin`` (df → df, e.g. localCheckpoint): when given, the marked frame is
     materialized ONCE before the take/defer split, so the robots join + host
-    window execute once per round instead of once per consumer branch.
+    ranking execute once per round instead of once per consumer branch.
+
+    The per-host rank comes from ``budget.grouped_row_number`` (range-
+    partitioned two-phase), NOT ``Window.partitionBy(host)``: the window
+    runs each host as one sequential task, and a Zipf-hot host holding
+    ~13% of a production round's frontier serializes the stage on any
+    cluster size (the round-5 multi-round leg measured this stage at
+    0.47 scaling efficiency; BASELINE.md).
     """
     if robots is None or round_seconds is None:
         return frontier, frontier.limit(0)
+    from icrawler_spark.operators.budget import grouped_row_number
+
     round_ms = int(round_seconds * 1000)
     f = with_host(frontier, url_col, "__host")
     caps = robots.select(
@@ -91,8 +100,7 @@ def politeness_batch(
                ).alias("__slots"),
     )
     j = f.join(F.broadcast(caps), on="__host", how="left")
-    w = Window.partitionBy("__host").orderBy(*[F.col(c).asc() for c in order_cols])
-    ranked = j.withColumn("__hrn", F.row_number().over(w))
+    ranked = grouped_row_number(j, ["__host"], order_cols, "__hrn")
     take = F.col("__slots").isNull() | (F.col("__hrn") <= F.col("__slots"))
     cols = frontier.columns
     marked = ranked.select(*cols, take.alias("__take"))

@@ -373,6 +373,65 @@ def test_bloom_split_plan_branches_and_snapshot_roundtrip(spark):
         ~F.col("__maybe_seen")).count() == 0
 
 
+def test_grouped_row_number_matches_window_on_skew(spark):
+    """budget.grouped_row_number: identical ranks to the per-group window
+    on Zipf-skewed groups (one group holding most rows), with the hot
+    group's rows range-split across partitions instead of one sequential
+    window task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.budget import grouped_row_number
+
+    # group g0: 5000 rows; g1..g9: 40 each — the hot-host shape
+    rows = [("g0", i) for i in range(5000)] + \
+        [(f"g{1 + g}", i) for g in range(9) for i in range(40)]
+    df = spark.createDataFrame(rows, "h string, ord long") \
+        .repartition(16)  # scatter input so ranking must really reorder
+
+    got = grouped_row_number(df, ["h"], ["ord"], "rn", num_partitions=8)
+    w = Window.partitionBy("h").orderBy("ord")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # the hot group genuinely spans multiple range partitions
+    spans = (df.repartitionByRange(8, F.col("h"), F.col("ord"))
+             .withColumn("pid", F.spark_partition_id())
+             .filter(F.col("h") == "g0").select("pid").distinct().count())
+    assert spans > 1
+
+
+def test_politeness_batch_skew_safe_equality(spark):
+    """politeness_batch after the grouped-ranker switch: identical
+    take/defer split to the reference window semantics on a skewed
+    frontier."""
+    from pyspark.sql import functions as F
+
+    from icrawler_spark.operators.politeness import politeness_batch
+
+    urls = [(f"http://hot.test/{i}", i) for i in range(2000)] + \
+        [(f"http://h{h}.test/{i}", 10_000 + h * 100 + i)
+         for h in range(5) for i in range(30)]
+    frontier = spark.createDataFrame(urls, "url string, rank long")
+    robots = spark.createDataFrame(
+        [("hot.test", 100, []), ("h1.test", 1000, []),
+         ("h2.test", 0, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>")
+
+    active, deferred = politeness_batch(frontier, robots, 30.0, ["rank"])
+    a = {r["url"] for r in active.collect()}
+    d = {r["url"] for r in deferred.collect()}
+    assert len(a) + len(d) == len(urls) and not (a & d)
+    # hot.test: 30000/100 = 300 slots -> first 300 by rank taken
+    assert {f"http://hot.test/{i}" for i in range(300)} <= a
+    assert {f"http://hot.test/{i}" for i in range(300, 2000)} == \
+        {u for u in d if "hot.test" in u}
+    # h1: 30 slots >= 30 rows -> all taken; h2 delay 0 -> uncapped;
+    # h0,h3,h4 no robots row -> uncapped
+    assert not {u for u in d if "hot.test" not in u}
+
+
 def test_sharded_bloom_apply_split_full(spark):
     """apply_split executes what bloom_split_plan/split_plan decide: every
     saturated shard is rebuilt as 2^f children re-absorbed from the EXACT
